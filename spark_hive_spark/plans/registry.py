@@ -1,0 +1,83 @@
+"""Query registry — the single source of truth for the engine's surface.
+
+Every operator/query the engine claims (SURVEY.md §2) registers here as
+a named callable ``(spark, sf_dir) -> DataFrame`` plus, when the
+semantics are ANSI-SQL-expressible, a DuckDB oracle SQL string. The
+driver contract (``__spark_entry__.py``) is a thin view over this
+registry.
+
+Determinism rules every registered query follows (so the driver's
+order-insensitive value-hash comparison is stable):
+- every computed column is aliased identically in Spark and oracle SQL;
+- float aggregates are rounded (money: 2dp, ratios/stats: 4-6dp) in
+  BOTH engines, so sub-ULP summation-order differences can't flip the
+  hash;
+- every ORDER BY ... LIMIT has a total order (unique tie-break key),
+  and orders by the *rounded* value so both engines pick the same rows.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+@dataclass(frozen=True)
+class Query:
+    name: str
+    fn: QueryFn
+    oracle: str | None  # DuckDB SQL; None => driver does rows-only check
+    tags: tuple[str, ...] = field(default_factory=tuple)
+    doc: str = ""
+
+
+_REGISTRY: dict[str, Query] = {}
+
+
+def register(
+    name: str, *, oracle: str | None = None, tags: tuple[str, ...] = ()
+) -> Callable[[QueryFn], QueryFn]:
+    """Decorator: add a query to the registry."""
+
+    def deco(fn: QueryFn) -> QueryFn:
+        if name in _REGISTRY:
+            raise ValueError(f"duplicate query name: {name}")
+        _REGISTRY[name] = Query(
+            name=name, fn=fn, oracle=oracle, tags=tags, doc=(fn.__doc__ or "").strip()
+        )
+        return fn
+
+    return deco
+
+
+def _load_all() -> None:
+    """Import every module that registers queries (idempotent)."""
+    import importlib
+
+    for mod in (
+        "spark_hive_spark.jobs.scorecard",
+        "spark_hive_spark.operators.relational",
+        "spark_hive_spark.operators.windows",
+        "spark_hive_spark.operators.grouping",
+        "spark_hive_spark.operators.scalars",
+        "spark_hive_spark.operators.temporal",
+        "spark_hive_spark.operators.dedup",
+        "spark_hive_spark.operators.similarity",
+        "spark_hive_spark.operators.textstats",
+        "spark_hive_spark.operators.multimodal",
+        "spark_hive_spark.streaming.windows",
+    ):
+        try:
+            importlib.import_module(mod)
+        except ModuleNotFoundError:
+            # module not built yet (incremental rounds) — skip
+            continue
+
+
+def all_queries() -> dict[str, Query]:
+    _load_all()
+    return dict(_REGISTRY)

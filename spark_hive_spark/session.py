@@ -1,0 +1,67 @@
+"""SparkSession factory.
+
+Mirrors the reference's test harness role (`SparkEnvironment.scala:6-19`:
+singleton local[*] context, temp warehouse, UI off) but configured for
+the modern engine: AQE on, Arrow on, UTC session time zone (so
+timestamp results compare bit-for-bit against the DuckDB oracle).
+
+At cluster scale the same conf block applies unchanged except
+``master`` and memory sizing; every knob here is a standard public
+Spark conf.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Defaults sized for the local[32] / 128 GiB test box. On a real
+# cluster: drop master/driver.memory overrides and size
+# shuffle.partitions ~ 2-3x total cores (AQE coalesces down).
+_DEFAULT_CONF: dict[str, str] = {
+    "spark.sql.shuffle.partitions": "32",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # 10 MB default is too conservative for star-schema dims; nation/
+    # region/supplier stay broadcastable far beyond sf1. AQE also
+    # upgrades to broadcast at runtime from actual sizes.
+    "spark.sql.autoBroadcastJoinThreshold": "64m",
+    "spark.sql.files.maxPartitionBytes": "128m",
+    "spark.ui.enabled": "false",
+    "spark.sql.parquet.compression.codec": "zstd",
+}
+
+
+def get_spark(
+    app_name: str = "spark_hive_spark",
+    *,
+    master: str | None = None,
+    hive: bool = False,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) the session.
+
+    ``hive=True`` enables Hive catalog support for the managed-table /
+    ``insertInto`` surface (reference S3/S4/D1-D4); tests default to the
+    in-memory catalog which supports the same DDL for our purposes.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    builder = SparkSession.builder.appName(app_name).master(
+        master or f"local[{cpus}]"
+    )
+    conf = dict(_DEFAULT_CONF)
+    # local mode: single JVM — driver memory is the only knob.
+    conf.setdefault("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+    if extra_conf:
+        conf.update(extra_conf)
+    for k, v in conf.items():
+        builder = builder.config(k, v)
+    if hive:
+        builder = builder.enableHiveSupport()
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

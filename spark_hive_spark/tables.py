@@ -1,0 +1,65 @@
+"""Testdata table loader + catalog registration.
+
+The driver fixtures (TESTDATA.md / FIXTURES.md §B) are one parquet
+file per table. ``load_tables`` reads them and registers temp views so
+both the DataFrame API and ``spark.sql`` address the same relations —
+the reference's pattern of querying registered views by name
+(`CollegeScorecard.scala:72,104,144` via `global_temp`), minus the
+Hive dependency.
+
+Scale note: parquet scans get column pruning + predicate pushdown from
+Catalyst for free; nothing here materializes or collects. ``DIM_SMALL``
+marks the tables that stay broadcastable at any SF (region: 5 rows,
+nation: 25, supplier: O(100) per SF) — per-query code broadcast-hints
+those joins explicitly rather than relying on size estimation alone.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES: tuple[str, ...] = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Always tiny relative to the fact tables — safe broadcast at 100 TB SF.
+DIM_SMALL: frozenset[str] = frozenset({"region", "nation", "supplier"})
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def load_tables(
+    spark: SparkSession,
+    sf_dir: str = DEFAULT_SF_DIR,
+    *,
+    register: bool = True,
+    names: tuple[str, ...] = TABLES,
+) -> dict[str, DataFrame]:
+    """Read the fixture tables; optionally register temp views."""
+    out: dict[str, DataFrame] = {}
+    for name in names:
+        df = spark.read.parquet(table_path(sf_dir, name))
+        if register:
+            df.createOrReplaceTempView(name)
+        out[name] = df
+    return out
+
+
+def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one table (no view registration)."""
+    return spark.read.parquet(table_path(sf_dir, name))
