@@ -1,0 +1,215 @@
+"""Multi-dimensional grouping: rollup / cube / grouping sets, pivot,
+distinct and approximate-distinct aggregates, percentiles
+(SURVEY.md §2B tier 1).
+
+Scale design: rollup/cube in Spark expand to a single Expand +
+hash-aggregate — one shuffle regardless of how many grouping sets.
+Pivot with an explicit value list avoids the extra distinct-values
+job and keeps the plan static. approx_count_distinct (HyperLogLog++)
+is the 100 TB path for distinct counts; the exact variant is kept for
+oracle checkability.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from spark_hive_spark.functions.numeric import dsum, sql_dsum
+from spark_hive_spark.plans.registry import register
+from spark_hive_spark.tables import load_tables, t
+
+
+@register(
+    "rollup_lineitem_flags",
+    oracle=f"""
+        SELECT l_returnflag, l_linestatus,
+               count(*) AS n_items,
+               {sql_dsum('l_quantity')} AS sum_qty
+        FROM lineitem
+        GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+    """,
+    tags=("grouping", "rollup"),
+)
+def rollup_lineitem_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP: hierarchical subtotals (flag, flag+status, grand total)
+    in one Expand+aggregate pass."""
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(F.count("*").alias("n_items"), dsum("l_quantity").alias("sum_qty"))
+        .orderBy(
+            F.col("l_returnflag").asc_nulls_first(),
+            F.col("l_linestatus").asc_nulls_first(),
+        )
+    )
+
+
+@register(
+    "cube_orders_status_priority",
+    oracle=f"""
+        SELECT o_orderstatus, o_orderpriority,
+               count(*) AS n_orders,
+               {sql_dsum('o_totalprice')} AS sum_price
+        FROM orders
+        GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+    """,
+    tags=("grouping", "cube"),
+)
+def cube_orders_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE: all 2^2 grouping combinations in one pass."""
+    orders = t(spark, sf_dir, "orders")
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count("*").alias("n_orders"), dsum("o_totalprice").alias("sum_price"))
+        .orderBy(
+            F.col("o_orderstatus").asc_nulls_first(),
+            F.col("o_orderpriority").asc_nulls_first(),
+        )
+    )
+
+
+@register(
+    "groupingsets_customer",
+    oracle=f"""
+        SELECT c_nationkey, c_mktsegment,
+               count(*) AS n_customers,
+               {sql_dsum('c_acctbal')} AS sum_bal
+        FROM customer
+        GROUP BY GROUPING SETS ((c_nationkey), (c_mktsegment))
+        ORDER BY c_nationkey NULLS FIRST, c_mktsegment NULLS FIRST
+    """,
+    tags=("grouping", "groupingsets"),
+)
+def groupingsets_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (neither rollup nor cube): per-nation and
+    per-segment totals, no cross combinations. Expressed in SQL over a
+    registered view — same Catalyst plan as the DataFrame form."""
+    load_tables(spark, sf_dir, names=("customer",))
+    return spark.sql(
+        f"""
+        SELECT c_nationkey, c_mktsegment,
+               count(*) AS n_customers,
+               {sql_dsum('c_acctbal')} AS sum_bal
+        FROM customer
+        GROUP BY GROUPING SETS ((c_nationkey), (c_mktsegment))
+        ORDER BY c_nationkey ASC NULLS FIRST, c_mktsegment ASC NULLS FIRST
+        """
+    )
+
+
+@register(
+    "pivot_revenue_by_linestatus",
+    oracle=f"""
+        SELECT l_returnflag,
+               CAST(sum(CASE WHEN l_linestatus = 'O'
+                   THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS qty_O,
+               CAST(sum(CASE WHEN l_linestatus = 'F'
+                   THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS qty_F
+        FROM lineitem
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag
+    """,
+    tags=("grouping", "pivot"),
+)
+def pivot_revenue_by_linestatus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT with an explicit value list (no extra distinct-scan job;
+    plan stays static for any input size). Semantically = grouped
+    conditional aggregation, which is exactly the oracle SQL."""
+    li = t(spark, sf_dir, "lineitem")
+    out = (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double"))
+    )
+    return out.select(
+        "l_returnflag",
+        F.col("O").alias("qty_O"),
+        F.col("F").alias("qty_F"),
+    ).orderBy("l_returnflag")
+
+
+@register(
+    "distinct_supplier_part_counts",
+    oracle="""
+        SELECT l_returnflag,
+               count(DISTINCT l_suppkey) AS n_suppliers,
+               count(DISTINCT l_partkey) AS n_parts,
+               count(DISTINCT l_orderkey) AS n_orders
+        FROM lineitem
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag
+    """,
+    tags=("grouping", "distinct"),
+)
+def distinct_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiple COUNT(DISTINCT) in one aggregate (Catalyst plans a
+    single Expand + two-stage aggregate — one shuffle)."""
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_suppkey").alias("n_suppliers"),
+            F.countDistinct("l_partkey").alias("n_parts"),
+            F.countDistinct("l_orderkey").alias("n_orders"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "approx_distinct_parts",
+    oracle=None,  # approximate — driver does rows-only; exactness tested in tests/
+    tags=("grouping", "approx"),
+)
+def approx_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HyperLogLog++, rsd=0.01): the 100 TB
+    path for distinct counts — constant memory per group vs the exact
+    variant's full de-dup shuffle. Paired with exact counts in
+    `distinct_supplier_part_counts`; tests assert the estimate lands
+    within 3·rsd of exact."""
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_partkey", rsd=0.01).alias("approx_parts"),
+            F.approx_count_distinct("l_orderkey", rsd=0.01).alias("approx_orders"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "percentiles_extendedprice",
+    oracle="""
+        SELECT l_returnflag,
+               round(quantile_cont(l_extendedprice, 0.25), 6) AS p25,
+               round(quantile_cont(l_extendedprice, 0.50), 6) AS p50,
+               round(quantile_cont(l_extendedprice, 0.75), 6) AS p75,
+               round(quantile_cont(l_extendedprice, 0.95), 6) AS p95
+        FROM lineitem
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag
+    """,
+    tags=("grouping", "percentile"),
+)
+def percentiles_extendedprice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (SQL percentile_cont semantics).
+    Exact percentile needs the values per group — fine for bounded
+    group counts; the streaming/100 TB alternative is
+    `approx_percentile` (KLL-ish sketch), exercised in tests."""
+    li = t(spark, sf_dir, "lineitem")
+    pct = [0.25, 0.50, 0.75, 0.95]
+    names = ["p25", "p50", "p75", "p95"]
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            *[
+                F.round(F.percentile("l_extendedprice", F.lit(p)), 6).alias(n)
+                for p, n in zip(pct, names)
+            ]
+        )
+        .orderBy("l_returnflag")
+    )

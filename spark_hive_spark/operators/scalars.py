@@ -1,0 +1,267 @@
+"""Scalar-function surface: string, date/time, JSON, conditional, and
+math expressions (SURVEY.md §2B tier 1; the reference's only scalar is
+`round`, X1 at `DataTest.scala:115`).
+
+All expressions are built-in `pyspark.sql.functions` — JVM-side,
+inside WholeStageCodegen, no Python in the hot path. Each query's
+oracle uses the ANSI/DuckDB spelling of the same expression; functions
+whose cross-engine determinism is shaky (libm last-ulp: ln/sqrt/pow)
+are rounded to 6dp on both sides.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from spark_hive_spark.functions.numeric import davg, dsum, sql_davg, sql_dsum
+from spark_hive_spark.plans.registry import register
+from spark_hive_spark.tables import t
+
+
+@register(
+    "string_part_catalog",
+    oracle=r"""
+        SELECT p_partkey,
+               lower(p_type)                  AS type_lower,
+               upper(p_name)                  AS name_upper,
+               length(p_name)                 AS name_len,
+               substring(p_name, 1, 4)        AS name_prefix,
+               CAST(regexp_extract(p_brand, 'Brand#(\d+)', 1) AS INT) AS brand_num,
+               split_part(p_name, ' ', 1)     AS first_word,
+               concat(p_brand, ':', p_type)   AS brand_type,
+               replace(p_name, ' ', '_')      AS name_snake,
+               CASE WHEN p_name LIKE '%gear%' THEN 1 ELSE 0 END AS is_gear
+        FROM part
+        WHERE p_size >= 1 AND p_name IS NOT NULL
+        ORDER BY p_partkey
+    """,
+    tags=("scalar", "string"),
+)
+def string_part_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String-function sweep: lower/upper/length/substring/
+    regexp_extract/split/concat/replace/LIKE — all codegen'd, all
+    pushed through a single projection."""
+    part = t(spark, sf_dir, "part")
+    return (
+        part.filter((F.col("p_size") >= 1) & F.col("p_name").isNotNull())
+        .select(
+            "p_partkey",
+            F.lower("p_type").alias("type_lower"),
+            F.upper("p_name").alias("name_upper"),
+            F.length("p_name").alias("name_len"),
+            F.substring("p_name", 1, 4).alias("name_prefix"),
+            F.regexp_extract("p_brand", r"Brand#(\d+)", 1)
+            .cast("int")
+            .alias("brand_num"),
+            F.split_part(F.col("p_name"), F.lit(" "), F.lit(1)).alias("first_word"),
+            F.concat_ws(":", "p_brand", "p_type").alias("brand_type"),
+            F.replace(F.col("p_name"), F.lit(" "), F.lit("_")).alias("name_snake"),
+            F.when(F.col("p_name").like("%gear%"), 1).otherwise(0).alias("is_gear"),
+        )
+        .orderBy("p_partkey")
+    )
+
+
+@register(
+    "date_monthly_order_stats",
+    oracle=f"""
+        SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS order_month,
+               year(o_orderdate)  AS order_year,
+               month(o_orderdate) AS order_month_num,
+               quarter(o_orderdate) AS order_quarter,
+               count(*) AS n_orders,
+               {sql_dsum('o_totalprice')} AS month_revenue
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        GROUP BY 1, 2, 3, 4
+        ORDER BY order_month
+    """,
+    tags=("scalar", "datetime", "aggregate"),
+)
+def date_monthly_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar bucketing: date_trunc/year/month/quarter + per-month
+    rollup. With the session pinned to UTC, truncation is identical to
+    the oracle's."""
+    orders = t(spark, sf_dir, "orders")
+    return (
+        orders.filter(F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        .groupBy(
+            F.date_trunc("month", "o_orderdate").alias("order_month"),
+            F.year("o_orderdate").alias("order_year"),
+            F.month("o_orderdate").alias("order_month_num"),
+            F.quarter("o_orderdate").alias("order_quarter"),
+        )
+        .agg(
+            F.count("*").alias("n_orders"),
+            dsum("o_totalprice").alias("month_revenue"),
+        )
+        .orderBy("order_month")
+    )
+
+
+@register(
+    "datediff_shipping_delay",
+    oracle="""
+        SELECT o_orderpriority,
+               count(*) AS n_items,
+               round(avg(date_diff('day', o_orderdate, l_shipdate)), 6)
+                   AS avg_delay_days,
+               max(date_diff('day', o_orderdate, l_shipdate)) AS max_delay_days,
+               min(date_diff('day', o_orderdate, l_shipdate)) AS min_delay_days
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        WHERE l_shipdate >= o_orderdate
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+    """,
+    tags=("scalar", "datetime", "join"),
+)
+def datediff_shipping_delay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Timestamp arithmetic across a join: order→ship delay in whole
+    days. Day counts are integers, so avg is a ratio of exact ints
+    (round-6 guards the division only)."""
+    orders = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+    delay = F.datediff(
+        F.col("l_shipdate").cast("date"), F.col("o_orderdate").cast("date")
+    )
+    return (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .filter(F.col("l_shipdate") >= F.col("o_orderdate"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.round(F.avg(delay), 6).alias("avg_delay_days"),
+            F.max(delay).alias("max_delay_days"),
+            F.min(delay).alias("min_delay_days"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "json_event_props",
+    oracle=f"""
+        SELECT event_type,
+               count(*) AS n_events,
+               {sql_davg("CAST(json_extract_string(props, '$.k') AS INT)", 0)}
+                   AS avg_k,
+               max(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k,
+               min(CAST(json_extract_string(props, '$.k') AS INT)) AS min_k
+        FROM events
+        GROUP BY event_type
+        ORDER BY event_type
+    """,
+    tags=("scalar", "json", "aggregate"),
+)
+def json_event_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON path extraction from the `events.props` string column
+    (get_json_object ≡ json_extract_string), typed and aggregated.
+    For full-schema parse see `json_event_schema` (from_json)."""
+    ev = t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            (F.sum(k.cast("decimal(18,0)")).cast("double") / F.count(k)).alias(
+                "avg_k"
+            ),
+            F.max(k).alias("max_k"),
+            F.min(k).alias("min_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "json_event_schema",
+    oracle="""
+        SELECT event_id,
+               CAST(json_extract_string(props, '$.k') AS INT) AS k
+        FROM events
+        WHERE user_id < 10
+        ORDER BY event_id
+    """,
+    tags=("scalar", "json"),
+)
+def json_event_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-full JSON parse via from_json into a typed struct, then
+    field access — the scale path for JSON columns (parse once,
+    project fields; Jackson inside codegen, no Python)."""
+    ev = t(spark, sf_dir, "events").filter(F.col("user_id") < 10)
+    parsed = ev.withColumn(
+        "props_struct", F.from_json("props", "struct<k:int>")
+    )
+    return parsed.select(
+        "event_id", F.col("props_struct.k").alias("k")
+    ).orderBy("event_id")
+
+
+@register(
+    "case_price_buckets",
+    oracle=f"""
+        SELECT CASE
+                 WHEN o_totalprice < 100000 THEN 'low'
+                 WHEN o_totalprice < 300000 THEN 'mid'
+                 ELSE 'high'
+               END AS price_bucket,
+               count(*) AS n_orders,
+               {sql_davg('o_totalprice')} AS avg_price
+        FROM orders
+        GROUP BY 1
+        ORDER BY price_bucket
+    """,
+    tags=("scalar", "conditional", "aggregate"),
+)
+def case_price_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CASE WHEN bucketing + aggregate over the bucket expression."""
+    orders = t(spark, sf_dir, "orders")
+    bucket = (
+        F.when(F.col("o_totalprice") < 100000, "low")
+        .when(F.col("o_totalprice") < 300000, "mid")
+        .otherwise("high")
+        .alias("price_bucket")
+    )
+    return (
+        orders.groupBy(bucket)
+        .agg(
+            F.count("*").alias("n_orders"),
+            davg("o_totalprice").alias("avg_price"),
+        )
+        .orderBy("price_bucket")
+    )
+
+
+@register(
+    "math_supplier_balances",
+    oracle="""
+        SELECT s_suppkey,
+               round(abs(s_acctbal), 6)            AS bal_abs,
+               CAST(ceil(s_acctbal) AS BIGINT)     AS bal_ceil,
+               CAST(floor(s_acctbal) AS BIGINT)    AS bal_floor,
+               round(sqrt(abs(s_acctbal)), 6)      AS bal_sqrt,
+               round(ln(abs(s_acctbal) + 1), 6)    AS bal_ln,
+               round(power(s_acctbal / 1000, 2), 6) AS bal_k_sq,
+               CAST(sign(s_acctbal) AS DOUBLE)     AS bal_sign
+        FROM supplier
+        ORDER BY s_suppkey
+    """,
+    tags=("scalar", "math"),
+)
+def math_supplier_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math-function sweep: abs/ceil/floor/sqrt/ln/pow/sign. ln & pow
+    go through libm whose last ulp may differ between JVM and DuckDB —
+    rounded to 6dp on both sides."""
+    s = t(spark, sf_dir, "supplier")
+    bal = F.col("s_acctbal")
+    return s.select(
+        "s_suppkey",
+        F.round(F.abs(bal), 6).alias("bal_abs"),
+        F.ceil(bal).alias("bal_ceil"),
+        F.floor(bal).alias("bal_floor"),
+        F.round(F.sqrt(F.abs(bal)), 6).alias("bal_sqrt"),
+        F.round(F.log(F.abs(bal) + 1), 6).alias("bal_ln"),
+        F.round(F.pow(bal / 1000, 2), 6).alias("bal_k_sq"),
+        F.signum(bal).alias("bal_sign"),
+    ).orderBy("s_suppkey")

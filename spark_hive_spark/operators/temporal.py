@@ -1,0 +1,310 @@
+"""Time-series operators over the `events` stream table: tumbling and
+sliding window aggregation (batch form), sessionization, as-of joins,
+and time-range joins (SURVEY.md §2B; batch twins of §5's streaming
+surface — see spark_hive_spark/streaming/).
+
+Spark has no native AS-OF join; `asof_join` implements it as the
+union-sort-backfill composition: union both sides tagged, one window
+per key ordered by time with `last(..., ignorenulls=True)` carrying
+the most recent right-side row forward. Cost = ONE shuffle on the key
++ a per-key sort — the same complexity as a regular sort-merge join,
+no row explosion, no driver involvement; this is the scalable plan at
+100 TB (pd.merge_asof via applyInPandas would force all of a key's
+history into one pandas frame; rejected).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from spark_hive_spark.functions.numeric import dsum, sql_dsum
+from spark_hive_spark.plans.registry import register
+from spark_hive_spark.tables import t
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    how: str = "inner",
+) -> DataFrame:
+    """Backward as-of join (inclusive): for each left row, attach the
+    right row with the greatest ``right_ts`` <= ``left_ts`` within the
+    same ``on`` key. Column sets of the two sides must be disjoint
+    except ``on``.
+
+    Plan: union(tagged) -> window(partitionBy on, orderBy ts) ->
+    last(ignorenulls) backfill -> filter left rows. Right rows sort
+    before left rows at equal timestamps so exact matches are
+    included.
+    """
+    right_cols = [c for c in right.columns if c != on and c != right_ts]
+    left_cols = [c for c in left.columns if c != on]
+
+    tagged_right = right.select(
+        F.col(on),
+        F.col(right_ts).alias("_ts"),
+        F.lit(0).alias("_side"),
+        F.col(right_ts).alias("_r_ts"),
+        *[F.col(c) for c in right_cols],
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left_cols],
+    )
+    tagged_left = left.select(
+        F.col(on),
+        F.col(left_ts).alias("_ts"),
+        F.lit(1).alias("_side"),
+        F.lit(None).cast(right.schema[right_ts].dataType).alias("_r_ts"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(c) for c in right_cols],
+        *[F.col(c) for c in left_cols],
+    )
+    w = (
+        W.partitionBy(on)
+        .orderBy(F.col("_ts").asc(), F.col("_side").asc())
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    backfilled = tagged_left.unionByName(tagged_right).select(
+        F.col(on),
+        F.col("_ts"),
+        F.col("_side"),
+        *[F.col(c) for c in left_cols],
+        F.last("_r_ts", ignorenulls=True).over(w).alias(right_ts),
+        *[
+            F.last(c, ignorenulls=True).over(w).alias(c)
+            for c in right_cols
+        ],
+    )
+    out = backfilled.filter(F.col("_side") == 1).drop("_side", "_ts")
+    if how == "inner":
+        out = out.filter(F.col(right_ts).isNotNull())
+    return out
+
+
+@register(
+    "window_tumbling_events",
+    oracle=f"""
+        SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+               event_type,
+               count(*) AS n_events,
+               {sql_dsum('value')} AS sum_value
+        FROM events
+        GROUP BY 1, 2
+        ORDER BY window_start, event_type
+    """,
+    tags=("temporal", "window-agg"),
+)
+def window_tumbling_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour window aggregation (batch form of the streaming
+    windowed count — same F.window operator Structured Streaming
+    uses). Epoch-aligned in both engines under UTC."""
+    ev = t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"), dsum("value").alias("sum_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+        .orderBy("window_start", "event_type")
+    )
+
+
+@register(
+    "window_sliding_events",
+    oracle="""
+        WITH halves AS (
+            SELECT time_bucket(INTERVAL '30 minutes', ts) AS tb, value
+            FROM events
+        ),
+        assigned AS (
+            SELECT unnest([tb, tb - INTERVAL '30 minutes']) AS window_start,
+                   value
+            FROM halves
+        )
+        SELECT window_start, count(*) AS n_events
+        FROM assigned
+        GROUP BY window_start
+        ORDER BY window_start
+    """,
+    tags=("temporal", "window-agg"),
+)
+def window_sliding_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding window: 1-hour width, 30-minute slide — each event lands
+    in 2 windows (Spark's F.window expands rows; the oracle mirrors the
+    expansion with unnest)."""
+    ev = t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(F.count("*").alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "n_events")
+        .orderBy("window_start")
+    )
+
+
+@register(
+    "sessionize_events",
+    oracle="""
+        WITH gaps AS (
+            SELECT user_id, event_id, ts,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                          OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                        THEN 1 ELSE 0 END AS is_new_session
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        numbered AS (
+            SELECT user_id, event_id, ts,
+                   sum(is_new_session) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS session_num
+            FROM gaps
+        )
+        SELECT user_id, session_num,
+               count(*) AS n_events,
+               min(ts) AS session_start,
+               max(ts) AS session_end,
+               epoch_us(max(ts)) - epoch_us(min(ts)) AS duration_micros
+        FROM numbered
+        GROUP BY user_id, session_num
+        ORDER BY user_id, session_num
+    """,
+    tags=("temporal", "session"),
+)
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization with a 30-minute inactivity gap: lag to find
+    session breaks, running sum to number sessions, then per-session
+    rollup. One shuffle on user_id serves the window AND the final
+    aggregate (same partitioning). Streaming twin: session_window in
+    spark_hive_spark/streaming/."""
+    ev = t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+    is_new = F.when(
+        gap_us.isNull() | (gap_us > 30 * 60 * 1_000_000), 1
+    ).otherwise(0)
+    numbered = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.sum(is_new)
+        .over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
+        .alias("session_num"),
+    )
+    return (
+        numbered.groupBy("user_id", "session_num")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))).alias(
+                "duration_micros"
+            ),
+        )
+        .orderBy("user_id", "session_num")
+    )
+
+
+@register(
+    "asof_purchase_last_click",
+    oracle="""
+        WITH purchases AS (
+            SELECT event_id, user_id, ts, value FROM events
+            WHERE event_type = 'purchase'
+        ),
+        clicks AS (
+            SELECT event_id AS click_event_id, user_id, ts AS click_ts
+            FROM events WHERE event_type = 'click'
+        )
+        SELECT p.event_id, p.user_id, p.ts, p.value,
+               c.click_event_id, c.click_ts,
+               epoch_us(p.ts) - epoch_us(c.click_ts) AS micros_since_click
+        FROM purchases p
+        ASOF JOIN clicks c
+          ON p.user_id = c.user_id AND p.ts >= c.click_ts
+        ORDER BY p.event_id
+    """,
+    tags=("temporal", "asof", "join"),
+)
+def asof_purchase_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AS-OF join: each purchase matched to the same user's most recent
+    click at-or-before it (inner: purchases with no prior click drop).
+    Uses the generic `asof_join` union-sort operator; the oracle is
+    DuckDB's native ASOF JOIN."""
+    ev = t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_event_id"),
+        "user_id",
+        F.col("ts").alias("click_ts"),
+    )
+    joined = asof_join(
+        purchases, clicks, on="user_id", left_ts="ts", right_ts="click_ts"
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "value",
+        "click_event_id",
+        "click_ts",
+        (F.unix_micros("ts") - F.unix_micros("click_ts")).alias(
+            "micros_since_click"
+        ),
+    ).orderBy("event_id")
+
+
+@register(
+    "range_join_clicks_before_purchase",
+    oracle="""
+        WITH purchases AS (
+            SELECT event_id, user_id, ts FROM events
+            WHERE event_type = 'purchase'
+        ),
+        clicks AS (
+            SELECT user_id, ts AS click_ts FROM events
+            WHERE event_type = 'click'
+        )
+        SELECT p.event_id, p.user_id, p.ts,
+               count(c.click_ts) AS n_clicks_prev_hour
+        FROM purchases p
+        LEFT JOIN clicks c
+          ON p.user_id = c.user_id
+         AND c.click_ts >  p.ts - INTERVAL '1 hour'
+         AND c.click_ts <= p.ts
+        GROUP BY p.event_id, p.user_id, p.ts
+        ORDER BY p.event_id
+    """,
+    tags=("temporal", "range-join"),
+)
+def range_join_clicks_before_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-range join: clicks in the hour before each purchase,
+    counted per purchase (left join keeps zero-click purchases). The
+    equality on user_id makes this a plain equi-join with a range
+    residual — hash-partitioned on user, NOT a nested-loop cross
+    product; at scale the band condition caps the per-key fan-out."""
+    ev = t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user_id"), F.col("ts").alias("click_ts")
+    )
+    cond = (
+        (purchases.user_id == clicks.c_user_id)
+        & (clicks.click_ts > purchases.ts - F.expr("INTERVAL 1 HOUR"))
+        & (clicks.click_ts <= purchases.ts)
+    )
+    return (
+        purchases.join(clicks, cond, "left")
+        .groupBy("event_id", "user_id", "ts")
+        .agg(F.count("click_ts").alias("n_clicks_prev_hour"))
+        .orderBy("event_id")
+    )

@@ -32,6 +32,10 @@ _DEFAULT_CONF: dict[str, str] = {
     "spark.sql.autoBroadcastJoinThreshold": "64m",
     "spark.sql.files.maxPartitionBytes": "128m",
     "spark.ui.enabled": "false",
+    "spark.ui.showConsoleProgress": "false",
+    # events.parquet stores ts as TIMESTAMP(NANOS); read as long and
+    # convert in tables._read (Spark has no nanos timestamp type).
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
     "spark.sql.parquet.compression.codec": "zstd",
 }
 

@@ -19,6 +19,7 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 TABLES: tuple[str, ...] = (
     "region",
@@ -43,6 +44,21 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one fixture table, normalizing physical-type quirks.
+
+    `events.ts` is written as parquet TIMESTAMP(NANOS), which Spark's
+    vectorized reader rejects ([PARQUET_TYPE_ILLEGAL]). We read nanos
+    as long (`spark.sql.legacy.parquet.nanosAsLong`, set in
+    session.py) and truncate to microseconds with integer division —
+    the same truncation DuckDB applies, so oracle comparisons agree to
+    the microsecond."""
+    df = spark.read.parquet(table_path(sf_dir, name))
+    if name == "events":
+        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return df
+
+
 def load_tables(
     spark: SparkSession,
     sf_dir: str = DEFAULT_SF_DIR,
@@ -53,7 +69,7 @@ def load_tables(
     """Read the fixture tables; optionally register temp views."""
     out: dict[str, DataFrame] = {}
     for name in names:
-        df = spark.read.parquet(table_path(sf_dir, name))
+        df = _read(spark, sf_dir, name)
         if register:
             df.createOrReplaceTempView(name)
         out[name] = df
@@ -62,4 +78,4 @@ def load_tables(
 
 def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one table (no view registration)."""
-    return spark.read.parquet(table_path(sf_dir, name))
+    return _read(spark, sf_dir, name)

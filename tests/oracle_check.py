@@ -2,20 +2,18 @@
 
 For a registered query with an oracle, run the Spark DataFrame and the
 DuckDB SQL over the same parquet tables and compare: row count, column
-names, and order-insensitive values (exact for ints/strings/timestamps;
-tight tolerance for floats so genuine logic errors surface while
-sub-ULP engine differences don't — queries are expected to round
-float aggregates themselves, per the registry's determinism rules).
+names, and order-insensitive values. Comparison is EXACT on the
+stringified values (like the driver's value hash) — queries must
+produce bit-identical results in both engines, which the registry's
+determinism rules (decimal-exact sums, round-6 irrational stats,
+matching output types) are designed to guarantee. Timestamps are
+compared tz-naive; Decimals compare as their exact string.
 """
 
 from __future__ import annotations
 
 import datetime as _dt
-import math
 from decimal import Decimal
-
-FLOAT_ABS = 1e-8
-FLOAT_REL = 1e-9
 
 
 def _norm(v):
@@ -23,8 +21,6 @@ def _norm(v):
         return float(v)
     if isinstance(v, _dt.datetime):
         return v.replace(tzinfo=None)
-    if isinstance(v, _dt.date) and not isinstance(v, _dt.datetime):
-        return _dt.datetime(v.year, v.month, v.day)
     if isinstance(v, (list, tuple)):
         return tuple(_norm(x) for x in v)
     return v
@@ -45,8 +41,6 @@ def compare(spark_df, duck_rel, name: str = "query") -> list[str]:
         problems.append(f"{name}: columns differ spark={s_cols} duck={d_cols}")
         return problems
 
-    # align duck column order to spark's, then sort columns by name as
-    # the driver does
     order = sorted(s_cols)
     s_rows = [
         tuple(_norm(row[c]) for c in order) for row in spark_df.collect()
@@ -66,23 +60,9 @@ def compare(spark_df, duck_rel, name: str = "query") -> list[str]:
     n_bad = 0
     for i, (sr, dr) in enumerate(zip(s_rows, d_rows)):
         for c, (sv, dv) in zip(order, zip(sr, dr)):
-            if sv is None and dv is None:
-                continue
-            if isinstance(sv, float) or isinstance(dv, float):
-                if sv is None or dv is None:
-                    ok = False
-                elif math.isnan(sv) and math.isnan(dv):
-                    ok = True
-                else:
-                    ok = math.isclose(
-                        sv, dv, rel_tol=FLOAT_REL, abs_tol=FLOAT_ABS
-                    )
-                if not ok:
-                    problems.append(
-                        f"{name}: row {i} col {c}: spark={sv!r} duck={dv!r}"
-                    )
-                    n_bad += 1
-            elif sv != dv:
+            # exact: value AND python type (int 5 != float 5.0 — the
+            # driver hashes stringified values, so types must align)
+            if type(sv) is not type(dv) or str(sv) != str(dv):
                 problems.append(
                     f"{name}: row {i} col {c}: spark={sv!r} duck={dv!r}"
                 )
