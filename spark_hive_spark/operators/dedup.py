@@ -1,0 +1,349 @@
+"""Deduplication operators over the `documents` table — the
+training-data-pipeline tier (SURVEY.md §2B tier 2 / BASELINE.json
+north star): exact, exact-normalized, n-gram Jaccard, MinHash+LSH,
+and SimHash near-dup.
+
+Scale design (the whole point of these operators):
+- Exact dedup = hash groupBy on the normalized text (one shuffle; at
+  100 TB hash the text first so the shuffle key is 16 bytes, not KBs —
+  we group on md5 for exactly that reason).
+- N-gram Jaccard avoids the O(n²) cross join via the inverted-index
+  pattern: explode distinct shingles, self-join on shingle, count
+  common per pair — cost ~ sum over shingles of df², bounded by the
+  doc-frequency cap that drops ubiquitous shingles (they carry no
+  near-dup signal but quadratic cost).
+- MinHash compresses each doc's shingle set to k=32 ints (map-side,
+  no shuffle), LSH banding turns "similar" into "equal on some band"
+  — an equi-join, shuffle on band key only. Candidates then verify
+  with exact Jaccard. This is the 100 TB path; the exact variant is
+  its oracle.
+- SimHash compresses to one 64-bit signature; near-dup = Hamming
+  distance ≤ 3, found by 4×16-bit band equality (pigeonhole: any pair
+  within distance 3 shares at least one of 4 bands).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from spark_hive_spark.plans.registry import register
+from spark_hive_spark.tables import t
+
+# Shingles appearing in more docs than this carry no dedup signal but
+# quadratic join cost; dropped identically in Spark and oracle.
+MAX_SHINGLE_DF = 1000
+JACCARD_THRESHOLD = 0.8
+MINHASH_K = 32
+MINHASH_BANDS = 8  # 8 bands x 4 rows
+
+
+def normalized_text(col: str = "text") -> Column:
+    """lower + trim + collapse internal whitespace (same regex in
+    DuckDB oracle)."""
+    return F.regexp_replace(F.lower(F.trim(F.col(col))), r"\s+", " ")
+
+
+SQL_NORM_TEXT = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+
+
+def shingles(tokens: Column, n: int = 3) -> Column:
+    """Distinct word n-grams of a token array (empty if < n tokens)."""
+    make = F.transform(
+        F.sequence(F.lit(0), F.size(tokens) - n),
+        lambda i: F.concat_ws(
+            " ", *[F.get(tokens, i + j) for j in range(n)]
+        ),
+    )
+    return F.when(F.size(tokens) >= n, F.array_distinct(make)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, shingle) pairs, distinct per doc, rare-shingle only."""
+    docs = t(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id",
+        F.explode(shingles(F.split(normalized_text(), " "))).alias("s"),
+    )
+    df_cap = (
+        sh.groupBy("s")
+        .agg(F.count("*").alias("s_df"))
+        .filter(F.col("s_df") <= MAX_SHINGLE_DF)
+        .select("s")
+    )
+    return sh.join(df_cap, "s")
+
+
+@register(
+    "dedup_exact_normalized",
+    oracle=f"""
+        WITH norm AS (
+            SELECT doc_id, md5({SQL_NORM_TEXT}) AS text_hash
+            FROM documents
+        )
+        SELECT text_hash,
+               min(doc_id) AS keep_doc_id,
+               count(*)    AS n_copies
+        FROM norm
+        GROUP BY text_hash
+        ORDER BY keep_doc_id
+    """,
+    tags=("dedup", "exact"),
+)
+def dedup_exact_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup on normalized text: group by md5(normalized), keep
+    the smallest doc_id per group. Grouping on the 16-byte hash (not
+    the text) keeps the shuffle narrow at scale; md5 collisions are
+    negligible (2^-64 at petabyte counts)."""
+    docs = t(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", F.md5(normalized_text()).alias("text_hash"))
+        .groupBy("text_hash")
+        .agg(
+            F.min("doc_id").alias("keep_doc_id"),
+            F.count("*").alias("n_copies"),
+        )
+        .orderBy("keep_doc_id")
+    )
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, string_split({SQL_NORM_TEXT}, ' ') AS tk
+            FROM documents
+        ),
+        sh0 AS (
+            SELECT doc_id,
+                   unnest(list_distinct(list_transform(
+                       range(1, len(tk) - 1),
+                       i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
+                   ))) AS s
+            FROM toks WHERE len(tk) >= 3
+        ),
+        rare AS (
+            SELECT s FROM sh0 GROUP BY s HAVING count(*) <= {MAX_SHINGLE_DF}
+        ),
+        sh AS (SELECT sh0.* FROM sh0 JOIN rare USING (s)),
+        sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        common AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+            FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        )
+        SELECT doc_a, doc_b,
+               round(c::DOUBLE / (x.n + y.n - c), 6) AS jaccard
+        FROM common
+        JOIN sz x ON x.doc_id = doc_a
+        JOIN sz y ON y.doc_id = doc_b
+        WHERE c::DOUBLE / (x.n + y.n - c) >= {JACCARD_THRESHOLD}
+        ORDER BY doc_a, doc_b
+    """,
+    tags=("dedup", "ngram", "join"),
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs by exact word-3-gram Jaccard >= 0.8 via the
+    inverted-index self-join (no cross join: pairs materialize only
+    for docs sharing at least one rare shingle)."""
+    sh = _doc_shingles(spark, sf_dir)
+    sz = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    common = (
+        a.join(
+            b,
+            (F.col("a.s") == F.col("b.s"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("c"))
+    )
+    jac = F.col("c") / (F.col("x.n") + F.col("y.n") - F.col("c"))
+    return (
+        common.join(sz.alias("x"), F.col("doc_a") == F.col("x.doc_id"))
+        .join(sz.alias("y"), F.col("doc_b") == F.col("y.doc_id"))
+        .filter(jac >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, mh_0..mh_{k-1}): k independent min-hashes of each
+    doc's shingle set. Permutation i = xxhash64(shingle, seed=i); the
+    signature aggregates map-side (k mins in one groupBy pass)."""
+    sh = _doc_shingles(spark, sf_dir)
+    aggs = [
+        F.min(F.xxhash64(F.col("s"), F.lit(i))).alias(f"mh_{i}")
+        for i in range(MINHASH_K)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+@register(
+    "dedup_minhash_lsh",
+    oracle=None,  # xxhash64 signatures aren't SQL-portable; tests
+    # assert exact agreement with dedup_ngram_jaccard's verified pairs.
+    tags=("dedup", "minhash", "lsh"),
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(k=32) + LSH banding (8 bands × 4 rows) candidate
+    generation, then EXACT Jaccard verification of candidates — the
+    scalable near-dup plan: signatures shrink each doc to 32 ints;
+    banding turns similarity search into an equi-join on band hashes;
+    only candidate pairs (not all pairs) pay the verification join.
+
+    Output = verified pairs (jaccard >= 0.8), i.e. the same contract
+    as `dedup_ngram_jaccard` — recall is governed by the banding
+    probability 1-(1-s^4)^8 (~0.9998 at s=0.8)."""
+    sig = minhash_signature(spark, sf_dir)
+    rows_per_band = MINHASH_K // MINHASH_BANDS
+    band_cols = [
+        F.xxhash64(
+            F.lit(bi),
+            *[F.col(f"mh_{bi * rows_per_band + j}") for j in range(rows_per_band)],
+        ).alias(f"band_{bi}")
+        for bi in range(MINHASH_BANDS)
+    ]
+    banded = sig.select("doc_id", *band_cols)
+    bands_long = banded.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band_idx"),
+                        F.col(f"band_{bi}").alias("band_hash"),
+                    )
+                    for bi in range(MINHASH_BANDS)
+                ]
+            )
+        ).alias("b"),
+    ).select("doc_id", "b.band_idx", "b.band_hash")
+    a = bands_long.alias("a")
+    b = bands_long.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    # exact verification of candidates only
+    sh = _doc_shingles(spark, sf_dir)
+    sz = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    sa = sh.alias("sa")
+    sb = sh.alias("sb")
+    common = (
+        candidates.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(
+            sb,
+            (F.col("doc_b") == F.col("sb.doc_id"))
+            & (F.col("sa.s") == F.col("sb.s")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("c"))
+    )
+    jac = F.col("c") / (F.col("x.n") + F.col("y.n") - F.col("c"))
+    return (
+        common.join(sz.alias("x"), F.col("doc_a") == F.col("x.doc_id"))
+        .join(sz.alias("y"), F.col("doc_b") == F.col("y.doc_id"))
+        .filter(jac >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+@register(
+    "dedup_simhash",
+    oracle=None,  # xxhash64 bit-mixing isn't SQL-portable; tests
+    # assert symmetry/threshold invariants and overlap with jaccard dups.
+    tags=("dedup", "simhash"),
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash(64-bit) near-dup: per-token 64-bit hashes vote each bit
+    up/down weighted by term frequency; near-dup = Hamming distance
+    <= 3 on signatures, found via 4×16-bit band equality (pigeonhole
+    guarantees any such pair matches >= 1 band). One signature per doc
+    (8 bytes) — the cheapest near-dup representation at 100 TB."""
+    docs = t(spark, sf_dir, "documents")
+    tf = (
+        docs.select(
+            "doc_id",
+            F.explode(F.split(normalized_text(), " ")).alias("tok"),
+        )
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("cnt"))
+        .withColumn("h", F.xxhash64("tok"))
+    )
+    def _mask(j: int) -> int:
+        # bit 63 as a signed two's-complement long (1 << 63 overflows)
+        return (1 << j) if j < 63 else -(1 << 63)
+
+    bit_sums = tf.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.col("h").bitwiseAND(F.lit(_mask(j))) != 0, F.col("cnt"))
+                .otherwise(-F.col("cnt"))
+            ).alias(f"b{j}")
+            for j in range(64)
+        ]
+    )
+    sim = bit_sums.select(
+        "doc_id",
+        sum(
+            [
+                F.when(F.col(f"b{j}") > 0, F.lit(_mask(j))).otherwise(F.lit(0))
+                for j in range(64)
+            ],
+            F.lit(0).cast("long"),
+        ).alias("simhash"),
+    )
+    bands = sim.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).alias("band_idx"),
+                        F.shiftrightunsigned("simhash", 16 * k)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("band_val"),
+                    )
+                    for k in range(4)
+                ]
+            )
+        ).alias("b"),
+    ).select("doc_id", "simhash", "b.band_idx", "b.band_val")
+    a = bands.alias("a")
+    b = bands.alias("b")
+    hamming = F.bit_count(
+        F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            hamming.alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= 3)
+        .orderBy("doc_a", "doc_b")
+    )

@@ -1,0 +1,113 @@
+"""Multimodal column plumbing (SURVEY.md §2B tier 2 / north star):
+treat image/audio/video payloads as opaque `binary` columns with typed
+metadata, processed by Arrow-batched `mapInPandas` stages.
+
+The container has no image/audio codecs, so the DECODE step is a
+clearly-marked stub (`decode_image` raises NotImplementedError; a
+deterministic fake decoder stands in for tests and the registered
+query). Everything around it — binary column handling, schema,
+batching, partition sizing — is real Spark plumbing and is what this
+module actually tests.
+
+Scale notes: media blobs make rows huge; keep
+`spark.sql.files.maxPartitionBytes` bounded so a partition of blobs
+fits executor memory, and carry metadata (width/height/frames) in
+plain columns so filters prune BEFORE any decode runs. mapInPandas
+streams Arrow batches — per-batch Python cost, never per-row.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from spark_hive_spark.plans.registry import register
+from spark_hive_spark.tables import t
+
+MEDIA_SCHEMA = (
+    "doc_id long, n_bytes int, fake_width int, fake_height int, "
+    "fake_n_frames int, checksum long"
+)
+
+
+def decode_image(payload: bytes) -> "object":
+    """REAL decode would go through PIL/libjpeg — not present in this
+    container. Kept as an explicit seam: swap in a real decoder on a
+    cluster image that has the codec libraries."""
+    raise NotImplementedError(
+        "image codecs are not installed in this environment; "
+        "use fake_decode (deterministic stub) or install PIL on the cluster"
+    )
+
+
+def fake_decode(payload: bytes) -> tuple[int, int, int, int]:
+    """Deterministic stand-in for a media decoder: derives fake
+    dimensions/frame-count and a checksum purely from the bytes, so
+    the full pipeline (binary col → Arrow batch → decoded features) is
+    testable without codecs."""
+    n = len(payload)
+    return (
+        n % 640 + 1,          # fake_width
+        n % 480 + 1,          # fake_height
+        n % 30 + 1,           # fake_n_frames
+        sum(payload) % (1 << 31),  # checksum
+    )
+
+
+def decode_media_features(media: DataFrame) -> DataFrame:
+    """mapInPandas decode stage over (doc_id long, payload binary).
+
+    Arrow streams batches of binary payloads into pandas; the stub
+    decoder runs per row INSIDE the batch (a real decoder would too —
+    decode is inherently per-payload), and one output batch goes back
+    per input batch."""
+
+    def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = pdf["payload"]
+            feats = [fake_decode(bytes(p)) for p in payloads]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": [len(bytes(p)) for p in payloads],
+                    "fake_width": [f[0] for f in feats],
+                    "fake_height": [f[1] for f in feats],
+                    "fake_n_frames": [f[2] for f in feats],
+                    "checksum": [f[3] for f in feats],
+                }
+            )
+
+    return media.mapInPandas(decode_batches, schema=MEDIA_SCHEMA)
+
+
+@register(
+    "multimodal_media_features",
+    oracle="""
+        SELECT doc_id,
+               octet_length(encode(text)) AS n_bytes,
+               octet_length(encode(text)) % 640 + 1 AS fake_width,
+               octet_length(encode(text)) % 480 + 1 AS fake_height,
+               octet_length(encode(text)) % 30 + 1 AS fake_n_frames
+        FROM documents
+        WHERE doc_id < 200
+        ORDER BY doc_id
+    """,
+    tags=("multimodal", "udf", "binary"),
+)
+def multimodal_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end multimodal plumbing: build a binary payload column
+    (UTF-8 bytes of `text` stand in for a media blob), run the
+    mapInPandas decode stage, return the feature table. The
+    length-derived features are SQL-expressible, so the whole
+    binary→Arrow→pandas→features path gets a real oracle; `checksum`
+    is validated in tests (not SQL-portable)."""
+    docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    media = docs.select("doc_id", F.encode("text", "UTF-8").alias("payload"))
+    feats = decode_media_features(media)
+    return feats.select(
+        "doc_id", "n_bytes", "fake_width", "fake_height", "fake_n_frames"
+    ).orderBy("doc_id")

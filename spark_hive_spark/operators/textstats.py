@@ -1,0 +1,322 @@
+"""Text-analysis operators over `documents` (SURVEY.md §2B tier 2 /
+north star): token counting, quality scoring, language-ID heuristic,
+fingerprinting, n-gram profiles.
+
+Everything is built-in string/regex/array functions — JVM codegen, no
+Python UDFs: at 100 TB these run as wide map-only stages (token stats,
+quality, langid, fingerprint) or one narrow shuffle (per-lang
+aggregates, n-gram counts). Regex patterns are chosen to evaluate
+identically under Java regex (Spark) and RE2 (DuckDB).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from spark_hive_spark.operators.dedup import SQL_NORM_TEXT, normalized_text
+from spark_hive_spark.plans.registry import register
+from spark_hive_spark.tables import t
+
+# BPE-ish word tokenizer: letter runs, digit runs, or single non-space
+# symbols — the standard pre-tokenization shape.
+TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+STOPWORDS = {
+    "en": ["the", "a", "of", "and", "to", "in"],
+    "de": ["der", "die", "das", "und", "ist", "ein"],
+    "es": ["el", "la", "los", "y", "es", "un"],
+    "fr": ["le", "la", "les", "et", "est", "un"],
+}
+
+
+def _stop_pattern(lang: str) -> str:
+    return r"\b(" + "|".join(STOPWORDS[lang]) + r")\b"
+
+
+@register(
+    "text_token_stats",
+    oracle=f"""
+        WITH per_doc AS (
+            SELECT doc_id, lang,
+                   len(regexp_extract_all({SQL_NORM_TEXT},
+                       '{TOKEN_RE}')) AS n_tokens,
+                   length(text) AS n_chars_actual
+            FROM documents
+        )
+        SELECT lang,
+               count(*) AS n_docs,
+               sum(n_tokens) AS total_tokens,
+               round(CAST(sum(n_tokens) AS DOUBLE) / count(*), 6)
+                   AS avg_tokens_per_doc,
+               round(CAST(sum(n_chars_actual) AS DOUBLE)
+                     / sum(n_tokens), 6) AS avg_chars_per_token,
+               max(n_tokens) AS max_tokens,
+               min(n_tokens) AS min_tokens
+        FROM per_doc
+        GROUP BY lang
+        ORDER BY lang
+    """,
+    tags=("text", "tokenize", "aggregate"),
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting with a BPE-ish regex pre-tokenizer (letter runs /
+    digit runs / single symbols), aggregated per language. Ratios are
+    integer-sum divisions — deterministic across engines."""
+    docs = t(spark, sf_dir, "documents")
+    n_tokens = F.size(F.regexp_extract_all(normalized_text(), F.lit(TOKEN_RE), 0))
+    per_doc = docs.select(
+        "lang",
+        n_tokens.alias("n_tokens"),
+        F.length("text").alias("n_chars_actual"),
+    )
+    return (
+        per_doc.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.round(
+                F.sum("n_tokens").cast("double") / F.count("*"), 6
+            ).alias("avg_tokens_per_doc"),
+            F.round(
+                F.sum("n_chars_actual").cast("double") / F.sum("n_tokens"), 6
+            ).alias("avg_chars_per_token"),
+            F.max("n_tokens").alias("max_tokens"),
+            F.min("n_tokens").alias("min_tokens"),
+        )
+        .orderBy("lang")
+    )
+
+
+@register(
+    "text_quality_scores",
+    oracle=f"""
+        WITH feats AS (
+            SELECT doc_id, lang, source,
+                   length(text) AS n_chars,
+                   len(string_split({SQL_NORM_TEXT}, ' ')) AS n_words,
+                   len(regexp_extract_all(text, '[.,;:!?]')) AS n_punct,
+                   len(regexp_extract_all(text, '[0-9]')) AS n_digits,
+                   len(regexp_extract_all(lower(text),
+                       '\\b(the|a|of|and|to|in)\\b')) AS n_stop
+            FROM documents
+        )
+        SELECT doc_id, lang, source, n_chars, n_words,
+               round(CAST(n_punct AS DOUBLE) / n_chars, 6) AS punct_ratio,
+               round(CAST(n_digits AS DOUBLE) / n_chars, 6) AS digit_ratio,
+               round(CAST(n_stop AS DOUBLE) / n_words, 6) AS stopword_ratio,
+               round(CAST(n_chars AS DOUBLE) / n_words, 6) AS avg_word_len,
+               CASE WHEN n_words >= 10 AND n_chars >= 100
+                         AND CAST(n_digits AS DOUBLE) / n_chars < 0.3
+                    THEN 1 ELSE 0 END AS passes_quality
+        FROM feats
+        ORDER BY doc_id
+    """,
+    tags=("text", "quality"),
+)
+def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality features (length, punctuation/digit/
+    stopword ratios, mean word length) + a boolean quality gate — the
+    classic pre-training corpus filter shape (Gopher/C4-style rules).
+    Pure map stage; ratios are int/int divisions (deterministic)."""
+    docs = t(spark, sf_dir, "documents")
+    n_chars = F.length("text")
+    n_words = F.size(F.split(normalized_text(), " "))
+    n_punct = F.size(F.regexp_extract_all(F.col("text"), F.lit(r"[.,;:!?]"), 0))
+    n_digits = F.size(F.regexp_extract_all(F.col("text"), F.lit(r"[0-9]"), 0))
+    n_stop = F.size(
+        F.regexp_extract_all(F.lower(F.col("text")), F.lit(_stop_pattern("en")), 0)
+    )
+    feats = docs.select(
+        "doc_id", "lang", "source",
+        n_chars.alias("n_chars"),
+        n_words.alias("n_words"),
+        n_punct.alias("n_punct"),
+        n_digits.alias("n_digits"),
+        n_stop.alias("n_stop"),
+    )
+    return (
+        feats.select(
+            "doc_id", "lang", "source", "n_chars", "n_words",
+            F.round(F.col("n_punct").cast("double") / F.col("n_chars"), 6).alias(
+                "punct_ratio"
+            ),
+            F.round(F.col("n_digits").cast("double") / F.col("n_chars"), 6).alias(
+                "digit_ratio"
+            ),
+            F.round(F.col("n_stop").cast("double") / F.col("n_words"), 6).alias(
+                "stopword_ratio"
+            ),
+            F.round(F.col("n_chars").cast("double") / F.col("n_words"), 6).alias(
+                "avg_word_len"
+            ),
+            F.when(
+                (F.col("n_words") >= 10)
+                & (F.col("n_chars") >= 100)
+                & (F.col("n_digits").cast("double") / F.col("n_chars") < 0.3),
+                1,
+            )
+            .otherwise(0)
+            .alias("passes_quality"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_LANGS = ["en", "de", "es", "fr"]
+
+
+def _sql_lang_scores() -> str:
+    return ",\n".join(
+        f"len(regexp_extract_all(lower(text), '{_stop_pattern(lg)}'))"
+        f" AS s_{lg}"
+        for lg in _LANGS
+    )
+
+
+@register(
+    "text_langid_confusion",
+    oracle=f"""
+        WITH scores AS (
+            SELECT doc_id, lang AS actual_lang, {_sql_lang_scores()}
+            FROM documents
+        ),
+        pred AS (
+            SELECT actual_lang,
+                   CASE
+                     WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr THEN 'en'
+                     WHEN s_de >= s_es AND s_de >= s_fr THEN 'de'
+                     WHEN s_es >= s_fr THEN 'es'
+                     ELSE 'fr'
+                   END AS predicted_lang
+            FROM scores
+        )
+        SELECT actual_lang, predicted_lang, count(*) AS n_docs
+        FROM pred
+        GROUP BY actual_lang, predicted_lang
+        ORDER BY actual_lang, predicted_lang
+    """,
+    tags=("text", "langid"),
+)
+def text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-profile language-ID heuristic (per-language function
+    word hit counts, argmax with a fixed tie order) and its confusion
+    matrix against the labeled `lang`. Map-only + one tiny shuffle.
+    (The fixtures' text is synthetic English-vocab for every label, so
+    the matrix mostly shows 'en' — the operator, not the accuracy, is
+    the deliverable.)"""
+    docs = t(spark, sf_dir, "documents")
+    scores = docs.select(
+        F.col("lang").alias("actual_lang"),
+        *[
+            F.size(
+                F.regexp_extract_all(
+                    F.lower(F.col("text")), F.lit(_stop_pattern(lg)), 0
+                )
+            ).alias(f"s_{lg}")
+            for lg in _LANGS
+        ],
+    )
+    s = {lg: F.col(f"s_{lg}") for lg in _LANGS}
+    predicted = (
+        F.when(
+            (s["en"] >= s["de"]) & (s["en"] >= s["es"]) & (s["en"] >= s["fr"]),
+            "en",
+        )
+        .when((s["de"] >= s["es"]) & (s["de"] >= s["fr"]), "de")
+        .when(s["es"] >= s["fr"], "es")
+        .otherwise("fr")
+        .alias("predicted_lang")
+    )
+    return (
+        scores.select("actual_lang", predicted)
+        .groupBy("actual_lang", "predicted_lang")
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy("actual_lang", "predicted_lang")
+    )
+
+
+@register(
+    "text_fingerprints",
+    oracle=f"""
+        SELECT doc_id,
+               md5({SQL_NORM_TEXT}) AS fingerprint,
+               substring(md5({SQL_NORM_TEXT}), 1, 8) AS fingerprint_prefix
+        FROM documents
+        WHERE doc_id < 100
+        ORDER BY doc_id
+    """,
+    tags=("text", "fingerprint"),
+)
+def text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content fingerprinting: md5 over normalized text (identical
+    bytes → identical fingerprint in any engine). The join/group key
+    for corpus-level exact dedup at scale."""
+    docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    fp = F.md5(normalized_text())
+    return docs.select(
+        "doc_id",
+        fp.alias("fingerprint"),
+        F.substring(fp, 1, 8).alias("fingerprint_prefix"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "text_top_bigrams_per_lang",
+    oracle=f"""
+        WITH toks AS (
+            SELECT lang, string_split({SQL_NORM_TEXT}, ' ') AS tk
+            FROM documents
+        ),
+        bigrams AS (
+            SELECT lang,
+                   unnest(list_transform(range(1, len(tk)),
+                       i -> tk[i] || ' ' || tk[i+1])) AS bigram
+            FROM toks WHERE len(tk) >= 2
+        ),
+        counts AS (
+            SELECT lang, bigram, count(*) AS n
+            FROM bigrams GROUP BY lang, bigram
+        ),
+        ranked AS (
+            SELECT lang, bigram, n,
+                   row_number() OVER (
+                       PARTITION BY lang ORDER BY n DESC, bigram ASC
+                   ) AS rn
+            FROM counts
+        )
+        SELECT lang, bigram, n, rn FROM ranked
+        WHERE rn <= 5
+        ORDER BY lang, rn
+    """,
+    tags=("text", "ngram", "topk"),
+)
+def text_top_bigrams_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-bigram profile: top-5 bigrams per language (explode →
+    count → window top-k). The aggregate runs before the window, so
+    the window input is |distinct bigrams|, not |tokens|."""
+    docs = t(spark, sf_dir, "documents")
+    tk = F.split(normalized_text(), " ")
+    bigrams = docs.select(
+        "lang",
+        F.explode(
+            F.when(
+                F.size(tk) >= 2,
+                F.transform(
+                    F.sequence(F.lit(0), F.size(tk) - 2),
+                    lambda i: F.concat_ws(
+                        " ", F.get(tk, i), F.get(tk, i + 1)
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("bigram"),
+    )
+    counts = bigrams.groupBy("lang", "bigram").agg(F.count("*").alias("n"))
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("lang").orderBy(F.col("n").desc(), F.col("bigram").asc())
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .orderBy("lang", "rn")
+    )
