@@ -181,3 +181,143 @@ def ref_building_acctbal_stats_by_nation(spark: SparkSession, sf_dir: str) -> Da
         mean_alias="acctbal_mean", std_alias="acctbal_stddev",
         tiebreak="c_nationkey",
     )
+
+
+# --- full reference pipeline (CSV -> catalog -> jobs -> ORC tables) -----
+
+from pyspark.sql import SparkSession  # noqa: E402  (re-export clarity)
+
+from spark_hive_spark.sources.catalog import (  # noqa: E402
+    create_database,
+    create_orc_table,
+    insert_into,
+    register_global_temp_view,
+)
+from spark_hive_spark.sources.csv import load_csv  # noqa: E402
+
+#: The reference's 9-column projection with coercing casts
+#: (`CollegeScorecard.scala:42-52`; OPEID cast at `:44`, DEBT_MDN at `:49`).
+SCORECARD_SELECT: tuple[tuple[str, str | None], ...] = (
+    ("UNITID", None),
+    ("OPEID", "int"),
+    ("INSTNM", None),
+    ("CITY", None),
+    ("STABBR", None),
+    ("COSTT4_A", None),
+    ("DEBT_MDN", "double"),
+    ("C100_4", None),
+    ("C150_4", None),
+)
+
+#: Output-table DDL (`DataTest.scala:39-68`).
+OUTPUT_TABLES: dict[str, dict[str, str]] = {
+    "most_expensive": {"STABBR": "STRING", "COSTT4_A_MEAN": "DOUBLE"},
+    "highest_debt": {
+        "UNITID": "INT", "OPEID": "INT", "INSTNM": "STRING",
+        "CITY": "STRING", "STABBR": "STRING", "DEBT_MDN": "DOUBLE",
+    },
+    "completion_rate": {
+        "CITY": "STRING", "C100_4_MEAN": "DOUBLE",
+        "C100_4_STDDEV": "DOUBLE", "COUNT": "BIGINT",
+    },
+}
+
+
+def load_scorecard_data(spark: SparkSession, path: str) -> DataFrame:
+    """Loader (`CollegeScorecard.scala:35-53`): CSV with header /
+    nullValue="NULL" / inferSchema, projected to 9 columns with the
+    two coercing casts."""
+    raw = load_csv(spark, path)
+    cols = [
+        F.col(name).cast(typ).alias(name) if typ else F.col(name)
+        for name, typ in SCORECARD_SELECT
+    ]
+    return raw.select(*cols)
+
+
+def create_output_tables(spark: SparkSession, config: Configuration) -> None:
+    """`DataTest.scala:28-69` before-block: database + 3 ORC tables."""
+    create_database(spark, config.database)
+    for table, columns in OUTPUT_TABLES.items():
+        create_orc_table(spark, config.database, table, columns)
+
+
+def five_most_expensive_states(
+    spark: SparkSession, config: Configuration
+) -> DataFrame:
+    """Job 1 (`CollegeScorecard.scala:70-80`): mean cost per state,
+    top 5, appended positionally into most_expensive."""
+    df = spark.sql(f"select * from global_temp.{config.scorecard_table}")
+    out = (
+        df.groupBy("STABBR")
+        .agg(F.mean("COSTT4_A").alias("COSTT4_A_MEAN"))
+        .orderBy(F.col("COSTT4_A_MEAN").desc())
+        .limit(5)
+    )
+    insert_into(out, f"{config.database}.{config.most_expensive_table}")
+    return out
+
+
+def five_texas_colleges_with_highest_median_debt(
+    spark: SparkSession, config: Configuration
+) -> DataFrame:
+    """Job 2 (`CollegeScorecard.scala:102-119`)."""
+    df = spark.sql(f"select * from global_temp.{config.scorecard_table}")
+    out = (
+        df.filter("DEBT_MDN IS NOT NULL AND STABBR == 'TX'")
+        .select(
+            "UNITID", "OPEID", "INSTNM", "CITY", "STABBR",
+            F.col("DEBT_MDN").cast("double").alias("DEBT_MDN"),
+        )
+        .orderBy(F.col("DEBT_MDN").desc())
+        .limit(5)
+    )
+    insert_into(out, f"{config.database}.{config.highest_debt_table}")
+    return out
+
+
+def completion_rate_stats_in_texas_by_city(
+    spark: SparkSession, config: Configuration
+) -> DataFrame:
+    """Job 3 (`CollegeScorecard.scala:142-157`), incl. the HAVING
+    COUNT>1 guard for undefined n=1 sample stddev (`:134-136,152`)."""
+    df = spark.sql(f"select * from global_temp.{config.scorecard_table}")
+    out = (
+        df.filter("STABBR == 'TX' AND C100_4 IS NOT NULL")
+        .groupBy("CITY")
+        .agg(
+            F.mean("C100_4").alias("C100_4_MEAN"),
+            F.stddev_samp("C100_4").alias("C100_4_STDDEV"),
+            F.count("*").alias("COUNT"),
+        )
+        .filter("COUNT > 1")
+        .orderBy(F.col("C100_4_MEAN").desc())
+    )
+    insert_into(out, f"{config.database}.{config.completion_rate_table}")
+    return out
+
+
+def run_scorecard_pipeline(
+    spark: SparkSession, config: Configuration, csv_path: str,
+    *, reset: bool = True,
+) -> dict[str, DataFrame]:
+    """End-to-end: load -> cache (`DataTest.scala:15`) -> global temp
+    view (`:36`) -> three jobs -> ORC tables.
+
+    ``insertInto`` APPENDS (reference semantics) — ``reset=True``
+    drops and recreates the database first, mirroring the reference's
+    per-test catalog reset (`SparkEnvironment.scala:22-31`
+    `TestHive.reset()` + the `DataTest.scala:28-69` before-block);
+    pass ``reset=False`` for incremental appends."""
+    if reset:
+        from spark_hive_spark.sources.catalog import drop_database
+
+        drop_database(spark, config.database)
+    data = load_scorecard_data(spark, csv_path).cache()
+    register_global_temp_view(data, config.scorecard_table)
+    create_output_tables(spark, config)
+    return {
+        "most_expensive": five_most_expensive_states(spark, config),
+        "highest_debt": five_texas_colleges_with_highest_median_debt(spark, config),
+        "completion_rate": completion_rate_stats_in_texas_by_city(spark, config),
+    }

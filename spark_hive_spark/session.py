@@ -13,6 +13,7 @@ Spark conf.
 from __future__ import annotations
 
 import os
+import tempfile
 
 from pyspark.sql import SparkSession
 
@@ -60,6 +61,11 @@ def get_spark(
     conf = dict(_DEFAULT_CONF)
     # local mode: single JVM — driver memory is the only knob.
     conf.setdefault("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+    # temp warehouse, like the reference's test harness
+    # (`SparkEnvironment.scala:9-17`); avoids polluting the repo cwd.
+    conf.setdefault(
+        "spark.sql.warehouse.dir", tempfile.mkdtemp(prefix="spark_warehouse_")
+    )
     if extra_conf:
         conf.update(extra_conf)
     for k, v in conf.items():

@@ -1,0 +1,238 @@
+"""Structured Streaming surface over the `events` fixture
+(SURVEY.md §2B / §7 step 5): tumbling-window aggregation, session
+windows, watermarking for late data, and a custom stateful operator
+(applyInPandasWithState).
+
+Test strategy: drive each streaming query from the static parquet via
+`readStream` with a memory sink and `processAllAvailable()` — a real
+streaming execution (incremental state store, same operators a Kafka
+source would feed) that completes synchronously. The tumbling/session
+aggregations in COMPLETE output mode end at the same result as their
+batch twins in operators/temporal.py, so they get full DuckDB oracles
+— the driver's strongest check applied to streaming code paths.
+
+Scale notes: watermark bounds state (drop-late beyond 1 hour);
+windowed aggs shuffle on (window, key) exactly like batch groupBy;
+session windows use Spark's built-in session_window merge state.
+foreachBatch is the exactly-once sink seam for real deployments.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from spark_hive_spark.functions.numeric import dsum, sql_dsum
+from spark_hive_spark.plans.registry import register
+from spark_hive_spark.tables import table_path
+
+
+def _event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readStream over the static events parquet (ts normalized from
+    nanos exactly as the batch reader does)."""
+    batch_schema = spark.read.parquet(table_path(sf_dir, "events")).schema
+    # FileStreamSource requires a directory: stream the fixture dir
+    # with a glob that selects only the events file.
+    stream = (
+        spark.readStream.schema(batch_schema)
+        .format("parquet")
+        .option("pathGlobFilter", "events.parquet")
+        .load(sf_dir)
+    )
+    return stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+
+
+def _run_to_completion(agg: DataFrame, mode: str) -> DataFrame:
+    """Start a memory-sink query, drain all available input, return
+    the sink table as a DataFrame."""
+    name = f"strm_{uuid.uuid4().hex[:12]}"
+    with tempfile.TemporaryDirectory(prefix="ckpt_") as ckpt:
+        q = (
+            agg.writeStream.outputMode(mode)
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", os.path.join(ckpt, "cp"))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+            q.awaitTermination()
+    spark = agg.sparkSession
+    # materialize before the memory sink is dropped by later queries
+    out = spark.table(name)
+    return out
+
+
+@register(
+    "stream_tumbling_counts",
+    oracle=f"""
+        SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+               event_type,
+               count(*) AS n_events,
+               {sql_dsum('value')} AS sum_value
+        FROM events
+        GROUP BY 1, 2
+        ORDER BY window_start, event_type
+    """,
+    tags=("streaming", "window-agg"),
+)
+def stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming tumbling-window aggregation, complete mode: the
+    incremental state-store execution must converge to exactly the
+    batch/oracle result once the input drains."""
+    ev = _event_stream(spark, sf_dir)
+    agg = (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"), dsum("value").alias("sum_value"))
+    )
+    out = _run_to_completion(agg, "complete")
+    return (
+        out.select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+        .orderBy("window_start", "event_type")
+    )
+
+
+@register(
+    "stream_watermarked_windows",
+    oracle=None,  # append-mode emission depends on watermark advance
+    # timing; invariants (subset-of-complete, no dupes) in tests.
+    tags=("streaming", "watermark"),
+)
+def stream_watermarked_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling windows with a 1-hour watermark in APPEND mode — the
+    production shape for late-data handling: a window emits only once
+    the watermark passes its end, and state for closed windows is
+    dropped. (With a single drain of a static source, Spark emits the
+    windows whose end < max(ts) - 1 hour.)"""
+    ev = _event_stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"))
+    )
+    out = _run_to_completion(agg, "append")
+    return out.select(
+        F.col("w.start").alias("window_start"), "event_type", "n_events"
+    ).orderBy("window_start", "event_type")
+
+
+@register(
+    "stream_session_windows",
+    oracle="""
+        WITH gaps AS (
+            SELECT user_id, ts,
+                   -- session_window semantics: a gap of EXACTLY the
+                   -- 30-min threshold starts a new session (>=)
+                   CASE WHEN lag(ts) OVER w IS NULL
+                          OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
+                        THEN 1 ELSE 0 END AS is_new
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        numbered AS (
+            SELECT user_id, ts,
+                   sum(is_new) OVER (
+                       PARTITION BY user_id ORDER BY ts
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS session_num
+            FROM gaps
+        )
+        SELECT user_id,
+               min(ts) AS session_start,
+               count(*) AS n_events
+        FROM numbered
+        GROUP BY user_id, session_num
+        ORDER BY user_id, session_start
+    """,
+    tags=("streaming", "session"),
+)
+def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming session windows (built-in session_window, 30-min gap,
+    complete mode). Converges to the same sessions as the batch
+    lag/cumsum twin (`sessionize_events`) — which is exactly what the
+    oracle computes."""
+    ev = _event_stream(spark, sf_dir)
+    agg = (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("sw"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+    )
+    out = _run_to_completion(agg, "complete")
+    return out.select(
+        "user_id",
+        F.col("sw.start").alias("session_start"),
+        "n_events",
+    ).orderBy("user_id", "session_start")
+
+
+def running_user_totals_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState: per-user
+    running event count + value total maintained in explicit state,
+    emitting one update row per (user, micro-batch). The template for
+    operators session_window can't express (custom eviction, nested
+    state). Returns the final per-user state after draining."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    ev = _event_stream(spark, sf_dir)
+
+    def update(key, pdfs, state: GroupState):
+        total_n, total_v = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            total_n += len(pdf)
+            total_v += float(pdf["value"].sum())
+        state.update((total_n, total_v))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [total_n], "sum_value": [total_v]}
+        )
+
+    agg = ev.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="user_id long, n_events long, sum_value double",
+        stateStructType="n long, v double",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    out = _run_to_completion(agg, "update")
+    # keep the last emission per user (one drain → usually exactly one)
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    return (
+        out.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+        .orderBy("user_id")
+    )
+
+
+@register(
+    "stream_stateful_user_totals",
+    oracle=f"""
+        SELECT user_id,
+               count(*) AS n_events,
+               round({sql_dsum('value')}, 6) AS sum_value
+        FROM events
+        GROUP BY user_id
+        ORDER BY user_id
+    """,
+    tags=("streaming", "stateful", "udf"),
+)
+def stream_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-checked wrapper: the custom stateful operator's final
+    state must equal the batch per-user aggregate. (Float note: state
+    accumulates via pandas sum per batch — round-6 on both sides.)"""
+    out = running_user_totals_stateful(spark, sf_dir)
+    return out.select(
+        "user_id", "n_events", F.round("sum_value", 6).alias("sum_value")
+    ).orderBy("user_id")

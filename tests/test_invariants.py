@@ -123,3 +123,18 @@ def test_asof_join_generic_semantics(spark):
         prior = [ts for ts in clicks.get(r.user_id, []) if ts <= r.ts]
         assert prior, f"purchase {r.event_id} matched but no prior click exists"
         assert max(prior) == r.click_ts
+
+
+def test_watermark_append_subset_of_complete(spark):
+    """Append-mode watermarked windows must be a subset of the
+    complete batch result (only closed windows emit, with final
+    counts)."""
+    complete = {
+        (r.window_start, r.event_type): r.n_events
+        for r in _rows(spark, "window_tumbling_events")
+    }
+    appended = _rows(spark, "stream_watermarked_windows")
+    assert appended, "watermarked query emitted nothing"
+    for r in appended:
+        assert complete.get((r.window_start, r.event_type)) == r.n_events
+    assert len(appended) < len(complete), "append mode should hold back open windows"
