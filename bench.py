@@ -1,0 +1,102 @@
+"""Benchmark runner (driver contract).
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON
+line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec, ...}, "sf": ...}.
+
+The headline set spans every engine tier: scan-agg, multi-way join,
+window, rollup, percentile, temporal (sessionize/asof), streaming,
+dedup (exact + minhash), similarity (brute kNN + GEMM near-dup), text
+stats, JSON, multimodal. Timings are end-to-end per query (plan build
++ execution + collect-to-count), after one untimed warm-up query that
+absorbs JVM/codegen startup.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_region_revenue",
+    "q6_forecast_revenue",
+    "ref_building_acctbal_stats_by_nation",
+    "w_top3_parts_per_brand",
+    "w_running_revenue_by_supplier",
+    "rollup_lineitem_flags",
+    "percentiles_extendedprice",
+    "distinct_supplier_part_counts",
+    "date_monthly_order_stats",
+    "json_event_props",
+    "window_tumbling_events",
+    "sessionize_events",
+    "asof_purchase_last_click",
+    "range_join_clicks_before_purchase",
+    "dedup_exact_normalized",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "text_token_stats",
+    "text_quality_scores",
+    "knn_cosine_bruteforce",
+    "neardup_embeddings",
+    "multimodal_media_features",
+    # streaming last: its state-store machinery shouldn't pollute
+    # the batch timings
+    "stream_tumbling_counts",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    from spark_hive_spark.plans.registry import all_queries
+    from spark_hive_spark.session import get_spark
+
+    spark = get_spark("spark_hive_spark-bench")
+    queries = all_queries()
+
+    # untimed warm-up: JVM, codegen JIT, parquet footers for every
+    # table (first-touch compile cost measured at ~6 s on cold
+    # expressions — not a property of the queries)
+    from spark_hive_spark.tables import TABLES, load_tables
+
+    tables = load_tables(spark, sf_dir, register=False)
+    for df in tables.values():
+        df.count()
+    # spin up the Arrow python workers once (first pandas_udf call
+    # pays worker fork + import cost otherwise)
+    tables["embeddings"].limit(8).mapInPandas(
+        lambda it: it, tables["embeddings"].schema
+    ).count()
+
+    timings: dict[str, float] = {}
+    total = 0.0
+    for name in HEADLINE:
+        q = queries[name]
+        t0 = time.perf_counter()
+        n = q.fn(spark, sf_dir).count()
+        dt = time.perf_counter() - t0
+        timings[name] = round(dt, 3)
+        total += dt
+        print(f"# {name}: {n} rows in {dt:.2f}s", file=sys.stderr)
+
+    sf = os.path.basename(sf_dir.rstrip("/")).removeprefix("sf")
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

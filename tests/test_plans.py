@@ -1,0 +1,113 @@
+"""Physical-plan quality gates (SURVEY.md §4 / the 100 TB posture):
+these tests fail if a future change silently regresses pushdown,
+broadcast selection, top-k fusion, or partial aggregation — the plan
+properties that decide whether a query survives a 100× scale-up."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from spark_hive_spark.plans.registry import all_queries
+from spark_hive_spark.tables import t
+from tests.conftest import SF_SMOKE
+
+_Q = all_queries()
+
+
+def _plan(spark, name: str) -> str:
+    df = _Q[name].fn(spark, SF_SMOKE)
+    df.collect()  # materialize THIS plan so AQE finalizes it
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_q1_scan_prunes_and_pushes(spark):
+    """Q1 must push the shipdate filter into the parquet scan and read
+    only the 7 needed columns of 11."""
+    plan = _plan(spark, "q1_pricing_summary")
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    read = plan.split("ReadSchema:")[1].split("\n")[0]
+    assert "l_orderkey" not in read  # pruned
+    assert "l_quantity" in read
+    assert "l_comment" not in read
+
+
+def test_q1_uses_whole_stage_codegen_and_partial_agg(spark):
+    import contextlib
+    import io
+
+    df = _Q["q1_pricing_summary"].fn(spark, SF_SMOKE)
+    df.collect()
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    formatted = buf.getvalue()
+    # codegen'd operators carry the `*` marker / codegen id in
+    # formatted explain (Spark 4 spells WholeStageCodegen this way)
+    assert "[codegen id :" in formatted or "* HashAggregate" in formatted
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # partial (map-side) + final aggregate = two HashAggregate levels
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_q3_broadcasts_filtered_customer(spark):
+    plan = _plan(spark, "q3_shipping_priority")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_q5_broadcasts_all_dims(spark):
+    """supplier, nation, region must all go broadcast — the fact-side
+    join tree should contain no shuffle for the dims."""
+    plan = _plan(spark, "q5_region_revenue")
+    assert plan.count("BroadcastHashJoin") >= 3
+
+
+def test_topk_fuses_to_take_ordered(spark):
+    """orderBy+limit must plan TakeOrderedAndProject, never a global
+    sort (`SURVEY.md §2A O2`)."""
+    plan = _plan(spark, "ref_top5_finished_orders_by_price")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_semi_join_stays_semi(spark):
+    plan = _plan(spark, "join_semi_active_customers")
+    assert "LeftSemi" in plan
+
+
+def test_filter_pushdown_reaches_events_scan(spark):
+    """user_id < 20 must reach the parquet reader even through the
+    nanos-normalization projection."""
+    plan = _plan(spark, "w_event_lag_lead_gaps")
+    assert "PushedFilters: [IsNotNull(user_id), LessThan(user_id,20)]" in plan
+
+
+def test_outer_join_preaggregates_before_broadcast(spark):
+    """The nation outer-join query must aggregate orders BEFORE joining
+    nation (the 25-row side), and broadcast the rollup."""
+    plan = _plan(spark, "join_outer_nation_order_volume")
+    assert "BroadcastHashJoin" in plan
+    agg_pos = plan.index("HashAggregate")
+    bj_pos = plan.index("BroadcastHashJoin")
+    assert agg_pos > bj_pos or "BroadcastExchange" in plan
+
+
+def test_partition_count_bounded_after_aqe(spark):
+    """AQE must coalesce the tiny shuffle down (no 200-partition
+    default leaking through)."""
+    df = _Q["q1_pricing_summary"].fn(spark, SF_SMOKE)
+    assert df.rdd.getNumPartitions() <= 32
+
+
+def test_no_cartesian_products_anywhere(spark):
+    """No registered query may plan a CartesianProduct — the only
+    intentional all-pairs op (neardup_embeddings) is blocked GEMM, and
+    broadcast nested loops are allowed only for the tiny-side topk
+    patterns."""
+    offenders = []
+    for name, q in _Q.items():
+        if name.startswith("stream_"):
+            continue  # streaming queries execute eagerly; checked separately
+        plan = q.fn(spark, SF_SMOKE)._jdf.queryExecution().executedPlan().toString()
+        if "CartesianProduct" in plan:
+            offenders.append(name)
+    assert not offenders, f"cartesian products in: {offenders}"
