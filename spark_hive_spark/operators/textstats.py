@@ -320,3 +320,70 @@ def text_top_bigrams_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 5)
         .orderBy("lang", "rn")
     )
+
+
+@register(
+    "text_tfidf_top_terms",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, unnest(string_split({SQL_NORM_TEXT}, ' ')) AS term
+            FROM documents
+        ),
+        tf AS (
+            SELECT doc_id, term, count(*) AS tf
+            FROM toks GROUP BY doc_id, term
+        ),
+        df AS (
+            SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY term
+        ),
+        n AS (SELECT count(*) AS n_docs FROM documents),
+        scored AS (
+            SELECT tf.doc_id, tf.term,
+                   round(tf.tf * (ln((n.n_docs + 1.0) / (df.df + 1.0)) + 1.0), 6)
+                       AS tfidf
+            FROM tf JOIN df USING (term) CROSS JOIN n
+        ),
+        ranked AS (
+            SELECT doc_id, term, tfidf,
+                   row_number() OVER (
+                       PARTITION BY doc_id ORDER BY tfidf DESC, term ASC
+                   ) AS rn
+            FROM scored
+        )
+        SELECT doc_id, term, tfidf, rn
+        FROM ranked WHERE rn <= 3 AND doc_id < 50
+        ORDER BY doc_id, rn
+    """,
+    tags=("text", "tfidf", "topk"),
+)
+def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF with smoothed idf (ln((N+1)/(df+1))+1, sklearn-style),
+    top-3 terms per document. Pure DataFrame composition — term
+    frequencies, document frequencies (one aggregate each, both
+    partial-aggregated map-side), a broadcast of the tiny df table,
+    and a window top-k. This is the corpus-statistics shape that at
+    100 TB runs as two shuffles (doc-term, term) + one broadcast."""
+    docs = t(spark, sf_dir, "documents")
+    n_docs = docs.count()  # scalar dimension: bounded, computed once
+    toks = docs.select(
+        "doc_id", F.explode(F.split(normalized_text(), " ")).alias("term")
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df_tbl = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    idf = F.log((F.lit(float(n_docs)) + 1.0) / (F.col("df") + 1.0)) + 1.0
+    scored = (
+        tf.join(F.broadcast(df_tbl), "term")
+        .select(
+            "doc_id",
+            "term",
+            F.round(F.col("tf") * idf, 6).alias("tfidf"),
+        )
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("term").asc())
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") <= 3) & (F.col("doc_id") < 50))
+        .orderBy("doc_id", "rn")
+    )

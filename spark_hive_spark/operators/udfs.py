@@ -1,0 +1,117 @@
+"""UDF surface (SURVEY.md §2B "UDF surface"): the three Python
+extension points, each oracle-checked by reproducing the same math in
+plain SQL —
+
+1. row-at-a-time Python UDF: exists for API completeness; registered
+   for SQL use via spark.udf.register. THE SLOW PATH — pickled per
+   row, breaks codegen; every docstring here says so and the hot-path
+   operators elsewhere never use it.
+2. scalar pandas_udf: Arrow-vectorized, ~10-100x the row UDF.
+3. grouped-agg pandas_udf: custom aggregate (weighted mean) that
+   composes with groupBy like a built-in.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from spark_hive_spark.plans.registry import register
+from spark_hive_spark.tables import load_tables, t
+
+
+@register(
+    "udf_python_row_clean_names",
+    oracle="""
+        SELECT s_suppkey,
+               'SUP:' || upper(replace(s_name, 'Supplier#', '')) AS clean_name
+        FROM supplier
+        ORDER BY s_suppkey
+    """,
+    tags=("udf", "python-row"),
+)
+def udf_python_row_clean_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-at-a-time Python UDF registered for SQL use
+    (spark.udf.register). Deliberately applied only to the smallest
+    table — this path serializes every row through pickle and is
+    10-100x slower than pandas_udf; it exists to cover the API."""
+
+    def clean(name: str) -> str:
+        return "SUP:" + name.replace("Supplier#", "").upper()
+
+    spark.udf.register("clean_supplier_name", clean, T.StringType())
+    load_tables(spark, sf_dir, names=("supplier",))
+    return spark.sql(
+        """
+        SELECT s_suppkey, clean_supplier_name(s_name) AS clean_name
+        FROM supplier ORDER BY s_suppkey
+        """
+    )
+
+
+@register(
+    "udf_pandas_scalar_risk_score",
+    oracle="""
+        SELECT c_custkey,
+               round(1.0 / (1.0 + exp(-(c_acctbal / 1000.0 - 2.0))), 6)
+                   AS risk_score
+        FROM customer
+        ORDER BY c_custkey
+    """,
+    tags=("udf", "pandas-scalar"),
+)
+def udf_pandas_scalar_risk_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar pandas_udf: vectorized logistic score over Arrow
+    batches — one numpy expression per batch, no per-row Python.
+    (exp goes through libm on both engines — round-6.)"""
+
+    @F.pandas_udf(T.DoubleType())
+    def risk(bal: pd.Series) -> pd.Series:
+        return 1.0 / (1.0 + np.exp(-(bal / 1000.0 - 2.0)))
+
+    cust = t(spark, sf_dir, "customer")
+    return cust.select(
+        "c_custkey", F.round(risk("c_acctbal"), 6).alias("risk_score")
+    ).orderBy("c_custkey")
+
+
+@register(
+    "udf_grouped_agg_weighted_mean",
+    oracle="""
+        SELECT c_nationkey,
+               round(
+                 CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))
+                          * (c_custkey % 7 + 1)) AS DOUBLE)
+                 / sum(c_custkey % 7 + 1), 6) AS weighted_bal
+        FROM customer
+        GROUP BY c_nationkey
+        ORDER BY c_nationkey
+    """,
+    tags=("udf", "pandas-agg"),
+)
+def udf_grouped_agg_weighted_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-aggregate pandas_udf: a custom weighted mean that
+    composes with groupBy like a built-in aggregate. Weights are
+    derived (custkey % 7 + 1) so the oracle can reproduce them.
+    Numeric note: the UDF sums decimal-as-object exactly via int
+    cents to stay order-independent, mirroring the engine-wide
+    decimal-exact policy."""
+
+    @F.pandas_udf(T.DoubleType())
+    def wmean(bal: pd.Series, w: pd.Series) -> float:
+        cents = np.rint(bal.to_numpy() * 100).astype(np.int64)
+        wi = w.to_numpy().astype(np.int64)
+        return float((cents * wi).sum()) / 100.0 / float(wi.sum())
+
+    cust = t(spark, sf_dir, "customer").withColumn(
+        "w", (F.col("c_custkey") % 7 + 1)
+    )
+    return (
+        cust.groupBy("c_nationkey")
+        .agg(F.round(wmean("c_acctbal", "w"), 6).alias("weighted_bal"))
+        .orderBy("c_nationkey")
+    )

@@ -65,6 +65,9 @@ def _load_all() -> None:
         "spark_hive_spark.operators.grouping",
         "spark_hive_spark.operators.scalars",
         "spark_hive_spark.operators.temporal",
+        "spark_hive_spark.operators.subqueries",
+        "spark_hive_spark.operators.arrays",
+        "spark_hive_spark.operators.udfs",
         "spark_hive_spark.operators.dedup",
         "spark_hive_spark.operators.similarity",
         "spark_hive_spark.operators.textstats",
