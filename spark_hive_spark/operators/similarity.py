@@ -319,3 +319,85 @@ def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+IVF_CELLS = 16
+IVF_NPROBE = 4
+
+
+@register(
+    "knn_cosine_ivf",
+    oracle=None,  # ANN: cell assignment depends on the coarse
+    # quantizer; tests assert recall vs brute force + determinism.
+    tags=("similarity", "knn", "ivf", "approx"),
+)
+def knn_cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-K via IVF (inverted file) coarse quantization: vectors
+    partition into cells by nearest centroid; each query probes only
+    its IVF_NPROBE nearest cells and reranks exactly within them.
+
+    Centroids here are the first IVF_CELLS vectors (deterministic; a
+    production build would k-means them — the index STRUCTURE, cell
+    assignment via one GEMM + an equi-join on cell id, is identical).
+    vs LSH: IVF adapts to the data distribution and gives tunable
+    probe-vs-recall; cost = |Q| x nprobe/cells of the corpus."""
+    emb = t(spark, sf_dir, "embeddings")
+    cent_rows = emb.filter(F.col("vec_id") < IVF_CELLS).select(
+        "vec_id", "embedding"
+    ).collect()
+    C = np.stack([np.asarray(r.embedding, dtype=np.float64) for r in cent_rows])
+    Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+
+    def assign_cells(batches):
+        for pdf in batches:
+            V = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+            cells = (Vn @ Cn.T).argmax(axis=1).astype(np.int32)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "embedding": pdf["embedding"],
+                    "cell": cells,
+                }
+            )
+
+    schema = "vec_id long, embedding array<float>, cell int"
+    celled = emb.select("vec_id", "embedding").mapInPandas(assign_cells, schema)
+
+    def probe_cells(batches):
+        for pdf in batches:
+            V = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+            sims = Vn @ Cn.T
+            top = np.argsort(-sims, axis=1)[:, :IVF_NPROBE].astype(np.int32)
+            n = len(pdf)
+            yield pd.DataFrame(
+                {
+                    "query_id": np.repeat(pdf["vec_id"].to_numpy(), IVF_NPROBE),
+                    "qe": [e for e in pdf["embedding"] for _ in range(IVF_NPROBE)],
+                    "cell": top.ravel(),
+                }
+            )
+
+    queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        "vec_id", "embedding"
+    )
+    probes = queries.mapInPandas(
+        probe_cells, "query_id long, qe array<float>, cell int"
+    )
+    candidates = probes.join(celled, "cell").filter(
+        F.col("query_id") != F.col("vec_id")
+    )
+    sims = candidates.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.round(cosine(F.col("qe"), F.col("embedding")), 6).alias("cos_sim"),
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .orderBy("query_id", "rank")
+    )

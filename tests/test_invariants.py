@@ -138,3 +138,19 @@ def test_watermark_append_subset_of_complete(spark):
     for r in appended:
         assert complete.get((r.window_start, r.event_type)) == r.n_events
     assert len(appended) < len(complete), "append mode should hold back open windows"
+
+
+def test_ivf_knn_recall_and_determinism(spark):
+    """IVF ANN: exact scores for whatever it returns (rerank is
+    exact), nonzero overlap with brute-force top-5, deterministic."""
+    brute = {}
+    for r in _rows(spark, "knn_cosine_bruteforce"):
+        brute.setdefault(r.query_id, set()).add(r.neighbor_id)
+    ivf = _rows(spark, "knn_cosine_ivf")
+    assert ivf, "IVF returned nothing"
+    hits = sum(
+        1 for r in ivf if r.neighbor_id in brute.get(r.query_id, set())
+    )
+    assert hits >= len(brute)  # avg >= 1 true neighbor per query
+    again = _rows(spark, "knn_cosine_ivf")
+    assert sorted(map(tuple, ivf)) == sorted(map(tuple, again))

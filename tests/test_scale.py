@@ -1,0 +1,93 @@
+"""Scale-pattern verification: salting result-equivalence is covered
+by the oracle parity suite; here we verify the PLAN-level claims
+(bucketed joins are exchange-free) and writer round-trips."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMOKE
+
+
+def test_bucketed_join_has_no_exchange(spark):
+    from spark_hive_spark.operators.scale import bucketed_order_lineitem_join
+
+    df = bucketed_order_lineitem_join(spark, SF_SMOKE)
+    rows = df.collect()
+    assert rows  # produces real output
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # bucketing must eliminate the JOIN-side shuffles (the final
+    # groupBy on a different key still exchanges — that's expected)
+    assert "SortMergeJoin" in plan, plan
+    assert "Exchange hashpartitioning(l_orderkey" not in plan, plan
+    assert "Exchange hashpartitioning(o_orderkey" not in plan, plan
+    # and it matches the unbucketed computation
+    from spark_hive_spark.tables import t
+    from spark_hive_spark.functions.numeric import dsum
+
+    li = t(spark, SF_SMOKE, "lineitem")
+    orders = t(spark, SF_SMOKE, "orders")
+    exp = {
+        (r.o_orderpriority, r.n, float(r.qty))
+        for r in li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n"), dsum("l_quantity").alias("qty"))
+        .collect()
+    }
+    got = {(r.o_orderpriority, r.n, float(r.qty)) for r in rows}
+    assert got == exp
+
+
+def test_salt_is_deterministic_across_runs(spark):
+    from spark_hive_spark.operators.scale import salt_col
+    from spark_hive_spark.tables import t
+
+    ev = t(spark, SF_SMOKE, "events")
+    a = ev.select("event_id", salt_col(["event_id"], 16).alias("s")).collect()
+    b = ev.select("event_id", salt_col(["event_id"], 16).alias("s")).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    buckets = {r.s for r in a}
+    assert buckets <= set(range(16)) and len(buckets) > 8  # spreads
+
+
+@pytest.mark.parametrize("fmt", ["parquet", "orc", "json", "csv"])
+def test_writer_roundtrip(spark, tmp_path, fmt):
+    """Every sink format round-trips the lineitem slice losslessly
+    (CSV/JSON via explicit schema on read-back — inference is not part
+    of the contract)."""
+    from spark_hive_spark.tables import t
+
+    df = t(spark, SF_SMOKE, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_returnflag"
+    ).filter(F.col("l_orderkey") < 50)
+    out = str(tmp_path / f"rt_{fmt}")
+    w = df.write.mode("overwrite")
+    if fmt == "csv":
+        w = w.option("header", True)
+    getattr(w, fmt)(out)
+    r = spark.read
+    if fmt in ("csv", "json"):
+        r = r.schema(df.schema)
+        if fmt == "csv":
+            r = r.option("header", True)
+    back = getattr(r, fmt)(out)
+    assert back.count() == df.count()
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
+
+
+def test_partitioned_parquet_prunes(spark, tmp_path):
+    """partitionBy write + filtered read: the scan must list only the
+    matching partition directory (PartitionFilters, not a full scan)."""
+    from spark_hive_spark.tables import t
+
+    df = t(spark, SF_SMOKE, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_returnflag"
+    )
+    out = str(tmp_path / "part_parquet")
+    df.write.mode("overwrite").partitionBy("l_returnflag").parquet(out)
+    back = spark.read.parquet(out).filter(F.col("l_returnflag") == "R")
+    back.collect()
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    assert back.count() == df.filter(F.col("l_returnflag") == "R").count()
