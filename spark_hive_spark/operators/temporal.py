@@ -61,9 +61,16 @@ def asof_join(
         *[F.lit(None).cast(right.schema[c].dataType).alias(c) for c in right_cols],
         *[F.col(c) for c in left_cols],
     )
+    # total order: ts, then right-before-left at equal ts (inclusive
+    # match), then the right payload itself so duplicate right
+    # timestamps resolve deterministically (the max payload tuple wins)
     w = (
         W.partitionBy(on)
-        .orderBy(F.col("_ts").asc(), F.col("_side").asc())
+        .orderBy(
+            F.col("_ts").asc(),
+            F.col("_side").asc(),
+            *[F.col(c).asc_nulls_first() for c in right_cols],
+        )
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
     backfilled = tagged_left.unionByName(tagged_right).select(

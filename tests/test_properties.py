@@ -1,0 +1,202 @@
+"""Property-based tests (hypothesis) for the custom operators whose
+correctness doesn't reduce to a SQL oracle: the generic as-of join,
+shingle Jaccard, and the decimal-exact summation policy. Generated
+inputs run through REAL Spark plans (small row counts, fixed deadline
+off for JVM latency)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pandas as pd
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+_base = dt.datetime(2024, 1, 1)
+
+
+def _events(keys=(1, 2), max_n=12):
+    return st.lists(
+        st.tuples(
+            st.sampled_from(keys),
+            st.integers(min_value=0, max_value=10_000),  # seconds offset
+        ),
+        min_size=0,
+        max_size=max_n,
+    )
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(left=_events(), right=_events())
+def test_asof_join_matches_pandas_merge_asof(spark, left, right):
+    """asof_join (union-sort-backfill) must agree with
+    pd.merge_asof(direction='backward') on arbitrary inputs, incl.
+    duplicates, empty sides, and exact-timestamp matches."""
+    from spark_hive_spark.operators.temporal import asof_join
+
+    ldf = spark.createDataFrame(
+        [
+            (k, _base + dt.timedelta(seconds=s), i)
+            for i, (k, s) in enumerate(left)
+        ],
+        "k int, lts timestamp, lid int",
+    )
+    rdf = spark.createDataFrame(
+        [
+            (k, _base + dt.timedelta(seconds=s), 100 + i)
+            for i, (k, s) in enumerate(right)
+        ],
+        "k int, rts timestamp, rid int",
+    )
+    got = {
+        (r.lid, r.rts)
+        for r in asof_join(
+            ldf, rdf, on="k", left_ts="lts", right_ts="rts", how="inner"
+        ).collect()
+    }
+
+    lp = pd.DataFrame(
+        [(k, _base + dt.timedelta(seconds=s), i) for i, (k, s) in enumerate(left)],
+        columns=["k", "lts", "lid"],
+    ).sort_values(["lts", "lid"])
+    rp = pd.DataFrame(
+        [
+            (k, _base + dt.timedelta(seconds=s), 100 + i)
+            for i, (k, s) in enumerate(right)
+        ],
+        columns=["k", "rts", "rid"],
+    ).sort_values(["rts", "rid"])
+    if len(lp) and len(rp):
+        # pandas keeps the LAST right row per ts; dedupe to match the
+        # 'latest right at-or-before' contract deterministically
+        rp = (
+            rp.groupby(["k", "rts"], as_index=False)
+            .last()
+            .sort_values("rts", kind="stable")
+        )
+        m = pd.merge_asof(
+            lp, rp, left_on="lts", right_on="rts", by="k", direction="backward"
+        )
+        expected = {
+            (int(r.lid), r.rts.to_pydatetime())
+            for r in m.itertuples()
+            if pd.notna(r.rts)
+        }
+    else:
+        expected = set()
+    assert got == expected
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from(["aa", "bb", "cc", "dd", "ee"]),
+            min_size=0,
+            max_size=10,
+        ),
+        min_size=2,
+        max_size=6,
+    )
+)
+def test_shingle_jaccard_matches_python(spark, docs, tmp_path_factory):
+    """The inverted-index Jaccard pipeline (hashing included) must
+    equal a direct python set computation on arbitrary tiny corpora."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window as W
+
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    # same plan as operators/dedup._doc_shingles, inline on this df
+    toks = df.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "tok")
+    )
+    w = W.partitionBy("doc_id").orderBy("pos")
+    sh = (
+        toks.select(
+            "doc_id",
+            F.xxhash64(
+                F.concat_ws(
+                    " ", "tok", F.lead("tok", 1).over(w), F.lead("tok", 2).over(w)
+                )
+            ).alias("s"),
+            F.lead("tok", 2).over(w).alias("t2"),
+        )
+        .filter(F.col("t2").isNotNull())
+        .select("doc_id", "s")
+        .distinct()
+    )
+    sz = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    common = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db"))
+        .agg(F.count("*").alias("c"))
+    )
+    got = {
+        (r.da, r.db): r.c
+        / (
+            next(x.n for x in sz.collect() if x.doc_id == r.da)
+            + next(x.n for x in sz.collect() if x.doc_id == r.db)
+            - r.c
+        )
+        for r in common.collect()
+    }
+
+    def pyshingles(toks):
+        return {
+            " ".join(toks[i : i + 3]) for i in range(len(toks) - 2)
+        }
+
+    sets = {i: pyshingles(t) for i, t in enumerate(docs)}
+    expected = {}
+    for i in sets:
+        for j in sets:
+            if i < j and sets[i] and sets[j]:
+                inter = len(sets[i] & sets[j])
+                if inter:
+                    expected[(i, j)] = inter / len(sets[i] | sets[j])
+    assert {k: round(v, 9) for k, v in got.items()} == {
+        k: round(v, 9) for k, v in expected.items()
+    }
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    vals=st.lists(
+        st.decimals(
+            min_value="-99999.99",
+            max_value="99999.99",
+            places=2,
+            allow_nan=False,
+            allow_infinity=False,
+        ),
+        min_size=1,
+        max_size=40,
+    ),
+    parts=st.integers(min_value=1, max_value=8),
+)
+def test_decimal_sum_partition_invariant(spark, vals, parts):
+    """The engine's money-sum policy must give bit-identical results
+    under ANY partitioning (the property double sums lack)."""
+    from spark_hive_spark.functions.numeric import dsum
+
+    rows = [(float(v),) for v in vals]
+    a = spark.createDataFrame(rows, "v double").coalesce(1)
+    b = spark.createDataFrame(rows, "v double").repartition(parts)
+    ra = a.agg(dsum("v").alias("s")).collect()[0].s
+    rb = b.agg(dsum("v").alias("s")).collect()[0].s
+    assert ra == rb
+    assert abs(ra - float(sum(vals))) < 1e-6
