@@ -61,6 +61,7 @@ def _load_all() -> None:
     for mod in (
         "spark_hive_spark.jobs.scorecard",
         "spark_hive_spark.operators.relational",
+        "spark_hive_spark.operators.relational2",
         "spark_hive_spark.operators.windows",
         "spark_hive_spark.operators.grouping",
         "spark_hive_spark.operators.scalars",
