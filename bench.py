@@ -45,6 +45,7 @@ HEADLINE = [
     "knn_cosine_bruteforce",
     "neardup_embeddings",
     "multimodal_media_features",
+    "pipeline_corpus_curation",
     # streaming last: its state-store machinery shouldn't pollute
     # the batch timings
     "stream_tumbling_counts",

@@ -63,6 +63,8 @@ def _load_all() -> None:
         "spark_hive_spark.operators.relational",
         "spark_hive_spark.operators.relational2",
         "spark_hive_spark.operators.reshape",
+        "spark_hive_spark.operators.pipeline",
+        "spark_hive_spark.operators.statistics",
         "spark_hive_spark.operators.windows",
         "spark_hive_spark.operators.grouping",
         "spark_hive_spark.operators.scalars",
