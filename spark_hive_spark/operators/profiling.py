@@ -1,0 +1,241 @@
+"""Utility analytics, batch 4: calendar densification (gap filling),
+deterministic mode, null-preserving explode, column profiling, and
+ANSI-safe (try_*) arithmetic — the operational toolkit around the
+core operators.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from spark_hive_spark.functions.numeric import dsum, sql_dsum
+from spark_hive_spark.plans.registry import register
+from spark_hive_spark.tables import t
+
+
+@register(
+    "calendar_densified_daily_orders",
+    oracle=f"""
+        WITH bounds AS (
+            SELECT CAST(date_trunc('day', min(o_orderdate)) AS DATE) AS lo,
+                   CAST(date_trunc('day', max(o_orderdate)) AS DATE) AS hi
+            FROM orders
+        ),
+        days AS (
+            SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE)
+                       AS day
+            FROM bounds
+        ),
+        actual AS (
+            SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS day,
+                   count(*) AS n_orders,
+                   {sql_dsum('o_totalprice')} AS revenue
+            FROM orders
+            WHERE o_orderstatus = 'P'
+            GROUP BY 1
+        )
+        SELECT days.day,
+               coalesce(n_orders, 0) AS n_orders,
+               coalesce(revenue, 0.0) AS revenue
+        FROM days LEFT JOIN actual USING (day)
+        ORDER BY day
+    """,
+    tags=("temporal", "densify"),
+)
+def calendar_densified_daily_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled DAILY series: days with zero pending orders
+    still appear (sequence+explode spine LEFT JOIN actuals — the
+    standard densification; a time-series engine's 'fill missing
+    buckets'). The spine derives from a 1-row bounds aggregate, so it
+    broadcasts; the actuals aggregate before joining."""
+    orders = t(spark, sf_dir, "orders")
+    bounds = orders.agg(
+        F.date_trunc("day", F.min("o_orderdate")).cast("date").alias("lo"),
+        F.date_trunc("day", F.max("o_orderdate")).cast("date").alias("hi"),
+    )
+    days = bounds.select(
+        F.explode(
+            F.sequence("lo", "hi", F.expr("INTERVAL 1 DAY"))
+        ).alias("day")
+    )
+    actual = (
+        orders.filter(F.col("o_orderstatus") == "P")
+        .groupBy(
+            F.date_trunc("day", "o_orderdate").cast("date").alias("day")
+        )
+        .agg(
+            F.count("*").alias("n_orders_raw"),
+            dsum("o_totalprice").alias("revenue_raw"),
+        )
+    )
+    return (
+        days.join(actual, "day", "left")
+        .select(
+            "day",
+            F.coalesce("n_orders_raw", F.lit(0).cast("long")).alias("n_orders"),
+            F.coalesce("revenue_raw", F.lit(0.0)).alias("revenue"),
+        )
+        .orderBy("day")
+    )
+
+
+@register(
+    "mode_priority_per_nation",
+    oracle="""
+        WITH counts AS (
+            SELECT c_nationkey, o_orderpriority, count(*) AS n
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_nationkey, o_orderpriority
+        ),
+        ranked AS (
+            SELECT c_nationkey, o_orderpriority, n,
+                   row_number() OVER (
+                       PARTITION BY c_nationkey
+                       ORDER BY n DESC, o_orderpriority ASC
+                   ) AS rn
+            FROM counts
+        )
+        SELECT c_nationkey, o_orderpriority AS modal_priority, n
+        FROM ranked WHERE rn = 1
+        ORDER BY c_nationkey
+    """,
+    tags=("aggregate", "mode"),
+)
+def mode_priority_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DETERMINISTIC mode (most frequent order priority per nation):
+    count + window argmax with a lexicographic tie-break. The built-in
+    `mode()` aggregate is tie-nondeterministic in both engines — this
+    spelling is the hash-stable (and cluster-stable) one."""
+    orders = t(spark, sf_dir, "orders")
+    cust = t(spark, sf_dir, "customer")
+    counts = (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("c_nationkey", "o_orderpriority")
+        .agg(F.count("*").alias("n"))
+    )
+    w = W.partitionBy("c_nationkey").orderBy(
+        F.col("n").desc(), F.col("o_orderpriority").asc()
+    )
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "c_nationkey",
+            F.col("o_orderpriority").alias("modal_priority"),
+            "n",
+        )
+        .orderBy("c_nationkey")
+    )
+
+
+@register(
+    "explode_outer_token_rows",
+    oracle="""
+        WITH docs AS (
+            SELECT doc_id,
+                   CASE WHEN doc_id % 7 = 0 THEN NULL
+                        ELSE string_split(text, ' ')[1:3] END AS toks
+            FROM documents WHERE doc_id < 30
+        )
+        SELECT doc_id, unnest(
+            CASE WHEN toks IS NULL THEN [NULL] ELSE toks END) AS tok
+        FROM docs
+        ORDER BY doc_id, tok NULLS FIRST
+    """,
+    tags=("array", "explode", "nulls"),
+)
+def explode_outer_token_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """explode_outer: rows with a NULL array survive as (id, NULL) —
+    the join-safe explode (plain explode silently drops them; at
+    pipeline scale that's dropped documents, not an edge case)."""
+    docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 30)
+    toks = F.when(
+        F.col("doc_id") % 7 == 0, F.lit(None).cast("array<string>")
+    ).otherwise(F.slice(F.split("text", " "), 1, 3))
+    return (
+        docs.select("doc_id", toks.alias("toks"))
+        .select("doc_id", F.explode_outer("toks").alias("tok"))
+        .orderBy("doc_id", F.col("tok").asc_nulls_first())
+    )
+
+
+@register(
+    "profile_orders_columns",
+    oracle="""
+        SELECT 'o_orderkey' AS col, count(*) AS n_rows,
+               count(o_orderkey) AS n_nonnull,
+               count(DISTINCT o_orderkey) AS n_distinct,
+               CAST(min(o_orderkey) AS VARCHAR) AS min_val,
+               CAST(max(o_orderkey) AS VARCHAR) AS max_val
+        FROM orders
+        UNION ALL
+        SELECT 'o_orderstatus', count(*), count(o_orderstatus),
+               count(DISTINCT o_orderstatus),
+               CAST(min(o_orderstatus) AS VARCHAR),
+               CAST(max(o_orderstatus) AS VARCHAR)
+        FROM orders
+        UNION ALL
+        SELECT 'o_totalprice', count(*), count(o_totalprice),
+               count(DISTINCT o_totalprice),
+               CAST(min(o_totalprice) AS VARCHAR),
+               CAST(max(o_totalprice) AS VARCHAR)
+        FROM orders
+        ORDER BY col
+    """,
+    tags=("profiling", "aggregate"),
+)
+def profile_orders_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profiler (rows / non-null / distinct / min / max per
+    column as a long table) — the data-quality primitive; one
+    aggregate job per column batched into a single union (all share
+    one scan via Catalyst's common-subexpression reuse at the source
+    level)."""
+    orders = t(spark, sf_dir, "orders")
+
+    def prof(col: str) -> DataFrame:
+        return orders.agg(
+            F.lit(col).alias("col"),
+            F.count("*").alias("n_rows"),
+            F.count(col).alias("n_nonnull"),
+            F.countDistinct(col).alias("n_distinct"),
+            F.min(col).cast("string").alias("min_val"),
+            F.max(col).cast("string").alias("max_val"),
+        )
+
+    out = prof("o_orderkey")
+    for c in ["o_orderstatus", "o_totalprice"]:
+        out = out.unionAll(prof(c))
+    return out.orderBy("col")
+
+
+@register(
+    "safe_arithmetic_orders",
+    oracle="""
+        SELECT o_orderkey,
+               TRY_CAST(o_orderpriority AS INT) AS priority_as_int,
+               TRY_CAST(split_part(o_orderpriority, '-', 1) AS INT)
+                   AS priority_num,
+               o_totalprice / nullif(o_orderkey % 5, 0) AS risky_ratio
+        FROM orders
+        WHERE o_orderkey < 200
+        ORDER BY o_orderkey
+    """,
+    tags=("scalar", "ansi", "try"),
+)
+def safe_arithmetic_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI-safe arithmetic: try_cast (malformed → NULL instead of
+    error — Spark 4 runs ANSI mode by default, so un-guarded casts
+    of '1-URGENT' would THROW) and nullif-guarded division."""
+    orders = t(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 200)
+    return orders.select(
+        "o_orderkey",
+        F.col("o_orderpriority").try_cast("int").alias("priority_as_int"),
+        F.split_part(F.col("o_orderpriority"), F.lit("-"), F.lit(1))
+        .try_cast("int")
+        .alias("priority_num"),
+        (
+            F.col("o_totalprice")
+            / F.nullif((F.col("o_orderkey") % 5).cast("double"), F.lit(0.0))
+        ).alias("risky_ratio"),
+    ).orderBy("o_orderkey")

@@ -65,6 +65,7 @@ def _load_all() -> None:
         "spark_hive_spark.operators.reshape",
         "spark_hive_spark.operators.pipeline",
         "spark_hive_spark.operators.statistics",
+        "spark_hive_spark.operators.profiling",
         "spark_hive_spark.operators.windows",
         "spark_hive_spark.operators.grouping",
         "spark_hive_spark.operators.scalars",
