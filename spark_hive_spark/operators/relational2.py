@@ -414,3 +414,149 @@ def rollup_grouping_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l_linestatus").asc_nulls_first(),
         )
     )
+
+
+@register(
+    "q15_top_revenue_suppliers",
+    oracle=f"""
+        WITH supplier_revenue AS (
+            SELECT l_suppkey,
+                   CAST(sum({SQL_REVENUE_DEC}) AS DOUBLE) AS total_revenue
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '2000-01-01 00:00:00'
+              AND l_shipdate <  TIMESTAMP '2000-07-01 00:00:00'
+            GROUP BY l_suppkey
+        )
+        SELECT s_suppkey, s_name, total_revenue
+        FROM supplier JOIN supplier_revenue ON s_suppkey = l_suppkey
+        WHERE total_revenue = (SELECT max(total_revenue) FROM supplier_revenue)
+        ORDER BY s_suppkey
+    """,
+    tags=("subquery", "view", "aggregate"),
+)
+def q15_top_revenue_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: CTE aggregate reused twice (revenue per
+    supplier; its max as a scalar subquery threshold). Decimal-exact
+    revenue means the max-equality predicate can't split ties
+    differently across engines; ties all surface, like Q15."""
+    li = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("2000-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("2000-07-01").cast("timestamp"))
+    )
+    supp = t(spark, sf_dir, "supplier")
+    rev = (
+        li.groupBy("l_suppkey")
+        .agg(F.sum(revenue_dec()).cast("double").alias("total_revenue"))
+    )
+    max_rev = rev.agg(F.max("total_revenue").alias("m"))
+    return (
+        supp.join(rev, supp.s_suppkey == rev.l_suppkey)
+        .join(F.broadcast(max_rev), F.col("total_revenue") == F.col("m"))
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+@register(
+    "q17_below_avg_quantity_revenue",
+    oracle="""
+        WITH part_avg AS (
+            SELECT l_partkey AS pk,
+                   0.5 * avg(l_quantity) AS half_avg
+            FROM lineitem GROUP BY l_partkey
+        )
+        SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                   / 7.0 AS avg_yearly,
+               count(*) AS n_small_lines
+        FROM lineitem JOIN part_avg ON l_partkey = pk
+        WHERE l_quantity < half_avg
+    """,
+    tags=("subquery", "correlated", "aggregate"),
+)
+def q17_below_avg_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape (correlated per-group average): lines whose
+    quantity is below half their part's average. Decorrelated as
+    aggregate-then-rejoin — ONE extra aggregate + an equi-join instead
+    of a per-row subquery. (Float note: the 0.5*avg threshold is a
+    double in both engines computed from the same per-part value set
+    with the same single division — partial-sum order could differ at
+    1e-16, but quantities sit far from any threshold in 2dp data.)"""
+    li = t(spark, sf_dir, "lineitem")
+    part_avg = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        (
+            F.lit(0.5)
+            * (
+                F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double")
+                / F.count("l_quantity")
+            )
+        ).alias("half_avg")
+    )
+    return (
+        li.join(part_avg, li.l_partkey == part_avg.pk)
+        .filter(F.col("l_quantity") < F.col("half_avg"))
+        .agg(
+            (
+                F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast(
+                    "double"
+                )
+                / 7.0
+            ).alias("avg_yearly"),
+            F.count("*").alias("n_small_lines"),
+        )
+    )
+
+
+@register(
+    "cross_join_region_priority_matrix",
+    oracle="""
+        WITH cells AS (
+            SELECT r_regionkey, r_name, o_orderpriority
+            FROM region
+            CROSS JOIN (SELECT DISTINCT o_orderpriority FROM orders) p
+        ),
+        actual AS (
+            SELECT n_regionkey AS rk, o_orderpriority, count(*) AS n_orders
+            FROM orders
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation   ON c_nationkey = n_nationkey
+            GROUP BY n_regionkey, o_orderpriority
+        )
+        SELECT r_name, cells.o_orderpriority AS priority,
+               coalesce(n_orders, 0) AS n_orders
+        FROM cells
+        LEFT JOIN actual
+          ON rk = r_regionkey AND actual.o_orderpriority = cells.o_orderpriority
+        ORDER BY r_name, priority
+    """,
+    tags=("join", "cross"),
+)
+def cross_join_region_priority_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTENTIONAL cross join — the one place it's right: a dense
+    dims×dims cell matrix (5 regions × 5 priorities) as the spine for
+    a zero-filled report. Both sides are bounded dimensions; the fact
+    table is pre-aggregated before touching the spine."""
+    region = t(spark, sf_dir, "region")
+    orders = t(spark, sf_dir, "orders")
+    cust = t(spark, sf_dir, "customer")
+    nation = t(spark, sf_dir, "nation")
+    priorities = orders.select("o_orderpriority").distinct()
+    cells = region.crossJoin(priorities)
+    actual = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("n_regionkey").alias("rk"), F.col("o_orderpriority").alias("ap"))
+        .agg(F.count("*").alias("n_orders_raw"))
+    )
+    return (
+        cells.join(
+            actual,
+            (F.col("rk") == F.col("r_regionkey")) & (F.col("ap") == F.col("o_orderpriority")),
+            "left",
+        )
+        .select(
+            "r_name",
+            F.col("o_orderpriority").alias("priority"),
+            F.coalesce("n_orders_raw", F.lit(0).cast("long")).alias("n_orders"),
+        )
+        .orderBy("r_name", "priority")
+    )
