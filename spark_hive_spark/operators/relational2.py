@@ -560,3 +560,53 @@ def cross_join_region_priority_matrix(spark: SparkSession, sf_dir: str) -> DataF
         )
         .orderBy("r_name", "priority")
     )
+
+
+@register(
+    "recursive_consecutive_activity",
+    oracle="""
+        WITH RECURSIVE streak AS (
+            SELECT DISTINCT o_custkey AS c, 1995 AS y
+            FROM orders WHERE year(o_orderdate) = 1995
+            UNION ALL
+            SELECT DISTINCT o.o_custkey, s.y + 1
+            FROM streak s
+            JOIN orders o
+              ON o.o_custkey = s.c AND year(o.o_orderdate) = s.y + 1
+            WHERE s.y < 2001
+        )
+        SELECT y AS active_year, count(*) AS n_customers
+        FROM streak
+        GROUP BY y
+        ORDER BY y
+    """,
+    tags=("recursive", "cohort"),
+)
+def recursive_consecutive_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (Spark >= 4.0): customers active in EVERY
+    consecutive year since 1995 — an iterative cohort that a single
+    window can't express (each wave depends on the previous wave's
+    membership). Integer-only recursion → engine-exact. Each
+    iteration is one equi-join + distinct; depth is bounded by the
+    data's year span, not its size."""
+    from spark_hive_spark.tables import load_tables
+
+    load_tables(spark, sf_dir, names=("orders",))
+    return spark.sql(
+        """
+        WITH RECURSIVE streak AS (
+            SELECT DISTINCT o_custkey AS c, 1995 AS y
+            FROM orders WHERE year(o_orderdate) = 1995
+            UNION ALL
+            SELECT DISTINCT o.o_custkey, s.y + 1
+            FROM streak s
+            JOIN orders o
+              ON o.o_custkey = s.c AND year(o.o_orderdate) = s.y + 1
+            WHERE s.y < 2001
+        )
+        SELECT y AS active_year, count(*) AS n_customers
+        FROM streak
+        GROUP BY y
+        ORDER BY y
+        """
+    )

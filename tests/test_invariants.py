@@ -154,3 +154,28 @@ def test_ivf_knn_recall_and_determinism(spark):
     assert hits >= len(brute)  # avg >= 1 true neighbor per query
     again = _rows(spark, "knn_cosine_ivf")
     assert sorted(map(tuple, ivf)) == sorted(map(tuple, again))
+
+
+def test_approx_percentile_close_to_exact(spark):
+    """approx_percentile (the bounded-memory 100 TB path) must land
+    within 2% relative of the exact per-group percentiles."""
+    import pyspark.sql.functions as F
+    from spark_hive_spark.tables import t
+
+    li = t(spark, SF_SMOKE, "lineitem")
+    exact = {
+        r.l_returnflag: (r.p50, r.p95)
+        for r in _rows(spark, "percentiles_extendedprice")
+    }
+    approx = (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.approx_percentile("l_extendedprice", F.lit(0.5), F.lit(10000)).alias("a50"),
+            F.approx_percentile("l_extendedprice", F.lit(0.95), F.lit(10000)).alias("a95"),
+        )
+        .collect()
+    )
+    for r in approx:
+        e50, e95 = exact[r.l_returnflag]
+        assert abs(r.a50 - e50) / e50 < 0.02
+        assert abs(r.a95 - e95) / e95 < 0.02
