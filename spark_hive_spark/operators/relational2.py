@@ -461,8 +461,12 @@ def q15_top_revenue_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q17_below_avg_quantity_revenue",
     oracle="""
         WITH part_avg AS (
+            -- decimal-exact avg: per-part line counts are SMALL, so
+            -- integer-ish averages (exact boundary values) are common
+            -- and a raw double avg could differ from Spark's by 1 ulp
             SELECT l_partkey AS pk,
-                   0.5 * avg(l_quantity) AS half_avg
+                   0.5 * (CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                          / count(l_quantity)) AS half_avg
             FROM lineitem GROUP BY l_partkey
         )
         SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
