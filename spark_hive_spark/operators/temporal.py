@@ -315,3 +315,60 @@ def range_join_clicks_before_purchase(spark: SparkSession, sf_dir: str) -> DataF
         .agg(F.count("click_ts").alias("n_clicks_prev_hour"))
         .orderBy("event_id")
     )
+
+
+@register(
+    "scd2_customer_spend_versions",
+    oracle="""
+        WITH ordered AS (
+            SELECT o_custkey, o_orderkey, o_orderdate,
+                   CAST(o_totalprice AS DECIMAL(18,2)) AS price
+            FROM orders
+            WHERE o_custkey < 100
+        )
+        SELECT o_custkey AS custkey,
+               row_number() OVER w AS version,
+               o_orderdate AS valid_from,
+               lead(o_orderdate) OVER w AS valid_to,
+               CASE WHEN lead(o_orderdate) OVER w IS NULL THEN 1 ELSE 0 END
+                   AS is_current,
+               CAST(sum(price) OVER (
+                   PARTITION BY o_custkey
+                   ORDER BY o_orderdate, o_orderkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS DOUBLE) AS total_spend
+        FROM ordered
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        ORDER BY custkey, version
+    """,
+    tags=("temporal", "scd2", "cdc"),
+)
+def scd2_customer_spend_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 (slowly-changing dimension type 2) emulation WITHOUT
+    MERGE INTO (no Delta/Iceberg in this image): each order closes the
+    customer's previous version and opens a new one — valid_from /
+    valid_to intervals via lead(), a current-row flag, and the
+    versioned cumulative spend in exact decimal. One shuffle on the
+    business key serves numbering, interval stitching, and the running
+    total. This is the anti-join+union-free formulation when the full
+    history is (re)built batch-style; incremental upserts at scale
+    would go through a transactional table format's MERGE."""
+    orders = t(spark, sf_dir, "orders").filter(F.col("o_custkey") < 100)
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wcum = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    return (
+        orders.select(
+            F.col("o_custkey").alias("custkey"),
+            F.row_number().over(w).alias("version"),
+            F.col("o_orderdate").alias("valid_from"),
+            F.lead("o_orderdate").over(w).alias("valid_to"),
+            F.when(F.lead("o_orderdate").over(w).isNull(), 1)
+            .otherwise(0)
+            .alias("is_current"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .over(wcum)
+            .cast("double")
+            .alias("total_spend"),
+        )
+        .orderBy("custkey", "version")
+    )

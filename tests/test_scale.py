@@ -91,3 +91,59 @@ def test_partitioned_parquet_prunes(spark, tmp_path):
     plan = back._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan
     assert back.count() == df.filter(F.col("l_returnflag") == "R").count()
+
+
+def test_salted_agg_under_synthetic_skew(spark):
+    """One white-hot key (50k rows) + a long tail: the salted
+    two-phase aggregate must equal the direct groupBy exactly, and the
+    salt must actually spread the hot key across buckets."""
+    import pyspark.sql.functions as F
+
+    from spark_hive_spark.operators.scale import salt_col, salted_agg
+
+    hot = spark.range(50_000).select(
+        F.lit(7).alias("k"), (F.col("id") % 100).cast("double").alias("v"),
+        F.col("id").alias("rid"),
+    )
+    tail = spark.range(5_000).select(
+        (F.col("id") % 500 + 100).alias("k"),
+        (F.col("id") % 50).cast("double").alias("v"),
+        (F.col("id") + 1_000_000).alias("rid"),
+    )
+    df = hot.unionByName(tail).repartition(16)
+
+    direct = {
+        (r.k, r.n, float(r.s))
+        for r in df.groupBy("k")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("v").cast("decimal(18,2)")).cast("double").alias("s"),
+        )
+        .collect()
+    }
+    salted = {
+        (r.k, r.n, float(r.s))
+        for r in salted_agg(
+            df,
+            "k",
+            [
+                F.count("*").alias("_n"),
+                F.sum(F.col("v").cast("decimal(18,2)")).alias("_s"),
+            ],
+            [
+                F.sum("_n").alias("n"),
+                F.sum("_s").cast("double").alias("s"),
+            ],
+            salt_from=["rid"],
+            buckets=16,
+        ).collect()
+    }
+    assert salted == direct
+    # the hot key really spreads over >= 12 of 16 salt buckets
+    spread = (
+        df.filter(F.col("k") == 7)
+        .select(salt_col(["rid"], 16).alias("s"))
+        .distinct()
+        .count()
+    )
+    assert spread >= 12
