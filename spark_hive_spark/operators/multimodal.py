@@ -111,3 +111,74 @@ def multimodal_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feats.select(
         "doc_id", "n_bytes", "fake_width", "fake_height", "fake_n_frames"
     ).orderBy("doc_id")
+
+
+FRAME_SCHEMA = "doc_id long, frame_idx int, byte_offset int, frame_bytes int"
+
+
+def sample_frames(media: DataFrame) -> DataFrame:
+    """One-to-many decode stage: each payload expands to its sampled
+    'frames' (deterministic count/offsets from the byte length — the
+    stub stands in for a real keyframe sampler). mapInPandas yields
+    MORE rows than it consumes — the row-expanding UDF shape
+    (batch-in, exploded-batch-out, still zero per-row Python calls
+    beyond the loop)."""
+    import numpy as np
+
+    def expand(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            n_bytes = pdf["payload"].map(lambda p: len(bytes(p))).to_numpy()
+            n_frames = n_bytes % 30 + 1
+            doc_ids = pdf["doc_id"].to_numpy()
+            out_doc, out_idx, out_off, out_len = [], [], [], []
+            for d, nb, nf in zip(doc_ids, n_bytes, n_frames):
+                stride = nb // nf
+                idx = np.arange(nf)
+                out_doc.append(np.full(nf, d))
+                out_idx.append(idx)
+                out_off.append(idx * stride)
+                out_len.append(np.full(nf, stride))
+            yield pd.DataFrame(
+                {
+                    "doc_id": np.concatenate(out_doc),
+                    "frame_idx": np.concatenate(out_idx).astype("int32"),
+                    "byte_offset": np.concatenate(out_off).astype("int32"),
+                    "frame_bytes": np.concatenate(out_len).astype("int32"),
+                }
+            )
+
+    return media.mapInPandas(expand, schema=FRAME_SCHEMA)
+
+
+@register(
+    "multimodal_frame_samples",
+    oracle="""
+        WITH media AS (
+            SELECT doc_id, octet_length(encode(text)) AS n_bytes
+            FROM documents WHERE doc_id < 50
+        ),
+        frames AS (
+            SELECT doc_id,
+                   n_bytes % 30 + 1 AS n_frames,
+                   n_bytes // (n_bytes % 30 + 1) AS stride,
+                   unnest(range(0, n_bytes % 30 + 1)) AS frame_idx
+            FROM media
+        )
+        SELECT doc_id,
+               CAST(frame_idx AS INT) AS frame_idx,
+               CAST(frame_idx * stride AS INT) AS byte_offset,
+               CAST(stride AS INT) AS frame_bytes
+        FROM frames
+        ORDER BY doc_id, frame_idx
+    """,
+    tags=("multimodal", "udf", "explode"),
+)
+def multimodal_frame_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling plumbing: binary payloads expand to per-frame
+    rows (offset + length) inside a row-expanding mapInPandas stage —
+    the video-keyframe / audio-chunk extraction shape with the codec
+    stubbed. Integer-only math, so the whole one-to-many Arrow path
+    gets a value-hash oracle."""
+    docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    media = docs.select("doc_id", F.encode("text", "UTF-8").alias("payload"))
+    return sample_frames(media).orderBy("doc_id", "frame_idx")

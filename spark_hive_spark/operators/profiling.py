@@ -239,3 +239,58 @@ def safe_arithmetic_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.nullif((F.col("o_orderkey") % 5).cast("double"), F.lit(0.0))
         ).alias("risky_ratio"),
     ).orderBy("o_orderkey")
+
+
+@register(
+    "null_semantics_orders",
+    oracle="""
+        WITH derived AS (
+            SELECT o_orderkey,
+                   nullif(o_orderstatus, 'P') AS status_nn,
+                   CASE WHEN o_orderkey % 3 = 0 THEN NULL
+                        ELSE o_totalprice END AS price_nn
+            FROM orders
+        )
+        SELECT count(*) AS n_rows,
+               count(status_nn) AS n_status_nonnull,
+               count(DISTINCT status_nn) AS n_status_distinct,
+               sum(CASE WHEN status_nn IS NULL THEN 1 ELSE 0 END) AS n_status_null,
+               CAST(sum(CAST(price_nn AS DECIMAL(18,2))) AS DOUBLE)
+                   AS sum_price_skipnull,
+               sum(CASE WHEN status_nn IS NOT DISTINCT FROM NULL
+                        THEN 1 ELSE 0 END) AS n_nullsafe_eq_null,
+               count(coalesce(status_nn, 'MISSING')) AS n_coalesced
+        FROM derived
+    """,
+    tags=("nulls", "aggregate"),
+)
+def null_semantics_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL null semantics, pinned: count(*) vs count(col), DISTINCT
+    over nulls, null-skipping sums, null-safe equality (<=> ≡ IS NOT
+    DISTINCT FROM), coalesce. The fixtures are null-free, so nullable
+    columns are derived with nullif/CASE — the load-bearing behaviors
+    the reference depends on (`CollegeScorecard.scala:40,105,145`)
+    exercised on this schema."""
+    orders = t(spark, sf_dir, "orders")
+    status_nn = F.nullif(F.col("o_orderstatus"), F.lit("P"))
+    price_nn = F.when(F.col("o_orderkey") % 3 == 0, F.lit(None)).otherwise(
+        F.col("o_totalprice")
+    )
+    derived = orders.select(
+        status_nn.alias("status_nn"), price_nn.alias("price_nn")
+    )
+    return derived.agg(
+        F.count("*").alias("n_rows"),
+        F.count("status_nn").alias("n_status_nonnull"),
+        F.countDistinct("status_nn").alias("n_status_distinct"),
+        F.sum(F.when(F.col("status_nn").isNull(), 1).otherwise(0)).alias(
+            "n_status_null"
+        ),
+        F.sum(F.col("price_nn").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("sum_price_skipnull"),
+        F.sum(
+            F.when(F.col("status_nn").eqNullSafe(F.lit(None)), 1).otherwise(0)
+        ).alias("n_nullsafe_eq_null"),
+        F.count(F.coalesce("status_nn", F.lit("MISSING"))).alias("n_coalesced"),
+    )
