@@ -63,7 +63,7 @@ def main() -> None:
     # untimed warm-up: JVM, codegen JIT, parquet footers for every
     # table (first-touch compile cost measured at ~6 s on cold
     # expressions — not a property of the queries)
-    from spark_hive_spark.tables import TABLES, load_tables
+    from spark_hive_spark.tables import load_tables
 
     tables = load_tables(spark, sf_dir, register=False)
     for df in tables.values():

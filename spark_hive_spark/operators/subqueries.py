@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
-from spark_hive_spark.functions.numeric import SQL_REVENUE_DEC, revenue_dec, sql_davg
+from spark_hive_spark.functions.numeric import SQL_REVENUE_DEC, revenue_dec
 from spark_hive_spark.plans.registry import register
 from spark_hive_spark.tables import load_tables, t
 
