@@ -62,6 +62,7 @@ def _load_all() -> None:
         "spark_hive_spark.jobs.scorecard",
         "spark_hive_spark.operators.relational",
         "spark_hive_spark.operators.relational2",
+        "spark_hive_spark.operators.relational3",
         "spark_hive_spark.operators.reshape",
         "spark_hive_spark.operators.pipeline",
         "spark_hive_spark.operators.statistics",
