@@ -1,0 +1,206 @@
+"""Training-data curation operators — the sampling / splitting /
+packing / scrubbing stages a large-scale LLM data pipeline runs after
+dedup and quality scoring (north star in BASELINE.json; complements
+operators/dedup.py, operators/textstats.py, operators/pipeline.py).
+
+Determinism is the design center: every sampling decision is a pure
+function of the row key (Knuth multiplicative hash — arithmetic both
+engines evaluate identically), never `rand()` or `sample()`, so the
+pipeline is re-runnable, resumable, and auditable at 100 TB — the same
+doc lands in the same split on every run and on any cluster layout.
+
+Scale posture: all four operators are embarrassingly parallel except
+sequence packing, which windows PER SOURCE SHARD (never a global
+single-partition window) — at 100 TB each shard packs independently
+and in parallel, which is how production packers behave anyway.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from spark_hive_spark.plans.registry import register
+from spark_hive_spark.tables import t
+
+# Knuth multiplicative hash: (key * 2654435761) mod 2^32, then bucket
+# by mod 100. doc_id * 2654435761 stays far below 2^63 for any
+# realistic id space (< 3.4e9 ids), so the arithmetic is exact int64
+# in both engines.
+_KNUTH = 2654435761
+_M32 = 4294967296
+
+
+def _pct_bucket(key):
+    return F.pmod(F.pmod(F.col(key) * F.lit(_KNUTH), F.lit(_M32)), F.lit(100))
+
+
+_SQL_PCT = f"((doc_id * {_KNUTH}) % {_M32}) % 100"
+
+
+@register(
+    "curation_hash_sample",
+    oracle=f"""
+        SELECT doc_id, lang, source, n_chars
+        FROM documents
+        WHERE {_SQL_PCT} < 10
+        ORDER BY doc_id
+    """,
+    tags=("curation", "sampling", "deterministic"),
+)
+def curation_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~10% corpus sample via multiplicative hashing of
+    the document key. Unlike ``df.sample()`` (seed + partition-layout
+    dependent), membership is a pure row-local predicate: it pushes
+    down to the scan, needs no shuffle, and is stable across runs,
+    retries, and cluster sizes — the property audits require."""
+    docs = t(spark, sf_dir, "documents")
+    return (
+        docs.filter(_pct_bucket("doc_id") < 10)
+        .select("doc_id", "lang", "source", "n_chars")
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "curation_train_test_split",
+    oracle=f"""
+        SELECT split, lang, count(*) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS total_chars
+        FROM (
+            SELECT lang, n_chars,
+                   CASE WHEN {_SQL_PCT} < 80 THEN 'train'
+                        WHEN {_SQL_PCT} < 90 THEN 'validation'
+                        ELSE 'test' END AS split
+            FROM documents)
+        GROUP BY split, lang
+        ORDER BY split, lang
+    """,
+    tags=("curation", "sampling", "deterministic"),
+)
+def curation_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """80/10/10 train/validation/test assignment from the same hash —
+    splits are disjoint and exhaustive BY CONSTRUCTION (bucket ranges
+    of one function), immune to the classic leak where re-sampling
+    test membership on a later run moves documents across splits.
+    Output is the per-(split, lang) audit summary."""
+    docs = t(spark, sf_dir, "documents")
+    b = _pct_bucket("doc_id")
+    return (
+        docs.select(
+            "lang",
+            "n_chars",
+            F.when(b < 80, "train")
+            .when(b < 90, "validation")
+            .otherwise("test")
+            .alias("split"),
+        )
+        .groupBy("split", "lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+        )
+        .orderBy("split", "lang")
+    )
+
+
+@register(
+    "curation_pack_sequences",
+    oracle=r"""
+        WITH toks AS (
+            SELECT source, doc_id,
+                   CAST(length(string_split_regex(trim(text), '\s+')) AS BIGINT)
+                       AS n_tokens
+            FROM documents
+        ),
+        packed AS (
+            SELECT source, doc_id, n_tokens,
+                   CAST(floor((sum(n_tokens) OVER (
+                            PARTITION BY source ORDER BY doc_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        - n_tokens) / 2048) AS BIGINT) AS bin_id
+            FROM toks
+        )
+        SELECT source, bin_id, count(*) AS n_docs,
+               CAST(sum(n_tokens) AS BIGINT) AS bin_tokens
+        FROM packed
+        GROUP BY source, bin_id
+        ORDER BY source, bin_id
+    """,
+    tags=("curation", "window", "packing"),
+)
+def curation_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for a 2048-token context window: documents are
+    laid out in deterministic (source, doc_id) order and cut into bins
+    at token-offset boundaries (bin = floor(exclusive-prefix-sum /
+    budget) — contiguous offset packing, the streaming-friendly
+    variant of greedy bin packing). The window partitions BY SOURCE
+    SHARD, so at 100 TB every shard packs in parallel with bounded
+    state; a global ORDER BY here would serialize the corpus through
+    one partition. Output: per-bin document and token counts."""
+    docs = t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source",
+        "doc_id",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("bigint").alias(
+            "n_tokens"
+        ),
+    )
+    win = (
+        W.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    packed = toks.withColumn(
+        "bin_id",
+        F.floor((F.sum("n_tokens").over(win) - F.col("n_tokens")) / F.lit(2048)),
+    )
+    return (
+        packed.groupBy("source", "bin_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("bin_tokens"),
+        )
+        .orderBy("source", "bin_id")
+    )
+
+
+@register(
+    "curation_stopword_scrub",
+    oracle=r"""
+        SELECT lang,
+               count(*) AS n_docs,
+               CAST(sum(length(string_split_regex(trim(text), '\s+')))
+                    AS BIGINT) AS tokens_before,
+               CAST(sum(length(string_split_regex(trim(
+                        regexp_replace(text, '\b(a|the)\b', '', 'g')),
+                    '\s+'))) AS BIGINT) AS tokens_after
+        FROM documents
+        GROUP BY lang
+        ORDER BY lang
+    """,
+    tags=("curation", "string", "regex"),
+)
+def curation_stopword_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token scrubbing (the PII-redaction shape: regexp_replace over
+    the text column, then re-tokenize) — here removing the filler
+    tokens 'a'/'the', reporting per-language token counts before and
+    after. Row-local regex work stays in whole-stage codegen; at
+    100 TB this is a pure map stage with one tiny final aggregate.
+    The same plan with e-mail/phone patterns is the production PII
+    scrubber; patterns kept engine-portable (RE2 ∩ Java regex)."""
+    docs = t(spark, sf_dir, "documents")
+
+    def _ntok(col):
+        return F.size(F.split(F.trim(col), r"\s+")).cast("bigint")
+
+    scrubbed = F.regexp_replace(F.col("text"), r"\b(a|the)\b", "")
+    return (
+        docs.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(_ntok(F.col("text"))).alias("tokens_before"),
+            F.sum(_ntok(scrubbed)).alias("tokens_after"),
+        )
+        .orderBy("lang")
+    )

@@ -75,6 +75,7 @@ def _load_all() -> None:
         "spark_hive_spark.operators.arrays",
         "spark_hive_spark.operators.udfs",
         "spark_hive_spark.operators.scale",
+        "spark_hive_spark.operators.curation",
         "spark_hive_spark.operators.dedup",
         "spark_hive_spark.operators.similarity",
         "spark_hive_spark.operators.textstats",
