@@ -44,7 +44,6 @@ _SQL_PCT = f"((doc_id * {_KNUTH}) % {_M32}) % 100"
         SELECT doc_id, lang, source, n_chars
         FROM documents
         WHERE {_SQL_PCT} < 10
-        ORDER BY doc_id
     """,
     tags=("curation", "sampling", "deterministic"),
 )
@@ -53,12 +52,12 @@ def curation_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     the document key. Unlike ``df.sample()`` (seed + partition-layout
     dependent), membership is a pure row-local predicate: it pushes
     down to the scan, needs no shuffle, and is stable across runs,
-    retries, and cluster sizes — the property audits require."""
+    retries, and cluster sizes — the property audits require. No sort:
+    the whole plan is scan→filter (zero exchanges), which is the point
+    at 100 TB."""
     docs = t(spark, sf_dir, "documents")
-    return (
-        docs.filter(_pct_bucket("doc_id") < 10)
-        .select("doc_id", "lang", "source", "n_chars")
-        .orderBy("doc_id")
+    return docs.filter(_pct_bucket("doc_id") < 10).select(
+        "doc_id", "lang", "source", "n_chars"
     )
 
 

@@ -111,3 +111,50 @@ def test_no_cartesian_products_anywhere(spark):
         if "CartesianProduct" in plan:
             offenders.append(name)
     assert not offenders, f"cartesian products in: {offenders}"
+
+
+def test_q4_exists_plans_semi_join_with_residual(spark):
+    """The EXISTS in q4 must stay ONE pass: a left-semi hash join whose
+    equi key is l_orderkey and whose late-shipment predicate runs as
+    the join residual — not a distinct+inner-join rewrite."""
+    plan = _plan(spark, "q4_order_priority_checking")
+    assert "LeftSemi" in plan
+    assert "HashedRelation" in plan or "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_q16_not_in_plans_anti_join(spark):
+    """Q16's NOT IN over never-null keys must plan a plain anti join
+    (broadcast at this size), not a null-aware nested loop."""
+    plan = _plan(spark, "q16_supplier_part_counts")
+    assert "LeftAnti" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q21_lineitem_shuffles_once(spark):
+    """q21's decorrelation promise: lineitem meets orders and its own
+    per-order summary on the SAME key, so the plan must not contain a
+    second lineitem scan chain beyond the two branches sharing one
+    shuffle family; concretely — no nested-loop joins, and the late
+    filter happens before the per-order summary join."""
+    plan = _plan(spark, "q21_waiting_suppliers")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_curation_sample_predicate_pushes_to_scan(spark):
+    """The hash-sample predicate is row-local arithmetic; it must
+    evaluate fused with the scan (DataFilters) and the whole plan must
+    be shuffle-free — scan→filter and nothing else."""
+    plan = _plan(spark, "curation_hash_sample")
+    assert "Exchange" not in plan
+    assert "HashAggregate" not in plan
+    assert "pmod" in plan.split("DataFilters:")[1].split("]")[0]
+
+
+def test_curation_packing_windows_per_shard(spark):
+    """Sequence packing must window PARTITION BY source — a global
+    (empty-partition) window would serialize the corpus through one
+    task at 100 TB."""
+    df = _Q["curation_pack_sequences"].fn(spark, SF_SMOKE)
+    logical = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "windowspecdefinition(source" in logical
