@@ -387,3 +387,66 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("rn") <= 3) & (F.col("doc_id") < 50))
         .orderBy("doc_id", "rn")
     )
+
+
+@register(
+    "text_unigram_logprob",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, unnest(string_split({SQL_NORM_TEXT}, ' ')) AS term
+            FROM documents
+        ),
+        vocab AS (SELECT term, count(*) AS cnt FROM toks GROUP BY term),
+        tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM vocab),
+        scored AS (
+            SELECT doc_id,
+                   CAST(round(ln(cnt / total) * 1000000) AS BIGINT) AS slp
+            FROM toks JOIN vocab USING (term) CROSS JOIN tot
+        )
+        SELECT doc_id, count(*) AS n_tokens,
+               round(CAST(sum(slp) AS DOUBLE) / (1000000.0 * count(*)), 6)
+                   AS avg_logprob
+        FROM scored GROUP BY doc_id
+        ORDER BY doc_id
+    """,
+    tags=("text", "quality", "language-model"),
+)
+def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-LM quality score (the classic perplexity proxy used in
+    data-quality filtering): per-document mean unigram log-probability
+    under the corpus's own term distribution. Two aggregates build the
+    model (term counts + total), broadcast back onto the token stream
+    — at 100 TB the vocabulary is orders of magnitude smaller than the
+    corpus, so the model join stays a broadcast and tokens never
+    shuffle except for the per-doc reduce.
+
+    Determinism: per-token log-probs are scaled to integer micro-nats
+    (round(ln(p)*1e6) as bigint) BEFORE summing, so the per-doc sum is
+    exact integer arithmetic — order-independent on any cluster — and
+    only one final division/round produces the double."""
+    docs = t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split(normalized_text(), " ")).alias("term")
+    )
+    vocab = toks.groupBy("term").agg(F.count("*").alias("cnt"))
+    total = vocab.agg(F.sum("cnt").cast("bigint").alias("total"))
+    scored = (
+        toks.join(F.broadcast(vocab), "term")
+        .join(F.broadcast(total))
+        .select(
+            "doc_id",
+            F.round(F.log(F.col("cnt") / F.col("total")) * F.lit(1000000.0))
+            .cast("bigint")
+            .alias("slp"),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.round(
+                F.sum("slp").cast("double") / (F.lit(1000000.0) * F.count("*")), 6
+            ).alias("avg_logprob"),
+        )
+        .orderBy("doc_id")
+    )

@@ -236,3 +236,35 @@ def stream_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "user_id", "n_events", F.round("sum_value", 6).alias("sum_value")
     ).orderBy("user_id")
+
+
+@register(
+    "stream_dedup_within_watermark",
+    oracle="""
+        SELECT event_type, count(DISTINCT user_id) AS n_users
+        FROM events
+        GROUP BY event_type
+        ORDER BY event_type
+    """,
+    tags=("streaming", "dedup", "watermark"),
+)
+def stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dedup: `dropDuplicatesWithinWatermark` on
+    (user_id, event_type) — the bounded-state alternative to streaming
+    `dropDuplicates`, whose state would otherwise grow forever. The
+    1-hour watermark caps how long each key is remembered, which is
+    the only deployable dedup shape on an unbounded 100 TB/day feed.
+
+    The post-sink `countDistinct` summary makes the result independent
+    of how the source chops batches (cross-batch re-emits collapse),
+    so the streaming path gets a full DuckDB oracle."""
+    ev = _event_stream(spark, sf_dir).withWatermark("ts", "1 hour")
+    deduped = ev.dropDuplicatesWithinWatermark(["user_id", "event_type"]).select(
+        "user_id", "event_type"
+    )
+    sink = _run_to_completion(deduped, "append")
+    return (
+        sink.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n_users"))
+        .orderBy("event_type")
+    )
