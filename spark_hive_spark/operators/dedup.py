@@ -154,9 +154,9 @@ def dedup_exact_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "dedup_ngram_jaccard",
-    oracle=f"""
+# Shared between the pair query's oracle and the cluster oracle (which
+# nests it as a CTE body).
+SQL_JACCARD_PAIRS = f"""
         WITH toks AS (
             SELECT doc_id, string_split({SQL_NORM_TEXT}, ' ') AS tk
             FROM documents
@@ -186,7 +186,12 @@ def dedup_exact_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
         JOIN sz y ON y.doc_id = doc_b
         WHERE c::DOUBLE / (x.n + y.n - c) >= {JACCARD_THRESHOLD}
         ORDER BY doc_a, doc_b
-    """,
+"""
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=SQL_JACCARD_PAIRS,
     tags=("dedup", "ngram", "join"),
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -391,4 +396,91 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .filter(F.col("hamming") <= 3)
         .orderBy("doc_a", "doc_b")
+    )
+
+
+@register(
+    "dedup_duplicate_clusters",
+    oracle=f"""
+        WITH RECURSIVE pairs AS ({SQL_JACCARD_PAIRS}),
+        edges AS (
+            SELECT doc_a AS u, doc_b AS v FROM pairs
+            UNION ALL
+            SELECT doc_b AS u, doc_a AS v FROM pairs
+        ),
+        reach(u, v) AS (
+            SELECT u, v FROM edges
+            UNION
+            SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+        ),
+        labels AS (
+            SELECT u AS doc_id, least(u, min(v)) AS cluster_id
+            FROM reach GROUP BY u
+        )
+        SELECT cluster_id, doc_id,
+               (doc_id = cluster_id) AS is_representative,
+               count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+        FROM labels
+        ORDER BY cluster_id, doc_id
+    """,
+    tags=("dedup", "iterative", "graph"),
+)
+def dedup_duplicate_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster formation — the union-find step a production
+    dedup pipeline runs AFTER pair generation, so that A~B and B~C
+    collapse into one cluster with one kept representative (min
+    doc_id), not two independent pair deletions.
+
+    Algorithm: distributed min-label propagation over the verified
+    Jaccard pair graph. Each iteration every node takes the min label
+    among itself and its neighbors (one join + one groupBy on the
+    already-partitioned node key); convergence in O(cluster diameter)
+    iterations — near-dup clusters are shallow (dozens of docs, not
+    chains of thousands), so 2-3 rounds in practice, bounded at 15.
+    Per-iteration `localCheckpoint` truncates the lineage so the plan
+    doesn't grow exponentially (on a real cluster: `checkpoint` to the
+    cluster FS; the convergence check is a scalar count — the one
+    driver action an iterative algorithm legitimately needs, exactly
+    as GraphX/GraphFrames do).
+
+    The DuckDB oracle computes the same components by recursive
+    transitive closure — feasible at oracle scale, and an exact
+    independent check of an iterative distributed algorithm."""
+    pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    fwd = pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+    edges = fwd.union(
+        pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v"))
+    ).localCheckpoint(eager=True)
+    labels = (
+        edges.select("u").distinct().select(F.col("u").alias("node"), F.col("u").alias("label"))
+    ).localCheckpoint(eager=True)
+    for _ in range(15):
+        msgs = edges.join(
+            labels.select(F.col("node").alias("v"), "label"), "v"
+        ).select(F.col("u").alias("node"), "label")
+        new_labels = (
+            labels.union(msgs)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    sizes = labels.groupBy("label").agg(F.count("*").alias("cluster_size"))
+    return (
+        labels.join(sizes, "label")
+        .select(
+            F.col("label").alias("cluster_id"),
+            F.col("node").alias("doc_id"),
+            (F.col("node") == F.col("label")).alias("is_representative"),
+            "cluster_size",
+        )
+        .orderBy("cluster_id", "doc_id")
     )
