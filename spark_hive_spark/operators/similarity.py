@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from spark_hive_spark.functions.vector import cosine, norm, sql_cosine
+from spark_hive_spark.functions.vector import as_double, cosine, norm, sql_cosine
 from spark_hive_spark.plans.registry import register
 from spark_hive_spark.tables import t
 
@@ -400,4 +400,92 @@ def knn_cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         sims.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= TOP_K)
         .orderBy("query_id", "rank")
+    )
+
+
+@register(
+    "embedding_quantize_audit",
+    oracle="""
+        WITH v AS (
+            SELECT label, CAST(embedding AS DOUBLE[]) AS e
+            FROM embeddings
+        ),
+        scaled AS (
+            SELECT label,
+                   list_max(list_transform(e, x -> abs(x))) / 127 AS scale,
+                   e
+            FROM v
+        ),
+        err AS (
+            SELECT label, scale,
+                   list_sum(list_transform(
+                       e, x -> abs(x - floor(x / scale + 0.5) * scale)
+                   )) / len(e) AS mean_err
+            FROM scaled
+        )
+        SELECT label,
+               count(*) AS n_vectors,
+               round(CAST(sum(CAST(round(mean_err * 1000000000) AS BIGINT))
+                          AS DOUBLE) / (1000000000.0 * count(*)), 6)
+                   AS avg_abs_err,
+               max(round(mean_err, 6)) AS max_abs_err,
+               round(CAST(sum(CAST(round(scale * 1000000000) AS BIGINT))
+                          AS DOUBLE) / (1000000000.0 * count(*)), 6)
+                   AS avg_scale
+        FROM err
+        GROUP BY label
+        ORDER BY label
+    """,
+    tags=("similarity", "array", "quantization"),
+)
+def embedding_quantize_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 symmetric-quantization audit — the compression every
+    embedding store applies before ANN serving (4× memory cut): per
+    vector, scale = max|x|/127, quantize with floor(x/scale + 0.5)
+    (NOT round(): floor(+0.5) is identical IEEE arithmetic in every
+    engine, while round()'s half-way rule differs between Spark's
+    decimal-string HALF_UP and C-library binary rounding), then
+    measure the round-trip error. Per-label aggregates of the
+    per-vector mean absolute error and the scales.
+
+    All array math is per-row (interpreted HOFs are fine for linear
+    row-local work; the GEMM escape hatch is only for pairwise math).
+    Cross-row determinism: per-row doubles are integer-scaled to
+    nano-units before the cross-partition sum, so the reduce is exact.
+    At 100 TB this is a pure map + one narrow aggregate."""
+    emb = t(spark, sf_dir, "embeddings")
+    e = as_double(F.col("embedding"))
+    scale = (
+        F.array_max(F.transform(e, lambda x: F.abs(x))) / F.lit(127.0)
+    ).alias("scale")
+    v = emb.select("label", e.alias("e"), scale)
+    dequant_err = F.aggregate(
+        F.transform(
+            F.col("e"),
+            lambda x: F.abs(
+                x - F.floor(x / F.col("scale") + F.lit(0.5)) * F.col("scale")
+            ),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    ) / F.size(F.col("e"))
+    err = v.select("label", "scale", dequant_err.alias("mean_err"))
+    nano = F.lit(1000000000.0)
+    return (
+        err.groupBy("label")
+        .agg(
+            F.count("*").alias("n_vectors"),
+            F.round(
+                F.sum(F.round(F.col("mean_err") * nano).cast("bigint")).cast("double")
+                / (nano * F.count("*")),
+                6,
+            ).alias("avg_abs_err"),
+            F.max(F.round("mean_err", 6)).alias("max_abs_err"),
+            F.round(
+                F.sum(F.round(F.col("scale") * nano).cast("bigint")).cast("double")
+                / (nano * F.count("*")),
+                6,
+            ).alias("avg_scale"),
+        )
+        .orderBy("label")
     )
