@@ -321,3 +321,38 @@ def subq_not_in_null_aware(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY s_suppkey
         """
     )
+
+
+@register(
+    "lateral_top2_orders_per_customer",
+    oracle="""
+        SELECT c_custkey, o.o_orderkey, o.o_totalprice
+        FROM customer JOIN LATERAL (
+            SELECT o_orderkey, o_totalprice FROM orders
+            WHERE o_custkey = c_custkey
+            ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o ON true
+        ORDER BY c_custkey, o_orderkey
+    """,
+    tags=("subquery", "lateral", "sql-surface"),
+)
+def lateral_top2_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL join (SQL:2016 / Spark >= 3.2): each
+    customer's two priciest orders, expressed through the SQL-string
+    surface (`spark.sql` over registered temp views — the reference's
+    own query style, CollegeScorecard.scala:72). Catalyst decorrelates
+    the per-customer ORDER BY ... LIMIT 2 into a partitioned window
+    rank — same physical plan as the Window top-k, one shuffle on the
+    correlation key, so the lateral form costs nothing extra at scale.
+    Deterministic: (o_totalprice, o_orderkey) is a total order."""
+    t(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT c_custkey, o.o_orderkey, o.o_totalprice
+        FROM customer JOIN LATERAL (
+            SELECT o_orderkey, o_totalprice FROM orders
+            WHERE o_custkey = c_custkey
+            ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o
+        ORDER BY c_custkey, o_orderkey
+        """
+    )

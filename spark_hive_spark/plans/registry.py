@@ -78,6 +78,7 @@ def _load_all() -> None:
         "spark_hive_spark.operators.curation",
         "spark_hive_spark.operators.dedup",
         "spark_hive_spark.operators.similarity",
+        "spark_hive_spark.operators.sketches",
         "spark_hive_spark.operators.textstats",
         "spark_hive_spark.operators.multimodal",
         "spark_hive_spark.streaming.windows",

@@ -179,3 +179,46 @@ def test_approx_percentile_close_to_exact(spark):
         e50, e95 = exact[r.l_returnflag]
         assert abs(r.a50 - e50) / e50 < 0.02
         assert abs(r.a95 - e95) / e95 < 0.02
+
+
+def test_hll_merge_equals_direct_and_bounds_error(spark):
+    """Mergeability is the whole point of sketches: the two-level
+    (daily -> union) rollup must produce the SAME estimate as one
+    direct pass (same lgK, same hash — merging loses nothing), and
+    both must sit within ~5 standard errors (lgK=12 -> rse ~1.6%)
+    of the exact distinct count."""
+    import pyspark.sql.functions as F
+
+    from spark_hive_spark.operators.sketches import HLL_LGK
+    from spark_hive_spark.plans.registry import all_queries
+    from spark_hive_spark.tables import t
+    from tests.conftest import SF_SMOKE
+
+    rolled = {
+        r["event_type"]: r
+        for r in all_queries()["sketch_hll_mergeable_rollup"]
+        .fn(spark, SF_SMOKE)
+        .collect()
+    }
+    direct = {
+        r["event_type"]: r["direct"]
+        for r in t(spark, SF_SMOKE, "events")
+        .groupBy("event_type")
+        .agg(
+            F.round(
+                F.hll_sketch_estimate(F.hll_sketch_agg("user_id", F.lit(HLL_LGK)))
+            )
+            .cast("bigint")
+            .alias("direct")
+        )
+        .collect()
+    }
+    assert rolled, "no event types"
+    for et, row in rolled.items():
+        assert row["approx_users"] == direct[et], (
+            f"{et}: merged {row['approx_users']} != direct {direct[et]}"
+        )
+        rel = abs(row["approx_users"] - row["exact_users"]) / max(
+            row["exact_users"], 1
+        )
+        assert rel < 0.08, f"{et}: estimate off by {rel:.1%}"
