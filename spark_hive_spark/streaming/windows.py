@@ -268,3 +268,105 @@ def stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame
         .agg(F.countDistinct("user_id").alias("n_users"))
         .orderBy("event_type")
     )
+
+
+# transformWithStateInPandas ships its state protocol over protobuf;
+# gate on the import so the operator registers only where the runtime
+# can actually execute it (this container lacks google.protobuf).
+try:
+    from google.protobuf import descriptor as _pb_descriptor  # noqa: F401
+
+    _HAS_PROTOBUF = True
+except ImportError:  # pragma: no cover - environment-dependent
+    _HAS_PROTOBUF = False
+
+_TWS_ORACLE = """
+        SELECT user_id,
+               count(*) AS n_events,
+               count(DISTINCT event_type) AS n_types
+        FROM events
+        GROUP BY user_id
+        ORDER BY user_id
+"""
+
+
+def stream_tws_user_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator on the arbitrary-state API that
+    SUPERSEDES applyInPandasWithState (Spark >= 4.0,
+    `transformWithStateInPandas`): a StatefulProcessor holding typed
+    composite state per user — a ValueState for the event counter and
+    a MapState for per-event-type counts (RocksDB-backed, so map
+    entries update point-wise without rewriting the whole value: the
+    property that keeps huge per-key state cheap at 100 TB).
+
+    Integer-only state (counts), so the result is bit-deterministic
+    regardless of batch slicing; the oracle is the batch aggregate."""
+    import pandas as pd
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+
+    class UserProfile(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._n = handle.getValueState("n", "n bigint")
+            self._types = handle.getMapState("types", "t string", "c bigint")
+
+        def handleInputRows(self, key, rows, timerValues):
+            n = self._n.get()[0] if self._n.exists() else 0
+            for pdf in rows:
+                n += len(pdf)
+                for et, cnt in pdf.groupby("event_type").size().items():
+                    prev = (
+                        self._types.getValue((et,))[0]
+                        if self._types.containsKey((et,))
+                        else 0
+                    )
+                    self._types.updateValue((et,), (prev + int(cnt),))
+            self._n.update((n,))
+            n_types = sum(1 for _ in self._types.keys())
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [n], "n_types": [n_types]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    ev = _event_stream(spark, sf_dir)
+    prev_provider = spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass", None
+    )
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        agg = ev.groupBy("user_id").transformWithStateInPandas(
+            UserProfile(),
+            outputStructType="user_id bigint, n_events bigint, n_types bigint",
+            outputMode="Update",
+            timeMode="None",
+        )
+        out = _run_to_completion(agg, "update")
+    finally:
+        if prev_provider is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prev_provider
+            )
+    # last emission per user wins (one per batch; single drain here)
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    return (
+        out.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+        .orderBy("user_id")
+    )
+
+
+if _HAS_PROTOBUF:  # pragma: no cover - environment-dependent
+    register(
+        "stream_tws_user_profile",
+        oracle=_TWS_ORACLE,
+        tags=("streaming", "stateful", "transformWithState"),
+    )(stream_tws_user_profile)

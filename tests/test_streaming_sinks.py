@@ -168,3 +168,39 @@ def test_incremental_multibatch_streaming(spark, tmp_path):
         .collect()
     }
     assert got == expected
+
+
+def test_tws_user_profile_matches_batch_or_env_gated(spark):
+    """transformWithStateInPandas (Spark 4 arbitrary-state API): where
+    the runtime has protobuf, the processor's final state must equal
+    the batch aggregate; in this container (no google.protobuf) the
+    operator must be gated OUT of the registry rather than registered
+    and crashing the driver's query sweep."""
+    import pyspark.sql.functions as F
+
+    from spark_hive_spark.plans.registry import all_queries
+    from spark_hive_spark.streaming.windows import (
+        _HAS_PROTOBUF,
+        stream_tws_user_profile,
+    )
+    from spark_hive_spark.tables import t
+    from tests.conftest import SF_SMOKE
+
+    if not _HAS_PROTOBUF:
+        assert "stream_tws_user_profile" not in all_queries()
+        return
+    got = {
+        r["user_id"]: (r["n_events"], r["n_types"])
+        for r in stream_tws_user_profile(spark, SF_SMOKE).collect()
+    }
+    want = {
+        r["user_id"]: (r["n_events"], r["n_types"])
+        for r in t(spark, SF_SMOKE, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("event_type").alias("n_types"),
+        )
+        .collect()
+    }
+    assert got == want
