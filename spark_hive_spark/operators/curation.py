@@ -20,6 +20,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
+from spark_hive_spark.operators.dedup import SQL_JACCARD_PAIRS
+
 from spark_hive_spark.plans.registry import register
 from spark_hive_spark.tables import t
 
@@ -202,4 +204,97 @@ def curation_stopword_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(_ntok(scrubbed)).alias("tokens_after"),
         )
         .orderBy("lang")
+    )
+
+
+# Per-source keep-rates for mixture rebalancing: even-numbered shards
+# are kept at 20%, odd at 5% (stand-in for a tuned domain-weight map;
+# the map would be a broadcast table in production).
+_EVEN_PCT, _ODD_PCT = 20, 5
+
+
+@register(
+    "curation_source_mixture",
+    oracle=f"""
+        SELECT source, lang, count(*) AS n_kept
+        FROM documents
+        WHERE {_SQL_PCT} <
+              CASE WHEN CAST(substr(source, 4) AS INT) % 2 = 0
+                   THEN {_EVEN_PCT} ELSE {_ODD_PCT} END
+        GROUP BY source, lang
+        ORDER BY source, lang
+    """,
+    tags=("curation", "sampling", "mixture"),
+)
+def curation_source_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture rebalancing: each source shard keeps a
+    source-specific fraction of documents (here 20% / 5% by shard
+    parity; in production the rate map is a tuned weight table joined
+    broadcast). Acceptance reuses the SAME multiplicative hash as
+    sampling/splitting, so mixture membership composes consistently
+    with the train/test split — a doc's fate is one hash, everywhere.
+    Still a pure scan-local predicate: no shuffle until the audit
+    rollup."""
+    docs = t(spark, sf_dir, "documents")
+    shard_num = F.substring("source", 4, 10).cast("int")
+    rate = F.when(shard_num % 2 == 0, F.lit(_EVEN_PCT)).otherwise(F.lit(_ODD_PCT))
+    return (
+        docs.filter(_pct_bucket("doc_id") < rate)
+        .groupBy("source", "lang")
+        .agg(F.count("*").alias("n_kept"))
+        .orderBy("source", "lang")
+    )
+
+
+@register(
+    "curation_split_contamination",
+    oracle=f"""
+        WITH pairs AS ({SQL_JACCARD_PAIRS}),
+        splits AS (
+            SELECT doc_id,
+                   CASE WHEN {_SQL_PCT} < 80 THEN 'train'
+                        WHEN {_SQL_PCT} < 90 THEN 'validation'
+                        ELSE 'test' END AS split
+            FROM documents)
+        SELECT doc_a, a.split AS split_a, doc_b, b.split AS split_b, jaccard
+        FROM pairs
+        JOIN splits a ON a.doc_id = doc_a
+        JOIN splits b ON b.doc_id = doc_b
+        WHERE a.split <> b.split
+        ORDER BY doc_a, doc_b
+    """,
+    tags=("curation", "dedup", "contamination"),
+)
+def curation_split_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-set contamination check: near-duplicate pairs (word-3-gram
+    Jaccard >= 0.8) whose members landed in DIFFERENT splits of the
+    hash split — exactly the leak that inflates benchmark scores when
+    a test document has a near-copy in train. Composes the dedup pair
+    graph with the split assignment (two broadcast-able lookups onto
+    the pair list); at 100 TB the pair list is tiny relative to the
+    corpus, so this check is free once dedup has run."""
+    from spark_hive_spark.operators.dedup import dedup_ngram_jaccard
+
+    pairs = dedup_ngram_jaccard(spark, sf_dir)
+    docs = t(spark, sf_dir, "documents")
+    b = _pct_bucket("doc_id")
+    splits = docs.select(
+        "doc_id",
+        F.when(b < 80, "train")
+        .when(b < 90, "validation")
+        .otherwise("test")
+        .alias("split"),
+    )
+    sa = splits.select(
+        F.col("doc_id").alias("doc_a"), F.col("split").alias("split_a")
+    )
+    sb = splits.select(
+        F.col("doc_id").alias("doc_b"), F.col("split").alias("split_b")
+    )
+    return (
+        pairs.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .filter(F.col("split_a") != F.col("split_b"))
+        .select("doc_a", "split_a", "doc_b", "split_b", "jaccard")
+        .orderBy("doc_a", "doc_b")
     )
