@@ -446,33 +446,46 @@ def dedup_duplicate_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     The DuckDB oracle computes the same components by recursive
     transitive closure — feasible at oracle scale, and an exact
     independent check of an iterative distributed algorithm."""
+    # The pair graph is orders of magnitude smaller than the corpus
+    # (it's the dedup OUTPUT), so run the iteration on a few
+    # right-sized partitions — per-iteration task overhead, not data,
+    # dominates otherwise (measured 7.8 s -> 1.8 s at sf0.1). At real
+    # scale size this as |pairs| / rows-per-task instead of a
+    # constant; AQE can't help inside a checkpointed loop.
+    cc_parts = 4
     pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
     fwd = pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
-    edges = fwd.union(
-        pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v"))
-    ).localCheckpoint(eager=True)
+    edges = (
+        fwd.union(pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v")))
+        .coalesce(cc_parts)
+        .localCheckpoint(eager=True)
+    )
     labels = (
-        edges.select("u").distinct().select(F.col("u").alias("node"), F.col("u").alias("label"))
-    ).localCheckpoint(eager=True)
+        edges.select("u")
+        .distinct()
+        .select(F.col("u").alias("node"), F.col("u").alias("label"))
+        .coalesce(cc_parts)
+        .localCheckpoint(eager=True)
+    )
+    # Convergence via the label-sum: min-propagation only ever lowers
+    # labels, so the sum strictly decreases until fixpoint — one cheap
+    # scalar per round instead of an old-vs-new join.
+    prev_sum = labels.agg(F.sum("label")).collect()[0][0]
     for _ in range(15):
         msgs = edges.join(
             labels.select(F.col("node").alias("v"), "label"), "v"
         ).select(F.col("u").alias("node"), "label")
-        new_labels = (
+        labels = (
             labels.union(msgs)
             .groupBy("node")
             .agg(F.min("label").alias("label"))
+            .coalesce(cc_parts)
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
+        cur_sum = labels.agg(F.sum("label")).collect()[0][0]
+        if cur_sum == prev_sum:
             break
+        prev_sum = cur_sum
     sizes = labels.groupBy("label").agg(F.count("*").alias("cluster_size"))
     return (
         labels.join(sizes, "label")
