@@ -294,3 +294,43 @@ def null_semantics_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("n_nullsafe_eq_null"),
         F.count(F.coalesce("status_nn", F.lit("MISSING"))).alias("n_coalesced"),
     )
+
+
+@register(
+    "observe_ingest_gate",
+    oracle="""
+        SELECT count(*) AS n_docs,
+               CAST(sum(CASE WHEN n_chars <= 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_empty,
+               min(n_chars) AS min_chars,
+               max(n_chars) AS max_chars
+        FROM documents
+    """,
+    tags=("observe", "quality-gate", "operational"),
+)
+def observe_ingest_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run-time data-quality gate via ``df.observe`` — the metrics
+    piggyback on a pass the pipeline already makes (here the ingest
+    count), so the audit costs ZERO extra scans: at 100 TB a separate
+    profiling query would re-read the corpus, while observed metrics
+    ride the task results. The one action below IS the gated pipeline
+    stage, not a driver-side loop; a production job would branch on
+    `obs.get` (e.g. abort when n_empty/n_docs exceeds a threshold).
+    Deterministic integer metrics, so the gate itself is
+    oracle-checkable."""
+    from pyspark.sql import Observation
+
+    obs = Observation("ingest_gate")
+    docs = t(spark, sf_dir, "documents").observe(
+        obs,
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum((F.col("n_chars") <= 0).cast("bigint")).alias("n_empty"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+    )
+    docs.count()  # the gated stage's action; fills the observation
+    m = obs.get
+    return spark.createDataFrame(
+        [(m["n_docs"], m["n_empty"], m["min_chars"], m["max_chars"])],
+        "n_docs bigint, n_empty bigint, min_chars bigint, max_chars bigint",
+    )
