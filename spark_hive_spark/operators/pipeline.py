@@ -70,8 +70,9 @@ from spark_hive_spark.tables import t
         )
         SELECT lang,
                count(*) AS n_docs,
-               sum(len(string_split({SQL_NORM_TEXT}, ' '))) AS total_tokens,
-               sum(length(text)) AS total_chars
+               CAST(sum(len(string_split({SQL_NORM_TEXT}, ' '))) AS BIGINT)
+                   AS total_tokens,
+               CAST(sum(length(text)) AS BIGINT) AS total_chars
         FROM kept
         GROUP BY lang
         ORDER BY lang

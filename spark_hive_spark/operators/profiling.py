@@ -254,11 +254,12 @@ def safe_arithmetic_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT count(*) AS n_rows,
                count(status_nn) AS n_status_nonnull,
                count(DISTINCT status_nn) AS n_status_distinct,
-               sum(CASE WHEN status_nn IS NULL THEN 1 ELSE 0 END) AS n_status_null,
+               CAST(sum(CASE WHEN status_nn IS NULL THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_status_null,
                CAST(sum(CAST(price_nn AS DECIMAL(18,2))) AS DOUBLE)
                    AS sum_price_skipnull,
-               sum(CASE WHEN status_nn IS NOT DISTINCT FROM NULL
-                        THEN 1 ELSE 0 END) AS n_nullsafe_eq_null,
+               CAST(sum(CASE WHEN status_nn IS NOT DISTINCT FROM NULL
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_nullsafe_eq_null,
                count(coalesce(status_nn, 'MISSING')) AS n_coalesced
         FROM derived
     """,

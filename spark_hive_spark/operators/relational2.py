@@ -176,10 +176,10 @@ def q10_returned_item_losses(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q12_priority_by_ship_year",
     oracle="""
         SELECT year(l_shipdate) AS ship_year,
-               sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                        THEN 1 ELSE 0 END) AS high_priority_lines,
-               sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-                        THEN 1 ELSE 0 END) AS low_priority_lines
+               CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                        THEN 1 ELSE 0 END) AS BIGINT) AS high_priority_lines,
+               CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                        THEN 1 ELSE 0 END) AS BIGINT) AS low_priority_lines
         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         GROUP BY year(l_shipdate)
         ORDER BY ship_year

@@ -166,10 +166,10 @@ def window_sliding_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         numbered AS (
             SELECT user_id, event_id, ts,
-                   sum(is_new_session) OVER (
+                   CAST(sum(is_new_session) OVER (
                        PARTITION BY user_id ORDER BY ts, event_id
                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-                   ) AS session_num
+                   ) AS BIGINT) AS session_num
             FROM gaps
         )
         SELECT user_id, session_num,

@@ -46,7 +46,7 @@ def _stop_pattern(lang: str) -> str:
         )
         SELECT lang,
                count(*) AS n_docs,
-               sum(n_tokens) AS total_tokens,
+               CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
                round(CAST(sum(n_tokens) AS DOUBLE) / count(*), 6)
                    AS avg_tokens_per_doc,
                round(CAST(sum(n_chars_actual) AS DOUBLE)

@@ -37,6 +37,18 @@ def compare(spark_df, duck_rel, name: str = "query") -> list[str]:
     problems: list[str] = []
     s_cols = list(spark_df.columns)
     d_cols = list(duck_rel.columns)
+    # DuckDB sum() over any integer type yields HUGEINT (int128). Python's
+    # fetchall() hides this (plain int), but the driver hashes via Arrow,
+    # where int128 -> decimal128(38,0) != Spark's int64 — a guaranteed
+    # hash-fail. Lint it here so it can't pass locally and fail the sweep.
+    for c, ty in zip(d_cols, duck_rel.types):
+        if str(ty) == "HUGEINT":
+            problems.append(
+                f"{name}: oracle col {c} is HUGEINT (integer sum?) — "
+                f"CAST(... AS BIGINT) or the driver value-hash will differ"
+            )
+    if problems:
+        return problems
     if sorted(s_cols) != sorted(d_cols):
         problems.append(f"{name}: columns differ spark={s_cols} duck={d_cols}")
         return problems
