@@ -135,7 +135,10 @@ def knn_cosine_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("similarity", "dedup"),
 )
 def neardup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-duplicate pairs: exact cosine >= threshold over
+    """Embedding near-duplicate pairs, EXACT — this is the ORACLE /
+    recall baseline for `neardup_embeddings_lsh`, not the 100 TB path
+    (all-pairs is O(N^2) by algorithm class; at scale near-dup must go
+    through LSH blocking first). Exact cosine >= threshold over
     all pairs, via BLOCKED all-pairs GEMM: vectors hash into B blocks,
     each of the B(B+1)/2 block-pair tasks gets both blocks' vectors
     (one shuffle on task id) and computes its pair block as a single
@@ -202,6 +205,66 @@ def neardup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "neardup_embeddings_lsh",
+    oracle=None,  # LSH-blocked ANN: the candidate set depends on the
+    # numpy-seeded hyperplanes. tests/test_invariants.py pins recall
+    # against the exact `neardup_embeddings` pairs (same pattern as
+    # dedup_minhash_lsh vs dedup_ngram_jaccard).
+    tags=("similarity", "dedup", "lsh", "approx"),
+)
+def neardup_embeddings_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs, LSH-BLOCKED — the 100 TB production
+    path (`neardup_embeddings` is its exact oracle). Vectors bucket by
+    random-hyperplane sign bits (8 tables x 6 bits, the shared
+    `lsh_bucket_udf`); each (table, bucket) group GEMMs only ITS OWN
+    vectors and emits pairs with exact cosine >= threshold; a final
+    distinct dedups pairs that collide in several tables.
+
+    Scale shape: cost sums |bucket|^2 over buckets instead of N^2 —
+    with B buckets of even load that is N^2/B per table. The shuffle
+    key is (table, bucket) so skewed buckets split across tasks is the
+    one tuning concern (a production build would cap bucket size or
+    add a bit). Verification is exact within candidates, so precision
+    is 1.0; recall for cos>=t pairs is 1-(1-(1-acos(t)/pi)^6)^8,
+    >=0.97 at t=0.4 — and the recall test measures it empirically."""
+    emb = t(spark, sf_dir, "embeddings")
+    bucketize = lsh_bucket_udf()
+    bucketed = emb.select(
+        "vec_id",
+        "embedding",
+        F.posexplode(bucketize("embedding")).alias("tbl", "bucket"),
+    )
+    threshold = NEARDUP_COS
+
+    def bucket_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) < 2:
+            return pd.DataFrame({"vec_a": [], "vec_b": [], "cos_sim": []}).astype(
+                {"vec_a": "int64", "vec_b": "int64", "cos_sim": "float64"}
+            )
+        V = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+        V /= np.linalg.norm(V, axis=1, keepdims=True)
+        S = V @ V.T
+        ia, ib = np.nonzero(S >= threshold)
+        ids = pdf["vec_id"].to_numpy()
+        ids_a, ids_b = ids[ia], ids[ib]
+        keep = ids_a < ids_b  # dedup the symmetric matrix + self-pairs
+        return pd.DataFrame(
+            {
+                "vec_a": ids_a[keep],
+                "vec_b": ids_b[keep],
+                "cos_sim": np.round(S[ia, ib][keep], 6),
+            }
+        )
+
+    return (
+        bucketed.groupBy("tbl", "bucket")
+        .applyInPandas(bucket_pairs, "vec_a long, vec_b long, cos_sim double")
+        .distinct()  # same pair may collide in several tables
+        .orderBy("vec_a", "vec_b")
+    )
+
+
 def _lsh_planes() -> np.ndarray:
     """Deterministic hyperplanes: (tables, bits, dim), seed fixed."""
     rng = np.random.RandomState(LSH_SEED)
@@ -250,11 +313,14 @@ def knn_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         "embedding",
         F.posexplode("buckets").alias("tbl", "bucket"),
     )
+    # Broadcast the QUERY side (N_QUERIES x LSH_TABLES rows, no
+    # embeddings) — the corpus side streams. Broadcasting the corpus
+    # (the round-1 shape) inverts the size relation and OOMs the
+    # driver at scale. The distinct() dedups bucket collisions across
+    # tables BEFORE the query embedding is re-attached, so the shuffle
+    # payload is one corpus embedding per candidate, not two.
     q = longf.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("embedding").alias("qe"),
-        "tbl",
-        "bucket",
+        F.col("vec_id").alias("query_id"), "tbl", "bucket"
     )
     c = longf.select(
         F.col("vec_id").alias("neighbor_id"),
@@ -263,12 +329,16 @@ def knn_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bucket",
     )
     candidates = (
-        q.join(F.broadcast(c).hint("broadcast"), ["tbl", "bucket"])
+        F.broadcast(q)
+        .join(c, ["tbl", "bucket"])
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "qe", "neighbor_id", "ce")
+        .select("query_id", "neighbor_id", "ce")
         .distinct()
     )
-    sims = candidates.select(
+    q_emb = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    sims = candidates.join(F.broadcast(q_emb), "query_id").select(
         "query_id",
         "neighbor_id",
         F.round(cosine(F.col("qe"), F.col("ce")), 6).alias("cos_sim"),

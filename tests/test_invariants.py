@@ -47,6 +47,31 @@ def test_simhash_pairs_are_near_dups(spark):
         assert recall >= 0.5, f"simhash recall on strong dups {recall}"
 
 
+def test_neardup_lsh_recall_vs_exact(spark):
+    """LSH-blocked embedding near-dup: candidates verify with EXACT
+    cosine, so every returned pair must appear in the exact all-pairs
+    result with the identical rounded similarity (precision 1.0), and
+    banding theory puts recall at >=0.97 for cos>=0.4 — assert a 0.9
+    floor to keep the test robust to fixture draws."""
+    exact = {
+        (r.vec_a, r.vec_b, r.cos_sim) for r in _rows(spark, "neardup_embeddings")
+    }
+    lsh = {
+        (r.vec_a, r.vec_b, r.cos_sim)
+        for r in _rows(spark, "neardup_embeddings_lsh")
+    }
+    assert lsh <= exact, f"LSH emitted non-dup pairs: {lsh - exact}"
+    if exact:
+        recall = len(lsh) / len(exact)
+        assert recall >= 0.9, f"neardup LSH recall {recall} ({len(lsh)}/{len(exact)})"
+    # determinism: second run identical
+    again = {
+        (r.vec_a, r.vec_b, r.cos_sim)
+        for r in _rows(spark, "neardup_embeddings_lsh")
+    }
+    assert again == lsh
+
+
 def test_lsh_knn_recall_vs_bruteforce(spark):
     """ANN: every (query, neighbor) it returns must score exactly the
     brute-force cosine (verification reranks exactly), and recall@5 of

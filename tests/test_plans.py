@@ -158,3 +158,19 @@ def test_curation_packing_windows_per_shard(spark):
     df = _Q["curation_pack_sequences"].fn(spark, SF_SMOKE)
     logical = df._jdf.queryExecution().optimizedPlan().toString()
     assert "windowspecdefinition(source" in logical
+
+
+def test_knn_lsh_broadcasts_query_side(spark):
+    """The bucket-collision join must build (broadcast) the QUERY
+    relation — broadcasting the bucketed corpus would OOM the driver
+    at scale. The (tbl, bucket) join line must therefore say BuildLeft
+    (query relation is the left/broadcast input)."""
+    plan = _plan(spark, "knn_cosine_lsh")
+    bucket_joins = [
+        line
+        for line in plan.splitlines()
+        if "BroadcastHashJoin" in line and "bucket" in line
+    ]
+    assert bucket_joins, "expected a broadcast join on (tbl, bucket)"
+    for line in bucket_joins:
+        assert "BuildLeft" in line, f"corpus side got broadcast: {line}"
