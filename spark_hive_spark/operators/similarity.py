@@ -36,6 +36,18 @@ LSH_BITS = 6
 LSH_DIM = 64
 LSH_SEED = 42
 
+# Near-dup banding is tuned separately: recall at a LOW cosine
+# threshold t needs many tables with few bits. With per-bit collision
+# p = 1 - acos(t)/pi = 0.631 at t=0.4, a table of b bits collides with
+# probability p^b, and L tables give recall 1-(1-p^b)^L:
+#   8 tables x 6 bits  -> 1-(1-0.631^6)^8  = 0.41   (the KNN config)
+#   32 tables x 4 bits -> 1-(1-0.631^4)^32 = 0.996  (this config)
+# The KNN queries keep 8x6 (top-k reranking only needs SOME collision
+# among the best neighbors); the near-dup PAIR search must see ~every
+# pair >= t once, so it pays more tables.
+NEARDUP_LSH_TABLES = 32
+NEARDUP_LSH_BITS = 4
+
 
 @register(
     "knn_cosine_bruteforce",
@@ -216,20 +228,26 @@ def neardup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 def neardup_embeddings_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup pairs, LSH-BLOCKED — the 100 TB production
     path (`neardup_embeddings` is its exact oracle). Vectors bucket by
-    random-hyperplane sign bits (8 tables x 6 bits, the shared
-    `lsh_bucket_udf`); each (table, bucket) group GEMMs only ITS OWN
-    vectors and emits pairs with exact cosine >= threshold; a final
-    distinct dedups pairs that collide in several tables.
+    random-hyperplane sign bits (32 tables x 4 bits — see the
+    NEARDUP_LSH_* recall derivation above); each (table, bucket) group
+    GEMMs only ITS OWN vectors and emits pairs with exact cosine >=
+    threshold; a final distinct dedups pairs that collide in several
+    tables.
 
     Scale shape: cost sums |bucket|^2 over buckets instead of N^2 —
     with B buckets of even load that is N^2/B per table. The shuffle
     key is (table, bucket) so skewed buckets split across tasks is the
     one tuning concern (a production build would cap bucket size or
     add a bit). Verification is exact within candidates, so precision
-    is 1.0; recall for cos>=t pairs is 1-(1-(1-acos(t)/pi)^6)^8,
-    >=0.97 at t=0.4 — and the recall test measures it empirically."""
+    is 1.0; recall for cos>=t pairs is 1-(1-(1-acos(t)/pi)^4)^32 =
+    0.996 at t=0.4 (higher for closer pairs) — and the recall test
+    measures it empirically. Tuning note: the fixture threshold 0.4 is
+    adversarially LOW (near-random vectors); a production near-dup
+    threshold (cos>=0.9, p_bit=0.86) reaches 0.997 recall with just
+    8 tables x 8 bits, so the table count here is the price of the
+    low threshold, not of the method."""
     emb = t(spark, sf_dir, "embeddings")
-    bucketize = lsh_bucket_udf()
+    bucketize = lsh_bucket_udf(NEARDUP_LSH_TABLES, NEARDUP_LSH_BITS)
     bucketed = emb.select(
         "vec_id",
         "embedding",
@@ -265,28 +283,26 @@ def neardup_embeddings_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _lsh_planes() -> np.ndarray:
+def _lsh_planes(tables: int, bits: int) -> np.ndarray:
     """Deterministic hyperplanes: (tables, bits, dim), seed fixed."""
     rng = np.random.RandomState(LSH_SEED)
-    return rng.standard_normal((LSH_TABLES, LSH_BITS, LSH_DIM))
+    return rng.standard_normal((tables, bits, LSH_DIM))
 
 
-def lsh_bucket_udf():
+def lsh_bucket_udf(tables: int = LSH_TABLES, bits: int = LSH_BITS):
     """Vectorized bucketing: one Arrow batch in, per-table sign-bit
     bucket ids out (array<int>). One matmul per batch — the Python
     boundary is crossed per-batch, never per-row."""
-    planes = _lsh_planes()
+    planes = _lsh_planes(tables, bits)
 
     @F.pandas_udf(T.ArrayType(T.IntegerType()))
     def bucketize(emb: pd.Series) -> pd.Series:
         M = np.stack(emb.to_numpy())  # (batch, dim) float32
-        out = []
-        bits = (M.astype(np.float64) @ planes.reshape(-1, LSH_DIM).T) > 0
-        bits = bits.reshape(len(M), LSH_TABLES, LSH_BITS)
-        weights = 1 << np.arange(LSH_BITS)
-        buckets = (bits * weights).sum(axis=2).astype(np.int32)
-        out = list(buckets)
-        return pd.Series(out)
+        sign = (M.astype(np.float64) @ planes.reshape(-1, LSH_DIM).T) > 0
+        sign = sign.reshape(len(M), tables, bits)
+        weights = 1 << np.arange(bits)
+        buckets = (sign * weights).sum(axis=2).astype(np.int32)
+        return pd.Series(list(buckets))
 
     return bucketize
 

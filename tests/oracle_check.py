@@ -32,8 +32,13 @@ def _sort_key(row):
     )
 
 
-def compare(spark_df, duck_rel, name: str = "query") -> list[str]:
-    """Return a list of human-readable mismatch descriptions (empty = pass)."""
+def compare(
+    spark_df, duck_rel, name: str = "query", stats: dict | None = None
+) -> list[str]:
+    """Return a list of human-readable mismatch descriptions (empty = pass).
+
+    If ``stats`` is passed, records ``stats["n_rows"]`` from the one
+    collect() so callers don't re-execute the query for a row count."""
     problems: list[str] = []
     s_cols = list(spark_df.columns)
     d_cols = list(duck_rel.columns)
@@ -57,6 +62,8 @@ def compare(spark_df, duck_rel, name: str = "query") -> list[str]:
     s_rows = [
         tuple(_norm(row[c]) for c in order) for row in spark_df.collect()
     ]
+    if stats is not None:
+        stats["n_rows"] = len(s_rows)
     d_idx = {c: i for i, c in enumerate(d_cols)}
     d_rows = [
         tuple(_norm(r[d_idx[c]]) for c in order) for r in duck_rel.fetchall()

@@ -8,6 +8,7 @@ from __future__ import annotations
 
 import pytest
 
+from spark_hive_spark.operators.similarity import NEARDUP_COS
 from spark_hive_spark.plans.registry import all_queries
 from tests.conftest import SF_SMOKE
 
@@ -50,26 +51,37 @@ def test_simhash_pairs_are_near_dups(spark):
 def test_neardup_lsh_recall_vs_exact(spark):
     """LSH-blocked embedding near-dup: candidates verify with EXACT
     cosine, so every returned pair must appear in the exact all-pairs
-    result with the identical rounded similarity (precision 1.0), and
-    banding theory puts recall at >=0.97 for cos>=0.4 — assert a 0.9
-    floor to keep the test robust to fixture draws."""
-    exact = {
-        (r.vec_a, r.vec_b, r.cos_sim) for r in _rows(spark, "neardup_embeddings")
+    result (precision 1.0 on id pairs; similarities compared with a
+    1e-6 tolerance — the two GEMMs are differently blocked, so a pair
+    whose true cosine sits within float noise of the threshold or a
+    6dp rounding tie must not flake the test), and the 32x4 banding
+    puts recall at 0.996 for cos>=0.4 — assert a 0.9 floor to keep the
+    test robust to fixture draws."""
+    exact_sim = {
+        (r.vec_a, r.vec_b): r.cos_sim for r in _rows(spark, "neardup_embeddings")
     }
-    lsh = {
-        (r.vec_a, r.vec_b, r.cos_sim)
-        for r in _rows(spark, "neardup_embeddings_lsh")
+    lsh_rows = _rows(spark, "neardup_embeddings_lsh")
+    lsh_sim = {(r.vec_a, r.vec_b): r.cos_sim for r in lsh_rows}
+    extra = {
+        p: s
+        for p, s in lsh_sim.items()
+        if p not in exact_sim and abs(s - NEARDUP_COS) > 1e-6
     }
-    assert lsh <= exact, f"LSH emitted non-dup pairs: {lsh - exact}"
-    if exact:
-        recall = len(lsh) / len(exact)
-        assert recall >= 0.9, f"neardup LSH recall {recall} ({len(lsh)}/{len(exact)})"
+    assert not extra, f"LSH emitted non-dup pairs: {extra}"
+    for p, s in lsh_sim.items():
+        if p in exact_sim:
+            assert abs(s - exact_sim[p]) <= 1e-6, f"cos mismatch on {p}"
+    if exact_sim:
+        recall = len(lsh_sim.keys() & exact_sim.keys()) / len(exact_sim)
+        assert recall >= 0.9, (
+            f"neardup LSH recall {recall} ({len(lsh_sim)}/{len(exact_sim)})"
+        )
     # determinism: second run identical
     again = {
         (r.vec_a, r.vec_b, r.cos_sim)
         for r in _rows(spark, "neardup_embeddings_lsh")
     }
-    assert again == lsh
+    assert again == {(r.vec_a, r.vec_b, r.cos_sim) for r in lsh_rows}
 
 
 def test_lsh_knn_recall_vs_bruteforce(spark):
