@@ -213,13 +213,24 @@ def curation_stopword_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
 _EVEN_PCT, _ODD_PCT = 20, 5
 
 
+def shard_keep_rate(source_col: str = "source"):
+    """Keep-rate (percent) for a source shard: parse the TRAILING
+    digits of the shard name (ANSI-safe — non-numeric names fall in
+    the odd/5% class deterministically), even shards keep 20%."""
+    digits = F.regexp_extract(source_col, r"(\d+)$", 1)
+    shard_num = F.when(digits == "", "1").otherwise(digits).cast("int")
+    return F.when(shard_num % 2 == 0, F.lit(_EVEN_PCT)).otherwise(F.lit(_ODD_PCT))
+
+
 @register(
     "curation_source_mixture",
     oracle=f"""
         SELECT source, lang, count(*) AS n_kept
         FROM documents
         WHERE {_SQL_PCT} <
-              CASE WHEN CAST(substr(source, 4) AS INT) % 2 = 0
+              CASE WHEN CAST(COALESCE(NULLIF(
+                       regexp_extract(source, '(\\d+)$', 1), ''), '1')
+                       AS INT) % 2 = 0
                    THEN {_EVEN_PCT} ELSE {_ODD_PCT} END
         GROUP BY source, lang
         ORDER BY source, lang
@@ -234,12 +245,16 @@ def curation_source_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     sampling/splitting, so mixture membership composes consistently
     with the train/test split — a doc's fate is one hash, everywhere.
     Still a pure scan-local predicate: no shuffle until the audit
-    rollup."""
+    rollup.
+
+    The shard number parses via regexp_extract of the TRAILING digits
+    (not a positional substring cast, which throws under ANSI mode on
+    any source name without digits at offset 4); a source with no
+    digits deterministically falls in the odd/5% class in both
+    engines."""
     docs = t(spark, sf_dir, "documents")
-    shard_num = F.substring("source", 4, 10).cast("int")
-    rate = F.when(shard_num % 2 == 0, F.lit(_EVEN_PCT)).otherwise(F.lit(_ODD_PCT))
     return (
-        docs.filter(_pct_bucket("doc_id") < rate)
+        docs.filter(_pct_bucket("doc_id") < shard_keep_rate())
         .groupBy("source", "lang")
         .agg(F.count("*").alias("n_kept"))
         .orderBy("source", "lang")

@@ -425,7 +425,9 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     tags=("dedup", "iterative", "graph"),
 )
-def dedup_duplicate_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_duplicate_clusters(
+    spark: SparkSession, sf_dir: str, max_iters: int = 15
+) -> DataFrame:
     """Duplicate-cluster formation — the union-find step a production
     dedup pipeline runs AFTER pair generation, so that A~B and B~C
     collapse into one cluster with one kept representative (min
@@ -471,7 +473,8 @@ def dedup_duplicate_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # labels, so the sum strictly decreases until fixpoint — one cheap
     # scalar per round instead of an old-vs-new join.
     prev_sum = labels.agg(F.sum("label")).collect()[0][0]
-    for _ in range(15):
+    converged = prev_sum is None  # empty pair graph is trivially done
+    for _ in range(max_iters):
         msgs = edges.join(
             labels.select(F.col("node").alias("v"), "label"), "v"
         ).select(F.col("u").alias("node"), "label")
@@ -484,8 +487,17 @@ def dedup_duplicate_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         cur_sum = labels.agg(F.sum("label")).collect()[0][0]
         if cur_sum == prev_sum:
+            converged = True
             break
         prev_sum = cur_sum
+    if not converged:
+        # A diameter > max_iters chain would otherwise return labels
+        # that silently disagree with true connected components (and
+        # with the recursive-CTE oracle). Fail loudly instead.
+        raise RuntimeError(
+            f"label propagation did not converge within {max_iters} "
+            f"iterations — raise max_iters (cluster diameter exceeds it)"
+        )
     sizes = labels.groupBy("label").agg(F.count("*").alias("cluster_size"))
     return (
         labels.join(sizes, "label")

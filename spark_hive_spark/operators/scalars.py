@@ -105,8 +105,8 @@ def date_monthly_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT o_orderpriority,
                count(*) AS n_items,
-               round(avg(date_diff('day', o_orderdate, l_shipdate)), 6)
-                   AS avg_delay_days,
+               CAST(sum(date_diff('day', o_orderdate, l_shipdate)) AS DOUBLE)
+                   / count(*) AS avg_delay_days,
                max(date_diff('day', o_orderdate, l_shipdate)) AS max_delay_days,
                min(date_diff('day', o_orderdate, l_shipdate)) AS min_delay_days
         FROM orders JOIN lineitem ON o_orderkey = l_orderkey
@@ -118,8 +118,10 @@ def date_monthly_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def datediff_shipping_delay(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Timestamp arithmetic across a join: order→ship delay in whole
-    days. Day counts are integers, so avg is a ratio of exact ints
-    (round-6 guards the division only)."""
+    days. Day counts are integers, so avg is the exact integer sum
+    over ONE IEEE double division — bit-identical in both engines with
+    no rounding (round-6 over a rational .xxxxxx5 quotient would
+    hash-split between Spark's HALF_UP and DuckDB's binary rounding)."""
     orders = t(spark, sf_dir, "orders")
     li = t(spark, sf_dir, "lineitem")
     delay = F.datediff(
@@ -131,7 +133,9 @@ def datediff_shipping_delay(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderpriority")
         .agg(
             F.count("*").alias("n_items"),
-            F.round(F.avg(delay), 6).alias("avg_delay_days"),
+            (F.sum(delay.cast("bigint")).cast("double") / F.count("*")).alias(
+                "avg_delay_days"
+            ),
             F.max(delay).alias("max_delay_days"),
             F.min(delay).alias("min_delay_days"),
         )

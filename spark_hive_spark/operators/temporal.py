@@ -17,6 +17,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from spark_hive_spark.functions.numeric import dsum, sql_dsum
 from spark_hive_spark.plans.registry import register
@@ -38,53 +39,65 @@ def asof_join(
     except ``on``.
 
     Plan: union(tagged) -> window(partitionBy on, orderBy ts) ->
-    last(ignorenulls) backfill -> filter left rows. Right rows sort
-    before left rows at equal timestamps so exact matches are
-    included.
+    last(ignorenulls) backfill of ONE struct holding the whole right
+    row -> filter left rows -> unpack. Right rows sort before left
+    rows at equal timestamps so exact matches are included.
+
+    The right payload travels as a single struct so all its columns
+    come from the SAME right row: per-column last(ignorenulls) would
+    let a genuine NULL in one payload column pull that column from an
+    earlier row (a silent row-mixing bug this operator had before
+    round 3).
     """
     right_cols = [c for c in right.columns if c != on and c != right_ts]
     left_cols = [c for c in left.columns if c != on]
 
+    payload = F.struct(
+        F.col(right_ts).alias(right_ts),
+        *[F.col(c).alias(c) for c in right_cols],
+    )
+    payload_type = T.StructType(
+        [right.schema[right_ts]] + [right.schema[c] for c in right_cols]
+    )
     tagged_right = right.select(
         F.col(on),
         F.col(right_ts).alias("_ts"),
         F.lit(0).alias("_side"),
-        F.col(right_ts).alias("_r_ts"),
-        *[F.col(c) for c in right_cols],
+        payload.alias("_r"),
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left_cols],
     )
     tagged_left = left.select(
         F.col(on),
         F.col(left_ts).alias("_ts"),
         F.lit(1).alias("_side"),
-        F.lit(None).cast(right.schema[right_ts].dataType).alias("_r_ts"),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(c) for c in right_cols],
+        F.lit(None).cast(payload_type).alias("_r"),
         *[F.col(c) for c in left_cols],
     )
     # total order: ts, then right-before-left at equal ts (inclusive
-    # match), then the right payload itself so duplicate right
-    # timestamps resolve deterministically (the max payload tuple wins)
+    # match), then the payload struct itself (field-wise comparison)
+    # so duplicate right timestamps resolve deterministically (the max
+    # payload tuple wins)
     w = (
         W.partitionBy(on)
         .orderBy(
             F.col("_ts").asc(),
             F.col("_side").asc(),
-            *[F.col(c).asc_nulls_first() for c in right_cols],
+            F.col("_r").asc_nulls_first(),
         )
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
     backfilled = tagged_left.unionByName(tagged_right).select(
         F.col(on),
-        F.col("_ts"),
         F.col("_side"),
         *[F.col(c) for c in left_cols],
-        F.last("_r_ts", ignorenulls=True).over(w).alias(right_ts),
-        *[
-            F.last(c, ignorenulls=True).over(w).alias(c)
-            for c in right_cols
-        ],
+        F.last("_r", ignorenulls=True).over(w).alias("_r"),
     )
-    out = backfilled.filter(F.col("_side") == 1).drop("_side", "_ts")
+    out = backfilled.filter(F.col("_side") == 1).select(
+        F.col(on),
+        *[F.col(c) for c in left_cols],
+        F.col(f"_r.{right_ts}").alias(right_ts),
+        *[F.col(f"_r.{c}").alias(c) for c in right_cols],
+    )
     if how == "inner":
         out = out.filter(F.col(right_ts).isNotNull())
     return out

@@ -162,6 +162,60 @@ def test_asof_join_generic_semantics(spark):
         assert max(prior) == r.click_ts
 
 
+def test_shard_keep_rate_non_numeric_source(spark):
+    """Mixture shard parsing must not throw under ANSI mode on source
+    names without digits (or with digits not at a fixed offset) — they
+    deterministically land in the odd/5% class."""
+    from spark_hive_spark.operators.curation import _EVEN_PCT, _ODD_PCT, shard_keep_rate
+
+    df = spark.createDataFrame(
+        [("web_04",), ("crawl-117",), ("books",), ("wiki_dump",), ("s2",)],
+        "source string",
+    )
+    got = {r.source: r.rate for r in df.select("source", shard_keep_rate().alias("rate")).collect()}
+    assert got == {
+        "web_04": _EVEN_PCT,
+        "crawl-117": _ODD_PCT,
+        "books": _ODD_PCT,
+        "wiki_dump": _ODD_PCT,
+        "s2": _EVEN_PCT,
+    }
+
+
+def test_duplicate_clusters_raises_when_budget_exhausted(spark):
+    """Label propagation must fail loudly, not return wrong labels,
+    when the iteration budget is smaller than the cluster diameter
+    (simulated by max_iters=1 on the real pair graph, which needs at
+    least one label-changing round plus a confirming round)."""
+    from spark_hive_spark.operators.dedup import dedup_duplicate_clusters
+
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dedup_duplicate_clusters(spark, SF_SMOKE, max_iters=1)
+
+
+def test_asof_join_null_payload_not_mixed(spark):
+    """Regression: a genuine NULL in one right payload column must NOT
+    be backfilled from an EARLIER right row — all payload columns come
+    from the single matched row (the struct-backfill contract)."""
+    import datetime as dt
+
+    from spark_hive_spark.operators.temporal import asof_join
+
+    ts = lambda s: dt.datetime(2024, 1, 1, 0, 0, s)  # noqa: E731
+    left = spark.createDataFrame([(1, ts(3), "L")], "k int, lts timestamp, lbl string")
+    right = spark.createDataFrame(
+        [(1, ts(1), 10, "x"), (1, ts(2), None, "y")],
+        "k int, rts timestamp, a int, b string",
+    )
+    rows = asof_join(
+        left, right, on="k", left_ts="lts", right_ts="rts", how="inner"
+    ).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.rts == ts(2) and r.b == "y"
+    assert r.a is None, f"payload mixed across right rows: a={r.a}"
+
+
 def test_watermark_append_subset_of_complete(spark):
     """Append-mode watermarked windows must be a subset of the
     complete batch result (only closed windows emit, with final

@@ -13,6 +13,24 @@ from tests.oracle_check import compare
 _QUERIES = all_queries()
 
 
+def test_no_round_over_rational_avg():
+    """Lint: round(avg(...)) over an integer/2dp-valued expression is a
+    cross-engine hash hazard (a rational .xxxxxx5 quotient rounds
+    HALF_UP in Spark but to-nearest-even binary in DuckDB). Only
+    genuinely irrational inputs (sqrt/stddev/ln/acos — half-boundaries
+    are measure-zero there) may round an average; everything else must
+    use the exact-sum / single-division form (sql_davg)."""
+    irrational_markers = ("sqrt", "stddev", "ln(", "acos", "log(")
+    offenders = [
+        name
+        for name, q in _QUERIES.items()
+        if q.oracle
+        and "round(avg(" in q.oracle.lower().replace(" ", "")
+        and not any(m in q.oracle.lower() for m in irrational_markers)
+    ]
+    assert not offenders, f"round-over-avg in oracle SQL: {offenders}"
+
+
 @pytest.mark.parametrize(
     "name", sorted(_QUERIES), ids=sorted(_QUERIES)
 )
