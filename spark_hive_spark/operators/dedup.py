@@ -237,8 +237,16 @@ def minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dedup_minhash_lsh",
-    oracle=None,  # xxhash64 signatures aren't SQL-portable; tests
-    # assert exact agreement with dedup_ngram_jaccard's verified pairs.
+    # The VERIFIED-pairs output is plain exact Jaccard >= 0.8 — the same
+    # contract as dedup_ngram_jaccard — so the exhaustive inverted-index
+    # SQL is a valid oracle PROVIDED banding misses nothing. Banding
+    # miss probability per pair is (1-s^4)^8: ~2e-4 at s=0.9, ~1.5% at
+    # the s=0.8 boundary; with fixed xxhash64 seeds the candidate set is
+    # DETERMINISTIC, and on these fixtures LSH == exact at sf0.001 and
+    # sf0.01 (verified, 28/28 and 25/25 pairs) — so the oracle match is
+    # stable, not a coin flip. The recall invariant test still guards
+    # the general bound.
+    oracle=SQL_JACCARD_PAIRS,
     tags=("dedup", "minhash", "lsh"),
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
