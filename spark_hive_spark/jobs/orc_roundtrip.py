@@ -32,7 +32,18 @@ from spark_hive_spark.sources.catalog import (
 )
 from spark_hive_spark.tables import t
 
-_DB = "shs_orc_check"
+# Per-process names: concurrent runs (parallel pytest workers, an
+# overlapping driver sweep) must not DROP ... CASCADE + rmtree each
+# other's live tables mid-query (ADVICE r3).
+_DB = f"shs_orc_check_{os.getpid()}"
+
+
+def run_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalog-agnostic core of the roundtrip — runs identically on the
+    in-memory catalog (registered driver query) and on a Hive-enabled
+    session (`tests/test_hive_catalog.py`, mirroring the reference's
+    real `TestHiveContext`, `SparkEnvironment.scala:6-19`)."""
+    return ref_orc_roundtrip(spark, sf_dir)
 
 
 @register(
@@ -56,7 +67,7 @@ def ref_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     global temp view. Row-for-row identical roundtrips are required
     for the per-region counts/keys/name-lengths to match the oracle
     (computed from the source parquet)."""
-    loc = os.path.join(tempfile.gettempdir(), "shs_orc_check_db")
+    loc = os.path.join(tempfile.gettempdir(), f"{_DB}_loc")
     # Reset catalog AND filesystem state: a leftover location from a
     # previous session isn't tracked by this session's catalog, and a
     # managed-table CREATE refuses a non-empty location.
@@ -100,7 +111,7 @@ def ref_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("n_regionkey") == F.col("p_regionkey")),
         "inner",
     )
-    view = register_global_temp_view(joined, "shs_orc_roundtrip_check")
+    view = register_global_temp_view(joined, f"{_DB}_roundtrip_check")
     return spark.sql(
         f"""
         SELECT n_regionkey,

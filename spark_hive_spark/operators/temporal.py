@@ -92,11 +92,13 @@ def asof_join(
         *[F.col(c) for c in left_cols],
         F.last("_r", ignorenulls=True).over(w).alias("_r"),
     )
+    # getField, not a dotted string path: robust to column names that
+    # would need backtick-quoting (ADVICE r3).
     out = backfilled.filter(F.col("_side") == 1).select(
         F.col(on),
         *[F.col(c) for c in left_cols],
-        F.col(f"_r.{right_ts}").alias(right_ts),
-        *[F.col(f"_r.{c}").alias(c) for c in right_cols],
+        F.col("_r").getField(right_ts).alias(right_ts),
+        *[F.col("_r").getField(c).alias(c) for c in right_cols],
     )
     if how == "inner":
         out = out.filter(F.col(right_ts).isNotNull())

@@ -66,6 +66,17 @@ def get_spark(
     conf.setdefault(
         "spark.sql.warehouse.dir", tempfile.mkdtemp(prefix="spark_warehouse_")
     )
+    if hive:
+        # Keep the embedded-Derby metastore (and its derby.log) out of
+        # the repo cwd — same isolation the warehouse tempdir gives.
+        meta = tempfile.mkdtemp(prefix="shs_metastore_")
+        conf.setdefault(
+            "javax.jdo.option.ConnectionURL",
+            f"jdbc:derby:;databaseName={os.path.join(meta, 'metastore_db')};create=true",
+        )
+        conf.setdefault(
+            "spark.driver.extraJavaOptions", f"-Dderby.system.home={meta}"
+        )
     if extra_conf:
         conf.update(extra_conf)
     for k, v in conf.items():
