@@ -450,3 +450,81 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "text_repetition_filter",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, string_split({SQL_NORM_TEXT}, ' ') AS tk
+            FROM documents
+        ),
+        idx AS (
+            -- unnest-in-select-list: DuckDB's generate_series TABLE
+            -- function can't take lateral column args, the list form
+            -- + unnest can
+            SELECT doc_id, tk, unnest(generate_series(1, len(tk) - 2)) AS i
+            FROM toks
+            WHERE len(tk) >= 3
+        ),
+        grams AS (
+            SELECT doc_id, tk[i] || ' ' || tk[i + 1] || ' ' || tk[i + 2] AS g
+            FROM idx
+        )
+        SELECT doc_id,
+               count(*) AS n_grams,
+               count(DISTINCT g) AS n_distinct_grams,
+               1.0 - CAST(count(DISTINCT g) AS DOUBLE) / count(*)
+                   AS dup_gram_ratio,
+               (1.0 - CAST(count(DISTINCT g) AS DOUBLE) / count(*)) <= 0.2
+                   AS keep
+        FROM grams
+        GROUP BY doc_id
+        ORDER BY doc_id
+    """,
+    tags=("text", "quality", "repetition", "filter"),
+)
+def text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/C4-style intra-document repetition filter: the fraction
+    of duplicated word-3-grams per document (1 - distinct/total), with
+    the standard keep/drop verdict at a 0.2 ceiling. Boilerplate and
+    looped generations score high; natural prose scores near 0.
+
+    Plan shape: tokenize -> window lead to form running 3-grams (one
+    shuffle, partitioned by doc_id) -> per-doc count/count-distinct on
+    the SAME partitioning, so the aggregate is exchange-free after the
+    window. Map-only relative to corpus size — no cross-doc state, the
+    100 TB case is embarrassingly parallel."""
+    from pyspark.sql import Window as W
+
+    docs = t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(F.split(normalized_text(), " ")).alias("pos", "tok"),
+    )
+    w = W.partitionBy("doc_id").orderBy("pos")
+    grams = (
+        toks.select(
+            "doc_id",
+            F.concat_ws(
+                " ", F.col("tok"), F.lead("tok", 1).over(w), F.lead("tok", 2).over(w)
+            ).alias("g"),
+            F.lead("tok", 2).over(w).alias("_t2"),
+        )
+        .filter(F.col("_t2").isNotNull())
+        .select("doc_id", "g")
+    )
+    # NO round on the ratio: it's a single IEEE division of exact
+    # integer counts — bit-identical in any engine — whereas round-6
+    # can split on exact decimal halves (k/2^n denominators).
+    ratio = F.lit(1.0) - F.count_distinct(F.col("g")).cast("double") / F.count("*")
+    return (
+        grams.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.count_distinct(F.col("g")).alias("n_distinct_grams"),
+            ratio.alias("dup_gram_ratio"),
+            (ratio <= 0.2).alias("keep"),
+        )
+        .orderBy("doc_id")
+    )
