@@ -1,0 +1,180 @@
+"""Product-analytics operators over the event stream — ordered funnel
+conversion and signup-cohort retention, the two queries every
+clickstream warehouse runs daily (reference scope: the events fixture;
+extends the temporal family in operators/temporal.py).
+
+Scale posture: both operators reduce events to one row per (user,
+stage) / (user, week) BEFORE any join, so the shuffled relations are
+user-cardinality, not event-cardinality — at 100 TB of raw events the
+heavy table is collapsed by a map-side-combinable min()/distinct
+aggregation on the natural user_id partitioning, and every subsequent
+join is user-sized. No window over the raw event stream, no
+driver-side state.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from spark_hive_spark.plans.registry import register
+from spark_hive_spark.tables import t
+
+# Ordered funnel: a user converts to a stage only with an event
+# STRICTLY AFTER their conversion time for the previous stage — the
+# standard "ordered funnel" semantics (not windowed-funnel).
+_FUNNEL_ORACLE = """
+    WITH v AS (
+        SELECT user_id, min(ts) AS t1 FROM events
+        WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+        SELECT e.user_id, min(e.ts) AS t2
+        FROM events e JOIN v ON e.user_id = v.user_id
+        WHERE e.event_type = 'click' AND e.ts > v.t1
+        GROUP BY e.user_id
+    ),
+    p AS (
+        SELECT e.user_id, min(e.ts) AS t3
+        FROM events e JOIN c ON e.user_id = c.user_id
+        WHERE e.event_type = 'purchase' AND e.ts > c.t2
+        GROUP BY e.user_id
+    ),
+    stages AS (
+        SELECT 1 AS stage_idx, 'view' AS stage, count(*) AS n_users FROM v
+        UNION ALL
+        SELECT 2, 'click', count(*) FROM c
+        UNION ALL
+        SELECT 3, 'purchase', count(*) FROM p
+    )
+    SELECT stage_idx, stage, n_users,
+           CAST(n_users AS DOUBLE)
+               / lag(n_users, 1, n_users) OVER (ORDER BY stage_idx)
+               AS conv_from_prev
+    FROM stages
+    ORDER BY stage_idx
+"""
+
+
+@register(
+    "funnel_view_click_purchase",
+    oracle=_FUNNEL_ORACLE,
+    tags=("analytics", "funnel", "events"),
+)
+def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered view → click → purchase funnel: per stage, the number
+    of users whose stage event strictly follows their previous-stage
+    conversion time, plus the step conversion rate.
+
+    Plan shape: three user-grain min() aggregations chained by
+    user_id equi-joins — each join input is |users|, never |events|;
+    the per-stage candidate filter (event_type pushdown) reaches the
+    parquet scan. conv_from_prev is a single IEEE division of two
+    exact counts (bit-identical in any engine, no rounding needed);
+    the lag window runs over the 3-row stage summary, not data."""
+    events = t(spark, sf_dir, "events")
+
+    def first_after(prev: DataFrame, etype: str, prev_ts: str, out_ts: str) -> DataFrame:
+        cand = events.filter(F.col("event_type") == etype)
+        if prev is None:
+            grp = cand
+        else:
+            grp = cand.join(prev, "user_id").filter(F.col("ts") > F.col(prev_ts))
+        return grp.groupBy("user_id").agg(F.min("ts").alias(out_ts))
+
+    v = first_after(None, "view", "", "t1")
+    c = first_after(v, "click", "t1", "t2")
+    p = first_after(c, "purchase", "t2", "t3")
+
+    stages = (
+        v.agg(F.lit(1).alias("stage_idx"), F.lit("view").alias("stage"),
+              F.count("*").alias("n_users"))
+        .unionByName(
+            c.agg(F.lit(2).alias("stage_idx"), F.lit("click").alias("stage"),
+                  F.count("*").alias("n_users")))
+        .unionByName(
+            p.agg(F.lit(3).alias("stage_idx"), F.lit("purchase").alias("stage"),
+                  F.count("*").alias("n_users")))
+    )
+    w = W.orderBy("stage_idx")
+    return (
+        stages.withColumn(
+            "conv_from_prev",
+            F.col("n_users").cast("double")
+            / F.lag("n_users", 1, None).over(w).cast("double"),
+        )
+        .withColumn(
+            "conv_from_prev",
+            F.coalesce(F.col("conv_from_prev"), F.lit(1.0)),
+        )
+        .orderBy("stage_idx")
+    )
+
+
+_RETENTION_ORACLE = """
+    WITH s AS (
+        SELECT user_id, min(CAST(ts AS DATE)) AS cohort_day
+        FROM events WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    act AS (
+        SELECT DISTINCT s.user_id,
+               strftime(date_trunc('week', s.cohort_day), '%Y-%m-%d')
+                   AS cohort_week,
+               datediff('day', s.cohort_day, CAST(e.ts AS DATE)) // 7
+                   AS week_offset
+        FROM events e JOIN s ON e.user_id = s.user_id
+        WHERE CAST(e.ts AS DATE) >= s.cohort_day
+    )
+    SELECT cohort_week, week_offset, count(*) AS n_active_users
+    FROM act
+    GROUP BY cohort_week, week_offset
+    ORDER BY cohort_week, week_offset
+"""
+
+
+@register(
+    "retention_signup_cohorts",
+    oracle=_RETENTION_ORACLE,
+    tags=("analytics", "retention", "cohort", "events"),
+)
+def retention_signup_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic retention triangle: users grouped into weekly signup
+    cohorts (Monday-truncated week of their first signup), counted as
+    active in week-offset k if ANY event falls k weeks after their
+    cohort day.
+
+    Plan shape: signup min() collapses events to user grain; one
+    user_id equi-join tags each event with its owner's cohort; the
+    DISTINCT collapses to (user, cohort, offset) before the final
+    count — so the last aggregation's input is bounded by
+    |users| x |weeks|, not |events|. All shuffles are on user_id or
+    the small (cohort, offset) key. Integer week arithmetic only —
+    no float in any key."""
+    events = t(spark, sf_dir, "events")
+    s = (
+        events.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min(F.to_date("ts")).alias("cohort_day"))
+    )
+    act = (
+        events.select("user_id", F.to_date("ts").alias("d"))
+        .join(s, "user_id")
+        .filter(F.col("d") >= F.col("cohort_day"))
+        .select(
+            "user_id",
+            # ISO string, not DATE: engines' date→dataframe mappings
+            # disagree on rendering (date vs midnight timestamp), and
+            # the driver hashes stringified values
+            F.date_format(F.date_trunc("week", F.col("cohort_day")), "yyyy-MM-dd")
+            .alias("cohort_week"),
+            # `div` = integer division; identical to DuckDB's `//`
+            # for the non-negative offsets the filter guarantees
+            F.expr("datediff(d, cohort_day) div 7").alias("week_offset"),
+        )
+        .distinct()
+    )
+    return (
+        act.groupBy("cohort_week", "week_offset")
+        .agg(F.count("*").alias("n_active_users"))
+        .orderBy("cohort_week", "week_offset")
+    )

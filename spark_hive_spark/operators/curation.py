@@ -313,3 +313,55 @@ def curation_split_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "split_a", "doc_b", "split_b", "jaccard")
         .orderBy("doc_a", "doc_b")
     )
+
+
+# Per-language keep rates (percent) for the stratified sample:
+# downsample the over-represented head language hard, keep the tail
+# nearly whole — the standard language-rebalancing move when curating
+# a multilingual pretraining mix.
+_STRATA_RATES: dict[str, int] = {"en": 20, "de": 80, "es": 80, "fr": 80, "zh": 50}
+
+_SQL_STRATA_RATE = (
+    "CASE lang "
+    + " ".join(f"WHEN '{k}' THEN {v}" for k, v in _STRATA_RATES.items())
+    + " ELSE 0 END"
+)
+
+
+@register(
+    "curation_stratified_sample",
+    oracle=f"""
+        SELECT lang, count(*) AS n_sampled,
+               CAST(sum(n_chars) AS BIGINT) AS total_chars
+        FROM documents
+        WHERE {_SQL_PCT} < {_SQL_STRATA_RATE}
+        GROUP BY lang
+        ORDER BY lang
+    """,
+    tags=("curation", "sampling", "stratified", "deterministic"),
+)
+def curation_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified (per-language) deterministic sampling: each language
+    keeps a different fraction of its documents, decided by the SAME
+    multiplicative hash as every other curation stage — so a document
+    kept here is the document kept by the 10% sample and assigned by
+    the split, and the strata rates compose with both.
+
+    The rate lookup is an inline CASE over a literal map (5 strata),
+    not a join: membership stays a row-local scan predicate with zero
+    exchanges before the final small aggregate. Unknown/null language
+    defaults to rate 0 (dropped) — curation should never pass rows it
+    can't attribute."""
+    docs = t(spark, sf_dir, "documents")
+    rate = F.lit(0)
+    for k, v in _STRATA_RATES.items():
+        rate = F.when(F.col("lang") == k, F.lit(v)).otherwise(rate)
+    return (
+        docs.filter(_pct_bucket("doc_id") < rate)
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_sampled"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+        )
+        .orderBy("lang")
+    )
