@@ -42,11 +42,11 @@ _REGISTRY: dict[str, Query] = {}
 # (module import order no longer matters): the 4 reference jobs stay
 # pinned, then the 11 events/streaming queries that r03 swept red (all
 # fixed by the runtime nanosAsLong set in tables._read — they need a
-# green driver row), then the 28 queries no driver round has ever
-# swept, then 7 high-signal re-attestations (the round-3 bench-weak
-# pair, the flagship TPC-H trio, the windowed-rank family anchor, the
-# end-to-end curation pipeline). tests/test_registry_window.py asserts
-# the window stays exactly this set.
+# green driver row), then the 28 queries no driver round had swept
+# before round 4, then the round-4 additions (also never swept), then
+# 2 high-signal re-attestations (flagship TPC-H Q1, the end-to-end
+# curation pipeline). tests/test_registry_window.py asserts the window
+# stays exactly this set.
 SWEEP_PRIORITY: tuple[str, ...] = (
     # pinned reference jobs (driver-green every round)
     "ref_top5_nations_by_avg_acctbal",
@@ -94,13 +94,17 @@ SWEEP_PRIORITY: tuple[str, ...] = (
     "math_supplier_balances",
     "skew_salted_user_totals",
     "skew_salted_join_order_revenue",
-    # re-attestations
-    "dedup_minhash_lsh",
-    "text_unigram_logprob",
+    # new in round 4 (never swept, by construction)
+    "funnel_view_click_purchase",
+    "retention_signup_cohorts",
+    "curation_stratified_sample",
+    "text_repetition_filter",
+    "stream_stream_interval_join",
+    # re-attestations (flagship + end-to-end composite). The round-3
+    # bench-weak pair (dedup_minhash_lsh, text_unigram_logprob) is NOT
+    # re-slotted: both were correctness-green in r03 — their weakness
+    # was bench-side, which bench.py re-measures every round anyway.
     "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q5_region_revenue",
-    "w_top3_parts_per_brand",
     "pipeline_corpus_curation",
 )
 

@@ -375,3 +375,76 @@ if _HAS_PROTOBUF:  # pragma: no cover - environment-dependent
         oracle=_TWS_ORACLE,
         tags=("streaming", "stateful", "transformWithState"),
     )(stream_tws_user_profile)
+
+
+@register(
+    "stream_stream_interval_join",
+    oracle="""
+        SELECT c.user_id,
+               c.event_id AS click_id,
+               p.event_id AS purchase_id,
+               epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
+        FROM events c JOIN events p
+          ON c.user_id = p.user_id
+         AND c.event_type = 'click' AND p.event_type = 'purchase'
+         AND p.ts > c.ts
+         AND p.ts <= c.ts + INTERVAL '1 hour'
+        ORDER BY c.user_id, click_id, purchase_id
+    """,
+    tags=("streaming", "stream-stream-join", "interval-join"),
+)
+def stream_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval (time-bounded) inner join: each click
+    joined to the same user's purchases landing within the following
+    hour — the canonical attribution join, run as a REAL stream-stream
+    join (two streaming sources, state on both sides).
+
+    Determinism: inner-join matches are emitted in whatever micro-batch
+    completes the pair, independent of watermark timing (watermarks
+    only bound state eviction), so after the input drains the append
+    stream equals the batch interval join — full DuckDB oracle.
+
+    Scale posture: both sides carry watermarks and the join condition
+    time-bounds each side relative to the other, so Spark derives state
+    eviction for BOTH join buffers (unbounded state is the failure mode
+    of naive stream-stream joins). The gap is integer microseconds
+    (exact in both engines); state shuffles on user_id, the natural
+    key."""
+    clicks = (
+        _event_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "1 hour")
+    )
+    purchases = (
+        _event_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user_id"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "1 hour")
+    )
+    joined = clicks.join(
+        purchases,
+        F.expr(
+            """
+            user_id = p_user_id
+            AND purchase_ts > click_ts
+            AND purchase_ts <= click_ts + INTERVAL 1 HOUR
+            """
+        ),
+        "inner",
+    ).select(
+        "user_id",
+        "click_id",
+        "purchase_id",
+        (F.unix_micros("purchase_ts") - F.unix_micros("click_ts")).alias("gap_us"),
+    )
+    out = _run_to_completion(joined, "append")
+    return out.orderBy("user_id", "click_id", "purchase_id")
