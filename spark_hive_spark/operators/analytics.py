@@ -178,3 +178,131 @@ def retention_signup_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_active_users"))
         .orderBy("cohort_week", "week_offset")
     )
+
+
+_ROLLING_ORACLE = """
+    SELECT event_id, user_id, ts,
+           count(*) OVER w AS n_last_hour,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE)
+               AS val_last_hour
+    FROM events
+    WINDOW w AS (
+        PARTITION BY user_id ORDER BY epoch_us(ts)
+        RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW
+    )
+    ORDER BY event_id
+"""
+
+
+@register(
+    "w_rolling_hour_user_value",
+    oracle=_ROLLING_ORACLE,
+    tags=("analytics", "window-frame", "range-between", "events"),
+)
+def w_rolling_hour_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per event, the trailing-1-hour activity of its user: event count
+    and exact-decimal value sum over a RANGE frame keyed on epoch
+    microseconds — the time-based window-frame surface (rangeBetween),
+    distinct from the tumbling/sliding bucketed windows.
+
+    Determinism: the frame is defined by the ORDER-BY VALUE range, so
+    peer-row (duplicate-timestamp) ordering cannot change membership,
+    and the decimal sum is order-independent — exact in both engines.
+
+    Scale posture: one shuffle on user_id, then a sorted scan per
+    partition with a sliding two-pointer frame — linear in events per
+    user, no self-join, no explode. The natural plan for trailing
+    aggregates at 100 TB."""
+    from spark_hive_spark.functions.numeric import dec
+
+    events = t(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return (
+        events.select(
+            "event_id",
+            "user_id",
+            "ts",
+            F.count("*").over(w).alias("n_last_hour"),
+            F.sum(dec("value")).over(w).cast("double").alias("val_last_hour"),
+        )
+        .orderBy("event_id")
+    )
+
+
+_RFM_ORACLE = """
+    WITH anchor AS (SELECT max(CAST(ts AS DATE)) AS a FROM events),
+    u AS (
+        SELECT user_id,
+               datediff('day', max(CAST(ts AS DATE)), (SELECT a FROM anchor))
+                   AS recency_days,
+               count(*) AS frequency,
+               CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS monetary
+        FROM events
+        WHERE event_type = 'purchase'
+        GROUP BY user_id
+    )
+    SELECT user_id, recency_days, frequency, monetary,
+           ntile(5) OVER (ORDER BY recency_days ASC, user_id) AS r_bucket,
+           ntile(5) OVER (ORDER BY frequency DESC, user_id) AS f_bucket,
+           ntile(5) OVER (ORDER BY monetary DESC, user_id) AS m_bucket
+    FROM u
+    ORDER BY user_id
+"""
+
+
+@register(
+    "rfm_user_scores",
+    oracle=_RFM_ORACLE,
+    tags=("analytics", "rfm", "ntile", "events"),
+)
+def rfm_user_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation over purchase events: per-user recency (days
+    since last purchase, anchored at the corpus max date so the result
+    is reproducible), frequency, exact-decimal monetary, and quintile
+    buckets for each (bucket 1 = best). Every ntile ordering carries a
+    user_id tie-break, so bucket assignment is a total order both
+    engines agree on.
+
+    Scale posture: the input to the ntile sorts is USER-grain (one row
+    per purchasing user), collapsed by a map-side-combinable aggregate
+    from event grain; the global sort a windowed ntile needs is over
+    that reduced set. At extreme user counts the same scores come from
+    approx-quantile bucket edges (percentile_approx + width_bucket)
+    without a global sort — this operator keeps exact ntile semantics
+    so it can BE the oracle for that variant."""
+    from spark_hive_spark.functions.numeric import dsum
+
+    events = t(spark, sf_dir, "events")
+    anchor = events.agg(F.max(F.to_date("ts")).alias("a"))
+    u = (
+        events.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.max(F.to_date("ts")).alias("last_purchase"),
+            F.count("*").alias("frequency"),
+            dsum("value").alias("monetary"),
+        )
+        .crossJoin(F.broadcast(anchor))
+        .select(
+            "user_id",
+            F.datediff("a", "last_purchase").alias("recency_days"),
+            "frequency",
+            "monetary",
+        )
+    )
+    return (
+        u.select(
+            "user_id",
+            "recency_days",
+            "frequency",
+            "monetary",
+            F.ntile(5).over(W.orderBy(F.col("recency_days").asc(), "user_id")).alias("r_bucket"),
+            F.ntile(5).over(W.orderBy(F.col("frequency").desc(), "user_id")).alias("f_bucket"),
+            F.ntile(5).over(W.orderBy(F.col("monetary").desc(), "user_id")).alias("m_bucket"),
+        )
+        .orderBy("user_id")
+    )

@@ -174,3 +174,49 @@ def test_knn_lsh_broadcasts_query_side(spark):
     assert bucket_joins, "expected a broadcast join on (tbl, bucket)"
     for line in bucket_joins:
         assert "BuildLeft" in line, f"corpus side got broadcast: {line}"
+
+
+def test_funnel_pushes_event_type_to_scan(spark):
+    """Each funnel stage must filter its event_type AT the parquet
+    scan — at 100 TB the stage candidate sets are the only rows read
+    off disk for each branch."""
+    plan = _plan(spark, "funnel_view_click_purchase")
+    assert "PushedFilters" in plan
+    assert "EqualTo(event_type,view)" in plan
+    assert "EqualTo(event_type,purchase)" in plan
+
+
+def test_rolling_window_single_exchange(spark):
+    """The trailing-hour RANGE frame needs exactly one shuffle (on
+    user_id) — a self-join or re-exchange here would be the
+    scale-killer this operator exists to avoid."""
+    plan = _plan(spark, "w_rolling_hour_user_value")
+    # AQE's toString appends the pre-adaptive "Initial Plan"; count
+    # exchanges only in the final executed plan
+    plan = plan.split("== Initial Plan ==")[0]
+    # one exchange for the window partitioning; the final orderBy adds
+    # a range-partitioning exchange for the output sort — nothing else
+    n_exchanges = plan.count("Exchange")
+    assert n_exchanges <= 2, plan
+    assert "Window" in plan
+    assert "Join" not in plan
+
+
+def test_retention_aggregates_before_final_count(spark):
+    """The DISTINCT must land before the cohort count so the final
+    aggregate's input is (user x week)-bounded, not event-bounded:
+    plan shows >= 2 aggregate levels above the join."""
+    plan = _plan(spark, "retention_signup_cohorts")
+    assert plan.count("HashAggregate") >= 4  # distinct (2) + count (2)
+
+
+def test_stream_stream_join_keeps_state_bounds(spark):
+    """The interval join must remain a streaming symmetric hash join
+    with watermarks on both sides (bounded state), not fall back to
+    an unbounded buffer."""
+    from spark_hive_spark.streaming.windows import stream_stream_interval_join
+
+    out = stream_stream_interval_join(spark, SF_SMOKE)
+    # semantic check at smoke scale: every pair is within the hour
+    rows = out.collect()
+    assert all(0 < r.gap_us <= 3_600_000_000 for r in rows)
