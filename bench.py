@@ -78,6 +78,20 @@ EXTENDED = [
     "text_unigram_logprob",
     "embedding_quantize_audit",
     "sketch_hll_mergeable_rollup",
+    # round 4
+    "funnel_view_click_purchase",
+    "retention_signup_cohorts",
+    "curation_stratified_sample",
+    "text_repetition_filter",
+    "w_rolling_hour_user_value",
+    "rfm_user_scores",
+]
+
+# Streaming extended queries run dead LAST (after the streaming
+# headliner): their state-store machinery must not pollute any batch
+# timing, including each other's relative order with the headliner.
+STREAMING_EXTENDED = [
+    "stream_stream_interval_join",
 ]
 
 
@@ -106,6 +120,11 @@ EXPECTED_SF01: dict[str, float] = {
     "curation_pack_sequences": 1.4, "curation_split_contamination": 1.9,
     "text_unigram_logprob": 1.3, "embedding_quantize_audit": 0.8,
     "sketch_hll_mergeable_rollup": 0.7,
+    # round-4 additions (idle sf0.1 best-of-2, 2026-08-13)
+    "funnel_view_click_purchase": 1.4, "retention_signup_cohorts": 0.8,
+    "curation_stratified_sample": 0.4, "text_repetition_filter": 0.85,
+    "w_rolling_hour_user_value": 0.25, "rfm_user_scores": 0.5,
+    "stream_stream_interval_join": 7.3,
 }
 
 
@@ -193,6 +212,9 @@ def main() -> None:
     best = best_of_2(last)
     timings[last] = round(best, 3)
     total += best
+    extended.update(
+        {n: round(best_of_2(n), 3) for n in STREAMING_EXTENDED if n in queries}
+    )
 
     sf = os.path.basename(sf_dir.rstrip("/")).removeprefix("sf")
     print(
