@@ -269,3 +269,51 @@ def math_supplier_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.pow(bal / 1000, 2), 6).alias("bal_k_sq"),
         F.signum(bal).alias("bal_sign"),
     ).orderBy("s_suppkey")
+
+
+@register(
+    "json_variant_props",
+    oracle="""
+        SELECT event_type,
+               count(*) AS n_events,
+               sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+               count(DISTINCT CAST(json_extract_string(props, '$.k') AS BIGINT))
+                   AS n_distinct_k,
+               count(json_extract_string(props, '$.missing')) AS n_missing
+        FROM events
+        GROUP BY event_type
+        ORDER BY event_type
+    """,
+    tags=("scalar", "json", "variant"),
+)
+def json_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured ingestion via Spark 4's VARIANT type:
+    parse_json once into a variant column, then typed path extraction
+    with variant_get / try_variant_get — the open-schema path that
+    (unlike from_json) needs no declared struct and keeps unknown keys
+    queryable. Absent paths surface as NULL (try_variant_get), counted
+    here to prove the null contract; sums stay integer-exact.
+
+    Scale posture: VARIANT stores a parsed binary encoding, so each
+    path access is a field lookup, not a re-parse of the JSON text —
+    the right trade when many queries touch the same ingested blob.
+    Parse and extraction are row-local (no shuffle before the final
+    small aggregate)."""
+    ev = t(spark, sf_dir, "events")
+    v = ev.select(
+        "event_type", F.parse_json("props").alias("props_v")
+    ).select(
+        "event_type",
+        F.variant_get("props_v", "$.k", "bigint").alias("k"),
+        F.try_variant_get("props_v", "$.missing", "string").alias("missing"),
+    )
+    return (
+        v.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("k").alias("sum_k"),
+            F.count_distinct(F.col("k")).alias("n_distinct_k"),
+            F.count("missing").alias("n_missing"),
+        )
+        .orderBy("event_type")
+    )

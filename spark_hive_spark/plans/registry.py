@@ -144,6 +144,7 @@ def _load_all() -> None:
         "spark_hive_spark.operators.sketches",
         "spark_hive_spark.operators.temporal",
         "spark_hive_spark.operators.analytics",
+        "spark_hive_spark.sources.pydatasource",
         "spark_hive_spark.operators.subqueries",
         "spark_hive_spark.streaming.windows",
         "spark_hive_spark.operators.multimodal",
