@@ -306,3 +306,75 @@ def rfm_user_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@register(
+    "rfm_user_scores_approx",
+    oracle=None,  # approx bucket EDGES differ from exact ntile at
+    # boundaries; invariant tests assert agreement + monotonicity
+    # against rfm_user_scores (the exact twin IS the oracle).
+    tags=("analytics", "rfm", "approx", "scale-path"),
+)
+def rfm_user_scores_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale-path RFM: quintile bucket EDGES from percentile_approx
+    (one pass, mergeable sketch, no global sort), then a row-local
+    bucket assignment — the plan that replaces exact ntile when the
+    user table itself is cluster-sized. Semantics match
+    `rfm_user_scores` up to edge-tie placement; the exact twin serves
+    as its oracle in tests/test_invariants.py (agreement floor +
+    bucket monotonicity).
+
+    Plan shape: user-grain aggregate (as the exact twin), a 1-row
+    edges aggregate broadcast back, and a map-side CASE per metric —
+    zero sorts, two shuffles total (user groupBy + the scalar agg)."""
+    from spark_hive_spark.functions.numeric import dsum
+
+    events = t(spark, sf_dir, "events")
+    anchor = events.agg(F.max(F.to_date("ts")).alias("a"))
+    u = (
+        events.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.max(F.to_date("ts")).alias("last_purchase"),
+            F.count("*").alias("frequency"),
+            dsum("value").alias("monetary"),
+        )
+        .crossJoin(F.broadcast(anchor))
+        .select(
+            "user_id",
+            F.datediff("a", "last_purchase").alias("recency_days"),
+            "frequency",
+            "monetary",
+        )
+    )
+    edges = u.agg(
+        F.percentile_approx("recency_days", [0.2, 0.4, 0.6, 0.8], 10_000).alias("re"),
+        F.percentile_approx("frequency", [0.2, 0.4, 0.6, 0.8], 10_000).alias("fe"),
+        F.percentile_approx("monetary", [0.2, 0.4, 0.6, 0.8], 10_000).alias("me"),
+    )
+
+    def asc_bucket(col: str, e: str):  # smaller value => bucket 1
+        b = F.lit(1)
+        for i in range(4):
+            b = b + (F.col(col) > F.col(e).getItem(i)).cast("int")
+        return b
+
+    def desc_bucket(col: str, e: str):  # larger value => bucket 1
+        b = F.lit(1)
+        for i in range(4):
+            b = b + (F.col(col) < F.col(e).getItem(3 - i)).cast("int")
+        return b
+
+    return (
+        u.crossJoin(F.broadcast(edges))
+        .select(
+            "user_id",
+            "recency_days",
+            "frequency",
+            "monetary",
+            asc_bucket("recency_days", "re").alias("r_bucket"),
+            desc_bucket("frequency", "fe").alias("f_bucket"),
+            desc_bucket("monetary", "me").alias("m_bucket"),
+        )
+        .orderBy("user_id")
+    )

@@ -313,3 +313,51 @@ def test_hll_merge_equals_direct_and_bounds_error(spark):
             row["exact_users"], 1
         )
         assert rel < 0.08, f"{et}: estimate off by {rel:.1%}"
+
+
+def test_rfm_approx_agrees_with_exact(spark):
+    """The approx-quantile RFM (scale path, no global sort) must track
+    the exact-ntile RFM everywhere ntile's answer is well-defined.
+    Where metric values TIE, exact ntile splits the tie arbitrarily
+    (forced equal-size buckets, user_id tie-break) while edge
+    bucketing keeps equal values together — so the contract is:
+    (1) equal metric value => equal approx bucket (value consistency,
+    a property the exact ntile cannot offer), (2) monotone buckets in
+    the metric, (3) >=90% agreement with exact on tie-free values.
+    Run at sf0.01 (150 purchasing users) — the sf0.001 smoke set has
+    15, all boundary."""
+    import collections
+
+    sf = "/root/testdata/sf0.01"
+    exact = {
+        r["user_id"]: r
+        for r in all_queries()["rfm_user_scores"].fn(spark, sf).collect()
+    }
+    approx = all_queries()["rfm_user_scores_approx"].fn(spark, sf).collect()
+    assert len(approx) == len(exact) > 0
+
+    for metric, col, reverse in (
+        ("recency_days", "r_bucket", False),
+        ("frequency", "f_bucket", True),
+        ("monetary", "m_bucket", True),
+    ):
+        # (1) value consistency
+        by_val = collections.defaultdict(set)
+        for r in approx:
+            by_val[r[metric]].add(r[col])
+        assert all(len(s) == 1 for s in by_val.values()), f"{col} splits a tie"
+
+        # (2) monotonicity
+        ordered = sorted(approx, key=lambda r: r[metric], reverse=reverse)
+        buckets = [r[col] for r in ordered]
+        assert buckets == sorted(buckets), f"{col} not monotone in {metric}"
+
+        # (3) tie-free agreement with the exact twin
+        counts = collections.Counter(r[metric] for r in approx)
+        tie_free = [r for r in approx if counts[r[metric]] == 1]
+        if tie_free:
+            agree = sum(
+                1 for r in tie_free if r[col] == exact[r["user_id"]][col]
+            )
+            rate = agree / len(tie_free)
+            assert rate >= 0.9, f"{col}: tie-free agreement {rate:.2f} < 0.9"
