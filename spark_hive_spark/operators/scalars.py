@@ -317,3 +317,91 @@ def json_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "sql_parameterized_brand_counts",
+    oracle="""
+        SELECT p_brand, count(*) AS n_parts,
+               sum(p_size) AS total_size
+        FROM part
+        WHERE p_size >= 25
+        GROUP BY p_brand
+        ORDER BY p_brand
+    """,
+    tags=("sql-api", "parameterized", "group-by-all"),
+)
+def sql_parameterized_brand_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The modern SQL-API surface in one query: named parameter
+    binding (`:min_size` — injection-safe, plan-cache-friendly),
+    DataFrame-as-table-argument (`{part}` — no temp-view side
+    effects), and `GROUP BY ALL` / `ORDER BY ALL` resolution. The
+    query itself is a plain pushdown-filtered aggregate; what's
+    attested is that the parameterized path plans identically to the
+    literal one."""
+    part = t(spark, sf_dir, "part")
+    return spark.sql(
+        """
+        SELECT p_brand, count(*) AS n_parts,
+               sum(p_size) AS total_size
+        FROM {part}
+        WHERE p_size >= :min_size
+        GROUP BY ALL
+        ORDER BY ALL
+        """,
+        args={"min_size": 25},
+        part=part,
+    )
+
+
+@register(
+    "xml_part_roundtrip",
+    oracle="""
+        SELECT p_brand,
+               count(*) AS n_parts,
+               sum(p_retailprice_cents) AS sum_cents
+        FROM (
+            SELECT p_brand,
+                   CAST(round(p_retailprice * 100) AS BIGINT)
+                       AS p_retailprice_cents
+            FROM part
+        )
+        GROUP BY p_brand
+        ORDER BY p_brand
+    """,
+    tags=("scalar", "xml", "roundtrip"),
+)
+def xml_part_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML ingestion fidelity (`from_xml`, Spark 4's built-in XML
+    surface): serialize each part row to an XML fragment, parse it
+    back with a declared schema, and aggregate the PARSED fields. The
+    oracle aggregates the source columns directly — the hashes match
+    only if the XML round-trip is lossless, which is the property
+    under test. Money crosses the text boundary as integer cents so
+    no float ever renders through a string.
+
+    Scale posture: serialize + parse are row-local (one projection,
+    no shuffle); the plan below the aggregate is scan → project —
+    exactly what an XML feed ingest looks like at scale."""
+    part = t(spark, sf_dir, "part").select(
+        "p_brand",
+        F.round(F.col("p_retailprice") * 100).cast("bigint").alias("cents"),
+    )
+    xml = part.select(
+        F.concat(
+            F.lit("<part><brand>"), F.col("p_brand"),
+            F.lit("</brand><cents>"), F.col("cents").cast("string"),
+            F.lit("</cents></part>"),
+        ).alias("doc")
+    )
+    parsed = xml.select(
+        F.from_xml("doc", "brand STRING, cents BIGINT").alias("p")
+    ).select(F.col("p.brand").alias("p_brand"), F.col("p.cents").alias("cents"))
+    return (
+        parsed.groupBy("p_brand")
+        .agg(
+            F.count("*").alias("n_parts"),
+            F.sum("cents").alias("sum_cents"),
+        )
+        .orderBy("p_brand")
+    )
