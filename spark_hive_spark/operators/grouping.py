@@ -213,3 +213,60 @@ def percentiles_extendedprice(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@register(
+    "listagg_top_suppliers_per_nation",
+    oracle="""
+        WITH ranked AS (
+            SELECT n_name, s_name, s_acctbal,
+                   row_number() OVER (
+                       PARTITION BY n_name
+                       ORDER BY s_acctbal DESC, s_name
+                   ) AS rk
+            FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        )
+        SELECT n_name,
+               string_agg(s_name, ',' ORDER BY rk) AS top_suppliers,
+               count(*) AS n_listed
+        FROM ranked
+        WHERE rk <= 3
+        GROUP BY n_name
+        ORDER BY n_name
+    """,
+    tags=("aggregate", "listagg", "string-agg"),
+)
+def listagg_top_suppliers_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (SQL:2023 LISTAGG ... WITHIN GROUP,
+    new in Spark 4): the 3 richest suppliers per nation, concatenated
+    in rank order. Every ordering carries a name tie-break, so the
+    concatenated string is a total-order artifact both engines build
+    identically — the determinism trap with LISTAGG is an unordered
+    WITHIN GROUP, which would hash-flake on any cluster.
+
+    Scale posture: rank-then-filter bounds each group to 3 rows BEFORE
+    the string aggregate, so no group's string grows with data volume;
+    nation is broadcast onto supplier."""
+    sup = t(spark, sf_dir, "supplier")
+    nat = t(spark, sf_dir, "nation")
+    from pyspark.sql import Window as W
+
+    rk = F.row_number().over(
+        W.partitionBy("n_name").orderBy(F.col("s_acctbal").desc(), "s_name")
+    )
+    ranked = (
+        sup.join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
+        .select("n_name", "s_name", "s_acctbal")
+        .withColumn("rk", rk)
+        .filter(F.col("rk") <= 3)
+    )
+    return (
+        ranked.groupBy("n_name")
+        .agg(
+            F.expr("listagg(s_name, ',') WITHIN GROUP (ORDER BY rk)").alias(
+                "top_suppliers"
+            ),
+            F.count("*").alias("n_listed"),
+        )
+        .orderBy("n_name")
+    )

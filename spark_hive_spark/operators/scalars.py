@@ -276,7 +276,8 @@ def math_supplier_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT event_type,
                count(*) AS n_events,
-               sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+               CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                    AS BIGINT) AS sum_k,
                count(DISTINCT CAST(json_extract_string(props, '$.k') AS BIGINT))
                    AS n_distinct_k,
                count(json_extract_string(props, '$.missing')) AS n_missing
@@ -323,7 +324,7 @@ def json_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sql_parameterized_brand_counts",
     oracle="""
         SELECT p_brand, count(*) AS n_parts,
-               sum(p_size) AS total_size
+               CAST(sum(p_size) AS BIGINT) AS total_size
         FROM part
         WHERE p_size >= 25
         GROUP BY p_brand
@@ -359,7 +360,7 @@ def sql_parameterized_brand_counts(spark: SparkSession, sf_dir: str) -> DataFram
     oracle="""
         SELECT p_brand,
                count(*) AS n_parts,
-               sum(p_retailprice_cents) AS sum_cents
+               CAST(sum(p_retailprice_cents) AS BIGINT) AS sum_cents
         FROM (
             SELECT p_brand,
                    CAST(round(p_retailprice * 100) AS BIGINT)

@@ -528,3 +528,45 @@ def text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "approx_topk_tokens",
+    oracle=f"""
+        WITH toks AS (
+            SELECT unnest(string_split({SQL_NORM_TEXT}, ' ')) AS token
+            FROM documents
+        )
+        SELECT token, count(*) AS n
+        FROM toks
+        WHERE token <> ''
+        GROUP BY token
+        ORDER BY n DESC, token
+    """,
+    tags=("text", "sketch", "approx-top-k"),
+)
+def approx_topk_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus heavy-hitters via approx_top_k (Spark 4's mergeable
+    top-k sketch). k and maxItemsTracked are set far above the fixture
+    vocabulary, so the sketch operates below capacity and is EXACT —
+    which is what makes the exhaustive group-by a valid oracle here
+    (the same pairing the dedup suite uses: approximate operator,
+    exact twin as oracle at test scale). Ties are re-sorted
+    (count desc, token asc) after exploding the sketch output, so the
+    result order never depends on sketch internals.
+
+    Scale posture: the sketch aggregates map-side and merges in one
+    reduce — no full token shuffle, the reason to prefer it over
+    group-by count at 100 TB when only the head matters."""
+    docs = t(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(F.split(normalized_text(), " ")).alias("token")
+    ).filter(F.col("token") != "")
+    sk = toks.agg(
+        F.expr("approx_top_k(token, 1000, 100000)").alias("tk")
+    )
+    return (
+        sk.select(F.explode("tk").alias("e"))
+        .select(F.col("e.item").alias("token"), F.col("e.count").alias("n"))
+        .orderBy(F.col("n").desc(), "token")
+    )

@@ -86,7 +86,7 @@ _PARTS = 16
     oracle=f"""
         SELECT bucket,
                count(*) AS n_rows,
-               sum(cents) AS sum_cents,
+               CAST(sum(cents) AS BIGINT) AS sum_cents,
                CAST(sum(cents) AS DOUBLE) / (100 * count(*)) AS avg_score
         FROM (
             SELECT id,
