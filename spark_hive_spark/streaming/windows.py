@@ -448,3 +448,69 @@ def stream_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = _run_to_completion(joined, "append")
     return out.orderBy("user_id", "click_id", "purchase_id")
+
+
+@register(
+    "stream_foreachbatch_parquet_sink",
+    oracle=f"""
+        SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+               event_type,
+               count(*) AS n_events,
+               {sql_dsum('value')} AS sum_value
+        FROM events
+        GROUP BY 1, 2
+        ORDER BY window_start, event_type
+    """,
+    tags=("streaming", "foreachbatch", "sink"),
+)
+def stream_foreachbatch_parquet_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production sink seam: a streaming aggregation delivered via
+    foreachBatch with idempotent full-overwrite — each micro-batch
+    rewrites the complete result, so replays after failure converge to
+    the same files (the exactly-once recipe when the sink itself is
+    not transactional). The returned DataFrame is read back from the
+    parquet the sink wrote, so the oracle attests the WHOLE path:
+    stream -> state store -> foreachBatch -> parquet -> scan.
+
+    Scale posture: the aggregate is (window x event_type)-bounded, so
+    the per-batch overwrite is small regardless of input volume; for
+    fact-grain sinks the same seam switches to MERGE / partition
+    overwrite. Complete mode keeps state bounded by the group count,
+    exactly like stream_tumbling_counts."""
+    ev = _event_stream(spark, sf_dir)
+    agg = ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type").agg(
+        F.count("*").alias("n_events"), dsum("value").alias("sum_value")
+    )
+    out_dir = os.path.join(
+        tempfile.gettempdir(), f"shs_fb_sink_{os.getpid()}_{uuid.uuid4().hex[:8]}"
+    )
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.select(
+                F.col("w.start").alias("window_start"),
+                "event_type",
+                "n_events",
+                "sum_value",
+            )
+            .write.mode("overwrite")
+            .parquet(out_dir)
+        )
+
+    with tempfile.TemporaryDirectory(prefix="ckpt_fb_") as ckpt:
+        q = (
+            agg.writeStream.outputMode("complete")
+            .foreachBatch(sink)
+            .option("checkpointLocation", os.path.join(ckpt, "cp"))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+            q.awaitTermination()
+    out = spark.read.parquet(out_dir).orderBy("window_start", "event_type")
+    # materialize before the temp sink dir could be cleaned by callers
+    out = out.cache()
+    out.count()
+    return out
