@@ -85,6 +85,9 @@ EXTENDED = [
     "text_repetition_filter",
     "w_rolling_hour_user_value",
     "rfm_user_scores",
+    "rfm_user_scores_approx",
+    "source_python_datasource",
+    "approx_topk_tokens",
 ]
 
 # Streaming extended queries run dead LAST (after the streaming
@@ -92,6 +95,7 @@ EXTENDED = [
 # timing, including each other's relative order with the headliner.
 STREAMING_EXTENDED = [
     "stream_stream_interval_join",
+    "stream_foreachbatch_parquet_sink",
 ]
 
 
@@ -124,6 +128,8 @@ EXPECTED_SF01: dict[str, float] = {
     "funnel_view_click_purchase": 1.4, "retention_signup_cohorts": 0.8,
     "curation_stratified_sample": 0.4, "text_repetition_filter": 0.85,
     "w_rolling_hour_user_value": 0.25, "rfm_user_scores": 0.5,
+    "rfm_user_scores_approx": 0.8, "source_python_datasource": 1.0,
+    "approx_topk_tokens": 0.7, "stream_foreachbatch_parquet_sink": 2.7,
     "stream_stream_interval_join": 7.3,
 }
 
