@@ -378,3 +378,127 @@ def rfm_user_scores_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+_TRANSITIONS_ORACLE = """
+    WITH seq AS (
+        SELECT user_id, event_type,
+               lag(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS prev_type
+        FROM events
+    )
+    SELECT prev_type, event_type AS next_type, count(*) AS n,
+           CAST(count(*) AS DOUBLE)
+               / sum(count(*)) OVER (PARTITION BY prev_type) AS p_next
+    FROM seq
+    WHERE prev_type IS NOT NULL
+    GROUP BY prev_type, event_type
+    ORDER BY prev_type, next_type
+"""
+
+
+@register(
+    "events_type_transitions",
+    oracle=_TRANSITIONS_ORACLE,
+    tags=("analytics", "sequence", "markov", "events"),
+)
+def events_type_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order behavioral transition matrix: for each ordered pair
+    of consecutive event types within a user's timeline, the count and
+    the row-normalized transition probability — the Markov-chain
+    summary behind next-action prediction and bot detection.
+
+    Determinism: the lag ordering carries an event_id tie-break for
+    duplicate timestamps; p_next is one IEEE division of exact counts
+    (the window-sum denominator is an integer), so no rounding is
+    needed.
+
+    Scale posture: one shuffle on user_id for the lag, then the pair
+    aggregate collapses to |types|² rows — the probability
+    normalization runs on that tiny matrix. Event-grain work is one
+    linear pass."""
+    events = t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = events.select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type")
+    ).filter(F.col("prev_type").isNotNull())
+    counts = seq.groupBy("prev_type", F.col("event_type").alias("next_type")).agg(
+        F.count("*").alias("n")
+    )
+    wp = W.partitionBy("prev_type")
+    return (
+        counts.select(
+            "prev_type",
+            "next_type",
+            "n",
+            (F.col("n").cast("double") / F.sum("n").over(wp)).alias("p_next"),
+        )
+        .orderBy("prev_type", "next_type")
+    )
+
+
+_ANOMALY_ORACLE = """
+    WITH hourly AS (
+        SELECT time_bucket(INTERVAL '1 hour', ts) AS hour_start,
+               event_type, count(*) AS n
+        FROM events
+        GROUP BY 1, 2
+    ),
+    stats AS (
+        SELECT hour_start, event_type, n,
+               avg(n) OVER (PARTITION BY event_type) AS mean_n,
+               stddev_samp(n) OVER (PARTITION BY event_type) AS sd_n
+        FROM hourly
+    )
+    SELECT hour_start, event_type, n,
+           round((n - mean_n) / sd_n, 6) AS zscore,
+           abs((n - mean_n) / sd_n) > 2.0 AS is_anomaly
+    FROM stats
+    WHERE sd_n > 0
+    ORDER BY event_type, hour_start
+"""
+
+
+@register(
+    "events_hourly_anomaly",
+    oracle=_ANOMALY_ORACLE,
+    tags=("analytics", "anomaly", "zscore", "events"),
+)
+def events_hourly_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume-anomaly detection: z-score of each (hour, event_type)
+    bucket's event count against that type's hourly distribution, with
+    the standard |z| > 2 flag — the ops query behind alerting on
+    traffic spikes/drops.
+
+    Determinism: counts are exact integers; mean is an exact-integer
+    sum divided once; stddev is irrational so the z-score carries the
+    engine-wide round-6 (half-boundaries are measure-zero there). The
+    flag compares the UNROUNDED z, identically in both engines.
+
+    Scale posture: events collapse to (hour x type) buckets in one
+    map-side-combinable aggregate; the stats window runs over that
+    small bucket table partitioned by type. Nothing downstream of the
+    first aggregate scales with raw volume."""
+    events = t(spark, sf_dir, "events")
+    hourly = (
+        events.groupBy(
+            F.window("ts", "1 hour").alias("w"), "event_type"
+        )
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").alias("hour_start"), "event_type", "n")
+    )
+    wt = W.partitionBy("event_type")
+    z = (F.col("n") - F.avg("n").over(wt)) / F.stddev_samp("n").over(wt)
+    return (
+        hourly.withColumn("sd_n", F.stddev_samp("n").over(wt))
+        .filter(F.col("sd_n") > 0)
+        .select(
+            "hour_start",
+            "event_type",
+            "n",
+            F.round(z, 6).alias("zscore"),
+            (F.abs(z) > 2.0).alias("is_anomaly"),
+        )
+        .orderBy("event_type", "hour_start")
+    )
