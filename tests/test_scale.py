@@ -168,3 +168,79 @@ def test_python_datasource_reads_in_parallel(spark):
     a = sorted(map(tuple, df.collect()))
     b = sorted(map(tuple, df.collect()))
     assert a == b
+
+
+def test_runtime_bloom_filter_prunes_fact_scan(spark):
+    """Runtime (DPP-style) bloom-filter join pruning: with a selective
+    dim-side filter and broadcast disabled, Spark must inject
+    bloom_filter_agg on the creation side and a might_contain filter
+    on the fact scan — the runtime filter that keeps a shuffle join's
+    fact side from streaming non-matching rows at 100 TB. Thresholds
+    are lowered because the sf0.1 fixtures sit below the production
+    defaults; the MECHANISM is what's attested."""
+    from pyspark.sql import functions as F
+    from spark_hive_spark.tables import t
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "10MB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "1KB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    prev = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        sf = "/root/testdata/sf0.1"
+        li = t(spark, sf, "lineitem")
+        orders = t(spark, sf, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = (
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        j.collect()
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "might_contain" in plan, "no runtime bloom filter on fact side"
+        assert "bloom_filter_agg" in plan, "no bloom creation on dim side"
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
+def test_analyze_table_feeds_cbo_stats(spark):
+    """ANALYZE TABLE COMPUTE STATISTICS must land row counts in the
+    catalog and surface them through the optimizer's stats — the
+    input the cost-based joiner needs to pick broadcast/shuffle sides
+    on a real warehouse."""
+    from spark_hive_spark.tables import t
+    from tests.conftest import SF_SMOKE
+
+    name = "shs_stats_probe"
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    t(spark, SF_SMOKE, "nation").write.saveAsTable(name)
+    prev_cbo = spark.conf.get("spark.sql.cbo.enabled", "false")
+    try:
+        spark.sql(f"ANALYZE TABLE {name} COMPUTE STATISTICS")
+        # catalog-level: ANALYZE recorded exact rows + size
+        desc = {
+            r.col_name: r.data_type
+            for r in spark.sql(f"DESCRIBE TABLE EXTENDED {name}").collect()
+        }
+        assert "25 rows" in desc.get("Statistics", ""), desc.get("Statistics")
+        # optimizer-level: with CBO on, the plan sees the rowCount
+        spark.conf.set("spark.sql.cbo.enabled", "true")
+        stats = (
+            spark.table(name)._jdf.queryExecution().optimizedPlan().stats()
+        )
+        assert stats.rowCount().isDefined(), "CBO did not surface rowCount"
+        assert stats.rowCount().get() == 25
+        assert stats.sizeInBytes() > 0
+    finally:
+        spark.conf.set("spark.sql.cbo.enabled", prev_cbo)
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
