@@ -502,3 +502,197 @@ def events_hourly_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "hour_start")
     )
+
+
+_FUNNEL_7D_ORACLE = """
+    WITH v AS (
+        SELECT user_id, min(ts) AS t1 FROM events
+        WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+        SELECT e.user_id, min(e.ts) AS t2
+        FROM events e JOIN v ON e.user_id = v.user_id
+        WHERE e.event_type = 'click' AND e.ts > v.t1
+          AND e.ts <= v.t1 + INTERVAL '7 days'
+        GROUP BY e.user_id
+    ),
+    p AS (
+        SELECT e.user_id, min(e.ts) AS t3
+        FROM events e JOIN c ON e.user_id = c.user_id
+        WHERE e.event_type = 'purchase' AND e.ts > c.t2
+          AND e.ts <= c.t2 + INTERVAL '7 days'
+        GROUP BY e.user_id
+    ),
+    stages AS (
+        SELECT 1 AS stage_idx, 'view' AS stage, count(*) AS n_users FROM v
+        UNION ALL SELECT 2, 'click', count(*) FROM c
+        UNION ALL SELECT 3, 'purchase', count(*) FROM p
+    )
+    SELECT stage_idx, stage, n_users,
+           CAST(n_users AS DOUBLE)
+               / lag(n_users, 1, n_users) OVER (ORDER BY stage_idx)
+               AS conv_from_prev
+    FROM stages
+    ORDER BY stage_idx
+"""
+
+
+@register(
+    "funnel_windowed_7d",
+    oracle=_FUNNEL_7D_ORACLE,
+    tags=("analytics", "funnel", "windowed", "events"),
+)
+def funnel_windowed_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed-funnel variant of `funnel_view_click_purchase`: each
+    step must land within 7 days of the previous step's conversion —
+    the semantics product analytics tools call a 'conversion window',
+    which separates genuine journeys from coincidental far-future
+    events. Same user-grain join plan as the ordered funnel; the
+    window bound is a residual predicate on the same equi-join."""
+    events = t(spark, sf_dir, "events")
+
+    def stage_within(prev: DataFrame, etype: str, prev_ts: str, out_ts: str) -> DataFrame:
+        cand = events.filter(F.col("event_type") == etype)
+        if prev is None:
+            grp = cand
+        else:
+            grp = cand.join(prev, "user_id").filter(
+                (F.col("ts") > F.col(prev_ts))
+                & (F.col("ts") <= F.col(prev_ts) + F.expr("INTERVAL 7 DAYS"))
+            )
+        return grp.groupBy("user_id").agg(F.min("ts").alias(out_ts))
+
+    v = stage_within(None, "view", "", "t1")
+    c = stage_within(v, "click", "t1", "t2")
+    p = stage_within(c, "purchase", "t2", "t3")
+    stages = (
+        v.agg(F.lit(1).alias("stage_idx"), F.lit("view").alias("stage"),
+              F.count("*").alias("n_users"))
+        .unionByName(c.agg(F.lit(2).alias("stage_idx"), F.lit("click").alias("stage"),
+                           F.count("*").alias("n_users")))
+        .unionByName(p.agg(F.lit(3).alias("stage_idx"), F.lit("purchase").alias("stage"),
+                           F.count("*").alias("n_users")))
+    )
+    w = W.orderBy("stage_idx")
+    return (
+        stages.withColumn(
+            "conv_from_prev",
+            F.coalesce(
+                F.col("n_users").cast("double")
+                / F.lag("n_users", 1, None).over(w).cast("double"),
+                F.lit(1.0),
+            ),
+        )
+        .orderBy("stage_idx")
+    )
+
+
+_REPEAT_ORDERS_ORACLE = """
+    SELECT a.o_custkey AS c_custkey,
+           count(*) AS n_repeat_pairs,
+           min(datediff('day', CAST(a.o_orderdate AS DATE),
+                        CAST(b.o_orderdate AS DATE))) AS min_gap_days
+    FROM orders a JOIN orders b
+      ON a.o_custkey = b.o_custkey
+     AND b.o_orderdate > a.o_orderdate
+     AND b.o_orderdate <= a.o_orderdate + INTERVAL '7 days'
+    GROUP BY a.o_custkey
+    ORDER BY c_custkey
+"""
+
+
+@register(
+    "repeat_orders_within_week",
+    oracle=_REPEAT_ORDERS_ORACLE,
+    tags=("analytics", "self-join", "range-join", "orders"),
+)
+def repeat_orders_within_week(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeat-purchase detection: ordered pairs of a customer's orders
+    placed within 7 days of each other — the self-range-join shape
+    behind churn/loyalty features (distinct from the events range join,
+    which pairs two DIFFERENT streams).
+
+    Scale posture: the self-join is equi on o_custkey (one shuffle,
+    both sides co-partitioned) with the time window as residual; pair
+    blowup is bounded by orders-per-customer-per-week, which data
+    skew aside is O(1). AQE's skew-join handles the heavy customer
+    tail."""
+    o = t(spark, sf_dir, "orders").select("o_custkey", "o_orderdate")
+    a = o.toDF("c_custkey", "d1")
+    b = o.toDF("c_custkey", "d2")
+    pairs = a.join(b, "c_custkey").filter(
+        (F.col("d2") > F.col("d1"))
+        & (F.col("d2") <= F.col("d1") + F.expr("INTERVAL 7 DAYS"))
+    )
+    return (
+        pairs.groupBy("c_custkey")
+        .agg(
+            F.count("*").alias("n_repeat_pairs"),
+            F.min(F.datediff(F.to_date("d2"), F.to_date("d1"))).alias(
+                "min_gap_days"
+            ),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+_RATIO_ORACLE = f"""
+    WITH cust_rev AS (
+        SELECT n_name, c_custkey,
+               {{dsum}} AS revenue
+        FROM customer
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN orders ON o_custkey = c_custkey
+        GROUP BY n_name, c_custkey
+    )
+    SELECT n_name, c_custkey, revenue,
+           round(revenue / sum(revenue) OVER (PARTITION BY n_name), 6)
+               AS share_of_nation
+    FROM cust_rev
+    ORDER BY n_name, c_custkey
+"""
+
+
+@register(
+    "ratio_to_report_customer_revenue",
+    oracle=_RATIO_ORACLE.format(
+        dsum="CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)"
+    ),
+    tags=("analytics", "ratio-to-report", "window"),
+)
+def ratio_to_report_customer_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ratio-to-report: each customer's share of their nation's total
+    order revenue — the percent-of-total window pattern every BI layer
+    ships. Revenue aggregates in exact decimal; the share is one IEEE
+    division of two exact sums, rounded 6 (the denominator window-sum
+    is itself decimal-exact, so the division is the only float op).
+
+    Scale posture: the customer-grain aggregate shuffles once on
+    (nation, customer); the share window re-partitions only the
+    aggregated customer rows by nation. nation broadcast onto
+    customer."""
+    from spark_hive_spark.functions.numeric import dec
+
+    cust = t(spark, sf_dir, "customer")
+    nat = t(spark, sf_dir, "nation")
+    orders = t(spark, sf_dir, "orders")
+    rev = (
+        cust.join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+        .join(orders, orders.o_custkey == cust.c_custkey)
+        .groupBy("n_name", "c_custkey")
+        .agg(F.sum(dec("o_totalprice")).alias("rev_dec"))
+    )
+    wn = W.partitionBy("n_name")
+    return (
+        rev.select(
+            "n_name",
+            "c_custkey",
+            F.col("rev_dec").cast("double").alias("revenue"),
+            F.round(
+                F.col("rev_dec").cast("double")
+                / F.sum("rev_dec").over(wn).cast("double"),
+                6,
+            ).alias("share_of_nation"),
+        )
+        .orderBy("n_name", "c_custkey")
+    )
