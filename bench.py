@@ -88,6 +88,11 @@ EXTENDED = [
     "rfm_user_scores_approx",
     "source_python_datasource",
     "approx_topk_tokens",
+    "events_type_transitions",
+    "events_hourly_anomaly",
+    "funnel_windowed_7d",
+    "repeat_orders_within_week",
+    "ratio_to_report_customer_revenue",
 ]
 
 # Streaming extended queries run dead LAST (after the streaming
@@ -129,7 +134,11 @@ EXPECTED_SF01: dict[str, float] = {
     "curation_stratified_sample": 0.4, "text_repetition_filter": 0.85,
     "w_rolling_hour_user_value": 0.25, "rfm_user_scores": 0.5,
     "rfm_user_scores_approx": 0.8, "source_python_datasource": 1.0,
-    "approx_topk_tokens": 0.7, "stream_foreachbatch_parquet_sink": 2.7,
+    "approx_topk_tokens": 0.7, "events_type_transitions": 0.75,
+    "events_hourly_anomaly": 0.55, "funnel_windowed_7d": 1.4,
+    "repeat_orders_within_week": 0.95,
+    "ratio_to_report_customer_revenue": 0.85,
+    "stream_foreachbatch_parquet_sink": 2.7,
     "stream_stream_interval_join": 7.3,
 }
 
