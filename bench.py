@@ -138,8 +138,8 @@ EXPECTED_SF01: dict[str, float] = {
     "events_hourly_anomaly": 0.55, "funnel_windowed_7d": 1.4,
     "repeat_orders_within_week": 0.95,
     "ratio_to_report_customer_revenue": 0.85,
-    "stream_foreachbatch_parquet_sink": 2.7,
-    "stream_stream_interval_join": 7.3,
+    "stream_foreachbatch_parquet_sink": 1.7,
+    "stream_stream_interval_join": 3.6,
 }
 
 
