@@ -22,8 +22,12 @@ from spark_hive_spark.tables import t
     "arr_order_line_parts",
     oracle="""
         SELECT l_orderkey,
-               list(l_partkey ORDER BY l_linenumber, l_partkey) AS parts,
-               list_sort(list_distinct(list(l_returnflag))) AS flags,
+               array_to_string(
+                   list(l_partkey ORDER BY l_linenumber, l_partkey), ','
+               ) AS parts,
+               array_to_string(
+                   list_sort(list_distinct(list(l_returnflag))), ','
+               ) AS flags,
                count(*) AS n_lines
         FROM lineitem
         WHERE l_orderkey < 200
@@ -35,18 +39,29 @@ from spark_hive_spark.tables import t
 def arr_order_line_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """collect_list with a total order (sorted by line number via
     struct sort) + deduplicated sorted collect_set — the deterministic
-    spellings of list aggregation."""
+    spellings of list aggregation.
+
+    Output arrays are serialized with ``array_join`` (and
+    ``array_to_string`` in the oracle): the grading driver
+    canonicalizes results through a pandas sort, which cannot hash
+    list cells — every registered query must return scalar columns
+    (enforced by tests/test_canonicalizable.py)."""
     li = t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 200)
     return (
         li.groupBy("l_orderkey")
         .agg(
-            F.transform(
-                F.sort_array(
-                    F.collect_list(F.struct("l_linenumber", "l_partkey"))
+            F.array_join(
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(F.struct("l_linenumber", "l_partkey"))
+                    ),
+                    lambda s: s.l_partkey.cast("string"),
                 ),
-                lambda s: s.l_partkey,
+                ",",
             ).alias("parts"),
-            F.sort_array(F.collect_set("l_returnflag")).alias("flags"),
+            F.array_join(F.sort_array(F.collect_set("l_returnflag")), ",").alias(
+                "flags"
+            ),
             F.count("*").alias("n_lines"),
         )
         .orderBy("l_orderkey")
@@ -93,7 +108,7 @@ def arr_token_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
                toks[1] AS first_tok,
                toks[len(toks)] AS last_tok,
                list_contains(toks, 'gear') AS has_gear,
-               list_sort(toks) AS sorted_toks,
+               array_to_string(list_sort(toks), ',') AS sorted_toks,
                array_to_string(list_reverse(toks), '-') AS reversed_joined
         FROM tk
         ORDER BY p_partkey
@@ -111,7 +126,7 @@ def arr_name_token_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at(toks, 1).alias("first_tok"),
         F.element_at(toks, -1).alias("last_tok"),
         F.array_contains(toks, "gear").alias("has_gear"),
-        F.sort_array(toks).alias("sorted_toks"),
+        F.array_join(F.sort_array(toks), ",").alias("sorted_toks"),
         F.array_join(F.reverse(toks), "-").alias("reversed_joined"),
     ).orderBy("p_partkey")
 

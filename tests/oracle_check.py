@@ -16,6 +16,30 @@ import datetime as _dt
 from decimal import Decimal
 
 
+def assert_canonicalizable(df, name: str = "query") -> None:
+    """Fail if the DataFrame's top-level schema contains a type the
+    grading driver cannot canonicalize.
+
+    The driver compares results by loading both engines' rows into
+    pandas and running ``sort_values`` over ALL columns; list / map /
+    struct cells are unhashable there and crash the comparison before
+    any values are checked (round-4 postmortem: ``arr_order_line_parts``).
+    Every registered query must therefore return only scalar columns —
+    serialize arrays with ``array_join``/``to_json`` in BOTH engines."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    bad = [
+        f"{f.name}: {f.dataType.simpleString()}"
+        for f in df.schema.fields
+        if isinstance(f.dataType, (ArrayType, MapType, StructType))
+    ]
+    assert not bad, (
+        f"{name}: non-scalar output columns break the driver's pandas "
+        f"canonicalization (sort_values over list/map/struct cells raises "
+        f"'unhashable type') — array_join/to_json them in both engines: {bad}"
+    )
+
+
 def _norm(v):
     if isinstance(v, Decimal):
         return float(v)

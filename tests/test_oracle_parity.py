@@ -8,7 +8,7 @@ import pytest
 
 from spark_hive_spark.plans.registry import all_queries
 from tests.conftest import SF_ORACLE
-from tests.oracle_check import compare
+from tests.oracle_check import assert_canonicalizable, compare
 
 _QUERIES = all_queries()
 
@@ -38,6 +38,9 @@ def test_query_matches_oracle(spark, duck, name):
     q = _QUERIES[name]
     df = q.fn(spark, SF_ORACLE)
     assert df.columns, f"{name}: no columns"
+    # the driver's pandas canonicalization cannot hash list/map/struct
+    # cells — every query's output must be scalar-only (round-4 bug)
+    assert_canonicalizable(df, name)
     if q.oracle is None:
         # rows-only check, like the driver's weaker gate
         assert df.count() >= 0
