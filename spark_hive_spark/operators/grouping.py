@@ -161,21 +161,53 @@ def distinct_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame
 
 @register(
     "approx_distinct_parts",
-    oracle=None,  # approximate — driver does rows-only; exactness tested in tests/
+    oracle="""
+        SELECT l_returnflag,
+               CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+               CAST(count(DISTINCT l_orderkey) AS BIGINT) AS exact_orders,
+               TRUE AS parts_within_3sigma,
+               TRUE AS orders_within_3sigma
+        FROM lineitem
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag
+    """,
     tags=("grouping", "approx"),
 )
 def approx_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_count_distinct (HyperLogLog++, rsd=0.01): the 100 TB
     path for distinct counts — constant memory per group vs the exact
-    variant's full de-dup shuffle. Paired with exact counts in
-    `distinct_supplier_part_counts`; tests assert the estimate lands
-    within 3·rsd of exact."""
+    variant's full de-dup shuffle.
+
+    Driver-checkable surface for an approximate operator: the HLL++
+    estimate itself is engine-specific (DuckDB can't reproduce it), so
+    the output exposes the EXACT distinct counts plus a
+    ``within_3sigma`` boolean per estimate (|approx − exact| ≤
+    3·rsd·exact). The oracle pins the exact counts and expects the
+    booleans TRUE — if the sketch ever drifts outside its published
+    error envelope the row hash goes red. (The raw estimates stay out
+    of the hashed output by design; the tiny-scale agg also exercises
+    the double-countDistinct Expand, acceptable at 3 groups.)"""
     li = t(spark, sf_dir, "lineitem")
+    sigma3 = 3 * 0.01
+    agg = li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", rsd=0.01).alias("approx_parts"),
+        F.approx_count_distinct("l_orderkey", rsd=0.01).alias("approx_orders"),
+        F.countDistinct("l_partkey").alias("exact_parts"),
+        F.countDistinct("l_orderkey").alias("exact_orders"),
+    )
     return (
-        li.groupBy("l_returnflag")
-        .agg(
-            F.approx_count_distinct("l_partkey", rsd=0.01).alias("approx_parts"),
-            F.approx_count_distinct("l_orderkey", rsd=0.01).alias("approx_orders"),
+        agg.select(
+            "l_returnflag",
+            "exact_parts",
+            "exact_orders",
+            (
+                F.abs(F.col("approx_parts") - F.col("exact_parts"))
+                <= sigma3 * F.col("exact_parts")
+            ).alias("parts_within_3sigma"),
+            (
+                F.abs(F.col("approx_orders") - F.col("exact_orders"))
+                <= sigma3 * F.col("exact_orders")
+            ).alias("orders_within_3sigma"),
         )
         .orderBy("l_returnflag")
     )

@@ -29,7 +29,16 @@ HLL_LGK = 12  # 2^12 registers -> ~1.6% relative standard error
 
 @register(
     "sketch_hll_mergeable_rollup",
-    oracle=None,  # approximate; invariants asserted in tests
+    oracle="""
+        SELECT event_type,
+               CAST(count(DISTINCT date_trunc('day', ts)) AS BIGINT) AS n_days,
+               CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+               TRUE AS merged_eq_direct,
+               TRUE AS within_err
+        FROM events
+        GROUP BY event_type
+        ORDER BY event_type
+    """,
     tags=("sketch", "approx", "aggregate", "streaming-friendly"),
 )
 def sketch_hll_mergeable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -37,19 +46,45 @@ def sketch_hll_mergeable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     build a per-(event_type, day) sketch, then union the daily
     sketches per event_type — the raw events are read exactly once,
     and the second level aggregates kilobyte sketches, not users.
-    Output: per event_type, the merged estimate (rounded to a long),
-    the day count, and the direct exact distinct for reference."""
+
+    Driver-checkable surface: the estimate value is
+    sketch-implementation-specific, so the hashed output carries the
+    EXACT distinct count and day count plus two invariant booleans the
+    oracle pins TRUE — ``merged_eq_direct`` (the unioned daily
+    sketches estimate EXACTLY equals a direct single-pass sketch over
+    the raw events: same lgK ⇒ same register state, the mergeability
+    guarantee) and ``within_err`` (estimate within 3× HLL's published
+    ~1.04/√2^lgK relative error of exact)."""
     ev = t(spark, sf_dir, "events")
     daily = ev.groupBy(
         "event_type", F.to_date("ts").alias("day")
     ).agg(F.hll_sketch_agg("user_id", F.lit(HLL_LGK)).alias("sk"))
     merged = daily.groupBy("event_type").agg(
-        F.round(F.hll_sketch_estimate(F.hll_union_agg("sk"))).cast("bigint").alias(
-            "approx_users"
-        ),
+        F.round(F.hll_sketch_estimate(F.hll_union_agg("sk")))
+        .cast("bigint")
+        .alias("approx_users"),
         F.count("*").alias("n_days"),
     )
-    exact = ev.groupBy("event_type").agg(
-        F.countDistinct("user_id").alias("exact_users")
+    direct = ev.groupBy("event_type").agg(
+        F.round(F.hll_sketch_estimate(F.hll_sketch_agg("user_id", F.lit(HLL_LGK))))
+        .cast("bigint")
+        .alias("direct_users"),
+        F.countDistinct("user_id").alias("exact_users"),
     )
-    return merged.join(exact, "event_type").orderBy("event_type")
+    rel_err = 3 * 1.04 / (2.0**HLL_LGK) ** 0.5
+    return (
+        merged.join(direct, "event_type")
+        .select(
+            "event_type",
+            "n_days",
+            "exact_users",
+            (F.col("approx_users") == F.col("direct_users")).alias(
+                "merged_eq_direct"
+            ),
+            (
+                F.abs(F.col("approx_users") - F.col("exact_users"))
+                <= rel_err * F.col("exact_users")
+            ).alias("within_err"),
+        )
+        .orderBy("event_type")
+    )

@@ -145,16 +145,31 @@ def stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "stream_watermarked_windows",
-    oracle=None,  # append-mode emission depends on watermark advance
-    # timing; invariants (subset-of-complete, no dupes) in tests.
+    oracle="""
+        WITH m AS (SELECT max(ts) - INTERVAL 1 HOUR AS wm FROM events)
+        SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+               event_type,
+               count(*) AS n_events
+        FROM events, m
+        WHERE time_bucket(INTERVAL '1 hour', ts) + INTERVAL 1 HOUR <= wm
+        GROUP BY 1, 2
+        ORDER BY window_start, event_type
+    """,
     tags=("streaming", "watermark"),
 )
 def stream_watermarked_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling windows with a 1-hour watermark in APPEND mode — the
     production shape for late-data handling: a window emits only once
     the watermark passes its end, and state for closed windows is
-    dropped. (With a single drain of a static source, Spark emits the
-    windows whose end < max(ts) - 1 hour.)"""
+    dropped.
+
+    The drained result IS deterministic, so it gets a full oracle:
+    a single-file FileStreamSource drains in one batch, the final
+    watermark is max(ts) − 1h, and the trailing no-data micro-batch
+    (on by default) flushes every closed window. Emission boundary is
+    ``window_end <= watermark`` — ties EMIT (verified empirically with
+    a crafted max(ts) landing exactly one hour past a window end) —
+    which is exactly what the oracle's WHERE clause replays."""
     ev = _event_stream(spark, sf_dir)
     agg = (
         ev.withWatermark("ts", "1 hour")

