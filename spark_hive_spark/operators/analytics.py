@@ -97,15 +97,17 @@ def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
                   F.count("*").alias("n_users")))
     )
     w = W.orderBy("stage_idx")
+    # mirror the oracle's lag(n_users, 1, n_users) exactly: only the
+    # FIRST row's missing lag defaults to its own count (ratio 1.0);
+    # a later stage with 0 users keeps its true x/0 quotient — NULL in
+    # both engines (try_divide here, DuckDB's native /0 semantics
+    # there) — rather than being coalesced to 1.0 (ANSI Spark would
+    # otherwise raise DIVIDE_BY_ZERO on sparse funnels)
+    prev = F.coalesce(F.lag("n_users", 1).over(w), F.col("n_users"))
     return (
         stages.withColumn(
             "conv_from_prev",
-            F.col("n_users").cast("double")
-            / F.lag("n_users", 1, None).over(w).cast("double"),
-        )
-        .withColumn(
-            "conv_from_prev",
-            F.coalesce(F.col("conv_from_prev"), F.lit(1.0)),
+            F.try_divide(F.col("n_users").cast("double"), prev.cast("double")),
         )
         .orderBy("stage_idx")
     )
@@ -574,14 +576,14 @@ def funnel_windowed_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
                            F.count("*").alias("n_users")))
     )
     w = W.orderBy("stage_idx")
+    # same null semantics as funnel_view_click_purchase: first row's
+    # missing lag defaults to its own count; a 0-user stage divides to
+    # NULL in both engines instead of coalescing to 1.0
+    prev = F.coalesce(F.lag("n_users", 1).over(w), F.col("n_users"))
     return (
         stages.withColumn(
             "conv_from_prev",
-            F.coalesce(
-                F.col("n_users").cast("double")
-                / F.lag("n_users", 1, None).over(w).cast("double"),
-                F.lit(1.0),
-            ),
+            F.try_divide(F.col("n_users").cast("double"), prev.cast("double")),
         )
         .orderBy("stage_idx")
     )
@@ -636,18 +638,26 @@ def repeat_orders_within_week(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_RATIO_ORACLE = f"""
+_RATIO_ORACLE = """
     WITH cust_rev AS (
         SELECT n_name, c_custkey,
-               {{dsum}} AS revenue
+               sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev_dec
         FROM customer
         JOIN nation ON c_nationkey = n_nationkey
         JOIN orders ON o_custkey = c_custkey
         GROUP BY n_name, c_custkey
     )
-    SELECT n_name, c_custkey, revenue,
-           round(revenue / sum(revenue) OVER (PARTITION BY n_name), 6)
-               AS share_of_nation
+    -- the decimal sum stays un-cast through the window aggregate and
+    -- becomes DOUBLE only at the final division, mirroring the
+    -- implementation exactly (a per-customer DOUBLE window-sum would
+    -- diverge by an ulp on round-6 boundaries at larger row counts)
+    SELECT n_name, c_custkey,
+           CAST(rev_dec AS DOUBLE) AS revenue,
+           round(
+               CAST(rev_dec AS DOUBLE)
+               / CAST(sum(rev_dec) OVER (PARTITION BY n_name) AS DOUBLE),
+               6
+           ) AS share_of_nation
     FROM cust_rev
     ORDER BY n_name, c_custkey
 """
@@ -655,9 +665,7 @@ _RATIO_ORACLE = f"""
 
 @register(
     "ratio_to_report_customer_revenue",
-    oracle=_RATIO_ORACLE.format(
-        dsum="CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)"
-    ),
+    oracle=_RATIO_ORACLE,
     tags=("analytics", "ratio-to-report", "window"),
 )
 def ratio_to_report_customer_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
