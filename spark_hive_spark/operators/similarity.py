@@ -48,6 +48,15 @@ LSH_SEED = 42
 NEARDUP_LSH_TABLES = 32
 NEARDUP_LSH_BITS = 4
 
+# Per-task work bound for the LSH near-dup GEMM: a (tbl, bucket) group
+# larger than this is hash-split into ceil(n/cap) chunks and every
+# chunk PAIR becomes its own task, so one skewed bucket can never pin
+# a single executor to |bucket|^2 work. Output is provably identical
+# to the uncapped plan (each unordered vector pair lands in exactly
+# one chunk-pair task). 4096^2 = 16.8M float64 dot products per task —
+# ~1-2 s of GEMM, a healthy Spark task size.
+NEARDUP_LSH_BUCKET_CAP = 4096
+
 
 @register(
     "knn_cosine_bruteforce",
@@ -235,10 +244,13 @@ def neardup_embeddings_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     tables.
 
     Scale shape: cost sums |bucket|^2 over buckets instead of N^2 —
-    with B buckets of even load that is N^2/B per table. The shuffle
-    key is (table, bucket) so skewed buckets split across tasks is the
-    one tuning concern (a production build would cap bucket size or
-    add a bit). Verification is exact within candidates, so precision
+    with B buckets of even load that is N^2/B per table. Skewed
+    buckets are CAPPED: any (table, bucket) group over
+    NEARDUP_LSH_BUCKET_CAP rows is hash-split into chunks and every
+    chunk PAIR runs as its own task (see _salted_bucket_tasks), so
+    per-task pair count is bounded by cap^2 while the emitted pair set
+    stays bit-identical to the uncapped plan — no recall is traded for
+    the bound. Verification is exact within candidates, so precision
     is 1.0; recall for cos>=t pairs is 1-(1-(1-acos(t)/pi)^4)^32 =
     0.996 at t=0.4 (higher for closer pairs) — and the recall test
     measures it empirically. Tuning note: the fixture threshold 0.4 is
@@ -253,34 +265,100 @@ def neardup_embeddings_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         "embedding",
         F.posexplode(bucketize("embedding")).alias("tbl", "bucket"),
     )
-    threshold = NEARDUP_COS
-
-    def bucket_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
-        if len(pdf) < 2:
-            return pd.DataFrame({"vec_a": [], "vec_b": [], "cos_sim": []}).astype(
-                {"vec_a": "int64", "vec_b": "int64", "cos_sim": "float64"}
-            )
-        V = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
-        V /= np.linalg.norm(V, axis=1, keepdims=True)
-        S = V @ V.T
-        ia, ib = np.nonzero(S >= threshold)
-        ids = pdf["vec_id"].to_numpy()
-        ids_a, ids_b = ids[ia], ids[ib]
-        keep = ids_a < ids_b  # dedup the symmetric matrix + self-pairs
-        return pd.DataFrame(
-            {
-                "vec_a": ids_a[keep],
-                "vec_b": ids_b[keep],
-                "cos_sim": np.round(S[ia, ib][keep], 6),
-            }
-        )
-
+    tasks = _salted_bucket_tasks(bucketed, NEARDUP_LSH_BUCKET_CAP)
     return (
-        bucketed.groupBy("tbl", "bucket")
-        .applyInPandas(bucket_pairs, "vec_a long, vec_b long, cos_sim double")
+        tasks.groupBy("tbl", "bucket", "chunk_a", "chunk_b")
+        .applyInPandas(
+            _chunk_pair_fn(NEARDUP_COS), "vec_a long, vec_b long, cos_sim double"
+        )
         .distinct()  # same pair may collide in several tables
         .orderBy("vec_a", "vec_b")
     )
+
+
+def _salted_bucket_tasks(bucketed: DataFrame, cap: int) -> DataFrame:
+    """Bound per-task GEMM work without losing pairs.
+
+    Each (tbl, bucket) group of n rows is split into
+    C = ceil(n / cap) hash chunks; every vector is replicated into the
+    C chunk-pair tasks it participates in, keyed
+    (tbl, bucket, chunk_a, chunk_b) with chunk_a <= chunk_b. An
+    unordered vector pair with chunks (cu, cv) lands in exactly the
+    task (min(cu,cv), max(cu,cv)) — so the union of all tasks' pair
+    sets equals the uncapped bucket's pair set, each pair exactly once
+    per bucket. Per-task row count is ~2n/C <= ~2*cap (one chunk's
+    rows for the diagonal, two chunks' for off-diagonal), bounding the
+    GEMM at ~cap^2 regardless of bucket skew. For n <= cap, C = 1 and
+    the plan degenerates to today's one-task-per-bucket shape with
+    zero replication.
+
+    The bucket-size count is one extra groupBy over (tbl, bucket) —
+    key cardinality tables * 2^bits (512 here), so the join back is a
+    broadcast, not a shuffle of the big side.
+    """
+    sizes = bucketed.groupBy("tbl", "bucket").agg(
+        F.ceil(F.count("*") / F.lit(cap)).cast("int").alias("n_chunks")
+    )
+    return (
+        bucketed.join(F.broadcast(sizes), ["tbl", "bucket"])
+        .withColumn("chunk", F.pmod(F.xxhash64("vec_id"), F.col("n_chunks")).cast("int"))
+        .withColumn("other", F.explode(F.sequence(F.lit(0), F.col("n_chunks") - 1)))
+        .select(
+            "tbl",
+            "bucket",
+            F.least("chunk", "other").alias("chunk_a"),
+            F.greatest("chunk", "other").alias("chunk_b"),
+            "chunk",
+            "vec_id",
+            "embedding",
+        )
+    )
+
+
+def _chunk_pair_fn(threshold: float):
+    """applyInPandas kernel for one chunk-pair task: diagonal tasks
+    (chunk_a == chunk_b) GEMM the chunk against itself; off-diagonal
+    tasks GEMM chunk_a's rows against chunk_b's rows. Pairs are
+    canonicalized (vec_a < vec_b) so the parent's distinct() only ever
+    dedups multi-table collisions, exactly as in the uncapped plan."""
+
+    empty = pd.DataFrame({"vec_a": [], "vec_b": [], "cos_sim": []}).astype(
+        {"vec_a": "int64", "vec_b": "int64", "cos_sim": "float64"}
+    )
+
+    def chunk_pairs(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        _tbl, _bucket, chunk_a, chunk_b = key
+        if len(pdf) < 2:
+            return empty
+        if chunk_a == chunk_b:
+            V = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            V /= np.linalg.norm(V, axis=1, keepdims=True)
+            S = V @ V.T
+            ia, ib = np.nonzero(S >= threshold)
+            ids = pdf["vec_id"].to_numpy()
+            ids_a, ids_b = ids[ia], ids[ib]
+            keep = ids_a < ids_b  # dedup symmetric matrix + self-pairs
+            sims = S[ia, ib][keep]
+            ids_a, ids_b = ids_a[keep], ids_b[keep]
+        else:
+            left = pdf[pdf["chunk"] == chunk_a]
+            right = pdf[pdf["chunk"] == chunk_b]
+            if left.empty or right.empty:
+                return empty
+            A = np.stack(left["embedding"].to_numpy()).astype(np.float64)
+            B = np.stack(right["embedding"].to_numpy()).astype(np.float64)
+            A /= np.linalg.norm(A, axis=1, keepdims=True)
+            B /= np.linalg.norm(B, axis=1, keepdims=True)
+            S = A @ B.T
+            ia, ib = np.nonzero(S >= threshold)
+            la, rb = left["vec_id"].to_numpy()[ia], right["vec_id"].to_numpy()[ib]
+            sims = S[ia, ib]
+            ids_a, ids_b = np.minimum(la, rb), np.maximum(la, rb)
+        return pd.DataFrame(
+            {"vec_a": ids_a, "vec_b": ids_b, "cos_sim": np.round(sims, 6)}
+        )
+
+    return chunk_pairs
 
 
 def _lsh_planes(tables: int, bits: int) -> np.ndarray:

@@ -32,12 +32,16 @@ from spark_hive_spark.tables import table_path
 
 
 def _event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """readStream over the static events parquet (ts normalized from
-    nanos exactly as the batch reader does)."""
+    """readStream over the static events parquet (ts normalized to
+    TIMESTAMP exactly as the batch reader does — adaptively, since the
+    fixture has shipped both TIMESTAMP(NANOS) and TIMESTAMP(MICROS);
+    see tables._normalize_event_ts)."""
     # Self-sufficient on ANY session (the grading driver builds its
     # own, without session.py's conf block): nanosAsLong is
     # runtime-settable and must be on before both the schema probe and
     # the stream's own parquet reads.
+    from spark_hive_spark.tables import _normalize_event_ts
+
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     batch_schema = spark.read.parquet(table_path(sf_dir, "events")).schema
     # FileStreamSource requires a directory: stream the fixture dir
@@ -48,7 +52,7 @@ def _event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .load(sf_dir)
     )
-    return stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return stream.withColumn("ts", _normalize_event_ts(stream))
 
 
 STATE_PARTITIONS = 8

@@ -47,11 +47,20 @@ def table_path(sf_dir: str, name: str) -> str:
 def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one fixture table, normalizing physical-type quirks.
 
-    `events.ts` is written as parquet TIMESTAMP(NANOS), which Spark's
-    vectorized reader rejects ([PARQUET_TYPE_ILLEGAL]). We read nanos
-    as long (`spark.sql.legacy.parquet.nanosAsLong`) and truncate to
-    microseconds with integer division — the same truncation DuckDB
-    applies, so oracle comparisons agree to the microsecond.
+    `events.ts` has shipped under two physical types across fixture
+    generations, and the loader adapts to WHATEVER the file says
+    rather than assuming one:
+
+    - parquet TIMESTAMP(NANOS): Spark's vectorized reader rejects it
+      ([PARQUET_TYPE_ILLEGAL]), so we read nanos as long
+      (`spark.sql.legacy.parquet.nanosAsLong`) and truncate to
+      microseconds with integer division — the same truncation DuckDB
+      applies, so oracle comparisons agree to the microsecond.
+    - parquet TIMESTAMP(MICROS, isAdjustedToUTC=false): Spark reads
+      TIMESTAMP_NTZ; we cast to the session-local TIMESTAMP every
+      downstream operator (windows, watermarks, unix_timestamp) was
+      written against. Sessions here run UTC, so the cast is
+      wall-clock identity and matches DuckDB's naive reading.
 
     The conf is set HERE, at runtime, not only at session-build time
     (session.py): callers may hand us any SparkSession — in particular
@@ -63,8 +72,17 @@ def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(table_path(sf_dir, name))
     if name == "events":
-        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        df = df.withColumn("ts", _normalize_event_ts(df))
     return df
+
+
+def _normalize_event_ts(df: DataFrame):
+    """Column expression normalizing events.ts to TIMESTAMP regardless
+    of the fixture's physical type (see _read docstring)."""
+    kind = df.schema["ts"].dataType.simpleString()
+    if kind == "bigint":  # TIMESTAMP(NANOS) read via nanosAsLong
+        return F.expr("timestamp_micros(ts div 1000)")
+    return F.col("ts").cast("timestamp")
 
 
 def load_tables(

@@ -244,3 +244,67 @@ def test_analyze_table_feeds_cbo_stats(spark):
     finally:
         spark.conf.set("spark.sql.cbo.enabled", prev_cbo)
         spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
+def test_lsh_bucket_cap_bounds_task_size_under_skew(spark):
+    """Adversarial skew: one LSH bucket holds 85% of all vectors. The
+    salted chunk-pair decomposition must (a) bound every task's row
+    count near the cap, and (b) emit EXACTLY the pair set of the
+    uncapped plan — the cap is a scheduling transform, not an
+    approximation."""
+    import numpy as np
+
+    from spark_hive_spark.operators.similarity import (
+        _chunk_pair_fn,
+        _salted_bucket_tasks,
+    )
+
+    rng = np.random.RandomState(7)
+    n_hot, n_cold, dim, cap = 340, 60, 8, 50
+    rows = []
+    for i in range(n_hot):  # all collide in (tbl=0, bucket=0)
+        rows.append((i, [float(x) for x in rng.standard_normal(dim)], 0, 0))
+    for i in range(n_cold):  # spread over 12 cold buckets
+        rows.append(
+            (n_hot + i, [float(x) for x in rng.standard_normal(dim)], 0, 1 + i % 12)
+        )
+    bucketed = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, tbl int, bucket int"
+    )
+
+    tasks = _salted_bucket_tasks(bucketed, cap)
+
+    # (a) no task sees more than ~2 chunks of rows, regardless of skew
+    sizes = (
+        tasks.groupBy("tbl", "bucket", "chunk_a", "chunk_b")
+        .count()
+        .collect()
+    )
+    max_task = max(r["count"] for r in sizes)
+    assert max_task <= int(2.5 * cap), f"task of {max_task} rows escaped the cap"
+    # the hot bucket really was split: ceil(340/50)=7 chunks -> 28 tasks
+    hot_tasks = [r for r in sizes if r.bucket == 0]
+    assert len(hot_tasks) == 7 * 8 // 2, len(hot_tasks)
+
+    # (b) capped output == uncapped output, pair for pair
+    threshold = 0.2
+    capped = (
+        tasks.groupBy("tbl", "bucket", "chunk_a", "chunk_b")
+        .applyInPandas(
+            _chunk_pair_fn(threshold), "vec_a long, vec_b long, cos_sim double"
+        )
+        .distinct()
+        .collect()
+    )
+    uncapped_tasks = _salted_bucket_tasks(bucketed, 10**9)  # C=1 everywhere
+    uncapped = (
+        uncapped_tasks.groupBy("tbl", "bucket", "chunk_a", "chunk_b")
+        .applyInPandas(
+            _chunk_pair_fn(threshold), "vec_a long, vec_b long, cos_sim double"
+        )
+        .distinct()
+        .collect()
+    )
+    to_set = lambda rs: {(r.vec_a, r.vec_b, r.cos_sim) for r in rs}
+    assert to_set(capped) == to_set(uncapped)
+    assert len(capped) == len(uncapped)  # no within-bucket double-emits
