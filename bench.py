@@ -93,6 +93,11 @@ EXTENDED = [
     "funnel_windowed_7d",
     "repeat_orders_within_week",
     "ratio_to_report_customer_revenue",
+    # round 6
+    "udtf_document_chunks",
+    "sqlfn_discounted_revenue",
+    "arrow_doc_char_stats",
+    "pipe_syntax_brand_stats",
 ]
 
 # Streaming extended queries run dead LAST (after the streaming
@@ -140,6 +145,11 @@ EXPECTED_SF01: dict[str, float] = {
     "ratio_to_report_customer_revenue": 0.85,
     "stream_foreachbatch_parquet_sink": 1.7,
     "stream_stream_interval_join": 3.6,
+    # round-6 additions (idle sf0.1 best-of-2, 2026-08-13)
+    "udtf_document_chunks": 1.2,
+    "sqlfn_discounted_revenue": 1.7,
+    "arrow_doc_char_stats": 1.8,
+    "pipe_syntax_brand_stats": 1.4,
 }
 
 

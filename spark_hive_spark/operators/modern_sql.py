@@ -1,0 +1,251 @@
+"""Spark-4 SQL/API surfaces the registry didn't cover yet: Python
+UDTFs (table functions with LATERAL correlation), SQL-language UDFs
+(CREATE FUNCTION ... RETURN expr), `mapInArrow` (RecordBatch-level
+transforms), and the SQL pipe syntax (`|>`).
+
+No reference counterpart (the reference's surface stops at
+DataFrame/SQL basics — SURVEY.md §2A); these extend §2B the same way
+the UDF/variant/XML groups did: each surface gets one deterministic,
+oracle-checked query over the fixture tables.
+
+The UDTF here is also a first-class LLM-pipeline operator: fixed-size
+overlapping document chunking, the standard pre-embedding split for
+RAG / training-window packing. Chunking is embarrassingly parallel
+(per-document), so the UDTF scales linearly — no shuffle until the
+caller aggregates.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import udtf
+
+from spark_hive_spark.plans.registry import register
+from spark_hive_spark.tables import t
+
+# Chunking geometry: 500-char windows every 400 chars (100-char
+# overlap, the common RAG default shape). Mirrored literally in the
+# UDTF body (workers deserialize the class without this module's
+# globals) and in the DuckDB oracle.
+CHUNK_SIZE = 500
+CHUNK_STRIDE = 400
+
+
+@udtf(
+    returnType="doc_id bigint, chunk_id int, chunk_start int,"
+    " chunk_len int, chunk_md5 string"
+)
+class _DocChunks:
+    """Overlapping character-window chunker. Emits (chunk ordinal,
+    0-based start offset, actual length, md5 of the chunk text) per
+    window; md5 keeps the output row narrow while still hashing every
+    byte of every chunk, so the oracle comparison covers the full
+    text content."""
+
+    def eval(self, doc_id, text):  # noqa: ANN001 - UDTF protocol
+        import hashlib
+
+        if not text:
+            return
+        n = len(text)
+        start, i = 0, 0
+        while start < n:
+            piece = text[start : start + 500]  # CHUNK_SIZE
+            yield (
+                doc_id,
+                i,
+                start,
+                len(piece),
+                hashlib.md5(piece.encode("utf-8")).hexdigest(),
+            )
+            i += 1
+            start += 400  # CHUNK_STRIDE
+
+
+@register(
+    "udtf_document_chunks",
+    oracle=f"""
+        WITH idx AS (
+            SELECT doc_id, text,
+                   unnest(range(0, CAST(ceil(length(text) / {CHUNK_STRIDE}.0)
+                                       AS BIGINT))) AS i
+            FROM documents
+            WHERE length(text) > 0
+        )
+        SELECT doc_id,
+               CAST(i AS INT) AS chunk_id,
+               CAST(i * {CHUNK_STRIDE} AS INT) AS chunk_start,
+               length(substring(text, CAST(i * {CHUNK_STRIDE} + 1 AS INT),
+                                {CHUNK_SIZE})) AS chunk_len,
+               md5(substring(text, CAST(i * {CHUNK_STRIDE} + 1 AS INT),
+                             {CHUNK_SIZE})) AS chunk_md5
+        FROM idx
+        ORDER BY doc_id, chunk_id
+    """,
+    tags=("udtf", "lateral", "chunking", "llm-pipeline"),
+)
+def udtf_document_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document chunking as a Python UDTF invoked through SQL's
+    LATERAL table-function syntax — one input row fans out to
+    ceil(len/stride) chunk rows, correlated on the outer row's
+    columns.
+
+    Scale shape: per-row fan-out with no shuffle; the UDTF runs in
+    the existing Python workers partition-by-partition, and chunk
+    count scales with corpus bytes, not document count, so partition
+    sizing by input bytes keeps tasks even."""
+    spark.udtf.register("shs_doc_chunks", _DocChunks)
+    docs = t(spark, sf_dir, "documents")
+    return spark.sql(
+        """
+        SELECT c.doc_id, c.chunk_id, c.chunk_start, c.chunk_len,
+               c.chunk_md5
+        FROM {documents} AS d,
+             LATERAL shs_doc_chunks(d.doc_id, d.text) AS c
+        ORDER BY c.doc_id, c.chunk_id
+        """,
+        documents=docs,
+    )
+
+
+@register(
+    "sqlfn_discounted_revenue",
+    oracle="""
+        SELECT l_returnflag, l_linestatus,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                        * (1 - CAST(l_discount AS DECIMAL(18,2))))
+                    AS DOUBLE) AS revenue,
+               count(*) AS n_lines
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus
+    """,
+    tags=("sql-udf", "create-function", "aggregate"),
+)
+def sqlfn_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-language UDF (CREATE TEMPORARY FUNCTION ... RETURN expr,
+    new in Spark 4.0) used inside an aggregate. The function body is
+    the repo's exact-decimal revenue idiom (functions/numeric.py), so
+    the optimizer inlines it into codegen — a SQL UDF costs nothing
+    at runtime, unlike a Python UDF; it is the right vehicle for
+    shared business expressions at 100 TB."""
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMPORARY FUNCTION shs_disc_rev(
+            price DOUBLE, disc DOUBLE)
+        RETURNS DECIMAL(38,4)
+        RETURN CAST(price AS DECIMAL(18,2))
+               * (1 - CAST(disc AS DECIMAL(18,2)))
+        """
+    )
+    li = t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp")
+    )
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               CAST(sum(shs_disc_rev(l_extendedprice, l_discount))
+                    AS DOUBLE) AS revenue,
+               count(*) AS n_lines
+        FROM {lineitem}
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus
+        """,
+        lineitem=li,
+    )
+
+
+@register(
+    "arrow_doc_char_stats",
+    oracle="""
+        SELECT lang,
+               count(*) AS n_docs,
+               CAST(sum(length(text)) AS BIGINT) AS total_chars,
+               CAST(sum(length(text)
+                        - length(replace(text, ' ', ''))) AS BIGINT)
+                   AS total_spaces,
+               CAST(sum(length(regexp_replace(text, '[^0-9]', '', 'g')))
+                    AS BIGINT) AS total_digits
+        FROM documents
+        GROUP BY lang
+        ORDER BY lang
+    """,
+    tags=("arrow", "mapInArrow", "text", "llm-pipeline"),
+)
+def arrow_doc_char_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-class stats via `mapInArrow`: the transform sees raw
+    Arrow RecordBatches and runs entirely in pyarrow.compute's C++
+    kernels — no pandas materialization, no per-row Python. This is
+    the lowest-overhead Python escape hatch Spark has; the follow-up
+    groupBy is a plain JVM aggregate over the narrow stats columns
+    (map-side combine, bytes shuffled ~ |langs| per partition)."""
+    docs = t(spark, sf_dir, "documents").select("lang", "text")
+
+    def stats(batches):
+        for b in batches:
+            text = b.column("text")
+            yield pa.RecordBatch.from_arrays(
+                [
+                    b.column("lang"),
+                    pc.utf8_length(text).cast(pa.int64()),
+                    pc.count_substring(text, " ").cast(pa.int64()),
+                    pc.count_substring_regex(text, "[0-9]").cast(pa.int64()),
+                ],
+                ["lang", "n_chars", "n_spaces", "n_digits"],
+            )
+
+    mapped = docs.mapInArrow(
+        stats, "lang string, n_chars long, n_spaces long, n_digits long"
+    )
+    return (
+        mapped.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.sum("n_spaces").alias("total_spaces"),
+            F.sum("n_digits").alias("total_digits"),
+        )
+        .orderBy("lang")
+    )
+
+
+@register(
+    "pipe_syntax_brand_stats",
+    oracle="""
+        SELECT p_brand,
+               count(*) AS n_parts,
+               CAST(sum(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS total_price,
+               CAST(max(p_size) AS INT) AS max_size
+        FROM part
+        WHERE p_size >= 20
+        GROUP BY p_brand
+        ORDER BY p_brand
+    """,
+    tags=("sql-api", "pipe-syntax"),
+)
+def pipe_syntax_brand_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL pipe syntax (`|>`, new in Spark 4.0): the same
+    filter→aggregate→sort pipeline expressed as sequential stages.
+    Semantically identical to the nested form — Catalyst sees the
+    same logical plan, so pushdown/pruning work unchanged; attested
+    against a plain-SQL DuckDB oracle."""
+    part = t(spark, sf_dir, "part")
+    return spark.sql(
+        """
+        FROM {part}
+        |> WHERE p_size >= 20
+        |> AGGREGATE count(*) AS n_parts,
+                     CAST(sum(CAST(p_retailprice AS DECIMAL(18,2)))
+                          AS DOUBLE) AS total_price,
+                     CAST(max(p_size) AS INT) AS max_size
+           GROUP BY p_brand
+        |> ORDER BY p_brand
+        """,
+        part=part,
+    )

@@ -69,6 +69,11 @@ SWEEP_PRIORITY: tuple[str, ...] = (
     "repeat_orders_within_week",
     "ratio_to_report_customer_revenue",
     "stream_foreachbatch_parquet_sink",
+    # round-6 additions (never swept, by construction)
+    "udtf_document_chunks",
+    "sqlfn_discounted_revenue",
+    "arrow_doc_char_stats",
+    "pipe_syntax_brand_stats",
     # stalest re-attestations (last driver-green in round 2);
     # round-6 additions displace from the END of this block as they
     # land, keeping the never-swept set fully covered.
@@ -99,10 +104,6 @@ SWEEP_PRIORITY: tuple[str, ...] = (
     "join_anti_customers_without_pending",
     "join_outer_nation_order_volume",
     "setops_segment_overlap",
-    "setops_bag_semantics",
-    "w_value_functions",
-    "rollup_grouping_flags",
-    "q15_top_revenue_suppliers",
 )
 
 
@@ -158,6 +159,7 @@ def _load_all() -> None:
         "spark_hive_spark.operators.relational",
         "spark_hive_spark.operators.relational2",
         "spark_hive_spark.operators.relational3",
+        "spark_hive_spark.operators.modern_sql",
     ):
         try:
             importlib.import_module(mod)
