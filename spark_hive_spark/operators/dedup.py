@@ -456,17 +456,32 @@ def dedup_duplicate_clusters(
     The DuckDB oracle computes the same components by recursive
     transitive closure — feasible at oracle scale, and an exact
     independent check of an iterative distributed algorithm."""
-    # The pair graph is orders of magnitude smaller than the corpus
-    # (it's the dedup OUTPUT), so run the iteration on a few
-    # right-sized partitions — per-iteration task overhead, not data,
-    # dominates otherwise (measured 7.8 s -> 1.8 s at sf0.1). At real
-    # scale size this as |pairs| / rows-per-task instead of a
-    # constant; AQE can't help inside a checkpointed loop.
-    cc_parts = 4
     pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
-    fwd = pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+    return connected_components(pairs, "doc_a", "doc_b", "doc_id", max_iters)
+
+
+def connected_components(
+    pairs: DataFrame,
+    col_a: str,
+    col_b: str,
+    node_name: str,
+    max_iters: int = 15,
+    cc_parts: int = 4,
+) -> DataFrame:
+    """Distributed min-label propagation over an undirected pair
+    graph; returns (cluster_id, <node_name>, is_representative,
+    cluster_size) ordered by (cluster_id, node). Shared by the
+    document-dedup and embedding-semdedup cluster formers.
+
+    The pair graph is orders of magnitude smaller than the corpus
+    (it's the dedup OUTPUT), so the iteration runs on a few
+    right-sized partitions — per-iteration task overhead, not data,
+    dominates otherwise (measured 7.8 s -> 1.8 s at sf0.1). At real
+    scale size cc_parts as |pairs| / rows-per-task instead of a
+    constant; AQE can't help inside a checkpointed loop."""
+    fwd = pairs.select(F.col(col_a).alias("u"), F.col(col_b).alias("v"))
     edges = (
-        fwd.union(pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v")))
+        fwd.union(pairs.select(F.col(col_b).alias("u"), F.col(col_a).alias("v")))
         .coalesce(cc_parts)
         .localCheckpoint(eager=True)
     )
@@ -511,9 +526,9 @@ def dedup_duplicate_clusters(
         labels.join(sizes, "label")
         .select(
             F.col("label").alias("cluster_id"),
-            F.col("node").alias("doc_id"),
+            F.col("node").alias(node_name),
             (F.col("node") == F.col("label")).alias("is_representative"),
             "cluster_size",
         )
-        .orderBy("cluster_id", "doc_id")
+        .orderBy("cluster_id", node_name)
     )

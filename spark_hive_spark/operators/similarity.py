@@ -653,3 +653,63 @@ def embedding_quantize_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+@register(
+    "semdedup_embedding_clusters",
+    oracle=f"""
+        WITH RECURSIVE v AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+            FROM embeddings
+        ),
+        pairs AS (
+            SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+            FROM v a, v b
+            WHERE a.vec_id < b.vec_id
+              AND {sql_cosine('a.e', 'b.e')} >= {NEARDUP_COS}
+        ),
+        edges AS (
+            SELECT vec_a AS u, vec_b AS w FROM pairs
+            UNION ALL
+            SELECT vec_b AS u, vec_a AS w FROM pairs
+        ),
+        reach(u, w) AS (
+            SELECT u, w FROM edges
+            UNION
+            SELECT r.u, e.w FROM reach r JOIN edges e ON r.w = e.u
+        ),
+        labels AS (
+            SELECT u AS vec_id, least(u, min(w)) AS cluster_id
+            FROM reach GROUP BY u
+        )
+        SELECT cluster_id, vec_id,
+               (vec_id = cluster_id) AS is_representative,
+               count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+        FROM labels
+        ORDER BY cluster_id, vec_id
+    """,
+    tags=("similarity", "dedup", "semdedup", "iterative", "llm-pipeline"),
+)
+def semdedup_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic dedup (the SemDeDup recipe): embeddings whose cosine
+    exceeds the near-dup threshold form a similarity graph; connected
+    components collapse transitive chains (A~B, B~C => one cluster);
+    one representative (min vec_id) survives per cluster. Output is
+    the cluster assignment table a curation pipeline anti-joins
+    against the corpus to drop semantic duplicates.
+
+    Composition of two attested pieces: exact pair generation
+    (`neardup_embeddings` — blocked GEMM; at 100 TB swap in the
+    LSH-capped twin, identical pair schema) and the shared
+    min-label-propagation component former (`dedup.py
+    connected_components` — checkpointed, scalar-sum convergence).
+    The DuckDB oracle recomputes components by recursive transitive
+    closure, independently of the iterative algorithm."""
+    from spark_hive_spark.operators.dedup import connected_components
+
+    pairs = neardup_embeddings(spark, sf_dir).select("vec_a", "vec_b")
+    # The fixture threshold (0.4 over near-random vectors) produces a
+    # sparse long-chain graph — diameters of dozens, unlike the
+    # shallow clusters of real near-dup corpora — so the iteration
+    # bound is higher than the document former's 15.
+    return connected_components(pairs, "vec_a", "vec_b", "vec_id", max_iters=60)

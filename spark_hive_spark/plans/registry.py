@@ -74,6 +74,7 @@ SWEEP_PRIORITY: tuple[str, ...] = (
     "sqlfn_discounted_revenue",
     "arrow_doc_char_stats",
     "pipe_syntax_brand_stats",
+    "semdedup_embedding_clusters",
     # stalest re-attestations (last driver-green in round 2);
     # round-6 additions displace from the END of this block as they
     # land, keeping the never-swept set fully covered.
@@ -103,7 +104,6 @@ SWEEP_PRIORITY: tuple[str, ...] = (
     "join_semi_active_customers",
     "join_anti_customers_without_pending",
     "join_outer_nation_order_volume",
-    "setops_segment_overlap",
 )
 
 
