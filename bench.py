@@ -98,6 +98,8 @@ EXTENDED = [
     "sqlfn_discounted_revenue",
     "arrow_doc_char_stats",
     "pipe_syntax_brand_stats",
+    "arrow_group_doc_quantiles",
+    "sketch_hll_builtin_rollup",
 ]
 
 # Streaming extended queries run dead LAST (after the streaming
@@ -150,6 +152,8 @@ EXPECTED_SF01: dict[str, float] = {
     "sqlfn_discounted_revenue": 1.7,
     "arrow_doc_char_stats": 1.8,
     "pipe_syntax_brand_stats": 1.4,
+    "arrow_group_doc_quantiles": 1.1,
+    "sketch_hll_builtin_rollup": 1.0,
 }
 
 

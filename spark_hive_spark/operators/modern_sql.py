@@ -249,3 +249,55 @@ def pipe_syntax_brand_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         """,
         part=part,
     )
+
+
+@register(
+    "arrow_group_doc_quantiles",
+    oracle="""
+        SELECT lang,
+               count(*) AS n_docs,
+               CAST(min(length(text)) AS BIGINT) AS min_chars,
+               CAST(median(length(text)) AS DOUBLE) AS median_chars,
+               CAST(max(length(text)) AS BIGINT) AS max_chars
+        FROM documents
+        GROUP BY lang
+        ORDER BY lang
+    """,
+    tags=("arrow", "applyInArrow", "grouped", "statistics"),
+)
+def arrow_group_doc_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group order statistics via `applyInArrow` (Spark 4.0's
+    Arrow-native cousin of applyInPandas): each language group
+    arrives as a pyarrow Table and is reduced with numpy — no pandas
+    conversion. The length computation stays JVM-side (F.length), so
+    only (lang, n_chars) crosses into Python — bytes shuffled scale
+    with row count, not corpus bytes. Median of an even group is the
+    midpoint average in both numpy and DuckDB, so the oracle agrees
+    exactly."""
+    import numpy as np
+
+    docs = t(spark, sf_dir, "documents").select(
+        "lang", F.length("text").alias("n_chars")
+    )
+
+    def quantiles(tbl: pa.Table) -> pa.Table:
+        n = tbl.column("n_chars").to_numpy()
+        return pa.table(
+            {
+                "lang": [tbl.column("lang")[0].as_py()],
+                "n_docs": [len(n)],
+                "min_chars": [int(n.min())],
+                "median_chars": [float(np.median(n))],
+                "max_chars": [int(n.max())],
+            }
+        )
+
+    return (
+        docs.groupBy("lang")
+        .applyInArrow(
+            quantiles,
+            "lang string, n_docs long, min_chars long,"
+            " median_chars double, max_chars long",
+        )
+        .orderBy("lang")
+    )

@@ -88,3 +88,68 @@ def sketch_hll_mergeable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "sketch_hll_builtin_rollup",
+    oracle="""
+        WITH per_type AS (
+            SELECT event_type,
+                   count(DISTINCT user_id) AS exact_users
+            FROM events GROUP BY event_type
+        ),
+        total AS (
+            SELECT 'ALL' AS event_type,
+                   count(DISTINCT user_id) AS exact_users
+            FROM events
+        )
+        SELECT event_type, exact_users, TRUE AS within_5pct
+        FROM (SELECT * FROM per_type UNION ALL SELECT * FROM total)
+        ORDER BY event_type
+    """,
+    tags=("sketch", "hll", "datasketches", "rollup"),
+)
+def sketch_hll_builtin_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's BUILT-IN Apache DataSketches HLL surface
+    (hll_sketch_agg / hll_union_agg / hll_sketch_estimate, Spark
+    3.5+), complementing the hand-rolled register-level rollup in
+    `sketch_hll_mergeable_rollup`: per-type sketches aggregate once
+    over the fact table, and the corpus-total row is a UNION OF
+    SKETCHES — no second scan, the mergeability that makes HLL the
+    100 TB cardinality workhorse.
+
+    Driver-hashable by the exactness-bracket recipe (VERDICT r4 #4):
+    the sketch estimate itself is deterministic but not portable to
+    DuckDB, so the emitted columns are the EXACT distinct count plus
+    a `within_5pct` accuracy verdict on the estimate (lgK=12 gives
+    ~1.6% rse; 5% is a 3-sigma bound) — both engines agree on those,
+    and a broken sketch path flips the boolean loudly."""
+    ev = t(spark, sf_dir, "events")
+    per_type = ev.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id", F.lit(12)).alias("sk"),
+        F.count_distinct("user_id").alias("exact_users"),
+    )
+    total = per_type.agg(
+        F.hll_union_agg("sk").alias("sk"),
+        # exact total distinct must rescan (exact counts don't merge);
+        # the SKETCH path is the one that avoids it — which is the
+        # point being attested
+        F.lit(None).cast("long").alias("exact_users"),
+    ).withColumn("event_type", F.lit("ALL"))
+    exact_total = ev.agg(F.count_distinct("user_id").alias("exact_total"))
+    total = total.crossJoin(F.broadcast(exact_total)).select(
+        "event_type", F.col("exact_total").alias("exact_users"), "sk"
+    )
+    unioned = per_type.select("event_type", "exact_users", "sk").unionByName(total)
+    est = F.hll_sketch_estimate("sk")
+    return (
+        unioned.select(
+            "event_type",
+            "exact_users",
+            (
+                F.abs(est - F.col("exact_users"))
+                <= 0.05 * F.col("exact_users")
+            ).alias("within_5pct"),
+        )
+        .orderBy("event_type")
+    )

@@ -75,6 +75,8 @@ SWEEP_PRIORITY: tuple[str, ...] = (
     "arrow_doc_char_stats",
     "pipe_syntax_brand_stats",
     "semdedup_embedding_clusters",
+    "arrow_group_doc_quantiles",
+    "sketch_hll_builtin_rollup",
     # stalest re-attestations (last driver-green in round 2);
     # round-6 additions displace from the END of this block as they
     # land, keeping the never-swept set fully covered.
@@ -102,8 +104,6 @@ SWEEP_PRIORITY: tuple[str, ...] = (
     "string_edit_distance_pairs",
     "date_arithmetic_orders",
     "join_semi_active_customers",
-    "join_anti_customers_without_pending",
-    "join_outer_nation_order_volume",
 )
 
 
