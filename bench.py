@@ -100,6 +100,8 @@ EXTENDED = [
     "pipe_syntax_brand_stats",
     "arrow_group_doc_quantiles",
     "sketch_hll_builtin_rollup",
+    "timeseries_gapfill_locf",
+    "cdc_upsert_orders",
 ]
 
 # Streaming extended queries run dead LAST (after the streaming
@@ -154,6 +156,8 @@ EXPECTED_SF01: dict[str, float] = {
     "pipe_syntax_brand_stats": 1.4,
     "arrow_group_doc_quantiles": 1.1,
     "sketch_hll_builtin_rollup": 1.0,
+    "timeseries_gapfill_locf": 1.5,
+    "cdc_upsert_orders": 1.3,
 }
 
 

@@ -301,3 +301,96 @@ def arrow_group_doc_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@register(
+    "cdc_upsert_orders",
+    oracle="""
+        WITH updates AS (
+            SELECT o_orderkey,
+                   'X' AS o_orderstatus,
+                   CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 1.10
+                        AS DOUBLE) AS o_totalprice
+            FROM orders WHERE o_orderkey % 97 = 0
+        ),
+        inserts AS (
+            SELECT o_orderkey + 10000000 AS o_orderkey,
+                   'N' AS o_orderstatus,
+                   o_totalprice
+            FROM orders WHERE o_orderkey % 101 = 0
+        ),
+        merged AS (
+            SELECT b.o_orderkey,
+                   coalesce(u.o_orderstatus, b.o_orderstatus)
+                       AS o_orderstatus,
+                   coalesce(u.o_totalprice, b.o_totalprice)
+                       AS o_totalprice
+            FROM orders b LEFT JOIN updates u USING (o_orderkey)
+            UNION ALL
+            SELECT * FROM inserts
+        )
+        SELECT o_orderstatus,
+               count(*) AS n_orders,
+               -- 4dp, not 2: updated prices are exact 3dp values
+               -- (2dp * 1.1); re-rounding them to 2dp would land on
+               -- .xx5 half-boundaries where the engines' rounding
+               -- modes differ
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+                   AS total_price
+        FROM merged
+        GROUP BY o_orderstatus
+        ORDER BY o_orderstatus
+    """,
+    tags=("cdc", "merge", "upsert", "warehouse"),
+)
+def cdc_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE/upsert semantics as a DataFrame composition — the CDC
+    apply step of a warehouse pipeline on a format without native
+    MERGE: a deterministic change batch (keys % 97 -> UPDATE with
+    status 'X' and +10% price; keys % 101 -> INSERT under shifted
+    keys) merges into the base via left join + coalesce, inserts
+    append via union. The output aggregates the merged table per
+    status so the oracle attests the full merge (row routing AND
+    value rewrites) in a few rows.
+
+    Scale shape: a CDC batch is orders of magnitude smaller than the
+    base, so the update join BROADCASTS the batch — the base table
+    never shuffles; the insert union is shuffle-free; the final
+    summary is one map-side-combinable aggregate. Price arithmetic
+    stays in exact decimal end to end."""
+    base = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    price_dec = F.col("o_totalprice").cast("decimal(18,2)")
+    updates = base.filter(F.col("o_orderkey") % 97 == 0).select(
+        "o_orderkey",
+        F.lit("X").alias("u_status"),
+        (price_dec * F.lit("1.10").cast("decimal(3,2)"))
+        .cast("double")
+        .alias("u_price"),
+    )
+    inserts = base.filter(F.col("o_orderkey") % 101 == 0).select(
+        (F.col("o_orderkey") + 10000000).alias("o_orderkey"),
+        F.lit("N").alias("o_orderstatus"),
+        "o_totalprice",
+    )
+    merged = (
+        base.join(F.broadcast(updates), "o_orderkey", "left")
+        .select(
+            "o_orderkey",
+            F.coalesce("u_status", "o_orderstatus").alias("o_orderstatus"),
+            F.coalesce("u_price", "o_totalprice").alias("o_totalprice"),
+        )
+        .unionByName(inserts)
+    )
+    return (
+        merged.groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n_orders"),
+            # decimal(18,4): see the oracle's half-boundary comment
+            F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+            .cast("double")
+            .alias("total_price"),
+        )
+        .orderBy("o_orderstatus")
+    )

@@ -387,3 +387,75 @@ def scd2_customer_spend_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("custkey", "version")
     )
+
+
+@register(
+    "timeseries_gapfill_locf",
+    oracle=f"""
+        WITH hourly AS (
+            SELECT event_type, date_trunc('hour', ts) AS hour,
+                   {sql_dsum('value')} AS hour_value,
+                   count(*) AS n_events
+            FROM events GROUP BY 1, 2
+        ),
+        bounds AS (
+            SELECT event_type, min(hour) AS mn, max(hour) AS mx
+            FROM hourly GROUP BY 1
+        ),
+        spine AS (
+            SELECT event_type,
+                   unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS hour
+            FROM bounds
+        )
+        SELECT s.event_type, s.hour,
+               coalesce(h.n_events, 0) AS n_events,
+               (h.hour_value IS NULL) AS is_gap,
+               last_value(h.hour_value IGNORE NULLS) OVER (
+                   PARTITION BY s.event_type ORDER BY s.hour
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS value_locf
+        FROM spine s
+        LEFT JOIN hourly h
+          ON s.event_type = h.event_type AND s.hour = h.hour
+        ORDER BY s.event_type, s.hour
+    """,
+    tags=("temporal", "timeseries", "gapfill", "locf", "hypertable"),
+)
+def timeseries_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style time-bucket gap-fill with last-observation-
+    carried-forward (the TimescaleDB `time_bucket_gapfill` + `locf`
+    recipe): hourly buckets per event type, a dense per-type hour
+    spine (sequence over the type's observed [min, max] range), and
+    LOCF of the exact-decimal hourly value sum across the gaps.
+
+    Scale shape: raw events collapse to (type x hour) buckets in one
+    map-side-combinable aggregate; everything after — spine
+    generation, the left join, the LOCF window — runs on the bucket
+    table, whose size is |types| x hours, independent of event
+    volume. The LOCF window partitions by type, so no global sort."""
+    ev = t(spark, sf_dir, "events")
+    hourly = (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(dsum("value").alias("hour_value"), F.count("*").alias("n_events"))
+        .select(F.col("w.start").alias("hour"), "event_type", "hour_value", "n_events")
+    )
+    bounds = hourly.groupBy("event_type").agg(
+        F.min("hour").alias("mn"), F.max("hour").alias("mx")
+    )
+    spine = bounds.select(
+        "event_type",
+        F.explode(F.sequence("mn", "mx", F.expr("interval 1 hour"))).alias("hour"),
+    )
+    filled = spine.join(hourly, ["event_type", "hour"], "left")
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return filled.select(
+        "event_type",
+        "hour",
+        F.coalesce("n_events", F.lit(0)).alias("n_events"),
+        F.col("hour_value").isNull().alias("is_gap"),
+        F.last("hour_value", ignorenulls=True).over(w).alias("value_locf"),
+    ).orderBy("event_type", "hour")

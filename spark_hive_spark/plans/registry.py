@@ -77,6 +77,8 @@ SWEEP_PRIORITY: tuple[str, ...] = (
     "semdedup_embedding_clusters",
     "arrow_group_doc_quantiles",
     "sketch_hll_builtin_rollup",
+    "timeseries_gapfill_locf",
+    "cdc_upsert_orders",
     # stalest re-attestations (last driver-green in round 2);
     # round-6 additions displace from the END of this block as they
     # land, keeping the never-swept set fully covered.
@@ -102,8 +104,6 @@ SWEEP_PRIORITY: tuple[str, ...] = (
     "unpivot_lineitem_measures",
     "histogram_order_prices",
     "string_edit_distance_pairs",
-    "date_arithmetic_orders",
-    "join_semi_active_customers",
 )
 
 
