@@ -501,8 +501,20 @@ def connected_components(
         msgs = edges.join(
             labels.select(F.col("node").alias("v"), "label"), "v"
         ).select(F.col("u").alias("node"), "label")
+        # Pointer jumping (label-of-label shortcut): in addition to
+        # neighbor labels, every node also adopts its LABEL'S current
+        # label. Plain neighbor propagation needs O(diameter) rounds
+        # — a 40-round wall on chain-shaped fixture graphs — while
+        # the shortcut contracts label chains exponentially, so
+        # convergence is O(log diameter) rounds for one extra
+        # self-join on the (tiny) label table per round.
+        jumped = labels.join(
+            labels.select(F.col("node").alias("label"), F.col("label").alias("label2")),
+            "label",
+        ).select("node", F.col("label2").alias("label"))
         labels = (
             labels.union(msgs)
+            .union(jumped)
             .groupBy("node")
             .agg(F.min("label").alias("label"))
             .coalesce(cc_parts)
