@@ -110,6 +110,7 @@ EXTENDED = [
 STREAMING_EXTENDED = [
     "stream_stream_interval_join",
     "stream_foreachbatch_parquet_sink",
+    "stream_static_enrich_segments",
 ]
 
 
@@ -158,6 +159,7 @@ EXPECTED_SF01: dict[str, float] = {
     "sketch_hll_builtin_rollup": 1.0,
     "timeseries_gapfill_locf": 1.5,
     "cdc_upsert_orders": 1.3,
+    "stream_static_enrich_segments": 2.9,
 }
 
 

@@ -79,6 +79,7 @@ SWEEP_PRIORITY: tuple[str, ...] = (
     "sketch_hll_builtin_rollup",
     "timeseries_gapfill_locf",
     "cdc_upsert_orders",
+    "stream_static_enrich_segments",
     # stalest re-attestations (last driver-green in round 2);
     # round-6 additions displace from the END of this block as they
     # land, keeping the never-swept set fully covered.
@@ -103,7 +104,6 @@ SWEEP_PRIORITY: tuple[str, ...] = (
     "observe_ingest_gate",
     "unpivot_lineitem_measures",
     "histogram_order_prices",
-    "string_edit_distance_pairs",
 )
 
 

@@ -28,7 +28,7 @@ from pyspark.sql import functions as F
 
 from spark_hive_spark.functions.numeric import dsum, sql_dsum
 from spark_hive_spark.plans.registry import register
-from spark_hive_spark.tables import table_path
+from spark_hive_spark.tables import t, table_path
 
 
 def _event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -570,3 +570,41 @@ def stream_foreachbatch_parquet_sink(spark: SparkSession, sf_dir: str) -> DataFr
     out = out.cache()
     out.count()
     return out
+
+
+@register(
+    "stream_static_enrich_segments",
+    oracle=f"""
+        SELECT c.c_mktsegment AS segment,
+               count(*) AS n_events,
+               {sql_dsum('e.value')} AS sum_value
+        FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        GROUP BY 1
+        ORDER BY segment
+    """,
+    tags=("streaming", "stream-static-join", "enrichment"),
+)
+def stream_static_enrich_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static dimension enrichment — the standard streaming
+    ETL shape: an unbounded event stream inner-joins a bounded dim
+    table (user -> market segment), then aggregates per segment.
+
+    Scale notes: a stream-static INNER join is stateless (no
+    watermark, no state store — each micro-batch joins against the
+    static side and forgets), and the static side is broadcast, so
+    the stream never shuffles before the aggregate. The dim table is
+    re-read per micro-batch by design (that is how Spark picks up
+    slowly-changing dims); at 100 TB you'd pin it with a cache() if
+    staleness is acceptable. Complete-mode aggregate converges to the
+    batch result once the input drains — which is what the oracle
+    attests."""
+    ev = _event_stream(spark, sf_dir)
+    cust = t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    joined = ev.join(F.broadcast(cust), "user_id")
+    agg = joined.groupBy(F.col("c_mktsegment").alias("segment")).agg(
+        F.count("*").alias("n_events"), dsum("value").alias("sum_value")
+    )
+    out = _run_to_completion(agg, "complete")
+    return out.orderBy("segment")
