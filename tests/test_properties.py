@@ -200,3 +200,83 @@ def test_decimal_sum_partition_invariant(spark, vals, parts):
     rb = b.agg(dsum("v").alias("s")).collect()[0].s
     assert ra == rb
     assert abs(ra - float(sum(vals))) < 1e-6
+
+
+def test_udtf_chunks_cover_documents_exactly(spark):
+    """Chunk geometry invariants: chunk 0 starts at 0, consecutive
+    chunks stride by exactly 400, every chunk's length is
+    min(500, len - start) (stride < size means several trailing
+    chunks can run short, not just the last), and the final chunk
+    ends exactly at the document length."""
+    from spark_hive_spark.plans.registry import all_queries
+    from tests.conftest import SF_SMOKE
+
+    chunks = all_queries()["udtf_document_chunks"].fn(spark, SF_SMOKE).collect()
+    docs = {
+        r.doc_id: r.n
+        for r in spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+        .selectExpr("doc_id", "length(text) AS n")
+        .collect()
+    }
+    by_doc: dict[int, list] = {}
+    for r in chunks:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert set(by_doc) == {d for d, n in docs.items() if n > 0}
+    for doc_id, rows in by_doc.items():
+        rows.sort(key=lambda r: r.chunk_id)
+        assert [r.chunk_id for r in rows] == list(range(len(rows)))
+        assert all(r.chunk_start == i * 400 for i, r in enumerate(rows))
+        n = docs[doc_id]
+        assert all(r.chunk_len == min(500, n - r.chunk_start) for r in rows)
+        last = rows[-1]
+        assert last.chunk_start + last.chunk_len == n
+
+
+def test_cdc_upsert_preserves_untouched_rows(spark):
+    """Merge accounting: merged row count = base + inserts; update
+    keys keep their key but change status; untouched rows unchanged.
+    (The registered query returns the per-status summary; this test
+    checks the row-routing arithmetic behind it.)"""
+    from pyspark.sql import functions as F
+    from spark_hive_spark.plans.registry import all_queries
+    from spark_hive_spark.tables import t
+    from tests.conftest import SF_SMOKE
+
+    base = t(spark, SF_SMOKE, "orders")
+    n_base = base.count()
+    n_updates = base.filter(F.col("o_orderkey") % 97 == 0).count()
+    n_inserts = base.filter(F.col("o_orderkey") % 101 == 0).count()
+    out = {
+        r.o_orderstatus: r.n_orders
+        for r in all_queries()["cdc_upsert_orders"].fn(spark, SF_SMOKE).collect()
+    }
+    assert sum(out.values()) == n_base + n_inserts
+    assert out.get("N", 0) == n_inserts
+    assert out.get("X", 0) == n_updates
+
+
+def test_gapfill_spine_is_dense_and_locf_holds(spark):
+    """Per type: hours form a dense sequence; LOCF equals the most
+    recent observed value; gap rows have n_events == 0."""
+    from spark_hive_spark.plans.registry import all_queries
+    from tests.conftest import SF_SMOKE
+
+    rows = all_queries()["timeseries_gapfill_locf"].fn(spark, SF_SMOKE).collect()
+    by_type: dict[str, list] = {}
+    for r in rows:
+        by_type.setdefault(r.event_type, []).append(r)
+    for typ, rs in by_type.items():
+        rs.sort(key=lambda r: r.hour)
+        hours = [r.hour for r in rs]
+        assert all(
+            (b - a).total_seconds() == 3600 for a, b in zip(hours, hours[1:])
+        ), f"{typ}: spine not dense"
+        last = None
+        for r in rs:
+            if r.is_gap:
+                assert r.n_events == 0
+                assert r.value_locf == last
+            else:
+                assert r.n_events > 0
+                last = r.value_locf
+        assert not rs[0].is_gap  # spine starts at first observation

@@ -308,3 +308,21 @@ def test_lsh_bucket_cap_bounds_task_size_under_skew(spark):
     to_set = lambda rs: {(r.vec_a, r.vec_b, r.cos_sim) for r in rs}
     assert to_set(capped) == to_set(uncapped)
     assert len(capped) == len(uncapped)  # no within-bucket double-emits
+
+
+def test_pointer_jumping_converges_on_long_chain(spark):
+    """A 120-node path graph has diameter 119: neighbor-only
+    propagation would need ~119 rounds, far past the 15-round bound.
+    Pointer jumping must converge inside the bound and still label
+    every node with the component minimum."""
+    from spark_hive_spark.operators.dedup import connected_components
+
+    n = 120
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "a long, b long"
+    )
+    out = connected_components(pairs, "a", "b", "node", max_iters=15).collect()
+    assert len(out) == n
+    assert all(r.cluster_id == 0 for r in out)
+    assert sum(r.is_representative for r in out) == 1
+    assert all(r.cluster_size == n for r in out)
