@@ -220,3 +220,22 @@ def test_stream_stream_join_keeps_state_bounds(spark):
     # semantic check at smoke scale: every pair is within the hour
     rows = out.collect()
     assert all(0 < r.gap_us <= 3_600_000_000 for r in rows)
+
+
+def test_cdc_upsert_broadcasts_the_change_batch(spark):
+    """The CDC apply join must broadcast the (small) update batch —
+    the base fact table never shuffles for the merge; the only
+    exchange left is the final per-status aggregate."""
+    plan = _plan(spark, "cdc_upsert_orders")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "Exchange hashpartitioning(o_orderkey" not in plan, plan
+
+
+def test_gapfill_windows_partition_by_type(spark):
+    """The LOCF window must partition by event_type (parallel per
+    type), never collapse to a single global-sort partition."""
+    plan = _plan(spark, "timeseries_gapfill_locf")
+    assert "Window" in plan
+    assert "partitionBy=[event_type" in plan.replace(" ", "") or (
+        "hashpartitioning(event_type" in plan
+    ), plan
