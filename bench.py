@@ -111,6 +111,7 @@ STREAMING_EXTENDED = [
     "stream_stream_interval_join",
     "stream_foreachbatch_parquet_sink",
     "stream_static_enrich_segments",
+    "stream_multibatch_tumbling",
 ]
 
 
@@ -160,6 +161,7 @@ EXPECTED_SF01: dict[str, float] = {
     "timeseries_gapfill_locf": 1.5,
     "cdc_upsert_orders": 1.3,
     "stream_static_enrich_segments": 2.9,
+    "stream_multibatch_tumbling": 4.0,
 }
 
 

@@ -80,6 +80,7 @@ SWEEP_PRIORITY: tuple[str, ...] = (
     "timeseries_gapfill_locf",
     "cdc_upsert_orders",
     "stream_static_enrich_segments",
+    "stream_multibatch_tumbling",
     # stalest re-attestations (last driver-green in round 2);
     # round-6 additions displace from the END of this block as they
     # land, keeping the never-swept set fully covered.
@@ -103,7 +104,6 @@ SWEEP_PRIORITY: tuple[str, ...] = (
     "null_semantics_orders",
     "observe_ingest_gate",
     "unpivot_lineitem_measures",
-    "histogram_order_prices",
 )
 
 

@@ -608,3 +608,56 @@ def stream_static_enrich_segments(spark: SparkSession, sf_dir: str) -> DataFrame
     )
     out = _run_to_completion(agg, "complete")
     return out.orderBy("segment")
+
+
+@register(
+    "stream_multibatch_tumbling",
+    oracle=f"""
+        SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+               event_type,
+               count(*) AS n_events,
+               {sql_dsum('value')} AS sum_value
+        FROM events
+        GROUP BY 1, 2
+        ORDER BY window_start, event_type
+    """,
+    tags=("streaming", "window-agg", "multi-batch"),
+)
+def stream_multibatch_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same tumbling aggregate as `stream_tumbling_counts`, but
+    forced through MULTIPLE micro-batches: the fixture is re-sharded
+    into 4 files and the stream reads with maxFilesPerTrigger=1, so
+    the state store must merge partial window aggregates across 4
+    real batch boundaries before the oracle comparison. The
+    single-file drains elsewhere in this module never exercise that
+    merge path; this query attests it (a pytest additionally asserts
+    the run really took >= 4 batches and that a stop/restart from the
+    checkpoint converges to the same result).
+
+    Scale note: maxFilesPerTrigger is the backpressure knob of file
+    sources; the per-batch work is one partial aggregate of a file's
+    rows — state size stays |windows x types| regardless of batch
+    count or input volume."""
+    ev = t(spark, sf_dir, "events").select("ts", "event_type", "value")
+    with tempfile.TemporaryDirectory(prefix="mbatch_") as d:
+        data_dir = os.path.join(d, "events4")
+        ev.repartition(4).write.parquet(data_dir)
+        schema = spark.read.parquet(data_dir).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(data_dir)
+        )
+        agg = stream.groupBy(
+            F.window("ts", "1 hour").alias("w"), "event_type"
+        ).agg(F.count("*").alias("n_events"), dsum("value").alias("sum_value"))
+        out = _run_to_completion(agg, "complete")
+        # materialize inside the tempdir's lifetime
+        out = out.select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        ).orderBy("window_start", "event_type")
+        out = out.localCheckpoint(eager=True)
+    return out

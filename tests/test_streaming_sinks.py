@@ -204,3 +204,71 @@ def test_tws_user_profile_matches_batch_or_env_gated(spark):
         .collect()
     }
     assert got == want
+
+
+def test_checkpoint_recovery_across_restart(spark, tmp_path):
+    """Exactly-once recovery: phase 1 streams the one file present
+    and stops; three more files then arrive; a NEW query restarted
+    from the same checkpoint must pick up only the unseen files
+    (offset log), re-merge into the phase-1 state (state store
+    recovery), and converge to exactly the batch result."""
+    import shutil
+
+    from spark_hive_spark.tables import t
+
+    ev = t(spark, SF_SMOKE, "events").select("ts", "event_type", "value")
+    staging = str(tmp_path / "staging")
+    ev.repartition(4).write.parquet(staging)
+    parts = sorted(
+        f for f in os.listdir(staging) if f.endswith(".parquet")
+    )
+    assert len(parts) == 4
+    src = tmp_path / "arriving"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    schema = spark.read.parquet(staging).schema
+
+    def run_phase(qname: str) -> None:
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+        )
+        agg = stream.groupBy(
+            F.window("ts", "1 hour").alias("w"), "event_type"
+        ).agg(F.count("*").alias("n"))
+        q = (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(qname)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+            q.awaitTermination()
+
+    shutil.copy(os.path.join(staging, parts[0]), src / parts[0])
+    run_phase("ckpt_phase1")
+    n_phase1 = sum(
+        r.n for r in spark.table("ckpt_phase1").collect()
+    )
+    assert 0 < n_phase1 < ev.count()  # partial state, not the drain
+
+    for p in parts[1:]:
+        shutil.copy(os.path.join(staging, p), src / p)
+    run_phase("ckpt_phase2")
+
+    got = {
+        (r["w"]["start"], r["event_type"], r["n"])
+        for r in spark.table("ckpt_phase2").collect()
+    }
+    expected = {
+        (r["w"]["start"], r["event_type"], r["n"])
+        for r in ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert got == expected
