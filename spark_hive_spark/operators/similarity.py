@@ -713,3 +713,101 @@ def semdedup_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # shallow clusters of real near-dup corpora — so the iteration
     # bound is higher than the document former's 15.
     return connected_components(pairs, "vec_a", "vec_b", "vec_id", max_iters=60)
+
+
+@register(
+    "ann_recall_audit",
+    oracle=f"""
+        WITH v AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+            FROM embeddings
+        ),
+        pairs AS (
+            SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+            FROM v a, v b
+            WHERE a.vec_id < b.vec_id
+              AND {sql_cosine('a.e', 'b.e')} >= {NEARDUP_COS}
+        )
+        SELECT * FROM (
+            SELECT 'knn' AS method,
+                   CAST({N_QUERIES} * {TOP_K} AS BIGINT) AS n_exact,
+                   TRUE AS recall_ok,
+                   CAST(0 AS BIGINT) AS precision_violations
+            UNION ALL
+            SELECT 'neardup' AS method,
+                   (SELECT count(*) FROM pairs) AS n_exact,
+                   TRUE AS recall_ok,
+                   CAST(0 AS BIGINT) AS precision_violations
+        ) ORDER BY method
+    """,
+    tags=("similarity", "ann", "audit", "lsh"),
+)
+def ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-hashable quality gate for the seed-dependent ANN pair —
+    the exactness-bracket recipe (VERDICT r4 #4) applied to the two
+    operators whose raw outputs legitimately cannot have SQL oracles
+    (the candidate sets depend on numpy-seeded hyperplanes):
+
+    - `neardup`: recall of `neardup_embeddings_lsh` against the exact
+      pair set (banding analysis predicts 0.996; gate at the
+      invariant suite's 0.9 floor), and the count of emitted pairs
+      NOT in the exact set ignoring threshold-boundary float noise
+      (candidate verification is exact, so this must be 0).
+    - `knn`: recall@{TOP_K} of `knn_cosine_lsh` against brute force
+      (gate at the suite's 0.2 floor — near-random vectors make LSH
+      top-k recall modest by construction), and the count of returned
+      neighbors whose reported cosine disagrees with the brute-force
+      cosine for the same pair (reranking is exact: must be 0).
+
+    The oracle reproduces n_exact from first principles in DuckDB and
+    pins the booleans/violation counts, so a silently broken LSH path
+    (bad banding, wrong verification) flips a driver row, not just a
+    pytest."""
+    exact = neardup_embeddings(spark, sf_dir).select("vec_a", "vec_b")
+    lsh = neardup_embeddings_lsh(spark, sf_dir).select("vec_a", "vec_b", "cos_sim")
+    n_exact = exact.agg(F.count("*").alias("n")).select(
+        F.col("n").alias("n_exact")
+    )
+    hit = lsh.join(exact, ["vec_a", "vec_b"], "inner").agg(
+        F.count("*").alias("n_hit")
+    )
+    # pairs emitted but not exact, excluding threshold-boundary noise
+    viol = (
+        lsh.join(exact, ["vec_a", "vec_b"], "left_anti")
+        .filter(F.abs(F.col("cos_sim") - F.lit(NEARDUP_COS)) > 1e-6)
+        .agg(F.count("*").alias("n_viol"))
+    )
+    neardup_row = (
+        n_exact.crossJoin(hit)
+        .crossJoin(viol)
+        .select(
+            F.lit("neardup").alias("method"),
+            F.col("n_exact").cast("bigint").alias("n_exact"),
+            (F.col("n_hit") / F.col("n_exact") >= 0.9).alias("recall_ok"),
+            F.col("n_viol").cast("bigint").alias("precision_violations"),
+        )
+    )
+
+    brute = knn_cosine_bruteforce(spark, sf_dir).select(
+        "query_id", "neighbor_id", F.col("cos_sim").alias("brute_cos")
+    )
+    ann = knn_cosine_lsh(spark, sf_dir).select(
+        "query_id", "neighbor_id", "cos_sim"
+    )
+    k_hit = ann.join(brute, ["query_id", "neighbor_id"], "inner")
+    k_total = brute.agg(F.count("*").alias("n_exact"))
+    k_recall = k_hit.agg(F.count("*").alias("n_hit"))
+    k_viol = k_hit.filter(
+        F.abs(F.col("cos_sim") - F.col("brute_cos")) > 1e-6
+    ).agg(F.count("*").alias("n_viol"))
+    knn_row = (
+        k_total.crossJoin(k_recall)
+        .crossJoin(k_viol)
+        .select(
+            F.lit("knn").alias("method"),
+            F.col("n_exact").cast("bigint").alias("n_exact"),
+            (F.col("n_hit") / F.col("n_exact") >= 0.2).alias("recall_ok"),
+            F.col("n_viol").cast("bigint").alias("precision_violations"),
+        )
+    )
+    return neardup_row.unionByName(knn_row).orderBy("method")

@@ -81,6 +81,7 @@ SWEEP_PRIORITY: tuple[str, ...] = (
     "cdc_upsert_orders",
     "stream_static_enrich_segments",
     "stream_multibatch_tumbling",
+    "ann_recall_audit",
     # stalest re-attestations (last driver-green in round 2);
     # round-6 additions displace from the END of this block as they
     # land, keeping the never-swept set fully covered.
@@ -103,7 +104,6 @@ SWEEP_PRIORITY: tuple[str, ...] = (
     "safe_arithmetic_orders",
     "null_semantics_orders",
     "observe_ingest_gate",
-    "unpivot_lineitem_measures",
 )
 
 
