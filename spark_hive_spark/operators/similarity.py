@@ -729,6 +729,11 @@ def semdedup_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
               AND {sql_cosine('a.e', 'b.e')} >= {NEARDUP_COS}
         )
         SELECT * FROM (
+            SELECT 'ivf' AS method,
+                   CAST({N_QUERIES} * {TOP_K} AS BIGINT) AS n_exact,
+                   TRUE AS recall_ok,
+                   CAST(0 AS BIGINT) AS precision_violations
+            UNION ALL
             SELECT 'knn' AS method,
                    CAST({N_QUERIES} * {TOP_K} AS BIGINT) AS n_exact,
                    TRUE AS recall_ok,
@@ -753,11 +758,12 @@ def ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
       invariant suite's 0.9 floor), and the count of emitted pairs
       NOT in the exact set ignoring threshold-boundary float noise
       (candidate verification is exact, so this must be 0).
-    - `knn`: recall@{TOP_K} of `knn_cosine_lsh` against brute force
-      (gate at the suite's 0.2 floor — near-random vectors make LSH
-      top-k recall modest by construction), and the count of returned
-      neighbors whose reported cosine disagrees with the brute-force
-      cosine for the same pair (reranking is exact: must be 0).
+    - `knn` / `ivf`: recall@{TOP_K} of `knn_cosine_lsh` /
+      `knn_cosine_ivf` against brute force (gate at the suite's 0.2
+      floor — near-random vectors make blocked top-k recall modest by
+      construction), and the count of returned neighbors whose
+      reported cosine disagrees with the brute-force cosine for the
+      same pair (reranking is exact: must be 0).
 
     The oracle reproduces n_exact from first principles in DuckDB and
     pins the booleans/violation counts, so a silently broken LSH path
@@ -791,23 +797,28 @@ def ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     brute = knn_cosine_bruteforce(spark, sf_dir).select(
         "query_id", "neighbor_id", F.col("cos_sim").alias("brute_cos")
     )
-    ann = knn_cosine_lsh(spark, sf_dir).select(
-        "query_id", "neighbor_id", "cos_sim"
-    )
-    k_hit = ann.join(brute, ["query_id", "neighbor_id"], "inner")
-    k_total = brute.agg(F.count("*").alias("n_exact"))
-    k_recall = k_hit.agg(F.count("*").alias("n_hit"))
-    k_viol = k_hit.filter(
-        F.abs(F.col("cos_sim") - F.col("brute_cos")) > 1e-6
-    ).agg(F.count("*").alias("n_viol"))
-    knn_row = (
-        k_total.crossJoin(k_recall)
-        .crossJoin(k_viol)
-        .select(
-            F.lit("knn").alias("method"),
-            F.col("n_exact").cast("bigint").alias("n_exact"),
-            (F.col("n_hit") / F.col("n_exact") >= 0.2).alias("recall_ok"),
-            F.col("n_viol").cast("bigint").alias("precision_violations"),
+
+    def knn_audit_row(label: str, ann: DataFrame) -> DataFrame:
+        ann = ann.select("query_id", "neighbor_id", "cos_sim")
+        k_hit = ann.join(brute, ["query_id", "neighbor_id"], "inner")
+        k_total = brute.agg(F.count("*").alias("n_exact"))
+        k_recall = k_hit.agg(F.count("*").alias("n_hit"))
+        k_viol = k_hit.filter(
+            F.abs(F.col("cos_sim") - F.col("brute_cos")) > 1e-6
+        ).agg(F.count("*").alias("n_viol"))
+        return (
+            k_total.crossJoin(k_recall)
+            .crossJoin(k_viol)
+            .select(
+                F.lit(label).alias("method"),
+                F.col("n_exact").cast("bigint").alias("n_exact"),
+                (F.col("n_hit") / F.col("n_exact") >= 0.2).alias("recall_ok"),
+                F.col("n_viol").cast("bigint").alias("precision_violations"),
+            )
         )
+
+    knn_row = knn_audit_row("knn", knn_cosine_lsh(spark, sf_dir))
+    ivf_row = knn_audit_row("ivf", knn_cosine_ivf(spark, sf_dir))
+    return (
+        neardup_row.unionByName(knn_row).unionByName(ivf_row).orderBy("method")
     )
-    return neardup_row.unionByName(knn_row).orderBy("method")
