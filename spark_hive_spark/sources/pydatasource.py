@@ -130,3 +130,117 @@ def source_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+if _HAS_DATASOURCE_API:
+    try:  # pragma: no cover - version-dependent
+        from pyspark.sql.datasource import SimpleDataSourceStreamReader
+
+        _HAS_STREAM_READER = True
+    except ImportError:  # pragma: no cover
+        _HAS_STREAM_READER = False
+
+    if _HAS_STREAM_READER:
+
+        class SyntheticEventsStreamReader(SimpleDataSourceStreamReader):
+            """Offset-tracked streaming twin of the batch reader: each
+            micro-batch emits the next `chunk` ids, the offset is the
+            next unread id, and the generator is the same pure
+            function of id — so replay from any offset is idempotent
+            (exactly-once under retries, the property a production
+            source derives from log offsets).
+
+            SimpleDataSourceStreamReader runs driver-side (the
+            prototyping tier of the API); a production-scale source
+            implements the partitioned DataSourceStreamReader so each
+            executor reads its own slice per batch — the BATCH reader
+            above demonstrates that partitioned shape."""
+
+            def __init__(self, options: dict) -> None:
+                self.n = int(options.get("n", 10_000))
+                self.chunk = int(options.get("chunk", 20_000))
+
+            def initialOffset(self) -> dict:
+                return {"next": 0}
+
+            def read(self, start: dict):
+                lo = int(start["next"])
+                hi = min(lo + self.chunk, self.n)
+                return self._rows(lo, hi), {"next": hi}
+
+            def readBetweenOffsets(self, start: dict, end: dict):
+                return self._rows(int(start["next"]), int(end["next"]))
+
+            @staticmethod
+            def _rows(lo: int, hi: int):
+                # iter(list), not a bare generator or list: the engine
+                # both advances the result with next() AND copies the
+                # cached (rows, offset) pair — a list-iterator is the
+                # one container that is an iterator and picklable
+                return iter(
+                    [
+                        (
+                            rid,
+                            (rid * _KNUTH) % _M32 % 10,
+                            (rid * _KNUTH) % _M32 % 10_000,
+                        )
+                        for rid in range(lo, hi)
+                    ]
+                )
+
+        class SyntheticEventsStreamSource(DataSource):
+            @classmethod
+            def name(cls) -> str:
+                return "synthetic_rows_stream"
+
+            def schema(self) -> str:
+                return "id bigint, bucket int, cents bigint"
+
+            def simpleStreamReader(self, schema):
+                return SyntheticEventsStreamReader(self.options)
+
+
+@register(
+    "source_python_datasource_stream",
+    oracle=f"""
+        SELECT bucket,
+               count(*) AS n_rows,
+               CAST(sum(cents) AS BIGINT) AS sum_cents
+        FROM (
+            SELECT id,
+                   ((id * {_KNUTH}) % {_M32}) % 10 AS bucket,
+                   ((id * {_KNUTH}) % {_M32}) % 10000 AS cents
+            FROM generate_series(0, {_N - 1}) AS g(id)
+        )
+        GROUP BY bucket
+        ORDER BY bucket
+    """,
+    tags=("source", "datasource-api", "python", "streaming"),
+)
+def source_python_datasource_stream(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """STREAMING ingestion through the custom Python data source: the
+    offset-tracked reader feeds 100k rows in 20k-row micro-batches
+    (5 real batches), a complete-mode aggregate folds them, and the
+    drained result must equal the batch/oracle table — attesting the
+    offset protocol (no loss, no double-read across batch boundaries)
+    end to end. sf_dir is unused by design: no file is read."""
+    if not (_HAS_DATASOURCE_API and _HAS_STREAM_READER):  # pragma: no cover
+        raise NotImplementedError(
+            "pyspark.sql.datasource streaming API not available"
+        )
+    from spark_hive_spark.streaming.windows import _run_to_completion
+
+    spark.dataSource.register(SyntheticEventsStreamSource)
+    stream = (
+        spark.readStream.format("synthetic_rows_stream")
+        .option("n", str(_N))
+        .option("chunk", "20000")
+        .load()
+    )
+    agg = stream.groupBy("bucket").agg(
+        F.count("*").alias("n_rows"), F.sum("cents").alias("sum_cents")
+    )
+    out = _run_to_completion(agg, "complete")
+    return out.orderBy("bucket")
