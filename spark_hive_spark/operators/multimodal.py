@@ -182,3 +182,85 @@ def multimodal_frame_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
     media = docs.select("doc_id", F.encode("text", "UTF-8").alias("payload"))
     return sample_frames(media).orderBy("doc_id", "frame_idx")
+
+
+RESIZE_TARGET = 224  # the ubiquitous vision-model input edge
+RESIZE_SCHEMA = (
+    "doc_id long, in_w int, in_h int, out_w int, out_h int, out_bytes long"
+)
+
+
+def plan_resize(decoded: DataFrame) -> DataFrame:
+    """Resize stage over decoded frames: computes the aspect-
+    preserving fit into RESIZE_TARGET² (the letterbox geometry every
+    vision preprocessor needs) as a vectorized mapInPandas stage.
+    The actual pixel resample is the same codec seam as decode_image
+    — on a real cluster the numpy block below calls the resampling
+    kernel; the geometry arithmetic, Arrow batch shape, and schema
+    are the production plumbing and are oracle-checked."""
+
+    def resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            w = pdf["fake_width"].to_numpy(dtype="float64")
+            h = pdf["fake_height"].to_numpy(dtype="float64")
+            scale = np.minimum(RESIZE_TARGET / w, RESIZE_TARGET / h)
+            out_w = np.maximum(1, np.floor(w * scale)).astype("int64")
+            out_h = np.maximum(1, np.floor(h * scale)).astype("int64")
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "in_w": pdf["fake_width"],
+                    "in_h": pdf["fake_height"],
+                    "out_w": out_w,
+                    "out_h": out_h,
+                    "out_bytes": out_w * out_h * 3,
+                }
+            )
+
+    return decoded.mapInPandas(resize_batches, schema=RESIZE_SCHEMA)
+
+
+@register(
+    "multimodal_resize_plan",
+    oracle=f"""
+        WITH d AS (
+            SELECT doc_id,
+                   octet_length(encode(text)) % 640 + 1 AS in_w,
+                   octet_length(encode(text)) % 480 + 1 AS in_h
+            FROM documents
+            WHERE doc_id < 200
+        ),
+        g AS (
+            SELECT doc_id, in_w, in_h,
+                   least({RESIZE_TARGET}.0 / in_w,
+                         {RESIZE_TARGET}.0 / in_h) AS scale
+            FROM d
+        )
+        SELECT doc_id, in_w, in_h,
+               CAST(greatest(1, floor(in_w * scale)) AS INT) AS out_w,
+               CAST(greatest(1, floor(in_h * scale)) AS INT) AS out_h,
+               CAST(greatest(1, floor(in_w * scale))
+                    * greatest(1, floor(in_h * scale)) * 3 AS BIGINT)
+                   AS out_bytes
+        FROM g
+        ORDER BY doc_id
+    """,
+    tags=("multimodal", "udf", "resize", "llm-pipeline"),
+)
+def multimodal_resize_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode → resize-geometry pipeline: the decode mapInPandas
+    stage feeds the resize mapInPandas stage (both Arrow-vectorized),
+    producing the aspect-preserving {RESIZE}×{RESIZE} fit every
+    vision preprocessor computes before the pixel kernel. Both
+    engines evaluate the identical IEEE expression (min of two double
+    ratios, multiply, floor), so the geometry is exactly hashable.
+
+    Scale: two chained narrow map stages — no shuffle at all; the
+    plan streams binary batches through decode and geometry through
+    resize, partition-local end to end."""
+    docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    media = docs.select("doc_id", F.encode("text", "UTF-8").alias("payload"))
+    decoded = decode_media_features(media)
+    return plan_resize(decoded).orderBy("doc_id")
