@@ -102,6 +102,7 @@ EXTENDED = [
     "sketch_hll_builtin_rollup",
     "timeseries_gapfill_locf",
     "cdc_upsert_orders",
+    "multimodal_resize_plan",
 ]
 
 # Streaming extended queries run dead LAST (after the streaming
@@ -112,6 +113,7 @@ STREAMING_EXTENDED = [
     "stream_foreachbatch_parquet_sink",
     "stream_static_enrich_segments",
     "stream_multibatch_tumbling",
+    "source_python_datasource_stream",
 ]
 
 
@@ -162,6 +164,8 @@ EXPECTED_SF01: dict[str, float] = {
     "cdc_upsert_orders": 1.3,
     "stream_static_enrich_segments": 2.9,
     "stream_multibatch_tumbling": 4.0,
+    "multimodal_resize_plan": 1.3,
+    "source_python_datasource_stream": 5.2,
 }
 
 
