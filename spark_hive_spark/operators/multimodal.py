@@ -252,7 +252,7 @@ def plan_resize(decoded: DataFrame) -> DataFrame:
 def multimodal_resize_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decode → resize-geometry pipeline: the decode mapInPandas
     stage feeds the resize mapInPandas stage (both Arrow-vectorized),
-    producing the aspect-preserving {RESIZE}×{RESIZE} fit every
+    producing the aspect-preserving 224×224 fit every
     vision preprocessor computes before the pixel kernel. Both
     engines evaluate the identical IEEE expression (min of two double
     ratios, multiply, floor), so the geometry is exactly hashable.

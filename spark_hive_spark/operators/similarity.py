@@ -292,10 +292,16 @@ def _salted_bucket_tasks(bucketed: DataFrame, cap: int) -> DataFrame:
     the plan degenerates to today's one-task-per-bucket shape with
     zero replication.
 
-    The bucket-size count is one extra groupBy over (tbl, bucket) —
-    key cardinality tables * 2^bits (512 here), so the join back is a
-    broadcast, not a shuffle of the big side.
+    The bucket-size count is one extra groupBy over (tbl, bucket)
+    on the CHECKPOINTED bucketized rows — key cardinality
+    tables * 2^bits (512 here), so the join back is a broadcast, not
+    a shuffle of the big side, and the hyperplane matmul runs once,
+    not once per consumer.
     """
+    # materialize the bucketized rows once: the sizes aggregate AND the
+    # join probe side both consume them, and without a checkpoint each
+    # branch re-runs the 32-table hyperplane matmul over every vector
+    bucketed = bucketed.localCheckpoint(eager=True)
     sizes = bucketed.groupBy("tbl", "bucket").agg(
         F.ceil(F.count("*") / F.lit(cap)).cast("int").alias("n_chunks")
     )
@@ -769,8 +775,20 @@ def ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     pins the booleans/violation counts, so a silently broken LSH path
     (bad banding, wrong verification) flips a driver row, not just a
     pytest."""
-    exact = neardup_embeddings(spark, sf_dir).select("vec_a", "vec_b")
-    lsh = neardup_embeddings_lsh(spark, sf_dir).select("vec_a", "vec_b", "cos_sim")
+    # checkpoint every frame with >1 consumer: the exact GEMM feeds a
+    # count + two joins, the LSH pairs feed two joins, and brute-force
+    # kNN feeds a count + a join per audited method — without this the
+    # expensive applyInPandas stages re-execute per consumer
+    exact = (
+        neardup_embeddings(spark, sf_dir)
+        .select("vec_a", "vec_b")
+        .localCheckpoint(eager=True)
+    )
+    lsh = (
+        neardup_embeddings_lsh(spark, sf_dir)
+        .select("vec_a", "vec_b", "cos_sim")
+        .localCheckpoint(eager=True)
+    )
     n_exact = exact.agg(F.count("*").alias("n")).select(
         F.col("n").alias("n_exact")
     )
@@ -794,13 +812,17 @@ def ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
-    brute = knn_cosine_bruteforce(spark, sf_dir).select(
-        "query_id", "neighbor_id", F.col("cos_sim").alias("brute_cos")
+    brute = (
+        knn_cosine_bruteforce(spark, sf_dir)
+        .select("query_id", "neighbor_id", F.col("cos_sim").alias("brute_cos"))
+        .localCheckpoint(eager=True)
     )
 
     def knn_audit_row(label: str, ann: DataFrame) -> DataFrame:
         ann = ann.select("query_id", "neighbor_id", "cos_sim")
-        k_hit = ann.join(brute, ["query_id", "neighbor_id"], "inner")
+        k_hit = ann.join(brute, ["query_id", "neighbor_id"], "inner").localCheckpoint(
+            eager=True
+        )
         k_total = brute.agg(F.count("*").alias("n_exact"))
         k_recall = k_hit.agg(F.count("*").alias("n_hit"))
         k_viol = k_hit.filter(
