@@ -704,3 +704,96 @@ def ratio_to_report_customer_revenue(spark: SparkSession, sf_dir: str) -> DataFr
         )
         .orderBy("n_name", "c_custkey")
     )
+
+
+@register(
+    "rfm_approx_audit",
+    oracle="""
+        SELECT m.metric,
+               (SELECT count(DISTINCT user_id) FROM events
+                WHERE event_type = 'purchase') AS n_users,
+               CAST(0 AS BIGINT) AS tie_split_violations,
+               CAST(0 AS BIGINT) AS monotonicity_violations,
+               TRUE AS tie_free_agreement_ok
+        FROM (VALUES ('frequency'), ('monetary'), ('recency_days'))
+             AS m(metric)
+        ORDER BY m.metric
+    """,
+    tags=("analytics", "rfm", "audit", "approx"),
+)
+def rfm_approx_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-hashable contract check for `rfm_user_scores_approx`
+    (the rows-only scale path): per metric it emits the three
+    properties the invariant suite asserts, computed distributedly —
+    (1) tie splits: metric values mapped to more than one bucket
+    (edge bucketing must keep ties together; exact ntile cannot),
+    (2) monotonicity violations: buckets must be monotone in the
+    metric, (3) >=90% agreement with the exact-ntile twin on
+    tie-free values. The oracle pins zero violations and the
+    agreement verdict, and reproduces n_users independently — so a
+    broken percentile-edge path flips a driver row."""
+    exact = rfm_user_scores(spark, sf_dir).localCheckpoint(eager=True)
+    approx = rfm_user_scores_approx(spark, sf_dir).localCheckpoint(eager=True)
+    both = approx.alias("a").join(
+        exact.alias("e"), F.col("a.user_id") == F.col("e.user_id")
+    )
+
+    rows = []
+    for metric, col, reverse in (
+        ("frequency", "f_bucket", True),
+        ("monetary", "m_bucket", True),
+        ("recency_days", "r_bucket", False),
+    ):
+        n_users = approx.agg(F.count("*").alias("n_users"))
+        ties = (
+            approx.groupBy(metric)
+            .agg(F.count_distinct(col).alias("nb"))
+            .filter(F.col("nb") > 1)
+            .agg(F.count("*").alias("tie_split_violations"))
+        )
+        # sorted ascending by metric: buckets must be nondecreasing
+        # (recency: higher = worse = higher bucket) or nonincreasing
+        # (frequency/monetary: higher = better = lower bucket)
+        w = W.orderBy(metric, "user_id").rowsBetween(
+            W.unboundedPreceding, -1
+        )
+        if reverse:
+            bad = F.col(col) > F.min(col).over(w)
+        else:
+            bad = F.col(col) < F.max(col).over(w)
+        mono = approx.select(
+            F.coalesce(bad, F.lit(False)).alias("bad")
+        ).agg(F.sum(F.col("bad").cast("long")).alias("monotonicity_violations"))
+        counts = approx.groupBy(metric).agg(F.count("*").alias("n_same"))
+        tf = (
+            both.join(counts, metric)
+            .filter(F.col("n_same") == 1)
+            .agg(
+                F.count("*").alias("n_tf"),
+                F.sum(
+                    (F.col(f"a.{col}") == F.col(f"e.{col}")).cast("long")
+                ).alias("n_agree"),
+            )
+            .select(
+                # vacuously true when every value ties (smoke SF)
+                F.coalesce(
+                    F.col("n_agree") / F.col("n_tf") >= 0.9, F.lit(True)
+                ).alias("tie_free_agreement_ok")
+            )
+        )
+        rows.append(
+            n_users.crossJoin(ties)
+            .crossJoin(mono)
+            .crossJoin(tf)
+            .select(
+                F.lit(metric).alias("metric"),
+                F.col("n_users").cast("bigint"),
+                F.col("tie_split_violations").cast("bigint"),
+                F.col("monotonicity_violations").cast("bigint"),
+                "tie_free_agreement_ok",
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out.orderBy("metric")
