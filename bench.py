@@ -103,6 +103,7 @@ EXTENDED = [
     "timeseries_gapfill_locf",
     "cdc_upsert_orders",
     "multimodal_resize_plan",
+    "bitmap_distinct_rollup",
 ]
 
 # Streaming extended queries run dead LAST (after the streaming
@@ -166,6 +167,7 @@ EXPECTED_SF01: dict[str, float] = {
     "stream_multibatch_tumbling": 4.0,
     "multimodal_resize_plan": 1.3,
     "source_python_datasource_stream": 5.2,
+    "bitmap_distinct_rollup": 1.0,
 }
 
 

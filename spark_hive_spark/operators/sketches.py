@@ -153,3 +153,52 @@ def sketch_hll_builtin_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "bitmap_distinct_rollup",
+    oracle="""
+        WITH per_type AS (
+            SELECT event_type,
+                   count(DISTINCT user_id) AS n_distinct_users
+            FROM events GROUP BY event_type
+        ),
+        total AS (
+            SELECT 'ALL' AS event_type,
+                   count(DISTINCT user_id) AS n_distinct_users
+            FROM events
+        )
+        SELECT event_type, n_distinct_users
+        FROM (SELECT * FROM per_type UNION ALL SELECT * FROM total)
+        ORDER BY event_type
+    """,
+    tags=("sketch", "bitmap", "distinct", "rollup"),
+)
+def bitmap_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT mergeable distinct counts via Spark's bitmap functions
+    (bitmap_bucket_number / bitmap_bit_position /
+    bitmap_construct_agg / bitmap_or_agg / bitmap_count) — the exact
+    counterpart of the HLL rollup: per-(key, bucket) bitmaps build in
+    one map-side-combinable scan, per-type counts sum the bucket
+    bitmaps' bits, and the corpus-total row ORs the same bitmaps
+    across types — no second scan and no Expand, which is how exact
+    distinct rollups stay one-pass at 100 TB when the id domain is
+    dense enough for bitmaps (user ids are). Agrees bit-for-bit with
+    count(DISTINCT) in the oracle."""
+    ev = t(spark, sf_dir, "events")
+    base = ev.groupBy(
+        "event_type", F.expr("bitmap_bucket_number(user_id)").alias("bkt")
+    ).agg(
+        F.expr("bitmap_construct_agg(bitmap_bit_position(user_id))").alias("bm")
+    )
+    base = base.localCheckpoint(eager=True)  # feeds per-type AND total
+    per_type = base.groupBy("event_type").agg(
+        F.expr("sum(bitmap_count(bm))").alias("n_distinct_users")
+    )
+    total = (
+        base.groupBy("bkt")
+        .agg(F.expr("bitmap_or_agg(bm)").alias("bm"))
+        .agg(F.expr("sum(bitmap_count(bm))").alias("n_distinct_users"))
+        .select(F.lit("ALL").alias("event_type"), "n_distinct_users")
+    )
+    return per_type.unionByName(total).orderBy("event_type")

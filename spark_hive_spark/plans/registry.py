@@ -85,6 +85,7 @@ SWEEP_PRIORITY: tuple[str, ...] = (
     "source_python_datasource_stream",
     "multimodal_resize_plan",
     "rfm_approx_audit",
+    "bitmap_distinct_rollup",
     # stalest re-attestations (last driver-green in round 2);
     # round-6 additions displace from the END of this block as they
     # land, keeping the never-swept set fully covered.
@@ -103,7 +104,6 @@ SWEEP_PRIORITY: tuple[str, ...] = (
     "calendar_densified_daily_orders",
     "mode_priority_per_nation",
     "explode_outer_token_rows",
-    "profile_orders_columns",
 )
 
 
