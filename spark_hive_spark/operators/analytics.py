@@ -802,3 +802,60 @@ def rfm_approx_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     for r in rows[1:]:
         out = out.unionByName(r)
     return out.orderBy("metric")
+
+
+@register(
+    "running_distinct_users",
+    oracle="""
+        WITH first_seen AS (
+            SELECT event_type, user_id,
+                   min(CAST(ts AS DATE)) AS first_day
+            FROM events GROUP BY event_type, user_id
+        ),
+        daily_new AS (
+            SELECT event_type, first_day AS day,
+                   count(*) AS n_new_users
+            FROM first_seen GROUP BY event_type, first_day
+        )
+        SELECT event_type, day, n_new_users,
+               CAST(sum(n_new_users) OVER (
+                   PARTITION BY event_type ORDER BY day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS BIGINT) AS cum_distinct_users
+        FROM daily_new
+        ORDER BY event_type, day
+    """,
+    tags=("analytics", "window", "distinct", "rewrite"),
+)
+def running_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running distinct-user count per event type by day — the query
+    Spark cannot express directly (COUNT(DISTINCT) OVER a running
+    frame is unsupported) and the naive workaround
+    (size(collect_set() OVER ...)) materializes the full set per row.
+    The scalable rewrite: distinct-to-date == users whose FIRST
+    occurrence is <= the day, so one (type, user) min-date aggregate
+    + a daily-new count + a running integer sum gives the exact
+    answer with state linear in |days x types|, never in users.
+
+    Scale posture: two map-side-combinable aggregates over the fact
+    table, then a window over the tiny (type x day) grid. This is
+    the standard production rewrite for cumulative-uniques dashboards
+    at any volume."""
+    ev = t(spark, sf_dir, "events")
+    first_seen = ev.groupBy("event_type", "user_id").agg(
+        F.min(F.to_date("ts")).alias("first_day")
+    )
+    daily_new = first_seen.groupBy(
+        "event_type", F.col("first_day").alias("day")
+    ).agg(F.count("*").alias("n_new_users"))
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return daily_new.select(
+        "event_type",
+        "day",
+        "n_new_users",
+        F.sum("n_new_users").over(w).cast("bigint").alias("cum_distinct_users"),
+    ).orderBy("event_type", "day")
