@@ -67,13 +67,30 @@ def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     the grading driver builds its own, without session.py's conf block
     — and the loader must work on all of them. The conf is
     runtime-settable and only affects parquet reads planned after the
-    set, which is exactly the read below."""
-    if name == "events":
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    set, which is exactly the read below.
+
+    The nanos defense is applied to EVERY known timestamp column, not
+    just events.ts: the fixture generator has already flipped one
+    column's physical type between rounds, and any of the date
+    columns could be next — a bigint read (nanos-as-long) converts,
+    anything already timestamp-typed passes through untouched."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(table_path(sf_dir, name))
+    for col in _TS_COLS.get(name, ()):
+        if col in df.columns and df.schema[col].dataType.simpleString() == "bigint":
+            df = df.withColumn(col, F.expr(f"timestamp_micros({col} div 1000)"))
     if name == "events":
         df = df.withColumn("ts", _normalize_event_ts(df))
     return df
+
+
+# Columns that are semantically timestamps, whatever physical type a
+# fixture generation happens to write them with.
+_TS_COLS: dict[str, tuple[str, ...]] = {
+    "orders": ("o_orderdate",),
+    "lineitem": ("l_shipdate", "l_commitdate", "l_receiptdate"),
+    "events": ("ts",),
+}
 
 
 def _normalize_event_ts(df: DataFrame):

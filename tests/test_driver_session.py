@@ -70,3 +70,34 @@ def test_events_queries_run_without_session_conf(spark, qname):
     q = all_queries()[qname]
     out = q.fn(spark, SF_SMOKE)
     assert out.count() >= 0
+
+
+def test_nanos_drift_any_date_column(spark, tmp_path):
+    """Fixture-drift defense: if a regeneration writes ANY known
+    timestamp column as parquet TIMESTAMP(NANOS) (as happened to
+    events.ts between rounds 5 and 6), the loader must read it as
+    nanos-as-long and convert — for every table in _TS_COLS, not just
+    events."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql.types import TimestampType
+
+    from spark_hive_spark.tables import _read
+
+    tbl = pa.table(
+        {
+            "o_orderkey": pa.array([1, 2], pa.int64()),
+            "o_orderdate": pa.array(
+                [1700000000000000000, 1700000086400000000000 % 2**62],
+                pa.timestamp("ns"),
+            ),
+            "o_totalprice": pa.array([10.0, 20.0]),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "orders.parquet"), version="2.6")
+    df = _read(spark, str(tmp_path), "orders")
+    assert isinstance(df.schema["o_orderdate"].dataType, TimestampType)
+    rows = df.orderBy("o_orderkey").collect()
+    # nanos 1700000000000000000 -> micros 1700000000000000 (UTC
+    # 2023-11-14T22:13:20)
+    assert rows[0].o_orderdate.year == 2023 and rows[0].o_orderdate.second == 20
