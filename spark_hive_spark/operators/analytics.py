@@ -859,3 +859,78 @@ def running_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_new_users",
         F.sum("n_new_users").over(w).cast("bigint").alias("cum_distinct_users"),
     ).orderBy("event_type", "day")
+
+
+def _pareto_front(pdf):
+    """Exact 2-D skyline of one pandas frame: minimize p_retailprice,
+    maximize p_size. Price-ascending sweep; within a price group only
+    the max-size rows survive, and only if they strictly beat the
+    best size seen at any lower price. Equal (price, size) rows all
+    survive (neither strictly dominates)."""
+    out = []
+    best_size = None
+    for price, grp in pdf.sort_values("p_retailprice").groupby(
+        "p_retailprice", sort=True
+    ):
+        gmax = grp["p_size"].max()
+        if best_size is None or gmax > best_size:
+            out.append(grp[grp["p_size"] == gmax])
+            best_size = gmax if best_size is None else max(best_size, gmax)
+    import pandas as pd
+
+    if not out:
+        return pdf.iloc[0:0]
+    return pd.concat(out, ignore_index=True)
+
+
+@register(
+    "skyline_price_size_parts",
+    oracle="""
+        SELECT a.p_partkey, a.p_retailprice, a.p_size
+        FROM part a
+        WHERE NOT EXISTS (
+            SELECT 1 FROM part b
+            WHERE b.p_retailprice <= a.p_retailprice
+              AND b.p_size >= a.p_size
+              AND (b.p_retailprice < a.p_retailprice
+                   OR b.p_size > a.p_size)
+        )
+        ORDER BY a.p_partkey
+    """,
+    tags=("analytics", "skyline", "pareto"),
+)
+def skyline_price_size_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline (Pareto frontier) query — "parts where no other part is
+    both cheaper and larger": minimize p_retailprice, maximize p_size
+    (the EDBT'23 "Integration of Skyline Queries into Spark SQL"
+    operator, built from DataFrame primitives instead of an optimizer
+    extension).
+
+    Distributed strategy, NOT the O(N^2) dominance self-join the
+    naive SQL implies: phase 1 computes each partition's LOCAL
+    skyline inside applyInPandas (a linear sweep after a partition-
+    local sort — global skyline points are always local skyline
+    points, so nothing is lost); phase 2 re-runs the same sweep over
+    the union of local skylines, which is frontier-sized (≈sqrt-ish
+    of N for independent dims), in one task. Cost: one linear scan +
+    one tiny pass; the oracle's NOT EXISTS is exact but quadratic —
+    feasible only at oracle scale, which is the point of the
+    rewrite."""
+    part = t(spark, sf_dir, "part").select(
+        "p_partkey", "p_retailprice", "p_size"
+    )
+    schema = "p_partkey long, p_retailprice double, p_size int"
+    local = (
+        part.withColumn("pid", F.spark_partition_id())
+        .groupBy("pid")
+        .applyInPandas(lambda pdf: _pareto_front(pdf)[
+            ["p_partkey", "p_retailprice", "p_size"]
+        ], schema)
+    )
+    merged = local.groupBy(F.lit(1).alias("one")).applyInPandas(
+        lambda pdf: _pareto_front(pdf)[
+            ["p_partkey", "p_retailprice", "p_size"]
+        ],
+        schema,
+    )
+    return merged.orderBy("p_partkey")
