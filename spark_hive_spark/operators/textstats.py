@@ -570,3 +570,88 @@ def approx_topk_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("e.item").alias("token"), F.col("e.count").alias("n"))
         .orderBy(F.col("n").desc(), "token")
     )
+
+
+# Tiny built-in polarity lexicons (lexicon-based sentiment, the
+# pre-neural classic — EDBT'16 "Large Scale Sentiment Analysis with
+# Spark" is the pattern reference). Deliberately small and embedded:
+# the operator's point is the broadcast-lexicon join shape, not
+# lexical coverage.
+SENTIMENT_POS = (
+    "good", "great", "excellent", "best", "love", "happy",
+    "wonderful", "positive", "success", "win",
+)
+SENTIMENT_NEG = (
+    "bad", "poor", "terrible", "worst", "hate", "sad",
+    "awful", "negative", "failure", "lose",
+)
+
+
+@register(
+    "text_sentiment_lexicon",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, lang,
+                   list_filter(
+                       regexp_split_to_array(lower(text), '[^a-z]+'),
+                       x -> length(x) > 0
+                   ) AS ws
+            FROM documents
+        ),
+        scored AS (
+            SELECT doc_id, lang,
+                   len(ws) AS n_tokens,
+                   len(list_filter(ws, x -> list_contains(
+                       {list(SENTIMENT_POS)}, x))) AS n_pos,
+                   len(list_filter(ws, x -> list_contains(
+                       {list(SENTIMENT_NEG)}, x))) AS n_neg
+            FROM toks
+        )
+        SELECT lang,
+               count(*) AS n_docs,
+               CAST(sum(n_pos) AS BIGINT) AS total_pos,
+               CAST(sum(n_neg) AS BIGINT) AS total_neg,
+               count(*) FILTER (WHERE n_pos > n_neg) AS n_positive_docs,
+               count(*) FILTER (WHERE n_neg > n_pos) AS n_negative_docs
+        FROM scored
+        GROUP BY lang
+        ORDER BY lang
+    """,
+    tags=("text", "sentiment", "lexicon", "llm-pipeline"),
+)
+def text_sentiment_lexicon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexicon-based sentiment at corpus scale: tokenize (lowercase,
+    alpha runs), count polarity-lexicon hits per document with
+    JVM-side higher-order array functions (the lexicons fold into
+    the plan as literals — effectively broadcast), classify by
+    majority polarity, aggregate per language.
+
+    Scale shape: pure map + one map-side-combinable aggregate; no
+    shuffle of document text, no Python. Token membership against a
+    bounded lexicon is exactly the shape where arrays_overlap/filter
+    literals beat a join — no dim-table exchange at all."""
+    pos = F.array(*[F.lit(w) for w in SENTIMENT_POS])
+    neg = F.array(*[F.lit(w) for w in SENTIMENT_NEG])
+    ws = F.filter(
+        F.split(F.lower(F.col("text")), "[^a-z]+"), lambda x: F.length(x) > 0
+    )
+    docs = t(spark, sf_dir, "documents").select(
+        "lang",
+        F.size(F.filter(ws, lambda x: F.array_contains(pos, x))).alias("n_pos"),
+        F.size(F.filter(ws, lambda x: F.array_contains(neg, x))).alias("n_neg"),
+    )
+    return (
+        docs.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_pos").alias("total_pos"),
+            F.sum("n_neg").alias("total_neg"),
+            F.sum((F.col("n_pos") > F.col("n_neg")).cast("long")).alias(
+                "n_positive_docs"
+            ),
+            F.sum((F.col("n_neg") > F.col("n_pos")).cast("long")).alias(
+                "n_negative_docs"
+            ),
+        )
+        .orderBy("lang")
+    )
