@@ -38,22 +38,27 @@ class Query:
 _REGISTRY: dict[str, Query] = {}
 
 # The grading driver sweeps the FIRST 50 registry entries per round, so
-# ordering is an attestation budget. Round-6 rotation (VERDICT r4 task
-# 1): the 4 reference jobs stay pinned, then the 15 round-4 queries no
-# driver round has ever swept (newest SQL-surface features first, per
-# VERDICT r4 task 6 — likeliest to hide engine-version sensitivities),
-# then round-6 additions, then the stalest re-attestations (queries
-# last driver-green in round 2). After this window runs, cumulative
-# driver coverage reaches the full registry — every registered query
-# swept at least once. tests/test_registry_window.py asserts the
-# window stays exactly this set.
+# ordering is an attestation budget. Round-7 rotation (VERDICT r6 task
+# 2): the 4 reference jobs stay pinned, then every query no driver
+# round has ever swept — the 3 that landed after the r06 attestation
+# (running_distinct_users, skyline_price_size_parts,
+# text_sentiment_lexicon) plus round-7 additions — then the most
+# recently attested r06 rows fill the remainder as re-attestations.
+# Displacement policy: new never-swept queries displace re-attestation
+# rows from the END of the list. tests/test_registry_window.py asserts
+# the window stays exactly this set.
 SWEEP_PRIORITY: tuple[str, ...] = (
     # pinned reference jobs (driver-green every round)
     "ref_top5_nations_by_avg_acctbal",
     "ref_top5_finished_orders_by_price",
     "ref_building_acctbal_stats_by_nation",
     "ref_orc_roundtrip",
-    # the 15 round-4 queries never driver-swept (SQL surface first)
+    # landed after the r06 sweep — never driver-attested (judge
+    # simulated all 3 hash-equal in the r6 verdict; this makes it real)
+    "running_distinct_users",
+    "skyline_price_size_parts",
+    "text_sentiment_lexicon",
+    # round-4 queries first driver-swept in r06 (re-attestations)
     "json_variant_props",
     "xml_part_roundtrip",
     "sql_parameterized_brand_counts",
@@ -86,9 +91,9 @@ SWEEP_PRIORITY: tuple[str, ...] = (
     "multimodal_resize_plan",
     "rfm_approx_audit",
     "bitmap_distinct_rollup",
-    # stalest re-attestations (last driver-green in round 2);
-    # round-6 additions displace from the END of this block as they
-    # land, keeping the never-swept set fully covered.
+    # re-attestations (driver-green in r06); round-7 additions
+    # displace from the END of this block as they land, keeping the
+    # never-swept set fully covered.
     "q3_shipping_priority",
     "q5_region_revenue",
     "q6_forecast_revenue",
@@ -101,9 +106,6 @@ SWEEP_PRIORITY: tuple[str, ...] = (
     "w_top3_parts_per_brand",
     "stats_variance_family",
     "stats_corr_regression",
-    "calendar_densified_daily_orders",
-    "mode_priority_per_nation",
-    "explode_outer_token_rows",
 )
 
 
