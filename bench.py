@@ -119,6 +119,9 @@ STREAMING_EXTENDED = [
     "stream_static_enrich_segments",
     "stream_multibatch_tumbling",
     "source_python_datasource_stream",
+    # round 7: registers only where protobuf (or the vendored
+    # fallback) is importable — hence the `if n in queries` guard
+    "stream_tws_user_profile",
 ]
 
 
@@ -172,6 +175,11 @@ EXPECTED_SF01: dict[str, float] = {
     "multimodal_resize_plan": 1.3,
     "source_python_datasource_stream": 5.2,
     "bitmap_distinct_rollup": 1.0,
+    # round-7 additions (idle sf0.1 best-of-2, 2026-08-14)
+    "running_distinct_users": 1.0,
+    "skyline_price_size_parts": 1.0,
+    "text_sentiment_lexicon": 0.8,
+    "stream_tws_user_profile": 8.0,
 }
 
 

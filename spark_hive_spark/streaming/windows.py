@@ -329,15 +329,106 @@ def stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
-# transformWithStateInPandas ships its state protocol over protobuf;
-# gate on the import so the operator registers only where the runtime
-# can actually execute it (this container lacks google.protobuf).
-try:
-    from google.protobuf import descriptor as _pb_descriptor  # noqa: F401
+# transformWithStateInPandas ships its state protocol over protobuf.
+# This container has no pip-installed google.protobuf, but the on-box
+# google-cloud-sdk vendors a pure-Python protobuf runtime; when the
+# normal import fails we zip that runtime (BSD-licensed) and use it as
+# a fallback — sys.path for the driver, sc.addPyFile for the Python
+# workers (worker.py prepends pyFiles to sys.path before any UDF or
+# state-API code runs, so the lazy StateMessage_pb2 imports inside
+# pyspark's StatefulProcessorApiClient resolve worker-side too).
+_PB_FALLBACK_SDK = "/usr/lib/google-cloud-sdk/platform/google_appengine"
+_PB_ZIP = os.path.join(tempfile.gettempdir(), "spark_hive_pb_runtime.zip")
+_PB_FROM_ZIP = False
+_PB_SHIPPED_TO: set[str] = set()
 
-    _HAS_PROTOBUF = True
-except ImportError:  # pragma: no cover - environment-dependent
-    _HAS_PROTOBUF = False
+
+def _build_protobuf_zip() -> str | None:
+    """Zip the SDK-vendored pure-Python protobuf into an addPyFile-able
+    archive (~150 KB). The vendored runtime is 6.32.0-dev while
+    pyspark 4.1.2's generated StateMessage_pb2 declares gencode 6.33.0
+    — a one-minor skew its strict check rejects — so the copy we ship
+    sets protobuf's own documented escape hatch
+    (TEMPORARILY_DISABLE_PROTOBUF_VERSION_CHECK) at import time,
+    scoped to processes that load this fallback zip."""
+    import zipfile
+
+    if os.path.exists(_PB_ZIP):
+        return _PB_ZIP
+    src = os.path.join(_PB_FALLBACK_SDK, "google", "protobuf")
+    if not os.path.isdir(src):  # pragma: no cover - environment-dependent
+        return None
+    tmp = _PB_ZIP + f".{uuid.uuid4().hex}.tmp"
+    with zipfile.ZipFile(tmp, "w", zipfile.ZIP_DEFLATED) as z:
+        z.writestr("google/__init__.py", "")
+        for root, dirs, files in os.walk(src):
+            dirs[:] = [d for d in dirs if d not in ("pyext", "blaze-out", "net")]
+            for fname in files:
+                if not fname.endswith(".py"):
+                    continue
+                path = os.path.join(root, fname)
+                arc = os.path.relpath(path, _PB_FALLBACK_SDK)
+                if fname == "runtime_version.py" and root == src:
+                    with open(path) as fh:
+                        body = fh.read()
+                    body = body.replace(
+                        "from enum import Enum",
+                        "from enum import Enum\n"
+                        "import os as _os\n"
+                        "_os.environ.setdefault("
+                        "'TEMPORARILY_DISABLE_PROTOBUF_VERSION_CHECK', 'true')",
+                        1,
+                    )
+                    z.writestr(arc, body)
+                else:
+                    z.write(path, arc)
+    os.replace(tmp, _PB_ZIP)  # atomic: concurrent builders race safely
+    return _PB_ZIP
+
+
+def _protobuf_available() -> bool:
+    """True if google.protobuf is importable driver-side, installing
+    the fallback zip onto sys.path when needed."""
+    global _PB_FROM_ZIP
+    try:
+        import google.protobuf  # noqa: F401
+
+        return True
+    except ImportError:  # pragma: no cover - environment-dependent
+        pass
+    import sys
+
+    zpath = _build_protobuf_zip()
+    if zpath is None:  # pragma: no cover - environment-dependent
+        return False
+    if zpath not in sys.path:
+        sys.path.insert(0, zpath)
+    try:
+        import google.protobuf  # noqa: F401
+
+        _PB_FROM_ZIP = True
+        return True
+    except ImportError:  # pragma: no cover - environment-dependent
+        sys.path.remove(zpath)
+        return False
+
+
+def _ship_protobuf(spark: SparkSession) -> None:
+    """Make google.protobuf importable in this session's Python
+    workers. No-op when the driver found a real install (local-mode
+    workers share that env); otherwise addPyFile the fallback zip,
+    once per SparkContext."""
+    if not _PB_FROM_ZIP:
+        return
+    sc = spark.sparkContext
+    app_id = sc.applicationId
+    if app_id in _PB_SHIPPED_TO:
+        return
+    sc.addPyFile(_PB_ZIP)
+    _PB_SHIPPED_TO.add(app_id)
+
+
+_HAS_PROTOBUF = _protobuf_available()
 
 _TWS_ORACLE = """
         SELECT user_id,
@@ -363,7 +454,20 @@ def stream_tws_user_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
     from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
 
+    # transformWithState spawns python workers (one driver-side for
+    # PRE_INIT, plus task workers) whose sys.path comes from the JVM's
+    # env, not this process — the fallback-zip path installed by
+    # _protobuf_available() doesn't reach them, and the driver-side
+    # worker doesn't process addPyFile includes at all. Both, however,
+    # unpickle this processor BEFORE the first lazy StateMessage_pb2
+    # import, so the processor's own reconstruction hook installs the
+    # zip worker-side. None when a real protobuf install exists.
+    pb_zip = _PB_ZIP if _PB_FROM_ZIP else None
+
     class UserProfile(StatefulProcessor):
+        def __reduce__(self):
+            return (_mk_profile, (pb_zip,))
+
         def init(self, handle: StatefulProcessorHandle) -> None:
             self._n = handle.getValueState("n", "n bigint")
             self._types = handle.getMapState("types", "t string", "c bigint")
@@ -388,6 +492,18 @@ def stream_tws_user_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         def close(self) -> None:
             pass
 
+    def _mk_profile(zp):
+        # runs in the unpickling worker; local[n] shares /tmp with the
+        # driver so the literal zip path resolves. Cluster task
+        # workers get the same zip via addPyFile (_ship_protobuf).
+        import os as _os
+        import sys as _sys
+
+        if zp and _os.path.exists(zp) and zp not in _sys.path:
+            _sys.path.insert(0, zp)
+        return UserProfile.__new__(UserProfile)
+
+    _ship_protobuf(spark)
     ev = _event_stream(spark, sf_dir)
     prev_provider = spark.conf.get(
         "spark.sql.streaming.stateStore.providerClass", None
