@@ -765,13 +765,22 @@ def rfm_approx_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(bad, F.lit(False)).alias("bad")
         ).agg(F.sum(F.col("bad").cast("long")).alias("monotonicity_violations"))
         counts = approx.groupBy(metric).agg(F.count("*").alias("n_same"))
+        # `both` carries every metric column twice (approx + exact
+        # side); project to unambiguous names BEFORE the using-column
+        # join so it doesn't ride on ambiguous-reference resolution
+        # that other Spark versions reject (AMBIGUOUS_REFERENCE).
+        pair = both.select(
+            F.col(f"a.{metric}").alias(metric),
+            F.col(f"a.{col}").alias("a_bucket"),
+            F.col(f"e.{col}").alias("e_bucket"),
+        )
         tf = (
-            both.join(counts, metric)
+            pair.join(counts, metric)
             .filter(F.col("n_same") == 1)
             .agg(
                 F.count("*").alias("n_tf"),
                 F.sum(
-                    (F.col(f"a.{col}") == F.col(f"e.{col}")).cast("long")
+                    (F.col("a_bucket") == F.col("e_bucket")).cast("long")
                 ).alias("n_agree"),
             )
             .select(
@@ -907,30 +916,31 @@ def skyline_price_size_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     extension).
 
     Distributed strategy, NOT the O(N^2) dominance self-join the
-    naive SQL implies: phase 1 computes each partition's LOCAL
-    skyline inside applyInPandas (a linear sweep after a partition-
-    local sort — global skyline points are always local skyline
-    points, so nothing is lost); phase 2 re-runs the same sweep over
-    the union of local skylines, which is frontier-sized (≈sqrt-ish
-    of N for independent dims), in one task. Cost: one linear scan +
-    one tiny pass; the oracle's NOT EXISTS is exact but quadratic —
-    feasible only at oracle scale, which is the point of the
-    rewrite."""
-    part = t(spark, sf_dir, "part").select(
-        "p_partkey", "p_retailprice", "p_size"
-    )
+    naive SQL implies: phase 1 computes each scan partition's LOCAL
+    skyline inside mapInPandas — genuinely shuffle-free, running on
+    the parquet scan's own partitions (a per-batch linear sweep, then
+    one sweep over the batch survivors; points dominated within any
+    subset are dominated globally, so discarding them early is safe
+    and global skyline points always survive). Phase 2 re-runs the
+    same sweep over the union of local skylines, which is
+    frontier-sized (≈sqrt-ish of N for independent dims), in one
+    task — the query's only shuffle, and it moves only the frontier.
+    The oracle's NOT EXISTS is exact but quadratic — feasible only at
+    oracle scale, which is the point of the rewrite."""
+    cols = ["p_partkey", "p_retailprice", "p_size"]
+    part = t(spark, sf_dir, "part").select(*cols)
     schema = "p_partkey long, p_retailprice double, p_size int"
-    local = (
-        part.withColumn("pid", F.spark_partition_id())
-        .groupBy("pid")
-        .applyInPandas(lambda pdf: _pareto_front(pdf)[
-            ["p_partkey", "p_retailprice", "p_size"]
-        ], schema)
-    )
+
+    def _local_skyline(batches):
+        import pandas as pd
+
+        fronts = [_pareto_front(pdf) for pdf in batches if len(pdf)]
+        if fronts:
+            yield _pareto_front(pd.concat(fronts, ignore_index=True))[cols]
+
+    local = part.mapInPandas(_local_skyline, schema)
     merged = local.groupBy(F.lit(1).alias("one")).applyInPandas(
-        lambda pdf: _pareto_front(pdf)[
-            ["p_partkey", "p_retailprice", "p_size"]
-        ],
+        lambda pdf: _pareto_front(pdf)[cols],
         schema,
     )
     return merged.orderBy("p_partkey")

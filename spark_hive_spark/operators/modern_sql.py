@@ -28,9 +28,10 @@ from spark_hive_spark.plans.registry import register
 from spark_hive_spark.tables import t
 
 # Chunking geometry: 500-char windows every 400 chars (100-char
-# overlap, the common RAG default shape). Mirrored literally in the
-# UDTF body (workers deserialize the class without this module's
-# globals) and in the DuckDB oracle.
+# overlap, the common RAG default shape). The UDTF reads these through
+# class attributes — captured in the class dict at definition time, so
+# they survive by-value pickling to workers — and the oracle
+# interpolates the same constants: one definition feeds both.
 CHUNK_SIZE = 500
 CHUNK_STRIDE = 400
 
@@ -46,6 +47,9 @@ class _DocChunks:
     byte of every chunk, so the oracle comparison covers the full
     text content."""
 
+    SIZE = CHUNK_SIZE
+    STRIDE = CHUNK_STRIDE
+
     def eval(self, doc_id, text):  # noqa: ANN001 - UDTF protocol
         import hashlib
 
@@ -54,7 +58,7 @@ class _DocChunks:
         n = len(text)
         start, i = 0, 0
         while start < n:
-            piece = text[start : start + 500]  # CHUNK_SIZE
+            piece = text[start : start + self.SIZE]
             yield (
                 doc_id,
                 i,
@@ -63,7 +67,7 @@ class _DocChunks:
                 hashlib.md5(piece.encode("utf-8")).hexdigest(),
             )
             i += 1
-            start += 400  # CHUNK_STRIDE
+            start += self.STRIDE
 
 
 @register(

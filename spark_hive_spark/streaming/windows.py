@@ -52,7 +52,9 @@ def _event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .load(sf_dir)
     )
-    return stream.withColumn("ts", _normalize_event_ts(stream))
+    return stream.withColumn(
+        "ts", _normalize_event_ts(stream, path=table_path(sf_dir, "events"))
+    )
 
 
 STATE_PARTITIONS = 8

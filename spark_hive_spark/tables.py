@@ -75,13 +75,43 @@ def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     columns could be next — a bigint read (nanos-as-long) converts,
     anything already timestamp-typed passes through untouched."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(table_path(sf_dir, name))
+    path = table_path(sf_dir, name)
+    df = spark.read.parquet(path)
     for col in _TS_COLS.get(name, ()):
         if col in df.columns and df.schema[col].dataType.simpleString() == "bigint":
-            df = df.withColumn(col, F.expr(f"timestamp_micros({col} div 1000)"))
+            df = df.withColumn(col, _ns_bigint_to_ts(path, col))
     if name == "events":
-        df = df.withColumn("ts", _normalize_event_ts(df))
+        df = df.withColumn("ts", _normalize_event_ts(df, path=path))
     return df
+
+
+def _footer_type(path: str, col: str) -> str:
+    """The parquet footer's declared arrow type for `col` ('' if the
+    footer can't be read, e.g. a multi-file dataset directory)."""
+    try:
+        import pyarrow.parquet as pq
+
+        return str(pq.read_schema(path).field(col).type)
+    except Exception:  # pragma: no cover - footer unreadable
+        return ""
+
+
+def _ns_bigint_to_ts(path: str, col: str):
+    """Column expr converting a nanosAsLong bigint back to TIMESTAMP —
+    but only after the parquet footer confirms the column really is
+    TIMESTAMP(NANOS). A fixture that legitimately shipped a plain int64
+    (epoch micros/millis/days) would be silently mis-scaled 1000x by an
+    unconditional `div 1000`, so an unrecognized footer type fails
+    loudly instead of guessing."""
+    footer = _footer_type(path, col)
+    if footer != "timestamp[ns]":
+        raise TypeError(
+            f"{path}:{col} reads as bigint but the parquet footer declares "
+            f"{footer or 'unreadable'!r}, not timestamp[ns] — refusing to "
+            "guess a timestamp scale; update spark_hive_spark.tables and "
+            "FIXTURES.md for the new fixture physical type"
+        )
+    return F.expr(f"timestamp_micros({col} div 1000)")
 
 
 # Columns that are semantically timestamps, whatever physical type a
@@ -93,11 +123,15 @@ _TS_COLS: dict[str, tuple[str, ...]] = {
 }
 
 
-def _normalize_event_ts(df: DataFrame):
+def _normalize_event_ts(df: DataFrame, path: str | None = None):
     """Column expression normalizing events.ts to TIMESTAMP regardless
-    of the fixture's physical type (see _read docstring)."""
+    of the fixture's physical type (see _read docstring). When the
+    parquet path is known, the bigint branch verifies the footer
+    actually declares TIMESTAMP(NANOS) before rescaling."""
     kind = df.schema["ts"].dataType.simpleString()
     if kind == "bigint":  # TIMESTAMP(NANOS) read via nanosAsLong
+        if path is not None:
+            return _ns_bigint_to_ts(path, "ts")
         return F.expr("timestamp_micros(ts div 1000)")
     return F.col("ts").cast("timestamp")
 
