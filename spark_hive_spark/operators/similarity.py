@@ -493,6 +493,37 @@ def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 IVF_CELLS = 16
 IVF_NPROBE = 4
+IVF_TRAIN_SAMPLE = 256 * IVF_CELLS  # FAISS-style: train on a bounded sample
+IVF_KMEANS_ITERS = 5
+
+
+def _ivf_centroids(emb) -> "np.ndarray":
+    """Deterministic spherical k-means coarse quantizer (Lloyd's,
+    IVF_KMEANS_ITERS iterations, init = first IVF_CELLS sample
+    vectors by vec_id). Trained on a fixed-size vec_id-ordered sample
+    (IVF_TRAIN_SAMPLE vectors ≈ FAISS's ~256·k guidance) so training
+    cost is O(1) in corpus size — the scale path trains on the sample
+    and assigns the full corpus distributedly. Returns L2-normalized
+    centroids, stable across runs and partitionings (sample selection
+    and ordering are by vec_id, not partition layout)."""
+    rows = (
+        emb.filter(F.col("vec_id") < IVF_TRAIN_SAMPLE)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    rows.sort(key=lambda r: r.vec_id)
+    X = np.stack([np.asarray(r.embedding, dtype=np.float64) for r in rows])
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    C = Xn[:IVF_CELLS].copy()
+    for _ in range(IVF_KMEANS_ITERS):
+        assign = (Xn @ C.T).argmax(axis=1)
+        for j in range(IVF_CELLS):
+            members = Xn[assign == j]
+            if len(members):
+                C[j] = members.mean(axis=0)
+            # empty cell: keep the previous centroid (deterministic)
+        C = C / np.linalg.norm(C, axis=1, keepdims=True)
+    return C
 
 
 @register(
@@ -506,17 +537,14 @@ def knn_cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     partition into cells by nearest centroid; each query probes only
     its IVF_NPROBE nearest cells and reranks exactly within them.
 
-    Centroids here are the first IVF_CELLS vectors (deterministic; a
-    production build would k-means them — the index STRUCTURE, cell
-    assignment via one GEMM + an equi-join on cell id, is identical).
-    vs LSH: IVF adapts to the data distribution and gives tunable
-    probe-vs-recall; cost = |Q| x nprobe/cells of the corpus."""
+    Centroids come from a deterministic spherical k-means over a
+    bounded vec_id-ordered sample (`_ivf_centroids` — FAISS-style
+    sample training, so the quantizer adapts to the data distribution
+    while training cost stays O(1) in corpus size). vs LSH: IVF adapts
+    to the data and gives tunable probe-vs-recall; cost = |Q| x
+    nprobe/cells of the corpus."""
     emb = t(spark, sf_dir, "embeddings")
-    cent_rows = emb.filter(F.col("vec_id") < IVF_CELLS).select(
-        "vec_id", "embedding"
-    ).collect()
-    C = np.stack([np.asarray(r.embedding, dtype=np.float64) for r in cent_rows])
-    Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+    Cn = _ivf_centroids(emb)
 
     def assign_cells(batches):
         for pdf in batches:
@@ -765,11 +793,13 @@ def ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
       NOT in the exact set ignoring threshold-boundary float noise
       (candidate verification is exact, so this must be 0).
     - `knn` / `ivf`: recall@{TOP_K} of `knn_cosine_lsh` /
-      `knn_cosine_ivf` against brute force (gate at the suite's 0.2
-      floor — near-random vectors make blocked top-k recall modest by
-      construction), and the count of returned neighbors whose
-      reported cosine disagrees with the brute-force cosine for the
-      same pair (reranking is exact: must be 0).
+      `knn_cosine_ivf` against brute force, and the count of returned
+      neighbors whose reported cosine disagrees with the brute-force
+      cosine for the same pair (reranking is exact: must be 0). Floors
+      differ by method: LSH gates at the suite's 0.2 (near-random
+      vectors make random-hyperplane top-k recall modest by
+      construction); IVF gates at 0.8 — its k-means quantizer adapts
+      to the distribution (measured 0.90 @ sf0.01, 0.96 @ sf0.1).
 
     The oracle reproduces n_exact from first principles in DuckDB and
     pins the booleans/violation counts, so a silently broken LSH path
@@ -818,7 +848,7 @@ def ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=True)
     )
 
-    def knn_audit_row(label: str, ann: DataFrame) -> DataFrame:
+    def knn_audit_row(label: str, ann: DataFrame, floor: float) -> DataFrame:
         ann = ann.select("query_id", "neighbor_id", "cos_sim")
         k_hit = ann.join(brute, ["query_id", "neighbor_id"], "inner").localCheckpoint(
             eager=True
@@ -834,13 +864,13 @@ def ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(
                 F.lit(label).alias("method"),
                 F.col("n_exact").cast("bigint").alias("n_exact"),
-                (F.col("n_hit") / F.col("n_exact") >= 0.2).alias("recall_ok"),
+                (F.col("n_hit") / F.col("n_exact") >= floor).alias("recall_ok"),
                 F.col("n_viol").cast("bigint").alias("precision_violations"),
             )
         )
 
-    knn_row = knn_audit_row("knn", knn_cosine_lsh(spark, sf_dir))
-    ivf_row = knn_audit_row("ivf", knn_cosine_ivf(spark, sf_dir))
+    knn_row = knn_audit_row("knn", knn_cosine_lsh(spark, sf_dir), 0.2)
+    ivf_row = knn_audit_row("ivf", knn_cosine_ivf(spark, sf_dir), 0.8)
     return (
         neardup_row.unionByName(knn_row).unionByName(ivf_row).orderBy("method")
     )

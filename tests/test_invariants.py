@@ -105,6 +105,30 @@ def test_lsh_knn_recall_vs_bruteforce(spark):
     assert sorted(map(tuple, ann_rows)) == sorted(map(tuple, again))
 
 
+def test_ivf_knn_recall_vs_bruteforce(spark):
+    """IVF with the k-means coarse quantizer must clear a much higher
+    recall floor than LSH (the quantizer adapts to the distribution:
+    measured 0.90+ across fixture scales), stay deterministic across
+    runs (fixed-seed Lloyd's on a vec_id-ordered sample), and rerank
+    exactly."""
+    brute = {}
+    for r in _rows(spark, "knn_cosine_bruteforce"):
+        brute.setdefault(r.query_id, {})[r.neighbor_id] = r.cos_sim
+    ann_rows = _rows(spark, "knn_cosine_ivf")
+    hits = total = 0
+    for q, nbrs in brute.items():
+        found = {r.neighbor_id for r in ann_rows if r.query_id == q}
+        hits += len(found & set(nbrs))
+        total += len(nbrs)
+    assert total > 0
+    assert hits / total >= 0.8, f"IVF recall {hits}/{total}"
+    for r in ann_rows:  # exact rerank: reported cosine == brute cosine
+        if r.query_id in brute and r.neighbor_id in brute[r.query_id]:
+            assert abs(r.cos_sim - brute[r.query_id][r.neighbor_id]) <= 1e-6
+    again = _rows(spark, "knn_cosine_ivf")
+    assert sorted(map(tuple, ann_rows)) == sorted(map(tuple, again))
+
+
 def test_approx_distinct_close_to_exact(spark):
     """The query now self-reports the HLL++ error check (so the driver
     can hash it): exact counts must agree with the exact-distinct twin
