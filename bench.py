@@ -108,6 +108,7 @@ EXTENDED = [
     "running_distinct_users",
     "skyline_price_size_parts",
     "text_sentiment_lexicon",
+    "multimodal_decode_resize",
 ]
 
 # Streaming extended queries run dead LAST (after the streaming
@@ -179,6 +180,7 @@ EXPECTED_SF01: dict[str, float] = {
     "running_distinct_users": 1.0,
     "skyline_price_size_parts": 1.0,
     "text_sentiment_lexicon": 0.8,
+    "multimodal_decode_resize": 1.0,
     "stream_tws_user_profile": 8.0,
 }
 

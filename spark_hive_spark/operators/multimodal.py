@@ -35,13 +35,78 @@ MEDIA_SCHEMA = (
 
 
 def decode_image(payload: bytes) -> "object":
-    """REAL decode would go through PIL/libjpeg — not present in this
-    container. Kept as an explicit seam: swap in a real decoder on a
-    cluster image that has the codec libraries."""
+    """Decode an image payload to an (H, W, 3) uint8 RGB array.
+
+    Implemented formats: uncompressed 24-bit BMP (`decode_bmp`, pure
+    numpy — proves real bytes→pixels decode end-to-end in this
+    container). Anything else (JPEG/PNG/...) still needs a codec
+    library not present here and remains an explicit seam: swap in
+    PIL/libjpeg on a cluster image that has them."""
+    if payload[:2] == b"BM":
+        return decode_bmp(payload)
     raise NotImplementedError(
-        "image codecs are not installed in this environment; "
-        "use fake_decode (deterministic stub) or install PIL on the cluster"
+        "only uncompressed 24-bit BMP decodes in this environment; "
+        "install PIL on the cluster for JPEG/PNG/... payloads"
     )
+
+
+def encode_bmp(pixels) -> bytes:
+    """Serialize an (H, W, 3) uint8 RGB array as an uncompressed
+    24-bit BMP (BITMAPINFOHEADER, BI_RGB): bottom-up row order, BGR
+    byte order, rows zero-padded to 4-byte boundaries — the inverse
+    of `decode_bmp`, used to synthesize genuine media payloads for
+    the decode pipeline."""
+    import struct
+
+    import numpy as np
+
+    px = np.asarray(pixels, dtype=np.uint8)
+    h, w, _ = px.shape
+    row_raw = w * 3
+    pad = (-row_raw) % 4
+    # RGB -> BGR, top-down -> bottom-up, pad each row
+    bgr = px[::-1, :, ::-1]
+    rows = np.zeros((h, row_raw + pad), dtype=np.uint8)
+    rows[:, :row_raw] = bgr.reshape(h, row_raw)
+    body = rows.tobytes()
+    header = struct.pack("<2sIHHI", b"BM", 14 + 40 + len(body), 0, 0, 54)
+    dib = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body), 2835, 2835, 0, 0
+    )
+    return header + dib + body
+
+
+def decode_bmp(payload: bytes) -> "object":
+    """Parse an uncompressed 24-bit BMP into an (H, W, 3) uint8 RGB
+    array: validates magic/bpp/compression, honors the pixel-data
+    offset, strips per-row padding, converts BGR→RGB, and flips the
+    bottom-up row order (or passes top-down negative-height files
+    through). Pure numpy — no codec library."""
+    import struct
+
+    import numpy as np
+
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    (offset,) = struct.unpack_from("<I", payload, 10)
+    _, w, h_signed, _, bpp, compression = struct.unpack_from(
+        "<IiiHHI", payload, 14
+    )
+    if bpp != 24 or compression != 0:
+        raise NotImplementedError(
+            f"only uncompressed 24-bit BMP supported (bpp={bpp}, "
+            f"compression={compression})"
+        )
+    h = abs(h_signed)
+    row_raw = w * 3
+    stride = row_raw + ((-row_raw) % 4)
+    rows = np.frombuffer(
+        payload, dtype=np.uint8, count=h * stride, offset=offset
+    ).reshape(h, stride)[:, :row_raw]
+    bgr = rows.reshape(h, w, 3)
+    if h_signed > 0:  # bottom-up storage
+        bgr = bgr[::-1]
+    return bgr[:, :, ::-1].copy()
 
 
 def fake_decode(payload: bytes) -> tuple[int, int, int, int]:
@@ -264,3 +329,136 @@ def multimodal_resize_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = docs.select("doc_id", F.encode("text", "UTF-8").alias("payload"))
     decoded = decode_media_features(media)
     return plan_resize(decoded).orderBy("doc_id")
+
+
+DECODE_DOCS = 64
+RZ = 4  # nearest-neighbor resize target edge for the decode pipeline
+_DECODE_SCHEMA = (
+    "doc_id long, in_w int, in_h int, sum_r long, sum_g long, sum_b long,"
+    " wsum_r long, rz_sum_r long, rz_sum_g long, rz_sum_b long"
+)
+
+
+@register(
+    "multimodal_decode_resize",
+    oracle=f"""
+        WITH d AS (
+            SELECT doc_id, doc_id % 13 + 4 AS w, doc_id % 11 + 4 AS h
+            FROM documents WHERE doc_id < {DECODE_DOCS}
+        ),
+        v AS (
+            SELECT doc_id, w, h, i,
+                   (doc_id * 7 + i) % 256 AS val,
+                   i % 3 AS c,
+                   (i // 3) % w AS x,
+                   (i // 3) // w AS y
+            FROM (SELECT doc_id, w, h, unnest(range(0, w * h * 3)) AS i
+                  FROM d)
+        ),
+        base AS (
+            SELECT doc_id,
+                   CAST(sum(CASE WHEN c = 0 THEN val END) AS BIGINT)
+                       AS sum_r,
+                   CAST(sum(CASE WHEN c = 1 THEN val END) AS BIGINT)
+                       AS sum_g,
+                   CAST(sum(CASE WHEN c = 2 THEN val END) AS BIGINT)
+                       AS sum_b,
+                   CAST(sum(CASE WHEN c = 0 THEN val * (x + 2 * y) END)
+                        AS BIGINT) AS wsum_r
+            FROM v GROUP BY doc_id
+        ),
+        r AS (
+            SELECT doc_id,
+                   CAST(sum(CASE WHEN j % 3 = 0 THEN rv END) AS BIGINT)
+                       AS rz_sum_r,
+                   CAST(sum(CASE WHEN j % 3 = 1 THEN rv END) AS BIGINT)
+                       AS rz_sum_g,
+                   CAST(sum(CASE WHEN j % 3 = 2 THEN rv END) AS BIGINT)
+                       AS rz_sum_b
+            FROM (
+                SELECT doc_id, j,
+                       (doc_id * 7 +
+                        ((((j // 3) // {RZ}) * h // {RZ}) * w
+                         + (((j // 3) % {RZ}) * w // {RZ})) * 3
+                        + j % 3) % 256 AS rv
+                FROM (SELECT doc_id, w, h,
+                             unnest(range(0, {RZ} * {RZ} * 3)) AS j
+                      FROM d)
+            ) GROUP BY doc_id
+        )
+        SELECT d.doc_id, CAST(w AS INT) AS in_w, CAST(h AS INT) AS in_h,
+               sum_r, sum_g, sum_b, wsum_r, rz_sum_r, rz_sum_g, rz_sum_b
+        FROM d JOIN base USING (doc_id) JOIN r USING (doc_id)
+        ORDER BY d.doc_id
+    """,
+    tags=("multimodal", "codec", "bmp", "resize", "llm-pipeline"),
+)
+def multimodal_decode_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL bytes→pixels→resize, end to end — no stub in the path:
+    per document a deterministic RGB image (pixel (x,y,c) value =
+    (doc_id·7 + linear_index) mod 256, size (doc_id%13+4)×(doc_id%11+4))
+    is serialized to genuine uncompressed 24-bit BMP bytes
+    (`encode_bmp`: bottom-up rows, BGR order, 4-byte row padding),
+    carried as a `binary` column, decoded back by the pure-numpy
+    `decode_bmp`, then nearest-neighbor resized to {RZ}×{RZ} by pixel
+    indexing. The emitted stats are position-sensitive — a
+    row-weighted channel sum and the resized-image channel sums — so
+    a decoder that mishandles padding, row flip, or BGR order changes
+    the hash; the DuckDB oracle reproduces every stat from the pixel
+    formula, never seeing BMP bytes at all.
+
+    Scale: two chained narrow mapInPandas stages (encode, decode) —
+    zero shuffles; blobs stream through Arrow batches, features come
+    out as scalar columns."""
+
+    docs = (
+        t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < DECODE_DOCS)
+        .select("doc_id")
+    )
+
+    def encode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            ids = pdf["doc_id"].to_numpy()
+            payloads = []
+            for d in ids:
+                d = int(d)
+                w, h = d % 13 + 4, d % 11 + 4
+                i = np.arange(w * h * 3, dtype=np.int64)
+                px = ((d * 7 + i) % 256).astype(np.uint8).reshape(h, w, 3)
+                payloads.append(encode_bmp(px))
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    media = docs.mapInPandas(encode_batches, "doc_id long, payload binary")
+
+    def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        cols = (
+            "doc_id in_w in_h sum_r sum_g sum_b wsum_r "
+            "rz_sum_r rz_sum_g rz_sum_b"
+        ).split()
+        for pdf in batches:
+            out: dict[str, list] = {k: [] for k in cols}
+            for d, p in zip(pdf["doc_id"], pdf["payload"]):
+                px = decode_image(bytes(p)).astype(np.int64)
+                h, w, _ = px.shape
+                wgt = np.arange(w)[None, :] + 2 * np.arange(h)[:, None]
+                rz = px[
+                    np.ix_((np.arange(RZ) * h) // RZ, (np.arange(RZ) * w) // RZ)
+                ]
+                vals = (
+                    int(d), w, h,
+                    int(px[:, :, 0].sum()), int(px[:, :, 1].sum()),
+                    int(px[:, :, 2].sum()),
+                    int((px[:, :, 0] * wgt).sum()),
+                    int(rz[:, :, 0].sum()), int(rz[:, :, 1].sum()),
+                    int(rz[:, :, 2].sum()),
+                )
+                for k, v in zip(cols, vals):
+                    out[k].append(v)
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(decode_batches, _DECODE_SCHEMA).orderBy("doc_id")

@@ -59,6 +59,7 @@ SWEEP_PRIORITY: tuple[str, ...] = (
     "skyline_price_size_parts",
     "text_sentiment_lexicon",
     "stream_tws_user_profile",
+    "multimodal_decode_resize",
     # round-4 queries first driver-swept in r06 (re-attestations)
     "json_variant_props",
     "xml_part_roundtrip",
@@ -105,7 +106,6 @@ SWEEP_PRIORITY: tuple[str, ...] = (
     "q19_disjunctive_revenue",
     "q22_idle_rich_customers",
     "w_top3_parts_per_brand",
-    "stats_variance_family",
 )
 
 

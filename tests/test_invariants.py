@@ -162,10 +162,51 @@ def test_multimodal_checksum_matches_python(spark):
 
 
 def test_decode_image_is_explicit_stub():
+    """Non-BMP payloads (here: a JPEG magic) still hit the explicit
+    codec seam."""
     from spark_hive_spark.operators.multimodal import decode_image
 
     with pytest.raises(NotImplementedError):
         decode_image(b"\xff\xd8\xff")
+
+
+def test_bmp_codec_roundtrip():
+    """encode_bmp/decode_bmp invert each other, including the cases
+    a sloppy parser gets wrong: odd widths (4-byte row padding),
+    bottom-up row order, BGR byte order, and top-down negative-height
+    files."""
+    import numpy as np
+
+    from spark_hive_spark.operators.multimodal import (
+        decode_bmp,
+        decode_image,
+        encode_bmp,
+    )
+
+    rng = np.random.default_rng(7)
+    for w, h in [(5, 3), (4, 4), (16, 1), (1, 7), (13, 11)]:
+        px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        blob = encode_bmp(px)
+        assert blob[:2] == b"BM"
+        got = decode_bmp(blob)
+        assert got.shape == (h, w, 3)
+        assert (got == px).all(), f"roundtrip mismatch at {w}x{h}"
+        # dispatch through the generic entry point too
+        assert (decode_image(blob) == px).all()
+    # asymmetric gradient: catches silent row-flip / channel-swap bugs
+    px = np.zeros((3, 5, 3), dtype=np.uint8)
+    px[0, :, 0] = 255  # top row pure red
+    px[:, 0, 2] = 128  # left column half blue
+    got = decode_bmp(encode_bmp(px))
+    assert (got == px).all()
+    # top-down (negative height) variant decodes too
+    blob = bytearray(encode_bmp(px))
+    import struct
+
+    struct.pack_into("<i", blob, 22, -3)  # height := -3 (top-down)
+    body = np.frombuffer(blob[54:], dtype=np.uint8).reshape(3, -1)
+    blob[54:] = body[::-1].tobytes()  # rows now stored top-down
+    assert (decode_bmp(bytes(blob)) == px).all()
 
 
 def test_asof_join_generic_semantics(spark):
