@@ -109,6 +109,11 @@ EXTENDED = [
     "skyline_price_size_parts",
     "text_sentiment_lexicon",
     "multimodal_decode_resize",
+    "pii_redaction_stats",
+    "kanonymity_audit",
+    "curation_temperature_mixture",
+    "text_mad_outliers",
+    "zorder_layout_audit",
 ]
 
 # Streaming extended queries run dead LAST (after the streaming
@@ -181,6 +186,11 @@ EXPECTED_SF01: dict[str, float] = {
     "skyline_price_size_parts": 1.0,
     "text_sentiment_lexicon": 0.8,
     "multimodal_decode_resize": 1.0,
+    "pii_redaction_stats": 1.2,
+    "kanonymity_audit": 0.5,
+    "curation_temperature_mixture": 0.5,
+    "text_mad_outliers": 0.7,
+    "zorder_layout_audit": 0.6,
     "stream_tws_user_profile": 8.0,
 }
 

@@ -365,3 +365,58 @@ def curation_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+MIX_TEMP = 0.7  # temperature for source upsampling (UnifiedQA/Pile style)
+MIX_BUDGET = 100_000  # documents in the hypothetical training mix
+
+
+@register(
+    "curation_temperature_mixture",
+    oracle=f"""
+        WITH c AS (
+            SELECT source, count(*) AS n_docs
+            FROM documents GROUP BY source
+        )
+        SELECT source, n_docs,
+               round(pow(n_docs, {MIX_TEMP})
+                     / sum(pow(n_docs, {MIX_TEMP})) OVER (), 6) AS weight,
+               CAST(floor(pow(n_docs, {MIX_TEMP})
+                          / sum(pow(n_docs, {MIX_TEMP})) OVER ()
+                          * {MIX_BUDGET}) AS BIGINT) AS planned_docs,
+               round(pow(n_docs, {MIX_TEMP})
+                     / sum(pow(n_docs, {MIX_TEMP})) OVER ()
+                     * {MIX_BUDGET} / n_docs, 6) AS effective_epochs
+        FROM c
+        ORDER BY source
+    """,
+    tags=("curation", "mixture", "temperature", "llm-pipeline"),
+)
+def curation_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled domain mixture: sampling weight per source =
+    n^T / Σ n^T with T={MIX_TEMP} — the standard upsampling curve that
+    flattens the source distribution (T=1 proportional, T=0 uniform)
+    — plus the planned document count within a {MIX_BUDGET}-doc budget
+    and the effective epochs (>1 ⇒ the source repeats; the overfitting
+    signal a mixture designer watches).
+
+    Scale: one partial-aggregated groupBy to source counts, then the
+    normalization runs over the tiny source-cardinality aggregate (an
+    unpartitioned window over ~20 rows, NOT over documents) — at
+    100 TB the heavy input collapses before any global step. pow() is
+    irrational → round-6 policy (functions/numeric.py)."""
+    from pyspark.sql import Window as W
+
+    docs = t(spark, sf_dir, "documents")
+    c = docs.groupBy("source").agg(F.count("*").alias("n_docs"))
+    w = F.pow(F.col("n_docs"), F.lit(MIX_TEMP))
+    tot = F.sum(w).over(W.partitionBy())
+    return c.select(
+        "source",
+        "n_docs",
+        F.round(w / tot, 6).alias("weight"),
+        F.floor(w / tot * MIX_BUDGET).cast("bigint").alias("planned_docs"),
+        F.round(w / tot * MIX_BUDGET / F.col("n_docs"), 6).alias(
+            "effective_epochs"
+        ),
+    ).orderBy("source")

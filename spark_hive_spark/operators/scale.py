@@ -181,3 +181,114 @@ def bucketed_order_lineitem_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.groupBy("o_orderpriority").agg(
         F.count("*").alias("n"), dsum("l_quantity").alias("qty")
     )
+
+
+ZORDER_BUCKETS = 8
+# Morton spread-bits constants (interleave a 16-bit value into the
+# even bit positions of a 32-bit word) — the classic magic-mask
+# sequence, identical int64 arithmetic in Spark SQL and DuckDB.
+_SPREAD_STEPS = (
+    (8, 0x00FF00FF),
+    (4, 0x0F0F0F0F),
+    (2, 0x33333333),
+    (1, 0x55555555),
+)
+
+
+def _spread_bits(col: Column) -> Column:
+    """Interleave col's low 16 bits with zeros (Morton/Z-order)."""
+    x = col.cast("bigint")
+    for shift, mask in _SPREAD_STEPS:
+        x = (x.bitwiseOR(F.shiftleft(x, shift))).bitwiseAND(F.lit(mask))
+    return x
+
+
+def _sql_spread(expr: str) -> str:
+    """The identical spread-bits arithmetic in DuckDB SQL."""
+    x = f"CAST({expr} AS BIGINT)"
+    for shift, mask in _SPREAD_STEPS:
+        x = f"(({x} | ({x} << {shift})) & {mask})"
+    return x
+
+
+@register(
+    "zorder_layout_audit",
+    oracle=f"""
+        WITH g AS (
+            SELECT p_partkey,
+                   p_size AS gx,
+                   CAST(floor(p_retailprice / 100) AS BIGINT) AS gy
+            FROM part
+        ),
+        z AS (
+            SELECT p_partkey, gx, gy,
+                   ({_sql_spread('gx')}
+                    | ({_sql_spread('gy')} << 1)) AS zval
+            FROM g
+        ),
+        b AS (
+            SELECT gx, gy,
+                   ntile({ZORDER_BUCKETS})
+                       OVER (ORDER BY zval, p_partkey) AS zbucket
+            FROM z
+        )
+        SELECT zbucket, count(*) AS n_parts,
+               CAST(min(gx) AS BIGINT) AS min_size,
+               CAST(max(gx) AS BIGINT) AS max_size,
+               min(gy) AS min_price_bucket,
+               max(gy) AS max_price_bucket,
+               CAST((max(gx) - min(gx) + 1) * (max(gy) - min(gy) + 1)
+                    AS BIGINT) AS bbox_cells
+        FROM b
+        GROUP BY zbucket
+        ORDER BY zbucket
+    """,
+    tags=("scale", "zorder", "layout", "pruning"),
+)
+def zorder_layout_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton-curve) layout audit — the multi-dimensional
+    clustering trick behind Delta OPTIMIZE ZORDER / Iceberg sort
+    orders: interleave the bits of two grid coordinates (p_size,
+    price/100 bucket) so that sorting by the single z-value keeps BOTH
+    dimensions locally bounded, then split into {ZORDER_BUCKETS}
+    equal files ("buckets") and report each bucket's per-dimension
+    min/max envelope and bounding-box area. Small per-bucket
+    bbox_cells is the property that lets min/max file statistics
+    prune scans on EITHER predicate column at 100 TB — a lexicographic
+    sort would bound only the leading column.
+
+    The bit math is int64 shift/mask arithmetic (codegen'd, identical
+    in DuckDB); the only shuffle is the global z-sort that a real
+    OPTIMIZE job performs by definition."""
+    from pyspark.sql import Window as W
+
+    g = t(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.col("p_size").cast("bigint").alias("gx"),
+        F.floor(F.col("p_retailprice") / 100).cast("bigint").alias("gy"),
+    )
+    z = g.withColumn(
+        "zval",
+        _spread_bits(F.col("gx")).bitwiseOR(
+            F.shiftleft(_spread_bits(F.col("gy")), 1)
+        ),
+    )
+    b = z.withColumn(
+        "zbucket",
+        F.ntile(ZORDER_BUCKETS).over(W.orderBy("zval", "p_partkey")),
+    )
+    return (
+        b.groupBy("zbucket")
+        .agg(
+            F.count("*").alias("n_parts"),
+            F.min("gx").alias("min_size"),
+            F.max("gx").alias("max_size"),
+            F.min("gy").alias("min_price_bucket"),
+            F.max("gy").alias("max_price_bucket"),
+            (
+                (F.max("gx") - F.min("gx") + 1)
+                * (F.max("gy") - F.min("gy") + 1)
+            ).alias("bbox_cells"),
+        )
+        .orderBy("zbucket")
+    )

@@ -655,3 +655,76 @@ def text_sentiment_lexicon(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+MAD_SIGMAS = 3.0  # robust outlier threshold (in MAD units)
+
+
+@register(
+    "text_mad_outliers",
+    oracle=f"""
+        WITH med AS (
+            SELECT source, median(n_chars) AS med_chars
+            FROM documents GROUP BY source
+        ),
+        dev AS (
+            SELECT d.source, d.n_chars, m.med_chars,
+                   abs(d.n_chars - m.med_chars) AS adev
+            FROM documents d JOIN med m USING (source)
+        ),
+        mad AS (
+            SELECT source, median(adev) AS mad_chars
+            FROM dev GROUP BY source
+        )
+        SELECT dev.source,
+               count(*) AS n_docs,
+               round(max(med_chars), 1) AS med_chars,
+               round(max(mad.mad_chars), 1) AS mad_chars,
+               CAST(sum(CASE WHEN adev > {MAD_SIGMAS} * mad.mad_chars
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+               round(CAST(sum(CASE WHEN adev > {MAD_SIGMAS} * mad.mad_chars
+                                   THEN 1 ELSE 0 END) AS DOUBLE)
+                     / count(*), 6) AS pct_outliers
+        FROM dev JOIN mad USING (source)
+        GROUP BY dev.source
+        ORDER BY dev.source
+    """,
+    tags=("text", "quality", "robust-stats", "llm-pipeline"),
+)
+def text_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust length-outlier detection per source: median + MAD
+    (median absolute deviation) instead of mean/stddev, so a handful
+    of giant documents can't drag the threshold — the filter quality
+    pipelines use to drop truncated or runaway pages before training.
+
+    Shape: two groupBy aggregates over the same shuffle key plus two
+    broadcast joins of the tiny per-source stats back onto documents
+    (source cardinality ~20; the per-doc table never re-shuffles).
+    Both engines interpolate the continuous median, and n_chars is
+    integral, so med/MAD are exactly representable .0/.5 values —
+    hash-stable without rounding tricks (displayed at 1dp)."""
+    docs = t(spark, sf_dir, "documents").select("source", "n_chars")
+    med = docs.groupBy("source").agg(
+        F.expr("percentile(n_chars, 0.5)").alias("med_chars")
+    )
+    dev = docs.join(F.broadcast(med), "source").withColumn(
+        "adev", F.abs(F.col("n_chars") - F.col("med_chars"))
+    )
+    mad = dev.groupBy("source").agg(
+        F.expr("percentile(adev, 0.5)").alias("mad_chars")
+    )
+    out = dev.join(F.broadcast(mad), "source")
+    is_out = (F.col("adev") > MAD_SIGMAS * F.col("mad_chars")).cast("long")
+    return (
+        out.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.max("med_chars"), 1).alias("med_chars"),
+            F.round(F.max("mad_chars"), 1).alias("mad_chars"),
+            F.sum(is_out).alias("n_outliers"),
+            F.round(F.sum(is_out).cast("double") / F.count("*"), 6).alias(
+                "pct_outliers"
+            ),
+        )
+        .orderBy("source")
+    )

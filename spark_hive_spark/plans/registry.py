@@ -60,6 +60,11 @@ SWEEP_PRIORITY: tuple[str, ...] = (
     "text_sentiment_lexicon",
     "stream_tws_user_profile",
     "multimodal_decode_resize",
+    "pii_redaction_stats",
+    "kanonymity_audit",
+    "curation_temperature_mixture",
+    "text_mad_outliers",
+    "zorder_layout_audit",
     # round-4 queries first driver-swept in r06 (re-attestations)
     "json_variant_props",
     "xml_part_roundtrip",
@@ -101,11 +106,6 @@ SWEEP_PRIORITY: tuple[str, ...] = (
     "q6_forecast_revenue",
     "q7_nation_trade_volume",
     "q9_nation_year_profit",
-    "q10_returned_item_losses",
-    "q12_priority_by_ship_year",
-    "q19_disjunctive_revenue",
-    "q22_idle_rich_customers",
-    "w_top3_parts_per_brand",
 )
 
 
@@ -157,6 +157,7 @@ def _load_all() -> None:
         "spark_hive_spark.operators.profiling",
         "spark_hive_spark.operators.reshape",
         "spark_hive_spark.operators.pipeline",
+        "spark_hive_spark.operators.privacy",
         "spark_hive_spark.operators.scale",
         "spark_hive_spark.operators.relational",
         "spark_hive_spark.operators.relational2",
