@@ -114,6 +114,7 @@ EXTENDED = [
     "curation_temperature_mixture",
     "text_mad_outliers",
     "zorder_layout_audit",
+    "cogroup_click_purchase_latency",
 ]
 
 # Streaming extended queries run dead LAST (after the streaming
@@ -191,6 +192,7 @@ EXPECTED_SF01: dict[str, float] = {
     "curation_temperature_mixture": 0.5,
     "text_mad_outliers": 0.7,
     "zorder_layout_audit": 0.6,
+    "cogroup_click_purchase_latency": 1.2,
     "stream_tws_user_profile": 8.0,
 }
 

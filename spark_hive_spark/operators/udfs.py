@@ -115,3 +115,93 @@ def udf_grouped_agg_weighted_mean(spark: SparkSession, sf_dir: str) -> DataFrame
         .agg(F.round(wmean("c_acctbal", "w"), 6).alias("weighted_bal"))
         .orderBy("c_nationkey")
     )
+
+
+@register(
+    "cogroup_click_purchase_latency",
+    oracle="""
+        WITH p AS (
+            SELECT user_id, ts FROM events WHERE event_type = 'purchase'
+        ),
+        c AS (
+            SELECT user_id, ts FROM events WHERE event_type = 'click'
+        ),
+        m AS (
+            SELECT p.user_id, p.ts,
+                   (SELECT max(c.ts) FROM c
+                    WHERE c.user_id = p.user_id AND c.ts <= p.ts)
+                       AS click_ts
+            FROM p
+        )
+        SELECT user_id,
+               count(*) AS n_purchases,
+               CAST(sum(CASE WHEN click_ts IS NOT NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_matched,
+               round(COALESCE(sum(epoch_us(ts) - epoch_us(click_ts)), 0)
+                     / 1000000.0, 6) AS total_latency_sec
+        FROM m
+        GROUP BY user_id
+        ORDER BY user_id
+    """,
+    tags=("udf", "cogroup", "pandas", "asof"),
+)
+def cogroup_click_purchase_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The fourth Python extension point: COGROUPED applyInPandas
+    (`df.groupBy(k).cogroup(other.groupBy(k))`) — both sides shuffle
+    once on user_id and arrive as aligned pandas frames, the shape for
+    per-key algorithms that need BOTH relations in memory at once
+    (here: pandas merge_asof matching each purchase to the user's
+    latest prior click, the in-worker twin of the DataFrame as-of
+    join in operators/temporal.py).
+
+    Latency accumulates as exact int64 microseconds inside the worker
+    and only the final fixed-power-of-10 division is floating —
+    hash-stable against the oracle's epoch_us arithmetic. Scale: one
+    co-partitioned shuffle per side, per-user frames stay small;
+    no global collect anywhere."""
+    ev = t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts"
+    )
+
+    def per_user(key, clicks_pdf: pd.DataFrame, purch_pdf: pd.DataFrame):
+        if purch_pdf.empty:
+            return pd.DataFrame(
+                {
+                    "user_id": pd.Series(dtype="int64"),
+                    "n_purchases": pd.Series(dtype="int64"),
+                    "n_matched": pd.Series(dtype="int64"),
+                    "total_latency_sec": pd.Series(dtype="float64"),
+                }
+            )
+        p = purch_pdf.sort_values("ts")
+        if clicks_pdf.empty:
+            click_ns = np.full(len(p), np.iinfo("int64").min, dtype="int64")
+        else:
+            c = clicks_pdf.sort_values("ts").rename(columns={"ts": "click_ts"})
+            m = pd.merge_asof(
+                p, c[["click_ts"]], left_on="ts", right_on="click_ts",
+                direction="backward",
+            )
+            click_ns = (
+                m["click_ts"].to_numpy("datetime64[ns]").astype("int64")
+            )  # NaT -> int64 min sentinel
+        ts_ns = p["ts"].to_numpy("datetime64[ns]").astype("int64")
+        matched = click_ns != np.iinfo("int64").min
+        lat_us = (ts_ns[matched] - click_ns[matched]) // 1000  # exact ints
+        return pd.DataFrame(
+            {
+                "user_id": [int(key[0])],
+                "n_purchases": [len(p)],
+                "n_matched": [int(matched.sum())],
+                "total_latency_sec": [round(int(lat_us.sum()) / 1_000_000, 6)],
+            }
+        )
+
+    out = clicks.groupBy("user_id").cogroup(purchases.groupBy("user_id")).applyInPandas(
+        per_user,
+        "user_id long, n_purchases long, n_matched long,"
+        " total_latency_sec double",
+    )
+    return out.orderBy("user_id")

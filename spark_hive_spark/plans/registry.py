@@ -65,6 +65,7 @@ SWEEP_PRIORITY: tuple[str, ...] = (
     "curation_temperature_mixture",
     "text_mad_outliers",
     "zorder_layout_audit",
+    "cogroup_click_purchase_latency",
     # round-4 queries first driver-swept in r06 (re-attestations)
     "json_variant_props",
     "xml_part_roundtrip",
@@ -105,7 +106,6 @@ SWEEP_PRIORITY: tuple[str, ...] = (
     "q5_region_revenue",
     "q6_forecast_revenue",
     "q7_nation_trade_volume",
-    "q9_nation_year_profit",
 )
 
 
