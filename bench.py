@@ -115,6 +115,7 @@ EXTENDED = [
     "text_mad_outliers",
     "zorder_layout_audit",
     "cogroup_click_purchase_latency",
+    "source_jdbc_dim_enrich",
 ]
 
 # Streaming extended queries run dead LAST (after the streaming
@@ -193,6 +194,7 @@ EXPECTED_SF01: dict[str, float] = {
     "text_mad_outliers": 0.7,
     "zorder_layout_audit": 0.6,
     "cogroup_click_purchase_latency": 1.2,
+    "source_jdbc_dim_enrich": 2.0,
     "stream_tws_user_profile": 8.0,
 }
 

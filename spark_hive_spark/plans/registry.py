@@ -66,6 +66,7 @@ SWEEP_PRIORITY: tuple[str, ...] = (
     "text_mad_outliers",
     "zorder_layout_audit",
     "cogroup_click_purchase_latency",
+    "source_jdbc_dim_enrich",
     # round-4 queries first driver-swept in r06 (re-attestations)
     "json_variant_props",
     "xml_part_roundtrip",
@@ -105,7 +106,6 @@ SWEEP_PRIORITY: tuple[str, ...] = (
     "q3_shipping_priority",
     "q5_region_revenue",
     "q6_forecast_revenue",
-    "q7_nation_trade_volume",
 )
 
 
@@ -145,6 +145,7 @@ def _load_all() -> None:
         "spark_hive_spark.operators.temporal",
         "spark_hive_spark.operators.analytics",
         "spark_hive_spark.sources.pydatasource",
+        "spark_hive_spark.sources.jdbc",
         "spark_hive_spark.operators.subqueries",
         "spark_hive_spark.streaming.windows",
         "spark_hive_spark.operators.multimodal",
