@@ -116,6 +116,7 @@ EXTENDED = [
     "zorder_layout_audit",
     "cogroup_click_purchase_latency",
     "source_jdbc_dim_enrich",
+    "journey_top_paths",
 ]
 
 # Streaming extended queries run dead LAST (after the streaming
@@ -195,6 +196,7 @@ EXPECTED_SF01: dict[str, float] = {
     "zorder_layout_audit": 0.6,
     "cogroup_click_purchase_latency": 1.2,
     "source_jdbc_dim_enrich": 2.0,
+    "journey_top_paths": 0.8,
     "stream_tws_user_profile": 8.0,
 }
 

@@ -944,3 +944,67 @@ def skyline_price_size_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema,
     )
     return merged.orderBy("p_partkey")
+
+
+JOURNEY_LEN = 3
+JOURNEY_TOP = 10
+
+
+@register(
+    "journey_top_paths",
+    oracle=f"""
+        WITH o AS (
+            SELECT user_id, event_type,
+                   row_number() OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS rn
+            FROM events
+        ),
+        p AS (
+            SELECT user_id,
+                   string_agg(event_type, '>' ORDER BY rn) AS path
+            FROM o WHERE rn <= {JOURNEY_LEN}
+            GROUP BY user_id
+        )
+        SELECT path, count(*) AS n_users
+        FROM p
+        GROUP BY path
+        ORDER BY n_users DESC, path
+        LIMIT {JOURNEY_TOP}
+    """,
+    tags=("analytics", "journey", "sequence", "path"),
+)
+def journey_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer-journey path analysis: each user's first
+    {JOURNEY_LEN} events (totally ordered by ts with event_id
+    tie-break) collapse to a '>'-joined path string; the top
+    {JOURNEY_TOP} paths by user count come back with a deterministic
+    (count, path) order — the entry-funnel report every product
+    analytics stack runs.
+
+    Scale: one shuffle on user_id covers both the per-user window and
+    the path build (same key, Catalyst reuses the partitioning); the
+    path-level aggregate shuffles path strings of bounded length
+    (cardinality ≤ |event_types|^{JOURNEY_LEN}), then TakeOrdered
+    handles the top-k without a global sort."""
+    ev = t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    o = (
+        ev.select("user_id", "event_type", "ts", "event_id")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= JOURNEY_LEN)
+    )
+    p = o.groupBy("user_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("rn", "event_type"))),
+                lambda s: s.event_type,
+            ),
+            ">",
+        ).alias("path")
+    )
+    return (
+        p.groupBy("path")
+        .agg(F.count("*").alias("n_users"))
+        .orderBy(F.col("n_users").desc(), "path")
+        .limit(JOURNEY_TOP)
+    )

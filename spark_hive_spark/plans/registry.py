@@ -67,6 +67,7 @@ SWEEP_PRIORITY: tuple[str, ...] = (
     "zorder_layout_audit",
     "cogroup_click_purchase_latency",
     "source_jdbc_dim_enrich",
+    "journey_top_paths",
     # round-4 queries first driver-swept in r06 (re-attestations)
     "json_variant_props",
     "xml_part_roundtrip",
@@ -105,7 +106,6 @@ SWEEP_PRIORITY: tuple[str, ...] = (
     # never-swept set fully covered.
     "q3_shipping_priority",
     "q5_region_revenue",
-    "q6_forecast_revenue",
 )
 
 
