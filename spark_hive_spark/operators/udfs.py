@@ -159,10 +159,18 @@ def cogroup_click_purchase_latency(spark: SparkSession, sf_dir: str) -> DataFram
     hash-stable against the oracle's epoch_us arithmetic. Scale: one
     co-partitioned shuffle per side, per-user frames stay small;
     no global collect anywhere."""
+    # The two sides carry DISTINCT column names (c_ts / p_ts), not a
+    # shared "ts": when a parent demands no output columns (count()),
+    # Spark's attribute dedup for FlatMapCoGroupsInPandas drops the
+    # right side's same-named non-key columns from the child scan and
+    # the worker receives a key-only frame. Distinct names keep both
+    # sides' payloads alive under any downstream pruning.
     ev = t(spark, sf_dir, "events")
-    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("c_ts")
+    )
     purchases = ev.filter(F.col("event_type") == "purchase").select(
-        "user_id", "ts"
+        "user_id", F.col("ts").alias("p_ts")
     )
 
     def per_user(key, clicks_pdf: pd.DataFrame, purch_pdf: pd.DataFrame):
@@ -175,19 +183,19 @@ def cogroup_click_purchase_latency(spark: SparkSession, sf_dir: str) -> DataFram
                     "total_latency_sec": pd.Series(dtype="float64"),
                 }
             )
-        p = purch_pdf.sort_values("ts")
+        p = purch_pdf.sort_values("p_ts")
         if clicks_pdf.empty:
             click_ns = np.full(len(p), np.iinfo("int64").min, dtype="int64")
         else:
-            c = clicks_pdf.sort_values("ts").rename(columns={"ts": "click_ts"})
+            c = clicks_pdf.sort_values("c_ts")
             m = pd.merge_asof(
-                p, c[["click_ts"]], left_on="ts", right_on="click_ts",
+                p, c[["c_ts"]], left_on="p_ts", right_on="c_ts",
                 direction="backward",
             )
             click_ns = (
-                m["click_ts"].to_numpy("datetime64[ns]").astype("int64")
+                m["c_ts"].to_numpy("datetime64[ns]").astype("int64")
             )  # NaT -> int64 min sentinel
-        ts_ns = p["ts"].to_numpy("datetime64[ns]").astype("int64")
+        ts_ns = p["p_ts"].to_numpy("datetime64[ns]").astype("int64")
         matched = click_ns != np.iinfo("int64").min
         lat_us = (ts_ns[matched] - click_ns[matched]) // 1000  # exact ints
         return pd.DataFrame(

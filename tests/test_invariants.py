@@ -129,6 +129,19 @@ def test_ivf_knn_recall_vs_bruteforce(spark):
     assert sorted(map(tuple, ann_rows)) == sorted(map(tuple, again))
 
 
+def test_cogroup_survives_count_pruning(spark):
+    """Regression: under .count() the parent demands zero output
+    columns and Spark's cogroup attribute dedup used to prune the
+    right side's same-named payload column out of the child scan,
+    crashing the worker with KeyError. Distinct per-side column names
+    keep the payload alive; this pins the count() path bench exercises
+    (collect(), which the oracle tests use, never triggered it)."""
+    from spark_hive_spark.plans.registry import all_queries
+
+    q = all_queries()["cogroup_click_purchase_latency"]
+    assert q.fn(spark, SF_SMOKE).count() >= 0
+
+
 def test_approx_distinct_close_to_exact(spark):
     """The query now self-reports the HLL++ error check (so the driver
     can hash it): exact counts must agree with the exact-distinct twin
