@@ -497,25 +497,33 @@ def connected_components(
     # scalar per round instead of an old-vs-new join.
     prev_sum = labels.agg(F.sum("label")).collect()[0][0]
     converged = prev_sum is None  # empty pair graph is trivially done
-    for _ in range(max_iters):
+    for it in range(max_iters):
         msgs = edges.join(
             labels.select(F.col("node").alias("v"), "label"), "v"
         ).select(F.col("u").alias("node"), "label")
-        # Pointer jumping (label-of-label shortcut): in addition to
-        # neighbor labels, every node also adopts its LABEL'S current
-        # label. Plain neighbor propagation needs O(diameter) rounds
-        # — a 40-round wall on chain-shaped fixture graphs — while
-        # the shortcut contracts label chains exponentially, so
-        # convergence is O(log diameter) rounds for one extra
-        # self-join on the (tiny) label table per round.
-        jumped = labels.join(
-            labels.select(F.col("node").alias("label"), F.col("label").alias("label2")),
-            "label",
-        ).select("node", F.col("label2").alias("label"))
+        # Pointer jumping (label-of-label shortcut): every node also
+        # adopts its LABEL'S current label, contracting label chains
+        # exponentially — O(log diameter) rounds instead of the
+        # O(diameter) wall plain propagation hits on chain graphs.
+        # The shortcut is DEFERRED until round 4: real dedup pair
+        # graphs are star/clique-shaped and converge in 2-3 plain
+        # rounds, where the extra self-join + 3-way union is pure
+        # fixed cost (measured 1.65 s -> 5.6 s at sf0.1, VERDICT r6).
+        # A graph still unconverged after 3 plain rounds has reach-3
+        # labels; jumping then doubles reach per round, so a
+        # diameter-d chain needs ~3 + log2(d) + 1 rounds total —
+        # d=119 fits in 10 of the 15-round bound (tested).
+        cur = labels.union(msgs)
+        if it >= 3:
+            jumped = labels.join(
+                labels.select(
+                    F.col("node").alias("label"), F.col("label").alias("label2")
+                ),
+                "label",
+            ).select("node", F.col("label2").alias("label"))
+            cur = cur.union(jumped)
         labels = (
-            labels.union(msgs)
-            .union(jumped)
-            .groupBy("node")
+            cur.groupBy("node")
             .agg(F.min("label").alias("label"))
             .coalesce(cc_parts)
             .localCheckpoint(eager=True)
