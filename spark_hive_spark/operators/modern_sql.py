@@ -398,3 +398,164 @@ def cdc_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+@register(
+    "recursive_cte_custkey_tree",
+    oracle="""
+        WITH RECURSIVE tree(c_custkey, depth) AS (
+            SELECT c_custkey, 1 AS depth FROM customer WHERE c_custkey = 1
+            UNION ALL
+            SELECT c.c_custkey, t.depth + 1
+            FROM customer c JOIN tree t
+              ON CAST(FLOOR(c.c_custkey / 2) AS BIGINT) = t.c_custkey
+            WHERE c.c_custkey > 1
+        )
+        SELECT depth,
+               count(*) AS n_nodes,
+               CAST(sum(CAST(c.c_acctbal AS DECIMAL(18,2)))
+                    AS DOUBLE) AS sum_acctbal
+        FROM tree JOIN customer c USING (c_custkey)
+        GROUP BY depth
+        ORDER BY depth
+    """,
+    tags=("recursive-cte", "hierarchy", "spark4"),
+)
+def recursive_cte_custkey_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (WITH RECURSIVE, new in Spark 4.0): BFS depth
+    assignment over an implicit binary tree on the customer table
+    (parent(k) = floor(k/2), root k=1), then per-depth node counts
+    and exact-decimal balance sums.
+
+    The recursion is the textbook hierarchy traversal (org charts,
+    BOM explosions, referral chains) that previously forced a
+    driver-side loop; Catalyst now plans each step as an incremental
+    self-join, so the shape scales to any table that fits a shuffle
+    join per level — depth is log2(n) for this tree, ~18 levels at
+    100 TB scale. No reference counterpart (SURVEY §2B extension)."""
+    cust = t(spark, sf_dir, "customer")
+    return spark.sql(
+        """
+        WITH RECURSIVE tree(c_custkey, depth) AS (
+            SELECT c_custkey, 1 AS depth FROM {customer} WHERE c_custkey = 1
+            UNION ALL
+            SELECT c.c_custkey, t.depth + 1
+            FROM {customer} c JOIN tree t
+              ON CAST(FLOOR(c.c_custkey / 2) AS BIGINT) = t.c_custkey
+            WHERE c.c_custkey > 1
+        )
+        SELECT depth,
+               count(*) AS n_nodes,
+               CAST(sum(CAST(c.c_acctbal AS DECIMAL(18,2)))
+                    AS DOUBLE) AS sum_acctbal
+        FROM tree JOIN {customer} c USING (c_custkey)
+        GROUP BY depth
+        ORDER BY depth
+        """,
+        customer=cust,
+    )
+
+
+@register(
+    "collation_ci_part_names",
+    oracle="""
+        WITH mixed AS (
+            SELECT CASE WHEN p_partkey % 2 = 0 THEN upper(p_name)
+                        ELSE lower(p_name) END AS display_name,
+                   p_retailprice
+            FROM part
+        )
+        SELECT min(display_name) AS variant_min,
+               count(*) AS n_parts,
+               count(DISTINCT display_name) AS n_case_variants,
+               CAST(sum(CAST(p_retailprice AS DECIMAL(18,2)))
+                    AS DOUBLE) AS sum_price
+        FROM mixed
+        GROUP BY lower(display_name)
+        ORDER BY variant_min
+    """,
+    tags=("collation", "unicode-ci", "spark4"),
+)
+def collation_ci_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Case-insensitive grouping via the UNICODE_CI collation (new in
+    Spark 4.0): part names are given a deterministic mixed-case skin
+    (upper for even keys, lower for odd), then grouped under
+    `collate(..., 'UNICODE_CI')` — the collation-aware hash groups
+    'LARGE RING' with 'large ring' without rewriting the data, the
+    way a `lower()` wrapper would. The observable output (min
+    variant, counts, exact-decimal price sum) is collation-neutral,
+    so the DuckDB oracle uses the `lower()` rewrite and must agree.
+
+    At scale, collation beats `lower()` because the collation key is
+    part of the column type: every downstream group/join/sort reuses
+    it with no per-row expression, and the scan can still prune."""
+    part = t(spark, sf_dir, "part")
+    mixed = part.select(
+        F.when(F.col("p_partkey") % 2 == 0, F.upper("p_name"))
+        .otherwise(F.lower("p_name"))
+        .alias("display_name"),
+        "p_retailprice",
+    )
+    return (
+        mixed.groupBy(F.expr("collate(display_name, 'UNICODE_CI')").alias("ci"))
+        .agg(
+            F.min("display_name").alias("variant_min"),
+            F.count("*").alias("n_parts"),
+            F.count_distinct("display_name").alias("n_case_variants"),
+            F.sum(F.col("p_retailprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_price"),
+        )
+        .drop("ci")
+        .orderBy("variant_min")
+    )
+
+
+@register(
+    "sqlvar_acctbal_gate",
+    oracle="""
+        WITH thr AS (SELECT avg(c_acctbal) AS v FROM customer)
+        SELECT n.n_name,
+               count(*) AS n_rich,
+               CAST(sum(CAST(c.c_acctbal AS DECIMAL(18,2)))
+                    AS DOUBLE) AS rich_balance
+        FROM customer c
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        WHERE c.c_acctbal > (SELECT v FROM thr)
+        GROUP BY n.n_name
+        ORDER BY n.n_name
+    """,
+    tags=("session-variables", "sql", "spark4"),
+)
+def sqlvar_acctbal_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL session variables (DECLARE / SET VARIABLE, new in Spark
+    4.0): the mean account balance is computed once into a session
+    variable via `SET VAR = (scalar subquery)` — evaluated engine-side,
+    no driver collect — and the variable then parameterizes the main
+    query exactly like a constant, so Catalyst folds it and the scan
+    keeps its pushed filter. The pattern replaces string-formatted SQL
+    for run-time thresholds (dashboards, backfills) without the
+    re-parse or injection hazards. Oracle inlines the same scalar."""
+    cust = t(spark, sf_dir, "customer")
+    nat = t(spark, sf_dir, "nation")
+    spark.sql("DECLARE OR REPLACE VARIABLE shs_bal_threshold DOUBLE")
+    spark.sql(
+        "SET VARIABLE shs_bal_threshold = "
+        "(SELECT avg(c_acctbal) FROM {customer})",
+        customer=cust,
+    )
+    return spark.sql(
+        """
+        SELECT n.n_name,
+               count(*) AS n_rich,
+               CAST(sum(CAST(c.c_acctbal AS DECIMAL(18,2)))
+                    AS DOUBLE) AS rich_balance
+        FROM {customer} c
+        JOIN {nation} n ON c.c_nationkey = n.n_nationkey
+        WHERE c.c_acctbal > shs_bal_threshold
+        GROUP BY n.n_name
+        ORDER BY n.n_name
+        """,
+        customer=cust,
+        nation=nat,
+    )

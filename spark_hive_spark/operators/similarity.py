@@ -874,3 +874,46 @@ def ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         neardup_row.unionByName(knn_row).unionByName(ivf_row).orderBy("method")
     )
+
+
+_FUZZY_SQL = """
+    WITH names AS (
+        SELECT p_name, count(*) AS n_parts
+        FROM {part}
+        GROUP BY p_name
+    )
+    SELECT a.p_name AS name_a, b.p_name AS name_b,
+           levenshtein(a.p_name, b.p_name) AS edit_dist,
+           a.n_parts AS n_parts_a, b.n_parts AS n_parts_b
+    FROM names a
+    JOIN names b
+      ON split_part(a.p_name, ' ', 2) = split_part(b.p_name, ' ', 2)
+     AND abs(length(a.p_name) - length(b.p_name)) <= 3
+     AND a.p_name < b.p_name
+    WHERE levenshtein(a.p_name, b.p_name) <= 3
+    ORDER BY edit_dist, name_a, name_b
+"""
+
+
+@register(
+    "fuzzy_levenshtein_part_pairs",
+    oracle=_FUZZY_SQL.format(part="part"),
+    tags=("fuzzy-join", "levenshtein", "record-linkage"),
+)
+def fuzzy_levenshtein_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy self-join (record linkage): part-name pairs
+    within edit distance 3, candidate-generated by a blocking key —
+    the name's final token — plus a length band (|len_a - len_b| <= d
+    is a lower bound on Levenshtein, so the band never loses a true
+    pair within a block). The expensive quadratic comparison runs on
+    the DISTINCT-name vocabulary, not the row set: the first
+    aggregation collapses N part rows to the catalog vocabulary
+    (64 names here; bounded by distinct entities, not data volume, at
+    100 TB), carries per-name row counts through, and the equi-join on
+    the blocking key keeps Catalyst on a hash join — `levenshtein`
+    evaluates only on within-block, length-banded survivors.
+
+    Identical SQL runs in both engines (split_part/levenshtein have
+    shared semantics), so the oracle is verbatim."""
+    part = t(spark, sf_dir, "part")
+    return spark.sql(_FUZZY_SQL, part=part)
