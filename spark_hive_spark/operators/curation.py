@@ -420,3 +420,60 @@ def curation_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
             "effective_epochs"
         ),
     ).orderBy("source")
+
+
+@register(
+    "reservoir_per_key_sample",
+    oracle=f"""
+        WITH ranked AS (
+            SELECT n.n_name, c.c_custkey, c.c_name,
+                   (c.c_custkey * {_KNUTH}) % {_M32} AS h,
+                   row_number() OVER (
+                       PARTITION BY n.n_name
+                       ORDER BY (c.c_custkey * {_KNUTH}) % {_M32},
+                                c.c_custkey
+                   ) AS rn
+            FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+        )
+        SELECT n_name, c_custkey, c_name, h
+        FROM ranked WHERE rn <= 5
+        ORDER BY n_name, h, c_custkey
+    """,
+    tags=("curation", "sampling", "per-key", "deterministic"),
+)
+def reservoir_per_key_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size per-group sample (5 customers per nation) with
+    reservoir semantics but deterministic outcome: rank rows inside
+    each group by the Knuth multiplicative hash of the row key (tie
+    broken by the key itself — a total order) and keep the k
+    smallest. Statistically each group member is equally likely under
+    the hash's scramble, like a reservoir sample, yet the selection
+    is a pure function of the data — stable across runs, retries,
+    partitionings, and engines, which is what makes per-group audit
+    samples reproducible.
+
+    Scale: one hash-partitioned window per group key. When groups are
+    few and huge, rank-then-limit keeps only k rows per partition
+    after the sort; for skewed group sizes, pre-filter with an
+    approximate per-group hash threshold so the window sorts a
+    near-k-sized remnant instead of the full group."""
+    cust = t(spark, sf_dir, "customer")
+    nation = t(spark, sf_dir, "nation")
+    from pyspark.sql import Window as W
+
+    h = F.pmod(F.col("c_custkey") * F.lit(_KNUTH), F.lit(_M32))
+    ranked = (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .select("n_name", "c_custkey", "c_name", h.alias("h"))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("n_name").orderBy("h", "c_custkey")
+            ),
+        )
+    )
+    return (
+        ranked.filter(F.col("rn") <= 5)
+        .select("n_name", "c_custkey", "c_name", "h")
+        .orderBy("n_name", "h", "c_custkey")
+    )

@@ -552,3 +552,105 @@ def connected_components(
         )
         .orderBy("cluster_id", node_name)
     )
+
+
+SPAN_N = 5  # word n-gram width for span-coverage accounting
+
+
+@register(
+    "dedup_span_coverage",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, source,
+                   string_split({{norm}}, ' ') AS words
+            FROM documents
+        ),
+        grams AS (
+            SELECT doc_id, source, i,
+                   array_to_string(words[i:i + {SPAN_N - 1}], ' ') AS g
+            FROM (SELECT doc_id, source, words,
+                         unnest(range(1, len(words) - {SPAN_N - 2})) AS i
+                  FROM toks)
+        ),
+        df AS (
+            SELECT g, count(DISTINCT doc_id) AS g_df
+            FROM grams GROUP BY g
+        ),
+        per_doc AS (
+            SELECT doc_id, source,
+                   count(*) AS n_grams,
+                   sum(CASE WHEN g_df >= 2 THEN 1 ELSE 0 END) AS n_dup
+            FROM grams JOIN df USING (g)
+            GROUP BY doc_id, source
+        )
+        SELECT source,
+               count(*) AS n_docs,
+               CAST(sum(n_grams) AS BIGINT) AS total_grams,
+               CAST(sum(n_dup) AS BIGINT) AS dup_grams,
+               CAST(sum(CASE WHEN n_dup * 2 > n_grams THEN 1 ELSE 0 END)
+                    AS BIGINT) AS docs_mostly_dup,
+               round(avg(CAST(n_dup AS DOUBLE) / n_grams), 6)
+                   AS avg_coverage
+        FROM per_doc
+        GROUP BY source
+        ORDER BY source
+    """.format(norm=SQL_NORM_TEXT),
+    tags=("llm-pipeline", "dedup", "span-coverage"),
+)
+def dedup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicated-span accounting (the measurement behind
+    substring-level train-set dedup, à la Lee et al.'s "Deduplicating
+    Training Data Makes Language Models Better"): every word-5-gram
+    POSITION in a document is marked duplicated when its gram occurs
+    in at least one other document, giving per-document span coverage
+    — not just a dup/not-dup verdict — then per-source totals, the
+    mostly-duplicated doc count (strict-majority via exact 2·n_dup >
+    n_grams integers), and mean coverage.
+
+    Plan: explode positions → gram doc-frequency aggregate → one
+    equi-join back on the gram, no self-join anywhere (unlike pair
+    generation, coverage needs only df ≥ 2, so cost is linear in
+    corpus gram volume plus one shuffle on the gram key). At 100 TB
+    the gram key would be xxhash64(gram) — 8-byte shuffle keys, same
+    plan; strings are kept here so the oracle shares the exact
+    grouping."""
+    docs = t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", "source", F.split(normalized_text(), " ").alias("words")
+    )
+    grams = toks.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(F.size("words") - (SPAN_N - 1), F.lit(0))),
+                lambda i: F.concat_ws(" ", F.slice("words", i, SPAN_N)),
+            )
+        ).alias("g"),
+    )
+    df_tbl = grams.groupBy("g").agg(
+        F.count_distinct("doc_id").alias("g_df")
+    )
+    per_doc = (
+        grams.join(df_tbl, "g")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum((F.col("g_df") >= 2).cast("long")).alias("n_dup"),
+        )
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_grams").alias("total_grams"),
+            F.sum("n_dup").alias("dup_grams"),
+            F.sum(
+                (F.col("n_dup") * 2 > F.col("n_grams")).cast("long")
+            ).alias("docs_mostly_dup"),
+            F.round(
+                F.avg(F.col("n_dup").cast("double") / F.col("n_grams")), 6
+            ).alias("avg_coverage"),
+        )
+        .orderBy("source")
+    )

@@ -462,3 +462,136 @@ def multimodal_decode_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(out)
 
     return media.mapInPandas(decode_batches, _DECODE_SCHEMA).orderBy("doc_id")
+
+
+WAV_DOCS = 200  # docs that get an audio payload
+WAV_RATE = 16000  # mono PCM16 sample rate
+
+
+def encode_wav(samples, rate: int = WAV_RATE) -> bytes:
+    """Serialize an int16 sample array as a genuine RIFF/WAVE mono
+    PCM16 payload via the stdlib `wave` module — a real audio
+    container (44-byte RIFF header, fmt + data chunks), not a fake."""
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(samples.astype("<i2").tobytes())
+    return buf.getvalue()
+
+
+def decode_wav(payload: bytes):
+    """Parse a RIFF/WAVE payload back to (rate, int16 sample array),
+    validating the container really is mono PCM16."""
+    import io
+    import wave
+
+    import numpy as np
+
+    with wave.open(io.BytesIO(payload), "rb") as w:
+        if w.getnchannels() != 1 or w.getsampwidth() != 2:
+            raise ValueError("expected mono PCM16 WAV")
+        rate = w.getframerate()
+        frames = w.readframes(w.getnframes())
+    return rate, np.frombuffer(frames, dtype="<i2")
+
+
+@register(
+    "multimodal_wav_features",
+    oracle=f"""
+        WITH d AS (
+            SELECT doc_id, 256 + doc_id % 64 AS n
+            FROM documents WHERE doc_id < {WAV_DOCS}
+        ),
+        s AS (
+            SELECT doc_id, n,
+                   (doc_id * 7919 + i * 104729) % 65536 - 32768 AS v
+            FROM (SELECT doc_id, n, unnest(range(0, n)) AS i FROM d)
+        )
+        SELECT doc_id,
+               CAST(n AS INT) AS n_samples,
+               CAST({WAV_RATE} AS INT) AS sample_rate,
+               CAST(floor(n * 1000000.0 / {WAV_RATE}) AS BIGINT)
+                   AS duration_us,
+               CAST(sum(v) AS BIGINT) AS sum_samples,
+               CAST(sum(v * v) AS BIGINT) AS sum_sq,
+               CAST(max(abs(v)) AS INT) AS peak,
+               round(sqrt(CAST(sum(v * v) AS DOUBLE) / n), 6) AS rms
+        FROM s GROUP BY doc_id, n
+        ORDER BY doc_id
+    """,
+    tags=("multimodal", "audio", "wav", "codec", "llm-pipeline"),
+)
+def multimodal_wav_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio bytes→samples→features, end to end: per document a
+    deterministic PCM16 waveform (sample_i = (doc_id·7919 +
+    i·104729) mod 65536 − 32768, length 256 + doc_id%64) is written
+    as a genuine RIFF/WAVE container by the stdlib `wave` codec,
+    carried as a `binary` column, parsed back by the same codec, and
+    reduced to the features an audio-curation pipeline filters on
+    (duration, DC offset via sum, energy, peak, RMS). Any header,
+    endianness, or sample-width damage in the container roundtrip
+    flips the exact-integer sums; the DuckDB oracle recomputes every
+    feature from the waveform formula and never sees WAV bytes.
+
+    Scale: same posture as the image path — two chained narrow
+    mapInPandas stages, zero shuffles, blobs streamed per Arrow
+    batch, features out as scalar columns so downstream filters
+    never touch audio again."""
+    docs = (
+        t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < WAV_DOCS)
+        .select("doc_id")
+    )
+
+    def encode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            ids = pdf["doc_id"].to_numpy()
+            payloads = []
+            for d in ids:
+                d = int(d)
+                n = 256 + d % 64
+                i = np.arange(n, dtype=np.int64)
+                samples = (d * 7919 + i * 104729) % 65536 - 32768
+                payloads.append(encode_wav(samples))
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    media = docs.mapInPandas(encode_batches, "doc_id long, payload binary")
+
+    def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import math
+
+        for pdf in batches:
+            rows = []
+            for d, p in zip(pdf["doc_id"], pdf["payload"]):
+                rate, samples = decode_wav(bytes(p))
+                s = samples.astype("int64")
+                n = len(s)
+                sum_sq = int((s * s).sum())
+                rows.append(
+                    (
+                        int(d), n, rate,
+                        n * 1_000_000 // rate,
+                        int(s.sum()), sum_sq, int(abs(s).max()),
+                        round(math.sqrt(sum_sq / n), 6),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "n_samples", "sample_rate", "duration_us",
+                    "sum_samples", "sum_sq", "peak", "rms",
+                ],
+            )
+
+    return media.mapInPandas(
+        decode_batches,
+        "doc_id long, n_samples int, sample_rate int, duration_us long,"
+        " sum_samples long, sum_sq long, peak int, rms double",
+    ).orderBy("doc_id")

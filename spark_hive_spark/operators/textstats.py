@@ -728,3 +728,102 @@ def text_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# Hashed linear quality classifier: a fasttext-shaped scorer with a
+# 64-bin hashed vocabulary and deterministic pseudo-weights, built
+# entirely from engine-portable integer arithmetic so the oracle can
+# recompute it. The token hash mixes length and boundary characters
+# (cheap, codegen-friendly); the weight table is a multiplicative
+# scramble of the bin index into [-1, 1] in steps of 1/500.
+_CLS_BINS = 64
+_CLS_MIX = 2654435761  # Knuth multiplicative constant
+
+
+@register(
+    "quality_hashed_linear_classifier",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, source,
+                   unnest(string_split({SQL_NORM_TEXT}, ' ')) AS tok
+            FROM documents
+        ),
+        feats AS (
+            SELECT doc_id, source,
+                   ((length(tok) * 31 + ascii(left(tok, 1)) * 7
+                     + ascii(right(tok, 1))) % {_CLS_BINS} * {_CLS_MIX})
+                   % 1001 AS w1001
+            FROM toks WHERE tok <> ''
+        ),
+        scored AS (
+            SELECT doc_id, source,
+                   count(*) AS n_tok,
+                   sum(w1001) AS sw
+            FROM feats GROUP BY doc_id, source
+        )
+        SELECT source,
+               count(*) AS n_docs,
+               CAST(sum(CASE WHEN sw > 500 * n_tok THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_positive,
+               round(avg((sw - 500.0 * n_tok) / (500.0 * n_tok)), 6)
+                   AS avg_score
+        FROM scored
+        GROUP BY source
+        ORDER BY source
+    """,
+    tags=("llm-pipeline", "quality", "classifier", "hashing-trick"),
+)
+def quality_hashed_linear_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick linear quality classifier — the shape of a
+    fasttext-style corpus filter, with deterministic stand-in weights
+    so the whole model is auditable cross-engine: each token hashes
+    into one of 64 bins (length/boundary-char mix, pure codegen
+    arithmetic — no Python), each bin carries a fixed pseudo-weight
+    in [-1, 1], and a document's score is its mean token weight. The
+    class decision (score > 0) compares EXACT integers
+    (sum(w1001) vs 500·n), so classification counts are
+    float-noise-free; only the reported mean score is a rounded
+    double.
+
+    Scale: one narrow scan → explode → two hash aggregates; weights
+    live in the expression (no join, no broadcast, no UDF). Swapping
+    the stand-in weight formula for a learned 2^20-bin table turns
+    this into a real fasttext scorer with a broadcast weight join —
+    same plan shape."""
+    docs = t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        "source",
+        F.explode(F.split(normalized_text(), " ")).alias("tok"),
+    ).filter(F.col("tok") != "")
+    w1001 = (
+        (
+            F.length("tok") * 31
+            + F.ascii(F.substring("tok", 1, 1)) * 7
+            + F.ascii(F.substring("tok", -1, 1))
+        )
+        % _CLS_BINS
+        * F.lit(_CLS_MIX)
+    ) % 1001
+    scored = (
+        toks.select("doc_id", "source", w1001.alias("w1001"))
+        .groupBy("doc_id", "source")
+        .agg(F.count("*").alias("n_tok"), F.sum("w1001").alias("sw"))
+    )
+    return (
+        scored.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(
+                (F.col("sw") > 500 * F.col("n_tok")).cast("long")
+            ).alias("n_positive"),
+            F.round(
+                F.avg(
+                    (F.col("sw") - 500.0 * F.col("n_tok"))
+                    / (500.0 * F.col("n_tok"))
+                ),
+                6,
+            ).alias("avg_score"),
+        )
+        .orderBy("source")
+    )

@@ -164,6 +164,7 @@ def _load_all() -> None:
         "spark_hive_spark.operators.relational2",
         "spark_hive_spark.operators.relational3",
         "spark_hive_spark.operators.modern_sql",
+        "spark_hive_spark.operators.graph",
     ):
         try:
             importlib.import_module(mod)
