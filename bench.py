@@ -117,6 +117,16 @@ EXTENDED = [
     "cogroup_click_purchase_latency",
     "source_jdbc_dim_enrich",
     "journey_top_paths",
+    "recursive_cte_custkey_tree",
+    "collation_ci_part_names",
+    "sqlvar_acctbal_gate",
+    "table_checksum_validation",
+    "fuzzy_levenshtein_part_pairs",
+    "multimodal_wav_features",
+    "pagerank_nation_trade",
+    "quality_hashed_linear_classifier",
+    "dedup_span_coverage",
+    "reservoir_per_key_sample",
 ]
 
 # Streaming extended queries run dead LAST (after the streaming
@@ -198,6 +208,17 @@ EXPECTED_SF01: dict[str, float] = {
     "source_jdbc_dim_enrich": 2.0,
     "journey_top_paths": 0.8,
     "stream_tws_user_profile": 8.0,
+    # round-7 batch 2 (idle sf0.1 best-of-2, 2026-08-14)
+    "recursive_cte_custkey_tree": 3.0,
+    "collation_ci_part_names": 0.35,
+    "sqlvar_acctbal_gate": 0.45,
+    "table_checksum_validation": 1.0,
+    "fuzzy_levenshtein_part_pairs": 0.3,
+    "multimodal_wav_features": 0.4,
+    "pagerank_nation_trade": 1.8,
+    "quality_hashed_linear_classifier": 0.35,
+    "dedup_span_coverage": 2.4,
+    "reservoir_per_key_sample": 0.45,
 }
 
 

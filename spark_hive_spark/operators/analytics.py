@@ -1008,3 +1008,84 @@ def journey_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_users").desc(), "path")
         .limit(JOURNEY_TOP)
     )
+
+
+BASKET_MIN_ORDERS = 2
+BASKET_TOP = 20
+
+
+@register(
+    "basket_part_pairs",
+    oracle=f"""
+        WITH op AS (
+            SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        ),
+        pairs AS (
+            SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+                   count(*) AS n_orders
+            FROM op a
+            JOIN op b ON a.l_orderkey = b.l_orderkey
+                     AND a.l_partkey < b.l_partkey
+            GROUP BY 1, 2
+        )
+        SELECT p.part_a, pa.p_name AS name_a,
+               p.part_b, pb.p_name AS name_b, p.n_orders
+        FROM pairs p
+        JOIN part pa ON p.part_a = pa.p_partkey
+        JOIN part pb ON p.part_b = pb.p_partkey
+        WHERE p.n_orders >= {BASKET_MIN_ORDERS}
+        ORDER BY p.n_orders DESC, p.part_a, p.part_b
+        LIMIT {BASKET_TOP}
+    """,
+    tags=("market-basket", "co-occurrence", "self-join"),
+)
+def basket_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence: part pairs appearing together in
+    at least {BASKET_MIN} orders, top {BASKET_TOP} with a total-order
+    tie-break (count desc, then both keys). The pair generator is the
+    within-basket self-join on the order key — cost is quadratic in
+    BASKET size, linear in order count, so it scales while baskets
+    stay bounded (TPC-H-ish baskets hold <= 7 items; on real carts,
+    cap the basket or pre-filter to frequent single items a la
+    apriori before pairing). Dedup to DISTINCT (order, part) first so
+    multi-line quantities don't inflate co-occurrence, then broadcast
+    the part dimension for display names.
+
+    Scale: one shuffle on l_orderkey for the self-join, one hash
+    aggregate on the pair key, TakeOrdered for the top-k — no
+    all-pairs anywhere."""
+    li = (
+        t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a, b = li.alias("a"), li.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count("*").alias("n_orders"))
+        .filter(F.col("n_orders") >= BASKET_MIN_ORDERS)
+    )
+    part = t(spark, sf_dir, "part").select("p_partkey", "p_name")
+    return (
+        pairs.join(
+            F.broadcast(part.withColumnRenamed("p_name", "name_a")),
+            F.col("part_a") == F.col("p_partkey"),
+        )
+        .drop("p_partkey")
+        .join(
+            F.broadcast(part.withColumnRenamed("p_name", "name_b")),
+            F.col("part_b") == F.col("p_partkey"),
+        )
+        .drop("p_partkey")
+        .select("part_a", "name_a", "part_b", "name_b", "n_orders")
+        .orderBy(F.desc("n_orders"), "part_a", "part_b")
+        .limit(BASKET_TOP)
+    )

@@ -589,8 +589,8 @@ SPAN_N = 5  # word n-gram width for span-coverage accounting
                CAST(sum(n_dup) AS BIGINT) AS dup_grams,
                CAST(sum(CASE WHEN n_dup * 2 > n_grams THEN 1 ELSE 0 END)
                     AS BIGINT) AS docs_mostly_dup,
-               round(avg(CAST(n_dup AS DOUBLE) / n_grams), 6)
-                   AS avg_coverage
+               CAST(sum(n_dup) AS DOUBLE) / sum(n_grams)
+                   AS micro_coverage
         FROM per_doc
         GROUP BY source
         ORDER BY source
@@ -648,9 +648,15 @@ def dedup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(
                 (F.col("n_dup") * 2 > F.col("n_grams")).cast("long")
             ).alias("docs_mostly_dup"),
-            F.round(
-                F.avg(F.col("n_dup").cast("double") / F.col("n_grams")), 6
-            ).alias("avg_coverage"),
+        )
+        .select(
+            "*",
+            # micro average: ONE division of exact integer sums — a
+            # deterministic double, no round (the per-doc macro mean
+            # is the round-over-rational-avg hash hazard)
+            (F.col("dup_grams").cast("double") / F.col("total_grams")).alias(
+                "micro_coverage"
+            ),
         )
         .orderBy("source")
     )

@@ -58,12 +58,24 @@ def _pagerank_oracle() -> str:
         )""",
     ]
     for i in range(PR_ITERS):
+        # dangling nations (no out-edges — e.g. no local supplier ever
+        # ships) redistribute their rank mass uniformly each round,
+        # keeping the ranks a probability vector at every data scale
+        ctes.append(
+            f"""
+        dang{i} AS (
+            SELECT coalesce(sum(p.rank), 0.0) AS m
+            FROM pr{i} p
+            WHERE p.node NOT IN (SELECT src FROM frac)
+        )"""
+        )
         ctes.append(
             f"""
         pr{i + 1} AS (
             SELECT n.n_nationkey AS node,
-                   {teleport} + {PR_DAMPING} * coalesce(sum(p.rank * e.f), 0.0)
-                       AS rank
+                   {teleport} + {PR_DAMPING}
+                       * (coalesce(sum(p.rank * e.f), 0.0)
+                          + (SELECT m FROM dang{i}) / {PR_N}) AS rank
             FROM nation n
             LEFT JOIN frac e ON e.dst = n.n_nationkey
             LEFT JOIN pr{i} p ON p.node = e.src
@@ -90,7 +102,10 @@ def pagerank_nation_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weighted PageRank over the supplier-nation → customer-nation
     trade graph (edge weight = number of lineitems shipped on that
     trade lane), damping 0.85, 5 fixed iterations from a uniform
-    prior.
+    prior, with standard dangling-mass redistribution: a nation with
+    no out-edges (no local supplier ships anything — common at small
+    SF) spreads its rank uniformly each round, so the ranks stay a
+    probability vector at every data scale (invariant-tested).
 
     The edge list comes from one declarative join pipeline (lineitem
     shuffles once; the dimension joins broadcast), is checkpointed
@@ -125,6 +140,9 @@ def pagerank_nation_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).localCheckpoint(eager=True)
 
     nodes = nation.select(F.col("n_nationkey").alias("node"))
+    danglers = nodes.join(
+        frac.select(F.col("src").alias("node")).distinct(), "node", "left_anti"
+    ).localCheckpoint(eager=True)
     rank = nodes.withColumn("rank", F.lit(1.0 / PR_N))
     teleport = (1.0 - PR_DAMPING) / PR_N
     for _ in range(PR_ITERS):
@@ -135,12 +153,25 @@ def pagerank_nation_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("dst")
             .agg(F.sum("c").alias("in_rank"))
         )
-        rank = nodes.join(F.broadcast(contrib), nodes.node == contrib.dst, "left").select(
-            "node",
-            (
-                F.lit(teleport)
-                + F.lit(PR_DAMPING) * F.coalesce("in_rank", F.lit(0.0))
-            ).alias("rank"),
+        # 1-row dangling-mass scalar, attached via broadcast cross
+        # join (never a collect)
+        dang = rank.join(F.broadcast(danglers), "node").agg(
+            F.coalesce(F.sum("rank"), F.lit(0.0)).alias("m")
+        )
+        rank = (
+            nodes.join(F.broadcast(contrib), nodes.node == contrib.dst, "left")
+            .crossJoin(F.broadcast(dang))
+            .select(
+                "node",
+                (
+                    F.lit(teleport)
+                    + F.lit(PR_DAMPING)
+                    * (
+                        F.coalesce("in_rank", F.lit(0.0))
+                        + F.col("m") / F.lit(float(PR_N))
+                    )
+                ).alias("rank"),
+            )
         )
     return (
         rank.join(F.broadcast(nation), rank.node == nation.n_nationkey)

@@ -400,8 +400,8 @@ def _duck_unix_micros(expr: str) -> str:
     oracle="\nUNION ALL\n".join(
         f"""
         SELECT '{name}' AS table_name, count(*) AS n_rows,
-               sum(CAST(('0x' || substring(md5(concat({_duck_unix_micros(row)})), 1, 15))
-                        AS BIGINT) % 1000000007) AS row_checksum
+               CAST(sum(CAST(('0x' || substring(md5(concat({_duck_unix_micros(row)})), 1, 15))
+                             AS BIGINT) % 1000000007) AS BIGINT) AS row_checksum
         FROM {name}
         """
         for name, row in _CHECKSUM_ROWS.items()

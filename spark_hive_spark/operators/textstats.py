@@ -765,8 +765,9 @@ _CLS_MIX = 2654435761  # Knuth multiplicative constant
                count(*) AS n_docs,
                CAST(sum(CASE WHEN sw > 500 * n_tok THEN 1 ELSE 0 END)
                     AS BIGINT) AS n_positive,
-               round(avg((sw - 500.0 * n_tok) / (500.0 * n_tok)), 6)
-                   AS avg_score
+               CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+               (sum(sw) - 500.0 * sum(n_tok)) / (500.0 * sum(n_tok))
+                   AS micro_score
         FROM scored
         GROUP BY source
         ORDER BY source
@@ -817,13 +818,22 @@ def quality_hashed_linear_classifier(spark: SparkSession, sf_dir: str) -> DataFr
             F.sum(
                 (F.col("sw") > 500 * F.col("n_tok")).cast("long")
             ).alias("n_positive"),
-            F.round(
-                F.avg(
-                    (F.col("sw") - 500.0 * F.col("n_tok"))
-                    / (500.0 * F.col("n_tok"))
-                ),
-                6,
-            ).alias("avg_score"),
+            F.sum("n_tok").alias("total_tokens"),
+            F.sum("sw").alias("_sw"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_positive",
+            "total_tokens",
+            # micro average: ONE division of exact integer sums — a
+            # deterministic double in both engines, no rounding needed
+            # (the per-doc macro mean would sum rationals in engine-
+            # dependent order; see test_no_round_over_rational_avg)
+            (
+                (F.col("_sw") - 500.0 * F.col("total_tokens"))
+                / (500.0 * F.col("total_tokens"))
+            ).alias("micro_score"),
         )
         .orderBy("source")
     )

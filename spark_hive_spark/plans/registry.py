@@ -68,6 +68,16 @@ SWEEP_PRIORITY: tuple[str, ...] = (
     "cogroup_click_purchase_latency",
     "source_jdbc_dim_enrich",
     "journey_top_paths",
+    "recursive_cte_custkey_tree",
+    "collation_ci_part_names",
+    "sqlvar_acctbal_gate",
+    "table_checksum_validation",
+    "fuzzy_levenshtein_part_pairs",
+    "multimodal_wav_features",
+    "pagerank_nation_trade",
+    "quality_hashed_linear_classifier",
+    "dedup_span_coverage",
+    "reservoir_per_key_sample",
     # round-4 queries first driver-swept in r06 (re-attestations)
     "json_variant_props",
     "xml_part_roundtrip",
@@ -93,19 +103,9 @@ SWEEP_PRIORITY: tuple[str, ...] = (
     "arrow_group_doc_quantiles",
     "sketch_hll_builtin_rollup",
     "timeseries_gapfill_locf",
-    "cdc_upsert_orders",
-    "stream_static_enrich_segments",
-    "stream_multibatch_tumbling",
-    "ann_recall_audit",
-    "source_python_datasource_stream",
-    "multimodal_resize_plan",
-    "rfm_approx_audit",
-    "bitmap_distinct_rollup",
     # re-attestations (driver-green in r06); round-7 additions
     # displace from the END of this block as they land, keeping the
     # never-swept set fully covered.
-    "q3_shipping_priority",
-    "q5_region_revenue",
 )
 
 

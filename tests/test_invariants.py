@@ -438,3 +438,141 @@ def test_rfm_approx_agrees_with_exact(spark):
             )
             rate = agree / len(tie_free)
             assert rate >= 0.9, f"{col}: tie-free agreement {rate:.2f} < 0.9"
+
+
+def test_wav_codec_roundtrip_identity():
+    """encode_wav -> decode_wav must be the identity on int16 sample
+    arrays (container framing, endianness, sample width) — including
+    the full-scale extremes and odd lengths."""
+    import numpy as np
+
+    from spark_hive_spark.operators.multimodal import decode_wav, encode_wav
+
+    for samples in (
+        np.array([0, 1, -1, 32767, -32768], dtype=np.int16),
+        (np.arange(333, dtype=np.int64) * 997 % 65536 - 32768).astype(np.int16),
+    ):
+        rate, back = decode_wav(encode_wav(samples))
+        assert rate == 16000
+        assert back.dtype == np.dtype("<i2")
+        assert (back == samples).all()
+
+
+def test_wav_decode_rejects_non_mono():
+    """The decoder must refuse containers that aren't mono PCM16
+    rather than silently mis-reading frames."""
+    import io
+    import wave
+
+    import numpy as np
+    import pytest as _pytest
+
+    from spark_hive_spark.operators.multimodal import decode_wav
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(2)
+        w.setsampwidth(2)
+        w.setframerate(8000)
+        w.writeframes(np.zeros(8, dtype="<i2").tobytes())
+    with _pytest.raises(ValueError):
+        decode_wav(buf.getvalue())
+
+
+def test_pagerank_is_a_probability_vector(spark):
+    """Teleport floor and (near-)stochasticity: every rank >=
+    (1-d)/N, and the ranks sum to <= 1 + eps (equality when no rank
+    mass leaks through dangling nations; the fixture graph has every
+    nation trading, so the sum should be ~1)."""
+    rows = _rows(spark, "pagerank_nation_trade")
+    assert len(rows) == 25
+    floor = (1 - 0.85) / 25
+    total = sum(r.pagerank for r in rows)
+    for r in rows:
+        assert r.pagerank >= floor - 1e-9
+    assert 0.99 <= total <= 1.0 + 1e-6
+
+
+def test_table_checksum_detects_single_cell_damage(spark):
+    """The row fingerprint must flip when any one cell changes — the
+    property that makes the checksum a migration validation rather
+    than a row count."""
+    from pyspark.sql import functions as F
+
+    fp = (
+        "CAST(conv(substring(md5(concat(c_custkey, '|', c_name)), 1, 15),"
+        " 16, 10) AS BIGINT) % 1000000007"
+    )
+    base = spark.createDataFrame(
+        [(1, "alice"), (2, "bob")], "c_custkey long, c_name string"
+    )
+    damaged = spark.createDataFrame(
+        [(1, "alice"), (2, "bub")], "c_custkey long, c_name string"
+    )
+    s0 = base.select(F.expr(fp).alias("f")).agg(F.sum("f")).collect()[0][0]
+    s1 = damaged.select(F.expr(fp).alias("f")).agg(F.sum("f")).collect()[0][0]
+    assert s0 != s1
+
+
+def test_fuzzy_length_band_loses_no_pairs(spark):
+    """|len(a)-len(b)| <= d lower-bounds Levenshtein, so the banded
+    join must return exactly the pairs the unbanded within-block scan
+    finds."""
+    from pyspark.sql import functions as F
+
+    from spark_hive_spark.tables import t
+
+    names = (
+        t(spark, SF_SMOKE, "part").select("p_name").distinct().collect()
+    )
+    vocab = sorted(r.p_name for r in names)
+    import itertools
+
+    def lev(a: str, b: str) -> int:
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(
+                    min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb))
+                )
+            prev = cur
+        return prev[-1]
+
+    expected = {
+        (a, b)
+        for a, b in itertools.combinations(vocab, 2)
+        if a.split()[-1] == b.split()[-1] and lev(a, b) <= 3
+    }
+    got = {
+        (r.name_a, r.name_b)
+        for r in _rows(spark, "fuzzy_levenshtein_part_pairs")
+    }
+    assert got == expected
+
+
+def test_reservoir_sample_sizes_and_stability(spark):
+    """Exactly min(5, |group|) rows per nation, and the selection is a
+    pure function of the data — identical under a different input
+    partitioning."""
+    from spark_hive_spark.tables import t
+
+    rows = _rows(spark, "reservoir_per_key_sample")
+    by_nation: dict[str, list] = {}
+    for r in rows:
+        by_nation.setdefault(r.n_name, []).append(r.c_custkey)
+    cust = t(spark, SF_SMOKE, "customer")
+    nat = t(spark, SF_SMOKE, "nation")
+    sizes = (
+        cust.join(nat, cust.c_nationkey == nat.n_nationkey)
+        .groupBy("n_name")
+        .count()
+        .collect()
+    )
+    group_size = {r.n_name: r["count"] for r in sizes}
+    for nation, picked in by_nation.items():
+        assert len(picked) == min(5, group_size[nation])
+    rerun = _rows(spark, "reservoir_per_key_sample")
+    assert [(r.n_name, r.c_custkey) for r in rerun] == [
+        (r.n_name, r.c_custkey) for r in rows
+    ]
