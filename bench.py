@@ -127,6 +127,11 @@ EXTENDED = [
     "quality_hashed_linear_classifier",
     "dedup_span_coverage",
     "reservoir_per_key_sample",
+    "basket_part_pairs",
+    "skew_diagnostic_report",
+    "source_schema_evolution_union",
+    "chisq_segment_priority",
+    "ewma_user_event_values",
 ]
 
 # Streaming extended queries run dead LAST (after the streaming
@@ -141,6 +146,7 @@ STREAMING_EXTENDED = [
     # round 7: registers only where protobuf (or the vendored
     # fallback) is importable — hence the `if n in queries` guard
     "stream_tws_user_profile",
+    "stream_stream_left_outer_join",
 ]
 
 
@@ -215,10 +221,16 @@ EXPECTED_SF01: dict[str, float] = {
     "table_checksum_validation": 1.0,
     "fuzzy_levenshtein_part_pairs": 0.3,
     "multimodal_wav_features": 0.4,
-    "pagerank_nation_trade": 1.8,
+    "pagerank_nation_trade": 3.0,
     "quality_hashed_linear_classifier": 0.35,
     "dedup_span_coverage": 2.4,
     "reservoir_per_key_sample": 0.45,
+    "basket_part_pairs": 2.2,
+    "skew_diagnostic_report": 0.8,
+    "source_schema_evolution_union": 2.0,
+    "chisq_segment_priority": 0.75,
+    "ewma_user_event_values": 0.55,
+    "stream_stream_left_outer_join": 3.6,
 }
 
 

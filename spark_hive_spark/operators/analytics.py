@@ -1089,3 +1089,65 @@ def basket_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_orders"), "part_a", "part_b")
         .limit(BASKET_TOP)
     )
+
+
+EWMA_ALPHA = 0.5  # powers of (1-alpha)=0.5 are exact binary doubles
+
+
+@register(
+    "ewma_user_event_values",
+    oracle="""
+        WITH seq AS (
+            SELECT user_id, value,
+                   row_number() OVER w AS i,
+                   count(*) OVER (PARTITION BY user_id) AS n
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        )
+        SELECT user_id,
+               CAST(max(n) AS BIGINT) AS n_events,
+               round(sum(CASE WHEN i = 1 THEN value * pow(0.5, n - 1)
+                              ELSE value * pow(0.5, n - i + 1) END),
+                     6) AS ewma
+        FROM seq
+        GROUP BY user_id
+        ORDER BY user_id
+    """,
+    tags=("timeseries", "ewma", "window"),
+)
+def ewma_user_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user exponentially weighted moving average of event values
+    (alpha = 0.5), evaluated in CLOSED FORM instead of a recurrence:
+    e_n = v_1·(1-a)^(n-1) + Σ_{i>=2} a·v_i·(1-a)^(n-i). The rewrite
+    turns a sequential per-row recurrence — which would force
+    applyInPandas or a driver loop — into one window (row_number +
+    per-key count) plus one hash aggregate: fully codegen'd, one
+    shuffle on user_id, linear at any scale.
+
+    alpha = 1/2 makes every (1-a)^k an exact binary double, so both
+    engines compute identical per-term products; only the final sum
+    order differs (1e-16), absorbed by the 6dp round. For non-dyadic
+    alphas the same plan applies with one extra rounding guard."""
+    from pyspark.sql import Window as W
+
+    ev = t(spark, sf_dir, "events").select("user_id", "value", "ts", "event_id")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        "value",
+        F.row_number().over(w).alias("i"),
+        F.count("*").over(W.partitionBy("user_id")).alias("n"),
+    )
+    term = F.when(
+        F.col("i") == 1, F.col("value") * F.pow(F.lit(0.5), F.col("n") - 1)
+    ).otherwise(
+        F.col("value") * F.pow(F.lit(0.5), F.col("n") - F.col("i") + 1)
+    )
+    return (
+        seq.groupBy("user_id")
+        .agg(
+            F.max("n").alias("n_events"),
+            F.round(F.sum(term), 6).alias("ewma"),
+        )
+        .orderBy("user_id")
+    )

@@ -172,6 +172,11 @@ def pagerank_nation_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
                     )
                 ).alias("rank"),
             )
+            # rank feeds both next-round branches (contrib + dangling
+            # scalar); without a checkpoint the lineage doubles per
+            # iteration — 2^5 plan copies, measured 1.7 s -> 6.1 s at
+            # sf0.1. 25 rows: the checkpoint is free.
+            .localCheckpoint(eager=True)
         )
     return (
         rank.join(F.broadcast(nation), rank.node == nation.n_nationkey)

@@ -292,3 +292,71 @@ def zorder_layout_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("zbucket")
     )
+
+
+# Join-key columns a skew audit watches before sizing shuffles. Each
+# entry: (report label, table, key column).
+_SKEW_KEYS = (
+    ("lineitem.l_partkey", "lineitem", "l_partkey"),
+    ("lineitem.l_suppkey", "lineitem", "l_suppkey"),
+    ("orders.o_custkey", "orders", "o_custkey"),
+    ("events.user_id", "events", "user_id"),
+)
+
+
+@register(
+    "skew_diagnostic_report",
+    oracle="\nUNION ALL\n".join(
+        f"""
+        SELECT '{label}' AS key_column,
+               CAST(sum(cnt) AS BIGINT) AS total_rows,
+               CAST(count(*) AS BIGINT) AS n_keys,
+               CAST(max(cnt) AS BIGINT) AS max_key_rows,
+               CAST(max(cnt) AS DOUBLE) * count(*) / sum(cnt)
+                   AS skew_ratio
+        FROM (SELECT {col}, count(*) AS cnt FROM {tbl} GROUP BY {col})
+        """
+        for label, tbl, col in _SKEW_KEYS
+    )
+    + "\nORDER BY key_column",
+    tags=("scale", "skew", "diagnostics"),
+)
+def skew_diagnostic_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-shuffle skew audit over the join keys the engine actually
+    shuffles on: per key column, total rows, distinct keys, the
+    heaviest key's row count, and the skew ratio (max/mean rows per
+    key — 1.0 is perfectly uniform; AQE's skew-join threshold and the
+    salting fan-out in `skew_salted_*` are sized from exactly this
+    number). The ratio is one division of exact integer aggregates,
+    so the report is hash-stable cross-engine.
+
+    Scale: each key audit is a single map-side-combining hash
+    aggregate followed by a 1-row reduce — the cheapest possible scan
+    shape, and the four audits are independent jobs Spark runs
+    concurrently. This is the profile-first step the 100 TB runbook
+    (SCALE.md) prescribes before choosing salting or AQE skew
+    handling."""
+    parts = []
+    for label, tbl, col in _SKEW_KEYS:
+        per_key = (
+            t(spark, sf_dir, tbl)
+            .groupBy(col)
+            .agg(F.count("*").alias("cnt"))
+        )
+        parts.append(
+            per_key.agg(
+                F.lit(label).alias("key_column"),
+                F.sum("cnt").alias("total_rows"),
+                F.count("*").alias("n_keys"),
+                F.max("cnt").alias("max_key_rows"),
+                (
+                    F.max("cnt").cast("double")
+                    * F.count("*")
+                    / F.sum("cnt")
+                ).alias("skew_ratio"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("key_column")

@@ -79,3 +79,90 @@ def stats_corr_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.regr_r2("l_extendedprice", "l_quantity"), 6).alias("r2"),
         F.count("*").alias("n"),
     )
+
+
+@register(
+    "chisq_segment_priority",
+    oracle="""
+        WITH obs AS (
+            SELECT c.c_mktsegment AS seg, o.o_orderpriority AS pri,
+                   count(*) AS n
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+            GROUP BY 1, 2
+        ),
+        tot AS (
+            SELECT seg, pri, n,
+                   sum(n) OVER (PARTITION BY seg) AS row_tot,
+                   sum(n) OVER (PARTITION BY pri) AS col_tot,
+                   sum(n) OVER () AS grand
+            FROM obs
+        ),
+        stat AS (
+            SELECT sum(
+                       pow(n - CAST(row_tot AS DOUBLE) * col_tot / grand, 2)
+                       / (CAST(row_tot AS DOUBLE) * col_tot / grand)
+                   ) AS chi2,
+                   CAST((count(DISTINCT seg) - 1)
+                        * (count(DISTINCT pri) - 1) AS BIGINT) AS dof,
+                   CAST(max(grand) AS BIGINT) AS n_obs,
+                   CAST(least(count(DISTINCT seg),
+                              count(DISTINCT pri)) - 1 AS BIGINT) AS min_dim
+            FROM tot
+        )
+        SELECT round(chi2, 6) AS chi2, dof, n_obs,
+               round(sqrt(chi2 / (n_obs * min_dim)), 6) AS cramers_v
+        FROM stat
+    """,
+    tags=("statistics", "chi-square", "contingency"),
+)
+def chisq_segment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square test of independence between customer market
+    segment and order priority (the warehouse question "does segment
+    drive priority?"), plus Cramér's V effect size. Observed counts
+    come from one join + hash aggregate; expected counts are derived
+    from the contingency margins with window sums over the TINY
+    aggregate (5×5 cells), so the statistic costs one pass over
+    orders regardless of volume.
+
+    The oracle recomputes the identical arithmetic; chi2 rounds at
+    6dp (sum of rational cell terms in engine-dependent order —
+    1e-15 noise, far below the rounding grain)."""
+    orders = t(spark, sf_dir, "orders").select("o_custkey", "o_orderpriority")
+    cust = t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    from pyspark.sql import Window as W
+
+    obs = (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy(
+            F.col("c_mktsegment").alias("seg"),
+            F.col("o_orderpriority").alias("pri"),
+        )
+        .agg(F.count("*").alias("n"))
+    )
+    tot = obs.select(
+        "seg",
+        "pri",
+        "n",
+        F.sum("n").over(W.partitionBy("seg")).alias("row_tot"),
+        F.sum("n").over(W.partitionBy("pri")).alias("col_tot"),
+        F.sum("n").over(W.partitionBy()).alias("grand"),
+    )
+    exp = F.col("row_tot").cast("double") * F.col("col_tot") / F.col("grand")
+    stat = tot.agg(
+        F.sum(F.pow(F.col("n") - exp, 2) / exp).alias("chi2"),
+        (
+            (F.count_distinct("seg") - 1) * (F.count_distinct("pri") - 1)
+        ).alias("dof"),
+        F.max("grand").alias("n_obs"),
+        (
+            F.least(F.count_distinct("seg"), F.count_distinct("pri")) - 1
+        ).alias("min_dim"),
+    )
+    return stat.select(
+        F.round("chi2", 6).alias("chi2"),
+        "dof",
+        "n_obs",
+        F.round(
+            F.sqrt(F.col("chi2") / (F.col("n_obs") * F.col("min_dim"))), 6
+        ).alias("cramers_v"),
+    )

@@ -78,6 +78,12 @@ SWEEP_PRIORITY: tuple[str, ...] = (
     "quality_hashed_linear_classifier",
     "dedup_span_coverage",
     "reservoir_per_key_sample",
+    "basket_part_pairs",
+    "skew_diagnostic_report",
+    "source_schema_evolution_union",
+    "chisq_segment_priority",
+    "ewma_user_event_values",
+    "stream_stream_left_outer_join",
     # round-4 queries first driver-swept in r06 (re-attestations)
     "json_variant_props",
     "xml_part_roundtrip",
@@ -97,12 +103,6 @@ SWEEP_PRIORITY: tuple[str, ...] = (
     # round-6 additions (never swept, by construction)
     "udtf_document_chunks",
     "sqlfn_discounted_revenue",
-    "arrow_doc_char_stats",
-    "pipe_syntax_brand_stats",
-    "semdedup_embedding_clusters",
-    "arrow_group_doc_quantiles",
-    "sketch_hll_builtin_rollup",
-    "timeseries_gapfill_locf",
     # re-attestations (driver-green in r06); round-7 additions
     # displace from the END of this block as they land, keeping the
     # never-swept set fully covered.
@@ -165,6 +165,7 @@ def _load_all() -> None:
         "spark_hive_spark.operators.relational3",
         "spark_hive_spark.operators.modern_sql",
         "spark_hive_spark.operators.graph",
+        "spark_hive_spark.sources.evolution",
     ):
         try:
             importlib.import_module(mod)

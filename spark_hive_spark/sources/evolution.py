@@ -1,0 +1,79 @@
+"""Schema-evolution read path (SURVEY.md §2B source surface): a lake
+table whose layout gained a column between ingest batches, read back
+as one DataFrame via parquet `mergeSchema` — the standard answer to
+"the upstream added a field and the old files don't have it".
+
+The oracle never sees the written files: it recomputes the expected
+post-merge aggregate from the source `orders` table, so a reader that
+drops the late column, misaligns it, or fails to null-fill the early
+batch flips the value hash — the same written-artifact-vs-source
+attestation pattern as `ref_orc_roundtrip` and `source_jdbc_dim_enrich`.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from spark_hive_spark.functions.numeric import dsum, sql_dsum
+from spark_hive_spark.plans.registry import register
+from spark_hive_spark.tables import t
+
+_SPLIT_YEAR = 1998  # batch 1: orders before this year; batch 2: from it
+
+
+@register(
+    "source_schema_evolution_union",
+    oracle=f"""
+        SELECT CASE WHEN year(o_orderdate) >= {_SPLIT_YEAR}
+                    THEN o_orderstatus END AS o_orderstatus,
+               count(*) AS n_orders,
+               {sql_dsum("o_totalprice")} AS total_price
+        FROM orders
+        GROUP BY 1
+        ORDER BY o_orderstatus NULLS FIRST
+    """,
+    tags=("source", "schema-evolution", "mergeSchema", "parquet"),
+)
+def source_schema_evolution_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two parquet ingest batches with diverging schemas — the early
+    batch lacks `o_orderstatus`, the later batch carries it — land in
+    one directory and are read back with `mergeSchema=true`. Spark
+    must reconcile the footers into the union schema and null-fill
+    the missing column for early files; the aggregate groups by the
+    (nullable) late column so both the null-fill and the value
+    alignment are load-bearing. The oracle recomputes the expected
+    result from the source table: NULL status for every pre-{_SPLIT_YEAR}
+    order, the real status after.
+
+    Scale: schema merge reads every footer — on a 100 TB table keep
+    it off the hot path by declaring the evolved schema explicitly
+    (or via a catalog); mergeSchema is the discovery/backfill tool,
+    which is what this query demonstrates. The writes here are
+    narrow projections, partitioned like any append job."""
+    orders = t(spark, sf_dir, "orders")
+    out_dir = os.path.join(
+        tempfile.gettempdir(), f"shs_evolve_{uuid.uuid4().hex}"
+    )
+    early = orders.filter(F.year("o_orderdate") < _SPLIT_YEAR).select(
+        "o_orderkey", "o_totalprice", "o_orderdate"
+    )
+    late = orders.filter(F.year("o_orderdate") >= _SPLIT_YEAR).select(
+        "o_orderkey", "o_totalprice", "o_orderdate", "o_orderstatus"
+    )
+    early.write.parquet(os.path.join(out_dir, "batch=1"))
+    late.write.parquet(os.path.join(out_dir, "batch=2"))
+
+    merged = spark.read.option("mergeSchema", "true").parquet(out_dir)
+    return (
+        merged.groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n_orders"),
+            dsum("o_totalprice").alias("total_price"),
+        )
+        .orderBy(F.col("o_orderstatus").asc_nulls_first())
+    )

@@ -779,3 +779,121 @@ def stream_multibatch_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).orderBy("window_start", "event_type")
         out = out.localCheckpoint(eager=True)
     return out
+
+
+@register(
+    "stream_stream_left_outer_join",
+    oracle="""
+        WITH cutoff AS (
+            SELECT least(
+                       max(CASE WHEN event_type = 'click' THEN ts END),
+                       max(CASE WHEN event_type = 'purchase' THEN ts END)
+                   ) - INTERVAL 3 HOUR AS c
+            FROM events
+        ),
+        clicks AS (
+            SELECT user_id, event_id AS click_id, ts AS click_ts
+            FROM events WHERE event_type = 'click'
+              AND ts <= (SELECT c FROM cutoff)
+        ),
+        purchases AS (
+            SELECT user_id AS p_user_id, event_id AS purchase_id,
+                   ts AS purchase_ts
+            FROM events WHERE event_type = 'purchase'
+        )
+        SELECT c.user_id, c.click_id, p.purchase_id,
+               epoch_us(p.purchase_ts) - epoch_us(c.click_ts) AS gap_us
+        FROM clicks c
+        LEFT JOIN purchases p
+          ON c.user_id = p.p_user_id
+         AND p.purchase_ts > c.click_ts
+         AND p.purchase_ts <= c.click_ts + INTERVAL 1 HOUR
+        ORDER BY c.user_id, c.click_id, p.purchase_id NULLS FIRST
+    """,
+    tags=("streaming", "stream-stream-join", "outer-join", "watermark"),
+)
+def stream_stream_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join — the "clicks that never
+    converted" side the inner join can't show. Outer (null-matched)
+    rows are watermark-driven: Spark may emit a click-with-no-purchase
+    only once the watermark proves no future purchase can match, so
+    unlike the inner variant the result DEPENDS on how far the final
+    watermark advanced. The query pins that boundary explicitly:
+    clicks within 3 hours of the stream's end (1 h join interval +
+    1 h watermark delay + 1 h safety) are dropped by a post-join
+    filter, so every retained click's outer fate is decidable before
+    the input drains — and the batch oracle applies the identical
+    cutoff.
+    The cutoff scalar comes from a batch read of the same source (one
+    bounded collect, driver-side).
+
+    Scale posture: same two-sided watermark + time-bounded condition
+    as the inner join (state eviction derived for both buffers),
+    state shuffled on user_id; the outer buffer additionally holds
+    each click until watermark expiry — exactly the state the 3-hour
+    cutoff bounds."""
+    from spark_hive_spark.tables import t as _t
+
+    # The final watermark is min over BOTH inputs of (max ts seen -
+    # delay); on a sparse fixture the last purchase can trail the last
+    # click by hours, so the cutoff anchors to the EARLIER of the two
+    # stream maxima (observed: one unflushed outer row at sf0.001 when
+    # anchored to max(ts)).
+    cutoff = (
+        _t(spark, sf_dir, "events")
+        .agg(
+            (
+                F.least(
+                    F.max(F.when(F.col("event_type") == "click", F.col("ts"))),
+                    F.max(
+                        F.when(F.col("event_type") == "purchase", F.col("ts"))
+                    ),
+                )
+                - F.expr("INTERVAL 3 HOURS")
+            ).alias("c")
+        )
+        .collect()[0][0]
+    )
+    # NOTE the cutoff is applied AFTER the join: filtering the click
+    # stream first would compute the clicks-side watermark over the
+    # truncated stream, dragging the query's combined watermark to
+    # cutoff-1h and leaving the last clicks' outer fate undecided at
+    # drain time (observed: 7 rows short at sf0.01).
+    clicks = (
+        _event_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            "user_id",
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "1 hour")
+    )
+    purchases = (
+        _event_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user_id"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "1 hour")
+    )
+    joined = clicks.join(
+        purchases,
+        F.expr(
+            """
+            user_id = p_user_id
+            AND purchase_ts > click_ts
+            AND purchase_ts <= click_ts + INTERVAL 1 HOUR
+            """
+        ),
+        "leftOuter",
+    ).filter(F.col("click_ts") <= F.lit(cutoff)).select(
+        "user_id",
+        "click_id",
+        "purchase_id",
+        (F.unix_micros("purchase_ts") - F.unix_micros("click_ts")).alias("gap_us"),
+    )
+    out = _run_to_completion(joined, "append")
+    return out.orderBy("user_id", "click_id", F.col("purchase_id").asc_nulls_first())
