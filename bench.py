@@ -132,6 +132,8 @@ EXTENDED = [
     "source_schema_evolution_union",
     "chisq_segment_priority",
     "ewma_user_event_values",
+    "approx_percentile_audit",
+    "benford_price_digits",
 ]
 
 # Streaming extended queries run dead LAST (after the streaming
@@ -147,6 +149,7 @@ STREAMING_EXTENDED = [
     # fallback) is importable — hence the `if n in queries` guard
     "stream_tws_user_profile",
     "stream_stream_left_outer_join",
+    "stream_session_dynamic_gap",
 ]
 
 
@@ -210,7 +213,7 @@ EXPECTED_SF01: dict[str, float] = {
     "curation_temperature_mixture": 0.5,
     "text_mad_outliers": 0.7,
     "zorder_layout_audit": 0.6,
-    "cogroup_click_purchase_latency": 1.2,
+    "cogroup_click_purchase_latency": 1.7,
     "source_jdbc_dim_enrich": 2.0,
     "journey_top_paths": 0.8,
     "stream_tws_user_profile": 8.0,
@@ -231,6 +234,9 @@ EXPECTED_SF01: dict[str, float] = {
     "chisq_segment_priority": 0.75,
     "ewma_user_event_values": 0.55,
     "stream_stream_left_outer_join": 3.6,
+    "approx_percentile_audit": 0.7,
+    "benford_price_digits": 0.75,
+    "stream_session_dynamic_gap": 2.0,
 }
 
 

@@ -302,3 +302,55 @@ def listagg_top_suppliers_per_nation(spark: SparkSession, sf_dir: str) -> DataFr
         )
         .orderBy("n_name")
     )
+
+
+@register(
+    "approx_percentile_audit",
+    oracle="""
+        SELECT l_returnflag,
+               round(quantile_cont(l_extendedprice, 0.50), 6) AS p50_exact,
+               round(quantile_cont(l_extendedprice, 0.90), 6) AS p90_exact,
+               TRUE AS p50_within_half_pct,
+               TRUE AS p90_within_half_pct
+        FROM lineitem
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag
+    """,
+    tags=("grouping", "percentile", "approx", "audit"),
+)
+def approx_percentile_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-vs-exact quantile audit: `approx_percentile` (the
+    KLL-ish mergeable sketch that is the ONLY way to do quantiles in
+    one pass at 100 TB or in streaming state) must land within 0.5 %
+    of the exact interpolated percentile. The query emits the exact
+    values plus the tolerance verdicts, so the driver hash checks
+    both the ground truth and the sketch's contract — if the sketch
+    drifts out of tolerance the booleans flip and the hash goes red.
+    accuracy=10000 bounds rank error at 1/10000 of the group, far
+    inside the 0.5 % value tolerance on these distributions.
+
+    Scale: exact percentile materializes per-group value sets
+    (bounded groups only); the sketch is map-side mergeable with
+    fixed memory — that asymmetry is the audit's point."""
+    li = t(spark, sf_dir, "lineitem")
+    agg = li.groupBy("l_returnflag").agg(
+        F.percentile("l_extendedprice", F.lit(0.50)).alias("e50"),
+        F.percentile("l_extendedprice", F.lit(0.90)).alias("e90"),
+        F.expr(
+            "approx_percentile(l_extendedprice, 0.50, 10000)"
+        ).alias("a50"),
+        F.expr(
+            "approx_percentile(l_extendedprice, 0.90, 10000)"
+        ).alias("a90"),
+    )
+    return agg.select(
+        "l_returnflag",
+        F.round("e50", 6).alias("p50_exact"),
+        F.round("e90", 6).alias("p90_exact"),
+        (F.abs(F.col("a50") - F.col("e50")) <= 0.005 * F.col("e50")).alias(
+            "p50_within_half_pct"
+        ),
+        (F.abs(F.col("a90") - F.col("e90")) <= 0.005 * F.col("e90")).alias(
+            "p90_within_half_pct"
+        ),
+    ).orderBy("l_returnflag")

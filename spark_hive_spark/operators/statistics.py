@@ -166,3 +166,60 @@ def chisq_segment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sqrt(F.col("chi2") / (F.col("n_obs") * F.col("min_dim"))), 6
         ).alias("cramers_v"),
     )
+
+
+@register(
+    "benford_price_digits",
+    oracle="""
+        WITH digits AS (
+            SELECT CAST(floor(o_totalprice
+                              / pow(10, floor(log10(o_totalprice))))
+                        AS INT) AS d
+            FROM orders WHERE o_totalprice > 0
+        ),
+        counts AS (
+            SELECT d, count(*) AS n FROM digits GROUP BY d
+        )
+        SELECT d AS first_digit,
+               n,
+               CAST(n AS DOUBLE) / sum(n) OVER () AS share,
+               round(log10(1.0 + 1.0 / d), 6) AS benford_expected,
+               round(abs(CAST(n AS DOUBLE) / sum(n) OVER ()
+                         - log10(1.0 + 1.0 / d)), 6) AS abs_dev
+        FROM counts
+        ORDER BY first_digit
+    """,
+    tags=("statistics", "benford", "data-quality"),
+)
+def benford_price_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law audit of order totals — the classic fraud /
+    synthetic-data smell test: observed first-significant-digit
+    shares against log10(1 + 1/d). The digit extraction is pure
+    float math (floor over log10 — identical IEEE in both engines;
+    no number→string formatting, which is NOT engine-portable), the
+    share is one division of exact counts, and only the irrational
+    Benford reference and deviation round (6dp).
+
+    Scale: scan → map-side-combining 9-group aggregate → window over
+    9 rows. Nothing here grows with data volume except the scan."""
+    orders = t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 0)
+    from pyspark.sql import Window as W
+
+    digits = orders.select(
+        F.floor(
+            F.col("o_totalprice")
+            / F.pow(F.lit(10.0), F.floor(F.log10("o_totalprice")))
+        )
+        .cast("int")
+        .alias("d")
+    )
+    counts = digits.groupBy("d").agg(F.count("*").alias("n"))
+    share = F.col("n").cast("double") / F.sum("n").over(W.partitionBy())
+    benford = F.log10(1.0 + 1.0 / F.col("d"))
+    return counts.select(
+        F.col("d").alias("first_digit"),
+        "n",
+        share.alias("share"),
+        F.round(benford, 6).alias("benford_expected"),
+        F.round(F.abs(share - benford), 6).alias("abs_dev"),
+    ).orderBy("first_digit")

@@ -156,60 +156,103 @@ def cogroup_click_purchase_latency(spark: SparkSession, sf_dir: str) -> DataFram
 
     Latency accumulates as exact int64 microseconds inside the worker
     and only the final fixed-power-of-10 division is floating —
-    hash-stable against the oracle's epoch_us arithmetic. Scale: one
-    co-partitioned shuffle per side, per-user frames stay small;
-    no global collect anywhere."""
+    hash-stable against the oracle's epoch_us arithmetic.
+
+    Scale/perf: the cogroup KEY is a hash BUCKET of the user, not the
+    user itself — per-group Arrow+pandas framework overhead is paid
+    per GROUP (~6 ms), so user-grained groups cost |users|·6 ms
+    (measured 10 s for 1500 users at sf0.1) while 64 bucket groups
+    amortize it to 1.6 s. Inside a bucket, `merge_asof(by=user_id)`
+    does the per-user as-of matching vectorized across every user at
+    once — identical results, and the group count is a knob
+    independent of user cardinality (size it to cores × small
+    constant at any scale). Same bucketing trick as the LSH per-task
+    cap. No global collect anywhere."""
     # The two sides carry DISTINCT column names (c_ts / p_ts), not a
     # shared "ts": when a parent demands no output columns (count()),
     # Spark's attribute dedup for FlatMapCoGroupsInPandas drops the
     # right side's same-named non-key columns from the child scan and
     # the worker receives a key-only frame. Distinct names keep both
     # sides' payloads alive under any downstream pruning.
+    n_buckets = 64
     ev = t(spark, sf_dir, "events")
+    # EVERY payload column is side-prefixed (c_user/c_ts vs
+    # p_user/p_ts) — the pruning hazard above applies to any shared
+    # name, including user_id now that the cogroup key is the bucket
     clicks = ev.filter(F.col("event_type") == "click").select(
-        "user_id", F.col("ts").alias("c_ts")
+        F.pmod("user_id", F.lit(n_buckets)).alias("bucket"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
     )
     purchases = ev.filter(F.col("event_type") == "purchase").select(
-        "user_id", F.col("ts").alias("p_ts")
+        F.pmod("user_id", F.lit(n_buckets)).alias("bucket"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
     )
 
-    def per_user(key, clicks_pdf: pd.DataFrame, purch_pdf: pd.DataFrame):
+    def per_bucket(key, clicks_pdf: pd.DataFrame, purch_pdf: pd.DataFrame):
+        empty = pd.DataFrame(
+            {
+                "user_id": pd.Series(dtype="int64"),
+                "n_purchases": pd.Series(dtype="int64"),
+                "n_matched": pd.Series(dtype="int64"),
+                "total_latency_sec": pd.Series(dtype="float64"),
+            }
+        )
         if purch_pdf.empty:
-            return pd.DataFrame(
-                {
-                    "user_id": pd.Series(dtype="int64"),
-                    "n_purchases": pd.Series(dtype="int64"),
-                    "n_matched": pd.Series(dtype="int64"),
-                    "total_latency_sec": pd.Series(dtype="float64"),
-                }
-            )
-        p = purch_pdf.sort_values("p_ts")
+            return empty
+        # merge_asof wants both sides sorted by the ON key; `by`
+        # restricts matches to the same user within that order
+        p = purch_pdf.sort_values("p_ts", kind="mergesort")
         if clicks_pdf.empty:
+            user = p["p_user"].to_numpy()
             click_ns = np.full(len(p), np.iinfo("int64").min, dtype="int64")
         else:
-            c = clicks_pdf.sort_values("c_ts")
+            c = clicks_pdf.sort_values("c_ts", kind="mergesort")
             m = pd.merge_asof(
-                p, c[["c_ts"]], left_on="p_ts", right_on="c_ts",
+                p,
+                c[["c_user", "c_ts"]],
+                left_on="p_ts",
+                right_on="c_ts",
+                left_by="p_user",
+                right_by="c_user",
                 direction="backward",
             )
+            user = m["p_user"].to_numpy()
             click_ns = (
                 m["c_ts"].to_numpy("datetime64[ns]").astype("int64")
             )  # NaT -> int64 min sentinel
         ts_ns = p["p_ts"].to_numpy("datetime64[ns]").astype("int64")
         matched = click_ns != np.iinfo("int64").min
-        lat_us = (ts_ns[matched] - click_ns[matched]) // 1000  # exact ints
-        return pd.DataFrame(
-            {
-                "user_id": [int(key[0])],
-                "n_purchases": [len(p)],
-                "n_matched": [int(matched.sum())],
-                "total_latency_sec": [round(int(lat_us.sum()) / 1_000_000, 6)],
-            }
+        # exact int64 µs; unmatched rows contribute 0 (diff vs self)
+        lat_us = (ts_ns - np.where(matched, click_ns, ts_ns)) // 1000
+        g = (
+            pd.DataFrame(
+                {
+                    "user_id": user,
+                    "matched": matched.astype("int64"),
+                    "lat_us": lat_us,
+                }
+            )
+            .groupby("user_id", sort=False)
+            .agg(
+                n_purchases=("matched", "size"),
+                n_matched=("matched", "sum"),
+                lat_us=("lat_us", "sum"),
+            )
+            .reset_index()
         )
+        # k/1e6 carries at most 6 decimals — round(…, 6) is exact
+        g["total_latency_sec"] = g.pop("lat_us") / 1_000_000
+        return g
 
-    out = clicks.groupBy("user_id").cogroup(purchases.groupBy("user_id")).applyInPandas(
-        per_user,
-        "user_id long, n_purchases long, n_matched long,"
-        " total_latency_sec double",
+    out = (
+        clicks.groupBy("bucket")
+        .cogroup(purchases.groupBy("bucket"))
+        .applyInPandas(
+            per_bucket,
+            "user_id long, n_purchases long, n_matched long,"
+            " total_latency_sec double",
+        )
     )
     return out.orderBy("user_id")

@@ -84,6 +84,9 @@ SWEEP_PRIORITY: tuple[str, ...] = (
     "chisq_segment_priority",
     "ewma_user_event_values",
     "stream_stream_left_outer_join",
+    "approx_percentile_audit",
+    "benford_price_digits",
+    "stream_session_dynamic_gap",
     # round-4 queries first driver-swept in r06 (re-attestations)
     "json_variant_props",
     "xml_part_roundtrip",
@@ -99,10 +102,6 @@ SWEEP_PRIORITY: tuple[str, ...] = (
     "funnel_windowed_7d",
     "repeat_orders_within_week",
     "ratio_to_report_customer_revenue",
-    "stream_foreachbatch_parquet_sink",
-    # round-6 additions (never swept, by construction)
-    "udtf_document_chunks",
-    "sqlfn_discounted_revenue",
     # re-attestations (driver-green in r06); round-7 additions
     # displace from the END of this block as they land, keeping the
     # never-swept set fully covered.

@@ -897,3 +897,76 @@ def stream_stream_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame
     )
     out = _run_to_completion(joined, "append")
     return out.orderBy("user_id", "click_id", F.col("purchase_id").asc_nulls_first())
+
+
+@register(
+    "stream_session_dynamic_gap",
+    oracle="""
+        WITH ev AS (
+            SELECT user_id, ts, event_id,
+                   CASE WHEN event_type = 'purchase'
+                        THEN 1800000000 ELSE 900000000 END AS gap_us
+            FROM events
+        ),
+        marked AS (
+            SELECT user_id, ts, gap_us,
+                   CASE WHEN max(epoch_us(ts) + gap_us) OVER (
+                            PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND 1 PRECEDING) IS NULL
+                          OR epoch_us(ts) >= max(epoch_us(ts) + gap_us) OVER (
+                            PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND 1 PRECEDING)
+                        THEN 1 ELSE 0 END AS is_new
+            FROM ev
+        ),
+        numbered AS (
+            SELECT user_id, ts, gap_us,
+                   sum(is_new) OVER (
+                       PARTITION BY user_id ORDER BY ts
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS session_num
+            FROM marked
+        )
+        SELECT user_id,
+               min(ts) AS session_start,
+               make_timestamp(max(epoch_us(ts) + gap_us)) AS session_end,
+               count(*) AS n_events
+        FROM numbered
+        GROUP BY user_id, session_num
+        ORDER BY user_id, session_start
+    """,
+    tags=("streaming", "session", "dynamic-gap"),
+)
+def stream_session_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows whose inactivity gap depends on the EVENT —
+    purchases hold a session open 30 minutes, everything else 15
+    (the standard "conversion events extend engagement" shape).
+    Dynamic gaps are a Column argument to `session_window`, so the
+    merge logic stays in the state store; the batch twin (and oracle)
+    is the interval-merge rewrite — a session breaks where an event's
+    start reaches the running max of previous event-ends — which is
+    also the proof the streaming semantics match the declarative
+    definition. The emitted session_end is max(ts + gap), so a wrong
+    per-event gap or a wrong merge boundary flips the hash.
+
+    Scale posture: identical to fixed-gap sessions — state shuffles
+    on user_id, sessions merge in-store; complete mode is fixture
+    convenience, production uses watermark + append."""
+    ev = _event_stream(spark, sf_dir)
+    # dynamic gaps are STRING-valued columns (session_window parses
+    # them to CalendarInterval; a DayTimeInterval column is rejected)
+    gap = F.when(
+        F.col("event_type") == "purchase", F.lit("30 minutes")
+    ).otherwise(F.lit("15 minutes"))
+    agg = ev.groupBy(
+        F.session_window("ts", gap).alias("sw"), "user_id"
+    ).agg(F.count("*").alias("n_events"))
+    out = _run_to_completion(agg, "complete")
+    return out.select(
+        "user_id",
+        F.col("sw.start").alias("session_start"),
+        F.col("sw.end").alias("session_end"),
+        "n_events",
+    ).orderBy("user_id", "session_start")
