@@ -134,6 +134,8 @@ EXTENDED = [
     "ewma_user_event_values",
     "approx_percentile_audit",
     "benford_price_digits",
+    "sink_dynamic_partition_overwrite",
+    "groupby_all_year_priority",
 ]
 
 # Streaming extended queries run dead LAST (after the streaming
@@ -237,6 +239,8 @@ EXPECTED_SF01: dict[str, float] = {
     "approx_percentile_audit": 0.7,
     "benford_price_digits": 0.75,
     "stream_session_dynamic_gap": 2.0,
+    "sink_dynamic_partition_overwrite": 1.7,
+    "groupby_all_year_priority": 0.55,
 }
 
 

@@ -559,3 +559,33 @@ def sqlvar_acctbal_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         customer=cust,
         nation=nat,
     )
+
+
+_GROUPBY_ALL_SQL = """
+    SELECT year(o_orderdate) AS o_year,
+           o_orderpriority,
+           count(*) AS n_orders,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS total_price
+    FROM {orders}
+    GROUP BY ALL
+    ORDER BY ALL
+"""
+
+
+@register(
+    "groupby_all_year_priority",
+    oracle=_GROUPBY_ALL_SQL.format(orders="orders"),
+    tags=("sql", "group-by-all", "order-by-all", "spark4"),
+)
+def groupby_all_year_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY ALL + ORDER BY ALL (Spark 3.4/4.0 SQL conveniences,
+    shared with DuckDB): the grouping keys are inferred as every
+    non-aggregate select item and the ordering as the full select
+    list — the exact SQL runs verbatim in both engines, so the oracle
+    is the same string. Beyond convenience, ALL removes a real drift
+    class: adding a projected column cannot silently diverge from the
+    GROUP BY list. Plan is a plain hash aggregate + sort; ALL is
+    resolved at analysis time and costs nothing."""
+    orders = t(spark, sf_dir, "orders")
+    return spark.sql(_GROUPBY_ALL_SQL, orders=orders)

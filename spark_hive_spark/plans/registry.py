@@ -87,6 +87,8 @@ SWEEP_PRIORITY: tuple[str, ...] = (
     "approx_percentile_audit",
     "benford_price_digits",
     "stream_session_dynamic_gap",
+    "sink_dynamic_partition_overwrite",
+    "groupby_all_year_priority",
     # round-4 queries first driver-swept in r06 (re-attestations)
     "json_variant_props",
     "xml_part_roundtrip",
@@ -100,8 +102,6 @@ SWEEP_PRIORITY: tuple[str, ...] = (
     "events_type_transitions",
     "events_hourly_anomaly",
     "funnel_windowed_7d",
-    "repeat_orders_within_week",
-    "ratio_to_report_customer_revenue",
     # re-attestations (driver-green in r06); round-7 additions
     # displace from the END of this block as they land, keeping the
     # never-swept set fully covered.

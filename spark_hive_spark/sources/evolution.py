@@ -77,3 +77,76 @@ def source_schema_evolution_union(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy(F.col("o_orderstatus").asc_nulls_first())
     )
+
+
+class _scoped_conf:
+    """Temporarily set a runtime conf, restoring the prior value."""
+
+    def __init__(self, spark: SparkSession, key: str, value: str) -> None:
+        self.spark, self.key, self.value = spark, key, value
+
+    def __enter__(self) -> None:
+        self.prev = self.spark.conf.get(self.key, None)
+        self.spark.conf.set(self.key, self.value)
+
+    def __exit__(self, *exc) -> None:
+        if self.prev is None:
+            self.spark.conf.unset(self.key)
+        else:
+            self.spark.conf.set(self.key, self.prev)
+
+
+@register(
+    "sink_dynamic_partition_overwrite",
+    oracle=f"""
+        SELECT year(o_orderdate) AS o_year,
+               count(*) AS n_orders,
+               {sql_dsum("CASE WHEN year(o_orderdate) = 1997"
+                         " THEN o_totalprice * 2 ELSE o_totalprice END")}
+                   AS total_price
+        FROM orders
+        GROUP BY 1
+        ORDER BY o_year
+    """,
+    tags=("sink", "partitioned-write", "dynamic-overwrite", "parquet"),
+)
+def sink_dynamic_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partitioned lake write + DYNAMIC partition overwrite — the
+    backfill primitive: the full orders table lands partitioned by
+    year, then a revised 1997 batch (prices doubled) is written with
+    `partitionOverwriteMode=dynamic`, which must replace ONLY the
+    partitions present in the incoming batch. The read-back per-year
+    aggregate proves both halves: 1997 shows revised values (a static
+    overwrite that wiped other years would empty them; an append
+    would double-count 1997), every other year shows the original
+    data. The oracle recomputes the expected post-backfill state from
+    the source table.
+
+    Scale: partition-grained overwrite is O(changed partitions), not
+    O(table) — the only way a 100 TB table absorbs a one-year
+    restatement. The year column also gives the scan partition
+    pruning on any year-filtered read."""
+    orders = t(spark, sf_dir, "orders")
+    out_dir = os.path.join(
+        tempfile.gettempdir(), f"shs_dpo_{uuid.uuid4().hex}"
+    )
+    base = orders.withColumn("o_year", F.year("o_orderdate"))
+    base.write.partitionBy("o_year").parquet(out_dir)
+
+    revised = base.filter(F.col("o_year") == 1997).withColumn(
+        "o_totalprice", F.col("o_totalprice") * 2
+    )
+    with _scoped_conf(
+        spark, "spark.sql.sources.partitionOverwriteMode", "dynamic"
+    ):
+        revised.write.mode("overwrite").partitionBy("o_year").parquet(out_dir)
+
+    back = spark.read.parquet(out_dir)
+    return (
+        back.groupBy("o_year")
+        .agg(
+            F.count("*").alias("n_orders"),
+            dsum("o_totalprice").alias("total_price"),
+        )
+        .orderBy("o_year")
+    )
