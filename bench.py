@@ -136,6 +136,9 @@ EXTENDED = [
     "benford_price_digits",
     "sink_dynamic_partition_overwrite",
     "groupby_all_year_priority",
+    "source_jsonlines_roundtrip",
+    "source_csv_permissive_audit",
+    "text_bigram_backoff_logprob",
 ]
 
 # Streaming extended queries run dead LAST (after the streaming
@@ -241,6 +244,9 @@ EXPECTED_SF01: dict[str, float] = {
     "stream_session_dynamic_gap": 2.0,
     "sink_dynamic_partition_overwrite": 1.7,
     "groupby_all_year_priority": 0.55,
+    "source_jsonlines_roundtrip": 3.1,
+    "source_csv_permissive_audit": 1.2,
+    "text_bigram_backoff_logprob": 2.3,
 }
 
 

@@ -837,3 +837,104 @@ def quality_hashed_linear_classifier(spark: SparkSession, sf_dir: str) -> DataFr
         )
         .orderBy("source")
     )
+
+
+@register(
+    "text_bigram_backoff_logprob",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, source, i AS pos, tk[i] AS term,
+                   CASE WHEN i > 1 THEN tk[i - 1] END AS prev
+            FROM (
+                SELECT doc_id, source,
+                       string_split({SQL_NORM_TEXT}, ' ') AS tk
+                FROM documents
+            ), unnest(range(1, len(tk) + 1)) AS r(i)
+        ),
+        uni AS (SELECT term, count(*) AS cnt FROM toks GROUP BY term),
+        tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM uni),
+        big AS (
+            SELECT prev, term, count(*) AS bc
+            FROM toks WHERE prev IS NOT NULL GROUP BY prev, term
+        ),
+        scored AS (
+            SELECT t.doc_id, t.source,
+                   CAST(round(ln(
+                       CASE WHEN t.prev IS NULL
+                            THEN u.cnt / total
+                            ELSE 0.7 * b.bc / pu.cnt + 0.3 * u.cnt / total
+                       END) * 1000000) AS BIGINT) AS slp
+            FROM toks t
+            JOIN uni u ON t.term = u.term
+            LEFT JOIN uni pu ON t.prev = pu.term
+            LEFT JOIN big b ON t.prev = b.prev AND t.term = b.term
+            CROSS JOIN tot
+        )
+        SELECT source,
+               count(*) AS n_tokens,
+               round(CAST(sum(slp) AS DOUBLE) / (1000000.0 * count(*)), 6)
+                   AS avg_logprob
+        FROM scored
+        GROUP BY source
+        ORDER BY source
+    """,
+    tags=("text", "quality", "language-model", "bigram"),
+)
+def text_bigram_backoff_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated bigram language-model scoring — one rung up the
+    LM-filter ladder from `text_unigram_logprob`: p(w|prev) = 0.7 ·
+    c(prev,w)/c(prev) + 0.3 · c(w)/N, document-initial tokens scored
+    by the unigram term. Every observed bigram has a nonzero
+    interpolated probability (the unigram floor), so no smoothing
+    epsilon is needed. Per-token log-probs scale to integer
+    micro-nats before summing (order-independent exact sums, same
+    trick as the unigram scorer); one final division per source.
+
+    Scale: the model is two aggregates (unigram + bigram counts); the
+    bigram table is the big one — broadcast here, but at 100 TB it
+    shuffle-joins on the (prev, term) key, which the token stream
+    already carries. Everything else is the unigram plan."""
+    from pyspark.sql import Window as W
+
+    docs = t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        "source",
+        F.posexplode(F.split(normalized_text(), " ")).alias("pos", "term"),
+    ).withColumn(
+        "prev",
+        F.lag("term").over(W.partitionBy("doc_id").orderBy("pos")),
+    )
+    uni = toks.groupBy("term").agg(F.count("*").alias("cnt"))
+    total = uni.agg(F.sum("cnt").cast("bigint").alias("total"))
+    big = (
+        toks.filter(F.col("prev").isNotNull())
+        .groupBy("prev", "term")
+        .agg(F.count("*").alias("bc"))
+    )
+    pu = uni.select(F.col("term").alias("prev"), F.col("cnt").alias("pcnt"))
+    p = F.when(
+        F.col("prev").isNull(), F.col("cnt") / F.col("total")
+    ).otherwise(
+        0.7 * F.col("bc") / F.col("pcnt") + 0.3 * F.col("cnt") / F.col("total")
+    )
+    scored = (
+        toks.join(F.broadcast(uni), "term")
+        .join(F.broadcast(pu), "prev", "left")
+        .join(F.broadcast(big), ["prev", "term"], "left")
+        .join(F.broadcast(total))
+        .select(
+            "source",
+            F.round(F.log(p) * 1000000).cast("bigint").alias("slp"),
+        )
+    )
+    return (
+        scored.groupBy("source")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.round(
+                F.sum("slp").cast("double") / (1000000.0 * F.count("*")), 6
+            ).alias("avg_logprob"),
+        )
+        .orderBy("source")
+    )

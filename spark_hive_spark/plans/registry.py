@@ -89,6 +89,9 @@ SWEEP_PRIORITY: tuple[str, ...] = (
     "stream_session_dynamic_gap",
     "sink_dynamic_partition_overwrite",
     "groupby_all_year_priority",
+    "source_jsonlines_roundtrip",
+    "source_csv_permissive_audit",
+    "text_bigram_backoff_logprob",
     # round-4 queries first driver-swept in r06 (re-attestations)
     "json_variant_props",
     "xml_part_roundtrip",
@@ -99,9 +102,6 @@ SWEEP_PRIORITY: tuple[str, ...] = (
     "w_rolling_hour_user_value",
     "rfm_user_scores",
     "rfm_user_scores_approx",
-    "events_type_transitions",
-    "events_hourly_anomaly",
-    "funnel_windowed_7d",
     # re-attestations (driver-green in r06); round-7 additions
     # displace from the END of this block as they land, keeping the
     # never-swept set fully covered.

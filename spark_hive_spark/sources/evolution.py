@@ -150,3 +150,101 @@ def sink_dynamic_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFr
         )
         .orderBy("o_year")
     )
+
+
+@register(
+    "source_jsonlines_roundtrip",
+    oracle=f"""
+        SELECT event_type,
+               count(*) AS n_events,
+               {sql_dsum("value")} AS sum_value
+        FROM events
+        GROUP BY event_type
+        ORDER BY event_type
+    """,
+    tags=("source", "json", "roundtrip"),
+)
+def source_jsonlines_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines SOURCE roundtrip (the registry's JSON coverage was
+    functions-only — from_json/variant; this is the file format as a
+    source): events write out as newline-delimited JSON and read back
+    with SCHEMA INFERENCE, so Spark's JSON sampling must recover the
+    long/string/double types before the aggregate — a type the
+    inference gets wrong (e.g. value as string) breaks the exact
+    decimal sum and flips the hash. The oracle aggregates the parquet
+    source, attesting the whole write→infer→read→agg path.
+
+    Scale: JSON is the interchange format, not the warehouse format —
+    schema inference samples the input (cap it with samplingRatio on
+    big data), and the decoded columns are identical to parquet's
+    from the plan's perspective. ts/props are excluded because JSON
+    timestamp round-trips are format-config-dependent — exactly the
+    hazard a production pipeline avoids by declaring the schema."""
+    ev = t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    out_dir = os.path.join(
+        tempfile.gettempdir(), f"shs_jsonl_{uuid.uuid4().hex}"
+    )
+    ev.write.json(out_dir)
+    back = spark.read.json(out_dir)
+    return (
+        back.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            dsum("value").alias("sum_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "source_csv_permissive_audit",
+    oracle=f"""
+        SELECT count(*) AS n_rows,
+               CAST(sum(CASE WHEN o_orderkey % 97 = 0
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_corrupt,
+               {sql_dsum("CASE WHEN o_orderkey % 97 = 0"
+                         " THEN 0 ELSE o_totalprice END")} AS parsed_total
+        FROM orders
+    """,
+    tags=("source", "csv", "permissive", "corrupt-record"),
+)
+def source_csv_permissive_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Malformed-input handling on the CSV source: orders serialize
+    to CSV with every 97th row's price deterministically mangled to
+    non-numeric text, then read back in PERMISSIVE mode with a
+    `_corrupt_record` column — the production posture for untrusted
+    feeds (FAILFAST kills the job, DROPMALFORMED silently loses
+    rows; PERMISSIVE keeps the row, nulls the bad field, and
+    preserves the raw line for quarantine). The audit counts corrupt
+    captures and exact-sums the prices that DID parse; the oracle
+    recomputes both from the clean source, so a reader that drops,
+    double-counts, or mis-nulls rows flips the hash.
+
+    Scale: CSV parsing is line-parallel; the corrupt-record column
+    adds no shuffle — quarantine is a filter on the same scan."""
+    orders = t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    out_dir = os.path.join(
+        tempfile.gettempdir(), f"shs_csv_{uuid.uuid4().hex}"
+    )
+    lines = orders.select(
+        F.concat_ws(
+            ",",
+            F.col("o_orderkey"),
+            F.when(F.col("o_orderkey") % 97 == 0, F.lit("oops")).otherwise(
+                F.col("o_totalprice").cast("string")
+            ),
+        ).alias("value")
+    )
+    lines.write.text(out_dir)
+    back = spark.read.schema(
+        "o_orderkey long, o_totalprice double, _corrupt_record string"
+    ).csv(out_dir, mode="PERMISSIVE", columnNameOfCorruptRecord="_corrupt_record")
+    return back.agg(
+        F.count("*").alias("n_rows"),
+        F.sum(F.col("_corrupt_record").isNotNull().cast("long")).alias(
+            "n_corrupt"
+        ),
+        dsum(F.coalesce("o_totalprice", F.lit(0.0))).alias("parsed_total"),
+    )
