@@ -239,3 +239,65 @@ def test_gapfill_windows_partition_by_type(spark):
     assert "partitionBy=[event_type" in plan.replace(" ", "") or (
         "hashpartitioning(event_type" in plan
     ), plan
+
+
+def test_basket_pairs_broadcasts_dims_and_shuffles_once(spark):
+    """The within-basket self-join must be an equi join on l_orderkey
+    (never a cartesian) and both part-name enrichment joins must
+    broadcast the dimension."""
+    plan = _plan(spark, "basket_part_pairs")
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan  # top-k fused, no full sort
+
+
+def _final_plan(plan: str) -> str:
+    """AQE's toString prints final + initial sections; plan-shape
+    counts must look at the final one only."""
+    if "== Initial Plan ==" in plan:
+        return plan.split("== Initial Plan ==")[0]
+    return plan
+
+
+def test_span_coverage_has_no_self_join(spark):
+    """Span coverage needs only the gram doc-frequency, so the plan
+    must contain exactly one join (grams ⋈ df table) — a second join
+    would mean an accidental pair-generation path. (The extra
+    (g, doc_id) exchange is the two-phase count_distinct, not a
+    join.)"""
+    plan = _final_plan(_plan(spark, "dedup_span_coverage"))
+    joins = sum(plan.count(j) for j in
+                ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin"))
+    assert joins == 1, plan
+
+
+def test_table_checksum_pushes_column_pruning(spark):
+    """Each per-table checksum scan must read only the serialized
+    columns (events: everything but nothing extra; documents: no
+    raw-text-length recompute... i.e. the scan schema must include the
+    fingerprinted columns and the plan no shuffle beyond the final
+    single-row aggregates)."""
+    plan = _plan(spark, "table_checksum_validation")
+    # no join anywhere: the union of per-table aggregates is join-free
+    assert "Join" not in plan
+    # map-side partial aggregation feeds 1-row final aggregates
+    assert "partial" in plan.lower()
+
+
+def test_fuzzy_pairs_joins_on_block_key(spark):
+    """The fuzzy self-join must be an equi hash join keyed on the
+    blocking token — levenshtein may only appear as a post-join
+    filter/condition, never as the join strategy (nested loop)."""
+    plan = _plan(spark, "fuzzy_levenshtein_part_pairs")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_ewma_single_shuffle(spark):
+    """The closed-form EWMA must shuffle once on user_id: window and
+    final aggregate share the partitioning (one Exchange on the
+    events scan side)."""
+    plan = _final_plan(_plan(spark, "ewma_user_event_values"))
+    # exchanges: one hash partitioning on user_id + the final sort's
+    # range partitioning — nothing else
+    assert plan.count("Exchange hashpartitioning") == 1, plan
