@@ -139,6 +139,7 @@ EXTENDED = [
     "source_jsonlines_roundtrip",
     "source_csv_permissive_audit",
     "text_bigram_backoff_logprob",
+    "graph_triangle_clustering",
 ]
 
 # Streaming extended queries run dead LAST (after the streaming
@@ -247,6 +248,7 @@ EXPECTED_SF01: dict[str, float] = {
     "source_jsonlines_roundtrip": 3.1,
     "source_csv_permissive_audit": 1.2,
     "text_bigram_backoff_logprob": 2.3,
+    "graph_triangle_clustering": 2.4,
 }
 
 

@@ -1,6 +1,7 @@
 """Graph analytics over relational data (SURVEY.md §2B extension):
-weighted PageRank on the nation-level trade graph. Connected
-components (the other classic iterative graph kernel) lives in
+weighted PageRank and triangle counting / clustering coefficients on
+the nation-level trade graph. Connected components (the other classic
+iterative graph kernel) lives in
 `operators/dedup.py:connected_components` where the dedup pipeline
 consumes it.
 
@@ -182,4 +183,133 @@ def pagerank_nation_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
         rank.join(F.broadcast(nation), rank.node == nation.n_nationkey)
         .select("n_name", F.round("rank", 6).alias("pagerank"))
         .orderBy(F.desc("pagerank"), "n_name")
+    )
+
+
+_TRI_EDGE_SQL = """
+        SELECT DISTINCT least(sn.n_nationkey, cn.n_nationkey) AS u,
+                        greatest(sn.n_nationkey, cn.n_nationkey) AS v
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+        JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+        WHERE sn.n_nationkey <> cn.n_nationkey
+"""
+
+
+@register(
+    "graph_triangle_clustering",
+    oracle=f"""
+        WITH edges AS ({_TRI_EDGE_SQL}),
+        tri AS (
+            SELECT e1.u AS a, e1.v AS b, e2.v AS c
+            FROM edges e1
+            JOIN edges e2 ON e2.u = e1.v
+            JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v
+        ),
+        node_tri AS (
+            SELECT node, count(*) AS n_triangles
+            FROM (SELECT a AS node FROM tri
+                  UNION ALL SELECT b FROM tri
+                  UNION ALL SELECT c FROM tri)
+            GROUP BY node
+        ),
+        deg AS (
+            SELECT node, count(*) AS degree
+            FROM (SELECT u AS node, v FROM edges
+                  UNION ALL SELECT v, u FROM edges)
+            GROUP BY node
+        )
+        SELECT n.n_name,
+               CAST(d.degree AS BIGINT) AS degree,
+               CAST(coalesce(t.n_triangles, 0) AS BIGINT) AS n_triangles,
+               CASE WHEN d.degree >= 2
+                    THEN 2.0 * coalesce(t.n_triangles, 0)
+                         / (d.degree * (d.degree - 1))
+               END AS clustering_coef
+        FROM deg d
+        JOIN nation n ON d.node = n.n_nationkey
+        LEFT JOIN node_tri t ON d.node = t.node
+        ORDER BY n.n_name
+    """,
+    tags=("graph", "triangles", "clustering-coefficient"),
+)
+def graph_triangle_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counting + local clustering coefficient over the
+    undirected nation trade graph — the second classic graph kernel
+    after PageRank/CC. Edges canonicalize to (min, max) so each
+    triangle enumerates exactly once via the ordered two-join pattern
+    (a<b<c); per-node triangle membership and degree then give the
+    local clustering coefficient as one exact-integer division.
+
+    Scale: like PageRank, graph construction dominates (same one-
+    shuffle fact pipeline); enumeration joins run on the contracted
+    edge list. On graphs where edges DON'T contract (social-scale),
+    the same ordered-join pattern applies with degree-based
+    orientation (point each edge at the higher-degree endpoint) to
+    bound the join fan-out — the standard distributed triangle
+    algorithm."""
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    supp = t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = t(spark, sf_dir, "nation")
+
+    edges = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), F.col("o_custkey") == cust.c_custkey)
+        .join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
+        .filter(F.col("s_nationkey") != F.col("c_nationkey"))
+        .select(
+            F.least("s_nationkey", "c_nationkey").alias("u"),
+            F.greatest("s_nationkey", "c_nationkey").alias("v"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    e1 = edges.alias("e1")
+    e2 = edges.alias("e2")
+    e3 = edges.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e2.u") == F.col("e1.v"))
+        .join(
+            e3,
+            (F.col("e3.u") == F.col("e1.u")) & (F.col("e3.v") == F.col("e2.v")),
+        )
+        .select(
+            F.col("e1.u").alias("a"),
+            F.col("e1.v").alias("b"),
+            F.col("e2.v").alias("c"),
+        )
+    )
+    node_tri = (
+        tri.select(F.col("a").alias("node"))
+        .unionAll(tri.select(F.col("b").alias("node")))
+        .unionAll(tri.select(F.col("c").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("n_triangles"))
+    )
+    deg = (
+        edges.select(F.col("u").alias("node"))
+        .unionAll(edges.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("degree"))
+    )
+    return (
+        deg.join(F.broadcast(nation), deg.node == nation.n_nationkey)
+        .join(F.broadcast(node_tri), "node", "left")
+        .select(
+            "n_name",
+            "degree",
+            F.coalesce("n_triangles", F.lit(0)).alias("n_triangles"),
+            F.when(
+                F.col("degree") >= 2,
+                2.0
+                * F.coalesce("n_triangles", F.lit(0))
+                / (F.col("degree") * (F.col("degree") - 1)),
+            ).alias("clustering_coef"),
+        )
+        .orderBy("n_name")
     )

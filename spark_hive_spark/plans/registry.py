@@ -92,6 +92,7 @@ SWEEP_PRIORITY: tuple[str, ...] = (
     "source_jsonlines_roundtrip",
     "source_csv_permissive_audit",
     "text_bigram_backoff_logprob",
+    "graph_triangle_clustering",
     # round-4 queries first driver-swept in r06 (re-attestations)
     "json_variant_props",
     "xml_part_roundtrip",
@@ -101,7 +102,6 @@ SWEEP_PRIORITY: tuple[str, ...] = (
     "source_python_datasource",
     "w_rolling_hour_user_value",
     "rfm_user_scores",
-    "rfm_user_scores_approx",
     # re-attestations (driver-green in r06); round-7 additions
     # displace from the END of this block as they land, keeping the
     # never-swept set fully covered.
