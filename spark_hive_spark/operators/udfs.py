@@ -23,6 +23,12 @@ from pyspark.sql import types as T
 from spark_hive_spark.plans.registry import register
 from spark_hive_spark.tables import load_tables, t
 
+# Cogroup bucket fan-out for cogroup_click_purchase_latency: a pure
+# performance knob (per-group framework overhead amortization) that
+# must NEVER change results — tests/test_invariants.py re-runs the
+# operator under a different value and asserts identical output.
+COGROUP_BUCKETS = 64
+
 
 @register(
     "udf_python_row_clean_names",
@@ -174,7 +180,7 @@ def cogroup_click_purchase_latency(spark: SparkSession, sf_dir: str) -> DataFram
     # right side's same-named non-key columns from the child scan and
     # the worker receives a key-only frame. Distinct names keep both
     # sides' payloads alive under any downstream pruning.
-    n_buckets = 64
+    n_buckets = COGROUP_BUCKETS
     ev = t(spark, sf_dir, "events")
     # EVERY payload column is side-prefixed (c_user/c_ts vs
     # p_user/p_ts) — the pruning hazard above applies to any shared

@@ -576,3 +576,14 @@ def test_reservoir_sample_sizes_and_stability(spark):
     assert [(r.n_name, r.c_custkey) for r in rerun] == [
         (r.n_name, r.c_custkey) for r in rows
     ]
+
+
+def test_cogroup_bucket_count_is_pure_performance_knob(spark, monkeypatch):
+    """The cogroup bucket fan-out amortizes per-group framework cost;
+    it must never change results — same rows under 64 and 5 buckets."""
+    import spark_hive_spark.operators.udfs as udfs
+
+    base = _rows(spark, "cogroup_click_purchase_latency")
+    monkeypatch.setattr(udfs, "COGROUP_BUCKETS", 5)
+    alt = _rows(spark, "cogroup_click_purchase_latency")
+    assert [tuple(r) for r in base] == [tuple(r) for r in alt]
