@@ -140,6 +140,8 @@ EXTENDED = [
     "source_csv_permissive_audit",
     "text_bigram_backoff_logprob",
     "graph_triangle_clustering",
+    "map_hof_event_profile",
+    "udtf_polymorphic_kv_extract",
 ]
 
 # Streaming extended queries run dead LAST (after the streaming
@@ -249,6 +251,8 @@ EXPECTED_SF01: dict[str, float] = {
     "source_csv_permissive_audit": 1.2,
     "text_bigram_backoff_logprob": 2.3,
     "graph_triangle_clustering": 2.4,
+    "map_hof_event_profile": 0.8,
+    "udtf_polymorphic_kv_extract": 0.9,
 }
 
 

@@ -173,3 +173,74 @@ def map_struct_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("p_partkey")
     )
+
+
+@register(
+    "map_hof_event_profile",
+    oracle="""
+        WITH counts AS (
+            SELECT user_id, event_type, count(*) AS n
+            FROM events GROUP BY user_id, event_type
+        ),
+        tot AS (
+            SELECT user_id, sum(n) AS total FROM counts GROUP BY user_id
+        )
+        SELECT c.user_id, c.event_type,
+               CAST(c.n AS BIGINT) AS n,
+               CAST(c.n AS DOUBLE) / t.total AS share
+        FROM counts c JOIN tot t USING (user_id)
+        WHERE c.n * 5 > t.total
+        ORDER BY c.user_id, c.event_type
+    """,
+    tags=("map", "higher-order", "profile"),
+)
+def map_hof_event_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map higher-order functions as a per-entity profile pipeline:
+    per user, event-type counts fold into a MAP column
+    (map_from_entries), `transform_values` derives each type's share
+    of the user's activity, `map_filter` keeps the dominant types
+    (share > 20 %, decided on exact integers: n·5 > total), and
+    `explode` returns to rows. The map stays inside one JVM-side
+    expression chain — no Python, no extra shuffle beyond the one
+    groupBy — which is the point: per-entity profiles as first-class
+    column values that downstream operators can filter/join without
+    re-aggregating.
+
+    The oracle computes the same rows relationally; the share is one
+    exact-integer division, and the filter never touches a float."""
+    ev = t(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id", "event_type").agg(
+        F.count("*").alias("n")
+    )
+    profile = counts.groupBy("user_id").agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("event_type", "n"))
+        ).alias("m"),
+        F.sum("n").alias("total"),
+    )
+    dominant = profile.select(
+        "user_id",
+        "total",
+        F.map_filter(
+            F.transform_values(
+                F.col("m"),
+                lambda _k, v: F.struct(
+                    v.alias("n"),
+                    (v.cast("double") / F.col("total")).alias("share"),
+                ),
+            ),
+            lambda _k, v: v["n"] * 5 > F.col("total"),
+        ).alias("dom"),
+    )
+    return (
+        dominant.select(
+            "user_id", F.explode("dom").alias("event_type", "v")
+        )
+        .select(
+            "user_id",
+            "event_type",
+            F.col("v.n").alias("n"),
+            F.col("v.share").alias("share"),
+        )
+        .orderBy("user_id", "event_type")
+    )

@@ -589,3 +589,70 @@ def groupby_all_year_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     resolved at analysis time and costs nothing."""
     orders = t(spark, sf_dir, "orders")
     return spark.sql(_GROUPBY_ALL_SQL, orders=orders)
+
+
+@register(
+    "udtf_polymorphic_kv_extract",
+    oracle="""
+        SELECT p_brand AS brand,
+               count(*) AS n_parts,
+               count(DISTINCT p_size) AS n_sizes
+        FROM part
+        GROUP BY p_brand
+        ORDER BY brand
+    """,
+    tags=("udtf", "polymorphic", "analyze", "spark4"),
+)
+def udtf_polymorphic_kv_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POLYMORPHIC Python UDTF — the schema comes from `analyze()` at
+    plan time, not a static returnType: `parse_kv(kv, 'brand,size')`
+    inspects the constant key list and emits one STRING column per
+    requested key, so the same function parses any key set without
+    re-registration (the table-function twin of schema-on-read).
+    The fixture side serializes part attributes to 'k=v;k=v' strings,
+    the UDTF re-extracts them through a LATERAL join, and the
+    aggregate over the EXTRACTED columns must reproduce the source
+    aggregate — a lost or misaligned key flips counts.
+
+    Scale: per-row fan-out inside existing Python workers like the
+    chunking UDTF; analyze() runs once on the driver at plan time."""
+    from pyspark.sql.functions import udtf as _udtf_fn
+    from pyspark.sql.types import StringType, StructType
+    from pyspark.sql.udtf import AnalyzeArgument, AnalyzeResult
+
+    class _ParseKV:
+        @staticmethod
+        def analyze(kv: AnalyzeArgument, keys: AnalyzeArgument) -> AnalyzeResult:
+            st = StructType()
+            for k in keys.value.split(","):
+                st = st.add(k.strip(), StringType())
+            return AnalyzeResult(schema=st)
+
+        def eval(self, kv: str, keys: str):
+            d = {}
+            for pair in (kv or "").split(";"):
+                if "=" in pair:
+                    k, v = pair.split("=", 1)
+                    d[k] = v
+            yield tuple(d.get(k.strip()) for k in keys.split(","))
+
+    spark.udtf.register("shs_parse_kv", _udtf_fn(_ParseKV))
+    part = t(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.concat(
+            F.lit("brand="), F.col("p_brand"),
+            F.lit(";type="), F.col("p_type"),
+            F.lit(";size="), F.col("p_size"),
+        ).alias("kv"),
+    )
+    return spark.sql(
+        """
+        SELECT f.brand,
+               count(*) AS n_parts,
+               count(DISTINCT f.size) AS n_sizes
+        FROM {part} p, LATERAL shs_parse_kv(p.kv, 'brand,size') f
+        GROUP BY f.brand
+        ORDER BY brand
+        """,
+        part=part,
+    )

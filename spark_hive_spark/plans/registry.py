@@ -93,6 +93,8 @@ SWEEP_PRIORITY: tuple[str, ...] = (
     "source_csv_permissive_audit",
     "text_bigram_backoff_logprob",
     "graph_triangle_clustering",
+    "map_hof_event_profile",
+    "udtf_polymorphic_kv_extract",
     # round-4 queries first driver-swept in r06 (re-attestations)
     "json_variant_props",
     "xml_part_roundtrip",
@@ -100,8 +102,6 @@ SWEEP_PRIORITY: tuple[str, ...] = (
     "listagg_top_suppliers_per_nation",
     "approx_topk_tokens",
     "source_python_datasource",
-    "w_rolling_hour_user_value",
-    "rfm_user_scores",
     # re-attestations (driver-green in r06); round-7 additions
     # displace from the END of this block as they land, keeping the
     # never-swept set fully covered.
