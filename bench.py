@@ -142,6 +142,8 @@ EXTENDED = [
     "graph_triangle_clustering",
     "map_hof_event_profile",
     "udtf_polymorphic_kv_extract",
+    "snapshot_time_travel_read",
+    "maintenance_compaction_audit",
 ]
 
 # Streaming extended queries run dead LAST (after the streaming
@@ -253,6 +255,8 @@ EXPECTED_SF01: dict[str, float] = {
     "graph_triangle_clustering": 2.4,
     "map_hof_event_profile": 0.8,
     "udtf_polymorphic_kv_extract": 0.9,
+    "snapshot_time_travel_read": 1.2,
+    "maintenance_compaction_audit": 1.9,
 }
 
 

@@ -248,3 +248,123 @@ def source_csv_permissive_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         dsum(F.coalesce("o_totalprice", F.lit(0.0))).alias("parsed_total"),
     )
+
+
+@register(
+    "snapshot_time_travel_read",
+    oracle=f"""
+        WITH v1 AS (
+            SELECT count(*) AS n_rows, {sql_dsum("o_totalprice")} AS total
+            FROM orders WHERE year(o_orderdate) < 1999
+        ),
+        v2 AS (
+            SELECT count(*) AS n_rows, {sql_dsum("o_totalprice")} AS total
+            FROM orders
+        )
+        SELECT 1 AS version, n_rows, total FROM v1
+        UNION ALL
+        SELECT 2 AS version, n_rows, total FROM v2
+        ORDER BY version
+    """,
+    tags=("lakehouse", "snapshot", "time-travel"),
+)
+def snapshot_time_travel_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot isolation + time travel on plain parquet — the
+    lakehouse capability table formats provide, built from its two
+    primitives: immutable data files plus a tiny JSON manifest per
+    version listing exactly which files belong to that snapshot.
+    Version 1 lands the pre-1999 orders; version 2 appends the rest
+    as NEW files and writes a manifest that includes both file sets —
+    nothing is rewritten, and reading @v1 after v2 exists must
+    reproduce the ORIGINAL table exactly (the time-travel contract).
+    The query reads BOTH versions through their manifests and emits
+    per-version counts + exact-decimal totals; the oracle recomputes
+    both states from the source table.
+
+    Scale: the manifest read is a driver-side file list (exactly how
+    Delta/Iceberg scan planning works); data files are never copied
+    between versions, so storage is O(changes) and a snapshot read
+    plans only its manifest's files."""
+    import json as _json
+
+    orders = t(spark, sf_dir, "orders")
+    root = os.path.join(tempfile.gettempdir(), f"shs_snap_{uuid.uuid4().hex}")
+    d1, d2 = os.path.join(root, "add1"), os.path.join(root, "add2")
+    orders.filter(F.year("o_orderdate") < 1999).write.parquet(d1)
+    orders.filter(F.year("o_orderdate") >= 1999).write.parquet(d2)
+
+    def _files(d: str) -> list[str]:
+        return sorted(
+            os.path.join(d, f)
+            for f in os.listdir(d)
+            if f.endswith(".parquet")
+        )
+
+    os.makedirs(os.path.join(root, "_manifests"), exist_ok=True)
+    manifests = {1: _files(d1), 2: _files(d1) + _files(d2)}
+    for v, files in manifests.items():
+        with open(
+            os.path.join(root, "_manifests", f"v{v}.json"), "w"
+        ) as fh:
+            _json.dump({"version": v, "files": files}, fh)
+
+    def read_version(v: int):
+        with open(os.path.join(root, "_manifests", f"v{v}.json")) as fh:
+            files = _json.load(fh)["files"]
+        return spark.read.parquet(*files)
+
+    parts = []
+    for v in (1, 2):
+        parts.append(
+            read_version(v).agg(
+                F.lit(v).alias("version"),
+                F.count("*").alias("n_rows"),
+                dsum("o_totalprice").alias("total"),
+            )
+        )
+    return parts[0].unionByName(parts[1]).orderBy("version")
+
+
+@register(
+    "maintenance_compaction_audit",
+    oracle=f"""
+        SELECT CAST(16 AS INT) AS files_before,
+               CAST(2 AS INT) AS files_after,
+               (SELECT count(*) FROM lineitem) AS n_rows,
+               (SELECT {sql_dsum("l_extendedprice")} FROM lineitem)
+                   AS total_price
+    """,
+    tags=("lakehouse", "compaction", "maintenance"),
+)
+def maintenance_compaction_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-files compaction — the lakehouse maintenance job: a
+    16-file layout (repartition(16) stands in for months of drip
+    appends) rewrites to 2 right-sized files via a repartition-write,
+    and the audit proves the three things a compactor must: the file
+    count actually dropped to the target, no row was lost, and the
+    exact-decimal content total is unchanged. The oracle pins the
+    before/after file counts as constants (repartition(n) writes
+    exactly n files — deterministic) and recomputes rows/total from
+    the source.
+
+    Scale: compaction is one shuffle sized by target file count
+    (total_bytes / target_file_size); at 100 TB it runs per
+    partition-subtree so only small-file regions rewrite. The read
+    side is why it matters: scan tasks scale with file count, and
+    16 -> 2 here stands for 100k -> 1k on a real table."""
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice")
+    root = os.path.join(tempfile.gettempdir(), f"shs_compact_{uuid.uuid4().hex}")
+    before_dir, after_dir = os.path.join(root, "before"), os.path.join(root, "after")
+    li.repartition(16).write.parquet(before_dir)
+
+    def _n_files(d: str) -> int:
+        return len([f for f in os.listdir(d) if f.endswith(".parquet")])
+
+    spark.read.parquet(before_dir).repartition(2).write.parquet(after_dir)
+    back = spark.read.parquet(after_dir)
+    return back.agg(
+        F.lit(_n_files(before_dir)).alias("files_before"),
+        F.lit(_n_files(after_dir)).alias("files_after"),
+        F.count("*").alias("n_rows"),
+        dsum("l_extendedprice").alias("total_price"),
+    )
