@@ -144,6 +144,8 @@ EXTENDED = [
     "udtf_polymorphic_kv_extract",
     "snapshot_time_travel_read",
     "maintenance_compaction_audit",
+    "weighted_reservoir_sample",
+    "yoy_monthly_revenue_growth",
 ]
 
 # Streaming extended queries run dead LAST (after the streaming
@@ -257,6 +259,8 @@ EXPECTED_SF01: dict[str, float] = {
     "udtf_polymorphic_kv_extract": 0.9,
     "snapshot_time_travel_read": 1.2,
     "maintenance_compaction_audit": 1.9,
+    "weighted_reservoir_sample": 0.4,
+    "yoy_monthly_revenue_growth": 0.6,
 }
 
 

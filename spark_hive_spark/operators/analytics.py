@@ -17,6 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
+from spark_hive_spark.functions.numeric import sql_dsum
 from spark_hive_spark.plans.registry import register
 from spark_hive_spark.tables import t
 
@@ -1151,3 +1152,57 @@ def ewma_user_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@register(
+    "yoy_monthly_revenue_growth",
+    oracle=f"""
+        WITH monthly AS (
+            SELECT year(o_orderdate) AS o_year,
+                   month(o_orderdate) AS o_month,
+                   {sql_dsum("o_totalprice")} AS revenue
+            FROM orders
+            GROUP BY 1, 2
+        )
+        SELECT o_year, o_month, revenue,
+               lag(revenue, 12) OVER (ORDER BY o_year, o_month)
+                   AS revenue_prior_year,
+               round(
+                   (revenue - lag(revenue, 12) OVER (ORDER BY o_year, o_month))
+                   / lag(revenue, 12) OVER (ORDER BY o_year, o_month) * 100,
+                   4) AS yoy_pct
+        FROM monthly
+        ORDER BY o_year, o_month
+    """,
+    tags=("analytics", "yoy", "window", "bi"),
+)
+def yoy_monthly_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-over-year growth — the standard BI period comparison:
+    monthly revenue (exact-decimal sums) joined to itself 12 rows
+    back via lag(12) over the month sequence, growth as one rounded
+    percentage. The calendar here is dense (every month has orders),
+    so lag(12) IS the same month last year; on sparse calendars,
+    densify first (`calendar_densified_daily_orders` is the spine
+    builder for that).
+
+    Scale: the window runs over the MONTHLY aggregate (|years|x12
+    rows) — a single-partition window over an already-reduced table
+    is fine precisely because aggregation came first; the fact table
+    itself shuffles once into (year, month) groups with map-side
+    partials."""
+    from spark_hive_spark.functions.numeric import dsum
+
+    orders = t(spark, sf_dir, "orders")
+    monthly = orders.groupBy(
+        F.year("o_orderdate").alias("o_year"),
+        F.month("o_orderdate").alias("o_month"),
+    ).agg(dsum("o_totalprice").alias("revenue"))
+    w = W.orderBy("o_year", "o_month")
+    prior = F.lag("revenue", 12).over(w)
+    return monthly.select(
+        "o_year",
+        "o_month",
+        "revenue",
+        prior.alias("revenue_prior_year"),
+        F.round((F.col("revenue") - prior) / prior * 100, 4).alias("yoy_pct"),
+    ).orderBy("o_year", "o_month")

@@ -477,3 +477,54 @@ def reservoir_per_key_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("n_name", "c_custkey", "c_name", "h")
         .orderBy("n_name", "h", "c_custkey")
     )
+
+
+@register(
+    "weighted_reservoir_sample",
+    oracle=f"""
+        WITH keyed AS (
+            SELECT doc_id, source, n_chars,
+                   ln((1.0 + (doc_id * {_KNUTH}) % {_M32})
+                      / {_M32 + 1}) / n_chars AS es_key
+            FROM documents
+        )
+        SELECT doc_id, source, n_chars
+        FROM keyed
+        ORDER BY es_key DESC, doc_id
+        LIMIT 20
+    """,
+    tags=("curation", "sampling", "weighted", "deterministic"),
+)
+def weighted_reservoir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WEIGHTED sample without replacement via Efraimidis-Spirakis:
+    each doc draws u ~ Uniform(0,1] from the multiplicative hash of
+    its key and ranks by ln(u)/w (equivalent to the classic u^(1/w)
+    ordering, monotonicity-preserved) with weight w = n_chars — long
+    documents are proportionally likelier, the shape of
+    quality-weighted corpus subsampling. Top-20 by (key, doc_id
+    tie-break). Like every sampler here, membership is a pure
+    function of the data: deterministic across runs, retries,
+    partitionings, and engines (u is a rational with denominator
+    2^32+1, never 0; ln is IEEE on both sides and keys differ by far
+    more than a ulp).
+
+    Scale: scan → per-row key arithmetic → TakeOrdered(k). No
+    shuffle beyond the top-k reduce; the classic streaming reservoir
+    needs sequential state, while this rank formulation is
+    embarrassingly parallel — the reason E-S is THE distributed
+    weighted sampler."""
+    docs = t(spark, sf_dir, "documents")
+    u = (1.0 + F.pmod(F.col("doc_id") * F.lit(_KNUTH), F.lit(_M32))) / F.lit(
+        float(_M32 + 1)
+    )
+    keyed = docs.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        (F.log(u) / F.col("n_chars")).alias("es_key"),
+    )
+    return (
+        keyed.orderBy(F.desc("es_key"), "doc_id")
+        .limit(20)
+        .select("doc_id", "source", "n_chars")
+    )

@@ -97,11 +97,11 @@ SWEEP_PRIORITY: tuple[str, ...] = (
     "udtf_polymorphic_kv_extract",
     "snapshot_time_travel_read",
     "maintenance_compaction_audit",
+    "weighted_reservoir_sample",
+    "yoy_monthly_revenue_growth",
     # round-4 queries first driver-swept in r06 (re-attestations)
     "json_variant_props",
     "xml_part_roundtrip",
-    "sql_parameterized_brand_counts",
-    "listagg_top_suppliers_per_nation",
     # re-attestations (driver-green in r06); round-7 additions
     # displace from the END of this block as they land, keeping the
     # never-swept set fully covered.
