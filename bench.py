@@ -146,6 +146,9 @@ EXTENDED = [
     "maintenance_compaction_audit",
     "weighted_reservoir_sample",
     "yoy_monthly_revenue_growth",
+    "psi_price_drift",
+    "impute_missing_acctbal",
+    "ann_index_persistence_audit",
 ]
 
 # Streaming extended queries run dead LAST (after the streaming
@@ -261,6 +264,9 @@ EXPECTED_SF01: dict[str, float] = {
     "maintenance_compaction_audit": 1.9,
     "weighted_reservoir_sample": 0.4,
     "yoy_monthly_revenue_growth": 0.6,
+    "psi_price_drift": 0.7,
+    "impute_missing_acctbal": 0.6,
+    "ann_index_persistence_audit": 3.0,
 }
 
 

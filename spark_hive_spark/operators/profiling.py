@@ -439,3 +439,80 @@ def table_checksum_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out.orderBy("table_name")
+
+
+@register(
+    "impute_missing_acctbal",
+    oracle="""
+        WITH holed AS (
+            SELECT c_custkey, c_nationkey,
+                   CASE WHEN c_custkey % 11 = 0 THEN NULL
+                        ELSE c_acctbal END AS bal
+            FROM customer
+        ),
+        stats AS (
+            SELECT c_nationkey,
+                   CAST(sum(CAST(bal AS DECIMAL(18,2))) AS DOUBLE)
+                       / count(bal) AS grp_mean
+            FROM holed GROUP BY c_nationkey
+        )
+        SELECT h.c_nationkey,
+               count(*) AS n_customers,
+               CAST(sum(CASE WHEN h.bal IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_imputed,
+               round(sum(coalesce(h.bal, s.grp_mean)), 2) AS imputed_total,
+               round(s.grp_mean, 6) AS grp_mean
+        FROM holed h JOIN stats s USING (c_nationkey)
+        GROUP BY h.c_nationkey, s.grp_mean
+        ORDER BY h.c_nationkey
+    """,
+    tags=("data-prep", "imputation", "nulls"),
+)
+def impute_missing_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-mean imputation — the standard ML data-prep null
+    strategy, feature-complete on the plan side: deterministic holes
+    (every 11th customer's balance) are filled with the per-nation
+    mean of the OBSERVED values, computed as a decimal-exact sum over
+    one division (so the imputed value is a deterministic double both
+    engines agree on). The audit aggregates per nation: how many rows
+    were imputed and the post-imputation total — which moves by
+    n_imputed·mean, making any fill-value or join error visible in
+    the hash.
+
+    Scale: two hash aggregates on the same key (the stats join is a
+    broadcast — one row per nation); for high-cardinality groups this
+    becomes the classic two-pass mean-impute with the stats table
+    still orders of magnitude smaller than the data."""
+    cust = t(spark, sf_dir, "customer")
+    holed = cust.select(
+        "c_custkey",
+        "c_nationkey",
+        F.when(F.col("c_custkey") % 11 == 0, None)
+        .otherwise(F.col("c_acctbal"))
+        .alias("bal"),
+    )
+    stats = holed.groupBy("c_nationkey").agg(
+        (
+            F.sum(F.col("bal").cast("decimal(18,2)")).cast("double")
+            / F.count("bal")
+        ).alias("grp_mean")
+    )
+    return (
+        holed.join(F.broadcast(stats), "c_nationkey")
+        .groupBy("c_nationkey", "grp_mean")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.sum(F.col("bal").isNull().cast("long")).alias("n_imputed"),
+            F.round(F.sum(F.coalesce("bal", "grp_mean")), 2).alias(
+                "imputed_total"
+            ),
+        )
+        .select(
+            "c_nationkey",
+            "n_customers",
+            "n_imputed",
+            "imputed_total",
+            F.round("grp_mean", 6).alias("grp_mean"),
+        )
+        .orderBy("c_nationkey")
+    )

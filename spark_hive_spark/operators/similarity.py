@@ -917,3 +917,87 @@ def fuzzy_levenshtein_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     shared semantics), so the oracle is verbatim."""
     part = t(spark, sf_dir, "part")
     return spark.sql(_FUZZY_SQL, part=part)
+
+
+@register(
+    "ann_index_persistence_audit",
+    oracle=f"""
+        SELECT CAST({IVF_CELLS} AS INT) AS n_cells,
+               (SELECT count(*) FROM embeddings) AS n_vectors,
+               TRUE AS centroids_roundtrip_exact,
+               TRUE AS assignments_match_after_reload
+    """,
+    tags=("similarity", "ivf", "index", "persistence"),
+)
+def ann_index_persistence_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index LIFECYCLE for the IVF quantizer — build → persist →
+    reload → re-assign, the operational loop a real vector index
+    lives by (train once, serve from storage): centroids persist to
+    parquet as (cell, array<double>) rows, a fresh read reconstructs
+    them, and the corpus is assigned to cells twice — once with the
+    in-memory centroids, once with the reloaded ones — comparing
+    per-vector cell ids distributedly (a join + mismatch count, no
+    collect of assignments). The emitted booleans flip the driver
+    hash if parquet damages a single centroid bit (float64 arrays
+    roundtrip bit-exact) or any of the vectors lands in a different
+    cell after reload.
+
+    Scale: the index artifact is tiny (cells x dim); assignment is
+    the same narrow mapInPandas as serving. This is the persistence
+    seam where a FAISS/ScaNN index file would slot in — here the
+    artifact is plain parquet so the whole lifecycle stays
+    engine-native."""
+    import os as _os
+    import tempfile as _tf
+    import uuid as _uuid
+
+    emb = t(spark, sf_dir, "embeddings")
+    Cn = _ivf_centroids(emb)
+
+    idx_dir = _os.path.join(
+        _tf.gettempdir(), f"shs_ivf_idx_{_uuid.uuid4().hex}"
+    )
+    idx_rows = [
+        (int(i), [float(x) for x in Cn[i]]) for i in range(len(Cn))
+    ]
+    spark.createDataFrame(
+        idx_rows, "cell int, centroid array<double>"
+    ).coalesce(1).write.parquet(idx_dir)
+
+    back = spark.read.parquet(idx_dir).orderBy("cell").collect()
+    Cn2 = np.stack([np.asarray(r.centroid, dtype=np.float64) for r in back])
+    roundtrip_exact = bool((Cn2 == Cn).all())
+
+    def assigner(C):
+        def assign(batches):
+            for pdf in batches:
+                V = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+                Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+                yield pd.DataFrame(
+                    {
+                        "vec_id": pdf["vec_id"],
+                        "cell": (Vn @ C.T).argmax(axis=1).astype(np.int32),
+                    }
+                )
+
+        return assign
+
+    schema = "vec_id long, cell int"
+    a1 = emb.select("vec_id", "embedding").mapInPandas(assigner(Cn), schema)
+    a2 = emb.select("vec_id", "embedding").mapInPandas(assigner(Cn2), schema)
+    cmp = (
+        a1.alias("a")
+        .join(a2.alias("b"), "vec_id")
+        .agg(
+            F.count("*").alias("n_vectors"),
+            F.sum(
+                (F.col("a.cell") != F.col("b.cell")).cast("long")
+            ).alias("n_mismatch"),
+        )
+    )
+    return cmp.select(
+        F.lit(len(Cn)).cast("int").alias("n_cells"),
+        "n_vectors",
+        F.lit(roundtrip_exact).alias("centroids_roundtrip_exact"),
+        (F.col("n_mismatch") == 0).alias("assignments_match_after_reload"),
+    )

@@ -223,3 +223,92 @@ def benford_price_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(benford, 6).alias("benford_expected"),
         F.round(F.abs(share - benford), 6).alias("abs_dev"),
     ).orderBy("first_digit")
+
+
+@register(
+    "psi_price_drift",
+    oracle="""
+        WITH bucketed AS (
+            SELECT CASE WHEN year(o_orderdate) < 1998
+                        THEN 'ref' ELSE 'cur' END AS period,
+                   least(CAST(floor(o_totalprice / 50000) AS INT), 9) AS b
+            FROM orders
+        ),
+        counts AS (
+            SELECT period, b, count(*) AS n FROM bucketed GROUP BY 1, 2
+        ),
+        tot AS (
+            SELECT period, sum(n) AS total FROM counts GROUP BY period
+        ),
+        shares AS (
+            SELECT b,
+                   CAST(max(CASE WHEN c.period = 'ref' THEN n END) AS DOUBLE)
+                       / max(CASE WHEN t.period = 'ref' THEN total END) AS p,
+                   CAST(max(CASE WHEN c.period = 'cur' THEN n END) AS DOUBLE)
+                       / max(CASE WHEN t.period = 'cur' THEN total END) AS q
+            FROM counts c JOIN tot t ON c.period = t.period
+            GROUP BY b
+        )
+        SELECT CAST(count(*) AS INT) AS n_buckets,
+               round(sum((p - q) * ln(p / q)), 6) AS psi,
+               round(sum(CASE WHEN p > q THEN p - q ELSE q - p END) / 2, 6)
+                   AS total_variation
+        FROM shares
+    """,
+    tags=("statistics", "drift", "psi", "ml-ops"),
+)
+def psi_price_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift detection between a reference and a current
+    period — the Population Stability Index every production ML
+    monitor computes: order totals bucket into fixed 50k-wide bins
+    (capped at 10), per-period shares come from exact counts, and
+    PSI = Σ (p−q)·ln(p/q) plus total-variation distance summarize the
+    shift. Fixed bin EDGES (not quantiles) are the production choice:
+    they make periods comparable without a joint sort, and the bin
+    map is a pure row-local expression that pushes into the scan.
+
+    The fixture's generator is stationary, so both metrics land near
+    0 — the null result IS the check (a nonzero PSI here would mean
+    bucketing or share arithmetic drifted). Scale: one pass, one
+    20-group aggregate, window-free."""
+    orders = t(spark, sf_dir, "orders")
+    bucketed = orders.select(
+        F.when(F.year("o_orderdate") < 1998, "ref").otherwise("cur").alias(
+            "period"
+        ),
+        F.least(
+            F.floor(F.col("o_totalprice") / 50000).cast("int"), F.lit(9)
+        ).alias("b"),
+    )
+    counts = bucketed.groupBy("period", "b").agg(F.count("*").alias("n"))
+    from pyspark.sql import Window as W
+
+    shares = (
+        counts.withColumn(
+            "total", F.sum("n").over(W.partitionBy("period"))
+        )
+        .groupBy("b")
+        .agg(
+            (
+                F.max(F.when(F.col("period") == "ref", F.col("n"))).cast(
+                    "double"
+                )
+                / F.max(F.when(F.col("period") == "ref", F.col("total")))
+            ).alias("p"),
+            (
+                F.max(F.when(F.col("period") == "cur", F.col("n"))).cast(
+                    "double"
+                )
+                / F.max(F.when(F.col("period") == "cur", F.col("total")))
+            ).alias("q"),
+        )
+    )
+    return shares.agg(
+        F.count("*").cast("int").alias("n_buckets"),
+        F.round(
+            F.sum((F.col("p") - F.col("q")) * F.log(F.col("p") / F.col("q"))), 6
+        ).alias("psi"),
+        F.round(F.sum(F.abs(F.col("p") - F.col("q"))) / 2, 6).alias(
+            "total_variation"
+        ),
+    )

@@ -99,9 +99,8 @@ SWEEP_PRIORITY: tuple[str, ...] = (
     "maintenance_compaction_audit",
     "weighted_reservoir_sample",
     "yoy_monthly_revenue_growth",
-    # round-4 queries first driver-swept in r06 (re-attestations)
-    "json_variant_props",
-    "xml_part_roundtrip",
+    "psi_price_drift",
+    "impute_missing_acctbal",
     # re-attestations (driver-green in r06); round-7 additions
     # displace from the END of this block as they land, keeping the
     # never-swept set fully covered.
