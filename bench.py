@@ -149,6 +149,7 @@ EXTENDED = [
     "psi_price_drift",
     "impute_missing_acctbal",
     "ann_index_persistence_audit",
+    "entity_resolution_name_clusters",
 ]
 
 # Streaming extended queries run dead LAST (after the streaming
@@ -267,6 +268,7 @@ EXPECTED_SF01: dict[str, float] = {
     "psi_price_drift": 0.7,
     "impute_missing_acctbal": 0.6,
     "ann_index_persistence_audit": 3.0,
+    "entity_resolution_name_clusters": 2.1,
 }
 
 

@@ -1001,3 +1001,95 @@ def ann_index_persistence_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(roundtrip_exact).alias("centroids_roundtrip_exact"),
         (F.col("n_mismatch") == 0).alias("assignments_match_after_reload"),
     )
+
+
+
+@register(
+    "entity_resolution_name_clusters",
+    oracle=f"""
+        WITH RECURSIVE names AS (
+            SELECT p_name, min(p_partkey) AS name_id
+            FROM part GROUP BY p_name
+        ),
+        fpairs AS (
+            SELECT a.name_id AS id_a, b.name_id AS id_b
+            FROM names a
+            JOIN names b
+              ON split_part(a.p_name, ' ', 2) = split_part(b.p_name, ' ', 2)
+             AND abs(length(a.p_name) - length(b.p_name)) <= 3
+             AND a.p_name < b.p_name
+            WHERE levenshtein(a.p_name, b.p_name) <= 3
+        ),
+        edges AS (
+            SELECT id_a AS u, id_b AS v FROM fpairs
+            UNION ALL
+            SELECT id_b, id_a FROM fpairs
+        ),
+        reach(u, v) AS (
+            SELECT u, v FROM edges
+            UNION
+            SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+        ),
+        labels AS (
+            SELECT u AS name_id, least(u, min(v)) AS cluster_id
+            FROM reach GROUP BY u
+        )
+        SELECT l.cluster_id, n.p_name,
+               (l.name_id = l.cluster_id) AS is_representative,
+               count(*) OVER (PARTITION BY l.cluster_id) AS cluster_size
+        FROM labels l JOIN names n ON l.name_id = n.name_id
+        ORDER BY l.cluster_id, n.p_name
+    """,
+    tags=("entity-resolution", "fuzzy", "graph", "record-linkage"),
+)
+def entity_resolution_name_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution end to end — the composite every MDM /
+    customer-360 pipeline runs: BLOCK (final-token + length band),
+    MATCH (Levenshtein <= 3 over the distinct-name vocabulary),
+    CLUSTER (connected components over the match graph, so A~B and
+    B~C resolve to ONE entity even when A and C never matched
+    directly), ELECT a representative (min stable id). Reuses the
+    fuzzy candidate generator and the checkpointed min-label
+    propagation from the dedup pipeline; names get stable integer
+    node ids (min partkey per name) so the iteration runs on 8-byte
+    keys.
+
+    The oracle recomputes the clusters by recursive transitive
+    closure — an exact independent check of the iterative
+    distributed algorithm, same pattern as dedup_duplicate_clusters."""
+    from spark_hive_spark.operators.dedup import connected_components
+
+    part = t(spark, sf_dir, "part")
+    names = part.groupBy("p_name").agg(F.min("p_partkey").alias("name_id"))
+    a, b = names.alias("a"), names.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (
+                F.split_part(F.col("a.p_name"), F.lit(" "), F.lit(2))
+                == F.split_part(F.col("b.p_name"), F.lit(" "), F.lit(2))
+            )
+            & (
+                F.abs(
+                    F.length(F.col("a.p_name")) - F.length(F.col("b.p_name"))
+                )
+                <= 3
+            )
+            & (F.col("a.p_name") < F.col("b.p_name")),
+        )
+        .filter(F.levenshtein(F.col("a.p_name"), F.col("b.p_name")) <= 3)
+        .select(
+            F.col("a.name_id").alias("id_a"), F.col("b.name_id").alias("id_b")
+        )
+    )
+    clusters = connected_components(pairs, "id_a", "id_b", "name_id")
+    return (
+        clusters.join(F.broadcast(names), "name_id")
+        .select(
+            "cluster_id",
+            "p_name",
+            "is_representative",
+            "cluster_size",
+        )
+        .orderBy("cluster_id", "p_name")
+    )
