@@ -150,6 +150,8 @@ EXTENDED = [
     "impute_missing_acctbal",
     "ann_index_persistence_audit",
     "entity_resolution_name_clusters",
+    "partition_checksum_diff",
+    "fx_asof_converted_revenue",
 ]
 
 # Streaming extended queries run dead LAST (after the streaming
@@ -269,6 +271,8 @@ EXPECTED_SF01: dict[str, float] = {
     "impute_missing_acctbal": 0.6,
     "ann_index_persistence_audit": 3.0,
     "entity_resolution_name_clusters": 2.1,
+    "partition_checksum_diff": 0.8,
+    "fx_asof_converted_revenue": 0.8,
 }
 
 

@@ -516,3 +516,92 @@ def impute_missing_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_nationkey")
     )
+
+
+@register(
+    "partition_checksum_diff",
+    oracle="""
+        WITH base AS (
+            SELECT year(o_orderdate) AS o_year, o_orderkey,
+                   o_totalprice AS price
+            FROM orders
+        ),
+        modified AS (
+            SELECT o_year, o_orderkey,
+                   CASE WHEN o_year = 1997 AND o_orderkey % 13 = 0
+                        THEN price * 2 ELSE price END AS price
+            FROM base
+        ),
+        cks AS (
+            SELECT 'base' AS side, o_year,
+                   CAST(sum(CAST(('0x' || substring(md5(
+                       concat(o_orderkey, '|',
+                              CAST(round(price * 100) AS BIGINT))), 1, 15))
+                       AS BIGINT) % 1000000007) AS BIGINT) AS cksum
+            FROM base GROUP BY o_year
+            UNION ALL
+            SELECT 'mod', o_year,
+                   CAST(sum(CAST(('0x' || substring(md5(
+                       concat(o_orderkey, '|',
+                              CAST(round(price * 100) AS BIGINT))), 1, 15))
+                       AS BIGINT) % 1000000007) AS BIGINT)
+            FROM modified GROUP BY o_year
+        )
+        SELECT o_year,
+               max(CASE WHEN side = 'base' THEN cksum END)
+                   <> max(CASE WHEN side = 'mod' THEN cksum END) AS changed
+        FROM cks
+        GROUP BY o_year
+        ORDER BY o_year
+    """,
+    tags=("checksum", "incremental-sync", "partitions"),
+)
+def partition_checksum_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-grained change detection — the incremental-sync
+    primitive: per-year content checksums of two table states (the
+    source, and a derived state where some 1997 prices changed)
+    compare as single integers, so "which partitions need re-sync"
+    costs one scan per side and transfers one row per partition —
+    never a row-level diff. Exactly one year flips `changed`; every
+    other year's checksum must match bit-for-bit, which also
+    regression-tests the checksum's order-independence (the two
+    sides aggregate in different plan shapes).
+
+    Scale: this is how a 100 TB replica validates against its source
+    nightly — per-partition sums are map-side-combining aggregates,
+    and only flagged partitions pay a data transfer."""
+    orders = t(spark, sf_dir, "orders")
+    base = orders.select(
+        F.year("o_orderdate").alias("o_year"),
+        "o_orderkey",
+        F.col("o_totalprice").alias("price"),
+    )
+    modified = base.withColumn(
+        "price",
+        F.when(
+            (F.col("o_year") == 1997) & (F.col("o_orderkey") % 13 == 0),
+            F.col("price") * 2,
+        ).otherwise(F.col("price")),
+    )
+    fp = (
+        "CAST(conv(substring(md5(concat(o_orderkey, '|', "
+        "CAST(round(price * 100) AS BIGINT))), 1, 15), 16, 10) AS BIGINT)"
+        " % 1000000007"
+    )
+
+    def cks(df, side):
+        return (
+            df.select("o_year", F.expr(fp).alias("f"))
+            .groupBy("o_year")
+            .agg(F.sum("f").alias(f"cksum_{side}"))
+        )
+
+    return (
+        cks(base, "base")
+        .join(cks(modified, "mod"), "o_year")
+        .select(
+            "o_year",
+            (F.col("cksum_base") != F.col("cksum_mod")).alias("changed"),
+        )
+        .orderBy("o_year")
+    )

@@ -459,3 +459,91 @@ def timeseries_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("hour_value").isNull().alias("is_gap"),
         F.last("hour_value", ignorenulls=True).over(w).alias("value_locf"),
     ).orderBy("event_type", "hour")
+
+
+@register(
+    "fx_asof_converted_revenue",
+    oracle="""
+        WITH months AS (
+            SELECT DISTINCT year(o_orderdate) * 12 + month(o_orderdate) AS mk
+            FROM orders
+        ),
+        sparse AS (
+            SELECT mk, 100 + mk % 7 AS rate_cents
+            FROM months WHERE mk % 3 = 1
+        ),
+        effective AS (
+            SELECT mk,
+                   last_value(rate_cents IGNORE NULLS) OVER (
+                       ORDER BY mk
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS rate_cents
+            FROM (SELECT m.mk, s.rate_cents
+                  FROM months m LEFT JOIN sparse s USING (mk))
+        )
+        SELECT year(o.o_orderdate) AS o_year,
+               count(*) AS n_orders,
+               CAST(sum(CASE WHEN e.rate_cents IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_unrated,
+               CAST(CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))
+                             * coalesce(e.rate_cents, 100)) AS DOUBLE)
+                    / 100 AS DOUBLE) AS converted_revenue
+        FROM orders o
+        JOIN effective e
+          ON year(o.o_orderdate) * 12 + month(o.o_orderdate) = e.mk
+        GROUP BY 1
+        ORDER BY o_year
+    """,
+    tags=("temporal", "asof", "fx", "locf"),
+)
+def fx_asof_converted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Currency conversion against a SPARSE rate dimension — the
+    other as-of-join shape: the dimension is global (no join key) and
+    tiny, so instead of windowing the FACT table (what
+    `asof_purchase_last_click` does for per-key as-of), the rate
+    table is densified ONCE by LOCF over the month spine — a window
+    over |months| rows — and the fact then equi-joins the effective
+    rate by month through a broadcast. Same semantics as a backward
+    as-of join, zero fact-side windows: the scalable plan when the
+    as-of side is a dimension rather than a peer fact.
+
+    Rates derive deterministically from the month key (every third
+    month posts 1.00-1.06, carried as integer CENTS — DuckDB's `/`
+    on decimals returns DOUBLE, so portable exactness means decimal ×
+    int sums with ONE final division); months before the first posted
+    rate convert at 1.00 and are counted in `n_unrated`."""
+    orders = t(spark, sf_dir, "orders")
+    mk = (F.year("o_orderdate") * 12 + F.month("o_orderdate")).alias("mk")
+    months = orders.select(mk).distinct()
+    sparse = months.filter(F.col("mk") % 3 == 1).select(
+        "mk", (F.lit(100) + F.col("mk") % 7).alias("rate_cents")
+    )
+    w = W.orderBy("mk").rowsBetween(W.unboundedPreceding, W.currentRow)
+    effective = (
+        months.join(sparse, "mk", "left")
+        .withColumn(
+            "rate_cents", F.last("rate_cents", ignorenulls=True).over(w)
+        )
+        .select("mk", "rate_cents")
+    )
+    return (
+        orders.select(mk, "o_orderdate", "o_totalprice")
+        .join(F.broadcast(effective), "mk")
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.col("rate_cents").isNull().cast("long")).alias(
+                "n_unrated"
+            ),
+            (
+                F.sum(
+                    F.col("o_totalprice").cast("decimal(18,2)")
+                    * F.coalesce("rate_cents", F.lit(100))
+                ).cast("double")
+                / 100
+            )
+            .cast("double")
+            .alias("converted_revenue"),
+        )
+        .orderBy("o_year")
+    )
