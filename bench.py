@@ -271,8 +271,8 @@ EXPECTED_SF01: dict[str, float] = {
     "impute_missing_acctbal": 0.6,
     "ann_index_persistence_audit": 3.0,
     "entity_resolution_name_clusters": 2.1,
-    "partition_checksum_diff": 0.8,
-    "fx_asof_converted_revenue": 0.8,
+    "partition_checksum_diff": 1.0,
+    "fx_asof_converted_revenue": 1.1,
 }
 
 
