@@ -453,18 +453,20 @@ def table_checksum_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
         stats AS (
             SELECT c_nationkey,
                    CAST(sum(CAST(bal AS DECIMAL(18,2))) AS DOUBLE)
-                       / count(bal) AS grp_mean
+                       AS obs_total,
+                   CAST(sum(CAST(bal AS DECIMAL(18,2))) AS DOUBLE)
+                       / count(bal) AS grp_mean,
+                   count(*) AS n_customers,
+                   count(*) - count(bal) AS n_imputed
             FROM holed GROUP BY c_nationkey
         )
-        SELECT h.c_nationkey,
-               count(*) AS n_customers,
-               CAST(sum(CASE WHEN h.bal IS NULL THEN 1 ELSE 0 END)
-                    AS BIGINT) AS n_imputed,
-               round(sum(coalesce(h.bal, s.grp_mean)), 2) AS imputed_total,
-               round(s.grp_mean, 6) AS grp_mean
-        FROM holed h JOIN stats s USING (c_nationkey)
-        GROUP BY h.c_nationkey, s.grp_mean
-        ORDER BY h.c_nationkey
+        SELECT c_nationkey,
+               CAST(n_customers AS BIGINT) AS n_customers,
+               CAST(n_imputed AS BIGINT) AS n_imputed,
+               round(obs_total + n_imputed * grp_mean, 2) AS imputed_total,
+               round(grp_mean, 6) AS grp_mean
+        FROM stats
+        ORDER BY c_nationkey
     """,
     tags=("data-prep", "imputation", "nulls"),
 )
@@ -479,10 +481,10 @@ def impute_missing_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_imputed·mean, making any fill-value or join error visible in
     the hash.
 
-    Scale: two hash aggregates on the same key (the stats join is a
-    broadcast — one row per nation); for high-cardinality groups this
-    becomes the classic two-pass mean-impute with the stats table
-    still orders of magnitude smaller than the data."""
+    Scale: ONE hash aggregate — the closed form needs no join-back
+    at all for the audit; materializing imputed ROWS would add the
+    classic broadcast stats join, with the stats table still orders
+    of magnitude smaller than the data."""
     cust = t(spark, sf_dir, "customer")
     holed = cust.select(
         "c_custkey",
@@ -491,31 +493,30 @@ def impute_missing_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.col("c_acctbal"))
         .alias("bal"),
     )
+    # The post-imputation total is CLOSED FORM — exact observed sum +
+    # n_imputed · mean (one multiply, one add, both deterministic) —
+    # never a re-sum of rows carrying the repeated mean: double
+    # addition order put such a sum exactly on a half-cent boundary
+    # at sf0.001 and the engines rounded it apart.
     stats = holed.groupBy("c_nationkey").agg(
-        (
-            F.sum(F.col("bal").cast("decimal(18,2)")).cast("double")
-            / F.count("bal")
-        ).alias("grp_mean")
+        F.sum(F.col("bal").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("obs_total"),
+        F.count("*").alias("n_customers"),
+        (F.count("*") - F.count("bal")).alias("n_imputed"),
+        F.count("bal").alias("n_obs"),
     )
-    return (
-        holed.join(F.broadcast(stats), "c_nationkey")
-        .groupBy("c_nationkey", "grp_mean")
-        .agg(
-            F.count("*").alias("n_customers"),
-            F.sum(F.col("bal").isNull().cast("long")).alias("n_imputed"),
-            F.round(F.sum(F.coalesce("bal", "grp_mean")), 2).alias(
-                "imputed_total"
-            ),
-        )
-        .select(
-            "c_nationkey",
-            "n_customers",
-            "n_imputed",
-            "imputed_total",
-            F.round("grp_mean", 6).alias("grp_mean"),
-        )
-        .orderBy("c_nationkey")
-    )
+    return stats.select(
+        "c_nationkey",
+        "n_customers",
+        "n_imputed",
+        F.round(
+            F.col("obs_total")
+            + F.col("n_imputed") * (F.col("obs_total") / F.col("n_obs")),
+            2,
+        ).alias("imputed_total"),
+        F.round(F.col("obs_total") / F.col("n_obs"), 6).alias("grp_mean"),
+    ).orderBy("c_nationkey")
 
 
 @register(
