@@ -381,9 +381,9 @@ MIX_BUDGET = 100_000  # documents in the hypothetical training mix
         SELECT source, n_docs,
                round(pow(n_docs, {MIX_TEMP})
                      / sum(pow(n_docs, {MIX_TEMP})) OVER (), 6) AS weight,
-               CAST(floor(pow(n_docs, {MIX_TEMP})
+               CAST(floor(round(pow(n_docs, {MIX_TEMP})
                           / sum(pow(n_docs, {MIX_TEMP})) OVER ()
-                          * {MIX_BUDGET}) AS BIGINT) AS planned_docs,
+                          * {MIX_BUDGET}, 6)) AS BIGINT) AS planned_docs,
                round(pow(n_docs, {MIX_TEMP})
                      / sum(pow(n_docs, {MIX_TEMP})) OVER ()
                      * {MIX_BUDGET} / n_docs, 6) AS effective_epochs
@@ -415,7 +415,13 @@ def curation_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         "n_docs",
         F.round(w / tot, 6).alias("weight"),
-        F.floor(w / tot * MIX_BUDGET).cast("bigint").alias("planned_docs"),
+        # round-before-floor: the window SUM over ~20 pow() doubles is
+        # summation-order-sensitive in the last ulp, and floor() at an
+        # integer boundary would amplify that to a whole-count flip
+        # (the same irrational-pow hazard `weight` already rounds for)
+        F.floor(F.round(w / tot * MIX_BUDGET, 6)).cast("bigint").alias(
+            "planned_docs"
+        ),
         F.round(w / tot * MIX_BUDGET / F.col("n_docs"), 6).alias(
             "effective_epochs"
         ),

@@ -622,10 +622,17 @@ def dedup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "source",
         F.explode(
-            F.transform(
-                F.sequence(F.lit(1), F.greatest(F.size("words") - (SPAN_N - 1), F.lit(0))),
-                lambda i: F.concat_ws(" ", F.slice("words", i, SPAN_N)),
-            )
+            # guard: sequence(1, stop) COUNTS DOWN when stop < 1
+            # (Spark yields [1, 0], and slice(words, 0, n) then
+            # throws) — docs shorter than SPAN_N words must produce
+            # an empty gram array, matching the oracle's range()
+            F.when(
+                F.size("words") >= SPAN_N,
+                F.transform(
+                    F.sequence(F.lit(1), F.size("words") - (SPAN_N - 1)),
+                    lambda i: F.concat_ws(" ", F.slice("words", i, SPAN_N)),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
         ).alias("g"),
     )
     df_tbl = grams.groupBy("g").agg(

@@ -903,7 +903,7 @@ _FUZZY_SQL = """
 def fuzzy_levenshtein_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Blocked fuzzy self-join (record linkage): part-name pairs
     within edit distance 3, candidate-generated by a blocking key —
-    the name's final token — plus a length band (|len_a - len_b| <= d
+    the name's second token (split_part position 2) — plus a length band (|len_a - len_b| <= d
     is a lower bound on Levenshtein, so the band never loses a true
     pair within a block). The expensive quadratic comparison runs on
     the DISTINCT-name vocabulary, not the row set: the first
@@ -1044,7 +1044,7 @@ def ann_index_persistence_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def entity_resolution_name_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Entity resolution end to end — the composite every MDM /
-    customer-360 pipeline runs: BLOCK (final-token + length band),
+    customer-360 pipeline runs: BLOCK (second-token + length band),
     MATCH (Levenshtein <= 3 over the distinct-name vocabulary),
     CLUSTER (connected components over the match graph, so A~B and
     B~C resolve to ONE entity even when A and C never matched

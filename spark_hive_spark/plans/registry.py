@@ -39,13 +39,16 @@ _REGISTRY: dict[str, Query] = {}
 
 # The grading driver sweeps the FIRST 50 registry entries per round, so
 # ordering is an attestation budget. Round-7 rotation (VERDICT r6 task
-# 2): the 4 reference jobs stay pinned, then every query no driver
-# round has ever swept — the 3 that landed after the r06 attestation
-# (running_distinct_users, skyline_price_size_parts,
-# text_sentiment_lexicon) plus round-7 additions — then the most
-# recently attested r06 rows fill the remainder as re-attestations.
-# Displacement policy: new never-swept queries displace re-attestation
-# rows from the END of the list. tests/test_registry_window.py asserts
+# 2): the 4 reference jobs stay pinned, then never-driver-swept
+# queries in priority order. Round 7 produced MORE new queries than
+# the window holds: the re-attestation block is empty, and the
+# late-round additions past the 50th slot (ann_index_persistence_audit,
+# entity_resolution_name_clusters, partition_checksum_diff,
+# fx_asof_converted_revenue, and any later) sit just beyond the window
+# in registration order — they are pytest-parity-covered this round
+# and rotate into the r08 window first. Displacement policy: new
+# never-swept queries displace re-attestation rows from the END of the
+# list (exhausted this round). tests/test_registry_window.py asserts
 # the window stays exactly this set.
 SWEEP_PRIORITY: tuple[str, ...] = (
     # pinned reference jobs (driver-green every round)

@@ -909,7 +909,7 @@ def stream_stream_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame
             FROM events
         ),
         marked AS (
-            SELECT user_id, ts, gap_us,
+            SELECT user_id, ts, event_id, gap_us,
                    CASE WHEN max(epoch_us(ts) + gap_us) OVER (
                             PARTITION BY user_id ORDER BY ts, event_id
                             ROWS BETWEEN UNBOUNDED PRECEDING
@@ -924,7 +924,7 @@ def stream_stream_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame
         numbered AS (
             SELECT user_id, ts, gap_us,
                    sum(is_new) OVER (
-                       PARTITION BY user_id ORDER BY ts
+                       PARTITION BY user_id ORDER BY ts, event_id
                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
                    ) AS session_num
             FROM marked

@@ -86,14 +86,29 @@ def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _footer_type(path: str, col: str) -> str:
-    """The parquet footer's declared arrow type for `col` ('' if the
-    footer can't be read, e.g. a multi-file dataset directory)."""
-    try:
-        import pyarrow.parquet as pq
+    """The parquet footer's declared arrow type for `col` ('' only if
+    no footer can be read at all). A multi-file dataset DIRECTORY is
+    handled by reading the first part-file's footer — all parts of
+    one write share a schema — so a regenerated fixture that lands as
+    a directory still gets a real verdict instead of a hard refusal
+    (the 'unreadable' branch conflated that case with a genuinely
+    wrong physical type)."""
+    import glob
+    import os
 
-        return str(pq.read_schema(path).field(col).type)
-    except Exception:  # pragma: no cover - footer unreadable
-        return ""
+    import pyarrow.parquet as pq
+
+    candidates = [path]
+    if os.path.isdir(path):
+        candidates = sorted(glob.glob(os.path.join(path, "*.parquet"))) or [
+            path
+        ]
+    for p in candidates[:1]:
+        try:
+            return str(pq.read_schema(p).field(col).type)
+        except Exception:  # pragma: no cover - footer unreadable
+            continue
+    return ""
 
 
 def _ns_bigint_to_ts(path: str, col: str):

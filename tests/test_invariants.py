@@ -542,7 +542,7 @@ def test_fuzzy_length_band_loses_no_pairs(spark):
     expected = {
         (a, b)
         for a, b in itertools.combinations(vocab, 2)
-        if a.split()[-1] == b.split()[-1] and lev(a, b) <= 3
+        if a.split()[1] == b.split()[1] and lev(a, b) <= 3
     }
     got = {
         (r.name_a, r.name_b)
