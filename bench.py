@@ -152,6 +152,7 @@ EXTENDED = [
     "entity_resolution_name_clusters",
     "partition_checksum_diff",
     "fx_asof_converted_revenue",
+    "tokenizer_vocab_coverage",
 ]
 
 # Streaming extended queries run dead LAST (after the streaming
@@ -273,6 +274,7 @@ EXPECTED_SF01: dict[str, float] = {
     "entity_resolution_name_clusters": 2.1,
     "partition_checksum_diff": 1.0,
     "fx_asof_converted_revenue": 1.1,
+    "tokenizer_vocab_coverage": 0.8,
 }
 
 

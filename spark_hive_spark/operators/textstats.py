@@ -938,3 +938,77 @@ def text_bigram_backoff_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+VOCAB_SIZE = 1000  # top-K corpus tokens form the "tokenizer" vocab
+
+
+@register(
+    "tokenizer_vocab_coverage",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, source,
+                   unnest(string_split({SQL_NORM_TEXT}, ' ')) AS tok
+            FROM documents
+        ),
+        counts AS (
+            SELECT tok, count(*) AS n FROM toks WHERE tok <> ''
+            GROUP BY tok
+        ),
+        vocab AS (
+            SELECT tok FROM counts
+            ORDER BY n DESC, tok
+            LIMIT {VOCAB_SIZE}
+        )
+        SELECT t.source,
+               count(*) AS total_tokens,
+               CAST(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS oov_tokens,
+               CAST(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END)
+                    AS DOUBLE) / count(*) AS oov_rate
+        FROM toks t LEFT JOIN vocab v ON t.tok = v.tok
+        WHERE t.tok <> ''
+        GROUP BY t.source
+        ORDER BY t.source
+    """,
+    tags=("llm-pipeline", "tokenizer", "vocab", "oov"),
+)
+def tokenizer_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-fit metric: out-of-vocabulary rate per source against
+    a fixed vocabulary — here the corpus's own top-{VOCAB_SIZE} tokens
+    with a total-order tie-break (count desc, token asc), standing in
+    for a trained tokenizer's vocab file. High OOV on a source means
+    the tokenizer fragments its text into long byte-fallback
+    sequences — THE practical signal for when a tokenizer needs
+    retraining before a data mixture changes.
+
+    Plan: token counts (one shuffle) → TakeOrdered vocab → broadcast
+    LEFT join back onto the token stream → per-source aggregate; the
+    vocab is a k-row broadcast at any corpus size, and the OOV rate
+    is one division of exact counts."""
+    docs = t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source", F.explode(F.split(normalized_text(), " ")).alias("tok")
+    ).filter(F.col("tok") != "")
+    vocab = (
+        toks.groupBy("tok")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), "tok")
+        .limit(VOCAB_SIZE)
+        .select("tok", F.lit(True).alias("in_vocab"))
+    )
+    return (
+        toks.join(F.broadcast(vocab), "tok", "left")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("total_tokens"),
+            F.sum(F.col("in_vocab").isNull().cast("long")).alias(
+                "oov_tokens"
+            ),
+            (
+                F.sum(F.col("in_vocab").isNull().cast("long")).cast("double")
+                / F.count("*")
+            ).alias("oov_rate"),
+        )
+        .orderBy("source")
+    )
