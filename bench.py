@@ -274,7 +274,7 @@ EXPECTED_SF01: dict[str, float] = {
     "entity_resolution_name_clusters": 2.1,
     "partition_checksum_diff": 1.0,
     "fx_asof_converted_revenue": 1.1,
-    "tokenizer_vocab_coverage": 0.8,
+    "tokenizer_vocab_coverage": 1.2,
 }
 
 
