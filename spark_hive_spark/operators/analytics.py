@@ -1206,3 +1206,166 @@ def yoy_monthly_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         prior.alias("revenue_prior_year"),
         F.round((F.col("revenue") - prior) / prior * 100, 4).alias("yoy_pct"),
     ).orderBy("o_year", "o_month")
+
+
+@register(
+    "supplier_pareto_abc",
+    oracle=f"""
+        WITH rev AS (
+            SELECT l_suppkey, {sql_dsum("l_extendedprice")} AS revenue
+            FROM lineitem GROUP BY l_suppkey
+        ),
+        ranked AS (
+            SELECT l_suppkey, revenue,
+                   sum(revenue) OVER (
+                       ORDER BY revenue DESC, l_suppkey
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS cum_rev,
+                   sum(revenue) OVER () AS total_rev,
+                   row_number() OVER (ORDER BY revenue DESC, l_suppkey)
+                       AS rk
+            FROM rev
+        ),
+        classed AS (
+            SELECT *,
+                   CASE WHEN cum_rev <= 0.8 * total_rev THEN 'A'
+                        WHEN cum_rev <= 0.95 * total_rev THEN 'B'
+                        ELSE 'C' END AS abc_class
+            FROM ranked
+        )
+        SELECT abc_class,
+               count(*) AS n_suppliers,
+               CAST(min(rk) AS BIGINT) AS first_rank,
+               CAST(sum(CAST(round(revenue * 100) AS BIGINT)) AS DOUBLE)
+                   / 100 AS class_revenue
+        FROM classed
+        GROUP BY abc_class
+        ORDER BY abc_class
+    """,
+    tags=("analytics", "pareto", "abc", "bi"),
+)
+def supplier_pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto / ABC classification — "which suppliers make 80 % of
+    revenue": per-supplier exact-decimal revenue, a running cumulative
+    share over the total-ordered ranking (revenue desc, key
+    tie-break), and the classic A (first 80 %), B (to 95 %), C (tail)
+    classes. Class boundaries compare exact 2-decimal cumulative sums
+    against 0.8/0.95 of the exact total — the revenue values carry
+    exactly 2 decimals, so cum_rev and total_rev are exact doubles
+    and the boundary comparison is deterministic cross-engine.
+
+    Scale: one fact aggregate (map-side partials), then windows over
+    the |suppliers| aggregate — the window table is orders of
+    magnitude smaller than the fact; the global ORDER BY inside it is
+    a single range partition of supplier-count rows."""
+    li = t(spark, sf_dir, "lineitem")
+    from spark_hive_spark.functions.numeric import dsum
+
+    rev = li.groupBy("l_suppkey").agg(dsum("l_extendedprice").alias("revenue"))
+    w_ord = W.orderBy(F.desc("revenue"), "l_suppkey")
+    ranked = rev.select(
+        "l_suppkey",
+        "revenue",
+        F.sum("revenue")
+        .over(w_ord.rowsBetween(W.unboundedPreceding, W.currentRow))
+        .alias("cum_rev"),
+        F.sum("revenue").over(W.partitionBy()).alias("total_rev"),
+        F.row_number().over(w_ord).alias("rk"),
+    )
+    classed = ranked.withColumn(
+        "abc_class",
+        F.when(F.col("cum_rev") <= 0.8 * F.col("total_rev"), "A")
+        .when(F.col("cum_rev") <= 0.95 * F.col("total_rev"), "B")
+        .otherwise("C"),
+    )
+    return (
+        classed.groupBy("abc_class")
+        .agg(
+            F.count("*").alias("n_suppliers"),
+            F.min("rk").cast("bigint").alias("first_rank"),
+            # round-then-cast: Spark's double->bigint cast TRUNCATES
+            # while DuckDB's ROUNDS — x.71*100 = x70.999... splits
+            # the engines without the explicit round
+            (
+                F.sum(F.round(F.col("revenue") * 100).cast("bigint"))
+                .cast("double")
+                / 100
+            ).alias("class_revenue"),
+        )
+        .orderBy("abc_class")
+    )
+
+
+@register(
+    "monthly_seasonality_index",
+    oracle=f"""
+        WITH monthly AS (
+            SELECT year(o_orderdate) AS y, month(o_orderdate) AS m,
+                   {sql_dsum("o_totalprice")} AS rev
+            FROM orders GROUP BY 1, 2
+        ),
+        by_month AS (
+            SELECT m,
+                   CAST(count(*) AS BIGINT) AS n_years,
+                   CAST(sum(CAST(round(rev * 100) AS BIGINT)) AS BIGINT)
+                       AS rev_cents
+            FROM monthly GROUP BY m
+        ),
+        tot AS (
+            SELECT CAST(sum(rev_cents) AS BIGINT) AS total_cents,
+                   CAST(sum(n_years) AS BIGINT) AS total_months
+            FROM by_month
+        )
+        SELECT m AS month,
+               n_years,
+               CAST(rev_cents AS DOUBLE) / 100 / n_years AS avg_revenue,
+               round((CAST(rev_cents AS DOUBLE) / n_years)
+                     / (CAST(total_cents AS DOUBLE) / total_months), 6)
+                   AS seasonality_index
+        FROM by_month CROSS JOIN tot
+        ORDER BY month
+    """,
+    tags=("analytics", "seasonality", "bi"),
+)
+def monthly_seasonality_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal index per calendar month — mean monthly revenue over
+    the mean across all months (1.0 = no seasonality), the
+    multiplicative decomposition a demand forecast starts from.
+    Revenue carries as exact integer cents through both aggregation
+    levels; the index is a ratio of two single divisions of exact
+    values, rounded at 6dp only because the ratio itself is a
+    non-terminating rational.
+
+    Scale: fact → (year, month) aggregate → 12-row month aggregate →
+    1-row total, each level orders of magnitude smaller; the final
+    cross join is a 1-row broadcast scalar."""
+    orders = t(spark, sf_dir, "orders")
+    from spark_hive_spark.functions.numeric import dsum
+
+    monthly = orders.groupBy(
+        F.year("o_orderdate").alias("y"), F.month("o_orderdate").alias("m")
+    ).agg(dsum("o_totalprice").alias("rev"))
+    by_month = monthly.groupBy("m").agg(
+        F.count("*").alias("n_years"),
+        F.sum(F.round(F.col("rev") * 100).cast("bigint")).alias("rev_cents"),
+    )
+    tot = by_month.agg(
+        F.sum("rev_cents").alias("total_cents"),
+        F.sum("n_years").alias("total_months"),
+    )
+    return (
+        by_month.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("m").alias("month"),
+            "n_years",
+            (F.col("rev_cents").cast("double") / 100 / F.col("n_years")).alias(
+                "avg_revenue"
+            ),
+            F.round(
+                (F.col("rev_cents").cast("double") / F.col("n_years"))
+                / (F.col("total_cents").cast("double") / F.col("total_months")),
+                6,
+            ).alias("seasonality_index"),
+        )
+        .orderBy("month")
+    )
