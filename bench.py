@@ -277,8 +277,8 @@ EXPECTED_SF01: dict[str, float] = {
     "partition_checksum_diff": 1.0,
     "fx_asof_converted_revenue": 1.1,
     "tokenizer_vocab_coverage": 1.2,
-    "supplier_pareto_abc": 0.6,
-    "monthly_seasonality_index": 0.6,
+    "supplier_pareto_abc": 1.2,
+    "monthly_seasonality_index": 0.9,
 }
 
 
