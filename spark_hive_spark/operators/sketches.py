@@ -202,3 +202,264 @@ def bitmap_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.lit("ALL").alias("event_type"), "n_distinct_users")
     )
     return per_type.unionByName(total).orderBy("event_type")
+
+
+# Count-min sketch geometry: d=3 hash rows x w=1024 counters. The hash
+# family is plain modular arithmetic ((k%P)*A + B) % P % w — portable
+# to any SQL engine, and reducing k mod P FIRST keeps the product
+# within int64 for arbitrarily large 100 TB-scale keys.
+_CMS_P = 2147483647
+_CMS_W = 1024
+_CMS_ROWS = ((1103515245, 12345), (1299709, 54321), (15485863, 98765))
+
+
+@register(
+    "sketch_cms_heavy_hitters",
+    oracle=f"""
+        WITH rows_ AS (
+            {' UNION ALL '.join(
+                f'''SELECT {r} AS r,
+                       ((l_partkey % {_CMS_P}) * {a} + {b})
+                           % {_CMS_P} % {_CMS_W} AS b
+                FROM lineitem'''
+                for r, (a, b) in enumerate(_CMS_ROWS)
+            )}
+        ),
+        counters AS (
+            SELECT r, b, count(*) AS c FROM rows_ GROUP BY r, b
+        ),
+        exact AS (
+            SELECT l_partkey, count(*) AS n
+            FROM lineitem GROUP BY l_partkey
+            ORDER BY n DESC, l_partkey LIMIT 10
+        ),
+        probes AS (
+            {' UNION ALL '.join(
+                f'''SELECT l_partkey, n, {r} AS r,
+                       ((l_partkey % {_CMS_P}) * {a} + {b})
+                           % {_CMS_P} % {_CMS_W} AS b
+                FROM exact'''
+                for r, (a, b) in enumerate(_CMS_ROWS)
+            )}
+        )
+        SELECT l_partkey, n AS exact_n,
+               CAST(min(c) AS BIGINT) AS cms_est,
+               CAST(min(c) - n AS BIGINT) AS overestimate
+        FROM probes JOIN counters USING (r, b)
+        GROUP BY l_partkey, n
+        ORDER BY exact_n DESC, l_partkey
+    """,
+    tags=("sketch", "count-min", "heavy-hitters", "mergeable"),
+)
+def sketch_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch frequency estimates for the top-10 heaviest
+    parts, audited against exact counts. The sketch state is a FIXED
+    3x1024 counter grid regardless of data volume — built in one scan
+    with map-side combine (the explode happens before the aggregate,
+    so each task ships at most 3072 partial counters), mergeable
+    across partitions/days by cell-wise addition, and probed with a
+    broadcast join of the 10 candidates against the tiny counter
+    table. That bounded-state mergeability is why CMS (not exact
+    counts) backs per-key frequency monitors over 100 TB streams.
+
+    Unlike HLL, every number here is exact integer arithmetic over a
+    portable hash family, so the ESTIMATE ITSELF is driver-hashable —
+    the oracle reproduces the full sketch, and the overestimate
+    column doubles as the CMS guarantee (est >= exact, always)."""
+    li = t(spark, sf_dir, "lineitem")
+    pm = F.col("l_partkey") % _CMS_P
+
+    def bucket(a: int, b: int):
+        return (pm * a + b) % _CMS_P % _CMS_W
+
+    cells = li.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("r"), bucket(a, b).alias("b")
+                    )
+                    for r, (a, b) in enumerate(_CMS_ROWS)
+                ]
+            )
+        ).alias("rb")
+    ).select("rb.r", "rb.b")
+    counters = cells.groupBy("r", "b").agg(F.count("*").alias("c"))
+
+    exact = (
+        li.groupBy("l_partkey")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), "l_partkey")
+        .limit(10)
+    )
+    epm = F.col("l_partkey") % _CMS_P
+    probes = exact.select(
+        "l_partkey",
+        "n",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("r"),
+                        ((epm * a + b) % _CMS_P % _CMS_W).alias("b"),
+                    )
+                    for r, (a, b) in enumerate(_CMS_ROWS)
+                ]
+            )
+        ).alias("rb"),
+    ).select("l_partkey", "n", "rb.r", "rb.b")
+    return (
+        F.broadcast(probes)
+        .join(counters, ["r", "b"])
+        .groupBy("l_partkey", "n")
+        .agg(F.min("c").alias("est"))
+        .select(
+            "l_partkey",
+            F.col("n").alias("exact_n"),
+            F.col("est").cast("bigint").alias("cms_est"),
+            (F.col("est") - F.col("n")).cast("bigint").alias("overestimate"),
+        )
+        .orderBy(F.desc("exact_n"), "l_partkey")
+    )
+
+
+# Bloom filter geometry: m=8192 bits, k=3 hashes from the same
+# portable modular family as the CMS above.
+_BLOOM_M = 8192
+
+
+@register(
+    "sketch_bloom_membership_audit",
+    oracle=f"""
+        WITH members AS (
+            SELECT DISTINCT o_custkey AS k FROM orders
+            WHERE o_orderpriority = '1-URGENT'
+        ),
+        bits AS (
+            SELECT DISTINCT r, pos FROM (
+                {' UNION ALL '.join(
+                    f'''SELECT {r} AS r,
+                           ((k % {_CMS_P}) * (k % {_CMS_P}) % {_CMS_P}
+                            * {a} + {b}) % {_CMS_P} % {_BLOOM_M} AS pos
+                    FROM members'''
+                    for r, (a, b) in enumerate(_CMS_ROWS)
+                )}
+            )
+        ),
+        probes AS (
+            {' UNION ALL '.join(
+                f'''SELECT c_custkey, {r} AS r,
+                       ((c_custkey % {_CMS_P}) * (c_custkey % {_CMS_P})
+                        % {_CMS_P} * {a} + {b})
+                           % {_CMS_P} % {_BLOOM_M} AS pos
+                FROM customer'''
+                for r, (a, b) in enumerate(_CMS_ROWS)
+            )}
+        ),
+        verdicts AS (
+            SELECT p.c_custkey,
+                   count(bits.r) = 3 AS maybe
+            FROM probes p LEFT JOIN bits
+                ON p.r = bits.r AND p.pos = bits.pos
+            GROUP BY p.c_custkey
+        ),
+        labeled AS (
+            SELECT v.c_custkey, v.maybe,
+                   m.k IS NOT NULL AS is_member
+            FROM verdicts v LEFT JOIN members m ON v.c_custkey = m.k
+        )
+        SELECT CAST(count(CASE WHEN is_member THEN 1 END) AS BIGINT)
+                   AS n_members,
+               CAST(count(*) AS BIGINT) AS n_probes,
+               CAST(count(CASE WHEN maybe THEN 1 END) AS BIGINT) AS n_maybe,
+               CAST(count(CASE WHEN is_member AND NOT maybe THEN 1 END)
+                   AS BIGINT) AS false_negatives,
+               CAST(count(CASE WHEN maybe AND NOT is_member THEN 1 END)
+                   AS BIGINT) AS false_positives,
+               CAST(count(CASE WHEN maybe AND NOT is_member THEN 1 END)
+                    AS DOUBLE)
+                   / count(CASE WHEN NOT is_member THEN 1 END) AS fpr
+        FROM labeled
+    """,
+    tags=("sketch", "bloom-filter", "membership", "mergeable"),
+)
+def sketch_bloom_membership_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Bloom filter built over 'customers with an URGENT
+    order', probed by every customer, audited against the exact
+    semi-join. The filter is a FIXED k*m = 3x8192 bit set no matter
+    how many members feed it: member keys hash map-side, the DISTINCT
+    (row, bit) dedup partial-aggregates before its shuffle (the
+    shuffle carries at most 24576 rows per task), and the probe side
+    joins against the broadcast bit table — the shape that replaces a
+    100 TB semi-join with a kilobyte filter when a few percent false
+    positives are acceptable (and why engines inject runtime bloom
+    filters into joins; here the filter is a first-class queryable
+    artifact).
+
+    Every column is exact integer arithmetic over the portable hash
+    family, so the audit is fully driver-hashable: false_negatives is
+    pinned 0 (the Bloom guarantee), and fpr is the measured
+    false-positive rate among true non-members (an unrounded division
+    of exact counts — bit-identical IEEE in both engines)."""
+    orders = t(spark, sf_dir, "orders")
+    cust = t(spark, sf_dir, "customer")
+    members = (
+        orders.filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_custkey").alias("k"))
+        .distinct()
+    )
+
+    def positions(col, m: int):
+        # quadratic mixing ((k^2 mod P)*a + b): an affine-only hash of
+        # CONTIGUOUS surrogate keys maps members onto arithmetic
+        # progressions, which collapses the measured FPR to an
+        # unrepresentative 0 — squaring first breaks the structure
+        # while staying exact int64 arithmetic in both engines
+        km = col % _CMS_P
+        km2 = km * km % _CMS_P
+        return F.array(
+            *[
+                F.struct(
+                    F.lit(r).alias("r"),
+                    ((km2 * a + b) % _CMS_P % m).alias("pos"),
+                )
+                for r, (a, b) in enumerate(_CMS_ROWS)
+            ]
+        )
+
+    bits = (
+        members.select(F.explode(positions(F.col("k"), _BLOOM_M)).alias("rp"))
+        .select("rp.r", "rp.pos")
+        .distinct()
+        .withColumn("present", F.lit(1))
+    )
+    probes = cust.select(
+        "c_custkey",
+        F.explode(positions(F.col("c_custkey"), _BLOOM_M)).alias("rp"),
+    ).select("c_custkey", "rp.r", "rp.pos")
+    verdicts = (
+        probes.join(F.broadcast(bits), ["r", "pos"], "left")
+        .groupBy("c_custkey")
+        .agg((F.count("present") == 3).alias("maybe"))
+    )
+    labeled = verdicts.join(
+        F.broadcast(members), verdicts.c_custkey == members.k, "left"
+    ).select("c_custkey", "maybe", F.col("k").isNotNull().alias("is_member"))
+    member = F.when(F.col("is_member"), 1)
+    return labeled.agg(
+        F.count(member).cast("bigint").alias("n_members"),
+        F.count("*").cast("bigint").alias("n_probes"),
+        F.count(F.when(F.col("maybe"), 1)).cast("bigint").alias("n_maybe"),
+        F.count(F.when(F.col("is_member") & ~F.col("maybe"), 1))
+        .cast("bigint")
+        .alias("false_negatives"),
+        F.count(F.when(F.col("maybe") & ~F.col("is_member"), 1))
+        .cast("bigint")
+        .alias("false_positives"),
+        (
+            F.count(F.when(F.col("maybe") & ~F.col("is_member"), 1)).cast(
+                "double"
+            )
+            / F.count(F.when(~F.col("is_member"), 1))
+        ).alias("fpr"),
+    )

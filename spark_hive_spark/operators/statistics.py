@@ -312,3 +312,114 @@ def psi_price_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_variation"
         ),
     )
+
+
+@register(
+    "welch_ttest_segments",
+    oracle="""
+        WITH s AS (
+            SELECT
+                count(CASE WHEN c_mktsegment = 'BUILDING' THEN 1 END) AS n1,
+                CAST(sum(CASE WHEN c_mktsegment = 'BUILDING'
+                         THEN CAST(c_acctbal AS DECIMAL(18,2)) END)
+                     AS DOUBLE) AS sx1,
+                CAST(sum(CASE WHEN c_mktsegment = 'BUILDING'
+                         THEN CAST(c_acctbal AS DECIMAL(18,2))
+                              * CAST(c_acctbal AS DECIMAL(18,2)) END)
+                     AS DOUBLE) AS sxx1,
+                count(CASE WHEN c_mktsegment = 'MACHINERY' THEN 1 END) AS n2,
+                CAST(sum(CASE WHEN c_mktsegment = 'MACHINERY'
+                         THEN CAST(c_acctbal AS DECIMAL(18,2)) END)
+                     AS DOUBLE) AS sx2,
+                CAST(sum(CASE WHEN c_mktsegment = 'MACHINERY'
+                         THEN CAST(c_acctbal AS DECIMAL(18,2))
+                              * CAST(c_acctbal AS DECIMAL(18,2)) END)
+                     AS DOUBLE) AS sxx2
+            FROM customer
+            WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')
+        ),
+        v AS (
+            SELECT n1, n2,
+                   sx1 / n1 AS mean1, sx2 / n2 AS mean2,
+                   (sxx1 - sx1 * sx1 / n1) / (n1 - 1) AS v1,
+                   (sxx2 - sx2 * sx2 / n2) / (n2 - 1) AS v2
+            FROM s
+        )
+        SELECT n1 AS n_building, n2 AS n_machinery,
+               mean1 AS mean_building, mean2 AS mean_machinery,
+               round(v1, 4) AS var_building, round(v2, 4) AS var_machinery,
+               round((mean1 - mean2) / sqrt(v1 / n1 + v2 / n2), 6) AS t_stat,
+               round(pow(v1 / n1 + v2 / n2, 2)
+                     / (pow(v1 / n1, 2) / (n1 - 1)
+                        + pow(v2 / n2, 2) / (n2 - 1)), 4) AS welch_dof,
+               CAST(CASE WHEN abs((mean1 - mean2)
+                                  / sqrt(v1 / n1 + v2 / n2)) > 1.96
+                         THEN 1 ELSE 0 END AS INT) AS significant_05
+        FROM v
+    """,
+    tags=("statistics", "hypothesis-test", "ab-testing"),
+)
+def welch_ttest_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance t-test between two customer segments'
+    account balances — the A/B-comparison primitive every experiment
+    pipeline needs. Every moment comes from EXACT decimal sums
+    (c_acctbal is 2dp, its square an exact 4dp decimal), so both
+    engines produce bit-identical doubles before any division; the t
+    statistic and Welch–Satterthwaite dof are then identical IEEE
+    expressions over identical inputs. Only the final display rounds
+    (t at 6dp — sqrt makes it irrational; var/dof at 4dp).
+
+    Scale: a single conditional-aggregate pass over customer (both
+    groups in one scan, map-side combinable) — no join, no shuffle
+    beyond the global reduce; at 100 TB this is the same one-pass
+    cost as a count(*)."""
+    from spark_hive_spark.functions.numeric import dec
+
+    c = t(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment").isin("BUILDING", "MACHINERY")
+    )
+    x = dec("c_acctbal")
+    g1 = F.col("c_mktsegment") == "BUILDING"
+    g2 = F.col("c_mktsegment") == "MACHINERY"
+    s = c.agg(
+        F.count(F.when(g1, 1)).alias("n1"),
+        F.sum(F.when(g1, x)).cast("double").alias("sx1"),
+        F.sum(F.when(g1, x * x)).cast("double").alias("sxx1"),
+        F.count(F.when(g2, 1)).alias("n2"),
+        F.sum(F.when(g2, x)).cast("double").alias("sx2"),
+        F.sum(F.when(g2, x * x)).cast("double").alias("sxx2"),
+    )
+    v = s.select(
+        "n1",
+        "n2",
+        (F.col("sx1") / F.col("n1")).alias("mean1"),
+        (F.col("sx2") / F.col("n2")).alias("mean2"),
+        (
+            (F.col("sxx1") - F.col("sx1") * F.col("sx1") / F.col("n1"))
+            / (F.col("n1") - 1)
+        ).alias("v1"),
+        (
+            (F.col("sxx2") - F.col("sx2") * F.col("sx2") / F.col("n2"))
+            / (F.col("n2") - 1)
+        ).alias("v2"),
+    )
+    se2 = F.col("v1") / F.col("n1") + F.col("v2") / F.col("n2")
+    t_stat = (F.col("mean1") - F.col("mean2")) / F.sqrt(se2)
+    dof = F.pow(se2, 2) / (
+        F.pow(F.col("v1") / F.col("n1"), 2) / (F.col("n1") - 1)
+        + F.pow(F.col("v2") / F.col("n2"), 2) / (F.col("n2") - 1)
+    )
+    return v.select(
+        F.col("n1").alias("n_building"),
+        F.col("n2").alias("n_machinery"),
+        F.col("mean1").alias("mean_building"),
+        F.col("mean2").alias("mean_machinery"),
+        F.round("v1", 4).alias("var_building"),
+        F.round("v2", 4).alias("var_machinery"),
+        F.round(t_stat, 6).alias("t_stat"),
+        F.round(dof, 4).alias("welch_dof"),
+        F.when(F.abs(t_stat) > 1.96, 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("significant_05"),
+    )
