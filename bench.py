@@ -155,6 +155,16 @@ EXTENDED = [
     "tokenizer_vocab_coverage",
     "supplier_pareto_abc",
     "monthly_seasonality_index",
+    "welch_ttest_segments",
+    "sketch_cms_heavy_hitters",
+    "sketch_bloom_membership_audit",
+    "mv_incremental_refresh",
+    "snm_sorted_neighborhood_pairs",
+    "dedup_shingle_containment",
+    "histogram_equidepth_prices",
+    "integrity_fk_orphan_audit",
+    "lift_decile_table",
+    "asof_nearest_click_purchase",
 ]
 
 # Streaming extended queries run dead LAST (after the streaming
@@ -279,6 +289,17 @@ EXPECTED_SF01: dict[str, float] = {
     "tokenizer_vocab_coverage": 1.2,
     "supplier_pareto_abc": 1.2,
     "monthly_seasonality_index": 0.9,
+    # round-7 batch 3 (idle sf0.1 best-of-2, 2026-08-14)
+    "welch_ttest_segments": 0.6,
+    "sketch_cms_heavy_hitters": 1.0,
+    "sketch_bloom_membership_audit": 0.7,
+    "mv_incremental_refresh": 0.8,
+    "snm_sorted_neighborhood_pairs": 0.7,
+    "dedup_shingle_containment": 1.3,
+    "histogram_equidepth_prices": 1.9,
+    "integrity_fk_orphan_audit": 1.7,
+    "lift_decile_table": 1.0,
+    "asof_nearest_click_purchase": 0.8,
 }
 
 

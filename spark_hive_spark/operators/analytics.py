@@ -1369,3 +1369,123 @@ def monthly_seasonality_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("month")
     )
+
+
+@register(
+    "lift_decile_table",
+    oracle="""
+        WITH bounds AS (
+            SELECT quantile_cont(c_acctbal, 0.1) AS b1,
+                   quantile_cont(c_acctbal, 0.2) AS b2,
+                   quantile_cont(c_acctbal, 0.3) AS b3,
+                   quantile_cont(c_acctbal, 0.4) AS b4,
+                   quantile_cont(c_acctbal, 0.5) AS b5,
+                   quantile_cont(c_acctbal, 0.6) AS b6,
+                   quantile_cont(c_acctbal, 0.7) AS b7,
+                   quantile_cont(c_acctbal, 0.8) AS b8,
+                   quantile_cont(c_acctbal, 0.9) AS b9
+            FROM customer
+        ),
+        labels AS (
+            SELECT DISTINCT o_custkey FROM orders
+            WHERE o_orderpriority = '1-URGENT'
+        ),
+        scored AS (
+            SELECT c.c_custkey,
+                   10 - (CAST(c.c_acctbal > b1 AS INT)
+                       + CAST(c.c_acctbal > b2 AS INT)
+                       + CAST(c.c_acctbal > b3 AS INT)
+                       + CAST(c.c_acctbal > b4 AS INT)
+                       + CAST(c.c_acctbal > b5 AS INT)
+                       + CAST(c.c_acctbal > b6 AS INT)
+                       + CAST(c.c_acctbal > b7 AS INT)
+                       + CAST(c.c_acctbal > b8 AS INT)
+                       + CAST(c.c_acctbal > b9 AS INT)) AS decile,
+                   CASE WHEN l.o_custkey IS NOT NULL THEN 1 ELSE 0 END
+                       AS is_pos
+            FROM customer c
+            CROSS JOIN bounds
+            LEFT JOIN labels l ON c.c_custkey = l.o_custkey
+        ),
+        per_decile AS (
+            SELECT decile,
+                   count(*) AS n_customers,
+                   sum(is_pos) AS n_pos
+            FROM scored GROUP BY decile
+        )
+        SELECT decile,
+               CAST(n_customers AS BIGINT) AS n_customers,
+               CAST(n_pos AS BIGINT) AS n_pos,
+               CAST(n_pos AS DOUBLE) / n_customers AS pos_rate,
+               (CAST(n_pos AS DOUBLE) / n_customers)
+                   / (CAST(sum(n_pos) OVER () AS DOUBLE)
+                      / sum(n_customers) OVER ()) AS lift,
+               CAST(sum(n_pos) OVER (ORDER BY decile) AS DOUBLE)
+                   / sum(n_pos) OVER () AS cum_gain
+        FROM per_decile
+        ORDER BY decile
+    """,
+    tags=("ml-eval", "lift", "gains", "bi"),
+)
+def lift_decile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile lift / cumulative-gains table — the standard targeting-
+    model evaluation: customers decile by account balance (decile 1 =
+    richest), the 'conversion' label is having placed an URGENT
+    order, and each decile reports its positive rate, lift over the
+    base rate, and cumulative share of all positives captured.
+
+    Scale shape: deciles come from percentile BOUNDARIES (one
+    aggregate pass, broadcast as a 1-row cross join, 9 codegen'd
+    comparisons per row) — NOT a global ntile(), whose window is a
+    single-partition sort; the label attaches via one equi-join
+    against the distinct URGENT custkeys; the lift/gain windows then
+    run over the 10-row decile aggregate, where a window is free.
+    Rates and lift are divisions of exact counts — identical IEEE in
+    both engines, emitted unrounded."""
+    cust = t(spark, sf_dir, "customer")
+    orders = t(spark, sf_dir, "orders")
+    # single array-percentile agg: one buffer of the column, not nine
+    bounds = cust.agg(
+        F.percentile(
+            "c_acctbal", F.array(*[F.lit(k / 10.0) for k in range(1, 10)])
+        ).alias("bs")
+    ).select(*[F.element_at("bs", k).alias(f"b{k}") for k in range(1, 10)])
+    labels = (
+        orders.filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey")
+        .distinct()
+    )
+    above = F.lit(0)
+    for k in range(1, 10):
+        above = above + (F.col("c_acctbal") > F.col(f"b{k}")).cast("int")
+    scored = (
+        cust.select("c_custkey", "c_acctbal")
+        .crossJoin(F.broadcast(bounds))
+        .join(labels, cust.c_custkey == labels.o_custkey, "left")
+        .select(
+            (F.lit(10) - above).alias("decile"),
+            F.col("o_custkey").isNotNull().cast("int").alias("is_pos"),
+        )
+    )
+    per_decile = scored.groupBy("decile").agg(
+        F.count("*").cast("bigint").alias("n_customers"),
+        F.sum("is_pos").cast("bigint").alias("n_pos"),
+    )
+    w_all = W.partitionBy()
+    w_cum = W.partitionBy().orderBy("decile")
+    pos_rate = F.col("n_pos").cast("double") / F.col("n_customers")
+    base_rate = (
+        F.sum("n_pos").over(w_all).cast("double")
+        / F.sum("n_customers").over(w_all)
+    )
+    return per_decile.select(
+        "decile",
+        "n_customers",
+        "n_pos",
+        pos_rate.alias("pos_rate"),
+        (pos_rate / base_rate).alias("lift"),
+        (
+            F.sum("n_pos").over(w_cum).cast("double")
+            / F.sum("n_pos").over(w_all)
+        ).alias("cum_gain"),
+    ).orderBy("decile")

@@ -667,3 +667,84 @@ def dedup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "dedup_shingle_containment",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, string_split({SQL_NORM_TEXT}, ' ') AS tk
+            FROM documents
+        ),
+        sh0 AS (
+            SELECT doc_id,
+                   unnest(list_distinct(list_transform(
+                       range(1, len(tk) - 1),
+                       i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
+                   ))) AS s
+            FROM toks WHERE len(tk) >= 3
+        ),
+        rare AS (
+            SELECT s FROM sh0 GROUP BY s HAVING count(*) <= {MAX_SHINGLE_DF}
+        ),
+        sh AS (SELECT sh0.* FROM sh0 JOIN rare USING (s)),
+        sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        common AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+            FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        )
+        SELECT doc_a, doc_b,
+               CAST(c AS BIGINT) AS n_common,
+               round(c::DOUBLE / x.n, 6) AS containment_a_in_b,
+               round(c::DOUBLE / y.n, 6) AS containment_b_in_a
+        FROM common
+        JOIN sz x ON x.doc_id = doc_a
+        JOIN sz y ON y.doc_id = doc_b
+        WHERE greatest(c::DOUBLE / x.n, c::DOUBLE / y.n) >= 0.9
+        ORDER BY doc_a, doc_b
+    """,
+    tags=("dedup", "containment", "ngram", "join"),
+)
+def dedup_shingle_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ASYMMETRIC near-dup detection by shingle containment
+    C(A→B) = |A∩B| / |A| — the measure that catches a short document
+    quoted or wholly embedded inside a longer one, which symmetric
+    Jaccard misses (a 50-word quote inside a 5000-word doc has
+    Jaccard ~0.01 but containment ~1.0). Emits unordered pairs where
+    EITHER direction reaches 0.9, with both directional scores.
+
+    Same scale shape as `dedup_ngram_jaccard` (and it REUSES the
+    cached rare-shingle inverted index): pairs materialize only for
+    docs sharing a rare shingle, cost bounded by the doc-frequency
+    cap, never all-pairs. Scores are single divisions of exact
+    counts, rounded at 6dp."""
+    sh = _doc_shingles(spark, sf_dir)
+    sz = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    common = (
+        a.join(
+            b,
+            (F.col("a.s") == F.col("b.s"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("c"))
+    )
+    ca = F.col("c") / F.col("x.n")
+    cb = F.col("c") / F.col("y.n")
+    return (
+        common.join(sz.alias("x"), F.col("doc_a") == F.col("x.doc_id"))
+        .join(sz.alias("y"), F.col("doc_b") == F.col("y.doc_id"))
+        .filter(F.greatest(ca, cb) >= 0.9)
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("c").cast("bigint").alias("n_common"),
+            F.round(ca, 6).alias("containment_a_in_b"),
+            F.round(cb, 6).alias("containment_b_in_a"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )

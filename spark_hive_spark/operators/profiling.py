@@ -606,3 +606,78 @@ def partition_checksum_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_year")
     )
+
+
+# The fixture star schema's FK graph (child table, child key, parent
+# table, parent key) — the edges every warehouse integrity sweep walks.
+_FK_EDGES = (
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("nation", "n_regionkey", "region", "r_regionkey"),
+)
+
+
+@register(
+    "integrity_fk_orphan_audit",
+    oracle=f"""
+        {' UNION ALL '.join(
+            f'''SELECT '{c}->{p}' AS fk_edge,
+                   CAST(count(*) AS BIGINT) AS n_child_rows,
+                   CAST(count(CASE WHEN par.{pk} IS NULL THEN 1 END)
+                       AS BIGINT) AS n_orphan_rows,
+                   CAST(count(DISTINCT CASE WHEN par.{pk} IS NULL
+                                            THEN ch.{ck} END)
+                       AS BIGINT) AS n_orphan_keys
+            FROM {c} ch LEFT JOIN {p} par ON ch.{ck} = par.{pk}'''
+            for c, ck, p, pk in _FK_EDGES
+        )}
+        ORDER BY fk_edge
+    """,
+    tags=("data-quality", "integrity", "referential", "audit"),
+)
+def integrity_fk_orphan_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity sweep over the star schema's seven FK
+    edges: per edge, total child rows, orphan rows (FK value with no
+    parent), and distinct orphan keys. On the clean fixture both
+    orphan columns pin 0 — the audit is the load-bearing artifact a
+    warehouse runs after every ingest, and a single damaged key
+    flips the hash.
+
+    Scale: each edge is ONE left join + aggregate. Dimension parents
+    (nation, region, customer at ratio'd scale) broadcast; the
+    fact-to-fact edges hash-partition on the join key — there is no
+    per-row driver logic, and the seven edges are independent jobs
+    Catalyst can share scans across (lineitem is scanned once per
+    edge but column-pruned to the single key)."""
+    dfs = {}
+    rows = []
+    for c, ck, p, pk in _FK_EDGES:
+        child = dfs.setdefault(c, t(spark, sf_dir, c))
+        parent = dfs.setdefault(p, t(spark, sf_dir, p))
+        par = parent.select(F.col(pk).alias("_pk")).distinct()
+        small_parent = p in ("nation", "region")
+        if small_parent:
+            par = F.broadcast(par)
+        joined = child.select(F.col(ck).alias("_ck")).join(
+            par, F.col("_ck") == F.col("_pk"), "left"
+        )
+        orphan = F.when(F.col("_pk").isNull(), 1)
+        orphan_key = F.when(F.col("_pk").isNull(), F.col("_ck"))
+        rows.append(
+            joined.agg(
+                F.lit(f"{c}->{p}").alias("fk_edge"),
+                F.count("*").cast("bigint").alias("n_child_rows"),
+                F.count(orphan).cast("bigint").alias("n_orphan_rows"),
+                F.count_distinct(orphan_key)
+                .cast("bigint")
+                .alias("n_orphan_keys"),
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out.orderBy("fk_edge")

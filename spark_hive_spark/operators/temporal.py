@@ -547,3 +547,88 @@ def fx_asof_converted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_year")
     )
+
+
+@register(
+    "asof_nearest_click_purchase",
+    oracle="""
+        WITH purchases AS (
+            SELECT event_id, user_id, ts FROM events
+            WHERE event_type = 'purchase'
+        ),
+        clicks AS (
+            SELECT event_id AS click_id, user_id, ts AS click_ts
+            FROM events WHERE event_type = 'click'
+        ),
+        cand AS (
+            SELECT p.event_id, p.user_id, p.ts, c.click_id, c.click_ts,
+                   row_number() OVER (
+                       PARTITION BY p.event_id
+                       ORDER BY abs(date_diff('microsecond',
+                                              c.click_ts, p.ts)),
+                                c.click_ts, c.click_id
+                   ) AS rn
+            FROM purchases p
+            LEFT JOIN clicks c
+              ON p.user_id = c.user_id
+             AND c.click_ts >= p.ts - INTERVAL '1 hour'
+             AND c.click_ts <= p.ts + INTERVAL '1 hour'
+        )
+        SELECT event_id, user_id, ts, click_id,
+               CAST(date_diff('microsecond', ts, click_ts) AS BIGINT)
+                   AS signed_gap_us
+        FROM cand WHERE rn = 1
+        ORDER BY event_id
+    """,
+    tags=("temporal", "asof", "nearest", "tolerance"),
+)
+def asof_nearest_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAREST-direction as-of join with tolerance — the third as-of
+    flavor next to backward (`asof_purchase_last_click`) and the
+    banded range join: each purchase attaches the click closest in
+    time within +/-1 hour, whichever side it falls on (pandas
+    merge_asof(direction='nearest')). Ties at equal distance resolve
+    deterministically: earlier click first, then click id. Purchases
+    with no click in the band survive with a NULL match (left join).
+
+    Scale: the +/-1 h band on top of the user_id equality keeps this
+    a hash-partitioned equi-join with a range residual (never a
+    cross product), and the winner-per-purchase window partitions by
+    purchase id — maximal parallelism, no global sort. The signed
+    gap is exact integer microseconds, so the hash is
+    arithmetic-free (no truncation-direction semantics to match)."""
+    ev = t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    cond = (
+        (purchases.user_id == clicks.c_user_id)
+        & (clicks.click_ts >= purchases.ts - F.expr("INTERVAL 1 HOUR"))
+        & (clicks.click_ts <= purchases.ts + F.expr("INTERVAL 1 HOUR"))
+    )
+    abs_gap = F.abs(
+        F.unix_micros("click_ts") - F.unix_micros("ts")
+    )
+    w = W.partitionBy("event_id").orderBy(
+        abs_gap.asc(), F.col("click_ts").asc(), F.col("click_id").asc()
+    )
+    return (
+        purchases.join(clicks, cond, "left")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_id",
+            "user_id",
+            "ts",
+            "click_id",
+            (F.unix_micros("click_ts") - F.unix_micros("ts"))
+            .cast("bigint")
+            .alias("signed_gap_us"),
+        )
+        .orderBy("event_id")
+    )
