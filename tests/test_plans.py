@@ -301,3 +301,45 @@ def test_ewma_single_shuffle(spark):
     # exchanges: one hash partitioning on user_id + the final sort's
     # range partitioning — nothing else
     assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_bloom_audit_probe_side_broadcasts(spark):
+    """The Bloom probe must join the bounded bit table (and the member
+    set) via broadcast — the probe side never shuffles."""
+    plan = _plan(spark, "sketch_bloom_membership_audit")
+    assert plan.count("BroadcastHashJoin") >= 2
+
+
+def test_cms_probe_broadcasts_and_counters_partial_agg(spark):
+    """CMS counters must partial-aggregate (map-side combine before
+    the 3x1024-cell shuffle) and the 10-candidate probe must join the
+    counter table via broadcast."""
+    plan = _plan(spark, "sketch_cms_heavy_hitters")
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_equidepth_histogram_no_holistic_agg_no_window(spark):
+    """The equi-depth bucket-count plan must contain NO exact
+    Percentile aggregate (holistic — unbounded state at scale) and NO
+    window: boundaries arrive as folded literals from the separate
+    order-statistics jobs, and assignment is pure codegen comparisons
+    into a partial-aggregable group-by."""
+    plan = _plan(spark, "histogram_equidepth_prices")
+    assert "Percentile" not in plan
+    assert "Window" not in plan
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_snm_neighbor_window_is_partitioned(spark):
+    """The SNM neighbor window must partition by the key prefix —
+    a single-partition global window would serialize the sort."""
+    plan = _plan(spark, "snm_sorted_neighborhood_pairs")
+    assert "Window" in plan
+    assert "SinglePartition" not in plan
+
+
+def test_fk_audit_broadcasts_dimension_parents(spark):
+    """nation/region parents must broadcast in the integrity sweep."""
+    plan = _plan(spark, "integrity_fk_orphan_audit")
+    assert "BroadcastHashJoin" in plan
