@@ -165,6 +165,8 @@ EXTENDED = [
     "integrity_fk_orphan_audit",
     "lift_decile_table",
     "asof_nearest_click_purchase",
+    "winsorized_price_stats",
+    "mv_incremental_delete_refresh",
 ]
 
 # Streaming extended queries run dead LAST (after the streaming
@@ -181,6 +183,7 @@ STREAMING_EXTENDED = [
     "stream_tws_user_profile",
     "stream_stream_left_outer_join",
     "stream_session_dynamic_gap",
+    "stream_stream_full_outer_join",
 ]
 
 
@@ -298,8 +301,11 @@ EXPECTED_SF01: dict[str, float] = {
     "dedup_shingle_containment": 1.3,
     "histogram_equidepth_prices": 1.9,
     "integrity_fk_orphan_audit": 1.7,
-    "lift_decile_table": 1.0,
+    "lift_decile_table": 1.4,
     "asof_nearest_click_purchase": 0.8,
+    "winsorized_price_stats": 2.8,
+    "mv_incremental_delete_refresh": 1.5,
+    "stream_stream_full_outer_join": 3.8,
 }
 
 

@@ -1434,33 +1434,34 @@ def lift_decile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     order, and each decile reports its positive rate, lift over the
     base rate, and cumulative share of all positives captured.
 
-    Scale shape: deciles come from percentile BOUNDARIES (one
-    aggregate pass, broadcast as a 1-row cross join, 9 codegen'd
-    comparisons per row) — NOT a global ntile(), whose window is a
-    single-partition sort; the label attaches via one equi-join
+    Scale shape: deciles come from percentile BOUNDARIES computed as
+    range-partitioned distributed order statistics (shared helper
+    `functions.stats.distributed_quantiles` — no holistic percentile
+    aggregate, no single-partition ntile window), folded into 9
+    codegen'd comparisons per row; the label attaches via one equi-join
     against the distinct URGENT custkeys; the lift/gain windows then
     run over the 10-row decile aggregate, where a window is free.
     Rates and lift are divisions of exact counts — identical IEEE in
     both engines, emitted unrounded."""
+    from spark_hive_spark.functions.stats import distributed_quantiles
+
     cust = t(spark, sf_dir, "customer")
     orders = t(spark, sf_dir, "orders")
-    # single array-percentile agg: one buffer of the column, not nine
-    bounds = cust.agg(
-        F.percentile(
-            "c_acctbal", F.array(*[F.lit(k / 10.0) for k in range(1, 10)])
-        ).alias("bs")
-    ).select(*[F.element_at("bs", k).alias(f"b{k}") for k in range(1, 10)])
+    # exact decile boundaries via range-partitioned order statistics
+    # (shared helper) — never a holistic percentile aggregate
+    bnds = distributed_quantiles(
+        cust, "c_acctbal", [k / 10.0 for k in range(1, 10)]
+    )
     labels = (
         orders.filter(F.col("o_orderpriority") == "1-URGENT")
         .select("o_custkey")
         .distinct()
     )
     above = F.lit(0)
-    for k in range(1, 10):
-        above = above + (F.col("c_acctbal") > F.col(f"b{k}")).cast("int")
+    for b in bnds:
+        above = above + (F.col("c_acctbal") > F.lit(b)).cast("int")
     scored = (
         cust.select("c_custkey", "c_acctbal")
-        .crossJoin(F.broadcast(bounds))
         .join(labels, cust.c_custkey == labels.o_custkey, "left")
         .select(
             (F.lit(10) - above).alias("decile"),

@@ -411,58 +411,13 @@ def histogram_equidepth_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
     into 7 codegen'd comparisons feeding a map-side-combinable
     8-group aggregate. Boundary IEEE arithmetic matches DuckDB's
     `quantile_cont` (lo + (hi-lo)*frac over the same exact ranks)."""
-    from pyspark.sql import Window as W
+    from spark_hive_spark.functions.stats import distributed_quantiles
 
     li = t(spark, sf_dir, "lineitem")
     vals = li.select("l_extendedprice")
-    n = vals.count()
-    # target ranks (0-based) and interpolation fractions, octiles 1..7
-    targets = [(n - 1) * k / 8.0 for k in range(1, 8)]
-    need: set[int] = set()
-    for pos in targets:
-        lo = int(pos)
-        need.update((lo, min(lo + 1, n - 1)))
-    # range-partitioned sort; cache freezes the sampled range bounds
-    # so the counts job and the pick job see identical partitioning
-    ranged = (
-        vals.repartitionByRange(32, "l_extendedprice")
-        .withColumn("pid", F.spark_partition_id())
-        .cache()
+    bnds = distributed_quantiles(
+        li, "l_extendedprice", [k / 8.0 for k in range(1, 8)]
     )
-    try:
-        cnts = dict(
-            (r["pid"], r["cnt"])
-            for r in ranged.groupBy("pid")
-            .agg(F.count("*").alias("cnt"))
-            .collect()
-        )
-        offsets, acc = {}, 0
-        for pid in sorted(cnts):
-            offsets[pid] = acc
-            acc += cnts[pid]
-        off_map = F.create_map(
-            *[F.lit(x) for pid in offsets for x in (pid, offsets[pid])]
-        )
-        w_local = W.partitionBy("pid").orderBy("l_extendedprice")
-        picked = (
-            ranged.withColumn(
-                "gpos",
-                off_map[F.col("pid")] + F.row_number().over(w_local) - 1,
-            )
-            .filter(F.col("gpos").isin(*need))
-            .select("gpos", "l_extendedprice")
-            .collect()
-        )
-    finally:
-        ranged.unpersist()
-    by_pos = {r["gpos"]: r["l_extendedprice"] for r in picked}
-    bnds = []
-    for pos in targets:
-        lo = int(pos)
-        frac = pos - lo
-        lo_v = by_pos[lo]
-        hi_v = by_pos[min(lo + 1, n - 1)]
-        bnds.append(lo_v + (hi_v - lo_v) * frac)
 
     bucket = F.lit(1)
     for b in bnds:

@@ -756,3 +756,121 @@ def mv_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("mm.n").cast("bigint").alias("total_orders"),
         F.sum("mm.s").cast("double").alias("total_revenue"),
     )
+
+
+@register(
+    "mv_incremental_delete_refresh",
+    oracle="""
+        WITH deleted AS (
+            SELECT * FROM orders WHERE o_orderkey % 97 = 0
+        ),
+        mv0 AS (
+            SELECT o_custkey, count(*) AS n,
+                   sum(CAST(o_totalprice AS DECIMAL(18,2))) AS s
+            FROM orders GROUP BY o_custkey
+        ),
+        dagg AS (
+            SELECT o_custkey, count(*) AS dn,
+                   sum(CAST(o_totalprice AS DECIMAL(18,2))) AS ds
+            FROM deleted GROUP BY o_custkey
+        ),
+        merged AS (
+            SELECT m.o_custkey,
+                   m.n - coalesce(d.dn, 0) AS n,
+                   m.s - coalesce(d.ds, 0) AS s
+            FROM mv0 m LEFT JOIN dagg d ON m.o_custkey = d.o_custkey
+        ),
+        alive AS (SELECT * FROM merged WHERE n > 0),
+        full_ AS (
+            SELECT o_custkey, count(*) AS n,
+                   sum(CAST(o_totalprice AS DECIMAL(18,2))) AS s
+            FROM orders WHERE o_orderkey % 97 <> 0
+            GROUP BY o_custkey
+        )
+        SELECT CAST((SELECT count(*) FROM alive) AS BIGINT)
+                   AS n_groups_after,
+               CAST((SELECT count(*) FROM merged WHERE n = 0) AS BIGINT)
+                   AS n_groups_retired,
+               CAST(count(CASE WHEN a.n IS DISTINCT FROM f.n THEN 1 END)
+                   AS BIGINT) AS count_mismatches,
+               CAST(count(CASE WHEN a.s IS DISTINCT FROM f.s THEN 1 END)
+                   AS BIGINT) AS sum_mismatches,
+               CAST(sum(a.n) AS BIGINT) AS total_orders_after,
+               CAST(sum(a.s) AS DOUBLE) AS total_revenue_after
+        FROM alive a FULL OUTER JOIN full_ f ON a.o_custkey = f.o_custkey
+    """,
+    tags=("warehouse", "materialized-view", "incremental", "delete"),
+)
+def mv_incremental_delete_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DELETE half of incremental materialized-view maintenance —
+    the part `mv_incremental_refresh` (insert-only) doesn't cover:
+    a deterministic delete batch (keys % 97) aggregates to NEGATIVE
+    deltas, the per-customer MV subtracts them through a left join
+    (counts and exact-decimal sums are self-inverse, which is what
+    makes count/sum — unlike min/max — delete-maintainable without
+    recompute), and groups whose count reaches zero RETIRE from the
+    view. The audit proves the maintained MV is cell-for-cell equal
+    to recomputing over the surviving rows, and separately counts the
+    retired groups.
+
+    Scale: only the delete batch shuffles by key; the stored MV
+    merges through a key-partitioned join (shuffle-free when the MV
+    is bucketed). min/max would need a per-group recompute on delete
+    — the reason production MVs restrict themselves to self-inverse
+    aggregates or keep per-group value heaps."""
+    orders = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    price = F.col("o_totalprice").cast("decimal(18,2)")
+
+    mv0 = orders.groupBy("o_custkey").agg(
+        F.count("*").alias("n"), F.sum(price).alias("s")
+    )
+    dagg = (
+        orders.filter(F.col("o_orderkey") % 97 == 0)
+        .groupBy("o_custkey")
+        .agg(F.count("*").alias("dn"), F.sum(price).alias("ds"))
+    )
+    m, d = mv0.alias("m"), dagg.alias("d")
+    merged = m.join(
+        d, F.col("m.o_custkey") == F.col("d.o_custkey"), "left"
+    ).select(
+        F.col("m.o_custkey").alias("o_custkey"),
+        (F.col("m.n") - F.coalesce("d.dn", F.lit(0))).alias("n"),
+        (
+            F.col("m.s")
+            - F.coalesce(F.col("d.ds"), F.lit(0).cast("decimal(18,2)"))
+        ).alias("s"),
+    )
+    merged = merged.localCheckpoint(eager=False)  # feeds alive + retired
+    alive = merged.filter(F.col("n") > 0)
+    retired = merged.filter(F.col("n") == 0).agg(
+        F.count("*").cast("bigint").alias("n_groups_retired")
+    )
+    full = (
+        orders.filter(F.col("o_orderkey") % 97 != 0)
+        .groupBy("o_custkey")
+        .agg(F.count("*").alias("n"), F.sum(price).alias("s"))
+    )
+    a, f_ = alive.alias("a"), full.alias("f")
+    audit = a.join(
+        f_, F.col("a.o_custkey") == F.col("f.o_custkey"), "full"
+    ).agg(
+        F.count("a.o_custkey").cast("bigint").alias("n_groups_after"),
+        F.count(
+            F.when(~F.col("a.n").eqNullSafe(F.col("f.n")), 1)
+        ).cast("bigint").alias("count_mismatches"),
+        F.count(
+            F.when(~F.col("a.s").eqNullSafe(F.col("f.s")), 1)
+        ).cast("bigint").alias("sum_mismatches"),
+        F.sum("a.n").cast("bigint").alias("total_orders_after"),
+        F.sum("a.s").cast("double").alias("total_revenue_after"),
+    )
+    return audit.crossJoin(F.broadcast(retired)).select(
+        "n_groups_after",
+        "n_groups_retired",
+        "count_mismatches",
+        "sum_mismatches",
+        "total_orders_after",
+        "total_revenue_after",
+    )

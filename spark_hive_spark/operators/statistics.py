@@ -423,3 +423,92 @@ def welch_ttest_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("significant_05"),
     )
+
+
+@register(
+    "winsorized_price_stats",
+    oracle="""
+        WITH fences AS (
+            SELECT quantile_cont(l_extendedprice, 0.05) AS lo,
+                   quantile_cont(l_extendedprice, 0.95) AS hi
+            FROM lineitem
+        ),
+        parts AS (
+            SELECT
+                count(*) AS n,
+                count(CASE WHEN l_extendedprice < lo THEN 1 END) AS n_lo,
+                count(CASE WHEN l_extendedprice > hi THEN 1 END) AS n_hi,
+                CAST(sum(CASE WHEN l_extendedprice >= lo
+                               AND l_extendedprice <= hi
+                         THEN CAST(l_extendedprice AS DECIMAL(18,2)) END)
+                     AS DOUBLE) AS s_mid,
+                CAST(sum(CASE WHEN l_extendedprice >= lo
+                               AND l_extendedprice <= hi
+                         THEN CAST(l_extendedprice AS DECIMAL(18,2))
+                              * CAST(l_extendedprice AS DECIMAL(18,2)) END)
+                     AS DOUBLE) AS sxx_mid,
+                max(lo) AS lo, max(hi) AS hi
+            FROM lineitem CROSS JOIN fences
+        )
+        SELECT CAST(n AS BIGINT) AS n,
+               CAST(n_lo AS BIGINT) AS n_clamped_low,
+               CAST(n_hi AS BIGINT) AS n_clamped_high,
+               (s_mid + n_lo * lo + n_hi * hi) / n AS win_mean,
+               round(sqrt(
+                   ((sxx_mid + n_lo * lo * lo + n_hi * hi * hi)
+                    - pow(s_mid + n_lo * lo + n_hi * hi, 2) / n)
+                   / (n - 1)), 6) AS win_std
+        FROM parts
+    """,
+    tags=("statistics", "robust", "winsorize"),
+)
+def winsorized_price_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized mean and standard deviation of lineitem prices —
+    the robust-moments counterpart to the median/MAD fence filter
+    (`text_mad_outliers`): values below the exact p05 fence clamp UP
+    to it, values above p95 clamp DOWN, and the moments come from the
+    clamped distribution. Tail-heavy billing data gets a mean a few
+    outliers can't drag.
+
+    Determinism without rounding the mean: the interior sum and
+    sum-of-squares are EXACT decimal aggregates (2dp values, 4dp
+    squares), the clamped tails contribute exact-count multiples of
+    the two fence doubles, and the composition is identical IEEE in
+    both engines. Only the std rounds (6dp, sqrt-irrational).
+
+    Scale: fences come from the shared range-partitioned
+    order-statistics helper (no holistic percentile aggregate), then
+    ONE conditional-aggregate pass over the fact table — same cost
+    envelope as a plain mean/std."""
+    from spark_hive_spark.functions.stats import distributed_quantiles
+
+    li = t(spark, sf_dir, "lineitem")
+    lo, hi = distributed_quantiles(li, "l_extendedprice", [0.05, 0.95])
+    p = F.col("l_extendedprice")
+    pd_ = p.cast("decimal(18,2)")
+    mid = (p >= lo) & (p <= hi)
+    parts = li.agg(
+        F.count("*").alias("n"),
+        F.count(F.when(p < lo, 1)).alias("n_lo"),
+        F.count(F.when(p > hi, 1)).alias("n_hi"),
+        F.sum(F.when(mid, pd_)).cast("double").alias("s_mid"),
+        F.sum(F.when(mid, pd_ * pd_)).cast("double").alias("sxx_mid"),
+    )
+    s_win = F.col("s_mid") + F.col("n_lo") * lo + F.col("n_hi") * hi
+    sxx_win = (
+        F.col("sxx_mid")
+        + F.col("n_lo") * (lo * lo)
+        + F.col("n_hi") * (hi * hi)
+    )
+    return parts.select(
+        F.col("n").cast("bigint").alias("n"),
+        F.col("n_lo").cast("bigint").alias("n_clamped_low"),
+        F.col("n_hi").cast("bigint").alias("n_clamped_high"),
+        (s_win / F.col("n")).alias("win_mean"),
+        F.round(
+            F.sqrt(
+                (sxx_win - F.pow(s_win, 2) / F.col("n")) / (F.col("n") - 1)
+            ),
+            6,
+        ).alias("win_std"),
+    )

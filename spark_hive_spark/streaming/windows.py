@@ -970,3 +970,126 @@ def stream_session_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("sw.end").alias("session_end"),
         "n_events",
     ).orderBy("user_id", "session_start")
+
+
+@register(
+    "stream_stream_full_outer_join",
+    oracle="""
+        WITH cutoff AS (
+            SELECT least(
+                       max(CASE WHEN event_type = 'click' THEN ts END),
+                       max(CASE WHEN event_type = 'purchase' THEN ts END)
+                   ) - INTERVAL 3 HOUR AS c
+            FROM events
+        ),
+        clicks AS (
+            SELECT user_id, event_id AS click_id, ts AS click_ts
+            FROM events WHERE event_type = 'click'
+        ),
+        purchases AS (
+            SELECT user_id AS p_user_id, event_id AS purchase_id,
+                   ts AS purchase_ts
+            FROM events WHERE event_type = 'purchase'
+        )
+        SELECT coalesce(c.user_id, p.p_user_id) AS user_id,
+               c.click_id, p.purchase_id,
+               epoch_us(p.purchase_ts) - epoch_us(c.click_ts) AS gap_us
+        FROM clicks c
+        FULL JOIN purchases p
+          ON c.user_id = p.p_user_id
+         AND p.purchase_ts > c.click_ts
+         AND p.purchase_ts <= c.click_ts + INTERVAL 1 HOUR
+        WHERE (c.click_ts IS NULL OR c.click_ts <= (SELECT c FROM cutoff))
+          AND (p.purchase_ts IS NULL
+               OR p.purchase_ts <= (SELECT c FROM cutoff))
+        ORDER BY user_id, click_id NULLS FIRST, purchase_id NULLS FIRST
+    """,
+    tags=("streaming", "stream-stream-join", "outer-join", "watermark"),
+)
+def stream_stream_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream FULL OUTER interval join — both unmatched sides
+    at once: clicks that never converted AND purchases with no click
+    in the preceding hour (organic conversions). Completes the
+    stream-stream join family (inner interval / left outer / full
+    outer). Both outer directions are watermark-driven, so the
+    3-hour end-of-stream cutoff from the left-outer variant applies
+    to BOTH sides post-join: every retained row's outer fate —
+    click-side and purchase-side — is decidable before the input
+    drains, and the batch oracle applies the identical two-sided
+    cutoff to a batch FULL JOIN.
+
+    Scale posture: two-sided watermark + time-bounded condition give
+    Spark eviction bounds for BOTH state buffers (each row held ~2 h
+    past its timestamp); state shuffles on the user key; outer-null
+    emission happens on watermark advance, never at drain."""
+    from spark_hive_spark.tables import t as _t
+
+    cutoff = (
+        _t(spark, sf_dir, "events")
+        .agg(
+            (
+                F.least(
+                    F.max(F.when(F.col("event_type") == "click", F.col("ts"))),
+                    F.max(
+                        F.when(F.col("event_type") == "purchase", F.col("ts"))
+                    ),
+                )
+                - F.expr("INTERVAL 3 HOURS")
+            ).alias("c")
+        )
+        .collect()[0][0]
+    )
+    clicks = (
+        _event_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            "user_id",
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "1 hour")
+    )
+    purchases = (
+        _event_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user_id"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "1 hour")
+    )
+    joined = (
+        clicks.join(
+            purchases,
+            F.expr(
+                """
+                user_id = p_user_id
+                AND purchase_ts > click_ts
+                AND purchase_ts <= click_ts + INTERVAL 1 HOUR
+                """
+            ),
+            "fullOuter",
+        )
+        .filter(
+            (F.col("click_ts").isNull() | (F.col("click_ts") <= F.lit(cutoff)))
+            & (
+                F.col("purchase_ts").isNull()
+                | (F.col("purchase_ts") <= F.lit(cutoff))
+            )
+        )
+        .select(
+            F.coalesce("user_id", "p_user_id").alias("user_id"),
+            "click_id",
+            "purchase_id",
+            (
+                F.unix_micros("purchase_ts") - F.unix_micros("click_ts")
+            ).alias("gap_us"),
+        )
+    )
+    out = _run_to_completion(joined, "append")
+    return out.orderBy(
+        "user_id",
+        F.col("click_id").asc_nulls_first(),
+        F.col("purchase_id").asc_nulls_first(),
+    )
