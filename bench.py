@@ -167,6 +167,9 @@ EXTENDED = [
     "asof_nearest_click_purchase",
     "winsorized_price_stats",
     "mv_incremental_delete_refresh",
+    "timeseries_twap_user_value",
+    "cohort_ltv_curve",
+    "bpe_pair_merge_stats",
 ]
 
 # Streaming extended queries run dead LAST (after the streaming
@@ -306,6 +309,9 @@ EXPECTED_SF01: dict[str, float] = {
     "winsorized_price_stats": 2.8,
     "mv_incremental_delete_refresh": 1.5,
     "stream_stream_full_outer_join": 3.8,
+    "timeseries_twap_user_value": 0.9,
+    "cohort_ltv_curve": 1.8,
+    "bpe_pair_merge_stats": 1.9,
 }
 
 

@@ -1490,3 +1490,89 @@ def lift_decile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sum("n_pos").over(w_all)
         ).alias("cum_gain"),
     ).orderBy("decile")
+
+
+@register(
+    "cohort_ltv_curve",
+    oracle="""
+        WITH firsts AS (
+            SELECT o_custkey,
+                   min(date_trunc('month', o_orderdate)) AS cohort_month
+            FROM orders GROUP BY o_custkey
+        ),
+        sized AS (
+            SELECT cohort_month, count(*) AS n_customers
+            FROM firsts GROUP BY cohort_month
+        ),
+        spend AS (
+            SELECT f.cohort_month,
+                   (year(o.o_orderdate) - year(f.cohort_month)) * 12
+                   + (month(o.o_orderdate) - month(f.cohort_month))
+                       AS month_offset,
+                   sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS rev
+            FROM orders o JOIN firsts f ON o.o_custkey = f.o_custkey
+            GROUP BY 1, 2
+        )
+        SELECT CAST(s.cohort_month AS DATE) AS cohort_month,
+               CAST(month_offset AS INT) AS month_offset,
+               CAST(z.n_customers AS BIGINT) AS n_customers,
+               CAST(sum(s.rev) OVER (
+                   PARTITION BY s.cohort_month ORDER BY s.month_offset
+               ) AS DOUBLE) AS cum_revenue,
+               CAST(sum(s.rev) OVER (
+                   PARTITION BY s.cohort_month ORDER BY s.month_offset
+               ) AS DOUBLE) / z.n_customers AS cum_ltv_per_customer
+        FROM spend s JOIN sized z ON s.cohort_month = z.cohort_month
+        ORDER BY cohort_month, month_offset
+    """,
+    tags=("bi", "cohort", "ltv", "retention"),
+)
+def cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value curves — the revenue-side companion to
+    `retention_signup_cohorts`: customers cohort by first-order
+    month, every later order lands at its integer month offset from
+    the cohort, and each (cohort, offset) cell reports CUMULATIVE
+    revenue and cumulative LTV per cohort member. Month offsets use
+    explicit (year*12+month) integer arithmetic — portable, no
+    months_between float semantics.
+
+    Scale: two hash aggregates over orders (first-order month, then
+    per-cell revenue) joined on the customer key; the cumulative
+    window runs over the bounded (cohorts x offsets) aggregate, not
+    the fact table. Revenue stays exact decimal through the window
+    sum; per-customer LTV is one double division."""
+    orders = t(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    firsts = orders.groupBy("o_custkey").agg(
+        F.min(F.date_trunc("month", "o_orderdate")).alias("cohort_month")
+    )
+    sized = firsts.groupBy("cohort_month").agg(
+        F.count("*").alias("n_customers")
+    )
+    offset = (
+        (F.year("o_orderdate") - F.year("cohort_month")) * 12
+        + (F.month("o_orderdate") - F.month("cohort_month"))
+    )
+    spend = (
+        orders.join(firsts, "o_custkey")
+        .groupBy(
+            "cohort_month", offset.cast("int").alias("month_offset")
+        )
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev")
+        )
+    )
+    w_cum = W.partitionBy("cohort_month").orderBy("month_offset")
+    cum = F.sum("rev").over(w_cum).cast("double")
+    return (
+        spend.join(sized, "cohort_month")
+        .select(
+            F.col("cohort_month").cast("date").alias("cohort_month"),
+            "month_offset",
+            F.col("n_customers").cast("bigint").alias("n_customers"),
+            cum.alias("cum_revenue"),
+            (cum / F.col("n_customers")).alias("cum_ltv_per_customer"),
+        )
+        .orderBy("cohort_month", "month_offset")
+    )

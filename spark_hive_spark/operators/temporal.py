@@ -632,3 +632,85 @@ def asof_nearest_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_id")
     )
+
+
+@register(
+    "timeseries_twap_user_value",
+    oracle="""
+        WITH seq AS (
+            SELECT user_id, ts, event_id, value,
+                   lead(ts) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS next_ts
+            FROM events
+        ),
+        seg AS (
+            SELECT user_id,
+                   CAST(CAST(value AS DECIMAL(9,2)) * 100
+                        AS DECIMAL(11,0)) AS v_cents,
+                   epoch_us(next_ts) - epoch_us(ts) AS dur_us
+            FROM seq WHERE next_ts IS NOT NULL
+        )
+        SELECT user_id,
+               CAST(count(*) AS BIGINT) AS n_segments,
+               CAST(sum(dur_us) AS BIGINT) AS span_us,
+               CAST(sum(v_cents * CAST(dur_us AS DECIMAL(16,0)))
+                        AS DOUBLE)
+                   / (sum(dur_us) * 100.0) AS twap_value
+        FROM seg
+        GROUP BY user_id
+        HAVING sum(dur_us) > 0
+        ORDER BY user_id
+    """,
+    tags=("temporal", "twap", "time-weighted", "finance"),
+)
+def timeseries_twap_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average value per user (TWAP) — the
+    finance/metering primitive a plain AVG gets wrong when
+    observations are irregular: each event's value HOLDS until the
+    user's next event, so its weight is that duration, not 1. The
+    last observation (no successor) carries no weight.
+
+    Determinism at the hash level: weights are exact integer
+    microseconds, values are exact 2dp decimals, so the weighted sum
+    is a DECIMAL x DECIMAL(20,0) product aggregated exactly —
+    order-independent across any partitioning — and TWAP is one
+    double division of two exact quantities.
+
+    Scale: one user-partitioned window (lead) riding the same
+    shuffle as the final per-user aggregate — Spark plans exactly
+    one exchange on user_id for both."""
+    ev = t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        "ts",
+        "value",
+        F.lead("ts").over(w).alias("next_ts"),
+    ).filter(F.col("next_ts").isNotNull())
+    seg = seq.select(
+        "user_id",
+        # integer CENTS x integer microseconds, summed in scale-0
+        # decimal: a scale-2 decimal sum cast to double converts via
+        # int/10^2 in DuckDB but via correctly-rounded BigDecimal in
+        # the JVM (sub-ULP hash flake, observed); a scale-0 decimal is
+        # a plain integer whose ->double rounding is identical in both
+        (F.col("value").cast("decimal(9,2)") * 100)
+        .cast("decimal(11,0)")
+        .alias("v_cents"),
+        (F.unix_micros("next_ts") - F.unix_micros("ts")).alias("dur_us"),
+    )
+    return (
+        seg.groupBy("user_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_segments"),
+            F.sum("dur_us").cast("bigint").alias("span_us"),
+            (
+                F.sum(
+                    F.col("v_cents") * F.col("dur_us").cast("decimal(16,0)")
+                ).cast("double")
+                / (F.sum("dur_us") * F.lit(100.0))
+            ).alias("twap_value"),
+        )
+        .filter(F.col("span_us") > 0)
+        .orderBy("user_id")
+    )

@@ -1012,3 +1012,83 @@ def tokenizer_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "bpe_pair_merge_stats",
+    oracle=f"""
+        WITH vocab AS (
+            SELECT tok AS word, count(*) AS freq
+            FROM (
+                SELECT unnest(string_split({SQL_NORM_TEXT}, ' ')) AS tok
+                FROM documents
+            )
+            WHERE tok <> ''
+            GROUP BY tok
+        ),
+        pairs AS (
+            SELECT substr(word, CAST(i AS INT), 2) AS pair,
+                   word, freq
+            FROM vocab, unnest(range(1, length(word))) AS u(i)
+            WHERE length(word) >= 2
+        ),
+        weighted AS (
+            SELECT pair,
+                   CAST(sum(freq) AS BIGINT) AS weight,
+                   CAST(count(DISTINCT word) AS BIGINT) AS n_words
+            FROM pairs GROUP BY pair
+        )
+        SELECT pair, weight, n_words
+        FROM weighted
+        ORDER BY weight DESC, pair
+        LIMIT 20
+    """,
+    tags=("text", "bpe", "tokenizer", "llm-pipeline"),
+)
+def bpe_pair_merge_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The first step of BPE tokenizer training: corpus-weighted
+    adjacent character-pair frequencies over the word vocabulary —
+    the statistic whose argmax IS the first merge rule, and whose
+    top-k preview is what a tokenizer-training pipeline materializes
+    each iteration. Pairs are substrings (substr(word, i, 2)) from a
+    position explode — no array lambdas, fully codegen'd — weighted
+    by the word's corpus frequency; the total order (weight desc,
+    pair asc) makes the merge choice deterministic.
+
+    Scale: the corpus collapses to its VOCABULARY first (one token
+    aggregate — Zipf makes |vocab| << corpus), pairs explode off the
+    bounded vocab, and the weighted count is map-side combinable;
+    TakeOrdered fuses the top-20. Each later BPE iteration would
+    re-tokenize against the accumulated merges and repeat this exact
+    dataflow."""
+    docs = t(spark, sf_dir, "documents")
+    vocab = (
+        docs.select(
+            F.explode(F.split(normalized_text(), " ")).alias("word")
+        )
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count("*").alias("freq"))
+    )
+    pairs = (
+        vocab.filter(F.length("word") >= 2)
+        .select(
+            "word",
+            "freq",
+            F.explode(
+                F.sequence(F.lit(1), F.length("word") - 1)
+            ).alias("i"),
+        )
+        .select(
+            F.expr("substring(word, i, 2)").alias("pair"), "word", "freq"
+        )
+    )
+    weighted = pairs.groupBy("pair").agg(
+        F.sum("freq").cast("bigint").alias("weight"),
+        F.count_distinct("word").cast("bigint").alias("n_words"),
+    )
+    return (
+        weighted.select("pair", "weight", "n_words")
+        .orderBy(F.desc("weight"), "pair")
+        .limit(20)
+    )
