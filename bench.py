@@ -170,6 +170,10 @@ EXTENDED = [
     "timeseries_twap_user_value",
     "cohort_ltv_curve",
     "bpe_pair_merge_stats",
+    "pit_scd2_revenue_by_tier",
+    "expectations_validation_suite",
+    "regr_price_size_by_brand",
+    "dedup_effective_token_count",
 ]
 
 # Streaming extended queries run dead LAST (after the streaming
@@ -312,6 +316,10 @@ EXPECTED_SF01: dict[str, float] = {
     "timeseries_twap_user_value": 0.9,
     "cohort_ltv_curve": 1.8,
     "bpe_pair_merge_stats": 1.9,
+    "pit_scd2_revenue_by_tier": 1.9,
+    "expectations_validation_suite": 0.85,
+    "regr_price_size_by_brand": 0.35,
+    "dedup_effective_token_count": 0.5,
 }
 
 

@@ -681,3 +681,94 @@ def integrity_fk_orphan_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     for r in rows[1:]:
         out = out.unionByName(r)
     return out.orderBy("fk_edge")
+
+
+@register(
+    "expectations_validation_suite",
+    oracle="""
+        WITH agg AS (
+            SELECT count(*) AS n,
+                   count(CASE WHEN o_totalprice IS NULL
+                               OR o_totalprice <= 0 THEN 1 END) AS f_price,
+                   count(CASE WHEN o_orderdate IS NULL
+                               OR o_orderdate < DATE '1992-01-01'
+                               OR o_orderdate > DATE '1998-12-31'
+                         THEN 1 END) AS f_date,
+                   count(CASE WHEN o_orderstatus NOT IN ('O','F','P')
+                         THEN 1 END) AS f_status,
+                   count(CASE WHEN NOT regexp_matches(o_orderpriority,
+                                                      '^[1-5]-')
+                         THEN 1 END) AS f_priority,
+                   count(*) - count(DISTINCT o_orderkey) AS f_unique
+            FROM orders
+        )
+        SELECT rule, CAST(n AS BIGINT) AS n_rows,
+               CAST(viol AS BIGINT) AS n_violations,
+               CAST(CASE WHEN viol = 0 THEN 1 ELSE 0 END AS INT) AS passed
+        FROM agg, LATERAL (VALUES
+            ('price_positive_not_null', f_price),
+            ('orderdate_in_range', f_date),
+            ('status_in_domain', f_status),
+            ('priority_format', f_priority),
+            ('orderkey_unique', f_unique)
+        ) AS v(rule, viol)
+        ORDER BY rule
+    """,
+    tags=("data-quality", "expectations", "validation", "audit"),
+)
+def expectations_validation_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A data-expectations suite (the Great-Expectations/dbt-test
+    shape) evaluated in ONE pass over the fact table: null/positivity
+    of money, date-range containment, categorical domain membership,
+    format regex, and key uniqueness — five rules, one row each with
+    violation counts and a pass flag. This is the ingest gate a
+    warehouse runs before publishing a partition; the oracle pins
+    every count so a silently weakened rule flips the hash.
+
+    Scale: a single conditional aggregate (plus the count-distinct
+    Expand for uniqueness) — no joins, no second scan; the rule->row
+    pivot happens on the 1-row aggregate via stack()."""
+    orders = t(spark, sf_dir, "orders")
+    agg = orders.agg(
+        F.count("*").alias("n"),
+        F.count(
+            F.when(
+                F.col("o_totalprice").isNull() | (F.col("o_totalprice") <= 0),
+                1,
+            )
+        ).alias("f_price"),
+        F.count(
+            F.when(
+                F.col("o_orderdate").isNull()
+                | (F.col("o_orderdate") < F.lit("1992-01-01").cast("date"))
+                | (F.col("o_orderdate") > F.lit("1998-12-31").cast("date")),
+                1,
+            )
+        ).alias("f_date"),
+        F.count(
+            F.when(~F.col("o_orderstatus").isin("O", "F", "P"), 1)
+        ).alias("f_status"),
+        F.count(
+            F.when(
+                ~F.col("o_orderpriority").rlike("^[1-5]-"), 1
+            )
+        ).alias("f_priority"),
+        (F.count("*") - F.count_distinct("o_orderkey")).alias("f_unique"),
+    )
+    rules = agg.select(
+        "n",
+        F.expr(
+            """stack(5,
+               'price_positive_not_null', f_price,
+               'orderdate_in_range', f_date,
+               'status_in_domain', f_status,
+               'priority_format', f_priority,
+               'orderkey_unique', f_unique) AS (rule, viol)"""
+        ),
+    )
+    return rules.select(
+        "rule",
+        F.col("n").cast("bigint").alias("n_rows"),
+        F.col("viol").cast("bigint").alias("n_violations"),
+        F.when(F.col("viol") == 0, 1).otherwise(0).cast("int").alias("passed"),
+    ).orderBy("rule")

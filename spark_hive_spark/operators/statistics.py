@@ -512,3 +512,45 @@ def winsorized_price_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("win_std"),
     )
+
+
+@register(
+    "regr_price_size_by_brand",
+    oracle="""
+        SELECT p_brand,
+               CAST(count(*) AS BIGINT) AS n_parts,
+               round(regr_slope(p_retailprice, p_size), 6) AS price_per_size,
+               round(regr_intercept(p_retailprice, p_size), 4)
+                   AS base_price,
+               round(regr_r2(p_retailprice, p_size), 6) AS r2
+        FROM part
+        GROUP BY p_brand
+        ORDER BY p_brand
+    """,
+    tags=("statistics", "regression", "grouped"),
+)
+def regr_price_size_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PER-GROUP least-squares regression (price ~ size within each
+    brand) — the grouped companion to the global
+    `stats_corr_regression`: one hash aggregate computes an
+    independent fit per brand, the shape of a thousand-segment
+    model-sanity sweep. regr_* aggregates are single-pass
+    partial-aggregable (constant state per group), so the cost is a
+    plain groupBy regardless of group count; slopes/r2 round at 6dp
+    (engine update-order noise far below the grain), intercepts at
+    4dp (price-scaled)."""
+    part = t(spark, sf_dir, "part")
+    return (
+        part.groupBy("p_brand")
+        .agg(
+            F.count("*").cast("bigint").alias("n_parts"),
+            F.round(F.regr_slope("p_retailprice", "p_size"), 6).alias(
+                "price_per_size"
+            ),
+            F.round(F.regr_intercept("p_retailprice", "p_size"), 4).alias(
+                "base_price"
+            ),
+            F.round(F.regr_r2("p_retailprice", "p_size"), 6).alias("r2"),
+        )
+        .orderBy("p_brand")
+    )

@@ -714,3 +714,87 @@ def timeseries_twap_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("span_us") > 0)
         .orderBy("user_id")
     )
+
+
+@register(
+    "pit_scd2_revenue_by_tier",
+    oracle="""
+        WITH versions AS (
+            SELECT o_custkey AS custkey,
+                   row_number() OVER w AS version,
+                   o_orderdate AS valid_from,
+                   lead(o_orderdate) OVER w AS valid_to
+            FROM orders
+            WINDOW w AS (PARTITION BY o_custkey
+                         ORDER BY o_orderdate, o_orderkey)
+        ),
+        matched AS (
+            SELECT CASE WHEN v.version >= 4 THEN '4+'
+                        ELSE CAST(v.version AS VARCHAR) END AS tier,
+                   o.o_totalprice, o.o_custkey
+            FROM orders o
+            JOIN versions v
+              ON o.o_custkey = v.custkey
+             AND o.o_orderdate >= v.valid_from
+             AND (v.valid_to IS NULL OR o.o_orderdate < v.valid_to)
+        )
+        SELECT tier,
+               count(*) AS n_orders,
+               CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_customers,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS revenue
+        FROM matched
+        GROUP BY tier
+        ORDER BY tier
+    """,
+    tags=("temporal", "scd2", "point-in-time", "interval-join"),
+)
+def pit_scd2_revenue_by_tier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POINT-IN-TIME-correct join against an SCD2 dimension — the
+    pattern that prevents feature leakage in ML training sets and
+    restatement errors in finance: each order joins the customer
+    VERSION that was valid on its order date (version = how many
+    orders the customer had placed up to then, bucketed into tiers
+    1/2/3/4+), never a later one. The interval condition
+    `valid_from <= d < valid_to` makes zero-width versions (same-day
+    successors) unmatchable, so every fact row lands on exactly one
+    version deterministically.
+
+    Scale: version construction is one customer-partitioned window;
+    the PIT join is an equi-join on the business key with a range
+    residual — per-key fan-out bounded by that customer's version
+    count, never a cross product. Revenue stays exact decimal."""
+    orders = t(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"
+    )
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    versions = orders.select(
+        F.col("o_custkey").alias("custkey"),
+        F.row_number().over(w).alias("version"),
+        F.col("o_orderdate").alias("valid_from"),
+        F.lead("o_orderdate").over(w).alias("valid_to"),
+    )
+    cond = (
+        (orders.o_custkey == versions.custkey)
+        & (orders.o_orderdate >= versions.valid_from)
+        & (
+            versions.valid_to.isNull()
+            | (orders.o_orderdate < versions.valid_to)
+        )
+    )
+    tier = F.when(F.col("version") >= 4, "4+").otherwise(
+        F.col("version").cast("string")
+    )
+    return (
+        orders.join(versions, cond)
+        .select(tier.alias("tier"), "o_totalprice", "o_custkey")
+        .groupBy("tier")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.count_distinct("o_custkey").cast("bigint").alias("n_customers"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("revenue"),
+        )
+        .orderBy("tier")
+    )

@@ -1092,3 +1092,80 @@ def bpe_pair_merge_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("weight"), "pair")
         .limit(20)
     )
+
+
+@register(
+    "dedup_effective_token_count",
+    oracle=f"""
+        WITH normed AS (
+            SELECT doc_id, lang,
+                   md5({SQL_NORM_TEXT}) AS text_hash,
+                   len(string_split({SQL_NORM_TEXT}, ' ')) AS n_tokens
+            FROM documents
+        ),
+        reps AS (
+            SELECT text_hash, min(doc_id) AS keep_id
+            FROM normed GROUP BY text_hash
+        )
+        SELECT n.lang,
+               count(*) AS n_docs,
+               CAST(count(r.keep_id) AS BIGINT) AS n_unique_docs,
+               CAST(sum(n.n_tokens) AS BIGINT) AS raw_tokens,
+               CAST(sum(CASE WHEN r.keep_id IS NOT NULL
+                        THEN n.n_tokens END) AS BIGINT) AS unique_tokens,
+               1.0 - CAST(sum(CASE WHEN r.keep_id IS NOT NULL
+                              THEN n.n_tokens END) AS DOUBLE)
+                   / sum(n.n_tokens) AS dedup_savings
+        FROM normed n
+        LEFT JOIN reps r
+          ON n.text_hash = r.text_hash AND n.doc_id = r.keep_id
+        GROUP BY n.lang
+        ORDER BY n.lang
+    """,
+    tags=("text", "dedup", "tokens", "llm-pipeline"),
+)
+def dedup_effective_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The budgeting number every pretraining-data plan starts from:
+    per language, RAW token count vs the EFFECTIVE token count after
+    exact dedup (count each duplicate group's representative once),
+    and the savings ratio. Composes the exact-dedup keep-rule
+    (min doc_id per normalized-text hash) with token accounting in
+    one dataflow; all counts are exact integers, the ratio one
+    division.
+
+    Scale: tokens count per row (codegen'd split+size, no explode);
+    the dedup rides the 16-byte hash exactly like
+    `dedup_exact_normalized`; the representative check is an
+    equi-join on (hash, doc_id) against the per-group min — narrow
+    keys end to end, one aggregate per side."""
+    docs = t(spark, sf_dir, "documents")
+    normed = docs.select(
+        "doc_id",
+        "lang",
+        F.md5(normalized_text()).alias("text_hash"),
+        F.size(F.split(normalized_text(), " ")).alias("n_tokens"),
+    )
+    reps = normed.groupBy("text_hash").agg(F.min("doc_id").alias("keep_id"))
+    joined = normed.join(
+        reps,
+        (normed.text_hash == reps.text_hash)
+        & (normed.doc_id == reps.keep_id),
+        "left",
+    )
+    uniq_tokens = F.sum(
+        F.when(F.col("keep_id").isNotNull(), F.col("n_tokens"))
+    )
+    return (
+        joined.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.count("keep_id").cast("bigint").alias("n_unique_docs"),
+            F.sum("n_tokens").cast("bigint").alias("raw_tokens"),
+            uniq_tokens.cast("bigint").alias("unique_tokens"),
+            (
+                F.lit(1.0)
+                - uniq_tokens.cast("double") / F.sum("n_tokens")
+            ).alias("dedup_savings"),
+        )
+        .orderBy("lang")
+    )
