@@ -174,6 +174,9 @@ EXTENDED = [
     "expectations_validation_suite",
     "regr_price_size_by_brand",
     "dedup_effective_token_count",
+    "curation_kfold_stratified",
+    "curation_negative_sampling_ring",
+    "sketch_kmv_intersection",
 ]
 
 # Streaming extended queries run dead LAST (after the streaming
@@ -320,6 +323,9 @@ EXPECTED_SF01: dict[str, float] = {
     "expectations_validation_suite": 0.85,
     "regr_price_size_by_brand": 0.35,
     "dedup_effective_token_count": 0.5,
+    "curation_kfold_stratified": 0.5,
+    "curation_negative_sampling_ring": 0.7,
+    "sketch_kmv_intersection": 1.2,
 }
 
 

@@ -534,3 +534,140 @@ def weighted_reservoir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(20)
         .select("doc_id", "source", "n_chars")
     )
+
+
+@register(
+    "curation_kfold_stratified",
+    oracle=f"""
+        WITH folds AS (
+            SELECT lang,
+                   CAST((doc_id * {_KNUTH}) % 4294967296 % 5 AS INT)
+                       AS fold
+            FROM documents
+        ),
+        cells AS (
+            SELECT lang, fold, count(*) AS n_docs
+            FROM folds GROUP BY lang, fold
+        )
+        SELECT lang, fold,
+               CAST(n_docs AS BIGINT) AS n_docs,
+               CAST(sum(n_docs) OVER (PARTITION BY lang) AS BIGINT)
+                   AS lang_total,
+               CAST(n_docs AS DOUBLE)
+                   / sum(n_docs) OVER (PARTITION BY lang) AS fold_share
+        FROM cells
+        ORDER BY lang, fold
+    """,
+    tags=("curation", "kfold", "cross-validation", "sampling"),
+)
+def curation_kfold_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 5-fold cross-validation assignment, audited per
+    language stratum — the evaluation-protocol companion to the
+    train/test split: fold = Knuth-multiplicative-hash(doc_id) mod 5
+    (the same hash family as `curation_hash_sample`, so folds are a
+    pure function of the data — reproducible on any cluster, any
+    partitioning, any day), and the output pins every (lang, fold)
+    cell count plus its within-language share so stratification
+    imbalance is hash-visible.
+
+    Scale: one map expression + one bounded aggregate; the share
+    window runs over the |langs|x5 cell table."""
+    docs = t(spark, sf_dir, "documents")
+    from pyspark.sql import Window as W
+
+    fold = F.pmod(
+        F.pmod(F.col("doc_id") * F.lit(_KNUTH), F.lit(_M32)), F.lit(5)
+    ).cast("int")
+    cells = (
+        docs.select("lang", fold.alias("fold"))
+        .groupBy("lang", "fold")
+        .agg(F.count("*").alias("n_docs"))
+    )
+    w_lang = W.partitionBy("lang")
+    return cells.select(
+        "lang",
+        "fold",
+        F.col("n_docs").cast("bigint").alias("n_docs"),
+        F.sum("n_docs").over(w_lang).cast("bigint").alias("lang_total"),
+        (
+            F.col("n_docs").cast("double") / F.sum("n_docs").over(w_lang)
+        ).alias("fold_share"),
+    ).orderBy("lang", "fold")
+
+
+# Negative-sampling ring offsets: same portable constants family as
+# the sketch hash rows.
+_NEG_ROWS = ((1103515245, 12345), (1299709, 54321),
+             (15485863, 98765), (32452843, 11111))
+
+
+@register(
+    "curation_negative_sampling_ring",
+    oracle=f"""
+        WITH n AS (SELECT count(*) AS n FROM documents),
+        pairs AS (
+            {' UNION ALL '.join(
+                f'''SELECT d.doc_id,
+                       (d.doc_id + 1 + (d.doc_id * {a} + {b})
+                                        % (n.n - 1)) % n.n AS neg_id
+                FROM documents d, n'''
+                for a, b in _NEG_ROWS
+            )}
+        )
+        SELECT CAST((SELECT n FROM n) AS BIGINT) AS n_docs,
+               CAST(count(*) AS BIGINT) AS n_pairs,
+               CAST(count(CASE WHEN doc_id = neg_id THEN 1 END) AS BIGINT)
+                   AS n_self_pairs,
+               CAST(count(DISTINCT neg_id) AS BIGINT) AS distinct_negatives,
+               CAST(max(fanin) AS BIGINT) AS max_negative_fanin
+        FROM pairs
+        LEFT JOIN (
+            SELECT neg_id AS nid, count(*) AS fanin
+            FROM pairs GROUP BY neg_id
+        ) f ON pairs.neg_id = f.nid
+    """,
+    tags=("curation", "negative-sampling", "contrastive", "llm-pipeline"),
+)
+def curation_negative_sampling_ring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic negative sampling for contrastive training
+    (embedding models, retrieval): each document draws k=4 negatives
+    by hashed ring offsets — neg = (id + 1 + hash_i(id) mod (N-1))
+    mod N over the DENSE id space — so negatives are a pure function
+    of the corpus, never a stateful RNG. The audit pins the sampling
+    contract: zero self-pairs (the +1 floor makes the offset nonzero
+    mod N), negative-side coverage (distinct negatives), and the
+    worst fan-in (how often one document serves as a negative — the
+    skew a contrastive loss cares about).
+
+    Scale: pure per-row arithmetic, a map-side-combinable fan-in
+    aggregate, and one broadcast-sized join of the fan-in table; N is
+    one bounded scalar fetch."""
+    docs = t(spark, sf_dir, "documents")
+    n = docs.count()
+    pair_cols = [
+        (
+            (F.col("doc_id") + 1 + (F.col("doc_id") * a + b) % (n - 1)) % n
+        ).alias(f"neg_{i}")
+        for i, (a, b) in enumerate(_NEG_ROWS)
+    ]
+    pairs = docs.select(
+        "doc_id",
+        F.explode(F.array(*pair_cols)).alias("neg_id"),
+    )
+    fanin = pairs.groupBy(F.col("neg_id").alias("nid")).agg(
+        F.count("*").alias("fanin")
+    )
+    return (
+        pairs.join(F.broadcast(fanin), pairs.neg_id == fanin.nid, "left")
+        .agg(
+            F.lit(n).cast("bigint").alias("n_docs"),
+            F.count("*").cast("bigint").alias("n_pairs"),
+            F.count(F.when(F.col("doc_id") == F.col("neg_id"), 1))
+            .cast("bigint")
+            .alias("n_self_pairs"),
+            F.count_distinct("neg_id").cast("bigint").alias(
+                "distinct_negatives"
+            ),
+            F.max("fanin").cast("bigint").alias("max_negative_fanin"),
+        )
+    )

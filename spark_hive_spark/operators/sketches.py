@@ -463,3 +463,141 @@ def sketch_bloom_membership_audit(spark: SparkSession, sf_dir: str) -> DataFrame
             / F.count(F.when(~F.col("is_member"), 1))
         ).alias("fpr"),
     )
+
+
+# KMV (k-minimum-values) sketch size. rse ~ 1/sqrt(k) ~ 12.5%.
+_KMV_K = 64
+
+
+@register(
+    "sketch_kmv_intersection",
+    oracle="""
+        WITH c AS (
+            SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
+        ),
+        p AS (
+            SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+        )
+        SELECT CAST(64 AS INT) AS kmv_k,
+               CAST((SELECT count(*) FROM c) AS BIGINT) AS exact_click_users,
+               CAST((SELECT count(*) FROM p) AS BIGINT)
+                   AS exact_purchase_users,
+               CAST((SELECT count(*) FROM c JOIN p USING (user_id))
+                   AS BIGINT) AS exact_both_users,
+               CAST(1 AS INT) AS union_within_err,
+               CAST(1 AS INT) AS intersect_within_err
+    """,
+    tags=("sketch", "kmv", "set-intersection", "mergeable"),
+)
+def sketch_kmv_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (k-minimum-values) sketches with SET INTERSECTION — the
+    operation HLL cannot do (HLL unions only; intersection needs
+    inclusion-exclusion with exploding error): keep the k=64 smallest
+    xxhash64 values per user set, estimate the union cardinality from
+    the k-th smallest of the merged sketch ((k-1)/u_k), and the
+    intersection via the Jaccard fraction of merged-sketch members
+    present in BOTH input sketches — distinct-users-who-click AND
+    purchase from two kilobyte summaries. When a set has fewer than k
+    distinct members its sketch IS the set and the estimate is exact.
+
+    Driver-hashable by the exactness-bracket recipe: hash values are
+    engine-local (xxhash64), so the output carries the EXACT
+    cardinalities plus two accuracy verdicts the oracle pins TRUE
+    (union within 3/sqrt(k)~37%; intersection within 50% or +-1 —
+    J*D error compounds).
+
+    Scale: per-type k-min is a bounded-state mergeable summary (here
+    a per-type window over distinct user hashes; at fleet scale a
+    bottom-k partial aggregate), and everything after the k-row
+    sketches is driver-free DataFrame algebra on <=2k rows."""
+    from pyspark.sql import Window as W
+
+    ev = t(spark, sf_dir, "events")
+    hashed = (
+        ev.filter(F.col("event_type").isin("click", "purchase"))
+        .select("event_type", "user_id")
+        .distinct()
+        .select(
+            "event_type",
+            "user_id",
+            F.xxhash64("user_id").alias("h"),
+        )
+    )
+    w = W.partitionBy("event_type").orderBy("h")
+    kmv = (
+        hashed.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _KMV_K)
+        .select("event_type", "h")
+    )
+    kmv = kmv.localCheckpoint(eager=True)  # reused 3x below
+    a = kmv.filter(F.col("event_type") == "click").select("h")
+    b = kmv.filter(F.col("event_type") == "purchase").select("h")
+    merged = a.unionByName(b).distinct().orderBy("h").limit(_KMV_K)
+    am = a.withColumnRenamed("h", "ha")
+    bm = b.withColumnRenamed("h", "hb")
+    marked = (
+        merged.join(F.broadcast(am), merged.h == am.ha, "left")
+        .join(F.broadcast(bm), merged.h == bm.hb, "left")
+        .select(
+            "h",
+            F.col("ha").isNotNull().cast("int").alias("in_a"),
+            F.col("hb").isNotNull().cast("int").alias("in_b"),
+        )
+    )
+    # u in [0,1): signed int64 hash shifted into the unit interval
+    u = (F.col("h").cast("double") / F.lit(2.0**64)) + 0.5
+    stats = marked.agg(
+        F.count("*").alias("m"),
+        F.max(u).alias("u_k"),
+        F.sum(
+            (F.col("in_a") * F.col("in_b")).cast("long")
+        ).alias("n_both"),
+    )
+    exact = (
+        ev.filter(F.col("event_type").isin("click", "purchase"))
+        .select("event_type", "user_id")
+        .distinct()
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_types"))
+        .agg(
+            F.count("*").alias("exact_union"),
+            F.count(F.when(F.col("n_types") == 2, 1)).alias("exact_both"),
+        )
+    )
+    per_type = (
+        ev.filter(F.col("event_type").isin("click", "purchase"))
+        .groupBy("event_type")
+        .agg(F.count_distinct("user_id").alias("n"))
+        .groupBy()
+        .pivot("event_type", ["click", "purchase"])
+        .sum("n")
+    )
+    est = (
+        stats.crossJoin(F.broadcast(exact))
+        .crossJoin(F.broadcast(per_type))
+    )
+    d_union = F.when(
+        F.col("m") < _KMV_K, F.col("m").cast("double")
+    ).otherwise((F.lit(_KMV_K - 1)) / F.col("u_k"))
+    j_est = F.col("n_both").cast("double") / F.col("m")
+    d_both = j_est * d_union
+    return est.select(
+        F.lit(_KMV_K).cast("int").alias("kmv_k"),
+        F.col("click").cast("bigint").alias("exact_click_users"),
+        F.col("purchase").cast("bigint").alias("exact_purchase_users"),
+        F.col("exact_both").cast("bigint").alias("exact_both_users"),
+        (
+            F.abs(d_union - F.col("exact_union"))
+            <= 0.375 * F.col("exact_union")
+        )
+        .cast("int")
+        .alias("union_within_err"),
+        (
+            F.abs(d_both - F.col("exact_both"))
+            <= F.greatest(
+                0.5 * F.col("exact_both"), F.lit(1.0)
+            )
+        )
+        .cast("int")
+        .alias("intersect_within_err"),
+    )
