@@ -295,7 +295,7 @@ EXPECTED_SF01: dict[str, float] = {
     "yoy_monthly_revenue_growth": 0.6,
     "psi_price_drift": 0.7,
     "impute_missing_acctbal": 0.6,
-    "ann_index_persistence_audit": 3.0,
+    "ann_index_persistence_audit": 5.0,  # 8-job build/persist/reload lifecycle; re-measured idle 2026-08-14 after the one-pass assignment rewrite
     "entity_resolution_name_clusters": 2.1,
     "partition_checksum_diff": 1.0,
     "fx_asof_converted_revenue": 1.1,

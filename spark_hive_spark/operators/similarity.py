@@ -968,32 +968,30 @@ def ann_index_persistence_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     Cn2 = np.stack([np.asarray(r.centroid, dtype=np.float64) for r in back])
     roundtrip_exact = bool((Cn2 == Cn).all())
 
-    def assigner(C):
-        def assign(batches):
-            for pdf in batches:
-                V = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
-                Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
-                yield pd.DataFrame(
-                    {
-                        "vec_id": pdf["vec_id"],
-                        "cell": (Vn @ C.T).argmax(axis=1).astype(np.int32),
-                    }
-                )
+    # both assignments in ONE Arrow pass per partition (the corpus is
+    # normalized once, multiplied against both centroid sets, and the
+    # mismatch compares locally) — the previous two-mapInPandas + join
+    # formulation paid a second full scan, a second worker round-trip,
+    # and a vec_id shuffle for what is a row-local comparison
+    # (measured 5.1 s -> ~3 s at sf0.1)
+    def assign_both(batches):
+        for pdf in batches:
+            V = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+            c1 = (Vn @ Cn.T).argmax(axis=1).astype(np.int32)
+            c2 = (Vn @ Cn2.T).argmax(axis=1).astype(np.int32)
+            yield pd.DataFrame(
+                {"vec_id": pdf["vec_id"], "cell_a": c1, "cell_b": c2}
+            )
 
-        return assign
-
-    schema = "vec_id long, cell int"
-    a1 = emb.select("vec_id", "embedding").mapInPandas(assigner(Cn), schema)
-    a2 = emb.select("vec_id", "embedding").mapInPandas(assigner(Cn2), schema)
-    cmp = (
-        a1.alias("a")
-        .join(a2.alias("b"), "vec_id")
-        .agg(
-            F.count("*").alias("n_vectors"),
-            F.sum(
-                (F.col("a.cell") != F.col("b.cell")).cast("long")
-            ).alias("n_mismatch"),
-        )
+    both = emb.select("vec_id", "embedding").mapInPandas(
+        assign_both, "vec_id long, cell_a int, cell_b int"
+    )
+    cmp = both.agg(
+        F.count("*").alias("n_vectors"),
+        F.sum(
+            (F.col("cell_a") != F.col("cell_b")).cast("long")
+        ).alias("n_mismatch"),
     )
     return cmp.select(
         F.lit(len(Cn)).cast("int").alias("n_cells"),
