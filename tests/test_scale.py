@@ -326,3 +326,28 @@ def test_pointer_jumping_converges_on_long_chain(spark):
     assert all(r.cluster_id == 0 for r in out)
     assert sum(r.is_representative for r in out) == 1
     assert all(r.cluster_size == n for r in out)
+
+
+def test_distributed_quantiles_match_percentile_and_partitioning(spark):
+    """The range-partitioned order-statistics helper must return
+    EXACTLY Spark's percentile aggregate (same quantile_cont
+    interpolation) and be invariant to input partitioning — the
+    property that makes boundary-based queries hash-stable on any
+    cluster layout."""
+    from pyspark.sql import functions as F
+
+    from spark_hive_spark.functions.stats import distributed_quantiles
+
+    vals = [(float(x % 97) + 0.25 * (x % 4),) for x in range(1000)]
+    probs = [0.05, 0.125, 0.5, 0.9, 0.95]
+    df1 = spark.createDataFrame(vals, "v double")
+    df8 = df1.repartition(8)
+    df3 = df1.repartition(3, "v")
+    expected = (
+        df1.agg(
+            F.percentile("v", F.array(*[F.lit(p) for p in probs]))
+        ).collect()[0][0]
+    )
+    for df in (df1, df8, df3):
+        got = distributed_quantiles(df, "v", probs, partitions=5)
+        assert got == list(expected), (got, list(expected))
