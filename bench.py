@@ -177,6 +177,10 @@ EXTENDED = [
     "curation_kfold_stratified",
     "curation_negative_sampling_ring",
     "sketch_kmv_intersection",
+    "events_downtime_gaps",
+    "audience_overlap_matrix",
+    "revenue_bridge_price_volume",
+    "text_zipf_fit",
 ]
 
 # Streaming extended queries run dead LAST (after the streaming
@@ -326,6 +330,10 @@ EXPECTED_SF01: dict[str, float] = {
     "curation_kfold_stratified": 0.5,
     "curation_negative_sampling_ring": 0.7,
     "sketch_kmv_intersection": 1.2,
+    "events_downtime_gaps": 0.6,
+    "audience_overlap_matrix": 0.8,
+    "revenue_bridge_price_volume": 0.45,
+    "text_zipf_fit": 0.45,
 }
 
 

@@ -1576,3 +1576,154 @@ def cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cohort_month", "month_offset")
     )
+
+
+@register(
+    "audience_overlap_matrix",
+    oracle="""
+        WITH m AS (
+            SELECT DISTINCT event_type, user_id FROM events
+        ),
+        sizes AS (
+            SELECT event_type, count(*) AS n FROM m GROUP BY event_type
+        ),
+        pairs AS (
+            SELECT a.event_type AS type_a, b.event_type AS type_b,
+                   count(*) AS n_common
+            FROM m a JOIN m b
+              ON a.user_id = b.user_id AND a.event_type < b.event_type
+            GROUP BY 1, 2
+        )
+        SELECT type_a, type_b,
+               CAST(sa.n AS BIGINT) AS n_a,
+               CAST(sb.n AS BIGINT) AS n_b,
+               CAST(n_common AS BIGINT) AS n_common,
+               CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common)
+                   AS jaccard
+        FROM pairs
+        JOIN sizes sa ON sa.event_type = type_a
+        JOIN sizes sb ON sb.event_type = type_b
+        ORDER BY type_a, type_b
+    """,
+    tags=("bi", "audience", "overlap", "set-similarity"),
+)
+def audience_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise audience overlap between ALL event types — the
+    segment-overlap matrix a marketing/product dashboard shows
+    (upper triangle: |A∩B|, sizes, Jaccard). Generalizes the
+    two-set `setops_segment_overlap` to the full type x type grid
+    in ONE self-join of the distinct (type, user) membership table —
+    not one query per pair.
+
+    Scale: membership dedups first (map-side partial distinct), the
+    self-join keys on user_id (hash-partitioned; per-user fan-out is
+    #types, bounded), and sizes broadcast back onto the tiny pair
+    grid. Jaccard is one division of exact counts."""
+    ev = t(spark, sf_dir, "events")
+    m = ev.select("event_type", "user_id").distinct()
+    sizes = m.groupBy("event_type").agg(F.count("*").alias("n"))
+    a, b = m.alias("a"), m.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.select(
+        F.col("event_type").alias("ta"), F.col("n").alias("n_a")
+    )
+    sb = sizes.select(
+        F.col("event_type").alias("tb"), F.col("n").alias("n_b")
+    )
+    return (
+        pairs.join(F.broadcast(sa), pairs.type_a == sa.ta)
+        .join(F.broadcast(sb), pairs.type_b == sb.tb)
+        .select(
+            "type_a",
+            "type_b",
+            F.col("n_a").cast("bigint").alias("n_a"),
+            F.col("n_b").cast("bigint").alias("n_b"),
+            F.col("n_common").cast("bigint").alias("n_common"),
+            (
+                F.col("n_common").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+            ).alias("jaccard"),
+        )
+        .orderBy("type_a", "type_b")
+    )
+
+
+@register(
+    "revenue_bridge_price_volume",
+    oracle="""
+        WITH yearly AS (
+            SELECT year(o_orderdate) AS yr,
+                   count(*) AS volume,
+                   sum(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue
+            FROM orders GROUP BY 1
+        ),
+        bridged AS (
+            SELECT yr,
+                   volume, revenue,
+                   lag(volume) OVER (ORDER BY yr) AS v0,
+                   lag(revenue) OVER (ORDER BY yr) AS r0
+            FROM yearly
+        )
+        SELECT yr,
+               CAST(volume AS BIGINT) AS volume,
+               CAST(revenue AS DOUBLE) AS revenue,
+               CAST(revenue - r0 AS DOUBLE) AS total_change,
+               CAST((volume - v0) * (CAST(r0 AS DOUBLE) / v0) AS DOUBLE)
+                   AS volume_effect,
+               CAST(volume * (CAST(revenue AS DOUBLE) / volume
+                              - CAST(r0 AS DOUBLE) / v0) AS DOUBLE)
+                   AS price_effect
+        FROM bridged
+        WHERE v0 IS NOT NULL
+        ORDER BY yr
+    """,
+    tags=("bi", "finance", "waterfall", "decomposition"),
+)
+def revenue_bridge_price_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-over-year revenue BRIDGE (waterfall decomposition):
+    ΔR = volume effect (Δv x last year's average price) + price
+    effect (this year's volume x Δavg-price) — the two terms sum to
+    the total change ALGEBRAICALLY, which is what makes this the
+    finance-review standard. Inputs are exact decimal revenue and
+    exact counts; the average prices are single IEEE divisions of
+    those, so both engines produce identical doubles without any
+    rounding.
+
+    Scale: one year-grain aggregate over orders, then lag/arithmetic
+    over the handful of year rows."""
+    orders = t(spark, sf_dir, "orders")
+    yearly = orders.groupBy(F.year("o_orderdate").alias("yr")).agg(
+        F.count("*").alias("volume"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("revenue"),
+    )
+    w = W.partitionBy().orderBy("yr")
+    bridged = yearly.select(
+        "yr",
+        "volume",
+        "revenue",
+        F.lag("volume").over(w).alias("v0"),
+        F.lag("revenue").over(w).alias("r0"),
+    ).filter(F.col("v0").isNotNull())
+    p0 = F.col("r0").cast("double") / F.col("v0")
+    p1 = F.col("revenue").cast("double") / F.col("volume")
+    return bridged.select(
+        "yr",
+        F.col("volume").cast("bigint").alias("volume"),
+        F.col("revenue").cast("double").alias("revenue"),
+        (F.col("revenue") - F.col("r0")).cast("double").alias("total_change"),
+        ((F.col("volume") - F.col("v0")) * p0).cast("double").alias(
+            "volume_effect"
+        ),
+        (F.col("volume") * (p1 - p0)).cast("double").alias("price_effect"),
+    ).orderBy("yr")

@@ -798,3 +798,66 @@ def pit_scd2_revenue_by_tier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("tier")
     )
+
+
+@register(
+    "events_downtime_gaps",
+    oracle="""
+        WITH seq AS (
+            SELECT event_type, ts,
+                   lag(ts) OVER (PARTITION BY event_type
+                                 ORDER BY ts, event_id) AS prev_ts
+            FROM events
+        ),
+        gaps AS (
+            SELECT event_type,
+                   prev_ts AS gap_start,
+                   ts AS gap_end,
+                   date_diff('microsecond', prev_ts, ts) AS gap_us,
+                   row_number() OVER (
+                       PARTITION BY event_type
+                       ORDER BY date_diff('microsecond', prev_ts, ts) DESC,
+                                prev_ts
+                   ) AS rk
+            FROM seq WHERE prev_ts IS NOT NULL
+        )
+        SELECT event_type, gap_start, gap_end,
+               CAST(gap_us AS BIGINT) AS gap_us
+        FROM gaps WHERE rk <= 3
+        ORDER BY event_type, gap_us DESC, gap_start
+    """,
+    tags=("temporal", "gaps", "sre", "monitoring"),
+)
+def events_downtime_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Downtime / silence detection — the SRE complement of
+    sessionization: the TOP-3 LONGEST gaps between consecutive
+    events per type (start, end, exact-microsecond duration). Top-k
+    rather than a fixed threshold because silence is relative to the
+    stream's density — a 2-hour cutoff that fires constantly on a
+    sparse dev stream matches nothing on a dense production one (at
+    sf0.1 the longest gap is ~24 min; an absolute-threshold version
+    of this query returned an empty — trivially correct — result).
+
+    Scale: one lag window + one rank window, both partitioned by
+    event type and riding a single shuffle; no global sort."""
+    ev = t(spark, sf_dir, "events")
+    w = W.partitionBy("event_type").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", "ts", F.lag("ts").over(w).alias("prev_ts")
+    ).filter(F.col("prev_ts").isNotNull())
+    gap_us = F.unix_micros("ts") - F.unix_micros("prev_ts")
+    gaps = seq.select(
+        "event_type",
+        F.col("prev_ts").alias("gap_start"),
+        F.col("ts").alias("gap_end"),
+        gap_us.cast("bigint").alias("gap_us"),
+    )
+    wr = W.partitionBy("event_type").orderBy(
+        F.desc("gap_us"), "gap_start"
+    )
+    return (
+        gaps.withColumn("rk", F.row_number().over(wr))
+        .filter(F.col("rk") <= 3)
+        .drop("rk")
+        .orderBy("event_type", F.desc("gap_us"), "gap_start")
+    )

@@ -1169,3 +1169,73 @@ def dedup_effective_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@register(
+    "text_zipf_fit",
+    oracle=f"""
+        WITH counts AS (
+            SELECT tok, count(*) AS freq
+            FROM (
+                SELECT unnest(string_split({SQL_NORM_TEXT}, ' ')) AS tok
+                FROM documents
+            )
+            WHERE tok <> ''
+            GROUP BY tok
+        ),
+        ranked AS (
+            SELECT freq,
+                   row_number() OVER (ORDER BY freq DESC, tok) AS rnk
+            FROM counts
+        )
+        SELECT CAST(count(*) AS BIGINT) AS vocab_size,
+               CAST(sum(freq) AS BIGINT) AS total_tokens,
+               round(regr_slope(ln(CAST(freq AS DOUBLE)),
+                                ln(CAST(rnk AS DOUBLE))), 6)
+                   AS zipf_slope,
+               round(regr_r2(ln(CAST(freq AS DOUBLE)),
+                             ln(CAST(rnk AS DOUBLE))), 6) AS zipf_r2
+        FROM ranked
+    """,
+    tags=("text", "zipf", "statistics", "llm-pipeline"),
+)
+def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit of the corpus token distribution: regress
+    ln(frequency) on ln(rank) over the ranked vocabulary — natural
+    text sits near slope −1, and a corpus that drifts far from it
+    (template spam: flat; boilerplate dedup failure: steep) fails
+    the smell test. Reports vocabulary size, token count, the fitted
+    slope, and R².
+
+    Scale: the corpus collapses to its vocabulary (one token
+    aggregate), the rank window runs over the vocabulary ordered by
+    (freq desc, token) — a total order, so ranks are deterministic —
+    and the regression is a single-pass partial-aggregable regr_*
+    over the vocab rows. At web scale you'd rank only the head (the
+    fit is head-dominated) to keep the window partitioned; here the
+    64-word fixture vocab makes that moot."""
+    docs = t(spark, sf_dir, "documents")
+    from pyspark.sql import Window as W
+
+    counts = (
+        docs.select(
+            F.explode(F.split(normalized_text(), " ")).alias("tok")
+        )
+        .filter(F.col("tok") != "")
+        .groupBy("tok")
+        .agg(F.count("*").alias("freq"))
+    )
+    ranked = counts.select(
+        "freq",
+        F.row_number()
+        .over(W.partitionBy().orderBy(F.desc("freq"), "tok"))
+        .alias("rnk"),
+    )
+    lf = F.log(F.col("freq").cast("double"))
+    lr = F.log(F.col("rnk").cast("double"))
+    return ranked.agg(
+        F.count("*").cast("bigint").alias("vocab_size"),
+        F.sum("freq").cast("bigint").alias("total_tokens"),
+        F.round(F.regr_slope(lf, lr), 6).alias("zipf_slope"),
+        F.round(F.regr_r2(lf, lr), 6).alias("zipf_r2"),
+    )
