@@ -181,6 +181,9 @@ EXTENDED = [
     "audience_overlap_matrix",
     "revenue_bridge_price_volume",
     "text_zipf_fit",
+    "stats_bootstrap_se_price",
+    "source_partition_pruning_dpp",
+    "attribution_first_vs_last_touch",
 ]
 
 # Streaming extended queries run dead LAST (after the streaming
@@ -334,6 +337,9 @@ EXPECTED_SF01: dict[str, float] = {
     "audience_overlap_matrix": 0.8,
     "revenue_bridge_price_volume": 0.45,
     "text_zipf_fit": 0.45,
+    "stats_bootstrap_se_price": 0.7,
+    "source_partition_pruning_dpp": 1.6,
+    "attribution_first_vs_last_touch": 1.0,
 }
 
 

@@ -1727,3 +1727,122 @@ def revenue_bridge_price_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         (F.col("volume") * (p1 - p0)).cast("double").alias("price_effect"),
     ).orderBy("yr")
+
+
+@register(
+    "attribution_first_vs_last_touch",
+    oracle="""
+        WITH purchases AS (
+            SELECT event_id, user_id, ts FROM events
+            WHERE event_type = 'purchase'
+        ),
+        touches AS (
+            SELECT user_id, event_id AS touch_id, event_type AS touch_type,
+                   ts AS touch_ts
+            FROM events WHERE event_type IN ('click', 'view')
+        ),
+        cand AS (
+            SELECT p.event_id, t.touch_type,
+                   row_number() OVER (
+                       PARTITION BY p.event_id
+                       ORDER BY t.touch_ts, t.touch_id
+                   ) AS rn_first,
+                   row_number() OVER (
+                       PARTITION BY p.event_id
+                       ORDER BY t.touch_ts DESC, t.touch_id DESC
+                   ) AS rn_last
+            FROM purchases p
+            JOIN touches t
+              ON p.user_id = t.user_id
+             AND t.touch_ts < p.ts
+             AND t.touch_ts >= p.ts - INTERVAL 24 HOUR
+        ),
+        per_purchase AS (
+            SELECT p.event_id,
+                   coalesce(f.touch_type, 'none') AS first_touch,
+                   coalesce(l.touch_type, 'none') AS last_touch
+            FROM purchases p
+            LEFT JOIN (SELECT event_id, touch_type FROM cand
+                       WHERE rn_first = 1) f USING (event_id)
+            LEFT JOIN (SELECT event_id, touch_type FROM cand
+                       WHERE rn_last = 1) l USING (event_id)
+        )
+        SELECT first_touch, last_touch,
+               count(*) AS n_purchases,
+               CAST(count(*) AS DOUBLE) / sum(count(*)) OVER () AS share
+        FROM per_purchase
+        GROUP BY first_touch, last_touch
+        ORDER BY first_touch, last_touch
+    """,
+    tags=("bi", "attribution", "marketing", "funnel"),
+)
+def attribution_first_vs_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-touch attribution comparison — the marketing-analytics
+    staple: for every purchase, the FIRST and LAST touch (click or
+    view) by the same user in the preceding 24 h, cross-tabulated.
+    Where the two models disagree (off-diagonal cells) is exactly
+    where channel budgets shift when a team switches attribution
+    models; purchases with no touch report 'none'. Winner selection
+    is total-ordered ((ts, event_id) both directions), so the matrix
+    is deterministic.
+
+    Scale: the touch candidates come from ONE banded user-keyed
+    equi-join (24 h residual bounds per-key fan-out); both winners
+    come from the same candidate set via two window rankings that
+    share the purchase-id shuffle; the final matrix is a bounded
+    aggregate."""
+    ev = t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    touches = ev.filter(F.col("event_type").isin("click", "view")).select(
+        F.col("user_id").alias("t_user_id"),
+        F.col("event_id").alias("touch_id"),
+        F.col("event_type").alias("touch_type"),
+        F.col("ts").alias("touch_ts"),
+    )
+    cond = (
+        (purchases.user_id == touches.t_user_id)
+        & (touches.touch_ts < purchases.ts)
+        & (touches.touch_ts >= purchases.ts - F.expr("INTERVAL 24 HOURS"))
+    )
+    cand = purchases.join(touches, cond).select(
+        "event_id", "touch_type", "touch_ts", "touch_id"
+    )
+    w_first = W.partitionBy("event_id").orderBy("touch_ts", "touch_id")
+    w_last = W.partitionBy("event_id").orderBy(
+        F.desc("touch_ts"), F.desc("touch_id")
+    )
+    ranked = cand.select(
+        "event_id",
+        "touch_type",
+        F.row_number().over(w_first).alias("rn_first"),
+        F.row_number().over(w_last).alias("rn_last"),
+    )
+    firsts = ranked.filter(F.col("rn_first") == 1).select(
+        "event_id", F.col("touch_type").alias("first_touch")
+    )
+    lasts = ranked.filter(F.col("rn_last") == 1).select(
+        "event_id", F.col("touch_type").alias("last_touch")
+    )
+    per_purchase = (
+        purchases.select("event_id")
+        .join(firsts, "event_id", "left")
+        .join(lasts, "event_id", "left")
+        .select(
+            F.coalesce("first_touch", F.lit("none")).alias("first_touch"),
+            F.coalesce("last_touch", F.lit("none")).alias("last_touch"),
+        )
+    )
+    counts = per_purchase.groupBy("first_touch", "last_touch").agg(
+        F.count("*").alias("n_purchases")
+    )
+    return counts.select(
+        "first_touch",
+        "last_touch",
+        "n_purchases",
+        (
+            F.col("n_purchases").cast("double")
+            / F.sum("n_purchases").over(W.partitionBy())
+        ).alias("share"),
+    ).orderBy("first_touch", "last_touch")

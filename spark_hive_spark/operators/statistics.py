@@ -554,3 +554,122 @@ def regr_price_size_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("p_brand")
     )
+
+
+# Half-sample bootstrap geometry: B replicas, each keeping the rows
+# whose replica-specific portable hash lands even — deterministic
+# "random" subsampling as a pure function of the key.
+_BOOT_B = 32
+_BOOT_P = 2147483647
+
+
+@register(
+    "stats_bootstrap_se_price",
+    oracle=f"""
+        WITH reps AS (
+            SELECT r AS rep,
+                   count(*) AS n,
+                   sum(CAST(o_totalprice AS DECIMAL(18,2))) AS s
+            FROM orders, unnest(range(0, {_BOOT_B})) AS u(r)
+            WHERE (o_orderkey * (1103515245 + 2 * r) + (12345 + r))
+                  % {_BOOT_P} % 2 = 0
+            GROUP BY r
+        ),
+        means AS (
+            SELECT rep, CAST(s AS DOUBLE) / n AS m FROM reps
+        ),
+        boot AS (
+            SELECT count(*) AS b,
+                   round(stddev_samp(m), 6) AS half_sample_sd
+            FROM means
+        ),
+        full_ AS (
+            SELECT count(*) AS n,
+                   CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                       AS DOUBLE) / count(*) AS mean_price,
+                   stddev_samp(o_totalprice) / sqrt(count(*))
+                       AS analytic_se
+            FROM orders
+        )
+        SELECT CAST(b AS INT) AS n_replicas,
+               CAST(n AS BIGINT) AS n_rows,
+               mean_price,
+               round(analytic_se, 6) AS analytic_se,
+               half_sample_sd,
+               CAST(CASE WHEN half_sample_sd
+                              BETWEEN 0.4 * analytic_se * sqrt(2)
+                                  AND 2.5 * analytic_se * sqrt(2)
+                         THEN 1 ELSE 0 END AS INT) AS se_bracket_ok
+        FROM boot, full_
+    """,
+    tags=("statistics", "bootstrap", "uncertainty", "resampling"),
+)
+def stats_bootstrap_se_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed HALF-SAMPLE BOOTSTRAP standard error of the mean
+    order price — the resampling scheme that actually works on a
+    cluster: instead of sampling WITH replacement (stateful RNG,
+    unmergeable), each of B=32 replicas keeps the rows whose
+    replica-keyed portable hash is even. Replica membership is a
+    pure function of (key, replica) — reproducible on any
+    partitioning — and all B replica sums accumulate in ONE
+    conditional-aggregate pass at scale (here: unioned per-replica
+    aggregates, which Catalyst shares the scan across). The spread
+    of replica means estimates the sampling error; for half-samples
+    sd(replica means) ~ SE * sqrt(2), and the audit brackets it
+    against the analytic SE (replica means are exact-decimal/count
+    divisions, so everything except the two stddevs is
+    hash-exact)."""
+    orders = t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    price = F.col("o_totalprice").cast("decimal(18,2)")
+    # replica membership via an exploded replica index: ONE scan, a
+    # constant-size plan regardless of B (the 64-conditional-agg
+    # formulation paid ~1.8 s of driver-side analysis per call), and
+    # the row explosion feeds a map-side-combinable 32-group aggregate
+    reps = (
+        orders.select(
+            "o_orderkey",
+            price.alias("p"),
+            F.explode(F.sequence(F.lit(0), F.lit(_BOOT_B - 1))).alias("r"),
+        )
+        .filter(
+            (
+                F.col("o_orderkey") * (1103515245 + 2 * F.col("r"))
+                + (12345 + F.col("r"))
+            )
+            % _BOOT_P
+            % 2
+            == 0
+        )
+        .groupBy("r")
+        .agg(F.count("*").alias("n"), F.sum("p").alias("s"))
+    )
+    means = reps.select((F.col("s").cast("double") / F.col("n")).alias("m"))
+    boot = means.agg(
+        F.count("*").alias("b"),
+        F.round(F.stddev_samp("m"), 6).alias("half_sample_sd"),
+    )
+    full = orders.agg(
+        F.count("*").alias("n"),
+        (F.sum(price).cast("double") / F.count("*")).alias("mean_price"),
+        (F.stddev_samp("o_totalprice") / F.sqrt(F.count("*"))).alias(
+            "analytic_se"
+        ),
+    )
+    sq2 = 2.0**0.5
+    return boot.crossJoin(F.broadcast(full)).select(
+        F.col("b").cast("int").alias("n_replicas"),
+        F.col("n").cast("bigint").alias("n_rows"),
+        "mean_price",
+        F.round("analytic_se", 6).alias("analytic_se"),
+        "half_sample_sd",
+        F.when(
+            F.col("half_sample_sd").between(
+                0.4 * F.col("analytic_se") * sq2,
+                2.5 * F.col("analytic_se") * sq2,
+            ),
+            1,
+        )
+        .otherwise(0)
+        .cast("int")
+        .alias("se_bracket_ok"),
+    )

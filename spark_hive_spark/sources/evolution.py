@@ -368,3 +368,65 @@ def maintenance_compaction_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_rows"),
         dsum("l_extendedprice").alias("total_price"),
     )
+
+
+@register(
+    "source_partition_pruning_dpp",
+    oracle=f"""
+        SELECT year(o_orderdate) AS o_year,
+               count(*) AS n_orders,
+               {sql_dsum("o_totalprice")} AS total_price
+        FROM orders
+        WHERE year(o_orderdate) >= 1997
+        GROUP BY 1
+        ORDER BY o_year
+    """,
+    tags=("source", "partition-pruning", "dpp", "parquet"),
+)
+def source_partition_pruning_dpp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DYNAMIC PARTITION PRUNING end to end: orders land partitioned
+    by year, then join a small year-dimension whose FILTER (the
+    'recent' flag) is only known at plan time on the dim side —
+    Spark must inject a dynamic pruning subquery into the fact scan
+    so only the qualifying year partitions are read (visible as
+    `dynamicpruningexpression` in the scan's PartitionFilters —
+    plan-asserted in tests/test_plans.py). The oracle recomputes the
+    same aggregate from the source table with the year predicate
+    applied directly.
+
+    Scale: DPP is THE mechanism that turns a dim-filtered star join
+    over a 100 TB partitioned fact into a scan of just the matching
+    partitions — without it the fact scan reads everything and the
+    join discards 90%."""
+    orders = t(spark, sf_dir, "orders")
+    out_dir = os.path.join(
+        tempfile.gettempdir(), f"shs_dpp_{uuid.uuid4().hex}"
+    )
+    base = orders.withColumn("o_year", F.year("o_orderdate"))
+    base.write.partitionBy("o_year").parquet(out_dir)
+
+    fact = spark.read.parquet(out_dir)
+    # the dim must be a real scan: a literal LocalRelation gets its
+    # filter constant-folded away and DPP never sees a selective
+    # predicate to derive the pruning subquery from
+    dim_dir = out_dir + "_year_dim"
+    spark.createDataFrame(
+        [(y, "recent" if y >= 1997 else "history") for y in range(1990, 2010)],
+        "dim_year int, era string",
+    ).write.parquet(dim_dir)
+    year_dim = spark.read.parquet(dim_dir)
+    # the dim predicate must be one DPP considers "likely selective"
+    # (equality/IN/LIKE) — a bare boolean attribute is not, and the
+    # pruning subquery is silently never derived from it
+    joined = fact.join(
+        F.broadcast(year_dim.filter(F.col("era") == "recent")),
+        fact.o_year == year_dim.dim_year,
+    ).drop("dim_year", "era")
+    return (
+        joined.groupBy("o_year")
+        .agg(
+            F.count("*").alias("n_orders"),
+            dsum("o_totalprice").alias("total_price"),
+        )
+        .orderBy("o_year")
+    )

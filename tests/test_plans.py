@@ -343,3 +343,12 @@ def test_fk_audit_broadcasts_dimension_parents(spark):
     """nation/region parents must broadcast in the integrity sweep."""
     plan = _plan(spark, "integrity_fk_orphan_audit")
     assert "BroadcastHashJoin" in plan
+
+
+def test_dpp_injects_dynamic_pruning_subquery(spark):
+    """The partitioned-fact x filtered-dim join must carry a
+    dynamicpruningexpression in the fact scan's PartitionFilters —
+    without it the 100 TB fact scan reads every partition and the
+    join discards them after IO."""
+    plan = _plan(spark, "source_partition_pruning_dpp")
+    assert "dynamicpruning" in plan.lower()
