@@ -184,6 +184,9 @@ EXTENDED = [
     "stats_bootstrap_se_price",
     "source_partition_pruning_dpp",
     "attribution_first_vs_last_touch",
+    "graph_label_propagation_communities",
+    "join_cardinality_estimation_audit",
+    "text_ngram_novelty",
 ]
 
 # Streaming extended queries run dead LAST (after the streaming
@@ -201,6 +204,7 @@ STREAMING_EXTENDED = [
     "stream_stream_left_outer_join",
     "stream_session_dynamic_gap",
     "stream_stream_full_outer_join",
+    "stream_update_mode_counts",
 ]
 
 
@@ -340,6 +344,10 @@ EXPECTED_SF01: dict[str, float] = {
     "stats_bootstrap_se_price": 0.7,
     "source_partition_pruning_dpp": 1.6,
     "attribution_first_vs_last_touch": 1.0,
+    "graph_label_propagation_communities": 2.5,
+    "join_cardinality_estimation_audit": 1.6,
+    "text_ngram_novelty": 0.7,
+    "stream_update_mode_counts": 5.6,
 }
 
 

@@ -313,3 +313,168 @@ def graph_triangle_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("n_name")
     )
+
+
+LPA_ITERS = 3
+
+
+def _lpa_oracle() -> str:
+    """Unrolled synchronous label propagation (like the PageRank
+    oracle: DuckDB's recursive CTEs can't aggregate in the step term,
+    so the fixed iteration count expands as chained CTEs)."""
+    ctes = [
+        """
+        edges0 AS (
+            SELECT sn.n_nationkey AS src, cn.n_nationkey AS dst,
+                   count(*) AS w
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+            JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+            WHERE sn.n_nationkey <> cn.n_nationkey
+            GROUP BY 1, 2
+        )""",
+        """
+        edges AS (
+            SELECT src, dst, sum(w) AS w FROM (
+                SELECT src, dst, w FROM edges0
+                UNION ALL
+                SELECT dst, src, w FROM edges0
+            ) GROUP BY src, dst
+        )""",
+        """
+        lab0 AS (
+            SELECT n_nationkey AS node,
+                   CAST(n_nationkey AS BIGINT) AS label
+            FROM nation
+        )""",
+    ]
+    for i in range(LPA_ITERS):
+        ctes.append(
+            f"""
+        votes{i} AS (
+            SELECT e.dst AS node, l.label, sum(e.w) AS v
+            FROM edges e JOIN lab{i} l ON l.node = e.src
+            GROUP BY e.dst, l.label
+        )"""
+        )
+        ctes.append(
+            f"""
+        pick{i} AS (
+            SELECT node, label,
+                   row_number() OVER (PARTITION BY node
+                                      ORDER BY v DESC, label) AS rk
+            FROM votes{i}
+        )"""
+        )
+        ctes.append(
+            f"""
+        lab{i + 1} AS (
+            SELECT l.node, coalesce(p.label, l.label) AS label
+            FROM lab{i} l
+            LEFT JOIN (SELECT node, label FROM pick{i} WHERE rk = 1) p
+              ON p.node = l.node
+        )"""
+        )
+    return (
+        "WITH "
+        + ",".join(ctes)
+        + f"""
+        SELECT nn.n_name,
+               CAST(l.label AS BIGINT) AS community,
+               CAST(count(*) OVER (PARTITION BY l.label) AS BIGINT)
+                   AS community_size
+        FROM lab{LPA_ITERS} l JOIN nation nn ON l.node = nn.n_nationkey
+        ORDER BY community, nn.n_name
+        """
+    )
+
+
+@register(
+    "graph_label_propagation_communities",
+    oracle=_lpa_oracle(),
+    tags=("graph", "community-detection", "lpa", "iterative"),
+)
+def graph_label_propagation_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection by synchronous weighted LABEL PROPAGATION
+    on the (symmetrized, self-loop-free) nation trade graph — the
+    third iterative graph kernel next to PageRank and connected
+    components: each round every node adopts the label carrying the
+    greatest incident edge weight, ties broken by smallest label, so
+    the fixed-iteration run is fully deterministic (vanilla LPA's
+    random tie-breaking is what makes it non-reproducible; total
+    ordering is the production fix).
+
+    Scale: identical construction/iteration asymmetry as PageRank —
+    one shuffle-heavy declarative join pipeline builds the contracted
+    edge list (checkpointed), then each of the 3 iterations is a
+    join + argmax-window on the tiny graph. The oracle unrolls the
+    same three rounds as chained CTEs."""
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    supp = t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = t(spark, sf_dir, "nation")
+    directed = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .filter(F.col("s_nationkey") != F.col("c_nationkey"))
+        .groupBy(
+            F.col("s_nationkey").alias("src"),
+            F.col("c_nationkey").alias("dst"),
+        )
+        .agg(F.count("*").alias("w"))
+    )
+    edges = (
+        directed.unionByName(
+            directed.select(
+                F.col("dst").alias("src"),
+                F.col("src").alias("dst"),
+                "w",
+            )
+        )
+        .groupBy("src", "dst")
+        .agg(F.sum("w").alias("w"))
+        .localCheckpoint(eager=True)  # iterate on the contracted graph
+    )
+    labels = nation.select(
+        F.col("n_nationkey").alias("node"),
+        F.col("n_nationkey").cast("bigint").alias("label"),
+    )
+    wk = W.partitionBy("node").orderBy(F.desc("v"), "label")
+    for _ in range(LPA_ITERS):
+        votes = (
+            edges.join(
+                labels.withColumnRenamed("node", "src_node"),
+                F.col("src") == F.col("src_node"),
+            )
+            .groupBy(F.col("dst").alias("node"), "label")
+            .agg(F.sum("w").alias("v"))
+        )
+        picked = (
+            votes.withColumn("rk", F.row_number().over(wk))
+            .filter(F.col("rk") == 1)
+            .select("node", F.col("label").alias("new_label"))
+        )
+        labels = (
+            labels.join(picked, "node", "left")
+            .select(
+                "node",
+                F.coalesce("new_label", "label").alias("label"),
+            )
+        )
+    wl = W.partitionBy("label")
+    return (
+        labels.join(
+            F.broadcast(nation), labels.node == nation.n_nationkey
+        )
+        .select(
+            "n_name",
+            F.col("label").cast("bigint").alias("community"),
+            F.count("*").over(wl).cast("bigint").alias("community_size"),
+        )
+        .orderBy("community", "n_name")
+    )

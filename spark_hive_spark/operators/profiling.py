@@ -772,3 +772,99 @@ def expectations_validation_suite(spark: SparkSession, sf_dir: str) -> DataFrame
         F.col("viol").cast("bigint").alias("n_violations"),
         F.when(F.col("viol") == 0, 1).otherwise(0).cast("int").alias("passed"),
     ).orderBy("rule")
+
+
+@register(
+    "join_cardinality_estimation_audit",
+    oracle="""
+        WITH lh AS (
+            SELECT l_orderkey AS k, count(*) AS n FROM lineitem GROUP BY 1
+        ),
+        oh AS (
+            SELECT o_orderkey AS k, count(*) AS n FROM orders GROUP BY 1
+        ),
+        prediction AS (
+            SELECT sum(lh.n * oh.n) AS predicted
+            FROM lh JOIN oh ON lh.k = oh.k
+        ),
+        actual AS (
+            SELECT count(*) AS actual
+            FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        ),
+        naive AS (
+            SELECT CAST((SELECT count(*) FROM lineitem) AS DOUBLE)
+                   * (SELECT count(*) FROM orders)
+                   / greatest(
+                         (SELECT count(DISTINCT l_orderkey) FROM lineitem),
+                         (SELECT count(DISTINCT o_orderkey) FROM orders))
+                       AS uniform_estimate
+        )
+        SELECT CAST(predicted AS BIGINT) AS histogram_prediction,
+               CAST(actual AS BIGINT) AS actual_rows,
+               CAST(CASE WHEN predicted = actual THEN 1 ELSE 0 END AS INT)
+                   AS histogram_exact,
+               round(uniform_estimate, 2) AS uniform_estimate,
+               round(uniform_estimate / actual, 6) AS uniform_error_ratio
+        FROM prediction, actual, naive
+    """,
+    tags=("data-quality", "cbo", "cardinality", "audit"),
+)
+def join_cardinality_estimation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-output cardinality estimation — the number every
+    cost-based optimizer bets its plan on: with full per-key
+    frequency histograms the predicted size Σ n_L(k)·n_R(k) is EXACT
+    (pinned by histogram_exact = 1 against the real join), while the
+    textbook uniform-frequency formula |L|·|R|/max(d_L, d_R) — what
+    an optimizer uses when it only has distinct counts — is also
+    reported with its error ratio. The gap between the two columns
+    IS the case for column-level histogram statistics.
+
+    Scale: two per-key count aggregates and a join of the (much
+    smaller) key-histogram tables — the estimator never materializes
+    the join it predicts; the actual join runs here only as the
+    audit's ground truth."""
+    li = t(spark, sf_dir, "lineitem")
+    orders = t(spark, sf_dir, "orders")
+    lh = li.groupBy(F.col("l_orderkey").alias("k")).agg(
+        F.count("*").alias("nl")
+    )
+    oh = orders.groupBy(F.col("o_orderkey").alias("k")).agg(
+        F.count("*").alias("no")
+    )
+    predicted = lh.join(oh, "k").agg(
+        F.sum(F.col("nl") * F.col("no")).alias("predicted")
+    )
+    actual = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .agg(F.count("*").alias("actual"))
+    )
+    counts = li.agg(
+        F.count("*").alias("nl_tot"),
+        F.count_distinct("l_orderkey").alias("dl"),
+    ).crossJoin(
+        orders.agg(
+            F.count("*").alias("no_tot"),
+            F.count_distinct("o_orderkey").alias("do_"),
+        )
+    )
+    uniform = (
+        F.col("nl_tot").cast("double")
+        * F.col("no_tot")
+        / F.greatest("dl", "do_")
+    )
+    return (
+        predicted.crossJoin(F.broadcast(actual))
+        .crossJoin(F.broadcast(counts))
+        .select(
+            F.col("predicted").cast("bigint").alias("histogram_prediction"),
+            F.col("actual").cast("bigint").alias("actual_rows"),
+            F.when(F.col("predicted") == F.col("actual"), 1)
+            .otherwise(0)
+            .cast("int")
+            .alias("histogram_exact"),
+            F.round(uniform, 2).alias("uniform_estimate"),
+            F.round(uniform / F.col("actual"), 6).alias(
+                "uniform_error_ratio"
+            ),
+        )
+    )

@@ -1239,3 +1239,100 @@ def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.regr_slope(lf, lr), 6).alias("zipf_slope"),
         F.round(F.regr_r2(lf, lr), 6).alias("zipf_r2"),
     )
+
+
+@register(
+    "text_ngram_novelty",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id,
+                   (doc_id * 2654435761) % 4294967296 % 2 = 0 AS is_ref,
+                   string_split({SQL_NORM_TEXT}, ' ') AS tk
+            FROM documents
+        ),
+        grams AS (
+            SELECT doc_id, is_ref,
+                   tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' '
+                       || tk[i+3] AS g
+            FROM toks, unnest(range(1, len(tk) - 2)) AS u(i)
+            WHERE len(tk) >= 4
+        ),
+        ref AS (SELECT DISTINCT g FROM grams WHERE is_ref),
+        new_grams AS (
+            SELECT g.g, ref.g IS NOT NULL AS seen
+            FROM grams g LEFT JOIN ref ON g.g = ref.g
+            WHERE NOT g.is_ref
+        )
+        SELECT CAST(count(*) AS BIGINT) AS new_grams_total,
+               CAST(count(CASE WHEN NOT seen THEN 1 END) AS BIGINT)
+                   AS novel_grams,
+               CAST(count(CASE WHEN NOT seen THEN 1 END) AS DOUBLE)
+                   / count(*) AS novelty_rate,
+               CAST((SELECT count(*) FROM ref) AS BIGINT) AS ref_vocab
+        FROM new_grams
+    """,
+    tags=("text", "ngram", "novelty", "contamination", "llm-pipeline"),
+)
+def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-4-gram NOVELTY of a held-out half against a reference
+    half (hash-split, pure function of doc_id) — the memorization /
+    freshness measurement run before adding a new crawl to a
+    training mix: a low novelty rate means the candidate data mostly
+    repeats what the reference corpus already contains. Token-level
+    occurrences (not distinct) are scored on the held-out side, so
+    heavily duplicated boilerplate drags the rate down exactly as it
+    would dilute training.
+
+    Scale: the reference side collapses to its DISTINCT 4-gram
+    vocabulary before the membership join (Zipf: |vocab| << corpus),
+    and the join keys on the gram string — at 100 TB you'd hash the
+    grams to int64 first (`dedup` module pattern) and bloom-prefilter
+    the probe; the declarative shape is the same."""
+    docs = t(spark, sf_dir, "documents")
+    is_ref = (
+        F.pmod(
+            F.pmod(F.col("doc_id") * F.lit(2654435761), F.lit(4294967296)),
+            F.lit(2),
+        )
+        == 0
+    )
+    toks = docs.select(
+        "doc_id",
+        is_ref.alias("is_ref"),
+        F.split(normalized_text(), " ").alias("tk"),
+    ).filter(F.size("tk") >= 4)
+    grams = toks.select(
+        "is_ref",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(tk) - 4),"
+                " i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2], tk[i+3]))"
+            )
+        ).alias("g"),
+    )
+    ref = grams.filter(F.col("is_ref")).select("g").distinct()
+    ref_n = ref.agg(F.count("*").alias("ref_vocab"))
+    probe = (
+        grams.filter(~F.col("is_ref"))
+        .join(
+            ref.withColumnRenamed("g", "rg"),
+            F.col("g") == F.col("rg"),
+            "left",
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("new_grams_total"),
+            F.count(F.when(F.col("rg").isNull(), 1))
+            .cast("bigint")
+            .alias("novel_grams"),
+            (
+                F.count(F.when(F.col("rg").isNull(), 1)).cast("double")
+                / F.count("*")
+            ).alias("novelty_rate"),
+        )
+    )
+    return probe.crossJoin(F.broadcast(ref_n)).select(
+        "new_grams_total",
+        "novel_grams",
+        "novelty_rate",
+        F.col("ref_vocab").cast("bigint").alias("ref_vocab"),
+    )

@@ -1093,3 +1093,67 @@ def stream_stream_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame
         F.col("click_id").asc_nulls_first(),
         F.col("purchase_id").asc_nulls_first(),
     )
+
+
+@register(
+    "stream_update_mode_counts",
+    oracle=f"""
+        SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+               event_type,
+               count(*) AS n_events,
+               {sql_dsum('value')} AS sum_value,
+               CAST(count(DISTINCT event_id % 4) AS BIGINT) AS n_updates
+        FROM events
+        GROUP BY 1, 2
+        ORDER BY window_start, event_type
+    """,
+    tags=("streaming", "update-mode", "window-agg", "multi-batch"),
+)
+def stream_update_mode_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UPDATE output mode — the third and last aggregate output mode
+    (complete and append are attested elsewhere): the sink receives
+    only the CHANGED window aggregates each micro-batch. The input
+    splits into 4 deterministic hash shards (event_id % 4) consumed
+    one file per trigger, so each (window, type) key's update count
+    equals the number of shards containing at least one of its
+    events — which the oracle recomputes as count(DISTINCT
+    event_id % 4). The final state per key is recovered from the
+    update stream with max_by over the strictly-increasing event
+    count (exactly how a downstream upsert sink compacts an update
+    feed), and must match the batch aggregate.
+
+    Scale: update mode is the production choice for keyed sinks —
+    per-batch output is O(changed keys), not O(all keys) like
+    complete mode; state size is unchanged."""
+    ev = t(spark, sf_dir, "events").select("event_id", "ts", "event_type", "value")
+    with tempfile.TemporaryDirectory(prefix="updm_") as d:
+        data_dir = os.path.join(d, "events4")
+        for i in range(4):
+            ev.filter(F.col("event_id") % 4 == i).coalesce(1).write.parquet(
+                os.path.join(data_dir, f"shard={i}")
+            )
+        schema = spark.read.parquet(data_dir).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(data_dir)
+        )
+        agg = stream.groupBy(
+            F.window("ts", "1 hour").alias("w"), "event_type"
+        ).agg(
+            F.count("*").alias("n_events"), dsum("value").alias("sum_value")
+        )
+        updates = _run_to_completion(agg, "update")
+        out = (
+            updates.groupBy(
+                F.col("w.start").alias("window_start"), "event_type"
+            )
+            .agg(
+                F.max("n_events").alias("n_events"),
+                F.expr("max_by(sum_value, n_events)").alias("sum_value"),
+                F.count("*").cast("bigint").alias("n_updates"),
+            )
+            .orderBy("window_start", "event_type")
+        )
+        out = out.localCheckpoint(eager=True)
+    return out
