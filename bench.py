@@ -187,6 +187,8 @@ EXTENDED = [
     "graph_label_propagation_communities",
     "join_cardinality_estimation_audit",
     "text_ngram_novelty",
+    "blocking_recall_audit",
+    "embedding_pca_power_iteration",
 ]
 
 # Streaming extended queries run dead LAST (after the streaming
@@ -348,6 +350,8 @@ EXPECTED_SF01: dict[str, float] = {
     "join_cardinality_estimation_audit": 1.6,
     "text_ngram_novelty": 0.7,
     "stream_update_mode_counts": 5.6,
+    "blocking_recall_audit": 1.5,
+    "embedding_pca_power_iteration": 2.3,
 }
 
 

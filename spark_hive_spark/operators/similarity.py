@@ -1188,3 +1188,226 @@ def snm_sorted_neighborhood_pairs(spark: SparkSession, sf_dir: str) -> DataFrame
         .select("name_a", "name_b", dist.cast("int").alias("key_dist"))
         .orderBy("name_a", "name_b")
     )
+
+
+@register(
+    "blocking_recall_audit",
+    oracle="""
+        WITH names AS (SELECT DISTINCT p_name FROM part),
+        truth AS (
+            SELECT a.p_name AS na, b.p_name AS nb
+            FROM names a JOIN names b ON a.p_name < b.p_name
+            WHERE levenshtein(a.p_name, b.p_name) <= 3
+        ),
+        token_cand AS (
+            SELECT a.p_name AS na, b.p_name AS nb
+            FROM names a JOIN names b
+              ON split_part(a.p_name, ' ', 2) = split_part(b.p_name, ' ', 2)
+             AND abs(length(a.p_name) - length(b.p_name)) <= 3
+             AND a.p_name < b.p_name
+        ),
+        keyed AS (
+            SELECT p_name,
+                   array_to_string(list_sort(string_split(p_name, ' ')), ' ')
+                       AS k
+            FROM names
+        ),
+        ranked AS (
+            SELECT p_name, k,
+                   lead(p_name, 1) OVER w AS n1,
+                   lead(p_name, 2) OVER w AS n2
+            FROM keyed
+            WINDOW w AS (PARTITION BY substr(k, 1, 1) ORDER BY k, p_name)
+        ),
+        snm_cand AS (
+            SELECT least(p_name, n1) AS na, greatest(p_name, n1) AS nb
+            FROM ranked WHERE n1 IS NOT NULL
+            UNION
+            SELECT least(p_name, n2), greatest(p_name, n2)
+            FROM ranked WHERE n2 IS NOT NULL
+        )
+        SELECT CAST((SELECT count(*) FROM truth) AS BIGINT) AS n_true_pairs,
+               CAST((SELECT count(*) FROM token_cand) AS BIGINT)
+                   AS token_candidates,
+               CAST((SELECT count(*) FROM truth t
+                     JOIN token_cand c ON t.na = c.na AND t.nb = c.nb)
+                   AS BIGINT) AS token_hits,
+               CAST((SELECT count(*) FROM snm_cand) AS BIGINT)
+                   AS snm_candidates,
+               CAST((SELECT count(*) FROM truth t
+                     JOIN snm_cand c ON t.na = c.na AND t.nb = c.nb)
+                   AS BIGINT) AS snm_hits
+    """,
+    tags=("entity-resolution", "blocking", "recall", "meta-audit"),
+)
+def blocking_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate-generation RECALL audit for the two record-linkage
+    blocking schemes against EXHAUSTIVE ground truth — the evaluation
+    every linkage deployment owes its blocking choice: true pairs =
+    the full quadratic Levenshtein sweep (affordable here because the
+    distinct-name vocabulary is bounded — the same reason production
+    audits run on a sample), then each scheme's candidate set scores
+    hits and candidate volume. Hits/candidates is the recall/cost
+    frontier: token blocking generates more candidates, SNM fewer —
+    what each MISSES is the number that matters.
+
+    Scale: ground truth is quadratic ONLY in the deduplicated
+    vocabulary; candidates reuse the registered schemes' exact
+    blocking predicates; every count is exact."""
+    part = t(spark, sf_dir, "part")
+    names = part.select("p_name").distinct()
+    a, b = names.alias("a"), names.alias("b")
+    truth = (
+        a.join(b, F.col("a.p_name") < F.col("b.p_name"))
+        .filter(F.levenshtein(F.col("a.p_name"), F.col("b.p_name")) <= 3)
+        .select(
+            F.col("a.p_name").alias("na"), F.col("b.p_name").alias("nb")
+        )
+    )
+    token_cand = (
+        a.join(
+            b,
+            (
+                F.split_part(F.col("a.p_name"), F.lit(" "), F.lit(2))
+                == F.split_part(F.col("b.p_name"), F.lit(" "), F.lit(2))
+            )
+            & (
+                F.abs(
+                    F.length(F.col("a.p_name")) - F.length(F.col("b.p_name"))
+                )
+                <= 3
+            )
+            & (F.col("a.p_name") < F.col("b.p_name")),
+        )
+        .select(
+            F.col("a.p_name").alias("na"), F.col("b.p_name").alias("nb")
+        )
+    )
+    keyed = names.select(
+        "p_name",
+        F.array_join(F.array_sort(F.split("p_name", " ")), " ").alias("k"),
+    )
+    w = W.partitionBy(F.substring("k", 1, 1)).orderBy("k", "p_name")
+    ranked = keyed.select(
+        "p_name",
+        F.lead("p_name", 1).over(w).alias("n1"),
+        F.lead("p_name", 2).over(w).alias("n2"),
+    )
+    snm_cand = (
+        ranked.filter(F.col("n1").isNotNull())
+        .select(
+            F.least("p_name", "n1").alias("na"),
+            F.greatest("p_name", "n1").alias("nb"),
+        )
+        .unionByName(
+            ranked.filter(F.col("n2").isNotNull()).select(
+                F.least("p_name", "n2").alias("na"),
+                F.greatest("p_name", "n2").alias("nb"),
+            )
+        )
+        .distinct()
+    )
+    truth = truth.localCheckpoint(eager=False)
+
+    def hits(cand):
+        return truth.join(cand, ["na", "nb"]).agg(
+            F.count("*").alias("h")
+        )
+
+    counts = [
+        truth.agg(F.count("*").alias("n_true_pairs")),
+        token_cand.agg(F.count("*").alias("token_candidates")),
+        hits(token_cand).withColumnRenamed("h", "token_hits"),
+        snm_cand.agg(F.count("*").alias("snm_candidates")),
+        hits(snm_cand).withColumnRenamed("h", "snm_hits"),
+    ]
+    out = counts[0]
+    for c in counts[1:]:
+        out = out.crossJoin(F.broadcast(c))
+    return out.select(
+        F.col("n_true_pairs").cast("bigint").alias("n_true_pairs"),
+        F.col("token_candidates").cast("bigint").alias("token_candidates"),
+        F.col("token_hits").cast("bigint").alias("token_hits"),
+        F.col("snm_candidates").cast("bigint").alias("snm_candidates"),
+        F.col("snm_hits").cast("bigint").alias("snm_hits"),
+    )
+
+
+PCA_ITERS = 8
+
+
+@register(
+    "embedding_pca_power_iteration",
+    oracle="""
+        SELECT CAST(count(*) AS BIGINT) AS n_vectors,
+               CAST(len(first(embedding)) AS INT) AS dim,
+               CAST(1 AS INT) AS unit_norm_ok,
+               CAST(1 AS INT) AS lambda_positive,
+               CAST(1 AS INT) AS lambda_le_trace,
+               CAST(1 AS INT) AS rayleigh_monotone
+        FROM embeddings
+    """,
+    tags=("similarity", "pca", "linear-algebra", "iterative"),
+)
+def embedding_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal direction of the embedding matrix by DISTRIBUTED
+    POWER ITERATION — the linear-algebra-at-scale pattern: each round
+    computes w = Xᵀ(Xv) as per-Arrow-batch partials (a d-vector per
+    batch, the only data that leaves the executors), the driver sums
+    the bounded partial set and renormalizes, and the d-dim iterate
+    broadcasts back inside the next round's closure. No n x n or
+    n x d matrix ever materializes off the executors — the same
+    dataflow runs at any corpus size with driver traffic
+    O(batches x d) per round.
+
+    Exactness-bracket surface (eigenvector floats are not
+    SQL-portable): exact corpus geometry (n, dim) plus four pinned
+    invariants — unit-norm iterate, positive Rayleigh quotient,
+    lambda <= trace(XᵀX), and the power-iteration guarantee that the
+    Rayleigh quotient is nondecreasing across rounds. A pytest
+    additionally pins the distributed result to a single-node numpy
+    run of the identical algorithm (tests/test_invariants.py)."""
+    emb = t(spark, sf_dir, "embeddings")
+    first = emb.select("embedding").first()
+    dim = len(first.embedding)
+    n = emb.count()
+
+    def matvec(v):
+        def f(batches):
+            for pdf in batches:
+                X = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+                w = X.T @ (X @ v)
+                tr = float((X * X).sum())
+                yield pd.DataFrame({"w": [w.tolist()], "tr": [tr]})
+
+        return f
+
+    v = np.ones(dim, dtype=np.float64) / np.sqrt(dim)
+    lambdas = []
+    trace = None
+    for _ in range(PCA_ITERS):
+        parts = emb.select("embedding").mapInPandas(
+            matvec(v), "w array<double>, tr double"
+        ).collect()  # bounded: one row per Arrow batch
+        w = np.sum([np.asarray(r.w) for r in parts], axis=0)
+        trace = float(np.sum([r.tr for r in parts]))
+        lam = float(v @ w)  # Rayleigh quotient v^T X^T X v (v unit)
+        lambdas.append(lam)
+        v = w / np.linalg.norm(w)
+    monotone = all(
+        b >= a - 1e-6 * abs(b) for a, b in zip(lambdas, lambdas[1:])
+    )
+    return spark.createDataFrame(
+        [
+            (
+                n,
+                dim,
+                int(abs(float(np.linalg.norm(v)) - 1.0) < 1e-9),
+                int(lambdas[-1] > 0),
+                int(lambdas[-1] <= trace * (1 + 1e-9)),
+                int(monotone),
+            )
+        ],
+        "n_vectors bigint, dim int, unit_norm_ok int, lambda_positive int,"
+        " lambda_le_trace int, rayleigh_monotone int",
+    )

