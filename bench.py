@@ -189,6 +189,7 @@ EXTENDED = [
     "text_ngram_novelty",
     "blocking_recall_audit",
     "embedding_pca_power_iteration",
+    "privacy_pseudonymized_join",
 ]
 
 # Streaming extended queries run dead LAST (after the streaming
@@ -352,6 +353,7 @@ EXPECTED_SF01: dict[str, float] = {
     "stream_update_mode_counts": 5.6,
     "blocking_recall_audit": 1.5,
     "embedding_pca_power_iteration": 2.3,
+    "privacy_pseudonymized_join": 0.8,
 }
 
 

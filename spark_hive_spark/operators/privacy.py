@@ -173,3 +173,65 @@ def kanonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         risk.cast("bigint").alias("rows_at_risk"),
         F.round(risk.cast("double") / F.sum("n"), 6).alias("pct_rows_at_risk"),
     )
+
+
+# Pseudonymization "key" — in production this would be a secret; the
+# mechanism (keyed modular hash, join-preserving, collision-free on
+# the key domain) is what the query attests.
+_PSEUDO_A = 2654435761
+_PSEUDO_B = 40503
+_PSEUDO_P = 2147483647
+
+
+@register(
+    "privacy_pseudonymized_join",
+    oracle="""
+        SELECT n.n_name,
+               CAST(count(DISTINCT c.c_custkey) AS BIGINT) AS n_customers,
+               CAST(count(o.o_orderkey) AS BIGINT) AS n_orders
+        FROM customer c
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+        GROUP BY n.n_name
+        ORDER BY n.n_name
+    """,
+    tags=("privacy", "pseudonymization", "join-preserving"),
+)
+def privacy_pseudonymized_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JOIN-PRESERVING PSEUDONYMIZATION — the GDPR-era analytics
+    pattern: replace the customer identifier with a keyed hash
+    BEFORE the data reaches the analyst, on BOTH tables
+    independently, and prove the analytical result is unchanged. The
+    query computes per-nation customer/order counts entirely over
+    pseudonymized ids; the oracle computes them over the raw ids —
+    equality attests the mechanism is deterministic, consistent
+    across tables, and collision-free on the key domain (any
+    collision merges two customers and flips the count hash).
+
+    The pseudonym is an affine modular hash here; swapping in
+    HMAC-SHA256(secret, key) changes nothing structural. Scale: the
+    mapping is a row-local expression — no lookup table to join,
+    which is exactly why keyed hashing beats tokenization vaults for
+    100 TB joins."""
+    def pseudo(col):
+        return (col % _PSEUDO_P) * _PSEUDO_A % _PSEUDO_P + _PSEUDO_B
+
+    cust = t(spark, sf_dir, "customer").select(
+        pseudo(F.col("c_custkey")).alias("pid"), "c_nationkey"
+    )
+    orders = t(spark, sf_dir, "orders").select(
+        pseudo(F.col("o_custkey")).alias("o_pid"), "o_orderkey"
+    )
+    nation = t(spark, sf_dir, "nation")
+    return (
+        cust.join(
+            F.broadcast(nation), cust.c_nationkey == nation.n_nationkey
+        )
+        .join(orders, F.col("pid") == F.col("o_pid"), "left")
+        .groupBy("n_name")
+        .agg(
+            F.count_distinct("pid").cast("bigint").alias("n_customers"),
+            F.count("o_orderkey").cast("bigint").alias("n_orders"),
+        )
+        .orderBy("n_name")
+    )
