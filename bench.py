@@ -190,6 +190,9 @@ EXTENDED = [
     "blocking_recall_audit",
     "embedding_pca_power_iteration",
     "privacy_pseudonymized_join",
+    "concurrency_peak_sweepline",
+    "cusum_changepoint_daily_revenue",
+    "cep_rising_value_runs",
 ]
 
 # Streaming extended queries run dead LAST (after the streaming
@@ -354,6 +357,9 @@ EXPECTED_SF01: dict[str, float] = {
     "blocking_recall_audit": 1.5,
     "embedding_pca_power_iteration": 2.3,
     "privacy_pseudonymized_join": 0.8,
+    "concurrency_peak_sweepline": 1.7,
+    "cusum_changepoint_daily_revenue": 0.9,
+    "cep_rising_value_runs": 0.8,
 }
 
 

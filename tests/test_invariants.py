@@ -635,3 +635,100 @@ def test_pca_power_iteration_matches_single_node(spark):
     # percent of the top eigenvalue
     assert lam <= evals[-1] * (1 + 1e-9)
     assert lam >= 0.5 * evals[-1]
+
+
+def test_cusum_closed_form_matches_direct_recursion(spark):
+    """The registered CUSUM query uses the prefix-sum identity
+    S_i = P_i - min(0, min_{j<=i} P_j); recompute S by the literal
+    max(0, S_{i-1} + z - k) recursion from the same daily series and
+    demand agreement to the query's 4dp output."""
+    import duckdb
+
+    from spark_hive_spark.operators.timeseries import CUSUM_K
+    from spark_hive_spark.plans.registry import all_queries
+    from tests.conftest import SF_SMOKE
+    from spark_hive_spark.tables import table_path
+
+    con = duckdb.connect()
+    daily = con.execute(
+        f"""
+        SELECT CAST(o_orderdate AS DATE) AS day,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS x
+        FROM '{table_path(SF_SMOKE, "orders")}'
+        GROUP BY day ORDER BY day
+        """
+    ).fetchall()
+    xs = [x for _, x in daily]
+    n = len(xs)
+    mu = sum(xs) / n
+    var = (sum(v * v for v in xs) - sum(xs) ** 2 / n) / (n - 1)
+    sd = var**0.5
+    s, by_day = 0.0, {}
+    for (day, x) in daily:
+        s = max(0.0, s + (x - mu) / sd - CUSUM_K)
+        by_day[day.strftime("%Y-%m-%d")] = s
+    rows = (
+        all_queries()["cusum_changepoint_daily_revenue"]
+        .fn(spark, SF_SMOKE)
+        .collect()
+    )
+    assert rows, "cusum query returned nothing"
+    for r in rows:
+        assert abs(by_day[r.day] - r.cusum_pos) < 1e-3, (
+            r.day,
+            by_day[r.day],
+            r.cusum_pos,
+        )
+
+
+def test_sweepline_peak_matches_bruteforce_minute_scan(spark):
+    """Peak concurrency per day from the sweep-line query must equal a
+    literal per-minute occupancy count over the sessionized intervals
+    (recomputed independently in Python)."""
+    from collections import defaultdict
+    from datetime import timedelta
+
+    from spark_hive_spark.operators.timeseries import SESSION_GAP_US
+    from spark_hive_spark.plans.registry import all_queries
+    from spark_hive_spark.tables import t
+    from tests.conftest import SF_SMOKE
+
+    ev = sorted(
+        t(spark, SF_SMOKE, "events")
+        .select("user_id", "ts", "event_id")
+        .collect(),
+        key=lambda r: (r.user_id, r.ts, r.event_id),
+    )
+    # sessionize per user with the same gap
+    sessions = []
+    cur = None
+    for r in ev:
+        if (
+            cur is None
+            or r.user_id != cur[0]
+            or (r.ts - cur[2]).total_seconds() * 1e6 > SESSION_GAP_US
+        ):
+            if cur is not None:
+                sessions.append((cur[1], cur[2]))
+            cur = [r.user_id, r.ts, r.ts]
+        else:
+            cur[2] = r.ts
+    if cur is not None:
+        sessions.append((cur[1], cur[2]))
+    # brute-force minute occupancy: [trunc(sm), trunc(em)+1min)
+    occ = defaultdict(int)
+    for sm, em in sessions:
+        m = sm.replace(second=0, microsecond=0)
+        end = em.replace(second=0, microsecond=0) + timedelta(minutes=1)
+        while m < end:
+            occ[m] += 1
+            m += timedelta(minutes=1)
+    peak_by_day = defaultdict(int)
+    for m, c in occ.items():
+        d = m.strftime("%Y-%m-%d")
+        peak_by_day[d] = max(peak_by_day[d], c)
+    rows = (
+        all_queries()["concurrency_peak_sweepline"].fn(spark, SF_SMOKE).collect()
+    )
+    got = {r.day: r.peak_concurrency for r in rows}
+    assert got == dict(peak_by_day)
