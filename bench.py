@@ -193,6 +193,8 @@ EXTENDED = [
     "concurrency_peak_sweepline",
     "cusum_changepoint_daily_revenue",
     "cep_rising_value_runs",
+    "proration_largest_remainder",
+    "gini_customer_revenue",
 ]
 
 # Streaming extended queries run dead LAST (after the streaming
@@ -360,6 +362,8 @@ EXPECTED_SF01: dict[str, float] = {
     "concurrency_peak_sweepline": 1.7,
     "cusum_changepoint_daily_revenue": 0.9,
     "cep_rising_value_runs": 0.8,
+    "proration_largest_remainder": 2.5,
+    "gini_customer_revenue": 0.9,
 }
 
 

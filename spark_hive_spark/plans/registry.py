@@ -167,6 +167,7 @@ def _load_all() -> None:
         "spark_hive_spark.operators.modern_sql",
         "spark_hive_spark.operators.graph",
         "spark_hive_spark.operators.timeseries",
+        "spark_hive_spark.operators.finance",
         "spark_hive_spark.sources.evolution",
     ):
         try:

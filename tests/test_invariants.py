@@ -732,3 +732,75 @@ def test_sweepline_peak_matches_bruteforce_minute_scan(spark):
     )
     got = {r.day: r.peak_concurrency for r in rows}
     assert got == dict(peak_by_day)
+
+
+def test_proration_exact_on_adversarial_orders(spark):
+    """Largest-remainder allocation must sum exactly to the order
+    total even when every share ties on the remainder and the total
+    is not a multiple of the line count — crafted here, checked
+    through the same cent-integer pipeline as the registered query."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    rows = [
+        # order 1: 100.01 over 3 equal weights -> 33.34/33.34/33.33
+        (1, 1, 10.0, 10001),
+        (1, 2, 10.0, 10001),
+        (1, 3, 10.0, 10001),
+        # order 2: 0.05 over 2 very unequal weights
+        (2, 1, 999.99, 5),
+        (2, 2, 0.01, 5),
+        # order 3: single line gets everything
+        (3, 1, 123.45, 77777),
+    ]
+    df = spark.createDataFrame(
+        rows, "l_orderkey long, l_linenumber int, w double, total_c long"
+    ).withColumn("w_c", F.round(F.col("w") * 100, 0).cast("bigint"))
+    ow = W.partitionBy("l_orderkey")
+    d = (
+        df.withColumn("wsum", F.sum("w_c").over(ow))
+        .withColumn("q", F.expr("(total_c * w_c) DIV wsum"))
+        .withColumn("rem", F.expr("(total_c * w_c) % wsum"))
+        .withColumn(
+            "rk", F.row_number().over(ow.orderBy(F.desc("rem"), "l_linenumber"))
+        )
+        .withColumn("qsum", F.sum("q").over(ow))
+        .withColumn(
+            "alloc_c",
+            F.col("q")
+            + F.when(F.col("rk") <= F.col("total_c") - F.col("qsum"), 1)
+            .otherwise(0),
+        )
+    )
+    per_order = {
+        r.l_orderkey: (r.alloc, r.total)
+        for r in d.groupBy("l_orderkey")
+        .agg(
+            F.sum("alloc_c").alias("alloc"), F.max("total_c").alias("total")
+        )
+        .collect()
+    }
+    assert all(a == t_ for a, t_ in per_order.values()), per_order
+    # the equal-weight ties break by line number: lines 1,2 get the cent
+    allocs = {
+        (r.l_orderkey, r.l_linenumber): r.alloc_c for r in d.collect()
+    }
+    assert allocs[(1, 1)] == 3334 and allocs[(1, 2)] == 3334
+    assert allocs[(1, 3)] == 3333
+
+
+def test_gini_bounds_and_lorenz_shape(spark):
+    """Gini in [0,1); cumulative Lorenz shares strictly increasing and
+    ending at 1; registered-query output at smoke scale."""
+    from spark_hive_spark.plans.registry import all_queries
+    from tests.conftest import SF_SMOKE
+
+    rows = all_queries()["gini_customer_revenue"].fn(spark, SF_SMOKE).collect()
+    assert len(rows) == 10
+    g = rows[0].gini
+    assert 0.0 <= g < 1.0 and all(r.gini == g for r in rows)
+    shares = [r.cum_share for r in rows]
+    assert shares == sorted(shares) and abs(shares[-1] - 1.0) < 1e-9
+    # Lorenz curve lies under the diagonal (ascending-rank deciles)
+    for i, s in enumerate(shares[:-1], start=1):
+        assert s <= i / 10 + 1e-9
