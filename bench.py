@@ -195,6 +195,7 @@ EXTENDED = [
     "cep_rising_value_runs",
     "proration_largest_remainder",
     "gini_customer_revenue",
+    "graph_bfs_trade_hops",
 ]
 
 # Streaming extended queries run dead LAST (after the streaming
@@ -364,6 +365,7 @@ EXPECTED_SF01: dict[str, float] = {
     "cep_rising_value_runs": 0.8,
     "proration_largest_remainder": 2.5,
     "gini_customer_revenue": 0.9,
+    "graph_bfs_trade_hops": 3.7,
 }
 
 

@@ -478,3 +478,138 @@ def graph_label_propagation_communities(spark: SparkSession, sf_dir: str) -> Dat
         )
         .orderBy("community", "n_name")
     )
+
+
+BFS_HUB = "NATION_0"
+BFS_MAX_ROUNDS = 25
+BFS_TOP_LANES = 2
+
+_BFS_ORACLE = f"""
+    WITH RECURSIVE dir AS (
+        SELECT s.s_nationkey AS src, c.c_nationkey AS dst,
+               count(*) AS w
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        WHERE s.s_nationkey <> c.c_nationkey
+        GROUP BY src, dst
+    ),
+    top2 AS (
+        SELECT src, dst FROM (
+            SELECT src, dst,
+                   row_number() OVER (PARTITION BY src
+                                      ORDER BY w DESC, dst) AS rn
+            FROM dir
+        ) WHERE rn <= {BFS_TOP_LANES}
+    ),
+    ed AS (
+        SELECT src, dst FROM top2
+        UNION
+        SELECT dst, src FROM top2
+    ),
+    bfs(node, d) AS (
+        SELECT n_nationkey, 0 FROM nation WHERE n_name = '{BFS_HUB}'
+        UNION
+        SELECT e.dst, b.d + 1
+        FROM bfs b JOIN ed e ON e.src = b.node
+        WHERE b.d < {BFS_MAX_ROUNDS}
+    )
+    SELECT n.n_name,
+           CAST(coalesce(min(b.d), -1) AS BIGINT) AS hops
+    FROM nation n LEFT JOIN bfs b ON b.node = n.n_nationkey
+    GROUP BY n.n_name
+    ORDER BY n.n_name
+"""
+
+
+@register(
+    "graph_bfs_trade_hops",
+    oracle=_BFS_ORACLE,
+    tags=("graph", "bfs", "iterative"),
+)
+def graph_bfs_trade_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTRIBUTED BFS — minimum hop count from a hub nation over the
+    SPARSIFIED trade graph (each nation keeps only its top-2
+    heaviest outbound lanes by lineitem count, tie-break dst key;
+    then symmetrized). Sparsification makes distances non-trivial —
+    the raw nation graph is near-complete at every SF — and mirrors
+    how k-NN graphs are built from dense similarity matrices.
+
+    The loop is frontier-expansion BFS: each round joins the frontier
+    to the edge list, keeps unseen nodes (broadcast anti-join against
+    the settled set), checkpoints, and probes one scalar count for
+    convergence — the same bounded-driver-roundtrip contract as
+    connected components (operators/dedup.py). Rounds are bounded by
+    the node count with a loud guard; unreached nations surface as
+    NULL hops. Graph construction reuses the one-shuffle fact
+    pipeline of pagerank_nation_trade; the iteration itself runs on
+    the contracted 25-node graph, so per-round cost is independent
+    of fact volume. Unreached nations report hops = -1 (NULL would
+    canonicalize differently across engines). Oracle: DuckDB
+    recursive CTE (UNION-distinct keeps the path explosion
+    bounded)."""
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    supp = t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = t(spark, sf_dir, "nation")
+
+    dirw = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), F.col("o_custkey") == cust.c_custkey)
+        .join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
+        .filter(F.col("s_nationkey") != F.col("c_nationkey"))
+        .groupBy(
+            F.col("s_nationkey").alias("src"), F.col("c_nationkey").alias("dst")
+        )
+        .agg(F.count("*").alias("w"))
+    )
+    top2 = (
+        dirw.withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("src").orderBy(F.desc("w"), "dst")
+            ),
+        )
+        .filter(F.col("rn") <= BFS_TOP_LANES)
+        .select("src", "dst")
+    )
+    edges = (
+        top2.unionAll(top2.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    dist = (
+        nation.filter(F.col("n_name") == BFS_HUB)
+        .select(F.col("n_nationkey").alias("node"), F.lit(0).alias("d"))
+        .localCheckpoint(eager=True)
+    )
+    frontier = dist
+    for _ in range(BFS_MAX_ROUNDS):
+        nxt = (
+            F.broadcast(frontier)
+            .join(edges, frontier.node == edges.src)
+            .select(F.col("dst").alias("node"), (F.col("d") + 1).alias("d"))
+            .groupBy("node")
+            .agg(F.min("d").alias("d"))
+            .join(F.broadcast(dist), "node", "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        if nxt.count() == 0:  # bounded scalar convergence probe
+            break
+        dist = dist.unionAll(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    else:
+        raise RuntimeError(
+            f"BFS did not settle within {BFS_MAX_ROUNDS} rounds — "
+            "graph larger than the node bound implies a bug"
+        )
+    return (
+        nation.join(F.broadcast(dist), nation.n_nationkey == dist.node, "left")
+        .select(
+            "n_name",
+            F.coalesce(F.col("d"), F.lit(-1)).cast("bigint").alias("hops"),
+        )
+        .orderBy("n_name")
+    )

@@ -804,3 +804,67 @@ def test_gini_bounds_and_lorenz_shape(spark):
     # Lorenz curve lies under the diagonal (ascending-rank deciles)
     for i, s in enumerate(shares[:-1], start=1):
         assert s <= i / 10 + 1e-9
+
+
+def test_bfs_hops_satisfy_frontier_property(spark):
+    """Every node at hop d>0 must have a neighbor at hop d-1, the hub
+    is at 0, and no settled hop can be improved through any edge
+    (relaxation fixpoint) — checked against an independently built
+    edge list at smoke scale."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from spark_hive_spark.operators.graph import BFS_HUB, BFS_TOP_LANES
+    from spark_hive_spark.plans.registry import all_queries
+    from spark_hive_spark.tables import t
+    from tests.conftest import SF_SMOKE
+
+    li = t(spark, SF_SMOKE, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = t(spark, SF_SMOKE, "orders").select("o_orderkey", "o_custkey")
+    cust = t(spark, SF_SMOKE, "customer").select("c_custkey", "c_nationkey")
+    supp = t(spark, SF_SMOKE, "supplier").select("s_suppkey", "s_nationkey")
+    dirw = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, F.col("o_custkey") == cust.c_custkey)
+        .join(supp, F.col("l_suppkey") == supp.s_suppkey)
+        .filter(F.col("s_nationkey") != F.col("c_nationkey"))
+        .groupBy(
+            F.col("s_nationkey").alias("src"), F.col("c_nationkey").alias("dst")
+        )
+        .agg(F.count("*").alias("w"))
+        .withColumn(
+            "rn",
+            F.row_number().over(W.partitionBy("src").orderBy(F.desc("w"), "dst")),
+        )
+        .filter(F.col("rn") <= BFS_TOP_LANES)
+        .select("src", "dst")
+        .collect()
+    )
+    adj = {}
+    for r in dirw:
+        adj.setdefault(r.src, set()).add(r.dst)
+        adj.setdefault(r.dst, set()).add(r.src)
+    nation = {
+        r.n_name: r.n_nationkey
+        for r in t(spark, SF_SMOKE, "nation").collect()
+    }
+    hops = {
+        nation[r.n_name]: r.hops
+        for r in all_queries()["graph_bfs_trade_hops"].fn(spark, SF_SMOKE).collect()
+    }
+    hub = nation[BFS_HUB]
+    assert hops[hub] == 0
+    for node, d in hops.items():
+        if d > 0:
+            assert any(hops.get(nb, -1) == d - 1 for nb in adj.get(node, ())), (
+                node,
+                d,
+            )
+        if d >= 0:
+            for nb in adj.get(node, ()):
+                if hops.get(nb, -1) >= 0:
+                    assert hops[nb] <= d + 1, (node, nb)
+    # unreached (-1) nodes must have no reached neighbor
+    for node, d in hops.items():
+        if d == -1:
+            assert all(hops.get(nb, -1) == -1 for nb in adj.get(node, ())), node
