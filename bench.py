@@ -196,6 +196,7 @@ EXTENDED = [
     "proration_largest_remainder",
     "gini_customer_revenue",
     "graph_bfs_trade_hops",
+    "setsim_ppjoin_prefix_filter",
 ]
 
 # Streaming extended queries run dead LAST (after the streaming
@@ -366,6 +367,7 @@ EXPECTED_SF01: dict[str, float] = {
     "proration_largest_remainder": 2.5,
     "gini_customer_revenue": 0.9,
     "graph_bfs_trade_hops": 3.7,
+    "setsim_ppjoin_prefix_filter": 7.0,
 }
 
 

@@ -168,6 +168,7 @@ def _load_all() -> None:
         "spark_hive_spark.operators.graph",
         "spark_hive_spark.operators.timeseries",
         "spark_hive_spark.operators.finance",
+        "spark_hive_spark.operators.setsim",
         "spark_hive_spark.sources.evolution",
     ):
         try:

@@ -868,3 +868,49 @@ def test_bfs_hops_satisfy_frontier_property(spark):
     for node, d in hops.items():
         if d == -1:
             assert all(hops.get(nb, -1) == -1 for nb in adj.get(node, ())), node
+
+
+def test_ppjoin_matches_python_bruteforce(spark):
+    """PPJoin completeness re-proof, blind: recompute the exact
+    same-lang Jaccard join by literal O(n²) set intersection in
+    Python at smoke scale and demand identical ventile buckets,
+    pair counts, and checksums."""
+    import re
+    from collections import defaultdict
+    from itertools import combinations
+
+    from spark_hive_spark.operators.setsim import T_DEN, T_NUM
+    from spark_hive_spark.plans.registry import all_queries
+    from spark_hive_spark.tables import t
+    from tests.conftest import SF_SMOKE
+
+    docs = t(spark, SF_SMOKE, "documents").select(
+        "doc_id", "lang", "text"
+    ).collect()
+    toksets = {}
+    for r in docs:
+        norm = re.sub(r"\s+", " ", r.text.strip().lower())
+        toks = {w for w in norm.split(" ") if w}
+        if toks:
+            toksets[r.doc_id] = (r.lang, toks)
+    agg = defaultdict(lambda: [0, 0, 0])
+    for (d1, (l1, s1)), (d2, (l2, s2)) in combinations(
+        sorted(toksets.items()), 2
+    ):
+        if l1 != l2:
+            continue
+        inter = len(s1 & s2)
+        union = len(s1) + len(s2) - inter
+        if T_DEN * inter >= T_NUM * union:
+            b = (20 * inter) // union
+            agg[b][0] += 1
+            agg[b][1] += inter
+            agg[b][2] += d1 * 1000003 + d2
+    rows = (
+        all_queries()["setsim_ppjoin_prefix_filter"].fn(spark, SF_SMOKE).collect()
+    )
+    got = {
+        r.jaccard_ventile: [r.n_pairs, r.sum_common, r.pair_checksum]
+        for r in rows
+    }
+    assert got == dict(agg)
