@@ -197,6 +197,9 @@ EXTENDED = [
     "gini_customer_revenue",
     "graph_bfs_trade_hops",
     "setsim_ppjoin_prefix_filter",
+    "mining_hard_negatives",
+    "curriculum_interleaved_order",
+    "class_balance_weights",
 ]
 
 # Streaming extended queries run dead LAST (after the streaming
@@ -368,6 +371,9 @@ EXPECTED_SF01: dict[str, float] = {
     "gini_customer_revenue": 0.9,
     "graph_bfs_trade_hops": 3.7,
     "setsim_ppjoin_prefix_filter": 7.0,
+    "mining_hard_negatives": 6.5,
+    "curriculum_interleaved_order": 0.8,
+    "class_balance_weights": 0.9,
 }
 
 

@@ -169,6 +169,7 @@ def _load_all() -> None:
         "spark_hive_spark.operators.timeseries",
         "spark_hive_spark.operators.finance",
         "spark_hive_spark.operators.setsim",
+        "spark_hive_spark.operators.mining",
         "spark_hive_spark.sources.evolution",
     ):
         try:

@@ -914,3 +914,41 @@ def test_ppjoin_matches_python_bruteforce(spark):
         for r in rows
     }
     assert got == dict(agg)
+
+
+def test_hard_negatives_exact_vs_numpy(spark):
+    """The distributed per-task top-k refinement must equal a literal
+    numpy all-pairs computation at smoke scale: same neighbor ids,
+    same order, labels always differ."""
+    import numpy as np
+
+    from spark_hive_spark.operators.mining import HN_TOP_K
+    from spark_hive_spark.plans.registry import all_queries
+    from spark_hive_spark.tables import t
+    from tests.conftest import SF_SMOKE
+
+    rows = t(spark, SF_SMOKE, "embeddings").collect()
+    ids = np.array([r.vec_id for r in rows])
+    labs = np.array([r.label for r in rows])
+    X = np.stack([np.asarray(r.embedding, dtype=np.float64) for r in rows])
+    X /= np.linalg.norm(X, axis=1, keepdims=True)
+    S = np.round(X @ X.T, 6)
+    expected = {}
+    for i in range(len(ids)):
+        mask = labs != labs[i]
+        sims, nids = S[i, mask], ids[mask]
+        order = np.lexsort((nids, -sims))[:HN_TOP_K]
+        expected[ids[i]] = list(zip(nids[order], sims[order]))
+    got = {}
+    for r in (
+        all_queries()["mining_hard_negatives"].fn(spark, SF_SMOKE).collect()
+    ):
+        got.setdefault(r.query_id, []).append(
+            (r.neighbor_id, r.cos_sim, r.neg_label)
+        )
+        assert r.neg_label != labs[ids == r.query_id][0]
+    assert set(got) == set(expected)
+    for qid, exp in expected.items():
+        assert [(n, s) for n, s, _ in got[qid]] == [
+            (int(n), float(s)) for n, s in exp
+        ], qid
