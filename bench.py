@@ -200,6 +200,7 @@ EXTENDED = [
     "mining_hard_negatives",
     "curriculum_interleaved_order",
     "class_balance_weights",
+    "mannwhitney_u_segments",
 ]
 
 # Streaming extended queries run dead LAST (after the streaming
@@ -374,6 +375,7 @@ EXPECTED_SF01: dict[str, float] = {
     "mining_hard_negatives": 6.5,
     "curriculum_interleaved_order": 0.8,
     "class_balance_weights": 0.9,
+    "mannwhitney_u_segments": 1.3,
 }
 
 

@@ -673,3 +673,116 @@ def stats_bootstrap_se_price(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("se_bracket_ok"),
     )
+
+
+_MWU_ORACLE = """
+    WITH pool AS (
+        SELECT c_mktsegment AS seg,
+               CAST(c_acctbal AS DECIMAL(18,2)) AS v
+        FROM customer
+        WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')
+          AND c_acctbal IS NOT NULL
+    ),
+    ranked AS (
+        SELECT seg, v,
+               rank() OVER (ORDER BY v) AS rmin,
+               count(*) OVER (PARTITION BY v) AS cnt
+        FROM pool
+    ),
+    avgr AS (
+        SELECT seg, rmin + (cnt - 1) / 2.0 AS ar FROM ranked
+    ),
+    ties AS (
+        SELECT sum(t * t * t - t) AS tie_sum FROM (
+            SELECT count(*) AS t FROM pool GROUP BY v
+        )
+    ),
+    agg AS (
+        SELECT count(CASE WHEN seg = 'BUILDING' THEN 1 END) AS n1,
+               count(CASE WHEN seg = 'MACHINERY' THEN 1 END) AS n2,
+               sum(CASE WHEN seg = 'BUILDING' THEN ar END) AS r1
+        FROM avgr
+    )
+    SELECT CAST(n1 AS BIGINT) AS n_building,
+           CAST(n2 AS BIGINT) AS n_machinery,
+           round(r1 - n1 * (n1 + 1) / 2.0, 2) AS u_stat,
+           round(
+               (r1 - n1 * (n1 + 1) / 2.0 - n1 * n2 / 2.0)
+               / sqrt(CAST(n1 AS DOUBLE) * n2 / 12.0
+                      * ((n1 + n2 + 1)
+                         - CAST(tie_sum AS DOUBLE)
+                           / ((n1 + n2) * CAST(n1 + n2 - 1 AS DOUBLE)))),
+               6) AS z_approx
+    FROM agg, ties
+"""
+
+
+@register(
+    "mannwhitney_u_segments",
+    oracle=_MWU_ORACLE,
+    tags=("statistics", "nonparametric", "rank-test"),
+)
+def mannwhitney_u_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MANN-WHITNEY U — the nonparametric companion to
+    welch_ttest_segments over the same two customer segments:
+    average ranks for ties (rmin + (t−1)/2 over the pooled decimal
+    values), U = R1 − n1(n1+1)/2, and the tie-corrected normal
+    approximation z (no continuity correction, stated). Rank sums
+    add half-integers — exactly representable doubles, so the sum is
+    order-independent and both engines agree bit-for-bit before the
+    single sqrt.
+
+    Scale: one pooled window on the value order (the same
+    range-partitionable global-rank shape as the engine's other
+    order-statistics), a tiny tie aggregate, and a one-row reduce —
+    no join against the fact tables."""
+    from pyspark.sql import Window as W
+
+    pool = (
+        t(spark, sf_dir, "customer")
+        .filter(
+            F.col("c_mktsegment").isin("BUILDING", "MACHINERY")
+            & F.col("c_acctbal").isNotNull()
+        )
+        .select(
+            F.col("c_mktsegment").alias("seg"),
+            F.col("c_acctbal").cast("decimal(18,2)").alias("v"),
+        )
+    )
+    ranked = pool.withColumn(
+        "rmin", F.rank().over(W.orderBy("v"))
+    ).withColumn("cnt", F.count("*").over(W.partitionBy("v")))
+    avgr = ranked.select(
+        "seg", (F.col("rmin") + (F.col("cnt") - 1) / 2.0).alias("ar")
+    )
+    ties = (
+        pool.groupBy("v")
+        .agg(F.count("*").alias("tc"))
+        .agg(
+            F.sum(
+                F.col("tc") * F.col("tc") * F.col("tc") - F.col("tc")
+            ).alias("tie_sum")
+        )
+    )
+    agg = avgr.agg(
+        F.count(F.when(F.col("seg") == "BUILDING", 1)).alias("n1"),
+        F.count(F.when(F.col("seg") == "MACHINERY", 1)).alias("n2"),
+        F.sum(F.when(F.col("seg") == "BUILDING", F.col("ar"))).alias("r1"),
+    )
+    n1, n2, r1 = F.col("n1"), F.col("n2"), F.col("r1")
+    n = n1 + n2
+    u = r1 - n1 * (n1 + 1) / 2.0
+    sigma = F.sqrt(
+        n1.cast("double") * n2 / 12.0
+        * (
+            (n + 1)
+            - F.col("tie_sum").cast("double")
+            / (n * (n - 1).cast("double"))
+        )
+    )
+    return agg.crossJoin(F.broadcast(ties)).select(
+        n1.cast("bigint").alias("n_building"),
+        n2.cast("bigint").alias("n_machinery"),
+        F.round(u, 2).alias("u_stat"),
+        F.round((u - n1 * n2 / 2.0) / sigma, 6).alias("z_approx"),
+    )

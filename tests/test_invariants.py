@@ -952,3 +952,45 @@ def test_hard_negatives_exact_vs_numpy(spark):
         assert [(n, s) for n, s, _ in got[qid]] == [
             (int(n), float(s)) for n, s in exp
         ], qid
+
+
+def test_mannwhitney_matches_python_reference(spark):
+    """U and z recomputed by a literal Python implementation
+    (average ranks, tie-corrected variance) at smoke scale."""
+    from collections import Counter
+
+    from spark_hive_spark.plans.registry import all_queries
+    from spark_hive_spark.tables import t
+    from tests.conftest import SF_SMOKE
+    from pyspark.sql import functions as F
+
+    rows = (
+        t(spark, SF_SMOKE, "customer")
+        .filter(
+            F.col("c_mktsegment").isin("BUILDING", "MACHINERY")
+            & F.col("c_acctbal").isNotNull()
+        )
+        .select("c_mktsegment", "c_acctbal")
+        .collect()
+    )
+    pool = [(r.c_mktsegment, round(r.c_acctbal, 2)) for r in rows]
+    vals = sorted(v for _, v in pool)
+    first_rank = {}
+    for i, v in enumerate(vals, start=1):
+        first_rank.setdefault(v, i)
+    cnt = Counter(vals)
+    avg_rank = {v: first_rank[v] + (cnt[v] - 1) / 2.0 for v in cnt}
+    n1 = sum(1 for s, _ in pool if s == "BUILDING")
+    n2 = len(pool) - n1
+    r1 = sum(avg_rank[v] for s, v in pool if s == "BUILDING")
+    u = r1 - n1 * (n1 + 1) / 2.0
+    n = n1 + n2
+    tie_sum = sum(t_**3 - t_ for t_ in cnt.values())
+    sigma = (
+        n1 * n2 / 12.0 * ((n + 1) - tie_sum / (n * (n - 1)))
+    ) ** 0.5
+    z = (u - n1 * n2 / 2.0) / sigma
+    got = all_queries()["mannwhitney_u_segments"].fn(spark, SF_SMOKE).collect()[0]
+    assert got.n_building == n1 and got.n_machinery == n2
+    assert abs(got.u_stat - u) < 0.01
+    assert abs(got.z_approx - z) < 1e-5
