@@ -201,6 +201,7 @@ EXTENDED = [
     "curriculum_interleaved_order",
     "class_balance_weights",
     "mannwhitney_u_segments",
+    "slo_burnrate_multiwindow",
 ]
 
 # Streaming extended queries run dead LAST (after the streaming
@@ -376,6 +377,7 @@ EXPECTED_SF01: dict[str, float] = {
     "curriculum_interleaved_order": 0.8,
     "class_balance_weights": 0.9,
     "mannwhitney_u_segments": 1.3,
+    "slo_burnrate_multiwindow": 1.2,
 }
 
 

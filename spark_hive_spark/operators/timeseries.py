@@ -315,3 +315,105 @@ def cep_rising_value_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("run_len")
     )
+
+
+BURN_BIN_US = 600 * 1_000_000  # 10-minute bins
+BURN_SHORT_BINS = 5  # current + 5 preceding = 1 h
+BURN_LONG_BINS = 35  # current + 35 preceding = 6 h
+BURN_FACTOR = 1.15  # alert when BOTH windows exceed base_rate * this
+BURN_TOP = 50
+
+_BURNRATE_ORACLE = f"""
+    WITH bins AS (
+        SELECT epoch_us(ts) // {BURN_BIN_US} AS bin,
+               count(*) AS n,
+               count(CASE WHEN event_type = 'error' THEN 1 END) AS ne
+        FROM events GROUP BY bin
+    ),
+    base AS (
+        SELECT CAST(sum(ne) AS DOUBLE) / sum(n) AS b FROM bins
+    ),
+    rolled AS (
+        SELECT bin,
+               sum(n) OVER ws AS n_1h, sum(ne) OVER ws AS ne_1h,
+               sum(n) OVER wl AS n_6h, sum(ne) OVER wl AS ne_6h
+        FROM bins
+        WINDOW ws AS (ORDER BY bin
+                      RANGE BETWEEN {BURN_SHORT_BINS} PRECEDING
+                                AND CURRENT ROW),
+               wl AS (ORDER BY bin
+                      RANGE BETWEEN {BURN_LONG_BINS} PRECEDING
+                                AND CURRENT ROW)
+    )
+    SELECT CAST(bin * {BURN_BIN_US} // 1000000 AS BIGINT) AS bin_start_epoch,
+           CAST(n_1h AS BIGINT) AS n_1h,
+           CAST(n_6h AS BIGINT) AS n_6h,
+           round(CAST(ne_1h AS DOUBLE) / n_1h, 6) AS rate_1h,
+           round(CAST(ne_6h AS DOUBLE) / n_6h, 6) AS rate_6h,
+           round(b, 6) AS base_rate
+    FROM rolled, base
+    WHERE CAST(ne_1h AS DOUBLE) / n_1h > b * {BURN_FACTOR}
+      AND CAST(ne_6h AS DOUBLE) / n_6h > b * {BURN_FACTOR}
+    ORDER BY round(CAST(ne_1h AS DOUBLE) / n_1h, 6) DESC, bin_start_epoch
+    LIMIT {BURN_TOP}
+"""
+
+
+@register(
+    "slo_burnrate_multiwindow",
+    oracle=_BURNRATE_ORACLE,
+    tags=("timeseries", "slo", "burn-rate"),
+)
+def slo_burnrate_multiwindow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MULTI-WINDOW SLO BURN-RATE ALERT (the Google SRE workbook
+    pattern): page only when the error rate exceeds the threshold in
+    BOTH a short (1 h) and a long (6 h) rolling window — the short
+    window gives fast detection, the long window suppresses blips.
+    The threshold adapts to the corpus (base error rate × 1.15), and
+    the output is the top-50 alert bins by short-window rate
+    (rounded-rate + bin total order) so it stays bounded at any SF.
+    Events bucket into 10-minute bins FIRST (map-side combinable
+    count + conditional count), then two RANGE-frame rolling sums
+    over the bin index handle missing bins identically in both
+    engines. Rates are ratios of exact integers — one double
+    division each, bit-identical."""
+    ev = t(spark, sf_dir, "events")
+    bins = ev.groupBy(
+        (F.unix_micros(F.col("ts")) / F.lit(BURN_BIN_US))
+        .cast("bigint")
+        .alias("bin")
+    ).agg(
+        F.count("*").alias("n"),
+        F.count(F.when(F.col("event_type") == "error", 1)).alias("ne"),
+    )
+    ws = W.orderBy("bin").rangeBetween(-BURN_SHORT_BINS, 0)
+    wl = W.orderBy("bin").rangeBetween(-BURN_LONG_BINS, 0)
+    base = bins.agg(
+        (F.sum("ne").cast("double") / F.sum("n")).alias("b")
+    )
+    rolled = bins.select(
+        "bin",
+        F.sum("n").over(ws).alias("n_1h"),
+        F.sum("ne").over(ws).alias("ne_1h"),
+        F.sum("n").over(wl).alias("n_6h"),
+        F.sum("ne").over(wl).alias("ne_6h"),
+    ).crossJoin(F.broadcast(base))
+    r1 = F.col("ne_1h").cast("double") / F.col("n_1h")
+    r6 = F.col("ne_6h").cast("double") / F.col("n_6h")
+    return (
+        rolled.filter(
+            (r1 > F.col("b") * BURN_FACTOR) & (r6 > F.col("b") * BURN_FACTOR)
+        )
+        .select(
+            (F.col("bin") * BURN_BIN_US / 1_000_000)
+            .cast("bigint")
+            .alias("bin_start_epoch"),
+            F.col("n_1h").cast("bigint").alias("n_1h"),
+            F.col("n_6h").cast("bigint").alias("n_6h"),
+            F.round(r1, 6).alias("rate_1h"),
+            F.round(r6, 6).alias("rate_6h"),
+            F.round("b", 6).alias("base_rate"),
+        )
+        .orderBy(F.desc("rate_1h"), "bin_start_epoch")
+        .limit(BURN_TOP)
+    )
