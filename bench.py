@@ -202,6 +202,8 @@ EXTENDED = [
     "class_balance_weights",
     "mannwhitney_u_segments",
     "slo_burnrate_multiwindow",
+    "mannkendall_theilsen_trend",
+    "kaplan_meier_customer_lifetime",
 ]
 
 # Streaming extended queries run dead LAST (after the streaming
@@ -378,6 +380,8 @@ EXPECTED_SF01: dict[str, float] = {
     "class_balance_weights": 0.9,
     "mannwhitney_u_segments": 1.3,
     "slo_burnrate_multiwindow": 1.2,
+    "mannkendall_theilsen_trend": 1.7,
+    "kaplan_meier_customer_lifetime": 0.9,
 }
 
 

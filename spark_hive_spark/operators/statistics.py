@@ -786,3 +786,252 @@ def mannwhitney_u_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(u, 2).alias("u_stat"),
         F.round((u - n1 * n2 / 2.0) / sigma, 6).alias("z_approx"),
     )
+
+
+_MK_ORACLE = """
+    WITH monthly AS (
+        SELECT date_trunc('month', o_orderdate) AS mth,
+               sum(CAST(o_totalprice AS DECIMAL(18,2))) AS x
+        FROM orders GROUP BY mth
+    ),
+    idx AS (
+        SELECT x, row_number() OVER (ORDER BY mth) AS i FROM monthly
+    ),
+    pairs AS (
+        SELECT a.i AS i, b.i AS j,
+               CASE WHEN b.x > a.x THEN 1
+                    WHEN b.x < a.x THEN -1 ELSE 0 END AS sgn,
+               CAST(b.x - a.x AS DOUBLE) / (b.i - a.i) AS slope
+        FROM idx a JOIN idx b ON b.i > a.i
+    ),
+    ties AS (
+        SELECT coalesce(sum(t * (t - 1) * (2 * t + 5)), 0) AS tsum FROM (
+            SELECT count(*) AS t FROM idx GROUP BY x HAVING count(*) > 1
+        )
+    ),
+    agg AS (
+        SELECT count(*) AS n FROM idx
+    ),
+    stat AS (
+        SELECT sum(sgn) AS s, count(*) AS n_pairs,
+               quantile_cont(slope, 0.5) AS sen_slope
+        FROM pairs
+    )
+    SELECT CAST(n AS BIGINT) AS n_months,
+           CAST(s AS BIGINT) AS s_stat,
+           CAST(n_pairs AS BIGINT) AS n_pairs,
+           round(
+               (s - CASE WHEN s > 0 THEN 1 WHEN s < 0 THEN -1 ELSE 0 END)
+               / sqrt((CAST(n AS DOUBLE) * (n - 1) * (2 * n + 5) - tsum)
+                      / 18.0),
+               6) AS z_mk,
+           round(sen_slope, 2) AS theil_sen_slope
+    FROM stat, agg, ties
+"""
+
+
+@register(
+    "mannkendall_theilsen_trend",
+    oracle=_MK_ORACLE,
+    tags=("statistics", "trend", "robust"),
+)
+def mannkendall_theilsen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MANN-KENDALL TREND TEST + THEIL-SEN SLOPE over monthly
+    revenue — the robust (rank/median-based) alternative to OLS
+    trend fitting: S = Σ sign(x_j − x_i) over all i<j pairs,
+    tie-corrected variance, continuity-corrected z, and the median
+    of all pairwise slopes as the Theil-Sen estimate. Signs compare
+    EXACT decimals; slopes divide a decimal difference by an integer
+    month gap — identical doubles in both engines; the median of an
+    even pair count averages the two middle values identically.
+
+    Scale: the pair join is over the MONTHLY series — calendar-
+    bounded (~10³ rows per century), so O(n²) pairs stay trivially
+    small no matter the fact volume; the fact table contributes one
+    map-side-combinable aggregation."""
+    from pyspark.sql import Window as W
+
+    monthly = (
+        t(spark, sf_dir, "orders")
+        .groupBy(F.date_trunc("month", F.col("o_orderdate")).alias("mth"))
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("x"))
+    )
+    idx = monthly.select(
+        "x", F.row_number().over(W.orderBy("mth")).alias("i")
+    )
+    a = idx.select(F.col("i").alias("i"), F.col("x").alias("xa"))
+    b = idx.select(F.col("i").alias("j"), F.col("x").alias("xb"))
+    pairs = a.join(b, F.col("j") > F.col("i")).select(
+        F.when(F.col("xb") > F.col("xa"), 1)
+        .when(F.col("xb") < F.col("xa"), -1)
+        .otherwise(0)
+        .alias("sgn"),
+        (
+            (F.col("xb") - F.col("xa")).cast("double")
+            / (F.col("j") - F.col("i"))
+        ).alias("slope"),
+    )
+    ties = (
+        idx.groupBy("x")
+        .agg(F.count("*").alias("tc"))
+        .filter(F.col("tc") > 1)
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.col("tc") * (F.col("tc") - 1) * (2 * F.col("tc") + 5)
+                ),
+                F.lit(0),
+            ).alias("tsum")
+        )
+    )
+    agg = idx.agg(F.count("*").alias("n"))
+    stat = pairs.agg(
+        F.sum("sgn").alias("s"),
+        F.count("*").alias("n_pairs"),
+        F.expr("percentile(slope, 0.5)").alias("sen_slope"),
+    )
+    s, n = F.col("s"), F.col("n")
+    cc = F.when(s > 0, 1).when(s < 0, -1).otherwise(0)
+    return (
+        stat.crossJoin(F.broadcast(agg))
+        .crossJoin(F.broadcast(ties))
+        .select(
+            n.cast("bigint").alias("n_months"),
+            s.cast("bigint").alias("s_stat"),
+            F.col("n_pairs").cast("bigint").alias("n_pairs"),
+            F.round(
+                (s - cc)
+                / F.sqrt(
+                    (
+                        n.cast("double") * (n - 1) * (2 * n + 5)
+                        - F.col("tsum")
+                    )
+                    / 18.0
+                ),
+                6,
+            ).alias("z_mk"),
+            F.round("sen_slope", 2).alias("theil_sen_slope"),
+        )
+    )
+
+
+KM_CENSOR_DAYS = 180
+
+_KM_ORACLE = f"""
+    WITH obs AS (
+        SELECT max(CAST(o_orderdate AS DATE)) AS end_d FROM orders
+    ),
+    subj AS (
+        SELECT o_custkey,
+               datediff('day', min(CAST(o_orderdate AS DATE)),
+                        max(CAST(o_orderdate AS DATE))) AS lt,
+               CASE WHEN max(CAST(o_orderdate AS DATE))
+                         < (SELECT end_d FROM obs)
+                           - INTERVAL {KM_CENSOR_DAYS} DAY
+                    THEN 1 ELSE 0 END AS event
+        FROM orders GROUP BY o_custkey
+    ),
+    per_t AS (
+        SELECT lt, count(*) AS cnt, sum(event) AS d
+        FROM subj GROUP BY lt
+    ),
+    risk AS (
+        SELECT lt, cnt, d,
+               (SELECT count(*) FROM subj) AS total,
+               coalesce(sum(cnt) OVER (ORDER BY lt
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND 1 PRECEDING), 0) AS prior
+        FROM per_t
+    ),
+    km AS (
+        SELECT lt, d, total - prior AS n_at_risk,
+               exp(sum(ln(1.0 - CAST(d AS DOUBLE) / (total - prior)))
+                   OVER (ORDER BY lt ROWS UNBOUNDED PRECEDING)) AS s
+        FROM risk
+    )
+    SELECT CAST(lt AS BIGINT) AS lifetime_days,
+           CAST(n_at_risk AS BIGINT) AS n_at_risk,
+           CAST(d AS BIGINT) AS n_events,
+           round(s, 6) AS survival
+    FROM km
+    WHERE d > 0
+    ORDER BY lifetime_days
+"""
+
+
+@register(
+    "kaplan_meier_customer_lifetime",
+    oracle=_KM_ORACLE,
+    tags=("statistics", "survival", "kaplan-meier"),
+)
+def kaplan_meier_customer_lifetime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KAPLAN-MEIER SURVIVAL CURVE over customer "lifetime" (days
+    between first and last order), with real right-censoring: a
+    customer whose last order falls inside the final 180 days of the
+    observation window may still be active — they enter the risk
+    sets but never contribute an event. S(t) = Π_{{t_i<=t}}
+    (1 − d_i/n_i), computed as exp of a cumulative Σln (the
+    engine-standard rewrite of an ordered product; ln/exp over
+    identical doubles accumulate identically in both engines — the
+    text-LM log-prob queries set the precedent — and survival rounds
+    to 6dp).
+
+    Scale: subjects contract to one row per customer (map-side
+    combinable min/max), the curve itself lives on the
+    calendar-bounded distinct-lifetime domain, and the only ordered
+    window runs over that contracted series."""
+    from pyspark.sql import Window as W
+
+    orders = t(spark, sf_dir, "orders").select(
+        "o_custkey", F.col("o_orderdate").cast("date").alias("d")
+    )
+    obs = orders.agg(F.max("d").alias("end_d"))
+    subj = (
+        orders.groupBy("o_custkey")
+        .agg(F.min("d").alias("first_d"), F.max("d").alias("last_d"))
+        .crossJoin(F.broadcast(obs))
+        .select(
+            F.datediff("last_d", "first_d").alias("lt"),
+            F.when(
+                F.col("last_d") < F.date_sub("end_d", KM_CENSOR_DAYS), 1
+            )
+            .otherwise(0)
+            .alias("event"),
+        )
+    )
+    per_t = subj.groupBy("lt").agg(
+        F.count("*").alias("cnt"), F.sum("event").alias("d")
+    )
+    total = subj.agg(F.count("*").alias("total"))
+    w = W.orderBy("lt")
+    risk = (
+        per_t.crossJoin(F.broadcast(total))
+        .withColumn(
+            "prior",
+            F.coalesce(
+                F.sum("cnt").over(w.rowsBetween(W.unboundedPreceding, -1)),
+                F.lit(0),
+            ),
+        )
+        .withColumn("n_at_risk", F.col("total") - F.col("prior"))
+    )
+    km = risk.withColumn(
+        "s",
+        F.exp(
+            F.sum(
+                F.log(
+                    1.0 - F.col("d").cast("double") / F.col("n_at_risk")
+                )
+            ).over(w.rowsBetween(W.unboundedPreceding, 0))
+        ),
+    )
+    return (
+        km.filter(F.col("d") > 0)
+        .select(
+            F.col("lt").cast("bigint").alias("lifetime_days"),
+            F.col("n_at_risk").cast("bigint").alias("n_at_risk"),
+            F.col("d").cast("bigint").alias("n_events"),
+            F.round("s", 6).alias("survival"),
+        )
+        .orderBy("lifetime_days")
+    )

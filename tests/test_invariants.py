@@ -994,3 +994,106 @@ def test_mannwhitney_matches_python_reference(spark):
     assert got.n_building == n1 and got.n_machinery == n2
     assert abs(got.u_stat - u) < 0.01
     assert abs(got.z_approx - z) < 1e-5
+
+
+def test_kaplan_meier_matches_python(spark):
+    """K-M curve recomputed by the textbook product formula in
+    Python at smoke scale: identical steps, monotone non-increasing
+    survival in (0, 1]."""
+    from collections import Counter
+    from datetime import timedelta
+
+    from spark_hive_spark.operators.statistics import KM_CENSOR_DAYS
+    from spark_hive_spark.plans.registry import all_queries
+    from spark_hive_spark.tables import t
+    from tests.conftest import SF_SMOKE
+    from pyspark.sql import functions as F
+
+    rows = (
+        t(spark, SF_SMOKE, "orders")
+        .select("o_custkey", F.col("o_orderdate").cast("date").alias("d"))
+        .collect()
+    )
+    by_cust = {}
+    for r in rows:
+        lo, hi = by_cust.get(r.o_custkey, (r.d, r.d))
+        by_cust[r.o_custkey] = (min(lo, r.d), max(hi, r.d))
+    end_d = max(hi for _, hi in by_cust.values())
+    subj = [
+        (
+            (hi - lo).days,
+            1 if hi < end_d - timedelta(days=KM_CENSOR_DAYS) else 0,
+        )
+        for lo, hi in by_cust.values()
+    ]
+    cnt_all = Counter(lt for lt, _ in subj)
+    d_ev = Counter(lt for lt, e in subj if e)
+    total = len(subj)
+    s, prior, expected = 1.0, 0, {}
+    for lt in sorted(cnt_all):
+        n_risk = total - prior
+        d = d_ev.get(lt, 0)
+        s *= 1.0 - d / n_risk
+        if d > 0:
+            expected[lt] = (n_risk, d, s)
+        prior += cnt_all[lt]
+    got = {
+        r.lifetime_days: (r.n_at_risk, r.n_events, r.survival)
+        for r in all_queries()["kaplan_meier_customer_lifetime"]
+        .fn(spark, SF_SMOKE)
+        .collect()
+    }
+    assert set(got) == set(expected)
+    prev = 1.0
+    for lt in sorted(got):
+        n_risk, d, s_py = expected[lt]
+        g_risk, g_d, g_s = got[lt]
+        assert (g_risk, g_d) == (n_risk, d)
+        assert abs(g_s - s_py) < 1e-5
+        assert 0.0 < g_s <= prev + 1e-12
+        prev = g_s
+
+
+def test_mannkendall_matches_python(spark):
+    """S, tie-corrected z, and the Theil-Sen median slope recomputed
+    literally in Python at smoke scale."""
+    import statistics as pystats
+    from collections import Counter
+
+    from spark_hive_spark.plans.registry import all_queries
+    from spark_hive_spark.tables import t
+    from tests.conftest import SF_SMOKE
+    from pyspark.sql import functions as F
+
+    monthly = (
+        t(spark, SF_SMOKE, "orders")
+        .groupBy(F.date_trunc("month", "o_orderdate").alias("m"))
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("x"))
+        .orderBy("m")
+        .collect()
+    )
+    xs = [float(r.x) for r in monthly]
+    n = len(xs)
+    s = sum(
+        (xs[j] > xs[i]) - (xs[j] < xs[i])
+        for i in range(n)
+        for j in range(i + 1, n)
+    )
+    slopes = [
+        (xs[j] - xs[i]) / (j - i) for i in range(n) for j in range(i + 1, n)
+    ]
+    tsum = sum(
+        t_ * (t_ - 1) * (2 * t_ + 5)
+        for t_ in Counter(xs).values()
+        if t_ > 1
+    )
+    var = (n * (n - 1) * (2 * n + 5) - tsum) / 18.0
+    cc = 1 if s > 0 else (-1 if s < 0 else 0)
+    z = (s - cc) / var**0.5
+    got = (
+        all_queries()["mannkendall_theilsen_trend"].fn(spark, SF_SMOKE).collect()[0]
+    )
+    assert got.n_months == n and got.s_stat == s
+    assert got.n_pairs == n * (n - 1) // 2
+    assert abs(got.z_mk - z) < 1e-5
+    assert abs(got.theil_sen_slope - pystats.median(slopes)) < 0.02
