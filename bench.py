@@ -204,6 +204,9 @@ EXTENDED = [
     "slo_burnrate_multiwindow",
     "mannkendall_theilsen_trend",
     "kaplan_meier_customer_lifetime",
+    "text_pmi_collocations",
+    "source_binaryfile_bmp_stats",
+    "events_user_entropy",
 ]
 
 # Streaming extended queries run dead LAST (after the streaming
@@ -382,6 +385,9 @@ EXPECTED_SF01: dict[str, float] = {
     "slo_burnrate_multiwindow": 1.2,
     "mannkendall_theilsen_trend": 1.7,
     "kaplan_meier_customer_lifetime": 0.9,
+    "text_pmi_collocations": 4.1,
+    "source_binaryfile_bmp_stats": 1.1,
+    "events_user_entropy": 0.9,
 }
 
 

@@ -595,3 +595,100 @@ def multimodal_wav_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id long, n_samples int, sample_rate int, duration_us long,"
         " sum_samples long, sum_sq long, peak int, rms double",
     ).orderBy("doc_id")
+
+
+BINSRC_DOCS = 48
+
+
+@register(
+    "source_binaryfile_bmp_stats",
+    oracle=f"""
+        WITH d AS (
+            SELECT doc_id, doc_id % 13 + 4 AS w, doc_id % 11 + 4 AS h
+            FROM documents WHERE doc_id < {BINSRC_DOCS}
+        ),
+        v AS (
+            SELECT doc_id, w, h, i,
+                   (doc_id * 7 + i) % 256 AS val,
+                   i % 3 AS c
+            FROM (SELECT doc_id, w, h, unnest(range(0, w * h * 3)) AS i
+                  FROM d)
+        )
+        SELECT d.doc_id,
+               CAST(54 + d.h * ((d.w * 3 + 3) // 4 * 4) AS BIGINT)
+                   AS file_len,
+               CAST(sum(CASE WHEN c = 0 THEN val END) AS BIGINT) AS sum_r,
+               CAST(sum(CASE WHEN c = 1 THEN val END) AS BIGINT) AS sum_g,
+               CAST(sum(CASE WHEN c = 2 THEN val END) AS BIGINT) AS sum_b
+        FROM d JOIN v USING (doc_id)
+        GROUP BY d.doc_id, d.w, d.h
+        ORDER BY d.doc_id
+    """,
+    tags=("multimodal", "source", "binary-file"),
+)
+def source_binaryfile_bmp_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BINARY-FILE SOURCE end to end — the multimodal ingestion path
+    a media lake actually uses: deterministic BMPs (same pixel
+    formula as multimodal_decode_resize) are written as REAL FILES,
+    ingested with Spark's `binaryFile` source (path / length /
+    content columns), doc ids parsed from filenames, bytes decoded
+    by the pure-numpy BMP codec inside mapInPandas, and per-channel
+    pixel sums + the on-disk file length attested against a
+    closed-form oracle (BMP size = 54 + h·rowstride; any padding or
+    header mistake in writer, reader, or decoder breaks the hash).
+
+    Scale: binaryFile is a standard partitioned file scan — each
+    task decodes its own files; nothing driver-side but the bounded
+    fixture write."""
+    import os
+    import tempfile
+    import uuid
+
+    import numpy as np
+
+    out = os.path.join(
+        tempfile.gettempdir(), f"shs_binsrc_{uuid.uuid4().hex}"
+    )
+    os.makedirs(out)
+    for doc_id in range(BINSRC_DOCS):
+        w, h = doc_id % 13 + 4, doc_id % 11 + 4
+        vals = (doc_id * 7 + np.arange(w * h * 3)) % 256
+        px = vals.astype(np.uint8).reshape(h, w, 3)
+        with open(os.path.join(out, f"img_{doc_id:04d}.bmp"), "wb") as f:
+            f.write(encode_bmp(px))
+
+    files = spark.read.format("binaryFile").load(out)
+
+    def decode_stats(batches):
+        import numpy as np  # noqa: F401 (workers import independently)
+
+        for pdf in batches:
+            recs = []
+            for path, length, content in zip(
+                pdf["path"], pdf["length"], pdf["content"]
+            ):
+                doc_id = int(os.path.basename(path)[4:8])
+                px = decode_bmp(bytes(content))
+                px64 = px.astype(np.int64)
+                recs.append(
+                    {
+                        "doc_id": doc_id,
+                        "file_len": int(length),
+                        "sum_r": int(px64[:, :, 0].sum()),
+                        "sum_g": int(px64[:, :, 1].sum()),
+                        "sum_b": int(px64[:, :, 2].sum()),
+                    }
+                )
+            yield pd.DataFrame(
+                recs,
+                columns=["doc_id", "file_len", "sum_r", "sum_g", "sum_b"],
+            )
+
+    return (
+        files.select("path", "length", "content")
+        .mapInPandas(
+            decode_stats,
+            "doc_id long, file_len long, sum_r long, sum_g long, sum_b long",
+        )
+        .orderBy("doc_id")
+    )

@@ -1336,3 +1336,119 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         "novelty_rate",
         F.col("ref_vocab").cast("bigint").alias("ref_vocab"),
     )
+
+
+PMI_MIN_COUNT = 20
+PMI_TOP = 25
+
+_PMI_ORACLE = f"""
+    WITH toks AS (
+        SELECT doc_id, string_split({SQL_NORM_TEXT}, ' ') AS tk
+        FROM documents
+    ),
+    uni AS (
+        SELECT unnest(tk) AS w FROM toks
+    ),
+    unic AS (
+        SELECT w, count(*) AS c FROM uni WHERE w <> '' GROUP BY w
+    ),
+    tot AS (SELECT sum(c) AS n FROM unic),
+    big AS (
+        SELECT unnest(list_transform(range(1, len(tk)),
+                   i -> tk[i] || ' ' || tk[i+1])) AS bg
+        FROM toks WHERE len(tk) >= 2
+    ),
+    bigc AS (
+        SELECT string_split(bg, ' ')[1] AS w1,
+               string_split(bg, ' ')[2] AS w2,
+               count(*) AS cab
+        FROM big
+        WHERE string_split(bg, ' ')[1] <> '' AND string_split(bg, ' ')[2] <> ''
+        GROUP BY w1, w2
+        HAVING count(*) >= {PMI_MIN_COUNT}
+    ),
+    m AS (SELECT sum(cab) AS mm FROM (
+        SELECT count(*) AS cab FROM big
+        WHERE string_split(bg, ' ')[1] <> '' AND string_split(bg, ' ')[2] <> ''
+        GROUP BY bg
+    ))
+    SELECT b.w1, b.w2,
+           CAST(b.cab AS BIGINT) AS n_pair,
+           round(ln((CAST(b.cab AS DOUBLE) / mm)
+                    / ((CAST(ua.c AS DOUBLE) / n)
+                       * (CAST(ub.c AS DOUBLE) / n))), 4) AS pmi
+    FROM bigc b
+    JOIN unic ua ON ua.w = b.w1
+    JOIN unic ub ON ub.w = b.w2, tot, m
+    ORDER BY pmi DESC, b.w1, b.w2
+    LIMIT {PMI_TOP}
+"""
+
+
+@register(
+    "text_pmi_collocations",
+    oracle=_PMI_ORACLE,
+    tags=("text", "pmi", "collocations"),
+)
+def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POINTWISE MUTUAL INFORMATION collocations — the classic
+    distributional-semantics statistic: for adjacent word pairs with
+    count >= 20, PMI = ln( p(ab) / (p(a)·p(b)) ) from corpus bigram
+    and unigram frequencies; top-25 by (rounded PMI, pair) total
+    order. All probabilities are ratios of exact integer counts, so
+    the single ln runs on identical doubles in both engines.
+
+    Scale: bigrams generate via posexplode + lead over the per-doc
+    position window (codegen'd, the engine's standard n-gram path),
+    then everything is two map-side-combinable counts and a
+    broadcast-scalar normalization — no joins against fact-sized
+    relations."""
+    from pyspark.sql import Window as W
+
+    toks = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.posexplode(F.split(normalized_text(), " ")).alias("pos", "w"),
+    )
+    dw = W.partitionBy("doc_id").orderBy("pos")
+    pairs = (
+        toks.withColumn("w2", F.lead("w").over(dw))
+        .filter((F.col("w") != "") & F.col("w2").isNotNull() & (F.col("w2") != ""))
+        .select(F.col("w").alias("w1"), "w2")
+    )
+    unic = (
+        toks.filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count("*").alias("c"))
+    )
+    tot = unic.agg(F.sum("c").alias("n"))
+    m = pairs.agg(F.count("*").alias("mm"))
+    bigc = (
+        pairs.groupBy("w1", "w2")
+        .agg(F.count("*").alias("cab"))
+        .filter(F.col("cab") >= PMI_MIN_COUNT)
+    )
+    ua = unic.select(F.col("w").alias("w1"), F.col("c").alias("ca"))
+    ub = unic.select(F.col("w").alias("w2"), F.col("c").alias("cb"))
+    return (
+        bigc.join(F.broadcast(ua), "w1")
+        .join(F.broadcast(ub), "w2")
+        .crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(m))
+        .select(
+            "w1",
+            "w2",
+            F.col("cab").cast("bigint").alias("n_pair"),
+            F.round(
+                F.log(
+                    (F.col("cab").cast("double") / F.col("mm"))
+                    / (
+                        (F.col("ca").cast("double") / F.col("n"))
+                        * (F.col("cb").cast("double") / F.col("n"))
+                    )
+                ),
+                4,
+            ).alias("pmi"),
+        )
+        .orderBy(F.desc("pmi"), "w1", "w2")
+        .limit(PMI_TOP)
+    )

@@ -417,3 +417,70 @@ def slo_burnrate_multiwindow(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("rate_1h"), "bin_start_epoch")
         .limit(BURN_TOP)
     )
+
+
+_ENTROPY_ORACLE = """
+    WITH cnt AS (
+        SELECT user_id, event_type, count(*) AS c
+        FROM events GROUP BY user_id, event_type
+    ),
+    per_user AS (
+        SELECT user_id, sum(c) AS n,
+               CAST(round(ln(sum(c))
+                          - sum(c * ln(c)) / sum(c), 6)
+                    AS DECIMAL(9,6)) AS h
+        FROM cnt GROUP BY user_id
+    )
+    SELECT CAST(n // 10 AS BIGINT) AS events_band,
+           CAST(count(*) AS BIGINT) AS n_users,
+           round(CAST(sum(h) AS DOUBLE) / count(*), 6) AS avg_entropy,
+           CAST(min(h) AS DOUBLE) AS min_entropy,
+           CAST(max(h) AS DOUBLE) AS max_entropy
+    FROM per_user
+    GROUP BY n // 10
+    ORDER BY events_band
+"""
+
+
+@register(
+    "events_user_entropy",
+    oracle=_ENTROPY_ORACLE,
+    tags=("timeseries", "entropy", "behavior"),
+)
+def events_user_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BEHAVIORAL ENTROPY — Shannon entropy of each user's event-type
+    mix via the H = ln(n) − (Σ c·ln c)/n identity (exact integer
+    counts feed the logs), bucketed by activity band (total events
+    DIV 10). Per-user entropy rounds to 6dp and is summed as EXACT
+    DECIMAL(9,6) — the band average is then a single double
+    division, immune to summation-order ULP drift (repo float
+    policy)."""
+    cnt = (
+        t(spark, sf_dir, "events")
+        .groupBy("user_id", "event_type")
+        .agg(F.count("*").alias("c"))
+    )
+    per_user = cnt.groupBy("user_id").agg(
+        F.sum("c").alias("n"),
+        F.round(
+            F.log(F.sum("c"))
+            - F.sum(F.col("c") * F.log("c")) / F.sum("c"),
+            6,
+        )
+        .cast("decimal(9,6)")
+        .alias("h"),
+    )
+    return (
+        per_user.groupBy(
+            F.expr("n DIV 10").cast("bigint").alias("events_band")
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("n_users"),
+            F.round(
+                F.sum("h").cast("double") / F.count("*"), 6
+            ).alias("avg_entropy"),
+            F.min("h").cast("double").alias("min_entropy"),
+            F.max("h").cast("double").alias("max_entropy"),
+        )
+        .orderBy("events_band")
+    )
