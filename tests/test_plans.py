@@ -352,3 +352,64 @@ def test_dpp_injects_dynamic_pruning_subquery(spark):
     join discards them after IO."""
     plan = _plan(spark, "source_partition_pruning_dpp")
     assert "dynamicpruning" in plan.lower()
+
+
+def test_proration_single_exchange_for_all_windows(spark):
+    """All four order-partitioned windows in the proration query must
+    share ONE Exchange on l_orderkey (Catalyst collapses
+    same-partitioning windows); the residual-rank sort adds a local
+    Sort, never a second shuffle of lineitem."""
+    plan = _plan(spark, "proration_largest_remainder")
+    # exchanges: lineitem hash by orderkey, two final groupBys and the
+    # scalar mismatch branch; the window stack itself must not add more
+    pre_window = plan.split("Window")[0]
+    assert pre_window.count("Exchange hashpartitioning(l_orderkey") <= 1
+
+
+def test_pseudonymized_join_broadcasts_nation(spark):
+    plan = _plan(spark, "privacy_pseudonymized_join")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_burnrate_bins_partial_aggregate(spark):
+    """The 10-min binning must partial-aggregate map-side (two
+    HashAggregate levels) before the window shuffle."""
+    plan = _plan(spark, "slo_burnrate_multiwindow")
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_ppjoin_verification_is_broadcast(spark):
+    """The candidate→doc-array verification joins must be broadcast
+    (doc-cardinality side), so verification adds no shuffle beyond
+    the candidate distinct."""
+    plan = _plan(spark, "setsim_ppjoin_prefix_filter")
+    assert plan.count("BroadcastHashJoin") >= 2
+
+
+def test_hard_negatives_no_cartesian(spark):
+    """The directed block grid must execute as joins on block ids —
+    never a cartesian of the embedding table with itself."""
+    plan = _plan(spark, "mining_hard_negatives")
+    assert "CartesianProduct" not in plan
+
+
+def test_mannkendall_pair_join_is_contracted(spark):
+    """The O(n²) pair join must run on the contracted monthly series:
+    the join inputs are aggregates, not order-table scans (exactly 1
+    scan of orders feeds the monthly aggregate; the pair join sits
+    above it)."""
+    plan = _plan(spark, "mannkendall_theilsen_trend")
+    # the checkpointed monthly series is the only input — the final
+    # plan re-scans NO parquet at all
+    assert plan.count("Scan parquet") == 0
+
+
+def test_kaplan_meier_contracts_before_window(spark):
+    """The K-M ordered window must consume the per-lifetime aggregate
+    (calendar-bounded), never the raw per-customer rows: a partial
+    aggregate precedes the single-partition window exchange."""
+    plan = _plan(spark, "kaplan_meier_customer_lifetime")
+    # window + output consume only the checkpointed lifetime
+    # histogram: no parquet rescan in the final plan
+    assert plan.count("Scan parquet") == 0
+    assert "Window" in plan
