@@ -385,7 +385,7 @@ EXPECTED_SF01: dict[str, float] = {
     "slo_burnrate_multiwindow": 1.2,
     "mannkendall_theilsen_trend": 1.7,
     "kaplan_meier_customer_lifetime": 0.9,
-    "text_pmi_collocations": 4.1,
+    "text_pmi_collocations": 1.3,
     "source_binaryfile_bmp_stats": 1.1,
     "events_user_entropy": 0.9,
 }

@@ -34,6 +34,41 @@ from spark_hive_spark.functions.numeric import dec
 from spark_hive_spark.plans.registry import register
 from spark_hive_spark.tables import t
 
+def allocation_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The per-line largest-remainder allocation pipeline (shared with
+    the plan gate, which asserts all four order-partitioned windows
+    collapse onto ONE Exchange of lineitem)."""
+    lic = t(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_returnflag",
+        F.round(F.col("l_extendedprice") * 100, 0).cast("bigint").alias("w_c"),
+    )
+    oc = t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100, 0).cast("bigint").alias("total_c"),
+    )
+    ow = W.partitionBy("l_orderkey")
+    return (
+        lic.join(oc, lic.l_orderkey == oc.o_orderkey)
+        .withColumn("wsum", F.sum("w_c").over(ow))
+        .withColumn("q", F.expr("(total_c * w_c) DIV wsum"))
+        .withColumn("rem", F.expr("(total_c * w_c) % wsum"))
+        .withColumn(
+            "rk",
+            F.row_number().over(ow.orderBy(F.desc("rem"), "l_linenumber")),
+        )
+        .withColumn("qsum", F.sum("q").over(ow))
+        .withColumn(
+            "alloc_c",
+            F.col("q")
+            + F.when(
+                F.col("rk") <= F.col("total_c") - F.col("qsum"), 1
+            ).otherwise(0),
+        )
+    )
+
+
 _PRORATION_ORACLE = """
     WITH lic AS (
         SELECT l_orderkey, l_linenumber, l_returnflag,
@@ -103,45 +138,29 @@ def proration_largest_remainder(spark: SparkSession, sf_dir: str) -> DataFrame:
     All arithmetic is BIGINT cents (total_c * w_c ≲ 5e14, well inside
     int64); quotient/remainder use integer DIV / %, so no double ever
     touches the money path and both engines agree bit-for-bit."""
-    lic = t(spark, sf_dir, "lineitem").select(
-        "l_orderkey",
-        "l_linenumber",
-        "l_returnflag",
-        F.round(F.col("l_extendedprice") * 100, 0).cast("bigint").alias("w_c"),
-    )
-    oc = t(spark, sf_dir, "orders").select(
-        "o_orderkey",
-        F.round(F.col("o_totalprice") * 100, 0).cast("bigint").alias("total_c"),
-    )
-    ow = W.partitionBy("l_orderkey")
-    d = (
-        lic.join(oc, lic.l_orderkey == oc.o_orderkey)
-        .withColumn("wsum", F.sum("w_c").over(ow))
-        .withColumn("q", F.expr("(total_c * w_c) DIV wsum"))
-        .withColumn("rem", F.expr("(total_c * w_c) % wsum"))
-        .withColumn(
-            "rk",
-            F.row_number().over(ow.orderBy(F.desc("rem"), "l_linenumber")),
+    d = allocation_chain(spark, sf_dir)
+    # contract the allocation ONCE to (order, returnflag) granularity:
+    # both the mismatch audit and the per-flag totals derive from this
+    # — without it the whole join+window chain re-executes per
+    # consumer (measured 4 logical fact scans).
+    per_of = (
+        d.groupBy("l_orderkey", "l_returnflag", "total_c")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum("alloc_c").alias("alloc_c"),
         )
-        .withColumn("qsum", F.sum("q").over(ow))
-        .withColumn(
-            "alloc_c",
-            F.col("q")
-            + F.when(F.col("rk") <= F.col("total_c") - F.col("qsum"), 1).otherwise(
-                0
-            ),
-        )
+        .localCheckpoint(eager=True)
     )
     mism = (
-        d.groupBy("l_orderkey", "total_c")
+        per_of.groupBy("l_orderkey", "total_c")
         .agg(F.sum("alloc_c").alias("alloc_sum"))
         .filter(F.col("alloc_sum") != F.col("total_c"))
         .agg(F.count("*").cast("bigint").alias("n_mismatched_orders"))
     )
     return (
-        d.groupBy("l_returnflag")
+        per_of.groupBy("l_returnflag")
         .agg(
-            F.count("*").cast("bigint").alias("n_rows"),
+            F.sum("n_rows").cast("bigint").alias("n_rows"),
             F.count_distinct("l_orderkey").cast("bigint").alias("n_orders"),
             F.sum("alloc_c").cast("bigint").alias("alloc_cents"),
         )
@@ -216,8 +235,12 @@ def gini_customer_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum(dec("o_totalprice")).alias("r"))
     )
     order = W.orderBy("r", "o_custkey")
-    ranked = rev.withColumn("rk", F.row_number().over(order)).withColumn(
-        "decile", F.ntile(GINI_DECILES).over(order)
+    ranked = (
+        rev.withColumn("rk", F.row_number().over(order))
+        .withColumn("decile", F.ntile(GINI_DECILES).over(order))
+        .localCheckpoint(eager=True)  # customer-cardinality contraction;
+        # feeds the totals AND the decile aggregate — without it orders
+        # re-aggregates per consumer
     )
     tot = ranked.agg(
         F.count("*").alias("n"),

@@ -240,8 +240,11 @@ def class_balance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     standard reweighting schemes for imbalanced training mixtures.
     Integer counts feed double formulas written identically in both
     engines (pow of an exact constant and an integer)."""
-    counts = t(spark, sf_dir, "documents").groupBy("lang").agg(
-        F.count("*").alias("n")
+    counts = (
+        t(spark, sf_dir, "documents")
+        .groupBy("lang")
+        .agg(F.count("*").alias("n"))
+        .localCheckpoint(eager=True)  # class-cardinality; 2 consumers
     )
     tot = counts.agg(
         F.sum("n").alias("total"), F.count("*").alias("n_classes")

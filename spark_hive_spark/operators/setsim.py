@@ -104,8 +104,21 @@ def setsim_ppjoin_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("token", "trank")
     )
-    ranked = toks.join(rank, "token").select("doc_id", "lang", "trank")
-    sizes = ranked.groupBy("doc_id", "lang").agg(F.count("*").alias("L"))
+    # materialize the ranked token index ONCE: it feeds sizes, the
+    # prefix index, and the verification arrays — without this the
+    # corpus re-tokenizes per consumer (measured 16 logical document
+    # scans). This is the standard build-the-inverted-index-then-use
+    # materialization every set-similarity system performs.
+    ranked = (
+        toks.join(rank, "token")
+        .select("doc_id", "lang", "trank")
+        .localCheckpoint(eager=True)
+    )
+    sizes = (
+        ranked.groupBy("doc_id", "lang")
+        .agg(F.count("*").alias("L"))
+        .localCheckpoint(eager=True)  # doc-cardinality, 3 consumers
+    )
     # 1-based position of each token in the doc's rarest-first order
     pos = ranked.withColumn(
         "rn", F.row_number().over(W.partitionBy("doc_id").orderBy("trank"))

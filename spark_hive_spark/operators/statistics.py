@@ -749,6 +749,8 @@ def mannwhitney_u_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("c_acctbal").cast("decimal(18,2)").alias("v"),
         )
     )
+    pool = pool.localCheckpoint(eager=True)  # filtered segment rows;
+    # feed both the rank window and the tie aggregate
     ranked = pool.withColumn(
         "rmin", F.rank().over(W.orderBy("v"))
     ).withColumn("cnt", F.count("*").over(W.partitionBy("v")))

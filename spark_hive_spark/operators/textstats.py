@@ -1415,18 +1415,24 @@ def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("w") != "") & F.col("w2").isNotNull() & (F.col("w2") != ""))
         .select(F.col("w").alias("w1"), "w2")
     )
+    # contract to vocab- and bigram-cardinality ONCE (the corpus
+    # otherwise re-tokenizes per consumer — measured 5 logical
+    # scans): unigram counts feed 3 consumers, bigram counts feed
+    # the normalizer m AND the filtered collocation set.
     unic = (
         toks.filter(F.col("w") != "")
         .groupBy("w")
         .agg(F.count("*").alias("c"))
+        .localCheckpoint(eager=True)
     )
     tot = unic.agg(F.sum("c").alias("n"))
-    m = pairs.agg(F.count("*").alias("mm"))
-    bigc = (
+    bigc_all = (
         pairs.groupBy("w1", "w2")
         .agg(F.count("*").alias("cab"))
-        .filter(F.col("cab") >= PMI_MIN_COUNT)
+        .localCheckpoint(eager=True)
     )
+    m = bigc_all.agg(F.sum("cab").alias("mm"))
+    bigc = bigc_all.filter(F.col("cab") >= PMI_MIN_COUNT)
     ua = unic.select(F.col("w").alias("w1"), F.col("c").alias("ca"))
     ub = unic.select(F.col("w").alias("w2"), F.col("c").alias("cb"))
     return (

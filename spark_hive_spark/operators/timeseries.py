@@ -132,7 +132,7 @@ def concurrency_peak_sweepline(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.date_trunc("minute", F.max("ts")) + F.expr("INTERVAL 1 MINUTE")).alias(
             "em"
         ),
-    )
+    ).localCheckpoint(eager=True)  # session-cardinality; 2 consumers
     deltas = (
         bounds.select(F.col("sm").alias("m"), F.lit(1).alias("d"))
         .unionAll(bounds.select(F.col("em").alias("m"), F.lit(-1).alias("d")))
@@ -215,9 +215,11 @@ def cusum_changepoint_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFra
     both engines, so the IEEE addition order is identical and the
     4dp rounding cannot diverge."""
     orders = t(spark, sf_dir, "orders")
-    daily = orders.groupBy(
-        F.col("o_orderdate").cast("date").alias("day")
-    ).agg(F.sum(dec("o_totalprice")).alias("x"))
+    daily = (
+        orders.groupBy(F.col("o_orderdate").cast("date").alias("day"))
+        .agg(F.sum(dec("o_totalprice")).alias("x"))
+        .localCheckpoint(eager=True)  # calendar-bounded; 2 consumers
+    )
     stats = daily.agg(
         F.count("*").alias("n"),
         F.sum("x").cast("double").alias("s1"),
@@ -385,7 +387,7 @@ def slo_burnrate_multiwindow(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(
         F.count("*").alias("n"),
         F.count(F.when(F.col("event_type") == "error", 1)).alias("ne"),
-    )
+    ).localCheckpoint(eager=True)  # bin-cardinality; base + rolling
     ws = W.orderBy("bin").rangeBetween(-BURN_SHORT_BINS, 0)
     wl = W.orderBy("bin").rangeBetween(-BURN_LONG_BINS, 0)
     base = bins.agg(

@@ -359,9 +359,11 @@ def test_proration_single_exchange_for_all_windows(spark):
     share ONE Exchange on l_orderkey (Catalyst collapses
     same-partitioning windows); the residual-rank sort adds a local
     Sort, never a second shuffle of lineitem."""
-    plan = _plan(spark, "proration_largest_remainder")
-    # exchanges: lineitem hash by orderkey, two final groupBys and the
-    # scalar mismatch branch; the window stack itself must not add more
+    from spark_hive_spark.operators.finance import allocation_chain
+
+    d = allocation_chain(spark, SF_SMOKE)
+    d.collect()
+    plan = d._jdf.queryExecution().executedPlan().toString()
     pre_window = plan.split("Window")[0]
     assert pre_window.count("Exchange hashpartitioning(l_orderkey") <= 1
 
