@@ -207,6 +207,7 @@ EXTENDED = [
     "text_pmi_collocations",
     "source_binaryfile_bmp_stats",
     "events_user_entropy",
+    "quantile_mapping_price_drift",
 ]
 
 # Streaming extended queries run dead LAST (after the streaming
@@ -388,6 +389,7 @@ EXPECTED_SF01: dict[str, float] = {
     "text_pmi_collocations": 1.3,
     "source_binaryfile_bmp_stats": 1.1,
     "events_user_entropy": 0.9,
+    "quantile_mapping_price_drift": 2.7,
 }
 
 

@@ -1048,3 +1048,126 @@ def kaplan_meier_customer_lifetime(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .orderBy("lifetime_days")
     )
+
+
+QM_N_GRID = 20  # grid of 20ths: p = k/20, k = 0..20
+QM_BASE_YEAR = 1995
+QM_TARGET_YEAR = 2000
+
+
+def _qm_cohort_sql(year: int, alias: str) -> str:
+    """Exact rational interpolated quantiles of one cohort: with
+    p = k/20 the interpolation fraction is j/20 (j integer), so
+    2000·q = cents(m+1)·(20−j) + cents(m+2)·j is an exact BIGINT."""
+    return f"""
+    {alias}_r AS (
+        SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+               row_number() OVER (ORDER BY o_totalprice) AS rk
+        FROM orders WHERE year(o_orderdate) = {year}
+    ),
+    {alias}_n AS (SELECT count(*) AS n FROM {alias}_r),
+    {alias}_q AS (
+        SELECT g.k,
+               sum(CASE WHEN rk = (n - 1) * g.k // {QM_N_GRID} + 1
+                        THEN cents * ({QM_N_GRID} - (n - 1) * g.k % {QM_N_GRID})
+                        WHEN rk = (n - 1) * g.k // {QM_N_GRID} + 2
+                        THEN cents * ((n - 1) * g.k % {QM_N_GRID})
+                        END) AS q2000
+        FROM {alias}_r, {alias}_n, grid g
+        WHERE rk IN ((n - 1) * g.k // {QM_N_GRID} + 1,
+                     (n - 1) * g.k // {QM_N_GRID} + 2)
+        GROUP BY g.k
+    )"""
+
+
+def _qm_oracle() -> str:
+    ks = ", ".join(f"({k})" for k in range(QM_N_GRID + 1))
+    return f"""
+        WITH grid(k) AS (VALUES {ks}),
+        {_qm_cohort_sql(QM_BASE_YEAR, "b")},
+        {_qm_cohort_sql(QM_TARGET_YEAR, "t")}
+        SELECT round(CAST(b.k AS DOUBLE) / {QM_N_GRID}, 2) AS p,
+               CAST(b.q2000 AS DOUBLE) / ({QM_N_GRID} * 100) AS q_base,
+               CAST(t.q2000 AS DOUBLE) / ({QM_N_GRID} * 100) AS q_target,
+               CAST(t.q2000 - b.q2000 AS DOUBLE) / ({QM_N_GRID} * 100)
+                   AS shift
+        FROM b_q b JOIN t_q t ON b.k = t.k
+        ORDER BY p
+    """
+
+
+def _qm_cohort(spark: SparkSession, sf_dir: str, year: int, grid) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    r = (
+        t(spark, sf_dir, "orders")
+        .filter(F.year("o_orderdate") == year)
+        .select(
+            F.round(F.col("o_totalprice") * 100, 0).cast("bigint").alias("cents"),
+            F.row_number()
+            .over(W.orderBy("o_totalprice"))
+            .alias("rk"),
+        )
+    )
+    n = r.agg(F.count("*").alias("n"))
+    m = F.expr(f"(n - 1) * k DIV {QM_N_GRID}")
+    j = F.expr(f"(n - 1) * k % {QM_N_GRID}")
+    return (
+        r.crossJoin(F.broadcast(n))
+        .crossJoin(F.broadcast(grid))
+        .filter((F.col("rk") == m + 1) | (F.col("rk") == m + 2))
+        .groupBy("k")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("rk") == m + 1,
+                    F.col("cents") * (QM_N_GRID - j),
+                ).when(F.col("rk") == m + 2, F.col("cents") * j)
+            ).alias("q2000")
+        )
+    )
+
+
+@register(
+    "quantile_mapping_price_drift",
+    oracle=_qm_oracle(),
+    tags=("statistics", "quantile-mapping", "drift"),
+)
+def quantile_mapping_price_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QUANTILE MAPPING between two cohorts — the drift-correction
+    table that maps the base year's order-price distribution onto
+    the target year's on a 21-point grid: the piecewise-linear
+    transfer function calibration pipelines apply. Quantiles use the
+    standard h = (n−1)p linear interpolation, but computed in EXACT
+    INTEGER arithmetic: with p = k/20 the interpolation weight is
+    j/20 for integer j, so 2000·q = cents_lo·(20−j) + cents_hi·j is
+    a BIGINT and no engine ever rounds an intermediate (the naive
+    percentile_cont version hit a genuine .xx5 half-boundary where
+    a 1e-10 interpolation difference flipped the 2dp rounding —
+    exact rationals, not tighter rounding, are the fix).
+
+    Scale: per-cohort global rank (the documented two-phase
+    range-partition rewrite applies) + a broadcast 21-row grid
+    join; everything after the rank is integer."""
+    grid = spark.createDataFrame(
+        [(k,) for k in range(QM_N_GRID + 1)], "k int"
+    )
+    b = _qm_cohort(spark, sf_dir, QM_BASE_YEAR, grid).select(
+        "k", F.col("q2000").alias("qb")
+    )
+    tq = _qm_cohort(spark, sf_dir, QM_TARGET_YEAR, grid).select(
+        "k", F.col("q2000").alias("qt")
+    )
+    return (
+        b.join(tq, "k")
+        .select(
+            F.round(F.col("k").cast("double") / QM_N_GRID, 2).alias("p"),
+            (F.col("qb").cast("double") / (QM_N_GRID * 100)).alias("q_base"),
+            (F.col("qt").cast("double") / (QM_N_GRID * 100)).alias("q_target"),
+            (
+                (F.col("qt") - F.col("qb")).cast("double")
+                / (QM_N_GRID * 100)
+            ).alias("shift"),
+        )
+        .orderBy("p")
+    )
