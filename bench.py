@@ -208,6 +208,8 @@ EXTENDED = [
     "source_binaryfile_bmp_stats",
     "events_user_entropy",
     "quantile_mapping_price_drift",
+    "search_bm25_topk",
+    "search_phrase_positional_index",
 ]
 
 # Streaming extended queries run dead LAST (after the streaming
@@ -390,6 +392,8 @@ EXPECTED_SF01: dict[str, float] = {
     "source_binaryfile_bmp_stats": 1.1,
     "events_user_entropy": 0.9,
     "quantile_mapping_price_drift": 2.7,
+    "search_bm25_topk": 1.7,
+    "search_phrase_positional_index": 1.5,
 }
 
 
