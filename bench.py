@@ -210,6 +210,7 @@ EXTENDED = [
     "quantile_mapping_price_drift",
     "search_bm25_topk",
     "search_phrase_positional_index",
+    "neyman_stratified_allocation",
 ]
 
 # Streaming extended queries run dead LAST (after the streaming
@@ -394,6 +395,7 @@ EXPECTED_SF01: dict[str, float] = {
     "quantile_mapping_price_drift": 2.7,
     "search_bm25_topk": 1.7,
     "search_phrase_positional_index": 1.5,
+    "neyman_stratified_allocation": 1.9,
 }
 
 

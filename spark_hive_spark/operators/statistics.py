@@ -1171,3 +1171,160 @@ def quantile_mapping_price_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("p")
     )
+
+
+NEYMAN_FRAC = 10  # total sample = customers DIV 10
+_NEY_KNUTH = 2654435761
+_NEY_M32 = 2**32
+
+_NEYMAN_ORACLE = f"""
+    WITH strata AS (
+        SELECT c_mktsegment AS seg,
+               count(*) AS nh,
+               CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS s1,
+               CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))
+                        * CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS s2
+        FROM customer GROUP BY seg
+    ),
+    wgt AS (
+        SELECT seg, nh,
+               nh * sqrt((s2 - s1 * s1 / nh) / (nh - 1)) AS w
+        FROM strata
+    ),
+    tot AS (
+        SELECT sum(w) AS wsum, CAST(sum(nh) // {NEYMAN_FRAC} AS BIGINT) AS n
+        FROM wgt
+    ),
+    raw AS (
+        SELECT seg, nh, w, n * w / wsum AS raw_q,
+               CAST(floor(n * w / wsum) AS BIGINT) AS fq
+        FROM wgt, tot
+    ),
+    resid AS (
+        SELECT seg, nh, raw_q, fq,
+               row_number() OVER (ORDER BY raw_q - fq DESC, seg) AS rk,
+               (SELECT n FROM tot) - sum(fq) OVER () AS r
+        FROM raw
+    ),
+    quota AS (
+        SELECT seg, nh,
+               fq + CASE WHEN rk <= r THEN 1 ELSE 0 END AS quota
+        FROM resid
+    ),
+    sampled AS (
+        SELECT c.c_mktsegment AS seg, c.c_custkey
+        FROM customer c
+        JOIN quota q ON q.seg = c.c_mktsegment
+        QUALIFY row_number() OVER (
+            PARTITION BY c.c_mktsegment
+            ORDER BY ((c.c_custkey * {_NEY_KNUTH}) % {_NEY_M32}),
+                     c.c_custkey
+        ) <= q.quota
+    )
+    SELECT q.seg AS segment,
+           CAST(q.nh AS BIGINT) AS stratum_size,
+           CAST(q.quota AS BIGINT) AS quota,
+           CAST(count(s.c_custkey) AS BIGINT) AS achieved,
+           CAST(coalesce(sum(s.c_custkey), 0) AS BIGINT) AS sample_checksum
+    FROM quota q LEFT JOIN sampled s ON s.seg = q.seg
+    GROUP BY q.seg, q.nh, q.quota
+    ORDER BY segment
+"""
+
+
+@register(
+    "neyman_stratified_allocation",
+    oracle=_NEYMAN_ORACLE,
+    tags=("statistics", "sampling", "neyman"),
+)
+def neyman_stratified_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEYMAN-ALLOCATION STRATIFIED SAMPLE — the variance-optimal
+    sampling design: stratum quotas proportional to N_h·S_h
+    (size × stddev), integerized by the same largest-remainder
+    method as the proration operator, then drawn deterministically
+    per stratum by Knuth-hash order (the engine-wide sampling hash).
+    Output attests quota = achieved per stratum plus a sampled-key
+    checksum — the oracle recomputes the whole design independently.
+
+    Stddevs come from decimal-exact moments; the only doubles are
+    the shared sqrt/ratio formulas, evaluated identically in both
+    engines. Scale: one conditional-aggregate pass for the design,
+    one window per stratum for the draw — both on customer's
+    natural partitioning."""
+    from pyspark.sql import Window as W
+
+    cust = t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.col("c_mktsegment").alias("seg"),
+        F.col("c_acctbal").cast("decimal(18,2)").alias("v"),
+    )
+    strata = cust.groupBy("seg").agg(
+        F.count("*").alias("nh"),
+        F.sum("v").cast("double").alias("s1"),
+        F.sum(F.col("v") * F.col("v")).cast("double").alias("s2"),
+    )
+    wgt = strata.select(
+        "seg",
+        "nh",
+        (
+            F.col("nh")
+            * F.sqrt(
+                (F.col("s2") - F.col("s1") * F.col("s1") / F.col("nh"))
+                / (F.col("nh") - 1)
+            )
+        ).alias("w"),
+    )
+    tot = wgt.agg(
+        F.sum("w").alias("wsum"),
+        F.expr(f"sum(nh) DIV {NEYMAN_FRAC}").cast("bigint").alias("n"),
+    )
+    raw = wgt.crossJoin(F.broadcast(tot)).select(
+        "seg",
+        "nh",
+        (F.col("n") * F.col("w") / F.col("wsum")).alias("raw_q"),
+        F.floor(F.col("n") * F.col("w") / F.col("wsum"))
+        .cast("bigint")
+        .alias("fq"),
+        "n",
+    )
+    resid = raw.withColumn(
+        "rk",
+        F.row_number().over(W.orderBy(F.desc(F.col("raw_q") - F.col("fq")), "seg")),
+    ).withColumn(
+        "r", F.col("n") - F.sum("fq").over(W.partitionBy())
+    )
+    quota = resid.select(
+        "seg",
+        "nh",
+        (
+            F.col("fq")
+            + F.when(F.col("rk") <= F.col("r"), 1).otherwise(0)
+        ).alias("quota"),
+    ).localCheckpoint(eager=True)  # stratum-cardinality; 2 consumers
+    sw = W.partitionBy("seg").orderBy(
+        F.pmod(F.col("c_custkey") * _NEY_KNUTH, F.lit(_NEY_M32)),
+        "c_custkey",
+    )
+    sampled = (
+        cust.join(F.broadcast(quota.select("seg", "quota")), "seg")
+        .withColumn("srk", F.row_number().over(sw))
+        .filter(F.col("srk") <= F.col("quota"))
+        .groupBy("seg")
+        .agg(
+            F.count("*").alias("achieved"),
+            F.sum("c_custkey").alias("sample_checksum"),
+        )
+    )
+    return (
+        quota.join(F.broadcast(sampled), "seg", "left")
+        .select(
+            F.col("seg").alias("segment"),
+            F.col("nh").cast("bigint").alias("stratum_size"),
+            F.col("quota").cast("bigint").alias("quota"),
+            F.coalesce("achieved", F.lit(0)).cast("bigint").alias("achieved"),
+            F.coalesce("sample_checksum", F.lit(0))
+            .cast("bigint")
+            .alias("sample_checksum"),
+        )
+        .orderBy("segment")
+    )
