@@ -211,6 +211,8 @@ EXTENDED = [
     "search_bm25_topk",
     "search_phrase_positional_index",
     "neyman_stratified_allocation",
+    "cuped_adjusted_segment_lift",
+    "did_revenue_estimator",
 ]
 
 # Streaming extended queries run dead LAST (after the streaming
@@ -396,6 +398,8 @@ EXPECTED_SF01: dict[str, float] = {
     "search_bm25_topk": 1.7,
     "search_phrase_positional_index": 1.5,
     "neyman_stratified_allocation": 1.9,
+    "cuped_adjusted_segment_lift": 2.4,
+    "did_revenue_estimator": 1.7,
 }
 
 

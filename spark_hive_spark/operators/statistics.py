@@ -1328,3 +1328,243 @@ def neyman_stratified_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("segment")
     )
+
+
+CUPED_SPLIT = "1998-01-01"  # pre-period before, post-period from here
+
+_CUPED_ORACLE = f"""
+    WITH per_cust AS (
+        SELECT c.c_custkey, c.c_mktsegment AS seg,
+               CAST(coalesce(sum(CASE WHEN o.o_orderdate < DATE '{CUPED_SPLIT}'
+                        THEN CAST(o.o_totalprice AS DECIMAL(18,2)) END), 0)
+                    AS DOUBLE) AS x,
+               CAST(coalesce(sum(CASE WHEN o.o_orderdate >= DATE '{CUPED_SPLIT}'
+                        THEN CAST(o.o_totalprice AS DECIMAL(18,2)) END), 0)
+                    AS DOUBLE) AS y
+        FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+        GROUP BY c.c_custkey, c.c_mktsegment
+    ),
+    theta AS (
+        SELECT (sum(x * y) - sum(x) * sum(y) / count(*))
+               / (sum(x * x) - sum(x) * sum(x) / count(*)) AS th,
+               sum(x) / count(*) AS mx
+        FROM per_cust
+    ),
+    adj AS (
+        SELECT seg, x, y, y - th * (x - mx) AS y_adj
+        FROM per_cust, theta
+    )
+    SELECT seg AS segment,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           round(sum(y) / count(*), 2) AS mean_post,
+           round(sum(y_adj) / count(*), 2) AS mean_post_cuped,
+           round(1.0 - (sum(y_adj * y_adj) - sum(y_adj) * sum(y_adj)
+                        / count(*))
+                       / (sum(y * y) - sum(y) * sum(y) / count(*)),
+                 4) AS variance_reduction
+    FROM adj
+    GROUP BY seg
+    ORDER BY segment
+"""
+
+
+@register(
+    "cuped_adjusted_segment_lift",
+    oracle=_CUPED_ORACLE,
+    tags=("statistics", "experimentation", "cuped"),
+)
+def cuped_adjusted_segment_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED VARIANCE REDUCTION (Deng et al., WSDM'13) — the
+    experimentation-platform workhorse: per-customer post-period
+    revenue adjusted by the pre-period covariate,
+    y_adj = y − θ(x − x̄) with θ = cov(x,y)/var(x), reported per
+    segment with the achieved variance-reduction ratio
+    (1 − var(y_adj)/var(y), ≈ ρ² when θ is fitted globally).
+
+    x and y start as decimal-exact per-customer sums cast once to
+    double, so every engine computes θ and the adjusted moments from
+    identical inputs with identical expressions. The sums of
+    products are plain double aggregations — order-sensitive in the
+    last ULP, but the outputs round at 2dp/4dp, eleven orders of
+    magnitude above the noise floor.
+
+    Scale: one join + one conditional aggregate to per-customer
+    grain, a broadcast 1-row θ, one final reduce — the canonical
+    two-pass CUPED shape."""
+    per_cust = (
+        t(spark, sf_dir, "customer")
+        .join(
+            t(spark, sf_dir, "orders"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .groupBy("c_custkey", F.col("c_mktsegment").alias("seg"))
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.col("o_orderdate") < CUPED_SPLIT,
+                        F.col("o_totalprice").cast("decimal(18,2)"),
+                    )
+                ),
+                F.lit(0),
+            )
+            .cast("double")
+            .alias("x"),
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.col("o_orderdate") >= CUPED_SPLIT,
+                        F.col("o_totalprice").cast("decimal(18,2)"),
+                    )
+                ),
+                F.lit(0),
+            )
+            .cast("double")
+            .alias("y"),
+        )
+        .localCheckpoint(eager=True)  # customer grain; theta + output
+    )
+    theta = per_cust.agg(
+        (
+            (F.sum(F.col("x") * F.col("y")) - F.sum("x") * F.sum("y") / F.count("*"))
+            / (
+                F.sum(F.col("x") * F.col("x"))
+                - F.sum("x") * F.sum("x") / F.count("*")
+            )
+        ).alias("th"),
+        (F.sum("x") / F.count("*")).alias("mx"),
+    )
+    adj = per_cust.crossJoin(F.broadcast(theta)).select(
+        "seg",
+        "y",
+        (F.col("y") - F.col("th") * (F.col("x") - F.col("mx"))).alias("y_adj"),
+    )
+    n = F.count("*")
+    return (
+        adj.groupBy(F.col("seg").alias("segment"))
+        .agg(
+            n.cast("bigint").alias("n_customers"),
+            F.round(F.sum("y") / n, 2).alias("mean_post"),
+            F.round(F.sum("y_adj") / n, 2).alias("mean_post_cuped"),
+            F.round(
+                1.0
+                - (
+                    F.sum(F.col("y_adj") * F.col("y_adj"))
+                    - F.sum("y_adj") * F.sum("y_adj") / n
+                )
+                / (
+                    F.sum(F.col("y") * F.col("y"))
+                    - F.sum("y") * F.sum("y") / n
+                ),
+                4,
+            ).alias("variance_reduction"),
+        )
+        .orderBy("segment")
+    )
+
+
+_DID_ORACLE = f"""
+    WITH cell AS (
+        SELECT CASE WHEN c.c_mktsegment = 'BUILDING'
+                    THEN 'treat' ELSE 'control' END AS grp,
+               CASE WHEN o.o_orderdate >= DATE '{CUPED_SPLIT}'
+                    THEN 'post' ELSE 'pre' END AS period,
+               count(*) AS n,
+               CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                   / count(*) AS mean_price
+        FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+        WHERE c.c_mktsegment IN ('BUILDING', 'MACHINERY')
+        GROUP BY grp, period
+    ),
+    wide AS (
+        SELECT
+            max(CASE WHEN grp='treat' AND period='pre' THEN mean_price END)
+                AS tp0,
+            max(CASE WHEN grp='treat' AND period='post' THEN mean_price END)
+                AS tp1,
+            max(CASE WHEN grp='control' AND period='pre' THEN mean_price END)
+                AS cp0,
+            max(CASE WHEN grp='control' AND period='post' THEN mean_price END)
+                AS cp1
+        FROM cell
+    )
+    SELECT round(tp0, 2) AS treat_pre, round(tp1, 2) AS treat_post,
+           round(cp0, 2) AS control_pre, round(cp1, 2) AS control_post,
+           round(round(tp1, 2) - round(tp0, 2)
+                 - (round(cp1, 2) - round(cp0, 2)), 2) AS did_estimate
+    FROM wide
+"""
+
+
+@register(
+    "did_revenue_estimator",
+    oracle=_DID_ORACLE,
+    tags=("statistics", "experimentation", "diff-in-diff"),
+)
+def did_revenue_estimator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DIFFERENCE-IN-DIFFERENCES — the 2×2 quasi-experimental
+    estimator: (treat_post − treat_pre) − (control_post −
+    control_pre) over mean order price, BUILDING as the treated
+    segment, the 1998 split as the intervention. Cell means are
+    decimal-exact sums over one conditional aggregate; the estimate
+    derives from the ROUNDED cell means (the engine-standard guard
+    against independent-rounding flips)."""
+    cell = (
+        t(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment").isin("BUILDING", "MACHINERY"))
+        .join(
+            t(spark, sf_dir, "orders"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .groupBy(
+            F.when(F.col("c_mktsegment") == "BUILDING", "treat")
+            .otherwise("control")
+            .alias("grp"),
+            F.when(F.col("o_orderdate") >= CUPED_SPLIT, "post")
+            .otherwise("pre")
+            .alias("period"),
+        )
+        .agg(
+            (
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+                .cast("double")
+                / F.count("*")
+            ).alias("mean_price")
+        )
+    )
+    wide = cell.agg(
+        F.max(
+            F.when(
+                (F.col("grp") == "treat") & (F.col("period") == "pre"),
+                F.col("mean_price"),
+            )
+        ).alias("tp0"),
+        F.max(
+            F.when(
+                (F.col("grp") == "treat") & (F.col("period") == "post"),
+                F.col("mean_price"),
+            )
+        ).alias("tp1"),
+        F.max(
+            F.when(
+                (F.col("grp") == "control") & (F.col("period") == "pre"),
+                F.col("mean_price"),
+            )
+        ).alias("cp0"),
+        F.max(
+            F.when(
+                (F.col("grp") == "control") & (F.col("period") == "post"),
+                F.col("mean_price"),
+            )
+        ).alias("cp1"),
+    )
+    r = lambda c: F.round(F.col(c), 2)  # noqa: E731
+    return wide.select(
+        r("tp0").alias("treat_pre"),
+        r("tp1").alias("treat_post"),
+        r("cp0").alias("control_pre"),
+        r("cp1").alias("control_post"),
+        F.round(r("tp1") - r("tp0") - (r("cp1") - r("cp0")), 2).alias(
+            "did_estimate"
+        ),
+    )
