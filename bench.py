@@ -213,6 +213,7 @@ EXTENDED = [
     "neyman_stratified_allocation",
     "cuped_adjusted_segment_lift",
     "did_revenue_estimator",
+    "hierarchy_percent_of_parent",
 ]
 
 # Streaming extended queries run dead LAST (after the streaming
@@ -400,6 +401,7 @@ EXPECTED_SF01: dict[str, float] = {
     "neyman_stratified_allocation": 1.9,
     "cuped_adjusted_segment_lift": 2.4,
     "did_revenue_estimator": 1.7,
+    "hierarchy_percent_of_parent": 1.4,
 }
 
 

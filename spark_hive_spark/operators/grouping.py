@@ -435,3 +435,89 @@ def histogram_equidepth_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+_HIER_ORACLE = """
+    WITH rev AS (
+        SELECT r.r_name AS region, n.n_name AS nation,
+               sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS rev
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        GROUP BY region, nation
+    ),
+    lv AS (
+        SELECT region, nation, rev,
+               sum(rev) OVER (PARTITION BY region) AS region_rev,
+               sum(rev) OVER () AS total_rev
+        FROM rev
+    )
+    SELECT region, nation,
+           CAST(rev AS DOUBLE) AS nation_revenue,
+           round(CAST(rev AS DOUBLE) / CAST(region_rev AS DOUBLE), 6)
+               AS pct_of_region,
+           round(CAST(region_rev AS DOUBLE) / CAST(total_rev AS DOUBLE), 6)
+               AS region_pct_of_total
+    FROM lv
+    ORDER BY region, nation
+"""
+
+
+@register(
+    "hierarchy_percent_of_parent",
+    oracle=_HIER_ORACLE,
+    tags=("grouping", "hierarchy", "percent-of-parent"),
+)
+def hierarchy_percent_of_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERCENT-OF-PARENT over the region → nation hierarchy — the
+    drill-down ratio every OLAP frontend computes: each nation's
+    share of its region AND each region's share of the total, in one
+    pass via two stacked window partitions over the contracted
+    (region, nation) aggregate. Revenue stays exact decimal until
+    the two ratio divisions (identical expressions both engines).
+
+    Scale: the fact tables contract to 25 rows before any window;
+    dimensions broadcast."""
+    from pyspark.sql import Window as W
+
+    rev = (
+        t(spark, sf_dir, "orders")
+        .join(
+            t(spark, sf_dir, "customer"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(t(spark, sf_dir, "nation")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            F.broadcast(t(spark, sf_dir, "region")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .groupBy(
+            F.col("r_name").alias("region"), F.col("n_name").alias("nation")
+        )
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev"))
+    )
+    lv = rev.withColumn(
+        "region_rev", F.sum("rev").over(W.partitionBy("region"))
+    ).withColumn("total_rev", F.sum("rev").over(W.partitionBy()))
+    return (
+        lv.select(
+            "region",
+            "nation",
+            F.col("rev").cast("double").alias("nation_revenue"),
+            F.round(
+                F.col("rev").cast("double")
+                / F.col("region_rev").cast("double"),
+                6,
+            ).alias("pct_of_region"),
+            F.round(
+                F.col("region_rev").cast("double")
+                / F.col("total_rev").cast("double"),
+                6,
+            ).alias("region_pct_of_total"),
+        )
+        .orderBy("region", "nation")
+    )
