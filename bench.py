@@ -214,6 +214,7 @@ EXTENDED = [
     "cuped_adjusted_segment_lift",
     "did_revenue_estimator",
     "hierarchy_percent_of_parent",
+    "dbscan_embedding_clusters",
 ]
 
 # Streaming extended queries run dead LAST (after the streaming
@@ -402,6 +403,7 @@ EXPECTED_SF01: dict[str, float] = {
     "cuped_adjusted_segment_lift": 2.4,
     "did_revenue_estimator": 1.7,
     "hierarchy_percent_of_parent": 1.4,
+    "dbscan_embedding_clusters": 6.5,
 }
 
 
