@@ -215,6 +215,8 @@ EXTENDED = [
     "did_revenue_estimator",
     "hierarchy_percent_of_parent",
     "dbscan_embedding_clusters",
+    "conformal_price_intervals",
+    "graph_degree_assortativity",
 ]
 
 # Streaming extended queries run dead LAST (after the streaming
@@ -404,6 +406,8 @@ EXPECTED_SF01: dict[str, float] = {
     "did_revenue_estimator": 1.7,
     "hierarchy_percent_of_parent": 1.4,
     "dbscan_embedding_clusters": 6.5,
+    "conformal_price_intervals": 1.4,
+    "graph_degree_assortativity": 2.5,
 }
 
 

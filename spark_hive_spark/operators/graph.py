@@ -613,3 +613,140 @@ def graph_bfs_trade_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("n_name")
     )
+
+
+_ASSORT_ORACLE = f"""
+    WITH dir AS (
+        SELECT s.s_nationkey AS src, c.c_nationkey AS dst, count(*) AS w
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        WHERE s.s_nationkey <> c.c_nationkey
+        GROUP BY src, dst
+    ),
+    top2 AS (
+        SELECT src, dst FROM (
+            SELECT src, dst,
+                   row_number() OVER (PARTITION BY src
+                                      ORDER BY w DESC, dst) AS rn
+            FROM dir
+        ) WHERE rn <= {BFS_TOP_LANES}
+    ),
+    edges AS (
+        SELECT least(src, dst) AS u, greatest(src, dst) AS v
+        FROM top2 GROUP BY u, v
+    ),
+    deg AS (
+        SELECT node, count(*) AS d
+        FROM (SELECT u AS node FROM edges
+              UNION ALL SELECT v FROM edges)
+        GROUP BY node
+    ),
+    ed AS (
+        SELECT da.d AS ju, db.d AS kv
+        FROM edges e
+        JOIN deg da ON da.node = e.u
+        JOIN deg db ON db.node = e.v
+    ),
+    s AS (
+        SELECT count(*) AS m,
+               CAST(sum(ju * kv) AS DOUBLE) AS sjk,
+               CAST(sum(ju + kv) AS DOUBLE) / 2 AS sh,
+               CAST(sum(ju * ju + kv * kv) AS DOUBLE) / 2 AS sh2
+        FROM ed
+    )
+    SELECT CAST((SELECT count(*) FROM deg) AS BIGINT) AS n_nodes,
+           CAST(m AS BIGINT) AS n_edges,
+           round((sjk / m - (sh / m) * (sh / m))
+                 / (sh2 / m - (sh / m) * (sh / m)), 6) AS assortativity
+    FROM s
+"""
+
+
+@register(
+    "graph_degree_assortativity",
+    oracle=_ASSORT_ORACLE,
+    tags=("graph", "assortativity", "degree-correlation"),
+)
+def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DEGREE ASSORTATIVITY (Newman 2002) of the SPARSIFIED nation
+    trade graph (the same top-2-lane graph BFS runs on — the raw
+    trade graph is near-complete, so its degree variance is zero and
+    assortativity is undefined): the Pearson correlation of degrees
+    across edge endpoints — positive means hubs link to hubs,
+    negative means hub-and-spoke. All sums are exact integers; the
+    closed-form correlation is one double expression, identical in
+    both engines, rounded 6dp.
+
+    Scale: reuses the canonical one-shuffle trade-edge pipeline; the
+    degree join runs on the contracted edge list."""
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    supp = t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    dirw = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), F.col("o_custkey") == cust.c_custkey)
+        .join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
+        .filter(F.col("s_nationkey") != F.col("c_nationkey"))
+        .groupBy(
+            F.col("s_nationkey").alias("src"), F.col("c_nationkey").alias("dst")
+        )
+        .agg(F.count("*").alias("w"))
+    )
+    edges = (
+        dirw.withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("src").orderBy(F.desc("w"), "dst")
+            ),
+        )
+        .filter(F.col("rn") <= BFS_TOP_LANES)
+        .select(
+            F.least("src", "dst").alias("u"),
+            F.greatest("src", "dst").alias("v"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)  # contracted edge list; 2 consumers
+    )
+    deg = (
+        edges.select(F.col("u").alias("node"))
+        .unionAll(edges.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("d"))
+        .localCheckpoint(eager=True)  # 25 rows; 3 consumers
+    )
+    ed = (
+        edges.join(
+            F.broadcast(deg.select(F.col("node").alias("u"), F.col("d").alias("ju"))),
+            "u",
+        )
+        .join(
+            F.broadcast(deg.select(F.col("node").alias("v"), F.col("d").alias("kv"))),
+            "v",
+        )
+    )
+    s = ed.agg(
+        F.count("*").alias("m"),
+        F.sum(F.col("ju") * F.col("kv")).cast("double").alias("sjk"),
+        (F.sum(F.col("ju") + F.col("kv")).cast("double") / 2).alias("sh"),
+        (
+            F.sum(F.col("ju") * F.col("ju") + F.col("kv") * F.col("kv")).cast(
+                "double"
+            )
+            / 2
+        ).alias("sh2"),
+    )
+    nn = deg.agg(F.count("*").alias("n_nodes"))
+    m = F.col("m")
+    mean_h = F.col("sh") / m
+    return s.crossJoin(F.broadcast(nn)).select(
+        F.col("n_nodes").cast("bigint").alias("n_nodes"),
+        m.cast("bigint").alias("n_edges"),
+        F.round(
+            (F.col("sjk") / m - mean_h * mean_h)
+            / (F.col("sh2") / m - mean_h * mean_h),
+            6,
+        ).alias("assortativity"),
+    )

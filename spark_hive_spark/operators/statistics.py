@@ -1568,3 +1568,141 @@ def did_revenue_estimator(spark: SparkSession, sf_dir: str) -> DataFrame:
             "did_estimate"
         ),
     )
+
+
+CONF_ALPHA_NUM = 9  # target coverage 9/10
+CONF_KNUTH = 2654435761
+CONF_M32 = 2**32
+
+_CONFORMAL_ORACLE = f"""
+    WITH base AS (
+        SELECT p_partkey, p_brand,
+               CAST(p_size AS DOUBLE) AS x,
+               CAST(CAST(p_retailprice AS DECIMAL(18,2)) AS DOUBLE) AS y,
+               ((p_partkey * {CONF_KNUTH}) % {CONF_M32}) % 4 AS fold
+        FROM part
+    ),
+    train AS (SELECT * FROM base WHERE fold IN (0, 1)),
+    cal   AS (SELECT * FROM base WHERE fold = 2),
+    test  AS (SELECT * FROM base WHERE fold = 3),
+    fit AS (
+        SELECT (sum(x * y) - sum(x) * sum(y) / count(*))
+               / (sum(x * x) - sum(x) * sum(x) / count(*)) AS b,
+               sum(y) / count(*)
+               - (sum(x * y) - sum(x) * sum(y) / count(*))
+                 / (sum(x * x) - sum(x) * sum(x) / count(*))
+                 * sum(x) / count(*) AS a
+        FROM train
+    ),
+    calres AS (
+        SELECT abs(y - (a + b * x)) AS r, p_partkey,
+               count(*) OVER () AS n_cal
+        FROM cal, fit
+    ),
+    q AS (
+        SELECT r AS qhat FROM (
+            SELECT r, p_partkey, n_cal,
+                   row_number() OVER (ORDER BY r, p_partkey) AS rk
+            FROM calres
+        )
+        WHERE rk = least(
+            CAST(ceil((n_cal + 1) * {CONF_ALPHA_NUM} / 10.0) AS BIGINT),
+            n_cal)
+    )
+    SELECT t.p_brand AS brand,
+           CAST(count(*) AS BIGINT) AS n_test,
+           CAST(count(CASE WHEN abs(t.y - (f.a + f.b * t.x)) <= q.qhat
+                      THEN 1 END) AS BIGINT) AS n_covered,
+           round(CAST(count(CASE WHEN abs(t.y - (f.a + f.b * t.x))
+                                      <= q.qhat THEN 1 END) AS DOUBLE)
+                 / count(*), 4) AS coverage,
+           round(q.qhat, 2) AS qhat
+    FROM test t, fit f, q
+    GROUP BY t.p_brand, q.qhat
+    ORDER BY brand
+"""
+
+
+@register(
+    "conformal_price_intervals",
+    oracle=_CONFORMAL_ORACLE,
+    tags=("statistics", "conformal", "calibration"),
+)
+def conformal_price_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPLIT-CONFORMAL PREDICTION INTERVALS — the
+    distribution-free uncertainty method: deterministic Knuth-hash
+    folds split parts into train (50%) / calibration (25%) / test
+    (25%); an OLS price~size model fits on train; the conformal
+    radius q̂ is the ⌈0.9·(n+1)⌉-th smallest absolute calibration
+    residual selected by RANK (exact — no quantile interpolation to
+    diverge); per-brand test coverage is then attested (≈ 0.9
+    marginally, by the exchangeability guarantee). OLS coefficients
+    come from decimal-exact moments; residual comparisons run on
+    identical doubles in both engines."""
+    from pyspark.sql import Window as W
+
+    base = t(spark, sf_dir, "part").select(
+        "p_partkey",
+        "p_brand",
+        F.col("p_size").cast("double").alias("x"),
+        F.col("p_retailprice").cast("decimal(18,2)").cast("double").alias("y"),
+        F.pmod(
+            F.pmod(F.col("p_partkey") * CONF_KNUTH, F.lit(CONF_M32)),
+            F.lit(4),
+        ).alias("fold"),
+    ).localCheckpoint(eager=True)  # three fold consumers
+    train = base.filter(F.col("fold").isin(0, 1))
+    cal = base.filter(F.col("fold") == 2)
+    test = base.filter(F.col("fold") == 3)
+    n = F.count("*")
+    sxy = F.sum(F.col("x") * F.col("y")) - F.sum("x") * F.sum("y") / n
+    sxx = F.sum(F.col("x") * F.col("x")) - F.sum("x") * F.sum("x") / n
+    fit = train.agg(
+        (sxy / sxx).alias("b"),
+        (F.sum("y") / n - sxy / sxx * F.sum("x") / n).alias("a"),
+    )
+    calres = cal.crossJoin(F.broadcast(fit)).select(
+        F.abs(F.col("y") - (F.col("a") + F.col("b") * F.col("x"))).alias("r"),
+        "p_partkey",
+        F.count("*").over(W.partitionBy()).alias("n_cal"),
+    )
+    q = (
+        calres.withColumn(
+            "rk", F.row_number().over(W.orderBy("r", "p_partkey"))
+        )
+        .filter(
+            F.col("rk")
+            == F.least(
+                F.ceil((F.col("n_cal") + 1) * CONF_ALPHA_NUM / 10.0).cast(
+                    "bigint"
+                ),
+                F.col("n_cal"),
+            )
+        )
+        .select(F.col("r").alias("qhat"))
+    )
+    covered = F.count(
+        F.when(
+            F.abs(F.col("y") - (F.col("a") + F.col("b") * F.col("x")))
+            <= F.col("qhat"),
+            1,
+        )
+    )
+    return (
+        test.crossJoin(F.broadcast(fit))
+        .crossJoin(F.broadcast(q))
+        .groupBy(F.col("p_brand").alias("brand"), F.col("qhat"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_test"),
+            covered.cast("bigint").alias("n_covered"),
+            F.round(covered.cast("double") / F.count("*"), 4).alias("coverage"),
+        )
+        .select(
+            "brand",
+            "n_test",
+            "n_covered",
+            "coverage",
+            F.round("qhat", 2).alias("qhat"),
+        )
+        .orderBy("brand")
+    )

@@ -1097,3 +1097,21 @@ def test_mannkendall_matches_python(spark):
     assert got.n_pairs == n * (n - 1) // 2
     assert abs(got.z_mk - z) < 1e-5
     assert abs(got.theil_sen_slope - pystats.median(slopes)) < 0.02
+
+
+def test_conformal_marginal_coverage_near_target(spark):
+    """Split-conformal guarantee: MARGINAL test coverage must sit near
+    0.9 (finite-sample slack scales as 1/n_cal) and qhat is a real
+    calibration residual (positive, shared by all rows)."""
+    from spark_hive_spark.plans.registry import all_queries
+    from tests.conftest import SF_SMOKE
+
+    rows = all_queries()["conformal_price_intervals"].fn(spark, SF_SMOKE).collect()
+    assert rows
+    q = rows[0].qhat
+    assert q > 0 and all(r.qhat == q for r in rows)
+    n = sum(r.n_test for r in rows)
+    cov = sum(r.n_covered for r in rows) / n
+    # marginal guarantee: >= 0.9 - slack; upper side loose
+    assert cov >= 0.9 - 3.0 / (n**0.5), (cov, n)
+    assert cov <= 1.0
