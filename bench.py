@@ -217,6 +217,8 @@ EXTENDED = [
     "dbscan_embedding_clusters",
     "conformal_price_intervals",
     "graph_degree_assortativity",
+    "text_heaps_law_fit",
+    "aging_waterfall_open_lineitems",
 ]
 
 # Streaming extended queries run dead LAST (after the streaming
@@ -408,6 +410,8 @@ EXPECTED_SF01: dict[str, float] = {
     "dbscan_embedding_clusters": 6.5,
     "conformal_price_intervals": 1.4,
     "graph_degree_assortativity": 2.5,
+    "text_heaps_law_fit": 1.8,
+    "aging_waterfall_open_lineitems": 2.0,
 }
 
 

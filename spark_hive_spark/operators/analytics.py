@@ -1846,3 +1846,117 @@ def attribution_first_vs_last_touch(spark: SparkSession, sf_dir: str) -> DataFra
             / F.sum("n_purchases").over(W.partitionBy())
         ).alias("share"),
     ).orderBy("first_touch", "last_touch")
+
+
+_AGING_ORACLE = """
+    WITH months AS (
+        SELECT DISTINCT last_day(CAST(o_orderdate AS DATE)) AS me
+        FROM orders
+    ),
+    open_items AS (
+        SELECT m.me,
+               (year(m.me) * 12 + month(m.me))
+               - (year(o.o_orderdate) * 12 + month(o.o_orderdate)) AS age_m,
+               CAST(l.l_extendedprice AS DECIMAL(18,2)) AS val
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN months m
+          ON CAST(o.o_orderdate AS DATE) <= m.me
+         AND CAST(l.l_shipdate AS DATE) > m.me
+    )
+    SELECT strftime(me, '%Y-%m') AS snapshot_month,
+           CASE WHEN age_m <= 0 THEN '0-1'
+                WHEN age_m = 1 THEN '1-2'
+                WHEN age_m = 2 THEN '2-3'
+                ELSE '3+' END AS age_bucket,
+           CAST(count(*) AS BIGINT) AS n_open_items,
+           CAST(sum(val) AS DOUBLE) AS open_value
+    FROM open_items
+    GROUP BY snapshot_month, age_bucket
+    ORDER BY snapshot_month, age_bucket
+"""
+
+
+@register(
+    "aging_waterfall_open_lineitems",
+    oracle=_AGING_ORACLE,
+    tags=("analytics", "aging", "snapshot"),
+)
+def aging_waterfall_open_lineitems(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AGING WATERFALL — the AR-style month-end snapshot report: for
+    every month-end, lineitems ordered but not yet shipped, bucketed
+    by age in whole calendar months (integer year·12+month
+    arithmetic — identical in both engines, unlike the engines'
+    divergent months_between functions) with decimal-exact open
+    value.
+
+    Scale: the month grid is calendar-bounded and broadcast; the
+    non-equi span join fans each lineitem out only to the month-ends
+    inside its order→ship window (order-to-ship spans are short, so
+    the fan-out is a small constant, not |months|)."""
+    months = (
+        t(spark, sf_dir, "orders")
+        .select(F.last_day(F.col("o_orderdate").cast("date")).alias("me"))
+        .distinct()
+    )
+    # A lineitem is open at month-end me exactly for the months
+    # od_month .. ship_month−1 (od <= last_day(od month) always;
+    # ship > me fails only in ship's own month) — so openness depends
+    # ONLY on the (order-month, ship-month) pair. Contract lineitems
+    # to those ~|months|² pairs FIRST (map-side combinable count +
+    # decimal sum), then explode the tiny pair table: measured 7.3 s
+    # (per-row explode, 8.8M rows) → join-bound (the naive non-equi
+    # broadcast join was 6.2 s of predicate evaluation).
+    spans = (
+        t(spark, sf_dir, "lineitem")
+        .select(
+            "l_orderkey",
+            F.col("l_shipdate").cast("date").alias("ship"),
+            F.col("l_extendedprice").cast("decimal(18,2)").alias("val"),
+        )
+        .join(
+            t(spark, sf_dir, "orders").select(
+                "o_orderkey", F.col("o_orderdate").cast("date").alias("od")
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy(
+            F.trunc("od", "MM").alias("odm"),
+            F.trunc("ship", "MM").alias("shipm"),
+        )
+        .agg(F.count("*").alias("n"), F.sum("val").alias("valsum"))
+        .filter(F.col("shipm") > F.col("odm"))
+    )
+    j = (
+        spans.withColumn(
+            "me",
+            F.explode(
+                F.expr(
+                    "transform(sequence(odm, add_months(shipm, -1),"
+                    " interval 1 month), m -> last_day(m))"
+                )
+            ),
+        )
+        .join(F.broadcast(months), "me", "left_semi")
+        .withColumn("od", F.col("odm"))
+    )
+    age = (F.year("me") * 12 + F.month("me")) - (
+        F.year("od") * 12 + F.month("od")
+    )
+    bucket = (
+        F.when(age <= 0, "0-1")
+        .when(age == 1, "1-2")
+        .when(age == 2, "2-3")
+        .otherwise("3+")
+    )
+    return (
+        j.groupBy(
+            F.date_format("me", "yyyy-MM").alias("snapshot_month"),
+            bucket.alias("age_bucket"),
+        )
+        .agg(
+            F.sum("n").cast("bigint").alias("n_open_items"),
+            F.sum("valsum").cast("double").alias("open_value"),
+        )
+        .orderBy("snapshot_month", "age_bucket")
+    )

@@ -1458,3 +1458,131 @@ def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("pmi"), "w1", "w2")
         .limit(PMI_TOP)
     )
+
+
+HEAPS_GRID = 12  # vocab checkpoints at n = k/12 of the token stream
+
+_HEAPS_ORACLE = f"""
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(string_split({SQL_NORM_TEXT}, ' ')) AS w,
+               generate_subscripts(string_split({SQL_NORM_TEXT}, ' '), 1)
+                   AS pos
+        FROM documents
+    ),
+    seq AS (
+        SELECT w, row_number() OVER (ORDER BY doc_id, pos) AS i
+        FROM toks WHERE w <> ''
+    ),
+    first_seen AS (SELECT w, min(i) AS fs FROM seq GROUP BY w),
+    n_tot AS (SELECT count(*) AS n FROM seq),
+    grid AS (
+        SELECT k,
+               greatest(1, (SELECT n FROM n_tot)
+                           // CAST(pow(2, {HEAPS_GRID} - k) AS BIGINT)) AS cut
+        FROM (SELECT unnest(range(1, {HEAPS_GRID} + 1)) AS k)
+    ),
+    pts AS (
+        SELECT g.k, g.cut,
+               (SELECT count(*) FROM first_seen f WHERE f.fs <= g.cut)
+                   AS vocab
+        FROM grid g
+    ),
+    fit AS (
+        SELECT count(*) AS m,
+               sum(ln(CAST(cut AS DOUBLE))) AS sx,
+               sum(ln(CAST(vocab AS DOUBLE))) AS sy,
+               sum(ln(CAST(cut AS DOUBLE)) * ln(CAST(vocab AS DOUBLE)))
+                   AS sxy,
+               sum(ln(CAST(cut AS DOUBLE)) * ln(CAST(cut AS DOUBLE))) AS sxx
+        FROM pts
+    )
+    SELECT CAST(p.k AS BIGINT) AS checkpoint,
+           CAST(p.cut AS BIGINT) AS n_tokens,
+           CAST(p.vocab AS BIGINT) AS vocab,
+           round((f.sxy - f.sx * f.sy / f.m)
+                 / (f.sxx - f.sx * f.sx / f.m) + 0.0, 4) AS heaps_beta
+    FROM pts p, fit f
+    ORDER BY checkpoint
+"""
+
+
+@register(
+    "text_heaps_law_fit",
+    oracle=_HEAPS_ORACLE,
+    tags=("text", "heaps-law", "vocabulary"),
+)
+def text_heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HEAPS' LAW FIT — vocabulary growth V(n) ≈ K·n^β measured at 12
+    GEOMETRIC checkpoints (n/2^11 … n) along the corpus token stream
+    — the early doublings are where a templated corpus still grows
+    vocabulary; a linear grid saturates to a zero slope (companion to the
+    engine's Zipf fit): each token's FIRST-SEEN position (the
+    running-distinct rewrite — min over a global sequence index, no
+    per-row distinct scan), vocabulary size at each cut by a simple
+    first_seen <= cut count, and β by log-log OLS over the
+    checkpoints. Counts are exact integers; the ln/OLS arithmetic is
+    identical in both engines at 4dp.
+
+    Scale: the global sequence index is the documented two-phase
+    range-partition rank; first-seen contracts the stream to
+    vocab cardinality before anything else happens."""
+    from pyspark.sql import Window as W
+
+    toks = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.posexplode(F.split(normalized_text(), " ")).alias("pos", "w"),
+    ).filter(F.col("w") != "")
+    seq = toks.withColumn(
+        "i", F.row_number().over(W.orderBy("doc_id", "pos"))
+    )
+    first_seen = seq.groupBy("w").agg(F.min("i").alias("fs")).localCheckpoint(
+        eager=True
+    )  # vocab-cardinality; grid consumers
+    n_tot = seq.agg(F.count("*").alias("n"))
+    grid = (
+        spark.range(1, HEAPS_GRID + 1)
+        .withColumnRenamed("id", "k")
+        .crossJoin(F.broadcast(n_tot))
+        .select(
+            "k",
+            F.greatest(
+                F.lit(1),
+                F.expr(
+                    f"n DIV CAST(pow(2, {HEAPS_GRID} - k) AS BIGINT)"
+                ),
+            ).alias("cut"),
+        )
+    )
+    pts = (
+        first_seen.crossJoin(F.broadcast(grid))
+        .filter(F.col("fs") <= F.col("cut"))
+        .groupBy("k", "cut")
+        .agg(F.count("*").alias("vocab"))
+        .localCheckpoint(eager=True)  # 12 rows; fit + output
+    )
+    lx = F.log(F.col("cut").cast("double"))
+    ly = F.log(F.col("vocab").cast("double"))
+    m = F.count("*")
+    fit = pts.agg(
+        m.alias("m"),
+        F.sum(lx).alias("sx"),
+        F.sum(ly).alias("sy"),
+        F.sum(lx * ly).alias("sxy"),
+        F.sum(lx * lx).alias("sxx"),
+    )
+    return (
+        pts.crossJoin(F.broadcast(fit))
+        .select(
+            F.col("k").cast("bigint").alias("checkpoint"),
+            F.col("cut").cast("bigint").alias("n_tokens"),
+            F.col("vocab").cast("bigint").alias("vocab"),
+            F.round(
+                (F.col("sxy") - F.col("sx") * F.col("sy") / F.col("m"))
+                / (F.col("sxx") - F.col("sx") * F.col("sx") / F.col("m"))
+                + 0.0,
+                4,
+            ).alias("heaps_beta"),
+        )
+        .orderBy("checkpoint")
+    )
