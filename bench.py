@@ -219,6 +219,7 @@ EXTENDED = [
     "graph_degree_assortativity",
     "text_heaps_law_fit",
     "aging_waterfall_open_lineitems",
+    "forecast_backtest_seasonal_naive",
 ]
 
 # Streaming extended queries run dead LAST (after the streaming
@@ -412,6 +413,7 @@ EXPECTED_SF01: dict[str, float] = {
     "graph_degree_assortativity": 2.5,
     "text_heaps_law_fit": 1.8,
     "aging_waterfall_open_lineitems": 2.0,
+    "forecast_backtest_seasonal_naive": 1.2,
 }
 
 

@@ -1960,3 +1960,98 @@ def aging_waterfall_open_lineitems(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .orderBy("snapshot_month", "age_bucket")
     )
+
+
+BACKTEST_MONTHS = 24
+
+_BACKTEST_ORACLE = f"""
+    WITH monthly AS (
+        SELECT date_trunc('month', o_orderdate) AS mth,
+               sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+        FROM orders GROUP BY mth
+    ),
+    idx AS (
+        SELECT mth, rev,
+               row_number() OVER (ORDER BY mth) AS i,
+               count(*) OVER () AS n
+        FROM monthly
+    ),
+    joined AS (
+        SELECT a.mth, a.rev AS actual, b.rev AS forecast, a.n
+        FROM idx a JOIN idx b ON b.i = a.i - 12
+        WHERE a.i > a.n - {BACKTEST_MONTHS}
+    ),
+    scored AS (
+        SELECT mth, actual, forecast,
+               2.0 * abs(CAST(actual - forecast AS DOUBLE))
+                   / CAST(actual + forecast AS DOUBLE) AS smape_term
+        FROM joined
+    )
+    SELECT strftime(mth, '%Y-%m') AS month,
+           CAST(actual AS DOUBLE) AS actual,
+           CAST(forecast AS DOUBLE) AS seasonal_naive,
+           round(smape_term, 6) AS smape_term,
+           round((SELECT avg(smape_term) FROM scored), 6) AS smape_overall
+    FROM scored
+    ORDER BY month
+"""
+
+
+@register(
+    "forecast_backtest_seasonal_naive",
+    oracle=_BACKTEST_ORACLE,
+    tags=("analytics", "forecasting", "backtest"),
+)
+def forecast_backtest_seasonal_naive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORECAST BACKTEST — the baseline every forecasting system must
+    beat: seasonal-naive (ŷ_m = y_{m−12}) evaluated over the last 24
+    months with per-month and overall sMAPE. Revenues are exact
+    decimals; each sMAPE term is one double division (identical both
+    engines), and the overall mean averages 24 rounded-input terms —
+    a bounded sum of identically-computed doubles.
+
+    Scale: the fact table contracts to the calendar-bounded monthly
+    series (checkpointed — self-join + the overall-mean scalar are
+    three consumers); everything after is 24-row arithmetic."""
+    from pyspark.sql import Window as W
+
+    monthly = (
+        t(spark, sf_dir, "orders")
+        .groupBy(F.date_trunc("month", "o_orderdate").alias("mth"))
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev"))
+    )
+    idx = monthly.select(
+        "mth",
+        "rev",
+        F.row_number().over(W.orderBy("mth")).alias("i"),
+        F.count("*").over(W.partitionBy()).alias("n"),
+    ).localCheckpoint(eager=True)
+    a = idx.select("mth", F.col("rev").alias("actual"), "i", "n")
+    b = idx.select(F.col("rev").alias("forecast"), F.col("i").alias("j"))
+    scored = (
+        a.join(F.broadcast(b), F.col("j") == F.col("i") - 12)
+        .filter(F.col("i") > F.col("n") - BACKTEST_MONTHS)
+        .select(
+            "mth",
+            "actual",
+            "forecast",
+            (
+                2.0
+                * F.abs((F.col("actual") - F.col("forecast")).cast("double"))
+                / (F.col("actual") + F.col("forecast")).cast("double")
+            ).alias("smape_term"),
+        )
+        .localCheckpoint(eager=True)  # 24 rows; overall mean + output
+    )
+    overall = scored.agg(F.avg("smape_term").alias("o"))
+    return (
+        scored.crossJoin(F.broadcast(overall))
+        .select(
+            F.date_format("mth", "yyyy-MM").alias("month"),
+            F.col("actual").cast("double").alias("actual"),
+            F.col("forecast").cast("double").alias("seasonal_naive"),
+            F.round("smape_term", 6).alias("smape_term"),
+            F.round("o", 6).alias("smape_overall"),
+        )
+        .orderBy("month")
+    )
