@@ -220,6 +220,7 @@ EXTENDED = [
     "text_heaps_law_fit",
     "aging_waterfall_open_lineitems",
     "forecast_backtest_seasonal_naive",
+    "geo_haversine_nearest_nation",
 ]
 
 # Streaming extended queries run dead LAST (after the streaming
@@ -414,6 +415,7 @@ EXPECTED_SF01: dict[str, float] = {
     "text_heaps_law_fit": 1.8,
     "aging_waterfall_open_lineitems": 2.0,
     "forecast_backtest_seasonal_naive": 1.2,
+    "geo_haversine_nearest_nation": 0.8,
 }
 
 

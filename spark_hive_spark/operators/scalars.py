@@ -406,3 +406,101 @@ def xml_part_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("p_brand")
     )
+
+
+EARTH_R_KM = 6371.0
+
+_HAVERSINE_ORACLE = f"""
+    WITH geo AS (
+        SELECT n_nationkey, n_name,
+               CAST((n_nationkey * 37) % 181 - 90 AS DOUBLE) AS lat,
+               CAST((n_nationkey * 73) % 361 - 180 AS DOUBLE) AS lon
+        FROM nation
+    ),
+    pairs AS (
+        SELECT a.n_name AS nation, b.n_name AS neighbor,
+               round(2 * {EARTH_R_KM} * asin(sqrt(
+                   pow(sin(radians(b.lat - a.lat) / 2), 2)
+                   + cos(radians(a.lat)) * cos(radians(b.lat))
+                     * pow(sin(radians(b.lon - a.lon) / 2), 2)
+               )), 1) AS dist_km
+        FROM geo a JOIN geo b ON a.n_nationkey <> b.n_nationkey
+    ),
+    ranked AS (
+        SELECT nation, neighbor, dist_km,
+               row_number() OVER (PARTITION BY nation
+                                  ORDER BY dist_km, neighbor) AS rk
+        FROM pairs
+    )
+    SELECT nation, neighbor, dist_km
+    FROM ranked WHERE rk = 1
+    ORDER BY nation
+"""
+
+
+@register(
+    "geo_haversine_nearest_nation",
+    oracle=_HAVERSINE_ORACLE,
+    tags=("geo", "haversine", "nearest-neighbor"),
+)
+def geo_haversine_nearest_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GEOSPATIAL NEAREST NEIGHBOR — great-circle (haversine)
+    distance between nations on deterministic synthetic coordinates
+    (integer-degree lat/lon derived from the nation key, so the
+    geometry is reproducible without a geo fixture), each nation
+    mapped to its closest peer. Ranking is on the ROUNDED distance
+    with a name tie-break — the trig pipeline (radians → sin/cos →
+    asin) computes identical doubles from identical integer inputs
+    in both engines, and 1 dp rounding sits far above any libm ULP
+    divergence.
+
+    Scale: the pair join is dimension×dimension (25×25) — a
+    broadcast nested loop by construction; on a real point table
+    this becomes the geohash-bucketed band join (the engine's range-
+    join pattern) rather than all-pairs."""
+    from pyspark.sql import Window as W
+
+    geo = t(spark, sf_dir, "nation").select(
+        "n_nationkey",
+        "n_name",
+        ((F.col("n_nationkey") * 37) % 181 - 90).cast("double").alias("lat"),
+        ((F.col("n_nationkey") * 73) % 361 - 180).cast("double").alias("lon"),
+    )
+    a = geo.select(
+        F.col("n_nationkey").alias("ka"),
+        F.col("n_name").alias("nation"),
+        F.col("lat").alias("lat1"),
+        F.col("lon").alias("lon1"),
+    )
+    b = geo.select(
+        F.col("n_nationkey").alias("kb"),
+        F.col("n_name").alias("neighbor"),
+        F.col("lat").alias("lat2"),
+        F.col("lon").alias("lon2"),
+    )
+    dist = F.round(
+        2
+        * EARTH_R_KM
+        * F.asin(
+            F.sqrt(
+                F.pow(F.sin(F.radians(F.col("lat2") - F.col("lat1")) / 2), 2)
+                + F.cos(F.radians("lat1"))
+                * F.cos(F.radians("lat2"))
+                * F.pow(
+                    F.sin(F.radians(F.col("lon2") - F.col("lon1")) / 2), 2
+                )
+            )
+        ),
+        1,
+    )
+    pairs = (
+        a.join(F.broadcast(b), F.col("ka") != F.col("kb"))
+        .select("nation", "neighbor", dist.alias("dist_km"))
+    )
+    w = W.partitionBy("nation").orderBy("dist_km", "neighbor")
+    return (
+        pairs.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("nation", "neighbor", "dist_km")
+        .orderBy("nation")
+    )
