@@ -221,6 +221,7 @@ EXTENDED = [
     "aging_waterfall_open_lineitems",
     "forecast_backtest_seasonal_naive",
     "geo_haversine_nearest_nation",
+    "price_elasticity_by_brand",
 ]
 
 # Streaming extended queries run dead LAST (after the streaming
@@ -416,6 +417,7 @@ EXPECTED_SF01: dict[str, float] = {
     "aging_waterfall_open_lineitems": 2.0,
     "forecast_backtest_seasonal_naive": 1.2,
     "geo_haversine_nearest_nation": 0.8,
+    "price_elasticity_by_brand": 1.0,
 }
 
 

@@ -1706,3 +1706,78 @@ def conformal_price_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("brand")
     )
+
+
+_ELASTICITY_ORACLE = """
+    WITH obs AS (
+        SELECT p.p_brand AS brand,
+               ln(CAST(CAST(l.l_extendedprice AS DECIMAL(18,2)) AS DOUBLE)
+                  / l.l_quantity) AS lp,
+               ln(CAST(l.l_quantity AS DOUBLE)) AS lq
+        FROM lineitem l
+        JOIN part p ON l.l_partkey = p.p_partkey
+        WHERE l.l_quantity > 0 AND l.l_extendedprice > 0
+    )
+    SELECT brand,
+           CAST(count(*) AS BIGINT) AS n_obs,
+           round((sum(lp * lq) - sum(lp) * sum(lq) / count(*))
+                 / (sum(lp * lp) - sum(lp) * sum(lp) / count(*)), 4)
+               AS elasticity,
+           round(
+               (sum(lp * lq) - sum(lp) * sum(lq) / count(*))
+               / sqrt((sum(lp * lp) - sum(lp) * sum(lp) / count(*))
+                      * (sum(lq * lq) - sum(lq) * sum(lq) / count(*))),
+               4) AS correlation
+    FROM obs
+    GROUP BY brand
+    ORDER BY brand
+"""
+
+
+@register(
+    "price_elasticity_by_brand",
+    oracle=_ELASTICITY_ORACLE,
+    tags=("statistics", "elasticity", "log-log"),
+)
+def price_elasticity_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PRICE ELASTICITY — the econometric log-log regression
+    ln(quantity) ~ ln(unit price) per brand: the OLS slope IS the
+    elasticity (%Δq per %Δp), reported with the log-log correlation.
+    Unit price derives from the decimal-snapped extended price over
+    quantity; both engines take ln of identical doubles, and the
+    per-brand moment sums feed one closed-form slope each.
+
+    Scale: one join (part broadcasts at any SF relative to lineitem)
+    + one map-side-combinable grouped aggregate — the canonical
+    GLM-feature-pass shape."""
+    obs = (
+        t(spark, sf_dir, "lineitem")
+        .filter((F.col("l_quantity") > 0) & (F.col("l_extendedprice") > 0))
+        .join(
+            F.broadcast(
+                t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+            ),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .select(
+            F.col("p_brand").alias("brand"),
+            F.log(
+                F.col("l_extendedprice").cast("decimal(18,2)").cast("double")
+                / F.col("l_quantity")
+            ).alias("lp"),
+            F.log(F.col("l_quantity").cast("double")).alias("lq"),
+        )
+    )
+    n = F.count("*")
+    spq = F.sum(F.col("lp") * F.col("lq")) - F.sum("lp") * F.sum("lq") / n
+    spp = F.sum(F.col("lp") * F.col("lp")) - F.sum("lp") * F.sum("lp") / n
+    sqq = F.sum(F.col("lq") * F.col("lq")) - F.sum("lq") * F.sum("lq") / n
+    return (
+        obs.groupBy("brand")
+        .agg(
+            n.cast("bigint").alias("n_obs"),
+            F.round(spq / spp, 4).alias("elasticity"),
+            F.round(spq / F.sqrt(spp * sqq), 4).alias("correlation"),
+        )
+        .orderBy("brand")
+    )
