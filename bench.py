@@ -222,6 +222,7 @@ EXTENDED = [
     "forecast_backtest_seasonal_naive",
     "geo_haversine_nearest_nation",
     "price_elasticity_by_brand",
+    "retention_decay_fit",
 ]
 
 # Streaming extended queries run dead LAST (after the streaming
@@ -418,6 +419,7 @@ EXPECTED_SF01: dict[str, float] = {
     "forecast_backtest_seasonal_naive": 1.2,
     "geo_haversine_nearest_nation": 0.8,
     "price_elasticity_by_brand": 1.0,
+    "retention_decay_fit": 1.0,
 }
 
 

@@ -2055,3 +2055,118 @@ def forecast_backtest_seasonal_naive(spark: SparkSession, sf_dir: str) -> DataFr
         )
         .orderBy("month")
     )
+
+
+_DECAY_ORACLE = """
+    WITH signups AS (
+        SELECT user_id, min(CAST(ts AS DATE)) AS d0 FROM events
+        GROUP BY user_id
+    ),
+    activity AS (
+        SELECT s.user_id,
+               datediff('day', s.d0, CAST(e.ts AS DATE)) // 7 AS wk
+        FROM events e JOIN signups s ON e.user_id = s.user_id
+        WHERE CAST(e.ts AS DATE) >= s.d0
+        GROUP BY s.user_id, wk
+    ),
+    base AS (SELECT count(*) AS n0 FROM signups),
+    weekly AS (
+        SELECT wk, count(*) AS active
+        FROM activity WHERE wk BETWEEN 1 AND 4 GROUP BY wk
+    ),
+    rates AS (
+        SELECT wk, active,
+               CAST(active AS DOUBLE) / n0 AS rate,
+               ln(CAST(active AS DOUBLE) / n0) AS lr
+        FROM weekly, base
+    ),
+    fit AS (
+        SELECT count(*) AS m, sum(wk) AS sx, sum(lr) AS sy,
+               sum(wk * lr) AS sxy, sum(wk * wk) AS sxx
+        FROM rates
+    )
+    SELECT CAST(r.wk AS BIGINT) AS week,
+           CAST(r.active AS BIGINT) AS n_active,
+           round(r.rate, 6) AS retention_rate,
+           round(-(f.sxy - f.sx * f.sy / f.m)
+                 / (f.sxx - f.sx * f.sx / f.m), 4) AS decay_lambda,
+           round(exp(f.sy / f.m
+                     + (f.sxy - f.sx * f.sy / f.m)
+                       / (f.sxx - f.sx * f.sx / f.m)
+                       * (0 - f.sx / f.m)), 4) AS fitted_r0
+    FROM rates r, fit f
+    ORDER BY week
+"""
+
+
+@register(
+    "retention_decay_fit",
+    oracle=_DECAY_ORACLE,
+    tags=("analytics", "retention", "decay-fit"),
+)
+def retention_decay_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RETENTION DECAY FIT — the exponential model r(w) ≈ r₀·e^{−λw}
+    over weeks 1-4 of whole-population retention (active in week w
+    after first-seen), fitted by log-linear OLS: λ is the decay rate
+    every growth team quotes, r₀ the extrapolated week-0 intercept.
+    Rates are ratios of exact integers; the four-point fit runs the
+    same closed-form expressions in both engines.
+
+    Scale: events contract to (user, week) then to 4 weekly counts —
+    two map-side-combinable aggregates; the fit is 4-row
+    arithmetic."""
+    from pyspark.sql import Window as W  # noqa: F401 (module convention)
+
+    ev = t(spark, sf_dir, "events").select(
+        "user_id", F.col("ts").cast("date").alias("d")
+    )
+    signups = ev.groupBy("user_id").agg(F.min("d").alias("d0"))
+    activity = (
+        ev.join(signups, "user_id")
+        .filter(F.col("d") >= F.col("d0"))
+        .select(
+            "user_id",
+            F.floor(F.datediff("d", "d0") / 7).cast("bigint").alias("wk"),
+        )
+        .distinct()
+    )
+    base = signups.agg(F.count("*").alias("n0"))
+    weekly = (
+        activity.filter(F.col("wk").between(1, 4))
+        .groupBy("wk")
+        .agg(F.count("*").alias("active"))
+    )
+    rates = weekly.crossJoin(F.broadcast(base)).select(
+        "wk",
+        "active",
+        (F.col("active").cast("double") / F.col("n0")).alias("rate"),
+        F.log(F.col("active").cast("double") / F.col("n0")).alias("lr"),
+    ).localCheckpoint(eager=True)  # 4 rows; fit + output
+    m = F.count("*")
+    fit = rates.agg(
+        m.alias("m"),
+        F.sum("wk").alias("sx"),
+        F.sum("lr").alias("sy"),
+        F.sum(F.col("wk") * F.col("lr")).alias("sxy"),
+        F.sum(F.col("wk") * F.col("wk")).alias("sxx"),
+    )
+    slope = (F.col("sxy") - F.col("sx") * F.col("sy") / F.col("m")) / (
+        F.col("sxx") - F.col("sx") * F.col("sx") / F.col("m")
+    )
+    return (
+        rates.crossJoin(F.broadcast(fit))
+        .select(
+            F.col("wk").cast("bigint").alias("week"),
+            F.col("active").cast("bigint").alias("n_active"),
+            F.round("rate", 6).alias("retention_rate"),
+            F.round(-slope, 4).alias("decay_lambda"),
+            F.round(
+                F.exp(
+                    F.col("sy") / F.col("m")
+                    + slope * (0 - F.col("sx") / F.col("m"))
+                ),
+                4,
+            ).alias("fitted_r0"),
+        )
+        .orderBy("week")
+    )
