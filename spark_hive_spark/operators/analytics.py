@@ -2089,7 +2089,7 @@ _DECAY_ORACLE = """
            CAST(r.active AS BIGINT) AS n_active,
            round(r.rate, 6) AS retention_rate,
            round(-(f.sxy - f.sx * f.sy / f.m)
-                 / (f.sxx - f.sx * f.sx / f.m), 4) AS decay_lambda,
+                 / (f.sxx - f.sx * f.sx / f.m) + 0.0, 4) AS decay_lambda,
            round(exp(f.sy / f.m
                      + (f.sxy - f.sx * f.sy / f.m)
                        / (f.sxx - f.sx * f.sx / f.m)
@@ -2159,7 +2159,7 @@ def retention_decay_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("wk").cast("bigint").alias("week"),
             F.col("active").cast("bigint").alias("n_active"),
             F.round("rate", 6).alias("retention_rate"),
-            F.round(-slope, 4).alias("decay_lambda"),
+            F.round(-slope + 0.0, 4).alias("decay_lambda"),
             F.round(
                 F.exp(
                     F.col("sy") / F.col("m")
