@@ -47,3 +47,31 @@ def test_query_matches_oracle(spark, duck, name):
         return
     problems = compare(df, duck.sql(q.oracle), name)
     assert not problems, "\n".join(problems)
+
+
+def test_no_unguarded_negated_round():
+    """Lint: round(-expr, k) where expr can be ~0 stringifies as -0.0
+    in one engine and 0.0 in the other (bit twice in round 7: Heaps
+    beta, retention decay lambda — both only at the sf0.001 scale).
+    Any negation directly inside a round() must carry the `+ 0.0`
+    normalization."""
+    import re
+
+    offenders = []
+    for name, q in _QUERIES.items():
+        if not q.oracle:
+            continue
+        for m in re.finditer(r"round\(\s*-", q.oracle):
+            seg = q.oracle[m.start():]
+            depth, call = 0, seg
+            for i, ch in enumerate(seg):
+                if ch == "(":
+                    depth += 1
+                elif ch == ")":
+                    depth -= 1
+                    if depth == 0:
+                        call = seg[: i + 1]
+                        break
+            if "+ 0.0" not in call:
+                offenders.append(name)
+    assert not offenders, f"unguarded round(-...): {sorted(set(offenders))}"
