@@ -223,6 +223,7 @@ EXTENDED = [
     "geo_haversine_nearest_nation",
     "price_elasticity_by_brand",
     "retention_decay_fit",
+    "whale_concentration_top1pct",
 ]
 
 # Streaming extended queries run dead LAST (after the streaming
@@ -420,6 +421,7 @@ EXPECTED_SF01: dict[str, float] = {
     "geo_haversine_nearest_nation": 0.8,
     "price_elasticity_by_brand": 1.0,
     "retention_decay_fit": 1.0,
+    "whale_concentration_top1pct": 1.2,
 }
 
 

@@ -274,3 +274,84 @@ def gini_customer_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("decile")
     )
+
+
+_WHALE_ORACLE = """
+    WITH rev AS (
+        SELECT o_custkey,
+               sum(CAST(o_totalprice AS DECIMAL(18,2))) AS r
+        FROM orders GROUP BY o_custkey
+    ),
+    ranked AS (
+        SELECT r, row_number() OVER (ORDER BY r DESC, o_custkey) AS rk,
+               count(*) OVER () AS n, sum(r) OVER () AS s
+        FROM rev
+    ),
+    cut AS (SELECT CAST(ceil(n / 100.0) AS BIGINT) AS k, n, s
+            FROM ranked LIMIT 1)
+    SELECT CAST(c.n AS BIGINT) AS n_customers,
+           c.k AS n_top1pct,
+           round(CAST(sum(t.r) AS DOUBLE) / CAST(c.s AS DOUBLE), 6)
+               AS top1pct_share,
+           round(CAST(sum(t.r) AS DOUBLE) / c.k, 2)
+               AS avg_top_revenue
+    FROM ranked t, cut c
+    WHERE t.rk <= c.k
+    GROUP BY c.n, c.k, c.s
+"""
+
+
+@register(
+    "whale_concentration_top1pct",
+    oracle=_WHALE_ORACLE,
+    tags=("finance", "concentration", "whales"),
+)
+def whale_concentration_top1pct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WHALE CONCENTRATION — the top-1% customers' share of total
+    revenue (the single number behind every "whale dependence" slide,
+    the pointwise companion to the Lorenz/Gini curve): rank customers
+    by exact-decimal revenue (custkey tie-break), take the first
+    ⌈n/100⌉, divide their decimal sum by the decimal total. Two
+    double divisions at the end, identical in both engines.
+
+    Scale: orders contract to customer grain map-side; the global
+    rank is the documented two-phase range-partition rewrite at
+    100 TB."""
+    from pyspark.sql import Window as W
+
+    rev = (
+        t(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.sum(dec("o_totalprice")).alias("r"))
+    )
+    ranked = rev.select(
+        "r",
+        F.row_number().over(W.orderBy(F.desc("r"), "o_custkey")).alias("rk"),
+        F.count("*").over(W.partitionBy()).alias("n"),
+        F.sum("r").over(W.partitionBy()).alias("s"),
+    ).localCheckpoint(eager=True)  # customer grain; cut + output
+    cut = ranked.limit(1).select(
+        F.ceil(F.col("n") / 100.0).cast("bigint").alias("k"),
+        F.col("n").alias("n_all"),
+        F.col("s").alias("s_all"),
+    )
+    return (
+        ranked.drop("n", "s")
+        .crossJoin(F.broadcast(cut))
+        .filter(F.col("rk") <= F.col("k"))
+        .groupBy("n_all", "k", "s_all")
+        .agg(
+            F.sum("r").alias("top_r"),
+        )
+        .select(
+            F.col("n_all").cast("bigint").alias("n_customers"),
+            F.col("k").alias("n_top1pct"),
+            F.round(
+                F.col("top_r").cast("double") / F.col("s_all").cast("double"),
+                6,
+            ).alias("top1pct_share"),
+            F.round(F.col("top_r").cast("double") / F.col("k"), 2).alias(
+                "avg_top_revenue"
+            ),
+        )
+    )
