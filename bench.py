@@ -224,6 +224,7 @@ EXTENDED = [
     "price_elasticity_by_brand",
     "retention_decay_fit",
     "whale_concentration_top1pct",
+    "xcorr_click_purchase_lag",
 ]
 
 # Streaming extended queries run dead LAST (after the streaming
@@ -422,6 +423,7 @@ EXPECTED_SF01: dict[str, float] = {
     "price_elasticity_by_brand": 1.0,
     "retention_decay_fit": 1.0,
     "whale_concentration_top1pct": 1.2,
+    "xcorr_click_purchase_lag": 1.1,
 }
 
 

@@ -486,3 +486,86 @@ def events_user_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("events_band")
     )
+
+
+XCORR_MAX_LAG = 7
+
+_XCORR_ORACLE = f"""
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS day,
+               count(CASE WHEN event_type = 'click' THEN 1 END) AS clicks,
+               count(CASE WHEN event_type = 'purchase' THEN 1 END) AS buys
+        FROM events GROUP BY day
+    ),
+    lags AS (
+        SELECT unnest(range(-{XCORR_MAX_LAG}, {XCORR_MAX_LAG} + 1)) AS lag
+    ),
+    pairs AS (
+        SELECT l.lag,
+               CAST(a.clicks AS DOUBLE) AS x,
+               CAST(b.buys AS DOUBLE) AS y
+        FROM lags l
+        JOIN daily a ON TRUE
+        JOIN daily b ON b.day = a.day + to_days(CAST(l.lag AS INTEGER))
+    )
+    SELECT CAST(lag AS BIGINT) AS lag_days,
+           CAST(count(*) AS BIGINT) AS n_days,
+           round((sum(x * y) - sum(x) * sum(y) / count(*))
+                 / sqrt((sum(x * x) - sum(x) * sum(x) / count(*))
+                        * (sum(y * y) - sum(y) * sum(y) / count(*)))
+                 + 0.0, 6) AS xcorr
+    FROM pairs
+    GROUP BY lag
+    ORDER BY lag_days
+"""
+
+
+@register(
+    "xcorr_click_purchase_lag",
+    oracle=_XCORR_ORACLE,
+    tags=("timeseries", "cross-correlation", "lead-lag"),
+)
+def xcorr_click_purchase_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CROSS-CORRELATION LAG SCAN — Pearson correlation between daily
+    click counts and daily purchase counts at every lag in ±7 days
+    (the lead-lag question behind attribution windows: how long
+    after click activity do purchases move?). Counts are exact
+    integers per calendar day; each lag's correlation is one
+    closed-form expression over the day-aligned join, signed-zero
+    guarded.
+
+    Scale: events contract to the calendar-bounded daily series
+    (checkpointed — 15 lag consumers), the lag join is
+    |days|×15 rows, and the moment sums reduce per lag."""
+    daily = (
+        t(spark, sf_dir, "events")
+        .groupBy(F.col("ts").cast("date").alias("day"))
+        .agg(
+            F.count(F.when(F.col("event_type") == "click", 1)).alias("clicks"),
+            F.count(F.when(F.col("event_type") == "purchase", 1)).alias("buys"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    lags = spark.range(-XCORR_MAX_LAG, XCORR_MAX_LAG + 1).select(
+        F.col("id").cast("int").alias("lag")
+    )
+    a = daily.select("day", F.col("clicks").cast("double").alias("x"))
+    b = daily.select(
+        F.col("day").alias("bday"), F.col("buys").cast("double").alias("y")
+    )
+    pairs = (
+        a.crossJoin(F.broadcast(lags))
+        .join(b, F.col("bday") == F.date_add("day", F.col("lag")))
+    )
+    n = F.count("*")
+    sxy = F.sum(F.col("x") * F.col("y")) - F.sum("x") * F.sum("y") / n
+    sxx = F.sum(F.col("x") * F.col("x")) - F.sum("x") * F.sum("x") / n
+    syy = F.sum(F.col("y") * F.col("y")) - F.sum("y") * F.sum("y") / n
+    return (
+        pairs.groupBy(F.col("lag").cast("bigint").alias("lag_days"))
+        .agg(
+            n.cast("bigint").alias("n_days"),
+            F.round(sxy / F.sqrt(sxx * syy) + 0.0, 6).alias("xcorr"),
+        )
+        .orderBy("lag_days")
+    )
