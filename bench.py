@@ -225,6 +225,7 @@ EXTENDED = [
     "retention_decay_fit",
     "whale_concentration_top1pct",
     "xcorr_click_purchase_lag",
+    "repeat_purchase_cadence_curve",
 ]
 
 # Streaming extended queries run dead LAST (after the streaming
@@ -424,6 +425,7 @@ EXPECTED_SF01: dict[str, float] = {
     "retention_decay_fit": 1.0,
     "whale_concentration_top1pct": 1.2,
     "xcorr_click_purchase_lag": 1.1,
+    "repeat_purchase_cadence_curve": 1.3,
 }
 
 

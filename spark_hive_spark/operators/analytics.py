@@ -2170,3 +2170,77 @@ def retention_decay_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("week")
     )
+
+
+REPEAT_MAX_IDX = 8
+REPEAT_WINDOW_DAYS = 30
+
+_REPEAT_CURVE_ORACLE = f"""
+    WITH seq AS (
+        SELECT o_custkey,
+               row_number() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_orderdate, o_orderkey) AS idx,
+               datediff('day', CAST(o_orderdate AS DATE),
+                        lead(CAST(o_orderdate AS DATE)) OVER
+                        (PARTITION BY o_custkey
+                         ORDER BY o_orderdate, o_orderkey)) AS gap
+        FROM orders
+    )
+    SELECT CAST(idx AS BIGINT) AS order_index,
+           CAST(count(gap) AS BIGINT) AS n_with_next,
+           CAST(count(CASE WHEN gap <= {REPEAT_WINDOW_DAYS} THEN 1 END)
+                AS BIGINT) AS n_within_30d,
+           round(CAST(count(CASE WHEN gap <= {REPEAT_WINDOW_DAYS} THEN 1 END)
+                      AS DOUBLE) / count(gap), 6) AS p_repeat_30d,
+           round(CAST(sum(gap) AS DOUBLE) / count(gap), 2) AS mean_gap_days
+    FROM seq
+    WHERE idx <= {REPEAT_MAX_IDX} AND gap IS NOT NULL
+    GROUP BY idx
+    ORDER BY order_index
+"""
+
+
+@register(
+    "repeat_purchase_cadence_curve",
+    oracle=_REPEAT_CURVE_ORACLE,
+    tags=("analytics", "cadence", "repeat-purchase"),
+)
+def repeat_purchase_cadence_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REPEAT-PURCHASE CADENCE — for each order index (1st, 2nd, …
+    8th order of a customer), the probability the NEXT order arrives
+    within 30 days and the mean inter-order gap: the curve that
+    shows whether customers accelerate or decay as they mature
+    (habit formation vs churn drift). One customer-partitioned
+    window (row_number + lead over the same frame), exact integer
+    gaps, ratio-of-counts probabilities.
+
+    Scale: a single window over orders on its natural customer
+    partitioning, then an 8-group reduce."""
+    from pyspark.sql import Window as W
+
+    uw = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    seq = t(spark, sf_dir, "orders").select(
+        F.row_number().over(uw).alias("idx"),
+        F.datediff(
+            F.lead(F.col("o_orderdate").cast("date")).over(uw),
+            F.col("o_orderdate").cast("date"),
+        ).alias("gap"),
+    )
+    hit = F.count(F.when(F.col("gap") <= REPEAT_WINDOW_DAYS, 1))
+    return (
+        seq.filter(
+            (F.col("idx") <= REPEAT_MAX_IDX) & F.col("gap").isNotNull()
+        )
+        .groupBy(F.col("idx").cast("bigint").alias("order_index"))
+        .agg(
+            F.count("gap").cast("bigint").alias("n_with_next"),
+            hit.cast("bigint").alias("n_within_30d"),
+            F.round(hit.cast("double") / F.count("gap"), 6).alias(
+                "p_repeat_30d"
+            ),
+            F.round(
+                F.sum("gap").cast("double") / F.count("gap"), 2
+            ).alias("mean_gap_days"),
+        )
+        .orderBy("order_index")
+    )
