@@ -226,6 +226,7 @@ EXTENDED = [
     "whale_concentration_top1pct",
     "xcorr_click_purchase_lag",
     "repeat_purchase_cadence_curve",
+    "text_lexical_diversity_ttr",
 ]
 
 # Streaming extended queries run dead LAST (after the streaming
@@ -426,6 +427,7 @@ EXPECTED_SF01: dict[str, float] = {
     "whale_concentration_top1pct": 1.2,
     "xcorr_click_purchase_lag": 1.1,
     "repeat_purchase_cadence_curve": 1.3,
+    "text_lexical_diversity_ttr": 0.9,
 }
 
 

@@ -1586,3 +1586,71 @@ def text_heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("checkpoint")
     )
+
+
+_TTR_ORACLE = f"""
+    WITH per_doc AS (
+        SELECT doc_id, lang,
+               len(string_split({SQL_NORM_TEXT}, ' ')) AS n_tok,
+               len(list_distinct(string_split({SQL_NORM_TEXT}, ' ')))
+                   AS n_types
+        FROM documents
+    ),
+    banded AS (
+        SELECT lang,
+               CASE WHEN n_tok < 50 THEN 'short'
+                    WHEN n_tok < 200 THEN 'medium'
+                    ELSE 'long' END AS band,
+               n_tok, n_types
+        FROM per_doc WHERE n_tok > 0
+    )
+    SELECT lang, band,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           round(CAST(sum(n_types) AS DOUBLE) / sum(n_tok), 6)
+               AS pooled_ttr,
+           CAST(min(n_types) AS BIGINT) AS min_types,
+           CAST(max(n_tok) AS BIGINT) AS max_tokens
+    FROM banded
+    GROUP BY lang, band
+    ORDER BY lang, band
+"""
+
+
+@register(
+    "text_lexical_diversity_ttr",
+    oracle=_TTR_ORACLE,
+    tags=("text", "lexical-diversity", "ttr"),
+)
+def text_lexical_diversity_ttr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEXICAL DIVERSITY — pooled type-token ratio per (language,
+    length band): the corpus-curation filter that catches keyword
+    stuffing and boilerplate (low TTR) without an LM. Pooled
+    Σtypes/Σtokens rather than mean-of-ratios, so the statistic is a
+    ratio of exact integers (length-band pooling also blunts TTR's
+    well-known length bias). Pure map + grouped aggregate — the
+    engine's standard corpus-scan shape."""
+    per_doc = t(spark, sf_dir, "documents").select(
+        "lang",
+        F.size(F.split(normalized_text(), " ")).alias("n_tok"),
+        F.size(F.array_distinct(F.split(normalized_text(), " "))).alias(
+            "n_types"
+        ),
+    )
+    band = (
+        F.when(F.col("n_tok") < 50, "short")
+        .when(F.col("n_tok") < 200, "medium")
+        .otherwise("long")
+    )
+    return (
+        per_doc.filter(F.col("n_tok") > 0)
+        .groupBy("lang", band.alias("band"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.round(
+                F.sum("n_types").cast("double") / F.sum("n_tok"), 6
+            ).alias("pooled_ttr"),
+            F.min("n_types").cast("bigint").alias("min_types"),
+            F.max("n_tok").cast("bigint").alias("max_tokens"),
+        )
+        .orderBy("lang", "band")
+    )
