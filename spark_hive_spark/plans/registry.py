@@ -38,75 +38,104 @@ class Query:
 _REGISTRY: dict[str, Query] = {}
 
 # The grading driver sweeps the FIRST 50 registry entries per round, so
-# ordering is an attestation budget. Round-7 rotation (VERDICT r6 task
-# 2): the 4 reference jobs stay pinned, then never-driver-swept
-# queries in priority order. Round 7 produced MORE new queries than
-# the window holds: the re-attestation block is empty, and the
-# late-round additions past the 50th slot (ann_index_persistence_audit,
-# entity_resolution_name_clusters, partition_checksum_diff,
-# fx_asof_converted_revenue, and any later) sit just beyond the window
-# in registration order — they are pytest-parity-covered this round
-# and rotate into the r08 window first. Displacement policy: new
-# never-swept queries displace re-attestation rows from the END of the
-# list (exhausted this round). tests/test_registry_window.py asserts
-# the window stays exactly this set.
+# ordering is an attestation budget. Round-8 rotation (VERDICT r7 task
+# 1): the 4 reference jobs stay pinned, then the 46 oldest of the 81
+# queries that have never earned a CORRECTNESS_r*.json row (cumulative
+# driver attestation after r07: 202/283). The remaining 35 (listed as
+# comments at the end) rotate into the r09 window, together with any
+# round-8 additions. tests/test_registry_window.py asserts the window
+# stays exactly this set.
 SWEEP_PRIORITY: tuple[str, ...] = (
     # pinned reference jobs (driver-green every round)
     "ref_top5_nations_by_avg_acctbal",
     "ref_top5_finished_orders_by_price",
     "ref_building_acctbal_stats_by_nation",
     "ref_orc_roundtrip",
-    # landed after the r06 sweep — never driver-attested (judge
-    # simulated all 3 hash-equal in the r6 verdict; this makes it real)
-    "running_distinct_users",
-    "skyline_price_size_parts",
-    "text_sentiment_lexicon",
-    "stream_tws_user_profile",
-    "multimodal_decode_resize",
-    "pii_redaction_stats",
-    "kanonymity_audit",
-    "curation_temperature_mixture",
-    "text_mad_outliers",
-    "zorder_layout_audit",
-    "cogroup_click_purchase_latency",
-    "source_jdbc_dim_enrich",
-    "journey_top_paths",
-    "recursive_cte_custkey_tree",
-    "collation_ci_part_names",
-    "sqlvar_acctbal_gate",
-    "table_checksum_validation",
-    "fuzzy_levenshtein_part_pairs",
-    "multimodal_wav_features",
-    "pagerank_nation_trade",
-    "quality_hashed_linear_classifier",
-    "dedup_span_coverage",
-    "reservoir_per_key_sample",
-    "basket_part_pairs",
-    "skew_diagnostic_report",
-    "source_schema_evolution_union",
-    "chisq_segment_priority",
-    "ewma_user_event_values",
-    "stream_stream_left_outer_join",
-    "approx_percentile_audit",
-    "benford_price_digits",
-    "stream_session_dynamic_gap",
-    "sink_dynamic_partition_overwrite",
-    "groupby_all_year_priority",
-    "source_jsonlines_roundtrip",
-    "source_csv_permissive_audit",
-    "text_bigram_backoff_logprob",
-    "graph_triangle_clustering",
-    "map_hof_event_profile",
-    "udtf_polymorphic_kv_extract",
-    "snapshot_time_travel_read",
-    "maintenance_compaction_audit",
-    "weighted_reservoir_sample",
-    "yoy_monthly_revenue_growth",
-    "psi_price_drift",
-    "impute_missing_acctbal",
-    # re-attestations (driver-green in r06); round-7 additions
-    # displace from the END of this block as they land, keeping the
-    # never-swept set fully covered.
+    # r08 rotation (VERDICT r7 task 1): the 46 oldest never-
+    # driver-swept queries, registration order. All 81 were
+    # judge-sim green in r7; driver rows are the durable record.
+    "ann_index_persistence_audit",
+    "entity_resolution_name_clusters",
+    "snm_sorted_neighborhood_pairs",
+    "blocking_recall_audit",
+    "embedding_pca_power_iteration",
+    "dedup_shingle_containment",
+    "curation_kfold_stratified",
+    "curation_negative_sampling_ring",
+    "tokenizer_vocab_coverage",
+    "bpe_pair_merge_stats",
+    "dedup_effective_token_count",
+    "text_zipf_fit",
+    "text_ngram_novelty",
+    "text_pmi_collocations",
+    "text_heaps_law_fit",
+    "text_lexical_diversity_ttr",
+    "sketch_cms_heavy_hitters",
+    "sketch_bloom_membership_audit",
+    "sketch_kmv_intersection",
+    "fx_asof_converted_revenue",
+    "asof_nearest_click_purchase",
+    "timeseries_twap_user_value",
+    "pit_scd2_revenue_by_tier",
+    "events_downtime_gaps",
+    "supplier_pareto_abc",
+    "monthly_seasonality_index",
+    "lift_decile_table",
+    "cohort_ltv_curve",
+    "audience_overlap_matrix",
+    "revenue_bridge_price_volume",
+    "attribution_first_vs_last_touch",
+    "aging_waterfall_open_lineitems",
+    "forecast_backtest_seasonal_naive",
+    "retention_decay_fit",
+    "repeat_purchase_cadence_curve",
+    "stream_stream_full_outer_join",
+    "stream_update_mode_counts",
+    "source_binaryfile_bmp_stats",
+    "histogram_equidepth_prices",
+    "hierarchy_percent_of_parent",
+    "geo_haversine_nearest_nation",
+    "welch_ttest_segments",
+    "winsorized_price_stats",
+    "regr_price_size_by_brand",
+    "stats_bootstrap_se_price",
+    "mannwhitney_u_segments",
+    # r09 backlog (35 remaining never-swept, same order):
+    #   mannkendall_theilsen_trend
+    #   kaplan_meier_customer_lifetime
+    #   quantile_mapping_price_drift
+    #   neyman_stratified_allocation
+    #   cuped_adjusted_segment_lift
+    #   did_revenue_estimator
+    #   conformal_price_intervals
+    #   price_elasticity_by_brand
+    #   partition_checksum_diff
+    #   integrity_fk_orphan_audit
+    #   expectations_validation_suite
+    #   join_cardinality_estimation_audit
+    #   privacy_pseudonymized_join
+    #   mv_incremental_refresh
+    #   mv_incremental_delete_refresh
+    #   graph_label_propagation_communities
+    #   graph_bfs_trade_hops
+    #   graph_degree_assortativity
+    #   concurrency_peak_sweepline
+    #   cusum_changepoint_daily_revenue
+    #   cep_rising_value_runs
+    #   slo_burnrate_multiwindow
+    #   events_user_entropy
+    #   xcorr_click_purchase_lag
+    #   proration_largest_remainder
+    #   gini_customer_revenue
+    #   whale_concentration_top1pct
+    #   setsim_ppjoin_prefix_filter
+    #   mining_hard_negatives
+    #   curriculum_interleaved_order
+    #   class_balance_weights
+    #   search_bm25_topk
+    #   search_phrase_positional_index
+    #   dbscan_embedding_clusters
+    #   source_partition_pruning_dpp
 )
 
 
