@@ -2,12 +2,16 @@
 treat image/audio/video payloads as opaque `binary` columns with typed
 metadata, processed by Arrow-batched `mapInPandas` stages.
 
-The container has no image/audio codecs, so the DECODE step is a
-clearly-marked stub (`decode_image` raises NotImplementedError; a
-deterministic fake decoder stands in for tests and the registered
-query). Everything around it — binary column handling, schema,
-batching, partition sizing — is real Spark plumbing and is what this
-module actually tests.
+The container has no codec LIBRARIES, so the formats that decode for
+real are the ones expressible with stdlib + numpy: uncompressed
+24-bit BMP (`decode_bmp`), 8-bit truecolor PNG with full filter
+reconstruction (`decode_png`, stdlib zlib inflate), and RIFF/WAVE
+mono PCM16 (`decode_wav`). `decode_image` dispatches on the payload
+signature and raises a clearly-marked NotImplementedError for
+JPEG/... — swap in PIL/libjpeg on a cluster image that has them. A
+deterministic fake decoder remains for pipeline-shape tests.
+Everything around the codecs — binary column handling, schema,
+batching, partition sizing — is real Spark plumbing.
 
 Scale notes: media blobs make rows huge; keep
 `spark.sql.files.maxPartitionBytes` bounded so a partition of blobs

@@ -222,6 +222,94 @@ def test_bmp_codec_roundtrip():
     assert (decode_bmp(bytes(blob)) == px).all()
 
 
+def test_png_codec_roundtrip():
+    """encode_png/decode_png invert each other across sizes that
+    exercise all five PNG filter types (encoder writes filter r%5 on
+    row r), single-pixel edge cases, and asymmetric content that
+    catches row/channel transposition. Decoding also goes through the
+    generic decode_image dispatch on the \\x89PNG signature."""
+    import numpy as np
+
+    from spark_hive_spark.operators.multimodal import (
+        PNG_SIGNATURE,
+        decode_image,
+        decode_png,
+        encode_png,
+    )
+
+    rng = np.random.default_rng(11)
+    for w, h in [(1, 1), (3, 2), (5, 7), (16, 1), (1, 9), (17, 13)]:
+        px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        blob = encode_png(px)
+        assert blob[:8] == PNG_SIGNATURE
+        got = decode_png(blob)
+        assert got.shape == (h, w, 3)
+        assert (got == px).all(), f"roundtrip mismatch at {w}x{h}"
+        assert (decode_image(blob) == px).all()
+    # gradient content: Sub/Average/Paeth predictors all become
+    # non-trivial (constant rows make every filter output zeros)
+    x = np.arange(7 * 11 * 3, dtype=np.int64).reshape(7, 11, 3)
+    px = ((x * 37) % 256).astype(np.uint8)
+    assert (decode_png(encode_png(px)) == px).all()
+
+
+def test_png_codec_rejections():
+    """decode_png refuses what it cannot faithfully decode: wrong
+    signature, non-8-bit / non-truecolor / interlaced IHDR, corrupt
+    scanline filter bytes, and truncated IDAT."""
+    import struct
+    import zlib
+
+    import numpy as np
+    import pytest
+
+    from spark_hive_spark.operators.multimodal import (
+        _png_chunk,
+        PNG_SIGNATURE,
+        decode_png,
+        encode_png,
+    )
+
+    with pytest.raises(ValueError):
+        decode_png(b"BM not a png")
+
+    def png_with_ihdr(depth, ctype, interlace):
+        ihdr = struct.pack(">IIBBBBB", 2, 2, depth, ctype, 0, 0, interlace)
+        idat = zlib.compress(bytes(2 * (1 + 2 * 3)))
+        return (
+            PNG_SIGNATURE
+            + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", idat)
+            + _png_chunk(b"IEND", b"")
+        )
+
+    for depth, ctype, interlace in [(16, 2, 0), (8, 6, 0), (8, 2, 1)]:
+        with pytest.raises(NotImplementedError):
+            decode_png(png_with_ihdr(depth, ctype, interlace))
+
+    good = encode_png(np.zeros((3, 3, 3), dtype=np.uint8))
+    # corrupt a filter byte to an undefined type (7): scanline 0's
+    # filter byte is the first byte of the inflated stream
+    sig_ihdr = good[: 8 + 12 + 13]
+    bad_lines = bytearray(3 * (1 + 9))
+    bad_lines[0] = 7
+    bad = (
+        sig_ihdr
+        + _png_chunk(b"IDAT", zlib.compress(bytes(bad_lines)))
+        + _png_chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError):
+        decode_png(bad)
+    # truncated scanline data (one row short)
+    short = (
+        sig_ihdr
+        + _png_chunk(b"IDAT", zlib.compress(bytes(2 * (1 + 9))))
+        + _png_chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError):
+        decode_png(short)
+
+
 def test_asof_join_generic_semantics(spark):
     """Hand-checkable asof: every purchase's matched click is the max
     click_ts <= purchase ts for that user (verified against a
