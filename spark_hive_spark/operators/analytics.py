@@ -17,6 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
+from spark_hive_spark import api
 from spark_hive_spark.functions.numeric import sql_dsum
 from spark_hive_spark.plans.registry import register
 from spark_hive_spark.tables import t
@@ -72,45 +73,16 @@ def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     the per-stage candidate filter (event_type pushdown) reaches the
     parquet scan. conv_from_prev is a single IEEE division of two
     exact counts (bit-identical in any engine, no rounding needed);
-    the lag window runs over the 3-row stage summary, not data."""
-    events = t(spark, sf_dir, "events")
+    the lag window runs over the 3-row stage summary, not data.
 
-    def first_after(prev: DataFrame, etype: str, prev_ts: str, out_ts: str) -> DataFrame:
-        cand = events.filter(F.col("event_type") == etype)
-        if prev is None:
-            grp = cand
-        else:
-            grp = cand.join(prev, "user_id").filter(F.col("ts") > F.col(prev_ts))
-        return grp.groupBy("user_id").agg(F.min("ts").alias(out_ts))
-
-    v = first_after(None, "view", "", "t1")
-    c = first_after(v, "click", "t1", "t2")
-    p = first_after(c, "purchase", "t2", "t3")
-
-    stages = (
-        v.agg(F.lit(1).alias("stage_idx"), F.lit("view").alias("stage"),
-              F.count("*").alias("n_users"))
-        .unionByName(
-            c.agg(F.lit(2).alias("stage_idx"), F.lit("click").alias("stage"),
-                  F.count("*").alias("n_users")))
-        .unionByName(
-            p.agg(F.lit(3).alias("stage_idx"), F.lit("purchase").alias("stage"),
-                  F.count("*").alias("n_users")))
-    )
-    w = W.orderBy("stage_idx")
-    # mirror the oracle's lag(n_users, 1, n_users) exactly: only the
-    # FIRST row's missing lag defaults to its own count (ratio 1.0);
-    # a later stage with 0 users keeps its true x/0 quotient — NULL in
-    # both engines (try_divide here, DuckDB's native /0 semantics
-    # there) — rather than being coalesced to 1.0 (ANSI Spark would
-    # otherwise raise DIVIDE_BY_ZERO on sparse funnels)
-    prev = F.coalesce(F.lag("n_users", 1).over(w), F.col("n_users"))
-    return (
-        stages.withColumn(
-            "conv_from_prev",
-            F.try_divide(F.col("n_users").cast("double"), prev.cast("double")),
-        )
-        .orderBy("stage_idx")
+    Implementation: `api.funnel` — the parameterized N-step former
+    (steps=..., user_col=..., ts_col=...); this query pins its
+    3-step instantiation against the SQL oracle. The /0 semantics
+    note lives in the api docstring: only the FIRST stage's missing
+    lag defaults to its own count (ratio 1.0); a later empty stage
+    yields NULL in both engines (try_divide here, native /0 there)."""
+    return api.funnel(
+        t(spark, sf_dir, "events"), ["view", "click", "purchase"]
     )
 
 

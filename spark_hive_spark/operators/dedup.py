@@ -27,6 +27,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from spark_hive_spark import api
 from spark_hive_spark.plans.registry import register
 from spark_hive_spark.tables import t
 
@@ -223,18 +224,6 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, mh_0..mh_{k-1}): k independent min-hashes of each
-    doc's shingle set. Permutation i = xxhash64(shingle, seed=i); the
-    signature aggregates map-side (k mins in one groupBy pass)."""
-    sh = _doc_shingles(spark, sf_dir)
-    aggs = [
-        F.min(F.xxhash64(F.col("s"), F.lit(i))).alias(f"mh_{i}")
-        for i in range(MINHASH_K)
-    ]
-    return sh.groupBy("doc_id").agg(*aggs)
-
-
 @register(
     "dedup_minhash_lsh",
     # The VERIFIED-pairs output is plain exact Jaccard >= 0.8 — the same
@@ -258,67 +247,17 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Output = verified pairs (jaccard >= 0.8), i.e. the same contract
     as `dedup_ngram_jaccard` — recall is governed by the banding
-    probability 1-(1-s^4)^8 (~0.9998 at s=0.8)."""
-    sig = minhash_signature(spark, sf_dir)
-    rows_per_band = MINHASH_K // MINHASH_BANDS
-    band_cols = [
-        F.xxhash64(
-            F.lit(bi),
-            *[F.col(f"mh_{bi * rows_per_band + j}") for j in range(rows_per_band)],
-        ).alias(f"band_{bi}")
-        for bi in range(MINHASH_BANDS)
-    ]
-    banded = sig.select("doc_id", *band_cols)
-    bands_long = banded.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(bi).alias("band_idx"),
-                        F.col(f"band_{bi}").alias("band_hash"),
-                    )
-                    for bi in range(MINHASH_BANDS)
-                ]
-            )
-        ).alias("b"),
-    ).select("doc_id", "b.band_idx", "b.band_hash")
-    a = bands_long.alias("a")
-    b = bands_long.alias("b")
-    candidates = (
-        a.join(
-            b,
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band_hash") == F.col("b.band_hash"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
-        .distinct()
-    )
-    # exact verification of candidates only
-    sh = _doc_shingles(spark, sf_dir)
-    sz = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
-    sa = sh.alias("sa")
-    sb = sh.alias("sb")
-    common = (
-        candidates.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
-        .join(
-            sb,
-            (F.col("doc_b") == F.col("sb.doc_id"))
-            & (F.col("sa.s") == F.col("sb.s")),
-        )
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("c"))
-    )
-    jac = F.col("c") / (F.col("x.n") + F.col("y.n") - F.col("c"))
-    return (
-        common.join(sz.alias("x"), F.col("doc_a") == F.col("x.doc_id"))
-        .join(sz.alias("y"), F.col("doc_b") == F.col("y.doc_id"))
-        .filter(jac >= JACCARD_THRESHOLD)
-        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
-        .orderBy("doc_a", "doc_b")
+    probability 1-(1-s^4)^8 (~0.9998 at s=0.8).
+
+    Implementation: `api.minhash_dedupe` (the parameterized form,
+    threshold/k/bands knobs) over the cached rare-shingle set; this
+    query pins the 0.8/32/8 instantiation against the exhaustive
+    inverted-index SQL oracle."""
+    return api.minhash_dedupe(
+        _doc_shingles(spark, sf_dir),
+        threshold=JACCARD_THRESHOLD,
+        k=MINHASH_K,
+        bands=MINHASH_BANDS,
     )
 
 

@@ -9,6 +9,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
+from spark_hive_spark import api
 from spark_hive_spark.functions.numeric import dsum, sql_dsum
 from spark_hive_spark.plans.registry import register
 from spark_hive_spark.tables import t
@@ -382,12 +383,6 @@ _CHECKSUM_ROWS: dict[str, str] = {
     ),
 }
 
-_FP = (
-    "CAST(conv(substring(md5(concat({row})), 1, 15), 16, 10) AS BIGINT)"
-    " % 1000000007"
-)
-
-
 def _duck_unix_micros(expr: str) -> str:
     """DuckDB spellings of the two Spark-only helpers in the row
     serializations (everything else is verbatim shared SQL)."""
@@ -425,16 +420,10 @@ def table_checksum_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
     concurrently. Floats are excluded by canonicalization policy
     (exact-cents), not skipped: embeddings is the one table omitted
     (float32 arrays have no engine-portable text form)."""
-    parts = []
-    for name, row in _CHECKSUM_ROWS.items():
-        df = t(spark, sf_dir, name)
-        parts.append(
-            df.select(F.expr(f"{_FP.format(row=row)}").alias("fp")).agg(
-                F.lit(name).alias("table_name"),
-                F.count("*").alias("n_rows"),
-                F.sum("fp").alias("row_checksum"),
-            )
-        )
+    parts = [
+        api.canonical_checksum(t(spark, sf_dir, name), row, label=name)
+        for name, row in _CHECKSUM_ROWS.items()
+    ]
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)

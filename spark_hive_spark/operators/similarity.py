@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from spark_hive_spark import api
 from spark_hive_spark.functions.vector import as_double, cosine, norm, sql_cosine
 from spark_hive_spark.plans.registry import register
 from spark_hive_spark.tables import t
@@ -100,42 +101,13 @@ def knn_cosine_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     explosion — the |Q|×|batch| score matrix lives only inside the
     UDF); the only shuffle is the final top-k window over |Q|·|N|
     scored rows. The interpreted array-fold variant measured 6.4 s at
-    sf0.1 vs ~1 s for this plan; the gap grows linearly in |Q|·|N|."""
+    sf0.1 vs ~1 s for this plan; the gap grows linearly in |Q|·|N|.
+
+    Implementation: `api.knn` (the parameterized form); this query
+    pins its fixture instantiation against the SQL oracle."""
     emb = t(spark, sf_dir, "embeddings")
-    q_rows = (
-        emb.filter(F.col("vec_id") < N_QUERIES)
-        .select("vec_id", "embedding")
-        .collect()  # bounded: N_QUERIES rows
-    )
-    q_ids = np.array([r.vec_id for r in q_rows], dtype=np.int64)
-    Q = np.stack([np.asarray(r.embedding, dtype=np.float64) for r in q_rows])
-    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
-
-    def score_batches(batches):
-        for pdf in batches:
-            C = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
-            C /= np.linalg.norm(C, axis=1, keepdims=True)
-            S = Qn @ C.T  # (|Q|, batch)
-            n_q, n_c = S.shape
-            cand_ids = pdf["vec_id"].to_numpy()
-            yield pd.DataFrame(
-                {
-                    "query_id": np.repeat(q_ids, n_c),
-                    "neighbor_id": np.tile(cand_ids, n_q),
-                    "cos_sim": np.round(S.ravel(), 6),
-                }
-            )
-
-    sims = emb.select("vec_id", "embedding").mapInPandas(
-        score_batches, "query_id long, neighbor_id long, cos_sim double"
-    ).filter(F.col("query_id") != F.col("neighbor_id"))
-    w = W.partitionBy("query_id").orderBy(
-        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
-    )
-    return (
-        sims.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= TOP_K)
-        .orderBy("query_id", "rank")
+    return api.knn(
+        emb, emb.filter(F.col("vec_id") < N_QUERIES), k=TOP_K
     )
 
 
@@ -172,57 +144,13 @@ def neardup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     replicated B times (the standard replication/parallelism tradeoff
     of blocked all-pairs); B scales with cluster size independent of
     N. Exactness: float64 matmul agrees with any sane summation order
-    to ~1e-15, far inside the 6dp rounding."""
-    n_blocks = 8
-    emb = t(spark, sf_dir, "embeddings")
-    v = emb.select(
-        "vec_id", "embedding", (F.col("vec_id") % n_blocks).cast("int").alias("blk")
-    )
-    tasks = spark.createDataFrame(
-        [(i, j) for i in range(n_blocks) for j in range(i, n_blocks)],
-        "ba int, bb int",
-    )
-    side_a = tasks.join(v, v.blk == tasks.ba).select(
-        "ba", "bb", F.lit(0).alias("side"), "vec_id", "embedding"
-    )
-    side_b = tasks.join(v, v.blk == tasks.bb).select(
-        "ba", "bb", F.lit(1).alias("side"), "vec_id", "embedding"
-    )
-    both = side_a.unionByName(side_b)
-    threshold = NEARDUP_COS
+    to ~1e-15, far inside the 6dp rounding.
 
-    def block_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
-        a = pdf[pdf["side"] == 0]
-        b = pdf[pdf["side"] == 1]
-        if len(a) == 0 or len(b) == 0:
-            return pd.DataFrame({"vec_a": [], "vec_b": [], "cos_sim": []}).astype(
-                {"vec_a": "int64", "vec_b": "int64", "cos_sim": "float64"}
-            )
-        A = np.stack(a["embedding"].to_numpy()).astype(np.float64)
-        B = np.stack(b["embedding"].to_numpy()).astype(np.float64)
-        A /= np.linalg.norm(A, axis=1, keepdims=True)
-        B /= np.linalg.norm(B, axis=1, keepdims=True)
-        S = A @ B.T
-        ia, ib = np.nonzero(S >= threshold)
-        ids_a = a["vec_id"].to_numpy()[ia]
-        ids_b = b["vec_id"].to_numpy()[ib]
-        sims = S[ia, ib]
-        if pdf["ba"].iloc[0] == pdf["bb"].iloc[0]:
-            # diagonal task: every unordered pair appears twice (+ self)
-            keep = ids_a < ids_b
-            lo, hi, sims = ids_a[keep], ids_b[keep], sims[keep]
-        else:
-            # off-diagonal task: pair appears once, id order arbitrary
-            lo = np.minimum(ids_a, ids_b)
-            hi = np.maximum(ids_a, ids_b)
-        return pd.DataFrame(
-            {"vec_a": lo, "vec_b": hi, "cos_sim": np.round(sims, 6)}
-        )
-
-    return (
-        both.groupBy("ba", "bb")
-        .applyInPandas(block_pairs, "vec_a long, vec_b long, cos_sim double")
-        .orderBy("vec_a", "vec_b")
+    Implementation: `api.cosine_pairs` (the parameterized blocked
+    GEMM); this query pins its fixture instantiation against the
+    all-pairs SQL oracle."""
+    return api.cosine_pairs(
+        t(spark, sf_dir, "embeddings"), threshold=NEARDUP_COS, blocks=8
     )
 
 
