@@ -12,7 +12,7 @@ oracle checkability.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from spark_hive_spark.functions.numeric import dsum, sql_dsum
@@ -213,38 +213,131 @@ def approx_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _exact_pct_cents(
+    li: DataFrame, grp: str, money_col: str, p100s: list[int], names: list[str]
+) -> DataFrame:
+    """Exact percentile_cont over a 2dp money column with NO float
+    interpolation: values become integer cents, h = (n-1)·p has
+    weight rem/100 for integer rem = ((n-1)·p100) mod 100, and the
+    interpolated value is the exact BIGINT
+    lo·(100−rem) + hi·rem, divided by 10000.0 only at the very end —
+    one correctly-rounded IEEE division of exact integers, identical
+    in any engine. This kills the round(quantile_cont(money)) hazard
+    class the `test_no_rounded_interpolated_percentile` lint guards
+    (a .xx5 half-boundary in the float interpolation rounds HALF_UP
+    in Spark but to-even in DuckDB — the class that genuinely hit
+    quantile_mapping_price_drift in round 7).
+
+    Plan: one window shuffle on the group key (rank + group count
+    share it), then conditional aggregation picks the two order
+    statistics per percentile — no holistic percentile aggregate, so
+    the same shape range-partitions at any group cardinality."""
+    cents = li.select(
+        grp,
+        F.round(F.col(money_col) * 100).cast("bigint").alias("cents"),
+    )
+    wo = W.partitionBy(grp).orderBy("cents")
+    wn = W.partitionBy(grp)
+    ranked = cents.select(
+        grp,
+        "cents",
+        F.row_number().over(wo).alias("rk"),
+        F.count("*").over(wn).alias("n"),
+    )
+    lo_pos = {
+        p: F.floor((F.col("n") - 1) * p / 100) + 1 for p in p100s
+    }
+    aggs = [F.max("n").alias("n")]
+    for p in p100s:
+        aggs.append(
+            F.max(F.when(F.col("rk") == lo_pos[p], F.col("cents"))).alias(
+                f"_lo{p}"
+            )
+        )
+        aggs.append(
+            F.max(
+                F.when(F.col("rk") == lo_pos[p] + 1, F.col("cents"))
+            ).alias(f"_hi{p}")
+        )
+    picked = ranked.groupBy(grp).agg(*aggs)
+    outs = []
+    for p, name in zip(p100s, names):
+        rem = ((F.col("n") - 1) * p) % 100
+        exact = F.col(f"_lo{p}") * (100 - rem) + F.coalesce(
+            F.col(f"_hi{p}"), F.col(f"_lo{p}")
+        ) * rem
+        outs.append((exact.cast("double") / F.lit(10000.0)).alias(name))
+    return picked.select(grp, *outs)
+
+
+def _sql_exact_pct(
+    table: str, grp: str, money_col: str, p100s: list[int], names: list[str]
+) -> str:
+    """DuckDB spelling of `_exact_pct_cents` — identical integer
+    arithmetic, one final exact-integer / 10000.0 division."""
+    pick_cols = ",\n".join(
+        f"""           max(CASE WHEN rk = ((n - 1) * {p}) // 100 + 1
+                         THEN cents END) AS _lo{p},
+           max(CASE WHEN rk = ((n - 1) * {p}) // 100 + 2
+                         THEN cents END) AS _hi{p}"""
+        for p in p100s
+    )
+    val_cols = ",\n".join(
+        f"""           CAST(_lo{p} * (100 - ((n - 1) * {p}) % 100)
+                    + coalesce(_hi{p}, _lo{p}) * (((n - 1) * {p}) % 100)
+                    AS DOUBLE) / 10000.0 AS {name}"""
+        for p, name in zip(p100s, names)
+    )
+    return f"""
+        WITH c AS (
+            SELECT {grp},
+                   CAST(round({money_col} * 100) AS BIGINT) AS cents
+            FROM {table}
+        ),
+        r AS (
+            SELECT {grp}, cents,
+                   row_number() OVER (PARTITION BY {grp} ORDER BY cents)
+                       AS rk,
+                   count(*) OVER (PARTITION BY {grp}) AS n
+            FROM c
+        ),
+        a AS (
+            SELECT {grp}, max(n) AS n,
+{pick_cols}
+            FROM r GROUP BY {grp}
+        )
+        SELECT {grp},
+{val_cols}
+        FROM a
+    """
+
+
 @register(
     "percentiles_extendedprice",
-    oracle="""
-        SELECT l_returnflag,
-               round(quantile_cont(l_extendedprice, 0.25), 6) AS p25,
-               round(quantile_cont(l_extendedprice, 0.50), 6) AS p50,
-               round(quantile_cont(l_extendedprice, 0.75), 6) AS p75,
-               round(quantile_cont(l_extendedprice, 0.95), 6) AS p95
-        FROM lineitem
-        GROUP BY l_returnflag
-        ORDER BY l_returnflag
-    """,
+    oracle=_sql_exact_pct(
+        "lineitem",
+        "l_returnflag",
+        "l_extendedprice",
+        [25, 50, 75, 95],
+        ["p25", "p50", "p75", "p95"],
+    )
+    + "ORDER BY l_returnflag",
     tags=("grouping", "percentile"),
 )
 def percentiles_extendedprice(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact interpolated percentiles (SQL percentile_cont semantics).
-    Exact percentile needs the values per group — fine for bounded
-    group counts; the streaming/100 TB alternative is
-    `approx_percentile` (KLL-ish sketch), exercised in tests."""
-    li = t(spark, sf_dir, "lineitem")
-    pct = [0.25, 0.50, 0.75, 0.95]
-    names = ["p25", "p50", "p75", "p95"]
-    return (
-        li.groupBy("l_returnflag")
-        .agg(
-            *[
-                F.round(F.percentile("l_extendedprice", F.lit(p)), 6).alias(n)
-                for p, n in zip(pct, names)
-            ]
-        )
-        .orderBy("l_returnflag")
-    )
+    """Exact interpolated percentiles (SQL percentile_cont semantics)
+    computed in exact integer cents — see `_exact_pct_cents` for why
+    (cross-engine .xx5 half-boundary class). Exact percentile needs
+    the values per group — fine for bounded group counts; the
+    streaming/100 TB alternative is `approx_percentile` (KLL-ish
+    sketch), audited in `approx_percentile_audit`."""
+    return _exact_pct_cents(
+        t(spark, sf_dir, "lineitem"),
+        "l_returnflag",
+        "l_extendedprice",
+        [25, 50, 75, 95],
+        ["p25", "p50", "p75", "p95"],
+    ).orderBy("l_returnflag")
 
 
 @register(
@@ -306,16 +399,16 @@ def listagg_top_suppliers_per_nation(spark: SparkSession, sf_dir: str) -> DataFr
 
 @register(
     "approx_percentile_audit",
-    oracle="""
-        SELECT l_returnflag,
-               round(quantile_cont(l_extendedprice, 0.50), 6) AS p50_exact,
-               round(quantile_cont(l_extendedprice, 0.90), 6) AS p90_exact,
-               TRUE AS p50_within_half_pct,
-               TRUE AS p90_within_half_pct
-        FROM lineitem
-        GROUP BY l_returnflag
-        ORDER BY l_returnflag
-    """,
+    oracle="SELECT l_returnflag, p50_exact, p90_exact,"
+    " TRUE AS p50_within_half_pct, TRUE AS p90_within_half_pct FROM ("
+    + _sql_exact_pct(
+        "lineitem",
+        "l_returnflag",
+        "l_extendedprice",
+        [50, 90],
+        ["p50_exact", "p90_exact"],
+    )
+    + ") ORDER BY l_returnflag",
     tags=("grouping", "percentile", "approx", "audit"),
 )
 def approx_percentile_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -331,11 +424,14 @@ def approx_percentile_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: exact percentile materializes per-group value sets
     (bounded groups only); the sketch is map-side mergeable with
-    fixed memory — that asymmetry is the audit's point."""
+    fixed memory — that asymmetry is the audit's point. Exact values
+    come from `_exact_pct_cents` (integer-cents interpolation — the
+    rounded-float-percentile hazard class is linted out)."""
     li = t(spark, sf_dir, "lineitem")
-    agg = li.groupBy("l_returnflag").agg(
-        F.percentile("l_extendedprice", F.lit(0.50)).alias("e50"),
-        F.percentile("l_extendedprice", F.lit(0.90)).alias("e90"),
+    exact = _exact_pct_cents(
+        li, "l_returnflag", "l_extendedprice", [50, 90], ["p50_exact", "p90_exact"]
+    )
+    approx = li.groupBy("l_returnflag").agg(
         F.expr(
             "approx_percentile(l_extendedprice, 0.50, 10000)"
         ).alias("a50"),
@@ -343,17 +439,23 @@ def approx_percentile_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "approx_percentile(l_extendedprice, 0.90, 10000)"
         ).alias("a90"),
     )
-    return agg.select(
-        "l_returnflag",
-        F.round("e50", 6).alias("p50_exact"),
-        F.round("e90", 6).alias("p90_exact"),
-        (F.abs(F.col("a50") - F.col("e50")) <= 0.005 * F.col("e50")).alias(
-            "p50_within_half_pct"
-        ),
-        (F.abs(F.col("a90") - F.col("e90")) <= 0.005 * F.col("e90")).alias(
-            "p90_within_half_pct"
-        ),
-    ).orderBy("l_returnflag")
+    return (
+        exact.join(approx, "l_returnflag")
+        .select(
+            "l_returnflag",
+            "p50_exact",
+            "p90_exact",
+            (
+                F.abs(F.col("a50") - F.col("p50_exact"))
+                <= 0.005 * F.col("p50_exact")
+            ).alias("p50_within_half_pct"),
+            (
+                F.abs(F.col("a90") - F.col("p90_exact"))
+                <= 0.005 * F.col("p90_exact")
+            ).alias("p90_within_half_pct"),
+        )
+        .orderBy("l_returnflag")
+    )
 
 
 @register(

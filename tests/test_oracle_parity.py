@@ -49,6 +49,65 @@ def test_query_matches_oracle(spark, duck, name):
     assert not problems, "\n".join(problems)
 
 
+def test_no_rounded_interpolated_percentile():
+    """Lint: round(quantile_cont(...)) / round(percentile_cont(...))
+    over terminating-decimal inputs (money columns) is the next
+    cross-engine hash hazard class after round(avg(...)): linear
+    interpolation between two 2dp cents values lands EXACTLY on a
+    .xx5 half-boundary whenever the interpolation weight is a dyadic
+    fraction, and Spark rounds HALF_UP where DuckDB rounds
+    to-nearest-even (this genuinely hit quantile_mapping_price_drift
+    in round 7 — the fix is exact-integer cents interpolation, see
+    `_qm_cohort`, not tighter rounding). Irrational inputs
+    (sqrt/stddev/ln/acos) are measure-zero at half-boundaries and may
+    round, same escape as the avg lint."""
+    import re
+
+    irrational_markers = ("sqrt", "stddev", "ln(", "acos", "log(")
+    pat = re.compile(r"round\(\s*(quantile_cont|percentile_cont|percentile)\(")
+    offenders = [
+        name
+        for name, q in _QUERIES.items()
+        if q.oracle
+        and pat.search(q.oracle.lower())
+        and not any(m in q.oracle.lower() for m in irrational_markers)
+    ]
+    assert not offenders, (
+        f"round over interpolated percentile in oracle SQL: {offenders} — "
+        "interpolate in exact integer cents instead"
+    )
+
+
+def test_no_naked_spark_partition_id_grouping():
+    """Lint: spark_partition_id() is only stable while the exact
+    physical partitioning it was read from stays pinned — grouping by
+    it directly (groupBy(spark_partition_id())), or deriving a pid
+    column without immediately freezing the frame (cache /
+    localCheckpoint in the same fluent chain), lets a re-executed or
+    AQE-re-planned stage assign DIFFERENT pids across the two jobs
+    that consume it (the distributed_quantiles counts-then-pick
+    pattern would silently mis-pick). Every use must be
+    materialize-then-freeze."""
+    import pathlib
+    import re
+
+    root = pathlib.Path(__file__).resolve().parents[1] / "spark_hive_spark"
+    offenders = []
+    for path in sorted(root.rglob("*.py")):
+        src = path.read_text()
+        for m in re.finditer(r"spark_partition_id\(\)", src):
+            before = src[max(0, m.start() - 120) : m.start()]
+            after = src[m.end() : m.end() + 250]
+            if re.search(r"groupBy\(\s*[^)]*$", before):
+                offenders.append(f"{path.name}: groupBy on naked pid")
+            elif not re.search(r"\.(cache|localCheckpoint)\(", after):
+                offenders.append(
+                    f"{path.name}: pid column not frozen "
+                    "(cache/localCheckpoint) in the same chain"
+                )
+    assert not offenders, offenders
+
+
 def test_no_unguarded_negated_round():
     """Lint: round(-expr, k) where expr can be ~0 stringifies as -0.0
     in one engine and 0.0 in the other (bit twice in round 7: Heaps
