@@ -5,11 +5,13 @@ metadata, processed by Arrow-batched `mapInPandas` stages.
 The container has no codec LIBRARIES, so the formats that decode for
 real are the ones expressible with stdlib + numpy: uncompressed
 24-bit BMP (`decode_bmp`), 8-bit truecolor PNG with full filter
-reconstruction (`decode_png`, stdlib zlib inflate), and RIFF/WAVE
-mono PCM16 (`decode_wav`). `decode_image` dispatches on the payload
-signature and raises a clearly-marked NotImplementedError for
-JPEG/... — swap in PIL/libjpeg on a cluster image that has them. A
-deterministic fake decoder remains for pipeline-shape tests.
+reconstruction (`decode_png`, stdlib zlib inflate), baseline
+grayscale JPEG with the full huffman/DCT pipeline (`decode_jpeg`),
+and RIFF/WAVE mono PCM16 (`decode_wav`). `decode_image` dispatches
+on the payload signature and raises a clearly-marked
+NotImplementedError for color JPEG / WebP / ... — swap in
+PIL/libjpeg on a cluster image that has them. A deterministic fake
+decoder remains for pipeline-shape tests.
 Everything around the codecs — binary column handling, schema,
 batching, partition sizing — is real Spark plumbing.
 
@@ -50,10 +52,15 @@ def decode_image(payload: bytes) -> "object":
         return decode_bmp(payload)
     if payload[:8] == PNG_SIGNATURE:
         return decode_png(payload)
+    if payload[:2] == b"\xff\xd8":
+        import numpy as np
+
+        gray = decode_jpeg(payload)
+        return np.repeat(gray[:, :, None], 3, axis=2)
     raise NotImplementedError(
-        "only uncompressed 24-bit BMP and 8-bit RGB PNG decode in "
-        "this environment; install PIL on the cluster for JPEG/... "
-        "payloads"
+        "BMP, 8-bit RGB PNG and baseline grayscale JPEG decode in "
+        "this environment; install PIL on the cluster for color "
+        "JPEG / WebP / ... payloads"
     )
 
 
@@ -728,6 +735,550 @@ def multimodal_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(out)
 
     return media.mapInPandas(decode_batches, _PNG_SCHEMA).orderBy("doc_id")
+
+
+# --- Baseline JPEG (ITU-T T.81) grayscale codec, stdlib + numpy ----------
+#
+# The full baseline-sequential pipeline: level shift, 8x8 FDCT,
+# quantization (Annex K.1 luminance table), zigzag, differential-DC +
+# run-length-AC huffman entropy coding (Annex K.3/K.5 typical tables,
+# canonical code construction per C.2), byte stuffing, and the JFIF
+# marker structure — and the exact inverse. Grayscale (one component)
+# keeps the table bookkeeping honest while exercising every stage of
+# the entropy/transform machinery; color (YCbCr + chroma subsampling)
+# is the remaining documented seam. All tables are published in the
+# public T.81 spec.
+
+_JPEG_QTABLE = None  # built lazily (numpy import stays worker-side)
+_JPEG_ZIGZAG = None
+_JPEG_DCT_M = None
+
+# Annex K.3 (luminance DC) and K.5 (luminance AC) typical tables.
+_JPEG_DC_BITS = (0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0)
+_JPEG_DC_VALS = tuple(range(12))
+_JPEG_AC_BITS = (0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D)
+_JPEG_AC_VALS = (
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+    0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+    0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+    0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0,
+    0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+    0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+    0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+    0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+    0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+    0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7,
+    0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+    0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+    0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4,
+    0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+    0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA,
+    0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+    0xF9, 0xFA,
+)
+
+
+def _jpeg_tables():
+    """Lazily build (QTABLE, ZIGZAG, DCT basis) — numpy stays out of
+    module import time (this module loads on the driver for registry
+    scans that never touch a codec)."""
+    global _JPEG_QTABLE, _JPEG_ZIGZAG, _JPEG_DCT_M
+    if _JPEG_QTABLE is None:
+        import numpy as np
+
+        _JPEG_QTABLE = np.array(
+            [
+                16, 11, 10, 16, 24, 40, 51, 61,
+                12, 12, 14, 19, 26, 58, 60, 55,
+                14, 13, 16, 24, 40, 57, 69, 56,
+                14, 17, 22, 29, 51, 87, 80, 62,
+                18, 22, 37, 56, 68, 109, 103, 77,
+                24, 35, 55, 64, 81, 104, 113, 92,
+                49, 64, 78, 87, 103, 121, 120, 101,
+                72, 92, 95, 98, 112, 100, 103, 99,
+            ],
+            dtype=np.int64,
+        ).reshape(8, 8)
+        # zigzag scan: diagonals alternate direction (T.81 Fig. 5)
+        _JPEG_ZIGZAG = tuple(
+            sorted(
+                ((r, c) for r in range(8) for c in range(8)),
+                key=lambda rc: (
+                    rc[0] + rc[1],
+                    rc[1] if (rc[0] + rc[1]) % 2 else rc[0],
+                ),
+            )
+        )
+        # orthonormal DCT-II basis: M @ f @ M.T equals the T.81 A.3.3
+        # FDCT (the 1/4*C(u)C(v) normalization folds into the basis)
+        _JPEG_DCT_M = np.array(
+            [
+                [
+                    (np.sqrt(1 / 8) if u == 0 else np.sqrt(2 / 8))
+                    * np.cos((2 * x + 1) * u * np.pi / 16)
+                    for x in range(8)
+                ]
+                for u in range(8)
+            ]
+        )
+    return _JPEG_QTABLE, _JPEG_ZIGZAG, _JPEG_DCT_M
+
+
+def _jpeg_huff_encode_table(bits, vals):
+    """Canonical huffman per T.81 C.2: {symbol: (code, length)}."""
+    codes = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            codes[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return codes
+
+
+def _jpeg_huff_decode_table(bits, vals):
+    """{(length, code): symbol} for canonical MSB-first decode."""
+    table = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            table[(length, code)] = vals[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+class _JpegBitWriter:
+    """MSB-first bit packer with T.81 B.1.1.5 byte stuffing
+    (0xFF in entropy data is followed by 0x00)."""
+
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            byte = (self.acc >> (self.nbits - 8)) & 0xFF
+            self.out.append(byte)
+            if byte == 0xFF:
+                self.out.append(0x00)
+            self.nbits -= 8
+            self.acc &= (1 << self.nbits) - 1
+
+    def flush(self) -> bytes:
+        if self.nbits:
+            pad = 8 - self.nbits
+            byte = ((self.acc << pad) | ((1 << pad) - 1)) & 0xFF
+            self.out.append(byte)
+            if byte == 0xFF:
+                self.out.append(0x00)
+            self.nbits = 0
+        return bytes(self.out)
+
+
+class _JpegBitReader:
+    """Inverse of the writer: un-stuffs 0xFF00 and fails loudly on a
+    truncated stream or a stray marker inside entropy data."""
+
+    def __init__(self, data: bytes) -> None:
+        self.data = data
+        self.pos = 0
+        self.acc = 0
+        self.nbits = 0
+
+    def read_bit(self) -> int:
+        if self.nbits == 0:
+            if self.pos >= len(self.data):
+                raise ValueError("truncated JPEG entropy stream")
+            byte = self.data[self.pos]
+            self.pos += 1
+            if byte == 0xFF:
+                if (
+                    self.pos >= len(self.data)
+                    or self.data[self.pos] != 0x00
+                ):
+                    raise ValueError("unexpected marker in entropy stream")
+                self.pos += 1
+            self.acc = byte
+            self.nbits = 8
+        self.nbits -= 1
+        return (self.acc >> self.nbits) & 1
+
+    def read_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def read_symbol(self, table) -> int:
+        code = 0
+        for length in range(1, 17):
+            code = (code << 1) | self.read_bit()
+            sym = table.get((length, code))
+            if sym is not None:
+                return sym
+        raise ValueError("invalid huffman code")
+
+
+def _jpeg_extend(bits_val: int, ssss: int) -> int:
+    """T.81 F.2.2.1 EXTEND: SSSS magnitude bits -> signed value."""
+    if ssss == 0:
+        return 0
+    if bits_val < (1 << (ssss - 1)):
+        return bits_val - (1 << ssss) + 1
+    return bits_val
+
+
+def encode_jpeg(pixels) -> bytes:
+    """Serialize an (H, W) uint8 grayscale array (dims multiples of
+    8) as a genuine baseline JFIF JPEG: FDCT, Annex-K quantization,
+    differential-DC + run-length-AC huffman coding, byte stuffing,
+    full marker structure. Inverse (up to quantization) of
+    `decode_jpeg`."""
+    import struct
+
+    import numpy as np
+
+    qtable, zigzag, dct_m = _jpeg_tables()
+    px = np.asarray(pixels, dtype=np.uint8)
+    h, w = px.shape
+    if h % 8 or w % 8:
+        raise ValueError("encode_jpeg requires multiple-of-8 dims")
+    dc_codes = _jpeg_huff_encode_table(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    ac_codes = _jpeg_huff_encode_table(_JPEG_AC_BITS, _JPEG_AC_VALS)
+    writer = _JpegBitWriter()
+    prev_dc = 0
+    shifted = px.astype(np.float64) - 128.0
+    for by in range(h // 8):
+        for bx in range(w // 8):
+            block = shifted[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
+            # Snap ~1e-13 basis error BEFORE the half-boundary round:
+            # integer blocks give coefficients exactly at quantizer
+            # midpoints (constant block DC = 8s vs Q=16), where IEEE
+            # noise would flip floor(x/Q + 0.5).
+            coef = np.round(dct_m @ block @ dct_m.T, 6)
+            q = (
+                np.sign(coef) * np.floor(np.abs(coef) / qtable + 0.5)
+            ).astype(np.int64)
+            zz = [int(q[r, c]) for (r, c) in zigzag]
+            diff = zz[0] - prev_dc
+            prev_dc = zz[0]
+            ssss = int(abs(diff)).bit_length()
+            code, length = dc_codes[ssss]
+            writer.write(code, length)
+            if ssss:
+                mag = diff if diff >= 0 else diff + (1 << ssss) - 1
+                writer.write(mag, ssss)
+            last_nz = 0
+            for k in range(63, 0, -1):
+                if zz[k]:
+                    last_nz = k
+                    break
+            run = 0
+            for k in range(1, last_nz + 1):
+                v = zz[k]
+                if v == 0:
+                    run += 1
+                    continue
+                while run >= 16:
+                    code, length = ac_codes[0xF0]  # ZRL: 16 zeros
+                    writer.write(code, length)
+                    run -= 16
+                ssss = int(abs(v)).bit_length()
+                code, length = ac_codes[(run << 4) | ssss]
+                writer.write(code, length)
+                mag = v if v >= 0 else v + (1 << ssss) - 1
+                writer.write(mag, ssss)
+                run = 0
+            if last_nz != 63:
+                code, length = ac_codes[0x00]  # EOB
+                writer.write(code, length)
+    scan = writer.flush()
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(body) + 2) + body
+
+    zz_q = bytes(int(qtable[r, c]) for (r, c) in zigzag)
+    return (
+        b"\xff\xd8"
+        + seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+        + seg(0xFFDB, b"\x00" + zz_q)
+        + seg(0xFFC0, struct.pack(">BHHB", 8, h, w, 1) + b"\x01\x11\x00")
+        + seg(
+            0xFFC4,
+            b"\x00" + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALS)
+            + b"\x10" + bytes(_JPEG_AC_BITS) + bytes(_JPEG_AC_VALS),
+        )
+        + seg(0xFFDA, b"\x01\x01\x00\x00\x3f\x00")
+        + scan
+        + b"\xff\xd9"
+    )
+
+
+def decode_jpeg(payload: bytes):
+    """Decode a baseline-sequential grayscale JFIF payload back to an
+    (H, W) uint8 array by actually parsing the container: DQT/SOF0/
+    DHT/SOS markers, huffman-decoded entropy stream (un-stuffing
+    0xFF00), DC prediction, dezigzag, dequantize, IDCT, level shift.
+    Rejects progressive/extended frames (SOF1/SOF2/SOF3) and
+    multi-component scans loudly — partial support would silently
+    corrupt pixels."""
+    import struct
+
+    import numpy as np
+
+    _, zigzag, dct_m = _jpeg_tables()
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (missing SOI)")
+    pos = 2
+    qtables: dict[int, object] = {}
+    dc_tables: dict[int, dict] = {}
+    ac_tables: dict[int, dict] = {}
+    h = w = comp_tq = td_ta = None
+    scan_start = None
+    while pos < len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError("bad JPEG marker alignment")
+        if pos + 2 > len(payload):
+            raise ValueError("truncated JPEG (marker)")
+        marker = struct.unpack(">H", payload[pos : pos + 2])[0]
+        pos += 2
+        if marker == 0xFFD9:
+            break
+        if marker in (0xFFC1, 0xFFC2, 0xFFC3):
+            raise NotImplementedError(
+                "only baseline sequential JPEG (SOF0) is supported"
+            )
+        if pos + 2 > len(payload):
+            raise ValueError("truncated JPEG (segment header)")
+        (seglen,) = struct.unpack(">H", payload[pos : pos + 2])
+        if pos + seglen > len(payload):
+            raise ValueError("truncated JPEG (segment body)")
+        body = payload[pos + 2 : pos + seglen]
+        if marker == 0xFFDB:
+            off = 0
+            while off < len(body):
+                pq_tq = body[off]
+                if pq_tq >> 4:
+                    raise NotImplementedError("16-bit quant tables")
+                if off + 65 > len(body):
+                    raise ValueError("truncated DQT")
+                qt = np.zeros((8, 8), dtype=np.int64)
+                for k, (r, c) in enumerate(zigzag):
+                    qt[r, c] = body[off + 1 + k]
+                qtables[pq_tq & 0x0F] = qt
+                off += 65
+        elif marker == 0xFFC0:
+            if len(body) < 9:
+                raise ValueError("truncated SOF0")
+            precision, h, w, ncomp = struct.unpack(">BHHB", body[:6])
+            if precision != 8 or ncomp != 1:
+                raise NotImplementedError(
+                    "8-bit single-component (grayscale) frames only; "
+                    "color JPEG needs a codec library"
+                )
+            if h % 8 or w % 8:
+                raise NotImplementedError("partial-MCU padding")
+            comp_tq = body[8]
+        elif marker == 0xFFC4:
+            off = 0
+            while off < len(body):
+                tc_th = body[off]
+                bits = list(body[off + 1 : off + 17])
+                nvals = sum(bits)
+                if len(bits) < 16 or off + 17 + nvals > len(body):
+                    raise ValueError("truncated DHT")
+                vals = list(body[off + 17 : off + 17 + nvals])
+                table = _jpeg_huff_decode_table(bits, vals)
+                if tc_th >> 4:
+                    ac_tables[tc_th & 0x0F] = table
+                else:
+                    dc_tables[tc_th & 0x0F] = table
+                off += 17 + nvals
+        elif marker == 0xFFDA:
+            if len(body) < 6:
+                raise ValueError("truncated SOS")
+            td_ta = body[2]
+            scan_start = pos + seglen
+            break
+        pos += seglen
+    if scan_start is None or h is None:
+        raise ValueError("missing SOS or SOF0")
+    end = payload.rfind(b"\xff\xd9")
+    if end < scan_start:
+        raise ValueError("truncated JPEG (missing EOI)")
+    reader = _JpegBitReader(payload[scan_start:end])
+    try:
+        dc_t = dc_tables[td_ta >> 4]
+        ac_t = ac_tables[td_ta & 0x0F]
+        qt = qtables[comp_tq]
+    except KeyError as exc:
+        raise ValueError(f"scan references missing table: {exc}") from exc
+    out = np.zeros((h, w), dtype=np.uint8)
+    prev_dc = 0
+    for by in range(h // 8):
+        for bx in range(w // 8):
+            zz = np.zeros(64, dtype=np.int64)
+            ssss = reader.read_symbol(dc_t)
+            prev_dc += _jpeg_extend(reader.read_bits(ssss), ssss)
+            zz[0] = prev_dc
+            k = 1
+            while k < 64:
+                sym = reader.read_symbol(ac_t)
+                if sym == 0x00:  # EOB
+                    break
+                if sym == 0xF0:  # ZRL
+                    k += 16
+                    continue
+                k += sym >> 4
+                if k > 63:
+                    raise ValueError("AC coefficient run overflow")
+                zz[k] = _jpeg_extend(reader.read_bits(sym & 0x0F), sym & 0x0F)
+                k += 1
+            coef = np.zeros((8, 8), dtype=np.float64)
+            for k2, (r, c) in enumerate(zigzag):
+                coef[r, c] = zz[k2] * qt[r, c]
+            block = dct_m.T @ coef @ dct_m + 128.0
+            out[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = np.clip(
+                np.floor(block + 0.5), 0, 255
+            ).astype(np.uint8)
+    return out
+
+
+JPEG_DOCS = 48
+_JPEG_SCHEMA = (
+    "doc_id long, in_w int, in_h int, sum_px long, wsum_px long,"
+    " corner_px int"
+)
+
+
+@register(
+    "multimodal_jpeg_decode",
+    oracle=f"""
+        WITH d AS (
+            SELECT doc_id, doc_id % 6 + 2 AS wb, doc_id % 4 + 2 AS hb
+            FROM documents WHERE doc_id < {JPEG_DOCS}
+        ),
+        blocks AS (
+            SELECT doc_id, wb, hb,
+                   i % wb AS bx, i // wb AS by,
+                   (doc_id * 7 + 13 * (i % wb) + 29 * (i // wb)) % 256
+                       AS v
+            FROM (SELECT doc_id, wb, hb, unnest(range(0, wb * hb)) AS i
+                  FROM d)
+        ),
+        recon AS (
+            SELECT doc_id, wb, hb, bx, by,
+                   LEAST(255, GREATEST(0,
+                       2 * (CASE WHEN v - 128 < 0 THEN
+                                -((abs(v - 128) + 1) // 2)
+                            ELSE (abs(v - 128) + 1) // 2 END) + 128))
+                       AS px
+            FROM blocks
+        )
+        SELECT doc_id,
+               CAST(8 * wb AS INT) AS in_w,
+               CAST(8 * hb AS INT) AS in_h,
+               CAST(sum(64 * px) AS BIGINT) AS sum_px,
+               CAST(sum(px * (512 * (2 * bx + by) + 672)) AS BIGINT)
+                   AS wsum_px,
+               CAST(max(CASE WHEN bx = wb - 1 AND by = hb - 1
+                             THEN px END) AS INT) AS corner_px
+        FROM recon
+        GROUP BY doc_id, wb, hb
+        ORDER BY doc_id
+    """,
+    tags=("multimodal", "codec", "jpeg", "llm-pipeline"),
+)
+def multimodal_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL baseline JPEG bytes→pixels, end to end: per document a
+    deterministic grayscale image built from 8×8-CONSTANT blocks
+    (block value v(bx,by) = (doc_id·7 + 13bx + 29by) mod 256, grid
+    (doc_id%6+2)×(doc_id%4+2) blocks) is serialized to a genuine
+    JFIF baseline JPEG by `encode_jpeg` — full FDCT/quantize/zigzag/
+    huffman pipeline with the published Annex K tables — carried as
+    a `binary` column, and decoded back by `decode_jpeg` via the
+    `decode_image` dispatch (which replicates gray to RGB planes).
+
+    The oracle trick that makes a LOSSY codec hash-checkable: a
+    constant 8×8 block quantizes to a DC-only coefficient whose
+    reconstruction is CLOSED FORM — recon = clip(2·q + 128) with
+    q = sign(s)·⌊(|s|+1)/2⌋, s = v−128 (DC = 8s, Q₀₀ = 16) — so
+    DuckDB reproduces every decoded pixel exactly without touching
+    JPEG bytes, while the entropy coder still does real work (DC
+    differentials vary per block; EOB after every block). The
+    (512(2bx+by)+672)-weighted sum is the exact per-block closed
+    form of Σ pixel·(2x+y), so raster-order/DC-prediction bugs are
+    hash-visible. Lossy-path fidelity on NON-constant images is
+    pytest-pinned separately (bounded roundtrip error, gradient
+    mean error, stuffed-byte handling) in tests/test_invariants.py.
+
+    Scale: identical posture to the PNG/BMP queries — two chained
+    narrow mapInPandas stages, zero shuffles, Arrow-batched blobs,
+    scalar feature columns out."""
+
+    docs = (
+        t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < JPEG_DOCS)
+        .select("doc_id")
+    )
+
+    def encode_batches(
+        batches: Iterator[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            ids = pdf["doc_id"].to_numpy()
+            payloads = []
+            for d in ids:
+                d = int(d)
+                wb, hb = d % 6 + 2, d % 4 + 2
+                vals = (
+                    d * 7
+                    + 13 * np.arange(wb)[None, :]
+                    + 29 * np.arange(hb)[:, None]
+                ) % 256
+                img = np.repeat(
+                    np.repeat(vals, 8, axis=0), 8, axis=1
+                ).astype(np.uint8)
+                payloads.append(encode_jpeg(img))
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    media = docs.mapInPandas(encode_batches, "doc_id long, payload binary")
+
+    def decode_batches(
+        batches: Iterator[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        cols = "doc_id in_w in_h sum_px wsum_px corner_px".split()
+        for pdf in batches:
+            out: dict[str, list] = {k: [] for k in cols}
+            for d, p in zip(pdf["doc_id"], pdf["payload"]):
+                px = decode_image(bytes(p))[:, :, 0].astype(np.int64)
+                h, w = px.shape
+                wgt = 2 * np.arange(w)[None, :] + np.arange(h)[:, None]
+                vals = (
+                    int(d), w, h, int(px.sum()),
+                    int((px * wgt).sum()), int(px[-1, -1]),
+                )
+                for k, v in zip(cols, vals):
+                    out[k].append(v)
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(decode_batches, _JPEG_SCHEMA).orderBy("doc_id")
 
 
 WAV_DOCS = 200  # docs that get an audio payload

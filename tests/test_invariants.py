@@ -310,6 +310,90 @@ def test_png_codec_rejections():
         decode_png(short)
 
 
+def test_jpeg_codec_closed_form_and_roundtrip():
+    """The JPEG codec's two fidelity contracts. (1) Block-constant
+    images decode EXACTLY to the closed form the SQL oracle uses
+    (recon = clip(2·sign(s)⌊(|s|+1)/2⌋ + 128), s = v−128) — this is
+    what makes the lossy codec hash-checkable. (2) Arbitrary images
+    round-trip within quantization error: Annex-K quantizers reach
+    121, so random noise may move a pixel by ~90, but a smooth
+    gradient (energy in low frequencies, small quantizers) must stay
+    within a small mean error. Byte stuffing (0xFF00 in the entropy
+    stream) must actually occur across the sample and decode cleanly.
+    Dispatch via decode_image must replicate gray to 3 RGB planes."""
+    import numpy as np
+
+    from spark_hive_spark.operators.multimodal import (
+        decode_image,
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    for d in (0, 7, 23, 47):
+        wb, hb = d % 6 + 2, d % 4 + 2
+        vals = (
+            d * 7
+            + 13 * np.arange(wb)[None, :]
+            + 29 * np.arange(hb)[:, None]
+        ) % 256
+        img = np.repeat(np.repeat(vals, 8, axis=0), 8, axis=1).astype(
+            np.uint8
+        )
+        blob = encode_jpeg(img)
+        assert blob[:2] == b"\xff\xd8" and blob[-2:] == b"\xff\xd9"
+        s = vals.astype(np.int64) - 128
+        q = np.sign(s) * ((np.abs(s) + 1) // 2)
+        recon = np.clip(2 * q + 128, 0, 255)
+        expect = np.repeat(np.repeat(recon, 8, axis=0), 8, axis=1)
+        assert (decode_jpeg(blob) == expect).all(), f"doc {d}"
+        rgb = decode_image(blob)
+        assert rgb.shape == (hb * 8, wb * 8, 3)
+        assert (rgb[:, :, 0] == expect).all() and (
+            rgb[:, :, 2] == expect
+        ).all()
+
+    rng = np.random.default_rng(11)
+    stuffed = False
+    for _ in range(10):
+        img = rng.integers(0, 256, size=(24, 32), dtype=np.uint8)
+        blob = encode_jpeg(img)
+        stuffed = stuffed or b"\xff\x00" in blob
+        err = np.abs(
+            decode_jpeg(blob).astype(int) - img.astype(int)
+        )
+        assert err.max() <= 130, "beyond any quantization bound"
+    assert stuffed, "sample never exercised byte stuffing"
+
+    x = np.arange(64)[None, :] * 2 + np.arange(32)[:, None] * 3
+    img = (x % 256).astype(np.uint8)
+    err = np.abs(decode_jpeg(encode_jpeg(img)).astype(int) - img.astype(int))
+    assert err.mean() <= 3.0, f"gradient mean err {err.mean()}"
+
+
+def test_jpeg_codec_rejections():
+    """decode_jpeg fails loudly on what it cannot faithfully decode:
+    missing SOI, truncated segments, truncated entropy stream, and
+    progressive (SOF2) frames — partial support would silently
+    corrupt pixels."""
+    import numpy as np
+    import pytest
+
+    from spark_hive_spark.operators.multimodal import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    with pytest.raises(ValueError):
+        decode_jpeg(b"BM not a jpeg")
+    good = encode_jpeg(np.full((16, 16), 77, dtype=np.uint8))
+    with pytest.raises(ValueError):
+        decode_jpeg(good[: len(good) // 3])  # truncated mid-tables
+    with pytest.raises(ValueError):
+        decode_jpeg(good[:-3])  # EOI gone -> truncated entropy/EOI
+    with pytest.raises(NotImplementedError):
+        decode_jpeg(good.replace(b"\xff\xc0", b"\xff\xc2", 1))
+
+
 def test_asof_join_generic_semantics(spark):
     """Hand-checkable asof: every purchase's matched click is the max
     click_ts <= purchase ts for that user (verified against a
