@@ -201,6 +201,7 @@ def _load_all() -> None:
         "spark_hive_spark.operators.mining",
         "spark_hive_spark.operators.search",
         "spark_hive_spark.operators.clustering",
+        "spark_hive_spark.operators.spatial",
         "spark_hive_spark.sources.evolution",
     ):
         try:

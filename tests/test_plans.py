@@ -415,3 +415,17 @@ def test_kaplan_meier_contracts_before_window(spark):
     # histogram: no parquet rescan in the final plan
     assert plan.count("Scan parquet") == 0
     assert "Window" in plan
+
+
+def test_geo_radius_join_is_cell_equi_join(spark):
+    """The banded spatial join must execute as an EQUI-join on the
+    grid-cell key (hash or merge; AQE may broadcast the small side at
+    fixture scale) with the exact haversine predicate as a post-join
+    filter — never a nested-loop over the point pairs."""
+    plan = _plan(spark, "geo_geohash_radius_join")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert any(
+        j in plan
+        for j in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin")
+    )
