@@ -1339,3 +1339,264 @@ def embedding_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame
         "n_vectors bigint, dim int, unit_norm_ok int, lambda_positive int,"
         " lambda_le_trace int, rayleigh_monotone int",
     )
+
+
+
+
+# --- Product quantization (PQ) + asymmetric distance (ADC) ---------------
+
+PQ_M = 8  # subspaces (64-dim -> 8 x 8-dim)
+PQ_K = 16  # centroids per subspace codebook
+PQ_ITERS = 5
+PQ_TRAIN_SAMPLE = 64 * PQ_K  # bounded vec_id-ordered training sample
+PQ_SHORTLIST_MIN = 100
+PQ_SHORTLIST_DIV = 20  # shortlist = max(100, N/20): a ~5% candidate rate
+PQ_RECALL_FLOOR = 0.7  # measured 0.98 / 0.88 / 0.80 at sf0.001/0.01/0.1
+PQ_MSE_CEIL = 0.75  # measured 0.55-0.60; k-means rate-distortion
+# estimate k^(-2/d) = 16^(-1/4) = 0.5 for 16 centroids per 8-dim
+# subspace of an isotropic unit vector
+
+
+def _pq_codebooks(emb) -> "np.ndarray":
+    """Deterministic per-subspace Lloyd's k-means (PQ_ITERS rounds,
+    init = first PQ_K sample subvectors by vec_id) over a bounded
+    vec_id-ordered sample of L2-NORMALIZED vectors — product
+    quantization a la Jegou et al., "Product Quantization for
+    Nearest Neighbor Search" (TPAMI 2011). Returns (M, K, dim/M)
+    float64 codebooks; training cost is O(1) in corpus size (the
+    same FAISS-style sample-train/assign-distributed split as
+    `_ivf_centroids`)."""
+    rows = (
+        emb.filter(F.col("vec_id") < PQ_TRAIN_SAMPLE)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    rows.sort(key=lambda r: r.vec_id)
+    X = np.stack([np.asarray(r.embedding, dtype=np.float64) for r in rows])
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    dim = Xn.shape[1]
+    sub = dim // PQ_M
+    books = []
+    for m in range(PQ_M):
+        S = Xn[:, m * sub : (m + 1) * sub]
+        C = S[:PQ_K].copy()
+        for _ in range(PQ_ITERS):
+            d2 = ((S[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for j in range(PQ_K):
+                members = S[assign == j]
+                if len(members):
+                    C[j] = members.mean(axis=0)
+                # empty cell: keep previous centroid (deterministic)
+        books.append(C)
+    return np.stack(books)
+
+
+@register(
+    "embedding_pq_adc_audit",
+    oracle=f"""
+        SELECT CAST({PQ_M} AS INT) AS m_subspaces,
+               CAST({PQ_K} AS INT) AS codebook_k,
+               (SELECT CAST(count(*) AS BIGINT) FROM embeddings)
+                   AS n_vectors,
+               CAST(GREATEST({PQ_SHORTLIST_MIN},
+                    (SELECT count(*) FROM embeddings)
+                        // {PQ_SHORTLIST_DIV}) AS INT) AS shortlist,
+               CAST({N_QUERIES} * {TOP_K} AS BIGINT) AS n_exact,
+               TRUE AS recall_ok,
+               CAST(0 AS BIGINT) AS adc_violations,
+               CAST(0 AS BIGINT) AS rerank_violations,
+               TRUE AS mse_ok,
+               CAST(32 AS INT) AS compression_ratio_x
+    """,
+    tags=("similarity", "pq", "ann", "quantization", "audit"),
+)
+def embedding_pq_adc_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PRODUCT QUANTIZATION with ADC shortlist + exact rerank, audited
+    hash-green end to end — the memory-bound half of a production
+    vector index (IVF-ADC with reranking, Jegou et al. TPAMI 2011):
+    64-dim float32 vectors (256 B) compress to 8 byte-aligned 4-bit
+    codes (8 B, 32x); queries score the WHOLE corpus from an (M x K)
+    inner-product lookup table without decompressing anything, keep a
+    shortlist of max({PQ_SHORTLIST_MIN}, N/{PQ_SHORTLIST_DIV})
+    candidates, and rerank only the shortlist with exact cosine —
+    the standard deployment shape, because on structure-free vectors
+    raw ADC rank order is noise (recall@5 of ADC-only measured 0.16
+    on this isotropic fixture: quantization error dwarfs the tiny
+    cosine gaps between near-orthogonal vectors; the SHORTLIST is
+    what PQ can honestly promise there).
+
+    The audit pins, distributedly:
+      - recall@{TOP_K}: exact-rerank-of-shortlist vs the exact twin
+        (`knn_cosine_bruteforce`) >= {PQ_RECALL_FLOOR} (measured
+        0.98/0.88/0.80 at sf0.001/0.01/0.1 — isotropic vectors are
+        PQ's worst case, real embedding manifolds quantize far
+        better);
+      - adc_violations = 0: every batch cross-checks its LUT sums
+        against q . x_hat on the reconstructed candidate — the LUT
+        decomposition is exact algebra, so any violation is broken
+        code/LUT bookkeeping, not approximation error;
+      - rerank_violations = 0: reranked cosines must equal the exact
+        twin's on every common (query, neighbor) to 1e-6;
+      - mse_ok: mean ||x_n - x_hat||^2 <= {PQ_MSE_CEIL} (measured
+        0.55-0.60 vs the k^(-2/d) = 0.5 rate-distortion estimate).
+
+    Scale: codebooks are (8 x 16 x 8) floats trained on a bounded
+    vec_id-ordered sample; encode+score is ONE narrow mapInPandas
+    pass (one argmin + one LUT gather per Arrow batch, per-batch
+    local top-shortlist, global window refinement — the engine's
+    two-level top-k argument); the rerank touches shortlist rows
+    only. Codes travel as 8 small ints — at 100 TB the scored relation
+    is 32x smaller than the raw embedding column."""
+    emb = t(spark, sf_dir, "embeddings")
+    books = _pq_codebooks(emb)  # (M, K, sub)
+    sub = books.shape[2]
+    n_corpus = emb.count()  # bounded scalar probe (sizes the shortlist)
+    shortlist = max(PQ_SHORTLIST_MIN, n_corpus // PQ_SHORTLIST_DIV)
+
+    q_rows = (
+        emb.filter(F.col("vec_id") < N_QUERIES)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    q_rows.sort(key=lambda r: r.vec_id)
+    Q = np.stack([np.asarray(r.embedding, dtype=np.float64) for r in q_rows])
+    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    q_ids = np.array([r.vec_id for r in q_rows], dtype=np.int64)
+    # inner-product LUTs: luts[q, m, k] = q_m . c_{m,k}
+    luts = np.einsum("qmd,mkd->qmk", Qn.reshape(len(Qn), PQ_M, sub), books)
+
+    def encode_score(batches):
+        for pdf in batches:
+            V = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+            S = Vn.reshape(len(Vn), PQ_M, sub)
+            d2 = ((S[:, :, None, :] - books[None, :, :, :]) ** 2).sum(axis=3)
+            codes = d2.argmin(axis=2)  # (B, M)
+            adc = luts[:, np.arange(PQ_M)[None, :], codes].sum(axis=2)
+            # exactness cross-check: q . x_hat from reconstruction
+            xhat = books[np.arange(PQ_M)[None, :], codes]  # (B, M, sub)
+            direct = np.einsum("qd,bd->qb", Qn, xhat.reshape(len(Vn), -1))
+            viol = int((np.abs(adc - direct) > 1e-9).sum())
+            se = (
+                (Vn.reshape(len(Vn), -1) - xhat.reshape(len(Vn), -1)) ** 2
+            ).sum(axis=1)
+            ids = pdf["vec_id"].to_numpy()
+            # per-batch local top-shortlist per query (global window
+            # refines); batch stats ride a query_id=-1 sentinel row so
+            # no batch composition can drop them
+            out_q, out_n, out_s = [-1], [-1], [-999.0]
+            for qi in range(len(q_ids)):
+                mask = ids != q_ids[qi]
+                order = np.argsort(-adc[qi][mask])[:shortlist]
+                out_q.extend([q_ids[qi]] * len(order))
+                out_n.extend(ids[mask][order].tolist())
+                out_s.extend(np.round(adc[qi][mask][order], 6).tolist())
+            pad = [0] * (len(out_q) - 1)
+            yield pd.DataFrame(
+                {
+                    "query_id": pd.Series(out_q, dtype="int64"),
+                    "neighbor_id": pd.Series(out_n, dtype="int64"),
+                    "adc_sim": pd.Series(out_s, dtype="float64"),
+                    "n_rows": pd.Series([len(Vn)] + pad, dtype="int64"),
+                    "sum_se": pd.Series(
+                        [float(se.sum())] + [0.0] * len(pad),
+                        dtype="float64",
+                    ),
+                    "n_viol": pd.Series([viol] + pad, dtype="int64"),
+                }
+            )
+
+    scored = (
+        emb.select("vec_id", "embedding")
+        .mapInPandas(
+            encode_score,
+            "query_id long, neighbor_id long, adc_sim double,"
+            " n_rows long, sum_se double, n_viol long",
+        )
+        .localCheckpoint(eager=True)
+    )
+
+    w_sl = W.partitionBy("query_id").orderBy(
+        F.col("adc_sim").desc(), F.col("neighbor_id").asc()
+    )
+    sl = (
+        scored.filter(F.col("query_id") >= 0)
+        .withColumn("rank", F.row_number().over(w_sl))
+        .filter(F.col("rank") <= shortlist)
+        .select("query_id", "neighbor_id")
+    )
+    # exact rerank of the shortlist only: join back the raw vectors,
+    # score each (query, candidate) with true cosine in one pass
+    cand = sl.join(
+        emb.select(F.col("vec_id").alias("neighbor_id"), "embedding"),
+        "neighbor_id",
+    )
+
+    def rerank(batches):
+        qmap = {int(q_ids[i]): Qn[i] for i in range(len(q_ids))}
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+            qs = np.stack([qmap[int(q)] for q in pdf["query_id"]])
+            cos = np.round((qs * Vn).sum(axis=1), 6)
+            yield pd.DataFrame(
+                {
+                    "query_id": pdf["query_id"],
+                    "neighbor_id": pdf["neighbor_id"],
+                    "cos_sim": cos,
+                }
+            )
+
+    reranked = cand.mapInPandas(
+        rerank, "query_id long, neighbor_id long, cos_sim double"
+    )
+    w_k = W.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    pq_topk = (
+        reranked.withColumn("rank", F.row_number().over(w_k))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "cos_sim")
+        .localCheckpoint(eager=True)
+    )
+
+    exact = knn_cosine_bruteforce(spark, sf_dir).select(
+        "query_id", "neighbor_id", F.col("cos_sim").alias("brute_cos")
+    ).localCheckpoint(eager=True)
+    hit = pq_topk.join(
+        exact, ["query_id", "neighbor_id"], "inner"
+    ).localCheckpoint(eager=True)
+    n_exact = exact.agg(F.count("*").alias("n_exact"))
+    n_hit = hit.agg(F.count("*").alias("n_hit"))
+    n_rr_viol = hit.filter(
+        F.abs(F.col("cos_sim") - F.col("brute_cos")) > 1e-6
+    ).agg(F.count("*").alias("rr_viol"))
+    corpus = scored.agg(
+        F.sum("n_rows").alias("n_vectors"),
+        F.sum("sum_se").alias("total_se"),
+        F.sum("n_viol").alias("adc_viol"),
+    )
+    return (
+        corpus.crossJoin(n_exact)
+        .crossJoin(n_hit)
+        .crossJoin(n_rr_viol)
+        .select(
+            F.lit(PQ_M).cast("int").alias("m_subspaces"),
+            F.lit(PQ_K).cast("int").alias("codebook_k"),
+            F.col("n_vectors").cast("bigint").alias("n_vectors"),
+            F.lit(shortlist).cast("int").alias("shortlist"),
+            F.col("n_exact").cast("bigint").alias("n_exact"),
+            (F.col("n_hit") / F.col("n_exact") >= PQ_RECALL_FLOOR).alias(
+                "recall_ok"
+            ),
+            F.col("adc_viol").cast("bigint").alias("adc_violations"),
+            F.col("rr_viol").cast("bigint").alias("rerank_violations"),
+            (F.col("total_se") / F.col("n_vectors") <= PQ_MSE_CEIL).alias(
+                "mse_ok"
+            ),
+            F.lit(32).cast("int").alias("compression_ratio_x"),
+        )
+    )
