@@ -136,6 +136,13 @@ SWEEP_PRIORITY: tuple[str, ...] = (
     #   search_phrase_positional_index
     #   dbscan_embedding_clusters
     #   source_partition_pruning_dpp
+    # plus the round-8 additions (never swept, join the r09 window):
+    #   mining_hard_negatives_ann
+    #   mining_hard_negatives_ann_audit
+    #   multimodal_png_decode
+    #   multimodal_jpeg_decode
+    #   geo_geohash_radius_join
+    #   embedding_pq_adc_audit
 )
 
 
