@@ -55,12 +55,14 @@ def decode_image(payload: bytes) -> "object":
     if payload[:2] == b"\xff\xd8":
         import numpy as np
 
-        gray = decode_jpeg(payload)
-        return np.repeat(gray[:, :, None], 3, axis=2)
+        px = decode_jpeg(payload)
+        if px.ndim == 2:  # grayscale frame -> replicate to RGB planes
+            return np.repeat(px[:, :, None], 3, axis=2)
+        return px
     raise NotImplementedError(
-        "BMP, 8-bit RGB PNG and baseline grayscale JPEG decode in "
-        "this environment; install PIL on the cluster for color "
-        "JPEG / WebP / ... payloads"
+        "BMP, 8-bit RGB PNG and baseline JPEG (grayscale + YCbCr "
+        "4:4:4) decode in this environment; install PIL on the "
+        "cluster for subsampled/progressive JPEG, WebP, ... payloads"
     )
 
 
@@ -753,6 +755,10 @@ _JPEG_QTABLE = None  # built lazily (numpy import stays worker-side)
 _JPEG_ZIGZAG = None
 _JPEG_DCT_M = None
 
+# Annex K.2 chrominance quantization table (natural row-major order),
+# built lazily next to the luminance one in _jpeg_tables().
+_JPEG_QTABLE_C = None
+
 # Annex K.3 (luminance DC) and K.5 (luminance AC) typical tables.
 _JPEG_DC_BITS = (0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0)
 _JPEG_DC_VALS = tuple(range(12))
@@ -781,12 +787,40 @@ _JPEG_AC_VALS = (
     0xF9, 0xFA,
 )
 
+# Annex K.4 (chrominance DC) and K.6 (chrominance AC) typical tables.
+_JPEG_DC_BITS_C = (0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0)
+_JPEG_DC_VALS_C = tuple(range(12))
+_JPEG_AC_BITS_C = (0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77)
+_JPEG_AC_VALS_C = (
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21,
+    0x31, 0x06, 0x12, 0x41, 0x51, 0x07, 0x61, 0x71,
+    0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+    0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0,
+    0x15, 0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34,
+    0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+    0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48,
+    0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+    0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68,
+    0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+    0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+    0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96,
+    0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+    0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+    0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3,
+    0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2,
+    0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9,
+    0xEA, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+    0xF9, 0xFA,
+)
+
 
 def _jpeg_tables():
     """Lazily build (QTABLE, ZIGZAG, DCT basis) — numpy stays out of
     module import time (this module loads on the driver for registry
     scans that never touch a codec)."""
-    global _JPEG_QTABLE, _JPEG_ZIGZAG, _JPEG_DCT_M
+    global _JPEG_QTABLE, _JPEG_QTABLE_C, _JPEG_ZIGZAG, _JPEG_DCT_M
     if _JPEG_QTABLE is None:
         import numpy as np
 
@@ -800,6 +834,19 @@ def _jpeg_tables():
                 24, 35, 55, 64, 81, 104, 113, 92,
                 49, 64, 78, 87, 103, 121, 120, 101,
                 72, 92, 95, 98, 112, 100, 103, 99,
+            ],
+            dtype=np.int64,
+        ).reshape(8, 8)
+        _JPEG_QTABLE_C = np.array(
+            [
+                17, 18, 24, 47, 99, 99, 99, 99,
+                18, 21, 26, 66, 99, 99, 99, 99,
+                24, 26, 56, 99, 99, 99, 99, 99,
+                47, 66, 99, 99, 99, 99, 99, 99,
+                99, 99, 99, 99, 99, 99, 99, 99,
+                99, 99, 99, 99, 99, 99, 99, 99,
+                99, 99, 99, 99, 99, 99, 99, 99,
+                99, 99, 99, 99, 99, 99, 99, 99,
             ],
             dtype=np.int64,
         ).reshape(8, 8)
@@ -825,7 +872,7 @@ def _jpeg_tables():
                 for u in range(8)
             ]
         )
-    return _JPEG_QTABLE, _JPEG_ZIGZAG, _JPEG_DCT_M
+    return _JPEG_QTABLE, _JPEG_ZIGZAG, _JPEG_DCT_M, _JPEG_QTABLE_C
 
 
 def _jpeg_huff_encode_table(bits, vals):
@@ -940,112 +987,173 @@ def _jpeg_extend(bits_val: int, ssss: int) -> int:
     return bits_val
 
 
+def _jpeg_write_block(writer, zz, prev_dc, dc_codes, ac_codes) -> int:
+    """Entropy-code one zigzagged quantized block (differential DC +
+    run-length AC); returns the block's DC for the next prediction."""
+    diff = zz[0] - prev_dc
+    ssss = int(abs(diff)).bit_length()
+    code, length = dc_codes[ssss]
+    writer.write(code, length)
+    if ssss:
+        mag = diff if diff >= 0 else diff + (1 << ssss) - 1
+        writer.write(mag, ssss)
+    last_nz = 0
+    for k in range(63, 0, -1):
+        if zz[k]:
+            last_nz = k
+            break
+    run = 0
+    for k in range(1, last_nz + 1):
+        v = zz[k]
+        if v == 0:
+            run += 1
+            continue
+        while run >= 16:
+            code, length = ac_codes[0xF0]  # ZRL: 16 zeros
+            writer.write(code, length)
+            run -= 16
+        ssss = int(abs(v)).bit_length()
+        code, length = ac_codes[(run << 4) | ssss]
+        writer.write(code, length)
+        mag = v if v >= 0 else v + (1 << ssss) - 1
+        writer.write(mag, ssss)
+        run = 0
+    if last_nz != 63:
+        code, length = ac_codes[0x00]  # EOB
+        writer.write(code, length)
+    return zz[0]
+
+
+def _jpeg_quant_block(plane, by, bx, qtable, zigzag, dct_m):
+    """FDCT + quantize one 8x8 block of a level-shiftable plane."""
+    import numpy as np
+
+    block = plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - 128.0
+    # Snap ~1e-13 basis error BEFORE the half-boundary round: integer
+    # blocks give coefficients exactly at quantizer midpoints
+    # (constant block DC = 8s vs Q=16), where IEEE noise would flip
+    # floor(x/Q + 0.5).
+    coef = np.round(dct_m @ block @ dct_m.T, 6)
+    q = (np.sign(coef) * np.floor(np.abs(coef) / qtable + 0.5)).astype(
+        np.int64
+    )
+    return [int(q[r, c]) for (r, c) in zigzag]
+
+
 def encode_jpeg(pixels) -> bytes:
-    """Serialize an (H, W) uint8 grayscale array (dims multiples of
-    8) as a genuine baseline JFIF JPEG: FDCT, Annex-K quantization,
-    differential-DC + run-length-AC huffman coding, byte stuffing,
-    full marker structure. Inverse (up to quantization) of
-    `decode_jpeg`."""
+    """Serialize a uint8 image (dims multiples of 8) as a genuine
+    baseline JFIF JPEG — FDCT, Annex-K quantization, differential-DC
+    + run-length-AC huffman coding, byte stuffing, full marker
+    structure. (H, W) arrays become single-component grayscale;
+    (H, W, 3) arrays become 3-component YCbCr 4:4:4 (interleaved
+    MCUs, chroma quant/huffman tables, JFIF BT.601 color transform).
+    Inverse (up to quantization) of `decode_jpeg`."""
     import struct
 
     import numpy as np
 
-    qtable, zigzag, dct_m = _jpeg_tables()
+    qtable, zigzag, dct_m, qtable_c = _jpeg_tables()
     px = np.asarray(pixels, dtype=np.uint8)
-    h, w = px.shape
+    color = px.ndim == 3
+    h, w = px.shape[:2]
     if h % 8 or w % 8:
         raise ValueError("encode_jpeg requires multiple-of-8 dims")
-    dc_codes = _jpeg_huff_encode_table(_JPEG_DC_BITS, _JPEG_DC_VALS)
-    ac_codes = _jpeg_huff_encode_table(_JPEG_AC_BITS, _JPEG_AC_VALS)
+    dc_y = _jpeg_huff_encode_table(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    ac_y = _jpeg_huff_encode_table(_JPEG_AC_BITS, _JPEG_AC_VALS)
+    if color:
+        dc_c = _jpeg_huff_encode_table(_JPEG_DC_BITS_C, _JPEG_DC_VALS_C)
+        ac_c = _jpeg_huff_encode_table(_JPEG_AC_BITS_C, _JPEG_AC_VALS_C)
+        R = px[:, :, 0].astype(np.float64)
+        G = px[:, :, 1].astype(np.float64)
+        B = px[:, :, 2].astype(np.float64)
+        # JFIF BT.601, elementwise left-to-right (the closed-form SQL
+        # oracle mirrors this exact expression order)
+        Y = 0.299 * R + 0.587 * G + 0.114 * B
+        Cb = -0.168736 * R - 0.331264 * G + 0.5 * B + 128.0
+        Cr = 0.5 * R - 0.418688 * G - 0.081312 * B + 128.0
+        comps = [
+            (Y, qtable, dc_y, ac_y),
+            (Cb, qtable_c, dc_c, ac_c),
+            (Cr, qtable_c, dc_c, ac_c),
+        ]
+    else:
+        comps = [(px.astype(np.float64), qtable, dc_y, ac_y)]
     writer = _JpegBitWriter()
-    prev_dc = 0
-    shifted = px.astype(np.float64) - 128.0
+    prev = [0] * len(comps)
     for by in range(h // 8):
         for bx in range(w // 8):
-            block = shifted[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
-            # Snap ~1e-13 basis error BEFORE the half-boundary round:
-            # integer blocks give coefficients exactly at quantizer
-            # midpoints (constant block DC = 8s vs Q=16), where IEEE
-            # noise would flip floor(x/Q + 0.5).
-            coef = np.round(dct_m @ block @ dct_m.T, 6)
-            q = (
-                np.sign(coef) * np.floor(np.abs(coef) / qtable + 0.5)
-            ).astype(np.int64)
-            zz = [int(q[r, c]) for (r, c) in zigzag]
-            diff = zz[0] - prev_dc
-            prev_dc = zz[0]
-            ssss = int(abs(diff)).bit_length()
-            code, length = dc_codes[ssss]
-            writer.write(code, length)
-            if ssss:
-                mag = diff if diff >= 0 else diff + (1 << ssss) - 1
-                writer.write(mag, ssss)
-            last_nz = 0
-            for k in range(63, 0, -1):
-                if zz[k]:
-                    last_nz = k
-                    break
-            run = 0
-            for k in range(1, last_nz + 1):
-                v = zz[k]
-                if v == 0:
-                    run += 1
-                    continue
-                while run >= 16:
-                    code, length = ac_codes[0xF0]  # ZRL: 16 zeros
-                    writer.write(code, length)
-                    run -= 16
-                ssss = int(abs(v)).bit_length()
-                code, length = ac_codes[(run << 4) | ssss]
-                writer.write(code, length)
-                mag = v if v >= 0 else v + (1 << ssss) - 1
-                writer.write(mag, ssss)
-                run = 0
-            if last_nz != 63:
-                code, length = ac_codes[0x00]  # EOB
-                writer.write(code, length)
+            for ci, (plane, qt, dcc, acc) in enumerate(comps):
+                zz = _jpeg_quant_block(plane, by, bx, qt, zigzag, dct_m)
+                prev[ci] = _jpeg_write_block(writer, zz, prev[ci], dcc, acc)
     scan = writer.flush()
 
     def seg(marker: int, body: bytes) -> bytes:
         return struct.pack(">HH", marker, len(body) + 2) + body
 
     zz_q = bytes(int(qtable[r, c]) for (r, c) in zigzag)
-    return (
-        b"\xff\xd8"
-        + seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
-        + seg(0xFFDB, b"\x00" + zz_q)
-        + seg(0xFFC0, struct.pack(">BHHB", 8, h, w, 1) + b"\x01\x11\x00")
-        + seg(
+    if color:
+        zz_qc = bytes(int(qtable_c[r, c]) for (r, c) in zigzag)
+        dqt = seg(0xFFDB, b"\x00" + zz_q + b"\x01" + zz_qc)
+        sof0 = seg(
+            0xFFC0,
+            struct.pack(">BHHB", 8, h, w, 3)
+            + b"\x01\x11\x00" + b"\x02\x11\x01" + b"\x03\x11\x01",
+        )
+        dht = seg(
+            0xFFC4,
+            b"\x00" + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALS)
+            + b"\x10" + bytes(_JPEG_AC_BITS) + bytes(_JPEG_AC_VALS)
+            + b"\x01" + bytes(_JPEG_DC_BITS_C) + bytes(_JPEG_DC_VALS_C)
+            + b"\x11" + bytes(_JPEG_AC_BITS_C) + bytes(_JPEG_AC_VALS_C),
+        )
+        sos = seg(
+            0xFFDA, b"\x03\x01\x00\x02\x11\x03\x11" + b"\x00\x3f\x00"
+        )
+    else:
+        dqt = seg(0xFFDB, b"\x00" + zz_q)
+        sof0 = seg(0xFFC0, struct.pack(">BHHB", 8, h, w, 1) + b"\x01\x11\x00")
+        dht = seg(
             0xFFC4,
             b"\x00" + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALS)
             + b"\x10" + bytes(_JPEG_AC_BITS) + bytes(_JPEG_AC_VALS),
         )
-        + seg(0xFFDA, b"\x01\x01\x00\x00\x3f\x00")
+        sos = seg(0xFFDA, b"\x01\x01\x00\x00\x3f\x00")
+    return (
+        b"\xff\xd8"
+        + seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+        + dqt
+        + sof0
+        + dht
+        + sos
         + scan
         + b"\xff\xd9"
     )
 
 
 def decode_jpeg(payload: bytes):
-    """Decode a baseline-sequential grayscale JFIF payload back to an
-    (H, W) uint8 array by actually parsing the container: DQT/SOF0/
-    DHT/SOS markers, huffman-decoded entropy stream (un-stuffing
-    0xFF00), DC prediction, dezigzag, dequantize, IDCT, level shift.
-    Rejects progressive/extended frames (SOF1/SOF2/SOF3) and
-    multi-component scans loudly — partial support would silently
-    corrupt pixels."""
+    """Decode a baseline-sequential JFIF payload back to a uint8
+    array — (H, W) for grayscale frames, (H, W, 3) RGB for YCbCr
+    4:4:4 color frames — by actually parsing the container:
+    DQT/SOF0/DHT/SOS markers, huffman-decoded interleaved entropy
+    stream (un-stuffing 0xFF00), per-component DC prediction,
+    dezigzag, dequantize, IDCT, level shift, and the inverse BT.601
+    transform for color. Rejects progressive/extended frames
+    (SOF1/SOF2/SOF3) and chroma subsampling loudly — partial support
+    would silently corrupt pixels."""
     import struct
 
     import numpy as np
 
-    _, zigzag, dct_m = _jpeg_tables()
+    _, zigzag, dct_m, _ = _jpeg_tables()
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
     pos = 2
     qtables: dict[int, object] = {}
     dc_tables: dict[int, dict] = {}
     ac_tables: dict[int, dict] = {}
-    h = w = comp_tq = td_ta = None
+    h = w = None
+    comps: list[tuple[int, int]] = []  # (comp_id, quant table id)
+    scan_sel: dict[int, tuple[int, int]] = {}  # comp_id -> (td, ta)
     scan_start = None
     while pos < len(payload):
         if payload[pos] != 0xFF:
@@ -1080,17 +1188,26 @@ def decode_jpeg(payload: bytes):
                 qtables[pq_tq & 0x0F] = qt
                 off += 65
         elif marker == 0xFFC0:
-            if len(body) < 9:
+            if len(body) < 6:
                 raise ValueError("truncated SOF0")
             precision, h, w, ncomp = struct.unpack(">BHHB", body[:6])
-            if precision != 8 or ncomp != 1:
+            if precision != 8 or ncomp not in (1, 3):
                 raise NotImplementedError(
-                    "8-bit single-component (grayscale) frames only; "
-                    "color JPEG needs a codec library"
+                    "8-bit grayscale or 3-component YCbCr frames only"
                 )
+            if len(body) < 6 + 3 * ncomp:
+                raise ValueError("truncated SOF0 components")
             if h % 8 or w % 8:
                 raise NotImplementedError("partial-MCU padding")
-            comp_tq = body[8]
+            for ci in range(ncomp):
+                cid = body[6 + 3 * ci]
+                sampling = body[7 + 3 * ci]
+                tq = body[8 + 3 * ci]
+                if sampling != 0x11:
+                    raise NotImplementedError(
+                        "chroma subsampling (only 4:4:4 decodes here)"
+                    )
+                comps.append((cid, tq))
         elif marker == 0xFFC4:
             off = 0
             while off < len(body):
@@ -1107,53 +1224,79 @@ def decode_jpeg(payload: bytes):
                     dc_tables[tc_th & 0x0F] = table
                 off += 17 + nvals
         elif marker == 0xFFDA:
-            if len(body) < 6:
+            if len(body) < 1:
                 raise ValueError("truncated SOS")
-            td_ta = body[2]
+            ns = body[0]
+            if len(body) < 1 + 2 * ns + 3:
+                raise ValueError("truncated SOS components")
+            for si in range(ns):
+                cid = body[1 + 2 * si]
+                td_ta = body[2 + 2 * si]
+                scan_sel[cid] = (td_ta >> 4, td_ta & 0x0F)
             scan_start = pos + seglen
             break
         pos += seglen
-    if scan_start is None or h is None:
+    if scan_start is None or h is None or not comps:
         raise ValueError("missing SOS or SOF0")
     end = payload.rfind(b"\xff\xd9")
     if end < scan_start:
         raise ValueError("truncated JPEG (missing EOI)")
     reader = _JpegBitReader(payload[scan_start:end])
     try:
-        dc_t = dc_tables[td_ta >> 4]
-        ac_t = ac_tables[td_ta & 0x0F]
-        qt = qtables[comp_tq]
+        tables = [
+            (
+                dc_tables[scan_sel[cid][0]],
+                ac_tables[scan_sel[cid][1]],
+                qtables[tq],
+            )
+            for (cid, tq) in comps
+        ]
     except KeyError as exc:
         raise ValueError(f"scan references missing table: {exc}") from exc
-    out = np.zeros((h, w), dtype=np.uint8)
-    prev_dc = 0
+    planes = [np.zeros((h, w), dtype=np.float64) for _ in comps]
+    prev = [0] * len(comps)
     for by in range(h // 8):
         for bx in range(w // 8):
-            zz = np.zeros(64, dtype=np.int64)
-            ssss = reader.read_symbol(dc_t)
-            prev_dc += _jpeg_extend(reader.read_bits(ssss), ssss)
-            zz[0] = prev_dc
-            k = 1
-            while k < 64:
-                sym = reader.read_symbol(ac_t)
-                if sym == 0x00:  # EOB
-                    break
-                if sym == 0xF0:  # ZRL
-                    k += 16
-                    continue
-                k += sym >> 4
-                if k > 63:
-                    raise ValueError("AC coefficient run overflow")
-                zz[k] = _jpeg_extend(reader.read_bits(sym & 0x0F), sym & 0x0F)
-                k += 1
-            coef = np.zeros((8, 8), dtype=np.float64)
-            for k2, (r, c) in enumerate(zigzag):
-                coef[r, c] = zz[k2] * qt[r, c]
-            block = dct_m.T @ coef @ dct_m + 128.0
-            out[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = np.clip(
-                np.floor(block + 0.5), 0, 255
-            ).astype(np.uint8)
-    return out
+            for ci, (dc_t, ac_t, qt) in enumerate(tables):
+                zz = np.zeros(64, dtype=np.int64)
+                ssss = reader.read_symbol(dc_t)
+                prev[ci] += _jpeg_extend(reader.read_bits(ssss), ssss)
+                zz[0] = prev[ci]
+                k = 1
+                while k < 64:
+                    sym = reader.read_symbol(ac_t)
+                    if sym == 0x00:  # EOB
+                        break
+                    if sym == 0xF0:  # ZRL
+                        k += 16
+                        continue
+                    k += sym >> 4
+                    if k > 63:
+                        raise ValueError("AC coefficient run overflow")
+                    zz[k] = _jpeg_extend(
+                        reader.read_bits(sym & 0x0F), sym & 0x0F
+                    )
+                    k += 1
+                coef = np.zeros((8, 8), dtype=np.float64)
+                for k2, (r, c) in enumerate(zigzag):
+                    coef[r, c] = zz[k2] * qt[r, c]
+                planes[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+                    dct_m.T @ coef @ dct_m + 128.0
+                )
+    if len(comps) == 1:
+        return np.clip(np.floor(planes[0] + 0.5), 0, 255).astype(np.uint8)
+    Y, Cb, Cr = planes
+    R = Y + 1.402 * (Cr - 128.0)
+    G = Y - 0.344136 * (Cb - 128.0) - 0.714136 * (Cr - 128.0)
+    B = Y + 1.772 * (Cb - 128.0)
+    return np.stack(
+        [
+            np.clip(np.floor(R + 0.5), 0, 255),
+            np.clip(np.floor(G + 0.5), 0, 255),
+            np.clip(np.floor(B + 0.5), 0, 255),
+        ],
+        axis=2,
+    ).astype(np.uint8)
 
 
 JPEG_DOCS = 48
@@ -1279,6 +1422,170 @@ def multimodal_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(out)
 
     return media.mapInPandas(decode_batches, _JPEG_SCHEMA).orderBy("doc_id")
+
+
+_JPEG_COLOR_SCHEMA = (
+    "doc_id long, in_w int, in_h int, sum_r long, sum_g long, sum_b long,"
+    " wsum_g long, corner_b int"
+)
+
+# closed-form DC quantize/dequantize for one constant channel value:
+# s8 = round(8*(chan-128), 6); dc = sign(s8) * floor(|s8|/Q + 0.5);
+# recon = Q*dc/8 + 128  (the DuckDB expressions mirror the encoder's
+# elementwise double arithmetic order exactly)
+def _sql_jpeg_dc(chan: str, q: int) -> str:
+    s8 = f"round(8 * (({chan}) - 128), 6)"
+    mag = f"floor(abs({s8}) / {q} + 0.5)"
+    return f"(CASE WHEN {s8} < 0 THEN -{mag} ELSE {mag} END)"
+
+
+@register(
+    "multimodal_jpeg_color_decode",
+    oracle=f"""
+        WITH d AS (
+            SELECT doc_id, doc_id % 6 + 2 AS wb, doc_id % 4 + 2 AS hb
+            FROM documents WHERE doc_id < {JPEG_DOCS}
+        ),
+        blocks AS (
+            SELECT doc_id, wb, hb, i % wb AS bx, i // wb AS by,
+                   (doc_id * 7 + 13 * (i % wb) + 29 * (i // wb)) % 256 AS r,
+                   (doc_id * 11 + 17 * (i % wb) + 31 * (i // wb)) % 256 AS g,
+                   (doc_id * 13 + 19 * (i % wb) + 37 * (i // wb)) % 256 AS b
+            FROM (SELECT doc_id, wb, hb, unnest(range(0, wb * hb)) AS i
+                  FROM d)
+        ),
+        ycc AS (
+            SELECT *, 0.299 * r + 0.587 * g + 0.114 * b AS y,
+                   -0.168736 * r - 0.331264 * g + 0.5 * b + 128 AS cbv,
+                   0.5 * r - 0.418688 * g - 0.081312 * b + 128 AS crv
+            FROM blocks
+        ),
+        recon AS (
+            SELECT doc_id, wb, hb, bx, by,
+                   16 * {_sql_jpeg_dc('y', 16)} / 8 + 128 AS ry,
+                   17 * {_sql_jpeg_dc('cbv', 17)} / 8 + 128 AS rcb,
+                   17 * {_sql_jpeg_dc('crv', 17)} / 8 + 128 AS rcr
+            FROM ycc
+        ),
+        rgb AS (
+            SELECT doc_id, wb, hb, bx, by,
+                   LEAST(255, GREATEST(0, CAST(floor(
+                       (ry + 1.402 * (rcr - 128)) + 0.5) AS BIGINT)))
+                       AS pr,
+                   LEAST(255, GREATEST(0, CAST(floor(
+                       (ry - 0.344136 * (rcb - 128)
+                           - 0.714136 * (rcr - 128)) + 0.5) AS BIGINT)))
+                       AS pg,
+                   LEAST(255, GREATEST(0, CAST(floor(
+                       (ry + 1.772 * (rcb - 128)) + 0.5) AS BIGINT)))
+                       AS pb
+            FROM recon
+        )
+        SELECT doc_id,
+               CAST(8 * wb AS INT) AS in_w,
+               CAST(8 * hb AS INT) AS in_h,
+               CAST(sum(64 * pr) AS BIGINT) AS sum_r,
+               CAST(sum(64 * pg) AS BIGINT) AS sum_g,
+               CAST(sum(64 * pb) AS BIGINT) AS sum_b,
+               CAST(sum(pg * (512 * (2 * bx + by) + 672)) AS BIGINT)
+                   AS wsum_g,
+               CAST(max(CASE WHEN bx = wb - 1 AND by = hb - 1
+                             THEN pb END) AS INT) AS corner_b
+        FROM rgb
+        GROUP BY doc_id, wb, hb
+        ORDER BY doc_id
+    """,
+    tags=("multimodal", "codec", "jpeg", "color", "llm-pipeline"),
+)
+def multimodal_jpeg_color_decode(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """REAL baseline COLOR JPEG bytes→pixels: per document an RGB
+    image of 8×8-constant blocks (three independent channel formulas
+    per block) serializes through the full 3-component YCbCr 4:4:4
+    pipeline — BT.601 color transform, per-component Annex-K quant
+    tables (luma 16.., chroma 17..), interleaved MCUs with separate
+    DC predictors, both chroma huffman table pairs — and decodes
+    back via `decode_image`.
+
+    The lossy-codec-with-exact-oracle trick extends to color: each
+    constant block quantizes to three DC-only coefficients whose
+    reconstruction (Q·dc/8 + 128 per channel) and inverse BT.601
+    transform the DuckDB oracle reproduces with the SAME elementwise
+    double expressions the codec evaluates, so every decoded pixel is
+    closed-form — a chroma-table mixup, a swapped Cb/Cr predictor, or
+    a wrong inverse-transform coefficient flips the hash. Fixture
+    boundary margins (|x+0.5| distance from integers in the final
+    channels) are pytest-pinned so IEEE reassociation noise can never
+    flake the comparison. Chroma SUBSAMPLING (4:2:0) remains the
+    documented seam — the decoder rejects it loudly.
+
+    Scale posture: identical to the other codec queries — two narrow
+    mapInPandas stages, zero shuffles, Arrow-batched blobs."""
+
+    docs = (
+        t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < JPEG_DOCS)
+        .select("doc_id")
+    )
+
+    def encode_batches(
+        batches: Iterator[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            ids = pdf["doc_id"].to_numpy()
+            payloads = []
+            for d in ids:
+                d = int(d)
+                wb, hb = d % 6 + 2, d % 4 + 2
+                bx = np.arange(wb)[None, :]
+                by = np.arange(hb)[:, None]
+                chans = [
+                    (d * 7 + 13 * bx + 29 * by) % 256,
+                    (d * 11 + 17 * bx + 31 * by) % 256,
+                    (d * 13 + 19 * bx + 37 * by) % 256,
+                ]
+                img = np.stack(
+                    [
+                        np.repeat(np.repeat(c, 8, axis=0), 8, axis=1)
+                        for c in chans
+                    ],
+                    axis=2,
+                ).astype(np.uint8)
+                payloads.append(encode_jpeg(img))
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    media = docs.mapInPandas(encode_batches, "doc_id long, payload binary")
+
+    def decode_batches(
+        batches: Iterator[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        cols = "doc_id in_w in_h sum_r sum_g sum_b wsum_g corner_b".split()
+        for pdf in batches:
+            out: dict[str, list] = {k: [] for k in cols}
+            for d, p in zip(pdf["doc_id"], pdf["payload"]):
+                px = decode_image(bytes(p)).astype(np.int64)
+                h, w, _ = px.shape
+                wgt = 2 * np.arange(w)[None, :] + np.arange(h)[:, None]
+                vals = (
+                    int(d), w, h,
+                    int(px[:, :, 0].sum()), int(px[:, :, 1].sum()),
+                    int(px[:, :, 2].sum()),
+                    int((px[:, :, 1] * wgt).sum()),
+                    int(px[-1, -1, 2]),
+                )
+                for k, v in zip(cols, vals):
+                    out[k].append(v)
+            yield pd.DataFrame(out)
+
+    return (
+        media.mapInPandas(decode_batches, _JPEG_COLOR_SCHEMA)
+        .orderBy("doc_id")
+    )
 
 
 WAV_DOCS = 200  # docs that get an audio payload

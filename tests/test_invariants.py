@@ -370,6 +370,110 @@ def test_jpeg_codec_closed_form_and_roundtrip():
     assert err.mean() <= 3.0, f"gradient mean err {err.mean()}"
 
 
+def test_jpeg_color_codec_closed_form_and_margins():
+    """Color JPEG's three fidelity contracts. (1) Block-constant RGB
+    images decode EXACTLY to the closed form the SQL oracle mirrors
+    (BT.601 -> per-channel DC quantize/dequantize -> inverse BT.601,
+    floor(x+0.5), clip). (2) Every final-channel value x+0.5 on the
+    48-doc fixture stays >= 1e-6 away from an integer boundary, so
+    IEEE reassociation differences between numpy's IDCT path and
+    DuckDB's expression evaluation can never flip a floor() — the
+    margin that makes a LOSSY color codec hash-stable. (3) Noise
+    roundtrips within the chroma-quantizer bound."""
+    import math
+
+    import numpy as np
+
+    from spark_hive_spark.operators.multimodal import (
+        decode_image,
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    def closed_form(r, g, b):
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+
+        def dc(s, qv):
+            s8 = round(8 * (s - 128.0), 6)
+            return (1 if s8 >= 0 else -1) * math.floor(abs(s8) / qv + 0.5)
+
+        ry = 16 * dc(y, 16) / 8 + 128
+        rcb = 17 * dc(cb, 17) / 8 + 128
+        rcr = 17 * dc(cr, 17) / 8 + 128
+        chans = (
+            ry + 1.402 * (rcr - 128),
+            ry - 0.344136 * (rcb - 128) - 0.714136 * (rcr - 128),
+            ry + 1.772 * (rcb - 128),
+        )
+        margins = [
+            abs((x + 0.5) - round(x + 0.5)) for x in chans
+        ]
+        clipped = tuple(
+            min(255, max(0, math.floor(x + 0.5))) for x in chans
+        )
+        return clipped, min(margins)
+
+    worst_margin = 1.0
+    for d in range(48):
+        wb, hb = d % 6 + 2, d % 4 + 2
+        bx = np.arange(wb)[None, :]
+        by = np.arange(hb)[:, None]
+        rr = (d * 7 + 13 * bx + 29 * by) % 256
+        gg = (d * 11 + 17 * bx + 31 * by) % 256
+        bb = (d * 13 + 19 * bx + 37 * by) % 256
+        img = np.stack(
+            [np.repeat(np.repeat(c, 8, 0), 8, 1) for c in (rr, gg, bb)],
+            axis=2,
+        ).astype(np.uint8)
+        dec = decode_image(encode_jpeg(img))
+        assert dec.shape == (hb * 8, wb * 8, 3)
+        for yb in range(hb):
+            for xb in range(wb):
+                exp, margin = closed_form(
+                    int(rr[yb, xb]), int(gg[yb, xb]), int(bb[yb, xb])
+                )
+                worst_margin = min(worst_margin, margin)
+                assert tuple(dec[yb * 8, xb * 8]) == exp, (d, yb, xb)
+                # whole block constant
+                assert (
+                    dec[yb * 8 : yb * 8 + 8, xb * 8 : xb * 8 + 8]
+                    == np.array(exp)
+                ).all()
+    assert worst_margin >= 1e-6, f"boundary margin {worst_margin}"
+
+    rng = np.random.default_rng(5)
+    for _ in range(4):
+        img = rng.integers(0, 256, size=(24, 32, 3), dtype=np.uint8)
+        err = np.abs(
+            decode_jpeg(encode_jpeg(img)).astype(int) - img.astype(int)
+        )
+        assert err.max() <= 200, "beyond any chroma-quantization bound"
+
+
+def test_jpeg_color_rejections_and_gray_passthrough():
+    """The color decoder rejects chroma subsampling loudly (a 4:2:0
+    sampling byte would silently corrupt pixels if half-handled), and
+    grayscale payloads still decode through the same parser."""
+    import numpy as np
+    import pytest
+
+    from spark_hive_spark.operators.multimodal import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    img = np.zeros((16, 16, 3), dtype=np.uint8)
+    blob = encode_jpeg(img)
+    # component 1's sampling byte 0x11 -> 0x22 (a 4:2:0-style frame)
+    subsampled = blob.replace(b"\x01\x11\x00", b"\x01\x22\x00", 1)
+    with pytest.raises(NotImplementedError):
+        decode_jpeg(subsampled)
+    gray = encode_jpeg(np.full((16, 16), 42, dtype=np.uint8))
+    assert decode_jpeg(gray).shape == (16, 16)
+
+
 def test_jpeg_codec_rejections():
     """decode_jpeg fails loudly on what it cannot faithfully decode:
     missing SOI, truncated segments, truncated entropy stream, and
