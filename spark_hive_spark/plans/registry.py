@@ -141,6 +141,7 @@ SWEEP_PRIORITY: tuple[str, ...] = (
     #   mining_hard_negatives_ann_audit
     #   multimodal_png_decode
     #   multimodal_jpeg_decode
+    #   multimodal_jpeg_color_decode
     #   geo_geohash_radius_join
     #   embedding_pq_adc_audit
 )
