@@ -430,3 +430,77 @@ def source_partition_pruning_dpp(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_year")
     )
+
+
+@register(
+    "join_runtime_bloom_filter",
+    oracle=f"""
+        SELECT s.s_nationkey,
+               CAST(count(*) AS BIGINT) AS n_items,
+               {sql_dsum("l.l_extendedprice")} AS revenue
+        FROM lineitem l
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        WHERE s.s_acctbal > 5000
+        GROUP BY s.s_nationkey
+        ORDER BY s.s_nationkey
+    """,
+    tags=("join", "runtime-filter", "bloom", "optimizer"),
+)
+def join_runtime_bloom_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RUNTIME BLOOM-FILTER JOIN PRUNING (Catalyst InjectRuntimeFilter,
+    the shuffle-join sibling of `source_partition_pruning_dpp`): a
+    shuffle join whose build side carries a selective predicate gets a
+    `bloom_filter_agg` subquery injected over the build keys, and the
+    probe side filters through `might_contain` BEFORE its shuffle — at
+    100 TB this is what keeps a fact-to-filtered-dim shuffle join from
+    shuffling fact rows that can never match (here: lineitems of
+    sub-5000-balance suppliers die at the scan, not after the
+    exchange). Plan-gated in tests/test_plans.py.
+
+    Injection preconditions this query arranges, documented because
+    each silently disables the rule: (1) the build side must NOT be
+    broadcast-able — Spark skips the bloom when a broadcast join will
+    prune cheaply anyway, so broadcast is disabled for planning;
+    (2) the probe-side scan must exceed
+    `applicationSideScanSizeThreshold` (default 10 GB — lowered here,
+    a cluster deployment leaves the default); (3) the build side must
+    stay under `creationSideThreshold`. The plan is materialized
+    UNDER these settings (a Dataset's QueryExecution is computed once
+    and cached), then the session conf is restored so no other
+    query's planning is affected."""
+    li = t(spark, sf_dir, "lineitem")
+    su = t(spark, sf_dir, "supplier").filter(F.col("s_acctbal") > 5000)
+    saved = {
+        "spark.sql.autoBroadcastJoinThreshold": spark.conf.get(
+            "spark.sql.autoBroadcastJoinThreshold"
+        ),
+        "spark.sql.optimizer.runtime.bloomFilter."
+        "applicationSideScanSizeThreshold": spark.conf.get(
+            "spark.sql.optimizer.runtime.bloomFilter."
+            "applicationSideScanSizeThreshold"
+        ),
+    }
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter."
+            "applicationSideScanSizeThreshold",
+            "1KB",
+        )
+        out = (
+            li.join(su, li.l_suppkey == su.s_suppkey)
+            .groupBy("s_nationkey")
+            .agg(
+                F.count("*").alias("n_items"),
+                dsum("l_extendedprice").alias("revenue"),
+            )
+            .orderBy("s_nationkey")
+        )
+        # force logical optimization (bloom injection) + physical
+        # planning NOW, while the arranged conf is in effect; the
+        # cached QueryExecution serves every later action on `out`
+        out._jdf.queryExecution().executedPlan()
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
+    return out

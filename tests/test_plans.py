@@ -429,3 +429,14 @@ def test_geo_radius_join_is_cell_equi_join(spark):
         j in plan
         for j in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin")
     )
+
+
+def test_runtime_bloom_filter_injected(spark):
+    """The shuffle join must carry Catalyst's injected runtime bloom
+    filter: a bloom_filter_agg subquery over the filtered build keys
+    and a might_contain predicate on the probe side BEFORE its
+    exchange — probe rows that cannot match die at the scan."""
+    df = _Q["join_runtime_bloom_filter"].fn(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "bloom_filter_agg" in plan
+    assert "might_contain" in plan
