@@ -144,6 +144,7 @@ SWEEP_PRIORITY: tuple[str, ...] = (
     #   multimodal_jpeg_color_decode
     #   geo_geohash_radius_join
     #   embedding_pq_adc_audit
+    #   join_runtime_bloom_filter
 )
 
 
