@@ -145,6 +145,7 @@ SWEEP_PRIORITY: tuple[str, ...] = (
     #   geo_geohash_radius_join
     #   embedding_pq_adc_audit
     #   join_runtime_bloom_filter
+    #   setsim_ppjoin_shingle_join
 )
 
 
