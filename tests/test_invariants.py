@@ -174,13 +174,17 @@ def test_multimodal_checksum_matches_python(spark):
         assert got[row.doc_id] == fake_decode(payload)[3]
 
 
-def test_decode_image_is_explicit_stub():
-    """Non-BMP payloads (here: a JPEG magic) still hit the explicit
-    codec seam."""
+def test_decode_image_unknown_format_is_explicit_seam():
+    """Formats outside the real codecs (BMP/PNG/JPEG/WAV) still hit
+    the explicit NotImplementedError seam — here a WebP/RIFF magic.
+    A JPEG magic now enters the real decoder instead (and a bare
+    truncated SOI fails loudly as a damaged payload, not silently)."""
     from spark_hive_spark.operators.multimodal import decode_image
 
     with pytest.raises(NotImplementedError):
-        decode_image(b"\xff\xd8\xff")
+        decode_image(b"RIFF\x00\x00\x00\x00WEBPVP8 ")
+    with pytest.raises(ValueError):
+        decode_image(b"\xff\xd8\xff")  # truncated JPEG: loud, not seam
 
 
 def test_bmp_codec_roundtrip():
