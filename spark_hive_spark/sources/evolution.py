@@ -504,3 +504,122 @@ def join_runtime_bloom_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         for k, v in saved.items():
             spark.conf.set(k, v)
     return out
+
+
+@register(
+    "snapshot_expire_audit",
+    oracle=f"""
+        SELECT CAST(3 AS INT) AS versions_before,
+               CAST(1 AS INT) AS versions_after,
+               TRUE AS files_reclaimed,
+               CAST(0 AS BIGINT) AS orphan_files_remaining,
+               TRUE AS expired_read_fails,
+               (SELECT CAST(count(*) AS BIGINT) FROM orders)
+                   AS latest_n_rows,
+               (SELECT {sql_dsum("o_totalprice")} FROM orders)
+                   AS latest_total
+    """,
+    tags=("lakehouse", "snapshot", "expire", "vacuum"),
+)
+def snapshot_expire_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SNAPSHOT EXPIRY + VACUUM — the third leg of the lakehouse
+    lifecycle (create/time-travel -> compact -> EXPIRE), the
+    operation that keeps a 100 TB table's storage O(live data)
+    instead of O(history): three manifest versions are built (v1 =
+    pre-1998 files, v2 = v1 + 1998 appends, v3 = a COMPACTED rewrite
+    of v1+v2 into fresh files plus the 1999+ appends — so v3 shares
+    NO files with v1/v2), then a keep-latest retention policy deletes
+    the expired manifests and garbage-collects every data file no
+    surviving manifest references — exactly Delta VACUUM / Iceberg
+    expire_snapshots semantics: reachability from live manifests IS
+    the liveness rule.
+
+    The audit pins: files were actually reclaimed; ZERO orphan data
+    files remain under the table root afterward (directory scan vs
+    the live manifest's file set — the vacuum-completeness property);
+    reading an expired version fails LOUDLY (the time-travel window
+    honestly closed); and the surviving latest snapshot still
+    reproduces the full table exactly (count + exact-decimal total
+    vs the oracle's recompute from source — vacuum must never touch
+    live data).
+
+    Scale: expiry is manifest arithmetic (set difference of file
+    lists) + bulk deletes; data volume only matters to the rewrite
+    step, which compaction already paid. The directory scan here is
+    the local stand-in for an object-store LIST."""
+    import json as _json
+
+    orders = t(spark, sf_dir, "orders")
+    root = os.path.join(
+        tempfile.gettempdir(), f"shs_expire_{uuid.uuid4().hex}"
+    )
+    d1 = os.path.join(root, "add1")
+    d2 = os.path.join(root, "add2")
+    d3 = os.path.join(root, "rewrite")
+    d4 = os.path.join(root, "add3")
+    orders.filter(F.year("o_orderdate") < 1998).write.parquet(d1)
+    orders.filter(F.year("o_orderdate") == 1998).write.parquet(d2)
+    spark.read.parquet(d1, d2).coalesce(2).write.parquet(d3)
+    orders.filter(F.year("o_orderdate") > 1998).write.parquet(d4)
+
+    def _files(d: str) -> list[str]:
+        return sorted(
+            os.path.join(d, f)
+            for f in os.listdir(d)
+            if f.endswith(".parquet")
+        )
+
+    mdir = os.path.join(root, "_manifests")
+    os.makedirs(mdir, exist_ok=True)
+    manifests = {
+        1: _files(d1),
+        2: _files(d1) + _files(d2),
+        3: _files(d3) + _files(d4),
+    }
+    for v, files in manifests.items():
+        with open(os.path.join(mdir, f"v{v}.json"), "w") as fh:
+            _json.dump({"version": v, "files": files}, fh)
+    versions_before = len(os.listdir(mdir))
+
+    # retention: keep only the latest manifest; GC unreferenced files
+    latest = max(manifests)
+    live = set(manifests[latest])
+    reclaimed = 0
+    for v in list(manifests):
+        if v != latest:
+            os.remove(os.path.join(mdir, f"v{v}.json"))
+    for d in (d1, d2, d3, d4):
+        for f in _files(d):
+            if f not in live:
+                os.remove(f)
+                reclaimed += 1
+    versions_after = len(os.listdir(mdir))
+
+    # vacuum completeness: every parquet file still on disk must be
+    # referenced by the surviving manifest
+    remaining = [
+        f for d in (d1, d2, d3, d4) for f in _files(d) if f not in live
+    ]
+
+    # the expired version must be unreadable, loudly
+    try:
+        with open(os.path.join(mdir, "v1.json")) as fh:
+            _json.load(fh)
+        expired_read_fails = False
+    except FileNotFoundError:
+        expired_read_fails = True
+
+    with open(os.path.join(mdir, f"v{latest}.json")) as fh:
+        live_files = _json.load(fh)["files"]
+    latest_df = spark.read.parquet(*live_files)
+    return latest_df.agg(
+        F.lit(versions_before).cast("int").alias("versions_before"),
+        F.lit(versions_after).cast("int").alias("versions_after"),
+        F.lit(reclaimed > 0).alias("files_reclaimed"),
+        F.lit(len(remaining)).cast("bigint").alias(
+            "orphan_files_remaining"
+        ),
+        F.lit(expired_read_fails).alias("expired_read_fails"),
+        F.count("*").alias("latest_n_rows"),
+        dsum("o_totalprice").alias("latest_total"),
+    )
