@@ -146,6 +146,7 @@ SWEEP_PRIORITY: tuple[str, ...] = (
     #   embedding_pq_adc_audit
     #   join_runtime_bloom_filter
     #   setsim_ppjoin_shingle_join
+    #   snapshot_expire_audit
 )
 
 
