@@ -1439,10 +1439,32 @@ def _sql_jpeg_dc(chan: str, q: int) -> str:
     return f"(CASE WHEN {s8} < 0 THEN -{mag} ELSE {mag} END)"
 
 
-@register(
-    "multimodal_jpeg_color_decode",
-    oracle=f"""
-        WITH d AS (
+def jpeg_color_fixture_image(d: int):
+    """Deterministic block-constant RGB fixture image for doc d —
+    the construction both the color-decode query and the multimodal
+    curation pipeline encode, and both oracles mirror block-wise."""
+    import numpy as np
+
+    wb, hb = d % 6 + 2, d % 4 + 2
+    bx = np.arange(wb)[None, :]
+    by = np.arange(hb)[:, None]
+    chans = [
+        (d * 7 + 13 * bx + 29 * by) % 256,
+        (d * 11 + 17 * bx + 31 * by) % 256,
+        (d * 13 + 19 * bx + 37 * by) % 256,
+    ]
+    return np.stack(
+        [np.repeat(np.repeat(c, 8, axis=0), 8, axis=1) for c in chans],
+        axis=2,
+    ).astype(np.uint8)
+
+
+# Shared oracle CTE chain: deterministic per-block RGB -> YCbCr ->
+# DC quantize/dequantize -> inverse transform -> clipped pixels.
+# Used by the color-decode oracle AND the multimodal curation
+# pipeline oracle (operators/pipeline.py).
+JPEG_COLOR_PIXELS_CTE = f"""
+        d AS (
             SELECT doc_id, doc_id % 6 + 2 AS wb, doc_id % 4 + 2 AS hb
             FROM documents WHERE doc_id < {JPEG_DOCS}
         ),
@@ -1481,6 +1503,13 @@ def _sql_jpeg_dc(chan: str, q: int) -> str:
                        AS pb
             FROM recon
         )
+"""
+
+
+@register(
+    "multimodal_jpeg_color_decode",
+    oracle=f"""
+        WITH {JPEG_COLOR_PIXELS_CTE}
         SELECT doc_id,
                CAST(8 * wb AS INT) AS in_w,
                CAST(8 * hb AS INT) AS in_h,
@@ -1532,29 +1561,11 @@ def multimodal_jpeg_color_decode(
     def encode_batches(
         batches: Iterator[pd.DataFrame],
     ) -> Iterator[pd.DataFrame]:
-        import numpy as np
-
         for pdf in batches:
             ids = pdf["doc_id"].to_numpy()
-            payloads = []
-            for d in ids:
-                d = int(d)
-                wb, hb = d % 6 + 2, d % 4 + 2
-                bx = np.arange(wb)[None, :]
-                by = np.arange(hb)[:, None]
-                chans = [
-                    (d * 7 + 13 * bx + 29 * by) % 256,
-                    (d * 11 + 17 * bx + 31 * by) % 256,
-                    (d * 13 + 19 * bx + 37 * by) % 256,
-                ]
-                img = np.stack(
-                    [
-                        np.repeat(np.repeat(c, 8, axis=0), 8, axis=1)
-                        for c in chans
-                    ],
-                    axis=2,
-                ).astype(np.uint8)
-                payloads.append(encode_jpeg(img))
+            payloads = [
+                encode_jpeg(jpeg_color_fixture_image(int(d))) for d in ids
+            ]
             yield pd.DataFrame({"doc_id": ids, "payload": payloads})
 
     media = docs.mapInPandas(encode_batches, "doc_id long, payload binary")

@@ -22,6 +22,10 @@ from spark_hive_spark.operators.dedup import (
     SQL_NORM_TEXT,
     normalized_text,
 )
+from spark_hive_spark.operators.multimodal import (
+    JPEG_COLOR_PIXELS_CTE,
+    JPEG_DOCS,
+)
 from spark_hive_spark.plans.registry import register
 from spark_hive_spark.tables import t
 
@@ -161,6 +165,148 @@ def pipeline_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_docs"),
             F.sum(F.size(F.split(normalized_text(), " "))).alias("total_tokens"),
             F.sum(F.length("text")).alias("total_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
+_MM_PIPELINE_ORACLE = f"""
+    WITH {JPEG_COLOR_PIXELS_CTE},
+    imgsum AS (
+        SELECT doc_id,
+               CAST(sum(64 * (pr + pg + pb)) AS BIGINT) AS sum_all,
+               CAST(192 * wb * hb AS BIGINT) AS n_px
+        FROM rgb GROUP BY doc_id, wb, hb
+    ),
+    textq AS (
+        SELECT doc_id, lang,
+               CAST(len(list_filter(
+                   string_split({SQL_NORM_TEXT}, ' '), x -> x <> ''))
+                   AS BIGINT) AS n_tokens
+        FROM documents WHERE doc_id < {JPEG_DOCS}
+    ),
+    joined AS (
+        SELECT t.doc_id, t.lang, t.n_tokens, i.sum_all, i.n_px,
+               CAST(i.sum_all AS DOUBLE) / i.n_px AS brightness
+        FROM textq t JOIN imgsum i USING (doc_id)
+    ),
+    flags AS (
+        SELECT *,
+               (brightness >= 60 AND brightness <= 200
+                    AND n_tokens >= 10) AS kept
+        FROM joined
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_kept,
+           CAST(sum(CASE WHEN kept THEN doc_id * 7919 ELSE 0 END)
+               AS BIGINT) AS kept_checksum,
+           round(CAST(sum(CASE WHEN kept THEN sum_all ELSE 0 END)
+                 AS DOUBLE)
+                 / GREATEST(sum(CASE WHEN kept THEN n_px ELSE 0 END),
+                            1), 4) AS kept_mean_brightness
+    FROM flags
+    GROUP BY lang
+    ORDER BY lang
+"""
+
+
+@register(
+    "pipeline_multimodal_curation",
+    oracle=_MM_PIPELINE_ORACLE,
+    tags=("pipeline", "multimodal", "curation", "llm-pipeline"),
+)
+def pipeline_multimodal_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CROSS-MODAL curation pipeline, one dataflow: per document a
+    real color-JPEG payload (the deterministic block fixture) decodes
+    to image features (mean brightness over all channel samples,
+    computed from exact integer sums), the TEXT side contributes a
+    token count, and the curation gate keeps documents with
+    mid-range brightness (60..200) and >= 10 tokens — the shape of a
+    real multimodal pretraining filter (too-dark/too-bright screens
+    and caption-less shards drop). Output contracts to per-language
+    rows: doc counts, kept counts, a kept-set checksum, and the
+    kept-set mean brightness as ONE division of exact integer sums
+    (engine-identical double).
+
+    Every stage is an existing engine operator: the JPEG codec from
+    operators/multimodal (bytes decoded for real in the image
+    branch), the dedup-normalized tokenizer from operators/dedup,
+    hash-aggregation + a single equi-join. The oracle reproduces the
+    image branch from the shared closed-form pixel CTE
+    (JPEG_COLOR_PIXELS_CTE) — it never sees JPEG bytes, so a codec
+    regression flips this pipeline's hash too.
+
+    Scale: the image branch is two narrow mapInPandas stages (zero
+    shuffles) contracting to 3 ints per doc BEFORE the join; the
+    text branch is codegen'd split/size; one shuffle total for the
+    final language aggregate."""
+    import numpy as np
+    import pandas as pd
+
+    from spark_hive_spark.operators.multimodal import (
+        decode_image,
+        encode_jpeg,
+        jpeg_color_fixture_image,
+    )
+
+    docs = (
+        t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < JPEG_DOCS)
+        .select("doc_id", "lang", "text")
+    )
+
+    def img_features(batches):
+        for pdf in batches:
+            ids, sums, npx = [], [], []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                px = decode_image(
+                    encode_jpeg(jpeg_color_fixture_image(d))
+                ).astype(np.int64)
+                ids.append(d)
+                sums.append(int(px.sum()))
+                npx.append(int(px.size))
+            yield pd.DataFrame(
+                {"doc_id": ids, "sum_all": sums, "n_px": npx}
+            )
+
+    img = docs.select("doc_id").mapInPandas(
+        img_features, "doc_id long, sum_all long, n_px long"
+    )
+    text = docs.select(
+        "doc_id",
+        "lang",
+        F.size(
+            F.filter(
+                F.split(normalized_text(), " "), lambda x: x != ""
+            )
+        ).cast("long").alias("n_tokens"),
+    )
+    joined = text.join(img, "doc_id").withColumn(
+        "brightness",
+        F.col("sum_all") / F.col("n_px"),
+    )
+    kept = (F.col("brightness") >= 60) & (F.col("brightness") <= 200) & (
+        F.col("n_tokens") >= 10
+    )
+    return (
+        joined.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(kept.cast("long")).alias("n_kept"),
+            F.sum(
+                F.when(kept, F.col("doc_id") * 7919).otherwise(0)
+            ).cast("bigint").alias("kept_checksum"),
+            F.round(
+                F.sum(F.when(kept, F.col("sum_all")).otherwise(0))
+                / F.greatest(
+                    F.sum(F.when(kept, F.col("n_px")).otherwise(0)),
+                    F.lit(1),
+                ),
+                4,
+            ).alias("kept_mean_brightness"),
         )
         .orderBy("lang")
     )
