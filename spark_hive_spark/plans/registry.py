@@ -147,6 +147,7 @@ SWEEP_PRIORITY: tuple[str, ...] = (
     #   join_runtime_bloom_filter
     #   setsim_ppjoin_shingle_join
     #   snapshot_expire_audit
+    #   pipeline_multimodal_curation
 )
 
 
