@@ -1193,3 +1193,80 @@ def stream_update_mode_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = out.localCheckpoint(eager=True)
     return out
+
+
+@register(
+    "stream_available_now_catchup",
+    oracle=f"""
+        SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+               event_type,
+               count(*) AS n_events,
+               {sql_dsum('value')} AS sum_value,
+               TRUE AS caught_up_multi_batch
+        FROM events
+        GROUP BY 1, 2
+        ORDER BY window_start, event_type
+    """,
+    tags=("streaming", "trigger", "available-now", "backfill"),
+)
+def stream_available_now_catchup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trigger.AvailableNow — the BACKFILL trigger: process everything
+    already in the source and then STOP, while still honoring the
+    source's rate limits (maxFilesPerTrigger=1 over a 4-file reshard
+    here, so the catch-up runs as >= 4 real micro-batches with state
+    carried across batch boundaries — unlike Trigger.Once, which
+    would slurp everything into one giant batch and OOM a year-long
+    backlog at 100 TB). The query self-terminates; the audit column
+    pins that the engine genuinely took the multi-batch path
+    (lastProgress batchId >= 3), and the windowed aggregate must
+    equal the batch oracle exactly — catch-up then stop must lose
+    nothing.
+
+    Scale: THE operational pattern for periodic jobs over streaming
+    sources — a cron-scheduled cluster processes the backlog in
+    bounded batches (state, not memory, absorbs the volume) and
+    releases the hardware; the checkpoint makes the next run
+    incremental."""
+    ev = t(spark, sf_dir, "events").select("ts", "event_type", "value")
+    name = f"strm_{uuid.uuid4().hex[:12]}"
+    with tempfile.TemporaryDirectory(prefix="anow_") as d, _stream_shuffle(
+        spark
+    ):
+        data_dir = os.path.join(d, "events4")
+        ev.repartition(4).write.parquet(data_dir)
+        schema = spark.read.parquet(data_dir).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(data_dir)
+        )
+        agg = stream.groupBy(
+            F.window("ts", "1 hour").alias("w"), "event_type"
+        ).agg(
+            F.count("*").alias("n_events"), dsum("value").alias("sum_value")
+        )
+        q = (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", os.path.join(d, "cp"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()  # AvailableNow self-terminates at drain
+        last_batch = (q.lastProgress or {}).get("batchId", 0)
+        out = (
+            spark.table(name)
+            .select(
+                F.col("w.start").alias("window_start"),
+                "event_type",
+                "n_events",
+                "sum_value",
+                F.lit(int(last_batch) >= 3).alias(
+                    "caught_up_multi_batch"
+                ),
+            )
+            .orderBy("window_start", "event_type")
+            .localCheckpoint(eager=True)
+        )
+    return out
