@@ -148,6 +148,7 @@ SWEEP_PRIORITY: tuple[str, ...] = (
     #   setsim_ppjoin_shingle_join
     #   snapshot_expire_audit
     #   pipeline_multimodal_curation
+    #   stream_available_now_catchup
 )
 
 
