@@ -38,117 +38,74 @@ class Query:
 _REGISTRY: dict[str, Query] = {}
 
 # The grading driver sweeps the FIRST 50 registry entries per round, so
-# ordering is an attestation budget. Round-8 rotation (VERDICT r7 task
-# 1): the 4 reference jobs stay pinned, then the 46 oldest of the 81
-# queries that have never earned a CORRECTNESS_r*.json row (cumulative
-# driver attestation after r07: 202/283). The remaining 35 (listed as
-# comments at the end) rotate into the r09 window, together with any
-# round-8 additions. tests/test_registry_window.py asserts the window
-# stays exactly this set.
+# ordering is an attestation budget. Round-9 rotation (VERDICT r8 task
+# 1): the 4 reference jobs stay pinned, then 46 of the 47 queries that
+# have never earned a CORRECTNESS_r*.json row (cumulative driver
+# attestation after r08: 248/295). The one deferral is
+# ``mining_hard_negatives_ann`` — it is rows-only by design and its
+# full-oracle gate ``mining_hard_negatives_ann_audit`` IS in this
+# window, so deferring it maximizes hash-attested rows; it rotates into
+# the r10 window together with the round-9 additions (listed as
+# comments at the end). tests/test_registry_window.py asserts the
+# window stays exactly this set.
 SWEEP_PRIORITY: tuple[str, ...] = (
     # pinned reference jobs (driver-green every round)
     "ref_top5_nations_by_avg_acctbal",
     "ref_top5_finished_orders_by_price",
     "ref_building_acctbal_stats_by_nation",
     "ref_orc_roundtrip",
-    # r08 rotation (VERDICT r7 task 1): the 46 oldest never-
-    # driver-swept queries, registration order. All 81 were
-    # judge-sim green in r7; driver rows are the durable record.
-    "ann_index_persistence_audit",
-    "entity_resolution_name_clusters",
-    "snm_sorted_neighborhood_pairs",
-    "blocking_recall_audit",
-    "embedding_pca_power_iteration",
-    "dedup_shingle_containment",
-    "curation_kfold_stratified",
-    "curation_negative_sampling_ring",
-    "tokenizer_vocab_coverage",
-    "bpe_pair_merge_stats",
-    "dedup_effective_token_count",
-    "text_zipf_fit",
-    "text_ngram_novelty",
-    "text_pmi_collocations",
-    "text_heaps_law_fit",
-    "text_lexical_diversity_ttr",
-    "sketch_cms_heavy_hitters",
-    "sketch_bloom_membership_audit",
-    "sketch_kmv_intersection",
-    "fx_asof_converted_revenue",
-    "asof_nearest_click_purchase",
-    "timeseries_twap_user_value",
-    "pit_scd2_revenue_by_tier",
-    "events_downtime_gaps",
-    "supplier_pareto_abc",
-    "monthly_seasonality_index",
-    "lift_decile_table",
-    "cohort_ltv_curve",
-    "audience_overlap_matrix",
-    "revenue_bridge_price_volume",
-    "attribution_first_vs_last_touch",
-    "aging_waterfall_open_lineitems",
-    "forecast_backtest_seasonal_naive",
-    "retention_decay_fit",
-    "repeat_purchase_cadence_curve",
-    "stream_stream_full_outer_join",
-    "stream_update_mode_counts",
-    "source_binaryfile_bmp_stats",
-    "histogram_equidepth_prices",
-    "hierarchy_percent_of_parent",
-    "geo_haversine_nearest_nation",
-    "welch_ttest_segments",
-    "winsorized_price_stats",
-    "regr_price_size_by_brand",
-    "stats_bootstrap_se_price",
-    "mannwhitney_u_segments",
-    # r09 backlog (35 remaining never-swept, same order):
-    #   mannkendall_theilsen_trend
-    #   kaplan_meier_customer_lifetime
-    #   quantile_mapping_price_drift
-    #   neyman_stratified_allocation
-    #   cuped_adjusted_segment_lift
-    #   did_revenue_estimator
-    #   conformal_price_intervals
-    #   price_elasticity_by_brand
-    #   partition_checksum_diff
-    #   integrity_fk_orphan_audit
-    #   expectations_validation_suite
-    #   join_cardinality_estimation_audit
-    #   privacy_pseudonymized_join
-    #   mv_incremental_refresh
-    #   mv_incremental_delete_refresh
-    #   graph_label_propagation_communities
-    #   graph_bfs_trade_hops
-    #   graph_degree_assortativity
-    #   concurrency_peak_sweepline
-    #   cusum_changepoint_daily_revenue
-    #   cep_rising_value_runs
-    #   slo_burnrate_multiwindow
-    #   events_user_entropy
-    #   xcorr_click_purchase_lag
-    #   proration_largest_remainder
-    #   gini_customer_revenue
-    #   whale_concentration_top1pct
-    #   setsim_ppjoin_prefix_filter
-    #   mining_hard_negatives
-    #   curriculum_interleaved_order
-    #   class_balance_weights
-    #   search_bm25_topk
-    #   search_phrase_positional_index
-    #   dbscan_embedding_clusters
-    #   source_partition_pruning_dpp
-    # plus the round-8 additions (never swept, join the r09 window):
-    #   mining_hard_negatives_ann
-    #   mining_hard_negatives_ann_audit
-    #   multimodal_png_decode
-    #   multimodal_jpeg_decode
-    #   multimodal_jpeg_color_decode
-    #   geo_geohash_radius_join
-    #   embedding_pq_adc_audit
-    #   join_runtime_bloom_filter
-    #   setsim_ppjoin_shingle_join
-    #   snapshot_expire_audit
-    #   pipeline_multimodal_curation
-    #   stream_available_now_catchup
+    # r09 rotation: the never-driver-swept set, registration order.
+    # All 47 were judge-sim green in r8 (46 hash-equal + the deferred
+    # rows-only miner); driver rows are the durable record.
+    "embedding_pq_adc_audit",
+    "stream_available_now_catchup",
+    "multimodal_png_decode",
+    "multimodal_jpeg_decode",
+    "multimodal_jpeg_color_decode",
+    "mannkendall_theilsen_trend",
+    "kaplan_meier_customer_lifetime",
+    "quantile_mapping_price_drift",
+    "neyman_stratified_allocation",
+    "cuped_adjusted_segment_lift",
+    "did_revenue_estimator",
+    "conformal_price_intervals",
+    "price_elasticity_by_brand",
+    "partition_checksum_diff",
+    "integrity_fk_orphan_audit",
+    "expectations_validation_suite",
+    "join_cardinality_estimation_audit",
+    "pipeline_multimodal_curation",
+    "privacy_pseudonymized_join",
+    "mv_incremental_refresh",
+    "mv_incremental_delete_refresh",
+    "graph_label_propagation_communities",
+    "graph_bfs_trade_hops",
+    "graph_degree_assortativity",
+    "concurrency_peak_sweepline",
+    "cusum_changepoint_daily_revenue",
+    "cep_rising_value_runs",
+    "slo_burnrate_multiwindow",
+    "events_user_entropy",
+    "xcorr_click_purchase_lag",
+    "proration_largest_remainder",
+    "gini_customer_revenue",
+    "whale_concentration_top1pct",
+    "setsim_ppjoin_prefix_filter",
+    "setsim_ppjoin_shingle_join",
+    "mining_hard_negatives",
+    "mining_hard_negatives_ann_audit",
+    "curriculum_interleaved_order",
+    "class_balance_weights",
+    "search_bm25_topk",
+    "search_phrase_positional_index",
+    "dbscan_embedding_clusters",
+    "geo_geohash_radius_join",
+    "source_partition_pruning_dpp",
+    "join_runtime_bloom_filter",
+    "snapshot_expire_audit",
+    # r10 backlog (never swept after the r09 window):
+    #   mining_hard_negatives_ann   (rows-only; audit twin swept r09)
+    # plus any round-9 additions (they register after the window).
 )
 
 

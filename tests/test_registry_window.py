@@ -43,3 +43,31 @@ def test_no_registered_query_lost():
     # reordering must be a permutation, never a filter
     qs = all_queries()
     assert len(qs) >= 120
+
+
+def test_r09_window_is_the_never_swept_set():
+    """The r09 rotation (VERDICT r8 task 1): window = 4 pinned ref_*
+    plus the 46 queries with no CORRECTNESS_r01..r08 row, deferring
+    only rows-only ``mining_hard_negatives_ann`` (its hash-oracled
+    audit twin is in the window)."""
+    import glob
+    import json
+    import os
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    files = sorted(glob.glob(os.path.join(root, "CORRECTNESS_r0[1-8].json")))
+    if len(files) < 8:
+        import pytest
+
+        pytest.skip("driver CORRECTNESS history not present")
+    swept: set[str] = set()
+    for f in files:
+        with open(f) as fh:
+            swept.update(json.load(fh))
+    rotation = set(SWEEP_PRIORITY) - set(REF_PINNED)
+    assert not (rotation & swept), sorted(rotation & swept)
+    never = {n for n in all_queries() if n not in swept}
+    # every windowed rotation name is genuinely never-swept, and the
+    # deliberate deferral is still in the backlog
+    assert rotation <= never
+    assert "mining_hard_negatives_ann" in never - rotation
