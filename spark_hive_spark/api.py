@@ -117,6 +117,11 @@ def funnel(
     """
     if len(steps) < 1:
         raise ValueError("funnel needs at least one step")
+    # public entry point: project to exactly the three working columns
+    # so a caller frame that already has a `_prev_ts` column can't
+    # make the chained `ts > _prev_ts` filter ambiguous (and column
+    # pruning reaches the scan regardless of the input's width)
+    events = events.select(user_col, ts_col, type_col)
     stage_dfs: list[DataFrame] = []
     prev: DataFrame | None = None
     for i, etype in enumerate(steps):

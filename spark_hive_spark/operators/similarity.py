@@ -1488,7 +1488,13 @@ def embedding_pq_adc_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             out_q, out_n, out_s = [-1], [-1], [-999.0]
             for qi in range(len(q_ids)):
                 mask = ids != q_ids[qi]
-                order = np.argsort(-adc[qi][mask])[:shortlist]
+                # (score desc, id asc) total order — the engine-wide
+                # tie-break contract; plain argsort would make the
+                # shortlist cut depend on batch composition when
+                # 6-dp-rounded ADC scores tie at the boundary
+                order = np.lexsort(
+                    (ids[mask], -np.round(adc[qi][mask], 6))
+                )[:shortlist]
                 out_q.extend([q_ids[qi]] * len(order))
                 out_n.extend(ids[mask][order].tolist())
                 out_s.extend(np.round(adc[qi][mask][order], 6).tolist())

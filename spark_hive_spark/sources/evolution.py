@@ -13,6 +13,7 @@ attestation pattern as `ref_orc_roundtrip` and `source_jdbc_dim_enrich`.
 from __future__ import annotations
 
 import os
+import shutil
 import tempfile
 import uuid
 
@@ -612,7 +613,7 @@ def snapshot_expire_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     with open(os.path.join(mdir, f"v{latest}.json")) as fh:
         live_files = _json.load(fh)["files"]
     latest_df = spark.read.parquet(*live_files)
-    return latest_df.agg(
+    out = latest_df.agg(
         F.lit(versions_before).cast("int").alias("versions_before"),
         F.lit(versions_after).cast("int").alias("versions_after"),
         F.lit(reclaimed > 0).alias("files_reclaimed"),
@@ -622,4 +623,6 @@ def snapshot_expire_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(expired_read_fails).alias("expired_read_fails"),
         F.count("*").alias("latest_n_rows"),
         dsum("o_totalprice").alias("latest_total"),
-    )
+    ).localCheckpoint(eager=True)  # 1-row; frees the temp table root
+    shutil.rmtree(root, ignore_errors=True)
+    return out

@@ -1448,7 +1448,9 @@ def test_geo_radius_fixture_boundary_margins():
         dr = np.round(d, 1)
         # (b) rounded values never land ON the threshold or a band
         # edge (where engines could disagree about <= / floor)
-        assert not np.any(np.abs(dr - GEO_RADIUS_KM) < 1e-9) or True
+        assert not np.any(
+            np.abs(dr - GEO_RADIUS_KM) < 1e-9
+        ), f"{sf}: rounded distance ON the threshold"
         near = dr[np.abs(dr - GEO_RADIUS_KM) < 0.05 - 1e-9]
         assert near.size == 0 or np.all(
             np.abs(near - GEO_RADIUS_KM) > 1e-9
