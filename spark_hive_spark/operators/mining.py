@@ -34,6 +34,64 @@ from spark_hive_spark.tables import t
 HN_TOP_K = 3
 HN_BLOCKS = 8
 
+_KEY_MASKED = np.iinfo(np.int64).max
+
+
+def _block_topk(
+    S: "np.ndarray",
+    qids: "np.ndarray",
+    qlab: "np.ndarray",
+    cids: "np.ndarray",
+    clab: "np.ndarray",
+    k: int,
+    exclude_self: bool,
+) -> pd.DataFrame:
+    """Vectorized per-task top-k under the engine-wide
+    (round(sim, 6) desc, id asc) total order — no per-row Python
+    loop, which was the actual wall-time bottleneck of both miners at
+    100k vectors (the GEMM is BLAS; the old per-row lexsort was not).
+
+    Exactness: the rounded similarity is integer-valued at 1e-6, so
+    ``key = −rint(sim·1e6)·2^40 + neighbor_id`` is an exact int64
+    composite (|sim_int| ≤ 1e6 ⇒ |key| < 1.2e18; requires
+    0 ≤ id < 2^40, asserted) whose ASCENDING order IS the
+    (sim desc, id asc) contract — no epsilon tricks, no float
+    tie-break hazards, and no negation of a sentinel (−int64.min
+    overflows). argpartition keeps each row's k smallest keys, a
+    k-wide argsort orders them, and masked (same-label / self)
+    entries carry the int64 maximum so they can never be selected
+    while real candidates remain."""
+    n, m = S.shape
+    if n == 0 or m == 0:
+        return pd.DataFrame(
+            {
+                "query_id": pd.Series([], dtype="int64"),
+                "neighbor_id": pd.Series([], dtype="int64"),
+                "neg_label": pd.Series([], dtype="int32"),
+                "cos_sim": pd.Series([], dtype="float64"),
+            }
+        )
+    assert cids.min() >= 0 and cids.max() < (1 << 40), "vec_id beyond key range"
+    key = -np.rint(S * 1e6).astype(np.int64) * (1 << 40) + cids[None, :]
+    mask = qlab[:, None] == clab[None, :]
+    if exclude_self:
+        mask |= qids[:, None] == cids[None, :]
+    key[mask] = _KEY_MASKED
+    kk = min(k, m)
+    rows = np.arange(n)[:, None]
+    top = np.argpartition(key, kk - 1, axis=1)[:, :kk]
+    order = np.argsort(key[rows, top], axis=1)
+    top = top[rows, order]
+    valid = (key[rows, top] != _KEY_MASKED).ravel()
+    return pd.DataFrame(
+        {
+            "query_id": np.repeat(qids.astype(np.int64), kk)[valid],
+            "neighbor_id": cids[top].ravel()[valid].astype(np.int64),
+            "neg_label": clab[top].ravel()[valid].astype(np.int32),
+            "cos_sim": S[rows, top].ravel()[valid],
+        }
+    )
+
 _HN_ORACLE = f"""
     WITH v AS (
         SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e
@@ -95,46 +153,27 @@ def mining_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     def task_topk(pdf: pd.DataFrame) -> pd.DataFrame:
         q = pdf[pdf["side"] == 0]
         c = pdf[pdf["side"] == 1]
-        empty = pd.DataFrame(
-            {
-                "query_id": pd.Series([], dtype="int64"),
-                "neighbor_id": pd.Series([], dtype="int64"),
-                "neg_label": pd.Series([], dtype="int32"),
-                "cos_sim": pd.Series([], dtype="float64"),
-            }
-        )
         if len(q) == 0 or len(c) == 0:
-            return empty
+            return _block_topk(
+                np.zeros((0, 0)), *([np.zeros(0, dtype=np.int64)] * 4),
+                k, False,
+            )
         Q = np.stack(q["embedding"].to_numpy()).astype(np.float64)
         C = np.stack(c["embedding"].to_numpy()).astype(np.float64)
         Q /= np.linalg.norm(Q, axis=1, keepdims=True)
         C /= np.linalg.norm(C, axis=1, keepdims=True)
         S = np.round(Q @ C.T, 6)
-        qlab = q["label"].to_numpy()
-        clab = c["label"].to_numpy()
-        cids = c["vec_id"].to_numpy()
-        qids = q["vec_id"].to_numpy()
-        out = []
-        for i in range(len(q)):
-            mask = clab != qlab[i]
-            if not mask.any():
-                continue
-            sims = S[i, mask]
-            ids = cids[mask]
-            labs = clab[mask]
-            # local top-k under the (sim desc, id asc) total order
-            order = np.lexsort((ids, -sims))[:k]
-            out.append(
-                pd.DataFrame(
-                    {
-                        "query_id": np.full(len(order), qids[i]),
-                        "neighbor_id": ids[order],
-                        "neg_label": labs[order],
-                        "cos_sim": sims[order],
-                    }
-                )
-            )
-        return pd.concat(out, ignore_index=True) if out else empty
+        # local top-k under the (sim desc, id asc) total order —
+        # self-pairs are same-label, so the label mask excludes them
+        return _block_topk(
+            S,
+            q["vec_id"].to_numpy(),
+            q["label"].to_numpy(),
+            c["vec_id"].to_numpy(),
+            c["label"].to_numpy(),
+            k,
+            exclude_self=False,
+        )
 
     local = both.groupBy("bq", "bc").applyInPandas(
         task_topk,
@@ -246,43 +285,25 @@ def mining_hard_negatives_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def cell_topk(key, qpdf: pd.DataFrame, cpdf: pd.DataFrame) -> pd.DataFrame:
-        empty = pd.DataFrame(
-            {
-                "query_id": pd.Series([], dtype="int64"),
-                "neighbor_id": pd.Series([], dtype="int64"),
-                "neg_label": pd.Series([], dtype="int32"),
-                "cos_sim": pd.Series([], dtype="float64"),
-            }
-        )
         if len(qpdf) == 0 or len(cpdf) == 0:
-            return empty
+            return _block_topk(
+                np.zeros((0, 0)), *([np.zeros(0, dtype=np.int64)] * 4),
+                k, True,
+            )
         Q = np.stack(qpdf["qe"].to_numpy()).astype(np.float64)
         C = np.stack(cpdf["embedding"].to_numpy()).astype(np.float64)
         Q /= np.linalg.norm(Q, axis=1, keepdims=True)
         C /= np.linalg.norm(C, axis=1, keepdims=True)
         S = np.round(Q @ C.T, 6)
-        qlab = qpdf["qlabel"].to_numpy()
-        qids = qpdf["query_id"].to_numpy()
-        clab = cpdf["label"].to_numpy()
-        cids = cpdf["vec_id"].to_numpy()
-        out = []
-        for i in range(len(qpdf)):
-            mask = (clab != qlab[i]) & (cids != qids[i])
-            if not mask.any():
-                continue
-            sims, ids, labs = S[i, mask], cids[mask], clab[mask]
-            order = np.lexsort((ids, -sims))[:k]
-            out.append(
-                pd.DataFrame(
-                    {
-                        "query_id": np.full(len(order), qids[i]),
-                        "neighbor_id": ids[order],
-                        "neg_label": labs[order],
-                        "cos_sim": sims[order],
-                    }
-                )
-            )
-        return pd.concat(out, ignore_index=True) if out else empty
+        return _block_topk(
+            S,
+            qpdf["query_id"].to_numpy(),
+            qpdf["qlabel"].to_numpy(),
+            cpdf["vec_id"].to_numpy(),
+            cpdf["label"].to_numpy(),
+            k,
+            exclude_self=True,
+        )
 
     local = probes.groupBy("cell").cogroup(celled.groupBy("cell")).applyInPandas(
         cell_topk,

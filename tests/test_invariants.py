@@ -1547,3 +1547,55 @@ def test_geo_radius_fixture_boundary_margins():
         # remaining fractional band positions keep a margin
         offgrid = kept[np.abs((kept % 50)) >= 1e-9]
         assert np.all((offgrid % 50) > 1e-6), f"{sf}: band-edge margin"
+
+
+def test_block_topk_matches_lexsort_reference():
+    """`mining._block_topk` (the vectorized per-task top-k both
+    miners share) must reproduce the per-row lexsort reference
+    EXACTLY under the (round(sim,6) desc, id asc) total order,
+    including heavy rounded-similarity ties and self-exclusion —
+    the int64 composite key has no float tie-break hazards, and a
+    regression here silently corrupts both miners' hashes."""
+    import numpy as np
+    import pandas as pd
+
+    from spark_hive_spark.operators.mining import _block_topk
+
+    for trial in range(20):
+        rng = np.random.default_rng(trial)
+        n, m, k = int(rng.integers(1, 80)), int(rng.integers(1, 60)), 3
+        if trial % 2:
+            S = np.round(rng.uniform(-1, 1, size=(n, m)), 6)
+        else:  # heavy ties at identical rounded values
+            S = np.round(
+                rng.choice([0.1, 0.2, 0.3, -0.1], size=(n, m)), 6
+            )
+        qids = rng.permutation(np.arange(1000, 1000 + n)).astype(np.int64)
+        qlab = rng.integers(0, 3, n)
+        clab = rng.integers(0, 3, m)
+        for excl in (False, True):
+            if excl and m <= n:
+                cids = qids[:m].copy()  # force real self-collisions
+            else:
+                cids = rng.permutation(np.arange(m)).astype(np.int64)
+            new = _block_topk(S, qids, qlab, cids, clab, k, exclude_self=excl)
+            rows = []
+            for i in range(n):
+                mask = clab != qlab[i]
+                if excl:
+                    mask &= cids != qids[i]
+                if not mask.any():
+                    continue
+                sims, ids, labs = S[i, mask], cids[mask], clab[mask]
+                order = np.lexsort((ids, -sims))[:k]
+                for o in order:
+                    rows.append((qids[i], ids[o], labs[o], sims[o]))
+            ref = pd.DataFrame(
+                rows,
+                columns=["query_id", "neighbor_id", "neg_label", "cos_sim"],
+            )
+            assert len(new) == len(ref), (trial, excl)
+            if len(ref):
+                assert (
+                    new.reset_index(drop=True).values == ref.values
+                ).all(), (trial, excl)
