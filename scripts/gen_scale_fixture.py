@@ -17,9 +17,11 @@ statistics (the quantities that drive each operator's cost curve):
   sphere (within-label mean cosine 0.0000, P(cos>=0.4) = 4.6e-4 =
   the pure-random expectation), so random IS the calibrated model.
 
-Deterministic (numpy PCG64 seed 42). Output: testdata_scale/sf1/
+Deterministic (numpy PCG64 seed 42). Output: testdata_scale/<out>/
 {documents,embeddings}.parquet next to the repo root (gitignored).
-Usage: python scripts/gen_scale_fixture.py [mult]   # default 10
+Usage: python scripts/gen_scale_fixture.py [mult] [out_name]
+    # defaults: mult=10, out_name=sf1. mult=50 + out_name=sf5 is the
+    # 100k-vector ANN crossing-point fixture (VERDICT r8 task 2).
 """
 
 from __future__ import annotations
@@ -32,7 +34,7 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 SRC = "/root/testdata/sf0.1"
-OUT = os.path.join(os.path.dirname(__file__), "..", "testdata_scale", "sf1")
+_SCALE_DIR = os.path.join(os.path.dirname(__file__), "..", "testdata_scale")
 DUP_FRAC = 0.047  # 235 shared-prefix pairs / 5000 docs at sf0.1
 LANGS = ["en", "zh", "es", "fr", "de"]
 LANG_P = [0.412, 0.151, 0.149, 0.148, 0.140]  # sf0.1 mix
@@ -42,6 +44,8 @@ N_LABELS = 10
 
 def main() -> None:
     mult = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    out_name = sys.argv[2] if len(sys.argv) > 2 else "sf1"
+    OUT = os.path.join(_SCALE_DIR, out_name)
     import duckdb
 
     con = duckdb.connect()

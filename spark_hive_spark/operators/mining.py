@@ -32,7 +32,9 @@ from spark_hive_spark.plans.registry import register
 from spark_hive_spark.tables import t
 
 HN_TOP_K = 3
-HN_BLOCKS = 8
+HN_BLOCKS = 8  # grid floor; grows with corpus size (see miner docstring)
+HN_BLOCK_ROWS = 4096  # target query rows per GEMM block
+HN_CELL_CHUNK = 8192  # query rows per in-task GEMM chunk (ANN path)
 
 _KEY_MASKED = np.iinfo(np.int64).max
 
@@ -129,16 +131,26 @@ def mining_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     a contrastive/metric-learning loss learns most from. Exact, via
     the directed blocked-GEMM grid with per-task top-k refinement
     (module docstring); ranking is on the rounded similarity with id
-    tie-break, so both engines pick identical neighbor sets."""
+    tie-break, so both engines pick identical neighbor sets.
+
+    The block count ADAPTS to corpus size (≈HN_BLOCK_ROWS query rows
+    per block, floor HN_BLOCKS) so per-task score-matrix memory stays
+    bounded as N grows — at 100k vectors that means a 25×25 grid of
+    ≤4096² matrices (~260 MB/task incl. the int64 key), not an 8×8
+    grid of 12.5k² ones; parallelism grows with the data, which is
+    exactly the 1000-executor posture. Unchanged at driver scales
+    (N ≤ 20k keeps the floor)."""
     emb = t(spark, sf_dir, "embeddings")
+    n_vecs = emb.count()
+    n_blocks = max(HN_BLOCKS, -(-n_vecs // HN_BLOCK_ROWS))
     v = emb.select(
         "vec_id",
         "label",
         "embedding",
-        (F.col("vec_id") % HN_BLOCKS).cast("int").alias("blk"),
+        (F.col("vec_id") % n_blocks).cast("int").alias("blk"),
     )
     tasks = spark.createDataFrame(
-        [(i, j) for i in range(HN_BLOCKS) for j in range(HN_BLOCKS)],
+        [(i, j) for i in range(n_blocks) for j in range(n_blocks)],
         "bq int, bc int",
     )
     side_q = tasks.join(v, v.blk == tasks.bq).select(
@@ -231,16 +243,32 @@ def mining_hard_negatives_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     local top-k per query, and one global window keeps the true
     top-k of the union — the same two-level top-k argument as the
     exact miner, restricted to probed cells. Cost per query is
-    nprobe/cells of the corpus (25% here); at 100 TB cells grow
-    ~sqrt(N) so per-cell GEMMs stay bounded and total work is
-    ~N^1.5 /cells, not N^2 — parallelism = n_cells, which is the
-    knob that grows with the corpus. Ranking is on round(sim, 6)
-    with neighbor_id tie-break, identical to the exact twin, so the
-    audit's intersection join is well-defined."""
-    from spark_hive_spark.operators.similarity import _ivf_centroids
+    nprobe/cells of the corpus (50% at the registered defaults);
+    cells and nprobe are the corpus-growth knobs (parameterized via
+    `mine_hard_negatives_ann`; measured policy in SCALE.md's
+    crossing-point section) — parallelism = n_cells. In-task GEMMs
+    chunk at HN_CELL_CHUNK query rows, so per-task memory is bounded
+    regardless of how many queries probe a cell. Ranking is on
+    round(sim, 6) with neighbor_id tie-break, identical to the exact
+    twin, so the audit's intersection join is well-defined."""
+    return mine_hard_negatives_ann(spark, sf_dir)
+
+
+def mine_hard_negatives_ann(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    n_cells: int | None = None,
+    nprobe: int = HN_ANN_NPROBE,
+) -> DataFrame:
+    """Parameterized ANN miner (registered defaults: IVF_CELLS cells,
+    HN_ANN_NPROBE probes). `n_cells`/`nprobe` are the scale knobs the
+    crossing-point measurement sweeps; semantics and the total order
+    are identical at every setting."""
+    from spark_hive_spark.operators.similarity import IVF_CELLS, _ivf_centroids
 
     emb = t(spark, sf_dir, "embeddings")
-    Cn = _ivf_centroids(emb)
+    Cn = _ivf_centroids(emb, n_cells if n_cells is not None else IVF_CELLS)
     k = HN_TOP_K
 
     def assign_cells(batches):
@@ -264,17 +292,17 @@ def mining_hard_negatives_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pdf in batches:
             V = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
             Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
-            top = np.argsort(-(Vn @ Cn.T), axis=1)[:, :HN_ANN_NPROBE]
+            top = np.argsort(-(Vn @ Cn.T), axis=1)[:, :nprobe]
             yield pd.DataFrame(
                 {
                     "query_id": np.repeat(
-                        pdf["vec_id"].to_numpy(), HN_ANN_NPROBE
+                        pdf["vec_id"].to_numpy(), nprobe
                     ),
                     "qlabel": np.repeat(
-                        pdf["label"].to_numpy(), HN_ANN_NPROBE
+                        pdf["label"].to_numpy(), nprobe
                     ),
                     "qe": [
-                        e for e in pdf["embedding"] for _ in range(HN_ANN_NPROBE)
+                        e for e in pdf["embedding"] for _ in range(nprobe)
                     ],
                     "cell": top.ravel().astype(np.int32),
                 }
@@ -290,20 +318,31 @@ def mining_hard_negatives_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
                 np.zeros((0, 0)), *([np.zeros(0, dtype=np.int64)] * 4),
                 k, True,
             )
-        Q = np.stack(qpdf["qe"].to_numpy()).astype(np.float64)
         C = np.stack(cpdf["embedding"].to_numpy()).astype(np.float64)
-        Q /= np.linalg.norm(Q, axis=1, keepdims=True)
         C /= np.linalg.norm(C, axis=1, keepdims=True)
-        S = np.round(Q @ C.T, 6)
-        return _block_topk(
-            S,
-            qpdf["query_id"].to_numpy(),
-            qpdf["qlabel"].to_numpy(),
-            cpdf["vec_id"].to_numpy(),
-            cpdf["label"].to_numpy(),
-            k,
-            exclude_self=True,
-        )
+        cids = cpdf["vec_id"].to_numpy()
+        clab = cpdf["label"].to_numpy()
+        # chunk the query side: a popular cell can be probed by far
+        # more queries than it holds vectors, and per-task memory must
+        # stay bounded by HN_CELL_CHUNK·|cell| regardless
+        parts = []
+        for lo in range(0, len(qpdf), HN_CELL_CHUNK):
+            qc = qpdf.iloc[lo : lo + HN_CELL_CHUNK]
+            Q = np.stack(qc["qe"].to_numpy()).astype(np.float64)
+            Q /= np.linalg.norm(Q, axis=1, keepdims=True)
+            S = np.round(Q @ C.T, 6)
+            parts.append(
+                _block_topk(
+                    S,
+                    qc["query_id"].to_numpy(),
+                    qc["qlabel"].to_numpy(),
+                    cids,
+                    clab,
+                    k,
+                    exclude_self=True,
+                )
+            )
+        return pd.concat(parts, ignore_index=True)
 
     local = probes.groupBy("cell").cogroup(celled.groupBy("cell")).applyInPandas(
         cell_topk,

@@ -425,27 +425,29 @@ IVF_TRAIN_SAMPLE = 256 * IVF_CELLS  # FAISS-style: train on a bounded sample
 IVF_KMEANS_ITERS = 5
 
 
-def _ivf_centroids(emb) -> "np.ndarray":
+def _ivf_centroids(emb, n_cells: int = IVF_CELLS) -> "np.ndarray":
     """Deterministic spherical k-means coarse quantizer (Lloyd's,
-    IVF_KMEANS_ITERS iterations, init = first IVF_CELLS sample
+    IVF_KMEANS_ITERS iterations, init = first n_cells sample
     vectors by vec_id). Trained on a fixed-size vec_id-ordered sample
-    (IVF_TRAIN_SAMPLE vectors ≈ FAISS's ~256·k guidance) so training
+    (256·n_cells vectors ≈ FAISS's ~256·k guidance) so training
     cost is O(1) in corpus size — the scale path trains on the sample
     and assigns the full corpus distributedly. Returns L2-normalized
     centroids, stable across runs and partitionings (sample selection
-    and ordering are by vec_id, not partition layout)."""
+    and ordering are by vec_id, not partition layout). n_cells is the
+    knob that grows with the corpus (see SCALE.md's crossing-point
+    policy); every registered query keeps the IVF_CELLS default."""
     rows = (
-        emb.filter(F.col("vec_id") < IVF_TRAIN_SAMPLE)
+        emb.filter(F.col("vec_id") < 256 * n_cells)
         .select("vec_id", "embedding")
         .collect()
     )
     rows.sort(key=lambda r: r.vec_id)
     X = np.stack([np.asarray(r.embedding, dtype=np.float64) for r in rows])
     Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
-    C = Xn[:IVF_CELLS].copy()
+    C = Xn[:n_cells].copy()
     for _ in range(IVF_KMEANS_ITERS):
         assign = (Xn @ C.T).argmax(axis=1)
-        for j in range(IVF_CELLS):
+        for j in range(n_cells):
             members = Xn[assign == j]
             if len(members):
                 C[j] = members.mean(axis=0)
