@@ -272,3 +272,88 @@ def test_checkpoint_recovery_across_restart(spark, tmp_path):
         .collect()
     }
     assert got == expected
+
+
+def test_midbatch_kill_foreachbatch_exactly_once(spark, tmp_path):
+    """EXACTLY-ONCE UNDER MID-BATCH FAILURE (VERDICT r8 task 7) — the
+    delivery contract, not just clean restart: the foreachBatch sink
+    COMPLETES its side effect for epoch 2 and then dies before the
+    offset commit (the classic at-least-once double-fire window). On
+    restart from the same checkpoint, Structured Streaming re-runs
+    the uncommitted epoch with the SAME epoch_id, and the sink's
+    epoch-keyed overwrite makes the retry idempotent. The invocation
+    log proves the retry genuinely fired twice; the output multiset
+    proves no row duplicated or vanished.
+
+    Contract this pins: foreachBatch is at-least-once per epoch;
+    exactly-once OUTPUT requires the sink to be idempotent on
+    (epoch_id), e.g. deterministic epoch-keyed paths with overwrite —
+    the pattern `stream_foreachbatch_parquet_sink` documents."""
+    from pyspark.sql.utils import StreamingQueryException  # noqa: F401
+
+    from spark_hive_spark.tables import t
+
+    ev = t(spark, SF_SMOKE, "events").select("ts", "event_type", "value")
+    src = str(tmp_path / "src")
+    ev.repartition(4).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    out = tmp_path / "out"
+    ckpt = str(tmp_path / "ckpt")
+    marker = tmp_path / "crash_once"
+    invocations = tmp_path / "invocations.log"
+
+    def sink(batch_df, epoch_id: int) -> None:
+        with open(invocations, "a") as fh:
+            fh.write(f"{epoch_id}\n")
+        # side effect FIRST: deterministic epoch-keyed overwrite
+        batch_df.write.mode("overwrite").parquet(
+            str(out / f"epoch={epoch_id}")
+        )
+        if epoch_id == 2 and not marker.exists():
+            marker.write_text("fired")
+            raise RuntimeError("injected failure after the side effect")
+
+    def run_phase() -> None:
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = (
+            stream.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        except Exception:
+            pass  # the injected failure surfaces here
+        finally:
+            try:
+                q.stop()
+                q.awaitTermination()
+            except Exception:
+                pass
+
+    run_phase()
+    assert marker.exists(), "injected failure never fired"
+    run_phase()  # recovery: epoch 2 re-fires with the same id
+
+    fired = [int(x) for x in invocations.read_text().split()]
+    assert fired.count(2) == 2, f"epoch 2 must run twice, log={fired}"
+
+    got = (
+        spark.read.parquet(str(out))
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("v"))
+        .collect()
+    )
+    expected = (
+        ev.groupBy("event_type")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("v"))
+        .collect()
+    )
+    assert {(r.event_type, r.n, round(r.v, 6)) for r in got} == {
+        (r.event_type, r.n, round(r.v, 6)) for r in expected
+    }
