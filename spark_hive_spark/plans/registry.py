@@ -105,7 +105,11 @@ SWEEP_PRIORITY: tuple[str, ...] = (
     "snapshot_expire_audit",
     # r10 backlog (never swept after the r09 window):
     #   mining_hard_negatives_ann   (rows-only; audit twin swept r09)
-    # plus any round-9 additions (they register after the window).
+    #   multimodal_jpeg_420_decode          (round 9)
+    #   snapshot_concurrent_commit_audit    (round 9)
+    #   pipeline_image_embedding_knn        (round 9)
+    #   multimodal_jpeg_progressive_decode  (round 9)
+    # plus any later round-9 additions (they register after the window).
 )
 
 

@@ -564,15 +564,18 @@ def test_jpeg_420_codec_closed_form_and_block_order():
 
 def test_jpeg_codec_rejections():
     """decode_jpeg fails loudly on what it cannot faithfully decode:
-    missing SOI, truncated segments, truncated entropy stream, and
-    progressive (SOF2) frames — partial support would silently
-    corrupt pixels."""
+    missing SOI, truncated segments, truncated entropy stream,
+    malformed progressive scan structure, extended-sequential (SOF1)
+    frames, and AC successive-approximation refinement scans — the
+    one progressive scan shape the decoder does not implement.
+    Partial support would silently corrupt pixels."""
     import numpy as np
     import pytest
 
     from spark_hive_spark.operators.multimodal import (
         decode_jpeg,
         encode_jpeg,
+        encode_jpeg_progressive,
     )
 
     with pytest.raises(ValueError):
@@ -582,8 +585,69 @@ def test_jpeg_codec_rejections():
         decode_jpeg(good[: len(good) // 3])  # truncated mid-tables
     with pytest.raises(ValueError):
         decode_jpeg(good[:-3])  # EOI gone -> truncated entropy/EOI
-    with pytest.raises(NotImplementedError):
+    # a baseline stream relabeled SOF2 is MALFORMED progressive (its
+    # single interleaved scan claims Ss=0..Se=63; progressive DC
+    # scans must have Se=0) -> loud structural error, never a
+    # half-parsed frame
+    with pytest.raises(ValueError):
         decode_jpeg(good.replace(b"\xff\xc0", b"\xff\xc2", 1))
+    # extended sequential (SOF1) stays a loud seam
+    with pytest.raises(NotImplementedError):
+        decode_jpeg(good.replace(b"\xff\xc0", b"\xff\xc1", 1))
+    # AC successive-approximation refinement (Ah>0 on an Ss>0 scan)
+    # is the documented progressive seam: patch the band-2 scan
+    # header's Ah nibble (FF DA cannot occur inside entropy data --
+    # 0xFF is always stuffed -- so this match is the SOS header)
+    prog = encode_jpeg_progressive(np.full((16, 16), 77, dtype=np.uint8))
+    sos_band2 = b"\xff\xda\x00\x08\x01\x01\x00\x06\x3f\x00"
+    assert sos_band2 in prog
+    with pytest.raises(NotImplementedError):
+        decode_jpeg(
+            prog.replace(sos_band2, sos_band2[:-1] + b"\x10", 1)
+        )
+
+
+def test_jpeg_progressive_matches_baseline():
+    """The progressive scan schedule (DC successive approximation +
+    two spectral-selection AC bands per component) must reconstruct
+    pixels BIT-IDENTICAL to the baseline encoding of the same image:
+    both quantize identically, so any difference is an entropy-coder
+    or scan-assembly bug. Pseudorandom images exercise nonzero AC
+    coefficients, ZRL runs, and cross-block EOBn runs; the marker
+    walk asserts the stream really is multi-scan SOF2."""
+    import numpy as np
+
+    from spark_hive_spark.operators.multimodal import (
+        decode_jpeg,
+        encode_jpeg,
+        encode_jpeg_progressive,
+    )
+
+    rng = np.random.RandomState(4117)
+    for shape in [(16, 24), (8, 8), (32, 16, 3), (24, 24, 3)]:
+        img = rng.randint(0, 256, shape).astype(np.uint8)
+        base = decode_jpeg(encode_jpeg(img))
+        prog_blob = encode_jpeg_progressive(img)
+        assert np.array_equal(base, decode_jpeg(prog_blob)), shape
+    # structure: SOF2 frame, 4 scans for grayscale / 8 for color
+    # (1 DC first + 1 DC refine + 2 AC bands x ncomp)
+    gray = encode_jpeg_progressive(
+        rng.randint(0, 256, (16, 16)).astype(np.uint8)
+    )
+    color = encode_jpeg_progressive(
+        rng.randint(0, 256, (16, 16, 3)).astype(np.uint8)
+    )
+    assert b"\xff\xc2" in gray and b"\xff\xc0" not in gray[2:-2]
+    assert gray.count(b"\xff\xda") == 4
+    assert color.count(b"\xff\xda") == 8
+    # smooth gradient: progressive lossy error stays within the same
+    # bound pinned for the baseline path
+    xs = np.linspace(0, 255, 64)
+    grad = np.clip(
+        xs[None, :] * 0.5 + xs[:, None] * 0.5, 0, 255
+    ).astype(np.uint8)
+    dec = decode_jpeg(encode_jpeg_progressive(grad)).astype(np.float64)
+    assert abs(dec - grad).mean() < 4.0
 
 
 def test_asof_join_generic_semantics(spark):
