@@ -230,6 +230,11 @@ EXTENDED = [
     # round 8
     "mining_hard_negatives_ann",
     "mining_hard_negatives_ann_audit",
+    # round 9
+    "multimodal_jpeg_420_decode",
+    "snapshot_concurrent_commit_audit",
+    "pipeline_image_embedding_knn",
+    "multimodal_jpeg_progressive_decode",
 ]
 
 # Streaming extended queries run dead LAST (after the streaming
