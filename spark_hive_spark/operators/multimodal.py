@@ -47,14 +47,20 @@ def decode_image(payload: bytes) -> "object":
     codec library in this container): uncompressed 24-bit BMP, 8-bit
     RGB PNG (all five filters), and JFIF JPEG — baseline sequential
     grayscale / YCbCr 4:4:4 / 4:2:0 / 4:2:2 plus progressive
-    (SOF2) spectral-selection + DC successive approximation. The
-    remaining loud seams: WebP, AC successive-approximation
-    refinement scans, 16-bit quant tables — swap in PIL/libjpeg on a
+    (SOF2) spectral-selection + DC successive approximation — and
+    lossless WebP (VP8L: canonical prefix codes + LZ77, no-transform
+    profile). The remaining loud seams: lossy WebP (VP8), VP8L
+    transforms/color-cache, AC successive-approximation refinement
+    scans, 16-bit quant tables — swap in PIL/libjpeg/libwebp on a
     cluster image that has them."""
     if payload[:2] == b"BM":
         return decode_bmp(payload)
     if payload[:8] == PNG_SIGNATURE:
         return decode_png(payload)
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
+        from spark_hive_spark.operators.webp import decode_webp
+
+        return decode_webp(payload)
     if payload[:2] == b"\xff\xd8":
         import numpy as np
 
@@ -63,10 +69,10 @@ def decode_image(payload: bytes) -> "object":
             return np.repeat(px[:, :, None], 3, axis=2)
         return px
     raise NotImplementedError(
-        "BMP, 8-bit RGB PNG and JPEG (baseline grayscale/YCbCr "
-        "4:4:4/4:2:0/4:2:2 + progressive spectral-selection) decode "
-        "in this environment; install PIL on the cluster for WebP, "
-        "... payloads"
+        "BMP, 8-bit RGB PNG, JPEG (baseline grayscale/YCbCr "
+        "4:4:4/4:2:0/4:2:2 + progressive spectral-selection) and "
+        "lossless WebP (VP8L) decode in this environment; install "
+        "PIL/libwebp on the cluster for other payloads"
     )
 
 

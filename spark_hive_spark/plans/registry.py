@@ -153,6 +153,7 @@ def _load_all() -> None:
         "spark_hive_spark.operators.subqueries",
         "spark_hive_spark.streaming.windows",
         "spark_hive_spark.operators.multimodal",
+        "spark_hive_spark.operators.webp",
         "spark_hive_spark.operators.udfs",
         "spark_hive_spark.operators.arrays",
         "spark_hive_spark.operators.windows",
