@@ -47,12 +47,11 @@ def decode_image(payload: bytes) -> "object":
     codec library in this container): uncompressed 24-bit BMP, 8-bit
     RGB PNG (all five filters), and JFIF JPEG — baseline sequential
     grayscale / YCbCr 4:4:4 / 4:2:0 / 4:2:2 plus progressive
-    (SOF2) spectral-selection + DC successive approximation — and
+    (SOF2) with full successive approximation on DC and AC — and
     lossless WebP (VP8L: canonical prefix codes + LZ77, no-transform
     profile). The remaining loud seams: lossy WebP (VP8), VP8L
-    transforms/color-cache, AC successive-approximation refinement
-    scans, 16-bit quant tables — swap in PIL/libjpeg/libwebp on a
-    cluster image that has them."""
+    transforms/color-cache, 16-bit quant tables — swap in
+    PIL/libjpeg/libwebp on a cluster image that has them."""
     if payload[:2] == b"BM":
         return decode_bmp(payload)
     if payload[:8] == PNG_SIGNATURE:
@@ -1066,10 +1065,14 @@ _JPEG_AC_VALS_P = (
 _JPEG_AC_BITS_P = [0] * 8 + [len(_JPEG_AC_VALS_P)] + [0] * 7
 
 
-def _jpeg_encode_ac_band(writer, blocks, ss, se, ac_codes) -> None:
+def _jpeg_encode_ac_band(writer, blocks, ss, se, ac_codes, al=0) -> None:
     """Progressive first AC scan (Ah=0) for one spectral band over a
     component's raster-ordered blocks: in-band run/size coding with
-    cross-block EOBn runs (T.81 G.1.2.2)."""
+    cross-block EOBn runs (T.81 G.1.2.2). At Al>0 the successive-
+    approximation point transform applies — AC coefficients divide by
+    2^Al truncating TOWARD ZERO (T.81 A.4; unlike DC's arithmetic
+    shift), so magnitude bits are sign-independent and the refinement
+    scan can ship them one bit at a time."""
     eobrun = 0
 
     def flush_eobrun() -> None:
@@ -1083,10 +1086,13 @@ def _jpeg_encode_ac_band(writer, blocks, ss, se, ac_codes) -> None:
                 writer.write(chunk - (1 << r), r)
             eobrun -= chunk
 
+    def pt(v: int) -> int:  # toward-zero point transform
+        return (abs(v) >> al) * (1 if v >= 0 else -1)
+
     for zz in blocks:
         last = None
         for k in range(se, ss - 1, -1):
-            if zz[k]:
+            if pt(int(zz[k])):
                 last = k
                 break
         if last is None:
@@ -1095,7 +1101,7 @@ def _jpeg_encode_ac_band(writer, blocks, ss, se, ac_codes) -> None:
         flush_eobrun()
         run = 0
         for k in range(ss, last + 1):
-            v = int(zz[k])
+            v = pt(int(zz[k]))
             if v == 0:
                 run += 1
                 continue
@@ -1113,17 +1119,108 @@ def _jpeg_encode_ac_band(writer, blocks, ss, se, ac_codes) -> None:
     flush_eobrun()
 
 
-def encode_jpeg_progressive(pixels) -> bytes:
+def _jpeg_encode_ac_band_refine(
+    writer, blocks, ss, se, al, ac_codes
+) -> None:
+    """Progressive AC successive-approximation REFINEMENT scan
+    (Ah = Al+1 -> Al, T.81 G.1.2.3), mirroring libjpeg's
+    encode_mcu_AC_refine: newly-significant coefficients (magnitude
+    becomes exactly 1 at this precision) ship as (run,1) symbols with
+    a sign bit, where the run counts only zero-history positions;
+    already-nonzero coefficients contribute one buffered correction
+    bit each, flushed after the next emitted symbol; blocks whose
+    band gains nothing extend a cross-block EOB run whose correction
+    bits ride with the flushed EOBn symbol. ZRL covers 16
+    zero-history positions and only up to the band's last
+    newly-significant index."""
+    eobrun = 0
+    eob_bits: list[int] = []  # corrections owed by EOB-covered tails
+    cur: list[int] = []  # corrections owed since this block's last symbol
+
+    def emit(sym: int, extra: int | None = None, ebits: int = 0) -> None:
+        code, length = ac_codes[sym]
+        writer.write(code, length)
+        if ebits:
+            writer.write(extra, ebits)
+
+    def write_cur() -> None:
+        for bit in cur:
+            writer.write(bit, 1)
+        cur.clear()
+
+    def flush_eobrun() -> None:
+        nonlocal eobrun
+        while eobrun:
+            chunk = min(eobrun, 32767)
+            r = chunk.bit_length() - 1
+            emit(r << 4, chunk - (1 << r), r)
+            for bit in eob_bits:
+                writer.write(bit, 1)
+            eob_bits.clear()
+            eobrun -= chunk
+
+    for zz in blocks:
+        mags = [abs(int(zz[k])) >> al for k in range(ss, se + 1)]
+        eobpos = -1  # last newly-significant index (relative)
+        for i in range(len(mags) - 1, -1, -1):
+            if mags[i] == 1:
+                eobpos = i
+                break
+        run = 0
+        for i, m in enumerate(mags):
+            if m == 0:
+                run += 1
+                continue
+            # reaching ANY nonzero coefficient emits due ZRLs first —
+            # each covers 16 zero-HISTORY positions, and its appended
+            # bits are the corrections buffered so far (the decoder
+            # reads them inline as the ZRL walk crosses those
+            # coefficients); ZRLs never extend past the band's last
+            # newly-significant index (the tail folds into the EOB run)
+            while run > 15 and i <= eobpos:
+                flush_eobrun()
+                emit(0xF0)
+                write_cur()
+                run -= 16
+            if m > 1:  # history coefficient: one correction bit owed
+                cur.append(m & 1)
+                continue
+            # newly significant (magnitude became exactly 1): close
+            # the open EOB run (it covers only PRIOR blocks/tails —
+            # the decoder's block cursor lags by that count), then the
+            # (zero-history-run, 1) symbol + sign + owed corrections
+            flush_eobrun()
+            emit((run << 4) | 1)
+            writer.write(1 if int(zz[ss + i]) >= 0 else 0, 1)
+            write_cur()
+            run = 0
+        if run > 0 or cur:
+            # band tail gained nothing: EOB-covered; its corrections
+            # ride the eventual EOBn flush in block order
+            eobrun += 1
+            eob_bits.extend(cur)
+            cur.clear()
+            if eobrun == 32767:
+                flush_eobrun()
+    flush_eobrun()
+
+
+def encode_jpeg_progressive(pixels, ac_successive: bool = False) -> bytes:
     """Serialize a uint8 image (dims multiples of 8) as a genuine
     PROGRESSIVE JFIF JPEG (SOF2): the same FDCT/Annex-K quantization
     as `encode_jpeg`, entropy-coded across multiple scans — an
     interleaved first DC scan at successive-approximation Al=1, a DC
     refinement scan shipping the held-back low bit, then per
     component two spectral-selection AC scans (bands 1-5 and 6-63,
-    non-interleaved as T.81 requires). Grayscale (H, W) and YCbCr
-    4:4:4 color (H, W, 3). Decodes via `decode_jpeg` to pixels
-    bit-identical to the baseline encoding of the same image (same
-    quantized coefficients, different scan schedule)."""
+    non-interleaved as T.81 requires). With ``ac_successive=True``
+    the AC bands ALSO use successive approximation — first scans at
+    Al=1 (toward-zero point transform) followed by refinement scans
+    (Ah=1, Al=0) carrying newly-significant coefficients and
+    correction bits, the full scan script a web "progressive quality"
+    encoder emits. Grayscale (H, W) and YCbCr 4:4:4 color (H, W, 3).
+    Decodes via `decode_jpeg` to pixels bit-identical to the baseline
+    encoding of the same image (same quantized coefficients,
+    different scan schedule)."""
     import struct
 
     import numpy as np
@@ -1198,7 +1295,10 @@ def encode_jpeg_progressive(pixels) -> bytes:
             for ci in range(len(planes)):
                 writer.write(int(qz[ci][by][bx][0]) & 1, 1)
     scans.append(sos(all_comps, 0, 0, 1, 0) + writer.flush())
-    # AC scans — per component, two spectral bands, non-interleaved
+    # AC scans — per component, two spectral bands, non-interleaved;
+    # plain (Al=0) single pass, or successive approximation (Al=1
+    # first pass + Ah=1 refinement) when requested
+    ac_first_al = 1 if ac_successive else 0
     for ci in range(len(planes)):
         comp_sel = bytes([ci + 1, 0x00])  # AC table 0 for every comp
         raster = [
@@ -1206,8 +1306,20 @@ def encode_jpeg_progressive(pixels) -> bytes:
         ]
         for ss, se in ((1, 5), (6, 63)):
             writer = _JpegBitWriter()
-            _jpeg_encode_ac_band(writer, raster, ss, se, ac_p)
-            scans.append(sos(comp_sel, ss, se, 0, 0) + writer.flush())
+            _jpeg_encode_ac_band(writer, raster, ss, se, ac_p, ac_first_al)
+            scans.append(
+                sos(comp_sel, ss, se, 0, ac_first_al) + writer.flush()
+            )
+    if ac_successive:
+        for ci in range(len(planes)):
+            comp_sel = bytes([ci + 1, 0x00])
+            raster = [
+                qz[ci][by][bx] for by in range(nby) for bx in range(nbx)
+            ]
+            for ss, se in ((1, 5), (6, 63)):
+                writer = _JpegBitWriter()
+                _jpeg_encode_ac_band_refine(writer, raster, ss, se, 0, ac_p)
+                scans.append(sos(comp_sel, ss, se, 1, 0) + writer.flush())
 
     zz_q = bytes(int(qtable[r, c]) for (r, c) in zigzag)
     if color:
@@ -1497,9 +1609,8 @@ def _jpeg_decode_scan(
     if len(scan_comps) != 1:
         raise ValueError("progressive AC scan must be single-component")
     if ah != 0:
-        raise NotImplementedError(
-            "progressive AC successive-approximation refinement scans"
-        )
+        _jpeg_decode_ac_refine(reader, scan_comps[0], coef, ss, se, al)
+        return
     ci, _dc_t, ac_t = scan_comps[0]
     nby, nbx = coef[ci].shape[:2]
     eobrun = 0
@@ -1535,6 +1646,71 @@ def _jpeg_decode_scan(
         raise ValueError("EOB run past the end of the component")
 
 
+def _jpeg_decode_ac_refine(reader, scan_comp, coef, ss, se, al) -> None:
+    """Progressive AC successive-approximation refinement decode
+    (T.81 G.1.2.3): (run,1) symbols place newly-significant ±2^Al
+    coefficients where the run counts only zero-history positions;
+    every already-nonzero coefficient crossed reads one correction
+    bit (bit set -> add 2^Al with the coefficient's sign); EOBn runs
+    correct the current block's remaining band and then whole
+    following blocks. The inverse of _jpeg_encode_ac_band_refine,
+    bit-for-bit."""
+    ci, _dc_t, ac_t = scan_comp
+    p1 = 1 << al
+    nby, nbx = coef[ci].shape[:2]
+    eobrun = 0
+
+    def correct(blk, k) -> None:
+        if reader.read_bit():
+            if blk[k] >= 0:
+                blk[k] += p1
+            else:
+                blk[k] -= p1
+
+    for by in range(nby):
+        for bx in range(nbx):
+            blk = coef[ci][by, bx]
+            k = ss
+            if eobrun == 0:
+                while k <= se:
+                    sym = reader.read_symbol(ac_t)
+                    s = sym & 0x0F
+                    r = sym >> 4
+                    val = 0
+                    if s == 0:
+                        if r < 15:  # EOBn: includes this block
+                            eobrun = (1 << r) + (
+                                reader.read_bits(r) if r else 0
+                            )
+                            break
+                        # ZRL: 16 zero-history positions
+                    else:
+                        if s != 1:
+                            raise ValueError(
+                                "refinement symbol size must be 1"
+                            )
+                        val = p1 if reader.read_bit() else -p1
+                    while k <= se:
+                        if blk[k] != 0:
+                            correct(blk, k)
+                        else:
+                            if r == 0:
+                                break
+                            r -= 1
+                        k += 1
+                    if val and k <= se:
+                        blk[k] = val
+                    k += 1
+            if eobrun > 0:
+                while k <= se:
+                    if blk[k] != 0:
+                        correct(blk, k)
+                    k += 1
+                eobrun -= 1
+    if eobrun:
+        raise ValueError("EOB run past the end of the component")
+
+
 def decode_jpeg(payload: bytes):
     """Decode a JFIF payload back to a uint8 array — (H, W) for
     grayscale frames, (H, W, 3) RGB for YCbCr color frames (4:4:4,
@@ -1546,12 +1722,14 @@ def decode_jpeg(payload: bytes):
 
     Handles baseline sequential (SOF0) single-scan frames AND
     progressive (SOF2) multi-scan frames — spectral selection with
-    EOBn cross-block runs plus DC successive approximation
-    (first-pass point transform + refinement bits), decoded into a
-    per-component coefficient store and reconstructed once at EOI.
-    Rejects loudly: extended/lossless frames (SOF1/SOF3), AC
-    successive-approximation refinement scans, sampling factors
-    beyond 2 — partial support would silently corrupt pixels."""
+    EOBn cross-block runs plus FULL successive approximation on both
+    DC (first-pass point transform + refinement bits) and AC
+    (toward-zero point transform, newly-significant (run,1) symbols,
+    inline correction bits, EOB-run corrections — T.81 G.1.2.3) —
+    decoded into a per-component coefficient store and reconstructed
+    once at EOI. Rejects loudly: extended/lossless frames
+    (SOF1/SOF3), sampling factors beyond 2, 16-bit quant tables —
+    partial support would silently corrupt pixels."""
     import struct
 
     import numpy as np
@@ -2124,7 +2302,7 @@ def multimodal_jpeg_420_decode(
     block ORDER is invisible to tile-constant fixtures by design, so
     the pytest round-trips a quadrant-varying image and pins each
     8×8 block mean (test_invariants). Remaining loud-rejection seams:
-    WebP, AC-refinement progressive scans, sampling factors > 2.
+    lossy WebP (VP8), sampling factors > 2, 16-bit quant tables.
 
     Scale posture: identical to the other codec queries — two narrow
     Arrow `mapInPandas` stages, zero shuffles, no driver decode."""
@@ -2224,13 +2402,15 @@ def multimodal_jpeg_progressive_decode(
     "What's missing" 4). Per document a block-constant grayscale
     image (value v(bx,by) = (doc_id·11 + 17bx + 23by) mod 256, grid
     (doc_id%5+2)×(doc_id%3+2) blocks) is serialized by
-    `encode_jpeg_progressive` into a genuine four-scan progressive
-    stream — DC first pass at successive-approximation Al=1, a DC
-    refinement scan carrying the held-back low bits, then two
-    spectral-selection AC band scans (1-5, 6-63) coded with the EOBn
-    cross-block run family the baseline Annex-K tables don't even
-    contain — and decoded back by the multi-scan coefficient-store
-    path in `decode_jpeg`.
+    `encode_jpeg_progressive(ac_successive=True)` into a genuine
+    SIX-scan progressive stream — DC first pass at
+    successive-approximation Al=1, a DC refinement scan carrying the
+    held-back low bits, two spectral-selection AC band scans (1-5,
+    6-63) at Al=1 coded with the EOBn cross-block run family the
+    baseline Annex-K tables don't even contain, then two AC
+    refinement scans (Ah=1) — the full scan script of a web
+    "progressive quality" encoder — and decoded back by the
+    multi-scan coefficient-store path in `decode_jpeg`.
 
     The closed-form oracle survives unchanged from the baseline
     grayscale query because progressive reorders WHICH BITS of each
@@ -2271,7 +2451,9 @@ def multimodal_jpeg_progressive_decode(
                 img = np.repeat(
                     np.repeat(vals, 8, axis=0), 8, axis=1
                 ).astype(np.uint8)
-                payloads.append(encode_jpeg_progressive(img))
+                payloads.append(
+                    encode_jpeg_progressive(img, ac_successive=True)
+                )
             yield pd.DataFrame({"doc_id": ids, "payload": payloads})
 
     media = docs.mapInPandas(encode_batches, "doc_id long, payload binary")

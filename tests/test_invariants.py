@@ -594,17 +594,12 @@ def test_jpeg_codec_rejections():
     # extended sequential (SOF1) stays a loud seam
     with pytest.raises(NotImplementedError):
         decode_jpeg(good.replace(b"\xff\xc0", b"\xff\xc1", 1))
-    # AC successive-approximation refinement (Ah>0 on an Ss>0 scan)
-    # is the documented progressive seam: patch the band-2 scan
-    # header's Ah nibble (FF DA cannot occur inside entropy data --
-    # 0xFF is always stuffed -- so this match is the SOS header)
-    prog = encode_jpeg_progressive(np.full((16, 16), 77, dtype=np.uint8))
-    sos_band2 = b"\xff\xda\x00\x08\x01\x01\x00\x06\x3f\x00"
-    assert sos_band2 in prog
-    with pytest.raises(NotImplementedError):
-        decode_jpeg(
-            prog.replace(sos_band2, sos_band2[:-1] + b"\x10", 1)
-        )
+    # the full-SA scan script really is multi-scan (FF DA cannot occur
+    # inside entropy data — 0xFF is always stuffed)
+    prog = encode_jpeg_progressive(
+        np.full((16, 16), 77, dtype=np.uint8), ac_successive=True
+    )
+    assert prog.count(b"\xff\xda") == 6  # DC x2 + AC first x2 + refine x2
 
 
 def test_jpeg_progressive_matches_baseline():
@@ -629,6 +624,21 @@ def test_jpeg_progressive_matches_baseline():
         base = decode_jpeg(encode_jpeg(img))
         prog_blob = encode_jpeg_progressive(img)
         assert np.array_equal(base, decode_jpeg(prog_blob)), shape
+        # full successive approximation on AC too (T.81 G.1.2.3:
+        # newly-significant symbols, inline correction bits, EOB-run
+        # corrections) must still be bit-identical to baseline
+        sa_blob = encode_jpeg_progressive(img, ac_successive=True)
+        assert np.array_equal(base, decode_jpeg(sa_blob)), (shape, "sa")
+    # EOB-run-with-corrections stress: near-constant frame with a few
+    # isolated spikes (long cross-block EOB runs carrying correction
+    # bits for history coefficients)
+    img = np.full((48, 48), 100, dtype=np.uint8)
+    img[13, 29] = 240
+    img[40, 7] = 3
+    assert np.array_equal(
+        decode_jpeg(encode_jpeg(img)),
+        decode_jpeg(encode_jpeg_progressive(img, ac_successive=True)),
+    )
     # structure: SOF2 frame, 4 scans for grayscale / 8 for color
     # (1 DC first + 1 DC refine + 2 AC bands x ncomp)
     gray = encode_jpeg_progressive(
