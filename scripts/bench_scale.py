@@ -16,6 +16,14 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 SF01 = "/root/testdata/sf0.1"
 SF1 = os.path.join(os.path.dirname(__file__), "..", "testdata_scale", "sf1")
+SF5 = os.path.join(os.path.dirname(__file__), "..", "testdata_scale", "sf5")
+# BENCH_SCALES=sf0.1,sf1,sf5 selects the measured scales (sf5 holds
+# only documents/embeddings — use it for the LLM-pipeline operators)
+_ALL_SCALES = {"sf0.1": SF01, "sf1": SF1, "sf5": SF5}
+SCALES = [
+    (label, _ALL_SCALES[label])
+    for label in os.environ.get("BENCH_SCALES", "sf0.1,sf1").split(",")
+]
 
 QUERIES = [
     "dedup_minhash_lsh",
@@ -41,7 +49,7 @@ def main() -> None:
     results = {}
     for name in names:
         row = {}
-        for label, sf_dir in (("sf0.1", SF01), ("sf1", SF1)):
+        for label, sf_dir in SCALES:
             best = None
             for _ in range(2):
                 t0 = time.perf_counter()
@@ -51,7 +59,9 @@ def main() -> None:
             row[label] = round(best, 2)
             row[f"{label}_rows"] = n
             print(f"# {name} @ {label}: {n} rows in {best:.2f}s", flush=True)
-        row["ratio"] = round(row["sf1"] / row["sf0.1"], 1)
+        first = SCALES[0][0]
+        for label, _d in SCALES[1:]:
+            row[f"ratio_{label}"] = round(row[label] / row[first], 1)
         results[name] = row
     print(json.dumps({"load1": round(os.getloadavg()[0], 2), "results": results}))
     spark.stop()

