@@ -73,7 +73,10 @@ def _block_topk(
                 "cos_sim": pd.Series([], dtype="float64"),
             }
         )
-    assert cids.min() >= 0 and cids.max() < (1 << 40), "vec_id beyond key range"
+    if cids.min() < 0 or cids.max() >= (1 << 40):
+        # not an assert: under `python -O` an out-of-range id would
+        # silently corrupt the packed composite sort key
+        raise ValueError("vec_id beyond int64 key-packing range [0, 2^40)")
     key = -np.rint(S * 1e6).astype(np.int64) * (1 << 40) + cids[None, :]
     mask = qlab[:, None] == clab[None, :]
     if exclude_self:

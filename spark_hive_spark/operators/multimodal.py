@@ -69,9 +69,10 @@ def decode_image(payload: bytes) -> "object":
         return px
     raise NotImplementedError(
         "BMP, 8-bit RGB PNG, JPEG (baseline grayscale/YCbCr "
-        "4:4:4/4:2:0/4:2:2 + progressive spectral-selection) and "
-        "lossless WebP (VP8L) decode in this environment; install "
-        "PIL/libwebp on the cluster for other payloads"
+        "4:4:4/4:2:0/4:2:2 + full progressive successive-"
+        "approximation) and lossless WebP (VP8L) decode in this "
+        "environment; install PIL/libwebp on the cluster for other "
+        "payloads"
     )
 
 
@@ -1513,9 +1514,10 @@ def _jpeg_decode_scan(
 ) -> None:
     """Entropy-decode one scan into the per-component coefficient
     stores. Baseline: one interleaved DC+AC scan. Progressive: DC
-    first/refinement scans (interleaved or single-component) and AC
-    spectral-selection first scans with cross-block EOBn runs; AC
-    successive-approximation refinement (Ah>0, Ss>0) is a loud seam."""
+    first/refinement scans (interleaved or single-component), AC
+    spectral-selection first scans with cross-block EOBn runs, and AC
+    successive-approximation refinement (Ah>0, Ss>0) via
+    ``_jpeg_decode_ac_refine`` — the full SOF2 scan matrix."""
     prev = {ci: 0 for ci, _dc, _ac in scan_comps}
 
     def dc_first(ci, dc_t, blk) -> None:

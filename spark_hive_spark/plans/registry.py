@@ -38,78 +38,69 @@ class Query:
 _REGISTRY: dict[str, Query] = {}
 
 # The grading driver sweeps the FIRST 50 registry entries per round, so
-# ordering is an attestation budget. Round-9 rotation (VERDICT r8 task
-# 1): the 4 reference jobs stay pinned, then 46 of the 47 queries that
-# have never earned a CORRECTNESS_r*.json row (cumulative driver
-# attestation after r08: 248/295). The one deferral is
-# ``mining_hard_negatives_ann`` — it is rows-only by design and its
-# full-oracle gate ``mining_hard_negatives_ann_audit`` IS in this
-# window, so deferring it maximizes hash-attested rows; it rotates into
-# the r10 window together with the round-9 additions (listed as
-# comments at the end). tests/test_registry_window.py asserts the
-# window stays exactly this set.
+# ordering is an attestation budget. Round-10 rotation (VERDICT r9 task
+# 1): the 4 reference jobs stay pinned, then the FINAL 6 queries with no
+# CORRECTNESS_r01..r09 row (completing 300/300 cumulative driver
+# attestation), then this round's NEW queries (driver rows on first
+# appearance), then re-attestation fillers: first the queries whose
+# implementation changed this round (IVF adaptive sizing, shingle-cache
+# eviction), then the r01-swept set — the stalest attestations.
+# tests/test_registry_window.py asserts the window stays exactly this.
 SWEEP_PRIORITY: tuple[str, ...] = (
     # pinned reference jobs (driver-green every round)
     "ref_top5_nations_by_avg_acctbal",
     "ref_top5_finished_orders_by_price",
     "ref_building_acctbal_stats_by_nation",
     "ref_orc_roundtrip",
-    # r09 rotation: the never-driver-swept set, registration order.
-    # All 47 were judge-sim green in r8 (46 hash-equal + the deferred
-    # rows-only miner); driver rows are the durable record.
-    "embedding_pq_adc_audit",
-    "stream_available_now_catchup",
-    "multimodal_png_decode",
-    "multimodal_jpeg_decode",
-    "multimodal_jpeg_color_decode",
-    "mannkendall_theilsen_trend",
-    "kaplan_meier_customer_lifetime",
-    "quantile_mapping_price_drift",
-    "neyman_stratified_allocation",
-    "cuped_adjusted_segment_lift",
-    "did_revenue_estimator",
-    "conformal_price_intervals",
-    "price_elasticity_by_brand",
-    "partition_checksum_diff",
-    "integrity_fk_orphan_audit",
-    "expectations_validation_suite",
-    "join_cardinality_estimation_audit",
-    "pipeline_multimodal_curation",
-    "privacy_pseudonymized_join",
-    "mv_incremental_refresh",
-    "mv_incremental_delete_refresh",
-    "graph_label_propagation_communities",
-    "graph_bfs_trade_hops",
-    "graph_degree_assortativity",
-    "concurrency_peak_sweepline",
-    "cusum_changepoint_daily_revenue",
-    "cep_rising_value_runs",
-    "slo_burnrate_multiwindow",
-    "events_user_entropy",
-    "xcorr_click_purchase_lag",
-    "proration_largest_remainder",
-    "gini_customer_revenue",
-    "whale_concentration_top1pct",
-    "setsim_ppjoin_prefix_filter",
-    "setsim_ppjoin_shingle_join",
-    "mining_hard_negatives",
+    # the last 6 never-driver-swept queries (judge-sim green in r9)
+    "multimodal_jpeg_420_decode",
+    "multimodal_jpeg_progressive_decode",
+    "multimodal_webp_lossless_decode",
+    "pipeline_image_embedding_knn",
+    "snapshot_concurrent_commit_audit",
+    "mining_hard_negatives_ann",
+    # round-10 implementation changes: re-attest under the new code
+    "knn_cosine_ivf",
+    "ann_recall_audit",
     "mining_hard_negatives_ann_audit",
-    "curriculum_interleaved_order",
-    "class_balance_weights",
-    "search_bm25_topk",
-    "search_phrase_positional_index",
-    "dbscan_embedding_clusters",
-    "geo_geohash_radius_join",
-    "source_partition_pruning_dpp",
-    "join_runtime_bloom_filter",
-    "snapshot_expire_audit",
-    # r10 backlog (never swept after the r09 window):
-    #   mining_hard_negatives_ann   (rows-only; audit twin swept r09)
-    #   multimodal_jpeg_420_decode          (round 9)
-    #   snapshot_concurrent_commit_audit    (round 9)
-    #   pipeline_image_embedding_knn        (round 9)
-    #   multimodal_jpeg_progressive_decode  (round 9)
-    # plus any later round-9 additions (they register after the window).
+    "pipeline_corpus_curation",
+    # stalest re-attestations (first swept r01), registration order
+    "dedup_exact_normalized",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_duplicate_clusters",
+    "w_top3_parts_per_brand",
+    "stats_variance_family",
+    "stats_corr_regression",
+    "calendar_densified_daily_orders",
+    "mode_priority_per_nation",
+    "explode_outer_token_rows",
+    "profile_orders_columns",
+    "safe_arithmetic_orders",
+    "null_semantics_orders",
+    "observe_ingest_gate",
+    "unpivot_lineitem_measures",
+    "histogram_order_prices",
+    "string_edit_distance_pairs",
+    "date_arithmetic_orders",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_region_revenue",
+    "q6_forecast_revenue",
+    "join_semi_active_customers",
+    "join_anti_customers_without_pending",
+    "join_outer_nation_order_volume",
+    "setops_segment_overlap",
+    "q7_nation_trade_volume",
+    "q9_nation_year_profit",
+    "q10_returned_item_losses",
+    "q12_priority_by_ship_year",
+    "q19_disjunctive_revenue",
+    "q22_idle_rich_customers",
+    "setops_bag_semantics",
+    "w_value_functions",
+    "rollup_grouping_flags",
 )
 
 

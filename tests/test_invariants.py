@@ -565,10 +565,11 @@ def test_jpeg_420_codec_closed_form_and_block_order():
 def test_jpeg_codec_rejections():
     """decode_jpeg fails loudly on what it cannot faithfully decode:
     missing SOI, truncated segments, truncated entropy stream,
-    malformed progressive scan structure, extended-sequential (SOF1)
-    frames, and AC successive-approximation refinement scans — the
-    one progressive scan shape the decoder does not implement.
-    Partial support would silently corrupt pixels."""
+    malformed progressive scan structure, and extended-sequential
+    (SOF1) frames. AC successive-approximation refinement IS
+    implemented (see test_jpeg_progressive_matches_baseline); here we
+    only assert its scan script really is multi-scan. Partial support
+    would silently corrupt pixels."""
     import numpy as np
     import pytest
 

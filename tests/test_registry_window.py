@@ -45,18 +45,18 @@ def test_no_registered_query_lost():
     assert len(qs) >= 120
 
 
-def test_r09_window_is_the_never_swept_set():
-    """The r09 rotation (VERDICT r8 task 1): window = 4 pinned ref_*
-    plus the 46 queries with no CORRECTNESS_r01..r08 row, deferring
-    only rows-only ``mining_hard_negatives_ann`` (its hash-oracled
-    audit twin is in the window)."""
+def test_r10_window_completes_attestation():
+    """The r10 rotation (VERDICT r9 task 1): the window contains ALL
+    queries with no CORRECTNESS_r01..r09 row (completing 300/300
+    cumulative driver attestation), immediately after the 4 pinned
+    ref_* jobs; the remaining slots are re-attestations."""
     import glob
     import json
     import os
 
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    files = sorted(glob.glob(os.path.join(root, "CORRECTNESS_r0[1-8].json")))
-    if len(files) < 8:
+    files = sorted(glob.glob(os.path.join(root, "CORRECTNESS_r0[1-9].json")))
+    if len(files) < 9:
         import pytest
 
         pytest.skip("driver CORRECTNESS history not present")
@@ -64,10 +64,11 @@ def test_r09_window_is_the_never_swept_set():
     for f in files:
         with open(f) as fh:
             swept.update(json.load(fh))
-    rotation = set(SWEEP_PRIORITY) - set(REF_PINNED)
-    assert not (rotation & swept), sorted(rotation & swept)
     never = {n for n in all_queries() if n not in swept}
-    # every windowed rotation name is genuinely never-swept, and the
-    # deliberate deferral is still in the backlog
-    assert rotation <= never
-    assert "mining_hard_negatives_ann" in never - rotation
+    in_window = set(SWEEP_PRIORITY)
+    missing = never - in_window
+    assert not missing, f"never-swept queries outside the window: {missing}"
+    # the never-swept set sits right after the pinned refs so it can't
+    # fall out of a shortened sweep
+    head = set(SWEEP_PRIORITY[4 : 4 + len(never)])
+    assert never <= head | set(REF_PINNED)
