@@ -208,8 +208,13 @@ def mining_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (the ANN worst case), and the mined targets are rank<=3 *different-
 # label* neighbors — deeper in the global similarity order than plain
 # top-k, so they spread over more cells. Measured recall vs the exact
-# twin: nprobe 4 -> 0.61, 6 -> 0.75, 8 -> 0.82-0.84 (sf0.001/0.01/0.1).
-HN_ANN_NPROBE = 8  # of IVF_CELLS=16 cells
+# twin: fraction 1/4 -> 0.61, 3/8 -> 0.75, 1/2 -> 0.82-0.88
+# (sf0.001..sf5). The miner probes HALF its cells; cells themselves
+# come from similarity.ivf_policy (adaptive: ~3k vectors per cell), so
+# at 100k vectors this is the (32, 16) setting the SCALE.md sweep
+# measured as strictly dominating frozen (16, 8).
+HN_ANN_PROBE_FRACTION = 0.5
+HN_ANN_NPROBE = 8  # the attested small-corpus setting (= 16 cells / 2)
 
 _HN_ANN_AUDIT_ORACLE = f"""
     WITH counts AS (
@@ -235,8 +240,8 @@ def mining_hard_negatives_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN-BOUNDED HARD-NEGATIVE MINING (VERDICT r7 task 2) — the
     production shape of `mining_hard_negatives`: instead of scoring
     every query against the full corpus (quadratic by definition),
-    each vector probes only its HN_ANN_NPROBE nearest IVF cells
-    (the deterministic spherical-k-means quantizer shared with
+    each vector probes only its nprobe nearest IVF cells (the
+    deterministic spherical-k-means quantizer shared with
     `knn_cosine_ivf`) and mines its top-3 different-label negatives
     exactly WITHIN that candidate set.
 
@@ -246,10 +251,11 @@ def mining_hard_negatives_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     local top-k per query, and one global window keeps the true
     top-k of the union — the same two-level top-k argument as the
     exact miner, restricted to probed cells. Cost per query is
-    nprobe/cells of the corpus (50% at the registered defaults);
-    cells and nprobe are the corpus-growth knobs (parameterized via
-    `mine_hard_negatives_ann`; measured policy in SCALE.md's
-    crossing-point section) — parallelism = n_cells. In-task GEMMs
+    nprobe/cells of the corpus; cells/nprobe now come from
+    `similarity.ivf_policy` (adaptive, ~3k vectors per cell at probe
+    fraction 1/2 — the policy SCALE.md's crossing sweep measured), so
+    growth is ~N·(constant per-cell GEMM), not a constant fraction of
+    N² — parallelism = n_cells. In-task GEMMs
     chunk at HN_CELL_CHUNK query rows, so per-task memory is bounded
     regardless of how many queries probe a cell. Ranking is on
     round(sim, 6) with neighbor_id tie-break, identical to the exact
@@ -262,16 +268,23 @@ def mine_hard_negatives_ann(
     sf_dir: str,
     *,
     n_cells: int | None = None,
-    nprobe: int = HN_ANN_NPROBE,
+    nprobe: int | None = None,
 ) -> DataFrame:
-    """Parameterized ANN miner (registered defaults: IVF_CELLS cells,
-    HN_ANN_NPROBE probes). `n_cells`/`nprobe` are the scale knobs the
-    crossing-point measurement sweeps; semantics and the total order
-    are identical at every setting."""
-    from spark_hive_spark.operators.similarity import IVF_CELLS, _ivf_centroids
+    """Parameterized ANN miner. Defaults derive from
+    `similarity.ivf_policy` at probe fraction 1/2 (≤ ~48k vectors ⇒
+    the attested (16, 8); 100k ⇒ the sweep-winning (32, 16)); explicit
+    `n_cells`/`nprobe` are the knobs the crossing-point bench sweeps.
+    Semantics and the total order are identical at every setting."""
+    from spark_hive_spark.operators.similarity import _ivf_centroids, ivf_policy
 
     emb = t(spark, sf_dir, "embeddings")
-    Cn = _ivf_centroids(emb, n_cells if n_cells is not None else IVF_CELLS)
+    if n_cells is None or nprobe is None:
+        auto_cells, auto_probe = ivf_policy(
+            emb.count(), probe_fraction=HN_ANN_PROBE_FRACTION
+        )
+        n_cells = n_cells if n_cells is not None else auto_cells
+        nprobe = nprobe if nprobe is not None else auto_probe
+    Cn = _ivf_centroids(emb, n_cells)
     k = HN_TOP_K
 
     def assign_cells(batches):

@@ -419,10 +419,43 @@ def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-IVF_CELLS = 16
+IVF_CELLS = 16  # floor = the historically attested setting
 IVF_NPROBE = 4
 IVF_TRAIN_SAMPLE = 256 * IVF_CELLS  # FAISS-style: train on a bounded sample
 IVF_KMEANS_ITERS = 5
+
+# Adaptive sizing (VERDICT r9 task 2) — the policy SCALE.md's 100k
+# knob sweep measured: per-cell size pinned at ~3k vectors (one
+# comfortable in-task GEMM), so cells GROW with the corpus instead of
+# degenerating to a constant-fraction scan (frozen 16 cells at 100k
+# probed 50% of N → cost ~0.5·N², exact's exponent; 32 cells at the
+# same probe fraction was 1.6× faster at recall 0.88 vs 0.84).
+IVF_TARGET_CELL_SIZE = 3000
+IVF_MAX_CELLS = 1 << 16  # 65536 cells ≈ 200M vectors before re-eval
+
+
+def ivf_policy(n_vectors: int, probe_fraction: float = 0.5) -> tuple[int, int]:
+    """(n_cells, nprobe) for a corpus of ``n_vectors``.
+
+    cells = the power of two nearest N/IVF_TARGET_CELL_SIZE (log-space
+    rounding), clamped to [IVF_CELLS, IVF_MAX_CELLS]; the floor keeps
+    every corpus ≤ ~48k vectors at the attested 16-cell setting, so
+    registered small-SF results are bit-identical to the frozen era.
+    nprobe = probe_fraction·cells (each caller keeps its historical
+    fraction: top-k serving probes 1/4, hard-negative mining 1/2 —
+    mined targets sit deeper in the similarity order, see
+    mining.HN_ANN_NPROBE). At 100k vectors this yields (32, 16) for
+    the miner — exactly SCALE.md's measured sweep winner. Power-of-two
+    snapping keeps the derived setting stable under ±10% corpus drift
+    (a re-run near a boundary can't flip cells by one and churn every
+    assignment)."""
+    import math
+
+    raw = max(n_vectors, 1) / IVF_TARGET_CELL_SIZE
+    cells = 1 << max(0, math.floor(math.log2(raw) + 0.5))
+    cells = max(IVF_CELLS, min(IVF_MAX_CELLS, cells))
+    nprobe = max(1, round(cells * probe_fraction))
+    return cells, nprobe
 
 
 def _ivf_centroids(emb, n_cells: int = IVF_CELLS) -> "np.ndarray":
@@ -434,8 +467,8 @@ def _ivf_centroids(emb, n_cells: int = IVF_CELLS) -> "np.ndarray":
     and assigns the full corpus distributedly. Returns L2-normalized
     centroids, stable across runs and partitionings (sample selection
     and ordering are by vec_id, not partition layout). n_cells is the
-    knob that grows with the corpus (see SCALE.md's crossing-point
-    policy); every registered query keeps the IVF_CELLS default."""
+    knob that grows with the corpus — callers derive it from
+    `ivf_policy` (SCALE.md's measured crossing-point policy)."""
     rows = (
         emb.filter(F.col("vec_id") < 256 * n_cells)
         .select("vec_id", "embedding")
@@ -465,7 +498,15 @@ def _ivf_centroids(emb, n_cells: int = IVF_CELLS) -> "np.ndarray":
 def knn_cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN top-K via IVF (inverted file) coarse quantization: vectors
     partition into cells by nearest centroid; each query probes only
-    its IVF_NPROBE nearest cells and reranks exactly within them.
+    its nprobe nearest cells and reranks exactly within them.
+
+    Cells/nprobe come from `ivf_policy` (adaptive: per-cell size
+    pinned ~3k vectors, probe fraction 1/4 — this query's historical
+    IVF_NPROBE/IVF_CELLS ratio), so the corpus count is read once up
+    front (a column-pruned metadata-cheap count) and the probe cost
+    stays ~N·√-free sub-quadratic as N grows instead of freezing at a
+    constant fraction. Corpora ≤ ~48k vectors resolve to the attested
+    (16, 4) setting, so registered results are unchanged.
 
     Centroids come from a deterministic spherical k-means over a
     bounded vec_id-ordered sample (`_ivf_centroids` — FAISS-style
@@ -474,7 +515,10 @@ def knn_cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     to the data and gives tunable probe-vs-recall; cost = |Q| x
     nprobe/cells of the corpus."""
     emb = t(spark, sf_dir, "embeddings")
-    Cn = _ivf_centroids(emb)
+    n_cells, nprobe = ivf_policy(
+        emb.count(), probe_fraction=IVF_NPROBE / IVF_CELLS
+    )
+    Cn = _ivf_centroids(emb, n_cells)
 
     def assign_cells(batches):
         for pdf in batches:
@@ -497,12 +541,11 @@ def knn_cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
             V = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
             Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
             sims = Vn @ Cn.T
-            top = np.argsort(-sims, axis=1)[:, :IVF_NPROBE].astype(np.int32)
-            n = len(pdf)
+            top = np.argsort(-sims, axis=1)[:, :nprobe].astype(np.int32)
             yield pd.DataFrame(
                 {
-                    "query_id": np.repeat(pdf["vec_id"].to_numpy(), IVF_NPROBE),
-                    "qe": [e for e in pdf["embedding"] for _ in range(IVF_NPROBE)],
+                    "query_id": np.repeat(pdf["vec_id"].to_numpy(), nprobe),
+                    "qe": [e for e in pdf["embedding"] for _ in range(nprobe)],
                     "cell": top.ravel(),
                 }
             )
@@ -851,11 +894,20 @@ def fuzzy_levenshtein_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "ann_index_persistence_audit",
+    # n_cells re-derives ivf_policy in SQL: power of two nearest
+    # N/IVF_TARGET_CELL_SIZE (log-space floor(x+0.5)), floored at
+    # IVF_CELLS. Policy boundaries are irrational multiples of 3000,
+    # so integer N never lands on a .5 rounding edge in either engine.
     oracle=f"""
-        SELECT CAST({IVF_CELLS} AS INT) AS n_cells,
-               (SELECT count(*) FROM embeddings) AS n_vectors,
+        WITH n AS (SELECT count(*) AS n_vectors FROM embeddings)
+        SELECT CAST(GREATEST({IVF_CELLS}, LEAST({IVF_MAX_CELLS},
+                   power(2, GREATEST(0, FLOOR(log2(
+                       GREATEST(n_vectors, 1) / {IVF_TARGET_CELL_SIZE}.0
+                   ) + 0.5))))) AS INT) AS n_cells,
+               n_vectors,
                TRUE AS centroids_roundtrip_exact,
                TRUE AS assignments_match_after_reload
+        FROM n
     """,
     tags=("similarity", "ivf", "index", "persistence"),
 )
@@ -882,7 +934,8 @@ def ann_index_persistence_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     import uuid as _uuid
 
     emb = t(spark, sf_dir, "embeddings")
-    Cn = _ivf_centroids(emb)
+    n_cells, _ = ivf_policy(emb.count())
+    Cn = _ivf_centroids(emb, n_cells)
 
     idx_dir = _os.path.join(
         _tf.gettempdir(), f"shs_ivf_idx_{_uuid.uuid4().hex}"

@@ -129,6 +129,57 @@ def test_ivf_knn_recall_vs_bruteforce(spark):
     assert sorted(map(tuple, ann_rows)) == sorted(map(tuple, again))
 
 
+def test_ivf_policy_adaptive_sizing():
+    """The adaptive (cells, nprobe) policy (VERDICT r9 task 2) must:
+    (1) keep every corpus <= ~48k vectors at the historically attested
+    16-cell floor (registered small-SF results stay bit-identical);
+    (2) reproduce the SCALE.md sweep winner (32, 16) at 100k vectors
+    for the miner's 1/2 probe fraction; (3) hold per-cell size in the
+    [target/sqrt2, target*sqrt2) band once off the clamps, so cost
+    grows ~N*(constant per-cell GEMM), never a constant fraction of
+    N^2; (4) agree exactly with the SQL re-derivation embedded in the
+    ann_index_persistence_audit oracle."""
+    import duckdb
+
+    from spark_hive_spark.operators.similarity import (
+        IVF_CELLS,
+        IVF_MAX_CELLS,
+        IVF_TARGET_CELL_SIZE,
+        ivf_policy,
+    )
+
+    assert ivf_policy(20) == (16, 8)
+    assert ivf_policy(200) == (16, 8)
+    assert ivf_policy(2_000) == (16, 8)
+    assert ivf_policy(20_000) == (16, 8)
+    assert ivf_policy(2_000, probe_fraction=0.25) == (16, 4)
+    # the measured sweep winner at 100k vectors
+    assert ivf_policy(100_000) == (32, 16)
+    assert ivf_policy(100_000, probe_fraction=0.25) == (32, 8)
+
+    prev_cells = 0
+    con = duckdb.connect()
+    for n in [1, 100, 2_000, 48_000, 100_000, 10**6, 10**7, 10**9]:
+        cells, nprobe = ivf_policy(n)
+        assert cells >= prev_cells, "cells must be monotone in N"
+        prev_cells = cells
+        assert nprobe == max(1, cells // 2)
+        if IVF_CELLS < cells < IVF_MAX_CELLS:  # off the clamps
+            per_cell = n / cells
+            assert (
+                IVF_TARGET_CELL_SIZE / 1.415
+                <= per_cell
+                <= IVF_TARGET_CELL_SIZE * 1.415
+            ), (n, cells)
+        sql_cells = con.execute(
+            f"""SELECT CAST(GREATEST({IVF_CELLS}, LEAST({IVF_MAX_CELLS},
+                power(2, GREATEST(0, FLOOR(log2(
+                    GREATEST({n}, 1) / {IVF_TARGET_CELL_SIZE}.0) + 0.5)))))
+                AS INT)"""
+        ).fetchone()[0]
+        assert sql_cells == cells, (n, sql_cells, cells)
+
+
 def test_cogroup_survives_count_pruning(spark):
     """Regression: under .count() the parent demands zero output
     columns and Spark's cogroup attribute dedup used to prune the
