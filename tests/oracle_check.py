@@ -114,3 +114,63 @@ def compare(
                 problems.append(f"{name}: ... (stopping after 5 diffs)")
                 return problems
     return problems
+
+
+# ---- scan-duplication lint (VERDICT r9 task 3) ----------------------
+# The multi-consumer recompute class (one stage re-derived per
+# consumer: r7 caught 9 queries, r9 caught pipeline_corpus_curation at
+# 9 scans) kept reappearing because the plan audit was manual. Every
+# parity test now also counts `Relation [...]` leaves per table on the
+# optimized LOGICAL plan (pre-AQE — physical treeStrings double-print
+# under AQE) and compares against the committed per-query budget in
+# tests/scan_budget.json. Cached stages (InMemoryRelation) print their
+# fill-plan innerChildren, so a budget also pins HOW a stage is served.
+
+_FIRST_COL_TO_TABLE = {
+    "r_regionkey": "region",
+    "n_nationkey": "nation",
+    "c_custkey": "customer",
+    "s_suppkey": "supplier",
+    "p_partkey": "part",
+    "ps_partkey": "partsupp",
+    "o_orderkey": "orders",
+    "l_orderkey": "lineitem",
+    "event_id": "events",
+    "doc_id": "documents",
+    "vec_id": "embeddings",
+}
+
+# headroom for queries not yet in scan_budget.json: enough for a join
+# of a few tables or an intentional small self-join, far below the
+# 8-14-scan pathology this lint exists to catch
+DEFAULT_TABLE_SCAN_BUDGET = 4
+
+
+def scan_counts(df) -> dict:
+    """Per-table `Relation [` leaf counts on the optimized plan."""
+    import re
+
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    out: dict[str, int] = {}
+    for m in re.finditer(r"Relation \[([A-Za-z0-9_]+)", plan):
+        tbl = _FIRST_COL_TO_TABLE.get(m.group(1), f"?{m.group(1)}")
+        out[tbl] = out.get(tbl, 0) + 1
+    return out
+
+
+def check_scan_budget(df, name: str, budgets: dict) -> list:
+    """Return violation strings if `df` scans any table more often
+    than its committed budget (or the default for new queries)."""
+    counts = scan_counts(df)
+    budget = budgets.get(name, {})
+    problems = []
+    for tbl, n in counts.items():
+        allowed = budget.get(tbl, DEFAULT_TABLE_SCAN_BUDGET)
+        if n > allowed:
+            problems.append(
+                f"{name}: {n} scans of {tbl} (budget {allowed}) — a new "
+                "multi-consumer recompute? cache the shared stage, or if "
+                "the extra scan is intentional (self-join, audit twin), "
+                "raise this query's entry in tests/scan_budget.json"
+            )
+    return problems

@@ -6,11 +6,21 @@ from __future__ import annotations
 
 import pytest
 
+import json
+import pathlib
+
 from spark_hive_spark.plans.registry import all_queries
 from tests.conftest import SF_ORACLE
-from tests.oracle_check import assert_canonicalizable, compare
+from tests.oracle_check import (
+    assert_canonicalizable,
+    check_scan_budget,
+    compare,
+)
 
 _QUERIES = all_queries()
+_SCAN_BUDGETS = json.loads(
+    (pathlib.Path(__file__).parent / "scan_budget.json").read_text()
+)
 
 
 def test_no_round_over_rational_avg():
@@ -41,6 +51,11 @@ def test_query_matches_oracle(spark, duck, name):
     # the driver's pandas canonicalization cannot hash list/map/struct
     # cells — every query's output must be scalar-only (round-4 bug)
     assert_canonicalizable(df, name)
+    # scan-duplication lint (VERDICT r9 task 3): the optimized plan
+    # must not scan any table more often than its committed budget —
+    # the automated gate for the multi-consumer recompute class
+    scan_problems = check_scan_budget(df, name, _SCAN_BUDGETS)
+    assert not scan_problems, "\n".join(scan_problems)
     if q.oracle is None:
         # rows-only check, like the driver's weaker gate
         assert df.count() >= 0
