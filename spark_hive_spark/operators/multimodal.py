@@ -1206,8 +1206,25 @@ def _jpeg_encode_ac_band_refine(
     flush_eobrun()
 
 
+def _jpeg_pad_edge(px, mult: int):
+    """Edge-replicate an image up to multiples of ``mult`` — the
+    sample-expansion T.81 A.2.4 leaves to the encoder. Replication
+    (vs zero fill) keeps edge blocks free of artificial high
+    frequencies, and — the property the closed-form oracles lean on —
+    an image that is constant within each 8x8 block of a crop pads
+    back to exactly the uncropped block-constant image."""
+    import numpy as np
+
+    h, w = px.shape[:2]
+    ph, pw = (-h) % mult, (-w) % mult
+    if ph or pw:
+        pad = [(0, ph), (0, pw)] + [(0, 0)] * (px.ndim - 2)
+        px = np.pad(px, pad, mode="edge")
+    return px
+
+
 def encode_jpeg_progressive(pixels, ac_successive: bool = False) -> bytes:
-    """Serialize a uint8 image (dims multiples of 8) as a genuine
+    """Serialize a uint8 image (any dims >= 1x1) as a genuine
     PROGRESSIVE JFIF JPEG (SOF2): the same FDCT/Annex-K quantization
     as `encode_jpeg`, entropy-coded across multiple scans — an
     interleaved first DC scan at successive-approximation Al=1, a DC
@@ -1229,9 +1246,11 @@ def encode_jpeg_progressive(pixels, ac_successive: bool = False) -> bytes:
     qtable, zigzag, dct_m, qtable_c = _jpeg_tables()
     px = np.asarray(pixels, dtype=np.uint8)
     color = px.ndim == 3
-    h, w = px.shape[:2]
-    if h % 8 or w % 8:
-        raise ValueError("encode_jpeg_progressive requires multiple-of-8 dims")
+    h, w = px.shape[:2]  # true dims — what SOF2 declares
+    # partial MCUs: pad by edge replication; the decoder crops back.
+    # All components are 1x1-sampled here, so the MCU is one block.
+    px = _jpeg_pad_edge(px, 8)
+    ph, pw = px.shape[:2]
     if color:
         R = px[:, :, 0].astype(np.float64)
         G = px[:, :, 1].astype(np.float64)
@@ -1242,7 +1261,7 @@ def encode_jpeg_progressive(pixels, ac_successive: bool = False) -> bytes:
         planes = [(Y, qtable), (Cb, qtable_c), (Cr, qtable_c)]
     else:
         planes = [(px.astype(np.float64), qtable)]
-    nby, nbx = h // 8, w // 8
+    nby, nbx = ph // 8, pw // 8
     # quantize every block up front — progressive re-reads coefficients
     # across scans
     qz = [
@@ -1356,18 +1375,24 @@ def encode_jpeg_progressive(pixels, ac_successive: bool = False) -> bytes:
     )
 
 
-def encode_jpeg(pixels, subsampling: str = "444") -> bytes:
-    """Serialize a uint8 image (dims multiples of 8) as a genuine
+def encode_jpeg(
+    pixels, subsampling: str = "444", dqt_16bit: bool = False
+) -> bytes:
+    """Serialize a uint8 image (any dims >= 1x1) as a genuine
     baseline JFIF JPEG — FDCT, Annex-K quantization, differential-DC
     + run-length-AC huffman coding, byte stuffing, full marker
     structure. (H, W) arrays become single-component grayscale;
     (H, W, 3) arrays become 3-component YCbCr (interleaved MCUs,
     chroma quant/huffman tables, JFIF BT.601 color transform) —
-    4:4:4 by default, or 4:2:0 with ``subsampling="420"`` (dims
-    multiples of 16; Y sampled 2×2 per MCU, chroma 2×2 box-filtered
-    with exact pairwise sums so identical neighborhoods average
-    bitwise-exactly). Inverse (up to quantization + subsampling) of
-    `decode_jpeg`."""
+    4:4:4 by default, or 4:2:0 with ``subsampling="420"`` (Y sampled
+    2×2 per MCU, chroma 2×2 box-filtered with exact pairwise sums so
+    identical neighborhoods average bitwise-exactly). Dims that are
+    not MCU multiples (8, or 16 for 4:2:0) pad by edge replication
+    (T.81 A.2.4) and the decoder crops back to the SOF-declared
+    size. ``dqt_16bit`` writes the same quant tables as Pq=1
+    two-byte DQT entries (the extended-precision table form scanned-
+    document encoders emit) — the pixels are identical either way.
+    Inverse (up to quantization + subsampling) of `decode_jpeg`."""
     import struct
 
     import numpy as np
@@ -1378,11 +1403,9 @@ def encode_jpeg(pixels, subsampling: str = "444") -> bytes:
     px = np.asarray(pixels, dtype=np.uint8)
     color = px.ndim == 3
     sub420 = color and subsampling == "420"
-    h, w = px.shape[:2]
-    if h % 8 or w % 8:
-        raise ValueError("encode_jpeg requires multiple-of-8 dims")
-    if sub420 and (h % 16 or w % 16):
-        raise ValueError("4:2:0 encode requires multiple-of-16 dims")
+    h, w = px.shape[:2]  # true dims — what SOF0 declares
+    px = _jpeg_pad_edge(px, 16 if sub420 else 8)
+    ph, pw = px.shape[:2]  # padded dims — what the MCU loops cover
     dc_y = _jpeg_huff_encode_table(_JPEG_DC_BITS, _JPEG_DC_VALS)
     ac_y = _jpeg_huff_encode_table(_JPEG_AC_BITS, _JPEG_AC_VALS)
     if color:
@@ -1419,8 +1442,8 @@ def encode_jpeg(pixels, subsampling: str = "444") -> bytes:
     prev = [0] * len(comps)
     if sub420:
         # MCU = 16×16 px: 4 raster-ordered Y blocks, then Cb, then Cr
-        for my in range(h // 16):
-            for mx in range(w // 16):
+        for my in range(ph // 16):
+            for mx in range(pw // 16):
                 for vy in range(2):
                     for hx in range(2):
                         zz = _jpeg_quant_block(
@@ -1440,8 +1463,8 @@ def encode_jpeg(pixels, subsampling: str = "444") -> bytes:
                         writer, zz, prev[ci], dcc, acc
                     )
     else:
-        for by in range(h // 8):
-            for bx in range(w // 8):
+        for by in range(ph // 8):
+            for bx in range(pw // 8):
                 for ci, (plane, qt, dcc, acc) in enumerate(comps):
                     zz = _jpeg_quant_block(plane, by, bx, qt, zigzag, dct_m)
                     prev[ci] = _jpeg_write_block(
@@ -1452,10 +1475,15 @@ def encode_jpeg(pixels, subsampling: str = "444") -> bytes:
     def seg(marker: int, body: bytes) -> bytes:
         return struct.pack(">HH", marker, len(body) + 2) + body
 
-    zz_q = bytes(int(qtable[r, c]) for (r, c) in zigzag)
+    def dqt_entry(tq: int, table) -> bytes:
+        if dqt_16bit:  # Pq=1: two-byte big-endian elements
+            return bytes([0x10 | tq]) + b"".join(
+                struct.pack(">H", int(table[r, c])) for (r, c) in zigzag
+            )
+        return bytes([tq]) + bytes(int(table[r, c]) for (r, c) in zigzag)
+
     if color:
-        zz_qc = bytes(int(qtable_c[r, c]) for (r, c) in zigzag)
-        dqt = seg(0xFFDB, b"\x00" + zz_q + b"\x01" + zz_qc)
+        dqt = seg(0xFFDB, dqt_entry(0, qtable) + dqt_entry(1, qtable_c))
         y_sampling = b"\x01\x22\x00" if sub420 else b"\x01\x11\x00"
         sof0 = seg(
             0xFFC0,
@@ -1473,7 +1501,7 @@ def encode_jpeg(pixels, subsampling: str = "444") -> bytes:
             0xFFDA, b"\x03\x01\x00\x02\x11\x03\x11" + b"\x00\x3f\x00"
         )
     else:
-        dqt = seg(0xFFDB, b"\x00" + zz_q)
+        dqt = seg(0xFFDB, dqt_entry(0, qtable))
         sof0 = seg(0xFFC0, struct.pack(">BHHB", 8, h, w, 1) + b"\x01\x11\x00")
         dht = seg(
             0xFFC4,
@@ -1510,7 +1538,7 @@ def _jpeg_find_scan_end(payload: bytes, start: int) -> int:
 
 
 def _jpeg_decode_scan(
-    reader, progressive, comps, scan_comps, coef, ss, se, ah, al
+    reader, progressive, comps, scan_comps, coef, dblocks, ss, se, ah, al
 ) -> None:
     """Entropy-decode one scan into the per-component coefficient
     stores. Baseline: one interleaved DC+AC scan. Progressive: DC
@@ -1599,9 +1627,9 @@ def _jpeg_decode_scan(
                                     ci, dc_t,
                                     coef[ci][my * vf + vy, mx * hf + hx],
                                 )
-        else:  # ns=1: non-interleaved raster over the component grid
+        else:  # ns=1: non-interleaved raster over the DATA block grid
             ci, dc_t, _ac_t = scan_comps[0]
-            nby, nbx = coef[ci].shape[:2]
+            nby, nbx = dblocks[ci]
             for by in range(nby):
                 for bx in range(nbx):
                     unit(ci, dc_t, coef[ci][by, bx])
@@ -1611,10 +1639,12 @@ def _jpeg_decode_scan(
     if len(scan_comps) != 1:
         raise ValueError("progressive AC scan must be single-component")
     if ah != 0:
-        _jpeg_decode_ac_refine(reader, scan_comps[0], coef, ss, se, al)
+        _jpeg_decode_ac_refine(
+            reader, scan_comps[0], coef, dblocks, ss, se, al
+        )
         return
     ci, _dc_t, ac_t = scan_comps[0]
-    nby, nbx = coef[ci].shape[:2]
+    nby, nbx = dblocks[ci]
     eobrun = 0
     for by in range(nby):
         for bx in range(nbx):
@@ -1648,7 +1678,9 @@ def _jpeg_decode_scan(
         raise ValueError("EOB run past the end of the component")
 
 
-def _jpeg_decode_ac_refine(reader, scan_comp, coef, ss, se, al) -> None:
+def _jpeg_decode_ac_refine(
+    reader, scan_comp, coef, dblocks, ss, se, al
+) -> None:
     """Progressive AC successive-approximation refinement decode
     (T.81 G.1.2.3): (run,1) symbols place newly-significant ±2^Al
     coefficients where the run counts only zero-history positions;
@@ -1659,7 +1691,7 @@ def _jpeg_decode_ac_refine(reader, scan_comp, coef, ss, se, al) -> None:
     bit-for-bit."""
     ci, _dc_t, ac_t = scan_comp
     p1 = 1 << al
-    nby, nbx = coef[ci].shape[:2]
+    nby, nbx = dblocks[ci]
     eobrun = 0
 
     def correct(blk, k) -> None:
@@ -1729,9 +1761,14 @@ def decode_jpeg(payload: bytes):
     (toward-zero point transform, newly-significant (run,1) symbols,
     inline correction bits, EOB-run corrections — T.81 G.1.2.3) —
     decoded into a per-component coefficient store and reconstructed
-    once at EOI. Rejects loudly: extended/lossless frames
-    (SOF1/SOF3), sampling factors beyond 2, 16-bit quant tables —
-    partial support would silently corrupt pixels."""
+    once at EOI. Dimensions need NOT be MCU multiples (T.81 A.2.4):
+    stores are allocated at the MCU-padded grid, non-interleaved
+    scans cover only each component's data-block grid, and the
+    reconstruction crops to the SOF-declared size. Both DQT
+    precisions parse (Pq=0 one-byte, Pq=1 two-byte elements).
+    Rejects loudly: extended/lossless frames (SOF1/SOF3) and
+    sampling factors beyond 2 — partial support would silently
+    corrupt pixels."""
     import struct
 
     import numpy as np
@@ -1747,6 +1784,7 @@ def decode_jpeg(payload: bytes):
     progressive = False
     comps: list[tuple[int, int, int, int]] = []  # (cid, tq, hf, vf)
     coef: list = []  # per comp: (nby, nbx, 64) int64 zigzag coefficients
+    dblocks: list = []  # per comp: non-interleaved (data) block grid
     saw_eoi = False
     got_scan = False
     while pos < len(payload):
@@ -1774,15 +1812,20 @@ def decode_jpeg(payload: bytes):
             off = 0
             while off < len(body):
                 pq_tq = body[off]
-                if pq_tq >> 4:
-                    raise NotImplementedError("16-bit quant tables")
-                if off + 65 > len(body):
+                pq = pq_tq >> 4  # 0: 1-byte elements, 1: 2-byte (T.81 B.2.4.1)
+                if pq > 1:
+                    raise ValueError(f"invalid DQT precision Pq={pq}")
+                esize = 2 if pq else 1
+                if off + 1 + 64 * esize > len(body):
                     raise ValueError("truncated DQT")
                 qt = np.zeros((8, 8), dtype=np.int64)
                 for k, (r, c) in enumerate(zigzag):
-                    qt[r, c] = body[off + 1 + k]
+                    p = off + 1 + k * esize
+                    qt[r, c] = (
+                        (body[p] << 8) | body[p + 1] if pq else body[p]
+                    )
                 qtables[pq_tq & 0x0F] = qt
-                off += 65
+                off += 1 + 64 * esize
         elif marker in (0xFFC0, 0xFFC2):
             progressive = marker == 0xFFC2
             if len(body) < 6:
@@ -1794,8 +1837,6 @@ def decode_jpeg(payload: bytes):
                 )
             if len(body) < 6 + 3 * ncomp:
                 raise ValueError("truncated SOF components")
-            if h % 8 or w % 8:
-                raise NotImplementedError("partial-MCU padding")
             for ci in range(ncomp):
                 cid = body[6 + 3 * ci]
                 sampling = body[7 + 3 * ci]
@@ -1808,13 +1849,20 @@ def decode_jpeg(payload: bytes):
                 comps.append((cid, tq, hf, vf))
             hmax = max(c[2] for c in comps)
             vmax = max(c[3] for c in comps)
-            if h % (8 * vmax) or w % (8 * hmax):
-                raise NotImplementedError("partial-MCU padding")
+            # partial MCUs (T.81 A.2.4): stores are allocated at the
+            # MCU-padded grid (interleaved scans encode every padding
+            # block), while NON-interleaved scans cover only each
+            # component's ceil(ceil(dim·f/fmax)/8) data blocks —
+            # dblocks carries that smaller grid per component
+            cdiv = lambda a, b: -(-a // b)  # noqa: E731 — ceil division
+            mcux = cdiv(w, 8 * hmax)
+            mcuy = cdiv(h, 8 * vmax)
             coef = [
-                np.zeros(
-                    (h * vf // (8 * vmax), w * hf // (8 * hmax), 64),
-                    dtype=np.int64,
-                )
+                np.zeros((mcuy * vf, mcux * hf, 64), dtype=np.int64)
+                for (_cid, _tq, hf, vf) in comps
+            ]
+            dblocks = [
+                (cdiv(cdiv(h * vf, vmax), 8), cdiv(cdiv(w * hf, hmax), 8))
                 for (_cid, _tq, hf, vf) in comps
             ]
         elif marker == 0xFFC4:
@@ -1872,7 +1920,7 @@ def decode_jpeg(payload: bytes):
             scan_end = _jpeg_find_scan_end(payload, scan_start)
             reader = _JpegBitReader(payload[scan_start:scan_end])
             _jpeg_decode_scan(
-                reader, progressive, comps, scan_comps, coef,
+                reader, progressive, comps, scan_comps, coef, dblocks,
                 ss, se, ah_al >> 4, ah_al & 0x0F,
             )
             got_scan = True
@@ -1904,8 +1952,12 @@ def decode_jpeg(payload: bytes):
     hmax = max(c[2] for c in comps)
     vmax = max(c[3] for c in comps)
     if len(comps) == 1:
-        return np.clip(np.floor(planes[0] + 0.5), 0, 255).astype(np.uint8)
-    # nearest-neighbor (box) chroma upsampling back to full resolution
+        # crop MCU padding back to the SOF-declared size
+        return np.clip(
+            np.floor(planes[0][:h, :w] + 0.5), 0, 255
+        ).astype(np.uint8)
+    # nearest-neighbor (box) chroma upsampling back to full
+    # resolution, then crop the MCU padding to the SOF-declared size
     full = []
     for ci, (_cid, _tq, hf, vf) in enumerate(comps):
         p = planes[ci]
@@ -1913,7 +1965,7 @@ def decode_jpeg(payload: bytes):
             p = np.repeat(p, vmax // vf, axis=0)
         if hf != hmax:
             p = np.repeat(p, hmax // hf, axis=1)
-        full.append(p)
+        full.append(p[:h, :w])
     Y, Cb, Cr = full
     R = Y + 1.402 * (Cr - 128.0)
     G = Y - 0.344136 * (Cb - 128.0) - 0.714136 * (Cr - 128.0)
@@ -2026,6 +2078,134 @@ def multimodal_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                     np.repeat(vals, 8, axis=0), 8, axis=1
                 ).astype(np.uint8)
                 payloads.append(encode_jpeg(img))
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    media = docs.mapInPandas(encode_batches, "doc_id long, payload binary")
+
+    def decode_batches(
+        batches: Iterator[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        cols = "doc_id in_w in_h sum_px wsum_px corner_px".split()
+        for pdf in batches:
+            out: dict[str, list] = {k: [] for k in cols}
+            for d, p in zip(pdf["doc_id"], pdf["payload"]):
+                px = decode_image(bytes(p))[:, :, 0].astype(np.int64)
+                h, w = px.shape
+                wgt = 2 * np.arange(w)[None, :] + np.arange(h)[:, None]
+                vals = (
+                    int(d), w, h, int(px.sum()),
+                    int((px * wgt).sum()), int(px[-1, -1]),
+                )
+                for k, v in zip(cols, vals):
+                    out[k].append(v)
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(decode_batches, _JPEG_SCHEMA).orderBy("doc_id")
+
+
+@register(
+    "multimodal_jpeg_partial_mcu_decode",
+    oracle=f"""
+        WITH d AS (
+            SELECT doc_id, doc_id % 6 + 2 AS wb, doc_id % 4 + 2 AS hb
+            FROM documents WHERE doc_id < {JPEG_DOCS}
+        ),
+        blocks AS (
+            SELECT doc_id, wb, hb,
+                   i % wb AS bx, i // wb AS by,
+                   (doc_id * 7 + 13 * (i % wb) + 29 * (i // wb)) % 256
+                       AS v
+            FROM (SELECT doc_id, wb, hb, unnest(range(0, wb * hb)) AS i
+                  FROM d)
+        ),
+        recon AS (
+            SELECT doc_id, wb, hb, bx, by,
+                   LEAST(255, GREATEST(0,
+                       2 * (CASE WHEN v - 128 < 0 THEN
+                                -((abs(v - 128) + 1) // 2)
+                            ELSE (abs(v - 128) + 1) // 2 END) + 128))
+                       AS px,
+                   CASE WHEN bx = wb - 1 THEN 5 ELSE 8 END AS bw,
+                   CASE WHEN by = hb - 1 THEN 3 ELSE 8 END AS bh
+            FROM blocks
+        )
+        SELECT doc_id,
+               CAST(8 * wb - 3 AS INT) AS in_w,
+               CAST(8 * hb - 5 AS INT) AS in_h,
+               CAST(sum(px * bw * bh) AS BIGINT) AS sum_px,
+               CAST(sum(px * (bw * bh * (16 * bx + 8 * by)
+                              + bh * bw * (bw - 1)
+                              + bw * (bh * (bh - 1) // 2))) AS BIGINT)
+                   AS wsum_px,
+               CAST(max(CASE WHEN bx = wb - 1 AND by = hb - 1
+                             THEN px END) AS INT) AS corner_px
+        FROM recon
+        GROUP BY doc_id, wb, hb
+        ORDER BY doc_id
+    """,
+    tags=("multimodal", "codec", "jpeg", "partial-mcu", "llm-pipeline"),
+)
+def multimodal_jpeg_partial_mcu_decode(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """REAL-dimension JPEG decode (VERDICT r9 task 4): per document
+    the block-constant fixture image is CROPPED to w = 8·wb − 3,
+    h = 8·hb − 5 — dimensions that are never block multiples, the
+    shape of essentially every real photograph — then encoded by
+    `encode_jpeg` (which edge-pads to the MCU grid per T.81 A.2.4)
+    and decoded by `decode_jpeg` (which crops the padded
+    reconstruction back to the SOF-declared size). Odd doc_ids
+    additionally emit their quant tables as Pq=1 TWO-BYTE DQT
+    entries (the extended-precision form in scanned-document
+    corpora), exercising both DQT parse paths inside one
+    hash-checked query.
+
+    The closed-form oracle survives the crop because edge
+    replication of a block-constant crop reconstructs exactly the
+    uncropped block-constant image: every decoded pixel still equals
+    the per-block DC closed form, and only the WEIGHTS change — each
+    block contributes bw×bh in-crop pixels (bw ∈ {{8,5}}, bh ∈
+    {{8,3}}) with Σ(2x+y) = bw·bh·(16bx+8by) + bh·bw(bw−1) +
+    bw·bh(bh−1)/2. The 16-bit DQT docs hash identically to 8-bit by
+    construction (same table values), so a Pq parsing bug flips the
+    driver hash.
+
+    Scale: identical to the other codec queries — two chained narrow
+    mapInPandas stages, zero shuffles, Arrow-batched blobs, scalar
+    feature columns out. Reference seam: `multimodal.py` decode
+    surface, narrowed per VERDICT r9 'What's missing' items 1+3."""
+
+    docs = (
+        t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < JPEG_DOCS)
+        .select("doc_id")
+    )
+
+    def encode_batches(
+        batches: Iterator[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            ids = pdf["doc_id"].to_numpy()
+            payloads = []
+            for d in ids:
+                d = int(d)
+                wb, hb = d % 6 + 2, d % 4 + 2
+                vals = (
+                    d * 7
+                    + 13 * np.arange(wb)[None, :]
+                    + 29 * np.arange(hb)[:, None]
+                ) % 256
+                img = np.repeat(
+                    np.repeat(vals, 8, axis=0), 8, axis=1
+                ).astype(np.uint8)
+                crop = img[: 8 * hb - 5, : 8 * wb - 3]
+                payloads.append(
+                    encode_jpeg(crop, dqt_16bit=bool(d % 2))
+                )
             yield pd.DataFrame({"doc_id": ids, "payload": payloads})
 
     media = docs.mapInPandas(encode_batches, "doc_id long, payload binary")

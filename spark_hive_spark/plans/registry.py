@@ -59,6 +59,8 @@ SWEEP_PRIORITY: tuple[str, ...] = (
     "pipeline_image_embedding_knn",
     "snapshot_concurrent_commit_audit",
     "mining_hard_negatives_ann",
+    # round-10 NEW queries: driver rows on first appearance
+    "multimodal_jpeg_partial_mcu_decode",
     # round-10 implementation changes: re-attest under the new code
     "knn_cosine_ivf",
     "ann_recall_audit",
@@ -100,7 +102,6 @@ SWEEP_PRIORITY: tuple[str, ...] = (
     "q22_idle_rich_customers",
     "setops_bag_semantics",
     "w_value_functions",
-    "rollup_grouping_flags",
 )
 
 

@@ -537,9 +537,9 @@ def test_jpeg_420_codec_closed_form_and_block_order():
     chroma values is exact), with the same >=1e-6 floor-boundary
     margins. (2) A quadrant-VARYING image — invisible to the oracle
     by design — round-trips with each 8×8 Y-block mean preserved,
-    which any in-MCU Y data-unit order bug would break. (3) The
-    encoder refuses non-multiple-of-16 dims and 4:2:2 frames decode
-    through the same generalized MCU walker."""
+    which any in-MCU Y data-unit order bug would break. (3)
+    Non-multiple-of-16 dims pad/crop exactly, and 4:2:2 frames
+    decode through the same generalized MCU walker."""
     import math
 
     import numpy as np
@@ -602,9 +602,16 @@ def test_jpeg_420_codec_closed_form_and_block_order():
         got = dec[qy * 8 : qy * 8 + 8, qx * 8 : qx * 8 + 8].mean()
         assert abs(got - v) <= 8, (i, v, got)
 
-    # (3) dim guard + 4:2:2 through the same walker
-    with pytest.raises(ValueError):
-        encode_jpeg(np.zeros((24, 24, 3), dtype=np.uint8), subsampling="420")
+    # (3) non-multiple-of-16 dims now pad by edge replication: a
+    # constant frame's padding blocks are the same constant, so the
+    # decoded crop is the constant's closed-form reconstruction
+    c420 = decode_jpeg(
+        encode_jpeg(np.full((24, 24, 3), 99, dtype=np.uint8),
+                    subsampling="420")
+    )
+    assert c420.shape == (24, 24, 3)
+    assert (c420 == c420[0, 0]).all()
+    # 4:2:2 through the same walker
     blob = encode_jpeg(np.full((16, 32, 3), 99, dtype=np.uint8))
     sub422 = blob.replace(b"\x01\x11\x00", b"\x01\x21\x00", 1)
     # 4:2:2 sampling byte with a 4:4:4 stream desyncs -> loud error,
@@ -691,6 +698,62 @@ def test_jpeg_progressive_matches_baseline():
         decode_jpeg(encode_jpeg(img)),
         decode_jpeg(encode_jpeg_progressive(img, ac_successive=True)),
     )
+
+
+def test_jpeg_partial_mcu_and_16bit_dqt():
+    """Non-MCU-multiple dims (the common real-file case — photos are
+    almost never multiples of 16) and Pq=1 two-byte quant tables.
+    Contracts: (1) decode(encode(img)) must equal decode(encode(
+    edge-padded img)) cropped — exact by construction, because the
+    encoder pads by edge replication and the decoder crops the padded
+    reconstruction; (2) progressive encodings of odd-dim images
+    (both AC modes) decode bit-identical to baseline; (3) a 16-bit
+    DQT stream with the same table values decodes bit-identical to
+    the 8-bit stream; (4) a malformed Pq>1 nibble fails loudly."""
+    import numpy as np
+    import pytest
+
+    from spark_hive_spark.operators.multimodal import (
+        _jpeg_pad_edge,
+        decode_jpeg,
+        encode_jpeg,
+        encode_jpeg_progressive,
+    )
+
+    rng = np.random.RandomState(2218)
+    cases = [
+        ((13, 21), "444", 8),
+        ((30, 50), "444", 8),
+        ((1, 1), "444", 8),
+        ((18, 34, 3), "444", 8),
+        ((20, 36, 3), "420", 16),
+        ((7, 100, 3), "420", 16),
+    ]
+    for shape, sub, mult in cases:
+        img = rng.randint(0, 256, shape).astype(np.uint8)
+        got = decode_jpeg(encode_jpeg(img, subsampling=sub))
+        assert got.shape[:2] == shape[:2], (shape, sub)
+        ref = decode_jpeg(encode_jpeg(_jpeg_pad_edge(img, mult),
+                                      subsampling=sub))
+        assert np.array_equal(got, ref[: shape[0], : shape[1]]), (shape, sub)
+    for shape in [(13, 21), (9, 9), (18, 34, 3)]:
+        img = rng.randint(0, 256, shape).astype(np.uint8)
+        base = decode_jpeg(encode_jpeg(img))
+        for sa in (False, True):
+            prog = decode_jpeg(encode_jpeg_progressive(img, ac_successive=sa))
+            assert np.array_equal(base, prog), (shape, sa)
+    for shape in [(16, 16), (13, 21), (18, 34, 3)]:
+        img = rng.randint(0, 256, shape).astype(np.uint8)
+        blob8 = encode_jpeg(img)
+        blob16 = encode_jpeg(img, dqt_16bit=True)
+        assert len(blob16) > len(blob8)  # 64 extra bytes per table
+        assert np.array_equal(decode_jpeg(blob8), decode_jpeg(blob16))
+    bad = encode_jpeg(np.full((8, 8), 7, dtype=np.uint8))
+    # DQT body starts right after the FFDB marker + 2-byte length:
+    # corrupt the Pq nibble to 2 -> loud structural error
+    i = bad.index(b"\xff\xdb") + 4
+    with pytest.raises(ValueError):
+        decode_jpeg(bad[:i] + bytes([0x20 | bad[i]]) + bad[i + 1 :])
     # structure: SOF2 frame, 4 scans for grayscale / 8 for color
     # (1 DC first + 1 DC refine + 2 AC bands x ncomp)
     gray = encode_jpeg_progressive(
