@@ -1824,8 +1824,10 @@ def test_webp_lossless_roundtrip_exact():
 def test_webp_decode_rejections():
     """decode_webp fails loudly on everything outside the implemented
     profile: non-WebP bytes, lossy VP8/VP8X chunks, truncated chunks,
-    transform/color-cache/meta-prefix bits, and 2D distance codes —
-    partial support would silently corrupt pixels."""
+    and structurally invalid streams — partial support would silently
+    corrupt pixels. (Predictor transforms, color cache, and 2D
+    distance codes are implemented as of round 10 — see
+    test_webp_predictor_cache_roundtrip.)"""
     import numpy as np
     import pytest
 
@@ -1844,11 +1846,74 @@ def test_webp_decode_rejections():
         decode_webp(good[: len(good) // 2])  # truncated chunk
     # flip the first post-header flag bit (transforms-present): the
     # VP8L header is 1 signature byte + 14+14+1+3 = 32 bits, so the
-    # transform bit is bit 0 of payload byte 5 (offset 20+1+4)
+    # transform bit is bit 0 of payload byte 5 (offset 20+1+4).
+    # The stream that follows is not a valid transform payload ->
+    # loud structural error, never a half-parsed frame
     patched = bytearray(good)
     patched[25] |= 0x01
-    with pytest.raises(NotImplementedError):
+    with pytest.raises((NotImplementedError, ValueError)):
         decode_webp(bytes(patched))
+
+
+def test_webp_predictor_cache_roundtrip():
+    """Round-10 VP8L additions (VERDICT r9 task 5): the 14-mode
+    predictor transform, the color cache, and the 2D distance
+    neighborhood map must all round-trip EXACTLY (the format is
+    lossless) — alone and composed. The encoder's per-block mode
+    schedule (bx+by mod 14) guarantees every predictor mode is
+    exercised on images with >= 14 blocks, including the Select and
+    ClampAddSubtractHalf C-semantics corners; gradients make
+    non-trivial residuals, tiles make backref runs that must keep
+    the cache state machine in sync on COPIED pixels too."""
+    import numpy as np
+    import pytest
+
+    from spark_hive_spark.operators.webp import (
+        decode_webp,
+        encode_webp_lossless,
+    )
+
+    rng = np.random.RandomState(614)
+    x = np.arange(40)[None, :]
+    y = np.arange(24)[:, None]
+    gradient = np.stack(
+        [(3 * x + 5 * y) % 256, (7 * x + y) % 256, (x + 11 * y) % 256],
+        axis=2,
+    ).astype(np.uint8)
+    v = (13 + 19 * np.arange(4)[None, :] + 31 * np.arange(3)[:, None]) % 256
+    tiles = np.repeat(
+        np.repeat(
+            np.stack([v, (v + 85) % 256, (v + 170) % 256], axis=2), 8, 0
+        ),
+        8,
+        1,
+    ).astype(np.uint8)
+    images = [
+        gradient,
+        tiles,
+        rng.randint(0, 256, (13, 21, 3)).astype(np.uint8),
+        rng.randint(0, 256, (1, 1, 3)).astype(np.uint8),
+    ]
+    for img in images:
+        for kw in (
+            {"transform": "predictor"},
+            {"color_cache_bits": 4},
+            {"dist_2d": True},
+            {"transform": "predictor", "color_cache_bits": 8,
+             "dist_2d": True},
+        ):
+            got = decode_webp(encode_webp_lossless(img, **kw))
+            assert np.array_equal(got, img), (img.shape, kw)
+    # invalid cache sizes stay loud in both directions
+    with pytest.raises(ValueError):
+        encode_webp_lossless(gradient, color_cache_bits=12)
+    blob = bytearray(encode_webp_lossless(gradient, color_cache_bits=4))
+    # byte 25 = first post-header byte (LSB-first): bit 0 transform
+    # flag (0), bit 1 cache flag (1), bits 2-5 cache_bits = 4.
+    # Patch cache_bits to 15 -> invalid (spec max 11)
+    blob[25] = (blob[25] & 0xC3) | (15 << 2)
+    with pytest.raises(ValueError):
+        decode_webp(bytes(blob))
 
 
 def test_webp_decode_image_dispatch():
