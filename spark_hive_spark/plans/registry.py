@@ -62,6 +62,7 @@ SWEEP_PRIORITY: tuple[str, ...] = (
     # round-10 NEW queries: driver rows on first appearance
     "multimodal_jpeg_partial_mcu_decode",
     "multimodal_webp_predictor_decode",
+    "snapshot_semantic_conflict_audit",
     # round-10 implementation changes: re-attest under the new code
     "knn_cosine_ivf",
     "ann_recall_audit",
@@ -101,7 +102,6 @@ SWEEP_PRIORITY: tuple[str, ...] = (
     "q12_priority_by_ship_year",
     "q19_disjunctive_revenue",
     "q22_idle_rich_customers",
-    "setops_bag_semantics",
 )
 
 

@@ -646,6 +646,39 @@ def snapshot_expire_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def _parquet_files(d: str) -> list[str]:
+    return sorted(
+        os.path.join(d, f)
+        for f in os.listdir(d)
+        if f.endswith(".parquet")
+    )
+
+
+def _cas_commit(mdir: str, version: int, files: list[str]) -> bool:
+    """CAS publish: atomically create v{version}.json, or report the
+    slot already taken (the conflict signal) — the same
+    atomic-create-or-fail primitive Delta uses on the transaction
+    log (object-store put-if-absent)."""
+    import json as _json
+
+    path = os.path.join(mdir, f"v{version}.json")
+    try:
+        fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    except FileExistsError:
+        return False
+    with os.fdopen(fd, "w") as fh:
+        _json.dump({"version": version, "files": files}, fh)
+    return True
+
+
+def _cas_latest(mdir: str) -> tuple[int, list[str]]:
+    import json as _json
+
+    v = max(int(f[1:-5]) for f in os.listdir(mdir))
+    with open(os.path.join(mdir, f"v{v}.json")) as fh:
+        return v, _json.load(fh)["files"]
+
+
 @register(
     "snapshot_concurrent_commit_audit",
     oracle=f"""
@@ -690,8 +723,6 @@ def snapshot_concurrent_commit_audit(
     rebase untouched — append-append conflicts never rewrite data).
     Append-vs-append always rebases cleanly; a real format layers
     semantic checks (overlapping deletes) on the same CAS loop."""
-    import json as _json
-
     orders = t(spark, sf_dir, "orders")
     root = os.path.join(
         tempfile.gettempdir(), f"shs_cas_{uuid.uuid4().hex}"
@@ -703,32 +734,15 @@ def snapshot_concurrent_commit_audit(
     orders.filter(F.year("o_orderdate") == 1998).write.parquet(a_dir)
     orders.filter(F.year("o_orderdate") > 1998).write.parquet(b_dir)
 
-    def _files(d: str) -> list[str]:
-        return sorted(
-            os.path.join(d, f)
-            for f in os.listdir(d)
-            if f.endswith(".parquet")
-        )
-
+    _files = _parquet_files
     mdir = os.path.join(root, "_manifests")
     os.makedirs(mdir, exist_ok=True)
 
     def _commit(version: int, files: list[str]) -> bool:
-        """CAS publish: atomically create v{version}.json, or report
-        the slot already taken (the conflict signal)."""
-        path = os.path.join(mdir, f"v{version}.json")
-        try:
-            fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-        except FileExistsError:
-            return False
-        with os.fdopen(fd, "w") as fh:
-            _json.dump({"version": version, "files": files}, fh)
-        return True
+        return _cas_commit(mdir, version, files)
 
     def _latest() -> tuple[int, list[str]]:
-        v = max(int(f[1:-5]) for f in os.listdir(mdir))
-        with open(os.path.join(mdir, f"v{v}.json")) as fh:
-            return v, _json.load(fh)["files"]
+        return _cas_latest(mdir)
 
     if not _commit(1, _files(base_dir)):
         raise RuntimeError("fresh store must accept v1")
@@ -763,6 +777,131 @@ def snapshot_concurrent_commit_audit(
         F.lit(cas_conflicts).cast("int").alias("cas_conflicts"),
         F.lit(retries).cast("int").alias("retries"),
         F.lit(winner_unchanged).alias("winner_manifest_unchanged"),
+        F.count("*").alias("n_rows"),
+        dsum("o_totalprice").alias("total"),
+    ).localCheckpoint(eager=True)  # 1 row; frees the temp table root
+    shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
+@register(
+    "snapshot_semantic_conflict_audit",
+    oracle=f"""
+        SELECT CAST(4 AS INT) AS versions_final,
+               CAST(2 AS INT) AS cas_conflicts,
+               CAST(1 AS INT) AS semantic_rebases,
+               CAST(1 AS INT) AS semantic_aborts,
+               CAST(1 AS INT) AS files_final,
+               (SELECT CAST(count(*) AS BIGINT) FROM orders) AS n_rows,
+               (SELECT {sql_dsum("o_totalprice")} FROM orders) AS total
+    """,
+    tags=("lakehouse", "snapshot", "concurrency", "compaction", "cas"),
+)
+def snapshot_semantic_conflict_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """SEMANTIC conflict detection on the CAS loop (VERDICT r9 task
+    7) — the layer Delta/Iceberg put between "my version slot was
+    taken" and "retry blindly". Append-vs-append rebases by
+    concatenation (`snapshot_concurrent_commit_audit`); a COMPACTOR
+    that loses a race must not: re-committing its prepared file list
+    loses the winner's append, and appending it keeps the rewritten
+    source files — double-counting every compacted row. Protocol
+    under test, orchestrated deterministically:
+
+    1. v1 = base manifest (4 parquet files of pre-1998 orders).
+    2. A compactor snapshots v1 and rewrites all 4 files into one.
+       An appender snapshots v1 and prepares one new file (1998+).
+    3. The appender wins v2. The compactor's CAS fails → SEMANTIC
+       REBASE: it checks its replaced set is still fully present in
+       the latest manifest, then swaps — (latest − replaced) + [c1]
+       — committing v3 = [append, compacted] with every row exactly
+       once.
+    4. A second, STALE compactor (also snapshotted v1) now fails its
+       CAS at v2 AND its semantic check (its replaced files are gone
+       from v3) → it must ABORT the rebase, recompact against v3,
+       and commit v4 = [one file of the whole table].
+
+    The audit pins the full protocol trace — final version 4, two
+    CAS conflicts, one semantic rebase, one semantic abort, one
+    final file — plus the lost-update/double-count detectors: final
+    n_rows and the exact-decimal total must equal the source table's
+    (a blind re-commit loses the append → n_rows short; a blind
+    append-style rebase double-counts the base → total high).
+
+    Scale: the semantic check is set arithmetic on manifests (O(1)
+    in data volume); only the abort path re-reads data, and only the
+    files being recompacted."""
+    orders = t(spark, sf_dir, "orders")
+    root = os.path.join(
+        tempfile.gettempdir(), f"shs_semcas_{uuid.uuid4().hex}"
+    )
+    base_dir = os.path.join(root, "base")
+    app_dir = os.path.join(root, "append")
+    c1_dir = os.path.join(root, "compact1")
+    c2_dir = os.path.join(root, "compact2")
+    orders.filter(F.year("o_orderdate") < 1998).repartition(4).write.parquet(
+        base_dir
+    )
+    orders.filter(F.year("o_orderdate") >= 1998).coalesce(1).write.parquet(
+        app_dir
+    )
+
+    mdir = os.path.join(root, "_manifests")
+    os.makedirs(mdir, exist_ok=True)
+    if not _cas_commit(mdir, 1, _parquet_files(base_dir)):
+        raise RuntimeError("fresh store must accept v1")
+
+    cas_conflicts = semantic_rebases = semantic_aborts = 0
+
+    # both compactors and the appender snapshot the SAME v1
+    c1_seen, c1_base = _cas_latest(mdir)
+    c2_seen, c2_base = _cas_latest(mdir)
+    a_seen, a_base = _cas_latest(mdir)
+
+    # compactor 1 rewrites its snapshot's files into one
+    spark.read.parquet(*c1_base).coalesce(1).write.parquet(c1_dir)
+    c1_files = _parquet_files(c1_dir)
+
+    # appender wins the v2 slot
+    if not _cas_commit(mdir, a_seen + 1, a_base + _parquet_files(app_dir)):
+        raise RuntimeError("appender's CAS must succeed on a fresh slot")
+
+    # compactor 1: CAS fails -> semantic rebase (swap, don't append)
+    if _cas_commit(mdir, c1_seen + 1, c1_files):
+        raise RuntimeError("compactor 1 must lose the v2 race")
+    cas_conflicts += 1
+    latest_v, latest_files = _cas_latest(mdir)
+    replaced = set(c1_base)
+    if not replaced <= set(latest_files):
+        raise RuntimeError("semantic check must pass for compactor 1")
+    semantic_rebases += 1
+    rebased = [f for f in latest_files if f not in replaced] + c1_files
+    if not _cas_commit(mdir, latest_v + 1, rebased):
+        raise RuntimeError("rebased compaction must take v3")
+
+    # stale compactor 2: CAS fails AND the semantic check fails (its
+    # replaced files were rewritten out of the manifest) -> abort the
+    # rebase, recompact against the NEW latest, commit v4
+    if _cas_commit(mdir, c2_seen + 1, c1_files):
+        raise RuntimeError("stale compactor must lose its slot")
+    cas_conflicts += 1
+    latest_v, latest_files = _cas_latest(mdir)
+    if set(c2_base) <= set(latest_files):
+        raise RuntimeError("stale compactor's inputs must be gone")
+    semantic_aborts += 1
+    spark.read.parquet(*latest_files).coalesce(1).write.parquet(c2_dir)
+    if not _cas_commit(mdir, latest_v + 1, _parquet_files(c2_dir)):
+        raise RuntimeError("recompacted manifest must take v4")
+
+    final_v, final_files = _cas_latest(mdir)
+    final_df = spark.read.parquet(*final_files)
+    out = final_df.agg(
+        F.lit(final_v).cast("int").alias("versions_final"),
+        F.lit(cas_conflicts).cast("int").alias("cas_conflicts"),
+        F.lit(semantic_rebases).cast("int").alias("semantic_rebases"),
+        F.lit(semantic_aborts).cast("int").alias("semantic_aborts"),
+        F.lit(len(final_files)).cast("int").alias("files_final"),
         F.count("*").alias("n_rows"),
         dsum("o_totalprice").alias("total"),
     ).localCheckpoint(eager=True)  # 1 row; frees the temp table root
