@@ -15,7 +15,8 @@ as they would at 100 TB.
 Deterministic (pure arithmetic on source rows, no RNG). Output:
 testdata_scale/sf1/{orders,lineitem,...}.parquet (next to the
 documents/embeddings the text generator wrote).
-Usage: python scripts/gen_scale_relational.py [mult]   # default 10
+Usage: python scripts/gen_scale_relational.py [mult] [out_label]
+       # defaults: 10 sf1   (e.g. "50 sf5" for the 50x fixture)
 """
 
 from __future__ import annotations
@@ -26,7 +27,7 @@ import sys
 import duckdb
 
 SRC = "/root/testdata/sf0.1"
-OUT = os.path.join(os.path.dirname(__file__), "..", "testdata_scale", "sf1")
+_SCALE_ROOT = os.path.join(os.path.dirname(__file__), "..", "testdata_scale")
 
 KO = 10_000_000   # orderkey offset per replica
 KC = 1_000_000    # custkey offset
@@ -48,6 +49,9 @@ OFFSETS = {
 
 def main() -> None:
     mult = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    OUT = os.path.join(  # noqa: N806
+        _SCALE_ROOT, sys.argv[2] if len(sys.argv) > 2 else "sf1"
+    )
     os.makedirs(OUT, exist_ok=True)
     con = duckdb.connect()
     for tbl, offs in OFFSETS.items():

@@ -943,6 +943,21 @@ class _JpegBitWriter:
             self.nbits = 0
         return bytes(self.out)
 
+    def restart(self, n: int) -> None:
+        """Byte-align with 1-padding (T.81 B.2.4.4 — a 0xFF pad byte
+        still gets stuffed) and emit a raw RSTn marker (never
+        stuffed: restart markers ARE markers)."""
+        if self.nbits:
+            pad = 8 - self.nbits
+            byte = ((self.acc << pad) | ((1 << pad) - 1)) & 0xFF
+            self.out.append(byte)
+            if byte == 0xFF:
+                self.out.append(0x00)
+            self.acc = 0
+            self.nbits = 0
+        self.out.append(0xFF)
+        self.out.append(0xD0 | (n & 7))
+
 
 class _JpegBitReader:
     """Inverse of the writer: un-stuffs 0xFF00 and fails loudly on a
@@ -986,6 +1001,22 @@ class _JpegBitReader:
             if sym is not None:
                 return sym
         raise ValueError("invalid huffman code")
+
+    def sync_restart(self, n: int) -> None:
+        """Consume an RSTn marker at a restart boundary: discard the
+        current byte's padding bits (the encoder 1-padded to align —
+        a 0xFF pad byte and its stuffing were already skipped at
+        fetch time), then require exactly 0xFF 0xD(n mod 8)."""
+        self.nbits = 0
+        if (
+            self.pos + 2 > len(self.data)
+            or self.data[self.pos] != 0xFF
+            or not 0xD0 <= self.data[self.pos + 1] <= 0xD7
+        ):
+            raise ValueError("missing JPEG restart marker")
+        if (self.data[self.pos + 1] & 7) != (n & 7):
+            raise ValueError("JPEG restart marker out of sequence")
+        self.pos += 2
 
 
 def _jpeg_extend(bits_val: int, ssss: int) -> int:
@@ -1376,7 +1407,11 @@ def encode_jpeg_progressive(pixels, ac_successive: bool = False) -> bytes:
 
 
 def encode_jpeg(
-    pixels, subsampling: str = "444", dqt_16bit: bool = False
+    pixels,
+    subsampling: str = "444",
+    dqt_16bit: bool = False,
+    restart_interval: int = 0,
+    multi_scan: bool = False,
 ) -> bytes:
     """Serialize a uint8 image (any dims >= 1x1) as a genuine
     baseline JFIF JPEG — FDCT, Annex-K quantization, differential-DC
@@ -1392,7 +1427,15 @@ def encode_jpeg(
     size. ``dqt_16bit`` writes the same quant tables as Pq=1
     two-byte DQT entries (the extended-precision table form scanned-
     document encoders emit) — the pixels are identical either way.
-    Inverse (up to quantization + subsampling) of `decode_jpeg`."""
+    ``restart_interval`` > 0 emits a DRI segment and RSTn markers
+    every that-many MCUs (byte-aligned, DC predictors reset — the
+    error-resilience form camera firmware emits). ``multi_scan``
+    (4:4:4 color only) writes each component as its own
+    NON-INTERLEAVED sequential scan — three SOS segments, per-scan
+    DC prediction — the multi-scan sequential layout in scanned-
+    document corpora. Pixels are identical across all these layout
+    knobs. Inverse (up to quantization + subsampling) of
+    `decode_jpeg`."""
     import struct
 
     import numpy as np
@@ -1438,12 +1481,39 @@ def encode_jpeg(
         ]
     else:
         comps = [(px.astype(np.float64), qtable, dc_y, ac_y)]
+    if multi_scan and (not color or sub420):
+        raise ValueError("multi_scan requires 4:4:4 color")
     writer = _JpegBitWriter()
     prev = [0] * len(comps)
-    if sub420:
+    rst = [0, 0]  # (MCUs encoded, next RSTn index)
+
+    def maybe_restart() -> None:
+        if not restart_interval:
+            return
+        if rst[0] and rst[0] % restart_interval == 0:
+            writer.restart(rst[1])
+            rst[1] = (rst[1] + 1) & 7
+            for ci in range(len(prev)):
+                prev[ci] = 0
+        rst[0] += 1
+
+    multi_scans: list[bytes] = []  # multi_scan: one entropy stream/comp
+    if multi_scan:
+        for ci, (plane, qt, dcc, acc) in enumerate(comps):
+            writer = _JpegBitWriter()
+            prev = [0] * len(comps)
+            rst[0], rst[1] = 0, 0  # RSTn index restarts per scan
+            for by in range(ph // 8):
+                for bx in range(pw // 8):
+                    maybe_restart()
+                    zz = _jpeg_quant_block(plane, by, bx, qt, zigzag, dct_m)
+                    prev[ci] = _jpeg_write_block(writer, zz, prev[ci], dcc, acc)
+            multi_scans.append(writer.flush())
+    elif sub420:
         # MCU = 16×16 px: 4 raster-ordered Y blocks, then Cb, then Cr
         for my in range(ph // 16):
             for mx in range(pw // 16):
+                maybe_restart()
                 for vy in range(2):
                     for hx in range(2):
                         zz = _jpeg_quant_block(
@@ -1465,12 +1535,13 @@ def encode_jpeg(
     else:
         for by in range(ph // 8):
             for bx in range(pw // 8):
+                maybe_restart()
                 for ci, (plane, qt, dcc, acc) in enumerate(comps):
                     zz = _jpeg_quant_block(plane, by, bx, qt, zigzag, dct_m)
                     prev[ci] = _jpeg_write_block(
                         writer, zz, prev[ci], dcc, acc
                     )
-    scan = writer.flush()
+    scan = b"" if multi_scan else writer.flush()
 
     def seg(marker: int, body: bytes) -> bytes:
         return struct.pack(">HH", marker, len(body) + 2) + body
@@ -1509,14 +1580,31 @@ def encode_jpeg(
             + b"\x10" + bytes(_JPEG_AC_BITS) + bytes(_JPEG_AC_VALS),
         )
         sos = seg(0xFFDA, b"\x01\x01\x00\x00\x3f\x00")
+    dri = (
+        seg(0xFFDD, struct.pack(">H", restart_interval))
+        if restart_interval
+        else b""
+    )
+    if multi_scan:
+        body = b"".join(
+            seg(
+                0xFFDA,
+                bytes([1, ci + 1, 0x00 if ci == 0 else 0x11])
+                + b"\x00\x3f\x00",
+            )
+            + multi_scans[ci]
+            for ci in range(len(comps))
+        )
+    else:
+        body = sos + scan
     return (
         b"\xff\xd8"
         + seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
         + dqt
         + sof0
         + dht
-        + sos
-        + scan
+        + dri
+        + body
         + b"\xff\xd9"
     )
 
@@ -1538,15 +1626,33 @@ def _jpeg_find_scan_end(payload: bytes, start: int) -> int:
 
 
 def _jpeg_decode_scan(
-    reader, progressive, comps, scan_comps, coef, dblocks, ss, se, ah, al
+    reader, progressive, comps, scan_comps, coef, dblocks, ss, se, ah, al,
+    restart_interval=0,
 ) -> None:
     """Entropy-decode one scan into the per-component coefficient
-    stores. Baseline: one interleaved DC+AC scan. Progressive: DC
+    stores. Sequential: one interleaved DC+AC scan, or per-component
+    non-interleaved scans (multi-scan sequential). Progressive: DC
     first/refinement scans (interleaved or single-component), AC
     spectral-selection first scans with cross-block EOBn runs, and AC
     successive-approximation refinement (Ah>0, Ss>0) via
-    ``_jpeg_decode_ac_refine`` — the full SOF2 scan matrix."""
+    ``_jpeg_decode_ac_refine`` — the full SOF2 scan matrix. A DRI
+    ``restart_interval`` > 0 consumes RSTn markers every interval
+    MCUs in sequential scans, resetting the DC predictors (T.81
+    B.2.4.4); progressive + DRI stays a loud seam."""
     prev = {ci: 0 for ci, _dc, _ac in scan_comps}
+    rst_state = [0, 0]  # (mcus decoded, next RSTn index)
+
+    def maybe_restart() -> None:
+        """Call BEFORE each MCU: consume the due RSTn and reset DC
+        prediction every restart_interval MCUs."""
+        if not restart_interval:
+            return
+        if rst_state[0] and rst_state[0] % restart_interval == 0:
+            reader.sync_restart(rst_state[1])
+            rst_state[1] = (rst_state[1] + 1) & 7
+            for k in prev:
+                prev[k] = 0
+        rst_state[0] += 1
 
     def dc_first(ci, dc_t, blk) -> None:
         ssss = reader.read_symbol(dc_t)
@@ -1579,8 +1685,20 @@ def _jpeg_decode_scan(
     if not progressive:
         if (ss, se, ah, al) != (0, 63, 0, 0):
             raise ValueError("baseline scan must cover Ss=0..Se=63")
+        if len(scan_comps) == 1 and len(comps) > 1:
+            # multi-scan sequential: a non-interleaved scan rasters
+            # over the component's DATA block grid (MCU = 1 block)
+            ci, dc_t, ac_t = scan_comps[0]
+            nby, nbx = dblocks[ci]
+            for by in range(nby):
+                for bx in range(nbx):
+                    maybe_restart()
+                    baseline_block(ci, dc_t, ac_t, coef[ci][by, bx])
+            return
         if len(scan_comps) != len(comps):
-            raise NotImplementedError("multi-scan sequential JPEG")
+            raise NotImplementedError(
+                "partially interleaved sequential scan (1 < Ns < Nf)"
+            )
         # MCU grid: every component store holds vf (hf) blocks per MCU
         mcu_rows = min(
             coef[ci].shape[0] // comps[ci][3]
@@ -1592,6 +1710,7 @@ def _jpeg_decode_scan(
         )
         for my in range(mcu_rows):
             for mx in range(mcu_cols):
+                maybe_restart()
                 for ci, dc_t, ac_t in scan_comps:
                     _cid, _tq, hf, vf = comps[ci]
                     for vy in range(vf):
@@ -1754,7 +1873,10 @@ def decode_jpeg(payload: bytes):
     dequantize, IDCT, level shift, per-component nearest-neighbor
     chroma upsampling, and the inverse BT.601 transform for color.
 
-    Handles baseline sequential (SOF0) single-scan frames AND
+    Handles baseline sequential (SOF0) frames — interleaved
+    single-scan AND multi-scan non-interleaved (one component per
+    scan), with DRI/RSTn restart intervals (byte-aligned marker sync,
+    DC-predictor reset per T.81 B.2.4.4) — and
     progressive (SOF2) multi-scan frames — spectral selection with
     EOBn cross-block runs plus FULL successive approximation on both
     DC (first-pass point transform + refinement bits) and AC
@@ -1785,6 +1907,7 @@ def decode_jpeg(payload: bytes):
     comps: list[tuple[int, int, int, int]] = []  # (cid, tq, hf, vf)
     coef: list = []  # per comp: (nby, nbx, 64) int64 zigzag coefficients
     dblocks: list = []  # per comp: non-interleaved (data) block grid
+    restart_interval = 0  # DRI: MCUs between RSTn markers (0 = none)
     saw_eoi = False
     got_scan = False
     while pos < len(payload):
@@ -1865,6 +1988,10 @@ def decode_jpeg(payload: bytes):
                 (cdiv(cdiv(h * vf, vmax), 8), cdiv(cdiv(w * hf, hmax), 8))
                 for (_cid, _tq, hf, vf) in comps
             ]
+        elif marker == 0xFFDD:  # DRI: define restart interval
+            if len(body) != 2:
+                raise ValueError("bad DRI segment length")
+            restart_interval = struct.unpack(">H", body)[0]
         elif marker == 0xFFC4:
             off = 0
             while off < len(body):
@@ -1916,12 +2043,17 @@ def decode_jpeg(payload: bytes):
                         raise ValueError(
                             "scan references missing table: AC"
                         )
+            if restart_interval and progressive:
+                raise NotImplementedError(
+                    "restart markers in progressive scans"
+                )
             scan_start = pos + seglen
             scan_end = _jpeg_find_scan_end(payload, scan_start)
             reader = _JpegBitReader(payload[scan_start:scan_end])
             _jpeg_decode_scan(
                 reader, progressive, comps, scan_comps, coef, dblocks,
                 ss, se, ah_al >> 4, ah_al & 0x0F,
+                restart_interval=restart_interval,
             )
             got_scan = True
             pos = scan_end
@@ -2383,6 +2515,103 @@ def multimodal_jpeg_color_decode(
             ids = pdf["doc_id"].to_numpy()
             payloads = [
                 encode_jpeg(jpeg_color_fixture_image(int(d))) for d in ids
+            ]
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    media = docs.mapInPandas(encode_batches, "doc_id long, payload binary")
+
+    def decode_batches(
+        batches: Iterator[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        cols = "doc_id in_w in_h sum_r sum_g sum_b wsum_g corner_b".split()
+        for pdf in batches:
+            out: dict[str, list] = {k: [] for k in cols}
+            for d, p in zip(pdf["doc_id"], pdf["payload"]):
+                px = decode_image(bytes(p)).astype(np.int64)
+                h, w, _ = px.shape
+                wgt = 2 * np.arange(w)[None, :] + np.arange(h)[:, None]
+                vals = (
+                    int(d), w, h,
+                    int(px[:, :, 0].sum()), int(px[:, :, 1].sum()),
+                    int(px[:, :, 2].sum()),
+                    int((px[:, :, 1] * wgt).sum()),
+                    int(px[-1, -1, 2]),
+                )
+                for k, v in zip(cols, vals):
+                    out[k].append(v)
+            yield pd.DataFrame(out)
+
+    return (
+        media.mapInPandas(decode_batches, _JPEG_COLOR_SCHEMA)
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "multimodal_jpeg_multiscan_restart_decode",
+    oracle=f"""
+        WITH {JPEG_COLOR_PIXELS_CTE}
+        SELECT doc_id,
+               CAST(8 * wb AS INT) AS in_w,
+               CAST(8 * hb AS INT) AS in_h,
+               CAST(sum(64 * pr) AS BIGINT) AS sum_r,
+               CAST(sum(64 * pg) AS BIGINT) AS sum_g,
+               CAST(sum(64 * pb) AS BIGINT) AS sum_b,
+               CAST(sum(pg * (512 * (2 * bx + by) + 672)) AS BIGINT)
+                   AS wsum_g,
+               CAST(max(CASE WHEN bx = wb - 1 AND by = hb - 1
+                             THEN pb END) AS INT) AS corner_b
+        FROM rgb
+        GROUP BY doc_id, wb, hb
+        ORDER BY doc_id
+    """,
+    tags=("multimodal", "codec", "jpeg", "restart", "llm-pipeline"),
+)
+def multimodal_jpeg_multiscan_restart_decode(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The two sequential-JPEG LAYOUT variants real corpora carry
+    beyond the interleaved single-scan form (round 10): each doc's
+    block-constant color fixture encodes as MULTI-SCAN SEQUENTIAL
+    (three non-interleaved SOS scans, one per YCbCr component, each
+    with its own DC predictor — the scanned-document layout) with a
+    DRI RESTART INTERVAL of doc%4 MCUs (0 = no DRI; RSTn markers
+    byte-align the stream and reset DC prediction every interval —
+    the error-resilience layout camera firmware emits), and odd docs
+    add Pq=1 16-bit quant tables on top.
+
+    The decoded pixels are identical to the interleaved single-scan
+    encoding BY CONSTRUCTION (same quantized coefficients, different
+    scan/restart layout), so this query shares
+    `multimodal_jpeg_color_decode`'s closed-form oracle verbatim —
+    any RSTn sync, per-scan DC reset, or non-interleaved raster bug
+    flips the hash. Round-trip identity across the layout matrix is
+    additionally pytest-pinned on random images.
+
+    Scale: same as every codec query — two narrow Arrow mapInPandas
+    stages, zero shuffles."""
+
+    docs = (
+        t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < JPEG_DOCS)
+        .select("doc_id")
+    )
+
+    def encode_batches(
+        batches: Iterator[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf["doc_id"].to_numpy()
+            payloads = [
+                encode_jpeg(
+                    jpeg_color_fixture_image(int(d)),
+                    multi_scan=True,
+                    restart_interval=int(d) % 4,
+                    dqt_16bit=bool(int(d) % 2),
+                )
+                for d in ids
             ]
             yield pd.DataFrame({"doc_id": ids, "payload": payloads})
 

@@ -700,6 +700,63 @@ def test_jpeg_progressive_matches_baseline():
     )
 
 
+def test_jpeg_multiscan_and_restart_markers():
+    """Sequential-JPEG layout variants must decode bit-identical to
+    the interleaved single-scan encoding of the same image (same
+    quantized coefficients, different entropy layout): DRI/RSTn
+    restart intervals (including interval 1 — a marker after every
+    MCU — and intervals spanning the RSTn modulo-8 wraparound),
+    multi-scan non-interleaved color (three SOS scans, per-scan DC
+    predictors), their composition, and both knobs on 4:2:0 and
+    odd-dimension frames. A truncated restart sequence fails
+    loudly."""
+    import numpy as np
+    import pytest
+
+    from spark_hive_spark.operators.multimodal import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    rng = np.random.RandomState(1653)
+    for shape in [(16, 16), (13, 21), (24, 40, 3), (18, 34, 3)]:
+        img = rng.randint(0, 256, shape).astype(np.uint8)
+        base = decode_jpeg(encode_jpeg(img))
+        for ri in (1, 2, 5, 17):
+            got = decode_jpeg(encode_jpeg(img, restart_interval=ri))
+            assert np.array_equal(base, got), (shape, ri)
+        if len(shape) == 3:
+            ms = decode_jpeg(encode_jpeg(img, multi_scan=True))
+            assert np.array_equal(base, ms), (shape, "ms")
+            both = decode_jpeg(
+                encode_jpeg(
+                    img, multi_scan=True, restart_interval=3,
+                    dqt_16bit=True,
+                )
+            )
+            assert np.array_equal(base, both), (shape, "ms+rst+16")
+    img = rng.randint(0, 256, (20, 36, 3)).astype(np.uint8)
+    base420 = decode_jpeg(encode_jpeg(img, subsampling="420"))
+    got420 = decode_jpeg(
+        encode_jpeg(img, subsampling="420", restart_interval=2)
+    )
+    assert np.array_equal(base420, got420)
+    # multi_scan needs three components to split
+    with pytest.raises(ValueError):
+        encode_jpeg(
+            rng.randint(0, 256, (16, 16)).astype(np.uint8),
+            multi_scan=True,
+        )
+    # chop the stream mid-restart-sequence: loud, never half a frame
+    blob = encode_jpeg(
+        rng.randint(0, 256, (32, 32)).astype(np.uint8),
+        restart_interval=1,
+    )
+    first_rst = blob.index(b"\xff\xd0")
+    with pytest.raises(ValueError):
+        decode_jpeg(blob[: first_rst + 2])
+
+
 def test_jpeg_partial_mcu_and_16bit_dqt():
     """Non-MCU-multiple dims (the common real-file case — photos are
     almost never multiples of 16) and Pq=1 two-byte quant tables.
