@@ -1887,8 +1887,9 @@ def decode_jpeg(payload: bytes):
     stores are allocated at the MCU-padded grid, non-interleaved
     scans cover only each component's data-block grid, and the
     reconstruction crops to the SOF-declared size. Both DQT
-    precisions parse (Pq=0 one-byte, Pq=1 two-byte elements).
-    Rejects loudly: extended/lossless frames (SOF1/SOF3) and
+    precisions parse (Pq=0 one-byte, Pq=1 two-byte elements), and
+    8-bit extended-sequential (SOF1) frames decode as SOF0.
+    Rejects loudly: lossless frames (SOF3), 12-bit precision, and
     sampling factors beyond 2 — partial support would silently
     corrupt pixels."""
     import struct
@@ -1920,11 +1921,8 @@ def decode_jpeg(payload: bytes):
         if marker == 0xFFD9:
             saw_eoi = True
             break
-        if marker in (0xFFC1, 0xFFC3):
-            raise NotImplementedError(
-                "only baseline (SOF0) and progressive (SOF2) JPEG "
-                "frames are supported"
-            )
+        if marker == 0xFFC3:
+            raise NotImplementedError("lossless (SOF3) JPEG frames")
         if pos + 2 > len(payload):
             raise ValueError("truncated JPEG (segment header)")
         (seglen,) = struct.unpack(">H", payload[pos : pos + 2])
@@ -1949,7 +1947,11 @@ def decode_jpeg(payload: bytes):
                     )
                 qtables[pq_tq & 0x0F] = qt
                 off += 1 + 64 * esize
-        elif marker in (0xFFC0, 0xFFC2):
+        elif marker in (0xFFC0, 0xFFC1, 0xFFC2):
+            # SOF1 (extended sequential) at 8-bit precision is
+            # decode-identical to SOF0 — it only widens the permitted
+            # precision/table-count envelope (T.81 Table B.2); the
+            # precision guard below still rejects 12-bit frames
             progressive = marker == 0xFFC2
             if len(body) < 6:
                 raise ValueError("truncated SOF")

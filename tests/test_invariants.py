@@ -623,8 +623,9 @@ def test_jpeg_420_codec_closed_form_and_block_order():
 def test_jpeg_codec_rejections():
     """decode_jpeg fails loudly on what it cannot faithfully decode:
     missing SOI, truncated segments, truncated entropy stream,
-    malformed progressive scan structure, and extended-sequential
-    (SOF1) frames. AC successive-approximation refinement IS
+    malformed progressive scan structure, and lossless (SOF3)
+    frames. 8-bit extended-sequential (SOF1) decodes identically to
+    SOF0 (round 10), and AC successive-approximation refinement IS
     implemented (see test_jpeg_progressive_matches_baseline); here we
     only assert its scan script really is multi-scan. Partial support
     would silently corrupt pixels."""
@@ -650,9 +651,15 @@ def test_jpeg_codec_rejections():
     # half-parsed frame
     with pytest.raises(ValueError):
         decode_jpeg(good.replace(b"\xff\xc0", b"\xff\xc2", 1))
-    # extended sequential (SOF1) stays a loud seam
-    with pytest.raises(NotImplementedError):
+    # extended sequential (SOF1) at 8-bit is decode-identical to
+    # SOF0 (round 10) — relabeling the frame must not change pixels
+    assert (
         decode_jpeg(good.replace(b"\xff\xc0", b"\xff\xc1", 1))
+        == decode_jpeg(good)
+    ).all()
+    # lossless (SOF3) stays a loud seam
+    with pytest.raises(NotImplementedError):
+        decode_jpeg(good.replace(b"\xff\xc0", b"\xff\xc3", 1))
     # the full-SA scan script really is multi-scan (FF DA cannot occur
     # inside entropy data — 0xFF is always stuffed)
     prog = encode_jpeg_progressive(
