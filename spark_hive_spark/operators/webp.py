@@ -15,30 +15,37 @@ no-transform profile:
   distance) and the LZ77 backward-reference path with prefix-coded
   lengths and BOTH distance forms — the 2D neighborhood map (codes
   1-120) and linear codes (> 120).
-- Three of the four VP8L transforms: the 14-mode PREDICTOR
-  transform (spec 4.2.1, with the spec's edge rules and C-semantics
-  Select/ClampAddSubtractHalf), subtract-green, and color-indexing
-  (palette) with the palette shipped as a 1-row delta-coded entropy
-  sub-image — the recursive image-stream decode real files use.
+- ALL FOUR VP8L transforms: the 14-mode PREDICTOR transform (spec
+  4.2.1, with the spec's edge rules and C-semantics
+  Select/ClampAddSubtractHalf), the COLOR transform (signed-8-bit
+  cross-channel multipliers, libwebp's ColorCodeToMultipliers byte
+  packing and restored-red application order), subtract-green, and
+  color-indexing (palette) with the palette shipped as a 1-row
+  delta-coded entropy sub-image — including PIXEL BUNDLING for
+  palettes <= 16 colors (2/4/8 indices packed per green byte,
+  coded width reduced accordingly).
 - The COLOR CACHE (spec 4.2.3): per-image cache header (transform
   sub-images carry their own, as in libwebp's DecodeImageStream),
   the 0x1e35a7bd hash, and insert-on-every-pixel semantics
   including backref-copied pixels.
+- META PREFIX IMAGES (spec 9.2.4): the subresolution group map as a
+  recursive entropy sub-image ((red << 8) | green indices), one
+  five-code set per group, per-pixel group selection, one color
+  cache shared across groups.
 
 Because the format is LOSSLESS, the registered queries' oracles need
 no quantization math at all: DuckDB reproduces the exact fixture
 pixels and the decode must match bit-for-bit.
 
 Loud-rejection seams (each raises NotImplementedError, never silent
-corruption): the color transform (type 1), pixel bundling (palettes
-<= 16 colors), alpha, and meta prefix images (huffman groups). VP8
-lossy WebP is likewise rejected at the container level.
+corruption): alpha channels, and lossy VP8 / extended VP8X at the
+container level.
 """
 
 from __future__ import annotations
 
 import struct
-from typing import Iterator
+from typing import Callable, Iterator
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -333,18 +340,25 @@ def _encode_entropy_image(
     top_level: bool = False,
     cache_bits: int = 0,
     dist_2d: bool = False,
+    meta: tuple | None = None,
+    width: int = 0,
 ) -> None:
     """Entropy-code one (n, 4) RGBA pixel array as a spec 9.2.3
     entropy-coded image: its OWN color-cache header bit (every
     entropy-coded image carries one — sub-images included), the meta
-    prefix bit when top-level, five balanced prefix codes, then the
-    literal/cache/backref token stream. Distance-1 runs >= 3 emit as
-    backrefs — 2D neighborhood code 2 = (dx 1, dy 0) when
-    ``dist_2d``, else linear code 121. With ``cache_bits`` > 0,
-    literal pixels already present in the running color cache emit
-    as cache symbols (green alphabet grows by 2^cache_bits), and —
-    per spec — EVERY emitted pixel, including run-copied ones,
-    inserts into the cache."""
+    prefix image when top-level (``meta`` = (prefix_bits, group_map
+    2D array) — the group map ships as a recursive entropy sub-image
+    with the group index in (red << 8) | green, and every group gets
+    its own five prefix codes; a token is coded with the group of
+    the pixel position where it STARTS), five balanced prefix codes
+    per group, then the literal/cache/backref token stream.
+    Distance-1 runs >= 3 emit as backrefs — 2D neighborhood code 2 =
+    (dx 1, dy 0) when ``dist_2d``, else linear code 121. With
+    ``cache_bits`` > 0, literal pixels already present in the
+    running color cache emit as cache symbols (green alphabet grows
+    by 2^cache_bits), and — per spec — EVERY emitted pixel,
+    including run-copied ones, inserts into the single cache SHARED
+    across groups."""
     import numpy as np
 
     flat = np.asarray(rgba, dtype=np.uint8)
@@ -353,7 +367,8 @@ def _encode_entropy_image(
     same[1:] = (flat[1:] == flat[:-1]).all(axis=1)
     cache_size = (1 << cache_bits) if cache_bits else 0
     cache: list = [None] * cache_size
-    # ("lit", g, r, b, a) | ("ref", length) | ("cache", slot)
+    # (start, "lit", g, r, b, a) | (start, "ref", length)
+    # | (start, "cache", slot)
     tokens: list[tuple] = []
     i = 0
     while i < n:
@@ -363,7 +378,7 @@ def _encode_entropy_image(
                 j += 1
             run = j - i
             if run >= 3:
-                tokens.append(("ref", run))
+                tokens.append((i, "ref", run))
                 if cache_size:
                     for k in range(i, j):  # copied pixels enter the cache
                         cache[_cache_slot(flat[k], cache_bits)] = tuple(
@@ -376,62 +391,92 @@ def _encode_entropy_image(
         if cache_size:
             slot = _cache_slot(p, cache_bits)
             if cache[slot] == pt:
-                tokens.append(("cache", slot))
+                tokens.append((i, "cache", slot))
                 i += 1
                 continue
             cache[slot] = pt
-        tokens.append(("lit", pt[1], pt[0], pt[2], pt[3]))
+        tokens.append((i, "lit", pt[1], pt[0], pt[2], pt[3]))
         i += 1
 
     wtr.write_bits(1 if cache_bits else 0, 1)
     if cache_bits:
         wtr.write_bits(cache_bits, 4)
+    n_groups = 1
+    group_of: Callable[[int], int] = lambda _i: 0  # noqa: E731
     if top_level:
-        wtr.write_bits(0, 1)  # no meta prefix image
-    gf: dict[int, int] = {}
-    rf: dict[int, int] = {}
-    bf: dict[int, int] = {}
-    af: dict[int, int] = {}
-    df: dict[int, int] = {}
+        if meta is None:
+            wtr.write_bits(0, 1)  # no meta prefix image
+        else:
+            pb, gmap = meta
+            gmap = np.asarray(gmap, dtype=np.int64)
+            mh, mw = gmap.shape
+            if mw != -(-width // (1 << pb)) or mh != -(-n // width // (1 << pb)):
+                raise ValueError("meta group map dims mismatch")
+            wtr.write_bits(1, 1)
+            wtr.write_bits(pb - 2, 3)
+            m_rgba = np.zeros((mh * mw, 4), dtype=np.uint8)
+            m_rgba[:, 0] = (gmap.reshape(-1) >> 8) & 0xFF
+            m_rgba[:, 1] = gmap.reshape(-1) & 0xFF
+            m_rgba[:, 3] = 255
+            _encode_entropy_image(wtr, m_rgba)
+            n_groups = int(gmap.max()) + 1
+
+            def group_of(idx: int, _pb=pb, _g=gmap, _w=width, _mw=mw) -> int:
+                x, y = idx % _w, idx // _w
+                return int(_g[y >> _pb, x >> _pb])
+
     dist_code = 2 if dist_2d else 121  # (1, 0) neighborhood | linear d=1
     dist_sym, dist_extra, dist_eb = _prefix_encode(dist_code)
+    freqs = [
+        [dict(), dict(), dict(), dict(), dict()] for _ in range(n_groups)
+    ]
     for tok in tokens:
-        if tok[0] == "lit":
-            _, g, r_, b, a = tok
+        gf, rf, bf, af, df = freqs[group_of(tok[0])]
+        if tok[1] == "lit":
+            _s, _t, g, r_, b, a = tok
             gf[g] = gf.get(g, 0) + 1
             rf[r_] = rf.get(r_, 0) + 1
             bf[b] = bf.get(b, 0) + 1
             af[a] = af.get(a, 0) + 1
-        elif tok[0] == "cache":
-            sym = 256 + 24 + tok[1]
+        elif tok[1] == "cache":
+            sym = 256 + 24 + tok[2]
             gf[sym] = gf.get(sym, 0) + 1
         else:
-            sym, _e, _eb = _prefix_encode(tok[1])
+            sym, _e, _eb = _prefix_encode(tok[2])
             gf[256 + sym] = gf.get(256 + sym, 0) + 1
             df[dist_sym] = df.get(dist_sym, 0) + 1
-    if not rf:  # all pixels came from cache/backrefs: codes must
-        rf = bf = af = {0: 0}  # still be transmitted (spec 9.2.2)
-    if not df:
-        df = {0: 0}
 
-    g_codes = _write_prefix_code(
-        wtr, _balanced_lengths(gf), GREEN_ALPHABET + cache_size
-    )
-    r_codes = _write_prefix_code(wtr, _balanced_lengths(rf), 256)
-    b_codes = _write_prefix_code(wtr, _balanced_lengths(bf), 256)
-    a_codes = _write_prefix_code(wtr, _balanced_lengths(af), 256)
-    d_codes = _write_prefix_code(wtr, _balanced_lengths(df), DIST_ALPHABET)
+    codes = []
+    for gf, rf, bf, af, df in freqs:
+        # a code must be transmitted for every tree, used or not
+        gf = gf or {0: 0}
+        rf, bf, af = rf or {0: 0}, bf or {0: 0}, af or {0: 0}
+        df = df or {0: 0}
+        codes.append((
+            _write_prefix_code(
+                wtr, _balanced_lengths(gf), GREEN_ALPHABET + cache_size
+            ),
+            _write_prefix_code(wtr, _balanced_lengths(rf), 256),
+            _write_prefix_code(wtr, _balanced_lengths(bf), 256),
+            _write_prefix_code(wtr, _balanced_lengths(af), 256),
+            _write_prefix_code(
+                wtr, _balanced_lengths(df), DIST_ALPHABET
+            ),
+        ))
     for tok in tokens:
-        if tok[0] == "lit":
-            _, g, r_, b, a = tok
+        g_codes, r_codes, b_codes, a_codes, d_codes = codes[
+            group_of(tok[0])
+        ]
+        if tok[1] == "lit":
+            _s, _t, g, r_, b, a = tok
             wtr.write_code(*g_codes[g])
             wtr.write_code(*r_codes[r_])
             wtr.write_code(*b_codes[b])
             wtr.write_code(*a_codes[a])
-        elif tok[0] == "cache":
-            wtr.write_code(*g_codes[256 + 24 + tok[1]])
+        elif tok[1] == "cache":
+            wtr.write_code(*g_codes[256 + 24 + tok[2]])
         else:
-            sym, extra, eb = _prefix_encode(tok[1])
+            sym, extra, eb = _prefix_encode(tok[2])
             wtr.write_code(*g_codes[256 + sym])
             if eb:
                 wtr.write_bits(extra, eb)
@@ -445,6 +490,7 @@ def encode_webp_lossless(
     transform: str | None = None,
     color_cache_bits: int = 0,
     dist_2d: bool = False,
+    meta_prefix_bits: int = 0,
 ) -> bytes:
     """Serialize a uint8 RGB (H, W, 3) image as a genuine lossless
     WebP: RIFF/WEBP/VP8L container, 14-bit dims header, five balanced
@@ -470,10 +516,32 @@ def encode_webp_lossless(
     h, w = px.shape[:2]
     if not (0 < h <= 1 << 14 and 0 < w <= 1 << 14):
         raise ValueError("dims must fit 14 bits")
-    if transform not in (None, "subtract_green", "palette", "predictor"):
+    if transform not in (
+        None,
+        "subtract_green",
+        "palette",
+        "palette_bundled",
+        "predictor",
+        "color",
+    ):
         raise ValueError(f"unsupported transform {transform!r}")
     if not 0 <= color_cache_bits <= 11:
         raise ValueError("color_cache_bits must be 0..11")
+    if meta_prefix_bits and not 2 <= meta_prefix_bits <= 9:
+        raise ValueError("meta_prefix_bits must be 0 or 2..9")
+
+    def _meta_args(coded_w: int, coded_h: int) -> dict:
+        """Checkerboard 2-group meta prefix image over
+        (1 << meta_prefix_bits)-px blocks (spec 9.2.4) — every block
+        row alternates groups, so both group code sets and the
+        group-map sub-image are exercised."""
+        if not meta_prefix_bits:
+            return {}
+        pb = meta_prefix_bits
+        mw, mh = -(-coded_w // (1 << pb)), -(-coded_h // (1 << pb))
+        gmap = (np.arange(mw)[None, :] + np.arange(mh)[:, None]) % 2
+        return {"meta": (pb, gmap), "width": coded_w}
+
     flat = px.reshape(-1, 3).astype(np.int64)
 
     wtr = _Vp8lBitWriter()
@@ -518,6 +586,100 @@ def encode_webp_lossless(
             top_level=True,
             cache_bits=color_cache_bits,
             dist_2d=dist_2d,
+            **_meta_args(w, h),
+        )
+        return _vp8l_container(wtr)
+    if transform == "color":
+        size_bits = 3  # 8x8 blocks
+        bs = 1 << size_bits
+        bw, bh = -(-w // bs), -(-h // bs)
+        # deterministic per-block multipliers covering the signed
+        # range (incl. values >= 128, which reinterpret as negative)
+        bxs = np.arange(bw)[None, :]
+        bys = np.arange(bh)[:, None]
+        g2r = ((7 * bxs + 13 * bys + 5) % 256).astype(np.int64)
+        g2b = ((11 * bxs + 3 * bys + 97) % 256).astype(np.int64)
+        r2b = ((17 * bxs + 29 * bys + 201) % 256).astype(np.int64)
+        wtr.write_bits(1, 1)
+        wtr.write_bits(1, 2)  # transform type: color
+        wtr.write_bits(size_bits - 2, 3)
+        elem_rgba = np.zeros((bh * bw, 4), dtype=np.uint8)
+        elem_rgba[:, 0] = r2b.reshape(-1)  # red byte = red_to_blue
+        elem_rgba[:, 1] = g2b.reshape(-1)  # green byte = green_to_blue
+        elem_rgba[:, 2] = g2r.reshape(-1)  # blue byte = green_to_red
+        elem_rgba[:, 3] = 255
+        _encode_entropy_image(wtr, elem_rgba)
+        # forward: subtract the deltas (green argument first, then
+        # the ORIGINAL red for red_to_blue — inverse adds them back
+        # against the already-restored red)
+        resid = px.astype(np.int64).copy()
+        for y in range(h):
+            for x in range(w):
+                bx_i, by_i = x >> size_bits, y >> size_bits
+                green = int(px[y, x, 1])
+                red = int(px[y, x, 0])
+                resid[y, x, 0] = (
+                    red - _ct_delta(int(g2r[by_i, bx_i]), green)
+                ) & 0xFF
+                resid[y, x, 2] = (
+                    int(px[y, x, 2])
+                    - _ct_delta(int(g2b[by_i, bx_i]), green)
+                    - _ct_delta(int(r2b[by_i, bx_i]), red)
+                ) & 0xFF
+        wtr.write_bits(0, 1)  # end of transforms
+        rgba = np.concatenate(
+            [
+                resid.reshape(-1, 3),
+                np.full((h * w, 1), 255, dtype=np.int64),
+            ],
+            axis=1,
+        )
+        _encode_entropy_image(
+            wtr,
+            rgba.astype(np.uint8),
+            top_level=True,
+            cache_bits=color_cache_bits,
+            dist_2d=dist_2d,
+            **_meta_args(w, h),
+        )
+        return _vp8l_container(wtr)
+    if transform == "palette_bundled":
+        colors: dict = {}
+        for p in flat:
+            colors.setdefault((int(p[0]), int(p[1]), int(p[2])), len(colors))
+        if len(colors) > 16:
+            raise ValueError("palette_bundled needs <= 16 colors")
+        ppb = 8 if len(colors) <= 2 else 4 if len(colors) <= 4 else 2
+        bits = 8 // ppb
+        pal_arr = np.asarray(
+            [list(c) + [255] for c in colors], dtype=np.int64
+        )
+        deltas = pal_arr.copy()
+        deltas[1:] = (pal_arr[1:] - pal_arr[:-1]) % 256
+        wtr.write_bits(1, 1)
+        wtr.write_bits(3, 2)  # transform type: color indexing
+        wtr.write_bits(len(pal_arr) - 1, 8)
+        _encode_entropy_image(wtr, deltas.astype(np.uint8))
+        idx = np.array(
+            [colors[(int(p[0]), int(p[1]), int(p[2]))] for p in flat],
+            dtype=np.int64,
+        ).reshape(h, w)
+        wb = -(-w // ppb)
+        packed = np.zeros((h, wb), dtype=np.int64)
+        for k in range(ppb):  # leftmost pixel in the least-sig bits
+            cols = idx[:, k::ppb]
+            packed[:, : cols.shape[1]] |= cols << (k * bits)
+        wtr.write_bits(0, 1)  # end of transforms
+        rgba = np.zeros((h * wb, 4), dtype=np.uint8)
+        rgba[:, 1] = packed.reshape(-1)
+        rgba[:, 3] = 255
+        _encode_entropy_image(
+            wtr,
+            rgba,
+            top_level=True,
+            cache_bits=color_cache_bits,
+            dist_2d=dist_2d,
+            **_meta_args(wb, h),
         )
         return _vp8l_container(wtr)
     if transform == "subtract_green":
@@ -561,6 +723,7 @@ def encode_webp_lossless(
         top_level=True,
         cache_bits=color_cache_bits,
         dist_2d=dist_2d,
+        **_meta_args(w, h),
     )
     return _vp8l_container(wtr)
 
@@ -580,17 +743,20 @@ def decode_webp(payload: bytes):
     RGB array by parsing the real container and bitstream: RIFF
     framing, 14-bit dims, the five canonical prefix codes (simple and
     normal transmissions, code-length RLE tokens 16/17/18,
-    max_symbol), literal ARGB decoding, the color cache, LZ77
-    backward references with prefix-coded lengths and both distance
-    forms (2D neighborhood map + linear), and three transforms —
-    the 14-mode predictor (residuals + raster-sequential inverse
-    prediction), subtract-green, and color-indexing (palette, a
-    recursive 1-row delta-coded entropy sub-image inverted by
-    cumulative sum mod 256).
+    max_symbol), literal ARGB decoding, the color cache, meta prefix
+    groups (per-block code-set selection from the subresolution
+    group map), LZ77 backward references with prefix-coded lengths
+    and both distance forms (2D neighborhood map + linear), and ALL
+    FOUR transforms — the 14-mode predictor (residuals +
+    raster-sequential inverse prediction), the color transform
+    (signed multiplier deltas against the restored red),
+    subtract-green, and color-indexing (palette, a recursive 1-row
+    delta-coded entropy sub-image inverted by cumulative sum mod
+    256, with pixel bundling and the reduced coded width for <= 16
+    colors).
 
-    Loud seams (NotImplementedError): lossy VP8/VP8X chunks, the
-    color transform (type 1), pixel bundling (palette <= 16), alpha,
-    and meta prefix images."""
+    Loud seams (NotImplementedError): lossy VP8/VP8X chunks and
+    alpha channels."""
     import numpy as np
 
     if payload[:4] != b"RIFF" or payload[8:12] != b"WEBP":
@@ -614,26 +780,30 @@ def decode_webp(payload: bytes):
     if r.read_bits(3) != 0:
         raise ValueError("unknown VP8L version")
     transforms: list[tuple] = []  # applied inverse, in reverse order
+    cur_w = w  # color-indexing with <= 16 colors BUNDLES pixels,
+    # shrinking the coded width for everything read after it
     while r.read_bits(1):
         ttype = r.read_bits(2)
         if ttype == 0:  # predictor (spec 4.2.1)
             size_bits = r.read_bits(3) + 2
             bs = 1 << size_bits
-            bw, bh = -(-w // bs), -(-h // bs)
+            bw, bh = -(-cur_w // bs), -(-h // bs)
             modes = _decode_entropy_image(r, bw, bh, allow_alpha=True)
             if modes[:, 1].max(initial=0) > 13:
                 raise ValueError("VP8L predictor mode > 13")
             transforms.append(
                 ("predictor", size_bits, modes[:, 1].reshape(bh, bw))
             )
+        elif ttype == 1:  # color transform (spec 4.2.2)
+            size_bits = r.read_bits(3) + 2
+            bs = 1 << size_bits
+            bw, bh = -(-cur_w // bs), -(-h // bs)
+            elems = _decode_entropy_image(r, bw, bh, allow_alpha=True)
+            transforms.append(("color_transform", size_bits, elems))
         elif ttype == 2:  # subtract-green: no payload
             transforms.append(("subtract_green",))
         elif ttype == 3:  # color indexing (palette)
             psize = r.read_bits(8) + 1
-            if psize <= 16:
-                raise NotImplementedError(
-                    "VP8L pixel bundling (palette size <= 16)"
-                )
             # palette ships as a 1-row entropy-coded image of
             # component-wise deltas from the previous entry (mod 256)
             deltas = _decode_entropy_image(r, psize, 1, allow_alpha=True)
@@ -642,22 +812,49 @@ def decode_webp(payload: bytes):
             ).astype(np.uint8)
             if not (pal[:, 3] == 255).all():
                 raise NotImplementedError("VP8L alpha channel")
-            transforms.append(("palette", pal[:, :3]))
-        else:
-            raise NotImplementedError("VP8L color transform (type 1)")
+            if psize <= 16:  # pixel bundling: indices pack into the
+                # green byte, leftmost pixel in the least-sig bits,
+                # and the coded width shrinks accordingly
+                ppb = 8 if psize <= 2 else 4 if psize <= 4 else 2
+                cur_w = -(-cur_w // ppb)
+                transforms.append(("palette_bundled", pal[:, :3], ppb))
+            else:
+                transforms.append(("palette", pal[:, :3]))
     has_predictor = any(tf[0] == "predictor" for tf in transforms)
     # under a predictor transform literals are residuals, so their
     # alpha bytes are deltas — validate alpha only after inversion
     out = _decode_entropy_image(
-        r, w, h, allow_alpha=has_predictor, top_level=True
+        r, cur_w, h, allow_alpha=has_predictor, top_level=True
     )
     for tf in reversed(transforms):
         if tf[0] == "predictor":
-            out = _inverse_predictor(out, tf[2], tf[1], w, h)
+            out = _inverse_predictor(out, tf[2], tf[1], cur_w, h)
+        elif tf[0] == "color_transform":
+            out = _inverse_color_transform(out, tf[2], tf[1], cur_w, h)
         elif tf[0] == "subtract_green":
             g = out[:, 1].astype(np.int64)
             out[:, 0] = ((out[:, 0] + g) % 256).astype(np.uint8)
             out[:, 2] = ((out[:, 2] + g) % 256).astype(np.uint8)
+        elif tf[0] == "palette_bundled":
+            _tag, pal, ppb = tf
+            bits = 8 // ppb
+            packed = out[:, 1].astype(np.int64).reshape(h, cur_w)
+            idx = np.zeros((h, w), dtype=np.int64)
+            for k in range(ppb):
+                cols = (packed >> (k * bits)) & ((1 << bits) - 1)
+                take = idx[:, k::ppb].shape[1]
+                idx[:, k::ppb] = cols[:, :take]
+            if idx.max(initial=0) >= pal.shape[0]:
+                raise ValueError("VP8L palette index out of range")
+            flat_idx = idx.reshape(-1)
+            out = np.concatenate(
+                [
+                    pal[flat_idx],
+                    np.full((flat_idx.shape[0], 1), 255, np.uint8),
+                ],
+                axis=1,
+            )
+            cur_w = w  # unbundled back to full width
         else:  # palette: the GREEN channel carries the index
             idx = out[:, 1].astype(np.int64)
             pal = tf[1]
@@ -670,6 +867,43 @@ def decode_webp(payload: bytes):
     if not (out[:, 3] == 255).all():
         raise NotImplementedError("VP8L alpha channel")
     return out[:, :3].reshape(h, w, 3)
+
+
+def _ct_delta(t: int, c: int) -> int:
+    """ColorTransformDelta (spec 4.2.2): both the transform element
+    and the color channel are reinterpreted as SIGNED 8-bit, and the
+    product arithmetic-shifts right by 5 (floor division by 32 —
+    Python's >> on negative ints matches C's arithmetic shift)."""
+    ts = t - 256 if t >= 128 else t
+    cs = c - 256 if c >= 128 else c
+    return (ts * cs) >> 5
+
+
+def _inverse_color_transform(resid, elems, size_bits: int, w: int, h: int):
+    """Invert the color transform: per block, restored
+    red = red' + delta(g2r, green); restored blue = blue' +
+    delta(g2b, green) + delta(r2b, restored_red) — the libwebp
+    TransformColorInverse order (r2b applies to the RESTORED red).
+    Element pixel packing (ColorCodeToMultipliers): blue byte = g2r,
+    green byte = g2b, red byte = r2b."""
+    import numpy as np
+
+    out = resid.astype(np.int64).reshape(h, w, 4).copy()
+    bw = -(-w // (1 << size_bits))
+    for y in range(h):
+        for x in range(w):
+            e = elems[(y >> size_bits) * bw + (x >> size_bits)]
+            g2r, g2b, r2b = int(e[2]), int(e[1]), int(e[0])
+            green = int(out[y, x, 1])
+            red = (int(out[y, x, 0]) + _ct_delta(g2r, green)) & 0xFF
+            blue = (
+                int(out[y, x, 2])
+                + _ct_delta(g2b, green)
+                + _ct_delta(r2b, red)
+            ) & 0xFF
+            out[y, x, 0] = red
+            out[y, x, 2] = blue
+    return out.reshape(h * w, 4).astype(np.uint8)
 
 
 def _avg2(a: int, b: int) -> int:
@@ -788,19 +1022,44 @@ def _decode_entropy_image(
         cache_bits = r.read_bits(4)
         if not 1 <= cache_bits <= 11:
             raise ValueError(f"invalid VP8L color-cache bits {cache_bits}")
+    meta = None
     if top_level and r.read_bits(1):
-        raise NotImplementedError("VP8L meta prefix image (huffman groups)")
+        # meta prefix image (spec 9.2.4): a subresolution entropy
+        # sub-image assigns every (1 << pb)-pixel block a prefix-code
+        # GROUP, index = (red << 8) | green; the groups' code sets
+        # follow back to back
+        pb = r.read_bits(3) + 2
+        mw, mh = -(-w // (1 << pb)), -(-h // (1 << pb))
+        mimg = _decode_entropy_image(r, mw, mh, allow_alpha=True)
+        gidx = (
+            (mimg[:, 0].astype(np.int64) << 8)
+            | mimg[:, 1].astype(np.int64)
+        )
+        meta = (pb, mw, gidx)
+    n_groups = int(meta[2].max()) + 1 if meta else 1
     cache_size = (1 << cache_bits) if cache_bits else 0
-    cache: list = [None] * cache_size
-    g_t = _read_prefix_code(r, GREEN_ALPHABET + cache_size)
-    r_t = _read_prefix_code(r, 256)
-    b_t = _read_prefix_code(r, 256)
-    a_t = _read_prefix_code(r, 256)
-    d_t = _read_prefix_code(r, DIST_ALPHABET)
+    cache: list = [None] * cache_size  # ONE cache shared by groups
+    groups = [
+        (
+            _read_prefix_code(r, GREEN_ALPHABET + cache_size),
+            _read_prefix_code(r, 256),
+            _read_prefix_code(r, 256),
+            _read_prefix_code(r, 256),
+            _read_prefix_code(r, DIST_ALPHABET),
+        )
+        for _ in range(n_groups)
+    ]
     n = w * h
     out = np.zeros((n, 4), dtype=np.uint8)
     i = 0
     while i < n:
+        if meta:
+            pb, mw, gidx = meta
+            g_t, r_t, b_t, a_t, d_t = groups[
+                int(gidx[((i // w) >> pb) * mw + ((i % w) >> pb)])
+            ]
+        else:
+            g_t, r_t, b_t, a_t, d_t = groups[0]
         g = r.read_symbol(g_t)
         if g < 256:
             red = r.read_symbol(r_t)
@@ -1092,6 +1351,141 @@ def multimodal_webp_predictor_decode(
                         color_cache_bits=(d % 3) * 3,
                         dist_2d=bool(d % 2),
                     )
+                )
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    media = docs.mapInPandas(encode_batches, "doc_id long, payload binary")
+
+    def decode_batches(
+        batches: Iterator["pd.DataFrame"],
+    ) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+
+        cols = "doc_id in_w in_h sum_r sum_g sum_b wsum_g corner_b".split()
+        for pdf in batches:
+            out: dict[str, list] = {k: [] for k in cols}
+            for d, p in zip(pdf["doc_id"], pdf["payload"]):
+                px = decode_image(bytes(p)).astype(np.int64)
+                h, w, _ = px.shape
+                wgt = 2 * np.arange(w)[None, :] + np.arange(h)[:, None]
+                vals = (
+                    int(d), w, h,
+                    int(px[:, :, 0].sum()), int(px[:, :, 1].sum()),
+                    int(px[:, :, 2].sum()),
+                    int((px[:, :, 1] * wgt).sum()),
+                    int(px[-1, -1, 2]),
+                )
+                for k, v in zip(cols, vals):
+                    out[k].append(v)
+            yield pd.DataFrame(out)
+
+    return (
+        media.mapInPandas(decode_batches, _WEBP_SCHEMA)
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "multimodal_webp_full_profile_decode",
+    oracle=f"""
+        WITH d AS (
+            SELECT doc_id, doc_id % 6 + 2 AS wb, doc_id % 4 + 2 AS hb
+            FROM documents WHERE doc_id < {WEBP_DOCS}
+        ),
+        px AS (
+            SELECT doc_id, wb, hb,
+                   i % (8 * wb) AS x, i // (8 * wb) AS y
+            FROM (SELECT doc_id, wb, hb,
+                         unnest(range(0, 64 * wb * hb)) AS i
+                  FROM d)
+        ),
+        chan AS (
+            SELECT doc_id, wb, hb, x, y,
+                   (doc_id * 5 + 37 * ((doc_id + x // 4 + 2 * (y // 4))
+                        % 16)) % 256 AS r,
+                   (doc_id * 3 + 59 * ((doc_id + x // 4 + 2 * (y // 4))
+                        % 16) + 11) % 256 AS g,
+                   (doc_id * 7 + 83 * ((doc_id + x // 4 + 2 * (y // 4))
+                        % 16) + 5) % 256 AS b
+            FROM px
+        )
+        SELECT doc_id,
+               CAST(8 * wb AS INT) AS in_w,
+               CAST(8 * hb AS INT) AS in_h,
+               CAST(sum(r) AS BIGINT) AS sum_r,
+               CAST(sum(g) AS BIGINT) AS sum_g,
+               CAST(sum(b) AS BIGINT) AS sum_b,
+               CAST(sum(g * (2 * x + y)) AS BIGINT) AS wsum_g,
+               CAST(max(CASE WHEN x = 8 * wb - 1 AND y = 8 * hb - 1
+                             THEN b END) AS INT) AS corner_b
+        FROM chan
+        GROUP BY doc_id, wb, hb
+        ORDER BY doc_id
+    """,
+    tags=("multimodal", "codec", "webp", "meta-prefix", "llm-pipeline"),
+)
+def multimodal_webp_full_profile_decode(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The COMPLETE VP8L structural surface in one hash-checked
+    query (round 10): every document is a 16-color quantized image
+    (4x4-px cells, per-pixel closed form), and the encoder profile
+    rotates by doc_id % 4 so the corpus collectively exercises all
+    four transforms — COLOR (signed cross-channel multipliers),
+    PALETTE WITH PIXEL BUNDLING (16 colors -> 2 indices per green
+    byte, halved coded width), PREDICTOR (14 modes), and
+    SUBTRACT-GREEN — each under META PREFIX GROUPS (2-4 prefix bits,
+    checkerboard group map shipped as a recursive sub-image), with
+    the color cache at three sizes (off/4/6 bits) and both LZ77
+    distance encodings. Lossless ⇒ the DuckDB oracle reproduces the
+    exact per-pixel formula; a bug in any transform inverse, the
+    bundling unpack, the group-map indexing, or the shared-cache
+    state flips the hash.
+
+    Scale posture: identical to the other codec queries — two narrow
+    Arrow `mapInPandas` stages, zero shuffles, no driver decode."""
+    from spark_hive_spark.operators.multimodal import decode_image
+
+    docs = (
+        t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < WEBP_DOCS)
+        .select("doc_id")
+    )
+
+    def encode_batches(
+        batches: Iterator["pd.DataFrame"],
+    ) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+
+        profiles = [
+            {"transform": "color", "meta_prefix_bits": 2},
+            {"transform": "palette_bundled", "meta_prefix_bits": 3,
+             "dist_2d": True},
+            {"transform": "predictor", "meta_prefix_bits": 2,
+             "color_cache_bits": 4, "dist_2d": True},
+            {"transform": "subtract_green", "meta_prefix_bits": 4,
+             "color_cache_bits": 6},
+        ]
+        for pdf in batches:
+            ids = pdf["doc_id"].to_numpy()
+            payloads = []
+            for d in ids:
+                d = int(d)
+                wb, hb = d % 6 + 2, d % 4 + 2
+                w, h = 8 * wb, 8 * hb
+                x = np.arange(w)[None, :]
+                y = np.arange(h)[:, None]
+                idx = (d + x // 4 + 2 * (y // 4)) % 16
+                img = np.stack(
+                    [
+                        (d * 5 + 37 * idx) % 256,
+                        (d * 3 + 59 * idx + 11) % 256,
+                        (d * 7 + 83 * idx + 5) % 256,
+                    ],
+                    axis=2,
+                ).astype(np.uint8)
+                payloads.append(
+                    encode_webp_lossless(img, **profiles[d % 4])
                 )
             yield pd.DataFrame({"doc_id": ids, "payload": payloads})
 

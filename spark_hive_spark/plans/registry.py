@@ -64,6 +64,7 @@ SWEEP_PRIORITY: tuple[str, ...] = (
     "multimodal_webp_predictor_decode",
     "snapshot_semantic_conflict_audit",
     "multimodal_jpeg_multiscan_restart_decode",
+    "multimodal_webp_full_profile_decode",
     # round-10 implementation changes: re-attest under the new code
     "knn_cosine_ivf",
     "ann_recall_audit",
@@ -101,7 +102,6 @@ SWEEP_PRIORITY: tuple[str, ...] = (
     "q9_nation_year_profit",
     "q10_returned_item_losses",
     "q12_priority_by_ship_year",
-    "q19_disjunctive_revenue",
 )
 
 

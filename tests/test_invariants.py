@@ -1965,9 +1965,32 @@ def test_webp_predictor_cache_roundtrip():
             {"dist_2d": True},
             {"transform": "predictor", "color_cache_bits": 8,
              "dist_2d": True},
+            {"transform": "color"},
+            {"transform": "color", "color_cache_bits": 5,
+             "meta_prefix_bits": 2},
+            {"meta_prefix_bits": 3},
+            {"transform": "predictor", "meta_prefix_bits": 2,
+             "color_cache_bits": 4, "dist_2d": True},
         ):
             got = decode_webp(encode_webp_lossless(img, **kw))
             assert np.array_equal(got, img), (img.shape, kw)
+    # pixel bundling: <= 16 colors pack 2/4/8 indices per green byte
+    # and shrink the coded width — every density, odd widths, and
+    # composition with meta groups must unbundle exactly
+    for ncol, shape in [(2, (9, 17)), (4, (11, 23)), (16, (13, 29))]:
+        pal = rng.randint(0, 256, (ncol, 3))
+        img = pal[rng.randint(0, ncol, shape)].astype(np.uint8)
+        for kw in (
+            {},
+            {"dist_2d": True},
+            {"meta_prefix_bits": 2, "color_cache_bits": 4},
+        ):
+            got = decode_webp(
+                encode_webp_lossless(
+                    img, transform="palette_bundled", **kw
+                )
+            )
+            assert np.array_equal(got, img), (ncol, shape, kw)
     # invalid cache sizes stay loud in both directions
     with pytest.raises(ValueError):
         encode_webp_lossless(gradient, color_cache_bits=12)
