@@ -37,9 +37,14 @@ Because the format is LOSSLESS, the registered queries' oracles need
 no quantization math at all: DuckDB reproduces the exact fixture
 pixels and the decode must match bit-for-bit.
 
+- ALPHA: (H, W, 4) RGBA encodes through every transform (palette
+  entries carry their alpha); decoding transparency requires the
+  explicit ``decode_webp(..., return_alpha=True)`` opt-in — without
+  it alpha stays a loud seam so no RGB consumer silently drops it.
+
 Loud-rejection seams (each raises NotImplementedError, never silent
-corruption): alpha channels, and lossy VP8 / extended VP8X at the
-container level.
+corruption): lossy VP8 / extended VP8X at the container level, and
+alpha without the opt-in.
 """
 
 from __future__ import annotations
@@ -511,8 +516,14 @@ def encode_webp_lossless(
     import numpy as np
 
     px = np.asarray(pixels, dtype=np.uint8)
-    if px.ndim != 3 or px.shape[2] != 3:
-        raise ValueError("encode_webp_lossless expects (H, W, 3) RGB")
+    if px.ndim != 3 or px.shape[2] not in (3, 4):
+        raise ValueError(
+            "encode_webp_lossless expects (H, W, 3) RGB or (H, W, 4) RGBA"
+        )
+    if px.shape[2] == 3:  # normalize: every path below works in RGBA
+        px = np.concatenate(
+            [px, np.full((*px.shape[:2], 1), 255, dtype=np.uint8)], axis=2
+        )
     h, w = px.shape[:2]
     if not (0 < h <= 1 << 14 and 0 < w <= 1 << 14):
         raise ValueError("dims must fit 14 bits")
@@ -542,12 +553,12 @@ def encode_webp_lossless(
         gmap = (np.arange(mw)[None, :] + np.arange(mh)[:, None]) % 2
         return {"meta": (pb, gmap), "width": coded_w}
 
-    flat = px.reshape(-1, 3).astype(np.int64)
+    flat = px.reshape(-1, 4).astype(np.int64)
 
     wtr = _Vp8lBitWriter()
     wtr.write_bits(w - 1, 14)
     wtr.write_bits(h - 1, 14)
-    wtr.write_bits(0, 1)  # alpha hint
+    wtr.write_bits(1 if (flat[:, 3] != 255).any() else 0, 1)  # alpha hint
     wtr.write_bits(0, 3)  # version
     if transform == "predictor":
         size_bits = 3  # 8x8 blocks
@@ -566,13 +577,7 @@ def encode_webp_lossless(
         # forward transform: residual = pixel - prediction (mod 256),
         # predictions computed from ORIGINAL neighbors (lossless ->
         # reconstructed == original), same edge rules as the decoder
-        full = np.concatenate(
-            [
-                px.astype(np.int64),
-                np.full((h, w, 1), 255, dtype=np.int64),
-            ],
-            axis=2,
-        )
+        full = px.astype(np.int64)
         resid = np.zeros((h, w, 4), dtype=np.int64)
         for y in range(h):
             for x in range(w):
@@ -627,16 +632,9 @@ def encode_webp_lossless(
                     - _ct_delta(int(r2b[by_i, bx_i]), red)
                 ) & 0xFF
         wtr.write_bits(0, 1)  # end of transforms
-        rgba = np.concatenate(
-            [
-                resid.reshape(-1, 3),
-                np.full((h * w, 1), 255, dtype=np.int64),
-            ],
-            axis=1,
-        )
         _encode_entropy_image(
             wtr,
-            rgba.astype(np.uint8),
+            resid.reshape(-1, 4).astype(np.uint8),
             top_level=True,
             cache_bits=color_cache_bits,
             dist_2d=dist_2d,
@@ -646,14 +644,12 @@ def encode_webp_lossless(
     if transform == "palette_bundled":
         colors: dict = {}
         for p in flat:
-            colors.setdefault((int(p[0]), int(p[1]), int(p[2])), len(colors))
+            colors.setdefault(tuple(int(v) for v in p), len(colors))
         if len(colors) > 16:
             raise ValueError("palette_bundled needs <= 16 colors")
         ppb = 8 if len(colors) <= 2 else 4 if len(colors) <= 4 else 2
         bits = 8 // ppb
-        pal_arr = np.asarray(
-            [list(c) + [255] for c in colors], dtype=np.int64
-        )
+        pal_arr = np.asarray([list(c) for c in colors], dtype=np.int64)
         deltas = pal_arr.copy()
         deltas[1:] = (pal_arr[1:] - pal_arr[:-1]) % 256
         wtr.write_bits(1, 1)
@@ -661,7 +657,7 @@ def encode_webp_lossless(
         wtr.write_bits(len(pal_arr) - 1, 8)
         _encode_entropy_image(wtr, deltas.astype(np.uint8))
         idx = np.array(
-            [colors[(int(p[0]), int(p[1]), int(p[2]))] for p in flat],
+            [colors[tuple(int(v) for v in p)] for p in flat],
             dtype=np.int64,
         ).reshape(h, w)
         wb = -(-w // ppb)
@@ -687,15 +683,16 @@ def encode_webp_lossless(
         wtr.write_bits(2, 2)  # transform type
         g = flat[:, 1]
         flat = np.stack(
-            [(flat[:, 0] - g) % 256, g, (flat[:, 2] - g) % 256], axis=1
+            [(flat[:, 0] - g) % 256, g, (flat[:, 2] - g) % 256, flat[:, 3]],
+            axis=1,
         )
     elif transform == "palette":
         colors = {}
         for p in flat:
-            colors.setdefault((int(p[0]), int(p[1]), int(p[2])), len(colors))
+            colors.setdefault(tuple(int(v) for v in p), len(colors))
         if len(colors) > 256:
             raise ValueError("palette transform needs <= 256 colors")
-        pal = [list(c) + [255] for c in colors]
+        pal = [list(c) for c in colors]
         while len(pal) <= 16:  # avoid the pixel-bundling profile
             filler = [len(pal), 0, 77, 255]
             pal.append(filler)
@@ -707,19 +704,22 @@ def encode_webp_lossless(
         wtr.write_bits(len(pal) - 1, 8)
         _encode_entropy_image(wtr, deltas.astype(np.uint8))
         idx = np.array(
-            [colors[(int(p[0]), int(p[1]), int(p[2]))] for p in flat],
+            [colors[tuple(int(v) for v in p)] for p in flat],
             dtype=np.int64,
         )
         flat = np.stack(
-            [np.zeros_like(idx), idx, np.zeros_like(idx)], axis=1
+            [
+                np.zeros_like(idx),
+                idx,
+                np.zeros_like(idx),
+                np.full_like(idx, 255),
+            ],
+            axis=1,
         )
     wtr.write_bits(0, 1)  # end of transforms
-    rgba = np.concatenate(
-        [flat, np.full((flat.shape[0], 1), 255, dtype=np.int64)], axis=1
-    )
     _encode_entropy_image(
         wtr,
-        rgba.astype(np.uint8),
+        flat.astype(np.uint8),
         top_level=True,
         cache_bits=color_cache_bits,
         dist_2d=dist_2d,
@@ -738,9 +738,12 @@ def _vp8l_container(wtr: _Vp8lBitWriter) -> bytes:
     return b"RIFF" + struct.pack("<I", len(riff)) + riff
 
 
-def decode_webp(payload: bytes):
+def decode_webp(payload: bytes, return_alpha: bool = False):
     """Decode a lossless WebP (VP8L) payload to a uint8 (H, W, 3)
-    RGB array by parsing the real container and bitstream: RIFF
+    RGB array — or (H, W, 4) RGBA when ``return_alpha`` is set and
+    the image carries a non-trivial alpha plane (without the opt-in,
+    alpha stays a loud seam so no RGB consumer silently drops
+    transparency) — by parsing the real container and bitstream: RIFF
     framing, 14-bit dims, the five canonical prefix codes (simple and
     normal transmissions, code-length RLE tokens 16/17/18,
     max_symbol), literal ARGB decoding, the color cache, meta prefix
@@ -755,8 +758,8 @@ def decode_webp(payload: bytes):
     256, with pixel bundling and the reduced coded width for <= 16
     colors).
 
-    Loud seams (NotImplementedError): lossy VP8/VP8X chunks and
-    alpha channels."""
+    Loud seams (NotImplementedError): lossy VP8/VP8X chunks, and
+    alpha without the ``return_alpha`` opt-in."""
     import numpy as np
 
     if payload[:4] != b"RIFF" or payload[8:12] != b"WEBP":
@@ -809,23 +812,19 @@ def decode_webp(payload: bytes):
             deltas = _decode_entropy_image(r, psize, 1, allow_alpha=True)
             pal = (
                 np.cumsum(deltas.astype(np.int64), axis=0) % 256
-            ).astype(np.uint8)
-            if not (pal[:, 3] == 255).all():
-                raise NotImplementedError("VP8L alpha channel")
+            ).astype(np.uint8)  # full RGBA — entries may carry alpha
             if psize <= 16:  # pixel bundling: indices pack into the
                 # green byte, leftmost pixel in the least-sig bits,
                 # and the coded width shrinks accordingly
                 ppb = 8 if psize <= 2 else 4 if psize <= 4 else 2
                 cur_w = -(-cur_w // ppb)
-                transforms.append(("palette_bundled", pal[:, :3], ppb))
+                transforms.append(("palette_bundled", pal, ppb))
             else:
-                transforms.append(("palette", pal[:, :3]))
-    has_predictor = any(tf[0] == "predictor" for tf in transforms)
-    # under a predictor transform literals are residuals, so their
-    # alpha bytes are deltas — validate alpha only after inversion
-    out = _decode_entropy_image(
-        r, cur_w, h, allow_alpha=has_predictor, top_level=True
-    )
+                transforms.append(("palette", pal))
+    # literals may carry real alpha (or, under a predictor
+    # transform, alpha residuals) — the alpha gate applies AFTER the
+    # inverse transforms, on the final plane
+    out = _decode_entropy_image(r, cur_w, h, allow_alpha=True, top_level=True)
     for tf in reversed(transforms):
         if tf[0] == "predictor":
             out = _inverse_predictor(out, tf[2], tf[1], cur_w, h)
@@ -846,26 +845,20 @@ def decode_webp(payload: bytes):
                 idx[:, k::ppb] = cols[:, :take]
             if idx.max(initial=0) >= pal.shape[0]:
                 raise ValueError("VP8L palette index out of range")
-            flat_idx = idx.reshape(-1)
-            out = np.concatenate(
-                [
-                    pal[flat_idx],
-                    np.full((flat_idx.shape[0], 1), 255, np.uint8),
-                ],
-                axis=1,
-            )
+            out = pal[idx.reshape(-1)]
             cur_w = w  # unbundled back to full width
         else:  # palette: the GREEN channel carries the index
             idx = out[:, 1].astype(np.int64)
             pal = tf[1]
             if idx.max(initial=0) >= pal.shape[0]:
                 raise ValueError("VP8L palette index out of range")
-            out = np.concatenate(
-                [pal[idx], np.full((idx.shape[0], 1), 255, np.uint8)],
-                axis=1,
+            out = pal[idx]
+    if (out[:, 3] != 255).any():
+        if not return_alpha:
+            raise NotImplementedError(
+                "VP8L alpha channel (pass return_alpha=True for RGBA)"
             )
-    if not (out[:, 3] == 255).all():
-        raise NotImplementedError("VP8L alpha channel")
+        return out.reshape(h, w, 4)
     return out[:, :3].reshape(h, w, 3)
 
 
@@ -1516,5 +1509,146 @@ def multimodal_webp_full_profile_decode(
 
     return (
         media.mapInPandas(decode_batches, _WEBP_SCHEMA)
+        .orderBy("doc_id")
+    )
+
+
+_WEBP_ALPHA_SCHEMA = (
+    "doc_id long, in_w int, in_h int, sum_r long, sum_g long,"
+    " sum_b long, sum_a long, awsum_r long, corner_a int"
+)
+
+
+@register(
+    "multimodal_webp_alpha_decode",
+    oracle=f"""
+        WITH d AS (
+            SELECT doc_id, doc_id % 6 + 2 AS wb, doc_id % 4 + 2 AS hb
+            FROM documents WHERE doc_id < {WEBP_DOCS}
+        ),
+        px AS (
+            SELECT doc_id, wb, hb,
+                   i % (8 * wb) AS x, i // (8 * wb) AS y
+            FROM (SELECT doc_id, wb, hb,
+                         unnest(range(0, 64 * wb * hb)) AS i
+                  FROM d)
+        ),
+        chan AS (
+            SELECT doc_id, wb, hb, x, y,
+                   (doc_id * 9 + 5 * x + 7 * y) % 256 AS r,
+                   (doc_id * 11 + 3 * x + 13 * y + 41) % 256 AS g,
+                   (doc_id * 17 + 7 * x + y + 99) % 256 AS b,
+                   (doc_id + 2 * x + 3 * y) % 256 AS a
+            FROM px
+        )
+        SELECT doc_id,
+               CAST(8 * wb AS INT) AS in_w,
+               CAST(8 * hb AS INT) AS in_h,
+               CAST(sum(r) AS BIGINT) AS sum_r,
+               CAST(sum(g) AS BIGINT) AS sum_g,
+               CAST(sum(b) AS BIGINT) AS sum_b,
+               CAST(sum(a) AS BIGINT) AS sum_a,
+               CAST(sum(a * r) AS BIGINT) AS awsum_r,
+               CAST(max(CASE WHEN x = 8 * wb - 1 AND y = 8 * hb - 1
+                             THEN a END) AS INT) AS corner_a
+        FROM chan
+        GROUP BY doc_id, wb, hb
+        ORDER BY doc_id
+    """,
+    tags=("multimodal", "codec", "webp", "alpha", "llm-pipeline"),
+)
+def multimodal_webp_alpha_decode(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TRANSPARENT lossless WebP end to end (round 10 — the last
+    VP8L seam short of lossy VP8): per document a full RGBA gradient
+    image (independent per-channel formulas, alpha = (doc + 2x + 3y)
+    mod 256 so transparency varies per pixel) encodes through a
+    rotating transform (subtract-green / predictor+cache /
+    color+meta-groups by doc_id % 3 — the alpha plane rides through
+    each: predictor predicts it, palette-free paths carry it as the
+    fourth literal tree) and decodes via the explicit
+    ``decode_webp(..., return_alpha=True)`` opt-in.
+
+    Lossless ⇒ the oracle reproduces all FOUR channel formulas; the
+    alpha-weighted red sum (Σ a·r) pins channel pairing — swapped or
+    shifted planes cannot cancel. A consumer that drops alpha
+    (decode_image's RGB contract) keeps failing loudly on these
+    payloads, which is itself pytest-pinned.
+
+    Scale posture: identical to the other codec queries — two narrow
+    Arrow `mapInPandas` stages, zero shuffles, no driver decode."""
+
+    docs = (
+        t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < WEBP_DOCS)
+        .select("doc_id")
+    )
+
+    def encode_batches(
+        batches: Iterator["pd.DataFrame"],
+    ) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+
+        profiles = [
+            {"transform": "subtract_green"},
+            {"transform": "predictor", "color_cache_bits": 4},
+            {"transform": "color", "meta_prefix_bits": 2},
+        ]
+        for pdf in batches:
+            ids = pdf["doc_id"].to_numpy()
+            payloads = []
+            for d in ids:
+                d = int(d)
+                wb, hb = d % 6 + 2, d % 4 + 2
+                w, h = 8 * wb, 8 * hb
+                x = np.arange(w)[None, :]
+                y = np.arange(h)[:, None]
+                img = np.stack(
+                    [
+                        (d * 9 + 5 * x + 7 * y) % 256,
+                        (d * 11 + 3 * x + 13 * y + 41) % 256,
+                        (d * 17 + 7 * x + y + 99) % 256,
+                        (d + 2 * x + 3 * y) % 256,
+                    ],
+                    axis=2,
+                ).astype(np.uint8)
+                payloads.append(
+                    encode_webp_lossless(img, **profiles[d % 3])
+                )
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    media = docs.mapInPandas(encode_batches, "doc_id long, payload binary")
+
+    def decode_batches(
+        batches: Iterator["pd.DataFrame"],
+    ) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+
+        cols = (
+            "doc_id in_w in_h sum_r sum_g sum_b sum_a awsum_r corner_a"
+        ).split()
+        for pdf in batches:
+            out: dict[str, list] = {k: [] for k in cols}
+            for d, p in zip(pdf["doc_id"], pdf["payload"]):
+                px = decode_webp(bytes(p), return_alpha=True).astype(
+                    np.int64
+                )
+                h, w, nch = px.shape
+                if nch != 4:
+                    raise ValueError("alpha fixture decoded without alpha")
+                vals = (
+                    int(d), w, h,
+                    int(px[:, :, 0].sum()), int(px[:, :, 1].sum()),
+                    int(px[:, :, 2].sum()), int(px[:, :, 3].sum()),
+                    int((px[:, :, 3] * px[:, :, 0]).sum()),
+                    int(px[-1, -1, 3]),
+                )
+                for k, v in zip(cols, vals):
+                    out[k].append(v)
+            yield pd.DataFrame(out)
+
+    return (
+        media.mapInPandas(decode_batches, _WEBP_ALPHA_SCHEMA)
         .orderBy("doc_id")
     )

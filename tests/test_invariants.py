@@ -1974,6 +1974,36 @@ def test_webp_predictor_cache_roundtrip():
         ):
             got = decode_webp(encode_webp_lossless(img, **kw))
             assert np.array_equal(got, img), (img.shape, kw)
+    # alpha: (H, W, 4) round-trips through every transform with the
+    # return_alpha opt-in; without it, transparency stays loud; RGB
+    # input keeps returning (H, W, 3) even when the caller opts in
+    rgba = rng.randint(0, 256, (13, 21, 4)).astype(np.uint8)
+    for kw in (
+        {},
+        {"transform": "subtract_green"},
+        {"transform": "predictor", "color_cache_bits": 5},
+        {"transform": "color", "meta_prefix_bits": 2},
+    ):
+        got = decode_webp(
+            encode_webp_lossless(rgba, **kw), return_alpha=True
+        )
+        assert np.array_equal(got, rgba), kw
+    with pytest.raises(NotImplementedError):
+        decode_webp(encode_webp_lossless(rgba))
+    rgb = rng.randint(0, 256, (8, 8, 3)).astype(np.uint8)
+    out3 = decode_webp(encode_webp_lossless(rgb), return_alpha=True)
+    assert out3.shape == (8, 8, 3) and np.array_equal(out3, rgb)
+    apal = np.concatenate(
+        [rng.randint(0, 256, (5, 3)), rng.randint(0, 255, (5, 1))], axis=1
+    )
+    aimg = apal[rng.randint(0, 5, (11, 19))].astype(np.uint8)
+    assert np.array_equal(
+        decode_webp(
+            encode_webp_lossless(aimg, transform="palette_bundled"),
+            return_alpha=True,
+        ),
+        aimg,
+    )
     # pixel bundling: <= 16 colors pack 2/4/8 indices per green byte
     # and shrink the coded width — every density, odd widths, and
     # composition with meta groups must unbundle exactly
