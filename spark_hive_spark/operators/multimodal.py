@@ -44,18 +44,35 @@ def decode_image(payload: bytes) -> "object":
     """Decode an image payload to an (H, W, 3) uint8 RGB array.
 
     Implemented formats, all hand-built (numpy + stdlib zlib, no
-    codec library in this container): uncompressed 24-bit BMP, 8-bit
-    RGB PNG (all five filters), and JFIF JPEG — baseline sequential
-    grayscale / YCbCr 4:4:4 / 4:2:0 / 4:2:2 plus progressive
-    (SOF2) with full successive approximation on DC and AC — and
-    lossless WebP (VP8L: canonical prefix codes + LZ77, no-transform
-    profile). The remaining loud seams: lossy WebP (VP8), VP8L
-    transforms/color-cache, 16-bit quant tables — swap in
-    PIL/libjpeg/libwebp on a cluster image that has them."""
+    codec library in this container): uncompressed 24-bit BMP; PNG
+    at every legal depth/color-type (1-16 bit, gray/RGB/palette/
+    alpha, Adam7) — grayscale replicates to RGB planes, 16-bit
+    scales to 8, alpha stays loud under this RGB contract (use
+    `decode_png` directly for the natural array); JFIF JPEG —
+    baseline sequential grayscale / YCbCr 4:4:4 / 4:2:0 / 4:2:2
+    (interleaved, multi-scan, and restart-marker layouts, both DQT
+    precisions, partial-MCU dims) plus progressive (SOF2) with full
+    successive approximation on DC and AC; and lossless WebP (VP8L:
+    all four transforms, color cache, meta prefix groups — alpha via
+    `decode_webp(return_alpha=True)`). The remaining loud seams:
+    lossy WebP (VP8) and image alpha under THIS RGB contract — swap
+    in PIL/libjpeg/libwebp on a cluster image that has them."""
     if payload[:2] == b"BM":
         return decode_bmp(payload)
     if payload[:8] == PNG_SIGNATURE:
-        return decode_png(payload)
+        import numpy as np
+
+        px = decode_png(payload)
+        if px.dtype == np.uint16:
+            px = (px >> 8).astype(np.uint8)  # most-significant byte
+        if px.ndim == 2:  # grayscale -> replicate to RGB planes
+            return np.repeat(px[:, :, None], 3, axis=2)
+        if px.shape[2] != 3:
+            raise NotImplementedError(
+                "PNG alpha under the RGB decode_image contract — call "
+                "decode_png directly for the (H, W, 2|4) array"
+            )
+        return px
     if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
         from spark_hive_spark.operators.webp import decode_webp
 
@@ -68,11 +85,11 @@ def decode_image(payload: bytes) -> "object":
             return np.repeat(px[:, :, None], 3, axis=2)
         return px
     raise NotImplementedError(
-        "BMP, 8-bit RGB PNG, JPEG (baseline grayscale/YCbCr "
-        "4:4:4/4:2:0/4:2:2 + full progressive successive-"
-        "approximation) and lossless WebP (VP8L) decode in this "
-        "environment; install PIL/libwebp on the cluster for other "
-        "payloads"
+        "BMP, PNG (all legal depths/color types + Adam7), JPEG "
+        "(baseline grayscale/YCbCr 4:4:4/4:2:0/4:2:2 + full "
+        "progressive successive-approximation) and lossless WebP "
+        "(VP8L) decode in this environment; install PIL/libwebp on "
+        "the cluster for other payloads"
     )
 
 
@@ -91,27 +108,33 @@ def _png_chunk(tag: bytes, body: bytes) -> bytes:
     )
 
 
-def encode_png(pixels) -> bytes:
-    """Serialize an (H, W, 3) uint8 RGB array as a genuine PNG
-    (8-bit truecolor, zlib-deflated IDAT, CRC-checked chunks) using
-    only stdlib zlib + numpy. Row r is written with filter type
-    r % 5, so a payload taller than 4 rows exercises every PNG
-    filter (None/Sub/Up/Average/Paeth) — the decoder can't pass by
-    handling filter 0 alone. Inverse of `decode_png`."""
-    import struct
-    import zlib
+# Adam7 interlace pass grid: (x_start, y_start, x_step, y_step)
+_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
 
+
+def _png_filter_rows(sub, bpp: int) -> bytes:
+    """Filter a (rows, rowbytes) uint8 scanline block: row r uses
+    filter type r % 5, so any block taller than 4 rows exercises
+    every PNG filter (None/Sub/Up/Average/Paeth). ``bpp`` is the
+    filter\'s left-offset in BYTES (max(1, channels*depth//8))."""
     import numpy as np
 
-    px = np.asarray(pixels, dtype=np.uint8)
-    h, w, _ = px.shape
-    raw = px.reshape(h, w * 3).astype(np.int64)
-    prior = np.zeros(w * 3, dtype=np.int64)
-    scanlines = bytearray()
+    sub = np.asarray(sub, dtype=np.uint8)
+    h, rowbytes = sub.shape
+    raw = sub.astype(np.int64)
+    out = bytearray()
+    prior = np.zeros(rowbytes, dtype=np.int64)
+    zpad = np.zeros(bpp, dtype=np.int64)
     for r in range(h):
         row = raw[r]
-        left = np.concatenate([np.zeros(3, dtype=np.int64), row[:-3]])
-        up_left = np.concatenate([np.zeros(3, dtype=np.int64), prior[:-3]])
+        left = np.concatenate([zpad, row[:-bpp]]) if rowbytes > bpp \
+            else np.zeros(rowbytes, dtype=np.int64)
+        up_left = np.concatenate([zpad, prior[:-bpp]]) if rowbytes > bpp \
+            else np.zeros(rowbytes, dtype=np.int64)
         ftype = r % 5
         if ftype == 0:
             filt = row
@@ -123,77 +146,31 @@ def encode_png(pixels) -> bytes:
             filt = row - (left + prior) // 2
         else:
             p = left + prior - up_left
-            pa, pb, pc = (
-                np.abs(p - left),
-                np.abs(p - prior),
-                np.abs(p - up_left),
-            )
+            pa = np.abs(p - left)
+            pb = np.abs(p - prior)
+            pc = np.abs(p - up_left)
             pred = np.where(
                 (pa <= pb) & (pa <= pc),
                 left,
                 np.where(pb <= pc, prior, up_left),
             )
             filt = row - pred
-        scanlines.append(ftype)
-        scanlines.extend((filt % 256).astype(np.uint8).tobytes())
+        out.append(ftype)
+        out.extend((filt % 256).astype(np.uint8).tobytes())
         prior = row
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
-    return (
-        PNG_SIGNATURE
-        + _png_chunk(b"IHDR", ihdr)
-        + _png_chunk(b"IDAT", zlib.compress(bytes(scanlines), 6))
-        + _png_chunk(b"IEND", b"")
-    )
+    return bytes(out)
 
 
-def decode_png(payload: bytes) -> "object":
-    """Parse an 8-bit truecolor PNG into an (H, W, 3) uint8 RGB
-    array: validates the signature and IHDR (bit depth 8, color
-    type 2 RGB, no interlace), concatenates IDAT chunks, inflates
-    with stdlib zlib, and un-filters every scanline per the PNG
-    spec (None/Sub/Up/Average/Paeth — the modulo-256 reconstruction
-    with the bpp=3 left offset). Pure numpy row math; the left-
-    dependent filters (Sub/Average/Paeth) reconstruct pixel-by-pixel
-    within the row, as the spec's data dependency requires. The
-    VERDICT r7 #3 seam: real compressed-format decode with no codec
-    library."""
-    import struct
-    import zlib
-
+def _png_unfilter_rows(lines, bpp: int):
+    """Invert _png_filter_rows on a (rows, 1+rowbytes) uint8 block
+    (first byte of each scanline is its filter type) — the spec\'s
+    modulo-256 reconstruction with the byte-level left offset."""
     import numpy as np
 
-    if payload[:8] != PNG_SIGNATURE:
-        raise ValueError("not a PNG payload")
-    pos, w = 8, None
-    idat = bytearray()
-    while pos < len(payload):
-        (length,) = struct.unpack_from(">I", payload, pos)
-        tag = payload[pos + 4 : pos + 8]
-        body = payload[pos + 8 : pos + 8 + length]
-        pos += 12 + length
-        if tag == b"IHDR":
-            w, h, depth, ctype, comp, filt, interlace = struct.unpack(
-                ">IIBBBBB", body
-            )
-            if (depth, ctype, comp, filt, interlace) != (8, 2, 0, 0, 0):
-                raise NotImplementedError(
-                    "only 8-bit truecolor non-interlaced PNG supported "
-                    f"(depth={depth}, color_type={ctype}, "
-                    f"interlace={interlace})"
-                )
-        elif tag == b"IDAT":
-            idat.extend(body)
-        elif tag == b"IEND":
-            break
-    if w is None:
-        raise ValueError("PNG missing IHDR")
-    raw = zlib.decompress(bytes(idat))
-    stride = w * 3 + 1
-    if len(raw) != h * stride:
-        raise ValueError("PNG scanline data length mismatch")
-    lines = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride)
-    out = np.zeros((h, w * 3), dtype=np.int64)
-    zero = np.zeros(w * 3, dtype=np.int64)
+    h, stride = lines.shape
+    rowbytes = stride - 1
+    out = np.zeros((h, rowbytes), dtype=np.int64)
+    zero = np.zeros(rowbytes, dtype=np.int64)
     for r in range(h):
         ftype = int(lines[r, 0])
         filt = lines[r, 1:].astype(np.int64)
@@ -203,15 +180,16 @@ def decode_png(payload: bytes) -> "object":
         elif ftype == 2:
             row = (filt + prior) % 256
         else:
-            row = np.empty(w * 3, dtype=np.int64)
-            for x in range(w * 3):
-                left = row[x - 3] if x >= 3 else 0
+            row = np.empty(rowbytes, dtype=np.int64)
+            for x in range(rowbytes):
+                left = row[x - bpp] if x >= bpp else 0
                 if ftype == 1:
                     pred = left
                 elif ftype == 3:
                     pred = (left + prior[x]) // 2
                 elif ftype == 4:
-                    up, ul = prior[x], (prior[x - 3] if x >= 3 else 0)
+                    up = prior[x]
+                    ul = prior[x - bpp] if x >= bpp else 0
                     p = left + up - ul
                     pa, pb, pc = abs(p - left), abs(p - up), abs(p - ul)
                     pred = left if (pa <= pb and pa <= pc) else (
@@ -221,7 +199,244 @@ def decode_png(payload: bytes) -> "object":
                     raise ValueError(f"bad PNG filter type {ftype}")
                 row[x] = (filt[x] + pred) % 256
         out[r] = row
-    return out.astype(np.uint8).reshape(h, w, 3)
+    return out
+
+
+def _png_pack_rows(sub, depth: int):
+    """(rows, w*channels) sample block -> (rows, rowbytes) uint8
+    scanline bytes: 16-bit samples big-endian, sub-byte samples
+    packed MSB-first (PNG bit order)."""
+    import numpy as np
+
+    sub = np.asarray(sub)
+    h, n = sub.shape
+    if depth == 16:
+        be = sub.astype(">u2")
+        return np.frombuffer(be.tobytes(), dtype=np.uint8).reshape(h, n * 2)
+    if depth == 8:
+        return sub.astype(np.uint8)
+    ppb = 8 // depth
+    ncols = -(-n // ppb) * ppb
+    padded = np.zeros((h, ncols), dtype=np.int64)
+    padded[:, :n] = sub
+    packed = np.zeros((h, ncols // ppb), dtype=np.int64)
+    for k in range(ppb):  # leftmost sample in the HIGH bits
+        packed |= padded[:, k::ppb] << ((ppb - 1 - k) * depth)
+    return packed.astype(np.uint8)
+
+
+def _png_unpack_rows(rows, depth: int, n: int):
+    """Inverse of _png_pack_rows: (rows, rowbytes) bytes -> (rows, n)
+    integer samples."""
+    import numpy as np
+
+    h = rows.shape[0]
+    if depth == 16:
+        return np.frombuffer(
+            rows.astype(np.uint8).tobytes(), dtype=">u2"
+        ).reshape(h, -1)[:, :n].astype(np.int64)
+    if depth == 8:
+        return rows[:, :n].astype(np.int64)
+    ppb = 8 // depth
+    mask = (1 << depth) - 1
+    out = np.zeros((h, rows.shape[1] * ppb), dtype=np.int64)
+    for k in range(ppb):
+        out[:, k::ppb] = (rows >> ((ppb - 1 - k) * depth)) & mask
+    return out[:, :n]
+
+
+def encode_png(
+    pixels,
+    palette_depth: int | None = None,
+    gray_depth: int | None = None,
+    interlace: bool = False,
+) -> bytes:
+    """Serialize an image as a genuine PNG (zlib-deflated IDAT,
+    CRC-checked chunks) using only stdlib zlib + numpy. The color
+    type derives from the array shape/dtype: (H, W) -> grayscale
+    (uint16 -> 16-bit), (H, W, 2) -> gray+alpha, (H, W, 3) -> RGB
+    (uint16 -> 48-bit), (H, W, 4) -> RGBA. ``palette_depth`` in
+    {1, 2, 4, 8} instead indexes an (H, W, 3) image\'s <= 2^depth
+    distinct colors through a PLTE chunk (sub-byte indices packed
+    MSB-first); an (H, W, 4) input additionally emits tRNS alpha.
+    ``gray_depth`` in {1, 2, 4} packs a low-range grayscale image at
+    reduced bit depth. ``interlace`` writes the seven-pass Adam7
+    layout. Row r of every (pass-)block is written with filter type
+    r % 5, so payloads exercise every PNG filter. Inverse of
+    `decode_png`."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    px = np.asarray(pixels)
+    trns = b""
+    plte = b""
+    if palette_depth is not None:
+        if palette_depth not in (1, 2, 4, 8) or px.ndim != 3:
+            raise ValueError("palette_depth needs (H, W, 3|4) + depth 1/2/4/8")
+        h, w = px.shape[:2]
+        colors: dict = {}
+        flat = px.reshape(-1, px.shape[2]).astype(np.int64)
+        for p in flat:
+            colors.setdefault(tuple(int(v) for v in p), len(colors))
+        if len(colors) > (1 << palette_depth):
+            raise ValueError("too many colors for palette_depth")
+        plte = b"".join(bytes(c[:3]) for c in colors)
+        if px.shape[2] == 4:
+            trns = bytes(c[3] for c in colors)
+        samples = np.array(
+            [colors[tuple(int(v) for v in p)] for p in flat],
+            dtype=np.int64,
+        ).reshape(h, w)
+        ctype, depth = 3, palette_depth
+    elif px.ndim == 2:
+        h, w = px.shape
+        depth = 16 if px.dtype == np.uint16 else (gray_depth or 8)
+        if depth < 8 and int(px.max(initial=0)) >= (1 << depth):
+            raise ValueError("gray samples exceed gray_depth range")
+        samples = px.astype(np.int64)
+        ctype = 0
+    else:
+        h, w, nch = px.shape
+        ctype = {2: 4, 3: 2, 4: 6}[nch]
+        depth = 16 if px.dtype == np.uint16 else 8
+        samples = px.reshape(h, w * nch).astype(np.int64)
+    nch = _PNG_CHANNELS[ctype]
+    bpp = max(1, nch * depth // 8)
+
+    def block(sub_samples):  # (rows, pw*nch) -> filtered scanlines
+        return _png_filter_rows(_png_pack_rows(sub_samples, depth), bpp)
+
+    if interlace:
+        grid = samples.reshape(h, w, nch) if nch > 1 else samples
+        body = bytearray()
+        for xs, ys, xstep, ystep in _ADAM7:
+            sub = grid[ys::ystep, xs::xstep]
+            if sub.shape[0] == 0 or sub.shape[1] == 0:
+                continue
+            ph, pw = sub.shape[:2]
+            body.extend(block(sub.reshape(ph, pw * nch)))
+        idat = zlib.compress(bytes(body), 6)
+    else:
+        idat = zlib.compress(block(samples), 6)
+    ihdr = struct.pack(
+        ">IIBBBBB", w, h, depth, ctype, 0, 0, 1 if interlace else 0
+    )
+    out = PNG_SIGNATURE + _png_chunk(b"IHDR", ihdr)
+    if plte:
+        out += _png_chunk(b"PLTE", plte)
+    if trns:
+        out += _png_chunk(b"tRNS", trns)
+    return out + _png_chunk(b"IDAT", idat) + _png_chunk(b"IEND", b"")
+
+
+def decode_png(payload: bytes) -> "object":
+    """Parse a PNG into its natural array form: grayscale -> (H, W),
+    gray+alpha -> (H, W, 2), RGB/palette -> (H, W, 3), RGBA (or
+    palette with tRNS) -> (H, W, 4); 16-bit images come back uint16,
+    everything else uint8 (sub-byte gray scales to 8-bit via the
+    spec\'s max-value expansion). Handles every legal bit depth
+    (1/2/4/8/16), all five color types, PLTE/tRNS, and BOTH
+    interlace layouts (none + the seven-pass Adam7 grid, each pass
+    an independently filtered sub-image). Un-filters per the PNG
+    spec (None/Sub/Up/Average/Paeth, modulo-256, byte-level bpp
+    offset). Pure numpy — the VERDICT r7 #3 seam: real
+    compressed-format decode with no codec library."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if payload[:8] != PNG_SIGNATURE:
+        raise ValueError("not a PNG payload")
+    pos, w = 8, None
+    idat = bytearray()
+    plte = trns = None
+    while pos < len(payload):
+        (length,) = struct.unpack_from(">I", payload, pos)
+        tag = payload[pos + 4 : pos + 8]
+        body = payload[pos + 8 : pos + 8 + length]
+        pos += 12 + length
+        if tag == b"IHDR":
+            w, h, depth, ctype, comp, filt, interlace = struct.unpack(
+                ">IIBBBBB", body
+            )
+            if comp or filt or interlace > 1:
+                raise ValueError("bad IHDR compression/filter/interlace")
+            if ctype not in _PNG_CHANNELS:
+                raise ValueError(f"bad PNG color type {ctype}")
+            legal = {
+                0: (1, 2, 4, 8, 16), 2: (8, 16), 3: (1, 2, 4, 8),
+                4: (8, 16), 6: (8, 16),
+            }[ctype]
+            if depth not in legal:
+                raise ValueError(f"illegal depth {depth} for type {ctype}")
+        elif tag == b"PLTE":
+            plte = np.frombuffer(body, dtype=np.uint8).reshape(-1, 3)
+        elif tag == b"tRNS":
+            trns = np.frombuffer(body, dtype=np.uint8)
+        elif tag == b"IDAT":
+            idat.extend(body)
+        elif tag == b"IEND":
+            break
+    if w is None:
+        raise ValueError("PNG missing IHDR")
+    raw = zlib.decompress(bytes(idat))
+    nch = _PNG_CHANNELS[ctype]
+    bpp = max(1, nch * depth // 8)
+
+    def read_block(data, offset, ph, pw):
+        rowbytes = -(-pw * nch * depth // 8)
+        need = ph * (rowbytes + 1)
+        if offset + need > len(data):
+            raise ValueError("PNG scanline data length mismatch")
+        lines = np.frombuffer(
+            data, dtype=np.uint8, count=need, offset=offset
+        ).reshape(ph, rowbytes + 1)
+        rows = _png_unfilter_rows(lines, bpp).astype(np.uint8)
+        return _png_unpack_rows(rows, depth, pw * nch), offset + need
+
+    if interlace:
+        samples = np.zeros((h, w, nch), dtype=np.int64)
+        off = 0
+        for xs, ys, xstep, ystep in _ADAM7:
+            pw = max(0, -(-(w - xs) // xstep))
+            ph = max(0, -(-(h - ys) // ystep))
+            if pw == 0 or ph == 0:
+                continue
+            sub, off = read_block(raw, off, ph, pw)
+            samples[ys::ystep, xs::xstep] = sub.reshape(ph, pw, nch)
+        if off != len(raw):
+            raise ValueError("PNG scanline data length mismatch")
+        samples = samples.reshape(h, w * nch)
+    else:
+        samples, off = read_block(raw, 0, h, w)
+        if off != len(raw):
+            raise ValueError("PNG scanline data length mismatch")
+    if ctype == 3:
+        if plte is None:
+            raise ValueError("palette PNG missing PLTE")
+        idx = samples.reshape(h, w)
+        if int(idx.max(initial=0)) >= plte.shape[0]:
+            raise ValueError("palette index out of range")
+        rgb = plte[idx]
+        if trns is not None:
+            alpha = np.full(plte.shape[0], 255, dtype=np.uint8)
+            alpha[: len(trns)] = trns
+            return np.concatenate(
+                [rgb, alpha[idx][:, :, None]], axis=2
+            )
+        return rgb
+    if depth == 16:
+        out = samples.astype(np.uint16)
+    elif depth < 8:  # sub-byte gray scales by 255/(2^depth - 1)
+        out = (samples * 255 // ((1 << depth) - 1)).astype(np.uint8)
+    else:
+        out = samples.astype(np.uint8)
+    if nch == 1:
+        return out.reshape(h, w)
+    return out.reshape(h, w, nch)
 
 
 def encode_bmp(pixels) -> bytes:
@@ -747,6 +962,203 @@ def multimodal_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(out)
 
     return media.mapInPandas(decode_batches, _PNG_SCHEMA).orderBy("doc_id")
+
+
+_PNG_VARIANT_SCHEMA = (
+    "doc_id long, variant int, in_w int, in_h int, n_channels int,"
+    " sum_c0 long, sum_c1 long, sum_c2 long, wsum_c0 long"
+)
+
+
+@register(
+    "multimodal_png_variants_decode",
+    oracle=f"""
+        WITH d AS (
+            SELECT doc_id, doc_id % 6 AS variant,
+                   doc_id % 6 + 2 AS wb, doc_id % 4 + 2 AS hb
+            FROM documents WHERE doc_id < {PNG_DOCS}
+        ),
+        px AS (
+            SELECT doc_id, variant, wb, hb,
+                   i % (8 * wb) AS x, i // (8 * wb) AS y
+            FROM (SELECT doc_id, variant, wb, hb,
+                         unnest(range(0, 64 * wb * hb)) AS i
+                  FROM d)
+        ),
+        chan AS (
+            SELECT doc_id, variant, wb, hb, x, y,
+                   CASE variant
+                       WHEN 0 THEN (doc_id * 7 + 5 * x + 3 * y) % 256
+                       WHEN 1 THEN (doc_id * 301 + 157 * x + 89 * y)
+                                   % 65536
+                       WHEN 2 THEN ((doc_id + x // 4 + y // 4) % 4) * 85
+                       WHEN 3 THEN (doc_id * 5
+                           + 37 * ((doc_id + x // 4 + 2 * (y // 4))
+                                   % 16)) % 256
+                       WHEN 4 THEN (doc_id * 7 + 5 * x + 3 * y) % 256
+                       ELSE (doc_id * 301 + 157 * x + 89 * y) % 65536
+                   END AS c0,
+                   CASE variant
+                       WHEN 3 THEN (doc_id * 3
+                           + 59 * ((doc_id + x // 4 + 2 * (y // 4))
+                                   % 16) + 11) % 256
+                       WHEN 4 THEN (doc_id * 11 + 3 * x + 13 * y + 41)
+                                   % 256
+                       WHEN 5 THEN (doc_id * 157 + 89 * x + 301 * y + 7)
+                                   % 65536
+                       ELSE 0
+                   END AS c1,
+                   CASE variant
+                       WHEN 3 THEN (doc_id * 7
+                           + 83 * ((doc_id + x // 4 + 2 * (y // 4))
+                                   % 16) + 5) % 256
+                       WHEN 4 THEN (doc_id * 17 + 7 * x + y + 99) % 256
+                       WHEN 5 THEN (doc_id * 89 + 301 * x + 157 * y + 13)
+                                   % 65536
+                       ELSE 0
+                   END AS c2
+            FROM px
+        )
+        SELECT doc_id,
+               CAST(variant AS INT) AS variant,
+               CAST(8 * wb AS INT) AS in_w,
+               CAST(8 * hb AS INT) AS in_h,
+               CAST(CASE WHEN variant IN (3, 4, 5) THEN 3 ELSE 1 END
+                    AS INT) AS n_channels,
+               CAST(sum(c0) AS BIGINT) AS sum_c0,
+               CAST(sum(c1) AS BIGINT) AS sum_c1,
+               CAST(sum(c2) AS BIGINT) AS sum_c2,
+               CAST(sum(c0 * (2 * x + y)) AS BIGINT) AS wsum_c0
+        FROM chan
+        GROUP BY doc_id, variant, wb, hb
+        ORDER BY doc_id
+    """,
+    tags=("multimodal", "codec", "png", "interlace", "llm-pipeline"),
+)
+def multimodal_png_variants_decode(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The full legal PNG matrix end to end (round 10): per document
+    the variant rotates by doc_id % 6 — (0) grayscale 8-bit, (1)
+    grayscale 16-BIT (uint16 samples, big-endian), (2) 2-BIT
+    grayscale (4 levels, sub-byte MSB-first packing, decoded through
+    the spec's 255/(2^d−1) expansion so values are multiples of 85),
+    (3) 4-bit PALETTE via PLTE (16 colors), (4) RGB 8-bit, (5) RGB
+    16-bit — and every THIRD document additionally writes the
+    seven-pass ADAM7 interlace layout, so the corpus exercises both
+    scanline geometries over every color type. PNG is lossless ⇒ the
+    oracle reproduces the per-pixel channel formulas exactly; the
+    (2x+y)-weighted first-channel sum pins both raster order and the
+    Adam7 pass-scatter (a transposed or mis-stepped pass cannot
+    cancel).
+
+    Scale posture: identical to the other codec queries — two narrow
+    Arrow `mapInPandas` stages, zero shuffles, no driver decode."""
+
+    docs = (
+        t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < PNG_DOCS)
+        .select("doc_id")
+    )
+
+    def encode_batches(
+        batches: Iterator[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            ids = pdf["doc_id"].to_numpy()
+            payloads = []
+            for d in ids:
+                d = int(d)
+                wb, hb = d % 6 + 2, d % 4 + 2
+                w, h = 8 * wb, 8 * hb
+                x = np.arange(w)[None, :]
+                y = np.arange(h)[:, None]
+                variant = d % 6
+                interlace = (d % 3) == 0
+                kw: dict = {"interlace": interlace}
+                if variant == 0:
+                    img = ((d * 7 + 5 * x + 3 * y) % 256 + 0 * y).astype(
+                        np.uint8
+                    )
+                elif variant == 1:
+                    img = ((d * 301 + 157 * x + 89 * y) % 65536).astype(
+                        np.uint16
+                    )
+                elif variant == 2:
+                    img = ((d + x // 4 + y // 4) % 4 + 0 * y).astype(
+                        np.uint8
+                    )
+                    kw["gray_depth"] = 2
+                elif variant == 3:
+                    idx = (d + x // 4 + 2 * (y // 4)) % 16
+                    img = np.stack(
+                        [
+                            (d * 5 + 37 * idx) % 256,
+                            (d * 3 + 59 * idx + 11) % 256,
+                            (d * 7 + 83 * idx + 5) % 256,
+                        ],
+                        axis=2,
+                    ).astype(np.uint8)
+                    kw["palette_depth"] = 4
+                elif variant == 4:
+                    img = np.stack(
+                        [
+                            (d * 7 + 5 * x + 3 * y) % 256,
+                            (d * 11 + 3 * x + 13 * y + 41) % 256,
+                            (d * 17 + 7 * x + y + 99) % 256,
+                        ],
+                        axis=2,
+                    ).astype(np.uint8)
+                else:
+                    img = np.stack(
+                        [
+                            (d * 301 + 157 * x + 89 * y) % 65536,
+                            (d * 157 + 89 * x + 301 * y + 7) % 65536,
+                            (d * 89 + 301 * x + 157 * y + 13) % 65536,
+                        ],
+                        axis=2,
+                    ).astype(np.uint16)
+                payloads.append(encode_png(img, **kw))
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    media = docs.mapInPandas(encode_batches, "doc_id long, payload binary")
+
+    def decode_batches(
+        batches: Iterator[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        cols = (
+            "doc_id variant in_w in_h n_channels sum_c0 sum_c1 sum_c2"
+            " wsum_c0"
+        ).split()
+        for pdf in batches:
+            out: dict[str, list] = {k: [] for k in cols}
+            for d, p in zip(pdf["doc_id"], pdf["payload"]):
+                px = decode_png(bytes(p)).astype(np.int64)
+                if px.ndim == 2:
+                    px = px[:, :, None]
+                h, w, nch = px.shape
+                wgt = 2 * np.arange(w)[None, :] + np.arange(h)[:, None]
+                sums = [
+                    int(px[:, :, c].sum()) if c < nch else 0
+                    for c in range(3)
+                ]
+                vals = (
+                    int(d), int(d) % 6, w, h, nch,
+                    sums[0], sums[1], sums[2],
+                    int((px[:, :, 0] * wgt).sum()),
+                )
+                for k, v in zip(cols, vals):
+                    out[k].append(v)
+            yield pd.DataFrame(out)
+
+    return (
+        media.mapInPandas(decode_batches, _PNG_VARIANT_SCHEMA)
+        .orderBy("doc_id")
+    )
 
 
 # --- Baseline JPEG (ITU-T T.81) grayscale codec, stdlib + numpy ----------

@@ -66,6 +66,7 @@ SWEEP_PRIORITY: tuple[str, ...] = (
     "multimodal_jpeg_multiscan_restart_decode",
     "multimodal_webp_full_profile_decode",
     "multimodal_webp_alpha_decode",
+    "multimodal_png_variants_decode",
     # round-10 implementation changes: re-attest under the new code
     "knn_cosine_ivf",
     "ann_recall_audit",
@@ -101,7 +102,6 @@ SWEEP_PRIORITY: tuple[str, ...] = (
     "setops_segment_overlap",
     "q7_nation_trade_volume",
     "q9_nation_year_profit",
-    "q10_returned_item_losses",
 )
 
 

@@ -309,9 +309,11 @@ def test_png_codec_roundtrip():
 
 
 def test_png_codec_rejections():
-    """decode_png refuses what it cannot faithfully decode: wrong
-    signature, non-8-bit / non-truecolor / interlaced IHDR, corrupt
-    scanline filter bytes, and truncated IDAT."""
+    """decode_png fails loudly on structurally invalid streams:
+    wrong signature, ILLEGAL depth/color-type combinations (the
+    legal matrix itself is fully implemented as of round 10 —
+    see test_png_variants_roundtrip), corrupt scanline filter
+    bytes, truncated IDAT, and palette files missing their PLTE."""
     import struct
     import zlib
 
@@ -338,9 +340,21 @@ def test_png_codec_rejections():
             + _png_chunk(b"IEND", b"")
         )
 
-    for depth, ctype, interlace in [(16, 2, 0), (8, 6, 0), (8, 2, 1)]:
-        with pytest.raises(NotImplementedError):
-            decode_png(png_with_ihdr(depth, ctype, interlace))
+    # illegal depth/type combos per the spec's table: sub-byte
+    # truecolor, 16-bit palette, depth 3, color type 5
+    for depth, ctype in [(4, 2), (16, 3), (3, 0), (8, 5)]:
+        with pytest.raises(ValueError):
+            decode_png(png_with_ihdr(depth, ctype, 0))
+    # palette stream without a PLTE chunk
+    pal_png = bytearray(
+        encode_png(
+            np.zeros((2, 2, 3), dtype=np.uint8), palette_depth=8
+        )
+    )
+    i = bytes(pal_png).index(b"PLTE") - 4
+    (plen,) = struct.unpack_from(">I", pal_png, i)
+    with pytest.raises(ValueError):
+        decode_png(bytes(pal_png[:i] + pal_png[i + 12 + plen :]))
 
     good = encode_png(np.zeros((3, 3, 3), dtype=np.uint8))
     # corrupt a filter byte to an undefined type (7): scanline 0's
@@ -363,6 +377,67 @@ def test_png_codec_rejections():
     )
     with pytest.raises(ValueError):
         decode_png(short)
+
+
+def test_png_variants_roundtrip():
+    """The full legal PNG matrix must round-trip bit-exactly (PNG is
+    lossless): every depth/color-type combination the spec allows —
+    gray 1/2/4/8/16 (sub-byte expands by 255/(2^d-1)), RGB 8/16,
+    gray+alpha, RGBA, palette 1/2/4/8 with and without tRNS — under
+    BOTH interlace layouts (none + Adam7, including degenerate 1-px
+    rows/columns where several Adam7 passes are empty). decode_image
+    keeps its RGB contract: grayscale replicates, 16-bit scales to
+    the high byte, alpha stays loud."""
+    import numpy as np
+    import pytest
+
+    from spark_hive_spark.operators.multimodal import (
+        decode_image,
+        decode_png,
+        encode_png,
+    )
+
+    rng = np.random.RandomState(2711)
+
+    def rt(img, expect=None, **kw):
+        expect = img if expect is None else expect
+        for interlace in (False, True):
+            got = decode_png(encode_png(img, interlace=interlace, **kw))
+            assert got.shape == expect.shape and got.dtype == expect.dtype
+            assert np.array_equal(got, expect), (img.shape, kw, interlace)
+
+    rt(rng.randint(0, 256, (13, 21, 3)).astype(np.uint8))
+    rt(rng.randint(0, 256, (9, 17)).astype(np.uint8))
+    rt(rng.randint(0, 65536, (9, 17)).astype(np.uint16))
+    rt(rng.randint(0, 65536, (7, 5, 3)).astype(np.uint16))
+    rt(rng.randint(0, 256, (11, 6, 2)).astype(np.uint8))
+    rt(rng.randint(0, 256, (8, 8, 4)).astype(np.uint8))
+    for d in (1, 2, 4):
+        raw = rng.randint(0, 1 << d, (10, 13)).astype(np.uint8)
+        exp = (raw.astype(np.int64) * 255 // ((1 << d) - 1)).astype(
+            np.uint8
+        )
+        rt(raw, expect=exp, gray_depth=d)
+    for d in (1, 2, 4, 8):
+        ncol = (1 << d) if d < 8 else 23
+        pal = rng.randint(0, 256, (ncol, 3))
+        img = pal[rng.randint(0, ncol, (12, 19))].astype(np.uint8)
+        rt(img, palette_depth=d)
+    apal = np.concatenate(
+        [rng.randint(0, 256, (4, 3)), rng.randint(0, 255, (4, 1))], axis=1
+    )
+    rt(apal[rng.randint(0, 4, (12, 19))].astype(np.uint8), palette_depth=2)
+    for shape in [(1, 1, 3), (1, 9, 3), (9, 1, 3)]:
+        rt(rng.randint(0, 256, shape).astype(np.uint8))
+    # decode_image RGB contract
+    g16 = rng.randint(0, 65536, (6, 6)).astype(np.uint16)
+    out = decode_image(encode_png(g16))
+    assert out.shape == (6, 6, 3) and out.dtype == np.uint8
+    assert np.array_equal(out[:, :, 0], (g16 >> 8).astype(np.uint8))
+    with pytest.raises(NotImplementedError):
+        decode_image(
+            encode_png(rng.randint(0, 256, (6, 6, 4)).astype(np.uint8))
+        )
 
 
 def test_jpeg_codec_closed_form_and_roundtrip():
