@@ -77,6 +77,16 @@ def decode_image(payload: bytes) -> "object":
         from spark_hive_spark.operators.webp import decode_webp
 
         return decode_webp(payload)
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        from spark_hive_spark.operators.gif import decode_gif
+
+        frame, _n_frames, _delay = decode_gif(payload)
+        if frame.shape[2] != 3:
+            raise NotImplementedError(
+                "GIF transparency under the RGB decode_image contract — "
+                "call decode_gif directly for the RGBA frame"
+            )
+        return frame
     if payload[:2] == b"\xff\xd8":
         import numpy as np
 

@@ -2120,3 +2120,83 @@ def test_webp_decode_image_dispatch():
     out = decode_image(encode_webp_lossless(img))
     assert out.shape == (8, 16, 3)
     assert np.array_equal(out, img)
+
+
+def test_gif_codec_roundtrip_and_rejections():
+    """GIF round-trips exactly over its palette (lossless): raw LZW
+    at every min-code-size including 12-bit width growth, dictionary
+    reset at 4096, and KwKwK chains; whole files across palette
+    sizes 2/16/256, the 4-pass interlace (including 1-row frames
+    where most passes are empty), transparency (RGBA out, alpha 0 at
+    the declared index), and multi-frame animations (first frame +
+    count + total delay). Structural garbage fails loudly, and
+    decode_image keeps its RGB contract (transparent GIFs point at
+    decode_gif)."""
+    import numpy as np
+    import pytest
+
+    from spark_hive_spark.operators.gif import (
+        _lzw_compress,
+        _lzw_decompress,
+        decode_gif,
+        encode_gif,
+    )
+    from spark_hive_spark.operators.multimodal import decode_image
+
+    rng = np.random.RandomState(87)
+    for mcs in (2, 4, 8):
+        data = rng.randint(0, 1 << mcs, 20000)
+        assert np.array_equal(
+            _lzw_decompress(_lzw_compress(data, mcs), mcs, len(data)),
+            data,
+        ), mcs
+    runs = np.repeat(np.arange(4), 5000)  # KwKwK + deep chains
+    assert np.array_equal(
+        _lzw_decompress(_lzw_compress(runs, 2), 2, len(runs)), runs
+    )
+    # final-code width-boundary regression (round 10): the decoder
+    # appends a dictionary entry for the LAST data code too — when
+    # that append lands exactly on a 2^width boundary, EOI must be
+    # written one bit wider. Sweep every prefix across the first two
+    # boundaries so the crossing is hit at the stream end.
+    data = rng.randint(0, 16, 900)
+    for n in range(1, 900, 7):
+        pre = data[:n]
+        assert np.array_equal(
+            _lzw_decompress(_lzw_compress(pre, 4), 4, n), pre
+        ), n
+
+    pal = np.stack(
+        [np.arange(256), (np.arange(256) * 7) % 256,
+         (np.arange(256) * 13) % 256],
+        axis=1,
+    )
+    for ncol, shape in [(2, (7, 9)), (16, (20, 33)), (256, (40, 50))]:
+        img = pal[rng.randint(0, ncol, shape)].astype(np.uint8)
+        for interlace in (False, True):
+            frame, n, _ = decode_gif(encode_gif(img, interlace=interlace))
+            assert n == 1 and np.array_equal(frame, img), (ncol, interlace)
+    img = pal[rng.randint(0, 16, (12, 19))].astype(np.uint8)
+    frames = [img, np.roll(img, 1, axis=1), np.roll(img, 3, axis=0)]
+    first, n, delay = decode_gif(encode_gif(frames, delay_cs=7))
+    assert (n, delay) == (3, 21) and np.array_equal(first, img)
+    tfirst, _, _ = decode_gif(
+        encode_gif(img, transparent_color=tuple(int(v) for v in pal[0]))
+    )
+    assert tfirst.shape[2] == 4
+    assert np.array_equal(tfirst[:, :, :3], img)
+    assert np.array_equal(
+        tfirst[:, :, 3] == 0, (img == pal[0]).all(axis=2)
+    )
+    with pytest.raises(NotImplementedError):
+        decode_image(
+            encode_gif(img, transparent_color=tuple(int(v) for v in pal[0]))
+        )
+    assert np.array_equal(decode_image(encode_gif(img)), img)
+    with pytest.raises(ValueError):
+        decode_gif(b"PNG not a gif....")
+    blob = encode_gif(img)
+    with pytest.raises(ValueError):
+        decode_gif(blob[: len(blob) // 2])  # truncated mid-stream
+    with pytest.raises(ValueError):
+        decode_gif(blob[:6] + b"\x00" * 7 + blob[13:])  # zeroed screen
