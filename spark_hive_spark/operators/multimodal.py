@@ -77,6 +77,15 @@ def decode_image(payload: bytes) -> "object":
         from spark_hive_spark.operators.webp import decode_webp
 
         return decode_webp(payload)
+    if payload[:4] in (b"II\x2a\x00", b"MM\x00\x2a"):
+        import numpy as np
+
+        from spark_hive_spark.operators.tiff import decode_tiff
+
+        px = decode_tiff(payload)
+        if px.ndim == 2:  # grayscale -> replicate to RGB planes
+            return np.repeat(px[:, :, None], 3, axis=2)
+        return px
     if payload[:6] in (b"GIF87a", b"GIF89a"):
         from spark_hive_spark.operators.gif import decode_gif
 

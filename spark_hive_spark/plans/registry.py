@@ -68,6 +68,7 @@ SWEEP_PRIORITY: tuple[str, ...] = (
     "multimodal_webp_alpha_decode",
     "multimodal_png_variants_decode",
     "multimodal_gif_decode",
+    "multimodal_tiff_decode",
     # round-10 implementation changes: re-attest under the new code
     "knn_cosine_ivf",
     "ann_recall_audit",
@@ -101,7 +102,6 @@ SWEEP_PRIORITY: tuple[str, ...] = (
     "join_anti_customers_without_pending",
     "join_outer_nation_order_volume",
     "setops_segment_overlap",
-    "q7_nation_trade_volume",
 )
 
 
@@ -162,6 +162,7 @@ def _load_all() -> None:
         "spark_hive_spark.operators.relational3",
         "spark_hive_spark.operators.modern_sql",
         "spark_hive_spark.operators.gif",
+        "spark_hive_spark.operators.tiff",
         "spark_hive_spark.operators.graph",
         "spark_hive_spark.operators.timeseries",
         "spark_hive_spark.operators.finance",

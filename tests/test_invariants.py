@@ -2200,3 +2200,68 @@ def test_gif_codec_roundtrip_and_rejections():
         decode_gif(blob[: len(blob) // 2])  # truncated mid-stream
     with pytest.raises(ValueError):
         decode_gif(blob[:6] + b"\x00" * 7 + blob[13:])  # zeroed screen
+
+
+def test_tiff_codec_roundtrip_and_rejections():
+    """Baseline TIFF round-trips exactly (lossless): both byte
+    orders x {uncompressed, TIFF-LZW, LZW+predictor-2, PackBits} x
+    {gray, RGB}, multi-strip layouts, and the LZW EARLY-CHANGE width
+    rule swept across the 511/1023 boundaries prefix-by-prefix (the
+    one-behind decoder widens at table size 2^w - 2 — an off-by-one
+    here decodes garbage past code 510). Structural garbage and
+    unsupported shapes fail loudly."""
+    import numpy as np
+    import pytest
+
+    from spark_hive_spark.operators.tiff import (
+        _packbits_decode,
+        _packbits_encode,
+        _tiff_lzw_decode,
+        _tiff_lzw_encode,
+        decode_tiff,
+        encode_tiff,
+    )
+
+    rng = np.random.RandomState(259)
+    big = bytes(rng.randint(0, 256, 60000).astype(np.uint8))
+    assert _tiff_lzw_decode(_tiff_lzw_encode(big), len(big)) == big
+    data = bytes(rng.randint(0, 256, 1200).astype(np.uint8))
+    for n in range(1, 1200, 7):  # early-change boundary sweep
+        pre = data[:n]
+        assert _tiff_lzw_decode(_tiff_lzw_encode(pre), n) == pre, n
+    runs = bytes(np.repeat(np.arange(4, dtype=np.uint8), 8000))
+    assert _tiff_lzw_decode(_tiff_lzw_encode(runs), len(runs)) == runs
+    row = bytes(rng.randint(0, 4, 997).astype(np.uint8))
+    assert _packbits_decode(_packbits_encode(row), len(row)) == row
+
+    g = rng.randint(0, 256, (23, 37)).astype(np.uint8)
+    c = rng.randint(0, 256, (23, 37, 3)).astype(np.uint8)
+    for be in (False, True):
+        for comp, pred in [(1, False), (5, False), (5, True),
+                           (32773, False)]:
+            for img in (g, c):
+                got = decode_tiff(
+                    encode_tiff(
+                        img, big_endian=be, compression=comp,
+                        predictor=pred, rows_per_strip=5,
+                    )
+                )
+                assert np.array_equal(got, img), (be, comp, pred)
+    with pytest.raises(ValueError):
+        decode_tiff(b"GIF8 not a tiff")
+    blob = encode_tiff(c, compression=5)
+    with pytest.raises(ValueError):
+        decode_tiff(blob[: len(blob) // 2])
+    # unsupported compression scheme id -> loud
+    import struct as _struct
+
+    patched = bytearray(blob)
+    # find the compression tag (259) in the IFD and set value to 6
+    (n_entries,) = _struct.unpack_from("<H", patched, 8)
+    for i in range(n_entries):
+        base = 10 + 12 * i
+        tag, = _struct.unpack_from("<H", patched, base)
+        if tag == 259:
+            _struct.pack_into("<H", patched, base + 8, 6)
+    with pytest.raises(NotImplementedError):
+        decode_tiff(bytes(patched))
