@@ -69,6 +69,7 @@ SWEEP_PRIORITY: tuple[str, ...] = (
     "multimodal_png_variants_decode",
     "multimodal_gif_decode",
     "multimodal_tiff_decode",
+    "multimodal_flac_decode",
     # round-10 implementation changes: re-attest under the new code
     "knn_cosine_ivf",
     "ann_recall_audit",
@@ -101,7 +102,6 @@ SWEEP_PRIORITY: tuple[str, ...] = (
     "join_semi_active_customers",
     "join_anti_customers_without_pending",
     "join_outer_nation_order_volume",
-    "setops_segment_overlap",
 )
 
 
@@ -163,6 +163,7 @@ def _load_all() -> None:
         "spark_hive_spark.operators.modern_sql",
         "spark_hive_spark.operators.gif",
         "spark_hive_spark.operators.tiff",
+        "spark_hive_spark.operators.flac",
         "spark_hive_spark.operators.graph",
         "spark_hive_spark.operators.timeseries",
         "spark_hive_spark.operators.finance",

@@ -2265,3 +2265,56 @@ def test_tiff_codec_roundtrip_and_rejections():
             _struct.pack_into("<H", patched, base + 8, 6)
     with pytest.raises(NotImplementedError):
         decode_tiff(bytes(patched))
+
+
+def test_flac_codec_roundtrip_and_rejections():
+    """FLAC round-trips exactly (lossless): mono/stereo x all four
+    channel assignments x fixed/LPC predictors x partition orders,
+    across frame boundaries with odd tails, int16 extremes, constant
+    and tiny blocks. The stream is REAL: CRC-8 header and CRC-16
+    frame checks verify on decode (and corrupting a byte fails
+    loudly), and smooth signals genuinely compress below raw PCM
+    (the predictors+Rice do real work, not a verbatim wrapper)."""
+    import numpy as np
+    import pytest
+
+    from spark_hive_spark.operators.flac import decode_flac, encode_flac
+
+    rng = np.random.RandomState(9639)
+    mono = rng.randint(-32768, 32768, 3000).astype(np.int64)
+    t = np.arange(5000)
+    smooth = (10000 * np.sin(t / 50) + 300 * np.sin(t / 7)).astype(
+        np.int64
+    )
+
+    def rt(x, **kw):
+        rate, got = decode_flac(encode_flac(x, **kw))
+        assert rate == kw.get("rate", 44100)
+        assert np.array_equal(got, np.asarray(x, dtype=np.int64)), kw
+
+    rt(mono)
+    rt(mono, block_size=256, partition_order=3)
+    rt(mono, lpc_order=4)
+    rt(smooth, block_size=512, lpc_order=8)
+    rt(np.full(1000, -123, dtype=np.int64), block_size=256)
+    rt(np.array([5, -3, 7], dtype=np.int64))
+    rt(np.array([32767, -32768] * 100, dtype=np.int64), block_size=64)
+    rt(mono[:2503], block_size=256)  # short final frame
+    st = np.stack(
+        [smooth[:3000], smooth[:3000] // 2 + mono[:3000] // 8], axis=1
+    )
+    for mode in ("independent", "left_side", "right_side", "mid_side"):
+        rt(st, stereo_mode=mode, block_size=256, partition_order=2)
+        rt(st, stereo_mode=mode, block_size=256, lpc_order=4)
+    # compression is real
+    blob = encode_flac(smooth, block_size=512, lpc_order=8)
+    assert len(blob) < len(smooth) * 2 * 0.6
+    # integrity: flip one payload byte -> a CRC must catch it
+    bad = bytearray(blob)
+    bad[len(bad) // 2] ^= 0x40
+    with pytest.raises(ValueError):
+        decode_flac(bytes(bad))
+    with pytest.raises(ValueError):
+        decode_flac(b"RIFF not flac")
+    with pytest.raises(ValueError):
+        decode_flac(blob[: len(blob) // 2])
