@@ -235,6 +235,17 @@ EXTENDED = [
     "snapshot_concurrent_commit_audit",
     "pipeline_image_embedding_knn",
     "multimodal_jpeg_progressive_decode",
+    # round 10
+    "multimodal_jpeg_partial_mcu_decode",
+    "multimodal_jpeg_multiscan_restart_decode",
+    "multimodal_webp_predictor_decode",
+    "multimodal_webp_full_profile_decode",
+    "multimodal_webp_alpha_decode",
+    "multimodal_png_variants_decode",
+    "multimodal_gif_decode",
+    "multimodal_tiff_decode",
+    "multimodal_flac_decode",
+    "snapshot_semantic_conflict_audit",
 ]
 
 # Streaming extended queries run dead LAST (after the streaming

@@ -498,3 +498,149 @@ def pipeline_image_embedding_knn(
         .select("query_doc", "rank", "neighbor_doc", "cos_sim")
         .orderBy("query_doc", "rank")
     )
+
+
+MEDIA_DOCS = 48
+_MIXED_MEDIA_SCHEMA = (
+    "doc_id long, fmt int, in_w int, in_h int, sum_px long, wsum_px long"
+)
+
+
+@register(
+    "pipeline_mixed_media_features",
+    oracle=f"""
+        WITH d AS (
+            SELECT doc_id, doc_id % 6 AS fmt,
+                   doc_id % 6 + 2 AS wb, doc_id % 4 + 2 AS hb
+            FROM documents WHERE doc_id < {MEDIA_DOCS}
+        ),
+        blocks AS (
+            SELECT doc_id, fmt, wb, hb,
+                   i % wb AS bx, i // wb AS by,
+                   (doc_id * 7 + 13 * (i % wb) + 29 * (i // wb)) % 256
+                       AS v
+            FROM (SELECT doc_id, fmt, wb, hb,
+                         unnest(range(0, wb * hb)) AS i
+                  FROM d)
+        ),
+        recon AS (
+            SELECT doc_id, fmt, wb, hb, bx, by,
+                   CASE WHEN fmt = 2 THEN
+                       LEAST(255, GREATEST(0,
+                           2 * (CASE WHEN v - 128 < 0 THEN
+                                    -((abs(v - 128) + 1) // 2)
+                                ELSE (abs(v - 128) + 1) // 2 END) + 128))
+                   ELSE v END AS px
+            FROM blocks
+        )
+        SELECT doc_id,
+               CAST(fmt AS INT) AS fmt,
+               CAST(8 * wb AS INT) AS in_w,
+               CAST(8 * hb AS INT) AS in_h,
+               CAST(sum(64 * px) AS BIGINT) AS sum_px,
+               CAST(sum(px * (512 * (2 * bx + by) + 672)) AS BIGINT)
+                   AS wsum_px
+        FROM recon
+        GROUP BY doc_id, fmt, wb, hb
+        ORDER BY doc_id
+    """,
+    tags=("pipeline", "multimodal", "codec", "dispatch", "llm-pipeline"),
+)
+def pipeline_mixed_media_features(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """HETEROGENEOUS media column through ONE dispatch (round 10) —
+    the realistic shape of a crawled corpus: per document the SAME
+    block-constant image serializes into a different container by
+    doc_id % 6 — BMP, PNG, baseline JPEG (grayscale), lossless WebP
+    (subtract-green), GIF, TIFF (LZW + predictor, big-endian) — and
+    every payload decodes through the single `decode_image`
+    magic-byte dispatch. One dataflow therefore attests all six
+    codecs AND the dispatch itself: a wrong magic route returns the
+    wrong pixels, not an error.
+
+    The five lossless formats reproduce the block values exactly;
+    the JPEG docs follow the DC closed form — the oracle switches
+    per format on the same CTE. Scale posture: two narrow Arrow
+    `mapInPandas` stages, zero shuffles."""
+    from spark_hive_spark.operators.gif import encode_gif
+    from spark_hive_spark.operators.multimodal import (
+        decode_image,
+        encode_bmp,
+        encode_jpeg,
+        encode_png,
+    )
+    from spark_hive_spark.operators.tiff import encode_tiff
+    from spark_hive_spark.operators.webp import encode_webp_lossless
+
+    docs = (
+        t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < MEDIA_DOCS)
+        .select("doc_id")
+    )
+
+    def encode_batches(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            ids = pdf["doc_id"].to_numpy()
+            payloads = []
+            for d in ids:
+                d = int(d)
+                wb, hb = d % 6 + 2, d % 4 + 2
+                vals = (
+                    d * 7
+                    + 13 * np.arange(wb)[None, :]
+                    + 29 * np.arange(hb)[:, None]
+                ) % 256
+                gray = np.repeat(
+                    np.repeat(vals, 8, axis=0), 8, axis=1
+                ).astype(np.uint8)
+                rgb = np.repeat(gray[:, :, None], 3, axis=2)
+                fmt = d % 6
+                if fmt == 0:
+                    blob = encode_bmp(rgb)
+                elif fmt == 1:
+                    blob = encode_png(rgb)
+                elif fmt == 2:
+                    blob = encode_jpeg(gray)
+                elif fmt == 3:
+                    blob = encode_webp_lossless(
+                        rgb, transform="subtract_green"
+                    )
+                elif fmt == 4:
+                    blob = encode_gif(rgb)
+                else:
+                    blob = encode_tiff(
+                        rgb, big_endian=True, compression=5,
+                        predictor=True,
+                    )
+                payloads.append(blob)
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    media = docs.mapInPandas(encode_batches, "doc_id long, payload binary")
+
+    def decode_batches(batches):
+        import numpy as np
+        import pandas as pd
+
+        cols = "doc_id fmt in_w in_h sum_px wsum_px".split()
+        for pdf in batches:
+            out: dict[str, list] = {k: [] for k in cols}
+            for d, p in zip(pdf["doc_id"], pdf["payload"]):
+                px = decode_image(bytes(p))[:, :, 0].astype(np.int64)
+                h, w = px.shape
+                wgt = 2 * np.arange(w)[None, :] + np.arange(h)[:, None]
+                vals = (
+                    int(d), int(d) % 6, w, h, int(px.sum()),
+                    int((px * wgt).sum()),
+                )
+                for k, v in zip(cols, vals):
+                    out[k].append(v)
+            yield pd.DataFrame(out)
+
+    return (
+        media.mapInPandas(decode_batches, _MIXED_MEDIA_SCHEMA)
+        .orderBy("doc_id")
+    )

@@ -70,6 +70,7 @@ SWEEP_PRIORITY: tuple[str, ...] = (
     "multimodal_gif_decode",
     "multimodal_tiff_decode",
     "multimodal_flac_decode",
+    "pipeline_mixed_media_features",
     # round-10 implementation changes: re-attest under the new code
     "knn_cosine_ivf",
     "ann_recall_audit",
@@ -101,7 +102,6 @@ SWEEP_PRIORITY: tuple[str, ...] = (
     "q6_forecast_revenue",
     "join_semi_active_customers",
     "join_anti_customers_without_pending",
-    "join_outer_nation_order_volume",
 )
 
 
