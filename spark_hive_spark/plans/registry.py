@@ -71,6 +71,7 @@ SWEEP_PRIORITY: tuple[str, ...] = (
     "multimodal_tiff_decode",
     "multimodal_flac_decode",
     "pipeline_mixed_media_features",
+    "multimodal_container_metadata",
     # round-10 implementation changes: re-attest under the new code
     "knn_cosine_ivf",
     "ann_recall_audit",
@@ -101,7 +102,6 @@ SWEEP_PRIORITY: tuple[str, ...] = (
     "q5_region_revenue",
     "q6_forecast_revenue",
     "join_semi_active_customers",
-    "join_anti_customers_without_pending",
 )
 
 
@@ -164,6 +164,7 @@ def _load_all() -> None:
         "spark_hive_spark.operators.gif",
         "spark_hive_spark.operators.tiff",
         "spark_hive_spark.operators.flac",
+        "spark_hive_spark.operators.media_containers",
         "spark_hive_spark.operators.graph",
         "spark_hive_spark.operators.timeseries",
         "spark_hive_spark.operators.finance",

@@ -2318,3 +2318,64 @@ def test_flac_codec_roundtrip_and_rejections():
         decode_flac(b"RIFF not flac")
     with pytest.raises(ValueError):
         decode_flac(blob[: len(blob) // 2])
+
+
+def test_media_container_parsers():
+    """ISO-BMFF and MP3-frame container parsing — the undecoded-media
+    metadata layer. MP4: the box walker must recover movie/track
+    timescales, durations, sample counts, byte totals, and keyframe
+    positions from real stts/stsz/stss tables (fixed-size stsz form
+    included), and fail loudly on truncation and bad box sizes. MP3:
+    the frame walk must hop exact 144*bitrate/rate+padding lengths
+    across mixed-bitrate streams — one mis-sized frame loses sync
+    loudly — and reject free/bad bitrates and non-MPEG1-LayerIII
+    headers."""
+    import pytest
+
+    from spark_hive_spark.operators.media_containers import (
+        encode_mp3_frames,
+        encode_mp4,
+        parse_mp4,
+        scan_mp3_frames,
+    )
+
+    video = {
+        "kind": "vide", "track_timescale": 12800,
+        "sample_deltas": [512] * 25,
+        "sample_sizes": [1000 + i for i in range(25)],
+        "keyframes": [1, 13, 25],
+    }
+    audio = {
+        "kind": "soun", "track_timescale": 44100,
+        "sample_deltas": [1024] * 10,
+        "sample_sizes": [128] * 10,
+    }
+    meta = parse_mp4(encode_mp4([video, audio]))
+    assert meta["timescale"] == 1000
+    assert meta["duration"] == 25 * 512 * 1000 // 12800
+    kinds = {tr["kind"]: tr for tr in meta["tracks"]}
+    assert kinds["vide"]["n_samples"] == 25
+    assert kinds["vide"]["total_bytes"] == sum(video["sample_sizes"])
+    assert kinds["vide"]["keyframes"] == 3
+    assert kinds["vide"]["min_size"] == 1000
+    assert kinds["vide"]["max_size"] == 1024
+    assert kinds["soun"]["n_samples"] == 10
+    assert kinds["soun"]["duration"] == 10 * 1024
+    blob = encode_mp4([video])
+    with pytest.raises(ValueError):
+        parse_mp4(blob[:-3])  # truncated
+    with pytest.raises(ValueError):
+        parse_mp4(b"\x00\x00\x00\x03bad")  # size < 8
+
+    specs = [(9, 0, 0), (11, 0, 1), (14, 1, 0), (9, 2, 0)]
+    stream = encode_mp3_frames(specs)
+    meta = scan_mp3_frames(stream)
+    assert meta["frames"] == 4
+    assert meta["bytes"] == len(stream)
+    assert (meta["min_kbps"], meta["max_kbps"]) == (128, 320)
+    with pytest.raises(ValueError):
+        scan_mp3_frames(stream[:-5])  # truncated final frame
+    with pytest.raises(ValueError):
+        scan_mp3_frames(b"\x12\x34\x56\x78")  # no sync
+    with pytest.raises(ValueError):
+        scan_mp3_frames(b"\xff\xfb\x00\x00")  # free bitrate
