@@ -2,15 +2,21 @@
 treat image/audio/video payloads as opaque `binary` columns with typed
 metadata, processed by Arrow-batched `mapInPandas` stages.
 
-The container has no codec LIBRARIES, so the formats that decode for
-real are the ones expressible with stdlib + numpy: uncompressed
-24-bit BMP (`decode_bmp`), 8-bit truecolor PNG with full filter
-reconstruction (`decode_png`, stdlib zlib inflate), baseline
-grayscale JPEG with the full huffman/DCT pipeline (`decode_jpeg`),
-and RIFF/WAVE mono PCM16 (`decode_wav`). `decode_image` dispatches
-on the payload signature and raises a clearly-marked
-NotImplementedError for color JPEG / WebP / ... — swap in
-PIL/libjpeg on a cluster image that has them. A deterministic fake
+The container has no codec LIBRARIES, so every format is hand-built
+from its public spec with stdlib + numpy: uncompressed 24-bit BMP
+(`decode_bmp`); the full legal PNG matrix (`decode_png` — 1-16 bit,
+all five color types, PLTE/tRNS, Adam7); JFIF JPEG (`decode_jpeg` —
+baseline gray/YCbCr 4:4:4/4:2:0/4:2:2, interleaved + multi-scan +
+restart-marker layouts, both DQT precisions, partial-MCU dims, 8-bit
+SOF1, and progressive SOF2 with full successive approximation);
+lossless WebP (operators/webp.py — all four VP8L transforms, color
+cache, meta prefix groups, alpha); GIF (operators/gif.py — real
+LZW); baseline TIFF (operators/tiff.py — both endians, PackBits,
+early-change LZW, predictor); RIFF/WAVE mono PCM16 (`decode_wav`)
+and FLAC (operators/flac.py); plus ISO-BMFF/MP3 container metadata
+(operators/media_containers.py). `decode_image` dispatches on the
+payload signature; the remaining loud seams are lossy WebP (VP8),
+12-bit JPEG, and alpha under the RGB contract. A deterministic fake
 decoder remains for pipeline-shape tests.
 Everything around the codecs — binary column handling, schema,
 batching, partition sizing — is real Spark plumbing.
