@@ -106,6 +106,8 @@ def decode_image(payload: bytes) -> "object":
         import numpy as np
 
         px = decode_jpeg(payload)
+        if px.dtype == np.uint16:  # 12-bit frame -> high 8 bits
+            px = (px >> 4).astype(np.uint8)
         if px.ndim == 2:  # grayscale frame -> replicate to RGB planes
             return np.repeat(px[:, :, None], 3, axis=2)
         return px
@@ -1502,11 +1504,11 @@ def _jpeg_write_block(writer, zz, prev_dc, dc_codes, ac_codes) -> int:
     return zz[0]
 
 
-def _jpeg_quant_block(plane, by, bx, qtable, zigzag, dct_m):
+def _jpeg_quant_block(plane, by, bx, qtable, zigzag, dct_m, level=128.0):
     """FDCT + quantize one 8x8 block of a level-shiftable plane."""
     import numpy as np
 
-    block = plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - 128.0
+    block = plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - level
     # Snap ~1e-13 basis error BEFORE the half-boundary round: integer
     # blocks give coefficients exactly at quantizer midpoints
     # (constant block DC = 8s vs Q=16), where IEEE noise would flip
@@ -1532,6 +1534,18 @@ _JPEG_AC_VALS_P = (
     + [(r << 4) | s for r in range(16) for s in range(1, 11)]
 )
 _JPEG_AC_BITS_P = [0] * 8 + [len(_JPEG_AC_VALS_P)] + [0] * 7
+
+# 12-bit precision (extended sequential, SOF1): DC magnitude
+# categories reach 15 and AC sizes 14 — wider than Annex K's 8-bit
+# tables. Same flat-canonical-table recipe as the progressive AC
+# table: DHT ships whatever code the encoder picks, and the symbol
+# counts stay below the reserved all-ones codeword.
+_JPEG_DC_VALS_12 = list(range(16))  # 16 symbols @ 5 bits (< 31)
+_JPEG_DC_BITS_12 = [0] * 4 + [16] + [0] * 11
+_JPEG_AC_VALS_12 = [0x00, 0xF0] + [
+    (r << 4) | s for r in range(16) for s in range(1, 15)
+]
+_JPEG_AC_BITS_12 = [0] * 7 + [len(_JPEG_AC_VALS_12)] + [0] * 8
 
 
 def _jpeg_encode_ac_band(writer, blocks, ss, se, ac_codes, al=0) -> None:
@@ -1849,6 +1863,7 @@ def encode_jpeg(
     dqt_16bit: bool = False,
     restart_interval: int = 0,
     multi_scan: bool = False,
+    precision: int = 8,
 ) -> bytes:
     """Serialize a uint8 image (any dims >= 1x1) as a genuine
     baseline JFIF JPEG — FDCT, Annex-K quantization, differential-DC
@@ -1879,15 +1894,35 @@ def encode_jpeg(
 
     if subsampling not in ("444", "420"):
         raise ValueError(f"unsupported subsampling {subsampling!r}")
+    if precision not in (8, 12):
+        raise ValueError("precision must be 8 or 12")
     qtable, zigzag, dct_m, qtable_c = _jpeg_tables()
-    px = np.asarray(pixels, dtype=np.uint8)
+    if precision == 12:
+        # extended sequential (SOF1): grayscale only here; Annex-K
+        # table scaled x16 keeps the quantizer's relative shape (and
+        # makes Pq=1 two-byte DQT entries mandatory per T.81)
+        pix = np.asarray(pixels)
+        if pix.ndim != 2:
+            raise ValueError("12-bit precision supports grayscale only")
+        if int(pix.max(initial=0)) > 4095 or int(pix.min(initial=0)) < 0:
+            raise ValueError("12-bit samples must be in 0..4095")
+        px = pix.astype(np.uint16)
+        qtable = qtable * 16
+        dqt_16bit = True
+    else:
+        px = np.asarray(pixels, dtype=np.uint8)
     color = px.ndim == 3
     sub420 = color and subsampling == "420"
     h, w = px.shape[:2]  # true dims — what SOF0 declares
     px = _jpeg_pad_edge(px, 16 if sub420 else 8)
     ph, pw = px.shape[:2]  # padded dims — what the MCU loops cover
-    dc_y = _jpeg_huff_encode_table(_JPEG_DC_BITS, _JPEG_DC_VALS)
-    ac_y = _jpeg_huff_encode_table(_JPEG_AC_BITS, _JPEG_AC_VALS)
+    if precision == 12:
+        dc_y = _jpeg_huff_encode_table(_JPEG_DC_BITS_12, _JPEG_DC_VALS_12)
+        ac_y = _jpeg_huff_encode_table(_JPEG_AC_BITS_12, _JPEG_AC_VALS_12)
+    else:
+        dc_y = _jpeg_huff_encode_table(_JPEG_DC_BITS, _JPEG_DC_VALS)
+        ac_y = _jpeg_huff_encode_table(_JPEG_AC_BITS, _JPEG_AC_VALS)
+    level = 2048.0 if precision == 12 else 128.0
     if color:
         dc_c = _jpeg_huff_encode_table(_JPEG_DC_BITS_C, _JPEG_DC_VALS_C)
         ac_c = _jpeg_huff_encode_table(_JPEG_AC_BITS_C, _JPEG_AC_VALS_C)
@@ -1974,7 +2009,9 @@ def encode_jpeg(
             for bx in range(pw // 8):
                 maybe_restart()
                 for ci, (plane, qt, dcc, acc) in enumerate(comps):
-                    zz = _jpeg_quant_block(plane, by, bx, qt, zigzag, dct_m)
+                    zz = _jpeg_quant_block(
+                        plane, by, bx, qt, zigzag, dct_m, level
+                    )
                     prev[ci] = _jpeg_write_block(
                         writer, zz, prev[ci], dcc, acc
                     )
@@ -2010,12 +2047,25 @@ def encode_jpeg(
         )
     else:
         dqt = seg(0xFFDB, dqt_entry(0, qtable))
-        sof0 = seg(0xFFC0, struct.pack(">BHHB", 8, h, w, 1) + b"\x01\x11\x00")
-        dht = seg(
-            0xFFC4,
-            b"\x00" + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALS)
-            + b"\x10" + bytes(_JPEG_AC_BITS) + bytes(_JPEG_AC_VALS),
+        sof_marker = 0xFFC1 if precision == 12 else 0xFFC0
+        sof0 = seg(
+            sof_marker,
+            struct.pack(">BHHB", precision, h, w, 1) + b"\x01\x11\x00",
         )
+        if precision == 12:
+            dht = seg(
+                0xFFC4,
+                b"\x00" + bytes(_JPEG_DC_BITS_12)
+                + bytes(_JPEG_DC_VALS_12)
+                + b"\x10" + bytes(_JPEG_AC_BITS_12)
+                + bytes(_JPEG_AC_VALS_12),
+            )
+        else:
+            dht = seg(
+                0xFFC4,
+                b"\x00" + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALS)
+                + b"\x10" + bytes(_JPEG_AC_BITS) + bytes(_JPEG_AC_VALS),
+            )
         sos = seg(0xFFDA, b"\x01\x01\x00\x00\x3f\x00")
     dri = (
         seg(0xFFDD, struct.pack(">H", restart_interval))
@@ -2393,10 +2443,14 @@ def decode_jpeg(payload: bytes):
             if len(body) < 6:
                 raise ValueError("truncated SOF")
             precision, h, w, ncomp = struct.unpack(">BHHB", body[:6])
-            if precision != 8 or ncomp not in (1, 3):
+            if precision not in (8, 12) or ncomp not in (1, 3):
                 raise NotImplementedError(
-                    "8-bit grayscale or 3-component YCbCr frames only"
+                    "8/12-bit grayscale or 8-bit YCbCr frames only"
                 )
+            if precision == 12 and marker == 0xFFC0:
+                raise ValueError("baseline SOF0 cannot carry 12-bit")
+            if precision == 12 and ncomp != 1:
+                raise NotImplementedError("12-bit color JPEG")
             if len(body) < 6 + 3 * ncomp:
                 raise ValueError("truncated SOF components")
             for ci in range(ncomp):
@@ -2503,6 +2557,8 @@ def decode_jpeg(payload: bytes):
     if not saw_eoi:
         raise ValueError("truncated JPEG (missing EOI)")
     # all scans absorbed: dequantize + IDCT each component once
+    level = float(1 << (precision - 1))
+    maxv = (1 << precision) - 1
     planes = []
     for ci, (_cid, tq, hf, vf) in enumerate(comps):
         qt = qtables.get(tq)
@@ -2517,7 +2573,7 @@ def decode_jpeg(payload: bytes):
                 for k2, (r, c) in enumerate(zigzag):
                     cf[r, c] = zz[k2] * qt[r, c]
                 plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
-                    dct_m.T @ cf @ dct_m + 128.0
+                    dct_m.T @ cf @ dct_m + level
                 )
         planes.append(plane)
     hmax = max(c[2] for c in comps)
@@ -2525,8 +2581,8 @@ def decode_jpeg(payload: bytes):
     if len(comps) == 1:
         # crop MCU padding back to the SOF-declared size
         return np.clip(
-            np.floor(planes[0][:h, :w] + 0.5), 0, 255
-        ).astype(np.uint8)
+            np.floor(planes[0][:h, :w] + 0.5), 0, maxv
+        ).astype(np.uint16 if precision == 12 else np.uint8)
     # nearest-neighbor (box) chroma upsampling back to full
     # resolution, then crop the MCU padding to the SOF-declared size
     full = []
@@ -2791,6 +2847,119 @@ def multimodal_jpeg_partial_mcu_decode(
             out: dict[str, list] = {k: [] for k in cols}
             for d, p in zip(pdf["doc_id"], pdf["payload"]):
                 px = decode_image(bytes(p))[:, :, 0].astype(np.int64)
+                h, w = px.shape
+                wgt = 2 * np.arange(w)[None, :] + np.arange(h)[:, None]
+                vals = (
+                    int(d), w, h, int(px.sum()),
+                    int((px * wgt).sum()), int(px[-1, -1]),
+                )
+                for k, v in zip(cols, vals):
+                    out[k].append(v)
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(decode_batches, _JPEG_SCHEMA).orderBy("doc_id")
+
+
+@register(
+    "multimodal_jpeg12_decode",
+    oracle=f"""
+        WITH d AS (
+            SELECT doc_id, doc_id % 6 + 2 AS wb, doc_id % 4 + 2 AS hb
+            FROM documents WHERE doc_id < {JPEG_DOCS}
+        ),
+        blocks AS (
+            SELECT doc_id, wb, hb,
+                   i % wb AS bx, i // wb AS by,
+                   (doc_id * 97 + 131 * (i % wb) + 211 * (i // wb))
+                       % 4096 AS v
+            FROM (SELECT doc_id, wb, hb, unnest(range(0, wb * hb)) AS i
+                  FROM d)
+        ),
+        recon AS (
+            SELECT doc_id, wb, hb, bx, by,
+                   LEAST(4095, GREATEST(0,
+                       32 * (CASE WHEN v - 2048 < 0 THEN
+                                -((abs(v - 2048) + 16) // 32)
+                             ELSE (abs(v - 2048) + 16) // 32 END)
+                       + 2048)) AS px
+            FROM blocks
+        )
+        SELECT doc_id,
+               CAST(8 * wb AS INT) AS in_w,
+               CAST(8 * hb AS INT) AS in_h,
+               CAST(sum(64 * px) AS BIGINT) AS sum_px,
+               CAST(sum(px * (512 * (2 * bx + by) + 672)) AS BIGINT)
+                   AS wsum_px,
+               CAST(max(CASE WHEN bx = wb - 1 AND by = hb - 1
+                             THEN px END) AS INT) AS corner_px
+        FROM recon
+        GROUP BY doc_id, wb, hb
+        ORDER BY doc_id
+    """,
+    tags=("multimodal", "codec", "jpeg", "12-bit", "llm-pipeline"),
+)
+def multimodal_jpeg12_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """12-BIT extended-sequential JPEG (SOF1) end to end (round 10 —
+    the medical/scientific-imaging precision): per document a
+    grayscale image of 8x8-constant blocks with 12-bit values
+    v = (doc*97 + 131bx + 211by) mod 4096 encodes through
+    `encode_jpeg(precision=12)` — x16-scaled Annex-K quantizer
+    (Q00 = 256), mandatory Pq=1 two-byte DQT, flat canonical huffman
+    tables wide enough for 15-category DC magnitudes — and decodes
+    back to uint16 samples. Odd docs add DRI/RSTn restart markers on
+    top. The lossy closed form survives at 12 bits with the scaled
+    quantizer: recon = clip(32*signround((v-2048)/32) + 2048,
+    0..4095), which the DuckDB oracle reproduces in exact integer
+    arithmetic.
+
+    Scale posture: identical to the other codec queries — two narrow
+    Arrow `mapInPandas` stages, zero shuffles."""
+
+    docs = (
+        t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < JPEG_DOCS)
+        .select("doc_id")
+    )
+
+    def encode_batches(
+        batches: Iterator[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            ids = pdf["doc_id"].to_numpy()
+            payloads = []
+            for d in ids:
+                d = int(d)
+                wb, hb = d % 6 + 2, d % 4 + 2
+                vals = (
+                    d * 97
+                    + 131 * np.arange(wb)[None, :]
+                    + 211 * np.arange(hb)[:, None]
+                ) % 4096
+                img = np.repeat(
+                    np.repeat(vals, 8, axis=0), 8, axis=1
+                ).astype(np.uint16)
+                payloads.append(
+                    encode_jpeg(
+                        img, precision=12,
+                        restart_interval=(d % 4) if d % 2 else 0,
+                    )
+                )
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    media = docs.mapInPandas(encode_batches, "doc_id long, payload binary")
+
+    def decode_batches(
+        batches: Iterator[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        cols = "doc_id in_w in_h sum_px wsum_px corner_px".split()
+        for pdf in batches:
+            out: dict[str, list] = {k: [] for k in cols}
+            for d, p in zip(pdf["doc_id"], pdf["payload"]):
+                px = decode_jpeg(bytes(p)).astype(np.int64)
                 h, w = px.shape
                 wgt = 2 * np.arange(w)[None, :] + np.arange(h)[:, None]
                 vals = (

@@ -2379,3 +2379,50 @@ def test_media_container_parsers():
         scan_mp3_frames(b"\x12\x34\x56\x78")  # no sync
     with pytest.raises(ValueError):
         scan_mp3_frames(b"\xff\xfb\x00\x00")  # free bitrate
+
+
+def test_jpeg_12bit_precision():
+    """12-bit extended-sequential JPEG (SOF1): uint16 samples in
+    0..4095 round-trip through the x16-scaled quantizer with the
+    closed form clip(32*signround((v-2048)/32)+2048) on
+    block-constant images (including under restart markers and
+    non-multiple-of-8 dims), noise decodes within the quantizer's
+    error envelope at uint16 dtype, decode_image scales to the
+    8-bit RGB contract, and the illegal shapes fail loudly (12-bit
+    color, 12-bit relabeled as baseline SOF0)."""
+    import numpy as np
+    import pytest
+
+    from spark_hive_spark.operators.multimodal import (
+        decode_image,
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    rng = np.random.RandomState(4095)
+    v = (7 * 97 + 131 * np.arange(4)[None, :]
+         + 211 * np.arange(3)[:, None]) % 4096
+    img = np.repeat(np.repeat(v, 8, 0), 8, 1).astype(np.uint16)
+    s = v.astype(np.int64) - 2048
+    sr = np.sign(s) * ((np.abs(s) + 16) // 32)
+    exp = np.repeat(np.repeat(np.clip(32 * sr + 2048, 0, 4095), 8, 0), 8, 1)
+    for kw in ({}, {"restart_interval": 3}):
+        got = decode_jpeg(encode_jpeg(img, precision=12, **kw))
+        assert got.dtype == np.uint16
+        assert np.array_equal(got.astype(np.int64), exp), kw
+    crop = img[:19, :29]
+    assert decode_jpeg(encode_jpeg(crop, precision=12)).shape == (19, 29)
+    noise = rng.randint(0, 4096, (16, 24)).astype(np.uint16)
+    out = decode_jpeg(encode_jpeg(noise, precision=12))
+    assert out.dtype == np.uint16 and out.max() <= 4095
+    disp = decode_image(encode_jpeg(img, precision=12))
+    assert disp.dtype == np.uint8 and disp.shape == (*img.shape, 3)
+    assert np.array_equal(disp[:, :, 0].astype(np.int64), exp >> 4)
+    with pytest.raises(ValueError):
+        encode_jpeg(rng.randint(0, 256, (8, 8, 3)).astype(np.uint8),
+                    precision=12)
+    with pytest.raises(ValueError):
+        encode_jpeg(np.full((8, 8), 5000, dtype=np.uint16), precision=12)
+    blob = encode_jpeg(img, precision=12)
+    with pytest.raises(ValueError):  # 12-bit relabeled baseline SOF0
+        decode_jpeg(blob.replace(b"\xff\xc1", b"\xff\xc0", 1))
