@@ -92,6 +92,19 @@ def decode_image(payload: bytes) -> "object":
         if px.ndim == 2:  # grayscale -> replicate to RGB planes
             return np.repeat(px[:, :, None], 3, axis=2)
         return px
+    if payload[:1] == b"P" and payload[1:2] in b"123456" and (
+        payload[2:3].isspace() or payload[2:3] == b"#"
+    ):
+        import numpy as np
+
+        px = decode_pnm(payload)
+        if px.dtype == np.uint16:
+            px = (px >> 8).astype(np.uint8)
+        if px.ndim == 2:
+            if int(px.max(initial=0)) <= 1:  # PBM: 1 = black
+                px = ((1 - px.astype(np.int64)) * 255).astype(np.uint8)
+            return np.repeat(px[:, :, None], 3, axis=2)
+        return px
     if payload[:6] in (b"GIF87a", b"GIF89a"):
         from spark_hive_spark.operators.gif import decode_gif
 
@@ -464,6 +477,129 @@ def decode_png(payload: bytes) -> "object":
     if nch == 1:
         return out.reshape(h, w)
     return out.reshape(h, w, nch)
+
+
+def encode_pnm(pixels, fmt: str, comment: str | None = None) -> bytes:
+    """Serialize an image in the netpbm family — ``fmt`` one of
+    P1/P2/P3 (ASCII bitmap/gray/RGB) or P4/P5/P6 (binary: packed
+    MSB-first bits / big-endian samples). P1/P4 take a 0/1 array
+    (1 = black per the PBM spec); P2/P5 a gray array and P3/P6 an
+    RGB array (uint16 input writes maxval 65535 two-byte samples).
+    ``comment`` emits a ``#`` header comment — real tools write
+    them, so the parser must skip them. Inverse of `decode_pnm`."""
+    import numpy as np
+
+    px = np.asarray(pixels)
+    if fmt not in ("P1", "P2", "P3", "P4", "P5", "P6"):
+        raise ValueError(f"unknown netpbm format {fmt!r}")
+    bitmap = fmt in ("P1", "P4")
+    color = fmt in ("P3", "P6")
+    if color != (px.ndim == 3):
+        raise ValueError("array shape does not match format")
+    h, w = px.shape[:2]
+    maxval = 65535 if (not bitmap and px.dtype == np.uint16) else (
+        1 if bitmap else 255
+    )
+    head = f"{fmt}\n"
+    if comment:
+        head += f"# {comment}\n"
+    head += f"{w} {h}\n" if bitmap else f"{w} {h}\n{maxval}\n"
+    flat = px.reshape(h, -1).astype(np.int64)
+    if fmt in ("P1", "P2", "P3"):
+        body = "\n".join(
+            " ".join(str(int(v)) for v in row) for row in flat
+        )
+        return (head + body + "\n").encode()
+    if fmt == "P4":  # packed bits, MSB first, rows byte-aligned
+        rowbytes = -(-w // 8)
+        padded = np.zeros((h, rowbytes * 8), dtype=np.int64)
+        padded[:, :w] = flat
+        packed = np.zeros((h, rowbytes), dtype=np.int64)
+        for k in range(8):
+            packed |= padded[:, k::8] << (7 - k)
+        return head.encode() + packed.astype(np.uint8).tobytes()
+    if maxval == 65535:
+        return head.encode() + flat.astype(">u2").tobytes()
+    return head.encode() + flat.astype(np.uint8).tobytes()
+
+
+def decode_pnm(payload: bytes):
+    """Parse any netpbm image (P1-P6): tokenizing header with ``#``
+    comment skipping, ASCII sample streams, packed-bit P4 rows, and
+    one- or two-byte binary samples by maxval. Returns the natural
+    array — (H, W) for bitmap/gray (uint8, or uint16 when maxval >
+    255; bitmaps as 0/1), (H, W, 3) for RGB."""
+    import numpy as np
+
+    if payload[:1] != b"P" or payload[1:2] not in b"123456":
+        raise ValueError("not a netpbm payload")
+    fmt = payload[:2].decode()
+    bitmap = fmt in ("P1", "P4")
+    color = fmt in ("P3", "P6")
+    binary = fmt in ("P4", "P5", "P6")
+
+    pos = 2
+    tokens: list[int] = []
+    need = 2 if bitmap else 3
+
+    def skip_ws(p: int) -> int:
+        while p < len(payload):
+            c = payload[p : p + 1]
+            if c == b"#":
+                while p < len(payload) and payload[p : p + 1] != b"\n":
+                    p += 1
+            elif c.isspace():
+                p += 1
+            else:
+                break
+        return p
+
+    while len(tokens) < need:
+        pos = skip_ws(pos)
+        start = pos
+        while pos < len(payload) and not payload[pos : pos + 1].isspace():
+            pos += 1
+        if start == pos:
+            raise ValueError("truncated netpbm header")
+        tokens.append(int(payload[start:pos]))
+    w, h = tokens[0], tokens[1]
+    maxval = 1 if bitmap else tokens[2]
+    if not 1 <= maxval <= 65535:
+        raise ValueError(f"bad netpbm maxval {maxval}")
+    nch = 3 if color else 1
+    n = w * h * nch
+    if not binary:
+        vals = payload[pos:].split()
+        if len(vals) < n:
+            raise ValueError("truncated netpbm sample stream")
+        arr = np.array([int(v) for v in vals[:n]], dtype=np.int64)
+    elif fmt == "P4":
+        pos += 1  # exactly one whitespace byte after the header
+        rowbytes = -(-w // 8)
+        raw = np.frombuffer(
+            payload, dtype=np.uint8, count=h * rowbytes, offset=pos
+        ).reshape(h, rowbytes).astype(np.int64)
+        bits = np.zeros((h, rowbytes * 8), dtype=np.int64)
+        for k in range(8):
+            bits[:, k::8] = (raw >> (7 - k)) & 1
+        arr = bits[:, :w].reshape(-1)
+    else:
+        pos += 1
+        if maxval > 255:
+            arr = np.frombuffer(
+                payload, dtype=">u2", count=n, offset=pos
+            ).astype(np.int64)
+        else:
+            arr = np.frombuffer(
+                payload, dtype=np.uint8, count=n, offset=pos
+            ).astype(np.int64)
+        if arr.shape[0] < n:
+            raise ValueError("truncated netpbm sample stream")
+    if int(arr.max(initial=0)) > maxval:
+        raise ValueError("netpbm sample exceeds maxval")
+    dtype = np.uint16 if maxval > 255 else np.uint8
+    out = arr.astype(dtype)
+    return out.reshape(h, w) if nch == 1 else out.reshape(h, w, 3)
 
 
 def encode_bmp(pixels) -> bytes:
@@ -1186,6 +1322,145 @@ def multimodal_png_variants_decode(
         media.mapInPandas(decode_batches, _PNG_VARIANT_SCHEMA)
         .orderBy("doc_id")
     )
+
+
+_PNM_SCHEMA = (
+    "doc_id long, fmt int, in_w int, in_h int, n_channels int,"
+    " sum_c0 long, wsum_c0 long"
+)
+
+
+@register(
+    "multimodal_pnm_decode",
+    oracle=f"""
+        WITH d AS (
+            SELECT doc_id, doc_id % 6 AS fmt,
+                   doc_id % 6 + 2 AS wb, doc_id % 4 + 2 AS hb
+            FROM documents WHERE doc_id < {PNG_DOCS}
+        ),
+        px AS (
+            SELECT doc_id, fmt, wb, hb,
+                   i % (8 * wb) AS x, i // (8 * wb) AS y
+            FROM (SELECT doc_id, fmt, wb, hb,
+                         unnest(range(0, 64 * wb * hb)) AS i
+                  FROM d)
+        ),
+        chan AS (
+            SELECT doc_id, fmt, wb, hb, x, y,
+                   CASE fmt
+                       WHEN 0 THEN (doc_id + x + y) % 2
+                       WHEN 3 THEN (doc_id + x + y) % 2
+                       WHEN 1 THEN (doc_id * 7 + 5 * x + 3 * y) % 256
+                       WHEN 2 THEN (doc_id * 7 + 5 * x + 3 * y) % 256
+                       WHEN 4 THEN (doc_id * 301 + 157 * x + 89 * y)
+                                   % 65536
+                       ELSE (doc_id * 301 + 157 * x + 89 * y) % 65536
+                   END AS c0
+            FROM px
+        )
+        SELECT doc_id,
+               CAST(fmt AS INT) AS fmt,
+               CAST(8 * wb AS INT) AS in_w,
+               CAST(8 * hb AS INT) AS in_h,
+               CAST(CASE WHEN fmt IN (2, 5) THEN 3 ELSE 1 END AS INT)
+                   AS n_channels,
+               CAST(sum(c0) AS BIGINT) AS sum_c0,
+               CAST(sum(c0 * (2 * x + y)) AS BIGINT) AS wsum_c0
+        FROM chan
+        GROUP BY doc_id, fmt, wb, hb
+        ORDER BY doc_id
+    """,
+    tags=("multimodal", "codec", "pnm", "netpbm", "llm-pipeline"),
+)
+def multimodal_pnm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The netpbm family end to end (round 10 — the interchange
+    formats ML datasets ship): per document the format rotates by
+    doc_id % 6 — P1 ASCII bitmap, P2 ASCII gray, P3 ASCII RGB, P4
+    packed-bit binary bitmap (rows byte-aligned, MSB first), P5
+    binary gray at maxval 65535 (two-byte big-endian samples), P6
+    binary RGB at 65535 — every third doc carrying a ``#`` header
+    comment the tokenizer must skip. Lossless ⇒ the oracle
+    reproduces the per-pixel formulas exactly; the weighted sum pins
+    raster order and P4's bit unpacking.
+
+    Scale posture: identical to the other codec queries — two narrow
+    Arrow `mapInPandas` stages, zero shuffles."""
+
+    docs = (
+        t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < PNG_DOCS)
+        .select("doc_id")
+    )
+
+    def encode_batches(
+        batches: Iterator[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        fmts = ["P1", "P2", "P3", "P4", "P5", "P6"]
+        for pdf in batches:
+            ids = pdf["doc_id"].to_numpy()
+            payloads = []
+            for d in ids:
+                d = int(d)
+                wb, hb = d % 6 + 2, d % 4 + 2
+                w, h = 8 * wb, 8 * hb
+                x = np.arange(w)[None, :]
+                y = np.arange(h)[:, None]
+                fmt = fmts[d % 6]
+                if fmt in ("P1", "P4"):
+                    img = ((d + x + y) % 2).astype(np.uint8)
+                elif fmt == "P2":
+                    img = ((d * 7 + 5 * x + 3 * y) % 256).astype(np.uint8)
+                elif fmt == "P3":
+                    g = (d * 7 + 5 * x + 3 * y) % 256
+                    img = np.stack(
+                        [g, (g + 85) % 256, (g + 170) % 256], axis=2
+                    ).astype(np.uint8)
+                elif fmt == "P5":
+                    img = ((d * 301 + 157 * x + 89 * y) % 65536).astype(
+                        np.uint16
+                    )
+                else:
+                    g = (d * 301 + 157 * x + 89 * y) % 65536
+                    img = np.stack(
+                        [g, (g + 7777) % 65536, (g + 333) % 65536],
+                        axis=2,
+                    ).astype(np.uint16)
+                payloads.append(
+                    encode_pnm(
+                        img, fmt,
+                        comment="netpbm fixture" if d % 3 == 0 else None,
+                    )
+                )
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    media = docs.mapInPandas(encode_batches, "doc_id long, payload binary")
+
+    def decode_batches(
+        batches: Iterator[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        cols = "doc_id fmt in_w in_h n_channels sum_c0 wsum_c0".split()
+        for pdf in batches:
+            out: dict[str, list] = {k: [] for k in cols}
+            for d, p in zip(pdf["doc_id"], pdf["payload"]):
+                px = decode_pnm(bytes(p)).astype(np.int64)
+                if px.ndim == 2:
+                    px = px[:, :, None]
+                h, w, nch = px.shape
+                wgt = 2 * np.arange(w)[None, :] + np.arange(h)[:, None]
+                vals = (
+                    int(d), int(d) % 6, w, h, nch,
+                    int(px[:, :, 0].sum()),
+                    int((px[:, :, 0] * wgt).sum()),
+                )
+                for k, v in zip(cols, vals):
+                    out[k].append(v)
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(decode_batches, _PNM_SCHEMA).orderBy("doc_id")
 
 
 # --- Baseline JPEG (ITU-T T.81) grayscale codec, stdlib + numpy ----------

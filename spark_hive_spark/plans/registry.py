@@ -73,6 +73,7 @@ SWEEP_PRIORITY: tuple[str, ...] = (
     "pipeline_mixed_media_features",
     "multimodal_container_metadata",
     "multimodal_jpeg12_decode",
+    "multimodal_pnm_decode",
     # round-10 implementation changes: re-attest under the new code
     "knn_cosine_ivf",
     "ann_recall_audit",
@@ -101,7 +102,6 @@ SWEEP_PRIORITY: tuple[str, ...] = (
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_region_revenue",
-    "q6_forecast_revenue",
 )
 
 

@@ -2426,3 +2426,49 @@ def test_jpeg_12bit_precision():
     blob = encode_jpeg(img, precision=12)
     with pytest.raises(ValueError):  # 12-bit relabeled baseline SOF0
         decode_jpeg(blob.replace(b"\xff\xc1", b"\xff\xc0", 1))
+
+
+def test_pnm_codec_roundtrip():
+    """netpbm (P1-P6) round-trips exactly: ASCII and binary variants,
+    packed-bit P4 rows (byte-aligned, MSB first, non-multiple-of-8
+    widths), one- and two-byte binary samples by maxval, and header
+    comments the tokenizer must skip. decode_image maps bitmaps via
+    the PBM 1-is-black convention and scales 16-bit to the high
+    byte."""
+    import numpy as np
+    import pytest
+
+    from spark_hive_spark.operators.multimodal import (
+        decode_image,
+        decode_pnm,
+        encode_pnm,
+    )
+
+    rng = np.random.RandomState(246)
+    bits = rng.randint(0, 2, (13, 21)).astype(np.uint8)
+    g8 = rng.randint(0, 256, (9, 17)).astype(np.uint8)
+    g16 = rng.randint(0, 65536, (9, 17)).astype(np.uint16)
+    c8 = rng.randint(0, 256, (7, 5, 3)).astype(np.uint8)
+    c16 = rng.randint(0, 65536, (7, 5, 3)).astype(np.uint16)
+    cases = [
+        (bits, "P1"), (bits, "P4"), (g8, "P2"), (g8, "P5"),
+        (g16, "P5"), (c8, "P3"), (c8, "P6"), (c16, "P6"),
+        (rng.randint(0, 2, (3, 17)).astype(np.uint8), "P4"),
+    ]
+    for img, fmt in cases:
+        for comment in (None, "a # tricky comment"):
+            got = decode_pnm(encode_pnm(img, fmt, comment=comment))
+            assert got.shape == img.shape and np.array_equal(got, img), (
+                fmt, comment,
+            )
+    disp = decode_image(encode_pnm(bits, "P4"))
+    assert disp.shape == (*bits.shape, 3)
+    assert np.array_equal(
+        disp[:, :, 0], ((1 - bits.astype(np.int64)) * 255).astype(np.uint8)
+    )
+    disp16 = decode_image(encode_pnm(g16, "P5"))
+    assert np.array_equal(disp16[:, :, 0], (g16 >> 8).astype(np.uint8))
+    with pytest.raises(ValueError):
+        decode_pnm(b"P7 not supported")
+    with pytest.raises(ValueError):
+        decode_pnm(encode_pnm(g8, "P5")[:-9])  # truncated samples
