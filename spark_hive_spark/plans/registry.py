@@ -74,6 +74,7 @@ SWEEP_PRIORITY: tuple[str, ...] = (
     "multimodal_container_metadata",
     "multimodal_jpeg12_decode",
     "multimodal_pnm_decode",
+    "source_warc_records",
     # round-10 implementation changes: re-attest under the new code
     "knn_cosine_ivf",
     "ann_recall_audit",
@@ -101,7 +102,6 @@ SWEEP_PRIORITY: tuple[str, ...] = (
     "date_arithmetic_orders",
     "q1_pricing_summary",
     "q3_shipping_priority",
-    "q5_region_revenue",
 )
 
 
@@ -165,6 +165,7 @@ def _load_all() -> None:
         "spark_hive_spark.operators.tiff",
         "spark_hive_spark.operators.flac",
         "spark_hive_spark.operators.media_containers",
+        "spark_hive_spark.operators.warc",
         "spark_hive_spark.operators.graph",
         "spark_hive_spark.operators.timeseries",
         "spark_hive_spark.operators.finance",

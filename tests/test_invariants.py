@@ -2472,3 +2472,43 @@ def test_pnm_codec_roundtrip():
         decode_pnm(b"P7 not supported")
     with pytest.raises(ValueError):
         decode_pnm(encode_pnm(g8, "P5")[:-9])  # truncated samples
+
+
+def test_warc_reader():
+    """WARC framing round-trips in both layouts: plain concatenated
+    records and the splittable .warc.gz (one gzip member per record,
+    walked via zlib unused_data). The reader surfaces record types,
+    HTTP status codes, and body/content lengths; framing damage —
+    truncated bodies, missing terminating CRLFs, garbage between
+    gzip members — fails loudly."""
+    import pytest
+
+    from spark_hive_spark.operators.warc import encode_warc, parse_warc
+
+    recs = [
+        {"type": "warcinfo", "payload": b"software: test\r\n"},
+        {"type": "request", "uri": "http://x/1",
+         "payload": b"GET /1 HTTP/1.1\r\nHost: x\r\n\r\n"},
+        {"type": "response", "uri": "http://x/1",
+         "payload": b"HTTP/1.1 200 OK\r\nContent-Length: 5\r\n\r\nhello"},
+        {"type": "response", "uri": "http://x/2",
+         "payload": b"HTTP/1.1 404 NF\r\n\r\n"},
+        {"type": "metadata", "payload": b"done\r\n"},
+    ]
+    for gz in (False, True):
+        out = parse_warc(encode_warc(recs, gzip_per_record=gz))
+        assert [r["type"] for r in out] == [
+            "warcinfo", "request", "response", "response", "metadata",
+        ]
+        resp = [r for r in out if r["type"] == "response"]
+        assert [r["status"] for r in resp] == [200, 404]
+        assert resp[0]["content_len"] == 5
+        assert resp[0]["uri"] == "http://x/1"
+    plain = encode_warc(recs)
+    with pytest.raises(ValueError):
+        parse_warc(plain[:-6])  # terminating CRLFs gone
+    gzed = encode_warc(recs, gzip_per_record=True)
+    with pytest.raises(ValueError):
+        parse_warc(gzed[: len(gzed) - 8])  # truncated member
+    with pytest.raises(ValueError):
+        parse_warc(b"NOT A WARC AT ALL\r\n\r\n")
