@@ -246,6 +246,12 @@ EXTENDED = [
     "multimodal_tiff_decode",
     "multimodal_flac_decode",
     "snapshot_semantic_conflict_audit",
+    "pipeline_mixed_media_features",
+    "multimodal_container_metadata",
+    "multimodal_jpeg12_decode",
+    "multimodal_pnm_decode",
+    "source_warc_records",
+    "source_webdataset_tar",
 ]
 
 # Streaming extended queries run dead LAST (after the streaming

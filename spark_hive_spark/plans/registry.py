@@ -75,6 +75,7 @@ SWEEP_PRIORITY: tuple[str, ...] = (
     "multimodal_jpeg12_decode",
     "multimodal_pnm_decode",
     "source_warc_records",
+    "source_webdataset_tar",
     # round-10 implementation changes: re-attest under the new code
     "knn_cosine_ivf",
     "ann_recall_audit",
@@ -101,7 +102,6 @@ SWEEP_PRIORITY: tuple[str, ...] = (
     "string_edit_distance_pairs",
     "date_arithmetic_orders",
     "q1_pricing_summary",
-    "q3_shipping_priority",
 )
 
 
@@ -166,6 +166,7 @@ def _load_all() -> None:
         "spark_hive_spark.operators.flac",
         "spark_hive_spark.operators.media_containers",
         "spark_hive_spark.operators.warc",
+        "spark_hive_spark.operators.webdataset",
         "spark_hive_spark.operators.graph",
         "spark_hive_spark.operators.timeseries",
         "spark_hive_spark.operators.finance",

@@ -2512,3 +2512,66 @@ def test_warc_reader():
         parse_warc(gzed[: len(gzed) - 8])  # truncated member
     with pytest.raises(ValueError):
         parse_warc(b"NOT A WARC AT ALL\r\n\r\n")
+
+
+def test_webdataset_tar_reader():
+    """ustar framing round-trips: space-seeded header checksums,
+    octal size fields, 512-byte block padding, the two-zero-block
+    terminator; WebDataset grouping joins ADJACENT members sharing
+    the basename key and rejects a key that reappears after a gap
+    (streaming loaders cannot regroup across one). Cross-check
+    against stdlib tarfile: our encoder's output must be readable by
+    the real tool, and real tarfile output must parse back."""
+    import io
+    import tarfile
+
+    import pytest
+
+    from spark_hive_spark.operators.webdataset import (
+        encode_tar,
+        group_samples,
+        parse_tar,
+    )
+
+    members = [
+        ("00001.cls", b"7"),
+        ("00001.txt", b"a caption"),
+        ("00001.bin", bytes(range(200)) * 3),  # 600 B: 2 data blocks
+        ("00002.cls", b"3"),
+        ("00002.txt", b"another"),
+    ]
+    blob = encode_tar(members)
+    assert parse_tar(blob) == members
+    assert len(blob) % 512 == 0
+
+    # our output is real ustar: stdlib tarfile reads it back
+    with tarfile.open(fileobj=io.BytesIO(blob)) as tf:
+        assert [m.name for m in tf.getmembers()] == [n for n, _ in members]
+        assert tf.extractfile("00001.bin").read() == members[2][1]
+
+    # real tarfile output parses back through our reader
+    buf = io.BytesIO()
+    with tarfile.open(fileobj=buf, mode="w", format=tarfile.USTAR_FORMAT) as tf:
+        for name, data in members:
+            info = tarfile.TarInfo(name)
+            info.size = len(data)
+            tf.addfile(info, io.BytesIO(data))
+    assert [(n, d) for n, d in parse_tar(buf.getvalue())] == members
+
+    groups = group_samples(members)
+    assert [k for k, _ in groups] == ["00001", "00002"]
+    assert set(groups[0][1]) == {"cls", "txt", "bin"}
+
+    # framing damage fails loudly
+    with pytest.raises(ValueError):
+        parse_tar(blob[:-512])  # one terminator block missing
+    with pytest.raises(ValueError):
+        parse_tar(blob[: 512 + 100])  # truncated member data
+    corrupt = bytearray(blob)
+    corrupt[130] ^= 1  # flip a size digit -> checksum mismatch
+    with pytest.raises(ValueError):
+        parse_tar(bytes(corrupt))
+    with pytest.raises(ValueError):
+        group_samples([("a.cls", b"1"), ("b.cls", b"2"), ("a.txt", b"x")])
+    with pytest.raises(ValueError):
+        group_samples([("noext", b"")])
