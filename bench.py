@@ -252,6 +252,7 @@ EXTENDED = [
     "multimodal_pnm_decode",
     "source_warc_records",
     "source_webdataset_tar",
+    "text_bpe_tokenize",
 ]
 
 # Streaming extended queries run dead LAST (after the streaming

@@ -1654,3 +1654,131 @@ def text_lexical_diversity_ttr(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang", "band")
     )
+
+
+# ---- BPE tokenizer APPLICATION (round 10) ---------------------------
+# Applying a SHIPPED merge table is the 100 TB tokenizer operation
+# (training is one-time; encoding runs over every document). The
+# GPT-2-reference merge step — for each merge in rank order, fuse all
+# leftmost non-overlapping occurrences of the pair — is expressed with
+# plain string built-ins on a wrapped representation: each token
+# rendered as |tok|, so the pair (a, b) is the literal substring
+# "|a||b|" and one replace() call IS the merge (the wrapping makes a
+# token-boundary-safe pattern: "|a|" cannot match inside "|xa|").
+# No UDF anywhere: the whole encode is a codegen'd replace chain.
+BPE_MERGES: tuple[tuple[str, str], ...] = (
+    ("t", "h"), ("th", "e"), ("i", "n"), ("a", "n"), ("e", "r"),
+    ("o", "n"), ("r", "e"), ("a", "t"), ("e", "n"), ("o", "r"),
+    ("t", "i"), ("an", "d"), ("in", "g"), ("e", "s"), ("o", "u"),
+    ("a", "l"),
+)
+
+
+def bpe_encode_col(word) -> "Column":
+    """Spark Column: BPE-encode an [a-z]+ word with `BPE_MERGES`,
+    returning the wrapped token string (each token as ``|tok|``)."""
+    s = F.regexp_replace(word, "(.)", r"|$1|")
+    for a, b in BPE_MERGES:
+        s = F.replace(s, F.lit(f"|{a}||{b}|"), F.lit(f"|{a}{b}|"))
+    return s
+
+
+def bpe_encode_sql(expr: str) -> str:
+    """The identical replace chain as DuckDB SQL over ``expr``."""
+    s = f"regexp_replace({expr}, '(.)', '|\\1|', 'g')"
+    for a, b in BPE_MERGES:
+        s = f"replace({s}, '|{a}||{b}|', '|{a}{b}|')"
+    return s
+
+
+@register(
+    "text_bpe_tokenize",
+    oracle=f"""
+        WITH words AS (
+            SELECT source,
+                   unnest(regexp_extract_all({SQL_NORM_TEXT}, '[a-z]+'))
+                       AS w
+            FROM documents
+        ),
+        enc AS (
+            SELECT source, w,
+                   (length(s) - length(replace(s, '|', ''))) // 2
+                       AS n_tok
+            FROM (SELECT source, w, {bpe_encode_sql('w')} AS s
+                  FROM words)
+        )
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS n_words,
+               CAST(sum(length(w)) AS BIGINT) AS n_chars,
+               CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+               CAST(sum(CASE WHEN n_tok = 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS whole_word_tokens,
+               round(CAST(sum(length(w)) AS DOUBLE) / sum(n_tok), 6)
+                   AS chars_per_token
+        FROM enc
+        GROUP BY source
+        ORDER BY source
+    """,
+    tags=("text", "bpe", "tokenizer", "llm-pipeline"),
+)
+def text_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer APPLICATION (round 10) — encode every corpus
+    word against a pinned 16-rule merge table with the GPT-2
+    reference semantics (merges applied in rank order, each fusing
+    all leftmost non-overlapping occurrences of its pair), and roll
+    up the statistics a data pipeline budgets with: token counts,
+    whole-word-token counts (fully merged words), and the
+    chars-per-token compression ratio.
+
+    The encode is pure string built-ins — each word is wrapped so
+    every token prints as ``|tok|``, making the merge (a, b) the
+    literal substring ``|a||b|`` and one ``replace()`` call per rank
+    the exact merge step (wrapping is what makes the pattern
+    token-boundary-safe). The DuckDB oracle runs the IDENTICAL
+    replace chain, so the value hash pins the tokenizer semantics,
+    not just the totals.
+
+    Scale posture: zero UDFs — the whole encode chain is
+    whole-stage-codegen'd string ops on the exploded words; the
+    per-source rollup is a map-side-combinable sum. At 100 TB the
+    replace chain grows with the merge-table size; a production
+    50k-rule table would move to a trie-based Pandas UDF, but the
+    per-rank replace IS the reference semantics this query pins."""
+    docs = t(spark, sf_dir, "documents")
+    words = docs.select(
+        "source",
+        F.explode(
+            F.expr(
+                "regexp_extract_all(regexp_replace(lower(trim(text)),"
+                " '\\\\s+', ' '), '[a-z]+', 0)"
+            )
+        ).alias("w"),
+    )
+    enc = words.select(
+        "source",
+        "w",
+        (
+            (
+                F.length(bpe_encode_col(F.col("w")))
+                - F.length(F.replace(bpe_encode_col(F.col("w")), F.lit("|")))
+            )
+            / 2
+        )
+        .cast("long")
+        .alias("n_tok"),
+    )
+    return (
+        enc.groupBy("source")
+        .agg(
+            F.count("*").alias("n_words"),
+            F.sum(F.length("w")).alias("n_chars"),
+            F.sum("n_tok").alias("n_tokens"),
+            F.sum((F.col("n_tok") == 1).cast("long")).alias(
+                "whole_word_tokens"
+            ),
+            F.round(
+                F.sum(F.length("w")).cast("double") / F.sum("n_tok"), 6
+            ).alias("chars_per_token"),
+        )
+        .orderBy("source")
+    )

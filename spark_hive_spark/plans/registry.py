@@ -76,6 +76,7 @@ SWEEP_PRIORITY: tuple[str, ...] = (
     "multimodal_pnm_decode",
     "source_warc_records",
     "source_webdataset_tar",
+    "text_bpe_tokenize",
     # round-10 implementation changes: re-attest under the new code
     "knn_cosine_ivf",
     "ann_recall_audit",
@@ -101,7 +102,6 @@ SWEEP_PRIORITY: tuple[str, ...] = (
     "histogram_order_prices",
     "string_edit_distance_pairs",
     "date_arithmetic_orders",
-    "q1_pricing_summary",
 )
 
 

@@ -2575,3 +2575,59 @@ def test_webdataset_tar_reader():
         group_samples([("a.cls", b"1"), ("b.cls", b"2"), ("a.txt", b"x")])
     with pytest.raises(ValueError):
         group_samples([("noext", b"")])
+
+
+def test_bpe_encode_matches_gpt2_reference():
+    """The replace-chain BPE encode equals the GPT-2 reference
+    algorithm (repeatedly merge the lowest-rank pair present) on the
+    full corpus alphabet. The equivalence holds because the merge
+    table is WELL-FORMED — every operand is a single char or an
+    earlier merge's product, so a merge can only create new pairs
+    involving its own (later-rank) token, never re-enable an earlier
+    rank. Also pins token-boundary safety: a pair pattern must not
+    match a token suffix/prefix."""
+    import itertools
+
+    from spark_hive_spark.operators.textstats import BPE_MERGES
+
+    ranks = {pair: i for i, pair in enumerate(BPE_MERGES)}
+    # the table is well-formed: operands are chars or earlier products
+    made = set()
+    for a, b in BPE_MERGES:
+        assert len(a) == 1 or a in made, (a, b)
+        assert len(b) == 1 or b in made, (a, b)
+        made.add(a + b)
+
+    def reference_bpe(word: str) -> list[str]:
+        toks = list(word)
+        while True:
+            pairs = {
+                (toks[i], toks[i + 1]) for i in range(len(toks) - 1)
+            }
+            cand = [p for p in pairs if p in ranks]
+            if not cand:
+                return toks
+            a, b = min(cand, key=ranks.get)
+            out, i = [], 0
+            while i < len(toks):  # leftmost non-overlapping fuse
+                if i + 1 < len(toks) and (toks[i], toks[i + 1]) == (a, b):
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(toks[i])
+                    i += 1
+            toks = out
+
+    def chain_bpe(word: str) -> list[str]:
+        s = "".join(f"|{c}|" for c in word)
+        for a, b in BPE_MERGES:
+            s = s.replace(f"|{a}||{b}|", f"|{a}{b}|")
+        return [t for t in s.split("|") if t]
+
+    words = [
+        "the", "then", "theater", "and", "standing", "ties",
+        "inn", "announcer", "thethe", "aaaa", "ingesting",
+        "xxandxx", "bathe", "result", "oration",
+    ] + ["".join(p) for p in itertools.product("thean", repeat=3)]
+    for w in words:
+        assert chain_bpe(w) == reference_bpe(w), w
