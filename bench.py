@@ -253,6 +253,7 @@ EXTENDED = [
     "source_warc_records",
     "source_webdataset_tar",
     "text_bpe_tokenize",
+    "crawl_url_canonical_dedup",
 ]
 
 # Streaming extended queries run dead LAST (after the streaming

@@ -671,3 +671,133 @@ def curation_negative_sampling_ring(spark: SparkSession, sf_dir: str) -> DataFra
             F.max("fanin").cast("bigint").alias("max_negative_fanin"),
         )
     )
+
+
+# ---- crawl URL canonicalization (round 10) --------------------------
+_URL_FIXTURE_N = 360  # 60 pages x 6 surface variants
+
+
+def canonical_url(u: "F.Column") -> "F.Column":
+    """URL canonicalization as a pure regexp chain (zero UDFs, fully
+    codegen'd) — the C4/CCNet crawl-dedup key: lowercase the scheme
+    and authority (NEVER the path — it is case-sensitive), strip
+    default ports (:80 http, :443 https), drop the fragment, remove
+    tracking (``utm_*``) query params, and strip one trailing slash.
+
+    Known scope bound: a utm param in FIRST query position followed
+    by a kept param would leave ``&`` where ``?`` belongs (real
+    trackers append; promoting & -> ? needs one more conditional
+    rule, not a UDF)."""
+    # scheme+authority lowercased, path untouched
+    u = F.concat(
+        F.lower(F.regexp_extract(u, r"^[^/]*//[^/]*", 0)),
+        F.regexp_replace(u, r"^[^/]*//[^/]*", ""),
+    )
+    u = F.regexp_replace(u, r"^(http://[^/:]+):80(?=[/?#]|$)", r"$1")
+    u = F.regexp_replace(u, r"^(https://[^/:]+):443(?=[/?#]|$)", r"$1")
+    u = F.regexp_replace(u, r"#.*$", "")
+    u = F.regexp_replace(u, r"[?&]utm_[^&#]*", "")
+    return F.regexp_replace(u, r"([^/])/$", r"$1")
+
+
+@register(
+    "crawl_url_canonical_dedup",
+    oracle=f"""
+        WITH d AS (
+            SELECT doc_id % 60 AS p, doc_id // 60 AS v
+            FROM documents WHERE doc_id < {_URL_FIXTURE_N}
+        ),
+        raw AS (
+            SELECT p % 3 AS h, count(*) AS n_raw FROM d GROUP BY 1
+        ),
+        canon AS (  -- v 0-4 collapse to one URL; v=5 keeps ?id=7
+            SELECT DISTINCT p % 3 AS h, p,
+                   CASE WHEN v = 5 THEN 1 ELSE 0 END AS has_q
+            FROM d
+        ),
+        can AS (
+            SELECT h, count(*) AS n_canonical,
+                   -- len('http://sub' + h + '.example.com/page/' + p)
+                   CAST(sum(29 + length(CAST(p AS VARCHAR))
+                            + 5 * has_q) AS BIGINT) AS canon_chars
+            FROM canon GROUP BY h
+        )
+        SELECT concat('sub', CAST(raw.h AS VARCHAR), '.example.com')
+                   AS host,
+               CAST(n_raw AS BIGINT) AS n_raw,
+               CAST(n_canonical AS BIGINT) AS n_canonical,
+               round(n_raw / CAST(n_canonical AS DOUBLE), 6)
+                   AS dup_ratio,
+               canon_chars
+        FROM raw JOIN can ON raw.h = can.h
+        ORDER BY host
+    """,
+    tags=("curation", "crawl", "url", "dedup", "llm-pipeline"),
+)
+def crawl_url_canonical_dedup(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Crawl URL canonicalization + dedup (round 10) — the step every
+    web-corpus pipeline runs before content dedup (C4 / CCNet key
+    the first-pass dedup on the canonical URL). Sixty pages each
+    appear under six surface forms — bare, UPPERCASE host with an
+    explicit :80, utm-tracking params, a #fragment, a trailing
+    slash, and a kept ?id= param with a utm appended — and the
+    regexp canonicalization chain must collapse exactly the right
+    five while PRESERVING the non-tracking query (two canonicals
+    per page, not one or four).
+
+    The oracle recomputes raw/canonical counts, the dup ratio, and
+    the summed canonical-URL length from the fixture's closed
+    forms: a broken port-strip, fragment, utm, case, or slash rule
+    changes the distinct count or the byte total and flips the hash.
+
+    Scale posture: one scan, a two-level (host, canon) -> host
+    aggregation — both partial-agg combinable — zero UDFs; at
+    100 TB this is exactly the groupBy-canonical-key dedup shape,
+    with the canonical key computed scan-side."""
+    d = (
+        t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < _URL_FIXTURE_N)
+        .select("doc_id")
+    )
+    p = F.col("doc_id") % 60
+    v = F.floor(F.col("doc_id") / 60).cast("int")
+    ps, hs = p.cast("string"), (p % 3).cast("string")
+    base = F.concat(
+        F.lit("http://sub"), hs, F.lit(".example.com/page/"), ps
+    )
+    raw = (
+        F.when(
+            v == 1,
+            F.concat(
+                F.lit("HTTP://SUB"), hs,
+                F.lit(".EXAMPLE.COM:80/page/"), ps,
+            ),
+        )
+        .when(v == 2, F.concat(base, F.lit("?utm_source=feed&utm_campaign=x")))
+        .when(v == 3, F.concat(base, F.lit("#section-2")))
+        .when(v == 4, F.concat(base, F.lit("/")))
+        .when(v == 5, F.concat(base, F.lit("?id=7&utm_medium=email")))
+        .otherwise(base)
+    )
+    urls = d.select(canonical_url(raw).alias("canon"))
+    per_canon = (
+        urls.withColumn(
+            "host", F.regexp_extract("canon", r"^[a-z]+://([^/:?#]+)", 1)
+        )
+        .groupBy("host", "canon")
+        .agg(F.count("*").alias("dups"))
+    )
+    return (
+        per_canon.groupBy("host")
+        .agg(
+            F.sum("dups").alias("n_raw"),
+            F.count("*").alias("n_canonical"),
+            F.round(
+                F.sum("dups").cast("double") / F.count("*"), 6
+            ).alias("dup_ratio"),
+            F.sum(F.length("canon")).alias("canon_chars"),
+        )
+        .orderBy("host")
+    )

@@ -77,6 +77,7 @@ SWEEP_PRIORITY: tuple[str, ...] = (
     "source_warc_records",
     "source_webdataset_tar",
     "text_bpe_tokenize",
+    "crawl_url_canonical_dedup",
     # round-10 implementation changes: re-attest under the new code
     "knn_cosine_ivf",
     "ann_recall_audit",
@@ -101,7 +102,6 @@ SWEEP_PRIORITY: tuple[str, ...] = (
     "unpivot_lineitem_measures",
     "histogram_order_prices",
     "string_edit_distance_pairs",
-    "date_arithmetic_orders",
 )
 
 

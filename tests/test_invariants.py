@@ -2631,3 +2631,34 @@ def test_bpe_encode_matches_gpt2_reference():
     ] + ["".join(p) for p in itertools.product("thean", repeat=3)]
     for w in words:
         assert chain_bpe(w) == reference_bpe(w), w
+
+
+def test_canonical_url_rules():
+    """Each canonicalization rule in isolation and in combination:
+    authority lowercased but PATH CASE PRESERVED, default ports
+    stripped only for the matching scheme, fragments dropped,
+    utm_* params removed while non-tracking params survive, one
+    trailing slash stripped."""
+    from spark_hive_spark.operators.curation import canonical_url
+    from spark_hive_spark.session import get_spark
+
+    from pyspark.sql import functions as F
+
+    spark = get_spark()
+    cases = {
+        "HTTP://WWW.Example.COM/Path/File": "http://www.example.com/Path/File",
+        "http://example.com:80/a": "http://example.com/a",
+        "https://example.com:443/a": "https://example.com/a",
+        "http://example.com:443/a": "http://example.com:443/a",  # kept
+        "http://example.com:8080/a": "http://example.com:8080/a",  # kept
+        "http://example.com/a#frag": "http://example.com/a",
+        "http://example.com/a?utm_source=x&utm_b=y": "http://example.com/a",
+        "http://example.com/a?id=7&utm_medium=m": "http://example.com/a?id=7",
+        "http://example.com/a/": "http://example.com/a",
+        "HTTPS://HOST.COM:443/A/B/?utm_x=1#f": "https://host.com/A/B",
+    }
+    df = spark.createDataFrame(
+        [(k,) for k in cases], "u string"
+    ).select("u", canonical_url(F.col("u")).alias("c"))
+    got = {r["u"]: r["c"] for r in df.collect()}
+    assert got == cases
