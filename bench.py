@@ -254,6 +254,7 @@ EXTENDED = [
     "source_webdataset_tar",
     "text_bpe_tokenize",
     "crawl_url_canonical_dedup",
+    "storage_bucketed_join_exchange_free",
 ]
 
 # Streaming extended queries run dead LAST (after the streaming

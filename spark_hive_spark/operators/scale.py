@@ -360,3 +360,77 @@ def skew_diagnostic_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out.orderBy("key_column")
+
+
+@register(
+    "storage_bucketed_join_exchange_free",
+    oracle=f"""
+        SELECT o.o_orderpriority,
+               CAST(count(*) AS BIGINT) AS n,
+               {sql_dsum('l.l_quantity')} AS qty,
+               -- the audit facts the Spark side reads off its own
+               -- physical plan: bucketing must leave ZERO join-side
+               -- exchanges and carry the join as a sort-merge
+               CAST(0 AS INT) AS join_side_exchanges,
+               CAST(1 AS INT) AS sort_merge_join
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        GROUP BY o.o_orderpriority
+        ORDER BY o.o_orderpriority
+    """,
+    tags=("storage", "bucketing", "join", "scale"),
+)
+def storage_bucketed_join_exchange_free(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Bucketed-table co-located join (round 10) — THE shuffle
+    eliminator for repeated fact-fact joins at 100 TB: both tables
+    are written ``bucketBy(8, order key)`` + ``sortBy`` (one shuffle
+    at ingest), after which every join or aggregation on that key is
+    exchange-free forever. The query performs the bucketed write,
+    re-reads the managed tables, sort-merge-joins them (merge hint:
+    at 100 TB neither side broadcasts, so SMJ IS the plan), and
+    aggregates — then reads its own pre-AQE physical plan and emits
+    the audit facts as columns: join-side Exchange count (must be 0)
+    and SMJ presence (must be 1).
+
+    The oracle recomputes the aggregate from the raw parquet with a
+    plain shuffled join — bucketing must change the PLAN, never the
+    answer — and pins the two audit constants; a bucket-layout,
+    bucket-pruning, or sorted-read bug that reintroduces a shuffle
+    flips join_side_exchanges, while any data corruption in the
+    bucketed write path flips the aggregate hash.
+
+    Scale posture: the write is the one-time O(N) shuffle real
+    ingest pipelines pay; every downstream consumer then joins with
+    zero exchanges (the unit gate in tests/test_scale.py asserts the
+    same property on the unregistered demo)."""
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    orders = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    write_bucketed(li, "bj_lineitem", "l_orderkey")
+    write_bucketed(orders, "bj_orders", "o_orderkey")
+    bl, bo = spark.table("bj_lineitem"), spark.table("bj_orders")
+    agg = (
+        bl.join(bo.hint("merge"), bl.l_orderkey == bo.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n"), dsum("l_quantity").alias("qty"))
+    )
+    # audit the pre-AQE physical plan (sparkPlan: AQE re-plans at
+    # runtime but bucketing must already be exchange-free statically)
+    plan = agg._jdf.queryExecution().sparkPlan().toString()
+    join_side_exchanges = sum(
+        plan.count(f"Exchange hashpartitioning({k}") for k in
+        ("l_orderkey", "o_orderkey")
+    )
+    return (
+        agg.withColumn(
+            "join_side_exchanges",
+            F.lit(join_side_exchanges).cast("int"),
+        )
+        .withColumn(
+            "sort_merge_join",
+            F.lit(1 if "SortMergeJoin" in plan else 0).cast("int"),
+        )
+        .orderBy("o_orderpriority")
+    )

@@ -78,6 +78,7 @@ SWEEP_PRIORITY: tuple[str, ...] = (
     "source_webdataset_tar",
     "text_bpe_tokenize",
     "crawl_url_canonical_dedup",
+    "storage_bucketed_join_exchange_free",
     # round-10 implementation changes: re-attest under the new code
     "knn_cosine_ivf",
     "ann_recall_audit",
@@ -101,7 +102,6 @@ SWEEP_PRIORITY: tuple[str, ...] = (
     "observe_ingest_gate",
     "unpivot_lineitem_measures",
     "histogram_order_prices",
-    "string_edit_distance_pairs",
 )
 
 
