@@ -255,6 +255,7 @@ EXTENDED = [
     "text_bpe_tokenize",
     "crawl_url_canonical_dedup",
     "storage_bucketed_join_exchange_free",
+    "snapshot_file_skipping_audit",
 ]
 
 # Streaming extended queries run dead LAST (after the streaming

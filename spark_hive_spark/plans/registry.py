@@ -79,6 +79,7 @@ SWEEP_PRIORITY: tuple[str, ...] = (
     "text_bpe_tokenize",
     "crawl_url_canonical_dedup",
     "storage_bucketed_join_exchange_free",
+    "snapshot_file_skipping_audit",
     # round-10 implementation changes: re-attest under the new code
     "knn_cosine_ivf",
     "ann_recall_audit",
@@ -99,7 +100,6 @@ SWEEP_PRIORITY: tuple[str, ...] = (
     "profile_orders_columns",
     "safe_arithmetic_orders",
     "null_semantics_orders",
-    "observe_ingest_gate",
     "unpivot_lineitem_measures",
     "histogram_order_prices",
 )

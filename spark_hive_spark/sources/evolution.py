@@ -907,3 +907,112 @@ def snapshot_semantic_conflict_audit(
     ).localCheckpoint(eager=True)  # 1 row; frees the temp table root
     shutil.rmtree(root, ignore_errors=True)
     return out
+
+
+@register(
+    "snapshot_file_skipping_audit",
+    oracle=f"""
+        SELECT CAST(7 AS INT) AS files_total,
+               CAST(2 AS INT) AS files_scanned,
+               CAST(5 AS INT) AS files_skipped,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               {sql_dsum('o_totalprice')} AS revenue
+        FROM orders
+        WHERE o_orderdate BETWEEN DATE '1995-04-01'
+                              AND DATE '1996-03-31'
+    """,
+    tags=("snapshot", "lakehouse", "pruning", "data-skipping"),
+)
+def snapshot_file_skipping_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Manifest min/max file skipping (round 10) — the Delta/Iceberg
+    data-skipping layer: each data file carries per-column min/max
+    stats in the manifest, and scan planning intersects the
+    predicate with those ranges BEFORE listing any file, so a 100 TB
+    table with a narrow date predicate reads only the files that can
+    possibly match. Orders are laid out one file per order-year
+    (`repartition(year)` so each partition dir is a single file —
+    the clustered layout a real OPTIMIZE produces), per-file min/max
+    o_orderdate is recorded in a JSON manifest, and a
+    two-fiscal-quarter predicate must plan exactly the 1995+1996
+    files (2 of 7) with the residual filter still applied exactly.
+
+    The oracle recomputes the aggregate over the FULL table with the
+    plain predicate and pins the 7/2/5 skip counts: wrongly skipping
+    a needed file flips the aggregate hash, failing to skip flips
+    files_scanned.
+
+    Scale posture: skipping is driver-side manifest arithmetic
+    (O(#files), the same contract as the snapshot/time-travel
+    queries); the scan itself never touches a pruned file, which is
+    the entire point at 100 TB."""
+    import datetime as _dt
+    import json as _json
+
+    orders = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_totalprice"
+    )
+    root = os.path.join(
+        tempfile.gettempdir(), f"shs_skip_{uuid.uuid4().hex}"
+    )
+    droot = os.path.join(root, "orders_by_year")
+    (
+        orders.withColumn("o_year", F.year("o_orderdate"))
+        .repartition("o_year")
+        .write.partitionBy("o_year")
+        .parquet(droot)
+    )
+    # manifest: per-file min/max column stats (what a table format's
+    # writer records at commit time)
+    stats = {
+        int(r["o_year"]): (str(r["mn"]), str(r["mx"]))
+        for r in orders.groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.to_date(F.min("o_orderdate")).alias("mn"),
+            F.to_date(F.max("o_orderdate")).alias("mx"),
+        )
+        .collect()
+    }
+    manifest = {
+        "files": [
+            {
+                "path": os.path.join(droot, f"o_year={y}"),
+                "min_o_orderdate": mn,
+                "max_o_orderdate": mx,
+            }
+            for y, (mn, mx) in sorted(stats.items())
+        ]
+    }
+    mpath = os.path.join(root, "manifest.json")
+    with open(mpath, "w") as fh:
+        _json.dump(manifest, fh)
+
+    lo, hi = _dt.date(1995, 4, 1), _dt.date(1996, 3, 31)
+    with open(mpath) as fh:
+        files = _json.load(fh)["files"]
+    # scan planning: predicate range vs per-file [min, max] — only
+    # intersecting files are ever listed or opened
+    selected = [
+        f["path"]
+        for f in files
+        if not (
+            _dt.date.fromisoformat(f["max_o_orderdate"]) < lo
+            or _dt.date.fromisoformat(f["min_o_orderdate"]) > hi
+        )
+    ]
+    scanned = spark.read.parquet(*selected).filter(
+        (F.col("o_orderdate") >= F.lit(lo))
+        & (F.col("o_orderdate") <= F.lit(hi))
+    )
+    out = scanned.agg(
+        F.lit(len(files)).cast("int").alias("files_total"),
+        F.lit(len(selected)).cast("int").alias("files_scanned"),
+        F.lit(len(files) - len(selected)).cast("int").alias(
+            "files_skipped"
+        ),
+        F.count("*").alias("n_orders"),
+        dsum("o_totalprice").alias("revenue"),
+    ).localCheckpoint(eager=True)  # 1 row; frees the temp root
+    shutil.rmtree(root, ignore_errors=True)
+    return out
