@@ -280,3 +280,76 @@ def test_gapfill_spine_is_dense_and_locf_holds(spark):
                 assert r.n_events > 0
                 last = r.value_locf
         assert not rs[0].is_gap  # spine starts at first observation
+
+
+# ---- container framing round-trips (pure Python, no Spark) ----------
+
+_member_name = st.text(
+    alphabet=st.sampled_from("abcdefgh0123456789_-"), min_size=1, max_size=20
+).map(lambda s: s + ".bin")
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    members=st.lists(
+        st.tuples(
+            _member_name,
+            st.one_of(
+                st.binary(min_size=0, max_size=40),
+                # block-boundary sizes: 0, 512, 513, 514 exercise the
+                # padding arithmetic
+                st.integers(min_value=0, max_value=3).map(
+                    lambda k: bytes(range(256)) * 2 + b"x" * (k - 1)
+                    if k else b""
+                ),
+            ),
+        ),
+        min_size=1,
+        max_size=6,
+        unique_by=lambda m: m[0],
+    )
+)
+def test_tar_roundtrip_property(members):
+    """encode_tar -> parse_tar is identity for arbitrary member
+    names/payloads, including 0-byte and block-boundary sizes."""
+    from spark_hive_spark.operators.webdataset import encode_tar, parse_tar
+
+    blob = encode_tar(members)
+    assert parse_tar(blob) == members
+    assert len(blob) % 512 == 0
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    recs=st.lists(
+        st.tuples(
+            st.sampled_from(["response", "metadata", "conversion"]),
+            # payloads may contain CRLFCRLF — framing must trust
+            # Content-Length, never scan the body
+            st.binary(min_size=0, max_size=60).map(
+                lambda b: b + b"\r\n\r\n trailing bytes"
+            ),
+        ),
+        min_size=1,
+        max_size=5,
+    ),
+    gz=st.booleans(),
+)
+def test_warc_roundtrip_property(recs, gz):
+    """encode_warc -> parse_warc preserves record count, types and
+    body lengths even when payloads embed CRLFCRLF (Content-Length
+    framing, not delimiter scanning), in both layouts."""
+    from spark_hive_spark.operators.warc import encode_warc, parse_warc
+
+    records = [
+        {"type": ty, "payload": body}
+        for ty, body in [
+            (t, b) for t, b in recs if t != "response"
+        ]
+        or [("metadata", b"x")]
+    ]
+    out = parse_warc(encode_warc(records, gzip_per_record=gz))
+    assert [r["type"] for r in out] == [r["type"] for r in records]
+    assert [r["body_len"] for r in out] == [
+        len(r["payload"]) for r in records
+    ]
