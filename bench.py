@@ -256,6 +256,7 @@ EXTENDED = [
     "crawl_url_canonical_dedup",
     "storage_bucketed_join_exchange_free",
     "snapshot_file_skipping_audit",
+    "source_avro_records",
 ]
 
 # Streaming extended queries run dead LAST (after the streaming

@@ -1,0 +1,315 @@
+"""Avro Object Container File (OCF) reading — the row-oriented
+interchange format big-data pipelines exchange (Kafka archives, Sqoop
+exports, warehouse landing zones), hand-built from the public Avro
+1.11 spec (no avro library in this container).
+
+Implemented surface:
+- OCF framing: the ``Obj\\x01`` magic, the file-metadata map
+  (``avro.schema`` JSON + ``avro.codec``), the 16-byte sync marker,
+  and data blocks of (record count, byte size, payload, sync) —
+  MULTIPLE blocks per file, each sync-verified (the block structure
+  is what makes real OCF splittable: a reader seeks to any offset
+  and resynchronizes on the marker).
+- Binary encoding: zigzag varints for longs, length-prefixed UTF-8
+  strings, little-endian IEEE-754 doubles — driven by the field
+  order of the embedded writer schema, not hardcoded.
+- Codec ``null`` (deflate would be one zlib call; the framing is the
+  content here).
+
+The registered query's oracle recomputes record counts, id sums,
+name-byte totals, and exact quarter-step double sums from the
+fixture's closed forms, so a varint, zigzag, block-boundary, or
+field-order bug flips the value hash.
+"""
+
+from __future__ import annotations
+
+import json
+import struct
+from typing import Iterator
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from spark_hive_spark.plans.registry import register
+from spark_hive_spark.tables import t
+
+try:  # pandas only needed executor-side
+    import pandas as pd
+except ImportError:  # pragma: no cover
+    pd = None
+
+_MAGIC = b"Obj\x01"
+_SYNC = bytes(range(16))  # deterministic sync marker
+
+
+def _zigzag(n: int) -> int:
+    return (n << 1) ^ (n >> 63)
+
+
+def _unzigzag(u: int) -> int:
+    return (u >> 1) ^ -(u & 1)
+
+
+def encode_varint(n: int) -> bytes:
+    """Avro long: zigzag then base-128 little-endian varint."""
+    u = _zigzag(n) & 0xFFFFFFFFFFFFFFFF
+    out = bytearray()
+    while True:
+        b = u & 0x7F
+        u >>= 7
+        if u:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def decode_varint(data: bytes, pos: int) -> tuple[int, int]:
+    """-> (long value, next pos); rejects truncation and >10-byte runs."""
+    u = shift = 0
+    while True:
+        if pos >= len(data):
+            raise ValueError("truncated Avro varint")
+        if shift > 63:
+            raise ValueError("Avro varint overruns 64 bits")
+        b = data[pos]
+        pos += 1
+        u |= (b & 0x7F) << shift
+        if not b & 0x80:
+            return _unzigzag(u & 0xFFFFFFFFFFFFFFFF), pos
+        shift += 7
+
+
+def _enc_string(s: str) -> bytes:
+    raw = s.encode()
+    return encode_varint(len(raw)) + raw
+
+
+def _enc_field(v, typ: str) -> bytes:
+    if typ == "long":
+        return encode_varint(int(v))
+    if typ == "string":
+        return _enc_string(v)
+    if typ == "double":
+        return struct.pack("<d", float(v))
+    raise ValueError(f"unsupported Avro type {typ!r}")
+
+
+def _dec_field(data: bytes, pos: int, typ: str):
+    if typ == "long":
+        return decode_varint(data, pos)
+    if typ == "string":
+        n, pos = decode_varint(data, pos)
+        if n < 0 or pos + n > len(data):
+            raise ValueError("truncated Avro string")
+        return data[pos : pos + n].decode(), pos + n
+    if typ == "double":
+        if pos + 8 > len(data):
+            raise ValueError("truncated Avro double")
+        return struct.unpack_from("<d", data, pos)[0], pos + 8
+    raise ValueError(f"unsupported Avro type {typ!r}")
+
+
+def encode_avro_ocf(
+    records: list[dict], schema: dict, records_per_block: int = 4
+) -> bytes:
+    """Serialize records as an Avro OCF (codec null), splitting into
+    sync-framed blocks of ``records_per_block``. Inverse of
+    `parse_avro_ocf`."""
+    fields = [(f["name"], f["type"]) for f in schema["fields"]]
+    meta = {
+        "avro.schema": json.dumps(schema).encode(),
+        "avro.codec": b"null",
+    }
+    out = bytearray(_MAGIC)
+    out += encode_varint(len(meta))
+    for k, v in meta.items():
+        out += _enc_string(k)
+        out += encode_varint(len(v)) + v
+    out += encode_varint(0)  # map terminator
+    out += _SYNC
+    for start in range(0, len(records), records_per_block):
+        chunk = records[start : start + records_per_block]
+        payload = b"".join(
+            b"".join(_enc_field(rec[name], typ) for name, typ in fields)
+            for rec in chunk
+        )
+        out += encode_varint(len(chunk))
+        out += encode_varint(len(payload))
+        out += payload
+        out += _SYNC
+    return bytes(out)
+
+
+def parse_avro_ocf(payload: bytes) -> tuple[dict, list[dict]]:
+    """Parse an OCF -> (schema, records), verifying the magic, the
+    metadata map, every block's sync marker, and byte-exact block
+    payload consumption. Field decoding is driven by the EMBEDDED
+    writer schema (the Avro contract), not caller assumptions."""
+    if payload[:4] != _MAGIC:
+        raise ValueError("bad Avro OCF magic")
+    pos = 4
+    meta: dict[str, bytes] = {}
+    while True:
+        n, pos = decode_varint(payload, pos)
+        if n == 0:
+            break
+        if n < 0:
+            raise NotImplementedError(
+                "size-prefixed Avro map blocks (negative count) — "
+                "writers in practice emit positive counts"
+            )
+        for _ in range(n):
+            klen, pos = decode_varint(payload, pos)
+            key = payload[pos : pos + klen].decode()
+            pos += klen
+            vlen, pos = decode_varint(payload, pos)
+            meta[key] = payload[pos : pos + vlen]
+            pos += vlen
+    if meta.get("avro.codec", b"null") != b"null":
+        raise NotImplementedError(
+            "Avro codec "
+            f"{meta.get('avro.codec')!r}: only null implemented — the "
+            "deflate arm is one zlib.decompress on the block payload"
+        )
+    schema = json.loads(meta["avro.schema"])
+    if schema.get("type") != "record":
+        raise ValueError("OCF schema must be a record")
+    fields = [(f["name"], f["type"]) for f in schema["fields"]]
+    sync = payload[pos : pos + 16]
+    pos += 16
+    records: list[dict] = []
+    while pos < len(payload):
+        count, pos = decode_varint(payload, pos)
+        size, pos = decode_varint(payload, pos)
+        block = payload[pos : pos + size]
+        if len(block) != size:
+            raise ValueError("truncated Avro block")
+        pos += size
+        bpos = 0
+        for _ in range(count):
+            rec = {}
+            for name, typ in fields:
+                rec[name], bpos = _dec_field(block, bpos, typ)
+            records.append(rec)
+        if bpos != size:
+            raise ValueError("Avro block size does not match records")
+        if payload[pos : pos + 16] != sync:
+            raise ValueError("Avro block sync marker mismatch")
+        pos += 16
+    return schema, records
+
+
+AVRO_DOCS = 48
+_AVRO_SCHEMA = {
+    "type": "record",
+    "name": "Measurement",
+    "fields": [
+        {"name": "id", "type": "long"},
+        {"name": "name", "type": "string"},
+        {"name": "score", "type": "double"},
+    ],
+}
+_AVRO_OUT = (
+    "doc_id long, n_records int, n_blocks int, id_sum long,"
+    " name_chars long, score_sum double"
+)
+
+
+@register(
+    "source_avro_records",
+    oracle=f"""
+        WITH d AS (
+            SELECT doc_id, doc_id % 7 + 3 AS nrec
+            FROM documents WHERE doc_id < {AVRO_DOCS}
+        ),
+        r AS (
+            SELECT doc_id, nrec, i,
+                   doc_id * 1000 + i AS id,
+                   1 + length(CAST(i AS VARCHAR)) AS nlen,
+                   (doc_id * 7 + i) * 0.25 AS score
+            FROM (SELECT doc_id, nrec, unnest(range(0, nrec)) AS i
+                  FROM d)
+        )
+        SELECT doc_id,
+               CAST(nrec AS INT) AS n_records,
+               CAST((nrec + 3) // 4 AS INT) AS n_blocks,
+               CAST(sum(id) AS BIGINT) AS id_sum,
+               CAST(sum(nlen) AS BIGINT) AS name_chars,
+               CAST(sum(score) AS DOUBLE) AS score_sum
+        FROM r
+        GROUP BY doc_id, nrec
+        ORDER BY doc_id
+    """,
+    tags=("source", "avro", "interchange", "llm-pipeline"),
+)
+def source_avro_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Avro OCF ingestion (round 10) — the row-interchange container
+    warehouse landing zones actually ship. Per document a synthetic
+    OCF holds doc%7+3 records (long id, string name, quarter-step
+    double score — exactly representable, so double sums are
+    order-independent) split into sync-framed 4-record blocks; the
+    reader walks the metadata map, decodes by the EMBEDDED writer
+    schema's field order, verifies every block sync, and aggregates
+    per file: record/block counts, id and name-byte sums, score
+    totals.
+
+    The oracle recomputes every total (including the block count
+    from the ceil-divide block split) from the fixture's closed
+    forms — a zigzag, varint, field-order, or block-framing bug
+    flips the hash.
+
+    Scale posture: two narrow Arrow ``mapInPandas`` stages, zero
+    shuffles; OCF sync markers are what let a distributed reader
+    split real files at arbitrary offsets."""
+
+    docs = (
+        t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < AVRO_DOCS)
+        .select("doc_id")
+    )
+
+    def encode_batches(
+        batches: Iterator["pd.DataFrame"],
+    ) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            ids = pdf["doc_id"].to_numpy()
+            payloads = []
+            for d in ids:
+                d = int(d)
+                recs = [
+                    {
+                        "id": d * 1000 + i,
+                        "name": f"r{i}",
+                        "score": (d * 7 + i) * 0.25,
+                    }
+                    for i in range(d % 7 + 3)
+                ]
+                payloads.append(encode_avro_ocf(recs, _AVRO_SCHEMA))
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    media = docs.mapInPandas(encode_batches, "doc_id long, payload binary")
+
+    def decode_batches(
+        batches: Iterator["pd.DataFrame"],
+    ) -> Iterator["pd.DataFrame"]:
+        cols = (
+            "doc_id n_records n_blocks id_sum name_chars score_sum"
+        ).split()
+        for pdf in batches:
+            out: dict[str, list] = {k: [] for k in cols}
+            for d, p in zip(pdf["doc_id"], pdf["payload"]):
+                _, recs = parse_avro_ocf(bytes(p))
+                n_blocks = (len(recs) + 3) // 4
+                vals = (
+                    int(d), len(recs), n_blocks,
+                    sum(r["id"] for r in recs),
+                    sum(len(r["name"]) for r in recs),
+                    float(sum(r["score"] for r in recs)),
+                )
+                for k, v in zip(cols, vals):
+                    out[k].append(v)
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(decode_batches, _AVRO_OUT).orderBy("doc_id")

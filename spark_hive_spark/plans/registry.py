@@ -80,6 +80,7 @@ SWEEP_PRIORITY: tuple[str, ...] = (
     "crawl_url_canonical_dedup",
     "storage_bucketed_join_exchange_free",
     "snapshot_file_skipping_audit",
+    "source_avro_records",
     # round-10 implementation changes: re-attest under the new code
     "knn_cosine_ivf",
     "ann_recall_audit",
@@ -99,7 +100,6 @@ SWEEP_PRIORITY: tuple[str, ...] = (
     "explode_outer_token_rows",
     "profile_orders_columns",
     "safe_arithmetic_orders",
-    "null_semantics_orders",
     "unpivot_lineitem_measures",
     "histogram_order_prices",
 )
@@ -167,6 +167,7 @@ def _load_all() -> None:
         "spark_hive_spark.operators.media_containers",
         "spark_hive_spark.operators.warc",
         "spark_hive_spark.operators.webdataset",
+        "spark_hive_spark.operators.avro",
         "spark_hive_spark.operators.graph",
         "spark_hive_spark.operators.timeseries",
         "spark_hive_spark.operators.finance",
