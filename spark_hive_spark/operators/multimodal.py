@@ -58,11 +58,16 @@ def decode_image(payload: bytes) -> "object":
     baseline sequential grayscale / YCbCr 4:4:4 / 4:2:0 / 4:2:2
     (interleaved, multi-scan, and restart-marker layouts, both DQT
     precisions, partial-MCU dims) plus progressive (SOF2) with full
-    successive approximation on DC and AC; and lossless WebP (VP8L:
-    all four transforms, color cache, meta prefix groups — alpha via
-    `decode_webp(return_alpha=True)`). The remaining loud seams:
-    lossy WebP (VP8) and image alpha under THIS RGB contract — swap
-    in PIL/libjpeg/libwebp on a cluster image that has them."""
+    successive approximation on DC and AC, 8- and 12-bit precision;
+    lossless WebP (VP8L: all four transforms, color cache, meta
+    prefix groups — alpha via `decode_webp(return_alpha=True)`);
+    GIF87a/89a (first frame — `decode_gif` for animation frames;
+    transparency stays loud here); baseline TIFF (both endians,
+    none/PackBits/LZW, predictor); and netpbm P1-P6 (PBM 1=black
+    inverted to luminance, 16-bit scaled to 8). The remaining loud
+    seams: lossy WebP (VP8) and image alpha under THIS RGB
+    contract — swap in PIL/libjpeg/libwebp on a cluster image that
+    has them."""
     if payload[:2] == b"BM":
         return decode_bmp(payload)
     if payload[:8] == PNG_SIGNATURE:
