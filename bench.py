@@ -462,6 +462,22 @@ EXPECTED_SF01: dict[str, float] = {
     "xcorr_click_purchase_lag": 1.1,
     "repeat_purchase_cadence_curve": 1.3,
     "text_lexical_diversity_ttr": 0.9,
+    # round-10 additions (idle sf0.1 best-of-2, 2026-08-15; the
+    # last three estimated pending the next bench)
+    "mining_hard_negatives_ann": 1.44, "mining_hard_negatives_ann_audit": 3.91,
+    "multimodal_jpeg_420_decode": 0.79, "snapshot_concurrent_commit_audit": 1.42,
+    "pipeline_image_embedding_knn": 1.68, "multimodal_jpeg_progressive_decode": 0.52,
+    "multimodal_jpeg_partial_mcu_decode": 0.53, "multimodal_jpeg_multiscan_restart_decode": 0.68,
+    "multimodal_webp_predictor_decode": 1.63, "multimodal_webp_full_profile_decode": 1.35,
+    "multimodal_webp_alpha_decode": 2.06, "multimodal_png_variants_decode": 0.63,
+    "multimodal_gif_decode": 0.97, "multimodal_tiff_decode": 0.52,
+    "multimodal_flac_decode": 1.45, "snapshot_semantic_conflict_audit": 2.04,
+    "pipeline_mixed_media_features": 0.6, "multimodal_container_metadata": 0.83,
+    "multimodal_jpeg12_decode": 0.5, "multimodal_pnm_decode": 0.5,
+    "source_warc_records": 0.5, "source_webdataset_tar": 0.5,
+    "text_bpe_tokenize": 0.53, "crawl_url_canonical_dedup": 0.5,
+    "storage_bucketed_join_exchange_free": 4.0, "snapshot_file_skipping_audit": 2.5,
+    "source_avro_records": 0.6,
 }
 
 
