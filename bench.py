@@ -462,8 +462,7 @@ EXPECTED_SF01: dict[str, float] = {
     "xcorr_click_purchase_lag": 1.1,
     "repeat_purchase_cadence_curve": 1.3,
     "text_lexical_diversity_ttr": 0.9,
-    # round-10 additions (idle sf0.1 best-of-2, 2026-08-15; the
-    # last three estimated pending the next bench)
+    # round-10 additions (idle sf0.1 best-of-2, 2026-08-15)
     "mining_hard_negatives_ann": 1.44, "mining_hard_negatives_ann_audit": 3.91,
     "multimodal_jpeg_420_decode": 0.79, "snapshot_concurrent_commit_audit": 1.42,
     "pipeline_image_embedding_knn": 1.68, "multimodal_jpeg_progressive_decode": 0.52,
@@ -476,7 +475,7 @@ EXPECTED_SF01: dict[str, float] = {
     "multimodal_jpeg12_decode": 0.5, "multimodal_pnm_decode": 0.5,
     "source_warc_records": 0.5, "source_webdataset_tar": 0.5,
     "text_bpe_tokenize": 0.53, "crawl_url_canonical_dedup": 0.5,
-    "storage_bucketed_join_exchange_free": 4.0, "snapshot_file_skipping_audit": 2.5,
+    "storage_bucketed_join_exchange_free": 3.2, "snapshot_file_skipping_audit": 1.2,
     "source_avro_records": 0.6,
 }
 

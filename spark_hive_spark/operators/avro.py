@@ -13,8 +13,9 @@ Implemented surface:
 - Binary encoding: zigzag varints for longs, length-prefixed UTF-8
   strings, little-endian IEEE-754 doubles — driven by the field
   order of the embedded writer schema, not hardcoded.
-- Codec ``null`` (deflate would be one zlib call; the framing is the
-  content here).
+- Codecs ``null`` and ``deflate`` (raw RFC 1951 streams per the
+  spec, no zlib header); ``snappy`` stays a loud seam — the library
+  is not in this container.
 
 The registered query's oracle recomputes record counts, id sums,
 name-byte totals, and exact quarter-step double sums from the
@@ -112,15 +113,22 @@ def _dec_field(data: bytes, pos: int, typ: str):
 
 
 def encode_avro_ocf(
-    records: list[dict], schema: dict, records_per_block: int = 4
+    records: list[dict],
+    schema: dict,
+    records_per_block: int = 4,
+    codec: str = "null",
 ) -> bytes:
-    """Serialize records as an Avro OCF (codec null), splitting into
-    sync-framed blocks of ``records_per_block``. Inverse of
+    """Serialize records as an Avro OCF, splitting into sync-framed
+    blocks of ``records_per_block``. Codec ``null`` stores block
+    payloads raw; ``deflate`` stores them as raw DEFLATE streams
+    (RFC 1951, no zlib header — the spec's wording). Inverse of
     `parse_avro_ocf`."""
+    if codec not in ("null", "deflate"):
+        raise ValueError(f"unsupported Avro codec {codec!r}")
     fields = [(f["name"], f["type"]) for f in schema["fields"]]
     meta = {
         "avro.schema": json.dumps(schema).encode(),
-        "avro.codec": b"null",
+        "avro.codec": codec.encode(),
     }
     out = bytearray(_MAGIC)
     out += encode_varint(len(meta))
@@ -135,6 +143,11 @@ def encode_avro_ocf(
             b"".join(_enc_field(rec[name], typ) for name, typ in fields)
             for rec in chunk
         )
+        if codec == "deflate":
+            import zlib
+
+            co = zlib.compressobj(6, zlib.DEFLATED, -15)  # raw DEFLATE
+            payload = co.compress(payload) + co.flush()
         out += encode_varint(len(chunk))
         out += encode_varint(len(payload))
         out += payload
@@ -167,11 +180,11 @@ def parse_avro_ocf(payload: bytes) -> tuple[dict, list[dict]]:
             vlen, pos = decode_varint(payload, pos)
             meta[key] = payload[pos : pos + vlen]
             pos += vlen
-    if meta.get("avro.codec", b"null") != b"null":
+    codec = meta.get("avro.codec", b"null").decode()
+    if codec not in ("null", "deflate"):
         raise NotImplementedError(
-            "Avro codec "
-            f"{meta.get('avro.codec')!r}: only null implemented — the "
-            "deflate arm is one zlib.decompress on the block payload"
+            f"Avro codec {codec!r}: null and deflate implemented — "
+            "snappy needs a library this container lacks"
         )
     schema = json.loads(meta["avro.schema"])
     if schema.get("type") != "record":
@@ -187,13 +200,21 @@ def parse_avro_ocf(payload: bytes) -> tuple[dict, list[dict]]:
         if len(block) != size:
             raise ValueError("truncated Avro block")
         pos += size
+        if codec == "deflate":
+            import zlib
+
+            d = zlib.decompressobj(-15)  # raw DEFLATE per the spec
+            raw = d.decompress(block)
+            if d.unused_data:
+                raise ValueError("Avro deflate block has trailing bytes")
+            block = raw + d.flush()
         bpos = 0
         for _ in range(count):
             rec = {}
             for name, typ in fields:
                 rec[name], bpos = _dec_field(block, bpos, typ)
             records.append(rec)
-        if bpos != size:
+        if bpos != len(block):
             raise ValueError("Avro block size does not match records")
         if payload[pos : pos + 16] != sync:
             raise ValueError("Avro block sync marker mismatch")
@@ -212,8 +233,8 @@ _AVRO_SCHEMA = {
     ],
 }
 _AVRO_OUT = (
-    "doc_id long, n_records int, n_blocks int, id_sum long,"
-    " name_chars long, score_sum double"
+    "doc_id long, deflated int, n_records int, n_blocks int,"
+    " id_sum long, name_chars long, score_sum double"
 )
 
 
@@ -233,6 +254,7 @@ _AVRO_OUT = (
                   FROM d)
         )
         SELECT doc_id,
+               CAST(doc_id % 2 AS INT) AS deflated,
                CAST(nrec AS INT) AS n_records,
                CAST((nrec + 3) // 4 AS INT) AS n_blocks,
                CAST(sum(id) AS BIGINT) AS id_sum,
@@ -249,7 +271,8 @@ def source_avro_records(spark: SparkSession, sf_dir: str) -> DataFrame:
     warehouse landing zones actually ship. Per document a synthetic
     OCF holds doc%7+3 records (long id, string name, quarter-step
     double score — exactly representable, so double sums are
-    order-independent) split into sync-framed 4-record blocks; the
+    order-independent) split into sync-framed 4-record blocks; ODD
+    docs compress each block with the spec's raw-DEFLATE codec. The
     reader walks the metadata map, decodes by the EMBEDDED writer
     schema's field order, verifies every block sync, and aggregates
     per file: record/block counts, id and name-byte sums, score
@@ -286,7 +309,13 @@ def source_avro_records(spark: SparkSession, sf_dir: str) -> DataFrame:
                     }
                     for i in range(d % 7 + 3)
                 ]
-                payloads.append(encode_avro_ocf(recs, _AVRO_SCHEMA))
+                payloads.append(
+                    encode_avro_ocf(
+                        recs,
+                        _AVRO_SCHEMA,
+                        codec="deflate" if d % 2 else "null",
+                    )
+                )
             yield pd.DataFrame({"doc_id": ids, "payload": payloads})
 
     media = docs.mapInPandas(encode_batches, "doc_id long, payload binary")
@@ -295,7 +324,8 @@ def source_avro_records(spark: SparkSession, sf_dir: str) -> DataFrame:
         batches: Iterator["pd.DataFrame"],
     ) -> Iterator["pd.DataFrame"]:
         cols = (
-            "doc_id n_records n_blocks id_sum name_chars score_sum"
+            "doc_id deflated n_records n_blocks id_sum name_chars"
+            " score_sum"
         ).split()
         for pdf in batches:
             out: dict[str, list] = {k: [] for k in cols}
@@ -303,7 +333,7 @@ def source_avro_records(spark: SparkSession, sf_dir: str) -> DataFrame:
                 _, recs = parse_avro_ocf(bytes(p))
                 n_blocks = (len(recs) + 3) // 4
                 vals = (
-                    int(d), len(recs), n_blocks,
+                    int(d), int(d) % 2, len(recs), n_blocks,
                     sum(r["id"] for r in recs),
                     sum(len(r["name"]) for r in recs),
                     float(sum(r["score"] for r in recs)),

@@ -2711,8 +2711,16 @@ def test_avro_ocf_reader():
         parse_avro_ocf(bytes(corrupt))
     with pytest.raises(ValueError):
         parse_avro_ocf(b"NotAvro" + blob)
-    deflated = blob.replace(b"null", b"deflate", 1)
-    # codec byte-length changes the map framing too — just assert
-    # the loud seam fires, whichever check trips first
+
+    # deflate codec: raw RFC 1951 block payloads round-trip and
+    # actually compress the repetitive fixture
+    dblob = encode_avro_ocf(recs, schema, records_per_block=4,
+                            codec="deflate")
+    _, dgot = parse_avro_ocf(dblob)
+    assert dgot == recs
+    with pytest.raises(ValueError):
+        parse_avro_ocf(dblob[:-20])  # truncated deflate block
+    # unsupported codec is a loud seam (byte-length change reframes
+    # the map, so either check may trip first)
     with pytest.raises((NotImplementedError, ValueError)):
-        parse_avro_ocf(deflated)
+        parse_avro_ocf(blob.replace(b"null", b"snappy", 1))
