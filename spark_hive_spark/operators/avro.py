@@ -13,9 +13,11 @@ Implemented surface:
 - Binary encoding: zigzag varints for longs, length-prefixed UTF-8
   strings, little-endian IEEE-754 doubles — driven by the field
   order of the embedded writer schema, not hardcoded.
-- Codecs ``null`` and ``deflate`` (raw RFC 1951 streams per the
-  spec, no zlib header); ``snappy`` stays a loud seam — the library
-  is not in this container.
+- Codecs ``null``, ``deflate`` (raw RFC 1951 streams per the spec,
+  no zlib header) and ``snappy`` (the hand-built raw-snappy codec in
+  operators/snappy.py + the spec's big-endian CRC32-of-uncompressed
+  trailer); zstandard/bzip2/xz stay loud seams — those libraries are
+  not in this container.
 
 The registered query's oracle recomputes record counts, id sums,
 name-byte totals, and exact quarter-step double sums from the
@@ -120,10 +122,11 @@ def encode_avro_ocf(
 ) -> bytes:
     """Serialize records as an Avro OCF, splitting into sync-framed
     blocks of ``records_per_block``. Codec ``null`` stores block
-    payloads raw; ``deflate`` stores them as raw DEFLATE streams
-    (RFC 1951, no zlib header — the spec's wording). Inverse of
-    `parse_avro_ocf`."""
-    if codec not in ("null", "deflate"):
+    payloads raw; ``deflate`` as raw DEFLATE streams (RFC 1951, no
+    zlib header — the spec's wording); ``snappy`` as raw snappy
+    (operators/snappy.py) followed by the spec's 4-byte big-endian
+    CRC32 of the UNCOMPRESSED bytes. Inverse of `parse_avro_ocf`."""
+    if codec not in ("null", "deflate", "snappy"):
         raise ValueError(f"unsupported Avro codec {codec!r}")
     fields = [(f["name"], f["type"]) for f in schema["fields"]]
     meta = {
@@ -148,6 +151,13 @@ def encode_avro_ocf(
 
             co = zlib.compressobj(6, zlib.DEFLATED, -15)  # raw DEFLATE
             payload = co.compress(payload) + co.flush()
+        elif codec == "snappy":
+            import zlib
+
+            from spark_hive_spark.operators.snappy import snappy_compress
+
+            crc = zlib.crc32(payload) & 0xFFFFFFFF
+            payload = snappy_compress(payload) + crc.to_bytes(4, "big")
         out += encode_varint(len(chunk))
         out += encode_varint(len(payload))
         out += payload
@@ -181,10 +191,11 @@ def parse_avro_ocf(payload: bytes) -> tuple[dict, list[dict]]:
             meta[key] = payload[pos : pos + vlen]
             pos += vlen
     codec = meta.get("avro.codec", b"null").decode()
-    if codec not in ("null", "deflate"):
+    if codec not in ("null", "deflate", "snappy"):
         raise NotImplementedError(
-            f"Avro codec {codec!r}: null and deflate implemented — "
-            "snappy needs a library this container lacks"
+            f"Avro codec {codec!r}: null, deflate and snappy "
+            "implemented (zstandard/bzip2/xz need libraries this "
+            "container lacks)"
         )
     schema = json.loads(meta["avro.schema"])
     if schema.get("type") != "record":
@@ -208,6 +219,20 @@ def parse_avro_ocf(payload: bytes) -> tuple[dict, list[dict]]:
             if d.unused_data:
                 raise ValueError("Avro deflate block has trailing bytes")
             block = raw + d.flush()
+        elif codec == "snappy":
+            import zlib
+
+            from spark_hive_spark.operators.snappy import (
+                snappy_decompress,
+            )
+
+            if size < 4:
+                raise ValueError("Avro snappy block missing CRC32")
+            block = snappy_decompress(block[:-4])
+            if zlib.crc32(block) & 0xFFFFFFFF != int.from_bytes(
+                payload[pos - 4 : pos], "big"
+            ):
+                raise ValueError("Avro snappy block CRC32 mismatch")
         bpos = 0
         for _ in range(count):
             rec = {}
@@ -232,8 +257,9 @@ _AVRO_SCHEMA = {
         {"name": "score", "type": "double"},
     ],
 }
+_AVRO_CODECS = ("null", "deflate", "snappy")
 _AVRO_OUT = (
-    "doc_id long, deflated int, n_records int, n_blocks int,"
+    "doc_id long, codec_id int, n_records int, n_blocks int,"
     " id_sum long, name_chars long, score_sum double"
 )
 
@@ -254,7 +280,7 @@ _AVRO_OUT = (
                   FROM d)
         )
         SELECT doc_id,
-               CAST(doc_id % 2 AS INT) AS deflated,
+               CAST(doc_id % 3 AS INT) AS codec_id,
                CAST(nrec AS INT) AS n_records,
                CAST((nrec + 3) // 4 AS INT) AS n_blocks,
                CAST(sum(id) AS BIGINT) AS id_sum,
@@ -271,8 +297,10 @@ def source_avro_records(spark: SparkSession, sf_dir: str) -> DataFrame:
     warehouse landing zones actually ship. Per document a synthetic
     OCF holds doc%7+3 records (long id, string name, quarter-step
     double score — exactly representable, so double sums are
-    order-independent) split into sync-framed 4-record blocks; ODD
-    docs compress each block with the spec's raw-DEFLATE codec. The
+    order-independent) split into sync-framed 4-record blocks, the
+    codec rotating null / raw-DEFLATE / snappy+CRC32 by doc%3 (both
+    compressed arms through the spec's exact framing — snappy via
+    the hand-built operators/snappy.py). The
     reader walks the metadata map, decodes by the EMBEDDED writer
     schema's field order, verifies every block sync, and aggregates
     per file: record/block counts, id and name-byte sums, score
@@ -311,9 +339,7 @@ def source_avro_records(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ]
                 payloads.append(
                     encode_avro_ocf(
-                        recs,
-                        _AVRO_SCHEMA,
-                        codec="deflate" if d % 2 else "null",
+                        recs, _AVRO_SCHEMA, codec=_AVRO_CODECS[d % 3]
                     )
                 )
             yield pd.DataFrame({"doc_id": ids, "payload": payloads})
@@ -324,7 +350,7 @@ def source_avro_records(spark: SparkSession, sf_dir: str) -> DataFrame:
         batches: Iterator["pd.DataFrame"],
     ) -> Iterator["pd.DataFrame"]:
         cols = (
-            "doc_id deflated n_records n_blocks id_sum name_chars"
+            "doc_id codec_id n_records n_blocks id_sum name_chars"
             " score_sum"
         ).split()
         for pdf in batches:
@@ -333,7 +359,7 @@ def source_avro_records(spark: SparkSession, sf_dir: str) -> DataFrame:
                 _, recs = parse_avro_ocf(bytes(p))
                 n_blocks = (len(recs) + 3) // 4
                 vals = (
-                    int(d), int(d) % 2, len(recs), n_blocks,
+                    int(d), int(d) % 3, len(recs), n_blocks,
                     sum(r["id"] for r in recs),
                     sum(len(r["name"]) for r in recs),
                     float(sum(r["score"] for r in recs)),

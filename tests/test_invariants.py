@@ -2720,7 +2720,59 @@ def test_avro_ocf_reader():
     assert dgot == recs
     with pytest.raises(ValueError):
         parse_avro_ocf(dblob[:-20])  # truncated deflate block
+    # snappy codec: raw snappy + the spec's CRC32-of-uncompressed
+    # trailer; a flipped CRC byte fails loudly
+    sblob = encode_avro_ocf(recs, schema, records_per_block=4,
+                            codec="snappy")
+    _, sgot = parse_avro_ocf(sblob)
+    assert sgot == recs
+    scorrupt = bytearray(sblob)
+    scorrupt[-17] ^= 0xFF  # last byte of the final block's CRC32
+    with pytest.raises(ValueError):
+        parse_avro_ocf(bytes(scorrupt))
+
     # unsupported codec is a loud seam (byte-length change reframes
     # the map, so either check may trip first)
     with pytest.raises((NotImplementedError, ValueError)):
-        parse_avro_ocf(blob.replace(b"null", b"snappy", 1))
+        parse_avro_ocf(blob.replace(b"null", b"zstandard", 1))
+
+
+def test_snappy_codec():
+    """Raw snappy against the public format description: round-trips
+    (with real compression on repetitive input), handcrafted vectors
+    for all three copy forms incl. OVERLAPPING copies (offset <
+    length replicates the run), long literals, and loud failures on
+    truncation, bad offsets, and length-header mismatches."""
+    import pytest
+
+    from spark_hive_spark.operators.snappy import (
+        snappy_compress,
+        snappy_decompress,
+    )
+
+    cases = [
+        b"", b"a", b"abcd" * 100, bytes(range(256)) * 4, b"x" * 1000,
+        b"the quick brown fox " * 50, bytes(200),
+    ]
+    for c in cases:
+        assert snappy_decompress(snappy_compress(c)) == c
+    assert len(snappy_compress(b"abcd" * 100)) < 40  # real compression
+
+    # overlapping copy: literal 'Q', then copy(offset=1, len=10)
+    hand = bytes([11, 0 << 2]) + b"Q" + bytes([(9 << 2) | 0b10, 1, 0])
+    assert snappy_decompress(hand) == b"Q" * 11
+    # copy-1 form (tag 01): len=4, offset=4 after 4-byte literal
+    hand = bytes([8, 3 << 2]) + b"abcd" + bytes([0b01, 4])
+    assert snappy_decompress(hand) == b"abcdabcd"
+    # copy-4 form (tag 11)
+    hand = (bytes([8, 3 << 2]) + b"wxyz"
+            + bytes([(3 << 2) | 0b11]) + (4).to_bytes(4, "little"))
+    assert snappy_decompress(hand) == b"wxyzwxyz"
+
+    for bad in (
+        snappy_compress(b"hello world")[:-3],  # truncated literal
+        bytes([4, (3 << 2) | 0b10, 9, 0]),  # offset beyond output
+        bytes([9, 0 << 2]) + b"Q",  # length header vs actual output
+    ):
+        with pytest.raises(ValueError):
+            snappy_decompress(bad)
