@@ -257,6 +257,7 @@ EXTENDED = [
     "storage_bucketed_join_exchange_free",
     "snapshot_file_skipping_audit",
     "source_avro_records",
+    "source_delta_log_replay",
 ]
 
 # Streaming extended queries run dead LAST (after the streaming
@@ -476,7 +477,7 @@ EXPECTED_SF01: dict[str, float] = {
     "source_warc_records": 0.5, "source_webdataset_tar": 0.5,
     "text_bpe_tokenize": 0.53, "crawl_url_canonical_dedup": 0.5,
     "storage_bucketed_join_exchange_free": 3.2, "snapshot_file_skipping_audit": 1.2,
-    "source_avro_records": 0.6,
+    "source_avro_records": 0.6, "source_delta_log_replay": 3.0,
 }
 
 

@@ -81,6 +81,7 @@ SWEEP_PRIORITY: tuple[str, ...] = (
     "storage_bucketed_join_exchange_free",
     "snapshot_file_skipping_audit",
     "source_avro_records",
+    "source_delta_log_replay",
     # round-10 implementation changes: re-attest under the new code
     "knn_cosine_ivf",
     "ann_recall_audit",
@@ -99,7 +100,6 @@ SWEEP_PRIORITY: tuple[str, ...] = (
     "mode_priority_per_nation",
     "explode_outer_token_rows",
     "profile_orders_columns",
-    "safe_arithmetic_orders",
     "unpivot_lineitem_measures",
     "histogram_order_prices",
 )

@@ -1016,3 +1016,139 @@ def snapshot_file_skipping_audit(
     ).localCheckpoint(eager=True)  # 1 row; frees the temp root
     shutil.rmtree(root, ignore_errors=True)
     return out
+
+
+@register(
+    "source_delta_log_replay",
+    oracle=f"""
+        SELECT CAST(3 AS INT) AS n_versions,
+               CAST(2 AS INT) AS live_files,
+               CAST(2 AS INT) AS tombstones,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               {sql_dsum('o_totalprice')} AS revenue
+        FROM orders
+    """,
+    tags=("source", "delta", "lakehouse", "compat"),
+)
+def source_delta_log_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta Lake transaction-log replay (round 10) — reading an
+    ACTUAL ``_delta_log`` (the public PROTOCOL.md JSON action
+    format: protocol / metaData / add / remove, one action per line
+    in zero-padded 20-digit version files) WITHOUT the Delta
+    library. Three commits are written: v0 adds two data files, v1
+    adds a third, v2 compacts the first two (remove + remove + add
+    of their union — the OPTIMIZE shape). Replaying add/remove
+    actions in version order yields the live file set — 2 files, 2
+    tombstones — whose union must reproduce the FULL orders table
+    exactly (compaction moves bytes, never rows).
+
+    The protocol action gates ``minReaderVersion`` (> 1 raises —
+    reader-feature tables need the real library); checkpoint parquet
+    files are a documented loud seam (real logs compact every 10
+    commits; this log is shorter).
+
+    The oracle recomputes the aggregate over the raw table and pins
+    the version/file/tombstone counts: a replay bug that resurrects
+    a tombstoned file double-counts and flips the hash, one that
+    drops an add loses rows.
+
+    Scale posture: log replay is driver-side JSON arithmetic,
+    O(#actions) like the snapshot queries; the data read plans only
+    live files — Delta's own contract."""
+    import json as _json
+
+    orders = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    root = os.path.join(
+        tempfile.gettempdir(), f"shs_delta_{uuid.uuid4().hex}"
+    )
+    tdir = os.path.join(root, "t")
+    ldir = os.path.join(tdir, "_delta_log")
+    os.makedirs(ldir)
+
+    def _write_part(name: str, df: DataFrame) -> None:
+        tmp = os.path.join(root, f"stage_{name}")
+        df.coalesce(1).write.parquet(tmp)
+        src = next(
+            f for f in os.listdir(tmp) if f.endswith(".parquet")
+        )
+        os.replace(os.path.join(tmp, src), os.path.join(tdir, name))
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    k = F.col("o_orderkey") % 3
+    _write_part("part-00000.parquet", orders.filter(k == 0))
+    _write_part("part-00001.parquet", orders.filter(k == 1))
+    _write_part("part-00002.parquet", orders.filter(k == 2))
+    _write_part("part-00003.parquet", orders.filter(k != 2))  # compacted
+
+    def _commit(version: int, actions: list[dict]) -> None:
+        path = os.path.join(ldir, f"{version:020d}.json")
+        with open(path, "w") as fh:
+            fh.write("\n".join(_json.dumps(a) for a in actions) + "\n")
+
+    def _add(p: str) -> dict:
+        return {"add": {"path": p, "size": os.path.getsize(
+            os.path.join(tdir, p)), "modificationTime": 0,
+            "dataChange": True}}
+
+    _commit(0, [
+        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+        {"metaData": {"id": "shs-delta-fixture", "format":
+            {"provider": "parquet", "options": {}},
+            "schemaString": "{}", "partitionColumns": []}},
+        _add("part-00000.parquet"),
+        _add("part-00001.parquet"),
+    ])
+    _commit(1, [_add("part-00002.parquet")])
+    _commit(2, [
+        {"remove": {"path": "part-00000.parquet",
+                    "deletionTimestamp": 0, "dataChange": False}},
+        {"remove": {"path": "part-00001.parquet",
+                    "deletionTimestamp": 0, "dataChange": False}},
+        _add("part-00003.parquet"),
+    ])
+
+    # ---- the reader: replay the log exactly as PROTOCOL.md says ----
+    versions = sorted(
+        int(f[:20]) for f in os.listdir(ldir) if f.endswith(".json")
+    )
+    if versions != list(range(len(versions))):
+        raise ValueError("Delta log has version gaps")
+    live: set[str] = set()
+    tombstones: set[str] = set()
+    for v in versions:
+        with open(os.path.join(ldir, f"{v:020d}.json")) as fh:
+            for line in fh:
+                if not line.strip():
+                    continue
+                action = _json.loads(line)
+                if "protocol" in action:
+                    if action["protocol"]["minReaderVersion"] > 1:
+                        raise NotImplementedError(
+                            "Delta reader features beyond protocol v1"
+                        )
+                elif "add" in action:
+                    p = action["add"]["path"]
+                    live.add(p)
+                    tombstones.discard(p)
+                elif "remove" in action:
+                    p = action["remove"]["path"]
+                    live.discard(p)
+                    tombstones.add(p)
+                elif "metaData" not in action and "commitInfo" not in action:
+                    raise ValueError(
+                        f"unknown Delta action {sorted(action)[:1]}"
+                    )
+    scan = spark.read.parquet(
+        *(os.path.join(tdir, p) for p in sorted(live))
+    )
+    out = scan.agg(
+        F.lit(len(versions)).cast("int").alias("n_versions"),
+        F.lit(len(live)).cast("int").alias("live_files"),
+        F.lit(len(tombstones)).cast("int").alias("tombstones"),
+        F.count("*").alias("n_orders"),
+        dsum("o_totalprice").alias("revenue"),
+    ).localCheckpoint(eager=True)  # 1 row; frees the temp root
+    shutil.rmtree(root, ignore_errors=True)
+    return out
