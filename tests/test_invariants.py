@@ -2633,18 +2633,21 @@ def test_bpe_encode_matches_gpt2_reference():
         assert chain_bpe(w) == reference_bpe(w), w
 
 
-def test_canonical_url_rules():
+def test_canonical_url_rules(spark):
     """Each canonicalization rule in isolation and in combination:
     authority lowercased but PATH CASE PRESERVED, default ports
     stripped only for the matching scheme, fragments dropped,
     utm_* params removed while non-tracking params survive, one
-    trailing slash stripped."""
+    trailing slash stripped.
+
+    NOTE: uses the shared ``spark`` fixture — calling get_spark()
+    inside a test RE-APPLIES _DEFAULT_CONF to the live session via
+    builder.getOrCreate(), silently clobbering the fixture's
+    shuffle-partition setting for every later test (this broke the
+    AQE skew-activation test two full-suite runs in a row)."""
     from spark_hive_spark.operators.curation import canonical_url
-    from spark_hive_spark.session import get_spark
 
     from pyspark.sql import functions as F
-
-    spark = get_spark()
     cases = {
         "HTTP://WWW.Example.COM/Path/File": "http://www.example.com/Path/File",
         "http://example.com:80/a": "http://example.com/a",

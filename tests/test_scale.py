@@ -368,9 +368,16 @@ def test_aqe_skew_join_splits_hot_partition(spark):
             "spark.sql.adaptive.advisoryPartitionSizeInBytes",
             "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
             "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.shuffle.partitions",
         )
     }
     try:
+        # pin the partition count the thresholds were sized for —
+        # at 16+ partitions this fixture's hot partition compresses
+        # under the point where the split beats a coalesce, and the
+        # conftest value is clobberable (builder.getOrCreate()
+        # re-applies configs to a live session)
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
         spark.conf.set(
             "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
             "32KB",
@@ -391,20 +398,13 @@ def test_aqe_skew_join_splits_hot_partition(spark):
         right = spark.range(0, 1000).select(
             F.col("id").alias("k"), (F.col("id") * 2).alias("w")
         )
-        # AQE's skew decision reads query-stage statistics whose
-        # materialization timing can vary under a loaded JVM (seen
-        # once in a full-suite run, never in isolation) — build a
-        # FRESH plan for a second attempt before declaring failure
-        for attempt in range(2):
-            j = (
-                left.join(right, "k")
-                .groupBy()
-                .agg(F.count("*").alias("n"), F.sum("w").alias("sw"))
-            )
-            row = j.collect()[0]
-            plan = j._jdf.queryExecution().executedPlan().toString()
-            if "skew=true" in plan or attempt:
-                break
+        j = (
+            left.join(right, "k")
+            .groupBy()
+            .agg(F.count("*").alias("n"), F.sum("w").alias("sw"))
+        )
+        row = j.collect()[0]
+        plan = j._jdf.queryExecution().executedPlan().toString()
         assert "skew=true" in plan, plan[:2000]
         # correctness under the split: every left row matches exactly
         # one right row, so n == |left| and sw == sum over left of 2k
