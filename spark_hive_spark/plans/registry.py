@@ -82,6 +82,7 @@ SWEEP_PRIORITY: tuple[str, ...] = (
     "snapshot_file_skipping_audit",
     "source_avro_records",
     "source_delta_log_replay",
+    "source_iceberg_snapshot_replay",
     # round-10 implementation changes: re-attest under the new code
     "knn_cosine_ivf",
     "ann_recall_audit",
@@ -99,7 +100,6 @@ SWEEP_PRIORITY: tuple[str, ...] = (
     "calendar_densified_daily_orders",
     "mode_priority_per_nation",
     "explode_outer_token_rows",
-    "profile_orders_columns",
     "unpivot_lineitem_measures",
     "histogram_order_prices",
 )

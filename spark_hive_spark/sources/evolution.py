@@ -1152,3 +1152,173 @@ def source_delta_log_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).localCheckpoint(eager=True)  # 1 row; frees the temp root
     shutil.rmtree(root, ignore_errors=True)
     return out
+
+
+@register(
+    "source_iceberg_snapshot_replay",
+    oracle=f"""
+        SELECT CAST(2 AS INT) AS n_snapshots,
+               CAST(2 AS INT) AS n_manifests,
+               CAST(2 AS INT) AS live_files,
+               CAST(1 AS INT) AS deleted_files,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               {sql_dsum('o_totalprice')} AS revenue
+        FROM orders
+    """,
+    tags=("source", "iceberg", "lakehouse", "compat", "avro"),
+)
+def source_iceberg_snapshot_replay(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Iceberg-layout snapshot replay (round 10) — the OTHER table
+    format's metadata tree, read without a library and with the
+    repo's OWN Avro OCF codec carrying the manifests (exactly how
+    real Iceberg stores them): ``metadata.json`` holds the snapshot
+    list and current-snapshot pointer; each snapshot points to a
+    MANIFEST LIST (Avro: one row per manifest file); each manifest
+    (Avro) lists data-file entries with a status column (1=ADDED,
+    2=DELETED). Snapshot 1 adds two files via one manifest;
+    snapshot 2's second manifest rewrites file A into A' (DELETED +
+    ADDED — the rewrite/compaction shape) while the manifest list
+    carries both manifests forward. Resolving the CURRENT snapshot
+    must yield exactly the live files, whose union reproduces the
+    full table.
+
+    The whole metadata chain round-trips through
+    `operators/avro.py` (snappy codec on the manifest list, deflate
+    on manifests — both spec framings), so this query is also an
+    end-to-end exercise of the hand-built Avro + snappy stack on
+    METADATA, not fixture payloads.
+
+    The oracle recomputes the aggregate from the raw table and pins
+    snapshot/manifest/file counts: replaying a DELETED entry as
+    live double-counts and flips the hash.
+
+    Scale posture: metadata resolution is driver-side and
+    O(#manifest entries) — Iceberg's design point is that scan
+    planning reads manifests, never lists directories."""
+    import json as _json
+
+    from spark_hive_spark.operators.avro import (
+        encode_avro_ocf,
+        parse_avro_ocf,
+    )
+
+    orders = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    root = os.path.join(
+        tempfile.gettempdir(), f"shs_iceberg_{uuid.uuid4().hex}"
+    )
+    ddir = os.path.join(root, "data")
+    mdir = os.path.join(root, "metadata")
+    os.makedirs(ddir)
+    os.makedirs(mdir)
+
+    def _write_part(name: str, df: DataFrame) -> None:
+        tmp = os.path.join(root, f"stage_{name}")
+        df.coalesce(1).write.parquet(tmp)
+        src = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+        os.replace(os.path.join(tmp, src), os.path.join(ddir, name))
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    k = F.col("o_orderkey") % 2
+    _write_part("A.parquet", orders.filter(k == 0))
+    _write_part("B.parquet", orders.filter(k == 1))
+    _write_part("A2.parquet", orders.filter(k == 0))  # rewrite of A
+
+    entry_schema = {
+        "type": "record",
+        "name": "manifest_entry",
+        "fields": [
+            {"name": "status", "type": "long"},  # 1=ADDED 2=DELETED
+            {"name": "file_path", "type": "string"},
+            {"name": "record_count", "type": "long"},
+        ],
+    }
+    mlist_schema = {
+        "type": "record",
+        "name": "manifest_file",
+        "fields": [
+            {"name": "manifest_path", "type": "string"},
+            {"name": "added_snapshot_id", "type": "long"},
+        ],
+    }
+
+    def _manifest(name: str, entries: list[dict]) -> str:
+        path = os.path.join(mdir, name)
+        with open(path, "wb") as fh:
+            fh.write(
+                encode_avro_ocf(entries, entry_schema, codec="deflate")
+            )
+        return path
+
+    m1 = _manifest("m1.avro", [
+        {"status": 1, "file_path": "A.parquet", "record_count": 0},
+        {"status": 1, "file_path": "B.parquet", "record_count": 0},
+    ])
+    m2 = _manifest("m2.avro", [
+        {"status": 2, "file_path": "A.parquet", "record_count": 0},
+        {"status": 1, "file_path": "A2.parquet", "record_count": 0},
+    ])
+
+    def _manifest_list(name: str, manifests: list[str], snap: int) -> str:
+        path = os.path.join(mdir, name)
+        rows = [
+            {"manifest_path": p, "added_snapshot_id": snap}
+            for p in manifests
+        ]
+        with open(path, "wb") as fh:
+            fh.write(encode_avro_ocf(rows, mlist_schema, codec="snappy"))
+        return path
+
+    ml1 = _manifest_list("snap-1.avro", [m1], 1)
+    ml2 = _manifest_list("snap-2.avro", [m1, m2], 2)
+    meta = {
+        "format-version": 2,
+        "current-snapshot-id": 2,
+        "snapshots": [
+            {"snapshot-id": 1, "manifest-list": ml1},
+            {"snapshot-id": 2, "manifest-list": ml2},
+        ],
+    }
+    with open(os.path.join(mdir, "v2.metadata.json"), "w") as fh:
+        _json.dump(meta, fh)
+
+    # ---- the reader: metadata.json -> manifest list -> manifests ----
+    with open(os.path.join(mdir, "v2.metadata.json")) as fh:
+        md = _json.load(fh)
+    if md["format-version"] > 2:
+        raise NotImplementedError("Iceberg format-version > 2")
+    current = next(
+        s for s in md["snapshots"]
+        if s["snapshot-id"] == md["current-snapshot-id"]
+    )
+    with open(current["manifest-list"], "rb") as fh:
+        _, manifest_rows = parse_avro_ocf(fh.read())
+    live: set[str] = set()
+    deleted: set[str] = set()
+    for mrow in manifest_rows:
+        with open(mrow["manifest_path"], "rb") as fh:
+            _, entries = parse_avro_ocf(fh.read())
+        for e in entries:
+            if e["status"] == 1:
+                live.add(e["file_path"])
+            elif e["status"] == 2:
+                live.discard(e["file_path"])
+                deleted.add(e["file_path"])
+            else:
+                raise ValueError(f"unknown manifest status {e['status']}")
+    scan = spark.read.parquet(
+        *(os.path.join(ddir, p) for p in sorted(live))
+    )
+    out = scan.agg(
+        F.lit(len(md["snapshots"])).cast("int").alias("n_snapshots"),
+        F.lit(len(manifest_rows)).cast("int").alias("n_manifests"),
+        F.lit(len(live)).cast("int").alias("live_files"),
+        F.lit(len(deleted)).cast("int").alias("deleted_files"),
+        F.count("*").alias("n_orders"),
+        dsum("o_totalprice").alias("revenue"),
+    ).localCheckpoint(eager=True)  # 1 row; frees the temp root
+    shutil.rmtree(root, ignore_errors=True)
+    return out
