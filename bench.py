@@ -259,6 +259,7 @@ EXTENDED = [
     "source_avro_records",
     "source_delta_log_replay",
     "source_iceberg_snapshot_replay",
+    "ks_test_segments",
 ]
 
 # Streaming extended queries run dead LAST (after the streaming
@@ -479,7 +480,7 @@ EXPECTED_SF01: dict[str, float] = {
     "text_bpe_tokenize": 0.53, "crawl_url_canonical_dedup": 0.5,
     "storage_bucketed_join_exchange_free": 3.2, "snapshot_file_skipping_audit": 1.2,
     "source_avro_records": 0.6, "source_delta_log_replay": 3.0,
-    "source_iceberg_snapshot_replay": 3.0,
+    "source_iceberg_snapshot_replay": 3.0, "ks_test_segments": 1.0,
 }
 
 

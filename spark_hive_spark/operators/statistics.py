@@ -1781,3 +1781,117 @@ def price_elasticity_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("brand")
     )
+
+
+@register(
+    "ks_test_segments",
+    oracle="""
+        WITH s AS (
+            SELECT o.o_totalprice AS x,
+                   CASE WHEN c.c_mktsegment = 'BUILDING'
+                        THEN 1 ELSE 0 END AS g
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+            WHERE c.c_mktsegment IN ('BUILDING', 'AUTOMOBILE')
+        ),
+        n AS (
+            SELECT CAST(sum(g) AS BIGINT) AS n1,
+                   CAST(count(*) - sum(g) AS BIGINT) AS n2
+            FROM s
+        ),
+        e AS (  -- default RANGE frame: ties share the cumulative count
+            SELECT x,
+                   sum(g) OVER (ORDER BY x) AS c1,
+                   count(*) OVER (ORDER BY x) AS call
+            FROM s
+        ),
+        d AS (
+            SELECT max(abs(
+                       CAST(e.c1 AS DOUBLE) / n.n1
+                       - CAST(e.call - e.c1 AS DOUBLE) / n.n2
+                   )) AS dstat
+            FROM e, n
+        )
+        SELECT n.n1, n.n2,
+               round(d.dstat, 6) AS d_stat,
+               round(1.358 * sqrt(CAST(n.n1 + n.n2 AS DOUBLE)
+                                  / (n.n1 * n.n2)), 6) AS crit_05,
+               CAST(CASE WHEN d.dstat > 1.358 * sqrt(
+                        CAST(n.n1 + n.n2 AS DOUBLE) / (n.n1 * n.n2))
+                    THEN 1 ELSE 0 END AS INT) AS reject_05
+        FROM d, n
+    """,
+    tags=("statistics", "hypothesis-test", "ks", "distribution"),
+)
+def ks_test_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov test (round 10) — the standard
+    distribution-drift check a data pipeline runs between cohorts or
+    between a training batch and production traffic: D = sup |F1 -
+    F2| over the pooled sample, computed EXACTLY with one
+    cumulative-count window (the default RANGE frame makes tied
+    values share their cumulative count, which is what the ECDF
+    definition requires), compared against the 5% asymptotic
+    critical value 1.358*sqrt((n1+n2)/(n1*n2)).
+
+    Determinism: counts are integers, D is a max of quotients of
+    integers (identical IEEE arithmetic in both engines), and sqrt
+    is correctly rounded by IEEE-754 — no libm-dependent
+    transcendental (exp-series p-values are deliberately left out:
+    exp is NOT correctly-rounded and can differ across engines).
+
+    Scale posture: one join (the dim side broadcastable), one
+    value-ordered window — the same global-sort shape as any
+    ECDF/quantile computation — and a scalar max; no driver-side
+    data movement."""
+    orders = t(spark, sf_dir, "orders").select(
+        "o_custkey", "o_totalprice"
+    )
+    cust = (
+        t(spark, sf_dir, "customer")
+        .select("c_custkey", "c_mktsegment")
+        .filter(F.col("c_mktsegment").isin("BUILDING", "AUTOMOBILE"))
+    )
+    s = orders.join(
+        F.broadcast(cust), orders.o_custkey == cust.c_custkey
+    ).select(
+        F.col("o_totalprice").alias("x"),
+        (F.col("c_mktsegment") == "BUILDING").cast("long").alias("g"),
+    )
+    from pyspark.sql import Window as W
+
+    # totals come from an unbounded window over the SAME pass (not a
+    # second aggregate over s — that would re-scan both tables, the
+    # multi-consumer recompute class the scan lint guards against)
+    whole = W.partitionBy()
+    e = s.select(
+        F.sum("g").over(W.orderBy("x")).alias("c1"),
+        F.count("*").over(W.orderBy("x")).alias("call"),
+    ).select(
+        "c1",
+        "call",
+        F.max("c1").over(whole).alias("n1"),
+        (F.max("call").over(whole) - F.max("c1").over(whole)).alias(
+            "n2"
+        ),
+    )
+    d = e.agg(
+        F.max(
+            F.abs(
+                F.col("c1").cast("double") / F.col("n1")
+                - (F.col("call") - F.col("c1")).cast("double")
+                / F.col("n2")
+            )
+        ).alias("dstat"),
+        F.first("n1").alias("n1"),
+        F.first("n2").alias("n2"),
+    )
+    crit = 1.358 * F.sqrt(
+        (F.col("n1") + F.col("n2")).cast("double")
+        / (F.col("n1") * F.col("n2"))
+    )
+    return d.select(
+        "n1",
+        "n2",
+        F.round("dstat", 6).alias("d_stat"),
+        F.round(crit, 6).alias("crit_05"),
+        (F.col("dstat") > crit).cast("int").alias("reject_05"),
+    )
