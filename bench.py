@@ -479,8 +479,8 @@ EXPECTED_SF01: dict[str, float] = {
     "source_warc_records": 0.5, "source_webdataset_tar": 0.5,
     "text_bpe_tokenize": 0.53, "crawl_url_canonical_dedup": 0.5,
     "storage_bucketed_join_exchange_free": 3.2, "snapshot_file_skipping_audit": 1.2,
-    "source_avro_records": 0.6, "source_delta_log_replay": 3.0,
-    "source_iceberg_snapshot_replay": 3.0, "ks_test_segments": 1.0,
+    "source_avro_records": 0.6, "source_delta_log_replay": 1.8,
+    "source_iceberg_snapshot_replay": 1.4, "ks_test_segments": 0.6,
 }
 
 
