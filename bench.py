@@ -260,6 +260,7 @@ EXTENDED = [
     "source_delta_log_replay",
     "source_iceberg_snapshot_replay",
     "ks_test_segments",
+    "cvm_test_segments",
 ]
 
 # Streaming extended queries run dead LAST (after the streaming
@@ -480,7 +481,7 @@ EXPECTED_SF01: dict[str, float] = {
     "text_bpe_tokenize": 0.53, "crawl_url_canonical_dedup": 0.5,
     "storage_bucketed_join_exchange_free": 3.2, "snapshot_file_skipping_audit": 1.2,
     "source_avro_records": 0.6, "source_delta_log_replay": 1.8,
-    "source_iceberg_snapshot_replay": 1.4, "ks_test_segments": 0.6,
+    "source_iceberg_snapshot_replay": 1.4, "ks_test_segments": 0.6, "cvm_test_segments": 0.6,
 }
 
 

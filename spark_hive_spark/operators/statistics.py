@@ -1895,3 +1895,116 @@ def ks_test_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(crit, 6).alias("crit_05"),
         (F.col("dstat") > crit).cast("int").alias("reject_05"),
     )
+
+
+@register(
+    "cvm_test_segments",
+    oracle="""
+        WITH s AS (
+            SELECT o.o_totalprice AS x,
+                   CASE WHEN c.c_mktsegment = 'BUILDING'
+                        THEN 1 ELSE 0 END AS g
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+            WHERE c.c_mktsegment IN ('BUILDING', 'AUTOMOBILE')
+        ),
+        e AS (
+            SELECT sum(g) OVER (ORDER BY x) AS c1,
+                   count(*) OVER (ORDER BY x) AS call
+            FROM s
+        ),
+        w AS (
+            SELECT c1, call,
+                   max(c1) OVER () AS n1,
+                   max(call) OVER () - max(c1) OVER () AS n2
+            FROM e
+        ),
+        q AS (  -- exact decimal accumulation: the squared integer
+                -- numerator outgrows int64 near 100k rows/side, so
+                -- square and sum as DECIMAL(38,0) (exact to ~1e38,
+                -- good past sf100) and divide ONCE at the end
+            SELECT max(n1) AS n1, max(n2) AS n2,
+                   sum(CAST(c1 * n2 - (call - c1) * n1
+                            AS DECIMAL(19,0))
+                       * CAST(c1 * n2 - (call - c1) * n1
+                              AS DECIMAL(19,0))) AS ss
+            FROM w
+        )
+        SELECT CAST(n1 AS BIGINT) AS n1,
+               CAST(n2 AS BIGINT) AS n2,
+               round(CAST(ss AS DOUBLE)
+                     / (CAST(n1 AS DOUBLE) * n2
+                        * (n1 + n2) * (n1 + n2)), 6) AS t_stat,
+               -- 5% asymptotic critical value (Anderson 1962)
+               CAST(CASE WHEN CAST(ss AS DOUBLE)
+                        / (CAST(n1 AS DOUBLE) * n2
+                           * (n1 + n2) * (n1 + n2)) > 0.461
+                    THEN 1 ELSE 0 END AS INT) AS reject_05
+        FROM q
+    """,
+    tags=("statistics", "hypothesis-test", "cvm", "distribution"),
+)
+def cvm_test_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Cramér-von Mises test (round 10) — KS's
+    integral-sensitive sibling (KS sees the worst single gap, CvM
+    the whole squared-gap area, so it catches broad mild drift KS
+    misses). T = n1*n2/N² · Σ (F1−F2)² over the pooled sample,
+    against the 5% asymptotic critical value 0.461 (Anderson 1962).
+
+    The determinism trick: the squared ECDF gap at each pooled point
+    is ((c1·n2 − c2·n1)/(n1·n2))², so the SUM accumulates squared
+    INTEGER numerators exactly — as DECIMAL(38,0), since the squares
+    outgrow int64 near 100k rows per side — and divides ONCE at the
+    end. Order-independent where a per-term float sum would
+    hash-differ between engines' partial-aggregation orders; exact
+    past sf100 (sum < 1e28 at sf1).
+
+    Scale posture: identical to the KS query — one broadcast join,
+    one value-ordered window pass with unbounded-window totals
+    (single scan per table), one integer-sum aggregate."""
+    orders = t(spark, sf_dir, "orders").select(
+        "o_custkey", "o_totalprice"
+    )
+    cust = (
+        t(spark, sf_dir, "customer")
+        .select("c_custkey", "c_mktsegment")
+        .filter(F.col("c_mktsegment").isin("BUILDING", "AUTOMOBILE"))
+    )
+    s = orders.join(
+        F.broadcast(cust), orders.o_custkey == cust.c_custkey
+    ).select(
+        F.col("o_totalprice").alias("x"),
+        (F.col("c_mktsegment") == "BUILDING").cast("long").alias("g"),
+    )
+    from pyspark.sql import Window as W
+
+    whole = W.partitionBy()
+    w = s.select(
+        F.sum("g").over(W.orderBy("x")).alias("c1"),
+        F.count("*").over(W.orderBy("x")).alias("call"),
+    ).select(
+        "c1",
+        "call",
+        F.max("c1").over(whole).alias("n1"),
+        (F.max("call").over(whole) - F.max("c1").over(whole)).alias(
+            "n2"
+        ),
+    )
+    num = (
+        F.col("c1") * F.col("n2")
+        - (F.col("call") - F.col("c1")) * F.col("n1")
+    ).cast("decimal(19,0)")
+    agg = w.agg(
+        F.sum(num * num).alias("ss"),
+        F.max("n1").alias("n1"),
+        F.max("n2").alias("n2"),
+    )
+    nn = F.col("n1") + F.col("n2")
+    t_stat = F.col("ss").cast("double") / (
+        F.col("n1").cast("double") * F.col("n2") * nn * nn
+    )
+    return agg.select(
+        "n1",
+        "n2",
+        F.round(t_stat, 6).alias("t_stat"),
+        (t_stat > 0.461).cast("int").alias("reject_05"),
+    )

@@ -84,6 +84,7 @@ SWEEP_PRIORITY: tuple[str, ...] = (
     "source_delta_log_replay",
     "source_iceberg_snapshot_replay",
     "ks_test_segments",
+    "cvm_test_segments",
     # round-10 implementation changes: re-attest under the new code
     "knn_cosine_ivf",
     "ann_recall_audit",
@@ -99,7 +100,6 @@ SWEEP_PRIORITY: tuple[str, ...] = (
     "stats_variance_family",
     "stats_corr_regression",
     "calendar_densified_daily_orders",
-    "mode_priority_per_nation",
     "unpivot_lineitem_measures",
     "histogram_order_prices",
 )
