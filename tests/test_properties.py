@@ -353,3 +353,76 @@ def test_warc_roundtrip_property(recs, gz):
     assert [r["body_len"] for r in out] == [
         len(r["payload"]) for r in records
     ]
+
+
+_avro_name = st.text(
+    alphabet=st.sampled_from("abcdefghij xyz_0123456789é中"),
+    min_size=0,
+    max_size=25,
+)
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    recs=st.lists(
+        st.tuples(
+            st.integers(min_value=-(2**63), max_value=2**63 - 1),
+            _avro_name,
+            st.integers(min_value=-(10**6), max_value=10**6).map(
+                lambda q: q * 0.25  # exactly-representable doubles
+            ),
+        ),
+        min_size=0,
+        max_size=12,
+    ),
+    per_block=st.integers(min_value=1, max_value=5),
+    codec=st.sampled_from(["null", "deflate", "snappy"]),
+)
+def test_avro_ocf_roundtrip_property(recs, per_block, codec):
+    """encode_avro_ocf -> parse_avro_ocf is identity for arbitrary
+    records (full-range longs, unicode strings, exact quarter-step
+    doubles), any block size, under every implemented codec."""
+    from spark_hive_spark.operators.avro import (
+        encode_avro_ocf,
+        parse_avro_ocf,
+    )
+
+    schema = {
+        "type": "record",
+        "name": "P",
+        "fields": [
+            {"name": "a", "type": "long"},
+            {"name": "b", "type": "string"},
+            {"name": "c", "type": "double"},
+        ],
+    }
+    records = [{"a": a, "b": b, "c": c} for a, b, c in recs]
+    blob = encode_avro_ocf(
+        records, schema, records_per_block=per_block, codec=codec
+    )
+    got_schema, got = parse_avro_ocf(blob)
+    assert got == records
+    assert got_schema["name"] == "P"
+
+
+@settings(max_examples=80, deadline=None)
+@given(
+    data=st.one_of(
+        st.binary(min_size=0, max_size=400),
+        # repetitive shapes exercise the copy emitter + overlap decode
+        st.tuples(
+            st.binary(min_size=1, max_size=12),
+            st.integers(min_value=1, max_value=120),
+        ).map(lambda t: t[0] * t[1]),
+    )
+)
+def test_snappy_roundtrip_property(data):
+    """snappy_compress -> snappy_decompress is identity for random
+    and repetitive payloads (the latter drive the copy/overlap
+    paths)."""
+    from spark_hive_spark.operators.snappy import (
+        snappy_compress,
+        snappy_decompress,
+    )
+
+    assert snappy_decompress(snappy_compress(data)) == data
