@@ -17,8 +17,9 @@ Implemented surface:
   no zlib header), ``snappy`` (the hand-built raw-snappy codec in
   operators/snappy.py + the spec's big-endian CRC32-of-uncompressed
   trailer), ``bzip2`` and ``xz`` (standard containers via stdlib
-  bz2/lzma); ``zstandard`` is the one remaining loud seam — no
-  library here and hand-building FSE is out of scope.
+  bz2/lzma), and ``zstandard`` through the hand-built zstd frame
+  layer (operators/zstd.py: Raw/RLE-block frames + XXH64 checksum;
+  FSE/Huffman compressed blocks stay that module's loud seam).
 
 The registered query's oracle recomputes record counts, id sums,
 name-byte totals, and exact quarter-step double sums from the
@@ -127,9 +128,11 @@ def encode_avro_ocf(
     zlib header — the spec's wording); ``snappy`` as raw snappy
     (operators/snappy.py) followed by the spec's 4-byte big-endian
     CRC32 of the UNCOMPRESSED bytes; ``bzip2`` and ``xz`` as the
-    standard .bz2 / .xz containers (stdlib bz2 / lzma). Inverse of
-    `parse_avro_ocf`."""
-    if codec not in ("null", "deflate", "snappy", "bzip2", "xz"):
+    standard .bz2 / .xz containers (stdlib bz2 / lzma); ``zstandard``
+    as a zstd frame (operators/zstd.py — Raw/RLE-block frames, which
+    are legal zstd). Inverse of `parse_avro_ocf`."""
+    if codec not in ("null", "deflate", "snappy", "bzip2", "xz",
+                     "zstandard"):
         raise ValueError(f"unsupported Avro codec {codec!r}")
     fields = [(f["name"], f["type"]) for f in schema["fields"]]
     meta = {
@@ -169,6 +172,10 @@ def encode_avro_ocf(
             import lzma
 
             payload = lzma.compress(payload, format=lzma.FORMAT_XZ)
+        elif codec == "zstandard":
+            from spark_hive_spark.operators.zstd import zstd_compress
+
+            payload = zstd_compress(payload)
         out += encode_varint(len(chunk))
         out += encode_varint(len(payload))
         out += payload
@@ -202,12 +209,11 @@ def parse_avro_ocf(payload: bytes) -> tuple[dict, list[dict]]:
             meta[key] = payload[pos : pos + vlen]
             pos += vlen
     codec = meta.get("avro.codec", b"null").decode()
-    if codec not in ("null", "deflate", "snappy", "bzip2", "xz"):
+    if codec not in ("null", "deflate", "snappy", "bzip2", "xz",
+                     "zstandard"):
         raise NotImplementedError(
-            f"Avro codec {codec!r}: null, deflate, snappy, bzip2 and "
-            "xz implemented — zstandard is the one remaining seam "
-            "(no library in this container, and hand-building FSE is "
-            "out of scope)"
+            f"Avro codec {codec!r}: null, deflate, snappy, bzip2, xz "
+            "and zstandard (frame layer + Raw/RLE blocks) implemented"
         )
     schema = json.loads(meta["avro.schema"])
     if schema.get("type") != "record":
@@ -253,6 +259,10 @@ def parse_avro_ocf(payload: bytes) -> tuple[dict, list[dict]]:
             import lzma
 
             block = lzma.decompress(block, format=lzma.FORMAT_XZ)
+        elif codec == "zstandard":
+            from spark_hive_spark.operators.zstd import zstd_decompress
+
+            block = zstd_decompress(block)
         bpos = 0
         for _ in range(count):
             rec = {}
@@ -277,7 +287,9 @@ _AVRO_SCHEMA = {
         {"name": "score", "type": "double"},
     ],
 }
-_AVRO_CODECS = ("null", "deflate", "snappy", "bzip2", "xz")
+_AVRO_CODECS = (
+    "null", "deflate", "snappy", "bzip2", "xz", "zstandard"
+)
 _AVRO_OUT = (
     "doc_id long, codec_id int, n_records int, n_blocks int,"
     " id_sum long, name_chars long, score_sum double"
@@ -300,7 +312,7 @@ _AVRO_OUT = (
                   FROM d)
         )
         SELECT doc_id,
-               CAST(doc_id % 5 AS INT) AS codec_id,
+               CAST(doc_id % 6 AS INT) AS codec_id,
                CAST(nrec AS INT) AS n_records,
                CAST((nrec + 3) // 4 AS INT) AS n_blocks,
                CAST(sum(id) AS BIGINT) AS id_sum,
@@ -318,10 +330,11 @@ def source_avro_records(spark: SparkSession, sf_dir: str) -> DataFrame:
     OCF holds doc%7+3 records (long id, string name, quarter-step
     double score — exactly representable, so double sums are
     order-independent) split into sync-framed 4-record blocks, the
-    codec rotating null / raw-DEFLATE / snappy+CRC32 / bzip2 / xz
-    by doc%5 (every compressed arm through the spec's exact framing
-    — snappy via the hand-built operators/snappy.py, bzip2/xz via
-    their stdlib containers). The
+    codec rotating null / raw-DEFLATE / snappy+CRC32 / bzip2 / xz /
+    zstandard by doc%6 (every compressed arm through the spec's
+    exact framing — snappy and the zstd frame layer hand-built in
+    operators/snappy.py and operators/zstd.py, bzip2/xz via their
+    stdlib containers). The
     reader walks the metadata map, decodes by the EMBEDDED writer
     schema's field order, verifies every block sync, and aggregates
     per file: record/block counts, id and name-byte sums, score
@@ -360,7 +373,7 @@ def source_avro_records(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ]
                 payloads.append(
                     encode_avro_ocf(
-                        recs, _AVRO_SCHEMA, codec=_AVRO_CODECS[d % 5]
+                        recs, _AVRO_SCHEMA, codec=_AVRO_CODECS[d % 6]
                     )
                 )
             yield pd.DataFrame({"doc_id": ids, "payload": payloads})
@@ -380,7 +393,7 @@ def source_avro_records(spark: SparkSession, sf_dir: str) -> DataFrame:
                 _, recs = parse_avro_ocf(bytes(p))
                 n_blocks = (len(recs) + 3) // 4
                 vals = (
-                    int(d), int(d) % 5, len(recs), n_blocks,
+                    int(d), int(d) % 6, len(recs), n_blocks,
                     sum(r["id"] for r in recs),
                     sum(len(r["name"]) for r in recs),
                     float(sum(r["score"] for r in recs)),

