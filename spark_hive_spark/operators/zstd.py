@@ -1,17 +1,27 @@
-"""Zstandard frame layer — hand-built from RFC 8878 (no zstd library
-in this container). Scope: the FRAME machinery end-to-end — magic,
-frame-header descriptor (all four FCS sizes, single-segment flag,
-window descriptor, dictionary-ID rejection), Raw and RLE blocks, the
-last-block flag, and the optional content checksum (the low 32 bits
-of XXH64, hand-rolled below with the published test vectors).
+"""Zstandard — a COMPLETE decoder hand-built from RFC 8878 (no zstd
+library in this container), differentially validated against the
+real zstd CLI (v1.5.4) at levels 1 through --ultra -22 and --long:
 
-Raw/RLE-only frames are LEGAL zstd — this is what the format emits
-for incompressible data — so `zstd_compress` produces real frames
-any zstd tool can read, and `zstd_decompress` reads any frame whose
-blocks are Raw/RLE. Compressed blocks (FSE/Huffman literals +
-sequences) are the documented loud seam: a wrong guess there would
-silently corrupt real files, so the error names exactly what's
-missing.
+- frame layer: magic, frame-header descriptor (all four FCS widths,
+  single-segment flag, window descriptor, dictionary-ID rejection),
+  Raw/RLE/Compressed blocks, and the XXH64 content checksum (XXH64
+  hand-rolled, cross-verified against Spark's JVM XxHash64);
+- FSE: the FSE_readNCount threshold algorithm for table
+  descriptions (forward bitstream), table spread/build, and
+  interleaved 2-state decoding for Huffman weights;
+- Huffman: direct 4-bit and FSE-compressed weight descriptions,
+  deduced last weight, canonical table build, 1- and 4-stream
+  literal decoding over zstd's backward sentinel bitstreams;
+- sequences: all four symbol-compression modes (predefined / RLE /
+  FSE_Compressed / Repeat) with the spec's predefined LL/ML/OF
+  distributions, offset codes, the three-slot repcode history with
+  the literals_length==0 rotation, overlap-replicating match copy,
+  and cross-block window references.
+
+`zstd_compress` emits Raw/RLE-block frames (legal zstd — the
+format's incompressible fallback) so round-trips need no entropy
+ENCODER; real compressed input is covered by the differential
+suite. Remaining loud seam: dictionary IDs.
 
 Used by the Avro OCF source's ``zstandard`` codec arm (Avro frames
 zstd blocks with no extra trailer).
@@ -144,10 +154,10 @@ def zstd_compress(data: bytes, checksum: bool = True) -> bytes:
 
 
 def zstd_decompress(payload: bytes) -> bytes:
-    """Decode a zstd frame whose blocks are Raw or RLE, verifying the
-    magic, header geometry, Frame_Content_Size, and the XXH64
-    content checksum when present. Compressed blocks raise loudly —
-    the FSE/Huffman machinery is the documented seam."""
+    """Decode a zstd frame — Raw, RLE, and fully general Compressed
+    blocks — verifying the magic, header geometry,
+    Frame_Content_Size, and the XXH64 content checksum when
+    present. Dictionary frames raise loudly."""
     if len(payload) < 4 or int.from_bytes(payload[:4], "little") != _MAGIC:
         raise ValueError("bad zstd magic")
     pos = 4
@@ -179,6 +189,7 @@ def zstd_decompress(payload: bytes) -> bytes:
             expected += 256
         pos += fcs_bytes
     out = bytearray()
+    state = {"window": out, "reps": [1, 4, 8]}
     while True:
         if pos + 3 > len(payload):
             raise ValueError("truncated zstd block header")
@@ -195,14 +206,11 @@ def zstd_decompress(payload: bytes) -> bytes:
                 raise ValueError("truncated zstd RLE block")
             out += payload[pos : pos + 1] * bsize
             pos += 1
-        elif btype == 2:
-            raise NotImplementedError(
-                "zstd compressed block (FSE/Huffman literals + "
-                "sequences): this reader covers the frame layer and "
-                "Raw/RLE blocks — a real-file decoder needs RFC 8878 "
-                "sections 4.1-4.2; swap in the zstandard wheel on a "
-                "cluster image that has it"
-            )
+        elif btype == 2:  # Compressed: FSE/Huffman + sequences
+            if pos + bsize > len(payload):
+                raise ValueError("truncated zstd compressed block")
+            _decode_compressed_block(payload[pos : pos + bsize], state)
+            pos += bsize
         else:
             raise ValueError("reserved zstd block type")
         if last:
@@ -219,3 +227,480 @@ def zstd_decompress(payload: bytes) -> bytes:
         if xxh64(bytes(out)) & 0xFFFFFFFF != want:
             raise ValueError("zstd content checksum mismatch")
     return bytes(out)
+
+
+# ---- compressed blocks: FSE + Huffman + sequences (RFC 8878) -------
+# Differentially validated against the real zstd CLI (v1.5.4) in
+# tests/test_invariants.py::test_zstd_real_file_differential.
+
+
+class _FwdBits:
+    """Forward bit reader, LSB-first within each byte (FSE headers)."""
+
+    def __init__(self, data: bytes) -> None:
+        self.data, self.bitpos = data, 0
+
+    def read(self, n: int) -> int:
+        out = shift = 0
+        while n > 0:
+            byte_i, bit_i = divmod(self.bitpos, 8)
+            if byte_i >= len(self.data):
+                raise ValueError("zstd: FSE header overruns its data")
+            take = min(n, 8 - bit_i)
+            out |= ((self.data[byte_i] >> bit_i) & ((1 << take) - 1)) << shift
+            shift += take
+            self.bitpos += take
+            n -= take
+        return out
+
+    def peek(self, n: int) -> int:
+        save = self.bitpos
+        try:
+            return self.read(n)
+        finally:
+            self.bitpos = save
+
+    def bytes_used(self) -> int:
+        return (self.bitpos + 7) // 8
+
+
+class _BackBits:
+    """Backward bit reader: start at the sentinel (highest set bit of
+    the last byte) and read toward the first byte — zstd's bitstream
+    convention for Huffman and sequence streams."""
+
+    def __init__(self, data: bytes) -> None:
+        if not data or data[-1] == 0:
+            raise ValueError("zstd backward bitstream missing sentinel")
+        self.val = int.from_bytes(data, "little")
+        self.pos = self.val.bit_length() - 1  # drop the sentinel bit
+
+    def read(self, n: int) -> int:
+        if n == 0:
+            return 0
+        out = self.peek(n)
+        self.pos -= n
+        return out
+
+    def peek(self, n: int) -> int:
+        """Next n bits, zero-padded past the start of the stream."""
+        if self.pos >= n:
+            return (self.val >> (self.pos - n)) & ((1 << n) - 1)
+        take = max(self.pos, 0)
+        if take == 0:
+            return 0
+        return (self.val & ((1 << take) - 1)) << (n - take)
+
+
+def _fse_read_distribution(
+    fwd: "_FwdBits", max_symbol: int, max_log: int
+):
+    """Normalized counts from an FSE table description (read forward;
+    the FSE_readNCount threshold algorithm from RFC 8878 §4.1.1).
+    Returns (accuracy_log, counts) with -1 for 'less than 1'."""
+    accuracy_log = fwd.read(4) + 5
+    if accuracy_log > max_log:
+        raise ValueError(
+            f"zstd FSE accuracy log {accuracy_log} > {max_log}"
+        )
+    remaining = (1 << accuracy_log) + 1
+    threshold = 1 << accuracy_log
+    nb_bits = accuracy_log + 1
+    counts: list[int] = []
+    while remaining > 1 and len(counts) <= max_symbol:
+        maxv = (2 * threshold - 1) - remaining
+        low = fwd.peek(nb_bits - 1)
+        if low < maxv:
+            fwd.read(nb_bits - 1)
+            value = low
+        else:
+            value = fwd.read(nb_bits)
+            if value >= threshold:
+                value -= maxv
+        count = value - 1  # -1 encodes "less than 1"
+        remaining -= -count if count < 0 else count
+        counts.append(count)
+        if count == 0:  # repeat flag: bursts of zero counts
+            while True:
+                rep = fwd.read(2)
+                counts.extend([0] * rep)
+                if rep != 3:
+                    break
+        while remaining > 1 and remaining < threshold:
+            nb_bits -= 1
+            threshold >>= 1
+    if remaining != 1 or len(counts) > max_symbol + 1:
+        raise ValueError("zstd FSE distribution does not sum to table")
+    return accuracy_log, counts
+
+
+def _fse_build_table(accuracy_log: int, counts: list[int]):
+    """FSE decoding table -> list of (symbol, nb_bits, baseline)."""
+    size = 1 << accuracy_log
+    symbols = [0] * size
+    high = size - 1
+    for s, c in enumerate(counts):  # low-probability cells at the end
+        if c == -1:
+            symbols[high] = s
+            high -= 1
+    step = (size >> 1) + (size >> 3) + 3
+    mask = size - 1
+    pos = 0
+    for s, c in enumerate(counts):
+        if c <= 0:
+            continue
+        for _ in range(c):
+            symbols[pos] = s
+            pos = (pos + step) & mask
+            while pos > high:
+                pos = (pos + step) & mask
+    if pos != 0:
+        raise ValueError("zstd FSE table spread did not close")
+    nxt = [max(c, 1) if c != 0 else 0 for c in counts]
+    table = []
+    for cell in range(size):
+        s = symbols[cell]
+        x = nxt[s]
+        nxt[s] += 1
+        nb = accuracy_log - (x.bit_length() - 1)
+        table.append((s, nb, (x << nb) - size))
+    return table
+
+
+class _FseState:
+    def __init__(self, table, back: "_BackBits", accuracy_log: int):
+        self.table = table
+        self.state = back.read(accuracy_log)
+
+    @property
+    def symbol(self) -> int:
+        return self.table[self.state][0]
+
+    def update(self, back: "_BackBits") -> None:
+        _, nb, base = self.table[self.state]
+        self.state = base + back.read(nb)
+
+
+def _huf_table_from_weights(weights: list[int]):
+    """Huffman decode table from EXPLICIT weights (the last symbol's
+    weight deduced): -> (cells, max_bits) where cells[v] = (symbol,
+    nb_bits) for a max_bits-wide peek."""
+    total = sum((1 << (w - 1)) for w in weights if w > 0)
+    if total == 0:
+        raise ValueError("zstd Huffman weights all zero")
+    max_bits = total.bit_length()  # next power of two's log
+    left = (1 << max_bits) - total
+    if left & (left - 1):
+        raise ValueError("zstd Huffman deduced weight not a power of 2")
+    weights = weights + [left.bit_length()]
+    cells: list[tuple[int, int]] = [(-1, 0)] * (1 << max_bits)
+    pos = 0
+    for w in range(1, max_bits + 1):  # lowest weight = longest codes
+        for sym, sw in enumerate(weights):
+            if sw == w:
+                span = 1 << (w - 1)
+                nb = max_bits + 1 - w
+                for k in range(span):
+                    cells[pos + k] = (sym, nb)
+                pos += span
+    if pos != len(cells):
+        raise ValueError("zstd Huffman table not fully populated")
+    return cells, max_bits
+
+
+def _huf_read_tree(data: bytes, state: dict):
+    """Huffman_Tree_Description -> (decode table, bytes consumed)."""
+    if not data:
+        raise ValueError("zstd: empty Huffman tree description")
+    header = data[0]
+    if header >= 128:  # direct 4-bit weights
+        n = header - 127
+        nbytes = (n + 1) // 2
+        raw = data[1 : 1 + nbytes]
+        if len(raw) < nbytes:
+            raise ValueError("zstd: truncated direct Huffman weights")
+        weights = []
+        for i in range(n):
+            b = raw[i // 2]
+            weights.append((b >> 4) if i % 2 == 0 else (b & 0xF))
+        return _huf_table_from_weights(weights), 1 + nbytes
+    # FSE-compressed weights: header = compressed byte size
+    comp = data[1 : 1 + header]
+    if len(comp) < header:
+        raise ValueError("zstd: truncated FSE weight stream")
+    fwd = _FwdBits(comp)
+    accuracy_log, counts = _fse_read_distribution(fwd, 255, 6)
+    table = _fse_build_table(accuracy_log, counts)
+    stream = comp[fwd.bytes_used() :]
+    back = _BackBits(stream)
+    s1 = _FseState(table, back, accuracy_log)
+    s2 = _FseState(table, back, accuracy_log)
+    weights: list[int] = []
+    while True:  # alternate states; flush both when bits run out
+        weights.append(s1.symbol)
+        s1.update(back)
+        if back.pos < 0:
+            weights.append(s2.symbol)
+            break
+        weights.append(s2.symbol)
+        s2.update(back)
+        if back.pos < 0:
+            weights.append(s1.symbol)
+            break
+        if len(weights) > 255:
+            raise ValueError("zstd: more than 255 Huffman weights")
+    return _huf_table_from_weights(weights), 1 + header
+
+
+def _huf_decode_stream(
+    cells, max_bits: int, stream: bytes, out_len: int
+) -> bytes:
+    back = _BackBits(stream)
+    out = bytearray()
+    while len(out) < out_len:
+        sym, nb = cells[back.peek(max_bits)]
+        if sym < 0 or back.pos <= 0:
+            raise ValueError("zstd Huffman stream overrun/empty cell")
+        out.append(sym)
+        back.pos -= nb
+    if back.pos != 0:
+        raise ValueError("zstd Huffman stream not fully consumed")
+    return bytes(out)
+
+
+# sequence-code tables from RFC 8878 §3.1.1.3.2.1.1
+_LL_BASE = (
+    list(range(16))
+    + [16, 18, 20, 22, 24, 28, 32, 40, 48, 64, 128, 256, 512,
+       1024, 2048, 4096, 8192, 16384, 32768, 65536]
+)
+_LL_BITS = [0] * 16 + [1, 1, 1, 1, 2, 2, 3, 3, 4, 6, 7, 8, 9, 10,
+                       11, 12, 13, 14, 15, 16]
+_ML_BASE = (
+    [m + 3 for m in range(32)]
+    + [35, 37, 39, 41, 43, 47, 51, 59, 67, 83, 99, 131, 259, 515,
+       1027, 2051, 4099, 8195, 16387, 32771, 65539]
+)
+_ML_BITS = [0] * 32 + [1, 1, 1, 1, 2, 2, 3, 3, 4, 4, 5, 7, 8, 9, 10,
+                       11, 12, 13, 14, 15, 16]
+
+# predefined FSE distributions (RFC 8878 §3.1.1.3.2.2)
+_LL_DEFAULT = (6, [4, 3, 2, 2, 2, 2, 2, 2, 2, 2, 2, 2, 2, 1, 1, 1,
+                   2, 2, 2, 2, 2, 2, 2, 2, 2, 3, 2, 1, 1, 1, 1, 1,
+                   -1, -1, -1, -1])
+_ML_DEFAULT = (6, [1, 4, 3, 2, 2, 2, 2, 2, 2, 1, 1, 1, 1, 1, 1, 1,
+                   1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1,
+                   1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, -1,
+                   -1, -1, -1, -1, -1, -1])
+_OF_DEFAULT = (5, [1, 1, 1, 1, 1, 1, 2, 2, 2, 1, 1, 1, 1, 1, 1, 1,
+                   1, 1, 1, 1, 1, 1, 1, 1, -1, -1, -1, -1, -1])
+
+
+def _read_literals(block: bytes, state: dict):
+    """Literals_Section -> (literals bytes, bytes consumed)."""
+    if not block:
+        raise ValueError("zstd: empty compressed block")
+    b0 = block[0]
+    ltype = b0 & 3
+    size_format = (b0 >> 2) & 3
+    if ltype in (0, 1):  # Raw / RLE
+        if size_format in (0, 2):  # 00 / 10 -> 1-byte header, 5 bits
+            regen, hdr = b0 >> 3, 1
+        elif size_format == 1:  # 01 -> 2 bytes, 12 bits
+            regen = (int.from_bytes(block[:2], "little")) >> 4
+            hdr = 2
+        else:  # 11 -> 3 bytes, 20 bits
+            regen = (int.from_bytes(block[:3], "little")) >> 4
+            hdr = 3
+        if ltype == 0:
+            lits = block[hdr : hdr + regen]
+            if len(lits) != regen:
+                raise ValueError("zstd: truncated raw literals")
+            return bytes(lits), hdr + regen
+        if len(block) <= hdr:
+            raise ValueError("zstd: truncated RLE literal byte")
+        return block[hdr : hdr + 1] * regen, hdr + 1
+    # Compressed (2) / Treeless (3)
+    if size_format == 0:  # 3 bytes, 10+10 bits, 1 stream
+        v = int.from_bytes(block[:3], "little")
+        regen, comp, hdr, streams = (v >> 4) & 0x3FF, v >> 14, 3, 1
+    elif size_format == 1:  # 3 bytes, 10+10 bits, 4 streams
+        v = int.from_bytes(block[:3], "little")
+        regen, comp, hdr, streams = (v >> 4) & 0x3FF, v >> 14, 3, 4
+    elif size_format == 2:  # 4 bytes, 14+14
+        v = int.from_bytes(block[:4], "little")
+        regen, comp, hdr, streams = (v >> 4) & 0x3FFF, v >> 18, 4, 4
+    else:  # 5 bytes, 18+18
+        v = int.from_bytes(block[:5], "little")
+        regen, comp, hdr, streams = (v >> 4) & 0x3FFFF, v >> 22, 5, 4
+    section = block[hdr : hdr + comp]
+    if len(section) != comp:
+        raise ValueError("zstd: truncated compressed literals")
+    used = 0
+    if ltype == 2:
+        (cells, max_bits), used = _huf_read_tree(section, state)
+        state["huf"] = (cells, max_bits)
+    elif "huf" not in state:
+        raise ValueError("zstd: treeless literals with no prior table")
+    cells, max_bits = state["huf"]
+    body = section[used:]
+    if streams == 1:
+        lits = _huf_decode_stream(cells, max_bits, body, regen)
+    else:
+        if len(body) < 6:
+            raise ValueError("zstd: 4-stream literals missing jump table")
+        s1 = int.from_bytes(body[0:2], "little")
+        s2 = int.from_bytes(body[2:4], "little")
+        s3 = int.from_bytes(body[4:6], "little")
+        rest = body[6:]
+        if s1 + s2 + s3 > len(rest):
+            raise ValueError("zstd: literal stream sizes overflow")
+        part = (regen + 3) // 4
+        sizes_out = [part, part, part, regen - 3 * part]
+        chunks = [
+            rest[:s1],
+            rest[s1 : s1 + s2],
+            rest[s1 + s2 : s1 + s2 + s3],
+            rest[s1 + s2 + s3 :],
+        ]
+        lits = b"".join(
+            _huf_decode_stream(cells, max_bits, c, n)
+            for c, n in zip(chunks, sizes_out)
+        )
+    if len(lits) != regen:
+        raise ValueError("zstd: literal regeneration size mismatch")
+    return lits, hdr + comp
+
+
+def _seq_table(mode: int, fwd_data: bytes, which: str, state: dict,
+               max_symbol: int, default):
+    """One sequence-symbol decoding table per its compression mode.
+    Returns (table, accuracy_log, bytes consumed)."""
+    key = f"seq_{which}"
+    if mode == 0:  # Predefined
+        alog, counts = default
+        state[key] = (_fse_build_table(alog, counts), alog)
+        return state[key][0], alog, 0
+    if mode == 1:  # RLE: single symbol, zero bits per update
+        if not fwd_data:
+            raise ValueError("zstd: truncated RLE sequence table")
+        sym = fwd_data[0]
+        if sym > max_symbol:
+            raise ValueError(f"zstd: RLE {which} symbol out of range")
+        state[key] = ([(sym, 0, 0)], 0)
+        return state[key][0], 0, 1
+    if mode == 2:  # FSE_Compressed
+        max_log = {"ll": 9, "of": 8, "ml": 9}[which]
+        fwd = _FwdBits(fwd_data)
+        alog, counts = _fse_read_distribution(fwd, max_symbol, max_log)
+        table = _fse_build_table(alog, counts)
+        state[key] = (table, alog)
+        return table, alog, fwd.bytes_used()
+    if key not in state:  # Repeat with no previous table
+        raise ValueError(f"zstd: repeat {which} table with no prior")
+    table, alog = state[key]
+    return table, alog, 0
+
+
+def _decode_compressed_block(block: bytes, state: dict) -> None:
+    """One Compressed_Block: literals section + sequences section,
+    appended to the in-frame history in state['window']."""
+    lits, pos = _read_literals(block, state)
+    # Number_of_Sequences
+    if pos >= len(block):
+        raise ValueError("zstd: missing sequence count")
+    b0 = block[pos]
+    if b0 < 128:
+        nseq, pos = b0, pos + 1
+    elif b0 < 255:
+        nseq, pos = ((b0 - 128) << 8) + block[pos + 1], pos + 2
+    else:
+        nseq = (
+            block[pos + 1] + (block[pos + 2] << 8) + 0x7F00
+        )
+        pos += 3
+    window: bytearray = state["window"]
+    if nseq == 0:
+        if pos != len(block):
+            raise ValueError("zstd: trailing bytes after 0 sequences")
+        window += lits
+        return
+    modes = block[pos]
+    pos += 1
+    if modes & 3:
+        raise ValueError("zstd: reserved sequence-mode bits set")
+    ll_mode, of_mode, ml_mode = (modes >> 6) & 3, (modes >> 4) & 3, (
+        modes >> 2
+    ) & 3
+    ll_t, ll_log, used = _seq_table(
+        ll_mode, block[pos:], "ll", state, 35, _LL_DEFAULT
+    )
+    pos += used
+    of_t, of_log, used = _seq_table(
+        of_mode, block[pos:], "of", state, 31, _OF_DEFAULT
+    )
+    pos += used
+    ml_t, ml_log, used = _seq_table(
+        ml_mode, block[pos:], "ml", state, 52, _ML_DEFAULT
+    )
+    pos += used
+    back = _BackBits(block[pos:])
+    ll_s = _FseState(ll_t, back, ll_log)
+    of_s = _FseState(of_t, back, of_log)
+    ml_s = _FseState(ml_t, back, ml_log)
+    reps: list[int] = state["reps"]
+    lit_pos = 0
+    for i in range(nseq):
+        of_code = of_s.symbol
+        if of_code > 31:
+            raise ValueError("zstd: offset code out of range")
+        offset_value = (1 << of_code) + back.read(of_code)
+        ml_code = ml_s.symbol
+        ml = _ML_BASE[ml_code] + back.read(_ML_BITS[ml_code])
+        ll_code = ll_s.symbol
+        ll = _LL_BASE[ll_code] + back.read(_LL_BITS[ll_code])
+        if back.pos < 0:
+            raise ValueError("zstd: sequence bitstream overrun")
+        # repcode resolution (RFC 8878 §3.1.1.5)
+        if offset_value > 3:
+            offset = offset_value - 3
+            reps[2], reps[1], reps[0] = reps[1], reps[0], offset
+        else:
+            idx = offset_value - 1 + (1 if ll == 0 else 0)
+            if idx == 0:
+                offset = reps[0]
+            elif idx == 1:
+                offset = reps[1]
+                reps[1] = reps[0]
+                reps[0] = offset
+            elif idx == 2:
+                offset = reps[2]
+                reps[2] = reps[1]
+                reps[1] = reps[0]
+                reps[0] = offset
+            else:  # ll == 0 and offset_value == 3
+                offset = reps[0] - 1
+                if offset == 0:
+                    raise ValueError("zstd: repcode offset underflow")
+                reps[2] = reps[1]
+                reps[1] = reps[0]
+                reps[0] = offset
+        chunk = lits[lit_pos : lit_pos + ll]
+        if len(chunk) != ll:
+            raise ValueError("zstd: literals exhausted mid-sequence")
+        lit_pos += ll
+        window += chunk
+        if offset > len(window):
+            raise ValueError("zstd: match offset beyond window")
+        start = len(window) - offset
+        for k in range(ml):  # byte-wise: overlap replicates
+            window.append(window[start + k])
+        if i + 1 < nseq:  # states update LL, ML, OF between sequences
+            ll_s.update(back)
+            ml_s.update(back)
+            of_s.update(back)
+            if back.pos < 0:
+                raise ValueError("zstd: sequence state underrun")
+    if back.pos != 0:
+        raise ValueError("zstd: sequence bitstream not fully consumed")
+    window += lits[lit_pos:]
