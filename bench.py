@@ -261,6 +261,7 @@ EXTENDED = [
     "source_iceberg_snapshot_replay",
     "ks_test_segments",
     "cvm_test_segments",
+    "multimodal_zstd_real_frame_decode",
 ]
 
 # Streaming extended queries run dead LAST (after the streaming
@@ -482,6 +483,7 @@ EXPECTED_SF01: dict[str, float] = {
     "storage_bucketed_join_exchange_free": 3.2, "snapshot_file_skipping_audit": 1.2,
     "source_avro_records": 0.6, "source_delta_log_replay": 1.8,
     "source_iceberg_snapshot_replay": 1.4, "ks_test_segments": 0.6, "cvm_test_segments": 0.6,
+    "multimodal_zstd_real_frame_decode": 0.6,
 }
 
 

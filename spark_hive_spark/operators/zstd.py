@@ -704,3 +704,115 @@ def _decode_compressed_block(block: bytes, state: dict) -> None:
     if back.pos != 0:
         raise ValueError("zstd: sequence bitstream not fully consumed")
     window += lits[lit_pos:]
+
+
+# ---- registry query: decode a REAL zstd frame ----------------------
+# The frame below was produced by the reference zstd CLI (v1.5.4,
+# level 19) over the deterministic text ' '.join(f'tok{i}' for i in
+# range(500)) — 3389 bytes compressed to 320 (10.6x), so decoding it
+# exercises the full FSE/Huffman/sequence machinery, not the Raw/RLE
+# fallback. Pinned as a constant so the query needs no zstd binary at
+# runtime and the driver's value hash attests the decoder itself.
+ZSTD_REAL_FRAME_B64 = (
+    "KLUv/QRoJAcAZpEjEMAlHcb2fwf23ltKmfj9iwseACMAIQAi0rZt25IkSZLbtm3b//8XjZR7jKKRco9AGAARCEPlHouLRso9hhhFI+UeQohRVVVVVUVERERENDMzMzMjIiIiAXuQoKKRco8RUzRS7iFCikbKPSpaNFLuQcGikXKPiRWNBP///////////////180Uu5RoopGyoD5qBDosxvglWEOEBDuAwoSFCQoKEjKL0FgJVeLvQBHpZY9AYuqLHsBjlIt9gIclVrO1pUgQhBBhCCCCEEEEYIIIgQpfiFCKpuFQAAAAAAFBWCnZQIAwo8QB+DpY8jELAFJVVVVVVVVVVVVVVVVVVVVVVVVVVVVVVVV1f///////////////wMAAAAAAAAAAAAAAAAAAAAAAAABgPlUAQADAacv3zM="
+)
+_ZSTD_N_TOKENS = 500
+
+
+def _register_query() -> None:
+    from typing import Iterator
+
+    from pyspark.sql import DataFrame, SparkSession
+    from pyspark.sql import functions as F
+
+    from spark_hive_spark.plans.registry import register
+    from spark_hive_spark.tables import t
+
+    @register(
+        "multimodal_zstd_real_frame_decode",
+        oracle=f"""
+            WITH d AS (
+                SELECT doc_id FROM documents WHERE doc_id < 24
+            ),
+            w AS (
+                SELECT doc_id, unnest(range(doc_id * 10,
+                                            doc_id * 10 + 50)) AS i
+                FROM d
+            )
+            SELECT doc_id,
+                   CAST(3389 AS BIGINT) AS total_decoded_len,
+                   CAST(50 AS INT) AS n_window_tokens,
+                   CAST(sum(3 + length(CAST(i AS VARCHAR)))
+                        AS BIGINT) AS window_chars
+            FROM w
+            GROUP BY doc_id
+            ORDER BY doc_id
+        """,
+        tags=("multimodal", "zstd", "codec", "compression"),
+    )
+    def multimodal_zstd_real_frame_decode(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        """Decode a REAL zstd frame (round 10) — the pinned constant
+        above was produced by the reference zstd CLI at level 19, so
+        every executor-side decode runs the full hand-built
+        FSE/Huffman/sequence pipeline against reference-encoder
+        output (10.6x compression — nothing falls back to Raw/RLE).
+        Each doc decodes the frame and reports a deterministic
+        token-window slice; the oracle recomputes total length and
+        per-window character sums from the plaintext's closed form,
+        so any decode deviation — wrong symbol, wrong match copy,
+        wrong repcode — flips the hash.
+
+        Scale posture: one narrow Arrow ``mapInPandas``, zero
+        shuffles; the 320-byte frame decodes in ~1 ms, so this is a
+        correctness gate, not a throughput claim (SCALE.md carries
+        the codec's differential coverage)."""
+        import base64
+
+        try:  # pandas only needed executor-side
+            import pandas as pd
+        except ImportError:  # pragma: no cover
+            pd = None
+
+        frame = base64.b64decode(ZSTD_REAL_FRAME_B64)
+        docs = (
+            t(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") < 24)
+            .select("doc_id")
+        )
+
+        def decode_batches(
+            batches: "Iterator[pd.DataFrame]",
+        ) -> "Iterator[pd.DataFrame]":
+            for pdf in batches:
+                out = {
+                    "doc_id": [], "total_decoded_len": [],
+                    "n_window_tokens": [], "window_chars": [],
+                }
+                for d in pdf["doc_id"]:
+                    d = int(d)
+                    text = zstd_decompress(frame).decode()
+                    toks = text.split(" ")
+                    if toks != [f"tok{i}" for i in range(_ZSTD_N_TOKENS)]:
+                        raise ValueError("zstd real-frame decode drifted")
+                    window = toks[d * 10 : d * 10 + 50]
+                    out["doc_id"].append(d)
+                    out["total_decoded_len"].append(len(text))
+                    out["n_window_tokens"].append(len(window))
+                    out["window_chars"].append(
+                        sum(len(w) for w in window)
+                    )
+                yield pd.DataFrame(out)
+
+        return docs.mapInPandas(
+            decode_batches,
+            "doc_id long, total_decoded_len long,"
+            " n_window_tokens int, window_chars long",
+        ).orderBy("doc_id")
+
+
+try:
+    _register_query()
+except ImportError:  # pragma: no cover — pyspark-less import of codec
+    pass

@@ -85,6 +85,7 @@ SWEEP_PRIORITY: tuple[str, ...] = (
     "source_iceberg_snapshot_replay",
     "ks_test_segments",
     "cvm_test_segments",
+    "multimodal_zstd_real_frame_decode",
     # round-10 implementation changes: re-attest under the new code
     "knn_cosine_ivf",
     "ann_recall_audit",
@@ -99,7 +100,6 @@ SWEEP_PRIORITY: tuple[str, ...] = (
     "w_top3_parts_per_brand",
     "stats_variance_family",
     "stats_corr_regression",
-    "calendar_densified_daily_orders",
     "unpivot_lineitem_measures",
     "histogram_order_prices",
 )
@@ -168,6 +168,7 @@ def _load_all() -> None:
         "spark_hive_spark.operators.warc",
         "spark_hive_spark.operators.webdataset",
         "spark_hive_spark.operators.avro",
+        "spark_hive_spark.operators.zstd",
         "spark_hive_spark.operators.graph",
         "spark_hive_spark.operators.timeseries",
         "spark_hive_spark.operators.finance",
