@@ -262,6 +262,8 @@ EXTENDED = [
     "ks_test_segments",
     "cvm_test_segments",
     "multimodal_zstd_real_frame_decode",
+    "source_parquet_footer_stats",
+    "source_parquet_rowgroup_skipping",
 ]
 
 # Streaming extended queries run dead LAST (after the streaming
@@ -484,6 +486,7 @@ EXPECTED_SF01: dict[str, float] = {
     "source_avro_records": 0.6, "source_delta_log_replay": 1.8,
     "source_iceberg_snapshot_replay": 1.4, "ks_test_segments": 0.6, "cvm_test_segments": 0.6,
     "multimodal_zstd_real_frame_decode": 0.6,
+    "source_parquet_footer_stats": 1.4, "source_parquet_rowgroup_skipping": 1.8,
 }
 
 

@@ -86,6 +86,8 @@ SWEEP_PRIORITY: tuple[str, ...] = (
     "ks_test_segments",
     "cvm_test_segments",
     "multimodal_zstd_real_frame_decode",
+    "source_parquet_footer_stats",
+    "source_parquet_rowgroup_skipping",
     # round-10 implementation changes: re-attest under the new code
     "knn_cosine_ivf",
     "ann_recall_audit",
@@ -100,8 +102,6 @@ SWEEP_PRIORITY: tuple[str, ...] = (
     "w_top3_parts_per_brand",
     "stats_variance_family",
     "stats_corr_regression",
-    "unpivot_lineitem_measures",
-    "histogram_order_prices",
 )
 
 
@@ -178,6 +178,7 @@ def _load_all() -> None:
         "spark_hive_spark.operators.clustering",
         "spark_hive_spark.operators.spatial",
         "spark_hive_spark.sources.evolution",
+        "spark_hive_spark.sources.parquet_meta",
     ):
         try:
             importlib.import_module(mod)

@@ -1,0 +1,119 @@
+"""Differential tests for the hand-built parquet footer decoder
+(sources/parquet_meta.py): every decoded field must match pyarrow's
+own metadata API byte-for-byte — the same reference-implementation
+discipline as the zstd CLI differential (test_zstd_real_file_
+differential)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from spark_hive_spark.sources.parquet_meta import (
+    decode_footer,
+    footer_summary,
+)
+
+
+def _fixture_table(n: int = 5000) -> pa.Table:
+    """Mixed physical types incl. nulls and strings (deterministic)."""
+    keys = list(range(1, n + 1))
+    return pa.table(
+        {
+            "k64": pa.array(keys, pa.int64()),
+            "k32": pa.array([(k * 7) % 10007 for k in keys], pa.int32()),
+            "price": pa.array([k * 0.25 for k in keys], pa.float64()),
+            "name": pa.array(
+                [None if k % 97 == 0 else f"cust#{k:07d}" for k in keys],
+                pa.string(),
+            ),
+            "ts": pa.array(
+                [
+                    dt.datetime(1995, 1, 1) + dt.timedelta(minutes=k * 13)
+                    for k in keys
+                ],
+                pa.timestamp("us"),
+            ),
+        }
+    )
+
+
+@pytest.fixture(scope="module")
+def written(tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("pqm") / "fixture.parquet")
+    pq.write_table(_fixture_table(), path, row_group_size=777)
+    with open(path, "rb") as fh:
+        data = fh.read()
+    return path, data
+
+
+def test_footer_matches_pyarrow_everywhere(written):
+    path, data = written
+    summ = footer_summary(data)
+    pf = pq.ParquetFile(path)
+    md = pf.metadata
+    assert summ["num_rows"] == md.num_rows
+    assert len(summ["row_groups"]) == md.num_row_groups
+    assert summ["created_by"] == md.created_by
+    assert summ["columns"] == [
+        md.schema.column(i).name for i in range(md.num_columns)
+    ]
+    for i, rg in enumerate(summ["row_groups"]):
+        ref_rg = md.row_group(i)
+        assert rg["num_rows"] == ref_rg.num_rows
+        for j in range(ref_rg.num_columns):
+            ref_col = ref_rg.column(j)
+            got = rg["stats"][ref_col.path_in_schema]
+            s = ref_col.statistics
+            assert got["null_count"] == s.null_count
+            assert got["num_values"] == ref_col.num_values
+            want_min, want_max = s.min, s.max
+            if isinstance(want_min, dt.datetime):  # stats are raw micros
+                epoch = dt.datetime(1970, 1, 1)
+                want_min = int((want_min - epoch).total_seconds() * 10**6)
+                want_max = int((want_max - epoch).total_seconds() * 10**6)
+            assert got["min"] == want_min, (i, ref_col.path_in_schema)
+            assert got["max"] == want_max, (i, ref_col.path_in_schema)
+
+
+def test_struct_walk_exposes_spec_field_ids(written):
+    _, data = written
+    fmd = decode_footer(data)
+    # parquet.thrift FileMetaData: 1 version, 2 schema, 3 num_rows,
+    # 4 row_groups, 6 created_by
+    assert set(fmd) >= {1, 2, 3, 4}
+    assert isinstance(fmd[1], int) and isinstance(fmd[3], int)
+    root = fmd[2][0]
+    assert root[5] == 5  # root SchemaElement.num_children
+    rg0 = fmd[4][0]
+    cmd = rg0[1][0][3]  # first ColumnChunk.meta_data
+    assert cmd[3] == [b"k64"]  # path_in_schema
+    assert 12 in cmd  # statistics present
+
+
+def test_rejects_non_parquet_and_truncation(written):
+    _, data = written
+    with pytest.raises(ValueError, match="PAR1"):
+        decode_footer(b"NOPE" + data[4:])
+    with pytest.raises(ValueError):
+        # footer length pointing past the start of the file
+        decode_footer(data[:4] + data[-8:])
+
+
+def test_single_row_group_boundary():
+    tbl = _fixture_table(10)
+    import io
+
+    buf = io.BytesIO()
+    pq.write_table(tbl, buf, row_group_size=1_000_000)
+    summ = footer_summary(buf.getvalue())
+    assert len(summ["row_groups"]) == 1
+    assert summ["row_groups"][0]["num_rows"] == 10
+    st = summ["row_groups"][0]["stats"]["k64"]
+    assert (st["min"], st["max"]) == (1, 10)
+    # BYTE_ARRAY stats decode as UTF-8
+    names = summ["row_groups"][0]["stats"]["name"]
+    assert names["min"] == "cust#0000001"
