@@ -264,6 +264,7 @@ EXTENDED = [
     "multimodal_zstd_real_frame_decode",
     "source_parquet_footer_stats",
     "source_parquet_rowgroup_skipping",
+    "multimodal_g711_audio_decode",
 ]
 
 # Streaming extended queries run dead LAST (after the streaming
@@ -487,6 +488,7 @@ EXPECTED_SF01: dict[str, float] = {
     "source_iceberg_snapshot_replay": 1.4, "ks_test_segments": 0.6, "cvm_test_segments": 0.6,
     "multimodal_zstd_real_frame_decode": 0.6,
     "source_parquet_footer_stats": 1.4, "source_parquet_rowgroup_skipping": 1.8,
+    "multimodal_g711_audio_decode": 0.9,
 }
 
 

@@ -3913,6 +3913,230 @@ def multimodal_wav_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+# --------------------------------------------------------------------------
+# G.711 companded telephony audio (μ-law / A-law), hand-built
+# --------------------------------------------------------------------------
+
+G711_DOCS = 192  # docs that get a companded payload (even: μ-law, odd: A-law)
+G711_RATE = 8000  # the G.711 telephony rate
+
+
+def _g711_ulaw_to_linear(code: int) -> int:
+    """ITU-T G.711 μ-law expansion (one 8-bit codeword -> PCM16).
+
+    The transmitted codeword is bit-complemented; expansion rebuilds
+    the biased segment/mantissa magnitude: t = ((m<<3)+0x84)<<seg,
+    value = ±(t-0x84) — the same arithmetic as the CCITT reference
+    expander (public-domain g711.c semantics), max magnitude 32124."""
+    x = 255 - (code & 0xFF)  # undo the transmit complement
+    t = (((x & 0x0F) << 3) + 0x84) << ((x & 0x70) >> 4)
+    return (0x84 - t) if (x & 0x80) else (t - 0x84)
+
+
+def _g711_alaw_to_linear(code: int) -> int:
+    """ITU-T G.711 A-law expansion (even bits inverted on the wire
+    per the spec's 0x55 toggle; sign bit SET means positive):
+    seg 0: (m<<4)+8; seg 1: (m<<4)+0x108; else ((m<<4)+0x108)<<(seg-1),
+    max magnitude 32256."""
+    x = (code & 0xFF) ^ 0x55
+    t = (x & 0x0F) << 4
+    seg = (x & 0x70) >> 4
+    if seg == 0:
+        t += 8
+    elif seg == 1:
+        t += 0x108
+    else:
+        t = (t + 0x108) << (seg - 1)
+    return t if (x & 0x80) else -t
+
+
+def encode_g711_wav(codes: bytes, fmt_tag: int, rate: int = G711_RATE) -> bytes:
+    """Serialize raw G.711 codewords as a genuine RIFF/WAVE container
+    with wFormatTag 7 (μ-law) or 6 (A-law), mono, 8 bits/sample —
+    hand-built because stdlib `wave` only speaks PCM. RIFF chunks are
+    word-aligned: an odd-length data chunk carries a pad byte that is
+    NOT part of the declared size."""
+    import struct
+
+    if fmt_tag not in (6, 7):
+        raise ValueError("G.711 WAV is wFormatTag 6 (A-law) or 7 (mu-law)")
+    fmt = struct.pack("<HHIIHH", fmt_tag, 1, rate, rate, 1, 8)
+    pad = b"\x00" if len(codes) & 1 else b""
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(codes)) + codes + pad
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_g711_wav(payload: bytes):
+    """Parse a RIFF/WAVE G.711 payload -> (law, rate, int16 ndarray).
+
+    Walks the chunk list generically (8-byte headers, word alignment),
+    validates the fmt chunk (mono, 8-bit, tag 6/7), honors the data
+    chunk's DECLARED size (the pad byte must not decode as a sample),
+    and expands through the hand-built μ-law/A-law tables."""
+    import struct
+
+    import numpy as np
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    declared = struct.unpack("<I", payload[4:8])[0]
+    if declared + 8 != len(payload):
+        raise ValueError("RIFF size does not cover the file")
+    chunks: dict[bytes, bytes] = {}
+    pos = 12
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        sz = struct.unpack("<I", payload[pos + 4 : pos + 8])[0]
+        chunks[cid] = payload[pos + 8 : pos + 8 + sz]
+        pos += 8 + sz + (sz & 1)  # word alignment
+    if b"fmt " not in chunks or b"data" not in chunks:
+        raise ValueError("RIFF/WAVE missing fmt or data chunk")
+    tag, nch, rate, _brate, _balign, bits = struct.unpack(
+        "<HHIIHH", chunks[b"fmt "][:16]
+    )
+    if tag not in (6, 7) or nch != 1 or bits != 8:
+        raise ValueError("expected mono 8-bit G.711 WAV (tag 6/7)")
+    law = "ulaw" if tag == 7 else "alaw"
+    table = np.array(
+        [
+            (_g711_ulaw_to_linear if tag == 7 else _g711_alaw_to_linear)(c)
+            for c in range(256)
+        ],
+        dtype=np.int16,
+    )
+    codes = np.frombuffer(chunks[b"data"], dtype=np.uint8)
+    return law, rate, table[codes]
+
+
+# both laws' expansions, as SQL DuckDB can evaluate per codeword c
+_SQL_ULAW = (
+    "CASE WHEN ((255-c) & 128) > 0 THEN 132 - "
+    "((((255-c) & 15) << 3) + 132) * (1 << (((255-c) & 112) >> 4)) "
+    "ELSE ((((255-c) & 15) << 3) + 132) * (1 << (((255-c) & 112) >> 4))"
+    " - 132 END"
+)
+_SQL_ALAW = (
+    "(CASE WHEN (xor(c,85) & 128) > 0 THEN 1 ELSE -1 END) * "
+    "(CASE ((xor(c,85) & 112) >> 4) "
+    "WHEN 0 THEN ((xor(c,85) & 15) << 4) + 8 "
+    "WHEN 1 THEN ((xor(c,85) & 15) << 4) + 264 "
+    "ELSE (((xor(c,85) & 15) << 4) + 264) << "
+    "(((xor(c,85) & 112) >> 4) - 1) END)"
+)
+
+
+@register(
+    "multimodal_g711_audio_decode",
+    oracle=f"""
+        WITH d AS (
+            SELECT doc_id, 256 + doc_id % 64 AS n
+            FROM documents WHERE doc_id < {G711_DOCS}
+        ),
+        s AS (
+            SELECT doc_id, n, i,
+                   (doc_id * 31 + i * 7) % 256 AS c
+            FROM (SELECT doc_id, n, unnest(range(0, n)) AS i FROM d)
+        ),
+        pcm AS (
+            SELECT doc_id, n, i,
+                   CASE WHEN doc_id % 2 = 0 THEN {_SQL_ULAW}
+                        ELSE {_SQL_ALAW} END AS v
+            FROM s
+        )
+        SELECT doc_id,
+               CASE WHEN doc_id % 2 = 0 THEN 'ulaw' ELSE 'alaw' END AS law,
+               CAST(n AS INT) AS n_samples,
+               CAST({G711_RATE} AS INT) AS sample_rate,
+               CAST(sum(v) AS BIGINT) AS sum_pcm,
+               CAST(sum(i * v) AS BIGINT) AS wsum_pcm,
+               CAST(sum(v * v) AS BIGINT) AS sum_sq,
+               CAST(max(abs(v)) AS INT) AS peak
+        FROM pcm GROUP BY doc_id, n
+        ORDER BY doc_id
+    """,
+    tags=("multimodal", "audio", "g711", "codec", "llm-pipeline"),
+)
+def multimodal_g711_audio_decode(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """G.711 companded telephony audio (round 10) — the call-center /
+    voicemail corpus format: per document a deterministic codeword
+    stream (code_i = (doc_id·31 + i·7) mod 256, covering all 256
+    codewords since gcd(7,256)=1) is wrapped in a HAND-BUILT
+    RIFF/WAVE container with wFormatTag 7 (μ-law, even doc_ids) or 6
+    (A-law, odd) — stdlib `wave` refuses non-PCM, so both the
+    container writer and the chunk-walking parser above are
+    spec-built, including the word-alignment pad byte an odd-length
+    data chunk carries. Expansion to PCM16 uses the ITU-T G.711
+    segment/mantissa closed forms, which the DuckDB oracle evaluates
+    PER CODEWORD in SQL (`{{_SQL_ULAW}}`/`{{_SQL_ALAW}}`) — so a
+    complement, bias, segment-shift, sign-convention, or pad-byte bug
+    flips the exact integer sums (wsum pins sample ORDER, not just
+    the multiset).
+
+    Scale posture: same as the PCM16 WAV path — two chained narrow
+    mapInPandas stages, zero shuffles, table-lookup expansion
+    (np.int16[256] indexing) per Arrow batch."""
+    docs = (
+        t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < G711_DOCS)
+        .select("doc_id")
+    )
+
+    def encode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            ids = pdf["doc_id"].to_numpy()
+            payloads = []
+            for d in ids:
+                d = int(d)
+                n = 256 + d % 64
+                i = np.arange(n, dtype=np.int64)
+                codes = ((d * 31 + i * 7) % 256).astype(np.uint8)
+                payloads.append(
+                    encode_g711_wav(codes.tobytes(), 7 if d % 2 == 0 else 6)
+                )
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    media = docs.mapInPandas(encode_batches, "doc_id long, payload binary")
+
+    def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for d, p in zip(pdf["doc_id"], pdf["payload"]):
+                law, rate, samples = decode_g711_wav(bytes(p))
+                s = samples.astype(np.int64)
+                n = len(s)
+                i = np.arange(n, dtype=np.int64)
+                rows.append(
+                    (
+                        int(d), law, n, rate,
+                        int(s.sum()), int((i * s).sum()),
+                        int((s * s).sum()), int(np.abs(s).max()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "law", "n_samples", "sample_rate",
+                    "sum_pcm", "wsum_pcm", "sum_sq", "peak",
+                ],
+            )
+
+    return media.mapInPandas(
+        decode_batches,
+        "doc_id long, law string, n_samples int, sample_rate int,"
+        " sum_pcm long, wsum_pcm long, sum_sq long, peak int",
+    ).orderBy("doc_id")
+
+
 BINSRC_DOCS = 48
 
 

@@ -88,6 +88,7 @@ SWEEP_PRIORITY: tuple[str, ...] = (
     "multimodal_zstd_real_frame_decode",
     "source_parquet_footer_stats",
     "source_parquet_rowgroup_skipping",
+    "multimodal_g711_audio_decode",
     # round-10 implementation changes: re-attest under the new code
     "knn_cosine_ivf",
     "ann_recall_audit",
@@ -101,7 +102,6 @@ SWEEP_PRIORITY: tuple[str, ...] = (
     "dedup_duplicate_clusters",
     "w_top3_parts_per_brand",
     "stats_variance_family",
-    "stats_corr_regression",
 )
 
 

@@ -1171,6 +1171,72 @@ def test_wav_decode_rejects_non_mono():
         decode_wav(buf.getvalue())
 
 
+def test_g711_expansion_matches_spec_landmarks():
+    """The hand-built G.711 expanders must hit the spec's canonical
+    values: μ-law code 0xFF (all-ones wire) is silence (0), code 0x00
+    is the negative extreme −32124, code 0x80 the positive +32124;
+    A-law 0x55 (wire toggle of 0) is −8, 0xAA the positive extreme
+    +32256; and each law's 256-entry table is antisymmetric in the
+    sign bit."""
+    from spark_hive_spark.operators.multimodal import (
+        _g711_alaw_to_linear,
+        _g711_ulaw_to_linear,
+    )
+
+    assert _g711_ulaw_to_linear(0xFF) == 0
+    assert _g711_ulaw_to_linear(0x7F) == -0  # negative silence is 0 too
+    assert _g711_ulaw_to_linear(0x00) == -32124
+    assert _g711_ulaw_to_linear(0x80) == 32124
+    assert _g711_alaw_to_linear(0x55) == -8
+    assert _g711_alaw_to_linear(0xD5) == 8
+    assert _g711_alaw_to_linear(0x2A) == -32256
+    assert _g711_alaw_to_linear(0xAA) == 32256
+    for c in range(128):
+        # flipping the (pre-complement / pre-toggle) sign bit negates
+        assert _g711_ulaw_to_linear(c) == -_g711_ulaw_to_linear(c | 0x80)
+        assert _g711_alaw_to_linear(c) == -_g711_alaw_to_linear(c ^ 0x80)
+
+
+def test_g711_wav_container_roundtrip_and_rejections():
+    """encode_g711_wav -> decode_g711_wav must recover every codeword
+    through the table (both laws, odd length exercising the RIFF pad
+    byte), and the parser must refuse PCM WAVs and truncated RIFFs."""
+    import io
+    import wave
+
+    import numpy as np
+    import pytest as _pytest
+
+    from spark_hive_spark.operators.multimodal import (
+        _g711_alaw_to_linear,
+        _g711_ulaw_to_linear,
+        decode_g711_wav,
+        encode_g711_wav,
+    )
+
+    codes = bytes(range(256)) + b"\x07"  # odd length -> pad byte
+    for tag, law, fn in (
+        (7, "ulaw", _g711_ulaw_to_linear),
+        (6, "alaw", _g711_alaw_to_linear),
+    ):
+        got_law, rate, pcm = decode_g711_wav(encode_g711_wav(codes, tag))
+        assert (got_law, rate, len(pcm)) == (law, 8000, 257)
+        want = np.array([fn(c) for c in codes], dtype=np.int16)
+        assert (pcm == want).all()
+    with _pytest.raises(ValueError):
+        encode_g711_wav(b"\x00", 1)  # PCM is not G.711
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(8000)
+        w.writeframes(np.zeros(8, dtype="<i2").tobytes())
+    with _pytest.raises(ValueError):
+        decode_g711_wav(buf.getvalue())  # PCM16 container rejected
+    with _pytest.raises(ValueError):
+        decode_g711_wav(encode_g711_wav(codes, 7)[:-3])  # truncated
+
+
 def test_pagerank_is_a_probability_vector(spark):
     """Teleport floor and (near-)stochasticity: every rank >=
     (1-d)/N, and the ranks sum to <= 1 + eps (equality when no rank
