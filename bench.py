@@ -265,6 +265,7 @@ EXTENDED = [
     "source_parquet_footer_stats",
     "source_parquet_rowgroup_skipping",
     "multimodal_g711_audio_decode",
+    "multimodal_jpeg_422_decode",
 ]
 
 # Streaming extended queries run dead LAST (after the streaming
@@ -488,7 +489,7 @@ EXPECTED_SF01: dict[str, float] = {
     "source_iceberg_snapshot_replay": 1.4, "ks_test_segments": 0.6, "cvm_test_segments": 0.6,
     "multimodal_zstd_real_frame_decode": 0.6,
     "source_parquet_footer_stats": 1.4, "source_parquet_rowgroup_skipping": 1.8,
-    "multimodal_g711_audio_decode": 0.9,
+    "multimodal_g711_audio_decode": 0.9, "multimodal_jpeg_422_decode": 1.2,
 }
 
 

@@ -1977,8 +1977,9 @@ def _jpeg_pad_edge(px, mult: int):
     back to exactly the uncropped block-constant image."""
     import numpy as np
 
+    my, mx = (mult, mult) if isinstance(mult, int) else mult
     h, w = px.shape[:2]
-    ph, pw = (-h) % mult, (-w) % mult
+    ph, pw = (-h) % my, (-w) % mx
     if ph or pw:
         pad = [(0, ph), (0, pw)] + [(0, 0)] * (px.ndim - 2)
         px = np.pad(px, pad, mode="edge")
@@ -2151,10 +2152,12 @@ def encode_jpeg(
     structure. (H, W) arrays become single-component grayscale;
     (H, W, 3) arrays become 3-component YCbCr (interleaved MCUs,
     chroma quant/huffman tables, JFIF BT.601 color transform) —
-    4:4:4 by default, or 4:2:0 with ``subsampling="420"`` (Y sampled
-    2×2 per MCU, chroma 2×2 box-filtered with exact pairwise sums so
-    identical neighborhoods average bitwise-exactly). Dims that are
-    not MCU multiples (8, or 16 for 4:2:0) pad by edge replication
+    4:4:4 by default, or chroma-subsampled with ``subsampling=`` one
+    of "420" (Y sampled 2×2 per 16×16 MCU), "422" (2×1, 16×8 MCUs,
+    horizontal chroma pairs), "440" (1×2, 8×16 MCUs, vertical pairs)
+    — chroma box-filtered with exact pairwise sums so identical
+    neighborhoods average bitwise-exactly. Dims that are not MCU
+    multiples (8·Vmax × 8·Hmax) pad per axis by edge replication
     (T.81 A.2.4) and the decoder crops back to the SOF-declared
     size. ``dqt_16bit`` writes the same quant tables as Pq=1
     two-byte DQT entries (the extended-precision table form scanned-
@@ -2172,7 +2175,11 @@ def encode_jpeg(
 
     import numpy as np
 
-    if subsampling not in ("444", "420"):
+    # luma sampling factors (Hi, Vi) per JFIF convention; chroma is
+    # always (1, 1), so "422" halves chroma horizontally only and
+    # "440" vertically only
+    _FACTORS = {"444": (1, 1), "420": (2, 2), "422": (2, 1), "440": (1, 2)}
+    if subsampling not in _FACTORS:
         raise ValueError(f"unsupported subsampling {subsampling!r}")
     if precision not in (8, 12):
         raise ValueError("precision must be 8 or 12")
@@ -2192,9 +2199,11 @@ def encode_jpeg(
     else:
         px = np.asarray(pixels, dtype=np.uint8)
     color = px.ndim == 3
-    sub420 = color and subsampling == "420"
+    h_y, v_y = _FACTORS[subsampling] if color else (1, 1)
+    subsampled = (h_y, v_y) != (1, 1)
     h, w = px.shape[:2]  # true dims — what SOF0 declares
-    px = _jpeg_pad_edge(px, 16 if sub420 else 8)
+    # MCU is 8·Vmax rows × 8·Hmax cols — pad each axis to ITS multiple
+    px = _jpeg_pad_edge(px, (8 * v_y, 8 * h_y))
     ph, pw = px.shape[:2]  # padded dims — what the MCU loops cover
     if precision == 12:
         dc_y = _jpeg_huff_encode_table(_JPEG_DC_BITS_12, _JPEG_DC_VALS_12)
@@ -2214,16 +2223,22 @@ def encode_jpeg(
         Y = 0.299 * R + 0.587 * G + 0.114 * B
         Cb = -0.168736 * R - 0.331264 * G + 0.5 * B + 128.0
         Cr = 0.5 * R - 0.418688 * G - 0.081312 * B + 128.0
-        if sub420:
-            # 2×2 box filter with PAIRWISE sums: four bitwise-equal
-            # inputs average back to exactly that value ((v+v)+(v+v)
-            # is an exact power-of-two scale), which is what lets the
-            # tile-constant fixture keep a closed-form oracle
+        if subsampled:
+            # box filter with PAIRWISE sums: bitwise-equal inputs
+            # average back to exactly that value ((v+v)+(v+v) is an
+            # exact power-of-two scale), which is what lets the
+            # tile-constant fixtures keep a closed-form oracle —
+            # 4:2:0 averages 2×2, 4:2:2 horizontal pairs, 4:4:0
+            # vertical pairs
             def _box2(p):
-                return (
-                    (p[0::2, 0::2] + p[0::2, 1::2])
-                    + (p[1::2, 0::2] + p[1::2, 1::2])
-                ) * 0.25
+                if (h_y, v_y) == (2, 2):
+                    return (
+                        (p[0::2, 0::2] + p[0::2, 1::2])
+                        + (p[1::2, 0::2] + p[1::2, 1::2])
+                    ) * 0.25
+                if (h_y, v_y) == (2, 1):
+                    return (p[:, 0::2] + p[:, 1::2]) * 0.5
+                return (p[0::2, :] + p[1::2, :]) * 0.5
 
             Cb, Cr = _box2(Cb), _box2(Cr)
         comps = [
@@ -2233,7 +2248,7 @@ def encode_jpeg(
         ]
     else:
         comps = [(px.astype(np.float64), qtable, dc_y, ac_y)]
-    if multi_scan and (not color or sub420):
+    if multi_scan and (not color or subsampled):
         raise ValueError("multi_scan requires 4:4:4 color")
     writer = _JpegBitWriter()
     prev = [0] * len(comps)
@@ -2261,15 +2276,16 @@ def encode_jpeg(
                     zz = _jpeg_quant_block(plane, by, bx, qt, zigzag, dct_m)
                     prev[ci] = _jpeg_write_block(writer, zz, prev[ci], dcc, acc)
             multi_scans.append(writer.flush())
-    elif sub420:
-        # MCU = 16×16 px: 4 raster-ordered Y blocks, then Cb, then Cr
-        for my in range(ph // 16):
-            for mx in range(pw // 16):
+    elif subsampled:
+        # MCU = (8·Vy)×(8·Hy) px: Hy·Vy raster-ordered Y blocks, then
+        # one Cb and one Cr block (T.81 interleaved MCU order)
+        for my in range(ph // (8 * v_y)):
+            for mx in range(pw // (8 * h_y)):
                 maybe_restart()
-                for vy in range(2):
-                    for hx in range(2):
+                for vy in range(v_y):
+                    for hx in range(h_y):
                         zz = _jpeg_quant_block(
-                            Y, my * 2 + vy, mx * 2 + hx,
+                            Y, my * v_y + vy, mx * h_y + hx,
                             qtable, zigzag, dct_m,
                         )
                         prev[0] = _jpeg_write_block(
@@ -2309,7 +2325,7 @@ def encode_jpeg(
 
     if color:
         dqt = seg(0xFFDB, dqt_entry(0, qtable) + dqt_entry(1, qtable_c))
-        y_sampling = b"\x01\x22\x00" if sub420 else b"\x01\x11\x00"
+        y_sampling = bytes([0x01, (h_y << 4) | v_y, 0x00])
         sof0 = seg(
             0xFFC0,
             struct.pack(">BHHB", 8, h, w, 3)
@@ -3619,6 +3635,103 @@ def multimodal_jpeg_420_decode(
             ids = pdf["doc_id"].to_numpy()
             payloads = [
                 encode_jpeg(jpeg_420_fixture_image(int(d)), subsampling="420")
+                for d in ids
+            ]
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    media = docs.mapInPandas(encode_batches, "doc_id long, payload binary")
+
+    def decode_batches(
+        batches: Iterator[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        cols = "doc_id in_w in_h sum_r sum_g sum_b wsum_g corner_b".split()
+        for pdf in batches:
+            out: dict[str, list] = {k: [] for k in cols}
+            for d, p in zip(pdf["doc_id"], pdf["payload"]):
+                px = decode_image(bytes(p)).astype(np.int64)
+                h, w, _ = px.shape
+                wgt = 2 * np.arange(w)[None, :] + np.arange(h)[:, None]
+                vals = (
+                    int(d), w, h,
+                    int(px[:, :, 0].sum()), int(px[:, :, 1].sum()),
+                    int(px[:, :, 2].sum()),
+                    int((px[:, :, 1] * wgt).sum()),
+                    int(px[-1, -1, 2]),
+                )
+                for k, v in zip(cols, vals):
+                    out[k].append(v)
+            yield pd.DataFrame(out)
+
+    return (
+        media.mapInPandas(decode_batches, _JPEG_COLOR_SCHEMA)
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "multimodal_jpeg_422_decode",
+    oracle=f"""
+        WITH {JPEG_420_PIXELS_CTE}
+        SELECT doc_id,
+               CAST(16 * wb AS INT) AS in_w,
+               CAST(16 * hb AS INT) AS in_h,
+               CAST(sum(256 * pr) AS BIGINT) AS sum_r,
+               CAST(sum(256 * pg) AS BIGINT) AS sum_g,
+               CAST(sum(256 * pb) AS BIGINT) AS sum_b,
+               CAST(sum(pg * (4096 * (2 * bx + by) + 5760)) AS BIGINT)
+                   AS wsum_g,
+               CAST(max(CASE WHEN bx = wb - 1 AND by = hb - 1
+                             THEN pb END) AS INT) AS corner_b
+        FROM rgb
+        GROUP BY doc_id, wb, hb
+        ORDER BY doc_id
+    """,
+    tags=("multimodal", "codec", "jpeg", "subsampling", "llm-pipeline"),
+)
+def multimodal_jpeg_422_decode(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """4:2:2 and 4:4:0 chroma subsampling (round 10) — completing the
+    hf,vf ≤ 2 sampling MATRIX after 4:4:4 and 4:2:0: even doc_ids
+    encode 4:2:2 (luma 0x21: MCUs 16 px wide × 8 tall, TWO
+    raster-ordered Y data units + Cb + Cr, chroma box-filtered over
+    HORIZONTAL pairs only — the interlace-friendly layout broadcast
+    video and many scanners emit), odd doc_ids the transposed 4:4:0
+    (luma 0x12: 8×16 MCUs, vertical pairs). The decoder side is the
+    same generalized MCU walker the 4:2:0 query attested — per-axis
+    `np.repeat` upsampling restores full resolution.
+
+    Same 16×16-tile-constant fixture and *verbatim the same
+    closed-form oracle* as `multimodal_jpeg_420_decode`: a tile that
+    is constant over 16×16 is constant over every 16×8 / 8×16 MCU
+    and every chroma pair, so the sampling geometry is a pure layout
+    knob that CANNOT change the decoded pixels — any deviation
+    (wrong Y-block count per MCU, axis mixup in the box filter or
+    upsample, pad-axis bug) flips the value hash. In-MCU Y order and
+    per-axis fidelity on non-tile-constant content are pinned by the
+    block-mean pytest (test_invariants).
+
+    Scale posture: identical to the other codec queries — two narrow
+    Arrow `mapInPandas` stages, zero shuffles, no driver decode."""
+
+    docs = (
+        t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < JPEG_DOCS)
+        .select("doc_id")
+    )
+
+    def encode_batches(
+        batches: Iterator[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf["doc_id"].to_numpy()
+            payloads = [
+                encode_jpeg(
+                    jpeg_420_fixture_image(int(d)),
+                    subsampling="422" if int(d) % 2 == 0 else "440",
+                )
                 for d in ids
             ]
             yield pd.DataFrame({"doc_id": ids, "payload": payloads})

@@ -89,6 +89,7 @@ SWEEP_PRIORITY: tuple[str, ...] = (
     "source_parquet_footer_stats",
     "source_parquet_rowgroup_skipping",
     "multimodal_g711_audio_decode",
+    "multimodal_jpeg_422_decode",
     # round-10 implementation changes: re-attest under the new code
     "knn_cosine_ivf",
     "ann_recall_audit",
@@ -101,7 +102,6 @@ SWEEP_PRIORITY: tuple[str, ...] = (
     "dedup_simhash",
     "dedup_duplicate_clusters",
     "w_top3_parts_per_brand",
-    "stats_variance_family",
 )
 
 

@@ -677,6 +677,28 @@ def test_jpeg_420_codec_closed_form_and_block_order():
         got = dec[qy * 8 : qy * 8 + 8, qx * 8 : qx * 8 + 8].mean()
         assert abs(got - v) <= 8, (i, v, got)
 
+    # (2b) 4:2:2 / 4:4:0: two Y data units per MCU along the sampled
+    # axis — block means pin both the count and the raster order
+    img = np.full((8, 16, 3), 70, dtype=np.uint8)
+    img[:, :8], img[:, 8:] = 40, 190
+    dec = decode_jpeg(encode_jpeg(img, subsampling="422"))
+    assert abs(dec[:, :8].mean() - 40) <= 8
+    assert abs(dec[:, 8:].mean() - 190) <= 8
+    imgv = np.full((16, 8, 3), 70, dtype=np.uint8)
+    imgv[:8], imgv[8:] = 40, 190
+    decv = decode_jpeg(encode_jpeg(imgv, subsampling="440"))
+    assert abs(decv[:8].mean() - 40) <= 8
+    assert abs(decv[8:].mean() - 190) <= 8
+    # tile-constant fixtures make all sampling geometries decode
+    # BIT-IDENTICALLY (the property the 422 query's shared oracle
+    # leans on)
+    tile = jpeg_420_fixture_image(5)
+    base = decode_jpeg(encode_jpeg(tile, subsampling="420"))
+    for sub in ("422", "440", "444"):
+        assert np.array_equal(
+            base, decode_jpeg(encode_jpeg(tile, subsampling=sub))
+        ), sub
+
     # (3) non-multiple-of-16 dims now pad by edge replication: a
     # constant frame's padding blocks are the same constant, so the
     # decoded crop is the constant's closed-form reconstruction
@@ -867,6 +889,11 @@ def test_jpeg_partial_mcu_and_16bit_dqt():
         ((18, 34, 3), "444", 8),
         ((20, 36, 3), "420", 16),
         ((7, 100, 3), "420", 16),
+        # per-axis MCU padding: 4:2:2 pads (8, 16), 4:4:0 pads (16, 8)
+        ((20, 36, 3), "422", (8, 16)),
+        ((7, 100, 3), "422", (8, 16)),
+        ((20, 36, 3), "440", (16, 8)),
+        ((9, 33, 3), "440", (16, 8)),
     ]
     for shape, sub, mult in cases:
         img = rng.randint(0, 256, shape).astype(np.uint8)
