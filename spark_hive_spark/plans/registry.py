@@ -90,6 +90,7 @@ SWEEP_PRIORITY: tuple[str, ...] = (
     "source_parquet_rowgroup_skipping",
     "multimodal_g711_audio_decode",
     "multimodal_jpeg_422_decode",
+    "source_orc_stripe_skipping",
     # round-10 implementation changes: re-attest under the new code
     "knn_cosine_ivf",
     "ann_recall_audit",
@@ -101,7 +102,6 @@ SWEEP_PRIORITY: tuple[str, ...] = (
     "dedup_minhash_lsh",
     "dedup_simhash",
     "dedup_duplicate_clusters",
-    "w_top3_parts_per_brand",
 )
 
 
@@ -179,6 +179,7 @@ def _load_all() -> None:
         "spark_hive_spark.operators.spatial",
         "spark_hive_spark.sources.evolution",
         "spark_hive_spark.sources.parquet_meta",
+        "spark_hive_spark.sources.orc_meta",
     ):
         try:
             importlib.import_module(mod)
