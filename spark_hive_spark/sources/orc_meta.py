@@ -20,9 +20,10 @@ parquet_meta.py), from the two public specs:
 The chunk codecs come from THIS repo's stack: SNAPPY through the
 hand-built raw-snappy decoder (operators/snappy.py), ZLIB as raw
 RFC 1951 via stdlib, ZSTD through the hand-built RFC 8878 decoder
-(operators/zstd.py) — so reading a real engine's ORC metadata
-exercises the same codec layer the Avro source attested. LZO/LZ4
-stay loud seams.
+(operators/zstd.py), LZ4 through the hand-built raw-block decoder
+(operators/lz4.py) — so reading a real engine's ORC metadata
+exercises the same codec layer the Avro source attested. LZO stays
+a loud seam.
 
 Differentially tested against pyarrow's ORC reader
 (tests/test_orc_meta.py) across all four supported compressions,
@@ -56,6 +57,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from spark_hive_spark.functions.numeric import dsum, sql_dsum
+from spark_hive_spark.operators.lz4 import lz4_block_decompress
 from spark_hive_spark.operators.snappy import snappy_decompress
 from spark_hive_spark.operators.zstd import zstd_decompress
 from spark_hive_spark.plans.registry import register
@@ -145,6 +147,8 @@ def _unchunk(raw: bytes, codec: int) -> bytes:
             out += zlib.decompress(blk, -15)
         elif codec == 2:  # SNAPPY: hand-built raw-snappy decoder
             out += snappy_decompress(blk)
+        elif codec == 4:  # LZ4: hand-built raw-block decoder
+            out += lz4_block_decompress(blk)
         elif codec == 5:  # ZSTD: hand-built RFC 8878 decoder
             out += zstd_decompress(blk)
         else:

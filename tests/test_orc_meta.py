@@ -38,7 +38,7 @@ def _fixture_table() -> pa.Table:
 
 
 @pytest.mark.parametrize(
-    "compression", ["uncompressed", "zlib", "snappy", "zstd"]
+    "compression", ["uncompressed", "zlib", "snappy", "zstd", "lz4"]
 )
 def test_orc_tail_matches_pyarrow_and_data(tmp_path, compression):
     path = str(tmp_path / f"t_{compression}.orc")
@@ -75,6 +75,46 @@ def test_orc_tail_matches_pyarrow_and_data(tmp_path, compression):
     # so the per-stripe decode path really runs
     if compression in ("uncompressed", "zlib", "snappy"):
         assert ref.nstripes >= 2
+
+
+def test_lz4_block_differential_vs_reference():
+    """The hand-built LZ4 block codec must interoperate with
+    pyarrow's bundled reference codec in BOTH directions, across
+    compressible, random, overlap-heavy, and long-run corpora — the
+    same differential discipline as the zstd CLI tests."""
+    import os
+    import random
+
+    from spark_hive_spark.operators.lz4 import (
+        lz4_block_compress,
+        lz4_block_decompress,
+    )
+
+    ref = pa.Codec("lz4_raw")
+    random.seed(7)
+    corpora = [
+        b"a",
+        b"abc" * 1000,
+        bytes(range(256)) * 50,
+        b"the quick brown fox jumps over the lazy dog " * 200,
+        os.urandom(10000),
+        bytes(random.choice(b"ab") for _ in range(5000)),
+        b"A" * 100000,  # 15-saturated lengths + maximal overlap
+    ]
+    for data in corpora:
+        assert lz4_block_decompress(
+            ref.compress(data, asbytes=True), len(data)
+        ) == data
+        ours = lz4_block_compress(data)
+        assert bytes(ref.decompress(ours, len(data))) == data
+        assert lz4_block_decompress(ours, len(data)) == data
+    # malformed inputs fail loudly
+    with pytest.raises(ValueError):
+        lz4_block_decompress(b"")
+    with pytest.raises(ValueError):  # offset 0
+        lz4_block_decompress(b"\x14AAAA\x00\x00")
+    with pytest.raises(ValueError):  # declared-length mismatch
+        lz4_block_decompress(lz4_block_compress(b"xyz"), 99)
 
 
 def test_orc_tail_rejections(tmp_path):

@@ -428,3 +428,31 @@ def test_snappy_roundtrip_property(data):
     )
 
     assert snappy_decompress(snappy_compress(data)) == data
+
+
+@settings(max_examples=80, deadline=None)
+@given(
+    data=st.one_of(
+        st.binary(min_size=0, max_size=400),
+        # repetitive shapes exercise the match emitter + overlap decode
+        st.tuples(
+            st.binary(min_size=1, max_size=12),
+            st.integers(min_value=1, max_value=120),
+        ).map(lambda t: t[0] * t[1]),
+    )
+)
+def test_lz4_roundtrip_property(data):
+    """lz4_block_compress -> lz4_block_decompress is identity, and
+    pyarrow's reference codec accepts our blocks (cross-decode) —
+    both for random and repetitive payloads."""
+    import pyarrow as pa
+
+    from spark_hive_spark.operators.lz4 import (
+        lz4_block_compress,
+        lz4_block_decompress,
+    )
+
+    blob = lz4_block_compress(data)
+    if data:
+        assert lz4_block_decompress(blob, len(data)) == data
+        assert bytes(pa.Codec("lz4_raw").decompress(blob, len(data))) == data
