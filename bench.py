@@ -267,6 +267,7 @@ EXTENDED = [
     "multimodal_g711_audio_decode",
     "multimodal_jpeg_422_decode",
     "source_orc_stripe_skipping",
+    "source_delta_checkpoint_replay",
 ]
 
 # Streaming extended queries run dead LAST (after the streaming
@@ -491,7 +492,7 @@ EXPECTED_SF01: dict[str, float] = {
     "multimodal_zstd_real_frame_decode": 0.6,
     "source_parquet_footer_stats": 1.4, "source_parquet_rowgroup_skipping": 1.8,
     "multimodal_g711_audio_decode": 0.9, "multimodal_jpeg_422_decode": 1.2,
-    "source_orc_stripe_skipping": 2.2,
+    "source_orc_stripe_skipping": 2.2, "source_delta_checkpoint_replay": 2.0,
 }
 
 

@@ -91,6 +91,7 @@ SWEEP_PRIORITY: tuple[str, ...] = (
     "multimodal_g711_audio_decode",
     "multimodal_jpeg_422_decode",
     "source_orc_stripe_skipping",
+    "source_delta_checkpoint_replay",
     # round-10 implementation changes: re-attest under the new code
     "knn_cosine_ivf",
     "ann_recall_audit",
@@ -101,7 +102,6 @@ SWEEP_PRIORITY: tuple[str, ...] = (
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
     "dedup_simhash",
-    "dedup_duplicate_clusters",
 )
 
 

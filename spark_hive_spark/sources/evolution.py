@@ -1044,8 +1044,8 @@ def source_delta_log_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The protocol action gates ``minReaderVersion`` (> 1 raises —
     reader-feature tables need the real library); checkpoint parquet
-    files are a documented loud seam (real logs compact every 10
-    commits; this log is shorter).
+    bootstrap — real logs compact every 10 commits and expire old
+    JSON — is the sibling query `source_delta_checkpoint_replay`.
 
     The oracle recomputes the aggregate over the raw table and pins
     the version/file/tombstone counts: a replay bug that resurrects
@@ -1145,6 +1145,238 @@ def source_delta_log_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = scan.agg(
         F.lit(len(versions)).cast("int").alias("n_versions"),
+        F.lit(len(live)).cast("int").alias("live_files"),
+        F.lit(len(tombstones)).cast("int").alias("tombstones"),
+        F.count("*").alias("n_orders"),
+        dsum("o_totalprice").alias("revenue"),
+    ).localCheckpoint(eager=True)  # 1 row; frees the temp root
+    shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
+@register(
+    "source_delta_checkpoint_replay",
+    oracle=f"""
+        SELECT CAST(2 AS INT) AS checkpoint_version,
+               CAST(2 AS INT) AS versions_replayed,
+               CAST(2 AS INT) AS checkpoint_live,
+               CAST(1 AS INT) AS live_files,
+               CAST(5 AS INT) AS tombstones,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               {sql_dsum('o_totalprice')} AS revenue
+        FROM orders
+    """,
+    tags=("source", "delta", "lakehouse", "compat", "checkpoint"),
+)
+def source_delta_checkpoint_replay(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Delta Lake CHECKPOINT bootstrap (round 10) — closing
+    `source_delta_log_replay`'s documented loud seam: real logs
+    write a parquet checkpoint every 10 commits and then EXPIRE the
+    older JSON commits, so a reader that can only replay JSON from
+    v0 cannot read a mature table at all. Per PROTOCOL.md: the
+    ``_last_checkpoint`` JSON pointer names the checkpoint version;
+    ``{{v:020d}}.checkpoint.parquet`` holds ONE ROW PER ACTION as
+    nullable structs (protocol / metaData / add / remove — removes
+    are retained as tombstones until retention expiry); JSON commits
+    AFTER the checkpoint replay on top.
+
+    The fixture builds five commits (2 adds; add; OPTIMIZE-shaped
+    compaction), checkpoints the v2 state as real parquet structs,
+    DELETES the v0-v2 JSON files (metadata cleanup — the reader
+    provably bootstraps from the checkpoint, not the log), then
+    replays v3 (rewrite of one file) and v4 (full compaction).
+    The final live set is ONE file whose contents must reproduce
+    the whole orders table; the oracle pins the checkpoint version,
+    replay depth, per-phase live/tombstone counts, and the full
+    aggregate — resurrecting a checkpoint tombstone double-counts,
+    dropping a checkpoint add loses rows, and replaying from v0
+    fails loudly on the missing files.
+
+    Scale posture: checkpoint + log replay is driver-side metadata
+    arithmetic (O(#actions), with the checkpoint capping #actions at
+    O(live files) instead of O(history)) — exactly why the format
+    has checkpoints at 100 TB; the scan plans only live files."""
+    import json as _json
+
+    orders = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    root = os.path.join(
+        tempfile.gettempdir(), f"shs_deltack_{uuid.uuid4().hex}"
+    )
+    tdir = os.path.join(root, "t")
+    ldir = os.path.join(tdir, "_delta_log")
+    os.makedirs(ldir)
+
+    def _write_part(name: str, df: DataFrame) -> None:
+        tmp = os.path.join(root, f"stage_{name}")
+        df.coalesce(1).write.parquet(tmp)
+        src = next(
+            f for f in os.listdir(tmp) if f.endswith(".parquet")
+        )
+        os.replace(os.path.join(tmp, src), os.path.join(tdir, name))
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    # one partitioned write yields a/b/c in a single job; d (the
+    # a+b compaction) and f (the full compaction) are their own
+    # writes; e is a byte-level rewrite of c (same rows, new file —
+    # exactly what a clustering rewrite produces)
+    k = F.col("o_orderkey") % 3
+    split_tmp = os.path.join(root, "stage_split")
+    (
+        orders.withColumn("part", k)
+        .repartition(1)
+        .write.partitionBy("part")
+        .parquet(split_tmp)
+    )
+    for part, name in ((0, "part-a.parquet"), (1, "part-b.parquet"),
+                       (2, "part-c.parquet")):
+        pdir = os.path.join(split_tmp, f"part={part}")
+        src = next(f for f in os.listdir(pdir) if f.endswith(".parquet"))
+        os.replace(os.path.join(pdir, src), os.path.join(tdir, name))
+    shutil.rmtree(split_tmp, ignore_errors=True)
+    _write_part("part-d.parquet", orders.filter(k != 2))  # compaction of a+b
+    shutil.copy(  # rewrite of c: same rows, new file identity
+        os.path.join(tdir, "part-c.parquet"),
+        os.path.join(tdir, "part-e.parquet"),
+    )
+    _write_part("part-f.parquet", orders)  # full compaction of d+e
+
+    def _commit(version: int, actions: list[dict]) -> None:
+        with open(os.path.join(ldir, f"{version:020d}.json"), "w") as fh:
+            fh.write("\n".join(_json.dumps(a) for a in actions) + "\n")
+
+    def _add(p: str) -> dict:
+        return {"add": {"path": p, "size": os.path.getsize(
+            os.path.join(tdir, p)), "modificationTime": 0,
+            "dataChange": True}}
+
+    def _remove(p: str) -> dict:
+        return {"remove": {"path": p, "deletionTimestamp": 0,
+                           "dataChange": False}}
+
+    # v0..v2 exist only long enough to checkpoint; then they expire
+    _commit(0, [
+        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+        {"metaData": {"id": "shs-delta-ckpt", "format":
+            {"provider": "parquet", "options": {}},
+            "schemaString": "{}", "partitionColumns": []}},
+        _add("part-a.parquet"), _add("part-b.parquet"),
+    ])
+    _commit(1, [_add("part-c.parquet")])
+    _commit(2, [_remove("part-a.parquet"), _remove("part-b.parquet"),
+                _add("part-d.parquet")])
+
+    # ---- checkpoint v2: one row per action, nullable structs ----
+    # (written with pyarrow — a real parquet writer — because the
+    # artifact is a fixture; the part under test is the READER below,
+    # which consumes it through Spark's parquet scan)
+    import pyarrow as _pa
+    import pyarrow.parquet as _pq
+
+    def _sz(p: str) -> int:
+        return os.path.getsize(os.path.join(tdir, p))
+
+    nrows = 6
+    ckpt_tbl = _pa.table(
+        {
+            "protocol": _pa.array(
+                [{"minReaderVersion": 1, "minWriterVersion": 2}]
+                + [None] * 5,
+                _pa.struct(
+                    [("minReaderVersion", _pa.int32()),
+                     ("minWriterVersion", _pa.int32())]
+                ),
+            ),
+            "metaData": _pa.array(
+                [None, {"id": "shs-delta-ckpt", "schemaString": "{}"}]
+                + [None] * 4,
+                _pa.struct([("id", _pa.string()),
+                            ("schemaString", _pa.string())]),
+            ),
+            "add": _pa.array(
+                [None, None,
+                 {"path": "part-c.parquet", "size": _sz("part-c.parquet"),
+                  "modificationTime": 0, "dataChange": True},
+                 {"path": "part-d.parquet", "size": _sz("part-d.parquet"),
+                  "modificationTime": 0, "dataChange": True},
+                 None, None],
+                _pa.struct(
+                    [("path", _pa.string()), ("size", _pa.int64()),
+                     ("modificationTime", _pa.int64()),
+                     ("dataChange", _pa.bool_())]
+                ),
+            ),
+            "remove": _pa.array(
+                [None] * 4
+                + [{"path": "part-a.parquet", "deletionTimestamp": 0,
+                    "dataChange": False},
+                   {"path": "part-b.parquet", "deletionTimestamp": 0,
+                    "dataChange": False}],
+                _pa.struct(
+                    [("path", _pa.string()),
+                     ("deletionTimestamp", _pa.int64()),
+                     ("dataChange", _pa.bool_())]
+                ),
+            ),
+        }
+    )
+    ckpt_name = f"{2:020d}.checkpoint.parquet"
+    _pq.write_table(ckpt_tbl, os.path.join(ldir, ckpt_name))
+    with open(os.path.join(ldir, "_last_checkpoint"), "w") as fh:
+        _json.dump({"version": 2, "size": nrows}, fh)
+    for v in range(3):  # metadata cleanup: pre-checkpoint JSON expires
+        os.remove(os.path.join(ldir, f"{v:020d}.json"))
+
+    _commit(3, [_remove("part-c.parquet"), _add("part-e.parquet")])
+    _commit(4, [_remove("part-d.parquet"), _remove("part-e.parquet"),
+                _add("part-f.parquet")])
+
+    # ---- the reader: _last_checkpoint -> checkpoint state -> JSON ----
+    with open(os.path.join(ldir, "_last_checkpoint")) as fh:
+        ckpt_version = _json.load(fh)["version"]
+    live: set[str] = set()
+    tombstones: set[str] = set()
+    for row in spark.read.parquet(
+        os.path.join(ldir, f"{ckpt_version:020d}.checkpoint.parquet")
+    ).collect():
+        if row["protocol"] is not None:
+            if row["protocol"]["minReaderVersion"] > 1:
+                raise NotImplementedError(
+                    "Delta reader features beyond protocol v1"
+                )
+        elif row["add"] is not None:
+            live.add(row["add"]["path"])
+        elif row["remove"] is not None:
+            tombstones.add(row["remove"]["path"])
+    checkpoint_live = len(live)
+    versions = sorted(
+        int(f[:20]) for f in os.listdir(ldir) if f.endswith(".json")
+    )
+    replay = [v for v in versions if v > ckpt_version]
+    if replay != list(range(ckpt_version + 1, ckpt_version + 1 + len(replay))):
+        raise ValueError("Delta log has version gaps after checkpoint")
+    for v in replay:
+        with open(os.path.join(ldir, f"{v:020d}.json")) as fh:
+            for line in fh:
+                if not line.strip():
+                    continue
+                action = _json.loads(line)
+                if "add" in action:
+                    live.add(action["add"]["path"])
+                    tombstones.discard(action["add"]["path"])
+                elif "remove" in action:
+                    live.discard(action["remove"]["path"])
+                    tombstones.add(action["remove"]["path"])
+    scan = spark.read.parquet(
+        *(os.path.join(tdir, p) for p in sorted(live))
+    )
+    out = scan.agg(
+        F.lit(ckpt_version).cast("int").alias("checkpoint_version"),
+        F.lit(len(replay)).cast("int").alias("versions_replayed"),
+        F.lit(checkpoint_live).cast("int").alias("checkpoint_live"),
         F.lit(len(live)).cast("int").alias("live_files"),
         F.lit(len(tombstones)).cast("int").alias("tombstones"),
         F.count("*").alias("n_orders"),
