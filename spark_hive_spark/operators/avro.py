@@ -183,11 +183,61 @@ def encode_avro_ocf(
     return bytes(out)
 
 
-def parse_avro_ocf(payload: bytes) -> tuple[dict, list[dict]]:
+def _resolution_plan(
+    writer_schema: dict, reader_schema: dict
+) -> tuple[list[tuple[str, str, str | None]], list[tuple[str, object]]]:
+    """Avro 1.11 'Schema Resolution' for records: writer fields are
+    matched to reader fields BY NAME; writer-only fields are decoded
+    and DISCARDED (the wire bytes must still be consumed); reader-only
+    fields take their declared ``default`` (no default -> error);
+    matched fields may promote ``long`` -> ``double`` (the one
+    promotion this type subset admits).
+
+    -> ([(writer field name, writer type, reader type | None-to-skip)],
+        [(reader-only field name, default value)])"""
+    reader_fields = {f["name"]: f for f in reader_schema["fields"]}
+    plan: list[tuple[str, str, str | None]] = []
+    seen: set[str] = set()
+    for f in writer_schema["fields"]:
+        name, wtyp = f["name"], f["type"]
+        rf = reader_fields.get(name)
+        if rf is None:
+            plan.append((name, wtyp, None))  # skip (but consume bytes)
+            continue
+        rtyp = rf["type"]
+        if rtyp != wtyp and not (wtyp == "long" and rtyp == "double"):
+            raise ValueError(
+                f"incompatible schema resolution for {name!r}: "
+                f"writer {wtyp!r} -> reader {rtyp!r}"
+            )
+        plan.append((name, wtyp, rtyp))
+        seen.add(name)
+    defaults: list[tuple[str, object]] = []
+    for f in reader_schema["fields"]:
+        if f["name"] in seen:
+            continue
+        if "default" not in f:
+            raise ValueError(
+                f"reader field {f['name']!r} missing from writer "
+                "schema and has no default"
+            )
+        defaults.append((f["name"], f["default"]))
+    return plan, defaults
+
+
+def parse_avro_ocf(
+    payload: bytes, reader_schema: dict | None = None
+) -> tuple[dict, list[dict]]:
     """Parse an OCF -> (schema, records), verifying the magic, the
     metadata map, every block's sync marker, and byte-exact block
     payload consumption. Field decoding is driven by the EMBEDDED
-    writer schema (the Avro contract), not caller assumptions."""
+    writer schema (the Avro contract), not caller assumptions.
+
+    With ``reader_schema``, applies the spec's record resolution
+    rules (`_resolution_plan`): name matching, skip-with-consume of
+    writer-only fields, reader defaults, long->double promotion —
+    the schema-evolution read path a landing zone needs when old and
+    new files coexist."""
     if payload[:4] != _MAGIC:
         raise ValueError("bad Avro OCF magic")
     pos = 4
@@ -219,6 +269,10 @@ def parse_avro_ocf(payload: bytes) -> tuple[dict, list[dict]]:
     if schema.get("type") != "record":
         raise ValueError("OCF schema must be a record")
     fields = [(f["name"], f["type"]) for f in schema["fields"]]
+    if reader_schema is not None:
+        plan, defaults = _resolution_plan(schema, reader_schema)
+    else:
+        plan, defaults = [(n, t, t) for n, t in fields], []
     sync = payload[pos : pos + 16]
     pos += 16
     records: list[dict] = []
@@ -266,8 +320,15 @@ def parse_avro_ocf(payload: bytes) -> tuple[dict, list[dict]]:
         bpos = 0
         for _ in range(count):
             rec = {}
-            for name, typ in fields:
-                rec[name], bpos = _dec_field(block, bpos, typ)
+            for name, wtyp, rtyp in plan:
+                v, bpos = _dec_field(block, bpos, wtyp)
+                if rtyp is None:
+                    continue  # writer-only: bytes consumed, value dropped
+                if rtyp == "double" and wtyp == "long":
+                    v = float(v)  # spec promotion
+                rec[name] = v
+            for name, dv in defaults:
+                rec[name] = dv
             records.append(rec)
         if bpos != len(block):
             raise ValueError("Avro block size does not match records")
@@ -403,3 +464,170 @@ def source_avro_records(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(out)
 
     return media.mapInPandas(decode_batches, _AVRO_OUT).orderBy("doc_id")
+
+
+AVROEVO_DOCS = 48
+# writer v1: the original layout
+_AVRO_W1 = {
+    "type": "record",
+    "name": "Measurement",
+    "fields": [
+        {"name": "id", "type": "long"},
+        {"name": "name", "type": "string"},
+        {"name": "score", "type": "double"},
+    ],
+}
+# writer v2: REORDERED fields + a new `weight` written as long
+_AVRO_W2 = {
+    "type": "record",
+    "name": "Measurement",
+    "fields": [
+        {"name": "name", "type": "string"},
+        {"name": "weight", "type": "long"},
+        {"name": "id", "type": "long"},
+        {"name": "score", "type": "double"},
+    ],
+}
+# the reader: drops `score`, reads `weight` as double (promotion from
+# v2's long; default 0.25 where v1 files never wrote it), reorders
+_AVRO_READER = {
+    "type": "record",
+    "name": "Measurement",
+    "fields": [
+        {"name": "id", "type": "long"},
+        {"name": "weight", "type": "double", "default": 0.25},
+        {"name": "name", "type": "string"},
+    ],
+}
+
+
+@register(
+    "source_avro_schema_evolution",
+    oracle=f"""
+        WITH d AS (
+            SELECT doc_id, doc_id % 5 + 8 AS nrec
+            FROM documents WHERE doc_id < {AVROEVO_DOCS}
+        ),
+        r AS (
+            SELECT doc_id, nrec, i,
+                   doc_id * 1000 + i AS id,
+                   CASE WHEN doc_id % 2 = 0 THEN 0.25
+                        ELSE CAST(doc_id + i AS DOUBLE) END AS weight
+            FROM (SELECT doc_id, nrec, unnest(range(0, nrec)) AS i
+                  FROM d)
+        )
+        SELECT doc_id,
+               CAST(doc_id % 2 + 1 AS INT) AS writer_version,
+               CAST(nrec AS INT) AS n_records,
+               CAST(sum(id) AS BIGINT) AS id_sum,
+               CAST(7 * nrec AS BIGINT) AS name_chars,
+               CAST(sum(weight) AS DOUBLE) AS weight_sum
+        FROM r
+        GROUP BY doc_id, nrec
+        ORDER BY doc_id
+    """,
+    tags=("source", "avro", "schema-evolution", "llm-pipeline"),
+)
+def source_avro_schema_evolution(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Avro SCHEMA RESOLUTION (round 10) — the read path a landing
+    zone needs the day the producer ships schema v2 while years of
+    v1 files remain: even doc_ids carry v1 files (id, name, score),
+    odd doc_ids v2 files with REORDERED fields and a new ``weight``
+    written as long; ONE reader schema (id, weight double DEFAULT
+    0.25, name — score dropped) reads both via the Avro 1.11
+    resolution rules implemented in `_resolution_plan`: match by
+    name (never position), decode-and-DISCARD writer-only fields
+    (the dropped ``score`` still consumes its wire bytes — a skip
+    bug desyncs the whole block), apply reader defaults where the
+    writer never wrote the field, and promote v2's long weight to
+    the reader's double.
+
+    The oracle recomputes id/name/weight totals per doc from the
+    fixture's closed forms — weight_sum mixes DEFAULT values (v1
+    docs: 0.25·n, the 'old files null-fill' semantics) with PROMOTED
+    longs (v2 docs), so a resolution bug in any rule flips the hash.
+    The same mixed-version read through parquet `mergeSchema` is
+    `source_schema_evolution_union`; this is the row-format
+    equivalent driven by the spec's own rules.
+
+    Scale posture: two narrow Arrow ``mapInPandas`` stages, zero
+    shuffles — resolution is per-file metadata arithmetic, exactly
+    how a distributed reader handles mixed-schema 100 TB landing
+    zones."""
+
+    docs = (
+        t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < AVROEVO_DOCS)
+        .select("doc_id")
+    )
+
+    def encode_batches(
+        batches: Iterator["pd.DataFrame"],
+    ) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            ids = pdf["doc_id"].to_numpy()
+            payloads = []
+            for d in ids:
+                d = int(d)
+                n = d % 5 + 8
+                if d % 2 == 0:  # writer v1
+                    recs = [
+                        {
+                            "id": d * 1000 + i,
+                            "name": f"m{d:03d}x{i:02d}",
+                            "score": i * 0.5,
+                        }
+                        for i in range(n)
+                    ]
+                    schema = _AVRO_W1
+                else:  # writer v2: reordered + weight as long
+                    recs = [
+                        {
+                            "name": f"m{d:03d}x{i:02d}",
+                            "weight": d + i,
+                            "id": d * 1000 + i,
+                            "score": i * 0.5,
+                        }
+                        for i in range(n)
+                    ]
+                    schema = _AVRO_W2
+                payloads.append(
+                    encode_avro_ocf(
+                        recs, schema, codec=("null", "deflate")[d % 2]
+                    )
+                )
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    media = docs.mapInPandas(encode_batches, "doc_id long, payload binary")
+
+    def decode_batches(
+        batches: Iterator["pd.DataFrame"],
+    ) -> Iterator["pd.DataFrame"]:
+        cols = (
+            "doc_id writer_version n_records id_sum name_chars"
+            " weight_sum"
+        ).split()
+        for pdf in batches:
+            out: dict[str, list] = {k: [] for k in cols}
+            for d, p in zip(pdf["doc_id"], pdf["payload"]):
+                _, recs = parse_avro_ocf(bytes(p), _AVRO_READER)
+                for r in recs:  # resolution output is reader-shaped
+                    if set(r) != {"id", "weight", "name"}:
+                        raise ValueError("resolved record shape wrong")
+                vals = (
+                    int(d), int(d) % 2 + 1, len(recs),
+                    sum(r["id"] for r in recs),
+                    sum(len(r["name"]) for r in recs),
+                    float(sum(r["weight"] for r in recs)),
+                )
+                for k, v in zip(cols, vals):
+                    out[k].append(v)
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(
+        decode_batches,
+        "doc_id long, writer_version int, n_records int, id_sum long,"
+        " name_chars long, weight_sum double",
+    ).orderBy("doc_id")

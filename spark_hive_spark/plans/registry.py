@@ -92,6 +92,7 @@ SWEEP_PRIORITY: tuple[str, ...] = (
     "multimodal_jpeg_422_decode",
     "source_orc_stripe_skipping",
     "source_delta_checkpoint_replay",
+    "source_avro_schema_evolution",
     # round-10 implementation changes: re-attest under the new code
     "knn_cosine_ivf",
     "ann_recall_audit",
@@ -101,7 +102,6 @@ SWEEP_PRIORITY: tuple[str, ...] = (
     "dedup_exact_normalized",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
-    "dedup_simhash",
 )
 
 

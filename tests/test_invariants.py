@@ -1198,6 +1198,53 @@ def test_wav_decode_rejects_non_mono():
         decode_wav(buf.getvalue())
 
 
+def test_avro_schema_resolution_rules():
+    """Avro 1.11 record resolution: name matching across reorders,
+    skip-with-consume of writer-only fields, reader defaults,
+    long->double promotion; incompatible types and defaultless
+    missing fields fail loudly."""
+    import pytest as _pytest
+
+    from spark_hive_spark.operators.avro import (
+        _AVRO_READER,
+        _AVRO_W1,
+        _AVRO_W2,
+        encode_avro_ocf,
+        parse_avro_ocf,
+    )
+
+    v1 = encode_avro_ocf(
+        [{"id": 1, "name": "abc", "score": 0.5},
+         {"id": 2, "name": "de", "score": 1.5}],
+        _AVRO_W1,
+    )
+    _, recs = parse_avro_ocf(v1, _AVRO_READER)
+    assert recs == [
+        {"id": 1, "name": "abc", "weight": 0.25},
+        {"id": 2, "name": "de", "weight": 0.25},
+    ]
+    v2 = encode_avro_ocf(
+        [{"name": "xyz", "weight": 7, "id": 3, "score": 2.5}],
+        _AVRO_W2,
+        codec="deflate",
+    )
+    _, recs2 = parse_avro_ocf(v2, _AVRO_READER)
+    assert recs2 == [{"name": "xyz", "weight": 7.0, "id": 3}]
+    assert isinstance(recs2[0]["weight"], float)  # promoted, not long
+    with _pytest.raises(ValueError, match="incompatible"):
+        parse_avro_ocf(
+            v1,
+            {"type": "record", "name": "M",
+             "fields": [{"name": "id", "type": "string"}]},
+        )
+    with _pytest.raises(ValueError, match="no default"):
+        parse_avro_ocf(
+            v1,
+            {"type": "record", "name": "M",
+             "fields": [{"name": "zz", "type": "long"}]},
+        )
+
+
 def test_g711_expansion_matches_spec_landmarks():
     """The hand-built G.711 expanders must hit the spec's canonical
     values: μ-law code 0xFF (all-ones wire) is silence (0), code 0x00
