@@ -269,6 +269,7 @@ EXTENDED = [
     "source_orc_stripe_skipping",
     "source_delta_checkpoint_replay",
     "source_avro_schema_evolution",
+    "source_iceberg_position_deletes",
 ]
 
 # Streaming extended queries run dead LAST (after the streaming
@@ -494,7 +495,7 @@ EXPECTED_SF01: dict[str, float] = {
     "source_parquet_footer_stats": 1.4, "source_parquet_rowgroup_skipping": 1.8,
     "multimodal_g711_audio_decode": 0.9, "multimodal_jpeg_422_decode": 1.2,
     "source_orc_stripe_skipping": 2.2, "source_delta_checkpoint_replay": 2.0,
-    "source_avro_schema_evolution": 0.8,
+    "source_avro_schema_evolution": 0.8, "source_iceberg_position_deletes": 2.0,
 }
 
 

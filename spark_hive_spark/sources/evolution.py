@@ -1554,3 +1554,206 @@ def source_iceberg_snapshot_replay(
     ).localCheckpoint(eager=True)  # 1 row; frees the temp root
     shutil.rmtree(root, ignore_errors=True)
     return out
+
+
+@register(
+    "source_iceberg_position_deletes",
+    oracle=f"""
+        SELECT CAST(2 AS INT) AS data_files,
+               CAST(1 AS INT) AS delete_files,
+               CAST((SELECT count(*) FROM orders
+                     WHERE o_orderkey % 10 = 4) AS BIGINT) AS n_deletes,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               {sql_dsum('o_totalprice')} AS revenue
+        FROM orders
+        WHERE o_orderkey % 10 <> 4
+    """,
+    tags=("source", "iceberg", "lakehouse", "merge-on-read", "avro"),
+)
+def source_iceberg_position_deletes(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Iceberg v2 MERGE-ON-READ position deletes (round 10) — the
+    other half of the format after `source_iceberg_snapshot_replay`'s
+    copy-on-write rewrites: a delete commits in O(deleted rows) by
+    writing a POSITION-DELETE FILE (columns ``file_path``, ``pos``
+    per the spec) plus a delete manifest (``content``=1 in the
+    manifest list), and every reader afterwards must ANTI-JOIN data
+    rows against the delete set by (file, row position).
+
+    Snapshot 1 adds two data files through a data manifest; snapshot
+    2 adds a delete file tombstoning every row of file A whose
+    o_orderkey ends in 4 (positions derived from the file itself, so
+    they are exact whatever row order the writer produced). The
+    reader walks metadata.json → manifest list (with the v2
+    ``content`` split) → manifests — all Avro through the repo's own
+    codec — then scans the data files WITH Spark's
+    ``_metadata.file_path``/``row_index`` (the engine's native row
+    addressability — exactly what real merge-on-read readers use)
+    and LEFT ANTI-joins the broadcast delete set.
+
+    The oracle recomputes the surviving aggregate and the delete
+    count from the predicate: applying deletes to the wrong file,
+    off-by-one positions, or skipping the delete manifest flips the
+    hash.
+
+    Scale posture: the anti-join broadcasts the delete set (deletes
+    ≪ data — the format's design assumption); data stays
+    partition-parallel with row positions generated scan-side, never
+    shuffled; metadata resolution is O(#manifest entries)."""
+    import json as _json
+
+    from spark_hive_spark.operators.avro import (
+        encode_avro_ocf,
+        parse_avro_ocf,
+    )
+
+    orders = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    root = os.path.join(
+        tempfile.gettempdir(), f"shs_icedel_{uuid.uuid4().hex}"
+    )
+    ddir = os.path.join(root, "data")
+    mdir = os.path.join(root, "metadata")
+    os.makedirs(ddir)
+    os.makedirs(mdir)
+
+    def _write_part(name: str, df: DataFrame) -> None:
+        tmp = os.path.join(root, f"stage_{name}")
+        df.coalesce(1).write.parquet(tmp)
+        src = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+        os.replace(os.path.join(tmp, src), os.path.join(ddir, name))
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    k = F.col("o_orderkey") % 2
+    _write_part("A.parquet", orders.filter(k == 0))
+    _write_part("B.parquet", orders.filter(k == 1))
+
+    # the delete WRITER: positions come from the data file itself
+    # (read with row_index, filter the doomed rows, keep (file, pos))
+    del_tmp = os.path.join(root, "stage_deletes")
+    (
+        spark.read.parquet(os.path.join(ddir, "A.parquet"))
+        .select(
+            F.lit("A.parquet").alias("file_path"),
+            F.col("_metadata.row_index").alias("pos"),
+            "o_orderkey",
+        )
+        .filter(F.col("o_orderkey") % 10 == 4)
+        .select("file_path", "pos")
+        .coalesce(1)
+        .write.parquet(del_tmp)
+    )
+    src = next(f for f in os.listdir(del_tmp) if f.endswith(".parquet"))
+    os.replace(os.path.join(del_tmp, src), os.path.join(ddir, "D.parquet"))
+    shutil.rmtree(del_tmp, ignore_errors=True)
+
+    entry_schema = {
+        "type": "record",
+        "name": "manifest_entry",
+        "fields": [
+            {"name": "status", "type": "long"},  # 1=ADDED
+            {"name": "file_path", "type": "string"},
+            {"name": "record_count", "type": "long"},
+        ],
+    }
+    mlist_schema = {
+        "type": "record",
+        "name": "manifest_file",
+        "fields": [
+            {"name": "manifest_path", "type": "string"},
+            {"name": "content", "type": "long"},  # 0=data 1=deletes
+            {"name": "added_snapshot_id", "type": "long"},
+        ],
+    }
+
+    def _manifest(name: str, entries: list[dict]) -> str:
+        path = os.path.join(mdir, name)
+        with open(path, "wb") as fh:
+            fh.write(
+                encode_avro_ocf(entries, entry_schema, codec="deflate")
+            )
+        return path
+
+    m_data = _manifest("m-data.avro", [
+        {"status": 1, "file_path": "A.parquet", "record_count": 0},
+        {"status": 1, "file_path": "B.parquet", "record_count": 0},
+    ])
+    m_del = _manifest("m-del.avro", [
+        {"status": 1, "file_path": "D.parquet", "record_count": 0},
+    ])
+
+    def _manifest_list(name: str, rows: list[dict]) -> str:
+        path = os.path.join(mdir, name)
+        with open(path, "wb") as fh:
+            fh.write(encode_avro_ocf(rows, mlist_schema, codec="snappy"))
+        return path
+
+    ml1 = _manifest_list("snap-1.avro", [
+        {"manifest_path": m_data, "content": 0, "added_snapshot_id": 1},
+    ])
+    ml2 = _manifest_list("snap-2.avro", [
+        {"manifest_path": m_data, "content": 0, "added_snapshot_id": 1},
+        {"manifest_path": m_del, "content": 1, "added_snapshot_id": 2},
+    ])
+    with open(os.path.join(mdir, "v2.metadata.json"), "w") as fh:
+        _json.dump({
+            "format-version": 2,
+            "current-snapshot-id": 2,
+            "snapshots": [
+                {"snapshot-id": 1, "manifest-list": ml1},
+                {"snapshot-id": 2, "manifest-list": ml2},
+            ],
+        }, fh)
+
+    # ---- the reader: metadata tree -> data ⟕̸ position deletes ----
+    with open(os.path.join(mdir, "v2.metadata.json")) as fh:
+        md = _json.load(fh)
+    if md["format-version"] > 2:
+        raise NotImplementedError("Iceberg format-version > 2")
+    current = next(
+        s for s in md["snapshots"]
+        if s["snapshot-id"] == md["current-snapshot-id"]
+    )
+    with open(current["manifest-list"], "rb") as fh:
+        _, manifest_rows = parse_avro_ocf(fh.read())
+    data_files: set[str] = set()
+    delete_files: set[str] = set()
+    for mrow in manifest_rows:
+        with open(mrow["manifest_path"], "rb") as fh:
+            _, entries = parse_avro_ocf(fh.read())
+        target = data_files if mrow["content"] == 0 else delete_files
+        for e in entries:
+            if e["status"] != 1:
+                raise ValueError(f"unexpected status {e['status']}")
+            target.add(e["file_path"])
+
+    data = spark.read.parquet(
+        *(os.path.join(ddir, p) for p in sorted(data_files))
+    ).select(
+        "o_orderkey",
+        "o_totalprice",
+        F.element_at(
+            F.split(F.col("_metadata.file_path"), "/"), -1
+        ).alias("fname"),
+        F.col("_metadata.row_index").alias("pos"),
+    )
+    dels = spark.read.parquet(
+        *(os.path.join(ddir, p) for p in sorted(delete_files))
+    )
+    n_deletes = dels.count()
+    survivors = data.join(
+        F.broadcast(dels),
+        (data["fname"] == dels["file_path"]) & (data["pos"] == dels["pos"]),
+        "left_anti",
+    )
+    out = survivors.agg(
+        F.lit(len(data_files)).cast("int").alias("data_files"),
+        F.lit(len(delete_files)).cast("int").alias("delete_files"),
+        F.lit(n_deletes).cast("bigint").alias("n_deletes"),
+        F.count("*").alias("n_orders"),
+        dsum("o_totalprice").alias("revenue"),
+    ).localCheckpoint(eager=True)  # 1 row; frees the temp root
+    shutil.rmtree(root, ignore_errors=True)
+    return out
