@@ -94,6 +94,7 @@ SWEEP_PRIORITY: tuple[str, ...] = (
     "source_delta_checkpoint_replay",
     "source_avro_schema_evolution",
     "source_iceberg_position_deletes",
+    "source_parquet_page_decode",
     # round-10 implementation changes: re-attest under the new code
     "knn_cosine_ivf",
     "ann_recall_audit",
@@ -101,7 +102,6 @@ SWEEP_PRIORITY: tuple[str, ...] = (
     "pipeline_corpus_curation",
     # stalest re-attestations (first swept r01), registration order
     "dedup_exact_normalized",
-    "dedup_ngram_jaccard",
 )
 
 

@@ -362,6 +362,96 @@ def source_parquet_footer_stats(
     return out
 
 
+# ---------------------------------------------------------------------------
+# data-page decode: PageHeader thrift + RLE/bit-packed levels + PLAIN
+# ---------------------------------------------------------------------------
+
+def decode_rle_hybrid(
+    buf: bytes, bit_width: int, total: int
+) -> tuple[list[int], int]:
+    """Parquet's RLE/bit-packed hybrid (4-byte LE length prefix, then
+    runs: header varint `(count<<1)|is_bitpacked`; RLE runs repeat a
+    ceil(bw/8)-byte LE value, bit-packed runs carry (count)*8 values
+    LSB-first) -> (values, bytes consumed incl. the prefix)."""
+    if len(buf) < 4:
+        raise ValueError("truncated RLE length prefix")
+    ln = struct.unpack_from("<I", buf, 0)[0]
+    body = buf[4 : 4 + ln]
+    if len(body) != ln:
+        raise ValueError("truncated RLE hybrid body")
+    vals: list[int] = []
+    p = 0
+    while len(vals) < total:
+        if p >= len(body):
+            raise ValueError("RLE hybrid underruns the level count")
+        h, p = _uvarint(body, p)
+        if h & 1:  # bit-packed group: (h>>1)*8 values
+            ngroups = h >> 1
+            nbytes = ngroups * bit_width
+            if p + nbytes > len(body):
+                raise ValueError("truncated bit-packed run")
+            bits = body[p : p + nbytes]
+            p += nbytes
+            bitpos = 0
+            for _ in range(ngroups * 8):
+                v = 0
+                for b in range(bit_width):
+                    v |= ((bits[bitpos >> 3] >> (bitpos & 7)) & 1) << b
+                    bitpos += 1
+                vals.append(v)
+        else:  # RLE run
+            count = h >> 1
+            wbytes = (bit_width + 7) // 8
+            if p + wbytes > len(body):
+                raise ValueError("truncated RLE run value")
+            v = int.from_bytes(body[p : p + wbytes], "little")
+            p += wbytes
+            vals.extend([v] * count)
+    return vals[:total], 4 + ln
+
+
+def read_int64_column_pages(
+    data: bytes, cmd: dict[int, Any]
+) -> tuple[list[int | None], int]:
+    """Walk one INT64 column chunk's data pages (uncompressed, PLAIN,
+    optional column: max def level 1) -> (values with None for nulls,
+    page count). ``cmd`` is the hand-decoded ColumnMetaData
+    (1:type, 4:codec, 5:num_values, 7:total_compressed_size,
+    9:data_page_offset)."""
+    if cmd[1] != _INT64:
+        raise NotImplementedError("page decode implemented for INT64")
+    if cmd[4] != 0:
+        raise NotImplementedError("page decode expects UNCOMPRESSED")
+    off, size, total = cmd[9], cmd[7], cmd[5]
+    pos = off
+    out: list[int | None] = []
+    n_pages = 0
+    while pos < off + size:
+        hdr, body_start = _read_struct(data, pos)
+        if hdr[1] != 0:  # PageHeader.type: 0 = DATA_PAGE (v1)
+            raise NotImplementedError(f"page type {hdr[1]}")
+        comp_size = hdr[3]
+        dph = hdr[5]  # DataPageHeader
+        nv, enc = dph[1], dph[2]
+        if enc != 0:  # Encoding.PLAIN
+            raise NotImplementedError(f"value encoding {enc}")
+        body = data[body_start : body_start + comp_size]
+        defs, consumed = decode_rle_hybrid(body, 1, nv)
+        n_present = sum(defs)
+        raw = body[consumed : consumed + 8 * n_present]
+        if len(raw) != 8 * n_present:
+            raise ValueError("PLAIN page underruns its value count")
+        present = iter(struct.unpack(f"<{n_present}q", raw))
+        out.extend(next(present) if d else None for d in defs)
+        n_pages += 1
+        pos = body_start + comp_size
+    if len(out) != total:
+        raise ValueError(
+            f"page walk produced {len(out)} values, chunk says {total}"
+        )
+    return out, n_pages
+
+
 _PRUNE_LO = dt.datetime(1995, 4, 1)
 _PRUNE_HI = dt.datetime(1996, 3, 31, 23, 59, 59, 999999)
 
@@ -468,5 +558,141 @@ def source_parquet_rowgroup_skipping(
         F.count("*").alias("n_orders"),
         dsum("o_totalprice").alias("revenue"),
     ).localCheckpoint(eager=True)  # 1 row; frees the temp root
+    shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
+@register(
+    "source_parquet_page_decode",
+    oracle=f"""
+        WITH numbered AS (
+            SELECT CASE WHEN o_orderkey % 97 = 0 THEN NULL
+                        ELSE o_orderkey END AS k,
+                   row_number() OVER (ORDER BY o_orderkey) - 1 AS rn,
+                   count(*) OVER () AS n
+            FROM orders
+        ),
+        grouped AS (
+            SELECT k, CAST(rn // ((n + 3) // 4) AS INT) AS rg
+            FROM numbered
+        )
+        SELECT rg,
+               CAST(count(*) AS BIGINT) AS n_values,
+               CAST(count(*) - count(k) AS BIGINT) AS n_nulls,
+               CAST(sum(k) AS BIGINT) AS key_sum,
+               min(k) AS key_min,
+               max(k) AS key_max,
+               TRUE AS pages_consistent
+        FROM grouped
+        GROUP BY rg
+        ORDER BY rg
+    """,
+    tags=("source", "parquet", "pages", "thrift", "encoding"),
+)
+def source_parquet_page_decode(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Parquet DATA PAGES decoded by hand (round 10) — completing the
+    no-library vertical slice the footer queries started: each task
+    walks one row group's column chunk from ``data_page_offset``,
+    reading every PageHeader (the same Thrift-Compact walker as the
+    footer), the definition levels as the RLE/BIT-PACKED HYBRID
+    (4-byte length prefix; varint run headers; LSB-first bit groups —
+    the fixture nulls every o_orderkey divisible by 97, so the level
+    stream carries real mixed 0/1 runs, not a degenerate all-ones
+    RLE), and the PLAIN little-endian INT64 values. Dictionary
+    encoding, compression, and non-INT64 types stay loud
+    NotImplementedError seams.
+
+    The fixture is the key-sorted orders table in ONE uncompressed,
+    dictionary-free file with exactly 4 ceil-divide row groups and
+    ~4 KiB pages (several pages per group); the oracle recomputes
+    every group's count/null-count/sum/min/max with the identical
+    row_number arithmetic — a levels bug miscounts nulls, an
+    endianness or page-boundary bug flips the sums.
+    ``pages_consistent`` additionally pins, engine-side, that page
+    value counts sum to the chunk total, that >1 page was walked
+    per group (at sf>=0.01), and that the page-decoded min/max equal
+    the footer statistics decoded by the OTHER hand-built path.
+
+    Scale posture: one task per row group (mapInPandas over the plan
+    rows — Spark's own split model); the pure-python decode is the
+    demonstrator for the format layer, while production scans stay
+    on the JVM reader."""
+    import pandas as _pd
+
+    root = os.path.join(tempfile.gettempdir(), f"shs_pgd_{uuid.uuid4().hex}")
+    os.makedirs(root)
+    import pyarrow as _pa
+    import pyarrow.parquet as _pq
+
+    # deterministic global order: nulls carry no payload bytes, but
+    # their POSITIONS must match the oracle's row_number over
+    # o_orderkey — build in o_orderkey order, then nullify %97 keys
+    orders_sorted = (
+        t(spark, sf_dir, "orders").select("o_orderkey").sort("o_orderkey")
+        .toArrow()
+    )
+    keys = orders_sorted["o_orderkey"].to_pylist()
+    vals = [None if k % 97 == 0 else k for k in keys]
+    tbl = _pa.table({"k": _pa.array(vals, _pa.int64())})
+    n = tbl.num_rows
+    path = os.path.join(root, "orders_keys.parquet")
+    _pq.write_table(
+        tbl, path,
+        row_group_size=(n + 3) // 4,
+        use_dictionary=False,
+        compression="NONE",
+        data_page_size=4096,
+    )
+    with open(path, "rb") as fh:
+        raw = fh.read()
+    fmd = decode_footer(raw)
+    n_groups = len(fmd[4])
+
+    plan = spark.createDataFrame(
+        [(path, i) for i in range(n_groups)], "path string, rg int"
+    ).repartition(n_groups)
+
+    def _decode_groups(batches) -> Iterator:
+        for pdf in batches:
+            rows = []
+            for rec in pdf.itertuples(index=False):
+                with open(rec.path, "rb") as fh:
+                    data = fh.read()
+                fmd_l = decode_footer(data)
+                rg = fmd_l[4][rec.rg]
+                cmd = rg[1][0][3]
+                values, n_pages = read_int64_column_pages(data, cmd)
+                present = [v for v in values if v is not None]
+                st = cmd.get(12, {})
+                foot_min = _decode_stat(st.get(6), _INT64)
+                foot_max = _decode_stat(st.get(5), _INT64)
+                consistent = (
+                    len(values) == rg[3]
+                    and n_pages >= (2 if rg[3] > 1000 else 1)
+                    and min(present) == foot_min
+                    and max(present) == foot_max
+                )
+                rows.append(
+                    (
+                        rec.rg, len(values), len(values) - len(present),
+                        sum(present), min(present), max(present),
+                        bool(consistent),
+                    )
+                )
+            yield _pd.DataFrame(
+                rows,
+                columns=[
+                    "rg", "n_values", "n_nulls", "key_sum",
+                    "key_min", "key_max", "pages_consistent",
+                ],
+            )
+
+    out = plan.mapInPandas(
+        _decode_groups,
+        "rg int, n_values bigint, n_nulls bigint, key_sum bigint,"
+        " key_min bigint, key_max bigint, pages_consistent boolean",
+    ).orderBy("rg").localCheckpoint(eager=True)
     shutil.rmtree(root, ignore_errors=True)
     return out

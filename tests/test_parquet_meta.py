@@ -103,6 +103,65 @@ def test_rejects_non_parquet_and_truncation(written):
         decode_footer(data[:4] + data[-8:])
 
 
+def test_page_decode_matches_pyarrow_values(tmp_path):
+    """The hand-built data-page walk (PageHeader thrift + RLE/bit-
+    packed def levels + PLAIN int64) must reproduce pyarrow's own
+    read of the same file, nulls included, across several pages and
+    row groups."""
+    from spark_hive_spark.sources.parquet_meta import (
+        decode_footer,
+        read_int64_column_pages,
+    )
+
+    n = 7000
+    vals = [None if k % 13 == 0 else k * 3 for k in range(n)]
+    path = str(tmp_path / "pages.parquet")
+    pq.write_table(
+        pa.table({"v": pa.array(vals, pa.int64())}),
+        path,
+        row_group_size=2000,
+        use_dictionary=False,
+        compression="NONE",
+        data_page_size=2048,
+    )
+    with open(path, "rb") as fh:
+        data = fh.read()
+    fmd = decode_footer(data)
+    got: list = []
+    total_pages = 0
+    for rg in fmd[4]:
+        vs, n_pages = read_int64_column_pages(data, rg[1][0][3])
+        got.extend(vs)
+        total_pages += n_pages
+    assert got == pq.read_table(path)["v"].to_pylist() == vals
+    assert total_pages > len(fmd[4])  # multiple pages per group
+
+
+def test_rle_hybrid_both_run_kinds():
+    """decode_rle_hybrid handles RLE runs, bit-packed groups, and
+    mixed streams (hand-assembled per the parquet encoding spec)."""
+    import struct as _struct
+
+    from spark_hive_spark.sources.parquet_meta import decode_rle_hybrid
+
+    # RLE run: header (5<<1)=10, value byte 1
+    body = bytes([10, 1])
+    buf = _struct.pack("<I", len(body)) + body
+    assert decode_rle_hybrid(buf, 1, 5) == ([1] * 5, 4 + len(body))
+    # bit-packed: header (1<<1)|1=3, one byte 0b01010101 -> 8 values
+    body = bytes([3, 0b01010101])
+    buf = _struct.pack("<I", len(body)) + body
+    assert decode_rle_hybrid(buf, 1, 8)[0] == [1, 0] * 4
+    # mixed: 3 RLE zeros then a bit-packed byte
+    body = bytes([6, 0, 3, 0b00001111])
+    buf = _struct.pack("<I", len(body)) + body
+    assert decode_rle_hybrid(buf, 1, 11)[0] == [0] * 3 + [1] * 4 + [0] * 4
+    with pytest.raises(ValueError):
+        decode_rle_hybrid(b"\x01", 1, 1)  # truncated prefix
+    with pytest.raises(ValueError):  # body underruns the level count
+        decode_rle_hybrid(_struct.pack("<I", 2) + bytes([2, 1]), 1, 99)
+
+
 def test_single_row_group_boundary():
     tbl = _fixture_table(10)
     import io
