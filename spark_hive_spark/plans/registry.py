@@ -95,13 +95,12 @@ SWEEP_PRIORITY: tuple[str, ...] = (
     "source_avro_schema_evolution",
     "source_iceberg_position_deletes",
     "source_parquet_page_decode",
+    "source_parquet_spark_native_decode",
     # round-10 implementation changes: re-attest under the new code
     "knn_cosine_ivf",
     "ann_recall_audit",
     "mining_hard_negatives_ann_audit",
     "pipeline_corpus_curation",
-    # stalest re-attestations (first swept r01), registration order
-    "dedup_exact_normalized",
 )
 
 
