@@ -42,9 +42,12 @@ _REGISTRY: dict[str, Query] = {}
 # 1): the 4 reference jobs stay pinned, then the FINAL 6 queries with no
 # CORRECTNESS_r01..r09 row (completing 300/300 cumulative driver
 # attestation), then this round's NEW queries (driver rows on first
-# appearance), then re-attestation fillers: first the queries whose
+# appearance — 26 from the first session, 10 file-format-floor queries
+# from the second), then re-attestation fillers for the queries whose
 # implementation changed this round (IVF adaptive sizing, shingle-cache
-# eviction), then the r01-swept set — the stalest attestations.
+# eviction). The stale-re-attestation tail (dedup_*, w_top3, stats_*,
+# unpivot, histogram — all r01-attested green) was displaced by the
+# second session's additions; r11 should rotate them back in first.
 # tests/test_registry_window.py asserts the window stays exactly this.
 SWEEP_PRIORITY: tuple[str, ...] = (
     # pinned reference jobs (driver-green every round)
