@@ -4186,7 +4186,7 @@ def multimodal_g711_audio_decode(
     spec-built, including the word-alignment pad byte an odd-length
     data chunk carries. Expansion to PCM16 uses the ITU-T G.711
     segment/mantissa closed forms, which the DuckDB oracle evaluates
-    PER CODEWORD in SQL (`{{_SQL_ULAW}}`/`{{_SQL_ALAW}}`) — so a
+    PER CODEWORD in SQL (`_SQL_ULAW`/`_SQL_ALAW` above) — so a
     complement, bias, segment-shift, sign-convention, or pad-byte bug
     flips the exact integer sums (wsum pins sample ORDER, not just
     the multiset).

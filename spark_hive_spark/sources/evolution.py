@@ -1177,7 +1177,7 @@ def source_delta_checkpoint_replay(
     older JSON commits, so a reader that can only replay JSON from
     v0 cannot read a mature table at all. Per PROTOCOL.md: the
     ``_last_checkpoint`` JSON pointer names the checkpoint version;
-    ``{{v:020d}}.checkpoint.parquet`` holds ONE ROW PER ACTION as
+    ``<v:020d>.checkpoint.parquet`` holds ONE ROW PER ACTION as
     nullable structs (protocol / metaData / add / remove — removes
     are retained as tombstones until retention expiry); JSON commits
     AFTER the checkpoint replay on top.
