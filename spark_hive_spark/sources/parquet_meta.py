@@ -186,10 +186,20 @@ def decode_footer(data: bytes) -> dict[int, Any]:
     return fmd
 
 
-def _decode_stat(raw: bytes | None, phys: int) -> Any:
-    """Plain-encoded Statistics payload -> python value per physical type."""
+def _decode_stat(
+    raw: bytes | None, phys: int, scale: int | None = None
+) -> Any:
+    """Plain-encoded Statistics payload -> python value per physical
+    type. For FIXED_LEN_BYTE_ARRAY with a decimal ``scale``, decodes
+    the big-endian two's-complement unscaled value the spec
+    prescribes for DECIMAL stats."""
     if raw is None:
         return None
+    if phys == _FLBA and scale is not None:
+        from decimal import Decimal
+
+        unscaled = int.from_bytes(raw, "big", signed=True)
+        return Decimal(unscaled).scaleb(-scale)
     if phys == _INT32:
         return struct.unpack("<i", raw)[0]
     if phys == _INT64:
@@ -214,9 +224,15 @@ def footer_summary(data: bytes) -> dict[str, Any]:
     """
     fmd = decode_footer(data)
     schema = fmd[2]  # list<SchemaElement>; [0] is the root group
-    col_names = [
-        se[4].decode() for se in schema[1:] if 5 not in se  # leaves only
-    ]
+    leaves = [se for se in schema[1:] if 5 not in se]  # leaves only
+    col_names = [se[4].decode() for se in leaves]
+    # DECIMAL leaves (converted_type 5) carry their scale in field 7 —
+    # FLBA stats then decode as big-endian unscaled per the spec
+    scales = {
+        se[4].decode(): se.get(7)
+        for se in leaves
+        if se.get(6) == 5
+    }
     groups = []
     for rg in fmd[4]:
         stats: dict[str, dict[str, Any]] = {}
@@ -224,12 +240,13 @@ def footer_summary(data: bytes) -> dict[str, Any]:
             cmd = cc[3]  # ColumnMetaData
             phys = cmd[1]
             path = ".".join(seg.decode() for seg in cmd[3])
+            scale = scales.get(path)
             st = cmd.get(12, {})
             # 5/6 = max_value/min_value (logical order); 1/2 legacy
             stats[path] = {
                 "type": _PHYS.get(phys, str(phys)),
-                "min": _decode_stat(st.get(6, st.get(2)), phys),
-                "max": _decode_stat(st.get(5, st.get(1)), phys),
+                "min": _decode_stat(st.get(6, st.get(2)), phys, scale),
+                "max": _decode_stat(st.get(5, st.get(1)), phys, scale),
                 "null_count": st.get(3),
                 "num_values": cmd[5],
             }

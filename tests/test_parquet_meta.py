@@ -162,6 +162,79 @@ def test_rle_hybrid_both_run_kinds():
         decode_rle_hybrid(_struct.pack("<I", 2) + bytes([2, 1]), 1, 99)
 
 
+def test_footer_differential_across_types(tmp_path):
+    """Footer decode vs pyarrow across a broader type matrix than the
+    main fixture: decimal128 (FLBA big-endian unscaled stats), bool,
+    float32, date32 — every leaf's stats must match pyarrow's."""
+    import decimal
+
+    n = 3000
+    tbl = pa.table(
+        {
+            "dec": pa.array(
+                [decimal.Decimal(k).scaleb(-2) for k in range(n)],
+                pa.decimal128(12, 2),
+            ),
+            "flag": pa.array([k % 3 == 0 for k in range(n)], pa.bool_()),
+            "f32": pa.array([k * 0.5 for k in range(n)], pa.float32()),
+            "d32": pa.array(
+                [dt.date(2000, 1, 1) + dt.timedelta(days=k % 900)
+                 for k in range(n)],
+                pa.date32(),
+            ),
+        }
+    )
+    path = str(tmp_path / "types.parquet")
+    pq.write_table(tbl, path, row_group_size=1000)
+    with open(path, "rb") as fh:
+        summ = footer_summary(fh.read())
+    md = pq.ParquetFile(path).metadata
+    for i, rg in enumerate(summ["row_groups"]):
+        ref_rg = md.row_group(i)
+        for j in range(ref_rg.num_columns):
+            col = ref_rg.column(j)
+            got = rg["stats"][col.path_in_schema]
+            s = col.statistics
+            want_min, want_max = s.min, s.max
+            if col.path_in_schema == "d32":  # raw int32 days
+                epoch = dt.date(1970, 1, 1)
+                want_min = (want_min - epoch).days
+                want_max = (want_max - epoch).days
+            assert got["min"] == want_min, col.path_in_schema
+            assert got["max"] == want_max, col.path_in_schema
+            assert got["null_count"] == s.null_count
+
+
+def test_g711_wav_tolerates_extra_chunks():
+    """Real-world non-PCM WAVs carry a 'fact' chunk (and often LIST
+    metadata); the chunk walker must skip unknown chunks and decode
+    the same samples."""
+    import struct as _struct
+
+    import numpy as np
+
+    from spark_hive_spark.operators.multimodal import (
+        decode_g711_wav,
+        encode_g711_wav,
+    )
+
+    codes = bytes(range(64))
+    blob = encode_g711_wav(codes, 7)
+    # splice a fact chunk (sample count) + an odd-sized LIST chunk
+    # (exercising word-aligned skip) between fmt and data
+    fact = b"fact" + _struct.pack("<I", 4) + _struct.pack("<I", len(codes))
+    lst = b"LIST" + _struct.pack("<I", 5) + b"INFOx" + b"\x00"  # pad
+    fmt_end = 12 + 8 + 16
+    spliced = blob[:fmt_end] + fact + lst + blob[fmt_end:]
+    spliced = spliced[:4] + _struct.pack(
+        "<I", len(spliced) - 8
+    ) + spliced[8:]
+    law, rate, pcm = decode_g711_wav(spliced)
+    _, _, ref = decode_g711_wav(blob)
+    assert (law, rate) == ("ulaw", 8000)
+    assert np.array_equal(pcm, ref)
+
+
 def test_spark_native_file_decodes_by_hand(spark, tmp_path):
     """A file written by Spark itself (parquet-mr defaults: zstd
     pages + dictionary encoding) must decode through the hand-built
