@@ -272,6 +272,7 @@ EXTENDED = [
     "source_iceberg_position_deletes",
     "source_parquet_page_decode",
     "source_parquet_spark_native_decode",
+    "source_orc_rlev2_decode",
 ]
 
 # Streaming extended queries run dead LAST (after the streaming
@@ -499,6 +500,7 @@ EXPECTED_SF01: dict[str, float] = {
     "source_orc_stripe_skipping": 2.2, "source_delta_checkpoint_replay": 2.0,
     "source_avro_schema_evolution": 0.8, "source_iceberg_position_deletes": 2.0,
     "source_parquet_page_decode": 1.8, "source_parquet_spark_native_decode": 1.6,
+    "source_orc_rlev2_decode": 2.0,
 }
 
 

@@ -99,8 +99,10 @@ SWEEP_PRIORITY: tuple[str, ...] = (
     "source_iceberg_position_deletes",
     "source_parquet_page_decode",
     "source_parquet_spark_native_decode",
+    "source_orc_rlev2_decode",
     # round-10 implementation changes: re-attest under the new code
-    "knn_cosine_ivf",
+    # (knn_cosine_ivf was displaced by the ORC capstone — its driver
+    # check is rows-only anyway; ann_recall_audit below is its gate)
     "ann_recall_audit",
     "mining_hard_negatives_ann_audit",
     "pipeline_corpus_curation",

@@ -369,3 +369,324 @@ def source_orc_stripe_skipping(
     ).localCheckpoint(eager=True)  # 1 row; frees the temp root
     shutil.rmtree(root, ignore_errors=True)
     return out
+
+
+# ---------------------------------------------------------------------------
+# ORC data streams: RLEv2 integers + boolean PRESENT — read by hand
+# ---------------------------------------------------------------------------
+
+_FBS = tuple(range(1, 25)) + (26, 28, 30, 32, 40, 48, 56, 64)
+_ALIGNED = (1, 2, 4, 8, 16, 24, 32, 40, 48, 56, 64)
+
+
+def _aligned_width(bits: int) -> int:
+    for a in _ALIGNED:
+        if bits <= a:
+            return a
+    raise ValueError(f"no aligned width for {bits} bits")
+
+
+def _svarint(b: bytes, p: int) -> tuple[int, int]:
+    u, p = _uvarint(b, p)
+    return _unzigzag(u), p
+
+
+def _read_bits_msb(
+    b: bytes, p: int, width: int, count: int
+) -> tuple[list[int], int]:
+    """MSB-first bit-unpacking of ``count`` ``width``-bit values,
+    advancing to the next byte boundary (ORC's packing rule)."""
+    out = []
+    bitpos = 0
+    for _ in range(count):
+        v = 0
+        for _ in range(width):
+            byte_idx = p + (bitpos >> 3)
+            if byte_idx >= len(b):
+                raise ValueError("bit-packed run overruns the stream")
+            v = (v << 1) | ((b[byte_idx] >> (7 - (bitpos & 7))) & 1)
+            bitpos += 1
+        out.append(v)
+    return out, p + ((bitpos + 7) >> 3)
+
+
+def decode_rlev2(b: bytes, signed: bool = True) -> list[int]:
+    """ORC RunLength-v2 integer decoding (ORCv1 spec §Run Length
+    Encoding v2) — ALL FOUR sub-encodings: SHORT_REPEAT (3-10 copies
+    of a 1-8-byte big-endian value), DIRECT (9-bit length, FBS-coded
+    bit width, MSB-first packing), DELTA (zigzag base + signed first
+    delta, then unsigned delta magnitudes at the coded width, or a
+    fixed-delta run at width 0), and PATCHED_BASE (sign-magnitude
+    base, reduced-width values, and a patch list of (gap, patch)
+    pairs packed at the ALIGNED combined width, restoring outlier
+    high bits). Signed streams zigzag in SHORT_REPEAT/DIRECT per the
+    spec; DELTA bases zigzag only when signed."""
+    out: list[int] = []
+    p = 0
+    while p < len(b):
+        h = b[p]
+        enc = h >> 6
+        if enc == 0:  # SHORT_REPEAT
+            w = ((h >> 3) & 7) + 1
+            rep = (h & 7) + 3
+            if p + 1 + w > len(b):
+                raise ValueError("truncated SHORT_REPEAT run")
+            v = int.from_bytes(b[p + 1 : p + 1 + w], "big")
+            p += 1 + w
+            out += [_unzigzag(v) if signed else v] * rep
+        elif enc == 1:  # DIRECT
+            width = _FBS[(h >> 1) & 31]
+            length = ((h & 1) << 8 | b[p + 1]) + 1
+            vals, p = _read_bits_msb(b, p + 2, width, length)
+            out += [_unzigzag(v) for v in vals] if signed else vals
+        elif enc == 3:  # DELTA: length+1 total values incl. the base
+            wcode = (h >> 1) & 31
+            width = 0 if wcode == 0 else _FBS[wcode]
+            total = ((h & 1) << 8 | b[p + 1]) + 1
+            p += 2
+            base, p = _svarint(b, p) if signed else _uvarint(b, p)
+            delta0, p = _svarint(b, p)
+            vals = [base]
+            if total > 1:
+                vals.append(base + delta0)
+            if width and total > 2:
+                rest, p = _read_bits_msb(b, p, width, total - 2)
+                sign = 1 if delta0 >= 0 else -1
+                cur = vals[-1]
+                for d in rest:
+                    cur += sign * d
+                    vals.append(cur)
+            else:
+                while len(vals) < total:
+                    vals.append(vals[-1] + delta0)
+            out += vals[:total]
+        else:  # PATCHED_BASE
+            w = _FBS[(h >> 1) & 31]
+            length = ((h & 1) << 8 | b[p + 1]) + 1
+            third, fourth = b[p + 2], b[p + 3]
+            bw = ((third >> 5) & 7) + 1
+            pw = _FBS[third & 31]
+            pgw = ((fourth >> 5) & 7) + 1
+            pll = fourth & 31
+            p += 4
+            base = int.from_bytes(b[p : p + bw], "big")
+            msb = 1 << (bw * 8 - 1)
+            if base & msb:  # sign-magnitude, not two's complement
+                base = -(base ^ msb)
+            p += bw
+            vals, p = _read_bits_msb(b, p, w, length)
+            patches, p = _read_bits_msb(
+                b, p, _aligned_width(pgw + pw), pll
+            )
+            idx = 0
+            for pv in patches:
+                gap = pv >> pw
+                patch = pv & ((1 << pw) - 1)
+                idx += gap
+                if patch:  # (255, 0) entries only advance the cursor
+                    vals[idx] |= patch << w
+            out += [base + v for v in vals]
+    return out
+
+
+def decode_byte_rle(b: bytes) -> bytes:
+    """ORC byte-level RLE (v1): control < 128 -> control+3 copies of
+    the next byte; control >= 128 -> 256-control literal bytes."""
+    out = bytearray()
+    p = 0
+    while p < len(b):
+        c = b[p]
+        p += 1
+        if c < 128:
+            if p >= len(b):
+                raise ValueError("truncated byte-RLE run")
+            out += bytes([b[p]]) * (c + 3)
+            p += 1
+        else:
+            n = 256 - c
+            if p + n > len(b):
+                raise ValueError("truncated byte-RLE literals")
+            out += b[p : p + n]
+            p += n
+    return bytes(out)
+
+
+def decode_present(b: bytes, count: int) -> list[int]:
+    """PRESENT stream: byte-RLE over a bitmap, bits MSB-first."""
+    raw = decode_byte_rle(b)
+    bits: list[int] = []
+    for byte in raw:
+        for k in range(8):
+            bits.append((byte >> (7 - k)) & 1)
+    if len(bits) < count:
+        raise ValueError("PRESENT stream shorter than the row count")
+    return bits[:count]
+
+
+def read_orc_int64_column(
+    data: bytes, column: int = 1
+) -> tuple[list[int | None], int]:
+    """Read one int64 column's VALUES from raw ORC bytes — no ORC
+    library anywhere on the path: postscript/footer protobuf, per-
+    stripe footers (stream directory + column encodings), chunk
+    decompression via the repo's codecs, the PRESENT bitmap, and
+    RLEv2 DATA streams. -> (values with None for nulls, n_stripes).
+
+    Loud seams: non-DIRECT_V2 column encodings and stream kinds
+    other than PRESENT/DATA/ROW_INDEX for the target column."""
+    ps_len = data[-1]
+    ps_end = len(data) - 1
+    ps = decode_message(data[ps_end - ps_len : ps_end])
+    codec = ps.get(2, [0])[0]
+    foot_len = ps[1][0]
+    footer = decode_message(
+        _unchunk(data[ps_end - ps_len - foot_len : ps_end - ps_len], codec)
+    )
+    out: list[int | None] = []
+    stripes = footer.get(3, [])
+    for sraw in stripes:
+        st = decode_message(sraw)
+        off, ilen, dlen, flen, nrows = (
+            st[1][0], st[2][0], st[3][0], st[4][0], st[5][0]
+        )
+        sfoot = decode_message(
+            _unchunk(data[off + ilen + dlen : off + ilen + dlen + flen],
+                     codec)
+        )
+        encodings = [decode_message(e).get(1, [0])[0] for e in sfoot[2]]
+        if encodings[column] != 2:  # DIRECT_V2
+            raise NotImplementedError(
+                f"ORC column encoding {encodings[column]}"
+            )
+        pos = off
+        present_raw = data_raw = None
+        for s in sfoot[1]:
+            m = decode_message(s)
+            kind, col, ln = m.get(1, [0])[0], m.get(2, [0])[0], m[3][0]
+            if col == column and kind == 0:  # PRESENT
+                present_raw = data[pos : pos + ln]
+            elif col == column and kind == 1:  # DATA
+                data_raw = data[pos : pos + ln]
+            elif col == column and kind != 6:  # ROW_INDEX is fine
+                raise NotImplementedError(f"ORC stream kind {kind}")
+            pos += ln
+        if data_raw is None:
+            raise ValueError("ORC stripe missing the DATA stream")
+        vals = decode_rlev2(_unchunk(data_raw, codec), signed=True)
+        if present_raw is None:
+            if len(vals) != nrows:
+                raise ValueError("DATA stream row count mismatch")
+            out += vals
+        else:
+            bits = decode_present(_unchunk(present_raw, codec), nrows)
+            if sum(bits) != len(vals):
+                raise ValueError("PRESENT bits disagree with DATA count")
+            it = iter(vals)
+            out += [next(it) if bit else None for bit in bits]
+    return out, len(stripes)
+
+
+@register(
+    "source_orc_rlev2_decode",
+    oracle="""
+        WITH v AS (
+            SELECT CASE WHEN o_orderkey % 97 = 0 THEN NULL
+                        ELSE o_orderkey END AS val
+            FROM orders
+        )
+        SELECT CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(count(*) - count(val) AS BIGINT) AS n_nulls,
+               CAST(sum(val) AS BIGINT) AS val_sum,
+               CAST(min(val) AS BIGINT) AS val_min,
+               CAST(max(val) AS BIGINT) AS val_max,
+               TRUE AS decode_consistent
+        FROM v
+    """,
+    tags=("source", "orc", "rlev2", "encoding", "data-read"),
+)
+def source_orc_rlev2_decode(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """ORC DATA streams decoded by hand (round 10) — the columnar
+    capstone matching `source_parquet_spark_native_decode`: a real
+    engine's ORC file (pyarrow writer, snappy chunks, 64 KiB stripes)
+    is read back with NO ORC LIBRARY anywhere on the path —
+    postscript/footer protobuf, per-stripe footers (stream directory
+    + column encodings), the PRESENT bitmap (byte-RLE + MSB-first
+    bits; the fixture nulls every o_orderkey divisible by 97, so the
+    bitmap carries real mixed runs), and the RLEv2 integer DATA
+    stream with all four sub-encodings implemented (SHORT_REPEAT /
+    DIRECT / DELTA / PATCHED_BASE — `decode_rlev2` above, exercised
+    against every sub-encoding by the pyarrow differential pytest).
+
+    The oracle recomputes count/nulls/sum/min/max from the raw
+    table; ``decode_consistent`` additionally pins engine-side that
+    the decoded row count equals the footer's numberOfRows, that
+    non-null counts match the file-level IntegerStatistics
+    num_values, and that decoded extrema equal the independently
+    decoded statistics.
+
+    Scale posture: one task reads the file (files/stripes are the
+    split unit); the pure-python RLEv2 walk is the format-layer
+    demonstrator — production scans stay on the JVM reader this
+    query certifies against."""
+    import pandas as _pd
+    import pyarrow as _pa
+    import pyarrow.orc as _po
+
+    root = os.path.join(
+        tempfile.gettempdir(), f"shs_orcd_{uuid.uuid4().hex}"
+    )
+    os.makedirs(root)
+    keys = (
+        t(spark, sf_dir, "orders").select("o_orderkey")
+        .sort("o_orderkey").toArrow()["o_orderkey"].to_pylist()
+    )
+    vals = [None if k % 97 == 0 else k for k in keys]
+    path = os.path.join(root, "orders_keys.orc")
+    _po.write_table(
+        _pa.table({"val": _pa.array(vals, _pa.int64())}),
+        path, stripe_size=64 * 1024, compression="snappy",
+    )
+
+    plan = spark.createDataFrame([(path,)], "path string")
+
+    def _decode(batches) -> Iterator:
+        for pdf in batches:
+            rows = []
+            for rec in pdf.itertuples(index=False):
+                with open(rec.path, "rb") as fh:
+                    data = fh.read()
+                tail = read_orc_tail(data)
+                values, n_stripes = read_orc_int64_column(data)
+                present = [v for v in values if v is not None]
+                ints = tail["file_stats"][1]["int"]
+                consistent = (
+                    len(values) == tail["num_rows"]
+                    and n_stripes == len(tail["stripes"])
+                    and len(present)
+                        == tail["file_stats"][1]["num_values"]
+                    and min(present) == ints["min"]
+                    and max(present) == ints["max"]
+                    and sum(present) == ints["sum"]
+                )
+                rows.append(
+                    (
+                        len(values), len(values) - len(present),
+                        sum(present), min(present), max(present),
+                        bool(consistent),
+                    )
+                )
+            yield _pd.DataFrame(
+                rows,
+                columns=["n_rows", "n_nulls", "val_sum", "val_min",
+                         "val_max", "decode_consistent"],
+            )
+
+    out = plan.mapInPandas(
+        _decode,
+        "n_rows bigint, n_nulls bigint, val_sum bigint,"
+        " val_min bigint, val_max bigint, decode_consistent boolean",
+    ).localCheckpoint(eager=True)  # 1 row; frees the temp root
+    shutil.rmtree(root, ignore_errors=True)
+    return out
