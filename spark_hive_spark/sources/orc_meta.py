@@ -1,6 +1,8 @@
-"""ORC file-tail reading WITHOUT the ORC library — the columnar
-sibling of the hand-built parquet footer reader (sources/
-parquet_meta.py), from the two public specs:
+"""ORC reading WITHOUT the ORC library — the columnar sibling of the
+hand-built parquet reader (sources/parquet_meta.py): the file TAIL
+(postscript/footer/metadata, stripe statistics, stripe skipping) and
+the DATA layer itself (PRESENT bitmaps + RLEv2 integer streams, all
+four sub-encodings), from the two public specs:
 
 - **Protocol Buffers wire format** (protobuf.dev/programming-guides/
   encoding): varint keys `(field<<3)|wiretype`, wiretypes 0/1/2/5,
@@ -690,3 +692,75 @@ def source_orc_rlev2_decode(
     ).localCheckpoint(eager=True)  # 1 row; frees the temp root
     shutil.rmtree(root, ignore_errors=True)
     return out
+
+
+def read_orc_string_column(
+    data: bytes, column: int = 1
+) -> tuple[list[str | None], int]:
+    """Read one string column's values from raw ORC bytes — DIRECT_V2
+    string encoding: a LENGTH stream (RLEv2, unsigned) sizing each
+    value and a DATA stream of the concatenated UTF-8 bytes, plus the
+    PRESENT bitmap for nullable rows. -> (values, n_stripes).
+    DICTIONARY_V2 strings stay a loud seam (pyarrow's writer emits
+    DIRECT_V2; the dictionary form adds DICTIONARY_DATA indexing)."""
+    ps_len = data[-1]
+    ps_end = len(data) - 1
+    ps = decode_message(data[ps_end - ps_len : ps_end])
+    codec = ps.get(2, [0])[0]
+    foot_len = ps[1][0]
+    footer = decode_message(
+        _unchunk(data[ps_end - ps_len - foot_len : ps_end - ps_len], codec)
+    )
+    out: list[str | None] = []
+    stripes = footer.get(3, [])
+    for sraw in stripes:
+        st = decode_message(sraw)
+        off, ilen, dlen, flen, nrows = (
+            st[1][0], st[2][0], st[3][0], st[4][0], st[5][0]
+        )
+        sfoot = decode_message(
+            _unchunk(data[off + ilen + dlen : off + ilen + dlen + flen],
+                     codec)
+        )
+        encodings = [decode_message(e).get(1, [0])[0] for e in sfoot[2]]
+        if encodings[column] != 2:  # DIRECT_V2
+            raise NotImplementedError(
+                f"ORC string encoding {encodings[column]} "
+                "(DICTIONARY_V2 not implemented)"
+            )
+        pos = off
+        present_raw = data_raw = length_raw = None
+        for s in sfoot[1]:
+            m = decode_message(s)
+            kind, col, ln = m.get(1, [0])[0], m.get(2, [0])[0], m[3][0]
+            if col == column and kind == 0:
+                present_raw = data[pos : pos + ln]
+            elif col == column and kind == 1:
+                data_raw = data[pos : pos + ln]
+            elif col == column and kind == 2:
+                length_raw = data[pos : pos + ln]
+            elif col == column and kind != 6:
+                raise NotImplementedError(f"ORC stream kind {kind}")
+            pos += ln
+        if data_raw is None or length_raw is None:
+            raise ValueError("ORC string stripe missing DATA/LENGTH")
+        lengths = decode_rlev2(_unchunk(length_raw, codec), signed=False)
+        blob = _unchunk(data_raw, codec)
+        strs: list[str] = []
+        bp = 0
+        for ln_ in lengths:
+            strs.append(blob[bp : bp + ln_].decode("utf-8"))
+            bp += ln_
+        if bp != len(blob):
+            raise ValueError("string DATA stream has trailing bytes")
+        if present_raw is None:
+            if len(strs) != nrows:
+                raise ValueError("LENGTH stream row count mismatch")
+            out += strs
+        else:
+            bits = decode_present(_unchunk(present_raw, codec), nrows)
+            if sum(bits) != len(strs):
+                raise ValueError("PRESENT bits disagree with LENGTH count")
+            it = iter(strs)
+            out += [next(it) if bit else None for bit in bits]
+    return out, len(stripes)

@@ -164,6 +164,37 @@ def test_orc_int64_data_read_differential(tmp_path, compression):
         )
 
 
+@pytest.mark.parametrize(
+    "compression", ["uncompressed", "zlib", "snappy", "zstd", "lz4"]
+)
+def test_orc_string_column_read_differential(tmp_path, compression):
+    """`read_orc_string_column` (DIRECT_V2: unsigned-RLEv2 LENGTH
+    stream + concatenated UTF-8 DATA) must reproduce pyarrow's read —
+    low/high cardinality, multi-byte UTF-8, empties, and nulls."""
+    from spark_hive_spark.sources.orc_meta import read_orc_string_column
+
+    cases = {
+        "low_card": [f"cat{i % 7}" for i in range(3000)],
+        "unique": [f"unique-{i:06d}" for i in range(3000)],
+        "unicode": [f"naïve—{i}🌍" for i in range(500)],
+        "empty_mix": [
+            "" if i % 5 == 0 else "x" * (i % 40) for i in range(2000)
+        ],
+        "nullable": [None if i % 7 == 0 else f"v{i}" for i in range(4000)],
+    }
+    for name, vals in cases.items():
+        path = str(tmp_path / f"{name}.orc")
+        po.write_table(
+            pa.table({"s": pa.array(vals, pa.string())}),
+            path, compression=compression,
+        )
+        with open(path, "rb") as fh:
+            got, _ = read_orc_string_column(fh.read())
+        assert got == po.ORCFile(path).read()["s"].to_pylist() == vals, (
+            compression, name,
+        )
+
+
 def test_orc_rlev2_and_byte_rle_rejections():
     from spark_hive_spark.sources.orc_meta import (
         decode_byte_rle,
