@@ -697,12 +697,14 @@ def source_orc_rlev2_decode(
 def read_orc_string_column(
     data: bytes, column: int = 1
 ) -> tuple[list[str | None], int]:
-    """Read one string column's values from raw ORC bytes — DIRECT_V2
-    string encoding: a LENGTH stream (RLEv2, unsigned) sizing each
-    value and a DATA stream of the concatenated UTF-8 bytes, plus the
-    PRESENT bitmap for nullable rows. -> (values, n_stripes).
-    DICTIONARY_V2 strings stay a loud seam (pyarrow's writer emits
-    DIRECT_V2; the dictionary form adds DICTIONARY_DATA indexing)."""
+    """Read one string column's values from raw ORC bytes, both spec
+    encodings: DIRECT_V2 (a LENGTH stream — RLEv2 unsigned — sizing
+    each value, DATA = the concatenated UTF-8 bytes; what pyarrow
+    writes) and DICTIONARY_V2 (LENGTH sizes the dictionarySize sorted
+    dictionary entries carried in DICTIONARY_DATA, and DATA becomes
+    unsigned-RLEv2 dictionary INDICES — what Spark's JVM writer emits
+    for low-cardinality columns), plus the PRESENT bitmap for
+    nullable rows. -> (values, n_stripes)."""
     ps_len = data[-1]
     ps_end = len(data) - 1
     ps = decode_message(data[ps_end - ps_len : ps_end])
@@ -722,14 +724,14 @@ def read_orc_string_column(
             _unchunk(data[off + ilen + dlen : off + ilen + dlen + flen],
                      codec)
         )
-        encodings = [decode_message(e).get(1, [0])[0] for e in sfoot[2]]
-        if encodings[column] != 2:  # DIRECT_V2
+        enc_msgs = [decode_message(e) for e in sfoot[2]]
+        encoding = enc_msgs[column].get(1, [0])[0]
+        if encoding not in (2, 3):  # DIRECT_V2 / DICTIONARY_V2
             raise NotImplementedError(
-                f"ORC string encoding {encodings[column]} "
-                "(DICTIONARY_V2 not implemented)"
+                f"ORC string encoding {encoding}"
             )
         pos = off
-        present_raw = data_raw = length_raw = None
+        present_raw = data_raw = length_raw = dict_raw = None
         for s in sfoot[1]:
             m = decode_message(s)
             kind, col, ln = m.get(1, [0])[0], m.get(2, [0])[0], m[3][0]
@@ -739,20 +741,40 @@ def read_orc_string_column(
                 data_raw = data[pos : pos + ln]
             elif col == column and kind == 2:
                 length_raw = data[pos : pos + ln]
+            elif col == column and kind == 3:
+                dict_raw = data[pos : pos + ln]
             elif col == column and kind != 6:
                 raise NotImplementedError(f"ORC stream kind {kind}")
             pos += ln
         if data_raw is None or length_raw is None:
             raise ValueError("ORC string stripe missing DATA/LENGTH")
         lengths = decode_rlev2(_unchunk(length_raw, codec), signed=False)
-        blob = _unchunk(data_raw, codec)
-        strs: list[str] = []
-        bp = 0
-        for ln_ in lengths:
-            strs.append(blob[bp : bp + ln_].decode("utf-8"))
-            bp += ln_
-        if bp != len(blob):
-            raise ValueError("string DATA stream has trailing bytes")
+
+        def _split(blob: bytes, lens: list[int]) -> list[str]:
+            parts: list[str] = []
+            bp = 0
+            for ln_ in lens:
+                parts.append(blob[bp : bp + ln_].decode("utf-8"))
+                bp += ln_
+            if bp != len(blob):
+                raise ValueError("string stream has trailing bytes")
+            return parts
+
+        if encoding == 3:  # DICTIONARY_V2
+            if dict_raw is None:
+                raise ValueError(
+                    "DICTIONARY_V2 stripe missing DICTIONARY_DATA"
+                )
+            dict_size = enc_msgs[column].get(2, [None])[0]
+            if dict_size is not None and len(lengths) != dict_size:
+                raise ValueError(
+                    "LENGTH count disagrees with dictionarySize"
+                )
+            entries = _split(_unchunk(dict_raw, codec), lengths)
+            idx = decode_rlev2(_unchunk(data_raw, codec), signed=False)
+            strs = [entries[i] for i in idx]
+        else:  # DIRECT_V2
+            strs = _split(_unchunk(data_raw, codec), lengths)
         if present_raw is None:
             if len(strs) != nrows:
                 raise ValueError("LENGTH stream row count mismatch")

@@ -195,6 +195,37 @@ def test_orc_string_column_read_differential(tmp_path, compression):
         )
 
 
+def test_spark_written_orc_decodes_by_hand(spark, tmp_path):
+    """An ORC file written by SPARK's JVM writer (zstd chunks,
+    DICTIONARY_V2 strings — the encoding pyarrow never emits) must
+    decode through the hand-built stack: int64 DIRECT_V2, nullable
+    int64 with PRESENT, and dictionary-indexed strings."""
+    import glob
+
+    from spark_hive_spark.sources.orc_meta import (
+        read_orc_int64_column,
+        read_orc_string_column,
+    )
+
+    out = str(tmp_path / "sorc")
+    spark.range(0, 8000).selectExpr(
+        "id AS k",
+        "concat('cat', id % 7) AS s",
+        "nullif(id % 500, 13) AS nv",
+    ).coalesce(1).write.orc(out)
+    path = glob.glob(out + "/*.orc")[0]
+    with open(path, "rb") as fh:
+        data = fh.read()
+    ks, _ = read_orc_int64_column(data, column=1)
+    strs, _ = read_orc_string_column(data, column=2)
+    nvs, _ = read_orc_int64_column(data, column=3)
+    assert ks == list(range(8000))
+    assert strs == [f"cat{i % 7}" for i in range(8000)]
+    assert nvs == [
+        None if (i % 500) == 13 else i % 500 for i in range(8000)
+    ]
+
+
 def test_orc_rlev2_and_byte_rle_rejections():
     from spark_hive_spark.sources.orc_meta import (
         decode_byte_rle,
