@@ -433,6 +433,59 @@ def decode_rle_hybrid(
     return vals[:total], prefix + ln
 
 
+def decode_delta_binary_packed(b: bytes, expected: int) -> list[int]:
+    """Parquet DELTA_BINARY_PACKED (encodings.md): header of
+    <block size> <miniblocks/block> <total count> (uvarints) and the
+    zigzag first value; then per block a zigzag min-delta, one
+    bit-width byte PER miniblock, and the STARTED miniblocks'
+    LSB-first bit-packed delta offsets (the last started miniblock is
+    zero-padded to its full width; never-started trailing miniblocks
+    carry width bytes but no data)."""
+    p = 0
+    block_size, p = _uvarint(b, p)
+    miniblocks, p = _uvarint(b, p)
+    total, p = _uvarint(b, p)
+    u, p = _uvarint(b, p)
+    first = _unzigzag(u)
+    if total != expected:
+        raise ValueError(
+            f"DELTA header count {total} != page value count {expected}"
+        )
+    if total == 0:
+        return []
+    if miniblocks == 0 or block_size % miniblocks:
+        raise ValueError("malformed DELTA block geometry")
+    vpm = block_size // miniblocks
+    vals = [first]
+    while len(vals) < total:
+        u, p = _uvarint(b, p)
+        min_delta = _unzigzag(u)
+        widths = b[p : p + miniblocks]
+        if len(widths) != miniblocks:
+            raise ValueError("truncated DELTA miniblock widths")
+        p += miniblocks
+        for w in widths:
+            if len(vals) >= total:
+                break  # never-started miniblock: width byte only
+            nbytes = (vpm * w + 7) >> 3
+            chunk = b[p : p + nbytes]
+            if len(chunk) != nbytes:
+                raise ValueError("truncated DELTA miniblock data")
+            p += nbytes
+            bitpos = 0
+            for _ in range(vpm):
+                if len(vals) >= total:
+                    break  # zero padding of the last miniblock
+                d = 0
+                for k in range(w):  # LSB-first within bytes
+                    d |= (
+                        (chunk[bitpos >> 3] >> (bitpos & 7)) & 1
+                    ) << k
+                    bitpos += 1
+                vals.append(vals[-1] + min_delta + d)
+    return vals[:total]
+
+
 def _decompress_page(body: bytes, codec: int, uncomp_size: int) -> bytes:
     """Page-body decompression through THIS repo's codec stack:
     0=UNCOMPRESSED, 1=SNAPPY (operators/snappy.py), 6=ZSTD
@@ -495,14 +548,38 @@ def read_int64_column_pages(
             dictionary = list(
                 struct.unpack(f"<{dict_hdr[1]}q", raw[: 8 * dict_hdr[1]])
             )
-        elif ptype == 0:  # DATA_PAGE v1
-            dph = hdr[5]
-            nv, enc = dph[1], dph[2]
-            raw = _decompress_page(body, codec, hdr[2])
-            defs, consumed = decode_rle_hybrid(raw, 1, nv)
+        elif ptype in (0, 3):  # DATA_PAGE v1 / v2
+            if ptype == 0:
+                dph = hdr[5]
+                nv, enc = dph[1], dph[2]
+                raw = _decompress_page(body, codec, hdr[2])
+                defs, consumed = decode_rle_hybrid(raw, 1, nv)
+                vals_buf = raw[consumed:]
+            else:  # v2: levels sit UNCOMPRESSED before the data blob
+                dph = hdr[8]  # DataPageHeaderV2
+                nv, enc = dph[1], dph[4]
+                dll = dph.get(5, 0)
+                rll = dph.get(6, 0)
+                if rll:
+                    raise NotImplementedError(
+                        "repetition levels (nested columns)"
+                    )
+                levels = body[:dll]
+                defs = (
+                    decode_rle_hybrid(
+                        levels, 1, nv, length_prefixed=False
+                    )[0]
+                    if dll
+                    else [1] * nv
+                )
+                vals_buf = bytes(body[dll:])
+                if dph.get(7, True) and codec != 0:
+                    vals_buf = _decompress_page(
+                        vals_buf, codec, hdr[2] - dll - rll
+                    )
             n_present = sum(defs)
             if enc == 0:  # PLAIN
-                vals_raw = raw[consumed : consumed + 8 * n_present]
+                vals_raw = vals_buf[: 8 * n_present]
                 if len(vals_raw) != 8 * n_present:
                     raise ValueError(
                         "PLAIN page underruns its value count"
@@ -513,12 +590,13 @@ def read_int64_column_pages(
                     raise ValueError(
                         "dictionary-encoded page before dictionary page"
                     )
-                bw = raw[consumed]
+                bw = vals_buf[0]
                 idx, _ = decode_rle_hybrid(
-                    raw[consumed + 1 :], bw, n_present,
-                    length_prefixed=False,
+                    vals_buf[1:], bw, n_present, length_prefixed=False
                 )
                 vals = [dictionary[i] for i in idx]
+            elif enc == 5:  # DELTA_BINARY_PACKED
+                vals = decode_delta_binary_packed(vals_buf, n_present)
             else:
                 raise NotImplementedError(f"value encoding {enc}")
             present = iter(vals)

@@ -137,6 +137,58 @@ def test_page_decode_matches_pyarrow_values(tmp_path):
     assert total_pages > len(fmd[4])  # multiple pages per group
 
 
+@pytest.mark.parametrize(
+    "opts",
+    [
+        dict(use_dictionary=False, compression="NONE",
+             data_page_version="2.0"),
+        dict(use_dictionary=False, compression="NONE",
+             data_page_version="2.0",
+             column_encoding={"v": "DELTA_BINARY_PACKED"}),
+        dict(use_dictionary=False, compression="ZSTD",
+             data_page_version="2.0",
+             column_encoding={"v": "DELTA_BINARY_PACKED"}),
+        dict(compression="SNAPPY", data_page_version="2.0"),
+    ],
+    ids=["v2-plain", "v2-delta", "v2-delta-zstd", "v2-dict-snappy"],
+)
+def test_v2_pages_and_delta_binary_packed(tmp_path, opts):
+    """DataPageHeaderV2 (levels uncompressed before the data blob,
+    is_compressed flag) and DELTA_BINARY_PACKED (block/miniblock
+    zigzag deltas, zero-padded last miniblock, never-started trailing
+    miniblocks) must reproduce pyarrow's read across sorted/random/
+    constant/nullable distributions."""
+    import random
+
+    from spark_hive_spark.sources.parquet_meta import (
+        decode_footer,
+        read_int64_column_pages,
+    )
+
+    random.seed(11)
+    cases = {
+        "sorted_nulls": [
+            None if i % 13 == 0 else i * 7 - 5000 for i in range(6000)
+        ],
+        "random": [random.randint(-(2**40), 2**40) for _ in range(5000)],
+        "constant": [99] * 4000,
+        "no_nulls_sorted": list(range(7000)),
+    }
+    for name, vals in cases.items():
+        path = str(tmp_path / f"{name}.parquet")
+        pq.write_table(
+            pa.table({"v": pa.array(vals, pa.int64())}),
+            path, row_group_size=2500, data_page_size=2048, **opts,
+        )
+        with open(path, "rb") as fh:
+            data = fh.read()
+        got: list = []
+        for rg in decode_footer(data)[4]:
+            vs, _ = read_int64_column_pages(data, rg[1][0][3])
+            got.extend(vs)
+        assert got == pq.read_table(path)["v"].to_pylist() == vals, name
+
+
 def test_rle_hybrid_both_run_kinds():
     """decode_rle_hybrid handles RLE runs, bit-packed groups, and
     mixed streams (hand-assembled per the parquet encoding spec)."""
