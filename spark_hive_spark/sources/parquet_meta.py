@@ -440,50 +440,9 @@ def decode_delta_binary_packed(b: bytes, expected: int) -> list[int]:
     bit-width byte PER miniblock, and the STARTED miniblocks'
     LSB-first bit-packed delta offsets (the last started miniblock is
     zero-padded to its full width; never-started trailing miniblocks
-    carry width bytes but no data)."""
-    p = 0
-    block_size, p = _uvarint(b, p)
-    miniblocks, p = _uvarint(b, p)
-    total, p = _uvarint(b, p)
-    u, p = _uvarint(b, p)
-    first = _unzigzag(u)
-    if total != expected:
-        raise ValueError(
-            f"DELTA header count {total} != page value count {expected}"
-        )
-    if total == 0:
-        return []
-    if miniblocks == 0 or block_size % miniblocks:
-        raise ValueError("malformed DELTA block geometry")
-    vpm = block_size // miniblocks
-    vals = [first]
-    while len(vals) < total:
-        u, p = _uvarint(b, p)
-        min_delta = _unzigzag(u)
-        widths = b[p : p + miniblocks]
-        if len(widths) != miniblocks:
-            raise ValueError("truncated DELTA miniblock widths")
-        p += miniblocks
-        for w in widths:
-            if len(vals) >= total:
-                break  # never-started miniblock: width byte only
-            nbytes = (vpm * w + 7) >> 3
-            chunk = b[p : p + nbytes]
-            if len(chunk) != nbytes:
-                raise ValueError("truncated DELTA miniblock data")
-            p += nbytes
-            bitpos = 0
-            for _ in range(vpm):
-                if len(vals) >= total:
-                    break  # zero padding of the last miniblock
-                d = 0
-                for k in range(w):  # LSB-first within bytes
-                    d |= (
-                        (chunk[bitpos >> 3] >> (bitpos & 7)) & 1
-                    ) << k
-                    bitpos += 1
-                vals.append(vals[-1] + min_delta + d)
-    return vals[:total]
+    carry width bytes but no data). Thin wrapper over the
+    span-returning `decode_delta_binary_packed_prefix`."""
+    return decode_delta_binary_packed_prefix(b, expected)[0]
 
 
 def _decompress_page(body: bytes, codec: int, uncomp_size: int) -> bytes:
@@ -966,3 +925,175 @@ def source_parquet_spark_native_decode(
     ).localCheckpoint(eager=True)  # 1 row; frees the temp root
     shutil.rmtree(root, ignore_errors=True)
     return out
+
+
+def _split_byte_array_plain(buf: bytes, count: int) -> list[bytes]:
+    """PLAIN BYTE_ARRAY: 4-byte LE length + bytes, per value."""
+    out: list[bytes] = []
+    p = 0
+    for _ in range(count):
+        if p + 4 > len(buf):
+            raise ValueError("truncated PLAIN byte-array length")
+        n = struct.unpack_from("<I", buf, p)[0]
+        p += 4
+        if p + n > len(buf):
+            raise ValueError("truncated PLAIN byte-array value")
+        out.append(buf[p : p + n])
+        p += n
+    return out
+
+
+def read_byte_array_column_pages(
+    data: bytes, cmd: dict[int, Any]
+) -> tuple[list[str | None], int]:
+    """Walk one BYTE_ARRAY (string) column chunk's pages — the string
+    counterpart of `read_int64_column_pages`, every encoding a
+    pyarrow/parquet-mr writer emits: PLAIN (length-prefixed values),
+    PLAIN_/RLE_DICTIONARY, DELTA_LENGTH_BYTE_ARRAY (6: one
+    DELTA_BINARY_PACKED run of lengths, then the concatenated bytes)
+    and DELTA_BYTE_ARRAY (7: delta-packed PREFIX lengths + a nested
+    DELTA_LENGTH_BYTE_ARRAY of suffixes — front-coding), across v1
+    and v2 data pages and the compressed-page codecs."""
+    if cmd[1] != _BYTE_ARRAY:
+        raise NotImplementedError("expected a BYTE_ARRAY column")
+    codec = cmd[4]
+    off = cmd.get(11, cmd[9])
+    size, total = cmd[7], cmd[5]
+    pos = off
+    out: list[str | None] = []
+    dictionary: list[bytes] | None = None
+    n_pages = 0
+
+    def _delta_length(buf: bytes, count: int) -> tuple[list[bytes], int]:
+        """DELTA_LENGTH_BYTE_ARRAY -> (values, bytes consumed)."""
+        # the lengths run is self-delimiting; decode it, then measure
+        # its byte span by re-walking the header geometry
+        lengths = decode_delta_binary_packed_prefix(buf, count)
+        vals: list[bytes] = []
+        p = lengths[1]
+        for n in lengths[0]:
+            vals.append(buf[p : p + n])
+            p += n
+        return vals, p
+
+    while pos < off + size:
+        hdr, body_start = _read_struct(data, pos)
+        ptype, comp_size = hdr[1], hdr[3]
+        body = data[body_start : body_start + comp_size]
+        if ptype == 2:  # DICTIONARY_PAGE: PLAIN byte arrays
+            dict_hdr = hdr[7]
+            raw = _decompress_page(body, codec, hdr[2])
+            dictionary = _split_byte_array_plain(raw, dict_hdr[1])
+        elif ptype in (0, 3):
+            if ptype == 0:
+                dph = hdr[5]
+                nv, enc = dph[1], dph[2]
+                raw = _decompress_page(body, codec, hdr[2])
+                defs, consumed = decode_rle_hybrid(raw, 1, nv)
+                vals_buf = raw[consumed:]
+            else:
+                dph = hdr[8]
+                nv, enc = dph[1], dph[4]
+                dll, rll = dph.get(5, 0), dph.get(6, 0)
+                if rll:
+                    raise NotImplementedError("repetition levels")
+                defs = (
+                    decode_rle_hybrid(
+                        body[:dll], 1, nv, length_prefixed=False
+                    )[0]
+                    if dll
+                    else [1] * nv
+                )
+                vals_buf = bytes(body[dll:])
+                if dph.get(7, True) and codec != 0:
+                    vals_buf = _decompress_page(
+                        vals_buf, codec, hdr[2] - dll - rll
+                    )
+            n_present = sum(defs)
+            if enc == 0:  # PLAIN
+                vals = _split_byte_array_plain(vals_buf, n_present)
+            elif enc in (2, 8):  # dictionary indices
+                if dictionary is None:
+                    raise ValueError("dictionary page missing")
+                bw = vals_buf[0]
+                idx, _ = decode_rle_hybrid(
+                    vals_buf[1:], bw, n_present, length_prefixed=False
+                )
+                vals = [dictionary[i] for i in idx]
+            elif enc == 6:  # DELTA_LENGTH_BYTE_ARRAY
+                vals, _ = _delta_length(vals_buf, n_present)
+            elif enc == 7:  # DELTA_BYTE_ARRAY: prefix lens + suffixes
+                prefixes, consumed = decode_delta_binary_packed_prefix(
+                    vals_buf, n_present
+                )
+                suffixes, _ = _delta_length(
+                    vals_buf[consumed:], n_present
+                )
+                vals = []
+                prev = b""
+                for plen, suf in zip(prefixes, suffixes):
+                    prev = prev[:plen] + suf
+                    vals.append(prev)
+            else:
+                raise NotImplementedError(f"byte-array encoding {enc}")
+            present = iter(vals)
+            out.extend(
+                next(present).decode("utf-8") if d else None
+                for d in defs
+            )
+            n_pages += 1
+        else:
+            raise NotImplementedError(f"page type {ptype}")
+        pos = body_start + comp_size
+    if len(out) != total:
+        raise ValueError("page walk produced the wrong value count")
+    return out, n_pages
+
+
+def decode_delta_binary_packed_prefix(
+    b: bytes, expected: int
+) -> tuple[list[int], int]:
+    """Like `decode_delta_binary_packed`, but also returns the byte
+    length of the run — needed where another stream follows it in the
+    same buffer (DELTA_LENGTH/DELTA_BYTE_ARRAY)."""
+    p = 0
+    block_size, p = _uvarint(b, p)
+    miniblocks, p = _uvarint(b, p)
+    total, p = _uvarint(b, p)
+    u, p = _uvarint(b, p)
+    first = _unzigzag(u)
+    if total != expected:
+        raise ValueError(
+            f"DELTA header count {total} != expected {expected}"
+        )
+    if total == 0:
+        return [], p
+    if miniblocks == 0 or block_size % miniblocks:
+        raise ValueError("malformed DELTA block geometry")
+    vpm = block_size // miniblocks
+    vals = [first]
+    while len(vals) < total:
+        u, p = _uvarint(b, p)
+        min_delta = _unzigzag(u)
+        widths = b[p : p + miniblocks]
+        if len(widths) != miniblocks:
+            raise ValueError("truncated DELTA miniblock widths")
+        p += miniblocks
+        for w in widths:
+            if len(vals) >= total:
+                break
+            nbytes = (vpm * w + 7) >> 3
+            chunk = b[p : p + nbytes]
+            if len(chunk) != nbytes:
+                raise ValueError("truncated DELTA miniblock data")
+            p += nbytes
+            bitpos = 0
+            for _ in range(vpm):
+                if len(vals) >= total:
+                    break
+                d = 0
+                for k in range(w):
+                    d |= ((chunk[bitpos >> 3] >> (bitpos & 7)) & 1) << k
+                    bitpos += 1
+                vals.append(vals[-1] + min_delta + d)
+    return vals[:total], p
