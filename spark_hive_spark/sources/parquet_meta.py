@@ -471,8 +471,9 @@ def _decompress_page(body: bytes, codec: int, uncomp_size: int) -> bytes:
 def read_int64_column_pages(
     data: bytes, cmd: dict[int, Any]
 ) -> tuple[list[int | None], int]:
-    """Walk one INT64 column chunk's pages (optional column: max def
-    level 1) -> (values with None for nulls, data-page count).
+    """Walk one fixed-width column chunk's pages (INT32/INT64/FLOAT/
+    DOUBLE; optional column: max def level 1) -> (values with None
+    for nulls, data-page count).
 
     Handles the full default layout a Spark/parquet-mr writer emits:
     an optional DICTIONARY page (type 2, PLAIN-encoded dict values)
@@ -484,8 +485,15 @@ def read_int64_column_pages(
     ColumnMetaData (1:type, 4:codec, 5:num_values,
     7:total_compressed_size, 9:data_page_offset,
     11:dictionary_page_offset)."""
-    if cmd[1] != _INT64:
-        raise NotImplementedError("page decode implemented for INT64")
+    phys = cmd[1]
+    fixed = {_INT32: ("<i", 4), _INT64: ("<q", 8),
+             _FLOAT: ("<f", 4), _DOUBLE: ("<d", 8)}
+    if phys not in fixed:
+        raise NotImplementedError(
+            f"page decode implemented for fixed-width types, not "
+            f"{_PHYS.get(phys, phys)}"
+        )
+    fmt_ch, width = fixed[phys]
     codec = cmd[4]
     off = cmd.get(11, cmd[9])  # dictionary page precedes data pages
     size, total = cmd[7], cmd[5]
@@ -504,8 +512,10 @@ def read_int64_column_pages(
                     f"dictionary page encoding {dict_hdr[2]}"
                 )
             raw = _decompress_page(body, codec, hdr[2])
+            nd = dict_hdr[1]
             dictionary = list(
-                struct.unpack(f"<{dict_hdr[1]}q", raw[: 8 * dict_hdr[1]])
+                struct.unpack(f"{fmt_ch[0]}{nd}{fmt_ch[1]}",
+                              raw[: width * nd])
             )
         elif ptype in (0, 3):  # DATA_PAGE v1 / v2
             if ptype == 0:
@@ -538,12 +548,16 @@ def read_int64_column_pages(
                     )
             n_present = sum(defs)
             if enc == 0:  # PLAIN
-                vals_raw = vals_buf[: 8 * n_present]
-                if len(vals_raw) != 8 * n_present:
+                vals_raw = vals_buf[: width * n_present]
+                if len(vals_raw) != width * n_present:
                     raise ValueError(
                         "PLAIN page underruns its value count"
                     )
-                vals = list(struct.unpack(f"<{n_present}q", vals_raw))
+                vals = list(
+                    struct.unpack(
+                        f"{fmt_ch[0]}{n_present}{fmt_ch[1]}", vals_raw
+                    )
+                )
             elif enc in (2, 8):  # PLAIN_DICTIONARY / RLE_DICTIONARY
                 if dictionary is None:
                     raise ValueError(
@@ -554,7 +568,11 @@ def read_int64_column_pages(
                     vals_buf[1:], bw, n_present, length_prefixed=False
                 )
                 vals = [dictionary[i] for i in idx]
-            elif enc == 5:  # DELTA_BINARY_PACKED
+            elif enc == 5:  # DELTA_BINARY_PACKED (integer types only)
+                if phys not in (_INT32, _INT64):
+                    raise NotImplementedError(
+                        "DELTA_BINARY_PACKED on a non-integer column"
+                    )
                 vals = decode_delta_binary_packed(vals_buf, n_present)
             else:
                 raise NotImplementedError(f"value encoding {enc}")

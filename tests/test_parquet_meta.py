@@ -256,6 +256,55 @@ def test_byte_array_pages_differential(tmp_path, opts):
         assert got == pq.read_table(path)["s"].to_pylist() == vals, name
 
 
+@pytest.mark.parametrize(
+    "opts",
+    [
+        dict(compression="SNAPPY"),
+        dict(use_dictionary=False, compression="ZSTD",
+             data_page_version="2.0"),
+    ],
+    ids=["v1-dict-snappy", "v2-plain-zstd"],
+)
+def test_fixed_width_types_page_differential(tmp_path, opts):
+    """The fixed-width page reader covers INT32/FLOAT/DOUBLE alongside
+    INT64 — dictionary and plain, v1 and v2, compressed — matching
+    pyarrow's read with nulls."""
+    from spark_hive_spark.sources.parquet_meta import (
+        decode_footer,
+        read_int64_column_pages,
+    )
+
+    cases = {
+        "i32": (
+            [None if i % 11 == 0 else (i * 37) % 100000 - 50000
+             for i in range(5000)],
+            pa.int32(),
+        ),
+        "f64": (
+            [None if i % 11 == 0 else i * 0.25 for i in range(5000)],
+            pa.float64(),
+        ),
+        "f32": (
+            [None if i % 11 == 0 else float(i % 1000)
+             for i in range(5000)],
+            pa.float32(),
+        ),
+    }
+    for name, (vals, typ) in cases.items():
+        path = str(tmp_path / f"{name}.parquet")
+        pq.write_table(
+            pa.table({"v": pa.array(vals, typ)}),
+            path, row_group_size=2000, data_page_size=2048, **opts,
+        )
+        with open(path, "rb") as fh:
+            data = fh.read()
+        got: list = []
+        for rg in decode_footer(data)[4]:
+            vs, _ = read_int64_column_pages(data, rg[1][0][3])
+            got.extend(vs)
+        assert got == pq.read_table(path)["v"].to_pylist(), name
+
+
 def test_rle_hybrid_both_run_kinds():
     """decode_rle_hybrid handles RLE runs, bit-packed groups, and
     mixed streams (hand-assembled per the parquet encoding spec)."""
