@@ -658,17 +658,28 @@ def _cas_commit(mdir: str, version: int, files: list[str]) -> bool:
     """CAS publish: atomically create v{version}.json, or report the
     slot already taken (the conflict signal) — the same
     atomic-create-or-fail primitive Delta uses on the transaction
-    log (object-store put-if-absent)."""
+    log (object-store put-if-absent).
+
+    The manifest body is written to a private temp file first and
+    published with os.link (atomic create-or-EEXIST of a COMPLETE
+    file), so a concurrent `_cas_latest` can never observe an empty
+    or partially-written manifest — create-then-write would expose
+    exactly that window."""
     import json as _json
 
     path = os.path.join(mdir, f"v{version}.json")
+    tmp = os.path.join(mdir, f".v{version}.{uuid.uuid4().hex}.tmp")
+    with open(tmp, "w") as fh:
+        _json.dump({"version": version, "files": files}, fh)
+        fh.flush()
+        os.fsync(fh.fileno())
     try:
-        fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        os.link(tmp, path)  # put-if-absent of the finished manifest
+        return True
     except FileExistsError:
         return False
-    with os.fdopen(fd, "w") as fh:
-        _json.dump({"version": version, "files": files}, fh)
-    return True
+    finally:
+        os.unlink(tmp)
 
 
 def _cas_latest(mdir: str) -> tuple[int, list[str]]:

@@ -224,6 +224,23 @@ def read_orc_tail(data: bytes) -> dict[str, Any]:
 # fixture + registered query
 # ---------------------------------------------------------------------------
 
+def stripe_date_ranges(
+    tail: dict[str, Any], date_col: int
+) -> list[dict[str, int]]:
+    """Per-stripe {min, max} day ranges for column `date_col`, for
+    stripe pruning. When the tail has NO Metadata section (no
+    StripeStatistics — the spec makes it optional), nothing can be
+    pruned: every stripe is assigned the file-level range, which
+    intersects any window the file intersects, so the planner reads
+    ALL stripes instead of silently collapsing a multi-stripe file
+    to a single pseudo-stripe (a reader that did that would drop
+    every row outside stripe 0)."""
+    if tail["stripe_stats"]:
+        return [sc[date_col]["date"] for sc in tail["stripe_stats"]]
+    file_range = tail["file_stats"][date_col]["date"]
+    return [file_range] * len(tail["stripes"])
+
+
 _ORC_LO = dt.date(1995, 4, 1)
 _ORC_HI = dt.date(1996, 3, 31)
 
@@ -309,9 +326,7 @@ def source_orc_stripe_skipping(
     date_stats = tail["file_stats"][2]["date"]
     epoch = dt.date(1970, 1, 1)
     stripe_rows = [s["num_rows"] for s in tail["stripes"]]
-    per_stripe_dates = [
-        sc[2]["date"] for sc in tail["stripe_stats"]
-    ] if tail["stripe_stats"] else [date_stats]
+    per_stripe_dates = stripe_date_ranges(tail, date_col=2)
     consistent = sum(stripe_rows) == tail["num_rows"]
     if tail["stripe_stats"]:
         consistent = (

@@ -215,6 +215,31 @@ def _decode_stat(
     return raw  # INT96 / FLBA stay opaque
 
 
+def _leaf_paths(schema: list[dict[int, Any]]) -> list[tuple[str, dict[int, Any]]]:
+    """Flattened SchemaElement list -> [(dotted path, leaf element)].
+
+    The schema is a pre-order tree flattening where groups carry
+    field 5 (num_children); the dotted path is what ColumnMetaData's
+    path_in_schema (field 3) joins to, so stats lookups for leaves
+    nested inside groups need the path, not the bare leaf name."""
+    out: list[tuple[str, dict[int, Any]]] = []
+    # stack of [remaining-children, prefix] frames; root is schema[0]
+    stack: list[list[Any]] = [[schema[0].get(5, 0), ()]]
+    for se in schema[1:]:
+        while stack and stack[-1][0] == 0:
+            stack.pop()
+        if not stack:
+            raise ValueError("schema walk overran the declared tree")
+        stack[-1][0] -= 1
+        name = se[4].decode()
+        path = stack[-1][1] + (name,)
+        if 5 in se:  # group node
+            stack.append([se[5], path])
+        else:
+            out.append((".".join(path), se))
+    return out
+
+
 def footer_summary(data: bytes) -> dict[str, Any]:
     """Interpreted footer: file-level info + per-row-group column stats.
 
@@ -224,13 +249,15 @@ def footer_summary(data: bytes) -> dict[str, Any]:
     """
     fmd = decode_footer(data)
     schema = fmd[2]  # list<SchemaElement>; [0] is the root group
-    leaves = [se for se in schema[1:] if 5 not in se]  # leaves only
-    col_names = [se[4].decode() for se in leaves]
+    leaves = _leaf_paths(schema)
+    col_names = [p for p, _ in leaves]
     # DECIMAL leaves (converted_type 5) carry their scale in field 7 —
-    # FLBA stats then decode as big-endian unscaled per the spec
+    # FLBA stats then decode as big-endian unscaled per the spec.
+    # Keyed by the full dotted path so decimals nested inside groups
+    # resolve (stats lookups below use path_in_schema).
     scales = {
-        se[4].decode(): se.get(7)
-        for se in leaves
+        p: se.get(7)
+        for p, se in leaves
         if se.get(6) == 5
     }
     groups = []
@@ -469,11 +496,18 @@ def _decompress_page(body: bytes, codec: int, uncomp_size: int) -> bytes:
 
 
 def read_int64_column_pages(
-    data: bytes, cmd: dict[int, Any]
+    data: bytes, cmd: dict[int, Any], max_def_level: int = 1
 ) -> tuple[list[int | None], int]:
     """Walk one fixed-width column chunk's pages (INT32/INT64/FLOAT/
-    DOUBLE; optional column: max def level 1) -> (values with None
-    for nulls, data-page count).
+    DOUBLE) -> (values with None for nulls, data-page count).
+
+    ``max_def_level`` mirrors the leaf SchemaElement's
+    repetition_type: 1 for OPTIONAL (the default — a v1 page then
+    starts with a length-prefixed RLE/bit-packed definition-levels
+    stream), 0 for REQUIRED (no levels stream at all; the page body
+    is values from byte 0 — parsing a levels stream there would
+    misread the first 4 data bytes as an RLE length prefix).
+    Levels deeper than 1 (nested optionals) stay a loud seam.
 
     Handles the full default layout a Spark/parquet-mr writer emits:
     an optional DICTIONARY page (type 2, PLAIN-encoded dict values)
@@ -494,6 +528,10 @@ def read_int64_column_pages(
             f"{_PHYS.get(phys, phys)}"
         )
     fmt_ch, width = fixed[phys]
+    if max_def_level not in (0, 1):
+        raise NotImplementedError(
+            f"nested definition levels (max {max_def_level})"
+        )
     codec = cmd[4]
     off = cmd.get(11, cmd[9])  # dictionary page precedes data pages
     size, total = cmd[7], cmd[5]
@@ -522,8 +560,11 @@ def read_int64_column_pages(
                 dph = hdr[5]
                 nv, enc = dph[1], dph[2]
                 raw = _decompress_page(body, codec, hdr[2])
-                defs, consumed = decode_rle_hybrid(raw, 1, nv)
-                vals_buf = raw[consumed:]
+                if max_def_level == 0:  # REQUIRED: no levels stream
+                    defs, vals_buf = [1] * nv, raw
+                else:
+                    defs, consumed = decode_rle_hybrid(raw, 1, nv)
+                    vals_buf = raw[consumed:]
             else:  # v2: levels sit UNCOMPRESSED before the data blob
                 dph = hdr[8]  # DataPageHeaderV2
                 nv, enc = dph[1], dph[4]
@@ -962,7 +1003,7 @@ def _split_byte_array_plain(buf: bytes, count: int) -> list[bytes]:
 
 
 def read_byte_array_column_pages(
-    data: bytes, cmd: dict[int, Any]
+    data: bytes, cmd: dict[int, Any], max_def_level: int = 1
 ) -> tuple[list[str | None], int]:
     """Walk one BYTE_ARRAY (string) column chunk's pages — the string
     counterpart of `read_int64_column_pages`, every encoding a
@@ -971,9 +1012,16 @@ def read_byte_array_column_pages(
     DELTA_BINARY_PACKED run of lengths, then the concatenated bytes)
     and DELTA_BYTE_ARRAY (7: delta-packed PREFIX lengths + a nested
     DELTA_LENGTH_BYTE_ARRAY of suffixes — front-coding), across v1
-    and v2 data pages and the compressed-page codecs."""
+    and v2 data pages and the compressed-page codecs.
+
+    ``max_def_level`` as in `read_int64_column_pages`: 0 = REQUIRED
+    leaf (v1 pages carry no definition-levels stream)."""
     if cmd[1] != _BYTE_ARRAY:
         raise NotImplementedError("expected a BYTE_ARRAY column")
+    if max_def_level not in (0, 1):
+        raise NotImplementedError(
+            f"nested definition levels (max {max_def_level})"
+        )
     codec = cmd[4]
     off = cmd.get(11, cmd[9])
     size, total = cmd[7], cmd[5]
@@ -1007,8 +1055,11 @@ def read_byte_array_column_pages(
                 dph = hdr[5]
                 nv, enc = dph[1], dph[2]
                 raw = _decompress_page(body, codec, hdr[2])
-                defs, consumed = decode_rle_hybrid(raw, 1, nv)
-                vals_buf = raw[consumed:]
+                if max_def_level == 0:  # REQUIRED: no levels stream
+                    defs, vals_buf = [1] * nv, raw
+                else:
+                    defs, consumed = decode_rle_hybrid(raw, 1, nv)
+                    vals_buf = raw[consumed:]
             else:
                 dph = hdr[8]
                 nv, enc = dph[1], dph[4]

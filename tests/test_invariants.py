@@ -3016,3 +3016,27 @@ def test_zstd_real_file_differential():
             capture_output=True,
         )
         assert r.returncode == 0 and r.stdout == data
+
+
+def test_cas_commit_publishes_complete_manifests(tmp_path):
+    """ADVICE r10: the CAS primitive must publish manifests
+    atomically — a reader listing the directory can never observe an
+    empty/partial v{n}.json, and the losing committer must leave the
+    winner's bytes untouched and no temp debris behind."""
+    import json
+
+    from spark_hive_spark.sources.evolution import _cas_commit
+
+    mdir = str(tmp_path)
+    assert _cas_commit(mdir, 0, ["a.parquet", "b.parquet"])
+    # loser: slot taken -> False, winner's manifest intact
+    assert not _cas_commit(mdir, 0, ["evil.parquet"])
+    with open(tmp_path / "v0.json") as fh:
+        m = json.load(fh)
+    assert m == {"version": 0, "files": ["a.parquet", "b.parquet"]}
+    # no temp files linger after either outcome
+    assert sorted(p.name for p in tmp_path.iterdir()) == ["v0.json"]
+    # every visible manifest is complete, parseable JSON at all times
+    assert _cas_commit(mdir, 1, ["c.parquet"])
+    for p in tmp_path.iterdir():
+        json.load(open(p))

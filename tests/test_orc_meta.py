@@ -271,3 +271,49 @@ def test_protobuf_walker_wiretypes():
     assert msg[2] == [b"abc"]
     assert msg[3] == [-1]
     assert msg[4] == [7]
+
+
+def test_stripe_ranges_without_metadata_section():
+    """ADVICE r10: a multi-stripe tail WITHOUT StripeStatistics (the
+    Metadata section is optional per the spec) must plan EVERY
+    stripe — file-level stats can't split them, so nothing is
+    prunable; collapsing to one pseudo-stripe would silently drop
+    stripes 1..n-1."""
+    from spark_hive_spark.sources.orc_meta import stripe_date_ranges
+
+    file_range = {"min": 9000, "max": 9600}
+    tail = {
+        "stripes": [{"num_rows": 100}] * 3,
+        "stripe_stats": [],
+        "file_stats": {2: {"date": file_range}},
+        "num_rows": 300,
+    }
+    ranges = stripe_date_ranges(tail, date_col=2)
+    assert ranges == [file_range] * 3
+    # every stripe intersects any window the file intersects
+    selected = [
+        i for i, d in enumerate(ranges)
+        if not (d["max"] < 9100 or d["min"] > 9200)
+    ]
+    assert selected == [0, 1, 2]
+
+
+def test_stripe_ranges_with_metadata_section_prune():
+    from spark_hive_spark.sources.orc_meta import stripe_date_ranges
+
+    tail = {
+        "stripes": [{"num_rows": 100}] * 3,
+        "stripe_stats": [
+            {2: {"date": {"min": 0, "max": 10}}},
+            {2: {"date": {"min": 11, "max": 20}}},
+            {2: {"date": {"min": 21, "max": 30}}},
+        ],
+        "file_stats": {2: {"date": {"min": 0, "max": 30}}},
+        "num_rows": 300,
+    }
+    ranges = stripe_date_ranges(tail, date_col=2)
+    selected = [
+        i for i, d in enumerate(ranges)
+        if not (d["max"] < 12 or d["min"] > 18)
+    ]
+    assert selected == [1]

@@ -449,3 +449,89 @@ def test_single_row_group_boundary():
     # BYTE_ARRAY stats decode as UTF-8
     names = summ["row_groups"][0]["stats"]["name"]
     assert names["min"] == "cust#0000001"
+
+
+def test_nested_decimal_stats_decode(tmp_path):
+    """ADVICE r10: a DECIMAL leaf nested inside a group must still
+    decode its FLBA stats as Decimal — the scale map is keyed by the
+    full dotted path (what ColumnMetaData.path_in_schema joins to),
+    not the bare leaf name."""
+    import decimal
+    import io
+
+    tbl = pa.table(
+        {
+            "k": pa.array([1, 2, 3], pa.int64()),
+            "m": pa.array(
+                [
+                    {"amt": decimal.Decimal("12.34"), "n": 1},
+                    {"amt": decimal.Decimal("-5.00"), "n": 2},
+                    {"amt": decimal.Decimal("99.99"), "n": 3},
+                ],
+                pa.struct(
+                    [("amt", pa.decimal128(20, 2)), ("n", pa.int32())]
+                ),
+            ),
+        }
+    )
+    buf = io.BytesIO()
+    pq.write_table(tbl, buf)
+    summ = footer_summary(buf.getvalue())
+    assert "m.amt" in summ["columns"]
+    st = summ["row_groups"][0]["stats"]["m.amt"]
+    assert st["min"] == decimal.Decimal("-5.00")
+    assert st["max"] == decimal.Decimal("99.99")
+    # the sibling int leaf resolves through the same dotted path
+    assert summ["row_groups"][0]["stats"]["m.n"]["min"] == 1
+
+
+def test_required_column_pages_decode(tmp_path):
+    """ADVICE r10: a REQUIRED column's v1 data pages carry NO
+    definition-levels stream — parsing one would misread the first
+    data bytes as an RLE length prefix. max_def_level=0 must decode
+    the page body as values from byte 0."""
+    from spark_hive_spark.sources.parquet_meta import (
+        read_byte_array_column_pages,
+        read_int64_column_pages,
+    )
+
+    import io
+
+    n = 3000
+    tbl = pa.table(
+        {
+            "req": pa.array(range(1, n + 1), pa.int64()),
+            "s": pa.array([f"w{i:05d}" for i in range(n)], pa.string()),
+        },
+        schema=pa.schema(
+            [
+                pa.field("req", pa.int64(), nullable=False),
+                pa.field("s", pa.string(), nullable=False),
+            ]
+        ),
+    )
+    buf = io.BytesIO()
+    pq.write_table(
+        tbl, buf, row_group_size=1111, use_dictionary=False,
+        compression="none", data_page_version="1.0",
+    )
+    data = buf.getvalue()
+    fmd = decode_footer(data)
+    # SchemaElement field 3 = repetition_type; 0 = REQUIRED
+    assert fmd[2][1][3] == 0 and fmd[2][2][3] == 0
+    got_i: list = []
+    got_s: list = []
+    for rg in fmd[4]:
+        got_i.extend(
+            read_int64_column_pages(data, rg[1][0][3], max_def_level=0)[0]
+        )
+        got_s.extend(
+            read_byte_array_column_pages(
+                data, rg[1][1][3], max_def_level=0
+            )[0]
+        )
+    assert got_i == list(range(1, n + 1))
+    assert got_s == [f"w{i:05d}" for i in range(n)]
+    # nested levels stay a loud seam
+    with pytest.raises(NotImplementedError):
+        read_int64_column_pages(data, fmd[4][0][1][0][3], max_def_level=2)
