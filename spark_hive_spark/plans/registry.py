@@ -184,6 +184,7 @@ def _load_all() -> None:
         "spark_hive_spark.sources.evolution",
         "spark_hive_spark.sources.parquet_meta",
         "spark_hive_spark.sources.orc_meta",
+        "spark_hive_spark.sources.parquet_bloom",
     ):
         try:
             importlib.import_module(mod)

@@ -535,3 +535,60 @@ def test_required_column_pages_decode(tmp_path):
     # nested levels stay a loud seam
     with pytest.raises(NotImplementedError):
         read_int64_column_pages(data, fmd[4][0][1][0][3], max_def_level=2)
+
+
+def test_bloom_filter_matches_spark_writer(spark, tmp_path):
+    """The hand-built SBBF pipeline (BloomFilterHeader thrift -> raw
+    bitset -> XXH64 -> salted block probe) against a filter written
+    by SPARK ITSELF: every present key must hit (any slip in the
+    salt/rotation/fast-range math makes present-key hits ~random),
+    and absent keys must reject near the configured ~1% fpp."""
+    import glob
+
+    from spark_hive_spark.sources.parquet_bloom import (
+        read_bloom_filter,
+        sbbf_contains_int64,
+    )
+    from spark_hive_spark.sources.parquet_meta import decode_footer
+
+    out = str(tmp_path / "bloomed")
+    keys = [k * 7 + 3 for k in range(5000)]
+    spark.createDataFrame(
+        [(k,) for k in keys], "k bigint"
+    ).coalesce(1).write.option(
+        "parquet.bloom.filter.enabled#k", "true"
+    ).option(
+        "parquet.bloom.filter.expected.ndv#k", "5000"
+    ).parquet(out)
+    path = glob.glob(out + "/*.parquet")[0]
+    with open(path, "rb") as fh:
+        data = fh.read()
+    fmd = decode_footer(data)
+    cmd = fmd[4][0][1][0][3]
+    bitset = read_bloom_filter(data, cmd)
+    assert len(bitset) % 32 == 0 and len(bitset) > 0
+    assert all(sbbf_contains_int64(bitset, k) for k in keys)
+    absent = [k * 7 + 4 for k in range(5000)]  # disjoint residue
+    fp = sum(sbbf_contains_int64(bitset, k) for k in absent)
+    assert fp / len(absent) < 0.05, f"fp rate {fp/5000:.3f}"
+
+
+def test_bloom_filter_loud_seams(tmp_path):
+    from spark_hive_spark.sources.parquet_bloom import (
+        read_bloom_filter,
+        sbbf_contains_hash,
+    )
+
+    with pytest.raises(ValueError):
+        read_bloom_filter(b"", {1: 2})  # no field 14
+    # a filter of one block: hand-set every salted bit for h=0
+    import struct as _s
+
+    salts = (
+        0x47B6137B, 0x44974D91, 0x8824AD5B, 0xA2B7289D,
+        0x705495C7, 0x2DF1424B, 0x9EFC4947, 0x5C6BFB31,
+    )
+    words = [1 << (((0 * s) & 0xFFFFFFFF) >> 27) for s in salts]
+    block = b"".join(_s.pack("<I", w) for w in words)
+    assert sbbf_contains_hash(block, 0)
+    assert not sbbf_contains_hash(block, (1 << 32) | 1)
