@@ -185,6 +185,7 @@ def _load_all() -> None:
         "spark_hive_spark.sources.parquet_meta",
         "spark_hive_spark.sources.orc_meta",
         "spark_hive_spark.sources.parquet_bloom",
+        "spark_hive_spark.sources.delta_dv",
     ):
         try:
             importlib.import_module(mod)
