@@ -91,17 +91,27 @@ def _enc_string(s: str) -> bytes:
     return encode_varint(len(raw)) + raw
 
 
-def _enc_field(v, typ: str) -> bytes:
+def _enc_field(v, typ) -> bytes:
     if typ == "long":
         return encode_varint(int(v))
     if typ == "string":
         return _enc_string(v)
     if typ == "double":
         return struct.pack("<d", float(v))
+    if isinstance(typ, dict) and typ.get("type") == "array":
+        # Avro array: blocks of (varint count, items...), 0-terminated
+        items = typ["items"]
+        out = bytearray()
+        if v:
+            out += encode_varint(len(v))
+            for item in v:
+                out += _enc_field(item, items)
+        out += encode_varint(0)
+        return bytes(out)
     raise ValueError(f"unsupported Avro type {typ!r}")
 
 
-def _dec_field(data: bytes, pos: int, typ: str):
+def _dec_field(data: bytes, pos: int, typ):
     if typ == "long":
         return decode_varint(data, pos)
     if typ == "string":
@@ -113,6 +123,19 @@ def _dec_field(data: bytes, pos: int, typ: str):
         if pos + 8 > len(data):
             raise ValueError("truncated Avro double")
         return struct.unpack_from("<d", data, pos)[0], pos + 8
+    if isinstance(typ, dict) and typ.get("type") == "array":
+        items = typ["items"]
+        out = []
+        while True:
+            count, pos = decode_varint(data, pos)
+            if count == 0:
+                return out, pos
+            if count < 0:  # spec: negative count prefixes a byte size
+                count = -count
+                _, pos = decode_varint(data, pos)
+            for _ in range(count):
+                item, pos = _dec_field(data, pos, items)
+                out.append(item)
     raise ValueError(f"unsupported Avro type {typ!r}")
 
 

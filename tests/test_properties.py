@@ -456,3 +456,60 @@ def test_lz4_roundtrip_property(data):
     if data:
         assert lz4_block_decompress(blob, len(data)) == data
         assert bytes(pa.Codec("lz4_raw").decompress(blob, len(data))) == data
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.lists(
+        st.lists(
+            st.integers(min_value=-(2**62), max_value=2**62),
+            max_size=12,
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_avro_array_field_roundtrip(arrays):
+    """Avro array fields (block-count framing, 0 terminator) added in
+    round 11 for Iceberg's equality_ids — roundtrip identity,
+    including empty arrays (bare 0 terminator)."""
+    from spark_hive_spark.operators.avro import (
+        encode_avro_ocf,
+        parse_avro_ocf,
+    )
+
+    schema = {
+        "type": "record",
+        "name": "r",
+        "fields": [
+            {"name": "i", "type": "long"},
+            {"name": "ids",
+             "type": {"type": "array", "items": "long"}},
+        ],
+    }
+    recs = [{"i": i, "ids": a} for i, a in enumerate(arrays)]
+    _, got = parse_avro_ocf(encode_avro_ocf(recs, schema))
+    assert got == recs
+
+
+def test_avro_array_negative_block_count():
+    """Spec: a negative block count means |count| items preceded by a
+    byte-size varint — readers must accept it (writers here never
+    emit it, but real Avro writers do for skippability)."""
+    from spark_hive_spark.operators.avro import (
+        _dec_field,
+        _enc_field,
+        encode_varint,
+    )
+
+    typ = {"type": "array", "items": "long"}
+    items = [7, -3, 500]
+    body = b"".join(_enc_field(v, "long") for v in items)
+    blob = (
+        encode_varint(-len(items))
+        + encode_varint(len(body))
+        + body
+        + encode_varint(0)
+    )
+    got, pos = _dec_field(blob, 0, typ)
+    assert got == items and pos == len(blob)
