@@ -170,6 +170,7 @@ def _load_all() -> None:
         "spark_hive_spark.operators.flac",
         "spark_hive_spark.operators.media_containers",
         "spark_hive_spark.operators.avi",
+        "spark_hive_spark.operators.adpcm",
         "spark_hive_spark.operators.warc",
         "spark_hive_spark.operators.webdataset",
         "spark_hive_spark.operators.avro",
