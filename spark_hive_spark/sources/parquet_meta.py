@@ -541,93 +541,161 @@ def read_int64_column_pages(
     n_pages = 0
     while pos < off + size:
         hdr, body_start = _read_struct(data, pos)
-        ptype, comp_size = hdr[1], hdr[3]
-        body = data[body_start : body_start + comp_size]
-        if ptype == 2:  # DICTIONARY_PAGE: PLAIN values
-            dict_hdr = hdr[7]
-            if dict_hdr[2] not in (0, 2):  # PLAIN / PLAIN_DICTIONARY
-                raise NotImplementedError(
-                    f"dictionary page encoding {dict_hdr[2]}"
-                )
-            raw = _decompress_page(body, codec, hdr[2])
-            nd = dict_hdr[1]
-            dictionary = list(
-                struct.unpack(f"{fmt_ch[0]}{nd}{fmt_ch[1]}",
-                              raw[: width * nd])
+        ptype = hdr[1]
+        if ptype == 2:  # DICTIONARY_PAGE
+            dictionary, pos = _decode_fixed_dict_page(
+                data, pos, codec, fmt_ch, width
             )
         elif ptype in (0, 3):  # DATA_PAGE v1 / v2
-            if ptype == 0:
-                dph = hdr[5]
-                nv, enc = dph[1], dph[2]
-                raw = _decompress_page(body, codec, hdr[2])
-                if max_def_level == 0:  # REQUIRED: no levels stream
-                    defs, vals_buf = [1] * nv, raw
-                else:
-                    defs, consumed = decode_rle_hybrid(raw, 1, nv)
-                    vals_buf = raw[consumed:]
-            else:  # v2: levels sit UNCOMPRESSED before the data blob
-                dph = hdr[8]  # DataPageHeaderV2
-                nv, enc = dph[1], dph[4]
-                dll = dph.get(5, 0)
-                rll = dph.get(6, 0)
-                if rll:
-                    raise NotImplementedError(
-                        "repetition levels (nested columns)"
-                    )
-                levels = body[:dll]
-                defs = (
-                    decode_rle_hybrid(
-                        levels, 1, nv, length_prefixed=False
-                    )[0]
-                    if dll
-                    else [1] * nv
-                )
-                vals_buf = bytes(body[dll:])
-                if dph.get(7, True) and codec != 0:
-                    vals_buf = _decompress_page(
-                        vals_buf, codec, hdr[2] - dll - rll
-                    )
-            n_present = sum(defs)
-            if enc == 0:  # PLAIN
-                vals_raw = vals_buf[: width * n_present]
-                if len(vals_raw) != width * n_present:
-                    raise ValueError(
-                        "PLAIN page underruns its value count"
-                    )
-                vals = list(
-                    struct.unpack(
-                        f"{fmt_ch[0]}{n_present}{fmt_ch[1]}", vals_raw
-                    )
-                )
-            elif enc in (2, 8):  # PLAIN_DICTIONARY / RLE_DICTIONARY
-                if dictionary is None:
-                    raise ValueError(
-                        "dictionary-encoded page before dictionary page"
-                    )
-                bw = vals_buf[0]
-                idx, _ = decode_rle_hybrid(
-                    vals_buf[1:], bw, n_present, length_prefixed=False
-                )
-                vals = [dictionary[i] for i in idx]
-            elif enc == 5:  # DELTA_BINARY_PACKED (integer types only)
-                if phys not in (_INT32, _INT64):
-                    raise NotImplementedError(
-                        "DELTA_BINARY_PACKED on a non-integer column"
-                    )
-                vals = decode_delta_binary_packed(vals_buf, n_present)
-            else:
-                raise NotImplementedError(f"value encoding {enc}")
-            present = iter(vals)
-            out.extend(next(present) if d else None for d in defs)
+            vals, pos = _decode_fixed_data_page(
+                data, pos, codec, fmt_ch, width, phys, dictionary,
+                max_def_level,
+            )
+            out.extend(vals)
             n_pages += 1
         else:
             raise NotImplementedError(f"page type {ptype}")
-        pos = body_start + comp_size
     if len(out) != total:
         raise ValueError(
             f"page walk produced {len(out)} values, chunk says {total}"
         )
     return out, n_pages
+
+
+def _decode_fixed_dict_page(
+    data: bytes, pos: int, codec: int, fmt_ch: str, width: int
+) -> tuple[list, int]:
+    """One DICTIONARY page (PLAIN values) -> (dictionary, next pos)."""
+    hdr, body_start = _read_struct(data, pos)
+    if hdr[1] != 2:
+        raise ValueError(f"expected a dictionary page, got type {hdr[1]}")
+    comp_size = hdr[3]
+    body = data[body_start : body_start + comp_size]
+    dict_hdr = hdr[7]
+    if dict_hdr[2] not in (0, 2):  # PLAIN / PLAIN_DICTIONARY
+        raise NotImplementedError(
+            f"dictionary page encoding {dict_hdr[2]}"
+        )
+    raw = _decompress_page(body, codec, hdr[2])
+    nd = dict_hdr[1]
+    dictionary = list(
+        struct.unpack(f"{fmt_ch[0]}{nd}{fmt_ch[1]}", raw[: width * nd])
+    )
+    return dictionary, body_start + comp_size
+
+
+def _decode_fixed_data_page(
+    data: bytes,
+    pos: int,
+    codec: int,
+    fmt_ch: str,
+    width: int,
+    phys: int,
+    dictionary: list | None,
+    max_def_level: int,
+) -> tuple[list, int]:
+    """One v1/v2 DATA page at ``pos`` -> (values with None for nulls,
+    next pos). Shared by the sequential chunk walker and the
+    OffsetIndex-driven selective reader."""
+    hdr, body_start = _read_struct(data, pos)
+    ptype, comp_size = hdr[1], hdr[3]
+    body = data[body_start : body_start + comp_size]
+    if ptype == 0:
+        dph = hdr[5]
+        nv, enc = dph[1], dph[2]
+        raw = _decompress_page(body, codec, hdr[2])
+        if max_def_level == 0:  # REQUIRED: no levels stream
+            defs, vals_buf = [1] * nv, raw
+        else:
+            defs, consumed = decode_rle_hybrid(raw, 1, nv)
+            vals_buf = raw[consumed:]
+    elif ptype == 3:  # v2: levels sit UNCOMPRESSED before the data blob
+        dph = hdr[8]  # DataPageHeaderV2
+        nv, enc = dph[1], dph[4]
+        dll = dph.get(5, 0)
+        rll = dph.get(6, 0)
+        if rll:
+            raise NotImplementedError(
+                "repetition levels (nested columns)"
+            )
+        levels = body[:dll]
+        defs = (
+            decode_rle_hybrid(levels, 1, nv, length_prefixed=False)[0]
+            if dll
+            else [1] * nv
+        )
+        vals_buf = bytes(body[dll:])
+        if dph.get(7, True) and codec != 0:
+            vals_buf = _decompress_page(
+                vals_buf, codec, hdr[2] - dll - rll
+            )
+    else:
+        raise ValueError(f"expected a data page, got type {ptype}")
+    n_present = sum(defs)
+    if enc == 0:  # PLAIN
+        vals_raw = vals_buf[: width * n_present]
+        if len(vals_raw) != width * n_present:
+            raise ValueError("PLAIN page underruns its value count")
+        vals = list(
+            struct.unpack(f"{fmt_ch[0]}{n_present}{fmt_ch[1]}", vals_raw)
+        )
+    elif enc in (2, 8):  # PLAIN_DICTIONARY / RLE_DICTIONARY
+        if dictionary is None:
+            raise ValueError(
+                "dictionary-encoded page before dictionary page"
+            )
+        bw = vals_buf[0]
+        idx, _ = decode_rle_hybrid(
+            vals_buf[1:], bw, n_present, length_prefixed=False
+        )
+        vals = [dictionary[i] for i in idx]
+    elif enc == 5:  # DELTA_BINARY_PACKED (integer types only)
+        if phys not in (_INT32, _INT64):
+            raise NotImplementedError(
+                "DELTA_BINARY_PACKED on a non-integer column"
+            )
+        vals = decode_delta_binary_packed(vals_buf, n_present)
+    else:
+        raise NotImplementedError(f"value encoding {enc}")
+    present = iter(vals)
+    out = [next(present) if d else None for d in defs]
+    return out, body_start + comp_size
+
+
+def read_fixed_pages_at(
+    data: bytes,
+    cmd: dict[int, Any],
+    offsets: list[int],
+    max_def_level: int = 1,
+) -> list[list]:
+    """SELECTIVE page decode: the dictionary page (when the chunk has
+    one) plus exactly the data pages whose OffsetIndex
+    `page_locations[].offset` values are given — the bytes of
+    unselected pages are never parsed, which is the entire point of
+    the page index. Returns one value-list per requested offset, in
+    the given order."""
+    phys = cmd[1]
+    fixed = {_INT32: ("<i", 4), _INT64: ("<q", 8),
+             _FLOAT: ("<f", 4), _DOUBLE: ("<d", 8)}
+    if phys not in fixed:
+        raise NotImplementedError(
+            f"page decode implemented for fixed-width types, not "
+            f"{_PHYS.get(phys, phys)}"
+        )
+    fmt_ch, width = fixed[phys]
+    codec = cmd[4]
+    dictionary: list | None = None
+    if 11 in cmd:  # dictionary page precedes data pages
+        dictionary, _ = _decode_fixed_dict_page(
+            data, cmd[11], codec, fmt_ch, width
+        )
+    return [
+        _decode_fixed_data_page(
+            data, off, codec, fmt_ch, width, phys, dictionary,
+            max_def_level,
+        )[0]
+        for off in offsets
+    ]
 
 
 _PRUNE_LO = dt.datetime(1995, 4, 1)
@@ -1166,3 +1234,274 @@ def decode_delta_binary_packed_prefix(
                     bitpos += 1
                 vals.append(vals[-1] + min_delta + d)
     return vals[:total], p
+
+
+# ---------------------------------------------------------------------------
+# Page Index (ColumnIndex / OffsetIndex) — page-level skipping
+# ---------------------------------------------------------------------------
+
+def read_offset_index(
+    data: bytes, cc: dict[int, Any]
+) -> list[tuple[int, int, int]]:
+    """ColumnChunk fields 4/5 (offset_index_offset/length) ->
+    [(page offset, compressed size, first_row_index), ...] per the
+    parquet.thrift OffsetIndex/PageLocation structs."""
+    if 4 not in cc:
+        raise ValueError("column chunk carries no offset index")
+    oi, _ = _read_struct(data, cc[4])
+    return [(pl[1], pl[2], pl[3]) for pl in oi[1]]
+
+
+def read_column_index(data: bytes, cc: dict[int, Any]) -> dict[str, Any]:
+    """ColumnChunk fields 6/7 (column_index_offset/length) -> the
+    per-PAGE statistics that drive page-level skipping:
+    {"null_pages": [bool], "mins"/"maxs": [raw bytes],
+    "boundary_order": 0 UNORDERED / 1 ASCENDING / 2 DESCENDING,
+    "null_counts": [int] | None}. Raw min/max payloads are
+    plain-encoded per physical type — decode with `_decode_stat`."""
+    if 6 not in cc:
+        raise ValueError("column chunk carries no column index")
+    ci, _ = _read_struct(data, cc[6])
+    return {
+        "null_pages": ci[1],
+        "mins": ci[2],
+        "maxs": ci[3],
+        "boundary_order": ci[4],
+        "null_counts": ci.get(5),
+    }
+
+
+_PAGE_ROWS = 200  # fixture: parquet.page.row.count.limit (exact split)
+_PG_LO = dt.date(1995, 4, 1)
+_PG_HI = dt.date(1996, 3, 31)
+
+
+@register(
+    "source_parquet_page_skipping",
+    oracle=f"""
+        WITH numbered AS (
+            SELECT CAST(o_orderdate AS DATE) AS d, o_totalprice,
+                   row_number() OVER (
+                       ORDER BY CAST(o_orderdate AS DATE), o_orderkey
+                   ) - 1 AS rn
+            FROM orders
+        ),
+        pg AS (
+            SELECT d, o_totalprice, CAST(rn // {_PAGE_ROWS} AS INT) AS p
+            FROM numbered
+        ),
+        stats AS (
+            SELECT p, count(*) AS pr, min(d) AS mn, max(d) AS mx
+            FROM pg GROUP BY p
+        ),
+        sel AS (
+            SELECT * FROM stats
+            WHERE NOT (mx < DATE '1995-04-01' OR mn > DATE '1996-03-31')
+        )
+        SELECT (SELECT CAST(count(*) AS INT) FROM stats) AS pages_total,
+               (SELECT CAST(count(*) AS INT) FROM sel) AS pages_selected,
+               (SELECT CAST(count(*) AS INT) FROM stats)
+                   - (SELECT CAST(count(*) AS INT) FROM sel)
+                   AS pages_skipped,
+               (SELECT CAST(sum(pr) AS BIGINT) FROM sel) AS rows_planned,
+               TRUE AS boundary_ascending,
+               TRUE AS index_consistent,
+               CAST(count(*) AS BIGINT) AS n_in_window,
+               {sql_dsum('o_totalprice')} AS revenue_in_window
+        FROM orders
+        WHERE CAST(o_orderdate AS DATE)
+              BETWEEN DATE '1995-04-01' AND DATE '1996-03-31'
+    """,
+    tags=("source", "parquet", "page-index", "metadata", "data-skipping"),
+)
+def source_parquet_page_skipping(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """PAGE-level skipping via the parquet Page Index (round 11) —
+    the finest skipping granularity the format defines, completing
+    the hand-built vertical: footer stats (file) → row-group min/max
+    → Bloom (point lookups) → **ColumnIndex/OffsetIndex (pages)**.
+
+    The fixture is a SPARK-written file (zstd + dictionary defaults)
+    of orders sorted by (date, key) with
+    `parquet.page.row.count.limit={200}`, so pages split at exactly
+    {200} rows and the whole plan is oracle-computable. The planner
+    decodes the date column's ColumnIndex (per-page min/max,
+    boundary_order must say ASCENDING for a sorted write, null_pages
+    all false) and OffsetIndex, intersects a two-fiscal-quarter
+    window with the page ranges, and spawns ONE TASK PER SELECTED
+    PAGE; each task re-decodes only its own date page plus the
+    o_totalprice pages covering the same row range — located by
+    first_row_index, the row-synchronization rule real readers use,
+    since pages do NOT align across columns in general — through the
+    hand-built thrift/dictionary/zstd stack, applies the exact
+    residual filter, and partial-aggregates. Unselected pages' bytes
+    are never parsed.
+
+    `index_consistent` additionally pins, engine-side, that each
+    selected page's DECODED min/max equal its ColumnIndex entry.
+    The oracle recomputes the page grid with row_number arithmetic
+    and the window aggregate from the raw table — a wrong page
+    boundary, a missed page, or an off-by-one first_row_index flips
+    rows_planned or the hash.
+
+    Scale posture: planning is O(index bytes); data I/O is exactly
+    the selected pages (at 100 TB with range reads, ~rows_planned/n
+    of the column bytes); tasks are independent splits."""
+    import json as _json
+
+    root = os.path.join(
+        tempfile.gettempdir(), f"shs_pgidx_{uuid.uuid4().hex}"
+    )
+    os.makedirs(root)
+    (
+        t(spark, sf_dir, "orders")
+        .select(
+            "o_orderkey",
+            F.col("o_orderdate").cast("date").alias("o_orderdate"),
+            "o_totalprice",
+        )
+        .coalesce(1)
+        .sortWithinPartitions("o_orderdate", "o_orderkey")
+        .write.option("parquet.page.row.count.limit", str(_PAGE_ROWS))
+        .parquet(root + "/t")
+    )
+    import glob as _glob
+
+    (path,) = _glob.glob(root + "/t/*.parquet")
+    with open(path, "rb") as fh:
+        data = fh.read()
+    fmd = decode_footer(data)
+    if len(fmd[4]) != 1:
+        raise ValueError("fixture expects a single row group")
+    rg = fmd[4][0]
+    n_rows = rg[3]
+    names = [p for p, _ in _leaf_paths(fmd[2])]
+    cc_date = rg[1][names.index("o_orderdate")]
+    cc_price = rg[1][names.index("o_totalprice")]
+
+    ci = read_column_index(data, cc_date)
+    oi = read_offset_index(data, cc_date)
+    oi_price = read_offset_index(data, cc_price)
+    if ci["boundary_order"] != 1:
+        raise ValueError("sorted write must yield ASCENDING boundaries")
+    if any(ci["null_pages"]):
+        raise ValueError("unexpected null pages in sorted fixture")
+    epoch = dt.date(1970, 1, 1)
+    lo_days, hi_days = (_PG_LO - epoch).days, (_PG_HI - epoch).days
+    page_rows = [
+        (oi[i + 1][2] if i + 1 < len(oi) else n_rows) - oi[i][2]
+        for i in range(len(oi))
+    ]
+    selected = [
+        i
+        for i in range(len(oi))
+        if not (
+            struct.unpack("<i", ci["maxs"][i])[0] < lo_days
+            or struct.unpack("<i", ci["mins"][i])[0] > hi_days
+        )
+    ]
+
+    def _covering(first_rows: list[tuple[int, int, int]],
+                  lo: int, hi: int) -> list[int]:
+        """Offsets of the pages of a column whose row spans intersect
+        [lo, hi) — the cross-column row-synchronization rule."""
+        out = []
+        for j, (off, _, fr) in enumerate(first_rows):
+            nxt = (
+                first_rows[j + 1][2]
+                if j + 1 < len(first_rows)
+                else n_rows
+            )
+            if fr < hi and nxt > lo:
+                out.append(off)
+        return out
+
+    tasks = []
+    for i in selected:
+        row_lo = oi[i][2]
+        row_hi = row_lo + page_rows[i]
+        tasks.append((
+            path,
+            _json.dumps({
+                "date_off": oi[i][0],
+                "idx_min": struct.unpack("<i", ci["mins"][i])[0],
+                "idx_max": struct.unpack("<i", ci["maxs"][i])[0],
+                "row_lo": row_lo,
+                "row_hi": row_hi,
+                "price_offs": _covering(oi_price, row_lo, row_hi),
+                "price_first_rows": [
+                    fr for off, _, fr in oi_price
+                    if off in set(_covering(oi_price, row_lo, row_hi))
+                ],
+                "cmd_date": {str(k): v for k, v in cc_date[3].items()
+                             if isinstance(v, int)},
+                "cmd_price": {str(k): v for k, v in cc_price[3].items()
+                              if isinstance(v, int)},
+                "lo_days": lo_days,
+                "hi_days": hi_days,
+            }),
+        ))
+
+    plan = spark.createDataFrame(
+        tasks or [("", "")], "path string, spec string"
+    ).repartition(max(len(tasks), 1))
+
+    def _read_pages(batches) -> Iterator:
+        import json as _json2
+
+        import pandas as pd
+
+        for pdf in batches:
+            for rec in pdf.itertuples(index=False):
+                if not rec.path:
+                    continue
+                spec = _json2.loads(rec.spec)
+                with open(rec.path, "rb") as fh:
+                    blob = fh.read()
+                cmd_d = {int(k): v for k, v in spec["cmd_date"].items()}
+                cmd_p = {int(k): v for k, v in spec["cmd_price"].items()}
+                (dates,) = read_fixed_pages_at(
+                    blob, cmd_d, [spec["date_off"]]
+                )
+                consistent = (
+                    min(dates) == spec["idx_min"]
+                    and max(dates) == spec["idx_max"]
+                )
+                prices: list[float] = []
+                for off, fr in zip(
+                    spec["price_offs"], spec["price_first_rows"]
+                ):
+                    (vals,) = read_fixed_pages_at(blob, cmd_p, [off])
+                    s = max(spec["row_lo"] - fr, 0)
+                    e = min(spec["row_hi"] - fr, len(vals))
+                    prices.extend(vals[s:e])
+                if len(prices) != len(dates):
+                    raise ValueError("row-sync produced ragged columns")
+                cents = n = 0
+                for d, p in zip(dates, prices):
+                    if spec["lo_days"] <= d <= spec["hi_days"]:
+                        n += 1
+                        cents += round(p * 100)
+                yield pd.DataFrame({
+                    "n": [n], "cents": [cents],
+                    "consistent": [bool(consistent)],
+                })
+
+    partials = plan.mapInPandas(
+        _read_pages, "n long, cents long, consistent boolean"
+    )
+    out = partials.agg(
+        F.lit(len(oi)).cast("int").alias("pages_total"),
+        F.lit(len(selected)).cast("int").alias("pages_selected"),
+        F.lit(len(oi) - len(selected)).cast("int").alias("pages_skipped"),
+        F.lit(int(sum(page_rows[i] for i in selected)))
+        .cast("bigint").alias("rows_planned"),
+        F.lit(True).alias("boundary_ascending"),
+        F.min("consistent").alias("index_consistent"),
+        F.sum("n").alias("n_in_window"),
+        (F.sum("cents").cast("decimal(18,0)") / 100)
+        .cast("double").alias("revenue_in_window"),
+    ).localCheckpoint(eager=True)  # 1 row; frees the temp root
+    shutil.rmtree(root, ignore_errors=True)
+    return out
