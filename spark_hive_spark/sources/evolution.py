@@ -2021,3 +2021,166 @@ def source_iceberg_equality_deletes(
     ).localCheckpoint(eager=True)  # 1 row; frees the temp root
     shutil.rmtree(root, ignore_errors=True)
     return out
+
+
+@register(
+    "source_hudi_timeline_replay",
+    oracle=f"""
+        SELECT CAST(2 AS INT) AS commits_completed,
+               CAST(1 AS INT) AS commits_inflight,
+               CAST(2 AS INT) AS file_groups,
+               TRUE AS metadata_consistent,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))
+                        + CASE WHEN o_orderkey % 10 = 6
+                               THEN CAST(100.00 AS DECIMAL(18,2))
+                               ELSE CAST(0 AS DECIMAL(18,2)) END)
+                    AS DOUBLE) AS revenue
+        FROM orders
+    """,
+    tags=("source", "hudi", "lakehouse", "compat"),
+)
+def source_hudi_timeline_replay(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Apache Hudi copy-on-write timeline replay (round 11) — the
+    THIRD lakehouse table format after Delta
+    (`source_delta_log_replay`) and Iceberg
+    (`source_iceberg_snapshot_replay`), read WITHOUT the Hudi
+    library from its public layout: Hudi versions PER FILE GROUP
+    rather than via global add/remove actions, which is exactly what
+    makes its upserts O(affected file groups).
+
+    - **Timeline** (`.hoodie/`): instants named
+      `{{ts}}.{{action}}[.{{state}}]` — `.commit` completed,
+      `.commit.requested` / `.commit.inflight` pending — each
+      completed commit carrying HoodieCommitMetadata JSON
+      (partitionToWriteStats: fileId, path, numWrites).
+    - **File groups**: base files named
+      `{{fileId}}_{{writeToken}}_{{instantTime}}.parquet`; a reader
+      resolves, per fileId, the base file with the LARGEST instant
+      that is (a) a completed commit and (b) ≤ the latest completed
+      instant — the file-slice rule.
+
+    The fixture commits two file groups at t1 (orders split by key
+    parity), an UPSERT at t2 that rewrites file group A with +100.00
+    on every key ≡ 6 (mod 10), and leaves a t3 commit INFLIGHT whose
+    data file for group B is already on disk — the crash shape.
+    The reader must serve group A's t2 slice, group B's t1 slice,
+    and IGNORE the uncommitted t3 file (Hudi's core read guarantee:
+    data is visible only through completed instants);
+    `metadata_consistent` pins engine-side that every served file is
+    listed in its commit's write stats with the right row count.
+
+    The oracle recomputes the upserted aggregate from the raw table:
+    serving the stale A slice misses the +100s, serving the
+    uncommitted B slice double-counts B — both flip the hash.
+
+    Scale posture: timeline listing and slice resolution are
+    O(#instants + #file groups) driver-side metadata, Hudi's own
+    contract; data files read once, in parallel."""
+    import json as _json
+
+    orders = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    root = os.path.join(
+        tempfile.gettempdir(), f"shs_hudi_{uuid.uuid4().hex}"
+    )
+    tdir = os.path.join(root, "t")
+    hdir = os.path.join(tdir, ".hoodie")
+    os.makedirs(hdir)
+
+    def _write_base(
+        file_id: str, instant: str, df: DataFrame
+    ) -> tuple[str, int]:
+        name = f"{file_id}_0-1-0_{instant}.parquet"
+        tmp = os.path.join(root, f"stage_{name}")
+        df.coalesce(1).write.parquet(tmp)
+        src = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+        os.replace(os.path.join(tmp, src), os.path.join(tdir, name))
+        shutil.rmtree(tmp, ignore_errors=True)
+        return name, df.count()
+
+    t1, t2, t3 = "001", "002", "003"
+    par = F.col("o_orderkey") % 2
+    a1, na1 = _write_base("fg-A", t1, orders.filter(par == 0))
+    b1, nb1 = _write_base("fg-B", t1, orders.filter(par == 1))
+    upserted = orders.filter(par == 0).withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_orderkey") % 10 == 6,
+            (F.col("o_totalprice").cast("decimal(18,2)")
+             + F.lit(100).cast("decimal(18,2)")).cast("double"),
+        ).otherwise(F.col("o_totalprice")),
+    )
+    a2, na2 = _write_base("fg-A", t2, upserted)
+    # the crash shape: t3's data file exists but t3 never completed
+    b3, _ = _write_base("fg-B", t3, orders.filter(par == 1).limit(10))
+
+    def _commit(instant: str, stats: list[tuple[str, str, int]]) -> None:
+        meta = {"partitionToWriteStats": {"": [
+            {"fileId": fid, "path": path, "numWrites": n}
+            for fid, path, n in stats
+        ]}}
+        with open(os.path.join(hdir, f"{instant}.commit"), "w") as fh:
+            _json.dump(meta, fh)
+
+    for instant in (t1, t2, t3):
+        open(os.path.join(hdir, f"{instant}.commit.requested"), "w")
+    for instant in (t1, t2):
+        open(os.path.join(hdir, f"{instant}.commit.inflight"), "w")
+    open(os.path.join(hdir, f"{t3}.commit.inflight"), "w")
+    _commit(t1, [("fg-A", a1, na1), ("fg-B", b1, nb1)])
+    _commit(t2, [("fg-A", a2, na2)])
+    # t3: requested + inflight exist, .commit does NOT
+
+    # ---- the reader: timeline -> latest file slice per group ----
+    completed: dict[str, dict] = {}
+    pending: set[str] = set()
+    for f in os.listdir(hdir):
+        parts = f.split(".")
+        instant, action = parts[0], parts[1]
+        if action != "commit":
+            raise NotImplementedError(f"Hudi action {action!r}")
+        if len(parts) == 2:  # no state suffix -> completed
+            with open(os.path.join(hdir, f)) as fh:
+                completed[instant] = _json.load(fh)
+        else:
+            pending.add(instant)
+    n_inflight = len(pending - set(completed))
+    latest = max(completed)
+
+    groups: dict[str, tuple[str, str]] = {}  # fileId -> (instant, name)
+    for f in os.listdir(tdir):
+        if not f.endswith(".parquet"):
+            continue
+        file_id, _token, tail = f.rsplit("_", 2)
+        instant = tail[: -len(".parquet")]
+        if instant not in completed or instant > latest:
+            continue  # uncommitted or future slice: invisible
+        if file_id not in groups or instant > groups[file_id][0]:
+            groups[file_id] = (instant, f)
+
+    # cross-check served files against their commit's write stats
+    consistent = True
+    for file_id, (instant, name) in groups.items():
+        stats = completed[instant]["partitionToWriteStats"][""]
+        entry = next(
+            (s for s in stats if s["fileId"] == file_id), None
+        )
+        consistent = consistent and entry is not None \
+            and entry["path"] == name
+    scan = spark.read.parquet(
+        *(os.path.join(tdir, name) for _, name in sorted(groups.values()))
+    )
+    out = scan.agg(
+        F.lit(len(completed)).cast("int").alias("commits_completed"),
+        F.lit(n_inflight).cast("int").alias("commits_inflight"),
+        F.lit(len(groups)).cast("int").alias("file_groups"),
+        F.lit(consistent).alias("metadata_consistent"),
+        F.count("*").alias("n_orders"),
+        dsum("o_totalprice").alias("revenue"),
+    ).localCheckpoint(eager=True)  # 1 row; frees the temp root
+    shutil.rmtree(root, ignore_errors=True)
+    return out
