@@ -273,6 +273,14 @@ EXTENDED = [
     "source_parquet_page_decode",
     "source_parquet_spark_native_decode",
     "source_orc_rlev2_decode",
+    # round 11
+    "source_parquet_bloom_skipping",
+    "source_parquet_page_skipping",
+    "source_delta_deletion_vectors",
+    "source_iceberg_equality_deletes",
+    "source_hudi_timeline_replay",
+    "multimodal_avi_frame_sampling",
+    "multimodal_adpcm_audio_decode",
 ]
 
 # Streaming extended queries run dead LAST (after the streaming

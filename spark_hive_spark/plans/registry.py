@@ -55,17 +55,36 @@ SWEEP_PRIORITY: tuple[str, ...] = (
     "ref_top5_finished_orders_by_price",
     "ref_building_acctbal_stats_by_nation",
     "ref_orc_roundtrip",
-    # the last 6 never-driver-swept queries (judge-sim green in r9)
-    "multimodal_jpeg_420_decode",
-    "multimodal_jpeg_progressive_decode",
-    "multimodal_webp_lossless_decode",
-    "pipeline_image_embedding_knn",
+    # round-11 NEW queries: driver rows on first appearance
+    "source_parquet_bloom_skipping",
+    "source_delta_deletion_vectors",
+    "source_iceberg_equality_deletes",
+    "multimodal_avi_frame_sampling",
+    "multimodal_adpcm_audio_decode",
+    "source_parquet_page_skipping",
+    "source_hudi_timeline_replay",
+    # round-11 implementation changes (ADVICE fixes + page-walk
+    # refactor + avro array support): re-attest under the new code
+    "source_parquet_footer_stats",
+    "source_parquet_rowgroup_skipping",
+    "source_parquet_page_decode",
+    "source_parquet_spark_native_decode",
+    "source_orc_stripe_skipping",
+    "source_orc_rlev2_decode",
     "snapshot_concurrent_commit_audit",
-    "mining_hard_negatives_ann",
-    # round-10 NEW queries: driver rows on first appearance
+    "snapshot_semantic_conflict_audit",
+    "snapshot_time_travel_read",
+    "snapshot_expire_audit",
+    "source_avro_records",
+    "source_avro_schema_evolution",
+    "source_iceberg_snapshot_replay",
+    "source_iceberg_position_deletes",
+    "source_delta_log_replay",
+    "source_delta_checkpoint_replay",
+    # rotation: r10 additions whose driver row is a single round old
+    # stay sweepable behind the new/changed set
     "multimodal_jpeg_partial_mcu_decode",
     "multimodal_webp_predictor_decode",
-    "snapshot_semantic_conflict_audit",
     "multimodal_jpeg_multiscan_restart_decode",
     "multimodal_webp_full_profile_decode",
     "multimodal_webp_alpha_decode",
@@ -83,29 +102,10 @@ SWEEP_PRIORITY: tuple[str, ...] = (
     "crawl_url_canonical_dedup",
     "storage_bucketed_join_exchange_free",
     "snapshot_file_skipping_audit",
-    "source_avro_records",
-    "source_delta_log_replay",
-    "source_iceberg_snapshot_replay",
     "ks_test_segments",
     "cvm_test_segments",
     "multimodal_zstd_real_frame_decode",
-    "source_parquet_footer_stats",
-    "source_parquet_rowgroup_skipping",
     "multimodal_g711_audio_decode",
-    "multimodal_jpeg_422_decode",
-    "source_orc_stripe_skipping",
-    "source_delta_checkpoint_replay",
-    "source_avro_schema_evolution",
-    "source_iceberg_position_deletes",
-    "source_parquet_page_decode",
-    "source_parquet_spark_native_decode",
-    "source_orc_rlev2_decode",
-    # round-10 implementation changes: re-attest under the new code
-    # (knn_cosine_ivf was displaced by the ORC capstone — its driver
-    # check is rows-only anyway; ann_recall_audit below is its gate)
-    "ann_recall_audit",
-    "mining_hard_negatives_ann_audit",
-    "pipeline_corpus_curation",
 )
 
 

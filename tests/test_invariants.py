@@ -3040,3 +3040,32 @@ def test_cas_commit_publishes_complete_manifests(tmp_path):
     assert _cas_commit(mdir, 1, ["c.parquet"])
     for p in tmp_path.iterdir():
         json.load(open(p))
+
+
+def test_murmur3_published_vectors():
+    """The hand-built murmur3_x86_32 against Appleby's published
+    vectors plus the Iceberg spec's Appendix-B long-hash vector
+    (hashLong(34) = 2017239379 — the value the bucket transform
+    is defined over)."""
+    import struct
+
+    from spark_hive_spark.sources.evolution import (
+        iceberg_bucket_long,
+        murmur3_x86_32,
+    )
+
+    assert murmur3_x86_32(b"") == 0
+    assert murmur3_x86_32(b"", 1) == 0x514E28B7
+    assert murmur3_x86_32(b"", 0xFFFFFFFF) == 0x81F16F39
+    assert murmur3_x86_32(b"test") == 0xBA6BD213
+    assert murmur3_x86_32(b"Hello, world!", 1234) == 0xFAF6CDB3
+    assert (
+        murmur3_x86_32(
+            b"The quick brown fox jumps over the lazy dog", 0x9747B28C
+        )
+        == 0x2FA826CD
+    )
+    # Iceberg spec Appendix B
+    assert murmur3_x86_32(struct.pack("<q", 34)) == 2017239379
+    # ints hash as longs, so bucket assignments agree across widths
+    assert iceberg_bucket_long(34, 16) == (2017239379 & 0x7FFFFFFF) % 16

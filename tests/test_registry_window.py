@@ -46,16 +46,16 @@ def test_no_registered_query_lost():
 
 
 def test_r10_window_completes_attestation():
-    """The r10 rotation (VERDICT r9 task 1): the window contains ALL
-    queries with no CORRECTNESS_r01..r09 row (completing 300/300
-    cumulative driver attestation), immediately after the 4 pinned
-    ref_* jobs; the remaining slots are re-attestations."""
+    """Every query with no driver CORRECTNESS row across ALL recorded
+    rounds (i.e. this round's new additions) sits immediately after
+    the 4 pinned ref_* jobs, so cumulative attestation stays
+    complete; the remaining slots are re-attestations."""
     import glob
     import json
     import os
 
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    files = sorted(glob.glob(os.path.join(root, "CORRECTNESS_r0[1-9].json")))
+    files = sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json")))
     if len(files) < 9:
         import pytest
 
