@@ -63,6 +63,9 @@ SWEEP_PRIORITY: tuple[str, ...] = (
     "multimodal_adpcm_audio_decode",
     "source_parquet_page_skipping",
     "source_hudi_timeline_replay",
+    "source_iceberg_hidden_partitioning",
+    "storage_zorder_clustering_audit",
+    "source_arrow_ipc_records",
     # round-11 implementation changes (ADVICE fixes + page-walk
     # refactor + avro array support): re-attest under the new code
     "source_parquet_footer_stats",
@@ -102,10 +105,7 @@ SWEEP_PRIORITY: tuple[str, ...] = (
     "crawl_url_canonical_dedup",
     "storage_bucketed_join_exchange_free",
     "snapshot_file_skipping_audit",
-    "ks_test_segments",
-    "cvm_test_segments",
     "multimodal_zstd_real_frame_decode",
-    "multimodal_g711_audio_decode",
 )
 
 
@@ -188,6 +188,7 @@ def _load_all() -> None:
         "spark_hive_spark.sources.orc_meta",
         "spark_hive_spark.sources.parquet_bloom",
         "spark_hive_spark.sources.delta_dv",
+        "spark_hive_spark.sources.arrow_ipc",
     ):
         try:
             importlib.import_module(mod)
