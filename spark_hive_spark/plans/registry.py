@@ -66,6 +66,7 @@ SWEEP_PRIORITY: tuple[str, ...] = (
     "source_iceberg_hidden_partitioning",
     "storage_zorder_clustering_audit",
     "source_arrow_ipc_records",
+    "source_sqlite_table_scan",
     # round-11 implementation changes (ADVICE fixes + page-walk
     # refactor + avro array support): re-attest under the new code
     "source_parquet_footer_stats",
@@ -105,7 +106,6 @@ SWEEP_PRIORITY: tuple[str, ...] = (
     "crawl_url_canonical_dedup",
     "storage_bucketed_join_exchange_free",
     "snapshot_file_skipping_audit",
-    "multimodal_zstd_real_frame_decode",
 )
 
 
@@ -189,6 +189,7 @@ def _load_all() -> None:
         "spark_hive_spark.sources.parquet_bloom",
         "spark_hive_spark.sources.delta_dv",
         "spark_hive_spark.sources.arrow_ipc",
+        "spark_hive_spark.sources.sqlite_src",
     ):
         try:
             importlib.import_module(mod)
