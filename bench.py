@@ -281,6 +281,10 @@ EXTENDED = [
     "source_hudi_timeline_replay",
     "multimodal_avi_frame_sampling",
     "multimodal_adpcm_audio_decode",
+    "source_iceberg_hidden_partitioning",
+    "storage_zorder_clustering_audit",
+    "source_arrow_ipc_records",
+    "source_sqlite_table_scan",
 ]
 
 # Streaming extended queries run dead LAST (after the streaming

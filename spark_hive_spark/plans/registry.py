@@ -38,16 +38,16 @@ class Query:
 _REGISTRY: dict[str, Query] = {}
 
 # The grading driver sweeps the FIRST 50 registry entries per round, so
-# ordering is an attestation budget. Round-10 rotation (VERDICT r9 task
-# 1): the 4 reference jobs stay pinned, then the FINAL 6 queries with no
-# CORRECTNESS_r01..r09 row (completing 300/300 cumulative driver
-# attestation), then this round's NEW queries (driver rows on first
-# appearance — 26 from the first session, 10 file-format-floor queries
-# from the second), then re-attestation fillers for the queries whose
-# implementation changed this round (IVF adaptive sizing, shingle-cache
-# eviction). The stale-re-attestation tail (dedup_*, w_top3, stats_*,
-# unpivot, histogram — all r01-attested green) was displaced by the
-# second session's additions; r11 should rotate them back in first.
+# ordering is an attestation budget. Round-11 rotation: the 4 reference
+# jobs stay pinned, then the 11 NEW round-11 queries (driver rows on
+# first appearance — cumulative attestation stays complete), then
+# re-attestations of everything whose implementation changed this round
+# (the four ADVICE fixes touch the parquet/ORC metadata layer and the
+# CAS primitive; the avro codec gained arrays; the page walkers were
+# refactored), then the single-round-old r10 additions as rotation
+# filler. Backlog for r12 re-attestation: the r10 tail displaced here
+# (ks/cvm tests, zstd real-frame, g711, jpeg_422) and the long-stale
+# r01-attested relational/dedup families (dedup_*, w_top3, stats_*).
 # tests/test_registry_window.py asserts the window stays exactly this.
 SWEEP_PRIORITY: tuple[str, ...] = (
     # pinned reference jobs (driver-green every round)

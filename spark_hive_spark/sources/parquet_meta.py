@@ -1271,7 +1271,7 @@ def read_column_index(data: bytes, cc: dict[int, Any]) -> dict[str, Any]:
     }
 
 
-_PAGE_ROWS = 200  # fixture: parquet.page.row.count.limit (exact split)
+_PAGE_ROWS = 500  # fixture: parquet.page.row.count.limit (exact split)
 _PG_LO = dt.date(1995, 4, 1)
 _PG_HI = dt.date(1996, 3, 31)
 
@@ -1324,8 +1324,8 @@ def source_parquet_page_skipping(
 
     The fixture is a SPARK-written file (zstd + dictionary defaults)
     of orders sorted by (date, key) with
-    `parquet.page.row.count.limit={200}`, so pages split at exactly
-    {200} rows and the whole plan is oracle-computable. The planner
+    `parquet.page.row.count.limit=500`, so pages split at exactly
+    500 rows and the whole plan is oracle-computable. The planner
     decodes the date column's ColumnIndex (per-page min/max,
     boundary_order must say ASCENDING for a sorted write, null_pages
     all false) and OffsetIndex, intersects a two-fiscal-quarter
@@ -1443,22 +1443,28 @@ def source_parquet_page_skipping(
             }),
         ))
 
+    # several pages per task: page decode is cheap, task launch and
+    # the per-task file read are not — real readers coalesce adjacent
+    # selected pages into one range read the same way
     plan = spark.createDataFrame(
         tasks or [("", "")], "path string, spec string"
-    ).repartition(max(len(tasks), 1))
+    ).repartition(max(min(len(tasks), 32), 1))
 
     def _read_pages(batches) -> Iterator:
         import json as _json2
 
         import pandas as pd
 
+        blob_cache: dict[str, bytes] = {}
         for pdf in batches:
             for rec in pdf.itertuples(index=False):
                 if not rec.path:
                     continue
                 spec = _json2.loads(rec.spec)
-                with open(rec.path, "rb") as fh:
-                    blob = fh.read()
+                blob = blob_cache.get(rec.path)
+                if blob is None:
+                    with open(rec.path, "rb") as fh:
+                        blob = blob_cache[rec.path] = fh.read()
                 cmd_d = {int(k): v for k, v in spec["cmd_date"].items()}
                 cmd_p = {int(k): v for k, v in spec["cmd_price"].items()}
                 (dates,) = read_fixed_pages_at(
