@@ -513,6 +513,13 @@ EXPECTED_SF01: dict[str, float] = {
     "source_avro_schema_evolution": 0.8, "source_iceberg_position_deletes": 2.0,
     "source_parquet_page_decode": 1.8, "source_parquet_spark_native_decode": 1.6,
     "source_orc_rlev2_decode": 2.0,
+    # round-11 additions (idle sf0.1 best-of-2, 2026-08-15)
+    "source_parquet_bloom_skipping": 1.7, "source_delta_deletion_vectors": 1.5,
+    "source_iceberg_equality_deletes": 2.4, "multimodal_avi_frame_sampling": 1.0,
+    "multimodal_adpcm_audio_decode": 0.5, "source_parquet_page_skipping": 2.1,
+    "source_hudi_timeline_replay": 1.4, "source_iceberg_hidden_partitioning": 2.9,
+    "storage_zorder_clustering_audit": 1.6, "source_arrow_ipc_records": 2.0,
+    "source_sqlite_table_scan": 1.9,
 }
 
 
