@@ -285,6 +285,7 @@ EXTENDED = [
     "storage_zorder_clustering_audit",
     "source_arrow_ipc_records",
     "source_sqlite_table_scan",
+    "source_hudi_mor_snapshot",
 ]
 
 # Streaming extended queries run dead LAST (after the streaming
@@ -520,6 +521,7 @@ EXPECTED_SF01: dict[str, float] = {
     "source_hudi_timeline_replay": 1.4, "source_iceberg_hidden_partitioning": 2.9,
     "storage_zorder_clustering_audit": 1.6, "source_arrow_ipc_records": 2.0,
     "source_sqlite_table_scan": 1.9,
+    "source_hudi_mor_snapshot": 2.6,
 }
 
 

@@ -1,0 +1,402 @@
+"""Apache Hudi MERGE-ON-READ snapshot read — the write-optimized half
+of the Hudi story (`source_hudi_timeline_replay` covers copy-on-write).
+
+MOR is Hudi's answer to high-frequency upserts at lake scale: instead
+of rewriting a whole base parquet file per upsert batch (COW), each
+file group accumulates row-level changes in an append-only LOG FILE,
+and a snapshot reader merges base + log at query time. Read WITHOUT
+the Hudi library from the public on-disk contract
+(hudi.apache.org/tech-specs, "Log File Format"):
+
+- **Log file naming**: ``.{fileId}_{baseInstant}.log.{version}_{token}``
+  (dot-prefixed, one per file slice).
+- **Log block framing** (format v1): per block
+  ``#HUDI#`` magic | block length (8 BE, bytes after this field) |
+  format version (4 BE) | block type (4 BE) | header length (8 BE) |
+  header | content length (8 BE) | content | footer length (8 BE) |
+  footer | total block length (8 BE, whole block incl. magic — the
+  field reverse readers seek by). Header/footer are maps of
+  ``n (4 BE) { metadataType (4 BE), len (4 BE), utf8 }`` with
+  INSTANT_TIME=0, TARGET_INSTANT_TIME=1, SCHEMA=2, COMMAND_TYPE=3.
+- **Block types**: 1 = DELETE_BLOCK, 3 = AVRO_DATA_BLOCK (0 command,
+  2 corrupt, 4 hfile, 5 parquet — loud NotImplementedError seams).
+- **Avro data block content**: version (4 BE) | record count (4 BE) |
+  per record: size (4 BE) + Avro-binary record bytes (schema in the
+  SCHEMA header entry; decoded by the repo's own Avro codec,
+  operators/avro.py).
+- **Delete block content**: version (4 BE) | tombstone byte-length
+  (4 BE) | an Avro array of ``{recordKey: string}`` records
+  (HoodieKey record keys are strings; the reader casts).
+
+The semantics a snapshot reader MUST get right (and the fixture
+traps): log blocks carry their writer's INSTANT_TIME in the header,
+and only blocks whose instant is COMPLETED on the timeline are
+visible — an appended-but-uncommitted block (writer crash shape)
+sits in the same file after committed blocks and must be skipped.
+Merge order is per record key by instant time, last writer wins,
+tombstones drop the row.
+
+Reference parity: the reference has no lakehouse surface
+(CollegeScorecard.scala:35-157); north-star item per SURVEY.md §2B's
+source/compat family.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import struct
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window
+
+from spark_hive_spark.functions.numeric import dsum, sql_dsum
+from spark_hive_spark.operators.avro import _dec_field, _enc_field, decode_varint, encode_varint
+from spark_hive_spark.plans.registry import register
+from spark_hive_spark.tables import t
+
+_MAGIC = b"#HUDI#"
+_FMT_VERSION = 1
+# HoodieLogBlockType ordinals (tech-specs block type table)
+_CMD_BLOCK, _DELETE_BLOCK, _CORRUPT_BLOCK, _AVRO_BLOCK = 0, 1, 2, 3
+# HeaderMetadataType ordinals
+_H_INSTANT, _H_TARGET_INSTANT, _H_SCHEMA, _H_COMMAND = 0, 1, 2, 3
+
+_LOG_SCHEMA = {
+    "type": "record",
+    "name": "order_change",
+    "fields": [
+        {"name": "o_orderkey", "type": "long"},
+        {"name": "o_totalprice", "type": "double"},
+    ],
+}
+_DELETE_SCHEMA = {"type": "array", "items": "string"}
+
+
+# ---------------------------------------------------------------------------
+# log block codec
+# ---------------------------------------------------------------------------
+
+def _enc_header(entries: dict[int, str]) -> bytes:
+    out = struct.pack(">i", len(entries))
+    for mtype, val in sorted(entries.items()):
+        raw = val.encode()
+        out += struct.pack(">ii", mtype, len(raw)) + raw
+    return out
+
+
+def _dec_header(buf: bytes) -> dict[int, str]:
+    (n,) = struct.unpack_from(">i", buf, 0)
+    pos, out = 4, {}
+    for _ in range(n):
+        mtype, ln = struct.unpack_from(">ii", buf, pos)
+        pos += 8
+        out[mtype] = buf[pos : pos + ln].decode()
+        pos += ln
+    if pos != len(buf):
+        raise ValueError("log block header map has trailing bytes")
+    return out
+
+
+def encode_log_block(
+    block_type: int, header: dict[int, str], content: bytes
+) -> bytes:
+    """One HoodieLogFormat v1 block, framed exactly as parsed back by
+    ``walk_log_blocks`` (field list from hudi tech-specs)."""
+    hdr = _enc_header(header)
+    body = (
+        struct.pack(">ii", _FMT_VERSION, block_type)
+        + struct.pack(">q", len(hdr)) + hdr
+        + struct.pack(">q", len(content)) + content
+        + struct.pack(">q", 0)  # footer: empty map not even written
+    )
+    total = len(_MAGIC) + 8 + len(body) + 8
+    body += struct.pack(">q", total)
+    return _MAGIC + struct.pack(">q", len(body)) + body
+
+
+def walk_log_blocks(data: bytes) -> list[dict]:
+    """Parse every block in a log file -> [{type, header, content}].
+    Validates magic, the forward length, and the trailing
+    total-block-length back-pointer (the reverse-traversal field)."""
+    pos, out = 0, []
+    while pos < len(data):
+        if data[pos : pos + 6] != _MAGIC:
+            raise ValueError(f"bad log block magic at {pos}")
+        (blen,) = struct.unpack_from(">q", data, pos + 6)
+        start, end = pos + 14, pos + 14 + blen
+        if end > len(data):
+            raise ValueError("log block overruns file")
+        version, btype = struct.unpack_from(">ii", data, start)
+        if version != _FMT_VERSION:
+            raise NotImplementedError(f"log format version {version}")
+        p = start + 8
+        (hlen,) = struct.unpack_from(">q", data, p)
+        header = _dec_header(data[p + 8 : p + 8 + hlen])
+        p += 8 + hlen
+        (clen,) = struct.unpack_from(">q", data, p)
+        content = data[p + 8 : p + 8 + clen]
+        p += 8 + clen
+        (flen,) = struct.unpack_from(">q", data, p)
+        p += 8 + flen
+        (total,) = struct.unpack_from(">q", data, p)
+        if total != end - pos or p + 8 != end:
+            raise ValueError("log block total-length back-pointer wrong")
+        out.append({"type": btype, "header": header, "content": content})
+        pos = end
+    return out
+
+
+def _enc_avro_content(records: list[dict]) -> bytes:
+    out = struct.pack(">ii", 1, len(records))
+    for rec in records:
+        raw = b"".join(
+            _enc_field(rec[f["name"]], f["type"])
+            for f in _LOG_SCHEMA["fields"]
+        )
+        out += struct.pack(">i", len(raw)) + raw
+    return out
+
+
+def _dec_avro_content(content: bytes, schema: dict) -> list[dict]:
+    version, count = struct.unpack_from(">ii", content, 0)
+    if version != 1:
+        raise NotImplementedError(f"avro data block version {version}")
+    pos, out = 8, []
+    for _ in range(count):
+        (size,) = struct.unpack_from(">i", content, pos)
+        raw, pos = content[pos + 4 : pos + 4 + size], pos + 4 + size
+        rec, p = {}, 0
+        for f in schema["fields"]:
+            rec[f["name"]], p = _dec_field(raw, p, f["type"])
+        if p != size:
+            raise ValueError("avro record has trailing bytes")
+        out.append(rec)
+    if pos != len(content):
+        raise ValueError("avro data block has trailing bytes")
+    return out
+
+
+def _enc_delete_content(keys: list[str]) -> bytes:
+    raw = _enc_field(keys, {"type": "array", "items": "string"})
+    return struct.pack(">ii", 1, len(raw)) + raw
+
+
+def _dec_delete_content(content: bytes) -> list[str]:
+    version, ln = struct.unpack_from(">ii", content, 0)
+    if version != 1:
+        raise NotImplementedError(f"delete block version {version}")
+    keys, pos = _dec_field(
+        content[8 : 8 + ln], 0, {"type": "array", "items": "string"}
+    )
+    return keys
+
+
+# ---------------------------------------------------------------------------
+# the registered query
+# ---------------------------------------------------------------------------
+
+@register(
+    "source_hudi_mor_snapshot",
+    oracle=f"""
+        SELECT CAST(o_orderkey % 10 AS INT) AS key_mod,
+               CAST(2 AS INT) AS blocks_applied,
+               CAST(1 AS INT) AS blocks_skipped,
+               count(*) AS n_orders,
+               {sql_dsum(
+                   "o_totalprice + CASE WHEN o_orderkey % 10 = 6"
+                   " THEN 100.00 ELSE 0 END"
+               )} AS revenue
+        FROM orders
+        WHERE o_orderkey % 10 <> 3
+        GROUP BY 1
+        ORDER BY 1
+    """,
+    tags=("source", "hudi", "merge-on-read", "lakehouse", "compat"),
+)
+def source_hudi_mor_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hudi MERGE-ON-READ snapshot read (round 11), hand-built from the
+    public log-file contract — completes the lakehouse trio's
+    write-optimized arm (Delta DVs and Iceberg deletes are the others).
+
+    Fixture: two file groups (orders split by key parity) get base
+    parquet at instant 001 (commit); deltacommit 002 appends an AVRO
+    data block to group A's log upserting +100.00 on every key ≡ 6
+    (mod 10); deltacommit 003 appends a DELETE block to group B's log
+    tombstoning keys ≡ 3 (mod 10); then a CRASHED writer appends one
+    more data block (instant 004, +1000.00 on keys ≡ 0) to the SAME
+    log file — 004 never completes, so the reader must parse the
+    block, see its INSTANT_TIME header is not on the completed
+    timeline, and skip it (`blocks_skipped` = 1 pins this; serving it
+    flips every key_mod-0 revenue).
+
+    Merge is expressed Spark-side, not driver-side: base rows tag
+    instant '001', log upserts/tombstones their block's instant, one
+    union + per-key row_number window (ordered by instant desc) keeps
+    the last writer and drops tombstones — the same single
+    shuffle-by-record-key a distributed MOR merge costs, with
+    AQE-coalesced partitions. Log parsing itself is O(log bytes), per
+    file group, independent of base size.
+
+    Oracle recomputes the merged aggregate from the raw table: stale
+    base (missing +100s), a served crash block (+1000s), or undeleted
+    tombstones each flip the hash.
+    """
+    orders = t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    root = os.path.join(tempfile.gettempdir(), f"shs_hudi_mor_{uuid.uuid4().hex}")
+    tdir = os.path.join(root, "t")
+    hdir = os.path.join(tdir, ".hoodie")
+    os.makedirs(hdir)
+
+    schema_json = json.dumps(_LOG_SCHEMA)
+
+    def _write_base(file_id: str, instant: str, df: DataFrame) -> str:
+        name = f"{file_id}_0-1-0_{instant}.parquet"
+        tmp = os.path.join(root, f"stage_{name}")
+        df.coalesce(1).write.parquet(tmp)
+        src = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+        os.replace(os.path.join(tmp, src), os.path.join(tdir, name))
+        shutil.rmtree(tmp, ignore_errors=True)
+        return name
+
+    t1, t2, t3, t4 = "001", "002", "003", "004"
+    par = F.col("o_orderkey") % 2
+    _write_base("fg-A", t1, orders.filter(par == 0))
+    _write_base("fg-B", t1, orders.filter(par == 1))
+
+    # one Arrow pass pulls every change set the writer needs (the
+    # collect is fixture construction, not the read path under test)
+    changes = (
+        orders.filter((F.col("o_orderkey") % 10).isin(0, 3, 6))
+        .toPandas()
+    )
+    mod = changes["o_orderkey"] % 10
+    # deltacommit 002: upsert +100.00 on keys ≡ 6 (mod 10) — all even,
+    # so they live in file group A (exact +100: these doubles are
+    # 2dp-representable sums, and the oracle adds the same literal)
+    c6 = changes[mod == 6]
+    upserts_002 = [
+        {"o_orderkey": int(k), "o_totalprice": float(p) + 100.0}
+        for k, p in zip(c6["o_orderkey"], c6["o_totalprice"])
+    ]
+    # deltacommit 003: tombstone keys ≡ 3 (mod 10) — all odd, group B
+    del_keys_003 = [str(int(k)) for k in changes[mod == 3]["o_orderkey"]]
+    # crashed 004: +1000.00 on keys ≡ 0 (mod 10) — must stay invisible
+    c0 = changes[mod == 0]
+    upserts_004 = [
+        {"o_orderkey": int(k), "o_totalprice": float(p) + 1000.0}
+        for k, p in zip(c0["o_orderkey"], c0["o_totalprice"])
+    ]
+
+    log_a = os.path.join(tdir, f".fg-A_{t1}.log.1_0-1-0")
+    log_b = os.path.join(tdir, f".fg-B_{t1}.log.1_0-1-0")
+    with open(log_a, "wb") as fh:
+        fh.write(encode_log_block(
+            _AVRO_BLOCK,
+            {_H_INSTANT: t2, _H_SCHEMA: schema_json},
+            _enc_avro_content(upserts_002),
+        ))
+        fh.write(encode_log_block(  # the crash appendix
+            _AVRO_BLOCK,
+            {_H_INSTANT: t4, _H_SCHEMA: schema_json},
+            _enc_avro_content(upserts_004),
+        ))
+    with open(log_b, "wb") as fh:
+        fh.write(encode_log_block(
+            _DELETE_BLOCK, {_H_INSTANT: t3},
+            _enc_delete_content(del_keys_003),
+        ))
+
+    # timeline: 001 commit, 002/003 deltacommit completed, 004 inflight
+    for name in (
+        f"{t1}.commit.requested", f"{t1}.commit.inflight", f"{t1}.commit",
+        f"{t2}.deltacommit.requested", f"{t2}.deltacommit.inflight",
+        f"{t2}.deltacommit",
+        f"{t3}.deltacommit.requested", f"{t3}.deltacommit.inflight",
+        f"{t3}.deltacommit",
+        f"{t4}.deltacommit.requested", f"{t4}.deltacommit.inflight",
+    ):
+        with open(os.path.join(hdir, name), "w") as fh:
+            fh.write("{}")
+
+    # ---- the reader ----
+    completed: set[str] = set()
+    for f in os.listdir(hdir):
+        parts = f.split(".")
+        if parts[1] not in ("commit", "deltacommit"):
+            raise NotImplementedError(f"Hudi action {parts[1]!r}")
+        if len(parts) == 2:  # no state suffix -> completed
+            completed.add(parts[0])
+
+    base_paths: list[str] = []
+    log_paths: list[str] = []
+    for f in sorted(os.listdir(tdir)):
+        if f.endswith(".parquet"):
+            instant = f.rsplit("_", 1)[1][: -len(".parquet")]
+            if instant in completed:
+                base_paths.append(os.path.join(tdir, f))
+        elif ".log." in f and f.startswith("."):
+            log_paths.append(os.path.join(tdir, f))
+
+    upsert_rows: list[tuple[int, float, str, bool]] = []
+    applied = skipped = 0
+    for path in log_paths:
+        with open(path, "rb") as fh:
+            blocks = walk_log_blocks(fh.read())
+        for blk in blocks:
+            instant = blk["header"][_H_INSTANT]
+            if instant not in completed:
+                skipped += 1
+                continue
+            applied += 1
+            if blk["type"] == _AVRO_BLOCK:
+                schema = json.loads(blk["header"][_H_SCHEMA])
+                for rec in _dec_avro_content(blk["content"], schema):
+                    upsert_rows.append((
+                        rec["o_orderkey"], rec["o_totalprice"],
+                        instant, False,
+                    ))
+            elif blk["type"] == _DELETE_BLOCK:
+                for key in _dec_delete_content(blk["content"]):
+                    upsert_rows.append((int(key), 0.0, instant, True))
+            else:
+                raise NotImplementedError(f"log block type {blk['type']}")
+
+    base = (
+        spark.read.parquet(*base_paths)
+        .withColumn("instant", F.lit(t1))
+        .withColumn("is_delete", F.lit(False))
+    )
+    import pandas as pd
+
+    log_df = spark.createDataFrame(
+        pd.DataFrame(
+            upsert_rows,
+            columns=["o_orderkey", "o_totalprice", "instant", "is_delete"],
+        ),
+        "o_orderkey long, o_totalprice double, "
+        "instant string, is_delete boolean",
+    )
+    w = Window.partitionBy("o_orderkey").orderBy(F.col("instant").desc())
+    merged = (
+        base.unionByName(log_df)
+        .withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") == 1) & ~F.col("is_delete"))
+    )
+    out = (
+        merged.groupBy((F.col("o_orderkey") % 10).cast("int").alias("key_mod"))
+        .agg(
+            F.lit(applied).cast("int").alias("blocks_applied"),
+            F.lit(skipped).cast("int").alias("blocks_skipped"),
+            F.count("*").alias("n_orders"),
+            dsum("o_totalprice").alias("revenue"),
+        )
+        .orderBy("key_mod")
+        .localCheckpoint(eager=True)  # 10 rows; frees the temp root
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    return out

@@ -1,0 +1,86 @@
+"""HoodieLogFormat block codec unit tests (no Spark session needed).
+
+The end-to-end MOR snapshot semantics (timeline filtering, last-writer
+merge, tombstones) are covered by the registry parity test
+(`test_oracle_parity` runs `source_hudi_mor_snapshot` against its
+DuckDB oracle at sf0.001); these tests pin the byte-level framing the
+reader trusts.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import pytest
+
+from spark_hive_spark.sources.hudi_mor import (
+    _AVRO_BLOCK,
+    _DELETE_BLOCK,
+    _H_INSTANT,
+    _H_SCHEMA,
+    _LOG_SCHEMA,
+    _dec_avro_content,
+    _dec_delete_content,
+    _enc_avro_content,
+    _enc_delete_content,
+    encode_log_block,
+    walk_log_blocks,
+)
+
+RECS = [
+    {"o_orderkey": 6, "o_totalprice": 123.45},
+    {"o_orderkey": 16, "o_totalprice": 99999.99},
+    {"o_orderkey": 26, "o_totalprice": 0.01},
+]
+
+
+def test_block_roundtrip_multi_block_file():
+    import json
+
+    blk1 = encode_log_block(
+        _AVRO_BLOCK,
+        {_H_INSTANT: "002", _H_SCHEMA: json.dumps(_LOG_SCHEMA)},
+        _enc_avro_content(RECS),
+    )
+    blk2 = encode_log_block(
+        _DELETE_BLOCK, {_H_INSTANT: "003"}, _enc_delete_content(["3", "13"])
+    )
+    blocks = walk_log_blocks(blk1 + blk2)
+    assert [b["type"] for b in blocks] == [_AVRO_BLOCK, _DELETE_BLOCK]
+    assert blocks[0]["header"][_H_INSTANT] == "002"
+    assert _dec_avro_content(blocks[0]["content"], _LOG_SCHEMA) == RECS
+    assert _dec_delete_content(blocks[1]["content"]) == ["3", "13"]
+
+
+def test_trailing_total_length_enables_reverse_seek():
+    blk = encode_log_block(_DELETE_BLOCK, {_H_INSTANT: "001"},
+                           _enc_delete_content(["1"]))
+    (total,) = struct.unpack_from(">q", blk, len(blk) - 8)
+    assert total == len(blk)
+
+
+def test_bad_magic_rejected():
+    blk = encode_log_block(_DELETE_BLOCK, {_H_INSTANT: "001"},
+                           _enc_delete_content(["1"]))
+    with pytest.raises(ValueError, match="magic"):
+        walk_log_blocks(b"#XUDI#" + blk[6:])
+
+
+def test_corrupted_back_pointer_rejected():
+    blk = bytearray(
+        encode_log_block(_DELETE_BLOCK, {_H_INSTANT: "001"},
+                         _enc_delete_content(["1"]))
+    )
+    blk[-1] ^= 0xFF
+    with pytest.raises(ValueError, match="back-pointer"):
+        walk_log_blocks(bytes(blk))
+
+
+def test_unknown_format_version_is_loud():
+    blk = bytearray(
+        encode_log_block(_DELETE_BLOCK, {_H_INSTANT: "001"},
+                         _enc_delete_content(["1"]))
+    )
+    struct.pack_into(">i", blk, 14, 9)  # version field after magic+len
+    with pytest.raises(NotImplementedError, match="version 9"):
+        walk_log_blocks(bytes(blk))
