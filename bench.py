@@ -286,6 +286,7 @@ EXTENDED = [
     "source_arrow_ipc_records",
     "source_sqlite_table_scan",
     "source_hudi_mor_snapshot",
+    "source_delta_cdf_changes",
 ]
 
 # Streaming extended queries run dead LAST (after the streaming
@@ -522,6 +523,7 @@ EXPECTED_SF01: dict[str, float] = {
     "storage_zorder_clustering_audit": 1.6, "source_arrow_ipc_records": 2.0,
     "source_sqlite_table_scan": 1.9,
     "source_hudi_mor_snapshot": 2.6,
+    "source_delta_cdf_changes": 4.2,
 }
 
 

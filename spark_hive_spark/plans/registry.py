@@ -68,6 +68,7 @@ SWEEP_PRIORITY: tuple[str, ...] = (
     "source_arrow_ipc_records",
     "source_sqlite_table_scan",
     "source_hudi_mor_snapshot",
+    "source_delta_cdf_changes",
     # round-11 implementation changes (ADVICE fixes + page-walk
     # refactor + avro array support): re-attest under the new code
     "source_parquet_footer_stats",
@@ -105,7 +106,6 @@ SWEEP_PRIORITY: tuple[str, ...] = (
     "source_webdataset_tar",
     "text_bpe_tokenize",
     "crawl_url_canonical_dedup",
-    "storage_bucketed_join_exchange_free",
 )
 
 
@@ -191,6 +191,7 @@ def _load_all() -> None:
         "spark_hive_spark.sources.arrow_ipc",
         "spark_hive_spark.sources.sqlite_src",
         "spark_hive_spark.sources.hudi_mor",
+        "spark_hive_spark.sources.delta_cdf",
     ):
         try:
             importlib.import_module(mod)
