@@ -181,6 +181,8 @@ def source_delta_cdf_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
             continue
         cdc_paths: list[str] = []
         add_paths: list[str] = []
+        has_remove = False
+        has_no_change_add = False
         with open(os.path.join(ldir, fname)) as fh:
             for line in fh:
                 action = json.loads(line)
@@ -188,11 +190,28 @@ def source_delta_cdf_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
                     cdc_paths.append(action["cdc"]["path"])
                 elif "add" in action:
                     add_paths.append(action["add"]["path"])
+                    if not action["add"].get("dataChange", True):
+                        has_no_change_add = True
+                elif "remove" in action:
+                    has_remove = True
         if cdc_paths:  # change files win; add/remove are layout only
             df = spark.read.parquet(
                 *(os.path.join(tdir, p) for p in cdc_paths)
             )
-        elif add_paths:  # blind append: synthesize inserts
+        elif add_paths:
+            # Blind-append synthesis is only sound when the commit is
+            # purely new data: a cdc-less commit with removes encodes
+            # deletes, and dataChange=false adds (compaction/OPTIMIZE)
+            # carry no logical changes — both would be misread here, so
+            # fail loudly like the rest of the log reader.
+            if has_remove:
+                raise NotImplementedError(
+                    f"cdc-less commit {version} contains remove actions"
+                )
+            if has_no_change_add:
+                raise NotImplementedError(
+                    f"cdc-less commit {version} contains dataChange=false adds"
+                )
             df = spark.read.parquet(
                 *(os.path.join(tdir, p) for p in add_paths)
             ).withColumn("_change_type", F.lit("insert"))

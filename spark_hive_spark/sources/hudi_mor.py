@@ -55,7 +55,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import Window
 
 from spark_hive_spark.functions.numeric import dsum, sql_dsum
-from spark_hive_spark.operators.avro import _dec_field, _enc_field, decode_varint, encode_varint
+from spark_hive_spark.operators.avro import _dec_field, _enc_field
 from spark_hive_spark.plans.registry import register
 from spark_hive_spark.tables import t
 
@@ -193,6 +193,10 @@ def _dec_delete_content(content: bytes) -> list[str]:
     keys, pos = _dec_field(
         content[8 : 8 + ln], 0, {"type": "array", "items": "string"}
     )
+    if pos != ln:
+        raise ValueError("delete block tombstone array has trailing bytes")
+    if 8 + ln != len(content):
+        raise ValueError("delete block content has trailing bytes")
     return keys
 
 

@@ -240,6 +240,42 @@ def _leaf_paths(schema: list[dict[int, Any]]) -> list[tuple[str, dict[int, Any]]
     return out
 
 
+def _leaf_repetitions(
+    schema: list[dict[int, Any]],
+) -> dict[str, list[int]]:
+    """Flattened SchemaElement list -> {dotted leaf path: the
+    repetition_type (field 3: 0=REQUIRED 1=OPTIONAL 2=REPEATED) of
+    every node on the root→leaf path, root excluded}.
+
+    This is what fixes a leaf's max definition / repetition levels
+    (Dremel encoding): max_def = count of OPTIONAL+REPEATED ancestors
+    incl. the leaf, max_rep = count of REPEATED ones — the page
+    readers need both to size the level streams."""
+    out: dict[str, list[int]] = {}
+    stack: list[list[Any]] = [[schema[0].get(5, 0), (), []]]
+    for se in schema[1:]:
+        while stack and stack[-1][0] == 0:
+            stack.pop()
+        if not stack:
+            raise ValueError("schema walk overran the declared tree")
+        stack[-1][0] -= 1
+        name = se[4].decode()
+        path = stack[-1][1] + (name,)
+        reps = stack[-1][2] + [se.get(3, 0)]
+        if 5 in se:  # group node
+            stack.append([se[5], path, reps])
+        else:
+            out[".".join(path)] = reps
+    return out
+
+
+def max_levels(repetitions: list[int]) -> tuple[int, int]:
+    """Repetition-type chain -> (max_def_level, max_rep_level)."""
+    max_def = sum(1 for r in repetitions if r in (1, 2))
+    max_rep = sum(1 for r in repetitions if r == 2)
+    return max_def, max_rep
+
+
 def footer_summary(data: bytes) -> dict[str, Any]:
     """Interpreted footer: file-level info + per-row-group column stats.
 
@@ -594,44 +630,89 @@ def _decode_fixed_data_page(
     dictionary: list | None,
     max_def_level: int,
 ) -> tuple[list, int]:
-    """One v1/v2 DATA page at ``pos`` -> (values with None for nulls,
-    next pos). Shared by the sequential chunk walker and the
-    OffsetIndex-driven selective reader."""
+    """One FLAT v1/v2 DATA page at ``pos`` -> (values with None for
+    nulls, next pos). Shared by the sequential chunk walker and the
+    OffsetIndex-driven selective reader; nested columns go through
+    `_decode_fixed_page_levels` directly."""
+    defs, _reps, vals, nxt = _decode_fixed_page_levels(
+        data, pos, codec, fmt_ch, width, phys, dictionary,
+        max_def_level, 0,
+    )
+    present = iter(vals)
+    return [next(present) if d == max_def_level else None for d in defs], nxt
+
+
+def _decode_fixed_page_levels(
+    data: bytes,
+    pos: int,
+    codec: int,
+    fmt_ch: str,
+    width: int,
+    phys: int,
+    dictionary: list | None,
+    max_def_level: int,
+    max_rep_level: int,
+) -> tuple[list[int], list[int], list, int]:
+    """One v1/v2 DATA page at ``pos`` -> (definition levels,
+    repetition levels, PRESENT values only, next pos) — the Dremel
+    triplet a nested reader assembles records from.
+
+    Level streams per the spec: v1 pages carry repetition levels
+    FIRST (4-byte-length-prefixed RLE/bit-packed hybrid, bit width =
+    bit_length(max_rep_level)), then definition levels (same
+    framing, bit width = bit_length(max_def_level)), inside the
+    page's compressed body; v2 pages carry both UNPREFIXED and
+    UNCOMPRESSED before the data blob, sized by the header's
+    repetition_levels_byte_length / definition_levels_byte_length.
+    A level stream is entirely absent when its max level is 0."""
     hdr, body_start = _read_struct(data, pos)
     ptype, comp_size = hdr[1], hdr[3]
     body = data[body_start : body_start + comp_size]
+    def_bw = max_def_level.bit_length()
+    rep_bw = max_rep_level.bit_length()
     if ptype == 0:
         dph = hdr[5]
         nv, enc = dph[1], dph[2]
         raw = _decompress_page(body, codec, hdr[2])
-        if max_def_level == 0:  # REQUIRED: no levels stream
-            defs, vals_buf = [1] * nv, raw
+        p = 0
+        if max_rep_level == 0:
+            reps = [0] * nv
         else:
-            defs, consumed = decode_rle_hybrid(raw, 1, nv)
-            vals_buf = raw[consumed:]
+            reps, consumed = decode_rle_hybrid(raw, rep_bw, nv)
+            p += consumed
+        if max_def_level == 0:  # REQUIRED: no levels stream
+            defs = [max_def_level] * nv
+        else:
+            defs, consumed = decode_rle_hybrid(raw[p:], def_bw, nv)
+            p += consumed
+        vals_buf = raw[p:]
     elif ptype == 3:  # v2: levels sit UNCOMPRESSED before the data blob
         dph = hdr[8]  # DataPageHeaderV2
         nv, enc = dph[1], dph[4]
         dll = dph.get(5, 0)
         rll = dph.get(6, 0)
-        if rll:
-            raise NotImplementedError(
-                "repetition levels (nested columns)"
-            )
-        levels = body[:dll]
-        defs = (
-            decode_rle_hybrid(levels, 1, nv, length_prefixed=False)[0]
-            if dll
-            else [1] * nv
+        reps = (
+            decode_rle_hybrid(
+                body[:rll], rep_bw, nv, length_prefixed=False
+            )[0]
+            if rll
+            else [0] * nv
         )
-        vals_buf = bytes(body[dll:])
+        defs = (
+            decode_rle_hybrid(
+                body[rll : rll + dll], def_bw, nv, length_prefixed=False
+            )[0]
+            if dll
+            else [max_def_level] * nv
+        )
+        vals_buf = bytes(body[rll + dll :])
         if dph.get(7, True) and codec != 0:
             vals_buf = _decompress_page(
                 vals_buf, codec, hdr[2] - dll - rll
             )
     else:
         raise ValueError(f"expected a data page, got type {ptype}")
-    n_present = sum(defs)
+    n_present = sum(1 for d in defs if d == max_def_level)
     if enc == 0:  # PLAIN
         vals_raw = vals_buf[: width * n_present]
         if len(vals_raw) != width * n_present:
@@ -657,9 +738,134 @@ def _decode_fixed_data_page(
         vals = decode_delta_binary_packed(vals_buf, n_present)
     else:
         raise NotImplementedError(f"value encoding {enc}")
-    present = iter(vals)
-    out = [next(present) if d else None for d in defs]
-    return out, body_start + comp_size
+    if len(vals) != n_present:
+        raise ValueError(
+            f"page decoded {len(vals)} values, levels say {n_present}"
+        )
+    return defs, reps, vals, body_start + comp_size
+
+
+def read_list_fixed_column_pages(
+    data: bytes, cmd: dict[int, Any], repetitions: list[int]
+) -> tuple[list[list | None], int]:
+    """Walk one NESTED (one-level list) fixed-width column chunk's
+    pages -> (one entry per top-level row: None for a null list, a
+    python list — possibly with None elements — otherwise; data-page
+    count).
+
+    ``repetitions`` is the leaf's root→leaf repetition-type chain
+    from `_leaf_repetitions`; only the standard 3-level list shape
+    both Spark (optional col / repeated "list" / element) and
+    pyarrow (optional col / repeated "list" / item) write is
+    accepted — max_rep_level 1, max_def_level 2 (REQUIRED element)
+    or 3 (OPTIONAL element). Deeper nesting (lists of lists, structs
+    in lists) stays a loud seam.
+
+    Record assembly is Dremel's: a repetition level of 0 starts a
+    new top-level row, 1 appends to the current row's list; the
+    definition level then disambiguates null list (0) / empty list
+    (1) / null element (2, OPTIONAL element only) / present value
+    (max_def). Levels and values are concatenated across ALL data
+    pages before assembly, so a row whose list spans a page boundary
+    (legal in v1 files) reassembles correctly."""
+    if len(repetitions) != 3 or repetitions[0] != 1 or repetitions[1] != 2 \
+            or repetitions[2] not in (0, 1):
+        raise NotImplementedError(
+            f"nested shape {repetitions} (only the standard optional/"
+            "repeated/element one-level list is implemented)"
+        )
+    element_optional = repetitions[2] == 1
+    max_def, max_rep = max_levels(repetitions)
+    phys = cmd[1]
+    fixed = {_INT32: ("<i", 4), _INT64: ("<q", 8),
+             _FLOAT: ("<f", 4), _DOUBLE: ("<d", 8)}
+    if phys not in fixed:
+        raise NotImplementedError(
+            f"nested page decode implemented for fixed-width types, "
+            f"not {_PHYS.get(phys, phys)}"
+        )
+    fmt_ch, width = fixed[phys]
+    codec = cmd[4]
+    off = cmd.get(11, cmd[9])  # dictionary page precedes data pages
+    size, total = cmd[7], cmd[5]
+    pos = off
+    defs: list[int] = []
+    reps: list[int] = []
+    vals: list = []
+    dictionary: list | None = None
+    n_pages = 0
+    while pos < off + size:
+        hdr, _ = _read_struct(data, pos)
+        ptype = hdr[1]
+        if ptype == 2:  # DICTIONARY_PAGE
+            dictionary, pos = _decode_fixed_dict_page(
+                data, pos, codec, fmt_ch, width
+            )
+        elif ptype in (0, 3):  # DATA_PAGE v1 / v2
+            d, r, v, pos = _decode_fixed_page_levels(
+                data, pos, codec, fmt_ch, width, phys, dictionary,
+                max_def, max_rep,
+            )
+            defs.extend(d)
+            reps.extend(r)
+            vals.extend(v)
+            n_pages += 1
+        else:
+            raise NotImplementedError(f"page type {ptype}")
+    if len(defs) != total:
+        raise ValueError(
+            f"page walk produced {len(defs)} level entries, chunk "
+            f"says {total}"
+        )
+    return (
+        _assemble_one_level_lists(defs, reps, vals, max_def,
+                                  element_optional),
+        n_pages,
+    )
+
+
+def _assemble_one_level_lists(
+    defs: list[int],
+    reps: list[int],
+    vals: list,
+    max_def: int,
+    element_optional: bool,
+) -> list[list | None]:
+    """Dremel record assembly for the 3-level list shape."""
+    rows: list[list | None] = []
+    cur: list | None = None
+    started = False
+    it = iter(vals)
+    empty_def = max_def - 2 if element_optional else max_def - 1
+    for d, r in zip(defs, reps):
+        if r == 0:  # new top-level row
+            if started:
+                rows.append(cur)
+            started = True
+            if d == 0:
+                cur = None
+            elif d == empty_def:
+                cur = []
+            elif element_optional and d == max_def - 1:
+                cur = [None]
+            elif d == max_def:
+                cur = [next(it)]
+            else:
+                raise ValueError(f"definition level {d} at rep 0")
+        else:  # r == 1: continuation of the current list
+            if cur is None:
+                raise ValueError("continuation level before any row")
+            if d == max_def:
+                cur.append(next(it))
+            elif element_optional and d == max_def - 1:
+                cur.append(None)
+            else:
+                raise ValueError(f"definition level {d} at rep 1")
+    if started:
+        rows.append(cur)
+    for _ in it:
+        raise ValueError("record assembly left values unconsumed")
+    return rows
 
 
 def read_fixed_pages_at(
@@ -1508,6 +1714,165 @@ def source_parquet_page_skipping(
         F.sum("n").alias("n_in_window"),
         (F.sum("cents").cast("decimal(18,0)") / 100)
         .cast("double").alias("revenue_in_window"),
+    ).localCheckpoint(eager=True)  # 1 row; frees the temp root
+    shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
+@register(
+    "source_parquet_nested_decode",
+    oracle="""
+        WITH base AS (SELECT o_orderkey AS k FROM orders),
+        elems AS (
+            SELECT b.k, gs.i,
+                   CASE WHEN (b.k + gs.i) % 7 = 0 THEN NULL
+                        ELSE b.k * 10 + gs.i END AS v
+            FROM base b, generate_series(1, 4) AS gs(i)
+            WHERE b.k % 11 <> 0 AND gs.i <= b.k % 5
+        )
+        SELECT CAST((SELECT count(*) FROM base) AS BIGINT) AS n_rows,
+               CAST((SELECT count(*) FROM base WHERE k % 11 = 0)
+                    AS BIGINT) AS n_null_lists,
+               CAST((SELECT count(*) FROM base
+                     WHERE k % 11 <> 0 AND k % 5 = 0)
+                    AS BIGINT) AS n_empty_lists,
+               CAST(count(*) AS BIGINT) AS n_entries,
+               CAST(count(*) - count(v) AS BIGINT) AS n_null_elements,
+               CAST(sum(v) AS BIGINT) AS elem_sum,
+               TRUE AS nested_consistent
+        FROM elems
+    """,
+    tags=("source", "parquet", "pages", "nested", "dremel"),
+)
+def source_parquet_nested_decode(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """A SPARK-WRITTEN `array<bigint>` column decoded entirely by
+    hand (round 12) — the nested-types extension of
+    `source_parquet_spark_native_decode`, closing the top "What's
+    missing" seam from round 11: real lakehouse tables carry
+    lists/structs, and until now the hand-built page readers
+    rejected any column with repetition levels.
+
+    The fixture derives one list per order from o_orderkey k:
+    NULL when k % 11 = 0, else the (possibly empty) k % 5 elements
+    `k*10 + i` with every (k+i) % 7 = 0 element nulled — so the
+    Dremel streams carry all four definition levels (0 null list,
+    1 empty list, 2 null element, 3 value) and both repetition
+    levels (0 new row, 1 continuation), not a degenerate shape.
+    Spark's parquet-mr writer emits the standard 3-level list
+    (optional group (LIST) / repeated group "list" / optional
+    "element") with SNAPPY pages; the reader recovers every row
+    through nothing but this repo's layers — Thrift-Compact footer +
+    PageHeaders, `_leaf_repetitions` fixing max_def/max_rep from the
+    schema's repetition chain, the multi-bit RLE/bit-packed level
+    streams (def levels need 2 bits here, not the flat path's 1),
+    the hand-built snappy decoder, and Dremel record assembly
+    (`_assemble_one_level_lists`) that concatenates levels across
+    pages so lists spanning page boundaries reassemble.
+
+    The oracle recomputes every count and the element sum from the
+    raw orders table via a lateral generate_series — a levels bug
+    miscounts null/empty lists, a repetition bug splices adjacent
+    rows' lists, an assembly bug double-consumes values.
+    ``nested_consistent`` additionally pins, engine-side, that the
+    file really exercised the nested shape: the leaf's repetition
+    chain is exactly optional/repeated/optional, >1 data page was
+    walked, per-row-group assembled row counts match the footer, and
+    the codec is SNAPPY (hand-built decode, not a pass-through).
+
+    Scale posture: one task per row group (mapInPandas over the plan
+    rows — Spark's own split model); per-task partial aggregates
+    combine in a single final reduce, so nothing row-shaped crosses
+    the shuffle. The pure-python decode is the format-layer
+    demonstrator; production scans stay on the JVM vectorized
+    reader, which this query's output certifies against.
+    """
+    import glob as _glob
+
+    import pandas as _pd
+
+    root = os.path.join(
+        tempfile.gettempdir(), f"shs_pqnest_{uuid.uuid4().hex}"
+    )
+    (
+        t(spark, sf_dir, "orders")
+        .selectExpr(
+            """
+            CASE WHEN o_orderkey % 11 = 0 THEN CAST(NULL AS array<bigint>)
+                 ELSE transform(
+                     slice(array(1, 2, 3, 4), 1,
+                           CAST(o_orderkey % 5 AS INT)),
+                     i -> CASE WHEN (o_orderkey + i) % 7 = 0
+                               THEN CAST(NULL AS BIGINT)
+                               ELSE o_orderkey * 10 + i END)
+            END AS vals
+            """
+        )
+        .coalesce(1)
+        .write.option("compression", "snappy")
+        .option("parquet.block.size", 512 * 1024)
+        .option("parquet.page.size", 8 * 1024)
+        .parquet(root)
+    )
+    path = _glob.glob(os.path.join(root, "*.parquet"))[0]
+    with open(path, "rb") as fh:
+        raw = fh.read()
+    n_groups = len(decode_footer(raw)[4])
+
+    plan = spark.createDataFrame(
+        [(path, i) for i in range(n_groups)], "path string, rg int"
+    ).repartition(n_groups)
+
+    def _decode_groups(batches) -> Iterator:
+        for pdf in batches:
+            for rec in pdf.itertuples(index=False):
+                with open(rec.path, "rb") as fh:
+                    data = fh.read()
+                fmd = decode_footer(data)
+                rep_chain = next(iter(_leaf_repetitions(fmd[2]).values()))
+                rg = fmd[4][rec.rg]
+                cmd = rg[1][0][3]
+                rows, n_pages = read_list_fixed_column_pages(
+                    data, cmd, rep_chain
+                )
+                n_null_lists = sum(1 for r in rows if r is None)
+                n_empty = sum(1 for r in rows if r == [])
+                entries = [e for r in rows if r for e in r]
+                present = [e for e in entries if e is not None]
+                ok = (
+                    rep_chain == [1, 2, 1]
+                    and len(rows) == rg[3]
+                    and cmd[4] == 1  # SNAPPY through the hand decoder
+                )
+                yield _pd.DataFrame(
+                    [(
+                        len(rows), n_null_lists, n_empty, len(entries),
+                        len(entries) - len(present), sum(present),
+                        n_pages, bool(ok),
+                    )],
+                    columns=[
+                        "n_rows", "n_null_lists", "n_empty_lists",
+                        "n_entries", "n_null_elements", "elem_sum",
+                        "pages", "ok",
+                    ],
+                )
+
+    partials = plan.mapInPandas(
+        _decode_groups,
+        "n_rows bigint, n_null_lists bigint, n_empty_lists bigint,"
+        " n_entries bigint, n_null_elements bigint, elem_sum bigint,"
+        " pages int, ok boolean",
+    )
+    out = partials.agg(
+        F.sum("n_rows").alias("n_rows"),
+        F.sum("n_null_lists").alias("n_null_lists"),
+        F.sum("n_empty_lists").alias("n_empty_lists"),
+        F.sum("n_entries").alias("n_entries"),
+        F.sum("n_null_elements").alias("n_null_elements"),
+        F.sum("elem_sum").alias("elem_sum"),
+        (F.min("ok") & (F.sum("pages") > F.lit(1)))
+        .alias("nested_consistent"),
     ).localCheckpoint(eager=True)  # 1 row; frees the temp root
     shutil.rmtree(root, ignore_errors=True)
     return out

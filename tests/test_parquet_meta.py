@@ -658,3 +658,152 @@ def test_page_index_missing_is_loud():
         read_column_index(buf.getvalue(), cc)
     with pytest.raises(ValueError, match="offset index"):
         read_offset_index(buf.getvalue(), cc)
+
+
+def _nested_rows(n: int = 2500) -> list:
+    """All four Dremel shapes: null lists, empty lists, null
+    elements, values — lengths 0-4."""
+    rows = []
+    for k in range(1, n + 1):
+        if k % 11 == 0:
+            rows.append(None)
+        else:
+            rows.append(
+                [None if (k + i) % 7 == 0 else k * 10 + i
+                 for i in range(1, k % 5 + 1)]
+            )
+    return rows
+
+
+@pytest.mark.parametrize(
+    "opts",
+    [
+        dict(use_dictionary=False, compression="NONE",
+             data_page_size=1024),
+        dict(use_dictionary=True, compression="NONE",
+             data_page_size=1024),
+        dict(use_dictionary=False, compression="SNAPPY",
+             data_page_size=2048, data_page_version="2.0"),
+        dict(use_dictionary=True, compression="ZSTD",
+             data_page_size=2048, data_page_version="2.0"),
+    ],
+    ids=["v1-plain", "v1-dict", "v2-snappy", "v2-zstd-dict"],
+)
+def test_nested_list_pages_differential(tmp_path, opts):
+    """Hand-decoded list<int64> == pyarrow's own read-back, across
+    page versions, dictionary on/off, and hand-built codecs, with
+    row groups small enough that lists cross page boundaries."""
+    from spark_hive_spark.sources.parquet_meta import (
+        _leaf_repetitions,
+        max_levels,
+        read_list_fixed_column_pages,
+    )
+
+    rows = _nested_rows()
+    tbl = pa.table({"vals": pa.array(rows, pa.list_(pa.int64()))})
+    path = str(tmp_path / "nested.parquet")
+    pq.write_table(tbl, path, row_group_size=700, **opts)
+    with open(path, "rb") as fh:
+        data = fh.read()
+    fmd = decode_footer(data)
+    reps = _leaf_repetitions(fmd[2])
+    (leaf_path, chain), = reps.items()
+    assert leaf_path.startswith("vals.list.")
+    assert max_levels(chain) == (3, 1)
+    got: list = []
+    n_pages = 0
+    for rg in fmd[4]:
+        vs, np_ = read_list_fixed_column_pages(data, rg[1][0][3], chain)
+        got.extend(vs)
+        n_pages += np_
+    assert n_pages > len(fmd[4])  # several pages per group
+    assert got == pq.read_table(path)["vals"].to_pylist() == rows
+
+
+def test_nested_required_element_and_loud_seams(tmp_path):
+    """containsNull=false lists (max_def 2) decode; deeper nesting
+    and non-fixed-width elements stay loud."""
+    from spark_hive_spark.sources.parquet_meta import (
+        _leaf_repetitions,
+        max_levels,
+        read_list_fixed_column_pages,
+    )
+
+    rows = [[] if k % 5 == 0 else [k * 10 + i for i in range(k % 4 + 1)]
+            for k in range(1, 800)]
+    tbl = pa.table(
+        {"vals": pa.array(rows, pa.list_(pa.field("e", pa.int64(),
+                                                  nullable=False)))}
+    )
+    path = str(tmp_path / "req.parquet")
+    pq.write_table(tbl, path, row_group_size=300,
+                   use_dictionary=False, compression="NONE",
+                   data_page_size=512)
+    with open(path, "rb") as fh:
+        data = fh.read()
+    fmd = decode_footer(data)
+    (_, chain), = _leaf_repetitions(fmd[2]).items()
+    assert max_levels(chain) == (2, 1)
+    got = []
+    for rg in fmd[4]:
+        got.extend(read_list_fixed_column_pages(data, rg[1][0][3],
+                                                chain)[0])
+    assert got == rows
+
+    # list<list<int>> (max_rep 2) must be rejected loudly
+    deep = pa.table({"v": pa.array([[[1, 2]], [[3]]],
+                                   pa.list_(pa.list_(pa.int64())))})
+    dpath = str(tmp_path / "deep.parquet")
+    pq.write_table(deep, dpath)
+    with open(dpath, "rb") as fh:
+        ddata = fh.read()
+    dfmd = decode_footer(ddata)
+    (_, dchain), = _leaf_repetitions(dfmd[2]).items()
+    with pytest.raises(NotImplementedError, match="nested shape"):
+        read_list_fixed_column_pages(ddata, dfmd[4][0][1][0][3], dchain)
+
+    # list<string> elements are not fixed-width — loud
+    stbl = pa.table({"v": pa.array([["a"], ["b", "c"]],
+                                   pa.list_(pa.string()))})
+    spath = str(tmp_path / "str.parquet")
+    pq.write_table(stbl, spath)
+    with open(spath, "rb") as fh:
+        sdata = fh.read()
+    sfmd = decode_footer(sdata)
+    (_, schain), = _leaf_repetitions(sfmd[2]).items()
+    with pytest.raises(NotImplementedError, match="fixed-width"):
+        read_list_fixed_column_pages(sdata, sfmd[4][0][1][0][3], schain)
+
+
+def test_spark_native_nested_file_decodes_by_hand(spark, tmp_path):
+    """End-to-end on Spark's own writer: parquet-mr 3-level list
+    naming (col.list.element), snappy pages, dictionary fallback."""
+    from spark_hive_spark.sources.parquet_meta import (
+        _leaf_repetitions,
+        read_list_fixed_column_pages,
+    )
+
+    df = spark.range(1, 3000).selectExpr(
+        """
+        CASE WHEN id % 11 = 0 THEN CAST(NULL AS array<bigint>)
+             ELSE transform(slice(array(1,2,3,4), 1, CAST(id % 5 AS INT)),
+                  i -> CASE WHEN (id + i) % 7 = 0 THEN CAST(NULL AS BIGINT)
+                       ELSE id * 10 + i END)
+        END AS vals
+        """
+    )
+    root = str(tmp_path / "spark_nested")
+    df.coalesce(1).write.option("parquet.page.size", 2048).parquet(root)
+    import glob
+
+    path = glob.glob(root + "/*.parquet")[0]
+    with open(path, "rb") as fh:
+        data = fh.read()
+    fmd = decode_footer(data)
+    reps = _leaf_repetitions(fmd[2])
+    assert list(reps) == ["vals.list.element"]
+    got = []
+    for rg in fmd[4]:
+        got.extend(read_list_fixed_column_pages(data, rg[1][0][3],
+                                                reps["vals.list.element"])[0])
+    assert got == [r.vals for r in df.collect()]
