@@ -132,3 +132,191 @@ def lz4_block_compress(data: bytes) -> bytes:
         _push_len(out, len(lits) - 15)
     out += lits
     return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# LZ4 FRAME format (lz4_Frame_format.md) — the container Arrow IPC's
+# LZ4_FRAME body compression and most `.lz4` files use around the
+# block format above.
+# ---------------------------------------------------------------------------
+
+_XXH32_P1, _XXH32_P2 = 2654435761, 2246822519
+_XXH32_P3, _XXH32_P4, _XXH32_P5 = 3266489917, 668265263, 374761393
+_M32 = 0xFFFFFFFF
+
+
+def _rotl32(x: int, r: int) -> int:
+    return ((x << r) | (x >> (32 - r))) & _M32
+
+
+def xxh32(data: bytes, seed: int = 0) -> int:
+    """xxHash32 (github.com/Cyan4973/xxHash spec) — LZ4 frames use it
+    for the header-checksum byte and the content checksum."""
+    n = len(data)
+    p = 0
+    if n >= 16:
+        v1 = (seed + _XXH32_P1 + _XXH32_P2) & _M32
+        v2 = (seed + _XXH32_P2) & _M32
+        v3 = seed & _M32
+        v4 = (seed - _XXH32_P1) & _M32
+        while p + 16 <= n:
+            for i, v in enumerate((v1, v2, v3, v4)):
+                lane = int.from_bytes(data[p + 4 * i : p + 4 * i + 4],
+                                      "little")
+                v = (v + lane * _XXH32_P2) & _M32
+                v = (_rotl32(v, 13) * _XXH32_P1) & _M32
+                if i == 0:
+                    v1 = v
+                elif i == 1:
+                    v2 = v
+                elif i == 2:
+                    v3 = v
+                else:
+                    v4 = v
+            p += 16
+        h = (_rotl32(v1, 1) + _rotl32(v2, 7)
+             + _rotl32(v3, 12) + _rotl32(v4, 18)) & _M32
+    else:
+        h = (seed + _XXH32_P5) & _M32
+    h = (h + n) & _M32
+    while p + 4 <= n:
+        h = (h + int.from_bytes(data[p : p + 4], "little")
+             * _XXH32_P3) & _M32
+        h = (_rotl32(h, 17) * _XXH32_P4) & _M32
+        p += 4
+    while p < n:
+        h = (h + data[p] * _XXH32_P5) & _M32
+        h = (_rotl32(h, 11) * _XXH32_P1) & _M32
+        p += 1
+    h ^= h >> 15
+    h = (h * _XXH32_P2) & _M32
+    h ^= h >> 13
+    h = (h * _XXH32_P3) & _M32
+    h ^= h >> 16
+    return h
+
+
+_LZ4F_MAGIC = 0x184D2204
+
+
+def lz4_frame_decompress(data: bytes) -> bytes:
+    """One LZ4 frame -> content bytes, validating the header checksum
+    byte, per-block checksums when flagged, the declared content size,
+    and the trailing content checksum when flagged.
+
+    Frame grammar: magic u32; FLG (version must be 01, flags for
+    block independence / block checksum / content size / content
+    checksum / dictionary id); BD (block max size code 4-7); optional
+    u64 content size; optional u32 dict id (loud — needs external
+    state); HC byte = (xxh32(descriptor)>>8)&0xFF; then blocks of
+    u32 size (high bit set = stored uncompressed) + data
+    (+ u32 xxh32 block checksum when flagged) until a 0x00000000
+    end mark; then u32 xxh32(content) when flagged."""
+    if len(data) < 7 or int.from_bytes(data[:4], "little") != _LZ4F_MAGIC:
+        raise ValueError("not an LZ4 frame (magic missing)")
+    flg, bd = data[4], data[5]
+    if (flg >> 6) != 0b01:
+        raise NotImplementedError(f"LZ4 frame version {flg >> 6}")
+    block_indep = bool(flg & 0x20)
+    block_checksum = bool(flg & 0x10)
+    content_size_flag = bool(flg & 0x08)
+    content_checksum = bool(flg & 0x04)
+    dict_id = bool(flg & 0x01)
+    if dict_id:
+        raise NotImplementedError("LZ4 frame dictionary id")
+    if (bd >> 4) & 0x7 not in (4, 5, 6, 7):
+        raise ValueError(f"LZ4 frame block-size code {(bd >> 4) & 0x7}")
+    p = 6
+    declared_size = None
+    if content_size_flag:
+        declared_size = int.from_bytes(data[p : p + 8], "little")
+        p += 8
+    hc = data[p]
+    p += 1
+    if ((xxh32(data[4 : p - 1]) >> 8) & 0xFF) != hc:
+        raise ValueError("LZ4 frame header checksum mismatch")
+    out = bytearray()
+    while True:
+        if p + 4 > len(data):
+            raise ValueError("LZ4 frame truncated before end mark")
+        bsize = int.from_bytes(data[p : p + 4], "little")
+        p += 4
+        if bsize == 0:  # end mark
+            break
+        uncompressed = bool(bsize & 0x80000000)
+        bsize &= 0x7FFFFFFF
+        if p + bsize > len(data):
+            raise ValueError("LZ4 frame block overruns input")
+        blk = data[p : p + bsize]
+        p += bsize
+        if block_checksum:
+            want = int.from_bytes(data[p : p + 4], "little")
+            p += 4
+            if xxh32(blk) != want:
+                raise ValueError("LZ4 frame block checksum mismatch")
+        if uncompressed:
+            out += blk
+        elif block_indep:
+            out += lz4_block_decompress(blk)
+        else:
+            # linked blocks: matches may reach back into prior blocks'
+            # last 64 KiB — decode against the running output
+            out += _lz4_block_with_prefix(blk, bytes(out[-65536:]))
+    if content_checksum:
+        want = int.from_bytes(data[p : p + 4], "little")
+        p += 4
+        if xxh32(bytes(out)) != want:
+            raise ValueError("LZ4 frame content checksum mismatch")
+    if p != len(data):
+        raise ValueError("LZ4 frame has trailing bytes")
+    if declared_size is not None and len(out) != declared_size:
+        raise ValueError("LZ4 frame content size mismatch")
+    return bytes(out)
+
+
+def _lz4_block_with_prefix(payload: bytes, prefix: bytes) -> bytes:
+    """Decode one linked-mode block whose matches may reference the
+    previous blocks' window: decompress with the prefix prepended to
+    the output window, return only the new bytes."""
+    # reuse the block decoder by seeding its output with the prefix:
+    # simplest correct form — inline the same grammar with a seeded
+    # window (the standalone decoder has no seed parameter).
+    out = bytearray(prefix)
+    base = len(prefix)
+    p = 0
+    n = len(payload)
+    while True:
+        if p >= n:
+            raise ValueError("LZ4 block ended without a final sequence")
+        token = payload[p]
+        p += 1
+        lit_len = token >> 4
+        if lit_len == 15:
+            while True:
+                b = payload[p]
+                p += 1
+                lit_len += b
+                if b != 255:
+                    break
+        out += payload[p : p + lit_len]
+        p += lit_len
+        if p == n:
+            break  # literals-only final sequence
+        offset = int.from_bytes(payload[p : p + 2], "little")
+        p += 2
+        if offset == 0:
+            raise ValueError("LZ4 match offset 0")
+        mlen = (token & 0xF) + 4
+        if (token & 0xF) == 15:
+            while True:
+                b = payload[p]
+                p += 1
+                mlen += b
+                if b != 255:
+                    break
+        start = len(out) - offset
+        if start < 0:
+            raise ValueError("LZ4 match reaches before window start")
+        for i in range(mlen):
+            out.append(out[start + i])
+    return bytes(out[base:])

@@ -25,12 +25,18 @@ module hand-builds a third metadata walker from the public specs:
   seekable Footer of Block{offset, metaDataLength, bodyLength}
   structs — random batch access, which is what makes IPC files
   splittable scan inputs.
-- **Compressed bodies**: BodyCompression codec ZSTD(1) means each
-  buffer is `[i64 uncompressed length][zstd frame]` — decompressed
-  here by the repo's own RFC 8878 decoder (operators/zstd.py), the
-  third format (after parquet pages and ORC chunks) flowing through
-  it. LZ4_FRAME stays a loud seam (the repo's LZ4 is the block
-  format).
+- **Compressed bodies**: BodyCompression wraps each buffer as
+  `[i64 uncompressed length][frame]` — ZSTD(1) flows through the
+  repo's own RFC 8878 decoder (operators/zstd.py), LZ4_FRAME(0)
+  through the hand-built frame parser added round 12
+  (operators/lz4.py: xxHash32-validated descriptor, independent and
+  linked blocks, content checksum) around the existing block codec.
+- **Dictionary encoding** (round 12): Field.dictionary carries the
+  id + index type (int32 default); DictionaryBatch messages —
+  reached via Footer.dictionaries blocks in the FILE layout —
+  deliver the value arrays, and record batches then store only
+  validity + index buffers. Delta dictionaries stay a loud seam
+  (they are illegal in the FILE layout anyway).
 
 Differentially tested against pyarrow's own IPC reader
 (tests/test_arrow_ipc.py): every batch, every column, values + nulls
@@ -147,9 +153,20 @@ def fb_root(buf: bytes) -> FBTable:
 # Arrow metadata interpretation
 # ---------------------------------------------------------------------------
 
+_INT_FMTS = {(8, True): "<b", (16, True): "<h", (32, True): "<i",
+             (64, True): "<q"}
+
+
 def _parse_schema(tbl: FBTable) -> list[dict[str, Any]]:
     """Schema flatbuffer -> [{"name", "kind", ...}] per field.
-    kind: int64/float64/utf8/timestamp_us (everything else loud)."""
+    kind: int64/float64/utf8/timestamp_us (everything else loud).
+
+    A DICTIONARY-ENCODED field (Field.dictionary set — the wild
+    default for string-heavy feathers) keeps its VALUE kind here and
+    additionally carries ``dict_id`` plus the index scalar format
+    (DictionaryEncoding.indexType, int32 when absent per the spec):
+    its record-batch buffers are then validity + indices, resolved
+    against the DictionaryBatch with the same id."""
     fields = []
     for f in tbl.vector_tables(1):  # Schema.fields
         name = f.string(0)
@@ -173,20 +190,40 @@ def _parse_schema(tbl: FBTable) -> list[dict[str, Any]]:
             kind = "timestamp_us"
         else:
             raise NotImplementedError(f"Arrow type union code {ttype}")
-        fields.append({"name": name, "kind": kind})
+        field: dict[str, Any] = {"name": name, "kind": kind}
+        enc = f.table(4)  # Field.dictionary (DictionaryEncoding)
+        if enc is not None:
+            idx_t = enc.table(1)  # indexType (Int)
+            bw, signed = (32, True)
+            if idx_t is not None:
+                bw = idx_t.scalar(0, "<i")
+                signed = bool(idx_t.scalar(1, "<b"))
+            if (bw, signed) not in _INT_FMTS:
+                raise NotImplementedError(
+                    f"dictionary index Int{bw} unsigned={not signed}"
+                )
+            field["dict_id"] = enc.scalar(0, "<q")
+            field["index_fmt"] = _INT_FMTS[(bw, signed)]
+            field["index_width"] = bw // 8
+        fields.append(field)
     return fields
 
 
 def _decompress_buffer(raw: bytes, codec: int | None) -> bytes:
     if codec is None or not raw:
         return raw
-    if codec == 1:  # ZSTD
+    if codec in (0, 1):  # LZ4_FRAME / ZSTD
         (n,) = struct.unpack_from("<q", raw, 0)
         if n == -1:  # spec: -1 = buffer stored uncompressed
             return raw[8:]
-        from spark_hive_spark.operators.zstd import zstd_decompress
+        if codec == 1:
+            from spark_hive_spark.operators.zstd import zstd_decompress
 
-        out = zstd_decompress(raw[8:])
+            out = zstd_decompress(raw[8:])
+        else:
+            from spark_hive_spark.operators.lz4 import lz4_frame_decompress
+
+            out = lz4_frame_decompress(raw[8:])
         if len(out) != n:
             raise ValueError("IPC buffer decompressed to wrong length")
         return out
@@ -198,9 +235,14 @@ def _bit(validity: bytes, i: int) -> bool:
 
 
 def _decode_batch(
-    fields: list[dict], rb: FBTable, body: bytes
+    fields: list[dict],
+    rb: FBTable,
+    body: bytes,
+    dictionaries: dict[int, list] | None = None,
 ) -> dict[str, list]:
-    """RecordBatch metadata + body -> {column name: python values}."""
+    """RecordBatch metadata + body -> {column name: python values}.
+    Dictionary-encoded fields read validity + index buffers and
+    resolve through ``dictionaries[dict_id]``."""
     n_rows = rb.scalar(0, "<q")
     nodes = rb.vector_structs(1, "<qq", 16)  # FieldNode
     buffers = rb.vector_structs(2, "<qq", 16)  # Buffer
@@ -223,7 +265,22 @@ def _decode_batch(
         validity = _next_buf()
         if null_count and not validity:
             raise ValueError("nulls declared but no validity buffer")
-        if field["kind"] in ("int64", "float64", "timestamp_us"):
+        if "dict_id" in field:
+            if dictionaries is None or field["dict_id"] not in dictionaries:
+                raise ValueError(
+                    f"dictionary id {field.get('dict_id')} not delivered "
+                    "before its record batch"
+                )
+            dvals = dictionaries[field["dict_id"]]
+            data = _next_buf()
+            fmt, w = field["index_fmt"], field["index_width"]
+            vals = [
+                dvals[struct.unpack_from(fmt, data, w * i)[0]]
+                if _bit(validity, i)
+                else None
+                for i in range(length)
+            ]
+        elif field["kind"] in ("int64", "float64", "timestamp_us"):
             data = _next_buf()
             fmt = "<d" if field["kind"] == "float64" else "<q"
             vals = [
@@ -263,17 +320,38 @@ def _read_message(data: bytes, pos: int) -> tuple[FBTable, bytes, int]:
     return msg, data[body_start : body_start + body_len], body_start + body_len
 
 
+def _decode_dictionary_message(
+    fields: list[dict], msg: FBTable, body: bytes,
+    dictionaries: dict[int, list],
+) -> None:
+    """One DictionaryBatch message: decode its single-column
+    RecordBatch with the owning field's VALUE type and store the
+    values under the dictionary id. Delta batches (isDelta) never
+    appear in the FILE layout and stay loud."""
+    db = msg.table(2)  # DictionaryBatch
+    did = db.scalar(0, "<q")
+    if db.scalar(2, "<b"):  # isDelta
+        raise NotImplementedError("delta dictionary batch")
+    owners = [f for f in fields if f.get("dict_id") == did]
+    if not owners:
+        raise ValueError(f"dictionary batch for unknown id {did}")
+    value_field = [{"name": "values", "kind": owners[0]["kind"]}]
+    cols = _decode_batch(value_field, db.table(1), body)
+    dictionaries[did] = cols["values"]
+
+
 def parse_ipc_file(data: bytes) -> tuple[list[dict], list[dict[str, list]]]:
     """Arrow FILE layout -> (schema fields, decoded batches), batches
-    located via the seekable Footer blocks (never by scanning)."""
+    located via the seekable Footer blocks (never by scanning);
+    Footer.dictionaries blocks are decoded first, so record batches
+    resolve their dictionary-encoded columns."""
     if data[:6] != _MAGIC or data[-6:] != _MAGIC:
         raise ValueError("not an Arrow IPC file (ARROW1 magic missing)")
     (flen,) = struct.unpack_from("<i", data, len(data) - 10)
     footer = fb_root(data[len(data) - 10 - flen : len(data) - 10])
     schema_tbl = footer.table(1)  # Footer.schema
     fields = _parse_schema(schema_tbl)
-    if footer.vector_len(2):  # Footer.dictionaries
-        raise NotImplementedError("dictionary-encoded IPC columns")
+    dictionaries = _decode_file_dictionaries(data, footer, fields)
     # Block struct: {offset: i64, metaDataLength: i32 (+pad), bodyLength: i64}
     blocks = footer.vector_structs(3, "<qiiq", 24)
     batches = []
@@ -281,8 +359,23 @@ def parse_ipc_file(data: bytes) -> tuple[list[dict], list[dict[str, list]]]:
         msg, body, _ = _read_message(data, off)
         if msg.scalar(1, "<B") != 3:  # header_type: RecordBatch
             raise ValueError("footer block is not a record batch")
-        batches.append(_decode_batch(fields, msg.table(2), body))
+        batches.append(
+            _decode_batch(fields, msg.table(2), body, dictionaries)
+        )
     return fields, batches
+
+
+def _decode_file_dictionaries(
+    data: bytes, footer: FBTable, fields: list[dict]
+) -> dict[int, list]:
+    """Footer.dictionaries blocks -> {dict id: values}."""
+    dictionaries: dict[int, list] = {}
+    for off, _mlen, _pad, _blen in footer.vector_structs(2, "<qiiq", 24):
+        msg, body, _ = _read_message(data, off)
+        if msg.scalar(1, "<B") != 2:  # header_type: DictionaryBatch
+            raise ValueError("dictionary block is not a dictionary batch")
+        _decode_dictionary_message(fields, msg, body, dictionaries)
+    return dictionaries
 
 
 _IPC_BATCHES = 8
@@ -398,5 +491,130 @@ def source_arrow_ipc_records(
         F.sum("prio_chars").alias("sum_prio_chars"),
         F.lit(True).alias("layout_consistent"),
     ).localCheckpoint(eager=True)  # 1 row; frees the temp root
+    shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
+@register(
+    "source_arrow_ipc_dictionary",
+    oracle=f"""
+        SELECT o_orderpriority,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               {sql_dsum('o_totalprice')} AS revenue,
+               TRUE AS dict_consistent
+        FROM orders
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+    """,
+    tags=("source", "arrow", "ipc", "dictionary", "lz4"),
+)
+def source_arrow_ipc_dictionary(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Dictionary-encoded Arrow IPC read by hand (round 12) — the
+    wild-feather default for string-heavy files, closing round 11's
+    #2 "What's missing" seam: o_orderpriority dictionary-encoded
+    (DictionaryBatch delivered via Footer.dictionaries blocks,
+    int8/int32 indices resolved per batch) alongside o_totalprice,
+    with LZ4_FRAME body compression flowing through the repo's new
+    hand-built frame parser (operators/lz4.py: xxHash32-validated
+    descriptor, independent/linked blocks, content checksum) — the
+    second of the two IPC body codecs after round 11's zstd.
+
+    Revenue grouped BY the dictionary-resolved column is the
+    correctness lever: an index-resolution bug reshuffles group
+    totals, a frame bug corrupts prices. ``dict_consistent`` pins
+    engine-side that the schema really carried a dictionary id for
+    the priority field, that a DictionaryBatch block preceded the
+    record batches, and that the body codec was LZ4_FRAME (0).
+
+    Scale posture: one task per Footer block (seekable batch
+    access), per-batch partial (priority, n, cents) rows combine in
+    one final groupBy — the same partial-aggregate shape as the rest
+    of the format floor."""
+    import pyarrow as pa
+    import pyarrow.ipc as pipc
+
+    root = os.path.join(
+        tempfile.gettempdir(), f"shs_ipcd_{uuid.uuid4().hex}"
+    )
+    os.makedirs(root)
+    path = os.path.join(root, "orders_dict.arrow")
+    tbl = (
+        t(spark, sf_dir, "orders")
+        .select("o_orderpriority", "o_totalprice")
+        .toArrow()
+    ).combine_chunks()
+    tbl = tbl.set_column(
+        0, "o_orderpriority", tbl["o_orderpriority"].dictionary_encode()
+    )
+    n = tbl.num_rows
+    opts = pipc.IpcWriteOptions(compression="lz4")
+    with pipc.new_file(path, tbl.schema, options=opts) as w:
+        g = (n + _IPC_BATCHES - 1) // _IPC_BATCHES
+        for i in range(_IPC_BATCHES):
+            w.write_table(tbl.slice(i * g, g))
+
+    with open(path, "rb") as fh:
+        data = fh.read()
+    (flen,) = struct.unpack_from("<i", data, len(data) - 10)
+    footer = fb_root(data[len(data) - 10 - flen : len(data) - 10])
+    blocks = footer.vector_structs(3, "<qiiq", 24)
+    n_dict_blocks = footer.vector_len(2)
+
+    plan = spark.createDataFrame(
+        [(path, off) for off, _, _, _ in blocks], "path string, off long"
+    ).repartition(len(blocks))
+
+    def _decode(batches) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            for rec in pdf.itertuples(index=False):
+                with open(rec.path, "rb") as fh:
+                    blob = fh.read()
+                (fl,) = struct.unpack_from("<i", blob, len(blob) - 10)
+                ft = fb_root(blob[len(blob) - 10 - fl : len(blob) - 10])
+                fields = _parse_schema(ft.table(1))
+                dicts = _decode_file_dictionaries(blob, ft, fields)
+                msg, body, _ = _read_message(blob, rec.off)
+                rb = msg.table(2)
+                comp = rb.table(3)
+                codec = comp.scalar(0, "<b") if comp is not None else None
+                cols = _decode_batch(fields, rb, body, dicts)
+                agg: dict[str, list] = {}
+                for prio, price in zip(
+                    cols["o_orderpriority"], cols["o_totalprice"]
+                ):
+                    cur = agg.setdefault(prio, [0, 0])
+                    cur[0] += 1
+                    cur[1] += round(price * 100)
+                ok = (
+                    any("dict_id" in f for f in fields)
+                    and len(dicts) >= 1
+                    and codec == 0  # LZ4_FRAME
+                )
+                yield pd.DataFrame({
+                    "o_orderpriority": list(agg),
+                    "n": [v[0] for v in agg.values()],
+                    "cents": [v[1] for v in agg.values()],
+                    "ok": [bool(ok)] * len(agg),
+                })
+
+    partials = plan.mapInPandas(
+        _decode,
+        "o_orderpriority string, n long, cents long, ok boolean",
+    )
+    out = (
+        partials.groupBy("o_orderpriority")
+        .agg(
+            F.sum("n").alias("n_orders"),
+            (F.sum("cents").cast("decimal(18,0)") / 100)
+            .cast("double").alias("revenue"),
+            F.min("ok").alias("dict_consistent"),
+        )
+        .orderBy("o_orderpriority")
+        .localCheckpoint(eager=True)  # 5 rows; frees the temp root
+    )
     shutil.rmtree(root, ignore_errors=True)
     return out

@@ -48,16 +48,6 @@ def test_file_roundtrip_matches_pyarrow(tmp_path, compression):
 
 
 def test_loud_seams(tmp_path):
-    tbl = _fixture_table(100)
-    # dictionary-encoded column -> loud
-    dpath = str(tmp_path / "dict.arrow")
-    dtbl = pa.table({
-        "d": pa.array(["a", "b", "a"] * 10).dictionary_encode()
-    })
-    with pipc.new_file(dpath, dtbl.schema) as w:
-        w.write_table(dtbl)
-    with pytest.raises(NotImplementedError, match="dictionary"):
-        parse_ipc_file(open(dpath, "rb").read())
     # unsupported type (int32) -> loud
     ipath = str(tmp_path / "i32.arrow")
     itbl = pa.table({"i": pa.array([1, 2, 3], pa.int32())})
@@ -65,16 +55,77 @@ def test_loud_seams(tmp_path):
         w.write_table(itbl)
     with pytest.raises(NotImplementedError, match="Int32"):
         parse_ipc_file(open(ipath, "rb").read())
-    # lz4 body compression -> loud
-    lpath = str(tmp_path / "lz4.arrow")
-    with pipc.new_file(
-        lpath, tbl.schema, options=pipc.IpcWriteOptions(compression="lz4")
-    ) as w:
-        w.write_table(tbl)
-    with pytest.raises(NotImplementedError, match="compression"):
-        parse_ipc_file(open(lpath, "rb").read())
     with pytest.raises(ValueError, match="ARROW1"):
         parse_ipc_file(b"not an arrow file....." * 3)
+
+
+def _dict_fixture(n=600):
+    words = ["alpha", "beta", "gamma", "delta", None, "epsilon"]
+    return pa.table({
+        "d": pa.array([words[i % 6] for i in range(n)]).dictionary_encode(),
+        "di": pa.DictionaryArray.from_arrays(
+            pa.array([i % 3 for i in range(n)], pa.int8()),
+            pa.array([100, 200, 300], pa.int64()),
+        ),
+        "k": pa.array(
+            [None if i % 9 == 0 else i for i in range(n)], pa.int64()
+        ),
+    })
+
+
+@pytest.mark.parametrize("compression", [None, "zstd", "lz4"])
+def test_dictionary_columns_roundtrip(tmp_path, compression):
+    """Dictionary-encoded utf8 + int64 columns (int32 and int8 index
+    types) across all three body codecs — values resolved through the
+    hand-decoded DictionaryBatch blocks match pyarrow's reader."""
+    tbl = _dict_fixture()
+    path = str(tmp_path / f"dict_{compression}.arrow")
+    opts = pipc.IpcWriteOptions(compression=compression)
+    with pipc.new_file(path, tbl.schema, options=opts) as w:
+        w.write_table(tbl, max_chunksize=150)
+    with open(path, "rb") as fh:
+        data = fh.read()
+    fields, batches = parse_ipc_file(data)
+    by_name = {f["name"]: f for f in fields}
+    assert "dict_id" in by_name["d"] and "dict_id" in by_name["di"]
+    assert by_name["di"]["index_width"] == 1  # int8 indices
+    assert len(batches) == 4
+    ref = pipc.open_file(path).read_all()
+    for c in ("d", "di", "k"):
+        got = [v for b in batches for v in b[c]]
+        assert got == ref[c].to_pylist()
+
+
+def test_lz4_frame_differential():
+    """The hand-built LZ4 frame decoder against pyarrow's reference
+    codec, plus the xxHash32 spec vectors it validates checksums
+    with."""
+    from spark_hive_spark.operators.lz4 import (
+        lz4_frame_decompress,
+        xxh32,
+    )
+
+    assert xxh32(b"") == 0x02CC5D05
+    assert xxh32(b"a") == 0x550D7456
+    assert xxh32(b"abc") == 0x32D153FF
+    c = pa.Codec("lz4")  # frame format
+    for payload in (
+        b"",
+        b"x",
+        b"hello world " * 1000,
+        bytes(range(256)) * 37,
+    ):
+        assert lz4_frame_decompress(
+            c.compress(payload, asbytes=True)
+        ) == payload
+    with pytest.raises(ValueError, match="magic"):
+        lz4_frame_decompress(b"\x00\x00\x00\x00garbage")
+    # corrupt the header-checksum byte -> loud
+    comp = bytearray(c.compress(b"hello world " * 100, asbytes=True))
+    hc_pos = 14 if comp[4] & 0x08 else 6  # after optional content size
+    comp[hc_pos] ^= 0xFF
+    with pytest.raises(ValueError, match="header checksum"):
+        lz4_frame_decompress(bytes(comp))
 
 
 def test_timestamp_us_column(tmp_path):
