@@ -1399,6 +1399,210 @@ def source_delta_checkpoint_replay(
     return out
 
 
+def delta_column_mapping(metadata: dict) -> dict[str, str] | None:
+    """metaData action -> {physical column name: logical name}, or
+    None when the table has no column mapping.
+
+    PROTOCOL.md column mapping: ``configuration
+    ["delta.columnMapping.mode"]`` is "name" or "id";
+    ``schemaString`` is a Spark StructType JSON whose per-field
+    ``metadata`` carries ``delta.columnMapping.physicalName`` (and
+    ``.id``). In NAME mode data files are written under the physical
+    names, so a reader must rename physical→logical after the scan.
+    ID mode (resolution by parquet field_id, used after external
+    writers) stays a loud seam; nested mapped fields too."""
+    import json as _json
+
+    mode = (metadata.get("configuration") or {}).get(
+        "delta.columnMapping.mode", "none"
+    )
+    if mode == "none":
+        return None
+    if mode != "name":
+        raise NotImplementedError(f"delta column mapping mode {mode!r}")
+    schema = _json.loads(metadata["schemaString"])
+    mapping: dict[str, str] = {}
+    for f in schema.get("fields", []):
+        if not isinstance(f.get("type"), str):
+            raise NotImplementedError(
+                "column mapping on nested field "
+                f"{f.get('name')!r}"
+            )
+        phys = (f.get("metadata") or {}).get(
+            "delta.columnMapping.physicalName"
+        )
+        if phys is None:
+            raise ValueError(
+                f"column-mapped table missing physicalName for "
+                f"{f.get('name')!r}"
+            )
+        if phys in mapping:
+            raise ValueError(f"duplicate physical name {phys!r}")
+        mapping[phys] = f["name"]
+    return mapping
+
+
+@register(
+    "source_delta_column_mapping",
+    oracle=f"""
+        SELECT o_orderpriority,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               {sql_dsum('o_totalprice')} AS revenue,
+               CAST(3 AS INT) AS mapped_cols,
+               CAST(2 AS INT) AS live_files
+        FROM orders
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+    """,
+    tags=("source", "delta", "lakehouse", "compat", "column-mapping"),
+)
+def source_delta_column_mapping(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Delta Lake COLUMN MAPPING, name mode (round 12) — the top
+    compat blocker after DVs/CDF per the round-11 verdict: modern
+    Delta tables (anything that ever ran RENAME/DROP COLUMN, or was
+    created with mapping on) store data files under opaque PHYSICAL
+    column names (``col-<uuid>``), declare
+    ``delta.columnMapping.mode=name`` in metaData.configuration, and
+    carry the physical↔logical binding in schemaString's per-field
+    ``delta.columnMapping.physicalName`` metadata, gated behind
+    protocol minReaderVersion 2. A reader that assumes
+    physical=logical (every `source_delta_*` before this round)
+    sees no such column and fails on every one of them.
+
+    The fixture writes two parquet parts whose columns are ONLY the
+    physical names, commits them under a v2-reader protocol +
+    column-mapped metaData (logical names o_orderkey/o_totalprice/
+    o_orderpriority), then replays the log through
+    `delta_column_mapping`: protocol gate (reader ≤ 2; 2 requires a
+    mapping mode; "id" mode and nested mapped fields raise loudly),
+    physical→logical rename after the scan, grouped revenue by a
+    RENAMED string column — a resolution bug mislabels every group;
+    reading the logical name off the raw files throws.
+
+    Scale posture: mapping resolution is O(schema) driver-side
+    planning metadata, exactly where Delta's own reader does it; the
+    data scan stays a plain pruned parquet read over live files."""
+    import json as _json
+
+    orders = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+    root = os.path.join(
+        tempfile.gettempdir(), f"shs_deltacm_{uuid.uuid4().hex}"
+    )
+    tdir = os.path.join(root, "t")
+    ldir = os.path.join(tdir, "_delta_log")
+    os.makedirs(ldir)
+
+    phys = {
+        "o_orderkey": "col-9f2a1c", "o_totalprice": "col-4b7e88",
+        "o_orderpriority": "col-d31c55",
+    }
+    physical = orders.select(
+        *(F.col(lg).alias(ph) for lg, ph in phys.items())
+    )
+
+    def _write_part(name: str, df: DataFrame) -> None:
+        tmp = os.path.join(root, f"stage_{name}")
+        df.coalesce(1).write.parquet(tmp)
+        src = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+        os.replace(os.path.join(tmp, src), os.path.join(tdir, name))
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    k = F.col(phys["o_orderkey"]) % 2
+    _write_part("part-00000.parquet", physical.filter(k == 0))
+    _write_part("part-00001.parquet", physical.filter(k == 1))
+
+    schema_string = _json.dumps({
+        "type": "struct",
+        "fields": [
+            {"name": lg, "type": ty, "nullable": True,
+             "metadata": {"delta.columnMapping.id": i + 1,
+                          "delta.columnMapping.physicalName": ph}}
+            for i, (lg, ph, ty) in enumerate([
+                ("o_orderkey", phys["o_orderkey"], "long"),
+                ("o_totalprice", phys["o_totalprice"], "double"),
+                ("o_orderpriority", phys["o_orderpriority"], "string"),
+            ])
+        ],
+    })
+
+    def _commit(version: int, actions: list[dict]) -> None:
+        with open(os.path.join(ldir, f"{version:020d}.json"), "w") as fh:
+            fh.write("\n".join(_json.dumps(a) for a in actions) + "\n")
+
+    def _add(p: str) -> dict:
+        return {"add": {"path": p, "size": os.path.getsize(
+            os.path.join(tdir, p)), "modificationTime": 0,
+            "dataChange": True}}
+
+    _commit(0, [
+        {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+        {"metaData": {"id": "shs-delta-colmap", "format":
+            {"provider": "parquet", "options": {}},
+            "schemaString": schema_string, "partitionColumns": [],
+            "configuration": {"delta.columnMapping.mode": "name",
+                              "delta.columnMapping.maxColumnId": "3"}}},
+        _add("part-00000.parquet"),
+    ])
+    _commit(1, [_add("part-00001.parquet")])
+
+    # ---- the reader ----
+    versions = sorted(
+        int(f[:20]) for f in os.listdir(ldir) if f.endswith(".json")
+    )
+    live: set[str] = set()
+    meta: dict | None = None
+    for v in versions:
+        with open(os.path.join(ldir, f"{v:020d}.json")) as fh:
+            for line in fh:
+                if not line.strip():
+                    continue
+                action = _json.loads(line)
+                if "protocol" in action:
+                    if action["protocol"]["minReaderVersion"] > 2:
+                        raise NotImplementedError(
+                            "Delta reader features beyond protocol v2"
+                        )
+                elif "metaData" in action:
+                    meta = action["metaData"]
+                elif "add" in action:
+                    live.add(action["add"]["path"])
+                elif "remove" in action:
+                    live.discard(action["remove"]["path"])
+    if meta is None:
+        raise ValueError("Delta log carries no metaData action")
+    mapping = delta_column_mapping(meta)
+    if mapping is None:
+        raise ValueError(
+            "protocol v2 fixture lost its column-mapping config"
+        )
+    scan = spark.read.parquet(
+        *(os.path.join(tdir, p) for p in sorted(live))
+    )
+    missing = set(mapping) - set(scan.columns)
+    if missing:
+        raise ValueError(f"physical columns missing from data: {missing}")
+    logical = scan.select(
+        *(F.col(ph).alias(lg) for ph, lg in mapping.items())
+    )
+    out = (
+        logical.groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            dsum("o_totalprice").alias("revenue"),
+            F.lit(len(mapping)).cast("int").alias("mapped_cols"),
+            F.lit(len(live)).cast("int").alias("live_files"),
+        )
+        .orderBy("o_orderpriority")
+        .localCheckpoint(eager=True)  # 5 rows; frees the temp root
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
 @register(
     "source_iceberg_snapshot_replay",
     oracle=f"""
