@@ -18,8 +18,11 @@ the Hudi library from the public on-disk contract
   field reverse readers seek by). Header/footer are maps of
   ``n (4 BE) { metadataType (4 BE), len (4 BE), utf8 }`` with
   INSTANT_TIME=0, TARGET_INSTANT_TIME=1, SCHEMA=2, COMMAND_TYPE=3.
-- **Block types**: 1 = DELETE_BLOCK, 3 = AVRO_DATA_BLOCK (0 command,
-  2 corrupt, 4 hfile, 5 parquet — loud NotImplementedError seams).
+- **Block types**: 1 = DELETE_BLOCK, 3 = AVRO_DATA_BLOCK,
+  0 = COMMAND_BLOCK (COMMAND_TYPE 0 = ROLLBACK_PREVIOUS_BLOCK:
+  invalidates earlier blocks of the TARGET_INSTANT_TIME — the trace
+  of a rolled-back failed deltacommit; other command types, 2
+  corrupt, 4 hfile, 5 parquet stay loud NotImplementedError seams).
 - **Avro data block content**: version (4 BE) | record count (4 BE) |
   per record: size (4 BE) + Avro-binary record bytes (schema in the
   SCHEMA header entry; decoded by the repo's own Avro codec,
@@ -181,6 +184,47 @@ def _dec_avro_content(content: bytes, schema: dict) -> list[dict]:
     return out
 
 
+def parse_log_name(fname: str) -> tuple[str, str, int]:
+    """``.{fileId}_{baseInstant}.log.{version}_{writeToken}`` ->
+    (file id, base instant, version). A file slice can span several
+    log files (``.log.1``, ``.log.2``, ...); version order IS the
+    block-stream order a reader must merge in."""
+    if not fname.startswith(".") or ".log." not in fname:
+        raise ValueError(f"not a hudi log file name: {fname!r}")
+    stem, rest = fname[1:].split(".log.", 1)
+    file_id, base_instant = stem.rsplit("_", 1)
+    version = int(rest.split("_", 1)[0])
+    return file_id, base_instant, version
+
+
+def apply_command_blocks(blocks: list[dict]) -> tuple[list[dict], int]:
+    """Process COMMAND blocks over one file group's ordered block
+    stream -> (surviving data/delete blocks, #blocks rolled back).
+
+    Per the Hudi log reader contract, a COMMAND block with
+    COMMAND_TYPE 0 (ROLLBACK_PREVIOUS_BLOCK) invalidates every
+    EARLIER block in the stream whose INSTANT_TIME equals the
+    command's TARGET_INSTANT_TIME — the on-disk trace of a failed
+    deltacommit that was rolled back without rewriting the log
+    (appends are immutable; the tombstone-the-instant command is how
+    Hudi 'deletes' them). Command blocks themselves never carry
+    data. Other command types stay loud."""
+    out: list[dict] = []
+    rolled = 0
+    for blk in blocks:
+        if blk["type"] != _CMD_BLOCK:
+            out.append(blk)
+            continue
+        cmd = blk["header"].get(_H_COMMAND, "")
+        if cmd != "0":  # ROLLBACK_PREVIOUS_BLOCK ordinal
+            raise NotImplementedError(f"hudi command block type {cmd!r}")
+        target = blk["header"][_H_TARGET_INSTANT]
+        before = len(out)
+        out = [b for b in out if b["header"].get(_H_INSTANT) != target]
+        rolled += before - len(out)
+    return out, rolled
+
+
 def _enc_delete_content(keys: list[str]) -> bytes:
     raw = _enc_field(keys, {"type": "array", "items": "string"})
     return struct.pack(">ii", 1, len(raw)) + raw
@@ -208,12 +252,14 @@ def _dec_delete_content(content: bytes) -> list[str]:
     "source_hudi_mor_snapshot",
     oracle=f"""
         SELECT CAST(o_orderkey % 10 AS INT) AS key_mod,
-               CAST(2 AS INT) AS blocks_applied,
+               CAST(3 AS INT) AS blocks_applied,
                CAST(1 AS INT) AS blocks_skipped,
+               CAST(1 AS INT) AS blocks_rolled_back,
                count(*) AS n_orders,
                {sql_dsum(
-                   "o_totalprice + CASE WHEN o_orderkey % 10 = 6"
-                   " THEN 100.00 ELSE 0 END"
+                   "o_totalprice"
+                   " + CASE WHEN o_orderkey % 10 = 6 THEN 100.00 ELSE 0 END"
+                   " + CASE WHEN o_orderkey % 10 = 8 THEN 50.00 ELSE 0 END"
                )} AS revenue
         FROM orders
         WHERE o_orderkey % 10 <> 3
@@ -223,32 +269,40 @@ def _dec_delete_content(content: bytes) -> list[str]:
     tags=("source", "hudi", "merge-on-read", "lakehouse", "compat"),
 )
 def source_hudi_mor_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hudi MERGE-ON-READ snapshot read (round 11), hand-built from the
-    public log-file contract — completes the lakehouse trio's
-    write-optimized arm (Delta DVs and Iceberg deletes are the others).
+    """Hudi MERGE-ON-READ snapshot read (round 11, hardened round 12),
+    hand-built from the public log-file contract — completes the
+    lakehouse trio's write-optimized arm (Delta DVs and Iceberg
+    deletes are the others).
 
     Fixture: two file groups (orders split by key parity) get base
-    parquet at instant 001 (commit); deltacommit 002 appends an AVRO
-    data block to group A's log upserting +100.00 on every key ≡ 6
-    (mod 10); deltacommit 003 appends a DELETE block to group B's log
-    tombstoning keys ≡ 3 (mod 10); then a CRASHED writer appends one
-    more data block (instant 004, +1000.00 on keys ≡ 0) to the SAME
-    log file — 004 never completes, so the reader must parse the
-    block, see its INSTANT_TIME header is not on the completed
-    timeline, and skip it (`blocks_skipped` = 1 pins this; serving it
-    flips every key_mod-0 revenue).
+    parquet at instant 001 (commit). Group A accumulates a MULTI-FILE
+    log slice: ``.log.1`` holds deltacommit 002 (+100.00 on keys ≡ 6
+    mod 10) plus a CRASHED writer's block (instant 004, +1000.00 on
+    keys ≡ 0 — never completes, must be timeline-skipped), and
+    ``.log.2`` holds deltacommit 005 (+50.00 on keys ≡ 8) — version
+    order is the merge order. Group B's log holds deltacommit 003
+    (DELETE block tombstoning keys ≡ 3), then a FAILED deltacommit
+    006's data block (+999.00 on keys ≡ 5), then rollback 007's
+    COMMAND block (COMMAND_TYPE 0, TARGET_INSTANT 006) that
+    invalidates it — the reader must drop 006's block via the command
+    (`blocks_rolled_back` = 1), NOT merely via the timeline
+    (`blocks_skipped` = 1 counts only the 004 crash appendix).
 
-    Merge is expressed Spark-side, not driver-side: base rows tag
-    instant '001', log upserts/tombstones their block's instant, one
-    union + per-key row_number window (ordered by instant desc) keeps
-    the last writer and drops tombstones — the same single
-    shuffle-by-record-key a distributed MOR merge costs, with
-    AQE-coalesced partitions. Log parsing itself is O(log bytes), per
-    file group, independent of base size.
+    Log parsing runs as ONE TASK PER FILE GROUP (mapInPandas over the
+    slice plan — the docstring's own 100 TB posture, executed): each
+    task walks its group's log files in version order, applies
+    command-block rollbacks, timeline-filters, decodes avro/delete
+    content, and emits change rows plus one per-group counter row.
+    Merge is Spark-side: base rows tag instant '001', log
+    upserts/tombstones their block's instant, one union + per-key
+    row_number window (ordered by instant desc) keeps the last writer
+    and drops tombstones — the same single shuffle-by-record-key a
+    distributed MOR merge costs.
 
     Oracle recomputes the merged aggregate from the raw table: stale
-    base (missing +100s), a served crash block (+1000s), or undeleted
-    tombstones each flip the hash.
+    base (missing +100s/+50s), a served crash block (+1000s), a
+    survived rolled-back block (+999s), undeleted tombstones, or
+    mis-ordered log versions each flip the hash.
     """
     orders = t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
     root = os.path.join(tempfile.gettempdir(), f"shs_hudi_mor_{uuid.uuid4().hex}")
@@ -268,6 +322,7 @@ def source_hudi_mor_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
         return name
 
     t1, t2, t3, t4 = "001", "002", "003", "004"
+    t5, t6, t7 = "005", "006", "007"
     par = F.col("o_orderkey") % 2
     _write_base("fg-A", t1, orders.filter(par == 0))
     _write_base("fg-B", t1, orders.filter(par == 1))
@@ -275,30 +330,35 @@ def source_hudi_mor_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     # one Arrow pass pulls every change set the writer needs (the
     # collect is fixture construction, not the read path under test)
     changes = (
-        orders.filter((F.col("o_orderkey") % 10).isin(0, 3, 6))
+        orders.filter((F.col("o_orderkey") % 10).isin(0, 3, 5, 6, 8))
         .toPandas()
     )
     mod = changes["o_orderkey"] % 10
-    # deltacommit 002: upsert +100.00 on keys ≡ 6 (mod 10) — all even,
-    # so they live in file group A (exact +100: these doubles are
-    # 2dp-representable sums, and the oracle adds the same literal)
-    c6 = changes[mod == 6]
-    upserts_002 = [
-        {"o_orderkey": int(k), "o_totalprice": float(p) + 100.0}
-        for k, p in zip(c6["o_orderkey"], c6["o_totalprice"])
-    ]
-    # deltacommit 003: tombstone keys ≡ 3 (mod 10) — all odd, group B
-    del_keys_003 = [str(int(k)) for k in changes[mod == 3]["o_orderkey"]]
-    # crashed 004: +1000.00 on keys ≡ 0 (mod 10) — must stay invisible
-    c0 = changes[mod == 0]
-    upserts_004 = [
-        {"o_orderkey": int(k), "o_totalprice": float(p) + 1000.0}
-        for k, p in zip(c0["o_orderkey"], c0["o_totalprice"])
-    ]
 
-    log_a = os.path.join(tdir, f".fg-A_{t1}.log.1_0-1-0")
-    log_b = os.path.join(tdir, f".fg-B_{t1}.log.1_0-1-0")
-    with open(log_a, "wb") as fh:
+    def _upserts(m: int, delta: float) -> list[dict]:
+        sel = changes[mod == m]
+        return [
+            {"o_orderkey": int(k), "o_totalprice": float(p) + delta}
+            for k, p in zip(sel["o_orderkey"], sel["o_totalprice"])
+        ]
+
+    # deltacommit 002: +100.00 on keys ≡ 6 (mod 10) — even, group A
+    # (exact +100: 2dp-representable, oracle adds the same literal)
+    upserts_002 = _upserts(6, 100.0)
+    # deltacommit 003: tombstone keys ≡ 3 (mod 10) — odd, group B
+    del_keys_003 = [str(int(k)) for k in changes[mod == 3]["o_orderkey"]]
+    # crashed 004: +1000.00 on keys ≡ 0 — must stay timeline-invisible
+    upserts_004 = _upserts(0, 1000.0)
+    # deltacommit 005 (in .log.2): +50.00 on keys ≡ 8 — even, group A
+    upserts_005 = _upserts(8, 50.0)
+    # failed deltacommit 006, rolled back by command block 007:
+    # +999.00 on keys ≡ 5 — odd, group B; must stay invisible
+    upserts_006 = _upserts(5, 999.0)
+
+    log_a1 = os.path.join(tdir, f".fg-A_{t1}.log.1_0-1-0")
+    log_a2 = os.path.join(tdir, f".fg-A_{t1}.log.2_0-1-0")
+    log_b1 = os.path.join(tdir, f".fg-B_{t1}.log.1_0-1-0")
+    with open(log_a1, "wb") as fh:
         fh.write(encode_log_block(
             _AVRO_BLOCK,
             {_H_INSTANT: t2, _H_SCHEMA: schema_json},
@@ -309,13 +369,30 @@ def source_hudi_mor_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
             {_H_INSTANT: t4, _H_SCHEMA: schema_json},
             _enc_avro_content(upserts_004),
         ))
-    with open(log_b, "wb") as fh:
+    with open(log_a2, "wb") as fh:  # the slice's second log file
+        fh.write(encode_log_block(
+            _AVRO_BLOCK,
+            {_H_INSTANT: t5, _H_SCHEMA: schema_json},
+            _enc_avro_content(upserts_005),
+        ))
+    with open(log_b1, "wb") as fh:
         fh.write(encode_log_block(
             _DELETE_BLOCK, {_H_INSTANT: t3},
             _enc_delete_content(del_keys_003),
         ))
+        fh.write(encode_log_block(  # failed 006's data block...
+            _AVRO_BLOCK,
+            {_H_INSTANT: t6, _H_SCHEMA: schema_json},
+            _enc_avro_content(upserts_006),
+        ))
+        fh.write(encode_log_block(  # ...rolled back by command 007
+            _CMD_BLOCK,
+            {_H_INSTANT: t7, _H_TARGET_INSTANT: t6, _H_COMMAND: "0"},
+            b"",
+        ))
 
-    # timeline: 001 commit, 002/003 deltacommit completed, 004 inflight
+    # timeline: 001 commit, 002/003/005 deltacommit completed,
+    # 004 inflight (crash), 006 failed then rolled back by 007
     for name in (
         f"{t1}.commit.requested", f"{t1}.commit.inflight", f"{t1}.commit",
         f"{t2}.deltacommit.requested", f"{t2}.deltacommit.inflight",
@@ -323,6 +400,11 @@ def source_hudi_mor_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"{t3}.deltacommit.requested", f"{t3}.deltacommit.inflight",
         f"{t3}.deltacommit",
         f"{t4}.deltacommit.requested", f"{t4}.deltacommit.inflight",
+        f"{t5}.deltacommit.requested", f"{t5}.deltacommit.inflight",
+        f"{t5}.deltacommit",
+        f"{t6}.deltacommit.requested", f"{t6}.deltacommit.inflight",
+        f"{t7}.rollback.requested", f"{t7}.rollback.inflight",
+        f"{t7}.rollback",
     ):
         with open(os.path.join(hdir, name), "w") as fh:
             fh.write("{}")
@@ -331,59 +413,93 @@ def source_hudi_mor_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     completed: set[str] = set()
     for f in os.listdir(hdir):
         parts = f.split(".")
-        if parts[1] not in ("commit", "deltacommit"):
+        if parts[1] not in ("commit", "deltacommit", "rollback"):
             raise NotImplementedError(f"Hudi action {parts[1]!r}")
-        if len(parts) == 2:  # no state suffix -> completed
+        # only data-bearing completed instants gate visibility
+        if len(parts) == 2 and parts[1] in ("commit", "deltacommit"):
             completed.add(parts[0])
 
     base_paths: list[str] = []
-    log_paths: list[str] = []
+    slices: dict[str, list[tuple[int, str]]] = {}
     for f in sorted(os.listdir(tdir)):
         if f.endswith(".parquet"):
             instant = f.rsplit("_", 1)[1][: -len(".parquet")]
             if instant in completed:
                 base_paths.append(os.path.join(tdir, f))
-        elif ".log." in f and f.startswith("."):
-            log_paths.append(os.path.join(tdir, f))
+        elif f.startswith(".") and ".log." in f:
+            file_id, _base, version = parse_log_name(f)
+            slices.setdefault(file_id, []).append(
+                (version, os.path.join(tdir, f))
+            )
 
-    upsert_rows: list[tuple[int, float, str, bool]] = []
-    applied = skipped = 0
-    for path in log_paths:
-        with open(path, "rb") as fh:
-            blocks = walk_log_blocks(fh.read())
-        for blk in blocks:
-            instant = blk["header"][_H_INSTANT]
-            if instant not in completed:
-                skipped += 1
-                continue
-            applied += 1
-            if blk["type"] == _AVRO_BLOCK:
-                schema = json.loads(blk["header"][_H_SCHEMA])
-                for rec in _dec_avro_content(blk["content"], schema):
-                    upsert_rows.append((
-                        rec["o_orderkey"], rec["o_totalprice"],
-                        instant, False,
-                    ))
-            elif blk["type"] == _DELETE_BLOCK:
-                for key in _dec_delete_content(blk["content"]):
-                    upsert_rows.append((int(key), 0.0, instant, True))
-            else:
-                raise NotImplementedError(f"log block type {blk['type']}")
+    # one task per file group: walk its logs in version order
+    plan = spark.createDataFrame(
+        [
+            (fid, json.dumps([p for _, p in sorted(paths)]))
+            for fid, paths in sorted(slices.items())
+        ],
+        "file_id string, logs string",
+    ).repartition(len(slices))
+    completed_b = sorted(completed)
 
+    def _read_group_logs(batches):
+        import pandas as pd
+
+        cols = ["o_orderkey", "o_totalprice", "instant", "is_delete",
+                "applied", "skipped", "rolled", "is_meta"]
+        done = set(completed_b)
+        for pdf in batches:
+            for rec in pdf.itertuples(index=False):
+                stream: list[dict] = []
+                for path in json.loads(rec.logs):
+                    with open(path, "rb") as fh:
+                        stream.extend(walk_log_blocks(fh.read()))
+                stream, rolled = apply_command_blocks(stream)
+                rows = []
+                applied = skipped = 0
+                for blk in stream:
+                    instant = blk["header"][_H_INSTANT]
+                    if instant not in done:
+                        skipped += 1
+                        continue
+                    applied += 1
+                    if blk["type"] == _AVRO_BLOCK:
+                        schema = json.loads(blk["header"][_H_SCHEMA])
+                        for r in _dec_avro_content(blk["content"], schema):
+                            rows.append((r["o_orderkey"],
+                                         r["o_totalprice"],
+                                         instant, False, 0, 0, 0, False))
+                    elif blk["type"] == _DELETE_BLOCK:
+                        for key in _dec_delete_content(blk["content"]):
+                            rows.append((int(key), 0.0, instant, True,
+                                         0, 0, 0, False))
+                    else:
+                        raise NotImplementedError(
+                            f"log block type {blk['type']}"
+                        )
+                rows.append((None, 0.0, "", False,
+                             applied, skipped, rolled, True))
+                yield pd.DataFrame(rows, columns=cols)
+
+    parsed = plan.mapInPandas(
+        _read_group_logs,
+        "o_orderkey long, o_totalprice double, instant string,"
+        " is_delete boolean, applied int, skipped int, rolled int,"
+        " is_meta boolean",
+    ).localCheckpoint(eager=True)  # split meta/data without re-parsing
+
+    counters = parsed.filter("is_meta").agg(
+        F.sum("applied").cast("int").alias("blocks_applied"),
+        F.sum("skipped").cast("int").alias("blocks_skipped"),
+        F.sum("rolled").cast("int").alias("blocks_rolled_back"),
+    )
+    log_df = parsed.filter(~F.col("is_meta")).select(
+        "o_orderkey", "o_totalprice", "instant", "is_delete"
+    )
     base = (
         spark.read.parquet(*base_paths)
         .withColumn("instant", F.lit(t1))
         .withColumn("is_delete", F.lit(False))
-    )
-    import pandas as pd
-
-    log_df = spark.createDataFrame(
-        pd.DataFrame(
-            upsert_rows,
-            columns=["o_orderkey", "o_totalprice", "instant", "is_delete"],
-        ),
-        "o_orderkey long, o_totalprice double, "
-        "instant string, is_delete boolean",
     )
     w = Window.partitionBy("o_orderkey").orderBy(F.col("instant").desc())
     merged = (
@@ -394,10 +510,13 @@ def source_hudi_mor_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = (
         merged.groupBy((F.col("o_orderkey") % 10).cast("int").alias("key_mod"))
         .agg(
-            F.lit(applied).cast("int").alias("blocks_applied"),
-            F.lit(skipped).cast("int").alias("blocks_skipped"),
             F.count("*").alias("n_orders"),
             dsum("o_totalprice").alias("revenue"),
+        )
+        .crossJoin(F.broadcast(counters))
+        .select(
+            "key_mod", "blocks_applied", "blocks_skipped",
+            "blocks_rolled_back", "n_orders", "revenue",
         )
         .orderBy("key_mod")
         .localCheckpoint(eager=True)  # 10 rows; frees the temp root

@@ -84,3 +84,48 @@ def test_unknown_format_version_is_loud():
     struct.pack_into(">i", blk, 14, 9)  # version field after magic+len
     with pytest.raises(NotImplementedError, match="version 9"):
         walk_log_blocks(bytes(blk))
+
+
+def test_parse_log_name_versions():
+    from spark_hive_spark.sources.hudi_mor import parse_log_name
+
+    assert parse_log_name(".fg-A_001.log.1_0-1-0") == ("fg-A", "001", 1)
+    assert parse_log_name(".fg-A_001.log.12_0-7-3") == ("fg-A", "001", 12)
+    with pytest.raises(ValueError, match="log file name"):
+        parse_log_name("fg-A_001.parquet")
+
+
+def test_command_block_rolls_back_target_instant():
+    import json
+
+    from spark_hive_spark.sources.hudi_mor import (
+        _CMD_BLOCK,
+        _H_COMMAND,
+        _H_TARGET_INSTANT,
+        apply_command_blocks,
+    )
+
+    blk = lambda inst: {  # noqa: E731
+        "type": _AVRO_BLOCK,
+        "header": {_H_INSTANT: inst, _H_SCHEMA: json.dumps(_LOG_SCHEMA)},
+        "content": _enc_avro_content(RECS),
+    }
+    cmd = {
+        "type": _CMD_BLOCK,
+        "header": {_H_INSTANT: "007", _H_TARGET_INSTANT: "006",
+                   _H_COMMAND: "0"},
+        "content": b"",
+    }
+    out, rolled = apply_command_blocks([blk("002"), blk("006"), cmd,
+                                        blk("008")])
+    assert rolled == 1
+    assert [b["header"][_H_INSTANT] for b in out] == ["002", "008"]
+    # rollback only reaches EARLIER blocks: a later 006 block survives
+    out2, rolled2 = apply_command_blocks([cmd, blk("006")])
+    assert rolled2 == 0
+    assert len(out2) == 1
+    # non-rollback command types are loud
+    bad = dict(cmd, header={_H_INSTANT: "007", _H_TARGET_INSTANT: "006",
+                            _H_COMMAND: "9"})
+    with pytest.raises(NotImplementedError, match="command block"):
+        apply_command_blocks([bad])
