@@ -543,7 +543,10 @@ def read_int64_column_pages(
     stream), 0 for REQUIRED (no levels stream at all; the page body
     is values from byte 0 — parsing a levels stream there would
     misread the first 4 data bytes as an RLE length prefix).
-    Levels deeper than 1 (nested optionals) stay a loud seam.
+    Levels deeper than 1 (a leaf inside OPTIONAL groups, i.e. struct
+    fields) extract the leaf with None wherever any ancestor or the
+    leaf itself is null — presence is ``def == max_def_level``.
+    Repetition levels (lists) go through `read_list_column_pages`.
 
     Handles the full default layout a Spark/parquet-mr writer emits:
     an optional DICTIONARY page (type 2, PLAIN-encoded dict values)
@@ -564,10 +567,6 @@ def read_int64_column_pages(
             f"{_PHYS.get(phys, phys)}"
         )
     fmt_ch, width = fixed[phys]
-    if max_def_level not in (0, 1):
-        raise NotImplementedError(
-            f"nested definition levels (max {max_def_level})"
-        )
     codec = cmd[4]
     off = cmd.get(11, cmd[9])  # dictionary page precedes data pages
     size, total = cmd[7], cmd[5]
@@ -745,13 +744,14 @@ def _decode_fixed_page_levels(
     return defs, reps, vals, body_start + comp_size
 
 
-def read_list_fixed_column_pages(
+def read_list_column_pages(
     data: bytes, cmd: dict[int, Any], repetitions: list[int]
 ) -> tuple[list[list | None], int]:
-    """Walk one NESTED (one-level list) fixed-width column chunk's
-    pages -> (one entry per top-level row: None for a null list, a
-    python list — possibly with None elements — otherwise; data-page
-    count).
+    """Walk one NESTED (one-level list) column chunk's pages
+    -> (one entry per top-level row: None for a null list, a python
+    list — possibly with None elements — otherwise; data-page count).
+    Fixed-width elements (INT32/INT64/FLOAT/DOUBLE) and BYTE_ARRAY
+    (utf-8 string) elements are supported.
 
     ``repetitions`` is the leaf's root→leaf repetition-type chain
     from `_leaf_repetitions`; only the standard 3-level list shape
@@ -779,12 +779,11 @@ def read_list_fixed_column_pages(
     phys = cmd[1]
     fixed = {_INT32: ("<i", 4), _INT64: ("<q", 8),
              _FLOAT: ("<f", 4), _DOUBLE: ("<d", 8)}
-    if phys not in fixed:
+    if phys not in fixed and phys != _BYTE_ARRAY:
         raise NotImplementedError(
-            f"nested page decode implemented for fixed-width types, "
-            f"not {_PHYS.get(phys, phys)}"
+            f"nested page decode implemented for fixed-width and "
+            f"BYTE_ARRAY types, not {_PHYS.get(phys, phys)}"
         )
-    fmt_ch, width = fixed[phys]
     codec = cmd[4]
     off = cmd.get(11, cmd[9])  # dictionary page precedes data pages
     size, total = cmd[7], cmd[5]
@@ -795,17 +794,34 @@ def read_list_fixed_column_pages(
     dictionary: list | None = None
     n_pages = 0
     while pos < off + size:
-        hdr, _ = _read_struct(data, pos)
+        hdr, body_start = _read_struct(data, pos)
         ptype = hdr[1]
         if ptype == 2:  # DICTIONARY_PAGE
-            dictionary, pos = _decode_fixed_dict_page(
-                data, pos, codec, fmt_ch, width
-            )
+            if phys == _BYTE_ARRAY:
+                dict_hdr = hdr[7]
+                raw = _decompress_page(
+                    data[body_start : body_start + hdr[3]],
+                    codec, hdr[2],
+                )
+                dictionary = _split_byte_array_plain(raw, dict_hdr[1])
+                pos = body_start + hdr[3]
+            else:
+                fmt_ch, width = fixed[phys]
+                dictionary, pos = _decode_fixed_dict_page(
+                    data, pos, codec, fmt_ch, width
+                )
         elif ptype in (0, 3):  # DATA_PAGE v1 / v2
-            d, r, v, pos = _decode_fixed_page_levels(
-                data, pos, codec, fmt_ch, width, phys, dictionary,
-                max_def, max_rep,
-            )
+            if phys == _BYTE_ARRAY:
+                d, r, v, pos = _decode_byte_array_page_levels(
+                    data, pos, codec, dictionary, max_def, max_rep
+                )
+                v = [x.decode("utf-8") for x in v]
+            else:
+                fmt_ch, width = fixed[phys]
+                d, r, v, pos = _decode_fixed_page_levels(
+                    data, pos, codec, fmt_ch, width, phys, dictionary,
+                    max_def, max_rep,
+                )
             defs.extend(d)
             reps.extend(r)
             vals.extend(v)
@@ -822,6 +838,79 @@ def read_list_fixed_column_pages(
                                   element_optional),
         n_pages,
     )
+
+
+# round-12 first name, kept as an alias (the original accepted only
+# fixed-width elements; BYTE_ARRAY support folded in same-round)
+read_list_fixed_column_pages = read_list_column_pages
+
+
+def read_leaf_pages_with_levels(
+    data: bytes, cmd: dict[int, Any], max_def_level: int
+) -> tuple[list, list[int], int]:
+    """Walk one non-repeated leaf chunk (fixed-width or BYTE_ARRAY)
+    -> (values with None for any null, raw definition levels, page
+    count). A STRUCT reader needs the levels, not just values: for an
+    optional struct with an optional leaf (max_def 2), def 0 is
+    'struct itself null' while def 1 is 'struct present, leaf null' —
+    indistinguishable from values alone."""
+    phys = cmd[1]
+    fixed = {_INT32: ("<i", 4), _INT64: ("<q", 8),
+             _FLOAT: ("<f", 4), _DOUBLE: ("<d", 8)}
+    codec = cmd[4]
+    off = cmd.get(11, cmd[9])
+    size, total = cmd[7], cmd[5]
+    pos = off
+    out: list = []
+    defs_all: list[int] = []
+    dictionary: list | None = None
+    n_pages = 0
+    while pos < off + size:
+        hdr, body_start = _read_struct(data, pos)
+        ptype = hdr[1]
+        if ptype == 2:  # DICTIONARY_PAGE
+            if phys == _BYTE_ARRAY:
+                raw = _decompress_page(
+                    data[body_start : body_start + hdr[3]], codec, hdr[2]
+                )
+                dictionary = _split_byte_array_plain(raw, hdr[7][1])
+                pos = body_start + hdr[3]
+            elif phys in fixed:
+                fmt_ch, width = fixed[phys]
+                dictionary, pos = _decode_fixed_dict_page(
+                    data, pos, codec, fmt_ch, width
+                )
+            else:
+                raise NotImplementedError(
+                    f"leaf type {_PHYS.get(phys, phys)}"
+                )
+        elif ptype in (0, 3):
+            if phys == _BYTE_ARRAY:
+                d, _r, v, pos = _decode_byte_array_page_levels(
+                    data, pos, codec, dictionary, max_def_level, 0
+                )
+                v = [x.decode("utf-8") for x in v]
+            elif phys in fixed:
+                fmt_ch, width = fixed[phys]
+                d, _r, v, pos = _decode_fixed_page_levels(
+                    data, pos, codec, fmt_ch, width, phys, dictionary,
+                    max_def_level, 0,
+                )
+            else:
+                raise NotImplementedError(
+                    f"leaf type {_PHYS.get(phys, phys)}"
+                )
+            it = iter(v)
+            out.extend(
+                next(it) if dd == max_def_level else None for dd in d
+            )
+            defs_all.extend(d)
+            n_pages += 1
+        else:
+            raise NotImplementedError(f"page type {ptype}")
+    if len(out) != total:
+        raise ValueError("page walk produced the wrong value count")
+    return out, defs_all, n_pages
 
 
 def _assemble_one_level_lists(
@@ -1276,26 +1365,130 @@ def _split_byte_array_plain(buf: bytes, count: int) -> list[bytes]:
     return out
 
 
+def _delta_length_byte_array(
+    buf: bytes, count: int
+) -> tuple[list[bytes], int]:
+    """DELTA_LENGTH_BYTE_ARRAY -> (values, bytes consumed)."""
+    # the lengths run is self-delimiting; decode it, then measure
+    # its byte span by re-walking the header geometry
+    lengths = decode_delta_binary_packed_prefix(buf, count)
+    vals: list[bytes] = []
+    p = lengths[1]
+    for n in lengths[0]:
+        vals.append(buf[p : p + n])
+        p += n
+    return vals, p
+
+
+def _decode_byte_array_page_levels(
+    data: bytes,
+    pos: int,
+    codec: int,
+    dictionary: list[bytes] | None,
+    max_def_level: int,
+    max_rep_level: int,
+) -> tuple[list[int], list[int], list[bytes], int]:
+    """One v1/v2 BYTE_ARRAY DATA page -> (definition levels,
+    repetition levels, PRESENT raw values, next pos) — the string
+    counterpart of `_decode_fixed_page_levels`, every encoding a
+    pyarrow/parquet-mr writer emits: PLAIN, PLAIN_/RLE_DICTIONARY,
+    DELTA_LENGTH_BYTE_ARRAY (6) and DELTA_BYTE_ARRAY (7,
+    front-coding)."""
+    hdr, body_start = _read_struct(data, pos)
+    ptype, comp_size = hdr[1], hdr[3]
+    body = data[body_start : body_start + comp_size]
+    def_bw = max_def_level.bit_length()
+    rep_bw = max_rep_level.bit_length()
+    if ptype == 0:
+        dph = hdr[5]
+        nv, enc = dph[1], dph[2]
+        raw = _decompress_page(body, codec, hdr[2])
+        p = 0
+        if max_rep_level == 0:
+            reps = [0] * nv
+        else:
+            reps, consumed = decode_rle_hybrid(raw, rep_bw, nv)
+            p += consumed
+        if max_def_level == 0:  # REQUIRED: no levels stream
+            defs = [0] * nv
+        else:
+            defs, consumed = decode_rle_hybrid(raw[p:], def_bw, nv)
+            p += consumed
+        vals_buf = raw[p:]
+    elif ptype == 3:
+        dph = hdr[8]
+        nv, enc = dph[1], dph[4]
+        dll, rll = dph.get(5, 0), dph.get(6, 0)
+        reps = (
+            decode_rle_hybrid(
+                body[:rll], rep_bw, nv, length_prefixed=False
+            )[0]
+            if rll
+            else [0] * nv
+        )
+        defs = (
+            decode_rle_hybrid(
+                body[rll : rll + dll], def_bw, nv, length_prefixed=False
+            )[0]
+            if dll
+            else [max_def_level] * nv
+        )
+        vals_buf = bytes(body[rll + dll :])
+        if dph.get(7, True) and codec != 0:
+            vals_buf = _decompress_page(
+                vals_buf, codec, hdr[2] - dll - rll
+            )
+    else:
+        raise ValueError(f"expected a data page, got type {ptype}")
+    n_present = sum(1 for d in defs if d == max_def_level)
+    if enc == 0:  # PLAIN
+        vals = _split_byte_array_plain(vals_buf, n_present)
+    elif enc in (2, 8):  # dictionary indices
+        if dictionary is None:
+            raise ValueError("dictionary page missing")
+        bw = vals_buf[0]
+        idx, _ = decode_rle_hybrid(
+            vals_buf[1:], bw, n_present, length_prefixed=False
+        )
+        vals = [dictionary[i] for i in idx]
+    elif enc == 6:  # DELTA_LENGTH_BYTE_ARRAY
+        vals, _ = _delta_length_byte_array(vals_buf, n_present)
+    elif enc == 7:  # DELTA_BYTE_ARRAY: prefix lens + suffixes
+        prefixes, consumed = decode_delta_binary_packed_prefix(
+            vals_buf, n_present
+        )
+        suffixes, _ = _delta_length_byte_array(
+            vals_buf[consumed:], n_present
+        )
+        vals = []
+        prev = b""
+        for plen, suf in zip(prefixes, suffixes):
+            prev = prev[:plen] + suf
+            vals.append(prev)
+    else:
+        raise NotImplementedError(f"byte-array encoding {enc}")
+    if len(vals) != n_present:
+        raise ValueError(
+            f"page decoded {len(vals)} values, levels say {n_present}"
+        )
+    return defs, reps, vals, body_start + comp_size
+
+
 def read_byte_array_column_pages(
     data: bytes, cmd: dict[int, Any], max_def_level: int = 1
 ) -> tuple[list[str | None], int]:
-    """Walk one BYTE_ARRAY (string) column chunk's pages — the string
-    counterpart of `read_int64_column_pages`, every encoding a
-    pyarrow/parquet-mr writer emits: PLAIN (length-prefixed values),
-    PLAIN_/RLE_DICTIONARY, DELTA_LENGTH_BYTE_ARRAY (6: one
-    DELTA_BINARY_PACKED run of lengths, then the concatenated bytes)
-    and DELTA_BYTE_ARRAY (7: delta-packed PREFIX lengths + a nested
-    DELTA_LENGTH_BYTE_ARRAY of suffixes — front-coding), across v1
-    and v2 data pages and the compressed-page codecs.
+    """Walk one FLAT BYTE_ARRAY (string) column chunk's pages — the
+    string counterpart of `read_int64_column_pages`, across v1 and v2
+    data pages and the compressed-page codecs.
 
     ``max_def_level`` as in `read_int64_column_pages`: 0 = REQUIRED
-    leaf (v1 pages carry no definition-levels stream)."""
+    leaf (v1 pages carry no definition-levels stream); levels > 1
+    (a leaf inside OPTIONAL groups, i.e. struct fields) extract the
+    leaf values with None for any ancestor-or-leaf null — presence is
+    ``def == max_def_level``. Repetition levels (lists) go through
+    `read_list_column_pages`."""
     if cmd[1] != _BYTE_ARRAY:
         raise NotImplementedError("expected a BYTE_ARRAY column")
-    if max_def_level not in (0, 1):
-        raise NotImplementedError(
-            f"nested definition levels (max {max_def_level})"
-        )
     codec = cmd[4]
     off = cmd.get(11, cmd[9])
     size, total = cmd[7], cmd[5]
@@ -1303,91 +1496,30 @@ def read_byte_array_column_pages(
     out: list[str | None] = []
     dictionary: list[bytes] | None = None
     n_pages = 0
-
-    def _delta_length(buf: bytes, count: int) -> tuple[list[bytes], int]:
-        """DELTA_LENGTH_BYTE_ARRAY -> (values, bytes consumed)."""
-        # the lengths run is self-delimiting; decode it, then measure
-        # its byte span by re-walking the header geometry
-        lengths = decode_delta_binary_packed_prefix(buf, count)
-        vals: list[bytes] = []
-        p = lengths[1]
-        for n in lengths[0]:
-            vals.append(buf[p : p + n])
-            p += n
-        return vals, p
-
     while pos < off + size:
         hdr, body_start = _read_struct(data, pos)
         ptype, comp_size = hdr[1], hdr[3]
-        body = data[body_start : body_start + comp_size]
         if ptype == 2:  # DICTIONARY_PAGE: PLAIN byte arrays
             dict_hdr = hdr[7]
-            raw = _decompress_page(body, codec, hdr[2])
+            raw = _decompress_page(
+                data[body_start : body_start + comp_size], codec, hdr[2]
+            )
             dictionary = _split_byte_array_plain(raw, dict_hdr[1])
+            pos = body_start + comp_size
         elif ptype in (0, 3):
-            if ptype == 0:
-                dph = hdr[5]
-                nv, enc = dph[1], dph[2]
-                raw = _decompress_page(body, codec, hdr[2])
-                if max_def_level == 0:  # REQUIRED: no levels stream
-                    defs, vals_buf = [1] * nv, raw
-                else:
-                    defs, consumed = decode_rle_hybrid(raw, 1, nv)
-                    vals_buf = raw[consumed:]
-            else:
-                dph = hdr[8]
-                nv, enc = dph[1], dph[4]
-                dll, rll = dph.get(5, 0), dph.get(6, 0)
-                if rll:
-                    raise NotImplementedError("repetition levels")
-                defs = (
-                    decode_rle_hybrid(
-                        body[:dll], 1, nv, length_prefixed=False
-                    )[0]
-                    if dll
-                    else [1] * nv
-                )
-                vals_buf = bytes(body[dll:])
-                if dph.get(7, True) and codec != 0:
-                    vals_buf = _decompress_page(
-                        vals_buf, codec, hdr[2] - dll - rll
-                    )
-            n_present = sum(defs)
-            if enc == 0:  # PLAIN
-                vals = _split_byte_array_plain(vals_buf, n_present)
-            elif enc in (2, 8):  # dictionary indices
-                if dictionary is None:
-                    raise ValueError("dictionary page missing")
-                bw = vals_buf[0]
-                idx, _ = decode_rle_hybrid(
-                    vals_buf[1:], bw, n_present, length_prefixed=False
-                )
-                vals = [dictionary[i] for i in idx]
-            elif enc == 6:  # DELTA_LENGTH_BYTE_ARRAY
-                vals, _ = _delta_length(vals_buf, n_present)
-            elif enc == 7:  # DELTA_BYTE_ARRAY: prefix lens + suffixes
-                prefixes, consumed = decode_delta_binary_packed_prefix(
-                    vals_buf, n_present
-                )
-                suffixes, _ = _delta_length(
-                    vals_buf[consumed:], n_present
-                )
-                vals = []
-                prev = b""
-                for plen, suf in zip(prefixes, suffixes):
-                    prev = prev[:plen] + suf
-                    vals.append(prev)
-            else:
-                raise NotImplementedError(f"byte-array encoding {enc}")
+            defs, _reps, vals, pos = _decode_byte_array_page_levels(
+                data, pos, codec, dictionary, max_def_level, 0
+            )
             present = iter(vals)
             out.extend(
-                next(present).decode("utf-8") if d else None
+                next(present).decode("utf-8")
+                if d == max_def_level
+                else None
                 for d in defs
             )
             n_pages += 1
         else:
             raise NotImplementedError(f"page type {ptype}")
-        pos = body_start + comp_size
     if len(out) != total:
         raise ValueError("page walk produced the wrong value count")
     return out, n_pages
@@ -1871,6 +2003,291 @@ def source_parquet_nested_decode(
         F.sum("n_entries").alias("n_entries"),
         F.sum("n_null_elements").alias("n_null_elements"),
         F.sum("elem_sum").alias("elem_sum"),
+        (F.min("ok") & (F.sum("pages") > F.lit(1)))
+        .alias("nested_consistent"),
+    ).localCheckpoint(eager=True)  # 1 row; frees the temp root
+    shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
+@register(
+    "source_parquet_struct_decode",
+    oracle="""
+        WITH base AS (SELECT o_orderkey AS k FROM orders)
+        SELECT CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(CASE WHEN k % 13 = 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_null_structs,
+               CAST(sum(CASE WHEN k % 13 <> 0 AND k % 17 = 0
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_null_k,
+               CAST(sum(CASE WHEN k % 13 <> 0 AND k % 5 = 0
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_null_tags,
+               CAST(sum(CASE WHEN k % 13 <> 0 AND k % 17 <> 0
+                             THEN k END) AS BIGINT) AS k_sum,
+               CAST(sum(CASE WHEN k % 13 <> 0 AND k % 5 <> 0
+                             THEN 2 END) AS BIGINT) AS tag_chars,
+               TRUE AS struct_consistent
+        FROM base
+    """,
+    tags=("source", "parquet", "pages", "nested", "struct"),
+)
+def source_parquet_struct_decode(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """A SPARK-WRITTEN struct<k bigint, tag string> column decoded by
+    hand (round 12) — the non-repeated half of the nested-types seam
+    (`source_parquet_nested_decode` covers lists): a struct column
+    flattens to one leaf chunk per field whose definition levels run
+    DEEPER than 1 (optional struct + optional leaf = max_def 2) with
+    no repetition levels, so a reader must (a) size the level stream
+    at 2 bits, and (b) disambiguate def 0 (the STRUCT is null) from
+    def 1 (struct present, leaf null) — value extraction alone cannot.
+
+    The fixture nulls the whole struct on keys ≡ 0 (mod 13), the k
+    field on keys ≡ 0 (mod 17), the tag field on keys ≡ 0 (mod 5);
+    both leaves decode through `read_leaf_pages_with_levels` (INT64
+    and BYTE_ARRAY paths, dictionary + snappy pages — Spark's writer
+    defaults). ``struct_consistent`` pins engine-side that the two
+    leaves AGREE on which rows are struct-null (identical def-0
+    position sets — the structural invariant Dremel guarantees), that
+    both leaves' max_def is 2, and that >1 data page was walked.
+
+    The oracle recomputes every count from the raw table: a level-
+    stream sizing bug miscounts everything, a def-0/def-1 mixup swaps
+    null-struct and null-field counts, an alignment bug flips k_sum.
+
+    Scale posture: one task per row group via mapInPandas; partial
+    counts combine in one final reduce. The pure-python decode is the
+    format-layer demonstrator; production scans stay on the JVM
+    vectorized reader."""
+    import glob as _glob
+
+    import pandas as _pd
+
+    root = os.path.join(
+        tempfile.gettempdir(), f"shs_pqstruct_{uuid.uuid4().hex}"
+    )
+    (
+        t(spark, sf_dir, "orders")
+        .selectExpr(
+            """
+            CASE WHEN o_orderkey % 13 = 0
+                 THEN CAST(NULL AS struct<k: bigint, tag: string>)
+                 ELSE named_struct(
+                     'k', CASE WHEN o_orderkey % 17 = 0
+                               THEN CAST(NULL AS BIGINT)
+                               ELSE o_orderkey END,
+                     'tag', CASE WHEN o_orderkey % 5 = 0
+                                 THEN CAST(NULL AS STRING)
+                                 ELSE concat('P', o_orderkey % 7) END)
+            END AS s
+            """
+        )
+        .coalesce(1)
+        .write.option("compression", "snappy")
+        .option("parquet.page.size", 8 * 1024)
+        .parquet(root)
+    )
+    path = _glob.glob(os.path.join(root, "*.parquet"))[0]
+    with open(path, "rb") as fh:
+        raw = fh.read()
+    n_groups = len(decode_footer(raw)[4])
+
+    plan = spark.createDataFrame(
+        [(path, i) for i in range(n_groups)], "path string, rg int"
+    ).repartition(n_groups)
+
+    def _decode_groups(batches) -> Iterator:
+        for pdf in batches:
+            for rec in pdf.itertuples(index=False):
+                with open(rec.path, "rb") as fh:
+                    data = fh.read()
+                fmd = decode_footer(data)
+                reps = _leaf_repetitions(fmd[2])
+                levels = {p: max_levels(c) for p, c in reps.items()}
+                rg = fmd[4][rec.rg]
+                by_path = {
+                    ".".join(seg.decode() for seg in cc[3][3]): cc[3]
+                    for cc in rg[1]
+                }
+                k_vals, k_defs, k_pages = read_leaf_pages_with_levels(
+                    data, by_path["s.k"], levels["s.k"][0]
+                )
+                t_vals, t_defs, t_pages = read_leaf_pages_with_levels(
+                    data, by_path["s.tag"], levels["s.tag"][0]
+                )
+                null_structs_k = [i for i, d in enumerate(k_defs)
+                                  if d == 0]
+                null_structs_t = [i for i, d in enumerate(t_defs)
+                                  if d == 0]
+                ok = (
+                    levels["s.k"] == (2, 0)
+                    and levels["s.tag"] == (2, 0)
+                    and null_structs_k == null_structs_t
+                    and len(k_vals) == rg[3]
+                    and len(t_vals) == rg[3]
+                    and k_pages + t_pages > 2
+                )
+                present_k = [v for v in k_vals if v is not None]
+                yield _pd.DataFrame(
+                    [(
+                        len(k_vals),
+                        len(null_structs_k),
+                        sum(1 for d in k_defs if d == 1),
+                        sum(1 for d in t_defs if d == 1),
+                        sum(present_k),
+                        sum(len(v) for v in t_vals if v is not None),
+                        bool(ok),
+                    )],
+                    columns=[
+                        "n_rows", "n_null_structs", "n_null_k",
+                        "n_null_tags", "k_sum", "tag_chars", "ok",
+                    ],
+                )
+
+    partials = plan.mapInPandas(
+        _decode_groups,
+        "n_rows bigint, n_null_structs bigint, n_null_k bigint,"
+        " n_null_tags bigint, k_sum bigint, tag_chars bigint,"
+        " ok boolean",
+    )
+    out = partials.agg(
+        F.sum("n_rows").alias("n_rows"),
+        F.sum("n_null_structs").alias("n_null_structs"),
+        F.sum("n_null_k").alias("n_null_k"),
+        F.sum("n_null_tags").alias("n_null_tags"),
+        F.sum("k_sum").alias("k_sum"),
+        F.sum("tag_chars").alias("tag_chars"),
+        F.min("ok").alias("struct_consistent"),
+    ).localCheckpoint(eager=True)  # 1 row; frees the temp root
+    shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
+@register(
+    "source_parquet_list_strings_decode",
+    oracle="""
+        WITH base AS (SELECT o_orderkey AS k FROM orders),
+        elems AS (
+            SELECT b.k, gs.i,
+                   CASE WHEN (b.k + gs.i) % 7 = 0 THEN NULL
+                        ELSE 'w' || CAST(b.k % 100 AS VARCHAR) || '_'
+                             || CAST(gs.i AS VARCHAR) END AS v
+            FROM base b, generate_series(1, 4) AS gs(i)
+            WHERE b.k % 11 <> 0 AND gs.i <= b.k % 5
+        )
+        SELECT CAST((SELECT count(*) FROM base) AS BIGINT) AS n_rows,
+               CAST((SELECT count(*) FROM base WHERE k % 11 = 0)
+                    AS BIGINT) AS n_null_lists,
+               CAST((SELECT count(*) FROM base
+                     WHERE k % 11 <> 0 AND k % 5 = 0)
+                    AS BIGINT) AS n_empty_lists,
+               CAST(count(*) AS BIGINT) AS n_entries,
+               CAST(count(*) - count(v) AS BIGINT) AS n_null_elements,
+               CAST(sum(length(v)) AS BIGINT) AS chars_sum,
+               TRUE AS nested_consistent
+        FROM elems
+    """,
+    tags=("source", "parquet", "pages", "nested", "strings"),
+)
+def source_parquet_list_strings_decode(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """A SPARK-WRITTEN `array<string>` column decoded by hand (round
+    12) — `source_parquet_nested_decode`'s BYTE_ARRAY sibling: string
+    elements route the Dremel level streams through the byte-array
+    page decoder (dictionary-encoded values under snappy — Spark's
+    defaults for a low-cardinality string like this fixture's), so a
+    repetition bug here splices STRINGS across rows and a dictionary
+    bug swaps whole words. Same four-definition-level shape as the
+    int64 fixture (null list / empty list / null element / value);
+    the oracle recomputes counts and total character mass via a
+    lateral generate_series. Scale posture: one task per row group,
+    partial aggregates, single final reduce."""
+    import glob as _glob
+
+    import pandas as _pd
+
+    root = os.path.join(
+        tempfile.gettempdir(), f"shs_pqls_{uuid.uuid4().hex}"
+    )
+    (
+        t(spark, sf_dir, "orders")
+        .selectExpr(
+            """
+            CASE WHEN o_orderkey % 11 = 0 THEN CAST(NULL AS array<string>)
+                 ELSE transform(
+                     slice(array(1, 2, 3, 4), 1,
+                           CAST(o_orderkey % 5 AS INT)),
+                     i -> CASE WHEN (o_orderkey + i) % 7 = 0
+                               THEN CAST(NULL AS STRING)
+                               ELSE concat('w', o_orderkey % 100, '_', i)
+                          END)
+            END AS vals
+            """
+        )
+        .coalesce(1)
+        .write.option("compression", "snappy")
+        .option("parquet.page.size", 8 * 1024)
+        .parquet(root)
+    )
+    path = _glob.glob(os.path.join(root, "*.parquet"))[0]
+    with open(path, "rb") as fh:
+        raw = fh.read()
+    n_groups = len(decode_footer(raw)[4])
+
+    plan = spark.createDataFrame(
+        [(path, i) for i in range(n_groups)], "path string, rg int"
+    ).repartition(n_groups)
+
+    def _decode_groups(batches) -> Iterator:
+        for pdf in batches:
+            for rec in pdf.itertuples(index=False):
+                with open(rec.path, "rb") as fh:
+                    data = fh.read()
+                fmd = decode_footer(data)
+                rep_chain = next(iter(_leaf_repetitions(fmd[2]).values()))
+                rg = fmd[4][rec.rg]
+                cmd = rg[1][0][3]
+                rows, n_pages = read_list_column_pages(
+                    data, cmd, rep_chain
+                )
+                n_null_lists = sum(1 for r in rows if r is None)
+                n_empty = sum(1 for r in rows if r == [])
+                entries = [e for r in rows if r for e in r]
+                present = [e for e in entries if e is not None]
+                ok = (
+                    rep_chain == [1, 2, 1]
+                    and len(rows) == rg[3]
+                    and cmd[1] == _BYTE_ARRAY
+                    and cmd[4] == 1  # SNAPPY through the hand decoder
+                )
+                yield _pd.DataFrame(
+                    [(
+                        len(rows), n_null_lists, n_empty, len(entries),
+                        len(entries) - len(present),
+                        sum(len(e) for e in present),
+                        n_pages, bool(ok),
+                    )],
+                    columns=[
+                        "n_rows", "n_null_lists", "n_empty_lists",
+                        "n_entries", "n_null_elements", "chars_sum",
+                        "pages", "ok",
+                    ],
+                )
+
+    partials = plan.mapInPandas(
+        _decode_groups,
+        "n_rows bigint, n_null_lists bigint, n_empty_lists bigint,"
+        " n_entries bigint, n_null_elements bigint, chars_sum bigint,"
+        " pages int, ok boolean",
+    )
+    out = partials.agg(
+        F.sum("n_rows").alias("n_rows"),
+        F.sum("n_null_lists").alias("n_null_lists"),
+        F.sum("n_empty_lists").alias("n_empty_lists"),
+        F.sum("n_entries").alias("n_entries"),
+        F.sum("n_null_elements").alias("n_null_elements"),
+        F.sum("chars_sum").alias("chars_sum"),
         (F.min("ok") & (F.sum("pages") > F.lit(1)))
         .alias("nested_consistent"),
     ).localCheckpoint(eager=True)  # 1 row; frees the temp root

@@ -532,9 +532,8 @@ def test_required_column_pages_decode(tmp_path):
         )
     assert got_i == list(range(1, n + 1))
     assert got_s == [f"w{i:05d}" for i in range(n)]
-    # nested levels stay a loud seam
-    with pytest.raises(NotImplementedError):
-        read_int64_column_pages(data, fmd[4][0][1][0][3], max_def_level=2)
+    # (max_def_level > 1 is no longer a seam — struct-leaf decode is
+    # covered by test_struct_leaf_levels_differential)
 
 
 def test_bloom_filter_matches_spark_writer(spark, tmp_path):
@@ -762,16 +761,16 @@ def test_nested_required_element_and_loud_seams(tmp_path):
     with pytest.raises(NotImplementedError, match="nested shape"):
         read_list_fixed_column_pages(ddata, dfmd[4][0][1][0][3], dchain)
 
-    # list<string> elements are not fixed-width — loud
-    stbl = pa.table({"v": pa.array([["a"], ["b", "c"]],
-                                   pa.list_(pa.string()))})
-    spath = str(tmp_path / "str.parquet")
+    # list<boolean> elements are neither fixed-width nor BYTE_ARRAY
+    stbl = pa.table({"v": pa.array([[True], [False, True]],
+                                   pa.list_(pa.bool_()))})
+    spath = str(tmp_path / "bool.parquet")
     pq.write_table(stbl, spath)
     with open(spath, "rb") as fh:
         sdata = fh.read()
     sfmd = decode_footer(sdata)
     (_, schain), = _leaf_repetitions(sfmd[2]).items()
-    with pytest.raises(NotImplementedError, match="fixed-width"):
+    with pytest.raises(NotImplementedError, match="BYTE_ARRAY"):
         read_list_fixed_column_pages(sdata, sfmd[4][0][1][0][3], schain)
 
 
@@ -807,3 +806,93 @@ def test_spark_native_nested_file_decodes_by_hand(spark, tmp_path):
         got.extend(read_list_fixed_column_pages(data, rg[1][0][3],
                                                 reps["vals.list.element"])[0])
     assert got == [r.vals for r in df.collect()]
+
+
+@pytest.mark.parametrize(
+    "opts",
+    [
+        dict(use_dictionary=False, compression="NONE",
+             data_page_size=1024),
+        dict(use_dictionary=True, compression="SNAPPY",
+             data_page_size=1024),
+        dict(use_dictionary=False, compression="ZSTD",
+             data_page_size=2048, data_page_version="2.0"),
+    ],
+    ids=["v1-plain", "v1-dict-snappy", "v2-zstd"],
+)
+def test_nested_list_strings_differential(tmp_path, opts):
+    """Hand-decoded list<string> == pyarrow's read-back: the Dremel
+    level streams routed through the BYTE_ARRAY page decoder."""
+    from spark_hive_spark.sources.parquet_meta import (
+        _leaf_repetitions,
+        read_list_column_pages,
+    )
+
+    rows = []
+    for k in range(1, 1500):
+        if k % 11 == 0:
+            rows.append(None)
+        else:
+            rows.append(
+                [None if (k + i) % 7 == 0 else f"w{k}_{i}"
+                 for i in range(1, k % 5 + 1)]
+            )
+    tbl = pa.table({"vals": pa.array(rows, pa.list_(pa.string()))})
+    path = str(tmp_path / "ls.parquet")
+    pq.write_table(tbl, path, row_group_size=500, **opts)
+    with open(path, "rb") as fh:
+        data = fh.read()
+    fmd = decode_footer(data)
+    (_, chain), = _leaf_repetitions(fmd[2]).items()
+    got = []
+    for rg in fmd[4]:
+        got.extend(read_list_column_pages(data, rg[1][0][3], chain)[0])
+    assert got == pq.read_table(path)["vals"].to_pylist() == rows
+
+
+def test_struct_leaf_levels_differential(tmp_path):
+    """struct<k int64, tag string>: leaf values match pyarrow, and
+    the raw definition levels disambiguate struct-null (def 0) from
+    field-null (def 1) — the two leaves must agree on def-0 rows."""
+    from spark_hive_spark.sources.parquet_meta import (
+        _leaf_repetitions,
+        max_levels,
+        read_leaf_pages_with_levels,
+    )
+
+    srows = [
+        None if k % 13 == 0 else {
+            "k": None if k % 17 == 0 else k,
+            "tag": None if k % 5 == 0 else f"t{k % 7}",
+        }
+        for k in range(1, 1200)
+    ]
+    tbl = pa.table({
+        "s": pa.array(srows, pa.struct([("k", pa.int64()),
+                                        ("tag", pa.string())]))
+    })
+    path = str(tmp_path / "st.parquet")
+    pq.write_table(tbl, path, row_group_size=400,
+                   use_dictionary=True, compression="SNAPPY",
+                   data_page_size=1024)
+    with open(path, "rb") as fh:
+        data = fh.read()
+    fmd = decode_footer(data)
+    reps = _leaf_repetitions(fmd[2])
+    assert {p: max_levels(c) for p, c in reps.items()} == {
+        "s.k": (2, 0), "s.tag": (2, 0),
+    }
+    k_vals, k_defs, t_vals, t_defs = [], [], [], []
+    for rg in fmd[4]:
+        kv, kd, _ = read_leaf_pages_with_levels(data, rg[1][0][3], 2)
+        tv, td, _ = read_leaf_pages_with_levels(data, rg[1][1][3], 2)
+        k_vals += kv; k_defs += kd; t_vals += tv; t_defs += td
+    assert k_vals == [None if r is None else r["k"] for r in srows]
+    assert t_vals == [None if r is None else r["tag"] for r in srows]
+    null_struct = [i for i, r in enumerate(srows) if r is None]
+    assert [i for i, d in enumerate(k_defs) if d == 0] == null_struct
+    assert [i for i, d in enumerate(t_defs) if d == 0] == null_struct
+    # field-null (struct present) is def 1, on BOTH leaf kinds
+    assert [i for i, d in enumerate(k_defs) if d == 1] == [
+        i for i, r in enumerate(srows) if r is not None and r["k"] is None
+    ]
