@@ -38,16 +38,19 @@ class Query:
 _REGISTRY: dict[str, Query] = {}
 
 # The grading driver sweeps the FIRST 50 registry entries per round, so
-# ordering is an attestation budget. Round-11 rotation: the 4 reference
-# jobs stay pinned, then the 11 NEW round-11 queries (driver rows on
-# first appearance — cumulative attestation stays complete), then
-# re-attestations of everything whose implementation changed this round
-# (the four ADVICE fixes touch the parquet/ORC metadata layer and the
-# CAS primitive; the avro codec gained arrays; the page walkers were
-# refactored), then the single-round-old r10 additions as rotation
-# filler. Backlog for r12 re-attestation: the r10 tail displaced here
-# (ks/cvm tests, zstd real-frame, g711, jpeg_422) and the long-stale
-# r01-attested relational/dedup families (dedup_*, w_top3, stats_*).
+# ordering is an attestation budget. Round-12 rotation (the VERDICT r11
+# task-2 backlog, executed): the 4 reference jobs stay pinned, then the
+# 5 NEW round-12 queries (driver rows on first appearance — cumulative
+# attestation stays complete), then re-attestations of everything whose
+# implementation changed this round (the parquet page-decode family
+# rides the nested-levels refactor; arrow_ipc gained dictionary
+# resolution + LZ4_FRAME; delta_cdf gained the no-cdc guards; hudi_mor
+# was rewritten around rollback blocks / multi-log slices / per-group
+# tasks), then the judge-enumerated attestation backlog (the displaced
+# r10 tail and the longest-stale dedup/window/stats families), then the
+# oldest r2-attested relational families oldest-first. Backlog spill
+# for r13: w_value_functions plus the r3-attested curation/text/tpch
+# tail (see the staleness ranking in scripts/driver_sim.py history).
 # tests/test_registry_window.py asserts the window stays exactly this.
 SWEEP_PRIORITY: tuple[str, ...] = (
     # pinned reference jobs (driver-green every round)
@@ -55,57 +58,57 @@ SWEEP_PRIORITY: tuple[str, ...] = (
     "ref_top5_finished_orders_by_price",
     "ref_building_acctbal_stats_by_nation",
     "ref_orc_roundtrip",
-    # round-11 NEW queries: driver rows on first appearance
-    "source_parquet_bloom_skipping",
-    "source_delta_deletion_vectors",
-    "source_iceberg_equality_deletes",
-    "multimodal_avi_frame_sampling",
-    "multimodal_adpcm_audio_decode",
-    "source_parquet_page_skipping",
-    "source_hudi_timeline_replay",
-    "source_iceberg_hidden_partitioning",
-    "storage_zorder_clustering_audit",
-    "source_arrow_ipc_records",
-    "source_sqlite_table_scan",
-    "source_hudi_mor_snapshot",
-    "source_delta_cdf_changes",
-    # round-11 implementation changes (ADVICE fixes + page-walk
-    # refactor + avro array support): re-attest under the new code
-    "source_parquet_footer_stats",
-    "source_parquet_rowgroup_skipping",
+    # round-12 NEW queries: driver rows on first appearance
+    "source_parquet_nested_decode",
+    "source_parquet_struct_decode",
+    "source_parquet_list_strings_decode",
+    "source_arrow_ipc_dictionary",
+    "source_delta_column_mapping",
+    # round-12 implementation changes: re-attest under the new code
     "source_parquet_page_decode",
     "source_parquet_spark_native_decode",
-    "source_orc_stripe_skipping",
-    "source_orc_rlev2_decode",
-    "snapshot_concurrent_commit_audit",
-    "snapshot_semantic_conflict_audit",
-    "snapshot_time_travel_read",
-    "snapshot_expire_audit",
-    "source_avro_records",
-    "source_avro_schema_evolution",
-    "source_iceberg_snapshot_replay",
-    "source_iceberg_position_deletes",
-    "source_delta_log_replay",
-    "source_delta_checkpoint_replay",
-    # rotation: r10 additions whose driver row is a single round old
-    # stay sweepable behind the new/changed set
-    "multimodal_jpeg_partial_mcu_decode",
-    "multimodal_webp_predictor_decode",
-    "multimodal_jpeg_multiscan_restart_decode",
-    "multimodal_webp_full_profile_decode",
-    "multimodal_webp_alpha_decode",
-    "multimodal_png_variants_decode",
-    "multimodal_gif_decode",
-    "multimodal_tiff_decode",
-    "multimodal_flac_decode",
-    "pipeline_mixed_media_features",
-    "multimodal_container_metadata",
-    "multimodal_jpeg12_decode",
-    "multimodal_pnm_decode",
-    "source_warc_records",
-    "source_webdataset_tar",
-    "text_bpe_tokenize",
-    "crawl_url_canonical_dedup",
+    "source_parquet_page_skipping",
+    "source_parquet_rowgroup_skipping",
+    "source_arrow_ipc_records",
+    "source_delta_cdf_changes",
+    "source_hudi_mor_snapshot",
+    # judge-enumerated backlog: the displaced r10 tail...
+    "ks_test_segments",
+    "cvm_test_segments",
+    "multimodal_zstd_real_frame_decode",
+    "multimodal_g711_audio_decode",
+    "multimodal_jpeg_422_decode",
+    # ...and the longest-stale dedup/window/stats families
+    "dedup_exact_normalized",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "w_top3_parts_per_brand",
+    "stats_variance_family",
+    # oldest r2-attested relational families, oldest-first
+    "cross_join_region_priority_matrix",
+    "date_arithmetic_orders",
+    "histogram_order_prices",
+    "join_anti_customers_without_pending",
+    "join_outer_nation_order_volume",
+    "join_semi_active_customers",
+    "null_semantics_orders",
+    "observe_ingest_gate",
+    "profile_orders_columns",
+    "q11_important_part_values",
+    "q15_top_revenue_suppliers",
+    "q16_supplier_part_counts",
+    "q17_below_avg_quantity_revenue",
+    "q20_majority_share_suppliers",
+    "q21_waiting_suppliers",
+    "q4_order_priority_checking",
+    "q8_nation_market_share",
+    "recursive_consecutive_activity",
+    "rollup_grouping_flags",
+    "safe_arithmetic_orders",
+    "setops_bag_semantics",
+    "setops_segment_overlap",
+    "string_edit_distance_pairs",
+    "unpivot_lineitem_measures",
 )
 
 
