@@ -287,6 +287,12 @@ EXTENDED = [
     "source_sqlite_table_scan",
     "source_hudi_mor_snapshot",
     "source_delta_cdf_changes",
+    # round 12
+    "source_parquet_nested_decode",
+    "source_parquet_struct_decode",
+    "source_parquet_list_strings_decode",
+    "source_arrow_ipc_dictionary",
+    "source_delta_column_mapping",
 ]
 
 # Streaming extended queries run dead LAST (after the streaming
@@ -522,8 +528,16 @@ EXPECTED_SF01: dict[str, float] = {
     "source_hudi_timeline_replay": 1.4, "source_iceberg_hidden_partitioning": 2.9,
     "storage_zorder_clustering_audit": 1.6, "source_arrow_ipc_records": 2.0,
     "source_sqlite_table_scan": 1.9,
-    "source_hudi_mor_snapshot": 2.6,
+    # re-frozen r12: rollback blocks + multi-log slices + per-group
+    # distributed parse grew the fixture and the read path by design
+    "source_hudi_mor_snapshot": 3.1,
     "source_delta_cdf_changes": 4.2,
+    # round-12 additions (idle sf0.1 best-of-2, 2026-08-15)
+    "source_parquet_nested_decode": 2.8,
+    "source_parquet_struct_decode": 2.6,
+    "source_parquet_list_strings_decode": 3.1,
+    "source_arrow_ipc_dictionary": 1.7,
+    "source_delta_column_mapping": 2.5,
 }
 
 

@@ -378,7 +378,10 @@ def _decode_file_dictionaries(
     return dictionaries
 
 
-_IPC_BATCHES = 8
+# one decode task per footer block; 32 saturates local[32] and is the
+# right shape anyway (more, smaller splits) — r12 scale fix after the
+# sf1 datapoint showed 8 blocks leaving 3/4 of the cores idle
+_IPC_BATCHES = 32
 
 
 @register(
