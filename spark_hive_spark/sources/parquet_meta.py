@@ -597,8 +597,27 @@ def read_int64_column_pages(
     return out, n_pages
 
 
+def _unpack_fixed_values(
+    raw: bytes, n: int, fmt_ch: str | None, width: int
+) -> list:
+    """``n`` PLAIN fixed-width values. ``fmt_ch`` is a struct format
+    pair for the machine types; None means FIXED_LEN_BYTE_ARRAY of
+    ``width`` bytes, decoded as big-endian signed unscaled ints (the
+    DECIMAL physical layout)."""
+    if len(raw) < width * n:
+        raise ValueError("PLAIN page underruns its value count")
+    if fmt_ch is None:
+        return [
+            int.from_bytes(raw[i * width : (i + 1) * width],
+                           "big", signed=True)
+            for i in range(n)
+        ]
+    return list(struct.unpack(f"{fmt_ch[0]}{n}{fmt_ch[1]}",
+                              raw[: width * n]))
+
+
 def _decode_fixed_dict_page(
-    data: bytes, pos: int, codec: int, fmt_ch: str, width: int
+    data: bytes, pos: int, codec: int, fmt_ch: str | None, width: int
 ) -> tuple[list, int]:
     """One DICTIONARY page (PLAIN values) -> (dictionary, next pos)."""
     hdr, body_start = _read_struct(data, pos)
@@ -612,18 +631,117 @@ def _decode_fixed_dict_page(
             f"dictionary page encoding {dict_hdr[2]}"
         )
     raw = _decompress_page(body, codec, hdr[2])
-    nd = dict_hdr[1]
-    dictionary = list(
-        struct.unpack(f"{fmt_ch[0]}{nd}{fmt_ch[1]}", raw[: width * nd])
-    )
+    dictionary = _unpack_fixed_values(raw, dict_hdr[1], fmt_ch, width)
     return dictionary, body_start + comp_size
+
+
+def read_flba_column_pages(
+    data: bytes,
+    cmd: dict[int, Any],
+    type_length: int,
+    max_def_level: int = 1,
+) -> tuple[list[int | None], int]:
+    """Walk one FIXED_LEN_BYTE_ARRAY column chunk's pages — the
+    physical layout of wide DECIMALs (precision > 18; parquet-mr
+    stores the unscaled value big-endian two's-complement in
+    ``type_length`` bytes, from SchemaElement field 2) -> (unscaled
+    ints with None for nulls, data-page count). The caller applies
+    the schema's scale (field 7)."""
+    if cmd[1] != _FLBA:
+        raise NotImplementedError("expected a FIXED_LEN_BYTE_ARRAY column")
+    codec = cmd[4]
+    off = cmd.get(11, cmd[9])
+    size, total = cmd[7], cmd[5]
+    pos = off
+    out: list[int | None] = []
+    dictionary: list | None = None
+    n_pages = 0
+    while pos < off + size:
+        hdr, _ = _read_struct(data, pos)
+        ptype = hdr[1]
+        if ptype == 2:
+            dictionary, pos = _decode_fixed_dict_page(
+                data, pos, codec, None, type_length
+            )
+        elif ptype in (0, 3):
+            vals, pos = _decode_fixed_data_page(
+                data, pos, codec, None, type_length, _FLBA, dictionary,
+                max_def_level,
+            )
+            out.extend(vals)
+            n_pages += 1
+        else:
+            raise NotImplementedError(f"page type {ptype}")
+    if len(out) != total:
+        raise ValueError("page walk produced the wrong value count")
+    return out, n_pages
+
+
+def read_boolean_column_pages(
+    data: bytes, cmd: dict[int, Any], max_def_level: int = 1
+) -> tuple[list[bool | None], int]:
+    """Walk one BOOLEAN column chunk's pages -> (values with None for
+    nulls, data-page count). PLAIN booleans are BIT-PACKED LSB-first
+    (one bit per present value — the only physical type whose PLAIN
+    encoding is not byte-aligned); parquet-mr may also write the
+    values stream itself as RLE (encoding 3, 4-byte-length-prefixed
+    hybrid) for long runs."""
+    if cmd[1] != _BOOLEAN:
+        raise NotImplementedError("expected a BOOLEAN column")
+    codec = cmd[4]
+    off = cmd.get(11, cmd[9])
+    size, total = cmd[7], cmd[5]
+    pos = off
+    out: list[bool | None] = []
+    n_pages = 0
+    def_bw = max_def_level.bit_length()
+    while pos < off + size:
+        hdr, body_start = _read_struct(data, pos)
+        ptype, comp_size = hdr[1], hdr[3]
+        if ptype == 0:
+            dph = hdr[5]
+            nv, enc = dph[1], dph[2]
+            raw = _decompress_page(
+                data[body_start : body_start + comp_size], codec, hdr[2]
+            )
+            if max_def_level == 0:
+                defs, vals_buf = [0] * nv, raw
+            else:
+                defs, consumed = decode_rle_hybrid(raw, def_bw, nv)
+                vals_buf = raw[consumed:]
+            n_present = sum(1 for d in defs if d == max_def_level)
+            if enc == 0:  # PLAIN: bit-packed LSB-first
+                if len(vals_buf) < (n_present + 7) // 8:
+                    raise ValueError("boolean page underruns bit count")
+                vals = [
+                    bool(vals_buf[i >> 3] >> (i & 7) & 1)
+                    for i in range(n_present)
+                ]
+            elif enc == 3:  # RLE values stream (prefixed, bw 1)
+                bits, _ = decode_rle_hybrid(vals_buf, 1, n_present)
+                vals = [bool(b) for b in bits]
+            else:
+                raise NotImplementedError(f"boolean encoding {enc}")
+            it = iter(vals)
+            out.extend(
+                next(it) if d == max_def_level else None for d in defs
+            )
+            n_pages += 1
+            pos = body_start + comp_size
+        else:
+            raise NotImplementedError(
+                f"page type {ptype} on a boolean chunk"
+            )
+    if len(out) != total:
+        raise ValueError("page walk produced the wrong value count")
+    return out, n_pages
 
 
 def _decode_fixed_data_page(
     data: bytes,
     pos: int,
     codec: int,
-    fmt_ch: str,
+    fmt_ch: str | None,
     width: int,
     phys: int,
     dictionary: list | None,
@@ -713,12 +831,7 @@ def _decode_fixed_page_levels(
         raise ValueError(f"expected a data page, got type {ptype}")
     n_present = sum(1 for d in defs if d == max_def_level)
     if enc == 0:  # PLAIN
-        vals_raw = vals_buf[: width * n_present]
-        if len(vals_raw) != width * n_present:
-            raise ValueError("PLAIN page underruns its value count")
-        vals = list(
-            struct.unpack(f"{fmt_ch[0]}{n_present}{fmt_ch[1]}", vals_raw)
-        )
+        vals = _unpack_fixed_values(vals_buf, n_present, fmt_ch, width)
     elif enc in (2, 8):  # PLAIN_DICTIONARY / RLE_DICTIONARY
         if dictionary is None:
             raise ValueError(
@@ -2290,6 +2403,161 @@ def source_parquet_list_strings_decode(
         F.sum("chars_sum").alias("chars_sum"),
         (F.min("ok") & (F.sum("pages") > F.lit(1)))
         .alias("nested_consistent"),
+    ).localCheckpoint(eager=True)  # 1 row; frees the temp root
+    shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
+@register(
+    "source_parquet_decimal_bool_decode",
+    oracle="""
+        SELECT CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum((o_orderkey * 137 % 100000) * 100) AS BIGINT)
+                   AS dec_unscaled_sum,
+               CAST(count(*) FILTER (WHERE o_orderkey % 3 = 0)
+                    AS BIGINT) AS n_true_flags,
+               CAST(count(*) FILTER (WHERE o_orderkey % 50 = 0)
+                    AS BIGINT) AS n_null_flag_n,
+               CAST(count(*) FILTER (WHERE o_orderkey % 50 <> 0
+                                       AND o_orderkey % 7 < 3)
+                    AS BIGINT) AS n_true_flag_n,
+               CAST(sum(CASE WHEN o_orderkey % 50 <> 0
+                             THEN (o_orderkey * 211 % 100000) * 100 END)
+                    AS BIGINT) AS dec_n_unscaled_sum,
+               TRUE AS layout_consistent
+        FROM orders
+    """,
+    tags=("source", "parquet", "pages", "decimal", "boolean"),
+)
+def source_parquet_decimal_bool_decode(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Spark-written DECIMAL(25,2) (FIXED_LEN_BYTE_ARRAY) and BOOLEAN
+    columns decoded by hand (round 12) — the two physical types the
+    page readers still rejected after the nested work: wide decimals
+    store the unscaled value big-endian two's-complement in
+    type_length bytes (11 for precision 25), and PLAIN booleans are
+    the one BIT-PACKED physical layout (LSB-first, not byte-aligned).
+    The fixture carries a never-null decimal, a nullable decimal,
+    and two nullable booleans with real mixed runs; max_def for each
+    leaf comes from the schema's repetition chain, never assumed
+    (Spark's % operator forces nullability, so all four leaves are
+    OPTIONAL here — the REQUIRED/no-levels FLBA+boolean path is
+    pinned by the spark.range differential in
+    tests/test_parquet_meta.py).
+
+    The oracle recomputes the unscaled sums and true/null counts from
+    the raw table: a sign-extension bug flips big unscaled values, a
+    bit-order bug scrambles every boolean run, a levels bug shifts
+    the whole bitstream by the null count.
+
+    Scale posture: one task per row group (mapInPandas), four column
+    chunks decoded per task, partial sums combine in one reduce."""
+    import glob as _glob
+
+    import pandas as _pd
+
+    root = os.path.join(
+        tempfile.gettempdir(), f"shs_pqdec_{uuid.uuid4().hex}"
+    )
+    (
+        t(spark, sf_dir, "orders")
+        .selectExpr(
+            "CAST(o_orderkey * 137 % 100000 AS decimal(25,2)) AS dec",
+            "o_orderkey % 3 = 0 AS flag",
+            """CASE WHEN o_orderkey % 50 = 0 THEN CAST(NULL AS BOOLEAN)
+                    ELSE o_orderkey % 7 < 3 END AS flag_n""",
+            """CAST(CASE WHEN o_orderkey % 50 = 0 THEN NULL
+                         ELSE o_orderkey * 211 % 100000 END
+                    AS decimal(25,2)) AS dec_n""",
+        )
+        .coalesce(1)
+        .write.option("parquet.page.size", 4 * 1024)
+        .parquet(root)
+    )
+    path = _glob.glob(os.path.join(root, "*.parquet"))[0]
+    with open(path, "rb") as fh:
+        raw = fh.read()
+    n_groups = len(decode_footer(raw)[4])
+
+    plan = spark.createDataFrame(
+        [(path, i) for i in range(n_groups)], "path string, rg int"
+    ).repartition(n_groups)
+
+    def _decode_groups(batches) -> Iterator:
+        for pdf in batches:
+            for rec in pdf.itertuples(index=False):
+                with open(rec.path, "rb") as fh:
+                    data = fh.read()
+                fmd = decode_footer(data)
+                ses = {se[4].decode(): se for se in fmd[2][1:]}
+                levels = {
+                    k: max_levels(v)[0]
+                    for k, v in _leaf_repetitions(fmd[2]).items()
+                }
+                rg = fmd[4][rec.rg]
+                by_path = {
+                    ".".join(s.decode() for s in cc[3][3]): cc[3]
+                    for cc in rg[1]
+                }
+                n_pages = 0
+                dec, np_ = read_flba_column_pages(
+                    data, by_path["dec"], ses["dec"][2], levels["dec"]
+                )
+                n_pages += np_
+                dec_n, np_ = read_flba_column_pages(
+                    data, by_path["dec_n"], ses["dec_n"][2],
+                    levels["dec_n"],
+                )
+                n_pages += np_
+                flag, np_ = read_boolean_column_pages(
+                    data, by_path["flag"], levels["flag"]
+                )
+                n_pages += np_
+                flag_n, np_ = read_boolean_column_pages(
+                    data, by_path["flag_n"], levels["flag_n"]
+                )
+                n_pages += np_
+                ok = (
+                    ses["dec"][6] == 5  # converted_type DECIMAL
+                    and ses["dec"][2] == 11  # FLBA(11) for precision 25
+                    and ses["dec"][7] == 2  # scale
+                    and all(levels[c] == 1 for c in by_path)
+                    and len(dec) == rg[3]
+                    and not any(v is None for v in dec)
+                    and n_pages > 4
+                )
+                yield _pd.DataFrame(
+                    [(
+                        len(dec),
+                        sum(dec),
+                        sum(1 for b in flag if b),
+                        sum(1 for b in flag_n if b is None),
+                        sum(1 for b in flag_n if b),
+                        sum(v for v in dec_n if v is not None),
+                        bool(ok),
+                    )],
+                    columns=[
+                        "n_rows", "dec_unscaled_sum", "n_true_flags",
+                        "n_null_flag_n", "n_true_flag_n",
+                        "dec_n_unscaled_sum", "ok",
+                    ],
+                )
+
+    partials = plan.mapInPandas(
+        _decode_groups,
+        "n_rows bigint, dec_unscaled_sum bigint, n_true_flags bigint,"
+        " n_null_flag_n bigint, n_true_flag_n bigint,"
+        " dec_n_unscaled_sum bigint, ok boolean",
+    )
+    out = partials.agg(
+        F.sum("n_rows").alias("n_rows"),
+        F.sum("dec_unscaled_sum").alias("dec_unscaled_sum"),
+        F.sum("n_true_flags").alias("n_true_flags"),
+        F.sum("n_null_flag_n").alias("n_null_flag_n"),
+        F.sum("n_true_flag_n").alias("n_true_flag_n"),
+        F.sum("dec_n_unscaled_sum").alias("dec_n_unscaled_sum"),
+        F.min("ok").alias("layout_consistent"),
     ).localCheckpoint(eager=True)  # 1 row; frees the temp root
     shutil.rmtree(root, ignore_errors=True)
     return out

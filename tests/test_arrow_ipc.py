@@ -142,3 +142,30 @@ def test_timestamp_us_column(tmp_path):
     assert batches[0]["t"] == [
         int((x - epoch).total_seconds() * 1_000_000) for x in ts
     ]
+
+
+@pytest.mark.parametrize("compression", [None, "zstd", "lz4"])
+def test_stream_layout_roundtrip(tmp_path, compression):
+    """The footer-less STREAMING layout: schema first, inline
+    dictionary batches, end-of-stream marker — against pyarrow's
+    stream reader across all codecs."""
+    from spark_hive_spark.sources.arrow_ipc import parse_ipc_stream
+
+    tbl = _dict_fixture(400)
+    path = str(tmp_path / f"s_{compression}.arrows")
+    opts = pipc.IpcWriteOptions(compression=compression)
+    with pipc.new_stream(path, tbl.schema, options=opts) as w:
+        w.write_table(tbl, max_chunksize=100)
+    with open(path, "rb") as fh:
+        data = fh.read()
+    fields, batches, saw_eos = parse_ipc_stream(data)
+    assert saw_eos and len(batches) == 4
+    ref = pipc.open_stream(path).read_all()
+    for c in ("d", "di", "k"):
+        assert [v for b in batches for v in b[c]] == ref[c].to_pylist()
+    # truncated stream (no EOS) parses but reports it
+    _, _, eos2 = parse_ipc_stream(data[:-8])
+    assert not eos2
+    # a stream that opens with garbage is loud
+    with pytest.raises(ValueError, match="continuation"):
+        parse_ipc_stream(b"\x12\x34\x56\x78" + data)

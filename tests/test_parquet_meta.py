@@ -896,3 +896,62 @@ def test_struct_leaf_levels_differential(tmp_path):
     assert [i for i, d in enumerate(k_defs) if d == 1] == [
         i for i, r in enumerate(srows) if r is not None and r["k"] is None
     ]
+
+
+def test_flba_decimal_and_boolean_differential(spark, tmp_path):
+    """FIXED_LEN_BYTE_ARRAY decimals (big-endian two's-complement
+    unscaled) and bit-packed PLAIN booleans against Spark's own
+    writer — including the REQUIRED/no-levels path (spark.range ids
+    are non-nullable) and negative unscaled values."""
+    from decimal import Decimal
+
+    import glob
+
+    from spark_hive_spark.sources.parquet_meta import (
+        _leaf_repetitions,
+        max_levels,
+        read_boolean_column_pages,
+        read_flba_column_pages,
+    )
+
+    df = spark.range(1, 9000).selectExpr(
+        "CAST((id - 4500) * 1.07 AS decimal(25,2)) AS dec",  # REQUIRED
+        "id % 3 = 0 AS flag",
+        """CASE WHEN id % 50 = 0 THEN CAST(NULL AS BOOLEAN)
+                ELSE id % 7 < 3 END AS flag_n""",
+        """CAST(CASE WHEN id % 50 = 0 THEN NULL ELSE id * 0.31 END
+                AS decimal(25,2)) AS dec_n""",
+    )
+    root = str(tmp_path / "decbool")
+    df.coalesce(1).write.option("parquet.page.size", 2048).parquet(root)
+    path = glob.glob(root + "/*.parquet")[0]
+    with open(path, "rb") as fh:
+        data = fh.read()
+    fmd = decode_footer(data)
+    ses = {se[4].decode(): se for se in fmd[2][1:]}
+    levels = {k: max_levels(v)[0]
+              for k, v in _leaf_repetitions(fmd[2]).items()}
+    assert ses["dec"].get(3, 0) == 0 and levels["dec"] == 0  # REQUIRED
+    assert ses["dec"][2] == 11 and ses["dec"][7] == 2
+    cols = {".".join(s.decode() for s in cc[3][3]): i
+            for i, cc in enumerate(fmd[4][0][1])}
+    exp = df.collect()
+    for name in ("dec", "dec_n"):
+        got = []
+        for rg in fmd[4]:
+            got.extend(read_flba_column_pages(
+                data, rg[1][cols[name]][3], ses[name][2], levels[name]
+            )[0])
+        want = [getattr(r, name) for r in exp]
+        scaled = [None if v is None else Decimal(v).scaleb(-2)
+                  for v in got]
+        assert scaled == want, name
+        if name == "dec":
+            assert any(v < 0 for v in got)  # negatives really occur
+    for name in ("flag", "flag_n"):
+        got = []
+        for rg in fmd[4]:
+            got.extend(read_boolean_column_pages(
+                data, rg[1][cols[name]][3], levels[name]
+            )[0])
+        assert got == [getattr(r, name) for r in exp], name
