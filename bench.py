@@ -292,6 +292,7 @@ EXTENDED = [
     "source_parquet_struct_decode",
     "source_parquet_list_strings_decode",
     "source_parquet_decimal_bool_decode",
+    "source_parquet_int96_timestamp_decode",
     "source_arrow_ipc_dictionary",
     "source_arrow_ipc_stream",
     "source_delta_column_mapping",
@@ -539,6 +540,7 @@ EXPECTED_SF01: dict[str, float] = {
     "source_parquet_struct_decode": 2.6,
     "source_parquet_list_strings_decode": 3.1,
     "source_parquet_decimal_bool_decode": 3.0,
+    "source_parquet_int96_timestamp_decode": 2.5,
     "source_arrow_ipc_dictionary": 1.7,
     "source_arrow_ipc_stream": 1.6,
     "source_delta_column_mapping": 2.5,

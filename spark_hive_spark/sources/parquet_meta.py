@@ -597,13 +597,19 @@ def read_int64_column_pages(
     return out, n_pages
 
 
+_JULIAN_EPOCH_DAY = 2440588  # 1970-01-01 as a Julian day number
+
+
 def _unpack_fixed_values(
     raw: bytes, n: int, fmt_ch: str | None, width: int
 ) -> list:
     """``n`` PLAIN fixed-width values. ``fmt_ch`` is a struct format
     pair for the machine types; None means FIXED_LEN_BYTE_ARRAY of
     ``width`` bytes, decoded as big-endian signed unscaled ints (the
-    DECIMAL physical layout)."""
+    DECIMAL physical layout); "i96" means the INT96 legacy timestamp
+    (8-byte LE nanos-of-day + 4-byte LE Julian day), decoded to epoch
+    MICROSECONDS — still what Spark writes by default
+    (spark.sql.parquet.outputTimestampType=INT96)."""
     if len(raw) < width * n:
         raise ValueError("PLAIN page underruns its value count")
     if fmt_ch is None:
@@ -612,6 +618,17 @@ def _unpack_fixed_values(
                            "big", signed=True)
             for i in range(n)
         ]
+    if fmt_ch == "i96":
+        out = []
+        for i in range(n):
+            nanos = int.from_bytes(raw[12 * i : 12 * i + 8], "little")
+            julian = int.from_bytes(raw[12 * i + 8 : 12 * i + 12],
+                                    "little")
+            out.append(
+                (julian - _JULIAN_EPOCH_DAY) * 86_400_000_000
+                + nanos // 1_000
+            )
+        return out
     return list(struct.unpack(f"{fmt_ch[0]}{n}{fmt_ch[1]}",
                               raw[: width * n]))
 
@@ -666,6 +683,46 @@ def read_flba_column_pages(
         elif ptype in (0, 3):
             vals, pos = _decode_fixed_data_page(
                 data, pos, codec, None, type_length, _FLBA, dictionary,
+                max_def_level,
+            )
+            out.extend(vals)
+            n_pages += 1
+        else:
+            raise NotImplementedError(f"page type {ptype}")
+    if len(out) != total:
+        raise ValueError("page walk produced the wrong value count")
+    return out, n_pages
+
+
+def read_int96_column_pages(
+    data: bytes, cmd: dict[int, Any], max_def_level: int = 1
+) -> tuple[list[int | None], int]:
+    """Walk one INT96 column chunk's pages -> (epoch MICROSECONDS
+    with None for nulls, data-page count). INT96 is the deprecated
+    12-byte timestamp layout parquet officially discourages and Spark
+    still WRITES BY DEFAULT, so any reader of Spark-produced lake
+    data meets it: 8 LE bytes of nanoseconds within the day + 4 LE
+    bytes of Julian day number. Dictionary pages (Spark's default for
+    timestamps) and PLAIN both decode."""
+    if cmd[1] != _INT96:
+        raise NotImplementedError("expected an INT96 column")
+    codec = cmd[4]
+    off = cmd.get(11, cmd[9])
+    size, total = cmd[7], cmd[5]
+    pos = off
+    out: list[int | None] = []
+    dictionary: list | None = None
+    n_pages = 0
+    while pos < off + size:
+        hdr, _ = _read_struct(data, pos)
+        ptype = hdr[1]
+        if ptype == 2:
+            dictionary, pos = _decode_fixed_dict_page(
+                data, pos, codec, "i96", 12
+            )
+        elif ptype in (0, 3):
+            vals, pos = _decode_fixed_data_page(
+                data, pos, codec, "i96", 12, _INT96, dictionary,
                 max_def_level,
             )
             out.extend(vals)
@@ -2558,6 +2615,135 @@ def source_parquet_decimal_bool_decode(
         F.sum("n_true_flag_n").alias("n_true_flag_n"),
         F.sum("dec_n_unscaled_sum").alias("dec_n_unscaled_sum"),
         F.min("ok").alias("layout_consistent"),
+    ).localCheckpoint(eager=True)  # 1 row; frees the temp root
+    shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
+@register(
+    "source_parquet_int96_timestamp_decode",
+    oracle="""
+        WITH v AS (
+            SELECT CASE WHEN o_orderkey % 97 = 0 THEN NULL
+                   ELSE epoch_us(o_orderdate
+                        + (o_orderkey % 24) * INTERVAL 1 HOUR
+                        + (o_orderkey % 60) * INTERVAL 1 MINUTE)
+                   END AS us
+            FROM orders
+        )
+        SELECT CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(count(*) - count(us) AS BIGINT) AS n_nulls,
+               CAST(min(us) AS BIGINT) AS min_us,
+               CAST(max(us) AS BIGINT) AS max_us,
+               CAST(sum(us // 1000000 - 700000000) AS BIGINT)
+                   AS sum_off_sec,
+               TRUE AS int96_consistent
+        FROM v
+    """,
+    tags=("source", "parquet", "pages", "int96", "timestamp"),
+)
+def source_parquet_int96_timestamp_decode(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Spark's DEFAULT parquet timestamp layout decoded by hand
+    (round 12): INT96 — the 12-byte legacy type the parquet format
+    officially deprecates and `spark.sql.parquet.outputTimestampType`
+    still defaults to, so virtually every Spark-produced lake table
+    with timestamps carries it. Layout per the Impala/Hive
+    convention: 8 LE bytes of nanoseconds within the day, then 4 LE
+    bytes of the JULIAN day number (epoch day 2440588); the reader
+    converts to epoch microseconds. Spark dictionary-encodes INT96 by
+    default, so the chunk walk exercises the 12-byte values through
+    BOTH the dictionary page and the RLE index stream, under snappy.
+
+    The oracle recomputes epoch microseconds with DuckDB's own
+    timestamp arithmetic (`epoch_us` over the same
+    o_orderdate + key-derived hour/minute intervals): a Julian-epoch
+    off-by-one shifts every value by 86.4e9 us, a nanos/micros slip
+    scales them by 1000, and either flips min/max/sum.
+    ``int96_consistent`` pins the layout really was INT96 +
+    dictionary + snappy with >1 data page per group.
+
+    Scale posture: one task per row group, partial min/max/sum
+    combine in one reduce; production scans stay on the JVM reader
+    this certifies against."""
+    import glob as _glob
+
+    import pandas as _pd
+
+    root = os.path.join(
+        tempfile.gettempdir(), f"shs_pqi96_{uuid.uuid4().hex}"
+    )
+    (
+        t(spark, sf_dir, "orders")
+        .selectExpr(
+            """
+            CASE WHEN o_orderkey % 97 = 0 THEN CAST(NULL AS TIMESTAMP)
+                 ELSE CAST(o_orderdate AS TIMESTAMP) + make_interval(
+                     0, 0, 0, 0, CAST(o_orderkey % 24 AS INT),
+                     CAST(o_orderkey % 60 AS INT), 0)
+            END AS ts
+            """
+        )
+        .coalesce(1)
+        .write.option("compression", "snappy")
+        .option("parquet.page.size", 8 * 1024)
+        .parquet(root)
+    )
+    path = _glob.glob(os.path.join(root, "*.parquet"))[0]
+    with open(path, "rb") as fh:
+        raw = fh.read()
+    n_groups = len(decode_footer(raw)[4])
+
+    plan = spark.createDataFrame(
+        [(path, i) for i in range(n_groups)], "path string, rg int"
+    ).repartition(n_groups)
+
+    def _decode_groups(batches) -> Iterator:
+        for pdf in batches:
+            for rec in pdf.itertuples(index=False):
+                with open(rec.path, "rb") as fh:
+                    data = fh.read()
+                fmd = decode_footer(data)
+                (_, chain), = _leaf_repetitions(fmd[2]).items()
+                max_def = max_levels(chain)[0]
+                rg = fmd[4][rec.rg]
+                cmd = rg[1][0][3]
+                vals, n_pages = read_int96_column_pages(
+                    data, cmd, max_def
+                )
+                present = [v for v in vals if v is not None]
+                ok = (
+                    cmd[1] == _INT96
+                    and 11 in cmd  # dictionary page present
+                    and cmd[4] == 1  # snappy
+                    and len(vals) == rg[3]
+                    and n_pages > 1
+                )
+                yield _pd.DataFrame(
+                    [(
+                        len(vals), len(vals) - len(present),
+                        min(present), max(present),
+                        sum(v // 1_000_000 - 700_000_000
+                            for v in present),
+                        bool(ok),
+                    )],
+                    columns=["n_rows", "n_nulls", "min_us", "max_us",
+                             "sum_off_sec", "ok"],
+                )
+
+    partials = plan.mapInPandas(
+        _decode_groups,
+        "n_rows bigint, n_nulls bigint, min_us bigint, max_us bigint,"
+        " sum_off_sec bigint, ok boolean",
+    )
+    out = partials.agg(
+        F.sum("n_rows").alias("n_rows"),
+        F.sum("n_nulls").alias("n_nulls"),
+        F.min("min_us").alias("min_us"),
+        F.max("max_us").alias("max_us"),
+        F.sum("sum_off_sec").alias("sum_off_sec"),
+        F.min("ok").alias("int96_consistent"),
     ).localCheckpoint(eager=True)  # 1 row; frees the temp root
     shutil.rmtree(root, ignore_errors=True)
     return out

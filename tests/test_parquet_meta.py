@@ -955,3 +955,45 @@ def test_flba_decimal_and_boolean_differential(spark, tmp_path):
                 data, rg[1][cols[name]][3], levels[name]
             )[0])
         assert got == [getattr(r, name) for r in exp], name
+
+
+def test_int96_timestamp_differential(spark, tmp_path):
+    """INT96 (Spark's default parquet timestamp layout): hand-decoded
+    epoch micros == Spark's own read-back, dictionary + PLAIN pages,
+    nulls included."""
+    import datetime as dtm
+    import glob
+
+    from spark_hive_spark.sources.parquet_meta import (
+        _leaf_repetitions,
+        max_levels,
+        read_int96_column_pages,
+    )
+
+    assert spark.conf.get(
+        "spark.sql.parquet.outputTimestampType"
+    ) == "INT96"  # the premise: this is what Spark writes by default
+    df = spark.range(1, 9000).selectExpr(
+        "CASE WHEN id % 97 = 0 THEN CAST(NULL AS TIMESTAMP) "
+        "ELSE timestamp_seconds(788918400 + id * 3607) END AS ts"
+    )
+    root = str(tmp_path / "i96")
+    df.coalesce(1).write.option("parquet.page.size", 2048).parquet(root)
+    path = glob.glob(root + "/*.parquet")[0]
+    with open(path, "rb") as fh:
+        data = fh.read()
+    fmd = decode_footer(data)
+    (_, chain), = _leaf_repetitions(fmd[2]).items()
+    got = []
+    for rg in fmd[4]:
+        got.extend(read_int96_column_pages(
+            data, rg[1][0][3], max_levels(chain)[0]
+        )[0])
+    epoch = dtm.datetime(1970, 1, 1)
+    want = [
+        None if r.ts is None
+        else int((r.ts - epoch).total_seconds()) * 1_000_000
+        for r in df.collect()
+    ]
+    assert got == want
+    assert 11 in fmd[4][0][1][0][3]  # dictionary-encoded, as Spark does
