@@ -49,9 +49,9 @@ _REGISTRY: dict[str, Query] = {}
 # tasks), then the judge-enumerated attestation backlog (the displaced
 # r10 tail and the longest-stale dedup/window/stats families), then the
 # oldest r2-attested relational families oldest-first. Backlog spill
-# for r13: setops_segment_overlap, string_edit_distance_pairs,
-# unpivot_lineitem_measures, w_value_functions, plus the r3-attested
-# curation/text/tpch tail.
+# for r13: setops_bag_semantics, setops_segment_overlap,
+# string_edit_distance_pairs, unpivot_lineitem_measures,
+# w_value_functions, plus the r3-attested curation/text/tpch tail.
 # tests/test_registry_window.py asserts the window stays exactly this.
 SWEEP_PRIORITY: tuple[str, ...] = (
     # pinned reference jobs (driver-green every round)
@@ -65,6 +65,7 @@ SWEEP_PRIORITY: tuple[str, ...] = (
     "source_parquet_list_strings_decode",
     "source_parquet_decimal_bool_decode",
     "source_parquet_int96_timestamp_decode",
+    "source_orc_timestamp_double_decode",
     "source_arrow_ipc_dictionary",
     "source_arrow_ipc_stream",
     "source_delta_column_mapping",
@@ -109,7 +110,6 @@ SWEEP_PRIORITY: tuple[str, ...] = (
     "recursive_consecutive_activity",
     "rollup_grouping_flags",
     "safe_arithmetic_orders",
-    "setops_bag_semantics",
 )
 
 

@@ -1538,8 +1538,12 @@ def source_delta_column_mapping(
             os.path.join(tdir, p)), "modificationTime": 0,
             "dataChange": True}}
 
+    # the modern combined shape: protocol v3 lists the feature by
+    # name (columnMapping itself only needs reader v2, but real
+    # tables that ALSO enable DVs/v3 features carry this form)
     _commit(0, [
-        {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+        {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                      "readerFeatures": ["columnMapping"]}},
         {"metaData": {"id": "shs-delta-colmap", "format":
             {"provider": "parquet", "options": {}},
             "schemaString": schema_string, "partitionColumns": [],
@@ -1562,9 +1566,21 @@ def source_delta_column_mapping(
                     continue
                 action = _json.loads(line)
                 if "protocol" in action:
-                    if action["protocol"]["minReaderVersion"] > 2:
+                    proto = action["protocol"]
+                    if proto["minReaderVersion"] == 3:
+                        # v3: capability is spelled out per feature —
+                        # gate on the exact supported set, like the DV
+                        # reader (delta_dv.py) does
+                        unknown = set(
+                            proto.get("readerFeatures", [])
+                        ) - {"columnMapping"}
+                        if unknown:
+                            raise NotImplementedError(
+                                f"Delta reader features {sorted(unknown)}"
+                            )
+                    elif proto["minReaderVersion"] > 3:
                         raise NotImplementedError(
-                            "Delta reader features beyond protocol v2"
+                            "Delta reader protocol beyond v3"
                         )
                 elif "metaData" in action:
                     meta = action["metaData"]

@@ -709,6 +709,126 @@ def source_orc_rlev2_decode(
     return out
 
 
+_ORC_TS_BASE = 1420070400  # 2015-01-01 00:00:00 UTC, the spec's epoch
+
+
+def _stripe_streams(
+    data: bytes, codec: int, sraw: bytes, column: int
+) -> tuple[dict[int, bytes], int, list[dict]]:
+    """One StripeInformation -> ({stream kind: raw bytes} for
+    ``column``, stripe row count, per-column encoding messages)."""
+    st = decode_message(sraw)
+    off, ilen, dlen, flen, nrows = (
+        st[1][0], st[2][0], st[3][0], st[4][0], st[5][0]
+    )
+    sfoot = decode_message(
+        _unchunk(data[off + ilen + dlen : off + ilen + dlen + flen],
+                 codec)
+    )
+    enc_msgs = [decode_message(e) for e in sfoot[2]]
+    pos = off
+    streams: dict[int, bytes] = {}
+    for s in sfoot[1]:
+        m = decode_message(s)
+        kind, col, ln = m.get(1, [0])[0], m.get(2, [0])[0], m[3][0]
+        if col == column and kind != 6:  # ROW_INDEX not needed
+            streams[kind] = data[pos : pos + ln]
+        pos += ln
+    return streams, nrows, enc_msgs
+
+
+def _orc_file_tail(data: bytes) -> tuple[dict, int]:
+    ps_len = data[-1]
+    ps_end = len(data) - 1
+    ps = decode_message(data[ps_end - ps_len : ps_end])
+    codec = ps.get(2, [0])[0]
+    foot_len = ps[1][0]
+    footer = decode_message(
+        _unchunk(data[ps_end - ps_len - foot_len : ps_end - ps_len],
+                 codec)
+    )
+    return footer, codec
+
+
+def read_orc_double_column(
+    data: bytes, column: int = 1
+) -> tuple[list[float | None], int]:
+    """Read one DOUBLE column from raw ORC bytes: the DATA stream is
+    plain IEEE 754 little-endian 8-byte values (present rows only),
+    plus the PRESENT bitmap — the simplest ORC physical layout and
+    the one every revenue/measure column uses."""
+    footer, codec = _orc_file_tail(data)
+    out: list[float | None] = []
+    stripes = footer.get(3, [])
+    for sraw in stripes:
+        streams, nrows, _enc = _stripe_streams(data, codec, sraw, column)
+        if 1 not in streams:
+            raise ValueError("ORC double stripe missing DATA")
+        raw = _unchunk(streams[1], codec)
+        if len(raw) % 8:
+            raise ValueError("double DATA stream not 8-byte aligned")
+        vals = list(struct.unpack(f"<{len(raw) // 8}d", raw))
+        if 0 not in streams:
+            if len(vals) != nrows:
+                raise ValueError("double DATA row count mismatch")
+            out += vals
+        else:
+            bits = decode_present(_unchunk(streams[0], codec), nrows)
+            if sum(bits) != len(vals):
+                raise ValueError("PRESENT bits disagree with DATA count")
+            it = iter(vals)
+            out += [next(it) if b else None for b in bits]
+    return out, len(stripes)
+
+
+def read_orc_timestamp_column(
+    data: bytes, column: int = 1
+) -> tuple[list[int | None], int]:
+    """Read one TIMESTAMP column from raw ORC bytes -> epoch
+    MICROSECONDS. The spec's two-stream layout: DATA is signed RLEv2
+    SECONDS relative to 2015-01-01 00:00:00 UTC (negative for
+    anything older — most data); SECONDARY is unsigned RLEv2
+    nanoseconds with the trailing-zeros trick: the low 3 bits ``c``
+    are 0 when no zeros were stripped, else ``c + 1`` zeros were —
+    nanos = (v >> 3) * 10^(c+1 if c else 0). Verified against
+    Spark's own ORC writer (the reference engine's sink format)."""
+    footer, codec = _orc_file_tail(data)
+    out: list[int | None] = []
+    stripes = footer.get(3, [])
+    for sraw in stripes:
+        streams, nrows, _enc = _stripe_streams(data, codec, sraw, column)
+        if 1 not in streams or 5 not in streams:
+            raise ValueError(
+                "ORC timestamp stripe missing DATA/SECONDARY"
+            )
+        secs = decode_rlev2(_unchunk(streams[1], codec), signed=True)
+        nanos_enc = decode_rlev2(
+            _unchunk(streams[5], codec), signed=False
+        )
+        if len(secs) != len(nanos_enc):
+            raise ValueError("timestamp DATA/SECONDARY length mismatch")
+        vals: list[int] = []
+        for s, v in zip(secs, nanos_enc):
+            c = v & 7
+            nanos = (v >> 3) * (10 ** (c + 1) if c else 1)
+            if nanos >= 1_000_000_000:
+                raise ValueError(f"decoded nanos {nanos} out of range")
+            vals.append(
+                (s + _ORC_TS_BASE) * 1_000_000 + nanos // 1_000
+            )
+        if 0 not in streams:
+            if len(vals) != nrows:
+                raise ValueError("timestamp row count mismatch")
+            out += vals
+        else:
+            bits = decode_present(_unchunk(streams[0], codec), nrows)
+            if sum(bits) != len(vals):
+                raise ValueError("PRESENT bits disagree with DATA count")
+            it = iter(vals)
+            out += [next(it) if b else None for b in bits]
+    return out, len(stripes)
+
+
 def read_orc_string_column(
     data: bytes, column: int = 1
 ) -> tuple[list[str | None], int]:
@@ -801,3 +921,140 @@ def read_orc_string_column(
             it = iter(strs)
             out += [next(it) if bit else None for bit in bits]
     return out, len(stripes)
+
+
+@register(
+    "source_orc_timestamp_double_decode",
+    oracle=f"""
+        WITH v AS (
+            SELECT CASE WHEN o_orderkey % 89 = 0 THEN NULL
+                   ELSE epoch_us(o_orderdate)
+                        + (o_orderkey % 86400) * 1000000
+                        + (o_orderkey % 1000) * 1000
+                        + o_orderkey % 97
+                   END AS us,
+                   CASE WHEN o_orderkey % 53 = 0 THEN NULL
+                        ELSE o_totalprice END AS d
+            FROM orders
+        )
+        SELECT CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(count(*) - count(us) AS BIGINT) AS ts_nulls,
+               CAST(min(us) AS BIGINT) AS min_us,
+               CAST(max(us) AS BIGINT) AS max_us,
+               CAST(sum(us // 1000000 - 700000000) AS BIGINT)
+                   AS sum_off_sec,
+               CAST(count(*) - count(d) AS BIGINT) AS d_nulls,
+               {sql_dsum('d')} AS revenue,
+               TRUE AS orc_ts_consistent
+        FROM v
+    """,
+    tags=("source", "orc", "timestamp", "double", "data-read"),
+)
+def source_orc_timestamp_double_decode(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """ORC TIMESTAMP + DOUBLE columns decoded by hand (round 12) —
+    completing the ORC type floor (int64 and string landed rounds
+    10-11) on the format the REFERENCE engine itself sinks to
+    (CollegeScorecard.scala writes ORC tables): timestamps are the
+    spec's two-stream layout — signed RLEv2 seconds from the
+    2015-01-01 epoch (negative for the TPC-H date range, exercising
+    the signed path) + unsigned RLEv2 nanoseconds carrying the
+    trailing-zeros trick in the low 3 bits, with the fixture mixing
+    millisecond-, microsecond-, and zero-fraction values so all three
+    zero-stripping shapes occur — and doubles are plain IEEE 754 LE
+    DATA bytes behind the PRESENT bitmap, all under Spark's ZSTD ORC
+    chunks through the repo's own decoder.
+
+    The oracle recomputes epoch micros via DuckDB's own timestamp
+    arithmetic and the exact-cents revenue: a 2015-epoch slip shifts
+    everything by 1.42e15 us, a trailing-zeros bug scales fractions
+    by powers of 10, a PRESENT misalignment shuffles values into the
+    wrong rows on BOTH columns at once.
+
+    Scale posture: the fixture is written as 8 Spark ORC files and
+    decoded one file per task (files, then stripes, are ORC's split
+    units); per-file partial aggregates combine in one reduce.
+    Production ORC scans stay on the JVM reader this certifies
+    against."""
+    import glob as _glob
+
+    import pandas as _pd
+
+    root = os.path.join(
+        tempfile.gettempdir(), f"shs_orctd_{uuid.uuid4().hex}"
+    )
+    (
+        t(spark, sf_dir, "orders")
+        .selectExpr(
+            """
+            CASE WHEN o_orderkey % 89 = 0 THEN CAST(NULL AS TIMESTAMP)
+                 ELSE timestamp_micros(CAST(
+                     unix_micros(CAST(o_orderdate AS TIMESTAMP))
+                     + (o_orderkey % 86400) * 1000000
+                     + (o_orderkey % 1000) * 1000
+                     + o_orderkey % 97 AS BIGINT))
+            END AS ts
+            """,
+            """
+            CASE WHEN o_orderkey % 53 = 0 THEN CAST(NULL AS DOUBLE)
+                 ELSE o_totalprice END AS d
+            """,
+        )
+        .repartition(8)  # one ORC file per decode task
+        .write.orc(root)
+    )
+    paths = sorted(_glob.glob(os.path.join(root, "*.orc")))
+
+    plan = spark.createDataFrame(
+        [(p,) for p in paths], "path string"
+    ).repartition(len(paths))
+
+    def _decode(batches) -> Iterator:
+        for pdf in batches:
+            for rec in pdf.itertuples(index=False):
+                with open(rec.path, "rb") as fh:
+                    data = fh.read()
+                tail = read_orc_tail(data)
+                ts_vals, n_stripes = read_orc_timestamp_column(data, 1)
+                d_vals, _ = read_orc_double_column(data, 2)
+                ts_present = [v for v in ts_vals if v is not None]
+                d_present = [v for v in d_vals if v is not None]
+                ok = (
+                    len(ts_vals) == tail["num_rows"]
+                    and len(d_vals) == tail["num_rows"]
+                    and n_stripes == len(tail["stripes"])
+                )
+                yield _pd.DataFrame(
+                    [(
+                        len(ts_vals),
+                        len(ts_vals) - len(ts_present),
+                        min(ts_present), max(ts_present),
+                        sum(v // 1_000_000 - 700_000_000
+                            for v in ts_present),
+                        len(d_vals) - len(d_present),
+                        sum(round(v * 100) for v in d_present),
+                        bool(ok),
+                    )],
+                    columns=["n_rows", "ts_nulls", "min_us", "max_us",
+                             "sum_off_sec", "d_nulls", "cents", "ok"],
+                )
+
+    partials = plan.mapInPandas(
+        _decode,
+        "n_rows bigint, ts_nulls bigint, min_us bigint, max_us bigint,"
+        " sum_off_sec bigint, d_nulls bigint, cents bigint, ok boolean",
+    )
+    out = partials.agg(
+        F.sum("n_rows").alias("n_rows"),
+        F.sum("ts_nulls").alias("ts_nulls"),
+        F.min("min_us").alias("min_us"),
+        F.max("max_us").alias("max_us"),
+        F.sum("sum_off_sec").alias("sum_off_sec"),
+        F.sum("d_nulls").alias("d_nulls"),
+        (F.sum("cents").cast("decimal(18,0)") / 100)
+        .cast("double").alias("revenue"),
+        F.min("ok").alias("orc_ts_consistent"),
+    ).localCheckpoint(eager=True)  # 1 row; frees the temp root
+    shutil.rmtree(root, ignore_errors=True)
+    return out

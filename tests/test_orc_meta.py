@@ -317,3 +317,83 @@ def test_stripe_ranges_with_metadata_section_prune():
         if not (d["max"] < 12 or d["min"] > 18)
     ]
     assert selected == [1]
+
+
+def test_orc_timestamp_double_differential(spark, tmp_path):
+    """TIMESTAMP (2015-epoch signed seconds + trailing-zeros nanos)
+    and DOUBLE (IEEE LE + PRESENT) against Spark's own ORC writer,
+    mixing ms-, us-, and whole-second fractions plus nulls."""
+    import datetime as dtm
+    import glob
+
+    from spark_hive_spark.sources.orc_meta import (
+        read_orc_double_column,
+        read_orc_timestamp_column,
+    )
+
+    df = spark.range(1, 6000).selectExpr(
+        "CASE WHEN id % 89 = 0 THEN CAST(NULL AS TIMESTAMP) ELSE "
+        "timestamp_micros(CAST(788918400000000 + id * 3607000000"
+        " + (id % 1000) * 1000 + id % 97 AS BIGINT)) END AS ts",
+        "CASE WHEN id % 53 = 0 THEN CAST(NULL AS DOUBLE)"
+        " ELSE CAST(id AS DOUBLE) * 1.25 END AS d",
+    )
+    root = str(tmp_path / "tsd")
+    df.coalesce(1).write.orc(root)
+    path = glob.glob(root + "/*.orc")[0]
+    with open(path, "rb") as fh:
+        data = fh.read()
+    ts, _ = read_orc_timestamp_column(data, 1)
+    dd, _ = read_orc_double_column(data, 2)
+    epoch = dtm.datetime(1970, 1, 1)
+    exp = df.collect()
+    assert ts == [
+        None if r.ts is None
+        else int((r.ts - epoch) / dtm.timedelta(microseconds=1))
+        for r in exp
+    ]
+    assert dd == [r.d for r in exp]
+
+
+def test_orc_timestamp_multi_stripe_pyarrow(tmp_path):
+    """Multi-stripe timestamp decode against pyarrow's ORC writer
+    (small stripes force >1), snappy chunks."""
+    import datetime as dtm
+
+    import pyarrow as pa
+    from pyarrow import orc as po
+
+    from spark_hive_spark.sources.orc_meta import (
+        read_orc_tail,
+        read_orc_timestamp_column,
+    )
+
+    base = dtm.datetime(1995, 6, 1)
+    n = 40000
+    ts = [
+        None if i % 37 == 0
+        else base + dtm.timedelta(seconds=i * 61,
+                                  microseconds=(i % 1000) * 500)
+        for i in range(n)
+    ]
+    # an incompressible companion column forces real stripe flushes
+    # (timestamps alone RLE so well the writer never hits 64 KiB)
+    noise = [((i * 2654435761) % 2**31) * 1e-7 for i in range(n)]
+    path = str(tmp_path / "multi.orc")
+    po.write_table(
+        pa.table({"ts": pa.array(ts, pa.timestamp("us")),
+                  "x": pa.array(noise, pa.float64())}),
+        path, stripe_size=64 * 1024, compression="snappy",
+    )
+    with open(path, "rb") as fh:
+        data = fh.read()
+    tail = read_orc_tail(data)
+    assert len(tail["stripes"]) > 1
+    got, n_stripes = read_orc_timestamp_column(data, 1)
+    assert n_stripes == len(tail["stripes"])
+    epoch = dtm.datetime(1970, 1, 1)
+    assert got == [
+        None if t is None
+        else int((t - epoch) / dtm.timedelta(microseconds=1))
+        for t in ts
+    ]
