@@ -297,6 +297,7 @@ EXTENDED = [
     "source_arrow_ipc_dictionary",
     "source_arrow_ipc_stream",
     "source_delta_column_mapping",
+    "source_delta_v2_checkpoint_replay",
 ]
 
 # Streaming extended queries run dead LAST (after the streaming
@@ -546,6 +547,7 @@ EXPECTED_SF01: dict[str, float] = {
     "source_arrow_ipc_dictionary": 1.7,
     "source_arrow_ipc_stream": 1.6,
     "source_delta_column_mapping": 2.5,
+    "source_delta_v2_checkpoint_replay": 2.4,
 }
 
 

@@ -1399,6 +1399,262 @@ def source_delta_checkpoint_replay(
     return out
 
 
+@register(
+    "source_delta_v2_checkpoint_replay",
+    oracle=f"""
+        SELECT CAST(2 AS INT) AS checkpoint_version,
+               CAST(2 AS INT) AS sidecar_files,
+               CAST(4 AS INT) AS checkpoint_live,
+               CAST(1 AS INT) AS versions_replayed,
+               CAST(3 AS INT) AS live_files,
+               CAST(2 AS INT) AS tombstones,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               {sql_dsum('o_totalprice')} AS revenue
+        FROM orders
+    """,
+    tags=("source", "delta", "lakehouse", "compat", "checkpoint",
+          "sidecar"),
+)
+def source_delta_v2_checkpoint_replay(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Delta V2 CHECKPOINTS (round 12) — the modern checkpoint shape
+    PROTOCOL.md added behind the ``v2Checkpoint`` reader feature:
+    instead of one monolithic ``<v>.checkpoint.parquet``, the
+    checkpoint is a UUID-named TOP-LEVEL file
+    (``<v>.checkpoint.<uuid>.parquet``) that carries
+    checkpointMetadata / protocol / metaData rows plus SIDECAR
+    actions, and the add/remove file-state lives in separate sidecar
+    parquet files under ``_delta_log/_sidecars/`` — so gigantic
+    tables can rewrite only changed sidecars. A classic-only reader
+    (`source_delta_checkpoint_replay`) cannot even FIND this
+    checkpoint (the name does not match), let alone assemble state
+    across sidecars.
+
+    The fixture commits four adds across v0-v2 under a protocol-v3 /
+    readerFeatures=["v2Checkpoint"] gate, writes the v2 checkpoint at
+    version 2 with the four adds SPLIT ACROSS TWO sidecar files,
+    deletes the pre-checkpoint JSON (the reader provably bootstraps
+    from the checkpoint), then replays a v3 compaction (remove a+b,
+    add their union). The reader validates checkpointMetadata.version
+    against _last_checkpoint, gates the feature set, loads every
+    sidecar, and replays JSON on top; the final 3-file live set must
+    reproduce the FULL orders table. Missing a sidecar loses a
+    quarter of the rows; mixing sidecar order breaks nothing (state
+    is a set — pinned by the hash); claiming the classic name form
+    finds no checkpoint and fails loudly.
+
+    Scale posture: checkpoint + sidecar + log replay is driver-side
+    metadata arithmetic, O(live files) — the entire POINT of v2
+    checkpoints is that incremental checkpointing stays O(changed
+    sidecars) at 100 TB; the data scan plans only live files."""
+    import json as _json
+
+    orders = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    root = os.path.join(
+        tempfile.gettempdir(), f"shs_deltav2_{uuid.uuid4().hex}"
+    )
+    tdir = os.path.join(root, "t")
+    ldir = os.path.join(tdir, "_delta_log")
+    sdir = os.path.join(ldir, "_sidecars")
+    os.makedirs(sdir)
+
+    def _write_part(name: str, df: DataFrame) -> None:
+        tmp = os.path.join(root, f"stage_{name}")
+        df.coalesce(1).write.parquet(tmp)
+        srcf = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+        os.replace(os.path.join(tmp, srcf), os.path.join(tdir, name))
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    k = F.col("o_orderkey") % 4
+    _write_part("part-a.parquet", orders.filter(k == 0))
+    _write_part("part-b.parquet", orders.filter(k == 1))
+    _write_part("part-c.parquet", orders.filter(k == 2))
+    _write_part("part-d.parquet", orders.filter(k == 3))
+    _write_part("part-e.parquet", orders.filter(k < 2))  # a+b compacted
+
+    def _commit(version: int, actions: list[dict]) -> None:
+        with open(os.path.join(ldir, f"{version:020d}.json"), "w") as fh:
+            fh.write("\n".join(_json.dumps(a) for a in actions) + "\n")
+
+    def _add(p: str) -> dict:
+        return {"add": {"path": p, "size": os.path.getsize(
+            os.path.join(tdir, p)), "modificationTime": 0,
+            "dataChange": True}}
+
+    def _remove(p: str) -> dict:
+        return {"remove": {"path": p, "deletionTimestamp": 0,
+                           "dataChange": True}}
+
+    _commit(0, [
+        {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                      "readerFeatures": ["v2Checkpoint"],
+                      "writerFeatures": ["v2Checkpoint"]}},
+        {"metaData": {"id": "shs-delta-v2ckpt", "format":
+            {"provider": "parquet", "options": {}},
+            "schemaString": "{}", "partitionColumns": []}},
+        _add("part-a.parquet"),
+        _add("part-b.parquet"),
+    ])
+    _commit(1, [_add("part-c.parquet")])
+    _commit(2, [_add("part-d.parquet")])
+
+    # ---- the v2 checkpoint at version 2 ----
+    import pyarrow as _pa
+    import pyarrow.parquet as _pq
+
+    add_t = _pa.struct(
+        [("path", _pa.string()), ("size", _pa.int64()),
+         ("modificationTime", _pa.int64()), ("dataChange", _pa.bool_())]
+    )
+    rem_t = _pa.struct(
+        [("path", _pa.string()), ("deletionTimestamp", _pa.int64()),
+         ("dataChange", _pa.bool_())]
+    )
+
+    def _sz(p: str) -> int:
+        return os.path.getsize(os.path.join(tdir, p))
+
+    def _sidecar(name: str, adds: list[str]) -> str:
+        tbl = _pa.table({
+            "add": _pa.array(
+                [{"path": p, "size": _sz(p), "modificationTime": 0,
+                  "dataChange": True} for p in adds], add_t),
+            "remove": _pa.array([None] * len(adds), rem_t),
+        })
+        _pq.write_table(tbl, os.path.join(sdir, name))
+        return name
+
+    sc1 = _sidecar(f"{uuid.uuid4().hex}.parquet",
+                   ["part-a.parquet", "part-b.parquet"])
+    sc2 = _sidecar(f"{uuid.uuid4().hex}.parquet",
+                   ["part-c.parquet", "part-d.parquet"])
+
+    side_t = _pa.struct(
+        [("path", _pa.string()), ("sizeInBytes", _pa.int64()),
+         ("modificationTime", _pa.int64())]
+    )
+    top = _pa.table({
+        "checkpointMetadata": _pa.array(
+            [{"version": 2}] + [None] * 4,
+            _pa.struct([("version", _pa.int64())])),
+        "protocol": _pa.array(
+            [None, {"minReaderVersion": 3, "minWriterVersion": 7,
+                    "readerFeatures": ["v2Checkpoint"]}] + [None] * 3,
+            _pa.struct([("minReaderVersion", _pa.int32()),
+                        ("minWriterVersion", _pa.int32()),
+                        ("readerFeatures",
+                         _pa.list_(_pa.string()))])),
+        "metaData": _pa.array(
+            [None, None, {"id": "shs-delta-v2ckpt",
+                          "schemaString": "{}"}] + [None] * 2,
+            _pa.struct([("id", _pa.string()),
+                        ("schemaString", _pa.string())])),
+        "sidecar": _pa.array(
+            [None] * 3
+            + [{"path": sc1,
+                "sizeInBytes": os.path.getsize(os.path.join(sdir, sc1)),
+                "modificationTime": 0},
+               {"path": sc2,
+                "sizeInBytes": os.path.getsize(os.path.join(sdir, sc2)),
+                "modificationTime": 0}],
+            side_t),
+    })
+    ckpt_name = f"{2:020d}.checkpoint.{uuid.uuid4().hex}.parquet"
+    _pq.write_table(top, os.path.join(ldir, ckpt_name))
+    with open(os.path.join(ldir, "_last_checkpoint"), "w") as fh:
+        _json.dump({"version": 2, "size": 5}, fh)
+    for v in range(3):  # metadata cleanup: pre-checkpoint JSON expires
+        os.remove(os.path.join(ldir, f"{v:020d}.json"))
+
+    _commit(3, [_remove("part-a.parquet"), _remove("part-b.parquet"),
+                _add("part-e.parquet")])
+
+    # ---- the reader ----
+    with open(os.path.join(ldir, "_last_checkpoint")) as fh:
+        ckpt_version = _json.load(fh)["version"]
+    import glob as _glob
+
+    candidates = sorted(_glob.glob(os.path.join(
+        ldir, f"{ckpt_version:020d}.checkpoint.*.parquet"
+    )))
+    if len(candidates) != 1:
+        raise ValueError(
+            f"expected one v2 checkpoint for version {ckpt_version}, "
+            f"found {len(candidates)}"
+        )
+    live: set[str] = set()
+    tombstones: set[str] = set()
+    sidecars: list[str] = []
+    saw_ckpt_meta = False
+    for row in spark.read.parquet(candidates[0]).collect():
+        if row["checkpointMetadata"] is not None:
+            if row["checkpointMetadata"]["version"] != ckpt_version:
+                raise ValueError(
+                    "checkpointMetadata.version disagrees with "
+                    "_last_checkpoint"
+                )
+            saw_ckpt_meta = True
+        elif row["protocol"] is not None:
+            feats = row["protocol"]["readerFeatures"] or []
+            unknown = set(feats) - {"v2Checkpoint"}
+            if unknown:
+                raise NotImplementedError(
+                    f"Delta reader features {sorted(unknown)}"
+                )
+        elif row["sidecar"] is not None:
+            sidecars.append(row["sidecar"]["path"])
+    if not saw_ckpt_meta:
+        raise ValueError("v2 checkpoint missing checkpointMetadata")
+    for sc in sidecars:
+        for row in spark.read.parquet(
+            os.path.join(sdir, sc)
+        ).collect():
+            if row["add"] is not None:
+                live.add(row["add"]["path"])
+            elif row["remove"] is not None:
+                tombstones.add(row["remove"]["path"])
+    checkpoint_live = len(live)
+    versions = sorted(
+        int(f[:20]) for f in os.listdir(ldir) if f.endswith(".json")
+    )
+    replay = [v for v in versions if v > ckpt_version]
+    if replay != list(range(ckpt_version + 1,
+                            ckpt_version + 1 + len(replay))):
+        raise ValueError("Delta log has version gaps after checkpoint")
+    for v in replay:
+        with open(os.path.join(ldir, f"{v:020d}.json")) as fh:
+            for line in fh:
+                if not line.strip():
+                    continue
+                action = _json.loads(line)
+                if "add" in action:
+                    live.add(action["add"]["path"])
+                    tombstones.discard(action["add"]["path"])
+                elif "remove" in action:
+                    live.discard(action["remove"]["path"])
+                    tombstones.add(action["remove"]["path"])
+    scan = spark.read.parquet(
+        *(os.path.join(tdir, p) for p in sorted(live))
+    )
+    out = scan.agg(
+        F.lit(ckpt_version).cast("int").alias("checkpoint_version"),
+        F.lit(len(sidecars)).cast("int").alias("sidecar_files"),
+        F.lit(checkpoint_live).cast("int").alias("checkpoint_live"),
+        F.lit(len(replay)).cast("int").alias("versions_replayed"),
+        F.lit(len(live)).cast("int").alias("live_files"),
+        F.lit(len(tombstones)).cast("int").alias("tombstones"),
+        F.count("*").alias("n_orders"),
+        dsum("o_totalprice").alias("revenue"),
+    ).localCheckpoint(eager=True)  # 1 row; frees the temp root
+    shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
+
+
 def delta_column_mapping(metadata: dict) -> dict[str, str] | None:
     """metaData action -> {physical column name: logical name}, or
     None when the table has no column mapping.
