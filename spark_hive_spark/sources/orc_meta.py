@@ -829,6 +829,33 @@ def read_orc_timestamp_column(
     return out, len(stripes)
 
 
+def read_orc_date_column(
+    data: bytes, column: int = 1
+) -> tuple[list[int | None], int]:
+    """Read one DATE column from raw ORC bytes -> days since
+    1970-01-01 (signed RLEv2 DATA + PRESENT), completing the scalar
+    type floor next to int64/double/timestamp/string."""
+    footer, codec = _orc_file_tail(data)
+    out: list[int | None] = []
+    stripes = footer.get(3, [])
+    for sraw in stripes:
+        streams, nrows, _enc = _stripe_streams(data, codec, sraw, column)
+        if 1 not in streams:
+            raise ValueError("ORC date stripe missing DATA")
+        vals = decode_rlev2(_unchunk(streams[1], codec), signed=True)
+        if 0 not in streams:
+            if len(vals) != nrows:
+                raise ValueError("date DATA row count mismatch")
+            out += vals
+        else:
+            bits = decode_present(_unchunk(streams[0], codec), nrows)
+            if sum(bits) != len(vals):
+                raise ValueError("PRESENT bits disagree with DATA count")
+            it = iter(vals)
+            out += [next(it) if b else None for b in bits]
+    return out, len(stripes)
+
+
 def read_orc_string_column(
     data: bytes, column: int = 1
 ) -> tuple[list[str | None], int]:

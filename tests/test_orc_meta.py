@@ -397,3 +397,28 @@ def test_orc_timestamp_multi_stripe_pyarrow(tmp_path):
         else int((t - epoch) / dtm.timedelta(microseconds=1))
         for t in ts
     ]
+
+
+def test_orc_date_column_differential(spark, tmp_path):
+    """DATE columns (signed RLEv2 days since epoch + PRESENT)
+    against Spark's ORC writer."""
+    import datetime as dtm
+    import glob
+
+    from spark_hive_spark.sources.orc_meta import read_orc_date_column
+
+    df = spark.range(1, 4000).selectExpr(
+        "CASE WHEN id % 61 = 0 THEN CAST(NULL AS DATE) "
+        "ELSE date_add(DATE '1992-01-01', CAST(id % 2500 AS INT)) "
+        "END AS d"
+    )
+    root = str(tmp_path / "dates")
+    df.coalesce(1).write.orc(root)
+    path = glob.glob(root + "/*.orc")[0]
+    with open(path, "rb") as fh:
+        data = fh.read()
+    got, _ = read_orc_date_column(data, 1)
+    epoch = dtm.date(1970, 1, 1)
+    assert got == [
+        None if r.d is None else (r.d - epoch).days for r in df.collect()
+    ]
