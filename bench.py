@@ -543,7 +543,7 @@ EXPECTED_SF01: dict[str, float] = {
     "source_parquet_list_strings_decode": 3.1,
     "source_parquet_decimal_bool_decode": 3.0,
     "source_parquet_int96_timestamp_decode": 2.5,
-    "source_orc_timestamp_double_decode": 4.2,
+    "source_orc_timestamp_double_decode": 2.5,
     "source_arrow_ipc_dictionary": 1.7,
     "source_arrow_ipc_stream": 1.6,
     "source_delta_column_mapping": 2.5,

@@ -1028,7 +1028,7 @@ def source_orc_timestamp_double_decode(
                  ELSE o_totalprice END AS d
             """,
         )
-        .repartition(8)  # one ORC file per decode task
+        .repartition(32)  # one ORC file per decode task
         .write.orc(root)
     )
     paths = sorted(_glob.glob(os.path.join(root, "*.orc")))

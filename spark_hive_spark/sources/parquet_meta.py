@@ -2113,7 +2113,7 @@ def source_parquet_nested_decode(
         )
         .coalesce(1)
         .write.option("compression", "snappy")
-        .option("parquet.block.size", 512 * 1024)
+        .option("parquet.block.size", 2 * 1024 * 1024)
         .option("parquet.page.size", 8 * 1024)
         .parquet(root)
     )
@@ -2254,6 +2254,7 @@ def source_parquet_struct_decode(
         )
         .coalesce(1)
         .write.option("compression", "snappy")
+        .option("parquet.block.size", 2 * 1024 * 1024)
         .option("parquet.page.size", 8 * 1024)
         .parquet(root)
     )
@@ -2397,6 +2398,7 @@ def source_parquet_list_strings_decode(
         )
         .coalesce(1)
         .write.option("compression", "snappy")
+        .option("parquet.block.size", 2 * 1024 * 1024)
         .option("parquet.page.size", 8 * 1024)
         .parquet(root)
     )
@@ -2529,7 +2531,8 @@ def source_parquet_decimal_bool_decode(
                     AS decimal(25,2)) AS dec_n""",
         )
         .coalesce(1)
-        .write.option("parquet.page.size", 4 * 1024)
+        .write.option("parquet.block.size", 2 * 1024 * 1024)
+        .option("parquet.page.size", 4 * 1024)
         .parquet(root)
     )
     path = _glob.glob(os.path.join(root, "*.parquet"))[0]
@@ -2687,6 +2690,7 @@ def source_parquet_int96_timestamp_decode(
         )
         .coalesce(1)
         .write.option("compression", "snappy")
+        .option("parquet.block.size", 2 * 1024 * 1024)
         .option("parquet.page.size", 8 * 1024)
         .parquet(root)
     )
