@@ -298,6 +298,7 @@ EXTENDED = [
     "source_arrow_ipc_stream",
     "source_delta_column_mapping",
     "source_delta_v2_checkpoint_replay",
+    "curation_dsir_importance_select",
 ]
 
 # Streaming extended queries run dead LAST (after the streaming
@@ -548,6 +549,7 @@ EXPECTED_SF01: dict[str, float] = {
     "source_arrow_ipc_stream": 1.6,
     "source_delta_column_mapping": 2.5,
     "source_delta_v2_checkpoint_replay": 2.4,
+    "curation_dsir_importance_select": 2.3,
 }
 
 

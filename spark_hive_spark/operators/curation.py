@@ -801,3 +801,176 @@ def crawl_url_canonical_dedup(
         )
         .orderBy("host")
     )
+
+
+@register(
+    "curation_dsir_importance_select",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id, lang, tok
+            FROM (
+                SELECT doc_id, lang,
+                       unnest(string_split(
+                           regexp_replace(lower(trim(text)),
+                                          '\\s+', ' ', 'g'), ' ')) AS tok
+                FROM documents
+            )
+            WHERE tok <> ''
+        ),
+        tb AS (
+            SELECT doc_id, lang,
+                   (length(tok) * 31 + ascii(left(tok, 1)) * 7
+                    + ascii(right(tok, 1))) % 64 AS b
+            FROM toks
+        ),
+        bs AS (
+            SELECT b, count(*) AS r_cnt,
+                   sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS t_cnt
+            FROM tb GROUP BY b
+        ),
+        tot AS (
+            SELECT sum(r_cnt) AS rtot, sum(t_cnt) AS ttot FROM bs
+        ),
+        ratios AS (
+            SELECT b,
+                   CAST(round(ln(((t_cnt + 1) * (rtot + 64))
+                              / ((ttot + 64) * (r_cnt + 1))), 6)
+                        AS DECIMAL(18, 6)) AS lr
+            FROM bs, tot
+        ),
+        dw AS (
+            SELECT j.doc_id, j.lang,
+                   sum(j.cnt * r.lr) AS w, sum(j.cnt) AS n_tok
+            FROM (
+                SELECT doc_id, lang, b, count(*) AS cnt
+                FROM tb GROUP BY 1, 2, 3
+            ) j JOIN ratios r USING (b)
+            GROUP BY 1, 2
+        ),
+        ranked AS (
+            SELECT *,
+                   row_number() OVER (ORDER BY w DESC, doc_id) AS rk,
+                   count(*) OVER () AS n_total
+            FROM dw
+        )
+        SELECT lang,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(CASE WHEN rk <= n_total // 5 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_selected,
+               CAST(round(coalesce(sum(CASE WHEN rk <= n_total // 5
+                                            THEN w END), 0), 4)
+                    AS DOUBLE) AS sel_weight_sum,
+               CAST(coalesce(sum(CASE WHEN rk <= n_total // 5
+                                      THEN n_tok END), 0)
+                    AS BIGINT) AS sel_tokens
+        FROM ranked
+        GROUP BY lang
+        ORDER BY lang
+    """,
+    tags=("llm-pipeline", "curation", "dsir", "importance-sampling"),
+)
+def curation_dsir_importance_select(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """DSIR-style importance selection (Xie et al. 2023, "Data
+    Selection for Language Models via Importance Resampling") — the
+    one major public pretraining-curation recipe the curation family
+    did not yet cover: featurize every document as a bag of HASHED
+    n-grams, fit target and raw bucket distributions, weight each
+    document by the log-likelihood ratio of its features, and keep
+    the top fraction. Here the target distribution is the English
+    subset (so the semantic check is visible in the output: selection
+    skews toward 'en'), features are hashed unigrams over the 64-bin
+    engine-portable token hash the classifier query established, both
+    distributions are Laplace-smoothed, and the deterministic top-20%
+    variant replaces Gumbel resampling (the paper's appendix top-k).
+
+    Cross-engine exactness: the per-bucket log-ratio is ONE ln() of
+    an exactly-representable integer ratio, rounded to 6dp and cast
+    to DECIMAL(18,6); per-document weights are then sums of
+    (int count x decimal) — exact, summation-order-free — so the
+    top-20% cut ranks a total order (weight desc, doc_id) identically
+    in both engines.
+
+    Scale posture: one token scan feeds BOTH the bucket statistics
+    (64-row aggregate, broadcast back) and the per-document feature
+    counts; the only global structure is the rank over per-document
+    aggregates — at 100 TB that becomes a distributed top-K (quantile
+    cut on the weight) instead of a row_number, same semantics; no
+    UDFs anywhere, the hash is codegen arithmetic."""
+    from spark_hive_spark.operators.dedup import normalized_text
+
+    docs = t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        "lang",
+        F.explode(F.split(normalized_text(), " ")).alias("tok"),
+    ).filter(F.col("tok") != "")
+    bucket = (
+        F.length("tok") * 31
+        + F.ascii(F.substring("tok", 1, 1)) * 7
+        + F.ascii(F.substring("tok", -1, 1))
+    ) % 64
+    tb = toks.select("doc_id", "lang", bucket.alias("b"))
+
+    # 64 rows, consumed by both the totals and the ratio join —
+    # materialize once instead of re-scanning the corpus per consumer
+    bs = tb.groupBy("b").agg(
+        F.count("*").alias("r_cnt"),
+        F.sum(
+            F.when(F.col("lang") == "en", 1).otherwise(0)
+        ).alias("t_cnt"),
+    ).localCheckpoint(eager=True)
+    tot = bs.agg(
+        F.sum("r_cnt").alias("rtot"), F.sum("t_cnt").alias("ttot")
+    )
+    ratios = (
+        bs.crossJoin(F.broadcast(tot))
+        .select(
+            "b",
+            F.round(
+                F.log(
+                    ((F.col("t_cnt") + 1) * (F.col("rtot") + 64))
+                    / ((F.col("ttot") + 64) * (F.col("r_cnt") + 1))
+                ),
+                6,
+            ).cast("decimal(18,6)").alias("lr"),
+        )
+    )
+    doc_feats = tb.groupBy("doc_id", "lang", "b").agg(
+        F.count("*").alias("cnt")
+    )
+    dw = (
+        doc_feats.join(F.broadcast(ratios), "b")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.sum(F.col("cnt") * F.col("lr")).alias("w"),
+            F.sum("cnt").alias("n_tok"),
+        )
+    )
+    wsel = W.orderBy(F.col("w").desc(), "doc_id")
+    ranked = dw.select(
+        "lang", "w", "n_tok",
+        F.row_number().over(wsel).alias("rk"),
+        F.count("*").over(
+            W.partitionBy(F.lit(1))
+        ).alias("n_total"),
+    )
+    sel = F.col("rk") <= F.floor(F.col("n_total") / 5)
+    return (
+        ranked.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(sel.cast("long")).alias("n_selected"),
+            F.round(
+                F.coalesce(
+                    F.sum(F.when(sel, F.col("w"))), F.lit(0)
+                ),
+                4,
+            ).cast("double").alias("sel_weight_sum"),
+            F.coalesce(
+                F.sum(F.when(sel, F.col("n_tok"))), F.lit(0)
+            ).cast("bigint").alias("sel_tokens"),
+        )
+        .orderBy("lang")
+    )

@@ -49,7 +49,8 @@ _REGISTRY: dict[str, Query] = {}
 # tasks), then the judge-enumerated attestation backlog (the displaced
 # r10 tail and the longest-stale dedup/window/stats families), then the
 # oldest r2-attested relational families oldest-first. Backlog spill
-# for r13: safe_arithmetic_orders, setops_bag_semantics, setops_segment_overlap,
+# for r13: rollup_grouping_flags, safe_arithmetic_orders,
+# setops_bag_semantics, setops_segment_overlap,
 # string_edit_distance_pairs, unpivot_lineitem_measures,
 # w_value_functions, plus the r3-attested curation/text/tpch tail
 # (all have r2/r6 rows; nothing unattested remains).
@@ -71,6 +72,7 @@ SWEEP_PRIORITY: tuple[str, ...] = (
     "source_arrow_ipc_stream",
     "source_delta_column_mapping",
     "source_delta_v2_checkpoint_replay",
+    "curation_dsir_importance_select",
     # round-12 implementation changes: re-attest under the new code
     "source_parquet_page_decode",
     "source_parquet_spark_native_decode",
@@ -110,7 +112,6 @@ SWEEP_PRIORITY: tuple[str, ...] = (
     "q4_order_priority_checking",
     "q8_nation_market_share",
     "recursive_consecutive_activity",
-    "rollup_grouping_flags",
 )
 
 
