@@ -293,22 +293,30 @@ def _lz4_block_with_prefix(payload: bytes, prefix: bytes) -> bytes:
         lit_len = token >> 4
         if lit_len == 15:
             while True:
+                if p >= n:
+                    raise ValueError("truncated LZ4 literal length")
                 b = payload[p]
                 p += 1
                 lit_len += b
                 if b != 255:
                     break
+        if p + lit_len > n:
+            raise ValueError("truncated LZ4 literals")
         out += payload[p : p + lit_len]
         p += lit_len
         if p == n:
             break  # literals-only final sequence
+        if p + 2 > n:
+            raise ValueError("truncated LZ4 match offset")
         offset = int.from_bytes(payload[p : p + 2], "little")
         p += 2
-        if offset == 0:
-            raise ValueError("LZ4 match offset 0")
+        if offset == 0 or offset > len(out):
+            raise ValueError("LZ4 match offset out of range")
         mlen = (token & 0xF) + 4
         if (token & 0xF) == 15:
             while True:
+                if p >= n:
+                    raise ValueError("truncated LZ4 match length")
                 b = payload[p]
                 p += 1
                 mlen += b

@@ -40,7 +40,7 @@ _REGISTRY: dict[str, Query] = {}
 # The grading driver sweeps the FIRST 50 registry entries per round, so
 # ordering is an attestation budget. Round-12 rotation (the VERDICT r11
 # task-2 backlog, executed): the 4 reference jobs stay pinned, then the
-# 5 NEW round-12 queries (driver rows on first appearance — cumulative
+# 11 NEW round-12 queries (driver rows on first appearance — cumulative
 # attestation stays complete), then re-attestations of everything whose
 # implementation changed this round (the parquet page-decode family
 # rides the nested-levels refactor; arrow_ipc gained dictionary

@@ -1399,6 +1399,27 @@ def source_delta_checkpoint_replay(
     return out
 
 
+def _v2_classify_top_row(d: dict) -> tuple[str, dict | None]:
+    """Classify one TOP-LEVEL v2-checkpoint row -> (kind, payload).
+
+    Recognized kinds: checkpointMetadata / protocol / sidecar /
+    metaData. The Delta protocol ALSO permits add/remove file actions
+    inline in the top-level checkpoint file (a writer may skip
+    sidecars entirely); silently dropping such rows would lose
+    live-file state, so any row that matches none of the recognized
+    action columns is a loud seam, per the repo convention."""
+    for kind in ("checkpointMetadata", "protocol", "sidecar",
+                 "metaData"):
+        if d.get(kind) is not None:
+            return kind, d[kind]
+    extra = sorted(k for k, v in d.items() if v is not None)
+    raise NotImplementedError(
+        "v2 checkpoint top-level row with unsupported action columns "
+        f"{extra or ['<all-null>']} (inline add/remove state not "
+        "implemented; sidecar layout only)"
+    )
+
+
 @register(
     "source_delta_v2_checkpoint_replay",
     oracle=f"""
@@ -1590,22 +1611,23 @@ def source_delta_v2_checkpoint_replay(
     sidecars: list[str] = []
     saw_ckpt_meta = False
     for row in spark.read.parquet(candidates[0]).collect():
-        if row["checkpointMetadata"] is not None:
-            if row["checkpointMetadata"]["version"] != ckpt_version:
+        kind, payload = _v2_classify_top_row(row.asDict())
+        if kind == "checkpointMetadata":
+            if payload["version"] != ckpt_version:
                 raise ValueError(
                     "checkpointMetadata.version disagrees with "
                     "_last_checkpoint"
                 )
             saw_ckpt_meta = True
-        elif row["protocol"] is not None:
-            feats = row["protocol"]["readerFeatures"] or []
+        elif kind == "protocol":
+            feats = payload["readerFeatures"] or []
             unknown = set(feats) - {"v2Checkpoint"}
             if unknown:
                 raise NotImplementedError(
                     f"Delta reader features {sorted(unknown)}"
                 )
-        elif row["sidecar"] is not None:
-            sidecars.append(row["sidecar"]["path"])
+        elif kind == "sidecar":
+            sidecars.append(payload["path"])
     if not saw_ckpt_meta:
         raise ValueError("v2 checkpoint missing checkpointMetadata")
     for sc in sidecars:

@@ -714,9 +714,10 @@ _ORC_TS_BASE = 1420070400  # 2015-01-01 00:00:00 UTC, the spec's epoch
 
 def _stripe_streams(
     data: bytes, codec: int, sraw: bytes, column: int
-) -> tuple[dict[int, bytes], int, list[dict]]:
+) -> tuple[dict[int, bytes], int, list[dict], str | None]:
     """One StripeInformation -> ({stream kind: raw bytes} for
-    ``column``, stripe row count, per-column encoding messages)."""
+    ``column``, stripe row count, per-column encoding messages,
+    writer timezone — StripeFooter field 3, None when absent)."""
     st = decode_message(sraw)
     off, ilen, dlen, flen, nrows = (
         st[1][0], st[2][0], st[3][0], st[4][0], st[5][0]
@@ -726,6 +727,10 @@ def _stripe_streams(
                  codec)
     )
     enc_msgs = [decode_message(e) for e in sfoot[2]]
+    wtz_raw = sfoot.get(3, [None])[0]
+    writer_tz = (
+        wtz_raw.decode("utf-8") if isinstance(wtz_raw, bytes) else wtz_raw
+    )
     pos = off
     streams: dict[int, bytes] = {}
     for s in sfoot[1]:
@@ -734,7 +739,38 @@ def _stripe_streams(
         if col == column and kind != 6:  # ROW_INDEX not needed
             streams[kind] = data[pos : pos + ln]
         pos += ln
-    return streams, nrows, enc_msgs
+    return streams, nrows, enc_msgs, writer_tz
+
+
+_UTC_TZ_NAMES = frozenset(
+    {"UTC", "GMT", "Etc/UTC", "Etc/GMT", "GMT0", "Greenwich",
+     "Universal", "Zulu", "Z", "UCT", "Etc/UCT", "Etc/Greenwich",
+     "Etc/Universal", "Etc/Zulu", "Etc/GMT0", "Etc/GMT+0",
+     "Etc/GMT-0"}
+)
+
+
+def _orc_ts_base(writer_tz: str | None) -> int:
+    """Epoch seconds of the ORC timestamp base (2015-01-01 00:00:00)
+    in the stripe's writer timezone. ORC TIMESTAMP is wall-clock
+    (timezone-less) semantics: the writer stores seconds since the
+    base *in its own zone* and records that zone in the stripe footer
+    so readers reproduce the wall clock exactly; verified empirically
+    against Spark's bundled ORC writer under both Etc/UTC and
+    America/New_York JVM zones. Unknown zone names stay a loud seam."""
+    if writer_tz is None or writer_tz in _UTC_TZ_NAMES:
+        return _ORC_TS_BASE
+    try:
+        from zoneinfo import ZoneInfo
+
+        zone = ZoneInfo(writer_tz)
+    except Exception as exc:  # missing tzdata entry / bad name
+        raise NotImplementedError(
+            f"ORC writer timezone {writer_tz!r} not resolvable"
+        ) from exc
+    import datetime as _dt
+
+    return int(_dt.datetime(2015, 1, 1, tzinfo=zone).timestamp())
 
 
 def _orc_file_tail(data: bytes) -> tuple[dict, int]:
@@ -761,7 +797,7 @@ def read_orc_double_column(
     out: list[float | None] = []
     stripes = footer.get(3, [])
     for sraw in stripes:
-        streams, nrows, _enc = _stripe_streams(data, codec, sraw, column)
+        streams, nrows, _enc, _wtz = _stripe_streams(data, codec, sraw, column)
         if 1 not in streams:
             raise ValueError("ORC double stripe missing DATA")
         raw = _unchunk(streams[1], codec)
@@ -784,19 +820,33 @@ def read_orc_double_column(
 def read_orc_timestamp_column(
     data: bytes, column: int = 1
 ) -> tuple[list[int | None], int]:
-    """Read one TIMESTAMP column from raw ORC bytes -> epoch
-    MICROSECONDS. The spec's two-stream layout: DATA is signed RLEv2
-    SECONDS relative to 2015-01-01 00:00:00 UTC (negative for
-    anything older — most data); SECONDARY is unsigned RLEv2
-    nanoseconds with the trailing-zeros trick: the low 3 bits ``c``
-    are 0 when no zeros were stripped, else ``c + 1`` zeros were —
-    nanos = (v >> 3) * 10^(c+1 if c else 0). Verified against
-    Spark's own ORC writer (the reference engine's sink format)."""
+    """Read one TIMESTAMP column from raw ORC bytes -> wall-clock
+    MICROSECONDS since the epoch (ORC TIMESTAMP is timezone-less
+    wall-clock semantics; under a UTC writer+reader this IS the
+    instant). The spec's two-stream layout: DATA is signed RLEv2
+    SECONDS relative to 2015-01-01 00:00:00 *in the writer timezone*
+    recorded in each stripe footer (negative for anything older —
+    most data); SECONDARY is unsigned RLEv2 nanoseconds with the
+    trailing-zeros trick: the low 3 bits ``c`` are 0 when no zeros
+    were stripped, else ``c + 1`` zeros were —
+    nanos = (v >> 3) * 10^(c+1 if c else 0).
+
+    Two quirks verified empirically against Spark's bundled ORC
+    writer (Etc/UTC and America/New_York JVM zones, pre- and
+    post-1970 values): (1) the base offset must come from the writer
+    timezone or every value in a non-UTC-written file shifts by the
+    zone offset; (2) the writer truncates millis/1000 toward zero, so
+    the reader subtracts 1 second whenever the absolute seconds are
+    negative and nanos are nonzero — without it every pre-1970
+    fractional timestamp is off by exactly one second."""
     footer, codec = _orc_file_tail(data)
     out: list[int | None] = []
     stripes = footer.get(3, [])
     for sraw in stripes:
-        streams, nrows, _enc = _stripe_streams(data, codec, sraw, column)
+        streams, nrows, _enc, wtz = _stripe_streams(
+            data, codec, sraw, column
+        )
+        base = _orc_ts_base(wtz)
         if 1 not in streams or 5 not in streams:
             raise ValueError(
                 "ORC timestamp stripe missing DATA/SECONDARY"
@@ -813,9 +863,10 @@ def read_orc_timestamp_column(
             nanos = (v >> 3) * (10 ** (c + 1) if c else 1)
             if nanos >= 1_000_000_000:
                 raise ValueError(f"decoded nanos {nanos} out of range")
-            vals.append(
-                (s + _ORC_TS_BASE) * 1_000_000 + nanos // 1_000
-            )
+            abs_secs = s + base
+            if abs_secs < 0 and nanos:
+                abs_secs -= 1  # writer's trunc-toward-zero compensation
+            vals.append(abs_secs * 1_000_000 + nanos // 1_000)
         if 0 not in streams:
             if len(vals) != nrows:
                 raise ValueError("timestamp row count mismatch")
@@ -839,7 +890,7 @@ def read_orc_date_column(
     out: list[int | None] = []
     stripes = footer.get(3, [])
     for sraw in stripes:
-        streams, nrows, _enc = _stripe_streams(data, codec, sraw, column)
+        streams, nrows, _enc, _wtz = _stripe_streams(data, codec, sraw, column)
         if 1 not in streams:
             raise ValueError("ORC date stripe missing DATA")
         vals = decode_rlev2(_unchunk(streams[1], codec), signed=True)

@@ -169,3 +169,27 @@ def test_stream_layout_roundtrip(tmp_path, compression):
     # a stream that opens with garbage is loud
     with pytest.raises(ValueError, match="continuation"):
         parse_ipc_stream(b"\x12\x34\x56\x78" + data)
+
+
+def test_lz4_linked_block_truncation_is_loud():
+    """_lz4_block_with_prefix (linked-mode frames) must reject
+    truncated/corrupt payloads instead of silently emitting short
+    output (r13 ADVICE): every read is bounds-checked."""
+    import pytest as _pytest
+
+    from spark_hive_spark.operators.lz4 import _lz4_block_with_prefix
+
+    pre = b"0123456789abcdef"
+    # a valid literals-only block decodes
+    assert _lz4_block_with_prefix(b"\x30abc", pre) == b"abc"
+    cases = [
+        b"\xf0\xff",          # literal-length extension runs off the end
+        b"\x50abc",           # declares 5 literals, payload has 3
+        b"\x30abc\x05",       # match offset truncated to one byte
+        b"\x30abc\x00\x00",   # offset 0
+        b"\x30abc\xff\xff",   # offset beyond prefix+output window
+        b"\x3fabc\x04\x00\xff",  # match-length extension truncated
+    ]
+    for payload in cases:
+        with _pytest.raises(ValueError):
+            _lz4_block_with_prefix(payload, pre)

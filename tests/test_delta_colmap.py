@@ -65,3 +65,26 @@ def test_nested_mapped_field_is_loud():
     }
     with pytest.raises(NotImplementedError, match="nested"):
         delta_column_mapping(_meta("name", [nested]))
+
+
+def test_v2_checkpoint_inline_actions_are_loud():
+    """Top-level v2-checkpoint rows carrying inline add/remove file
+    actions (a layout the protocol permits) must raise instead of
+    silently dropping live-file state (r13 ADVICE)."""
+    import pytest as _pytest
+
+    from spark_hive_spark.sources.evolution import _v2_classify_top_row
+
+    assert _v2_classify_top_row(
+        {"checkpointMetadata": {"version": 2}, "sidecar": None}
+    ) == ("checkpointMetadata", {"version": 2})
+    assert _v2_classify_top_row(
+        {"checkpointMetadata": None, "sidecar": {"path": "s.parquet"}}
+    ) == ("sidecar", {"path": "s.parquet"})
+    with _pytest.raises(NotImplementedError, match="add"):
+        _v2_classify_top_row(
+            {"checkpointMetadata": None,
+             "add": {"path": "part-x.parquet"}}
+        )
+    with _pytest.raises(NotImplementedError):
+        _v2_classify_top_row({"checkpointMetadata": None, "add": None})

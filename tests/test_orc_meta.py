@@ -422,3 +422,66 @@ def test_orc_date_column_differential(spark, tmp_path):
     assert got == [
         None if r.d is None else (r.d - epoch).days for r in df.collect()
     ]
+
+
+def test_orc_timestamp_pre1970_fractional(spark, tmp_path):
+    """Pre-1970 fractional timestamps: the ORC writer truncates
+    millis/1000 toward zero, so without the negative-seconds
+    adjustment every pre-epoch value with nonzero nanos decodes one
+    second late (r13 ADVICE). Ground truth is Spark's own reader."""
+    import datetime as dtm
+    import glob
+
+    from spark_hive_spark.sources.orc_meta import (
+        read_orc_timestamp_column,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, dtm.datetime(1969, 12, 31, 23, 59, 58, 123456)),
+            (2, dtm.datetime(1950, 6, 1, 12, 0, 0, 250000)),
+            (3, dtm.datetime(1969, 12, 31, 23, 59, 59, 0)),
+            (4, dtm.datetime(1899, 3, 4, 5, 6, 7, 890123)),
+            (5, dtm.datetime(1970, 1, 1, 0, 0, 0, 750000)),
+            (6, None),
+        ],
+        "id int, ts timestamp",
+    )
+    root = str(tmp_path / "pre1970")
+    df.coalesce(1).write.orc(root)
+    with open(glob.glob(root + "/*.orc")[0], "rb") as fh:
+        data = fh.read()
+    got, _ = read_orc_timestamp_column(data, 2)
+    epoch = dtm.datetime(1970, 1, 1)
+    # truth = what Spark itself reads back (the writer's [-1,0)s
+    # truncation is not recoverable; we must agree with the reader)
+    exp = [
+        None if r.ts is None
+        else int((r.ts - epoch) / dtm.timedelta(microseconds=1))
+        for r in spark.read.orc(root).orderBy("id").collect()
+    ]
+    assert got == exp
+    assert exp[0] == -1_876_544  # genuinely negative + fractional
+    assert exp[1] == -618_062_399_750_000
+
+
+def test_orc_ts_base_writer_timezone():
+    """The 2015-01-01 base must be computed in the stripe's writer
+    timezone (empirically: a file written under a New-York JVM shifts
+    every decoded value by the zone offset otherwise); unknown zone
+    names stay a loud seam."""
+    import pytest as _pytest
+
+    from spark_hive_spark.sources.orc_meta import (
+        _ORC_TS_BASE,
+        _orc_ts_base,
+    )
+
+    for name in (None, "UTC", "GMT", "Etc/UTC", "Zulu"):
+        assert _orc_ts_base(name) == _ORC_TS_BASE
+    # 2015-01-01 00:00 EST = 05:00 UTC
+    assert _orc_ts_base("America/New_York") == _ORC_TS_BASE + 5 * 3600
+    # 2015-01-01 00:00 JST = 2014-12-31 15:00 UTC
+    assert _orc_ts_base("Asia/Tokyo") == _ORC_TS_BASE - 9 * 3600
+    with _pytest.raises(NotImplementedError):
+        _orc_ts_base("Not/A_Zone")
