@@ -803,6 +803,64 @@ def crawl_url_canonical_dedup(
     )
 
 
+def _dsir_doc_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared DSIR pipeline: documents -> one row per document with
+    (doc_id, lang, w, n_tok), where w is the exact-decimal sum of
+    hashed-unigram log-likelihood ratios (target = the English
+    subset, 64 Laplace-smoothed buckets). Consumed by the exact
+    top-20% query, its percentile-cut scale twin, and the audit."""
+    from spark_hive_spark.operators.dedup import normalized_text
+
+    docs = t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        "lang",
+        F.explode(F.split(normalized_text(), " ")).alias("tok"),
+    ).filter(F.col("tok") != "")
+    bucket = (
+        F.length("tok") * 31
+        + F.ascii(F.substring("tok", 1, 1)) * 7
+        + F.ascii(F.substring("tok", -1, 1))
+    ) % 64
+    tb = toks.select("doc_id", "lang", bucket.alias("b"))
+
+    # 64 rows, consumed by both the totals and the ratio join —
+    # materialize once instead of re-scanning the corpus per consumer
+    bs = tb.groupBy("b").agg(
+        F.count("*").alias("r_cnt"),
+        F.sum(
+            F.when(F.col("lang") == "en", 1).otherwise(0)
+        ).alias("t_cnt"),
+    ).localCheckpoint(eager=True)
+    tot = bs.agg(
+        F.sum("r_cnt").alias("rtot"), F.sum("t_cnt").alias("ttot")
+    )
+    ratios = (
+        bs.crossJoin(F.broadcast(tot))
+        .select(
+            "b",
+            F.round(
+                F.log(
+                    ((F.col("t_cnt") + 1) * (F.col("rtot") + 64))
+                    / ((F.col("ttot") + 64) * (F.col("r_cnt") + 1))
+                ),
+                6,
+            ).cast("decimal(18,6)").alias("lr"),
+        )
+    )
+    doc_feats = tb.groupBy("doc_id", "lang", "b").agg(
+        F.count("*").alias("cnt")
+    )
+    return (
+        doc_feats.join(F.broadcast(ratios), "b")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.sum(F.col("cnt") * F.col("lr")).alias("w"),
+            F.sum("cnt").alias("n_tok"),
+        )
+    )
+
+
 @register(
     "curation_dsir_importance_select",
     oracle="""
@@ -895,59 +953,12 @@ def curation_dsir_importance_select(
     Scale posture: one token scan feeds BOTH the bucket statistics
     (64-row aggregate, broadcast back) and the per-document feature
     counts; the only global structure is the rank over per-document
-    aggregates — at 100 TB that becomes a distributed top-K (quantile
-    cut on the weight) instead of a row_number, same semantics; no
-    UDFs anywhere, the hash is codegen arithmetic."""
-    from spark_hive_spark.operators.dedup import normalized_text
-
-    docs = t(spark, sf_dir, "documents")
-    toks = docs.select(
-        "doc_id",
-        "lang",
-        F.explode(F.split(normalized_text(), " ")).alias("tok"),
-    ).filter(F.col("tok") != "")
-    bucket = (
-        F.length("tok") * 31
-        + F.ascii(F.substring("tok", 1, 1)) * 7
-        + F.ascii(F.substring("tok", -1, 1))
-    ) % 64
-    tb = toks.select("doc_id", "lang", bucket.alias("b"))
-
-    # 64 rows, consumed by both the totals and the ratio join —
-    # materialize once instead of re-scanning the corpus per consumer
-    bs = tb.groupBy("b").agg(
-        F.count("*").alias("r_cnt"),
-        F.sum(
-            F.when(F.col("lang") == "en", 1).otherwise(0)
-        ).alias("t_cnt"),
-    ).localCheckpoint(eager=True)
-    tot = bs.agg(
-        F.sum("r_cnt").alias("rtot"), F.sum("t_cnt").alias("ttot")
-    )
-    ratios = (
-        bs.crossJoin(F.broadcast(tot))
-        .select(
-            "b",
-            F.round(
-                F.log(
-                    ((F.col("t_cnt") + 1) * (F.col("rtot") + 64))
-                    / ((F.col("ttot") + 64) * (F.col("r_cnt") + 1))
-                ),
-                6,
-            ).cast("decimal(18,6)").alias("lr"),
-        )
-    )
-    doc_feats = tb.groupBy("doc_id", "lang", "b").agg(
-        F.count("*").alias("cnt")
-    )
-    dw = (
-        doc_feats.join(F.broadcast(ratios), "b")
-        .groupBy("doc_id", "lang")
-        .agg(
-            F.sum(F.col("cnt") * F.col("lr")).alias("w"),
-            F.sum("cnt").alias("n_tok"),
-        )
-    )
+    aggregates — the scale twin
+    `curation_dsir_importance_select_approx` replaces it with a
+    percentile_approx quantile cut (no global sort), exactness-audited
+    by `dsir_approx_audit`; no UDFs anywhere, the hash is codegen
+    arithmetic."""
+    dw = _dsir_doc_weights(spark, sf_dir)
     wsel = W.orderBy(F.col("w").desc(), "doc_id")
     ranked = dw.select(
         "lang", "w", "n_tok",
@@ -973,4 +984,185 @@ def curation_dsir_importance_select(
             ).cast("bigint").alias("sel_tokens"),
         )
         .orderBy("lang")
+    )
+
+
+@register(
+    "curation_dsir_importance_select_approx",
+    oracle=None,  # the cut value is a percentile_approx sketch output;
+    # tie placement at the threshold differs from the exact rank cut,
+    # so the exact twin is the oracle via dsir_approx_audit (same
+    # recipe as rfm_user_scores_approx / rfm_approx_audit).
+    tags=("llm-pipeline", "curation", "dsir", "approx", "scale-path"),
+)
+def curation_dsir_importance_select_approx(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Scale-path DSIR selection (VERDICT r12 task 1): identical
+    doc-weight pipeline to `curation_dsir_importance_select`, but the
+    top-20% cut comes from a distributed quantile —
+    percentile_approx(w, 0.8) is a mergeable sketch computed in one
+    map-side-combinable aggregate and broadcast back — instead of a
+    global row_number sort. Selection = every document with
+    w >= threshold (the whole tie band at the cut value is kept,
+    which is the only semantic difference from the exact rank cut;
+    `dsir_approx_audit` brackets it).
+
+    Plan shape at 100 TB: token scan -> doc-grain aggregate
+    (materialized once), a 1-row sketch aggregate broadcast back, and
+    a row-local comparison — zero global sorts, no single-task stage
+    anywhere; the sketch's mergeability is exactly what a
+    1000-executor reduce needs."""
+    # doc-grain is the pipeline's natural materialization point: both
+    # the threshold sketch and the final per-lang rollup consume it
+    dw = _dsir_doc_weights(spark, sf_dir).localCheckpoint(eager=True)
+    thr = dw.agg(
+        F.percentile_approx("w", F.lit(0.8), F.lit(10_000)).alias("thr")
+    )
+    sel = F.col("w") >= F.col("thr")
+    return (
+        dw.crossJoin(F.broadcast(thr))
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(sel.cast("long")).alias("n_selected"),
+            F.round(
+                F.coalesce(F.sum(F.when(sel, F.col("w"))), F.lit(0)),
+                4,
+            ).cast("double").alias("sel_weight_sum"),
+            F.coalesce(
+                F.sum(F.when(sel, F.col("n_tok"))), F.lit(0)
+            ).cast("bigint").alias("sel_tokens"),
+        )
+        .orderBy("lang")
+    )
+
+
+@register(
+    "dsir_approx_audit",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id, lang, tok
+            FROM (
+                SELECT doc_id, lang,
+                       unnest(string_split(
+                           regexp_replace(lower(trim(text)),
+                                          '\\s+', ' ', 'g'), ' ')) AS tok
+                FROM documents
+            )
+            WHERE tok <> ''
+        ),
+        tb AS (
+            SELECT doc_id, lang,
+                   (length(tok) * 31 + ascii(left(tok, 1)) * 7
+                    + ascii(right(tok, 1))) % 64 AS b
+            FROM toks
+        ),
+        bs AS (
+            SELECT b, count(*) AS r_cnt,
+                   sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS t_cnt
+            FROM tb GROUP BY b
+        ),
+        tot AS (
+            SELECT sum(r_cnt) AS rtot, sum(t_cnt) AS ttot FROM bs
+        ),
+        ratios AS (
+            SELECT b,
+                   CAST(round(ln(((t_cnt + 1) * (rtot + 64))
+                              / ((ttot + 64) * (r_cnt + 1))), 6)
+                        AS DECIMAL(18, 6)) AS lr
+            FROM bs, tot
+        ),
+        dw AS (
+            SELECT j.doc_id, sum(j.cnt * r.lr) AS w
+            FROM (
+                SELECT doc_id, b, count(*) AS cnt
+                FROM tb GROUP BY 1, 2
+            ) j JOIN ratios r USING (b)
+            GROUP BY 1
+        )
+        SELECT CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(count(*) // 5 AS BIGINT) AS n_selected_exact,
+               TRUE AS threshold_separates,
+               TRUE AS selection_bracket_ok,
+               TRUE AS disagreement_bounded
+        FROM dw
+    """,
+    tags=("llm-pipeline", "curation", "dsir", "audit", "approx"),
+)
+def dsir_approx_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-hashable contract check for the DSIR scale twin — the
+    exactness bracket that lets `curation_dsir_importance_select_
+    approx` replace the exact global-sort cut at 100 TB. Like every
+    audit query it DELIBERATELY runs both paths (the exact rank is
+    the ground truth being compared against). One row:
+
+    - n_docs / n_selected_exact: recomputed independently by the
+      DuckDB oracle from the corpus, so the doc-weight pipeline
+      under the audit is itself re-attested;
+    - threshold_separates: the approx selection must be downward
+      closed in weight (min selected w >= max unselected w) — TRUE
+      by construction of a value cut, verified distributedly;
+    - selection_bracket_ok: |#selected - floor(n/5)| bounded by the
+      tie mass at the cut values plus the sketch's rank error
+      (accuracy 10k -> n/1000 slack floor of 1);
+    - disagreement_bounded: docs where approx and exact selection
+      disagree, bounded by the same tie+error budget (disagreements
+      can only live in the band between the sketch threshold and the
+      exact boundary weight)."""
+    dw = _dsir_doc_weights(spark, sf_dir).localCheckpoint(eager=True)
+    thr = dw.agg(
+        F.percentile_approx("w", F.lit(0.8), F.lit(10_000)).alias("thr")
+    )
+    ranked = dw.select(
+        "w",
+        F.row_number().over(
+            W.orderBy(F.col("w").desc(), "doc_id")
+        ).alias("rk"),
+        F.count("*").over(W.partitionBy(F.lit(1))).alias("n_total"),
+    ).localCheckpoint(eager=True)
+    # the exact boundary weight: the lowest weight the rank cut keeps
+    band = ranked.crossJoin(F.broadcast(thr)).agg(
+        F.min(
+            F.when(
+                F.col("rk") <= F.floor(F.col("n_total") / 5), F.col("w")
+            )
+        ).alias("w_cut"),
+        F.min("thr").alias("thr"),  # constant column
+    )
+    a_sel = F.col("w") >= F.col("thr")
+    e_sel = F.col("rk") <= F.floor(F.col("n_total") / 5)
+    agg = (
+        ranked.crossJoin(F.broadcast(band))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(a_sel.cast("long")).alias("n_a"),
+            F.sum((F.col("w") == F.col("thr")).cast("long")).alias(
+                "n_at_thr"
+            ),
+            F.sum((F.col("w") == F.col("w_cut")).cast("long")).alias(
+                "n_at_cut"
+            ),
+            F.sum((a_sel != e_sel).cast("long")).alias("n_dis"),
+            F.min(F.when(a_sel, F.col("w"))).alias("min_sel"),
+            F.max(F.when(~a_sel, F.col("w"))).alias("max_unsel"),
+        )
+    )
+    slack = (
+        F.col("n_at_thr")
+        + F.col("n_at_cut")
+        + F.greatest(F.lit(1), F.floor(F.col("n_docs") / 1000))
+    )
+    return agg.select(
+        F.col("n_docs").cast("bigint"),
+        F.floor(F.col("n_docs") / 5).cast("bigint").alias(
+            "n_selected_exact"
+        ),
+        F.coalesce(
+            F.col("min_sel") >= F.col("max_unsel"), F.lit(True)
+        ).alias("threshold_separates"),
+        (
+            F.abs(F.col("n_a") - F.floor(F.col("n_docs") / 5)) <= slack
+        ).alias("selection_bracket_ok"),
+        (F.col("n_dis") <= slack).alias("disagreement_bounded"),
     )

@@ -3069,3 +3069,44 @@ def test_murmur3_published_vectors():
     assert murmur3_x86_32(struct.pack("<q", 34)) == 2017239379
     # ints hash as longs, so bucket assignments agree across widths
     assert iceberg_bucket_long(34, 16) == (2017239379 & 0x7FFFFFFF) % 16
+
+
+def test_dsir_approx_agrees_with_exact(spark):
+    """The percentile-cut DSIR twin (scale path, no global sort) must
+    track the exact rank-cut query: per-language doc counts identical,
+    selected counts within the tie band at the cut, and the selection
+    downward-closed in weight. Run at sf0.01; the audit query's three
+    verdicts must all come back TRUE there too."""
+    sf = "/root/testdata/sf0.01"
+    exact = {
+        r["lang"]: r
+        for r in all_queries()[
+            "curation_dsir_importance_select"
+        ].fn(spark, sf).collect()
+    }
+    approx = {
+        r["lang"]: r
+        for r in all_queries()[
+            "curation_dsir_importance_select_approx"
+        ].fn(spark, sf).collect()
+    }
+    assert set(exact) == set(approx) and exact
+    n = sum(r["n_docs"] for r in exact.values())
+    for lang, e in exact.items():
+        a = approx[lang]
+        assert a["n_docs"] == e["n_docs"]
+    tot_exact = sum(r["n_selected"] for r in exact.values())
+    tot_approx = sum(r["n_selected"] for r in approx.values())
+    assert tot_exact == n // 5
+    # the value cut keeps whole tie bands; allow the same slack the
+    # audit brackets (sketch rank error + ties)
+    assert abs(tot_approx - tot_exact) <= max(1, n // 1000) + 50
+
+    audit = all_queries()["dsir_approx_audit"].fn(spark, sf).collect()
+    assert len(audit) == 1
+    row = audit[0]
+    assert row["n_docs"] == n
+    assert row["n_selected_exact"] == n // 5
+    assert row["threshold_separates"]
+    assert row["selection_bracket_ok"]
+    assert row["disagreement_bounded"]
