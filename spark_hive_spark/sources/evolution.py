@@ -2888,3 +2888,196 @@ def source_iceberg_hidden_partitioning(
     ).localCheckpoint(eager=True)  # 1 row; frees the temp root
     shutil.rmtree(root, ignore_errors=True)
     return out
+
+
+@register(
+    "source_delta_checkpoint_partition_values",
+    oracle=f"""
+        SELECT o_orderpriority AS prio,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               {sql_dsum('o_totalprice')} AS revenue,
+               CAST(7 AS INT) AS n_ckpt_rows,
+               CAST(5 AS INT) AS n_add_files,
+               CAST(2 AS INT) AS n_selected_files,
+               TRUE AS pv_consistent
+        FROM orders
+        WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+        GROUP BY o_orderpriority
+        ORDER BY prio
+    """,
+    tags=("source", "delta", "lakehouse", "checkpoint", "map",
+          "partition-pruning"),
+)
+def source_delta_checkpoint_partition_values(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Delta checkpoint ``add.partitionValues`` decoded through the
+    hand-built parquet MAP reader (round 13) — the capstone the r12
+    verdict named for the nested-page work: checkpoint files store
+    each add action's Hive-style partition values as a
+    ``map<string,string>`` nested INSIDE the optional ``add`` struct
+    (leaf chains [1,1,2,0]/[1,1,2,1] — two optional ancestors above
+    the repeated key_value node, the A=2 shape the single-rep Dremel
+    assembler generalizes to), and partition PRUNING at scan-planning
+    time is exactly a predicate over those decoded maps.
+
+    Fixture: a 5-partition table (one data file per o_orderpriority,
+    the partition column REMOVED from the files, Hive-style), a
+    7-row checkpoint parquet (protocol + metaData + 5 adds) written
+    with proper nested types, `_last_checkpoint` pointing at it. The
+    reader hand-decodes add.path (a leaf under the optional struct,
+    def 0/1/2 disambiguating non-add rows) and add.partitionValues
+    (`read_map_column_pages`), checks their null positions agree,
+    prunes to partitions 1-URGENT/2-HIGH, scans ONLY those files,
+    and reattaches the partition value from the decoded map (the
+    files do not contain it — wrong pruning reads wrong rows AND
+    mislabels them). The oracle recomputes both groups from raw
+    orders.
+
+    Scale posture: checkpoint decode is metadata-plane work on one
+    bounded file (like every Delta log replay here); the data scan
+    is a normal pruned parquet read — at 100 TB pruning is the whole
+    point: 2 of 5 partitions' bytes ever touched."""
+    import json as _json
+
+    import pyarrow as _pa
+    import pyarrow.parquet as _pq
+
+    from spark_hive_spark.sources.parquet_meta import (
+        _leaf_repetitions,
+        decode_footer,
+        max_levels,
+        read_leaf_pages_with_levels,
+        read_map_column_pages,
+    )
+
+    orders = t(spark, sf_dir, "orders")
+    root = os.path.join(
+        tempfile.gettempdir(), f"shs_dckpv_{uuid.uuid4().hex}"
+    )
+    tdir = os.path.join(root, "table")
+    ldir = os.path.join(tdir, "_delta_log")
+    os.makedirs(ldir)
+
+    prios = [r[0] for r in orders.select("o_orderpriority")
+             .distinct().orderBy("o_orderpriority").collect()]
+    if len(prios) != 5:
+        raise ValueError(f"expected 5 priorities, got {prios}")
+
+    def _write_part(name: str, prio: str) -> None:
+        tmp = os.path.join(root, "stage")
+        (
+            orders.filter(F.col("o_orderpriority") == prio)
+            .drop("o_orderpriority")  # Hive-style: value lives in pv
+            .coalesce(1).write.parquet(tmp)
+        )
+        srcf = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+        os.replace(os.path.join(tmp, srcf), os.path.join(tdir, name))
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    files = {}
+    for n, prio in enumerate(prios):
+        name = f"prio={n}/part-{n}.parquet"
+        os.makedirs(os.path.join(tdir, f"prio={n}"), exist_ok=True)
+        _write_part(name, prio)
+        files[name] = prio
+
+    # ---- the checkpoint parquet: 7 rows, nested action structs ----
+    proto_t = _pa.struct([("minReaderVersion", _pa.int32()),
+                          ("minWriterVersion", _pa.int32())])
+    meta_t = _pa.struct([("id", _pa.string()),
+                         ("schemaString", _pa.string()),
+                         ("partitionColumns", _pa.list_(_pa.string()))])
+    add_t = _pa.struct([
+        ("path", _pa.string()),
+        ("partitionValues", _pa.map_(_pa.string(), _pa.string())),
+        ("size", _pa.int64()),
+        ("modificationTime", _pa.int64()),
+        ("dataChange", _pa.bool_()),
+    ])
+    names = sorted(files)
+    n_rows = 2 + len(names)
+    top = _pa.table({
+        "protocol": _pa.array(
+            [{"minReaderVersion": 1, "minWriterVersion": 2}]
+            + [None] * (n_rows - 1), proto_t),
+        "metaData": _pa.array(
+            [None,
+             {"id": "shs-delta-pv", "schemaString": "{}",
+              "partitionColumns": ["prio"]}]
+            + [None] * (n_rows - 2), meta_t),
+        "add": _pa.array(
+            [None, None]
+            + [{"path": p,
+                "partitionValues": [("prio", files[p])],
+                "size": os.path.getsize(os.path.join(tdir, p)),
+                "modificationTime": 0, "dataChange": True}
+               for p in names], add_t),
+    })
+    ckpt = os.path.join(ldir, f"{0:020d}.checkpoint.parquet")
+    _pq.write_table(top, ckpt)
+    with open(os.path.join(ldir, "_last_checkpoint"), "w") as fh:
+        _json.dump({"version": 0, "size": n_rows}, fh)
+
+    # ---- the reader: hand-decode path + partitionValues ----
+    with open(ckpt, "rb") as fh:
+        data = fh.read()
+    fmd = decode_footer(data)
+    reps = _leaf_repetitions(fmd[2])
+    kp = "add.partitionValues.key_value.key"
+    vp = "add.partitionValues.key_value.value"
+    pp = "add.path"
+    paths: list[str | None] = []
+    pvs: list[dict | None] = []
+    for rg in fmd[4]:
+        by_path = {
+            ".".join(seg.decode() for seg in cc[3][3]): cc[3]
+            for cc in rg[1]
+        }
+        pv, _np = read_map_column_pages(
+            data, by_path[kp], by_path[vp], reps[kp], reps[vp]
+        )
+        pt, _defs, _n = read_leaf_pages_with_levels(
+            data, by_path[pp], max_levels(reps[pp])[0]
+        )
+        paths.extend(pt)
+        pvs.extend(pv)
+    ok = (
+        reps[kp] == [1, 1, 2, 0]
+        and reps[vp] == [1, 1, 2, 1]
+        and len(paths) == len(pvs) == n_rows
+        # add-struct nullness must agree between the two decodes
+        and all((p is None) == (m is None) for p, m in zip(paths, pvs))
+        and all(m is not None and set(m) == {"prio"}
+                for p, m in zip(paths, pvs) if p is not None)
+    )
+    adds = {p: m["prio"] for p, m in zip(paths, pvs) if p is not None}
+    want = {"1-URGENT", "2-HIGH"}
+    selected = {p: pr for p, pr in adds.items() if pr in want}
+    if len(selected) != 2:
+        raise ValueError(f"pruning selected {sorted(selected)}")
+
+    parts = []
+    for p, prio in sorted(selected.items()):
+        parts.append(
+            spark.read.parquet(os.path.join(tdir, p))
+            .withColumn("prio", F.lit(prio))
+        )
+    scan = parts[0]
+    for df in parts[1:]:
+        scan = scan.unionByName(df)
+    out = (
+        scan.groupBy("prio")
+        .agg(
+            F.count("*").alias("n_orders"),
+            dsum("o_totalprice").alias("revenue"),
+            F.lit(n_rows).cast("int").alias("n_ckpt_rows"),
+            F.lit(len(adds)).cast("int").alias("n_add_files"),
+            F.lit(len(selected)).cast("int").alias("n_selected_files"),
+            F.lit(bool(ok)).alias("pv_consistent"),
+        )
+        .orderBy("prio")
+        .localCheckpoint(eager=True)  # 2 rows; frees the temp root
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    return out

@@ -938,14 +938,52 @@ def read_list_column_pages(
     (max_def). Levels and values are concatenated across ALL data
     pages before assembly, so a row whose list spans a page boundary
     (legal in v1 files) reassembles correctly."""
-    if len(repetitions) != 3 or repetitions[0] != 1 or repetitions[1] != 2 \
-            or repetitions[2] not in (0, 1):
-        raise NotImplementedError(
-            f"nested shape {repetitions} (only the standard optional/"
-            "repeated/element one-level list is implemented)"
-        )
-    element_optional = repetitions[2] == 1
     max_def, max_rep = max_levels(repetitions)
+    if max_rep != 1:
+        raise NotImplementedError(
+            f"nested shape {repetitions} has {max_rep} repetition "
+            "levels; use read_nested_list_column_pages"
+        )
+    above, _below = _single_rep_split(repetitions)
+    defs, reps, vals, n_pages = _walk_leaf_pages(
+        data, cmd, max_def, max_rep
+    )
+    return (
+        _assemble_single_rep(defs, reps, vals, above, max_def),
+        n_pages,
+    )
+
+
+def _single_rep_split(repetitions: list[int]) -> tuple[int, int]:
+    """A root→leaf repetition-type chain with exactly ONE repeated
+    node -> (A, B): A = def levels contributed ABOVE the repeated
+    node (optional ancestors), B = def levels contributed BELOW it
+    (optional descendants incl. the leaf). Def semantics follow:
+    d < A some ancestor null, d == A entry list empty, d == A+1+k
+    first k optional nodes below defined, d == max_def value present.
+    Covers the standard 3-level list (A=1), the spec's 3-level map
+    key_value leaves (A=1), and either nested inside optional structs
+    (A>1, e.g. a Delta checkpoint's add.partitionValues)."""
+    rep_idx = [i for i, r in enumerate(repetitions) if r == 2]
+    if len(rep_idx) != 1:
+        raise NotImplementedError(
+            f"chain {repetitions} has {len(rep_idx)} repeated nodes "
+            "(single-rep-level assembly only)"
+        )
+    j = rep_idx[0]
+    above = sum(1 for r in repetitions[:j] if r == 1)
+    below = sum(1 for r in repetitions[j + 1 :] if r == 1)
+    return above, below
+
+
+def _walk_leaf_pages(
+    data: bytes, cmd: dict[int, Any], max_def: int, max_rep: int
+) -> tuple[list[int], list[int], list, int]:
+    """Walk one leaf column chunk's pages -> (def levels, rep levels,
+    present values, data-page count) concatenated across ALL data
+    pages (a row whose entries span a page boundary — legal in v1
+    files — needs the full streams before assembly). Fixed-width
+    (INT32/INT64/FLOAT/DOUBLE) and BYTE_ARRAY (utf-8) leaves."""
     phys = cmd[1]
     fixed = {_INT32: ("<i", 4), _INT64: ("<q", 8),
              _FLOAT: ("<f", 4), _DOUBLE: ("<d", 8)}
@@ -1003,11 +1041,7 @@ def read_list_column_pages(
             f"page walk produced {len(defs)} level entries, chunk "
             f"says {total}"
         )
-    return (
-        _assemble_one_level_lists(defs, reps, vals, max_def,
-                                  element_optional),
-        n_pages,
-    )
+    return defs, reps, vals, n_pages
 
 
 # round-12 first name, kept as an alias (the original accepted only
@@ -1083,32 +1117,36 @@ def read_leaf_pages_with_levels(
     return out, defs_all, n_pages
 
 
-def _assemble_one_level_lists(
+def _assemble_single_rep(
     defs: list[int],
     reps: list[int],
     vals: list,
+    above: int,
     max_def: int,
-    element_optional: bool,
 ) -> list[list | None]:
-    """Dremel record assembly for the 3-level list shape."""
+    """Dremel record assembly for any single-repetition-level leaf:
+    ``above`` def levels come from optional ancestors of the repeated
+    node (1 for the standard 3-level list, more when the list/map
+    hangs inside optional structs). d < above -> some ancestor null
+    (row None), d == above -> empty, above < d < max_def -> entry
+    present but null below the repeated node, d == max_def -> value."""
     rows: list[list | None] = []
     cur: list | None = None
     started = False
     it = iter(vals)
-    empty_def = max_def - 2 if element_optional else max_def - 1
     for d, r in zip(defs, reps):
         if r == 0:  # new top-level row
             if started:
                 rows.append(cur)
             started = True
-            if d == 0:
+            if d < above:
                 cur = None
-            elif d == empty_def:
+            elif d == above:
                 cur = []
-            elif element_optional and d == max_def - 1:
-                cur = [None]
             elif d == max_def:
                 cur = [next(it)]
+            elif above < d < max_def:
+                cur = [None]
             else:
                 raise ValueError(f"definition level {d} at rep 0")
         else:  # r == 1: continuation of the current list
@@ -1116,7 +1154,7 @@ def _assemble_one_level_lists(
                 raise ValueError("continuation level before any row")
             if d == max_def:
                 cur.append(next(it))
-            elif element_optional and d == max_def - 1:
+            elif above < d < max_def:
                 cur.append(None)
             else:
                 raise ValueError(f"definition level {d} at rep 1")
@@ -1125,6 +1163,273 @@ def _assemble_one_level_lists(
     for _ in it:
         raise ValueError("record assembly left values unconsumed")
     return rows
+
+
+def _assemble_slot_rows(
+    defs: list[int],
+    reps: list[int],
+    vals: list,
+    above: int,
+    max_def: int,
+) -> list[list[tuple[int, Any]] | None]:
+    """Like `_assemble_single_rep` but each entry keeps its raw
+    definition level: rows of None / [] / [(def, value-or-None)...].
+    The struct zipper needs the level itself — for a list<struct>
+    leaf, def distinguishes 'struct slot null' from 'struct present,
+    this field null', which collapsed values cannot."""
+    rows: list[list[tuple[int, Any]] | None] = []
+    cur: list[tuple[int, Any]] | None = None
+    started = False
+    it = iter(vals)
+    for d, r in zip(defs, reps):
+        if r == 0:
+            if started:
+                rows.append(cur)
+            started = True
+            if d < above:
+                cur = None
+                continue
+            cur = []
+            if d == above:
+                continue
+        elif cur is None:
+            raise ValueError("continuation level before any row")
+        if d == max_def:
+            cur.append((d, next(it)))
+        elif above < d < max_def:
+            cur.append((d, None))
+        else:
+            raise ValueError(f"definition level {d} at rep {r}")
+    if started:
+        rows.append(cur)
+    for _ in it:
+        raise ValueError("record assembly left values unconsumed")
+    return rows
+
+
+def read_map_column_pages(
+    data: bytes,
+    key_cmd: dict[int, Any],
+    val_cmd: dict[int, Any],
+    key_reps: list[int],
+    val_reps: list[int],
+) -> tuple[list[dict | None], int]:
+    """Decode one MAP column (the spec's 3-level key_value group —
+    parquet LogicalTypes.md: ``optional group m (MAP) { repeated
+    group key_value { required K key; <required|optional> V value
+    } }``) from its TWO leaf chunks -> (one dict-or-None per
+    top-level row, total data pages walked).
+
+    The two leaves share the repeated ``key_value`` node, so their
+    repetition streams describe the same entry structure; each side
+    is assembled independently by the single-rep-level Dremel path
+    and then zipped entry-wise, with every structural property
+    validated: same row count, null/empty agreement, equal entry
+    counts per row, and no null keys (the spec requires key to be
+    REQUIRED). Works equally when the map hangs inside optional
+    structs (above > 1, e.g. a Delta checkpoint's
+    ``add.partitionValues``)."""
+    k_above, _ = _single_rep_split(key_reps)
+    v_above, _ = _single_rep_split(val_reps)
+    if k_above != v_above:
+        raise ValueError("map key/value ancestor depths disagree")
+    if key_reps[-1] != 0:
+        raise ValueError("map key leaf must be REQUIRED per the spec")
+    keys, kp = read_list_column_pages(data, key_cmd, key_reps)
+    vals, vp = read_list_column_pages(data, val_cmd, val_reps)
+    if len(keys) != len(vals):
+        raise ValueError("map key/value leaves disagree on row count")
+    out: list[dict | None] = []
+    for krow, vrow in zip(keys, vals):
+        if (krow is None) != (vrow is None):
+            raise ValueError("map key/value null-row mismatch")
+        if krow is None:
+            out.append(None)
+            continue
+        if len(krow) != len(vrow):
+            raise ValueError("map key/value entry counts disagree")
+        if any(k is None for k in krow):
+            raise ValueError("null map key")
+        out.append(dict(zip(krow, vrow)))
+    return out, kp + vp
+
+
+def read_list_struct_column_pages(
+    data: bytes,
+    leaf_specs: list[tuple[str, dict[int, Any], list[int]]],
+) -> tuple[list[list[dict | None] | None], int]:
+    """Decode one list<struct> column from ALL its leaf chunks ->
+    (one entry per top-level row: None / [] / a list whose slots are
+    None for a null struct or {field: value-or-None}; total data
+    pages). ``leaf_specs`` is [(field name, ColumnMetaData,
+    root→leaf repetition chain)] for every leaf of the repeated
+    struct element, in struct field order.
+
+    Assembly: each leaf runs the single-rep-level Dremel path keeping
+    raw definition levels (`_assemble_slot_rows`); slots then zip
+    across leaves. The element group's own def level (elem_def =
+    above+1 normally, +1 more when the element group is OPTIONAL —
+    Spark writes it optional) splits 'slot exists but struct is null'
+    from 'struct present, field null'. Leaves must agree on row
+    count, row nullness, slot counts, and struct-null slots — each
+    checked, since they are independent page streams."""
+    per_leaf: list[tuple[str, int, int, list]] = []
+    above0: int | None = None
+    total_pages = 0
+    for name, cmd, chain in leaf_specs:
+        above, below = _single_rep_split(chain)
+        if above0 is None:
+            above0 = above
+        elif above != above0:
+            raise ValueError("struct leaves disagree on ancestor depth")
+        max_def, max_rep = max_levels(chain)
+        if max_rep != 1:
+            raise NotImplementedError(
+                f"list<struct> leaf {name} has {max_rep} repetition "
+                "levels"
+            )
+        j = chain.index(2)
+        if len(chain) < j + 3:
+            raise ValueError(
+                f"leaf {name} is not nested inside a struct element"
+            )
+        elem_def = above + 1 + (1 if chain[j + 1] == 1 else 0)
+        defs, reps, vals, n_pages = _walk_leaf_pages(
+            data, cmd, max_def, max_rep
+        )
+        total_pages += n_pages
+        slots = _assemble_slot_rows(defs, reps, vals, above, max_def)
+        per_leaf.append((name, elem_def, max_def, slots))
+    n_rows = len(per_leaf[0][3])
+    if any(len(pl[3]) != n_rows for pl in per_leaf):
+        raise ValueError("struct leaves disagree on row count")
+    out: list[list[dict | None] | None] = []
+    for i in range(n_rows):
+        rows_i = [pl[3][i] for pl in per_leaf]
+        if any((r is None) != (rows_i[0] is None) for r in rows_i):
+            raise ValueError("struct leaves disagree on row nullness")
+        if rows_i[0] is None:
+            out.append(None)
+            continue
+        if len({len(r) for r in rows_i}) != 1:
+            raise ValueError("struct leaves disagree on slot count")
+        slots_out: list[dict | None] = []
+        for j in range(len(rows_i[0])):
+            struct_null = rows_i[0][j][0] < per_leaf[0][1]
+            rec: dict | None = None if struct_null else {}
+            for (name, elem_def, _md, _s), row in zip(per_leaf, rows_i):
+                d, v = row[j]
+                if (d < elem_def) != struct_null:
+                    raise ValueError(
+                        "struct leaves disagree on struct-null slot"
+                    )
+                if rec is not None:
+                    rec[name] = v
+            slots_out.append(rec)
+        out.append(slots_out)
+    return out, total_pages
+
+
+def assemble_nested_leaf(
+    defs: list[int],
+    reps: list[int],
+    vals: list,
+    repetitions: list[int],
+) -> list:
+    """GENERAL Dremel record assembly for one leaf with any number of
+    repetition levels (Melnik et al. 2010 §4 / parquet-format
+    Nested-Encoding): REPEATED nodes materialize as python lists;
+    d < the def count of a node means that node (or an ancestor) is
+    undefined -> None/absence at the outermost undefined position;
+    a value is consumed only at d == max_def. Handles list<list<T>>
+    and deeper, which the single-rep fast path rejects.
+
+    Level bookkeeping: for rep level l (1-based), start_def[l] is the
+    cumulative def count THROUGH the l-th repeated node — an entry at
+    rep r continues the list at depth r, and its def level then says
+    how far below that list the path stays defined."""
+    max_def, max_rep = max_levels(repetitions)
+    # rep_def[l] = cumulative def count THROUGH the l-th repeated node
+    cum = 0
+    rep_def: list[int] = [0]
+    for rt in repetitions:
+        if rt in (1, 2):
+            cum += 1
+        if rt == 2:
+            rep_def.append(cum)
+    if len(rep_def) - 1 != max_rep:
+        raise ValueError("repetition chain/levels disagree")
+    rows: list = []
+    # stack[l] = the currently-open list at rep depth l (1-based)
+    stack: list[list | None] = [None] * (max_rep + 1)
+    it = iter(vals)
+    started = False
+
+    def _descend(level: int, d: int) -> None:
+        """Add one entry inside the open list at `level`,
+        materializing deeper lists as far as d keeps the path
+        defined."""
+        while True:
+            if level == max_rep:
+                stack[level].append(next(it) if d == max_def else None)
+                return
+            nxt = rep_def[level + 1]
+            if d >= nxt:  # the next repeated node is defined: open it
+                new: list = []
+                stack[level].append(new)
+                stack[level + 1] = new
+                level += 1
+                continue
+            if d == nxt - 1:
+                # everything above the next repeated node is defined
+                # but the node itself has no entries: empty inner list
+                stack[level].append([])
+            else:
+                # an optional node between the lists is null
+                stack[level].append(None)
+            for stale in range(level + 1, max_rep + 1):
+                stack[stale] = None
+            return
+
+    for d, r in zip(defs, reps):
+        if r == 0:  # new top-level record
+            started = True
+            for stale in range(1, max_rep + 1):
+                stack[stale] = None
+            if d < rep_def[1] - 1:
+                rows.append(None)  # an ancestor of the outer list null
+                continue
+            top: list = []
+            rows.append(top)
+            if d == rep_def[1] - 1:
+                continue  # outer list present but empty
+            stack[1] = top
+            _descend(1, d)
+        else:
+            if not started:
+                raise ValueError("continuation level before any row")
+            if stack[r] is None:
+                raise ValueError(f"continuation at closed rep depth {r}")
+            _descend(r, d)
+    for _ in it:
+        raise ValueError("record assembly left values unconsumed")
+    return rows
+
+
+def read_nested_list_column_pages(
+    data: bytes,
+    cmd: dict[int, Any],
+    repetitions: list[int],
+) -> tuple[list, int]:
+    """Decode one multi-repetition-level scalar leaf (list<list<T>>
+    and deeper) via the general Dremel assembler."""
+    max_def, max_rep = max_levels(repetitions)
+    if max_rep < 2:
+        return read_list_column_pages(data, cmd, repetitions)
+    defs, reps, vals, n_pages = _walk_leaf_pages(
+        data, cmd, max_def, max_rep
+    )
+    return assemble_nested_leaf(defs, reps, vals, repetitions), n_pages
 
 
 def read_fixed_pages_at(
@@ -2748,6 +3053,565 @@ def source_parquet_int96_timestamp_decode(
         F.max("max_us").alias("max_us"),
         F.sum("sum_off_sec").alias("sum_off_sec"),
         F.min("ok").alias("int96_consistent"),
+    ).localCheckpoint(eager=True)  # 1 row; frees the temp root
+    shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
+@register(
+    "source_parquet_map_decode",
+    oracle="""
+        WITH base AS (SELECT o_orderkey AS k FROM orders),
+        ent AS (
+            SELECT k, i - 1 AS j
+            FROM base, generate_series(1, 4) AS gs(i)
+            WHERE k % 11 <> 0 AND k % 7 <> 0 AND i <= k % 4 + 1
+        ),
+        rowagg AS (
+            SELECT CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(sum(CASE WHEN k % 11 = 0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_null_maps,
+                   CAST(sum(CASE WHEN k % 11 <> 0 AND k % 7 = 0
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_empty_maps
+            FROM base
+        ),
+        entagg AS (
+            SELECT CAST(count(*) AS BIGINT) AS n_entries,
+                   CAST(coalesce(sum(CASE WHEN (k + j) % 5 = 0
+                                          THEN 1 ELSE 0 END), 0)
+                        AS BIGINT) AS n_null_values,
+                   CAST(coalesce(sum(CASE WHEN (k + j) % 5 <> 0
+                                          THEN k * 10 + j END), 0)
+                        AS BIGINT) AS val_sum,
+                   CAST(2 * count(*) AS BIGINT) AS key_chars
+            FROM ent
+        )
+        SELECT n_rows, n_null_maps, n_empty_maps, n_entries,
+               n_null_values, val_sum, key_chars,
+               TRUE AS map_consistent
+        FROM rowagg, entagg
+    """,
+    tags=("source", "parquet", "pages", "nested", "map"),
+)
+def source_parquet_map_decode(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """A SPARK-WRITTEN ``map<string,bigint>`` column decoded entirely
+    by hand (round 13) — the top "What's missing" seam from round 12:
+    the spec's 3-level key_value group (LogicalTypes.md MAP) is what
+    Delta checkpoints themselves use for partitionValues, so a nested
+    reader without maps stops at the most common real-file shape.
+
+    A map column flattens to TWO leaf chunks — key_value.key
+    (required, chain [1,2,0]) and key_value.value (optional, chain
+    [1,2,1]) — that share the repeated node. Each side runs the same
+    single-rep-level Dremel assembly as lists
+    (`read_map_column_pages`), then zips entry-wise with every
+    structural invariant checked: row counts, null/empty agreement,
+    per-row entry counts, and the spec's no-null-keys rule.
+
+    The fixture derives one map per order from o_orderkey k: NULL
+    when k % 11 = 0, EMPTY when k % 7 = 0, else k % 4 + 1 entries
+    'kj' -> k*10+j with every (k+j) % 5 = 0 value nulled — all def
+    levels on both leaves (0 null map, 1 empty, 2 key present /
+    value null, 3 value) and both rep levels. The oracle recomputes
+    every count from raw orders via a lateral generate_series; the
+    zipper's validation errors surface as job failures, not wrong
+    sums. ``map_consistent`` pins engine-side that the leaf chains
+    are exactly the spec's, >1 data page was walked per chunk, and
+    the codec is SNAPPY (hand-built decode).
+
+    Scale posture: one task per row group (mapInPandas over plan
+    rows); per-task partials combine in one reduce. Differentially
+    tested against pyarrow across v1/v2 pages, dict on/off, and
+    codecs in tests/test_parquet_meta.py."""
+    import glob as _glob
+
+    import pandas as _pd
+
+    root = os.path.join(
+        tempfile.gettempdir(), f"shs_pqmap_{uuid.uuid4().hex}"
+    )
+    (
+        t(spark, sf_dir, "orders")
+        .selectExpr(
+            """
+            CASE WHEN o_orderkey % 11 = 0
+                 THEN CAST(NULL AS map<string,bigint>)
+                 WHEN o_orderkey % 7 = 0
+                 THEN CAST(map() AS map<string,bigint>)
+                 ELSE map_from_arrays(
+                     transform(
+                         slice(array(0, 1, 2, 3), 1,
+                               CAST(o_orderkey % 4 AS INT) + 1),
+                         j -> concat('k', j)),
+                     transform(
+                         slice(array(0, 1, 2, 3), 1,
+                               CAST(o_orderkey % 4 AS INT) + 1),
+                         j -> CASE WHEN (o_orderkey + j) % 5 = 0
+                                   THEN CAST(NULL AS BIGINT)
+                                   ELSE o_orderkey * 10 + j END))
+            END AS m
+            """
+        )
+        .coalesce(1)
+        .write.option("compression", "snappy")
+        .option("parquet.block.size", 2 * 1024 * 1024)
+        .option("parquet.page.size", 8 * 1024)
+        .parquet(root)
+    )
+    path = _glob.glob(os.path.join(root, "*.parquet"))[0]
+    with open(path, "rb") as fh:
+        raw = fh.read()
+    n_groups = len(decode_footer(raw)[4])
+
+    plan = spark.createDataFrame(
+        [(path, i) for i in range(n_groups)], "path string, rg int"
+    ).repartition(n_groups)
+
+    def _decode_groups(batches) -> Iterator:
+        for pdf in batches:
+            for rec in pdf.itertuples(index=False):
+                with open(rec.path, "rb") as fh:
+                    data = fh.read()
+                fmd = decode_footer(data)
+                reps = _leaf_repetitions(fmd[2])
+                kp = next(p for p in reps if p.endswith(".key"))
+                vp = next(p for p in reps if p.endswith(".value"))
+                rg = fmd[4][rec.rg]
+                by_path = {
+                    ".".join(seg.decode() for seg in cc[3][3]): cc[3]
+                    for cc in rg[1]
+                }
+                rows, n_pages = read_map_column_pages(
+                    data, by_path[kp], by_path[vp], reps[kp], reps[vp]
+                )
+                n_null = sum(1 for r in rows if r is None)
+                n_empty = sum(1 for r in rows if r == {})
+                entries = [
+                    (k, v) for r in rows if r for k, v in r.items()
+                ]
+                present = [v for _k, v in entries if v is not None]
+                ok = (
+                    reps[kp] == [1, 2, 0]
+                    and reps[vp] == [1, 2, 1]
+                    and len(rows) == rg[3]
+                    and by_path[kp][4] == 1  # SNAPPY, hand decoder
+                    and n_pages > 2
+                )
+                yield _pd.DataFrame(
+                    [(
+                        len(rows), n_null, n_empty, len(entries),
+                        len(entries) - len(present), sum(present),
+                        sum(len(k) for k, _v in entries), bool(ok),
+                    )],
+                    columns=[
+                        "n_rows", "n_null_maps", "n_empty_maps",
+                        "n_entries", "n_null_values", "val_sum",
+                        "key_chars", "ok",
+                    ],
+                )
+
+    partials = plan.mapInPandas(
+        _decode_groups,
+        "n_rows bigint, n_null_maps bigint, n_empty_maps bigint,"
+        " n_entries bigint, n_null_values bigint, val_sum bigint,"
+        " key_chars bigint, ok boolean",
+    )
+    out = partials.agg(
+        F.sum("n_rows").alias("n_rows"),
+        F.sum("n_null_maps").alias("n_null_maps"),
+        F.sum("n_empty_maps").alias("n_empty_maps"),
+        F.sum("n_entries").alias("n_entries"),
+        F.sum("n_null_values").alias("n_null_values"),
+        F.sum("val_sum").alias("val_sum"),
+        F.sum("key_chars").alias("key_chars"),
+        F.min("ok").alias("map_consistent"),
+    ).localCheckpoint(eager=True)  # 1 row; frees the temp root
+    shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
+@register(
+    "source_parquet_list_struct_decode",
+    oracle="""
+        WITH base AS (SELECT o_orderkey AS k FROM orders),
+        slot AS (
+            SELECT k, i - 1 AS j
+            FROM base, generate_series(1, 3) AS gs(i)
+            WHERE k % 13 <> 0 AND i <= k % 4
+        ),
+        rowagg AS (
+            SELECT CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(sum(CASE WHEN k % 13 = 0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_null_lists,
+                   CAST(sum(CASE WHEN k % 13 <> 0 AND k % 4 = 0
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_empty_lists
+            FROM base
+        ),
+        slotagg AS (
+            SELECT CAST(count(*) AS BIGINT) AS n_slots,
+                   CAST(coalesce(sum(CASE WHEN (k + j) % 6 = 0
+                                          THEN 1 ELSE 0 END), 0)
+                        AS BIGINT) AS n_null_structs,
+                   CAST(coalesce(sum(
+                       CASE WHEN (k + j) % 6 <> 0 AND (k + j) % 5 <> 0
+                            THEN k * 10 + j END), 0) AS BIGINT)
+                       AS a_sum,
+                   CAST(coalesce(sum(
+                       CASE WHEN (k + j) % 6 <> 0 AND (k + j) % 4 <> 0
+                            THEN 2 END), 0) AS BIGINT) AS s_chars
+            FROM slot
+        )
+        SELECT n_rows, n_null_lists, n_empty_lists, n_slots,
+               n_null_structs, a_sum, s_chars,
+               TRUE AS struct_list_consistent
+        FROM rowagg, slotagg
+    """,
+    tags=("source", "parquet", "pages", "nested", "struct", "list"),
+)
+def source_parquet_list_struct_decode(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """A SPARK-WRITTEN ``array<struct<a bigint, s string>>`` column
+    decoded by hand (round 13) — struct-inside-list, the second half
+    of the round-12 nesting seam: each struct field is its own leaf
+    chunk (chain [1,2,1,1], max_def 4) and record assembly must keep
+    RAW definition levels per slot so 'slot exists but the struct is
+    null' (def 2) splits from 'struct present, this field null'
+    (def 3) — collapsed values cannot tell them apart. The two
+    leaves' independent page streams are then zipped slot-wise
+    (`read_list_struct_column_pages`) with row counts, row nullness,
+    slot counts, and struct-null positions all cross-checked — the
+    structural agreement Dremel guarantees and a correct reader must
+    verify.
+
+    Fixture per order k: NULL list when k % 13 = 0, else k % 4 slots
+    (empty list at k % 4 = 0) where slot j is a NULL struct when
+    (k+j) % 6 = 0, field a NULL when (k+j) % 5 = 0, field s ('s' +
+    one digit) NULL when (k+j) % 4 = 0 — every definition level 0-4
+    occurs on both leaves. The oracle recomputes all seven aggregates
+    from raw orders via a lateral generate_series.
+
+    Scale posture: one task per row group; partials combine in one
+    reduce. Differentially tested against pyarrow and Spark's own
+    reader in tests/test_parquet_meta.py."""
+    import glob as _glob
+
+    import pandas as _pd
+
+    root = os.path.join(
+        tempfile.gettempdir(), f"shs_pqls_{uuid.uuid4().hex}"
+    )
+    (
+        t(spark, sf_dir, "orders")
+        .selectExpr(
+            """
+            CASE WHEN o_orderkey % 13 = 0
+                 THEN CAST(NULL AS array<struct<a: bigint, s: string>>)
+                 ELSE transform(
+                     slice(array(0, 1, 2), 1,
+                           CAST(o_orderkey % 4 AS INT)),
+                     j -> CASE
+                         WHEN (o_orderkey + j) % 6 = 0
+                         THEN CAST(NULL AS struct<a: bigint, s: string>)
+                         ELSE named_struct(
+                             'a', CASE WHEN (o_orderkey + j) % 5 = 0
+                                       THEN CAST(NULL AS BIGINT)
+                                       ELSE o_orderkey * 10 + j END,
+                             's', CASE WHEN (o_orderkey + j) % 4 = 0
+                                       THEN CAST(NULL AS STRING)
+                                       ELSE concat(
+                                           's', (o_orderkey + j) % 9)
+                                  END) END)
+            END AS ls
+            """
+        )
+        .coalesce(1)
+        .write.option("compression", "snappy")
+        .option("parquet.block.size", 2 * 1024 * 1024)
+        .option("parquet.page.size", 8 * 1024)
+        .parquet(root)
+    )
+    path = _glob.glob(os.path.join(root, "*.parquet"))[0]
+    with open(path, "rb") as fh:
+        raw = fh.read()
+    n_groups = len(decode_footer(raw)[4])
+
+    plan = spark.createDataFrame(
+        [(path, i) for i in range(n_groups)], "path string, rg int"
+    ).repartition(n_groups)
+
+    def _decode_groups(batches) -> Iterator:
+        for pdf in batches:
+            for rec in pdf.itertuples(index=False):
+                with open(rec.path, "rb") as fh:
+                    data = fh.read()
+                fmd = decode_footer(data)
+                reps = _leaf_repetitions(fmd[2])
+                ap = next(p for p in reps if p.endswith(".a"))
+                sp = next(p for p in reps if p.endswith(".s"))
+                rg = fmd[4][rec.rg]
+                by_path = {
+                    ".".join(seg.decode() for seg in cc[3][3]): cc[3]
+                    for cc in rg[1]
+                }
+                rows, n_pages = read_list_struct_column_pages(
+                    data,
+                    [("a", by_path[ap], reps[ap]),
+                     ("s", by_path[sp], reps[sp])],
+                )
+                n_null = sum(1 for r in rows if r is None)
+                n_empty = sum(1 for r in rows if r == [])
+                slots = [s for r in rows if r for s in r]
+                structs = [s for s in slots if s is not None]
+                ok = (
+                    reps[ap] == [1, 2, 1, 1]
+                    and reps[sp] == [1, 2, 1, 1]
+                    and len(rows) == rg[3]
+                    and by_path[ap][4] == 1  # SNAPPY, hand decoder
+                    and n_pages > 2
+                )
+                yield _pd.DataFrame(
+                    [(
+                        len(rows), n_null, n_empty, len(slots),
+                        len(slots) - len(structs),
+                        sum(s["a"] for s in structs
+                            if s["a"] is not None),
+                        sum(len(s["s"]) for s in structs
+                            if s["s"] is not None),
+                        bool(ok),
+                    )],
+                    columns=[
+                        "n_rows", "n_null_lists", "n_empty_lists",
+                        "n_slots", "n_null_structs", "a_sum",
+                        "s_chars", "ok",
+                    ],
+                )
+
+    partials = plan.mapInPandas(
+        _decode_groups,
+        "n_rows bigint, n_null_lists bigint, n_empty_lists bigint,"
+        " n_slots bigint, n_null_structs bigint, a_sum bigint,"
+        " s_chars bigint, ok boolean",
+    )
+    out = partials.agg(
+        F.sum("n_rows").alias("n_rows"),
+        F.sum("n_null_lists").alias("n_null_lists"),
+        F.sum("n_empty_lists").alias("n_empty_lists"),
+        F.sum("n_slots").alias("n_slots"),
+        F.sum("n_null_structs").alias("n_null_structs"),
+        F.sum("a_sum").alias("a_sum"),
+        F.sum("s_chars").alias("s_chars"),
+        F.min("ok").alias("struct_list_consistent"),
+    ).localCheckpoint(eager=True)  # 1 row; frees the temp root
+    shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
+@register(
+    "source_parquet_nested_list_decode",
+    oracle="""
+        WITH base AS (
+            SELECT o_orderkey AS k, o_orderkey % 17 AS m FROM orders
+        ),
+        oe AS (
+            SELECT k, gi - 1 AS i
+            FROM base, generate_series(1, 4) AS go(gi)
+            WHERE m >= 5 AND gi <= k % 4 + 1
+        ),
+        fi AS (
+            SELECT k, i FROM oe
+            WHERE (k + i) % 7 <> 0 AND (k + i) % 5 <> 0
+        ),
+        vals AS (
+            SELECT k, i, gj - 1 AS j
+            FROM fi, generate_series(1, 3) AS gv(gj)
+            WHERE gj <= k % 3 + 1
+        ),
+        rowagg AS (
+            SELECT CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(sum(CASE WHEN m = 0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_null_outer,
+                   CAST(sum(CASE WHEN m IN (2, 3, 4) THEN 1 ELSE 0 END)
+                        AS BIGINT) AS sentinel_entries,
+                   CAST(sum(CASE WHEN m = 2 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS m2,
+                   CAST(sum(CASE WHEN m = 3 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS m3,
+                   CAST(sum(CASE WHEN m = 4 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS m4
+            FROM base
+        ),
+        oagg AS (
+            SELECT CAST(count(*) AS BIGINT) AS gen_entries,
+                   CAST(coalesce(sum(CASE WHEN (k + i) % 7 = 0
+                                          THEN 1 ELSE 0 END), 0)
+                        AS BIGINT) AS gen_null_inner,
+                   CAST(coalesce(sum(CASE WHEN (k + i) % 7 <> 0
+                                          AND (k + i) % 5 = 0
+                                          THEN 1 ELSE 0 END), 0)
+                        AS BIGINT) AS gen_empty_inner
+            FROM oe
+        ),
+        vagg AS (
+            SELECT CAST(count(*) AS BIGINT) AS gen_values,
+                   CAST(coalesce(sum(CASE WHEN (k + i + j) % 6 = 0
+                                          THEN 1 ELSE 0 END), 0)
+                        AS BIGINT) AS gen_null_values,
+                   CAST(coalesce(sum(CASE WHEN (k + i + j) % 6 <> 0
+                                          THEN k * 100 + i * 10 + j
+                                     END), 0) AS BIGINT) AS val_sum
+            FROM vals
+        )
+        SELECT n_rows, n_null_outer,
+               sentinel_entries + gen_entries AS n_outer_entries,
+               m2 + gen_null_inner AS n_null_inner,
+               m3 + gen_empty_inner AS n_empty_inner,
+               m4 + gen_values AS n_values,
+               m4 + gen_null_values AS n_null_values,
+               val_sum,
+               TRUE AS nested_list_consistent
+        FROM rowagg, oagg, vagg
+    """,
+    tags=("source", "parquet", "pages", "nested", "list", "deep"),
+)
+def source_parquet_nested_list_decode(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """A SPARK-WRITTEN ``array<array<bigint>>`` column decoded by
+    hand (round 13) — TWO repetition levels (chain [1,2,1,2,1],
+    max_def 5, max_rep 2), which the single-rep fast path rejects:
+    this runs the GENERAL Dremel record assembler
+    (`assemble_nested_leaf`, Melnik et al. 2010 §4), where a rep
+    level r continues the open list at depth r and the def level
+    materializes structure downward — distinguishing null outer (0),
+    empty outer (1), null INNER list (2), empty inner (3), null
+    element (4), and value (5).
+
+    The fixture cycles o_orderkey % 17 through the five degenerate
+    shapes (NULL / [] / [NULL] / [[]] / [[NULL]]) that pin each def
+    level in isolation, then general rows with k%4+1 outer entries,
+    (k+i)-modulated null/empty inner lists, and k%3+1 inner values
+    with (k+i+j)-modulated nulls. The oracle recomputes all eight
+    aggregates from raw orders through two chained lateral
+    generate_series — one per repetition level.
+
+    Scale posture: one task per row group; partials combine in one
+    reduce. Differentially tested against pyarrow (v1/v2, dict,
+    codecs) in tests/test_parquet_meta.py."""
+    import glob as _glob
+
+    import pandas as _pd
+
+    root = os.path.join(
+        tempfile.gettempdir(), f"shs_pqll_{uuid.uuid4().hex}"
+    )
+    (
+        t(spark, sf_dir, "orders")
+        .selectExpr(
+            """
+            CASE WHEN o_orderkey % 17 = 0
+                 THEN CAST(NULL AS array<array<bigint>>)
+                 WHEN o_orderkey % 17 = 1
+                 THEN CAST(array() AS array<array<bigint>>)
+                 WHEN o_orderkey % 17 = 2
+                 THEN array(CAST(NULL AS array<bigint>))
+                 WHEN o_orderkey % 17 = 3
+                 THEN array(CAST(array() AS array<bigint>))
+                 WHEN o_orderkey % 17 = 4
+                 THEN array(array(CAST(NULL AS BIGINT)))
+                 ELSE transform(
+                     slice(array(0, 1, 2, 3), 1,
+                           CAST(o_orderkey % 4 AS INT) + 1),
+                     i -> CASE
+                         WHEN (o_orderkey + i) % 7 = 0
+                         THEN CAST(NULL AS array<bigint>)
+                         WHEN (o_orderkey + i) % 5 = 0
+                         THEN CAST(array() AS array<bigint>)
+                         ELSE transform(
+                             slice(array(0, 1, 2), 1,
+                                   CAST(o_orderkey % 3 AS INT) + 1),
+                             j -> CASE
+                                 WHEN (o_orderkey + i + j) % 6 = 0
+                                 THEN CAST(NULL AS BIGINT)
+                                 ELSE o_orderkey * 100 + i * 10 + j
+                             END) END)
+            END AS ll
+            """
+        )
+        .coalesce(1)
+        .write.option("compression", "snappy")
+        .option("parquet.block.size", 2 * 1024 * 1024)
+        .option("parquet.page.size", 8 * 1024)
+        .parquet(root)
+    )
+    path = _glob.glob(os.path.join(root, "*.parquet"))[0]
+    with open(path, "rb") as fh:
+        raw = fh.read()
+    n_groups = len(decode_footer(raw)[4])
+
+    plan = spark.createDataFrame(
+        [(path, i) for i in range(n_groups)], "path string, rg int"
+    ).repartition(n_groups)
+
+    def _decode_groups(batches) -> Iterator:
+        for pdf in batches:
+            for rec in pdf.itertuples(index=False):
+                with open(rec.path, "rb") as fh:
+                    data = fh.read()
+                fmd = decode_footer(data)
+                (lp, chain), = _leaf_repetitions(fmd[2]).items()
+                rg = fmd[4][rec.rg]
+                cmd = rg[1][0][3]
+                rows, n_pages = read_nested_list_column_pages(
+                    data, cmd, chain
+                )
+                n_null_outer = sum(1 for r in rows if r is None)
+                outer = [e for r in rows if r is not None for e in r]
+                n_null_inner = sum(1 for e in outer if e is None)
+                n_empty_inner = sum(1 for e in outer if e == [])
+                values = [v for e in outer if e for v in e]
+                present = [v for v in values if v is not None]
+                ok = (
+                    chain == [1, 2, 1, 2, 1]
+                    and max_levels(chain) == (5, 2)
+                    and len(rows) == rg[3]
+                    and cmd[4] == 1  # SNAPPY, hand decoder
+                    and n_pages > 1
+                )
+                yield _pd.DataFrame(
+                    [(
+                        len(rows), n_null_outer, len(outer),
+                        n_null_inner, n_empty_inner, len(values),
+                        len(values) - len(present), sum(present),
+                        bool(ok),
+                    )],
+                    columns=[
+                        "n_rows", "n_null_outer", "n_outer_entries",
+                        "n_null_inner", "n_empty_inner", "n_values",
+                        "n_null_values", "val_sum", "ok",
+                    ],
+                )
+
+    partials = plan.mapInPandas(
+        _decode_groups,
+        "n_rows bigint, n_null_outer bigint, n_outer_entries bigint,"
+        " n_null_inner bigint, n_empty_inner bigint, n_values bigint,"
+        " n_null_values bigint, val_sum bigint, ok boolean",
+    )
+    out = partials.agg(
+        F.sum("n_rows").alias("n_rows"),
+        F.sum("n_null_outer").alias("n_null_outer"),
+        F.sum("n_outer_entries").alias("n_outer_entries"),
+        F.sum("n_null_inner").alias("n_null_inner"),
+        F.sum("n_empty_inner").alias("n_empty_inner"),
+        F.sum("n_values").alias("n_values"),
+        F.sum("n_null_values").alias("n_null_values"),
+        F.sum("val_sum").alias("val_sum"),
+        F.min("ok").alias("nested_list_consistent"),
     ).localCheckpoint(eager=True)  # 1 row; frees the temp root
     shutil.rmtree(root, ignore_errors=True)
     return out

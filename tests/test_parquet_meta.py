@@ -997,3 +997,320 @@ def test_int96_timestamp_differential(spark, tmp_path):
     ]
     assert got == want
     assert 11 in fmd[4][0][1][0][3]  # dictionary-encoded, as Spark does
+
+
+def _cmds_by_path(rg):
+    return {".".join(x.decode() for x in c[3][3]): c[3] for c in rg[1]}
+
+
+@pytest.mark.parametrize(
+    "opts",
+    [
+        dict(use_dictionary=False, compression="NONE",
+             data_page_size=512),
+        dict(use_dictionary=True, compression="SNAPPY",
+             data_page_size=1024),
+        dict(use_dictionary=False, compression="ZSTD",
+             data_page_size=1024, data_page_version="2.0"),
+    ],
+    ids=["v1-plain", "v1-dict-snappy", "v2-zstd"],
+)
+def test_map_pages_differential(tmp_path, opts):
+    """Hand-decoded map<string,int64> == pyarrow's read-back across
+    page versions, dictionary on/off, and hand-built codecs, with
+    row groups small enough that maps cross page boundaries."""
+    from spark_hive_spark.sources.parquet_meta import (
+        _leaf_repetitions,
+        read_map_column_pages,
+    )
+
+    rows = []
+    for k in range(1, 1200):
+        if k % 11 == 0:
+            rows.append(None)
+        elif k % 7 == 0:
+            rows.append({})
+        else:
+            rows.append({f"k{j}": (None if (k + j) % 5 == 0
+                                   else k * 10 + j)
+                         for j in range(k % 4 + 1)})
+    tbl = pa.table({"m": pa.array(rows, pa.map_(pa.string(),
+                                                pa.int64()))})
+    path = str(tmp_path / "m.parquet")
+    pq.write_table(tbl, path, row_group_size=400, **opts)
+    with open(path, "rb") as fh:
+        data = fh.read()
+    fmd = decode_footer(data)
+    reps = _leaf_repetitions(fmd[2])
+    kp = next(p for p in reps if p.endswith(".key"))
+    vp = next(p for p in reps if p.endswith(".value"))
+    assert reps[kp] == [1, 2, 0] and reps[vp] == [1, 2, 1]
+    got = []
+    for rg in fmd[4]:
+        c = _cmds_by_path(rg)
+        got.extend(read_map_column_pages(data, c[kp], c[vp],
+                                         reps[kp], reps[vp])[0])
+    ref = [None if r is None else dict(r)
+           for r in pq.read_table(path)["m"].to_pylist()]
+    assert got == ref == rows
+
+
+@pytest.mark.parametrize(
+    "opts",
+    [
+        dict(use_dictionary=False, compression="NONE",
+             data_page_size=512),
+        dict(use_dictionary=True, compression="SNAPPY",
+             data_page_size=1024),
+    ],
+    ids=["v1-plain", "v1-dict-snappy"],
+)
+def test_list_struct_pages_differential(tmp_path, opts):
+    """Hand-decoded list<struct<a int64, s string>> == pyarrow's
+    read-back: two independent leaf page streams slot-zipped, with
+    struct-null (def 2) vs field-null (def 3) disambiguation."""
+    from spark_hive_spark.sources.parquet_meta import (
+        _leaf_repetitions,
+        read_list_struct_column_pages,
+    )
+
+    rows = []
+    for k in range(1, 1000):
+        if k % 13 == 0:
+            rows.append(None)
+        elif k % 9 == 0:
+            rows.append([])
+        else:
+            rows.append([
+                None if (k + j) % 6 == 0
+                else {"a": None if (k + j) % 5 == 0 else k * 10 + j,
+                      "s": None if (k + j) % 4 == 0 else f"s{k}_{j}"}
+                for j in range(k % 4 + 1)
+            ])
+    typ = pa.list_(pa.struct([("a", pa.int64()), ("s", pa.string())]))
+    tbl = pa.table({"ls": pa.array(rows, typ)})
+    path = str(tmp_path / "ls.parquet")
+    pq.write_table(tbl, path, row_group_size=300, **opts)
+    with open(path, "rb") as fh:
+        data = fh.read()
+    fmd = decode_footer(data)
+    reps = _leaf_repetitions(fmd[2])
+    ap = next(p for p in reps if p.endswith(".a"))
+    sp = next(p for p in reps if p.endswith(".s"))
+    got = []
+    for rg in fmd[4]:
+        c = _cmds_by_path(rg)
+        got.extend(read_list_struct_column_pages(
+            data, [("a", c[ap], reps[ap]), ("s", c[sp], reps[sp])]
+        )[0])
+    assert got == pq.read_table(path)["ls"].to_pylist() == rows
+
+
+@pytest.mark.parametrize(
+    "opts",
+    [
+        dict(use_dictionary=False, compression="NONE",
+             data_page_size=512),
+        dict(use_dictionary=True, compression="SNAPPY",
+             data_page_size=1024),
+        dict(use_dictionary=False, compression="ZSTD",
+             data_page_size=1024, data_page_version="2.0"),
+    ],
+    ids=["v1-plain", "v1-dict-snappy", "v2-zstd"],
+)
+def test_nested_list_of_lists_differential(tmp_path, opts):
+    """Hand-decoded list<list<int64>> (TWO repetition levels, the
+    general Dremel assembler) == pyarrow's read-back, including the
+    five degenerate shapes that pin each definition level."""
+    from spark_hive_spark.sources.parquet_meta import (
+        _leaf_repetitions,
+        max_levels,
+        read_nested_list_column_pages,
+    )
+
+    rows = []
+    for k in range(1, 900):
+        m = k % 17
+        if m == 0:
+            rows.append(None)
+        elif m == 1:
+            rows.append([])
+        elif m == 2:
+            rows.append([None])
+        elif m == 3:
+            rows.append([[]])
+        elif m == 4:
+            rows.append([[None]])
+        else:
+            rows.append([
+                None if (k + i) % 7 == 0
+                else ([] if (k + i) % 5 == 0
+                      else [None if (k + i + j) % 6 == 0
+                            else k * 100 + i * 10 + j
+                            for j in range(k % 3 + 1)])
+                for i in range(k % 4 + 1)
+            ])
+    tbl = pa.table({"ll": pa.array(rows,
+                                   pa.list_(pa.list_(pa.int64())))})
+    path = str(tmp_path / "ll.parquet")
+    pq.write_table(tbl, path, row_group_size=250, **opts)
+    with open(path, "rb") as fh:
+        data = fh.read()
+    fmd = decode_footer(data)
+    (_, chain), = _leaf_repetitions(fmd[2]).items()
+    assert max_levels(chain) == (5, 2)
+    got = []
+    for rg in fmd[4]:
+        got.extend(read_nested_list_column_pages(data, rg[1][0][3],
+                                                 chain)[0])
+    assert got == pq.read_table(path)["ll"].to_pylist() == rows
+
+
+def test_spark_written_map_and_struct_nested_map(spark, tmp_path):
+    """End-to-end on Spark's writer: a top-level map AND a map nested
+    inside an optional struct (the Delta checkpoint partitionValues
+    shape, A=2 — two optional ancestors above the repeated node)."""
+    from spark_hive_spark.sources.parquet_meta import (
+        _leaf_repetitions,
+        read_map_column_pages,
+    )
+
+    df = spark.range(1, 2500).selectExpr(
+        """
+        CASE WHEN id % 11 = 0 THEN CAST(NULL AS map<string,bigint>)
+             WHEN id % 7 = 0 THEN CAST(map() AS map<string,bigint>)
+             ELSE map_from_arrays(
+               transform(slice(array(0,1,2,3),1,CAST(id % 4 AS INT)+1),
+                         j -> concat('k', j)),
+               transform(slice(array(0,1,2,3),1,CAST(id % 4 AS INT)+1),
+                         j -> CASE WHEN (id+j) % 5 = 0
+                                   THEN CAST(NULL AS BIGINT)
+                                   ELSE id*10+j END))
+        END AS m
+        """,
+        """
+        CASE WHEN id % 13 = 0
+             THEN CAST(NULL AS struct<pv: map<string,string>, sz: bigint>)
+             ELSE named_struct('pv',
+               CASE WHEN id % 9 = 0 THEN CAST(NULL AS map<string,string>)
+                    WHEN id % 8 = 0 THEN CAST(map() AS map<string,string>)
+                    ELSE map('region', concat('r', id % 3),
+                             'day', concat('d', id % 30)) END,
+               'sz', id * 7)
+        END AS add_like
+        """,
+    )
+    root = str(tmp_path / "spark_maps")
+    df.coalesce(1).write.option("parquet.page.size", 2048).parquet(root)
+    import glob
+
+    path = glob.glob(root + "/*.parquet")[0]
+    with open(path, "rb") as fh:
+        data = fh.read()
+    fmd = decode_footer(data)
+    reps = _leaf_repetitions(fmd[2])
+
+    kp = "m.key_value.key"
+    vp = "m.key_value.value"
+    assert reps[kp] == [1, 2, 0] and reps[vp] == [1, 2, 1]
+    got = []
+    for rg in fmd[4]:
+        c = _cmds_by_path(rg)
+        got.extend(read_map_column_pages(data, c[kp], c[vp],
+                                         reps[kp], reps[vp])[0])
+    exp = [None if r.m is None else dict(r.m)
+           for r in df.select("m").collect()]
+    assert got == exp
+
+    kp2 = "add_like.pv.key_value.key"
+    vp2 = "add_like.pv.key_value.value"
+    assert reps[kp2] == [1, 1, 2, 0] and reps[vp2] == [1, 1, 2, 1]
+    got2 = []
+    for rg in fmd[4]:
+        c = _cmds_by_path(rg)
+        got2.extend(read_map_column_pages(data, c[kp2], c[vp2],
+                                          reps[kp2], reps[vp2])[0])
+    exp2 = []
+    for r in df.select("add_like").collect():
+        a = r.add_like
+        # struct-null and map-null both surface as None per-leaf
+        exp2.append(None if a is None or a.pv is None else dict(a.pv))
+    assert got2 == exp2
+
+
+def test_spark_written_list_struct_decodes_by_hand(spark, tmp_path):
+    """End-to-end list<struct> on Spark's writer (parquet-mr
+    col.list.element.field naming, snappy, dictionary fallback)."""
+    from spark_hive_spark.sources.parquet_meta import (
+        _leaf_repetitions,
+        read_list_struct_column_pages,
+    )
+
+    df = spark.range(1, 2000).selectExpr(
+        """
+        CASE WHEN id % 13 = 0
+             THEN CAST(NULL AS array<struct<a: bigint, s: string>>)
+             ELSE transform(slice(array(0,1,2,3),1,CAST(id % 4 AS INT)),
+               j -> CASE WHEN (id+j) % 6 = 0
+                         THEN CAST(NULL AS struct<a: bigint, s: string>)
+                    ELSE named_struct(
+                      'a', CASE WHEN (id+j)%5=0 THEN CAST(NULL AS BIGINT)
+                                ELSE id*10+j END,
+                      's', CASE WHEN (id+j)%4=0 THEN CAST(NULL AS STRING)
+                                ELSE concat('s', id, '_', j) END) END)
+        END AS ls
+        """
+    )
+    root = str(tmp_path / "spark_ls")
+    df.coalesce(1).write.option("parquet.page.size", 2048).parquet(root)
+    import glob
+
+    path = glob.glob(root + "/*.parquet")[0]
+    with open(path, "rb") as fh:
+        data = fh.read()
+    fmd = decode_footer(data)
+    reps = _leaf_repetitions(fmd[2])
+    ap = "ls.list.element.a"
+    sp = "ls.list.element.s"
+    assert reps[ap] == [1, 2, 1, 1] == reps[sp]
+    got = []
+    for rg in fmd[4]:
+        c = _cmds_by_path(rg)
+        got.extend(read_list_struct_column_pages(
+            data, [("a", c[ap], reps[ap]), ("s", c[sp], reps[sp])]
+        )[0])
+    exp = []
+    for r in df.select("ls").collect():
+        if r.ls is None:
+            exp.append(None)
+        else:
+            exp.append([None if e is None else {"a": e.a, "s": e.s}
+                        for e in r.ls])
+    assert got == exp
+
+
+def test_map_reader_rejects_structural_mismatch(tmp_path):
+    """The map zipper's structural validation is real: feeding it two
+    leaves with different entry structure raises instead of silently
+    mispairing keys and values."""
+    from spark_hive_spark.sources.parquet_meta import (
+        _leaf_repetitions,
+        read_map_column_pages,
+    )
+
+    a = pa.table({"m": pa.array(
+        [{"x": 1}, {"y": 2, "z": 3}], pa.map_(pa.string(), pa.int64())
+    )})
+    path = str(tmp_path / "mm.parquet")
+    pq.write_table(a, path, use_dictionary=False, compression="NONE")
+    with open(path, "rb") as fh:
+        data = fh.read()
+    fmd = decode_footer(data)
+    reps = _leaf_repetitions(fmd[2])
+    kp = next(p for p in reps if p.endswith(".key"))
+    vp = next(p for p in reps if p.endswith(".value"))
+    c = _cmds_by_path(fmd[4][0])
+    # swapped chains: key leaf read with the value chain claims an
+    # OPTIONAL leaf where the stream says REQUIRED -> loud
+    with pytest.raises((ValueError, NotImplementedError)):
+        read_map_column_pages(data, c[kp], c[vp], reps[vp], reps[vp])
