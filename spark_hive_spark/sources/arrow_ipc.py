@@ -35,8 +35,10 @@ module hand-builds a third metadata walker from the public specs:
   id + index type (int32 default); DictionaryBatch messages —
   reached via Footer.dictionaries blocks in the FILE layout —
   deliver the value arrays, and record batches then store only
-  validity + index buffers. Delta dictionaries stay a loud seam
-  (they are illegal in the FILE layout anyway).
+  validity + index buffers. DELTA dictionary batches (round 13,
+  isDelta=true — the streaming-writer vocabulary-growth mechanism)
+  APPEND to the id's accumulated dictionary; repeated non-delta
+  batches REPLACE it, per the stream spec.
 
 Differentially tested against pyarrow's own IPC reader
 (tests/test_arrow_ipc.py): every batch, every column, values + nulls
@@ -326,18 +328,26 @@ def _decode_dictionary_message(
 ) -> None:
     """One DictionaryBatch message: decode its single-column
     RecordBatch with the owning field's VALUE type and store the
-    values under the dictionary id. Delta batches (isDelta) never
-    appear in the FILE layout and stay loud."""
+    values under the dictionary id. A DELTA batch (isDelta=true —
+    how streaming writers GROW a string vocabulary without resending
+    it) APPENDS its values to the id's existing dictionary, which
+    must already exist; a repeated non-delta batch REPLACES it (the
+    stream spec's replacement semantics)."""
     db = msg.table(2)  # DictionaryBatch
     did = db.scalar(0, "<q")
-    if db.scalar(2, "<b"):  # isDelta
-        raise NotImplementedError("delta dictionary batch")
     owners = [f for f in fields if f.get("dict_id") == did]
     if not owners:
         raise ValueError(f"dictionary batch for unknown id {did}")
     value_field = [{"name": "values", "kind": owners[0]["kind"]}]
     cols = _decode_batch(value_field, db.table(1), body)
-    dictionaries[did] = cols["values"]
+    if db.scalar(2, "<b"):  # isDelta
+        if did not in dictionaries:
+            raise ValueError(
+                f"delta dictionary batch for id {did} before its base"
+            )
+        dictionaries[did] = dictionaries[did] + cols["values"]
+    else:
+        dictionaries[did] = cols["values"]
 
 
 def parse_ipc_file(data: bytes) -> tuple[list[dict], list[dict[str, list]]]:
@@ -367,6 +377,7 @@ def parse_ipc_file(data: bytes) -> tuple[list[dict], list[dict[str, list]]]:
 
 def parse_ipc_stream(
     data: bytes,
+    stats: dict | None = None,
 ) -> tuple[list[dict], list[dict[str, list]], bool]:
     """Arrow STREAMING layout -> (schema fields, decoded batches,
     saw end-of-stream marker). The stream is a plain message
@@ -376,7 +387,11 @@ def parse_ipc_stream(
     (legacy) or a continuation marker with metadata length 0. This
     is the Flight / stdin-pipe / socket shape of the format — a
     reader must process it sequentially, which is why the registered
-    query runs it as a single task."""
+    query runs it as a single task.
+
+    ``stats``, when given, is filled with dictionary-message
+    accounting: n_dict_messages, n_delta_messages, and the final
+    per-id dictionary sizes — what the delta-dictionary query pins."""
     pos = 0
     fields: list[dict] | None = None
     dictionaries: dict[int, list] = {}
@@ -404,6 +419,14 @@ def parse_ipc_stream(
         elif htype == 2:  # DictionaryBatch
             if fields is None:
                 raise ValueError("dictionary batch before schema")
+            if stats is not None:
+                stats["n_dict_messages"] = (
+                    stats.get("n_dict_messages", 0) + 1
+                )
+                if msg.table(2).scalar(2, "<b"):
+                    stats["n_delta_messages"] = (
+                        stats.get("n_delta_messages", 0) + 1
+                    )
             _decode_dictionary_message(fields, msg, body, dictionaries)
         elif htype == 3:  # RecordBatch
             if fields is None:
@@ -415,6 +438,10 @@ def parse_ipc_stream(
             raise NotImplementedError(f"IPC message header type {htype}")
     if fields is None:
         raise ValueError("IPC stream carries no schema message")
+    if stats is not None:
+        stats["dict_sizes"] = {
+            did: len(vals) for did, vals in dictionaries.items()
+        }
     return fields, batches, saw_eos
 
 
@@ -775,6 +802,153 @@ def source_arrow_ipc_stream(
         )
         .orderBy("c_mktsegment")
         .localCheckpoint(eager=True)  # 5 rows; frees the temp root
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
+@register(
+    "source_arrow_ipc_delta_dictionary",
+    oracle=f"""
+        SELECT concat('w', c_custkey % 50) AS cat,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               {sql_dsum('c_acctbal')} AS acctbal_sum,
+               TRUE AS delta_consistent
+        FROM customer
+        GROUP BY cat
+        ORDER BY cat
+    """,
+    tags=("source", "arrow", "ipc", "streaming", "dictionary",
+          "delta"),
+)
+def source_arrow_ipc_delta_dictionary(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Arrow IPC DELTA dictionaries read by hand (round 13, the r12
+    verdict's seam 2): ``isDelta=true`` DictionaryBatch messages are
+    how streaming writers GROW a string vocabulary without resending
+    it — each delta APPENDS to the id's accumulated dictionary, and
+    later record batches index into the concatenation, so an
+    append-order or offset bug scrambles every category decoded
+    after the first delta.
+
+    Fixture: customer keyed into 50 categories. Four key-range
+    batches each extend a SHARED prefix dictionary (13 new entries at
+    a time — pyarrow emits true deltas only for prefix extensions;
+    anything else falls back to replacement, which
+    `test_arrow_ipc.py` pins separately), then a fifth batch whose
+    rows span ALL ranges — its indices reach across every delta
+    region while introducing nothing new (no fifth message). The
+    stream is ZSTD-compressed through the hand-built RFC 8878
+    decoder.
+
+    ``delta_consistent`` pins the exact message accounting the
+    fixture must produce — 4 dictionary messages of which 3 are
+    deltas, one dictionary id whose final size is 50, 5 record
+    batches, EOS consumed — so a fixture regression to replacement
+    emission (or a reader that silently re-bases) flips the driver
+    row. The grouped acctbal oracle recomputes the data itself.
+
+    Scale posture: a stream is sequential by construction — one task
+    walks it (the FILE layout is the fan-out path); customer is the
+    smallest fact table."""
+    import pyarrow as pa
+    import pyarrow.ipc as pipc
+
+    root = os.path.join(
+        tempfile.gettempdir(), f"shs_ipcdd_{uuid.uuid4().hex}"
+    )
+    os.makedirs(root)
+    path = os.path.join(root, "customer_delta.arrows")
+    src = (
+        t(spark, sf_dir, "customer")
+        .select(
+            (F.col("c_custkey") % 50).cast("int").alias("key"),
+            (F.col("c_custkey") % 7 == 0).alias("spanner"),
+            F.round(F.col("c_acctbal") * 100).cast("long")
+            .alias("cents"),
+        )
+        .toArrow()
+    )
+    keys = src["key"].to_pylist()
+    spanner = src["spanner"].to_pylist()
+    cents = src["cents"].to_pylist()
+    vocab = [f"w{i}" for i in range(50)]
+    schema = pa.schema([
+        ("cat", pa.dictionary(pa.int32(), pa.string())),
+        ("cents", pa.int64()),
+    ])
+
+    def _mk(rows: list[tuple[int, int]], upto: int) -> pa.RecordBatch:
+        d = pa.array(vocab[:upto])
+        arr = pa.DictionaryArray.from_arrays(
+            pa.array([k for k, _c in rows], pa.int32()), d
+        )
+        return pa.record_batch(
+            [arr, pa.array([c for _k, c in rows], pa.int64())],
+            schema=schema,
+        )
+
+    batches = []
+    for b in range(4):
+        rows = [(k, c) for k, s, c in zip(keys, spanner, cents)
+                if not s and k // 13 == b]
+        batches.append(_mk(rows, min(13 * (b + 1), 50)))
+    batches.append(_mk(
+        [(k, c) for k, s, c in zip(keys, spanner, cents) if s], 50
+    ))
+    opts = pipc.IpcWriteOptions(
+        emit_dictionary_deltas=True, compression="zstd"
+    )
+    with pipc.new_stream(path, schema, options=opts) as w:
+        for b in batches:
+            w.write_batch(b)
+
+    plan = spark.createDataFrame([(path,)], "path string")
+
+    def _decode(pdfs) -> Iterator:
+        import pandas as pd
+
+        for pdf in pdfs:
+            for rec in pdf.itertuples(index=False):
+                with open(rec.path, "rb") as fh:
+                    blob = fh.read()
+                stats: dict = {}
+                fields, bats, saw_eos = parse_ipc_stream(blob, stats)
+                agg: dict[str, list] = {}
+                for b in bats:
+                    for cat, cv in zip(b["cat"], b["cents"]):
+                        cur = agg.setdefault(cat, [0, 0])
+                        cur[0] += 1
+                        cur[1] += cv
+                sizes = stats.get("dict_sizes", {})
+                ok = (
+                    saw_eos
+                    and len(bats) == 5
+                    and stats.get("n_dict_messages") == 4
+                    and stats.get("n_delta_messages") == 3
+                    and list(sizes.values()) == [50]
+                )
+                yield pd.DataFrame({
+                    "cat": list(agg),
+                    "n": [v[0] for v in agg.values()],
+                    "cents": [v[1] for v in agg.values()],
+                    "ok": [bool(ok)] * len(agg),
+                })
+
+    partials = plan.mapInPandas(
+        _decode, "cat string, n long, cents long, ok boolean"
+    )
+    out = (
+        partials.groupBy("cat")
+        .agg(
+            F.sum("n").alias("n_rows"),
+            (F.sum("cents").cast("decimal(18,0)") / 100)
+            .cast("double").alias("acctbal_sum"),
+            F.min("ok").alias("delta_consistent"),
+        )
+        .orderBy("cat")
+        .localCheckpoint(eager=True)  # 50 rows; frees the temp root
     )
     shutil.rmtree(root, ignore_errors=True)
     return out
