@@ -1687,8 +1687,10 @@ def delta_column_mapping(metadata: dict) -> dict[str, str] | None:
     ``metadata`` carries ``delta.columnMapping.physicalName`` (and
     ``.id``). In NAME mode data files are written under the physical
     names, so a reader must rename physical→logical after the scan.
-    ID mode (resolution by parquet field_id, used after external
-    writers) stays a loud seam; nested mapped fields too."""
+    ID mode resolves by parquet field_id instead —
+    `delta_column_mapping_by_id` (round 13); asking the name-mode
+    API about an id-mode table stays loud. Nested mapped fields
+    remain a loud seam in both."""
     import json as _json
 
     mode = (metadata.get("configuration") or {}).get(
@@ -1696,6 +1698,11 @@ def delta_column_mapping(metadata: dict) -> dict[str, str] | None:
     )
     if mode == "none":
         return None
+    if mode == "id":
+        raise NotImplementedError(
+            "delta column mapping mode 'id' resolves by parquet "
+            "field_id — use delta_column_mapping_by_id"
+        )
     if mode != "name":
         raise NotImplementedError(f"delta column mapping mode {mode!r}")
     schema = _json.loads(metadata["schemaString"])
@@ -1717,6 +1724,44 @@ def delta_column_mapping(metadata: dict) -> dict[str, str] | None:
         if phys in mapping:
             raise ValueError(f"duplicate physical name {phys!r}")
         mapping[phys] = f["name"]
+    return mapping
+
+
+def delta_column_mapping_by_id(metadata: dict) -> dict[int, str]:
+    """metaData action (ID-mode column mapping) -> {field id:
+    logical name}.
+
+    PROTOCOL.md: in ``delta.columnMapping.mode=id`` tables the
+    parquet files carry a field_id on every column (SchemaElement
+    field 9) and THAT — not the physical column name, which newer
+    engines are free to regenerate per file — matches the schema
+    field's ``delta.columnMapping.id``. A reader must resolve each
+    data file's columns by id against its own footer; two files of
+    one table may disagree on physical names and order. Nested
+    mapped fields stay a loud seam, as in name mode."""
+    import json as _json
+
+    mode = (metadata.get("configuration") or {}).get(
+        "delta.columnMapping.mode", "none"
+    )
+    if mode != "id":
+        raise ValueError(f"not an id-mode table (mode {mode!r})")
+    schema = _json.loads(metadata["schemaString"])
+    mapping: dict[int, str] = {}
+    for f in schema.get("fields", []):
+        if not isinstance(f.get("type"), str):
+            raise NotImplementedError(
+                f"column mapping on nested field {f.get('name')!r}"
+            )
+        fid = (f.get("metadata") or {}).get("delta.columnMapping.id")
+        if not isinstance(fid, int):
+            raise ValueError(
+                f"id-mode table missing columnMapping.id for "
+                f"{f.get('name')!r}"
+            )
+        if fid in mapping:
+            raise ValueError(f"duplicate column mapping id {fid}")
+        mapping[fid] = f["name"]
     return mapping
 
 
@@ -3078,6 +3123,223 @@ def source_delta_checkpoint_partition_values(
         )
         .orderBy("prio")
         .localCheckpoint(eager=True)  # 2 rows; frees the temp root
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
+@register(
+    "source_delta_column_mapping_id",
+    oracle=f"""
+        SELECT o_orderpriority,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               {sql_dsum('o_totalprice')} AS revenue,
+               CAST(3 AS INT) AS mapped_cols,
+               CAST(2 AS INT) AS live_files,
+               TRUE AS id_consistent
+        FROM orders
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+    """,
+    tags=("source", "delta", "lakehouse", "compat", "column-mapping",
+          "field-id"),
+)
+def source_delta_column_mapping_id(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Delta Lake COLUMN MAPPING, ID mode (round 13, the r12
+    verdict's seam 3): tables written by newer engines resolve
+    columns by PARQUET FIELD ID (SchemaElement field 9, walked by
+    the repo's own footer reader — `leaf_field_ids`) against the
+    schema fields' ``delta.columnMapping.id``; physical column names
+    are explicitly NOT identity and may differ per data file.
+
+    The fixture makes name-resolution actively WRONG, not just
+    unavailable: two data files carry the same three field ids under
+    CONTRADICTORY physical names and different column orders —
+    file A's 'col-a' is o_orderkey (id 1) while file B's 'col-a' is
+    o_totalprice (id 2), and the schemaString's physicalName entries
+    match file A only. A reader that trusts names over ids mislabels
+    every column of file B (types collide, revenue sums keys);
+    only per-file footer id resolution reproduces the oracle.
+    ``id_consistent`` additionally pins that the two files really do
+    disagree on name->id assignment (the fixture's point) and that
+    every mapped id was found in every file's footer.
+
+    Scale posture: id resolution is O(schema) per-file planning
+    metadata read from the footer tail — exactly where a production
+    reader does it; the data scan remains a plain parquet read.
+    Protocol gating mirrors the name-mode query (reader v3 feature
+    list, unknown features loud)."""
+    import json as _json
+
+    import pyarrow as _pa
+    import pyarrow.parquet as _pq
+
+    from spark_hive_spark.sources.parquet_meta import (
+        decode_footer,
+        leaf_field_ids,
+    )
+
+    orders = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+    root = os.path.join(
+        tempfile.gettempdir(), f"shs_deltacmid_{uuid.uuid4().hex}"
+    )
+    tdir = os.path.join(root, "t")
+    ldir = os.path.join(tdir, "_delta_log")
+    os.makedirs(ldir)
+
+    # logical ids: o_orderkey=1, o_totalprice=2, o_orderpriority=3
+    half = orders.withColumn("h", F.col("o_orderkey") % 2)
+    arrow_a = half.filter("h = 0").drop("h").toArrow()
+    arrow_b = half.filter("h = 1").drop("h").toArrow()
+
+    def _fid_field(name: str, typ, fid: int) -> "_pa.Field":
+        return _pa.field(
+            name, typ, metadata={b"PARQUET:field_id": str(fid).encode()}
+        )
+
+    # file A: ids 1/2/3 as col-a/col-b/col-c in logical order
+    ta = _pa.table(
+        {"col-a": arrow_a["o_orderkey"],
+         "col-b": arrow_a["o_totalprice"],
+         "col-c": arrow_a["o_orderpriority"]},
+        schema=_pa.schema([
+            _fid_field("col-a", _pa.int64(), 1),
+            _fid_field("col-b", _pa.float64(), 2),
+            _fid_field("col-c", _pa.string(), 3),
+        ]),
+    )
+    # file B: same ids, CONTRADICTORY names and a different order —
+    # 'col-a' here is id 2 (totalprice), 'col-b' is id 3, 'col-c' id 1
+    tb = _pa.table(
+        {"col-b": arrow_b["o_orderpriority"],
+         "col-c": arrow_b["o_orderkey"],
+         "col-a": arrow_b["o_totalprice"]},
+        schema=_pa.schema([
+            _fid_field("col-b", _pa.string(), 3),
+            _fid_field("col-c", _pa.int64(), 1),
+            _fid_field("col-a", _pa.float64(), 2),
+        ]),
+    )
+    _pq.write_table(ta, os.path.join(tdir, "part-00000.parquet"))
+    _pq.write_table(tb, os.path.join(tdir, "part-00001.parquet"))
+
+    schema_string = _json.dumps({
+        "type": "struct",
+        "fields": [
+            {"name": lg, "type": ty, "nullable": True,
+             "metadata": {"delta.columnMapping.id": fid,
+                          # physicalName matches file A ONLY — ids,
+                          # not names, are identity in this mode
+                          "delta.columnMapping.physicalName": ph}}
+            for lg, ty, fid, ph in [
+                ("o_orderkey", "long", 1, "col-a"),
+                ("o_totalprice", "double", 2, "col-b"),
+                ("o_orderpriority", "string", 3, "col-c"),
+            ]
+        ],
+    })
+
+    def _commit(version: int, actions: list[dict]) -> None:
+        with open(os.path.join(ldir, f"{version:020d}.json"), "w") as fh:
+            fh.write("\n".join(_json.dumps(a) for a in actions) + "\n")
+
+    def _add(p: str) -> dict:
+        return {"add": {"path": p, "size": os.path.getsize(
+            os.path.join(tdir, p)), "modificationTime": 0,
+            "dataChange": True}}
+
+    _commit(0, [
+        {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                      "readerFeatures": ["columnMapping"]}},
+        {"metaData": {"id": "shs-delta-colmap-id", "format":
+            {"provider": "parquet", "options": {}},
+            "schemaString": schema_string, "partitionColumns": [],
+            "configuration": {"delta.columnMapping.mode": "id",
+                              "delta.columnMapping.maxColumnId": "3"}}},
+        _add("part-00000.parquet"),
+    ])
+    _commit(1, [_add("part-00001.parquet")])
+
+    # ---- the reader ----
+    versions = sorted(
+        int(f[:20]) for f in os.listdir(ldir) if f.endswith(".json")
+    )
+    live: set[str] = set()
+    meta: dict | None = None
+    for v in versions:
+        with open(os.path.join(ldir, f"{v:020d}.json")) as fh:
+            for line in fh:
+                if not line.strip():
+                    continue
+                action = _json.loads(line)
+                if "protocol" in action:
+                    proto = action["protocol"]
+                    if proto["minReaderVersion"] == 3:
+                        unknown = set(
+                            proto.get("readerFeatures", [])
+                        ) - {"columnMapping"}
+                        if unknown:
+                            raise NotImplementedError(
+                                f"Delta reader features {sorted(unknown)}"
+                            )
+                    elif proto["minReaderVersion"] > 3:
+                        raise NotImplementedError(
+                            "Delta reader protocol beyond v3"
+                        )
+                elif "metaData" in action:
+                    meta = action["metaData"]
+                elif "add" in action:
+                    live.add(action["add"]["path"])
+                elif "remove" in action:
+                    live.discard(action["remove"]["path"])
+    if meta is None:
+        raise ValueError("Delta log carries no metaData action")
+    by_id = delta_column_mapping_by_id(meta)
+
+    parts = []
+    name_to_id_per_file: list[dict[str, int]] = []
+    for p in sorted(live):
+        with open(os.path.join(tdir, p), "rb") as fh:
+            foot = decode_footer(fh.read())
+        fids = leaf_field_ids(foot[2])
+        if any(fid is None for fid in fids.values()):
+            raise ValueError(f"id-mode data file {p} lacks field ids")
+        missing = set(by_id) - set(fids.values())
+        if missing:
+            raise ValueError(
+                f"file {p} missing mapped field ids {sorted(missing)}"
+            )
+        name_to_id_per_file.append(dict(fids))
+        parts.append(
+            spark.read.parquet(os.path.join(tdir, p)).select(
+                *(F.col(ph).alias(by_id[fid])
+                  for ph, fid in fids.items() if fid in by_id)
+            )
+        )
+    # the fixture's point: the files DISAGREE on name->id assignment,
+    # so name-based resolution cannot be what produced the numbers
+    files_disagree = (
+        len(name_to_id_per_file) == 2
+        and name_to_id_per_file[0] != name_to_id_per_file[1]
+    )
+    scan = parts[0]
+    for df in parts[1:]:
+        scan = scan.unionByName(df)
+    out = (
+        scan.groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            dsum("o_totalprice").alias("revenue"),
+            F.lit(len(by_id)).cast("int").alias("mapped_cols"),
+            F.lit(len(live)).cast("int").alias("live_files"),
+            F.lit(bool(files_disagree)).alias("id_consistent"),
+        )
+        .orderBy("o_orderpriority")
+        .localCheckpoint(eager=True)  # 5 rows; frees the temp root
     )
     shutil.rmtree(root, ignore_errors=True)
     return out

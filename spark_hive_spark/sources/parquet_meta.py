@@ -240,6 +240,31 @@ def _leaf_paths(schema: list[dict[int, Any]]) -> list[tuple[str, dict[int, Any]]
     return out
 
 
+def leaf_field_ids(
+    schema: list[dict[int, Any]],
+) -> dict[str, int | None]:
+    """Flattened SchemaElement list -> {dotted leaf path: field_id}
+    (SchemaElement field 9, None when the writer recorded none).
+    Field ids are the resolution key for Delta column mapping's ID
+    mode and Iceberg's schema evolution — physical column NAMES are
+    explicitly not identity there."""
+    out: dict[str, int | None] = {}
+    stack: list[list[Any]] = [[schema[0].get(5, 0), ()]]
+    for se in schema[1:]:
+        while stack and stack[-1][0] == 0:
+            stack.pop()
+        if not stack:
+            raise ValueError("schema walk overran the declared tree")
+        stack[-1][0] -= 1
+        name = se[4].decode()
+        path = stack[-1][1] + (name,)
+        if 5 in se:  # group node
+            stack.append([se[5], path])
+        else:
+            out[".".join(path)] = se.get(9)
+    return out
+
+
 def _leaf_repetitions(
     schema: list[dict[int, Any]],
 ) -> dict[str, list[int]]:

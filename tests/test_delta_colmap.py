@@ -88,3 +88,69 @@ def test_v2_checkpoint_inline_actions_are_loud():
         )
     with _pytest.raises(NotImplementedError):
         _v2_classify_top_row({"checkpointMetadata": None, "add": None})
+
+
+def test_id_mode_resolves_by_field_id():
+    from spark_hive_spark.sources.evolution import (
+        delta_column_mapping_by_id,
+    )
+
+    def _f(name, fid, ty="long"):
+        return {"name": name, "type": ty, "nullable": True,
+                "metadata": {"delta.columnMapping.id": fid,
+                             "delta.columnMapping.physicalName":
+                                 f"col-{fid}"}}
+
+    m = delta_column_mapping_by_id(_meta("id", [
+        _f("a", 1), _f("b", 7, "string"),
+    ]))
+    assert m == {1: "a", 7: "b"}
+
+    with pytest.raises(ValueError, match="not an id-mode"):
+        delta_column_mapping_by_id(_meta("name", [_f("a", 1)]))
+    with pytest.raises(ValueError, match="duplicate column mapping id"):
+        delta_column_mapping_by_id(_meta("id", [_f("a", 1), _f("b", 1)]))
+    with pytest.raises(ValueError, match="missing columnMapping.id"):
+        delta_column_mapping_by_id(_meta("id", [
+            {"name": "a", "type": "long", "nullable": True,
+             "metadata": {}}]))
+    nested = {"name": "s", "type": {"type": "struct", "fields": []},
+              "nullable": True,
+              "metadata": {"delta.columnMapping.id": 2}}
+    with pytest.raises(NotImplementedError, match="nested"):
+        delta_column_mapping_by_id(_meta("id", [nested]))
+
+
+def test_leaf_field_ids_walker(tmp_path):
+    """leaf_field_ids reads SchemaElement field 9 (and None when the
+    writer recorded no ids)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from spark_hive_spark.sources.parquet_meta import (
+        decode_footer,
+        leaf_field_ids,
+    )
+
+    tbl = pa.table(
+        {"p": pa.array([1, 2], pa.int64()),
+         "q": pa.array(["x", "y"])},
+        schema=pa.schema([
+            pa.field("p", pa.int64(),
+                     metadata={b"PARQUET:field_id": b"4"}),
+            pa.field("q", pa.string(),
+                     metadata={b"PARQUET:field_id": b"9"}),
+        ]),
+    )
+    path = str(tmp_path / "fid.parquet")
+    pq.write_table(tbl, path)
+    with open(path, "rb") as fh:
+        foot = decode_footer(fh.read())
+    assert leaf_field_ids(foot[2]) == {"p": 4, "q": 9}
+
+    plain = pa.table({"x": pa.array([1], pa.int64())})
+    path2 = str(tmp_path / "plain.parquet")
+    pq.write_table(plain, path2)
+    with open(path2, "rb") as fh:
+        foot2 = decode_footer(fh.read())
+    assert leaf_field_ids(foot2[2]) == {"x": None}
