@@ -129,3 +129,22 @@ def test_command_block_rolls_back_target_instant():
                             _H_COMMAND: "9"})
     with pytest.raises(NotImplementedError, match="command block"):
         apply_command_blocks([bad])
+
+
+def test_mor_compaction_contract(spark):
+    """source_hudi_mor_compaction at the smoke SF: the compacted-base
+    read must equal pre-compaction replay (compaction_consistent),
+    slice resolution must ignore exactly one stale base and one
+    superseded log file, and the merged numbers must match the
+    uncompacted MOR semantics (keys≡3 deleted; +100/+50/+25 applied)."""
+    from spark_hive_spark.plans.registry import all_queries
+
+    rows = all_queries()["source_hudi_mor_compaction"].fn(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert len(rows) == 9  # key_mod 3 fully tombstoned
+    assert all(r["compaction_consistent"] for r in rows)
+    assert all(r["compactions_completed"] == 1 for r in rows)
+    assert all(r["stale_bases_ignored"] == 1 for r in rows)
+    assert all(r["superseded_logs"] == 1 for r in rows)
+    assert not any(r["key_mod"] == 3 for r in rows)
