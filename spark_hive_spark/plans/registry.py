@@ -38,22 +38,26 @@ class Query:
 _REGISTRY: dict[str, Query] = {}
 
 # The grading driver sweeps the FIRST 50 registry entries per round, so
-# ordering is an attestation budget. Round-12 rotation (the VERDICT r11
-# task-2 backlog, executed): the 4 reference jobs stay pinned, then the
-# 11 NEW round-12 queries (driver rows on first appearance — cumulative
+# ordering is an attestation budget. Round-13 rotation (VERDICT r12
+# task 2, executed): the 4 reference jobs stay pinned, then the 9 NEW
+# round-13 queries (driver rows on first appearance — cumulative
 # attestation stays complete), then re-attestations of everything whose
-# implementation changed this round (the parquet page-decode family
-# rides the nested-levels refactor; arrow_ipc gained dictionary
-# resolution + LZ4_FRAME; delta_cdf gained the no-cdc guards; hudi_mor
-# was rewritten around rollback blocks / multi-log slices / per-group
-# tasks), then the judge-enumerated attestation backlog (the displaced
-# r10 tail and the longest-stale dedup/window/stats families), then the
-# oldest r2-attested relational families oldest-first. Backlog spill
-# for r13: rollup_grouping_flags, safe_arithmetic_orders,
-# setops_bag_semantics, setops_segment_overlap,
-# string_edit_distance_pairs, unpivot_lineitem_measures,
-# w_value_functions, plus the r3-attested curation/text/tpch tail
-# (all have r2/r6 rows; nothing unattested remains).
+# implementation changed this round (the ORC timestamp reader gained
+# writer-timezone + pre-1970 handling; the v2-checkpoint reader gained
+# the inline-action loud seam; the arrow_ipc family rides the delta-
+# dictionary + LZ4 bounds changes; delta_column_mapping gained the
+# id-mode dispatch; the list-decode parquet family rides the
+# single-rep-level Dremel generalization; DSIR rides the
+# _dsir_doc_weights refactor; hudi_mor rides its module's compaction
+# additions), then the r12-enumerated backlog spill (the seven
+# r2-attested queries) and the oldest r3-attested curation/dedup/
+# embedding/text/tpch tail, oldest-first. Backlog spill for r14:
+# scd2_customer_spend_versions, subq_correlated_exists_recent_order,
+# subq_in_parts_shipped_by_small_suppliers, subq_not_in_null_aware,
+# subq_scalar_above_avg_orders, text_fingerprints,
+# text_langid_confusion, text_quality_scores, text_tfidf_top_terms,
+# text_token_stats, text_top_bigrams_per_lang, text_unigram_logprob,
+# then the r5-attested tail (approx_distinct_parts, arr_* ...).
 # tests/test_registry_window.py asserts the window stays exactly this.
 SWEEP_PRIORITY: tuple[str, ...] = (
     # pinned reference jobs (driver-green every round)
@@ -61,57 +65,56 @@ SWEEP_PRIORITY: tuple[str, ...] = (
     "ref_top5_finished_orders_by_price",
     "ref_building_acctbal_stats_by_nation",
     "ref_orc_roundtrip",
-    # round-12 NEW queries: driver rows on first appearance
-    "source_parquet_nested_decode",
-    "source_parquet_struct_decode",
-    "source_parquet_list_strings_decode",
-    "source_parquet_decimal_bool_decode",
-    "source_parquet_int96_timestamp_decode",
+    # round-13 NEW queries: driver rows on first appearance
+    "curation_dsir_importance_select_approx",
+    "dsir_approx_audit",
+    "source_parquet_map_decode",
+    "source_parquet_list_struct_decode",
+    "source_parquet_nested_list_decode",
+    "source_delta_checkpoint_partition_values",
+    "source_arrow_ipc_delta_dictionary",
+    "source_delta_column_mapping_id",
+    "source_hudi_mor_compaction",
+    # round-13 implementation changes: re-attest under the new code
     "source_orc_timestamp_double_decode",
+    "source_delta_v2_checkpoint_replay",
     "source_arrow_ipc_dictionary",
     "source_arrow_ipc_stream",
-    "source_delta_column_mapping",
-    "source_delta_v2_checkpoint_replay",
-    "curation_dsir_importance_select",
-    # round-12 implementation changes: re-attest under the new code
-    "source_parquet_page_decode",
-    "source_parquet_spark_native_decode",
-    "source_parquet_page_skipping",
-    "source_parquet_rowgroup_skipping",
     "source_arrow_ipc_records",
-    "source_delta_cdf_changes",
+    "source_delta_column_mapping",
+    "source_parquet_nested_decode",
+    "source_parquet_list_strings_decode",
+    "curation_dsir_importance_select",
     "source_hudi_mor_snapshot",
-    # judge-enumerated backlog: the displaced r10 tail...
-    "ks_test_segments",
-    "cvm_test_segments",
-    "multimodal_zstd_real_frame_decode",
-    "multimodal_g711_audio_decode",
-    "multimodal_jpeg_422_decode",
-    # ...and the longest-stale dedup/window/stats families
-    "dedup_exact_normalized",
-    "dedup_ngram_jaccard",
-    "dedup_minhash_lsh",
-    "w_top3_parts_per_brand",
-    "stats_variance_family",
-    # oldest r2-attested relational families, oldest-first
-    "cross_join_region_priority_matrix",
-    "date_arithmetic_orders",
-    "histogram_order_prices",
-    "join_anti_customers_without_pending",
-    "join_outer_nation_order_volume",
-    "join_semi_active_customers",
-    "null_semantics_orders",
-    "observe_ingest_gate",
-    "profile_orders_columns",
-    "q11_important_part_values",
-    "q15_top_revenue_suppliers",
-    "q16_supplier_part_counts",
-    "q17_below_avg_quantity_revenue",
-    "q20_majority_share_suppliers",
-    "q21_waiting_suppliers",
-    "q4_order_priority_checking",
-    "q8_nation_market_share",
-    "recursive_consecutive_activity",
+    # r12-enumerated backlog spill: the seven r2-attested queries
+    "rollup_grouping_flags",
+    "safe_arithmetic_orders",
+    "setops_bag_semantics",
+    "setops_segment_overlap",
+    "string_edit_distance_pairs",
+    "unpivot_lineitem_measures",
+    "w_value_functions",
+    # oldest r3-attested tail, oldest-first
+    "curation_hash_sample",
+    "curation_pack_sequences",
+    "curation_source_mixture",
+    "curation_split_contamination",
+    "curation_stopword_scrub",
+    "curation_train_test_split",
+    "dedup_duplicate_clusters",
+    "dedup_simhash",
+    "embedding_norm_stats",
+    "embedding_quantize_audit",
+    "knn_cosine_bruteforce",
+    "knn_cosine_ivf",
+    "knn_cosine_lsh",
+    "lateral_top2_orders_per_customer",
+    "neardup_embeddings",
+    "neardup_embeddings_lsh",
+    "q13_customer_order_distribution",
+    "q14_promo_revenue_share",
+    "q18_large_volume_orders",
+    "q2_min_cost_supplier",
 )
 
 
