@@ -299,6 +299,16 @@ EXTENDED = [
     "source_delta_column_mapping",
     "source_delta_v2_checkpoint_replay",
     "curation_dsir_importance_select",
+    # round 13
+    "curation_dsir_importance_select_approx",
+    "dsir_approx_audit",
+    "source_parquet_map_decode",
+    "source_parquet_list_struct_decode",
+    "source_parquet_nested_list_decode",
+    "source_delta_checkpoint_partition_values",
+    "source_arrow_ipc_delta_dictionary",
+    "source_delta_column_mapping_id",
+    "source_hudi_mor_compaction",
 ]
 
 # Streaming extended queries run dead LAST (after the streaming
@@ -550,6 +560,16 @@ EXPECTED_SF01: dict[str, float] = {
     "source_delta_column_mapping": 2.5,
     "source_delta_v2_checkpoint_replay": 2.4,
     "curation_dsir_importance_select": 2.3,
+    # round-13 additions (sf0.1 best-of-2, 2026-08-15, load1 2.5)
+    "curation_dsir_importance_select_approx": 2.6,
+    "dsir_approx_audit": 2.2,
+    "source_parquet_map_decode": 3.1,
+    "source_parquet_list_struct_decode": 3.3,
+    "source_parquet_nested_list_decode": 3.0,
+    "source_delta_checkpoint_partition_values": 2.4,
+    "source_arrow_ipc_delta_dictionary": 1.7,
+    "source_delta_column_mapping_id": 1.4,
+    "source_hudi_mor_compaction": 4.1,
 }
 
 
