@@ -309,6 +309,7 @@ EXTENDED = [
     "source_arrow_ipc_delta_dictionary",
     "source_delta_column_mapping_id",
     "source_hudi_mor_compaction",
+    "source_hudi_clean_replay",
 ]
 
 # Streaming extended queries run dead LAST (after the streaming
@@ -570,6 +571,7 @@ EXPECTED_SF01: dict[str, float] = {
     "source_arrow_ipc_delta_dictionary": 1.7,
     "source_delta_column_mapping_id": 1.4,
     "source_hudi_mor_compaction": 4.1,
+    "source_hudi_clean_replay": 1.8,
 }
 
 

@@ -861,3 +861,183 @@ def source_hudi_mor_compaction(
     )
     shutil.rmtree(root, ignore_errors=True)
     return out
+
+
+@register(
+    "source_hudi_clean_replay",
+    oracle=f"""
+        SELECT CAST(o_orderkey % 10 AS INT) AS key_mod,
+               count(*) AS n_orders,
+               {sql_dsum(
+                   "o_totalprice"
+                   " + CASE WHEN o_orderkey % 10 = 6 THEN 100.00 ELSE 0 END"
+               )} AS revenue,
+               CAST(1 AS INT) AS cleans_completed,
+               CAST(1 AS INT) AS cleans_pending,
+               CAST(1 AS INT) AS files_cleaned,
+               TRUE AS clean_safety_ok
+        FROM orders
+        GROUP BY 1
+        ORDER BY 1
+    """,
+    tags=("source", "hudi", "lakehouse", "compat", "table-service",
+          "clean"),
+)
+def source_hudi_clean_replay(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Hudi CLEAN instants (round 13) — the second table service
+    after compaction (`source_hudi_mor_compaction`): cleaning
+    physically deletes file slices older than the retention horizon,
+    recording what it removed in the completed ``{ts}.clean``
+    metadata. Two things a reader must get right: (a) the timeline
+    actions ``clean.requested`` / ``clean.inflight`` / ``clean`` are
+    KNOWN non-data instants (a reader that only knows commit-family
+    actions refuses every production table, since cleaning runs
+    continuously), and (b) visibility is unchanged — the latest file
+    slices must be served exactly as before the clean, with the
+    removed stale base genuinely gone from disk.
+
+    Fixture: group A gets base 001 then an upsert rewrite at commit
+    002 (+100.00 on keys ≡ 6); group B keeps its 001 base. Clean 003
+    completes, deleting A's stale 001 base and recording it in
+    HoodieCleanMetadata-shaped JSON (partitionMetadata →
+    successDeleteFiles); clean 004 is left INFLIGHT (scheduled,
+    nothing deleted — the steady-state shape on a busy table).
+    ``clean_safety_ok`` pins the service's safety contract
+    engine-side: every successDeleteFiles entry is (1) actually
+    absent from disk and (2) NOT a file the current slice resolution
+    serves — a clean that deleted a live file is data loss and must
+    flip the driver row, not pass silently.
+
+    Scale posture: clean replay is O(#instants) driver-side metadata;
+    the data read is the same latest-base-per-group resolution as the
+    COW reader."""
+    orders = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    root = os.path.join(
+        tempfile.gettempdir(), f"shs_hudi_cln_{uuid.uuid4().hex}"
+    )
+    tdir = os.path.join(root, "t")
+    hdir = os.path.join(tdir, ".hoodie")
+    os.makedirs(hdir)
+
+    def _write_base(file_id: str, instant: str, df: DataFrame) -> str:
+        name = f"{file_id}_0-1-0_{instant}.parquet"
+        tmp = os.path.join(root, f"stage_{name}")
+        df.coalesce(1).write.parquet(tmp)
+        src = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+        os.replace(os.path.join(tmp, src), os.path.join(tdir, name))
+        shutil.rmtree(tmp, ignore_errors=True)
+        return name
+
+    t1, t2, t3, t4 = "001", "002", "003", "004"
+    par = F.col("o_orderkey") % 2
+    evens = orders.filter(par == 0)
+    a1 = _write_base("fg-A", t1, evens)
+    _write_base("fg-B", t1, orders.filter(par == 1))
+    km = F.col("o_orderkey") % 10
+    _write_base("fg-A", t2, evens.withColumn(
+        "o_totalprice",
+        (F.col("o_totalprice").cast("decimal(18,2)")
+         + F.when(km == 6, 100).otherwise(0).cast("decimal(18,2)")
+         ).cast("double"),
+    ))
+
+    # clean 003 executes: A's stale 001 base is deleted and recorded
+    os.remove(os.path.join(tdir, a1))
+    clean_meta = {
+        "startCleanTime": t3,
+        "partitionMetadata": {
+            "": {"deletePathPatterns": [a1],
+                 "successDeleteFiles": [a1],
+                 "failedDeleteFiles": []}
+        },
+        "totalFilesDeleted": 1,
+    }
+    for name, body in (
+        (f"{t1}.commit.requested", "{}"),
+        (f"{t1}.commit.inflight", "{}"),
+        (f"{t1}.commit", "{}"),
+        (f"{t2}.commit.requested", "{}"),
+        (f"{t2}.commit.inflight", "{}"),
+        (f"{t2}.commit", "{}"),
+        (f"{t3}.clean.requested", "{}"),
+        (f"{t3}.clean.inflight", "{}"),
+        (f"{t3}.clean", json.dumps(clean_meta)),
+        (f"{t4}.clean.requested", "{}"),  # scheduled, never ran
+        (f"{t4}.clean.inflight", "{}"),
+    ):
+        with open(os.path.join(hdir, name), "w") as fh:
+            fh.write(body)
+
+    # ---- the reader ----
+    completed: set[str] = set()
+    cleans_completed: list[dict] = []
+    cleans_pending: set[str] = set()
+    for f in sorted(os.listdir(hdir)):
+        parts = f.split(".")
+        instant, action = parts[0], parts[1]
+        if action not in ("commit", "deltacommit", "rollback",
+                          "compaction", "clean"):
+            raise NotImplementedError(f"Hudi action {action!r}")
+        if action == "clean":
+            if len(parts) == 2:  # completed clean, carries metadata
+                with open(os.path.join(hdir, f)) as fh:
+                    cleans_completed.append(json.load(fh))
+            else:
+                cleans_pending.add(instant)
+            continue
+        if len(parts) == 2 and action in ("commit", "deltacommit"):
+            completed.add(instant)
+    n_pending = len(
+        cleans_pending
+        - {m["startCleanTime"] for m in cleans_completed}
+    )
+
+    bases: dict[str, tuple[str, str]] = {}
+    for f in sorted(os.listdir(tdir)):
+        if not f.endswith(".parquet"):
+            continue
+        file_id, _tok, tail = f.rsplit("_", 2)
+        instant = tail[: -len(".parquet")]
+        if instant not in completed:
+            continue
+        if file_id not in bases or instant > bases[file_id][0]:
+            bases[file_id] = (instant, f)
+    served = {name for _i, name in bases.values()}
+
+    # the safety contract: cleaned files are gone AND not served
+    files_cleaned = 0
+    safety_ok = bool(cleans_completed)
+    for m in cleans_completed:
+        for pmeta in m["partitionMetadata"].values():
+            for name in pmeta["successDeleteFiles"]:
+                files_cleaned += 1
+                safety_ok = safety_ok and not os.path.exists(
+                    os.path.join(tdir, name)
+                ) and name not in served
+
+    scan = None
+    for fid, (instant, name) in sorted(bases.items()):
+        df = spark.read.parquet(os.path.join(tdir, name))
+        scan = df if scan is None else scan.unionByName(df)
+    out = (
+        scan.groupBy(
+            (F.col("o_orderkey") % 10).cast("int").alias("key_mod")
+        )
+        .agg(
+            F.count("*").alias("n_orders"),
+            dsum("o_totalprice").alias("revenue"),
+            F.lit(len(cleans_completed)).cast("int")
+            .alias("cleans_completed"),
+            F.lit(n_pending).cast("int").alias("cleans_pending"),
+            F.lit(files_cleaned).cast("int").alias("files_cleaned"),
+            F.lit(bool(safety_ok)).alias("clean_safety_ok"),
+        )
+        .orderBy("key_mod")
+        .localCheckpoint(eager=True)  # 10 rows; frees the temp root
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    return out

@@ -148,3 +148,20 @@ def test_mor_compaction_contract(spark):
     assert all(r["stale_bases_ignored"] == 1 for r in rows)
     assert all(r["superseded_logs"] == 1 for r in rows)
     assert not any(r["key_mod"] == 3 for r in rows)
+
+
+def test_clean_replay_contract(spark):
+    """source_hudi_clean_replay: clean instants are recognized
+    non-data actions, the cleaned stale base is gone and unserved
+    (safety contract), the inflight clean stays pending, and latest
+    slices serve unchanged."""
+    from spark_hive_spark.plans.registry import all_queries
+
+    rows = all_queries()["source_hudi_clean_replay"].fn(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert len(rows) == 10
+    assert all(r["clean_safety_ok"] for r in rows)
+    assert all(r["cleans_completed"] == 1 for r in rows)
+    assert all(r["cleans_pending"] == 1 for r in rows)
+    assert all(r["files_cleaned"] == 1 for r in rows)
