@@ -310,6 +310,8 @@ EXTENDED = [
     "source_delta_column_mapping_id",
     "source_hudi_mor_compaction",
     "source_hudi_clean_replay",
+    "source_orc_list_decode",
+    "source_orc_map_struct_decode",
 ]
 
 # Streaming extended queries run dead LAST (after the streaming
@@ -572,6 +574,8 @@ EXPECTED_SF01: dict[str, float] = {
     "source_delta_column_mapping_id": 1.4,
     "source_hudi_mor_compaction": 4.1,
     "source_hudi_clean_replay": 1.8,
+    "source_orc_list_decode": 3.0,
+    "source_orc_map_struct_decode": 2.6,
 }
 
 

@@ -39,7 +39,7 @@ _REGISTRY: dict[str, Query] = {}
 
 # The grading driver sweeps the FIRST 50 registry entries per round, so
 # ordering is an attestation budget. Round-13 rotation (VERDICT r12
-# task 2, executed): the 4 reference jobs stay pinned, then the 9 NEW
+# task 2, executed): the 4 reference jobs stay pinned, then the 12 NEW
 # round-13 queries (driver rows on first appearance — cumulative
 # attestation stays complete), then re-attestations of everything whose
 # implementation changed this round (the ORC timestamp reader gained
@@ -57,7 +57,10 @@ _REGISTRY: dict[str, Query] = {}
 # subq_scalar_above_avg_orders, text_fingerprints,
 # text_langid_confusion, text_quality_scores, text_tfidf_top_terms,
 # text_token_stats, text_top_bigrams_per_lang, text_unigram_logprob,
-# then the r5-attested tail (approx_distinct_parts, arr_* ...).
+# then neardup_embeddings_lsh, q13_customer_order_distribution,
+# q14_promo_revenue_share, q18_large_volume_orders,
+# q2_min_cost_supplier (displaced by the ORC-nested/RLEv2 additions)
+# and the r5-attested tail (approx_distinct_parts, arr_* ...).
 # tests/test_registry_window.py asserts the window stays exactly this.
 SWEEP_PRIORITY: tuple[str, ...] = (
     # pinned reference jobs (driver-green every round)
@@ -75,7 +78,11 @@ SWEEP_PRIORITY: tuple[str, ...] = (
     "source_arrow_ipc_delta_dictionary",
     "source_delta_column_mapping_id",
     "source_hudi_mor_compaction",
+    "source_hudi_clean_replay",
+    "source_orc_list_decode",
+    "source_orc_map_struct_decode",
     # round-13 implementation changes: re-attest under the new code
+    # (the RLEv2 PATCHED_BASE patch-width fix rides every ORC reader)
     "source_orc_timestamp_double_decode",
     "source_delta_v2_checkpoint_replay",
     "source_arrow_ipc_dictionary",
@@ -86,6 +93,8 @@ SWEEP_PRIORITY: tuple[str, ...] = (
     "source_parquet_list_strings_decode",
     "curation_dsir_importance_select",
     "source_hudi_mor_snapshot",
+    "source_orc_rlev2_decode",
+    "source_orc_stripe_skipping",
     # r12-enumerated backlog spill: the seven r2-attested queries
     "rollup_grouping_flags",
     "safe_arithmetic_orders",
@@ -110,11 +119,6 @@ SWEEP_PRIORITY: tuple[str, ...] = (
     "knn_cosine_lsh",
     "lateral_top2_orders_per_customer",
     "neardup_embeddings",
-    "neardup_embeddings_lsh",
-    "q13_customer_order_distribution",
-    "q14_promo_revenue_share",
-    "q18_large_volume_orders",
-    "q2_min_cost_supplier",
 )
 
 

@@ -393,14 +393,22 @@ def source_orc_stripe_skipping(
 # ---------------------------------------------------------------------------
 
 _FBS = tuple(range(1, 25)) + (26, 28, 30, 32, 40, 48, 56, 64)
-_ALIGNED = (1, 2, 4, 8, 16, 24, 32, 40, 48, 56, 64)
 
 
-def _aligned_width(bits: int) -> int:
-    for a in _ALIGNED:
+def _closest_fbs(bits: int) -> int:
+    """Round a bit width UP to the nearest FixedBitSizes entry — the
+    rounding the PATCHED_BASE patch list is packed at (ORC spec +
+    RunLengthIntegerWriterV2.preparePatchedBlob: closestFixedBits of
+    patchGapWidth + patchWidth, NOT the byte-aligned family). Using
+    the aligned family here mis-frames every patch list whose summed
+    width has a non-aligned FBS entry (e.g. 10 bits) — a latent bug
+    sf1-scale data exposed in round 13: runs 0-80 of a real stream
+    decoded fine, run 81's 10-bit patch list read as 16-bit produced
+    gaps past the run length."""
+    for a in _FBS:
         if bits <= a:
             return a
-    raise ValueError(f"no aligned width for {bits} bits")
+    raise ValueError(f"no fixed bit size for {bits} bits")
 
 
 def _svarint(b: bytes, p: int) -> tuple[int, int]:
@@ -493,7 +501,7 @@ def decode_rlev2(b: bytes, signed: bool = True) -> list[int]:
             p += bw
             vals, p = _read_bits_msb(b, p, w, length)
             patches, p = _read_bits_msb(
-                b, p, _aligned_width(pgw + pw), pll
+                b, p, _closest_fbs(pgw + pw), pll
             )
             idx = 0
             for pv in patches:
@@ -1133,6 +1141,694 @@ def source_orc_timestamp_double_decode(
         (F.sum("cents").cast("decimal(18,0)") / 100)
         .cast("double").alias("revenue"),
         F.min("ok").alias("orc_ts_consistent"),
+    ).localCheckpoint(eager=True)  # 1 row; frees the temp root
+    shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# nested types: type tree + list/map/struct readers (round 13)
+# ---------------------------------------------------------------------------
+
+_ORC_KINDS = {
+    0: "boolean", 1: "byte", 2: "short", 3: "int", 4: "long",
+    5: "float", 6: "double", 7: "string", 8: "binary", 9: "timestamp",
+    10: "list", 11: "map", 12: "struct", 13: "union", 14: "decimal",
+    15: "date", 16: "varchar", 17: "char",
+}
+
+
+def _packed_uvarints(blob: bytes) -> list[int]:
+    """A PACKED repeated-varint protobuf field -> the int list (how
+    Type.subtypes arrives; single-element repeats may come through as
+    a bare int from the generic walker)."""
+    out: list[int] = []
+    p = 0
+    while p < len(blob):
+        v, p = _uvarint(blob, p)
+        out.append(v)
+    return out
+
+
+def orc_type_tree(footer: dict) -> list[dict[str, Any]]:
+    """Footer field 4 (repeated Type, pre-order by column id) ->
+    [{"kind", "subtypes": [column ids], "names": [...]}] — the map a
+    nested reader needs to find a list's element column, a map's
+    key/value columns, or a struct's children."""
+    out: list[dict[str, Any]] = []
+    for traw in footer.get(4, []):
+        m = decode_message(traw)
+        kind = m.get(1, [0])[0]
+        subs: list[int] = []
+        for v in m.get(2, []):
+            if isinstance(v, bytes):
+                subs.extend(_packed_uvarints(v))
+            else:
+                subs.append(v)
+        out.append({
+            "kind": _ORC_KINDS.get(kind, kind),
+            "subtypes": subs,
+            "names": [x.decode() for x in m.get(3, [])],
+        })
+    return out
+
+
+def _stripe_streams_multi(
+    data: bytes, codec: int, sraw: bytes, columns: set[int]
+) -> tuple[dict[tuple[int, int], bytes], int, list[dict]]:
+    """One StripeInformation -> ({(column, stream kind): raw bytes}
+    for every requested column, stripe row count, per-column encoding
+    messages) — the multi-column sibling of `_stripe_streams`, which
+    a nested reader needs because one logical column spans several
+    physical column ids."""
+    st = decode_message(sraw)
+    off, ilen, dlen, flen, nrows = (
+        st[1][0], st[2][0], st[3][0], st[4][0], st[5][0]
+    )
+    sfoot = decode_message(
+        _unchunk(data[off + ilen + dlen : off + ilen + dlen + flen],
+                 codec)
+    )
+    enc_msgs = [decode_message(e) for e in sfoot[2]]
+    pos = off
+    streams: dict[tuple[int, int], bytes] = {}
+    for s in sfoot[1]:
+        m = decode_message(s)
+        kind, col, ln = m.get(1, [0])[0], m.get(2, [0])[0], m[3][0]
+        if col in columns and kind != 6:  # ROW_INDEX not needed
+            streams[(col, kind)] = data[pos : pos + ln]
+        pos += ln
+    return streams, nrows, enc_msgs
+
+
+def _dec_scalar_entries(
+    streams: dict[tuple[int, int], bytes],
+    codec: int,
+    enc_msgs: list[dict],
+    tree: list[dict],
+    col: int,
+    n_entries: int,
+) -> list:
+    """Decode one SCALAR child column's entries (long or string,
+    ORC's nested-fixture floor) -> n_entries values with None where
+    the child's own PRESENT bitmap (relative to parent-present
+    entries, per the spec's nested encoding) clears a slot."""
+    kind = tree[col]["kind"]
+    present_raw = streams.get((col, 0))
+    if kind == "long":
+        data_raw = streams.get((col, 1))
+        if data_raw is None:
+            if n_entries:
+                raise ValueError(f"ORC column {col} missing DATA")
+            return []
+        vals = decode_rlev2(_unchunk(data_raw, codec), signed=True)
+    elif kind == "string":
+        encoding = enc_msgs[col].get(1, [0])[0]
+        if encoding not in (2, 3):  # DIRECT_V2 / DICTIONARY_V2
+            raise NotImplementedError(f"ORC string encoding {encoding}")
+        data_raw = streams.get((col, 1))
+        length_raw = streams.get((col, 2))
+        if data_raw is None or length_raw is None:
+            if n_entries:
+                raise ValueError(
+                    f"ORC string column {col} missing DATA/LENGTH"
+                )
+            return []
+        lengths = decode_rlev2(_unchunk(length_raw, codec),
+                               signed=False)
+        if encoding == 2:  # DIRECT_V2
+            blob = _unchunk(data_raw, codec)
+            vals, bp = [], 0
+            for ln_ in lengths:
+                vals.append(blob[bp : bp + ln_].decode("utf-8"))
+                bp += ln_
+            if bp != len(blob):
+                raise ValueError("string DATA has trailing bytes")
+        else:  # DICTIONARY_V2
+            dict_raw = streams.get((col, 3))
+            if dict_raw is None:
+                raise ValueError(
+                    f"ORC dict string column {col} missing "
+                    "DICTIONARY_DATA"
+                )
+            blob = _unchunk(dict_raw, codec)
+            entries, bp = [], 0
+            for ln_ in lengths:
+                entries.append(blob[bp : bp + ln_].decode("utf-8"))
+                bp += ln_
+            if bp != len(blob):
+                raise ValueError("dictionary blob has trailing bytes")
+            idx = decode_rlev2(_unchunk(data_raw, codec), signed=False)
+            vals = [entries[i] for i in idx]
+    else:
+        raise NotImplementedError(
+            f"ORC nested scalar child kind {kind!r}"
+        )
+    if present_raw is None:
+        if len(vals) != n_entries:
+            raise ValueError(
+                f"ORC column {col}: {len(vals)} values for "
+                f"{n_entries} entries"
+            )
+        return vals
+    bits = decode_present(_unchunk(present_raw, codec), n_entries)
+    if sum(bits) != len(vals):
+        raise ValueError(f"ORC column {col} PRESENT/DATA mismatch")
+    it = iter(vals)
+    return [next(it) if b else None for b in bits]
+
+
+def read_orc_list_column(
+    data: bytes, column: int
+) -> tuple[list[list | None], int]:
+    """Read one LIST column from raw ORC bytes -> one entry per row
+    (None / possibly-empty python list with None elements). ORC's
+    nested encoding (orc.apache.org/specification, "List Columns"):
+    the list column itself carries PRESENT + a LENGTH stream
+    (unsigned RLEv2, ONE entry per present list), and the single
+    child column carries the concatenated elements — its own PRESENT
+    bitmap is relative to the element entries, not rows."""
+    footer, codec = _orc_file_tail(data)
+    tree = orc_type_tree(footer)
+    if tree[column]["kind"] != "list":
+        raise ValueError(f"column {column} is {tree[column]['kind']}")
+    (elem_col,) = tree[column]["subtypes"]
+    out: list[list | None] = []
+    n_stripes = 0
+    for sraw in footer.get(3, []):
+        n_stripes += 1
+        streams, nrows, enc = _stripe_streams_multi(
+            data, codec, sraw, {column, elem_col}
+        )
+        lp_raw = streams.get((column, 0))
+        lp = (decode_present(_unchunk(lp_raw, codec), nrows)
+              if lp_raw is not None else [1] * nrows)
+        length_raw = streams.get((column, 2))
+        if length_raw is None:
+            raise ValueError("ORC list stripe missing LENGTH")
+        lengths = decode_rlev2(_unchunk(length_raw, codec),
+                               signed=False)
+        if len(lengths) != sum(lp):
+            raise ValueError("list LENGTH count != present lists")
+        elems = _dec_scalar_entries(
+            streams, codec, enc, tree, elem_col, sum(lengths)
+        )
+        li = iter(lengths)
+        ei = iter(elems)
+        for b in lp:
+            if not b:
+                out.append(None)
+            else:
+                out.append([next(ei) for _ in range(next(li))])
+    return out, n_stripes
+
+
+def read_orc_map_column(
+    data: bytes, column: int
+) -> tuple[list[dict | None], int]:
+    """Read one MAP column from raw ORC bytes -> one dict-or-None per
+    row. Same LENGTH layout as lists (one entry count per present
+    map), with TWO children: keys (no PRESENT — the spec's keys are
+    non-null) and values (own PRESENT over the entries)."""
+    footer, codec = _orc_file_tail(data)
+    tree = orc_type_tree(footer)
+    if tree[column]["kind"] != "map":
+        raise ValueError(f"column {column} is {tree[column]['kind']}")
+    key_col, val_col = tree[column]["subtypes"]
+    out: list[dict | None] = []
+    n_stripes = 0
+    for sraw in footer.get(3, []):
+        n_stripes += 1
+        streams, nrows, enc = _stripe_streams_multi(
+            data, codec, sraw, {column, key_col, val_col}
+        )
+        mp_raw = streams.get((column, 0))
+        mp = (decode_present(_unchunk(mp_raw, codec), nrows)
+              if mp_raw is not None else [1] * nrows)
+        length_raw = streams.get((column, 2))
+        if length_raw is None:
+            raise ValueError("ORC map stripe missing LENGTH")
+        lengths = decode_rlev2(_unchunk(length_raw, codec),
+                               signed=False)
+        if len(lengths) != sum(mp):
+            raise ValueError("map LENGTH count != present maps")
+        total = sum(lengths)
+        keys = _dec_scalar_entries(streams, codec, enc, tree,
+                                   key_col, total)
+        vals = _dec_scalar_entries(streams, codec, enc, tree,
+                                   val_col, total)
+        if any(k is None for k in keys):
+            raise ValueError("null ORC map key")
+        li = iter(lengths)
+        ki = iter(keys)
+        vi = iter(vals)
+        for b in mp:
+            if not b:
+                out.append(None)
+            else:
+                n = next(li)
+                out.append({next(ki): next(vi) for _ in range(n)})
+    return out, n_stripes
+
+
+def read_orc_struct_column(
+    data: bytes, column: int
+) -> tuple[list[dict | None], int]:
+    """Read one STRUCT column from raw ORC bytes -> one dict-or-None
+    per row. A struct column carries only its PRESENT bitmap; each
+    child column holds one entry per STRUCT-PRESENT row (the child's
+    own PRESENT distinguishes struct-present/field-null) — the same
+    two-level null disambiguation the parquet struct reader needed
+    def levels for."""
+    footer, codec = _orc_file_tail(data)
+    tree = orc_type_tree(footer)
+    if tree[column]["kind"] != "struct":
+        raise ValueError(f"column {column} is {tree[column]['kind']}")
+    child_cols = tree[column]["subtypes"]
+    names = tree[column]["names"]
+    out: list[dict | None] = []
+    n_stripes = 0
+    for sraw in footer.get(3, []):
+        n_stripes += 1
+        streams, nrows, enc = _stripe_streams_multi(
+            data, codec, sraw, {column, *child_cols}
+        )
+        sp_raw = streams.get((column, 0))
+        sp = (decode_present(_unchunk(sp_raw, codec), nrows)
+              if sp_raw is not None else [1] * nrows)
+        n_present = sum(sp)
+        children = [
+            _dec_scalar_entries(streams, codec, enc, tree, c,
+                                n_present)
+            for c in child_cols
+        ]
+        its = [iter(ch) for ch in children]
+        for b in sp:
+            if not b:
+                out.append(None)
+            else:
+                out.append({n: next(i) for n, i in zip(names, its)})
+    return out, n_stripes
+
+
+@register(
+    "source_orc_list_decode",
+    oracle="""
+        WITH base AS (SELECT o_orderkey AS k FROM orders),
+        ve AS (
+            SELECT k, gi AS i
+            FROM base, generate_series(1, 4) AS gv(gi)
+            WHERE k % 11 <> 0 AND gi <= k % 5
+        ),
+        te AS (
+            SELECT k, gi AS i
+            FROM base, generate_series(1, 3) AS gt(gi)
+            WHERE k % 9 <> 0 AND gi <= k % 4
+        ),
+        rowagg AS (
+            SELECT CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(sum(CASE WHEN k % 11 = 0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS v_null_lists,
+                   CAST(sum(CASE WHEN k % 11 <> 0 AND k % 5 = 0
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS v_empty_lists,
+                   CAST(sum(CASE WHEN k % 9 = 0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS t_null_lists
+            FROM base
+        ),
+        vagg AS (
+            SELECT CAST(count(*) AS BIGINT) AS v_entries,
+                   CAST(coalesce(sum(CASE WHEN (k + i) % 7 = 0
+                                          THEN 1 ELSE 0 END), 0)
+                        AS BIGINT) AS v_null_elems,
+                   CAST(coalesce(sum(CASE WHEN (k + i) % 7 <> 0
+                                          THEN k * 10 + i END), 0)
+                        AS BIGINT) AS v_sum
+            FROM ve
+        ),
+        tagg AS (
+            SELECT CAST(count(*) AS BIGINT) AS t_entries,
+                   CAST(coalesce(sum(CASE WHEN (k + i) % 6 = 0
+                                          THEN 1 ELSE 0 END), 0)
+                        AS BIGINT) AS t_null_elems,
+                   CAST(coalesce(sum(CASE WHEN (k + i) % 6 <> 0
+                                          THEN 1 + CASE WHEN
+                                              (k + i) % 13 >= 10
+                                              THEN 2 ELSE 1 END
+                                     END), 0) AS BIGINT) AS t_chars
+            FROM te
+        )
+        SELECT n_rows, v_null_lists, v_empty_lists, v_entries,
+               v_null_elems, v_sum, t_null_lists, t_entries,
+               t_null_elems, t_chars, TRUE AS list_consistent
+        FROM rowagg, vagg, tagg
+    """,
+    tags=("source", "orc", "nested", "list"),
+)
+def source_orc_list_decode(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """ORC LIST columns decoded by hand (round 13) — the nested half
+    of the ORC floor, mirroring the round-12/13 parquet nesting work
+    on the format the REFERENCE engine itself sinks to: ORC encodes
+    a list as PRESENT + a LENGTH stream (unsigned RLEv2, one entry
+    per present list) on the list column, with the child column
+    carrying the concatenated elements and its OWN present bitmap
+    relative to element entries — a completely different nested
+    contract from parquet's rep/def levels, so nothing is shared but
+    the RLEv2/PRESENT primitives.
+
+    Two list columns exercise both element decoders:
+    ``array<bigint>`` (signed RLEv2 elements) and ``array<string>``
+    (DICTIONARY_V2 elements — Spark dictionary-encodes the
+    low-cardinality tags, so element decode goes through
+    index+LENGTH+DICTIONARY_DATA). Fixtures carry null lists, empty
+    lists, and null elements; the type tree (footer Type messages,
+    packed-varint subtypes) locates the element columns — column ids
+    are never assumed. Everything under Spark's ZSTD chunks through
+    the repo's own RFC 8878 decoder.
+
+    The oracle recomputes all ten aggregates from raw orders via
+    lateral generate_series; ``list_consistent`` pins engine-side
+    that the tree shapes are list(long)/list(string), row counts
+    match the tail, and >1 file was decoded.
+
+    Scale posture: 32 Spark ORC files, one per decode task (files,
+    then stripes, are ORC's split units); per-file partials combine
+    in one reduce."""
+    import glob as _glob
+
+    import pandas as _pd
+
+    root = os.path.join(
+        tempfile.gettempdir(), f"shs_orclist_{uuid.uuid4().hex}"
+    )
+    (
+        t(spark, sf_dir, "orders")
+        .selectExpr(
+            """
+            CASE WHEN o_orderkey % 11 = 0
+                 THEN CAST(NULL AS array<bigint>)
+                 ELSE transform(
+                     slice(array(1, 2, 3, 4), 1,
+                           CAST(o_orderkey % 5 AS INT)),
+                     i -> CASE WHEN (o_orderkey + i) % 7 = 0
+                               THEN CAST(NULL AS BIGINT)
+                               ELSE o_orderkey * 10 + i END)
+            END AS vals
+            """,
+            """
+            CASE WHEN o_orderkey % 9 = 0
+                 THEN CAST(NULL AS array<string>)
+                 ELSE transform(
+                     slice(array(1, 2, 3), 1,
+                           CAST(o_orderkey % 4 AS INT)),
+                     i -> CASE WHEN (o_orderkey + i) % 6 = 0
+                               THEN CAST(NULL AS STRING)
+                               ELSE concat('w', (o_orderkey + i) % 13)
+                          END)
+            END AS tags
+            """,
+        )
+        .repartition(32)  # one ORC file per decode task
+        .write.option("compression", "zstd").orc(root)
+    )
+    paths = sorted(_glob.glob(os.path.join(root, "*.orc")))
+
+    plan = spark.createDataFrame(
+        [(p,) for p in paths], "path string"
+    ).repartition(len(paths))
+
+    def _decode(batches) -> Iterator:
+        for pdf in batches:
+            for rec in pdf.itertuples(index=False):
+                with open(rec.path, "rb") as fh:
+                    data = fh.read()
+                tail = read_orc_tail(data)
+                footer, _codec = _orc_file_tail(data)
+                tree = orc_type_tree(footer)
+                lists = [i for i, tp in enumerate(tree)
+                         if tp["kind"] == "list"]
+                vcol = next(
+                    c for c in lists
+                    if tree[tree[c]["subtypes"][0]]["kind"] == "long"
+                )
+                tcol = next(
+                    c for c in lists
+                    if tree[tree[c]["subtypes"][0]]["kind"] == "string"
+                )
+                v_rows, _ns = read_orc_list_column(data, vcol)
+                t_rows, _ns2 = read_orc_list_column(data, tcol)
+                v_entries = [e for r in v_rows if r is not None
+                             for e in r]
+                t_entries = [e for r in t_rows if r is not None
+                             for e in r]
+                ok = (
+                    len(lists) == 2
+                    and len(v_rows) == tail["num_rows"]
+                    and len(t_rows) == tail["num_rows"]
+                    and tail["compression"] == "ZSTD"
+                )
+                yield _pd.DataFrame(
+                    [(
+                        len(v_rows),
+                        sum(1 for r in v_rows if r is None),
+                        sum(1 for r in v_rows if r == []),
+                        len(v_entries),
+                        sum(1 for e in v_entries if e is None),
+                        sum(e for e in v_entries if e is not None),
+                        sum(1 for r in t_rows if r is None),
+                        len(t_entries),
+                        sum(1 for e in t_entries if e is None),
+                        sum(len(e) for e in t_entries
+                            if e is not None),
+                        bool(ok),
+                    )],
+                    columns=[
+                        "n_rows", "v_null_lists", "v_empty_lists",
+                        "v_entries", "v_null_elems", "v_sum",
+                        "t_null_lists", "t_entries", "t_null_elems",
+                        "t_chars", "ok",
+                    ],
+                )
+
+    partials = plan.mapInPandas(
+        _decode,
+        "n_rows bigint, v_null_lists bigint, v_empty_lists bigint,"
+        " v_entries bigint, v_null_elems bigint, v_sum bigint,"
+        " t_null_lists bigint, t_entries bigint, t_null_elems bigint,"
+        " t_chars bigint, ok boolean",
+    )
+    out = partials.agg(
+        F.sum("n_rows").alias("n_rows"),
+        F.sum("v_null_lists").alias("v_null_lists"),
+        F.sum("v_empty_lists").alias("v_empty_lists"),
+        F.sum("v_entries").alias("v_entries"),
+        F.sum("v_null_elems").alias("v_null_elems"),
+        F.sum("v_sum").alias("v_sum"),
+        F.sum("t_null_lists").alias("t_null_lists"),
+        F.sum("t_entries").alias("t_entries"),
+        F.sum("t_null_elems").alias("t_null_elems"),
+        F.sum("t_chars").alias("t_chars"),
+        (F.min("ok") & (F.count("*") > 1)).alias("list_consistent"),
+    ).localCheckpoint(eager=True)  # 1 row; frees the temp root
+    shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
+@register(
+    "source_orc_map_struct_decode",
+    oracle="""
+        WITH base AS (SELECT o_orderkey AS k FROM orders),
+        me AS (
+            SELECT k, gi - 1 AS j
+            FROM base, generate_series(1, 3) AS gm(gi)
+            WHERE k % 13 <> 0 AND k % 7 <> 0 AND gi <= k % 3 + 1
+        ),
+        rowagg AS (
+            SELECT CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(sum(CASE WHEN k % 13 = 0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS m_nulls,
+                   CAST(sum(CASE WHEN k % 13 <> 0 AND k % 7 = 0
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS m_empty,
+                   CAST(sum(CASE WHEN k % 8 = 0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS st_nulls,
+                   CAST(sum(CASE WHEN k % 8 <> 0 AND k % 5 = 0
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS st_k_nulls,
+                   CAST(sum(CASE WHEN k % 8 <> 0 AND k % 4 = 0
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS st_s_nulls,
+                   CAST(sum(CASE WHEN k % 8 <> 0 AND k % 5 <> 0
+                                 THEN k END) AS BIGINT) AS st_k_sum,
+                   CAST(sum(CASE WHEN k % 8 <> 0 AND k % 4 <> 0
+                                 THEN 2 END) AS BIGINT) AS st_s_chars
+            FROM base
+        ),
+        magg AS (
+            SELECT CAST(count(*) AS BIGINT) AS m_entries,
+                   CAST(coalesce(sum(CASE WHEN (k + j) % 5 = 0
+                                          THEN 1 ELSE 0 END), 0)
+                        AS BIGINT) AS m_null_vals,
+                   CAST(coalesce(sum(CASE WHEN (k + j) % 5 <> 0
+                                          THEN k * 10 + j END), 0)
+                        AS BIGINT) AS m_val_sum,
+                   CAST(2 * count(*) AS BIGINT) AS m_key_chars
+            FROM me
+        )
+        SELECT n_rows, m_nulls, m_empty, m_entries, m_null_vals,
+               m_val_sum, m_key_chars, st_nulls, st_k_nulls,
+               st_s_nulls, st_k_sum, st_s_chars,
+               TRUE AS nested_consistent
+        FROM rowagg, magg
+    """,
+    tags=("source", "orc", "nested", "map", "struct"),
+)
+def source_orc_map_struct_decode(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """ORC MAP + STRUCT columns decoded by hand (round 13) —
+    completing the ORC nested floor next to lists: a map is the
+    list layout with TWO children (keys carry no PRESENT, the spec's
+    keys are non-null; values carry their own PRESENT over entries),
+    and a struct is PRESENT-only on the struct column with each
+    child holding one entry per STRUCT-PRESENT row — ORC's
+    child-count contract, the analogue of what parquet needed
+    definition levels for, validated entry-for-entry by the readers.
+
+    Fixture: ``map<string,bigint>`` with null maps, EMPTY maps, and
+    null values (the empty-vs-null split rides the PRESENT/LENGTH
+    interaction), and ``struct<k bigint, s string>`` with the
+    three-way null pattern (struct / k / s). String children are
+    Spark's DICTIONARY_V2; everything under ZSTD chunks through the
+    repo's own decoder. The oracle recomputes all twelve aggregates
+    from raw orders; ``nested_consistent`` pins the tree shapes, the
+    tail row counts, and multi-file decode.
+
+    Scale posture: 32 files, one per task; partials combine in one
+    reduce."""
+    import glob as _glob
+
+    import pandas as _pd
+
+    root = os.path.join(
+        tempfile.gettempdir(), f"shs_orcms_{uuid.uuid4().hex}"
+    )
+    (
+        t(spark, sf_dir, "orders")
+        .selectExpr(
+            """
+            CASE WHEN o_orderkey % 13 = 0
+                 THEN CAST(NULL AS map<string,bigint>)
+                 WHEN o_orderkey % 7 = 0
+                 THEN CAST(map() AS map<string,bigint>)
+                 ELSE map_from_arrays(
+                     transform(
+                         slice(array(0, 1, 2), 1,
+                               CAST(o_orderkey % 3 AS INT) + 1),
+                         j -> concat('k', j)),
+                     transform(
+                         slice(array(0, 1, 2), 1,
+                               CAST(o_orderkey % 3 AS INT) + 1),
+                         j -> CASE WHEN (o_orderkey + j) % 5 = 0
+                                   THEN CAST(NULL AS BIGINT)
+                                   ELSE o_orderkey * 10 + j END))
+            END AS m
+            """,
+            """
+            CASE WHEN o_orderkey % 8 = 0
+                 THEN CAST(NULL AS struct<k: bigint, s: string>)
+                 ELSE named_struct(
+                     'k', CASE WHEN o_orderkey % 5 = 0
+                               THEN CAST(NULL AS BIGINT)
+                               ELSE o_orderkey END,
+                     's', CASE WHEN o_orderkey % 4 = 0
+                               THEN CAST(NULL AS STRING)
+                               ELSE concat('x', o_orderkey % 3) END)
+            END AS st
+            """,
+        )
+        .repartition(32)  # one ORC file per decode task
+        .write.option("compression", "zstd").orc(root)
+    )
+    paths = sorted(_glob.glob(os.path.join(root, "*.orc")))
+
+    plan = spark.createDataFrame(
+        [(p,) for p in paths], "path string"
+    ).repartition(len(paths))
+
+    def _decode(batches) -> Iterator:
+        for pdf in batches:
+            for rec in pdf.itertuples(index=False):
+                with open(rec.path, "rb") as fh:
+                    data = fh.read()
+                tail = read_orc_tail(data)
+                footer, _codec = _orc_file_tail(data)
+                tree = orc_type_tree(footer)
+                mcol = next(i for i, tp in enumerate(tree)
+                            if tp["kind"] == "map")
+                scol = next(i for i, tp in enumerate(tree)
+                            if tp["kind"] == "struct" and i > 0)
+                m_rows, _ns = read_orc_map_column(data, mcol)
+                s_rows, _ns2 = read_orc_struct_column(data, scol)
+                entries = [(kk, vv) for r in m_rows if r
+                           for kk, vv in r.items()]
+                structs = [r for r in s_rows if r is not None]
+                ok = (
+                    len(m_rows) == tail["num_rows"]
+                    and len(s_rows) == tail["num_rows"]
+                    and tree[scol]["names"] == ["k", "s"]
+                    and tail["compression"] == "ZSTD"
+                )
+                yield _pd.DataFrame(
+                    [(
+                        len(m_rows),
+                        sum(1 for r in m_rows if r is None),
+                        sum(1 for r in m_rows if r == {}),
+                        len(entries),
+                        sum(1 for _k, v in entries if v is None),
+                        sum(v for _k, v in entries if v is not None),
+                        sum(len(kk) for kk, _v in entries),
+                        len(s_rows) - len(structs),
+                        sum(1 for r in structs if r["k"] is None),
+                        sum(1 for r in structs if r["s"] is None),
+                        sum(r["k"] for r in structs
+                            if r["k"] is not None),
+                        sum(len(r["s"]) for r in structs
+                            if r["s"] is not None),
+                        bool(ok),
+                    )],
+                    columns=[
+                        "n_rows", "m_nulls", "m_empty", "m_entries",
+                        "m_null_vals", "m_val_sum", "m_key_chars",
+                        "st_nulls", "st_k_nulls", "st_s_nulls",
+                        "st_k_sum", "st_s_chars", "ok",
+                    ],
+                )
+
+    partials = plan.mapInPandas(
+        _decode,
+        "n_rows bigint, m_nulls bigint, m_empty bigint,"
+        " m_entries bigint, m_null_vals bigint, m_val_sum bigint,"
+        " m_key_chars bigint, st_nulls bigint, st_k_nulls bigint,"
+        " st_s_nulls bigint, st_k_sum bigint, st_s_chars bigint,"
+        " ok boolean",
+    )
+    out = partials.agg(
+        F.sum("n_rows").alias("n_rows"),
+        F.sum("m_nulls").alias("m_nulls"),
+        F.sum("m_empty").alias("m_empty"),
+        F.sum("m_entries").alias("m_entries"),
+        F.sum("m_null_vals").alias("m_null_vals"),
+        F.sum("m_val_sum").alias("m_val_sum"),
+        F.sum("m_key_chars").alias("m_key_chars"),
+        F.sum("st_nulls").alias("st_nulls"),
+        F.sum("st_k_nulls").alias("st_k_nulls"),
+        F.sum("st_s_nulls").alias("st_s_nulls"),
+        F.sum("st_k_sum").alias("st_k_sum"),
+        F.sum("st_s_chars").alias("st_s_chars"),
+        (F.min("ok") & (F.count("*") > 1)).alias("nested_consistent"),
     ).localCheckpoint(eager=True)  # 1 row; frees the temp root
     shutil.rmtree(root, ignore_errors=True)
     return out

@@ -485,3 +485,156 @@ def test_orc_ts_base_writer_timezone():
     assert _orc_ts_base("Asia/Tokyo") == _ORC_TS_BASE - 9 * 3600
     with _pytest.raises(NotImplementedError):
         _orc_ts_base("Not/A_Zone")
+
+
+def test_orc_nested_differential_spark(spark, tmp_path):
+    """ORC list/map/struct hand decode == Spark's own read-back
+    across all four supported chunk codecs: LENGTH-stream lists with
+    signed-RLEv2 and DICTIONARY_V2 string elements, maps with
+    non-null keys + nullable values, struct child-count semantics."""
+    from spark_hive_spark.sources.orc_meta import (
+        _orc_file_tail,
+        orc_type_tree,
+        read_orc_list_column,
+        read_orc_map_column,
+        read_orc_struct_column,
+    )
+
+    df = spark.range(1, 2000).selectExpr(
+        "CASE WHEN id % 11 = 0 THEN CAST(NULL AS array<bigint>)"
+        " ELSE transform(slice(array(1,2,3,4),1,CAST(id % 5 AS INT)),"
+        " i -> CASE WHEN (id+i)%7=0 THEN CAST(NULL AS BIGINT)"
+        " ELSE id*10+i END) END AS vals",
+        "CASE WHEN id % 9 = 0 THEN CAST(NULL AS array<string>)"
+        " ELSE transform(slice(array(1,2,3),1,CAST(id % 4 AS INT)),"
+        " i -> CASE WHEN (id+i)%6=0 THEN CAST(NULL AS STRING)"
+        " ELSE concat('w', (id+i) % 13) END) END AS tags",
+        "CASE WHEN id % 13 = 0 THEN CAST(NULL AS map<string,bigint>)"
+        " WHEN id % 7 = 0 THEN CAST(map() AS map<string,bigint>)"
+        " ELSE map_from_arrays("
+        " transform(slice(array(0,1,2),1,CAST(id % 3 AS INT)+1),"
+        " j -> concat('k', j)),"
+        " transform(slice(array(0,1,2),1,CAST(id % 3 AS INT)+1),"
+        " j -> CASE WHEN (id+j)%5=0 THEN CAST(NULL AS BIGINT)"
+        " ELSE id*10+j END)) END AS m",
+        "CASE WHEN id % 8 = 0"
+        " THEN CAST(NULL AS struct<k: bigint, s: string>)"
+        " ELSE named_struct("
+        " 'k', CASE WHEN id%5=0 THEN CAST(NULL AS BIGINT) ELSE id END,"
+        " 's', CASE WHEN id%4=0 THEN CAST(NULL AS STRING)"
+        " ELSE concat('x', id % 3) END) END AS st",
+    )
+    rows = df.collect()
+    import glob
+
+    for comp in ("zstd", "snappy", "zlib", "none"):
+        out = str(tmp_path / f"nested_{comp}")
+        df.coalesce(1).write.option("compression", comp).orc(out)
+        with open(glob.glob(out + "/*.orc")[0], "rb") as fh:
+            data = fh.read()
+        footer, _ = _orc_file_tail(data)
+        tree = orc_type_tree(footer)
+        lists = [i for i, t_ in enumerate(tree) if t_["kind"] == "list"]
+        vcol = next(c for c in lists
+                    if tree[tree[c]["subtypes"][0]]["kind"] == "long")
+        tcol = next(c for c in lists
+                    if tree[tree[c]["subtypes"][0]]["kind"] == "string")
+        mcol = next(i for i, t_ in enumerate(tree)
+                    if t_["kind"] == "map")
+        scol = next(i for i, t_ in enumerate(tree)
+                    if t_["kind"] == "struct" and i > 0)
+        assert read_orc_list_column(data, vcol)[0] == [
+            None if r.vals is None else list(r.vals) for r in rows
+        ]
+        assert read_orc_list_column(data, tcol)[0] == [
+            None if r.tags is None else list(r.tags) for r in rows
+        ]
+        assert read_orc_map_column(data, mcol)[0] == [
+            None if r.m is None else dict(r.m) for r in rows
+        ]
+        assert read_orc_struct_column(data, scol)[0] == [
+            None if r.st is None else {"k": r.st.k, "s": r.st.s}
+            for r in rows
+        ]
+
+
+def test_orc_nested_multi_stripe_pyarrow(tmp_path):
+    """Multi-stripe nested decode against pyarrow's ORC writer
+    (DIRECT_V2 strings — the other element encoding — and stripe
+    boundaries inside list runs)."""
+    import pyarrow as pa
+    from pyarrow import orc as po
+
+    from spark_hive_spark.sources.orc_meta import (
+        _orc_file_tail,
+        orc_type_tree,
+        read_orc_list_column,
+        read_orc_tail,
+    )
+
+    n = 30000
+    rows = [
+        None if i % 37 == 0
+        else [None if (i + j) % 5 == 0 else f"v{i}_{j}"
+              for j in range(i % 4)]
+        for i in range(n)
+    ]
+    noise = [((i * 2654435761) % 2**31) * 1e-7 for i in range(n)]
+    path = str(tmp_path / "ml.orc")
+    po.write_table(
+        pa.table({"ls": pa.array(rows, pa.list_(pa.string())),
+                  "x": pa.array(noise, pa.float64())}),
+        path, stripe_size=64 * 1024, compression="snappy",
+    )
+    with open(path, "rb") as fh:
+        data = fh.read()
+    assert len(read_orc_tail(data)["stripes"]) > 1
+    footer, _ = _orc_file_tail(data)
+    tree = orc_type_tree(footer)
+    lcol = next(i for i, t_ in enumerate(tree) if t_["kind"] == "list")
+    got, n_stripes = read_orc_list_column(data, lcol)
+    assert n_stripes > 1
+    assert got == po.ORCFile(path).read()["ls"].to_pylist() == rows
+
+
+def test_rlev2_patched_base_nonaligned_patch_width():
+    """Regression (round 13, found by sf1 data): the PATCHED_BASE
+    patch list packs at closestFixedBits(patchGapWidth + patchWidth)
+    — 10 bits stays 10 bits — NOT the byte-aligned width family.
+    Hand-crafted run: w=4, base=0, values [1,2,3,1] with a (gap=3,
+    patch=1) entry in a pgw=8+pw=2 (10-bit) patch list restoring the
+    fourth value to 17. The pre-fix 16-bit read turned the entry into
+    gap 208 and crashed past the run length."""
+    from spark_hive_spark.sources.orc_meta import decode_rlev2
+
+    run = bytes([
+        0x86, 0x03,        # PATCHED_BASE, w=4 (code 3), length 4
+        0x01,              # bw=1, patch width code 1 (pw=2)
+        0xE1,              # pgw=8, patch list length 1
+        0x00,              # base = 0
+        0x12, 0x31,        # 4 values @ 4 bits: 1,2,3,1
+        0x03, 0x40,        # one 10-bit entry: gap 3, patch 1
+    ])
+    assert decode_rlev2(run, signed=False) == [1, 2, 3, 17]
+
+
+def test_rlev2_patched_base_differential_vs_spark(spark, tmp_path):
+    """The exact data shape that exposed the bug: large-magnitude
+    int64 runs with a few outliers make Spark's writer emit
+    PATCHED_BASE with 10-bit patch lists; hand decode must equal
+    Spark's read-back."""
+    import glob
+
+    from spark_hive_spark.sources.orc_meta import read_orc_int64_column
+
+    df = spark.range(1, 60000).selectExpr(
+        # mostly a dense band, occasional huge outliers -> patches
+        "CASE WHEN id % 509 = 0 THEN id * 100000 + 300000000"
+        " ELSE 40000000 + id END AS v"
+    )
+    root = str(tmp_path / "pb")
+    df.coalesce(1).write.option("compression", "zstd").orc(root)
+    with open(glob.glob(root + "/*.orc")[0], "rb") as fh:
+        data = fh.read()
+    got, _ = read_orc_int64_column(data, 1)
+    assert got == [r.v for r in df.collect()]
