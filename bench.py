@@ -312,6 +312,7 @@ EXTENDED = [
     "source_hudi_clean_replay",
     "source_orc_list_decode",
     "source_orc_map_struct_decode",
+    "source_parquet_byte_stream_split_decode",
 ]
 
 # Streaming extended queries run dead LAST (after the streaming
@@ -576,6 +577,7 @@ EXPECTED_SF01: dict[str, float] = {
     "source_hudi_clean_replay": 1.8,
     "source_orc_list_decode": 3.0,
     "source_orc_map_struct_decode": 2.6,
+    "source_parquet_byte_stream_split_decode": 1.8,
 }
 
 

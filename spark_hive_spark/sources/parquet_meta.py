@@ -930,6 +930,25 @@ def _decode_fixed_page_levels(
                 "DELTA_BINARY_PACKED on a non-integer column"
             )
         vals = decode_delta_binary_packed(vals_buf, n_present)
+    elif enc == 9:  # BYTE_STREAM_SPLIT (round 13)
+        # Encodings.md: the K-byte values are transposed into K
+        # streams — all 1st bytes, then all 2nd bytes, ... — so
+        # same-position bytes (exponents, high mantissa) sit together
+        # and the page codec compresses them; the page data is
+        # EXACTLY n*K bytes, no header
+        if len(vals_buf) != n_present * width:
+            raise ValueError(
+                f"BYTE_STREAM_SPLIT page has {len(vals_buf)} bytes "
+                f"for {n_present} x {width}"
+            )
+        vals = [
+            struct.unpack(
+                fmt_ch,
+                bytes(vals_buf[i + j * n_present]
+                      for j in range(width)),
+            )[0]
+            for i in range(n_present)
+        ]
     else:
         raise NotImplementedError(f"value encoding {enc}")
     if len(vals) != n_present:
@@ -3637,6 +3656,147 @@ def source_parquet_nested_list_decode(
         F.sum("n_null_values").alias("n_null_values"),
         F.sum("val_sum").alias("val_sum"),
         F.min("ok").alias("nested_list_consistent"),
+    ).localCheckpoint(eager=True)  # 1 row; frees the temp root
+    shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
+@register(
+    "source_parquet_byte_stream_split_decode",
+    oracle="""
+        SELECT CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(CASE WHEN o_orderkey % 53 = 0
+                             THEN 1 ELSE 0 END) AS BIGINT) AS d_nulls,
+               CAST(coalesce(sum(CASE WHEN o_orderkey % 53 <> 0
+                   THEN CAST(round(o_totalprice * 100) AS BIGINT)
+                   END), 0) AS BIGINT) AS cents,
+               CAST(sum(CASE WHEN o_orderkey % 37 = 0
+                             THEN 1 ELSE 0 END) AS BIGINT) AS f_nulls,
+               CAST(coalesce(sum(CASE WHEN o_orderkey % 37 <> 0
+                   THEN o_orderkey % 1000 END), 0) AS BIGINT)
+                   AS f_quarters,
+               TRUE AS bss_consistent
+        FROM orders
+    """,
+    tags=("source", "parquet", "pages", "encoding",
+          "byte-stream-split"),
+)
+def source_parquet_byte_stream_split_decode(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Parquet BYTE_STREAM_SPLIT pages decoded by hand (round 13) —
+    the modern float encoding (Encodings.md, enc 9): a page's K-byte
+    values are TRANSPOSED into K byte streams (all 1st bytes, then
+    all 2nd bytes, ...) so same-position bytes — exponents, high
+    mantissa — sit together and the page codec can actually compress
+    IEEE data; scientific/embedding-heavy lakes increasingly write it
+    (pyarrow: use_byte_stream_split). A reader without it rejects the
+    column outright; one that forgets the transpose produces byte-
+    shuffled garbage floats — which is why the oracle runs on EXACT
+    integer images (cents of the double column, quarter-counts of the
+    float32 column) where any byte swap flips the sum.
+
+    DOUBLE (8 streams) and FLOAT (4 streams) columns, nulls on both
+    (the def-level stream sits in front, its count sizes the n×K data
+    blob — the size identity the reader validates), ZSTD pages
+    through the repo's own decoder. ``bss_consistent`` pins that both
+    chunks' encoding lists actually carry enc 9 and >1 data page was
+    walked per chunk.
+
+    Scale posture: one task per row group via mapInPandas, partials
+    in one reduce — the same split model as every page-decode
+    demonstrator here."""
+    import glob as _glob
+
+    import pandas as _pd
+    import pyarrow as _pa
+    import pyarrow.parquet as _pq
+
+    root = os.path.join(
+        tempfile.gettempdir(), f"shs_pqbss_{uuid.uuid4().hex}"
+    )
+    os.makedirs(root)
+    path = os.path.join(root, "bss.parquet")
+    src = (
+        t(spark, sf_dir, "orders")
+        .selectExpr(
+            "CASE WHEN o_orderkey % 53 = 0 THEN CAST(NULL AS DOUBLE)"
+            " ELSE o_totalprice END AS d",
+            "CASE WHEN o_orderkey % 37 = 0 THEN CAST(NULL AS FLOAT)"
+            " ELSE CAST((o_orderkey % 1000) * 0.25 AS FLOAT) END AS f",
+        )
+        .toArrow()
+    )
+    tbl = _pa.table({
+        "d": src["d"].cast(_pa.float64()),
+        "f": src["f"].cast(_pa.float32()),
+    })
+    _pq.write_table(
+        tbl, path,
+        use_dictionary=False, compression="ZSTD",
+        use_byte_stream_split=["d", "f"],
+        data_page_size=8 * 1024,
+        row_group_size=max(2048, tbl.num_rows // 32),
+    )
+    with open(path, "rb") as fh:
+        raw = fh.read()
+    n_groups = len(decode_footer(raw)[4])
+
+    plan = spark.createDataFrame(
+        [(path, i) for i in range(n_groups)], "path string, rg int"
+    ).repartition(n_groups)
+
+    def _decode_groups(batches) -> Iterator:
+        for pdf in batches:
+            for rec in pdf.itertuples(index=False):
+                with open(rec.path, "rb") as fh:
+                    data = fh.read()
+                fmd = decode_footer(data)
+                rg = fmd[4][rec.rg]
+                by_path = {
+                    ".".join(seg.decode() for seg in cc[3][3]): cc[3]
+                    for cc in rg[1]
+                }
+                d_vals, _dd, d_pages = read_leaf_pages_with_levels(
+                    data, by_path["d"], 1
+                )
+                f_vals, _fd, f_pages = read_leaf_pages_with_levels(
+                    data, by_path["f"], 1
+                )
+                d_present = [v for v in d_vals if v is not None]
+                f_present = [v for v in f_vals if v is not None]
+                ok = (
+                    9 in by_path["d"][2] and 9 in by_path["f"][2]
+                    and len(d_vals) == rg[3] == len(f_vals)
+                    and by_path["d"][4] == 6  # ZSTD, hand decoder
+                )
+                yield _pd.DataFrame(
+                    [(
+                        len(d_vals),
+                        len(d_vals) - len(d_present),
+                        sum(round(v * 100) for v in d_present),
+                        len(f_vals) - len(f_present),
+                        sum(round(v * 4) for v in f_present),
+                        d_pages + f_pages,
+                        bool(ok),
+                    )],
+                    columns=["n_rows", "d_nulls", "cents", "f_nulls",
+                             "f_quarters", "pages", "ok"],
+                )
+
+    partials = plan.mapInPandas(
+        _decode_groups,
+        "n_rows bigint, d_nulls bigint, cents bigint, f_nulls bigint,"
+        " f_quarters bigint, pages int, ok boolean",
+    )
+    out = partials.agg(
+        F.sum("n_rows").alias("n_rows"),
+        F.sum("d_nulls").alias("d_nulls"),
+        F.sum("cents").alias("cents"),
+        F.sum("f_nulls").alias("f_nulls"),
+        F.sum("f_quarters").alias("f_quarters"),
+        (F.min("ok") & (F.sum("pages") > 2 * F.count("*")))
+        .alias("bss_consistent"),
     ).localCheckpoint(eager=True)  # 1 row; frees the temp root
     shutil.rmtree(root, ignore_errors=True)
     return out

@@ -1314,3 +1314,44 @@ def test_map_reader_rejects_structural_mismatch(tmp_path):
     # OPTIONAL leaf where the stream says REQUIRED -> loud
     with pytest.raises((ValueError, NotImplementedError)):
         read_map_column_pages(data, c[kp], c[vp], reps[vp], reps[vp])
+
+
+@pytest.mark.parametrize(
+    "opts",
+    [
+        dict(compression="NONE", data_page_size=2048),
+        dict(compression="ZSTD", data_page_size=4096),
+        dict(compression="ZSTD", data_page_size=4096,
+             data_page_version="2.0"),
+    ],
+    ids=["v1-plain", "v1-zstd", "v2-zstd"],
+)
+def test_byte_stream_split_differential(tmp_path, opts):
+    """BYTE_STREAM_SPLIT (enc 9) double + float pages == pyarrow's
+    read-back, v1 and v2 pages, with nulls (the def-level count sizes
+    the n x K transposed blob)."""
+    from spark_hive_spark.sources.parquet_meta import (
+        read_leaf_pages_with_levels,
+    )
+
+    rows_d = [None if i % 53 == 0 else i * 1.25 for i in range(6000)]
+    rows_f = [None if i % 37 == 0 else float(i % 997) * 0.5
+              for i in range(6000)]
+    tbl = pa.table({"d": pa.array(rows_d, pa.float64()),
+                    "f": pa.array(rows_f, pa.float32())})
+    path = str(tmp_path / "bss.parquet")
+    pq.write_table(tbl, path, use_dictionary=False,
+                   use_byte_stream_split=["d", "f"],
+                   row_group_size=1700, **opts)
+    with open(path, "rb") as fh:
+        data = fh.read()
+    fmd = decode_footer(data)
+    got_d, got_f = [], []
+    for rg in fmd[4]:
+        c = _cmds_by_path(rg)
+        assert 9 in c["d"][2] and 9 in c["f"][2]
+        got_d.extend(read_leaf_pages_with_levels(data, c["d"], 1)[0])
+        got_f.extend(read_leaf_pages_with_levels(data, c["f"], 1)[0])
+    ref = pq.read_table(path)
+    assert got_d == ref["d"].to_pylist() == rows_d
+    assert got_f == ref["f"].to_pylist() == rows_f
