@@ -313,6 +313,7 @@ EXTENDED = [
     "source_orc_list_decode",
     "source_orc_map_struct_decode",
     "source_parquet_byte_stream_split_decode",
+    "source_orc_decimal_boolean_decode",
 ]
 
 # Streaming extended queries run dead LAST (after the streaming
@@ -578,6 +579,7 @@ EXPECTED_SF01: dict[str, float] = {
     "source_orc_list_decode": 3.0,
     "source_orc_map_struct_decode": 2.6,
     "source_parquet_byte_stream_split_decode": 1.8,
+    "source_orc_decimal_boolean_decode": 2.7,
 }
 
 

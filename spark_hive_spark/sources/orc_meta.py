@@ -1832,3 +1832,286 @@ def source_orc_map_struct_decode(
     ).localCheckpoint(eager=True)  # 1 row; frees the temp root
     shutil.rmtree(root, ignore_errors=True)
     return out
+
+
+# ---------------------------------------------------------------------------
+# decimal / boolean / float scalar readers (round 13)
+# ---------------------------------------------------------------------------
+
+def _signed_varints(b: bytes) -> list[int]:
+    """A whole stream of zigzag base-128 varints (ORC's 'unbounded
+    varint' decimal DATA encoding) -> signed ints; python ints make
+    decimal128 (precision > 18) free."""
+    out: list[int] = []
+    p = 0
+    while p < len(b):
+        u, p = _uvarint(b, p)
+        out.append(_unzigzag(u))
+    return out
+
+
+def read_orc_decimal_column(
+    data: bytes, column: int
+) -> tuple[list[int | None], int, int]:
+    """Read one DECIMAL column from raw ORC bytes -> (one UNSCALED
+    int per row normalized to the TYPE's scale — exact, no floats —
+    or None, stripe count, the type scale). Spec layout: DATA is a
+    stream of zigzag unbounded varints (arbitrary precision — this is
+    how decimal128 rides), SECONDARY is the per-value scale as signed
+    RLEv2; a value's scale may be smaller than the type's (trailing
+    zeros stripped), so the reader rescales by 10^(type_scale -
+    value_scale) and rejects scales LARGER than the type's loudly."""
+    footer, codec = _orc_file_tail(data)
+    tree = orc_type_tree(footer)
+    if tree[column]["kind"] != "decimal":
+        raise ValueError(f"column {column} is {tree[column]['kind']}")
+    tmsg = decode_message(footer[4][column])
+    type_scale = tmsg.get(6, [0])[0]
+    out: list[int | None] = []
+    n_stripes = 0
+    for sraw in footer.get(3, []):
+        n_stripes += 1
+        streams, nrows, _enc, _wtz = _stripe_streams(
+            data, codec, sraw, column
+        )
+        if 1 not in streams or 5 not in streams:
+            raise ValueError("ORC decimal stripe missing DATA/SECONDARY")
+        unscaled = _signed_varints(_unchunk(streams[1], codec))
+        scales = decode_rlev2(_unchunk(streams[5], codec), signed=True)
+        if len(unscaled) != len(scales):
+            raise ValueError("decimal DATA/SECONDARY length mismatch")
+        vals: list[int] = []
+        for u, sc in zip(unscaled, scales):
+            if sc > type_scale:
+                raise NotImplementedError(
+                    f"decimal value scale {sc} exceeds type scale "
+                    f"{type_scale}"
+                )
+            vals.append(u * 10 ** (type_scale - sc))
+        if 0 not in streams:
+            if len(vals) != nrows:
+                raise ValueError("decimal row count mismatch")
+            out += vals
+        else:
+            bits = decode_present(_unchunk(streams[0], codec), nrows)
+            if sum(bits) != len(vals):
+                raise ValueError("PRESENT bits disagree with DATA count")
+            it = iter(vals)
+            out += [next(it) if b else None for b in bits]
+    return out, n_stripes, type_scale
+
+
+def read_orc_boolean_column(
+    data: bytes, column: int
+) -> tuple[list[bool | None], int]:
+    """Read one BOOLEAN column from raw ORC bytes: DATA is the same
+    byte-RLE + MSB-first bit packing as PRESENT bitmaps, sized by the
+    count of present rows."""
+    footer, codec = _orc_file_tail(data)
+    out: list[bool | None] = []
+    n_stripes = 0
+    for sraw in footer.get(3, []):
+        n_stripes += 1
+        streams, nrows, _enc, _wtz = _stripe_streams(
+            data, codec, sraw, column
+        )
+        if 1 not in streams:
+            raise ValueError("ORC boolean stripe missing DATA")
+        if 0 not in streams:
+            bits = decode_present(_unchunk(streams[1], codec), nrows)
+            out += [bool(b) for b in bits]
+        else:
+            pres = decode_present(_unchunk(streams[0], codec), nrows)
+            vals = decode_present(
+                _unchunk(streams[1], codec), sum(pres)
+            )
+            it = iter(vals)
+            out += [bool(next(it)) if b else None for b in pres]
+    return out, n_stripes
+
+
+def read_orc_float_column(
+    data: bytes, column: int
+) -> tuple[list[float | None], int]:
+    """Read one FLOAT (binary32) column: IEEE 754 LE 4-byte DATA
+    behind PRESENT — the 4-byte sibling of the double reader."""
+    footer, codec = _orc_file_tail(data)
+    out: list[float | None] = []
+    n_stripes = 0
+    for sraw in footer.get(3, []):
+        n_stripes += 1
+        streams, nrows, _enc, _wtz = _stripe_streams(
+            data, codec, sraw, column
+        )
+        if 1 not in streams:
+            raise ValueError("ORC float stripe missing DATA")
+        raw = _unchunk(streams[1], codec)
+        if len(raw) % 4:
+            raise ValueError("float DATA stream not 4-byte aligned")
+        vals = list(struct.unpack(f"<{len(raw) // 4}f", raw))
+        if 0 not in streams:
+            if len(vals) != nrows:
+                raise ValueError("float DATA row count mismatch")
+            out += vals
+        else:
+            bits = decode_present(_unchunk(streams[0], codec), nrows)
+            if sum(bits) != len(vals):
+                raise ValueError("PRESENT bits disagree with DATA count")
+            it = iter(vals)
+            out += [next(it) if b else None for b in bits]
+    return out, n_stripes
+
+
+@register(
+    "source_orc_decimal_boolean_decode",
+    oracle="""
+        SELECT CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(CASE WHEN o_orderkey % 53 = 0
+                             THEN 1 ELSE 0 END) AS BIGINT)
+                   AS dec_nulls,
+               CAST(coalesce(sum(CASE WHEN o_orderkey % 53 <> 0
+                   THEN CAST(round(o_totalprice * 100) AS BIGINT)
+                   END), 0) AS BIGINT) AS dec_cents,
+               CAST(sum(CAST(round(o_totalprice * 10000) AS BIGINT))
+                    AS BIGINT) AS bigdec_unscaled,
+               CAST(sum(CASE WHEN o_orderkey % 5 <> 0
+                             AND o_orderkey % 3 = 0
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_true,
+               CAST(sum(CASE WHEN o_orderkey % 5 <> 0
+                             AND o_orderkey % 3 <> 0
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_false,
+               CAST(sum(CASE WHEN o_orderkey % 5 = 0
+                             THEN 1 ELSE 0 END) AS BIGINT) AS b_nulls,
+               CAST(sum(CASE WHEN o_orderkey % 9 = 0
+                             THEN 1 ELSE 0 END) AS BIGINT) AS f_nulls,
+               CAST(coalesce(sum(CASE WHEN o_orderkey % 9 <> 0
+                   THEN o_orderkey % 1000 END), 0) AS BIGINT)
+                   AS f_quarters,
+               TRUE AS decimal_consistent
+        FROM orders
+    """,
+    tags=("source", "orc", "decimal", "boolean", "float"),
+)
+def source_orc_decimal_boolean_decode(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """ORC DECIMAL + BOOLEAN + FLOAT columns decoded by hand
+    (round 13) — completing the ORC scalar floor in parity with the
+    round-12 parquet decimal/boolean query, on the reference's own
+    sink format. Decimals are the spec's two-stream layout: DATA as
+    zigzag UNBOUNDED varints of the unscaled value (python ints make
+    the DECIMAL(28,4) column's >64-bit unscaled range free — this is
+    how decimal128 rides in ORC), SECONDARY as signed-RLEv2 per-value
+    scales with trailing zeros stripped, rescaled to the type scale
+    exactly (no floats anywhere — the oracle compares integer
+    unscaled sums). Booleans are byte-RLE + MSB-first bit packing
+    (the PRESENT machinery re-used as DATA, sized by present rows);
+    floats are IEEE binary32 LE behind PRESENT.
+
+    ``decimal_consistent`` pins the type tree (decimal(12,2) +
+    decimal(28,4) with the scales read from the Type message, not
+    assumed), row counts, and multi-file decode; the DuckDB oracle
+    recomputes every integer image from raw orders.
+
+    Scale posture: 32 Spark ORC files, one per decode task."""
+    import glob as _glob
+
+    import pandas as _pd
+
+    root = os.path.join(
+        tempfile.gettempdir(), f"shs_orcdec_{uuid.uuid4().hex}"
+    )
+    (
+        t(spark, sf_dir, "orders")
+        .selectExpr(
+            "CASE WHEN o_orderkey % 53 = 0"
+            " THEN CAST(NULL AS DECIMAL(12,2))"
+            " ELSE CAST(o_totalprice AS DECIMAL(12,2)) END AS dec",
+            "CAST(o_totalprice AS DECIMAL(28,4)) AS bigdec",
+            "CASE WHEN o_orderkey % 5 = 0 THEN CAST(NULL AS BOOLEAN)"
+            " ELSE o_orderkey % 3 = 0 END AS b",
+            "CASE WHEN o_orderkey % 9 = 0 THEN CAST(NULL AS FLOAT)"
+            " ELSE CAST((o_orderkey % 1000) * 0.25 AS FLOAT) END AS f",
+        )
+        .repartition(32)  # one ORC file per decode task
+        .write.option("compression", "zstd").orc(root)
+    )
+    paths = sorted(_glob.glob(os.path.join(root, "*.orc")))
+
+    plan = spark.createDataFrame(
+        [(p,) for p in paths], "path string"
+    ).repartition(len(paths))
+
+    def _decode(batches) -> Iterator:
+        for pdf in batches:
+            for rec in pdf.itertuples(index=False):
+                with open(rec.path, "rb") as fh:
+                    data = fh.read()
+                tail = read_orc_tail(data)
+                footer, _codec = _orc_file_tail(data)
+                tree = orc_type_tree(footer)
+                decs = [i for i, tp in enumerate(tree)
+                        if tp["kind"] == "decimal"]
+                bcol = next(i for i, tp in enumerate(tree)
+                            if tp["kind"] == "boolean")
+                fcol = next(i for i, tp in enumerate(tree)
+                            if tp["kind"] == "float")
+                d_vals, _n, d_scale = read_orc_decimal_column(
+                    data, decs[0]
+                )
+                bd_vals, _n2, bd_scale = read_orc_decimal_column(
+                    data, decs[1]
+                )
+                b_vals, _n3 = read_orc_boolean_column(data, bcol)
+                f_vals, _n4 = read_orc_float_column(data, fcol)
+                d_present = [v for v in d_vals if v is not None]
+                f_present = [v for v in f_vals if v is not None]
+                ok = (
+                    d_scale == 2 and bd_scale == 4
+                    and len(decs) == 2
+                    and all(len(x) == tail["num_rows"] for x in
+                            (d_vals, bd_vals, b_vals, f_vals))
+                    and all(v is not None for v in bd_vals)
+                    and tail["compression"] == "ZSTD"
+                )
+                yield _pd.DataFrame(
+                    [(
+                        len(d_vals),
+                        len(d_vals) - len(d_present),
+                        sum(d_present),
+                        sum(bd_vals),
+                        sum(1 for v in b_vals if v is True),
+                        sum(1 for v in b_vals if v is False),
+                        sum(1 for v in b_vals if v is None),
+                        len(f_vals) - len(f_present),
+                        sum(round(v * 4) for v in f_present),
+                        bool(ok),
+                    )],
+                    columns=[
+                        "n_rows", "dec_nulls", "dec_cents",
+                        "bigdec_unscaled", "n_true", "n_false",
+                        "b_nulls", "f_nulls", "f_quarters", "ok",
+                    ],
+                )
+
+    partials = plan.mapInPandas(
+        _decode,
+        "n_rows bigint, dec_nulls bigint, dec_cents bigint,"
+        " bigdec_unscaled bigint, n_true bigint, n_false bigint,"
+        " b_nulls bigint, f_nulls bigint, f_quarters bigint,"
+        " ok boolean",
+    )
+    out = partials.agg(
+        F.sum("n_rows").alias("n_rows"),
+        F.sum("dec_nulls").alias("dec_nulls"),
+        F.sum("dec_cents").alias("dec_cents"),
+        F.sum("bigdec_unscaled").alias("bigdec_unscaled"),
+        F.sum("n_true").alias("n_true"),
+        F.sum("n_false").alias("n_false"),
+        F.sum("b_nulls").alias("b_nulls"),
+        F.sum("f_nulls").alias("f_nulls"),
+        F.sum("f_quarters").alias("f_quarters"),
+        (F.min("ok") & (F.count("*") > 1)).alias("decimal_consistent"),
+    ).localCheckpoint(eager=True)  # 1 row; frees the temp root
+    shutil.rmtree(root, ignore_errors=True)
+    return out

@@ -638,3 +638,57 @@ def test_rlev2_patched_base_differential_vs_spark(spark, tmp_path):
         data = fh.read()
     got, _ = read_orc_int64_column(data, 1)
     assert got == [r.v for r in df.collect()]
+
+
+def test_orc_decimal_boolean_float_differential(spark, tmp_path):
+    """Decimal (zigzag unbounded varints + RLEv2 scales, incl. a
+    >64-bit-unscaled DECIMAL(28,4)), boolean (byte-RLE bitpacked
+    DATA), and float32 hand decodes == Spark's own read-back."""
+    import glob
+    from decimal import Decimal
+
+    from spark_hive_spark.sources.orc_meta import (
+        _orc_file_tail,
+        orc_type_tree,
+        read_orc_boolean_column,
+        read_orc_decimal_column,
+        read_orc_float_column,
+    )
+
+    df = spark.range(1, 3000).selectExpr(
+        "CASE WHEN id % 7 = 0 THEN CAST(NULL AS DECIMAL(12,2))"
+        " ELSE CAST(id * 1.25 - 20 AS DECIMAL(12,2)) END AS dec",
+        # > 64-bit unscaled territory
+        "CAST(id AS DECIMAL(30,4)) * CAST(123456789012345.6789"
+        " AS DECIMAL(30,4)) AS bigdec",
+        "CASE WHEN id % 5 = 0 THEN CAST(NULL AS BOOLEAN)"
+        " ELSE id % 3 = 0 END AS b",
+        "CASE WHEN id % 9 = 0 THEN CAST(NULL AS FLOAT)"
+        " ELSE CAST(id * 0.5 AS FLOAT) END AS f",
+    )
+    rows = df.collect()
+    root = str(tmp_path / "decf")
+    df.coalesce(1).write.option("compression", "zstd").orc(root)
+    with open(glob.glob(root + "/*.orc")[0], "rb") as fh:
+        data = fh.read()
+    footer, _ = _orc_file_tail(data)
+    tree = orc_type_tree(footer)
+    decs = [i for i, t_ in enumerate(tree) if t_["kind"] == "decimal"]
+    bcol = next(i for i, t_ in enumerate(tree)
+                if t_["kind"] == "boolean")
+    fcol = next(i for i, t_ in enumerate(tree) if t_["kind"] == "float")
+
+    got, _n, scale = read_orc_decimal_column(data, decs[0])
+    assert scale == 2
+    assert got == [
+        None if r.dec is None else int(r.dec.scaleb(2)) for r in rows
+    ]
+    got_big, _n, scale_big = read_orc_decimal_column(data, decs[1])
+    exp_big = [int((r.bigdec).scaleb(scale_big)) for r in rows]
+    assert got_big == exp_big
+    assert max(got_big) > 2 ** 64  # decimal128 territory for real
+
+    got_b, _n = read_orc_boolean_column(data, bcol)
+    assert got_b == [r.b for r in rows]
+    got_f, _n = read_orc_float_column(data, fcol)
+    assert got_f == [r.f for r in rows]
