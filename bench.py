@@ -314,6 +314,7 @@ EXTENDED = [
     "source_orc_map_struct_decode",
     "source_parquet_byte_stream_split_decode",
     "source_orc_decimal_boolean_decode",
+    "source_iceberg_branch_tag_read",
 ]
 
 # Streaming extended queries run dead LAST (after the streaming
@@ -580,6 +581,7 @@ EXPECTED_SF01: dict[str, float] = {
     "source_orc_map_struct_decode": 2.6,
     "source_parquet_byte_stream_split_decode": 1.8,
     "source_orc_decimal_boolean_decode": 2.7,
+    "source_iceberg_branch_tag_read": 2.6,
 }
 
 

@@ -3343,3 +3343,211 @@ def source_delta_column_mapping_id(
     )
     shutil.rmtree(root, ignore_errors=True)
     return out
+
+
+@register(
+    "source_iceberg_branch_tag_read",
+    oracle=f"""
+        SELECT 'audit-2026' AS ref_name, 'tag' AS ref_type,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               {sql_dsum('o_totalprice')} AS revenue,
+               CAST(3 AS INT) AS n_refs, TRUE AS refs_consistent
+        FROM orders
+        UNION ALL
+        SELECT 'exp' AS ref_name, 'branch' AS ref_type,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               {sql_dsum('o_totalprice')} AS revenue,
+               CAST(3 AS INT) AS n_refs, TRUE AS refs_consistent
+        FROM orders
+        UNION ALL
+        SELECT 'main' AS ref_name, 'branch' AS ref_type,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               {sql_dsum(
+                   "o_totalprice + CASE WHEN o_orderkey % 10 = 6"
+                   " THEN 100.00 ELSE 0 END"
+               )} AS revenue,
+               CAST(3 AS INT) AS n_refs, TRUE AS refs_consistent
+        FROM orders
+        ORDER BY ref_name
+    """,
+    tags=("source", "iceberg", "lakehouse", "compat", "branch",
+          "tag", "time-travel"),
+)
+def source_iceberg_branch_tag_read(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Iceberg BRANCHES and TAGS (round 13) — the ref layer
+    (spec §refs / "version-travel"): ``metadata.json`` carries a
+    ``refs`` map of name -> {snapshot-id, type: branch|tag}; a TAG
+    pins a snapshot forever (audit reads), a BRANCH is a movable
+    head, and ``current-snapshot-id`` must agree with the ``main``
+    branch — an invariant this reader validates rather than assumes.
+    Reading a ref is resolving its snapshot and replaying that
+    snapshot's manifest chain, nothing else — which is exactly what
+    makes refs free at 100 TB (metadata-only).
+
+    Fixture: snapshot 1 = the full table (files A+B); snapshot 2
+    (main's head) rewrites A with +100.00 on keys ≡ 6 (DELETED +
+    ADDED manifest entries, the copy-on-write shape). Refs: the
+    ``audit-2026`` TAG and the ``exp`` BRANCH both pin snapshot 1,
+    ``main`` points at snapshot 2. The query reads ALL THREE refs —
+    the tag must reproduce the pre-rewrite numbers while main sees
+    the upsert; a reader that resolves refs through
+    current-snapshot-id instead of the ref's own snapshot serves the
+    wrong data on two of the three rows and flips the hash. The
+    manifest chain rides the repo's own Avro OCF codec (snappy
+    manifest list, deflate manifests), as in the other Iceberg
+    queries.
+
+    Scale posture: ref resolution is O(1) driver-side on top of the
+    O(#manifest entries) planning replay; each ref's data scan reads
+    only its snapshot's live files."""
+    import json as _json
+
+    from spark_hive_spark.operators.avro import (
+        encode_avro_ocf,
+        parse_avro_ocf,
+    )
+
+    orders = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    root = os.path.join(
+        tempfile.gettempdir(), f"shs_icerefs_{uuid.uuid4().hex}"
+    )
+    ddir = os.path.join(root, "data")
+    mdir = os.path.join(root, "metadata")
+    os.makedirs(ddir)
+    os.makedirs(mdir)
+
+    def _write_part(name: str, df: DataFrame) -> None:
+        tmp = os.path.join(root, f"stage_{name}")
+        df.coalesce(1).write.parquet(tmp)
+        src = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+        os.replace(os.path.join(tmp, src), os.path.join(ddir, name))
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    k = F.col("o_orderkey") % 2
+    evens = orders.filter(k == 0)
+    _write_part("A.parquet", evens)
+    _write_part("B.parquet", orders.filter(k == 1))
+    km = F.col("o_orderkey") % 10
+    _write_part("A2.parquet", evens.withColumn(
+        "o_totalprice",
+        (F.col("o_totalprice").cast("decimal(18,2)")
+         + F.when(km == 6, 100).otherwise(0).cast("decimal(18,2)")
+         ).cast("double"),
+    ))
+
+    entry_schema = {
+        "type": "record",
+        "name": "manifest_entry",
+        "fields": [
+            {"name": "status", "type": "long"},
+            {"name": "file_path", "type": "string"},
+        ],
+    }
+    mlist_schema = {
+        "type": "record",
+        "name": "manifest_file",
+        "fields": [
+            {"name": "manifest_path", "type": "string"},
+            {"name": "added_snapshot_id", "type": "long"},
+        ],
+    }
+
+    def _manifest(name: str, entries: list[dict]) -> str:
+        path = os.path.join(mdir, name)
+        with open(path, "wb") as fh:
+            fh.write(encode_avro_ocf(entries, entry_schema,
+                                     codec="deflate"))
+        return path
+
+    def _mlist(name: str, manifests: list[str], snap: int) -> str:
+        path = os.path.join(mdir, name)
+        with open(path, "wb") as fh:
+            fh.write(encode_avro_ocf(
+                [{"manifest_path": p, "added_snapshot_id": snap}
+                 for p in manifests],
+                mlist_schema, codec="snappy",
+            ))
+        return path
+
+    m1 = _manifest("m1.avro", [
+        {"status": 1, "file_path": "A.parquet"},
+        {"status": 1, "file_path": "B.parquet"},
+    ])
+    m2 = _manifest("m2.avro", [
+        {"status": 2, "file_path": "A.parquet"},
+        {"status": 1, "file_path": "A2.parquet"},
+    ])
+    ml1 = _mlist("snap-1.avro", [m1], 1)
+    ml2 = _mlist("snap-2.avro", [m1, m2], 2)
+    meta = {
+        "format-version": 2,
+        "current-snapshot-id": 2,
+        "snapshots": [
+            {"snapshot-id": 1, "manifest-list": ml1},
+            {"snapshot-id": 2, "manifest-list": ml2},
+        ],
+        "refs": {
+            "main": {"snapshot-id": 2, "type": "branch"},
+            "exp": {"snapshot-id": 1, "type": "branch"},
+            "audit-2026": {"snapshot-id": 1, "type": "tag"},
+        },
+    }
+    with open(os.path.join(mdir, "v3.metadata.json"), "w") as fh:
+        _json.dump(meta, fh)
+
+    # ---- the reader ----
+    with open(os.path.join(mdir, "v3.metadata.json")) as fh:
+        md = _json.load(fh)
+    if md["format-version"] > 2:
+        raise NotImplementedError("Iceberg format-version > 2")
+    refs = md.get("refs", {})
+    ok = (
+        "main" in refs
+        and refs["main"]["type"] == "branch"
+        and refs["main"]["snapshot-id"] == md["current-snapshot-id"]
+        and all(r["type"] in ("branch", "tag") for r in refs.values())
+    )
+    snaps = {s["snapshot-id"]: s for s in md["snapshots"]}
+
+    def _live_files(snapshot_id: int) -> set[str]:
+        with open(snaps[snapshot_id]["manifest-list"], "rb") as fh:
+            _, mrows = parse_avro_ocf(fh.read())
+        live: set[str] = set()
+        for mrow in mrows:
+            with open(mrow["manifest_path"], "rb") as fh:
+                _, entries = parse_avro_ocf(fh.read())
+            for e in entries:
+                if e["status"] == 1:
+                    live.add(e["file_path"])
+                elif e["status"] == 2:
+                    live.discard(e["file_path"])
+                else:
+                    raise ValueError(
+                        f"unknown manifest status {e['status']}"
+                    )
+        return live
+
+    parts = []
+    for name, ref in sorted(refs.items()):
+        live = _live_files(ref["snapshot-id"])
+        scan = spark.read.parquet(
+            *(os.path.join(ddir, p) for p in sorted(live))
+        )
+        parts.append(scan.agg(
+            F.lit(name).alias("ref_name"),
+            F.lit(ref["type"]).alias("ref_type"),
+            F.count("*").alias("n_orders"),
+            dsum("o_totalprice").alias("revenue"),
+            F.lit(len(refs)).cast("int").alias("n_refs"),
+            F.lit(bool(ok)).alias("refs_consistent"),
+        ))
+    out = parts[0]
+    for df in parts[1:]:
+        out = out.unionByName(df)
+    out = out.orderBy("ref_name").localCheckpoint(eager=True)
+    shutil.rmtree(root, ignore_errors=True)
+    return out
