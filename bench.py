@@ -315,6 +315,7 @@ EXTENDED = [
     "source_parquet_byte_stream_split_decode",
     "source_orc_decimal_boolean_decode",
     "source_iceberg_branch_tag_read",
+    "source_avro_logical_types",
 ]
 
 # Streaming extended queries run dead LAST (after the streaming
@@ -582,6 +583,7 @@ EXPECTED_SF01: dict[str, float] = {
     "source_parquet_byte_stream_split_decode": 1.8,
     "source_orc_decimal_boolean_decode": 2.7,
     "source_iceberg_branch_tag_read": 2.6,
+    "source_avro_logical_types": 1.4,
 }
 
 

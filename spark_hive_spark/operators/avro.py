@@ -92,12 +92,36 @@ def _enc_string(s: str) -> bytes:
 
 
 def _enc_field(v, typ) -> bytes:
-    if typ == "long":
+    if isinstance(typ, dict) and typ.get("type") in (
+        "long", "int", "string", "double", "float", "bytes",
+        "boolean", "null",
+    ):
+        typ = typ["type"]  # annotated primitive (logicalType et al.)
+    if typ in ("long", "int"):
         return encode_varint(int(v))
     if typ == "string":
         return _enc_string(v)
     if typ == "double":
         return struct.pack("<d", float(v))
+    if typ == "float":
+        return struct.pack("<f", float(v))
+    if typ == "bytes":
+        return encode_varint(len(v)) + bytes(v)
+    if typ == "boolean":
+        return b"\x01" if v else b"\x00"
+    if typ == "null":
+        if v is not None:
+            raise ValueError("non-None value for Avro null type")
+        return b""
+    if isinstance(typ, list):  # union: varint branch index + value
+        for i, branch in enumerate(typ):
+            bt = branch.get("type") if isinstance(branch, dict) \
+                else branch
+            if v is None and bt == "null":
+                return encode_varint(i)
+            if v is not None and bt != "null":
+                return encode_varint(i) + _enc_field(v, branch)
+        raise ValueError(f"no union branch for {v!r} in {typ!r}")
     if isinstance(typ, dict) and typ.get("type") == "array":
         # Avro array: blocks of (varint count, items...), 0-terminated
         items = typ["items"]
@@ -112,7 +136,12 @@ def _enc_field(v, typ) -> bytes:
 
 
 def _dec_field(data: bytes, pos: int, typ):
-    if typ == "long":
+    if isinstance(typ, dict) and typ.get("type") in (
+        "long", "int", "string", "double", "float", "bytes",
+        "boolean", "null",
+    ):
+        typ = typ["type"]  # annotated primitive (logicalType et al.)
+    if typ in ("long", "int"):
         return decode_varint(data, pos)
     if typ == "string":
         n, pos = decode_varint(data, pos)
@@ -123,6 +152,29 @@ def _dec_field(data: bytes, pos: int, typ):
         if pos + 8 > len(data):
             raise ValueError("truncated Avro double")
         return struct.unpack_from("<d", data, pos)[0], pos + 8
+    if typ == "float":
+        if pos + 4 > len(data):
+            raise ValueError("truncated Avro float")
+        return struct.unpack_from("<f", data, pos)[0], pos + 4
+    if typ == "bytes":
+        n, pos = decode_varint(data, pos)
+        if n < 0 or pos + n > len(data):
+            raise ValueError("truncated Avro bytes")
+        return bytes(data[pos : pos + n]), pos + n
+    if typ == "boolean":
+        if pos >= len(data):
+            raise ValueError("truncated Avro boolean")
+        b = data[pos]
+        if b not in (0, 1):
+            raise ValueError(f"invalid Avro boolean byte {b}")
+        return bool(b), pos + 1
+    if typ == "null":
+        return None, pos
+    if isinstance(typ, list):  # union: varint branch index + value
+        idx, pos = decode_varint(data, pos)
+        if not 0 <= idx < len(typ):
+            raise ValueError(f"Avro union index {idx} out of range")
+        return _dec_field(data, pos, typ[idx])
     if isinstance(typ, dict) and typ.get("type") == "array":
         items = typ["items"]
         out = []
@@ -654,3 +706,166 @@ def source_avro_schema_evolution(
         "doc_id long, writer_version int, n_records int, id_sum long,"
         " name_chars long, weight_sum double",
     ).orderBy("doc_id")
+
+
+_AVROLT_DOCS = 48
+_AVROLT_SCHEMA = {
+    "type": "record",
+    "name": "txn",
+    "fields": [
+        {"name": "amount",
+         "type": ["null", {"type": "bytes", "logicalType": "decimal",
+                           "precision": 12, "scale": 2}]},
+        {"name": "day",
+         "type": {"type": "int", "logicalType": "date"}},
+        {"name": "ts",
+         "type": {"type": "long",
+                  "logicalType": "timestamp-micros"}},
+        {"name": "flag", "type": "boolean"},
+    ],
+}
+_AVROLT_TS_BASE = 800_000_000_000_000  # µs: 1995-05-09T06:13:20Z
+_AVROLT_OUT = (
+    "doc_id long, n_records long, amount_nulls long, cents long,"
+    " day_sum long, ts_off long, n_true long, logical_ok boolean"
+)
+
+
+def _min_signed_bytes(v: int) -> bytes:
+    """Minimal-length big-endian two's-complement — the spec's
+    decimal-over-bytes representation."""
+    n = 1
+    while True:
+        try:
+            return v.to_bytes(n, "big", signed=True)
+        except OverflowError:
+            n += 1
+
+
+@register(
+    "source_avro_logical_types",
+    oracle="""
+        WITH docs AS (
+            SELECT doc_id AS d FROM documents WHERE doc_id < 48
+        ),
+        recs AS (
+            SELECT d, gi - 1 AS i
+            FROM docs, generate_series(1, 7) AS gs(gi)
+            WHERE gi <= d % 5 + 3
+        )
+        SELECT d AS doc_id,
+               CAST(count(*) AS BIGINT) AS n_records,
+               CAST(sum(CASE WHEN (d + i) % 7 = 0
+                             THEN 1 ELSE 0 END) AS BIGINT)
+                   AS amount_nulls,
+               CAST(coalesce(sum(CASE WHEN (d + i) % 7 <> 0
+                   THEN (d * 100 + i) * 25 - 50000 END), 0)
+                   AS BIGINT) AS cents,
+               CAST(sum(9000 + (d + i) % 1000) AS BIGINT) AS day_sum,
+               CAST(sum(d * 1000000 + i) AS BIGINT) AS ts_off,
+               CAST(sum(CASE WHEN (d + i) % 3 = 0
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_true,
+               TRUE AS logical_ok
+        FROM recs
+        GROUP BY d
+        ORDER BY d
+    """,
+    tags=("source", "avro", "logical-types", "decimal", "date",
+          "timestamp"),
+)
+def source_avro_logical_types(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Avro LOGICAL TYPES (round 13) — the annotation layer real
+    landing-zone schemas carry on top of the primitives
+    (avro.apache.org spec §Logical Types): ``decimal`` as minimal
+    two's-complement big-endian unscaled bytes (NEGATIVE amounts
+    exercise the sign extension; scale lives in the schema, not the
+    data), ``date`` as int days since the epoch, ``timestamp-micros``
+    as long µs, and the ``["null", T]`` UNION idiom every nullable
+    Avro column uses (varint branch index + value — a reader without
+    unions cannot read practically any real Avro file). The embedded
+    writer schema's logicalType annotations are verified present, so
+    the fixture can't silently degrade to bare primitives.
+
+    Exactness: every aggregate is an integer image (unscaled cents,
+    day counts, µs offsets, boolean counts) — no float touches the
+    logical layer.
+
+    Scale posture: the avro_records two-stage shape — per-document
+    OCFs encoded and decoded in distributed mapInPandas stages, zero
+    shuffles, codec rotating deflate/snappy/zstandard so the
+    hand-built codec stack rides under the logical layer."""
+    docs = (
+        t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < _AVROLT_DOCS)
+        .select("doc_id")
+    )
+    codecs = ("deflate", "snappy", "zstandard")
+
+    def encode_batches(
+        batches: Iterator["pd.DataFrame"],
+    ) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            ids = pdf["doc_id"].to_numpy()
+            payloads = []
+            for d in ids:
+                d = int(d)
+                recs = []
+                for i in range(d % 5 + 3):
+                    cents = (d * 100 + i) * 25 - 50000
+                    recs.append({
+                        "amount": (None if (d + i) % 7 == 0
+                                   else _min_signed_bytes(cents)),
+                        "day": 9000 + (d + i) % 1000,
+                        "ts": _AVROLT_TS_BASE + d * 1_000_000 + i,
+                        "flag": (d + i) % 3 == 0,
+                    })
+                payloads.append(encode_avro_ocf(
+                    recs, _AVROLT_SCHEMA, codec=codecs[d % 3]
+                ))
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    media = docs.mapInPandas(
+        encode_batches, "doc_id long, payload binary"
+    )
+
+    def decode_batches(
+        batches: Iterator["pd.DataFrame"],
+    ) -> Iterator["pd.DataFrame"]:
+        cols = ("doc_id n_records amount_nulls cents day_sum ts_off"
+                " n_true logical_ok").split()
+        for pdf in batches:
+            out: dict[str, list] = {k: [] for k in cols}
+            for d, p in zip(pdf["doc_id"], pdf["payload"]):
+                schema, recs = parse_avro_ocf(bytes(p))
+                by_name = {f["name"]: f["type"]
+                           for f in schema["fields"]}
+                amount_t = by_name["amount"][1]  # the non-null branch
+                ok = (
+                    amount_t.get("logicalType") == "decimal"
+                    and amount_t.get("scale") == 2
+                    and by_name["day"].get("logicalType") == "date"
+                    and by_name["ts"].get("logicalType")
+                    == "timestamp-micros"
+                )
+                cents = [
+                    int.from_bytes(r["amount"], "big", signed=True)
+                    for r in recs if r["amount"] is not None
+                ]
+                vals = (
+                    int(d), len(recs), len(recs) - len(cents),
+                    sum(cents),
+                    sum(r["day"] for r in recs),
+                    sum(r["ts"] - _AVROLT_TS_BASE for r in recs),
+                    sum(1 for r in recs if r["flag"]),
+                    bool(ok),
+                )
+                for k, v in zip(cols, vals):
+                    out[k].append(v)
+            yield pd.DataFrame(out)
+
+    return (
+        media.mapInPandas(decode_batches, _AVROLT_OUT)
+        .orderBy("doc_id")
+    )

@@ -39,7 +39,7 @@ _REGISTRY: dict[str, Query] = {}
 
 # The grading driver sweeps the FIRST 50 registry entries per round, so
 # ordering is an attestation budget. Round-13 rotation (VERDICT r12
-# task 2, executed): the 4 reference jobs stay pinned, then the 15 NEW
+# task 2, executed): the 4 reference jobs stay pinned, then the 16 NEW
 # round-13 queries (driver rows on first appearance — cumulative
 # attestation stays complete), then re-attestations of everything whose
 # implementation changed this round (the ORC timestamp reader gained
@@ -57,7 +57,9 @@ _REGISTRY: dict[str, Query] = {}
 # subq_scalar_above_avg_orders, text_fingerprints,
 # text_langid_confusion, text_quality_scores, text_tfidf_top_terms,
 # text_token_stats, text_top_bigrams_per_lang, text_unigram_logprob,
-# then knn_cosine_lsh, lateral_top2_orders_per_customer,
+# then embedding_norm_stats, embedding_quantize_audit,
+# knn_cosine_ivf, knn_cosine_lsh,
+# lateral_top2_orders_per_customer,
 # neardup_embeddings,
 # neardup_embeddings_lsh,
 # q13_customer_order_distribution,
@@ -87,6 +89,7 @@ SWEEP_PRIORITY: tuple[str, ...] = (
     "source_parquet_byte_stream_split_decode",
     "source_orc_decimal_boolean_decode",
     "source_iceberg_branch_tag_read",
+    "source_avro_logical_types",
     # round-13 implementation changes: re-attest under the new code
     # (the RLEv2 PATCHED_BASE patch-width fix rides every ORC reader)
     "source_orc_timestamp_double_decode",
@@ -101,6 +104,8 @@ SWEEP_PRIORITY: tuple[str, ...] = (
     "source_hudi_mor_snapshot",
     "source_orc_rlev2_decode",
     "source_orc_stripe_skipping",
+    "source_avro_records",
+    "source_avro_schema_evolution",
     # r12-enumerated backlog spill: the seven r2-attested queries
     "rollup_grouping_flags",
     "safe_arithmetic_orders",
@@ -118,10 +123,7 @@ SWEEP_PRIORITY: tuple[str, ...] = (
     "curation_train_test_split",
     "dedup_duplicate_clusters",
     "dedup_simhash",
-    "embedding_norm_stats",
-    "embedding_quantize_audit",
     "knn_cosine_bruteforce",
-    "knn_cosine_ivf",
 )
 
 

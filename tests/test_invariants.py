@@ -3110,3 +3110,62 @@ def test_dsir_approx_agrees_with_exact(spark):
     assert row["threshold_separates"]
     assert row["selection_bracket_ok"]
     assert row["disagreement_bounded"]
+
+
+def test_avro_logical_types_roundtrip():
+    """Avro unions + the new primitives + logical types: the
+    ["null", T] idiom (zigzag union index), bytes-decimal with
+    NEGATIVE two's-complement unscaled values, int-date,
+    timestamp-micros, boolean — byte-exact encode/parse roundtrip
+    across codecs, plus loud truncation/invalid-boolean errors."""
+    import pytest as _pytest
+
+    from spark_hive_spark.operators.avro import (
+        _dec_field,
+        _min_signed_bytes,
+        encode_avro_ocf,
+        parse_avro_ocf,
+    )
+
+    schema = {
+        "type": "record", "name": "t",
+        "fields": [
+            {"name": "amount",
+             "type": ["null", {"type": "bytes",
+                               "logicalType": "decimal",
+                               "precision": 12, "scale": 2}]},
+            {"name": "day", "type": {"type": "int",
+                                     "logicalType": "date"}},
+            {"name": "ts", "type": {"type": "long",
+                                    "logicalType": "timestamp-micros"}},
+            {"name": "flag", "type": "boolean"},
+        ],
+    }
+    rows = [
+        {"amount": _min_signed_bytes(-1875), "day": 9132,
+         "ts": 800_000_000_000_123, "flag": True},
+        {"amount": None, "day": 0, "ts": 0, "flag": False},
+        {"amount": _min_signed_bytes(2**70), "day": -365,
+         "ts": -1, "flag": True},  # >64-bit unscaled + pre-epoch
+    ]
+    for codec in ("null", "deflate", "snappy", "zstandard"):
+        blob = encode_avro_ocf(rows, schema, codec=codec)
+        got_schema, got = parse_avro_ocf(blob)
+        assert got == rows
+        amount_t = got_schema["fields"][0]["type"][1]
+        assert amount_t["logicalType"] == "decimal"
+        assert int.from_bytes(got[0]["amount"], "big",
+                              signed=True) == -1875
+        assert int.from_bytes(got[2]["amount"], "big",
+                              signed=True) == 2**70
+
+    # negative sign extension is minimal-length
+    assert _min_signed_bytes(-1) == b"\xff"
+    assert _min_signed_bytes(127) == b"\x7f"
+    assert _min_signed_bytes(128) == b"\x00\x80"
+    # invalid boolean byte is loud
+    with _pytest.raises(ValueError, match="boolean"):
+        _dec_field(b"\x02", 0, "boolean")
+    # out-of-range union index is loud
+    with _pytest.raises(ValueError, match="union index"):
+        _dec_field(b"\x04", 0, ["null", "long"])
