@@ -3735,7 +3735,9 @@ def source_parquet_byte_stream_split_decode(
         tbl, path,
         use_dictionary=False, compression="ZSTD",
         use_byte_stream_split=["d", "f"],
-        data_page_size=8 * 1024,
+        # small pages so even the sf0.001 smoke fixture walks >1 page
+        # per chunk (pyarrow splits at write_batch_size=1024 values)
+        data_page_size=2 * 1024,
         row_group_size=max(2048, tbl.num_rows // 32),
     )
     with open(path, "rb") as fh:
