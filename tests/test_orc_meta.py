@@ -692,3 +692,37 @@ def test_orc_decimal_boolean_float_differential(spark, tmp_path):
     assert got_b == [r.b for r in rows]
     got_f, _n = read_orc_float_column(data, fcol)
     assert got_f == [r.f for r in rows]
+
+
+def test_orc_writer_timezone_fixture():
+    """A COMMITTED ORC file written under an America/New_York JVM
+    (tests/data/orc_ny_writer_tz.orc — Spark can't switch JVM zones
+    mid-session, so the fixture is pre-generated): the stripe footer
+    records the writer zone and the reader must compute the 2015 base
+    IN IT, or every wall-clock value shifts by the zone offset. The
+    expected micros are the wall-clock-as-UTC images of the written
+    timestamps (ORC TIMESTAMP semantics), pre-1970 fractional
+    included."""
+    import os
+
+    from spark_hive_spark.sources.orc_meta import (
+        _orc_file_tail,
+        _stripe_streams,
+        read_orc_timestamp_column,
+    )
+
+    path = os.path.join(os.path.dirname(__file__), "data",
+                        "orc_ny_writer_tz.orc")
+    with open(path, "rb") as fh:
+        data = fh.read()
+    footer, codec = _orc_file_tail(data)
+    _s, _n, _e, wtz = _stripe_streams(data, codec, footer[3][0], 2)
+    assert wtz == "America/New_York"
+    got, _ = read_orc_timestamp_column(data, 2)
+    assert got == [
+        -1_876_544,              # 1969-12-31 23:59:58.123456
+        981_173_106_789_012,     # 2001-02-03 04:05:06.789012
+        -618_062_399_750_000,    # 1950-06-01 12:00:00.25
+        1_786_786_200_000_000,   # 2026-08-15 09:30:00
+        None,
+    ]

@@ -1355,3 +1355,39 @@ def test_byte_stream_split_differential(tmp_path, opts):
     ref = pq.read_table(path)
     assert got_d == ref["d"].to_pylist() == rows_d
     assert got_f == ref["f"].to_pylist() == rows_f
+
+
+def test_map_with_int_keys(tmp_path):
+    """The map reader is key-type generic: map<int64,string> (the
+    required key rides the fixed-width leaf path, values the
+    byte-array path) == pyarrow's read-back."""
+    from spark_hive_spark.sources.parquet_meta import (
+        _leaf_repetitions,
+        read_map_column_pages,
+    )
+
+    rows = [
+        None if k % 9 == 0
+        else {k * 10 + j: (None if (k + j) % 4 == 0 else f"v{k}_{j}")
+              for j in range(k % 3 + 1)}
+        for k in range(1, 500)
+    ]
+    tbl = pa.table({"m": pa.array(
+        [None if r is None else list(r.items()) for r in rows],
+        pa.map_(pa.int64(), pa.string()),
+    )})
+    path = str(tmp_path / "mi.parquet")
+    pq.write_table(tbl, path, row_group_size=200,
+                   use_dictionary=False, compression="NONE")
+    with open(path, "rb") as fh:
+        data = fh.read()
+    fmd = decode_footer(data)
+    reps = _leaf_repetitions(fmd[2])
+    kp = next(p for p in reps if p.endswith(".key"))
+    vp = next(p for p in reps if p.endswith(".value"))
+    got = []
+    for rg in fmd[4]:
+        c = _cmds_by_path(rg)
+        got.extend(read_map_column_pages(data, c[kp], c[vp],
+                                         reps[kp], reps[vp])[0])
+    assert got == [None if r is None else dict(r) for r in rows]
