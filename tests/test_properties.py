@@ -513,3 +513,132 @@ def test_avro_array_negative_block_count():
     )
     got, pos = _dec_field(blob, 0, typ)
     assert got == items and pos == len(blob)
+
+
+_NESTED_ELEM = st.one_of(st.none(), st.integers(-2**40, 2**40))
+_INNER_LIST = st.one_of(
+    st.none(), st.lists(_NESTED_ELEM, max_size=4)
+)
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(
+    rows=st.lists(
+        st.one_of(st.none(), st.lists(_INNER_LIST, max_size=4)),
+        min_size=1, max_size=120,
+    ),
+    page_size=st.sampled_from([256, 512, 2048]),
+    rg_size=st.sampled_from([17, 40, 1000]),
+)
+def test_nested_list_assembly_property(rows, page_size, rg_size):
+    """Property: the general Dremel assembler reproduces ANY
+    list<list<int64>> structure pyarrow writes — every null/empty
+    combination at both repetition levels, across page and row-group
+    boundaries chosen adversarially small."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from spark_hive_spark.sources.parquet_meta import (
+        _leaf_repetitions,
+        decode_footer,
+        read_nested_list_column_pages,
+    )
+
+    tbl = pa.table({"v": pa.array(rows, pa.list_(pa.list_(pa.int64())))})
+    import io
+
+    buf = io.BytesIO()
+    pq.write_table(tbl, buf, use_dictionary=False, compression="NONE",
+                   data_page_size=page_size, row_group_size=rg_size)
+    data = buf.getvalue()
+    fmd = decode_footer(data)
+    (_, chain), = _leaf_repetitions(fmd[2]).items()
+    got = []
+    for rg in fmd[4]:
+        got.extend(
+            read_nested_list_column_pages(data, rg[1][0][3], chain)[0]
+        )
+    assert got == tbl["v"].to_pylist()
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(
+    rows=st.lists(
+        st.one_of(
+            st.none(),
+            st.dictionaries(
+                st.text(min_size=1, max_size=5),
+                st.one_of(st.none(), st.integers(-2**40, 2**40)),
+                max_size=4,
+            ),
+        ),
+        min_size=1, max_size=120,
+    ),
+    page_size=st.sampled_from([256, 1024]),
+    rg_size=st.sampled_from([23, 1000]),
+)
+def test_map_assembly_property(rows, page_size, rg_size):
+    """Property: the map zipper reproduces ANY map<string,int64>
+    pyarrow writes — null maps, empty maps, null values, keys and
+    values crossing page/row-group boundaries independently."""
+    import io
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from spark_hive_spark.sources.parquet_meta import (
+        _leaf_repetitions,
+        decode_footer,
+        read_map_column_pages,
+    )
+
+    tbl = pa.table({"m": pa.array(
+        [None if r is None else list(r.items()) for r in rows],
+        pa.map_(pa.string(), pa.int64()),
+    )})
+    buf = io.BytesIO()
+    pq.write_table(tbl, buf, use_dictionary=False, compression="NONE",
+                   data_page_size=page_size, row_group_size=rg_size)
+    data = buf.getvalue()
+    fmd = decode_footer(data)
+    reps = _leaf_repetitions(fmd[2])
+    kp = next(p for p in reps if p.endswith(".key"))
+    vp = next(p for p in reps if p.endswith(".value"))
+    got = []
+    for rg in fmd[4]:
+        c = {".".join(x.decode() for x in cc[3][3]): cc[3]
+             for cc in rg[1]}
+        got.extend(read_map_column_pages(data, c[kp], c[vp],
+                                         reps[kp], reps[vp])[0])
+    assert got == [None if r is None else dict(r) for r in rows]
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(
+    vals=st.lists(st.integers(-2**62, 2**62), min_size=1,
+                  max_size=3000),
+)
+def test_rlev2_patched_base_roundtrip_property(vals):
+    """Property: decode_rlev2 reproduces whatever pyarrow's ORC
+    writer encodes for arbitrary int64 data — the PATCHED_BASE
+    sub-encoding (incl. the non-aligned patch widths that bit the
+    round-13 fix) appears whenever outliers ride a dense base."""
+    import io
+
+    import pyarrow as pa
+    from pyarrow import orc as po
+
+    from spark_hive_spark.sources.orc_meta import (
+        read_orc_int64_column,
+    )
+
+    buf = io.BytesIO()
+    po.write_table(
+        pa.table({"v": pa.array(vals, pa.int64())}), buf,
+        compression="uncompressed",
+    )
+    got, _ = read_orc_int64_column(buf.getvalue(), 1)
+    assert got == vals
