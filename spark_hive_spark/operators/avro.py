@@ -17,9 +17,9 @@ Implemented surface:
   no zlib header), ``snappy`` (the hand-built raw-snappy codec in
   operators/snappy.py + the spec's big-endian CRC32-of-uncompressed
   trailer), ``bzip2`` and ``xz`` (standard containers via stdlib
-  bz2/lzma), and ``zstandard`` through the hand-built zstd frame
-  layer (operators/zstd.py: Raw/RLE-block frames + XXH64 checksum;
-  FSE/Huffman compressed blocks stay that module's loud seam).
+  bz2/lzma), and ``zstandard`` through the hand-built RFC 8878
+  decoder (operators/zstd.py — full FSE/Huffman compressed blocks
+  since round 9; the note that they were a seam predated that).
 
 The registered query's oracle recomputes record counts, id sums,
 name-byte totals, and exact quarter-step double sums from the
