@@ -1391,3 +1391,33 @@ def test_map_with_int_keys(tmp_path):
         got.extend(read_map_column_pages(data, c[kp], c[vp],
                                          reps[kp], reps[vp])[0])
     assert got == [None if r is None else dict(r) for r in rows]
+
+
+def test_byte_stream_split_integer_columns(tmp_path):
+    """Parquet 2.11 extends BYTE_STREAM_SPLIT beyond floats to
+    INT32/INT64 — the decoder's transpose is width-generic, pinned
+    here against pyarrow on both integer widths with nulls."""
+    from spark_hive_spark.sources.parquet_meta import (
+        read_leaf_pages_with_levels,
+    )
+
+    rows = [None if i % 31 == 0 else i * 7 - 1000 for i in range(4000)]
+    tbl = pa.table({
+        "x": pa.array(rows, pa.int64()),
+        "y": pa.array([i * 3 for i in range(4000)], pa.int32()),
+    })
+    path = str(tmp_path / "bss_int.parquet")
+    pq.write_table(tbl, path, use_dictionary=False, compression="NONE",
+                   use_byte_stream_split=["x", "y"],
+                   data_page_size=2048, row_group_size=1300)
+    with open(path, "rb") as fh:
+        data = fh.read()
+    fmd = decode_footer(data)
+    gx, gy = [], []
+    for rg in fmd[4]:
+        c = _cmds_by_path(rg)
+        assert 9 in c["x"][2] and 9 in c["y"][2]
+        gx.extend(read_leaf_pages_with_levels(data, c["x"], 1)[0])
+        gy.extend(read_leaf_pages_with_levels(data, c["y"], 1)[0])
+    assert gx == rows
+    assert gy == [i * 3 for i in range(4000)]
