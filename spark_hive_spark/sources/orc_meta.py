@@ -1235,6 +1235,8 @@ def _dec_scalar_entries(
     entries, per the spec's nested encoding) clears a slot."""
     kind = tree[col]["kind"]
     present_raw = streams.get((col, 0))
+    if kind in ("varchar", "char"):
+        kind = "string"  # same physical layout (LENGTH/DATA/DICT)
     if kind == "long":
         data_raw = streams.get((col, 1))
         if data_raw is None:

@@ -1421,3 +1421,50 @@ def test_byte_stream_split_integer_columns(tmp_path):
         gy.extend(read_leaf_pages_with_levels(data, c["y"], 1)[0])
     assert gx == rows
     assert gy == [i * 3 for i in range(4000)]
+
+
+def test_struct_wrapped_list_single_rep(spark, tmp_path):
+    """struct<l: array<bigint>, z> — a LIST nested inside an optional
+    struct (chain [1,1,2,1], A=2): the generalized single-rep Dremel
+    path must place the extra ancestor def level correctly (row None
+    for struct-null OR list-null, [] only at d==A)."""
+    import glob
+
+    from spark_hive_spark.sources.parquet_meta import (
+        _leaf_repetitions,
+        read_list_column_pages,
+    )
+
+    df = spark.range(1, 800).selectExpr(
+        """
+        CASE WHEN id % 9 = 0
+             THEN CAST(NULL AS struct<l: array<bigint>, z: bigint>)
+             ELSE named_struct('l',
+               CASE WHEN id % 7 = 0 THEN CAST(NULL AS array<bigint>)
+                    ELSE transform(slice(array(1,2,3),1,CAST(id%4 AS INT)),
+                         i -> CASE WHEN (id+i)%5=0
+                                   THEN CAST(NULL AS BIGINT)
+                                   ELSE id*10+i END) END,
+               'z', id) END AS s
+        """
+    )
+    root = str(tmp_path / "sl")
+    df.coalesce(1).write.option("parquet.page.size", 1024).parquet(root)
+    with open(glob.glob(root + "/*.parquet")[0], "rb") as fh:
+        data = fh.read()
+    fmd = decode_footer(data)
+    reps = _leaf_repetitions(fmd[2])
+    lp = next(p for p in reps if ".l." in p)
+    assert reps[lp] == [1, 1, 2, 1]
+    got = []
+    for rg in fmd[4]:
+        c = _cmds_by_path(rg)
+        got.extend(read_list_column_pages(data, c[lp], reps[lp])[0])
+    exp = []
+    for r in df.collect():
+        # per-leaf view: struct-null and list-null both surface None
+        if r.s is None or r.s.l is None:
+            exp.append(None)
+        else:
+            exp.append(list(r.s.l))
+    assert got == exp
