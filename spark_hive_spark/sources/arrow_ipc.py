@@ -833,8 +833,9 @@ def source_arrow_ipc_delta_dictionary(
     after the first delta.
 
     Fixture: customer keyed into 50 categories. Four key-range
-    batches each extend a SHARED prefix dictionary (13 new entries at
-    a time — pyarrow emits true deltas only for prefix extensions;
+    batches each extend a SHARED prefix dictionary (13 new entries
+    per delta, 11 on the last — pyarrow emits true deltas only for
+    prefix extensions;
     anything else falls back to replacement, which
     `test_arrow_ipc.py` pins separately), then a fifth batch whose
     rows span ALL ranges — its indices reach across every delta

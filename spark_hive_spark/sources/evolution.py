@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 
 from spark_hive_spark.functions.numeric import dsum, sql_dsum
 from spark_hive_spark.plans.registry import register
+from spark_hive_spark.sources.staging import stage_single_parquet
 from spark_hive_spark.tables import t
 
 _SPLIT_YEAR = 1998  # batch 1: orders before this year; batch 2: from it
@@ -1081,13 +1082,7 @@ def source_delta_log_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     os.makedirs(ldir)
 
     def _write_part(name: str, df: DataFrame) -> None:
-        tmp = os.path.join(root, f"stage_{name}")
-        df.coalesce(1).write.parquet(tmp)
-        src = next(
-            f for f in os.listdir(tmp) if f.endswith(".parquet")
-        )
-        os.replace(os.path.join(tmp, src), os.path.join(tdir, name))
-        shutil.rmtree(tmp, ignore_errors=True)
+        stage_single_parquet(df, root, tdir, name)
 
     k = F.col("o_orderkey") % 3
     _write_part("part-00000.parquet", orders.filter(k == 0))
@@ -1224,13 +1219,7 @@ def source_delta_checkpoint_replay(
     os.makedirs(ldir)
 
     def _write_part(name: str, df: DataFrame) -> None:
-        tmp = os.path.join(root, f"stage_{name}")
-        df.coalesce(1).write.parquet(tmp)
-        src = next(
-            f for f in os.listdir(tmp) if f.endswith(".parquet")
-        )
-        os.replace(os.path.join(tmp, src), os.path.join(tdir, name))
-        shutil.rmtree(tmp, ignore_errors=True)
+        stage_single_parquet(df, root, tdir, name)
 
     # one partitioned write yields a/b/c in a single job; d (the
     # a+b compaction) and f (the full compaction) are their own
@@ -1483,11 +1472,7 @@ def source_delta_v2_checkpoint_replay(
     os.makedirs(sdir)
 
     def _write_part(name: str, df: DataFrame) -> None:
-        tmp = os.path.join(root, f"stage_{name}")
-        df.coalesce(1).write.parquet(tmp)
-        srcf = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
-        os.replace(os.path.join(tmp, srcf), os.path.join(tdir, name))
-        shutil.rmtree(tmp, ignore_errors=True)
+        stage_single_parquet(df, root, tdir, name)
 
     k = F.col("o_orderkey") % 4
     _write_part("part-a.parquet", orders.filter(k == 0))
@@ -1828,11 +1813,7 @@ def source_delta_column_mapping(
     )
 
     def _write_part(name: str, df: DataFrame) -> None:
-        tmp = os.path.join(root, f"stage_{name}")
-        df.coalesce(1).write.parquet(tmp)
-        src = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
-        os.replace(os.path.join(tmp, src), os.path.join(tdir, name))
-        shutil.rmtree(tmp, ignore_errors=True)
+        stage_single_parquet(df, root, tdir, name)
 
     k = F.col(phys["o_orderkey"]) % 2
     _write_part("part-00000.parquet", physical.filter(k == 0))
@@ -2004,11 +1985,7 @@ def source_iceberg_snapshot_replay(
     os.makedirs(mdir)
 
     def _write_part(name: str, df: DataFrame) -> None:
-        tmp = os.path.join(root, f"stage_{name}")
-        df.coalesce(1).write.parquet(tmp)
-        src = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
-        os.replace(os.path.join(tmp, src), os.path.join(ddir, name))
-        shutil.rmtree(tmp, ignore_errors=True)
+        stage_single_parquet(df, root, ddir, name)
 
     k = F.col("o_orderkey") % 2
     _write_part("A.parquet", orders.filter(k == 0))
@@ -2176,11 +2153,7 @@ def source_iceberg_position_deletes(
     os.makedirs(mdir)
 
     def _write_part(name: str, df: DataFrame) -> None:
-        tmp = os.path.join(root, f"stage_{name}")
-        df.coalesce(1).write.parquet(tmp)
-        src = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
-        os.replace(os.path.join(tmp, src), os.path.join(ddir, name))
-        shutil.rmtree(tmp, ignore_errors=True)
+        stage_single_parquet(df, root, ddir, name)
 
     k = F.col("o_orderkey") % 2
     _write_part("A.parquet", orders.filter(k == 0))
@@ -2393,11 +2366,7 @@ def source_iceberg_equality_deletes(
     os.makedirs(mdir)
 
     def _write_part(name: str, df: DataFrame) -> None:
-        tmp = os.path.join(root, f"stage_{name}")
-        df.coalesce(1).write.parquet(tmp)
-        src = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
-        os.replace(os.path.join(tmp, src), os.path.join(ddir, name))
-        shutil.rmtree(tmp, ignore_errors=True)
+        stage_single_parquet(df, root, ddir, name)
 
     doomed = [
         r[0]
@@ -2657,11 +2626,7 @@ def source_hudi_timeline_replay(
         file_id: str, instant: str, df: DataFrame
     ) -> tuple[str, int]:
         name = f"{file_id}_0-1-0_{instant}.parquet"
-        tmp = os.path.join(root, f"stage_{name}")
-        df.coalesce(1).write.parquet(tmp)
-        src = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
-        os.replace(os.path.join(tmp, src), os.path.join(tdir, name))
-        shutil.rmtree(tmp, ignore_errors=True)
+        stage_single_parquet(df, root, tdir, name)
         return name, df.count()
 
     t1, t2, t3 = "001", "002", "003"
@@ -3010,15 +2975,11 @@ def source_delta_checkpoint_partition_values(
         raise ValueError(f"expected 5 priorities, got {prios}")
 
     def _write_part(name: str, prio: str) -> None:
-        tmp = os.path.join(root, "stage")
-        (
+        stage_single_parquet(
             orders.filter(F.col("o_orderpriority") == prio)
-            .drop("o_orderpriority")  # Hive-style: value lives in pv
-            .coalesce(1).write.parquet(tmp)
+            .drop("o_orderpriority"),  # Hive-style: value lives in pv
+            root, tdir, name,
         )
-        srcf = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
-        os.replace(os.path.join(tmp, srcf), os.path.join(tdir, name))
-        shutil.rmtree(tmp, ignore_errors=True)
 
     files = {}
     for n, prio in enumerate(prios):
@@ -3421,11 +3382,7 @@ def source_iceberg_branch_tag_read(
     os.makedirs(mdir)
 
     def _write_part(name: str, df: DataFrame) -> None:
-        tmp = os.path.join(root, f"stage_{name}")
-        df.coalesce(1).write.parquet(tmp)
-        src = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
-        os.replace(os.path.join(tmp, src), os.path.join(ddir, name))
-        shutil.rmtree(tmp, ignore_errors=True)
+        stage_single_parquet(df, root, ddir, name)
 
     k = F.col("o_orderkey") % 2
     evens = orders.filter(k == 0)

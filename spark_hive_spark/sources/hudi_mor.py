@@ -60,6 +60,7 @@ from pyspark.sql import Window
 from spark_hive_spark.functions.numeric import dsum, sql_dsum
 from spark_hive_spark.operators.avro import _dec_field, _enc_field
 from spark_hive_spark.plans.registry import register
+from spark_hive_spark.sources.staging import stage_single_parquet
 from spark_hive_spark.tables import t
 
 _MAGIC = b"#HUDI#"
@@ -314,11 +315,7 @@ def source_hudi_mor_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def _write_base(file_id: str, instant: str, df: DataFrame) -> str:
         name = f"{file_id}_0-1-0_{instant}.parquet"
-        tmp = os.path.join(root, f"stage_{name}")
-        df.coalesce(1).write.parquet(tmp)
-        src = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
-        os.replace(os.path.join(tmp, src), os.path.join(tdir, name))
-        shutil.rmtree(tmp, ignore_errors=True)
+        stage_single_parquet(df, root, tdir, name)
         return name
 
     t1, t2, t3, t4 = "001", "002", "003", "004"
@@ -595,11 +592,7 @@ def source_hudi_mor_compaction(
 
     def _write_base(file_id: str, instant: str, df: DataFrame) -> str:
         name = f"{file_id}_0-1-0_{instant}.parquet"
-        tmp = os.path.join(root, f"stage_{name}")
-        df.coalesce(1).write.parquet(tmp)
-        src = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
-        os.replace(os.path.join(tmp, src), os.path.join(tdir, name))
-        shutil.rmtree(tmp, ignore_errors=True)
+        stage_single_parquet(df, root, tdir, name)
         return name
 
     t1, t2, t3, t4, t5, t6 = "001", "002", "003", "004", "005", "006"
@@ -925,11 +918,7 @@ def source_hudi_clean_replay(
 
     def _write_base(file_id: str, instant: str, df: DataFrame) -> str:
         name = f"{file_id}_0-1-0_{instant}.parquet"
-        tmp = os.path.join(root, f"stage_{name}")
-        df.coalesce(1).write.parquet(tmp)
-        src = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
-        os.replace(os.path.join(tmp, src), os.path.join(tdir, name))
-        shutil.rmtree(tmp, ignore_errors=True)
+        stage_single_parquet(df, root, tdir, name)
         return name
 
     t1, t2, t3, t4 = "001", "002", "003", "004"

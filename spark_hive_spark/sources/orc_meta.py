@@ -839,14 +839,19 @@ def read_orc_timestamp_column(
     were stripped, else ``c + 1`` zeros were —
     nanos = (v >> 3) * 10^(c+1 if c else 0).
 
-    Two quirks verified empirically against Spark's bundled ORC
-    writer (Etc/UTC and America/New_York JVM zones, pre- and
-    post-1970 values): (1) the base offset must come from the writer
-    timezone or every value in a non-UTC-written file shifts by the
-    zone offset; (2) the writer truncates millis/1000 toward zero, so
-    the reader subtracts 1 second whenever the absolute seconds are
-    negative and nanos are nonzero — without it every pre-1970
-    fractional timestamp is off by exactly one second."""
+    Three quirks verified empirically against BOTH writer lineages:
+    (1) the base offset must come from the writer timezone (Spark
+    under Etc/UTC and America/New_York JVM zones) or every value in a
+    non-UTC-written file shifts by the zone offset; (2) the JAVA
+    writer truncates millis/1000 toward zero and keeps nanos
+    POSITIVE, so the reader subtracts 1 second whenever the absolute
+    seconds are negative and nanos are nonzero; (3) the C++ writer
+    (pyarrow, Impala) instead keeps the trunc-toward-zero NEGATIVE
+    remainder: it trailing-zero-encodes a SIGNED nano value — e.g.
+    -0.5 s is secs 0 + encoded (-5<<3)|7 = -33 — and stores it in
+    the nominally-unsigned SECONDARY stream as 64-bit
+    two's-complement. The reader re-signs values >= 2^63 and adds
+    the (negative) nanos directly, no -1s adjustment."""
     footer, codec = _orc_file_tail(data)
     out: list[int | None] = []
     stripes = footer.get(3, [])
@@ -867,14 +872,24 @@ def read_orc_timestamp_column(
             raise ValueError("timestamp DATA/SECONDARY length mismatch")
         vals: list[int] = []
         for s, v in zip(secs, nanos_enc):
+            if v >= 1 << 63:  # C++ writer: signed value, 2^64-wrapped
+                v -= 1 << 64
             c = v & 7
             nanos = (v >> 3) * (10 ** (c + 1) if c else 1)
-            if nanos >= 1_000_000_000:
+            if not -1_000_000_000 < nanos < 1_000_000_000:
                 raise ValueError(f"decoded nanos {nanos} out of range")
             abs_secs = s + base
-            if abs_secs < 0 and nanos:
-                abs_secs -= 1  # writer's trunc-toward-zero compensation
-            vals.append(abs_secs * 1_000_000 + nanos // 1_000)
+            if nanos < 0:
+                # C++ convention: negative trunc remainder rides the
+                # nano field; add it directly (abs_secs is the
+                # toward-zero truncation already)
+                vals.append(abs_secs * 1_000_000 + nanos // 1_000)
+            else:
+                if abs_secs < 0 and nanos:
+                    # Java convention: positive nanos + trunc-toward-
+                    # zero seconds need the -1 s compensation
+                    abs_secs -= 1
+                vals.append(abs_secs * 1_000_000 + nanos // 1_000)
         if 0 not in streams:
             if len(vals) != nrows:
                 raise ValueError("timestamp row count mismatch")

@@ -2419,7 +2419,7 @@ def source_parquet_nested_decode(
     schema's repetition chain, the multi-bit RLE/bit-packed level
     streams (def levels need 2 bits here, not the flat path's 1),
     the hand-built snappy decoder, and Dremel record assembly
-    (`_assemble_one_level_lists`) that concatenates levels across
+    (`_assemble_single_rep`) that concatenates levels across
     pages so lists spanning page boundaries reassemble.
 
     The oracle recomputes every count and the element sum from the

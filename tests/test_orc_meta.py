@@ -726,3 +726,46 @@ def test_orc_writer_timezone_fixture():
         1_786_786_200_000_000,   # 2026-08-15 09:30:00
         None,
     ]
+
+
+def test_orc_timestamp_pre1970_cpp_writer(tmp_path):
+    """The C++ ORC writer (pyarrow, Impala) encodes pre-epoch
+    fractional timestamps differently from Java: the trunc-toward-
+    zero NEGATIVE remainder is trailing-zero-encoded as a SIGNED
+    value and stored two's-complement-wrapped in the nominally
+    unsigned SECONDARY stream (-0.5s = secs 0 + (-5<<3)|7 = -33 =
+    2^64-33 on the wire). Found by the round-13 code review; the
+    reader must handle BOTH conventions."""
+    import datetime as dtm
+    import io
+
+    import pyarrow as pa
+    from pyarrow import orc as po
+
+    from spark_hive_spark.sources.orc_meta import (
+        read_orc_timestamp_column,
+    )
+
+    ts = [
+        dtm.datetime(1969, 12, 31, 23, 59, 59, 500000),
+        dtm.datetime(1969, 12, 31, 23, 59, 58, 123456),
+        dtm.datetime(1950, 6, 1, 12, 0, 0, 250000),
+        dtm.datetime(1969, 12, 31, 23, 59, 59, 0),
+        dtm.datetime(2001, 2, 3, 4, 5, 6, 789012),
+        None,
+        dtm.datetime(1899, 3, 4, 5, 6, 7, 890123),
+    ]
+    epoch = dtm.datetime(1970, 1, 1)
+    exp = [
+        None if t is None
+        else int((t - epoch) / dtm.timedelta(microseconds=1))
+        for t in ts
+    ]
+    for comp in ("uncompressed", "snappy", "zlib"):
+        buf = io.BytesIO()
+        po.write_table(
+            pa.table({"t": pa.array(ts, pa.timestamp("us"))}),
+            buf, compression=comp,
+        )
+        got, _ = read_orc_timestamp_column(buf.getvalue(), 1)
+        assert got == exp
