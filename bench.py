@@ -316,6 +316,7 @@ EXTENDED = [
     "source_orc_decimal_boolean_decode",
     "source_iceberg_branch_tag_read",
     "source_avro_logical_types",
+    "source_orc_deep_nested_decode",
 ]
 
 # Streaming extended queries run dead LAST (after the streaming
@@ -584,6 +585,7 @@ EXPECTED_SF01: dict[str, float] = {
     "source_orc_decimal_boolean_decode": 2.7,
     "source_iceberg_branch_tag_read": 2.6,
     "source_avro_logical_types": 1.4,
+    "source_orc_deep_nested_decode": 3.8,
 }
 
 

@@ -39,7 +39,7 @@ _REGISTRY: dict[str, Query] = {}
 
 # The grading driver sweeps the FIRST 50 registry entries per round, so
 # ordering is an attestation budget. Round-13 rotation (VERDICT r12
-# task 2, executed): the 4 reference jobs stay pinned, then the 16 NEW
+# task 2, executed): the 4 reference jobs stay pinned, then the 17 NEW
 # round-13 queries (driver rows on first appearance — cumulative
 # attestation stays complete), then re-attestations of everything whose
 # implementation changed this round (the ORC timestamp reader gained
@@ -57,7 +57,8 @@ _REGISTRY: dict[str, Query] = {}
 # subq_scalar_above_avg_orders, text_fingerprints,
 # text_langid_confusion, text_quality_scores, text_tfidf_top_terms,
 # text_token_stats, text_top_bigrams_per_lang, text_unigram_logprob,
-# then embedding_norm_stats, embedding_quantize_audit,
+# then knn_cosine_bruteforce, embedding_norm_stats,
+# embedding_quantize_audit,
 # knn_cosine_ivf, knn_cosine_lsh,
 # lateral_top2_orders_per_customer,
 # neardup_embeddings,
@@ -90,6 +91,7 @@ SWEEP_PRIORITY: tuple[str, ...] = (
     "source_orc_decimal_boolean_decode",
     "source_iceberg_branch_tag_read",
     "source_avro_logical_types",
+    "source_orc_deep_nested_decode",
     # round-13 implementation changes: re-attest under the new code
     # (the RLEv2 PATCHED_BASE patch-width fix rides every ORC reader)
     "source_orc_timestamp_double_decode",
@@ -123,7 +125,6 @@ SWEEP_PRIORITY: tuple[str, ...] = (
     "curation_train_test_split",
     "dedup_duplicate_clusters",
     "dedup_simhash",
-    "knn_cosine_bruteforce",
 )
 
 

@@ -1236,7 +1236,7 @@ def _stripe_streams_multi(
     return streams, nrows, enc_msgs
 
 
-def _dec_scalar_entries(
+def _dec_entries(
     streams: dict[tuple[int, int], bytes],
     codec: int,
     enc_msgs: list[dict],
@@ -1244,11 +1244,67 @@ def _dec_scalar_entries(
     col: int,
     n_entries: int,
 ) -> list:
-    """Decode one SCALAR child column's entries (long or string,
-    ORC's nested-fixture floor) -> n_entries values with None where
-    the child's own PRESENT bitmap (relative to parent-present
-    entries, per the spec's nested encoding) clears a slot."""
+    """Decode one child column's entries RECURSIVELY — ORC's nested
+    encoding composes cleanly: every column's PRESENT bitmap is
+    relative to its parent-present entries, LIST/MAP columns add a
+    LENGTH stream (one count per present entry) whose children hold
+    the concatenated elements, STRUCT columns are PRESENT-only with
+    children holding one entry per struct-present slot. So
+    list<struct>, list<list<T>>, map<_, struct>, ... all fall out of
+    the same recursion. -> n_entries python values (None / scalar /
+    list / dict)."""
     kind = tree[col]["kind"]
+    if kind in ("list", "map", "struct"):
+        present_raw = streams.get((col, 0))
+        pres = (decode_present(_unchunk(present_raw, codec), n_entries)
+                if present_raw is not None else [1] * n_entries)
+        n_present = sum(pres)
+        if kind == "struct":
+            children = [
+                _dec_entries(streams, codec, enc_msgs, tree, c,
+                             n_present)
+                for c in tree[col]["subtypes"]
+            ]
+            names = tree[col]["names"]
+            its = [iter(ch) for ch in children]
+            return [
+                {n: next(i) for n, i in zip(names, its)} if b else None
+                for b in pres
+            ]
+        length_raw = streams.get((col, 2))
+        if length_raw is None:
+            if n_present:
+                raise ValueError(f"ORC {kind} column {col} missing "
+                                 "LENGTH")
+            lengths: list[int] = []
+        else:
+            lengths = decode_rlev2(_unchunk(length_raw, codec),
+                                   signed=False)
+        if len(lengths) != n_present:
+            raise ValueError(f"{kind} LENGTH count != present entries")
+        total = sum(lengths)
+        if kind == "list":
+            (elem_col,) = tree[col]["subtypes"]
+            elems = _dec_entries(streams, codec, enc_msgs, tree,
+                                 elem_col, total)
+            li, ei = iter(lengths), iter(elems)
+            return [
+                [next(ei) for _ in range(next(li))] if b else None
+                for b in pres
+            ]
+        key_col, val_col = tree[col]["subtypes"]
+        keys = _dec_entries(streams, codec, enc_msgs, tree, key_col,
+                            total)
+        vals = _dec_entries(streams, codec, enc_msgs, tree, val_col,
+                            total)
+        if any(k is None for k in keys):
+            raise ValueError("null ORC map key")
+        li, ki, vi = iter(lengths), iter(keys), iter(vals)
+        return [
+            {next(ki): next(vi) for _ in range(next(li))} if b
+            else None
+            for b in pres
+        ]
     present_raw = streams.get((col, 0))
     if kind in ("varchar", "char"):
         kind = "string"  # same physical layout (LENGTH/DATA/DICT)
@@ -1315,137 +1371,66 @@ def _dec_scalar_entries(
     return [next(it) if b else None for b in bits]
 
 
-def read_orc_list_column(
-    data: bytes, column: int
-) -> tuple[list[list | None], int]:
-    """Read one LIST column from raw ORC bytes -> one entry per row
-    (None / possibly-empty python list with None elements). ORC's
-    nested encoding (orc.apache.org/specification, "List Columns"):
-    the list column itself carries PRESENT + a LENGTH stream
-    (unsigned RLEv2, ONE entry per present list), and the single
-    child column carries the concatenated elements — its own PRESENT
-    bitmap is relative to the element entries, not rows."""
+def _subtree_columns(tree: list[dict], col: int) -> set[int]:
+    """All column ids in the type subtree rooted at ``col``."""
+    out = {col}
+    for c in tree[col]["subtypes"]:
+        out |= _subtree_columns(tree, c)
+    return out
+
+
+def _read_orc_nested_column(
+    data: bytes, column: int, expect_kind: str
+) -> tuple[list, int]:
     footer, codec = _orc_file_tail(data)
     tree = orc_type_tree(footer)
-    if tree[column]["kind"] != "list":
+    if tree[column]["kind"] != expect_kind:
         raise ValueError(f"column {column} is {tree[column]['kind']}")
-    (elem_col,) = tree[column]["subtypes"]
-    out: list[list | None] = []
+    cols = _subtree_columns(tree, column)
+    out: list = []
     n_stripes = 0
     for sraw in footer.get(3, []):
         n_stripes += 1
         streams, nrows, enc = _stripe_streams_multi(
-            data, codec, sraw, {column, elem_col}
+            data, codec, sraw, cols
         )
-        lp_raw = streams.get((column, 0))
-        lp = (decode_present(_unchunk(lp_raw, codec), nrows)
-              if lp_raw is not None else [1] * nrows)
-        length_raw = streams.get((column, 2))
-        if length_raw is None:
-            raise ValueError("ORC list stripe missing LENGTH")
-        lengths = decode_rlev2(_unchunk(length_raw, codec),
-                               signed=False)
-        if len(lengths) != sum(lp):
-            raise ValueError("list LENGTH count != present lists")
-        elems = _dec_scalar_entries(
-            streams, codec, enc, tree, elem_col, sum(lengths)
-        )
-        li = iter(lengths)
-        ei = iter(elems)
-        for b in lp:
-            if not b:
-                out.append(None)
-            else:
-                out.append([next(ei) for _ in range(next(li))])
+        out += _dec_entries(streams, codec, enc, tree, column, nrows)
     return out, n_stripes
+
+
+def read_orc_list_column(
+    data: bytes, column: int
+) -> tuple[list[list | None], int]:
+    """Read one LIST column from raw ORC bytes -> one entry per row
+    (None / possibly-empty python list). ORC's nested encoding
+    (orc.apache.org/specification, "List Columns"): the list column
+    carries PRESENT + a LENGTH stream (unsigned RLEv2, ONE entry per
+    present list), children hold the concatenated elements with their
+    own present bitmaps relative to entries — and because the scheme
+    COMPOSES, elements may themselves be lists, maps, or structs
+    (round-13 recursion via `_dec_entries`): list<struct> and
+    list<list<T>> decode through the same path as list<scalar>."""
+    return _read_orc_nested_column(data, column, "list")
 
 
 def read_orc_map_column(
     data: bytes, column: int
 ) -> tuple[list[dict | None], int]:
     """Read one MAP column from raw ORC bytes -> one dict-or-None per
-    row. Same LENGTH layout as lists (one entry count per present
-    map), with TWO children: keys (no PRESENT — the spec's keys are
-    non-null) and values (own PRESENT over the entries)."""
-    footer, codec = _orc_file_tail(data)
-    tree = orc_type_tree(footer)
-    if tree[column]["kind"] != "map":
-        raise ValueError(f"column {column} is {tree[column]['kind']}")
-    key_col, val_col = tree[column]["subtypes"]
-    out: list[dict | None] = []
-    n_stripes = 0
-    for sraw in footer.get(3, []):
-        n_stripes += 1
-        streams, nrows, enc = _stripe_streams_multi(
-            data, codec, sraw, {column, key_col, val_col}
-        )
-        mp_raw = streams.get((column, 0))
-        mp = (decode_present(_unchunk(mp_raw, codec), nrows)
-              if mp_raw is not None else [1] * nrows)
-        length_raw = streams.get((column, 2))
-        if length_raw is None:
-            raise ValueError("ORC map stripe missing LENGTH")
-        lengths = decode_rlev2(_unchunk(length_raw, codec),
-                               signed=False)
-        if len(lengths) != sum(mp):
-            raise ValueError("map LENGTH count != present maps")
-        total = sum(lengths)
-        keys = _dec_scalar_entries(streams, codec, enc, tree,
-                                   key_col, total)
-        vals = _dec_scalar_entries(streams, codec, enc, tree,
-                                   val_col, total)
-        if any(k is None for k in keys):
-            raise ValueError("null ORC map key")
-        li = iter(lengths)
-        ki = iter(keys)
-        vi = iter(vals)
-        for b in mp:
-            if not b:
-                out.append(None)
-            else:
-                n = next(li)
-                out.append({next(ki): next(vi) for _ in range(n)})
-    return out, n_stripes
+    row: the list layout with TWO children (keys carry no PRESENT —
+    the spec's keys are non-null, validated — values recurse like any
+    child, so map values may be structs or lists)."""
+    return _read_orc_nested_column(data, column, "map")
 
 
 def read_orc_struct_column(
     data: bytes, column: int
 ) -> tuple[list[dict | None], int]:
     """Read one STRUCT column from raw ORC bytes -> one dict-or-None
-    per row. A struct column carries only its PRESENT bitmap; each
-    child column holds one entry per STRUCT-PRESENT row (the child's
-    own PRESENT distinguishes struct-present/field-null) — the same
-    two-level null disambiguation the parquet struct reader needed
-    def levels for."""
-    footer, codec = _orc_file_tail(data)
-    tree = orc_type_tree(footer)
-    if tree[column]["kind"] != "struct":
-        raise ValueError(f"column {column} is {tree[column]['kind']}")
-    child_cols = tree[column]["subtypes"]
-    names = tree[column]["names"]
-    out: list[dict | None] = []
-    n_stripes = 0
-    for sraw in footer.get(3, []):
-        n_stripes += 1
-        streams, nrows, enc = _stripe_streams_multi(
-            data, codec, sraw, {column, *child_cols}
-        )
-        sp_raw = streams.get((column, 0))
-        sp = (decode_present(_unchunk(sp_raw, codec), nrows)
-              if sp_raw is not None else [1] * nrows)
-        n_present = sum(sp)
-        children = [
-            _dec_scalar_entries(streams, codec, enc, tree, c,
-                                n_present)
-            for c in child_cols
-        ]
-        its = [iter(ch) for ch in children]
-        for b in sp:
-            if not b:
-                out.append(None)
-            else:
-                out.append({n: next(i) for n, i in zip(names, its)})
-    return out, n_stripes
+    per row: PRESENT-only on the struct column, each child holding
+    one entry per STRUCT-PRESENT row — the child-count contract the
+    recursion validates at every level."""
+    return _read_orc_nested_column(data, column, "struct")
 
 
 @register(
@@ -2129,6 +2114,274 @@ def source_orc_decimal_boolean_decode(
         F.sum("f_nulls").alias("f_nulls"),
         F.sum("f_quarters").alias("f_quarters"),
         (F.min("ok") & (F.count("*") > 1)).alias("decimal_consistent"),
+    ).localCheckpoint(eager=True)  # 1 row; frees the temp root
+    shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
+@register(
+    "source_orc_deep_nested_decode",
+    oracle="""
+        WITH base AS (
+            SELECT o_orderkey AS k, o_orderkey % 17 AS m FROM orders
+        ),
+        slot AS (
+            SELECT k, gi - 1 AS j
+            FROM base, generate_series(1, 3) AS gs(gi)
+            WHERE k % 13 <> 0 AND gi <= k % 4
+        ),
+        oe AS (
+            SELECT k, gi - 1 AS i
+            FROM base, generate_series(1, 4) AS go(gi)
+            WHERE m >= 5 AND gi <= k % 4 + 1
+        ),
+        fi AS (
+            SELECT k, i FROM oe
+            WHERE (k + i) % 7 <> 0 AND (k + i) % 5 <> 0
+        ),
+        vals AS (
+            SELECT k, i, gj - 1 AS j
+            FROM fi, generate_series(1, 3) AS gv(gj)
+            WHERE gj <= k % 3 + 1
+        ),
+        rowagg AS (
+            SELECT CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(sum(CASE WHEN k % 13 = 0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS ls_null,
+                   CAST(sum(CASE WHEN k % 13 <> 0 AND k % 4 = 0
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS ls_empty,
+                   CAST(sum(CASE WHEN m = 0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS ll_null,
+                   CAST(sum(CASE WHEN m IN (2, 3, 4) THEN 1 ELSE 0 END)
+                        AS BIGINT) AS sentinel_entries,
+                   CAST(sum(CASE WHEN m = 2 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS m2,
+                   CAST(sum(CASE WHEN m = 3 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS m3,
+                   CAST(sum(CASE WHEN m = 4 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS m4
+            FROM base
+        ),
+        slotagg AS (
+            SELECT CAST(count(*) AS BIGINT) AS ls_slots,
+                   CAST(coalesce(sum(CASE WHEN (k + j) % 6 = 0
+                                          THEN 1 ELSE 0 END), 0)
+                        AS BIGINT) AS ls_null_structs,
+                   CAST(coalesce(sum(
+                       CASE WHEN (k + j) % 6 <> 0 AND (k + j) % 5 <> 0
+                            THEN k * 10 + j END), 0) AS BIGINT)
+                       AS ls_a_sum,
+                   CAST(coalesce(sum(
+                       CASE WHEN (k + j) % 6 <> 0 AND (k + j) % 4 <> 0
+                            THEN 2 END), 0) AS BIGINT) AS ls_s_chars
+            FROM slot
+        ),
+        oagg AS (
+            SELECT CAST(count(*) AS BIGINT) AS gen_entries,
+                   CAST(coalesce(sum(CASE WHEN (k + i) % 7 = 0
+                                          THEN 1 ELSE 0 END), 0)
+                        AS BIGINT) AS gen_null_inner,
+                   CAST(coalesce(sum(CASE WHEN (k + i) % 7 <> 0
+                                          AND (k + i) % 5 = 0
+                                          THEN 1 ELSE 0 END), 0)
+                        AS BIGINT) AS gen_empty_inner
+            FROM oe
+        ),
+        vagg AS (
+            SELECT CAST(count(*) AS BIGINT) AS gen_values,
+                   CAST(coalesce(sum(CASE WHEN (k + i + j) % 6 = 0
+                                          THEN 1 ELSE 0 END), 0)
+                        AS BIGINT) AS gen_null_values,
+                   CAST(coalesce(sum(CASE WHEN (k + i + j) % 6 <> 0
+                                          THEN k * 100 + i * 10 + j
+                                     END), 0) AS BIGINT) AS ll_sum
+            FROM vals
+        )
+        SELECT n_rows, ls_null, ls_empty, ls_slots, ls_null_structs,
+               ls_a_sum, ls_s_chars, ll_null,
+               sentinel_entries + gen_entries AS ll_entries,
+               m2 + gen_null_inner AS ll_null_inner,
+               m3 + gen_empty_inner AS ll_empty_inner,
+               m4 + gen_values AS ll_values,
+               m4 + gen_null_values AS ll_null_values,
+               ll_sum, TRUE AS deep_consistent
+        FROM rowagg, slotagg, oagg, vagg
+    """,
+    tags=("source", "orc", "nested", "deep", "struct", "list"),
+)
+def source_orc_deep_nested_decode(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """ORC DEEP nesting decoded by hand (round 13): ``array<struct>``
+    and ``array<array<bigint>>`` — the shapes the scalar-child
+    readers rejected an hour earlier — through the RECURSIVE child
+    decoder (`_dec_entries`): ORC's nested encoding composes (every
+    column's PRESENT is relative to parent-present entries, LENGTH
+    counts per present entry, struct children hold one entry per
+    struct-present slot), so arbitrary depth falls out of one
+    recursion rather than per-shape assemblers. The fixtures are the
+    SAME modular constructions as the parquet
+    `source_parquet_list_struct_decode` /
+    `source_parquet_nested_list_decode` queries — fifteen aggregates,
+    one oracle, directly comparable across the two formats' opposite
+    nesting philosophies (composed per-column streams vs flattened
+    rep/def levels).
+
+    Scale posture: 32 Spark ORC files, one per decode task; partials
+    combine in one reduce."""
+    import glob as _glob
+
+    import pandas as _pd
+
+    root = os.path.join(
+        tempfile.gettempdir(), f"shs_orcdeep_{uuid.uuid4().hex}"
+    )
+    (
+        t(spark, sf_dir, "orders")
+        .selectExpr(
+            """
+            CASE WHEN o_orderkey % 13 = 0
+                 THEN CAST(NULL AS array<struct<a: bigint, s: string>>)
+                 ELSE transform(
+                     slice(array(0, 1, 2), 1,
+                           CAST(o_orderkey % 4 AS INT)),
+                     j -> CASE
+                         WHEN (o_orderkey + j) % 6 = 0
+                         THEN CAST(NULL AS struct<a: bigint, s: string>)
+                         ELSE named_struct(
+                             'a', CASE WHEN (o_orderkey + j) % 5 = 0
+                                       THEN CAST(NULL AS BIGINT)
+                                       ELSE o_orderkey * 10 + j END,
+                             's', CASE WHEN (o_orderkey + j) % 4 = 0
+                                       THEN CAST(NULL AS STRING)
+                                       ELSE concat(
+                                           's', (o_orderkey + j) % 9)
+                                  END) END)
+            END AS ls
+            """,
+            """
+            CASE WHEN o_orderkey % 17 = 0
+                 THEN CAST(NULL AS array<array<bigint>>)
+                 WHEN o_orderkey % 17 = 1
+                 THEN CAST(array() AS array<array<bigint>>)
+                 WHEN o_orderkey % 17 = 2
+                 THEN array(CAST(NULL AS array<bigint>))
+                 WHEN o_orderkey % 17 = 3
+                 THEN array(CAST(array() AS array<bigint>))
+                 WHEN o_orderkey % 17 = 4
+                 THEN array(array(CAST(NULL AS BIGINT)))
+                 ELSE transform(
+                     slice(array(0, 1, 2, 3), 1,
+                           CAST(o_orderkey % 4 AS INT) + 1),
+                     i -> CASE
+                         WHEN (o_orderkey + i) % 7 = 0
+                         THEN CAST(NULL AS array<bigint>)
+                         WHEN (o_orderkey + i) % 5 = 0
+                         THEN CAST(array() AS array<bigint>)
+                         ELSE transform(
+                             slice(array(0, 1, 2), 1,
+                                   CAST(o_orderkey % 3 AS INT) + 1),
+                             j -> CASE
+                                 WHEN (o_orderkey + i + j) % 6 = 0
+                                 THEN CAST(NULL AS BIGINT)
+                                 ELSE o_orderkey * 100 + i * 10 + j
+                             END) END)
+            END AS ll
+            """,
+        )
+        .repartition(32)  # one ORC file per decode task
+        .write.option("compression", "zstd").orc(root)
+    )
+    paths = sorted(_glob.glob(os.path.join(root, "*.orc")))
+
+    plan = spark.createDataFrame(
+        [(p,) for p in paths], "path string"
+    ).repartition(len(paths))
+
+    def _decode(batches) -> Iterator:
+        for pdf in batches:
+            for rec in pdf.itertuples(index=False):
+                with open(rec.path, "rb") as fh:
+                    data = fh.read()
+                tail = read_orc_tail(data)
+                footer, _codec = _orc_file_tail(data)
+                tree = orc_type_tree(footer)
+                ls_col, ll_col = tree[0]["subtypes"]
+                ls_rows, _n = read_orc_list_column(data, ls_col)
+                ll_rows, _n2 = read_orc_list_column(data, ll_col)
+                slots = [e for r in ls_rows if r is not None
+                         for e in r]
+                structs = [e for e in slots if e is not None]
+                outer = [e for r in ll_rows if r is not None
+                         for e in r]
+                values = [v for e in outer if e for v in e]
+                present = [v for v in values if v is not None]
+                ok = (
+                    tree[ls_col]["kind"] == "list"
+                    and tree[tree[ls_col]["subtypes"][0]]["kind"]
+                    == "struct"
+                    and tree[ll_col]["kind"] == "list"
+                    and tree[tree[ll_col]["subtypes"][0]]["kind"]
+                    == "list"
+                    and len(ls_rows) == tail["num_rows"]
+                    == len(ll_rows)
+                    and tail["compression"] == "ZSTD"
+                )
+                yield _pd.DataFrame(
+                    [(
+                        len(ls_rows),
+                        sum(1 for r in ls_rows if r is None),
+                        sum(1 for r in ls_rows if r == []),
+                        len(slots),
+                        len(slots) - len(structs),
+                        sum(e["a"] for e in structs
+                            if e["a"] is not None),
+                        sum(len(e["s"]) for e in structs
+                            if e["s"] is not None),
+                        sum(1 for r in ll_rows if r is None),
+                        len(outer),
+                        sum(1 for e in outer if e is None),
+                        sum(1 for e in outer if e == []),
+                        len(values),
+                        len(values) - len(present),
+                        sum(present),
+                        bool(ok),
+                    )],
+                    columns=[
+                        "n_rows", "ls_null", "ls_empty", "ls_slots",
+                        "ls_null_structs", "ls_a_sum", "ls_s_chars",
+                        "ll_null", "ll_entries", "ll_null_inner",
+                        "ll_empty_inner", "ll_values",
+                        "ll_null_values", "ll_sum", "ok",
+                    ],
+                )
+
+    partials = plan.mapInPandas(
+        _decode,
+        "n_rows bigint, ls_null bigint, ls_empty bigint,"
+        " ls_slots bigint, ls_null_structs bigint, ls_a_sum bigint,"
+        " ls_s_chars bigint, ll_null bigint, ll_entries bigint,"
+        " ll_null_inner bigint, ll_empty_inner bigint,"
+        " ll_values bigint, ll_null_values bigint, ll_sum bigint,"
+        " ok boolean",
+    )
+    out = partials.agg(
+        F.sum("n_rows").alias("n_rows"),
+        F.sum("ls_null").alias("ls_null"),
+        F.sum("ls_empty").alias("ls_empty"),
+        F.sum("ls_slots").alias("ls_slots"),
+        F.sum("ls_null_structs").alias("ls_null_structs"),
+        F.sum("ls_a_sum").alias("ls_a_sum"),
+        F.sum("ls_s_chars").alias("ls_s_chars"),
+        F.sum("ll_null").alias("ll_null"),
+        F.sum("ll_entries").alias("ll_entries"),
+        F.sum("ll_null_inner").alias("ll_null_inner"),
+        F.sum("ll_empty_inner").alias("ll_empty_inner"),
+        F.sum("ll_values").alias("ll_values"),
+        F.sum("ll_null_values").alias("ll_null_values"),
+        F.sum("ll_sum").alias("ll_sum"),
+        (F.min("ok") & (F.count("*") > 1)).alias("deep_consistent"),
     ).localCheckpoint(eager=True)  # 1 row; frees the temp root
     shutil.rmtree(root, ignore_errors=True)
     return out

@@ -769,3 +769,70 @@ def test_orc_timestamp_pre1970_cpp_writer(tmp_path):
         )
         got, _ = read_orc_timestamp_column(buf.getvalue(), 1)
         assert got == exp
+
+
+def test_orc_deep_nested_differential(spark, tmp_path):
+    """list<struct>, list<list<bigint>>, and map<string,struct>
+    through the recursive ORC child decoder == Spark's read-back —
+    the composition property (PRESENT relative to parent entries,
+    LENGTH per present entry) holding at depth 2."""
+    import glob
+
+    from spark_hive_spark.sources.orc_meta import (
+        _orc_file_tail,
+        orc_type_tree,
+        read_orc_list_column,
+        read_orc_map_column,
+    )
+
+    df = spark.range(1, 1500).selectExpr(
+        "CASE WHEN id % 13 = 0"
+        " THEN CAST(NULL AS array<struct<a: bigint, s: string>>)"
+        " ELSE transform(slice(array(0,1,2),1,CAST(id % 4 AS INT)),"
+        " j -> CASE WHEN (id+j) % 6 = 0"
+        " THEN CAST(NULL AS struct<a: bigint, s: string>)"
+        " ELSE named_struct("
+        " 'a', CASE WHEN (id+j)%5=0 THEN CAST(NULL AS BIGINT)"
+        " ELSE id*10+j END,"
+        " 's', CASE WHEN (id+j)%4=0 THEN CAST(NULL AS STRING)"
+        " ELSE concat('s', (id+j)%9) END) END) END AS ls",
+        "CASE WHEN id % 17 = 0 THEN CAST(NULL AS array<array<bigint>>)"
+        " WHEN id % 17 = 1 THEN CAST(array() AS array<array<bigint>>)"
+        " WHEN id % 17 = 2 THEN array(CAST(NULL AS array<bigint>))"
+        " WHEN id % 17 = 3 THEN array(CAST(array() AS array<bigint>))"
+        " ELSE transform(slice(array(0,1,2),1,CAST(id % 3 AS INT)+1),"
+        " i -> CASE WHEN (id+i)%7=0 THEN CAST(NULL AS array<bigint>)"
+        " ELSE transform(slice(array(0,1),1,CAST(id % 2 AS INT)+1),"
+        " j -> CASE WHEN (id+i+j)%6=0 THEN CAST(NULL AS BIGINT)"
+        " ELSE id*100+i*10+j END) END) END AS ll",
+        "CASE WHEN id % 11 = 0"
+        " THEN CAST(NULL AS map<string,struct<x: bigint>>)"
+        " ELSE map('k', named_struct('x',"
+        " CASE WHEN id%5=0 THEN CAST(NULL AS BIGINT) ELSE id END))"
+        " END AS ms",
+    )
+    rows = df.collect()
+    root = str(tmp_path / "deep")
+    df.coalesce(1).write.option("compression", "zstd").orc(root)
+    with open(glob.glob(root + "/*.orc")[0], "rb") as fh:
+        data = fh.read()
+    footer, _ = _orc_file_tail(data)
+    tree = orc_type_tree(footer)
+    ls_col, ll_col, ms_col = tree[0]["subtypes"]
+
+    assert read_orc_list_column(data, ls_col)[0] == [
+        None if r.ls is None
+        else [None if e is None else {"a": e.a, "s": e.s}
+              for e in r.ls]
+        for r in rows
+    ]
+    assert read_orc_list_column(data, ll_col)[0] == [
+        None if r.ll is None
+        else [None if e is None else list(e) for e in r.ll]
+        for r in rows
+    ]
+    assert read_orc_map_column(data, ms_col)[0] == [
+        None if r.ms is None
+        else {k: {"x": v.x} for k, v in r.ms.items()}
+        for r in rows
+    ]
