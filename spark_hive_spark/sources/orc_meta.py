@@ -579,7 +579,7 @@ def read_orc_int64_column(
                      codec)
         )
         encodings = [decode_message(e).get(1, [0])[0] for e in sfoot[2]]
-        if encodings[column] != 2:  # DIRECT_V2
+        if encodings[column] not in (0, 2):  # DIRECT (v1) / DIRECT_V2
             raise NotImplementedError(
                 f"ORC column encoding {encodings[column]}"
             )
@@ -597,7 +597,9 @@ def read_orc_int64_column(
             pos += ln
         if data_raw is None:
             raise ValueError("ORC stripe missing the DATA stream")
-        vals = decode_rlev2(_unchunk(data_raw, codec), signed=True)
+        vals = _int_rle_decode(
+            encodings[column], _unchunk(data_raw, codec), signed=True
+        )
         if present_raw is None:
             if len(vals) != nrows:
                 raise ValueError("DATA stream row count mismatch")
@@ -962,7 +964,9 @@ def read_orc_string_column(
         )
         enc_msgs = [decode_message(e) for e in sfoot[2]]
         encoding = enc_msgs[column].get(1, [0])[0]
-        if encoding not in (2, 3):  # DIRECT_V2 / DICTIONARY_V2
+        # 0/1 = DIRECT/DICTIONARY (RLEv1, ORC 0.11 files);
+        # 2/3 = DIRECT_V2/DICTIONARY_V2 (RLEv2)
+        if encoding not in (0, 1, 2, 3):
             raise NotImplementedError(
                 f"ORC string encoding {encoding}"
             )
@@ -984,7 +988,9 @@ def read_orc_string_column(
             pos += ln
         if data_raw is None or length_raw is None:
             raise ValueError("ORC string stripe missing DATA/LENGTH")
-        lengths = decode_rlev2(_unchunk(length_raw, codec), signed=False)
+        lengths = _int_rle_decode(
+            encoding, _unchunk(length_raw, codec), signed=False
+        )
 
         def _split(blob: bytes, lens: list[int]) -> list[str]:
             parts: list[str] = []
@@ -996,10 +1002,10 @@ def read_orc_string_column(
                 raise ValueError("string stream has trailing bytes")
             return parts
 
-        if encoding == 3:  # DICTIONARY_V2
+        if encoding in (1, 3):  # DICTIONARY / DICTIONARY_V2
             if dict_raw is None:
                 raise ValueError(
-                    "DICTIONARY_V2 stripe missing DICTIONARY_DATA"
+                    "DICTIONARY stripe missing DICTIONARY_DATA"
                 )
             dict_size = enc_msgs[column].get(2, [None])[0]
             if dict_size is not None and len(lengths) != dict_size:
@@ -1007,9 +1013,11 @@ def read_orc_string_column(
                     "LENGTH count disagrees with dictionarySize"
                 )
             entries = _split(_unchunk(dict_raw, codec), lengths)
-            idx = decode_rlev2(_unchunk(data_raw, codec), signed=False)
+            idx = _int_rle_decode(
+                encoding, _unchunk(data_raw, codec), signed=False
+            )
             strs = [entries[i] for i in idx]
-        else:  # DIRECT_V2
+        else:  # DIRECT / DIRECT_V2
             strs = _split(_unchunk(data_raw, codec), lengths)
         if present_raw is None:
             if len(strs) != nrows:
@@ -2382,6 +2390,200 @@ def source_orc_deep_nested_decode(
         F.sum("ll_null_values").alias("ll_null_values"),
         F.sum("ll_sum").alias("ll_sum"),
         (F.min("ok") & (F.count("*") > 1)).alias("deep_consistent"),
+    ).localCheckpoint(eager=True)  # 1 row; frees the temp root
+    shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# RLE v1 — the ORC 0.11 ("Hive 0.11") integer encoding family
+# ---------------------------------------------------------------------------
+
+
+def decode_rlev1(b: bytes, signed: bool = True) -> list[int]:
+    """ORC Run-Length Encoding VERSION 1 (spec "Integer Run Length
+    Encoding, version 1"; what Hive 0.11-era writers and any modern
+    writer pinned to ``orc.write.format=0.11`` emit):
+
+    - header byte ``h < 0x80``: a RUN of ``h + 3`` values (3..130)
+      followed by one SIGNED delta byte (-128..127) and the base
+      value as a varint — values are ``base + i*delta``;
+    - header byte ``h >= 0x80``: ``256 - h`` LITERAL varints (1..128).
+
+    Signed streams zigzag each varint; unsigned streams (string
+    LENGTH, dictionary indices) do not. Unlike v2 there are no
+    bit-packed or patched forms — just these two cases, which is why
+    legacy files are bigger but trivially seekable."""
+    out: list[int] = []
+    p, n = 0, len(b)
+    while p < n:
+        h = b[p]
+        p += 1
+        if h < 0x80:
+            run = h + 3
+            if p >= n:
+                raise ValueError("RLEv1 run truncated before delta")
+            delta = b[p] - 256 if b[p] >= 0x80 else b[p]
+            p += 1
+            base, p = _uvarint(b, p)
+            if signed:
+                base = _unzigzag(base)
+            out.extend(base + i * delta for i in range(run))
+        else:
+            for _ in range(256 - h):
+                v, p = _uvarint(b, p)
+                out.append(_unzigzag(v) if signed else v)
+    return out
+
+
+def _int_rle_decode(encoding: int, raw: bytes, signed: bool) -> list[int]:
+    """Integer-stream dispatch: DIRECT/DICTIONARY (0/1) are RLEv1,
+    DIRECT_V2/DICTIONARY_V2 (2/3) are RLEv2; anything else is loud."""
+    if encoding in (0, 1):
+        return decode_rlev1(raw, signed=signed)
+    if encoding in (2, 3):
+        return decode_rlev2(raw, signed=signed)
+    raise NotImplementedError(f"ORC column encoding {encoding}")
+
+
+@register(
+    "source_orc_rlev1_decode",
+    oracle="""
+        WITH v AS (
+            SELECT CASE WHEN o_orderkey % 97 = 0 THEN NULL
+                        ELSE o_orderkey END AS val,
+                   3000 - o_orderkey AS neg,
+                   o_orderpriority AS prio,
+                   'k' || CAST(o_orderkey AS VARCHAR) AS tag
+            FROM orders
+        )
+        SELECT CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(count(*) - count(val) AS BIGINT) AS n_nulls,
+               CAST(sum(val) AS BIGINT) AS val_sum,
+               CAST(sum(neg) AS BIGINT) AS neg_sum,
+               CAST(min(neg) AS BIGINT) AS neg_min,
+               CAST(count(DISTINCT prio) AS BIGINT) AS n_prios,
+               CAST(sum(CASE WHEN prio = '1-URGENT' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_urgent,
+               CAST(sum(length(tag)) AS BIGINT) AS tag_chars,
+               TRUE AS rlev1_attested
+        FROM v
+    """,
+    tags=("source", "orc", "rlev1", "encoding", "legacy", "data-read"),
+)
+def source_orc_rlev1_decode(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """ORC **RLE v1** columns decoded by hand (round 14, the r13
+    verdict's seam 3) — the legacy Hive-0.11 encoding family the
+    readers above rejected loudly until now. The independent v1
+    WRITER this container does have is Spark's own JVM ORC writer
+    pinned to the old format (``orc.write.format=0.11``), which the
+    fixture uses; its stripe footers really carry encodings
+    DIRECT(0)/DICTIONARY(1), asserted below so the query can never
+    silently attest the v2 path.
+
+    Exercised shapes: run headers with delta +1 (sorted keys), delta
+    -1 and a sign-crossing zigzag base (``neg = 3000 - o_orderkey``),
+    literal groups wherever the %97 PRESENT gaps break runs, an
+    unsigned-RLEv1 LENGTH stream (unique ``tag`` strings, DIRECT),
+    and RLEv1 dictionary indices (5-value ``prio``, DICTIONARY).
+
+    ``rlev1_attested`` pins engine-side that every observed column
+    encoding is the v1 family AND that decoded count/sum/extrema
+    equal the file-level IntegerStatistics — a run/literal, delta
+    sign, zigzag, or dictionary-index bug flips the hash.
+
+    Scale posture: identical to `source_orc_rlev2_decode` — one task
+    per file (the stripe is the split unit), pure-Python decode as
+    the format-layer demonstrator; production scans stay on the JVM
+    reader this query certifies against."""
+    import pandas as _pd
+
+    root = os.path.join(
+        tempfile.gettempdir(), f"shs_orcv1_{uuid.uuid4().hex}"
+    )
+    os.makedirs(root)
+    fixture = (
+        t(spark, sf_dir, "orders")
+        .select(
+            F.when(F.col("o_orderkey") % 97 != 0, F.col("o_orderkey"))
+            .alias("val"),
+            (F.lit(3000) - F.col("o_orderkey")).alias("neg"),
+            F.col("o_orderpriority").alias("prio"),
+            F.concat(F.lit("k"), F.col("o_orderkey")).alias("tag"),
+        )
+        .sort("neg")
+    )
+    stage = os.path.join(root, "stage")
+    (
+        fixture.coalesce(1)
+        .write.option("orc.write.format", "0.11")
+        .option("compression", "snappy")
+        .orc(stage)
+    )
+    src = next(f for f in os.listdir(stage) if f.endswith(".orc"))
+    path = os.path.join(root, "orders_v1.orc")
+    os.replace(os.path.join(stage, src), path)
+
+    plan = spark.createDataFrame([(path,)], "path string")
+
+    def _decode(batches) -> Iterator:
+        for pdf in batches:
+            rows = []
+            for rec in pdf.itertuples(index=False):
+                with open(rec.path, "rb") as fh:
+                    data = fh.read()
+                tail = read_orc_tail(data)
+                # stripe-footer encodings must be the v1 family
+                footer, codec = _orc_file_tail(data)
+                encs: set[int] = set()
+                for sraw in footer.get(3, []):
+                    _, _, enc_msgs, _ = _stripe_streams(
+                        data, codec, sraw, column=1
+                    )
+                    encs.update(
+                        m.get(1, [0])[0] for m in enc_msgs[1:]
+                    )
+                vals, _ = read_orc_int64_column(data, column=1)
+                negs, _ = read_orc_int64_column(data, column=2)
+                prios, _ = read_orc_string_column(data, column=3)
+                tags, _ = read_orc_string_column(data, column=4)
+                present = [v for v in vals if v is not None]
+                ints = tail["file_stats"][1]["int"]
+                nstat = tail["file_stats"][2]["int"]
+                attested = (
+                    encs <= {0, 1}
+                    and len(vals) == tail["num_rows"]
+                    and len(present)
+                        == tail["file_stats"][1]["num_values"]
+                    and sum(present) == ints["sum"]
+                    and min(present) == ints["min"]
+                    and max(present) == ints["max"]
+                    and sum(negs) == nstat["sum"]
+                    and min(negs) == nstat["min"]
+                    and None not in negs
+                    and None not in prios
+                    and None not in tags
+                )
+                rows.append((
+                    len(vals), len(vals) - len(present), sum(present),
+                    sum(negs), min(negs), len(set(prios)),
+                    sum(1 for p in prios if p == "1-URGENT"),
+                    sum(len(s) for s in tags), bool(attested),
+                ))
+            yield _pd.DataFrame(
+                rows,
+                columns=["n_rows", "n_nulls", "val_sum", "neg_sum",
+                         "neg_min", "n_prios", "n_urgent",
+                         "tag_chars", "rlev1_attested"],
+            )
+
+    out = plan.mapInPandas(
+        _decode,
+        "n_rows bigint, n_nulls bigint, val_sum bigint,"
+        " neg_sum bigint, neg_min bigint, n_prios bigint,"
+        " n_urgent bigint, tag_chars bigint, rlev1_attested boolean",
     ).localCheckpoint(eager=True)  # 1 row; frees the temp root
     shutil.rmtree(root, ignore_errors=True)
     return out
