@@ -165,6 +165,7 @@ def _load_all() -> None:
         "spark_hive_spark.operators.analytics",
         "spark_hive_spark.sources.pydatasource",
         "spark_hive_spark.sources.jdbc",
+        "spark_hive_spark.sources.puffin",
         "spark_hive_spark.operators.subqueries",
         "spark_hive_spark.streaming.windows",
         "spark_hive_spark.operators.multimodal",

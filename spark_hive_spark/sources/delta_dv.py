@@ -286,6 +286,47 @@ def rba_deserialize(data: bytes) -> list[int]:
     return out
 
 
+def roaring64_portable_serialize(positions: Iterable[int]) -> bytes:
+    """64-bit positions -> the STANDARD portable 64-bit roaring
+    serialization (RoaringFormatSpec "portable format for 64-bit
+    implementations"): u64 LE count of non-empty 32-bit buckets,
+    then per bucket in increasing key order a u32 LE high-32-bit
+    key followed by the 32-bit portable bitmap.
+
+    This is what Iceberg v3 `deletion-vector-v1` Puffin blobs carry.
+    It differs from Delta's RoaringBitmapArray (`rba_serialize`
+    above) in exactly two ways: buckets are SPARSE and KEYED here
+    (Delta writes contiguous keyless bitmaps 0..max, empties
+    included) and there is no leading magic (Iceberg moves the
+    D1 D3 39 64 magic into the blob framing instead)."""
+    by_key: dict[int, list[int]] = {}
+    for p in positions:
+        if p < 0:
+            raise ValueError("negative row position")
+        by_key.setdefault(p >> 32, []).append(p & 0xFFFFFFFF)
+    out = struct.pack("<Q", len(by_key))
+    for key in sorted(by_key):
+        out += struct.pack("<I", key) + roaring32_serialize(by_key[key])
+    return out
+
+
+def roaring64_portable_deserialize(data: bytes) -> list[int]:
+    (n,) = struct.unpack_from("<Q", data, 0)
+    pos = 8
+    out: list[int] = []
+    last_key = -1
+    for _ in range(n):
+        (key,) = struct.unpack_from("<I", data, pos)
+        if key <= last_key:
+            raise ValueError("64-bit roaring keys not increasing")
+        last_key = key
+        vals, pos = roaring32_deserialize(data, pos + 4)
+        out.extend((key << 32) | v for v in vals)
+    if pos != len(data):
+        raise ValueError("trailing bytes after last 64-bit bucket")
+    return out
+
+
 def write_dv_file(path: str, dv_datas: list[bytes]) -> list[int]:
     """PROTOCOL.md DV file: version byte, then per vector
     [i32 BE size][data][i32 BE crc32(data)] -> per-vector offsets."""

@@ -1,0 +1,135 @@
+"""Puffin + Iceberg v3 deletion-vector layer (sources/puffin.py) and
+the narrowed iceberg_format_gate (sources/evolution.py)."""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import pytest
+
+from spark_hive_spark.sources.delta_dv import (
+    roaring64_portable_deserialize,
+    roaring64_portable_serialize,
+)
+from spark_hive_spark.sources.evolution import iceberg_format_gate
+from spark_hive_spark.sources.puffin import (
+    dv_blob_decode,
+    dv_blob_encode,
+    puffin_read,
+    puffin_write,
+)
+
+
+def test_roaring64_portable_sparse_keys_roundtrip():
+    vals = [0, 5, 65536, (1 << 32) + 7, (5 << 32) + 123456, (5 << 32)]
+    data = roaring64_portable_serialize(vals)
+    # sparse: exactly 3 buckets (keys 0, 1, 5), keyed not contiguous
+    (n,) = struct.unpack_from("<Q", data, 0)
+    assert n == 3
+    assert roaring64_portable_deserialize(data) == sorted(vals)
+
+
+def test_roaring64_differs_from_delta_rba():
+    """The Iceberg vector is NOT Delta's RoaringBitmapArray: no magic,
+    sparse keyed buckets."""
+    from spark_hive_spark.sources.delta_dv import rba_serialize
+
+    vals = [(5 << 32) + 1]
+    a = roaring64_portable_serialize(vals)
+    b = rba_serialize(vals)
+    assert a != b
+    (n,) = struct.unpack_from("<Q", a, 0)
+    assert n == 1  # one sparse bucket ...
+    _, n_rba = struct.unpack_from("<IQ", b, 0)
+    assert n_rba == 6  # ... vs six contiguous ones (0..5)
+
+
+def test_dv_blob_roundtrip_and_framing():
+    pos = [1, 2, 3, 100, 10_000_000, (1 << 32) + 9]
+    blob = dv_blob_encode(pos)
+    assert dv_blob_decode(blob) == sorted(pos)
+    # framing: BE length prefix covers magic+vector
+    (ln,) = struct.unpack_from(">I", blob, 0)
+    assert 4 + ln + 4 == len(blob)
+    assert blob[4:8] == bytes([0xD1, 0xD3, 0x39, 0x64])
+
+
+def test_dv_blob_integrity_rejections():
+    blob = bytearray(dv_blob_encode([1, 2, 3]))
+    bad_crc = bytes(blob[:-1]) + bytes([blob[-1] ^ 0xFF])
+    with pytest.raises(ValueError, match="CRC"):
+        dv_blob_decode(bad_crc)
+    bad_magic = bytes(blob[:4]) + b"XXXX" + bytes(blob[8:])
+    with pytest.raises(ValueError, match="magic"):
+        dv_blob_decode(bad_magic)
+    with pytest.raises(ValueError, match="length prefix"):
+        dv_blob_decode(bytes(blob) + b"\x00")
+    with pytest.raises(ValueError, match="framing"):
+        dv_blob_decode(b"\x00\x01")
+
+
+def test_puffin_roundtrip_and_rejections(tmp_path):
+    p = str(tmp_path / "x.puffin")
+    metas = puffin_write(p, [
+        (b"payload-one", {"type": "deletion-vector-v1",
+                          "properties": {"referenced-data-file": "a"}}),
+        (b"payload-two-longer", {"type": "deletion-vector-v1"}),
+    ])
+    raw, blobs = puffin_read(p)
+    assert blobs == metas
+    assert raw[blobs[0]["offset"]:][:blobs[0]["length"]] == b"payload-one"
+    assert (
+        raw[blobs[1]["offset"]:][: blobs[1]["length"]]
+        == b"payload-two-longer"
+    )
+    # corrupt trailing magic
+    bad = str(tmp_path / "bad.puffin")
+    with open(bad, "wb") as fh:
+        fh.write(raw[:-4] + b"NOPE")
+    with pytest.raises(ValueError, match="magic"):
+        puffin_read(bad)
+    # compressed-footer flag stays loud
+    flagged = str(tmp_path / "flag.puffin")
+    with open(flagged, "wb") as fh:
+        fh.write(raw[:-8] + b"\x01\x00\x00\x00" + raw[-4:])
+    with pytest.raises(NotImplementedError, match="LZ4"):
+        puffin_read(flagged)
+
+
+def test_iceberg_format_gate_named_features():
+    iceberg_format_gate({"format-version": 2})
+    iceberg_format_gate({"format-version": 1})
+    # v3 with no v3 features used passes
+    iceberg_format_gate({"format-version": 3})
+    with pytest.raises(NotImplementedError, match="format-version 4"):
+        iceberg_format_gate({"format-version": 4})
+    with pytest.raises(NotImplementedError, match="row lineage"):
+        iceberg_format_gate({"format-version": 3, "row-lineage": True})
+    with pytest.raises(NotImplementedError, match="row lineage"):
+        iceberg_format_gate({"format-version": 3, "next-row-id": 10})
+    with pytest.raises(NotImplementedError, match="default value"):
+        iceberg_format_gate({
+            "format-version": 3,
+            "schema": {"fields": [
+                {"name": "x", "initial-default": 0}
+            ]},
+        })
+    # declaring support unlocks exactly that feature
+    iceberg_format_gate(
+        {"format-version": 3, "row-lineage": True},
+        supported=frozenset({"row-lineage"}),
+    )
+
+
+def test_dv_crc_is_over_magic_plus_vector():
+    """Spec: the CRC-32 covers the magic AND the vector, not the
+    vector alone — a reader checking vector-only CRCs would accept
+    a corrupted magic."""
+    pos = [7, 8, 9]
+    blob = dv_blob_encode(pos)
+    (ln,) = struct.unpack_from(">I", blob, 0)
+    body = blob[4 : 4 + ln]
+    (crc,) = struct.unpack_from(">I", blob, 4 + ln)
+    assert crc == zlib.crc32(body)
+    assert crc != zlib.crc32(body[4:])
