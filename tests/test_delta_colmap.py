@@ -56,15 +56,103 @@ def test_duplicate_physical_name_is_loud():
         ]))
 
 
-def test_nested_mapped_field_is_loud():
-    nested = {
-        "name": "s",
-        "type": {"type": "struct", "fields": []},
+def _nested(name: str, phys: str, children: list[dict],
+            fid: int = 9) -> dict:
+    return {
+        "name": name,
+        "type": {"type": "struct", "fields": children},
         "nullable": True,
-        "metadata": {"delta.columnMapping.physicalName": "col-s"},
+        "metadata": {"delta.columnMapping.id": fid,
+                     "delta.columnMapping.physicalName": phys},
     }
-    with pytest.raises(NotImplementedError, match="nested"):
-        delta_column_mapping(_meta("name", [nested]))
+
+
+def test_struct_nested_name_mode_resolves_recursively():
+    """Round 14: struct-nested mapped fields resolve at every level,
+    keyed by dotted physical path."""
+    child = _field("price", "col-p", "double")
+    m = delta_column_mapping(_meta("name", [
+        _field("a", "col-x"),
+        _nested("detail", "col-d", [child]),
+    ]))
+    assert m == {"col-x": "a", "col-d": "detail",
+                 "col-d.col-p": "detail.price"}
+
+
+def test_struct_nested_id_mode_resolves_dotted_paths():
+    from spark_hive_spark.sources.evolution import (
+        delta_column_mapping_by_id,
+    )
+
+    child = dict(_field("price", "col-p", "double"))
+    child["metadata"] = {"delta.columnMapping.id": 3,
+                         "delta.columnMapping.physicalName": "col-p"}
+    top = dict(_field("a", "col-x"))
+    top["metadata"] = {"delta.columnMapping.id": 1,
+                       "delta.columnMapping.physicalName": "col-x"}
+    m = delta_column_mapping_by_id(
+        _meta("id", [top, _nested("detail", "col-d", [child], fid=2)])
+    )
+    assert m == {1: "a", 2: "detail", 3: "detail.price"}
+
+
+def test_non_struct_nested_mapped_field_is_loud():
+    """Unknown nested shapes (array/map element renames) stay loud
+    in both modes."""
+    arr = {
+        "name": "xs",
+        "type": {"type": "array", "elementType": "long",
+                 "containsNull": True},
+        "nullable": True,
+        "metadata": {"delta.columnMapping.id": 5,
+                     "delta.columnMapping.physicalName": "col-xs"},
+    }
+    with pytest.raises(NotImplementedError, match="non-struct nested"):
+        delta_column_mapping(_meta("name", [arr]))
+    from spark_hive_spark.sources.evolution import (
+        delta_column_mapping_by_id,
+    )
+
+    with pytest.raises(NotImplementedError, match="non-struct nested"):
+        delta_column_mapping_by_id(_meta("id", [arr]))
+
+
+def test_nested_child_missing_physical_name_is_loud():
+    bad_child = _field("price", None, "double")
+    with pytest.raises(ValueError, match="physicalName"):
+        delta_column_mapping(_meta("name", [
+            _nested("detail", "col-d", [bad_child]),
+        ]))
+
+
+def test_delta_mapped_select_rebuilds_struct(spark, tmp_path):
+    """The rebuild expressions restore the logical tree over a
+    physically-named scan, including the name-collision trap."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from spark_hive_spark.sources.evolution import delta_mapped_select
+
+    detail = pa.StructArray.from_arrays(
+        [pa.array([1.5, 2.5]), pa.array(["hi", "lo"])],
+        fields=[pa.field("o_orderkey", pa.float64()),
+                pa.field("p-9", pa.string())],
+    )
+    tbl = pa.table({"k-1": pa.array([10, 11], pa.int64()),
+                    "o_totalprice": detail})
+    path = str(tmp_path / "phys.parquet")
+    pq.write_table(tbl, path)
+
+    child_p = dict(_field("price", "o_orderkey", "double"))
+    child_q = dict(_field("prio", "p-9", "string"))
+    meta = _meta("name", [
+        _field("o_orderkey", "k-1"),
+        _nested("detail", "o_totalprice", [child_p, child_q]),
+    ])
+    df = spark.read.parquet(path).select(*delta_mapped_select(meta))
+    rows = {r["o_orderkey"]: r for r in df.collect()}
+    assert rows[10]["detail"]["price"] == 1.5
+    assert rows[11]["detail"]["prio"] == "lo"
 
 
 def test_v2_checkpoint_inline_actions_are_loud():
@@ -114,10 +202,14 @@ def test_id_mode_resolves_by_field_id():
         delta_column_mapping_by_id(_meta("id", [
             {"name": "a", "type": "long", "nullable": True,
              "metadata": {}}]))
-    nested = {"name": "s", "type": {"type": "struct", "fields": []},
+    # round 14: struct nesting resolves; a MAP nested shape stays loud
+    nested = {"name": "s",
+              "type": {"type": "map", "keyType": "string",
+                       "valueType": "long",
+                       "valueContainsNull": True},
               "nullable": True,
               "metadata": {"delta.columnMapping.id": 2}}
-    with pytest.raises(NotImplementedError, match="nested"):
+    with pytest.raises(NotImplementedError, match="non-struct nested"):
         delta_column_mapping_by_id(_meta("id", [nested]))
 
 
