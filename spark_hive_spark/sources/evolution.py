@@ -1339,48 +1339,75 @@ def source_delta_checkpoint_replay(
     # ---- the reader: _last_checkpoint -> checkpoint state -> JSON ----
     with open(os.path.join(ldir, "_last_checkpoint")) as fh:
         ckpt_version = _json.load(fh)["version"]
-    live: set[str] = set()
-    tombstones: set[str] = set()
-    for row in spark.read.parquet(
+    # round 14 (r13 verdict task 5): checkpoint actions stay a
+    # DATAFRAME — the protocol gate collects only protocol rows
+    # (bounded: one per checkpoint) and the state resolve is the
+    # distributed per-path window in `delta_state_reconstruction`;
+    # the driver collects ONLY the final live-path scan list
+    ckpt_df = spark.read.parquet(
         os.path.join(ldir, f"{ckpt_version:020d}.checkpoint.parquet")
+    )
+    for row in ckpt_df.filter(
+        F.col("protocol").isNotNull()
     ).collect():
-        if row["protocol"] is not None:
-            if row["protocol"]["minReaderVersion"] > 1:
-                raise NotImplementedError(
-                    "Delta reader features beyond protocol v1"
-                )
-        elif row["add"] is not None:
-            live.add(row["add"]["path"])
-        elif row["remove"] is not None:
-            tombstones.add(row["remove"]["path"])
-    checkpoint_live = len(live)
+        if row["protocol"]["minReaderVersion"] > 1:
+            raise NotImplementedError(
+                "Delta reader features beyond protocol v1"
+            )
+    ckpt_actions = (
+        ckpt_df
+        .filter(F.col("add").isNotNull() | F.col("remove").isNotNull())
+        .select(
+            F.coalesce(F.col("add.path"), F.col("remove.path"))
+            .alias("path"),
+            F.when(F.col("add").isNotNull(), F.lit("add"))
+            .otherwise(F.lit("remove")).alias("kind"),
+        )
+    )
     versions = sorted(
         int(f[:20]) for f in os.listdir(ldir) if f.endswith(".json")
     )
     replay = [v for v in versions if v > ckpt_version]
     if replay != list(range(ckpt_version + 1, ckpt_version + 1 + len(replay))):
         raise ValueError("Delta log has version gaps after checkpoint")
+    replay_rows: list[tuple[str, str, int]] = []
     for v in replay:
         with open(os.path.join(ldir, f"{v:020d}.json")) as fh:
-            for line in fh:
+            for ln, line in enumerate(fh):
                 if not line.strip():
                     continue
                 action = _json.loads(line)
-                if "add" in action:
-                    live.add(action["add"]["path"])
-                    tombstones.discard(action["add"]["path"])
-                elif "remove" in action:
-                    live.discard(action["remove"]["path"])
-                    tombstones.add(action["remove"]["path"])
+                for kind in ("add", "remove"):
+                    if kind in action:
+                        replay_rows.append((
+                            action[kind]["path"], kind,
+                            (v + 1) * 1_000_000 + ln,
+                        ))
+    replay_df = spark.createDataFrame(
+        replay_rows, "path string, kind string, ord bigint"
+    )
+    resolved = delta_state_reconstruction(ckpt_actions, replay_df)
+    by_kind = {
+        r["kind"]: r["count"]
+        for r in resolved.groupBy("kind").count().collect()
+    }
+    checkpoint_live = ckpt_actions.filter(
+        F.col("kind") == "add"
+    ).count()
+    live = sorted(
+        r["path"]
+        for r in resolved.filter(F.col("kind") == "add")
+        .select("path").collect()
+    )
     scan = spark.read.parquet(
-        *(os.path.join(tdir, p) for p in sorted(live))
+        *(os.path.join(tdir, p) for p in live)
     )
     out = scan.agg(
         F.lit(ckpt_version).cast("int").alias("checkpoint_version"),
         F.lit(len(replay)).cast("int").alias("versions_replayed"),
         F.lit(checkpoint_live).cast("int").alias("checkpoint_live"),
         F.lit(len(live)).cast("int").alias("live_files"),
-        F.lit(len(tombstones)).cast("int").alias("tombstones"),
+        F.lit(by_kind.get("remove", 0)).cast("int").alias("tombstones"),
         F.count("*").alias("n_orders"),
         dsum("o_totalprice").alias("revenue"),
     ).localCheckpoint(eager=True)  # 1 row; frees the temp root
@@ -1591,10 +1618,10 @@ def source_delta_v2_checkpoint_replay(
             f"expected one v2 checkpoint for version {ckpt_version}, "
             f"found {len(candidates)}"
         )
-    live: set[str] = set()
-    tombstones: set[str] = set()
     sidecars: list[str] = []
     saw_ckpt_meta = False
+    # the TOP checkpoint is O(sidecar pointers + protocol/metadata),
+    # not O(files) — collecting it is bounded by design
     for row in spark.read.parquet(candidates[0]).collect():
         kind, payload = _v2_classify_top_row(row.asDict())
         if kind == "checkpointMetadata":
@@ -1615,15 +1642,22 @@ def source_delta_v2_checkpoint_replay(
             sidecars.append(payload["path"])
     if not saw_ckpt_meta:
         raise ValueError("v2 checkpoint missing checkpointMetadata")
-    for sc in sidecars:
-        for row in spark.read.parquet(
-            os.path.join(sdir, sc)
-        ).collect():
-            if row["add"] is not None:
-                live.add(row["add"]["path"])
-            elif row["remove"] is not None:
-                tombstones.add(row["remove"]["path"])
-    checkpoint_live = len(live)
+    # round 14 (r13 verdict task 5): sidecar actions stay a DATAFRAME
+    # — no per-sidecar driver materialization; the per-path window in
+    # `delta_state_reconstruction` resolves last-writer-wins, and the
+    # driver collects ONLY the final live-path scan list
+    ckpt_actions = (
+        spark.read.parquet(
+            *(os.path.join(sdir, sc) for sc in sidecars)
+        )
+        .filter(F.col("add").isNotNull() | F.col("remove").isNotNull())
+        .select(
+            F.coalesce(F.col("add.path"), F.col("remove.path"))
+            .alias("path"),
+            F.when(F.col("add").isNotNull(), F.lit("add"))
+            .otherwise(F.lit("remove")).alias("kind"),
+        )
+    )
     versions = sorted(
         int(f[:20]) for f in os.listdir(ldir) if f.endswith(".json")
     )
@@ -1631,20 +1665,36 @@ def source_delta_v2_checkpoint_replay(
     if replay != list(range(ckpt_version + 1,
                             ckpt_version + 1 + len(replay))):
         raise ValueError("Delta log has version gaps after checkpoint")
+    replay_rows: list[tuple[str, str, int]] = []
     for v in replay:
         with open(os.path.join(ldir, f"{v:020d}.json")) as fh:
-            for line in fh:
+            for ln, line in enumerate(fh):
                 if not line.strip():
                     continue
                 action = _json.loads(line)
-                if "add" in action:
-                    live.add(action["add"]["path"])
-                    tombstones.discard(action["add"]["path"])
-                elif "remove" in action:
-                    live.discard(action["remove"]["path"])
-                    tombstones.add(action["remove"]["path"])
+                for kind in ("add", "remove"):
+                    if kind in action:
+                        replay_rows.append((
+                            action[kind]["path"], kind,
+                            (v + 1) * 1_000_000 + ln,
+                        ))
+    replay_df = spark.createDataFrame(
+        replay_rows, "path string, kind string, ord bigint"
+    )
+    resolved = delta_state_reconstruction(ckpt_actions, replay_df)
+    counts = resolved.groupBy("kind").count().collect()
+    by_kind = {r["kind"]: r["count"] for r in counts}
+    checkpoint_live = ckpt_actions.filter(
+        F.col("kind") == "add"
+    ).count()
+    live = sorted(
+        r["path"]
+        for r in resolved.filter(F.col("kind") == "add")
+        .select("path").collect()
+    )
+    n_tombstones = by_kind.get("remove", 0)
     scan = spark.read.parquet(
-        *(os.path.join(tdir, p) for p in sorted(live))
+        *(os.path.join(tdir, p) for p in live)
     )
     out = scan.agg(
         F.lit(ckpt_version).cast("int").alias("checkpoint_version"),
@@ -1652,7 +1702,7 @@ def source_delta_v2_checkpoint_replay(
         F.lit(checkpoint_live).cast("int").alias("checkpoint_live"),
         F.lit(len(replay)).cast("int").alias("versions_replayed"),
         F.lit(len(live)).cast("int").alias("live_files"),
-        F.lit(len(tombstones)).cast("int").alias("tombstones"),
+        F.lit(n_tombstones).cast("int").alias("tombstones"),
         F.count("*").alias("n_orders"),
         dsum("o_totalprice").alias("revenue"),
     ).localCheckpoint(eager=True)  # 1 row; frees the temp root
@@ -1660,6 +1710,46 @@ def source_delta_v2_checkpoint_replay(
     return out
 
 
+
+
+def delta_state_reconstruction(
+    ckpt_actions: DataFrame, replay_actions: DataFrame
+) -> DataFrame:
+    """Distributed Delta STATE RECONSTRUCTION (round 14, the r13
+    verdict's task 5): resolve checkpoint state + post-checkpoint
+    replay to the final per-path action WITHOUT materializing
+    checkpoint actions on the driver — at 100 TB a checkpoint's
+    add set is millions of rows, and the old per-sidecar
+    ``.collect()`` loop made the driver hold every path.
+
+    ``ckpt_actions``: DataFrame[path, kind] — the state AT the
+    checkpoint (kind 'add' = live file, 'remove' = tombstone), read
+    straight off the checkpoint/sidecar parquet as a scan.
+    ``replay_actions``: DataFrame[path, kind, ord] — the
+    post-checkpoint JSON actions under a total order (version,
+    line), ord > 0. Returns DataFrame[path, kind, is_ckpt] with one
+    row per path carrying its LAST action — last-writer-wins via a
+    per-path window, a metadata-scale shuffle. Callers aggregate
+    counts from it and collect ONLY the final live-path list (the
+    scan list a driver must hold anyway)."""
+    from pyspark.sql import Window as W
+
+    base = ckpt_actions.select(
+        "path", "kind",
+        F.lit(0).cast("bigint").alias("ord"),
+        F.lit(True).alias("is_ckpt"),
+    )
+    rep = replay_actions.select(
+        "path", "kind", F.col("ord").cast("bigint"),
+        F.lit(False).alias("is_ckpt"),
+    )
+    w = W.partitionBy("path").orderBy(F.desc("ord"))
+    return (
+        base.unionByName(rep)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
 
 
 def delta_column_mapping(metadata: dict) -> dict[str, str] | None:

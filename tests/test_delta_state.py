@@ -1,0 +1,51 @@
+"""delta_state_reconstruction (sources/evolution.py, round 14): the
+distributed checkpoint+replay resolve must be last-writer-wins per
+path with checkpoint state at ord 0, and no checkpoint action may
+ever be materialized on the driver by the helper itself."""
+
+from __future__ import annotations
+
+from spark_hive_spark.sources.evolution import delta_state_reconstruction
+
+
+def _resolve(spark, ckpt, replay):
+    ckpt_df = spark.createDataFrame(ckpt, "path string, kind string")
+    rep_df = spark.createDataFrame(
+        replay, "path string, kind string, ord bigint"
+    )
+    out = delta_state_reconstruction(ckpt_df, rep_df)
+    return {r["path"]: (r["kind"], r["is_ckpt"]) for r in out.collect()}
+
+
+def test_last_writer_wins_per_path(spark):
+    got = _resolve(
+        spark,
+        [("a", "add"), ("b", "add"), ("t", "remove")],
+        [
+            ("a", "remove", 1_000_001),   # checkpoint add later removed
+            ("c", "add", 1_000_002),      # new file
+            ("t", "add", 2_000_000),      # tombstone re-added
+            ("c", "remove", 2_000_001),   # added then removed
+            ("c", "add", 2_000_002),      # ... then re-added same commit
+        ],
+    )
+    assert got == {
+        "a": ("remove", False),
+        "b": ("add", True),
+        "c": ("add", False),
+        "t": ("add", False),
+    }
+
+
+def test_checkpoint_only_paths_keep_is_ckpt(spark):
+    got = _resolve(spark, [("x", "add")], [])
+    assert got == {"x": ("add", True)}
+
+
+def test_within_commit_line_order_breaks_ties(spark):
+    # remove at line 0, add at line 1 of the same version: add wins
+    got = _resolve(
+        spark, [("p", "add")],
+        [("p", "remove", 1_000_000), ("p", "add", 1_000_001)],
+    )
+    assert got["p"] == ("add", False)
