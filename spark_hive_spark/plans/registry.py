@@ -38,35 +38,23 @@ class Query:
 _REGISTRY: dict[str, Query] = {}
 
 # The grading driver sweeps the FIRST 50 registry entries per round, so
-# ordering is an attestation budget. Round-13 rotation (VERDICT r12
-# task 2, executed): the 4 reference jobs stay pinned, then the 17 NEW
-# round-13 queries (driver rows on first appearance — cumulative
-# attestation stays complete), then re-attestations of everything whose
-# implementation changed this round (the ORC timestamp reader gained
-# writer-timezone + pre-1970 handling; the v2-checkpoint reader gained
-# the inline-action loud seam; the arrow_ipc family rides the delta-
-# dictionary + LZ4 bounds changes; delta_column_mapping gained the
-# id-mode dispatch; the list-decode parquet family rides the
-# single-rep-level Dremel generalization; DSIR rides the
-# _dsir_doc_weights refactor; hudi_mor rides its module's compaction
-# additions), then the r12-enumerated backlog spill (the seven
-# r2-attested queries) and the oldest r3-attested curation/dedup/
-# embedding/text/tpch tail, oldest-first. Backlog spill for r14:
-# scd2_customer_spend_versions, subq_correlated_exists_recent_order,
-# subq_in_parts_shipped_by_small_suppliers, subq_not_in_null_aware,
-# subq_scalar_above_avg_orders, text_fingerprints,
-# text_langid_confusion, text_quality_scores, text_tfidf_top_terms,
-# text_token_stats, text_top_bigrams_per_lang, text_unigram_logprob,
-# then knn_cosine_bruteforce, embedding_norm_stats,
-# embedding_quantize_audit,
-# knn_cosine_ivf, knn_cosine_lsh,
-# lateral_top2_orders_per_customer,
-# neardup_embeddings,
-# neardup_embeddings_lsh,
-# q13_customer_order_distribution,
-# q14_promo_revenue_share, q18_large_volume_orders,
-# q2_min_cost_supplier (displaced by the ORC-nested/RLEv2 additions)
-# and the r5-attested tail (approx_distinct_parts, arr_* ...).
+# ordering is an attestation budget. Round-15 rotation (VERDICT r14
+# task 1, executed): the 4 reference jobs stay pinned, then the 3
+# round-14 queries that never got a driver row (window wasn't rotated
+# in r14 — cumulative attestation stays complete), then any NEW
+# round-15 queries, then re-attestations of everything whose
+# implementation changes this round: the whole ORC source family rides
+# the RLEv1 dispatch seam in ``sources/orc_meta.py`` (r14 commit
+# 11cc126 plus this round's RLEv1 type-breadth work); the whole Delta
+# source family rides ``sources/evolution.py`` (the distributed
+# checkpoint-state refactor 70eb2c3, the replay-ord encoding fix, the
+# checkpoint single-scan caching fix, and the column-mapping id-mode
+# nested work); the Iceberg source family rides the
+# ``iceberg_format_gate`` manifest-level deletion-vector check and the
+# v3 default-values/row-lineage work. Then the oldest r3-attested
+# backlog, oldest-first. Backlog spill for r16 (displaced by the
+# format-family re-attests): text_unigram_logprob, then the
+# r5-attested tail (approx_distinct_parts, arr_* ...).
 # tests/test_registry_window.py asserts the window stays exactly this.
 SWEEP_PRIORITY: tuple[str, ...] = (
     # pinned reference jobs (driver-green every round)
@@ -74,57 +62,57 @@ SWEEP_PRIORITY: tuple[str, ...] = (
     "ref_top5_finished_orders_by_price",
     "ref_building_acctbal_stats_by_nation",
     "ref_orc_roundtrip",
-    # round-13 NEW queries: driver rows on first appearance
-    "curation_dsir_importance_select_approx",
-    "dsir_approx_audit",
-    "source_parquet_map_decode",
-    "source_parquet_list_struct_decode",
-    "source_parquet_nested_list_decode",
-    "source_delta_checkpoint_partition_values",
-    "source_arrow_ipc_delta_dictionary",
-    "source_delta_column_mapping_id",
-    "source_hudi_mor_compaction",
-    "source_hudi_clean_replay",
-    "source_orc_list_decode",
-    "source_orc_map_struct_decode",
-    "source_parquet_byte_stream_split_decode",
-    "source_orc_decimal_boolean_decode",
-    "source_iceberg_branch_tag_read",
-    "source_avro_logical_types",
-    "source_orc_deep_nested_decode",
-    # round-13 implementation changes: re-attest under the new code
-    # (the RLEv2 PATCHED_BASE patch-width fix rides every ORC reader)
-    "source_orc_timestamp_double_decode",
-    "source_delta_v2_checkpoint_replay",
-    "source_arrow_ipc_dictionary",
-    "source_arrow_ipc_stream",
-    "source_arrow_ipc_records",
-    "source_delta_column_mapping",
-    "source_parquet_nested_decode",
-    "source_parquet_list_strings_decode",
-    "curation_dsir_importance_select",
-    "source_hudi_mor_snapshot",
+    # round-14 additions, never driver-swept (r14 window not rotated)
+    "source_orc_rlev1_decode",
+    "source_iceberg_v3_deletion_vectors",
+    "source_delta_column_mapping_nested",
+    # ORC family: re-attest under the RLEv1 dispatch + breadth changes
     "source_orc_rlev2_decode",
     "source_orc_stripe_skipping",
-    "source_avro_records",
-    "source_avro_schema_evolution",
-    # r12-enumerated backlog spill: the seven r2-attested queries
-    "rollup_grouping_flags",
-    "safe_arithmetic_orders",
-    "setops_bag_semantics",
-    "setops_segment_overlap",
-    "string_edit_distance_pairs",
-    "unpivot_lineitem_measures",
-    "w_value_functions",
+    "source_orc_timestamp_double_decode",
+    "source_orc_decimal_boolean_decode",
+    "source_orc_list_decode",
+    "source_orc_map_struct_decode",
+    "source_orc_deep_nested_decode",
+    # Delta family: re-attest under the evolution.py state/colmap work
+    "source_delta_checkpoint_replay",
+    "source_delta_v2_checkpoint_replay",
+    "source_delta_checkpoint_partition_values",
+    "source_delta_column_mapping",
+    "source_delta_column_mapping_id",
+    "source_delta_log_replay",
+    "source_delta_deletion_vectors",
+    "source_delta_cdf_changes",
+    # Iceberg family: re-attest under the format-gate manifest check
+    "source_iceberg_snapshot_replay",
+    "source_iceberg_branch_tag_read",
+    "source_iceberg_position_deletes",
+    "source_iceberg_equality_deletes",
+    "source_iceberg_hidden_partitioning",
     # oldest r3-attested tail, oldest-first
-    "curation_hash_sample",
-    "curation_pack_sequences",
-    "curation_source_mixture",
-    "curation_split_contamination",
-    "curation_stopword_scrub",
-    "curation_train_test_split",
-    "dedup_duplicate_clusters",
-    "dedup_simhash",
+    "embedding_norm_stats",
+    "embedding_quantize_audit",
+    "knn_cosine_bruteforce",
+    "knn_cosine_ivf",
+    "knn_cosine_lsh",
+    "lateral_top2_orders_per_customer",
+    "neardup_embeddings",
+    "neardup_embeddings_lsh",
+    "q13_customer_order_distribution",
+    "q14_promo_revenue_share",
+    "q18_large_volume_orders",
+    "q2_min_cost_supplier",
+    "scd2_customer_spend_versions",
+    "subq_correlated_exists_recent_order",
+    "subq_in_parts_shipped_by_small_suppliers",
+    "subq_not_in_null_aware",
+    "subq_scalar_above_avg_orders",
+    "text_fingerprints",
+    "text_langid_confusion",
+    "text_quality_scores",
+    "text_tfidf_top_terms",
+    "text_token_stats",
+    "text_top_bigrams_per_lang",
 )
 
 

@@ -1346,7 +1346,7 @@ def source_delta_checkpoint_replay(
     # the driver collects ONLY the final live-path scan list
     ckpt_df = spark.read.parquet(
         os.path.join(ldir, f"{ckpt_version:020d}.checkpoint.parquet")
-    )
+    ).persist()  # every downstream job reads this scan exactly once
     for row in ckpt_df.filter(
         F.col("protocol").isNotNull()
     ).collect():
@@ -1381,24 +1381,23 @@ def source_delta_checkpoint_replay(
                     if kind in action:
                         replay_rows.append((
                             action[kind]["path"], kind,
-                            (v + 1) * 1_000_000 + ln,
+                            _replay_ord(v, ln),
                         ))
     replay_df = spark.createDataFrame(
         replay_rows, "path string, kind string, ord bigint"
     )
     resolved = delta_state_reconstruction(ckpt_actions, replay_df)
-    by_kind = {
-        r["kind"]: r["count"]
-        for r in resolved.groupBy("kind").count().collect()
-    }
+    # ONE collect of the final per-path state — the scan list the
+    # driver must hold anyway; live/tombstone counts fold into it
+    # (ADVICE r14: the old shape launched four jobs, each re-reading
+    # the checkpoint parquet and re-running the window shuffle)
+    state = resolved.select("path", "kind").collect()
+    live = sorted(r["path"] for r in state if r["kind"] == "add")
+    by_kind = {"remove": sum(r["kind"] == "remove" for r in state)}
     checkpoint_live = ckpt_actions.filter(
         F.col("kind") == "add"
-    ).count()
-    live = sorted(
-        r["path"]
-        for r in resolved.filter(F.col("kind") == "add")
-        .select("path").collect()
-    )
+    ).count()  # reads the persisted checkpoint scan, not the file
+    ckpt_df.unpersist()
     scan = spark.read.parquet(
         *(os.path.join(tdir, p) for p in live)
     )
@@ -1657,6 +1656,7 @@ def source_delta_v2_checkpoint_replay(
             F.when(F.col("add").isNotNull(), F.lit("add"))
             .otherwise(F.lit("remove")).alias("kind"),
         )
+        .persist()  # sidecars scanned once across resolve + live count
     )
     versions = sorted(
         int(f[:20]) for f in os.listdir(ldir) if f.endswith(".json")
@@ -1676,23 +1676,21 @@ def source_delta_v2_checkpoint_replay(
                     if kind in action:
                         replay_rows.append((
                             action[kind]["path"], kind,
-                            (v + 1) * 1_000_000 + ln,
+                            _replay_ord(v, ln),
                         ))
     replay_df = spark.createDataFrame(
         replay_rows, "path string, kind string, ord bigint"
     )
     resolved = delta_state_reconstruction(ckpt_actions, replay_df)
-    counts = resolved.groupBy("kind").count().collect()
-    by_kind = {r["kind"]: r["count"] for r in counts}
+    # ONE collect of the final per-path state (the driver's scan
+    # list); tombstone count folds into it (ADVICE r14: no re-scan)
+    state = resolved.select("path", "kind").collect()
+    live = sorted(r["path"] for r in state if r["kind"] == "add")
+    n_tombstones = sum(r["kind"] == "remove" for r in state)
     checkpoint_live = ckpt_actions.filter(
         F.col("kind") == "add"
-    ).count()
-    live = sorted(
-        r["path"]
-        for r in resolved.filter(F.col("kind") == "add")
-        .select("path").collect()
-    )
-    n_tombstones = by_kind.get("remove", 0)
+    ).count()  # reads the persisted sidecar scan, not the files
+    ckpt_actions.unpersist()
     scan = spark.read.parquet(
         *(os.path.join(tdir, p) for p in live)
     )
@@ -1710,6 +1708,25 @@ def source_delta_v2_checkpoint_replay(
     return out
 
 
+
+
+def _replay_ord(version: int, line_no: int) -> int:
+    """Total-order key for a post-checkpoint Delta action (round 15,
+    ADVICE r14): ``(version+1) * 1_000_000 + line`` collided across
+    versions once a commit JSON reached 1e6 lines — version v line 1e6
+    landed in version v+1's ord space, so last-writer-wins could
+    resolve the WRONG action at exactly the 100 TB commit sizes the
+    distributed rewrite targets. Bit-pack instead: version in the high
+    32 bits, line in the low 32, with a loud guard (a 2^32-line commit
+    JSON is beyond any real writer; raising beats silent misorder)."""
+    if not 0 <= line_no < (1 << 32):
+        raise ValueError(
+            f"Delta commit line number {line_no} exceeds the 32-bit "
+            "replay-ord space"
+        )
+    if version >= (1 << 30):
+        raise ValueError(f"Delta version {version} exceeds replay-ord space")
+    return ((version + 1) << 32) | line_no
 
 
 def delta_state_reconstruction(
@@ -2076,6 +2093,31 @@ def iceberg_format_gate(
                 )
 
 
+def iceberg_entry_content_gate(entry: dict) -> None:
+    """Manifest-ENTRY content gate for data-only readers (round 15,
+    ADVICE r14): ``iceberg_format_gate`` sees only metadata.json, but
+    deletion-vector usage is visible only in MANIFESTS — a v3 table's
+    DV entries carry ``content``=1 with PUFFIN ``file_format`` and a
+    ``referenced_data_file``. A reader that ignores ``content`` would
+    add the Puffin blob to its parquet scan set and die later with an
+    opaque parquet error; raise the NAMED seam instead. Entries
+    without a content field (v1 manifests) are data files by
+    definition and pass."""
+    content = entry.get("content") or 0
+    if content == 0:
+        return
+    fmt = str(entry.get("file_format") or "").upper()
+    if fmt == "PUFFIN" or entry.get("referenced_data_file") is not None:
+        raise NotImplementedError(
+            "Iceberg v3 deletion vectors in a data-only reader "
+            f"(manifest entry {entry.get('file_path')!r})"
+        )
+    raise NotImplementedError(
+        f"Iceberg delete manifest entry (content={content}) in a "
+        "data-only reader"
+    )
+
+
 @register(
     "source_iceberg_snapshot_replay",
     oracle=f"""
@@ -2219,6 +2261,7 @@ def source_iceberg_snapshot_replay(
         with open(mrow["manifest_path"], "rb") as fh:
             _, entries = parse_avro_ocf(fh.read())
         for e in entries:
+            iceberg_entry_content_gate(e)
             if e["status"] == 1:
                 live.add(e["file_path"])
             elif e["status"] == 2:
@@ -3627,6 +3670,7 @@ def source_iceberg_branch_tag_read(
             with open(mrow["manifest_path"], "rb") as fh:
                 _, entries = parse_avro_ocf(fh.read())
             for e in entries:
+                iceberg_entry_content_gate(e)
                 if e["status"] == 1:
                     live.add(e["file_path"])
                 elif e["status"] == 2:

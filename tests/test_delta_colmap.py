@@ -246,3 +246,33 @@ def test_leaf_field_ids_walker(tmp_path):
     with open(path2, "rb") as fh:
         foot2 = decode_footer(fh.read())
     assert leaf_field_ids(foot2[2]) == {"x": None}
+
+
+def test_iceberg_entry_content_gate():
+    """ADVICE r14: data-only Iceberg readers must reject delete
+    manifest entries by NAME (DV = content 1 + PUFFIN/referenced
+    file), not die later inside a parquet scan of a Puffin blob."""
+    import pytest
+
+    from spark_hive_spark.sources.evolution import (
+        iceberg_entry_content_gate,
+    )
+
+    # v1 manifests carry no content field: data by definition
+    iceberg_entry_content_gate({"status": 1, "file_path": "a.parquet"})
+    iceberg_entry_content_gate({"content": 0, "file_path": "a.parquet"})
+    with pytest.raises(NotImplementedError, match="deletion vectors"):
+        iceberg_entry_content_gate(
+            {"content": 1, "file_format": "PUFFIN",
+             "file_path": "dv.puffin"}
+        )
+    with pytest.raises(NotImplementedError, match="deletion vectors"):
+        iceberg_entry_content_gate(
+            {"content": 1, "referenced_data_file": "a.parquet",
+             "file_path": "dv.puffin"}
+        )
+    with pytest.raises(NotImplementedError, match="content=1"):
+        iceberg_entry_content_gate(
+            {"content": 1, "file_format": "PARQUET",
+             "file_path": "pos-del.parquet"}
+        )

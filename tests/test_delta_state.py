@@ -49,3 +49,26 @@ def test_within_commit_line_order_breaks_ties(spark):
         [("p", "remove", 1_000_000), ("p", "add", 1_000_001)],
     )
     assert got["p"] == ("add", False)
+
+
+def test_replay_ord_no_cross_version_collision():
+    """ADVICE r14: (v+1)*1e6+ln collided once a commit hit 1e6 lines;
+    the bit-packed ord must keep every line of version v below every
+    line of version v+1."""
+    from spark_hive_spark.sources.evolution import _replay_ord
+
+    assert _replay_ord(0, 0) > 0  # above the checkpoint's ord 0
+    assert _replay_ord(1, 1_000_000) < _replay_ord(2, 0)
+    assert _replay_ord(1, (1 << 32) - 1) < _replay_ord(2, 0)
+    assert _replay_ord(5, 3) < _replay_ord(5, 4)  # line order within v
+
+
+def test_replay_ord_guards_are_loud():
+    import pytest
+
+    from spark_hive_spark.sources.evolution import _replay_ord
+
+    with pytest.raises(ValueError, match="line number"):
+        _replay_ord(1, 1 << 32)
+    with pytest.raises(ValueError, match="version"):
+        _replay_ord(1 << 30, 0)
