@@ -53,7 +53,8 @@ _REGISTRY: dict[str, Query] = {}
 # ``iceberg_format_gate`` manifest-level deletion-vector check and the
 # v3 default-values/row-lineage work. Then the oldest r3-attested
 # backlog, oldest-first. Backlog spill for r16 (displaced by the
-# format-family re-attests): text_unigram_logprob, then the
+# format-family re-attests and the round-15 additions):
+# text_top_bigrams_per_lang, text_unigram_logprob, then the
 # r5-attested tail (approx_distinct_parts, arr_* ...).
 # tests/test_registry_window.py asserts the window stays exactly this.
 SWEEP_PRIORITY: tuple[str, ...] = (
@@ -66,6 +67,8 @@ SWEEP_PRIORITY: tuple[str, ...] = (
     "source_orc_rlev1_decode",
     "source_iceberg_v3_deletion_vectors",
     "source_delta_column_mapping_nested",
+    # round-15 NEW queries: driver rows on first appearance
+    "source_delta_column_mapping_array",
     # ORC family: re-attest under the RLEv1 dispatch + breadth changes
     "source_orc_rlev2_decode",
     "source_orc_stripe_skipping",
@@ -112,7 +115,6 @@ SWEEP_PRIORITY: tuple[str, ...] = (
     "text_quality_scores",
     "text_tfidf_top_terms",
     "text_token_stats",
-    "text_top_bigrams_per_lang",
 )
 
 

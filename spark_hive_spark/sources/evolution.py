@@ -1781,8 +1781,10 @@ def delta_column_mapping(metadata: dict) -> dict[str, str] | None:
     names, so a reader must rename physical→logical after the scan.
     ID mode resolves by parquet field_id instead —
     `delta_column_mapping_by_id` (round 13); asking the name-mode
-    API about an id-mode table stays loud. Nested mapped fields
-    remain a loud seam in both."""
+    API about an id-mode table stays loud. Struct nesting resolves
+    recursively (round 14); array/map nesting resolves through the
+    synthetic ``element`` / ``key`` / ``value`` path segments
+    (round 15) — struct-typed MAP KEYS stay a loud seam."""
     import json as _json
 
     mode = (metadata.get("configuration") or {}).get(
@@ -1800,6 +1802,32 @@ def delta_column_mapping(metadata: dict) -> dict[str, str] | None:
     schema = _json.loads(metadata["schemaString"])
     mapping: dict[str, str] = {}
 
+    def _walk_type(ftype, ppath: str, lpath: str, fname: str) -> None:
+        if isinstance(ftype, str):
+            return
+        t = ftype.get("type") if isinstance(ftype, dict) else None
+        if t == "struct":
+            _walk(ftype.get("fields", []), ppath + ".", lpath + ".")
+        elif t == "array":
+            # array elements carry no physicalName of their own (they
+            # are not fields); renames live on struct fields INSIDE
+            # the element type — walk through the synthetic segment
+            _walk_type(ftype.get("elementType"),
+                       ppath + ".element", lpath + ".element", fname)
+        elif t == "map":
+            if not isinstance(ftype.get("keyType"), str):
+                raise NotImplementedError(
+                    "column mapping on struct-typed map key of "
+                    f"{fname!r}"
+                )
+            _walk_type(ftype.get("valueType"),
+                       ppath + ".value", lpath + ".value", fname)
+        else:
+            raise NotImplementedError(
+                f"column mapping on nested field {fname!r} of "
+                f"unsupported type {t!r}"
+            )
+
     def _walk(fields: list[dict], ppre: str, lpre: str) -> None:
         for f in fields:
             phys = (f.get("metadata") or {}).get(
@@ -1814,20 +1842,7 @@ def delta_column_mapping(metadata: dict) -> dict[str, str] | None:
             if ppath in mapping:
                 raise ValueError(f"duplicate physical name {ppath!r}")
             mapping[ppath] = lpath
-            ftype = f.get("type")
-            if isinstance(ftype, str):
-                continue
-            # round 14: struct-nested mapped fields resolve
-            # recursively; other nested shapes (array/map element
-            # renames) stay loud
-            if isinstance(ftype, dict) and ftype.get("type") == "struct":
-                _walk(ftype.get("fields", []),
-                      ppath + ".", lpath + ".")
-            else:
-                raise NotImplementedError(
-                    "column mapping on non-struct nested field "
-                    f"{f.get('name')!r}"
-                )
+            _walk_type(f.get("type"), ppath, lpath, f.get("name"))
 
     _walk(schema.get("fields", []), "", "")
     return mapping
@@ -1843,8 +1858,15 @@ def delta_column_mapping_by_id(metadata: dict) -> dict[int, str]:
     engines are free to regenerate per file — matches the schema
     field's ``delta.columnMapping.id``. A reader must resolve each
     data file's columns by id against its own footer; two files of
-    one table may disagree on physical names and order. Nested
-    mapped fields stay a loud seam, as in name mode."""
+    one table may disagree on physical names and order.
+
+    Round 15 (ADVICE r14): the returned map carries LEAF ids only —
+    a struct NODE's own ``columnMapping.id`` never appears in a
+    parquet footer's ``leaf_field_ids``, so including it made the
+    reader's missing-id coverage check fire spuriously on every
+    nested table (and the dotted logical path was only ever consumed
+    as a flat alias). Struct node ids still participate in the
+    duplicate-id validation; non-struct nesting stays loud."""
     import json as _json
 
     mode = (metadata.get("configuration") or {}).get(
@@ -1854,6 +1876,7 @@ def delta_column_mapping_by_id(metadata: dict) -> dict[int, str]:
         raise ValueError(f"not an id-mode table (mode {mode!r})")
     schema = _json.loads(metadata["schemaString"])
     mapping: dict[int, str] = {}
+    seen: set[int] = set()
 
     def _walk(fields: list[dict], lpre: str) -> None:
         for f in fields:
@@ -1865,16 +1888,15 @@ def delta_column_mapping_by_id(metadata: dict) -> dict[int, str]:
                     f"id-mode table missing columnMapping.id for "
                     f"{f.get('name')!r}"
                 )
-            if fid in mapping:
+            if fid in seen:
                 raise ValueError(f"duplicate column mapping id {fid}")
+            seen.add(fid)
             lpath = lpre + f["name"]
-            mapping[fid] = lpath
             ftype = f.get("type")
             if isinstance(ftype, str):
+                mapping[fid] = lpath
                 continue
-            # round 14: struct-nested fields recurse (the parquet
-            # footer carries leaf field ids under dotted paths —
-            # `leaf_field_ids`); other nested shapes stay loud
+            # struct nodes recurse; only their LEAVES enter the map
             if isinstance(ftype, dict) and ftype.get("type") == "struct":
                 _walk(ftype.get("fields", []), lpath + ".")
             else:
@@ -3288,7 +3310,8 @@ def source_delta_checkpoint_partition_values(
         SELECT o_orderpriority,
                CAST(count(*) AS BIGINT) AS n_orders,
                {sql_dsum('o_totalprice')} AS revenue,
-               CAST(3 AS INT) AS mapped_cols,
+               CAST(count(DISTINCT o_orderstatus) AS BIGINT) AS n_statuses,
+               CAST(4 AS INT) AS mapped_cols,
                CAST(2 AS INT) AS live_files,
                TRUE AS id_consistent
         FROM orders
@@ -3316,6 +3339,13 @@ def source_delta_column_mapping_id(
     match file A only. A reader that trusts names over ids mislabels
     every column of file B (types collide, revenue sums keys);
     only per-file footer id resolution reproduces the oracle.
+    Round 15 adds a NESTED struct (detail, node id 4; detail.status,
+    leaf id 5) whose physical name differs per file and whose file-B
+    leaf reuses a top-level physical name ('col-z.col-b' vs 'col-b')
+    — the rebuild (`delta_mapped_select_by_id`) resolves leaves by
+    footer id and re-wraps the struct, and the coverage check
+    counts LEAF ids only (a struct node's id never appears in
+    parquet leaf ids).
     ``id_consistent`` additionally pins that the two files really do
     disagree on name->id assignment (the fixture's point) and that
     every mapped id was found in every file's footer.
@@ -3336,7 +3366,7 @@ def source_delta_column_mapping_id(
     )
 
     orders = t(spark, sf_dir, "orders").select(
-        "o_orderkey", "o_totalprice", "o_orderpriority"
+        "o_orderkey", "o_totalprice", "o_orderpriority", "o_orderstatus"
     )
     root = os.path.join(
         tempfile.gettempdir(), f"shs_deltacmid_{uuid.uuid4().hex}"
@@ -3345,7 +3375,8 @@ def source_delta_column_mapping_id(
     ldir = os.path.join(tdir, "_delta_log")
     os.makedirs(ldir)
 
-    # logical ids: o_orderkey=1, o_totalprice=2, o_orderpriority=3
+    # logical ids: o_orderkey=1, o_totalprice=2, o_orderpriority=3,
+    # detail=4 (struct NODE — never a parquet leaf id), detail.status=5
     half = orders.withColumn("h", F.col("o_orderkey") % 2)
     arrow_a = half.filter("h = 0").drop("h").toArrow()
     arrow_b = half.filter("h = 1").drop("h").toArrow()
@@ -3355,27 +3386,42 @@ def source_delta_column_mapping_id(
             name, typ, metadata={b"PARQUET:field_id": str(fid).encode()}
         )
 
-    # file A: ids 1/2/3 as col-a/col-b/col-c in logical order
+    def _detail(arr, child_name: str) -> "_pa.StructArray":
+        return _pa.StructArray.from_arrays(
+            [arr["o_orderstatus"].combine_chunks()],
+            fields=[_fid_field(child_name, _pa.string(), 5)],
+        )
+
+    # file A: ids 1/2/3 as col-a/col-b/col-c in logical order; the
+    # struct (id 4) is col-d with its clerk leaf (id 5) as col-e
     ta = _pa.table(
         {"col-a": arrow_a["o_orderkey"],
          "col-b": arrow_a["o_totalprice"],
-         "col-c": arrow_a["o_orderpriority"]},
+         "col-c": arrow_a["o_orderpriority"],
+         "col-d": _detail(arrow_a, "col-e")},
         schema=_pa.schema([
             _fid_field("col-a", _pa.int64(), 1),
             _fid_field("col-b", _pa.float64(), 2),
             _fid_field("col-c", _pa.string(), 3),
+            _fid_field("col-d", _pa.struct(
+                [_fid_field("col-e", _pa.string(), 5)]), 4),
         ]),
     )
     # file B: same ids, CONTRADICTORY names and a different order —
-    # 'col-a' here is id 2 (totalprice), 'col-b' is id 3, 'col-c' id 1
+    # 'col-a' here is id 2 (totalprice), 'col-b' is id 3, 'col-c' id 1,
+    # and the struct is 'col-z' whose status leaf REUSES the name
+    # 'col-b' (dotted leaf path 'col-z.col-b' vs top-level 'col-b')
     tb = _pa.table(
         {"col-b": arrow_b["o_orderpriority"],
          "col-c": arrow_b["o_orderkey"],
-         "col-a": arrow_b["o_totalprice"]},
+         "col-a": arrow_b["o_totalprice"],
+         "col-z": _detail(arrow_b, "col-b")},
         schema=_pa.schema([
             _fid_field("col-b", _pa.string(), 3),
             _fid_field("col-c", _pa.int64(), 1),
             _fid_field("col-a", _pa.float64(), 2),
+            _fid_field("col-z", _pa.struct(
+                [_fid_field("col-b", _pa.string(), 5)]), 4),
         ]),
     )
     _pq.write_table(ta, os.path.join(tdir, "part-00000.parquet"))
@@ -3384,16 +3430,25 @@ def source_delta_column_mapping_id(
     schema_string = _json.dumps({
         "type": "struct",
         "fields": [
-            {"name": lg, "type": ty, "nullable": True,
-             "metadata": {"delta.columnMapping.id": fid,
-                          # physicalName matches file A ONLY — ids,
-                          # not names, are identity in this mode
-                          "delta.columnMapping.physicalName": ph}}
-            for lg, ty, fid, ph in [
-                ("o_orderkey", "long", 1, "col-a"),
-                ("o_totalprice", "double", 2, "col-b"),
-                ("o_orderpriority", "string", 3, "col-c"),
-            ]
+            *({"name": lg, "type": ty, "nullable": True,
+               "metadata": {"delta.columnMapping.id": fid,
+                            # physicalName matches file A ONLY — ids,
+                            # not names, are identity in this mode
+                            "delta.columnMapping.physicalName": ph}}
+              for lg, ty, fid, ph in [
+                  ("o_orderkey", "long", 1, "col-a"),
+                  ("o_totalprice", "double", 2, "col-b"),
+                  ("o_orderpriority", "string", 3, "col-c"),
+              ]),
+            {"name": "detail", "nullable": True,
+             "metadata": {"delta.columnMapping.id": 4,
+                          "delta.columnMapping.physicalName": "col-d"},
+             "type": {"type": "struct", "fields": [
+                 {"name": "status", "type": "string", "nullable": True,
+                  "metadata": {
+                      "delta.columnMapping.id": 5,
+                      "delta.columnMapping.physicalName": "col-e"}},
+             ]}},
         ],
     })
 
@@ -3468,10 +3523,12 @@ def source_delta_column_mapping_id(
                 f"file {p} missing mapped field ids {sorted(missing)}"
             )
         name_to_id_per_file.append(dict(fids))
+        # round 15: the rebuild resolves leaves by THIS file's footer
+        # ids and re-wraps structs — flat aliasing of dotted paths
+        # would materialize a column literally named 'detail.clerk'
         parts.append(
             spark.read.parquet(os.path.join(tdir, p)).select(
-                *(F.col(ph).alias(by_id[fid])
-                  for ph, fid in fids.items() if fid in by_id)
+                *delta_mapped_select_by_id(meta, fids)
             )
         )
     # the fixture's point: the files DISAGREE on name->id assignment,
@@ -3488,6 +3545,7 @@ def source_delta_column_mapping_id(
         .agg(
             F.count("*").alias("n_orders"),
             dsum("o_totalprice").alias("revenue"),
+            F.countDistinct("detail.status").alias("n_statuses"),
             F.lit(len(by_id)).cast("int").alias("mapped_cols"),
             F.lit(len(live)).cast("int").alias("live_files"),
             F.lit(bool(files_disagree)).alias("id_consistent"),
@@ -3703,22 +3761,82 @@ def source_iceberg_branch_tag_read(
     return out
 
 
+def _type_needs_rebuild(ftype) -> bool:
+    """True when a logical type contains any struct (whose fields may
+    be renamed) anywhere under it — primitives and arrays/maps of
+    primitives read back unchanged, so wrapping them in identity
+    ``transform`` calls would only obscure the plan."""
+    if isinstance(ftype, str):
+        return False
+    t = ftype.get("type") if isinstance(ftype, dict) else None
+    if t == "struct":
+        return True
+    if t == "array":
+        return _type_needs_rebuild(ftype.get("elementType"))
+    if t == "map":
+        return _type_needs_rebuild(ftype.get("valueType"))
+    return True  # unknown nested shape: force the loud seam below
+
+
 def delta_mapped_select(metadata: dict) -> list:
     """NAME-mode column mapping -> the physical→logical REBUILD
-    expressions (round 14): one Column per top-level logical field,
-    with struct-nested mapped fields reconstructed recursively
-    (``F.struct`` of the renamed children), so a single ``select``
-    restores the logical schema over a physically-named scan.
-    Physical path segments are backtick-quoted (real physical names
-    contain '-'); non-struct nested shapes stay loud, matching
-    `delta_column_mapping`. Null struct values are rebuilt as
-    structs of nulls — the fixture keeps structs non-null, and a
-    production reader would wrap with a whole-struct null guard."""
+    expressions (round 14; arrays/maps round 15): one Column per
+    top-level logical field, with struct-nested mapped fields
+    reconstructed recursively (``F.struct`` of the renamed children),
+    array elements rebuilt via ``F.transform`` and map values via
+    ``F.transform_values`` — all codegen'd higher-order functions, no
+    UDFs, no shuffle — so a single ``select`` restores the logical
+    schema over a physically-named scan. Physical path segments are
+    backtick-quoted (real physical names contain '-'); struct-typed
+    map keys stay loud, matching `delta_column_mapping`. Null struct
+    values are rebuilt as structs of nulls — the fixtures keep
+    structs non-null, and a production reader would wrap with a
+    whole-struct null guard."""
     import json as _json
 
     schema = _json.loads(metadata["schemaString"])
 
-    def _expr(f: dict, ppre: str):
+    def _rebuild(col, ftype, fname: str):
+        # col: Column holding the PHYSICAL value; returns the logical
+        if isinstance(ftype, str) or not _type_needs_rebuild(ftype):
+            return col
+        t = ftype.get("type") if isinstance(ftype, dict) else None
+        if t == "struct":
+            children = []
+            for c in ftype.get("fields", []):
+                cphys = (c.get("metadata") or {}).get(
+                    "delta.columnMapping.physicalName"
+                )
+                if cphys is None:
+                    raise ValueError(
+                        f"column-mapped table missing physicalName "
+                        f"for {c.get('name')!r}"
+                    )
+                children.append(
+                    _rebuild(col[cphys], c.get("type"), c.get("name"))
+                    .alias(c["name"])
+                )
+            return F.struct(*children)
+        if t == "array":
+            return F.transform(
+                col,
+                lambda x: _rebuild(x, ftype.get("elementType"), fname),
+            )
+        if t == "map":
+            if not isinstance(ftype.get("keyType"), str):
+                raise NotImplementedError(
+                    f"column mapping on struct-typed map key of {fname!r}"
+                )
+            return F.transform_values(
+                col,
+                lambda _k, v: _rebuild(v, ftype.get("valueType"), fname),
+            )
+        raise NotImplementedError(
+            f"column mapping on nested field {fname!r} of "
+            f"unsupported type {t!r}"
+        )
+
+    def _expr(f: dict):
         phys = (f.get("metadata") or {}).get(
             "delta.columnMapping.physicalName"
         )
@@ -3727,20 +3845,68 @@ def delta_mapped_select(metadata: dict) -> list:
                 f"column-mapped table missing physicalName for "
                 f"{f.get('name')!r}"
             )
-        ppath = f"{ppre}`{phys}`"
-        ftype = f.get("type")
-        if isinstance(ftype, str):
-            return F.col(ppath).alias(f["name"])
-        if isinstance(ftype, dict) and ftype.get("type") == "struct":
-            children = [
-                _expr(c, ppath + ".") for c in ftype.get("fields", [])
-            ]
-            return F.struct(*children).alias(f["name"])
-        raise NotImplementedError(
-            f"column mapping on non-struct nested field {f.get('name')!r}"
-        )
+        return _rebuild(
+            F.col(f"`{phys}`"), f.get("type"), f.get("name")
+        ).alias(f["name"])
 
-    return [_expr(f, "") for f in schema.get("fields", [])]
+    return [_expr(f) for f in schema.get("fields", [])]
+
+
+def delta_mapped_select_by_id(
+    metadata: dict, file_leaf_fids: dict[str, int | None]
+) -> list:
+    """ID-mode column mapping -> per-FILE physical→logical REBUILD
+    expressions (round 15, ADVICE r14: the id-mode reader aliased
+    flat dotted names, so nested id-mode support was latent). Takes
+    THIS data file's ``leaf_field_ids`` footer map ({dotted physical
+    leaf path: field_id}) — id mode is per-file by design, two files
+    of one table may disagree on physical names — and rebuilds the
+    logical tree: leaves resolve by field id, structs re-wrap via
+    ``F.struct``. Non-struct nesting stays loud, matching
+    `delta_column_mapping_by_id`."""
+    import json as _json
+
+    schema = _json.loads(metadata["schemaString"])
+    by_fid: dict[int, str] = {}
+    for path, fid in file_leaf_fids.items():
+        if fid is None:
+            continue
+        if fid in by_fid:
+            raise ValueError(
+                f"data file carries duplicate field id {fid}"
+            )
+        by_fid[fid] = path
+
+    def _expr(f: dict):
+        fid = (f.get("metadata") or {}).get("delta.columnMapping.id")
+        if not isinstance(fid, int):
+            raise ValueError(
+                f"id-mode table missing columnMapping.id for "
+                f"{f.get('name')!r}"
+            )
+        ftype = f.get("type")
+        if isinstance(ftype, dict) and ftype.get("type") == "struct":
+            # struct node ids never appear among parquet LEAF ids —
+            # the node exists in the file iff its leaves do
+            return F.struct(
+                *(_expr(c) for c in ftype.get("fields", []))
+            ).alias(f["name"])
+        if not isinstance(ftype, str):
+            raise NotImplementedError(
+                "column mapping on non-struct nested field "
+                f"{f.get('name')!r}"
+            )
+        if fid not in by_fid:
+            raise ValueError(
+                f"data file missing mapped field id {fid} "
+                f"(logical {f['name']!r})"
+            )
+        ppath = ".".join(
+            f"`{seg}`" for seg in by_fid[fid].split(".")
+        )
+        return F.col(ppath).alias(f["name"])
+
+    return [_expr(f) for f in schema.get("fields", [])]
 
 
 @register(
@@ -3917,6 +4083,227 @@ def source_delta_column_mapping_nested(
         )
         .orderBy("o_orderpriority")
         .localCheckpoint(eager=True)  # 5 rows; frees the temp root
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
+
+@register(
+    "source_delta_column_mapping_array",
+    oracle=f"""
+        WITH exploded AS (
+            SELECT o_orderpriority AS tag, o_totalprice AS qty,
+                   o_orderkey % 7 AS sc
+            FROM orders
+            UNION ALL
+            SELECT 'X' AS tag, 100.0 AS qty, o_orderkey % 7 AS sc
+            FROM orders
+        )
+        SELECT tag,
+               CAST(count(*) AS BIGINT) AS n_lines,
+               {sql_dsum('qty')} AS amount,
+               CAST(sum(sc) AS BIGINT) AS map_score,
+               CAST(6 AS INT) AS mapped_paths,
+               TRUE AS name_trap_ok
+        FROM exploded
+        GROUP BY tag
+        ORDER BY tag
+    """,
+    tags=("source", "delta", "lakehouse", "compat", "column-mapping",
+          "nested", "array", "map"),
+)
+def source_delta_column_mapping_array(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Delta column mapping under ARRAY/MAP nesting (round 15, the
+    r14 verdict's seam 1): after a RENAME, the physicalName
+    indirection applies to struct fields INSIDE array elements and
+    map values — `array<struct<...>>` is the first thing a real
+    mapped table hits (order lines, event batches). The rebuild
+    (`delta_mapped_select`) restores logical names with codegen'd
+    higher-order functions — ``F.transform`` over array elements,
+    ``F.transform_values`` over map values — never a UDF, never a
+    shuffle.
+
+    The fixture makes name-trusting actively WRONG: inside the
+    ``lines`` array (physical ``lines-p``) the double ``qty`` child
+    is physically named ``o_orderkey`` — a different logical
+    column's name, with a different type — and ``tag`` is ``t-2``;
+    the ``props`` map's value-struct child ``score`` is physically
+    ``s-3``. A reader that trusts element-struct names sums order
+    keys as line amounts. Each order carries two lines (its real
+    totalprice/priority plus a constant (100.0, 'X') line) and a map
+    entry ``{'a': {score: o_orderkey % 7}}``; the query rebuilds the
+    logical tree, explodes lines, pulls the map score, and
+    aggregates per tag — the oracle recomputes all of it from the
+    raw table. ``name_trap_ok`` pins that the collision exists in
+    the written footer and the resolver produced all 6 mapped paths
+    (array element + map value paths resolved through the synthetic
+    ``element``/``value`` segments).
+
+    Scale posture: resolution is O(schema) planning metadata; the
+    rebuild is one whole-stage-codegen `select` (transform /
+    transform_values re-wrap, no shuffle); explode is a narrow
+    flatMap; the scan itself is a plain parquet read.
+
+    Reference: the reference engine has no lakehouse layer; this
+    extends the repo's Delta surface (PROTOCOL.md column mapping)."""
+    import json as _json
+
+    import numpy as _np
+    import pyarrow as _pa
+    import pyarrow.parquet as _pq
+
+    orders = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+    root = os.path.join(
+        tempfile.gettempdir(), f"shs_deltacma_{uuid.uuid4().hex}"
+    )
+    tdir = os.path.join(root, "t")
+    ldir = os.path.join(tdir, "_delta_log")
+    os.makedirs(ldir)
+
+    half = orders.withColumn("h", F.col("o_orderkey") % 2)
+    for part, fname in ((0, "part-00000.parquet"),
+                        (1, "part-00001.parquet")):
+        arr = half.filter(F.col("h") == part).drop("h").toArrow()
+        n = arr.num_rows
+        keys = arr["o_orderkey"].to_numpy(zero_copy_only=False)
+        tp = arr["o_totalprice"].to_numpy(zero_copy_only=False)
+        prio = arr["o_orderpriority"].to_pylist()
+        # two lines per order: (totalprice, priority) then (100, 'X')
+        qty = _np.empty(2 * n, dtype="float64")
+        qty[0::2], qty[1::2] = tp, 100.0
+        tag: list[str] = [""] * (2 * n)
+        tag[0::2], tag[1::2] = prio, ["X"] * n
+        line_structs = _pa.StructArray.from_arrays(
+            [_pa.array(qty), _pa.array(tag, _pa.string())],
+            # the trap: the qty child's PHYSICAL name is a different
+            # logical column's name (and the wrong type for it)
+            fields=[_pa.field("o_orderkey", _pa.float64()),
+                    _pa.field("t-2", _pa.string())],
+        )
+        lines = _pa.ListArray.from_arrays(
+            _pa.array(range(0, 2 * n + 1, 2), _pa.int32()), line_structs
+        )
+        score_structs = _pa.StructArray.from_arrays(
+            [_pa.array((keys % 7).astype("int64"))],
+            fields=[_pa.field("s-3", _pa.int64())],
+        )
+        props = _pa.MapArray.from_arrays(
+            _pa.array(range(0, n + 1), _pa.int32()),
+            _pa.array(["a"] * n, _pa.string()),
+            score_structs,
+        )
+        tbl = _pa.table({"k-1": arr["o_orderkey"],
+                         "lines-p": lines, "m-4": props})
+        _pq.write_table(tbl, os.path.join(tdir, fname))
+
+    def _child(name, typ, fid, phys):
+        return {"name": name, "type": typ, "nullable": True,
+                "metadata": {"delta.columnMapping.id": fid,
+                             "delta.columnMapping.physicalName": phys}}
+
+    schema_string = _json.dumps({
+        "type": "struct",
+        "fields": [
+            _child("o_orderkey", "long", 1, "k-1"),
+            {"name": "lines", "nullable": True,
+             "metadata": {"delta.columnMapping.id": 2,
+                          "delta.columnMapping.physicalName": "lines-p"},
+             "type": {"type": "array", "containsNull": True,
+                      "elementType": {"type": "struct", "fields": [
+                          _child("qty", "double", 3, "o_orderkey"),
+                          _child("tag", "string", 4, "t-2"),
+                      ]}}},
+            {"name": "props", "nullable": True,
+             "metadata": {"delta.columnMapping.id": 5,
+                          "delta.columnMapping.physicalName": "m-4"},
+             "type": {"type": "map", "keyType": "string",
+                      "valueContainsNull": True,
+                      "valueType": {"type": "struct", "fields": [
+                          _child("score", "long", 6, "s-3"),
+                      ]}}},
+        ],
+    })
+
+    def _commit(version: int, actions: list[dict]) -> None:
+        with open(os.path.join(ldir, f"{version:020d}.json"), "w") as fh:
+            fh.write("\n".join(_json.dumps(a) for a in actions) + "\n")
+
+    def _add(p: str) -> dict:
+        return {"add": {"path": p, "size": os.path.getsize(
+            os.path.join(tdir, p)), "modificationTime": 0,
+            "dataChange": True}}
+
+    _commit(0, [
+        {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                      "readerFeatures": ["columnMapping"]}},
+        {"metaData": {"id": "shs-delta-colmap-array", "format":
+            {"provider": "parquet", "options": {}},
+            "schemaString": schema_string, "partitionColumns": [],
+            "configuration": {"delta.columnMapping.mode": "name",
+                              "delta.columnMapping.maxColumnId": "6"}}},
+        _add("part-00000.parquet"),
+    ])
+    _commit(1, [_add("part-00001.parquet")])
+
+    # ---- the reader ----
+    versions = sorted(
+        int(f[:20]) for f in os.listdir(ldir) if f.endswith(".json")
+    )
+    live: set[str] = set()
+    meta: dict | None = None
+    for v in versions:
+        with open(os.path.join(ldir, f"{v:020d}.json")) as fh:
+            for line in fh:
+                if not line.strip():
+                    continue
+                action = _json.loads(line)
+                if "protocol" in action:
+                    unknown = set(
+                        action["protocol"].get("readerFeatures", [])
+                    ) - {"columnMapping"}
+                    if unknown:
+                        raise NotImplementedError(
+                            f"Delta reader features {sorted(unknown)}"
+                        )
+                elif "metaData" in action:
+                    meta = action["metaData"]
+                elif "add" in action:
+                    live.add(action["add"]["path"])
+                elif "remove" in action:
+                    live.discard(action["remove"]["path"])
+    if meta is None:
+        raise ValueError("Delta log carries no metaData action")
+    mapping = delta_column_mapping(meta)
+    scan = spark.read.parquet(
+        *(os.path.join(tdir, p) for p in sorted(live))
+    )
+    trap_ok = (
+        {"k-1", "lines-p", "m-4"} <= set(scan.columns)
+        and mapping["lines-p.element.o_orderkey"] == "lines.element.qty"
+        and mapping["m-4.value.s-3"] == "props.value.score"
+        and len(mapping) == 6
+    )
+    logical = scan.select(*delta_mapped_select(meta))
+    out = (
+        logical.select(
+            F.explode("lines").alias("ln"),
+            F.col("props")["a"]["score"].alias("sc"),
+        )
+        .groupBy(F.col("ln.tag").alias("tag"))
+        .agg(
+            F.count("*").alias("n_lines"),
+            dsum("ln.qty").alias("amount"),
+            F.sum("sc").cast("bigint").alias("map_score"),
+            F.lit(len(mapping)).cast("int").alias("mapped_paths"),
+            F.lit(bool(trap_ok)).alias("name_trap_ok"),
+        )
+        .orderBy("tag")
+        .localCheckpoint(eager=True)  # 6 rows; frees the temp root
     )
     shutil.rmtree(root, ignore_errors=True)
     return out

@@ -93,28 +93,92 @@ def test_struct_nested_id_mode_resolves_dotted_paths():
     m = delta_column_mapping_by_id(
         _meta("id", [top, _nested("detail", "col-d", [child], fid=2)])
     )
-    assert m == {1: "a", 2: "detail", 3: "detail.price"}
+    # LEAF ids only (round 15, ADVICE r14): the struct node's id 2
+    # never appears in parquet leaf_field_ids, so including it made
+    # the reader's coverage check fire spuriously on nested tables
+    assert m == {1: "a", 3: "detail.price"}
 
 
-def test_non_struct_nested_mapped_field_is_loud():
-    """Unknown nested shapes (array/map element renames) stay loud
-    in both modes."""
-    arr = {
-        "name": "xs",
-        "type": {"type": "array", "elementType": "long",
+def test_duplicate_id_across_node_and_leaf_is_loud():
+    from spark_hive_spark.sources.evolution import (
+        delta_column_mapping_by_id,
+    )
+
+    child = dict(_field("price", "col-p", "double"))
+    child["metadata"] = {"delta.columnMapping.id": 2,
+                         "delta.columnMapping.physicalName": "col-p"}
+    with pytest.raises(ValueError, match="duplicate"):
+        delta_column_mapping_by_id(
+            _meta("id", [_nested("detail", "col-d", [child], fid=2)])
+        )
+
+
+def _arr(name: str, phys: str, element, fid: int = 5) -> dict:
+    return {
+        "name": name,
+        "type": {"type": "array", "elementType": element,
                  "containsNull": True},
         "nullable": True,
-        "metadata": {"delta.columnMapping.id": 5,
-                     "delta.columnMapping.physicalName": "col-xs"},
+        "metadata": {"delta.columnMapping.id": fid,
+                     "delta.columnMapping.physicalName": phys},
     }
-    with pytest.raises(NotImplementedError, match="non-struct nested"):
-        delta_column_mapping(_meta("name", [arr]))
+
+
+def test_array_nested_name_mode_resolves_through_element():
+    """Round 15: struct fields inside array elements resolve through
+    the synthetic `.element.` segment; primitive arrays map only the
+    top-level field."""
+    child = _field("qty", "col-q", "double")
+    m = delta_column_mapping(_meta("name", [
+        _arr("xs", "col-xs", "long"),
+        _arr("lines", "col-l",
+             {"type": "struct", "fields": [child]}, fid=6),
+    ]))
+    assert m == {"col-xs": "xs", "col-l": "lines",
+                 "col-l.element.col-q": "lines.element.qty"}
+
+
+def test_map_nested_name_mode_resolves_through_value():
+    child = _field("score", "col-s", "long")
+    mp = {
+        "name": "props",
+        "type": {"type": "map", "keyType": "string",
+                 "valueType": {"type": "struct", "fields": [child]},
+                 "valueContainsNull": True},
+        "nullable": True,
+        "metadata": {"delta.columnMapping.id": 7,
+                     "delta.columnMapping.physicalName": "col-m"},
+    }
+    m = delta_column_mapping(_meta("name", [mp]))
+    assert m == {"col-m": "props",
+                 "col-m.value.col-s": "props.value.score"}
+
+
+def test_struct_typed_map_key_is_loud():
+    mp = {
+        "name": "props",
+        "type": {"type": "map",
+                 "keyType": {"type": "struct", "fields": []},
+                 "valueType": "long", "valueContainsNull": True},
+        "nullable": True,
+        "metadata": {"delta.columnMapping.id": 7,
+                     "delta.columnMapping.physicalName": "col-m"},
+    }
+    with pytest.raises(NotImplementedError, match="map key"):
+        delta_column_mapping(_meta("name", [mp]))
+
+
+def test_array_nested_id_mode_stays_loud():
+    """ID mode keeps the non-struct nesting seam (the parquet leaf-id
+    walk has no list/map path convention wired up yet)."""
     from spark_hive_spark.sources.evolution import (
         delta_column_mapping_by_id,
     )
 
     with pytest.raises(NotImplementedError, match="non-struct nested"):
-        delta_column_mapping_by_id(_meta("id", [arr]))
+        delta_column_mapping_by_id(
+            _meta("id", [_arr("xs", "col-xs", "long")])
+        )
 
 
 def test_nested_child_missing_physical_name_is_loud():
@@ -276,3 +340,22 @@ def test_iceberg_entry_content_gate():
             {"content": 1, "file_format": "PARQUET",
              "file_path": "pos-del.parquet"}
         )
+
+
+def test_mapped_select_by_id_error_paths():
+    from spark_hive_spark.sources.evolution import (
+        delta_mapped_select_by_id,
+    )
+
+    top = dict(_field("a", "col-x"))
+    top["metadata"] = {"delta.columnMapping.id": 1,
+                       "delta.columnMapping.physicalName": "col-x"}
+    meta = _meta("id", [top])
+    # file lacking the mapped id is loud
+    with pytest.raises(ValueError, match="missing mapped field id 1"):
+        delta_mapped_select_by_id(meta, {"col-y": 2})
+    # a file carrying the same id twice is loud
+    with pytest.raises(ValueError, match="duplicate field id"):
+        delta_mapped_select_by_id(meta, {"col-x": 1, "col-y": 1})
+    # happy path builds one expression per top-level logical field
+    assert len(delta_mapped_select_by_id(meta, {"col-x": 1})) == 1
