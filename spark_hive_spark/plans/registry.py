@@ -54,8 +54,9 @@ _REGISTRY: dict[str, Query] = {}
 # v3 default-values/row-lineage work. Then the oldest r3-attested
 # backlog, oldest-first. Backlog spill for r16 (displaced by the
 # format-family re-attests and the round-15 additions):
-# text_top_bigrams_per_lang, text_unigram_logprob, then the
-# r5-attested tail (approx_distinct_parts, arr_* ...).
+# text_tfidf_top_terms, text_token_stats, text_top_bigrams_per_lang,
+# text_unigram_logprob, then the r5-attested tail
+# (approx_distinct_parts, arr_* ...).
 # tests/test_registry_window.py asserts the window stays exactly this.
 SWEEP_PRIORITY: tuple[str, ...] = (
     # pinned reference jobs (driver-green every round)
@@ -69,6 +70,8 @@ SWEEP_PRIORITY: tuple[str, ...] = (
     "source_delta_column_mapping_nested",
     # round-15 NEW queries: driver rows on first appearance
     "source_delta_column_mapping_array",
+    "source_iceberg_v3_default_values",
+    "source_iceberg_v3_row_lineage",
     # ORC family: re-attest under the RLEv1 dispatch + breadth changes
     "source_orc_rlev2_decode",
     "source_orc_stripe_skipping",
@@ -113,8 +116,6 @@ SWEEP_PRIORITY: tuple[str, ...] = (
     "text_fingerprints",
     "text_langid_confusion",
     "text_quality_scores",
-    "text_tfidf_top_terms",
-    "text_token_stats",
 )
 
 
@@ -202,6 +203,7 @@ def _load_all() -> None:
         "spark_hive_spark.sources.sqlite_src",
         "spark_hive_spark.sources.hudi_mor",
         "spark_hive_spark.sources.delta_cdf",
+        "spark_hive_spark.sources.iceberg_v3",
     ):
         try:
             importlib.import_module(mod)

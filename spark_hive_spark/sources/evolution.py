@@ -2088,12 +2088,14 @@ def iceberg_format_gate(
     """Iceberg ``metadata.json`` format gate (round 14 — the four
     blanket ``format-version > 2`` seams narrowed to NAMED v3
     feature gates). Versions 1/2 pass untouched; version 3 passes
-    only when every v3 feature the metadata actually uses is in
-    ``supported`` — today the repo implements ``deletion-vectors``
-    (sources/puffin.py); ROW LINEAGE (``row-lineage`` /
-    ``next-row-id``) and SCHEMA DEFAULT VALUES (``initial-default``
-    / ``write-default`` on any field) stay loud by name, and
-    anything beyond v3 stays a version-level rejection."""
+    only when every v3 feature the METADATA declares is in
+    ``supported`` — the repo implements ``deletion-vectors``
+    (sources/puffin.py), ``row-lineage`` and ``default-values``
+    (sources/iceberg_v3.py, round 15); each reader declares only
+    what it handles. Anything beyond v3 stays a version-level
+    rejection. Deletion-vector USAGE is visible only in manifests,
+    not here — data-only readers pair this gate with
+    `iceberg_entry_content_gate` on every manifest entry."""
     v = md.get("format-version", 1)
     if v > 3:
         raise NotImplementedError(f"Iceberg format-version {v}")

@@ -1,0 +1,93 @@
+"""Iceberg v3 default values + row lineage (sources/iceberg_v3.py,
+round 15): the default-fill select resolves by FIELD ID, fills
+initial-default (never write-default) for absent fields, nulls
+fields with no default, and stays loud on required-without-default
+and complex types."""
+
+from __future__ import annotations
+
+import pytest
+
+from spark_hive_spark.sources.iceberg_v3 import (
+    iceberg_default_fill_select,
+)
+
+FIELDS = [
+    {"id": 1, "name": "k", "required": True, "type": "long"},
+    {"id": 3, "name": "region", "required": False, "type": "string",
+     "initial-default": "UNASSIGNED", "write-default": "R0"},
+    {"id": 4, "name": "note", "required": False, "type": "string"},
+]
+
+
+def test_fill_expressions_build_one_per_field(spark):
+    exprs = iceberg_default_fill_select(FIELDS, {"phys-k": 1})
+    assert len(exprs) == len(FIELDS)
+
+
+def test_required_missing_without_default_is_loud():
+    with pytest.raises(ValueError, match="required field 'k'"):
+        iceberg_default_fill_select(FIELDS, {"other": 9})
+
+
+def test_complex_type_is_loud():
+    nested = [{"id": 1, "name": "s", "required": False,
+               "type": {"type": "struct", "fields": []}}]
+    with pytest.raises(NotImplementedError, match="default-value"):
+        iceberg_default_fill_select(nested, {})
+
+
+def test_fill_values_end_to_end(spark):
+    """Over a real scan: id-resolved rename, initial-default fill for
+    an absent field (NOT the write-default), null for a defaultless
+    absent field."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import os
+    import tempfile
+    import uuid
+
+    path = os.path.join(
+        tempfile.gettempdir(), f"shs_icev3t_{uuid.uuid4().hex}.parquet"
+    )
+    tbl = pa.table(
+        {"phys-k": pa.array([7, 8], pa.int64())},
+        schema=pa.schema([pa.field(
+            "phys-k", pa.int64(),
+            metadata={b"PARQUET:field_id": b"1"},
+        )]),
+    )
+    pq.write_table(tbl, path)
+    try:
+        exprs = iceberg_default_fill_select(FIELDS, {"phys-k": 1})
+        rows = (
+            spark.read.parquet(path).select(*exprs)
+            .orderBy("k").collect()
+        )
+        assert [r["k"] for r in rows] == [7, 8]
+        assert {r["region"] for r in rows} == {"UNASSIGNED"}
+        assert {r["note"] for r in rows} == {None}
+    finally:
+        os.remove(path)
+
+
+def test_format_gate_accepts_declared_features():
+    from spark_hive_spark.sources.evolution import iceberg_format_gate
+
+    md = {
+        "format-version": 3,
+        "row-lineage": True,
+        "next-row-id": 10,
+        "schemas": [{"schema-id": 1, "fields": [
+            {"id": 3, "name": "r", "type": "string",
+             "initial-default": "x"},
+        ]}],
+    }
+    with pytest.raises(NotImplementedError, match="row lineage"):
+        iceberg_format_gate(md, supported=frozenset({"default-values"}))
+    with pytest.raises(NotImplementedError, match="default value"):
+        iceberg_format_gate(md, supported=frozenset({"row-lineage"}))
+    iceberg_format_gate(
+        md, supported=frozenset({"row-lineage", "default-values"})
+    )
