@@ -858,7 +858,7 @@ def read_orc_timestamp_column(
     out: list[int | None] = []
     stripes = footer.get(3, [])
     for sraw in stripes:
-        streams, nrows, _enc, wtz = _stripe_streams(
+        streams, nrows, enc_msgs, wtz = _stripe_streams(
             data, codec, sraw, column
         )
         base = _orc_ts_base(wtz)
@@ -866,9 +866,16 @@ def read_orc_timestamp_column(
             raise ValueError(
                 "ORC timestamp stripe missing DATA/SECONDARY"
             )
-        secs = decode_rlev2(_unchunk(streams[1], codec), signed=True)
-        nanos_enc = decode_rlev2(
-            _unchunk(streams[5], codec), signed=False
+        # round 15: DATA/SECONDARY follow the column's declared
+        # encoding — DIRECT(0) under a 0.11 writer is RLEv1 (same
+        # 2015 base + nano trailing-zero trick, only the int
+        # encoding differs), DIRECT_V2(2) is RLEv2
+        enc = enc_msgs[column].get(1, [0])[0]
+        secs = _int_rle_decode(
+            enc, _unchunk(streams[1], codec), signed=True
+        )
+        nanos_enc = _int_rle_decode(
+            enc, _unchunk(streams[5], codec), signed=False
         )
         if len(secs) != len(nanos_enc):
             raise ValueError("timestamp DATA/SECONDARY length mismatch")
@@ -915,10 +922,15 @@ def read_orc_date_column(
     out: list[int | None] = []
     stripes = footer.get(3, [])
     for sraw in stripes:
-        streams, nrows, _enc, _wtz = _stripe_streams(data, codec, sraw, column)
+        streams, nrows, enc_msgs, _wtz = _stripe_streams(
+            data, codec, sraw, column
+        )
         if 1 not in streams:
             raise ValueError("ORC date stripe missing DATA")
-        vals = decode_rlev2(_unchunk(streams[1], codec), signed=True)
+        vals = _int_rle_decode(
+            enc_msgs[column].get(1, [0])[0],
+            _unchunk(streams[1], codec), signed=True,
+        )
         if 0 not in streams:
             if len(vals) != nrows:
                 raise ValueError("date DATA row count mismatch")
@@ -1286,8 +1298,10 @@ def _dec_entries(
                                  "LENGTH")
             lengths: list[int] = []
         else:
-            lengths = decode_rlev2(_unchunk(length_raw, codec),
-                                   signed=False)
+            lengths = _int_rle_decode(
+                enc_msgs[col].get(1, [0])[0],
+                _unchunk(length_raw, codec), signed=False,
+            )
         if len(lengths) != n_present:
             raise ValueError(f"{kind} LENGTH count != present entries")
         total = sum(lengths)
@@ -1322,10 +1336,13 @@ def _dec_entries(
             if n_entries:
                 raise ValueError(f"ORC column {col} missing DATA")
             return []
-        vals = decode_rlev2(_unchunk(data_raw, codec), signed=True)
+        vals = _int_rle_decode(
+            enc_msgs[col].get(1, [0])[0],
+            _unchunk(data_raw, codec), signed=True,
+        )
     elif kind == "string":
         encoding = enc_msgs[col].get(1, [0])[0]
-        if encoding not in (2, 3):  # DIRECT_V2 / DICTIONARY_V2
+        if encoding not in (0, 1, 2, 3):
             raise NotImplementedError(f"ORC string encoding {encoding}")
         data_raw = streams.get((col, 1))
         length_raw = streams.get((col, 2))
@@ -1335,9 +1352,10 @@ def _dec_entries(
                     f"ORC string column {col} missing DATA/LENGTH"
                 )
             return []
-        lengths = decode_rlev2(_unchunk(length_raw, codec),
-                               signed=False)
-        if encoding == 2:  # DIRECT_V2
+        lengths = _int_rle_decode(
+            encoding, _unchunk(length_raw, codec), signed=False
+        )
+        if encoding in (0, 2):  # DIRECT (RLEv1) / DIRECT_V2
             blob = _unchunk(data_raw, codec)
             vals, bp = [], 0
             for ln_ in lengths:
@@ -1345,7 +1363,7 @@ def _dec_entries(
                 bp += ln_
             if bp != len(blob):
                 raise ValueError("string DATA has trailing bytes")
-        else:  # DICTIONARY_V2
+        else:  # DICTIONARY (RLEv1) / DICTIONARY_V2
             dict_raw = streams.get((col, 3))
             if dict_raw is None:
                 raise ValueError(
@@ -1359,7 +1377,9 @@ def _dec_entries(
                 bp += ln_
             if bp != len(blob):
                 raise ValueError("dictionary blob has trailing bytes")
-            idx = decode_rlev2(_unchunk(data_raw, codec), signed=False)
+            idx = _int_rle_decode(
+                encoding, _unchunk(data_raw, codec), signed=False
+            )
             vals = [entries[i] for i in idx]
     else:
         raise NotImplementedError(
@@ -1881,13 +1901,19 @@ def read_orc_decimal_column(
     n_stripes = 0
     for sraw in footer.get(3, []):
         n_stripes += 1
-        streams, nrows, _enc, _wtz = _stripe_streams(
+        streams, nrows, enc_msgs, _wtz = _stripe_streams(
             data, codec, sraw, column
         )
         if 1 not in streams or 5 not in streams:
             raise ValueError("ORC decimal stripe missing DATA/SECONDARY")
         unscaled = _signed_varints(_unchunk(streams[1], codec))
-        scales = decode_rlev2(_unchunk(streams[5], codec), signed=True)
+        # SECONDARY scale stream follows the column's declared
+        # encoding (RLEv1 under a 0.11 writer); DATA is version-less
+        # unbounded varints in both lineages
+        scales = _int_rle_decode(
+            enc_msgs[column].get(1, [0])[0],
+            _unchunk(streams[5], codec), signed=True,
+        )
         if len(unscaled) != len(scales):
             raise ValueError("decimal DATA/SECONDARY length mismatch")
         vals: list[int] = []
@@ -2584,6 +2610,161 @@ def source_orc_rlev1_decode(
         "n_rows bigint, n_nulls bigint, val_sum bigint,"
         " neg_sum bigint, neg_min bigint, n_prios bigint,"
         " n_urgent bigint, tag_chars bigint, rlev1_attested boolean",
+    ).localCheckpoint(eager=True)  # 1 row; frees the temp root
+    shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
+@register(
+    "source_orc_rlev1_typed",
+    oracle=f"""
+        WITH v AS (
+            SELECT CASE WHEN o_orderkey % 89 = 0 THEN NULL
+                        ELSE epoch_us(o_orderdate) END AS us,
+                   o_totalprice, o_orderkey, o_orderstatus,
+                   o_orderpriority
+            FROM orders
+        )
+        SELECT CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(count(*) - count(us) AS BIGINT) AS ts_nulls,
+               CAST(min(us) AS BIGINT) AS min_us,
+               CAST(max(us) AS BIGINT) AS max_us,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS dec_cents,
+               CAST(2 * count(*) AS BIGINT) AS arr_elems,
+               CAST(sum(length(o_orderpriority)) + 2 * count(*)
+                    AS BIGINT) AS arr_chars,
+               CAST(sum(o_orderkey) AS BIGINT) AS st_key_sum,
+               CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0
+                        END) AS BIGINT) AS st_f_rows,
+               TRUE AS rlev1_attested
+        FROM v
+    """,
+    tags=("source", "orc", "rlev1", "timestamp", "decimal", "nested",
+          "legacy", "data-read"),
+)
+def source_orc_rlev1_typed(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """ORC RLE v1 across the TYPED column floor (round 15, the r14
+    verdict's task 5) — `source_orc_rlev1_decode` covered int64 +
+    string; this closes the rest of the dispatch seam: under
+    ``orc.write.format=0.11`` every integer-coded stream in the file
+    is RLEv1, so TIMESTAMP (DATA seconds + SECONDARY nanos, same
+    2015 base and trailing-zero trick as v2), DECIMAL (version-less
+    varint DATA but RLEv1 SECONDARY scales), and the NESTED readers'
+    LENGTH / child-DATA / dictionary-index streams all had to learn
+    the `_int_rle_decode` dispatch (they previously hard-called
+    `decode_rlev2`).
+
+    Fixture columns over `orders` (one 0.11 file, Spark's own JVM
+    writer as the independent v1 producer): nullable ``ts``
+    (PRESENT gaps at %89 break runs), ``dec`` decimal(12,2),
+    ``arr = [o_orderpriority, 'zz']`` (list<string>: RLEv1 LENGTH +
+    DICTIONARY child), ``st = struct(k, s)`` (RLEv1 long child +
+    dictionary string child). ``rlev1_attested`` pins that every
+    observed column encoding in every stripe is the v1 family (0/1)
+    — the query can never silently attest the v2 path — and that
+    decoded counts agree across columns.
+
+    Scale posture: one task per file via mapInPandas, pure-Python
+    decode as the format-layer demonstrator; production scans stay
+    on the JVM reader this query certifies against."""
+    import pandas as _pd
+
+    root = os.path.join(
+        tempfile.gettempdir(), f"shs_orcv1t_{uuid.uuid4().hex}"
+    )
+    os.makedirs(root)
+    fixture = (
+        t(spark, sf_dir, "orders")
+        .sort("o_orderkey")
+        .select(
+            # cast NTZ->LTZ under the UTC session: Spark writes
+            # TimestampNTZ to ORC as a LONG with a catalyst-type
+            # attribute, not an ORC timestamp column
+            F.when(
+                F.col("o_orderkey") % 89 != 0,
+                F.col("o_orderdate").cast("timestamp"),
+            ).alias("ts"),
+            F.col("o_totalprice").cast("decimal(12,2)").alias("dec"),
+            F.array(F.col("o_orderpriority"), F.lit("zz")).alias("arr"),
+            F.struct(
+                F.col("o_orderkey").alias("k"),
+                F.col("o_orderstatus").alias("s"),
+            ).alias("st"),
+        )
+    )
+    stage = os.path.join(root, "stage")
+    (
+        fixture.coalesce(1)
+        .write.option("orc.write.format", "0.11")
+        .option("compression", "zlib")
+        .orc(stage)
+    )
+    src = next(f for f in os.listdir(stage) if f.endswith(".orc"))
+    path = os.path.join(root, "typed_v1.orc")
+    os.replace(os.path.join(stage, src), path)
+
+    plan = spark.createDataFrame([(path,)], "path string")
+
+    def _decode(batches) -> Iterator:
+        for pdf in batches:
+            rows = []
+            for rec in pdf.itertuples(index=False):
+                with open(rec.path, "rb") as fh:
+                    data = fh.read()
+                tail = read_orc_tail(data)
+                footer, codec = _orc_file_tail(data)
+                # columns: 0 root, 1 ts, 2 dec, 3 arr, 4 elem,
+                # 5 st, 6 k, 7 s — every encoding must be v1 family
+                encs: set[int] = set()
+                for sraw in footer.get(3, []):
+                    _, _, enc_msgs, _ = _stripe_streams(
+                        data, codec, sraw, column=1
+                    )
+                    encs.update(
+                        m.get(1, [0])[0] for m in enc_msgs[1:]
+                    )
+                ts, _ = read_orc_timestamp_column(data, column=1)
+                dec, _, scale = read_orc_decimal_column(data, column=2)
+                arr, _ = _read_orc_nested_column(data, 3, "list")
+                st, _ = _read_orc_nested_column(data, 5, "struct")
+                ts_present = [v for v in ts if v is not None]
+                n = tail["num_rows"]
+                attested = (
+                    encs <= {0, 1}
+                    and scale == 2
+                    and len(ts) == len(dec) == len(arr) == len(st) == n
+                    and None not in dec
+                    and all(a is not None and a[1] == "zz" for a in arr)
+                    and all(
+                        r is not None and r["k"] is not None for r in st
+                    )
+                )
+                rows.append((
+                    n, len(ts) - len(ts_present),
+                    min(ts_present), max(ts_present),
+                    sum(dec),  # unscaled at scale 2 == cents
+                    sum(len(a) for a in arr),
+                    sum(len(s) for a in arr for s in a),
+                    sum(r["k"] for r in st),
+                    sum(1 for r in st if r["s"] == "F"),
+                    bool(attested),
+                ))
+            yield _pd.DataFrame(
+                rows,
+                columns=["n_rows", "ts_nulls", "min_us", "max_us",
+                         "dec_cents", "arr_elems", "arr_chars",
+                         "st_key_sum", "st_f_rows", "rlev1_attested"],
+            )
+
+    out = plan.mapInPandas(
+        _decode,
+        "n_rows bigint, ts_nulls bigint, min_us bigint,"
+        " max_us bigint, dec_cents bigint, arr_elems bigint,"
+        " arr_chars bigint, st_key_sum bigint, st_f_rows bigint,"
+        " rlev1_attested boolean",
     ).localCheckpoint(eager=True)  # 1 row; frees the temp root
     shutil.rmtree(root, ignore_errors=True)
     return out
