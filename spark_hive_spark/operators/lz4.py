@@ -328,3 +328,33 @@ def _lz4_block_with_prefix(payload: bytes, prefix: bytes) -> bytes:
         for i in range(mlen):
             out.append(out[start + i])
     return bytes(out[base:])
+
+
+def lz4_frame_compress(data: bytes) -> bytes:
+    """Content bytes -> ONE LZ4 frame, the shape Puffin's ``lz4``
+    codec names ("single compression frame with content size
+    present"): version-01 FLG with block independence + content size
+    + content checksum, 4 MiB block-size code, independent blocks
+    (stored uncompressed when LZ4 would not shrink them), end mark,
+    xxh32 content checksum. Round-trips through
+    `lz4_frame_decompress`."""
+    flg = (0b01 << 6) | 0x20 | 0x08 | 0x04  # indep + size + checksum
+    bd = 7 << 4  # 4 MiB max block size
+    desc = bytes([flg, bd]) + len(data).to_bytes(8, "little")
+    out = bytearray()
+    out += _LZ4F_MAGIC.to_bytes(4, "little")
+    out += desc
+    out.append((xxh32(desc) >> 8) & 0xFF)
+    block_max = 4 * 1024 * 1024
+    for i in range(0, len(data), block_max):
+        blk = data[i : i + block_max]
+        comp = lz4_block_compress(blk)
+        if len(comp) < len(blk):
+            out += len(comp).to_bytes(4, "little")
+            out += comp
+        else:
+            out += (len(blk) | 0x80000000).to_bytes(4, "little")
+            out += blk
+    out += (0).to_bytes(4, "little")  # end mark
+    out += xxh32(data).to_bytes(4, "little")
+    return bytes(out)

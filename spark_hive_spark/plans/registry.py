@@ -54,9 +54,9 @@ _REGISTRY: dict[str, Query] = {}
 # v3 default-values/row-lineage work. Then the oldest r3-attested
 # backlog, oldest-first. Backlog spill for r16 (displaced by the
 # format-family re-attests and the round-15 additions):
-# text_quality_scores, text_tfidf_top_terms, text_token_stats,
-# text_top_bigrams_per_lang, text_unigram_logprob, then the
-# r5-attested tail (approx_distinct_parts, arr_* ...).
+# text_langid_confusion, text_quality_scores, text_tfidf_top_terms,
+# text_token_stats, text_top_bigrams_per_lang, text_unigram_logprob,
+# then the r5-attested tail (approx_distinct_parts, arr_* ...).
 # tests/test_registry_window.py asserts the window stays exactly this.
 SWEEP_PRIORITY: tuple[str, ...] = (
     # pinned reference jobs (driver-green every round)
@@ -73,6 +73,7 @@ SWEEP_PRIORITY: tuple[str, ...] = (
     "source_iceberg_v3_default_values",
     "source_iceberg_v3_row_lineage",
     "source_orc_rlev1_typed",
+    "source_iceberg_v3_dv_lz4_footer",
     # ORC family: re-attest under the RLEv1 dispatch + breadth changes
     "source_orc_rlev2_decode",
     "source_orc_stripe_skipping",
@@ -115,7 +116,6 @@ SWEEP_PRIORITY: tuple[str, ...] = (
     "subq_not_in_null_aware",
     "subq_scalar_above_avg_orders",
     "text_fingerprints",
-    "text_langid_confusion",
 )
 
 

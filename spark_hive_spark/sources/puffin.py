@@ -96,10 +96,19 @@ def dv_blob_decode(blob: bytes) -> list[int]:
     return roaring64_portable_deserialize(body[4:])
 
 
-def puffin_write(path: str, blobs: list[tuple[bytes, dict]]) -> list[dict]:
+def puffin_write(
+    path: str,
+    blobs: list[tuple[bytes, dict]],
+    compress_footer: bool = False,
+) -> list[dict]:
     """Write a Puffin file; ``blobs`` pairs payload bytes with extra
     BlobMetadata fields (type/properties/...). Returns the footer's
-    blob metadata list (with offset/length filled in)."""
+    blob metadata list (with offset/length filled in).
+    ``compress_footer`` sets flags byte 0 bit 0 and LZ4-frames the
+    FooterPayload (round 15 — the spec's only footer codec, 'single
+    compression frame with content size present')."""
+    from spark_hive_spark.operators.lz4 import lz4_frame_compress
+
     metas: list[dict] = []
     with open(path, "wb") as fh:
         fh.write(_PUFFIN_MAGIC)
@@ -112,31 +121,39 @@ def puffin_write(path: str, blobs: list[tuple[bytes, dict]]) -> list[dict]:
             fh.write(payload)
             off += len(payload)
         footer_payload = json.dumps({"blobs": metas}).encode("utf-8")
+        if compress_footer:
+            footer_payload = lz4_frame_compress(footer_payload)
         fh.write(_PUFFIN_MAGIC)
         fh.write(footer_payload)
         fh.write(struct.pack("<I", len(footer_payload)))
-        fh.write(b"\x00\x00\x00\x00")  # flags: uncompressed payload
+        fh.write(bytes([1 if compress_footer else 0, 0, 0, 0]))
         fh.write(_PUFFIN_MAGIC)
     return metas
 
 
 def puffin_read(path: str) -> tuple[bytes, list[dict]]:
     """Puffin file -> (raw file bytes, footer blob metadata list),
-    with both magics, the flags, and the payload framing validated."""
+    with both magics, the flags, and the payload framing validated.
+    Flags byte 0 bit 0 (LZ4-compressed FooterPayload) is decoded via
+    the repo's own LZ4 frame codec (round 15); all other flag bits
+    stay loud (the spec reserves them)."""
+    from spark_hive_spark.operators.lz4 import lz4_frame_decompress
+
     with open(path, "rb") as fh:
         data = fh.read()
     if data[:4] != _PUFFIN_MAGIC or data[-4:] != _PUFFIN_MAGIC:
         raise ValueError("not a Puffin file (magic)")
     (payload_len,) = struct.unpack_from("<I", data, len(data) - 12)
     flags = data[len(data) - 8 : len(data) - 4]
-    if flags[0] & 1:
-        raise NotImplementedError("Puffin LZ4-compressed footer payload")
-    if any(flags) and not (flags[0] & 1):
+    if any(flags) and flags != b"\x01\x00\x00\x00":
         raise NotImplementedError(f"Puffin footer flags {flags.hex()}")
     payload_start = len(data) - 12 - payload_len
     if data[payload_start - 4 : payload_start] != _PUFFIN_MAGIC:
         raise ValueError("Puffin footer start magic missing")
-    meta = json.loads(data[payload_start : payload_start + payload_len])
+    payload = data[payload_start : payload_start + payload_len]
+    if flags[0] & 1:
+        payload = lz4_frame_decompress(payload)
+    meta = json.loads(payload)
     return data, meta["blobs"]
 
 
@@ -187,6 +204,50 @@ def source_iceberg_v3_deletion_vectors(
     Scale posture: DV decode is O(deleted positions) at planning;
     the anti-join broadcasts the delete set; data files scan
     partition-parallel with positions generated scan-side."""
+    return _dv_query(spark, sf_dir, compress_footer=False)
+
+
+@register(
+    "source_iceberg_v3_dv_lz4_footer",
+    oracle=f"""
+        WITH doomed AS (
+            SELECT o_orderkey FROM orders
+            WHERE (o_orderkey % 2 = 0 AND o_orderkey % 10 = 4)
+               OR (o_orderkey % 2 = 1 AND o_orderkey % 7 = 3)
+        )
+        SELECT CAST(2 AS INT) AS data_files,
+               CAST(2 AS INT) AS dv_blobs,
+               (SELECT CAST(count(*) AS BIGINT) FROM doomed)
+                   AS rows_deleted,
+               TRUE AS dv_integrity_ok,
+               CAST(count(*) AS BIGINT) AS n_live,
+               {sql_dsum('o_totalprice')} AS revenue_live
+        FROM orders
+        WHERE o_orderkey NOT IN (SELECT o_orderkey FROM doomed)
+    """,
+    tags=("source", "iceberg", "lakehouse", "v3", "deletion-vectors",
+          "puffin", "lz4", "merge-on-read"),
+)
+def source_iceberg_v3_dv_lz4_footer(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Puffin LZ4-COMPRESSED FooterPayload (round 15, the r14
+    verdict's task 7 — previously a loud seam): same DV pipeline as
+    `source_iceberg_v3_deletion_vectors`, but the Puffin footer's
+    FileMetadata JSON is wrapped in a single LZ4 frame (flags byte 0
+    bit 0 set), the spec's only footer codec, written and read by
+    the repo's own hand-built LZ4 frame codec (operators/lz4.py —
+    xxh32 header/content checksums validated on read). A reader
+    that ignores the flag feeds LZ4 bytes to the JSON parser; a
+    writer that lies about the flag trips the frame magic check —
+    both are loud, and the identical oracle pins the decode path end
+    to end."""
+    return _dv_query(spark, sf_dir, compress_footer=True)
+
+
+def _dv_query(
+    spark: SparkSession, sf_dir: str, compress_footer: bool
+) -> DataFrame:
     from spark_hive_spark.operators.avro import (
         encode_avro_ocf,
         parse_avro_ocf,
@@ -221,7 +282,7 @@ def source_iceberg_v3_deletion_vectors(
     pos_a = _positions("A.parquet", 10, 4)
     pos_b = _positions("B.parquet", 7, 3)
     puffin_path = os.path.join(ddir, "deletes.puffin")
-    blob_meta = puffin_write(puffin_path, [
+    blob_meta = puffin_write(puffin_path, compress_footer=compress_footer, blobs=[
         (dv_blob_encode(pos_a), {
             "type": "deletion-vector-v1", "fields": [2147483546],
             "snapshot-id": 2, "sequence-number": 2,

@@ -89,12 +89,36 @@ def test_puffin_roundtrip_and_rejections(tmp_path):
         fh.write(raw[:-4] + b"NOPE")
     with pytest.raises(ValueError, match="magic"):
         puffin_read(bad)
-    # compressed-footer flag stays loud
+    # LYING about the compressed-footer flag is loud (round 15: the
+    # flag is now supported, so a flagged-but-uncompressed payload
+    # trips the LZ4 frame magic check instead of a blanket seam)
     flagged = str(tmp_path / "flag.puffin")
     with open(flagged, "wb") as fh:
         fh.write(raw[:-8] + b"\x01\x00\x00\x00" + raw[-4:])
-    with pytest.raises(NotImplementedError, match="LZ4"):
+    with pytest.raises(ValueError, match="LZ4 frame"):
         puffin_read(flagged)
+    # any OTHER flag bit stays loud
+    flagged2 = str(tmp_path / "flag2.puffin")
+    with open(flagged2, "wb") as fh:
+        fh.write(raw[:-8] + b"\x02\x00\x00\x00" + raw[-4:])
+    with pytest.raises(NotImplementedError, match="flags"):
+        puffin_read(flagged2)
+
+
+def test_puffin_lz4_compressed_footer_roundtrip(tmp_path):
+    """Round 15: flags bit 0 + LZ4-framed FooterPayload round-trips
+    byte-identically through the hand-built frame codec."""
+    p = str(tmp_path / "c.puffin")
+    metas = puffin_write(p, [
+        (b"payload-one", {"type": "deletion-vector-v1",
+                          "properties": {"referenced-data-file": "a"}}),
+        (b"payload-two-longer", {"type": "deletion-vector-v1"}),
+    ], compress_footer=True)
+    with open(p, "rb") as fh:
+        raw = fh.read()
+    assert raw[-8] & 1  # the flag really is set on disk
+    _, blobs = puffin_read(p)
+    assert blobs == metas
 
 
 def test_iceberg_format_gate_named_features():
