@@ -2622,7 +2622,7 @@ def source_orc_rlev1_decode(
             SELECT CASE WHEN o_orderkey % 89 = 0 THEN NULL
                         ELSE epoch_us(o_orderdate) END AS us,
                    o_totalprice, o_orderkey, o_orderstatus,
-                   o_orderpriority
+                   o_orderpriority, o_orderdate
             FROM orders
         )
         SELECT CAST(count(*) AS BIGINT) AS n_rows,
@@ -2637,6 +2637,10 @@ def source_orc_rlev1_decode(
                CAST(sum(o_orderkey) AS BIGINT) AS st_key_sum,
                CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0
                         END) AS BIGINT) AS st_f_rows,
+               CAST(min(CAST(o_orderdate AS DATE) - DATE '1970-01-01')
+                    AS BIGINT) AS min_days,
+               CAST(max(CAST(o_orderdate AS DATE) - DATE '1970-01-01')
+                    AS BIGINT) AS max_days,
                TRUE AS rlev1_attested
         FROM v
     """,
@@ -2662,7 +2666,7 @@ def source_orc_rlev1_typed(
     (PRESENT gaps at %89 break runs), ``dec`` decimal(12,2),
     ``arr = [o_orderpriority, 'zz']`` (list<string>: RLEv1 LENGTH +
     DICTIONARY child), ``st = struct(k, s)`` (RLEv1 long child +
-    dictionary string child). ``rlev1_attested`` pins that every
+    dictionary string child), and ``dt`` DATE (signed RLEv1 days). ``rlev1_attested`` pins that every
     observed column encoding in every stripe is the v1 family (0/1)
     — the query can never silently attest the v2 path — and that
     decoded counts agree across columns.
@@ -2693,6 +2697,7 @@ def source_orc_rlev1_typed(
                 F.col("o_orderkey").alias("k"),
                 F.col("o_orderstatus").alias("s"),
             ).alias("st"),
+            F.col("o_orderdate").cast("date").alias("dt"),
         )
     )
     stage = os.path.join(root, "stage")
@@ -2717,7 +2722,7 @@ def source_orc_rlev1_typed(
                 tail = read_orc_tail(data)
                 footer, codec = _orc_file_tail(data)
                 # columns: 0 root, 1 ts, 2 dec, 3 arr, 4 elem,
-                # 5 st, 6 k, 7 s — every encoding must be v1 family
+                # 5 st, 6 k, 7 s, 8 dt — every encoding must be v1
                 encs: set[int] = set()
                 for sraw in footer.get(3, []):
                     _, _, enc_msgs, _ = _stripe_streams(
@@ -2730,12 +2735,15 @@ def source_orc_rlev1_typed(
                 dec, _, scale = read_orc_decimal_column(data, column=2)
                 arr, _ = _read_orc_nested_column(data, 3, "list")
                 st, _ = _read_orc_nested_column(data, 5, "struct")
+                dt, _ = read_orc_date_column(data, column=8)
                 ts_present = [v for v in ts if v is not None]
                 n = tail["num_rows"]
                 attested = (
                     encs <= {0, 1}
                     and scale == 2
                     and len(ts) == len(dec) == len(arr) == len(st) == n
+                    and len(dt) == n
+                    and None not in dt
                     and None not in dec
                     and all(a is not None and a[1] == "zz" for a in arr)
                     and all(
@@ -2750,13 +2758,15 @@ def source_orc_rlev1_typed(
                     sum(len(s) for a in arr for s in a),
                     sum(r["k"] for r in st),
                     sum(1 for r in st if r["s"] == "F"),
+                    min(dt), max(dt),
                     bool(attested),
                 ))
             yield _pd.DataFrame(
                 rows,
                 columns=["n_rows", "ts_nulls", "min_us", "max_us",
                          "dec_cents", "arr_elems", "arr_chars",
-                         "st_key_sum", "st_f_rows", "rlev1_attested"],
+                         "st_key_sum", "st_f_rows", "min_days",
+                         "max_days", "rlev1_attested"],
             )
 
     out = plan.mapInPandas(
@@ -2764,7 +2774,7 @@ def source_orc_rlev1_typed(
         "n_rows bigint, ts_nulls bigint, min_us bigint,"
         " max_us bigint, dec_cents bigint, arr_elems bigint,"
         " arr_chars bigint, st_key_sum bigint, st_f_rows bigint,"
-        " rlev1_attested boolean",
+        " min_days bigint, max_days bigint, rlev1_attested boolean",
     ).localCheckpoint(eager=True)  # 1 row; frees the temp root
     shutil.rmtree(root, ignore_errors=True)
     return out
