@@ -1865,8 +1865,12 @@ def delta_column_mapping_by_id(metadata: dict) -> dict[int, str]:
     parquet footer's ``leaf_field_ids``, so including it made the
     reader's missing-id coverage check fire spuriously on every
     nested table (and the dotted logical path was only ever consumed
-    as a flat alias). Struct node ids still participate in the
-    duplicate-id validation; non-struct nesting stays loud."""
+    as a flat alias). Struct/array/map NODE ids still participate in
+    the duplicate-id validation; struct fields inside array elements
+    and map values map through the synthetic ``element``/``value``
+    segments (array elements and map keys/values are not Delta
+    fields, so primitives there carry no ids of their own);
+    struct-typed map keys stay loud."""
     import json as _json
 
     mode = (metadata.get("configuration") or {}).get(
@@ -1877,6 +1881,28 @@ def delta_column_mapping_by_id(metadata: dict) -> dict[int, str]:
     schema = _json.loads(metadata["schemaString"])
     mapping: dict[int, str] = {}
     seen: set[int] = set()
+
+    def _walk_type(ftype, lpath: str, fname: str) -> None:
+        if isinstance(ftype, str):
+            return
+        t = ftype.get("type") if isinstance(ftype, dict) else None
+        if t == "struct":
+            _walk(ftype.get("fields", []), lpath + ".")
+        elif t == "array":
+            _walk_type(ftype.get("elementType"),
+                       lpath + ".element", fname)
+        elif t == "map":
+            if not isinstance(ftype.get("keyType"), str):
+                raise NotImplementedError(
+                    f"column mapping on struct-typed map key of "
+                    f"{fname!r}"
+                )
+            _walk_type(ftype.get("valueType"), lpath + ".value", fname)
+        else:
+            raise NotImplementedError(
+                f"column mapping on nested field {fname!r} of "
+                f"unsupported type {t!r}"
+            )
 
     def _walk(fields: list[dict], lpre: str) -> None:
         for f in fields:
@@ -1896,14 +1922,8 @@ def delta_column_mapping_by_id(metadata: dict) -> dict[int, str]:
             if isinstance(ftype, str):
                 mapping[fid] = lpath
                 continue
-            # struct nodes recurse; only their LEAVES enter the map
-            if isinstance(ftype, dict) and ftype.get("type") == "struct":
-                _walk(ftype.get("fields", []), lpath + ".")
-            else:
-                raise NotImplementedError(
-                    "column mapping on non-struct nested field "
-                    f"{f.get('name')!r}"
-                )
+            # container nodes recurse; only LEAVES enter the map
+            _walk_type(ftype, lpath, f.get("name"))
 
     _walk(schema.get("fields", []), "")
     return mapping
@@ -3855,22 +3875,28 @@ def delta_mapped_select(metadata: dict) -> list:
 
 
 def delta_mapped_select_by_id(
-    metadata: dict, file_leaf_fids: dict[str, int | None]
+    metadata: dict, file_fids: dict[str, int | None]
 ) -> list:
     """ID-mode column mapping -> per-FILE physical→logical REBUILD
     expressions (round 15, ADVICE r14: the id-mode reader aliased
     flat dotted names, so nested id-mode support was latent). Takes
-    THIS data file's ``leaf_field_ids`` footer map ({dotted physical
-    leaf path: field_id}) — id mode is per-file by design, two files
-    of one table may disagree on physical names — and rebuilds the
-    logical tree: leaves resolve by field id, structs re-wrap via
-    ``F.struct``. Non-struct nesting stays loud, matching
-    `delta_column_mapping_by_id`."""
+    THIS data file's footer field-id map ({dotted physical path:
+    field_id}) — id mode is per-file by design, two files of one
+    table may disagree on physical names — and rebuilds the logical
+    tree: leaves resolve by field id, structs re-wrap via
+    ``F.struct``. ARRAY/MAP fields (round 15) resolve their own id
+    on the parquet GROUP node — pass `schema_field_ids`, not just
+    `leaf_field_ids`, for tables that nest containers — and struct
+    fields inside elements/values resolve by id to their physical
+    leaf path, whose LAST segment is the name Spark's scan exposes
+    inside the element struct; the rebuild then mirrors name mode
+    (``F.transform`` / ``F.transform_values`` codegen, no UDF).
+    Struct-typed map keys stay loud."""
     import json as _json
 
     schema = _json.loads(metadata["schemaString"])
     by_fid: dict[int, str] = {}
-    for path, fid in file_leaf_fids.items():
+    for path, fid in file_fids.items():
         if fid is None:
             continue
         if fid in by_fid:
@@ -3879,34 +3905,75 @@ def delta_mapped_select_by_id(
             )
         by_fid[fid] = path
 
-    def _expr(f: dict):
+    def _fid_of(f: dict) -> int:
         fid = (f.get("metadata") or {}).get("delta.columnMapping.id")
         if not isinstance(fid, int):
             raise ValueError(
                 f"id-mode table missing columnMapping.id for "
                 f"{f.get('name')!r}"
             )
-        ftype = f.get("type")
-        if isinstance(ftype, dict) and ftype.get("type") == "struct":
-            # struct node ids never appear among parquet LEAF ids —
-            # the node exists in the file iff its leaves do
-            return F.struct(
-                *(_expr(c) for c in ftype.get("fields", []))
-            ).alias(f["name"])
-        if not isinstance(ftype, str):
-            raise NotImplementedError(
-                "column mapping on non-struct nested field "
-                f"{f.get('name')!r}"
-            )
+        return fid
+
+    def _resolve(fid: int, name: str) -> str:
         if fid not in by_fid:
             raise ValueError(
                 f"data file missing mapped field id {fid} "
-                f"(logical {f['name']!r})"
+                f"(logical {name!r})"
             )
-        ppath = ".".join(
-            f"`{seg}`" for seg in by_fid[fid].split(".")
+        return by_fid[fid]
+
+    def _rebuild(col, ftype, fname: str):
+        # col: Column holding the PHYSICAL value inside a container
+        if isinstance(ftype, str) or not _type_needs_rebuild(ftype):
+            return col
+        t = ftype.get("type") if isinstance(ftype, dict) else None
+        if t == "struct":
+            children = []
+            for c in ftype.get("fields", []):
+                seg = _resolve(_fid_of(c), c["name"]).split(".")[-1]
+                children.append(
+                    _rebuild(col[seg], c.get("type"), c.get("name"))
+                    .alias(c["name"])
+                )
+            return F.struct(*children)
+        if t == "array":
+            return F.transform(
+                col,
+                lambda x: _rebuild(x, ftype.get("elementType"), fname),
+            )
+        if t == "map":
+            if not isinstance(ftype.get("keyType"), str):
+                raise NotImplementedError(
+                    f"column mapping on struct-typed map key of {fname!r}"
+                )
+            return F.transform_values(
+                col,
+                lambda _k, v: _rebuild(v, ftype.get("valueType"), fname),
+            )
+        raise NotImplementedError(
+            f"column mapping on nested field {fname!r} of "
+            f"unsupported type {t!r}"
         )
-        return F.col(ppath).alias(f["name"])
+
+    def _expr(f: dict):
+        fid = _fid_of(f)
+        ftype = f.get("type")
+        if isinstance(ftype, dict) and ftype.get("type") == "struct":
+            # struct node ids never appear among parquet LEAF ids —
+            # the node exists in the file iff its leaves do, so
+            # children resolve by their own ids at absolute paths
+            return F.struct(
+                *(_expr(c) for c in ftype.get("fields", []))
+            ).alias(f["name"])
+        ppath = ".".join(
+            f"`{seg}`" for seg in _resolve(fid, f["name"]).split(".")
+        )
+        if isinstance(ftype, str):
+            return F.col(ppath).alias(f["name"])
+        # array/map: own id sits on the parquet GROUP node
+        return _rebuild(F.col(ppath), ftype, f.get("name")).alias(
+            f["name"]
+        )
 
     return [_expr(f) for f in schema.get("fields", [])]
 
@@ -4309,3 +4376,261 @@ def source_delta_column_mapping_array(
     )
     shutil.rmtree(root, ignore_errors=True)
     return out
+
+
+@register(
+    "source_delta_column_mapping_id_array",
+    oracle=f"""
+        WITH exploded AS (
+            SELECT o_orderpriority AS tag, o_totalprice AS qty,
+                   o_orderkey % 7 AS sc
+            FROM orders
+            UNION ALL
+            SELECT 'X' AS tag, 100.0 AS qty, o_orderkey % 7 AS sc
+            FROM orders
+        )
+        SELECT tag,
+               CAST(count(*) AS BIGINT) AS n_lines,
+               {sql_dsum('qty')} AS amount,
+               CAST(sum(sc) AS BIGINT) AS map_score,
+               CAST(4 AS INT) AS mapped_leaves,
+               TRUE AS id_trap_ok
+        FROM exploded
+        GROUP BY tag
+        ORDER BY tag
+    """,
+    tags=("source", "delta", "lakehouse", "compat", "column-mapping",
+          "field-id", "nested", "array", "map"),
+)
+def source_delta_column_mapping_id_array(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Delta ID-mode column mapping under ARRAY/MAP nesting
+    (round 15) — the id-mode completion of
+    `source_delta_column_mapping_array`: an array/map FIELD's id
+    lives on the parquet GROUP node (`schema_field_ids`, new — the
+    leaf walker never sees it), struct fields inside elements and
+    map values resolve by THEIR ids to physical leaf paths whose
+    last segment is the name Spark exposes inside the element
+    struct, and the rebuild mirrors name mode (`F.transform` /
+    `F.transform_values` codegen).
+
+    The fixture makes name-trusting actively WRONG per id-mode
+    convention: the two data files carry the same ids under
+    CONTRADICTORY physical names — file B's element children SWAP
+    file A's names (``q-x`` is the qty double in file A but the TAG
+    string in file B), and the containers themselves are named
+    differently per file — so only per-file footer id resolution
+    lines the columns up. ``id_trap_ok`` pins that the files really
+    disagree on name->id assignment and that the resolver mapped
+    all 4 leaf ids through the synthetic element/value segments.
+
+    Scale posture: identical to the name-mode twin — O(schema)
+    per-file planning metadata from the footer tail, one codegen
+    select per file, narrow explode, plain parquet scan."""
+    import json as _json
+
+    import numpy as _np
+    import pyarrow as _pa
+    import pyarrow.parquet as _pq
+
+    from spark_hive_spark.sources.parquet_meta import (
+        decode_footer,
+        schema_field_ids,
+    )
+
+    orders = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+    root = os.path.join(
+        tempfile.gettempdir(), f"shs_deltacmida_{uuid.uuid4().hex}"
+    )
+    tdir = os.path.join(root, "t")
+    ldir = os.path.join(tdir, "_delta_log")
+    os.makedirs(ldir)
+
+    def _fid_field(name: str, typ, fid: int) -> "_pa.Field":
+        return _pa.field(
+            name, typ, metadata={b"PARQUET:field_id": str(fid).encode()}
+        )
+
+    # ids: k=1, lines=2 (container), lines.qty=3, lines.tag=4,
+    # props=5 (container), props.value.score=6
+    half = orders.withColumn("h", F.col("o_orderkey") % 2)
+    for part, fname, names in (
+        (0, "part-00000.parquet",
+         {"k": "k-a", "lines": "l-a", "qty": "q-x", "tag": "t-x",
+          "props": "m-a", "score": "s-a"}),
+        # file B: containers renamed AND the element children carry
+        # file A's names SWAPPED (q-x is the string tag here)
+        (1, "part-00001.parquet",
+         {"k": "k-b", "lines": "l-b", "qty": "t-x", "tag": "q-x",
+          "props": "m-b", "score": "s-b"}),
+    ):
+        arr = half.filter(F.col("h") == part).drop("h").toArrow()
+        n = arr.num_rows
+        keys = arr["o_orderkey"].to_numpy(zero_copy_only=False)
+        tp = arr["o_totalprice"].to_numpy(zero_copy_only=False)
+        prio = arr["o_orderpriority"].to_pylist()
+        qty = _np.empty(2 * n, dtype="float64")
+        qty[0::2], qty[1::2] = tp, 100.0
+        tag: list[str] = [""] * (2 * n)
+        tag[0::2], tag[1::2] = prio, ["X"] * n
+        line_structs = _pa.StructArray.from_arrays(
+            [_pa.array(qty), _pa.array(tag, _pa.string())],
+            fields=[_fid_field(names["qty"], _pa.float64(), 3),
+                    _fid_field(names["tag"], _pa.string(), 4)],
+        )
+        lines = _pa.ListArray.from_arrays(
+            _pa.array(range(0, 2 * n + 1, 2), _pa.int32()), line_structs
+        )
+        score_structs = _pa.StructArray.from_arrays(
+            [_pa.array((keys % 7).astype("int64"))],
+            fields=[_fid_field(names["score"], _pa.int64(), 6)],
+        )
+        props = _pa.MapArray.from_arrays(
+            _pa.array(range(0, n + 1), _pa.int32()),
+            _pa.array(["a"] * n, _pa.string()),
+            score_structs,
+        )
+        schema = _pa.schema([
+            _fid_field(names["k"], _pa.int64(), 1),
+            _fid_field(names["lines"], lines.type, 2),
+            _fid_field(names["props"], props.type, 5),
+        ])
+        tbl = _pa.table(
+            {names["k"]: arr["o_orderkey"],
+             names["lines"]: lines, names["props"]: props},
+            schema=schema,
+        )
+        _pq.write_table(tbl, os.path.join(tdir, fname))
+
+    def _child(name, typ, fid):
+        return {"name": name, "type": typ, "nullable": True,
+                "metadata": {"delta.columnMapping.id": fid}}
+
+    schema_string = _json.dumps({
+        "type": "struct",
+        "fields": [
+            _child("o_orderkey", "long", 1),
+            {"name": "lines", "nullable": True,
+             "metadata": {"delta.columnMapping.id": 2},
+             "type": {"type": "array", "containsNull": True,
+                      "elementType": {"type": "struct", "fields": [
+                          _child("qty", "double", 3),
+                          _child("tag", "string", 4),
+                      ]}}},
+            {"name": "props", "nullable": True,
+             "metadata": {"delta.columnMapping.id": 5},
+             "type": {"type": "map", "keyType": "string",
+                      "valueContainsNull": True,
+                      "valueType": {"type": "struct", "fields": [
+                          _child("score", "long", 6),
+                      ]}}},
+        ],
+    })
+
+    def _commit(version: int, actions: list[dict]) -> None:
+        with open(os.path.join(ldir, f"{version:020d}.json"), "w") as fh:
+            fh.write("\n".join(_json.dumps(a) for a in actions) + "\n")
+
+    def _add(p: str) -> dict:
+        return {"add": {"path": p, "size": os.path.getsize(
+            os.path.join(tdir, p)), "modificationTime": 0,
+            "dataChange": True}}
+
+    _commit(0, [
+        {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                      "readerFeatures": ["columnMapping"]}},
+        {"metaData": {"id": "shs-delta-colmap-id-array", "format":
+            {"provider": "parquet", "options": {}},
+            "schemaString": schema_string, "partitionColumns": [],
+            "configuration": {"delta.columnMapping.mode": "id",
+                              "delta.columnMapping.maxColumnId": "6"}}},
+        _add("part-00000.parquet"),
+    ])
+    _commit(1, [_add("part-00001.parquet")])
+
+    # ---- the reader ----
+    versions = sorted(
+        int(f[:20]) for f in os.listdir(ldir) if f.endswith(".json")
+    )
+    live: set[str] = set()
+    meta: dict | None = None
+    for v in versions:
+        with open(os.path.join(ldir, f"{v:020d}.json")) as fh:
+            for line in fh:
+                if not line.strip():
+                    continue
+                action = _json.loads(line)
+                if "protocol" in action:
+                    unknown = set(
+                        action["protocol"].get("readerFeatures", [])
+                    ) - {"columnMapping"}
+                    if unknown:
+                        raise NotImplementedError(
+                            f"Delta reader features {sorted(unknown)}"
+                        )
+                elif "metaData" in action:
+                    meta = action["metaData"]
+                elif "add" in action:
+                    live.add(action["add"]["path"])
+                elif "remove" in action:
+                    live.discard(action["remove"]["path"])
+    if meta is None:
+        raise ValueError("Delta log carries no metaData action")
+    by_id = delta_column_mapping_by_id(meta)
+
+    parts = []
+    fid_maps: list[dict[str, int]] = []
+    for p in sorted(live):
+        with open(os.path.join(tdir, p), "rb") as fh:
+            foot = decode_footer(fh.read())
+        fids = schema_field_ids(foot[2])
+        present = {fid for fid in fids.values() if fid is not None}
+        missing = set(by_id) - present
+        if missing:
+            raise ValueError(
+                f"file {p} missing mapped field ids {sorted(missing)}"
+            )
+        fid_maps.append(
+            {path: fid for path, fid in fids.items()
+             if fid is not None}
+        )
+        parts.append(
+            spark.read.parquet(os.path.join(tdir, p)).select(
+                *delta_mapped_select_by_id(meta, fids)
+            )
+        )
+    # the trap really exists: the two files disagree on name->id
+    # (containers renamed, element children name-swapped), and the
+    # resolver mapped all 4 leaves through element/value segments
+    trap_ok = (
+        len(fid_maps) == 2
+        and fid_maps[0] != fid_maps[1]
+        and by_id[3] == "lines.element.qty"
+        and by_id[6] == "props.value.score"
+        and len(by_id) == 4
+    )
+    scan = parts[0]
+    for df in parts[1:]:
+        scan = scan.unionByName(df)
+    out = (
+        scan.select(
+            F.explode("lines").alias("ln"),
+            F.col("props")["a"]["score"].alias("sc"),
+        )
+        .groupBy(F.col("ln.tag").alias("tag"))
+        .agg(
+            F.count("*").alias("n_lines"),
+            dsum("ln.qty").alias("amount"),
+            F.sum("sc").cast("bigint").alias("map_score"),
+            F.lit(len(by_id)).cast("int").alias("mapped_leaves"),
+            F.lit(bool(trap_ok)).alias("id_trap_ok"),
+        )
+        .orderBy("tag")
+        .localCheckpoint(eager=True)  # 6 rows; frees the temp root
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    return out
+

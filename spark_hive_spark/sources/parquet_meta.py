@@ -265,6 +265,32 @@ def leaf_field_ids(
     return out
 
 
+def schema_field_ids(
+    schema: list[dict[int, Any]],
+) -> dict[str, int | None]:
+    """Flattened SchemaElement list -> {dotted path: field_id} for
+    EVERY node, groups included (round 15). Leaf ids resolve scalar
+    and struct-nested Delta id-mode fields, but an ARRAY or MAP
+    field's id lives on its outer GROUP node — `leaf_field_ids`
+    never sees it — while the repeated wrapper levels ('list',
+    'key_value') and their primitive children typically carry
+    none."""
+    out: dict[str, int | None] = {}
+    stack: list[list[Any]] = [[schema[0].get(5, 0), ()]]
+    for se in schema[1:]:
+        while stack and stack[-1][0] == 0:
+            stack.pop()
+        if not stack:
+            raise ValueError("schema walk overran the declared tree")
+        stack[-1][0] -= 1
+        name = se[4].decode()
+        path = stack[-1][1] + (name,)
+        out[".".join(path)] = se.get(9)
+        if 5 in se:  # group node
+            stack.append([se[5], path])
+    return out
+
+
 def _leaf_repetitions(
     schema: list[dict[int, Any]],
 ) -> dict[str, list[int]]:

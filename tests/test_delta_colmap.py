@@ -168,17 +168,42 @@ def test_struct_typed_map_key_is_loud():
         delta_column_mapping(_meta("name", [mp]))
 
 
-def test_array_nested_id_mode_stays_loud():
-    """ID mode keeps the non-struct nesting seam (the parquet leaf-id
-    walk has no list/map path convention wired up yet)."""
+def test_array_nested_id_mode_resolves_leaves_only():
+    """Round 15: id mode resolves struct fields inside array elements
+    through the synthetic segments; container ids and primitive
+    elements (no Delta ids of their own) stay out of the leaf map."""
     from spark_hive_spark.sources.evolution import (
         delta_column_mapping_by_id,
     )
 
-    with pytest.raises(NotImplementedError, match="non-struct nested"):
-        delta_column_mapping_by_id(
-            _meta("id", [_arr("xs", "col-xs", "long")])
-        )
+    child = dict(_field("qty", "col-q", "double"))
+    child["metadata"] = {"delta.columnMapping.id": 6,
+                         "delta.columnMapping.physicalName": "col-q"}
+    prim = _arr("xs", "col-xs", "long")
+    prim["metadata"] = {"delta.columnMapping.id": 5,
+                        "delta.columnMapping.physicalName": "col-xs"}
+    lines = _arr("lines", "col-l",
+                 {"type": "struct", "fields": [child]}, fid=7)
+    m = delta_column_mapping_by_id(_meta("id", [prim, lines]))
+    assert m == {6: "lines.element.qty"}
+
+
+def test_map_struct_key_id_mode_is_loud():
+    from spark_hive_spark.sources.evolution import (
+        delta_column_mapping_by_id,
+    )
+
+    mp = {
+        "name": "props",
+        "type": {"type": "map",
+                 "keyType": {"type": "struct", "fields": []},
+                 "valueType": "long", "valueContainsNull": True},
+        "nullable": True,
+        "metadata": {"delta.columnMapping.id": 7,
+                     "delta.columnMapping.physicalName": "col-m"},
+    }
+    with pytest.raises(NotImplementedError, match="map key"):
+        delta_column_mapping_by_id(_meta("id", [mp]))
 
 
 def test_nested_child_missing_physical_name_is_loud():
@@ -266,15 +291,24 @@ def test_id_mode_resolves_by_field_id():
         delta_column_mapping_by_id(_meta("id", [
             {"name": "a", "type": "long", "nullable": True,
              "metadata": {}}]))
-    # round 14: struct nesting resolves; a MAP nested shape stays loud
+    # round 15: map nesting resolves too (primitive values carry no
+    # Delta ids — the container id only enters the dup check); an
+    # UNKNOWN nested shape stays loud
     nested = {"name": "s",
               "type": {"type": "map", "keyType": "string",
                        "valueType": "long",
                        "valueContainsNull": True},
               "nullable": True,
               "metadata": {"delta.columnMapping.id": 2}}
-    with pytest.raises(NotImplementedError, match="non-struct nested"):
-        delta_column_mapping_by_id(_meta("id", [nested]))
+    assert delta_column_mapping_by_id(
+        _meta("id", [_f("a", 1), nested])
+    ) == {1: "a"}
+    weird = {"name": "u",
+             "type": {"type": "udt", "pyClass": "x"},
+             "nullable": True,
+             "metadata": {"delta.columnMapping.id": 3}}
+    with pytest.raises(NotImplementedError, match="unsupported type"):
+        delta_column_mapping_by_id(_meta("id", [weird]))
 
 
 def test_leaf_field_ids_walker(tmp_path):
