@@ -328,6 +328,7 @@ def source_iceberg_v3_default_values(
     "source_iceberg_v3_row_lineage",
     oracle=f"""
         SELECT CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(1 AS INT) AS inherited_files,
                CAST(count(*) AS BIGINT) AS distinct_row_ids,
                CAST(0 AS BIGINT) AS min_row_id,
                CAST(count(*) - 1 AS BIGINT) AS max_row_id,
@@ -352,19 +353,24 @@ def source_iceberg_v3_row_lineage(
     table's monotonically increasing ``next-row-id``; a row's
     ``_row_id`` is ``first_row_id + position in file`` and its
     ``_last_updated_sequence_number`` is the file's data sequence
-    number. Lineage survives rewrites by carrying these through —
-    this fixture covers the assignment + materialization layer; null
-    ``first_row_id`` inheritance (manifest-level assignment) stays a
-    loud seam.
+    number. Lineage survives rewrites by carrying these through.
+    Round-15 addendum: the spec's INHERITANCE rule is implemented —
+    a manifest entry with null ``first_row_id`` is assigned
+    ``manifest.first_row_id`` plus the record counts of the PRIOR
+    null-first_row_id entries in that manifest (the shape every
+    fresh commit writes); explicit values (rewritten manifests
+    carrying existing files forward) pass through untouched.
 
-    File A (even keys) takes first_row_id 0 at sequence 1; file B
-    (odd keys) takes first_row_id = rows(A) at sequence 2;
-    ``next-row-id`` must equal the total assigned span — the reader
-    validates the invariants (non-overlapping [first_row_id,
-    first_row_id + record_count) ranges, counter coverage) and pins
-    them in ``lineage_ok``. The aggregate pins exactness: N distinct
-    row ids, min 0, max N-1, arithmetic-series sum, and per-sequence
-    row counts — any positional slip (0/1-based, per-file reset,
+    File A (even keys) carries an EXPLICIT first_row_id 0 at
+    sequence 1 (the carried-forward shape); file B (odd keys) has
+    first_row_id NULL and inherits rows(A) from the manifest's
+    first-row-id (the fresh-commit shape); ``next-row-id`` must
+    cover the assigned span — the reader validates the invariants
+    (non-overlapping [first_row_id, first_row_id + record_count)
+    ranges, counter coverage) and pins them in ``lineage_ok``
+    together with the inherited-file count. The aggregate pins
+    exactness: N distinct row ids, min 0, max N-1, arithmetic-series
+    sum, and per-sequence row counts — any positional slip (0/1-based, per-file reset,
     wrong span) breaks the sum or distinct count against the oracle.
 
     Scale posture: ``_row_id`` is ``lit(first_row_id) +
@@ -417,6 +423,7 @@ def source_iceberg_v3_row_lineage(
             {"name": "manifest_path", "type": "string"},
             {"name": "content", "type": "long"},
             {"name": "added_snapshot_id", "type": "long"},
+            {"name": "first_row_id", "type": ["null", "long"]},
         ],
     }
     m1 = os.path.join(mdir, "m1.avro")
@@ -425,14 +432,17 @@ def source_iceberg_v3_row_lineage(
             {"status": 1, "file_path": "A.parquet", "content": 0,
              "record_count": n_a, "first_row_id": 0,
              "sequence_number": 1},
+            # fresh-commit shape: null first_row_id, inherited from
+            # the manifest's first-row-id at read time
             {"status": 1, "file_path": "B.parquet", "content": 0,
-             "record_count": n_b, "first_row_id": n_a,
+             "record_count": n_b, "first_row_id": None,
              "sequence_number": 2},
         ], entry_schema, codec="deflate"))
     ml = os.path.join(mdir, "snap-2.avro")
     with open(ml, "wb") as fh:
         fh.write(encode_avro_ocf([
-            {"manifest_path": m1, "content": 0, "added_snapshot_id": 2},
+            {"manifest_path": m1, "content": 0,
+             "added_snapshot_id": 2, "first_row_id": n_a},
         ], mlist_schema, codec="snappy"))
     with open(os.path.join(mdir, "v3.metadata.json"), "w") as fh:
         json.dump({
@@ -456,16 +466,25 @@ def source_iceberg_v3_row_lineage(
     with open(current["manifest-list"], "rb") as fh:
         _, manifest_rows = parse_avro_ocf(fh.read())
     files: list[dict] = []
+    inherited = 0
     for mrow in manifest_rows:
         with open(mrow["manifest_path"], "rb") as fh:
             _, entries = parse_avro_ocf(fh.read())
+        # spec inheritance: null first_row_id entries are assigned
+        # manifest.first_row_id + record counts of PRIOR null entries
+        next_assign = mrow.get("first_row_id")
         for e in entries:
             if e["status"] != 1 or e["content"] != 0:
                 raise ValueError("unexpected manifest entry")
             if e["first_row_id"] is None:
-                raise NotImplementedError(
-                    "Iceberg v3 row-id inheritance (null first_row_id)"
-                )
+                if next_assign is None:
+                    raise ValueError(
+                        "null first_row_id but the manifest carries "
+                        "no first-row-id to inherit from"
+                    )
+                e = {**e, "first_row_id": next_assign}
+                next_assign += e["record_count"]
+                inherited += 1
             files.append(e)
 
     # validate the lineage invariants: disjoint id ranges covered by
@@ -497,6 +516,7 @@ def source_iceberg_v3_row_lineage(
         scan = scan.unionByName(df)
     out = scan.agg(
         F.count("*").alias("n_rows"),
+        F.lit(inherited).cast("int").alias("inherited_files"),
         F.countDistinct("_row_id").alias("distinct_row_ids"),
         F.min("_row_id").cast("bigint").alias("min_row_id"),
         F.max("_row_id").cast("bigint").alias("max_row_id"),
