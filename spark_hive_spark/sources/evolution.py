@@ -1338,14 +1338,15 @@ def source_delta_checkpoint_replay(
 
     # ---- the reader: _last_checkpoint -> checkpoint state -> JSON ----
     with open(os.path.join(ldir, "_last_checkpoint")) as fh:
-        ckpt_version = _json.load(fh)["version"]
+        last_ckpt = _json.load(fh)
+    ckpt_version = last_ckpt["version"]
     # round 14 (r13 verdict task 5): checkpoint actions stay a
     # DATAFRAME — the protocol gate collects only protocol rows
     # (bounded: one per checkpoint) and the state resolve is the
     # distributed per-path window in `delta_state_reconstruction`;
     # the driver collects ONLY the final live-path scan list
     ckpt_df = spark.read.parquet(
-        os.path.join(ldir, f"{ckpt_version:020d}.checkpoint.parquet")
+        *delta_checkpoint_files(ldir, last_ckpt)
     ).persist()  # every downstream job reads this scan exactly once
     for row in ckpt_df.filter(
         F.col("protocol").isNotNull()
@@ -1708,6 +1709,38 @@ def source_delta_v2_checkpoint_replay(
     return out
 
 
+
+
+def delta_checkpoint_files(ldir: str, last_checkpoint: dict) -> list[str]:
+    """``_last_checkpoint`` content -> the classic checkpoint's
+    parquet file list (round 15): large tables split the checkpoint
+    into N parts named ``<v>.checkpoint.<i>.<n>.parquet`` (i in
+    1..n, both zero-padded to 10) and record ``parts`` in
+    _last_checkpoint; single-part checkpoints stay
+    ``<v>.checkpoint.parquet``. A reader that only knows the
+    single-part name can't even FIND a multi-part checkpoint; a
+    reader that globs without validating the count silently drops
+    state if a part is missing — so every declared part must exist,
+    loudly."""
+    v = last_checkpoint["version"]
+    parts = last_checkpoint.get("parts")
+    if parts is None:
+        return [os.path.join(ldir, f"{v:020d}.checkpoint.parquet")]
+    if not isinstance(parts, int) or parts < 1:
+        raise ValueError(f"_last_checkpoint parts {parts!r} invalid")
+    files = [
+        os.path.join(
+            ldir, f"{v:020d}.checkpoint.{i:010d}.{parts:010d}.parquet"
+        )
+        for i in range(1, parts + 1)
+    ]
+    missing = [f for f in files if not os.path.exists(f)]
+    if missing:
+        raise ValueError(
+            f"multi-part checkpoint missing {len(missing)} of "
+            f"{parts} parts (first: {os.path.basename(missing[0])})"
+        )
+    return files
 
 
 def _replay_ord(version: int, line_no: int) -> int:
@@ -4634,3 +4667,218 @@ def source_delta_column_mapping_id_array(
     shutil.rmtree(root, ignore_errors=True)
     return out
 
+
+
+@register(
+    "source_delta_multipart_checkpoint",
+    oracle=f"""
+        SELECT CAST(1 AS INT) AS checkpoint_version,
+               CAST(2 AS INT) AS checkpoint_parts,
+               CAST(3 AS INT) AS checkpoint_live,
+               CAST(1 AS INT) AS versions_replayed,
+               CAST(3 AS INT) AS live_files,
+               CAST(1 AS INT) AS tombstones,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               {sql_dsum('o_totalprice')} AS revenue
+        FROM orders
+    """,
+    tags=("source", "delta", "lakehouse", "compat", "checkpoint",
+          "multi-part"),
+)
+def source_delta_multipart_checkpoint(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Delta MULTI-PART classic checkpoints (round 15): large tables
+    split the checkpoint into N parquet parts named
+    ``<v>.checkpoint.<i>.<n>.parquet`` and record ``parts`` in
+    ``_last_checkpoint`` — a reader that only knows the single-part
+    name cannot even FIND the checkpoint, and one that globs without
+    validating the declared count silently drops state when a part
+    is missing (`delta_checkpoint_files` resolves + validates; the
+    classic reader now routes through it too).
+
+    The fixture checkpoints at v1 with the three live adds SPLIT
+    ACROSS TWO PARTS (protocol/metaData + add x in part 1, adds y/z
+    in part 2), deletes the pre-checkpoint JSON (the reader provably
+    bootstraps from the parts), then replays a v2 rewrite of x.
+    Missing either part loses a third of the table; the oracle pins
+    part/live/tombstone counts and the full aggregate.
+
+    Scale posture: the parts are one Spark parquet scan —
+    checkpoint state reconstruction stays the distributed per-path
+    window (`delta_state_reconstruction`), and multi-part is
+    exactly the format's answer to checkpoints too big for one
+    writer task at 100 TB."""
+    import json as _json
+
+    import pyarrow as _pa
+    import pyarrow.parquet as _pq
+
+    orders = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    root = os.path.join(
+        tempfile.gettempdir(), f"shs_deltamp_{uuid.uuid4().hex}"
+    )
+    tdir = os.path.join(root, "t")
+    ldir = os.path.join(tdir, "_delta_log")
+    os.makedirs(ldir)
+
+    k = F.col("o_orderkey") % 3
+    split_tmp = os.path.join(root, "stage_split")
+    (
+        orders.withColumn("part", k)
+        .repartition(1)
+        .write.partitionBy("part")
+        .parquet(split_tmp)
+    )
+    for part, name in ((0, "part-x.parquet"), (1, "part-y.parquet"),
+                       (2, "part-z.parquet")):
+        pdir = os.path.join(split_tmp, f"part={part}")
+        src = next(f for f in os.listdir(pdir) if f.endswith(".parquet"))
+        os.replace(os.path.join(pdir, src), os.path.join(tdir, name))
+    shutil.rmtree(split_tmp, ignore_errors=True)
+    shutil.copy(  # rewrite of x: same rows, new file identity
+        os.path.join(tdir, "part-x.parquet"),
+        os.path.join(tdir, "part-x2.parquet"),
+    )
+
+    def _commit(version: int, actions: list[dict]) -> None:
+        with open(os.path.join(ldir, f"{version:020d}.json"), "w") as fh:
+            fh.write("\n".join(_json.dumps(a) for a in actions) + "\n")
+
+    def _add(p: str) -> dict:
+        return {"add": {"path": p, "size": os.path.getsize(
+            os.path.join(tdir, p)), "modificationTime": 0,
+            "dataChange": True}}
+
+    def _remove(p: str) -> dict:
+        return {"remove": {"path": p, "deletionTimestamp": 0,
+                           "dataChange": False}}
+
+    _commit(0, [
+        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+        {"metaData": {"id": "shs-delta-mpckpt", "format":
+            {"provider": "parquet", "options": {}},
+            "schemaString": "{}", "partitionColumns": []}},
+        _add("part-x.parquet"), _add("part-y.parquet"),
+    ])
+    _commit(1, [_add("part-z.parquet")])
+
+    # ---- checkpoint v1, split across TWO parts; identical schemas
+    def _sz(p: str) -> int:
+        return os.path.getsize(os.path.join(tdir, p))
+
+    proto_t = _pa.struct([("minReaderVersion", _pa.int32()),
+                          ("minWriterVersion", _pa.int32())])
+    meta_t = _pa.struct([("id", _pa.string()),
+                         ("schemaString", _pa.string())])
+    add_t = _pa.struct([("path", _pa.string()), ("size", _pa.int64()),
+                        ("modificationTime", _pa.int64()),
+                        ("dataChange", _pa.bool_())])
+    rem_t = _pa.struct([("path", _pa.string()),
+                        ("deletionTimestamp", _pa.int64()),
+                        ("dataChange", _pa.bool_())])
+
+    def _ckpt_part(protocols, metas, adds, n: int) -> "_pa.Table":
+        return _pa.table({
+            "protocol": _pa.array(protocols, proto_t),
+            "metaData": _pa.array(metas, meta_t),
+            "add": _pa.array(adds, add_t),
+            "remove": _pa.array([None] * n, rem_t),
+        })
+
+    def _addrow(p: str) -> dict:
+        return {"path": p, "size": _sz(p), "modificationTime": 0,
+                "dataChange": True}
+
+    part1 = _ckpt_part(
+        [{"minReaderVersion": 1, "minWriterVersion": 2}, None, None],
+        [None, {"id": "shs-delta-mpckpt", "schemaString": "{}"}, None],
+        [None, None, _addrow("part-x.parquet")],
+        3,
+    )
+    part2 = _ckpt_part(
+        [None, None],
+        [None, None],
+        [_addrow("part-y.parquet"), _addrow("part-z.parquet")],
+        2,
+    )
+    _pq.write_table(part1, os.path.join(
+        ldir, f"{1:020d}.checkpoint.{1:010d}.{2:010d}.parquet"))
+    _pq.write_table(part2, os.path.join(
+        ldir, f"{1:020d}.checkpoint.{2:010d}.{2:010d}.parquet"))
+    with open(os.path.join(ldir, "_last_checkpoint"), "w") as fh:
+        _json.dump({"version": 1, "size": 5, "parts": 2}, fh)
+    for v in range(2):  # metadata cleanup: pre-checkpoint JSON expires
+        os.remove(os.path.join(ldir, f"{v:020d}.json"))
+
+    _commit(2, [_remove("part-x.parquet"), _add("part-x2.parquet")])
+
+    # ---- the reader ----
+    with open(os.path.join(ldir, "_last_checkpoint")) as fh:
+        last_ckpt = _json.load(fh)
+    ckpt_version = last_ckpt["version"]
+    ckpt_files = delta_checkpoint_files(ldir, last_ckpt)
+    ckpt_df = spark.read.parquet(*ckpt_files).persist()
+    for row in ckpt_df.filter(F.col("protocol").isNotNull()).collect():
+        if row["protocol"]["minReaderVersion"] > 1:
+            raise NotImplementedError(
+                "Delta reader features beyond protocol v1"
+            )
+    ckpt_actions = (
+        ckpt_df
+        .filter(F.col("add").isNotNull() | F.col("remove").isNotNull())
+        .select(
+            F.coalesce(F.col("add.path"), F.col("remove.path"))
+            .alias("path"),
+            F.when(F.col("add").isNotNull(), F.lit("add"))
+            .otherwise(F.lit("remove")).alias("kind"),
+        )
+    )
+    versions = sorted(
+        int(f[:20]) for f in os.listdir(ldir) if f.endswith(".json")
+    )
+    replay = [v for v in versions if v > ckpt_version]
+    if replay != list(range(ckpt_version + 1,
+                            ckpt_version + 1 + len(replay))):
+        raise ValueError("Delta log has version gaps after checkpoint")
+    replay_rows: list[tuple[str, str, int]] = []
+    for v in replay:
+        with open(os.path.join(ldir, f"{v:020d}.json")) as fh:
+            for ln, line in enumerate(fh):
+                if not line.strip():
+                    continue
+                action = _json.loads(line)
+                for kind in ("add", "remove"):
+                    if kind in action:
+                        replay_rows.append((
+                            action[kind]["path"], kind,
+                            _replay_ord(v, ln),
+                        ))
+    replay_df = spark.createDataFrame(
+        replay_rows, "path string, kind string, ord bigint"
+    )
+    resolved = delta_state_reconstruction(ckpt_actions, replay_df)
+    state = resolved.select("path", "kind").collect()
+    live = sorted(r["path"] for r in state if r["kind"] == "add")
+    n_tombstones = sum(r["kind"] == "remove" for r in state)
+    checkpoint_live = ckpt_actions.filter(
+        F.col("kind") == "add"
+    ).count()  # reads the persisted parts scan, not the files
+    ckpt_df.unpersist()
+    scan = spark.read.parquet(
+        *(os.path.join(tdir, p) for p in live)
+    )
+    out = scan.agg(
+        F.lit(ckpt_version).cast("int").alias("checkpoint_version"),
+        F.lit(len(ckpt_files)).cast("int").alias("checkpoint_parts"),
+        F.lit(checkpoint_live).cast("int").alias("checkpoint_live"),
+        F.lit(len(replay)).cast("int").alias("versions_replayed"),
+        F.lit(len(live)).cast("int").alias("live_files"),
+        F.lit(n_tombstones).cast("int").alias("tombstones"),
+        F.count("*").alias("n_orders"),
+        dsum("o_totalprice").alias("revenue"),
+    ).localCheckpoint(eager=True)  # 1 row; frees the temp root
+    shutil.rmtree(root, ignore_errors=True)
+    return out

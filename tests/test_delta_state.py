@@ -72,3 +72,30 @@ def test_replay_ord_guards_are_loud():
         _replay_ord(1, 1 << 32)
     with pytest.raises(ValueError, match="version"):
         _replay_ord(1 << 30, 0)
+
+
+def test_delta_checkpoint_files_resolution(tmp_path):
+    """Round 15: multi-part classic checkpoints resolve from the
+    `parts` field with every declared part validated present."""
+    import pytest
+
+    from spark_hive_spark.sources.evolution import (
+        delta_checkpoint_files,
+    )
+
+    ldir = str(tmp_path)
+    single = f"{7:020d}.checkpoint.parquet"
+    open(f"{ldir}/{single}", "wb").close()
+    assert delta_checkpoint_files(ldir, {"version": 7}) == [
+        f"{ldir}/{single}"
+    ]
+    p1 = f"{9:020d}.checkpoint.{1:010d}.{2:010d}.parquet"
+    p2 = f"{9:020d}.checkpoint.{2:010d}.{2:010d}.parquet"
+    open(f"{ldir}/{p1}", "wb").close()
+    with pytest.raises(ValueError, match="missing 1 of 2 parts"):
+        delta_checkpoint_files(ldir, {"version": 9, "parts": 2})
+    open(f"{ldir}/{p2}", "wb").close()
+    assert delta_checkpoint_files(ldir, {"version": 9, "parts": 2}) \
+        == [f"{ldir}/{p1}", f"{ldir}/{p2}"]
+    with pytest.raises(ValueError, match="invalid"):
+        delta_checkpoint_files(ldir, {"version": 9, "parts": 0})
