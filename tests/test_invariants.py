@@ -3169,3 +3169,67 @@ def test_avro_logical_types_roundtrip():
     # out-of-range union index is loud
     with _pytest.raises(ValueError, match="union index"):
         _dec_field(b"\x04", 0, ["null", "long"])
+
+
+def test_avro_complex_types_roundtrip():
+    """Round 15: enum / fixed / map / nested record round-trip, and
+    the validation paths are loud."""
+    import pytest
+
+    from spark_hive_spark.operators.avro import (
+        _dec_field,
+        _enc_field,
+        encode_avro_ocf,
+        parse_avro_ocf,
+    )
+
+    sch = {"type": "record", "name": "R", "fields": [
+        {"name": "status",
+         "type": {"type": "enum", "name": "S",
+                  "symbols": ["F", "O", "P"]}},
+        {"name": "sig",
+         "type": {"type": "fixed", "name": "G", "size": 4}},
+        {"name": "tags", "type": {"type": "map", "values": "long"}},
+        {"name": "inner",
+         "type": {"type": "record", "name": "I", "fields": [
+             {"name": "a", "type": "long"},
+             {"name": "b", "type": "string"}]}},
+    ]}
+    recs = [
+        {"status": "P", "sig": b"\x01\x02\x03\x04",
+         "tags": {"x": 1, "y": -2}, "inner": {"a": 7, "b": "hi"}},
+        {"status": "F", "sig": b"\xff\xff\xff\xff",
+         "tags": {}, "inner": {"a": -1, "b": ""}},
+    ]
+    _, back = parse_avro_ocf(encode_avro_ocf(recs, sch, codec="null"))
+    assert back == recs
+
+    enum_t = {"type": "enum", "name": "S", "symbols": ["A", "B"]}
+    with pytest.raises(ValueError, match="not in symbols"):
+        _enc_field("C", enum_t)
+    with pytest.raises(ValueError, match="out of range"):
+        _dec_field(b"\x08", 0, enum_t)  # zigzag 8 -> index 4
+    fixed_t = {"type": "fixed", "name": "G", "size": 4}
+    with pytest.raises(ValueError, match="size 4"):
+        _enc_field(b"\x00", fixed_t)
+    with pytest.raises(ValueError, match="truncated Avro fixed"):
+        _dec_field(b"\x00\x00", 0, fixed_t)
+
+
+def test_avro_map_negative_block_count_decodes():
+    """Spec: a negative map block count is followed by the block's
+    byte size; the decoder must honor it."""
+    from spark_hive_spark.operators.avro import (
+        _dec_field,
+        _enc_field,
+        encode_varint,
+    )
+
+    map_t = {"type": "map", "values": "long"}
+    body = _enc_field({"k": 5}, map_t)
+    # rewrite the single block with a negative count + byte size
+    inner = body[len(encode_varint(1)):-len(encode_varint(0))]
+    neg = encode_varint(-1) + encode_varint(len(inner)) + inner \
+        + encode_varint(0)
+    val, pos = _dec_field(neg, 0, map_t)
+    assert val == {"k": 5} and pos == len(neg)
