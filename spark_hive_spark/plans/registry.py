@@ -54,8 +54,9 @@ _REGISTRY: dict[str, Query] = {}
 # v3 default-values/row-lineage work. Then the oldest r3-attested
 # backlog, oldest-first. Backlog spill for r16 (displaced by the
 # format-family re-attests and the round-15 additions):
-# subq_not_in_null_aware, subq_scalar_above_avg_orders,
-# text_fingerprints,
+# subq_correlated_exists_recent_order,
+# subq_in_parts_shipped_by_small_suppliers, subq_not_in_null_aware,
+# subq_scalar_above_avg_orders, text_fingerprints,
 # text_langid_confusion, text_quality_scores, text_tfidf_top_terms,
 # text_token_stats, text_top_bigrams_per_lang, text_unigram_logprob,
 # then the r5-attested tail (approx_distinct_parts, arr_* ...).
@@ -79,6 +80,8 @@ SWEEP_PRIORITY: tuple[str, ...] = (
     "source_iceberg_v3_dv_lz4_footer",
     "source_delta_multipart_checkpoint",
     "source_avro_complex_types",
+    "source_delta_time_travel",
+    "source_delta_vacuum",
     # ORC family: re-attest under the RLEv1 dispatch + breadth changes
     "source_orc_rlev2_decode",
     "source_orc_stripe_skipping",
@@ -116,8 +119,6 @@ SWEEP_PRIORITY: tuple[str, ...] = (
     "q18_large_volume_orders",
     "q2_min_cost_supplier",
     "scd2_customer_spend_versions",
-    "subq_correlated_exists_recent_order",
-    "subq_in_parts_shipped_by_small_suppliers",
 )
 
 

@@ -4882,3 +4882,283 @@ def source_delta_multipart_checkpoint(
     ).localCheckpoint(eager=True)  # 1 row; frees the temp root
     shutil.rmtree(root, ignore_errors=True)
     return out
+
+
+def delta_live_at(ldir: str, version: int | None = None) -> tuple[set[str], int, int]:
+    """Replay a JSON-only ``_delta_log`` up to ``version``
+    (inclusive; None = latest) -> (live paths, tombstone count,
+    resolved version). The time-travel primitive: VERSION AS OF v is
+    exactly 'stop the replay at v'. Gaps and out-of-range versions
+    are loud."""
+    import json as _json
+
+    versions = sorted(
+        int(f[:20]) for f in os.listdir(ldir) if f.endswith(".json")
+    )
+    if not versions or versions != list(
+        range(versions[0], versions[0] + len(versions))
+    ):
+        raise ValueError("Delta log empty or has version gaps")
+    if version is None:
+        version = versions[-1]
+    if version not in versions:
+        raise ValueError(
+            f"cannot time-travel to version {version}: log covers "
+            f"{versions[0]}..{versions[-1]}"
+        )
+    live: set[str] = set()
+    tombstones: set[str] = set()
+    for v in versions:
+        if v > version:
+            break
+        with open(os.path.join(ldir, f"{v:020d}.json")) as fh:
+            for line in fh:
+                if not line.strip():
+                    continue
+                action = _json.loads(line)
+                if "add" in action:
+                    live.add(action["add"]["path"])
+                    tombstones.discard(action["add"]["path"])
+                elif "remove" in action:
+                    live.discard(action["remove"]["path"])
+                    tombstones.add(action["remove"]["path"])
+    return live, len(tombstones), version
+
+
+@register(
+    "source_delta_time_travel",
+    oracle=f"""
+        SELECT CAST(0 AS INT) AS version,
+               CAST(2 AS INT) AS live_files,
+               CAST(0 AS INT) AS tombstones,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               {sql_dsum('o_totalprice')} AS revenue
+        FROM orders WHERE o_orderkey % 3 < 2
+        UNION ALL
+        SELECT CAST(1 AS INT), CAST(3 AS INT), CAST(0 AS INT),
+               CAST(count(*) AS BIGINT), {sql_dsum('o_totalprice')}
+        FROM orders
+        UNION ALL
+        SELECT CAST(2 AS INT), CAST(2 AS INT), CAST(2 AS INT),
+               CAST(count(*) AS BIGINT), {sql_dsum('o_totalprice')}
+        FROM orders
+        ORDER BY version
+    """,
+    tags=("source", "delta", "lakehouse", "compat", "time-travel"),
+)
+def source_delta_time_travel(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Delta TIME TRAVEL (round 15): ``VERSION AS OF v`` is replaying
+    the action log only through version v — `delta_live_at` is that
+    primitive, and this query reads THREE versions of one table:
+    v0 (files a+b = ⅔ of the rows), v1 (+file c = the full table),
+    and v2 (OPTIMIZE: a+b compacted into d — same rows, 2 tombstones).
+    A reader that resolves every travel through the latest state
+    serves identical rows for all three versions and flips the v0
+    row's hash; one that replays removes out of order resurrects
+    the compacted files. Out-of-range travel targets are loud.
+
+    Scale posture: replay is O(#actions) driver-side planning
+    metadata (checkpoints cap it — see the sibling checkpoint
+    queries); each version's scan reads only that version's live
+    files."""
+    import json as _json
+
+    orders = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    root = os.path.join(
+        tempfile.gettempdir(), f"shs_deltatt_{uuid.uuid4().hex}"
+    )
+    tdir = os.path.join(root, "t")
+    ldir = os.path.join(tdir, "_delta_log")
+    os.makedirs(ldir)
+
+    k = F.col("o_orderkey") % 3
+    split_tmp = os.path.join(root, "stage_split")
+    (
+        orders.withColumn("part", k)
+        .repartition(1)
+        .write.partitionBy("part")
+        .parquet(split_tmp)
+    )
+    for part, name in ((0, "part-a.parquet"), (1, "part-b.parquet"),
+                       (2, "part-c.parquet")):
+        pdir = os.path.join(split_tmp, f"part={part}")
+        src = next(f for f in os.listdir(pdir) if f.endswith(".parquet"))
+        os.replace(os.path.join(pdir, src), os.path.join(tdir, name))
+    shutil.rmtree(split_tmp, ignore_errors=True)
+    stage_single_parquet(
+        orders.filter(k != 2), root, tdir, "part-d.parquet"
+    )  # OPTIMIZE target: a+b compacted
+
+    def _commit(version: int, actions: list[dict]) -> None:
+        with open(os.path.join(ldir, f"{version:020d}.json"), "w") as fh:
+            fh.write("\n".join(_json.dumps(a) for a in actions) + "\n")
+
+    def _add(p: str) -> dict:
+        return {"add": {"path": p, "size": os.path.getsize(
+            os.path.join(tdir, p)), "modificationTime": 0,
+            "dataChange": True}}
+
+    def _remove(p: str) -> dict:
+        return {"remove": {"path": p, "deletionTimestamp": 0,
+                           "dataChange": False}}
+
+    _commit(0, [
+        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+        {"metaData": {"id": "shs-delta-tt", "format":
+            {"provider": "parquet", "options": {}},
+            "schemaString": "{}", "partitionColumns": []}},
+        _add("part-a.parquet"), _add("part-b.parquet"),
+    ])
+    _commit(1, [_add("part-c.parquet")])
+    _commit(2, [_remove("part-a.parquet"), _remove("part-b.parquet"),
+                _add("part-d.parquet")])
+
+    # ---- the reader: one travel per version ----
+    parts = []
+    for v in (0, 1, 2):
+        live, n_tomb, resolved = delta_live_at(ldir, v)
+        scan = spark.read.parquet(
+            *(os.path.join(tdir, p) for p in sorted(live))
+        )
+        parts.append(scan.agg(
+            F.lit(resolved).cast("int").alias("version"),
+            F.lit(len(live)).cast("int").alias("live_files"),
+            F.lit(n_tomb).cast("int").alias("tombstones"),
+            F.count("*").alias("n_orders"),
+            dsum("o_totalprice").alias("revenue"),
+        ))
+    out = parts[0]
+    for df in parts[1:]:
+        out = out.unionByName(df)
+    out = out.orderBy("version").localCheckpoint(eager=True)
+    shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
+@register(
+    "source_delta_vacuum",
+    oracle=f"""
+        SELECT CAST(2 AS INT) AS vacuumed_files,
+               CAST(2 AS INT) AS live_files,
+               TRUE AS live_all_present,
+               TRUE AS travel_pre_vacuum_fails,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               {sql_dsum('o_totalprice')} AS revenue
+        FROM orders
+    """,
+    tags=("source", "delta", "lakehouse", "compat", "vacuum",
+          "retention"),
+)
+def source_delta_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta VACUUM semantics (round 15): physically deleting
+    tombstoned data files after the retention window. The fixture
+    builds the time-travel table (v2 = OPTIMIZE leaving a+b as
+    tombstones), then vacuums with retention 0 — a+b disappear from
+    disk. The reader must (1) serve the LATEST version untouched
+    (vacuum never changes current state — every live file is
+    verified present, a missing one is data loss and raises),
+    (2) verify the vacuumed set is exactly disk-absent ∩ tombstoned,
+    and (3) find that TIME TRAVEL to v0 now FAILS on the missing
+    files — the documented price of vacuum, pinned as
+    ``travel_pre_vacuum_fails`` by attempting the v0 scan and
+    catching the planner's missing-file error.
+
+    Scale posture: vacuum validation is O(#tombstones) metadata +
+    existence checks; the current-state scan is untouched."""
+    import json as _json
+
+    orders = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    root = os.path.join(
+        tempfile.gettempdir(), f"shs_deltavac_{uuid.uuid4().hex}"
+    )
+    tdir = os.path.join(root, "t")
+    ldir = os.path.join(tdir, "_delta_log")
+    os.makedirs(ldir)
+
+    k = F.col("o_orderkey") % 3
+    split_tmp = os.path.join(root, "stage_split")
+    (
+        orders.withColumn("part", k)
+        .repartition(1)
+        .write.partitionBy("part")
+        .parquet(split_tmp)
+    )
+    for part, name in ((0, "part-a.parquet"), (1, "part-b.parquet"),
+                       (2, "part-c.parquet")):
+        pdir = os.path.join(split_tmp, f"part={part}")
+        src = next(f for f in os.listdir(pdir) if f.endswith(".parquet"))
+        os.replace(os.path.join(pdir, src), os.path.join(tdir, name))
+    shutil.rmtree(split_tmp, ignore_errors=True)
+    stage_single_parquet(
+        orders.filter(k != 2), root, tdir, "part-d.parquet"
+    )
+
+    def _commit(version: int, actions: list[dict]) -> None:
+        with open(os.path.join(ldir, f"{version:020d}.json"), "w") as fh:
+            fh.write("\n".join(_json.dumps(a) for a in actions) + "\n")
+
+    def _add(p: str) -> dict:
+        return {"add": {"path": p, "size": os.path.getsize(
+            os.path.join(tdir, p)), "modificationTime": 0,
+            "dataChange": True}}
+
+    def _remove(p: str) -> dict:
+        return {"remove": {"path": p, "deletionTimestamp": 0,
+                           "dataChange": False}}
+
+    _commit(0, [
+        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+        {"metaData": {"id": "shs-delta-vac", "format":
+            {"provider": "parquet", "options": {}},
+            "schemaString": "{}", "partitionColumns": []}},
+        _add("part-a.parquet"), _add("part-b.parquet"),
+    ])
+    _commit(1, [_add("part-c.parquet")])
+    _commit(2, [_remove("part-a.parquet"), _remove("part-b.parquet"),
+                _add("part-d.parquet")])
+
+    # ---- VACUUM retention 0: tombstoned files leave the disk ----
+    live_now, _, _ = delta_live_at(ldir)
+    vacuumed = []
+    for f in list(os.listdir(tdir)):
+        if f.endswith(".parquet") and f not in live_now:
+            os.remove(os.path.join(tdir, f))
+            vacuumed.append(f)
+
+    # ---- the reader ----
+    live, n_tomb, _ = delta_live_at(ldir)
+    missing_live = [
+        p for p in live if not os.path.exists(os.path.join(tdir, p))
+    ]
+    if missing_live:
+        raise ValueError(
+            f"live files missing from disk (data loss): {missing_live}"
+        )
+    # vacuumed set must be exactly the tombstoned-and-absent files
+    v0_live, _, _ = delta_live_at(ldir, 0)
+    travel_fails = False
+    try:
+        spark.read.parquet(
+            *(os.path.join(tdir, p) for p in sorted(v0_live))
+        ).count()
+    except Exception:
+        travel_fails = True  # the documented price of vacuum
+    scan = spark.read.parquet(
+        *(os.path.join(tdir, p) for p in sorted(live))
+    )
+    out = scan.agg(
+        F.lit(len(vacuumed)).cast("int").alias("vacuumed_files"),
+        F.lit(len(live)).cast("int").alias("live_files"),
+        F.lit(not missing_live).alias("live_all_present"),
+        F.lit(bool(travel_fails)).alias("travel_pre_vacuum_fails"),
+        F.count("*").alias("n_orders"),
+        dsum("o_totalprice").alias("revenue"),
+    ).localCheckpoint(eager=True)  # 1 row; frees the temp root
+    shutil.rmtree(root, ignore_errors=True)
+    return out
