@@ -5162,3 +5162,210 @@ def source_delta_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).localCheckpoint(eager=True)  # 1 row; frees the temp root
     shutil.rmtree(root, ignore_errors=True)
     return out
+
+
+@register(
+    "source_iceberg_partition_evolution",
+    oracle=f"""
+        SELECT CAST(5 AS INT) AS files_scanned,
+               CAST(6 AS INT) AS files_pruned,
+               CAST(11 AS INT) AS files_total,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               {sql_dsum('o_totalprice')} AS revenue
+        FROM orders
+        WHERE year(o_orderdate) = 1995
+    """,
+    tags=("source", "iceberg", "lakehouse", "partition-evolution",
+          "pruning"),
+)
+def source_iceberg_partition_evolution(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Iceberg PARTITION-SPEC EVOLUTION (round 15): specs are
+    versioned per table and every manifest entry records which spec
+    its file was written under — after an evolution, OLD files keep
+    their OLD layout forever (Iceberg never rewrites data on
+    ALTER TABLE). Correct scan planning is therefore PER-FILE: a
+    predicate prunes a file only when THAT file's spec can evaluate
+    it. Pruning new-spec files by the old spec's values serves wrong
+    data; refusing to scan them loses rows.
+
+    Fixture: spec 0 = year(o_orderdate) — even keys land in 7
+    year-partitioned files; spec 1 = bucket[4](o_custkey) (the
+    hand-built murmur3 bucket transform) — odd keys land in 4 bucket
+    files committed after the evolution. The query filters
+    year = 1995: the planner prunes 6 of 7 spec-0 files by their
+    year partition values, CANNOT prune any spec-1 file (bucket of
+    custkey says nothing about dates — they all scan, residual
+    filter applied), and the oracle recomputes the filtered
+    aggregate raw. Scanning 5 files must reproduce it exactly; the
+    file counts pin the pruning decisions themselves.
+
+    Scale posture: pruning is O(#manifest entries) planning
+    metadata — at 100 TB the per-file spec dispatch is exactly what
+    keeps year-scoped scans from touching the post-evolution
+    bucket-partitioned bulk, while the residual filter stays pushed
+    into the parquet scan of the unprunable files."""
+    import json as _json
+
+    from spark_hive_spark.operators.avro import (
+        encode_avro_ocf,
+        parse_avro_ocf,
+    )
+
+    orders = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    root = os.path.join(
+        tempfile.gettempdir(), f"shs_icepev_{uuid.uuid4().hex}"
+    )
+    ddir = os.path.join(root, "data")
+    mdir = os.path.join(root, "metadata")
+    os.makedirs(ddir)
+    os.makedirs(mdir)
+
+    # ---- spec-0 files: even keys, partitioned by year(o_orderdate)
+    even = orders.filter(F.col("o_orderkey") % 2 == 0)
+    split_tmp = os.path.join(root, "stage_y")
+    (
+        even.withColumn("y", F.year("o_orderdate"))
+        .repartition(1)
+        .write.partitionBy("y")
+        .parquet(split_tmp)
+    )
+    entries: list[dict] = []
+    for d in sorted(os.listdir(split_tmp)):
+        if not d.startswith("y="):
+            continue
+        year = int(d.split("=")[1])
+        name = f"y{year}.parquet"
+        pdir = os.path.join(split_tmp, d)
+        src = next(f for f in os.listdir(pdir) if f.endswith(".parquet"))
+        os.replace(os.path.join(pdir, src), os.path.join(ddir, name))
+        entries.append({"status": 1, "file_path": name, "content": 0,
+                        "spec_id": 0, "part_value": year - 1970})
+    shutil.rmtree(split_tmp, ignore_errors=True)
+
+    # ---- spec-1 files: odd keys, bucket[4](o_custkey) ----
+    odd = orders.filter(F.col("o_orderkey") % 2 == 1)
+    import pandas as _pd  # noqa: F401 - mapInPandas fixture write
+
+    def _with_bucket(batches):
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf["b"] = [
+                iceberg_bucket_long(int(c), 4) for c in pdf["o_custkey"]
+            ]
+            yield pdf
+
+    split_tmp = os.path.join(root, "stage_b")
+    (
+        odd.mapInPandas(
+            _with_bucket,
+            "o_orderkey long, o_custkey long, o_orderdate timestamp_ntz,"
+            " o_totalprice double, b int",
+        )
+        .repartition(1)
+        .write.partitionBy("b")
+        .parquet(split_tmp)
+    )
+    for d in sorted(os.listdir(split_tmp)):
+        if not d.startswith("b="):
+            continue
+        b = int(d.split("=")[1])
+        name = f"b{b}.parquet"
+        pdir = os.path.join(split_tmp, d)
+        src = next(f for f in os.listdir(pdir) if f.endswith(".parquet"))
+        os.replace(os.path.join(pdir, src), os.path.join(ddir, name))
+        entries.append({"status": 1, "file_path": name, "content": 0,
+                        "spec_id": 1, "part_value": b})
+    shutil.rmtree(split_tmp, ignore_errors=True)
+
+    entry_schema = {
+        "type": "record",
+        "name": "manifest_entry",
+        "fields": [
+            {"name": "status", "type": "long"},
+            {"name": "file_path", "type": "string"},
+            {"name": "content", "type": "long"},
+            {"name": "spec_id", "type": "long"},
+            {"name": "part_value", "type": "long"},
+        ],
+    }
+    mlist_schema = {
+        "type": "record",
+        "name": "manifest_file",
+        "fields": [
+            {"name": "manifest_path", "type": "string"},
+            {"name": "content", "type": "long"},
+            {"name": "added_snapshot_id", "type": "long"},
+        ],
+    }
+    m1 = os.path.join(mdir, "m1.avro")
+    with open(m1, "wb") as fh:
+        fh.write(encode_avro_ocf(entries, entry_schema, codec="deflate"))
+    ml = os.path.join(mdir, "snap-2.avro")
+    with open(ml, "wb") as fh:
+        fh.write(encode_avro_ocf([
+            {"manifest_path": m1, "content": 0, "added_snapshot_id": 2},
+        ], mlist_schema, codec="snappy"))
+    with open(os.path.join(mdir, "v2.metadata.json"), "w") as fh:
+        _json.dump({
+            "format-version": 2,
+            "current-snapshot-id": 2,
+            "default-spec-id": 1,
+            "partition-specs": [
+                {"spec-id": 0, "fields": [
+                    {"name": "o_orderdate_year", "transform": "year",
+                     "source-id": 3, "field-id": 1000}]},
+                {"spec-id": 1, "fields": [
+                    {"name": "o_custkey_bucket",
+                     "transform": "bucket[4]", "source-id": 2,
+                     "field-id": 1001}]},
+            ],
+            "snapshots": [{"snapshot-id": 2, "manifest-list": ml}],
+        }, fh)
+
+    # ---- the reader: per-file-spec pruning for year(date) = 1995 ----
+    with open(os.path.join(mdir, "v2.metadata.json")) as fh:
+        md = _json.load(fh)
+    iceberg_format_gate(md)
+    specs = {s["spec-id"]: s for s in md["partition-specs"]}
+    current = next(
+        s for s in md["snapshots"]
+        if s["snapshot-id"] == md["current-snapshot-id"]
+    )
+    with open(current["manifest-list"], "rb") as fh:
+        _, manifest_rows = parse_avro_ocf(fh.read())
+    want_year_ord = 1995 - 1970  # the 'year' transform's 1970 epoch
+    scan_files: list[str] = []
+    pruned = 0
+    total = 0
+    for mrow in manifest_rows:
+        with open(mrow["manifest_path"], "rb") as fh:
+            _, m_entries = parse_avro_ocf(fh.read())
+        for e in m_entries:
+            iceberg_entry_content_gate(e)
+            total += 1
+            spec = specs[e["spec_id"]]
+            (field,) = spec["fields"]
+            # a file prunes ONLY when its own spec carries a year
+            # transform over the predicate column (source-id 3)
+            if (field["transform"] == "year"
+                    and field["source-id"] == 3):
+                if e["part_value"] != want_year_ord:
+                    pruned += 1
+                    continue
+            scan_files.append(e["file_path"])
+    scan = spark.read.parquet(
+        *(os.path.join(ddir, p) for p in sorted(scan_files))
+    ).filter(F.year("o_orderdate") == 1995)  # residual filter
+    out = scan.agg(
+        F.lit(len(scan_files)).cast("int").alias("files_scanned"),
+        F.lit(pruned).cast("int").alias("files_pruned"),
+        F.lit(total).cast("int").alias("files_total"),
+        F.count("*").alias("n_orders"),
+        dsum("o_totalprice").alias("revenue"),
+    ).localCheckpoint(eager=True)  # 1 row; frees the temp root
+    shutil.rmtree(root, ignore_errors=True)
+    return out
