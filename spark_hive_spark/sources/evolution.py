@@ -5369,3 +5369,191 @@ def source_iceberg_partition_evolution(
     ).localCheckpoint(eager=True)  # 1 row; frees the temp root
     shutil.rmtree(root, ignore_errors=True)
     return out
+
+
+@register(
+    "source_iceberg_manifest_skipping",
+    oracle=f"""
+        SELECT CAST(2 AS INT) AS manifests_total,
+               CAST(1 AS INT) AS manifests_opened,
+               CAST(2 AS INT) AS files_pruned,
+               CAST(1 AS INT) AS files_scanned,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               {sql_dsum('o_totalprice')} AS revenue
+        FROM orders
+        WHERE year(o_orderdate) = 1996
+    """,
+    tags=("source", "iceberg", "lakehouse", "pruning",
+          "manifest-skipping", "planning"),
+)
+def source_iceberg_manifest_skipping(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Iceberg MANIFEST-LEVEL skipping (round 15): the manifest LIST
+    carries per-manifest PARTITION SUMMARIES (``partitions``: one
+    {contains_null, lower_bound, upper_bound} per spec field), so
+    planning prunes whole manifests BEFORE opening them — the outer
+    level of Iceberg's two-level pruning, and the reason planning
+    stays O(relevant manifests) instead of O(all manifest entries)
+    on a 100 TB table with thousands of manifests.
+
+    Fixture: 7 year-partitioned files split across TWO manifests
+    (1995-1997 / 1998-2001), each manifest-list row summarizing its
+    year range (bounds carried as typed longs in this fixture's Avro
+    schema; the real spec serializes single-value binary — the
+    STRUCTURE and the skip decision are what's under test). The
+    year = 1996 predicate must skip the LATE manifest WITHOUT
+    READING IT — pinned by counting actual manifest opens — then
+    file-level pruning inside the surviving manifest keeps 1 of 3
+    files. A planner that opens everything still answers correctly
+    but flips `manifests_opened`; one that prunes by summary but
+    with an off-by-one epoch serves the wrong year and flips the
+    aggregate."""
+    import json as _json
+
+    from spark_hive_spark.operators.avro import (
+        encode_avro_ocf,
+        parse_avro_ocf,
+    )
+
+    orders = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_totalprice"
+    )
+    root = os.path.join(
+        tempfile.gettempdir(), f"shs_icemsk_{uuid.uuid4().hex}"
+    )
+    ddir = os.path.join(root, "data")
+    mdir = os.path.join(root, "metadata")
+    os.makedirs(ddir)
+    os.makedirs(mdir)
+
+    split_tmp = os.path.join(root, "stage_y")
+    (
+        orders.withColumn("y", F.year("o_orderdate"))
+        .repartition(1)
+        .write.partitionBy("y")
+        .parquet(split_tmp)
+    )
+    years: list[int] = []
+    for d in sorted(os.listdir(split_tmp)):
+        if not d.startswith("y="):
+            continue
+        year = int(d.split("=")[1])
+        pdir = os.path.join(split_tmp, d)
+        src = next(f for f in os.listdir(pdir) if f.endswith(".parquet"))
+        os.replace(os.path.join(pdir, src),
+                   os.path.join(ddir, f"y{year}.parquet"))
+        years.append(year)
+    shutil.rmtree(split_tmp, ignore_errors=True)
+
+    entry_schema = {
+        "type": "record",
+        "name": "manifest_entry",
+        "fields": [
+            {"name": "status", "type": "long"},
+            {"name": "file_path", "type": "string"},
+            {"name": "content", "type": "long"},
+            {"name": "part_value", "type": "long"},
+        ],
+    }
+    mlist_schema = {
+        "type": "record",
+        "name": "manifest_file",
+        "fields": [
+            {"name": "manifest_path", "type": "string"},
+            {"name": "content", "type": "long"},
+            {"name": "added_snapshot_id", "type": "long"},
+            {"name": "partitions",
+             "type": {"type": "array", "items": {
+                 "type": "record", "name": "field_summary",
+                 "fields": [
+                     {"name": "contains_null", "type": "boolean"},
+                     {"name": "lower_bound", "type": ["null", "long"]},
+                     {"name": "upper_bound", "type": ["null", "long"]},
+                 ]}}},
+        ],
+    }
+
+    def _manifest(name: str, yrs: list[int]) -> str:
+        path = os.path.join(mdir, name)
+        with open(path, "wb") as fh:
+            fh.write(encode_avro_ocf([
+                {"status": 1, "file_path": f"y{y}.parquet",
+                 "content": 0, "part_value": y - 1970}
+                for y in yrs
+            ], entry_schema, codec="deflate"))
+        return path
+
+    early = [y for y in years if y <= 1997]
+    late = [y for y in years if y > 1997]
+    if not early or not late:
+        raise ValueError(f"unexpected order-date year span: {years}")
+    m_early = _manifest("m-early.avro", early)
+    m_late = _manifest("m-late.avro", late)
+
+    def _summary(yrs: list[int]) -> list[dict]:
+        return [{"contains_null": False,
+                 "lower_bound": min(yrs) - 1970,
+                 "upper_bound": max(yrs) - 1970}]
+
+    ml = os.path.join(mdir, "snap-1.avro")
+    with open(ml, "wb") as fh:
+        fh.write(encode_avro_ocf([
+            {"manifest_path": m_early, "content": 0,
+             "added_snapshot_id": 1, "partitions": _summary(early)},
+            {"manifest_path": m_late, "content": 0,
+             "added_snapshot_id": 1, "partitions": _summary(late)},
+        ], mlist_schema, codec="snappy"))
+    with open(os.path.join(mdir, "v1.metadata.json"), "w") as fh:
+        _json.dump({
+            "format-version": 2,
+            "current-snapshot-id": 1,
+            "snapshots": [{"snapshot-id": 1, "manifest-list": ml}],
+        }, fh)
+
+    # ---- the reader: summary skip, then entry-level pruning ----
+    with open(os.path.join(mdir, "v1.metadata.json")) as fh:
+        md = _json.load(fh)
+    iceberg_format_gate(md)
+    current = next(
+        s for s in md["snapshots"]
+        if s["snapshot-id"] == md["current-snapshot-id"]
+    )
+    with open(current["manifest-list"], "rb") as fh:
+        _, manifest_rows = parse_avro_ocf(fh.read())
+    want = 1996 - 1970  # the year transform's 1970 epoch
+    scan_files: list[str] = []
+    opened = 0
+    pruned = 0
+    for mrow in manifest_rows:
+        (summ,) = mrow["partitions"]
+        # manifest-level skip: predicate value outside the summary
+        # range (and no nulls to worry about) -> never open the file
+        if (not summ["contains_null"]
+                and summ["lower_bound"] is not None
+                and summ["upper_bound"] is not None
+                and not summ["lower_bound"] <= want
+                    <= summ["upper_bound"]):
+            continue
+        opened += 1
+        with open(mrow["manifest_path"], "rb") as fh:
+            _, entries = parse_avro_ocf(fh.read())
+        for e in entries:
+            iceberg_entry_content_gate(e)
+            if e["part_value"] != want:
+                pruned += 1
+                continue
+            scan_files.append(e["file_path"])
+    scan = spark.read.parquet(
+        *(os.path.join(ddir, p) for p in sorted(scan_files))
+    ).filter(F.year("o_orderdate") == 1996)
+    out = scan.agg(
+        F.lit(len(manifest_rows)).cast("int").alias("manifests_total"),
+        F.lit(opened).cast("int").alias("manifests_opened"),
+        F.lit(pruned).cast("int").alias("files_pruned"),
+        F.lit(len(scan_files)).cast("int").alias("files_scanned"),
+        F.count("*").alias("n_orders"),
+        dsum("o_totalprice").alias("revenue"),
+    ).localCheckpoint(eager=True)  # 1 row; frees the temp root
+    shutil.rmtree(root, ignore_errors=True)
+    return out
