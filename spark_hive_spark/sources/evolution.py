@@ -5557,3 +5557,151 @@ def source_iceberg_manifest_skipping(
     ).localCheckpoint(eager=True)  # 1 row; frees the temp root
     shutil.rmtree(root, ignore_errors=True)
     return out
+
+
+@register(
+    "source_hudi_incremental",
+    oracle=f"""
+        SELECT CAST(2 AS INT) AS commits_in_range,
+               CAST(2 AS INT) AS slices_read,
+               CAST(count(*) AS BIGINT) AS rows_scanned,
+               CAST(sum(CASE WHEN o_orderkey % 10 IN (6, 7)
+                             THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_changed,
+               {sql_dsum(
+                   "CASE WHEN o_orderkey % 10 = 6"
+                   " THEN o_totalprice + 100.00"
+                   " WHEN o_orderkey % 10 = 7"
+                   " THEN o_totalprice + 50.00 END"
+               )} AS changed_revenue
+        FROM orders
+    """,
+    tags=("source", "hudi", "lakehouse", "incremental", "cdc"),
+)
+def source_hudi_incremental(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Apache Hudi INCREMENTAL query (round 15) — the feature Hudi
+    was built around: "give me everything that changed AFTER instant
+    t" without a full-table diff. Two layers cooperate, and the
+    fixture makes each one's failure visible:
+
+    - **Timeline scoping**: only commits with begin < ts <= end
+      contribute; their write stats name the file slices to read
+      (deduped per file group to the LATEST in-range slice — reading
+      both rewrites of one group double-counts).
+    - **Row-level filtering**: COW rewrites carry UNCHANGED rows
+      forward into the new base, so every row stores its
+      ``_hoodie_commit_time`` and the reader must filter
+      ``> begin`` — skipping that filter returns the whole table as
+      "changed" and flips n_changed/changed_revenue against the
+      oracle.
+
+    Fixture: t1 inserts both groups; t2 rewrites group A (+100.00 on
+    keys ≡ 6 mod 10, commit time stamped per changed row); t3
+    rewrites group B (+50.00 on keys ≡ 7). Incremental (t1, t3]
+    scans A@t2 + B@t3 (all rows — the carried-forward shape) and
+    yields exactly the changed rows.
+
+    Scale posture: incremental planning is O(#commits in range)
+    timeline metadata; the scan touches only rewritten slices and
+    the commit-time filter pushes into the parquet scan (min/max
+    stats make carried-over row groups skippable in real layouts)."""
+    import json as _json
+
+    orders = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    root = os.path.join(
+        tempfile.gettempdir(), f"shs_hudiinc_{uuid.uuid4().hex}"
+    )
+    tdir = os.path.join(root, "t")
+    hdir = os.path.join(tdir, ".hoodie")
+    os.makedirs(hdir)
+
+    t1, t2, t3 = "001", "002", "003"
+
+    def _write_base(
+        file_id: str, instant: str, df: DataFrame
+    ) -> tuple[str, int]:
+        name = f"{file_id}_0-1-0_{instant}.parquet"
+        stage_single_parquet(df, root, tdir, name)
+        return name, df.count()
+
+    par = F.col("o_orderkey") % 2
+    base = orders.withColumn("_hoodie_commit_time", F.lit(t1))
+    a1, na1 = _write_base("fg-A", t1, base.filter(par == 0))
+    b1, nb1 = _write_base("fg-B", t1, base.filter(par == 1))
+
+    def _rewrite(src: DataFrame, mod_rem: int, bump: float,
+                 instant: str) -> DataFrame:
+        changed = F.col("o_orderkey") % 10 == mod_rem
+        return src.select(
+            "o_orderkey",
+            F.when(
+                changed,
+                (F.col("o_totalprice").cast("decimal(18,2)")
+                 + F.lit(bump).cast("decimal(18,2)")).cast("double"),
+            ).otherwise(F.col("o_totalprice")).alias("o_totalprice"),
+            F.when(changed, F.lit(instant))
+            .otherwise(F.col("_hoodie_commit_time"))
+            .alias("_hoodie_commit_time"),
+        )
+
+    a2, na2 = _write_base(
+        "fg-A", t2, _rewrite(base.filter(par == 0), 6, 100.0, t2)
+    )
+    b3, nb3 = _write_base(
+        "fg-B", t3, _rewrite(base.filter(par == 1), 7, 50.0, t3)
+    )
+
+    def _commit(instant: str, stats: list[tuple[str, str, int]]) -> None:
+        meta = {"partitionToWriteStats": {"": [
+            {"fileId": fid, "path": path, "numWrites": n}
+            for fid, path, n in stats
+        ]}}
+        with open(os.path.join(hdir, f"{instant}.commit"), "w") as fh:
+            _json.dump(meta, fh)
+
+    for instant in (t1, t2, t3):
+        open(os.path.join(hdir, f"{instant}.commit.requested"), "w")
+        open(os.path.join(hdir, f"{instant}.commit.inflight"), "w")
+    _commit(t1, [("fg-A", a1, na1), ("fg-B", b1, nb1)])
+    _commit(t2, [("fg-A", a2, na2)])
+    _commit(t3, [("fg-B", b3, nb3)])
+
+    # ---- the reader: incremental pull over (begin, end] ----
+    begin, end = t1, t3
+    completed: dict[str, dict] = {}
+    for f in os.listdir(hdir):
+        parts = f.split(".")
+        if parts[1] != "commit":
+            raise NotImplementedError(f"Hudi action {parts[1]!r}")
+        if len(parts) == 2:
+            with open(os.path.join(hdir, f)) as fh:
+                completed[parts[0]] = _json.load(fh)
+    in_range = sorted(
+        ts for ts in completed if begin < ts <= end
+    )
+    # latest in-range slice per file group (reading both rewrites of
+    # one group would double-count its carried rows)
+    slices: dict[str, tuple[str, str]] = {}
+    for ts in in_range:
+        for s in completed[ts]["partitionToWriteStats"][""]:
+            fid = s["fileId"]
+            if fid not in slices or ts > slices[fid][0]:
+                slices[fid] = (ts, s["path"])
+    scan = spark.read.parquet(
+        *(os.path.join(tdir, p) for _, p in sorted(slices.values()))
+    )
+    changed = F.col("_hoodie_commit_time") > begin
+    out = scan.agg(
+        F.lit(len(in_range)).cast("int").alias("commits_in_range"),
+        F.lit(len(slices)).cast("int").alias("slices_read"),
+        F.count("*").alias("rows_scanned"),
+        F.sum(changed.cast("long")).alias("n_changed"),
+        dsum(F.when(changed, F.col("o_totalprice")))
+        .alias("changed_revenue"),
+    ).localCheckpoint(eager=True)  # 1 row; frees the temp root
+    shutil.rmtree(root, ignore_errors=True)
+    return out
