@@ -5705,3 +5705,197 @@ def source_hudi_incremental(
     ).localCheckpoint(eager=True)  # 1 row; frees the temp root
     shutil.rmtree(root, ignore_errors=True)
     return out
+
+
+@register(
+    "source_iceberg_expire_snapshots",
+    oracle=f"""
+        SELECT CAST(1 AS INT) AS snapshots_expired,
+               CAST(1 AS INT) AS snapshots_live,
+               CAST(1 AS INT) AS orphans_removed,
+               TRUE AS current_intact,
+               TRUE AS expired_travel_fails,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               {sql_dsum('o_totalprice')} AS revenue
+        FROM orders
+    """,
+    tags=("source", "iceberg", "lakehouse", "maintenance",
+          "expire-snapshots", "retention"),
+)
+def source_iceberg_expire_snapshots(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Iceberg EXPIRE SNAPSHOTS + orphan-file cleanup (round 15) —
+    the maintenance pair to Delta's VACUUM (`source_delta_vacuum`):
+    expiring a snapshot drops it from ``metadata.json`` and deletes
+    the data files reachable ONLY from expired snapshots. The
+    reachability computation is the part a naive implementation gets
+    wrong in both directions: deleting any file the CURRENT snapshot
+    still references is data loss (every live file is verified
+    present — a miss raises), while keeping expired-only files leaks
+    storage forever (the fixture pins exactly one orphan: the
+    pre-rewrite file A, superseded by A2 but still referenced by
+    snapshot 1).
+
+    After expiry the reader serves the current snapshot untouched
+    and time travel to the expired snapshot id FAILS BY NAME (it is
+    gone from the snapshot list — pinned by attempting it), which is
+    Iceberg's documented retention contract.
+
+    Scale posture: reachability is O(#manifest entries) over live
+    snapshots — planning metadata; the physical deletes are
+    object-store calls a real deployment batches."""
+    import json as _json
+
+    from spark_hive_spark.operators.avro import (
+        encode_avro_ocf,
+        parse_avro_ocf,
+    )
+
+    orders = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    root = os.path.join(
+        tempfile.gettempdir(), f"shs_iceexp_{uuid.uuid4().hex}"
+    )
+    ddir = os.path.join(root, "data")
+    mdir = os.path.join(root, "metadata")
+    os.makedirs(ddir)
+    os.makedirs(mdir)
+
+    k = F.col("o_orderkey") % 2
+    stage_single_parquet(orders.filter(k == 0), root, ddir, "A.parquet")
+    stage_single_parquet(orders.filter(k == 1), root, ddir, "B.parquet")
+    shutil.copy(os.path.join(ddir, "A.parquet"),
+                os.path.join(ddir, "A2.parquet"))  # rewrite of A
+
+    entry_schema = {
+        "type": "record",
+        "name": "manifest_entry",
+        "fields": [
+            {"name": "status", "type": "long"},
+            {"name": "file_path", "type": "string"},
+            {"name": "content", "type": "long"},
+        ],
+    }
+    mlist_schema = {
+        "type": "record",
+        "name": "manifest_file",
+        "fields": [
+            {"name": "manifest_path", "type": "string"},
+            {"name": "content", "type": "long"},
+            {"name": "added_snapshot_id", "type": "long"},
+        ],
+    }
+
+    def _manifest(name: str, entries: list[dict]) -> str:
+        path = os.path.join(mdir, name)
+        with open(path, "wb") as fh:
+            fh.write(encode_avro_ocf(
+                entries, entry_schema, codec="deflate"
+            ))
+        return path
+
+    m1 = _manifest("m1.avro", [
+        {"status": 1, "file_path": "A.parquet", "content": 0},
+        {"status": 1, "file_path": "B.parquet", "content": 0},
+    ])
+    m2 = _manifest("m2.avro", [
+        {"status": 2, "file_path": "A.parquet", "content": 0},
+        {"status": 1, "file_path": "A2.parquet", "content": 0},
+    ])
+
+    def _mlist(name: str, manifests: list[str], snap: int) -> str:
+        path = os.path.join(mdir, name)
+        with open(path, "wb") as fh:
+            fh.write(encode_avro_ocf([
+                {"manifest_path": p, "content": 0,
+                 "added_snapshot_id": snap}
+                for p in manifests
+            ], mlist_schema, codec="snappy"))
+        return path
+
+    ml1 = _mlist("snap-1.avro", [m1], 1)
+    ml2 = _mlist("snap-2.avro", [m1, m2], 2)
+    meta_path = os.path.join(mdir, "v2.metadata.json")
+    with open(meta_path, "w") as fh:
+        _json.dump({
+            "format-version": 2,
+            "current-snapshot-id": 2,
+            "snapshots": [
+                {"snapshot-id": 1, "manifest-list": ml1},
+                {"snapshot-id": 2, "manifest-list": ml2},
+            ],
+        }, fh)
+
+    def _live_files(md: dict, snapshot_id: int) -> set[str]:
+        snap = next(
+            s for s in md["snapshots"]
+            if s["snapshot-id"] == snapshot_id
+        )
+        with open(snap["manifest-list"], "rb") as fh:
+            _, mrows = parse_avro_ocf(fh.read())
+        live: set[str] = set()
+        for mrow in mrows:
+            with open(mrow["manifest_path"], "rb") as fh:
+                _, entries = parse_avro_ocf(fh.read())
+            for e in entries:
+                iceberg_entry_content_gate(e)
+                if e["status"] == 1:
+                    live.add(e["file_path"])
+                elif e["status"] == 2:
+                    live.discard(e["file_path"])
+        return live
+
+    # ---- EXPIRE snapshot 1: reachability, metadata, orphans ----
+    with open(meta_path) as fh:
+        md = _json.load(fh)
+    iceberg_format_gate(md)
+    keep_ids = {md["current-snapshot-id"]}
+    expire = [s for s in md["snapshots"]
+              if s["snapshot-id"] not in keep_ids]
+    reachable_live: set[str] = set()
+    for sid in keep_ids:
+        reachable_live |= _live_files(md, sid)
+    expired_refs: set[str] = set()
+    for s in expire:
+        expired_refs |= _live_files(md, s["snapshot-id"])
+    orphans = sorted(expired_refs - reachable_live)
+    for p in orphans:
+        os.remove(os.path.join(ddir, p))
+    md["snapshots"] = [
+        s for s in md["snapshots"] if s["snapshot-id"] in keep_ids
+    ]
+    with open(meta_path, "w") as fh:
+        _json.dump(md, fh)
+
+    # ---- the reader, post-expiry ----
+    with open(meta_path) as fh:
+        md2 = _json.load(fh)
+    live = _live_files(md2, md2["current-snapshot-id"])
+    missing = [
+        p for p in live if not os.path.exists(os.path.join(ddir, p))
+    ]
+    if missing:
+        raise ValueError(
+            f"live files missing after expiry (data loss): {missing}"
+        )
+    travel_fails = False
+    try:
+        _live_files(md2, 1)
+    except StopIteration:
+        travel_fails = True  # snapshot 1 is gone by name
+    scan = spark.read.parquet(
+        *(os.path.join(ddir, p) for p in sorted(live))
+    )
+    out = scan.agg(
+        F.lit(len(expire)).cast("int").alias("snapshots_expired"),
+        F.lit(len(md2["snapshots"])).cast("int").alias("snapshots_live"),
+        F.lit(len(orphans)).cast("int").alias("orphans_removed"),
+        F.lit(not missing).alias("current_intact"),
+        F.lit(bool(travel_fails)).alias("expired_travel_fails"),
+        F.count("*").alias("n_orders"),
+        dsum("o_totalprice").alias("revenue"),
+    ).localCheckpoint(eager=True)  # 1 row; frees the temp root
+    shutil.rmtree(root, ignore_errors=True)
+    return out
