@@ -1419,20 +1419,94 @@ def _v2_classify_top_row(d: dict) -> tuple[str, dict | None]:
     """Classify one TOP-LEVEL v2-checkpoint row -> (kind, payload).
 
     Recognized kinds: checkpointMetadata / protocol / sidecar /
-    metaData. The Delta protocol ALSO permits add/remove file actions
-    inline in the top-level checkpoint file (a writer may skip
-    sidecars entirely); silently dropping such rows would lose
-    live-file state, so any row that matches none of the recognized
-    action columns is a loud seam, per the repo convention."""
+    metaData, plus (round 15) inline ``add``/``remove`` file actions
+    — the protocol permits a v2 writer to skip sidecars entirely and
+    carry file state in the top-level checkpoint; the READERS keep
+    action rows spark-side (only metadata rows are collected), this
+    classifier exists for the bounded metadata collect and the
+    row-accounting check. A row matching no recognized column stays
+    a loud seam, per the repo convention."""
     for kind in ("checkpointMetadata", "protocol", "sidecar",
-                 "metaData"):
+                 "metaData", "add", "remove"):
         if d.get(kind) is not None:
             return kind, d[kind]
     extra = sorted(k for k, v in d.items() if v is not None)
     raise NotImplementedError(
         "v2 checkpoint top-level row with unsupported action columns "
-        f"{extra or ['<all-null>']} (inline add/remove state not "
-        "implemented; sidecar layout only)"
+        f"{extra or ['<all-null>']}"
+    )
+
+
+def _v2_read_top_metadata(
+    spark: SparkSession, path: str, ckpt_version: int
+) -> tuple[list[str], int]:
+    """Read a v2 TOP-LEVEL checkpoint's METADATA rows (bounded
+    collect: checkpointMetadata / protocol / sidecar / metaData) ->
+    (sidecar paths, inline-action row count). Inline add/remove rows
+    stay spark-side (`_v2_inline_actions`) — at 100 TB they are
+    O(files). Validates the checkpointMetadata version, gates reader
+    features, and accounts for every row: a row that is neither
+    metadata nor an inline action is unknown state and raises."""
+    top_df = spark.read.parquet(path).persist()
+    meta_cols = [c for c in ("checkpointMetadata", "protocol",
+                             "sidecar", "metaData")
+                 if c in top_df.columns]
+    action_cols = [c for c in ("add", "remove") if c in top_df.columns]
+    meta_pred = None
+    for c in meta_cols:
+        p = F.col(c).isNotNull()
+        meta_pred = p if meta_pred is None else (meta_pred | p)
+    sidecars: list[str] = []
+    saw_ckpt_meta = False
+    meta_rows = top_df.filter(meta_pred).collect() if meta_cols else []
+    for row in meta_rows:
+        kind, payload = _v2_classify_top_row(row.asDict())
+        if kind == "checkpointMetadata":
+            if payload["version"] != ckpt_version:
+                raise ValueError(
+                    "checkpointMetadata.version disagrees with "
+                    "_last_checkpoint"
+                )
+            saw_ckpt_meta = True
+        elif kind == "protocol":
+            feats = payload["readerFeatures"] or []
+            unknown = set(feats) - {"v2Checkpoint"}
+            if unknown:
+                raise NotImplementedError(
+                    f"Delta reader features {sorted(unknown)}"
+                )
+        elif kind == "sidecar":
+            sidecars.append(payload["path"])
+    if not saw_ckpt_meta:
+        raise ValueError("v2 checkpoint missing checkpointMetadata")
+    n_inline = (
+        _v2_inline_actions(spark, path).count() if action_cols else 0
+    )
+    # row accounting: nothing may be silently dropped
+    if top_df.count() != len(meta_rows) + n_inline:
+        raise NotImplementedError(
+            "v2 checkpoint carries rows that are neither metadata "
+            "nor inline add/remove actions"
+        )
+    top_df.unpersist()
+    return sidecars, n_inline
+
+
+def _v2_inline_actions(spark: SparkSession, path: str) -> DataFrame:
+    """A v2 top-level checkpoint's INLINE add/remove rows as the
+    state-reconstruction input DataFrame[path, kind] (round 15 —
+    previously a loud seam; the protocol lets writers skip sidecars
+    and carry file state in the top-level file)."""
+    top_df = spark.read.parquet(path)
+    return (
+        top_df
+        .filter(F.col("add").isNotNull() | F.col("remove").isNotNull())
+        .select(
+            F.coalesce(F.col("add.path"), F.col("remove.path"))
+            .alias("path"),
+            F.when(F.col("add").isNotNull(), F.lit("add"))
+            .otherwise(F.lit("remove")).alias("kind"),
+        )
     )
 
 
@@ -1618,30 +1692,14 @@ def source_delta_v2_checkpoint_replay(
             f"expected one v2 checkpoint for version {ckpt_version}, "
             f"found {len(candidates)}"
         )
-    sidecars: list[str] = []
-    saw_ckpt_meta = False
-    # the TOP checkpoint is O(sidecar pointers + protocol/metadata),
-    # not O(files) — collecting it is bounded by design
-    for row in spark.read.parquet(candidates[0]).collect():
-        kind, payload = _v2_classify_top_row(row.asDict())
-        if kind == "checkpointMetadata":
-            if payload["version"] != ckpt_version:
-                raise ValueError(
-                    "checkpointMetadata.version disagrees with "
-                    "_last_checkpoint"
-                )
-            saw_ckpt_meta = True
-        elif kind == "protocol":
-            feats = payload["readerFeatures"] or []
-            unknown = set(feats) - {"v2Checkpoint"}
-            if unknown:
-                raise NotImplementedError(
-                    f"Delta reader features {sorted(unknown)}"
-                )
-        elif kind == "sidecar":
-            sidecars.append(payload["path"])
-    if not saw_ckpt_meta:
-        raise ValueError("v2 checkpoint missing checkpointMetadata")
+    sidecars, n_inline = _v2_read_top_metadata(
+        spark, candidates[0], ckpt_version
+    )
+    if n_inline:
+        raise ValueError(
+            "sidecar-layout fixture unexpectedly carries inline "
+            "actions"  # the inline layout is its own query below
+        )
     # round 14 (r13 verdict task 5): sidecar actions stay a DATAFRAME
     # — no per-sidecar driver materialization; the per-path window in
     # `delta_state_reconstruction` resolves last-writer-wins, and the
@@ -5894,6 +5952,197 @@ def source_iceberg_expire_snapshots(
         F.lit(len(orphans)).cast("int").alias("orphans_removed"),
         F.lit(not missing).alias("current_intact"),
         F.lit(bool(travel_fails)).alias("expired_travel_fails"),
+        F.count("*").alias("n_orders"),
+        dsum("o_totalprice").alias("revenue"),
+    ).localCheckpoint(eager=True)  # 1 row; frees the temp root
+    shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
+@register(
+    "source_delta_v2_checkpoint_inline",
+    oracle=f"""
+        SELECT CAST(2 AS INT) AS checkpoint_version,
+               CAST(0 AS INT) AS sidecar_files,
+               CAST(4 AS INT) AS checkpoint_live,
+               CAST(1 AS INT) AS versions_replayed,
+               CAST(3 AS INT) AS live_files,
+               CAST(2 AS INT) AS tombstones,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               {sql_dsum('o_totalprice')} AS revenue
+        FROM orders
+    """,
+    tags=("source", "delta", "lakehouse", "compat", "checkpoint",
+          "v2", "inline"),
+)
+def source_delta_v2_checkpoint_inline(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Delta V2 checkpoint with INLINE file actions (round 15 —
+    previously the `_v2_classify_top_row` loud seam): PROTOCOL.md
+    lets a v2 writer skip sidecars entirely and carry add/remove
+    state in the TOP-LEVEL UUID-named checkpoint file alongside
+    checkpointMetadata/protocol/metaData. The reader must keep those
+    action rows SPARK-SIDE (at 100 TB they are O(files) — only the
+    bounded metadata rows are collected; `_v2_read_top_metadata`
+    also row-accounts the file so unknown action shapes still raise)
+    and feed them to the same distributed per-path state window the
+    sidecar layout uses.
+
+    Fixture: four quarter-files added inline at the v2 checkpoint
+    (no sidecar column exists at all), pre-checkpoint JSON expired,
+    then a v3 compaction (remove a+b, add their union) replays on
+    top — the 3-file live set must reproduce the full orders
+    table; the zero sidecar count pins that state really came from
+    the inline rows."""
+    import json as _json
+
+    import pyarrow as _pa
+    import pyarrow.parquet as _pq
+
+    orders = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    root = os.path.join(
+        tempfile.gettempdir(), f"shs_deltav2i_{uuid.uuid4().hex}"
+    )
+    tdir = os.path.join(root, "t")
+    ldir = os.path.join(tdir, "_delta_log")
+    os.makedirs(ldir)
+
+    k = F.col("o_orderkey") % 4
+    split_tmp = os.path.join(root, "stage_split")
+    (
+        orders.withColumn("part", k)
+        .repartition(1)
+        .write.partitionBy("part")
+        .parquet(split_tmp)
+    )
+    names = ["part-a.parquet", "part-b.parquet", "part-c.parquet",
+             "part-d.parquet"]
+    for part, name in enumerate(names):
+        pdir = os.path.join(split_tmp, f"part={part}")
+        src = next(f for f in os.listdir(pdir) if f.endswith(".parquet"))
+        os.replace(os.path.join(pdir, src), os.path.join(tdir, name))
+    shutil.rmtree(split_tmp, ignore_errors=True)
+    stage_single_parquet(
+        orders.filter(k < 2), root, tdir, "part-e.parquet"
+    )  # v3 compaction of a+b
+
+    def _commit(version: int, actions: list[dict]) -> None:
+        with open(os.path.join(ldir, f"{version:020d}.json"), "w") as fh:
+            fh.write("\n".join(_json.dumps(a) for a in actions) + "\n")
+
+    def _sz(p: str) -> int:
+        return os.path.getsize(os.path.join(tdir, p))
+
+    # ---- the top-level checkpoint: metadata + INLINE adds ----
+    n = 3 + len(names)
+    proto_t = _pa.struct([
+        ("minReaderVersion", _pa.int32()),
+        ("minWriterVersion", _pa.int32()),
+        ("readerFeatures", _pa.list_(_pa.string())),
+    ])
+    top = _pa.table({
+        "checkpointMetadata": _pa.array(
+            [{"version": 2}] + [None] * (n - 1),
+            _pa.struct([("version", _pa.int64())])),
+        "protocol": _pa.array(
+            [None, {"minReaderVersion": 3, "minWriterVersion": 7,
+                    "readerFeatures": ["v2Checkpoint"]}]
+            + [None] * (n - 2), proto_t),
+        "metaData": _pa.array(
+            [None, None, {"id": "shs-delta-v2inline",
+                          "schemaString": "{}"}] + [None] * (n - 3),
+            _pa.struct([("id", _pa.string()),
+                        ("schemaString", _pa.string())])),
+        "add": _pa.array(
+            [None] * 3
+            + [{"path": p, "size": _sz(p), "modificationTime": 0,
+                "dataChange": True} for p in names],
+            _pa.struct([("path", _pa.string()), ("size", _pa.int64()),
+                        ("modificationTime", _pa.int64()),
+                        ("dataChange", _pa.bool_())])),
+        "remove": _pa.array(
+            [None] * n,
+            _pa.struct([("path", _pa.string()),
+                        ("deletionTimestamp", _pa.int64()),
+                        ("dataChange", _pa.bool_())])),
+    })
+    ckpt_name = f"{2:020d}.checkpoint.{uuid.uuid4().hex}.parquet"
+    _pq.write_table(top, os.path.join(ldir, ckpt_name))
+    with open(os.path.join(ldir, "_last_checkpoint"), "w") as fh:
+        _json.dump({"version": 2, "size": n}, fh)
+
+    def _add(p: str) -> dict:
+        return {"add": {"path": p, "size": _sz(p),
+                        "modificationTime": 0, "dataChange": True}}
+
+    def _remove(p: str) -> dict:
+        return {"remove": {"path": p, "deletionTimestamp": 0,
+                           "dataChange": False}}
+
+    _commit(3, [_remove("part-a.parquet"), _remove("part-b.parquet"),
+                _add("part-e.parquet")])
+
+    # ---- the reader ----
+    with open(os.path.join(ldir, "_last_checkpoint")) as fh:
+        ckpt_version = _json.load(fh)["version"]
+    import glob as _glob
+
+    candidates = sorted(_glob.glob(os.path.join(
+        ldir, f"{ckpt_version:020d}.checkpoint.*.parquet"
+    )))
+    if len(candidates) != 1:
+        raise ValueError(
+            f"expected one v2 checkpoint, found {len(candidates)}"
+        )
+    sidecars, n_inline = _v2_read_top_metadata(
+        spark, candidates[0], ckpt_version
+    )
+    if sidecars:
+        raise ValueError("inline fixture unexpectedly has sidecars")
+    if not n_inline:
+        raise ValueError("v2 checkpoint carries no file state at all")
+    ckpt_actions = _v2_inline_actions(spark, candidates[0]).persist()
+    versions = sorted(
+        int(f[:20]) for f in os.listdir(ldir) if f.endswith(".json")
+    )
+    replay = [v for v in versions if v > ckpt_version]
+    replay_rows: list[tuple[str, str, int]] = []
+    for v in replay:
+        with open(os.path.join(ldir, f"{v:020d}.json")) as fh:
+            for ln, line in enumerate(fh):
+                if not line.strip():
+                    continue
+                action = _json.loads(line)
+                for kind in ("add", "remove"):
+                    if kind in action:
+                        replay_rows.append((
+                            action[kind]["path"], kind,
+                            _replay_ord(v, ln),
+                        ))
+    replay_df = spark.createDataFrame(
+        replay_rows, "path string, kind string, ord bigint"
+    )
+    resolved = delta_state_reconstruction(ckpt_actions, replay_df)
+    state = resolved.select("path", "kind").collect()
+    live = sorted(r["path"] for r in state if r["kind"] == "add")
+    n_tombstones = sum(r["kind"] == "remove" for r in state)
+    checkpoint_live = ckpt_actions.filter(
+        F.col("kind") == "add"
+    ).count()
+    ckpt_actions.unpersist()
+    scan = spark.read.parquet(
+        *(os.path.join(tdir, p) for p in live)
+    )
+    out = scan.agg(
+        F.lit(ckpt_version).cast("int").alias("checkpoint_version"),
+        F.lit(len(sidecars)).cast("int").alias("sidecar_files"),
+        F.lit(checkpoint_live).cast("int").alias("checkpoint_live"),
+        F.lit(len(replay)).cast("int").alias("versions_replayed"),
+        F.lit(len(live)).cast("int").alias("live_files"),
+        F.lit(n_tombstones).cast("int").alias("tombstones"),
         F.count("*").alias("n_orders"),
         dsum("o_totalprice").alias("revenue"),
     ).localCheckpoint(eager=True)  # 1 row; frees the temp root

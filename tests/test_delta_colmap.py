@@ -244,10 +244,10 @@ def test_delta_mapped_select_rebuilds_struct(spark, tmp_path):
     assert rows[11]["detail"]["prio"] == "lo"
 
 
-def test_v2_checkpoint_inline_actions_are_loud():
-    """Top-level v2-checkpoint rows carrying inline add/remove file
-    actions (a layout the protocol permits) must raise instead of
-    silently dropping live-file state (r13 ADVICE)."""
+def test_v2_checkpoint_top_row_classification():
+    """Round 15: inline add/remove rows are recognized kinds (the
+    readers keep them spark-side); only unknown/all-null rows stay
+    loud."""
     import pytest as _pytest
 
     from spark_hive_spark.sources.evolution import _v2_classify_top_row
@@ -258,13 +258,16 @@ def test_v2_checkpoint_inline_actions_are_loud():
     assert _v2_classify_top_row(
         {"checkpointMetadata": None, "sidecar": {"path": "s.parquet"}}
     ) == ("sidecar", {"path": "s.parquet"})
-    with _pytest.raises(NotImplementedError, match="add"):
-        _v2_classify_top_row(
-            {"checkpointMetadata": None,
-             "add": {"path": "part-x.parquet"}}
-        )
-    with _pytest.raises(NotImplementedError):
+    assert _v2_classify_top_row(
+        {"checkpointMetadata": None, "add": {"path": "part-x.parquet"}}
+    ) == ("add", {"path": "part-x.parquet"})
+    assert _v2_classify_top_row(
+        {"remove": {"path": "part-x.parquet"}}
+    ) == ("remove", {"path": "part-x.parquet"})
+    with _pytest.raises(NotImplementedError, match="all-null"):
         _v2_classify_top_row({"checkpointMetadata": None, "add": None})
+    with _pytest.raises(NotImplementedError, match="txn"):
+        _v2_classify_top_row({"txn": {"appId": "x"}})
 
 
 def test_id_mode_resolves_by_field_id():
