@@ -99,3 +99,30 @@ def test_delta_checkpoint_files_resolution(tmp_path):
         == [f"{ldir}/{p1}", f"{ldir}/{p2}"]
     with pytest.raises(ValueError, match="invalid"):
         delta_checkpoint_files(ldir, {"version": 9, "parts": 0})
+
+
+def test_delta_live_at_time_travel_and_guards(tmp_path):
+    """Round 15: VERSION AS OF primitive — replay stops at the
+    target; gaps and out-of-range targets are loud."""
+    import json
+
+    import pytest
+
+    from spark_hive_spark.sources.evolution import delta_live_at
+
+    ldir = str(tmp_path)
+
+    def _commit(v, actions):
+        with open(f"{ldir}/{v:020d}.json", "w") as fh:
+            fh.write("\n".join(json.dumps(a) for a in actions) + "\n")
+
+    _commit(0, [{"add": {"path": "a"}}, {"add": {"path": "b"}}])
+    _commit(1, [{"remove": {"path": "a"}}, {"add": {"path": "c"}}])
+    assert delta_live_at(ldir, 0) == ({"a", "b"}, 0, 0)
+    assert delta_live_at(ldir, 1) == ({"b", "c"}, 1, 1)
+    assert delta_live_at(ldir) == ({"b", "c"}, 1, 1)  # latest
+    with pytest.raises(ValueError, match="cannot time-travel"):
+        delta_live_at(ldir, 9)
+    _commit(3, [{"add": {"path": "d"}}])  # version gap: 2 missing
+    with pytest.raises(ValueError, match="gaps"):
+        delta_live_at(ldir)
