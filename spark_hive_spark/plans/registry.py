@@ -54,6 +54,7 @@ _REGISTRY: dict[str, Query] = {}
 # v3 default-values/row-lineage work. Then the oldest r3-attested
 # backlog, oldest-first. Backlog spill for r16 (displaced by the
 # format-family re-attests and the round-15 additions):
+# neardup_embeddings_lsh,
 # q13_customer_order_distribution, q14_promo_revenue_share,
 # q18_large_volume_orders,
 # q2_min_cost_supplier,
@@ -91,6 +92,7 @@ SWEEP_PRIORITY: tuple[str, ...] = (
     "source_hudi_incremental",
     "source_iceberg_expire_snapshots",
     "source_delta_v2_checkpoint_inline",
+    "source_orc_row_index_skipping",
     # ORC family: re-attest under the RLEv1 dispatch + breadth changes
     "source_orc_rlev2_decode",
     "source_orc_stripe_skipping",
@@ -122,7 +124,6 @@ SWEEP_PRIORITY: tuple[str, ...] = (
     "knn_cosine_lsh",
     "lateral_top2_orders_per_customer",
     "neardup_embeddings",
-    "neardup_embeddings_lsh",
 )
 
 

@@ -435,7 +435,9 @@ def _read_bits_msb(
     return out, p + ((bitpos + 7) >> 3)
 
 
-def decode_rlev2(b: bytes, signed: bool = True) -> list[int]:
+def decode_rlev2(
+    b: bytes, signed: bool = True, max_values: int | None = None
+) -> list[int]:
     """ORC RunLength-v2 integer decoding (ORCv1 spec §Run Length
     Encoding v2) — ALL FOUR sub-encodings: SHORT_REPEAT (3-10 copies
     of a 1-8-byte big-endian value), DIRECT (9-bit length, FBS-coded
@@ -445,10 +447,18 @@ def decode_rlev2(b: bytes, signed: bool = True) -> list[int]:
     base, reduced-width values, and a patch list of (gap, patch)
     pairs packed at the ALIGNED combined width, restoring outlier
     high bits). Signed streams zigzag in SHORT_REPEAT/DIRECT per the
-    spec; DELTA bases zigzag only when signed."""
+    spec; DELTA bases zigzag only when signed.
+
+    ``max_values`` (round 15, row-index seeking): stop decoding as
+    soon as that many values are out — a seek-decode starting at a
+    ROW_INDEX byte position only pays for the row groups it serves,
+    never the stream tail (the cap may overshoot by at most one run,
+    which is the encoding's seek granularity)."""
     out: list[int] = []
     p = 0
     while p < len(b):
+        if max_values is not None and len(out) >= max_values:
+            break
         h = b[p]
         enc = h >> 6
         if enc == 0:  # SHORT_REPEAT
@@ -2775,6 +2785,210 @@ def source_orc_rlev1_typed(
         " max_us bigint, dec_cents bigint, arr_elems bigint,"
         " arr_chars bigint, st_key_sum bigint, st_f_rows bigint,"
         " min_days bigint, max_days bigint, rlev1_attested boolean",
+    ).localCheckpoint(eager=True)  # 1 row; frees the temp root
+    shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
+@register(
+    "source_orc_row_index_skipping",
+    oracle="""
+        WITH bounds AS (
+            SELECT CAST(floor(0.30 * max(o_orderkey)) AS BIGINT)
+                       AS lo,
+                   CAST(floor(0.45 * max(o_orderkey)) AS BIGINT)
+                       AS hi
+            FROM orders
+        )
+        SELECT TRUE AS skipping_effective,
+               TRUE AS partial_decode,
+               TRUE AS seek_attested,
+               CAST(count(*) AS BIGINT) AS n_matched,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM orders, bounds
+        WHERE o_orderkey BETWEEN lo AND hi
+    """,
+    tags=("source", "orc", "row-index", "skipping", "pruning",
+          "data-read"),
+)
+def source_orc_row_index_skipping(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """ORC ROW-GROUP skipping via the ROW_INDEX stream (round 15) —
+    the level BELOW `source_orc_stripe_skipping`: every stripe
+    carries a kind-6 ROW_INDEX per column with one entry per row
+    group (stride 2,000 here) holding (a) IntegerStatistics min/max
+    and (b) SEEK POSITIONS into the value streams — for an
+    uncompressed non-null RLEv2 column, ``[byte offset, values to
+    skip]``, because a run may span the group boundary. The reader
+    selects row groups whose [min, max] intersects the predicate
+    range, then SEEK-DECODES each selected group: `decode_rlev2`
+    starts at the indexed byte offset and its ``max_values`` cap
+    stops after skip+rows values — skipped groups are never decoded
+    and the stream tail is never touched (``partial_decode`` pins
+    that decoded rows < file rows; ``seek_attested`` pins that every
+    selected group's decode really started mid-stream and produced
+    exactly the index's numberOfValues). Compressed stripes stay a
+    loud seam (positions gain chunk indirection).
+
+    The fixture sorts orders by key so group min/max are tight; the
+    value-range predicate (30-45% of the key span) lands strictly
+    inside the file. The oracle recomputes the range aggregate raw —
+    a positions misread shifts values between groups and breaks the
+    cents sum; an off-by-one in the value skip misaligns both
+    columns at once.
+
+    Scale posture: this is the granularity that makes point/range
+    reads cheap INSIDE a stripe at 100 TB — stripe pruning bounds
+    I/O, row-index seeking bounds decode; one task per file as in
+    the sibling ORC demonstrators."""
+    import pandas as _pd
+
+    root = os.path.join(
+        tempfile.gettempdir(), f"shs_orcri_{uuid.uuid4().hex}"
+    )
+    os.makedirs(root)
+    fixture = (
+        t(spark, sf_dir, "orders")
+        .select(
+            F.col("o_orderkey").alias("k"),
+            F.round(F.col("o_totalprice") * 100)
+            .cast("long").alias("cents"),
+        )
+        .sort("k")
+    )
+    stage = os.path.join(root, "stage")
+    (
+        fixture.coalesce(1)
+        .write.option("compression", "none")
+        .option("orc.row.index.stride", "2000")
+        .orc(stage)
+    )
+    src = next(f for f in os.listdir(stage) if f.endswith(".orc"))
+    path = os.path.join(root, "sorted.orc")
+    os.replace(os.path.join(stage, src), path)
+
+    row = fixture.agg(
+        F.floor(F.max("k") * 0.30).cast("long").alias("lo"),
+        F.floor(F.max("k") * 0.45).cast("long").alias("hi"),
+        F.count("*").alias("n"),
+    ).collect()[0]
+    lo, hi, n_rows_total = row["lo"], row["hi"], row["n"]
+
+    plan = spark.createDataFrame(
+        [(path, lo, hi)], "path string, lo long, hi long"
+    )
+
+    def _decode(batches) -> Iterator:
+        for pdf in batches:
+            rows = []
+            for rec in pdf.itertuples(index=False):
+                with open(rec.path, "rb") as fh:
+                    data = fh.read()
+                footer, codec = _orc_file_tail(data)
+                if codec != 0:
+                    raise NotImplementedError(
+                        "row-index seek positions under compression "
+                        "(chunk indirection)"
+                    )
+                g_total = g_sel = n_matched = 0
+                cents_sum = 0
+                rows_decoded = 0
+                seek_ok = True
+                for sraw in footer.get(3, []):
+                    st = decode_message(sraw)
+                    off, ilen, dlen, flen = (
+                        st[1][0], st[2][0], st[3][0], st[4][0]
+                    )
+                    sfoot = decode_message(
+                        _unchunk(data[off + ilen + dlen
+                                      : off + ilen + dlen + flen],
+                                 codec)
+                    )
+                    # stream map: (col, kind) -> bytes
+                    pos = off
+                    streams: dict[tuple[int, int], bytes] = {}
+                    for s in sfoot[1]:
+                        m = decode_message(s)
+                        kind, col, ln = (
+                            m.get(1, [0])[0], m.get(2, [0])[0],
+                            m[3][0],
+                        )
+                        streams[(col, kind)] = data[pos : pos + ln]
+                        pos += ln
+                    # row index entries: positions + int stats
+                    def _index(col: int) -> list[dict]:
+                        ri = decode_message(
+                            _unchunk(streams[(col, 6)], codec)
+                        )
+                        out = []
+                        for eraw in ri.get(1, []):
+                            e = decode_message(eraw)
+                            positions = _packed_uvarints(
+                                b"".join(e.get(1, []))
+                            )
+                            stats = decode_message(e[2][0])
+                            ints = decode_message(stats[2][0])
+                            out.append({
+                                "positions": positions,
+                                "n": stats[1][0],
+                                "min": _unzigzag(ints[1][0]),
+                                "max": _unzigzag(ints[2][0]),
+                            })
+                        return out
+                    idx_k = _index(1)
+                    idx_c = _index(2)
+                    if len(idx_k) != len(idx_c):
+                        raise ValueError("column row indexes disagree")
+                    g_total += len(idx_k)
+                    k_stream = streams[(1, 1)]
+                    c_stream = streams[(2, 1)]
+
+                    def _group_vals(stream: bytes, ent: dict) -> list[int]:
+                        boff, vskip = ent["positions"]
+                        vals = decode_rlev2(
+                            stream[boff:], signed=True,
+                            max_values=vskip + ent["n"],
+                        )
+                        if len(vals) < vskip + ent["n"]:
+                            raise ValueError(
+                                "seek-decode came up short"
+                            )
+                        return vals[vskip : vskip + ent["n"]]
+
+                    for ek, ec in zip(idx_k, idx_c):
+                        if ek["max"] < rec.lo or ek["min"] > rec.hi:
+                            continue  # skipped: never decoded
+                        g_sel += 1
+                        ks = _group_vals(k_stream, ek)
+                        cs = _group_vals(c_stream, ec)
+                        rows_decoded += len(ks)
+                        seek_ok &= (
+                            len(ks) == ek["n"] == len(cs)
+                            and min(ks) == ek["min"]
+                            and max(ks) == ek["max"]
+                        )
+                        for kv, cv in zip(ks, cs):
+                            if rec.lo <= kv <= rec.hi:
+                                n_matched += 1
+                                cents_sum += cv
+                rows.append((
+                    bool(1 <= g_sel < g_total),
+                    bool(rows_decoded < n_rows_total),
+                    bool(seek_ok),
+                    n_matched, cents_sum,
+                ))
+            yield _pd.DataFrame(
+                rows,
+                columns=["skipping_effective", "partial_decode",
+                         "seek_attested", "n_matched", "cents"],
+            )
+
+    out = plan.mapInPandas(
+        _decode,
+        "skipping_effective boolean, partial_decode boolean,"
+        " seek_attested boolean, n_matched bigint, cents bigint",
     ).localCheckpoint(eager=True)  # 1 row; frees the temp root
     shutil.rmtree(root, ignore_errors=True)
     return out
