@@ -2818,7 +2818,7 @@ def source_orc_row_index_skipping(
     """ORC ROW-GROUP skipping via the ROW_INDEX stream (round 15) —
     the level BELOW `source_orc_stripe_skipping`: every stripe
     carries a kind-6 ROW_INDEX per column with one entry per row
-    group (stride 2,000 here) holding (a) IntegerStatistics min/max
+    group (stride sized for ~6 groups per SF here) holding (a) IntegerStatistics min/max
     and (b) SEEK POSITIONS into the value streams — for an
     uncompressed non-null RLEv2 column, ``[byte offset, values to
     skip]``, because a run may span the group boundary. The reader
@@ -2858,23 +2858,25 @@ def source_orc_row_index_skipping(
         )
         .sort("k")
     )
-    stage = os.path.join(root, "stage")
-    (
-        fixture.coalesce(1)
-        .write.option("compression", "none")
-        .option("orc.row.index.stride", "2000")
-        .orc(stage)
-    )
-    src = next(f for f in os.listdir(stage) if f.endswith(".orc"))
-    path = os.path.join(root, "sorted.orc")
-    os.replace(os.path.join(stage, src), path)
-
     row = fixture.agg(
         F.floor(F.max("k") * 0.30).cast("long").alias("lo"),
         F.floor(F.max("k") * 0.45).cast("long").alias("hi"),
         F.count("*").alias("n"),
     ).collect()[0]
     lo, hi, n_rows_total = row["lo"], row["hi"], row["n"]
+    # ~6 row groups at any SF (ORC's stride floor is 1000) so the
+    # skip/selection split exists from sf0.001 up
+    stride = max(1000, n_rows_total // 6)
+    stage = os.path.join(root, "stage")
+    (
+        fixture.coalesce(1)
+        .write.option("compression", "none")
+        .option("orc.row.index.stride", str(stride))
+        .orc(stage)
+    )
+    src = next(f for f in os.listdir(stage) if f.endswith(".orc"))
+    path = os.path.join(root, "sorted.orc")
+    os.replace(os.path.join(stage, src), path)
 
     plan = spark.createDataFrame(
         [(path, lo, hi)], "path string, lo long, hi long"
