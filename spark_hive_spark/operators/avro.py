@@ -124,6 +124,10 @@ def _enc_field(v, typ) -> bytes:
         raise ValueError(f"no union branch for {v!r} in {typ!r}")
     if isinstance(typ, dict) and typ.get("type") == "array":
         # Avro array: blocks of (varint count, items...), 0-terminated
+        if v is None:
+            # only unions may carry null — encoding None as [] would
+            # silently round-trip to a different value (ADVICE r15)
+            raise ValueError("None for non-union Avro array type")
         items = typ["items"]
         out = bytearray()
         if v:
@@ -135,6 +139,8 @@ def _enc_field(v, typ) -> bytes:
     if isinstance(typ, dict) and typ.get("type") == "map":
         # Avro map: blocks of (varint count, (string key, value)...),
         # 0-terminated — same block grammar as arrays
+        if v is None:
+            raise ValueError("None for non-union Avro map type")
         values = typ["values"]
         out = bytearray()
         if v:

@@ -1498,6 +1498,15 @@ def _v2_inline_actions(spark: SparkSession, path: str) -> DataFrame:
     previously a loud seam; the protocol lets writers skip sidecars
     and carry file state in the top-level file)."""
     top_df = spark.read.parquet(path)
+    # A fresh checkpoint commonly carries only `add` (no tombstones
+    # yet) — the caller invokes this when EITHER action column
+    # exists, so synthesize the missing one as a null struct instead
+    # of dying on an unresolved column (ADVICE r15).
+    for action in ("add", "remove"):
+        if action not in top_df.columns:
+            top_df = top_df.withColumn(
+                action, F.lit(None).cast("struct<path:string>")
+            )
     return (
         top_df
         .filter(F.col("add").isNotNull() | F.col("remove").isNotNull())
@@ -2218,8 +2227,22 @@ def iceberg_format_gate(
     schemas = list(md.get("schemas") or [])
     if "schema" in md:
         schemas.append(md["schema"])
+
+    def _walk_fields(node):
+        # Defaults are legal on NESTED struct fields too (inside
+        # struct/list/map element types) — walk the whole type tree,
+        # not just the top level (ADVICE r15).
+        if not isinstance(node, dict):
+            return
+        for f in node.get("fields", []) or []:
+            yield f
+            yield from _walk_fields(f.get("type"))
+        for sub in ("element", "key", "value"):
+            if sub in node:
+                yield from _walk_fields(node[sub])
+
     for sch in schemas:
-        for f in sch.get("fields", []):
+        for f in _walk_fields(sch):
             if ("initial-default" in f or "write-default" in f) \
                     and "default-values" not in supported:
                 raise NotImplementedError(

@@ -2790,6 +2790,29 @@ def source_orc_rlev1_typed(
     return out
 
 
+def orc_index_positions(
+    positions: list[int], compressed: bool
+) -> tuple[int, ...]:
+    """Validate + split one ROW_INDEX entry's seek positions for a
+    NON-NULL integer DATA stream (ORCv1 spec §Row Group Index).
+
+    Uncompressed: ``[byte offset, values to skip]`` (2). Compressed:
+    chunk indirection prepends the compressed-chunk offset —
+    ``[compressed chunk offset, decompressed offset within chunk,
+    values to skip]`` (3). A NULLABLE column's entry carries the
+    PRESENT stream's positions too (prepended, same arity rules) —
+    that stays a NAMED loud seam, mirroring the compression gate
+    (ADVICE r15), instead of a bare tuple-unpack ValueError."""
+    want = 3 if compressed else 2
+    if len(positions) != want:
+        raise NotImplementedError(
+            "row-index seek positions for a nullable column "
+            f"(got {len(positions)} positions, expected {want}: "
+            "the PRESENT stream adds bit-offset positions)"
+        )
+    return tuple(positions)
+
+
 @register(
     "source_orc_row_index_skipping",
     oracle="""
@@ -2948,7 +2971,9 @@ def source_orc_row_index_skipping(
                     c_stream = streams[(2, 1)]
 
                     def _group_vals(stream: bytes, ent: dict) -> list[int]:
-                        boff, vskip = ent["positions"]
+                        boff, vskip = orc_index_positions(
+                            ent["positions"], compressed=False
+                        )
                         vals = decode_rlev2(
                             stream[boff:], signed=True,
                             max_values=vskip + ent["n"],

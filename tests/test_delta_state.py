@@ -126,3 +126,39 @@ def test_delta_live_at_time_travel_and_guards(tmp_path):
     _commit(3, [{"add": {"path": "d"}}])  # version gap: 2 missing
     with pytest.raises(ValueError, match="gaps"):
         delta_live_at(ldir)
+
+
+def test_v2_inline_actions_add_only_checkpoint(spark, tmp_path):
+    """ADVICE r15: a fresh v2 checkpoint commonly carries only an
+    `add` column (no tombstones yet) — _v2_inline_actions must not
+    die on the missing `remove` column."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from spark_hive_spark.sources.evolution import (
+        _v2_inline_actions,
+        _v2_read_top_metadata,
+    )
+
+    top = pa.table({
+        "checkpointMetadata": pa.array(
+            [{"version": 4}, None, None],
+            pa.struct([("version", pa.int64())])),
+        "add": pa.array(
+            [None,
+             {"path": "f1.parquet", "size": 10,
+              "modificationTime": 0, "dataChange": True},
+             {"path": "f2.parquet", "size": 20,
+              "modificationTime": 0, "dataChange": True}],
+            pa.struct([("path", pa.string()), ("size", pa.int64()),
+                       ("modificationTime", pa.int64()),
+                       ("dataChange", pa.bool_())])),
+    })
+    path = str(tmp_path / "00000000000000000004.checkpoint.x.parquet")
+    pq.write_table(top, path)
+
+    acts = {(r["path"], r["kind"])
+            for r in _v2_inline_actions(spark, path).collect()}
+    assert acts == {("f1.parquet", "add"), ("f2.parquet", "add")}
+    sidecars, n_inline = _v2_read_top_metadata(spark, path, 4)
+    assert sidecars == [] and n_inline == 2

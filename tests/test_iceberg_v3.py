@@ -91,3 +91,35 @@ def test_format_gate_accepts_declared_features():
     iceberg_format_gate(
         md, supported=frozenset({"row-lineage", "default-values"})
     )
+
+
+def test_format_gate_finds_nested_defaults():
+    """ADVICE r15: initial-default/write-default on a field NESTED
+    inside a struct / list element / map value must trip the gate,
+    not silently pass it."""
+    from spark_hive_spark.sources.evolution import iceberg_format_gate
+
+    def md_for(type_node):
+        return {"format-version": 3,
+                "schemas": [{"schema-id": 1, "fields": [
+                    {"id": 1, "name": "outer", "type": type_node},
+                ]}]}
+
+    deep_field = {"id": 9, "name": "nested", "type": "string",
+                  "write-default": "x"}
+    cases = [
+        {"type": "struct", "fields": [deep_field]},
+        {"type": "list", "element-id": 5,
+         "element": {"type": "struct", "fields": [deep_field]}},
+        {"type": "map", "key-id": 6, "key": "string", "value-id": 7,
+         "value": {"type": "struct", "fields": [deep_field]}},
+    ]
+    for type_node in cases:
+        with pytest.raises(NotImplementedError, match="default value"):
+            iceberg_format_gate(md_for(type_node))
+        iceberg_format_gate(
+            md_for(type_node), supported=frozenset({"default-values"})
+        )
+    # no-default nested schema still passes with nothing declared
+    iceberg_format_gate(md_for({"type": "struct", "fields": [
+        {"id": 9, "name": "nested", "type": "string"}]}))

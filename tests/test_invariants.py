@@ -3233,3 +3233,23 @@ def test_avro_map_negative_block_count_decodes():
         + encode_varint(0)
     val, pos = _dec_field(neg, 0, map_t)
     assert val == {"k": 5} and pos == len(neg)
+
+
+def test_avro_none_container_is_loud():
+    """ADVICE r15: a None value for a NON-UNION array/map type must
+    raise, not silently encode as an empty container (only unions may
+    carry null)."""
+    import pytest
+
+    from spark_hive_spark.operators.avro import _enc_field
+
+    arr_t = {"type": "array", "items": "long"}
+    map_t = {"type": "map", "values": "long"}
+    with pytest.raises(ValueError, match="non-union Avro array"):
+        _enc_field(None, arr_t)
+    with pytest.raises(ValueError, match="non-union Avro map"):
+        _enc_field(None, map_t)
+    # unions still carry null; empty containers still encode
+    assert _enc_field(None, ["null", arr_t]) == b"\x00"
+    assert _enc_field([], arr_t) == b"\x00"
+    assert _enc_field({}, map_t) == b"\x00"

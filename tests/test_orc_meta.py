@@ -913,3 +913,22 @@ def test_orc_rlev1_differential_vs_spark_011_writer(spark, tmp_path):
     assert negs == [r["neg"] for r in expect]
     assert prios == [r["prio"] for r in expect]
     assert tags == [r["tag"] for r in expect]
+
+
+def test_orc_index_positions_arity_gate():
+    """ADVICE r15: nullable columns carry PRESENT-stream positions in
+    their ROW_INDEX entries — the unpack must raise the NAMED seam,
+    not a bare tuple-unpack ValueError."""
+    import pytest
+
+    from spark_hive_spark.sources.orc_meta import orc_index_positions
+
+    assert orc_index_positions([40, 3], compressed=False) == (40, 3)
+    assert orc_index_positions([100, 12, 3], compressed=True) \
+        == (100, 12, 3)
+    with pytest.raises(NotImplementedError, match="PRESENT"):
+        orc_index_positions([0, 0, 40, 3], compressed=False)
+    with pytest.raises(NotImplementedError, match="PRESENT"):
+        orc_index_positions([0, 0, 0, 100, 12, 3], compressed=True)
+    with pytest.raises(NotImplementedError, match="PRESENT"):
+        orc_index_positions([40, 3], compressed=True)
