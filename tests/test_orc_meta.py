@@ -932,3 +932,76 @@ def test_orc_index_positions_arity_gate():
         orc_index_positions([0, 0, 0, 100, 12, 3], compressed=True)
     with pytest.raises(NotImplementedError, match="PRESENT"):
         orc_index_positions([40, 3], compressed=True)
+
+
+def _zz(v: int) -> int:
+    return (v << 1) ^ (v >> 63)
+
+
+def _chunked(dec: bytes, size: int, codec: int) -> bytes:
+    """Hand-chunk a decompressed stream the ORC way: 3-byte LE
+    headers (len<<1)|isOriginal, raw-deflate bodies for codec 1."""
+    import zlib
+
+    out = bytearray()
+    for i in range(0, len(dec), size):
+        blk = dec[i : i + size]
+        if codec == 1:
+            co = zlib.compressobj(wbits=-15)
+            body = co.compress(blk) + co.flush()
+            if len(body) < len(blk):
+                h = (len(body) << 1) | 0
+            else:
+                body, h = blk, (len(blk) << 1) | 1
+        else:
+            body, h = blk, (len(blk) << 1) | 1
+        out += bytes([h & 0xFF, (h >> 8) & 0xFF, (h >> 16) & 0xFF])
+        out += body
+    return bytes(out)
+
+
+def test_orc_seek_decode_compressed_unit():
+    """Hand-built chunked RLEv2 stream: 30 SHORT_REPEAT runs (run i =
+    10 copies of i), 2 bytes each, chunked at 15 bytes so chunk
+    boundaries fall MID-RUN — exercises chunk indirection, the
+    decompressed-offset drop, the mid-run-truncation retry, and the
+    never-decompress-skipped-chunks attestation."""
+    from spark_hive_spark.sources.orc_meta import (
+        orc_seek_decode_compressed,
+        orc_stream_chunk_offsets,
+    )
+
+    dec = b"".join(
+        bytes([0x07, _zz(i)]) for i in range(30)
+    )  # SHORT_REPEAT w=1 rep=10, zigzag value
+    assert len(dec) == 60
+    for codec in (0x7F_00, 1):  # original-only chunks, then deflate
+        stream = _chunked(dec, 15, 1 if codec == 1 else 99)
+        offs = orc_stream_chunk_offsets(stream)
+        assert len(offs) == 4 and offs[0] == 0
+
+        # seek into chunk 1 (header at offs[1]), byte 26 of the
+        # decompressed stream = run 13; skip 5 values, take 30
+        touched: set[int] = set()
+        vals = orc_seek_decode_compressed(
+            stream, 1, offs[1], 26 - 15, 5, 30, touched
+        )
+        assert vals == [13] * 5 + [14] * 10 + [15] * 10 + [16] * 5
+        assert touched == {offs[1], offs[2]}  # chunks 0,3 untouched
+
+        # from the top: chunk 0 ends mid-run-7 -> truncation retry
+        touched = set()
+        vals = orc_seek_decode_compressed(
+            stream, 1, 0, 0, 0, 80, touched
+        )
+        assert vals == [i for i in range(8) for _ in range(10)]
+        assert touched == {offs[0], offs[1]}
+
+    # running off the end of the stream is loud
+    import pytest
+
+    stream = _chunked(dec, 15, 99)
+    with pytest.raises(ValueError, match="ran out"):
+        orc_seek_decode_compressed(
+            stream, 1, orc_stream_chunk_offsets(stream)[3], 0, 0, 500
+        )
