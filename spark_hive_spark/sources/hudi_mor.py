@@ -1030,3 +1030,288 @@ def source_hudi_clean_replay(
     )
     shutil.rmtree(root, ignore_errors=True)
     return out
+
+
+@register(
+    "source_hudi_mor_incremental",
+    oracle=f"""
+        SELECT CAST(2 AS INT) AS commits_in_range,
+               CAST(4 AS INT) AS blocks_applied,
+               CAST(1 AS INT) AS blocks_rolled_back,
+               CAST(1 AS INT) AS blocks_out_of_range,
+               CAST(sum(CASE WHEN o_orderkey % 10 IN (5, 6, 8)
+                             THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_changed,
+               CAST(sum(CASE WHEN o_orderkey % 10 = 3
+                             THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_deleted,
+               {sql_dsum(
+                   "CASE WHEN o_orderkey % 10 = 6"
+                   " THEN o_totalprice + 150.00"
+                   " WHEN o_orderkey % 10 = 8"
+                   " THEN o_totalprice + 20.00"
+                   " WHEN o_orderkey % 10 = 5"
+                   " THEN o_totalprice + 50.00 END"
+               )} AS changed_revenue
+        FROM orders
+    """,
+    tags=("source", "hudi", "merge-on-read", "lakehouse",
+          "incremental", "cdc"),
+)
+def source_hudi_mor_incremental(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Hudi MERGE-ON-READ incremental query (round 16, the r15
+    verdict's #2) — incremental pull over ``(begin, end]`` when the
+    in-range changes live in LOG BLOCKS, not rewritten base files
+    (the streaming-ingest default). `source_hudi_incremental` covers
+    the COW shape; MOR adds the merge obligations the fixture traps
+    one by one:
+
+    - **Same-key collapse**: deltacommit 002 upserts keys ≡ 6
+      (mod 10) to +100 and deltacommit 003 upserts the SAME keys to
+      +150 — both in range. Reading "COW-style" (emitting every
+      in-range block's records as changed rows) DOUBLE-COUNTS every
+      such key: n_changed gains the key twice and changed_revenue
+      gains both the +100 and the +150 value. Correct output is one
+      row per key at its latest in-range state.
+    - **In-range update then delete**: keys ≡ 3 are upserted at 002
+      (+30) and tombstoned at 003 — they must NOT appear as changed
+      (final in-range state is the tombstone; counted in
+      ``n_deleted``), which only falls out of a real merge.
+    - **Rollback**: failed deltacommit 004's block (+999 on keys
+      ≡ 1) sits in the log INSIDE the range, invalidated by rollback
+      005's command block — `apply_command_blocks` must drop it
+      (``blocks_rolled_back``), not the timeline filter.
+    - **End scoping**: completed deltacommit 006 (+77 on keys ≡ 7)
+      is PAST ``end`` — its block is walked but excluded
+      (``blocks_out_of_range``); a reader that only checks
+      "completed" serves it.
+
+    The merge is the same shape as `source_hudi_mor_snapshot`: one
+    task per file group walks its logs in version order
+    (command-block rollbacks first, then timeline + range
+    filtering), and a single per-key row_number window over
+    base ∪ log rows keeps the last writer ≤ end; rows whose winning
+    instant is > begin are the incremental answer (tombstone winners
+    are deletions).
+
+    Scale posture: planning is O(#commits in range) timeline
+    metadata; only file groups whose slices carry in-range log
+    blocks are scanned, one task per group, and the merge costs the
+    same single shuffle-by-record-key as the snapshot read. (With
+    full-row log blocks the base scan is only needed to decide
+    which keys' winners predate the range — real Hudi reads the
+    merged slice exactly the same way.)"""
+    orders = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    root = os.path.join(
+        tempfile.gettempdir(), f"shs_hudi_morinc_{uuid.uuid4().hex}"
+    )
+    tdir = os.path.join(root, "t")
+    hdir = os.path.join(tdir, ".hoodie")
+    os.makedirs(hdir)
+
+    schema_json = json.dumps(_LOG_SCHEMA)
+    t1, t2, t3, t4, t5, t6 = "001", "002", "003", "004", "005", "006"
+
+    par = F.col("o_orderkey") % 2
+    for fid, half in (("fg-A", 0), ("fg-B", 1)):
+        stage_single_parquet(
+            orders.filter(par == half), root, tdir,
+            f"{fid}_0-1-0_{t1}.parquet",
+        )
+
+    changes = (
+        orders.filter((F.col("o_orderkey") % 10).isin(1, 3, 5, 6, 7, 8))
+        .toPandas()
+    )
+    mod = changes["o_orderkey"] % 10
+
+    def _upserts(m: int, delta: float) -> list[dict]:
+        sel = changes[mod == m]
+        return [
+            {"o_orderkey": int(k), "o_totalprice": float(p) + delta}
+            for k, p in zip(sel["o_orderkey"], sel["o_totalprice"])
+        ]
+
+    log_a1 = os.path.join(tdir, f".fg-A_{t1}.log.1_0-1-0")
+    log_a2 = os.path.join(tdir, f".fg-A_{t1}.log.2_0-1-0")
+    log_b1 = os.path.join(tdir, f".fg-B_{t1}.log.1_0-1-0")
+    with open(log_a1, "wb") as fh:
+        fh.write(encode_log_block(  # 002: first write to keys ≡ 6
+            _AVRO_BLOCK, {_H_INSTANT: t2, _H_SCHEMA: schema_json},
+            _enc_avro_content(_upserts(6, 100.0)),
+        ))
+    with open(log_a2, "wb") as fh:
+        fh.write(encode_log_block(  # 003 REWRITES keys ≡ 6, adds ≡ 8
+            _AVRO_BLOCK, {_H_INSTANT: t3, _H_SCHEMA: schema_json},
+            _enc_avro_content(_upserts(6, 150.0) + _upserts(8, 20.0)),
+        ))
+    with open(log_b1, "wb") as fh:
+        fh.write(encode_log_block(  # 002: +50 on ≡ 5, +30 on ≡ 3
+            _AVRO_BLOCK, {_H_INSTANT: t2, _H_SCHEMA: schema_json},
+            _enc_avro_content(_upserts(5, 50.0) + _upserts(3, 30.0)),
+        ))
+        fh.write(encode_log_block(  # 003 tombstones keys ≡ 3
+            _DELETE_BLOCK, {_H_INSTANT: t3},
+            _enc_delete_content(
+                [str(int(k)) for k in changes[mod == 3]["o_orderkey"]]
+            ),
+        ))
+        fh.write(encode_log_block(  # failed 004's data block...
+            _AVRO_BLOCK, {_H_INSTANT: t4, _H_SCHEMA: schema_json},
+            _enc_avro_content(_upserts(1, 999.0)),
+        ))
+        fh.write(encode_log_block(  # ...rolled back by command 005
+            _CMD_BLOCK,
+            {_H_INSTANT: t5, _H_TARGET_INSTANT: t4, _H_COMMAND: "0"},
+            b"",
+        ))
+        fh.write(encode_log_block(  # completed 006 — PAST end
+            _AVRO_BLOCK, {_H_INSTANT: t6, _H_SCHEMA: schema_json},
+            _enc_avro_content(_upserts(7, 77.0)),
+        ))
+
+    for name in (
+        f"{t1}.commit.requested", f"{t1}.commit.inflight", f"{t1}.commit",
+        f"{t2}.deltacommit.requested", f"{t2}.deltacommit.inflight",
+        f"{t2}.deltacommit",
+        f"{t3}.deltacommit.requested", f"{t3}.deltacommit.inflight",
+        f"{t3}.deltacommit",
+        f"{t4}.deltacommit.requested", f"{t4}.deltacommit.inflight",
+        f"{t5}.rollback.requested", f"{t5}.rollback.inflight",
+        f"{t5}.rollback",
+        f"{t6}.deltacommit.requested", f"{t6}.deltacommit.inflight",
+        f"{t6}.deltacommit",
+    ):
+        with open(os.path.join(hdir, name), "w") as fh:
+            fh.write("{}")
+
+    # ---- the reader: MOR incremental pull over (begin, end] ----
+    begin, end = t1, t5
+    completed: set[str] = set()
+    for f in os.listdir(hdir):
+        parts = f.split(".")
+        if parts[1] not in ("commit", "deltacommit", "rollback"):
+            raise NotImplementedError(f"Hudi action {parts[1]!r}")
+        if len(parts) == 2 and parts[1] in ("commit", "deltacommit"):
+            completed.add(parts[0])
+    commits_in_range = sorted(
+        ts for ts in completed if begin < ts <= end
+    )
+
+    base_paths: list[str] = []
+    slices: dict[str, list[tuple[int, str]]] = {}
+    for f in sorted(os.listdir(tdir)):
+        if f.endswith(".parquet"):
+            instant = f.rsplit("_", 1)[1][: -len(".parquet")]
+            if instant in completed:
+                base_paths.append(os.path.join(tdir, f))
+        elif f.startswith(".") and ".log." in f:
+            file_id, _base, version = parse_log_name(f)
+            slices.setdefault(file_id, []).append(
+                (version, os.path.join(tdir, f))
+            )
+
+    plan = spark.createDataFrame(
+        [
+            (fid, json.dumps([p for _, p in sorted(paths)]))
+            for fid, paths in sorted(slices.items())
+        ],
+        "file_id string, logs string",
+    ).repartition(len(slices))
+    completed_b = sorted(completed)
+
+    def _read_group_logs(batches):
+        import pandas as pd
+
+        cols = ["o_orderkey", "o_totalprice", "instant", "is_delete",
+                "applied", "rolled", "out_of_range", "is_meta"]
+        done = set(completed_b)
+        for pdf in batches:
+            for rec in pdf.itertuples(index=False):
+                stream: list[dict] = []
+                for path in json.loads(rec.logs):
+                    with open(path, "rb") as fh:
+                        stream.extend(walk_log_blocks(fh.read()))
+                stream, rolled = apply_command_blocks(stream)
+                rows = []
+                applied = out_of_range = 0
+                for blk in stream:
+                    instant = blk["header"][_H_INSTANT]
+                    if instant not in done:
+                        continue  # crash appendix (timeline skip)
+                    if instant > end:
+                        out_of_range += 1
+                        continue
+                    applied += 1
+                    if blk["type"] == _AVRO_BLOCK:
+                        schema = json.loads(blk["header"][_H_SCHEMA])
+                        for r in _dec_avro_content(blk["content"],
+                                                   schema):
+                            rows.append((r["o_orderkey"],
+                                         r["o_totalprice"],
+                                         instant, False, 0, 0, 0,
+                                         False))
+                    elif blk["type"] == _DELETE_BLOCK:
+                        for key in _dec_delete_content(blk["content"]):
+                            rows.append((int(key), 0.0, instant, True,
+                                         0, 0, 0, False))
+                    else:
+                        raise NotImplementedError(
+                            f"log block type {blk['type']}"
+                        )
+                rows.append((None, 0.0, "", False,
+                             applied, rolled, out_of_range, True))
+                yield pd.DataFrame(rows, columns=cols)
+
+    parsed = plan.mapInPandas(
+        _read_group_logs,
+        "o_orderkey long, o_totalprice double, instant string,"
+        " is_delete boolean, applied int, rolled int,"
+        " out_of_range int, is_meta boolean",
+    ).localCheckpoint(eager=True)  # split meta/data without re-parsing
+
+    counters = parsed.filter("is_meta").agg(
+        F.sum("applied").cast("int").alias("blocks_applied"),
+        F.sum("rolled").cast("int").alias("blocks_rolled_back"),
+        F.sum("out_of_range").cast("int").alias("blocks_out_of_range"),
+    )
+    log_df = parsed.filter(~F.col("is_meta")).select(
+        "o_orderkey", "o_totalprice", "instant", "is_delete"
+    )
+    base = (
+        spark.read.parquet(*base_paths)
+        .withColumn("instant", F.lit(t1))
+        .withColumn("is_delete", F.lit(False))
+    )
+    w = Window.partitionBy("o_orderkey").orderBy(F.col("instant").desc())
+    latest = (
+        base.unionByName(log_df)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .filter(F.col("instant") > begin)  # winner inside the range
+    )
+    out = (
+        latest.agg(
+            F.lit(len(commits_in_range)).cast("int")
+            .alias("commits_in_range"),
+            F.sum((~F.col("is_delete")).cast("long")).cast("bigint")
+            .alias("n_changed"),
+            F.sum(F.col("is_delete").cast("long")).cast("bigint")
+            .alias("n_deleted"),
+            dsum(F.when(~F.col("is_delete"), F.col("o_totalprice")))
+            .alias("changed_revenue"),
+        )
+        .crossJoin(F.broadcast(counters))
+        .select(
+            "commits_in_range", "blocks_applied", "blocks_rolled_back",
+            "blocks_out_of_range", "n_changed", "n_deleted",
+            "changed_revenue",
+        )
+        .localCheckpoint(eager=True)  # 1 row; frees the temp root
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    return out

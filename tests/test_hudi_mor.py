@@ -165,3 +165,34 @@ def test_clean_replay_contract(spark):
     assert all(r["cleans_completed"] == 1 for r in rows)
     assert all(r["cleans_pending"] == 1 for r in rows)
     assert all(r["files_cleaned"] == 1 for r in rows)
+
+
+def test_mor_incremental_merges_and_scopes(spark):
+    """The incremental pull must collapse same-key double updates,
+    drop in-range-deleted keys, exclude the rolled-back and
+    past-end blocks, and price changed rows at their LATEST
+    in-range value."""
+    import pyspark.sql.functions as F
+
+    from spark_hive_spark.plans.registry import all_queries
+    from spark_hive_spark.tables import t
+
+    sf = "/root/testdata/sf0.001"
+    got = (
+        all_queries()["source_hudi_mor_incremental"]
+        .fn(spark, sf).collect()[0].asDict()
+    )
+    orders = t(spark, sf, "orders")
+    m = F.col("o_orderkey") % 10
+    exp = orders.agg(
+        F.sum(m.isin(5, 6, 8).cast("long")).alias("n_changed"),
+        F.sum((m == 3).cast("long")).alias("n_deleted"),
+    ).collect()[0]
+    assert got["commits_in_range"] == 2
+    assert got["blocks_applied"] == 4
+    assert got["blocks_rolled_back"] == 1
+    assert got["blocks_out_of_range"] == 1
+    # double-count trap: naive per-block emission would add the
+    # keys ≡ 6 twice — n_changed must equal the DISTINCT key count
+    assert got["n_changed"] == exp["n_changed"]
+    assert got["n_deleted"] == exp["n_deleted"]
