@@ -6171,3 +6171,290 @@ def source_delta_v2_checkpoint_inline(
     ).localCheckpoint(eager=True)  # 1 row; frees the temp root
     shutil.rmtree(root, ignore_errors=True)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Iceberg name mapping (schema.name-mapping.default) — round 16
+# ---------------------------------------------------------------------------
+
+def _ice_type_ddl(t) -> str:
+    """Iceberg schema type -> Spark DDL string (the subset the
+    name-mapping reader serves; anything else is a loud seam)."""
+    if isinstance(t, dict):
+        if t.get("type") == "struct":
+            inner = ", ".join(
+                f"`{f['name']}`: {_ice_type_ddl(f['type'])}"
+                for f in t["fields"]
+            )
+            return f"struct<{inner}>"
+        raise NotImplementedError(
+            f"Iceberg name mapping over type {t.get('type')!r}"
+        )
+    prim = {"long": "bigint", "int": "int", "double": "double",
+            "float": "float", "string": "string", "boolean": "boolean",
+            "date": "date", "timestamp": "timestamp_ntz"}
+    if t not in prim:
+        raise NotImplementedError(f"Iceberg primitive {t!r}")
+    return prim[t]
+
+
+def iceberg_name_mapping_gate(
+    leaf_ids: dict[str, int | None]
+) -> None:
+    """Per the spec, parquet field ids take PRECEDENCE over the name
+    mapping — a file that carries ANY id must go through the
+    id-resolution readers; applying the mapping to it could shadow
+    the ids. Loud, named seam (the repo's id path is
+    `source_iceberg_snapshot_replay` + the colmap family)."""
+    with_ids = sorted(p for p, i in leaf_ids.items() if i is not None)
+    if with_ids:
+        raise NotImplementedError(
+            "Iceberg name mapping on a file that carries parquet "
+            f"field ids {with_ids[:3]} — ids take precedence"
+        )
+
+
+def iceberg_name_mapping_select(
+    mapping: list[dict],
+    schema_fields: list[dict],
+    file_schema,
+) -> tuple[list, int, int]:
+    """Resolve one ID-LESS data file against the table's
+    ``schema.name-mapping.default`` (Iceberg spec §Name Mapping
+    Serialization): each mapping entry carries ``field-id`` and the
+    historical physical ``names`` (aliases from renames); nested
+    entries mirror struct types via ``fields``. For every CURRENT
+    schema field, the first alias present in the file binds the
+    physical column; a field with no alias in the file reads as
+    null (required -> loud); physical columns claimed by no alias
+    are ignored per spec.
+
+    -> (select expressions producing the CURRENT schema names,
+    fields filled with null, top-level physical columns ignored).
+    Resolution is O(schema) per-file planning; the scan stays a
+    plain parquet read."""
+    def _resolve(fields, entries, phys_struct, parent):
+        by_id = {e["field-id"]: e for e in entries}
+        avail = (
+            {sf.name: sf for sf in phys_struct.fields}
+            if phys_struct is not None else {}
+        )
+        exprs, nulls = [], 0
+        for f in fields:
+            entry = by_id.get(f["id"])
+            names = entry["names"] if entry else []
+            phys = next((n for n in names if n in avail), None)
+            ddl = _ice_type_ddl(f["type"])
+            if phys is None:
+                if f.get("required"):
+                    raise ValueError(
+                        f"required field {f['name']!r} (id {f['id']})"
+                        " has no physical column under the name "
+                        "mapping"
+                    )
+                exprs.append(F.lit(None).cast(ddl).alias(f["name"]))
+                nulls += 1
+                continue
+            path = f"{parent}.`{phys}`" if parent else f"`{phys}`"
+            if isinstance(f["type"], dict) \
+                    and f["type"].get("type") == "struct":
+                sub, sub_nulls = _resolve(
+                    f["type"]["fields"], entry.get("fields", []),
+                    avail[phys].dataType, path,
+                )
+                exprs.append(F.struct(*sub).alias(f["name"]))
+                nulls += sub_nulls
+            else:
+                exprs.append(F.col(path).cast(ddl).alias(f["name"]))
+        return exprs, nulls
+
+    exprs, nulls = _resolve(schema_fields, mapping, file_schema, "")
+    claimed = {n for e in mapping for n in e["names"]}
+    ignored = sum(
+        1 for sf in file_schema.fields if sf.name not in claimed
+    )
+    return exprs, nulls, ignored
+
+
+@register(
+    "source_iceberg_name_mapping",
+    oracle=f"""
+        SELECT CAST(6 AS INT) AS mapped_fields,
+               TRUE AS no_field_ids,
+               CAST(1 AS INT) AS ignored_physical,
+               CAST(3 AS INT) AS null_fills,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               {sql_dsum('o_totalprice')} AS revenue,
+               CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+               CAST((SELECT count(DISTINCT o_orderstatus) FROM orders
+                     WHERE o_orderkey % 2 = 0) AS BIGINT) AS n_statuses
+        FROM orders
+    """,
+    tags=("source", "iceberg", "lakehouse", "compat", "name-mapping",
+          "migration"),
+)
+def source_iceberg_name_mapping(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Iceberg NAME MAPPING (round 16, the r15 verdict's #3) — how
+    MIGRATED tables read: files imported from plain Spark/Hive
+    tables carry NO parquet field ids, so id resolution has nothing
+    to key on; the table property ``schema.name-mapping.default``
+    maps historical physical NAMES (with aliases accumulated across
+    renames) to Iceberg field ids, and the current schema maps ids
+    to today's names.
+
+    The fixture makes trusting physical names actively WRONG, the
+    colmap recipe: the current schema calls field id 1 (the long
+    order key) ``col_b`` and field id 2 (the double price)
+    ``col_a``, while data file A physically stores the key as
+    ``col_a`` and the price as ``col_b`` — the table was migrated,
+    then both columns were RENAMED CROSSWISE. A reader that binds
+    physical names to schema names directly swaps key and price:
+    ``revenue`` sums order keys and the hash flips. Only
+    physical-name → (mapping) → field id → (schema) → current name
+    reproduces the oracle. File B exercises the alias list (written
+    under pre-migration names ``k2``/``p2``/``c2``), an unmapped
+    physical column (``junk`` — ignored per spec), and two schema
+    fields with no physical column in it (the struct ``detail`` and
+    ``bonus`` — null-filled; ``bonus`` has a mapping entry whose
+    alias appears in no file). The nested mapping (``fields``)
+    resolves file A's struct leaf ``d.s`` to ``detail.status``.
+
+    `iceberg_name_mapping_gate` pins the spec's precedence rule:
+    files that DO carry field ids must take the id path; both
+    fixture files attest id-less footers via the repo's own
+    `leaf_field_ids` walk.
+
+    Scale posture: resolution is O(schema) per-file planning
+    metadata (footer tail + the mapping JSON); the data scan stays
+    a plain pushdown-friendly parquet read, one select per file."""
+    import json as _json
+
+    from spark_hive_spark.sources.parquet_meta import (
+        decode_footer,
+        leaf_field_ids,
+    )
+
+    orders = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderpriority",
+        "o_orderstatus",
+    )
+    root = os.path.join(
+        tempfile.gettempdir(), f"shs_icenm_{uuid.uuid4().hex}"
+    )
+    ddir = os.path.join(root, "data")
+    mdir = os.path.join(root, "metadata")
+    os.makedirs(ddir)
+    os.makedirs(mdir)
+
+    half = F.col("o_orderkey") % 2
+    # file A: post-migration physical names, CROSSWISE vs the current
+    # schema (physical col_a = the key = field 1 = schema "col_b")
+    file_a = orders.filter(half == 0).select(
+        F.col("o_orderkey").alias("col_a"),
+        F.col("o_totalprice").alias("col_b"),
+        F.col("o_orderpriority").alias("col_c"),
+        F.struct(F.col("o_orderstatus").alias("s")).alias("d"),
+    )
+    # file B: pre-migration alias names + an unmapped physical column
+    file_b = orders.filter(half == 1).select(
+        F.col("o_orderkey").alias("k2"),
+        F.col("o_totalprice").alias("p2"),
+        F.col("o_orderpriority").alias("c2"),
+        F.lit(0.0).alias("junk"),
+    )
+    stage_single_parquet(file_a, root, ddir, "A.parquet")
+    stage_single_parquet(file_b, root, ddir, "B.parquet")
+
+    schema_fields = [
+        {"id": 1, "name": "col_b", "required": True, "type": "long"},
+        {"id": 2, "name": "col_a", "required": True, "type": "double"},
+        {"id": 3, "name": "col_c", "required": False, "type": "string"},
+        {"id": 4, "name": "detail", "required": False,
+         "type": {"type": "struct", "fields": [
+             {"id": 5, "name": "status", "required": False,
+              "type": "string"}]}},
+        {"id": 6, "name": "bonus", "required": False, "type": "double"},
+    ]
+    name_mapping = [
+        {"field-id": 1, "names": ["col_a", "k2"]},
+        {"field-id": 2, "names": ["col_b", "p2"]},
+        {"field-id": 3, "names": ["col_c", "c2"]},
+        {"field-id": 4, "names": ["d"],
+         "fields": [{"field-id": 5, "names": ["s"]}]},
+        {"field-id": 6, "names": ["missing_col"]},
+    ]
+    meta = {
+        "format-version": 2,
+        "current-snapshot-id": 1,
+        "schema": {"schema-id": 0, "fields": schema_fields},
+        "properties": {
+            "schema.name-mapping.default": _json.dumps(name_mapping),
+        },
+        "snapshots": [{"snapshot-id": 1, "data-files":
+                       ["A.parquet", "B.parquet"]}],
+    }
+    with open(os.path.join(mdir, "v1.metadata.json"), "w") as fh:
+        _json.dump(meta, fh)
+
+    # ---- the reader ----
+    with open(os.path.join(mdir, "v1.metadata.json")) as fh:
+        md = _json.load(fh)
+    iceberg_format_gate(md)
+    mapping = _json.loads(
+        md["properties"]["schema.name-mapping.default"]
+    )
+    fields = md["schema"]["fields"]
+    current = next(
+        s for s in md["snapshots"]
+        if s["snapshot-id"] == md["current-snapshot-id"]
+    )
+    mapped_fields = 0
+
+    def _count_mapped(fs, entries):
+        n = 0
+        by_id = {e["field-id"]: e for e in entries}
+        for f in fs:
+            e = by_id.get(f["id"])
+            if e is not None:
+                n += 1
+                if isinstance(f["type"], dict) \
+                        and f["type"].get("type") == "struct":
+                    n += _count_mapped(f["type"]["fields"],
+                                       e.get("fields", []))
+        return n
+
+    mapped_fields = _count_mapped(fields, mapping)
+    frames = []
+    null_fills = ignored_physical = 0
+    no_ids = True
+    for p in current["data-files"]:
+        path = os.path.join(ddir, p)
+        with open(path, "rb") as fh:
+            data = fh.read()
+        lids = leaf_field_ids(decode_footer(data)[2])
+        no_ids &= all(i is None for i in lids.values())
+        iceberg_name_mapping_gate(lids)
+        df = spark.read.parquet(path)
+        exprs, nulls, ignored = iceberg_name_mapping_select(
+            mapping, fields, df.schema
+        )
+        null_fills += nulls
+        ignored_physical += ignored
+        frames.append(df.select(*exprs))
+    scan = frames[0]
+    for f in frames[1:]:
+        scan = scan.unionByName(f)
+    out = scan.agg(
+        F.lit(mapped_fields).cast("int").alias("mapped_fields"),
+        F.lit(no_ids).alias("no_field_ids"),
+        F.lit(ignored_physical).cast("int").alias("ignored_physical"),
+        F.lit(null_fills).cast("int").alias("null_fills"),
+        F.count("*").alias("n_orders"),
+        dsum("col_a").alias("revenue"),
+        F.sum("col_b").cast("bigint").alias("key_sum"),
+        F.countDistinct("detail.status").alias("n_statuses"),
+    ).localCheckpoint(eager=True)  # 1 row; frees the temp root
+    shutil.rmtree(root, ignore_errors=True)
+    return out

@@ -123,3 +123,52 @@ def test_format_gate_finds_nested_defaults():
     # no-default nested schema still passes with nothing declared
     iceberg_format_gate(md_for({"type": "struct", "fields": [
         {"id": 9, "name": "nested", "type": "string"}]}))
+
+
+def test_name_mapping_gate_and_resolver(spark):
+    """Name mapping (round 16): ids take precedence (gate is loud),
+    aliases resolve in order, required-missing is loud, unmapped
+    physical columns are counted as ignored."""
+    from pyspark.sql import functions as F
+
+    from spark_hive_spark.sources.evolution import (
+        iceberg_name_mapping_gate,
+        iceberg_name_mapping_select,
+    )
+
+    iceberg_name_mapping_gate({"a": None, "b": None})
+    with pytest.raises(NotImplementedError, match="ids take precedence"):
+        iceberg_name_mapping_gate({"a": 1, "b": None})
+
+    df = spark.createDataFrame(
+        [(1, 2.0, "x")], "col_a long, col_b double, junk string"
+    )
+    fields = [
+        {"id": 1, "name": "col_b", "required": True, "type": "long"},
+        {"id": 2, "name": "col_a", "required": True, "type": "double"},
+        {"id": 6, "name": "bonus", "required": False, "type": "double"},
+    ]
+    mapping = [
+        {"field-id": 1, "names": ["col_a", "k2"]},
+        {"field-id": 2, "names": ["col_b", "p2"]},
+        {"field-id": 6, "names": ["missing_col"]},
+    ]
+    exprs, nulls, ignored = iceberg_name_mapping_select(
+        mapping, fields, df.schema
+    )
+    row = df.select(*exprs).collect()[0]
+    # crosswise rename: physical col_a (the long) is schema col_b
+    assert row["col_b"] == 1 and row["col_a"] == 2.0
+    assert row["bonus"] is None and nulls == 1 and ignored == 1
+
+    req = [{"id": 9, "name": "must", "required": True, "type": "long"}]
+    with pytest.raises(ValueError, match="required field 'must'"):
+        iceberg_name_mapping_select(
+            [{"field-id": 9, "names": ["nope"]}], req, df.schema
+        )
+    with pytest.raises(NotImplementedError, match="primitive 'uuid'"):
+        iceberg_name_mapping_select(
+            [{"field-id": 9, "names": ["col_a"]}],
+            [{"id": 9, "name": "u", "required": False, "type": "uuid"}],
+            df.schema,
+        )
