@@ -162,3 +162,46 @@ def test_v2_inline_actions_add_only_checkpoint(spark, tmp_path):
     assert acts == {("f1.parquet", "add"), ("f2.parquet", "add")}
     sidecars, n_inline = _v2_read_top_metadata(spark, path, 4)
     assert sidecars == [] and n_inline == 2
+
+
+def test_delta_version_at_timestamp_rules(tmp_path):
+    """TIMESTAMP AS OF resolution: latest commit <= ts; mtime
+    monotonic adjustment; inCommitTimestamp precedence + strictness;
+    loud out-of-range both ends."""
+    import json
+    import os
+
+    import pytest
+
+    from spark_hive_spark.sources.evolution import (
+        delta_version_at_timestamp,
+    )
+
+    ldir = str(tmp_path)
+    t0 = 1_700_000_000_000
+
+    def commit(v, actions, mtime_ms):
+        p = os.path.join(ldir, f"{v:020d}.json")
+        with open(p, "w") as fh:
+            fh.write("\n".join(json.dumps(a) for a in actions) + "\n")
+        os.utime(p, ns=(mtime_ms * 10**6,) * 2)
+
+    commit(0, [{"add": {"path": "a"}}], t0)
+    commit(1, [{"add": {"path": "b"}}], t0 - 5_000)  # skewed back
+    commit(2, [{"commitInfo": {"inCommitTimestamp": t0 + 100}},
+               {"add": {"path": "c"}}], t0 + 999_999)  # bogus mtime
+
+    assert delta_version_at_timestamp(ldir, t0) == 0  # v1 adjusted
+    assert delta_version_at_timestamp(ldir, t0 + 1) == 1
+    assert delta_version_at_timestamp(ldir, t0 + 99) == 1
+    assert delta_version_at_timestamp(ldir, t0 + 100) == 2  # ICT, ==
+    with pytest.raises(ValueError, match="predates the first"):
+        delta_version_at_timestamp(ldir, t0 - 1)
+    with pytest.raises(ValueError, match="after the latest"):
+        delta_version_at_timestamp(ldir, t0 + 101)
+
+    # non-increasing inCommitTimestamp is a broken table: loud
+    commit(3, [{"commitInfo": {"inCommitTimestamp": t0 + 100}},
+               {"add": {"path": "d"}}], t0 + 200)
+    with pytest.raises(ValueError, match="not .*increasing"):
+        delta_version_at_timestamp(ldir, t0 + 100)
