@@ -1915,11 +1915,11 @@ def delta_column_mapping(metadata: dict) -> dict[str, str] | None:
             _walk_type(ftype.get("elementType"),
                        ppath + ".element", lpath + ".element", fname)
         elif t == "map":
-            if not isinstance(ftype.get("keyType"), str):
-                raise NotImplementedError(
-                    "column mapping on struct-typed map key of "
-                    f"{fname!r}"
-                )
+            # struct-typed map KEYS (round 16, r15 verdict #8): key
+            # struct fields map through a synthetic `.key` segment,
+            # symmetric with `.value`
+            _walk_type(ftype.get("keyType"),
+                       ppath + ".key", lpath + ".key", fname)
             _walk_type(ftype.get("valueType"),
                        ppath + ".value", lpath + ".value", fname)
         else:
@@ -1970,7 +1970,7 @@ def delta_column_mapping_by_id(metadata: dict) -> dict[int, str]:
     and map values map through the synthetic ``element``/``value``
     segments (array elements and map keys/values are not Delta
     fields, so primitives there carry no ids of their own);
-    struct-typed map keys stay loud."""
+    struct-typed map KEYS map through `.key` (round 16)."""
     import json as _json
 
     mode = (metadata.get("configuration") or {}).get(
@@ -1992,11 +1992,7 @@ def delta_column_mapping_by_id(metadata: dict) -> dict[int, str]:
             _walk_type(ftype.get("elementType"),
                        lpath + ".element", fname)
         elif t == "map":
-            if not isinstance(ftype.get("keyType"), str):
-                raise NotImplementedError(
-                    f"column mapping on struct-typed map key of "
-                    f"{fname!r}"
-                )
+            _walk_type(ftype.get("keyType"), lpath + ".key", fname)
             _walk_type(ftype.get("valueType"), lpath + ".value", fname)
         else:
             raise NotImplementedError(
@@ -3910,7 +3906,8 @@ def _type_needs_rebuild(ftype) -> bool:
     if t == "array":
         return _type_needs_rebuild(ftype.get("elementType"))
     if t == "map":
-        return _type_needs_rebuild(ftype.get("valueType"))
+        return (_type_needs_rebuild(ftype.get("keyType"))
+                or _type_needs_rebuild(ftype.get("valueType")))
     return True  # unknown nested shape: force the loud seam below
 
 
@@ -3924,7 +3921,8 @@ def delta_mapped_select(metadata: dict) -> list:
     UDFs, no shuffle — so a single ``select`` restores the logical
     schema over a physically-named scan. Physical path segments are
     backtick-quoted (real physical names contain '-'); struct-typed
-    map keys stay loud, matching `delta_column_mapping`. Null struct
+    map keys rebuilt via ``map_keys``/``map_from_arrays`` re-pairing
+    (round 16), matching `delta_column_mapping`. Null struct
     values are rebuilt as structs of nulls — the fixtures keep
     structs non-null, and a production reader would wrap with a
     whole-struct null guard."""
@@ -3959,14 +3957,23 @@ def delta_mapped_select(metadata: dict) -> list:
                 lambda x: _rebuild(x, ftype.get("elementType"), fname),
             )
         if t == "map":
-            if not isinstance(ftype.get("keyType"), str):
-                raise NotImplementedError(
-                    f"column mapping on struct-typed map key of {fname!r}"
-                )
-            return F.transform_values(
+            key_t = ftype.get("keyType")
+            out = F.transform_values(
                 col,
                 lambda _k, v: _rebuild(v, ftype.get("valueType"), fname),
             )
+            if _type_needs_rebuild(key_t):
+                # struct-typed map KEYS (round 16): rebuild renames
+                # key-struct FIELDS only, so keys stay distinct;
+                # map_from_arrays preserves the key/value pairing
+                out = F.map_from_arrays(
+                    F.transform(
+                        F.map_keys(out),
+                        lambda x: _rebuild(x, key_t, fname),
+                    ),
+                    F.map_values(out),
+                )
+            return out
         raise NotImplementedError(
             f"column mapping on nested field {fname!r} of "
             f"unsupported type {t!r}"
@@ -4005,7 +4012,8 @@ def delta_mapped_select_by_id(
     leaf path, whose LAST segment is the name Spark's scan exposes
     inside the element struct; the rebuild then mirrors name mode
     (``F.transform`` / ``F.transform_values`` codegen, no UDF).
-    Struct-typed map keys stay loud."""
+    Struct-typed map keys rebuild through the same
+    ``map_from_arrays`` re-pairing as name mode (round 16)."""
     import json as _json
 
     schema = _json.loads(metadata["schemaString"])
@@ -4056,14 +4064,20 @@ def delta_mapped_select_by_id(
                 lambda x: _rebuild(x, ftype.get("elementType"), fname),
             )
         if t == "map":
-            if not isinstance(ftype.get("keyType"), str):
-                raise NotImplementedError(
-                    f"column mapping on struct-typed map key of {fname!r}"
-                )
-            return F.transform_values(
+            key_t = ftype.get("keyType")
+            out = F.transform_values(
                 col,
                 lambda _k, v: _rebuild(v, ftype.get("valueType"), fname),
             )
+            if _type_needs_rebuild(key_t):
+                out = F.map_from_arrays(
+                    F.transform(
+                        F.map_keys(out),
+                        lambda x: _rebuild(x, key_t, fname),
+                    ),
+                    F.map_values(out),
+                )
+            return out
         raise NotImplementedError(
             f"column mapping on nested field {fname!r} of "
             f"unsupported type {t!r}"
@@ -6675,5 +6689,185 @@ def source_delta_time_travel_timestamp(
     for df in parts[1:]:
         out = out.unionByName(df)
     out = out.orderBy("ts_offset_ms").localCheckpoint(eager=True)
+    shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
+@register(
+    "source_delta_column_mapping_map_key",
+    oracle=f"""
+        SELECT o_orderpriority AS label,
+               CAST(count(*) AS BIGINT) AS n_entries,
+               CAST(sum(o_orderkey % 5) AS BIGINT) AS bucket_sum,
+               {sql_dsum('o_totalprice')} AS amount,
+               CAST(4 AS INT) AS mapped_paths,
+               TRUE AS name_trap_ok
+        FROM orders
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+    """,
+    tags=("source", "delta", "lakehouse", "compat", "column-mapping",
+          "nested", "map", "map-key"),
+)
+def source_delta_column_mapping_map_key(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Delta column mapping on STRUCT-TYPED MAP KEYS (round 16, the
+    r15 verdict's #8 — the last named colmap seam): a renamed table
+    whose map column keys are structs must rename the KEY struct's
+    fields too. `delta_column_mapping` maps them through a synthetic
+    ``.key`` segment (symmetric with ``.value``), and
+    `delta_mapped_select` rebuilds keys by re-pairing
+    ``map_from_arrays(transform(map_keys(..)), map_values(..))`` —
+    still all codegen'd higher-order functions, no UDF, no shuffle
+    (the rebuild renames key-struct FIELDS only, so key distinctness
+    is preserved by construction).
+
+    The fixture keeps the family's name-trap recipe: the key
+    struct's long child ``bucket`` is physically named
+    ``o_totalprice`` — a different logical column's name with a
+    different type — and ``label`` is ``t-7``. Each order carries
+    one entry ``{(bucket: key%5, label: priority): totalprice}``;
+    the query rebuilds the logical tree, explodes the map, and
+    aggregates per key-struct label — served stale key names flip
+    every output column at once.
+
+    Scale posture: same as the siblings — O(schema) planning, one
+    whole-stage-codegen select, plain parquet scan."""
+    import json as _json
+
+    import pyarrow as _pa
+    import pyarrow.parquet as _pq
+
+    orders = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+    root = os.path.join(
+        tempfile.gettempdir(), f"shs_deltacmmk_{uuid.uuid4().hex}"
+    )
+    tdir = os.path.join(root, "t")
+    ldir = os.path.join(tdir, "_delta_log")
+    os.makedirs(ldir)
+
+    half = orders.withColumn("h", F.col("o_orderkey") % 2)
+    for part, fname in ((0, "part-00000.parquet"),
+                        (1, "part-00001.parquet")):
+        arr = half.filter(F.col("h") == part).drop("h").toArrow()
+        n = arr.num_rows
+        keys = arr["o_orderkey"].to_numpy(zero_copy_only=False)
+        key_structs = _pa.StructArray.from_arrays(
+            [_pa.array((keys % 5).astype("int64")),
+             arr["o_orderpriority"].combine_chunks()],
+            # the trap: the long child's PHYSICAL name is a different
+            # logical column's name (and the wrong type for it)
+            fields=[_pa.field("o_totalprice", _pa.int64()),
+                    _pa.field("t-7", _pa.string())],
+        )
+        ratings = _pa.MapArray.from_arrays(
+            _pa.array(range(0, n + 1), _pa.int32()),
+            key_structs,
+            arr["o_totalprice"].combine_chunks(),
+        )
+        tbl = _pa.table({"k-1": arr["o_orderkey"], "m-9": ratings})
+        _pq.write_table(tbl, os.path.join(tdir, fname))
+
+    def _child(name, typ, fid, phys):
+        return {"name": name, "type": typ, "nullable": True,
+                "metadata": {"delta.columnMapping.id": fid,
+                             "delta.columnMapping.physicalName": phys}}
+
+    schema_string = _json.dumps({
+        "type": "struct",
+        "fields": [
+            _child("o_orderkey", "long", 1, "k-1"),
+            {"name": "ratings", "nullable": True,
+             "metadata": {"delta.columnMapping.id": 2,
+                          "delta.columnMapping.physicalName": "m-9"},
+             "type": {"type": "map",
+                      "keyType": {"type": "struct", "fields": [
+                          _child("bucket", "long", 3, "o_totalprice"),
+                          _child("label", "string", 4, "t-7"),
+                      ]},
+                      "valueContainsNull": True,
+                      "valueType": "double"}},
+        ],
+    })
+
+    def _commit(version: int, actions: list[dict]) -> None:
+        with open(os.path.join(ldir, f"{version:020d}.json"), "w") as fh:
+            fh.write("\n".join(_json.dumps(a) for a in actions) + "\n")
+
+    def _add(p: str) -> dict:
+        return {"add": {"path": p, "size": os.path.getsize(
+            os.path.join(tdir, p)), "modificationTime": 0,
+            "dataChange": True}}
+
+    _commit(0, [
+        {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                      "readerFeatures": ["columnMapping"]}},
+        {"metaData": {"id": "shs-delta-colmap-mapkey", "format":
+            {"provider": "parquet", "options": {}},
+            "schemaString": schema_string, "partitionColumns": [],
+            "configuration": {"delta.columnMapping.mode": "name",
+                              "delta.columnMapping.maxColumnId": "4"}}},
+        _add("part-00000.parquet"),
+    ])
+    _commit(1, [_add("part-00001.parquet")])
+
+    # ---- the reader ----
+    versions = sorted(
+        int(f[:20]) for f in os.listdir(ldir) if f.endswith(".json")
+    )
+    live: set[str] = set()
+    meta: dict | None = None
+    for v in versions:
+        with open(os.path.join(ldir, f"{v:020d}.json")) as fh:
+            for line in fh:
+                if not line.strip():
+                    continue
+                action = _json.loads(line)
+                if "protocol" in action:
+                    unknown = set(
+                        action["protocol"].get("readerFeatures", [])
+                    ) - {"columnMapping"}
+                    if unknown:
+                        raise NotImplementedError(
+                            f"Delta reader features {sorted(unknown)}"
+                        )
+                elif "metaData" in action:
+                    meta = action["metaData"]
+                elif "add" in action:
+                    live.add(action["add"]["path"])
+                elif "remove" in action:
+                    live.discard(action["remove"]["path"])
+    if meta is None:
+        raise ValueError("Delta log carries no metaData action")
+    mapping = delta_column_mapping(meta)
+    scan = spark.read.parquet(
+        *(os.path.join(tdir, p) for p in sorted(live))
+    )
+    trap_ok = (
+        {"k-1", "m-9"} <= set(scan.columns)
+        and mapping["m-9.key.o_totalprice"] == "ratings.key.bucket"
+        and mapping["m-9.key.t-7"] == "ratings.key.label"
+        and len(mapping) == 4
+    )
+    logical = scan.select(*delta_mapped_select(meta))
+    out = (
+        logical.select(F.explode("ratings").alias("key", "amount"))
+        .groupBy(F.col("key.label").alias("label"))
+        .agg(
+            F.count("*").alias("n_entries"),
+            F.sum("key.bucket").cast("bigint").alias("bucket_sum"),
+            dsum("amount").alias("amount"),
+        )
+        .select(
+            "label", "n_entries", "bucket_sum", "amount",
+            F.lit(len(mapping)).cast("int").alias("mapped_paths"),
+            F.lit(trap_ok).alias("name_trap_ok"),
+        )
+        .orderBy("label")
+        .localCheckpoint(eager=True)  # 5 rows; frees the temp root
+    )
     shutil.rmtree(root, ignore_errors=True)
     return out

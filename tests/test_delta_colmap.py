@@ -154,18 +154,22 @@ def test_map_nested_name_mode_resolves_through_value():
                  "col-m.value.col-s": "props.value.score"}
 
 
-def test_struct_typed_map_key_is_loud():
+def test_struct_typed_map_key_resolves_through_key():
+    """Round 16 (r15 verdict #8): key-struct fields map through the
+    synthetic `.key` segment, symmetric with `.value`."""
+    child = _field("bucket", "col-b", "long")
     mp = {
         "name": "props",
         "type": {"type": "map",
-                 "keyType": {"type": "struct", "fields": []},
+                 "keyType": {"type": "struct", "fields": [child]},
                  "valueType": "long", "valueContainsNull": True},
         "nullable": True,
         "metadata": {"delta.columnMapping.id": 7,
                      "delta.columnMapping.physicalName": "col-m"},
     }
-    with pytest.raises(NotImplementedError, match="map key"):
-        delta_column_mapping(_meta("name", [mp]))
+    m = delta_column_mapping(_meta("name", [mp]))
+    assert m == {"col-m": "props",
+                 "col-m.key.col-b": "props.key.bucket"}
 
 
 def test_array_nested_id_mode_resolves_leaves_only():
@@ -188,22 +192,25 @@ def test_array_nested_id_mode_resolves_leaves_only():
     assert m == {6: "lines.element.qty"}
 
 
-def test_map_struct_key_id_mode_is_loud():
+def test_map_struct_key_id_mode_resolves_through_key():
     from spark_hive_spark.sources.evolution import (
         delta_column_mapping_by_id,
     )
 
+    child = dict(_field("bucket", "col-b", "long"))
+    child["metadata"] = {"delta.columnMapping.id": 8,
+                         "delta.columnMapping.physicalName": "col-b"}
     mp = {
         "name": "props",
         "type": {"type": "map",
-                 "keyType": {"type": "struct", "fields": []},
+                 "keyType": {"type": "struct", "fields": [child]},
                  "valueType": "long", "valueContainsNull": True},
         "nullable": True,
         "metadata": {"delta.columnMapping.id": 7,
                      "delta.columnMapping.physicalName": "col-m"},
     }
-    with pytest.raises(NotImplementedError, match="map key"):
-        delta_column_mapping_by_id(_meta("id", [mp]))
+    assert delta_column_mapping_by_id(_meta("id", [mp])) \
+        == {8: "props.key.bucket"}
 
 
 def test_nested_child_missing_physical_name_is_loud():
@@ -396,3 +403,64 @@ def test_mapped_select_by_id_error_paths():
         delta_mapped_select_by_id(meta, {"col-x": 1, "col-y": 1})
     # happy path builds one expression per top-level logical field
     assert len(delta_mapped_select_by_id(meta, {"col-x": 1})) == 1
+
+
+def test_mapped_select_rebuilds_struct_map_keys(spark):
+    """Round 16 end-to-end (both modes): a map with struct-typed keys
+    rebuilds key-struct field names; values and pairing survive."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from spark_hive_spark.sources.evolution import (
+        delta_mapped_select,
+        delta_mapped_select_by_id,
+    )
+
+    df = spark.createDataFrame(
+        [(1, {(10, "x"): 2.5})],
+        "`k-1` long, `col-m` map<struct<`col-b`:long,`col-t`:string>,"
+        " double>",
+    )
+    child_b = {"name": "bucket", "type": "long", "nullable": True,
+               "metadata": {"delta.columnMapping.id": 3,
+                            "delta.columnMapping.physicalName": "col-b"}}
+    child_t = {"name": "label", "type": "string", "nullable": True,
+               "metadata": {"delta.columnMapping.id": 4,
+                            "delta.columnMapping.physicalName": "col-t"}}
+    fields = [
+        {"name": "o_orderkey", "type": "long", "nullable": True,
+         "metadata": {"delta.columnMapping.id": 1,
+                      "delta.columnMapping.physicalName": "k-1"}},
+        {"name": "props", "nullable": True,
+         "metadata": {"delta.columnMapping.id": 2,
+                      "delta.columnMapping.physicalName": "col-m"},
+         "type": {"type": "map",
+                  "keyType": {"type": "struct",
+                              "fields": [child_b, child_t]},
+                  "valueType": "double", "valueContainsNull": True}},
+    ]
+    meta = {
+        "configuration": {"delta.columnMapping.mode": "name"},
+        "schemaString": json.dumps(
+            {"type": "struct", "fields": fields}
+        ),
+    }
+    for exprs in (
+        delta_mapped_select(meta),
+        delta_mapped_select_by_id(
+            {**meta, "configuration":
+             {"delta.columnMapping.mode": "id"}},
+            {"k-1": 1, "col-m": 2,
+             "col-m.key_value.key.col-b": 3,
+             "col-m.key_value.key.col-t": 4},
+        ),
+    ):
+        row = (
+            df.select(*exprs)
+            .select(F.explode("props").alias("key", "val"))
+            .collect()[0]
+        )
+        assert row["key"]["bucket"] == 10
+        assert row["key"]["label"] == "x"
+        assert row["val"] == 2.5
