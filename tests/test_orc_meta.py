@@ -1005,3 +1005,40 @@ def test_orc_seek_decode_compressed_unit():
         orc_seek_decode_compressed(
             stream, 1, orc_stream_chunk_offsets(stream)[3], 0, 0, 500
         )
+
+
+def test_orc_byte_rle_and_present_seek_units():
+    """Round 16: byte-RLE seek skips run-spanning bytes and never
+    walks the tail; present-seek honors the bit offset; the nullable
+    position splitter is loud on the untested combinations."""
+    import pytest
+
+    from spark_hive_spark.sources.orc_meta import (
+        orc_byte_rle_seek,
+        orc_index_positions_nullable,
+        orc_present_seek,
+    )
+
+    # run of 10 x 0xAB (control 7), then literals b"XYZ" (control 253)
+    stream = bytes([7, 0xAB, 253]) + b"XYZ"
+    assert orc_byte_rle_seek(stream, 0, 0, 10) == b"\xab" * 10
+    assert orc_byte_rle_seek(stream, 0, 8, 4) == b"\xab\xabXY"
+    assert orc_byte_rle_seek(stream, 2, 1, 2) == b"YZ"  # mid-stream
+    with pytest.raises(ValueError, match="ran out"):
+        orc_byte_rle_seek(stream, 0, 0, 20)
+
+    # bitmap 0b10110100 0b11110000 as a 2-byte literal run
+    bstream = bytes([254, 0b10110100, 0b11110000])
+    assert orc_present_seek(bstream, (0, 0, 0), 8) \
+        == [1, 0, 1, 1, 0, 1, 0, 0]
+    assert orc_present_seek(bstream, (0, 0, 3), 7) \
+        == [1, 0, 1, 0, 0, 1, 1]  # bit offset crosses the byte edge
+    assert orc_present_seek(bstream, (0, 1, 4), 4) == [0, 0, 0, 0]
+
+    p, d = orc_index_positions_nullable([1, 2, 3, 4, 5],
+                                        compressed=False)
+    assert p == (1, 2, 3) and d == (4, 5)
+    with pytest.raises(NotImplementedError, match="7-position"):
+        orc_index_positions_nullable([0] * 7, compressed=True)
+    with pytest.raises(NotImplementedError, match="expected 5"):
+        orc_index_positions_nullable([1, 2], compressed=False)
