@@ -2815,30 +2815,30 @@ def orc_index_positions(
 
 def orc_index_positions_nullable(
     positions: list[int], compressed: bool
-) -> tuple[tuple[int, int, int], tuple[int, int]]:
+) -> tuple[tuple[int, ...], tuple[int, ...]]:
     """Split a NULLABLE integer column's ROW_INDEX positions into the
     PRESENT and DATA stream seek tuples (round 16, closing the seam
     `orc_index_positions` named): stream positions concatenate in
     stream order, PRESENT first. Uncompressed PRESENT (bit-field
     over byte-RLE) records ``[byte offset, bytes to skip in the
     run, bits to skip]``; DATA appends its usual
-    ``[byte offset, values to skip]`` — 5 total. The compressed
-    variant (7: chunk indirection on both streams) stays a NAMED
-    seam — compression × nullability is the one untested
-    combination."""
-    if compressed:
-        raise NotImplementedError(
-            "row-index seek on a nullable column under compression "
-            "(7-position chunk indirection on PRESENT and DATA)"
-        )
-    if len(positions) != 5:
+    ``[byte offset, values to skip]`` — 5 total. Compression
+    prepends chunk indirection to BOTH streams: PRESENT becomes
+    ``[compressed chunk offset, decompressed offset within chunk,
+    bytes to skip in the run, bits to skip]`` and DATA
+    ``[chunk offset, decompressed offset, values to skip]`` —
+    7 total. Wrong arity is the NAMED loud seam."""
+    want = 7 if compressed else 5
+    if len(positions) != want:
         raise NotImplementedError(
             f"nullable row-index entry with {len(positions)} "
-            "positions (expected 5: PRESENT byte/run/bit + DATA "
-            "byte/values)"
+            f"positions (expected {want}: PRESENT "
+            f"{'chunk/dec/run/bit' if compressed else 'byte/run/bit'}"
+            f" + DATA "
+            f"{'chunk/dec/values' if compressed else 'byte/values'})"
         )
-    return (positions[0], positions[1], positions[2]), \
-        (positions[3], positions[4])
+    split = 4 if compressed else 3
+    return tuple(positions[:split]), tuple(positions[split:])
 
 
 def orc_byte_rle_seek(
@@ -2870,6 +2870,70 @@ def orc_byte_rle_seek(
             out += stream[p : p + n]
             p += n
     return bytes(out[vskip:need])
+
+
+def orc_byte_rle_seek_compressed(
+    stream: bytes,
+    codec: int,
+    chunk_off: int,
+    dec_off: int,
+    vskip: int,
+    max_bytes: int,
+    touched: set[int] | None = None,
+) -> bytes:
+    """Chunk-indirected byte-RLE seek (round 16): start at the
+    compression chunk at ``chunk_off``, drop ``dec_off`` leading
+    decompressed bytes, then byte-RLE-decode skipping ``vskip``
+    output bytes and returning the next ``max_bytes``. Chunks are
+    decompressed lazily — `orc_byte_rle_seek` raising on a
+    run-spanning truncation pulls exactly one more chunk; chunks
+    past the window are never decompressed (``touched`` collects
+    decompressed header offsets, as in `orc_seek_decode_compressed`)."""
+    buf = bytearray()
+    p = chunk_off
+    first = True
+    while True:
+        if p + 3 > len(stream):
+            raise ValueError(
+                "byte-RLE seek ran out of compression chunks"
+            )
+        h = stream[p] | (stream[p + 1] << 8) | (stream[p + 2] << 16)
+        clen = h >> 1
+        dec = _unchunk(stream[p : p + 3 + clen], codec)
+        if touched is not None:
+            touched.add(p)
+        if first:
+            dec = dec[dec_off:]
+            first = False
+        buf += dec
+        p += 3 + clen
+        try:
+            return orc_byte_rle_seek(bytes(buf), 0, vskip, max_bytes)
+        except ValueError:
+            continue  # run spans the chunk boundary — pull one more
+
+
+def orc_present_seek_compressed(
+    stream: bytes,
+    codec: int,
+    positions: tuple[int, int, int, int],
+    n_bits: int,
+    touched: set[int] | None = None,
+) -> list[int]:
+    """Compressed-variant of `orc_present_seek`: four positions
+    (chunk offset, decompressed offset, bytes to skip, bits to
+    skip) resolve one row group's PRESENT bitmap without touching
+    chunks outside its window."""
+    chunk_off, dec_off, vskip, bitskip = positions
+    nbytes = (bitskip + n_bits + 7) // 8
+    raw = orc_byte_rle_seek_compressed(
+        stream, codec, chunk_off, dec_off, vskip, nbytes, touched
+    )
+    bits: list[int] = []
+    for byte in raw:
+        for k in range(8):
+            bits.append((byte >> (7 - k)) & 1)
+    return bits[bitskip : bitskip + n_bits]
 
 
 def orc_present_seek(
@@ -3447,8 +3511,8 @@ def source_orc_row_index_skipping_nullable(
     every group mixes nulls and values and both the null count and
     the non-null sum cross-check the weave against the oracle.
 
-    Compression × nullability (7 positions) stays the one NAMED
-    remaining combination (`orc_index_positions_nullable` raises).
+    Compression × nullability (7 positions) is the sibling
+    `source_orc_row_index_skipping_nullable_compressed`.
 
     Scale posture: same as the siblings — seeking bounds decode to
     selected groups inside already-pruned stripes; nullable columns
@@ -3624,6 +3688,253 @@ def source_orc_row_index_skipping_nullable(
         "skipping_effective boolean, partial_decode boolean,"
         " seek_attested boolean, n_matched bigint, n_nulls bigint,"
         " cents bigint",
+    ).localCheckpoint(eager=True)  # 1 row; frees the temp root
+    shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
+@register(
+    "source_orc_row_index_skipping_nullable_compressed",
+    oracle="""
+        WITH bounds AS (
+            SELECT CAST(floor(0.30 * max(o_orderkey)) AS BIGINT)
+                       AS lo,
+                   CAST(floor(0.45 * max(o_orderkey)) AS BIGINT)
+                       AS hi
+            FROM orders
+        )
+        SELECT TRUE AS skipping_effective,
+               TRUE AS partial_decode,
+               TRUE AS chunks_skipped,
+               TRUE AS seek_attested,
+               CAST(count(*) AS BIGINT) AS n_matched,
+               CAST(sum(CASE WHEN o_orderkey % 10 = 7
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+               CAST(sum(CASE WHEN o_orderkey % 10 <> 7
+                             THEN CAST(round(o_totalprice * 100)
+                                       AS BIGINT) END) AS BIGINT)
+                   AS cents
+        FROM orders, bounds
+        WHERE o_orderkey BETWEEN lo AND hi
+    """,
+    tags=("source", "orc", "row-index", "skipping", "pruning",
+          "nullable", "present", "compression", "data-read"),
+)
+def source_orc_row_index_skipping_nullable_compressed(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """ORC row-group seek-decode, NULLABLE × COMPRESSED (round 16) —
+    the full production shape, completing the row-index family
+    (uncompressed / compressed / nullable siblings): a nullable
+    column in a compressed stripe carries SEVEN index positions,
+    chunk indirection prepended to both streams — PRESENT
+    ``[chunk offset, decompressed offset, bytes to skip in the
+    byte-RLE run, bits to skip]`` and DATA ``[chunk offset,
+    decompressed offset, values to skip]``. Every failure mode of
+    the two dimensions compounds here: a reader that forgets the
+    chunk layer decodes garbage mid-stream; one that seeks only
+    DATA misplaces every value after the first null; one that
+    decompresses eagerly loses the entire point of the index.
+
+    `orc_byte_rle_seek_compressed` / `orc_present_seek_compressed`
+    resolve the bitmap and `orc_seek_decode_compressed` the values,
+    all decompressing chunks lazily — ``chunks_skipped`` pins that
+    the union of chunks decompressed across the key DATA, cents
+    PRESENT and cents DATA streams is a strict subset of the
+    stripe's chunks; ``seek_attested`` pins bitmap length == group
+    rows, popcount == the index's numberOfValues == decoded values,
+    and the key column's min/max echo.
+
+    Scale posture: this is THE hot path of a 100 TB ORC range read —
+    real warehouse columns are nullable and real files are
+    compressed; decompression (the dominant CPU cost) is bounded to
+    exactly the selected groups' chunks."""
+    import pandas as _pd
+
+    root = os.path.join(
+        tempfile.gettempdir(), f"shs_orcrinc_{uuid.uuid4().hex}"
+    )
+    os.makedirs(root)
+    fixture = (
+        t(spark, sf_dir, "orders")
+        .select(
+            F.col("o_orderkey").alias("k"),
+            F.when(
+                F.col("o_orderkey") % 10 != 7,
+                F.round(F.col("o_totalprice") * 100).cast("long"),
+            ).alias("cents"),
+        )
+        .sort("k")
+    )
+    row = fixture.agg(
+        F.floor(F.max("k") * 0.30).cast("long").alias("lo"),
+        F.floor(F.max("k") * 0.45).cast("long").alias("hi"),
+        F.count("*").alias("n"),
+    ).collect()[0]
+    lo, hi, n_rows_total = row["lo"], row["hi"], row["n"]
+    stride = max(1000, n_rows_total // 6)  # ~6 groups at any SF
+    stage = os.path.join(root, "stage")
+    (
+        fixture.coalesce(1)
+        .write.option("compression", "zlib")
+        .option("orc.compress.size", "1024")
+        .option("orc.row.index.stride", str(stride))
+        .orc(stage)
+    )
+    src = next(f for f in os.listdir(stage) if f.endswith(".orc"))
+    path = os.path.join(root, "sorted.orc")
+    os.replace(os.path.join(stage, src), path)
+
+    plan = spark.createDataFrame(
+        [(path, lo, hi, stride)],
+        "path string, lo long, hi long, stride long",
+    )
+
+    def _decode(batches) -> Iterator:
+        for pdf in batches:
+            rows = []
+            for rec in pdf.itertuples(index=False):
+                with open(rec.path, "rb") as fh:
+                    data = fh.read()
+                footer, codec = _orc_file_tail(data)
+                if codec == 0:
+                    raise ValueError(
+                        "compressed fixture came back uncompressed"
+                    )
+                g_total = g_sel = n_matched = n_nulls = 0
+                cents_sum = 0
+                rows_decoded = 0
+                seek_ok = True
+                chunks_skipped = True
+                for sraw in footer.get(3, []):
+                    st = decode_message(sraw)
+                    off, ilen, dlen, flen = (
+                        st[1][0], st[2][0], st[3][0], st[4][0]
+                    )
+                    n_stripe_rows = st[5][0]
+                    sfoot = decode_message(
+                        _unchunk(data[off + ilen + dlen
+                                      : off + ilen + dlen + flen],
+                                 codec)
+                    )
+                    pos = off
+                    streams: dict[tuple[int, int], bytes] = {}
+                    for s in sfoot[1]:
+                        m = decode_message(s)
+                        kind, col, ln = (
+                            m.get(1, [0])[0], m.get(2, [0])[0],
+                            m[3][0],
+                        )
+                        streams[(col, kind)] = data[pos : pos + ln]
+                        pos += ln
+
+                    def _index(col: int) -> list[dict]:
+                        ri = decode_message(
+                            _unchunk(streams[(col, 6)], codec)
+                        )
+                        out = []
+                        for eraw in ri.get(1, []):
+                            e = decode_message(eraw)
+                            positions = _packed_uvarints(
+                                b"".join(e.get(1, []))
+                            )
+                            stats = decode_message(e[2][0])
+                            ints = decode_message(stats[2][0])
+                            out.append({
+                                "positions": positions,
+                                "n": stats[1][0],
+                                "min": _unzigzag(ints[1][0]),
+                                "max": _unzigzag(ints[2][0]),
+                            })
+                        return out
+
+                    idx_k = _index(1)
+                    idx_c = _index(2)
+                    if len(idx_k) != len(idx_c):
+                        raise ValueError("column row indexes disagree")
+                    g_total += len(idx_k)
+                    k_stream = streams[(1, 1)]
+                    c_present = streams[(2, 0)]
+                    c_data = streams[(2, 1)]
+                    touched_k: set[int] = set()
+                    touched_p: set[int] = set()
+                    touched_d: set[int] = set()
+
+                    for gi, (ek, ec) in enumerate(zip(idx_k, idx_c)):
+                        if ek["max"] < rec.lo or ek["min"] > rec.hi:
+                            continue  # skipped: never decompressed
+                        g_sel += 1
+                        g_rows = min(
+                            rec.stride,
+                            n_stripe_rows - gi * rec.stride,
+                        )
+                        kc, kd, kv = orc_index_positions(
+                            ek["positions"], compressed=True
+                        )
+                        ks = orc_seek_decode_compressed(
+                            k_stream, codec, kc, kd, kv, ek["n"],
+                            touched_k,
+                        )
+                        ppos, (dc, dd, dv) = \
+                            orc_index_positions_nullable(
+                                ec["positions"], compressed=True
+                            )
+                        bits = orc_present_seek_compressed(
+                            c_present, codec, ppos, g_rows, touched_p
+                        )
+                        n_vals = sum(bits)
+                        vals = orc_seek_decode_compressed(
+                            c_data, codec, dc, dd, dv, n_vals,
+                            touched_d,
+                        )
+                        it = iter(vals)
+                        cs = [next(it) if b else None for b in bits]
+                        rows_decoded += len(ks)
+                        seek_ok &= (
+                            len(ks) == ek["n"] == g_rows
+                            and len(bits) == g_rows
+                            and n_vals == ec["n"] == len(vals)
+                            and min(ks) == ek["min"]
+                            and max(ks) == ek["max"]
+                        )
+                        for kv_, cv in zip(ks, cs):
+                            if rec.lo <= kv_ <= rec.hi:
+                                n_matched += 1
+                                if cv is None:
+                                    n_nulls += 1
+                                else:
+                                    cents_sum += cv
+                    # strict subset of the stripe's chunks, combined
+                    # across the three streams (PRESENT and the key
+                    # DATA each compress to 1-2 chunks; the
+                    # incompressible cents DATA carries the evidence)
+                    totals = sum(
+                        len(orc_stream_chunk_offsets(s))
+                        for s in (k_stream, c_present, c_data)
+                    )
+                    chunks_skipped &= (
+                        len(touched_k) + len(touched_p)
+                        + len(touched_d) < totals
+                    )
+                rows.append((
+                    bool(1 <= g_sel < g_total),
+                    bool(rows_decoded < n_rows_total),
+                    bool(chunks_skipped),
+                    bool(seek_ok),
+                    n_matched, n_nulls, cents_sum,
+                ))
+            yield _pd.DataFrame(
+                rows,
+                columns=["skipping_effective", "partial_decode",
+                         "chunks_skipped", "seek_attested",
+                         "n_matched", "n_nulls", "cents"],
+            )
+
+    out = plan.mapInPandas(
+        _decode,
+        "skipping_effective boolean, partial_decode boolean,"
+        " chunks_skipped boolean, seek_attested boolean,"
+        " n_matched bigint, n_nulls bigint, cents bigint",
     ).localCheckpoint(eager=True)  # 1 row; frees the temp root
     shutil.rmtree(root, ignore_errors=True)
     return out
