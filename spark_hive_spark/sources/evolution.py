@@ -6871,3 +6871,235 @@ def source_delta_column_mapping_map_key(
     )
     shutil.rmtree(root, ignore_errors=True)
     return out
+
+
+def iceberg_appends_between(
+    md: dict, from_id: int, to_id: int
+) -> tuple[list[int], int]:
+    """Iceberg INCREMENTAL APPEND planning (round 16): walk the
+    parent-snapshot chain from ``to_id`` back to (exclusive)
+    ``from_id`` -> (append snapshot ids in range oldest-first,
+    replace snapshots skipped). The rules real IncrementalAppendScan
+    enforces: ``replace`` snapshots (compaction) add no new rows and
+    are SKIPPED; ``overwrite``/``delete`` snapshots change history
+    and are LOUD (an incremental consumer must fall back to a full
+    diff); ``from_id`` must be an ancestor of ``to_id`` — a reader
+    that diffs live file SETS instead would serve compaction
+    rewrites as new rows."""
+    snaps = {s["snapshot-id"]: s for s in md["snapshots"]}
+    if to_id not in snaps or from_id not in snaps:
+        raise ValueError("incremental bounds not in the snapshot list")
+    chain: list[dict] = []
+    cur = to_id
+    while cur != from_id:
+        if cur not in snaps:
+            raise ValueError(
+                f"snapshot {from_id} is not an ancestor of {to_id}"
+            )
+        s = snaps[cur]
+        chain.append(s)
+        parent = s.get("parent-snapshot-id")
+        if parent is None:
+            raise ValueError(
+                f"snapshot {from_id} is not an ancestor of {to_id}"
+            )
+        cur = parent
+    appends: list[int] = []
+    skipped = 0
+    for s in reversed(chain):
+        op = (s.get("summary") or {}).get("operation", "append")
+        if op == "append":
+            appends.append(s["snapshot-id"])
+        elif op == "replace":
+            skipped += 1  # compaction: no new rows
+        else:
+            raise NotImplementedError(
+                f"Iceberg incremental append over a {op!r} snapshot "
+                f"({s['snapshot-id']}) — history changed, a "
+                "row-level diff is required"
+            )
+    return appends, skipped
+
+
+@register(
+    "source_iceberg_incremental_append",
+    oracle=f"""
+        SELECT CAST(2 AS INT) AS snapshots_scanned,
+               CAST(1 AS INT) AS replace_skipped,
+               TRUE AS overwrite_in_range_fails,
+               CAST(count(*) AS BIGINT) AS n_new,
+               {sql_dsum('o_totalprice')} AS new_revenue
+        FROM orders
+        WHERE o_orderkey % 4 IN (2, 3)
+    """,
+    tags=("source", "iceberg", "lakehouse", "incremental", "cdc",
+          "avro"),
+)
+def source_iceberg_incremental_append(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Iceberg INCREMENTAL APPEND scan (round 16) — "rows appended
+    after snapshot A, up to snapshot B", completing the lakehouse
+    incremental trio (`source_hudi_incremental` /
+    `source_hudi_mor_incremental`, `source_delta_cdf_changes`).
+    Planning walks the PARENT-SNAPSHOT chain (not the snapshot
+    list: lineage is a chain with possible abandoned branches) and
+    applies the scan's operation rules — the fixture traps each:
+
+    - snap 2 (append C) and snap 4 (append E) are in (1, 4]: their
+      ADDED manifest entries are the answer;
+    - snap 3 is a REPLACE (compaction of A+B into D, same rows): it
+      must be SKIPPED — a reader that diffs the live file sets
+      between the bounds serves D's carried rows as new and
+      double-counts every pre-range row;
+    - snap 5 is an OVERWRITE past the range; incremental over
+      (1, 5] must raise by name (attested boolean) — history
+      changed and appended-rows semantics no longer exist.
+
+    Only manifests whose ``added_snapshot_id`` is an in-range append
+    snapshot are opened, and only their status=ADDED entries read —
+    manifest-level pruning, same as `source_iceberg_manifest_skipping`.
+
+    Scale posture: planning is O(chain length) metadata + O(in-range
+    manifests); the scan reads only appended files — the property
+    that makes incremental consumers (CDC pipelines, training-data
+    refreshes) cheap at 100 TB."""
+    import json as _json
+
+    from spark_hive_spark.operators.avro import (
+        encode_avro_ocf,
+        parse_avro_ocf,
+    )
+
+    orders = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    root = os.path.join(
+        tempfile.gettempdir(), f"shs_iceinc_{uuid.uuid4().hex}"
+    )
+    ddir = os.path.join(root, "data")
+    mdir = os.path.join(root, "metadata")
+    os.makedirs(ddir)
+    os.makedirs(mdir)
+
+    k = F.col("o_orderkey") % 4
+    stage_single_parquet(orders.filter(k == 0), root, ddir, "A.parquet")
+    stage_single_parquet(orders.filter(k == 1), root, ddir, "B.parquet")
+    stage_single_parquet(orders.filter(k == 2), root, ddir, "C.parquet")
+    stage_single_parquet(orders.filter(k < 2), root, ddir, "D.parquet")
+    stage_single_parquet(orders.filter(k == 3), root, ddir, "E.parquet")
+    stage_single_parquet(
+        orders.filter(k == 3).limit(0), root, ddir, "F.parquet"
+    )  # the overwrite's rewrite target (never read here)
+
+    entry_schema = {
+        "type": "record", "name": "manifest_entry",
+        "fields": [
+            {"name": "status", "type": "long"},
+            {"name": "file_path", "type": "string"},
+            {"name": "record_count", "type": "long"},
+        ],
+    }
+    mlist_schema = {
+        "type": "record", "name": "manifest_file",
+        "fields": [
+            {"name": "manifest_path", "type": "string"},
+            {"name": "added_snapshot_id", "type": "long"},
+        ],
+    }
+
+    def _manifest(name: str, entries: list[dict]) -> str:
+        path = os.path.join(mdir, name)
+        with open(path, "wb") as fh:
+            fh.write(encode_avro_ocf(entries, entry_schema,
+                                     codec="deflate"))
+        return path
+
+    m1 = _manifest("m1.avro", [
+        {"status": 1, "file_path": "A.parquet", "record_count": 0},
+        {"status": 1, "file_path": "B.parquet", "record_count": 0},
+    ])
+    m2 = _manifest("m2.avro", [
+        {"status": 1, "file_path": "C.parquet", "record_count": 0},
+    ])
+    m3 = _manifest("m3.avro", [
+        {"status": 2, "file_path": "A.parquet", "record_count": 0},
+        {"status": 2, "file_path": "B.parquet", "record_count": 0},
+        {"status": 1, "file_path": "D.parquet", "record_count": 0},
+    ])
+    m4 = _manifest("m4.avro", [
+        {"status": 1, "file_path": "E.parquet", "record_count": 0},
+    ])
+    m5 = _manifest("m5.avro", [
+        {"status": 2, "file_path": "E.parquet", "record_count": 0},
+        {"status": 1, "file_path": "F.parquet", "record_count": 0},
+    ])
+
+    def _mlist(name: str, pairs: list[tuple[str, int]]) -> str:
+        path = os.path.join(mdir, name)
+        rows = [{"manifest_path": p, "added_snapshot_id": sid}
+                for p, sid in pairs]
+        with open(path, "wb") as fh:
+            fh.write(encode_avro_ocf(rows, mlist_schema,
+                                     codec="snappy"))
+        return path
+
+    snaps = [
+        {"snapshot-id": 1, "summary": {"operation": "append"},
+         "manifest-list": _mlist("s1.avro", [(m1, 1)])},
+        {"snapshot-id": 2, "parent-snapshot-id": 1,
+         "summary": {"operation": "append"},
+         "manifest-list": _mlist("s2.avro", [(m1, 1), (m2, 2)])},
+        {"snapshot-id": 3, "parent-snapshot-id": 2,
+         "summary": {"operation": "replace"},
+         "manifest-list": _mlist("s3.avro", [(m2, 2), (m3, 3)])},
+        {"snapshot-id": 4, "parent-snapshot-id": 3,
+         "summary": {"operation": "append"},
+         "manifest-list": _mlist("s4.avro",
+                                 [(m2, 2), (m3, 3), (m4, 4)])},
+        {"snapshot-id": 5, "parent-snapshot-id": 4,
+         "summary": {"operation": "overwrite"},
+         "manifest-list": _mlist(
+             "s5.avro", [(m2, 2), (m3, 3), (m5, 5)])},
+    ]
+    meta = {"format-version": 2, "current-snapshot-id": 5,
+            "snapshots": snaps}
+    with open(os.path.join(mdir, "v1.metadata.json"), "w") as fh:
+        _json.dump(meta, fh)
+
+    # ---- the reader: appends in (1, 4] ----
+    with open(os.path.join(mdir, "v1.metadata.json")) as fh:
+        md = _json.load(fh)
+    iceberg_format_gate(md)
+    appends, skipped = iceberg_appends_between(md, 1, 4)
+    try:
+        iceberg_appends_between(md, 1, 5)
+        overwrite_fails = False
+    except NotImplementedError:
+        overwrite_fails = True
+    by_id = {s["snapshot-id"]: s for s in md["snapshots"]}
+    new_files: list[str] = []
+    for sid in appends:
+        with open(by_id[sid]["manifest-list"], "rb") as fh:
+            _, mrows = parse_avro_ocf(fh.read())
+        for mrow in mrows:
+            if mrow["added_snapshot_id"] != sid:
+                continue  # manifest-level pruning: carried forward
+            with open(mrow["manifest_path"], "rb") as fh:
+                _, entries = parse_avro_ocf(fh.read())
+            for e in entries:
+                iceberg_entry_content_gate(e)
+                if e["status"] == 1:
+                    new_files.append(e["file_path"])
+    scan = spark.read.parquet(
+        *(os.path.join(ddir, p) for p in sorted(new_files))
+    )
+    out = scan.agg(
+        F.lit(len(appends)).cast("int").alias("snapshots_scanned"),
+        F.lit(skipped).cast("int").alias("replace_skipped"),
+        F.lit(overwrite_fails).alias("overwrite_in_range_fails"),
+        F.count("*").alias("n_new"),
+        dsum("o_totalprice").alias("new_revenue"),
+    ).localCheckpoint(eager=True)  # 1 row; frees the temp root
+    shutil.rmtree(root, ignore_errors=True)
+    return out

@@ -172,3 +172,32 @@ def test_name_mapping_gate_and_resolver(spark):
             [{"id": 9, "name": "u", "required": False, "type": "uuid"}],
             df.schema,
         )
+
+
+def test_iceberg_appends_between_rules():
+    """Incremental append planning: parent-chain walk (not list
+    order), replace skipped, overwrite/delete loud, non-ancestor
+    bounds loud."""
+    from spark_hive_spark.sources.evolution import (
+        iceberg_appends_between,
+    )
+
+    def snap(sid, parent=None, op="append"):
+        s = {"snapshot-id": sid, "summary": {"operation": op}}
+        if parent is not None:
+            s["parent-snapshot-id"] = parent
+        return s
+
+    md = {"snapshots": [
+        snap(1), snap(2, 1), snap(3, 2, "replace"), snap(4, 3),
+        snap(5, 4, "overwrite"), snap(9, 1),  # 9: abandoned branch
+    ]}
+    assert iceberg_appends_between(md, 1, 4) == ([2, 4], 1)
+    assert iceberg_appends_between(md, 2, 4) == ([4], 1)
+    assert iceberg_appends_between(md, 3, 4) == ([4], 0)
+    with pytest.raises(NotImplementedError, match="'overwrite'"):
+        iceberg_appends_between(md, 1, 5)
+    with pytest.raises(ValueError, match="not an ancestor"):
+        iceberg_appends_between(md, 9, 4)  # other branch
+    with pytest.raises(ValueError, match="not in the snapshot"):
+        iceberg_appends_between(md, 7, 4)
