@@ -1424,10 +1424,13 @@ def _v2_classify_top_row(d: dict) -> tuple[str, dict | None]:
     carry file state in the top-level checkpoint; the READERS keep
     action rows spark-side (only metadata rows are collected), this
     classifier exists for the bounded metadata collect and the
-    row-accounting check. A row matching no recognized column stays
-    a loud seam, per the repo convention."""
+    row-accounting check. ``domainMetadata`` rows (round 16 — liquid
+    clustering / row tracking write them into every checkpoint) are
+    metadata: bounded per-domain state, file-state-neutral. A row
+    matching no recognized column stays a loud seam, per the repo
+    convention."""
     for kind in ("checkpointMetadata", "protocol", "sidecar",
-                 "metaData", "add", "remove"):
+                 "metaData", "domainMetadata", "add", "remove"):
         if d.get(kind) is not None:
             return kind, d[kind]
     extra = sorted(k for k, v in d.items() if v is not None)
@@ -1449,7 +1452,7 @@ def _v2_read_top_metadata(
     metadata nor an inline action is unknown state and raises."""
     top_df = spark.read.parquet(path).persist()
     meta_cols = [c for c in ("checkpointMetadata", "protocol",
-                             "sidecar", "metaData")
+                             "sidecar", "metaData", "domainMetadata")
                  if c in top_df.columns]
     action_cols = [c for c in ("add", "remove") if c in top_df.columns]
     meta_pred = None
@@ -7100,6 +7103,161 @@ def source_iceberg_incremental_append(
         F.lit(overwrite_fails).alias("overwrite_in_range_fails"),
         F.count("*").alias("n_new"),
         dsum("o_totalprice").alias("new_revenue"),
+    ).localCheckpoint(eager=True)  # 1 row; frees the temp root
+    shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
+def delta_domain_metadata_replay(
+    actions: list[dict],
+) -> tuple[dict[str, str], int]:
+    """Replay ``domainMetadata`` actions (round 16, PROTOCOL.md
+    §Domain Metadata — what liquid clustering and row tracking
+    write): per DOMAIN the latest action wins; ``removed: true``
+    tombstones the domain out of the live state. -> ({domain:
+    configuration string} for live domains, removed-domain count).
+    Input is the commit-ordered action list; malformed actions
+    (no domain) are loud."""
+    state: dict[str, dict] = {}
+    for a in actions:
+        dm = a.get("domainMetadata")
+        if dm is None:
+            continue
+        domain = dm.get("domain")
+        if not domain:
+            raise ValueError("domainMetadata action without a domain")
+        state[domain] = dm  # latest writer wins, per domain
+    live = {d: dm.get("configuration", "")
+            for d, dm in state.items() if not dm.get("removed")}
+    removed = sum(1 for dm in state.values() if dm.get("removed"))
+    return live, removed
+
+
+@register(
+    "source_delta_domain_metadata",
+    oracle=f"""
+        SELECT CAST(1 AS INT) AS live_domains,
+               CAST(1 AS INT) AS removed_domains,
+               'o_totalprice' AS clustering_col,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               {sql_dsum('o_totalprice')} AS revenue
+        FROM orders
+    """,
+    tags=("source", "delta", "lakehouse", "compat", "domain-metadata",
+          "liquid-clustering"),
+)
+def source_delta_domain_metadata(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Delta DOMAIN METADATA replay (round 16) — the action LIQUID
+    CLUSTERING and row tracking write into every commit and
+    checkpoint of a modern Delta table; a reader that only knows
+    add/remove/metaData/protocol either chokes on it or (worse)
+    serves stale clustering state. PROTOCOL.md semantics, each
+    trapped by the fixture:
+
+    - **Latest writer wins per domain**: commit 0 declares
+      ``delta.clustering`` over o_orderkey, commit 1 RE-CLUSTERS
+      over o_totalprice — the state must serve the later config
+      (the query extracts the clustering column from the winning
+      configuration JSON; a first-writer-wins reader reports
+      o_orderkey and flips the hash).
+    - **Removal tombstones**: commit 1 adds a ``custom.app`` domain,
+      commit 2 removes it (``removed: true``) — live domains must
+      not include it.
+    - **File-state neutrality**: domain metadata never changes which
+      files are live; the table aggregate over the same log must
+      equal the full table.
+
+    Domain metadata is a WRITER feature — readers need no protocol
+    gate, they must simply replay it correctly (and
+    `_v2_classify_top_row` now admits ``domainMetadata`` checkpoint
+    rows as bounded metadata instead of raising).
+
+    Scale posture: domain state is O(#domains) planning metadata
+    riding the same log replay the file-state reconstruction already
+    pays for; nothing touches the data path."""
+    import json as _json
+
+    orders = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    root = os.path.join(
+        tempfile.gettempdir(), f"shs_deltadm_{uuid.uuid4().hex}"
+    )
+    tdir = os.path.join(root, "t")
+    ldir = os.path.join(tdir, "_delta_log")
+    os.makedirs(ldir)
+
+    k = F.col("o_orderkey") % 3
+    for part, name in ((0, "part-a.parquet"), (1, "part-b.parquet"),
+                       (2, "part-c.parquet")):
+        stage_single_parquet(
+            orders.filter(k == part), root, tdir, name
+        )
+
+    def _commit(version: int, actions: list[dict]) -> None:
+        with open(os.path.join(ldir, f"{version:020d}.json"), "w") as fh:
+            fh.write("\n".join(_json.dumps(a) for a in actions) + "\n")
+
+    def _add(p: str) -> dict:
+        return {"add": {"path": p, "size": os.path.getsize(
+            os.path.join(tdir, p)), "modificationTime": 0,
+            "dataChange": True}}
+
+    def _dm(domain: str, conf: dict | None,
+            removed: bool = False) -> dict:
+        return {"domainMetadata": {
+            "domain": domain,
+            "configuration": _json.dumps(conf or {}),
+            "removed": removed,
+        }}
+
+    _commit(0, [
+        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 7,
+                      "writerFeatures": ["domainMetadata",
+                                         "clustering"]}},
+        {"metaData": {"id": "shs-delta-dm", "format":
+            {"provider": "parquet", "options": {}},
+            "schemaString": "{}", "partitionColumns": []}},
+        _dm("delta.clustering",
+            {"clusteringColumns": [["o_orderkey"]]}),
+        _add("part-a.parquet"), _add("part-b.parquet"),
+    ])
+    _commit(1, [
+        _dm("delta.clustering",
+            {"clusteringColumns": [["o_totalprice"]]}),  # re-cluster
+        _dm("custom.app", {"owner": "pipeline-7"}),
+    ])
+    _commit(2, [
+        _dm("custom.app", None, removed=True),
+        _add("part-c.parquet"),
+    ])
+
+    # ---- the reader: one replay serves file AND domain state ----
+    actions: list[dict] = []
+    for v in sorted(
+        int(f[:20]) for f in os.listdir(ldir) if f.endswith(".json")
+    ):
+        with open(os.path.join(ldir, f"{v:020d}.json")) as fh:
+            actions.extend(
+                _json.loads(line) for line in fh if line.strip()
+            )
+    live_domains, removed = delta_domain_metadata_replay(actions)
+    clustering = _json.loads(live_domains["delta.clustering"])
+    (clustering_col,) = (
+        c for cols in clustering["clusteringColumns"] for c in cols
+    )
+    live, _n_tomb, _v = delta_live_at(ldir)
+    scan = spark.read.parquet(
+        *(os.path.join(tdir, p) for p in sorted(live))
+    )
+    out = scan.agg(
+        F.lit(len(live_domains)).cast("int").alias("live_domains"),
+        F.lit(removed).cast("int").alias("removed_domains"),
+        F.lit(clustering_col).alias("clustering_col"),
+        F.count("*").alias("n_orders"),
+        dsum("o_totalprice").alias("revenue"),
     ).localCheckpoint(eager=True)  # 1 row; frees the temp root
     shutil.rmtree(root, ignore_errors=True)
     return out

@@ -205,3 +205,37 @@ def test_delta_version_at_timestamp_rules(tmp_path):
                {"add": {"path": "d"}}], t0 + 200)
     with pytest.raises(ValueError, match="not .*increasing"):
         delta_version_at_timestamp(ldir, t0 + 100)
+
+
+def test_domain_metadata_replay_rules():
+    """Latest writer wins per domain; removed tombstones; malformed
+    actions loud; v2 classifier admits domainMetadata rows."""
+    import pytest
+
+    from spark_hive_spark.sources.evolution import (
+        _v2_classify_top_row,
+        delta_domain_metadata_replay,
+    )
+
+    live, removed = delta_domain_metadata_replay([
+        {"domainMetadata": {"domain": "a", "configuration": "1"}},
+        {"add": {"path": "x"}},  # interleaved non-domain actions
+        {"domainMetadata": {"domain": "a", "configuration": "2"}},
+        {"domainMetadata": {"domain": "b", "configuration": "9"}},
+        {"domainMetadata": {"domain": "b", "removed": True}},
+    ])
+    assert live == {"a": "2"} and removed == 1
+    # re-adding a removed domain revives it
+    live, removed = delta_domain_metadata_replay([
+        {"domainMetadata": {"domain": "b", "removed": True}},
+        {"domainMetadata": {"domain": "b", "configuration": "3"}},
+    ])
+    assert live == {"b": "3"} and removed == 0
+    with pytest.raises(ValueError, match="without a domain"):
+        delta_domain_metadata_replay([{"domainMetadata": {}}])
+
+    kind, payload = _v2_classify_top_row({
+        "checkpointMetadata": None, "protocol": None,
+        "domainMetadata": {"domain": "a", "configuration": "1"},
+    })
+    assert kind == "domainMetadata" and payload["domain"] == "a"
