@@ -38,33 +38,23 @@ class Query:
 _REGISTRY: dict[str, Query] = {}
 
 # The grading driver sweeps the FIRST 50 registry entries per round, so
-# ordering is an attestation budget. Round-15 rotation (VERDICT r14
-# task 1, executed): the 4 reference jobs stay pinned, then the 3
-# round-14 queries that never got a driver row (window wasn't rotated
-# in r14 — cumulative attestation stays complete), then any NEW
-# round-15 queries, then re-attestations of everything whose
-# implementation changes this round: the whole ORC source family rides
-# the RLEv1 dispatch seam in ``sources/orc_meta.py`` (r14 commit
-# 11cc126 plus this round's RLEv1 type-breadth work); the whole Delta
-# source family rides ``sources/evolution.py`` (the distributed
-# checkpoint-state refactor 70eb2c3, the replay-ord encoding fix, the
-# checkpoint single-scan caching fix, and the column-mapping id-mode
-# nested work); the Iceberg source family rides the
-# ``iceberg_format_gate`` manifest-level deletion-vector check and the
-# v3 default-values/row-lineage work. Then the oldest r3-attested
-# backlog, oldest-first. Backlog spill for r16 (displaced by the
-# format-family re-attests and the round-15 additions):
-# neardup_embeddings_lsh,
-# q13_customer_order_distribution, q14_promo_revenue_share,
-# q18_large_volume_orders,
-# q2_min_cost_supplier,
-# scd2_customer_spend_versions,
-# subq_correlated_exists_recent_order,
-# subq_in_parts_shipped_by_small_suppliers, subq_not_in_null_aware,
-# subq_scalar_above_avg_orders, text_fingerprints,
-# text_langid_confusion, text_quality_scores, text_tfidf_top_terms,
-# text_token_stats, text_top_bigrams_per_lang, text_unigram_logprob,
-# then the r5-attested tail (approx_distinct_parts, arr_* ...).
+# ordering is an attestation budget. Round-16 rotation (VERDICT r15
+# tasks 4 and 7, executed): the 4 reference jobs stay pinned, then the
+# 9 NEW round-16 queries (the r15 verdict's items — compressed /
+# nullable / both row-index seeking, Hudi MOR incremental, Iceberg name
+# mapping + incremental append, Delta TIMESTAMP AS OF, struct-keyed-map
+# column mapping, domain metadata), then the ANN rows-only pair WITH
+# its hash-green exactness bracket ``ann_recall_audit`` pinned adjacent
+# (VERDICT r15 item 4: the graded CORRECTNESS file is self-contained —
+# the audit travels with the pair in every window), then the oldest
+# attested backlog, oldest-first: the 17 r3-attested queries displaced
+# by the r15 format-family re-attests, then the r5-attested tail.
+# Backlog spill for r17 (next oldest, in order):
+# percentiles_extendedprice, pivot_revenue_by_linestatus,
+# q1_pricing_summary, range_join_clicks_before_purchase,
+# retention_signup_cohorts, rollup_lineitem_flags, sessionize_events,
+# sketch_hll_mergeable_rollup, skew_salted_join_order_revenue, then
+# the rest of the r5 tail.
 # tests/test_registry_window.py asserts the window stays exactly this.
 SWEEP_PRIORITY: tuple[str, ...] = (
     # pinned reference jobs (driver-green every round)
@@ -72,58 +62,56 @@ SWEEP_PRIORITY: tuple[str, ...] = (
     "ref_top5_finished_orders_by_price",
     "ref_building_acctbal_stats_by_nation",
     "ref_orc_roundtrip",
-    # round-14 additions, never driver-swept (r14 window not rotated)
-    "source_orc_rlev1_decode",
-    "source_iceberg_v3_deletion_vectors",
-    "source_delta_column_mapping_nested",
-    # round-15 NEW queries: driver rows on first appearance
-    "source_delta_column_mapping_array",
-    "source_delta_column_mapping_id_array",
-    "source_iceberg_v3_default_values",
-    "source_iceberg_v3_row_lineage",
-    "source_orc_rlev1_typed",
-    "source_iceberg_v3_dv_lz4_footer",
-    "source_delta_multipart_checkpoint",
-    "source_avro_complex_types",
-    "source_delta_time_travel",
-    "source_delta_vacuum",
-    "source_iceberg_partition_evolution",
-    "source_iceberg_manifest_skipping",
-    "source_hudi_incremental",
-    "source_iceberg_expire_snapshots",
-    "source_delta_v2_checkpoint_inline",
-    "source_orc_row_index_skipping",
-    # ORC family: re-attest under the RLEv1 dispatch + breadth changes
-    "source_orc_rlev2_decode",
-    "source_orc_stripe_skipping",
-    "source_orc_timestamp_double_decode",
-    "source_orc_decimal_boolean_decode",
-    "source_orc_list_decode",
-    "source_orc_map_struct_decode",
-    "source_orc_deep_nested_decode",
-    # Delta family: re-attest under the evolution.py state/colmap work
-    "source_delta_checkpoint_replay",
-    "source_delta_v2_checkpoint_replay",
-    "source_delta_checkpoint_partition_values",
-    "source_delta_column_mapping",
-    "source_delta_column_mapping_id",
-    "source_delta_log_replay",
-    "source_delta_deletion_vectors",
-    "source_delta_cdf_changes",
-    # Iceberg family: re-attest under the format-gate manifest check
-    "source_iceberg_snapshot_replay",
-    "source_iceberg_branch_tag_read",
-    "source_iceberg_position_deletes",
-    "source_iceberg_equality_deletes",
-    "source_iceberg_hidden_partitioning",
-    # oldest r3-attested tail, oldest-first
-    "embedding_norm_stats",
-    "embedding_quantize_audit",
-    "knn_cosine_bruteforce",
+    # round-16 NEW queries: driver rows on first appearance
+    "source_orc_row_index_skipping_compressed",
+    "source_orc_row_index_skipping_nullable",
+    "source_orc_row_index_skipping_nullable_compressed",
+    "source_hudi_mor_incremental",
+    "source_iceberg_name_mapping",
+    "source_iceberg_incremental_append",
+    "source_delta_time_travel_timestamp",
+    "source_delta_column_mapping_map_key",
+    "source_delta_domain_metadata",
+    # ANN rows-only pair + its exactness bracket, always adjacent
     "knn_cosine_ivf",
     "knn_cosine_lsh",
-    "lateral_top2_orders_per_customer",
-    "neardup_embeddings",
+    "ann_recall_audit",
+    # oldest r3-attested backlog, oldest-first
+    "neardup_embeddings_lsh",
+    "q13_customer_order_distribution",
+    "q14_promo_revenue_share",
+    "q18_large_volume_orders",
+    "q2_min_cost_supplier",
+    "scd2_customer_spend_versions",
+    "subq_correlated_exists_recent_order",
+    "subq_in_parts_shipped_by_small_suppliers",
+    "subq_not_in_null_aware",
+    "subq_scalar_above_avg_orders",
+    "text_fingerprints",
+    "text_langid_confusion",
+    "text_quality_scores",
+    "text_tfidf_top_terms",
+    "text_token_stats",
+    "text_top_bigrams_per_lang",
+    "text_unigram_logprob",
+    # r5-attested tail, oldest-first
+    "approx_distinct_parts",
+    "arr_name_token_features",
+    "arr_order_line_parts",
+    "arr_token_positions",
+    "asof_purchase_last_click",
+    "case_price_buckets",
+    "cube_orders_status_priority",
+    "curation_stratified_sample",
+    "date_monthly_order_stats",
+    "datediff_shipping_delay",
+    "distinct_supplier_part_counts",
+    "funnel_view_click_purchase",
+    "groupingsets_customer",
+    "json_event_props",
+    "json_event_schema",
+    "map_struct_roundtrip",
+    "math_supplier_balances",
 )
 
 
