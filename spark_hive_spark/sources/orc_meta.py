@@ -436,8 +436,9 @@ def _read_bits_msb(
 
 
 def decode_rlev2(
-    b: bytes, signed: bool = True, max_values: int | None = None
-) -> list[int]:
+    b: bytes, signed: bool = True, max_values: int | None = None,
+    resumable: bool = False
+) -> list[int] | tuple[list[int], int]:
     """ORC RunLength-v2 integer decoding (ORCv1 spec §Run Length
     Encoding v2) — ALL FOUR sub-encodings: SHORT_REPEAT (3-10 copies
     of a 1-8-byte big-endian value), DIRECT (9-bit length, FBS-coded
@@ -453,75 +454,92 @@ def decode_rlev2(
     soon as that many values are out — a seek-decode starting at a
     ROW_INDEX byte position only pays for the row groups it serves,
     never the stream tail (the cap may overshoot by at most one run,
-    which is the encoding's seek granularity)."""
+    which is the encoding's seek granularity).
+
+    ``resumable`` (round 16, chunk-indirected seeking): return
+    ``(values, consumed)`` where ``consumed`` is the byte offset
+    after the last COMPLETELY decoded run; a run truncated by the
+    buffer end returns what precedes it instead of raising, so a
+    caller feeding compression chunks incrementally decodes every
+    byte exactly ONCE (re-decoding the growing buffer per chunk is
+    quadratic in the chunks a row group spans). Safe because every
+    run either appends atomically or raises before appending — all
+    four sub-encodings bounds-check their payload reads."""
     out: list[int] = []
     p = 0
+    run_start = 0
     while p < len(b):
+        run_start = p
         if max_values is not None and len(out) >= max_values:
             break
-        h = b[p]
-        enc = h >> 6
-        if enc == 0:  # SHORT_REPEAT
-            w = ((h >> 3) & 7) + 1
-            rep = (h & 7) + 3
-            if p + 1 + w > len(b):
-                raise ValueError("truncated SHORT_REPEAT run")
-            v = int.from_bytes(b[p + 1 : p + 1 + w], "big")
-            p += 1 + w
-            out += [_unzigzag(v) if signed else v] * rep
-        elif enc == 1:  # DIRECT
-            width = _FBS[(h >> 1) & 31]
-            length = ((h & 1) << 8 | b[p + 1]) + 1
-            vals, p = _read_bits_msb(b, p + 2, width, length)
-            out += [_unzigzag(v) for v in vals] if signed else vals
-        elif enc == 3:  # DELTA: length+1 total values incl. the base
-            wcode = (h >> 1) & 31
-            width = 0 if wcode == 0 else _FBS[wcode]
-            total = ((h & 1) << 8 | b[p + 1]) + 1
-            p += 2
-            base, p = _svarint(b, p) if signed else _uvarint(b, p)
-            delta0, p = _svarint(b, p)
-            vals = [base]
-            if total > 1:
-                vals.append(base + delta0)
-            if width and total > 2:
-                rest, p = _read_bits_msb(b, p, width, total - 2)
-                sign = 1 if delta0 >= 0 else -1
-                cur = vals[-1]
-                for d in rest:
-                    cur += sign * d
-                    vals.append(cur)
-            else:
-                while len(vals) < total:
-                    vals.append(vals[-1] + delta0)
-            out += vals[:total]
-        else:  # PATCHED_BASE
-            w = _FBS[(h >> 1) & 31]
-            length = ((h & 1) << 8 | b[p + 1]) + 1
-            third, fourth = b[p + 2], b[p + 3]
-            bw = ((third >> 5) & 7) + 1
-            pw = _FBS[third & 31]
-            pgw = ((fourth >> 5) & 7) + 1
-            pll = fourth & 31
-            p += 4
-            base = int.from_bytes(b[p : p + bw], "big")
-            msb = 1 << (bw * 8 - 1)
-            if base & msb:  # sign-magnitude, not two's complement
-                base = -(base ^ msb)
-            p += bw
-            vals, p = _read_bits_msb(b, p, w, length)
-            patches, p = _read_bits_msb(
-                b, p, _closest_fbs(pgw + pw), pll
-            )
-            idx = 0
-            for pv in patches:
-                gap = pv >> pw
-                patch = pv & ((1 << pw) - 1)
-                idx += gap
-                if patch:  # (255, 0) entries only advance the cursor
-                    vals[idx] |= patch << w
-            out += [base + v for v in vals]
-    return out
+        try:
+            h = b[p]
+            enc = h >> 6
+            if enc == 0:  # SHORT_REPEAT
+                w = ((h >> 3) & 7) + 1
+                rep = (h & 7) + 3
+                if p + 1 + w > len(b):
+                    raise ValueError("truncated SHORT_REPEAT run")
+                v = int.from_bytes(b[p + 1 : p + 1 + w], "big")
+                p += 1 + w
+                out += [_unzigzag(v) if signed else v] * rep
+            elif enc == 1:  # DIRECT
+                width = _FBS[(h >> 1) & 31]
+                length = ((h & 1) << 8 | b[p + 1]) + 1
+                vals, p = _read_bits_msb(b, p + 2, width, length)
+                out += [_unzigzag(v) for v in vals] if signed else vals
+            elif enc == 3:  # DELTA: length+1 total values incl. the base
+                wcode = (h >> 1) & 31
+                width = 0 if wcode == 0 else _FBS[wcode]
+                total = ((h & 1) << 8 | b[p + 1]) + 1
+                p += 2
+                base, p = _svarint(b, p) if signed else _uvarint(b, p)
+                delta0, p = _svarint(b, p)
+                vals = [base]
+                if total > 1:
+                    vals.append(base + delta0)
+                if width and total > 2:
+                    rest, p = _read_bits_msb(b, p, width, total - 2)
+                    sign = 1 if delta0 >= 0 else -1
+                    cur = vals[-1]
+                    for d in rest:
+                        cur += sign * d
+                        vals.append(cur)
+                else:
+                    while len(vals) < total:
+                        vals.append(vals[-1] + delta0)
+                out += vals[:total]
+            else:  # PATCHED_BASE
+                w = _FBS[(h >> 1) & 31]
+                length = ((h & 1) << 8 | b[p + 1]) + 1
+                third, fourth = b[p + 2], b[p + 3]
+                bw = ((third >> 5) & 7) + 1
+                pw = _FBS[third & 31]
+                pgw = ((fourth >> 5) & 7) + 1
+                pll = fourth & 31
+                p += 4
+                base = int.from_bytes(b[p : p + bw], "big")
+                msb = 1 << (bw * 8 - 1)
+                if base & msb:  # sign-magnitude, not two's complement
+                    base = -(base ^ msb)
+                p += bw
+                vals, p = _read_bits_msb(b, p, w, length)
+                patches, p = _read_bits_msb(
+                    b, p, _closest_fbs(pgw + pw), pll
+                )
+                idx = 0
+                for pv in patches:
+                    gap = pv >> pw
+                    patch = pv & ((1 << pw) - 1)
+                    idx += gap
+                    if patch:  # (255, 0) entries only advance the cursor
+                        vals[idx] |= patch << w
+                out += [base + v for v in vals]
+        except (ValueError, IndexError):
+            if resumable:
+                return out, run_start
+            raise
+    return (out, p) if resumable else out
 
 
 def decode_byte_rle(b: bytes) -> bytes:
@@ -2872,6 +2890,33 @@ def orc_byte_rle_seek(
     return bytes(out[vskip:need])
 
 
+def _byte_rle_resumable(
+    b: bytes, max_bytes: int
+) -> tuple[bytes, int]:
+    """Byte-RLE decode up to the last COMPLETE run -> (decoded bytes,
+    consumed offset); a run truncated by the buffer end is left for
+    the caller to retry with more bytes. Stops once ``max_bytes``
+    are out (may overshoot by one run — the seek granularity)."""
+    out = bytearray()
+    p = 0
+    while p < len(b) and len(out) < max_bytes:
+        start = p
+        c = b[p]
+        p += 1
+        if c < 128:
+            if p >= len(b):
+                return bytes(out), start
+            out += bytes([b[p]]) * (c + 3)
+            p += 1
+        else:
+            n = 256 - c
+            if p + n > len(b):
+                return bytes(out), start
+            out += b[p : p + n]
+            p += n
+    return bytes(out), p
+
+
 def orc_byte_rle_seek_compressed(
     stream: bytes,
     codec: int,
@@ -2886,13 +2931,17 @@ def orc_byte_rle_seek_compressed(
     decompressed bytes, then byte-RLE-decode skipping ``vskip``
     output bytes and returning the next ``max_bytes``. Chunks are
     decompressed lazily — `orc_byte_rle_seek` raising on a
-    run-spanning truncation pulls exactly one more chunk; chunks
-    past the window are never decompressed (``touched`` collects
-    decompressed header offsets, as in `orc_seek_decode_compressed`)."""
-    buf = bytearray()
+    run-spanning truncation carries the undecoded tail into the next
+    chunk (`_byte_rle_resumable` — every byte decoded exactly once,
+    the same non-quadratic discipline as `orc_seek_decode_compressed`);
+    chunks past the window are never decompressed (``touched``
+    collects decompressed header offsets)."""
+    need = vskip + max_bytes
+    out = bytearray()
+    tail = b""
     p = chunk_off
     first = True
-    while True:
+    while len(out) < need:
         if p + 3 > len(stream):
             raise ValueError(
                 "byte-RLE seek ran out of compression chunks"
@@ -2905,12 +2954,12 @@ def orc_byte_rle_seek_compressed(
         if first:
             dec = dec[dec_off:]
             first = False
-        buf += dec
+        buf = tail + dec
         p += 3 + clen
-        try:
-            return orc_byte_rle_seek(bytes(buf), 0, vskip, max_bytes)
-        except ValueError:
-            continue  # run spans the chunk boundary — pull one more
+        got, consumed = _byte_rle_resumable(buf, need - len(out))
+        out += got
+        tail = buf[consumed:]
+    return bytes(out[vskip:need])
 
 
 def orc_present_seek_compressed(
@@ -2983,19 +3032,23 @@ def orc_seek_decode_compressed(
     chunk boundary), skip ``vskip`` decoded values (a run may span
     the group boundary), return the next ``n``.
 
-    Chunks are decompressed LAZILY, one at a time: after each chunk
-    the accumulated buffer is offered to ``decode_rlev2`` with its
-    ``max_values`` cap; a mid-run truncation raises (the decoder's
-    overrun checks are loud) and pulls exactly one more chunk.
-    Chunks before ``chunk_off`` and after the group's last run are
-    NEVER decompressed — ``touched`` (when given) collects the
-    header offsets actually decompressed so callers can attest
-    that against `orc_stream_chunk_offsets`."""
+    Chunks are decompressed LAZILY, one at a time, and decoded
+    INCREMENTALLY: ``decode_rlev2(resumable=True)`` consumes the
+    buffer up to the last complete run and the undecoded tail is
+    prepended to the next chunk, so every byte is decoded exactly
+    ONCE — re-decoding the growing buffer per chunk is quadratic in
+    the chunks a group spans and falls over exactly at scale (a
+    250k-row group under 1 KiB chunks spans ~700 of them). Chunks
+    before ``chunk_off`` and after the group's last run are NEVER
+    decompressed — ``touched`` (when given) collects the header
+    offsets actually decompressed so callers can attest that
+    against `orc_stream_chunk_offsets`."""
     need = vskip + n
-    buf = bytearray()
+    out: list[int] = []
+    tail = b""
     p = chunk_off
     first = True
-    while True:
+    while len(out) < need:
         if p + 3 > len(stream):
             raise ValueError(
                 "seek-decode ran out of compression chunks"
@@ -3008,17 +3061,15 @@ def orc_seek_decode_compressed(
         if first:
             dec = dec[dec_off:]
             first = False
-        buf += dec
+        buf = tail + dec
         p += 3 + clen
-        try:
-            vals = decode_rlev2(
-                bytes(buf), signed=True, max_values=need
-            )
-        except (ValueError, IndexError):
-            continue  # run spans the chunk boundary — pull one more
-        if len(vals) >= need:
-            return vals[vskip:need]
-        # clean run boundary but still short: pull the next chunk
+        vals, consumed = decode_rlev2(
+            buf, signed=True, max_values=need - len(out),
+            resumable=True,
+        )
+        out += vals
+        tail = buf[consumed:]
+    return out[vskip:need]
 
 
 @register(
