@@ -7261,3 +7261,221 @@ def source_delta_domain_metadata(
     ).localCheckpoint(eager=True)  # 1 row; frees the temp root
     shutil.rmtree(root, ignore_errors=True)
     return out
+
+
+def iceberg_file_bounds_prune(
+    entry: dict, field_key: str, lo: int, hi: int
+) -> bool:
+    """File-level column-bounds pruning decision for one manifest
+    entry (round 16, Iceberg spec §Manifests: ``lower_bounds`` /
+    ``upper_bounds`` hold SINGLE-VALUE SERIALIZED bytes per field id
+    — for a long, 8-byte LITTLE-endian). True = the file cannot
+    contain a row with ``field`` in [lo, hi] and is skipped.
+
+    The two rules a naive reader gets wrong: (a) bounds bytes must
+    be DECODED before comparison — little-endian byte strings do not
+    sort numerically, so comparing them lexicographically prunes the
+    WRONG files (15000 = ``98 3a ..`` sorts above 30000 = ``30 75
+    ..``); (b) a column that is all-null in a file has NO bounds
+    entry — the file is prunable iff its null count equals its value
+    count, and unprunable (must scan) when the counts are unknown."""
+    lower = (entry.get("lower_bounds") or {}).get(field_key)
+    upper = (entry.get("upper_bounds") or {}).get(field_key)
+    if lower is None or upper is None:
+        nulls = (entry.get("null_value_counts") or {}).get(field_key)
+        count = entry.get("record_count")
+        if nulls is not None and count is not None and nulls == count:
+            return True  # all-null column: no row can match
+        return False  # unknown stats: must scan
+    f_lo = int.from_bytes(bytes(lower), "little", signed=True)
+    f_hi = int.from_bytes(bytes(upper), "little", signed=True)
+    return f_hi < lo or f_lo > hi
+
+
+@register(
+    "source_iceberg_column_bounds_pruning",
+    oracle="""
+        WITH bounds AS (
+            SELECT CAST(floor(0.30 * max(o_orderkey)) AS BIGINT)
+                       AS lo,
+                   CAST(floor(0.45 * max(o_orderkey)) AS BIGINT)
+                       AS hi
+            FROM orders
+        )
+        SELECT CAST(5 AS INT) AS files_total,
+               CAST(3 AS INT) AS pruned_by_bounds,
+               CAST(1 AS INT) AS pruned_all_null,
+               TRUE AS lex_order_would_misprune,
+               CAST(count(*) AS BIGINT) AS n_matched,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM orders, bounds
+        WHERE o_orderkey BETWEEN lo AND hi
+    """,
+    tags=("source", "iceberg", "lakehouse", "pruning", "column-bounds",
+          "stats", "avro"),
+)
+def source_iceberg_column_bounds_pruning(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Iceberg FILE-LEVEL COLUMN-BOUNDS pruning (round 16) — the
+    stats layer below partition pruning
+    (`source_iceberg_manifest_skipping` prunes by partition summary;
+    this prunes by per-column ``lower_bounds``/``upper_bounds`` in
+    the manifest ENTRY), what makes NON-partition-key predicates
+    cheap: a range predicate on a sorted/clustered column skips
+    whole files from planning metadata alone.
+
+    The fixture traps the two decode rules: (a) bounds are
+    SINGLE-VALUE SERIALIZED (long = 8-byte little-endian) — the
+    natural quartile boundaries make lexicographic byte comparison
+    ACTIVELY wrong (``lex_order_would_misprune`` attests that the
+    byte order of adjacent file bounds disagrees with their numeric
+    order, so a memcmp reader prunes wrong files); (b) an all-null
+    column has NO bounds entry — the null-file is pruned by
+    ``null_value_counts == record_count``, never by absent bounds
+    alone (absent stats = must scan). Four range files over sorted
+    keys + one all-null-key file; the [30%, 45%]-of-max predicate
+    lands strictly inside the second quartile, so exactly one file
+    scans and four prune (3 by bounds + 1 by null counts); the cents
+    sum pins that pruning dropped no matching row.
+
+    Scale posture: this decision is O(#files) planning metadata read
+    from manifests already in hand — at 100 TB it is the difference
+    between scanning a clustered table's one relevant file and
+    scanning thousands; the surviving scan still pushes the
+    predicate down to parquet row groups."""
+    import json as _json
+
+    from spark_hive_spark.operators.avro import (
+        encode_avro_ocf,
+        parse_avro_ocf,
+    )
+
+    orders = t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.round(F.col("o_totalprice") * 100).cast("long")
+        .alias("cents"),
+    )
+    root = os.path.join(
+        tempfile.gettempdir(), f"shs_icecb_{uuid.uuid4().hex}"
+    )
+    ddir = os.path.join(root, "data")
+    mdir = os.path.join(root, "metadata")
+    os.makedirs(ddir)
+    os.makedirs(mdir)
+
+    row = orders.agg(
+        F.floor(F.max("k") * 0.30).cast("long").alias("lo"),
+        F.floor(F.max("k") * 0.45).cast("long").alias("hi"),
+        F.max("k").alias("mx"),
+    ).collect()[0]
+    lo, hi, mx = row["lo"], row["hi"], row["mx"]
+
+    entries = []
+    for i in range(4):  # quartile ranges over the key span
+        lo_i = (mx * i) // 4 + (1 if i else 0)
+        hi_i = (mx * (i + 1)) // 4
+        part = orders.filter(F.col("k").between(lo_i, hi_i))
+        name = f"R{i}.parquet"
+        stage_single_parquet(part, root, ddir, name)
+        stats = part.agg(
+            F.min("k").alias("mn"), F.max("k").alias("mxk"),
+            F.count("*").alias("n"),
+        ).collect()[0]
+        entries.append({
+            "status": 1, "file_path": name,
+            "record_count": int(stats["n"]),
+            "lower_bounds": {"1": int(stats["mn"]).to_bytes(
+                8, "little", signed=True)},
+            "upper_bounds": {"1": int(stats["mxk"]).to_bytes(
+                8, "little", signed=True)},
+            "null_value_counts": {"1": 0},
+        })
+    # the all-null-key file: no bounds entry for field 1 at all
+    nulls = (
+        orders.limit(500)
+        .select(F.lit(None).cast("long").alias("k"), "cents")
+    )
+    stage_single_parquet(nulls, root, ddir, "N.parquet")
+    n_null = 500
+    entries.append({
+        "status": 1, "file_path": "N.parquet",
+        "record_count": n_null,
+        "lower_bounds": {}, "upper_bounds": {},
+        "null_value_counts": {"1": n_null},
+    })
+
+    entry_schema = {
+        "type": "record", "name": "manifest_entry",
+        "fields": [
+            {"name": "status", "type": "long"},
+            {"name": "file_path", "type": "string"},
+            {"name": "record_count", "type": "long"},
+            {"name": "lower_bounds",
+             "type": {"type": "map", "values": "bytes"}},
+            {"name": "upper_bounds",
+             "type": {"type": "map", "values": "bytes"}},
+            {"name": "null_value_counts",
+             "type": {"type": "map", "values": "long"}},
+        ],
+    }
+    mpath = os.path.join(mdir, "m1.avro")
+    with open(mpath, "wb") as fh:
+        fh.write(encode_avro_ocf(entries, entry_schema,
+                                 codec="deflate"))
+    meta = {"format-version": 2, "current-snapshot-id": 1,
+            "snapshots": [{"snapshot-id": 1, "manifests": [mpath]}]}
+    with open(os.path.join(mdir, "v1.metadata.json"), "w") as fh:
+        _json.dump(meta, fh)
+
+    # ---- the reader ----
+    with open(os.path.join(mdir, "v1.metadata.json")) as fh:
+        md = _json.load(fh)
+    iceberg_format_gate(md)
+    current = next(
+        s for s in md["snapshots"]
+        if s["snapshot-id"] == md["current-snapshot-id"]
+    )
+    pruned_bounds = pruned_null = 0
+    survivors: list[str] = []
+    all_entries: list[dict] = []
+    for mp in current["manifests"]:
+        with open(mp, "rb") as fh:
+            _, ents = parse_avro_ocf(fh.read())
+        for e in ents:
+            iceberg_entry_content_gate(e)
+            all_entries.append(e)
+            if iceberg_file_bounds_prune(e, "1", lo, hi):
+                if e["lower_bounds"].get("1") is None:
+                    pruned_null += 1
+                else:
+                    pruned_bounds += 1
+            else:
+                survivors.append(e["file_path"])
+    # attest the little-endian trap: adjacent files' serialized
+    # bounds bytes disagree lexicographically with numeric order
+    bounded = [e for e in all_entries if e["lower_bounds"].get("1")]
+    bounded.sort(key=lambda e: int.from_bytes(
+        bytes(e["lower_bounds"]["1"]), "little", signed=True))
+    lex_trap = any(
+        bytes(a["upper_bounds"]["1"]) > bytes(b["lower_bounds"]["1"])
+        for i, a in enumerate(bounded)
+        for b in bounded[i + 1 :]  # a is numerically BELOW b
+    )
+    scan = (
+        spark.read.parquet(
+            *(os.path.join(ddir, p) for p in sorted(survivors))
+        )
+        .filter(F.col("k").between(F.lit(lo), F.lit(hi)))
+    )
+    out = scan.agg(
+        F.lit(len(all_entries)).cast("int").alias("files_total"),
+        F.lit(pruned_bounds).cast("int").alias("pruned_by_bounds"),
+        F.lit(pruned_null).cast("int").alias("pruned_all_null"),
+        F.lit(lex_trap).alias("lex_order_would_misprune"),
+        F.count("*").alias("n_matched"),
+        F.sum("cents").alias("cents"),
+    ).localCheckpoint(eager=True)  # 1 row; frees the temp root
+    shutil.rmtree(root, ignore_errors=True)
+    return out

@@ -201,3 +201,37 @@ def test_iceberg_appends_between_rules():
         iceberg_appends_between(md, 9, 4)  # other branch
     with pytest.raises(ValueError, match="not in the snapshot"):
         iceberg_appends_between(md, 7, 4)
+
+
+def test_file_bounds_prune_rules():
+    """Bounds decode little-endian (not memcmp); all-null prunes via
+    counts; unknown stats must scan."""
+    from spark_hive_spark.sources.evolution import (
+        iceberg_file_bounds_prune,
+    )
+
+    def e(lo=None, hi=None, nulls=None, count=100):
+        ent = {"record_count": count, "lower_bounds": {},
+               "upper_bounds": {}, "null_value_counts": {}}
+        if lo is not None:
+            ent["lower_bounds"]["1"] = lo.to_bytes(8, "little",
+                                                   signed=True)
+            ent["upper_bounds"]["1"] = hi.to_bytes(8, "little",
+                                                   signed=True)
+        if nulls is not None:
+            ent["null_value_counts"]["1"] = nulls
+        return ent
+
+    # numeric overlap decides, not byte order: file [200, 300] vs
+    # predicate [256, 280] — LE bytes of 200 sort ABOVE those of 256
+    assert not iceberg_file_bounds_prune(e(200, 300), "1", 256, 280)
+    assert iceberg_file_bounds_prune(e(200, 255), "1", 256, 280)
+    assert iceberg_file_bounds_prune(e(281, 500), "1", 256, 280)
+    assert not iceberg_file_bounds_prune(e(-50, 500), "1", 0, 1)
+    # negative bounds decode signed
+    assert iceberg_file_bounds_prune(e(-500, -100), "1", 0, 10)
+    # all-null: prunable only when counts prove it
+    assert iceberg_file_bounds_prune(e(nulls=100, count=100), "1", 0, 9)
+    assert not iceberg_file_bounds_prune(e(nulls=99, count=100),
+                                         "1", 0, 9)
+    assert not iceberg_file_bounds_prune(e(), "1", 0, 9)  # unknown
