@@ -4037,8 +4037,8 @@ def source_orc_row_index_skipping_string(
     against all three (count == numberOfValues, lexicographic
     min/max == stats, byte sum == stats sum). The fixture forces
     DIRECT_V2 via ``orc.dictionary.key.threshold=0`` — priorities
-    would otherwise dictionary-encode (that encoding's seek is
-    dictionary-global and stays a NAMED seam).
+    would otherwise dictionary-encode; that shape is the sibling
+    `source_orc_row_index_skipping_dictionary`.
 
     Scale posture: string predicates (status, category, priority)
     are the most common real filters after keys and dates; bounding
@@ -4232,6 +4232,270 @@ def source_orc_row_index_skipping_string(
         "skipping_effective boolean, partial_decode boolean,"
         " seek_attested boolean, n_matched bigint, len_sum bigint,"
         " n_urgent bigint",
+    ).localCheckpoint(eager=True)  # 1 row; frees the temp root
+    shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
+@register(
+    "source_orc_row_index_skipping_dictionary",
+    oracle="""
+        WITH bounds AS (
+            SELECT CAST(floor(0.30 * max(o_orderkey)) AS BIGINT)
+                       AS lo,
+                   CAST(floor(0.45 * max(o_orderkey)) AS BIGINT)
+                       AS hi
+            FROM orders
+        )
+        SELECT TRUE AS skipping_effective,
+               TRUE AS partial_decode,
+               TRUE AS seek_attested,
+               CAST((SELECT count(DISTINCT o_orderpriority)
+                     FROM orders) AS INT) AS dict_size,
+               CAST(count(*) AS BIGINT) AS n_matched,
+               CAST(sum(length(o_orderpriority)) AS BIGINT)
+                   AS len_sum,
+               CAST(sum(CASE WHEN o_orderpriority = '1-URGENT'
+                             THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_urgent
+        FROM orders, bounds
+        WHERE o_orderkey BETWEEN lo AND hi
+    """,
+    tags=("source", "orc", "row-index", "skipping", "pruning",
+          "string", "dictionary", "data-read"),
+)
+def source_orc_row_index_skipping_dictionary(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """ORC row-group seek-decode on a DICTIONARY_V2 string column
+    (round 16) — what the writer actually emits for low-cardinality
+    strings (the `_string` sibling had to force DIRECT_V2; this one
+    attests encoding 3, the default for the 5-value priority
+    column). The split of responsibilities IS the point:
+
+    - the DICTIONARY (LENGTH + DICTIONARY_DATA streams) is
+      STRIPE-GLOBAL — decoded once per stripe, O(distinct values),
+      never per group; its entry count is attested against the
+      encoding's declared dictionarySize (and the oracle's DISTINCT
+      count);
+    - the per-row cost is the DATA stream of dictionary INDICES
+      (unsigned RLEv2), whose index-entry positions are exactly the
+      integer column's ``[byte offset, values to skip]`` — so the
+      seek machinery is `orc_index_positions` + `decode_rlev2`
+      unchanged, and only SELECTED groups' indices ever decode
+      (``partial_decode`` counts index values, not dictionary
+      reads).
+
+    A reader that re-reads the dictionary per group does O(groups ×
+    dict) redundant work; one that seeks the dictionary streams
+    with the index positions decodes garbage — the positions refer
+    ONLY to streams with per-row data. StringStatistics attestation
+    is the same as the DIRECT_V2 sibling (count, min/max, zigzag
+    length sum).
+
+    Scale posture: dictionary columns are the COMMON string shape in
+    warehouse data (status/priority/category); at 100 TB the
+    dictionary stays KB-scale per stripe while index seeking bounds
+    the per-row decode to selected groups."""
+    import pandas as _pd
+
+    root = os.path.join(
+        tempfile.gettempdir(), f"shs_orcrid_{uuid.uuid4().hex}"
+    )
+    os.makedirs(root)
+    fixture = (
+        t(spark, sf_dir, "orders")
+        .select(
+            F.col("o_orderkey").alias("k"),
+            F.col("o_orderpriority").alias("s"),
+        )
+        .sort("k")
+    )
+    row = fixture.agg(
+        F.floor(F.max("k") * 0.30).cast("long").alias("lo"),
+        F.floor(F.max("k") * 0.45).cast("long").alias("hi"),
+        F.count("*").alias("n"),
+    ).collect()[0]
+    lo, hi, n_rows_total = row["lo"], row["hi"], row["n"]
+    stride = max(1000, n_rows_total // 6)  # ~6 groups at any SF
+    stage = os.path.join(root, "stage")
+    (
+        fixture.coalesce(1)
+        .write.option("compression", "none")
+        .option("orc.row.index.stride", str(stride))
+        .orc(stage)
+    )
+    src = next(f for f in os.listdir(stage) if f.endswith(".orc"))
+    path = os.path.join(root, "sorted.orc")
+    os.replace(os.path.join(stage, src), path)
+
+    plan = spark.createDataFrame(
+        [(path, lo, hi)], "path string, lo long, hi long"
+    )
+
+    def _decode(batches) -> Iterator:
+        for pdf in batches:
+            rows = []
+            for rec in pdf.itertuples(index=False):
+                with open(rec.path, "rb") as fh:
+                    data = fh.read()
+                footer, codec = _orc_file_tail(data)
+                if codec != 0:
+                    raise ValueError(
+                        "uncompressed fixture came back compressed"
+                    )
+                g_total = g_sel = n_matched = 0
+                len_sum = n_urgent = 0
+                dict_size = 0
+                rows_decoded = 0
+                seek_ok = True
+                for sraw in footer.get(3, []):
+                    st = decode_message(sraw)
+                    off, ilen, dlen, flen = (
+                        st[1][0], st[2][0], st[3][0], st[4][0]
+                    )
+                    sfoot = decode_message(
+                        _unchunk(data[off + ilen + dlen
+                                      : off + ilen + dlen + flen],
+                                 codec)
+                    )
+                    enc_msg = decode_message(sfoot[2][2])
+                    enc_s = enc_msg.get(1, [0])[0]
+                    declared = enc_msg.get(2, [0])[0]
+                    if enc_s != 3:  # DICTIONARY_V2 only
+                        raise ValueError(
+                            "dictionary fixture came back with "
+                            f"encoding {enc_s}"
+                        )
+                    pos = off
+                    streams: dict[tuple[int, int], bytes] = {}
+                    for s in sfoot[1]:
+                        m = decode_message(s)
+                        kind, col, ln = (
+                            m.get(1, [0])[0], m.get(2, [0])[0],
+                            m[3][0],
+                        )
+                        streams[(col, kind)] = data[pos : pos + ln]
+                        pos += ln
+
+                    def _index_int(col: int) -> list[dict]:
+                        ri = decode_message(
+                            _unchunk(streams[(col, 6)], codec)
+                        )
+                        out = []
+                        for eraw in ri.get(1, []):
+                            e = decode_message(eraw)
+                            stats = decode_message(e[2][0])
+                            ints = decode_message(stats[2][0])
+                            out.append({
+                                "positions": _packed_uvarints(
+                                    b"".join(e.get(1, []))
+                                ),
+                                "n": stats[1][0],
+                                "min": _unzigzag(ints[1][0]),
+                                "max": _unzigzag(ints[2][0]),
+                            })
+                        return out
+
+                    def _index_str(col: int) -> list[dict]:
+                        ri = decode_message(
+                            _unchunk(streams[(col, 6)], codec)
+                        )
+                        out = []
+                        for eraw in ri.get(1, []):
+                            e = decode_message(eraw)
+                            stats = decode_message(e[2][0])
+                            strs = decode_message(stats[4][0])
+                            out.append({
+                                "positions": _packed_uvarints(
+                                    b"".join(e.get(1, []))
+                                ),
+                                "n": stats[1][0],
+                                "min": strs[1][0].decode(),
+                                "max": strs[2][0].decode(),
+                                "len_sum": _unzigzag(strs[3][0]),
+                            })
+                        return out
+
+                    idx_k = _index_int(1)
+                    idx_s = _index_str(2)
+                    if len(idx_k) != len(idx_s):
+                        raise ValueError("column row indexes disagree")
+                    g_total += len(idx_k)
+                    k_stream = streams[(1, 1)]
+                    # the stripe-global dictionary: decoded ONCE
+                    dict_lens = decode_rlev2(
+                        streams[(2, 2)], signed=False
+                    )
+                    blob = streams[(2, 3)]
+                    dictionary, p = [], 0
+                    for ln_ in dict_lens:
+                        dictionary.append(blob[p : p + ln_].decode())
+                        p += ln_
+                    if p != len(blob):
+                        raise ValueError(
+                            "dictionary bytes not fully consumed"
+                        )
+                    if len(dictionary) != declared:
+                        raise ValueError(
+                            "dictionary size disagrees with the "
+                            "encoding's dictionarySize"
+                        )
+                    dict_size = max(dict_size, len(dictionary))
+                    s_idx_stream = streams[(2, 1)]
+
+                    for ek, es in zip(idx_k, idx_s):
+                        if ek["max"] < rec.lo or ek["min"] > rec.hi:
+                            continue  # skipped: never decoded
+                        g_sel += 1
+                        kb, kv = orc_index_positions(
+                            ek["positions"], compressed=False
+                        )
+                        ks = decode_rlev2(
+                            k_stream[kb:], signed=True,
+                            max_values=kv + ek["n"],
+                        )[kv : kv + ek["n"]]
+                        ib, iv = orc_index_positions(
+                            es["positions"], compressed=False
+                        )
+                        idxs = decode_rlev2(
+                            s_idx_stream[ib:], signed=False,
+                            max_values=iv + es["n"],
+                        )[iv : iv + es["n"]]
+                        vals = [dictionary[i] for i in idxs]
+                        rows_decoded += len(ks)
+                        seek_ok &= (
+                            len(ks) == ek["n"] == len(vals) == es["n"]
+                            and min(ks) == ek["min"]
+                            and max(ks) == ek["max"]
+                            and min(vals) == es["min"]
+                            and max(vals) == es["max"]
+                            and sum(map(len, vals)) == es["len_sum"]
+                        )
+                        for kv_, sv in zip(ks, vals):
+                            if rec.lo <= kv_ <= rec.hi:
+                                n_matched += 1
+                                len_sum += len(sv)
+                                n_urgent += sv == "1-URGENT"
+                rows.append((
+                    bool(1 <= g_sel < g_total),
+                    bool(rows_decoded < n_rows_total),
+                    bool(seek_ok),
+                    dict_size,
+                    n_matched, len_sum, n_urgent,
+                ))
+            yield _pd.DataFrame(
+                rows,
+                columns=["skipping_effective", "partial_decode",
+                         "seek_attested", "dict_size", "n_matched",
+                         "len_sum", "n_urgent"],
+            )
+
+    out = plan.mapInPandas(
+        _decode,
+        "skipping_effective boolean, partial_decode boolean,"
+        " seek_attested boolean, dict_size int, n_matched bigint,"
+        " len_sum bigint, n_urgent bigint",
     ).localCheckpoint(eager=True)  # 1 row; frees the temp root
     shutil.rmtree(root, ignore_errors=True)
     return out
