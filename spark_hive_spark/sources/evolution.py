@@ -7479,3 +7479,224 @@ def source_iceberg_column_bounds_pruning(
     ).localCheckpoint(eager=True)  # 1 row; frees the temp root
     shutil.rmtree(root, ignore_errors=True)
     return out
+
+
+def iceberg_truncate_bounds(
+    min_s: str, max_s: str, width: int = 16
+) -> tuple[bytes, bytes]:
+    """Serialize a string column's (min, max) into manifest
+    lower/upper bounds with the spec's ``truncate(width)`` contract
+    (Iceberg spec §Manifests, write.metadata.metrics default
+    truncate(16)): the LOWER bound may truncate to a prefix (a
+    prefix sorts <= the value), but a truncated UPPER bound must
+    INCREMENT its last code point to stay >= every value it covers —
+    truncation alone UNDER-states the max, and a reader pruning
+    against it skips files that contain matches (silent data loss,
+    the worst failure class). Incrementing carries left over code
+    points at U+10FFFF; a max-string of all-max code points cannot
+    be truncated and is loud."""
+    lower = min_s[:width].encode()
+    if len(max_s) <= width:
+        return lower, max_s.encode()
+    prefix = list(max_s[:width])
+    for i in range(width - 1, -1, -1):
+        cp = ord(prefix[i])
+        if cp < 0x10FFFF:
+            prefix[i] = chr(cp + 1)
+            return lower, "".join(prefix[: i + 1]).encode()
+    raise NotImplementedError(
+        "cannot truncate an upper bound of all-maximal code points"
+    )
+
+
+def iceberg_string_bounds_prune(
+    entry: dict, field_key: str, lo: str, hi: str
+) -> bool:
+    """String-column file pruning against (possibly truncated)
+    manifest bounds. Unlike longs (`iceberg_file_bounds_prune`,
+    little-endian decode required), string single-value
+    serialization IS UTF-8 bytes and UTF-8 byte order equals code
+    point order — so the byte comparison is correct here and the
+    bounds are CONSERVATIVE by construction (truncated lower <= min,
+    incremented upper >= max): prune iff upper < lo or lower > hi."""
+    lower = (entry.get("lower_bounds") or {}).get(field_key)
+    upper = (entry.get("upper_bounds") or {}).get(field_key)
+    if lower is None or upper is None:
+        return False  # unknown stats: must scan
+    return bytes(upper) < lo.encode() or bytes(lower) > hi.encode()
+
+
+@register(
+    "source_iceberg_string_bounds_truncation",
+    oracle="""
+        WITH bounds AS (
+            SELECT CAST(floor(0.30 * max(o_orderkey)) AS BIGINT)
+                       AS lo,
+                   CAST(floor(0.45 * max(o_orderkey)) AS BIGINT)
+                       AS hi
+            FROM orders
+        )
+        SELECT CAST(2 AS INT) AS files_total,
+               CAST(1 AS INT) AS files_pruned,
+               TRUE AS upper_is_truncated,
+               TRUE AS naive_truncation_would_misprune,
+               CAST(count(*) AS BIGINT) AS n_matched,
+               CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+        FROM orders, bounds
+        WHERE o_orderkey % 2 = 1 AND o_orderkey BETWEEN lo AND hi
+    """,
+    tags=("source", "iceberg", "lakehouse", "pruning", "column-bounds",
+          "string", "truncation", "avro"),
+)
+def source_iceberg_string_bounds_truncation(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Iceberg STRING bounds with TRUNCATION (round 16) — the
+    string-typed half of file-level stats pruning
+    (`source_iceberg_column_bounds_pruning` is the long half, where
+    the trap is byte order; here byte order is CORRECT — UTF-8
+    preserves code point order — and the trap is the truncate(16)
+    contract): manifest bounds for long strings are 16-char
+    prefixes, and the UPPER bound must be INCREMENTED at its last
+    code point or it under-states the file's max.
+
+    The fixture makes the increment load-bearing: file Z's strings
+    share a 16-char ``Z``-prefix longer than the truncation width,
+    so its correct upper bound is ``ZZZZZZZZZZZZZZZ[`` (15 Z's +
+    increment) while NAIVE truncation yields ``Z``x16 — strictly
+    BELOW every predicate value, so a naive reader prunes the file
+    that contains ALL the matches and returns an empty result (the
+    oracle's count/sum flip: silent data loss, attested by
+    ``naive_truncation_would_misprune`` recomputing the naive
+    decision). File A (short strings, exact bounds) is pruned
+    legitimately. The zero-padded key suffix makes the string range
+    predicate equal a numeric key range, so the raw-table oracle
+    recomputes the whole thing.
+
+    Scale posture: bounds truncation is WHY manifest metadata stays
+    KB-scale per file at 100 TB (full min/max of document-length
+    strings would bloat every manifest); the pruning decision
+    remains O(#files) planning."""
+    import json as _json
+
+    from spark_hive_spark.operators.avro import (
+        encode_avro_ocf,
+        parse_avro_ocf,
+    )
+
+    orders = t(spark, sf_dir, "orders").select("o_orderkey")
+    root = os.path.join(
+        tempfile.gettempdir(), f"shs_icesb_{uuid.uuid4().hex}"
+    )
+    ddir = os.path.join(root, "data")
+    mdir = os.path.join(root, "metadata")
+    os.makedirs(ddir)
+    os.makedirs(mdir)
+
+    row = orders.agg(
+        F.floor(F.max("o_orderkey") * 0.30).cast("long").alias("lo"),
+        F.floor(F.max("o_orderkey") * 0.45).cast("long").alias("hi"),
+    ).collect()[0]
+    lo_k, hi_k = row["lo"], row["hi"]
+    zpre = "Z" * 16
+
+    def _s(prefix):
+        return F.concat(
+            F.lit(prefix), F.lpad(F.col("o_orderkey"), 12, "0")
+        )
+
+    half = F.col("o_orderkey") % 2
+    file_a = orders.filter(half == 0).select(
+        F.col("o_orderkey").alias("k"), _s("A-").alias("s")
+    )
+    file_z = orders.filter(half == 1).select(
+        F.col("o_orderkey").alias("k"), _s(zpre + "-").alias("s")
+    )
+    entries = []
+    for name, df in (("A.parquet", file_a), ("Z.parquet", file_z)):
+        stage_single_parquet(df, root, ddir, name)
+        stats = df.agg(
+            F.min("s").alias("mn"), F.max("s").alias("mx"),
+            F.count("*").alias("n"),
+        ).collect()[0]
+        lower, upper = iceberg_truncate_bounds(
+            stats["mn"], stats["mx"], width=16
+        )
+        entries.append({
+            "status": 1, "file_path": name,
+            "record_count": int(stats["n"]),
+            "lower_bounds": {"2": lower},
+            "upper_bounds": {"2": upper},
+        })
+
+    entry_schema = {
+        "type": "record", "name": "manifest_entry",
+        "fields": [
+            {"name": "status", "type": "long"},
+            {"name": "file_path", "type": "string"},
+            {"name": "record_count", "type": "long"},
+            {"name": "lower_bounds",
+             "type": {"type": "map", "values": "bytes"}},
+            {"name": "upper_bounds",
+             "type": {"type": "map", "values": "bytes"}},
+        ],
+    }
+    mpath = os.path.join(mdir, "m1.avro")
+    with open(mpath, "wb") as fh:
+        fh.write(encode_avro_ocf(entries, entry_schema,
+                                 codec="deflate"))
+    meta = {"format-version": 2, "current-snapshot-id": 1,
+            "snapshots": [{"snapshot-id": 1, "manifests": [mpath]}]}
+    with open(os.path.join(mdir, "v1.metadata.json"), "w") as fh:
+        _json.dump(meta, fh)
+
+    # ---- the reader: string range predicate over the bounds ----
+    lo_s = f"{zpre}-{lo_k:012d}"
+    hi_s = f"{zpre}-{hi_k:012d}"
+    with open(os.path.join(mdir, "v1.metadata.json")) as fh:
+        md = _json.load(fh)
+    iceberg_format_gate(md)
+    current = next(
+        s for s in md["snapshots"]
+        if s["snapshot-id"] == md["current-snapshot-id"]
+    )
+    survivors: list[str] = []
+    pruned = 0
+    upper_truncated = False
+    naive_misprune = False
+    for mp in current["manifests"]:
+        with open(mp, "rb") as fh:
+            _, ents = parse_avro_ocf(fh.read())
+        for e in ents:
+            iceberg_entry_content_gate(e)
+            if iceberg_string_bounds_prune(e, "2", lo_s, hi_s):
+                pruned += 1
+            else:
+                survivors.append(e["file_path"])
+                up = bytes(e["upper_bounds"]["2"])
+                # this survivor's upper bound really is a truncated+
+                # incremented prefix (shorter than the values)...
+                upper_truncated |= len(up) <= 16 \
+                    and not up.decode().startswith(zpre)
+                # ...and NAIVE truncation (no increment) would have
+                # pruned it: the 16-char prefix of its max sorts
+                # below the predicate's lower end
+                naive_misprune |= up.decode()[:16] != zpre and \
+                    zpre.encode() < lo_s.encode()
+    scan = (
+        spark.read.parquet(
+            *(os.path.join(ddir, p) for p in sorted(survivors))
+        )
+        .filter(F.col("s").between(F.lit(lo_s), F.lit(hi_s)))
+    )
+    out = scan.agg(
+        F.lit(len(entries)).cast("int").alias("files_total"),
+        F.lit(pruned).cast("int").alias("files_pruned"),
+        F.lit(upper_truncated).alias("upper_is_truncated"),
+        F.lit(naive_misprune)
+        .alias("naive_truncation_would_misprune"),
+        F.count("*").alias("n_matched"),
+        F.sum("k").cast("bigint").alias("key_sum"),
+    ).localCheckpoint(eager=True)  # 1 row; frees the temp root
+    shutil.rmtree(root, ignore_errors=True)
+    return out

@@ -235,3 +235,46 @@ def test_file_bounds_prune_rules():
     assert not iceberg_file_bounds_prune(e(nulls=99, count=100),
                                          "1", 0, 9)
     assert not iceberg_file_bounds_prune(e(), "1", 0, 9)  # unknown
+
+
+def test_string_bounds_truncation_rules():
+    """truncate(16): lower may be a plain prefix; upper must
+    increment its last code point (with carry); all-maximal uppers
+    are loud; the byte comparison prunes conservatively."""
+    from spark_hive_spark.sources.evolution import (
+        iceberg_string_bounds_prune,
+        iceberg_truncate_bounds,
+    )
+
+    lo, up = iceberg_truncate_bounds("abc", "xyz")
+    assert (lo, up) == (b"abc", b"xyz")  # short: exact
+    lo, up = iceberg_truncate_bounds("a" * 20, "Z" * 20)
+    assert lo == b"a" * 16  # prefix <= min
+    assert up == b"Z" * 15 + b"["  # incremented, >= every Z* value
+    # carry: last char at the max code point increments the previous
+    lo, up = iceberg_truncate_bounds("a", "ab" + chr(0x10FFFF) * 20)
+    assert up == "ab".encode()[:1] + b"c" or up == b"ac"
+    import pytest
+
+    with pytest.raises(NotImplementedError, match="all-maximal"):
+        iceberg_truncate_bounds("a", chr(0x10FFFF) * 20)
+
+    def e(mn, mx):
+        lo_b, up_b = iceberg_truncate_bounds(mn, mx)
+        return {"lower_bounds": {"2": lo_b},
+                "upper_bounds": {"2": up_b}}
+
+    # the data-loss trap: file of Z*16-prefixed strings vs a
+    # predicate above Z*16 — correct bounds keep it
+    zf = e("Z" * 16 + "-000", "Z" * 16 + "-999")
+    assert not iceberg_string_bounds_prune(
+        zf, "2", "Z" * 16 + "-100", "Z" * 16 + "-200")
+    # naive truncation (upper = Z*16, no increment) would prune it
+    naive = dict(zf)
+    naive["upper_bounds"] = {"2": b"Z" * 16}
+    assert iceberg_string_bounds_prune(
+        naive, "2", "Z" * 16 + "-100", "Z" * 16 + "-200")
+    # disjoint file prunes; unknown stats must scan
+    assert iceberg_string_bounds_prune(
+        e("A-0", "A-9"), "2", "B", "C")
+    assert not iceberg_string_bounds_prune({}, "2", "B", "C")
