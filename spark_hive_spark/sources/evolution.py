@@ -7700,3 +7700,200 @@ def source_iceberg_string_bounds_truncation(
     ).localCheckpoint(eager=True)  # 1 row; frees the temp root
     shutil.rmtree(root, ignore_errors=True)
     return out
+
+
+def delta_stats_prune(
+    add: dict, col: str, lo: int, hi: int
+) -> bool:
+    """File-skipping decision from one Delta ``add`` action's
+    ``stats`` (round 16, PROTOCOL.md §Per-file Statistics): stats is
+    a JSON **string** inside the action (double-encoded — a reader
+    treating it as an object dies on real logs), carrying
+    numRecords / minValues / maxValues / nullCount per column. True
+    = no row of the file can satisfy ``col`` in [lo, hi]:
+
+    - min/max present: prune iff max < lo or min > hi;
+    - column all-null (nullCount == numRecords): prune — no non-null
+      predicate can match;
+    - stats absent, unparseable, or column uncovered (writers stat
+      only the first ``dataSkippingNumIndexedCols`` columns): MUST
+      scan — absent stats are never license to skip."""
+    import json as _json
+
+    raw = add.get("stats")
+    if not raw:
+        return False
+    stats = _json.loads(raw) if isinstance(raw, str) else raw
+    mn = (stats.get("minValues") or {}).get(col)
+    mx = (stats.get("maxValues") or {}).get(col)
+    if mn is None or mx is None:
+        nulls = (stats.get("nullCount") or {}).get(col)
+        n = stats.get("numRecords")
+        return nulls is not None and n is not None and nulls == n
+    return mx < lo or mn > hi
+
+
+
+@register(
+    "source_delta_stats_skipping",
+    oracle="""
+        WITH bounds AS (
+            SELECT CAST(floor(0.30 * max(o_orderkey)) AS BIGINT)
+                       AS lo,
+                   CAST(floor(0.45 * max(o_orderkey)) AS BIGINT)
+                       AS hi
+            FROM orders
+        )
+        SELECT CAST(6 AS INT) AS files_total,
+               CAST(3 AS INT) AS pruned_by_stats,
+               CAST(1 AS INT) AS pruned_all_null,
+               CAST(2 AS INT) AS files_scanned,
+               CAST(count(*) AS BIGINT) AS n_matched,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM orders, bounds
+        WHERE o_orderkey BETWEEN lo AND hi
+    """,
+    tags=("source", "delta", "lakehouse", "pruning", "data-skipping",
+          "stats"),
+)
+def source_delta_stats_skipping(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Delta DATA SKIPPING from add-action stats (round 16) — the
+    Delta-side twin of Iceberg's column-bounds pruning
+    (`source_iceberg_column_bounds_pruning`): every ``add`` action
+    may carry a ``stats`` JSON **string** (double-encoded in the
+    log) with per-column minValues/maxValues/nullCount, and a range
+    predicate prunes files from the log replay alone. The fixture
+    traps each rule:
+
+    - three quartile files exclude the [30%, 45%]-of-max predicate
+      by min/max (``pruned_by_stats``);
+    - the in-range rows are SPLIT between a stats'd file (even
+      keys) and a NO-STATS file (odd keys) — a reader that treats
+      absent stats as skippable silently loses half the matches and
+      the count/cents oracle flips (absent stats = MUST scan);
+    - an all-null-key file prunes via nullCount == numRecords, the
+      only rule that can prune without min/max
+      (``pruned_all_null``).
+
+    Scale posture: the decision is O(#live files) over state the
+    log replay already holds — Delta's answer to "don't open
+    irrelevant files" at 100 TB; survivors still push the predicate
+    into the parquet scan."""
+    import json as _json
+
+    orders = t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.round(F.col("o_totalprice") * 100).cast("long")
+        .alias("cents"),
+    )
+    root = os.path.join(
+        tempfile.gettempdir(), f"shs_deltass_{uuid.uuid4().hex}"
+    )
+    tdir = os.path.join(root, "t")
+    ldir = os.path.join(tdir, "_delta_log")
+    os.makedirs(ldir)
+
+    row = orders.agg(
+        F.floor(F.max("k") * 0.30).cast("long").alias("lo"),
+        F.floor(F.max("k") * 0.45).cast("long").alias("hi"),
+        F.max("k").alias("mx"),
+    ).collect()[0]
+    lo, hi, mx = row["lo"], row["hi"], row["mx"]
+
+    def _stats_of(df: DataFrame) -> str:
+        s = df.agg(
+            F.count("*").alias("n"), F.min("k").alias("mn"),
+            F.max("k").alias("mxk"),
+        ).collect()[0]
+        return _json.dumps({
+            "numRecords": int(s["n"]),
+            "minValues": {"k": int(s["mn"])},
+            "maxValues": {"k": int(s["mxk"])},
+            "nullCount": {"k": 0},
+        })
+
+    adds = []
+
+    def _file(name: str, df: DataFrame, stats: str | None) -> None:
+        stage_single_parquet(df, root, tdir, name)
+        add = {"path": name, "size": os.path.getsize(
+            os.path.join(tdir, name)), "modificationTime": 0,
+            "dataChange": True}
+        if stats is not None:
+            add["stats"] = stats
+        adds.append({"add": add})
+
+    q = [(mx * i) // 4 for i in range(5)]
+    in_q2 = F.col("k").between(q[1] + 1, q[2])
+    _file("q1.parquet", orders.filter(F.col("k") <= q[1]),
+          _stats_of(orders.filter(F.col("k") <= q[1])))
+    ev = orders.filter(in_q2 & (F.col("k") % 2 == 0))
+    od = orders.filter(in_q2 & (F.col("k") % 2 == 1))
+    _file("q2even.parquet", ev, _stats_of(ev))
+    _file("q2odd_nostats.parquet", od, None)  # MUST scan
+    _file("q3.parquet",
+          orders.filter(F.col("k").between(q[2] + 1, q[3])),
+          _stats_of(orders.filter(F.col("k").between(q[2] + 1, q[3]))))
+    _file("q4.parquet", orders.filter(F.col("k") > q[3]),
+          _stats_of(orders.filter(F.col("k") > q[3])))
+    nulls = orders.limit(400).select(
+        F.lit(None).cast("long").alias("k"), "cents")
+    _file("allnull.parquet", nulls, _json.dumps({
+        "numRecords": 400, "minValues": {}, "maxValues": {},
+        "nullCount": {"k": 400},
+    }))
+
+    with open(os.path.join(ldir, f"{0:020d}.json"), "w") as fh:
+        actions = [
+            {"protocol": {"minReaderVersion": 1,
+                          "minWriterVersion": 2}},
+            {"metaData": {"id": "shs-delta-ss", "format":
+                {"provider": "parquet", "options": {}},
+                "schemaString": "{}", "partitionColumns": []}},
+        ] + adds
+        fh.write("\n".join(_json.dumps(a) for a in actions) + "\n")
+
+    # ---- the reader: replay + stats-prune + scan survivors ----
+    live_adds: dict[str, dict] = {}
+    for v in sorted(
+        int(f[:20]) for f in os.listdir(ldir) if f.endswith(".json")
+    ):
+        with open(os.path.join(ldir, f"{v:020d}.json")) as fh:
+            for line in fh:
+                if not line.strip():
+                    continue
+                action = _json.loads(line)
+                if "add" in action:
+                    live_adds[action["add"]["path"]] = action["add"]
+                elif "remove" in action:
+                    live_adds.pop(action["remove"]["path"], None)
+    pruned_stats = pruned_null = 0
+    survivors: list[str] = []
+    for path, add in sorted(live_adds.items()):
+        if delta_stats_prune(add, "k", lo, hi):
+            raw = _json.loads(add["stats"])
+            if (raw.get("minValues") or {}).get("k") is None:
+                pruned_null += 1
+            else:
+                pruned_stats += 1
+        else:
+            survivors.append(path)
+    scan = (
+        spark.read.parquet(
+            *(os.path.join(tdir, p) for p in survivors)
+        )
+        .filter(F.col("k").between(F.lit(lo), F.lit(hi)))
+    )
+    out = scan.agg(
+        F.lit(len(live_adds)).cast("int").alias("files_total"),
+        F.lit(pruned_stats).cast("int").alias("pruned_by_stats"),
+        F.lit(pruned_null).cast("int").alias("pruned_all_null"),
+        F.lit(len(survivors)).cast("int").alias("files_scanned"),
+        F.count("*").alias("n_matched"),
+        F.sum("cents").alias("cents"),
+    ).localCheckpoint(eager=True)  # 1 row; frees the temp root
+    shutil.rmtree(root, ignore_errors=True)
+    return out

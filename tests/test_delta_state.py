@@ -239,3 +239,35 @@ def test_domain_metadata_replay_rules():
         "domainMetadata": {"domain": "a", "configuration": "1"},
     })
     assert kind == "domainMetadata" and payload["domain"] == "a"
+
+
+def test_delta_stats_prune_rules():
+    """stats is a double-encoded JSON string; min/max prune ranges;
+    all-null prunes via counts; absent/uncovered stats must scan."""
+    import json
+
+    from spark_hive_spark.sources.evolution import delta_stats_prune
+
+    def add(**stats):
+        return {"path": "f", "stats": json.dumps(stats)}
+
+    s = add(numRecords=10, minValues={"k": 100}, maxValues={"k": 200},
+            nullCount={"k": 0})
+    assert not delta_stats_prune(s, "k", 150, 160)
+    assert delta_stats_prune(s, "k", 201, 300)
+    assert delta_stats_prune(s, "k", 0, 99)
+    assert not delta_stats_prune(s, "k", 200, 200)  # inclusive
+    # all-null column prunes via counts alone
+    assert delta_stats_prune(
+        add(numRecords=10, minValues={}, maxValues={},
+            nullCount={"k": 10}), "k", 0, 9)
+    # absent stats / uncovered column: must scan
+    assert not delta_stats_prune({"path": "f"}, "k", 0, 9)
+    assert not delta_stats_prune(
+        add(numRecords=10, minValues={"other": 1},
+            maxValues={"other": 2}, nullCount={}), "k", 0, 9)
+    # already-decoded stats objects are accepted too
+    assert delta_stats_prune(
+        {"stats": {"numRecords": 5, "minValues": {"k": 9},
+                   "maxValues": {"k": 9}, "nullCount": {"k": 0}}},
+        "k", 0, 8)
