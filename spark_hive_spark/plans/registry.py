@@ -50,7 +50,7 @@ _REGISTRY: dict[str, Query] = {}
 # attested backlog, oldest-first: the 17 r3-attested queries displaced
 # by the r15 format-family re-attests, then the r5-attested tail.
 # Backlog spill for r17 (next oldest, in order):
-# groupingsets_customer, json_event_props, json_event_schema, map_struct_roundtrip, math_supplier_balances, percentiles_extendedprice, pivot_revenue_by_linestatus,
+# funnel_view_click_purchase, groupingsets_customer, json_event_props, json_event_schema, map_struct_roundtrip, math_supplier_balances, percentiles_extendedprice, pivot_revenue_by_linestatus,
 # q1_pricing_summary, range_join_clicks_before_purchase,
 # retention_signup_cohorts, rollup_lineitem_flags, sessionize_events,
 # sketch_hll_mergeable_rollup, skew_salted_join_order_revenue, then
@@ -77,6 +77,7 @@ SWEEP_PRIORITY: tuple[str, ...] = (
     "source_delta_stats_skipping",
     "source_orc_row_index_skipping_string",
     "source_orc_row_index_skipping_dictionary",
+    "source_orc_row_index_skipping_timestamp",
     # ANN rows-only pair + its exactness bracket, always adjacent
     "knn_cosine_ivf",
     "knn_cosine_lsh",
@@ -111,7 +112,6 @@ SWEEP_PRIORITY: tuple[str, ...] = (
     "date_monthly_order_stats",
     "datediff_shipping_delay",
     "distinct_supplier_part_counts",
-    "funnel_view_click_purchase",
 )
 
 

@@ -4499,3 +4499,236 @@ def source_orc_row_index_skipping_dictionary(
     ).localCheckpoint(eager=True)  # 1 row; frees the temp root
     shutil.rmtree(root, ignore_errors=True)
     return out
+
+
+@register(
+    "source_orc_row_index_skipping_timestamp",
+    oracle="""
+        SELECT TRUE AS skipping_effective,
+               TRUE AS partial_decode,
+               TRUE AS seek_attested,
+               CAST(count(*) AS BIGINT) AS n_matched,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM orders
+        WHERE o_orderdate >= DATE '1997-01-01'
+          AND o_orderdate < DATE '1998-01-01'
+    """,
+    tags=("source", "orc", "row-index", "skipping", "pruning",
+          "timestamp", "data-read"),
+)
+def source_orc_row_index_skipping_timestamp(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """ORC row-group seek-decode on a TIMESTAMP column (round 16) —
+    time ranges are THE canonical 100 TB predicate, and timestamps
+    are the family's first TWO-VALUE-STREAM seek: DATA (seconds
+    relative to the 2015-01-01 writer-zone base, signed RLEv2) and
+    SECONDARY (nanos under the trailing-zero trick, unsigned RLEv2)
+    each carry their own ``[byte offset, values to skip]`` — FOUR
+    positions per entry, and both streams must land on the same row
+    or every value pairs a wrong sub-second part.
+
+    Selection is by the column's own TimestampStatistics
+    (``minimumUtc``/``maximumUtc``, proto fields 3/4, sint64 zigzag
+    MILLIS — a reader that takes them unzigzagged or as micros
+    selects wrong groups); ``seek_attested`` pins each decoded
+    group's count and min/max epoch-millis against them. The
+    predicate is calendar-1997 over the 1995-2001 testdata span, so
+    a middle slice of the ts-sorted file is selected and both edges
+    skip.
+
+    Scale posture: identical to the integer siblings — the seek
+    bounds decode to the selected time slice, which is exactly how
+    a time-partitioned 100 TB table serves "last month" without
+    touching history."""
+    import datetime as _dt
+
+    import pandas as _pd
+
+    root = os.path.join(
+        tempfile.gettempdir(), f"shs_orcrit_{uuid.uuid4().hex}"
+    )
+    os.makedirs(root)
+    fixture = (
+        t(spark, sf_dir, "orders")
+        .select(
+            F.to_timestamp(F.col("o_orderdate")).alias("ts"),
+            F.round(F.col("o_totalprice") * 100).cast("long")
+            .alias("cents"),
+        )
+        .sort("ts")
+    )
+    n_rows_total = fixture.count()
+    stride = max(1000, n_rows_total // 6)  # ~6 groups at any SF
+    stage = os.path.join(root, "stage")
+    (
+        fixture.coalesce(1)
+        .write.option("compression", "none")
+        .option("orc.row.index.stride", str(stride))
+        .orc(stage)
+    )
+    src = next(f for f in os.listdir(stage) if f.endswith(".orc"))
+    path = os.path.join(root, "sorted.orc")
+    os.replace(os.path.join(stage, src), path)
+
+    utc = _dt.timezone.utc
+    lo_us = int(_dt.datetime(1997, 1, 1, tzinfo=utc).timestamp()) \
+        * 1_000_000
+    hi_us = int(_dt.datetime(1998, 1, 1, tzinfo=utc).timestamp()) \
+        * 1_000_000 - 1
+    plan = spark.createDataFrame(
+        [(path, lo_us, hi_us)], "path string, lo long, hi long"
+    )
+
+    def _decode(batches) -> Iterator:
+        for pdf in batches:
+            rows = []
+            for rec in pdf.itertuples(index=False):
+                with open(rec.path, "rb") as fh:
+                    data = fh.read()
+                footer, codec = _orc_file_tail(data)
+                if codec != 0:
+                    raise ValueError(
+                        "uncompressed fixture came back compressed"
+                    )
+                g_total = g_sel = n_matched = 0
+                cents_sum = 0
+                rows_decoded = 0
+                seek_ok = True
+                for sraw in footer.get(3, []):
+                    st = decode_message(sraw)
+                    off, ilen, dlen, flen = (
+                        st[1][0], st[2][0], st[3][0], st[4][0]
+                    )
+                    sfoot = decode_message(
+                        _unchunk(data[off + ilen + dlen
+                                      : off + ilen + dlen + flen],
+                                 codec)
+                    )
+                    wtz = sfoot.get(3, [None])[0]
+                    base = _orc_ts_base(
+                        wtz.decode() if isinstance(wtz, bytes)
+                        else wtz
+                    )
+                    pos = off
+                    streams: dict[tuple[int, int], bytes] = {}
+                    for s in sfoot[1]:
+                        m = decode_message(s)
+                        kind, col, ln = (
+                            m.get(1, [0])[0], m.get(2, [0])[0],
+                            m[3][0],
+                        )
+                        streams[(col, kind)] = data[pos : pos + ln]
+                        pos += ln
+
+                    # ts column index: TimestampStatistics min/max
+                    # UTC millis (sint64 zigzag, proto fields 3/4)
+                    idx = []
+                    ri = decode_message(
+                        _unchunk(streams[(1, 6)], codec)
+                    )
+                    for eraw in ri.get(1, []):
+                        e = decode_message(eraw)
+                        stats = decode_message(e[2][0])
+                        tstat = decode_message(stats[9][0])
+                        idx.append({
+                            "positions": _packed_uvarints(
+                                b"".join(e.get(1, []))
+                            ),
+                            "n": stats[1][0],
+                            "min_ms": _unzigzag(tstat[3][0]),
+                            "max_ms": _unzigzag(tstat[4][0]),
+                        })
+                    # cents column index (integer)
+                    idx_c = []
+                    ri = decode_message(
+                        _unchunk(streams[(2, 6)], codec)
+                    )
+                    for eraw in ri.get(1, []):
+                        e = decode_message(eraw)
+                        stats = decode_message(e[2][0])
+                        idx_c.append({
+                            "positions": _packed_uvarints(
+                                b"".join(e.get(1, []))
+                            ),
+                            "n": stats[1][0],
+                        })
+                    if len(idx) != len(idx_c):
+                        raise ValueError("column row indexes disagree")
+                    g_total += len(idx)
+                    ts_data = streams[(1, 1)]
+                    ts_sec = streams[(1, 5)]
+                    c_stream = streams[(2, 1)]
+
+                    for et, ec in zip(idx, idx_c):
+                        if et["max_ms"] * 1000 < rec.lo \
+                                or et["min_ms"] * 1000 > rec.hi:
+                            continue  # skipped: never decoded
+                        g_sel += 1
+                        db, dv, sb, sv = et["positions"]
+                        secs = decode_rlev2(
+                            ts_data[db:], signed=True,
+                            max_values=dv + et["n"],
+                        )[dv : dv + et["n"]]
+                        nanos_enc = decode_rlev2(
+                            ts_sec[sb:], signed=False,
+                            max_values=sv + et["n"],
+                        )[sv : sv + et["n"]]
+                        if len(secs) != len(nanos_enc):
+                            raise ValueError(
+                                "DATA/SECONDARY seek misaligned"
+                            )
+                        vals = []
+                        for s_, v in zip(secs, nanos_enc):
+                            if v >= 1 << 63:
+                                v -= 1 << 64
+                            c = v & 7
+                            nanos = (v >> 3) * (
+                                10 ** (c + 1) if c else 1
+                            )
+                            abs_secs = s_ + base
+                            if nanos < 0:
+                                vals.append(abs_secs * 1_000_000
+                                            + nanos // 1_000)
+                            else:
+                                if abs_secs < 0 and nanos:
+                                    abs_secs -= 1
+                                vals.append(abs_secs * 1_000_000
+                                            + nanos // 1_000)
+                        cb, cv = orc_index_positions(
+                            ec["positions"], compressed=False
+                        )
+                        cs = decode_rlev2(
+                            c_stream[cb:], signed=True,
+                            max_values=cv + ec["n"],
+                        )[cv : cv + ec["n"]]
+                        rows_decoded += len(vals)
+                        seek_ok &= (
+                            len(vals) == et["n"] == len(cs)
+                            and min(vals) // 1000 == et["min_ms"]
+                            and max(vals) // 1000 == et["max_ms"]
+                        )
+                        for tv, cval in zip(vals, cs):
+                            if rec.lo <= tv <= rec.hi:
+                                n_matched += 1
+                                cents_sum += cval
+                rows.append((
+                    bool(1 <= g_sel < g_total),
+                    bool(rows_decoded < n_rows_total),
+                    bool(seek_ok),
+                    n_matched, cents_sum,
+                ))
+            yield _pd.DataFrame(
+                rows,
+                columns=["skipping_effective", "partial_decode",
+                         "seek_attested", "n_matched", "cents"],
+            )
+
+    out = plan.mapInPandas(
+        _decode,
+        "skipping_effective boolean, partial_decode boolean,"
+        " seek_attested boolean, n_matched bigint, cents bigint",
+    ).localCheckpoint(eager=True)  # 1 row; frees the temp root
+    shutil.rmtree(root, ignore_errors=True)
+    return out
