@@ -1096,3 +1096,70 @@ def test_orc_byte_rle_seek_compressed_unit():
     assert orc_present_seek_compressed(
         pstream, 1, (0, 0, 0, 3), 7
     ) == [1, 0, 1, 0, 0, 1, 1]
+
+
+def test_resumable_decoders_match_full_decode_at_any_split():
+    """Property: decoding a stream through resumable mode with an
+    arbitrary buffer split must reproduce the unsplit decode, and
+    `consumed` always lands on a run boundary."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from spark_hive_spark.sources.orc_meta import (
+        _byte_rle_resumable,
+        decode_byte_rle,
+        decode_rlev2,
+    )
+
+    def zz(v):
+        return (v << 1) ^ (v >> 63)
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        st.lists(
+            st.tuples(st.integers(0, 255), st.integers(3, 10)),
+            min_size=1, max_size=12,
+        ),
+        st.data(),
+    )
+    def rlev2_case(runs, data):
+        # stream of SHORT_REPEAT runs: (value byte, repeat 3-10)
+        stream = b"".join(
+            bytes([((rep - 3) & 7), zz(v) & 0xFF]) for v, rep in runs
+        )
+        full = decode_rlev2(stream, signed=True)
+        split = data.draw(st.integers(0, len(stream)))
+        out, consumed = decode_rlev2(
+            stream[:split], signed=True, resumable=True
+        )
+        rest = decode_rlev2(
+            stream[:split][consumed:] + stream[split:], signed=True
+        )
+        assert out + rest == full
+        assert consumed <= split
+
+    rlev2_case()
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        st.lists(st.binary(min_size=1, max_size=6),
+                 min_size=1, max_size=8),
+        st.data(),
+    )
+    def byte_rle_case(literals, data):
+        # literal-run byte-RLE stream
+        stream = b"".join(
+            bytes([256 - len(b)]) + b for b in literals
+        )
+        full = decode_byte_rle(stream)
+        split = data.draw(st.integers(0, len(stream)))
+        out, consumed = _byte_rle_resumable(stream[:split], 10**9)
+        out2, consumed2 = _byte_rle_resumable(
+            stream[:split][consumed:] + stream[split:], 10**9
+        )
+        assert out + out2 == full
+        # the cap stops early without corrupting the prefix
+        capped, _ = _byte_rle_resumable(stream, 3)
+        assert full.startswith(capped) and len(capped) >= min(3, len(full))
+
+    byte_rle_case()
