@@ -317,6 +317,13 @@ EXTENDED = [
     "source_iceberg_branch_tag_read",
     "source_avro_logical_types",
     "source_orc_deep_nested_decode",
+    # round 16
+    "source_orc_row_index_skipping_compressed",
+    "source_orc_row_index_skipping_nullable_compressed",
+    "source_orc_row_index_skipping_timestamp",
+    "source_hudi_mor_incremental",
+    "source_iceberg_column_bounds_pruning",
+    "source_delta_stats_skipping",
 ]
 
 # Streaming extended queries run dead LAST (after the streaming
