@@ -53,7 +53,7 @@ _REGISTRY: dict[str, Query] = {}
 # by the r15 format-family re-attests, then the r5-attested tail
 # (5 r5 slots ceded to the round's later additions).
 # Backlog spill for r17 (next oldest, in order):
-# funnel_view_click_purchase, groupingsets_customer,
+# distinct_supplier_part_counts, funnel_view_click_purchase, groupingsets_customer,
 # json_event_props, json_event_schema, map_struct_roundtrip,
 # math_supplier_balances, percentiles_extendedprice,
 # pivot_revenue_by_linestatus,
@@ -84,6 +84,7 @@ SWEEP_PRIORITY: tuple[str, ...] = (
     "source_orc_row_index_skipping_string",
     "source_orc_row_index_skipping_dictionary",
     "source_orc_row_index_skipping_timestamp",
+    "source_orc_bloom_skipping",
     # ANN rows-only pair + its exactness bracket, always adjacent
     "knn_cosine_ivf",
     "knn_cosine_lsh",
@@ -117,7 +118,6 @@ SWEEP_PRIORITY: tuple[str, ...] = (
     "curation_stratified_sample",
     "date_monthly_order_stats",
     "datediff_shipping_delay",
-    "distinct_supplier_part_counts",
 )
 
 

@@ -47,6 +47,7 @@ statistics-pruning layer is north-star surface per SURVEY.md §2B.
 from __future__ import annotations
 
 import datetime as dt
+import json
 import os
 import shutil
 import struct
@@ -55,7 +56,7 @@ import uuid
 import zlib
 from typing import Any, Iterator
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from spark_hive_spark.functions.numeric import dsum, sql_dsum
@@ -4729,6 +4730,324 @@ def source_orc_row_index_skipping_timestamp(
         _decode,
         "skipping_effective boolean, partial_decode boolean,"
         " seek_attested boolean, n_matched bigint, cents bigint",
+    ).localCheckpoint(eager=True)  # 1 row; frees the temp root
+    shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
+def orc_bloom_long_hash(key: int) -> int:
+    """ORC's long hash for bloom filters (org.apache.orc.util
+    .BloomFilter#getLongHash) — Thomas Wang's 64-bit mix, BUT with
+    ARITHMETIC right shifts: the bytecode uses ``lshr`` (signed
+    ``>>``) where Wang's published function uses ``>>>``. The two
+    agree while intermediates stay non-negative (most keys), and
+    diverge exactly on the values a naive port gets wrong —
+    getLongHash(0) is 0 only under signed shifts (step 1 yields −1,
+    and −1 >> 24 == −1 cancels it), so a ``>>>`` port produces a
+    filter that FALSE-NEGATIVES key 0 and every other
+    negative-intermediate value: silent data loss on point lookups.
+    Verified against JVM-written filters for 0 / ±1 / 7 / 255 /
+    12345 at three filter sizes."""
+    def s(v: int) -> int:
+        v &= (1 << 64) - 1
+        return v - (1 << 64) if v >= (1 << 63) else v
+
+    k = s(key)
+    k = s(~k + (k << 21))
+    k ^= k >> 24  # arithmetic, not logical
+    k = s(k + (k << 3) + (k << 8))
+    k ^= k >> 14
+    k = s(k + (k << 2) + (k << 4))
+    k ^= k >> 28
+    k = s(k + (k << 31))
+    return k & ((1 << 64) - 1)
+
+
+def orc_bloom_maybe(num_hash: int, bitset: bytes, h64: int) -> bool:
+    """ORC bloom membership (BloomFilter#testHash): h1 = low int32,
+    h2 = high int32 (both SIGNED casts); position i (1-based) is
+    ``(h1 + i*h2)`` in wrapping int32 arithmetic, bit-flipped via
+    ``~`` when negative, modulo the bit count; the utf8bitset lays
+    the long array out little-endian, so bit p lives at byte p>>3,
+    bit p&7. Any clear bit => definitely absent."""
+    def to_i32(v: int) -> int:
+        v &= 0xFFFFFFFF
+        return v - (1 << 32) if v >= (1 << 31) else v
+
+    h1, h2 = to_i32(h64), to_i32(h64 >> 32)
+    nbits = len(bitset) * 8
+    for i in range(1, num_hash + 1):
+        c = to_i32(h1 + i * h2)
+        if c < 0:
+            c = to_i32(~c & 0xFFFFFFFF)
+        pos = c % nbits
+        if not (bitset[pos >> 3] >> (pos & 7)) & 1:
+            return False
+    return True
+
+
+def orc_bloom_index(
+    stream: bytes, codec: int
+) -> list[tuple[int, bytes]]:
+    """Decode a kind-8 BLOOM_FILTER_UTF8 stream -> one
+    (numHashFunctions, utf8 bitset bytes) per ROW GROUP (the index
+    stride granularity — finer than parquet's per-chunk filters).
+    The deprecated kind-7 fixed64 form (field 2; pre-ORC-101 default
+    charset hashing) stays a loud seam."""
+    bfi = decode_message(_unchunk(stream, codec))
+    out = []
+    for raw in bfi.get(1, []):
+        bf = decode_message(raw)
+        if 2 in bf and bf[2]:
+            raise NotImplementedError(
+                "deprecated ORC BLOOM_FILTER (fixed64 bitset / "
+                "default-charset hashing) — only BLOOM_FILTER_UTF8 "
+                "is supported"
+            )
+        out.append((bf[1][0], bf[3][0]))
+    return out
+
+
+@register(
+    "source_orc_bloom_skipping",
+    oracle="""
+        WITH ranked AS (
+            SELECT o_orderkey AS k,
+                   CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+                   row_number() OVER (ORDER BY o_orderkey) AS rn,
+                   count(*) OVER () AS n
+            FROM orders
+        )
+        SELECT TRUE AS no_false_negatives,
+               TRUE AS minmax_cannot_prune,
+               TRUE AS skipping_effective,
+               TRUE AS fp_bounded,
+               CAST(count(*) AS BIGINT) AS n_found,
+               CAST(sum(k) AS BIGINT) AS found_key_sum,
+               CAST(sum(cents) AS BIGINT) AS found_cents
+        FROM ranked,
+             (SELECT unnest(range(1, 21)) AS j) js
+        WHERE rn = CAST(floor(n * j / 21.0) AS BIGINT)
+    """,
+    tags=("source", "orc", "bloom-filter", "row-index", "skipping",
+          "point-lookup", "data-read"),
+)
+def source_orc_bloom_skipping(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """ORC BLOOM-FILTER row-GROUP skipping (round 16) — the ORC twin
+    of `source_parquet_bloom_skipping`, one level finer: ORC blooms
+    live per ROW GROUP beside the ROW_INDEX (stream kind 8,
+    ``orc.bloom.filter.columns``), so a point lookup skips at the
+    stride granularity and the surviving groups SEEK-DECODE through
+    this round's row-index machinery — blooms decide WHICH groups,
+    positions bound the decode, one composition.
+
+    The fixture hash-shuffles the keys so every group's [min, max]
+    covers every probe key (``minmax_cannot_prune`` — stats skipping
+    would read everything) while the blooms answer per group. The
+    probe stack is the hand-built `orc_bloom_long_hash` /
+    `orc_bloom_maybe` — and the hash is the round's sharpest
+    finding: ORC's getLongHash is Thomas Wang's mix with ARITHMETIC
+    (``lshr``) shifts, not the published ``>>>`` form; the two agree
+    on most keys and silently false-negative key 0 (and every
+    negative-intermediate value) under a naive port. Key 0-class
+    regressions are pinned by the JVM-differential unit test; here
+    20 rank-sampled present keys must all be recovered from
+    bloom-passing groups only (``no_false_negatives``) and 20
+    absent keys attest ``skipping_effective`` + ``fp_bounded``
+    (≤ 10% observed; ~1% design rate). The testdata key space is
+    DENSE (0..N−1), so absent probes sit past the maximum — the
+    reader never consults min/max, so the bloom rejections are
+    attested on their own; with any real (gappy) key space the same
+    path serves in-range misses identically.
+
+    Scale posture: a needle lookup at 100 TB reads the bloom bytes
+    (KB per stripe, already fetched with the index) and decodes
+    only the groups that might match — versus scanning every row
+    of every group a min/max check cannot exclude."""
+    import pandas as _pd
+
+    orders = t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.round(F.col("o_totalprice") * 100).cast("long")
+        .alias("cents"),
+    )
+    root = os.path.join(
+        tempfile.gettempdir(), f"shs_orcbloom_{uuid.uuid4().hex}"
+    )
+    os.makedirs(root)
+    n_rows = orders.count()
+    w = Window.orderBy("k")
+    ranked = orders.withColumn("rn", F.row_number().over(w))
+    ranks = [n_rows * j // 21 for j in range(1, 21)]
+    present = [
+        (r["k"], r["cents"])
+        for r in ranked.filter(F.col("rn").isin(ranks)).collect()
+    ]
+    max_k = orders.agg(F.max("k")).collect()[0][0]
+    absent = [max_k + 1 + i for i in range(20)]
+    stride = max(1000, n_rows // 6)
+    stage = os.path.join(root, "stage")
+    (
+        orders.orderBy(F.hash("k"))  # shuffle: min/max can't prune
+        .coalesce(1)
+        .write.option("compression", "none")
+        .option("orc.bloom.filter.columns", "k")
+        .option("orc.row.index.stride", str(stride))
+        .orc(stage)
+    )
+    src = next(f for f in os.listdir(stage) if f.endswith(".orc"))
+    path = os.path.join(root, "shuffled.orc")
+    os.replace(os.path.join(stage, src), path)
+
+    plan = spark.createDataFrame(
+        [(
+            path,
+            json.dumps([[int(k), int(c)] for k, c in present]),
+            json.dumps([int(k) for k in absent]),
+        )],
+        "path string, present string, absent string",
+    )
+    def _probe(batches) -> Iterator:
+        import json as _json
+
+        for pdf in batches:
+            rows = []
+            for rec in pdf.itertuples(index=False):
+                with open(rec.path, "rb") as fh:
+                    data = fh.read()
+                footer, codec = _orc_file_tail(data)
+                if codec != 0:
+                    raise ValueError(
+                        "uncompressed fixture came back compressed"
+                    )
+                present = _json.loads(rec.present)
+                absent = _json.loads(rec.absent)
+                no_fn = True
+                minmax_cover = True
+                n_found = 0
+                key_sum = cents_sum = 0
+                false_pass = 0
+                total_groups = 0
+                for sraw in footer.get(3, []):
+                    st = decode_message(sraw)
+                    off, ilen, dlen, flen = (
+                        st[1][0], st[2][0], st[3][0], st[4][0]
+                    )
+                    sfoot = decode_message(
+                        _unchunk(data[off + ilen + dlen
+                                      : off + ilen + dlen + flen],
+                                 codec)
+                    )
+                    pos = off
+                    streams: dict[tuple[int, int], bytes] = {}
+                    for s in sfoot[1]:
+                        m = decode_message(s)
+                        kind, col, ln = (
+                            m.get(1, [0])[0], m.get(2, [0])[0],
+                            m[3][0],
+                        )
+                        streams[(col, kind)] = data[pos : pos + ln]
+                        pos += ln
+
+                    def _index(col: int) -> list[dict]:
+                        ri = decode_message(
+                            _unchunk(streams[(col, 6)], codec)
+                        )
+                        out = []
+                        for eraw in ri.get(1, []):
+                            e = decode_message(eraw)
+                            stats = decode_message(e[2][0])
+                            ints = decode_message(stats[2][0])
+                            out.append({
+                                "positions": _packed_uvarints(
+                                    b"".join(e.get(1, []))
+                                ),
+                                "n": stats[1][0],
+                                "min": _unzigzag(ints[1][0]),
+                                "max": _unzigzag(ints[2][0]),
+                            })
+                        return out
+
+                    idx_k = _index(1)
+                    idx_c = _index(2)
+                    blooms = orc_bloom_index(streams[(1, 8)], codec)
+                    if len(blooms) != len(idx_k):
+                        raise ValueError(
+                            "bloom entries disagree with row groups"
+                        )
+                    total_groups += len(blooms)
+                    k_stream = streams[(1, 1)]
+                    c_stream = streams[(2, 1)]
+                    group_cache: dict[int, dict[int, int]] = {}
+
+                    def _group(g: int) -> dict[int, int]:
+                        if g not in group_cache:
+                            ek, ec = idx_k[g], idx_c[g]
+                            kb, kv = orc_index_positions(
+                                ek["positions"], compressed=False
+                            )
+                            ks = decode_rlev2(
+                                k_stream[kb:], signed=True,
+                                max_values=kv + ek["n"],
+                            )[kv : kv + ek["n"]]
+                            cb, cv = orc_index_positions(
+                                ec["positions"], compressed=False
+                            )
+                            cs = decode_rlev2(
+                                c_stream[cb:], signed=True,
+                                max_values=cv + ec["n"],
+                            )[cv : cv + ec["n"]]
+                            group_cache[g] = dict(zip(ks, cs))
+                        return group_cache[g]
+
+                    for k, cents in present:
+                        h = orc_bloom_long_hash(k)
+                        minmax_cover &= all(
+                            e["min"] <= k <= e["max"] for e in idx_k
+                        )
+                        hit = False
+                        for g, (nh, bits) in enumerate(blooms):
+                            if not orc_bloom_maybe(nh, bits, h):
+                                continue  # definitely absent here
+                            got = _group(g).get(k)
+                            if got is not None:
+                                hit = True
+                                n_found += 1
+                                key_sum += k
+                                cents_sum += got
+                                break
+                        no_fn &= hit
+                    for k in absent:
+                        h = orc_bloom_long_hash(k)
+                        for g, (nh, bits) in enumerate(blooms):
+                            if orc_bloom_maybe(nh, bits, h):
+                                if _group(g).get(k) is not None:
+                                    raise ValueError(
+                                        "absent probe key found"
+                                    )
+                                false_pass += 1
+                total_absent = len(absent) * total_groups
+                rows.append((
+                    bool(no_fn),
+                    bool(minmax_cover and total_groups >= 2),
+                    bool(false_pass < total_absent),
+                    bool(false_pass <= total_absent // 10),
+                    n_found, key_sum, cents_sum,
+                ))
+            yield _pd.DataFrame(
+                rows,
+                columns=["no_false_negatives", "minmax_cannot_prune",
+                         "skipping_effective", "fp_bounded",
+                         "n_found", "found_key_sum", "found_cents"],
+            )
+
+    out = plan.mapInPandas(
+        _probe,
+        "no_false_negatives boolean, minmax_cannot_prune boolean,"
+        " skipping_effective boolean, fp_bounded boolean,"
+        " n_found bigint, found_key_sum bigint, found_cents bigint",
     ).localCheckpoint(eager=True)  # 1 row; frees the temp root
     shutil.rmtree(root, ignore_errors=True)
     return out

@@ -1163,3 +1163,48 @@ def test_resumable_decoders_match_full_decode_at_any_split():
         assert full.startswith(capped) and len(capped) >= min(3, len(full))
 
     byte_rle_case()
+
+
+def test_orc_bloom_long_hash_signed_shift_semantics():
+    """The round-16 finding: ORC's getLongHash uses ARITHMETIC right
+    shifts (bytecode `lshr`), so hash(0) == 0 — a `>>>` port (Wang's
+    published form) diverges exactly on zero/negative-intermediate
+    keys and silently false-negatives them. Vectors extracted from
+    JVM-written filters (positions at numHash=7, nbits=95872)."""
+    from spark_hive_spark.sources.orc_meta import (
+        orc_bloom_long_hash,
+        orc_bloom_maybe,
+    )
+
+    assert orc_bloom_long_hash(0) == 0
+
+    def positions(h64, nbits=95872, k=7):
+        def to_i32(v):
+            v &= 0xFFFFFFFF
+            return v - (1 << 32) if v >= (1 << 31) else v
+        h1, h2 = to_i32(h64), to_i32(h64 >> 32)
+        out = set()
+        for i in range(1, k + 1):
+            c = to_i32(h1 + i * h2)
+            if c < 0:
+                c = to_i32(~c & 0xFFFFFFFF)
+            out.add(c % nbits)
+        return sorted(out)
+
+    vectors = {
+        0: [0],
+        1: [16951, 21792, 33906, 49851, 50861, 54692, 66806],
+        -1: [10135, 14580, 17563, 22008, 68448, 88719, 93164],
+        7: [23172, 29068, 34964, 56743, 62639, 68535, 74431],
+        255: [17632, 26406, 53379, 58741, 64103, 81169, 86531],
+        12345: [19556, 19828, 21180, 21452, 73067, 73339, 74963],
+    }
+    for v, expect in vectors.items():
+        assert positions(orc_bloom_long_hash(v)) == expect, v
+
+    # membership over a hand-set bitset: little-endian long layout
+    bits = bytearray(95872 // 8)
+    for p in vectors[7]:
+        bits[p >> 3] |= 1 << (p & 7)
+    assert orc_bloom_maybe(7, bytes(bits), orc_bloom_long_hash(7))
+    assert not orc_bloom_maybe(7, bytes(bits), orc_bloom_long_hash(8))
