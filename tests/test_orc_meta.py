@@ -1208,3 +1208,24 @@ def test_orc_bloom_long_hash_signed_shift_semantics():
         bits[p >> 3] |= 1 << (p & 7)
     assert orc_bloom_maybe(7, bytes(bits), orc_bloom_long_hash(7))
     assert not orc_bloom_maybe(7, bytes(bits), orc_bloom_long_hash(8))
+
+
+def test_orc_bloom_index_kind7_is_loud():
+    """The deprecated fixed64/default-charset BLOOM_FILTER form must
+    raise by name, never decode as if it were utf8."""
+    import pytest
+
+    from spark_hive_spark.sources.orc_meta import orc_bloom_index
+
+    # hand-build BloomFilterIndex{bloomFilter{numHash=7, bitset=[0]}}
+    # protobuf: field1 len-delim { field1 varint 7, field2 fixed64 0 }
+    bf = bytes([0x08, 0x07, 0x11]) + b"\x00" * 8
+    bfi = bytes([0x0A, len(bf)]) + bf
+    with pytest.raises(NotImplementedError, match="BLOOM_FILTER_UTF8"):
+        orc_bloom_index(bfi, 0)
+
+    # the utf8 form decodes: field1 varint 7, field3 len-delim bytes
+    bf = bytes([0x08, 0x07, 0x1A, 0x04]) + b"\xff\x00\x00\x00"
+    bfi = bytes([0x0A, len(bf)]) + bf
+    out = orc_bloom_index(bfi, 0)
+    assert out == [(7, b"\xff\x00\x00\x00")]
