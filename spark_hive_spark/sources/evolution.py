@@ -7494,7 +7494,15 @@ def iceberg_truncate_bounds(
     against it skips files that contain matches (silent data loss,
     the worst failure class). Incrementing carries left over code
     points at U+10FFFF; a max-string of all-max code points cannot
-    be truncated and is loud."""
+    be truncated and is loud.
+
+    Incrementing skips the surrogate range (Iceberg's
+    UnicodeUtil.truncateStringMax does the same): U+D7FF + 1 would
+    be the lone surrogate U+D800, which is not a Unicode scalar
+    value — ``.encode()`` rejects it — so the increment jumps to
+    U+E000, the next encodable code point (still >= every string
+    the prefix covers, since no valid string contains a
+    surrogate)."""
     lower = min_s[:width].encode()
     if len(max_s) <= width:
         return lower, max_s.encode()
@@ -7502,7 +7510,10 @@ def iceberg_truncate_bounds(
     for i in range(width - 1, -1, -1):
         cp = ord(prefix[i])
         if cp < 0x10FFFF:
-            prefix[i] = chr(cp + 1)
+            nxt = cp + 1
+            if 0xD800 <= nxt <= 0xDFFF:
+                nxt = 0xE000
+            prefix[i] = chr(nxt)
             return lower, "".join(prefix[: i + 1]).encode()
     raise NotImplementedError(
         "cannot truncate an upper bound of all-maximal code points"

@@ -444,8 +444,9 @@ def source_hudi_mor_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     def _read_group_logs(batches):
         import pandas as pd
 
-        cols = ["o_orderkey", "o_totalprice", "instant", "is_delete",
-                "applied", "skipped", "rolled", "is_meta"]
+        cols = ["o_orderkey", "o_totalprice", "instant", "seq",
+                "is_delete", "applied", "skipped", "rolled",
+                "is_meta"]
         done = set(completed_b)
         for pdf in batches:
             for rec in pdf.itertuples(index=False):
@@ -456,6 +457,7 @@ def source_hudi_mor_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
                 stream, rolled = apply_command_blocks(stream)
                 rows = []
                 applied = skipped = 0
+                seq = 0  # block/record scan order: later wins ties
                 for blk in stream:
                     instant = blk["header"][_H_INSTANT]
                     if instant not in done:
@@ -465,26 +467,29 @@ def source_hudi_mor_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
                     if blk["type"] == _AVRO_BLOCK:
                         schema = json.loads(blk["header"][_H_SCHEMA])
                         for r in _dec_avro_content(blk["content"], schema):
+                            seq += 1
                             rows.append((r["o_orderkey"],
                                          r["o_totalprice"],
-                                         instant, False, 0, 0, 0, False))
+                                         instant, seq, False,
+                                         0, 0, 0, False))
                     elif blk["type"] == _DELETE_BLOCK:
                         for key in _dec_delete_content(blk["content"]):
-                            rows.append((int(key), 0.0, instant, True,
-                                         0, 0, 0, False))
+                            seq += 1
+                            rows.append((int(key), 0.0, instant, seq,
+                                         True, 0, 0, 0, False))
                     else:
                         raise NotImplementedError(
                             f"log block type {blk['type']}"
                         )
-                rows.append((None, 0.0, "", False,
+                rows.append((None, 0.0, "", 0, False,
                              applied, skipped, rolled, True))
                 yield pd.DataFrame(rows, columns=cols)
 
     parsed = plan.mapInPandas(
         _read_group_logs,
         "o_orderkey long, o_totalprice double, instant string,"
-        " is_delete boolean, applied int, skipped int, rolled int,"
-        " is_meta boolean",
+        " seq int, is_delete boolean, applied int, skipped int,"
+        " rolled int, is_meta boolean",
     ).localCheckpoint(eager=True)  # split meta/data without re-parsing
 
     counters = parsed.filter("is_meta").agg(
@@ -493,14 +498,19 @@ def source_hudi_mor_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("rolled").cast("int").alias("blocks_rolled_back"),
     )
     log_df = parsed.filter(~F.col("is_meta")).select(
-        "o_orderkey", "o_totalprice", "instant", "is_delete"
+        "o_orderkey", "o_totalprice", "instant", "seq", "is_delete"
     )
     base = (
         spark.read.parquet(*base_paths)
         .withColumn("instant", F.lit(t1))
+        .withColumn("seq", F.lit(0))
         .withColumn("is_delete", F.lit(False))
     )
-    w = Window.partitionBy("o_orderkey").orderBy(F.col("instant").desc())
+    # within-instant scan order breaks same-instant ties — see the
+    # incremental sibling's window note (round-17 ADVICE)
+    w = Window.partitionBy("o_orderkey").orderBy(
+        F.col("instant").desc(), F.col("seq").desc()
+    )
     merged = (
         base.unionByName(log_df)
         .withColumn("rn", F.row_number().over(w))
@@ -1229,8 +1239,9 @@ def source_hudi_mor_incremental(
     def _read_group_logs(batches):
         import pandas as pd
 
-        cols = ["o_orderkey", "o_totalprice", "instant", "is_delete",
-                "applied", "rolled", "out_of_range", "is_meta"]
+        cols = ["o_orderkey", "o_totalprice", "instant", "seq",
+                "is_delete", "applied", "rolled", "out_of_range",
+                "is_meta"]
         done = set(completed_b)
         for pdf in batches:
             for rec in pdf.itertuples(index=False):
@@ -1241,6 +1252,7 @@ def source_hudi_mor_incremental(
                 stream, rolled = apply_command_blocks(stream)
                 rows = []
                 applied = out_of_range = 0
+                seq = 0  # block/record scan order: later wins ties
                 for blk in stream:
                     instant = blk["header"][_H_INSTANT]
                     if instant not in done:
@@ -1253,26 +1265,28 @@ def source_hudi_mor_incremental(
                         schema = json.loads(blk["header"][_H_SCHEMA])
                         for r in _dec_avro_content(blk["content"],
                                                    schema):
+                            seq += 1
                             rows.append((r["o_orderkey"],
                                          r["o_totalprice"],
-                                         instant, False, 0, 0, 0,
-                                         False))
+                                         instant, seq, False,
+                                         0, 0, 0, False))
                     elif blk["type"] == _DELETE_BLOCK:
                         for key in _dec_delete_content(blk["content"]):
-                            rows.append((int(key), 0.0, instant, True,
-                                         0, 0, 0, False))
+                            seq += 1
+                            rows.append((int(key), 0.0, instant, seq,
+                                         True, 0, 0, 0, False))
                     else:
                         raise NotImplementedError(
                             f"log block type {blk['type']}"
                         )
-                rows.append((None, 0.0, "", False,
+                rows.append((None, 0.0, "", 0, False,
                              applied, rolled, out_of_range, True))
                 yield pd.DataFrame(rows, columns=cols)
 
     parsed = plan.mapInPandas(
         _read_group_logs,
         "o_orderkey long, o_totalprice double, instant string,"
-        " is_delete boolean, applied int, rolled int,"
+        " seq int, is_delete boolean, applied int, rolled int,"
         " out_of_range int, is_meta boolean",
     ).localCheckpoint(eager=True)  # split meta/data without re-parsing
 
@@ -1282,14 +1296,23 @@ def source_hudi_mor_incremental(
         F.sum("out_of_range").cast("int").alias("blocks_out_of_range"),
     )
     log_df = parsed.filter(~F.col("is_meta")).select(
-        "o_orderkey", "o_totalprice", "instant", "is_delete"
+        "o_orderkey", "o_totalprice", "instant", "seq", "is_delete"
     )
     base = (
         spark.read.parquet(*base_paths)
         .withColumn("instant", F.lit(t1))
+        .withColumn("seq", F.lit(0))
         .withColumn("is_delete", F.lit(False))
     )
-    w = Window.partitionBy("o_orderkey").orderBy(F.col("instant").desc())
+    # instant first, then within-instant block/record scan order —
+    # two records for one key in the SAME deltacommit (two blocks,
+    # or a duplicate inside one block) must resolve to the LATER
+    # record in scan order, as the reference log scanner does; a
+    # bare instant-desc window breaks that tie arbitrarily
+    # (round-17 ADVICE)
+    w = Window.partitionBy("o_orderkey").orderBy(
+        F.col("instant").desc(), F.col("seq").desc()
+    )
     latest = (
         base.unionByName(log_df)
         .withColumn("rn", F.row_number().over(w))

@@ -74,11 +74,23 @@ _COMPRESSION = {0: "NONE", 1: "ZLIB", 2: "SNAPPY", 3: "LZO", 4: "LZ4",
 # protobuf wire format — generic message decoder
 # ---------------------------------------------------------------------------
 
+class TruncatedRun(ValueError):
+    """A read ran past the END of the buffer — the shape a resumable
+    decoder may legitimately see when fed compression chunks
+    incrementally (more bytes fix it). Distinct from in-buffer
+    corruption (bad patch gaps, impossible widths), which stays a
+    plain ValueError and must NOT be retried with more data:
+    ``decode_rlev2(resumable=True)`` resumes only on this class, so
+    a genuinely corrupt stream fails loudly at the corrupt run
+    instead of draining every remaining chunk and mis-reporting
+    'ran out of compression chunks' (round-17 ADVICE)."""
+
+
 def _uvarint(b: bytes, p: int) -> tuple[int, int]:
     u = shift = 0
     while True:
         if p >= len(b):
-            raise ValueError("truncated protobuf varint")
+            raise TruncatedRun("truncated protobuf varint")
         c = b[p]
         p += 1
         u |= (c & 0x7F) << shift
@@ -429,7 +441,9 @@ def _read_bits_msb(
         for _ in range(width):
             byte_idx = p + (bitpos >> 3)
             if byte_idx >= len(b):
-                raise ValueError("bit-packed run overruns the stream")
+                raise TruncatedRun(
+                    "bit-packed run overruns the stream"
+                )
             v = (v << 1) | ((b[byte_idx] >> (7 - (bitpos & 7))) & 1)
             bitpos += 1
         out.append(v)
@@ -465,7 +479,12 @@ def decode_rlev2(
     byte exactly ONCE (re-decoding the growing buffer per chunk is
     quadratic in the chunks a row group spans). Safe because every
     run either appends atomically or raises before appending — all
-    four sub-encodings bounds-check their payload reads."""
+    four sub-encodings bounds-check their payload reads. Resumption
+    triggers ONLY on `TruncatedRun` (a read past the buffer end);
+    in-buffer corruption — a patch gap past the run, an impossible
+    width — raises plain ValueError straight through, so the chunk
+    feeder fails at the corrupt run instead of draining its
+    remaining chunks first (round-17 ADVICE)."""
     out: list[int] = []
     p = 0
     run_start = 0
@@ -480,18 +499,22 @@ def decode_rlev2(
                 w = ((h >> 3) & 7) + 1
                 rep = (h & 7) + 3
                 if p + 1 + w > len(b):
-                    raise ValueError("truncated SHORT_REPEAT run")
+                    raise TruncatedRun("truncated SHORT_REPEAT run")
                 v = int.from_bytes(b[p + 1 : p + 1 + w], "big")
                 p += 1 + w
                 out += [_unzigzag(v) if signed else v] * rep
             elif enc == 1:  # DIRECT
                 width = _FBS[(h >> 1) & 31]
+                if p + 1 >= len(b):
+                    raise TruncatedRun("truncated DIRECT header")
                 length = ((h & 1) << 8 | b[p + 1]) + 1
                 vals, p = _read_bits_msb(b, p + 2, width, length)
                 out += [_unzigzag(v) for v in vals] if signed else vals
             elif enc == 3:  # DELTA: length+1 total values incl. the base
                 wcode = (h >> 1) & 31
                 width = 0 if wcode == 0 else _FBS[wcode]
+                if p + 1 >= len(b):
+                    raise TruncatedRun("truncated DELTA header")
                 total = ((h & 1) << 8 | b[p + 1]) + 1
                 p += 2
                 base, p = _svarint(b, p) if signed else _uvarint(b, p)
@@ -512,6 +535,8 @@ def decode_rlev2(
                 out += vals[:total]
             else:  # PATCHED_BASE
                 w = _FBS[(h >> 1) & 31]
+                if p + 3 >= len(b):
+                    raise TruncatedRun("truncated PATCHED_BASE header")
                 length = ((h & 1) << 8 | b[p + 1]) + 1
                 third, fourth = b[p + 2], b[p + 3]
                 bw = ((third >> 5) & 7) + 1
@@ -519,6 +544,8 @@ def decode_rlev2(
                 pgw = ((fourth >> 5) & 7) + 1
                 pll = fourth & 31
                 p += 4
+                if p + bw > len(b):
+                    raise TruncatedRun("truncated PATCHED_BASE base")
                 base = int.from_bytes(b[p : p + bw], "big")
                 msb = 1 << (bw * 8 - 1)
                 if base & msb:  # sign-magnitude, not two's complement
@@ -534,9 +561,16 @@ def decode_rlev2(
                     patch = pv & ((1 << pw) - 1)
                     idx += gap
                     if patch:  # (255, 0) entries only advance the cursor
+                        if idx >= length:
+                            # in-buffer corruption, not truncation —
+                            # more bytes cannot fix a bad gap
+                            raise ValueError(
+                                "PATCHED_BASE patch gap overruns "
+                                "the run"
+                            )
                         vals[idx] |= patch << w
                 out += [base + v for v in vals]
-        except (ValueError, IndexError):
+        except TruncatedRun:
             if resumable:
                 return out, run_start
             raise
@@ -3635,9 +3669,12 @@ def source_orc_row_index_skipping_nullable(
                                       : off + ilen + dlen + flen],
                                  codec)
                     )
-                    n_stripe_rows = decode_message(sraw).get(
-                        5, [None]
-                    )[0]
+                    if 5 not in st:
+                        raise ValueError(
+                            "stripe information missing "
+                            "numberOfRows (field 5)"
+                        )
+                    n_stripe_rows = st[5][0]
                     pos = off
                     streams: dict[tuple[int, int], bytes] = {}
                     for s in sfoot[1]:
@@ -4894,6 +4931,10 @@ def source_orc_bloom_skipping(
         .coalesce(1)
         .write.option("compression", "none")
         .option("orc.bloom.filter.columns", "k")
+        # pinned: the writer default is 0.05, which leaves only 2x
+        # headroom under the 10% fp_bounded assert — at 0.01 the
+        # bound has real margin at any stride/SF (round-17 ADVICE)
+        .option("orc.bloom.filter.fpp", "0.01")
         .option("orc.row.index.stride", str(stride))
         .orc(stage)
     )

@@ -259,6 +259,15 @@ def test_string_bounds_truncation_rules():
     with pytest.raises(NotImplementedError, match="all-maximal"):
         iceberg_truncate_bounds("a", chr(0x10FFFF) * 20)
 
+    # surrogate skip: U+D7FF + 1 would be the lone surrogate U+D800
+    # (not encodable — a naive increment crashes in .encode()); the
+    # spec-faithful increment jumps to U+E000, still >= every valid
+    # string under the prefix
+    _, up = iceberg_truncate_bounds(
+        "a", "b" * 15 + chr(0xD7FF) + "zz"
+    )
+    assert up == ("b" * 15 + chr(0xE000)).encode()
+
     def e(mn, mx):
         lo_b, up_b = iceberg_truncate_bounds(mn, mx)
         return {"lower_bounds": {"2": lo_b},

@@ -243,6 +243,34 @@ def test_orc_rlev2_and_byte_rle_rejections():
         decode_present(b"\x80", 9)  # bitmap shorter than row count
 
 
+def test_rlev2_resumable_corruption_vs_truncation():
+    """ADVICE r17: resumable mode resumes ONLY on buffer-end
+    truncation (TruncatedRun); in-buffer corruption — here a
+    PATCHED_BASE patch gap past the run length on a COMPLETE buffer
+    — raises straight through instead of being mistaken for 'needs
+    more chunks'."""
+    from spark_hive_spark.sources.orc_meta import (
+        TruncatedRun,
+        decode_rlev2,
+    )
+
+    # PATCHED_BASE: 2 one-bit values, base 0, pll=2 patch entries at
+    # 1-bit gap + 1-bit patch; both entries (gap=1, patch=1) walk the
+    # cursor to idx 2 >= length 2 — corrupt on a complete buffer
+    corrupt = bytes([0x80, 0x01, 0x00, 0x02, 0x00, 0xC0, 0xF0])
+    with pytest.raises(ValueError, match="patch gap overruns"):
+        decode_rlev2(corrupt, resumable=True)
+
+    # the same run cut before its patch bytes IS truncation:
+    # resumable returns cleanly at the run start, non-resumable is
+    # loud with the truncation class
+    truncated = corrupt[:-1]
+    out, consumed = decode_rlev2(truncated, resumable=True)
+    assert (out, consumed) == ([], 0)
+    with pytest.raises(TruncatedRun):
+        decode_rlev2(truncated)
+
+
 def test_orc_tail_rejections(tmp_path):
     path = str(tmp_path / "t.orc")
     po.write_table(_fixture_table(), path, compression="snappy")
