@@ -5092,3 +5092,359 @@ def source_orc_bloom_skipping(
     ).localCheckpoint(eager=True)  # 1 row; frees the temp root
     shutil.rmtree(root, ignore_errors=True)
     return out
+
+
+def orc_murmur3_hash64(data: bytes, seed: int = 104729) -> int:
+    """ORC's Murmur3 64-bit hash (org.apache.orc.util.Murmur3
+    .hash64, DEFAULT_SEED 104729) — the byte-array hash behind
+    BloomFilterUtf8.addString/addBytes, i.e. the x64_128 block mix
+    keeping only the first lane: little-endian 8-byte blocks through
+    (k*C1, rotl31, *C2) into ``h = rotl27(h^k)*5 + 0x52DCE729``, a
+    tail XOR-accumulated low-to-high through the same k-mix, then
+    ``h ^= length`` and the standard fmix64 avalanche. Unlike
+    `orc_bloom_long_hash` there is no shift-semantics trap here —
+    everything stays in unsigned 64-bit space — but the SEED is the
+    catch: the class-private 104729 (not 0, not the 42 some ports
+    assume), so every vector is pinned against the JVM class
+    (Murmur3.hash64 via py4j) in the unit test."""
+    mask = (1 << 64) - 1
+    c1, c2 = 0x87C37B91114253D5, 0x4CF5AD432745937F
+
+    def rotl(v: int, n: int) -> int:
+        return ((v << n) | (v >> (64 - n))) & mask
+
+    h = seed
+    n8 = len(data) >> 3
+    for i in range(n8):
+        k = int.from_bytes(data[i * 8 : i * 8 + 8], "little")
+        k = (k * c1) & mask
+        k = (rotl(k, 31) * c2) & mask
+        h = (rotl(h ^ k, 27) * 5 + 0x52DCE729) & mask
+    tail = data[n8 * 8 :]
+    if tail:
+        k1 = 0
+        for j in range(len(tail) - 1, -1, -1):
+            k1 ^= tail[j] << (8 * j)
+        k1 = (k1 * c1) & mask
+        k1 = (rotl(k1, 31) * c2) & mask
+        h ^= k1
+    h ^= len(data)
+    h ^= h >> 33
+    h = (h * 0xFF51AFD7ED558CCD) & mask
+    h ^= h >> 33
+    h = (h * 0xC4CEB9FE1A85EC53) & mask
+    return h ^ (h >> 33)
+
+
+def orc_bloom_utf8_hash(s: str) -> int:
+    """BloomFilterUtf8.addString's hash input: Murmur3 hash64 over
+    the string's UTF-8 bytes (BloomFilterUtf8 replaced the
+    default-charset hashing of the deprecated kind-7 form — ORC-101;
+    `orc_bloom_index` keeps that old form a loud seam). The 64-bit
+    result feeds the same (h1 + i*h2) position schedule as long
+    keys — `orc_bloom_maybe` is shared."""
+    return orc_murmur3_hash64(s.encode("utf-8"))
+
+
+@register(
+    "source_orc_bloom_skipping_string",
+    oracle="""
+        WITH ranked AS (
+            SELECT 'ORD-' || lpad(CAST(o_orderkey AS VARCHAR), 9, '0')
+                       AS s,
+                   o_orderkey AS k,
+                   CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+                   row_number() OVER (ORDER BY o_orderkey) AS rn,
+                   count(*) OVER () AS n
+            FROM orders
+        )
+        SELECT TRUE AS no_false_negatives,
+               TRUE AS minmax_cannot_prune,
+               TRUE AS skipping_effective,
+               TRUE AS fp_bounded,
+               CAST(count(*) AS BIGINT) AS n_found,
+               CAST(sum(k) AS BIGINT) AS found_key_sum,
+               CAST(sum(cents) AS BIGINT) AS found_cents
+        FROM ranked,
+             (SELECT unnest(range(1, 21)) AS j) js
+        WHERE rn = CAST(floor(n * j / 21.0) AS BIGINT)
+    """,
+    tags=("source", "orc", "bloom-filter", "row-index", "skipping",
+          "point-lookup", "string", "data-read"),
+)
+def source_orc_bloom_skipping_string(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """ORC BLOOM-FILTER row-group skipping on a STRING column
+    (round 17) — the commonest real bloom shape: point lookups on
+    dimension-ish string keys (order ids, UUIDs, emails), where
+    min/max statistics are nearly useless because shuffled string
+    keys give every row group the same lexicographic span. The
+    probe stack is `orc_bloom_utf8_hash` (Murmur3 hash64 over UTF-8
+    bytes, seed 104729 — JVM-vector-pinned) into the SHARED
+    `orc_bloom_maybe` position schedule; surviving groups
+    seek-decode through the STRING path — the DIRECT_V2 three-
+    position entry ``[DATA byte, LENGTH byte, LENGTH vskip]`` from
+    `source_orc_row_index_skipping_string`, composed here with
+    bloom selection instead of min/max selection (the round-16
+    verdict's top item: the bloom machinery existed for longs, the
+    seek machinery existed for strings; this query is their
+    composition).
+
+    The fixture derives a 13-byte string key 'ORD-%09d' from
+    o_orderkey (so the DuckDB oracle can rebuild it exactly),
+    hash-shuffles row order so every group's [min, max] string span
+    covers every present probe (``minmax_cannot_prune``), and
+    disables dictionary encoding (dictionary seeks are dictionary-
+    global — that sibling seam stays loud in the string seek
+    query). 20 rank-sampled present keys must each be recovered
+    from bloom-passing groups only (``no_false_negatives`` — the
+    found key's numeric suffix re-derives found_key_sum, tying the
+    DECODED string bytes, not just the bloom answer, to the
+    oracle); 20 absent keys (past the dense keyspace maximum, so
+    13 bytes like every present key) attest ``skipping_effective``
+    and ``fp_bounded`` (≤ 10% observed vs the pinned 1% design
+    rate).
+
+    Scale posture: identical to the long sibling — blooms are KB
+    per stripe riding the index read, probing is planning-side,
+    and only bloom-passing groups pay LENGTH+DATA decode. At 100 TB
+    a string point lookup touches a handful of row groups instead
+    of every group min/max cannot exclude (all of them, for hash-
+    distributed string keys)."""
+    import pandas as _pd
+
+    orders = t(spark, sf_dir, "orders").select(
+        F.concat(
+            F.lit("ORD-"),
+            F.lpad(F.col("o_orderkey").cast("string"), 9, "0"),
+        ).alias("s"),
+        F.col("o_orderkey").alias("k"),
+        F.round(F.col("o_totalprice") * 100).cast("long")
+        .alias("cents"),
+    )
+    root = os.path.join(
+        tempfile.gettempdir(), f"shs_orcbloomstr_{uuid.uuid4().hex}"
+    )
+    os.makedirs(root)
+    n_rows = orders.count()
+    w = Window.orderBy("k")
+    ranked = orders.withColumn("rn", F.row_number().over(w))
+    ranks = [n_rows * j // 21 for j in range(1, 21)]
+    present = [
+        (r["s"], r["cents"])
+        for r in ranked.filter(F.col("rn").isin(ranks)).collect()
+    ]
+    max_k = orders.agg(F.max("k")).collect()[0][0]
+    absent = [f"ORD-{max_k + 1 + i:09d}" for i in range(20)]
+    stride = max(1000, n_rows // 6)
+    stage = os.path.join(root, "stage")
+    (
+        orders.select("s", "cents")
+        .orderBy(F.hash("s"))  # shuffle: min/max can't prune
+        .coalesce(1)
+        .write.option("compression", "none")
+        .option("orc.bloom.filter.columns", "s")
+        # pinned (not the 0.05 default) so the 10% fp bound has
+        # margin at any stride/SF — same rationale as the long twin
+        .option("orc.bloom.filter.fpp", "0.01")
+        .option("orc.row.index.stride", str(stride))
+        .option("orc.dictionary.key.threshold", "0")
+        .orc(stage)
+    )
+    src = next(f for f in os.listdir(stage) if f.endswith(".orc"))
+    path = os.path.join(root, "shuffled.orc")
+    os.replace(os.path.join(stage, src), path)
+
+    plan = spark.createDataFrame(
+        [(
+            path,
+            json.dumps([[s, int(c)] for s, c in present]),
+            json.dumps(absent),
+        )],
+        "path string, present string, absent string",
+    )
+
+    def _probe(batches) -> Iterator:
+        import json as _json
+
+        for pdf in batches:
+            rows = []
+            for rec in pdf.itertuples(index=False):
+                with open(rec.path, "rb") as fh:
+                    data = fh.read()
+                footer, codec = _orc_file_tail(data)
+                if codec != 0:
+                    raise ValueError(
+                        "uncompressed fixture came back compressed"
+                    )
+                present = _json.loads(rec.present)
+                absent = _json.loads(rec.absent)
+                no_fn = True
+                minmax_cover = True
+                n_found = 0
+                key_sum = cents_sum = 0
+                false_pass = 0
+                total_groups = 0
+                for sraw in footer.get(3, []):
+                    st = decode_message(sraw)
+                    off, ilen, dlen, flen = (
+                        st[1][0], st[2][0], st[3][0], st[4][0]
+                    )
+                    sfoot = decode_message(
+                        _unchunk(data[off + ilen + dlen
+                                      : off + ilen + dlen + flen],
+                                 codec)
+                    )
+                    enc_s = decode_message(
+                        sfoot[2][1]
+                    ).get(1, [0])[0]
+                    if enc_s != 2:  # DIRECT_V2 only
+                        raise NotImplementedError(
+                            "string bloom seek under encoding "
+                            f"{enc_s} (dictionary seeks are "
+                            "dictionary-global)"
+                        )
+                    pos = off
+                    streams: dict[tuple[int, int], bytes] = {}
+                    for s in sfoot[1]:
+                        m = decode_message(s)
+                        kind, col, ln = (
+                            m.get(1, [0])[0], m.get(2, [0])[0],
+                            m[3][0],
+                        )
+                        streams[(col, kind)] = data[pos : pos + ln]
+                        pos += ln
+
+                    ri_s = decode_message(
+                        _unchunk(streams[(1, 6)], codec)
+                    )
+                    idx_s = []
+                    for eraw in ri_s.get(1, []):
+                        e = decode_message(eraw)
+                        stats = decode_message(e[2][0])
+                        # StringStatistics = ColumnStatistics field 4
+                        strs = decode_message(stats[4][0])
+                        idx_s.append({
+                            "positions": _packed_uvarints(
+                                b"".join(e.get(1, []))
+                            ),
+                            "n": stats[1][0],
+                            "min": strs[1][0].decode(),
+                            "max": strs[2][0].decode(),
+                        })
+                    ri_c = decode_message(
+                        _unchunk(streams[(2, 6)], codec)
+                    )
+                    idx_c = []
+                    for eraw in ri_c.get(1, []):
+                        e = decode_message(eraw)
+                        stats = decode_message(e[2][0])
+                        ints = decode_message(stats[2][0])
+                        idx_c.append({
+                            "positions": _packed_uvarints(
+                                b"".join(e.get(1, []))
+                            ),
+                            "n": stats[1][0],
+                        })
+                    blooms = orc_bloom_index(streams[(1, 8)], codec)
+                    if not (len(blooms) == len(idx_s) == len(idx_c)):
+                        raise ValueError(
+                            "bloom entries disagree with row groups"
+                        )
+                    total_groups += len(blooms)
+                    s_data = streams[(1, 1)]
+                    s_len = streams[(1, 2)]
+                    c_stream = streams[(2, 1)]
+                    group_cache: dict[int, dict[str, int]] = {}
+
+                    def _group(g: int) -> dict[str, int]:
+                        if g not in group_cache:
+                            es, ec = idx_s[g], idx_c[g]
+                            doff, loff, lskip = es["positions"]
+                            lens = decode_rlev2(
+                                s_len[loff:], signed=False,
+                                max_values=lskip + es["n"],
+                            )[lskip : lskip + es["n"]]
+                            blob = s_data[
+                                doff : doff + sum(lens)
+                            ]
+                            vals = []
+                            at = 0
+                            for ln in lens:
+                                vals.append(
+                                    blob[at : at + ln].decode()
+                                )
+                                at += ln
+                            cb, cv = orc_index_positions(
+                                ec["positions"], compressed=False
+                            )
+                            cs = decode_rlev2(
+                                c_stream[cb:], signed=True,
+                                max_values=cv + ec["n"],
+                            )[cv : cv + ec["n"]]
+                            if len(vals) != len(cs):
+                                raise ValueError(
+                                    "string/cents group sizes "
+                                    "disagree"
+                                )
+                            group_cache[g] = dict(zip(vals, cs))
+                        return group_cache[g]
+
+                    for sk, cents in present:
+                        h = orc_bloom_utf8_hash(sk)
+                        minmax_cover &= all(
+                            e["min"] <= sk <= e["max"]
+                            for e in idx_s
+                        )
+                        hit = False
+                        for g, (nh, bits) in enumerate(blooms):
+                            if not orc_bloom_maybe(nh, bits, h):
+                                continue  # definitely absent here
+                            got = _group(g).get(sk)
+                            if got is not None:
+                                if got != cents:
+                                    raise ValueError(
+                                        "decoded cents disagree"
+                                    )
+                                hit = True
+                                n_found += 1
+                                # numeric suffix of the DECODED
+                                # string, not the probe: a shear in
+                                # the LENGTH/DATA split flips this
+                                key_sum += int(sk[4:])
+                                cents_sum += got
+                                break
+                        no_fn &= hit
+                    for sk in absent:
+                        h = orc_bloom_utf8_hash(sk)
+                        for g, (nh, bits) in enumerate(blooms):
+                            if orc_bloom_maybe(nh, bits, h):
+                                if _group(g).get(sk) is not None:
+                                    raise ValueError(
+                                        "absent probe key found"
+                                    )
+                                false_pass += 1
+                total_absent = len(absent) * total_groups
+                rows.append((
+                    bool(no_fn),
+                    bool(minmax_cover and total_groups >= 2),
+                    bool(false_pass < total_absent),
+                    bool(false_pass <= total_absent // 10),
+                    n_found, key_sum, cents_sum,
+                ))
+            yield _pd.DataFrame(
+                rows,
+                columns=["no_false_negatives", "minmax_cannot_prune",
+                         "skipping_effective", "fp_bounded",
+                         "n_found", "found_key_sum", "found_cents"],
+            )
+
+    out = plan.mapInPandas(
+        _probe,
+        "no_false_negatives boolean, minmax_cannot_prune boolean,"
+        " skipping_effective boolean, fp_bounded boolean,"
+        " n_found bigint, found_key_sum bigint, found_cents bigint",
+    ).localCheckpoint(eager=True)  # 1 row; frees the temp root
+    shutil.rmtree(root, ignore_errors=True)
+    return out

@@ -1238,6 +1238,60 @@ def test_orc_bloom_long_hash_signed_shift_semantics():
     assert not orc_bloom_maybe(7, bytes(bits), orc_bloom_long_hash(8))
 
 
+def test_orc_murmur3_hash64_jvm_vectors():
+    """orc_murmur3_hash64 vs org.apache.orc.util.Murmur3.hash64
+    (py4j-extracted vectors, round 17): empty / short tail / exact
+    8-byte block / block+tail / multi-byte UTF-8 — plus the
+    composed BloomFilterUtf8.addString bit positions for 'abc' at
+    the ndv=1000/fpp=0.01 geometry (numHash 7, 9600 bits). The seed
+    is the class-private 104729; seed 0 or 42 fails every vector."""
+    from spark_hive_spark.sources.orc_meta import (
+        orc_bloom_maybe,
+        orc_bloom_utf8_hash,
+        orc_murmur3_hash64,
+    )
+
+    vectors = {
+        b"": 8404154273843829576,
+        b"a": 15986002618429608327,
+        b"abc": 14370731444029792462,
+        b"hello world": 13288150786092020396,
+        b"ORD-000000001": 12539460462473475082,
+        bytes(range(16)): 11863403409461022568,
+        "你好".encode(): 2306560066233773995,
+        b"0123456": 4286122142857051625,
+    }
+    for data, expect in vectors.items():
+        assert orc_murmur3_hash64(data) == expect, data
+    assert orc_bloom_utf8_hash("你好") == vectors["你好".encode()]
+
+    # BloomFilterUtf8(1000, 0.01).addString('abc') set exactly these
+    # bits (little-endian long-array layout, getBitSet() extracted)
+    expect_pos = [186, 2858, 3231, 4374, 4747, 5903, 6276]
+    h64 = orc_bloom_utf8_hash("abc")
+
+    def to_i32(v):
+        v &= 0xFFFFFFFF
+        return v - (1 << 32) if v >= (1 << 31) else v
+
+    h1, h2 = to_i32(h64), to_i32(h64 >> 32)
+    got = set()
+    for i in range(1, 8):
+        c = to_i32(h1 + i * h2)
+        if c < 0:
+            c = to_i32(~c & 0xFFFFFFFF)
+        got.add(c % 9600)
+    assert sorted(got) == expect_pos
+
+    bits = bytearray(9600 // 8)
+    for p in expect_pos:
+        bits[p >> 3] |= 1 << (p & 7)
+    assert orc_bloom_maybe(7, bytes(bits), orc_bloom_utf8_hash("abc"))
+    assert not orc_bloom_maybe(
+        7, bytes(bits), orc_bloom_utf8_hash("abd")
+    )
+
+
 def test_orc_bloom_index_kind7_is_loud():
     """The deprecated fixed64/default-charset BLOOM_FILTER form must
     raise by name, never decode as if it were utf8."""
