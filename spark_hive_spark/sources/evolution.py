@@ -7908,3 +7908,301 @@ def source_delta_stats_skipping(
     ).localCheckpoint(eager=True)  # 1 row; frees the temp root
     shutil.rmtree(root, ignore_errors=True)
     return out
+
+
+def iceberg_changelog_between(
+    md: dict, from_id: int, to_id: int
+) -> tuple[list[tuple[int, int, str]], int]:
+    """Iceberg CHANGELOG planning (round 17, closing the seam
+    `iceberg_appends_between` declares): walk the parent-snapshot
+    chain from ``to_id`` back to (exclusive) ``from_id`` and emit
+    ``(change_ordinal, snapshot_id, operation)`` oldest-first for
+    every snapshot that produces LOGICAL changes — the planning
+    behind IncrementalChangelogScan / Spark's
+    create_changelog_view, which survives the overwrite/delete
+    snapshots the append-only scan must refuse:
+
+    - ``append``    -> emits its ADDED files' rows as inserts;
+    - ``delete``    -> emits its DELETED files' rows as deletes;
+    - ``overwrite`` -> both (row-level upsert = delete + insert);
+    - ``replace``   -> NOTHING and consumes NO ordinal: compaction
+      rewrites bytes, not rows — a changelog that serves a
+      compaction's carried rows as delete+insert pairs floods every
+      consumer with spurious churn (the failure
+      `iceberg_appends_between`'s skip rule guards on the append
+      side).
+
+    Ordinals order the emitting snapshots (consumers window/join on
+    them to replay changes in commit order). Unknown operations are
+    loud. Bounds rules match the append scan: both ids must exist
+    and ``from_id`` must be an ancestor of ``to_id``."""
+    snaps = {s["snapshot-id"]: s for s in md["snapshots"]}
+    if to_id not in snaps or from_id not in snaps:
+        raise ValueError("changelog bounds not in the snapshot list")
+    chain: list[dict] = []
+    cur = to_id
+    while cur != from_id:
+        if cur not in snaps:
+            raise ValueError(
+                f"snapshot {from_id} is not an ancestor of {to_id}"
+            )
+        s = snaps[cur]
+        chain.append(s)
+        parent = s.get("parent-snapshot-id")
+        if parent is None:
+            raise ValueError(
+                f"snapshot {from_id} is not an ancestor of {to_id}"
+            )
+        cur = parent
+    out: list[tuple[int, int, str]] = []
+    skipped = 0
+    ordinal = 0
+    for s in reversed(chain):
+        op = (s.get("summary") or {}).get("operation", "append")
+        if op == "replace":
+            skipped += 1  # compaction: no logical change
+            continue
+        if op not in ("append", "delete", "overwrite"):
+            raise NotImplementedError(
+                f"Iceberg changelog over a {op!r} snapshot "
+                f"({s['snapshot-id']})"
+            )
+        out.append((ordinal, s["snapshot-id"], op))
+        ordinal += 1
+    return out, skipped
+
+
+@register(
+    "source_iceberg_changelog_scan",
+    oracle=f"""
+        WITH parts AS (
+            SELECT o_orderkey % 4 AS k4, o_totalprice FROM orders
+        )
+        SELECT CAST(0 AS INT) AS change_ordinal,
+               CAST(2 AS BIGINT) AS commit_snapshot_id,
+               'INSERT' AS change_type,
+               TRUE AS replace_contributed_nothing,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               {sql_dsum('o_totalprice')} AS revenue
+        FROM parts WHERE k4 = 2
+        UNION ALL
+        SELECT CAST(1 AS INT), CAST(4 AS BIGINT), 'DELETE', TRUE,
+               CAST(count(*) AS BIGINT),
+               {sql_dsum('o_totalprice')}
+        FROM parts WHERE k4 = 2
+        UNION ALL
+        SELECT CAST(2 AS INT), CAST(5 AS BIGINT), 'DELETE', TRUE,
+               CAST(count(*) AS BIGINT),
+               {sql_dsum('o_totalprice')}
+        FROM parts WHERE k4 < 2
+        UNION ALL
+        SELECT CAST(2 AS INT), CAST(5 AS BIGINT), 'INSERT', TRUE,
+               CAST(count(*) AS BIGINT),
+               {sql_dsum('o_totalprice')}
+        FROM parts WHERE k4 = 0
+    """,
+    tags=("source", "iceberg", "lakehouse", "cdc", "changelog",
+          "incremental", "avro"),
+)
+def source_iceberg_changelog_scan(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Iceberg CHANGELOG (CDC) scan (round 17) — the incremental
+    read that SURVIVES deletes and overwrites:
+    `source_iceberg_incremental_append` must refuse them (appended-
+    rows semantics stop existing), but a CDC consumer wants the
+    changes themselves — inserted rows AS inserts and removed rows
+    AS deletes, per commit, in commit order. The fixture walks every
+    rule:
+
+    - snap 2 (append C, k%4==2)      -> ordinal 0: INSERT C's rows;
+    - snap 3 (replace: A+B -> D)      -> NOTHING, no ordinal —
+      compaction carried every row; serving it as churn is the CDC
+      equivalent of the double-count trap in the append scan;
+    - snap 4 (delete C)               -> ordinal 1: DELETE C's rows;
+    - snap 5 (overwrite: D -> E,      -> ordinal 2: DELETE D's rows
+      dropping k%4==1)                  AND INSERT E's rows — the
+      row-level diff a consumer folds into upserts.
+
+    File resolution is manifest-level: only manifests whose
+    ``added_snapshot_id`` is the emitting snapshot are opened;
+    status ADDED(1) entries become inserts, DELETED(2) become
+    deletes, EXISTING(0) carried entries are skipped, and an
+    append snapshot carrying a DELETED entry is corrupt (loud).
+    The scan itself is ONE Spark job: every changed file is read
+    once, `input_file_name` joins a BROADCAST file->change-event
+    map — a file changed twice in range (C: inserted at 2, deleted
+    at 4) fans out through the join instead of being scanned twice
+    — then one hash aggregate per (ordinal, snapshot, change_type).
+
+    Scale posture: planning is O(chain) metadata + O(in-range
+    manifests); the scan reads only files that actually changed in
+    range, once each, and the event map (file-level, not row-level)
+    broadcasts. At 100 TB an hourly changelog pull touches the
+    hour's files, never the table."""
+    import json as _json
+
+    from spark_hive_spark.operators.avro import (
+        encode_avro_ocf,
+        parse_avro_ocf,
+    )
+
+    orders = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    root = os.path.join(
+        tempfile.gettempdir(), f"shs_icecdc_{uuid.uuid4().hex}"
+    )
+    ddir = os.path.join(root, "data")
+    mdir = os.path.join(root, "metadata")
+    os.makedirs(ddir)
+    os.makedirs(mdir)
+
+    k = F.col("o_orderkey") % 4
+    stage_single_parquet(orders.filter(k == 0), root, ddir, "A.parquet")
+    stage_single_parquet(orders.filter(k == 1), root, ddir, "B.parquet")
+    stage_single_parquet(orders.filter(k == 2), root, ddir, "C.parquet")
+    stage_single_parquet(orders.filter(k < 2), root, ddir, "D.parquet")
+    stage_single_parquet(orders.filter(k == 0), root, ddir, "E.parquet")
+
+    entry_schema = {
+        "type": "record", "name": "manifest_entry",
+        "fields": [
+            {"name": "status", "type": "long"},
+            {"name": "file_path", "type": "string"},
+            {"name": "record_count", "type": "long"},
+        ],
+    }
+    mlist_schema = {
+        "type": "record", "name": "manifest_file",
+        "fields": [
+            {"name": "manifest_path", "type": "string"},
+            {"name": "added_snapshot_id", "type": "long"},
+        ],
+    }
+
+    def _manifest(name: str, entries: list[dict]) -> str:
+        path = os.path.join(mdir, name)
+        with open(path, "wb") as fh:
+            fh.write(encode_avro_ocf(entries, entry_schema,
+                                     codec="deflate"))
+        return path
+
+    m1 = _manifest("m1.avro", [
+        {"status": 1, "file_path": "A.parquet", "record_count": 0},
+        {"status": 1, "file_path": "B.parquet", "record_count": 0},
+    ])
+    m2 = _manifest("m2.avro", [
+        {"status": 1, "file_path": "C.parquet", "record_count": 0},
+    ])
+    m3 = _manifest("m3.avro", [  # replace: compaction A+B -> D
+        {"status": 2, "file_path": "A.parquet", "record_count": 0},
+        {"status": 2, "file_path": "B.parquet", "record_count": 0},
+        {"status": 1, "file_path": "D.parquet", "record_count": 0},
+    ])
+    m4 = _manifest("m4.avro", [  # delete: C removed
+        {"status": 2, "file_path": "C.parquet", "record_count": 0},
+    ])
+    m5 = _manifest("m5.avro", [  # overwrite: D -> E (k%4==1 gone)
+        {"status": 2, "file_path": "D.parquet", "record_count": 0},
+        {"status": 1, "file_path": "E.parquet", "record_count": 0},
+    ])
+
+    def _mlist(name: str, pairs: list[tuple[str, int]]) -> str:
+        path = os.path.join(mdir, name)
+        rows = [{"manifest_path": p, "added_snapshot_id": sid}
+                for p, sid in pairs]
+        with open(path, "wb") as fh:
+            fh.write(encode_avro_ocf(rows, mlist_schema,
+                                     codec="snappy"))
+        return path
+
+    snaps = [
+        {"snapshot-id": 1, "summary": {"operation": "append"},
+         "manifest-list": _mlist("s1.avro", [(m1, 1)])},
+        {"snapshot-id": 2, "parent-snapshot-id": 1,
+         "summary": {"operation": "append"},
+         "manifest-list": _mlist("s2.avro", [(m1, 1), (m2, 2)])},
+        {"snapshot-id": 3, "parent-snapshot-id": 2,
+         "summary": {"operation": "replace"},
+         "manifest-list": _mlist("s3.avro", [(m2, 2), (m3, 3)])},
+        {"snapshot-id": 4, "parent-snapshot-id": 3,
+         "summary": {"operation": "delete"},
+         "manifest-list": _mlist("s4.avro", [(m3, 3), (m4, 4)])},
+        {"snapshot-id": 5, "parent-snapshot-id": 4,
+         "summary": {"operation": "overwrite"},
+         "manifest-list": _mlist("s5.avro", [(m5, 5)])},
+    ]
+    meta = {"format-version": 2, "current-snapshot-id": 5,
+            "snapshots": snaps}
+    with open(os.path.join(mdir, "v1.metadata.json"), "w") as fh:
+        _json.dump(meta, fh)
+
+    # ---- the reader: changelog over (1, 5] ----
+    with open(os.path.join(mdir, "v1.metadata.json")) as fh:
+        md = _json.load(fh)
+    iceberg_format_gate(md)
+    events, replaced = iceberg_changelog_between(md, 1, 5)
+    by_id = {s["snapshot-id"]: s for s in md["snapshots"]}
+    change_map: list[tuple[str, int, int, str]] = []
+    for ordinal, sid, op in events:
+        with open(by_id[sid]["manifest-list"], "rb") as fh:
+            _, mrows = parse_avro_ocf(fh.read())
+        for mrow in mrows:
+            if mrow["added_snapshot_id"] != sid:
+                continue  # carried forward: not this commit's work
+            with open(mrow["manifest_path"], "rb") as fh:
+                _, entries = parse_avro_ocf(fh.read())
+            for e in entries:
+                iceberg_entry_content_gate(e)
+                if e["status"] == 1:
+                    if op == "delete":
+                        raise ValueError(
+                            "delete snapshot adds files"
+                        )
+                    change_map.append(
+                        (e["file_path"], ordinal, sid, "INSERT")
+                    )
+                elif e["status"] == 2:
+                    if op == "append":
+                        raise ValueError(
+                            "append snapshot removes files"
+                        )
+                    change_map.append(
+                        (e["file_path"], ordinal, sid, "DELETE")
+                    )
+                # status 0 (EXISTING): carried, no change
+
+    files = sorted({f for f, *_ in change_map})
+    scan = (
+        spark.read.parquet(*(os.path.join(ddir, f) for f in files))
+        .withColumn(
+            "file",
+            F.element_at(F.split(F.input_file_name(), "/"), -1),
+        )
+    )
+    events_df = F.broadcast(spark.createDataFrame(
+        change_map,
+        "file string, change_ordinal int,"
+        " commit_snapshot_id long, change_type string",
+    ))
+    out = (
+        scan.join(events_df, "file")  # 2x-changed files fan out here
+        .groupBy("change_ordinal", "commit_snapshot_id",
+                 "change_type")
+        .agg(
+            F.lit(replaced == 1).alias(
+                "replace_contributed_nothing"
+            ),
+            F.count("*").alias("n_rows"),
+            dsum("o_totalprice").alias("revenue"),
+        )
+        .select(
+            "change_ordinal", "commit_snapshot_id", "change_type",
+            "replace_contributed_nothing", "n_rows", "revenue",
+        )
+        .orderBy("change_ordinal", "change_type")
+        .localCheckpoint(eager=True)  # 4 rows; frees the temp root
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    return out

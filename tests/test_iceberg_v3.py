@@ -203,6 +203,44 @@ def test_iceberg_appends_between_rules():
         iceberg_appends_between(md, 7, 4)
 
 
+def test_iceberg_changelog_between_rules():
+    """Changelog planning (round 17): survives delete/overwrite
+    (emitting them as change events), replace contributes nothing
+    AND consumes no ordinal, unknown operations and non-ancestor
+    bounds stay loud."""
+    from spark_hive_spark.sources.evolution import (
+        iceberg_changelog_between,
+    )
+
+    def snap(sid, parent=None, op="append"):
+        s = {"snapshot-id": sid, "summary": {"operation": op}}
+        if parent is not None:
+            s["parent-snapshot-id"] = parent
+        return s
+
+    md = {"snapshots": [
+        snap(1), snap(2, 1), snap(3, 2, "replace"),
+        snap(4, 3, "delete"), snap(5, 4, "overwrite"),
+        snap(9, 1),  # abandoned branch
+    ]}
+    # ordinals stay dense across the skipped replace
+    assert iceberg_changelog_between(md, 1, 5) == (
+        [(0, 2, "append"), (1, 4, "delete"), (2, 5, "overwrite")], 1
+    )
+    assert iceberg_changelog_between(md, 2, 4) == (
+        [(0, 4, "delete")], 1
+    )
+    assert iceberg_changelog_between(md, 3, 3) == ([], 0)
+    with pytest.raises(NotImplementedError, match="'expire'"):
+        iceberg_changelog_between(
+            {"snapshots": [snap(1), snap(2, 1, "expire")]}, 1, 2
+        )
+    with pytest.raises(ValueError, match="not an ancestor"):
+        iceberg_changelog_between(md, 9, 4)
+    with pytest.raises(ValueError, match="not in the snapshot"):
+        iceberg_changelog_between(md, 7, 4)
+
+
 def test_file_bounds_prune_rules():
     """Bounds decode little-endian (not memcmp); all-null prunes via
     counts; unknown stats must scan."""
