@@ -8206,3 +8206,226 @@ def source_iceberg_changelog_scan(
     )
     shutil.rmtree(root, ignore_errors=True)
     return out
+
+
+@register(
+    "source_delta_row_tracking",
+    oracle=f"""
+        WITH ids AS (
+            SELECT o_orderkey, o_totalprice,
+                   CASE WHEN o_orderkey % 2 = 0 THEN 0
+                        ELSE (SELECT count(*) FROM orders
+                              WHERE o_orderkey % 2 = 0)
+                   END
+                   + row_number() OVER (
+                         PARTITION BY o_orderkey % 2
+                         ORDER BY o_orderkey
+                     ) - 1 AS row_id
+            FROM orders
+        )
+        SELECT CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(count(DISTINCT row_id) AS BIGINT)
+                   AS distinct_row_ids,
+               CAST(min(row_id) AS BIGINT) AS min_row_id,
+               CAST(max(row_id) AS BIGINT) AS max_row_id,
+               CAST(sum(row_id) AS BIGINT) AS sum_row_id,
+               CAST(sum(row_id * (o_orderkey % 1000)) AS BIGINT)
+                   AS binding,
+               CAST(count(*) AS BIGINT) AS rows_at_commit_1,
+               TRUE AS watermark_ok,
+               {sql_dsum('o_totalprice')} AS revenue
+        FROM ids
+    """,
+    tags=("source", "delta", "lakehouse", "row-tracking",
+          "row-lineage", "compat"),
+)
+def source_delta_row_tracking(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Delta ROW TRACKING (round 17) — the Delta twin of
+    `source_iceberg_v3_row_lineage`: stable row ids that SURVIVE
+    rewrites. PROTOCOL.md §Row Tracking semantics, each trapped:
+
+    - every live ``add`` action carries ``baseRowId`` and
+      ``defaultRowCommitVersion``; a fresh file's row id is
+      ``baseRowId + _metadata.row_index`` (scan-side generated
+      column, whole-stage codegen, no shuffle — same shape as the
+      Iceberg twin);
+    - a REWRITTEN file (v2 OPTIMIZE of file B here) gets a FRESH
+      baseRowId but physically materializes the ORIGINAL ids and
+      commit versions into the columns named by
+      ``delta.rowTracking.materializedRowIdColumnName`` /
+      ``...RowCommitVersionColumnName`` (table configuration);
+      readers take ``coalesce(materialized, base + row_index)`` —
+      a reader that trusts baseRowId alone re-mints B's ids after
+      compaction (breaking every downstream CDC join keyed on
+      them), which flips distinct/sum/binding here; one that
+      ignores the materialized commit version reports B2's rows at
+      commit 2 and flips rows_at_commit_1;
+    - the ``delta.rowTracking`` DOMAIN METADATA carries
+      ``rowIdHighWaterMark`` — replayed through
+      `delta_domain_metadata_replay` (latest wins: v2 raises it
+      after consuming fresh ids for B2), and the reader attests
+      watermark >= every assigned id;
+    - ``rowTracking`` must be in the protocol's writerFeatures when
+      the table configuration enables it — absent is loud.
+
+    The per-row BINDING aggregate (sum of row_id * key-residue) pins
+    that each row kept ITS id through the rewrite, not merely the
+    id SET: both fixture files are written sorted by o_orderkey, so
+    the oracle reconstructs every (key, row_id) pair exactly.
+
+    Scale posture: id materialization is per-partition arithmetic on
+    the scan; log replay is the same O(log) planning pass every
+    Delta reader pays; nothing row-level reaches the driver."""
+    import json as _json
+
+    orders = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    root = os.path.join(
+        tempfile.gettempdir(), f"shs_deltart_{uuid.uuid4().hex}"
+    )
+    tdir = os.path.join(root, "table")
+    ldir = os.path.join(tdir, "_delta_log")
+    os.makedirs(ldir)
+
+    k = F.col("o_orderkey") % 2
+    stage_single_parquet(
+        orders.filter(k == 0).sort("o_orderkey"), root, tdir,
+        "A.parquet",
+    )
+    stage_single_parquet(
+        orders.filter(k == 1).sort("o_orderkey"), root, tdir,
+        "B.parquet",
+    )
+    n_a = spark.read.parquet(os.path.join(tdir, "A.parquet")).count()
+    n_b = spark.read.parquet(os.path.join(tdir, "B.parquet")).count()
+
+    mat_id, mat_rcv = "_row-id-col-17", "_rcv-col-17"
+    # the OPTIMIZE rewrite: same rows, original ids/commit versions
+    # materialized under the configured physical column names
+    b2 = (
+        spark.read.parquet(os.path.join(tdir, "B.parquet"))
+        .select(
+            "o_orderkey", "o_totalprice",
+            (F.lit(n_a) + F.col("_metadata.row_index"))
+            .cast("long").alias(mat_id),
+            F.lit(1).cast("long").alias(mat_rcv),
+        )
+    )
+    stage_single_parquet(b2, root, tdir, "B2.parquet")
+
+    def _log(version: int, actions: list[dict]) -> None:
+        with open(os.path.join(ldir, f"{version:020d}.json"),
+                  "w") as fh:
+            fh.write(
+                "\n".join(_json.dumps(a) for a in actions) + "\n"
+            )
+
+    def _dm(watermark: int) -> dict:
+        return {"domainMetadata": {
+            "domain": "delta.rowTracking",
+            "configuration": _json.dumps(
+                {"rowIdHighWaterMark": watermark}
+            ),
+        }}
+
+    _log(0, [
+        {"protocol": {
+            "minReaderVersion": 3, "minWriterVersion": 7,
+            "readerFeatures": [],
+            "writerFeatures": ["rowTracking", "domainMetadata"],
+        }},
+        {"metaData": {
+            "id": "rt-fixture",
+            "configuration": {
+                "delta.enableRowTracking": "true",
+                "delta.rowTracking.materializedRowIdColumnName":
+                    mat_id,
+                "delta.rowTracking."
+                "materializedRowCommitVersionColumnName": mat_rcv,
+            },
+        }},
+    ])
+    _log(1, [
+        {"add": {"path": "A.parquet", "baseRowId": 0,
+                 "defaultRowCommitVersion": 1}},
+        {"add": {"path": "B.parquet", "baseRowId": n_a,
+                 "defaultRowCommitVersion": 1}},
+        _dm(n_a + n_b - 1),
+    ])
+    _log(2, [  # OPTIMIZE: B -> B2; fresh ids consumed, then masked
+        {"remove": {"path": "B.parquet"}},
+        {"add": {"path": "B2.parquet", "baseRowId": n_a + n_b,
+                 "defaultRowCommitVersion": 2}},
+        _dm(n_a + 2 * n_b - 1),
+    ])
+
+    # ---- the reader ----
+    actions: list[dict] = []
+    for v in range(3):
+        with open(os.path.join(ldir, f"{v:020d}.json")) as fh:
+            actions += [
+                _json.loads(ln) for ln in fh if ln.strip()
+            ]
+    proto = next(a["protocol"] for a in actions if "protocol" in a)
+    meta = next(a["metaData"] for a in actions if "metaData" in a)
+    conf = meta.get("configuration") or {}
+    if conf.get("delta.enableRowTracking") == "true" and (
+        "rowTracking" not in (proto.get("writerFeatures") or [])
+    ):
+        raise ValueError(
+            "delta.enableRowTracking without the rowTracking "
+            "writer feature"
+        )
+    id_col = conf["delta.rowTracking.materializedRowIdColumnName"]
+    rcv_col = conf[
+        "delta.rowTracking.materializedRowCommitVersionColumnName"
+    ]
+    live: dict[str, dict] = {}
+    for a in actions:
+        if "add" in a:
+            live[a["add"]["path"]] = a["add"]
+        elif "remove" in a:
+            live.pop(a["remove"]["path"], None)
+    domains, _ = delta_domain_metadata_replay(actions)
+    watermark = _json.loads(
+        domains["delta.rowTracking"]
+    )["rowIdHighWaterMark"]
+
+    parts = []
+    for path, add in sorted(live.items()):
+        df = spark.read.parquet(os.path.join(tdir, path))
+        base = (
+            F.lit(add["baseRowId"]) + F.col("_metadata.row_index")
+        ).cast("long")
+        dflt = F.lit(add["defaultRowCommitVersion"]).cast("long")
+        if id_col in df.columns:  # rewritten: materialized wins
+            rid = F.coalesce(F.col(id_col).cast("long"), base)
+            rcv = F.coalesce(F.col(rcv_col).cast("long"), dflt)
+        else:
+            rid, rcv = base, dflt
+        parts.append(df.select(
+            "o_orderkey", "o_totalprice",
+            rid.alias("_row_id"), rcv.alias("_rcv"),
+        ))
+    scan = parts[0]
+    for df in parts[1:]:
+        scan = scan.unionByName(df)
+    out = scan.agg(
+        F.count("*").alias("n_rows"),
+        F.countDistinct("_row_id").alias("distinct_row_ids"),
+        F.min("_row_id").cast("bigint").alias("min_row_id"),
+        F.max("_row_id").cast("bigint").alias("max_row_id"),
+        F.sum("_row_id").cast("bigint").alias("sum_row_id"),
+        F.sum(F.col("_row_id") * (F.col("o_orderkey") % 1000))
+        .cast("bigint").alias("binding"),
+        F.sum((F.col("_rcv") == 1).cast("long")).cast("bigint")
+        .alias("rows_at_commit_1"),
+        (F.lit(watermark) >= F.max("_row_id"))
+        .alias("watermark_ok"),
+        dsum("o_totalprice").alias("revenue"),
+    ).localCheckpoint(eager=True)  # 1 row; frees the temp root
+    shutil.rmtree(root, ignore_errors=True)
+    return out
