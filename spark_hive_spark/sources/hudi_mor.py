@@ -1340,3 +1340,259 @@ def source_hudi_mor_incremental(
     )
     shutil.rmtree(root, ignore_errors=True)
     return out
+
+
+@register(
+    "source_hudi_mor_time_travel",
+    oracle=f"""
+        SELECT '002' AS asof_instant,
+               CAST(2 AS INT) AS commits_visible,
+               CAST(1 AS INT) AS blocks_applied,
+               CAST(3 AS INT) AS blocks_beyond_asof,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               CAST(sum(CAST(o_totalprice
+                   + CASE WHEN o_orderkey % 10 = 6
+                          THEN 100.00 ELSE 0 END
+                   AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        FROM orders
+    """,
+    tags=("source", "hudi", "lakehouse", "merge-on-read",
+          "time-travel", "point-in-time", "compat"),
+)
+def source_hudi_mor_time_travel(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Hudi MOR POINT-IN-TIME (as-of instant) read (round 17) —
+    completes the Hudi query-type triangle (snapshot
+    `source_hudi_mor_snapshot`, incremental
+    `source_hudi_mor_incremental`): "the table as it stood at
+    instant t". Per the Hudi spec, time travel is TIMELINE
+    truncation — only instants completed at or before t are
+    visible — which for MOR means log blocks must be cut at the
+    BLOCK level: a file group's log carries blocks from many
+    deltacommits interleaved in the same physical files, and the
+    reader keeps a block iff its INSTANT_TIME header is a completed
+    instant <= t.
+
+    The fixture puts the as-of instant BETWEEN TWO UPSERTS OF THE
+    SAME KEYS — the case that separates time travel from snapshot:
+    deltacommit 002 writes +100.00 on keys ≡ 6 (mod 10),
+    deltacommit 003 re-upserts the SAME keys at +200.00, and the
+    read is AS OF 002 — the merge must surface 002's values even
+    though 003 is fully committed (a reader that filters only
+    FILES, or only incomplete instants, serves 003 and flips the
+    hash). Also beyond the as-of point: 003's DELETE block on group
+    B (its tombstoned keys must still be VISIBLE at 002) and
+    deltacommit 004 in a second log file (version-order truncation)
+    — three blocks counted ``blocks_beyond_asof``, none applied.
+
+    Merge is the module's standard single shuffle: union base rows
+    (instant 001) with surviving log rows, one per-key row_number
+    window over (instant desc, within-instant scan order desc).
+
+    Scale posture: as-of filtering is a per-block header comparison
+    inside the same one-task-per-file-group log walk the snapshot
+    read pays; the timeline scan is O(instants) planning metadata.
+    Nothing additional touches the data path."""
+    orders = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    root = os.path.join(
+        tempfile.gettempdir(), f"shs_hudi_tt_{uuid.uuid4().hex}"
+    )
+    tdir = os.path.join(root, "t")
+    hdir = os.path.join(tdir, ".hoodie")
+    os.makedirs(hdir)
+
+    schema_json = json.dumps(_LOG_SCHEMA)
+    t1, t2, t3, t4 = "001", "002", "003", "004"
+    par = F.col("o_orderkey") % 2
+    stage_single_parquet(
+        orders.filter(par == 0), root, tdir,
+        f"fg-A_0-1-0_{t1}.parquet",
+    )
+    stage_single_parquet(
+        orders.filter(par == 1), root, tdir,
+        f"fg-B_0-1-0_{t1}.parquet",
+    )
+
+    changes = (
+        orders.filter((F.col("o_orderkey") % 10).isin(3, 6, 8))
+        .toPandas()
+    )
+    mod = changes["o_orderkey"] % 10
+
+    def _upserts(m: int, delta: float) -> list[dict]:
+        sel = changes[mod == m]
+        return [
+            {"o_orderkey": int(k), "o_totalprice": float(p) + delta}
+            for k, p in zip(sel["o_orderkey"], sel["o_totalprice"])
+        ]
+
+    log_a1 = os.path.join(tdir, f".fg-A_{t1}.log.1_0-1-0")
+    log_a2 = os.path.join(tdir, f".fg-A_{t1}.log.2_0-1-0")
+    log_b1 = os.path.join(tdir, f".fg-B_{t1}.log.1_0-1-0")
+    with open(log_a1, "wb") as fh:
+        fh.write(encode_log_block(  # the visible upsert
+            _AVRO_BLOCK,
+            {_H_INSTANT: t2, _H_SCHEMA: schema_json},
+            _enc_avro_content(_upserts(6, 100.0)),
+        ))
+        fh.write(encode_log_block(  # SAME keys again, after as-of
+            _AVRO_BLOCK,
+            {_H_INSTANT: t3, _H_SCHEMA: schema_json},
+            _enc_avro_content(_upserts(6, 200.0)),
+        ))
+    with open(log_a2, "wb") as fh:  # later log file, after as-of
+        fh.write(encode_log_block(
+            _AVRO_BLOCK,
+            {_H_INSTANT: t4, _H_SCHEMA: schema_json},
+            _enc_avro_content(_upserts(8, 50.0)),
+        ))
+    with open(log_b1, "wb") as fh:  # delete after as-of: keys live
+        fh.write(encode_log_block(
+            _DELETE_BLOCK, {_H_INSTANT: t3},
+            _enc_delete_content(
+                [str(int(k)) for k in
+                 changes[mod == 3]["o_orderkey"]]
+            ),
+        ))
+
+    for name in (
+        f"{t1}.commit.requested", f"{t1}.commit.inflight",
+        f"{t1}.commit",
+        f"{t2}.deltacommit.requested", f"{t2}.deltacommit.inflight",
+        f"{t2}.deltacommit",
+        f"{t3}.deltacommit.requested", f"{t3}.deltacommit.inflight",
+        f"{t3}.deltacommit",
+        f"{t4}.deltacommit.requested", f"{t4}.deltacommit.inflight",
+        f"{t4}.deltacommit",
+    ):
+        with open(os.path.join(hdir, name), "w") as fh:
+            fh.write("{}")
+
+    # ---- the reader: snapshot AS OF instant 002 ----
+    asof = t2
+    completed: set[str] = set()
+    for f in os.listdir(hdir):
+        parts = f.split(".")
+        if parts[1] not in ("commit", "deltacommit", "rollback"):
+            raise NotImplementedError(f"Hudi action {parts[1]!r}")
+        if len(parts) == 2 and parts[1] in ("commit", "deltacommit"):
+            completed.add(parts[0])
+    visible = {i for i in completed if i <= asof}
+
+    base_paths: list[str] = []
+    slices: dict[str, list[tuple[int, str]]] = {}
+    for f in sorted(os.listdir(tdir)):
+        if f.endswith(".parquet"):
+            instant = f.rsplit("_", 1)[1][: -len(".parquet")]
+            if instant in visible:  # base files cut at t too
+                base_paths.append(os.path.join(tdir, f))
+        elif f.startswith(".") and ".log." in f:
+            file_id, _base, version = parse_log_name(f)
+            slices.setdefault(file_id, []).append(
+                (version, os.path.join(tdir, f))
+            )
+
+    plan = spark.createDataFrame(
+        [
+            (fid, json.dumps([p for _, p in sorted(paths)]))
+            for fid, paths in sorted(slices.items())
+        ],
+        "file_id string, logs string",
+    ).repartition(len(slices))
+    visible_b = sorted(visible)
+    completed_b = sorted(completed)
+
+    def _read_group_logs(batches):
+        import pandas as pd
+
+        cols = ["o_orderkey", "o_totalprice", "instant", "seq",
+                "is_delete", "applied", "beyond", "is_meta"]
+        vis = set(visible_b)
+        done = set(completed_b)
+        for pdf in batches:
+            for rec in pdf.itertuples(index=False):
+                stream: list[dict] = []
+                for path in json.loads(rec.logs):
+                    with open(path, "rb") as fh:
+                        stream.extend(walk_log_blocks(fh.read()))
+                stream, _rolled = apply_command_blocks(stream)
+                rows = []
+                applied = beyond = 0
+                seq = 0  # block/record scan order: later wins ties
+                for blk in stream:
+                    instant = blk["header"][_H_INSTANT]
+                    if instant not in done:
+                        continue  # crash appendix (timeline skip)
+                    if instant not in vis:
+                        beyond += 1  # completed but after as-of
+                        continue
+                    applied += 1
+                    if blk["type"] == _AVRO_BLOCK:
+                        schema = json.loads(blk["header"][_H_SCHEMA])
+                        for r in _dec_avro_content(blk["content"],
+                                                   schema):
+                            seq += 1
+                            rows.append((r["o_orderkey"],
+                                         r["o_totalprice"],
+                                         instant, seq, False,
+                                         0, 0, False))
+                    elif blk["type"] == _DELETE_BLOCK:
+                        for key in _dec_delete_content(blk["content"]):
+                            seq += 1
+                            rows.append((int(key), 0.0, instant, seq,
+                                         True, 0, 0, False))
+                    else:
+                        raise NotImplementedError(
+                            f"log block type {blk['type']}"
+                        )
+                rows.append((None, 0.0, "", 0, False,
+                             applied, beyond, True))
+                yield pd.DataFrame(rows, columns=cols)
+
+    parsed = plan.mapInPandas(
+        _read_group_logs,
+        "o_orderkey long, o_totalprice double, instant string,"
+        " seq int, is_delete boolean, applied int, beyond int,"
+        " is_meta boolean",
+    ).localCheckpoint(eager=True)  # split meta/data without re-parsing
+
+    counters = parsed.filter("is_meta").agg(
+        F.sum("applied").cast("int").alias("blocks_applied"),
+        F.sum("beyond").cast("int").alias("blocks_beyond_asof"),
+    )
+    log_df = parsed.filter(~F.col("is_meta")).select(
+        "o_orderkey", "o_totalprice", "instant", "seq", "is_delete"
+    )
+    base = (
+        spark.read.parquet(*base_paths)
+        .withColumn("instant", F.lit(t1))
+        .withColumn("seq", F.lit(0))
+        .withColumn("is_delete", F.lit(False))
+    )
+    w = Window.partitionBy("o_orderkey").orderBy(
+        F.col("instant").desc(), F.col("seq").desc()
+    )
+    merged = (
+        base.unionByName(log_df)
+        .withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") == 1) & ~F.col("is_delete"))
+    )
+    out = (
+        merged.agg(
+            F.lit(asof).alias("asof_instant"),
+            F.lit(len(visible)).cast("int").alias("commits_visible"),
+            F.count("*").alias("n_orders"),
+            dsum("o_totalprice").alias("revenue"),
+        )
+        .crossJoin(F.broadcast(counters))
+        .select(
+            "asof_instant", "commits_visible", "blocks_applied",
+            "blocks_beyond_asof", "n_orders", "revenue",
+        )
+        .localCheckpoint(eager=True)  # 1 row; frees the temp root
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    return out
