@@ -5448,3 +5448,309 @@ def source_orc_bloom_skipping_string(
     ).localCheckpoint(eager=True)  # 1 row; frees the temp root
     shutil.rmtree(root, ignore_errors=True)
     return out
+
+
+@register(
+    "source_orc_row_index_skipping_decimal",
+    oracle="""
+        WITH bounds AS (
+            SELECT CAST(floor(0.30 * max(o_orderkey)) AS BIGINT)
+                       AS lo,
+                   CAST(floor(0.45 * max(o_orderkey)) AS BIGINT)
+                       AS hi
+            FROM orders
+        )
+        SELECT TRUE AS skipping_effective,
+               TRUE AS partial_decode,
+               TRUE AS decimal_stats_attested,
+               TRUE AS date_stats_attested,
+               CAST(count(*) AS BIGINT) AS n_matched,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS cents,
+               CAST(min(CAST(o_orderdate AS DATE)) AS DATE)
+                   AS min_orderdate,
+               CAST(max(CAST(o_orderdate AS DATE)) AS DATE)
+                   AS max_orderdate
+        FROM orders, bounds
+        WHERE o_orderkey BETWEEN lo AND hi
+    """,
+    tags=("source", "orc", "row-index", "skipping", "decimal",
+          "date", "data-read"),
+)
+def source_orc_row_index_skipping_decimal(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """ORC row-group seek-decode on DECIMAL and DATE columns
+    (round 17) — the last TYPED seams of the seek family (int /
+    string / dictionary / timestamp / nullable / compressed came
+    before). Each type's position arity is its stream anatomy:
+
+    - DECIMAL (non-decimal64 form: the one ORC writers emit for
+      precision <= 18 with a SECONDARY stream): DATA is UNBOUNDED
+      zigzag varints of the unscaled value — self-delimiting, so
+      its index position is a BYTE OFFSET ONLY (no value skip: a
+      row group always starts on a varint boundary); SECONDARY is
+      the per-value scale as signed RLEv2 with the usual
+      ``[byte offset, values to skip]`` — THREE positions total.
+      A reader that assumes the int shape (2 positions) mis-splits
+      the entry; one that reads DATA as RLEv2 decodes garbage. And
+      the round's typed finding: the SECONDARY stream is NOT the
+      declared scale repeated — HiveDecimal NORMALIZES (strips
+      trailing zeros) before writing, so a decimal(18,2) column
+      carries per-value scales 0..2 (100.50 -> unscaled 1005 at
+      scale 1) and a reader that applies the declared scale
+      uniformly mis-scales every normalized value (~11% of this
+      fixture).
+    - DATE: the int machinery verbatim on days-since-epoch (signed
+      RLEv2 DATA, 2 positions) — the seam worth attesting is the
+      STATISTICS shape, not the stream.
+
+    Selection is by the key column's IntegerStatistics; every
+    surviving group is attested against its own typed statistics —
+    DecimalStatistics (ColumnStatistics field 6: min/max/sum as
+    DECIMAL STRINGS, compared against the decoded unscaled/scale
+    pairs reformatted) and DateStatistics (field 7: min/max as
+    zigzag sint32 DAYS) — so a varint slip, a scale mis-skip, or a
+    days-vs-millis confusion is loud before it can flip the
+    aggregate (`decimal_stats_attested` / `date_stats_attested`
+    ride the output row too).
+
+    Scale posture: same as the whole family — selected groups pay
+    decode, skipped groups pay nothing, and the decimal DATA
+    stream's byte-offset-only seek means a group's cost is its own
+    bytes, never a scan from the stripe start."""
+    import datetime as _dt
+
+    import pandas as _pd
+
+    root = os.path.join(
+        tempfile.gettempdir(), f"shs_orcdec_{uuid.uuid4().hex}"
+    )
+    os.makedirs(root)
+    fixture = (
+        t(spark, sf_dir, "orders")
+        .select(
+            F.col("o_orderkey").alias("k"),
+            F.col("o_totalprice").cast("decimal(18,2)").alias("d"),
+            F.to_date("o_orderdate").alias("dt"),
+        )
+        .sort("k")
+    )
+    row = fixture.agg(
+        F.floor(F.max("k") * 0.30).cast("long").alias("lo"),
+        F.floor(F.max("k") * 0.45).cast("long").alias("hi"),
+        F.count("*").alias("n"),
+    ).collect()[0]
+    lo, hi, n_rows_total = row["lo"], row["hi"], row["n"]
+    stride = max(1000, n_rows_total // 6)
+    stage = os.path.join(root, "stage")
+    (
+        fixture.coalesce(1)
+        .write.option("compression", "none")
+        .option("orc.row.index.stride", str(stride))
+        .orc(stage)
+    )
+    src = next(f for f in os.listdir(stage) if f.endswith(".orc"))
+    path = os.path.join(root, "sorted.orc")
+    os.replace(os.path.join(stage, src), path)
+
+    plan = spark.createDataFrame(
+        [(path, lo, hi, n_rows_total)],
+        "path string, lo long, hi long, n_total long",
+    )
+
+    def _decode(batches) -> Iterator:
+        for pdf in batches:
+            rows = []
+            for rec in pdf.itertuples(index=False):
+                with open(rec.path, "rb") as fh:
+                    data = fh.read()
+                footer, codec = _orc_file_tail(data)
+                if codec != 0:
+                    raise ValueError(
+                        "uncompressed fixture came back compressed"
+                    )
+                # schema gate: col 2 must be DECIMAL, col 3 DATE
+                kinds = [
+                    decode_message(traw).get(1, [0])[0]
+                    for traw in footer.get(4, [])
+                ]
+                if kinds[2] != 14 or kinds[3] != 15:
+                    raise ValueError(
+                        f"fixture schema drifted: kinds {kinds}"
+                    )
+                g_total = g_sel = n_matched = 0
+                cents_sum = 0
+                rows_decoded = 0
+                dec_ok = date_ok = True
+                min_days = max_days = None
+                for sraw in footer.get(3, []):
+                    st = decode_message(sraw)
+                    off, ilen, dlen, flen = (
+                        st[1][0], st[2][0], st[3][0], st[4][0]
+                    )
+                    sfoot = decode_message(
+                        _unchunk(data[off + ilen + dlen
+                                      : off + ilen + dlen + flen],
+                                 codec)
+                    )
+                    pos = off
+                    streams: dict[tuple[int, int], bytes] = {}
+                    for s in sfoot[1]:
+                        m = decode_message(s)
+                        kind, col, ln = (
+                            m.get(1, [0])[0], m.get(2, [0])[0],
+                            m[3][0],
+                        )
+                        streams[(col, kind)] = data[pos : pos + ln]
+                        pos += ln
+
+                    def _entries(col: int) -> list[dict]:
+                        ri = decode_message(
+                            _unchunk(streams[(col, 6)], codec)
+                        )
+                        out = []
+                        for eraw in ri.get(1, []):
+                            e = decode_message(eraw)
+                            out.append({
+                                "positions": _packed_uvarints(
+                                    b"".join(e.get(1, []))
+                                ),
+                                "stats": decode_message(e[2][0]),
+                            })
+                        return out
+
+                    idx_k = _entries(1)
+                    idx_d = _entries(2)
+                    idx_t = _entries(3)
+                    if not (len(idx_k) == len(idx_d) == len(idx_t)):
+                        raise ValueError(
+                            "column row indexes disagree"
+                        )
+                    g_total += len(idx_k)
+                    k_stream = streams[(1, 1)]
+                    d_data = streams[(2, 1)]
+                    d_sec = streams[(2, 5)]
+                    t_stream = streams[(3, 1)]
+
+                    for ek, ed, et in zip(idx_k, idx_d, idx_t):
+                        ik = decode_message(ek["stats"][2][0])
+                        kmin = _unzigzag(ik[1][0])
+                        kmax = _unzigzag(ik[2][0])
+                        if kmax < rec.lo or kmin > rec.hi:
+                            continue  # skipped: never decoded
+                        g_sel += 1
+                        n = ek["stats"][1][0]
+                        kb, kv = orc_index_positions(
+                            ek["positions"], compressed=False
+                        )
+                        ks = decode_rlev2(
+                            k_stream[kb:], signed=True,
+                            max_values=kv + n,
+                        )[kv : kv + n]
+                        # DECIMAL: [DATA byte] + [SECONDARY byte,
+                        # SECONDARY vskip]
+                        if len(ed["positions"]) != 3:
+                            raise NotImplementedError(
+                                "decimal row-index entry with "
+                                f"{len(ed['positions'])} positions "
+                                "(expected 3: DATA byte + SECONDARY "
+                                "byte/values — nullable/compressed "
+                                "add their usual prefixes)"
+                            )
+                        db, sb, sv = ed["positions"]
+                        p = db
+                        unscaled = []
+                        for _ in range(n):
+                            u, p = _uvarint(d_data, p)
+                            unscaled.append(_unzigzag(u))
+                        scales = decode_rlev2(
+                            d_sec[sb:], signed=True,
+                            max_values=sv + n,
+                        )[sv : sv + n]
+                        # HiveDecimal normalization: the writer
+                        # STRIPS trailing zeros, so a decimal(18,2)
+                        # column's scale stream is NOT constant —
+                        # 100.50 lands as (1005, scale 1), 100.00
+                        # as (100, scale 0); a reader assuming the
+                        # declared scale mis-scales ~10% of values
+                        if not set(scales) <= {0, 1, 2}:
+                            raise ValueError(
+                                "decimal(18,2) scale outside 0..2"
+                            )
+                        cents = [
+                            u * 10 ** (2 - s)
+                            for u, s in zip(unscaled, scales)
+                        ]
+                        # attest against DecimalStatistics (field 6:
+                        # min/max/sum as normalized decimal strings)
+                        ds = decode_message(ed["stats"][6][0])
+
+                        def _fmt(c: int) -> str:
+                            sign = "-" if c < 0 else ""
+                            a = abs(c)
+                            s = f"{sign}{a // 100}.{a % 100:02d}"
+                            return s.rstrip("0").rstrip(".")
+
+                        dec_ok &= (
+                            len(cents) == ed["stats"][1][0]
+                            and _fmt(min(cents))
+                            == ds[1][0].decode()
+                            and _fmt(max(cents))
+                            == ds[2][0].decode()
+                            and _fmt(sum(cents))
+                            == ds[3][0].decode()
+                        )
+                        # DATE: int machinery on days
+                        tb, tv = orc_index_positions(
+                            et["positions"], compressed=False
+                        )
+                        days = decode_rlev2(
+                            t_stream[tb:], signed=True,
+                            max_values=tv + n,
+                        )[tv : tv + n]
+                        # DateStatistics (field 7: sint32 days)
+                        ts = decode_message(et["stats"][7][0])
+                        date_ok &= (
+                            min(days) == _unzigzag(ts[1][0])
+                            and max(days) == _unzigzag(ts[2][0])
+                        )
+                        rows_decoded += n
+                        for kvv, cv, dd in zip(ks, cents, days):
+                            if rec.lo <= kvv <= rec.hi:
+                                n_matched += 1
+                                cents_sum += cv
+                                if (min_days is None
+                                        or dd < min_days):
+                                    min_days = dd
+                                if (max_days is None
+                                        or dd > max_days):
+                                    max_days = dd
+                epoch = _dt.date(1970, 1, 1)
+                rows.append((
+                    bool(1 <= g_sel < g_total),
+                    bool(rows_decoded < rec.n_total),
+                    bool(dec_ok),
+                    bool(date_ok),
+                    n_matched, cents_sum,
+                    epoch + _dt.timedelta(days=min_days),
+                    epoch + _dt.timedelta(days=max_days),
+                ))
+            yield _pd.DataFrame(
+                rows,
+                columns=["skipping_effective", "partial_decode",
+                         "decimal_stats_attested",
+                         "date_stats_attested",
+                         "n_matched", "cents",
+                         "min_orderdate", "max_orderdate"],
+            )
+
+    out = plan.mapInPandas(
+        _decode,
+        "skipping_effective boolean, partial_decode boolean,"
+        " decimal_stats_attested boolean,"
+        " date_stats_attested boolean, n_matched bigint,"
+        " cents bigint, min_orderdate date, max_orderdate date",
+    ).localCheckpoint(eager=True)  # 1 row; frees the temp root
+    shutil.rmtree(root, ignore_errors=True)
+    return out
