@@ -282,3 +282,165 @@ def source_parquet_bloom_skipping(
     ).localCheckpoint(eager=True)  # 1-row; frees the fixture root
     shutil.rmtree(root, ignore_errors=True)
     return out
+
+
+@register(
+    "source_parquet_bloom_skipping_string",
+    oracle=f"""
+        WITH probes AS (
+            SELECT o_orderkey AS k FROM orders
+            ORDER BY o_orderkey LIMIT {_N_PRESENT}
+        )
+        SELECT CAST({_N_FILES} AS INT) AS files_total,
+               CAST({_N_FILES} AS INT) AS blooms_decoded,
+               CAST({_N_PRESENT + _N_ABSENT} AS INT) AS n_probes,
+               CAST({_N_PRESENT} AS INT) AS present_hits,
+               TRUE AS fp_hits_bounded,
+               CAST(count(*) AS BIGINT) AS n_found,
+               CAST(sum(o_orderkey) AS BIGINT) AS found_key_sum,
+               {sql_dsum('o_totalprice')} AS revenue_found
+        FROM orders WHERE o_orderkey IN (SELECT k FROM probes)
+    """,
+    tags=("source", "parquet", "bloom", "metadata", "data-skipping",
+          "string"),
+)
+def source_parquet_bloom_skipping_string(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Parquet Bloom-filter file skipping on a BYTE_ARRAY (string)
+    column (round 17) — the string half of
+    `source_parquet_bloom_skipping`, and a different hash-input
+    rule than ORC's string blooms: parquet hashes XXH64(seed 0)
+    over the value's PLAIN encoding, which for BYTE_ARRAY is the
+    RAW BYTES WITHOUT the 4-byte length prefix (BloomFilter.md) —
+    a probe that includes the prefix, or hashes a UTF-16ish form,
+    misses every present key. (ORC's string blooms use Murmur3
+    hash64 instead — `orc_bloom_utf8_hash`; same engine, two hash
+    families, both pinned.)
+
+    The fixture derives a 13-byte key 'ORD-%09d' from o_orderkey so
+    the DuckDB oracle recomputes the found set exactly, splits
+    orders into 7 single-row-group files by key residue, each with
+    a Spark-written SBBF on the STRING column, and probes 20 keys
+    (10 smallest + 10 past the max) against every file's filter via
+    `sbbf_contains_binary`; only claiming files are read, with the
+    residual IN-filter exact. `present_hits` pins that each present
+    key's home filter answered yes; `fp_hits_bounded` pins absent
+    keys drew <= 20 of the 70 possible false-positive file hits.
+
+    Scale posture: identical to the long sibling — planning-time
+    probing over footer-adjacent KB, candidate files read as
+    independent splits."""
+    root = os.path.join(
+        tempfile.gettempdir(), f"shs_bloomstr_{uuid.uuid4().hex}"
+    )
+    os.makedirs(root)
+    orders = t(spark, sf_dir, "orders").select(
+        F.concat(
+            F.lit("ORD-"),
+            F.lpad(F.col("o_orderkey").cast("string"), 9, "0"),
+        ).alias("s"),
+        "o_orderkey",
+        "o_totalprice",
+    )
+    (
+        orders.withColumn(
+            "bucket", (F.col("o_orderkey") % _N_FILES).cast("int")
+        )
+        .repartition(_N_FILES, "bucket")
+        .write.partitionBy("bucket")
+        .option("parquet.bloom.filter.enabled#s", "true")
+        .option("parquet.bloom.filter.expected.ndv#s", "300000")
+        .parquet(root + "/t")
+    )
+    paths: list[str] = []
+    for kk in range(_N_FILES):
+        (f,) = glob.glob(
+            os.path.join(root, "t", f"bucket={kk}", "*.parquet")
+        )
+        paths.append(f)
+
+    blooms: list[bytes] = []
+    file_maxes: list[int] = []
+    for p in paths:
+        with open(p, "rb") as fh:
+            data = fh.read()
+        fmd = decode_footer(data)
+        if len(fmd[4]) != 1:
+            raise ValueError("fixture file must hold one row group")
+        cols = fmd[4][0][1]
+        # leaf 0 = s (select order above), leaf 1 = o_orderkey
+        blooms.append(read_bloom_filter(data, cols[0][3]))
+        st = cols[1][3].get(12, {})
+        file_maxes.append(
+            struct.unpack("<q", st.get(5, st.get(1)))[0]
+        )
+
+    present = [
+        r[0]
+        for r in t(spark, sf_dir, "orders")
+        .select("o_orderkey")
+        .orderBy("o_orderkey")
+        .limit(_N_PRESENT)
+        .collect()
+    ]
+    absent = [max(file_maxes) + 1 + j for j in range(_N_ABSENT)]
+
+    def _s(k: int) -> bytes:
+        return f"ORD-{k:09d}".encode()
+
+    present_hits = sum(
+        1
+        for k in present
+        if sbbf_contains_binary(blooms[k % _N_FILES], _s(k))
+    )
+    fp_hits = sum(
+        1
+        for k in absent
+        for b in blooms
+        if sbbf_contains_binary(b, _s(k))
+    )
+    candidates = sorted(
+        {
+            i
+            for k in present + absent
+            for i, b in enumerate(blooms)
+            if sbbf_contains_binary(b, _s(k))
+        }
+    )
+
+    plan = spark.createDataFrame(
+        [(paths[i],) for i in candidates], "path string"
+    ).repartition(max(len(candidates), 1))
+
+    def _read_files(batches) -> Iterator:
+        import pyarrow.parquet as pq
+
+        for pdf in batches:
+            for rec in pdf.itertuples(index=False):
+                yield pq.read_table(
+                    rec.path,
+                    columns=["s", "o_orderkey", "o_totalprice"],
+                ).to_pandas()
+
+    probe_set = [f"ORD-{k:09d}" for k in present + absent]
+    found = plan.mapInPandas(
+        _read_files,
+        "s string, o_orderkey bigint, o_totalprice double",
+    ).filter(F.col("s").isin(probe_set))
+    out = found.agg(
+        F.lit(_N_FILES).cast("int").alias("files_total"),
+        F.lit(len(blooms)).cast("int").alias("blooms_decoded"),
+        F.lit(_N_PRESENT + _N_ABSENT).cast("int").alias("n_probes"),
+        F.lit(present_hits).cast("int").alias("present_hits"),
+        F.lit(fp_hits <= 20).alias("fp_hits_bounded"),
+        F.count("*").alias("n_found"),
+        # keys recovered from the DECODED string column, so a bloom
+        # or filter slip on the string path flips this, not just
+        # the long column riding along
+        F.sum(F.substring("s", 5, 9).cast("long")).cast("bigint")
+        .alias("found_key_sum"),
+        dsum("o_totalprice").alias("revenue_found"),
+    ).localCheckpoint(eager=True)  # 1-row; frees the fixture root
+    shutil.rmtree(root, ignore_errors=True)
+    return out
