@@ -38,30 +38,26 @@ class Query:
 _REGISTRY: dict[str, Query] = {}
 
 # The grading driver sweeps the FIRST 50 registry entries per round, so
-# ordering is an attestation budget. Round-16 rotation (VERDICT r15
-# tasks 4 and 7, executed): the 4 reference jobs stay pinned, then the
-# 16 NEW round-16 queries (the r15 verdict's items — compressed /
-# nullable / both / string / dictionary / timestamp row-index seeking
-# + bloom-filter row-group skipping, Hudi MOR incremental, Iceberg
-# name mapping + incremental append + column-bounds +
-# string-truncation pruning, Delta TIMESTAMP AS OF, struct-keyed-map
-# column mapping, domain metadata, stats skipping),
-# then the ANN rows-only pair WITH
-# its hash-green exactness bracket ``ann_recall_audit`` pinned adjacent
-# (VERDICT r15 item 4: the graded CORRECTNESS file is self-contained —
-# the audit travels with the pair in every window), then the oldest
-# attested backlog, oldest-first: the 17 r3-attested queries displaced
-# by the r15 format-family re-attests, then the r5-attested tail
-# (5 r5 slots ceded to the round's later additions).
-# Backlog spill for r17 (next oldest, in order):
-# distinct_supplier_part_counts, funnel_view_click_purchase, groupingsets_customer,
-# json_event_props, json_event_schema, map_struct_roundtrip,
-# math_supplier_balances, percentiles_extendedprice,
-# pivot_revenue_by_linestatus,
-# q1_pricing_summary, range_join_clicks_before_purchase,
-# retention_signup_cohorts, rollup_lineitem_flags, sessionize_events,
-# sketch_hll_mergeable_rollup, skew_salted_join_order_revenue, then
-# the rest of the r5 tail.
+# ordering is an attestation budget. Round-17 rotation (VERDICT r16
+# item 8, executed): the 4 reference jobs stay pinned, then the 6 NEW
+# round-17 queries (the r16 verdict's items — ORC bloom skipping on
+# STRING keys, Iceberg changelog/CDC scan, Delta row tracking, Hudi
+# MOR as-of-instant, ORC decimal+date row-index seeking, parquet
+# string blooms), then the ANN rows-only pair WITH its hash-green
+# exactness bracket ``ann_recall_audit`` pinned adjacent (the graded
+# CORRECTNESS file stays self-contained — the audit travels with the
+# pair in every window), then the oldest attested backlog,
+# oldest-first: 35 r5-attested queries (exactly the spill the r16
+# comment promised, plus the rest of the r5 tail in name order) and
+# the first 2 of the r6 tail.
+# Backlog spill for r18 (next oldest, in order): the remaining
+# r6-attested queries — arrow_group_doc_quantiles, bitmap_distinct_rollup,
+# cdc_upsert_orders, crawl_url_canonical_dedup, curation_kfold_assign,
+# dedup_simhash, events_hourly_anomaly, events_type_transitions,
+# funnel_view_click_purchase was r5 (already in), then the r7 tail.
+# Recompute with the CORRECTNESS_r*.json max-round scan (the
+# test_r10_window_completes_attestation recipe) rather than trusting
+# this comment.
 # tests/test_registry_window.py asserts the window stays exactly this.
 SWEEP_PRIORITY: tuple[str, ...] = (
     # pinned reference jobs (driver-green every round)
@@ -69,56 +65,56 @@ SWEEP_PRIORITY: tuple[str, ...] = (
     "ref_top5_finished_orders_by_price",
     "ref_building_acctbal_stats_by_nation",
     "ref_orc_roundtrip",
-    # round-16 NEW queries: driver rows on first appearance
-    "source_orc_row_index_skipping_compressed",
-    "source_orc_row_index_skipping_nullable",
-    "source_orc_row_index_skipping_nullable_compressed",
-    "source_hudi_mor_incremental",
-    "source_iceberg_name_mapping",
-    "source_iceberg_incremental_append",
-    "source_delta_time_travel_timestamp",
-    "source_delta_column_mapping_map_key",
-    "source_delta_domain_metadata",
-    "source_iceberg_column_bounds_pruning",
-    "source_iceberg_string_bounds_truncation",
-    "source_delta_stats_skipping",
-    "source_orc_row_index_skipping_string",
-    "source_orc_row_index_skipping_dictionary",
-    "source_orc_row_index_skipping_timestamp",
-    "source_orc_bloom_skipping",
+    # round-17 NEW queries: driver rows on first appearance
+    "source_orc_bloom_skipping_string",
+    "source_iceberg_changelog_scan",
+    "source_delta_row_tracking",
+    "source_hudi_mor_time_travel",
+    "source_orc_row_index_skipping_decimal",
+    "source_parquet_bloom_skipping_string",
     # ANN rows-only pair + its exactness bracket, always adjacent
     "knn_cosine_ivf",
     "knn_cosine_lsh",
     "ann_recall_audit",
-    # oldest r3-attested backlog, oldest-first
-    "neardup_embeddings_lsh",
-    "q13_customer_order_distribution",
-    "q14_promo_revenue_share",
-    "q18_large_volume_orders",
-    "q2_min_cost_supplier",
-    "scd2_customer_spend_versions",
-    "subq_correlated_exists_recent_order",
-    "subq_in_parts_shipped_by_small_suppliers",
-    "subq_not_in_null_aware",
-    "subq_scalar_above_avg_orders",
-    "text_fingerprints",
-    "text_langid_confusion",
-    "text_quality_scores",
-    "text_tfidf_top_terms",
-    "text_token_stats",
-    "text_top_bigrams_per_lang",
-    "text_unigram_logprob",
-    # r5-attested tail, oldest-first
-    "approx_distinct_parts",
-    "arr_name_token_features",
-    "arr_order_line_parts",
-    "arr_token_positions",
-    "asof_purchase_last_click",
-    "case_price_buckets",
-    "cube_orders_status_priority",
-    "curation_stratified_sample",
-    "date_monthly_order_stats",
-    "datediff_shipping_delay",
+    # oldest (r5-attested) backlog, oldest-first, name order
+    "distinct_supplier_part_counts",
+    "funnel_view_click_purchase",
+    "groupingsets_customer",
+    "json_event_props",
+    "json_event_schema",
+    "map_struct_roundtrip",
+    "math_supplier_balances",
+    "multimodal_frame_samples",
+    "multimodal_media_features",
+    "percentiles_extendedprice",
+    "pivot_revenue_by_linestatus",
+    "q1_pricing_summary",
+    "range_join_clicks_before_purchase",
+    "retention_signup_cohorts",
+    "rollup_lineitem_flags",
+    "sessionize_events",
+    "sketch_hll_mergeable_rollup",
+    "skew_salted_join_order_revenue",
+    "skew_salted_user_totals",
+    "stream_dedup_within_watermark",
+    "stream_session_windows",
+    "stream_stateful_user_totals",
+    "stream_stream_interval_join",
+    "stream_tumbling_counts",
+    "stream_watermarked_windows",
+    "string_part_catalog",
+    "text_repetition_filter",
+    "udf_grouped_agg_weighted_mean",
+    "udf_pandas_scalar_risk_score",
+    "udf_python_row_clean_names",
+    "w_customer_rank_in_nation",
+    "w_event_lag_lead_gaps",
+    "w_running_revenue_by_supplier",
+    "window_sliding_events",
+    "window_tumbling_events",
+    # r6-attested tail begins
+    "approx_topk_tokens",
+    "arrow_doc_char_stats",
 )
 
 
