@@ -8429,3 +8429,258 @@ def source_delta_row_tracking(
     ).localCheckpoint(eager=True)  # 1 row; frees the temp root
     shutil.rmtree(root, ignore_errors=True)
     return out
+
+
+@register(
+    "source_iceberg_changelog_mor",
+    oracle=f"""
+        SELECT CAST(0 AS INT) AS change_ordinal,
+               CAST(2 AS BIGINT) AS commit_snapshot_id,
+               'DELETE' AS change_type,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               {sql_dsum('o_totalprice')} AS revenue
+        FROM orders WHERE o_orderkey % 10 = 4
+        UNION ALL
+        SELECT CAST(1 AS INT), CAST(3 AS BIGINT), 'DELETE',
+               CAST(count(*) AS BIGINT),
+               {sql_dsum('o_totalprice')}
+        FROM orders WHERE o_orderkey % 10 = 3
+        UNION ALL
+        SELECT CAST(1 AS INT), CAST(3 AS BIGINT), 'INSERT',
+               CAST(count(*) AS BIGINT),
+               {sql_dsum('o_totalprice + 100.00')}
+        FROM orders WHERE o_orderkey % 10 = 3
+    """,
+    tags=("source", "iceberg", "lakehouse", "cdc", "changelog",
+          "merge-on-read", "position-deletes", "avro"),
+)
+def source_iceberg_changelog_mor(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Iceberg CHANGELOG over MERGE-ON-READ commits (round 17) —
+    the harder half of `source_iceberg_changelog_scan`: there the
+    delete/overwrite snapshots REMOVED whole files, so deleted rows
+    were just scans; in v2 MOR practice a delete commits a
+    POSITION-DELETE FILE (``file_path``/``pos`` columns, manifest
+    ``content``=1) and the changelog reader must MATERIALIZE the
+    deleted rows by joining the delete file's positions back to the
+    REFERENCED data files — the delete file itself carries no row
+    values. The fixture walks both MOR change shapes:
+
+    - snap 2 (``delete``): delete file D tombstones A's rows with
+      key % 10 == 4 -> ordinal 0 emits those rows (ORIGINAL values,
+      read from A by position) as DELETE events;
+    - snap 3 (``overwrite`` = row-level upsert): delete file D2
+      tombstones B's key % 10 == 3 rows AND data file C adds the
+      same keys at price+100 -> ordinal 1 emits B's old rows as
+      DELETE and C's rows as INSERT — the delete+insert pair every
+      CDC consumer folds into an update.
+
+    Resolution is one dataflow: every referenced data file is
+    scanned ONCE with ``_metadata.file_path``/``row_index`` (Spark's
+    native row addressability), inner-joined against the BROADCAST
+    union of delete files tagged by (ordinal, snapshot) — a delete
+    file that tombstones twice fans out through the join, never a
+    second scan; added files scan directly as inserts. A reader
+    that instead diffs live file sets double-counts every carried
+    row, and one that serves the delete FILE's columns as the
+    change rows emits (path, pos) garbage — both flip the hash.
+
+    Scale posture: deletes ≪ data (the format's design assumption)
+    so the tagged delete union broadcasts; data files are read once
+    each with positions generated scan-side; planning is O(chain +
+    in-range manifest entries)."""
+    import json as _json
+
+    from spark_hive_spark.operators.avro import (
+        encode_avro_ocf,
+        parse_avro_ocf,
+    )
+
+    orders = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    root = os.path.join(
+        tempfile.gettempdir(), f"shs_icecdcmor_{uuid.uuid4().hex}"
+    )
+    ddir = os.path.join(root, "data")
+    mdir = os.path.join(root, "metadata")
+    os.makedirs(ddir)
+    os.makedirs(mdir)
+
+    k = F.col("o_orderkey") % 2
+    stage_single_parquet(orders.filter(k == 0), root, ddir, "A.parquet")
+    stage_single_parquet(orders.filter(k == 1), root, ddir, "B.parquet")
+    stage_single_parquet(
+        orders.filter(F.col("o_orderkey") % 10 == 3).select(
+            "o_orderkey",
+            (F.col("o_totalprice") + 100.0).alias("o_totalprice"),
+        ),
+        root, ddir, "C.parquet",
+    )
+
+    def _deletes(src: str, mod: int, name: str) -> None:
+        # the delete WRITER: positions from the data file itself
+        df = (
+            spark.read.parquet(os.path.join(ddir, src))
+            .select(
+                F.lit(src).alias("file_path"),
+                F.col("_metadata.row_index").alias("pos"),
+                "o_orderkey",
+            )
+            .filter(F.col("o_orderkey") % 10 == mod)
+            .select("file_path", "pos")
+        )
+        stage_single_parquet(df, root, ddir, name)
+
+    _deletes("A.parquet", 4, "D.parquet")
+    _deletes("B.parquet", 3, "D2.parquet")
+
+    entry_schema = {
+        "type": "record", "name": "manifest_entry",
+        "fields": [
+            {"name": "status", "type": "long"},
+            {"name": "file_path", "type": "string"},
+            {"name": "record_count", "type": "long"},
+        ],
+    }
+    mlist_schema = {
+        "type": "record", "name": "manifest_file",
+        "fields": [
+            {"name": "manifest_path", "type": "string"},
+            {"name": "content", "type": "long"},  # 0=data 1=deletes
+            {"name": "added_snapshot_id", "type": "long"},
+        ],
+    }
+
+    def _manifest(name: str, entries: list[dict]) -> str:
+        path = os.path.join(mdir, name)
+        with open(path, "wb") as fh:
+            fh.write(encode_avro_ocf(entries, entry_schema,
+                                     codec="deflate"))
+        return path
+
+    def _mlist(name: str, rows: list[tuple[str, int, int]]) -> str:
+        path = os.path.join(mdir, name)
+        recs = [{"manifest_path": p, "content": c,
+                 "added_snapshot_id": sid} for p, c, sid in rows]
+        with open(path, "wb") as fh:
+            fh.write(encode_avro_ocf(recs, mlist_schema,
+                                     codec="snappy"))
+        return path
+
+    m1 = _manifest("m1.avro", [
+        {"status": 1, "file_path": "A.parquet", "record_count": 0},
+        {"status": 1, "file_path": "B.parquet", "record_count": 0},
+    ])
+    md1 = _manifest("md1.avro", [
+        {"status": 1, "file_path": "D.parquet", "record_count": 0},
+    ])
+    m3 = _manifest("m3.avro", [
+        {"status": 1, "file_path": "C.parquet", "record_count": 0},
+    ])
+    md2 = _manifest("md2.avro", [
+        {"status": 1, "file_path": "D2.parquet", "record_count": 0},
+    ])
+
+    snaps = [
+        {"snapshot-id": 1, "summary": {"operation": "append"},
+         "manifest-list": _mlist("s1.avro", [(m1, 0, 1)])},
+        {"snapshot-id": 2, "parent-snapshot-id": 1,
+         "summary": {"operation": "delete"},
+         "manifest-list": _mlist("s2.avro",
+                                 [(m1, 0, 1), (md1, 1, 2)])},
+        {"snapshot-id": 3, "parent-snapshot-id": 2,
+         "summary": {"operation": "overwrite"},
+         "manifest-list": _mlist(
+             "s3.avro",
+             [(m1, 0, 1), (md1, 1, 2), (m3, 0, 3), (md2, 1, 3)])},
+    ]
+    with open(os.path.join(mdir, "v1.metadata.json"), "w") as fh:
+        _json.dump({"format-version": 2, "current-snapshot-id": 3,
+                    "snapshots": snaps}, fh)
+
+    # ---- the reader: changelog over (1, 3] ----
+    with open(os.path.join(mdir, "v1.metadata.json")) as fh:
+        md = _json.load(fh)
+    iceberg_format_gate(md)
+    events, _replaced = iceberg_changelog_between(md, 1, 3)
+    by_id = {s["snapshot-id"]: s for s in md["snapshots"]}
+    insert_files: list[tuple[str, int, int]] = []
+    delete_files: list[tuple[str, int, int]] = []
+    for ordinal, sid, op in events:
+        with open(by_id[sid]["manifest-list"], "rb") as fh:
+            _, mrows = parse_avro_ocf(fh.read())
+        for mrow in mrows:
+            if mrow["added_snapshot_id"] != sid:
+                continue  # carried forward: not this commit's work
+            with open(mrow["manifest_path"], "rb") as fh:
+                _, entries = parse_avro_ocf(fh.read())
+            for e in entries:
+                if e["status"] != 1:
+                    raise ValueError(
+                        f"unexpected status {e['status']} in a "
+                        "MOR changelog manifest"
+                    )
+                if mrow["content"] == 0:
+                    insert_files.append((e["file_path"], ordinal, sid))
+                else:
+                    delete_files.append((e["file_path"], ordinal, sid))
+
+    # tagged union of delete files (tiny): (file_path, pos) + event
+    dels = None
+    for path, ordinal, sid in delete_files:
+        d = spark.read.parquet(os.path.join(ddir, path)).select(
+            "file_path", "pos",
+            F.lit(ordinal).cast("int").alias("change_ordinal"),
+            F.lit(sid).cast("long").alias("commit_snapshot_id"),
+        )
+        dels = d if dels is None else dels.unionByName(d)
+    referenced = sorted(
+        {r["file_path"] for r in dels.select("file_path")
+         .distinct().collect()}
+    )
+    data = spark.read.parquet(
+        *(os.path.join(ddir, p) for p in referenced)
+    ).select(
+        "o_orderkey", "o_totalprice",
+        F.element_at(
+            F.split(F.col("_metadata.file_path"), "/"), -1
+        ).alias("fname"),
+        F.col("_metadata.row_index").alias("pos"),
+    )
+    deleted_rows = data.join(
+        F.broadcast(dels),
+        (data["fname"] == dels["file_path"])
+        & (data["pos"] == dels["pos"]),
+    ).select(
+        "o_orderkey", "o_totalprice",
+        "change_ordinal", "commit_snapshot_id",
+        F.lit("DELETE").alias("change_type"),
+    )
+    inserted_rows = None
+    for path, ordinal, sid in insert_files:
+        d = spark.read.parquet(os.path.join(ddir, path)).select(
+            "o_orderkey", "o_totalprice",
+            F.lit(ordinal).cast("int").alias("change_ordinal"),
+            F.lit(sid).cast("long").alias("commit_snapshot_id"),
+            F.lit("INSERT").alias("change_type"),
+        )
+        inserted_rows = (
+            d if inserted_rows is None
+            else inserted_rows.unionByName(d)
+        )
+    changes = deleted_rows.unionByName(inserted_rows)
+    out = (
+        changes.groupBy(
+            "change_ordinal", "commit_snapshot_id", "change_type"
+        )
+        .agg(
+            F.count("*").alias("n_rows"),
+            dsum("o_totalprice").alias("revenue"),
+        )
+        .orderBy("change_ordinal", "change_type")
+        .localCheckpoint(eager=True)  # 3 rows; frees the temp root
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    return out
