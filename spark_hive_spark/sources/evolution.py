@@ -8684,3 +8684,242 @@ def source_iceberg_changelog_mor(
     )
     shutil.rmtree(root, ignore_errors=True)
     return out
+
+
+@register(
+    "source_delta_row_tracking_checkpoint",
+    oracle=f"""
+        WITH ids AS (
+            SELECT o_orderkey, o_totalprice,
+                   CASE WHEN o_orderkey % 2 = 0 THEN 0
+                        ELSE (SELECT count(*) FROM orders
+                              WHERE o_orderkey % 2 = 0)
+                   END
+                   + row_number() OVER (
+                         PARTITION BY o_orderkey % 2
+                         ORDER BY o_orderkey
+                     ) - 1 AS row_id
+            FROM orders
+        )
+        SELECT CAST(1 AS INT) AS checkpoint_version,
+               CAST(2 AS INT) AS adds_from_checkpoint,
+               CAST(1 AS INT) AS json_commits_replayed,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(count(DISTINCT row_id) AS BIGINT)
+                   AS distinct_row_ids,
+               CAST(sum(row_id) AS BIGINT) AS sum_row_id,
+               CAST(sum(row_id * (o_orderkey % 1000)) AS BIGINT)
+                   AS binding,
+               CAST(count(*) AS BIGINT) AS rows_at_commit_1,
+               TRUE AS watermark_ok,
+               {sql_dsum('o_totalprice')} AS revenue
+        FROM ids
+    """,
+    tags=("source", "delta", "lakehouse", "row-tracking",
+          "checkpoint", "row-lineage", "compat"),
+)
+def source_delta_row_tracking_checkpoint(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Delta ROW TRACKING bootstrapped from a CHECKPOINT (round 17)
+    — the state-reconstruction half the JSON-replay sibling
+    (`source_delta_row_tracking`) leaves open: a mature table's
+    pre-checkpoint commits EXPIRE, so ``baseRowId`` /
+    ``defaultRowCommitVersion`` must survive INSIDE the checkpoint's
+    add rows (PROTOCOL.md: checkpoints persist them as fields of
+    the ``add`` struct) and the ``delta.rowTracking`` domain
+    metadata must ride along as its own checkpoint row — a
+    checkpoint writer or reader that drops either silently re-mints
+    every row id at the next read (the ids are not reconstructable
+    from anywhere else once the JSON is gone).
+
+    The fixture checkpoints the v1 state (protocol + metaData + two
+    adds carrying baseRowId + the rowTracking domain row), DELETES
+    the v0/v1 JSON (the reader provably bootstraps from parquet),
+    then replays a v2 OPTIMIZE on top: remove B, add B2 with a
+    FRESH baseRowId but the ORIGINAL ids materialized under the
+    configured column names — the same coalesce contract as the
+    sibling, now spanning the checkpoint boundary. The per-row
+    binding aggregate pins id identity end-to-end.
+
+    Scale posture: the checkpoint read is one Spark parquet scan of
+    O(live files) action rows; everything after state resolution is
+    the sibling's per-partition arithmetic."""
+    import json as _json
+
+    import pyarrow as _pa
+    import pyarrow.parquet as _pq
+
+    orders = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    root = os.path.join(
+        tempfile.gettempdir(), f"shs_deltartck_{uuid.uuid4().hex}"
+    )
+    tdir = os.path.join(root, "table")
+    ldir = os.path.join(tdir, "_delta_log")
+    os.makedirs(ldir)
+
+    k = F.col("o_orderkey") % 2
+    stage_single_parquet(
+        orders.filter(k == 0).sort("o_orderkey"), root, tdir,
+        "A.parquet",
+    )
+    stage_single_parquet(
+        orders.filter(k == 1).sort("o_orderkey"), root, tdir,
+        "B.parquet",
+    )
+    n_a = spark.read.parquet(os.path.join(tdir, "A.parquet")).count()
+    n_b = spark.read.parquet(os.path.join(tdir, "B.parquet")).count()
+
+    mat_id, mat_rcv = "_row-id-ck-17", "_rcv-ck-17"
+    b2 = (
+        spark.read.parquet(os.path.join(tdir, "B.parquet"))
+        .select(
+            "o_orderkey", "o_totalprice",
+            (F.lit(n_a) + F.col("_metadata.row_index"))
+            .cast("long").alias(mat_id),
+            F.lit(1).cast("long").alias(mat_rcv),
+        )
+    )
+    stage_single_parquet(b2, root, tdir, "B2.parquet")
+
+    conf = {
+        "delta.enableRowTracking": "true",
+        "delta.rowTracking.materializedRowIdColumnName": mat_id,
+        "delta.rowTracking.materializedRowCommitVersionColumnName":
+            mat_rcv,
+    }
+    # ---- checkpoint v1: one row per action, nullable structs ----
+    none4 = [None] * 4
+    ckpt = _pa.table({
+        "protocol": _pa.array(
+            [{"minReaderVersion": 3, "minWriterVersion": 7,
+              "writerFeatures": ["rowTracking", "domainMetadata"]}]
+            + none4,
+        ),
+        "metaData": _pa.array(
+            [None, {"id": "rt-ck-fixture",
+                    "configuration": conf}] + [None] * 3,
+        ),
+        "add": _pa.array(
+            [None, None,
+             {"path": "A.parquet", "baseRowId": 0,
+              "defaultRowCommitVersion": 1},
+             {"path": "B.parquet", "baseRowId": n_a,
+              "defaultRowCommitVersion": 1},
+             None],
+        ),
+        "domainMetadata": _pa.array(
+            none4 + [{"domain": "delta.rowTracking",
+                      "configuration": _json.dumps(
+                          {"rowIdHighWaterMark": n_a + n_b - 1}
+                      ),
+                      "removed": False}],
+        ),
+    })
+    _pq.write_table(
+        ckpt, os.path.join(ldir, f"{1:020d}.checkpoint.parquet")
+    )
+    with open(os.path.join(ldir, "_last_checkpoint"), "w") as fh:
+        _json.dump({"version": 1, "size": ckpt.num_rows}, fh)
+    # v0/v1 JSON deliberately ABSENT (expired): bootstrap is parquet
+
+    with open(os.path.join(ldir, f"{2:020d}.json"), "w") as fh:
+        fh.write("\n".join(_json.dumps(a) for a in [
+            {"remove": {"path": "B.parquet"}},
+            {"add": {"path": "B2.parquet", "baseRowId": n_a + n_b,
+                     "defaultRowCommitVersion": 2}},
+            {"domainMetadata": {
+                "domain": "delta.rowTracking",
+                "configuration": _json.dumps(
+                    {"rowIdHighWaterMark": n_a + 2 * n_b - 1}
+                ),
+            }},
+        ]) + "\n")
+
+    # ---- the reader ----
+    with open(os.path.join(ldir, "_last_checkpoint")) as fh:
+        ck_version = _json.load(fh)["version"]
+    ck = spark.read.parquet(
+        os.path.join(ldir, f"{ck_version:020d}.checkpoint.parquet")
+    ).collect()
+    actions: list[dict] = []
+    for r in ck:
+        d = r.asDict(recursive=True)
+        for key in ("protocol", "metaData", "add", "domainMetadata"):
+            if d.get(key) is not None:
+                actions.append({key: d[key]})
+    adds_from_ckpt = sum(1 for a in actions if "add" in a)
+    json_versions = sorted(
+        int(f[:20]) for f in os.listdir(ldir) if f.endswith(".json")
+    )
+    if json_versions and json_versions[0] <= ck_version:
+        raise ValueError("stale JSON below the checkpoint survived")
+    for v in json_versions:
+        with open(os.path.join(ldir, f"{v:020d}.json")) as fh:
+            actions += [_json.loads(ln) for ln in fh if ln.strip()]
+
+    proto = next(a["protocol"] for a in actions if "protocol" in a)
+    meta = next(a["metaData"] for a in actions if "metaData" in a)
+    mconf = meta.get("configuration") or {}
+    if mconf.get("delta.enableRowTracking") == "true" and (
+        "rowTracking" not in (proto.get("writerFeatures") or [])
+    ):
+        raise ValueError(
+            "delta.enableRowTracking without the rowTracking "
+            "writer feature"
+        )
+    id_col = mconf["delta.rowTracking.materializedRowIdColumnName"]
+    rcv_col = mconf[
+        "delta.rowTracking.materializedRowCommitVersionColumnName"
+    ]
+    live: dict[str, dict] = {}
+    for a in actions:
+        if "add" in a:
+            live[a["add"]["path"]] = a["add"]
+        elif "remove" in a:
+            live.pop(a["remove"]["path"], None)
+    domains, _ = delta_domain_metadata_replay(actions)
+    watermark = _json.loads(
+        domains["delta.rowTracking"]
+    )["rowIdHighWaterMark"]
+
+    parts = []
+    for path, add in sorted(live.items()):
+        df = spark.read.parquet(os.path.join(tdir, path))
+        base = (
+            F.lit(add["baseRowId"]) + F.col("_metadata.row_index")
+        ).cast("long")
+        dflt = F.lit(add["defaultRowCommitVersion"]).cast("long")
+        if id_col in df.columns:  # rewritten: materialized wins
+            rid = F.coalesce(F.col(id_col).cast("long"), base)
+            rcv = F.coalesce(F.col(rcv_col).cast("long"), dflt)
+        else:
+            rid, rcv = base, dflt
+        parts.append(df.select(
+            "o_orderkey", "o_totalprice",
+            rid.alias("_row_id"), rcv.alias("_rcv"),
+        ))
+    scan = parts[0]
+    for df in parts[1:]:
+        scan = scan.unionByName(df)
+    out = scan.agg(
+        F.lit(ck_version).cast("int").alias("checkpoint_version"),
+        F.lit(adds_from_ckpt).cast("int")
+        .alias("adds_from_checkpoint"),
+        F.lit(len(json_versions)).cast("int")
+        .alias("json_commits_replayed"),
+        F.count("*").alias("n_rows"),
+        F.countDistinct("_row_id").alias("distinct_row_ids"),
+        F.sum("_row_id").cast("bigint").alias("sum_row_id"),
+        F.sum(F.col("_row_id") * (F.col("o_orderkey") % 1000))
+        .cast("bigint").alias("binding"),
+        F.sum((F.col("_rcv") == 1).cast("long")).cast("bigint")
+        .alias("rows_at_commit_1"),
+        (F.lit(watermark) >= F.max("_row_id"))
+        .alias("watermark_ok"),
+        dsum("o_totalprice").alias("revenue"),
+    ).localCheckpoint(eager=True)  # 1 row; frees the temp root
+    shutil.rmtree(root, ignore_errors=True)
+    return out
