@@ -39,23 +39,25 @@ _REGISTRY: dict[str, Query] = {}
 
 # The grading driver sweeps the FIRST 50 registry entries per round, so
 # ordering is an attestation budget. Round-17 rotation (VERDICT r16
-# item 8, executed): the 4 reference jobs stay pinned, then the 6 NEW
+# item 8, executed): the 4 reference jobs stay pinned, then the 9 NEW
 # round-17 queries (the r16 verdict's items — ORC bloom skipping on
-# STRING keys, Iceberg changelog/CDC scan, Delta row tracking, Hudi
-# MOR as-of-instant, ORC decimal+date row-index seeking, parquet
-# string blooms), then the ANN rows-only pair WITH its hash-green
-# exactness bracket ``ann_recall_audit`` pinned adjacent (the graded
+# STRING keys + the dictionary-encoded composition, Iceberg
+# changelog/CDC scan + its MOR position-delete half, Delta row
+# tracking (JSON replay + checkpoint bootstrap), Hudi MOR
+# as-of-instant, ORC decimal+date row-index seeking, parquet string
+# blooms), then the ANN rows-only pair WITH its hash-green exactness
+# bracket ``ann_recall_audit`` pinned adjacent (the graded
 # CORRECTNESS file stays self-contained — the audit travels with the
 # pair in every window), then the oldest attested backlog,
-# oldest-first: 35 r5-attested queries (exactly the spill the r16
-# comment promised, plus the rest of the r5 tail in name order) and
-# the first 2 of the r6 tail.
-# Backlog spill for r18 (next oldest, in order): the remaining
-# r6-attested queries — arrow_group_doc_quantiles, bitmap_distinct_rollup,
-# cdc_upsert_orders, crawl_url_canonical_dedup, curation_kfold_assign,
-# dedup_simhash, events_hourly_anomaly, events_type_transitions,
-# funnel_view_click_purchase was r5 (already in), then the r7 tail.
-# Recompute with the CORRECTNESS_r*.json max-round scan (the
+# oldest-first: 34 of the 35 oldest (r5-attested) queries in name
+# order (exactly the spill the r16 comment promised plus the rest of
+# the r5 tail; window_tumbling_events is the one that no longer
+# fits).
+# Backlog spill for r18 (next oldest, in order):
+# window_tumbling_events, then the r6-attested tail —
+# approx_topk_tokens, arrow_doc_char_stats, arrow_group_doc_quantiles,
+# bitmap_distinct_rollup, cdc_upsert_orders, ... . Recompute with the
+# CORRECTNESS_r*.json max-round scan (the
 # test_r10_window_completes_attestation recipe) rather than trusting
 # this comment.
 # tests/test_registry_window.py asserts the window stays exactly this.
@@ -72,6 +74,9 @@ SWEEP_PRIORITY: tuple[str, ...] = (
     "source_hudi_mor_time_travel",
     "source_orc_row_index_skipping_decimal",
     "source_parquet_bloom_skipping_string",
+    "source_orc_bloom_skipping_dictionary",
+    "source_iceberg_changelog_mor",
+    "source_delta_row_tracking_checkpoint",
     # ANN rows-only pair + its exactness bracket, always adjacent
     "knn_cosine_ivf",
     "knn_cosine_lsh",
@@ -111,10 +116,6 @@ SWEEP_PRIORITY: tuple[str, ...] = (
     "w_event_lag_lead_gaps",
     "w_running_revenue_by_supplier",
     "window_sliding_events",
-    "window_tumbling_events",
-    # r6-attested tail begins
-    "approx_topk_tokens",
-    "arrow_doc_char_stats",
 )
 
 
