@@ -324,6 +324,16 @@ EXTENDED = [
     "source_hudi_mor_incremental",
     "source_iceberg_column_bounds_pruning",
     "source_delta_stats_skipping",
+    # round 17
+    "source_orc_bloom_skipping_string",
+    "source_orc_bloom_skipping_dictionary",
+    "source_iceberg_changelog_scan",
+    "source_iceberg_changelog_mor",
+    "source_delta_row_tracking",
+    "source_delta_row_tracking_checkpoint",
+    "source_hudi_mor_time_travel",
+    "source_orc_row_index_skipping_decimal",
+    "source_parquet_bloom_skipping_string",
 ]
 
 # Streaming extended queries run dead LAST (after the streaming
