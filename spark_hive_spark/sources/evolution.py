@@ -8627,6 +8627,11 @@ def source_iceberg_changelog_mor(
                 else:
                     delete_files.append((e["file_path"], ordinal, sid))
 
+    if not delete_files or not insert_files:
+        raise ValueError(
+            "MOR changelog fixture must produce both delete and "
+            "insert events"
+        )
     # tagged union of delete files (tiny): (file_path, pos) + event
     dels = None
     for path, ordinal, sid in delete_files:

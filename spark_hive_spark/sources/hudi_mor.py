@@ -1596,3 +1596,264 @@ def source_hudi_mor_time_travel(
     )
     shutil.rmtree(root, ignore_errors=True)
     return out
+
+
+@register(
+    "source_hudi_clustering_replacecommit",
+    oracle=f"""
+        SELECT CAST(2 AS INT) AS groups_replaced,
+               CAST(1 AS INT) AS groups_visible,
+               TRUE AS inflight_replace_ignored,
+               CAST(1 AS INT) AS blocks_applied,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               CAST(sum(CAST(o_totalprice
+                   + CASE WHEN o_orderkey % 10 = 6
+                          THEN 100.00 ELSE 0 END
+                   AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        FROM orders
+    """,
+    tags=("source", "hudi", "lakehouse", "clustering",
+          "replacecommit", "merge-on-read", "compat"),
+)
+def source_hudi_clustering_replacecommit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Hudi CLUSTERING via REPLACECOMMIT (round 17) — the fourth
+    timeline action (after commit/deltacommit/rollback, which the
+    other Hudi readers gate loudly): clustering and
+    insert-overwrite write a ``replacecommit`` whose metadata
+    carries ``partitionToReplaceFileIds`` — FILE GROUPS logically
+    deleted even though their parquet files stay on disk until
+    clean. The visibility rules a reader must get right, each
+    trapped by the fixture:
+
+    - a COMPLETED replacecommit (002: fg-A + fg-B clustered into
+      fg-C) hides the replaced groups AND shows the new one — and
+      because clustering preserves rows, a reader that serves the
+      STALE groups is only caught once deltacommit 003 upserts
+      +100.00 (keys ≡ 6 mod 10) into fg-C's LOG: the stale groups
+      miss the log (logs attach to the new file group), flipping
+      the hash;
+    - reading replaced AND new groups together double-counts every
+      row (count flips);
+    - an INFLIGHT replacecommit (004: would cluster fg-C into fg-D,
+      whose on-disk parquet carries poisoned +999 prices) is
+      invisible BOTH ways: fg-D must not be read and fg-C must
+      REMAIN visible — a reader honoring requested/inflight replace
+      intents serves a half-committed table.
+
+    The merge is the module's standard per-key window over
+    base ∪ log. Scale posture: replace resolution is O(#replace
+    commits) timeline metadata on top of the existing slice
+    listing; the data path is unchanged — exactly why clustering is
+    cheap to plan at 100 TB."""
+    orders = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    root = os.path.join(
+        tempfile.gettempdir(), f"shs_hudi_cl_{uuid.uuid4().hex}"
+    )
+    tdir = os.path.join(root, "t")
+    hdir = os.path.join(tdir, ".hoodie")
+    os.makedirs(hdir)
+
+    schema_json = json.dumps(_LOG_SCHEMA)
+    t1, t2, t3, t4 = "001", "002", "003", "004"
+    par = F.col("o_orderkey") % 2
+    stage_single_parquet(
+        orders.filter(par == 0), root, tdir,
+        f"fg-A_0-1-0_{t1}.parquet",
+    )
+    stage_single_parquet(
+        orders.filter(par == 1), root, tdir,
+        f"fg-B_0-1-0_{t1}.parquet",
+    )
+    stage_single_parquet(  # the clustered rewrite: full table
+        orders, root, tdir, f"fg-C_0-1-0_{t2}.parquet",
+    )
+    stage_single_parquet(  # inflight 004's poisoned output
+        orders.select(
+            "o_orderkey",
+            (F.col("o_totalprice") + 999.0).alias("o_totalprice"),
+        ),
+        root, tdir, f"fg-D_0-1-0_{t4}.parquet",
+    )
+
+    changes = (
+        orders.filter(F.col("o_orderkey") % 10 == 6).toPandas()
+    )
+    upserts = [
+        {"o_orderkey": int(k), "o_totalprice": float(p) + 100.0}
+        for k, p in zip(changes["o_orderkey"],
+                        changes["o_totalprice"])
+    ]
+    with open(os.path.join(tdir, f".fg-C_{t2}.log.1_0-1-0"),
+              "wb") as fh:
+        fh.write(encode_log_block(
+            _AVRO_BLOCK,
+            {_H_INSTANT: t3, _H_SCHEMA: schema_json},
+            _enc_avro_content(upserts),
+        ))
+
+    for name in (
+        f"{t1}.commit.requested", f"{t1}.commit.inflight",
+        f"{t1}.commit",
+        f"{t2}.replacecommit.requested",
+        f"{t2}.replacecommit.inflight",
+        f"{t3}.deltacommit.requested", f"{t3}.deltacommit.inflight",
+        f"{t3}.deltacommit",
+        f"{t4}.replacecommit.requested",
+        f"{t4}.replacecommit.inflight",
+    ):
+        with open(os.path.join(hdir, name), "w") as fh:
+            fh.write("{}")
+    # the COMPLETED replacecommit carries the replace metadata
+    with open(os.path.join(hdir, f"{t2}.replacecommit"), "w") as fh:
+        json.dump({
+            "partitionToReplaceFileIds": {"": ["fg-A", "fg-B"]},
+            "partitionToWriteStats": {"": [{"fileId": "fg-C"}]},
+        }, fh)
+
+    # ---- the reader ----
+    completed: set[str] = set()
+    replaced_ids: set[str] = set()
+    inflight_replace = 0
+    for f in sorted(os.listdir(hdir)):
+        parts = f.split(".")
+        if parts[1] not in ("commit", "deltacommit", "rollback",
+                            "replacecommit"):
+            raise NotImplementedError(f"Hudi action {parts[1]!r}")
+        if len(parts) != 2:
+            if parts[1] == "replacecommit" and parts[2] == "inflight":
+                inflight_replace += 1  # intent only: changes nothing
+            continue
+        if parts[1] in ("commit", "deltacommit", "replacecommit"):
+            completed.add(parts[0])
+        if parts[1] == "replacecommit":
+            with open(os.path.join(hdir, f)) as fh:
+                meta = json.load(fh)
+            for ids in meta["partitionToReplaceFileIds"].values():
+                replaced_ids.update(ids)
+    # completed replaces have a completed file too; count intents
+    # that never completed
+    inflight_replace -= sum(
+        1 for f in os.listdir(hdir)
+        if f.endswith(".replacecommit")
+    )
+
+    base_paths: list[str] = []
+    visible_groups: set[str] = set()
+    slices: dict[str, list[tuple[int, str]]] = {}
+    for f in sorted(os.listdir(tdir)):
+        if f.endswith(".parquet"):
+            file_id = f.split("_", 1)[0]
+            instant = f.rsplit("_", 1)[1][: -len(".parquet")]
+            if instant in completed and file_id not in replaced_ids:
+                base_paths.append(os.path.join(tdir, f))
+                visible_groups.add(file_id)
+        elif f.startswith(".") and ".log." in f:
+            file_id, _base, version = parse_log_name(f)
+            if file_id in replaced_ids:
+                continue  # logs of a replaced group die with it
+            slices.setdefault(file_id, []).append(
+                (version, os.path.join(tdir, f))
+            )
+
+    plan = spark.createDataFrame(
+        [
+            (fid, json.dumps([p for _, p in sorted(paths)]))
+            for fid, paths in sorted(slices.items())
+        ],
+        "file_id string, logs string",
+    ).repartition(max(len(slices), 1))
+    completed_b = sorted(completed)
+
+    def _read_group_logs(batches):
+        import pandas as pd
+
+        cols = ["o_orderkey", "o_totalprice", "instant", "seq",
+                "is_delete", "applied", "is_meta"]
+        done = set(completed_b)
+        for pdf in batches:
+            for rec in pdf.itertuples(index=False):
+                stream: list[dict] = []
+                for path in json.loads(rec.logs):
+                    with open(path, "rb") as fh:
+                        stream.extend(walk_log_blocks(fh.read()))
+                stream, _rolled = apply_command_blocks(stream)
+                rows = []
+                applied = 0
+                seq = 0
+                for blk in stream:
+                    instant = blk["header"][_H_INSTANT]
+                    if instant not in done:
+                        continue
+                    applied += 1
+                    if blk["type"] == _AVRO_BLOCK:
+                        schema = json.loads(blk["header"][_H_SCHEMA])
+                        for r in _dec_avro_content(blk["content"],
+                                                   schema):
+                            seq += 1
+                            rows.append((r["o_orderkey"],
+                                         r["o_totalprice"],
+                                         instant, seq, False,
+                                         0, False))
+                    elif blk["type"] == _DELETE_BLOCK:
+                        for key in _dec_delete_content(blk["content"]):
+                            seq += 1
+                            rows.append((int(key), 0.0, instant, seq,
+                                         True, 0, False))
+                    else:
+                        raise NotImplementedError(
+                            f"log block type {blk['type']}"
+                        )
+                rows.append((None, 0.0, "", 0, False, applied, True))
+                yield pd.DataFrame(rows, columns=cols)
+
+    parsed = plan.mapInPandas(
+        _read_group_logs,
+        "o_orderkey long, o_totalprice double, instant string,"
+        " seq int, is_delete boolean, applied int, is_meta boolean",
+    ).localCheckpoint(eager=True)
+
+    counters = parsed.filter("is_meta").agg(
+        F.sum("applied").cast("int").alias("blocks_applied"),
+    )
+    log_df = parsed.filter(~F.col("is_meta")).select(
+        "o_orderkey", "o_totalprice", "instant", "seq", "is_delete"
+    )
+    base = (
+        spark.read.parquet(*base_paths)
+        .withColumn("instant", F.lit(t2))
+        .withColumn("seq", F.lit(0))
+        .withColumn("is_delete", F.lit(False))
+    )
+    w = Window.partitionBy("o_orderkey").orderBy(
+        F.col("instant").desc(), F.col("seq").desc()
+    )
+    merged = (
+        base.unionByName(log_df)
+        .withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") == 1) & ~F.col("is_delete"))
+    )
+    out = (
+        merged.agg(
+            F.lit(len(replaced_ids)).cast("int")
+            .alias("groups_replaced"),
+            F.lit(len(visible_groups)).cast("int")
+            .alias("groups_visible"),
+            F.lit(inflight_replace == 1)
+            .alias("inflight_replace_ignored"),
+            F.count("*").alias("n_orders"),
+            dsum("o_totalprice").alias("revenue"),
+        )
+        .crossJoin(F.broadcast(counters))
+        .select(
+            "groups_replaced", "groups_visible",
+            "inflight_replace_ignored", "blocks_applied",
+            "n_orders", "revenue",
+        )
+        .localCheckpoint(eager=True)  # 1 row; frees the temp root
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    return out
