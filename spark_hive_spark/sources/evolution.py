@@ -8625,6 +8625,12 @@ def source_iceberg_changelog_mor(
                 if mrow["content"] == 0:
                     insert_files.append((e["file_path"], ordinal, sid))
                 else:
+                    if e.get("content") == 2:
+                        raise NotImplementedError(
+                            "equality-delete file in the MOR "
+                            "changelog reader (only position "
+                            "deletes join back by (file, pos))"
+                        )
                     delete_files.append((e["file_path"], ordinal, sid))
 
     if not delete_files or not insert_files:
@@ -8926,5 +8932,256 @@ def source_delta_row_tracking_checkpoint(
         .alias("watermark_ok"),
         dsum("o_totalprice").alias("revenue"),
     ).localCheckpoint(eager=True)  # 1 row; frees the temp root
+    shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
+@register(
+    "source_iceberg_changelog_net_changes",
+    oracle=f"""
+        WITH unchanged AS (
+            SELECT count(*) AS n FROM orders WHERE o_orderkey % 4 = 0
+        ),
+        churn AS (
+            SELECT count(*) AS n FROM orders WHERE o_orderkey % 4 = 2
+        )
+        SELECT 'DELETE' AS change_type,
+               CAST((SELECT n FROM unchanged) AS BIGINT)
+                   AS unchanged_carried_rows,
+               CAST((SELECT n FROM churn) AS BIGINT)
+                   AS churn_cancelled_rows,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               {sql_dsum('o_totalprice')} AS revenue
+        FROM orders WHERE o_orderkey % 4 = 1
+        UNION ALL
+        SELECT 'INSERT',
+               CAST((SELECT n FROM unchanged) AS BIGINT),
+               CAST((SELECT n FROM churn) AS BIGINT),
+               CAST(count(*) AS BIGINT),
+               {sql_dsum('o_totalprice + 100.00')}
+        FROM orders WHERE o_orderkey % 4 = 1
+    """,
+    tags=("source", "iceberg", "lakehouse", "cdc", "changelog",
+          "net-changes", "avro"),
+)
+def source_iceberg_changelog_net_changes(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Iceberg changelog NET CHANGES (round 17) — the
+    ``net_changes`` mode of Spark's create_changelog_view: a
+    consumer that wants "what is different between snapshots A and
+    B", not the commit-by-commit event stream. Net semantics cancel
+    everything the per-commit changelog faithfully reports:
+
+    - a row inserted AND deleted inside the range (file C's rows:
+      appended at snap 2, removed at snap 4) nets to NOTHING;
+    - a replace (compaction) was already nothing;
+    - rows CARRIED through rewrites net to nothing even when their
+      FILES changed — the fixture's overwrite rewrites D into E
+      keeping k%4==0 rows byte-identical while changing k%4==1
+      rows (+100.00): a file-level differ emits every carried row
+      as delete+insert churn (the dominant failure mode — at 100 TB
+      a compaction-heavy range would flood consumers), a net reader
+      emits exactly the k%4==1 delete+insert pair.
+
+    Computed as the row-level symmetric difference of the two
+    LIVE STATES (state@from anti-join state@to both directions, on
+    full row value) — each state resolved by a complete
+    manifest-list walk (ADDED/EXISTING live, DELETED dropped), NOT
+    by replaying events, so the cancellation is structural. The
+    attested counts pin both cancellation classes (unchanged
+    carried rows via the inner join, churn rows by their absence
+    from either state).
+
+    Scale posture: two file-set scans + one shuffle on the full-row
+    hash for the anti/semi joins — the cost of a snapshot diff, not
+    of history replay; planning O(manifest entries)."""
+    import json as _json
+
+    from spark_hive_spark.operators.avro import (
+        encode_avro_ocf,
+        parse_avro_ocf,
+    )
+
+    orders = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    root = os.path.join(
+        tempfile.gettempdir(), f"shs_icenet_{uuid.uuid4().hex}"
+    )
+    ddir = os.path.join(root, "data")
+    mdir = os.path.join(root, "metadata")
+    os.makedirs(ddir)
+    os.makedirs(mdir)
+
+    k = F.col("o_orderkey") % 4
+    stage_single_parquet(orders.filter(k == 0), root, ddir, "A.parquet")
+    stage_single_parquet(orders.filter(k == 1), root, ddir, "B.parquet")
+    stage_single_parquet(orders.filter(k == 2), root, ddir, "C.parquet")
+    stage_single_parquet(orders.filter(k < 2), root, ddir, "D.parquet")
+    stage_single_parquet(  # E: k%4==0 carried byte-identical,
+        orders.filter(k < 2).select(  # k%4==1 changed (+100)
+            "o_orderkey",
+            F.when(k == 1, F.col("o_totalprice") + 100.0)
+            .otherwise(F.col("o_totalprice"))
+            .alias("o_totalprice"),
+        ),
+        root, ddir, "E.parquet",
+    )
+
+    entry_schema = {
+        "type": "record", "name": "manifest_entry",
+        "fields": [
+            {"name": "status", "type": "long"},
+            {"name": "file_path", "type": "string"},
+            {"name": "record_count", "type": "long"},
+        ],
+    }
+    mlist_schema = {
+        "type": "record", "name": "manifest_file",
+        "fields": [
+            {"name": "manifest_path", "type": "string"},
+            {"name": "added_snapshot_id", "type": "long"},
+        ],
+    }
+
+    def _manifest(name: str, entries: list[dict]) -> str:
+        path = os.path.join(mdir, name)
+        with open(path, "wb") as fh:
+            fh.write(encode_avro_ocf(entries, entry_schema,
+                                     codec="deflate"))
+        return path
+
+    def _mlist(name: str, pairs: list[tuple[str, int]]) -> str:
+        path = os.path.join(mdir, name)
+        rows = [{"manifest_path": p, "added_snapshot_id": sid}
+                for p, sid in pairs]
+        with open(path, "wb") as fh:
+            fh.write(encode_avro_ocf(rows, mlist_schema,
+                                     codec="snappy"))
+        return path
+
+    m1 = _manifest("m1.avro", [
+        {"status": 1, "file_path": "A.parquet", "record_count": 0},
+        {"status": 1, "file_path": "B.parquet", "record_count": 0},
+    ])
+    m2 = _manifest("m2.avro", [
+        {"status": 1, "file_path": "C.parquet", "record_count": 0},
+    ])
+    m3 = _manifest("m3.avro", [
+        {"status": 2, "file_path": "C.parquet", "record_count": 0},
+    ])
+    m4 = _manifest("m4.avro", [  # replace: A+B -> D
+        {"status": 2, "file_path": "A.parquet", "record_count": 0},
+        {"status": 2, "file_path": "B.parquet", "record_count": 0},
+        {"status": 1, "file_path": "D.parquet", "record_count": 0},
+    ])
+    m5 = _manifest("m5.avro", [  # overwrite: D -> E
+        {"status": 2, "file_path": "D.parquet", "record_count": 0},
+        {"status": 1, "file_path": "E.parquet", "record_count": 0},
+    ])
+
+    snaps = [
+        {"snapshot-id": 1, "summary": {"operation": "append"},
+         "manifest-list": _mlist("s1.avro", [(m1, 1)])},
+        {"snapshot-id": 2, "parent-snapshot-id": 1,
+         "summary": {"operation": "append"},
+         "manifest-list": _mlist("s2.avro", [(m1, 1), (m2, 2)])},
+        {"snapshot-id": 3, "parent-snapshot-id": 2,
+         "summary": {"operation": "delete"},
+         "manifest-list": _mlist("s3.avro", [(m1, 1), (m3, 3)])},
+        {"snapshot-id": 4, "parent-snapshot-id": 3,
+         "summary": {"operation": "replace"},
+         "manifest-list": _mlist("s4.avro", [(m4, 4)])},
+        {"snapshot-id": 5, "parent-snapshot-id": 4,
+         "summary": {"operation": "overwrite"},
+         "manifest-list": _mlist("s5.avro", [(m5, 5)])},
+    ]
+    with open(os.path.join(mdir, "v1.metadata.json"), "w") as fh:
+        _json.dump({"format-version": 2, "current-snapshot-id": 5,
+                    "snapshots": snaps}, fh)
+
+    # ---- the reader: net changes between snapshots 1 and 5 ----
+    with open(os.path.join(mdir, "v1.metadata.json")) as fh:
+        md = _json.load(fh)
+    iceberg_format_gate(md)
+    # bounds must be related; reuse the chain-walk validation
+    iceberg_changelog_between(md, 1, 5)
+    by_id = {s["snapshot-id"]: s for s in md["snapshots"]}
+
+    def _live_at(sid: int) -> list[str]:
+        with open(by_id[sid]["manifest-list"], "rb") as fh:
+            _, mrows = parse_avro_ocf(fh.read())
+        live: set[str] = set()
+        for mrow in mrows:
+            with open(mrow["manifest_path"], "rb") as fh:
+                _, entries = parse_avro_ocf(fh.read())
+            for e in entries:
+                iceberg_entry_content_gate(e)
+                if e["status"] in (0, 1):  # EXISTING / ADDED
+                    live.add(e["file_path"])
+                elif e["status"] == 2:
+                    live.discard(e["file_path"])
+                else:
+                    raise ValueError(
+                        f"unknown manifest status {e['status']}"
+                    )
+        return sorted(live)
+
+    def _state(files: list[str]) -> DataFrame:
+        return spark.read.parquet(
+            *(os.path.join(ddir, p) for p in files)
+        ).select("o_orderkey", "o_totalprice")
+
+    before = _state(_live_at(1))
+    after = _state(_live_at(5))
+    on = ["o_orderkey", "o_totalprice"]
+    deleted = before.join(after, on, "left_anti")
+    inserted = after.join(before, on, "left_anti")
+    unchanged = before.join(after, on, "left_semi").count()
+    # structural churn attest: files the in-range DELETE commits
+    # removed, whose rows appear in NEITHER endpoint state — the
+    # rows a per-commit changelog reports twice and net cancels
+    churn_files: set[str] = set()
+    for _ordinal, sid, op in iceberg_changelog_between(md, 1, 5)[0]:
+        if op != "delete":
+            continue
+        with open(by_id[sid]["manifest-list"], "rb") as fh:
+            _, mrows = parse_avro_ocf(fh.read())
+        for mrow in mrows:
+            if mrow["added_snapshot_id"] != sid:
+                continue
+            with open(mrow["manifest_path"], "rb") as fh:
+                _, entries = parse_avro_ocf(fh.read())
+            churn_files.update(
+                e["file_path"] for e in entries if e["status"] == 2
+            )
+    churn_cancelled = (
+        _state(sorted(churn_files))
+        .join(before.unionByName(after), on, "left_anti")
+        .count()
+    )
+    net = deleted.withColumn(
+        "change_type", F.lit("DELETE")
+    ).unionByName(
+        inserted.withColumn("change_type", F.lit("INSERT"))
+    )
+    out = (
+        net.groupBy("change_type")
+        .agg(
+            F.lit(unchanged).cast("bigint")
+            .alias("unchanged_carried_rows"),
+            F.lit(churn_cancelled).cast("bigint")
+            .alias("churn_cancelled_rows"),
+            F.count("*").alias("n_rows"),
+            dsum("o_totalprice").alias("revenue"),
+        )
+        .select(
+            "change_type", "unchanged_carried_rows",
+            "churn_cancelled_rows", "n_rows", "revenue",
+        )
+        .orderBy("change_type")
+        .localCheckpoint(eager=True)  # 2 rows; frees the temp root
+    )
     shutil.rmtree(root, ignore_errors=True)
     return out
