@@ -334,6 +334,8 @@ EXTENDED = [
     "source_hudi_mor_time_travel",
     "source_orc_row_index_skipping_decimal",
     "source_parquet_bloom_skipping_string",
+    "source_hudi_clustering_replacecommit",
+    "source_iceberg_changelog_net_changes",
 ]
 
 # Streaming extended queries run dead LAST (after the streaming
