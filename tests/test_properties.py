@@ -725,3 +725,73 @@ def test_replay_ord_is_order_isomorphic(a, b):
 
     assert (_replay_ord(*a) < _replay_ord(*b)) == (a < b)
     assert (_replay_ord(*a) == _replay_ord(*b)) == (a == b)
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(
+    cents=st.lists(st.integers(-10**15, 10**15), min_size=1,
+                   max_size=2000),
+)
+def test_orc_decimal_varint_differential(cents):
+    """Property: the decimal DATA (unbounded zigzag varints) +
+    SECONDARY (scale) decode reproduces whatever pyarrow's ORC
+    writer encodes for arbitrary decimal(18,2) data — negatives
+    (zigzag sign), large magnitudes (multi-byte varints), and
+    whatever per-value scale policy the writer applies (the Java
+    writer normalizes trailing zeros; the decode must honor the
+    scale STREAM either way, never the declared scale)."""
+    import decimal
+    import io
+
+    import pyarrow as pa
+    from pyarrow import orc as po
+
+    from spark_hive_spark.sources.orc_meta import (
+        _orc_file_tail,
+        _unchunk,
+        _unzigzag,
+        _uvarint,
+        decode_message,
+        decode_rlev2,
+    )
+
+    vals = [decimal.Decimal(c).scaleb(-2) for c in cents]
+    buf = io.BytesIO()
+    po.write_table(
+        pa.table({"d": pa.array(vals, pa.decimal128(18, 2))}), buf,
+        compression="uncompressed",
+    )
+    data = buf.getvalue()
+    footer, codec = _orc_file_tail(data)
+    assert codec == 0
+    got: list[int] = []
+    for sraw in footer.get(3, []):
+        stp = decode_message(sraw)
+        off, ilen, dlen, flen = (
+            stp[1][0], stp[2][0], stp[3][0], stp[4][0]
+        )
+        sfoot = decode_message(
+            _unchunk(data[off + ilen + dlen
+                          : off + ilen + dlen + flen], codec)
+        )
+        pos = off
+        streams = {}
+        for s in sfoot[1]:
+            m = decode_message(s)
+            streams[(m.get(2, [0])[0], m.get(1, [0])[0])] = \
+                data[pos : pos + m[3][0]]
+            pos += m[3][0]
+        n = stp[5][0]
+        d_data = streams[(1, 1)]
+        p = 0
+        unscaled = []
+        for _ in range(n):
+            u, p = _uvarint(d_data, p)
+            unscaled.append(_unzigzag(u))
+        scales = decode_rlev2(
+            streams[(1, 5)], signed=True, max_values=n
+        )[:n]
+        assert all(s <= 2 for s in scales)
+        got += [u * 10 ** (2 - s) for u, s in zip(unscaled, scales)]
+    assert got == cents
