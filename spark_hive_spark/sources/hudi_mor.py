@@ -67,6 +67,7 @@ _MAGIC = b"#HUDI#"
 _FMT_VERSION = 1
 # HoodieLogBlockType ordinals (tech-specs block type table)
 _CMD_BLOCK, _DELETE_BLOCK, _CORRUPT_BLOCK, _AVRO_BLOCK = 0, 1, 2, 3
+_HFILE_BLOCK, _PARQUET_BLOCK = 4, 5
 # HeaderMetadataType ordinals
 _H_INSTANT, _H_TARGET_INSTANT, _H_SCHEMA, _H_COMMAND = 0, 1, 2, 3
 
@@ -1852,6 +1853,297 @@ def source_hudi_clustering_replacecommit(
             "groups_replaced", "groups_visible",
             "inflight_replace_ignored", "blocks_applied",
             "n_orders", "revenue",
+        )
+        .localCheckpoint(eager=True)  # 1 row; frees the temp root
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
+def _enc_parquet_content(records: list[dict]) -> bytes:
+    """PARQUET data block content (HoodieLogBlockType 5): the
+    serialized records ARE a complete parquet file — unlike the
+    Avro block there is no version/record-count preamble; the
+    parquet footer carries both (tech-specs §Log File Format /
+    HoodieParquetDataBlock.serializeRecords)."""
+    import io
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    buf = io.BytesIO()
+    pq.write_table(
+        pa.table({
+            "o_orderkey": pa.array(
+                [r["o_orderkey"] for r in records], pa.int64()
+            ),
+            "o_totalprice": pa.array(
+                [r["o_totalprice"] for r in records], pa.float64()
+            ),
+        }),
+        buf,
+    )
+    return buf.getvalue()
+
+
+def _dec_parquet_content(content: bytes) -> list[dict]:
+    """Decode a PARQUET data block's content: the bytes are a
+    self-contained parquet file."""
+    import io
+
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(io.BytesIO(content))
+    return [
+        {"o_orderkey": int(k), "o_totalprice": float(p)}
+        for k, p in zip(
+            tbl.column("o_orderkey").to_pylist(),
+            tbl.column("o_totalprice").to_pylist(),
+        )
+    ]
+
+
+@register(
+    "source_hudi_mor_parquet_log_blocks",
+    oracle=f"""
+        SELECT CAST(1 AS INT) AS parquet_blocks,
+               CAST(1 AS INT) AS avro_blocks,
+               CAST(1 AS INT) AS delete_blocks,
+               CAST((SELECT count(*) FROM orders
+                     WHERE o_orderkey % 10 = 3) AS BIGINT)
+                   AS n_deleted,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               CAST(sum(CAST(o_totalprice
+                   + CASE WHEN o_orderkey % 10 = 6 THEN 100.00
+                          WHEN o_orderkey % 10 = 8 THEN 50.00
+                          ELSE 0 END
+                   AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        FROM orders WHERE o_orderkey % 10 <> 3
+    """,
+    tags=("source", "hudi", "lakehouse", "merge-on-read",
+          "parquet-log-block", "compat"),
+)
+def source_hudi_mor_parquet_log_blocks(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Hudi MOR snapshot over PARQUET log blocks (round 17) — log
+    block type 5, the `hoodie.logfile.data.block.format=parquet`
+    shape modern write paths emit for columnar log scans; the other
+    Hudi readers keep it a loud seam. The content framing is the
+    trap: an Avro block's content opens with [version, record
+    count] before the records, but a PARQUET block's content IS a
+    complete parquet file — a reader that strips an 8-byte preamble
+    feeds the decoder garbage, and one that writes one assumes a
+    framing no real reader expects (the parquet footer already
+    carries the count).
+
+    The fixture's single log file MIXES formats in one slice —
+    parquet block (deltacommit 002, +100.00 on keys ≡ 6), Avro
+    block (003, +50.00 on keys ≡ 8), delete block (004, tombstones
+    keys ≡ 3) — so the merge must be format-blind: per-key window
+    over (instant, within-instant scan order), exactly the module's
+    standard shape. Block-type counters attest each format actually
+    decoded; HFILE blocks (type 4) stay a loud seam.
+
+    Scale posture: identical to the Avro sibling — one task per
+    file group, per-block decode through Arrow, merge one
+    shuffle-by-key."""
+    orders = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    root = os.path.join(
+        tempfile.gettempdir(), f"shs_hudi_pq_{uuid.uuid4().hex}"
+    )
+    tdir = os.path.join(root, "t")
+    hdir = os.path.join(tdir, ".hoodie")
+    os.makedirs(hdir)
+
+    schema_json = json.dumps(_LOG_SCHEMA)
+    t1, t2, t3, t4 = "001", "002", "003", "004"
+    par = F.col("o_orderkey") % 2
+    stage_single_parquet(
+        orders.filter(par == 0), root, tdir,
+        f"fg-A_0-1-0_{t1}.parquet",
+    )
+    stage_single_parquet(
+        orders.filter(par == 1), root, tdir,
+        f"fg-B_0-1-0_{t1}.parquet",
+    )
+
+    changes = (
+        orders.filter((F.col("o_orderkey") % 10).isin(3, 6, 8))
+        .toPandas()
+    )
+    mod = changes["o_orderkey"] % 10
+
+    def _ups(m: int, delta: float) -> list[dict]:
+        sel = changes[mod == m]
+        return [
+            {"o_orderkey": int(k), "o_totalprice": float(p) + delta}
+            for k, p in zip(sel["o_orderkey"], sel["o_totalprice"])
+        ]
+
+    # both groups get all three block formats' keys where they live:
+    # ≡6, ≡8 are even (group A); ≡3 odd (group B)
+    with open(os.path.join(tdir, f".fg-A_{t1}.log.1_0-1-0"),
+              "wb") as fh:
+        fh.write(encode_log_block(
+            _PARQUET_BLOCK, {_H_INSTANT: t2},
+            _enc_parquet_content(_ups(6, 100.0)),
+        ))
+        fh.write(encode_log_block(
+            _AVRO_BLOCK,
+            {_H_INSTANT: t3, _H_SCHEMA: schema_json},
+            _enc_avro_content(_ups(8, 50.0)),
+        ))
+    with open(os.path.join(tdir, f".fg-B_{t1}.log.1_0-1-0"),
+              "wb") as fh:
+        fh.write(encode_log_block(
+            _DELETE_BLOCK, {_H_INSTANT: t4},
+            _enc_delete_content(
+                [str(int(k)) for k in
+                 changes[mod == 3]["o_orderkey"]]
+            ),
+        ))
+
+    for name in (
+        f"{t1}.commit.requested", f"{t1}.commit.inflight",
+        f"{t1}.commit",
+        f"{t2}.deltacommit.requested", f"{t2}.deltacommit.inflight",
+        f"{t2}.deltacommit",
+        f"{t3}.deltacommit.requested", f"{t3}.deltacommit.inflight",
+        f"{t3}.deltacommit",
+        f"{t4}.deltacommit.requested", f"{t4}.deltacommit.inflight",
+        f"{t4}.deltacommit",
+    ):
+        with open(os.path.join(hdir, name), "w") as fh:
+            fh.write("{}")
+
+    # ---- the reader ----
+    completed: set[str] = set()
+    for f in os.listdir(hdir):
+        parts = f.split(".")
+        if parts[1] not in ("commit", "deltacommit", "rollback"):
+            raise NotImplementedError(f"Hudi action {parts[1]!r}")
+        if len(parts) == 2 and parts[1] in ("commit", "deltacommit"):
+            completed.add(parts[0])
+
+    base_paths: list[str] = []
+    slices: dict[str, list[tuple[int, str]]] = {}
+    for f in sorted(os.listdir(tdir)):
+        if f.endswith(".parquet"):
+            instant = f.rsplit("_", 1)[1][: -len(".parquet")]
+            if instant in completed:
+                base_paths.append(os.path.join(tdir, f))
+        elif f.startswith(".") and ".log." in f:
+            file_id, _base, version = parse_log_name(f)
+            slices.setdefault(file_id, []).append(
+                (version, os.path.join(tdir, f))
+            )
+
+    plan = spark.createDataFrame(
+        [
+            (fid, json.dumps([p for _, p in sorted(paths)]))
+            for fid, paths in sorted(slices.items())
+        ],
+        "file_id string, logs string",
+    ).repartition(len(slices))
+    completed_b = sorted(completed)
+
+    def _read_group_logs(batches):
+        import pandas as pd
+
+        cols = ["o_orderkey", "o_totalprice", "instant", "seq",
+                "is_delete", "n_pq", "n_avro", "n_del", "is_meta"]
+        done = set(completed_b)
+        for pdf in batches:
+            for rec in pdf.itertuples(index=False):
+                stream: list[dict] = []
+                for path in json.loads(rec.logs):
+                    with open(path, "rb") as fh:
+                        stream.extend(walk_log_blocks(fh.read()))
+                stream, _rolled = apply_command_blocks(stream)
+                rows = []
+                n_pq = n_avro = n_del = 0
+                seq = 0
+                for blk in stream:
+                    instant = blk["header"][_H_INSTANT]
+                    if instant not in done:
+                        continue
+                    if blk["type"] == _PARQUET_BLOCK:
+                        n_pq += 1
+                        for r in _dec_parquet_content(
+                            blk["content"]
+                        ):
+                            seq += 1
+                            rows.append((r["o_orderkey"],
+                                         r["o_totalprice"],
+                                         instant, seq, False,
+                                         0, 0, 0, False))
+                    elif blk["type"] == _AVRO_BLOCK:
+                        n_avro += 1
+                        schema = json.loads(blk["header"][_H_SCHEMA])
+                        for r in _dec_avro_content(blk["content"],
+                                                   schema):
+                            seq += 1
+                            rows.append((r["o_orderkey"],
+                                         r["o_totalprice"],
+                                         instant, seq, False,
+                                         0, 0, 0, False))
+                    elif blk["type"] == _DELETE_BLOCK:
+                        n_del += 1
+                        for key in _dec_delete_content(blk["content"]):
+                            seq += 1
+                            rows.append((int(key), 0.0, instant, seq,
+                                         True, 0, 0, 0, False))
+                    else:
+                        raise NotImplementedError(
+                            f"log block type {blk['type']}"
+                        )
+                rows.append((None, 0.0, "", 0, False,
+                             n_pq, n_avro, n_del, True))
+                yield pd.DataFrame(rows, columns=cols)
+
+    parsed = plan.mapInPandas(
+        _read_group_logs,
+        "o_orderkey long, o_totalprice double, instant string,"
+        " seq int, is_delete boolean, n_pq int, n_avro int,"
+        " n_del int, is_meta boolean",
+    ).localCheckpoint(eager=True)
+
+    counters = parsed.filter("is_meta").agg(
+        F.sum("n_pq").cast("int").alias("parquet_blocks"),
+        F.sum("n_avro").cast("int").alias("avro_blocks"),
+        F.sum("n_del").cast("int").alias("delete_blocks"),
+    )
+    log_df = parsed.filter(~F.col("is_meta")).select(
+        "o_orderkey", "o_totalprice", "instant", "seq", "is_delete"
+    )
+    n_deleted = log_df.filter("is_delete").count()
+    base = (
+        spark.read.parquet(*base_paths)
+        .withColumn("instant", F.lit(t1))
+        .withColumn("seq", F.lit(0))
+        .withColumn("is_delete", F.lit(False))
+    )
+    w = Window.partitionBy("o_orderkey").orderBy(
+        F.col("instant").desc(), F.col("seq").desc()
+    )
+    merged = (
+        base.unionByName(log_df)
+        .withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") == 1) & ~F.col("is_delete"))
+    )
+    out = (
+        merged.agg(
+            F.lit(n_deleted).cast("bigint").alias("n_deleted"),
+            F.count("*").alias("n_orders"),
+            dsum("o_totalprice").alias("revenue"),
+        )
+        .crossJoin(F.broadcast(counters))
+        .select(
+            "parquet_blocks", "avro_blocks", "delete_blocks",
+            "n_deleted", "n_orders", "revenue",
         )
         .localCheckpoint(eager=True)  # 1 row; frees the temp root
     )
