@@ -336,6 +336,7 @@ EXTENDED = [
     "source_parquet_bloom_skipping_string",
     "source_hudi_clustering_replacecommit",
     "source_iceberg_changelog_net_changes",
+    "source_hudi_mor_parquet_log_blocks",
 ]
 
 # Streaming extended queries run dead LAST (after the streaming
