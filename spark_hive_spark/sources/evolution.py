@@ -8363,8 +8363,13 @@ def source_delta_row_tracking(
     ])
 
     # ---- the reader ----
+    versions = sorted(
+        int(f[:20]) for f in os.listdir(ldir) if f.endswith(".json")
+    )
+    if versions != list(range(versions[0], versions[0] + len(versions))):
+        raise ValueError("Delta log has version gaps")
     actions: list[dict] = []
-    for v in range(3):
+    for v in versions:
         with open(os.path.join(ldir, f"{v:020d}.json")) as fh:
             actions += [
                 _json.loads(ln) for ln in fh if ln.strip()

@@ -1823,12 +1823,23 @@ def source_hudi_clustering_replacecommit(
     log_df = parsed.filter(~F.col("is_meta")).select(
         "o_orderkey", "o_totalprice", "instant", "seq", "is_delete"
     )
-    base = (
-        spark.read.parquet(*base_paths)
-        .withColumn("instant", F.lit(t2))
-        .withColumn("seq", F.lit(0))
-        .withColumn("is_delete", F.lit(False))
-    )
+    # each base file carries ITS OWN commit instant (parsed from the
+    # slice name) — after a partial clustering, visible groups span
+    # instants, and a blanket literal mis-orders the merge
+    base_parts = []
+    for p in base_paths:
+        instant = os.path.basename(p).rsplit("_", 1)[1][
+            : -len(".parquet")
+        ]
+        base_parts.append(
+            spark.read.parquet(p)
+            .withColumn("instant", F.lit(instant))
+            .withColumn("seq", F.lit(0))
+            .withColumn("is_delete", F.lit(False))
+        )
+    base = base_parts[0]
+    for df in base_parts[1:]:
+        base = base.unionByName(df)
     w = Window.partitionBy("o_orderkey").orderBy(
         F.col("instant").desc(), F.col("seq").desc()
     )
