@@ -6042,3 +6042,296 @@ def source_orc_bloom_skipping_dictionary(
     ).localCheckpoint(eager=True)  # 1 row; frees the temp root
     shutil.rmtree(root, ignore_errors=True)
     return out
+
+
+def orc_seek_varints_compressed(
+    stream: bytes, codec: int, chunk_off: int, dec_off: int,
+    n: int, touched: set[int] | None = None,
+) -> list[int]:
+    """Seek-decode ``n`` signed (zigzag) UNBOUNDED VARINTS from a
+    COMPRESSED ORC stream — the decimal DATA shape under the
+    default codecs: start at the chunk whose header sits at
+    ``chunk_off``, drop ``dec_off`` leading bytes of its
+    decompressed output (no value skip: varints are self-delimiting
+    and row groups start on varint boundaries). Chunks decompress
+    LAZILY: a varint truncated by the buffer end (`TruncatedRun` —
+    the round's truncation/corruption split doing real work) pulls
+    exactly one more chunk and the unconsumed tail (< 10 bytes, a
+    partial varint) carries over — chunks before the seek point and
+    after the group's last varint are never decompressed
+    (``touched`` collects decompressed header offsets for the
+    laziness attestation)."""
+    out: list[int] = []
+    buf = b""
+    pos = 0
+    p = chunk_off
+    first = True
+    while len(out) < n:
+        try:
+            u, pos = _uvarint(buf, pos)
+        except TruncatedRun:
+            if p + 3 > len(stream):
+                raise ValueError(
+                    "varint seek-decode ran out of compression "
+                    "chunks"
+                )
+            h = (stream[p] | (stream[p + 1] << 8)
+                 | (stream[p + 2] << 16))
+            clen = h >> 1
+            dec = _unchunk(stream[p : p + 3 + clen], codec)
+            if touched is not None:
+                touched.add(p)
+            if first:
+                dec = dec[dec_off:]
+                first = False
+            buf = buf[pos:] + dec
+            pos = 0
+            p += 3 + clen
+            continue
+        out.append(_unzigzag(u))
+    return out
+
+
+@register(
+    "source_orc_row_index_skipping_decimal_compressed",
+    oracle="""
+        WITH bounds AS (
+            SELECT CAST(floor(0.30 * max(o_orderkey)) AS BIGINT)
+                       AS lo,
+                   CAST(floor(0.45 * max(o_orderkey)) AS BIGINT)
+                       AS hi
+            FROM orders
+        )
+        SELECT TRUE AS skipping_effective,
+               TRUE AS partial_decode,
+               TRUE AS lazy_decompression,
+               TRUE AS decimal_stats_attested,
+               CAST(count(*) AS BIGINT) AS n_matched,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM orders, bounds
+        WHERE o_orderkey BETWEEN lo AND hi
+    """,
+    tags=("source", "orc", "row-index", "skipping", "decimal",
+          "compressed", "data-read"),
+)
+def source_orc_row_index_skipping_decimal_compressed(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """ORC DECIMAL row-group seek-decode under COMPRESSION
+    (round 17) — the production shape of the decimal seam: under
+    the default codecs the decimal entry carries FIVE positions,
+    chunk indirection prepended per stream asymmetrically — DATA
+    gets ``[chunk offset, decompressed offset]`` ONLY (varints are
+    self-delimiting, no value skip) while SECONDARY gets the full
+    ``[chunk, decompressed offset, values to skip]`` — so a reader
+    that splits 5 symmetrically mis-seeks both streams.
+    `orc_seek_varints_compressed` pulls chunks lazily, one per
+    `TruncatedRun`, with the partial-varint tail carried over;
+    scales ride the existing `orc_seek_decode_compressed`. The
+    per-group DecimalStatistics string attestation (normalized
+    HiveDecimal form) and the laziness attestation (touched chunk
+    headers a strict subset of each stream's chunk-header walk)
+    both ride the output row.
+
+    Scale posture: the group's cost is its own chunks — the
+    1 KiB ``orc.compress.size`` fixture makes streams span many
+    chunks at every SF so the strict-subset claim has teeth."""
+    import pandas as _pd
+
+    root = os.path.join(
+        tempfile.gettempdir(), f"shs_orcdecc_{uuid.uuid4().hex}"
+    )
+    os.makedirs(root)
+    fixture = (
+        t(spark, sf_dir, "orders")
+        .select(
+            F.col("o_orderkey").alias("k"),
+            F.col("o_totalprice").cast("decimal(18,2)").alias("d"),
+        )
+        .sort("k")
+    )
+    row = fixture.agg(
+        F.floor(F.max("k") * 0.30).cast("long").alias("lo"),
+        F.floor(F.max("k") * 0.45).cast("long").alias("hi"),
+        F.count("*").alias("n"),
+    ).collect()[0]
+    lo, hi, n_rows_total = row["lo"], row["hi"], row["n"]
+    stride = max(1000, n_rows_total // 6)
+    stage = os.path.join(root, "stage")
+    (
+        fixture.coalesce(1)
+        .write.option("compression", "zlib")
+        .option("orc.compress.size", "1024")
+        .option("orc.row.index.stride", str(stride))
+        .orc(stage)
+    )
+    src = next(f for f in os.listdir(stage) if f.endswith(".orc"))
+    path = os.path.join(root, "sorted.orc")
+    os.replace(os.path.join(stage, src), path)
+
+    plan = spark.createDataFrame(
+        [(path, lo, hi, n_rows_total)],
+        "path string, lo long, hi long, n_total long",
+    )
+
+    def _decode(batches) -> Iterator:
+        for pdf in batches:
+            rows = []
+            for rec in pdf.itertuples(index=False):
+                with open(rec.path, "rb") as fh:
+                    data = fh.read()
+                footer, codec = _orc_file_tail(data)
+                if codec == 0:
+                    raise ValueError(
+                        "compressed fixture came back uncompressed"
+                    )
+                g_total = g_sel = n_matched = 0
+                cents_sum = 0
+                rows_decoded = 0
+                dec_ok = lazy_ok = True
+                for sraw in footer.get(3, []):
+                    st = decode_message(sraw)
+                    off, ilen, dlen, flen = (
+                        st[1][0], st[2][0], st[3][0], st[4][0]
+                    )
+                    sfoot = decode_message(
+                        _unchunk(data[off + ilen + dlen
+                                      : off + ilen + dlen + flen],
+                                 codec)
+                    )
+                    pos = off
+                    streams: dict[tuple[int, int], bytes] = {}
+                    for s in sfoot[1]:
+                        m = decode_message(s)
+                        kind, col, ln = (
+                            m.get(1, [0])[0], m.get(2, [0])[0],
+                            m[3][0],
+                        )
+                        streams[(col, kind)] = data[pos : pos + ln]
+                        pos += ln
+
+                    def _entries(col: int) -> list[dict]:
+                        ri = decode_message(
+                            _unchunk(streams[(col, 6)], codec)
+                        )
+                        out = []
+                        for eraw in ri.get(1, []):
+                            e = decode_message(eraw)
+                            out.append({
+                                "positions": _packed_uvarints(
+                                    b"".join(e.get(1, []))
+                                ),
+                                "stats": decode_message(e[2][0]),
+                            })
+                        return out
+
+                    idx_k = _entries(1)
+                    idx_d = _entries(2)
+                    if len(idx_k) != len(idx_d):
+                        raise ValueError(
+                            "column row indexes disagree"
+                        )
+                    g_total += len(idx_k)
+                    k_stream = streams[(1, 1)]
+                    d_data = streams[(2, 1)]
+                    d_sec = streams[(2, 5)]
+                    touched_data: set[int] = set()
+                    touched_sec: set[int] = set()
+
+                    any_sel = False
+                    for ek, ed in zip(idx_k, idx_d):
+                        ik = decode_message(ek["stats"][2][0])
+                        kmin = _unzigzag(ik[1][0])
+                        kmax = _unzigzag(ik[2][0])
+                        if kmax < rec.lo or kmin > rec.hi:
+                            continue  # skipped: never decoded
+                        g_sel += 1
+                        any_sel = True
+                        n = ek["stats"][1][0]
+                        kc, kd, kv = orc_index_positions(
+                            ek["positions"], compressed=True
+                        )
+                        ks = orc_seek_decode_compressed(
+                            k_stream, codec, kc, kd, kv, n
+                        )
+                        if len(ed["positions"]) != 5:
+                            raise NotImplementedError(
+                                "compressed decimal row-index "
+                                f"entry with {len(ed['positions'])} "
+                                "positions (expected 5: DATA "
+                                "chunk/dec + SECONDARY "
+                                "chunk/dec/values)"
+                            )
+                        dc, dd, sc, sd, sv = ed["positions"]
+                        unscaled = orc_seek_varints_compressed(
+                            d_data, codec, dc, dd, n,
+                            touched=touched_data,
+                        )
+                        scales = orc_seek_decode_compressed(
+                            d_sec, codec, sc, sd, sv, n,
+                            touched=touched_sec,
+                        )
+                        if not set(scales) <= {0, 1, 2}:
+                            raise ValueError(
+                                "decimal(18,2) scale outside 0..2"
+                            )
+                        cents = [
+                            u * 10 ** (2 - s)
+                            for u, s in zip(unscaled, scales)
+                        ]
+                        ds = decode_message(ed["stats"][6][0])
+
+                        def _fmt(c: int) -> str:
+                            sign = "-" if c < 0 else ""
+                            a = abs(c)
+                            s = f"{sign}{a // 100}.{a % 100:02d}"
+                            return s.rstrip("0").rstrip(".")
+
+                        dec_ok &= (
+                            len(cents) == ed["stats"][1][0]
+                            and _fmt(min(cents))
+                            == ds[1][0].decode()
+                            and _fmt(max(cents))
+                            == ds[2][0].decode()
+                            and _fmt(sum(cents))
+                            == ds[3][0].decode()
+                        )
+                        rows_decoded += n
+                        for kvv, cv in zip(ks, cents):
+                            if rec.lo <= kvv <= rec.hi:
+                                n_matched += 1
+                                cents_sum += cv
+                    if any_sel:
+                        # laziness: decompressed headers a STRICT
+                        # subset of each stream's chunk walk
+                        lazy_ok &= (
+                            touched_data
+                            < set(orc_stream_chunk_offsets(d_data))
+                            and touched_sec
+                            <= set(orc_stream_chunk_offsets(d_sec))
+                        )
+                rows.append((
+                    bool(1 <= g_sel < g_total),
+                    bool(rows_decoded < rec.n_total),
+                    bool(lazy_ok),
+                    bool(dec_ok),
+                    n_matched, cents_sum,
+                ))
+            yield _pd.DataFrame(
+                rows,
+                columns=["skipping_effective", "partial_decode",
+                         "lazy_decompression",
+                         "decimal_stats_attested",
+                         "n_matched", "cents"],
+            )
+
+    out = plan.mapInPandas(
+        _decode,
+        "skipping_effective boolean, partial_decode boolean,"
+        " lazy_decompression boolean,"
+        " decimal_stats_attested boolean, n_matched bigint,"
+        " cents bigint",
+    ).localCheckpoint(eager=True)  # 1 row; frees the temp root
+    shutil.rmtree(root, ignore_errors=True)
+    return out

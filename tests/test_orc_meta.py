@@ -1311,3 +1311,74 @@ def test_orc_bloom_index_kind7_is_loud():
     bfi = bytes([0x0A, len(bf)]) + bf
     out = orc_bloom_index(bfi, 0)
     assert out == [(7, b"\xff\x00\x00\x00")]
+
+
+def test_orc_seek_varints_compressed_boundary_carry():
+    """Varints split across compression-chunk boundaries must decode
+    via the TruncatedRun tail-carry (every byte decompressed once,
+    partial varint carried); seeks from a later chunk skip earlier
+    chunks entirely; running past the data is loud."""
+    import zlib
+
+    from spark_hive_spark.sources.orc_meta import (
+        orc_seek_varints_compressed,
+    )
+
+    def zz(v):
+        return (v << 1) ^ (v >> 63) if v >= 0 else ((-v) << 1) - 1
+
+    vals = [0, -1, 7, 300, -70000, 2**40 + 3, -(2**55), 5] * 40
+    raw = b"".join(
+        bytes(
+            ([(zz(v) >> (7 * i)) & 0x7F | 0x80
+              for i in range(((zz(v).bit_length() or 1) + 6) // 7)][:-1])
+            + [(zz(v) >> (7 * ((
+                (zz(v).bit_length() or 1) + 6) // 7 - 1))) & 0x7F]
+        )
+        for v in vals
+    )
+    # 13-byte decompressed chunks: multi-byte varints straddle
+    stream = b""
+    offs = []
+    for i in range(0, len(raw), 13):
+        piece = raw[i : i + 13]
+        comp = zlib.compress(piece)[2:-4]  # raw deflate
+        if len(comp) < len(piece):
+            hdr = len(comp) << 1
+            body = comp
+        else:  # stored: ORC original-chunk form, low bit set
+            hdr = (len(piece) << 1) | 1
+            body = piece
+        offs.append(len(stream))
+        stream += bytes(
+            [hdr & 0xFF, (hdr >> 8) & 0xFF, (hdr >> 16) & 0xFF]
+        ) + body
+
+    touched: set = set()
+    got = orc_seek_varints_compressed(
+        stream, 1, 0, 0, len(vals), touched=touched
+    )
+    assert got == vals
+    assert touched == set(offs)  # full read touches every chunk
+
+    # seek: start mid-stream (chunk 3, 5 bytes in == a varint
+    # boundary we can compute: decode from 0 and find one)
+    import io
+    # find a value index whose byte offset lands inside chunk 3
+    byte_off = 0
+    for idx, v in enumerate(vals):
+        if byte_off >= 13 * 3 + 2:
+            break
+        byte_off += ((zz(v).bit_length() or 1) + 6) // 7
+    chunk_i = byte_off // 13
+    touched2: set = set()
+    got2 = orc_seek_varints_compressed(
+        stream, 1, offs[chunk_i], byte_off - 13 * chunk_i,
+        len(vals) - idx, touched=touched2,
+    )
+    assert got2 == vals[idx:]
+    assert offs[0] not in touched2  # earlier chunks never pulled
+
+    import pytest
+    with pytest.raises(ValueError, match="ran out of compression"):
+        orc_seek_varints_compressed(stream, 1, 0, 0, len(vals) + 1)
