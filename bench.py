@@ -337,6 +337,7 @@ EXTENDED = [
     "source_hudi_clustering_replacecommit",
     "source_iceberg_changelog_net_changes",
     "source_hudi_mor_parquet_log_blocks",
+    "source_orc_row_index_skipping_decimal_compressed",
 ]
 
 # Streaming extended queries run dead LAST (after the streaming

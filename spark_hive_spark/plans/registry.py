@@ -39,7 +39,7 @@ _REGISTRY: dict[str, Query] = {}
 
 # The grading driver sweeps the FIRST 50 registry entries per round, so
 # ordering is an attestation budget. Round-17 rotation (VERDICT r16
-# item 8, executed): the 4 reference jobs stay pinned, then the 12 NEW
+# item 8, executed): the 4 reference jobs stay pinned, then the 13 NEW
 # round-17 queries (the r16 verdict's items — ORC bloom skipping on
 # STRING keys + the dictionary-encoded composition, Iceberg
 # changelog/CDC scan + its MOR position-delete half + the
@@ -47,17 +47,18 @@ _REGISTRY: dict[str, Query] = {}
 # tracking (JSON replay + checkpoint bootstrap), Hudi MOR
 # as-of-instant + clustering replacecommit + parquet log blocks,
 # ORC decimal+date
-# row-index seeking, parquet string blooms), then the ANN rows-only pair WITH its hash-green exactness
+# row-index seeking incl. the compressed chunked-varint form,
+# parquet string blooms), then the ANN rows-only pair WITH its hash-green exactness
 # bracket ``ann_recall_audit`` pinned adjacent (the graded
 # CORRECTNESS file stays self-contained — the audit travels with the
 # pair in every window), then the oldest attested backlog,
-# oldest-first: 31 of the 35 oldest (r5-attested) queries in name
+# oldest-first: 30 of the 35 oldest (r5-attested) queries in name
 # order (exactly the spill the r16 comment promised plus the rest of
-# the r5 tail; the last four w*/window* names no longer fit).
+# the r5 tail; the last five w*/window* names no longer fit).
 # Backlog spill for r18 (next oldest, in order):
-# w_event_lag_lead_gaps, w_running_revenue_by_supplier,
-# window_sliding_events, window_tumbling_events, then the
-# r6-attested tail —
+# w_customer_rank_in_nation, w_event_lag_lead_gaps,
+# w_running_revenue_by_supplier, window_sliding_events,
+# window_tumbling_events, then the r6-attested tail —
 # approx_topk_tokens, arrow_doc_char_stats, arrow_group_doc_quantiles,
 # bitmap_distinct_rollup, cdc_upsert_orders, ... . Recompute with the
 # CORRECTNESS_r*.json max-round scan (the
@@ -83,6 +84,7 @@ SWEEP_PRIORITY: tuple[str, ...] = (
     "source_hudi_clustering_replacecommit",
     "source_iceberg_changelog_net_changes",
     "source_hudi_mor_parquet_log_blocks",
+    "source_orc_row_index_skipping_decimal_compressed",
     # ANN rows-only pair + its exactness bracket, always adjacent
     "knn_cosine_ivf",
     "knn_cosine_lsh",
@@ -118,7 +120,6 @@ SWEEP_PRIORITY: tuple[str, ...] = (
     "udf_grouped_agg_weighted_mean",
     "udf_pandas_scalar_risk_score",
     "udf_python_row_clean_names",
-    "w_customer_rank_in_nation",
 )
 
 
