@@ -9190,3 +9190,217 @@ def source_iceberg_changelog_net_changes(
     )
     shutil.rmtree(root, ignore_errors=True)
     return out
+
+
+@register(
+    "source_delta_row_tracking_dv",
+    oracle=f"""
+        WITH ids AS (
+            SELECT o_orderkey, o_totalprice,
+                   CASE WHEN o_orderkey % 2 = 0 THEN 0
+                        ELSE (SELECT count(*) FROM orders
+                              WHERE o_orderkey % 2 = 0)
+                   END
+                   + row_number() OVER (
+                         PARTITION BY o_orderkey % 2
+                         ORDER BY o_orderkey
+                     ) - 1 AS row_id
+            FROM orders
+        ),
+        live AS (
+            SELECT * FROM ids WHERE o_orderkey % 10 <> 4
+        )
+        SELECT CAST((SELECT count(*) FROM ids WHERE
+                     o_orderkey % 10 = 4) AS BIGINT) AS rows_masked,
+               CAST(count(*) AS BIGINT) AS n_live,
+               CAST(count(DISTINCT row_id) AS BIGINT)
+                   AS distinct_row_ids,
+               CAST(sum(row_id) AS BIGINT) AS sum_row_id,
+               CAST(sum(row_id * (o_orderkey % 1000)) AS BIGINT)
+                   AS binding,
+               TRUE AS watermark_ok,
+               {sql_dsum('o_totalprice')} AS revenue
+        FROM live
+    """,
+    tags=("source", "delta", "lakehouse", "row-tracking",
+          "deletion-vectors", "row-lineage", "compat"),
+)
+def source_delta_row_tracking_dv(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Delta ROW TRACKING composed with DELETION VECTORS
+    (round 17) — the two modern writer features meet exactly where
+    a reader can get the ORDER of operations wrong: row ids
+    materialize from the PHYSICAL file position
+    (``baseRowId + _metadata.row_index``) and the DV mask applies
+    AFTER — a reader that masks first and then numbers the
+    SURVIVING rows compacts every id after the first deleted
+    position (silently re-keying all downstream CDC joins; the
+    binding aggregate flips), and one that renumbers on the DV
+    commit re-mints ids a delete must never touch.
+
+    The fixture's v2 DELETE re-adds file A unchanged but for an
+    INLINE deletion vector (z85 / RoaringBitmapArray through the
+    repo's DV stack, every integrity field validated) masking keys
+    ≡ 4 (mod 10), keeping A's ORIGINAL baseRowId — the physical
+    file did not change, so neither do the surviving rows' ids:
+    the live id set keeps its GAPS (sum/distinct pin them) and the
+    rowIdHighWaterMark is untouched (no ids were minted).
+
+    Scale posture: id arithmetic is scan-side codegen; the DV
+    positions broadcast into the anti-join (deletes ≪ data); log
+    replay is the standard O(#actions) planning pass."""
+    import json as _json
+
+    from spark_hive_spark.sources.delta_dv import (
+        rba_serialize,
+        z85_encode,
+    )
+
+    orders = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    root = os.path.join(
+        tempfile.gettempdir(), f"shs_deltartdv_{uuid.uuid4().hex}"
+    )
+    tdir = os.path.join(root, "table")
+    ldir = os.path.join(tdir, "_delta_log")
+    os.makedirs(ldir)
+
+    k = F.col("o_orderkey") % 2
+    stage_single_parquet(
+        orders.filter(k == 0).sort("o_orderkey"), root, tdir,
+        "A.parquet",
+    )
+    stage_single_parquet(
+        orders.filter(k == 1).sort("o_orderkey"), root, tdir,
+        "B.parquet",
+    )
+    n_a = spark.read.parquet(os.path.join(tdir, "A.parquet")).count()
+    n_b = spark.read.parquet(os.path.join(tdir, "B.parquet")).count()
+
+    # the DV writer: positions of the doomed rows WITHIN file A
+    doomed = [
+        r["pos"]
+        for r in spark.read.parquet(os.path.join(tdir, "A.parquet"))
+        .select(
+            F.col("_metadata.row_index").alias("pos"), "o_orderkey"
+        )
+        .filter(F.col("o_orderkey") % 10 == 4)
+        .collect()
+    ]
+    dv_data = rba_serialize(doomed)
+    pad = (-len(dv_data)) % 4
+    dv_desc = {
+        "storageType": "i",
+        "pathOrInlineDv": z85_encode(dv_data + b"\x00" * pad),
+        "offset": 0,
+        "sizeInBytes": len(dv_data),
+        "cardinality": len(doomed),
+    }
+
+    def _log(version: int, actions: list[dict]) -> None:
+        with open(os.path.join(ldir, f"{version:020d}.json"),
+                  "w") as fh:
+            fh.write(
+                "\n".join(_json.dumps(a) for a in actions) + "\n"
+            )
+
+    _log(0, [
+        {"protocol": {
+            "minReaderVersion": 3, "minWriterVersion": 7,
+            "readerFeatures": ["deletionVectors"],
+            "writerFeatures": ["rowTracking", "deletionVectors",
+                               "domainMetadata"],
+        }},
+        {"metaData": {
+            "id": "rt-dv-fixture",
+            "configuration": {
+                "delta.enableRowTracking": "true",
+                "delta.enableDeletionVectors": "true",
+            },
+        }},
+    ])
+    _log(1, [
+        {"add": {"path": "A.parquet", "baseRowId": 0,
+                 "defaultRowCommitVersion": 1}},
+        {"add": {"path": "B.parquet", "baseRowId": n_a,
+                 "defaultRowCommitVersion": 1}},
+        {"domainMetadata": {
+            "domain": "delta.rowTracking",
+            "configuration": _json.dumps(
+                {"rowIdHighWaterMark": n_a + n_b - 1}
+            ),
+        }},
+    ])
+    _log(2, [  # DV delete: same file, same baseRowId, masked rows
+        {"remove": {"path": "A.parquet"}},
+        {"add": {"path": "A.parquet", "baseRowId": 0,
+                 "defaultRowCommitVersion": 1,
+                 "deletionVector": dv_desc}},
+    ])
+
+    # ---- the reader ----
+    from spark_hive_spark.sources.delta_dv import read_dv_descriptor
+
+    versions = sorted(
+        int(f[:20]) for f in os.listdir(ldir) if f.endswith(".json")
+    )
+    actions: list[dict] = []
+    for v in versions:
+        with open(os.path.join(ldir, f"{v:020d}.json")) as fh:
+            actions += [_json.loads(ln) for ln in fh if ln.strip()]
+    proto = next(a["protocol"] for a in actions if "protocol" in a)
+    for feat in ("rowTracking", "deletionVectors"):
+        if feat not in (proto.get("writerFeatures") or []):
+            raise ValueError(f"fixture lost the {feat} feature")
+    live: dict[str, dict] = {}
+    for a in actions:
+        if "add" in a:
+            live[a["add"]["path"]] = a["add"]
+        elif "remove" in a:
+            live.pop(a["remove"]["path"], None)
+    domains, _ = delta_domain_metadata_replay(actions)
+    watermark = _json.loads(
+        domains["delta.rowTracking"]
+    )["rowIdHighWaterMark"]
+
+    rows_masked = 0
+    parts = []
+    for path, add in sorted(live.items()):
+        df = spark.read.parquet(os.path.join(tdir, path)).select(
+            "o_orderkey", "o_totalprice",
+            F.col("_metadata.row_index").alias("_pos"),
+        )
+        # ids from the PHYSICAL position, BEFORE any masking
+        df = df.withColumn(
+            "_row_id",
+            (F.lit(add["baseRowId"]) + F.col("_pos")).cast("long"),
+        )
+        dv = add.get("deletionVector")
+        if dv is not None:
+            positions = read_dv_descriptor(tdir, dv)
+            rows_masked += len(positions)
+            mask = spark.createDataFrame(
+                [(p,) for p in positions], "_pos long"
+            )
+            df = df.join(F.broadcast(mask), "_pos", "left_anti")
+        parts.append(df.select(
+            "o_orderkey", "o_totalprice", "_row_id"
+        ))
+    scan = parts[0]
+    for df in parts[1:]:
+        scan = scan.unionByName(df)
+    out = scan.agg(
+        F.lit(rows_masked).cast("bigint").alias("rows_masked"),
+        F.count("*").alias("n_live"),
+        F.countDistinct("_row_id").alias("distinct_row_ids"),
+        F.sum("_row_id").cast("bigint").alias("sum_row_id"),
+        F.sum(F.col("_row_id") * (F.col("o_orderkey") % 1000))
+        .cast("bigint").alias("binding"),
+        (F.lit(watermark) >= F.max("_row_id"))
+        .alias("watermark_ok"),
+        dsum("o_totalprice").alias("revenue"),
+    ).localCheckpoint(eager=True)  # 1 row; frees the temp root
+    shutil.rmtree(root, ignore_errors=True)
+    return out
