@@ -338,6 +338,7 @@ EXTENDED = [
     "source_iceberg_changelog_net_changes",
     "source_hudi_mor_parquet_log_blocks",
     "source_orc_row_index_skipping_decimal_compressed",
+    "source_delta_row_tracking_dv",
 ]
 
 # Streaming extended queries run dead LAST (after the streaming

@@ -39,12 +39,13 @@ _REGISTRY: dict[str, Query] = {}
 
 # The grading driver sweeps the FIRST 50 registry entries per round, so
 # ordering is an attestation budget. Round-17 rotation (VERDICT r16
-# item 8, executed): the 4 reference jobs stay pinned, then the 13 NEW
+# item 8, executed): the 4 reference jobs stay pinned, then the 14 NEW
 # round-17 queries (the r16 verdict's items — ORC bloom skipping on
 # STRING keys + the dictionary-encoded composition, Iceberg
 # changelog/CDC scan + its MOR position-delete half + the
 # net-changes mode, Delta row
-# tracking (JSON replay + checkpoint bootstrap), Hudi MOR
+# tracking (JSON replay + checkpoint bootstrap + the deletion-
+# vector compose), Hudi MOR
 # as-of-instant + clustering replacecommit + parquet log blocks,
 # ORC decimal+date
 # row-index seeking incl. the compressed chunked-varint form,
@@ -52,13 +53,15 @@ _REGISTRY: dict[str, Query] = {}
 # bracket ``ann_recall_audit`` pinned adjacent (the graded
 # CORRECTNESS file stays self-contained — the audit travels with the
 # pair in every window), then the oldest attested backlog,
-# oldest-first: 30 of the 35 oldest (r5-attested) queries in name
+# oldest-first: 29 of the 35 oldest (r5-attested) queries in name
 # order (exactly the spill the r16 comment promised plus the rest of
-# the r5 tail; the last five w*/window* names no longer fit).
+# the r5 tail; the last six udf_python/w*/window* names no longer
+# fit).
 # Backlog spill for r18 (next oldest, in order):
-# w_customer_rank_in_nation, w_event_lag_lead_gaps,
-# w_running_revenue_by_supplier, window_sliding_events,
-# window_tumbling_events, then the r6-attested tail —
+# udf_python_row_clean_names, w_customer_rank_in_nation,
+# w_event_lag_lead_gaps, w_running_revenue_by_supplier,
+# window_sliding_events, window_tumbling_events, then the
+# r6-attested tail —
 # approx_topk_tokens, arrow_doc_char_stats, arrow_group_doc_quantiles,
 # bitmap_distinct_rollup, cdc_upsert_orders, ... . Recompute with the
 # CORRECTNESS_r*.json max-round scan (the
@@ -85,6 +88,7 @@ SWEEP_PRIORITY: tuple[str, ...] = (
     "source_iceberg_changelog_net_changes",
     "source_hudi_mor_parquet_log_blocks",
     "source_orc_row_index_skipping_decimal_compressed",
+    "source_delta_row_tracking_dv",
     # ANN rows-only pair + its exactness bracket, always adjacent
     "knn_cosine_ivf",
     "knn_cosine_lsh",
@@ -119,7 +123,6 @@ SWEEP_PRIORITY: tuple[str, ...] = (
     "text_repetition_filter",
     "udf_grouped_agg_weighted_mean",
     "udf_pandas_scalar_risk_score",
-    "udf_python_row_clean_names",
 )
 
 
