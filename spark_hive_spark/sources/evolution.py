@@ -9115,9 +9115,15 @@ def source_iceberg_changelog_net_changes(
     by_id = {s["snapshot-id"]: s for s in md["snapshots"]}
 
     def _live_at(sid: int) -> list[str]:
+        # SET semantics, order-independent: within one snapshot's
+        # manifest list a file is either live (one ADDED/EXISTING
+        # entry) or deleted (one DELETED entry) — a reader that
+        # applies add/discard in list order silently depends on
+        # manifest ordering; a file in both sets is corrupt, loudly
         with open(by_id[sid]["manifest-list"], "rb") as fh:
             _, mrows = parse_avro_ocf(fh.read())
         live: set[str] = set()
+        dead: set[str] = set()
         for mrow in mrows:
             with open(mrow["manifest_path"], "rb") as fh:
                 _, entries = parse_avro_ocf(fh.read())
@@ -9126,11 +9132,17 @@ def source_iceberg_changelog_net_changes(
                 if e["status"] in (0, 1):  # EXISTING / ADDED
                     live.add(e["file_path"])
                 elif e["status"] == 2:
-                    live.discard(e["file_path"])
+                    dead.add(e["file_path"])
                 else:
                     raise ValueError(
                         f"unknown manifest status {e['status']}"
                     )
+        both = live & dead
+        if both:
+            raise ValueError(
+                f"files both live and deleted in snapshot {sid}: "
+                f"{sorted(both)[:3]}"
+            )
         return sorted(live)
 
     def _state(files: list[str]) -> DataFrame:
