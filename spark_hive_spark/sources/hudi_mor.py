@@ -2160,3 +2160,296 @@ def source_hudi_mor_parquet_log_blocks(
     )
     shutil.rmtree(root, ignore_errors=True)
     return out
+
+
+_CDC_BLOCK = 6  # HoodieLogBlockType CDC_DATA_BLOCK (RFC-51)
+
+_CDC_SCHEMA = {
+    "type": "record",
+    "name": "cdc_change",
+    "fields": [
+        {"name": "op", "type": "string"},
+        {"name": "ts_ms", "type": "long"},
+        {"name": "before", "type": ["null", _LOG_SCHEMA]},
+        {"name": "after", "type": ["null", _LOG_SCHEMA]},
+    ],
+}
+
+
+def _enc_cdc_content(records: list[dict]) -> bytes:
+    """CDC data block content: same version/count/record framing as
+    the Avro data block (HoodieCDCDataBlock extends
+    HoodieAvroDataBlock), records in the debezium-style CDC shape —
+    op i/u/d with nullable before/after row images (RFC-51)."""
+    out = bytearray(struct.pack(">ii", 1, len(records)))
+    for rec in records:
+        raw = b"".join(
+            _enc_field(rec[f["name"]], f["type"])
+            for f in _CDC_SCHEMA["fields"]
+        )
+        out += struct.pack(">i", len(raw)) + raw
+    return bytes(out)
+
+
+@register(
+    "source_hudi_cdc_incremental",
+    oracle=f"""
+        SELECT 'd' AS op,
+               CAST(count(*) AS BIGINT) AS n_changes,
+               {sql_dsum('o_totalprice')} AS revenue_before,
+               CAST(NULL AS DOUBLE) AS revenue_after
+        FROM orders WHERE o_orderkey % 10 = 3
+        UNION ALL
+        SELECT 'u',
+               CAST(count(*) AS BIGINT),
+               {sql_dsum('o_totalprice')},
+               {sql_dsum('o_totalprice + 100.00')}
+        FROM orders WHERE o_orderkey % 10 = 6
+        ORDER BY op
+    """,
+    tags=("source", "hudi", "lakehouse", "cdc", "changelog",
+          "merge-on-read", "compat"),
+)
+def source_hudi_cdc_incremental(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Hudi CDC read (round 17) — CDC DATA BLOCKS (log block type
+    6, RFC-51), completing the CDC triangle across the lakehouse
+    trio: Delta CDF (`source_delta_cdf_changes`), Iceberg changelog
+    (`source_iceberg_changelog_scan` family), and now Hudi's — the
+    writer persists debezium-style change records (op i/u/d with
+    nullable BEFORE/AFTER row images) as dedicated log blocks
+    alongside the data blocks of the same deltacommit, so a CDC
+    consumer reads changes DIRECTLY instead of diffing snapshots
+    (the supplemental-logging design: before-images are only
+    available this way — a base+log diff cannot recover them after
+    the next compaction).
+
+    The fixture's deltacommit 002 carries BOTH its Avro data block
+    and its CDC block in one log file — the reader must select by
+    BLOCK TYPE, not position; deltacommit 003's CDC block is
+    INFLIGHT (timeline-skipped, attested), and the delete's after
+    image is null while the update carries both images (+100.00 on
+    keys ≡ 6; deletes on ≡ 3) — sum aggregates over before AND
+    after images pin that the right image landed on the right side
+    (a reader that swaps them, or serves after for deletes, flips
+    the hash).
+
+    Scale posture: one task per file group walks its logs once;
+    CDC rows are Arrow-batched out and aggregated in one narrow
+    shuffle by op — the read never touches base files at all."""
+    orders = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    root = os.path.join(
+        tempfile.gettempdir(), f"shs_hudi_cdc_{uuid.uuid4().hex}"
+    )
+    tdir = os.path.join(root, "t")
+    hdir = os.path.join(tdir, ".hoodie")
+    os.makedirs(hdir)
+
+    schema_json = json.dumps(_LOG_SCHEMA)
+    t1, t2, t3 = "001", "002", "003"
+    par = F.col("o_orderkey") % 2
+    stage_single_parquet(
+        orders.filter(par == 0), root, tdir,
+        f"fg-A_0-1-0_{t1}.parquet",
+    )
+    stage_single_parquet(
+        orders.filter(par == 1), root, tdir,
+        f"fg-B_0-1-0_{t1}.parquet",
+    )
+
+    changes = (
+        orders.filter((F.col("o_orderkey") % 10).isin(3, 6))
+        .toPandas()
+    )
+    mod = changes["o_orderkey"] % 10
+
+    def _row(k, p) -> dict:
+        return {"o_orderkey": int(k), "o_totalprice": float(p)}
+
+    upd = changes[mod == 6]
+    dels = changes[mod == 3]
+    cdc_updates = [
+        {"op": "u", "ts_ms": 2000,
+         "before": _row(k, p), "after": _row(k, float(p) + 100.0)}
+        for k, p in zip(upd["o_orderkey"], upd["o_totalprice"])
+    ]
+    cdc_deletes = [
+        {"op": "d", "ts_ms": 2000,
+         "before": _row(k, p), "after": None}
+        for k, p in zip(dels["o_orderkey"], dels["o_totalprice"])
+    ]
+    # bogus changes under an INFLIGHT instant: must stay invisible
+    cdc_phantom = [
+        {"op": "u", "ts_ms": 3000,
+         "before": _row(k, p), "after": _row(k, float(p) + 999.0)}
+        for k, p in zip(upd["o_orderkey"][:5],
+                        upd["o_totalprice"][:5])
+    ]
+
+    # keys ≡6 are even (group A); ≡3 odd (group B); each log carries
+    # the deltacommit's DATA block AND its CDC block
+    with open(os.path.join(tdir, f".fg-A_{t1}.log.1_0-1-0"),
+              "wb") as fh:
+        fh.write(encode_log_block(
+            _AVRO_BLOCK,
+            {_H_INSTANT: t2, _H_SCHEMA: schema_json},
+            _enc_avro_content(
+                [{"o_orderkey": int(k),
+                  "o_totalprice": float(p) + 100.0}
+                 for k, p in zip(upd["o_orderkey"],
+                                 upd["o_totalprice"])]
+            ),
+        ))
+        fh.write(encode_log_block(
+            _CDC_BLOCK, {_H_INSTANT: t2},
+            _enc_cdc_content(cdc_updates),
+        ))
+        fh.write(encode_log_block(  # inflight: timeline-skipped
+            _CDC_BLOCK, {_H_INSTANT: t3},
+            _enc_cdc_content(cdc_phantom),
+        ))
+    with open(os.path.join(tdir, f".fg-B_{t1}.log.1_0-1-0"),
+              "wb") as fh:
+        fh.write(encode_log_block(
+            _DELETE_BLOCK, {_H_INSTANT: t2},
+            _enc_delete_content(
+                [str(int(k)) for k in dels["o_orderkey"]]
+            ),
+        ))
+        fh.write(encode_log_block(
+            _CDC_BLOCK, {_H_INSTANT: t2},
+            _enc_cdc_content(cdc_deletes),
+        ))
+
+    for name in (
+        f"{t1}.commit.requested", f"{t1}.commit.inflight",
+        f"{t1}.commit",
+        f"{t2}.deltacommit.requested", f"{t2}.deltacommit.inflight",
+        f"{t2}.deltacommit",
+        f"{t3}.deltacommit.requested", f"{t3}.deltacommit.inflight",
+    ):
+        with open(os.path.join(hdir, name), "w") as fh:
+            fh.write("{}")
+
+    # ---- the CDC reader over (001, 002] ----
+    begin, end = t1, t2
+    completed: set[str] = set()
+    for f in os.listdir(hdir):
+        parts = f.split(".")
+        if parts[1] not in ("commit", "deltacommit", "rollback"):
+            raise NotImplementedError(f"Hudi action {parts[1]!r}")
+        if len(parts) == 2 and parts[1] in ("commit", "deltacommit"):
+            completed.add(parts[0])
+
+    slices: dict[str, list[tuple[int, str]]] = {}
+    for f in sorted(os.listdir(tdir)):
+        if f.startswith(".") and ".log." in f:
+            file_id, _base, version = parse_log_name(f)
+            slices.setdefault(file_id, []).append(
+                (version, os.path.join(tdir, f))
+            )
+
+    plan = spark.createDataFrame(
+        [
+            (fid, json.dumps([p for _, p in sorted(paths)]))
+            for fid, paths in sorted(slices.items())
+        ],
+        "file_id string, logs string",
+    ).repartition(len(slices))
+    completed_b = sorted(completed)
+
+    def _read_cdc(batches):
+        import pandas as pd
+
+        cols = ["op", "before_price", "after_price",
+                "cdc_blocks", "skipped_blocks", "is_meta"]
+        done = set(completed_b)
+        for pdf in batches:
+            for rec in pdf.itertuples(index=False):
+                stream: list[dict] = []
+                for path in json.loads(rec.logs):
+                    with open(path, "rb") as fh:
+                        stream.extend(walk_log_blocks(fh.read()))
+                stream, _rolled = apply_command_blocks(stream)
+                rows = []
+                n_cdc = skipped = 0
+                for blk in stream:
+                    if blk["type"] != _CDC_BLOCK:
+                        continue  # data/delete blocks: snapshot path
+                    instant = blk["header"][_H_INSTANT]
+                    if instant not in done or not (
+                        begin < instant <= end
+                    ):
+                        skipped += 1
+                        continue
+                    n_cdc += 1
+                    for r in _dec_avro_content_cdc(blk["content"]):
+                        b, a = r["before"], r["after"]
+                        rows.append((
+                            r["op"],
+                            None if b is None
+                            else b["o_totalprice"],
+                            None if a is None
+                            else a["o_totalprice"],
+                            0, 0, False,
+                        ))
+                rows.append((None, None, None, n_cdc, skipped, True))
+                yield pd.DataFrame(rows, columns=cols)
+
+    parsed = plan.mapInPandas(
+        _read_cdc,
+        "op string, before_price double, after_price double,"
+        " cdc_blocks int, skipped_blocks int, is_meta boolean",
+    ).localCheckpoint(eager=True)
+    n_cdc = parsed.filter("is_meta").agg(
+        F.sum("cdc_blocks")
+    ).collect()[0][0]
+    n_skipped = parsed.filter("is_meta").agg(
+        F.sum("skipped_blocks")
+    ).collect()[0][0]
+    if n_cdc != 2 or n_skipped != 1:
+        raise ValueError(
+            f"CDC block accounting drifted: {n_cdc} read, "
+            f"{n_skipped} skipped"
+        )
+    out = (
+        parsed.filter(~F.col("is_meta"))
+        .groupBy("op")
+        .agg(
+            F.count("*").alias("n_changes"),
+            dsum("before_price").alias("revenue_before"),
+            dsum("after_price").alias("revenue_after"),
+        )
+        .orderBy("op")
+        .localCheckpoint(eager=True)  # 2 rows; frees the temp root
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
+def _dec_avro_content_cdc(content: bytes) -> list[dict]:
+    """Decode a CDC block's content with the RFC-51 change schema
+    (the framing is the Avro data block's)."""
+    return _dec_avro_content_schema(content, _CDC_SCHEMA)
+
+
+def _dec_avro_content_schema(content: bytes, schema: dict) -> list[dict]:
+    version, count = struct.unpack_from(">ii", content, 0)
+    if version != 1:
+        raise NotImplementedError(f"cdc data block version {version}")
+    pos, out = 8, []
+    for _ in range(count):
+        (size,) = struct.unpack_from(">i", content, pos)
+        raw, pos = content[pos + 4 : pos + 4 + size], pos + 4 + size
+        rec, p = {}, 0
+        for f in schema["fields"]:
+            rec[f["name"]], p = _dec_field(raw, p, f["type"])
+        if p != size:
+            raise ValueError("cdc record has trailing bytes")
+        out.append(rec)
+    if pos != len(content):
+        raise ValueError("cdc data block has trailing bytes")
+    return out
