@@ -339,6 +339,7 @@ EXTENDED = [
     "source_hudi_mor_parquet_log_blocks",
     "source_orc_row_index_skipping_decimal_compressed",
     "source_delta_row_tracking_dv",
+    "source_hudi_cdc_incremental",
 ]
 
 # Streaming extended queries run dead LAST (after the streaming
