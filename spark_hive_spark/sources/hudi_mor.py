@@ -2431,25 +2431,7 @@ def source_hudi_cdc_incremental(
 
 
 def _dec_avro_content_cdc(content: bytes) -> list[dict]:
-    """Decode a CDC block's content with the RFC-51 change schema
-    (the framing is the Avro data block's)."""
-    return _dec_avro_content_schema(content, _CDC_SCHEMA)
-
-
-def _dec_avro_content_schema(content: bytes, schema: dict) -> list[dict]:
-    version, count = struct.unpack_from(">ii", content, 0)
-    if version != 1:
-        raise NotImplementedError(f"cdc data block version {version}")
-    pos, out = 8, []
-    for _ in range(count):
-        (size,) = struct.unpack_from(">i", content, pos)
-        raw, pos = content[pos + 4 : pos + 4 + size], pos + 4 + size
-        rec, p = {}, 0
-        for f in schema["fields"]:
-            rec[f["name"]], p = _dec_field(raw, p, f["type"])
-        if p != size:
-            raise ValueError("cdc record has trailing bytes")
-        out.append(rec)
-    if pos != len(content):
-        raise ValueError("cdc data block has trailing bytes")
-    return out
+    """Decode a CDC block's content with the RFC-51 change schema —
+    the framing is the Avro data block's, so the generic decoder
+    serves with the CDC schema."""
+    return _dec_avro_content(content, _CDC_SCHEMA)
