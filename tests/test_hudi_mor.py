@@ -196,3 +196,34 @@ def test_mor_incremental_merges_and_scopes(spark):
     # keys ≡ 6 twice — n_changed must equal the DISTINCT key count
     assert got["n_changed"] == exp["n_changed"]
     assert got["n_deleted"] == exp["n_deleted"]
+
+
+def test_cdc_block_codec_roundtrip():
+    """RFC-51 CDC records (op/ts_ms + nullable before/after row
+    images through the Avro union codec) roundtrip through the data
+    block framing; a delete's after image stays None and version
+    drift is loud."""
+    import pytest
+
+    from spark_hive_spark.sources.hudi_mor import (
+        _dec_avro_content_cdc,
+        _enc_cdc_content,
+    )
+
+    recs = [
+        {"op": "u", "ts_ms": 2000,
+         "before": {"o_orderkey": 5, "o_totalprice": 10.5},
+         "after": {"o_orderkey": 5, "o_totalprice": 110.5}},
+        {"op": "d", "ts_ms": 2001,
+         "before": {"o_orderkey": 7, "o_totalprice": 3.25},
+         "after": None},
+        {"op": "i", "ts_ms": 2002,
+         "before": None,
+         "after": {"o_orderkey": 9, "o_totalprice": 0.0}},
+    ]
+    content = _enc_cdc_content(recs)
+    assert _dec_avro_content_cdc(content) == recs
+    with pytest.raises(NotImplementedError, match="version"):
+        _dec_avro_content_cdc(b"\x00\x00\x00\x02" + content[4:])
+    with pytest.raises(ValueError, match="trailing"):
+        _dec_avro_content_cdc(content + b"\x00")
