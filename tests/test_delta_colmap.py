@@ -8,7 +8,10 @@ import json
 
 import pytest
 
-from spark_hive_spark.sources.evolution import delta_column_mapping
+from spark_hive_spark.sources.evolution import (
+    delta_column_mapping,
+    delta_column_mapping_by_id,
+)
 
 
 def _meta(mode: str | None, fields: list[dict]) -> dict:
@@ -39,9 +42,26 @@ def test_no_mapping_returns_none():
     assert delta_column_mapping(_meta("none", [_field("a", None)])) is None
 
 
-def test_id_mode_is_loud():
-    with pytest.raises(NotImplementedError, match="mode 'id'"):
-        delta_column_mapping(_meta("id", [_field("a", "col-x")]))
+def test_id_mode_routes_through_unified_entry():
+    """Round 18 (r17 verdict item 6): the unified entry dispatches
+    id-mode tables to the field-id resolver instead of raising —
+    the key type (int vs str) tells the caller the regime."""
+    fields = [
+        {"name": "a", "type": "long", "nullable": True,
+         "metadata": {"delta.columnMapping.id": 1,
+                      "delta.columnMapping.physicalName": "col-x"}},
+        {"name": "b", "type": "string", "nullable": True,
+         "metadata": {"delta.columnMapping.id": 2,
+                      "delta.columnMapping.physicalName": "col-y"}},
+    ]
+    m = delta_column_mapping(_meta("id", fields))
+    assert m == {1: "a", 2: "b"}
+    assert m == delta_column_mapping_by_id(_meta("id", fields))
+
+
+def test_unknown_mode_is_loud():
+    with pytest.raises(NotImplementedError, match="mode 'zorp'"):
+        delta_column_mapping(_meta("zorp", [_field("a", "col-x")]))
 
 
 def test_missing_physical_name_is_loud():
