@@ -466,3 +466,452 @@ def _dv_query(
     ).localCheckpoint(eager=True)  # 1 row; frees the temp root
     shutil.rmtree(root, ignore_errors=True)
     return out
+
+
+# ---------------------------------------------------------------------------
+# apache-datasketches-theta-v1 NDV sketches (round 18, r17 verdict
+# item 3) — the stats blob Iceberg CBO reads. Public layers:
+#
+# - **Iceberg Puffin spec, blob type `apache-datasketches-theta-v1`**:
+#   "a serialized form of a 'compact' Theta sketch produced by the
+#   Apache DataSketches library", fed with values converted by
+#   Iceberg's single-value serialization (long -> 8-byte
+#   little-endian), required blob property ``ndv`` = the estimate.
+# - **DataSketches compact-theta serial format v3**
+#   (datasketches.apache.org, Theta sketch format): long 0 =
+#   [preLongs | serVer=3 | famID=3 (COMPACT) | lgNomLongs | lgArrLongs
+#   | flags | seedHash u16]; long 1 (preLongs>=2) = curCount u32 LE;
+#   long 2 (preLongs==3, estimation mode) = thetaLong u64 LE; then
+#   curCount retained hash longs, ascending when the ORDERED flag is
+#   set. Flags: bit1 READ_ONLY, bit2 EMPTY, bit3 COMPACT, bit4
+#   ORDERED. Hash function: MurmurHash3 x64_128 with the library
+#   default seed 9001; the sketch keeps ``hash[0] >>> 1`` (63-bit,
+#   zero excluded) for values below theta.
+#
+# The WRITER here picks theta KMV-style (theta = the (k+1)-th
+# smallest hash, retaining the k below it) — a valid theta-choosing
+# rule in the theta-sketch framework whose estimator
+# curCount / (theta / 2^63) is the classic unbiased (K-1)/ζ(K) KMV
+# estimate; the READER decodes any conforming compact image (empty /
+# exact / estimation preambles).
+# ---------------------------------------------------------------------------
+
+_THETA_SEED = 9001  # DataSketches DEFAULT_UPDATE_SEED
+_THETA_MAX = 1 << 63
+_F_READONLY, _F_EMPTY, _F_COMPACT, _F_ORDERED = 0x02, 0x04, 0x08, 0x10
+
+
+def murmur3_x64_128(data: bytes, seed: int = 0) -> tuple[int, int]:
+    """Full MurmurHash3 x64_128 (both lanes) — the DataSketches hash
+    (its MurmurHash3.java is the reference x64_128 with long-seed
+    support; distinct from ORC's single-lane hash64 variant in
+    orc_meta.py)."""
+    mask = (1 << 64) - 1
+    c1, c2 = 0x87C37B91114253D5, 0x4CF5AD432745937F
+
+    def rotl(v: int, n: int) -> int:
+        return ((v << n) | (v >> (64 - n))) & mask
+
+    def fmix(h: int) -> int:
+        h ^= h >> 33
+        h = (h * 0xFF51AFD7ED558CCD) & mask
+        h ^= h >> 33
+        h = (h * 0xC4CEB9FE1A85EC53) & mask
+        return h ^ (h >> 33)
+
+    h1 = h2 = seed & mask
+    nblocks = len(data) >> 4
+    for i in range(nblocks):
+        k1 = int.from_bytes(data[i * 16 : i * 16 + 8], "little")
+        k2 = int.from_bytes(data[i * 16 + 8 : i * 16 + 16], "little")
+        k1 = (rotl((k1 * c1) & mask, 31) * c2) & mask
+        h1 ^= k1
+        h1 = ((rotl(h1, 27) + h2) * 5 + 0x52DCE729) & mask
+        k2 = (rotl((k2 * c2) & mask, 33) * c1) & mask
+        h2 ^= k2
+        h2 = ((rotl(h2, 31) + h1) * 5 + 0x38495AB5) & mask
+    tail = data[nblocks * 16 :]
+    k1 = k2 = 0
+    if len(tail) > 8:
+        for j in range(len(tail) - 1, 7, -1):
+            k2 = (k2 << 8) | tail[j]
+        k2 = (rotl((k2 * c2) & mask, 33) * c1) & mask
+        h2 ^= k2
+    if tail:
+        for j in range(min(len(tail), 8) - 1, -1, -1):
+            k1 = (k1 << 8) | tail[j]
+        k1 = (rotl((k1 * c1) & mask, 31) * c2) & mask
+        h1 ^= k1
+    h1 ^= len(data)
+    h2 ^= len(data)
+    h1 = (h1 + h2) & mask
+    h2 = (h2 + h1) & mask
+    h1 = fmix(h1)
+    h2 = fmix(h2)
+    h1 = (h1 + h2) & mask
+    h2 = (h2 + h1) & mask
+    return h1, h2
+
+
+def theta_hash_long(v: int, seed: int = _THETA_SEED) -> int:
+    """A long value -> its 63-bit theta hash: Iceberg single-value
+    serialization (8-byte LE) through MurmurHash3 x64_128, first
+    lane, unsigned-shifted right by one (zero is excluded by the
+    update rule, matching DataSketches)."""
+    h1, _ = murmur3_x64_128(
+        (v & ((1 << 64) - 1)).to_bytes(8, "little"), seed
+    )
+    return h1 >> 1
+
+
+def theta_hash_longs_np(values, seed: int = _THETA_SEED):
+    """Vectorized `theta_hash_long` over a numpy int64/uint64 array —
+    the 8-byte-LE MurmurHash3 x64_128 path specialized (nblocks=0,
+    tail=8: k2 never mixes and h2 only feeds h1 through the final
+    adds), all in wrapping uint64 numpy ops. Pinned element-wise
+    against the scalar path in tests; this is what lets the sketch
+    build hash millions of values per second inside mapInPandas
+    instead of ~30 µs/value in the Python loop."""
+    import numpy as np
+
+    mask64 = np.uint64(0xFFFFFFFFFFFFFFFF)
+    v = np.asarray(values).astype(np.uint64) & mask64
+    c1 = np.uint64(0x87C37B91114253D5)
+    c2 = np.uint64(0x4CF5AD432745937F)
+
+    def rotl31(x):
+        return (x << np.uint64(31)) | (x >> np.uint64(33))
+
+    def fmix(h):
+        h = h ^ (h >> np.uint64(33))
+        h = h * np.uint64(0xFF51AFD7ED558CCD)
+        h = h ^ (h >> np.uint64(33))
+        h = h * np.uint64(0xC4CEB9FE1A85EC53)
+        return h ^ (h >> np.uint64(33))
+
+    k1 = rotl31(v * c1) * c2
+    h1 = np.uint64(seed) ^ k1
+    h2 = np.full_like(h1, np.uint64(seed))
+    eight = np.uint64(8)
+    h1 = h1 ^ eight
+    h2 = h2 ^ eight
+    h1 = h1 + h2
+    h2 = h2 + h1
+    h1 = fmix(h1)
+    h2 = fmix(h2)
+    h1 = h1 + h2
+    return h1 >> np.uint64(1)
+
+
+def _theta_seed_hash(seed: int) -> int:
+    """DataSketches computeSeedHash: murmur the seed itself (as one
+    long), low 16 bits, zero is loud (the library reserves it)."""
+    h1, _ = murmur3_x64_128(seed.to_bytes(8, "little"), 0)
+    sh = h1 & 0xFFFF
+    if sh == 0:
+        raise ValueError(f"theta seed {seed} hashes to the reserved 0")
+    return sh
+
+
+def theta_sketch_serialize(
+    hashes: list[int], theta: int = _THETA_MAX,
+    seed: int = _THETA_SEED,
+) -> bytes:
+    """Retained 63-bit hashes (+ theta) -> a compact-ordered theta
+    sketch image (serial format v3), byte-identical to
+    DataSketches' CompactSketch.toByteArray for the same retained
+    set (verified against datasketches-java 6.2 via py4j: compact
+    images ZERO the lgNomLongs/lgArrLongs bytes and long 1 carries
+    curCount u32 + sampling probability p as float 1.0). ``theta ==
+    2^63`` serializes the exact-mode 2-preamble-long form; empty
+    serializes the 1-long form with the EMPTY flag."""
+    hs = sorted(hashes)
+    if any(h <= 0 or h >= theta for h in hs):
+        raise ValueError("retained hash outside (0, theta)")
+    if len(set(hs)) != len(hs):
+        raise ValueError("duplicate retained hash")
+    est_mode = theta != _THETA_MAX
+    pre_longs = 1 if not hs and not est_mode else (3 if est_mode else 2)
+    flags = _F_READONLY | _F_COMPACT | _F_ORDERED
+    if not hs and not est_mode:
+        flags |= _F_EMPTY
+    out = bytearray()
+    out += bytes([pre_longs, 3, 3, 0, 0, flags])
+    out += struct.pack("<H", _theta_seed_hash(seed))
+    if pre_longs >= 2:
+        out += struct.pack("<If", len(hs), 1.0)
+    if pre_longs == 3:
+        out += struct.pack("<Q", theta)
+    for h in hs:
+        out += struct.pack("<Q", h)
+    return bytes(out)
+
+
+def theta_sketch_deserialize(
+    blob: bytes, seed: int = _THETA_SEED
+) -> tuple[list[int], int]:
+    """Compact theta sketch image -> (retained hashes, theta), every
+    preamble field validated loudly (serial version, family, flags,
+    seed hash, length arithmetic, hash ordering/range)."""
+    if len(blob) < 8:
+        raise ValueError("theta sketch shorter than one preamble long")
+    pre_longs, ser_ver, fam = blob[0], blob[1], blob[2]
+    if ser_ver != 3:
+        raise NotImplementedError(f"theta serial version {ser_ver}")
+    if fam != 3:
+        raise NotImplementedError(
+            f"sketch family {fam} (only 3 = COMPACT theta)"
+        )
+    flags = blob[5]
+    if not (flags & _F_COMPACT) or not (flags & _F_READONLY):
+        raise NotImplementedError(
+            f"non-compact theta image (flags {flags:#x})"
+        )
+    (seed_hash,) = struct.unpack_from("<H", blob, 6)
+    if seed_hash != _theta_seed_hash(seed):
+        raise ValueError(
+            f"seed hash {seed_hash:#x} != expected "
+            f"{_theta_seed_hash(seed):#x} (sketch built with a "
+            "different seed)"
+        )
+    if flags & _F_EMPTY:
+        if pre_longs != 1:
+            raise ValueError(f"empty sketch with preLongs {pre_longs}")
+        return [], _THETA_MAX
+    if pre_longs == 2:
+        theta = _THETA_MAX
+    elif pre_longs == 3:
+        (theta,) = struct.unpack_from("<Q", blob, 16)
+        if not (0 < theta <= _THETA_MAX):
+            raise ValueError(f"theta {theta} out of range")
+    else:
+        raise NotImplementedError(f"theta preLongs {pre_longs}")
+    (cur_count,) = struct.unpack_from("<I", blob, 8)
+    start = pre_longs * 8
+    if len(blob) != start + 8 * cur_count:
+        raise ValueError(
+            f"sketch length {len(blob)} != preamble {start} + "
+            f"{cur_count} hash longs"
+        )
+    hashes = list(
+        struct.unpack_from(f"<{cur_count}Q", blob, start)
+    ) if cur_count else []
+    prev = 0
+    for h in hashes:
+        if not (prev < h < theta):
+            raise ValueError(
+                "retained hashes must be ascending in (0, theta)"
+            )
+        prev = h
+    return hashes, theta
+
+
+def theta_estimate(hashes: list[int], theta: int) -> float:
+    """The theta estimator: curCount / (theta / 2^63); exact when
+    theta is at its maximum."""
+    if theta == _THETA_MAX:
+        return float(len(hashes))
+    return len(hashes) * float(_THETA_MAX) / theta
+
+
+def theta_sketch_build(
+    spark: SparkSession, vals, k: int = 256
+) -> bytes:
+    """Distributed theta-sketch build over a one-column DataFrame of
+    longs: distinct (the format hashes dedup anyway, but distinct
+    shrinks the Python hashing work), MurmurHash3 per Arrow batch in
+    ``mapInPandas`` (the only Python-side step — O(distinct values),
+    parallel across partitions), then a distributed top-(k+1)
+    (TakeOrderedAndProject — each partition contributes at most k+1
+    rows to the driver). KMV theta choice: the (k+1)-th smallest
+    hash; at or below k distinct the sketch is exact. At 100 TB this
+    is the standard stats-collection pass: one shuffle for distinct,
+    one bounded top-k — nothing driver-side grows with table rows."""
+    col = vals.columns[0]
+
+    def _hash_batches(batches):
+        import numpy as _np
+        import pandas as _pd
+
+        for pdf in batches:
+            vals = pdf[col].dropna().to_numpy()
+            hs = theta_hash_longs_np(vals)
+            hs = hs[hs != 0].astype(_np.int64)  # 63-bit: sign-safe
+            yield _pd.DataFrame({"h": hs})
+
+    hashed = vals.distinct().mapInPandas(_hash_batches, "h bigint")
+    smallest = [r["h"] for r in hashed.orderBy("h").limit(k + 1).collect()]
+    if len(smallest) <= k:
+        return theta_sketch_serialize(smallest, _THETA_MAX)
+    return theta_sketch_serialize(smallest[:k], smallest[k])
+
+
+@register(
+    "source_puffin_theta_ndv",
+    oracle="""
+        WITH dl AS (
+            SELECT count(DISTINCT l_orderkey) AS v FROM lineitem
+        ),
+        do_ AS (
+            SELECT count(DISTINCT o_orderkey) AS v FROM orders
+        ),
+        actual AS (
+            SELECT count(*) AS v
+            FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        )
+        SELECT CAST((SELECT v FROM dl) AS BIGINT) AS exact_ndv_lineitem,
+               CAST((SELECT v FROM do_) AS BIGINT) AS exact_ndv_orders,
+               CAST(2 AS INT) AS sketch_blobs,
+               CASE WHEN (SELECT v FROM dl) > 256
+                    THEN 'estimation' ELSE 'exact' END
+                   AS sketch_mode_lineitem,
+               CASE WHEN (SELECT v FROM do_) > 256
+                    THEN 'estimation' ELSE 'exact' END
+                   AS sketch_mode_orders,
+               TRUE AS ndv_within_20pct,
+               TRUE AS cbo_estimate_within_20pct,
+               TRUE AS roundtrip_ok,
+               CAST((SELECT v FROM actual) AS BIGINT) AS actual_join_rows
+    """,
+    tags=("source", "iceberg", "puffin", "theta-sketch", "ndv",
+          "cbo", "stats", "audit"),
+)
+def source_puffin_theta_ndv(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Puffin `apache-datasketches-theta-v1` NDV sketches feeding the
+    CBO (round 18, r17 verdict item 3) — the stats blob Iceberg's
+    cost-based optimizer reads. The repo WRITES compact theta
+    sketches for `lineitem.l_orderkey` and `orders.o_orderkey` (the
+    distributed build in `theta_sketch_build`: hash per Arrow batch,
+    distributed top-k), stores both in ONE Puffin file with the
+    spec-required ``ndv`` property, RE-READS them through
+    `puffin_read`, and feeds the decoded estimates into the
+    `join_cardinality_estimation_audit` shape — the uniform
+    join-size formula |L|·|R| / max(d_L, d_R) now uses SKETCH NDVs
+    where that audit used exact pre-counts.
+
+    Exactness bracket (every approximate number rides a hash-checked
+    verdict): `exact_ndv_*` and `actual_join_rows` recompute exactly
+    in both engines; `ndv_within_20pct` pins both sketch estimates
+    within 20% of exact (k=256 -> RSE ~1/√256 ≈ 6.3%, and the
+    hash-defined candidate set makes the estimate DETERMINISTIC per
+    dataset); `cbo_estimate_within_20pct` pins that the
+    sketch-driven uniform join estimate lands within 20% of the
+    exact-NDV-driven one; `roundtrip_ok` pins blob-property/decode
+    agreement and byte-identical re-serialization. A reader that
+    mis-places theta (preamble long 2), mis-orders hashes, or drops
+    the >>>1 sign clear inflates the estimate past the bracket and
+    flips the hash.
+
+    Scale posture: sketch build is one distinct + one bounded top-k
+    per column (nothing driver-side grows with rows); the sketches
+    themselves are the POINT at 100 TB — 2 KB per column replaces a
+    count-distinct over the table, and theta sketches merge
+    associatively across partitions/snapshots."""
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey")
+    orders = t(spark, sf_dir, "orders")
+
+    root = os.path.join(
+        tempfile.gettempdir(), f"shs_theta_{uuid.uuid4().hex}"
+    )
+    os.makedirs(root)
+    K = 256
+    sk_li = theta_sketch_build(spark, li, k=K)
+    sk_ord = theta_sketch_build(
+        spark, orders.select("o_orderkey"), k=K
+    )
+
+    def _est(blob: bytes) -> float:
+        return theta_estimate(*theta_sketch_deserialize(blob))
+
+    ppath = os.path.join(root, "stats.puffin")
+    puffin_write(ppath, [
+        (sk_li, {
+            "type": "apache-datasketches-theta-v1",
+            "fields": [1],  # l_orderkey field id
+            "properties": {"ndv": str(round(_est(sk_li)))},
+        }),
+        (sk_ord, {
+            "type": "apache-datasketches-theta-v1",
+            "fields": [101],  # o_orderkey field id
+            "properties": {"ndv": str(round(_est(sk_ord)))},
+        }),
+    ])
+
+    # ---- the reader: re-read, decode, estimate, cross-validate ----
+    raw, blobs = puffin_read(ppath)
+    ests: dict[int, float] = {}
+    roundtrip_ok = len(blobs) == 2
+    for bm in blobs:
+        if bm["type"] != "apache-datasketches-theta-v1":
+            raise NotImplementedError(f"Puffin blob type {bm['type']}")
+        blob = raw[bm["offset"] : bm["offset"] + bm["length"]]
+        hashes, theta = theta_sketch_deserialize(blob)
+        est = theta_estimate(hashes, theta)
+        # the spec-required ndv property must agree with the sketch,
+        # and re-serialization must be byte-identical
+        roundtrip_ok &= int(bm["properties"]["ndv"]) == round(est)
+        roundtrip_ok &= (
+            theta_sketch_serialize(hashes, theta) == blob
+        )
+        ests[bm["fields"][0]] = est
+    est_dl, est_do = ests[1], ests[101]
+    mode_li = "estimation" if len(
+        theta_sketch_deserialize(sk_li)[0]
+    ) == K and theta_sketch_deserialize(sk_li)[1] != _THETA_MAX \
+        else "exact"
+    mode_ord = "estimation" if theta_sketch_deserialize(sk_ord)[1] \
+        != _THETA_MAX else "exact"
+    shutil.rmtree(root, ignore_errors=True)
+
+    # exact ground truth + the CBO formula, distributed
+    lo = t(spark, sf_dir, "lineitem").select("l_orderkey")
+    counts = lo.agg(
+        F.count("*").alias("nl_tot"),
+        F.count_distinct("l_orderkey").alias("dl"),
+    ).crossJoin(
+        orders.agg(
+            F.count("*").alias("no_tot"),
+            F.count_distinct("o_orderkey").alias("do_"),
+        )
+    )
+    actual = (
+        lo.join(
+            orders.select("o_orderkey"),
+            lo.l_orderkey == F.col("o_orderkey"),
+        ).agg(F.count("*").alias("actual"))
+    )
+    uniform_exact = (
+        F.col("nl_tot").cast("double") * F.col("no_tot")
+        / F.greatest("dl", "do_")
+    )
+    uniform_sketch = (
+        F.col("nl_tot").cast("double") * F.col("no_tot")
+        / F.greatest(F.lit(est_dl), F.lit(est_do))
+    )
+    within = lambda a, b: (  # noqa: E731
+        F.abs(a / b - 1.0) <= 0.2
+    )
+    return counts.crossJoin(F.broadcast(actual)).select(
+        F.col("dl").cast("bigint").alias("exact_ndv_lineitem"),
+        F.col("do_").cast("bigint").alias("exact_ndv_orders"),
+        F.lit(2).cast("int").alias("sketch_blobs"),
+        F.when(F.col("dl") > K, "estimation").otherwise("exact")
+        .alias("sketch_mode_lineitem"),
+        F.when(F.col("do_") > K, "estimation").otherwise("exact")
+        .alias("sketch_mode_orders"),
+        (
+            within(F.lit(est_dl), F.col("dl"))
+            & within(F.lit(est_do), F.col("do_"))
+            # the decoded mode must MATCH the data's regime
+            & (F.when(F.col("dl") > K, "estimation")
+               .otherwise("exact") == F.lit(mode_li))
+            & (F.when(F.col("do_") > K, "estimation")
+               .otherwise("exact") == F.lit(mode_ord))
+        ).alias("ndv_within_20pct"),
+        within(uniform_sketch, uniform_exact)
+        .alias("cbo_estimate_within_20pct"),
+        F.lit(bool(roundtrip_ok)).alias("roundtrip_ok"),
+        F.col("actual").cast("bigint").alias("actual_join_rows"),
+    )

@@ -157,3 +157,113 @@ def test_dv_crc_is_over_magic_plus_vector():
     (crc,) = struct.unpack_from(">I", blob, 4 + ln)
     assert crc == zlib.crc32(body)
     assert crc != zlib.crc32(body[4:])
+
+
+# ---- apache-datasketches-theta-v1 (round 18) ------------------------
+
+from spark_hive_spark.sources.puffin import (  # noqa: E402
+    _THETA_MAX,
+    _theta_seed_hash,
+    murmur3_x64_128,
+    theta_estimate,
+    theta_hash_long,
+    theta_sketch_deserialize,
+    theta_sketch_serialize,
+)
+
+
+def test_theta_sketch_roundtrip_exact_and_estimation():
+    hs = sorted(theta_hash_long(v) for v in range(100))
+    exact = theta_sketch_serialize(hs)
+    assert theta_sketch_deserialize(exact) == (hs, _THETA_MAX)
+    assert theta_estimate(hs, _THETA_MAX) == 100.0
+    big = sorted(theta_hash_long(v) for v in range(50_000))
+    est_img = theta_sketch_serialize(big[:256], big[256])
+    rh, rt = theta_sketch_deserialize(est_img)
+    assert (rh, rt) == (big[:256], big[256])
+    # KMV estimator lands within ~4 RSE of truth on this fixed set
+    assert abs(theta_estimate(rh, rt) / 50_000 - 1) < 0.25
+    # re-serialization is byte-stable
+    assert theta_sketch_serialize(rh, rt) == est_img
+
+
+def test_theta_sketch_empty_image():
+    img = theta_sketch_serialize([])
+    assert len(img) == 8 and img[0] == 1 and img[5] & 0x04
+    assert theta_sketch_deserialize(img) == ([], _THETA_MAX)
+    assert theta_estimate([], _THETA_MAX) == 0.0
+
+
+def test_theta_sketch_bad_images_are_loud():
+    hs = sorted(theta_hash_long(v) for v in range(10))
+    img = theta_sketch_serialize(hs)
+    with pytest.raises(NotImplementedError, match="serial version"):
+        theta_sketch_deserialize(bytes([img[0], 2]) + img[2:])
+    with pytest.raises(NotImplementedError, match="family"):
+        theta_sketch_deserialize(img[:2] + b"\x07" + img[3:])
+    with pytest.raises(ValueError, match="seed hash"):
+        theta_sketch_deserialize(img[:6] + b"\xff\xff" + img[8:])
+    with pytest.raises(ValueError, match="length"):
+        theta_sketch_deserialize(img + b"\x00" * 8)
+    with pytest.raises(ValueError, match="ascending"):
+        # swap two retained hashes: ordering must be validated
+        theta_sketch_deserialize(
+            img[:16] + img[24:32] + img[16:24] + img[32:]
+        )
+    with pytest.raises(ValueError, match="outside"):
+        theta_sketch_serialize([5, 10], theta=7)
+
+
+def test_theta_matches_jvm_datasketches(spark):
+    """Ground truth: datasketches-java 6.2 (bundled with Spark 4 for
+    the hll/theta SQL functions). Pins (a) MurmurHash3 x64_128 both
+    lanes + the >>>1 theta hash, (b) computeSeedHash, (c) exact-mode
+    compact images byte-identical to CompactSketch.toByteArray,
+    (d) the JVM wraps and agrees with this module's estimation-mode
+    KMV images."""
+    jvm = spark._jvm
+    gw = spark.sparkContext._gateway
+    MH = jvm.org.apache.datasketches.hash.MurmurHash3
+    for v in (0, 1, 42, -7, 123456789, (1 << 62) + 3):
+        arr = gw.new_array(gw.jvm.long, 1)
+        arr[0] = v
+        jres = MH.hash(arr, 9001)
+        p0, p1 = murmur3_x64_128(
+            (v % (1 << 64)).to_bytes(8, "little"), 9001
+        )
+        assert (jres[0] % (1 << 64), jres[1] % (1 << 64)) == (p0, p1)
+        assert (jres[0] % (1 << 64)) >> 1 == theta_hash_long(v)
+    Util = jvm.org.apache.datasketches.thetacommon.ThetaUtil
+    assert Util.computeSeedHash(9001) % (1 << 16) \
+        == _theta_seed_hash(9001)
+    sk = jvm.org.apache.datasketches.theta.UpdateSketch.builder() \
+        .setNominalEntries(256).build()
+    for i in range(100):
+        sk.update(i)
+    jimg = bytes(sk.compact().toByteArray())
+    hs = sorted(theta_hash_long(i) for i in range(100))
+    assert theta_sketch_serialize(hs) == jimg
+    big = sorted(theta_hash_long(i) for i in range(20_000))
+    mine = theta_sketch_serialize(big[:256], big[256])
+    Mem = jvm.org.apache.datasketches.memory.Memory
+    wrapped = jvm.org.apache.datasketches.theta.Sketches \
+        .wrapCompactSketch(Mem.wrap(mine))
+    assert wrapped.getRetainedEntries(True) == 256
+    assert abs(
+        wrapped.getEstimate()
+        - theta_estimate(*theta_sketch_deserialize(mine))
+    ) < 1e-6
+
+
+def test_theta_hash_vectorized_matches_scalar():
+    import numpy as np
+
+    from spark_hive_spark.sources.puffin import theta_hash_longs_np
+
+    vals = np.array(
+        [0, 1, -1, 42, -7, 123456789, (1 << 62) + 3, -(1 << 62)],
+        dtype=np.int64,
+    )
+    got = theta_hash_longs_np(vals)
+    want = [theta_hash_long(int(v)) for v in vals]
+    assert [int(x) for x in got] == want
