@@ -21,8 +21,12 @@ the Hudi library from the public on-disk contract
 - **Block types**: 1 = DELETE_BLOCK, 3 = AVRO_DATA_BLOCK,
   0 = COMMAND_BLOCK (COMMAND_TYPE 0 = ROLLBACK_PREVIOUS_BLOCK:
   invalidates earlier blocks of the TARGET_INSTANT_TIME — the trace
-  of a rolled-back failed deltacommit; other command types, 2
-  corrupt, 4 hfile, 5 parquet stay loud NotImplementedError seams).
+  of a rolled-back failed deltacommit), 5 = PARQUET_DATA_BLOCK
+  (round 17), 4 = HFILE_DATA_BLOCK (round 18 — the metadata table's
+  block type, content is a complete HFile image, sources/hfile.py;
+  the order-change data-log readers refuse it since data logs are
+  never HFile). Other command types and 2 corrupt stay loud
+  NotImplementedError seams.
 - **Avro data block content**: version (4 BE) | record count (4 BE) |
   per record: size (4 BE) + Avro-binary record bytes (schema in the
   SCHEMA header entry; decoded by the repo's own Avro codec,
@@ -2435,3 +2439,310 @@ def _dec_avro_content_cdc(content: bytes) -> list[dict]:
     the framing is the Avro data block's, so the generic decoder
     serves with the CDC schema."""
     return _dec_avro_content(content, _CDC_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# the METADATA TABLE: HFile base files + HFILE log blocks (round 18)
+# ---------------------------------------------------------------------------
+
+# HoodieMetadataRecord, the subset the `files` partition uses (the
+# real schema is HoodieMetadataPayload's; type 1 = partition list
+# under the __all_partitions__ key, type 2 = files-in-partition;
+# filesystemMetadata maps filename -> (size, isDeleted) and merges by
+# map union with newer-instant wins / isDeleted tombstones)
+_METADATA_RECORD_SCHEMA = {
+    "type": "record", "name": "HoodieMetadataRecord",
+    "fields": [
+        {"name": "key", "type": "string"},
+        {"name": "type", "type": "int"},
+        {"name": "filesystemMetadata", "type": ["null", {
+            "type": "map", "values": {
+                "type": "record", "name": "HoodieMetadataFileInfo",
+                "fields": [
+                    {"name": "size", "type": "long"},
+                    {"name": "isDeleted", "type": "boolean"},
+                ],
+            },
+        }]},
+    ],
+}
+_ALL_PARTITIONS_KEY = "__all_partitions__"
+
+
+def enc_metadata_record(key: str, rtype: int, fsmeta: dict) -> bytes:
+    """(key, type, {filename: (size, isDeleted)}) -> Avro binary of
+    the HoodieMetadataRecord subset (an HFile cell value)."""
+    rec = {
+        "key": key, "type": rtype,
+        "filesystemMetadata": {
+            n: {"size": s, "isDeleted": d}
+            for n, (s, d) in sorted(fsmeta.items())
+        },
+    }
+    return b"".join(
+        _enc_field(rec[f["name"]], f["type"])
+        for f in _METADATA_RECORD_SCHEMA["fields"]
+    )
+
+
+def dec_metadata_record(raw: bytes) -> dict:
+    rec, pos = {}, 0
+    for f in _METADATA_RECORD_SCHEMA["fields"]:
+        rec[f["name"]], pos = _dec_field(raw, pos, f["type"])
+    if pos != len(raw):
+        raise ValueError("metadata record has trailing bytes")
+    return rec
+
+
+@register(
+    "source_hudi_metadata_table_files",
+    oracle=f"""
+        SELECT CAST(2 AS INT) AS partitions_listed,
+               CAST(3 AS INT) AS files_listed,
+               CAST(1 AS INT) AS log_hfile_blocks,
+               CAST(3 AS INT) AS hfile_index_entries,
+               CAST(3 AS INT) AS hfile_blocks_read,
+               TRUE AS listing_consistent,
+               TRUE AS sizes_consistent,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               {sql_dsum(
+                   "o_totalprice"
+                   " + CASE WHEN o_orderkey % 10 = 6 THEN 100.00 ELSE 0 END"
+               )} AS revenue
+        FROM orders
+    """,
+    tags=("source", "hudi", "lakehouse", "metadata-table", "hfile",
+          "merge-on-read", "compat"),
+)
+def source_hudi_metadata_table_files(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Hudi METADATA TABLE `files` partition over HFile (round 18,
+    r17 verdict item 2 — closing log block type 4, the last loud
+    Hudi block type): since Hudi 0.11 the metadata table is ON by
+    default, and a reader without it must physically LIST files —
+    correct but unscalable on object stores (LIST is rate-limited
+    and eventually consistent; the metadata table makes file listing
+    a keyed read). The metadata table is itself a MOR table under
+    ``.hoodie/metadata/`` whose base files are HFILE (HBase v3
+    format, `sources/hfile.py`) and whose deltacommits append HFILE
+    LOG BLOCKS (HoodieLogBlockType 4) — each block's content is a
+    complete HFile image merged into the base by record key.
+
+    Fixture: a partitioned COW table (par=0 even / par=1 odd orders)
+    commits at 001; 002 rewrites par=0's file group with +100.00 on
+    keys ≡ 6 (mod 10). The metadata table mirrors it: a base HFile
+    (instant 001) with three cells — ``__all_partitions__`` (type-1
+    partition list) plus one type-2 files record per partition — and
+    a log file whose HFILE block (instant 002, gated by the metadata
+    table's OWN timeline) adds the rewritten file. Cells are Avro
+    HoodieMetadataRecords; ``filesystemMetadata`` maps merge by
+    union.
+
+    The reader serves file listing ONLY from the metadata table:
+    point-GETs through the HFile root index (``hfile_blocks_read``
+    pins that 3 keyed gets read exactly 3 of the 3 data blocks — the
+    index-selected block each, never a full scan), merges the log
+    block, then applies the normal file-slice rule to the LISTED
+    names and reads the chosen base files. ``listing_consistent`` /
+    ``sizes_consistent`` pin the physical cross-check the verdict
+    asked for: the metadata listing must equal os.listdir and every
+    size must match the file system. A reader that misses the log
+    block serves the stale 001 slice (missing the +100s); one that
+    scans instead of seeking flips the blocks-read pin; a broken
+    map-merge loses a file and flips the listing pin.
+
+    Scale posture: the metadata table turns O(files) LIST calls into
+    O(partitions-touched) keyed HFile gets, each reading one block —
+    Hudi's own design goal; data files are read once, in parallel,
+    exactly as every other fixture here."""
+    from spark_hive_spark.sources.hfile import HFileReader, hfile_encode
+
+    orders = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    root = os.path.join(
+        tempfile.gettempdir(), f"shs_hudi_mdt_{uuid.uuid4().hex}"
+    )
+    tdir = os.path.join(root, "t")
+    hdir = os.path.join(tdir, ".hoodie")
+    mfiles = os.path.join(hdir, "metadata", "files")
+    mhdir = os.path.join(hdir, "metadata", ".hoodie")
+    os.makedirs(mfiles)
+    os.makedirs(mhdir)
+
+    t1, t2 = "001", "002"
+    par = F.col("o_orderkey") % 2
+    f0_1 = f"fg-0_0-1-0_{t1}.parquet"
+    f1_1 = f"fg-1_0-1-0_{t1}.parquet"
+    f0_2 = f"fg-0_0-1-0_{t2}.parquet"
+    stage_single_parquet(
+        orders.filter(par == 0), root, tdir, f"par=0/{f0_1}"
+    )
+    stage_single_parquet(
+        orders.filter(par == 1), root, tdir, f"par=1/{f1_1}"
+    )
+    upserted = orders.filter(par == 0).withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_orderkey") % 10 == 6,
+            (F.col("o_totalprice").cast("decimal(18,2)")
+             + F.lit(100).cast("decimal(18,2)")).cast("double"),
+        ).otherwise(F.col("o_totalprice")),
+    )
+    stage_single_parquet(upserted, root, tdir, f"par=0/{f0_2}")
+
+    def _size(p: str, n: str) -> int:
+        return os.path.getsize(os.path.join(tdir, p, n))
+
+    # data-table timeline (001, 002 completed commits)
+    for instant in (t1, t2):
+        for suffix in (".commit.requested", ".commit.inflight",
+                       ".commit"):
+            with open(os.path.join(hdir, instant + suffix), "w") as fh:
+                fh.write("{}")
+    # the metadata table's OWN timeline: deltacommits mirroring the
+    # data instants (Hudi commits them synchronously)
+    for instant in (t1, t2):
+        for suffix in (".deltacommit.requested",
+                       ".deltacommit.inflight", ".deltacommit"):
+            with open(os.path.join(mhdir, instant + suffix), "w") as fh:
+                fh.write("{}")
+
+    # metadata base HFile at 001: tiny block size -> one data block
+    # per cell, a 3-entry root index the point gets must seek through
+    base_img = hfile_encode({
+        _ALL_PARTITIONS_KEY.encode(): enc_metadata_record(
+            _ALL_PARTITIONS_KEY, 1,
+            {"par=0": (0, False), "par=1": (0, False)},
+        ),
+        b"par=0": enc_metadata_record(
+            "par=0", 2, {f0_1: (_size("par=0", f0_1), False)}
+        ),
+        b"par=1": enc_metadata_record(
+            "par=1", 2, {f1_1: (_size("par=1", f1_1), False)}
+        ),
+    }, block_size=32)
+    with open(
+        os.path.join(mfiles, f"files-0000_0-0-0_{t1}.hfile"), "wb"
+    ) as fh:
+        fh.write(base_img)
+    # deltacommit 002's HFILE log block: a complete HFile image as
+    # block content, merged into the base by record key
+    delta_img = hfile_encode({
+        b"par=0": enc_metadata_record(
+            "par=0", 2, {f0_2: (_size("par=0", f0_2), False)}
+        ),
+    })
+    with open(
+        os.path.join(mfiles, f".files-0000_{t1}.log.1_0-1-0"), "wb"
+    ) as fh:
+        fh.write(encode_log_block(_HFILE_BLOCK, {_H_INSTANT: t2},
+                                  delta_img))
+
+    # ---- the reader: listing served ONLY by the metadata table ----
+    def _completed(timeline_dir: str, action: str) -> set[str]:
+        out = set()
+        for f in os.listdir(timeline_dir):
+            parts = f.split(".")
+            if len(parts) == 2 and parts[1] == action:
+                out.add(parts[0])
+        return out
+
+    completed_data = _completed(hdir, "commit")
+    completed_meta = _completed(mhdir, "deltacommit")
+
+    base_files = [
+        f for f in os.listdir(mfiles) if f.endswith(".hfile")
+    ]
+    log_files = [
+        f for f in os.listdir(mfiles) if ".log." in f
+    ]
+    (base_name,) = base_files  # one file group in `files`
+    with open(os.path.join(mfiles, base_name), "rb") as fh:
+        rd = HFileReader(fh.read())
+    index_entries = len(rd.index)
+    all_parts = dec_metadata_record(rd.get(_ALL_PARTITIONS_KEY.encode()))
+    if all_parts["type"] != 1:
+        raise ValueError("partition-list record has wrong type")
+    partitions = sorted(all_parts["filesystemMetadata"])
+    listing: dict[str, dict[str, int]] = {}
+    for p in partitions:
+        rec = dec_metadata_record(rd.get(p.encode()))
+        if rec["type"] != 2 or rec["key"] != p:
+            raise ValueError(f"files record mismatch for {p!r}")
+        listing[p] = {
+            n: m["size"]
+            for n, m in rec["filesystemMetadata"].items()
+            if not m["isDeleted"]
+        }
+    blocks_read = rd.blocks_read  # the point-get attestation
+
+    n_hfile_blocks = 0
+    for lf in sorted(log_files, key=lambda n: parse_log_name(n)[2]):
+        with open(os.path.join(mfiles, lf), "rb") as fh:
+            blocks = walk_log_blocks(fh.read())
+        for blk in blocks:
+            if blk["type"] != _HFILE_BLOCK:
+                raise NotImplementedError(
+                    f"log block type {blk['type']} in the metadata "
+                    "table (files partition is HFILE-only)"
+                )
+            if blk["header"][_H_INSTANT] not in completed_meta:
+                continue  # uncommitted metadata deltacommit
+            n_hfile_blocks += 1
+            for row, val in HFileReader(blk["content"]).scan():
+                rec = dec_metadata_record(val)
+                if rec["key"] == _ALL_PARTITIONS_KEY:
+                    continue
+                part = listing.setdefault(rec["key"], {})
+                for n, m in rec["filesystemMetadata"].items():
+                    if m["isDeleted"]:
+                        part.pop(n, None)
+                    else:
+                        part[n] = m["size"]
+
+    # the verdict's physical cross-check: metadata listing == LIST
+    listing_consistent = partitions == sorted(
+        d for d in os.listdir(tdir) if d.startswith("par=")
+    )
+    sizes_consistent = True
+    for p in partitions:
+        physical = {
+            n for n in os.listdir(os.path.join(tdir, p))
+            if n.endswith(".parquet")
+        }
+        listing_consistent &= set(listing[p]) == physical
+        sizes_consistent &= all(
+            _size(p, n) == sz for n, sz in listing[p].items()
+        )
+
+    # file-slice resolution over the METADATA listing
+    latest = max(completed_data)
+    serve: list[str] = []
+    for p in partitions:
+        by_fid: dict[str, tuple[str, str]] = {}
+        for name in listing[p]:
+            fid = name.split("_", 1)[0]
+            instant = name[: -len(".parquet")].rsplit("_", 1)[1]
+            if instant not in completed_data or instant > latest:
+                continue
+            if fid not in by_fid or instant > by_fid[fid][0]:
+                by_fid[fid] = (instant, name)
+        serve += [os.path.join(tdir, p, n) for _, n in by_fid.values()]
+
+    df = spark.read.parquet(*sorted(serve))
+    out = df.agg(
+        F.lit(len(partitions)).cast("int").alias("partitions_listed"),
+        F.lit(sum(len(v) for v in listing.values())).cast("int")
+        .alias("files_listed"),
+        F.lit(n_hfile_blocks).cast("int").alias("log_hfile_blocks"),
+        F.lit(index_entries).cast("int").alias("hfile_index_entries"),
+        F.lit(blocks_read).cast("int").alias("hfile_blocks_read"),
+        F.lit(bool(listing_consistent)).alias("listing_consistent"),
+        F.lit(bool(sizes_consistent)).alias("sizes_consistent"),
+        F.count("*").alias("n_orders"),
+        dsum("o_totalprice").alias("revenue"),
+    ).localCheckpoint(eager=True)  # 1 row; frees the temp root
+    shutil.rmtree(root, ignore_errors=True)
+    return out

@@ -1,0 +1,110 @@
+"""HFile v3 codec (sources/hfile.py) and the Hudi metadata-table
+record layer (sources/hudi_mor.py round-18 additions): roundtrips,
+index-selective point gets, every integrity field loud."""
+
+from __future__ import annotations
+
+import struct
+
+import pytest
+
+from spark_hive_spark.sources.hfile import (
+    _COMPRESSION_NONE,
+    _TRAILER_SIZE,
+    HFileReader,
+    hadoop_vint,
+    hadoop_vint_read,
+    hfile_encode,
+)
+from spark_hive_spark.sources.hudi_mor import (
+    dec_metadata_record,
+    enc_metadata_record,
+)
+
+
+def _cells(n: int = 300) -> dict[bytes, bytes]:
+    return {
+        f"key-{i:05d}".encode(): bytes([i % 251]) * (i % 40 + 1)
+        for i in range(n)
+    }
+
+
+def test_hadoop_vint_roundtrip():
+    for n in (0, 1, 117, 127, 128, 255, 256, 70_000, 1 << 30):
+        enc = hadoop_vint(n)
+        assert hadoop_vint_read(enc + b"xx", 0) == (n, len(enc))
+    assert hadoop_vint(127) == b"\x7f"  # one byte up to 127
+    assert len(hadoop_vint(128)) == 2  # marker + magnitude
+
+
+def test_hfile_scan_roundtrip():
+    cells = _cells()
+    r = HFileReader(hfile_encode(cells, block_size=256))
+    assert dict(r.scan()) == cells
+    assert r.entry_count == len(cells)
+    assert len(r.index) > 5  # genuinely multi-block
+
+
+def test_hfile_point_get_reads_one_block():
+    cells = _cells()
+    r = HFileReader(hfile_encode(cells, block_size=256))
+    assert r.get(b"key-00000") == cells[b"key-00000"]
+    assert r.get(b"key-00299") == cells[b"key-00299"]
+    assert r.get(b"key-00150") == cells[b"key-00150"]
+    assert r.blocks_read == 3  # one index-selected block per get
+    # misses: before the first key costs zero reads, absent-in-range
+    # and after-last cost one block each
+    assert r.get(b"aaa") is None and r.blocks_read == 3
+    assert r.get(b"key-00150x") is None and r.blocks_read == 4
+    assert r.get(b"zzz") is None and r.blocks_read == 5
+
+
+def test_hfile_corruption_is_loud():
+    img = bytearray(hfile_encode(_cells(50), block_size=256))
+    # flip one payload byte inside the first data block
+    bad = bytearray(img)
+    bad[40] ^= 0xFF
+    with pytest.raises(ValueError, match="CRC"):
+        HFileReader(bytes(bad)).scan()
+    # wrong major version
+    bad = bytearray(img)
+    bad[-4:] = struct.pack(">i", 2)
+    with pytest.raises(NotImplementedError, match="major version"):
+        HFileReader(bytes(bad))
+    # trailer magic gone
+    bad = bytearray(img)
+    bad[len(bad) - _TRAILER_SIZE] ^= 0xFF
+    with pytest.raises(ValueError, match="trailer magic"):
+        HFileReader(bytes(bad))
+    # short file
+    with pytest.raises(ValueError, match="shorter"):
+        HFileReader(b"x" * 100)
+
+
+def test_hfile_compression_codec_is_loud():
+    img = bytearray(hfile_encode(_cells(10)))
+    # rewrite trailer with a GZ codec ordinal (1): locate field 12
+    # by patching the encoded byte — easier: re-encode via the
+    # writer's own helpers
+    from spark_hive_spark.sources.hfile import _pb_field
+
+    none_f = _pb_field(12, _COMPRESSION_NONE)
+    gz_f = _pb_field(12, 1)
+    assert len(none_f) == len(gz_f)
+    t = bytes(img).rfind(none_f)
+    assert t > len(img) - _TRAILER_SIZE
+    img[t : t + len(none_f)] = gz_f
+    with pytest.raises(NotImplementedError, match="compression codec"):
+        HFileReader(bytes(img))
+
+
+def test_metadata_record_roundtrip():
+    rec = dec_metadata_record(enc_metadata_record(
+        "par=0", 2,
+        {"a.parquet": (123, False), "b.parquet": (9, True)},
+    ))
+    assert rec["key"] == "par=0" and rec["type"] == 2
+    assert rec["filesystemMetadata"] == {
+        "a.parquet": {"size": 123, "isDeleted": False},
+        "b.parquet": {"size": 9, "isDeleted": True},
+    }
