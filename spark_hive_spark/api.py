@@ -294,6 +294,57 @@ def cosine_pairs(
     )
 
 
+def minhash_bands(
+    shingles: DataFrame,
+    *,
+    k: int = 32,
+    bands: int = 8,
+    id_col: str = "doc_id",
+    shingle_col: str = "s",
+) -> DataFrame:
+    """The LSH band table for a corpus: distinct ``(id, shingle)``
+    pairs -> ``(doc_id, band_idx, band_hash)``, k MinHash components
+    (min over per-seed xxhash64 of the shingle) grouped into
+    ``bands`` hashed bands. This IS the persistable dedup index — a
+    new batch deduplicates against a stored band table by equi-join
+    on (band_idx, band_hash) without touching the original corpus
+    (see ``dedup_incremental_against_index``); `minhash_dedupe`
+    self-joins it for within-corpus pairs."""
+    if k % bands != 0:
+        raise ValueError(f"k={k} must divide into bands={bands}")
+    sh = shingles.select(
+        F.col(id_col).alias("doc_id"), F.col(shingle_col).alias("s")
+    )
+    aggs = [
+        F.min(F.xxhash64(F.col("s"), F.lit(i))).alias(f"mh_{i}")
+        for i in range(k)
+    ]
+    sig = sh.groupBy("doc_id").agg(*aggs)
+    rows_per_band = k // bands
+    band_cols = [
+        F.xxhash64(
+            F.lit(bi),
+            *[F.col(f"mh_{bi * rows_per_band + j}") for j in range(rows_per_band)],
+        ).alias(f"band_{bi}")
+        for bi in range(bands)
+    ]
+    banded = sig.select("doc_id", *band_cols)
+    return banded.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band_idx"),
+                        F.col(f"band_{bi}").alias("band_hash"),
+                    )
+                    for bi in range(bands)
+                ]
+            )
+        ).alias("b"),
+    ).select("doc_id", "b.band_idx", "b.band_hash")
+
+
 def minhash_dedupe(
     shingles: DataFrame,
     *,
@@ -324,39 +375,13 @@ def minhash_dedupe(
         sh = docs.select("doc_id", F.explode(word_3grams).alias("s"))
         minhash_dedupe(sh.distinct(), threshold=0.8)
     """
-    if k % bands != 0:
-        raise ValueError(f"k={k} must divide into bands={bands}")
+    bands_long = minhash_bands(
+        shingles, k=k, bands=bands, id_col=id_col,
+        shingle_col=shingle_col,
+    )
     sh = shingles.select(
         F.col(id_col).alias("doc_id"), F.col(shingle_col).alias("s")
     )
-    aggs = [
-        F.min(F.xxhash64(F.col("s"), F.lit(i))).alias(f"mh_{i}")
-        for i in range(k)
-    ]
-    sig = sh.groupBy("doc_id").agg(*aggs)
-    rows_per_band = k // bands
-    band_cols = [
-        F.xxhash64(
-            F.lit(bi),
-            *[F.col(f"mh_{bi * rows_per_band + j}") for j in range(rows_per_band)],
-        ).alias(f"band_{bi}")
-        for bi in range(bands)
-    ]
-    banded = sig.select("doc_id", *band_cols)
-    bands_long = banded.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(bi).alias("band_idx"),
-                        F.col(f"band_{bi}").alias("band_hash"),
-                    )
-                    for bi in range(bands)
-                ]
-            )
-        ).alias("b"),
-    ).select("doc_id", "b.band_idx", "b.band_hash")
     a = bands_long.alias("a")
     b = bands_long.alias("b")
     candidates = (
