@@ -340,6 +340,11 @@ EXTENDED = [
     "source_orc_row_index_skipping_decimal_compressed",
     "source_delta_row_tracking_dv",
     "source_hudi_cdc_incremental",
+    # round 18
+    "source_iceberg_changelog_equality",
+    "source_puffin_theta_ndv",
+    "source_hudi_metadata_table_files",
+    "dedup_incremental_against_index",
 ]
 
 # Streaming extended queries run dead LAST (after the streaming

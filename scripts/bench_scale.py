@@ -17,9 +17,11 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 SF01 = "/root/testdata/sf0.1"
 SF1 = os.path.join(os.path.dirname(__file__), "..", "testdata_scale", "sf1")
 SF5 = os.path.join(os.path.dirname(__file__), "..", "testdata_scale", "sf5")
-# BENCH_SCALES=sf0.1,sf1,sf5 selects the measured scales (sf5 holds
-# only documents/embeddings — use it for the LLM-pipeline operators)
-_ALL_SCALES = {"sf0.1": SF01, "sf1": SF1, "sf5": SF5}
+SF10 = os.path.join(os.path.dirname(__file__), "..", "testdata_scale", "sf10")
+# BENCH_SCALES=sf0.1,sf1,sf5 selects the measured scales (sf5/sf10
+# hold only documents/embeddings — use them for the LLM-pipeline
+# operators; sf10 = 100x docs, the r17 verdict's memory-posture tier)
+_ALL_SCALES = {"sf0.1": SF01, "sf1": SF1, "sf5": SF5, "sf10": SF10}
 SCALES = [
     (label, _ALL_SCALES[label])
     for label in os.environ.get("BENCH_SCALES", "sf0.1,sf1").split(",")

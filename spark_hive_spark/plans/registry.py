@@ -38,34 +38,28 @@ class Query:
 _REGISTRY: dict[str, Query] = {}
 
 # The grading driver sweeps the FIRST 50 registry entries per round, so
-# ordering is an attestation budget. Round-17 rotation (VERDICT r16
-# item 8, executed): the 4 reference jobs stay pinned, then the 15 NEW
-# round-17 queries (the r16 verdict's items — ORC bloom skipping on
-# STRING keys + the dictionary-encoded composition, Iceberg
-# changelog/CDC scan + its MOR position-delete half + the
-# net-changes mode, Delta row
-# tracking (JSON replay + checkpoint bootstrap + the deletion-
-# vector compose), Hudi MOR
-# as-of-instant + clustering replacecommit + parquet log blocks +
-# CDC blocks,
-# ORC decimal+date
-# row-index seeking incl. the compressed chunked-varint form,
-# parquet string blooms), then the ANN rows-only pair WITH its hash-green exactness
-# bracket ``ann_recall_audit`` pinned adjacent (the graded
-# CORRECTNESS file stays self-contained — the audit travels with the
-# pair in every window), then the oldest attested backlog,
-# oldest-first: 28 of the 35 oldest (r5-attested) queries in name
-# order (exactly the spill the r16 comment promised plus the rest of
-# the r5 tail; the last seven udf_p*/w*/window* names no longer
-# fit).
-# Backlog spill for r18 (next oldest, in order):
-# udf_pandas_scalar_risk_score,
-# udf_python_row_clean_names, w_customer_rank_in_nation,
-# w_event_lag_lead_gaps, w_running_revenue_by_supplier,
-# window_sliding_events, window_tumbling_events, then the
-# r6-attested tail —
-# approx_topk_tokens, arrow_doc_char_stats, arrow_group_doc_quantiles,
-# bitmap_distinct_rollup, cdc_upsert_orders, ... . Recompute with the
+# ordering is an attestation budget. Round-18 rotation (r17 verdict
+# item 7, executed): the 4 reference jobs stay pinned, then the 4 NEW
+# round-18 queries (the r17 verdict's items — the Iceberg changelog
+# composed over EQUALITY deletes, Puffin theta-sketch NDV stats
+# feeding the CBO audit, the Hudi metadata-table files partition over
+# HFile base + HFILE log blocks, and incremental dedup against a
+# frozen MinHash index), then the ANN rows-only pair WITH its
+# hash-green exactness bracket ``ann_recall_audit`` pinned adjacent
+# (the graded CORRECTNESS file stays self-contained — the audit
+# travels with the pair in every window), then the oldest attested
+# backlog by CORRECTNESS_r*.json max-round, name order: the seven
+# r5-attested udf_p*/w*/window* names the r17 comment promised, then
+# the r6-attested tail through source_python_datasource (the
+# rows-only rfm_user_scores_approx travels with its hash-green
+# bracket rfm_approx_audit, adjacent by name order).
+# Backlog spill for r19 (next oldest, in order):
+# source_python_datasource_stream, sql_parameterized_brand_counts,
+# sqlfn_discounted_revenue, stats_corr_regression,
+# stream_foreachbatch_parquet_sink, stream_multibatch_tumbling,
+# stream_static_enrich_segments, timeseries_gapfill_locf,
+# udtf_document_chunks, w_rolling_hour_user_value,
+# xml_part_roundtrip, then the r7-attested tail. Recompute with the
 # CORRECTNESS_r*.json max-round scan (the
 # test_r10_window_completes_attestation recipe) rather than trusting
 # this comment.
@@ -76,55 +70,55 @@ SWEEP_PRIORITY: tuple[str, ...] = (
     "ref_top5_finished_orders_by_price",
     "ref_building_acctbal_stats_by_nation",
     "ref_orc_roundtrip",
-    # round-17 NEW queries: driver rows on first appearance
-    "source_orc_bloom_skipping_string",
-    "source_iceberg_changelog_scan",
-    "source_delta_row_tracking",
-    "source_hudi_mor_time_travel",
-    "source_orc_row_index_skipping_decimal",
-    "source_parquet_bloom_skipping_string",
-    "source_orc_bloom_skipping_dictionary",
-    "source_iceberg_changelog_mor",
-    "source_delta_row_tracking_checkpoint",
-    "source_hudi_clustering_replacecommit",
-    "source_iceberg_changelog_net_changes",
-    "source_hudi_mor_parquet_log_blocks",
-    "source_orc_row_index_skipping_decimal_compressed",
-    "source_delta_row_tracking_dv",
-    "source_hudi_cdc_incremental",
+    # round-18 NEW queries: driver rows on first appearance
+    "source_iceberg_changelog_equality",
+    "source_puffin_theta_ndv",
+    "source_hudi_metadata_table_files",
+    "dedup_incremental_against_index",
     # ANN rows-only pair + its exactness bracket, always adjacent
     "knn_cosine_ivf",
     "knn_cosine_lsh",
     "ann_recall_audit",
-    # oldest (r5-attested) backlog, oldest-first, name order
-    "distinct_supplier_part_counts",
-    "funnel_view_click_purchase",
-    "groupingsets_customer",
-    "json_event_props",
-    "json_event_schema",
-    "map_struct_roundtrip",
-    "math_supplier_balances",
-    "multimodal_frame_samples",
-    "multimodal_media_features",
-    "percentiles_extendedprice",
-    "pivot_revenue_by_linestatus",
-    "q1_pricing_summary",
-    "range_join_clicks_before_purchase",
-    "retention_signup_cohorts",
-    "rollup_lineitem_flags",
-    "sessionize_events",
-    "sketch_hll_mergeable_rollup",
-    "skew_salted_join_order_revenue",
-    "skew_salted_user_totals",
-    "stream_dedup_within_watermark",
-    "stream_session_windows",
-    "stream_stateful_user_totals",
-    "stream_stream_interval_join",
-    "stream_tumbling_counts",
-    "stream_watermarked_windows",
-    "string_part_catalog",
-    "text_repetition_filter",
-    "udf_grouped_agg_weighted_mean",
+    # oldest attested backlog (r5 tail, then r6), name order
+    "udf_pandas_scalar_risk_score",
+    "udf_python_row_clean_names",
+    "w_customer_rank_in_nation",
+    "w_event_lag_lead_gaps",
+    "w_running_revenue_by_supplier",
+    "window_sliding_events",
+    "window_tumbling_events",
+    "approx_topk_tokens",
+    "arrow_doc_char_stats",
+    "arrow_group_doc_quantiles",
+    "bitmap_distinct_rollup",
+    "calendar_densified_daily_orders",
+    "cdc_upsert_orders",
+    "events_hourly_anomaly",
+    "events_type_transitions",
+    "explode_outer_token_rows",
+    "funnel_windowed_7d",
+    "json_variant_props",
+    "listagg_top_suppliers_per_nation",
+    "mode_priority_per_nation",
+    "multimodal_resize_plan",
+    "pipe_syntax_brand_stats",
+    "q10_returned_item_losses",
+    "q12_priority_by_ship_year",
+    "q19_disjunctive_revenue",
+    "q22_idle_rich_customers",
+    "q3_shipping_priority",
+    "q5_region_revenue",
+    "q6_forecast_revenue",
+    "q7_nation_trade_volume",
+    "q9_nation_year_profit",
+    "ratio_to_report_customer_revenue",
+    "repeat_orders_within_week",
+    "rfm_approx_audit",
+    "rfm_user_scores",
+    "rfm_user_scores_approx",
+    "semdedup_embedding_clusters",
+    "sketch_hll_builtin_rollup",
+    "source_python_datasource",
 )
 
 
