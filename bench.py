@@ -343,7 +343,9 @@ EXTENDED = [
     # round 18
     "source_iceberg_changelog_equality",
     "source_puffin_theta_ndv",
+    "source_puffin_theta_union_ndv",
     "source_hudi_metadata_table_files",
+    "source_hudi_metadata_table_colstats",
     "dedup_incremental_against_index",
 ]
 

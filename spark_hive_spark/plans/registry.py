@@ -39,12 +39,14 @@ _REGISTRY: dict[str, Query] = {}
 
 # The grading driver sweeps the FIRST 50 registry entries per round, so
 # ordering is an attestation budget. Round-18 rotation (r17 verdict
-# item 7, executed): the 4 reference jobs stay pinned, then the 4 NEW
+# item 7, executed): the 4 reference jobs stay pinned, then the 6 NEW
 # round-18 queries (the r17 verdict's items — the Iceberg changelog
 # composed over EQUALITY deletes, Puffin theta-sketch NDV stats
 # feeding the CBO audit, the Hudi metadata-table files partition over
 # HFile base + HFILE log blocks, and incremental dedup against a
-# frozen MinHash index), then the ANN rows-only pair WITH its
+# frozen MinHash index, plus the theta UNION mergeability attest and
+# the metadata-table column_stats skipping sibling), then the ANN
+# rows-only pair WITH its
 # hash-green exactness bracket ``ann_recall_audit`` pinned adjacent
 # (the graded CORRECTNESS file stays self-contained — the audit
 # travels with the pair in every window), then the oldest attested
@@ -54,6 +56,7 @@ _REGISTRY: dict[str, Query] = {}
 # rows-only rfm_user_scores_approx travels with its hash-green
 # bracket rfm_approx_audit, adjacent by name order).
 # Backlog spill for r19 (next oldest, in order):
+# sketch_hll_builtin_rollup, source_python_datasource,
 # source_python_datasource_stream, sql_parameterized_brand_counts,
 # sqlfn_discounted_revenue, stats_corr_regression,
 # stream_foreachbatch_parquet_sink, stream_multibatch_tumbling,
@@ -75,6 +78,8 @@ SWEEP_PRIORITY: tuple[str, ...] = (
     "source_puffin_theta_ndv",
     "source_hudi_metadata_table_files",
     "dedup_incremental_against_index",
+    "source_puffin_theta_union_ndv",
+    "source_hudi_metadata_table_colstats",
     # ANN rows-only pair + its exactness bracket, always adjacent
     "knn_cosine_ivf",
     "knn_cosine_lsh",
@@ -117,8 +122,6 @@ SWEEP_PRIORITY: tuple[str, ...] = (
     "rfm_user_scores",
     "rfm_user_scores_approx",
     "semdedup_embedding_clusters",
-    "sketch_hll_builtin_rollup",
-    "source_python_datasource",
 )
 
 

@@ -414,3 +414,26 @@ class HFileReader:
         if out[-1][0] != last:
             raise ValueError("FileInfo LASTKEY disagrees with scan")
         return out
+
+    def scan_range(
+        self, start_row: bytes, stop_row: bytes
+    ) -> list[tuple[bytes, bytes]]:
+        """Cells with start_row <= row < stop_row, reading ONLY data
+        blocks whose index range can intersect — the prefix read the
+        metadata table's column_stats partition depends on (one
+        column's records are key-contiguous, so a column's stats
+        cost O(its blocks), not a file scan). The block holding the
+        predecessor key is read too (its tail may cross the start) —
+        one boundary block, never more."""
+        import bisect
+
+        keys = [k for _, _, k in self.index]
+        i = max(bisect.bisect_right(keys, start_row) - 1, 0)
+        out: list[tuple[bytes, bytes]] = []
+        for off, _, fkey in self.index[i:]:
+            if fkey >= stop_row:
+                break
+            for r, v in self._read_data_block(off):
+                if start_row <= r < stop_row:
+                    out.append((r, v))
+        return out

@@ -2746,3 +2746,209 @@ def source_hudi_metadata_table_files(
     ).localCheckpoint(eager=True)  # 1 row; frees the temp root
     shutil.rmtree(root, ignore_errors=True)
     return out
+
+
+# HoodieMetadataColumnStats, the subset the `column_stats` partition
+# uses (the real schema wraps min/max in per-type union records; this
+# fixture's sketched columns are both longs)
+_COLSTATS_RECORD_SCHEMA = {
+    "type": "record", "name": "HoodieMetadataColumnStats",
+    "fields": [
+        {"name": "columnName", "type": "string"},
+        {"name": "fileName", "type": "string"},
+        {"name": "minValue", "type": "long"},
+        {"name": "maxValue", "type": "long"},
+        {"name": "nullCount", "type": "long"},
+        {"name": "valueCount", "type": "long"},
+    ],
+}
+
+
+def enc_colstats_record(
+    col: str, fname: str, vmin: int, vmax: int, nulls: int, count: int
+) -> bytes:
+    rec = {"columnName": col, "fileName": fname, "minValue": vmin,
+           "maxValue": vmax, "nullCount": nulls, "valueCount": count}
+    return b"".join(
+        _enc_field(rec[f["name"]], f["type"])
+        for f in _COLSTATS_RECORD_SCHEMA["fields"]
+    )
+
+
+def dec_colstats_record(raw: bytes) -> dict:
+    rec, pos = {}, 0
+    for f in _COLSTATS_RECORD_SCHEMA["fields"]:
+        rec[f["name"]], pos = _dec_field(raw, pos, f["type"])
+    if pos != len(raw):
+        raise ValueError("column-stats record has trailing bytes")
+    return rec
+
+
+@register(
+    "source_hudi_metadata_table_colstats",
+    oracle=f"""
+        WITH m AS (SELECT max(o_orderkey) AS mx FROM orders),
+        b AS (
+            SELECT CAST(floor(mx * 0.30) AS BIGINT) AS lo,
+                   CAST(floor(mx * 0.45) AS BIGINT) AS hi
+            FROM m
+        )
+        SELECT CAST(4 AS INT) AS data_files,
+               CAST(8 AS INT) AS stats_records,
+               CAST(5 AS INT) AS hfile_blocks_read,
+               CAST(3 AS INT) AS files_pruned,
+               TRUE AS stats_match_footers,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               {sql_dsum('o_totalprice')} AS revenue
+        FROM orders, b
+        WHERE o_orderkey BETWEEN b.lo AND b.hi
+    """,
+    tags=("source", "hudi", "lakehouse", "metadata-table", "hfile",
+          "column-stats", "skipping", "compat"),
+)
+def source_hudi_metadata_table_colstats(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Hudi METADATA TABLE `column_stats` partition (round 18, the
+    files-partition sibling): data skipping served from the metadata
+    table instead of per-file footer reads — at object-store scale a
+    predicate consults ONE keyed HFile range instead of opening N
+    parquet footers. Records are keyed ``{{column}}.{{file}}`` so one
+    column's stats are KEY-CONTIGUOUS: the reader's
+    ``HFileReader.scan_range`` walks only the blocks whose index
+    range can intersect the ``o_orderkey.`` prefix
+    (``hfile_blocks_read`` pins 5 of the 8 one-cell blocks — the
+    four o_orderkey blocks plus the one boundary predecessor — while
+    the o_custkey stats are never decoded).
+
+    Fixture: four base files split by o_orderkey quartile (commit
+    001), so per-file [min,max] are tight disjoint ranges; the
+    column_stats HFile carries 8 records (2 sketched columns x 4
+    files). The predicate ``o_orderkey BETWEEN floor(0.30·max) AND
+    floor(0.45·max)`` lands strictly inside quartile 1 (testdata
+    orderkeys are dense 0..N-1), so exactly 3 files prune —
+    ``files_pruned`` pins it, and reading a pruned file's rows or
+    dropping the survivor's out-of-range tail flips n_rows/revenue.
+
+    ``stats_match_footers`` is the integrity pin the files sibling
+    has for sizes: every metadata record is cross-validated against
+    the file's OWN parquet footer (repo footer reader
+    `parquet_meta.footer_summary` — file-level min/max folded over
+    row groups, null and value counts) — a stale or hand-rotted
+    stats record is caught engine-side, not trusted.
+
+    Scale posture: stats lookup is O(blocks of one column's range);
+    pruning is driver-side arithmetic over O(files) records; the
+    surviving file is read once with the predicate pushed into the
+    scan. The metadata table is the only stats source consulted —
+    footers are opened here solely as the audit."""
+    from spark_hive_spark.sources.hfile import HFileReader, hfile_encode
+    from spark_hive_spark.sources.parquet_meta import footer_summary
+
+    orders = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    root = os.path.join(
+        tempfile.gettempdir(), f"shs_hudi_mdcs_{uuid.uuid4().hex}"
+    )
+    tdir = os.path.join(root, "t")
+    hdir = os.path.join(tdir, ".hoodie")
+    mcs = os.path.join(hdir, "metadata", "column_stats")
+    mhdir = os.path.join(hdir, "metadata", ".hoodie")
+    os.makedirs(mcs)
+    os.makedirs(mhdir)
+
+    t1 = "001"
+    n_total = orders.agg(F.max("o_orderkey")).collect()[0][0] + 1
+    quart = F.floor(F.col("o_orderkey") * 4 / F.lit(n_total))
+    fnames = []
+    for i in range(4):
+        name = f"fg-{i}_0-1-0_{t1}.parquet"
+        stage_single_parquet(
+            orders.filter(quart == i), root, tdir, name
+        )
+        fnames.append(name)
+    for suffix in (".commit.requested", ".commit.inflight", ".commit"):
+        with open(os.path.join(hdir, t1 + suffix), "w") as fh:
+            fh.write("{}")
+    for suffix in (".deltacommit.requested", ".deltacommit.inflight",
+                   ".deltacommit"):
+        with open(os.path.join(mhdir, t1 + suffix), "w") as fh:
+            fh.write("{}")
+
+    # the stats WRITER derives records from the real footers (what a
+    # Hudi writer commits alongside the data)
+    cells: dict[bytes, bytes] = {}
+    for name in fnames:
+        with open(os.path.join(tdir, name), "rb") as fh:
+            summ = footer_summary(fh.read())
+        for col in ("o_custkey", "o_orderkey"):
+            st = [g["stats"][col] for g in summ["row_groups"]]
+            cells[f"{col}.{name}".encode()] = enc_colstats_record(
+                col, name,
+                min(s["min"] for s in st),
+                max(s["max"] for s in st),
+                sum(s["null_count"] or 0 for s in st),
+                summ["num_rows"],
+            )
+    base_img = hfile_encode(cells, block_size=32)  # one cell/block
+    with open(
+        os.path.join(mcs, f"col-stats-0000_0-0-0_{t1}.hfile"), "wb"
+    ) as fh:
+        fh.write(base_img)
+
+    # ---- the reader: metadata-served pruning + footer audit ----
+    completed_meta = {
+        f.split(".")[0] for f in os.listdir(mhdir)
+        if len(f.split(".")) == 2 and f.endswith(".deltacommit")
+    }
+    if t1 not in completed_meta:
+        raise ValueError("metadata deltacommit missing")
+    (base_name,) = [f for f in os.listdir(mcs) if f.endswith(".hfile")]
+    with open(os.path.join(mcs, base_name), "rb") as fh:
+        rd = HFileReader(fh.read())
+    stats_records = rd.entry_count
+    recs = [
+        dec_colstats_record(v)
+        for _, v in rd.scan_range(b"o_orderkey.", b"o_orderkey/")
+    ]
+    blocks_read = rd.blocks_read
+    if len(recs) != 4:
+        raise ValueError(f"expected 4 o_orderkey records, {len(recs)}")
+    mx = max(r["maxValue"] for r in recs)
+    lo, hi = int(mx * 0.30), int(mx * 0.45)
+    survivors = [
+        r["fileName"] for r in recs
+        if r["minValue"] <= hi and r["maxValue"] >= lo
+    ]
+    pruned = len(recs) - len(survivors)
+
+    # the audit: every metadata record vs the file's OWN footer
+    stats_ok = True
+    full = HFileReader(base_img)
+    for _, v in full.scan():
+        r = dec_colstats_record(v)
+        with open(os.path.join(tdir, r["fileName"]), "rb") as fh:
+            summ = footer_summary(fh.read())
+        st = [g["stats"][r["columnName"]] for g in summ["row_groups"]]
+        stats_ok &= (
+            r["minValue"] == min(s["min"] for s in st)
+            and r["maxValue"] == max(s["max"] for s in st)
+            and r["nullCount"] == sum(s["null_count"] or 0 for s in st)
+            and r["valueCount"] == summ["num_rows"]
+        )
+
+    df = spark.read.parquet(
+        *(os.path.join(tdir, n) for n in sorted(survivors))
+    ).filter(F.col("o_orderkey").between(lo, hi))
+    out = df.agg(
+        F.lit(len(fnames)).cast("int").alias("data_files"),
+        F.lit(stats_records).cast("int").alias("stats_records"),
+        F.lit(blocks_read).cast("int").alias("hfile_blocks_read"),
+        F.lit(pruned).cast("int").alias("files_pruned"),
+        F.lit(bool(stats_ok)).alias("stats_match_footers"),
+        F.count("*").alias("n_rows"),
+        dsum("o_totalprice").alias("revenue"),
+    ).localCheckpoint(eager=True)  # 1 row; frees the temp root
+    shutil.rmtree(root, ignore_errors=True)
+    return out

@@ -915,3 +915,204 @@ def source_puffin_theta_ndv(
         F.lit(bool(roundtrip_ok)).alias("roundtrip_ok"),
         F.col("actual").cast("bigint").alias("actual_join_rows"),
     )
+
+
+def theta_union(
+    sketches: list[tuple[list[int], int]], k: int = 256
+) -> tuple[list[int], int]:
+    """DataSketches theta Union semantics: theta = min over inputs,
+    keep the distinct retained hashes below it, and if more than k
+    survive lower theta to the (k+1)-th smallest — for the KMV
+    chooser this is EXACTLY the sketch a monolithic build over the
+    concatenated inputs produces (each input retained everything
+    below its own theta >= the global (k+1)-th smallest hash, so no
+    candidate below the final theta was ever lost) — the provable
+    mergeability `source_puffin_theta_union_ndv` attests
+    byte-for-byte."""
+    theta = min(th for _, th in sketches)
+    hs = sorted({h for part, th in sketches for h in part if h < theta})
+    if len(hs) > k:
+        theta = hs[k]
+        hs = hs[:k]
+    return hs, theta
+
+
+def theta_sketch_build_grouped(
+    df, group_col: str, k: int = 256
+) -> dict[int, bytes]:
+    """Per-group theta sketches in ONE dataflow: distinct
+    (group, value), MurmurHash3 per Arrow batch, then a per-group
+    top-(k+1) window — one shuffle partitioned by group, at most
+    groups x (k+1) rows ever reach the driver. The per-partition /
+    per-snapshot build a 100 TB stats collector actually runs: each
+    group's sketch is written independently and any subset merges
+    associatively via `theta_union`."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    vcol = [c for c in df.columns if c != group_col][0]
+
+    def _hash_batches(batches):
+        import numpy as _np
+        import pandas as _pd
+
+        for pdf in batches:
+            pdf = pdf.dropna()
+            hs = theta_hash_longs_np(pdf[vcol].to_numpy())
+            keep = hs != 0
+            yield _pd.DataFrame({
+                "g": pdf[group_col].to_numpy()[keep],
+                "h": hs[keep].astype(_np.int64),
+            })
+
+    hashed = df.distinct().mapInPandas(_hash_batches, "g int, h bigint")
+    w = W.partitionBy("g").orderBy("h")
+    ranked = (
+        hashed.distinct()  # same value in one group hashes once
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k + 1)
+    )
+    per: dict[int, list[int]] = {}
+    for r in ranked.collect():
+        per.setdefault(r["g"], []).append(r["h"])
+    out: dict[int, bytes] = {}
+    for g, hs in per.items():
+        hs.sort()
+        if len(hs) <= k:
+            out[g] = theta_sketch_serialize(hs, _THETA_MAX)
+        else:
+            out[g] = theta_sketch_serialize(hs[:k], hs[k])
+    return out
+
+
+@register(
+    "source_puffin_theta_union_ndv",
+    oracle="""
+        WITH yearly AS (
+            SELECT year(o_orderdate) AS y,
+                   count(DISTINCT o_custkey) AS ndv
+            FROM orders GROUP BY 1
+        )
+        SELECT CAST((SELECT count(*) FROM yearly) AS INT) AS years,
+               CAST(count(DISTINCT o_custkey) AS BIGINT)
+                   AS exact_ndv_union,
+               (SELECT CAST(sum(ndv) AS BIGINT) FROM yearly)
+                   AS exact_ndv_year_sum,
+               CASE WHEN count(DISTINCT o_custkey) > 256
+                    THEN 'estimation' ELSE 'exact' END
+                   AS union_mode,
+               TRUE AS union_within_20pct,
+               TRUE AS merge_matches_monolithic,
+               TRUE AS roundtrip_ok
+        FROM orders
+    """,
+    tags=("source", "iceberg", "puffin", "theta-sketch", "ndv",
+          "mergeable", "stats", "audit"),
+)
+def source_puffin_theta_union_ndv(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Theta-sketch UNION across per-year NDV sketches (round 18) —
+    the property that makes sketch stats work at 100 TB: sketches
+    merge ASSOCIATIVELY, so per-partition / per-snapshot sketches
+    written independently answer corpus-wide NDV questions without
+    ever rescanning data. One Puffin file carries seven
+    `apache-datasketches-theta-v1` blobs — one per o_orderdate year
+    (the fixture's 1995-2001 span) for `orders.o_custkey`, built in
+    ONE dataflow (`theta_sketch_build_grouped`: distinct + hash per
+    Arrow batch + per-group top-k window). The reader re-reads all
+    seven, merges them with `theta_union` (min-theta, re-trim — the
+    DataSketches Union rule), and attests:
+
+    - ``merge_matches_monolithic``: the merged sketch is
+      BYTE-IDENTICAL to a monolithic sketch built over all years at
+      once — for the KMV theta chooser the union provably loses
+      nothing below the final theta (docstring proof in
+      `theta_union`), so this pin catches any drift in either path;
+    - ``union_within_20pct``: the merged estimate brackets against
+      the exact distinct-customer count;
+    - ``exact_ndv_year_sum`` vs ``exact_ndv_union``: the sum of
+      yearly NDVs overcounts repeat customers — the question unions
+      exist to answer correctly.
+
+    Scale posture: the grouped build is one shuffle partitioned by
+    year with at most years x (k+1) rows collected; the union is
+    O(years x k) driver arithmetic over KB-scale blobs."""
+    orders = t(spark, sf_dir, "orders")
+    K = 256
+    pairs = orders.select(
+        F.year("o_orderdate").alias("y"), "o_custkey"
+    )
+    per_year = theta_sketch_build_grouped(pairs, "y", k=K)
+    mono = theta_sketch_build(
+        spark, orders.select("o_custkey"), k=K
+    )
+
+    root = os.path.join(
+        tempfile.gettempdir(), f"shs_thetau_{uuid.uuid4().hex}"
+    )
+    os.makedirs(root)
+    ppath = os.path.join(root, "yearly.puffin")
+    puffin_write(ppath, [
+        (img, {
+            "type": "apache-datasketches-theta-v1",
+            "fields": [2],
+            "properties": {
+                "ndv": str(round(theta_estimate(
+                    *theta_sketch_deserialize(img)))),
+                "year": str(y),
+            },
+        })
+        for y, img in sorted(per_year.items())
+    ])
+
+    # ---- the reader: re-read every blob, merge, attest ----
+    raw, blobs = puffin_read(ppath)
+    parts: list[tuple[list[int], int]] = []
+    roundtrip_ok = len(blobs) == len(per_year)
+    for bm in blobs:
+        if bm["type"] != "apache-datasketches-theta-v1":
+            raise NotImplementedError(f"Puffin blob type {bm['type']}")
+        blob = raw[bm["offset"] : bm["offset"] + bm["length"]]
+        hs, th = theta_sketch_deserialize(blob)
+        roundtrip_ok &= (
+            int(bm["properties"]["ndv"]) == round(theta_estimate(hs, th))
+        )
+        parts.append((hs, th))
+    shutil.rmtree(root, ignore_errors=True)
+
+    u_hashes, u_theta = theta_union(parts, k=K)
+    merged_img = theta_sketch_serialize(u_hashes, u_theta)
+    merge_matches = merged_img == mono
+    est = theta_estimate(u_hashes, u_theta)
+    u_mode = "estimation" if u_theta != _THETA_MAX else "exact"
+
+    data_mode = (
+        F.when(F.col("exact_ndv_union") > K, "estimation")
+        .otherwise("exact")
+    )
+    return orders.agg(
+        F.countDistinct(F.year("o_orderdate")).cast("int")
+        .alias("years"),
+        F.countDistinct("o_custkey").cast("bigint")
+        .alias("exact_ndv_union"),
+    ).crossJoin(
+        F.broadcast(
+            orders.groupBy(F.year("o_orderdate"))
+            .agg(F.countDistinct("o_custkey").alias("ndv"))
+            .agg(F.sum("ndv").cast("bigint")
+                 .alias("exact_ndv_year_sum"))
+        )
+    ).select(
+        "years",
+        "exact_ndv_union",
+        "exact_ndv_year_sum",
+        # the decoded sketch's mode must MATCH the data's regime
+        data_mode.alias("union_mode"),
+        (
+            (F.abs(F.lit(est) / F.col("exact_ndv_union") - 1.0) <= 0.2)
+            & (F.lit(u_mode) == data_mode)
+        ).alias("union_within_20pct"),
+        F.lit(bool(merge_matches)).alias("merge_matches_monolithic"),
+        F.lit(bool(roundtrip_ok)).alias("roundtrip_ok"),
+    )

@@ -108,3 +108,20 @@ def test_metadata_record_roundtrip():
         "a.parquet": {"size": 123, "isDeleted": False},
         "b.parquet": {"size": 9, "isDeleted": True},
     }
+
+
+def test_hfile_scan_range_reads_only_intersecting_blocks():
+    cells = _cells(200)
+    r = HFileReader(hfile_encode(cells, block_size=256))
+    total_blocks = len(r.index)
+    got = r.scan_range(b"key-00050", b"key-00060")
+    assert [k for k, _ in got] == [
+        f"key-{i:05d}".encode() for i in range(50, 60)
+    ]
+    assert r.blocks_read < total_blocks // 2
+    # empty range, range past the end, range before the start
+    assert r.scan_range(b"zzz", b"zzzz") == []
+    r2 = HFileReader(hfile_encode(cells, block_size=256))
+    assert [k for k, _ in r2.scan_range(b"aaa", b"key-00003")] == [
+        b"key-00000", b"key-00001", b"key-00002"
+    ]

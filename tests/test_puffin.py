@@ -267,3 +267,55 @@ def test_theta_hash_vectorized_matches_scalar():
     got = theta_hash_longs_np(vals)
     want = [theta_hash_long(int(v)) for v in vals]
     assert [int(x) for x in got] == want
+
+
+def test_theta_union_equals_monolithic():
+    """The mergeability property the union query pins: per-group KMV
+    sketches union (min-theta + re-trim) to EXACTLY the monolithic
+    sketch over the concatenated values — for any split."""
+    import random
+
+    from spark_hive_spark.sources.puffin import theta_union
+
+    rng = random.Random(7)
+    vals = [rng.randrange(10**12) for _ in range(5000)]
+    K = 64
+
+    def _kmv(vs):
+        hs = sorted({theta_hash_long(v) for v in vs})
+        if len(hs) <= K:
+            return hs, _THETA_MAX
+        return hs[:K], hs[K]
+
+    mono = _kmv(vals)
+    for n_parts in (2, 3, 7):
+        parts = [_kmv(vals[i::n_parts]) for i in range(n_parts)]
+        assert theta_union(parts, k=K) == mono
+        # serialized images byte-identical too
+        assert theta_sketch_serialize(*theta_union(parts, k=K)) \
+            == theta_sketch_serialize(*mono)
+    # all-exact inputs under k stay exact
+    small = [_kmv(vals[:10]), _kmv(vals[10:20])]
+    hs, th = theta_union(small, k=K)
+    assert th == _THETA_MAX and len(hs) == len(
+        {theta_hash_long(v) for v in vals[:20]}
+    )
+
+
+def test_theta_union_image_readable_by_jvm(spark):
+    from spark_hive_spark.sources.puffin import theta_union
+
+    K = 128
+    a = sorted(theta_hash_long(v) for v in range(3000))
+    b = sorted(theta_hash_long(v) for v in range(1500, 4500))
+    parts = [(a[:K], a[K]), (b[:K], b[K])]
+    hs, th = theta_union(parts, k=K)
+    img = theta_sketch_serialize(hs, th)
+    jvm = spark._jvm
+    wrapped = jvm.org.apache.datasketches.theta.Sketches \
+        .wrapCompactSketch(
+            jvm.org.apache.datasketches.memory.Memory.wrap(img)
+        )
+    est = theta_estimate(hs, th)
+    assert abs(wrapped.getEstimate() - est) < 1e-6
+    assert abs(est / 4500 - 1) < 0.25
