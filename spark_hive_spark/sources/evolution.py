@@ -9228,10 +9228,17 @@ def source_iceberg_changelog_net_changes(
                CAST(count(*) AS BIGINT),
                {sql_dsum('o_totalprice')}
         FROM orders
+        WHERE o_orderkey % 10 = 7
+          AND o_custkey NOT IN (SELECT o_custkey FROM doomed)
+        UNION ALL
+        SELECT CAST(2 AS INT), CAST(4 AS BIGINT), 'DELETE', TRUE,
+               CAST(count(*) AS BIGINT),
+               {sql_dsum('o_totalprice')}
+        FROM orders
         WHERE o_orderkey % 10 = 3
           AND o_custkey NOT IN (SELECT o_custkey FROM doomed)
         UNION ALL
-        SELECT CAST(1 AS INT), CAST(3 AS BIGINT), 'INSERT', TRUE,
+        SELECT CAST(2 AS INT), CAST(4 AS BIGINT), 'INSERT', TRUE,
                CAST(count(*) AS BIGINT),
                {sql_dsum('o_totalprice + 100.00')}
         FROM orders
@@ -9260,34 +9267,41 @@ def source_iceberg_changelog_equality(
     snapshot reader pins, now emitting the matched rows as DELETE
     events instead of anti-joining them away.
 
-    The fixture walks all three shapes the r17 verdict required:
+    The fixture walks all three shapes the r17 verdict required,
+    PLUS the multi-delete chain:
 
-    - snap 2 (``delete``): equality-delete file E (equality_ids =
-      [2] -> o_custkey by field id, never by position) tombstones the
-      20 smallest customers -> ordinal 0 emits their rows (ORIGINAL
-      values, read from A/B by the mask) as DELETE events;
-    - snap 3 (``overwrite``): POSITION-delete file D tombstones B's
+    - snap 2 (``delete``): equality-delete file E1 (equality_ids =
+      [2] -> o_custkey by field id, never by position) tombstones
+      the 20 smallest customers -> ordinal 0 emits their rows
+      (ORIGINAL values, read from A/B by the mask) as DELETE events;
+    - snap 3 (``delete``): a SECOND equality delete E2 on a
+      DIFFERENT column (equality_ids = [1] -> o_orderkey, keys ≡ 7
+      mod 10) -> ordinal 1 must emit only rows STILL LIVE at its
+      parent — a key ≡ 7 order of a doomed customer was already
+      deleted at ordinal 0, so the reader CHAINS the earlier
+      in-range masks as anti-joins (a reader that applies each
+      delete against the base state double-emits those rows and
+      flips the hash — the multi-delete semantics the single-delete
+      form leaves unexercised);
+    - snap 4 (``overwrite``): POSITION-delete file D tombstones B's
       still-live o_orderkey % 10 == 3 rows AND data file C re-adds
-      the same keys at price+100 -> ordinal 1 emits the
+      the same keys at price+100 -> ordinal 2 emits the
       delete+insert pair — both delete forms emit in one range;
-    - snap 4 (``replace``): compaction rewrites C into G carrying
-      its data sequence number 3 — contributes NOTHING and consumes
+    - snap 5 (``replace``): compaction rewrites C into G carrying
+      its data sequence number 4 — contributes NOTHING and consumes
       no ordinal (`replace_contributed_nothing` pins the skip).
 
-    A reader that applies the equality mask globally also deletes
-    C's re-inserted keys at ordinal 0 (C has seq 3 > 2 — out of
-    scope); one that serves the delete FILE's rows as changes emits
+    A reader that applies an equality mask globally also deletes
+    C's re-inserted keys (C has a higher data sequence — out of
+    scope); one that serves a delete FILE's rows as changes emits
     bare key values with no revenue; one that replays the replace
-    floods ordinal 2 with carried rows — each flips the hash.
+    floods ordinal 3 with carried rows — each flips the hash.
 
     Scale posture: equality-delete values broadcast (deletes ≪ data,
     the format's design assumption); every referenced data file is
-    scanned ONCE with `_metadata` row addresses serving both the
-    equality semi-join and the position-delete join; planning is
-    O(chain + manifest entries) driver-side metadata. The fixture's
-    equality delete is the FIRST in-range delete, so the
-    prior-delete mask is empty; a multi-delete range would chain the
-    same semi-joins oldest-first (noted, not yet exercised)."""
+    scanned ONCE with `_metadata` row addresses serving the equality
+    semi-joins, the chain anti-joins, and the position-delete join;
+    planning is O(chain + manifest entries) driver-side metadata."""
     import json as _json
 
     import pandas as _pd
@@ -9317,16 +9331,26 @@ def source_iceberg_changelog_equality(
     k = F.col("o_orderkey") % 2
     stage_single_parquet(orders.filter(k == 0), root, ddir, "A.parquet")
     stage_single_parquet(orders.filter(k == 1), root, ddir, "B.parquet")
-    # E: the equality-delete file — VALUES over the equality column
-    # subset only (no positions, no row images)
+    # E1: the first equality-delete file — VALUES over the equality
+    # column subset only (no positions, no row images)
     stage_single_parquet(
         spark.createDataFrame(
             _pd.DataFrame({"o_custkey": _pd.Series(doomed, dtype="int64")})
         ),
-        root, ddir, "E.parquet",
+        root, ddir, "E1.parquet",
+    )
+    # E2: the SECOND equality delete, on a different column — its
+    # value set DELIBERATELY includes keys whose rows ordinal 0
+    # already deleted (keys ≡ 7 of doomed customers), so the reader's
+    # chain anti-join is load-bearing
+    stage_single_parquet(
+        orders.filter(F.col("o_orderkey") % 10 == 7)
+        .select("o_orderkey"),
+        root, ddir, "E2.parquet",
     )
     # D: position deletes against B — a real writer tombstones only
-    # rows still LIVE after the equality delete
+    # rows still LIVE after the equality deletes (% 10 == 3 never
+    # overlaps E2's % 10 == 7)
     changed_b = (
         spark.read.parquet(os.path.join(ddir, "B.parquet"))
         .select(
@@ -9352,7 +9376,7 @@ def source_iceberg_changelog_equality(
         ),
         root, ddir, "C.parquet",
     )
-    # G: snap-4 compaction rewrites C byte-identically, KEEPING its
+    # G: snap-5 compaction rewrites C byte-identically, KEEPING its
     # data sequence number (spec: rewrites preserve data sequence)
     stage_single_parquet(
         spark.read.parquet(os.path.join(ddir, "C.parquet")),
@@ -9405,33 +9429,41 @@ def source_iceberg_changelog_equality(
         {"status": 1, "file_path": "B.parquet", "content": 0,
          "sequence_number": 1, "equality_ids": []},
     ])
-    me = _manifest("me.avro", [
-        {"status": 1, "file_path": "E.parquet", "content": 2,
+    me1 = _manifest("me1.avro", [
+        {"status": 1, "file_path": "E1.parquet", "content": 2,
          "sequence_number": 2, "equality_ids": [2]},
+    ])
+    me2 = _manifest("me2.avro", [
+        {"status": 1, "file_path": "E2.parquet", "content": 2,
+         "sequence_number": 3, "equality_ids": [1]},
     ])
     mp = _manifest("mp.avro", [
         {"status": 1, "file_path": "D.parquet", "content": 1,
-         "sequence_number": 3, "equality_ids": []},
+         "sequence_number": 4, "equality_ids": []},
     ])
     mc = _manifest("mc.avro", [
         {"status": 1, "file_path": "C.parquet", "content": 0,
-         "sequence_number": 3, "equality_ids": []},
+         "sequence_number": 4, "equality_ids": []},
     ])
-    m4 = _manifest("m4.avro", [
+    m5 = _manifest("m5.avro", [
         {"status": 1, "file_path": "G.parquet", "content": 0,
-         "sequence_number": 3, "equality_ids": []},
+         "sequence_number": 4, "equality_ids": []},
     ])
 
     s1 = _mlist("s1.avro", [(m1, 0, 1, 1)])
-    s2 = _mlist("s2.avro", [(m1, 0, 1, 1), (me, 1, 2, 2)])
-    s3 = _mlist("s3.avro", [(m1, 0, 1, 1), (me, 1, 2, 2),
-                            (mp, 1, 3, 3), (mc, 0, 3, 3)])
-    s4 = _mlist("s4.avro", [(m1, 0, 1, 1), (me, 1, 2, 2),
-                            (mp, 1, 3, 3), (m4, 0, 3, 4)])
-    with open(os.path.join(mdir, "v4.metadata.json"), "w") as fh:
+    s2 = _mlist("s2.avro", [(m1, 0, 1, 1), (me1, 1, 2, 2)])
+    s3 = _mlist("s3.avro", [(m1, 0, 1, 1), (me1, 1, 2, 2),
+                            (me2, 1, 3, 3)])
+    s4 = _mlist("s4.avro", [(m1, 0, 1, 1), (me1, 1, 2, 2),
+                            (me2, 1, 3, 3),
+                            (mp, 1, 4, 4), (mc, 0, 4, 4)])
+    s5 = _mlist("s5.avro", [(m1, 0, 1, 1), (me1, 1, 2, 2),
+                            (me2, 1, 3, 3),
+                            (mp, 1, 4, 4), (m5, 0, 4, 5)])
+    with open(os.path.join(mdir, "v5.metadata.json"), "w") as fh:
         _json.dump({
             "format-version": 2,
-            "current-snapshot-id": 4,
+            "current-snapshot-id": 5,
             "schemas": [{
                 "schema-id": 0,
                 "fields": [
@@ -9449,16 +9481,19 @@ def source_iceberg_changelog_equality(
                  "summary": {"operation": "delete"},
                  "manifest-list": s2},
                 {"snapshot-id": 3, "parent-snapshot-id": 2,
-                 "summary": {"operation": "overwrite"},
+                 "summary": {"operation": "delete"},
                  "manifest-list": s3},
                 {"snapshot-id": 4, "parent-snapshot-id": 3,
-                 "summary": {"operation": "replace"},
+                 "summary": {"operation": "overwrite"},
                  "manifest-list": s4},
+                {"snapshot-id": 5, "parent-snapshot-id": 4,
+                 "summary": {"operation": "replace"},
+                 "manifest-list": s5},
             ],
         }, fh)
 
     # ---- the reader: changelog plan -> equality + position compose --
-    with open(os.path.join(mdir, "v4.metadata.json")) as fh:
+    with open(os.path.join(mdir, "v5.metadata.json")) as fh:
         md = _json.load(fh)
     iceberg_format_gate(md)
     schema = next(
@@ -9466,11 +9501,12 @@ def source_iceberg_changelog_equality(
         if s["schema-id"] == md["current-schema-id"]
     )
     id2name = {f["id"]: f["name"] for f in schema["fields"]}
-    events, skipped = iceberg_changelog_between(md, 1, 4)
-    if skipped != 1 or len(events) != 2:
+    events, skipped = iceberg_changelog_between(md, 1, 5)
+    if skipped != 1 or len(events) != 3:
         raise ValueError(
-            "fixture expects two emitting snapshots and one skipped "
-            f"replace, got {len(events)} events / {skipped} skipped"
+            "fixture expects three emitting snapshots and one "
+            f"skipped replace, got {len(events)} events / "
+            f"{skipped} skipped"
         )
     by_id = {s["snapshot-id"]: s for s in md["snapshots"]}
 
@@ -9526,10 +9562,10 @@ def source_iceberg_changelog_equality(
                         f"delete content {e['content']} in the "
                         "equality changelog reader"
                     )
-    if not eq_events or not pos_delete_files or not insert_files:
+    if len(eq_events) != 2 or not pos_delete_files or not insert_files:
         raise ValueError(
-            "equality-changelog fixture must produce an equality "
-            "delete, a position delete, and an insert"
+            "equality-changelog fixture must produce two equality "
+            "deletes, a position delete, and an insert"
         )
 
     # tagged union of position-delete files (tiny): (file, pos) + event
@@ -9560,15 +9596,26 @@ def source_iceberg_changelog_equality(
     )
 
     parts: list[DataFrame] = []
-    for dfile, cols, scope, ordinal, sid in eq_events:
+    # masks of EARLIER in-range equality deletes: a later delete's
+    # match set anti-joins them, since those rows were no longer
+    # live at its parent snapshot (the multi-delete chain rule)
+    prior_masks: list[tuple[DataFrame, list[str]]] = []
+    for dfile, cols, scope, ordinal, sid in sorted(
+        eq_events, key=lambda ev: ev[3]
+    ):
         vals = (
             spark.read.parquet(os.path.join(ddir, dfile))
             .select(*cols).distinct()
         )
-        parts.append(
+        rows = (
             data.filter(F.col("fname").isin(scope))
             .join(F.broadcast(vals), on=cols, how="left_semi")
-            .select(
+        )
+        for pv, pc in prior_masks:
+            rows = rows.join(F.broadcast(pv), on=pc, how="left_anti")
+        prior_masks.append((vals, cols))
+        parts.append(
+            rows.select(
                 "o_totalprice",
                 F.lit(ordinal).cast("int").alias("change_ordinal"),
                 F.lit(sid).cast("long").alias("commit_snapshot_id"),

@@ -23,9 +23,14 @@ Hudi code:
   family | qualifier | timestamp i64 | keyType u8. Hudi writes
   empty family/qualifier, timestamp 0, type Put (4) — the record key
   IS the row.
-- **Root index** (IDXROOT2, single level): per data block —
-  blockOffset i64 | onDiskSizeWithHeader i32 | first cell key as a
-  Hadoop-vint-length-prefixed byte array.
+- **Root index** (IDXROOT2): per entry — blockOffset i64 |
+  onDiskSizeWithHeader i32 | first cell key as a Hadoop-vint-length-
+  prefixed byte array. Past ``max_root_entries`` data blocks the
+  index goes TWO-level: root entries point at LEAF index blocks
+  (IDXLEAF2) in HBase's non-root format — entry count i32, a
+  secondary index of (count+1) relative offsets, then unprefixed
+  (offset, onDiskSize, key) entries — resolved lazily on read;
+  3+ levels (intermediate blocks) stay a loud seam.
 - **FileInfo** (FILEINF2): ``PBUF`` magic + protobuf FileInfoProto
   (repeated BytesBytesPair: bytes first=1, bytes second=2).
 - **Fixed file trailer**: ``TRABLK"$`` magic + length-delimited
@@ -51,6 +56,7 @@ import zlib
 
 MAGIC_DATA = b"DATABLK*"
 MAGIC_ROOT_INDEX = b"IDXROOT2"
+MAGIC_LEAF_INDEX = b"IDXLEAF2"
 MAGIC_FILE_INFO = b"FILEINF2"
 MAGIC_TRAILER = b'TRABLK"$'
 _PBUF = b"PBUF"
@@ -231,13 +237,51 @@ def _block_decode(
 
 # ---- writer ---------------------------------------------------------
 
+def _nonroot_index_encode(
+    entries: list[tuple[int, int, bytes]]
+) -> bytes:
+    """HBase NON-ROOT index block body (leaf/intermediate): entry
+    count i32, a secondary index of (count+1) i32 relative entry
+    offsets (last = total entries length — what lets keys carry no
+    length prefix), then per entry offset i64 | onDiskSize i32 |
+    raw key bytes."""
+    body = bytearray()
+    offsets = [0]
+    for off, size, key in entries:
+        body += struct.pack(">qi", off, size) + key
+        offsets.append(len(body))
+    head = struct.pack(">i", len(entries))
+    head += b"".join(struct.pack(">i", o) for o in offsets)
+    return head + bytes(body)
+
+
+def _nonroot_index_decode(
+    payload: bytes,
+) -> list[tuple[int, int, bytes]]:
+    (n,) = struct.unpack_from(">i", payload, 0)
+    sec = struct.unpack_from(f">{n + 1}i", payload, 4)
+    base = 4 + 4 * (n + 1)
+    if base + sec[-1] != len(payload):
+        raise ValueError("non-root index secondary offsets wrong")
+    out = []
+    for i in range(n):
+        start, stop = base + sec[i], base + sec[i + 1]
+        off, size = struct.unpack_from(">qi", payload, start)
+        out.append((off, size, payload[start + 12 : stop]))
+    return out
+
+
 def hfile_encode(
-    cells: dict[bytes, bytes], block_size: int = 4096
+    cells: dict[bytes, bytes], block_size: int = 4096,
+    max_root_entries: int = 128,
 ) -> bytes:
     """{row: value} -> a complete HFile v3 byte image: data blocks
-    cut at ``block_size`` payload bytes, a single-level root index,
-    FileInfo (LASTKEY / AVG_KEY_LEN / AVG_VALUE_LEN), and the fixed
-    4096-byte protobuf trailer."""
+    cut at ``block_size`` payload bytes, a single-level root index —
+    or, past ``max_root_entries`` data blocks, a TWO-level index
+    (LEAF index blocks in HBase's non-root format, the root pointing
+    at them; numDataIndexLevels=2 in the trailer) — FileInfo
+    (LASTKEY / AVG_KEY_LEN / AVG_VALUE_LEN), and the fixed 4096-byte
+    protobuf trailer."""
     if not cells:
         raise ValueError("HFile needs at least one cell")
     items = sorted(cells.items())
@@ -263,9 +307,25 @@ def hfile_encode(
         batch_bytes += 8 + len(cell_key(row)) + len(val)
     _flush(batch)
 
+    levels = 1 if len(index) <= max_root_entries else 2
+    root_entries = index
+    if levels == 2:
+        # leaf index blocks between the data and the root: the root
+        # then points at leaves, each leaf at its span of data blocks
+        leaf_entries: list[tuple[int, int, bytes]] = []
+        for i in range(0, len(index), max_root_entries):
+            span = index[i : i + max_root_entries]
+            off = len(out)
+            blk = _block_encode(
+                MAGIC_LEAF_INDEX, _nonroot_index_encode(span)
+            )
+            leaf_entries.append((off, len(blk), span[0][2]))
+            out.extend(blk)
+        root_entries = leaf_entries
+
     load_on_open = len(out)
     root = bytearray()
-    for off, size, fkey in index:
+    for off, size, fkey in root_entries:
         root += struct.pack(">qi", off, size)
         root += hadoop_vint(len(fkey)) + fkey
     out.extend(_block_encode(MAGIC_ROOT_INDEX, bytes(root)))
@@ -290,10 +350,10 @@ def hfile_encode(
         + _pb_field(2, load_on_open)
         + _pb_field(3, len(root))
         + _pb_field(4, load_on_open)
-        + _pb_field(5, len(index))
+        + _pb_field(5, len(root_entries))
         + _pb_field(6, 0)
         + _pb_field(7, len(items))
-        + _pb_field(8, 1)
+        + _pb_field(8, levels)
         + _pb_field(9, index[0][0])
         + _pb_field(10, index[-1][0])
         + _pb_field(11, _COMPARATOR)
@@ -348,17 +408,23 @@ class HFileReader:
         codec = proto.get(12, [_COMPRESSION_NONE])[0]
         if codec != _COMPRESSION_NONE:
             raise NotImplementedError(f"HFile compression codec {codec}")
-        if levels != 1:
+        if levels not in (1, 2):
             raise NotImplementedError(
-                f"multi-level HFile data index ({levels} levels)"
+                f"{levels}-level HFile data index (intermediate "
+                "index blocks)"
             )
+        self.levels = levels
         if self.meta_index_count:
             raise NotImplementedError("HFile meta index blocks")
 
         _, root, _ = _block_decode(
             data, self.load_on_open_offset, MAGIC_ROOT_INDEX
         )
+        # root-level entries: data blocks (1 level) or leaf index
+        # blocks (2 levels) — leaves resolve lazily, as HBase reads
         self.index: list[tuple[int, int, bytes]] = []
+        self._leaf_cache: dict[int, list[tuple[int, int, bytes]]] = {}
+        self.index_blocks_read = 0
         pos = 0
         for _ in range(self.data_index_count):
             off, size = struct.unpack_from(">qi", root, pos)
@@ -388,23 +454,54 @@ class HFileReader:
         self.blocks_read += 1
         return _cells_decode(payload)
 
+    def _leaf_entries(
+        self, offset: int
+    ) -> list[tuple[int, int, bytes]]:
+        cached = self._leaf_cache.get(offset)
+        if cached is None:
+            _, payload, _ = _block_decode(
+                self._data, offset, MAGIC_LEAF_INDEX
+            )
+            self.index_blocks_read += 1
+            cached = [
+                (o, s, cell_key_row(k))
+                for o, s, k in _nonroot_index_decode(payload)
+            ]
+            self._leaf_cache[offset] = cached
+        return cached
+
+    def _data_entries_from(
+        self, root_pos: int
+    ) -> list[tuple[int, int, bytes]]:
+        """Root entry -> the data-block entries under it: itself for
+        a single-level index, its leaf block's span for two levels."""
+        if self.levels == 1:
+            return [self.index[root_pos]]
+        return self._leaf_entries(self.index[root_pos][0])
+
     def get(self, row: bytes) -> bytes | None:
-        """Point lookup through the root index: binary-search the
-        block whose first key <= row, read that ONE block."""
+        """Point lookup: binary-search the root (then the leaf, for a
+        two-level index) for the block whose first key <= row, read
+        that ONE data block."""
         import bisect
 
         i = bisect.bisect_right([k for _, _, k in self.index], row) - 1
         if i < 0:
             return None
-        for r, v in self._read_data_block(self.index[i][0]):
+        entries = self._data_entries_from(i)
+        j = bisect.bisect_right([k for _, _, k in entries], row) - 1
+        if j < 0:
+            return None
+        for r, v in self._read_data_block(entries[j][0]):
             if r == row:
                 return v
         return None
 
     def scan(self) -> list[tuple[bytes, bytes]]:
         out: list[tuple[bytes, bytes]] = []
-        for off, _, _ in self.index:
-            out += self._read_data_block(off)
+        for i in range(len(self.index)):
+            for off, _, _ in self._data_entries_from(i):
+                out += self._read_data_block(off)
         if len(out) != self.entry_count:
             raise ValueError(
                 f"scan found {len(out)} cells, trailer says "
@@ -418,22 +515,28 @@ class HFileReader:
     def scan_range(
         self, start_row: bytes, stop_row: bytes
     ) -> list[tuple[bytes, bytes]]:
-        """Cells with start_row <= row < stop_row, reading ONLY data
-        blocks whose index range can intersect — the prefix read the
-        metadata table's column_stats partition depends on (one
+        """Cells with start_row <= row < stop_row, reading ONLY index
+        and data blocks whose range can intersect — the prefix read
+        the metadata table's column_stats partition depends on (one
         column's records are key-contiguous, so a column's stats
         cost O(its blocks), not a file scan). The block holding the
         predecessor key is read too (its tail may cross the start) —
-        one boundary block, never more."""
+        one boundary block per level, never more."""
         import bisect
 
         keys = [k for _, _, k in self.index]
         i = max(bisect.bisect_right(keys, start_row) - 1, 0)
         out: list[tuple[bytes, bytes]] = []
-        for off, _, fkey in self.index[i:]:
-            if fkey >= stop_row:
+        for root_pos in range(i, len(self.index)):
+            if self.index[root_pos][2] >= stop_row:
                 break
-            for r, v in self._read_data_block(off):
-                if start_row <= r < stop_row:
-                    out.append((r, v))
+            entries = self._data_entries_from(root_pos)
+            ekeys = [k for _, _, k in entries]
+            j = max(bisect.bisect_right(ekeys, start_row) - 1, 0)
+            for off, _, fkey in entries[j:]:
+                if fkey >= stop_row:
+                    break
+                for r, v in self._read_data_block(off):
+                    if start_row <= r < stop_row:
+                        out.append((r, v))
         return out

@@ -125,3 +125,43 @@ def test_hfile_scan_range_reads_only_intersecting_blocks():
     assert [k for k, _ in r2.scan_range(b"aaa", b"key-00003")] == [
         b"key-00000", b"key-00001", b"key-00002"
     ]
+
+
+def test_hfile_two_level_index():
+    """Past max_root_entries data blocks the writer emits LEAF index
+    blocks (HBase non-root format) with the root pointing at them —
+    gets then read one leaf + one data block, never the whole
+    index."""
+    cells = _cells(400)
+    img = hfile_encode(cells, block_size=64, max_root_entries=16)
+    r = HFileReader(img)
+    assert r.levels == 2
+    assert len(r.index) <= 32  # root now points at leaves
+    assert dict(r.scan()) == cells
+    r2 = HFileReader(img)
+    assert r2.get(b"key-00123") == cells[b"key-00123"]
+    assert r2.blocks_read == 1 and r2.index_blocks_read == 1
+    assert r2.get(b"key-00124") == cells[b"key-00124"]
+    # adjacent key: same leaf served from cache
+    assert r2.index_blocks_read == 1
+    assert r2.get(b"zzz") is None
+    got = r2.scan_range(b"key-00100", b"key-00110")
+    assert [k for k, _ in got] == [
+        f"key-{i:05d}".encode() for i in range(100, 110)
+    ]
+    # single-level files keep the old shape exactly
+    r1 = HFileReader(hfile_encode(cells, block_size=64,
+                                  max_root_entries=100_000))
+    assert r1.levels == 1 and dict(r1.scan()) == cells
+
+
+def test_hfile_three_level_index_is_loud():
+    img = bytearray(hfile_encode(_cells(50)))
+    from spark_hive_spark.sources.hfile import _pb_field
+
+    one, three = _pb_field(8, 1), _pb_field(8, 3)
+    t = bytes(img).rfind(one)
+    assert t > len(img) - _TRAILER_SIZE
+    img[t : t + len(one)] = three
+    with pytest.raises(NotImplementedError, match="3-level"):
+        HFileReader(bytes(img))
