@@ -347,6 +347,8 @@ EXTENDED = [
     "source_hudi_metadata_table_files",
     "source_hudi_metadata_table_colstats",
     "dedup_incremental_against_index",
+    "source_iceberg_changelog_update_pairs",
+    "dedup_incremental_index_update",
 ]
 
 # Streaming extended queries run dead LAST (after the streaming

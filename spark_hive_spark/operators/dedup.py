@@ -699,6 +699,77 @@ def dedup_shingle_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _minhash_index_write(
+    sh_df: DataFrame, root: str, mode: str = "error"
+) -> None:
+    """Persist (or, with mode="append", EXTEND) the MinHash index of
+    a shingle frame: the band table, the shingle table, and the
+    per-doc set sizes, all under v1_doc-named columns so index
+    relations are distinguishable from corpus scans in a plan.
+    Appending is the index-maintenance operation: new docs only add
+    rows (bands/shingles/sizes are per-doc), so the update is an
+    append, never a rewrite."""
+    import os
+
+    api.minhash_bands(sh_df, k=MINHASH_K, bands=MINHASH_BANDS).select(
+        F.col("doc_id").alias("v1_doc"), "band_idx", "band_hash"
+    ).write.mode(mode).parquet(os.path.join(root, "bands"))
+    sh_df.select(F.col("doc_id").alias("v1_doc"), "s").write.mode(
+        mode
+    ).parquet(os.path.join(root, "shingles"))
+    sh_df.groupBy(F.col("doc_id").alias("v1_doc")).agg(
+        F.count("*").alias("v1_n")
+    ).write.mode(mode).parquet(os.path.join(root, "sizes"))
+
+
+def _minhash_index_dedupe(
+    spark: SparkSession, root: str, inc_sh: DataFrame
+) -> DataFrame:
+    """Dedup an incoming shingle frame STRICTLY against a stored
+    MinHash index: band equi-join for candidates, exact Jaccard
+    verified against the index's shingle table — the corpus rows are
+    never touched. Returns (doc_id, dup_of, jaccard) ordered."""
+    import os
+
+    idx_bands = spark.read.parquet(os.path.join(root, "bands"))
+    idx_sh = spark.read.parquet(os.path.join(root, "shingles"))
+    idx_sz = spark.read.parquet(os.path.join(root, "sizes"))
+    inc_bands = api.minhash_bands(
+        inc_sh, k=MINHASH_K, bands=MINHASH_BANDS
+    )
+    candidates = (
+        inc_bands.join(idx_bands, ["band_idx", "band_hash"])
+        .select("doc_id", "v1_doc")
+        .distinct()
+    )
+    inc_sz = inc_sh.groupBy("doc_id").agg(F.count("*").alias("inc_n"))
+    idx_sh2 = idx_sh.select(
+        F.col("v1_doc").alias("v1_doc_s"), F.col("s").alias("v1_s")
+    )
+    common = (
+        candidates.join(inc_sh, "doc_id")
+        .join(
+            idx_sh2,
+            (F.col("v1_doc") == F.col("v1_doc_s"))
+            & (F.col("s") == F.col("v1_s")),
+        )
+        .groupBy("doc_id", "v1_doc")
+        .agg(F.count("*").alias("c"))
+    )
+    jac = F.col("c") / (F.col("inc_n") + F.col("v1_n") - F.col("c"))
+    return (
+        common.join(inc_sz, "doc_id")
+        .join(idx_sz, "v1_doc")
+        .filter(jac >= JACCARD_THRESHOLD)
+        .select(
+            "doc_id",
+            F.col("v1_doc").alias("dup_of"),
+            F.round(jac, 6).alias("jaccard"),
+        )
+        .orderBy("doc_id", "dup_of")
+    )
+
+
 @register(
     "dedup_incremental_against_index",
     # Oracle recomputes the cross-corpus pairs EXHAUSTIVELY from both
@@ -785,59 +856,14 @@ def dedup_incremental_against_index(
     root = os.path.join(
         tempfile.gettempdir(), f"shs_dedupidx_{uuid.uuid4().hex}"
     )
-    v1_sh = sh.filter(~is_inc)
-    api.minhash_bands(v1_sh, k=MINHASH_K, bands=MINHASH_BANDS).select(
-        F.col("doc_id").alias("v1_doc"), "band_idx", "band_hash"
-    ).write.parquet(os.path.join(root, "bands"))
-    v1_sh.select(F.col("doc_id").alias("v1_doc"), "s").write.parquet(
-        os.path.join(root, "shingles")
-    )
-    v1_sh.groupBy(F.col("doc_id").alias("v1_doc")).agg(
-        F.count("*").alias("v1_n")
-    ).write.parquet(os.path.join(root, "sizes"))
+    _minhash_index_write(sh.filter(~is_inc), root)
 
     # ---- the incoming batch handoff: frozen, so the dedup plan has
     # no lineage back to the corpus ----
     inc_sh = sh.filter(is_inc).localCheckpoint(eager=True)
 
     # ---- the dedup phase: index parquet + frozen batch ONLY ----
-    idx_bands = spark.read.parquet(os.path.join(root, "bands"))
-    idx_sh = spark.read.parquet(os.path.join(root, "shingles"))
-    idx_sz = spark.read.parquet(os.path.join(root, "sizes"))
-    inc_bands = api.minhash_bands(
-        inc_sh, k=MINHASH_K, bands=MINHASH_BANDS
-    )
-    candidates = (
-        inc_bands.join(idx_bands, ["band_idx", "band_hash"])
-        .select("doc_id", "v1_doc")
-        .distinct()
-    )
-    inc_sz = inc_sh.groupBy("doc_id").agg(F.count("*").alias("inc_n"))
-    idx_sh2 = idx_sh.select(
-        F.col("v1_doc").alias("v1_doc_s"), F.col("s").alias("v1_s")
-    )
-    common = (
-        candidates.join(inc_sh, "doc_id")
-        .join(
-            idx_sh2,
-            (F.col("v1_doc") == F.col("v1_doc_s"))
-            & (F.col("s") == F.col("v1_s")),
-        )
-        .groupBy("doc_id", "v1_doc")
-        .agg(F.count("*").alias("c"))
-    )
-    jac = F.col("c") / (F.col("inc_n") + F.col("v1_n") - F.col("c"))
-    pairs = (
-        common.join(inc_sz, "doc_id")
-        .join(idx_sz, "v1_doc")
-        .filter(jac >= JACCARD_THRESHOLD)
-        .select(
-            "doc_id",
-            F.col("v1_doc").alias("dup_of"),
-            F.round(jac, 6).alias("jaccard"),
-        )
-        .orderBy("doc_id", "dup_of")
-    )
+    pairs = _minhash_index_dedupe(spark, root, inc_sh)
     # plan attestation: the dedup phase must read ONLY the index and
     # the frozen batch — no documents relation, no corpus cache
     plan = pairs._jdf.queryExecution().optimizedPlan().toString()
@@ -848,6 +874,125 @@ def dedup_incremental_against_index(
     )
     out = pairs.withColumn(
         "v1_never_rescanned", F.lit(bool(v1_never_rescanned))
+    ).localCheckpoint(eager=True)  # small pair set; frees the index
+    shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
+@register(
+    "dedup_incremental_index_update",
+    # same banding-miss caveat as the against-index sibling: the
+    # candidate set is deterministic under fixed xxhash64 seeds and
+    # LSH == exact on these fixtures (verified at sf0.001/sf0.01)
+    oracle=f"""{SQL_SHINGLES_CTE},
+        v1 AS (SELECT * FROM sh WHERE doc_id % 4 < 2),
+        b2 AS (SELECT * FROM sh WHERE doc_id % 4 = 2),
+        b3 AS (SELECT * FROM sh WHERE doc_id % 4 = 3),
+        sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        c2 AS (
+            SELECT i.doc_id AS d, v.doc_id AS o, count(*) AS c
+            FROM b2 i JOIN v1 v ON i.s = v.s GROUP BY 1, 2
+        ),
+        dups2 AS (
+            SELECT DISTINCT d FROM c2
+            JOIN sz x ON x.doc_id = c2.d
+            JOIN sz y ON y.doc_id = c2.o
+            WHERE c::DOUBLE / (x.n + y.n - c) >= {JACCARD_THRESHOLD}
+        ),
+        corpus AS (
+            SELECT * FROM v1
+            UNION ALL
+            SELECT * FROM b2
+            WHERE doc_id NOT IN (SELECT d FROM dups2)
+        ),
+        c3 AS (
+            SELECT i.doc_id AS doc_id, v.doc_id AS dup_of,
+                   count(*) AS c
+            FROM b3 i JOIN corpus v ON i.s = v.s GROUP BY 1, 2
+        ),
+        counts AS (
+            SELECT (SELECT count(*) FROM dups2) AS dropped,
+                   (SELECT count(DISTINCT doc_id) FROM b2)
+                   - (SELECT count(*) FROM dups2) AS kept
+        )
+        SELECT c3.doc_id AS doc_id, dup_of,
+               round(c::DOUBLE / (x.n + y.n - c), 6) AS jaccard,
+               CAST(counts.dropped AS BIGINT) AS batch2_dropped,
+               CAST(counts.kept AS BIGINT) AS batch2_kept
+        FROM c3
+        JOIN sz x ON x.doc_id = c3.doc_id
+        JOIN sz y ON y.doc_id = dup_of
+        CROSS JOIN counts
+        WHERE c::DOUBLE / (x.n + y.n - c) >= {JACCARD_THRESHOLD}
+        ORDER BY c3.doc_id, dup_of
+    """,
+    tags=("dedup", "minhash", "lsh", "incremental", "index",
+          "maintenance"),
+)
+def dedup_incremental_index_update(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Incremental dedup index MAINTENANCE (round 18) — the
+    write-back half `dedup_incremental_against_index` leaves open:
+    after a batch is deduplicated against the index, its KEPT docs
+    must join the corpus, and the next batch must dedupe against
+    the UPDATED index — all without ever rewriting or rescanning
+    the old corpus. Because the MinHash index is per-doc rows
+    (bands, shingles, sizes), the update is a pure parquet APPEND
+    (`_minhash_index_write(mode="append")`); nothing existing is
+    touched — the property that makes the index maintainable at
+    100 TB where a rewrite would cost the whole corpus.
+
+    The fixture runs the full production cycle: corpus v1 =
+    doc_id % 4 in (0, 1) -> frozen index; batch 2 (% 4 == 2)
+    dedupes against it, its survivors append; batch 3 (% 4 == 3)
+    dedupes against the UPDATED index. Output = batch 3's verified
+    dup pairs — which can now point at EITHER a v1 doc or a batch-2
+    survivor — plus the batch-2 drop/keep counts. The oracle
+    recomputes the whole cycle exhaustively from raw text (dups2 ->
+    corpus = v1 + kept2 -> cross pairs), so an update that appends
+    dropped docs (batch 3 would match them), loses kept docs
+    (batch 3 misses their pairs), or double-appends (duplicate
+    pairs) each flips the hash.
+
+    Scale posture: identical to the sibling per batch — one band
+    equi-join + candidate-bounded verification; the append costs
+    O(batch) rows; batch boundaries are the natural checkpoint a
+    crawl pipeline already has."""
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    sh = _doc_shingles(spark, sf_dir)
+    quarter = F.col("doc_id") % 4
+
+    root = os.path.join(
+        tempfile.gettempdir(), f"shs_dedupidxu_{uuid.uuid4().hex}"
+    )
+    # corpus v1 -> the frozen index
+    _minhash_index_write(sh.filter(quarter < 2), root)
+    b2_sh = sh.filter(quarter == 2).localCheckpoint(eager=True)
+    b3_sh = sh.filter(quarter == 3).localCheckpoint(eager=True)
+
+    # cycle step 1: dedupe batch 2, drop its dups
+    dups2 = (
+        _minhash_index_dedupe(spark, root, b2_sh)
+        .select("doc_id").distinct()
+    )
+    n_dropped = dups2.count()
+    n_b2 = b2_sh.select("doc_id").distinct().count()
+    kept2_sh = b2_sh.join(F.broadcast(dups2), "doc_id", "left_anti")
+
+    # cycle step 2: the survivors JOIN the index — a pure append
+    _minhash_index_write(kept2_sh, root, mode="append")
+
+    # cycle step 3: batch 3 dedupes against the UPDATED index
+    pairs3 = _minhash_index_dedupe(spark, root, b3_sh)
+    out = pairs3.select(
+        "doc_id", "dup_of", "jaccard",
+        F.lit(n_dropped).cast("bigint").alias("batch2_dropped"),
+        F.lit(n_b2 - n_dropped).cast("bigint").alias("batch2_kept"),
     ).localCheckpoint(eager=True)  # small pair set; frees the index
     shutil.rmtree(root, ignore_errors=True)
     return out

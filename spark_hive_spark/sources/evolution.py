@@ -9878,3 +9878,275 @@ def source_delta_row_tracking_dv(
     ).localCheckpoint(eager=True)  # 1 row; frees the temp root
     shutil.rmtree(root, ignore_errors=True)
     return out
+
+
+@register(
+    "source_iceberg_changelog_update_pairs",
+    oracle=f"""
+        SELECT CAST(0 AS INT) AS change_ordinal,
+               CAST(2 AS BIGINT) AS commit_snapshot_id,
+               'DELETE' AS change_type,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               {sql_dsum('o_totalprice')} AS revenue
+        FROM orders WHERE o_orderkey % 10 = 5
+        UNION ALL
+        SELECT CAST(0 AS INT), CAST(2 AS BIGINT), 'INSERT',
+               CAST(count(*) AS BIGINT),
+               {sql_dsum('o_totalprice')}
+        FROM orders WHERE o_orderkey % 10 = 1
+        UNION ALL
+        SELECT CAST(0 AS INT), CAST(2 AS BIGINT), 'UPDATE_AFTER',
+               CAST(count(*) AS BIGINT),
+               {sql_dsum('o_totalprice + 100.00')}
+        FROM orders WHERE o_orderkey % 10 = 3
+        UNION ALL
+        SELECT CAST(0 AS INT), CAST(2 AS BIGINT), 'UPDATE_BEFORE',
+               CAST(count(*) AS BIGINT),
+               {sql_dsum('o_totalprice')}
+        FROM orders WHERE o_orderkey % 10 = 3
+    """,
+    tags=("source", "iceberg", "lakehouse", "cdc", "changelog",
+          "update-pairs", "merge-on-read", "avro"),
+)
+def source_iceberg_changelog_update_pairs(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Iceberg changelog UPDATE PAIRING (round 18) — the
+    ``identifier_columns`` mode of Spark's create_changelog_view
+    procedure (ChangelogIterator.computeUpdates): when a table has
+    identifier fields, a CDC consumer wants UPDATE_BEFORE /
+    UPDATE_AFTER pairs, not the raw delete+insert the per-commit
+    changelog emits — downstream sinks (dimension tables, caches,
+    search indexes) apply an UPDATE in place but treat a bare
+    DELETE as a retraction.
+
+    The fixture's single overwrite commit carries all three change
+    shapes at once, so the pairing join is load-bearing in both
+    directions: a position-delete file tombstones B's keys ≡ 3 AND
+    ≡ 5 (mod 10), while data file C re-adds the ≡ 3 keys at
+    price+100 and appends brand-new keys (fresh ids past the key
+    ceiling). Pairing on (o_orderkey, ordinal):
+
+    - matched delete+insert  -> UPDATE_BEFORE (original row image)
+      + UPDATE_AFTER (new image) — the ≡ 3 keys;
+    - unmatched delete       -> DELETE — the ≡ 5 keys;
+    - unmatched insert       -> INSERT — the fresh keys.
+
+    A reader that pairs globally instead of per-ordinal would pair
+    across commits; one that emits the pair as one row loses either
+    image; one that drops unmatched sides loses the pure
+    deletes/inserts — each flips the hash (the oracle recomputes
+    all four buckets from the raw table; the synthetic insert keys
+    are key + max+1 over the ≡ 1 rows, so their revenue is exactly
+    the ≡ 1 revenue).
+
+    Scale posture: deleted rows materialize through the same
+    scan-once + broadcast position join as `source_iceberg_
+    changelog_mor`; pairing is two semi/anti joins against the
+    BROADCAST key sets of the opposite side (matched keys ≪ data per
+    commit — the CDC design assumption)."""
+    import json as _json
+
+    from spark_hive_spark.operators.avro import (
+        encode_avro_ocf,
+        parse_avro_ocf,
+    )
+
+    orders = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    root = os.path.join(
+        tempfile.gettempdir(), f"shs_icecdcup_{uuid.uuid4().hex}"
+    )
+    ddir = os.path.join(root, "data")
+    mdir = os.path.join(root, "metadata")
+    os.makedirs(ddir)
+    os.makedirs(mdir)
+
+    key_ceiling = orders.agg(F.max("o_orderkey")).collect()[0][0] + 1
+
+    k = F.col("o_orderkey") % 2
+    stage_single_parquet(orders.filter(k == 0), root, ddir, "A.parquet")
+    stage_single_parquet(orders.filter(k == 1), root, ddir, "B.parquet")
+    # D: tombstones B's keys ≡ 3 (paired below) and ≡ 5 (unpaired)
+    dels_src = (
+        spark.read.parquet(os.path.join(ddir, "B.parquet"))
+        .select(
+            F.lit("B.parquet").alias("file_path"),
+            F.col("_metadata.row_index").alias("pos"),
+            "o_orderkey",
+        )
+        .filter((F.col("o_orderkey") % 10).isin(3, 5))
+        .select("file_path", "pos")
+    )
+    stage_single_parquet(dels_src, root, ddir, "D.parquet")
+    # C: the ≡ 3 keys updated (+100.00) plus BRAND-NEW keys (fresh
+    # ids past the ceiling, row images copied from the ≡ 1 rows)
+    updated = orders.filter(F.col("o_orderkey") % 10 == 3).select(
+        "o_orderkey",
+        (F.col("o_totalprice") + 100.0).alias("o_totalprice"),
+    )
+    fresh = orders.filter(F.col("o_orderkey") % 10 == 1).select(
+        (F.col("o_orderkey") + F.lit(key_ceiling)).alias("o_orderkey"),
+        "o_totalprice",
+    )
+    stage_single_parquet(
+        updated.unionByName(fresh), root, ddir, "C.parquet"
+    )
+
+    entry_schema = {
+        "type": "record", "name": "manifest_entry",
+        "fields": [
+            {"name": "status", "type": "long"},
+            {"name": "file_path", "type": "string"},
+            {"name": "record_count", "type": "long"},
+        ],
+    }
+    mlist_schema = {
+        "type": "record", "name": "manifest_file",
+        "fields": [
+            {"name": "manifest_path", "type": "string"},
+            {"name": "content", "type": "long"},  # 0=data 1=deletes
+            {"name": "added_snapshot_id", "type": "long"},
+        ],
+    }
+
+    def _manifest(name: str, entries: list[dict]) -> str:
+        path = os.path.join(mdir, name)
+        with open(path, "wb") as fh:
+            fh.write(encode_avro_ocf(entries, entry_schema,
+                                     codec="deflate"))
+        return path
+
+    def _mlist(name: str, rows: list[tuple[str, int, int]]) -> str:
+        path = os.path.join(mdir, name)
+        recs = [{"manifest_path": p, "content": c,
+                 "added_snapshot_id": sid} for p, c, sid in rows]
+        with open(path, "wb") as fh:
+            fh.write(encode_avro_ocf(recs, mlist_schema,
+                                     codec="snappy"))
+        return path
+
+    m1 = _manifest("m1.avro", [
+        {"status": 1, "file_path": "A.parquet", "record_count": 0},
+        {"status": 1, "file_path": "B.parquet", "record_count": 0},
+    ])
+    md2 = _manifest("md2.avro", [
+        {"status": 1, "file_path": "D.parquet", "record_count": 0},
+    ])
+    mc2 = _manifest("mc2.avro", [
+        {"status": 1, "file_path": "C.parquet", "record_count": 0},
+    ])
+    s1 = _mlist("s1.avro", [(m1, 0, 1)])
+    s2 = _mlist("s2.avro", [(m1, 0, 1), (md2, 1, 2), (mc2, 0, 2)])
+    with open(os.path.join(mdir, "v2.metadata.json"), "w") as fh:
+        _json.dump({
+            "format-version": 2,
+            "current-snapshot-id": 2,
+            "snapshots": [
+                {"snapshot-id": 1,
+                 "summary": {"operation": "append"},
+                 "manifest-list": s1},
+                {"snapshot-id": 2, "parent-snapshot-id": 1,
+                 "summary": {"operation": "overwrite"},
+                 "manifest-list": s2},
+            ],
+        }, fh)
+
+    # ---- the reader: changelog events -> identifier pairing ----
+    with open(os.path.join(mdir, "v2.metadata.json")) as fh:
+        md = _json.load(fh)
+    iceberg_format_gate(md)
+    events, _skipped = iceberg_changelog_between(md, 1, 2)
+    by_id = {s["snapshot-id"]: s for s in md["snapshots"]}
+    insert_files: list[tuple[str, int, int]] = []
+    delete_files: list[tuple[str, int, int]] = []
+    for ordinal, sid, _op in events:
+        with open(by_id[sid]["manifest-list"], "rb") as fh:
+            _, mrows = parse_avro_ocf(fh.read())
+        for mrow in mrows:
+            if mrow["added_snapshot_id"] != sid:
+                continue
+            with open(mrow["manifest_path"], "rb") as fh:
+                _, entries = parse_avro_ocf(fh.read())
+            for e in entries:
+                dest = (insert_files if mrow["content"] == 0
+                        else delete_files)
+                dest.append((e["file_path"], ordinal, sid))
+
+    dels = None
+    for path, ordinal, sid in delete_files:
+        d = spark.read.parquet(os.path.join(ddir, path)).select(
+            "file_path", "pos",
+            F.lit(ordinal).cast("int").alias("change_ordinal"),
+            F.lit(sid).cast("long").alias("commit_snapshot_id"),
+        )
+        dels = d if dels is None else dels.unionByName(d)
+    referenced = sorted(
+        {r["file_path"] for r in dels.select("file_path")
+         .distinct().collect()}
+    )
+    data = spark.read.parquet(
+        *(os.path.join(ddir, p) for p in referenced)
+    ).select(
+        "o_orderkey", "o_totalprice",
+        F.element_at(
+            F.split(F.col("_metadata.file_path"), "/"), -1
+        ).alias("fname"),
+        F.col("_metadata.row_index").alias("pos"),
+    )
+    deleted = data.join(
+        F.broadcast(dels),
+        (data["fname"] == dels["file_path"])
+        & (data["pos"] == dels["pos"]),
+    ).select(
+        "o_orderkey", "o_totalprice",
+        "change_ordinal", "commit_snapshot_id",
+    )
+    inserted = None
+    for path, ordinal, sid in insert_files:
+        d = spark.read.parquet(os.path.join(ddir, path)).select(
+            "o_orderkey", "o_totalprice",
+            F.lit(ordinal).cast("int").alias("change_ordinal"),
+            F.lit(sid).cast("long").alias("commit_snapshot_id"),
+        )
+        inserted = d if inserted is None else inserted.unionByName(d)
+
+    # pair per (identifier, ordinal): matched -> the update pair,
+    # unmatched keep their raw change type
+    pair_on = ["o_orderkey", "change_ordinal"]
+    ins_keys = inserted.select(*pair_on).distinct()
+    del_keys = deleted.select(*pair_on).distinct()
+    tagged = (
+        deleted.join(F.broadcast(ins_keys), pair_on, "left_semi")
+        .withColumn("change_type", F.lit("UPDATE_BEFORE"))
+        .unionByName(
+            deleted.join(F.broadcast(ins_keys), pair_on, "left_anti")
+            .withColumn("change_type", F.lit("DELETE"))
+        )
+        .unionByName(
+            inserted.join(F.broadcast(del_keys), pair_on, "left_semi")
+            .withColumn("change_type", F.lit("UPDATE_AFTER"))
+        )
+        .unionByName(
+            inserted.join(F.broadcast(del_keys), pair_on, "left_anti")
+            .withColumn("change_type", F.lit("INSERT"))
+        )
+    )
+    out = (
+        tagged.groupBy(
+            "change_ordinal", "commit_snapshot_id", "change_type"
+        )
+        .agg(
+            F.count("*").alias("n_rows"),
+            dsum("o_totalprice").alias("revenue"),
+        )
+        .select(
+            "change_ordinal", "commit_snapshot_id", "change_type",
+            "n_rows", "revenue",
+        )
+        .orderBy("change_ordinal", "change_type")
+        .localCheckpoint(eager=True)  # 4 rows; frees the temp root
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    return out
