@@ -349,6 +349,7 @@ EXTENDED = [
     "dedup_incremental_against_index",
     "source_iceberg_changelog_update_pairs",
     "dedup_incremental_index_update",
+    "source_puffin_theta_ndv_strings",
 ]
 
 # Streaming extended queries run dead LAST (after the streaming

@@ -16,8 +16,12 @@ Hudi code:
   checksumType u8 | bytesPerChecksum i32 | onDiskDataSizeWithHeader
   i32 — then the payload, then one CRC32 (java.util.zip.CRC32 ==
   zlib.crc32) per bytesPerChecksum chunk of header+payload.
-  Compression NONE (codec ordinal 2) — the Hudi metadata default for
-  log-block payloads; anything else is a loud seam.
+  Compression is file-level (trailer field 12, block headers carry
+  none): NONE (ordinal 2) or GZ (ordinal 1, hadoop GzipCodec =
+  RFC 1952 per block) — GZ is the Hudi metadata-table base-file
+  default; other algorithms stay loud seams. Under GZ the header's
+  uncompressed size is the raw payload, onDisk sizes the gzip
+  stream, checksums over header + compressed bytes.
 - **Cells** (DATABLK payload, v3 without tags): keyLen i32 | valLen
   i32 | key | value, where key = rowLen i16 | row | famLen u8 |
   family | qualifier | timestamp i64 | keyType u8. Hudi writes
@@ -65,7 +69,9 @@ _HEADER_SIZE = 33
 _CHECKSUM_CRC32 = 1
 _BYTES_PER_CHECKSUM = 16384
 _KEY_TYPE_PUT = 4
-_COMPRESSION_NONE = 2  # HBase Compression.Algorithm.NONE ordinal
+_COMPRESSION_GZ = 1  # HBase Compression.Algorithm ordinals
+_COMPRESSION_NONE = 2
+_CODEC_NAMES = {"gz": _COMPRESSION_GZ, "none": _COMPRESSION_NONE}
 _MAJOR_VERSION = 3
 _COMPARATOR = "org.apache.hadoop.hbase.CellComparatorImpl"
 
@@ -166,24 +172,37 @@ def _cells_decode(payload: bytes) -> list[tuple[bytes, bytes]]:
 
 # ---- blocks ---------------------------------------------------------
 
+def _gzip(raw: bytes) -> bytes:
+    # hadoop GzipCodec == RFC 1952; zlib's gzip wrapper writes
+    # mtime=0, so the bytes are deterministic
+    co = zlib.compressobj(6, zlib.DEFLATED, 16 + zlib.MAX_WBITS)
+    return co.compress(raw) + co.flush()
+
+
+def _gunzip(raw: bytes) -> bytes:
+    return zlib.decompress(raw, 16 + zlib.MAX_WBITS)
+
+
 def _block_encode(magic: bytes, payload: bytes,
-                  prev_offset: int = -1) -> bytes:
+                  prev_offset: int = -1,
+                  codec: int = _COMPRESSION_NONE) -> bytes:
+    on_disk = payload if codec == _COMPRESSION_NONE else _gzip(payload)
     n_chunks = (
-        _HEADER_SIZE + len(payload) + _BYTES_PER_CHECKSUM - 1
+        _HEADER_SIZE + len(on_disk) + _BYTES_PER_CHECKSUM - 1
     ) // _BYTES_PER_CHECKSUM
     header = (
         magic
         + struct.pack(
             ">iiq",
-            len(payload) + 4 * n_chunks,
+            len(on_disk) + 4 * n_chunks,
             len(payload),
             prev_offset,
         )
         + bytes([_CHECKSUM_CRC32])
         + struct.pack(">ii", _BYTES_PER_CHECKSUM,
-                      _HEADER_SIZE + len(payload))
+                      _HEADER_SIZE + len(on_disk))
     )
-    body = header + payload
+    body = header + on_disk
     sums = bytearray()
     for i in range(n_chunks):
         chunk = body[i * _BYTES_PER_CHECKSUM : (i + 1) * _BYTES_PER_CHECKSUM]
@@ -192,10 +211,13 @@ def _block_encode(magic: bytes, payload: bytes,
 
 
 def _block_decode(
-    data: bytes, offset: int, expect_magic: bytes | None = None
+    data: bytes, offset: int, expect_magic: bytes | None = None,
+    codec: int = _COMPRESSION_NONE,
 ) -> tuple[bytes, bytes, int]:
     """-> (magic, payload, on-disk length incl. header+checksums),
-    CRC-validated."""
+    CRC-validated; the file-level codec (trailer field 12) governs
+    every block's payload — block headers carry no codec of their
+    own, exactly as HBase lays it out."""
     magic = data[offset : offset + 8]
     if expect_magic is not None and magic != expect_magic:
         raise ValueError(
@@ -210,12 +232,10 @@ def _block_decode(
         ">ii", data, offset + 25
     )
     payload_len = on_disk_data_with_header - _HEADER_SIZE
-    if payload_len != uncompressed:
-        raise NotImplementedError(
-            "compressed HFile block (uncompressed "
-            f"{uncompressed} != stored {payload_len})"
-        )
     payload = data[offset + _HEADER_SIZE : offset + _HEADER_SIZE + payload_len]
+    # checksums validate the ON-DISK form FIRST (as HBase does) — a
+    # corrupt compressed stream must fail as a CRC mismatch, never as
+    # an inflate error
     sums_at = offset + _HEADER_SIZE + payload_len
     n_sums = on_disk_wo_header - payload_len
     if ck_type == _CHECKSUM_CRC32:
@@ -232,6 +252,18 @@ def _block_decode(
                 )
     elif ck_type != 0:
         raise NotImplementedError(f"HFile checksum type {ck_type}")
+    if codec == _COMPRESSION_GZ:
+        payload = _gunzip(payload)
+        if len(payload) != uncompressed:
+            raise ValueError(
+                f"gz block decompressed to {len(payload)} bytes, "
+                f"header says {uncompressed}"
+            )
+    elif payload_len != uncompressed:
+        raise ValueError(
+            "NONE-codec HFile block with uncompressed "
+            f"{uncompressed} != stored {payload_len}"
+        )
     return magic, payload, _HEADER_SIZE + on_disk_wo_header
 
 
@@ -273,7 +305,7 @@ def _nonroot_index_decode(
 
 def hfile_encode(
     cells: dict[bytes, bytes], block_size: int = 4096,
-    max_root_entries: int = 128,
+    max_root_entries: int = 128, compression: str = "none",
 ) -> bytes:
     """{row: value} -> a complete HFile v3 byte image: data blocks
     cut at ``block_size`` payload bytes, a single-level root index —
@@ -284,6 +316,9 @@ def hfile_encode(
     protobuf trailer."""
     if not cells:
         raise ValueError("HFile needs at least one cell")
+    if compression not in _CODEC_NAMES:
+        raise NotImplementedError(f"HFile compression {compression!r}")
+    codec = _CODEC_NAMES[compression]
     items = sorted(cells.items())
     out = bytearray()
     index: list[tuple[int, int, bytes]] = []  # offset, size, first key
@@ -292,7 +327,8 @@ def hfile_encode(
     def _flush(batch: list[tuple[bytes, bytes]]) -> None:
         nonlocal prev_data
         off = len(out)
-        blk = _block_encode(MAGIC_DATA, _cells_encode(batch), prev_data)
+        blk = _block_encode(MAGIC_DATA, _cells_encode(batch),
+                            prev_data, codec)
         index.append((off, len(blk), cell_key(batch[0][0])))
         out.extend(blk)
         prev_data = off
@@ -317,7 +353,8 @@ def hfile_encode(
             span = index[i : i + max_root_entries]
             off = len(out)
             blk = _block_encode(
-                MAGIC_LEAF_INDEX, _nonroot_index_encode(span)
+                MAGIC_LEAF_INDEX, _nonroot_index_encode(span),
+                codec=codec,
             )
             leaf_entries.append((off, len(blk), span[0][2]))
             out.extend(blk)
@@ -328,7 +365,8 @@ def hfile_encode(
     for off, size, fkey in root_entries:
         root += struct.pack(">qi", off, size)
         root += hadoop_vint(len(fkey)) + fkey
-    out.extend(_block_encode(MAGIC_ROOT_INDEX, bytes(root)))
+    out.extend(_block_encode(MAGIC_ROOT_INDEX, bytes(root),
+                             codec=codec))
 
     file_info_offset = len(out)
     last_key = cell_key(items[-1][0])
@@ -343,7 +381,8 @@ def hfile_encode(
     for k, v in pairs:
         entry = _pb_field(1, k) + _pb_field(2, v)
         fi += _pb_uvarint((1 << 3) | 2) + _pb_uvarint(len(entry)) + entry
-    out.extend(_block_encode(MAGIC_FILE_INFO, bytes(fi)))
+    out.extend(_block_encode(MAGIC_FILE_INFO, bytes(fi),
+                             codec=codec))
 
     trailer_proto = (
         _pb_field(1, file_info_offset)
@@ -357,7 +396,7 @@ def hfile_encode(
         + _pb_field(9, index[0][0])
         + _pb_field(10, index[-1][0])
         + _pb_field(11, _COMPARATOR)
-        + _pb_field(12, _COMPRESSION_NONE)
+        + _pb_field(12, codec)
     )
     trailer = bytearray(MAGIC_TRAILER)
     trailer += _pb_uvarint(len(trailer_proto)) + trailer_proto
@@ -406,8 +445,9 @@ class HFileReader:
         self.first_data_offset = proto[9][0]
         self.last_data_offset = proto[10][0]
         codec = proto.get(12, [_COMPRESSION_NONE])[0]
-        if codec != _COMPRESSION_NONE:
+        if codec not in (_COMPRESSION_NONE, _COMPRESSION_GZ):
             raise NotImplementedError(f"HFile compression codec {codec}")
+        self._codec = codec
         if levels not in (1, 2):
             raise NotImplementedError(
                 f"{levels}-level HFile data index (intermediate "
@@ -418,7 +458,8 @@ class HFileReader:
             raise NotImplementedError("HFile meta index blocks")
 
         _, root, _ = _block_decode(
-            data, self.load_on_open_offset, MAGIC_ROOT_INDEX
+            data, self.load_on_open_offset, MAGIC_ROOT_INDEX,
+            self._codec,
         )
         # root-level entries: data blocks (1 level) or leaf index
         # blocks (2 levels) — leaves resolve lazily, as HBase reads
@@ -438,7 +479,7 @@ class HFileReader:
             raise ValueError("root index block has trailing bytes")
 
         _, fi, _ = _block_decode(
-            data, self.file_info_offset, MAGIC_FILE_INFO
+            data, self.file_info_offset, MAGIC_FILE_INFO, self._codec
         )
         if fi[:4] != _PBUF:
             raise NotImplementedError("non-PBUF HFile FileInfo")
@@ -450,7 +491,8 @@ class HFileReader:
             raise ValueError("HFile FileInfo missing LASTKEY")
 
     def _read_data_block(self, offset: int) -> list[tuple[bytes, bytes]]:
-        _, payload, _ = _block_decode(self._data, offset, MAGIC_DATA)
+        _, payload, _ = _block_decode(self._data, offset,
+                                      MAGIC_DATA, self._codec)
         self.blocks_read += 1
         return _cells_decode(payload)
 
@@ -460,7 +502,7 @@ class HFileReader:
         cached = self._leaf_cache.get(offset)
         if cached is None:
             _, payload, _ = _block_decode(
-                self._data, offset, MAGIC_LEAF_INDEX
+                self._data, offset, MAGIC_LEAF_INDEX, self._codec
             )
             self.index_blocks_read += 1
             cached = [

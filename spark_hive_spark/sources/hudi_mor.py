@@ -2535,9 +2535,11 @@ def source_hudi_metadata_table_files(
     (instant 001) with three cells — ``__all_partitions__`` (type-1
     partition list) plus one type-2 files record per partition — and
     a log file whose HFILE block (instant 002, gated by the metadata
-    table's OWN timeline) adds the rewritten file. Cells are Avro
-    HoodieMetadataRecords; ``filesystemMetadata`` maps merge by
-    union.
+    table's OWN timeline) adds the rewritten file. Both HFiles are
+    GZ-compressed (hadoop GzipCodec per block — the Hudi base-file
+    default; the colstats sibling keeps NONE so both codecs stay
+    exercised). Cells are Avro HoodieMetadataRecords;
+    ``filesystemMetadata`` maps merge by union.
 
     The reader serves file listing ONLY from the metadata table:
     point-GETs through the HFile root index (``hfile_blocks_read``
@@ -2622,7 +2624,7 @@ def source_hudi_metadata_table_files(
         b"par=1": enc_metadata_record(
             "par=1", 2, {f1_1: (_size("par=1", f1_1), False)}
         ),
-    }, block_size=32)
+    }, block_size=32, compression="gz")  # the Hudi base default
     with open(
         os.path.join(mfiles, f"files-0000_0-0-0_{t1}.hfile"), "wb"
     ) as fh:
@@ -2633,7 +2635,7 @@ def source_hudi_metadata_table_files(
         b"par=0": enc_metadata_record(
             "par=0", 2, {f0_2: (_size("par=0", f0_2), False)}
         ),
-    })
+    }, compression="gz")
     with open(
         os.path.join(mfiles, f".files-0000_{t1}.log.1_0-1-0"), "wb"
     ) as fh:

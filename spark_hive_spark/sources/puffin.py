@@ -603,6 +603,15 @@ def theta_hash_longs_np(values, seed: int = _THETA_SEED):
     return h1 >> np.uint64(1)
 
 
+def theta_hash_bytes(data: bytes, seed: int = _THETA_SEED) -> int:
+    """A byte string -> its 63-bit theta hash — the STRING path of
+    Iceberg single-value serialization (UTF-8 bytes, no length
+    prefix; datasketches update(String) hashes the same UTF-8
+    form)."""
+    h1, _ = murmur3_x64_128(data, seed)
+    return h1 >> 1
+
+
 def _theta_seed_hash(seed: int) -> int:
     """DataSketches computeSeedHash: murmur the seed itself (as one
     long), low 16 bits, zero is loud (the library reserves it)."""
@@ -715,7 +724,8 @@ def theta_estimate(hashes: list[int], theta: int) -> float:
 
 
 def theta_sketch_build(
-    spark: SparkSession, vals, k: int = 256
+    spark: SparkSession, vals, k: int = 256,
+    value_type: str = "long",
 ) -> bytes:
     """Distributed theta-sketch build over a one-column DataFrame of
     longs: distinct (the format hashes dedup anyway, but distinct
@@ -726,7 +736,10 @@ def theta_sketch_build(
     rows to the driver). KMV theta choice: the (k+1)-th smallest
     hash; at or below k distinct the sketch is exact. At 100 TB this
     is the standard stats-collection pass: one shuffle for distinct,
-    one bounded top-k — nothing driver-side grows with table rows."""
+    one bounded top-k — nothing driver-side grows with table rows.
+    ``value_type`` picks the Iceberg single-value serialization:
+    "long" (8-byte LE, numpy-vectorized hash) or "string" (UTF-8
+    bytes, per-row hash over the already-distinct values)."""
     col = vals.columns[0]
 
     def _hash_batches(batches):
@@ -734,9 +747,22 @@ def theta_sketch_build(
         import pandas as _pd
 
         for pdf in batches:
-            vals = pdf[col].dropna().to_numpy()
-            hs = theta_hash_longs_np(vals)
-            hs = hs[hs != 0].astype(_np.int64)  # 63-bit: sign-safe
+            col_vals = pdf[col].dropna()
+            if value_type == "long":
+                hs = theta_hash_longs_np(col_vals.to_numpy())
+                hs = hs[hs != 0].astype(_np.int64)  # 63-bit sign-safe
+            elif value_type == "string":
+                # datasketches update(String) ignores null AND empty
+                hs = _np.array(
+                    [theta_hash_bytes(v.encode("utf-8"))
+                     for v in col_vals if v],
+                    dtype=_np.int64,
+                )
+                hs = hs[hs != 0]
+            else:
+                raise NotImplementedError(
+                    f"theta single-value type {value_type!r}"
+                )
             yield _pd.DataFrame({"h": hs})
 
     hashed = vals.distinct().mapInPandas(_hash_batches, "h bigint")
@@ -1114,5 +1140,125 @@ def source_puffin_theta_union_ndv(
             & (F.lit(u_mode) == data_mode)
         ).alias("union_within_20pct"),
         F.lit(bool(merge_matches)).alias("merge_matches_monolithic"),
+        F.lit(bool(roundtrip_ok)).alias("roundtrip_ok"),
+    )
+
+
+@register(
+    "source_puffin_theta_ndv_strings",
+    oracle="""
+        WITH b AS (SELECT count(DISTINCT p_brand) AS v FROM part),
+        n AS (SELECT count(DISTINCT p_name) AS v FROM part)
+        SELECT CAST((SELECT v FROM b) AS BIGINT) AS exact_ndv_brand,
+               CAST((SELECT v FROM n) AS BIGINT) AS exact_ndv_name,
+               CAST(2 AS INT) AS sketch_blobs,
+               CASE WHEN (SELECT v FROM b) > 256
+                    THEN 'estimation' ELSE 'exact' END
+                   AS sketch_mode_brand,
+               CASE WHEN (SELECT v FROM n) > 256
+                    THEN 'estimation' ELSE 'exact' END
+                   AS sketch_mode_name,
+               TRUE AS brand_estimate_exact,
+               TRUE AS name_within_20pct,
+               TRUE AS roundtrip_ok
+    """,
+    tags=("source", "iceberg", "puffin", "theta-sketch", "ndv",
+          "strings", "stats", "audit"),
+)
+def source_puffin_theta_ndv_strings(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Theta-sketch NDV over STRING columns (round 18, completing
+    the theta family's type coverage): Iceberg single-value
+    serialization feeds strings to the sketch as raw UTF-8 bytes —
+    no length prefix — and datasketches' update(String) hashes the
+    same form (pinned byte-identical against the JVM in
+    tests/test_puffin.py, incl. its ignore-empty rule, which the
+    build path mirrors). Two part-catalog columns exercise both
+    preamble forms at every SF: `p_brand` (25 values — EXACT mode,
+    2-long preamble, estimate == exact pinned) and `p_name`
+    (one per part — ESTIMATION mode past k=256, 3-long preamble
+    with theta, 20% bracket). Both blobs live in one Puffin file
+    with the spec-required ndv property, re-read and
+    re-serialization-checked like the long-column sibling.
+
+    Scale posture: same as `source_puffin_theta_ndv` — distinct +
+    hash per Arrow batch + bounded top-k per column; the string hash
+    is per-distinct-value Python (var-len murmur doesn't vectorize),
+    which is exactly where the distinct-first order pays."""
+    part = t(spark, sf_dir, "part")
+    K = 256
+    sk_brand = theta_sketch_build(
+        spark, part.select("p_brand"), k=K, value_type="string"
+    )
+    sk_name = theta_sketch_build(
+        spark, part.select("p_name"), k=K, value_type="string"
+    )
+
+    root = os.path.join(
+        tempfile.gettempdir(), f"shs_thetas_{uuid.uuid4().hex}"
+    )
+    os.makedirs(root)
+    ppath = os.path.join(root, "stats.puffin")
+
+    def _est(img: bytes) -> float:
+        return theta_estimate(*theta_sketch_deserialize(img))
+
+    puffin_write(ppath, [
+        (sk_brand, {
+            "type": "apache-datasketches-theta-v1",
+            "fields": [4],  # p_brand field id
+            "properties": {"ndv": str(round(_est(sk_brand)))},
+        }),
+        (sk_name, {
+            "type": "apache-datasketches-theta-v1",
+            "fields": [2],  # p_name field id
+            "properties": {"ndv": str(round(_est(sk_name)))},
+        }),
+    ])
+    raw, blobs = puffin_read(ppath)
+    ests: dict[int, float] = {}
+    modes: dict[int, str] = {}
+    roundtrip_ok = len(blobs) == 2
+    for bm in blobs:
+        if bm["type"] != "apache-datasketches-theta-v1":
+            raise NotImplementedError(f"Puffin blob type {bm['type']}")
+        blob = raw[bm["offset"] : bm["offset"] + bm["length"]]
+        hs, th = theta_sketch_deserialize(blob)
+        est = theta_estimate(hs, th)
+        roundtrip_ok &= int(bm["properties"]["ndv"]) == round(est)
+        roundtrip_ok &= theta_sketch_serialize(hs, th) == blob
+        ests[bm["fields"][0]] = est
+        modes[bm["fields"][0]] = (
+            "exact" if th == _THETA_MAX else "estimation"
+        )
+    shutil.rmtree(root, ignore_errors=True)
+
+    mode_of = lambda col: (  # noqa: E731
+        F.when(col > K, "estimation").otherwise("exact")
+    )
+    return part.agg(
+        F.countDistinct("p_brand").cast("bigint")
+        .alias("exact_ndv_brand"),
+        F.countDistinct("p_name").cast("bigint")
+        .alias("exact_ndv_name"),
+    ).select(
+        "exact_ndv_brand",
+        "exact_ndv_name",
+        F.lit(2).cast("int").alias("sketch_blobs"),
+        mode_of(F.col("exact_ndv_brand")).alias("sketch_mode_brand"),
+        mode_of(F.col("exact_ndv_name")).alias("sketch_mode_name"),
+        # exact mode means the sketch IS the answer — pin equality
+        (
+            (F.lit(ests[4]) == F.col("exact_ndv_brand")
+             .cast("double"))
+            & (F.lit(modes[4])
+               == mode_of(F.col("exact_ndv_brand")))
+        ).alias("brand_estimate_exact"),
+        (
+            (F.abs(F.lit(ests[2]) / F.col("exact_ndv_name") - 1.0)
+             <= 0.2)
+            & (F.lit(modes[2]) == mode_of(F.col("exact_ndv_name")))
+        ).alias("name_within_20pct"),
         F.lit(bool(roundtrip_ok)).alias("roundtrip_ok"),
     )

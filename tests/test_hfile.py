@@ -83,17 +83,16 @@ def test_hfile_corruption_is_loud():
 
 def test_hfile_compression_codec_is_loud():
     img = bytearray(hfile_encode(_cells(10)))
-    # rewrite trailer with a GZ codec ordinal (1): locate field 12
-    # by patching the encoded byte — easier: re-encode via the
-    # writer's own helpers
+    # rewrite trailer field 12 to the SNAPPY ordinal (3): unsupported
+    # algorithms must stay loud
     from spark_hive_spark.sources.hfile import _pb_field
 
     none_f = _pb_field(12, _COMPRESSION_NONE)
-    gz_f = _pb_field(12, 1)
-    assert len(none_f) == len(gz_f)
+    snappy_f = _pb_field(12, 3)
+    assert len(none_f) == len(snappy_f)
     t = bytes(img).rfind(none_f)
     assert t > len(img) - _TRAILER_SIZE
-    img[t : t + len(none_f)] = gz_f
+    img[t : t + len(none_f)] = snappy_f
     with pytest.raises(NotImplementedError, match="compression codec"):
         HFileReader(bytes(img))
 
@@ -165,3 +164,34 @@ def test_hfile_three_level_index_is_loud():
     img[t : t + len(one)] = three
     with pytest.raises(NotImplementedError, match="3-level"):
         HFileReader(bytes(img))
+
+
+def test_hfile_gz_compression_roundtrip():
+    """GZ (hadoop GzipCodec, the Hudi metadata-table base-file
+    default): file-level codec from trailer field 12, every block's
+    payload an RFC-1952 stream, checksums over the compressed
+    bytes."""
+    cells = {
+        f"key-{i:05d}".encode(): b"abcabcabc" * 20 for i in range(300)
+    }
+    plain = hfile_encode(cells, block_size=512)
+    gz = hfile_encode(cells, block_size=512, compression="gz")
+    assert len(gz) < len(plain)  # repetitive payloads compress
+    r = HFileReader(gz)
+    assert dict(r.scan()) == cells
+    r2 = HFileReader(gz)
+    assert r2.get(b"key-00042") == cells[b"key-00042"]
+    assert r2.blocks_read == 1
+    # two-level + gz compose
+    gz2 = HFileReader(hfile_encode(cells, block_size=64,
+                                   max_root_entries=8,
+                                   compression="gz"))
+    assert gz2.levels == 2 and dict(gz2.scan()) == cells
+    # corrupting a compressed byte trips the CRC (checksums cover
+    # the on-disk form)
+    bad = bytearray(gz)
+    bad[60] ^= 0xFF
+    with pytest.raises(ValueError, match="CRC"):
+        HFileReader(bytes(bad)).scan()
+    with pytest.raises(NotImplementedError, match="compression"):
+        hfile_encode(cells, compression="snappy")

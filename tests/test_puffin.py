@@ -319,3 +319,22 @@ def test_theta_union_image_readable_by_jvm(spark):
     est = theta_estimate(hs, th)
     assert abs(wrapped.getEstimate() - est) < 1e-6
     assert abs(est / 4500 - 1) < 0.25
+
+
+def test_theta_string_hash_matches_jvm(spark):
+    """update(String) hashes the UTF-8 bytes (Iceberg single-value
+    serialization) and IGNORES empty strings — both pinned against
+    datasketches-java."""
+    from spark_hive_spark.sources.puffin import theta_hash_bytes
+
+    jvm = spark._jvm
+    sk = jvm.org.apache.datasketches.theta.UpdateSketch.builder() \
+        .setNominalEntries(256).build()
+    words = ["Brand#13", "PROMO BURNISHED", "naïve-ütf8-ありがとう", ""]
+    for w in words:
+        sk.update(w)
+    jimg = bytes(sk.compact().toByteArray())
+    hs = sorted(
+        theta_hash_bytes(w.encode("utf-8")) for w in words if w
+    )
+    assert theta_sketch_serialize(hs) == jimg
