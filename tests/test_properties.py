@@ -795,3 +795,87 @@ def test_orc_decimal_varint_differential(cents):
         assert all(s <= 2 for s in scales)
         got += [u * 10 ** (2 - s) for u, s in zip(unscaled, scales)]
     assert got == cents
+
+
+# ---- round-18 codecs: HFile and theta sketches ----------------------
+
+@settings(max_examples=40, deadline=None)
+@given(
+    cells=st.dictionaries(
+        st.binary(min_size=1, max_size=40),
+        st.binary(min_size=0, max_size=120),
+        min_size=1,
+        max_size=80,
+    ),
+    block_size=st.sampled_from([1, 64, 4096]),
+    max_root=st.sampled_from([4, 128]),
+    compression=st.sampled_from(["none", "gz"]),
+)
+def test_hfile_roundtrip_property(cells, block_size, max_root, compression):
+    """Arbitrary binary cells survive the full HFile pipeline —
+    every block size cut, one- and two-level indexes, both codecs —
+    and point gets agree with the dict on hits AND misses."""
+    from spark_hive_spark.sources.hfile import HFileReader, hfile_encode
+
+    img = hfile_encode(
+        cells, block_size=block_size, max_root_entries=max_root,
+        compression=compression,
+    )
+    r = HFileReader(img)
+    assert dict(r.scan()) == cells
+    rows = sorted(cells)
+    probe = rows[len(rows) // 2]
+    assert r.get(probe) == cells[probe]
+    assert r.get(probe + b"\x00~miss") is None
+    lo, hi = rows[0], rows[-1]
+    got = r.scan_range(lo, hi)  # stop is exclusive
+    assert dict(got) == {k: cells[k] for k in rows[:-1]}
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    values=st.lists(
+        st.integers(min_value=-(2**63), max_value=2**63 - 1),
+        min_size=0, max_size=400, unique=True,
+    ),
+    k=st.sampled_from([16, 64]),
+    n_parts=st.integers(min_value=1, max_value=5),
+)
+def test_theta_union_equals_monolithic_property(values, k, n_parts):
+    """For ANY value set and ANY split, the KMV theta union equals
+    the monolithic sketch — serialization byte-identical — and the
+    exact-mode estimate equals the true NDV."""
+    from spark_hive_spark.sources.puffin import (
+        _THETA_MAX,
+        theta_estimate,
+        theta_hash_long,
+        theta_sketch_deserialize,
+        theta_sketch_serialize,
+        theta_union,
+    )
+
+    def _kmv(vs):
+        hs = sorted({theta_hash_long(v) for v in vs})
+        if len(hs) <= k:
+            return hs, _THETA_MAX
+        return hs[:k], hs[k]
+
+    mono = _kmv(values)
+    parts = [_kmv(values[i::n_parts]) for i in range(n_parts)]
+    assert theta_union(parts, k=k) == mono
+    img = theta_sketch_serialize(*mono)
+    assert theta_sketch_deserialize(img) == mono
+    if mono[1] == _THETA_MAX:
+        assert theta_estimate(*mono) == len(set(values))
+
+
+@settings(max_examples=60, deadline=None)
+@given(n=st.integers(min_value=0, max_value=2**31 - 1))
+def test_hadoop_vint_roundtrip_property(n):
+    from spark_hive_spark.sources.hfile import (
+        hadoop_vint,
+        hadoop_vint_read,
+    )
+
+    enc = hadoop_vint(n)
+    assert hadoop_vint_read(enc + b"\xff", 0) == (n, len(enc))
