@@ -350,6 +350,7 @@ EXTENDED = [
     "source_iceberg_changelog_update_pairs",
     "dedup_incremental_index_update",
     "source_puffin_theta_ndv_strings",
+    "source_hudi_metadata_table_bloom_filters",
 ]
 
 # Streaming extended queries run dead LAST (after the streaming

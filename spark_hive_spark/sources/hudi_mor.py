@@ -2954,3 +2954,220 @@ def source_hudi_metadata_table_colstats(
     ).localCheckpoint(eager=True)  # 1 row; frees the temp root
     shutil.rmtree(root, ignore_errors=True)
     return out
+
+
+# HoodieMetadataBloomFilter, the bloom_filters partition's record
+_BLOOM_RECORD_SCHEMA = {
+    "type": "record", "name": "HoodieMetadataBloomFilter",
+    "fields": [
+        {"name": "type", "type": "string"},
+        {"name": "timestamp", "type": "string"},
+        {"name": "bloomFilter", "type": "bytes"},
+        {"name": "isDeleted", "type": "boolean"},
+    ],
+}
+
+
+def enc_bloom_record(
+    btype: str, instant: str, bloom: bytes, deleted: bool = False
+) -> bytes:
+    rec = {"type": btype, "timestamp": instant,
+           "bloomFilter": bloom, "isDeleted": deleted}
+    return b"".join(
+        _enc_field(rec[f["name"]], f["type"])
+        for f in _BLOOM_RECORD_SCHEMA["fields"]
+    )
+
+
+def dec_bloom_record(raw: bytes) -> dict:
+    rec, pos = {}, 0
+    for f in _BLOOM_RECORD_SCHEMA["fields"]:
+        rec[f["name"]], pos = _dec_field(raw, pos, f["type"])
+    if pos != len(raw):
+        raise ValueError("bloom record has trailing bytes")
+    return rec
+
+
+@register(
+    "source_hudi_metadata_table_bloom_filters",
+    oracle=f"""
+        SELECT CAST(4 AS INT) AS data_files,
+               CAST(4 AS INT) AS bloom_records,
+               TRUE AS no_false_negatives,
+               TRUE AS skipping_effective,
+               TRUE AS fp_bounded,
+               CAST(count(*) AS BIGINT) AS n_found,
+               {sql_dsum('o_totalprice')} AS revenue_found
+        FROM orders WHERE o_orderkey % 937 = 0
+    """,
+    tags=("source", "hudi", "lakehouse", "metadata-table", "hfile",
+          "bloom", "skipping", "compat"),
+)
+def source_hudi_metadata_table_bloom_filters(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Hudi METADATA TABLE `bloom_filters` partition (round 18, the
+    third metadata partition after `files` and `column_stats`):
+    Hudi's bloom index keys every upsert — "which file group might
+    already hold this record key?" — and the metadata table stores
+    each base file's SimpleBloomFilter bytes so the answer is a
+    keyed metadata read instead of N parquet-footer fetches. The
+    bloom bytes are the real thing: hadoop's BloomFilter writable
+    (`sources/hadoop_bloom.py` — the nonstandard signed reversed-
+    tail murmur2, chained nbHash rounds, LSB-first bit packing, all
+    pinned byte-identical against the bundled
+    org.apache.hadoop.util.bloom classes via py4j), sized by Hudi's
+    m/k formulas at fpp 0.01, BUILT EXECUTOR-SIDE (one
+    applyInPandas task per file group — where a Hudi writer computes
+    them) and carried as Avro HoodieMetadataBloomFilter cells in the
+    partition's HFile.
+
+    The probe workload is the bloom index's: present record keys
+    (o_orderkey % 937 == 0) plus 20 keys past the dense-key ceiling
+    (testdata orderkeys are 0..N-1, so in-range absences don't
+    exist). Per key the reader tests all four file blooms from the
+    METADATA table and reads only candidate files to verify:
+
+    - ``no_false_negatives``: every present key's true quartile
+      file is among its candidates (the bloom contract);
+    - ``skipping_effective`` / ``fp_bounded``: false passes across
+      all negative tests stay under 10x the fpp budget — absent
+      keys mostly match NO file, which is exactly the I/O the
+      index saves on every upsert;
+    - ``n_found`` / ``revenue_found``: recomputed by reading ONLY
+      candidate files — a bloom that drops a needed file loses rows
+      and flips the hash.
+
+    Scale posture: bloom build is one pass per file group,
+    executor-side; the index read is O(probes x files) driver-side
+    BIT TESTS over KB blobs (Hudi shards this by key hash at real
+    file counts); verification reads candidate files once."""
+    from spark_hive_spark.sources.hadoop_bloom import (
+        HadoopBloomFilter,
+        hudi_bloom_sizing,
+    )
+    from spark_hive_spark.sources.hfile import HFileReader, hfile_encode
+
+    orders = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    root = os.path.join(
+        tempfile.gettempdir(), f"shs_hudi_mdbf_{uuid.uuid4().hex}"
+    )
+    tdir = os.path.join(root, "t")
+    hdir = os.path.join(tdir, ".hoodie")
+    mbf = os.path.join(hdir, "metadata", "bloom_filters")
+    mhdir = os.path.join(hdir, "metadata", ".hoodie")
+    os.makedirs(mbf)
+    os.makedirs(mhdir)
+
+    t1 = "001"
+    n_total = orders.agg(F.max("o_orderkey")).collect()[0][0] + 1
+    quart = F.floor(F.col("o_orderkey") * 4 / F.lit(n_total))
+    fnames = {i: f"fg-{i}_0-1-0_{t1}.parquet" for i in range(4)}
+    for i in range(4):
+        stage_single_parquet(
+            orders.filter(quart == i), root, tdir, fnames[i]
+        )
+    for suffix in (".commit.requested", ".commit.inflight", ".commit"):
+        with open(os.path.join(hdir, t1 + suffix), "w") as fh:
+            fh.write("{}")
+    for suffix in (".deltacommit.requested", ".deltacommit.inflight",
+                   ".deltacommit"):
+        with open(os.path.join(mhdir, t1 + suffix), "w") as fh:
+            fh.write("{}")
+
+    # blooms build EXECUTOR-SIDE, one task per file group
+    def _build(pdf):
+        import pandas as _pd
+
+        m, k = hudi_bloom_sizing(len(pdf), 0.01)
+        bf = HadoopBloomFilter(m, k)
+        for key in pdf["o_orderkey"]:
+            bf.add(str(int(key)).encode())
+        return _pd.DataFrame(
+            {"q": [int(pdf["q"].iloc[0])], "bloom": [bf.serialize()]}
+        )
+
+    built = (
+        orders.withColumn("q", quart.cast("int"))
+        .groupBy("q")
+        .applyInPandas(_build, "q int, bloom binary")
+        .collect()
+    )
+    cells = {
+        fnames[r["q"]].encode(): enc_bloom_record(
+            "SIMPLE", t1, bytes(r["bloom"])
+        )
+        for r in built
+    }
+    with open(
+        os.path.join(mbf, f"bloom-filters-0000_0-0-0_{t1}.hfile"), "wb"
+    ) as fh:
+        fh.write(hfile_encode(cells, compression="gz"))
+
+    # ---- the reader: metadata blooms -> candidate files -> verify --
+    completed_meta = {
+        f.split(".")[0] for f in os.listdir(mhdir)
+        if len(f.split(".")) == 2 and f.endswith(".deltacommit")
+    }
+    if t1 not in completed_meta:
+        raise ValueError("metadata deltacommit missing")
+    (base_name,) = [f for f in os.listdir(mbf) if f.endswith(".hfile")]
+    with open(os.path.join(mbf, base_name), "rb") as fh:
+        rd = HFileReader(fh.read())
+    blooms: dict[str, HadoopBloomFilter] = {}
+    for row, val in rd.scan():
+        rec = dec_bloom_record(val)
+        if rec["type"] != "SIMPLE":
+            raise NotImplementedError(
+                f"hudi bloom filter type {rec['type']!r}"
+            )
+        if rec["isDeleted"]:
+            continue
+        blooms[row.decode()] = HadoopBloomFilter.deserialize(
+            rec["bloomFilter"]
+        )
+
+    present = [
+        r[0] for r in orders.filter(F.col("o_orderkey") % 937 == 0)
+        .select("o_orderkey").collect()
+    ]
+    absent = list(range(n_total, n_total + 20))
+    no_fn = True
+    false_passes = 0
+    candidate_files: set[str] = set()
+    for key in present:
+        true_file = fnames[key * 4 // n_total]
+        cands = {
+            f for f, bf in blooms.items()
+            if bf.test(str(key).encode())
+        }
+        no_fn &= true_file in cands
+        false_passes += len(cands - {true_file})
+        candidate_files |= cands
+    absent_passes = 0
+    for key in absent:
+        absent_passes += sum(
+            1 for bf in blooms.values() if bf.test(str(key).encode())
+        )
+    neg_tests = len(present) * 3 + len(absent) * 4
+    fp_budget = max(2, (neg_tests + 9) // 10)  # 10x the 0.01 fpp
+    skipping_effective = absent_passes < len(absent) * 4
+    fp_bounded = (false_passes + absent_passes) <= fp_budget
+
+    # verification reads ONLY candidate files
+    df = spark.read.parquet(
+        *(os.path.join(tdir, n) for n in sorted(candidate_files))
+    ).filter(F.col("o_orderkey") % 937 == 0)
+    out = df.agg(
+        F.lit(len(fnames)).cast("int").alias("data_files"),
+        F.lit(len(blooms)).cast("int").alias("bloom_records"),
+        F.lit(bool(no_fn)).alias("no_false_negatives"),
+        F.lit(bool(skipping_effective)).alias("skipping_effective"),
+        F.lit(bool(fp_bounded)).alias("fp_bounded"),
+        F.count("*").alias("n_found"),
+        dsum("o_totalprice").alias("revenue_found"),
+    ).localCheckpoint(eager=True)  # 1 row; frees the temp root
+    shutil.rmtree(root, ignore_errors=True)
+    return out
