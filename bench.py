@@ -351,6 +351,7 @@ EXTENDED = [
     "dedup_incremental_index_update",
     "source_puffin_theta_ndv_strings",
     "source_hudi_metadata_table_bloom_filters",
+    "source_hudi_metadata_table_compaction",
 ]
 
 # Streaming extended queries run dead LAST (after the streaming

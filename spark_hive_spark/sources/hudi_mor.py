@@ -3171,3 +3171,242 @@ def source_hudi_metadata_table_bloom_filters(
     ).localCheckpoint(eager=True)  # 1 row; frees the temp root
     shutil.rmtree(root, ignore_errors=True)
     return out
+
+
+@register(
+    "source_hudi_metadata_table_compaction",
+    oracle=f"""
+        SELECT CAST(2 AS INT) AS file_groups,
+               CAST(2 AS INT) AS log_blocks_compacted,
+               CAST(1 AS INT) AS files_tombstoned,
+               TRUE AS compaction_equivalent,
+               TRUE AS listing_consistent,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               {sql_dsum(
+                   "o_totalprice"
+                   " + CASE WHEN o_orderkey % 10 = 6 THEN 100.00 ELSE 0 END"
+               )} AS revenue
+        FROM orders
+    """,
+    tags=("source", "hudi", "lakehouse", "metadata-table", "hfile",
+          "compaction", "merge-on-read", "compat"),
+)
+def source_hudi_metadata_table_compaction(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Hudi METADATA TABLE COMPACTION (round 18) — the maintenance
+    half of the metadata-table story: the `files` partition is MOR,
+    so every data-table commit APPENDS an HFILE log block, and
+    without compaction a reader replays an ever-growing log chain.
+    Compaction merges base + logs into a NEW base HFile under a
+    fresh instant; the old slice stays on disk until clean, and the
+    file-slice rule (logs attach to their base instant) makes the
+    new base self-contained.
+
+    The fixture walks the full lifecycle INCLUDING the tombstone
+    path the files sibling doesn't exercise: commit 001 bases two
+    file groups; 002 rewrites fg-0 (+100.00 on keys ≡ 6 mod 10) and
+    its metadata log block ADDS the new file; 003 CLEANS the stale
+    fg-0 base — physically deleting it AND logging an ``isDeleted``
+    tombstone; 004 COMPACTS the metadata slice (base 001 + two log
+    blocks -> base 004, tombstoned entries dropped from the merged
+    map — the net state, not the event history).
+
+    The reader resolves the metadata table's own latest slice (base
+    004, to which NO logs attach) and attests
+    ``compaction_equivalent``: the listing served by the compacted
+    base alone equals the listing replayed from the OLD slice (base
+    001 + logs) — a compactor that loses the tombstone re-lists the
+    cleaned file (its reads then crash), one that loses the upsert
+    serves the stale group; ``listing_consistent`` re-pins the
+    physical cross-check after the clean. Data files then serve
+    through the usual slice rule.
+
+    Scale posture: compaction reads each log block once and writes
+    O(net records) — the same bounded merge every MOR table pays;
+    reads afterward are back to one keyed base lookup."""
+    from spark_hive_spark.sources.hfile import HFileReader, hfile_encode
+
+    orders = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    root = os.path.join(
+        tempfile.gettempdir(), f"shs_hudi_mdc_{uuid.uuid4().hex}"
+    )
+    tdir = os.path.join(root, "t")
+    hdir = os.path.join(tdir, ".hoodie")
+    mfiles = os.path.join(hdir, "metadata", "files")
+    mhdir = os.path.join(hdir, "metadata", ".hoodie")
+    os.makedirs(mfiles)
+    os.makedirs(mhdir)
+
+    t1, t2, t3, t4 = "001", "002", "003", "004"
+    par = F.col("o_orderkey") % 2
+    f0_1 = f"fg-0_0-1-0_{t1}.parquet"
+    f1_1 = f"fg-1_0-1-0_{t1}.parquet"
+    f0_2 = f"fg-0_0-1-0_{t2}.parquet"
+    stage_single_parquet(orders.filter(par == 0), root, tdir, f0_1)
+    stage_single_parquet(orders.filter(par == 1), root, tdir, f1_1)
+    upserted = orders.filter(par == 0).withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_orderkey") % 10 == 6,
+            (F.col("o_totalprice").cast("decimal(18,2)")
+             + F.lit(100).cast("decimal(18,2)")).cast("double"),
+        ).otherwise(F.col("o_totalprice")),
+    )
+    stage_single_parquet(upserted, root, tdir, f0_2)
+
+    def _size(n: str) -> int:
+        return os.path.getsize(os.path.join(tdir, n))
+
+    # data timeline: 001/002 commits, 003 clean
+    for instant, action in ((t1, "commit"), (t2, "commit"),
+                            (t3, "clean")):
+        for suffix in (f".{action}.requested", f".{action}.inflight",
+                       f".{action}"):
+            with open(os.path.join(hdir, instant + suffix), "w") as fh:
+                fh.write("{}")
+    # metadata timeline: deltacommits mirroring 001-003, then the
+    # compaction lands as a COMMIT at 004
+    for instant in (t1, t2, t3):
+        for suffix in (".deltacommit.requested",
+                       ".deltacommit.inflight", ".deltacommit"):
+            with open(os.path.join(mhdir, instant + suffix), "w") as fh:
+                fh.write("{}")
+    for suffix in (".commit.requested", ".commit.inflight", ".commit"):
+        with open(os.path.join(mhdir, t4 + suffix), "w") as fh:
+            fh.write("{}")
+
+    base_img = hfile_encode({
+        b"par": enc_metadata_record(
+            "par", 2,
+            {f0_1: (_size(f0_1), False), f1_1: (_size(f1_1), False)},
+        ),
+    }, compression="gz")
+    base_001 = os.path.join(mfiles, f"files-0000_0-0-0_{t1}.hfile")
+    with open(base_001, "wb") as fh:
+        fh.write(base_img)
+    log_path = os.path.join(mfiles, f".files-0000_{t1}.log.1_0-1-0")
+    with open(log_path, "wb") as fh:
+        fh.write(encode_log_block(_HFILE_BLOCK, {_H_INSTANT: t2},
+                                  hfile_encode({
+            b"par": enc_metadata_record(
+                "par", 2, {f0_2: (_size(f0_2), False)}),
+        }, compression="gz")))
+        fh.write(encode_log_block(_HFILE_BLOCK, {_H_INSTANT: t3},
+                                  hfile_encode({
+            b"par": enc_metadata_record("par", 2, {f0_1: (0, True)}),
+        }, compression="gz")))
+    # 003's clean PHYSICALLY removes the stale base file
+    os.remove(os.path.join(tdir, f0_1))
+
+    # ---- shared replay: one metadata slice -> {file: size} --------
+    completed_meta = set()
+    for f in os.listdir(mhdir):
+        parts = f.split(".")
+        if len(parts) == 2 and parts[1] in ("deltacommit", "commit"):
+            completed_meta.add(parts[0])
+
+    def _replay(base_path: str, log_paths: list[str]) -> dict:
+        with open(base_path, "rb") as fh:
+            rd = HFileReader(fh.read())
+        listing: dict[str, int] = {}
+        tombstoned = 0
+        blocks = 0
+        for row, val in rd.scan():
+            rec = dec_metadata_record(val)
+            listing.update({
+                n: m["size"]
+                for n, m in rec["filesystemMetadata"].items()
+                if not m["isDeleted"]
+            })
+        for lp in sorted(log_paths, key=lambda p: parse_log_name(
+                os.path.basename(p))[2]):
+            with open(lp, "rb") as fh:
+                for blk in walk_log_blocks(fh.read()):
+                    if blk["type"] != _HFILE_BLOCK:
+                        raise NotImplementedError(
+                            f"log block type {blk['type']} in the "
+                            "metadata table"
+                        )
+                    if blk["header"][_H_INSTANT] not in completed_meta:
+                        continue
+                    blocks += 1
+                    for _row, val in HFileReader(
+                            blk["content"]).scan():
+                        rec = dec_metadata_record(val)
+                        for n, m in rec["filesystemMetadata"].items():
+                            if m["isDeleted"]:
+                                listing.pop(n, None)
+                                tombstoned += 1
+                            else:
+                                listing[n] = m["size"]
+        return {"listing": listing, "blocks": blocks,
+                "tombstoned": tombstoned}
+
+    # ---- the COMPACTOR: old slice -> new self-contained base ------
+    old = _replay(base_001, [log_path])
+    compacted_img = hfile_encode({
+        b"par": enc_metadata_record(
+            "par", 2,
+            {n: (sz, False) for n, sz in sorted(
+                old["listing"].items())},
+        ),
+    }, compression="gz")
+    base_004 = os.path.join(mfiles, f"files-0000_0-0-0_{t4}.hfile")
+    with open(base_004, "wb") as fh:
+        fh.write(compacted_img)
+
+    # ---- the reader: latest slice = base 004, no logs attach ------
+    bases = {
+        f[: -len(".hfile")].rsplit("_", 1)[1]: f
+        for f in os.listdir(mfiles) if f.endswith(".hfile")
+    }
+    latest_base = max(i for i in bases if i in completed_meta)
+    logs_for_latest = [
+        os.path.join(mfiles, f) for f in os.listdir(mfiles)
+        if ".log." in f
+        and f.split(".log.")[0].rsplit("_", 1)[1] == latest_base
+    ]
+    new = _replay(os.path.join(mfiles, bases[latest_base]),
+                  logs_for_latest)
+    compaction_equivalent = (
+        new["listing"] == old["listing"] and not logs_for_latest
+    )
+    physical = {
+        n for n in os.listdir(tdir) if n.endswith(".parquet")
+    }
+    listing_consistent = set(new["listing"]) == physical and all(
+        _size(n) == sz for n, sz in new["listing"].items()
+    )
+
+    # file-slice resolution over the compacted listing
+    completed_data = {
+        f.split(".")[0] for f in os.listdir(hdir)
+        if len(f.split(".")) == 2 and f.endswith(".commit")
+    }
+    by_fid: dict[str, tuple[str, str]] = {}
+    for name in new["listing"]:
+        fid = name.split("_", 1)[0]
+        instant = name[: -len(".parquet")].rsplit("_", 1)[1]
+        if instant not in completed_data:
+            continue
+        if fid not in by_fid or instant > by_fid[fid][0]:
+            by_fid[fid] = (instant, name)
+    serve = sorted(os.path.join(tdir, n) for _, n in by_fid.values())
+
+    df = spark.read.parquet(*serve)
+    out = df.agg(
+        F.lit(len(by_fid)).cast("int").alias("file_groups"),
+        F.lit(old["blocks"]).cast("int")
+        .alias("log_blocks_compacted"),
+        F.lit(old["tombstoned"]).cast("int").alias("files_tombstoned"),
+        F.lit(bool(compaction_equivalent))
+        .alias("compaction_equivalent"),
+        F.lit(bool(listing_consistent)).alias("listing_consistent"),
+        F.count("*").alias("n_orders"),
+        dsum("o_totalprice").alias("revenue"),
+    ).localCheckpoint(eager=True)  # 1 row; frees the temp root
+    shutil.rmtree(root, ignore_errors=True)
+    return out
