@@ -352,6 +352,7 @@ EXTENDED = [
     "source_puffin_theta_ndv_strings",
     "source_hudi_metadata_table_bloom_filters",
     "source_hudi_metadata_table_compaction",
+    "source_hudi_metadata_table_record_index",
 ]
 
 # Streaming extended queries run dead LAST (after the streaming

@@ -39,7 +39,7 @@ _REGISTRY: dict[str, Query] = {}
 
 # The grading driver sweeps the FIRST 50 registry entries per round, so
 # ordering is an attestation budget. Round-18 rotation (r17 verdict
-# item 7, executed): the 4 reference jobs stay pinned, then the 11 NEW
+# item 7, executed): the 4 reference jobs stay pinned, then the 12 NEW
 # round-18 queries (the r17 verdict's items — the Iceberg changelog
 # composed over EQUALITY deletes, Puffin theta-sketch NDV stats
 # feeding the CBO audit, the Hudi metadata-table files partition over
@@ -48,7 +48,7 @@ _REGISTRY: dict[str, Query] = {}
 # the metadata-table column_stats skipping sibling, the changelog
 # UPDATE-pairing mode, the dedup-index append maintenance cycle,
 # the string-column theta sketches, and the metadata-table
-# bloom_filters partition + compaction), then the ANN
+# bloom_filters / record_index partitions + compaction), then the ANN
 # rows-only pair WITH its
 # hash-green exactness bracket ``ann_recall_audit`` pinned adjacent
 # (the graded CORRECTNESS file stays self-contained — the audit
@@ -61,8 +61,8 @@ _REGISTRY: dict[str, Query] = {}
 # Backlog spill for r19 (next oldest, in order):
 # ratio_to_report_customer_revenue, repeat_orders_within_week
 # (displaced so the rfm rows-only pair kept its bracket adjacent
-# in-window), rfm_user_scores and q9_nation_year_profit (same
-# displacement),
+# in-window), rfm_user_scores, q9_nation_year_profit, and
+# q7_nation_trade_volume (same displacement),
 # semdedup_embedding_clusters, then
 # sketch_hll_builtin_rollup,
 # source_python_datasource,
@@ -94,6 +94,7 @@ SWEEP_PRIORITY: tuple[str, ...] = (
     "source_puffin_theta_ndv_strings",
     "source_hudi_metadata_table_bloom_filters",
     "source_hudi_metadata_table_compaction",
+    "source_hudi_metadata_table_record_index",
     # ANN rows-only pair + its exactness bracket, always adjacent
     "knn_cosine_ivf",
     "knn_cosine_lsh",
@@ -128,7 +129,6 @@ SWEEP_PRIORITY: tuple[str, ...] = (
     "q3_shipping_priority",
     "q5_region_revenue",
     "q6_forecast_revenue",
-    "q7_nation_trade_volume",
     "rfm_approx_audit",
     "rfm_user_scores_approx",
 )
