@@ -1954,6 +1954,24 @@ def delta_column_mapping(
     return mapping
 
 
+def delta_column_mapping_names(metadata: dict) -> dict[str, str] | None:
+    """Name-mode-only wrapper around `delta_column_mapping` (round 19,
+    r18 advice): the unified dispatcher returns ``{int field id:
+    name}`` for id-mode tables, which the name-mode readers would
+    silently consume as an empty rename map (every ``mapping[phys]``
+    lookup missing) where they previously raised loudly.  Assert the
+    key type here so an id-mode table reaching a name-mode-only call
+    site stays a loud seam."""
+    mapping = delta_column_mapping(metadata)
+    if mapping is not None and any(
+        not isinstance(k, str) for k in mapping
+    ):
+        raise NotImplementedError(
+            "id-mode column mapping reached a name-mode-only reader"
+        )
+    return mapping
+
+
 def delta_column_mapping_by_id(metadata: dict) -> dict[int, str]:
     """metaData action (ID-mode column mapping) -> {field id:
     logical name}.
@@ -2175,7 +2193,7 @@ def source_delta_column_mapping(
                     live.discard(action["remove"]["path"])
     if meta is None:
         raise ValueError("Delta log carries no metaData action")
-    mapping = delta_column_mapping(meta)
+    mapping = delta_column_mapping_names(meta)
     if mapping is None:
         raise ValueError(
             "protocol v2 fixture lost its column-mapping config"
@@ -4257,7 +4275,7 @@ def source_delta_column_mapping_nested(
                     live.discard(action["remove"]["path"])
     if meta is None:
         raise ValueError("Delta log carries no metaData action")
-    mapping = delta_column_mapping(meta)
+    mapping = delta_column_mapping_names(meta)
     scan = spark.read.parquet(
         *(os.path.join(tdir, p) for p in sorted(live))
     )
@@ -4481,7 +4499,7 @@ def source_delta_column_mapping_array(
                     live.discard(action["remove"]["path"])
     if meta is None:
         raise ValueError("Delta log carries no metaData action")
-    mapping = delta_column_mapping(meta)
+    mapping = delta_column_mapping_names(meta)
     scan = spark.read.parquet(
         *(os.path.join(tdir, p) for p in sorted(live))
     )
@@ -6848,7 +6866,7 @@ def source_delta_column_mapping_map_key(
                     live.discard(action["remove"]["path"])
     if meta is None:
         raise ValueError("Delta log carries no metaData action")
-    mapping = delta_column_mapping(meta)
+    mapping = delta_column_mapping_names(meta)
     scan = spark.read.parquet(
         *(os.path.join(tdir, p) for p in sorted(live))
     )

@@ -231,6 +231,10 @@ def _block_decode(
     bpc, on_disk_data_with_header = struct.unpack_from(
         ">ii", data, offset + 25
     )
+    if bpc <= 0:
+        raise ValueError(
+            f"HFile block header bytesPerChecksum {bpc} (corrupt)"
+        )
     payload_len = on_disk_data_with_header - _HEADER_SIZE
     payload = data[offset + _HEADER_SIZE : offset + _HEADER_SIZE + payload_len]
     # checksums validate the ON-DISK form FIRST (as HBase does) — a
@@ -418,7 +422,10 @@ class HFileReader:
     (``blocks_read`` counts them — the attestation hook)."""
 
     def __init__(self, data: bytes) -> None:
-        from spark_hive_spark.sources.orc_meta import decode_message
+        from spark_hive_spark.sources.orc_meta import (
+            _uvarint,
+            decode_message,
+        )
 
         self._data = data
         self.blocks_read = 0
@@ -431,9 +438,11 @@ class HFileReader:
         tstart = len(data) - _TRAILER_SIZE
         if data[tstart : tstart + 8] != MAGIC_TRAILER:
             raise ValueError("HFile trailer magic missing")
-        plen, p = hadoop_vint_read(data, tstart + 8)  # uvarint == vint
-        # (delimited protobuf length is a plain uvarint; values < 128
-        # coincide with hadoop vint — parse defensively)
+        # the delimited trailer-proto length is a plain protobuf
+        # uvarint (r18 advice: hadoop vint only coincides below 128;
+        # a conforming trailer with a long comparator class name or
+        # extra fields crosses that and would mis-parse)
+        plen, p = _uvarint(data, tstart + 8)
         proto = decode_message(data[p : p + plen])
         self.minor_version = minor
         self.file_info_offset = proto[1][0]

@@ -765,7 +765,14 @@ def theta_sketch_build(
                 )
             yield _pd.DataFrame({"h": hs})
 
-    hashed = vals.distinct().mapInPandas(_hash_batches, "h bigint")
+    hashed = (
+        vals.distinct()
+        .mapInPandas(_hash_batches, "h bigint")
+        # dedupe HASHES too (r18 advice): a 63-bit murmur collision
+        # between distinct values must collapse to one retained
+        # hash, matching theta_sketch_build_grouped
+        .distinct()
+    )
     smallest = [r["h"] for r in hashed.orderBy("h").limit(k + 1).collect()]
     if len(smallest) <= k:
         return theta_sketch_serialize(smallest, _THETA_MAX)

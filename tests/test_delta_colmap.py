@@ -484,3 +484,19 @@ def test_mapped_select_rebuilds_struct_map_keys(spark):
         assert row["key"]["bucket"] == 10
         assert row["key"]["label"] == "x"
         assert row["val"] == 2.5
+
+
+def test_name_mode_only_wrapper_is_loud_on_id_mode():
+    """r18 advice: the four name-mode readers consume the mapping as a
+    {str physical: str logical} rename map — an id-mode table reaching
+    them must stay a loud seam, not silently rename nothing."""
+    from spark_hive_spark.sources.evolution import (
+        delta_column_mapping_names,
+    )
+
+    fields = [_field("a", "col-1")]
+    m = delta_column_mapping_names(_meta("name", fields))
+    assert set(m) and all(isinstance(k, str) for k in m)
+    assert delta_column_mapping_names(_meta(None, fields)) is None
+    with pytest.raises(NotImplementedError, match="id-mode"):
+        delta_column_mapping_names(_meta("id", fields))

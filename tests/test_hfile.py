@@ -195,3 +195,47 @@ def test_hfile_gz_compression_roundtrip():
         HFileReader(bytes(bad)).scan()
     with pytest.raises(NotImplementedError, match="compression"):
         hfile_encode(cells, compression="snappy")
+
+
+def test_hfile_long_trailer_proto_parses():
+    """r18 advice: the delimited trailer-proto length is a protobuf
+    uvarint; hadoop vint only coincides below 128 bytes.  A conforming
+    external trailer with extra fields (long comparator name,
+    encryption key) crosses 128 — pad the proto past the boundary and
+    check the reader still resolves every trailer field."""
+    from spark_hive_spark.sources.hfile import (
+        MAGIC_TRAILER,
+        _pb_field,
+        _pb_uvarint,
+    )
+
+    img = bytearray(hfile_encode(_cells(60), block_size=256))
+    tstart = len(img) - _TRAILER_SIZE
+    assert img[tstart : tstart + 8] == MAGIC_TRAILER
+    plen, p = hadoop_vint_read(bytes(img), tstart + 8)
+    assert plen < 128  # self-written trailers sit below the boundary
+    proto = bytes(img[p : p + plen])
+    # unknown trailing field 15: 80 bytes of opaque payload pushes the
+    # proto length into two-uvarint-byte territory
+    padded = proto + _pb_field(15, b"\x5a" * 80)
+    assert len(padded) >= 128
+    newlen = _pb_uvarint(len(padded))
+    assert len(newlen) == 2  # the encodings now genuinely diverge
+    tail = MAGIC_TRAILER + newlen + padded
+    tail += b"\x00" * (_TRAILER_SIZE - 4 - len(tail))
+    tail += bytes(img[-4:])  # version word unchanged
+    assert len(tail) == _TRAILER_SIZE
+    img[tstart:] = tail
+    rd = HFileReader(bytes(img))
+    assert rd.entry_count == 60
+    assert dict(rd.scan()) == _cells(60)
+
+
+def test_hfile_zero_bytes_per_checksum_is_loud():
+    """r18 advice: a corrupt header with bytesPerChecksum=0 must raise
+    the module's loud ValueError, not ZeroDivisionError."""
+    img = bytearray(hfile_encode(_cells(20), block_size=256))
+    # first data block starts at offset 0; bpc lives at header +25
+    struct.pack_into(">i", img, 25, 0)
+    with pytest.raises(ValueError, match="bytesPerChecksum"):
+        HFileReader(bytes(img)).scan()
