@@ -324,6 +324,34 @@ def source_iceberg_v3_default_values(
     return out
 
 
+def inherit_first_row_ids(
+    manifest_first_row_id: int | None, entries: list[dict]
+) -> tuple[list[dict], int]:
+    """Spec §Row Lineage first-row-id INHERITANCE over one
+    manifest's data-file entries: a null ``first_row_id`` entry is
+    assigned the manifest's ``first_row_id`` plus the record counts
+    of the PRIOR null entries (the shape every fresh commit writes);
+    explicit values pass through untouched and do NOT advance the
+    assignment cursor. Returns the resolved entries and how many
+    inherited — O(#entries) planning arithmetic, no data touched."""
+    out: list[dict] = []
+    inherited = 0
+    next_assign = manifest_first_row_id
+    for e in entries:
+        if e.get("first_row_id") is None:
+            if next_assign is None:
+                raise ValueError(
+                    "null first_row_id but the manifest carries "
+                    "no first-row-id to inherit from"
+                )
+            e = {**e, "first_row_id": next_assign}
+            next_assign += e["record_count"]
+            inherited += 1
+        out.append(e)
+    return out, inherited
+
+
+
 @register(
     "source_iceberg_v3_row_lineage",
     oracle=f"""
@@ -470,22 +498,14 @@ def source_iceberg_v3_row_lineage(
     for mrow in manifest_rows:
         with open(mrow["manifest_path"], "rb") as fh:
             _, entries = parse_avro_ocf(fh.read())
-        # spec inheritance: null first_row_id entries are assigned
-        # manifest.first_row_id + record counts of PRIOR null entries
-        next_assign = mrow.get("first_row_id")
         for e in entries:
             if e["status"] != 1 or e["content"] != 0:
                 raise ValueError("unexpected manifest entry")
-            if e["first_row_id"] is None:
-                if next_assign is None:
-                    raise ValueError(
-                        "null first_row_id but the manifest carries "
-                        "no first-row-id to inherit from"
-                    )
-                e = {**e, "first_row_id": next_assign}
-                next_assign += e["record_count"]
-                inherited += 1
-            files.append(e)
+        resolved, n_inh = inherit_first_row_ids(
+            mrow.get("first_row_id"), entries
+        )
+        files += resolved
+        inherited += n_inh
 
     # validate the lineage invariants: disjoint id ranges covered by
     # the table's next-row-id counter
@@ -528,6 +548,607 @@ def source_iceberg_v3_row_lineage(
             (F.col("_last_updated_sequence_number") == 2).cast("long")
         ).cast("bigint").alias("rows_seq2"),
         F.lit(lineage_ok).alias("lineage_ok"),
+        dsum("o_totalprice").alias("revenue"),
+    ).localCheckpoint(eager=True)  # 1 row; frees the temp root
+    shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
+@register(
+    "source_iceberg_v3_row_lineage_rewrite",
+    oracle=f"""
+        WITH na AS (
+            SELECT count(*) AS v FROM orders WHERE o_orderkey % 2 = 0
+        ),
+        n AS (SELECT count(*) AS v FROM orders),
+        u AS (
+            SELECT o_orderkey, o_totalprice,
+                   CASE WHEN o_orderkey % 2 = 0
+                        THEN o_orderkey // 2
+                        ELSE (SELECT v FROM na)
+                             + (o_orderkey - 1) // 2
+                   END AS rid,
+                   1 AS seq
+            FROM orders
+            UNION ALL
+            SELECT o_orderkey, o_totalprice,
+                   2 * (SELECT v FROM n) + o_orderkey AS rid,
+                   3 AS seq
+            FROM orders WHERE o_orderkey < 100
+        )
+        SELECT CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(2 AS INT) AS inherited_entries,
+               CAST(count(DISTINCT rid) AS BIGINT)
+                   AS distinct_row_ids,
+               CAST(max(CASE WHEN seq = 1 THEN rid END) AS BIGINT)
+                   AS compacted_max_id,
+               CAST(min(CASE WHEN seq = 3 THEN rid END) AS BIGINT)
+                   AS fresh_min_id,
+               CAST(max(CASE WHEN seq = 3 THEN rid END) AS BIGINT)
+                   AS fresh_max_id,
+               CAST(sum(rid) AS BIGINT) AS sum_row_id,
+               CAST(sum(rid * (o_orderkey % 97)) AS BIGINT)
+                   AS binding,
+               CAST(sum(CASE WHEN seq = 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS rows_seq1,
+               CAST(sum(CASE WHEN seq = 3 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS rows_seq3,
+               TRUE AS watermark_ok,
+               TRUE AS lineage_ok,
+               {sql_dsum('o_totalprice')} AS revenue
+        FROM u
+    """,
+    tags=("source", "iceberg", "lakehouse", "v3", "row-lineage"),
+)
+def source_iceberg_v3_row_lineage_rewrite(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Iceberg v3 row lineage SURVIVING A COMPACTION REWRITE (round
+    19, r18 verdict #1) — the full three-commit lifecycle the
+    scan-side query (`source_iceberg_v3_row_lineage`) leaves open,
+    mirroring the Delta twin `source_delta_row_tracking` (r17):
+
+    - **commit 1** (seq 1): fresh files A (even keys) and B (odd
+      keys), both sorted by key, null ``first_row_id`` in the
+      manifest — inheritance assigns A ``[0, n_a)`` and B
+      ``[n_a, n)`` from the manifest's first-row-id 0;
+    - **commit 2** (seq 2): COMPACTION rewrites A+B into C. Per
+      spec §Row Lineage, the rewrite writer MATERIALIZES ``_row_id``
+      and ``_last_updated_sequence_number`` into C's data (original
+      ids, seq stays 1 — compaction is not an update); C's manifest
+      entry still inherits a fresh assigned range ``[n, 2n)`` which
+      no row uses — the counter advances for every added file
+      regardless (the spec's wasted-range rule);
+    - **commit 3** (seq 3): fresh append D (keys < 100, sorted)
+      with ALL-NULL materialized columns — the reader's per-row
+      ``coalesce(materialized, first_row_id + _metadata.row_index)``
+      must fall through to the virtual path, deriving ids from
+      ``[2n, 2n + n_d)`` — ``fresh_min_id = 2n`` attests D's
+      assignment accounts for C's wasted range.
+
+    The per-row BINDING aggregate (sum of row_id × key-residue mod
+    97) pins that each row kept ITS id through the rewrite, not
+    merely the id set; ``watermark_ok`` attests the table's
+    ``next-row-id`` equals the top assigned span end and snapshot
+    ``first-row-id``s are strictly monotone; ``lineage_ok`` attests
+    the live assigned ranges are disjoint and counter-covered.
+
+    Scale posture: id materialization is ``coalesce`` over a scan
+    column and per-partition arithmetic — whole-stage codegen, no
+    shuffle, no driver row traffic; inheritance is O(#entries)
+    planning arithmetic, exactly how a 100 TB reader wants it."""
+    from spark_hive_spark.operators.avro import (
+        encode_avro_ocf,
+        parse_avro_ocf,
+    )
+    from spark_hive_spark.sources.evolution import iceberg_format_gate
+    from spark_hive_spark.sources.staging import stage_single_parquet
+
+    orders = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    root = os.path.join(
+        tempfile.gettempdir(), f"shs_icev3rlr_{uuid.uuid4().hex}"
+    )
+    ddir = os.path.join(root, "data")
+    mdir = os.path.join(root, "metadata")
+    os.makedirs(ddir)
+    os.makedirs(mdir)
+
+    k = F.col("o_orderkey") % 2
+    n_a = orders.filter(k == 0).count()
+    n = orders.count()
+
+    # commit 1 files (A/B exist so the fixture is honest about what
+    # the compaction replaced; the reader never scans them)
+    stage_single_parquet(
+        orders.filter(k == 0).sort("o_orderkey"), root, ddir,
+        "A.parquet",
+    )
+    stage_single_parquet(
+        orders.filter(k == 1).sort("o_orderkey"), root, ddir,
+        "B.parquet",
+    )
+    # commit 2: the compaction writer materializes the ORIGINAL ids
+    # (position within the sorted original file: even k -> k/2, odd
+    # k -> n_a + (k-1)/2 — dense keys) and the original seq number
+    okey = F.col("o_orderkey")
+    orig_id = F.when(
+        k == 0, F.floor(okey / 2)
+    ).otherwise(F.lit(n_a) + F.floor((okey - 1) / 2)).cast("long")
+    stage_single_parquet(
+        orders.sort("o_orderkey").select(
+            "o_orderkey", "o_totalprice",
+            orig_id.alias("_row_id"),
+            F.lit(1).cast("long")
+            .alias("_last_updated_sequence_number"),
+        ),
+        root, ddir, "C.parquet",
+    )
+    # commit 3: fresh append with all-null materialized columns (the
+    # spec's "writers should write null for new rows")
+    fresh = orders.filter(okey < 100).sort("o_orderkey")
+    n_d = fresh.count()
+    stage_single_parquet(
+        fresh.select(
+            "o_orderkey", "o_totalprice",
+            F.lit(None).cast("long").alias("_row_id"),
+            F.lit(None).cast("long")
+            .alias("_last_updated_sequence_number"),
+        ),
+        root, ddir, "D.parquet",
+    )
+
+    entry_schema = {
+        "type": "record",
+        "name": "manifest_entry",
+        "fields": [
+            {"name": "status", "type": "long"},
+            {"name": "file_path", "type": "string"},
+            {"name": "content", "type": "long"},
+            {"name": "record_count", "type": "long"},
+            {"name": "first_row_id", "type": ["null", "long"]},
+            {"name": "sequence_number", "type": "long"},
+        ],
+    }
+    mlist_schema = {
+        "type": "record",
+        "name": "manifest_file",
+        "fields": [
+            {"name": "manifest_path", "type": "string"},
+            {"name": "content", "type": "long"},
+            {"name": "added_snapshot_id", "type": "long"},
+            {"name": "first_row_id", "type": ["null", "long"]},
+        ],
+    }
+
+    def _manifest(name: str, entries: list[dict]) -> str:
+        path = os.path.join(mdir, name)
+        with open(path, "wb") as fh:
+            fh.write(encode_avro_ocf(
+                entries, entry_schema, codec="deflate"
+            ))
+        return path
+
+    def _mlist(name: str, rows: list[dict]) -> str:
+        path = os.path.join(mdir, name)
+        with open(path, "wb") as fh:
+            fh.write(encode_avro_ocf(
+                rows, mlist_schema, codec="snappy"
+            ))
+        return path
+
+    m2 = _manifest("m2.avro", [
+        {"status": 1, "file_path": "C.parquet", "content": 0,
+         "record_count": n, "first_row_id": None,
+         "sequence_number": 2},
+    ])
+    m3 = _manifest("m3.avro", [
+        {"status": 1, "file_path": "D.parquet", "content": 0,
+         "record_count": n_d, "first_row_id": None,
+         "sequence_number": 3},
+    ])
+    ml3 = _mlist("snap-3.avro", [
+        {"manifest_path": m2, "content": 0,
+         "added_snapshot_id": 2, "first_row_id": n},
+        {"manifest_path": m3, "content": 0,
+         "added_snapshot_id": 3, "first_row_id": 2 * n},
+    ])
+    with open(os.path.join(mdir, "v3.metadata.json"), "w") as fh:
+        json.dump({
+            "format-version": 3,
+            "row-lineage": True,
+            "next-row-id": 2 * n + n_d,
+            "current-snapshot-id": 3,
+            "snapshots": [
+                {"snapshot-id": 1, "first-row-id": 0,
+                 "manifest-list": "gone-1.avro"},
+                {"snapshot-id": 2, "first-row-id": n,
+                 "manifest-list": "gone-2.avro"},
+                {"snapshot-id": 3, "first-row-id": 2 * n,
+                 "manifest-list": ml3},
+            ],
+        }, fh)
+
+    # ---- the reader ----
+    with open(os.path.join(mdir, "v3.metadata.json")) as fh:
+        md = json.load(fh)
+    iceberg_format_gate(md, supported=frozenset({"row-lineage"}))
+    current = next(
+        s for s in md["snapshots"]
+        if s["snapshot-id"] == md["current-snapshot-id"]
+    )
+    with open(current["manifest-list"], "rb") as fh:
+        _, manifest_rows = parse_avro_ocf(fh.read())
+    files: list[dict] = []
+    inherited = 0
+    for mrow in manifest_rows:
+        with open(mrow["manifest_path"], "rb") as fh:
+            _, entries = parse_avro_ocf(fh.read())
+        for e in entries:
+            if e["status"] != 1 or e["content"] != 0:
+                raise ValueError("unexpected manifest entry")
+        resolved, n_inh = inherit_first_row_ids(
+            mrow.get("first_row_id"), entries
+        )
+        files += resolved
+        inherited += n_inh
+
+    spans = sorted(
+        (e["first_row_id"], e["first_row_id"] + e["record_count"])
+        for e in files
+    )
+    disjoint = all(
+        spans[i][1] <= spans[i + 1][0] for i in range(len(spans) - 1)
+    )
+    lineage_ok = bool(
+        disjoint and md["next-row-id"] >= spans[-1][1]
+    )
+    frids = [
+        s.get("first-row-id")
+        for s in sorted(md["snapshots"], key=lambda s: s["snapshot-id"])
+    ]
+    watermark_ok = bool(
+        md["next-row-id"] == spans[-1][1]
+        and all(frids[i] < frids[i + 1] for i in range(len(frids) - 1))
+    )
+
+    parts = []
+    for e in files:
+        df = spark.read.parquet(os.path.join(ddir, e["file_path"]))
+        base = (
+            F.lit(e["first_row_id"]) + F.col("_metadata.row_index")
+        ).cast("long")
+        seq_dflt = F.lit(e["sequence_number"]).cast("long")
+        if "_row_id" in df.columns:  # rewritten: materialized wins
+            rid = F.coalesce(F.col("_row_id").cast("long"), base)
+            seq = F.coalesce(
+                F.col("_last_updated_sequence_number").cast("long"),
+                seq_dflt,
+            )
+        else:
+            rid, seq = base, seq_dflt
+        parts.append(df.select(
+            "o_orderkey", "o_totalprice",
+            rid.alias("rid"), seq.alias("seq"),
+        ))
+    scan = parts[0]
+    for df in parts[1:]:
+        scan = scan.unionByName(df)
+    seq1 = F.col("seq") == 1
+    seq3 = F.col("seq") == 3
+    out = scan.agg(
+        F.count("*").alias("n_rows"),
+        F.lit(inherited).cast("int").alias("inherited_entries"),
+        F.countDistinct("rid").alias("distinct_row_ids"),
+        F.max(F.when(seq1, F.col("rid"))).cast("bigint")
+        .alias("compacted_max_id"),
+        F.min(F.when(seq3, F.col("rid"))).cast("bigint")
+        .alias("fresh_min_id"),
+        F.max(F.when(seq3, F.col("rid"))).cast("bigint")
+        .alias("fresh_max_id"),
+        F.sum("rid").cast("bigint").alias("sum_row_id"),
+        F.sum(F.col("rid") * (F.col("o_orderkey") % 97))
+        .cast("bigint").alias("binding"),
+        F.sum(seq1.cast("long")).cast("bigint").alias("rows_seq1"),
+        F.sum(seq3.cast("long")).cast("bigint").alias("rows_seq3"),
+        F.lit(watermark_ok).alias("watermark_ok"),
+        F.lit(lineage_ok).alias("lineage_ok"),
+        dsum("o_totalprice").alias("revenue"),
+    ).localCheckpoint(eager=True)  # 1 row; frees the temp root
+    shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
+@register(
+    "source_iceberg_v3_row_lineage_dv",
+    oracle=f"""
+        WITH na AS (
+            SELECT count(*) AS v FROM orders WHERE o_orderkey % 2 = 0
+        ),
+        s AS (
+            SELECT o_orderkey, o_totalprice,
+                   CASE WHEN o_orderkey % 2 = 0
+                        THEN o_orderkey // 2
+                        ELSE (SELECT v FROM na)
+                             + (o_orderkey - 1) // 2
+                   END AS rid
+            FROM orders WHERE o_orderkey % 10 <> 7
+        )
+        SELECT CAST(count(*) AS BIGINT) AS n_rows,
+               CAST((SELECT count(*) FROM orders
+                     WHERE o_orderkey % 10 = 7) AS BIGINT)
+                   AS deleted_rows,
+               CAST(count(DISTINCT rid) AS BIGINT)
+                   AS distinct_row_ids,
+               CAST(min(rid) AS BIGINT) AS min_row_id,
+               CAST(max(rid) AS BIGINT) AS max_row_id,
+               CAST(sum(rid) AS BIGINT) AS sum_row_id,
+               CAST(sum(rid * (o_orderkey % 97)) AS BIGINT)
+                   AS binding,
+               TRUE AS integrity_ok,
+               {sql_dsum('o_totalprice')} AS revenue
+        FROM s
+    """,
+    tags=("source", "iceberg", "lakehouse", "v3", "row-lineage",
+          "deletion-vectors", "puffin"),
+)
+def source_iceberg_v3_row_lineage_dv(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Iceberg v3 ROW LINEAGE × DELETION VECTORS (round 19, the r18
+    verdict #1 stretch half): both v3 features active on ONE table —
+    a compacted file C carrying MATERIALIZED ``_row_id``s (original
+    commit-1 ids, so file position ≠ row id: position of key k is k,
+    its id is k/2 or n_a+(k-1)/2) plus a Puffin deletion-vector blob
+    deleting every position whose row has ``o_orderkey % 10 = 7``.
+
+    The compose traps the two addressing regimes against each other:
+    the DV addresses file POSITIONS (``_metadata.row_index``) while
+    lineage ids are the materialized column — a reader that
+    anti-joins on ``_row_id`` instead of position deletes the WRONG
+    rows (flipping binding and revenue), and one that re-mints ids
+    from first_row_id + position after the delete breaks
+    ``sum_row_id`` (survivor ids are a gappy subset of the original
+    range, never renumbered). ``integrity_ok`` carries the Puffin
+    footer cross-checks (manifest offset/size vs footer directory,
+    cardinality property vs decoded bitmap).
+
+    Scale posture: DV positions broadcast into a left-anti join
+    against scan-side metadata columns (no shuffle of the fact
+    side); id resolution is a per-partition ``coalesce`` —
+    whole-stage codegen end to end.
+
+    Spec: iceberg.apache.org/spec §Row Lineage + §Deletion Vectors;
+    the reference engine has no lakehouse layer (SURVEY.md §2B)."""
+    from spark_hive_spark.operators.avro import (
+        encode_avro_ocf,
+        parse_avro_ocf,
+    )
+    from spark_hive_spark.sources.evolution import iceberg_format_gate
+    from spark_hive_spark.sources.puffin import (
+        dv_blob_decode,
+        dv_blob_encode,
+        puffin_read,
+        puffin_write,
+    )
+    from spark_hive_spark.sources.staging import stage_single_parquet
+
+    orders = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    root = os.path.join(
+        tempfile.gettempdir(), f"shs_icev3rldv_{uuid.uuid4().hex}"
+    )
+    ddir = os.path.join(root, "data")
+    mdir = os.path.join(root, "metadata")
+    os.makedirs(ddir)
+    os.makedirs(mdir)
+
+    okey = F.col("o_orderkey")
+    k = okey % 2
+    n_a = orders.filter(k == 0).count()
+    n = orders.count()
+    orig_id = F.when(
+        k == 0, F.floor(okey / 2)
+    ).otherwise(F.lit(n_a) + F.floor((okey - 1) / 2)).cast("long")
+    stage_single_parquet(
+        orders.sort("o_orderkey").select(
+            "o_orderkey", "o_totalprice",
+            orig_id.alias("_row_id"),
+            F.lit(1).cast("long")
+            .alias("_last_updated_sequence_number"),
+        ),
+        root, ddir, "C.parquet",
+    )
+
+    # the DV writer reads positions from the file itself — never
+    # assumes the dense-key coincidence the reader must not rely on
+    pos = sorted(
+        r["pos"]
+        for r in spark.read.parquet(os.path.join(ddir, "C.parquet"))
+        .select(F.col("_metadata.row_index").alias("pos"))
+        .filter(okey % 10 == 7)
+        .collect()
+    )
+    puffin_path = os.path.join(ddir, "deletes.puffin")
+    blob_meta = puffin_write(puffin_path, blobs=[
+        (dv_blob_encode(pos), {
+            "type": "deletion-vector-v1", "fields": [2147483546],
+            "snapshot-id": 3, "sequence-number": 3,
+            "properties": {"referenced-data-file": "C.parquet",
+                           "cardinality": str(len(pos))},
+        }),
+    ])[0]
+
+    entry_schema = {
+        "type": "record",
+        "name": "manifest_entry",
+        "fields": [
+            {"name": "status", "type": "long"},
+            {"name": "file_path", "type": "string"},
+            {"name": "content", "type": "long"},
+            {"name": "file_format", "type": "string"},
+            {"name": "record_count", "type": "long"},
+            {"name": "first_row_id", "type": ["null", "long"]},
+            {"name": "sequence_number", "type": "long"},
+            {"name": "referenced_data_file",
+             "type": ["null", "string"]},
+            {"name": "content_offset", "type": ["null", "long"]},
+            {"name": "content_size_in_bytes",
+             "type": ["null", "long"]},
+        ],
+    }
+    mlist_schema = {
+        "type": "record",
+        "name": "manifest_file",
+        "fields": [
+            {"name": "manifest_path", "type": "string"},
+            {"name": "content", "type": "long"},
+            {"name": "added_snapshot_id", "type": "long"},
+            {"name": "first_row_id", "type": ["null", "long"]},
+        ],
+    }
+
+    def _manifest(name: str, entries: list[dict]) -> str:
+        path = os.path.join(mdir, name)
+        defaults = {"referenced_data_file": None,
+                    "content_offset": None,
+                    "content_size_in_bytes": None}
+        with open(path, "wb") as fh:
+            fh.write(encode_avro_ocf(
+                [{**defaults, **e} for e in entries],
+                entry_schema, codec="deflate",
+            ))
+        return path
+
+    m_data = _manifest("m-data.avro", [
+        {"status": 1, "file_path": "C.parquet", "content": 0,
+         "file_format": "PARQUET", "record_count": n,
+         "first_row_id": None, "sequence_number": 2},
+    ])
+    m_del = _manifest("m-del.avro", [
+        {"status": 1, "file_path": "deletes.puffin", "content": 1,
+         "file_format": "PUFFIN", "record_count": len(pos),
+         "first_row_id": None, "sequence_number": 3,
+         "referenced_data_file": "C.parquet",
+         "content_offset": blob_meta["offset"],
+         "content_size_in_bytes": blob_meta["length"]},
+    ])
+    ml = os.path.join(mdir, "snap-3.avro")
+    with open(ml, "wb") as fh:
+        fh.write(encode_avro_ocf([
+            {"manifest_path": m_data, "content": 0,
+             "added_snapshot_id": 2, "first_row_id": n},
+            {"manifest_path": m_del, "content": 1,
+             "added_snapshot_id": 3, "first_row_id": None},
+        ], mlist_schema, codec="snappy"))
+    with open(os.path.join(mdir, "v3.metadata.json"), "w") as fh:
+        json.dump({
+            "format-version": 3,
+            "row-lineage": True,
+            "next-row-id": 2 * n,
+            "current-snapshot-id": 3,
+            "snapshots": [{"snapshot-id": 3, "manifest-list": ml}],
+        }, fh)
+
+    # ---- the reader ----
+    with open(os.path.join(mdir, "v3.metadata.json")) as fh:
+        md = json.load(fh)
+    iceberg_format_gate(
+        md, supported=frozenset({"row-lineage", "deletion-vectors"})
+    )
+    current = next(
+        s for s in md["snapshots"]
+        if s["snapshot-id"] == md["current-snapshot-id"]
+    )
+    with open(current["manifest-list"], "rb") as fh:
+        _, manifest_rows = parse_avro_ocf(fh.read())
+    data_entries: list[dict] = []
+    dv_entries: list[dict] = []
+    for mrow in manifest_rows:
+        with open(mrow["manifest_path"], "rb") as fh:
+            _, entries = parse_avro_ocf(fh.read())
+        for e in entries:
+            if e["status"] != 1:
+                raise ValueError("unexpected manifest entry status")
+        if mrow["content"] == 0:
+            resolved, _ = inherit_first_row_ids(
+                mrow.get("first_row_id"), entries
+            )
+            data_entries += resolved
+        else:
+            for e in entries:
+                if e["file_format"] != "PUFFIN":
+                    raise NotImplementedError(
+                        f"v3 delete file format {e['file_format']}"
+                    )
+                dv_entries.append(e)
+
+    deletes: list[tuple[str, int]] = []
+    integrity_ok = True
+    for e in dv_entries:
+        raw, blobs = puffin_read(os.path.join(ddir, e["file_path"]))
+        bm = next(
+            (b for b in blobs if b["offset"] == e["content_offset"]),
+            None,
+        )
+        if bm is None or bm["type"] != "deletion-vector-v1":
+            raise ValueError("manifest DV entry unmatched in footer")
+        integrity_ok &= (
+            bm["length"] == e["content_size_in_bytes"]
+            and bm["properties"]["referenced-data-file"]
+                == e["referenced_data_file"]
+        )
+        positions = dv_blob_decode(
+            raw[bm["offset"] : bm["offset"] + bm["length"]]
+        )
+        integrity_ok &= (
+            int(bm["properties"]["cardinality"]) == len(positions)
+        )
+        deletes += [
+            (e["referenced_data_file"], p) for p in positions
+        ]
+
+    parts = []
+    for e in data_entries:
+        df = spark.read.parquet(os.path.join(ddir, e["file_path"]))
+        base = (
+            F.lit(e["first_row_id"]) + F.col("_metadata.row_index")
+        ).cast("long")
+        rid = (
+            F.coalesce(F.col("_row_id").cast("long"), base)
+            if "_row_id" in df.columns else base
+        )
+        parts.append(df.select(
+            "o_orderkey", "o_totalprice", rid.alias("rid"),
+            F.element_at(
+                F.split(F.col("_metadata.file_path"), "/"), -1
+            ).alias("fname"),
+            F.col("_metadata.row_index").alias("pos"),
+        ))
+    scan = parts[0]
+    for df in parts[1:]:
+        scan = scan.unionByName(df)
+    dels = spark.createDataFrame(
+        deletes, "file_path string, dpos bigint"
+    )
+    survivors = scan.join(
+        F.broadcast(dels),
+        (scan["fname"] == dels["file_path"])
+        & (scan["pos"] == dels["dpos"]),
+        "left_anti",
+    )
+    out = survivors.agg(
+        F.count("*").alias("n_rows"),
+        F.lit(len(deletes)).cast("bigint").alias("deleted_rows"),
+        F.countDistinct("rid").alias("distinct_row_ids"),
+        F.min("rid").cast("bigint").alias("min_row_id"),
+        F.max("rid").cast("bigint").alias("max_row_id"),
+        F.sum("rid").cast("bigint").alias("sum_row_id"),
+        F.sum(F.col("rid") * (F.col("o_orderkey") % 97))
+        .cast("bigint").alias("binding"),
+        F.lit(bool(integrity_ok)).alias("integrity_ok"),
         dsum("o_totalprice").alias("revenue"),
     ).localCheckpoint(eager=True)  # 1 row; frees the temp root
     shutil.rmtree(root, ignore_errors=True)

@@ -325,3 +325,33 @@ def test_string_bounds_truncation_rules():
     assert iceberg_string_bounds_prune(
         e("A-0", "A-9"), "2", "B", "C")
     assert not iceberg_string_bounds_prune({}, "2", "B", "C")
+
+
+def test_inherit_first_row_ids_rules():
+    """Spec §Row Lineage inheritance (round 19): null entries take
+    manifest.first_row_id plus PRIOR null record counts; explicit
+    values pass through without advancing the cursor; a null entry
+    under a null manifest first-row-id is loud."""
+    from spark_hive_spark.sources.iceberg_v3 import (
+        inherit_first_row_ids,
+    )
+
+    ents = [
+        {"first_row_id": None, "record_count": 10},
+        {"first_row_id": 500, "record_count": 7},  # carried forward
+        {"first_row_id": None, "record_count": 5},
+    ]
+    out, inherited = inherit_first_row_ids(100, ents)
+    assert [e["first_row_id"] for e in out] == [100, 500, 110]
+    assert inherited == 2
+    # explicit-only manifests tolerate a null manifest first-row-id
+    out, inherited = inherit_first_row_ids(
+        None, [{"first_row_id": 3, "record_count": 4}]
+    )
+    assert inherited == 0 and out[0]["first_row_id"] == 3
+    with pytest.raises(ValueError, match="no first-row-id"):
+        inherit_first_row_ids(
+            None, [{"first_row_id": None, "record_count": 1}]
+        )
+    # inputs are never mutated (entries are shared manifest rows)
+    assert ents[0]["first_row_id"] is None
