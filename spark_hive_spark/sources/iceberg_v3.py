@@ -1153,3 +1153,299 @@ def source_iceberg_v3_row_lineage_dv(
     ).localCheckpoint(eager=True)  # 1 row; frees the temp root
     shutil.rmtree(root, ignore_errors=True)
     return out
+
+
+@register(
+    "source_iceberg_partition_stats",
+    oracle=f"""
+        SELECT o_orderpriority AS part_value,
+               CAST(0 AS INT) AS spec_id,
+               CAST(count(*) AS BIGINT) AS data_record_count,
+               CAST(2 AS BIGINT) AS data_file_count,
+               CAST(CASE WHEN o_orderpriority = '1-URGENT'
+                    THEN (SELECT count(*) FROM orders
+                          WHERE o_orderkey % 50 = 0
+                            AND o_orderpriority = '1-URGENT')
+                    ELSE 0 END AS BIGINT)
+                   AS position_delete_record_count,
+               CAST(CASE WHEN o_orderpriority = '1-URGENT'
+                    THEN 1 ELSE 0 END AS BIGINT)
+                   AS position_delete_file_count,
+               CAST(1 AS BIGINT) AS last_updated_snapshot_id,
+               TRUE AS counts_ok,
+               TRUE AS size_ok,
+               TRUE AS registry_ok
+        FROM orders
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+    """,
+    tags=("source", "iceberg", "lakehouse", "stats", "partition"),
+)
+def source_iceberg_partition_stats(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Iceberg PARTITION STATISTICS files (round 19, r18 verdict #2
+    — zero prior code). Spec §Partition Statistics: table metadata's
+    ``partition-statistics`` list registers one stats file per
+    snapshot (``snapshot-id`` / ``statistics-path`` /
+    ``file-size-in-bytes``); the file itself is a data-format file
+    (Parquet here) with one row per partition of the UNIFIED
+    partition type: ``partition`` tuple, ``spec_id``,
+    ``data_record_count``, ``data_file_count``,
+    ``total_data_file_size_in_bytes``, the four
+    position/equality-delete counters, and the last-updated lineage
+    pair. Planning reads THIS file for partition-level decisions
+    instead of walking every manifest.
+
+    The fixture partitions orders by ``o_orderpriority`` (identity
+    spec, 2 data files per partition — even/odd keys) and commits a
+    position-delete file against the ``1-URGENT`` partition; the
+    WRITER derives the stats rows purely from MANIFEST metadata
+    (record counts, file sizes — never scanning data, exactly how a
+    real writer amortizes it), registers the file in metadata.json,
+    and the READER re-reads it and cross-checks every row against
+    EXACT per-partition aggregates recomputed from the data files
+    themselves (count, distinct-file count, on-disk byte sum via
+    ``_metadata.file_size``) — ``counts_ok`` / ``size_ok`` /
+    ``registry_ok`` pin the file-vs-reality agreement and the
+    metadata registration (path + byte size).
+
+    Scale posture: stats derivation is O(#manifest entries) planning
+    arithmetic; the verification scan is one pass over the data
+    grouped by partition (map-side combine, 5-row shuffle); the
+    stats file read is a 5-row parquet scan. At 100 TB the stats
+    file REPLACES the manifest walk for partition pruning decisions
+    — that is the feature."""
+    from spark_hive_spark.operators.avro import (
+        encode_avro_ocf,
+        parse_avro_ocf,
+    )
+    from spark_hive_spark.sources.evolution import iceberg_format_gate
+    from spark_hive_spark.sources.staging import stage_single_parquet
+
+    orders = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+    root = os.path.join(
+        tempfile.gettempdir(), f"shs_icepstats_{uuid.uuid4().hex}"
+    )
+    ddir = os.path.join(root, "data")
+    mdir = os.path.join(root, "metadata")
+    os.makedirs(ddir)
+    os.makedirs(mdir)
+
+    okey = F.col("o_orderkey")
+    # ONE write job for all 10 data files: repartition by the
+    # (partition, parity) pair so each directory gets exactly one
+    # file; partitionBy strips the dir columns, so the partition
+    # value stays as a duplicated DATA column too (identity spec)
+    (
+        orders
+        .withColumn("pdir", F.col("o_orderpriority"))
+        .withColumn("parity", (okey % 2).cast("int"))
+        .repartition(F.col("pdir"), F.col("parity"))
+        .write.partitionBy("pdir", "parity")
+        .parquet(ddir, mode="overwrite")
+    )
+    entries: list[dict] = []
+    data_glob = spark.read.parquet(ddir)
+    per_file_counts = {
+        r["fp"]: r["cnt"]
+        for r in data_glob
+        .groupBy(F.col("_metadata.file_path").alias("fp"))
+        .agg(F.count("*").alias("cnt"))
+        .collect()
+    }
+    from urllib.parse import unquote
+
+    for fp, cnt in sorted(per_file_counts.items()):
+        # _metadata.file_path is a URI — strip the scheme and decode
+        # percent-escapes (partition values may contain spaces)
+        local = unquote(
+            fp[len("file:"):] if fp.startswith("file:") else fp
+        )
+        rel = os.path.relpath(local, ddir)
+        part = rel.split("/")[0].split("=", 1)[1]
+        entries.append({
+            "status": 1, "content": 0, "file_path": rel,
+            "partition": part, "record_count": cnt,
+            "file_size_in_bytes": os.path.getsize(local),
+        })
+    # position-delete file against the 1-URGENT partition
+    del_part = "1-URGENT"
+    del_rows = [
+        (r["fname"], r["pos"])
+        for r in spark.read.parquet(
+            os.path.join(ddir, f"pdir={del_part}")
+        )
+        .select(
+            F.col("_metadata.file_path").alias("fname"),
+            F.col("_metadata.row_index").alias("pos"),
+        )
+        .filter(okey % 50 == 0)
+        .collect()
+    ]
+    import pandas as _pd
+
+    dpath = os.path.join(ddir, "deletes-urgent.parquet")
+    stage_single_parquet(
+        # pandas-backed createDataFrame: the Arrow path writes these
+        # driver-side rows ~10x faster than the Python-RDD list path
+        spark.createDataFrame(
+            _pd.DataFrame(del_rows, columns=["file_path", "pos"]),
+            "file_path string, pos bigint",
+        ),
+        root, ddir, "deletes-urgent.parquet",
+    )
+    entries.append({
+        "status": 1, "content": 1,
+        "file_path": "deletes-urgent.parquet",
+        "partition": del_part,
+        "record_count": len(del_rows),
+        "file_size_in_bytes": os.path.getsize(dpath),
+    })
+
+    entry_schema = {
+        "type": "record",
+        "name": "manifest_entry",
+        "fields": [
+            {"name": "status", "type": "long"},
+            {"name": "content", "type": "long"},
+            {"name": "file_path", "type": "string"},
+            {"name": "partition", "type": "string"},
+            {"name": "record_count", "type": "long"},
+            {"name": "file_size_in_bytes", "type": "long"},
+        ],
+    }
+    m1 = os.path.join(mdir, "m1.avro")
+    with open(m1, "wb") as fh:
+        fh.write(encode_avro_ocf(entries, entry_schema,
+                                 codec="deflate"))
+
+    # ---- the partition-stats WRITER: manifest metadata only ----
+    with open(m1, "rb") as fh:
+        _, m_entries = parse_avro_ocf(fh.read())
+    stats: dict[str, dict] = {}
+    for e in m_entries:
+        row = stats.setdefault(e["partition"], {
+            "part_value": e["partition"], "spec_id": 0,
+            "data_record_count": 0, "data_file_count": 0,
+            "total_data_file_size_in_bytes": 0,
+            "position_delete_record_count": 0,
+            "position_delete_file_count": 0,
+            "equality_delete_record_count": 0,
+            "equality_delete_file_count": 0,
+            "last_updated_snapshot_id": 1,
+        })
+        if e["content"] == 0:
+            row["data_record_count"] += e["record_count"]
+            row["data_file_count"] += 1
+            row["total_data_file_size_in_bytes"] += \
+                e["file_size_in_bytes"]
+        elif e["content"] == 1:
+            row["position_delete_record_count"] += e["record_count"]
+            row["position_delete_file_count"] += 1
+        else:
+            row["equality_delete_record_count"] += e["record_count"]
+            row["equality_delete_file_count"] += 1
+    spath = os.path.join(mdir, "partition-stats-1.parquet")
+    stage_single_parquet(
+        spark.createDataFrame(
+            _pd.DataFrame(
+                sorted(stats.values(), key=lambda r: r["part_value"])
+            ),
+            "part_value string, spec_id int, "
+            "data_record_count bigint, data_file_count bigint, "
+            "total_data_file_size_in_bytes bigint, "
+            "position_delete_record_count bigint, "
+            "position_delete_file_count bigint, "
+            "equality_delete_record_count bigint, "
+            "equality_delete_file_count bigint, "
+            "last_updated_snapshot_id bigint",
+        ),
+        root, mdir, "partition-stats-1.parquet",
+    )
+    with open(os.path.join(mdir, "v2.metadata.json"), "w") as fh:
+        json.dump({
+            "format-version": 2,
+            "current-snapshot-id": 1,
+            "snapshots": [{"snapshot-id": 1, "manifest-list": m1}],
+            "partition-statistics": [{
+                "snapshot-id": 1,
+                "statistics-path": spath,
+                "file-size-in-bytes": os.path.getsize(spath),
+            }],
+        }, fh)
+
+    # ---- the READER + exact cross-check ----
+    with open(os.path.join(mdir, "v2.metadata.json")) as fh:
+        md = json.load(fh)
+    iceberg_format_gate(md)
+    reg = next(
+        s for s in md["partition-statistics"]
+        if s["snapshot-id"] == md["current-snapshot-id"]
+    )
+    registry_ok = bool(
+        os.path.getsize(reg["statistics-path"])
+        == reg["file-size-in-bytes"]
+    )
+    stats_df = spark.read.parquet(reg["statistics-path"])
+
+    data_files = sorted(
+        os.path.join(ddir, e["file_path"])
+        for e in m_entries if e["content"] == 0
+    )
+    per_file = (
+        spark.read.parquet(*data_files)
+        .select(
+            "o_orderpriority",
+            F.col("_metadata.file_path").alias("fp"),
+            F.col("_metadata.file_size").alias("fs"),
+        )
+        .groupBy("o_orderpriority", "fp", "fs")
+        .agg(F.count("*").alias("cnt"))
+    )
+    exact = per_file.groupBy("o_orderpriority").agg(
+        F.sum("cnt").alias("x_records"),
+        F.count("*").alias("x_files"),
+        F.sum("fs").alias("x_bytes"),
+    )
+    del_exact = (
+        spark.read.parquet(dpath)
+        .withColumn(
+            "part",
+            F.url_decode(
+                F.regexp_extract("file_path", r"pdir=([^/]+)/", 1)
+            ),
+        )
+        .groupBy("part")
+        .agg(F.count("*").alias("x_del_records"))
+    )
+    joined = (
+        stats_df
+        .join(F.broadcast(exact),
+              stats_df["part_value"] == exact["o_orderpriority"],
+              "left")
+        .join(F.broadcast(del_exact),
+              stats_df["part_value"] == del_exact["part"], "left")
+    )
+    out = joined.select(
+        "part_value",
+        "spec_id",
+        "data_record_count",
+        "data_file_count",
+        "position_delete_record_count",
+        "position_delete_file_count",
+        "last_updated_snapshot_id",
+        (
+            (F.col("data_record_count") == F.col("x_records"))
+            & (F.col("data_file_count") == F.col("x_files"))
+            & (F.col("position_delete_record_count")
+               == F.coalesce(F.col("x_del_records"), F.lit(0)))
+        ).alias("counts_ok"),
+        (F.col("total_data_file_size_in_bytes") == F.col("x_bytes"))
+        .alias("size_ok"),
+        F.lit(registry_ok).alias("registry_ok"),
+    ).orderBy("part_value").localCheckpoint(eager=True)
+    shutil.rmtree(root, ignore_errors=True)
+    return out
