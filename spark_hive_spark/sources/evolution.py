@@ -10168,3 +10168,214 @@ def source_iceberg_changelog_update_pairs(
     )
     shutil.rmtree(root, ignore_errors=True)
     return out
+
+
+@register(
+    "source_hudi_restore",
+    oracle=f"""
+        SELECT CAST(3 AS INT) AS commits_visible,
+               CAST(2 AS INT) AS commits_rolled_back,
+               CAST(1 AS INT) AS restores_pending,
+               TRUE AS savepoint_ok,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               CAST(sum(CASE WHEN o_orderkey % 10 = 6
+                        THEN 1 ELSE 0 END) AS BIGINT) AS rows_at_t2,
+               CAST(sum(CASE WHEN o_orderkey % 10 = 3
+                        THEN 1 ELSE 0 END) AS BIGINT) AS rows_at_t6,
+               {sql_dsum(
+                   "o_totalprice + CASE"
+                   " WHEN o_orderkey % 10 = 6 THEN 100.00"
+                   " WHEN o_orderkey % 10 = 3 THEN 75.00"
+                   " ELSE 0.00 END"
+               )} AS revenue
+        FROM orders
+    """,
+    tags=("source", "hudi", "lakehouse", "timeline", "restore",
+          "savepoint"),
+)
+def source_hudi_restore(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Apache Hudi SAVEPOINT + RESTORE timeline actions (round 19,
+    r18 verdict #3 — the remaining loud action gates). Per
+    hudi.apache.org concepts/timeline: ``savepoint`` pins a commit's
+    file slices against cleaning; ``restore`` rewinds the table to a
+    savepointed instant by rolling back every later commit. The
+    restore action is itself a timeline instant
+    (requested/inflight/completed) whose metadata names
+    ``savepointToRestoreTimestamp`` and ``instantsToRollback`` — it
+    exists on the timeline precisely so readers see a consistent
+    view BEFORE physical cleanup of the rolled-back files completes.
+
+    Fixture lifecycle: t1 inserts fg-A (even keys) and fg-B (odd);
+    t2 upserts fg-A (+100.00 on keys ≡ 6 mod 10); SAVEPOINT at t2;
+    t3 upserts fg-B, t4 upserts fg-A again; t5 RESTORE to t2 rolls
+    back {{t3, t4}} — their commit files AND data slices stay on
+    disk (cleanup lag, the trap: a reader serving "latest completed
+    slice" without applying the restore resurrects t4's fg-A and
+    flips rows_at_t2/revenue); t6 commits fresh on the RESTORED
+    state (+75.00 on keys ≡ 3, over fg-B's t1 base — not t3's);
+    t7 is a PENDING restore (inflight, never completed) that must
+    NOT mask t6. The reader validates the restore target is an
+    actual savepoint and every rolled-back instant is newer than it
+    (``savepoint_ok``).
+
+    Scale posture: restore application is O(#instants) timeline
+    arithmetic on the driver — planning metadata, no data movement;
+    the serve path reads only the latest visible slice per file
+    group, and per-row ``_hoodie_commit_time`` attests travel
+    row-exactly.
+
+    Reference: the reference engine reads static inputs
+    (CollegeScorecard.scala:35-157); lakehouse timeline compat is
+    north-star surface per SURVEY.md §2B."""
+    import json as _json
+
+    orders = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    root = os.path.join(
+        tempfile.gettempdir(), f"shs_hudirestore_{uuid.uuid4().hex}"
+    )
+    tdir = os.path.join(root, "t")
+    hdir = os.path.join(tdir, ".hoodie")
+    os.makedirs(hdir)
+
+    t1, t2, t3, t4, t5, t6, t7 = (
+        "001", "002", "003", "004", "005", "006", "007"
+    )
+
+    def _write_base(
+        file_id: str, instant: str, df: DataFrame
+    ) -> tuple[str, int]:
+        name = f"{file_id}_0-1-0_{instant}.parquet"
+        stage_single_parquet(df, root, tdir, name)
+        return name, df.count()
+
+    def _rewrite(src: DataFrame, mod_rem: int, bump: float,
+                 instant: str) -> DataFrame:
+        changed = F.col("o_orderkey") % 10 == mod_rem
+        return src.select(
+            "o_orderkey",
+            F.when(
+                changed,
+                (F.col("o_totalprice").cast("decimal(18,2)")
+                 + F.lit(bump).cast("decimal(18,2)")).cast("double"),
+            ).otherwise(F.col("o_totalprice")).alias("o_totalprice"),
+            F.when(changed, F.lit(instant))
+            .otherwise(F.col("_hoodie_commit_time"))
+            .alias("_hoodie_commit_time"),
+        )
+
+    par = F.col("o_orderkey") % 2
+    base = orders.withColumn("_hoodie_commit_time", F.lit(t1))
+    a1, na1 = _write_base("fg-A", t1, base.filter(par == 0))
+    b1, nb1 = _write_base("fg-B", t1, base.filter(par == 1))
+    a2df = _rewrite(base.filter(par == 0), 6, 100.0, t2)
+    a2, na2 = _write_base("fg-A", t2, a2df)
+    # rolled-back-later slices: exist on disk, must stay invisible
+    b3, nb3 = _write_base(
+        "fg-B", t3, _rewrite(base.filter(par == 1), 7, 50.0, t3)
+    )
+    a4, na4 = _write_base("fg-A", t4, _rewrite(a2df, 2, 25.0, t4))
+    # post-restore commit builds on the RESTORED state (t1's fg-B)
+    b6, nb6 = _write_base(
+        "fg-B", t6, _rewrite(base.filter(par == 1), 3, 75.0, t6)
+    )
+
+    def _commit(instant: str,
+                stats: list[tuple[str, str, int]]) -> None:
+        meta = {"partitionToWriteStats": {"": [
+            {"fileId": fid, "path": path, "numWrites": n}
+            for fid, path, n in stats
+        ]}}
+        with open(os.path.join(hdir, f"{instant}.commit"), "w") as fh:
+            _json.dump(meta, fh)
+
+    for instant in (t1, t2, t3, t4, t6):
+        open(os.path.join(hdir, f"{instant}.commit.requested"), "w")
+        open(os.path.join(hdir, f"{instant}.commit.inflight"), "w")
+    _commit(t1, [("fg-A", a1, na1), ("fg-B", b1, nb1)])
+    _commit(t2, [("fg-A", a2, na2)])
+    _commit(t3, [("fg-B", b3, nb3)])
+    _commit(t4, [("fg-A", a4, na4)])
+    _commit(t6, [("fg-B", b6, nb6)])
+    # savepoint at t2 (savepoint instants share the commit's ts)
+    open(os.path.join(hdir, f"{t2}.savepoint.inflight"), "w")
+    with open(os.path.join(hdir, f"{t2}.savepoint"), "w") as fh:
+        _json.dump({"savepointedAt": t2}, fh)
+    # completed restore t5 -> savepoint t2
+    open(os.path.join(hdir, f"{t5}.restore.requested"), "w")
+    open(os.path.join(hdir, f"{t5}.restore.inflight"), "w")
+    with open(os.path.join(hdir, f"{t5}.restore"), "w") as fh:
+        _json.dump({
+            "savepointToRestoreTimestamp": t2,
+            "instantsToRollback": [t3, t4],
+        }, fh)
+    # pending restore t7: inflight only — must not mask t6
+    open(os.path.join(hdir, f"{t7}.restore.requested"), "w")
+    open(os.path.join(hdir, f"{t7}.restore.inflight"), "w")
+
+    # ---- the reader: timeline -> restores applied -> slices ----
+    commits: dict[str, dict] = {}
+    savepoints: set[str] = set()
+    restores: dict[str, dict] = {}
+    restores_pending: set[str] = set()
+    for f in sorted(os.listdir(hdir)):
+        parts = f.split(".")
+        instant, action = parts[0], parts[1]
+        if action not in ("commit", "savepoint", "restore"):
+            raise NotImplementedError(f"Hudi action {action!r}")
+        if len(parts) > 2:  # requested/inflight state file
+            if action == "restore":
+                restores_pending.add(instant)
+            continue
+        with open(os.path.join(hdir, f)) as fh:
+            meta = _json.load(fh)
+        if action == "commit":
+            commits[instant] = meta
+        elif action == "savepoint":
+            savepoints.add(instant)
+        else:
+            restores[instant] = meta
+    restores_pending -= set(restores)
+
+    savepoint_ok = True
+    rolled_back: set[str] = set()
+    for instant in sorted(restores):
+        meta = restores[instant]
+        target = meta["savepointToRestoreTimestamp"]
+        # a restore must land ON a savepoint, and may only roll back
+        # instants strictly after it
+        savepoint_ok &= target in savepoints
+        for rb in meta["instantsToRollback"]:
+            savepoint_ok &= rb > target
+            commits.pop(rb, None)
+            rolled_back.add(rb)
+
+    slices: dict[str, tuple[str, str]] = {}
+    for ts in sorted(commits):
+        for s in commits[ts]["partitionToWriteStats"][""]:
+            fid = s["fileId"]
+            if fid not in slices or ts > slices[fid][0]:
+                slices[fid] = (ts, s["path"])
+    scan = spark.read.parquet(
+        *(os.path.join(tdir, p) for _, p in sorted(slices.values()))
+    )
+    ct = F.col("_hoodie_commit_time")
+    out = scan.agg(
+        F.lit(len(commits)).cast("int").alias("commits_visible"),
+        F.lit(len(rolled_back)).cast("int")
+        .alias("commits_rolled_back"),
+        F.lit(len(restores_pending)).cast("int")
+        .alias("restores_pending"),
+        F.lit(bool(savepoint_ok)).alias("savepoint_ok"),
+        F.count("*").alias("n_orders"),
+        F.sum((ct == t2).cast("long")).cast("bigint")
+        .alias("rows_at_t2"),
+        F.sum((ct == t6).cast("long")).cast("bigint")
+        .alias("rows_at_t6"),
+        dsum("o_totalprice").alias("revenue"),
+    ).localCheckpoint(eager=True)  # 1 row; frees the temp root
+    shutil.rmtree(root, ignore_errors=True)
+    return out
