@@ -1661,3 +1661,225 @@ def embedding_pq_adc_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(32).cast("int").alias("compression_ratio_x"),
         )
     )
+
+
+@register(
+    "ann_incremental_index_audit",
+    # n_cells re-derives ivf_policy over the V1 corpus count — the
+    # index is sized at build time and NOT re-trained on append
+    oracle=f"""
+        WITH v1 AS (
+            SELECT count(*) AS n FROM embeddings WHERE vec_id % 4 <> 3
+        ),
+        b AS (
+            SELECT count(*) AS n FROM embeddings WHERE vec_id % 4 = 3
+        )
+        SELECT CAST((SELECT n FROM v1) AS BIGINT) AS n_v1,
+               CAST((SELECT n FROM b) AS BIGINT) AS n_batch,
+               CAST(GREATEST({IVF_CELLS}, LEAST({IVF_MAX_CELLS},
+                   power(2, GREATEST(0, FLOOR(log2(
+                       GREATEST((SELECT n FROM v1), 1)
+                       / {IVF_TARGET_CELL_SIZE}.0
+                   ) + 0.5))))) AS INT) AS n_cells,
+               CAST((SELECT n FROM v1) + (SELECT n FROM b) AS BIGINT)
+                   AS postings_total,
+               TRUE AS centroids_unchanged,
+               TRUE AS v1_postings_intact,
+               TRUE AS recall_ok,
+               CAST(0 AS BIGINT) AS precision_violations
+    """,
+    tags=("similarity", "ivf", "index", "incremental", "audit"),
+)
+def ann_incremental_index_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Incremental ANN index MAINTENANCE (round 19, r18 verdict #4)
+    — the similarity twin of `dedup_incremental_index_update`: the
+    persisted IVF index (`ann_index_persistence_audit`) gains an
+    APPEND path, so a growing corpus no longer forces a full
+    re-index. The production cycle, each step attested:
+
+    - corpus v1 (vec_id % 4 ≠ 3) trains the coarse quantizer
+      (`ivf_policy` sized from the V1 count) and writes the index:
+      centroids parquet + postings parquet PARTITIONED BY CELL
+      (probing reads only the probed cells' directories — partition
+      pruning is the serve-path win);
+    - the new batch (vec_id % 4 = 3) is assigned to the RELOADED
+      centroids — never re-trained — and its postings APPEND into
+      the cell directories; ``centroids_unchanged`` re-reads the
+      quantizer after the append and compares bit-exact against the
+      build-time matrix;
+    - ``v1_postings_intact`` snapshots every v1 posting file
+      (path + byte size) before the append and verifies the append
+      touched none of them — the property that keeps maintenance
+      O(batch) at 100 TB where a rewrite would cost the corpus;
+    - the recall audit then runs ON THE UPDATED INDEX against brute
+      force over the full corpus (exactness-bracket recipe:
+      recall@{TOP_K} floor 0.75 + zero reported-cosine disagreements)
+      — an append that dropped, duplicated, or mis-assigned batch
+      vectors flips recall_ok / postings_total / the violation
+      count.
+
+    Scale posture: append cost is one narrow mapInPandas over the
+    batch + a partitioned parquet append; serving reads
+    |probed cells| directories; the only full-corpus pass is the
+    audit's brute-force side — the gate, not the serve path."""
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tf
+    import uuid as _uuid
+
+    emb = t(spark, sf_dir, "embeddings")
+    quarter = F.col("vec_id") % 4
+    v1 = emb.filter(quarter != 3).select("vec_id", "embedding")
+    batch = emb.filter(quarter == 3).select("vec_id", "embedding")
+
+    n_v1 = v1.count()
+    # maintenance audits probe at the miner's 1/2 fraction: the
+    # quantizer was trained on V1 only and never re-trained, so the
+    # serve-time probe knob buys back the recall the stale quantizer
+    # costs (measured: 0.94 @ sf0.01, 0.84 @ sf0.1 vs 0.76/0.72 at
+    # the 1/4 serving fraction)
+    n_cells, nprobe = ivf_policy(n_v1, probe_fraction=0.5)
+    Cn = _ivf_centroids(v1, n_cells)
+
+    root = _os.path.join(
+        _tf.gettempdir(), f"shs_ivf_incr_{_uuid.uuid4().hex}"
+    )
+    cdir = _os.path.join(root, "centroids")
+    pdir = _os.path.join(root, "postings")
+    spark.createDataFrame(
+        pd.DataFrame({
+            "cell": np.arange(len(Cn), dtype=np.int32),
+            "centroid": [row.tolist() for row in Cn],
+        }),
+        "cell int, centroid array<double>",
+    ).coalesce(1).write.parquet(cdir)
+
+    def _assigner(C):
+        def assign(batches):
+            for pdf in batches:
+                V = np.stack(pdf["embedding"].to_numpy()).astype(
+                    np.float64
+                )
+                Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+                yield pd.DataFrame({
+                    "vec_id": pdf["vec_id"],
+                    "embedding": pdf["embedding"],
+                    "cell": (Vn @ C.T).argmax(axis=1).astype(np.int32),
+                })
+        return assign
+
+    schema = "vec_id long, embedding array<float>, cell int"
+    (
+        v1.mapInPandas(_assigner(Cn), schema)
+        .write.partitionBy("cell").parquet(pdir)
+    )
+
+    def _snapshot(d: str) -> dict[str, int]:
+        out = {}
+        for base, _dirs, names in _os.walk(d):
+            for n in names:
+                if n.endswith(".parquet"):
+                    p = _os.path.join(base, n)
+                    out[_os.path.relpath(p, d)] = _os.path.getsize(p)
+        return out
+
+    v1_files = _snapshot(pdir)
+
+    # serve-path reload: the batch is assigned with the PERSISTED
+    # quantizer, exactly as a separate maintenance job would
+    def _load_centroids() -> "np.ndarray":
+        rows = spark.read.parquet(cdir).orderBy("cell").collect()
+        return np.stack([
+            np.asarray(r.centroid, dtype=np.float64) for r in rows
+        ])
+
+    C_reloaded = _load_centroids()
+    (
+        batch.mapInPandas(_assigner(C_reloaded), schema)
+        .write.partitionBy("cell").parquet(pdir, mode="append")
+    )
+
+    after = _snapshot(pdir)
+    v1_postings_intact = all(
+        after.get(p) == sz for p, sz in v1_files.items()
+    )
+    centroids_unchanged = bool((_load_centroids() == Cn).all())
+
+    postings = spark.read.parquet(pdir)
+    n_batch = batch.count()
+
+    # ---- recall audit ON THE UPDATED INDEX ----
+    Cq = C_reloaded
+
+    def probe_cells(batches):
+        for pdf in batches:
+            V = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+            top = np.argsort(-(Vn @ Cq.T), axis=1)[:, :nprobe]
+            yield pd.DataFrame({
+                "query_id": np.repeat(pdf["vec_id"].to_numpy(), nprobe),
+                "qe": [e for e in pdf["embedding"]
+                       for _ in range(nprobe)],
+                "cell": top.ravel().astype(np.int32),
+            })
+
+    queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        "vec_id", "embedding"
+    )
+    probes = queries.mapInPandas(
+        probe_cells, "query_id long, qe array<float>, cell int"
+    )
+    candidates = probes.join(postings, "cell").filter(
+        F.col("query_id") != F.col("vec_id")
+    )
+    sims = candidates.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.round(cosine(F.col("qe"), F.col("embedding")), 6)
+        .alias("cos_sim"),
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    ann = (
+        sims.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "cos_sim")
+    )
+    brute = knn_cosine_bruteforce(spark, sf_dir).select(
+        "query_id", "neighbor_id",
+        F.col("cos_sim").alias("brute_cos"),
+    ).localCheckpoint(eager=True)  # feeds a count and two joins
+    hit = ann.join(
+        brute, ["query_id", "neighbor_id"], "inner"
+    ).localCheckpoint(eager=True)
+    n_exact = brute.agg(F.count("*").alias("n_exact"))
+    n_hit = hit.agg(F.count("*").alias("n_hit"))
+    n_viol = hit.filter(
+        F.abs(F.col("cos_sim") - F.col("brute_cos")) > 1e-6
+    ).agg(F.count("*").alias("n_viol"))
+    n_post = postings.agg(F.count("*").alias("n_post"))
+
+    out = (
+        n_exact.crossJoin(n_hit).crossJoin(n_viol).crossJoin(n_post)
+        .select(
+            F.lit(n_v1).cast("bigint").alias("n_v1"),
+            F.lit(n_batch).cast("bigint").alias("n_batch"),
+            F.lit(n_cells).cast("int").alias("n_cells"),
+            F.col("n_post").cast("bigint").alias("postings_total"),
+            F.lit(centroids_unchanged).alias("centroids_unchanged"),
+            F.lit(v1_postings_intact).alias("v1_postings_intact"),
+            # floor 0.75: below the measured 0.84-0.94 band but
+            # high enough that a dropped/mis-assigned batch (which
+            # zeroes recall for batch-resident neighbors) flips it
+            (F.col("n_hit") / F.col("n_exact") >= 0.75)
+            .alias("recall_ok"),
+            F.col("n_viol").cast("bigint")
+            .alias("precision_violations"),
+        )
+        .localCheckpoint(eager=True)  # 1 row; frees the index dirs
+    )
+    _shutil.rmtree(root, ignore_errors=True)
+    return out
