@@ -1269,3 +1269,213 @@ def source_puffin_theta_ndv_strings(
         ).alias("name_within_20pct"),
         F.lit(bool(roundtrip_ok)).alias("roundtrip_ok"),
     )
+
+
+@register(
+    "source_puffin_theta_join_order",
+    oracle=f"""
+        WITH m AS (
+            SELECT (SELECT count(*) FROM lineitem) AS nl,
+                   (SELECT count(*) FROM orders) AS no,
+                   (SELECT count(*) FROM customer) AS nc,
+                   (SELECT count(DISTINCT l_orderkey)
+                    FROM lineitem) AS dlo,
+                   (SELECT count(DISTINCT o_orderkey)
+                    FROM orders) AS doo,
+                   (SELECT count(DISTINCT o_custkey)
+                    FROM orders) AS doc,
+                   (SELECT count(DISTINCT c_custkey)
+                    FROM customer) AS dcc
+        )
+        SELECT CASE WHEN CAST(nl AS DOUBLE) * no / greatest(dlo, doo)
+                         <= CAST(no AS DOUBLE) * nc
+                            / greatest(doc, dcc)
+                    THEN 'lineitem_orders'
+                    ELSE 'orders_customer' END AS chosen_first,
+               CASE WHEN CAST(nl AS DOUBLE) * no / greatest(dlo, doo)
+                         <= CAST(no AS DOUBLE) * nc
+                            / greatest(doc, dcc)
+                    THEN CASE WHEN CAST(nl AS DOUBLE) * no
+                                   / greatest(dlo, doo) <= nc
+                              THEN 'intermediate' ELSE 'customer' END
+                    ELSE CASE WHEN CAST(no AS DOUBLE) * nc
+                                   / greatest(doc, dcc) <= nl
+                              THEN 'intermediate' ELSE 'lineitem' END
+               END AS second_build,
+               TRUE AS decision_match,
+               CAST(4 AS INT) AS sketches_read,
+               (SELECT CAST(count(*) AS BIGINT) FROM lineitem l
+                JOIN orders o ON l.l_orderkey = o.o_orderkey)
+                   AS actual_lineitem_orders,
+               (SELECT CAST(count(*) AS BIGINT) FROM orders o
+                JOIN customer c ON o.o_custkey = c.c_custkey)
+                   AS actual_orders_customer,
+               TRUE AS choice_optimal,
+               (SELECT CAST(count(*) AS BIGINT) FROM lineitem l
+                JOIN orders o ON l.l_orderkey = o.o_orderkey
+                JOIN customer c ON o.o_custkey = c.c_custkey)
+                   AS three_way_rows,
+               (SELECT {sql_dsum('l_extendedprice')} FROM lineitem l
+                JOIN orders o ON l.l_orderkey = o.o_orderkey
+                JOIN customer c ON o.o_custkey = c.c_custkey)
+                   AS revenue
+        FROM m
+    """,
+    tags=("source", "iceberg", "puffin", "theta-sketch", "cbo",
+          "join-order", "audit"),
+)
+def source_puffin_theta_join_order(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Theta-sketch-DRIVEN join ordering (round 19, r18 verdict #6)
+    — closing the loop the Puffin NDV blobs opened: a three-table
+    join (lineitem ⋈ orders ⋈ customer) whose ORDER and BUILD-SIDE
+    choices are made from the SKETCH NDVs read back from the Puffin
+    file — never from exact pre-counts — then attested against the
+    exact-NDV decision and the realized cardinalities:
+
+    - four `apache-datasketches-theta-v1` blobs (l_orderkey,
+      o_orderkey, o_custkey, c_custkey) are written and RE-READ;
+      the uniform formula |L|·|R| / max(d_L, d_R) with sketch d's
+      picks which pair joins first, and the second join's build
+      side comes from the estimated intermediate size vs the
+      remaining table;
+    - ``decision_match`` recomputes both choices with EXACT distinct
+      counts (distributed, in-plan) and pins agreement — the
+      sketch's ~6% RSE must not flip a decision whose margin is 4×;
+    - ``choice_optimal`` pins the chosen first pair is genuinely
+      the smaller REALIZED join (the audit's ground truth);
+    - the three-way join then actually EXECUTES in the chosen order
+      (broadcast on the sketch-chosen build side) — three_way_rows
+      + revenue pin the plan ran and joined correctly.
+
+    Scale posture: this is the 100 TB planning story end-to-end —
+    2 KB of sketch per column answers the ordering question that
+    would otherwise cost a count-distinct per key column; the audit
+    pair joins exist only as ground truth."""
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice"
+    )
+    orders = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    cust = t(spark, sf_dir, "customer").select("c_custkey")
+
+    root = os.path.join(
+        tempfile.gettempdir(), f"shs_thetajo_{uuid.uuid4().hex}"
+    )
+    os.makedirs(root)
+    K = 256
+    cols = [
+        (1, theta_sketch_build(spark, li.select("l_orderkey"), k=K)),
+        (101, theta_sketch_build(
+            spark, orders.select("o_orderkey"), k=K)),
+        (102, theta_sketch_build(
+            spark, orders.select("o_custkey"), k=K)),
+        (201, theta_sketch_build(
+            spark, cust.select("c_custkey"), k=K)),
+    ]
+    ppath = os.path.join(root, "stats.puffin")
+    puffin_write(ppath, [
+        (blob, {
+            "type": "apache-datasketches-theta-v1",
+            "fields": [fid],
+            "properties": {"ndv": str(round(theta_estimate(
+                *theta_sketch_deserialize(blob))))},
+        })
+        for fid, blob in cols
+    ])
+
+    raw, blobs = puffin_read(ppath)
+    est: dict[int, float] = {}
+    for bm in blobs:
+        if bm["type"] != "apache-datasketches-theta-v1":
+            raise NotImplementedError(f"Puffin blob type {bm['type']}")
+        est[bm["fields"][0]] = theta_estimate(
+            *theta_sketch_deserialize(
+                raw[bm["offset"] : bm["offset"] + bm["length"]]
+            )
+        )
+    shutil.rmtree(root, ignore_errors=True)
+
+    # row counts are manifest metadata for a real CBO — only the
+    # NDVs come from the sketches
+    nl, no, nc = li.count(), orders.count(), cust.count()
+    est_lo = nl * no / max(est[1], est[101])
+    est_oc = no * nc / max(est[102], est[201])
+    if est_lo <= est_oc:
+        sk_first = "lineitem_orders"
+        sk_build = "intermediate" if est_lo <= nc else "customer"
+    else:
+        sk_first = "orders_customer"
+        sk_build = "intermediate" if est_oc <= nl else "lineitem"
+
+    # execute in the sketch-chosen order, broadcasting the chosen
+    # build side of the second join
+    if sk_first == "lineitem_orders":
+        first = li.join(orders,
+                        li.l_orderkey == orders.o_orderkey)
+        rest, key = cust, first["o_custkey"] == cust["c_custkey"]
+    else:
+        first = orders.join(cust,
+                            orders.o_custkey == cust.c_custkey)
+        rest, key = li, li["l_orderkey"] == first["o_orderkey"]
+    if sk_build == "intermediate":
+        three = rest.join(F.broadcast(first), key)
+    else:
+        three = first.join(F.broadcast(rest), key)
+    executed = three.agg(
+        F.count("*").alias("three_way_rows"),
+        dsum("l_extendedprice").alias("revenue"),
+    )
+
+    # exact-side decision, distributed — the attest twin
+    exact = li.agg(
+        F.count_distinct("l_orderkey").alias("dlo"),
+    ).crossJoin(orders.agg(
+        F.count_distinct("o_orderkey").alias("doo"),
+        F.count_distinct("o_custkey").alias("doc"),
+    )).crossJoin(cust.agg(
+        F.count_distinct("c_custkey").alias("dcc"),
+    ))
+    x_lo = F.lit(float(nl)) * no / F.greatest("dlo", "doo")
+    x_oc = F.lit(float(no)) * nc / F.greatest("doc", "dcc")
+    x_first = F.when(x_lo <= x_oc, "lineitem_orders") \
+        .otherwise("orders_customer")
+    x_build = F.when(
+        x_lo <= x_oc,
+        F.when(x_lo <= nc, "intermediate").otherwise("customer"),
+    ).otherwise(
+        F.when(x_oc <= nl, "intermediate").otherwise("lineitem"),
+    )
+    a_lo = li.join(
+        orders, li.l_orderkey == orders.o_orderkey
+    ).agg(F.count("*").alias("a_lo"))
+    a_oc = orders.join(
+        cust, orders.o_custkey == cust.c_custkey
+    ).agg(F.count("*").alias("a_oc"))
+
+    return (
+        exact.crossJoin(F.broadcast(a_lo))
+        .crossJoin(F.broadcast(a_oc))
+        .crossJoin(F.broadcast(executed))
+        .select(
+            F.lit(sk_first).alias("chosen_first"),
+            F.lit(sk_build).alias("second_build"),
+            ((F.lit(sk_first) == x_first)
+             & (F.lit(sk_build) == x_build)).alias("decision_match"),
+            F.lit(len(blobs)).cast("int").alias("sketches_read"),
+            F.col("a_lo").cast("bigint")
+            .alias("actual_lineitem_orders"),
+            F.col("a_oc").cast("bigint")
+            .alias("actual_orders_customer"),
+            F.when(
+                F.lit(sk_first) == "lineitem_orders",
+                F.col("a_lo") <= F.col("a_oc"),
+            ).otherwise(F.col("a_oc") <= F.col("a_lo"))
+            .alias("choice_optimal"),
+            F.col("three_way_rows").cast("bigint")
+            .alias("three_way_rows"),
+            "revenue",
+        )
+    )
