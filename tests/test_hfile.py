@@ -239,3 +239,39 @@ def test_hfile_zero_bytes_per_checksum_is_loud():
     struct.pack_into(">i", img, 25, 0)
     with pytest.raises(ValueError, match="bytesPerChecksum"):
         HFileReader(bytes(img)).scan()
+
+
+def test_point_get_blocks_stay_logarithmic_in_file_count():
+    """r18 verdict #5: the metadata table exists for tables with
+    1e5+ files — a point GET must touch O(index levels) blocks
+    (1 data + at most 1 leaf; root resident from load-on-open),
+    NOT O(file count). 64x the entries: data blocks grow ~64x,
+    touched blocks go 1 -> 2 and stop."""
+    val = b"\x00" * 38
+
+    def image(n):
+        return hfile_encode(
+            {f"{k:09d}".encode(): val for k in range(n)},
+            block_size=4096, max_root_entries=128,
+        )
+
+    def probe(img, n):
+        rd = HFileReader(img)
+        total_blocks = sum(
+            len(rd._data_entries_from(i)) for i in range(len(rd.index))
+        )
+        touched = []
+        for k in range(0, n, max(1, n // 20)):
+            before = rd.blocks_read + rd.index_blocks_read
+            rd._leaf_cache.clear()  # cold per probe
+            assert rd.get(f"{k:09d}".encode()) is not None
+            touched.append(
+                rd.blocks_read + rd.index_blocks_read - before
+            )
+        return total_blocks, rd.levels, max(touched)
+
+    small_blocks, small_levels, small_touch = probe(image(1000), 1000)
+    big_blocks, big_levels, big_touch = probe(image(64000), 64000)
+    assert big_blocks >= 50 * small_blocks  # the file itself grew
+    assert small_levels == 1 and small_touch == 1
+    assert big_levels == 2 and big_touch == 2  # log growth, then flat
