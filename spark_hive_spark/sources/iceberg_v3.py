@@ -1449,3 +1449,494 @@ def source_iceberg_partition_stats(
     ).orderBy("part_value").localCheckpoint(eager=True)
     shutil.rmtree(root, ignore_errors=True)
     return out
+
+
+@register(
+    "source_iceberg_changelog_row_lineage",
+    oracle=f"""
+        SELECT 'DELETE' AS change_type,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               {sql_dsum('o_totalprice')} AS revenue,
+               TRUE AS lineage_stable
+        FROM orders WHERE o_orderkey % 10 = 8
+        UNION ALL
+        SELECT 'INSERT', CAST(count(*) AS BIGINT),
+               {sql_dsum('o_totalprice')}, TRUE
+        FROM orders WHERE o_orderkey % 10 = 1
+        UNION ALL
+        SELECT 'UPDATE_AFTER', CAST(count(*) AS BIGINT),
+               {sql_dsum('o_totalprice + 100.00')}, TRUE
+        FROM orders WHERE o_orderkey % 10 = 4
+        UNION ALL
+        SELECT 'UPDATE_BEFORE', CAST(count(*) AS BIGINT),
+               {sql_dsum('o_totalprice')}, TRUE
+        FROM orders WHERE o_orderkey % 10 = 4
+        ORDER BY change_type
+    """,
+    tags=("source", "iceberg", "lakehouse", "v3", "row-lineage",
+          "cdc", "changelog"),
+)
+def source_iceberg_changelog_row_lineage(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """CDC pairing keyed by ``_row_id`` (round 19 compose) — the
+    consumer pattern v3 row lineage exists FOR: the spec motivates
+    lineage with CDC that works WITHOUT identifier columns, where
+    `source_iceberg_changelog_update_pairs` needed the table's
+    natural key. An overwrite commit rewrites the single base file:
+    keys ≡ 4 (mod 10) updated (+100.00, `_last_updated_sequence_
+    number` bumped to 2), keys ≡ 8 dropped, everything else carried
+    byte-identical (ids AND seq 1 materialized — spec: a copy
+    preserves both, an update preserves the id only), plus fresh
+    rows (synthetic keys = key + ceiling for keys ≡ 1) with NULL
+    materialized columns inheriting ids past the v1 range.
+
+    The diff joins state@1 to state@2 ON THE ROW ID — no natural
+    key touches the join — and classifies: both+changed → UPDATE
+    pair, both+equal → carried (structurally cancelled), left-only
+    → DELETE, right-only → INSERT. ``lineage_stable`` pins the
+    semantics end to end: every UPDATE pair binds the SAME
+    o_orderkey on both sides (the id held through the rewrite),
+    updated rows carry seq 2 and carried rows seq 1, and every
+    INSERT id sits at/past the v1 ceiling (fresh ids never collide
+    with preserved ones). A rewriter that re-mints ids turns every
+    carried row into DELETE+INSERT churn and floods all four
+    buckets; one that pairs by position pairs wrong rows and flips
+    the binding — each flips the hash.
+
+    Scale posture: one scan per state, ids materialized scan-side,
+    one shuffle on the 8-byte id for the full-outer diff — snapshot
+    -diff cost with no natural-key width in the join; the attest
+    aggregates ride the same joined frame (checkpointed once)."""
+    from spark_hive_spark.sources.staging import stage_single_parquet
+
+    orders = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    root = os.path.join(
+        tempfile.gettempdir(), f"shs_icev3clrl_{uuid.uuid4().hex}"
+    )
+    ddir = os.path.join(root, "data")
+    os.makedirs(ddir)
+
+    okey = F.col("o_orderkey")
+    n = orders.count()
+    ceil_key = n  # dense keys 0..n-1 (TESTDATA.md)
+    # state@1: fresh base file, ids derive from first_row_id 0 +
+    # position; sorted by key so id == o_orderkey (dense keys)
+    stage_single_parquet(
+        orders.sort("o_orderkey"), root, ddir, "A.parquet"
+    )
+    mod = okey % 10
+    survivors = orders.filter(mod != 8).select(
+        "o_orderkey",
+        F.when(
+            mod == 4,
+            (F.col("o_totalprice").cast("decimal(18,2)")
+             + F.lit(100).cast("decimal(18,2)")).cast("double"),
+        ).otherwise(F.col("o_totalprice")).alias("o_totalprice"),
+        okey.cast("long").alias("_row_id"),  # preserved through CoW
+        F.when(mod == 4, F.lit(2)).otherwise(F.lit(1)).cast("long")
+        .alias("_last_updated_sequence_number"),
+    )
+    fresh = orders.filter(mod == 1).select(
+        (okey + ceil_key).alias("o_orderkey"),
+        "o_totalprice",
+        F.lit(None).cast("long").alias("_row_id"),
+        F.lit(None).cast("long")
+        .alias("_last_updated_sequence_number"),
+    )
+    stage_single_parquet(
+        survivors.sort("o_orderkey").unionByName(
+            fresh.sort("o_orderkey")
+        ),
+        root, ddir, "B.parquet",
+    )
+
+    # ---- the reader: two states, ids resolved, diff BY ID ----
+    s1 = spark.read.parquet(os.path.join(ddir, "A.parquet")).select(
+        F.col("o_orderkey").alias("key1"),
+        F.col("o_totalprice").alias("price1"),
+        F.col("_metadata.row_index").cast("long").alias("rid"),
+    )
+    b = spark.read.parquet(os.path.join(ddir, "B.parquet"))
+    s2 = b.select(
+        F.col("o_orderkey").alias("key2"),
+        F.col("o_totalprice").alias("price2"),
+        F.coalesce(
+            F.col("_row_id"),
+            F.lit(n) + F.col("_metadata.row_index"),
+        ).cast("long").alias("rid"),
+        F.coalesce(
+            F.col("_last_updated_sequence_number"), F.lit(2)
+        ).cast("long").alias("lusn"),
+    )
+    diff = s1.join(s2, "rid", "full_outer").localCheckpoint(
+        eager=True
+    )  # feeds the change buckets AND the lineage attests
+
+    in1 = F.col("key1").isNotNull()
+    in2 = F.col("key2").isNotNull()
+    changed = in1 & in2 & (F.col("price1") != F.col("price2"))
+    carried = in1 & in2 & (F.col("price1") == F.col("price2"))
+    attest = diff.agg(
+        (
+            F.coalesce(F.sum(
+                ((in1 & in2)
+                 & (F.col("key1") != F.col("key2"))).cast("long")
+            ), F.lit(0)) == 0
+        ).alias("pairs_bind"),
+        (
+            F.coalesce(F.sum(
+                (changed & (F.col("lusn") != 2)).cast("long")
+            ), F.lit(0)) == 0
+        ).alias("updates_seq2"),
+        (
+            F.coalesce(F.sum(
+                (carried & (F.col("lusn") != 1)).cast("long")
+            ), F.lit(0)) == 0
+        ).alias("carried_seq1"),
+        (
+            F.coalesce(F.min(
+                F.when(~in1 & in2, F.col("rid"))
+            ), F.lit(n)) >= n
+        ).alias("fresh_past_ceiling"),
+    )
+
+    changes = (
+        diff.filter(~in2).select(
+            F.lit("DELETE").alias("change_type"),
+            F.col("price1").alias("o_totalprice"),
+        )
+        .unionByName(diff.filter(~in1).select(
+            F.lit("INSERT").alias("change_type"),
+            F.col("price2").alias("o_totalprice"),
+        ))
+        .unionByName(diff.filter(changed).select(
+            F.lit("UPDATE_BEFORE").alias("change_type"),
+            F.col("price1").alias("o_totalprice"),
+        ))
+        .unionByName(diff.filter(changed).select(
+            F.lit("UPDATE_AFTER").alias("change_type"),
+            F.col("price2").alias("o_totalprice"),
+        ))
+    )
+    out = (
+        changes.groupBy("change_type")
+        .agg(
+            F.count("*").alias("n_rows"),
+            dsum("o_totalprice").alias("revenue"),
+        )
+        .crossJoin(F.broadcast(attest))
+        .select(
+            "change_type", "n_rows", "revenue",
+            (F.col("pairs_bind") & F.col("updates_seq2")
+             & F.col("carried_seq1") & F.col("fresh_past_ceiling"))
+            .alias("lineage_stable"),
+        )
+        .orderBy("change_type")
+        .localCheckpoint(eager=True)  # 4 rows; frees the temp root
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
+@register(
+    "source_iceberg_partition_stats_incremental",
+    oracle="""
+        SELECT o_orderpriority AS part_value,
+               CAST(count(*) + CASE WHEN o_orderpriority IN
+                        ('1-URGENT', '3-MEDIUM')
+                    THEN sum(CASE WHEN o_orderkey % 5 = 0
+                             THEN 1 ELSE 0 END)
+                    ELSE 0 END AS BIGINT) AS data_record_count,
+               CAST(CASE WHEN o_orderpriority IN
+                        ('1-URGENT', '3-MEDIUM')
+                    THEN 2 ELSE 1 END AS BIGINT) AS data_file_count,
+               CAST(CASE WHEN o_orderpriority IN
+                        ('1-URGENT', '3-MEDIUM')
+                    THEN 2 ELSE 1 END AS BIGINT)
+                   AS last_updated_snapshot_id,
+               CAST(2 AS INT) AS snapshots_with_stats,
+               TRUE AS counts_ok,
+               TRUE AS passthrough_ok,
+               TRUE AS registry_ok
+        FROM orders
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+    """,
+    tags=("source", "iceberg", "lakehouse", "stats", "partition",
+          "incremental"),
+)
+def source_iceberg_partition_stats_incremental(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """INCREMENTAL partition-statistics maintenance (round 19
+    compose) — the update path `source_iceberg_partition_stats`
+    leaves open: per spec each snapshot registers its own stats
+    file, and a writer that recomputes from every manifest pays
+    O(table) per commit. The incremental writer here reads stats
+    file v1 plus ONLY the new snapshot's manifest (the delta),
+    merges per-partition (counts/files/sizes add; ``last_updated_
+    snapshot_id`` bumps only where the delta touched), writes stats
+    v2, and registers BOTH files in ``partition-statistics``.
+
+    Fixture: snapshot 1 = one file per o_orderpriority partition;
+    snapshot 2 appends a delta file to '1-URGENT' and '3-MEDIUM'
+    only (synthetic keys = key + ceiling for keys ≡ 0 mod 5).
+    Attested: ``passthrough_ok`` pins that every UNTOUCHED
+    partition's v2 stats row equals its v1 row field-for-field (the
+    incremental writer copied, never recomputed — and the touched
+    rows differ); ``counts_ok`` cross-checks v2 against exact
+    per-partition aggregates recomputed from ALL live data files;
+    ``registry_ok`` pins both registry entries (path + byte size);
+    ``last_updated_snapshot_id`` itself is in the output, so a
+    writer that stamps every row with the new snapshot flips the
+    hash.
+
+    Scale posture: the incremental update is O(v1 rows + delta
+    manifest entries) — at 10^5 partitions and a 100-file commit
+    that is the difference between rewriting a 10-row delta and
+    re-walking 10^7 manifest entries; the verification scan exists
+    only as the audit's ground truth."""
+    import pandas as _pd
+
+    from spark_hive_spark.sources.evolution import iceberg_format_gate
+    from spark_hive_spark.sources.staging import stage_single_parquet
+
+    orders = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+    root = os.path.join(
+        tempfile.gettempdir(), f"shs_icepsinc_{uuid.uuid4().hex}"
+    )
+    ddir = os.path.join(root, "data")
+    mdir = os.path.join(root, "metadata")
+    os.makedirs(ddir)
+    os.makedirs(mdir)
+
+    okey = F.col("o_orderkey")
+    ceil_key = orders.count()
+    touched = ("1-URGENT", "3-MEDIUM")
+    # snapshot 1: one file per partition, one write job
+    (
+        orders.withColumn("pdir", F.col("o_orderpriority"))
+        .repartition(F.col("pdir"))
+        .write.partitionBy("pdir")
+        .parquet(os.path.join(ddir, "s1"), mode="overwrite")
+    )
+    # snapshot 2: delta files for the touched partitions only
+    (
+        orders.filter(
+            F.col("o_orderpriority").isin(*touched) & (okey % 5 == 0)
+        )
+        .select(
+            (okey + ceil_key).alias("o_orderkey"),
+            "o_totalprice", "o_orderpriority",
+        )
+        .withColumn("pdir", F.col("o_orderpriority"))
+        .repartition(F.col("pdir"))
+        .write.partitionBy("pdir")
+        .parquet(os.path.join(ddir, "s2"), mode="overwrite")
+    )
+
+    from urllib.parse import unquote
+
+    def _manifest(snap_dir: str) -> list[dict]:
+        rows = (
+            spark.read.parquet(os.path.join(ddir, snap_dir))
+            .groupBy(
+                "o_orderpriority",
+                F.col("_metadata.file_path").alias("fp"),
+            )
+            .agg(F.count("*").alias("cnt"))
+            .collect()
+        )
+        out = []
+        for r in rows:
+            local = unquote(
+                r["fp"][len("file:"):]
+                if r["fp"].startswith("file:") else r["fp"]
+            )
+            out.append({
+                "partition": r["o_orderpriority"],
+                "file_path": os.path.relpath(local, ddir),
+                "record_count": r["cnt"],
+                "file_size_in_bytes": os.path.getsize(local),
+            })
+        return out
+
+    m1, m2 = _manifest("s1"), _manifest("s2")
+
+    _STATS_SCHEMA = (
+        "part_value string, spec_id int, data_record_count bigint, "
+        "data_file_count bigint, total_data_file_size_in_bytes "
+        "bigint, last_updated_snapshot_id bigint"
+    )
+
+    def _rows_from(entries: list[dict], snap: int) -> dict[str, dict]:
+        acc: dict[str, dict] = {}
+        for e in entries:
+            row = acc.setdefault(e["partition"], {
+                "part_value": e["partition"], "spec_id": 0,
+                "data_record_count": 0, "data_file_count": 0,
+                "total_data_file_size_in_bytes": 0,
+                "last_updated_snapshot_id": snap,
+            })
+            row["data_record_count"] += e["record_count"]
+            row["data_file_count"] += 1
+            row["total_data_file_size_in_bytes"] += \
+                e["file_size_in_bytes"]
+        return acc
+
+    def _write_stats(rows: list[dict], name: str) -> str:
+        path = os.path.join(mdir, name)
+        stage_single_parquet(
+            spark.createDataFrame(
+                _pd.DataFrame(
+                    sorted(rows, key=lambda r: r["part_value"])
+                ),
+                _STATS_SCHEMA,
+            ),
+            root, mdir, name,
+        )
+        return path
+
+    spath1 = _write_stats(list(_rows_from(m1, 1).values()),
+                          "partition-stats-1.parquet")
+
+    # ---- the INCREMENTAL writer: v1 stats + delta manifest ONLY ----
+    v1_rows = {
+        r["part_value"]: r.asDict()
+        for r in spark.read.parquet(spath1).collect()
+    }
+    delta = _rows_from(m2, 2)
+    v2_rows: dict[str, dict] = {}
+    for part, row in v1_rows.items():
+        if part in delta:
+            d = delta[part]
+            v2_rows[part] = {
+                **row,
+                "data_record_count":
+                    row["data_record_count"]
+                    + d["data_record_count"],
+                "data_file_count":
+                    row["data_file_count"] + d["data_file_count"],
+                "total_data_file_size_in_bytes":
+                    row["total_data_file_size_in_bytes"]
+                    + d["total_data_file_size_in_bytes"],
+                "last_updated_snapshot_id": 2,
+            }
+        else:
+            v2_rows[part] = dict(row)  # pure passthrough
+    for part, d in delta.items():
+        v2_rows.setdefault(part, d)  # partitions born in the delta
+    spath2 = _write_stats(list(v2_rows.values()),
+                          "partition-stats-2.parquet")
+
+    with open(os.path.join(mdir, "v2.metadata.json"), "w") as fh:
+        json.dump({
+            "format-version": 2,
+            "current-snapshot-id": 2,
+            "snapshots": [
+                {"snapshot-id": 1, "manifest-list": "ml-1"},
+                {"snapshot-id": 2, "manifest-list": "ml-2"},
+            ],
+            "partition-statistics": [
+                {"snapshot-id": 1, "statistics-path": spath1,
+                 "file-size-in-bytes": os.path.getsize(spath1)},
+                {"snapshot-id": 2, "statistics-path": spath2,
+                 "file-size-in-bytes": os.path.getsize(spath2)},
+            ],
+        }, fh)
+
+    # ---- the reader + cross-checks ----
+    with open(os.path.join(mdir, "v2.metadata.json")) as fh:
+        md = json.load(fh)
+    iceberg_format_gate(md)
+    regs = {s["snapshot-id"]: s for s in md["partition-statistics"]}
+    registry_ok = len(regs) == 2 and all(
+        os.path.getsize(s["statistics-path"])
+        == s["file-size-in-bytes"] for s in regs.values()
+    )
+    v2_df = spark.read.parquet(
+        regs[md["current-snapshot-id"]]["statistics-path"]
+    )
+    v1_df = spark.read.parquet(regs[1]["statistics-path"])
+
+    # passthrough: untouched v2 rows equal their v1 rows exactly;
+    # touched rows must DIFFER (an accidental full recompute that
+    # happened to match would still pass — the count check below
+    # covers correctness, this one covers provenance)
+    j = v2_df.alias("v2").join(
+        F.broadcast(v1_df.alias("v1")),
+        F.col("v2.part_value") == F.col("v1.part_value"), "left",
+    )
+    same = (
+        (F.col("v2.data_record_count")
+         == F.col("v1.data_record_count"))
+        & (F.col("v2.data_file_count") == F.col("v1.data_file_count"))
+        & (F.col("v2.total_data_file_size_in_bytes")
+           == F.col("v1.total_data_file_size_in_bytes"))
+        & (F.col("v2.last_updated_snapshot_id")
+           == F.col("v1.last_updated_snapshot_id"))
+    )
+    is_touched = F.col("v2.part_value").isin(*touched)
+    pass_ok = j.agg(
+        (F.coalesce(F.sum(
+            (~is_touched & ~same).cast("long")), F.lit(0)) == 0)
+        .alias("untouched_same"),
+        (F.coalesce(F.sum(
+            (is_touched & same).cast("long")), F.lit(0)) == 0)
+        .alias("touched_differ"),
+    )
+
+    exact = (
+        # two partitioned roots: union the reads (a multi-root read
+        # trips partition discovery's conflicting-structure check)
+        spark.read.parquet(os.path.join(ddir, "s1"))
+        .select("o_orderkey", "o_totalprice", "o_orderpriority",
+                "_metadata.file_path", "_metadata.file_size")
+        .unionByName(
+            spark.read.parquet(os.path.join(ddir, "s2"))
+            .select("o_orderkey", "o_totalprice", "o_orderpriority",
+                    "_metadata.file_path", "_metadata.file_size")
+        )
+        .groupBy("o_orderpriority", F.col("file_path"))
+        .agg(
+            F.count("*").alias("cnt"),
+            F.first("file_size").alias("fs"),
+        )
+        .groupBy("o_orderpriority")
+        .agg(
+            F.sum("cnt").alias("x_records"),
+            F.count("*").alias("x_files"),
+            F.sum("fs").alias("x_bytes"),
+        )
+    )
+    out = (
+        v2_df.join(F.broadcast(exact),
+                   v2_df["part_value"] == exact["o_orderpriority"],
+                   "left")
+        .crossJoin(F.broadcast(pass_ok))
+        .select(
+            "part_value",
+            "data_record_count",
+            "data_file_count",
+            "last_updated_snapshot_id",
+            F.lit(len(regs)).cast("int").alias("snapshots_with_stats"),
+            (
+                (F.col("data_record_count") == F.col("x_records"))
+                & (F.col("data_file_count") == F.col("x_files"))
+                & (F.col("total_data_file_size_in_bytes")
+                   == F.col("x_bytes"))
+            ).alias("counts_ok"),
+            (F.col("untouched_same") & F.col("touched_differ"))
+            .alias("passthrough_ok"),
+            F.lit(bool(registry_ok)).alias("registry_ok"),
+        )
+        .orderBy("part_value")
+        .localCheckpoint(eager=True)
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    return out
