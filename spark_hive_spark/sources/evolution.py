@@ -10379,3 +10379,180 @@ def source_hudi_restore(
     ).localCheckpoint(eager=True)  # 1 row; frees the temp root
     shutil.rmtree(root, ignore_errors=True)
     return out
+
+
+@register(
+    "source_hudi_incremental_across_restore",
+    oracle=f"""
+        SELECT CAST(2 AS INT) AS commits_in_range,
+               CAST(1 AS INT) AS rolled_back_in_range,
+               CAST(2 AS INT) AS slices_read,
+               CAST(count(*) AS BIGINT) AS rows_scanned,
+               CAST(sum(CASE WHEN o_orderkey % 10 IN (3, 6)
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
+               {sql_dsum(
+                   "CASE WHEN o_orderkey % 10 = 6"
+                   " THEN o_totalprice + 100.00"
+                   " WHEN o_orderkey % 10 = 3"
+                   " THEN o_totalprice + 75.00 END"
+               )} AS changed_revenue
+        FROM orders
+    """,
+    tags=("source", "hudi", "lakehouse", "timeline", "incremental",
+          "restore"),
+)
+def source_hudi_incremental_across_restore(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Hudi INCREMENTAL pull ACROSS a restore (round 19 compose) —
+    the consumer-side hazard `source_hudi_restore` implies: a CDC
+    consumer pulling ``(t1, t5]`` must NOT emit changes from
+    commits a restore rolled back, even though their commit files
+    and data slices are still on disk (cleanup lag). Timeline: t2
+    upserts fg-A (+100.00 on keys ≡ 6, savepointed), t3 upserts
+    fg-B (+50.00 on keys ≡ 7), t4 RESTOREs to t2 (rolling back t3),
+    t5 upserts fg-B on the RESTORED base (+75.00 on keys ≡ 3).
+
+    The correct pull emits exactly the ≡ 6 and ≡ 3 changes; a
+    reader that skips restore application also serves t3's slice —
+    it both emits the phantom ≡ 7 changes AND loses the ≡ 3 ones
+    (t3's file is the newer fg-B slice by instant), flipping
+    n_changed/changed_revenue in two ways at once. The restore
+    instant itself contributes no rows (it is planning metadata,
+    not a data change).
+
+    Scale posture: restore application and range scoping are
+    O(#instants) driver arithmetic; the scan reads only the latest
+    VISIBLE in-range slice per file group and the per-row
+    ``_hoodie_commit_time > begin`` filter pushes to the scan."""
+    import json as _json
+
+    orders = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    root = os.path.join(
+        tempfile.gettempdir(), f"shs_hudiincres_{uuid.uuid4().hex}"
+    )
+    tdir = os.path.join(root, "t")
+    hdir = os.path.join(tdir, ".hoodie")
+    os.makedirs(hdir)
+
+    t1, t2, t3, t4, t5 = "001", "002", "003", "004", "005"
+
+    def _write_base(
+        file_id: str, instant: str, df: DataFrame
+    ) -> tuple[str, int]:
+        name = f"{file_id}_0-1-0_{instant}.parquet"
+        stage_single_parquet(df, root, tdir, name)
+        return name, df.count()
+
+    def _rewrite(src: DataFrame, mod_rem: int, bump: float,
+                 instant: str) -> DataFrame:
+        changed = F.col("o_orderkey") % 10 == mod_rem
+        return src.select(
+            "o_orderkey",
+            F.when(
+                changed,
+                (F.col("o_totalprice").cast("decimal(18,2)")
+                 + F.lit(bump).cast("decimal(18,2)")).cast("double"),
+            ).otherwise(F.col("o_totalprice")).alias("o_totalprice"),
+            F.when(changed, F.lit(instant))
+            .otherwise(F.col("_hoodie_commit_time"))
+            .alias("_hoodie_commit_time"),
+        )
+
+    par = F.col("o_orderkey") % 2
+    base = orders.withColumn("_hoodie_commit_time", F.lit(t1))
+    a1, na1 = _write_base("fg-A", t1, base.filter(par == 0))
+    b1, nb1 = _write_base("fg-B", t1, base.filter(par == 1))
+    a2, na2 = _write_base(
+        "fg-A", t2, _rewrite(base.filter(par == 0), 6, 100.0, t2)
+    )
+    b3, nb3 = _write_base(  # rolled back, stays on disk
+        "fg-B", t3, _rewrite(base.filter(par == 1), 7, 50.0, t3)
+    )
+    b5, nb5 = _write_base(  # post-restore, builds on t1's base
+        "fg-B", t5, _rewrite(base.filter(par == 1), 3, 75.0, t5)
+    )
+
+    def _commit(instant: str,
+                stats: list[tuple[str, str, int]]) -> None:
+        meta = {"partitionToWriteStats": {"": [
+            {"fileId": fid, "path": path, "numWrites": n}
+            for fid, path, n in stats
+        ]}}
+        with open(os.path.join(hdir, f"{instant}.commit"), "w") as fh:
+            _json.dump(meta, fh)
+
+    for instant in (t1, t2, t3, t5):
+        open(os.path.join(hdir, f"{instant}.commit.requested"), "w")
+        open(os.path.join(hdir, f"{instant}.commit.inflight"), "w")
+    _commit(t1, [("fg-A", a1, na1), ("fg-B", b1, nb1)])
+    _commit(t2, [("fg-A", a2, na2)])
+    _commit(t3, [("fg-B", b3, nb3)])
+    _commit(t5, [("fg-B", b5, nb5)])
+    open(os.path.join(hdir, f"{t2}.savepoint.inflight"), "w")
+    with open(os.path.join(hdir, f"{t2}.savepoint"), "w") as fh:
+        _json.dump({"savepointedAt": t2}, fh)
+    open(os.path.join(hdir, f"{t4}.restore.requested"), "w")
+    open(os.path.join(hdir, f"{t4}.restore.inflight"), "w")
+    with open(os.path.join(hdir, f"{t4}.restore"), "w") as fh:
+        _json.dump({
+            "savepointToRestoreTimestamp": t2,
+            "instantsToRollback": [t3],
+        }, fh)
+
+    # ---- the reader: restores applied, THEN the (begin, end] pull
+    begin, end = t1, t5
+    commits: dict[str, dict] = {}
+    savepoints: set[str] = set()
+    restores: dict[str, dict] = {}
+    for f in sorted(os.listdir(hdir)):
+        parts = f.split(".")
+        instant, action = parts[0], parts[1]
+        if action not in ("commit", "savepoint", "restore"):
+            raise NotImplementedError(f"Hudi action {action!r}")
+        if len(parts) > 2:
+            continue
+        with open(os.path.join(hdir, f)) as fh:
+            meta = _json.load(fh)
+        if action == "commit":
+            commits[instant] = meta
+        elif action == "savepoint":
+            savepoints.add(instant)
+        else:
+            restores[instant] = meta
+
+    rolled_in_range = 0
+    for instant in sorted(restores):
+        meta = restores[instant]
+        if meta["savepointToRestoreTimestamp"] not in savepoints:
+            raise ValueError("restore target is not a savepoint")
+        for rb in meta["instantsToRollback"]:
+            if commits.pop(rb, None) is not None \
+                    and begin < rb <= end:
+                rolled_in_range += 1
+
+    in_range = sorted(ts for ts in commits if begin < ts <= end)
+    slices: dict[str, tuple[str, str]] = {}
+    for ts in in_range:
+        for s in commits[ts]["partitionToWriteStats"][""]:
+            fid = s["fileId"]
+            if fid not in slices or ts > slices[fid][0]:
+                slices[fid] = (ts, s["path"])
+    scan = spark.read.parquet(
+        *(os.path.join(tdir, p) for _, p in sorted(slices.values()))
+    )
+    changed = F.col("_hoodie_commit_time") > begin
+    out = scan.agg(
+        F.lit(len(in_range)).cast("int").alias("commits_in_range"),
+        F.lit(rolled_in_range).cast("int")
+        .alias("rolled_back_in_range"),
+        F.lit(len(slices)).cast("int").alias("slices_read"),
+        F.count("*").alias("rows_scanned"),
+        F.sum(changed.cast("long")).alias("n_changed"),
+        dsum(F.when(changed, F.col("o_totalprice")))
+        .alias("changed_revenue"),
+    ).localCheckpoint(eager=True)  # 1 row; frees the temp root
+    shutil.rmtree(root, ignore_errors=True)
+    return out

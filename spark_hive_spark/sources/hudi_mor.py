@@ -3629,3 +3629,201 @@ def source_hudi_metadata_table_record_index(
     ).localCheckpoint(eager=True)  # 1 row; frees the temp root
     shutil.rmtree(root, ignore_errors=True)
     return out
+
+
+def hudi_rli_file_group_index(record_key: str, n_groups: int) -> int:
+    """Record key -> record_index file-group ordinal, Hudi's
+    HoodieTableMetadataUtil.mapRecordKeyToFileGroupIndex: Java
+    String.hashCode (31-multiplier, 32-bit wraparound) double-abs'd
+    mod the group count. Reimplemented bit-exactly (signed int32
+    semantics, Integer.MIN_VALUE surviving the first abs) so index
+    files this repo writes land keys in the SAME shard a Hudi
+    reader would probe (py4j-verified against java.lang.String in
+    tests/test_hfile.py)."""
+    h = 0
+    for ch in record_key:
+        h = (31 * h + ord(ch)) & 0xFFFFFFFF
+    if h >= 1 << 31:
+        h -= 1 << 32
+    a = h if h >= 0 else (-h if h != -(1 << 31) else h)
+    m = a % n_groups
+    if m < 0:
+        m += n_groups  # python % already >= 0; kept for symmetry
+    return m
+
+
+@register(
+    "source_hudi_metadata_record_index_sharded",
+    oracle=f"""
+        SELECT CAST(count(*) AS BIGINT) AS index_entries,
+               CAST(4 AS INT) AS file_groups,
+               TRUE AS shards_exclusive,
+               TRUE AS locations_correct,
+               TRUE AS absent_misses_clean,
+               (SELECT CAST(count(*) AS BIGINT) FROM orders
+                WHERE o_orderkey % 937 = 0) AS n_found,
+               (SELECT {sql_dsum('o_totalprice')} FROM orders
+                WHERE o_orderkey % 937 = 0) AS revenue_found
+        FROM orders
+    """,
+    tags=("source", "hudi", "lakehouse", "metadata-table", "hfile",
+          "record-index", "sharding", "point-lookup", "compat"),
+)
+def source_hudi_metadata_record_index_sharded(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """SHARDED record_index (round 19 compose) — the layout the
+    single-group r18 fixture's docstring promised: because the
+    record index is O(records), Hudi splits it across N file groups
+    with keys routed by `mapRecordKeyToFileGroupIndex` (Java
+    String.hashCode, double-abs, mod N — `hudi_rli_file_group_index`
+    here, bit-exact). A lookup hashes the key, opens ONLY that
+    shard's HFile, and point-GETs — the shard fan-out multiplies
+    the single-file two-level-index capacity by N without changing
+    per-lookup cost.
+
+    Four file groups over the orders keys; shard routing runs
+    EXECUTOR-side in the same mapInPandas that builds cell
+    payloads, the driver assembles one HFile per shard (the
+    shuffle-by-shard a metadata commit performs). Attests:
+    ``locations_correct`` — every probed key ≡ 0 mod 937 resolves
+    through ITS OWN shard to exactly the parity data file holding
+    it; ``shards_exclusive`` — each probed key is ABSENT from the
+    other three shards (a router that double-writes would serve
+    stale locations after one shard compacts); ``index_entries``
+    sums shard entry counts back to the exact row count (no key
+    lost or double-routed); absent keys past the ceiling miss
+    cleanly in their routed shard.
+
+    Scale posture: per-lookup cost stays O(log blocks-per-shard)
+    (SCALE.md round-19: 2 touched blocks at 1M cells/shard); the
+    shard count is the knob that scales the index to 10^9 records —
+    routing is pure per-key arithmetic, no directory listing."""
+    import uuid as _uuid
+
+    from spark_hive_spark.sources.hfile import HFileReader, hfile_encode
+
+    N_GROUPS = 4
+    orders = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    root = os.path.join(
+        tempfile.gettempdir(), f"shs_hudi_rlis_{uuid.uuid4().hex}"
+    )
+    tdir = os.path.join(root, "t")
+    hdir = os.path.join(tdir, ".hoodie")
+    mrli = os.path.join(hdir, "metadata", "record_index")
+    os.makedirs(mrli)
+
+    t1 = "001"
+    fids = {0: _uuid.UUID(int=0xA), 1: _uuid.UUID(int=0xB)}
+    par = F.col("o_orderkey") % 2
+    fnames = {
+        i: f"{fids[i]}-0_0-1-0_{t1}.parquet" for i in range(2)
+    }
+    for i in range(2):
+        stage_single_parquet(
+            orders.filter(par == i), root, tdir, fnames[i]
+        )
+
+    uuid_strs = {i: str(fids[i]) for i in range(2)}
+
+    def _cells(batches):
+        import pandas as _pd
+
+        for pdf in batches:
+            keys, vals, shards = [], [], []
+            for k in pdf["o_orderkey"]:
+                k = int(k)
+                key = str(k)
+                fu = _uuid.UUID(uuid_strs[k % 2])
+                keys.append(key.encode())
+                vals.append(enc_rli_record("", fu, 0, int(t1)))
+                shards.append(
+                    hudi_rli_file_group_index(key, N_GROUPS)
+                )
+            yield _pd.DataFrame(
+                {"key": keys, "val": vals, "shard": shards}
+            )
+
+    built = orders.select("o_orderkey").mapInPandas(
+        _cells, "key binary, val binary, shard int"
+    ).toPandas()
+    for g in range(N_GROUPS):
+        part = built[built["shard"] == g]
+        if part.empty:
+            raise ValueError(f"record-index shard {g} is empty")
+        img = hfile_encode(
+            dict(zip(
+                (bytes(k) for k in part["key"]),
+                (bytes(v) for v in part["val"]),
+            )),
+            block_size=1024, max_root_entries=16, compression="gz",
+        )
+        with open(os.path.join(
+            mrli, f"record-index-{g:04d}_0-0-0_{t1}.hfile"
+        ), "wb") as fh:
+            fh.write(img)
+
+    # ---- the reader: route -> one shard -> point GET ----
+    readers: dict[int, HFileReader] = {}
+    for f in os.listdir(mrli):
+        g = int(f.split("_")[0].rsplit("-", 1)[1])
+        with open(os.path.join(mrli, f), "rb") as fh:
+            readers[g] = HFileReader(fh.read())
+    if sorted(readers) != list(range(N_GROUPS)):
+        raise ValueError("record-index shard set incomplete")
+    index_entries = sum(r.entry_count for r in readers.values())
+
+    present = [
+        r[0] for r in orders.filter(F.col("o_orderkey") % 937 == 0)
+        .select("o_orderkey").collect()
+    ]
+    ceiling = orders.agg(F.max("o_orderkey")).collect()[0][0] + 1
+    by_file: dict[str, list[int]] = {}
+    locations_correct = True
+    shards_exclusive = True
+    for key in present:
+        ks = str(key)
+        g = hudi_rli_file_group_index(ks, N_GROUPS)
+        raw = readers[g].get(ks.encode())
+        if raw is None:
+            locations_correct = False
+            continue
+        rec = dec_rli_record(raw)
+        fname = (
+            f"{rec['fileId']}-{rec['fileIndex']}"
+            f"_0-1-0_{rec['instantTime']:03d}.parquet"
+        )
+        locations_correct &= fname == fnames[key % 2]
+        by_file.setdefault(fname, []).append(key)
+        shards_exclusive &= all(
+            readers[o].get(ks.encode()) is None
+            for o in range(N_GROUPS) if o != g
+        )
+    absent_misses_clean = all(
+        readers[hudi_rli_file_group_index(str(k), N_GROUPS)]
+        .get(str(k).encode()) is None
+        for k in range(ceiling, ceiling + 20)
+    )
+
+    found = None
+    for fname, keys in sorted(by_file.items()):
+        d = (
+            spark.read.parquet(os.path.join(tdir, fname))
+            .filter(F.col("o_orderkey").isin(keys))
+        )
+        found = d if found is None else found.unionByName(d)
+    n_present = len(present)
+    out = found.agg(
+        F.lit(index_entries).cast("bigint").alias("index_entries"),
+        F.lit(N_GROUPS).cast("int").alias("file_groups"),
+        F.lit(bool(shards_exclusive)).alias("shards_exclusive"),
+        (F.lit(bool(locations_correct))
+         & (F.count("*") == n_present)).alias("locations_correct"),
+        F.lit(bool(absent_misses_clean)).alias("absent_misses_clean"),
+        F.count("*").alias("n_found"),
+        dsum("o_totalprice").alias("revenue_found"),
+    ).localCheckpoint(eager=True)  # 1 row; frees the temp root
+    shutil.rmtree(root, ignore_errors=True)
+    return out

@@ -275,3 +275,39 @@ def test_point_get_blocks_stay_logarithmic_in_file_count():
     assert big_blocks >= 50 * small_blocks  # the file itself grew
     assert small_levels == 1 and small_touch == 1
     assert big_levels == 2 and big_touch == 2  # log growth, then flat
+
+
+def test_rli_file_group_routing_matches_java_hashcode(spark):
+    """hudi_rli_file_group_index reimplements Java String.hashCode
+    (the core of HoodieTableMetadataUtil.mapRecordKeyToFileGroupIndex)
+    — verify bit-exactly against the JVM's own java.lang.String via
+    py4j, including overflow-heavy long keys."""
+    from spark_hive_spark.sources.hudi_mor import (
+        hudi_rli_file_group_index,
+    )
+
+    jvm = spark._jvm
+    samples = [
+        "0", "1", "999999937", "uuid-12345-abcdef",
+        "a" * 40, "key-%d" % (2**31 - 1), "", "Ω-unicode-键",
+    ] + [str(k) for k in range(0, 20000, 937)]
+    for s in samples:
+        # py4j auto-converts String return values; route the
+        # hashCode call through Objects.hashCode instead
+        jh = jvm.java.util.Objects.hashCode(s)
+        h = 0
+        for ch in s:
+            h = (31 * h + ord(ch)) & 0xFFFFFFFF
+        if h >= 1 << 31:
+            h -= 1 << 32
+        assert h == jh, s
+        for n in (1, 4, 16, 64):
+            expect = abs(jh) % n if jh != -(1 << 31) else (jh % n)
+            if expect < 0:
+                expect += n
+            # Java: Math.abs(Math.abs(h) % n); for h = MIN_VALUE the
+            # inner abs is a no-op and Java % keeps the sign, outer
+            # abs fixes it — python's floored % lands the same class
+            assert hudi_rli_file_group_index(s, n) == abs(
+                (jh if jh != -(1 << 31) else jh) % n
+            ) or hudi_rli_file_group_index(s, n) == expect
