@@ -673,9 +673,17 @@ def source_iceberg_v3_row_lineage_rewrite(
     # (position within the sorted original file: even k -> k/2, odd
     # k -> n_a + (k-1)/2 — dense keys) and the original seq number
     okey = F.col("o_orderkey")
-    orig_id = F.when(
-        k == 0, F.floor(okey / 2)
-    ).otherwise(F.lit(n_a) + F.floor((okey - 1) / 2)).cast("long")
+    # original id = position within the sorted original file, via a
+    # per-parity rank (== k/2 and n_a+(k-1)/2 on the dense testdata
+    # keys the oracle assumes, but also correct on gapped-key scale
+    # fixtures — fixture-writer cost, not reader cost)
+    from pyspark.sql import Window as _W
+
+    pos = F.row_number().over(
+        _W.partitionBy(k).orderBy(okey)
+    ) - 1
+    orig_id = F.when(k == 0, pos) \
+        .otherwise(F.lit(n_a) + pos).cast("long")
     stage_single_parquet(
         orders.sort("o_orderkey").select(
             "o_orderkey", "o_totalprice",
@@ -949,9 +957,15 @@ def source_iceberg_v3_row_lineage_dv(
     k = okey % 2
     n_a = orders.filter(k == 0).count()
     n = orders.count()
-    orig_id = F.when(
-        k == 0, F.floor(okey / 2)
-    ).otherwise(F.lit(n_a) + F.floor((okey - 1) / 2)).cast("long")
+    from pyspark.sql import Window as _W
+
+    # per-parity rank == the dense-key closed form at oracle SFs,
+    # correct on gapped-key scale fixtures too
+    pos = F.row_number().over(
+        _W.partitionBy(k).orderBy(okey)
+    ) - 1
+    orig_id = F.when(k == 0, pos) \
+        .otherwise(F.lit(n_a) + pos).cast("long")
     stage_single_parquet(
         orders.sort("o_orderkey").select(
             "o_orderkey", "o_totalprice",
@@ -1528,14 +1542,23 @@ def source_iceberg_changelog_row_lineage(
         orders.sort("o_orderkey"), root, ddir, "A.parquet"
     )
     mod = okey % 10
-    survivors = orders.filter(mod != 8).select(
+    # the preserved id = the row's position in A (== o_orderkey on
+    # the dense testdata keys; rank keeps gapped-key scale fixtures
+    # correct). Single-partition window: fixture-writer cost only.
+    from pyspark.sql import Window as _W
+
+    with_id = orders.withColumn(
+        "a_pos",
+        (F.row_number().over(_W.orderBy(okey)) - 1).cast("long"),
+    )
+    survivors = with_id.filter(mod != 8).select(
         "o_orderkey",
         F.when(
             mod == 4,
             (F.col("o_totalprice").cast("decimal(18,2)")
              + F.lit(100).cast("decimal(18,2)")).cast("double"),
         ).otherwise(F.col("o_totalprice")).alias("o_totalprice"),
-        okey.cast("long").alias("_row_id"),  # preserved through CoW
+        F.col("a_pos").alias("_row_id"),  # preserved through CoW
         F.when(mod == 4, F.lit(2)).otherwise(F.lit(1)).cast("long")
         .alias("_last_updated_sequence_number"),
     )
