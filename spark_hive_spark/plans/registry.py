@@ -38,41 +38,29 @@ class Query:
 _REGISTRY: dict[str, Query] = {}
 
 # The grading driver sweeps the FIRST 50 registry entries per round, so
-# ordering is an attestation budget. Round-18 rotation (r17 verdict
-# item 7, executed): the 4 reference jobs stay pinned, then the 12 NEW
-# round-18 queries (the r17 verdict's items — the Iceberg changelog
-# composed over EQUALITY deletes, Puffin theta-sketch NDV stats
-# feeding the CBO audit, the Hudi metadata-table files partition over
-# HFile base + HFILE log blocks, and incremental dedup against a
-# frozen MinHash index, plus the theta UNION mergeability attest and
-# the metadata-table column_stats skipping sibling, the changelog
-# UPDATE-pairing mode, the dedup-index append maintenance cycle,
-# the string-column theta sketches, and the metadata-table
-# bloom_filters / record_index partitions + compaction), then the ANN
-# rows-only pair WITH its
-# hash-green exactness bracket ``ann_recall_audit`` pinned adjacent
-# (the graded CORRECTNESS file stays self-contained — the audit
-# travels with the pair in every window), then the oldest attested
-# backlog by CORRECTNESS_r*.json max-round, name order: the seven
-# r5-attested udf_p*/w*/window* names the r17 comment promised, then
-# the r6-attested tail through source_python_datasource (the
-# rows-only rfm_user_scores_approx travels with its hash-green
-# bracket rfm_approx_audit, adjacent by name order).
-# Backlog spill for r19 (next oldest, in order):
-# ratio_to_report_customer_revenue, repeat_orders_within_week
-# (displaced so the rfm rows-only pair kept its bracket adjacent
-# in-window), rfm_user_scores, q9_nation_year_profit, and
-# q7_nation_trade_volume (same displacement),
-# semdedup_embedding_clusters, then
-# sketch_hll_builtin_rollup,
-# source_python_datasource,
-# source_python_datasource_stream, sql_parameterized_brand_counts,
-# sqlfn_discounted_revenue, stats_corr_regression,
-# stream_foreachbatch_parquet_sink, stream_multibatch_tumbling,
-# stream_static_enrich_segments, timeseries_gapfill_locf,
-# udtf_document_chunks, w_rolling_hour_user_value,
-# xml_part_roundtrip, then the r7-attested tail. Recompute with the
-# CORRECTNESS_r*.json max-round scan (the
+# ordering is an attestation budget. Round-19 rotation (r18 verdict
+# item 7, executed): the 4 reference jobs stay pinned, then the 10 NEW
+# round-19 queries (the r18 verdict's items — Iceberg v3 row lineage
+# through a compaction rewrite and composed with deletion vectors,
+# partition statistics + their incremental maintenance, Hudi
+# savepoint/restore + the incremental pull across a restore,
+# incremental ANN index maintenance, the theta-driven join-ordering
+# audit — plus the row-id-keyed changelog and the sharded record
+# index composes), then the oldest attested backlog by
+# CORRECTNESS_r*.json max-round, name order: the r6-attested tail
+# (q7/q9/ratio/repeat/rfm_user_scores displaced from r18's spill list
+# now land, through xml_part_roundtrip), then the r7-attested head
+# through map_hof_event_profile. No rows-only query is in this
+# window, so no bracket pairing applies (the knn/ann and rfm pairs
+# attested r18 travel together whenever they re-enter).
+# Backlog spill for r20 (next oldest, in order):
+# multimodal_decode_resize, multimodal_wav_features,
+# pagerank_nation_trade, pii_redaction_stats, psi_price_drift,
+# quality_hashed_linear_classifier, recursive_cte_custkey_tree,
+# reservoir_per_key_sample, running_distinct_users,
+# sink_dynamic_partition_overwrite, skew_diagnostic_report,
+# skyline_price_size_parts, then the rest of the r7 tail. Recompute
+# with the CORRECTNESS_r*.json max-round scan (the
 # test_r10_window_completes_attestation recipe) rather than trusting
 # this comment.
 # tests/test_registry_window.py asserts the window stays exactly this.
@@ -82,55 +70,54 @@ SWEEP_PRIORITY: tuple[str, ...] = (
     "ref_top5_finished_orders_by_price",
     "ref_building_acctbal_stats_by_nation",
     "ref_orc_roundtrip",
-    # round-18 NEW queries: driver rows on first appearance
-    "source_iceberg_changelog_equality",
-    "source_puffin_theta_ndv",
-    "source_hudi_metadata_table_files",
-    "dedup_incremental_against_index",
-    "source_puffin_theta_union_ndv",
-    "source_hudi_metadata_table_colstats",
-    "source_iceberg_changelog_update_pairs",
-    "dedup_incremental_index_update",
-    "source_puffin_theta_ndv_strings",
-    "source_hudi_metadata_table_bloom_filters",
-    "source_hudi_metadata_table_compaction",
-    "source_hudi_metadata_table_record_index",
-    # ANN rows-only pair + its exactness bracket, always adjacent
-    "knn_cosine_ivf",
-    "knn_cosine_lsh",
-    "ann_recall_audit",
-    # oldest attested backlog (r5 tail, then r6), name order
-    "udf_pandas_scalar_risk_score",
-    "udf_python_row_clean_names",
-    "w_customer_rank_in_nation",
-    "w_event_lag_lead_gaps",
-    "w_running_revenue_by_supplier",
-    "window_sliding_events",
-    "window_tumbling_events",
-    "approx_topk_tokens",
-    "arrow_doc_char_stats",
-    "arrow_group_doc_quantiles",
-    "bitmap_distinct_rollup",
-    "calendar_densified_daily_orders",
-    "cdc_upsert_orders",
-    "events_hourly_anomaly",
-    "events_type_transitions",
-    "explode_outer_token_rows",
-    "funnel_windowed_7d",
-    "json_variant_props",
-    "listagg_top_suppliers_per_nation",
-    "mode_priority_per_nation",
-    "multimodal_resize_plan",
-    "pipe_syntax_brand_stats",
-    "q10_returned_item_losses",
-    "q12_priority_by_ship_year",
-    "q19_disjunctive_revenue",
-    "q22_idle_rich_customers",
-    "q3_shipping_priority",
-    "q5_region_revenue",
-    "q6_forecast_revenue",
-    "rfm_approx_audit",
-    "rfm_user_scores_approx",
+    # round-19 NEW queries: driver rows on first appearance
+    "source_iceberg_v3_row_lineage_rewrite",
+    "source_iceberg_v3_row_lineage_dv",
+    "source_iceberg_changelog_row_lineage",
+    "source_iceberg_partition_stats",
+    "source_iceberg_partition_stats_incremental",
+    "source_hudi_restore",
+    "source_hudi_incremental_across_restore",
+    "source_hudi_metadata_record_index_sharded",
+    "ann_incremental_index_audit",
+    "source_puffin_theta_join_order",
+    # oldest attested backlog (r6 tail, then r7 head), name order
+    "q7_nation_trade_volume",
+    "q9_nation_year_profit",
+    "ratio_to_report_customer_revenue",
+    "repeat_orders_within_week",
+    "rfm_user_scores",
+    "semdedup_embedding_clusters",
+    "sketch_hll_builtin_rollup",
+    "source_python_datasource",
+    "source_python_datasource_stream",
+    "sql_parameterized_brand_counts",
+    "sqlfn_discounted_revenue",
+    "stats_corr_regression",
+    "stream_foreachbatch_parquet_sink",
+    "stream_multibatch_tumbling",
+    "stream_static_enrich_segments",
+    "timeseries_gapfill_locf",
+    "udtf_document_chunks",
+    "w_rolling_hour_user_value",
+    "xml_part_roundtrip",
+    "approx_percentile_audit",
+    "basket_part_pairs",
+    "benford_price_digits",
+    "chisq_segment_priority",
+    "cogroup_click_purchase_latency",
+    "collation_ci_part_names",
+    "curation_temperature_mixture",
+    "dedup_span_coverage",
+    "ewma_user_event_values",
+    "fuzzy_levenshtein_part_pairs",
+    "graph_triangle_clustering",
+    "groupby_all_year_priority",
+    "impute_missing_acctbal",
+    "journey_top_paths",
+    "kanonymity_audit",
+    "maintenance_compaction_audit",
+    "map_hof_event_profile",
 )
 
 
