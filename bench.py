@@ -353,6 +353,17 @@ EXTENDED = [
     "source_hudi_metadata_table_bloom_filters",
     "source_hudi_metadata_table_compaction",
     "source_hudi_metadata_table_record_index",
+    # round 19
+    "source_iceberg_v3_row_lineage_rewrite",
+    "source_iceberg_v3_row_lineage_dv",
+    "source_iceberg_changelog_row_lineage",
+    "source_iceberg_partition_stats",
+    "source_iceberg_partition_stats_incremental",
+    "source_hudi_restore",
+    "source_hudi_incremental_across_restore",
+    "source_hudi_metadata_record_index_sharded",
+    "ann_incremental_index_audit",
+    "source_puffin_theta_join_order",
 ]
 
 # Streaming extended queries run dead LAST (after the streaming
