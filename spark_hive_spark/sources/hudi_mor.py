@@ -3827,3 +3827,277 @@ def source_hudi_metadata_record_index_sharded(
     ).localCheckpoint(eager=True)  # 1 row; frees the temp root
     shutil.rmtree(root, ignore_errors=True)
     return out
+
+
+@register(
+    "source_hudi_restore_mor",
+    oracle=f"""
+        SELECT CAST(3 AS INT) AS commits_visible,
+               CAST(1 AS INT) AS commits_rolled_back,
+               CAST(2 AS INT) AS blocks_applied,
+               CAST(2 AS INT) AS blocks_skipped_rolled_back,
+               TRUE AS savepoint_ok,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               CAST(sum(CASE WHEN o_orderkey % 10 = 6
+                        THEN 1 ELSE 0 END) AS BIGINT) AS rows_at_t2,
+               CAST(sum(CASE WHEN o_orderkey % 10 = 3
+                        THEN 1 ELSE 0 END) AS BIGINT) AS rows_at_t5,
+               {sql_dsum(
+                   "o_totalprice + CASE"
+                   " WHEN o_orderkey % 10 = 6 THEN 100.00"
+                   " WHEN o_orderkey % 10 = 3 THEN 75.00"
+                   " ELSE 0.00 END"
+               )} AS revenue
+        FROM orders
+    """,
+    tags=("source", "hudi", "merge-on-read", "lakehouse", "timeline",
+          "restore", "savepoint"),
+)
+def source_hudi_restore_mor(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """RESTORE on a MERGE-ON-READ table (round 19 compose) — the
+    block-level half `source_hudi_restore` cannot show: rolled-back
+    deltacommits live as LOG BLOCKS interleaved inside SHARED log
+    files, so a restore cannot mask them at file granularity — the
+    same physical log must be walked for the surviving commit's
+    block while the rolled-back commit's block beside it is
+    excluded BY INSTANT (timeline after restore application; the
+    fixture models cleanup lag, so t3's completed deltacommit file
+    is still on the timeline and a plain completed-check serves its
+    blocks).
+
+    Timeline: t2 upserts fg-A (+100.00 on keys ≡ 6, savepointed);
+    t3 appends blocks to BOTH groups' logs (+55.00 on ≡ 2, +50.00
+    on ≡ 7); t4 RESTOREs to t2; t5 upserts fg-B (+75.00 on ≡ 3)
+    APPENDED AFTER the rolled-back block in the same log file —
+    both groups end with a mixed visible/invisible block sequence.
+    A reader that skips restore application double-serves ≡ 2 / ≡ 7
+    and (because the merge window takes the latest instant) masks
+    nothing — revenue and both per-instant row counts flip.
+
+    Scale posture: identical to the MOR snapshot read — one task
+    per file group walks its logs once, one shuffle-by-key merge
+    window; restore application is O(#instants) planning."""
+    import pandas as _pd  # noqa: F401 (mapInPandas batches)
+
+    orders = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    root = os.path.join(
+        tempfile.gettempdir(), f"shs_hudi_resmor_{uuid.uuid4().hex}"
+    )
+    tdir = os.path.join(root, "t")
+    hdir = os.path.join(tdir, ".hoodie")
+    os.makedirs(hdir)
+
+    schema_json = json.dumps(_LOG_SCHEMA)
+    t1, t2, t3, t4, t5 = "001", "002", "003", "004", "005"
+
+    par = F.col("o_orderkey") % 2
+    for fid, half in (("fg-A", 0), ("fg-B", 1)):
+        stage_single_parquet(
+            orders.filter(par == half), root, tdir,
+            f"{fid}_0-1-0_{t1}.parquet",
+        )
+
+    changes = (
+        orders.filter((F.col("o_orderkey") % 10).isin(2, 3, 6, 7))
+        .toPandas()
+    )
+    mod = changes["o_orderkey"] % 10
+
+    def _upserts(m: int, delta: float) -> list[dict]:
+        sel = changes[mod == m]
+        return [
+            {"o_orderkey": int(k), "o_totalprice": float(p) + delta}
+            for k, p in zip(sel["o_orderkey"], sel["o_totalprice"])
+        ]
+
+    with open(os.path.join(tdir, f".fg-A_{t1}.log.1_0-1-0"),
+              "wb") as fh:
+        fh.write(encode_log_block(  # t2: survives the restore
+            _AVRO_BLOCK, {_H_INSTANT: t2, _H_SCHEMA: schema_json},
+            _enc_avro_content(_upserts(6, 100.0)),
+        ))
+        fh.write(encode_log_block(  # t3: rolled back, same file
+            _AVRO_BLOCK, {_H_INSTANT: t3, _H_SCHEMA: schema_json},
+            _enc_avro_content(_upserts(2, 55.0)),
+        ))
+    with open(os.path.join(tdir, f".fg-B_{t1}.log.1_0-1-0"),
+              "wb") as fh:
+        fh.write(encode_log_block(  # t3: rolled back
+            _AVRO_BLOCK, {_H_INSTANT: t3, _H_SCHEMA: schema_json},
+            _enc_avro_content(_upserts(7, 50.0)),
+        ))
+        fh.write(encode_log_block(  # t5: post-restore, after it
+            _AVRO_BLOCK, {_H_INSTANT: t5, _H_SCHEMA: schema_json},
+            _enc_avro_content(_upserts(3, 75.0)),
+        ))
+
+    for name in (
+        f"{t1}.commit.requested", f"{t1}.commit.inflight",
+        f"{t1}.commit",
+        f"{t2}.deltacommit.requested", f"{t2}.deltacommit.inflight",
+        f"{t3}.deltacommit.requested", f"{t3}.deltacommit.inflight",
+        f"{t5}.deltacommit.requested", f"{t5}.deltacommit.inflight",
+        f"{t2}.savepoint.inflight",
+        f"{t4}.restore.requested", f"{t4}.restore.inflight",
+    ):
+        with open(os.path.join(hdir, name), "w") as fh:
+            fh.write("{}")
+    for inst in (t2, t3, t5):
+        with open(os.path.join(hdir, f"{inst}.deltacommit"),
+                  "w") as fh:
+            fh.write("{}")
+    with open(os.path.join(hdir, f"{t2}.savepoint"), "w") as fh:
+        json.dump({"savepointedAt": t2}, fh)
+    with open(os.path.join(hdir, f"{t4}.restore"), "w") as fh:
+        json.dump({
+            "savepointToRestoreTimestamp": t2,
+            "instantsToRollback": [t3],
+        }, fh)
+
+    # ---- the reader: timeline -> restore applied -> block walk ----
+    completed: set[str] = set()
+    savepoints: set[str] = set()
+    restores: dict[str, dict] = {}
+    for f in sorted(os.listdir(hdir)):
+        parts = f.split(".")
+        if parts[1] not in ("commit", "deltacommit", "savepoint",
+                           "restore"):
+            raise NotImplementedError(f"Hudi action {parts[1]!r}")
+        if len(parts) > 2:
+            continue
+        if parts[1] in ("commit", "deltacommit"):
+            completed.add(parts[0])
+        elif parts[1] == "savepoint":
+            savepoints.add(parts[0])
+        else:
+            with open(os.path.join(hdir, f)) as fh:
+                restores[parts[0]] = json.load(fh)
+
+    savepoint_ok = True
+    rolled_back: set[str] = set()
+    for instant in sorted(restores):
+        meta = restores[instant]
+        target = meta["savepointToRestoreTimestamp"]
+        savepoint_ok &= target in savepoints
+        for rb in meta["instantsToRollback"]:
+            savepoint_ok &= rb > target
+            completed.discard(rb)
+            rolled_back.add(rb)
+
+    base_paths: list[str] = []
+    slices: dict[str, list[tuple[int, str]]] = {}
+    for f in sorted(os.listdir(tdir)):
+        if f.endswith(".parquet"):
+            instant = f.rsplit("_", 1)[1][: -len(".parquet")]
+            if instant in completed:
+                base_paths.append(os.path.join(tdir, f))
+        elif f.startswith(".") and ".log." in f:
+            file_id, _base, version = parse_log_name(f)
+            slices.setdefault(file_id, []).append(
+                (version, os.path.join(tdir, f))
+            )
+
+    plan = spark.createDataFrame(
+        [
+            (fid, json.dumps([p for _, p in sorted(paths)]))
+            for fid, paths in sorted(slices.items())
+        ],
+        "file_id string, logs string",
+    ).repartition(len(slices))
+    visible_b = sorted(completed)
+    rolled_b = sorted(rolled_back)
+
+    def _read_group_logs(batches):
+        import pandas as pd
+
+        cols = ["o_orderkey", "o_totalprice", "instant", "seq",
+                "applied", "skipped_rb", "is_meta"]
+        visible = set(visible_b)
+        rolled = set(rolled_b)
+        for pdf in batches:
+            for rec in pdf.itertuples(index=False):
+                stream: list[dict] = []
+                for path in json.loads(rec.logs):
+                    with open(path, "rb") as fh:
+                        stream.extend(walk_log_blocks(fh.read()))
+                stream, _ = apply_command_blocks(stream)
+                rows = []
+                applied = skipped_rb = 0
+                seq = 0
+                for blk in stream:
+                    instant = blk["header"][_H_INSTANT]
+                    if instant in rolled:
+                        skipped_rb += 1  # restore exclusion, by
+                        continue         # instant inside the file
+                    if instant not in visible:
+                        continue
+                    applied += 1
+                    if blk["type"] != _AVRO_BLOCK:
+                        raise NotImplementedError(
+                            f"log block type {blk['type']}"
+                        )
+                    schema = json.loads(blk["header"][_H_SCHEMA])
+                    for r in _dec_avro_content(blk["content"],
+                                               schema):
+                        seq += 1
+                        rows.append((r["o_orderkey"],
+                                     r["o_totalprice"],
+                                     instant, seq, 0, 0, False))
+                rows.append((None, 0.0, "", 0,
+                             applied, skipped_rb, True))
+                yield pd.DataFrame(rows, columns=cols)
+
+    parsed = plan.mapInPandas(
+        _read_group_logs,
+        "o_orderkey long, o_totalprice double, instant string,"
+        " seq int, applied int, skipped_rb int, is_meta boolean",
+    ).localCheckpoint(eager=True)
+
+    counters = parsed.filter("is_meta").agg(
+        F.sum("applied").cast("int").alias("blocks_applied"),
+        F.sum("skipped_rb").cast("int")
+        .alias("blocks_skipped_rolled_back"),
+    )
+    log_df = parsed.filter(~F.col("is_meta")).select(
+        "o_orderkey", "o_totalprice", "instant", "seq"
+    )
+    base = (
+        spark.read.parquet(*base_paths)
+        .withColumn("instant", F.lit(t1))
+        .withColumn("seq", F.lit(0))
+    )
+    w = Window.partitionBy("o_orderkey").orderBy(
+        F.col("instant").desc(), F.col("seq").desc()
+    )
+    merged = (
+        base.unionByName(log_df)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+    )
+    out = (
+        merged.agg(
+            F.lit(len(completed)).cast("int").alias("commits_visible"),
+            F.lit(len(rolled_back)).cast("int")
+            .alias("commits_rolled_back"),
+            F.count("*").alias("n_orders"),
+            F.sum((F.col("instant") == t2).cast("long"))
+            .cast("bigint").alias("rows_at_t2"),
+            F.sum((F.col("instant") == t5).cast("long"))
+            .cast("bigint").alias("rows_at_t5"),
+            dsum("o_totalprice").alias("revenue"),
+        )
+        .crossJoin(F.broadcast(counters))
+        .select(
+            "commits_visible", "commits_rolled_back",
+            "blocks_applied", "blocks_skipped_rolled_back",
+            F.lit(bool(savepoint_ok)).alias("savepoint_ok"),
+            "n_orders", "rows_at_t2", "rows_at_t5", "revenue",
+        )
+        .localCheckpoint(eager=True)  # 1 row; frees the temp root
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    return out

@@ -1963,3 +1963,224 @@ def source_iceberg_partition_stats_incremental(
     )
     shutil.rmtree(root, ignore_errors=True)
     return out
+
+
+@register(
+    "source_iceberg_partition_stats_evolution",
+    oracle="""
+        SELECT * FROM (
+            SELECT CAST(0 AS INT) AS spec_id,
+                   CAST(year(o_orderdate) - 1970 AS BIGINT)
+                       AS part_year,
+                   CAST(NULL AS BIGINT) AS part_month,
+                   CAST(count(*) AS BIGINT) AS data_record_count,
+                   CAST(1 AS BIGINT) AS data_file_count,
+                   TRUE AS counts_ok,
+                   TRUE AS unified_tuple_ok,
+                   TRUE AS registry_ok
+            FROM orders WHERE o_orderkey % 2 = 0
+            GROUP BY year(o_orderdate)
+            UNION ALL
+            SELECT CAST(1 AS INT),
+                   CAST(NULL AS BIGINT),
+                   CAST((year(o_orderdate) - 1970) * 12
+                        + month(o_orderdate) - 1 AS BIGINT),
+                   CAST(count(*) AS BIGINT),
+                   CAST(1 AS BIGINT),
+                   TRUE, TRUE, TRUE
+            FROM orders
+            WHERE o_orderkey % 2 = 1 AND year(o_orderdate) = 1995
+            GROUP BY year(o_orderdate), month(o_orderdate)
+        )
+        ORDER BY spec_id, coalesce(part_year, part_month)
+    """,
+    tags=("source", "iceberg", "lakehouse", "stats", "partition",
+          "partition-evolution"),
+)
+def source_iceberg_partition_stats_evolution(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Partition statistics over an EVOLVED partition spec (round 19
+    compose) — the part of the spec `source_iceberg_partition_stats`
+    didn't need: the stats file's ``partition`` field is the
+    UNIFIED partition type — the struct of every field across ALL
+    specs by field id — so after the spec's canonical year → month
+    evolution, rows for old-spec files carry (year, null) and
+    new-spec rows carry (null, month); ``spec_id`` travels per row.
+    A writer that keys rows by a single spec's tuple collides
+    partitions across specs or drops the old files' stats.
+
+    Fixture: even keys committed under spec 0 = year(o_orderdate)
+    (7 files, the 1995-2001 testdata span; transform value = years
+    since 1970); odd keys from 1995 committed under spec 1 =
+    month(o_orderdate) (12 files; months since 1970-01). The stats
+    writer derives rows purely from manifest entries; the reader
+    re-reads the file and cross-checks every row against exact
+    per-partition aggregates recomputed from the data files
+    (``counts_ok``), pins the null pattern — each row null in
+    exactly the OTHER spec's field (``unified_tuple_ok``) — and the
+    registry entry (``registry_ok``).
+
+    Scale posture: identical to the siblings — stats derivation is
+    O(manifest entries), the unified-tuple widening is planning
+    schema only (no data rewritten on evolution, ever), and the
+    verification scan exists as the audit's ground truth."""
+    import pandas as _pd
+
+    from spark_hive_spark.sources.evolution import iceberg_format_gate
+    from spark_hive_spark.sources.staging import stage_single_parquet
+
+    orders = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_totalprice"
+    )
+    root = os.path.join(
+        tempfile.gettempdir(), f"shs_icepsev_{uuid.uuid4().hex}"
+    )
+    ddir = os.path.join(root, "data")
+    mdir = os.path.join(root, "metadata")
+    os.makedirs(ddir)
+    os.makedirs(mdir)
+
+    okey = F.col("o_orderkey")
+    yr = F.year("o_orderdate")
+    mo = (yr - 1970) * 12 + F.month("o_orderdate") - 1
+    # spec-0 files (even keys, one per year) and spec-1 files (odd
+    # keys from 1995, one per epoch-month) in two partitionBy jobs
+    (
+        orders.filter(okey % 2 == 0)
+        .withColumn("py", (yr - 1970).cast("long"))
+        .repartition(F.col("py"))
+        .write.partitionBy("py").parquet(os.path.join(ddir, "s0"))
+    )
+    (
+        orders.filter((okey % 2 == 1) & (yr == 1995))
+        .withColumn("pm", mo.cast("long"))
+        .repartition(F.col("pm"))
+        .write.partitionBy("pm").parquet(os.path.join(ddir, "s1"))
+    )
+
+    from urllib.parse import unquote
+
+    def _manifest(sub: str, field: str) -> list[dict]:
+        rows = (
+            spark.read.parquet(os.path.join(ddir, sub))
+            .groupBy(
+                F.col(field),
+                F.col("_metadata.file_path").alias("fp"),
+            )
+            .agg(F.count("*").alias("cnt"))
+            .collect()
+        )
+        out = []
+        for r in rows:
+            local = unquote(
+                r["fp"][len("file:"):]
+                if r["fp"].startswith("file:") else r["fp"]
+            )
+            out.append({
+                "part_value": r[field], "record_count": r["cnt"],
+                "file_size_in_bytes": os.path.getsize(local),
+            })
+        return out
+
+    m0 = _manifest("s0", "py")
+    m1 = _manifest("s1", "pm")
+
+    # ---- the stats WRITER: unified tuple, one row per
+    # (spec_id, partition) ----
+    stats_rows = [
+        {"spec_id": 0, "part_year": e["part_value"],
+         "part_month": None,
+         "data_record_count": e["record_count"],
+         "data_file_count": 1,
+         "total_data_file_size_in_bytes": e["file_size_in_bytes"]}
+        for e in m0
+    ] + [
+        {"spec_id": 1, "part_year": None,
+         "part_month": e["part_value"],
+         "data_record_count": e["record_count"],
+         "data_file_count": 1,
+         "total_data_file_size_in_bytes": e["file_size_in_bytes"]}
+        for e in m1
+    ]
+    spath = os.path.join(mdir, "partition-stats-2.parquet")
+    stage_single_parquet(
+        spark.createDataFrame(
+            _pd.DataFrame(stats_rows),
+            "spec_id int, part_year bigint, part_month bigint, "
+            "data_record_count bigint, data_file_count bigint, "
+            "total_data_file_size_in_bytes bigint",
+        ),
+        root, mdir, "partition-stats-2.parquet",
+    )
+    with open(os.path.join(mdir, "v2.metadata.json"), "w") as fh:
+        json.dump({
+            "format-version": 2,
+            "current-snapshot-id": 2,
+            "partition-specs": [
+                {"spec-id": 0, "fields": [
+                    {"name": "order_year", "transform": "year",
+                     "source-id": 3, "field-id": 1000}]},
+                {"spec-id": 1, "fields": [
+                    {"name": "order_month", "transform": "month",
+                     "source-id": 3, "field-id": 1001}]},
+            ],
+            "snapshots": [{"snapshot-id": 2, "manifest-list": "ml"}],
+            "partition-statistics": [{
+                "snapshot-id": 2, "statistics-path": spath,
+                "file-size-in-bytes": os.path.getsize(spath),
+            }],
+        }, fh)
+
+    # ---- the READER + exact cross-check ----
+    with open(os.path.join(mdir, "v2.metadata.json")) as fh:
+        md = json.load(fh)
+    iceberg_format_gate(md)
+    reg = next(
+        s for s in md["partition-statistics"]
+        if s["snapshot-id"] == md["current-snapshot-id"]
+    )
+    registry_ok = bool(
+        os.path.getsize(reg["statistics-path"])
+        == reg["file-size-in-bytes"]
+        and len(md["partition-specs"]) == 2
+    )
+    stats_df = spark.read.parquet(reg["statistics-path"])
+
+    x0 = (
+        spark.read.parquet(os.path.join(ddir, "s0"))
+        .groupBy(F.col("py").cast("bigint").alias("xk"))
+        .agg(F.count("*").alias("x_records"))
+        .withColumn("x_spec", F.lit(0))
+    )
+    x1 = (
+        spark.read.parquet(os.path.join(ddir, "s1"))
+        .groupBy(F.col("pm").cast("bigint").alias("xk"))
+        .agg(F.count("*").alias("x_records"))
+        .withColumn("x_spec", F.lit(1))
+    )
+    exact = x0.unionByName(x1)
+    joined = stats_df.join(
+        F.broadcast(exact),
+        (F.coalesce("part_year", "part_month") == exact["xk"])
+        & (stats_df["spec_id"] == exact["x_spec"]),
+        "left",
+    )
+    out = joined.select(
+        "spec_id", "part_year", "part_month",
+        "data_record_count", "data_file_count",
+        (F.col("data_record_count") == F.col("x_records"))
+        .alias("counts_ok"),
+        # exactly the OTHER spec's field is null
+        F.when(F.col("spec_id") == 0,
+               F.col("part_year").isNotNull()
+               & F.col("part_month").isNull())
+        .otherwise(F.col("part_month").isNotNull()
+                   & F.col("part_year").isNull())
+        .alias("unified_tuple_ok"),
+        F.lit(bool(registry_ok)).alias("registry_ok"),
+    ).orderBy(
+        "spec_id", F.coalesce("part_year", "part_month")
+    ).localCheckpoint(eager=True)
+    shutil.rmtree(root, ignore_errors=True)
+    return out
