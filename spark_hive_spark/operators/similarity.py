@@ -1663,6 +1663,23 @@ def embedding_pq_adc_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ivf_assigner(C):
+    """mapInPandas factory: assign each vector to its nearest
+    centroid (one numpy GEMM per Arrow batch) — shared by the index
+    maintenance audits."""
+    def assign(batches):
+        for pdf in batches:
+            V = np.stack(pdf["embedding"].to_numpy()).astype(
+                np.float64
+            )
+            Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+            yield pd.DataFrame({
+                "vec_id": pdf["vec_id"],
+                "embedding": pdf["embedding"],
+                "cell": (Vn @ C.T).argmax(axis=1).astype(np.int32),
+            })
+    return assign
+
 @register(
     "ann_incremental_index_audit",
     # n_cells re-derives ivf_policy over the V1 corpus count — the
@@ -1756,23 +1773,11 @@ def ann_incremental_index_audit(
         "cell int, centroid array<double>",
     ).coalesce(1).write.parquet(cdir)
 
-    def _assigner(C):
-        def assign(batches):
-            for pdf in batches:
-                V = np.stack(pdf["embedding"].to_numpy()).astype(
-                    np.float64
-                )
-                Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
-                yield pd.DataFrame({
-                    "vec_id": pdf["vec_id"],
-                    "embedding": pdf["embedding"],
-                    "cell": (Vn @ C.T).argmax(axis=1).astype(np.int32),
-                })
-        return assign
-
+    _assigner = _ivf_assigner
     schema = "vec_id long, embedding array<float>, cell int"
     (
         v1.mapInPandas(_assigner(Cn), schema)
+        .repartition(F.col("cell"))  # one file per cell directory
         .write.partitionBy("cell").parquet(pdir)
     )
 
@@ -1798,6 +1803,7 @@ def ann_incremental_index_audit(
     C_reloaded = _load_centroids()
     (
         batch.mapInPandas(_assigner(C_reloaded), schema)
+        .repartition(F.col("cell"))
         .write.partitionBy("cell").parquet(pdir, mode="append")
     )
 
@@ -1878,6 +1884,231 @@ def ann_incremental_index_audit(
             .alias("recall_ok"),
             F.col("n_viol").cast("bigint")
             .alias("precision_violations"),
+        )
+        .localCheckpoint(eager=True)  # 1 row; frees the index dirs
+    )
+    _shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
+@register(
+    "ann_index_delete_audit",
+    oracle="""
+        WITH d AS (
+            SELECT count(*) AS nd FROM embeddings WHERE vec_id % 7 = 3
+        ),
+        n AS (SELECT count(*) AS nv FROM embeddings)
+        SELECT CAST((SELECT nv FROM n) AS BIGINT) AS n_vectors,
+               CAST((SELECT nd FROM d) AS BIGINT) AS n_deleted,
+               CAST((SELECT nv FROM n) - (SELECT nd FROM d)
+                    AS BIGINT) AS compacted_postings,
+               TRUE AS postings_intact_after_delete,
+               CAST(0 AS BIGINT) AS deleted_served,
+               TRUE AS recall_ok,
+               CAST(0 AS BIGINT) AS precision_violations,
+               TRUE AS compaction_equivalent
+    """,
+    tags=("similarity", "ivf", "index", "delete", "tombstone",
+          "audit"),
+)
+def ann_index_delete_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """DELETES from the persisted IVF index (round 19) — closing the
+    index CRUD story after build → persist → append: removal is a
+    TOMBSTONE file beside the postings (deleted vec_ids), never a
+    posting rewrite; serving anti-joins the broadcast tombstone set
+    after the cell probe. The lifecycle then COMPACTS: affected
+    cells rewrite without their tombstoned rows and the tombstone
+    file retires. Each step attested:
+
+    - ``postings_intact_after_delete``: every posting file
+      byte-size-identical after the delete commits (O(deleted)
+      write, never O(index));
+    - ``deleted_served`` = 0: no tombstoned id appears in any top-k
+      (in-plan count over the served result);
+    - the recall audit runs against brute force OVER THE LIVE SET
+      (`api.knn` on the filtered corpus — deleted vectors must not
+      crowd out live neighbors either): floor 0.75, zero
+      reported-cosine disagreements;
+    - ``compaction_equivalent``: re-serving from the compacted
+      index WITHOUT the tombstone filter returns exactly the
+      tombstone-filtered result (full-outer mismatch count 0), and
+      the compacted posting count is live-exact.
+
+    Scale posture: the tombstone set broadcasts (it is the delete
+    batch, not the corpus); compaction rewrites only cells holding
+    tombstones; the audit's brute-force side is the gate, not the
+    serve path."""
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tf
+    import uuid as _uuid
+
+    emb = t(spark, sf_dir, "embeddings")
+    n_vectors = emb.count()
+    deleted = F.col("vec_id") % 7 == 3
+    n_cells, nprobe = ivf_policy(n_vectors, probe_fraction=0.5)
+    Cn = _ivf_centroids(emb, n_cells)
+
+    root = _os.path.join(
+        _tf.gettempdir(), f"shs_ivf_del_{_uuid.uuid4().hex}"
+    )
+    pdir = _os.path.join(root, "postings")
+    tpath = _os.path.join(root, "tombstones")
+    cpdir = _os.path.join(root, "postings_compacted")
+    schema = "vec_id long, embedding array<float>, cell int"
+    (
+        emb.select("vec_id", "embedding")
+        .mapInPandas(_ivf_assigner(Cn), schema)
+        .repartition(F.col("cell"))  # one file per cell directory
+        .write.partitionBy("cell").parquet(pdir)
+    )
+
+    def _snapshot(d: str) -> dict[str, int]:
+        out = {}
+        for base, _dirs, names in _os.walk(d):
+            for nm in names:
+                if nm.endswith(".parquet"):
+                    p = _os.path.join(base, nm)
+                    out[_os.path.relpath(p, d)] = _os.path.getsize(p)
+        return out
+
+    before = _snapshot(pdir)
+    # the DELETE commit: one tombstone file, nothing else touched
+    emb.filter(deleted).select("vec_id").coalesce(1) \
+        .write.parquet(tpath)
+    postings_intact = _snapshot(pdir) == before
+    n_deleted = spark.read.parquet(tpath).count()
+
+    postings = spark.read.parquet(pdir)
+    tombs = spark.read.parquet(tpath)
+
+    def probe_cells(batches):
+        for pdf in batches:
+            V = np.stack(pdf["embedding"].to_numpy()).astype(
+                np.float64
+            )
+            Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+            top = np.argsort(-(Vn @ Cn.T), axis=1)[:, :nprobe]
+            yield pd.DataFrame({
+                "query_id": np.repeat(
+                    pdf["vec_id"].to_numpy(), nprobe
+                ),
+                "qe": [e for e in pdf["embedding"]
+                       for _ in range(nprobe)],
+                "cell": top.ravel().astype(np.int32),
+            })
+
+    queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        "vec_id", "embedding"
+    )
+    probes = queries.mapInPandas(
+        probe_cells, "query_id long, qe array<float>, cell int"
+    ).localCheckpoint(eager=True)  # serves both index generations
+
+    def _serve(post: DataFrame, mask_tombstones: bool) -> DataFrame:
+        cand = probes.join(post, "cell").filter(
+            F.col("query_id") != F.col("vec_id")
+        )
+        if mask_tombstones:
+            cand = cand.join(
+                F.broadcast(tombs), "vec_id", "left_anti"
+            )
+        sims = cand.select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(cosine(F.col("qe"), F.col("embedding")), 6)
+            .alias("cos_sim"),
+        )
+        w = W.partitionBy("query_id").orderBy(
+            F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+        )
+        return (
+            sims.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= TOP_K)
+            .select("query_id", "neighbor_id", "cos_sim")
+        )
+
+    ann = _serve(postings, mask_tombstones=True).localCheckpoint(
+        eager=True
+    )  # feeds the brute join, the deleted-served count, and the
+    # compaction-equivalence join
+
+    live = emb.filter(~deleted)
+    brute = api.knn(live, queries, k=TOP_K).select(
+        "query_id", "neighbor_id",
+        F.col("cos_sim").alias("brute_cos"),
+    ).localCheckpoint(eager=True)
+    hit = ann.join(
+        brute, ["query_id", "neighbor_id"], "inner"
+    ).localCheckpoint(eager=True)
+    n_exact = brute.agg(F.count("*").alias("n_exact"))
+    n_hit = hit.agg(F.count("*").alias("n_hit"))
+    n_viol = hit.filter(
+        F.abs(F.col("cos_sim") - F.col("brute_cos")) > 1e-6
+    ).agg(F.count("*").alias("n_viol"))
+    served_deleted = ann.join(
+        F.broadcast(tombs),
+        ann["neighbor_id"] == tombs["vec_id"], "inner",
+    ).agg(F.count("*").alias("n_served_deleted"))
+
+    # ---- COMPACTION: rewrite only cells holding tombstones ----
+    affected = sorted(
+        r["cell"] for r in postings.join(
+            F.broadcast(tombs), "vec_id"
+        ).select("cell").distinct().collect()
+    )
+    (
+        postings.filter(F.col("cell").isin(affected))
+        .join(F.broadcast(tombs), "vec_id", "left_anti")
+        .repartition(F.col("cell"))
+        .write.partitionBy("cell")
+        .parquet(cpdir)
+    )
+    for base, _dirs, names in _os.walk(pdir):
+        cell_dir = _os.path.basename(base)
+        if cell_dir.startswith("cell=") and int(
+            cell_dir.split("=")[1]
+        ) not in affected:
+            _os.makedirs(_os.path.join(cpdir, cell_dir),
+                         exist_ok=True)
+            for nm in names:
+                _shutil.copy2(
+                    _os.path.join(base, nm),
+                    _os.path.join(cpdir, cell_dir, nm),
+                )
+    compacted = spark.read.parquet(cpdir)
+    n_compacted = compacted.agg(
+        F.count("*").alias("n_compacted")
+    )
+    ann2 = _serve(compacted, mask_tombstones=False)
+    mism = ann.join(
+        ann2.withColumnRenamed("cos_sim", "cos2"),
+        ["query_id", "neighbor_id"], "full_outer",
+    ).filter(
+        F.col("cos_sim").isNull() | F.col("cos2").isNull()
+        | (F.col("cos_sim") != F.col("cos2"))
+    ).agg(F.count("*").alias("n_mismatch"))
+
+    out = (
+        n_exact.crossJoin(n_hit).crossJoin(n_viol)
+        .crossJoin(served_deleted).crossJoin(n_compacted)
+        .crossJoin(mism)
+        .select(
+            F.lit(n_vectors).cast("bigint").alias("n_vectors"),
+            F.lit(n_deleted).cast("bigint").alias("n_deleted"),
+            F.col("n_compacted").cast("bigint")
+            .alias("compacted_postings"),
+            F.lit(bool(postings_intact))
+            .alias("postings_intact_after_delete"),
+            F.col("n_served_deleted").cast("bigint")
+            .alias("deleted_served"),
+            (F.col("n_hit") / F.col("n_exact") >= 0.75)
+            .alias("recall_ok"),
+            F.col("n_viol").cast("bigint")
+            .alias("precision_violations"),
+            (F.col("n_mismatch") == 0).alias("compaction_equivalent"),
         )
         .localCheckpoint(eager=True)  # 1 row; frees the index dirs
     )

@@ -1479,3 +1479,160 @@ def source_puffin_theta_join_order(
             "revenue",
         )
     )
+
+
+@register(
+    "source_iceberg_table_statistics_lineage",
+    oracle="""
+        SELECT * FROM (
+            SELECT CAST(1 AS BIGINT) AS snapshot_id,
+                   CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(count(DISTINCT o_custkey) AS BIGINT)
+                       AS exact_ndv_custkey,
+                   CASE WHEN count(DISTINCT o_custkey) > 256
+                        THEN 'estimation' ELSE 'exact' END
+                       AS sketch_mode,
+                   TRUE AS ndv_within_20pct,
+                   TRUE AS registry_ok
+            FROM orders WHERE o_orderkey % 2 = 0
+            UNION ALL
+            SELECT CAST(2 AS BIGINT), CAST(count(*) AS BIGINT),
+                   CAST(count(DISTINCT o_custkey) AS BIGINT),
+                   CASE WHEN count(DISTINCT o_custkey) > 256
+                        THEN 'estimation' ELSE 'exact' END,
+                   TRUE, TRUE
+            FROM orders
+        )
+        ORDER BY snapshot_id
+    """,
+    tags=("source", "iceberg", "puffin", "theta-sketch", "stats",
+          "lineage", "time-travel"),
+)
+def source_iceberg_table_statistics_lineage(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-SNAPSHOT table-statistics lineage (round 19 compose) —
+    the registration half the theta queries skipped: the spec's
+    ``statistics`` list in metadata.json binds ONE stats file PER
+    SNAPSHOT (``snapshot-id`` / ``statistics-path`` /
+    ``file-size-in-bytes`` / ``blob-metadata``), so a TIME-TRAVELED
+    read must plan with ITS snapshot's sketches, not the current
+    ones — an NDV estimated from the wrong snapshot's blob
+    mis-costs every join in the traveled plan.
+
+    Fixture: snapshot 1 commits the even-key half (its Puffin file
+    sketches o_custkey over that half); snapshot 2 appends the odd
+    half (fresh sketch over the full table). The reader resolves
+    each snapshot's statistics entry BY SNAPSHOT ID, validates the
+    registered byte size and the blob-metadata's snapshot binding,
+    decodes the theta blob, and attests the estimate within 20% of
+    that snapshot's OWN exact NDV (computed in-plan, distributed).
+    ``registry_ok`` also pins that the two files differ (a writer
+    that re-registers one file for every snapshot passes nothing).
+
+    Scale posture: stats files are O(KB) per snapshot; lineage
+    resolution is a metadata.json lookup — the 100 TB win is that
+    time travel keeps CBO-quality plans without recomputing stats
+    for historical states."""
+    orders = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    root = os.path.join(
+        tempfile.gettempdir(), f"shs_thetalin_{uuid.uuid4().hex}"
+    )
+    ddir = os.path.join(root, "data")
+    mdir = os.path.join(root, "metadata")
+    os.makedirs(ddir)
+    os.makedirs(mdir)
+
+    okey = F.col("o_orderkey")
+    stage_single_parquet(
+        orders.filter(okey % 2 == 0), root, ddir, "A.parquet"
+    )
+    stage_single_parquet(
+        orders.filter(okey % 2 == 1), root, ddir, "B.parquet"
+    )
+    K = 256
+    snap_files = {1: ["A.parquet"], 2: ["A.parquet", "B.parquet"]}
+    stats_entries = []
+    for snap, files in snap_files.items():
+        scan = spark.read.parquet(
+            *(os.path.join(ddir, f) for f in files)
+        ).select("o_custkey")
+        blob = theta_sketch_build(spark, scan, k=K)
+        ppath = os.path.join(mdir, f"stats-snap-{snap}.puffin")
+        puffin_write(ppath, [(blob, {
+            "type": "apache-datasketches-theta-v1",
+            "fields": [2],  # o_custkey field id
+            "snapshot-id": snap,
+            "properties": {"ndv": str(round(theta_estimate(
+                *theta_sketch_deserialize(blob))))},
+        })])
+        stats_entries.append({
+            "snapshot-id": snap,
+            "statistics-path": ppath,
+            "file-size-in-bytes": os.path.getsize(ppath),
+        })
+    with open(os.path.join(mdir, "v2.metadata.json"), "w") as fh:
+        json.dump({
+            "format-version": 2,
+            "current-snapshot-id": 2,
+            "snapshots": [
+                {"snapshot-id": 1, "manifest-list": "ml-1"},
+                {"snapshot-id": 2, "manifest-list": "ml-2"},
+            ],
+            "statistics": stats_entries,
+        }, fh)
+
+    # ---- the reader: per-snapshot stats resolution ----
+    with open(os.path.join(mdir, "v2.metadata.json")) as fh:
+        md = json.load(fh)
+    regs = {s["snapshot-id"]: s for s in md["statistics"]}
+    paths = {s["statistics-path"] for s in md["statistics"]}
+    registry_ok = len(regs) == 2 and len(paths) == 2 and all(
+        os.path.getsize(s["statistics-path"])
+        == s["file-size-in-bytes"] for s in regs.values()
+    )
+    per_snap = []
+    for snap, files in snap_files.items():
+        raw, blobs = puffin_read(regs[snap]["statistics-path"])
+        (bm,) = blobs
+        if bm["type"] != "apache-datasketches-theta-v1":
+            raise NotImplementedError(f"Puffin blob type {bm['type']}")
+        registry_ok &= bm["snapshot-id"] == snap
+        hashes, theta = theta_sketch_deserialize(
+            raw[bm["offset"] : bm["offset"] + bm["length"]]
+        )
+        est = theta_estimate(hashes, theta)
+        mode = "estimation" if theta != _THETA_MAX else "exact"
+        scan = spark.read.parquet(
+            *(os.path.join(ddir, f) for f in files)
+        )
+        per_snap.append(
+            scan.agg(
+                F.lit(snap).cast("bigint").alias("snapshot_id"),
+                F.count("*").alias("n_rows"),
+                F.count_distinct("o_custkey")
+                .alias("exact_ndv_custkey"),
+            ).select(
+                "snapshot_id", "n_rows", "exact_ndv_custkey",
+                F.when(F.col("exact_ndv_custkey") > K, "estimation")
+                .otherwise("exact").alias("sketch_mode"),
+                (
+                    (F.abs(F.lit(est) / F.col("exact_ndv_custkey")
+                           - 1.0) <= 0.2)
+                    # the decoded regime must match the data's
+                    & (F.when(F.col("exact_ndv_custkey") > K,
+                              "estimation").otherwise("exact")
+                       == F.lit(mode))
+                ).alias("ndv_within_20pct"),
+                F.lit(bool(registry_ok)).alias("registry_ok"),
+            )
+        )
+    out = (
+        per_snap[0].unionByName(per_snap[1])
+        .orderBy("snapshot_id")
+        .localCheckpoint(eager=True)  # 2 rows; frees the temp root
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    return out
