@@ -10170,6 +10170,30 @@ def source_iceberg_changelog_update_pairs(
     return out
 
 
+
+def hudi_apply_restores(
+    restores: dict[str, dict], savepoints: set[str], drop
+) -> tuple[set[str], bool]:
+    """Apply COMPLETED restore instants in timeline order (round 19,
+    shared by the three restore readers): each must target an actual
+    savepoint and may roll back only instants strictly after it;
+    ``drop(instant)`` is called once per rolled-back instant so the
+    caller masks it from its completed set. Returns (rolled-back
+    instants, validation verdict). O(#instants) planning arithmetic
+    — never touches data."""
+    ok = True
+    rolled: set[str] = set()
+    for instant in sorted(restores):
+        meta = restores[instant]
+        target = meta["savepointToRestoreTimestamp"]
+        ok &= target in savepoints
+        for rb in meta["instantsToRollback"]:
+            ok &= rb > target
+            drop(rb)
+            rolled.add(rb)
+    return rolled, ok
+
+
 @register(
     "source_hudi_restore",
     oracle=f"""
@@ -10340,18 +10364,9 @@ def source_hudi_restore(
             restores[instant] = meta
     restores_pending -= set(restores)
 
-    savepoint_ok = True
-    rolled_back: set[str] = set()
-    for instant in sorted(restores):
-        meta = restores[instant]
-        target = meta["savepointToRestoreTimestamp"]
-        # a restore must land ON a savepoint, and may only roll back
-        # instants strictly after it
-        savepoint_ok &= target in savepoints
-        for rb in meta["instantsToRollback"]:
-            savepoint_ok &= rb > target
-            commits.pop(rb, None)
-            rolled_back.add(rb)
+    rolled_back, savepoint_ok = hudi_apply_restores(
+        restores, savepoints, lambda rb: commits.pop(rb, None)
+    )
 
     slices: dict[str, tuple[str, str]] = {}
     for ts in sorted(commits):
@@ -10523,15 +10538,16 @@ def source_hudi_incremental_across_restore(
         else:
             restores[instant] = meta
 
-    rolled_in_range = 0
-    for instant in sorted(restores):
-        meta = restores[instant]
-        if meta["savepointToRestoreTimestamp"] not in savepoints:
-            raise ValueError("restore target is not a savepoint")
-        for rb in meta["instantsToRollback"]:
-            if commits.pop(rb, None) is not None \
-                    and begin < rb <= end:
-                rolled_in_range += 1
+    dropped: list[str] = []
+
+    def _drop(rb: str) -> None:
+        if commits.pop(rb, None) is not None:
+            dropped.append(rb)
+
+    _, ok = hudi_apply_restores(restores, savepoints, _drop)
+    if not ok:
+        raise ValueError("restore target is not a savepoint")
+    rolled_in_range = sum(1 for rb in dropped if begin < rb <= end)
 
     in_range = sorted(ts for ts in commits if begin < ts <= end)
     slices: dict[str, tuple[str, str]] = {}

@@ -3977,16 +3977,13 @@ def source_hudi_restore_mor(
             with open(os.path.join(hdir, f)) as fh:
                 restores[parts[0]] = json.load(fh)
 
-    savepoint_ok = True
-    rolled_back: set[str] = set()
-    for instant in sorted(restores):
-        meta = restores[instant]
-        target = meta["savepointToRestoreTimestamp"]
-        savepoint_ok &= target in savepoints
-        for rb in meta["instantsToRollback"]:
-            savepoint_ok &= rb > target
-            completed.discard(rb)
-            rolled_back.add(rb)
+    from spark_hive_spark.sources.evolution import (
+        hudi_apply_restores,
+    )
+
+    rolled_back, savepoint_ok = hudi_apply_restores(
+        restores, savepoints, completed.discard
+    )
 
     base_paths: list[str] = []
     slices: dict[str, list[tuple[int, str]]] = {}

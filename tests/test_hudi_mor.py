@@ -227,3 +227,42 @@ def test_cdc_block_codec_roundtrip():
         _dec_avro_content_cdc(b"\x00\x00\x00\x02" + content[4:])
     with pytest.raises(ValueError, match="trailing"):
         _dec_avro_content_cdc(content + b"\x00")
+
+
+def test_hudi_apply_restores_rules():
+    """Shared restore application (round 19): instant order, target
+    must be a savepoint, rolled-back instants strictly newer, drop
+    called once per rolled-back instant."""
+    from spark_hive_spark.sources.evolution import hudi_apply_restores
+
+    dropped = []
+    rolled, ok = hudi_apply_restores(
+        {"005": {"savepointToRestoreTimestamp": "002",
+                 "instantsToRollback": ["003", "004"]}},
+        {"002"}, dropped.append,
+    )
+    assert ok and rolled == {"003", "004"} and dropped == ["003", "004"]
+    # target not savepointed -> verdict False, rollback still applied
+    rolled, ok = hudi_apply_restores(
+        {"005": {"savepointToRestoreTimestamp": "002",
+                 "instantsToRollback": ["003"]}},
+        set(), lambda _x: None,
+    )
+    assert not ok and rolled == {"003"}
+    # rolling back an instant AT or BEFORE the savepoint is invalid
+    rolled, ok = hudi_apply_restores(
+        {"005": {"savepointToRestoreTimestamp": "002",
+                 "instantsToRollback": ["002"]}},
+        {"002"}, lambda _x: None,
+    )
+    assert not ok
+    # multiple restores apply in instant order
+    seen = []
+    hudi_apply_restores(
+        {"009": {"savepointToRestoreTimestamp": "006",
+                 "instantsToRollback": ["007"]},
+         "005": {"savepointToRestoreTimestamp": "002",
+                 "instantsToRollback": ["003"]}},
+        {"002", "006"}, seen.append,
+    )
+    assert seen == ["003", "007"]
