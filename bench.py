@@ -364,12 +364,18 @@ EXTENDED = [
     "source_hudi_metadata_record_index_sharded",
     "ann_incremental_index_audit",
     "source_puffin_theta_join_order",
+    "source_hudi_restore_mor",
+    "source_iceberg_partition_stats_evolution",
+    "source_iceberg_table_statistics_lineage",
+    "ann_index_delete_audit",
+    "dedup_index_compaction_audit",
 ]
 
 # Streaming extended queries run dead LAST (after the streaming
 # headliner): their state-store machinery must not pollute any batch
 # timing, including each other's relative order with the headliner.
 STREAMING_EXTENDED = [
+    "stream_hudi_timeline_microbatch",
     "stream_stream_interval_join",
     "stream_foreachbatch_parquet_sink",
     "stream_static_enrich_segments",

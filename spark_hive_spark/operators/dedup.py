@@ -996,3 +996,159 @@ def dedup_incremental_index_update(
     ).localCheckpoint(eager=True)  # small pair set; frees the index
     shutil.rmtree(root, ignore_errors=True)
     return out
+
+
+@register(
+    "dedup_index_compaction_audit",
+    # same cycle as dedup_incremental_index_update; compaction must
+    # be INVISIBLE to results, so batch 3's pairs are the same
+    # recomputation and the compaction verdicts ride every row
+    oracle=f"""{SQL_SHINGLES_CTE},
+        v1 AS (SELECT * FROM sh WHERE doc_id % 4 < 2),
+        b2 AS (SELECT * FROM sh WHERE doc_id % 4 = 2),
+        b3 AS (SELECT * FROM sh WHERE doc_id % 4 = 3),
+        sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        c2 AS (
+            SELECT i.doc_id AS d, v.doc_id AS o, count(*) AS c
+            FROM b2 i JOIN v1 v ON i.s = v.s GROUP BY 1, 2
+        ),
+        dups2 AS (
+            SELECT DISTINCT d FROM c2
+            JOIN sz x ON x.doc_id = c2.d
+            JOIN sz y ON y.doc_id = c2.o
+            WHERE c::DOUBLE / (x.n + y.n - c) >= {JACCARD_THRESHOLD}
+        ),
+        corpus AS (
+            SELECT * FROM v1
+            UNION ALL
+            SELECT * FROM b2
+            WHERE doc_id NOT IN (SELECT d FROM dups2)
+        ),
+        c3 AS (
+            SELECT i.doc_id AS doc_id, v.doc_id AS dup_of,
+                   count(*) AS c
+            FROM b3 i JOIN corpus v ON i.s = v.s GROUP BY 1, 2
+        )
+        SELECT c3.doc_id AS doc_id, dup_of,
+               round(c::DOUBLE / (x.n + y.n - c), 6) AS jaccard,
+               TRUE AS files_reduced,
+               TRUE AS rows_preserved,
+               TRUE AS dedupe_equivalent
+        FROM c3
+        JOIN sz x ON x.doc_id = c3.doc_id
+        JOIN sz y ON y.doc_id = dup_of
+        WHERE c::DOUBLE / (x.n + y.n - c) >= {JACCARD_THRESHOLD}
+        ORDER BY c3.doc_id, dup_of
+    """,
+    tags=("dedup", "minhash", "lsh", "index", "maintenance",
+          "compaction"),
+)
+def dedup_index_compaction_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """MinHash index COMPACTION (round 19) — the maintenance step
+    the append path (`dedup_incremental_index_update`) creates a
+    need for: every batch append adds a file generation to each
+    index table (bands / shingles / sizes), and after enough cycles
+    the band equi-join pays per-file open costs that dwarf the data.
+    Compaction rewrites each table coalesced into a fresh directory
+    and swaps it in — the dedup twin of the Hudi metadata-table
+    compaction and the ANN cell compaction.
+
+    The audit pins what compaction must and must not change:
+    ``files_reduced`` (physically fewer parquet files per table),
+    ``rows_preserved`` (per-table row counts identical — a
+    compaction that dedups or drops rows corrupts the index
+    silently), and ``dedupe_equivalent`` — batch 3 is deduped
+    against BOTH generations and the pair sets must match exactly
+    (full-outer mismatch count 0); the emitted rows are the
+    compacted-index results, so the oracle recomputes the whole
+    cycle exhaustively from raw text exactly as the append sibling.
+
+    Scale posture: compaction is one read+write of the index (an
+    O(index) maintenance job scheduled off the serving path, like
+    any LSM compaction), never of the corpus; the equivalence audit
+    is two candidate-bounded dedupes."""
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    sh = _doc_shingles(spark, sf_dir)
+    quarter = F.col("doc_id") % 4
+
+    root = os.path.join(
+        tempfile.gettempdir(), f"shs_dedupidxc_{uuid.uuid4().hex}"
+    )
+    _minhash_index_write(sh.filter(quarter < 2), root)
+    b2_sh = sh.filter(quarter == 2).localCheckpoint(eager=True)
+    b3_sh = sh.filter(quarter == 3).localCheckpoint(eager=True)
+
+    dups2 = (
+        _minhash_index_dedupe(spark, root, b2_sh)
+        .select("doc_id").distinct()
+    )
+    kept2_sh = b2_sh.join(F.broadcast(dups2), "doc_id", "left_anti")
+    _minhash_index_write(kept2_sh, root, mode="append")
+
+    def _files(d: str) -> int:
+        return sum(
+            1
+            for base, _dirs, names in os.walk(d)
+            for nm in names if nm.endswith(".parquet")
+        )
+
+    tables = ("bands", "shingles", "sizes")
+    before_files = {tb: _files(os.path.join(root, tb))
+                    for tb in tables}
+    before_rows = {
+        tb: spark.read.parquet(os.path.join(root, tb)).count()
+        for tb in tables
+    }
+
+    # ---- COMPACTION: coalesced rewrite into a fresh root ----
+    croot = os.path.join(
+        tempfile.gettempdir(), f"shs_dedupidxc2_{uuid.uuid4().hex}"
+    )
+    for tb in tables:
+        (
+            spark.read.parquet(os.path.join(root, tb))
+            .coalesce(1)
+            .write.parquet(os.path.join(croot, tb))
+        )
+    after_files = {tb: _files(os.path.join(croot, tb))
+                   for tb in tables}
+    after_rows = {
+        tb: spark.read.parquet(os.path.join(croot, tb)).count()
+        for tb in tables
+    }
+    files_reduced = all(
+        after_files[tb] < before_files[tb] for tb in tables
+    )
+    rows_preserved = before_rows == after_rows
+
+    # ---- equivalence: batch 3 against BOTH index generations ----
+    pairs_old = _minhash_index_dedupe(spark, root, b3_sh) \
+        .localCheckpoint(eager=True)
+    pairs_new = _minhash_index_dedupe(spark, croot, b3_sh) \
+        .localCheckpoint(eager=True)
+    mism = pairs_old.select("doc_id", "dup_of", "jaccard").join(
+        pairs_new.select(
+            "doc_id", "dup_of",
+            F.col("jaccard").alias("jaccard2"),
+        ),
+        ["doc_id", "dup_of"], "full_outer",
+    ).filter(
+        F.col("jaccard").isNull() | F.col("jaccard2").isNull()
+        | (F.col("jaccard") != F.col("jaccard2"))
+    ).count()
+
+    out = pairs_new.select(
+        "doc_id", "dup_of", "jaccard",
+        F.lit(bool(files_reduced)).alias("files_reduced"),
+        F.lit(bool(rows_preserved)).alias("rows_preserved"),
+        F.lit(mism == 0).alias("dedupe_equivalent"),
+    ).localCheckpoint(eager=True)  # small pair set; frees both roots
+    shutil.rmtree(root, ignore_errors=True)
+    shutil.rmtree(croot, ignore_errors=True)
+    return out

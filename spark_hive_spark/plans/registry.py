@@ -39,7 +39,7 @@ _REGISTRY: dict[str, Query] = {}
 
 # The grading driver sweeps the FIRST 50 registry entries per round, so
 # ordering is an attestation budget. Round-19 rotation (r18 verdict
-# item 7, executed): the 4 reference jobs stay pinned, then the 10 NEW
+# item 7, executed): the 4 reference jobs stay pinned, then the 16 NEW
 # round-19 queries (the r18 verdict's items — Iceberg v3 row lineage
 # through a compaction rewrite and composed with deletion vectors,
 # partition statistics + their incremental maintenance, Hudi
@@ -50,10 +50,13 @@ _REGISTRY: dict[str, Query] = {}
 # CORRECTNESS_r*.json max-round, name order: the r6-attested tail
 # (q7/q9/ratio/repeat/rfm_user_scores displaced from r18's spill list
 # now land, through xml_part_roundtrip), then the r7-attested head
-# through map_hof_event_profile. No rows-only query is in this
+# through graph_triangle_clustering. No rows-only query is in this
 # window, so no bracket pairing applies (the knn/ann and rfm pairs
 # attested r18 travel together whenever they re-enter).
 # Backlog spill for r20 (next oldest, in order):
+# groupby_all_year_priority, impute_missing_acctbal,
+# journey_top_paths, kanonymity_audit, maintenance_compaction_audit,
+# map_hof_event_profile,
 # multimodal_decode_resize, multimodal_wav_features,
 # pagerank_nation_trade, pii_redaction_stats, psi_price_drift,
 # quality_hashed_linear_classifier, recursive_cte_custkey_tree,
@@ -76,10 +79,16 @@ SWEEP_PRIORITY: tuple[str, ...] = (
     "source_iceberg_changelog_row_lineage",
     "source_iceberg_partition_stats",
     "source_iceberg_partition_stats_incremental",
+    "source_iceberg_partition_stats_evolution",
+    "source_iceberg_table_statistics_lineage",
     "source_hudi_restore",
+    "source_hudi_restore_mor",
     "source_hudi_incremental_across_restore",
     "source_hudi_metadata_record_index_sharded",
+    "stream_hudi_timeline_microbatch",
     "ann_incremental_index_audit",
+    "ann_index_delete_audit",
+    "dedup_index_compaction_audit",
     "source_puffin_theta_join_order",
     # oldest attested backlog (r6 tail, then r7 head), name order
     "q7_nation_trade_volume",
@@ -112,12 +121,6 @@ SWEEP_PRIORITY: tuple[str, ...] = (
     "ewma_user_event_values",
     "fuzzy_levenshtein_part_pairs",
     "graph_triangle_clustering",
-    "groupby_all_year_priority",
-    "impute_missing_acctbal",
-    "journey_top_paths",
-    "kanonymity_audit",
-    "maintenance_compaction_audit",
-    "map_hof_event_profile",
 )
 
 
