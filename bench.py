@@ -369,6 +369,9 @@ EXTENDED = [
     "source_iceberg_table_statistics_lineage",
     "ann_index_delete_audit",
     "dedup_index_compaction_audit",
+    "source_hudi_clean_savepoint_guard",
+    "source_iceberg_rewrite_manifests",
+    "source_delta_cdf_row_tracking",
 ]
 
 # Streaming extended queries run dead LAST (after the streaming

@@ -10572,3 +10572,206 @@ def source_hudi_incremental_across_restore(
     ).localCheckpoint(eager=True)  # 1 row; frees the temp root
     shutil.rmtree(root, ignore_errors=True)
     return out
+
+
+@register(
+    "source_iceberg_rewrite_manifests",
+    oracle=f"""
+        SELECT CAST(2 AS INT) AS manifests_before,
+               CAST(1 AS INT) AS manifests_after,
+               CAST(2 AS INT) AS entries_existing,
+               CAST(0 AS INT) AS entries_added,
+               TRUE AS lineage_preserved,
+               TRUE AS files_identical,
+               TRUE AS changelog_silent,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               {sql_dsum('o_totalprice')} AS revenue
+        FROM orders
+    """,
+    tags=("source", "iceberg", "lakehouse", "maintenance",
+          "rewrite-manifests", "avro"),
+)
+def source_iceberg_rewrite_manifests(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Iceberg REWRITE MANIFESTS (round 19) — the metadata-side
+    maintenance action completing the trio after expire-snapshots
+    and partition stats: a table that commits often accumulates one
+    small manifest per commit, and planning pays one open per
+    manifest; rewrite_manifests compacts them into fewer manifests
+    WITHOUT touching data files. Spec obligations, each attested:
+
+    - the rewritten manifest's entries carry status EXISTING (0),
+      never ADDED — ``entries_existing``/``entries_added`` pin the
+      status accounting (a writer that re-marks them ADDED makes
+      every incremental/changelog consumer re-emit the whole
+      table);
+    - each EXISTING entry PRESERVES its original
+      ``snapshot_id`` — file A still credits snapshot 1, B
+      snapshot 2 (``lineage_preserved``; incremental-append
+      resolution keys on exactly this field);
+    - the replace snapshot's file set is IDENTICAL to its parent's
+      (``files_identical``, both manifest-list walks compared);
+    - the changelog contributes NOTHING for the replace snapshot
+      (``changelog_silent`` — summary operation ``replace`` plus
+      zero ADDED entries crediting snapshot 3, the
+      `iceberg_changelog_between` rule);
+    - the data read through the compacted manifest reproduces the
+      raw aggregate exactly.
+
+    Scale posture: planning drops from O(#commits) manifest opens
+    to O(#compacted); the rewrite itself is O(entries) metadata —
+    no data movement, the defining property of the action."""
+    import json as _json
+
+    from spark_hive_spark.operators.avro import (
+        encode_avro_ocf,
+        parse_avro_ocf,
+    )
+
+    orders = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    root = os.path.join(
+        tempfile.gettempdir(), f"shs_icerwm_{uuid.uuid4().hex}"
+    )
+    ddir = os.path.join(root, "data")
+    mdir = os.path.join(root, "metadata")
+    os.makedirs(ddir)
+    os.makedirs(mdir)
+
+    okey = F.col("o_orderkey")
+    stage_single_parquet(
+        orders.filter(okey % 2 == 0), root, ddir, "A.parquet"
+    )
+    stage_single_parquet(
+        orders.filter(okey % 2 == 1), root, ddir, "B.parquet"
+    )
+
+    entry_schema = {
+        "type": "record",
+        "name": "manifest_entry",
+        "fields": [
+            {"name": "status", "type": "long"},
+            {"name": "snapshot_id", "type": "long"},
+            {"name": "file_path", "type": "string"},
+            {"name": "content", "type": "long"},
+        ],
+    }
+    mlist_schema = {
+        "type": "record",
+        "name": "manifest_file",
+        "fields": [
+            {"name": "manifest_path", "type": "string"},
+            {"name": "content", "type": "long"},
+            {"name": "added_snapshot_id", "type": "long"},
+        ],
+    }
+
+    def _manifest(name: str, entries: list[dict]) -> str:
+        path = os.path.join(mdir, name)
+        with open(path, "wb") as fh:
+            fh.write(encode_avro_ocf(entries, entry_schema,
+                                     codec="deflate"))
+        return path
+
+    def _mlist(name: str, rows: list[dict]) -> str:
+        path = os.path.join(mdir, name)
+        with open(path, "wb") as fh:
+            fh.write(encode_avro_ocf(rows, mlist_schema,
+                                     codec="snappy"))
+        return path
+
+    m1 = _manifest("m1.avro", [
+        {"status": 1, "snapshot_id": 1, "file_path": "A.parquet",
+         "content": 0},
+    ])
+    m2 = _manifest("m2.avro", [
+        {"status": 1, "snapshot_id": 2, "file_path": "B.parquet",
+         "content": 0},
+    ])
+    ml2 = _mlist("snap-2.avro", [
+        {"manifest_path": m1, "content": 0, "added_snapshot_id": 1},
+        {"manifest_path": m2, "content": 0, "added_snapshot_id": 2},
+    ])
+    # snapshot 3 = rewrite_manifests: ONE compacted manifest, every
+    # entry EXISTING with its ORIGINAL snapshot_id preserved
+    m3 = _manifest("m3.avro", [
+        {"status": 0, "snapshot_id": 1, "file_path": "A.parquet",
+         "content": 0},
+        {"status": 0, "snapshot_id": 2, "file_path": "B.parquet",
+         "content": 0},
+    ])
+    ml3 = _mlist("snap-3.avro", [
+        {"manifest_path": m3, "content": 0, "added_snapshot_id": 3},
+    ])
+    with open(os.path.join(mdir, "v2.metadata.json"), "w") as fh:
+        _json.dump({
+            "format-version": 2,
+            "current-snapshot-id": 3,
+            "snapshots": [
+                {"snapshot-id": 2, "manifest-list": ml2,
+                 "summary": {"operation": "append"}},
+                {"snapshot-id": 3, "parent-snapshot-id": 2,
+                 "manifest-list": ml3,
+                 "summary": {"operation": "replace"}},
+            ],
+        }, fh)
+
+    # ---- the reader ----
+    with open(os.path.join(mdir, "v2.metadata.json")) as fh:
+        md = _json.load(fh)
+    iceberg_format_gate(md)
+    snaps = {s["snapshot-id"]: s for s in md["snapshots"]}
+
+    def _walk(snap_id: int) -> tuple[list[dict], int]:
+        with open(snaps[snap_id]["manifest-list"], "rb") as fh:
+            _, mrows = parse_avro_ocf(fh.read())
+        entries: list[dict] = []
+        for mrow in mrows:
+            with open(mrow["manifest_path"], "rb") as fh:
+                _, es = parse_avro_ocf(fh.read())
+            for e in es:
+                if e["status"] == 2:
+                    continue  # DELETED: not live
+                entries.append(e)
+        return entries, len(mrows)
+
+    cur = md["current-snapshot-id"]
+    entries3, manifests_after = _walk(cur)
+    parent = snaps[cur]["parent-snapshot-id"]
+    entries2, manifests_before = _walk(parent)
+
+    files3 = sorted(e["file_path"] for e in entries3)
+    files2 = sorted(e["file_path"] for e in entries2)
+    files_identical = files3 == files2
+    n_existing = sum(1 for e in entries3 if e["status"] == 0)
+    n_added = sum(1 for e in entries3 if e["status"] == 1)
+    orig = {e["file_path"]: e["snapshot_id"] for e in entries2}
+    lineage_preserved = all(
+        e["snapshot_id"] == orig[e["file_path"]] for e in entries3
+    )
+    changelog_silent = bool(
+        snaps[cur]["summary"]["operation"] == "replace"
+        and not any(
+            e["status"] == 1 and e["snapshot_id"] == cur
+            for e in entries3
+        )
+    )
+
+    scan = spark.read.parquet(
+        *(os.path.join(ddir, p) for p in files3)
+    )
+    out = scan.agg(
+        F.lit(manifests_before).cast("int").alias("manifests_before"),
+        F.lit(manifests_after).cast("int").alias("manifests_after"),
+        F.lit(n_existing).cast("int").alias("entries_existing"),
+        F.lit(n_added).cast("int").alias("entries_added"),
+        F.lit(bool(lineage_preserved)).alias("lineage_preserved"),
+        F.lit(bool(files_identical)).alias("files_identical"),
+        F.lit(bool(changelog_silent)).alias("changelog_silent"),
+        F.count("*").alias("n_orders"),
+        dsum("o_totalprice").alias("revenue"),
+    ).localCheckpoint(eager=True)  # 1 row; frees the temp root
+    shutil.rmtree(root, ignore_errors=True)
+    return out

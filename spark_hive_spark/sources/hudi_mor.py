@@ -4098,3 +4098,205 @@ def source_hudi_restore_mor(
     )
     shutil.rmtree(root, ignore_errors=True)
     return out
+
+
+@register(
+    "source_hudi_clean_savepoint_guard",
+    oracle=f"""
+        SELECT CAST(3 AS INT) AS commits_completed,
+               CAST(1 AS INT) AS files_cleaned,
+               CAST(1 AS INT) AS pinned_retained,
+               CAST(2 AS INT) AS would_delete_without_guard,
+               TRUE AS clean_safety_ok,
+               TRUE AS savepoint_readable,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               {sql_dsum(
+                   "o_totalprice + CASE"
+                   " WHEN o_orderkey % 10 = 6 THEN 100.00"
+                   " WHEN o_orderkey % 10 = 2 THEN 25.00"
+                   " ELSE 0.00 END"
+               )} AS revenue,
+               CAST(count(*) AS BIGINT) AS asof_n_orders,
+               {sql_dsum('o_totalprice')} AS asof_revenue
+        FROM orders
+    """,
+    tags=("source", "hudi", "lakehouse", "timeline", "clean",
+          "savepoint", "retention"),
+)
+def source_hudi_clean_savepoint_guard(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """CLEAN blocked by a SAVEPOINT (round 19) — the interaction the
+    two table services exist to get right: a savepoint pins its
+    commit's file slices against cleaning, so a retention policy
+    that would otherwise delete them must retain exactly the pinned
+    slices and delete the rest. The query runs the CLEAN PLANNER
+    engine-side: with keep-latest-1 retention, fg-A's 001 and 002
+    bases are both stale — but the savepoint at 001 pins the 001
+    base, so the clean deletes ONLY 002
+    (``would_delete_without_guard`` = 2 vs ``files_cleaned`` = 1),
+    records it in HoodieCleanMetadata shape, and physically removes
+    it.
+
+    Post-clean attests close the loop: the current serve (fg-A@003
+    + fg-B@001) is unchanged and none of its files were deleted
+    (``clean_safety_ok``, the r13 clean contract); and — the point
+    of the guard — TIME TRAVEL TO THE SAVEPOINT still reads the
+    full 001 state (``savepoint_readable``; asof aggregates pin it
+    row-exactly). A cleaner that ignores savepoints passes the
+    current-state checks and silently destroys the restore target —
+    only the as-of read exposes it.
+
+    Scale posture: clean planning is O(#slices) timeline metadata;
+    the pinned-set lookup is O(#savepoints); both reads are the
+    usual latest-visible-slice resolution."""
+    orders = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    root = os.path.join(
+        tempfile.gettempdir(), f"shs_hudi_clnsp_{uuid.uuid4().hex}"
+    )
+    tdir = os.path.join(root, "t")
+    hdir = os.path.join(tdir, ".hoodie")
+    os.makedirs(hdir)
+
+    t1, t2, t3, t4 = "001", "002", "003", "004"
+    par = F.col("o_orderkey") % 2
+    km = F.col("o_orderkey") % 10
+    evens = orders.filter(par == 0)
+
+    def _write_base(file_id: str, instant: str,
+                    df: DataFrame) -> str:
+        name = f"{file_id}_0-1-0_{instant}.parquet"
+        stage_single_parquet(df, root, tdir, name)
+        return name
+
+    def _bump(df: DataFrame, rem: int, delta: int) -> DataFrame:
+        return df.withColumn(
+            "o_totalprice",
+            (F.col("o_totalprice").cast("decimal(18,2)")
+             + F.when(km == rem, delta).otherwise(0)
+             .cast("decimal(18,2)")).cast("double"),
+        )
+
+    a1 = _write_base("fg-A", t1, evens)
+    _write_base("fg-B", t1, orders.filter(par == 1))
+    a2 = _write_base("fg-A", t2, _bump(evens, 6, 100))
+    _write_base("fg-A", t3, _bump(_bump(evens, 6, 100), 2, 25))
+
+    for instant in (t1, t2, t3):
+        for sfx in (".commit.requested", ".commit.inflight",
+                    ".commit"):
+            with open(os.path.join(hdir, instant + sfx), "w") as fh:
+                fh.write("{}")
+    open(os.path.join(hdir, f"{t1}.savepoint.inflight"), "w").close()
+    with open(os.path.join(hdir, f"{t1}.savepoint"), "w") as fh:
+        json.dump({"savepointedAt": t1}, fh)
+
+    # ---- the CLEAN PLANNER (keep latest 1 slice per group) ----
+    completed: set[str] = set()
+    savepoints: set[str] = set()
+    for f in sorted(os.listdir(hdir)):
+        parts = f.split(".")
+        if parts[1] not in ("commit", "savepoint", "clean"):
+            raise NotImplementedError(f"Hudi action {parts[1]!r}")
+        if len(parts) == 2:
+            if parts[1] == "commit":
+                completed.add(parts[0])
+            elif parts[1] == "savepoint":
+                savepoints.add(parts[0])
+
+    groups: dict[str, list[tuple[str, str]]] = {}
+    for f in sorted(os.listdir(tdir)):
+        if f.endswith(".parquet"):
+            fid = f.split("_")[0]
+            instant = f.rsplit("_", 1)[1][: -len(".parquet")]
+            if instant in completed:
+                groups.setdefault(fid, []).append((instant, f))
+    stale: list[str] = []
+    for fid, slices in groups.items():
+        slices.sort()
+        stale += [name for _inst, name in slices[:-1]]
+    would_delete = len(stale)
+    # the GUARD: slices any savepoint pins are not deletable
+    pinned = {
+        name
+        for fid, slices in groups.items()
+        for inst, name in slices
+        if inst in savepoints
+    }
+    deletable = [name for name in stale if name not in pinned]
+    for name in deletable:
+        os.remove(os.path.join(tdir, name))
+    with open(os.path.join(hdir, f"{t4}.clean"), "w") as fh:
+        json.dump({
+            "startCleanTime": t4,
+            "partitionMetadata": {"": {
+                "deletePathPatterns": deletable,
+                "successDeleteFiles": deletable,
+                "failedDeleteFiles": [],
+            }},
+            "totalFilesDeleted": len(deletable),
+        }, fh)
+    for sfx in (".clean.requested", ".clean.inflight"):
+        open(os.path.join(hdir, t4 + sfx), "w").close()
+
+    # ---- post-clean reads + attests ----
+    latest = {
+        fid: slices[-1][1] for fid, slices in groups.items()
+    }
+    clean_safety_ok = all(
+        not os.path.exists(os.path.join(tdir, name))
+        and name not in latest.values()
+        for name in deletable
+    )
+    # pinned slices the retention policy WOULD have deleted — the
+    # guard's actual work (fg-B's pinned base is also its latest
+    # slice and was never at risk)
+    pinned_retained = sum(
+        os.path.exists(os.path.join(tdir, name))
+        for name in pinned if name in stale
+    )
+    current = spark.read.parquet(
+        *(os.path.join(tdir, n) for n in sorted(latest.values()))
+    )
+    # time travel to the savepoint: latest slice AS OF t1 per group
+    asof = {
+        fid: next(
+            name for inst, name in reversed(slices) if inst <= t1
+        )
+        for fid, slices in groups.items()
+    }
+    savepoint_readable = all(
+        os.path.exists(os.path.join(tdir, n)) for n in asof.values()
+    )
+    asof_df = spark.read.parquet(
+        *(os.path.join(tdir, n) for n in sorted(asof.values()))
+    )
+    cur = current.agg(
+        F.count("*").alias("n_orders"),
+        dsum("o_totalprice").alias("revenue"),
+    )
+    trav = asof_df.agg(
+        F.count("*").alias("asof_n_orders"),
+        dsum("o_totalprice").alias("asof_revenue"),
+    )
+    out = (
+        cur.crossJoin(F.broadcast(trav))
+        .select(
+            F.lit(len(completed)).cast("int")
+            .alias("commits_completed"),
+            F.lit(len(deletable)).cast("int").alias("files_cleaned"),
+            F.lit(int(pinned_retained)).cast("int")
+            .alias("pinned_retained"),
+            F.lit(would_delete).cast("int")
+            .alias("would_delete_without_guard"),
+            F.lit(bool(clean_safety_ok)).alias("clean_safety_ok"),
+            F.lit(bool(savepoint_readable))
+            .alias("savepoint_readable"),
+            "n_orders", "revenue", "asof_n_orders", "asof_revenue",
+        )
+        .localCheckpoint(eager=True)  # 1 row; frees the temp root
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    return out
