@@ -372,6 +372,8 @@ EXTENDED = [
     "source_hudi_clean_savepoint_guard",
     "source_iceberg_rewrite_manifests",
     "source_delta_cdf_row_tracking",
+    "source_hudi_record_index_update",
+    "source_iceberg_expire_statistics",
 ]
 
 # Streaming extended queries run dead LAST (after the streaming

@@ -39,7 +39,7 @@ _REGISTRY: dict[str, Query] = {}
 
 # The grading driver sweeps the FIRST 50 registry entries per round, so
 # ordering is an attestation budget. Round-19 rotation (r18 verdict
-# item 7, executed): the 4 reference jobs stay pinned, then the 19 NEW
+# item 7, executed): the 4 reference jobs stay pinned, then the 21 NEW
 # round-19 queries (the r18 verdict's items — Iceberg v3 row lineage
 # through a compaction rewrite and composed with deletion vectors,
 # partition statistics + their incremental maintenance, Hudi
@@ -50,11 +50,12 @@ _REGISTRY: dict[str, Query] = {}
 # CORRECTNESS_r*.json max-round, name order: the r6-attested tail
 # (q7/q9/ratio/repeat/rfm_user_scores displaced from r18's spill list
 # now land, through xml_part_roundtrip), then the r7-attested head
-# through dedup_span_coverage. No rows-only query is in this
+# through collation_ci_part_names. No rows-only query is in this
 # window, so no bracket pairing applies (the knn/ann and rfm pairs
 # attested r18 travel together whenever they re-enter).
 # Backlog spill for r20 (next oldest, in order):
-# ewma_user_event_values,
+# curation_temperature_mixture,
+# dedup_span_coverage, ewma_user_event_values,
 # fuzzy_levenshtein_part_pairs, graph_triangle_clustering,
 # groupby_all_year_priority, impute_missing_acctbal,
 # journey_top_paths, kanonymity_audit, maintenance_compaction_audit,
@@ -95,6 +96,8 @@ SWEEP_PRIORITY: tuple[str, ...] = (
     "source_hudi_clean_savepoint_guard",
     "source_iceberg_rewrite_manifests",
     "source_delta_cdf_row_tracking",
+    "source_hudi_record_index_update",
+    "source_iceberg_expire_statistics",
     # oldest attested backlog (r6 tail, then r7 head), name order
     "q7_nation_trade_volume",
     "q9_nation_year_profit",
@@ -121,8 +124,6 @@ SWEEP_PRIORITY: tuple[str, ...] = (
     "chisq_segment_priority",
     "cogroup_click_purchase_latency",
     "collation_ci_part_names",
-    "curation_temperature_mixture",
-    "dedup_span_coverage",
 )
 
 

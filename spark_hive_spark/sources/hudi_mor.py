@@ -4300,3 +4300,241 @@ def source_hudi_clean_savepoint_guard(
     )
     shutil.rmtree(root, ignore_errors=True)
     return out
+
+
+@register(
+    "source_hudi_record_index_update",
+    oracle=f"""
+        SELECT CAST(count(*) AS BIGINT) AS index_entries,
+               (SELECT CAST(count(*) AS BIGINT) FROM orders
+                WHERE o_orderkey % 10 = 5) AS log_updates,
+               CAST(1 AS INT) AS log_hfile_blocks,
+               TRUE AS moved_keys_resolve_new,
+               TRUE AS locations_correct,
+               (SELECT CAST(count(*) AS BIGINT) FROM orders
+                WHERE o_orderkey % 625 = 0) AS n_found,
+               (SELECT {sql_dsum(
+                   "o_totalprice + CASE WHEN o_orderkey % 10 = 5"
+                   " THEN 100.00 ELSE 0.00 END"
+               )} FROM orders WHERE o_orderkey % 625 = 0)
+                   AS revenue_found
+        FROM orders
+    """,
+    tags=("source", "hudi", "lakehouse", "metadata-table", "hfile",
+          "record-index", "merge-on-read", "point-lookup"),
+)
+def source_hudi_record_index_update(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """record_index UPDATES through metadata LOG BLOCKS (round 19)
+    — what happens to the record-level index when records MOVE file
+    groups: a clustering-style upsert at t2 relocates keys ≡ 5
+    (mod 10) from fg-B into a new fg-C (+100.00) and rewrites fg-B
+    without them; the metadata table does NOT rewrite its record
+    index base — the t2 deltacommit appends an HFILE LOG BLOCK
+    whose cells carry the moved keys' NEW locations, and lookups
+    resolve through the MERGED slice (log wins per key, the same
+    MOR rule as every other metadata partition).
+
+    The trap has teeth in both directions: a reader that ignores
+    the log block sends the moved keys to fg-B@t2 — which no longer
+    CONTAINS them, so every moved probe misses and n_found drops;
+    one that replays the log without per-key override serves the
+    stale fg-B location for keys present in both images. Probes
+    (keys ≡ 0 mod 625 — alternating ≡ 0 and ≡ 5 mod 10, so the set
+    crosses moved and unmoved keys) resolve through the merge, the
+    named files are read ONCE each, and ``locations_correct`` pins
+    every probed key found exactly where the index said;
+    ``moved_keys_resolve_new`` pins all moved probes at fg-C@t2.
+
+    Scale posture: the index update is O(moved records) appended —
+    never an O(records) base rewrite (that is compaction's job,
+    `source_hudi_metadata_table_compaction`); lookups stay
+    O(log blocks-per-slice) point gets."""
+    import uuid as _uuid
+
+    from spark_hive_spark.sources.hfile import HFileReader, hfile_encode
+
+    orders = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    root = os.path.join(
+        tempfile.gettempdir(), f"shs_hudi_rliu_{uuid.uuid4().hex}"
+    )
+    tdir = os.path.join(root, "t")
+    hdir = os.path.join(tdir, ".hoodie")
+    mrli = os.path.join(hdir, "metadata", "record_index")
+    mhdir = os.path.join(hdir, "metadata", ".hoodie")
+    os.makedirs(mrli)
+    os.makedirs(mhdir)
+
+    t1, t2 = "001", "002"
+    fids = {
+        "fg-A": _uuid.UUID(int=0xA),
+        "fg-B": _uuid.UUID(int=0xB),
+        "fg-C": _uuid.UUID(int=0xC),
+    }
+    okey = F.col("o_orderkey")
+    par, mod = okey % 2, okey % 10
+
+    def _fname(fid: str, instant: str) -> str:
+        return f"{fids[fid]}-0_0-1-0_{instant}.parquet"
+
+    bump = (F.col("o_totalprice").cast("decimal(18,2)")
+            + F.lit(100).cast("decimal(18,2)")).cast("double")
+    stage_single_parquet(
+        orders.filter(par == 0), root, tdir, _fname("fg-A", t1)
+    )
+    stage_single_parquet(
+        orders.filter(par == 1), root, tdir, _fname("fg-B", t1)
+    )
+    # t2: keys ≡ 5 MOVE to fg-C (+100); fg-B rewritten without them
+    stage_single_parquet(
+        orders.filter(mod == 5)
+        .withColumn("o_totalprice", bump),
+        root, tdir, _fname("fg-C", t2),
+    )
+    stage_single_parquet(
+        orders.filter((par == 1) & (mod != 5)), root, tdir,
+        _fname("fg-B", t2),
+    )
+    for instant in (t1, t2):
+        for sfx in (".commit.requested", ".commit.inflight",
+                    ".commit"):
+            with open(os.path.join(hdir, instant + sfx), "w") as fh:
+                fh.write("{}")
+        for sfx in (".deltacommit.requested", ".deltacommit.inflight",
+                    ".deltacommit"):
+            with open(os.path.join(mhdir, instant + sfx), "w") as fh:
+                fh.write("{}")
+
+    # RLI base at t1 (initial locations), update LOG BLOCK at t2
+    uuid_strs = {k: str(v) for k, v in fids.items()}
+
+    def _cells(batches):
+        import pandas as _pd
+
+        for pdf in batches:
+            keys, vals, moved = [], [], []
+            for k in pdf["o_orderkey"]:
+                k = int(k)
+                fid = "fg-A" if k % 2 == 0 else "fg-B"
+                keys.append(str(k).encode())
+                vals.append(enc_rli_record(
+                    "", _uuid.UUID(uuid_strs[fid]), 0, int(t1)
+                ))
+                moved.append(k % 10 == 5)
+            yield _pd.DataFrame(
+                {"key": keys, "val": vals, "moved": moved}
+            )
+
+    built = orders.select("o_orderkey").mapInPandas(
+        _cells, "key binary, val binary, moved boolean"
+    ).toPandas()
+    base_img = hfile_encode(
+        dict(zip(
+            (bytes(k) for k in built["key"]),
+            (bytes(v) for v in built["val"]),
+        )),
+        block_size=1024, max_root_entries=16, compression="gz",
+    )
+    with open(os.path.join(
+        mrli, f"record-index-0000_0-0-0_{t1}.hfile"
+    ), "wb") as fh:
+        fh.write(base_img)
+    movers = built[built["moved"]]
+    upd_img = hfile_encode(
+        {
+            bytes(k): enc_rli_record(
+                "", fids["fg-C"], 0, int(t2)
+            )
+            for k in movers["key"]
+        },
+        block_size=1024, max_root_entries=16,
+    )
+    with open(os.path.join(
+        mrli, f".record-index-0000_{t1}.log.1_0-1-0"
+    ), "wb") as fh:
+        fh.write(encode_log_block(
+            _HFILE_BLOCK, {_H_INSTANT: t2}, upd_img
+        ))
+
+    # ---- the reader: merged RLI slice -> keyed lookups ----
+    completed_meta = {
+        f.split(".")[0] for f in os.listdir(mhdir)
+        if len(f.split(".")) == 2 and f.endswith(".deltacommit")
+    }
+    (base_name,) = [
+        f for f in os.listdir(mrli) if f.endswith(".hfile")
+    ]
+    with open(os.path.join(mrli, base_name), "rb") as fh:
+        rd = HFileReader(fh.read())
+    overrides: dict[bytes, bytes] = {}
+    n_blocks = 0
+    for lf in sorted(
+        (f for f in os.listdir(mrli) if ".log." in f),
+        key=lambda n: parse_log_name(n)[2],
+    ):
+        with open(os.path.join(mrli, lf), "rb") as fh:
+            for blk in walk_log_blocks(fh.read()):
+                if blk["type"] != _HFILE_BLOCK:
+                    raise NotImplementedError(
+                        f"log block type {blk['type']} in the "
+                        "record_index partition"
+                    )
+                if blk["header"][_H_INSTANT] not in completed_meta:
+                    continue
+                n_blocks += 1
+                for row, val in HFileReader(blk["content"]).scan():
+                    overrides[row] = val  # log wins per key
+
+    def _lookup(key: int) -> dict | None:
+        kb = str(key).encode()
+        raw = overrides.get(kb)
+        if raw is None:
+            raw = rd.get(kb)
+        return None if raw is None else dec_rli_record(raw)
+
+    present = [
+        r[0] for r in orders.filter(okey % 625 == 0)
+        .select("o_orderkey").collect()
+    ]
+    by_file: dict[str, list[int]] = {}
+    locations_correct = True
+    moved_resolve_new = True
+    for key in present:
+        rec = _lookup(key)
+        if rec is None:
+            locations_correct = False
+            continue
+        fname = (
+            f"{rec['fileId']}-{rec['fileIndex']}"
+            f"_0-1-0_{rec['instantTime']:03d}.parquet"
+        )
+        if key % 10 == 5:
+            moved_resolve_new &= fname == _fname("fg-C", t2)
+        elif key % 2 == 0:
+            locations_correct &= fname == _fname("fg-A", t1)
+        by_file.setdefault(fname, []).append(key)
+
+    found = None
+    for fname, keys in sorted(by_file.items()):
+        d = (
+            spark.read.parquet(os.path.join(tdir, fname))
+            .filter(F.col("o_orderkey").isin(keys))
+        )
+        found = d if found is None else found.unionByName(d)
+    n_present = len(present)
+    out = found.agg(
+        F.lit(rd.entry_count).cast("bigint").alias("index_entries"),
+        F.lit(len(overrides)).cast("bigint").alias("log_updates"),
+        F.lit(n_blocks).cast("int").alias("log_hfile_blocks"),
+        F.lit(bool(moved_resolve_new))
+        .alias("moved_keys_resolve_new"),
+        (F.lit(bool(locations_correct))
+         & (F.count("*") == n_present)).alias("locations_correct"),
+        F.count("*").alias("n_found"),
+        dsum("o_totalprice").alias("revenue_found"),
+    ).localCheckpoint(eager=True)  # 1 row; frees the temp root
+    shutil.rmtree(root, ignore_errors=True)
+    return out

@@ -1636,3 +1636,190 @@ def source_iceberg_table_statistics_lineage(
     )
     shutil.rmtree(root, ignore_errors=True)
     return out
+
+
+@register(
+    "source_iceberg_expire_statistics",
+    oracle=f"""
+        SELECT CAST(2 AS INT) AS stats_entries_before,
+               CAST(1 AS INT) AS stats_entries_after,
+               CAST(2 AS INT) AS partition_stats_entries_before,
+               CAST(1 AS INT) AS partition_stats_entries_after,
+               CAST(2 AS INT) AS orphan_stats_files_removed,
+               TRUE AS current_stats_intact,
+               TRUE AS expired_travel_fails,
+               CAST(count(DISTINCT o_custkey) AS BIGINT)
+                   AS exact_ndv_custkey,
+               TRUE AS ndv_within_20pct,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               {sql_dsum('o_totalprice')} AS revenue
+        FROM orders
+    """,
+    tags=("source", "iceberg", "puffin", "stats", "maintenance",
+          "expire-snapshots", "retention"),
+)
+def source_iceberg_expire_statistics(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """EXPIRE SNAPSHOTS cleans up STATISTICS files (round 19) — the
+    maintenance interaction `source_iceberg_expire_snapshots` and
+    the stats registries leave open: per the spec's RemoveSnapshots
+    semantics, expiring a snapshot must also drop its entries from
+    BOTH the ``statistics`` and ``partition-statistics`` lists and
+    the files they reference become orphans to delete — a cleaner
+    that prunes only data files leaks one stats file per expired
+    snapshot forever (at daily stats on a busy table, that is the
+    dominant leak).
+
+    Fixture: snapshots 1 (half the table) and 2 (all of it), each
+    with a Puffin theta NDV file AND a partition-stats parquet
+    registered. Expiry of snapshot 1 rewrites metadata.json and
+    physically removes its two stats files. Attested: entry counts
+    before/after in both lists, both orphans gone from disk, the
+    CURRENT snapshot's stats file untouched AND still loadable (the
+    theta blob decodes and its estimate stays within 20% of the
+    exact NDV — a cleaner that deleted the wrong file fails here,
+    not just on byte counts), time travel to the expired id fails
+    by name, and the current read reproduces the raw aggregate.
+
+    Scale posture: expiry is metadata arithmetic + O(expired) file
+    deletes; the stats-registry sweep is O(len(statistics)) — the
+    lists a planner reads on every query stay bounded by LIVE
+    snapshots."""
+    orders = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    root = os.path.join(
+        tempfile.gettempdir(), f"shs_thetaexp_{uuid.uuid4().hex}"
+    )
+    ddir = os.path.join(root, "data")
+    mdir = os.path.join(root, "metadata")
+    os.makedirs(ddir)
+    os.makedirs(mdir)
+
+    import pandas as _pd
+
+    okey = F.col("o_orderkey")
+    stage_single_parquet(
+        orders.filter(okey % 2 == 0), root, ddir, "A.parquet"
+    )
+    stage_single_parquet(
+        orders.filter(okey % 2 == 1), root, ddir, "B.parquet"
+    )
+    K = 256
+    snap_files = {1: ["A.parquet"], 2: ["A.parquet", "B.parquet"]}
+    stats, pstats = [], []
+    for snap, files in snap_files.items():
+        scan = spark.read.parquet(
+            *(os.path.join(ddir, f) for f in files)
+        )
+        blob = theta_sketch_build(
+            spark, scan.select("o_custkey"), k=K
+        )
+        ppath = os.path.join(mdir, f"stats-{snap}.puffin")
+        puffin_write(ppath, [(blob, {
+            "type": "apache-datasketches-theta-v1",
+            "fields": [2], "snapshot-id": snap,
+            "properties": {"ndv": str(round(theta_estimate(
+                *theta_sketch_deserialize(blob))))},
+        })])
+        stats.append({
+            "snapshot-id": snap, "statistics-path": ppath,
+            "file-size-in-bytes": os.path.getsize(ppath),
+        })
+        sp = os.path.join(mdir, f"partition-stats-{snap}.parquet")
+        stage_single_parquet(
+            spark.createDataFrame(
+                _pd.DataFrame([{
+                    "part_value": "ALL", "spec_id": 0,
+                    "data_record_count": scan.count(),
+                    "data_file_count": len(files),
+                }]),
+                "part_value string, spec_id int, "
+                "data_record_count bigint, data_file_count bigint",
+            ),
+            root, mdir, f"partition-stats-{snap}.parquet",
+        )
+        pstats.append({
+            "snapshot-id": snap, "statistics-path": sp,
+            "file-size-in-bytes": os.path.getsize(sp),
+        })
+    meta_path = os.path.join(mdir, "v2.metadata.json")
+    with open(meta_path, "w") as fh:
+        json.dump({
+            "format-version": 2,
+            "current-snapshot-id": 2,
+            "snapshots": [
+                {"snapshot-id": 1, "manifest-list": "ml-1"},
+                {"snapshot-id": 2, "manifest-list": "ml-2"},
+            ],
+            "statistics": stats,
+            "partition-statistics": pstats,
+        }, fh)
+
+    # ---- EXPIRE snapshot 1: metadata rewrite + orphan cleanup ----
+    with open(meta_path) as fh:
+        md = json.load(fh)
+    before_stats = len(md["statistics"])
+    before_pstats = len(md["partition-statistics"])
+    live = {2}
+    expired = {s["snapshot-id"] for s in md["snapshots"]} - live
+    orphans = [
+        e["statistics-path"]
+        for key in ("statistics", "partition-statistics")
+        for e in md[key] if e["snapshot-id"] in expired
+    ]
+    md["snapshots"] = [
+        s for s in md["snapshots"] if s["snapshot-id"] in live
+    ]
+    for key in ("statistics", "partition-statistics"):
+        md[key] = [e for e in md[key] if e["snapshot-id"] in live]
+    with open(meta_path, "w") as fh:
+        json.dump(md, fh)
+    removed = 0
+    for p in orphans:
+        os.remove(p)
+        removed += not os.path.exists(p)
+
+    # ---- the post-expiry reader ----
+    with open(meta_path) as fh:
+        md2 = json.load(fh)
+    try:
+        next(s for s in md2["snapshots"] if s["snapshot-id"] == 1)
+        expired_travel_fails = False
+    except StopIteration:
+        expired_travel_fails = True
+    (reg,) = md2["statistics"]
+    current_intact = bool(
+        reg["snapshot-id"] == 2
+        and os.path.getsize(reg["statistics-path"])
+        == reg["file-size-in-bytes"]
+        and len(md2["partition-statistics"]) == 1
+    )
+    raw, blobs = puffin_read(reg["statistics-path"])
+    (bm,) = blobs
+    est = theta_estimate(*theta_sketch_deserialize(
+        raw[bm["offset"] : bm["offset"] + bm["length"]]
+    ))
+    scan = spark.read.parquet(
+        *(os.path.join(ddir, f) for f in snap_files[2])
+    )
+    out = scan.agg(
+        F.lit(before_stats).cast("int").alias("stats_entries_before"),
+        F.lit(len(md2["statistics"])).cast("int")
+        .alias("stats_entries_after"),
+        F.lit(before_pstats).cast("int")
+        .alias("partition_stats_entries_before"),
+        F.lit(len(md2["partition-statistics"])).cast("int")
+        .alias("partition_stats_entries_after"),
+        F.lit(removed).cast("int").alias("orphan_stats_files_removed"),
+        F.lit(bool(current_intact)).alias("current_stats_intact"),
+        F.lit(bool(expired_travel_fails)).alias("expired_travel_fails"),
+        F.count_distinct("o_custkey").alias("exact_ndv_custkey"),
+        (F.abs(F.lit(est) / F.count_distinct("o_custkey") - 1.0)
+         <= 0.2).alias("ndv_within_20pct"),
+        F.count("*").alias("n_orders"),
+        dsum("o_totalprice").alias("revenue"),
+    ).localCheckpoint(eager=True)  # 1 row; frees the temp root
+    shutil.rmtree(root, ignore_errors=True)
+    return out
