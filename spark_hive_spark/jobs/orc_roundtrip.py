@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from spark_hive_spark.plans.registry import register
+from spark_hive_spark.scratch import scratch_root
 from spark_hive_spark.sources.catalog import (
     create_orc_table,
     insert_into,
@@ -67,7 +68,7 @@ def ref_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     global temp view. Row-for-row identical roundtrips are required
     for the per-region counts/keys/name-lengths to match the oracle
     (computed from the source parquet)."""
-    loc = os.path.join(tempfile.gettempdir(), f"{_DB}_loc")
+    loc = os.path.join(scratch_root(), f"{_DB}_loc")
     # Reset catalog AND filesystem state: a leftover location from a
     # previous session isn't tracked by this session's catalog, and a
     # managed-table CREATE refuses a non-empty location.

@@ -29,6 +29,7 @@ from pyspark.sql import functions as F
 
 from spark_hive_spark import api
 from spark_hive_spark.plans.registry import register
+from spark_hive_spark.scratch import scratch_root
 from spark_hive_spark.tables import t
 
 # Shingles appearing in more docs than this carry no dedup signal but
@@ -854,7 +855,7 @@ def dedup_incremental_against_index(
 
     # ---- index build: one-time, persisted, v1-only ----
     root = os.path.join(
-        tempfile.gettempdir(), f"shs_dedupidx_{uuid.uuid4().hex}"
+        scratch_root(), f"shs_dedupidx_{uuid.uuid4().hex}"
     )
     _minhash_index_write(sh.filter(~is_inc), root)
 
@@ -968,7 +969,7 @@ def dedup_incremental_index_update(
     quarter = F.col("doc_id") % 4
 
     root = os.path.join(
-        tempfile.gettempdir(), f"shs_dedupidxu_{uuid.uuid4().hex}"
+        scratch_root(), f"shs_dedupidxu_{uuid.uuid4().hex}"
     )
     # corpus v1 -> the frozen index
     _minhash_index_write(sh.filter(quarter < 2), root)
@@ -1078,7 +1079,7 @@ def dedup_index_compaction_audit(
     quarter = F.col("doc_id") % 4
 
     root = os.path.join(
-        tempfile.gettempdir(), f"shs_dedupidxc_{uuid.uuid4().hex}"
+        scratch_root(), f"shs_dedupidxc_{uuid.uuid4().hex}"
     )
     _minhash_index_write(sh.filter(quarter < 2), root)
     b2_sh = sh.filter(quarter == 2).localCheckpoint(eager=True)
@@ -1108,7 +1109,7 @@ def dedup_index_compaction_audit(
 
     # ---- COMPACTION: coalesced rewrite into a fresh root ----
     croot = os.path.join(
-        tempfile.gettempdir(), f"shs_dedupidxc2_{uuid.uuid4().hex}"
+        scratch_root(), f"shs_dedupidxc2_{uuid.uuid4().hex}"
     )
     for tb in tables:
         (

@@ -38,6 +38,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from spark_hive_spark.plans.registry import register
+from spark_hive_spark.scratch import scratch_root
 from spark_hive_spark.tables import t
 
 MEDIA_SCHEMA = (
@@ -4300,7 +4301,7 @@ def source_binaryfile_bmp_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
 
     out = os.path.join(
-        tempfile.gettempdir(), f"shs_binsrc_{uuid.uuid4().hex}"
+        scratch_root(), f"shs_binsrc_{uuid.uuid4().hex}"
     )
     os.makedirs(out)
     for doc_id in range(BINSRC_DOCS):

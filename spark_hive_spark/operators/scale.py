@@ -30,6 +30,7 @@ from pyspark.sql import functions as F
 
 from spark_hive_spark.functions.numeric import dsum, sql_dsum
 from spark_hive_spark.plans.registry import register
+from spark_hive_spark.scratch import scratch_root
 from spark_hive_spark.tables import t
 
 
@@ -584,7 +585,7 @@ def storage_zorder_clustering_audit(
     ).withColumn("zv", _col_zvalue(F.col("x"), F.col("y")))
 
     root = os.path.join(
-        tempfile.gettempdir(), f"shs_zord_{uuid.uuid4().hex}"
+        scratch_root(), f"shs_zord_{uuid.uuid4().hex}"
     )
     os.makedirs(root)
 

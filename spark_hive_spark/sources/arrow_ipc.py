@@ -67,6 +67,7 @@ from pyspark.sql import functions as F
 
 from spark_hive_spark.functions.numeric import dsum, sql_dsum
 from spark_hive_spark.plans.registry import register
+from spark_hive_spark.scratch import scratch_root
 from spark_hive_spark.tables import t
 
 _MAGIC = b"ARROW1"
@@ -501,7 +502,7 @@ def source_arrow_ipc_records(
     import pyarrow.ipc as pipc
 
     root = os.path.join(
-        tempfile.gettempdir(), f"shs_ipc_{uuid.uuid4().hex}"
+        scratch_root(), f"shs_ipc_{uuid.uuid4().hex}"
     )
     os.makedirs(root)
     path = os.path.join(root, "orders.arrow")
@@ -619,7 +620,7 @@ def source_arrow_ipc_dictionary(
     import pyarrow.ipc as pipc
 
     root = os.path.join(
-        tempfile.gettempdir(), f"shs_ipcd_{uuid.uuid4().hex}"
+        scratch_root(), f"shs_ipcd_{uuid.uuid4().hex}"
     )
     os.makedirs(root)
     path = os.path.join(root, "orders_dict.arrow")
@@ -744,7 +745,7 @@ def source_arrow_ipc_stream(
     import pyarrow.ipc as pipc
 
     root = os.path.join(
-        tempfile.gettempdir(), f"shs_ipcs_{uuid.uuid4().hex}"
+        scratch_root(), f"shs_ipcs_{uuid.uuid4().hex}"
     )
     os.makedirs(root)
     path = os.path.join(root, "customer.arrows")
@@ -857,7 +858,7 @@ def source_arrow_ipc_delta_dictionary(
     import pyarrow.ipc as pipc
 
     root = os.path.join(
-        tempfile.gettempdir(), f"shs_ipcdd_{uuid.uuid4().hex}"
+        scratch_root(), f"shs_ipcdd_{uuid.uuid4().hex}"
     )
     os.makedirs(root)
     path = os.path.join(root, "customer_delta.arrows")

@@ -41,6 +41,7 @@ from pyspark.sql import functions as F
 
 from spark_hive_spark.functions.numeric import dsum, sql_dsum
 from spark_hive_spark.plans.registry import register
+from spark_hive_spark.scratch import scratch_root
 from spark_hive_spark.tables import t
 
 
@@ -99,7 +100,7 @@ def source_delta_cdf_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-version unions are narrow parquet scans Spark parallelizes
     per file."""
     orders = t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
-    root = os.path.join(tempfile.gettempdir(), f"shs_cdf_{uuid.uuid4().hex}")
+    root = os.path.join(scratch_root(), f"shs_cdf_{uuid.uuid4().hex}")
     tdir = os.path.join(root, "t")
     ldir = os.path.join(tdir, "_delta_log")
     cdir = os.path.join(tdir, "_change_data")
@@ -302,7 +303,7 @@ def source_delta_cdf_row_tracking(
         "o_orderkey", "o_totalprice"
     )
     root = os.path.join(
-        tempfile.gettempdir(), f"shs_cdfrt_{uuid.uuid4().hex}"
+        scratch_root(), f"shs_cdfrt_{uuid.uuid4().hex}"
     )
     tdir = os.path.join(root, "t")
     ldir = os.path.join(tdir, "_delta_log")

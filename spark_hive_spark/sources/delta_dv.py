@@ -64,6 +64,7 @@ from pyspark.sql import functions as F
 
 from spark_hive_spark.functions.numeric import dsum, sql_dsum
 from spark_hive_spark.plans.registry import register
+from spark_hive_spark.scratch import scratch_root
 from spark_hive_spark.tables import t
 
 # ---------------------------------------------------------------------------
@@ -445,7 +446,7 @@ def source_delta_deletion_vectors(
         "o_orderkey", "o_totalprice"
     )
     root = os.path.join(
-        tempfile.gettempdir(), f"shs_dv_{uuid_mod.uuid4().hex}"
+        scratch_root(), f"shs_dv_{uuid_mod.uuid4().hex}"
     )
     tdir = os.path.join(root, "t")
     ldir = os.path.join(tdir, "_delta_log")

@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 
 from spark_hive_spark.functions.numeric import dsum, sql_dsum
 from spark_hive_spark.plans.registry import register
+from spark_hive_spark.scratch import scratch_root
 from spark_hive_spark.sources.staging import stage_single_parquet
 from spark_hive_spark.tables import t
 
@@ -61,7 +62,7 @@ def source_schema_evolution_union(spark: SparkSession, sf_dir: str) -> DataFrame
     narrow projections, partitioned like any append job."""
     orders = t(spark, sf_dir, "orders")
     out_dir = os.path.join(
-        tempfile.gettempdir(), f"shs_evolve_{uuid.uuid4().hex}"
+        scratch_root(), f"shs_evolve_{uuid.uuid4().hex}"
     )
     early = orders.filter(F.year("o_orderdate") < _SPLIT_YEAR).select(
         "o_orderkey", "o_totalprice", "o_orderdate"
@@ -135,7 +136,7 @@ def sink_dynamic_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFr
     pruning on any year-filtered read."""
     orders = t(spark, sf_dir, "orders")
     out_dir = os.path.join(
-        tempfile.gettempdir(), f"shs_dpo_{uuid.uuid4().hex}"
+        scratch_root(), f"shs_dpo_{uuid.uuid4().hex}"
     )
     base = orders.withColumn("o_year", F.year("o_orderdate"))
     base.write.partitionBy("o_year").parquet(out_dir)
@@ -194,7 +195,7 @@ def source_jsonlines_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "user_id", "event_type", "value"
     )
     out_dir = os.path.join(
-        tempfile.gettempdir(), f"shs_jsonl_{uuid.uuid4().hex}"
+        scratch_root(), f"shs_jsonl_{uuid.uuid4().hex}"
     )
     ev.write.json(out_dir)
     back = spark.read.json(out_dir)
@@ -239,7 +240,7 @@ def source_csv_permissive_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     adds no shuffle — quarantine is a filter on the same scan."""
     orders = t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
     out_dir = os.path.join(
-        tempfile.gettempdir(), f"shs_csv_{uuid.uuid4().hex}"
+        scratch_root(), f"shs_csv_{uuid.uuid4().hex}"
     )
     lines = orders.select(
         F.concat_ws(
@@ -303,7 +304,7 @@ def snapshot_time_travel_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     import json as _json
 
     orders = t(spark, sf_dir, "orders")
-    root = os.path.join(tempfile.gettempdir(), f"shs_snap_{uuid.uuid4().hex}")
+    root = os.path.join(scratch_root(), f"shs_snap_{uuid.uuid4().hex}")
     d1, d2 = os.path.join(root, "add1"), os.path.join(root, "add2")
     orders.filter(F.year("o_orderdate") < 1999).write.parquet(d1)
     orders.filter(F.year("o_orderdate") >= 1999).write.parquet(d2)
@@ -373,7 +374,7 @@ def maintenance_compaction_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     side is why it matters: scan tasks scale with file count, and
     16 -> 2 here stands for 100k -> 1k on a real table."""
     li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice")
-    root = os.path.join(tempfile.gettempdir(), f"shs_compact_{uuid.uuid4().hex}")
+    root = os.path.join(scratch_root(), f"shs_compact_{uuid.uuid4().hex}")
     before_dir, after_dir = os.path.join(root, "before"), os.path.join(root, "after")
     li.repartition(16).write.parquet(before_dir)
 
@@ -422,7 +423,7 @@ def source_partition_pruning_dpp(spark: SparkSession, sf_dir: str) -> DataFrame:
     join discards 90%."""
     orders = t(spark, sf_dir, "orders")
     out_dir = os.path.join(
-        tempfile.gettempdir(), f"shs_dpp_{uuid.uuid4().hex}"
+        scratch_root(), f"shs_dpp_{uuid.uuid4().hex}"
     )
     base = orders.withColumn("o_year", F.year("o_orderdate"))
     base.write.partitionBy("o_year").parquet(out_dir)
@@ -573,7 +574,7 @@ def snapshot_expire_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     orders = t(spark, sf_dir, "orders")
     root = os.path.join(
-        tempfile.gettempdir(), f"shs_expire_{uuid.uuid4().hex}"
+        scratch_root(), f"shs_expire_{uuid.uuid4().hex}"
     )
     d1 = os.path.join(root, "add1")
     d2 = os.path.join(root, "add2")
@@ -739,7 +740,7 @@ def snapshot_concurrent_commit_audit(
     semantic checks (overlapping deletes) on the same CAS loop."""
     orders = t(spark, sf_dir, "orders")
     root = os.path.join(
-        tempfile.gettempdir(), f"shs_cas_{uuid.uuid4().hex}"
+        scratch_root(), f"shs_cas_{uuid.uuid4().hex}"
     )
     base_dir = os.path.join(root, "base")
     a_dir = os.path.join(root, "writer_a")
@@ -848,7 +849,7 @@ def snapshot_semantic_conflict_audit(
     files being recompacted."""
     orders = t(spark, sf_dir, "orders")
     root = os.path.join(
-        tempfile.gettempdir(), f"shs_semcas_{uuid.uuid4().hex}"
+        scratch_root(), f"shs_semcas_{uuid.uuid4().hex}"
     )
     base_dir = os.path.join(root, "base")
     app_dir = os.path.join(root, "append")
@@ -968,7 +969,7 @@ def snapshot_file_skipping_audit(
         "o_orderkey", "o_orderdate", "o_totalprice"
     )
     root = os.path.join(
-        tempfile.gettempdir(), f"shs_skip_{uuid.uuid4().hex}"
+        scratch_root(), f"shs_skip_{uuid.uuid4().hex}"
     )
     droot = os.path.join(root, "orders_by_year")
     (
@@ -1075,7 +1076,7 @@ def source_delta_log_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey", "o_totalprice"
     )
     root = os.path.join(
-        tempfile.gettempdir(), f"shs_delta_{uuid.uuid4().hex}"
+        scratch_root(), f"shs_delta_{uuid.uuid4().hex}"
     )
     tdir = os.path.join(root, "t")
     ldir = os.path.join(tdir, "_delta_log")
@@ -1212,7 +1213,7 @@ def source_delta_checkpoint_replay(
         "o_orderkey", "o_totalprice"
     )
     root = os.path.join(
-        tempfile.gettempdir(), f"shs_deltack_{uuid.uuid4().hex}"
+        scratch_root(), f"shs_deltack_{uuid.uuid4().hex}"
     )
     tdir = os.path.join(root, "t")
     ldir = os.path.join(tdir, "_delta_log")
@@ -1577,7 +1578,7 @@ def source_delta_v2_checkpoint_replay(
         "o_orderkey", "o_totalprice"
     )
     root = os.path.join(
-        tempfile.gettempdir(), f"shs_deltav2_{uuid.uuid4().hex}"
+        scratch_root(), f"shs_deltav2_{uuid.uuid4().hex}"
     )
     tdir = os.path.join(root, "t")
     ldir = os.path.join(tdir, "_delta_log")
@@ -2097,7 +2098,7 @@ def source_delta_column_mapping(
         "o_orderkey", "o_totalprice", "o_orderpriority"
     )
     root = os.path.join(
-        tempfile.gettempdir(), f"shs_deltacm_{uuid.uuid4().hex}"
+        scratch_root(), f"shs_deltacm_{uuid.uuid4().hex}"
     )
     tdir = os.path.join(root, "t")
     ldir = os.path.join(tdir, "_delta_log")
@@ -2350,7 +2351,7 @@ def source_iceberg_snapshot_replay(
         "o_orderkey", "o_totalprice"
     )
     root = os.path.join(
-        tempfile.gettempdir(), f"shs_iceberg_{uuid.uuid4().hex}"
+        scratch_root(), f"shs_iceberg_{uuid.uuid4().hex}"
     )
     ddir = os.path.join(root, "data")
     mdir = os.path.join(root, "metadata")
@@ -2518,7 +2519,7 @@ def source_iceberg_position_deletes(
         "o_orderkey", "o_totalprice"
     )
     root = os.path.join(
-        tempfile.gettempdir(), f"shs_icedel_{uuid.uuid4().hex}"
+        scratch_root(), f"shs_icedel_{uuid.uuid4().hex}"
     )
     ddir = os.path.join(root, "data")
     mdir = os.path.join(root, "metadata")
@@ -2730,7 +2731,7 @@ def source_iceberg_equality_deletes(
         "o_orderkey", "o_custkey", "o_totalprice"
     )
     root = os.path.join(
-        tempfile.gettempdir(), f"shs_iceeq_{uuid.uuid4().hex}"
+        scratch_root(), f"shs_iceeq_{uuid.uuid4().hex}"
     )
     ddir = os.path.join(root, "data")
     mdir = os.path.join(root, "metadata")
@@ -2987,7 +2988,7 @@ def source_hudi_timeline_replay(
         "o_orderkey", "o_totalprice"
     )
     root = os.path.join(
-        tempfile.gettempdir(), f"shs_hudi_{uuid.uuid4().hex}"
+        scratch_root(), f"shs_hudi_{uuid.uuid4().hex}"
     )
     tdir = os.path.join(root, "t")
     hdir = os.path.join(tdir, ".hoodie")
@@ -3190,7 +3191,7 @@ def source_iceberg_hidden_partitioning(
         "o_orderkey", "o_orderdate", "o_totalprice"
     )
     root = os.path.join(
-        tempfile.gettempdir(), f"shs_icehp_{uuid.uuid4().hex}"
+        scratch_root(), f"shs_icehp_{uuid.uuid4().hex}"
     )
     os.makedirs(root)
 
@@ -3334,7 +3335,7 @@ def source_delta_checkpoint_partition_values(
 
     orders = t(spark, sf_dir, "orders")
     root = os.path.join(
-        tempfile.gettempdir(), f"shs_dckpv_{uuid.uuid4().hex}"
+        scratch_root(), f"shs_dckpv_{uuid.uuid4().hex}"
     )
     tdir = os.path.join(root, "table")
     ldir = os.path.join(tdir, "_delta_log")
@@ -3525,7 +3526,7 @@ def source_delta_column_mapping_id(
         "o_orderkey", "o_totalprice", "o_orderpriority", "o_orderstatus"
     )
     root = os.path.join(
-        tempfile.gettempdir(), f"shs_deltacmid_{uuid.uuid4().hex}"
+        scratch_root(), f"shs_deltacmid_{uuid.uuid4().hex}"
     )
     tdir = os.path.join(root, "t")
     ldir = os.path.join(tdir, "_delta_log")
@@ -3781,7 +3782,7 @@ def source_iceberg_branch_tag_read(
         "o_orderkey", "o_totalprice"
     )
     root = os.path.join(
-        tempfile.gettempdir(), f"shs_icerefs_{uuid.uuid4().hex}"
+        scratch_root(), f"shs_icerefs_{uuid.uuid4().hex}"
     )
     ddir = os.path.join(root, "data")
     mdir = os.path.join(root, "metadata")
@@ -4180,7 +4181,7 @@ def source_delta_column_mapping_nested(
         "o_orderkey", "o_totalprice", "o_orderpriority"
     )
     root = os.path.join(
-        tempfile.gettempdir(), f"shs_deltacmn_{uuid.uuid4().hex}"
+        scratch_root(), f"shs_deltacmn_{uuid.uuid4().hex}"
     )
     tdir = os.path.join(root, "t")
     ldir = os.path.join(tdir, "_delta_log")
@@ -4380,7 +4381,7 @@ def source_delta_column_mapping_array(
         "o_orderkey", "o_totalprice", "o_orderpriority"
     )
     root = os.path.join(
-        tempfile.gettempdir(), f"shs_deltacma_{uuid.uuid4().hex}"
+        scratch_root(), f"shs_deltacma_{uuid.uuid4().hex}"
     )
     tdir = os.path.join(root, "t")
     ldir = os.path.join(tdir, "_delta_log")
@@ -4595,7 +4596,7 @@ def source_delta_column_mapping_id_array(
         "o_orderkey", "o_totalprice", "o_orderpriority"
     )
     root = os.path.join(
-        tempfile.gettempdir(), f"shs_deltacmida_{uuid.uuid4().hex}"
+        scratch_root(), f"shs_deltacmida_{uuid.uuid4().hex}"
     )
     tdir = os.path.join(root, "t")
     ldir = os.path.join(tdir, "_delta_log")
@@ -4837,7 +4838,7 @@ def source_delta_multipart_checkpoint(
         "o_orderkey", "o_totalprice"
     )
     root = os.path.join(
-        tempfile.gettempdir(), f"shs_deltamp_{uuid.uuid4().hex}"
+        scratch_root(), f"shs_deltamp_{uuid.uuid4().hex}"
     )
     tdir = os.path.join(root, "t")
     ldir = os.path.join(tdir, "_delta_log")
@@ -5088,7 +5089,7 @@ def source_delta_time_travel(
         "o_orderkey", "o_totalprice"
     )
     root = os.path.join(
-        tempfile.gettempdir(), f"shs_deltatt_{uuid.uuid4().hex}"
+        scratch_root(), f"shs_deltatt_{uuid.uuid4().hex}"
     )
     tdir = os.path.join(root, "t")
     ldir = os.path.join(tdir, "_delta_log")
@@ -5194,7 +5195,7 @@ def source_delta_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey", "o_totalprice"
     )
     root = os.path.join(
-        tempfile.gettempdir(), f"shs_deltavac_{uuid.uuid4().hex}"
+        scratch_root(), f"shs_deltavac_{uuid.uuid4().hex}"
     )
     tdir = os.path.join(root, "t")
     ldir = os.path.join(tdir, "_delta_log")
@@ -5336,7 +5337,7 @@ def source_iceberg_partition_evolution(
         "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
     )
     root = os.path.join(
-        tempfile.gettempdir(), f"shs_icepev_{uuid.uuid4().hex}"
+        scratch_root(), f"shs_icepev_{uuid.uuid4().hex}"
     )
     ddir = os.path.join(root, "data")
     mdir = os.path.join(root, "metadata")
@@ -5539,7 +5540,7 @@ def source_iceberg_manifest_skipping(
         "o_orderkey", "o_orderdate", "o_totalprice"
     )
     root = os.path.join(
-        tempfile.gettempdir(), f"shs_icemsk_{uuid.uuid4().hex}"
+        scratch_root(), f"shs_icemsk_{uuid.uuid4().hex}"
     )
     ddir = os.path.join(root, "data")
     mdir = os.path.join(root, "metadata")
@@ -5732,7 +5733,7 @@ def source_hudi_incremental(
         "o_orderkey", "o_totalprice"
     )
     root = os.path.join(
-        tempfile.gettempdir(), f"shs_hudiinc_{uuid.uuid4().hex}"
+        scratch_root(), f"shs_hudiinc_{uuid.uuid4().hex}"
     )
     tdir = os.path.join(root, "t")
     hdir = os.path.join(tdir, ".hoodie")
@@ -5875,7 +5876,7 @@ def source_iceberg_expire_snapshots(
         "o_orderkey", "o_totalprice"
     )
     root = os.path.join(
-        tempfile.gettempdir(), f"shs_iceexp_{uuid.uuid4().hex}"
+        scratch_root(), f"shs_iceexp_{uuid.uuid4().hex}"
     )
     ddir = os.path.join(root, "data")
     mdir = os.path.join(root, "metadata")
@@ -6065,7 +6066,7 @@ def source_delta_v2_checkpoint_inline(
         "o_orderkey", "o_totalprice"
     )
     root = os.path.join(
-        tempfile.gettempdir(), f"shs_deltav2i_{uuid.uuid4().hex}"
+        scratch_root(), f"shs_deltav2i_{uuid.uuid4().hex}"
     )
     tdir = os.path.join(root, "t")
     ldir = os.path.join(tdir, "_delta_log")
@@ -6379,7 +6380,7 @@ def source_iceberg_name_mapping(
         "o_orderstatus",
     )
     root = os.path.join(
-        tempfile.gettempdir(), f"shs_icenm_{uuid.uuid4().hex}"
+        scratch_root(), f"shs_icenm_{uuid.uuid4().hex}"
     )
     ddir = os.path.join(root, "data")
     mdir = os.path.join(root, "metadata")
@@ -6621,7 +6622,7 @@ def source_delta_time_travel_timestamp(
         "o_orderkey", "o_totalprice"
     )
     root = os.path.join(
-        tempfile.gettempdir(), f"shs_deltatts_{uuid.uuid4().hex}"
+        scratch_root(), f"shs_deltatts_{uuid.uuid4().hex}"
     )
     tdir = os.path.join(root, "t")
     ldir = os.path.join(tdir, "_delta_log")
@@ -6767,7 +6768,7 @@ def source_delta_column_mapping_map_key(
         "o_orderkey", "o_totalprice", "o_orderpriority"
     )
     root = os.path.join(
-        tempfile.gettempdir(), f"shs_deltacmmk_{uuid.uuid4().hex}"
+        scratch_root(), f"shs_deltacmmk_{uuid.uuid4().hex}"
     )
     tdir = os.path.join(root, "t")
     ldir = os.path.join(tdir, "_delta_log")
@@ -6999,7 +7000,7 @@ def source_iceberg_incremental_append(
         "o_orderkey", "o_totalprice"
     )
     root = os.path.join(
-        tempfile.gettempdir(), f"shs_iceinc_{uuid.uuid4().hex}"
+        scratch_root(), f"shs_iceinc_{uuid.uuid4().hex}"
     )
     ddir = os.path.join(root, "data")
     mdir = os.path.join(root, "metadata")
@@ -7204,7 +7205,7 @@ def source_delta_domain_metadata(
         "o_orderkey", "o_totalprice"
     )
     root = os.path.join(
-        tempfile.gettempdir(), f"shs_deltadm_{uuid.uuid4().hex}"
+        scratch_root(), f"shs_deltadm_{uuid.uuid4().hex}"
     )
     tdir = os.path.join(root, "t")
     ldir = os.path.join(tdir, "_delta_log")
@@ -7379,7 +7380,7 @@ def source_iceberg_column_bounds_pruning(
         .alias("cents"),
     )
     root = os.path.join(
-        tempfile.gettempdir(), f"shs_icecb_{uuid.uuid4().hex}"
+        scratch_root(), f"shs_icecb_{uuid.uuid4().hex}"
     )
     ddir = os.path.join(root, "data")
     mdir = os.path.join(root, "metadata")
@@ -7618,7 +7619,7 @@ def source_iceberg_string_bounds_truncation(
 
     orders = t(spark, sf_dir, "orders").select("o_orderkey")
     root = os.path.join(
-        tempfile.gettempdir(), f"shs_icesb_{uuid.uuid4().hex}"
+        scratch_root(), f"shs_icesb_{uuid.uuid4().hex}"
     )
     ddir = os.path.join(root, "data")
     mdir = os.path.join(root, "metadata")
@@ -7822,7 +7823,7 @@ def source_delta_stats_skipping(
         .alias("cents"),
     )
     root = os.path.join(
-        tempfile.gettempdir(), f"shs_deltass_{uuid.uuid4().hex}"
+        scratch_root(), f"shs_deltass_{uuid.uuid4().hex}"
     )
     tdir = os.path.join(root, "t")
     ldir = os.path.join(tdir, "_delta_log")
@@ -8072,7 +8073,7 @@ def source_iceberg_changelog_scan(
         "o_orderkey", "o_totalprice"
     )
     root = os.path.join(
-        tempfile.gettempdir(), f"shs_icecdc_{uuid.uuid4().hex}"
+        scratch_root(), f"shs_icecdc_{uuid.uuid4().hex}"
     )
     ddir = os.path.join(root, "data")
     mdir = os.path.join(root, "metadata")
@@ -8305,7 +8306,7 @@ def source_delta_row_tracking(
         "o_orderkey", "o_totalprice"
     )
     root = os.path.join(
-        tempfile.gettempdir(), f"shs_deltart_{uuid.uuid4().hex}"
+        scratch_root(), f"shs_deltart_{uuid.uuid4().hex}"
     )
     tdir = os.path.join(root, "table")
     ldir = os.path.join(tdir, "_delta_log")
@@ -8527,7 +8528,7 @@ def source_iceberg_changelog_mor(
         "o_orderkey", "o_totalprice"
     )
     root = os.path.join(
-        tempfile.gettempdir(), f"shs_icecdcmor_{uuid.uuid4().hex}"
+        scratch_root(), f"shs_icecdcmor_{uuid.uuid4().hex}"
     )
     ddir = os.path.join(root, "data")
     mdir = os.path.join(root, "metadata")
@@ -8792,7 +8793,7 @@ def source_delta_row_tracking_checkpoint(
         "o_orderkey", "o_totalprice"
     )
     root = os.path.join(
-        tempfile.gettempdir(), f"shs_deltartck_{uuid.uuid4().hex}"
+        scratch_root(), f"shs_deltartck_{uuid.uuid4().hex}"
     )
     tdir = os.path.join(root, "table")
     ldir = os.path.join(tdir, "_delta_log")
@@ -9034,7 +9035,7 @@ def source_iceberg_changelog_net_changes(
         "o_orderkey", "o_totalprice"
     )
     root = os.path.join(
-        tempfile.gettempdir(), f"shs_icenet_{uuid.uuid4().hex}"
+        scratch_root(), f"shs_icenet_{uuid.uuid4().hex}"
     )
     ddir = os.path.join(root, "data")
     mdir = os.path.join(root, "metadata")
@@ -9333,7 +9334,7 @@ def source_iceberg_changelog_equality(
         "o_orderkey", "o_custkey", "o_totalprice"
     )
     root = os.path.join(
-        tempfile.gettempdir(), f"shs_icecdceq_{uuid.uuid4().hex}"
+        scratch_root(), f"shs_icecdceq_{uuid.uuid4().hex}"
     )
     ddir = os.path.join(root, "data")
     mdir = os.path.join(root, "metadata")
@@ -9753,7 +9754,7 @@ def source_delta_row_tracking_dv(
         "o_orderkey", "o_totalprice"
     )
     root = os.path.join(
-        tempfile.gettempdir(), f"shs_deltartdv_{uuid.uuid4().hex}"
+        scratch_root(), f"shs_deltartdv_{uuid.uuid4().hex}"
     )
     tdir = os.path.join(root, "table")
     ldir = os.path.join(tdir, "_delta_log")
@@ -9974,7 +9975,7 @@ def source_iceberg_changelog_update_pairs(
         "o_orderkey", "o_totalprice"
     )
     root = os.path.join(
-        tempfile.gettempdir(), f"shs_icecdcup_{uuid.uuid4().hex}"
+        scratch_root(), f"shs_icecdcup_{uuid.uuid4().hex}"
     )
     ddir = os.path.join(root, "data")
     mdir = os.path.join(root, "metadata")
@@ -10259,7 +10260,7 @@ def source_hudi_restore(
         "o_orderkey", "o_totalprice"
     )
     root = os.path.join(
-        tempfile.gettempdir(), f"shs_hudirestore_{uuid.uuid4().hex}"
+        scratch_root(), f"shs_hudirestore_{uuid.uuid4().hex}"
     )
     tdir = os.path.join(root, "t")
     hdir = os.path.join(tdir, ".hoodie")
@@ -10446,7 +10447,7 @@ def source_hudi_incremental_across_restore(
         "o_orderkey", "o_totalprice"
     )
     root = os.path.join(
-        tempfile.gettempdir(), f"shs_hudiincres_{uuid.uuid4().hex}"
+        scratch_root(), f"shs_hudiincres_{uuid.uuid4().hex}"
     )
     tdir = os.path.join(root, "t")
     hdir = os.path.join(tdir, ".hoodie")
@@ -10633,7 +10634,7 @@ def source_iceberg_rewrite_manifests(
         "o_orderkey", "o_totalprice"
     )
     root = os.path.join(
-        tempfile.gettempdir(), f"shs_icerwm_{uuid.uuid4().hex}"
+        scratch_root(), f"shs_icerwm_{uuid.uuid4().hex}"
     )
     ddir = os.path.join(root, "data")
     mdir = os.path.join(root, "metadata")

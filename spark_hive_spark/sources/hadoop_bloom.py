@@ -140,6 +140,81 @@ class HadoopBloomFilter:
         return cls(vector_size, nb_hash, hash_type, bits)
 
 
+def _murmur2_32_vec(mat, seeds):
+    """Vectorized murmur2_32 over an (n, L) uint8 key matrix (all
+    keys the same length L) with per-key uint32 seeds. Bit-exact
+    numpy twin of `murmur2_32` (same block math, same nonstandard
+    signed reversed tail); returns uint32 hashes (the signed Java
+    int's two's-complement bits). Pinned against the scalar form in
+    tests/test_hadoop_bloom.py."""
+    import numpy as np
+
+    m = np.uint32(0x5BD1E995)
+    L = mat.shape[1]
+    h = seeds.astype(np.uint32) ^ np.uint32(L)
+    with np.errstate(over="ignore"):
+        for i in range(L >> 2):
+            k = (
+                mat[:, 4 * i].astype(np.uint32)
+                | (mat[:, 4 * i + 1].astype(np.uint32) << np.uint32(8))
+                | (mat[:, 4 * i + 2].astype(np.uint32) << np.uint32(16))
+                | (mat[:, 4 * i + 3].astype(np.uint32) << np.uint32(24))
+            )
+            k *= m
+            k ^= k >> np.uint32(24)
+            k *= m
+            h *= m
+            h ^= k
+        left = L & 3
+        if left:
+            # Java signed bytes, sign extension smearing the high bits;
+            # XOR of the sign-extended int32 terms is representation-
+            # identical to the scalar form's three masked XORs
+            tail = mat[:, L - 1].astype(np.int8).astype(np.int32)
+            if left >= 2:
+                tail ^= mat[:, L - 2].astype(np.int8).astype(np.int32) << 8
+            if left >= 3:
+                tail ^= mat[:, L - 3].astype(np.int8).astype(np.int32) << 16
+            h ^= tail.view(np.uint32)
+            h *= m
+        h ^= h >> np.uint32(13)
+        h *= m
+        h ^= h >> np.uint32(15)
+    return h
+
+
+def bloom_bit_indexes(keys, vector_size: int, nb_hash: int):
+    """All bloom bit indexes for a batch of byte keys — the
+    vectorized twin of `HadoopBloomFilter._indexes` over many keys
+    (chained murmur rounds, Java abs-mod), returned as a unique
+    int64 numpy array. Keys group by length so each group hashes as
+    one fixed-width matrix; builds that previously looped
+    `bf.add(key)` per row call this once per Arrow batch."""
+    import numpy as np
+
+    keys = np.asarray(keys, dtype=np.bytes_)
+    if keys.size and keys.dtype.itemsize == 0:
+        raise ValueError("empty bloom key")
+    lens = np.char.str_len(keys)
+    if keys.size and int(lens.min()) == 0:
+        raise ValueError("empty bloom key")
+    out = []
+    for L in np.unique(lens):
+        sub = keys[lens == L]
+        mat = sub.astype(f"S{int(L)}").view(np.uint8).reshape(
+            -1, int(L)
+        )
+        h = np.zeros(len(sub), dtype=np.uint32)
+        for _ in range(nb_hash):
+            h = _murmur2_32_vec(mat, h)
+            signed = h.astype(np.int64)
+            signed[signed >= 1 << 31] -= 1 << 32
+            out.append(np.abs(signed) % vector_size)
+    if not out:
+        return np.empty(0, dtype=np.int64)
+    return np.unique(np.concatenate(out))
+
+
 def hudi_bloom_sizing(num_entries: int, error_rate: float) -> tuple[int, int]:
     """Hudi BloomFilterUtils: (vectorSize, nbHash) for a target
     entry count and false-positive rate."""

@@ -64,6 +64,7 @@ from pyspark.sql import Window
 from spark_hive_spark.functions.numeric import dsum, sql_dsum
 from spark_hive_spark.operators.avro import _dec_field, _enc_field
 from spark_hive_spark.plans.registry import register
+from spark_hive_spark.scratch import scratch_root
 from spark_hive_spark.sources.staging import stage_single_parquet
 from spark_hive_spark.tables import t
 
@@ -313,7 +314,7 @@ def source_hudi_mor_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     mis-ordered log versions each flip the hash.
     """
     orders = t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
-    root = os.path.join(tempfile.gettempdir(), f"shs_hudi_mor_{uuid.uuid4().hex}")
+    root = os.path.join(scratch_root(), f"shs_hudi_mor_{uuid.uuid4().hex}")
     tdir = os.path.join(root, "t")
     hdir = os.path.join(tdir, ".hoodie")
     os.makedirs(hdir)
@@ -600,7 +601,7 @@ def source_hudi_mor_compaction(
         "o_orderkey", "o_totalprice"
     )
     root = os.path.join(
-        tempfile.gettempdir(), f"shs_hudi_cpt_{uuid.uuid4().hex}"
+        scratch_root(), f"shs_hudi_cpt_{uuid.uuid4().hex}"
     )
     tdir = os.path.join(root, "t")
     hdir = os.path.join(tdir, ".hoodie")
@@ -927,7 +928,7 @@ def source_hudi_clean_replay(
         "o_orderkey", "o_totalprice"
     )
     root = os.path.join(
-        tempfile.gettempdir(), f"shs_hudi_cln_{uuid.uuid4().hex}"
+        scratch_root(), f"shs_hudi_cln_{uuid.uuid4().hex}"
     )
     tdir = os.path.join(root, "t")
     hdir = os.path.join(tdir, ".hoodie")
@@ -1124,7 +1125,7 @@ def source_hudi_mor_incremental(
         "o_orderkey", "o_totalprice"
     )
     root = os.path.join(
-        tempfile.gettempdir(), f"shs_hudi_morinc_{uuid.uuid4().hex}"
+        scratch_root(), f"shs_hudi_morinc_{uuid.uuid4().hex}"
     )
     tdir = os.path.join(root, "t")
     hdir = os.path.join(tdir, ".hoodie")
@@ -1403,7 +1404,7 @@ def source_hudi_mor_time_travel(
         "o_orderkey", "o_totalprice"
     )
     root = os.path.join(
-        tempfile.gettempdir(), f"shs_hudi_tt_{uuid.uuid4().hex}"
+        scratch_root(), f"shs_hudi_tt_{uuid.uuid4().hex}"
     )
     tdir = os.path.join(root, "t")
     hdir = os.path.join(tdir, ".hoodie")
@@ -1656,7 +1657,7 @@ def source_hudi_clustering_replacecommit(
         "o_orderkey", "o_totalprice"
     )
     root = os.path.join(
-        tempfile.gettempdir(), f"shs_hudi_cl_{uuid.uuid4().hex}"
+        scratch_root(), f"shs_hudi_cl_{uuid.uuid4().hex}"
     )
     tdir = os.path.join(root, "t")
     hdir = os.path.join(tdir, ".hoodie")
@@ -1967,7 +1968,7 @@ def source_hudi_mor_parquet_log_blocks(
         "o_orderkey", "o_totalprice"
     )
     root = os.path.join(
-        tempfile.gettempdir(), f"shs_hudi_pq_{uuid.uuid4().hex}"
+        scratch_root(), f"shs_hudi_pq_{uuid.uuid4().hex}"
     )
     tdir = os.path.join(root, "t")
     hdir = os.path.join(tdir, ".hoodie")
@@ -2246,7 +2247,7 @@ def source_hudi_cdc_incremental(
         "o_orderkey", "o_totalprice"
     )
     root = os.path.join(
-        tempfile.gettempdir(), f"shs_hudi_cdc_{uuid.uuid4().hex}"
+        scratch_root(), f"shs_hudi_cdc_{uuid.uuid4().hex}"
     )
     tdir = os.path.join(root, "t")
     hdir = os.path.join(tdir, ".hoodie")
@@ -2564,7 +2565,7 @@ def source_hudi_metadata_table_files(
         "o_orderkey", "o_totalprice"
     )
     root = os.path.join(
-        tempfile.gettempdir(), f"shs_hudi_mdt_{uuid.uuid4().hex}"
+        scratch_root(), f"shs_hudi_mdt_{uuid.uuid4().hex}"
     )
     tdir = os.path.join(root, "t")
     hdir = os.path.join(tdir, ".hoodie")
@@ -2851,7 +2852,7 @@ def source_hudi_metadata_table_colstats(
         "o_orderkey", "o_custkey", "o_totalprice"
     )
     root = os.path.join(
-        tempfile.gettempdir(), f"shs_hudi_mdcs_{uuid.uuid4().hex}"
+        scratch_root(), f"shs_hudi_mdcs_{uuid.uuid4().hex}"
     )
     tdir = os.path.join(root, "t")
     hdir = os.path.join(tdir, ".hoodie")
@@ -3052,7 +3053,7 @@ def source_hudi_metadata_table_bloom_filters(
         "o_orderkey", "o_totalprice"
     )
     root = os.path.join(
-        tempfile.gettempdir(), f"shs_hudi_mdbf_{uuid.uuid4().hex}"
+        scratch_root(), f"shs_hudi_mdbf_{uuid.uuid4().hex}"
     )
     tdir = os.path.join(root, "t")
     hdir = os.path.join(tdir, ".hoodie")
@@ -3077,14 +3078,19 @@ def source_hudi_metadata_table_bloom_filters(
         with open(os.path.join(mhdir, t1 + suffix), "w") as fh:
             fh.write("{}")
 
-    # blooms build EXECUTOR-SIDE, one task per file group
+    # blooms build EXECUTOR-SIDE, one task per file group; keys hash
+    # through the vectorized murmur2 (one numpy pass per group, not a
+    # per-row Python add — pinned bit-identical to the scalar path in
+    # tests/test_hadoop_bloom.py)
+    from spark_hive_spark.sources.hadoop_bloom import bloom_bit_indexes
+
     def _build(pdf):
         import pandas as _pd
 
         m, k = hudi_bloom_sizing(len(pdf), 0.01)
-        bf = HadoopBloomFilter(m, k)
-        for key in pdf["o_orderkey"]:
-            bf.add(str(int(key)).encode())
+        keys = pdf["o_orderkey"].astype("int64").astype(str)
+        idx = bloom_bit_indexes(keys.to_numpy(dtype="bytes"), m, k)
+        bf = HadoopBloomFilter(m, k, bits=set(idx.tolist()))
         return _pd.DataFrame(
             {"q": [int(pdf["q"].iloc[0])], "bloom": [bf.serialize()]}
         )
@@ -3231,7 +3237,7 @@ def source_hudi_metadata_table_compaction(
         "o_orderkey", "o_totalprice"
     )
     root = os.path.join(
-        tempfile.gettempdir(), f"shs_hudi_mdc_{uuid.uuid4().hex}"
+        scratch_root(), f"shs_hudi_mdc_{uuid.uuid4().hex}"
     )
     tdir = os.path.join(root, "t")
     hdir = os.path.join(tdir, ".hoodie")
@@ -3514,7 +3520,7 @@ def source_hudi_metadata_table_record_index(
         "o_orderkey", "o_totalprice"
     )
     root = os.path.join(
-        tempfile.gettempdir(), f"shs_hudi_rli_{uuid.uuid4().hex}"
+        scratch_root(), f"shs_hudi_rli_{uuid.uuid4().hex}"
     )
     tdir = os.path.join(root, "t")
     hdir = os.path.join(tdir, ".hoodie")
@@ -3541,20 +3547,29 @@ def source_hudi_metadata_table_record_index(
         with open(os.path.join(mhdir, t1 + suffix), "w") as fh:
             fh.write("{}")
 
-    # cell payloads build executor-side; the driver sorts + assembles
-    uuid_strs = {i: str(fids[i]) for i in range(2)}
+    # cell payloads build executor-side; the driver sorts + assembles.
+    # The Avro payload depends only on the key's parity (two file
+    # groups, constant fileIndex/instant), so the per-row
+    # enc_rli_record collapses to a 2-way select; keys encode in one
+    # vectorized pass.
+    val_by_parity = {
+        i: enc_rli_record("", fids[i], 0, int(t1)) for i in range(2)
+    }
 
     def _cells(batches):
+        import numpy as _np
         import pandas as _pd
 
         for pdf in batches:
-            keys, vals = [], []
-            for k in pdf["o_orderkey"]:
-                k = int(k)
-                fu = _uuid.UUID(uuid_strs[k % 2])
-                keys.append(str(k).encode())
-                vals.append(enc_rli_record("", fu, 0, int(t1)))
-            yield _pd.DataFrame({"key": keys, "val": vals})
+            k = pdf["o_orderkey"].astype("int64")
+            par = (k % 2).to_numpy() == 0
+            vals = _np.empty(len(k), dtype=object)
+            vals[par] = val_by_parity[0]
+            vals[~par] = val_by_parity[1]
+            yield _pd.DataFrame({
+                "key": k.astype(str).str.encode("ascii"),
+                "val": vals,
+            })
 
     built = orders.select("o_orderkey").mapInPandas(
         _cells, "key binary, val binary"
@@ -3628,6 +3643,36 @@ def source_hudi_metadata_table_record_index(
         dsum("o_totalprice").alias("revenue_found"),
     ).localCheckpoint(eager=True)  # 1 row; frees the temp root
     shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
+def hudi_rli_file_group_index_vec(keys, n_groups: int):
+    """Vectorized twin of `hudi_rli_file_group_index` over a numpy
+    bytes array of ASCII record keys (the record keys here are
+    decimal digit strings, where Java char == byte): Horner 31-hash
+    in uint32 per length group, then the same signed double-abs mod.
+    Pinned against the scalar form in tests/test_hfile.py."""
+    import numpy as np
+
+    keys = np.asarray(keys, dtype=np.bytes_)
+    out = np.empty(len(keys), dtype=np.int64)
+    lens = np.char.str_len(keys)
+    with np.errstate(over="ignore"):
+        for L in np.unique(lens):
+            mask = lens == L
+            mat = keys[mask].astype(f"S{int(L)}").view(
+                np.uint8
+            ).reshape(-1, int(L))
+            h = np.zeros(mat.shape[0], dtype=np.uint32)
+            for j in range(int(L)):
+                h = h * np.uint32(31) + mat[:, j].astype(np.uint32)
+            signed = h.astype(np.int64)
+            signed[signed >= 1 << 31] -= 1 << 32
+            a = np.abs(signed)
+            # Java Math.abs(Integer.MIN_VALUE) stays negative; the
+            # floored % then folds it non-negative like the scalar
+            a[signed == -(1 << 31)] = -(1 << 31)
+            out[mask] = a % n_groups
     return out
 
 
@@ -3708,7 +3753,7 @@ def source_hudi_metadata_record_index_sharded(
         "o_orderkey", "o_totalprice"
     )
     root = os.path.join(
-        tempfile.gettempdir(), f"shs_hudi_rlis_{uuid.uuid4().hex}"
+        scratch_root(), f"shs_hudi_rlis_{uuid.uuid4().hex}"
     )
     tdir = os.path.join(root, "t")
     hdir = os.path.join(tdir, ".hoodie")
@@ -3726,25 +3771,30 @@ def source_hudi_metadata_record_index_sharded(
             orders.filter(par == i), root, tdir, fnames[i]
         )
 
-    uuid_strs = {i: str(fids[i]) for i in range(2)}
+    # payloads are constant per parity; keys/shards vectorize (the
+    # shard router is the numpy twin of hudi_rli_file_group_index)
+    val_by_parity = {
+        i: enc_rli_record("", fids[i], 0, int(t1)) for i in range(2)
+    }
 
     def _cells(batches):
+        import numpy as _np
         import pandas as _pd
 
         for pdf in batches:
-            keys, vals, shards = [], [], []
-            for k in pdf["o_orderkey"]:
-                k = int(k)
-                key = str(k)
-                fu = _uuid.UUID(uuid_strs[k % 2])
-                keys.append(key.encode())
-                vals.append(enc_rli_record("", fu, 0, int(t1)))
-                shards.append(
-                    hudi_rli_file_group_index(key, N_GROUPS)
-                )
-            yield _pd.DataFrame(
-                {"key": keys, "val": vals, "shard": shards}
-            )
+            k = pdf["o_orderkey"].astype("int64")
+            keys = k.astype(str).str.encode("ascii")
+            even = (k % 2).to_numpy() == 0
+            vals = _np.empty(len(k), dtype=object)
+            vals[even] = val_by_parity[0]
+            vals[~even] = val_by_parity[1]
+            yield _pd.DataFrame({
+                "key": keys,
+                "val": vals,
+                "shard": hudi_rli_file_group_index_vec(
+                    keys.to_numpy(dtype="bytes"), N_GROUPS
+                ).astype("int32"),
+            })
 
     built = orders.select("o_orderkey").mapInPandas(
         _cells, "key binary, val binary, shard int"
@@ -3885,7 +3935,7 @@ def source_hudi_restore_mor(
         "o_orderkey", "o_totalprice"
     )
     root = os.path.join(
-        tempfile.gettempdir(), f"shs_hudi_resmor_{uuid.uuid4().hex}"
+        scratch_root(), f"shs_hudi_resmor_{uuid.uuid4().hex}"
     )
     tdir = os.path.join(root, "t")
     hdir = os.path.join(tdir, ".hoodie")
@@ -4154,7 +4204,7 @@ def source_hudi_clean_savepoint_guard(
         "o_orderkey", "o_totalprice"
     )
     root = os.path.join(
-        tempfile.gettempdir(), f"shs_hudi_clnsp_{uuid.uuid4().hex}"
+        scratch_root(), f"shs_hudi_clnsp_{uuid.uuid4().hex}"
     )
     tdir = os.path.join(root, "t")
     hdir = os.path.join(tdir, ".hoodie")
@@ -4359,7 +4409,7 @@ def source_hudi_record_index_update(
         "o_orderkey", "o_totalprice"
     )
     root = os.path.join(
-        tempfile.gettempdir(), f"shs_hudi_rliu_{uuid.uuid4().hex}"
+        scratch_root(), f"shs_hudi_rliu_{uuid.uuid4().hex}"
     )
     tdir = os.path.join(root, "t")
     hdir = os.path.join(tdir, ".hoodie")
@@ -4408,25 +4458,30 @@ def source_hudi_record_index_update(
             with open(os.path.join(mhdir, instant + sfx), "w") as fh:
                 fh.write("{}")
 
-    # RLI base at t1 (initial locations), update LOG BLOCK at t2
-    uuid_strs = {k: str(v) for k, v in fids.items()}
+    # RLI base at t1 (initial locations), update LOG BLOCK at t2.
+    # Payloads are constant per parity file group, so the per-row
+    # enc_rli_record collapses to a 2-way select; keys/flags
+    # vectorize.
+    val_by_parity = {
+        0: enc_rli_record("", fids["fg-A"], 0, int(t1)),
+        1: enc_rli_record("", fids["fg-B"], 0, int(t1)),
+    }
 
     def _cells(batches):
+        import numpy as _np
         import pandas as _pd
 
         for pdf in batches:
-            keys, vals, moved = [], [], []
-            for k in pdf["o_orderkey"]:
-                k = int(k)
-                fid = "fg-A" if k % 2 == 0 else "fg-B"
-                keys.append(str(k).encode())
-                vals.append(enc_rli_record(
-                    "", _uuid.UUID(uuid_strs[fid]), 0, int(t1)
-                ))
-                moved.append(k % 10 == 5)
-            yield _pd.DataFrame(
-                {"key": keys, "val": vals, "moved": moved}
-            )
+            k = pdf["o_orderkey"].astype("int64")
+            even = (k % 2).to_numpy() == 0
+            vals = _np.empty(len(k), dtype=object)
+            vals[even] = val_by_parity[0]
+            vals[~even] = val_by_parity[1]
+            yield _pd.DataFrame({
+                "key": k.astype(str).str.encode("ascii"),
+                "val": vals,
+                "moved": (k % 10).to_numpy() == 5,
+            })
 
     built = orders.select("o_orderkey").mapInPandas(
         _cells, "key binary, val binary, moved boolean"
@@ -4443,13 +4498,9 @@ def source_hudi_record_index_update(
     ), "wb") as fh:
         fh.write(base_img)
     movers = built[built["moved"]]
+    moved_val = enc_rli_record("", fids["fg-C"], 0, int(t2))
     upd_img = hfile_encode(
-        {
-            bytes(k): enc_rli_record(
-                "", fids["fg-C"], 0, int(t2)
-            )
-            for k in movers["key"]
-        },
+        {bytes(k): moved_val for k in movers["key"]},
         block_size=1024, max_root_entries=16,
     )
     with open(os.path.join(

@@ -44,6 +44,7 @@ from pyspark.sql import functions as F
 
 from spark_hive_spark.functions.numeric import dsum, sql_dsum
 from spark_hive_spark.plans.registry import register
+from spark_hive_spark.scratch import scratch_root
 from spark_hive_spark.tables import t
 
 _ICEBERG_TO_SPARK = {
@@ -161,7 +162,7 @@ def source_iceberg_v3_default_values(
         "o_orderkey", "o_totalprice"
     )
     root = os.path.join(
-        tempfile.gettempdir(), f"shs_icev3def_{uuid.uuid4().hex}"
+        scratch_root(), f"shs_icev3def_{uuid.uuid4().hex}"
     )
     ddir = os.path.join(root, "data")
     mdir = os.path.join(root, "metadata")
@@ -419,7 +420,7 @@ def source_iceberg_v3_row_lineage(
         "o_orderkey", "o_totalprice"
     )
     root = os.path.join(
-        tempfile.gettempdir(), f"shs_icev3rl_{uuid.uuid4().hex}"
+        scratch_root(), f"shs_icev3rl_{uuid.uuid4().hex}"
     )
     ddir = os.path.join(root, "data")
     mdir = os.path.join(root, "metadata")
@@ -648,7 +649,7 @@ def source_iceberg_v3_row_lineage_rewrite(
         "o_orderkey", "o_totalprice"
     )
     root = os.path.join(
-        tempfile.gettempdir(), f"shs_icev3rlr_{uuid.uuid4().hex}"
+        scratch_root(), f"shs_icev3rlr_{uuid.uuid4().hex}"
     )
     ddir = os.path.join(root, "data")
     mdir = os.path.join(root, "metadata")
@@ -946,7 +947,7 @@ def source_iceberg_v3_row_lineage_dv(
         "o_orderkey", "o_totalprice"
     )
     root = os.path.join(
-        tempfile.gettempdir(), f"shs_icev3rldv_{uuid.uuid4().hex}"
+        scratch_root(), f"shs_icev3rldv_{uuid.uuid4().hex}"
     )
     ddir = os.path.join(root, "data")
     mdir = os.path.join(root, "metadata")
@@ -1241,7 +1242,7 @@ def source_iceberg_partition_stats(
         "o_orderkey", "o_totalprice", "o_orderpriority"
     )
     root = os.path.join(
-        tempfile.gettempdir(), f"shs_icepstats_{uuid.uuid4().hex}"
+        scratch_root(), f"shs_icepstats_{uuid.uuid4().hex}"
     )
     ddir = os.path.join(root, "data")
     mdir = os.path.join(root, "metadata")
@@ -1528,7 +1529,7 @@ def source_iceberg_changelog_row_lineage(
         "o_orderkey", "o_totalprice"
     )
     root = os.path.join(
-        tempfile.gettempdir(), f"shs_icev3clrl_{uuid.uuid4().hex}"
+        scratch_root(), f"shs_icev3clrl_{uuid.uuid4().hex}"
     )
     ddir = os.path.join(root, "data")
     os.makedirs(ddir)
@@ -1731,7 +1732,7 @@ def source_iceberg_partition_stats_incremental(
         "o_orderkey", "o_totalprice", "o_orderpriority"
     )
     root = os.path.join(
-        tempfile.gettempdir(), f"shs_icepsinc_{uuid.uuid4().hex}"
+        scratch_root(), f"shs_icepsinc_{uuid.uuid4().hex}"
     )
     ddir = os.path.join(root, "data")
     mdir = os.path.join(root, "metadata")
@@ -2034,7 +2035,7 @@ def source_iceberg_partition_stats_evolution(
         "o_orderkey", "o_orderdate", "o_totalprice"
     )
     root = os.path.join(
-        tempfile.gettempdir(), f"shs_icepsev_{uuid.uuid4().hex}"
+        scratch_root(), f"shs_icepsev_{uuid.uuid4().hex}"
     )
     ddir = os.path.join(root, "data")
     mdir = os.path.join(root, "metadata")

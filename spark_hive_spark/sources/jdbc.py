@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 
 from spark_hive_spark.functions.numeric import dsum, sql_dsum
 from spark_hive_spark.plans.registry import register
+from spark_hive_spark.scratch import scratch_root
 from spark_hive_spark.tables import t
 
 _DERBY_DRIVER = "org.apache.derby.jdbc.EmbeddedDriver"
@@ -53,7 +54,7 @@ def source_jdbc_dim_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     embedded Derby is single-process); the fact-side plan is identical
     to a plain broadcast dim join and never sees JDBC."""
     url = "jdbc:derby:" + os.path.join(
-        tempfile.gettempdir(), f"shs_derby_{uuid.uuid4().hex}"
+        scratch_root(), f"shs_derby_{uuid.uuid4().hex}"
     ) + ";create=true"
     props = {"driver": _DERBY_DRIVER}
     nation = t(spark, sf_dir, "nation")

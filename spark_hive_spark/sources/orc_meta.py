@@ -64,6 +64,7 @@ from spark_hive_spark.operators.lz4 import lz4_block_decompress
 from spark_hive_spark.operators.snappy import snappy_decompress
 from spark_hive_spark.operators.zstd import zstd_decompress
 from spark_hive_spark.plans.registry import register
+from spark_hive_spark.scratch import scratch_root
 from spark_hive_spark.tables import t
 
 _COMPRESSION = {0: "NONE", 1: "ZLIB", 2: "SNAPPY", 3: "LZO", 4: "LZ4",
@@ -328,7 +329,7 @@ def source_orc_stripe_skipping(
     Scale posture: planning is O(tail bytes) + O(#stripes) arithmetic
     driver-side — the same contract as real ORC split planning; data
     pages of pruned stripes are never read."""
-    root = os.path.join(tempfile.gettempdir(), f"shs_orc_{uuid.uuid4().hex}")
+    root = os.path.join(scratch_root(), f"shs_orc_{uuid.uuid4().hex}")
     os.makedirs(root)
     path = _write_orc_fixture(spark, sf_dir, root)
     with open(path, "rb") as fh:
@@ -725,7 +726,7 @@ def source_orc_rlev2_decode(
     import pyarrow.orc as _po
 
     root = os.path.join(
-        tempfile.gettempdir(), f"shs_orcd_{uuid.uuid4().hex}"
+        scratch_root(), f"shs_orcd_{uuid.uuid4().hex}"
     )
     os.makedirs(root)
     keys = (
@@ -1166,7 +1167,7 @@ def source_orc_timestamp_double_decode(
     import pandas as _pd
 
     root = os.path.join(
-        tempfile.gettempdir(), f"shs_orctd_{uuid.uuid4().hex}"
+        scratch_root(), f"shs_orctd_{uuid.uuid4().hex}"
     )
     (
         t(spark, sf_dir, "orders")
@@ -1614,7 +1615,7 @@ def source_orc_list_decode(
     import pandas as _pd
 
     root = os.path.join(
-        tempfile.gettempdir(), f"shs_orclist_{uuid.uuid4().hex}"
+        scratch_root(), f"shs_orclist_{uuid.uuid4().hex}"
     )
     (
         t(spark, sf_dir, "orders")
@@ -1806,7 +1807,7 @@ def source_orc_map_struct_decode(
     import pandas as _pd
 
     root = os.path.join(
-        tempfile.gettempdir(), f"shs_orcms_{uuid.uuid4().hex}"
+        scratch_root(), f"shs_orcms_{uuid.uuid4().hex}"
     )
     (
         t(spark, sf_dir, "orders")
@@ -2118,7 +2119,7 @@ def source_orc_decimal_boolean_decode(
     import pandas as _pd
 
     root = os.path.join(
-        tempfile.gettempdir(), f"shs_orcdec_{uuid.uuid4().hex}"
+        scratch_root(), f"shs_orcdec_{uuid.uuid4().hex}"
     )
     (
         t(spark, sf_dir, "orders")
@@ -2332,7 +2333,7 @@ def source_orc_deep_nested_decode(
     import pandas as _pd
 
     root = os.path.join(
-        tempfile.gettempdir(), f"shs_orcdeep_{uuid.uuid4().hex}"
+        scratch_root(), f"shs_orcdeep_{uuid.uuid4().hex}"
     )
     (
         t(spark, sf_dir, "orders")
@@ -2590,7 +2591,7 @@ def source_orc_rlev1_decode(
     import pandas as _pd
 
     root = os.path.join(
-        tempfile.gettempdir(), f"shs_orcv1_{uuid.uuid4().hex}"
+        scratch_root(), f"shs_orcv1_{uuid.uuid4().hex}"
     )
     os.makedirs(root)
     fixture = (
@@ -2740,7 +2741,7 @@ def source_orc_rlev1_typed(
     import pandas as _pd
 
     root = os.path.join(
-        tempfile.gettempdir(), f"shs_orcv1t_{uuid.uuid4().hex}"
+        scratch_root(), f"shs_orcv1t_{uuid.uuid4().hex}"
     )
     os.makedirs(root)
     fixture = (
@@ -3164,7 +3165,7 @@ def source_orc_row_index_skipping(
     import pandas as _pd
 
     root = os.path.join(
-        tempfile.gettempdir(), f"shs_orcri_{uuid.uuid4().hex}"
+        scratch_root(), f"shs_orcri_{uuid.uuid4().hex}"
     )
     os.makedirs(root)
     fixture = (
@@ -3377,7 +3378,7 @@ def source_orc_row_index_skipping_compressed(
     import pandas as _pd
 
     root = os.path.join(
-        tempfile.gettempdir(), f"shs_orcric_{uuid.uuid4().hex}"
+        scratch_root(), f"shs_orcric_{uuid.uuid4().hex}"
     )
     os.makedirs(root)
     fixture = (
@@ -3607,7 +3608,7 @@ def source_orc_row_index_skipping_nullable(
     import pandas as _pd
 
     root = os.path.join(
-        tempfile.gettempdir(), f"shs_orcrin_{uuid.uuid4().hex}"
+        scratch_root(), f"shs_orcrin_{uuid.uuid4().hex}"
     )
     os.makedirs(root)
     fixture = (
@@ -3841,7 +3842,7 @@ def source_orc_row_index_skipping_nullable_compressed(
     import pandas as _pd
 
     root = os.path.join(
-        tempfile.gettempdir(), f"shs_orcrinc_{uuid.uuid4().hex}"
+        scratch_root(), f"shs_orcrinc_{uuid.uuid4().hex}"
     )
     os.makedirs(root)
     fixture = (
@@ -4085,7 +4086,7 @@ def source_orc_row_index_skipping_string(
     import pandas as _pd
 
     root = os.path.join(
-        tempfile.gettempdir(), f"shs_orcris_{uuid.uuid4().hex}"
+        scratch_root(), f"shs_orcris_{uuid.uuid4().hex}"
     )
     os.makedirs(root)
     fixture = (
@@ -4338,7 +4339,7 @@ def source_orc_row_index_skipping_dictionary(
     import pandas as _pd
 
     root = os.path.join(
-        tempfile.gettempdir(), f"shs_orcrid_{uuid.uuid4().hex}"
+        scratch_root(), f"shs_orcrid_{uuid.uuid4().hex}"
     )
     os.makedirs(root)
     fixture = (
@@ -4585,7 +4586,7 @@ def source_orc_row_index_skipping_timestamp(
     import pandas as _pd
 
     root = os.path.join(
-        tempfile.gettempdir(), f"shs_orcrit_{uuid.uuid4().hex}"
+        scratch_root(), f"shs_orcrit_{uuid.uuid4().hex}"
     )
     os.makedirs(root)
     fixture = (
@@ -4911,7 +4912,7 @@ def source_orc_bloom_skipping(
         .alias("cents"),
     )
     root = os.path.join(
-        tempfile.gettempdir(), f"shs_orcbloom_{uuid.uuid4().hex}"
+        scratch_root(), f"shs_orcbloom_{uuid.uuid4().hex}"
     )
     os.makedirs(root)
     n_rows = orders.count()
@@ -5224,7 +5225,7 @@ def source_orc_bloom_skipping_string(
         .alias("cents"),
     )
     root = os.path.join(
-        tempfile.gettempdir(), f"shs_orcbloomstr_{uuid.uuid4().hex}"
+        scratch_root(), f"shs_orcbloomstr_{uuid.uuid4().hex}"
     )
     os.makedirs(root)
     n_rows = orders.count()
@@ -5524,7 +5525,7 @@ def source_orc_row_index_skipping_decimal(
     import pandas as _pd
 
     root = os.path.join(
-        tempfile.gettempdir(), f"shs_orcdec_{uuid.uuid4().hex}"
+        scratch_root(), f"shs_orcdec_{uuid.uuid4().hex}"
     )
     os.makedirs(root)
     fixture = (
@@ -5832,7 +5833,7 @@ def source_orc_bloom_skipping_dictionary(
         .alias("cents"),
     )
     root = os.path.join(
-        tempfile.gettempdir(), f"shs_orcbloomdict_{uuid.uuid4().hex}"
+        scratch_root(), f"shs_orcbloomdict_{uuid.uuid4().hex}"
     )
     os.makedirs(root)
     n_rows = orders.count()
@@ -6140,7 +6141,7 @@ def source_orc_row_index_skipping_decimal_compressed(
     import pandas as _pd
 
     root = os.path.join(
-        tempfile.gettempdir(), f"shs_orcdecc_{uuid.uuid4().hex}"
+        scratch_root(), f"shs_orcdecc_{uuid.uuid4().hex}"
     )
     os.makedirs(root)
     fixture = (

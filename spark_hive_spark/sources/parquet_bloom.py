@@ -61,6 +61,7 @@ from pyspark.sql import functions as F
 from spark_hive_spark.functions.numeric import dsum, sql_dsum
 from spark_hive_spark.operators.zstd import xxh64
 from spark_hive_spark.plans.registry import register
+from spark_hive_spark.scratch import scratch_root
 from spark_hive_spark.sources.parquet_meta import _read_struct, decode_footer
 from spark_hive_spark.tables import t
 
@@ -201,7 +202,7 @@ def source_parquet_bloom_skipping(
     candidate data files are read as independent splits; nothing
     driver-side grows with row count."""
     root = os.path.join(
-        tempfile.gettempdir(), f"shs_bloom_{uuid.uuid4().hex}"
+        scratch_root(), f"shs_bloom_{uuid.uuid4().hex}"
     )
     os.makedirs(root)
     paths = _write_bloom_fixture(spark, sf_dir, root)
@@ -332,7 +333,7 @@ def source_parquet_bloom_skipping_string(
     probing over footer-adjacent KB, candidate files read as
     independent splits."""
     root = os.path.join(
-        tempfile.gettempdir(), f"shs_bloomstr_{uuid.uuid4().hex}"
+        scratch_root(), f"shs_bloomstr_{uuid.uuid4().hex}"
     )
     os.makedirs(root)
     orders = t(spark, sf_dir, "orders").select(

@@ -58,6 +58,7 @@ from pyspark.sql import functions as F
 
 from spark_hive_spark.functions.numeric import dsum, sql_dsum
 from spark_hive_spark.plans.registry import register
+from spark_hive_spark.scratch import scratch_root
 from spark_hive_spark.tables import t
 
 _MAGIC = b"PAR1"
@@ -461,7 +462,7 @@ def source_parquet_footer_stats(
 
     Scale posture: the decode is O(footer bytes) per file — real scan
     planning cost; nothing here reads a data page."""
-    root = os.path.join(tempfile.gettempdir(), f"shs_pqm_{uuid.uuid4().hex}")
+    root = os.path.join(scratch_root(), f"shs_pqm_{uuid.uuid4().hex}")
     os.makedirs(root)
     path = _write_fixture(spark, sf_dir, root)
     with open(path, "rb") as fh:
@@ -1592,7 +1593,7 @@ def source_parquet_rowgroup_skipping(
     Scale posture: planning is O(#row-groups) footer arithmetic;
     the scan fans out one task per surviving row group — at 100 TB
     both are per-file-parallel and pruned pages are never fetched."""
-    root = os.path.join(tempfile.gettempdir(), f"shs_pqs_{uuid.uuid4().hex}")
+    root = os.path.join(scratch_root(), f"shs_pqs_{uuid.uuid4().hex}")
     os.makedirs(root)
     path = _write_fixture(spark, sf_dir, root)
     with open(path, "rb") as fh:
@@ -1707,7 +1708,7 @@ def source_parquet_page_decode(
     on the JVM reader."""
     import pandas as _pd
 
-    root = os.path.join(tempfile.gettempdir(), f"shs_pgd_{uuid.uuid4().hex}")
+    root = os.path.join(scratch_root(), f"shs_pgd_{uuid.uuid4().hex}")
     os.makedirs(root)
     import pyarrow as _pa
     import pyarrow.parquet as _pq
@@ -1830,7 +1831,7 @@ def source_parquet_spark_native_decode(
     import pandas as _pd
 
     root = os.path.join(
-        tempfile.gettempdir(), f"shs_pqn_{uuid.uuid4().hex}"
+        scratch_root(), f"shs_pqn_{uuid.uuid4().hex}"
     )
     (
         t(spark, sf_dir, "orders")
@@ -2234,7 +2235,7 @@ def source_parquet_page_skipping(
     import json as _json
 
     root = os.path.join(
-        tempfile.gettempdir(), f"shs_pgidx_{uuid.uuid4().hex}"
+        scratch_root(), f"shs_pgidx_{uuid.uuid4().hex}"
     )
     os.makedirs(root)
     (
@@ -2470,7 +2471,7 @@ def source_parquet_nested_decode(
     import pandas as _pd
 
     root = os.path.join(
-        tempfile.gettempdir(), f"shs_pqnest_{uuid.uuid4().hex}"
+        scratch_root(), f"shs_pqnest_{uuid.uuid4().hex}"
     )
     (
         t(spark, sf_dir, "orders")
@@ -2609,7 +2610,7 @@ def source_parquet_struct_decode(
     import pandas as _pd
 
     root = os.path.join(
-        tempfile.gettempdir(), f"shs_pqstruct_{uuid.uuid4().hex}"
+        scratch_root(), f"shs_pqstruct_{uuid.uuid4().hex}"
     )
     (
         t(spark, sf_dir, "orders")
@@ -2754,7 +2755,7 @@ def source_parquet_list_strings_decode(
     import pandas as _pd
 
     root = os.path.join(
-        tempfile.gettempdir(), f"shs_pqls_{uuid.uuid4().hex}"
+        scratch_root(), f"shs_pqls_{uuid.uuid4().hex}"
     )
     (
         t(spark, sf_dir, "orders")
@@ -2892,7 +2893,7 @@ def source_parquet_decimal_bool_decode(
     import pandas as _pd
 
     root = os.path.join(
-        tempfile.gettempdir(), f"shs_pqdec_{uuid.uuid4().hex}"
+        scratch_root(), f"shs_pqdec_{uuid.uuid4().hex}"
     )
     (
         t(spark, sf_dir, "orders")
@@ -3050,7 +3051,7 @@ def source_parquet_int96_timestamp_decode(
     import pandas as _pd
 
     root = os.path.join(
-        tempfile.gettempdir(), f"shs_pqi96_{uuid.uuid4().hex}"
+        scratch_root(), f"shs_pqi96_{uuid.uuid4().hex}"
     )
     (
         t(spark, sf_dir, "orders")
@@ -3201,7 +3202,7 @@ def source_parquet_map_decode(
     import pandas as _pd
 
     root = os.path.join(
-        tempfile.gettempdir(), f"shs_pqmap_{uuid.uuid4().hex}"
+        scratch_root(), f"shs_pqmap_{uuid.uuid4().hex}"
     )
     (
         t(spark, sf_dir, "orders")
@@ -3373,7 +3374,7 @@ def source_parquet_list_struct_decode(
     import pandas as _pd
 
     root = os.path.join(
-        tempfile.gettempdir(), f"shs_pqls_{uuid.uuid4().hex}"
+        scratch_root(), f"shs_pqls_{uuid.uuid4().hex}"
     )
     (
         t(spark, sf_dir, "orders")
@@ -3577,7 +3578,7 @@ def source_parquet_nested_list_decode(
     import pandas as _pd
 
     root = os.path.join(
-        tempfile.gettempdir(), f"shs_pqll_{uuid.uuid4().hex}"
+        scratch_root(), f"shs_pqll_{uuid.uuid4().hex}"
     )
     (
         t(spark, sf_dir, "orders")
@@ -3739,7 +3740,7 @@ def source_parquet_byte_stream_split_decode(
     import pyarrow.parquet as _pq
 
     root = os.path.join(
-        tempfile.gettempdir(), f"shs_pqbss_{uuid.uuid4().hex}"
+        scratch_root(), f"shs_pqbss_{uuid.uuid4().hex}"
     )
     os.makedirs(root)
     path = os.path.join(root, "bss.parquet")

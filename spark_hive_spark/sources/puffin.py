@@ -54,6 +54,7 @@ from pyspark.sql import functions as F
 
 from spark_hive_spark.functions.numeric import dsum, sql_dsum
 from spark_hive_spark.plans.registry import register
+from spark_hive_spark.scratch import scratch_root
 from spark_hive_spark.sources.delta_dv import (
     roaring64_portable_deserialize,
     roaring64_portable_serialize,
@@ -258,7 +259,7 @@ def _dv_query(
         "o_orderkey", "o_totalprice"
     )
     root = os.path.join(
-        tempfile.gettempdir(), f"shs_icev3dv_{uuid.uuid4().hex}"
+        scratch_root(), f"shs_icev3dv_{uuid.uuid4().hex}"
     )
     ddir = os.path.join(root, "data")
     mdir = os.path.join(root, "metadata")
@@ -846,7 +847,7 @@ def source_puffin_theta_ndv(
     orders = t(spark, sf_dir, "orders")
 
     root = os.path.join(
-        tempfile.gettempdir(), f"shs_theta_{uuid.uuid4().hex}"
+        scratch_root(), f"shs_theta_{uuid.uuid4().hex}"
     )
     os.makedirs(root)
     K = 256
@@ -1082,7 +1083,7 @@ def source_puffin_theta_union_ndv(
     )
 
     root = os.path.join(
-        tempfile.gettempdir(), f"shs_thetau_{uuid.uuid4().hex}"
+        scratch_root(), f"shs_thetau_{uuid.uuid4().hex}"
     )
     os.makedirs(root)
     ppath = os.path.join(root, "yearly.puffin")
@@ -1203,7 +1204,7 @@ def source_puffin_theta_ndv_strings(
     )
 
     root = os.path.join(
-        tempfile.gettempdir(), f"shs_thetas_{uuid.uuid4().hex}"
+        scratch_root(), f"shs_thetas_{uuid.uuid4().hex}"
     )
     os.makedirs(root)
     ppath = os.path.join(root, "stats.puffin")
@@ -1362,7 +1363,7 @@ def source_puffin_theta_join_order(
     cust = t(spark, sf_dir, "customer").select("c_custkey")
 
     root = os.path.join(
-        tempfile.gettempdir(), f"shs_thetajo_{uuid.uuid4().hex}"
+        scratch_root(), f"shs_thetajo_{uuid.uuid4().hex}"
     )
     os.makedirs(root)
     K = 256
@@ -1538,7 +1539,7 @@ def source_iceberg_table_statistics_lineage(
         "o_orderkey", "o_custkey", "o_totalprice"
     )
     root = os.path.join(
-        tempfile.gettempdir(), f"shs_thetalin_{uuid.uuid4().hex}"
+        scratch_root(), f"shs_thetalin_{uuid.uuid4().hex}"
     )
     ddir = os.path.join(root, "data")
     mdir = os.path.join(root, "metadata")
@@ -1690,7 +1691,7 @@ def source_iceberg_expire_statistics(
         "o_orderkey", "o_custkey", "o_totalprice"
     )
     root = os.path.join(
-        tempfile.gettempdir(), f"shs_thetaexp_{uuid.uuid4().hex}"
+        scratch_root(), f"shs_thetaexp_{uuid.uuid4().hex}"
     )
     ddir = os.path.join(root, "data")
     mdir = os.path.join(root, "metadata")

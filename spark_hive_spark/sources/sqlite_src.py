@@ -57,6 +57,7 @@ from pyspark.sql import functions as F
 
 from spark_hive_spark.functions.numeric import dsum, sql_dsum
 from spark_hive_spark.plans.registry import register
+from spark_hive_spark.scratch import scratch_root
 from spark_hive_spark.tables import t
 
 _SQLITE_MAGIC = b"SQLite format 3\x00"
@@ -253,7 +254,7 @@ def source_sqlite_table_scan(
         "o_orderkey", "o_orderpriority", "o_totalprice"
     )
     root = os.path.join(
-        tempfile.gettempdir(), f"shs_sqlite_{uuid.uuid4().hex}"
+        scratch_root(), f"shs_sqlite_{uuid.uuid4().hex}"
     )
     os.makedirs(root)
     rows = orders.collect()  # bounded fixture-build materialization

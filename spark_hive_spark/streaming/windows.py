@@ -30,6 +30,7 @@ from pyspark.sql import functions as F
 
 from spark_hive_spark.functions.numeric import dsum, sql_dsum
 from spark_hive_spark.plans.registry import register
+from spark_hive_spark.scratch import scratch_root
 from spark_hive_spark.tables import t, table_path
 
 
@@ -96,7 +97,7 @@ def _run_to_completion(agg: DataFrame, mode: str) -> DataFrame:
     """Start a memory-sink query, drain all available input, return
     the sink table as a DataFrame."""
     name = f"strm_{uuid.uuid4().hex[:12]}"
-    with tempfile.TemporaryDirectory(prefix="ckpt_") as ckpt, _stream_shuffle(
+    with tempfile.TemporaryDirectory(prefix="ckpt_", dir=scratch_root()) as ckpt, _stream_shuffle(
         agg.sparkSession
     ):
         q = (
@@ -355,7 +356,7 @@ _PB_FALLBACK_SDK = os.environ.get(
 # cache key includes the source path, so an SPARK_HIVE_PB_PATH
 # override can never be shadowed by a zip built from a different root
 _PB_ZIP = os.path.join(
-    tempfile.gettempdir(),
+    scratch_root(),
     "spark_hive_pb_runtime."
     f"{hashlib.sha256(_PB_FALLBACK_SDK.encode()).hexdigest()[:12]}.zip",
 )
@@ -690,7 +691,7 @@ def stream_foreachbatch_parquet_sink(spark: SparkSession, sf_dir: str) -> DataFr
         F.count("*").alias("n_events"), dsum("value").alias("sum_value")
     )
     out_dir = os.path.join(
-        tempfile.gettempdir(), f"shs_fb_sink_{os.getpid()}_{uuid.uuid4().hex[:8]}"
+        scratch_root(), f"shs_fb_sink_{os.getpid()}_{uuid.uuid4().hex[:8]}"
     )
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
@@ -705,7 +706,7 @@ def stream_foreachbatch_parquet_sink(spark: SparkSession, sf_dir: str) -> DataFr
             .parquet(out_dir)
         )
 
-    with tempfile.TemporaryDirectory(prefix="ckpt_fb_") as ckpt, _stream_shuffle(
+    with tempfile.TemporaryDirectory(prefix="ckpt_fb_", dir=scratch_root()) as ckpt, _stream_shuffle(
         spark
     ):
         q = (
@@ -793,7 +794,7 @@ def stream_multibatch_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows — state size stays |windows x types| regardless of batch
     count or input volume."""
     ev = t(spark, sf_dir, "events").select("ts", "event_type", "value")
-    with tempfile.TemporaryDirectory(prefix="mbatch_") as d:
+    with tempfile.TemporaryDirectory(prefix="mbatch_", dir=scratch_root()) as d:
         data_dir = os.path.join(d, "events4")
         ev.repartition(4).write.parquet(data_dir)
         schema = spark.read.parquet(data_dir).schema
@@ -1162,7 +1163,7 @@ def stream_update_mode_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-batch output is O(changed keys), not O(all keys) like
     complete mode; state size is unchanged."""
     ev = t(spark, sf_dir, "events").select("event_id", "ts", "event_type", "value")
-    with tempfile.TemporaryDirectory(prefix="updm_") as d:
+    with tempfile.TemporaryDirectory(prefix="updm_", dir=scratch_root()) as d:
         data_dir = os.path.join(d, "events4")
         for i in range(4):
             ev.filter(F.col("event_id") % 4 == i).coalesce(1).write.parquet(
@@ -1229,7 +1230,7 @@ def stream_available_now_catchup(spark: SparkSession, sf_dir: str) -> DataFrame:
     incremental."""
     ev = t(spark, sf_dir, "events").select("ts", "event_type", "value")
     name = f"strm_{uuid.uuid4().hex[:12]}"
-    with tempfile.TemporaryDirectory(prefix="anow_") as d, _stream_shuffle(
+    with tempfile.TemporaryDirectory(prefix="anow_", dir=scratch_root()) as d, _stream_shuffle(
         spark
     ):
         data_dir = os.path.join(d, "events4")

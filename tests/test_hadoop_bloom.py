@@ -67,3 +67,47 @@ def test_bloom_codec_guards():
         HadoopBloomFilter.deserialize(raw + b"\x00")
     m, k = hudi_bloom_sizing(1000, 0.01)
     assert 9000 < m < 10100 and k == 7
+
+
+def test_vectorized_bloom_matches_scalar():
+    """The numpy murmur2 / bloom-index path (bloom_bit_indexes, used
+    by the metadata-table bloom build) is bit-identical to the scalar
+    HadoopBloomFilter.add path — arbitrary byte keys (signed-tail
+    smearing), every tail length, chained nbHash seeds."""
+    import random
+
+    import numpy as np
+
+    from spark_hive_spark.sources.hadoop_bloom import (
+        _murmur2_32_vec,
+        bloom_bit_indexes,
+        murmur2_32,
+    )
+
+    random.seed(11)
+    keys = [
+        bytes(random.randrange(1, 256) for _ in range(random.randrange(1, 13)))
+        for _ in range(400)
+    ] + [str(i).encode() for i in range(0, 9000, 17)]
+    m, k = hudi_bloom_sizing(len(keys), 0.01)
+    bf = HadoopBloomFilter(m, k)
+    for key in keys:
+        bf.add(key)
+    idx = bloom_bit_indexes(np.asarray(keys, dtype=np.bytes_), m, k)
+    assert set(idx.tolist()) == bf.bits
+    # chained-seed hash parity on raw murmur values
+    for key in keys[:40]:
+        mat = np.frombuffer(key, dtype=np.uint8).reshape(1, -1)
+        seed = 0
+        for _ in range(3):
+            expected = murmur2_32(key, seed)
+            got = int(
+                _murmur2_32_vec(
+                    mat, np.array([seed & 0xFFFFFFFF], dtype=np.uint32)
+                )[0]
+            )
+            got = got - (1 << 32) if got & (1 << 31) else got
+            assert got == expected
+            seed = expected
+    with pytest.raises(ValueError, match="empty"):
+        bloom_bit_indexes(np.asarray([b"a", b""], dtype=np.bytes_), m, k)

@@ -311,3 +311,24 @@ def test_rli_file_group_routing_matches_java_hashcode(spark):
             assert hudi_rli_file_group_index(s, n) == abs(
                 (jh if jh != -(1 << 31) else jh) % n
             ) or hudi_rli_file_group_index(s, n) == expect
+
+
+def test_rli_file_group_index_vec_matches_scalar():
+    """The numpy shard router (hudi_rli_file_group_index_vec, used by
+    the sharded record-index builder) matches the scalar Java-
+    hashCode form key for key across digit-string lengths."""
+    import numpy as np
+
+    from spark_hive_spark.sources.hudi_mor import (
+        hudi_rli_file_group_index,
+        hudi_rli_file_group_index_vec,
+    )
+
+    keys = [str(i) for i in range(0, 250_000, 337)] + ["0", "7", "999"]
+    for n_groups in (1, 4, 16):
+        got = hudi_rli_file_group_index_vec(
+            np.asarray([k.encode() for k in keys], dtype=np.bytes_),
+            n_groups,
+        )
+        expected = [hudi_rli_file_group_index(k, n_groups) for k in keys]
+        assert got.tolist() == expected
