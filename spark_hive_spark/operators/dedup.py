@@ -29,7 +29,7 @@ from pyspark.sql import functions as F
 
 from spark_hive_spark import api
 from spark_hive_spark.plans.registry import register
-from spark_hive_spark.scratch import scratch_root
+from spark_hive_spark.scratch import run_parallel, scratch_root
 from spark_hive_spark.tables import t
 
 # Shingles appearing in more docs than this carry no dedup signal but
@@ -709,18 +709,26 @@ def _minhash_index_write(
     relations are distinguishable from corpus scans in a plan.
     Appending is the index-maintenance operation: new docs only add
     rows (bands/shingles/sizes are per-doc), so the update is an
-    append, never a rewrite."""
+    append, never a rewrite.
+
+    The three table writes are independent jobs over the same cached
+    shingle frame — they overlap in one thread pool (guide §2.6) so
+    the stage tails back-fill instead of serializing."""
     import os
 
-    api.minhash_bands(sh_df, k=MINHASH_K, bands=MINHASH_BANDS).select(
-        F.col("doc_id").alias("v1_doc"), "band_idx", "band_hash"
-    ).write.mode(mode).parquet(os.path.join(root, "bands"))
-    sh_df.select(F.col("doc_id").alias("v1_doc"), "s").write.mode(
-        mode
-    ).parquet(os.path.join(root, "shingles"))
-    sh_df.groupBy(F.col("doc_id").alias("v1_doc")).agg(
-        F.count("*").alias("v1_n")
-    ).write.mode(mode).parquet(os.path.join(root, "sizes"))
+    run_parallel(
+        lambda: api.minhash_bands(
+            sh_df, k=MINHASH_K, bands=MINHASH_BANDS
+        ).select(
+            F.col("doc_id").alias("v1_doc"), "band_idx", "band_hash"
+        ).write.mode(mode).parquet(os.path.join(root, "bands")),
+        lambda: sh_df.select(
+            F.col("doc_id").alias("v1_doc"), "s"
+        ).write.mode(mode).parquet(os.path.join(root, "shingles")),
+        lambda: sh_df.groupBy(F.col("doc_id").alias("v1_doc")).agg(
+            F.count("*").alias("v1_n")
+        ).write.mode(mode).parquet(os.path.join(root, "sizes")),
+    )
 
 
 def _minhash_index_dedupe(
@@ -973,16 +981,22 @@ def dedup_incremental_index_update(
     )
     # corpus v1 -> the frozen index
     _minhash_index_write(sh.filter(quarter < 2), root)
-    b2_sh = sh.filter(quarter == 2).localCheckpoint(eager=True)
-    b3_sh = sh.filter(quarter == 3).localCheckpoint(eager=True)
+    # the two batch checkpoints are independent materializations of
+    # the cached shingle frame — overlapped (guide §2.6)
+    b2_sh, b3_sh = run_parallel(
+        lambda: sh.filter(quarter == 2).localCheckpoint(eager=True),
+        lambda: sh.filter(quarter == 3).localCheckpoint(eager=True),
+    )
 
     # cycle step 1: dedupe batch 2, drop its dups
     dups2 = (
         _minhash_index_dedupe(spark, root, b2_sh)
         .select("doc_id").distinct()
     )
-    n_dropped = dups2.count()
-    n_b2 = b2_sh.select("doc_id").distinct().count()
+    n_dropped, n_b2 = run_parallel(
+        lambda: dups2.count(),
+        lambda: b2_sh.select("doc_id").distinct().count(),
+    )
     kept2_sh = b2_sh.join(F.broadcast(dups2), "doc_id", "left_anti")
 
     # cycle step 2: the survivors JOIN the index — a pure append
@@ -1082,8 +1096,12 @@ def dedup_index_compaction_audit(
         scratch_root(), f"shs_dedupidxc_{uuid.uuid4().hex}"
     )
     _minhash_index_write(sh.filter(quarter < 2), root)
-    b2_sh = sh.filter(quarter == 2).localCheckpoint(eager=True)
-    b3_sh = sh.filter(quarter == 3).localCheckpoint(eager=True)
+    # the two batch checkpoints are independent materializations of
+    # the cached shingle frame — overlapped (guide §2.6)
+    b2_sh, b3_sh = run_parallel(
+        lambda: sh.filter(quarter == 2).localCheckpoint(eager=True),
+        lambda: sh.filter(quarter == 3).localCheckpoint(eager=True),
+    )
 
     dups2 = (
         _minhash_index_dedupe(spark, root, b2_sh)
@@ -1099,40 +1117,57 @@ def dedup_index_compaction_audit(
             for nm in names if nm.endswith(".parquet")
         )
 
+    def _rows(d: str) -> int:
+        # exact row counts straight from the parquet footers — the
+        # rewrite audit needs no Spark job per table (was: 6
+        # sequential read+count jobs for before/after x 3 tables)
+        import pyarrow.parquet as _pq
+
+        return sum(
+            _pq.read_metadata(os.path.join(base, nm)).num_rows
+            for base, _dirs, names in os.walk(d)
+            for nm in names if nm.endswith(".parquet")
+        )
+
     tables = ("bands", "shingles", "sizes")
     before_files = {tb: _files(os.path.join(root, tb))
                     for tb in tables}
-    before_rows = {
-        tb: spark.read.parquet(os.path.join(root, tb)).count()
-        for tb in tables
-    }
+    before_rows = {tb: _rows(os.path.join(root, tb))
+                   for tb in tables}
 
     # ---- COMPACTION: coalesced rewrite into a fresh root ----
+    # the three table rewrites are independent single-task jobs —
+    # overlapped so the cluster isn't idle behind each one's commit
     croot = os.path.join(
         scratch_root(), f"shs_dedupidxc2_{uuid.uuid4().hex}"
     )
-    for tb in tables:
+
+    def _compact(tb: str) -> None:
         (
             spark.read.parquet(os.path.join(root, tb))
             .coalesce(1)
             .write.parquet(os.path.join(croot, tb))
         )
+
+    run_parallel(*(lambda tb=tb: _compact(tb) for tb in tables))
     after_files = {tb: _files(os.path.join(croot, tb))
                    for tb in tables}
-    after_rows = {
-        tb: spark.read.parquet(os.path.join(croot, tb)).count()
-        for tb in tables
-    }
+    after_rows = {tb: _rows(os.path.join(croot, tb))
+                  for tb in tables}
     files_reduced = all(
         after_files[tb] < before_files[tb] for tb in tables
     )
     rows_preserved = before_rows == after_rows
 
     # ---- equivalence: batch 3 against BOTH index generations ----
-    pairs_old = _minhash_index_dedupe(spark, root, b3_sh) \
-        .localCheckpoint(eager=True)
-    pairs_new = _minhash_index_dedupe(spark, croot, b3_sh) \
-        .localCheckpoint(eager=True)
+    # the two dedupes are independent (old vs compacted index) —
+    # overlapped for the same reason
+    pairs_old, pairs_new = run_parallel(
+        lambda: _minhash_index_dedupe(spark, root, b3_sh)
+        .localCheckpoint(eager=True),
+        lambda: _minhash_index_dedupe(spark, croot, b3_sh)
+        .localCheckpoint(eager=True),
+    )
     mism = pairs_old.select("doc_id", "dup_of", "jaccard").join(
         pairs_new.select(
             "doc_id", "dup_of",

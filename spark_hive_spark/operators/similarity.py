@@ -26,6 +26,7 @@ from pyspark.sql import types as T
 from spark_hive_spark import api
 from spark_hive_spark.functions.vector import as_double, cosine, norm, sql_cosine
 from spark_hive_spark.plans.registry import register
+from spark_hive_spark.scratch import scratch_root
 from spark_hive_spark.tables import t
 
 N_QUERIES = 10  # vec_id < 10 are the query vectors
@@ -938,7 +939,7 @@ def ann_index_persistence_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     Cn = _ivf_centroids(emb, n_cells)
 
     idx_dir = _os.path.join(
-        _tf.gettempdir(), f"shs_ivf_idx_{_uuid.uuid4().hex}"
+        scratch_root(), f"shs_ivf_idx_{_uuid.uuid4().hex}"
     )
     idx_rows = [
         (int(i), [float(x) for x in Cn[i]]) for i in range(len(Cn))
@@ -1761,7 +1762,7 @@ def ann_incremental_index_audit(
     Cn = _ivf_centroids(v1, n_cells)
 
     root = _os.path.join(
-        _tf.gettempdir(), f"shs_ivf_incr_{_uuid.uuid4().hex}"
+        scratch_root(), f"shs_ivf_incr_{_uuid.uuid4().hex}"
     )
     cdir = _os.path.join(root, "centroids")
     pdir = _os.path.join(root, "postings")
@@ -1814,7 +1815,6 @@ def ann_incremental_index_audit(
     centroids_unchanged = bool((_load_centroids() == Cn).all())
 
     postings = spark.read.parquet(pdir)
-    n_batch = batch.count()
 
     # ---- recall audit ON THE UPDATED INDEX ----
     Cq = C_reloaded
@@ -1854,10 +1854,17 @@ def ann_incremental_index_audit(
         .filter(F.col("rank") <= TOP_K)
         .select("query_id", "neighbor_id", "cos_sim")
     )
-    brute = knn_cosine_bruteforce(spark, sf_dir).select(
-        "query_id", "neighbor_id",
-        F.col("cos_sim").alias("brute_cos"),
-    ).localCheckpoint(eager=True)  # feeds a count and two joins
+    # brute force and the batch count are independent of the ANN
+    # serve path — overlapped (guide §2.6)
+    from spark_hive_spark.scratch import run_parallel
+
+    n_batch, brute = run_parallel(
+        lambda: batch.count(),
+        lambda: knn_cosine_bruteforce(spark, sf_dir).select(
+            "query_id", "neighbor_id",
+            F.col("cos_sim").alias("brute_cos"),
+        ).localCheckpoint(eager=True),  # feeds a count and two joins
+    )
     hit = ann.join(
         brute, ["query_id", "neighbor_id"], "inner"
     ).localCheckpoint(eager=True)
@@ -1952,7 +1959,7 @@ def ann_index_delete_audit(
     Cn = _ivf_centroids(emb, n_cells)
 
     root = _os.path.join(
-        _tf.gettempdir(), f"shs_ivf_del_{_uuid.uuid4().hex}"
+        scratch_root(), f"shs_ivf_del_{_uuid.uuid4().hex}"
     )
     pdir = _os.path.join(root, "postings")
     tpath = _os.path.join(root, "tombstones")
@@ -1979,7 +1986,14 @@ def ann_index_delete_audit(
     emb.filter(deleted).select("vec_id").coalesce(1) \
         .write.parquet(tpath)
     postings_intact = _snapshot(pdir) == before
-    n_deleted = spark.read.parquet(tpath).count()
+    # tombstone cardinality from the parquet footer — no Spark job
+    import pyarrow.parquet as _pq
+
+    n_deleted = sum(
+        _pq.read_metadata(_os.path.join(base, nm)).num_rows
+        for base, _dirs, names in _os.walk(tpath)
+        for nm in names if nm.endswith(".parquet")
+    )
 
     postings = spark.read.parquet(pdir)
     tombs = spark.read.parquet(tpath)
@@ -2030,16 +2044,21 @@ def ann_index_delete_audit(
             .select("query_id", "neighbor_id", "cos_sim")
         )
 
-    ann = _serve(postings, mask_tombstones=True).localCheckpoint(
-        eager=True
-    )  # feeds the brute join, the deleted-served count, and the
-    # compaction-equivalence join
+    # the tombstone-masked serve and the live-set brute force are
+    # independent — overlapped (guide §2.6)
+    from spark_hive_spark.scratch import run_parallel
 
     live = emb.filter(~deleted)
-    brute = api.knn(live, queries, k=TOP_K).select(
-        "query_id", "neighbor_id",
-        F.col("cos_sim").alias("brute_cos"),
-    ).localCheckpoint(eager=True)
+    ann, brute = run_parallel(
+        lambda: _serve(postings, mask_tombstones=True)
+        .localCheckpoint(eager=True),
+        # feeds the brute join, the deleted-served count, and the
+        # compaction-equivalence join
+        lambda: api.knn(live, queries, k=TOP_K).select(
+            "query_id", "neighbor_id",
+            F.col("cos_sim").alias("brute_cos"),
+        ).localCheckpoint(eager=True),
+    )
     hit = ann.join(
         brute, ["query_id", "neighbor_id"], "inner"
     ).localCheckpoint(eager=True)

@@ -3125,6 +3125,37 @@ def iceberg_bucket_long(value: int, n: int) -> int:
     return (h & 0x7FFFFFFF) % n
 
 
+def iceberg_bucket_long_vec(values, n: int):
+    """Vectorized `iceberg_bucket_long` over an int64 numpy array —
+    the 8-byte little-endian murmur3_x86_32 specialization (two
+    4-byte blocks, no tail) in uint32 arithmetic. Pinned against the
+    scalar transform in tests/test_iceberg_v3.py; the fixture writer
+    previously paid a per-row Python murmur for every key."""
+    import numpy as np
+
+    v = np.ascontiguousarray(values, dtype=np.int64).view(np.uint64)
+    c1, c2 = np.uint32(0xCC9E2D51), np.uint32(0x1B873593)
+    h = np.zeros(len(v), dtype=np.uint32)
+    with np.errstate(over="ignore"):
+        for blk in (
+            (v & np.uint64(0xFFFFFFFF)).astype(np.uint32),
+            (v >> np.uint64(32)).astype(np.uint32),
+        ):
+            k = blk * c1
+            k = (k << np.uint32(15)) | (k >> np.uint32(17))
+            k = k * c2
+            h ^= k
+            h = (h << np.uint32(13)) | (h >> np.uint32(19))
+            h = h * np.uint32(5) + np.uint32(0xE6546B64)
+        h ^= np.uint32(8)  # length
+        h ^= h >> np.uint32(16)
+        h = h * np.uint32(0x85EBCA6B)
+        h ^= h >> np.uint32(13)
+        h = h * np.uint32(0xC2B2AE35)
+        h ^= h >> np.uint32(16)
+    return (h & np.uint32(0x7FFFFFFF)).astype(np.int64) % n
+
+
 _ICE_BUCKETS = 8
 
 
@@ -3196,30 +3227,41 @@ def source_iceberg_hidden_partitioning(
     os.makedirs(root)
 
     # ---- writer: materialize both partition layouts ----
+    # (independent jobs, overlapped; the bucket transform runs the
+    # vectorized murmur3 — one numpy pass per Arrow batch instead of
+    # a per-row Python hash)
     month_col = (
         (F.year("o_orderdate") - F.lit(1970)) * 12
         + F.month("o_orderdate") - F.lit(1)
     ).cast("int")
-    (
-        orders.withColumn("m", month_col)
-        .repartition(8, "m")
-        .write.partitionBy("m")
-        .parquet(root + "/by_month")
-    )
 
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf("int")
     def _bucket(keys):  # noqa: ANN001 - Arrow-batched, fixture-write only
-        return keys.map(
-            lambda k: iceberg_bucket_long(int(k), _ICE_BUCKETS)
-        ).astype("int32")
+        import pandas as _pd
 
-    (
-        orders.withColumn("b", _bucket("o_orderkey"))
-        .repartition(_ICE_BUCKETS, "b")
-        .write.partitionBy("b")
-        .parquet(root + "/by_bucket")
+        return _pd.Series(
+            iceberg_bucket_long_vec(
+                keys.to_numpy(dtype="int64"), _ICE_BUCKETS
+            ).astype("int32")
+        )
+
+    from spark_hive_spark.scratch import run_parallel
+
+    run_parallel(
+        lambda: (
+            orders.withColumn("m", month_col)
+            .repartition(8, "m")
+            .write.partitionBy("m")
+            .parquet(root + "/by_month")
+        ),
+        lambda: (
+            orders.withColumn("b", _bucket("o_orderkey"))
+            .repartition(_ICE_BUCKETS, "b")
+            .write.partitionBy("b")
+            .parquet(root + "/by_bucket")
+        ),
     )
 
     # ---- reader: prune by applying transforms to predicates ----
@@ -3249,16 +3291,19 @@ def source_iceberg_hidden_partitioning(
         by_bucket.setdefault(
             iceberg_bucket_long(k, _ICE_BUCKETS), []
         ).append(k)
-    found = 0
-    for b, keys in sorted(by_bucket.items()):
-        found += (
-            spark.read.parquet(
-                os.path.join(root, "by_bucket", f"b={b}")
-            )
-            .filter(F.col("o_orderkey").isin(keys))
-            .count()
-        )
-    pruning_exact = found == len(probe_keys)
+    # each key is still read ONLY from its computed bucket directory
+    # (one per-bucket scan+filter branch), but the branches union into
+    # a single counting job instead of one sequential job per bucket
+    per_bucket = [
+        spark.read.parquet(os.path.join(root, "by_bucket", f"b={b}"))
+        .filter(F.col("o_orderkey").isin(keys))
+        .select("o_orderkey")
+        for b, keys in sorted(by_bucket.items())
+    ]
+    probed = per_bucket[0]
+    for d in per_bucket[1:]:
+        probed = probed.unionByName(d)
+    pruning_exact = probed.count() == len(probe_keys)
 
     out = window.agg(
         F.lit(len(months)).cast("int").alias("month_partitions"),

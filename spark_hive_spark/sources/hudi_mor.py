@@ -65,7 +65,10 @@ from spark_hive_spark.functions.numeric import dsum, sql_dsum
 from spark_hive_spark.operators.avro import _dec_field, _enc_field
 from spark_hive_spark.plans.registry import register
 from spark_hive_spark.scratch import scratch_root
-from spark_hive_spark.sources.staging import stage_single_parquet
+from spark_hive_spark.sources.staging import (
+    stage_many_parquet,
+    stage_single_parquet,
+)
 from spark_hive_spark.tables import t
 
 _MAGIC = b"#HUDI#"
@@ -2864,13 +2867,11 @@ def source_hudi_metadata_table_colstats(
     t1 = "001"
     n_total = orders.agg(F.max("o_orderkey")).collect()[0][0] + 1
     quart = F.floor(F.col("o_orderkey") * 4 / F.lit(n_total))
-    fnames = []
-    for i in range(4):
-        name = f"fg-{i}_0-1-0_{t1}.parquet"
-        stage_single_parquet(
-            orders.filter(quart == i), root, tdir, name
-        )
-        fnames.append(name)
+    fnames = [f"fg-{i}_0-1-0_{t1}.parquet" for i in range(4)]
+    stage_many_parquet(
+        [(orders.filter(quart == i), fnames[i]) for i in range(4)],
+        root, tdir,
+    )
     for suffix in (".commit.requested", ".commit.inflight", ".commit"):
         with open(os.path.join(hdir, t1 + suffix), "w") as fh:
             fh.write("{}")
@@ -3066,10 +3067,10 @@ def source_hudi_metadata_table_bloom_filters(
     n_total = orders.agg(F.max("o_orderkey")).collect()[0][0] + 1
     quart = F.floor(F.col("o_orderkey") * 4 / F.lit(n_total))
     fnames = {i: f"fg-{i}_0-1-0_{t1}.parquet" for i in range(4)}
-    for i in range(4):
-        stage_single_parquet(
-            orders.filter(quart == i), root, tdir, fnames[i]
-        )
+    stage_many_parquet(
+        [(orders.filter(quart == i), fnames[i]) for i in range(4)],
+        root, tdir,
+    )
     for suffix in (".commit.requested", ".commit.inflight", ".commit"):
         with open(os.path.join(hdir, t1 + suffix), "w") as fh:
             fh.write("{}")
@@ -3535,10 +3536,10 @@ def source_hudi_metadata_table_record_index(
     fnames = {
         i: f"{fids[i]}-0_0-1-0_{t1}.parquet" for i in range(2)
     }
-    for i in range(2):
-        stage_single_parquet(
-            orders.filter(par == i), root, tdir, fnames[i]
-        )
+    stage_many_parquet(
+        [(orders.filter(par == i), fnames[i]) for i in range(2)],
+        root, tdir,
+    )
     for suffix in (".commit.requested", ".commit.inflight", ".commit"):
         with open(os.path.join(hdir, t1 + suffix), "w") as fh:
             fh.write("{}")
@@ -3766,10 +3767,10 @@ def source_hudi_metadata_record_index_sharded(
     fnames = {
         i: f"{fids[i]}-0_0-1-0_{t1}.parquet" for i in range(2)
     }
-    for i in range(2):
-        stage_single_parquet(
-            orders.filter(par == i), root, tdir, fnames[i]
-        )
+    stage_many_parquet(
+        [(orders.filter(par == i), fnames[i]) for i in range(2)],
+        root, tdir,
+    )
 
     # payloads are constant per parity; keys/shards vectorize (the
     # shard router is the numpy twin of hudi_rli_file_group_index)

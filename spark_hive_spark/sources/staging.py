@@ -30,3 +30,20 @@ def stage_single_parquet(
     os.replace(os.path.join(tmp, src), dest)
     shutil.rmtree(tmp, ignore_errors=True)
     return dest
+
+
+def stage_many_parquet(
+    jobs, stage_root: str, dest_dir: str
+) -> list[str]:
+    """Stage several independent single-file parquet parts
+    concurrently (guide §2.6: independent fixture writes are separate
+    Spark jobs that otherwise serialize their stage tails). ``jobs``
+    is a sequence of (df, name); returns destination paths in order."""
+    from spark_hive_spark.scratch import run_parallel
+
+    return run_parallel(*(
+        lambda df=df, name=name: stage_single_parquet(
+            df, stage_root, dest_dir, name
+        )
+        for df, name in jobs
+    ))

@@ -3253,3 +3253,26 @@ def test_avro_none_container_is_loud():
     assert _enc_field(None, ["null", arr_t]) == b"\x00"
     assert _enc_field([], arr_t) == b"\x00"
     assert _enc_field({}, map_t) == b"\x00"
+
+
+def test_iceberg_bucket_long_vec_matches_scalar():
+    """The numpy murmur3 bucket transform (used by the hidden-
+    partitioning fixture writer) is bit-exact against the scalar
+    spec implementation, including extreme int64 values."""
+    import numpy as np
+
+    from spark_hive_spark.sources.evolution import (
+        iceberg_bucket_long,
+        iceberg_bucket_long_vec,
+    )
+
+    vals = np.concatenate([
+        np.arange(0, 300_000, 197, dtype=np.int64),
+        np.array([-1, -(2**63), 2**63 - 1, 0, 12345678901234],
+                 dtype=np.int64),
+    ])
+    for n in (8, 16):
+        got = iceberg_bucket_long_vec(vals, n)
+        assert got.tolist() == [
+            iceberg_bucket_long(int(x), n) for x in vals
+        ]
