@@ -124,6 +124,10 @@ def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s")
     )
     out = sh.join(df_cap, "s").cache()
+    # eager fill: index writes fan out three concurrent jobs over this
+    # frame (guide §2.6), and concurrent consumers of a cold cache each
+    # recompute the full derivation — materialize once, up front
+    out.count()
     _SHINGLE_CACHE[key] = out
     return out
 

@@ -470,13 +470,15 @@ def _ivf_centroids(emb, n_cells: int = IVF_CELLS) -> "np.ndarray":
     and ordering are by vec_id, not partition layout). n_cells is the
     knob that grows with the corpus — callers derive it from
     `ivf_policy` (SCALE.md's measured crossing-point policy)."""
-    rows = (
+    pdf = (
         emb.filter(F.col("vec_id") < 256 * n_cells)
         .select("vec_id", "embedding")
-        .collect()
+        .toPandas()  # Arrow transfer — row collect pays py4j pickling
+        .sort_values("vec_id")
     )
-    rows.sort(key=lambda r: r.vec_id)
-    X = np.stack([np.asarray(r.embedding, dtype=np.float64) for r in rows])
+    X = np.stack(
+        [np.asarray(e, dtype=np.float64) for e in pdf["embedding"]]
+    )
     Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
     C = Xn[:n_cells].copy()
     for _ in range(IVF_KMEANS_ITERS):
