@@ -10319,8 +10319,12 @@ def source_hudi_restore(
         file_id: str, instant: str, df: DataFrame
     ) -> tuple[str, int]:
         name = f"{file_id}_0-1-0_{instant}.parquet"
-        stage_single_parquet(df, root, tdir, name)
-        return name, df.count()
+        path = stage_single_parquet(df, root, tdir, name)
+        # numWrites from the staged file's own footer — no second
+        # Spark job per slice (was: df.count())
+        import pyarrow.parquet as _pq
+
+        return name, _pq.read_metadata(path).num_rows
 
     def _rewrite(src: DataFrame, mod_rem: int, bump: float,
                  instant: str) -> DataFrame:
@@ -10339,18 +10343,26 @@ def source_hudi_restore(
 
     par = F.col("o_orderkey") % 2
     base = orders.withColumn("_hoodie_commit_time", F.lit(t1))
-    a1, na1 = _write_base("fg-A", t1, base.filter(par == 0))
-    b1, nb1 = _write_base("fg-B", t1, base.filter(par == 1))
     a2df = _rewrite(base.filter(par == 0), 6, 100.0, t2)
-    a2, na2 = _write_base("fg-A", t2, a2df)
-    # rolled-back-later slices: exist on disk, must stay invisible
-    b3, nb3 = _write_base(
-        "fg-B", t3, _rewrite(base.filter(par == 1), 7, 50.0, t3)
-    )
-    a4, na4 = _write_base("fg-A", t4, _rewrite(a2df, 2, 25.0, t4))
-    # post-restore commit builds on the RESTORED state (t1's fg-B)
-    b6, nb6 = _write_base(
-        "fg-B", t6, _rewrite(base.filter(par == 1), 3, 75.0, t6)
+    # the six slice writes are independent jobs — overlapped
+    # (rolled-back-later slices b3/a4 exist on disk, must stay
+    # invisible; b6 is the post-restore commit on t1's fg-B)
+    from spark_hive_spark.scratch import run_parallel
+
+    (
+        (a1, na1), (b1, nb1), (a2, na2),
+        (b3, nb3), (a4, na4), (b6, nb6),
+    ) = run_parallel(
+        lambda: _write_base("fg-A", t1, base.filter(par == 0)),
+        lambda: _write_base("fg-B", t1, base.filter(par == 1)),
+        lambda: _write_base("fg-A", t2, a2df),
+        lambda: _write_base(
+            "fg-B", t3, _rewrite(base.filter(par == 1), 7, 50.0, t3)
+        ),
+        lambda: _write_base("fg-A", t4, _rewrite(a2df, 2, 25.0, t4)),
+        lambda: _write_base(
+            "fg-B", t6, _rewrite(base.filter(par == 1), 3, 75.0, t6)
+        ),
     )
 
     def _commit(instant: str,
@@ -10504,8 +10516,11 @@ def source_hudi_incremental_across_restore(
         file_id: str, instant: str, df: DataFrame
     ) -> tuple[str, int]:
         name = f"{file_id}_0-1-0_{instant}.parquet"
-        stage_single_parquet(df, root, tdir, name)
-        return name, df.count()
+        path = stage_single_parquet(df, root, tdir, name)
+        # numWrites from the staged file's own footer (no second job)
+        import pyarrow.parquet as _pq
+
+        return name, _pq.read_metadata(path).num_rows
 
     def _rewrite(src: DataFrame, mod_rem: int, bump: float,
                  instant: str) -> DataFrame:
@@ -10524,16 +10539,24 @@ def source_hudi_incremental_across_restore(
 
     par = F.col("o_orderkey") % 2
     base = orders.withColumn("_hoodie_commit_time", F.lit(t1))
-    a1, na1 = _write_base("fg-A", t1, base.filter(par == 0))
-    b1, nb1 = _write_base("fg-B", t1, base.filter(par == 1))
-    a2, na2 = _write_base(
-        "fg-A", t2, _rewrite(base.filter(par == 0), 6, 100.0, t2)
-    )
-    b3, nb3 = _write_base(  # rolled back, stays on disk
-        "fg-B", t3, _rewrite(base.filter(par == 1), 7, 50.0, t3)
-    )
-    b5, nb5 = _write_base(  # post-restore, builds on t1's base
-        "fg-B", t5, _rewrite(base.filter(par == 1), 3, 75.0, t5)
+    # the five slice writes are independent — overlapped (b3 is the
+    # rolled-back slice that stays on disk; b5 builds on t1's base)
+    from spark_hive_spark.scratch import run_parallel
+
+    (
+        (a1, na1), (b1, nb1), (a2, na2), (b3, nb3), (b5, nb5),
+    ) = run_parallel(
+        lambda: _write_base("fg-A", t1, base.filter(par == 0)),
+        lambda: _write_base("fg-B", t1, base.filter(par == 1)),
+        lambda: _write_base(
+            "fg-A", t2, _rewrite(base.filter(par == 0), 6, 100.0, t2)
+        ),
+        lambda: _write_base(
+            "fg-B", t3, _rewrite(base.filter(par == 1), 7, 50.0, t3)
+        ),
+        lambda: _write_base(
+            "fg-B", t5, _rewrite(base.filter(par == 1), 3, 75.0, t5)
+        ),
     )
 
     def _commit(instant: str,

@@ -1138,11 +1138,11 @@ def source_hudi_mor_incremental(
     t1, t2, t3, t4, t5, t6 = "001", "002", "003", "004", "005", "006"
 
     par = F.col("o_orderkey") % 2
-    for fid, half in (("fg-A", 0), ("fg-B", 1)):
-        stage_single_parquet(
-            orders.filter(par == half), root, tdir,
-            f"{fid}_0-1-0_{t1}.parquet",
-        )
+    stage_many_parquet(
+        [(orders.filter(par == half), f"{fid}_0-1-0_{t1}.parquet")
+         for fid, half in (("fg-A", 0), ("fg-B", 1))],
+        root, tdir,
+    )
 
     changes = (
         orders.filter((F.col("o_orderkey") % 10).isin(1, 3, 5, 6, 7, 8))
@@ -3946,11 +3946,11 @@ def source_hudi_restore_mor(
     t1, t2, t3, t4, t5 = "001", "002", "003", "004", "005"
 
     par = F.col("o_orderkey") % 2
-    for fid, half in (("fg-A", 0), ("fg-B", 1)):
-        stage_single_parquet(
-            orders.filter(par == half), root, tdir,
-            f"{fid}_0-1-0_{t1}.parquet",
-        )
+    stage_many_parquet(
+        [(orders.filter(par == half), f"{fid}_0-1-0_{t1}.parquet")
+         for fid, half in (("fg-A", 0), ("fg-B", 1))],
+        root, tdir,
+    )
 
     changes = (
         orders.filter((F.col("o_orderkey") % 10).isin(2, 3, 6, 7))

@@ -427,11 +427,22 @@ def source_iceberg_v3_row_lineage(
     os.makedirs(ddir)
     os.makedirs(mdir)
 
+    from spark_hive_spark.scratch import run_parallel
+
     k = F.col("o_orderkey") % 2
-    stage_single_parquet(orders.filter(k == 0), root, ddir, "A.parquet")
-    stage_single_parquet(orders.filter(k == 1), root, ddir, "B.parquet")
-    n_a = spark.read.parquet(os.path.join(ddir, "A.parquet")).count()
-    n_b = spark.read.parquet(os.path.join(ddir, "B.parquet")).count()
+    run_parallel(
+        lambda: stage_single_parquet(
+            orders.filter(k == 0), root, ddir, "A.parquet"
+        ),
+        lambda: stage_single_parquet(
+            orders.filter(k == 1), root, ddir, "B.parquet"
+        ),
+    )
+    # record counts from the staged files' own footers (no Spark jobs)
+    import pyarrow.parquet as _pq
+
+    n_a = _pq.read_metadata(os.path.join(ddir, "A.parquet")).num_rows
+    n_b = _pq.read_metadata(os.path.join(ddir, "B.parquet")).num_rows
 
     entry_schema = {
         "type": "record",
@@ -656,20 +667,14 @@ def source_iceberg_v3_row_lineage_rewrite(
     os.makedirs(ddir)
     os.makedirs(mdir)
 
-    k = F.col("o_orderkey") % 2
-    n_a = orders.filter(k == 0).count()
-    n = orders.count()
+    from spark_hive_spark.scratch import run_parallel
 
-    # commit 1 files (A/B exist so the fixture is honest about what
-    # the compaction replaced; the reader never scans them)
-    stage_single_parquet(
-        orders.filter(k == 0).sort("o_orderkey"), root, ddir,
-        "A.parquet",
+    k = F.col("o_orderkey") % 2
+    n_a, n = run_parallel(
+        lambda: orders.filter(k == 0).count(),
+        lambda: orders.count(),
     )
-    stage_single_parquet(
-        orders.filter(k == 1).sort("o_orderkey"), root, ddir,
-        "B.parquet",
-    )
+
     # commit 2: the compaction writer materializes the ORIGINAL ids
     # (position within the sorted original file: even k -> k/2, odd
     # k -> n_a + (k-1)/2 — dense keys) and the original seq number
@@ -685,27 +690,44 @@ def source_iceberg_v3_row_lineage_rewrite(
     ) - 1
     orig_id = F.when(k == 0, pos) \
         .otherwise(F.lit(n_a) + pos).cast("long")
-    stage_single_parquet(
-        orders.sort("o_orderkey").select(
-            "o_orderkey", "o_totalprice",
-            orig_id.alias("_row_id"),
-            F.lit(1).cast("long")
-            .alias("_last_updated_sequence_number"),
-        ),
-        root, ddir, "C.parquet",
-    )
-    # commit 3: fresh append with all-null materialized columns (the
-    # spec's "writers should write null for new rows")
     fresh = orders.filter(okey < 100).sort("o_orderkey")
-    n_d = fresh.count()
-    stage_single_parquet(
-        fresh.select(
-            "o_orderkey", "o_totalprice",
-            F.lit(None).cast("long").alias("_row_id"),
-            F.lit(None).cast("long")
-            .alias("_last_updated_sequence_number"),
+
+    # the four data-file stages are independent (commit 1's A/B exist
+    # so the fixture is honest about what the compaction replaced —
+    # the reader never scans them; commit 2's C materializes original
+    # ids; commit 3's D is the fresh all-null append) — overlapped
+    def _stage_d() -> int:
+        n_d = fresh.count()
+        stage_single_parquet(
+            fresh.select(
+                "o_orderkey", "o_totalprice",
+                F.lit(None).cast("long").alias("_row_id"),
+                F.lit(None).cast("long")
+                .alias("_last_updated_sequence_number"),
+            ),
+            root, ddir, "D.parquet",
+        )
+        return n_d
+
+    _, _, _, n_d = run_parallel(
+        lambda: stage_single_parquet(
+            orders.filter(k == 0).sort("o_orderkey"), root, ddir,
+            "A.parquet",
         ),
-        root, ddir, "D.parquet",
+        lambda: stage_single_parquet(
+            orders.filter(k == 1).sort("o_orderkey"), root, ddir,
+            "B.parquet",
+        ),
+        lambda: stage_single_parquet(
+            orders.sort("o_orderkey").select(
+                "o_orderkey", "o_totalprice",
+                orig_id.alias("_row_id"),
+                F.lit(1).cast("long")
+                .alias("_last_updated_sequence_number"),
+            ),
+            root, ddir, "C.parquet",
+        ),
+        _stage_d,
     )
 
     entry_schema = {
@@ -954,10 +976,14 @@ def source_iceberg_v3_row_lineage_dv(
     os.makedirs(ddir)
     os.makedirs(mdir)
 
+    from spark_hive_spark.scratch import run_parallel
+
     okey = F.col("o_orderkey")
     k = okey % 2
-    n_a = orders.filter(k == 0).count()
-    n = orders.count()
+    n_a, n = run_parallel(
+        lambda: orders.filter(k == 0).count(),
+        lambda: orders.count(),
+    )
     from pyspark.sql import Window as _W
 
     # per-parity rank == the dense-key closed form at oracle SFs,
@@ -1262,30 +1288,28 @@ def source_iceberg_partition_stats(
         .write.partitionBy("pdir", "parity")
         .parquet(ddir, mode="overwrite")
     )
-    entries: list[dict] = []
-    data_glob = spark.read.parquet(ddir)
-    per_file_counts = {
-        r["fp"]: r["cnt"]
-        for r in data_glob
-        .groupBy(F.col("_metadata.file_path").alias("fp"))
-        .agg(F.count("*").alias("cnt"))
-        .collect()
-    }
+    # manifest entries from the written files' own footers + dirents —
+    # record counts and sizes are metadata a real writer already has
+    # (was: a full scan + groupBy(_metadata.file_path) Spark job)
     from urllib.parse import unquote
 
-    for fp, cnt in sorted(per_file_counts.items()):
-        # _metadata.file_path is a URI — strip the scheme and decode
-        # percent-escapes (partition values may contain spaces)
-        local = unquote(
-            fp[len("file:"):] if fp.startswith("file:") else fp
-        )
-        rel = os.path.relpath(local, ddir)
-        part = rel.split("/")[0].split("=", 1)[1]
-        entries.append({
-            "status": 1, "content": 0, "file_path": rel,
-            "partition": part, "record_count": cnt,
-            "file_size_in_bytes": os.path.getsize(local),
-        })
+    import pyarrow.parquet as _pq
+
+    entries: list[dict] = []
+    for base, _dirs, names in sorted(os.walk(ddir)):
+        for nm in sorted(names):
+            if not nm.endswith(".parquet"):
+                continue
+            local = os.path.join(base, nm)
+            rel = os.path.relpath(local, ddir)
+            # dir names carry Hive-style %-escapes for special chars
+            part = unquote(rel.split("/")[0].split("=", 1)[1])
+            entries.append({
+                "status": 1, "content": 0, "file_path": rel,
+                "partition": part,
+                "record_count": _pq.read_metadata(local).num_rows,
+                "file_size_in_bytes": os.path.getsize(local),
+            })
     # position-delete file against the 1-URGENT partition
     del_part = "1-URGENT"
     del_rows = [
