@@ -2050,8 +2050,6 @@ def source_iceberg_partition_stats_evolution(
     O(manifest entries), the unified-tuple widening is planning
     schema only (no data rewritten on evolution, ever), and the
     verification scan exists as the audit's ground truth."""
-    import pandas as _pd
-
     from spark_hive_spark.sources.evolution import iceberg_format_gate
     from spark_hive_spark.sources.staging import stage_single_parquet
 
@@ -2129,9 +2127,14 @@ def source_iceberg_partition_stats_evolution(
         for e in m1
     ]
     spath = os.path.join(mdir, "partition-stats-2.parquet")
+    # part_year/part_month are int-or-None: routing them through
+    # pandas coerces to float64 (None -> NaN), which the non-Arrow
+    # createDataFrame path rejects against bigint. A plain list of
+    # dicts verifies cleanly regardless of the session's Arrow
+    # setting; the frame is O(partitions), so the row path is free.
     stage_single_parquet(
         spark.createDataFrame(
-            _pd.DataFrame(stats_rows),
+            stats_rows,
             "spec_id int, part_year bigint, part_month bigint, "
             "data_record_count bigint, data_file_count bigint, "
             "total_data_file_size_in_bytes bigint",

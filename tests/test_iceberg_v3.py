@@ -355,3 +355,33 @@ def test_inherit_first_row_ids_rules():
         )
     # inputs are never mutated (entries are shared manifest rows)
     assert ents[0]["first_row_id"] is None
+
+
+def test_partition_stats_evolution_arrow_off(spark):
+    """The evolved-spec stats writer must not depend on the session's
+    Arrow conversion: part_year/part_month are int-or-None, and a
+    pandas round-trip coerces them to float64, which the non-Arrow
+    createDataFrame path rejects against bigint (round-19 driver
+    failure). Pin the query green with Arrow conversion disabled."""
+    from spark_hive_spark.sources.iceberg_v3 import (
+        source_iceberg_partition_stats_evolution,
+    )
+    from tests.conftest import SF_SMOKE
+
+    key = "spark.sql.execution.arrow.pyspark.enabled"
+    prev = spark.conf.get(key)
+    spark.conf.set(key, "false")
+    try:
+        rows = source_iceberg_partition_stats_evolution(
+            spark, SF_SMOKE
+        ).collect()
+    finally:
+        spark.conf.set(key, prev)
+    assert rows
+    assert all(
+        r["counts_ok"] and r["unified_tuple_ok"] and r["registry_ok"]
+        for r in rows
+    )
+    # both specs present, each row null in exactly the other field
+    specs = {r["spec_id"] for r in rows}
+    assert specs == {0, 1}
