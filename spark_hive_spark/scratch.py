@@ -31,15 +31,29 @@ from typing import Any
 _SHM = "/dev/shm"
 
 
+# tmpfs competes with process memory: only prefer /dev/shm while it
+# has comfortable headroom, otherwise turning disk pressure into
+# OOM/ENOSPC on constrained hosts (fixtures here are <~1 GiB each and
+# rmtree'd per query, so 4 GiB free is a generous floor).
+_SHM_MIN_FREE_BYTES = 4 << 30
+
+
 def scratch_root() -> str:
     """Directory for ephemeral per-query scratch (fixtures, indexes,
-    stream checkpoints). Fastest available: $SPARK_GRAFT_SCRATCH >
-    /dev/shm (when writable tmpfs) > tempfile.gettempdir()."""
+    stream checkpoints). Fastest available: $SPARK_GRAFT_SCRATCH
+    (created if missing) > /dev/shm (writable tmpfs with headroom) >
+    tempfile.gettempdir()."""
     env = os.environ.get("SPARK_GRAFT_SCRATCH")
     if env:
+        os.makedirs(env, exist_ok=True)
         return env
     if os.path.isdir(_SHM) and os.access(_SHM, os.W_OK):
-        return _SHM
+        try:
+            st = os.statvfs(_SHM)
+            if st.f_bavail * st.f_frsize >= _SHM_MIN_FREE_BYTES:
+                return _SHM
+        except OSError:
+            pass
     return tempfile.gettempdir()
 
 

@@ -38,6 +38,19 @@ _DEFAULT_CONF: dict[str, str] = {
     # convert in tables._read (Spark has no nanos timestamp type).
     "spark.sql.legacy.parquet.nanosAsLong": "true",
     "spark.sql.parquet.compression.codec": "zstd",
+    # One BLAS/OpenMP thread per Python worker: Spark already runs one
+    # worker per core, so library-level threading inside the GEMM
+    # mapInPandas kernels (similarity/multimodal/pipeline) only
+    # oversubscribes the box — N workers x M BLAS threads thrash
+    # memory bandwidth at high core counts and collapse under host
+    # steal (round-19 scaling: those queries ran FASTER at 8 cores
+    # than 32). spark.executorEnv.* reaches the Python worker
+    # environment in every deploy mode, including local.
+    "spark.executorEnv.OMP_NUM_THREADS": "1",
+    "spark.executorEnv.OPENBLAS_NUM_THREADS": "1",
+    "spark.executorEnv.MKL_NUM_THREADS": "1",
+    "spark.executorEnv.VECLIB_MAXIMUM_THREADS": "1",
+    "spark.executorEnv.NUMEXPR_NUM_THREADS": "1",
 }
 
 

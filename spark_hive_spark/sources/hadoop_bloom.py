@@ -183,16 +183,42 @@ def _murmur2_32_vec(mat, seeds):
     return h
 
 
+def ascii_keys_array(keys):
+    """Convert a batch of byte keys to a numpy S-dtype array for the
+    vectorized hashers, guarding the representation gap: S-dtype
+    storage cannot carry a TRAILING NUL byte (it is indistinguishable
+    from padding), so a key like b"42\\x00" would silently hash as
+    b"42" and diverge from the scalar implementations. All in-repo
+    callers pass ASCII-decimal record keys, which can never end in
+    NUL; this guard keeps the contract loud for any future caller.
+    Input that is already S-dtype is trusted (its conversion already
+    happened under the caller's own guard or contract)."""
+    import numpy as np
+
+    if isinstance(keys, np.ndarray) and keys.dtype.kind == "S":
+        return keys
+    arr = np.asarray(keys, dtype=object)
+    for k in arr.ravel():
+        if isinstance(k, (bytes, bytearray)) and k[-1:] == b"\x00":
+            raise ValueError(
+                "byte key ends with NUL: numpy S-dtype cannot "
+                "represent a trailing \\x00 (vectorized hash would "
+                "silently diverge from the scalar form)"
+            )
+    return arr.astype(np.bytes_)
+
+
 def bloom_bit_indexes(keys, vector_size: int, nb_hash: int):
     """All bloom bit indexes for a batch of byte keys — the
     vectorized twin of `HadoopBloomFilter._indexes` over many keys
     (chained murmur rounds, Java abs-mod), returned as a unique
     int64 numpy array. Keys group by length so each group hashes as
     one fixed-width matrix; builds that previously looped
-    `bf.add(key)` per row call this once per Arrow batch."""
+    `bf.add(key)` per row call this once per Arrow batch. Keys must
+    not end in a NUL byte (see `ascii_keys_array`)."""
     import numpy as np
 
-    keys = np.asarray(keys, dtype=np.bytes_)
+    keys = ascii_keys_array(keys)
     if keys.size and keys.dtype.itemsize == 0:
         raise ValueError("empty bloom key")
     lens = np.char.str_len(keys)

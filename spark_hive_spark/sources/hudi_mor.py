@@ -3652,10 +3652,13 @@ def hudi_rli_file_group_index_vec(keys, n_groups: int):
     bytes array of ASCII record keys (the record keys here are
     decimal digit strings, where Java char == byte): Horner 31-hash
     in uint32 per length group, then the same signed double-abs mod.
-    Pinned against the scalar form in tests/test_hfile.py."""
+    Pinned against the scalar form in tests/test_hfile.py. Keys must
+    not end in a NUL byte (see `ascii_keys_array`)."""
     import numpy as np
 
-    keys = np.asarray(keys, dtype=np.bytes_)
+    from spark_hive_spark.sources.hadoop_bloom import ascii_keys_array
+
+    keys = ascii_keys_array(keys)
     out = np.empty(len(keys), dtype=np.int64)
     lens = np.char.str_len(keys)
     with np.errstate(over="ignore"):

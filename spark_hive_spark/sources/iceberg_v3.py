@@ -1302,7 +1302,13 @@ def source_iceberg_partition_stats(
                 continue
             local = os.path.join(base, nm)
             rel = os.path.relpath(local, ddir)
-            # dir names carry Hive-style %-escapes for special chars
+            # dir names carry Hive-style %-escapes for special chars.
+            # ASCII-safe assumption (ADVICE r19): unquote() also undoes
+            # Hive escapes the old _metadata.file_path route kept
+            # escaped; identical for these fixtures' partition values
+            # (letters/digits/dash/space only) — if values could ever
+            # carry %-escapable characters, pin which representation
+            # the manifest stores before relying on either.
             part = unquote(rel.split("/")[0].split("=", 1)[1])
             entries.append({
                 "status": 1, "content": 0, "file_path": rel,

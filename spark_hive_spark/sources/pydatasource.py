@@ -177,6 +177,11 @@ if _HAS_DATASOURCE_API:
 
             def partitions(self, start: dict, end: dict):
                 lo, hi = int(start["next"]), int(end["next"])
+                # recovery contract (ADVICE r19): a restarted reader's
+                # admission cursor starts at 0 while Spark replans from
+                # the CHECKPOINTED offsets — never re-admit below them,
+                # so latestOffset() keeps moving forward after restart
+                self._cursor = max(self._cursor, lo, hi)
                 k = max(1, min(self.parts, hi - lo))
                 bounds = [
                     lo + (hi - lo) * i // k for i in range(k + 1)
@@ -325,6 +330,12 @@ if _HAS_DATASOURCE_API and _HAS_STREAM_READER:
         def partitions(self, start: dict, end: dict):
             import os as _os
 
+            # recovery contract (ADVICE r19): never re-admit instants
+            # at or below the checkpointed offsets after a restart
+            # (instants are zero-padded, so string max is ordered)
+            self._cursor = max(
+                self._cursor or "000", start["last"], end["last"]
+            )
             commits = self._completed()
             parts = []
             for ts in sorted(commits):

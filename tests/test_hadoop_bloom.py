@@ -111,3 +111,21 @@ def test_vectorized_bloom_matches_scalar():
             seed = expected
     with pytest.raises(ValueError, match="empty"):
         bloom_bit_indexes(np.asarray([b"a", b""], dtype=np.bytes_), m, k)
+
+
+def test_trailing_nul_key_is_loud():
+    """numpy S-dtype cannot represent a trailing NUL byte — a key
+    like b'42\\x00' would silently hash as b'42' and diverge from the
+    scalar add path. The vectorized entry points reject it instead
+    (ADVICE r19); in-repo callers only pass ASCII-decimal keys."""
+    from spark_hive_spark.sources.hadoop_bloom import bloom_bit_indexes
+    from spark_hive_spark.sources.hudi_mor import (
+        hudi_rli_file_group_index_vec,
+    )
+
+    with pytest.raises(ValueError, match="NUL"):
+        bloom_bit_indexes([b"42", b"42\x00"], 1024, 3)
+    with pytest.raises(ValueError, match="NUL"):
+        hudi_rli_file_group_index_vec([b"7\x00"], 4)
+    # interior NULs are representable and fine
+    assert len(bloom_bit_indexes([b"4\x002"], 1024, 3)) == 3
