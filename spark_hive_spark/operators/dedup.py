@@ -705,7 +705,8 @@ def dedup_shingle_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _minhash_index_write(
-    sh_df: DataFrame, root: str, mode: str = "error"
+    sh_df: DataFrame, root: str, mode: str = "error",
+    bands_df: DataFrame | None = None,
 ) -> None:
     """Persist (or, with mode="append", EXTEND) the MinHash index of
     a shingle frame: the band table, the shingle table, and the
@@ -717,13 +718,21 @@ def _minhash_index_write(
 
     The three table writes are independent jobs over the same cached
     shingle frame — they overlap in one thread pool (guide §2.6) so
-    the stage tails back-fill instead of serializing."""
+    the stage tails back-fill instead of serializing.
+
+    ``bands_df`` (doc_id, band_idx, band_hash) lets a caller that has
+    ALREADY derived the batch's band table (for the dedupe step)
+    reuse it for the append instead of re-running the k=32 MinHash
+    over the batch's shingles — banding is deterministic (fixed
+    xxhash64 seeds), so the rows are identical either way."""
     import os
 
+    bands_src = (
+        api.minhash_bands(sh_df, k=MINHASH_K, bands=MINHASH_BANDS)
+        if bands_df is None else bands_df
+    )
     run_parallel(
-        lambda: api.minhash_bands(
-            sh_df, k=MINHASH_K, bands=MINHASH_BANDS
-        ).select(
+        lambda: bands_src.select(
             F.col("doc_id").alias("v1_doc"), "band_idx", "band_hash"
         ).write.mode(mode).parquet(os.path.join(root, "bands")),
         lambda: sh_df.select(
@@ -736,20 +745,27 @@ def _minhash_index_write(
 
 
 def _minhash_index_dedupe(
-    spark: SparkSession, root: str, inc_sh: DataFrame
+    spark: SparkSession, root: str, inc_sh: DataFrame,
+    inc_bands: DataFrame | None = None,
 ) -> DataFrame:
     """Dedup an incoming shingle frame STRICTLY against a stored
     MinHash index: band equi-join for candidates, exact Jaccard
     verified against the index's shingle table — the corpus rows are
-    never touched. Returns (doc_id, dup_of, jaccard) ordered."""
+    never touched. Returns (doc_id, dup_of, jaccard) ordered.
+
+    ``inc_bands`` lets a caller that dedupes the SAME batch against
+    several index generations (the compaction-equivalence audit)
+    derive the batch's band table once and share it — banding is
+    deterministic, so results are identical."""
     import os
 
     idx_bands = spark.read.parquet(os.path.join(root, "bands"))
     idx_sh = spark.read.parquet(os.path.join(root, "shingles"))
     idx_sz = spark.read.parquet(os.path.join(root, "sizes"))
-    inc_bands = api.minhash_bands(
-        inc_sh, k=MINHASH_K, bands=MINHASH_BANDS
-    )
+    if inc_bands is None:
+        inc_bands = api.minhash_bands(
+            inc_sh, k=MINHASH_K, bands=MINHASH_BANDS
+        )
     candidates = (
         inc_bands.join(idx_bands, ["band_idx", "band_hash"])
         .select("doc_id", "v1_doc")
@@ -983,19 +999,30 @@ def dedup_incremental_index_update(
     root = os.path.join(
         scratch_root(), f"shs_dedupidxu_{uuid.uuid4().hex}"
     )
-    # corpus v1 -> the frozen index
-    _minhash_index_write(sh.filter(quarter < 2), root)
-    # the two batch checkpoints are independent materializations of
-    # the cached shingle frame — overlapped (guide §2.6)
-    b2_sh, b3_sh = run_parallel(
+    # corpus v1 -> the frozen index, overlapped with the two batch
+    # checkpoints — all five jobs are independent materializations of
+    # the cached shingle frame (guide §2.6)
+    _, b2_sh, b3_sh = run_parallel(
+        lambda: _minhash_index_write(sh.filter(quarter < 2), root),
         lambda: sh.filter(quarter == 2).localCheckpoint(eager=True),
         lambda: sh.filter(quarter == 3).localCheckpoint(eager=True),
     )
 
-    # cycle step 1: dedupe batch 2, drop its dups
+    # batch 2's band table is derived ONCE and reused by the dedupe
+    # (below) and the append (step 2) — banding is deterministic, so
+    # re-running the k=32 MinHash over the same shingles is pure waste
+    b2_bands = api.minhash_bands(
+        b2_sh, k=MINHASH_K, bands=MINHASH_BANDS
+    ).localCheckpoint(eager=True)
+
+    # cycle step 1: dedupe batch 2, drop its dups. Checkpointed: the
+    # dup id set is tiny, and without it every append job below (and
+    # the count) re-runs the whole dedupe subplan — including a
+    # re-read of the index directory the append is writing into
     dups2 = (
-        _minhash_index_dedupe(spark, root, b2_sh)
+        _minhash_index_dedupe(spark, root, b2_sh, inc_bands=b2_bands)
         .select("doc_id").distinct()
+        .localCheckpoint(eager=True)
     )
     n_dropped, n_b2 = run_parallel(
         lambda: dups2.count(),
@@ -1003,8 +1030,14 @@ def dedup_incremental_index_update(
     )
     kept2_sh = b2_sh.join(F.broadcast(dups2), "doc_id", "left_anti")
 
-    # cycle step 2: the survivors JOIN the index — a pure append
-    _minhash_index_write(kept2_sh, root, mode="append")
+    # cycle step 2: the survivors JOIN the index — a pure append;
+    # their bands are the already-derived batch-2 bands minus the dups
+    kept2_bands = b2_bands.join(
+        F.broadcast(dups2), "doc_id", "left_anti"
+    )
+    _minhash_index_write(
+        kept2_sh, root, mode="append", bands_df=kept2_bands
+    )
 
     # cycle step 3: batch 3 dedupes against the UPDATED index
     pairs3 = _minhash_index_dedupe(spark, root, b3_sh)
@@ -1099,20 +1132,40 @@ def dedup_index_compaction_audit(
     root = os.path.join(
         scratch_root(), f"shs_dedupidxc_{uuid.uuid4().hex}"
     )
-    _minhash_index_write(sh.filter(quarter < 2), root)
-    # the two batch checkpoints are independent materializations of
-    # the cached shingle frame — overlapped (guide §2.6)
-    b2_sh, b3_sh = run_parallel(
+    # v1 index write ∥ the two batch checkpoints — all independent
+    # materializations of the cached shingle frame (guide §2.6)
+    _, b2_sh, b3_sh = run_parallel(
+        lambda: _minhash_index_write(sh.filter(quarter < 2), root),
         lambda: sh.filter(quarter == 2).localCheckpoint(eager=True),
         lambda: sh.filter(quarter == 3).localCheckpoint(eager=True),
     )
 
+    # each batch's band table derives ONCE: batch 2's feeds its dedupe
+    # AND the survivor append; batch 3's feeds BOTH equivalence
+    # dedupes below (banding is deterministic — identical rows)
+    b2_bands, b3_bands = run_parallel(
+        lambda: api.minhash_bands(
+            b2_sh, k=MINHASH_K, bands=MINHASH_BANDS
+        ).localCheckpoint(eager=True),
+        lambda: api.minhash_bands(
+            b3_sh, k=MINHASH_K, bands=MINHASH_BANDS
+        ).localCheckpoint(eager=True),
+    )
+
+    # checkpointed: without it every append job below re-runs the
+    # whole dedupe subplan, re-reading the index dir being appended
     dups2 = (
-        _minhash_index_dedupe(spark, root, b2_sh)
+        _minhash_index_dedupe(spark, root, b2_sh, inc_bands=b2_bands)
         .select("doc_id").distinct()
+        .localCheckpoint(eager=True)
     )
     kept2_sh = b2_sh.join(F.broadcast(dups2), "doc_id", "left_anti")
-    _minhash_index_write(kept2_sh, root, mode="append")
+    kept2_bands = b2_bands.join(
+        F.broadcast(dups2), "doc_id", "left_anti"
+    )
+    _minhash_index_write(
+        kept2_sh, root, mode="append", bands_df=kept2_bands
+    )
 
     def _files(d: str) -> int:
         return sum(
@@ -1165,12 +1218,14 @@ def dedup_index_compaction_audit(
 
     # ---- equivalence: batch 3 against BOTH index generations ----
     # the two dedupes are independent (old vs compacted index) —
-    # overlapped for the same reason
+    # overlapped, and both share batch 3's checkpointed band table
     pairs_old, pairs_new = run_parallel(
-        lambda: _minhash_index_dedupe(spark, root, b3_sh)
-        .localCheckpoint(eager=True),
-        lambda: _minhash_index_dedupe(spark, croot, b3_sh)
-        .localCheckpoint(eager=True),
+        lambda: _minhash_index_dedupe(
+            spark, root, b3_sh, inc_bands=b3_bands
+        ).localCheckpoint(eager=True),
+        lambda: _minhash_index_dedupe(
+            spark, croot, b3_sh, inc_bands=b3_bands
+        ).localCheckpoint(eager=True),
     )
     mism = pairs_old.select("doc_id", "dup_of", "jaccard").join(
         pairs_new.select(
