@@ -492,6 +492,33 @@ def _ivf_centroids(emb, n_cells: int = IVF_CELLS) -> "np.ndarray":
     return C
 
 
+def _stage_centroids(path: str, Cn: "np.ndarray") -> None:
+    """Persist the trained (cell, centroid) quantizer as ONE parquet
+    file, written driver-side via pyarrow. The artifact is
+    O(cells x dim) (~8 KB at 16x64) and already lives on the driver
+    after training, so a Spark write job here is pure scheduling +
+    commit-protocol overhead (guide §5: the driver should do almost
+    no data work — and submitting a cluster job to move 8 KB is the
+    inverse mistake). Readers are unchanged: spark.read.parquet
+    reconstructs cell int / centroid array<double> exactly — float64
+    bits roundtrip through the parquet DOUBLE physical type either
+    way, which the persistence audit asserts."""
+    import os as _os
+
+    import pyarrow as _pa
+    import pyarrow.parquet as _pq
+
+    _os.makedirs(path, exist_ok=True)
+    tbl = _pa.table({
+        "cell": _pa.array(np.arange(len(Cn), dtype=np.int32)),
+        "centroid": _pa.array(
+            [row.tolist() for row in Cn],
+            type=_pa.list_(_pa.float64()),
+        ),
+    })
+    _pq.write_table(tbl, _os.path.join(path, "part-00000.parquet"))
+
+
 @register(
     "knn_cosine_ivf",
     oracle=None,  # ANN: cell assignment depends on the coarse
@@ -943,12 +970,7 @@ def ann_index_persistence_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx_dir = _os.path.join(
         scratch_root(), f"shs_ivf_idx_{_uuid.uuid4().hex}"
     )
-    idx_rows = [
-        (int(i), [float(x) for x in Cn[i]]) for i in range(len(Cn))
-    ]
-    spark.createDataFrame(
-        idx_rows, "cell int, centroid array<double>"
-    ).coalesce(1).write.parquet(idx_dir)
+    _stage_centroids(idx_dir, Cn)
 
     back = spark.read.parquet(idx_dir).orderBy("cell").collect()
     Cn2 = np.stack([np.asarray(r.centroid, dtype=np.float64) for r in back])
@@ -1768,13 +1790,7 @@ def ann_incremental_index_audit(
     )
     cdir = _os.path.join(root, "centroids")
     pdir = _os.path.join(root, "postings")
-    spark.createDataFrame(
-        pd.DataFrame({
-            "cell": np.arange(len(Cn), dtype=np.int32),
-            "centroid": [row.tolist() for row in Cn],
-        }),
-        "cell int, centroid array<double>",
-    ).coalesce(1).write.parquet(cdir)
+    _stage_centroids(cdir, Cn)
 
     _assigner = _ivf_assigner
     schema = "vec_id long, embedding array<float>, cell int"
